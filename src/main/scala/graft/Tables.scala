@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
+  *
+  * Each table is one parquet file under the scale-factor directory. All
+  * reads go through here so that column pruning / filter pushdown can be
+  * verified in one place and so a future cluster deployment can swap the
+  * path scheme (e.g. bucketed tables, a catalog) without touching
+  * operators.
+  *
+  * Scale notes: at 100 TB these reads become multi-file partitioned
+  * scans; nothing here assumes a single file. Dimension tables (region,
+  * nation, supplier, part, customer) stay broadcast-sized even at large
+  * SF multipliers, so joins against them should use `broadcast()` — see
+  * graft.queries.Relational.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
+    // default; read it as a nanos Long and convert explicitly (tsMillis).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Events with `ts_ms: Long` (epoch millis) derived from the nanos
+    * Long `ts` by integer division — double division would lose
+    * precision at ~1.7e18 ns. Matches the reference's integer-ms
+    * convention (/root/reference/streamtasks/utils.py:291); DuckDB
+    * oracle equivalent: `epoch_ms(ts)`.
+    */
+  def eventsMs(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ts_ms",
+      org.apache.spark.sql.functions.expr("ts DIV 1000000"))
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational query surface.
+  *
+  * The reference (leopf/streamtasks) has no relational algebra at all —
+  * SURVEY.md §2.7 — so this whole surface comes from Catalyst built-ins:
+  * scan, filter/project (pushed to parquet), broadcast + shuffle joins,
+  * hash aggregate with partial (map-side) combine, rollup/cube, window
+  * functions, top-k (TakeOrderedAndProject), set ops, semi/anti joins,
+  * and JSON extraction.
+  *
+  * Scale design notes (100 TB):
+  *  - dimension joins (customer/nation/region/part/supplier) are
+  *    explicitly `broadcast()` — no shuffle of the fact table for them;
+  *  - aggregations group on low-cardinality keys → partial aggregation
+  *    collapses the shuffle to ~|groups| rows per partition;
+  *  - top-k uses orderBy+limit which Spark plans as
+  *    TakeOrderedAndProject (per-partition heap, no global sort);
+  *  - all scans select only needed columns so ReadSchema stays narrow.
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  // ---- q01: TPC-H Q1-style pricing summary --------------------------------
+  private def q01(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2)
+          * dec(lit(1) + col("l_tax"), 8, 2)).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q02: filter + project, pushdown-friendly ---------------------------
+  private def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType) &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_extendedprice * (1 - l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q03: broadcast dimension join + agg --------------------------------
+  private def q03(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q03Sql =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS cnt
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q04: multi-way join through the dimension chain --------------------
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q04Sql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---- q05: window function (top-3 orders per customer) -------------------
+  private def q05(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q05Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---- q06: top-k (TakeOrderedAndProject — no global sort) ----------------
+  private def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val q06Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---- q07: distinct aggregation ------------------------------------------
+  private def q07(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("nations"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("c_mktsegment"))
+
+  private val q07Sql =
+    """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS nations, COUNT(*) AS cnt
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q08: INTERSECT ------------------------------------------------------
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("c_custkey"))
+    rich.intersect(big).orderBy(col("c_custkey"))
+  }
+
+  private val q08Sql =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q09: EXCEPT ---------------------------------------------------------
+  private def q09(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.except(o).orderBy(col("c_custkey"))
+  }
+
+  private val q09Sql =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q10: ROLLUP ---------------------------------------------------------
+  private def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val q10Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---- q11: CUBE -----------------------------------------------------------
+  private def q11(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  private val q11Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS cnt
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---- q12: left-semi join (EXISTS) ---------------------------------------
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q13: left-anti join (NOT EXISTS) -----------------------------------
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_name")
+    val l = Tables.lineitem(spark, dir).select("l_partkey")
+    p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q13Sql =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---- q14: HAVING on an exact decimal sum --------------------------------
+  private def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > 200)
+      .select(col("l_partkey"), col("qty_dec").cast(DoubleType).as("qty"))
+      .orderBy(col("l_partkey"))
+
+  private val q14Sql =
+    """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_partkey
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+      |ORDER BY l_partkey""".stripMargin
+
+  // ---- q15: conditional aggregation (promo revenue share) -----------------
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val revenue = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast(LongType).as("yr"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType).as("promo_rev"),
+        sum(revenue).cast(DoubleType).as("total_rev"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("yr"))
+  }
+
+  private val q15Sql =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS total_rev,
+      |  COUNT(*) AS cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY year(l_shipdate) ORDER BY yr""".stripMargin
+
+  // ---- q16: string functions ----------------------------------------------
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 10).as("name10"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("bt"))
+      .orderBy(col("p_partkey"))
+
+  private val q16Sql =
+    """SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTR(p_name, 1, 10) AS name10,
+      |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |  p_brand || ':' || p_type AS bt
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- q17: date functions -------------------------------------------------
+  private def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dy"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  private val q17Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dy,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+      |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- q18: JSON extraction ------------------------------------------------
+  private def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy(col("event_id"))
+
+  private val q18Sql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- q19: correlated aggregate comparison (orders above customer avg) ---
+  // avg is compared exactly: price*cnt > sum(decimal), avoiding decimal
+  // division whose result scale differs between engines.
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val stats = o.groupBy(col("o_custkey").as("ck"))
+      .agg(sum(dec(col("o_totalprice"))).as("s"), count(lit(1)).as("c"))
+    o.join(broadcast(stats), col("o_custkey") === col("ck"))
+      .filter(dec(col("o_totalprice")) * col("c") > col("s"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q19Sql =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders JOIN (
+      |  SELECT o_custkey AS ck, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s, COUNT(*) AS c
+      |  FROM orders GROUP BY o_custkey) t ON o_custkey = ck
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * c > s
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01, Some(q01Sql)),
+    Q("q02_filter_project", q02, Some(q02Sql)),
+    Q("q03_broadcast_join", q03, Some(q03Sql)),
+    Q("q04_multi_join", q04, Some(q04Sql)),
+    Q("q05_window_rank", q05, Some(q05Sql)),
+    Q("q06_topk", q06, Some(q06Sql)),
+    Q("q07_distinct_count", q07, Some(q07Sql)),
+    Q("q08_intersect", q08, Some(q08Sql)),
+    Q("q09_except", q09, Some(q09Sql)),
+    Q("q10_rollup", q10, Some(q10Sql)),
+    Q("q11_cube", q11, Some(q11Sql)),
+    Q("q12_semi_join", q12, Some(q12Sql)),
+    Q("q13_anti_join", q13, Some(q13Sql)),
+    Q("q14_having", q14, Some(q14Sql)),
+    Q("q15_conditional_agg", q15, Some(q15Sql)),
+    Q("q16_string_funcs", q16, Some(q16Sql)),
+    Q("q17_date_funcs", q17, Some(q17Sql)),
+    Q("q18_json_extract", q18, Some(q18Sql)),
+    Q("q19_above_avg", q19, Some(q19Sql)),
+  )
+}
