@@ -1,5 +1,536 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch analogues of the reference's stream-operator catalog
+  * (SURVEY.md §2.1/§2.3), expressed over the `events` table.
+  *
+  * Stream model: the reference's integer topics carrying
+  * `NumberMessage{timestamp, value}` (/root/reference/streamtasks/message/types.py:1-21)
+  * map to slices of `events` partitioned by `event_type`
+  * (click/view/error/signup/purchase = 5 topics); `ts_ms` is the
+  * event-time in integer milliseconds, matching the reference's
+  * `get_timestamp_ms` convention (/root/reference/streamtasks/utils.py:291).
+  *
+  * "Last-value as-of" state — the backbone of gate/switch/calculator
+  * semantics (/root/reference/streamtasks/system/tasks/gate.py,
+  * switch.py, calculator.py:227-240) — is realised in batch as
+  * `last(value, ignoreNulls) OVER (ORDER BY ts, priority, id)` over a
+  * tagged union, i.e. Spark's native window machinery instead of the
+  * reference's hand-rolled per-message state objects. The streaming
+  * twins live in graft.streaming with identical semantics.
+  *
+  * Scale notes (100 TB): these windows order over a single logical
+  * pipeline, matching the reference's one-state-object-per-task model —
+  * an inherently sequential semantic. At scale, state is keyed: every
+  * query here that can be keyed (detector, repeater) partitions its
+  * window by `user_id` so Spark distributes state across executors;
+  * the unkeyed ones document the single-pipeline constraint. None of
+  * these shuffle more than once (the window sort), and all scans
+  * project only the needed columns.
+  */
 object EventOps {
-  val all: Seq[Q] = Seq()
+
+  import graft.Tables.eventsMs
+
+  // Shared oracle prelude: events with epoch-ms timestamps.
+  // DuckDB truncates the parquet ns timestamps to µs on read and
+  // epoch_ms floors to ms — identical to Spark's `ts DIV 1000000`
+  // on the nanos Long (see Tables.eventsMs).
+  private val evMs = "SELECT *, epoch_ms(ts) AS ts_ms FROM events"
+
+  // =========================================================================
+  // Stateless projections (SURVEY §2.1 #8, #11, #12, #13)
+  // =========================================================================
+
+  /** string matcher (stringmatcher.py:27-44): regex → 0/1 number with
+    * the same timestamp. Codegen'd `rlike`, no shuffle, no state. */
+  private def e01(s: SparkSession, d: String): DataFrame =
+    eventsMs(s, d)
+      .select(col("event_id"), col("ts_ms"),
+        when(col("event_type").rlike("^(click|view)$"), 1.0).otherwise(0.0)
+          .as("matched"))
+      .orderBy(col("event_id"))
+
+  private val e01Sql =
+    s"""SELECT event_id, ts_ms,
+       |  CASE WHEN regexp_matches(event_type, '^(click|view)$$')
+       |       THEN 1.0 ELSE 0.0 END AS matched
+       |FROM ($evMs) ORDER BY event_id""".stripMargin
+
+  /** number→text (numbertotext.py:24-34): str(value), ts preserved.
+    * Via DECIMAL(12,2) so both engines print identically. */
+  private def e02(s: SparkSession, d: String): DataFrame =
+    eventsMs(s, d)
+      .select(col("event_id"), col("ts_ms"),
+        col("value").cast(DecimalType(12, 2)).cast(StringType).as("text"))
+      .orderBy(col("event_id"))
+
+  private val e02Sql =
+    s"""SELECT event_id, ts_ms,
+       |  CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS text
+       |FROM ($evMs) ORDER BY event_id""".stripMargin
+
+  /** time→text (timetotext.py:29-37): strftime of the message
+    * timestamp, reference default pattern "%d/%m/%Y, %H:%M:%S" →
+    * Java "dd/MM/yyyy, HH:mm:ss" (the strftime translation of
+    * SURVEY §7.4). */
+  private def e03(s: SparkSession, d: String): DataFrame =
+    eventsMs(s, d)
+      .select(col("event_id"), col("ts_ms"),
+        date_format(timestamp_millis(col("ts_ms")), "dd/MM/yyyy, HH:mm:ss")
+          .as("text"))
+      .orderBy(col("event_id"))
+
+  private val e03Sql =
+    s"""SELECT event_id, ts_ms,
+       |  strftime(make_timestamp(ts_ms * 1000), '%d/%m/%Y, %H:%M:%S') AS text
+       |FROM ($evMs) ORDER BY event_id""".stripMargin
+
+  /** timestamp updater (timestampupdater.py:29-41): ts := ts + offset;
+    * fail-closed drops messages without a timestamp. */
+  private def e04(s: SparkSession, d: String): DataFrame =
+    eventsMs(s, d)
+      .filter(col("ts_ms").isNotNull)
+      .select(col("event_id"), (col("ts_ms") + lit(5000L)).as("ts_ms"),
+        col("value"))
+      .orderBy(col("event_id"))
+
+  private val e04Sql =
+    s"""SELECT event_id, ts_ms + 5000 AS ts_ms, value
+       |FROM ($evMs) WHERE ts_ms IS NOT NULL ORDER BY event_id""".stripMargin
+
+  // =========================================================================
+  // Last-value-state operators (SURVEY §2.1 #2, #3, #4, #6, #9)
+  // =========================================================================
+
+  /** Tagged union of a data stream and a control stream with the
+    * as-of "last control value" attached to every row.
+    * `ctrlFirst` = control prioritized at equal timestamps
+    * (PrioritizedSequentialInTopicSynchronizer, client/topic.py:142-165:
+    * gate puts control first, concatenator puts data first). */
+  private def withLastCtrl(
+      data: DataFrame, ctrl: DataFrame, ctrlFirst: Boolean): DataFrame = {
+    val d = data.withColumn("is_ctrl", lit(0)).withColumn("sig", lit(null).cast(DoubleType))
+    val c = ctrl.withColumn("is_ctrl", lit(1))
+    val prio = if (ctrlFirst) col("is_ctrl").desc else col("is_ctrl").asc
+    val w = Window.orderBy(col("ts_ms"), prio, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.unionByName(c, allowMissingColumns = true)
+      .withColumn("g", last(col("sig"), ignoreNulls = true).over(w))
+  }
+
+  /** gate (gate.py:32-93): forward data iff the latest control value —
+    * control prioritized at equal ts — is open (>0.5). Control signal
+    * here: error-events with value>10. FAIL_CLOSED before any control. */
+  private def e05(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val data = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts_ms"), col("value"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts_ms"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("sig"))
+    withLastCtrl(data, ctrl, ctrlFirst = true)
+      .filter(col("is_ctrl") === 0 && col("g") > 0.5)
+      .select(col("event_id"), col("ts_ms"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e05Sql =
+    s"""WITH e AS ($evMs),
+       |data AS (SELECT event_id, ts_ms, value, NULL::DOUBLE AS sig, 0 AS is_ctrl
+       |         FROM e WHERE event_type = 'click'),
+       |ctrl AS (SELECT event_id, ts_ms, NULL::DOUBLE AS value,
+       |                CASE WHEN value > 10 THEN 1.0 ELSE 0.0 END AS sig, 1 AS is_ctrl
+       |         FROM e WHERE event_type = 'error'),
+       |u AS (SELECT * FROM data UNION ALL SELECT * FROM ctrl)
+       |SELECT event_id, ts_ms, value FROM (
+       |  SELECT *, last_value(sig IGNORE NULLS) OVER (
+       |    ORDER BY ts_ms, is_ctrl DESC, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM u)
+       |WHERE is_ctrl = 0 AND g > 0.5 ORDER BY event_id""".stripMargin
+
+  /** switch (switch.py:45-72): two (data, control) pairs; forward data
+    * of the pair whose latest control value is max (ties → lower
+    * index; missing control counts as 0). Pair 0 = click/error,
+    * pair 1 = view/signup. */
+  private def e06(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    def stream(t: String, pair: Int, ctrl: Boolean) =
+      e.filter(col("event_type") === t)
+        .select(col("event_id"), col("ts_ms"),
+          (if (ctrl) lit(null).cast(DoubleType) else col("value")).as("value"),
+          (if (ctrl) col("value") else lit(null).cast(DoubleType)).as("sig"),
+          lit(pair).as("pair"), lit(if (ctrl) 1 else 0).as("is_ctrl"))
+    val u = stream("click", 0, ctrl = false)
+      .unionByName(stream("error", 0, ctrl = true))
+      .unionByName(stream("view", 1, ctrl = false))
+      .unionByName(stream("signup", 1, ctrl = true))
+    val w = Window.orderBy(col("ts_ms"), col("is_ctrl").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lastCtrl(p: Int) = coalesce(
+      last(when(col("pair") === p && col("is_ctrl") === 1, col("sig")),
+        ignoreNulls = true).over(w), lit(0.0))
+    u.withColumn("sel", when(lastCtrl(1) > lastCtrl(0), 1).otherwise(0))
+      .filter(col("is_ctrl") === 0 && col("pair") === col("sel"))
+      .select(col("event_id"), col("ts_ms"), col("value"),
+        col("pair").cast(LongType).as("pair"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e06Sql =
+    s"""WITH e AS ($evMs),
+       |u AS (
+       |  SELECT event_id, ts_ms, value, NULL::DOUBLE AS sig, 0 AS pair, 0 AS is_ctrl FROM e WHERE event_type='click'
+       |  UNION ALL SELECT event_id, ts_ms, NULL, value, 0, 1 FROM e WHERE event_type='error'
+       |  UNION ALL SELECT event_id, ts_ms, value, NULL, 1, 0 FROM e WHERE event_type='view'
+       |  UNION ALL SELECT event_id, ts_ms, NULL, value, 1, 1 FROM e WHERE event_type='signup'),
+       |t AS (SELECT *,
+       |  COALESCE(last_value(CASE WHEN pair=0 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0) AS c0,
+       |  COALESCE(last_value(CASE WHEN pair=1 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0) AS c1
+       |  FROM u WINDOW w AS (ORDER BY ts_ms, is_ctrl DESC, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id, ts_ms, value, CAST(pair AS BIGINT) AS pair
+       |FROM t WHERE is_ctrl = 0 AND pair = (CASE WHEN c1 > c0 THEN 1 ELSE 0 END)
+       |ORDER BY event_id""".stripMargin
+
+  /** media switch (media/mediaswitch.py:15-27): switch that defers the
+    * cutover to the next keyframe of the newly selected input. Keyframe
+    * := event_id % 7 = 0 (stand-in for packet.isKeyframe). The active
+    * input is the stream of the last keyframe row whose stream was
+    * selected at that moment; data flows while active == own stream. */
+  private def e07(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    def stream(t: String, pair: Int, ctrl: Boolean) =
+      e.filter(col("event_type") === t)
+        .select(col("event_id"), col("ts_ms"),
+          (if (ctrl) lit(null).cast(DoubleType) else col("value")).as("value"),
+          (if (ctrl) col("value") else lit(null).cast(DoubleType)).as("sig"),
+          lit(pair).as("pair"), lit(if (ctrl) 1 else 0).as("is_ctrl"))
+    val u = stream("click", 0, ctrl = false)
+      .unionByName(stream("error", 0, ctrl = true))
+      .unionByName(stream("view", 1, ctrl = false))
+      .unionByName(stream("signup", 1, ctrl = true))
+    val w = Window.orderBy(col("ts_ms"), col("is_ctrl").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lastCtrl(p: Int) = coalesce(
+      last(when(col("pair") === p && col("is_ctrl") === 1, col("sig")),
+        ignoreNulls = true).over(w), lit(0.0))
+    u.withColumn("sel", when(lastCtrl(1) > lastCtrl(0), 1).otherwise(0))
+      .withColumn("kf", col("is_ctrl") === 0 && col("event_id") % 7 === 0)
+      .withColumn("active", coalesce(
+        last(when(col("kf") && col("pair") === col("sel"), col("pair")),
+          ignoreNulls = true).over(w), lit(0)))
+      .filter(col("is_ctrl") === 0 && col("pair") === col("active"))
+      .select(col("event_id"), col("ts_ms"), col("value"),
+        col("pair").cast(LongType).as("pair"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e07Sql =
+    s"""WITH e AS ($evMs),
+       |u AS (
+       |  SELECT event_id, ts_ms, value, NULL::DOUBLE AS sig, 0 AS pair, 0 AS is_ctrl FROM e WHERE event_type='click'
+       |  UNION ALL SELECT event_id, ts_ms, NULL, value, 0, 1 FROM e WHERE event_type='error'
+       |  UNION ALL SELECT event_id, ts_ms, value, NULL, 1, 0 FROM e WHERE event_type='view'
+       |  UNION ALL SELECT event_id, ts_ms, NULL, value, 1, 1 FROM e WHERE event_type='signup'),
+       |t AS (SELECT *,
+       |  (CASE WHEN COALESCE(last_value(CASE WHEN pair=1 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0)
+       |           > COALESCE(last_value(CASE WHEN pair=0 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0)
+       |        THEN 1 ELSE 0 END) AS sel,
+       |  (is_ctrl = 0 AND event_id % 7 = 0) AS kf
+       |  FROM u WINDOW w AS (ORDER BY ts_ms, is_ctrl DESC, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |a AS (SELECT *,
+       |  COALESCE(last_value(CASE WHEN kf AND pair = sel THEN pair END IGNORE NULLS)
+       |    OVER (ORDER BY ts_ms, is_ctrl DESC, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS active
+       |  FROM t)
+       |SELECT event_id, ts_ms, value, CAST(pair AS BIGINT) AS pair
+       |FROM a WHERE is_ctrl = 0 AND pair = active ORDER BY event_id""".stripMargin
+
+  /** SR latch (srlatch.py:42-55): set>0.5 ⇒ true, reset>0.5 ⇒ false,
+    * both/neither ⇒ unchanged; emits current state (0/1) on every
+    * set/reset message. Set = click value>10, reset = error value>10;
+    * initial state false. */
+  private def e08(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val u = e.filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("ts_ms"),
+        when(col("event_type") === "click" && col("value") > 10, 1.0)
+          .when(col("event_type") === "error" && col("value") > 10, 0.0)
+          .as("cmd"))
+    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("state",
+        coalesce(last(col("cmd"), ignoreNulls = true).over(w), lit(0.0)))
+      .select(col("event_id"), col("ts_ms"), col("state"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e08Sql =
+    s"""WITH e AS ($evMs),
+       |u AS (SELECT event_id, ts_ms,
+       |        CASE WHEN event_type='click' AND value > 10 THEN 1.0
+       |             WHEN event_type='error' AND value > 10 THEN 0.0 END AS cmd
+       |      FROM e WHERE event_type IN ('click','error'))
+       |SELECT event_id, ts_ms,
+       |  COALESCE(last_value(cmd IGNORE NULLS) OVER (
+       |    ORDER BY ts_ms, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS state
+       |FROM u ORDER BY event_id""".stripMargin
+
+  /** text formatter (textformatter.py:62-75): template over the last
+    * value of each named variable, emitted on every input arrival.
+    * Vars: a = click, b = view (value as DECIMAL(12,2) text);
+    * default "" before first value. */
+  private def e09(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val u = e.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("ts_ms"),
+        when(col("event_type") === "click",
+          col("value").cast(DecimalType(12, 2)).cast(StringType)).as("va"),
+        when(col("event_type") === "view",
+          col("value").cast(DecimalType(12, 2)).cast(StringType)).as("vb"))
+    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("a", coalesce(last(col("va"), ignoreNulls = true).over(w), lit("")))
+      .withColumn("b", coalesce(last(col("vb"), ignoreNulls = true).over(w), lit("")))
+      .select(col("event_id"), col("ts_ms"),
+        concat(lit("a="), col("a"), lit(" b="), col("b")).as("text"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e09Sql =
+    s"""WITH e AS ($evMs),
+       |u AS (SELECT event_id, ts_ms,
+       |        CASE WHEN event_type='click' THEN CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS va,
+       |        CASE WHEN event_type='view'  THEN CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS vb
+       |      FROM e WHERE event_type IN ('click','view'))
+       |SELECT event_id, ts_ms,
+       |  'a=' || COALESCE(last_value(va IGNORE NULLS) OVER w, '') ||
+       |  ' b=' || COALESCE(last_value(vb IGNORE NULLS) OVER w, '') AS text
+       |FROM u WINDOW w AS (ORDER BY ts_ms, event_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  // =========================================================================
+  // Edge/timeout/buffer operators (SURVEY §2.1 #5, #7, #10, #14)
+  // =========================================================================
+
+  /** string concatenator (stringconcatenator.py:42-62): accumulate
+    * incoming text; on control rising edge (≤0.5 → >0.5) emit the
+    * concatenation and clear. Data prioritized at equal ts. Text =
+    * 'e<id>;' of click rows; control = error value>10. Empty flushes
+    * emit "". */
+  private def e10(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val data = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts_ms"),
+        concat(lit("e"), col("event_id"), lit(";")).as("txt"),
+        lit(0).as("is_ctrl"), lit(false).as("edge"))
+    val cw = Window.orderBy(col("ts_ms"), col("event_id"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts_ms"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("sig"))
+      .withColumn("edge",
+        col("sig") > 0.5 && coalesce(lag(col("sig"), 1).over(cw), lit(0.0)) <= 0.5)
+      .select(col("event_id"), col("ts_ms"), lit(null).cast(StringType).as("txt"),
+        lit(1).as("is_ctrl"), col("edge"))
+    // data first at equal ts (reference priority, stringconcatenator.py:25-27)
+    val w = Window.orderBy(col("ts_ms"), col("is_ctrl"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withGrp = data.unionByName(ctrl)
+      .withColumn("grp", sum(when(col("edge"), 1).otherwise(0)).over(w))
+    val flushes = withGrp.filter(col("edge"))
+      .select(col("event_id"), col("ts_ms"), (col("grp") - 1).as("want"))
+    val chunks = withGrp.filter(col("is_ctrl") === 0)
+      .groupBy(col("grp"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("txt")))),
+        x => x.getField("txt")), "").as("cat"))
+    flushes.join(chunks, flushes("want") === chunks("grp"), "left")
+      .select(col("event_id"), col("ts_ms"), coalesce(col("cat"), lit("")).as("text"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e10Sql =
+    s"""WITH e AS ($evMs),
+       |data AS (SELECT event_id, ts_ms, 'e' || event_id || ';' AS txt,
+       |                0 AS is_ctrl, FALSE AS edge
+       |         FROM e WHERE event_type='click'),
+       |ctrl AS (SELECT event_id, ts_ms, NULL AS txt, 1 AS is_ctrl,
+       |           sig > 0.5 AND COALESCE(lag(sig) OVER (ORDER BY ts_ms, event_id), 0.0) <= 0.5 AS edge
+       |         FROM (SELECT event_id, ts_ms,
+       |                 CASE WHEN value > 10 THEN 1.0 ELSE 0.0 END AS sig
+       |               FROM e WHERE event_type='error')),
+       |u AS (SELECT *,
+       |        SUM(CASE WHEN edge THEN 1 ELSE 0 END) OVER (
+       |          ORDER BY ts_ms, is_ctrl, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |      FROM (SELECT * FROM data UNION ALL SELECT * FROM ctrl)),
+       |chunks AS (SELECT grp, string_agg(txt, '' ORDER BY ts_ms, event_id) AS cat
+       |           FROM u WHERE is_ctrl = 0 GROUP BY grp)
+       |SELECT f.event_id, f.ts_ms, COALESCE(c.cat, '') AS text
+       |FROM (SELECT event_id, ts_ms, grp - 1 AS want FROM u WHERE edge) f
+       |LEFT JOIN chunks c ON f.want = c.grp
+       |ORDER BY f.event_id""".stripMargin
+
+  /** message detector (messagedetector.py:30-88): per-user liveness —
+    * 1 at every event; 0 at ts+timeout when the gap to the next event
+    * exceeds the timeout (and after the last event). timeout = 10 min.
+    * Keyed by user_id → distributed state, the scale-correct shape. */
+  private def e11(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d).select(col("user_id"), col("ts_ms"))
+    val timeout = 600000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val withNext = e.withColumn("next_ts", lead(col("ts_ms"), 1).over(w))
+    val ups = withNext.select(col("user_id"), col("ts_ms"), lit(1.0).as("detect"))
+    val downs = withNext
+      .filter(col("next_ts").isNull || col("next_ts") - col("ts_ms") > timeout)
+      .select(col("user_id"), (col("ts_ms") + timeout).as("ts_ms"),
+        lit(0.0).as("detect"))
+    ups.unionByName(downs).orderBy(col("user_id"), col("ts_ms"), col("detect"))
+  }
+
+  private val e11Sql =
+    s"""WITH e AS (SELECT user_id, ts_ms,
+       |             lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS next_ts
+       |           FROM ($evMs))
+       |SELECT user_id, ts_ms, 1.0 AS detect FROM e
+       |UNION ALL
+       |SELECT user_id, ts_ms + 600000, 0.0 FROM e
+       |WHERE next_ts IS NULL OR next_ts - ts_ms > 600000
+       |ORDER BY user_id, ts_ms, detect""".stripMargin
+
+  /** time buffer, message mode (timebuffer.py:44-63): hold each message
+    * until the newest seen timestamp is `size` ahead; at end of input
+    * the tail stays buffered. Batch: released ⇔ ts ≤ max(ts) − size.
+    * size = 1 h. */
+  private def e12(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val cutoff = e.agg((max(col("ts_ms")) - lit(3600000L)).as("cut"))
+    e.crossJoin(cutoff).filter(col("ts_ms") <= col("cut"))
+      .select(col("event_id"), col("ts_ms"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e12Sql =
+    s"""SELECT event_id, ts_ms, value FROM ($evMs)
+       |WHERE ts_ms <= (SELECT max(epoch_ms(ts)) - 3600000 FROM events)
+       |ORDER BY event_id""".stripMargin
+
+  /** synchronizer (synchronizer.py:14-35 + client/topic.py:117-140):
+    * merge per-type streams into one globally time-ordered stream,
+    * dropping late arrivals (ts below the stream's running max in
+    * arrival order). Arrival order within a stream := (user_id,
+    * event_id) — a deterministic shuffle that actually exercises the
+    * late-drop rule (`client/topic.py:127`). */
+  private def e13(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+      .select(col("event_type"), col("event_id"), col("ts_ms"), col("user_id"))
+    val arrival = Window.partitionBy(col("event_type"))
+      .orderBy(col("user_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("seen", max(col("ts_ms")).over(arrival))
+      .filter(col("ts_ms") >= col("seen")) // own row is in the frame → seen ≥ ts
+      .select(col("event_id"), col("ts_ms"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+  }
+
+  private val e13Sql =
+    s"""SELECT event_id, ts_ms, event_type FROM (
+       |  SELECT event_id, ts_ms, event_type,
+       |    max(ts_ms) OVER (PARTITION BY event_type ORDER BY user_id, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+       |  FROM ($evMs))
+       |WHERE ts_ms >= seen ORDER BY ts_ms, event_id""".stripMargin
+
+  // =========================================================================
+  // Generator operators (SURVEY §2.1 #15, #16)
+  // =========================================================================
+
+  /** pulse generator (pulsegenerator.py:26-34): a tick every interval;
+    * batch analogue generates the tick grid spanning the event data
+    * (interval = 1 min). */
+  private def e14(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    e.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      .select(col("lo"), explode(sequence(col("lo"), col("hi"), lit(60000L))).as("ts_ms"))
+      .select(((col("ts_ms") - col("lo")) / 60000L).cast(LongType).as("tick"),
+        col("ts_ms"))
+      .orderBy(col("tick"))
+  }
+
+  private val e14Sql =
+    s"""SELECT CAST((ts_ms - (SELECT min(epoch_ms(ts)) FROM events)) / 60000 AS BIGINT) AS tick,
+       |       ts_ms
+       |FROM (SELECT unnest(generate_series((SELECT min(epoch_ms(ts)) FROM events),
+       |                                    (SELECT max(epoch_ms(ts)) FROM events),
+       |                                    60000)) AS ts_ms)
+       |ORDER BY tick""".stripMargin
+
+  /** repeater (repeater.py:36-69): sample-and-hold — re-emit the last
+    * seen click value on a fixed 10-min tick grid (nothing before the
+    * first message). The as-of join the reference does with a clock
+    * thread, here a union + last-value window (DuckDB side could use
+    * ASOF JOIN; same union form keeps the two readable side by side). */
+  private def e15(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val ticks = e.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(600000L))).as("ts_ms"))
+      .select(col("ts_ms"), lit(1).as("is_tick"),
+        lit(null).cast(DoubleType).as("v"), lit(null).cast(LongType).as("event_id"))
+    val data = e.filter(col("event_type") === "click")
+      .select(col("ts_ms"), lit(0).as("is_tick"), col("value").as("v"),
+        col("event_id"))
+    // data before ticks at equal ts: a sample arriving exactly on the
+    // tick is included (repeater emits the freshest value).
+    val w = Window.orderBy(col("ts_ms"), col("is_tick"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.unionByName(ticks)
+      .withColumn("held", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_tick") === 1 && col("held").isNotNull)
+      .select(col("ts_ms"), col("held"))
+      .orderBy(col("ts_ms"))
+  }
+
+  private val e15Sql =
+    s"""WITH e AS ($evMs),
+       |ticks AS (SELECT unnest(generate_series((SELECT min(ts_ms) FROM e),
+       |                                        (SELECT max(ts_ms) FROM e),
+       |                                        600000)) AS ts_ms,
+       |                 1 AS is_tick, NULL::DOUBLE AS v, NULL::BIGINT AS event_id),
+       |data AS (SELECT ts_ms, 0 AS is_tick, value AS v, event_id
+       |         FROM e WHERE event_type='click'),
+       |u AS (SELECT * FROM data UNION ALL SELECT * FROM ticks)
+       |SELECT ts_ms, held FROM (
+       |  SELECT *, last_value(v IGNORE NULLS) OVER (
+       |    ORDER BY ts_ms, is_tick, event_id NULLS FIRST
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS held
+       |  FROM u)
+       |WHERE is_tick = 1 AND held IS NOT NULL ORDER BY ts_ms""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("e01_string_matcher", e01, Some(e01Sql)),
+    Q("e02_number_to_text", e02, Some(e02Sql)),
+    Q("e03_time_to_text", e03, Some(e03Sql)),
+    Q("e04_timestamp_updater", e04, Some(e04Sql)),
+    Q("e05_gate", e05, Some(e05Sql)),
+    Q("e06_switch", e06, Some(e06Sql)),
+    Q("e07_media_switch", e07, Some(e07Sql)),
+    Q("e08_sr_latch", e08, Some(e08Sql)),
+    Q("e09_text_formatter", e09, Some(e09Sql)),
+    Q("e10_string_concatenator", e10, Some(e10Sql)),
+    Q("e11_message_detector", e11, Some(e11Sql)),
+    Q("e12_time_buffer", e12, Some(e12Sql)),
+    Q("e13_synchronizer", e13, Some(e13Sql)),
+    Q("e14_pulse_generator", e14, Some(e14Sql)),
+    Q("e15_repeater", e15, Some(e15Sql)),
+  )
 }
