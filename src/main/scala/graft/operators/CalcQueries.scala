@@ -1,5 +1,145 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.Calc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Calculator-task queries (SURVEY §2.1 #1): the formula language of
+  * /root/reference/streamtasks/system/tasks/calculator.py compiled to
+  * Catalyst columns by [[graft.functions.Calc]], applied with the
+  * task's state semantics — each variable holds the last value seen on
+  * its input (default 0), and a result is emitted on every arriving
+  * message with that message's timestamp (calculator.py:227-240).
+  *
+  * The oracle SQL spells out the identical arithmetic manually; the
+  * oracle formulas stick to IEEE-exact ops (+ - * / % sqrt abs min max
+  * comparisons ternary logic) so the hash compare is bit-exact across
+  * engines. Transcendentals are covered by CalcSpec against
+  * java.lang.Math instead (libm vs StrictMath can differ by ulps, so
+  * they make a bad cross-engine hash oracle but a fine unit test).
+  */
 object CalcQueries {
-  val all: Seq[Q] = Seq()
+
+  import graft.Tables.eventsMs
+  private val evMs = "SELECT *, epoch_ms(ts) AS ts_ms FROM events"
+
+  /** Stateless single-input formula on the click stream:
+    * `(a * 2 + 1) % 7` with Python modulo semantics. */
+  private def c01(s: SparkSession, d: String): DataFrame = {
+    val f = Calc.column("(a * 2 + 1) % 7", Map("a" -> col("value")))
+    eventsMs(s, d).filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts_ms"), f.as("result"))
+      .orderBy(col("event_id"))
+  }
+
+  private val c01Sql =
+    s"""SELECT event_id, ts_ms,
+       |  ((((value * 2 + 1) % 7) + 7) % 7) AS result
+       |FROM ($evMs) WHERE event_type = 'click' ORDER BY event_id""".stripMargin
+
+  /** Two-input last-value state: `(a + b) / 2` over a=click, b=view,
+    * defaults 0, emitted on every arrival (the reference's
+    * var_values map realised as ignoreNulls last() windows). */
+  private def c02(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d).filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("ts_ms"),
+        when(col("event_type") === "click", col("value")).as("va"),
+        when(col("event_type") === "view", col("value")).as("vb"))
+    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = coalesce(last(col("va"), ignoreNulls = true).over(w), lit(0.0))
+    val b = coalesce(last(col("vb"), ignoreNulls = true).over(w), lit(0.0))
+    val f = Calc.column("(a + b) / 2", Map("a" -> a, "b" -> b))
+    e.select(col("event_id"), col("ts_ms"), f.as("result"))
+      .orderBy(col("event_id"))
+  }
+
+  private val c02Sql =
+    s"""WITH e AS (SELECT event_id, ts_ms,
+       |             CASE WHEN event_type='click' THEN value END AS va,
+       |             CASE WHEN event_type='view'  THEN value END AS vb
+       |           FROM ($evMs) WHERE event_type IN ('click','view'))
+       |SELECT event_id, ts_ms,
+       |  (COALESCE(last_value(va IGNORE NULLS) OVER w, 0.0)
+       |   + COALESCE(last_value(vb IGNORE NULLS) OVER w, 0.0)) / 2 AS result
+       |FROM e WINDOW w AS (ORDER BY ts_ms, event_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  /** Ternary + comparison + IEEE-exact functions:
+    * `a > b ? sqrt(abs(a - b)) : min(a, b)`. */
+  private def c03(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d).filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("ts_ms"),
+        when(col("event_type") === "click", col("value")).as("va"),
+        when(col("event_type") === "view", col("value")).as("vb"))
+    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = coalesce(last(col("va"), ignoreNulls = true).over(w), lit(0.0))
+    val b = coalesce(last(col("vb"), ignoreNulls = true).over(w), lit(0.0))
+    val f = Calc.column("a > b ? sqrt(abs(a - b)) : min(a, b)",
+      Map("a" -> a, "b" -> b))
+    e.select(col("event_id"), col("ts_ms"), f.as("result"))
+      .orderBy(col("event_id"))
+  }
+
+  private val c03Sql =
+    s"""WITH e AS (SELECT event_id, ts_ms,
+       |             CASE WHEN event_type='click' THEN value END AS va,
+       |             CASE WHEN event_type='view'  THEN value END AS vb
+       |           FROM ($evMs) WHERE event_type IN ('click','view')),
+       |t AS (SELECT event_id, ts_ms,
+       |        COALESCE(last_value(va IGNORE NULLS) OVER w, 0.0) AS a,
+       |        COALESCE(last_value(vb IGNORE NULLS) OVER w, 0.0) AS b
+       |      FROM e WINDOW w AS (ORDER BY ts_ms, event_id
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id, ts_ms,
+       |  CASE WHEN a > b THEN sqrt(abs(a - b)) ELSE least(a, b) END AS result
+       |FROM t ORDER BY event_id""".stripMargin
+
+  /** Boolean algebra with the 0.5-threshold convention:
+    * `((a > 10) & (b > 10)) | ((!(a > b)) ^ (a == b))` → 0.0/1.0. */
+  private def c04(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d).filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("ts_ms"),
+        when(col("event_type") === "click", col("value")).as("va"),
+        when(col("event_type") === "view", col("value")).as("vb"))
+    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = coalesce(last(col("va"), ignoreNulls = true).over(w), lit(0.0))
+    val b = coalesce(last(col("vb"), ignoreNulls = true).over(w), lit(0.0))
+    val f = Calc.column("((a > 10) & (b > 10)) | ((!(a > b)) ^ (a == b))",
+      Map("a" -> a, "b" -> b))
+    e.select(col("event_id"), col("ts_ms"), f.as("result"))
+      .orderBy(col("event_id"))
+  }
+
+  private val c04Sql =
+    s"""WITH e AS (SELECT event_id, ts_ms,
+       |             CASE WHEN event_type='click' THEN value END AS va,
+       |             CASE WHEN event_type='view'  THEN value END AS vb
+       |           FROM ($evMs) WHERE event_type IN ('click','view')),
+       |t AS (SELECT event_id, ts_ms,
+       |        COALESCE(last_value(va IGNORE NULLS) OVER w, 0.0) AS a,
+       |        COALESCE(last_value(vb IGNORE NULLS) OVER w, 0.0) AS b
+       |      FROM e WINDOW w AS (ORDER BY ts_ms, event_id
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id, ts_ms,
+       |  CASE WHEN ((CASE WHEN a > 10 THEN 1.0 ELSE 0.0 END) > 0.5
+       |             AND (CASE WHEN b > 10 THEN 1.0 ELSE 0.0 END) > 0.5)
+       |         OR (((CASE WHEN NOT (CASE WHEN a > b THEN 1.0 ELSE 0.0 END) > 0.5
+       |                    THEN 1.0 ELSE 0.0 END) > 0.5)
+       |             <> ((CASE WHEN a = b THEN 1.0 ELSE 0.0 END) > 0.5))
+       |  THEN 1.0 ELSE 0.0 END AS result
+       |FROM t ORDER BY event_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("c01_calc_stateless", c01, Some(c01Sql)),
+    Q("c02_calc_last_value", c02, Some(c02Sql)),
+    Q("c03_calc_ternary", c03, Some(c03Sql)),
+    Q("c04_calc_logic", c04, Some(c04Sql)),
+  )
 }
