@@ -1,5 +1,231 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline over
+  * `documents` and `embeddings`: exact, MinHash+LSH, n-gram Jaccard,
+  * SimHash, embedding-cosine near-dup (SURVEY §2.7 north-star surface).
+  *
+  * Cross-engine determinism: every hash is md5 (identical bytes → hex
+  * in Spark and DuckDB); minhash signatures compare md5 hex strings
+  * lexicographically (fixed-width hex, so string order = value order);
+  * simhash extracts integer bits from the first 8 md5 hex chars; and
+  * embedding math quantizes floats to integers (floor(x*1000)) so dot
+  * products are exact int arithmetic — no float-summation-order
+  * hazards anywhere.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-aggregate on a 16-byte key — the shuffle
+  *    carries (key, min_id, cnt), not documents;
+  *  - MinHash/LSH turns all-pairs O(n²) into |band-bucket|² with
+  *    buckets shuffled by (band, hash) — the standard scalable shape;
+  *    candidate verification joins only within buckets;
+  *  - SimHash bands 32 bits into 4 bytes: hamming ≤ 3 ⟹ at least one
+  *    band equal (pigeonhole), so the equi-join on (band, byte) finds
+  *    all near pairs without an all-pairs scan;
+  *  - embedding near-dup blocks by `label` (≙ a coarse IVF cell) —
+  *    pairwise work only within blocks.
+  */
 object DedupQueries {
-  val all: Seq[Q] = Seq()
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word-3-gram shingles of the text. */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    array_distinct(transform(sequence(lit(0), size(t) - lit(3)),
+      i => array_join(slice(t, i + lit(1), lit(3)), " ")))
+  }
+
+  private val shinglesSql =
+    """list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], ' ')))""".stripMargin
+
+  // ---- d01: exact dedup (hash-groupBy on content key) ----------------------
+  /** Exact dedup on the md5 of normalized text, plus a coarser
+    * first-8-words prefix key (catches boilerplate-prefix dups).
+    * Emits one row per prefix-key group: survivor = min doc_id. */
+  private def d01(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ").cast(BinaryType))
+          .as("content_key"),
+        md5(array_join(slice(t, 1, 8), " ").cast(BinaryType)).as("prefix_key"))
+      .groupBy(col("prefix_key"))
+      .agg(min(col("doc_id")).as("survivor"),
+        count(lit(1)).as("cnt"),
+        countDistinct(col("content_key")).as("distinct_contents"))
+      .orderBy(col("prefix_key"))
+  }
+
+  private val d01Sql =
+    """WITH t AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_key,
+      |    md5(array_to_string(string_split_regex(trim(text), '\s+')[1:8], ' ')) AS prefix_key
+      |  FROM documents)
+      |SELECT prefix_key, min(doc_id) AS survivor, COUNT(*) AS cnt,
+      |  COUNT(DISTINCT content_key) AS distinct_contents
+      |FROM t GROUP BY prefix_key ORDER BY prefix_key""".stripMargin
+
+  // ---- d02: MinHash + LSH candidate generation -----------------------------
+  /** 8 minhash functions (lexicographic min of seeded md5 over
+    * shingles), banded 4×2; candidate pairs share at least one band.
+    * shingle→minhash→band→bucket-join, the scalable LSH pipeline. */
+  private def d02(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(col("text"))
+    val sig = transform(sequence(lit(0), lit(7)),
+      j => array_min(transform(sh,
+        x => md5(concat(j.cast(StringType), lit(":"), x).cast(BinaryType)))))
+    val bands = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))
+          .cast(BinaryType)).as("h"))): _*)
+    val docBands = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(bands).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val a = docBands.as("a")
+    val b = docBands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val d02Sql =
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM docs WHERE len(w) >= 3),
+       |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
+       |          j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS sig
+       |        FROM sh),
+       |bands AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig),
+       |bh AS (SELECT doc_id, band, md5(sig[band*2+1] || sig[band*2+2]) AS h FROM bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- d03: n-gram Jaccard verification ------------------------------------
+  /** Exact Jaccard over shingle sets for near-dup pairs (≥ 0.5),
+    * computed distributively: explode distinct shingles, equi-join on
+    * shingle to count intersections, then |A∪B| = |A|+|B|−|A∩B|.
+    * Jaccard = exact-int ratio → bit-exact double. */
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    val docsSh = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = docsSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = docsSh.as("a")
+      .join(docsSh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val d03Sql =
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM docs WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |           JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- d04: SimHash --------------------------------------------------------
+  /** 32-bit SimHash over distinct tokens: token hash = first 8 md5 hex
+    * chars as uint32; bit i of the signature is 1 iff the sum of ±1
+    * contributions over tokens is positive. */
+  private def d04(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok").cast(BinaryType)), 1, 8), 16, 10)
+        .cast(LongType))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val sig = (0 until 32).map(i =>
+      when(col(s"b$i") > 0, lit(1L) * (1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d04Sql = {
+    val bitSums = (0 until 32).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(",\n    ")
+    val sig = (0 until 32).map(i =>
+      s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(
+       |    string_split_regex(trim(text), '\\s+'))) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- d05: embedding-cosine near-dup --------------------------------------
+  /** Near-duplicate embeddings: quantize to ints (floor(x*1000)),
+    * block by label, pairwise cosine from exact integer dot products;
+    * emit pairs with cosine ≥ 0.35. */
+  private def d05(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2", aggregate(zip_with(col("q"), col("q"), _ * _),
+        lit(0L), _ + _))
+    val a = q.as("a"); val b = q.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", aggregate(zip_with(col("a.q"), col("b.q"), _ * _),
+        lit(0L), _ + _))
+      .withColumn("cosine", col("dot").cast(DoubleType) /
+        (sqrt(col("a.norm2").cast(DoubleType)) * sqrt(col("b.norm2").cast(DoubleType))))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.label").cast(LongType).as("label"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val d05Sql =
+    """WITH q AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS norm2 FROM q)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.label AS BIGINT) AS label,
+      |  list_dot_product(a.q, b.q) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.q, b.q) / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("d01_exact_dedup", d01, Some(d01Sql)),
+    Q("d02_minhash_lsh", d02, Some(d02Sql)),
+    Q("d03_ngram_jaccard", d03, Some(d03Sql)),
+    Q("d04_simhash", d04, Some(d04Sql)),
+    Q("d05_embedding_neardup", d05, Some(d05Sql)),
+  )
 }

@@ -1,5 +1,182 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * fingerprinting, n-gram profiling. The reference has only per-message
+  * string ops (stringmatcher/concatenator, SURVEY §2.1 #7-9); this is
+  * the corpus-scale generalization the north star asks for.
+  *
+  * Scale design: every query is a single scan → narrow projection →
+  * (optionally) one explode + one hash-aggregate. Explodes multiply
+  * rows ~|tokens| per doc, but partial aggregation collapses them
+  * map-side before any shuffle; nothing here collects to the driver.
+  * All string math is codegen'd built-ins — no UDFs on the hot path.
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Whitespace tokens of the (already lowercase) document text. */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** token counting (BPE-ish regex vs whitespace): whitespace token
+    * count, regex word count, distinct-word count, char count. */
+  private def t01(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("re_tokens"),
+        size(array_distinct(toks(col("text")))).cast(LongType).as("vocab"),
+        length(col("text")).cast(LongType).as("chars"))
+      .orderBy(col("doc_id"))
+
+  private val t01Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+      |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS vocab,
+      |  CAST(length(text) AS BIGINT) AS chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** quality scoring (length / punctuation / stopword / repetition
+    * ratios). Ratios are doubles of exact integer counts → bit-exact
+    * across engines. Composite score = deterministic double formula. */
+  private def t02(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast(DoubleType)
+    val nChar = length(col("text")).cast(DoubleType)
+    val stop = lit(Array("the", "a", "of", "and", "to", "in", "is", "on"))
+    val nStop = size(filter(t, x => array_contains(stop, x))).cast(DoubleType)
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))).cast(DoubleType)
+    val nUniq = size(array_distinct(t)).cast(DoubleType)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (nChar / nTok).as("mean_tok_len"),
+        (nStop / nTok).as("stop_ratio"),
+        (nPunct / nChar).as("punct_ratio"),
+        (nUniq / nTok).as("uniq_ratio"),
+        ((nStop / nTok) * 2.0 + (nUniq / nTok) - (nPunct / nChar) * 5.0)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t02Sql =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(length(text) AS DOUBLE) AS n_char,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |    x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS DOUBLE) AS n_stop,
+      |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS DOUBLE) AS n_punct,
+      |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) AS n_uniq
+      |FROM documents)
+      |SELECT doc_id,
+      |  n_char / n_tok AS mean_tok_len,
+      |  n_stop / n_tok AS stop_ratio,
+      |  n_punct / n_char AS punct_ratio,
+      |  n_uniq / n_tok AS uniq_ratio,
+      |  (n_stop / n_tok) * 2.0 + (n_uniq / n_tok) - (n_punct / n_char) * 5.0 AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** language ID, n-gram/stopword heuristic: score each candidate
+    * language by its marker-word hit count; argmax with deterministic
+    * tie-break (en > de > fr by priority). Compared against the table's
+    * `lang` label column. */
+  private def t03(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    def hits(ws: Seq[String]) =
+      size(filter(t, x => array_contains(lit(ws.toArray), x))).cast(LongType)
+    val en = hits(Seq("the", "a", "of", "and", "to", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "ein"))
+    val fr = hits(Seq("le", "la", "de", "et", "est", "un"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        en.as("s_en"), de.as("s_de"), fr.as("s_fr"),
+        when(en >= de && en >= fr, "en")
+          .when(de >= fr, "de").otherwise("fr").as("pred"))
+      .withColumn("correct", (col("pred") === col("lang")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t03Sql =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |    x -> list_contains(['the','a','of','and','to','is'], x))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |    x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |    x -> list_contains(['le','la','de','et','est','un'], x))) AS BIGINT) AS s_fr
+      |FROM documents)
+      |SELECT doc_id, lang, s_en, s_de, s_fr,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred,
+      |  CAST(CASE WHEN (CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang
+      |       THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** document fingerprinting: md5 content hash of normalized text plus
+    * a shingle fingerprint (lexicographic-min md5 over word 5-gram
+    * shingles — a 1-function minhash; rolling-hash analogue that is
+    * deterministic across engines). */
+  private def t04(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    val t = toks(col("text"))
+    val n = size(t)
+    val shingles = transform(sequence(lit(0), n - lit(5)),
+      i => array_join(slice(t, i + lit(1), lit(5)), " "))
+    Tables.documents(s, d)
+      .filter(n >= 5)
+      .select(col("doc_id"),
+        md5(norm.cast(BinaryType)).as("content_hash"),
+        array_min(transform(shingles, x => md5(x.cast(BinaryType))))
+          .as("shingle_min"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t04Sql =
+    """WITH t AS (SELECT doc_id,
+      |    regexp_replace(trim(text), '\s+', ' ', 'g') AS norm,
+      |    string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS content_hash,
+      |  list_min(list_transform(generate_series(1, len(w) - 4),
+      |    i -> md5(array_to_string(w[i:i+4], ' ')))) AS shingle_min
+      |FROM t WHERE len(w) >= 5 ORDER BY doc_id""".stripMargin
+
+  /** corpus n-gram profile: explode word 3-grams, count corpus-wide,
+    * top 50 by frequency. The canonical explode → map-side partial agg
+    * → shuffle |ngrams| shape that scales linearly. */
+  private def t05(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val grams = transform(sequence(lit(0), size(t) - lit(3)),
+      i => array_join(slice(t, i + lit(1), lit(3)), " "))
+    Tables.documents(s, d)
+      .filter(size(t) >= 3)
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(50)
+  }
+
+  private val t05Sql =
+    """SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], ' '))) AS ngram
+      |  FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents) WHERE len(w) >= 3)
+      |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("t01_token_count", t01, Some(t01Sql)),
+    Q("t02_quality_score", t02, Some(t02Sql)),
+    Q("t03_lang_id", t03, Some(t03Sql)),
+    Q("t04_fingerprint", t04, Some(t04Sql)),
+    Q("t05_ngram_profile", t05, Some(t05Sql)),
+  )
 }
