@@ -1,5 +1,187 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.functions.Fft
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DSP-style operators (SURVEY §2.2) re-expressed as windowed SQL
+  * aggregations over the `events` table — `value` plays the role of a
+  * PCM sample, `event_type` the role of an audio track.
+  *
+  * Exactness: sample arithmetic goes through DECIMAL(12,2) (exact sums
+  * independent of partition order); only the final statistic (rms,
+  * mean) is a double derived from exact decimals and counts.
+  *
+  * Scale: every query is scan → groupBy(track, bucket) with map-side
+  * partial aggregation; state per group is O(1). The mixer's
+  * forward-fill window partitions by track — 5 independent sequential
+  * chains, each tiny (one row per bucket), after the heavy per-bucket
+  * aggregation was done distributively.
+  */
 object DspQueries {
-  val all: Seq[Q] = Seq()
+
+  import graft.Tables.eventsMs
+  private val evMs = "SELECT *, epoch_ms(ts) AS ts_ms FROM events"
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** audio volume meter (media/audiovolumemeter.py:61-68 + AudioChunker
+    * media/util.py:131-148): re-chunk each track into 1-min blocks,
+    * emit rms = sqrt(mean(x²)) per block. */
+  private def p01(s: SparkSession, d: String): DataFrame =
+    eventsMs(s, d)
+      .select(col("event_type"), (col("ts_ms") - col("ts_ms") % 60000).as("bucket_ms"),
+        dec(col("value")).as("v"))
+      .groupBy(col("event_type"), col("bucket_ms"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v") * col("v")).cast(DoubleType).as("sum_sq"))
+      .withColumn("rms", sqrt(col("sum_sq") / col("n")))
+      .orderBy(col("event_type"), col("bucket_ms"))
+
+  private val p01Sql =
+    s"""SELECT event_type, ts_ms - ts_ms % 60000 AS bucket_ms,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq,
+       |  sqrt(CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS rms
+       |FROM ($evMs)
+       |GROUP BY event_type, ts_ms - ts_ms % 60000
+       |ORDER BY event_type, bucket_ms""".stripMargin
+
+  /** video activity meter (media/videoactivitymeter.py:55-65): mean
+    * absolute difference between consecutive "frames" (values) per
+    * track, aggregated to 10-min buckets. */
+  private def p02(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    eventsMs(s, d)
+      .select(col("event_type"), col("ts_ms"), col("event_id"), dec(col("value")).as("v"))
+      .withColumn("diff", abs(col("v") - lag(col("v"), 1).over(w)))
+      .filter(col("diff").isNotNull)
+      .groupBy(col("event_type"),
+        (col("ts_ms") - col("ts_ms") % 600000).as("bucket_ms"))
+      .agg(count(lit(1)).as("n"), sum(col("diff")).cast(DoubleType).as("sum_diff"))
+      .withColumn("activity", col("sum_diff") / col("n"))
+      .orderBy(col("event_type"), col("bucket_ms"))
+  }
+
+  private val p02Sql =
+    s"""WITH t AS (SELECT event_type, ts_ms,
+       |    abs(CAST(value AS DECIMAL(12,2)) -
+       |        lag(CAST(value AS DECIMAL(12,2))) OVER (
+       |          PARTITION BY event_type ORDER BY ts_ms, event_id)) AS diff
+       |  FROM ($evMs))
+       |SELECT event_type, ts_ms - ts_ms % 600000 AS bucket_ms,
+       |  COUNT(*) AS n, CAST(SUM(diff) AS DOUBLE) AS sum_diff,
+       |  CAST(SUM(diff) AS DOUBLE) / COUNT(*) AS activity
+       |FROM t WHERE diff IS NOT NULL
+       |GROUP BY event_type, ts_ms - ts_ms % 600000
+       |ORDER BY event_type, bucket_ms""".stripMargin
+
+  /** audio mixer (media/audiomixer.py:99-120 + AudioSequencer
+    * media/util.py:188-262): per 1-min bucket, sample-and-hold the
+    * last value of each of the 5 tracks (gap-fill: hold across silent
+    * buckets, 0 before a track's first sample), then sum across
+    * tracks — the aligned-block sum without the real-time desync
+    * healing. */
+  private def p03(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val lastPerBucket = e
+      .select(col("event_type"), (col("ts_ms") - col("ts_ms") % 60000).as("bucket_ms"),
+        col("ts_ms"), col("event_id"), dec(col("value")).as("v"))
+      .groupBy(col("event_type"), col("bucket_ms"))
+      .agg(max_by(col("v"), struct(col("ts_ms"), col("event_id"))).as("last_v"))
+    val grid = e.agg(
+        (min(col("ts_ms")) - min(col("ts_ms")) % 60000).as("lo"),
+        (max(col("ts_ms")) - max(col("ts_ms")) % 60000).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(60000L))).as("bucket_ms"))
+    val tracks = e.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(tracks)
+      .join(lastPerBucket, Seq("event_type", "bucket_ms"), "left")
+      .withColumn("held", coalesce(
+        last(col("last_v"), ignoreNulls = true).over(w),
+        lit(0).cast(DecimalType(12, 2))))
+      .groupBy(col("bucket_ms"))
+      .agg(sum(col("held")).cast(DoubleType).as("mixed"))
+      .orderBy(col("bucket_ms"))
+  }
+
+  private val p03Sql =
+    s"""WITH e AS ($evMs),
+       |lastv AS (SELECT event_type, ts_ms - ts_ms % 60000 AS bucket_ms,
+       |    last(CAST(value AS DECIMAL(12,2)) ORDER BY ts_ms, event_id) AS last_v
+       |  FROM e GROUP BY event_type, ts_ms - ts_ms % 60000),
+       |grid AS (SELECT unnest(generate_series(
+       |    (SELECT min(ts_ms) - min(ts_ms) % 60000 FROM e),
+       |    (SELECT max(ts_ms) - max(ts_ms) % 60000 FROM e), 60000)) AS bucket_ms),
+       |tracks AS (SELECT DISTINCT event_type FROM e),
+       |held AS (SELECT g.bucket_ms, t.event_type,
+       |    COALESCE(last_value(l.last_v IGNORE NULLS) OVER (
+       |      PARTITION BY t.event_type ORDER BY g.bucket_ms
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |      CAST(0 AS DECIMAL(12,2))) AS held
+       |  FROM grid g CROSS JOIN tracks t
+       |  LEFT JOIN lastv l ON l.event_type = t.event_type AND l.bucket_ms = g.bucket_ms)
+       |SELECT bucket_ms, CAST(SUM(held) AS DOUBLE) AS mixed
+       |FROM held GROUP BY bucket_ms ORDER BY bucket_ms""".stripMargin
+
+  /** audio chunker (media/util.py:131-148): re-chunk each track's
+    * sample stream into fixed 128-sample blocks; per block emit count,
+    * time span, exact sum. */
+  private def p04(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    eventsMs(s, d)
+      .select(col("event_type"), col("ts_ms"), col("event_id"), dec(col("value")).as("v"))
+      .withColumn("chunk", ((row_number().over(w) - 1) / 128).cast(LongType))
+      .groupBy(col("event_type"), col("chunk"))
+      .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"), sum(col("v")).cast(DoubleType).as("sum_v"))
+      .orderBy(col("event_type"), col("chunk"))
+  }
+
+  private val p04Sql =
+    s"""WITH t AS (SELECT event_type, ts_ms, value,
+       |    CAST((row_number() OVER (PARTITION BY event_type ORDER BY ts_ms, event_id) - 1)
+       |         // 128 AS BIGINT) AS chunk
+       |  FROM ($evMs))
+       |SELECT event_type, chunk, COUNT(*) AS n, min(ts_ms) AS start_ms,
+       |  max(ts_ms) AS end_ms,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+       |FROM t GROUP BY event_type, chunk ORDER BY event_type, chunk""".stripMargin
+
+  /** audio frequency display (ui/audiofrequencydisplay.py:46-48):
+    * windowed FFT magnitudes binned into 8 bands, over each track's
+    * first 256 samples (ordered by event time). Transcendental
+    * twiddle factors make a cross-engine hash oracle unsound, so this
+    * is a rows-only check; FftSpec verifies the kernel against a
+    * naive DFT. */
+  private def p05(s: SparkSession, d: String): DataFrame = {
+    val fftBins = udf((xs: Seq[Double]) =>
+      Fft.binnedMagnitudes(xs.toArray, 8).toSeq)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    eventsMs(s, d)
+      .select(col("event_type"), col("ts_ms"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 256)
+      .groupBy(col("event_type"))
+      .agg(transform(array_sort(collect_list(struct(col("rn"), col("value")))),
+        s => s.getField("value")).as("signal"))
+      .filter(size(col("signal")) === 256)
+      .select(col("event_type"), posexplode(fftBins(col("signal"))).as(Seq("bin", "magnitude")))
+      .select(col("event_type"), col("bin").cast(LongType).as("bin"), col("magnitude"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("p01_volume_meter", p01, Some(p01Sql)),
+    Q("p02_activity_meter", p02, Some(p02Sql)),
+    Q("p03_audio_mixer", p03, Some(p03Sql)),
+    Q("p04_chunker", p04, Some(p04Sql)),
+    Q("p05_fft_bins", p05, None), // rows-only: transcendental twiddles
+  )
 }

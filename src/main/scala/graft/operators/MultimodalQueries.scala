@@ -1,5 +1,121 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, chunk manifests, and a partition-level "decoder" — the
+  * generalization of the reference's `TimestampChuckMessage` /
+  * `MediaMessage` binary payloads (SURVEY §1.2,
+  * /root/reference/streamtasks/message/types.py:1-21,
+  * /root/reference/streamtasks/media/packet.py:6-36).
+  *
+  * The real media codecs aren't in this container, so the decode step
+  * is a deterministic stand-in (length/frame-count/hash features), but
+  * the Spark-side plumbing is real: binary columns, metadata structs,
+  * a chunk manifest explode, and a typed mapPartitions decoder with a
+  * one-decoder-instance-per-partition shape — exactly how a JavaCV/
+  * ffmpeg kernel would be mounted (SURVEY §2.2 #27-30).
+  *
+  * Scale: payloads stay opaque bytes end to end (no driver collect);
+  * the decoder is mapPartitions so per-partition setup cost (codec
+  * open) amortizes across rows; metadata-only queries never touch
+  * payload bytes after the scan projection.
+  */
 object MultimodalQueries {
-  val all: Seq[Q] = Seq()
+
+  /** documents.text encoded as a binary payload column — the stand-in
+    * for an image/audio blob, with its metadata struct. */
+  private def payloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        col("text").cast(BinaryType).as("payload"))
+
+  /** m01: binary payload + typed metadata struct (byte length, md5
+    * checksum, modality tag, frame count at a fixed 64-byte "frame"
+    * stride). */
+  private def m01(s: SparkSession, d: String): DataFrame =
+    payloads(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        lit("text/utf-8").as("modality"),
+        (length(col("payload")) / lit(64)).cast(LongType).as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  private val m01Sql =
+    """SELECT doc_id, source,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  'text/utf-8' AS modality,
+      |  CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** m02: chunk manifest — split each payload into 256-byte chunks
+    * (the TimestampChuckMessage shape): one row per chunk with offset
+    * and size. */
+  private def m02(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("payload"))
+    m01Chunks(payloads(s, d), n)
+  }
+
+  private def m01Chunks(df: DataFrame, n: org.apache.spark.sql.Column): DataFrame =
+    df.select(col("doc_id"), n.as("n_bytes"),
+        explode(sequence(lit(0L), ((n - 1) / 256).cast(LongType))).as("chunk"))
+      .select(col("doc_id"), col("chunk").cast(LongType).as("chunk"),
+        (col("chunk") * 256).cast(LongType).as("offset"),
+        least(lit(256), col("n_bytes") - col("chunk") * 256).cast(LongType).as("size"))
+      .orderBy(col("doc_id"), col("chunk"))
+
+  private val m02Sql =
+    """SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+      |  CAST(chunk * 256 AS BIGINT) AS offset,
+      |  CAST(least(256, n_bytes - chunk * 256) AS BIGINT) AS size
+      |FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |        unnest(generate_series(0, (octet_length(encode(text)) - 1) // 256)) AS chunk
+      |      FROM documents)
+      |ORDER BY doc_id, chunk""".stripMargin
+
+  /** m03: partition-level decoder — a typed mapPartitions kernel that
+    * "decodes" each payload into deterministic features. The decoder
+    * instance (here a MessageDigest) is created once per partition,
+    * the way a codec context would be. */
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.STRING)
+    payloads(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY))
+      .mapPartitions { rows =>
+        // one "codec" per partition, like a real decoder context
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          digest.reset()
+          val hex = digest.digest(payload).map("%02x".format(_)).mkString
+          (id, payload.length.toLong, payload.length.toLong / 64, hex.substring(0, 8))
+        }
+      }(enc)
+      .toDF("doc_id", "n_bytes", "n_frames", "head_hash")
+      .orderBy(col("doc_id"))
+  }
+
+  private val m03Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames,
+      |  substr(md5(text), 1, 8) AS head_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("m01_binary_meta", m01, Some(m01Sql)),
+    Q("m02_chunk_manifest", m02, Some(m02Sql)),
+    Q("m03_decode_stub", m03, Some(m03Sql)),
+  )
 }

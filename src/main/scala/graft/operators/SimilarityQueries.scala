@@ -1,5 +1,201 @@
 package graft.operators
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64
+  * dims): brute-force cosine top-k as the exactness baseline, a
+  * sign-random-projection LSH bucket path, and an IVF-style coarse
+  * quantizer probe — the three standard ANN shapes.
+  *
+  * Determinism: embeddings quantize to integers (floor(x*1000)) so all
+  * dot products are exact 64-bit arithmetic; cosines are doubles
+  * computed from identical integers on both engines. Hyperplane
+  * coefficients are derived from md5 at plan-build time and inlined as
+  * literals into BOTH the Spark plan and the oracle SQL, so the two
+  * engines share the exact same planes. IVF centroids stay as integer
+  * sums (cosine is scale-invariant, so Σ vectors works as the
+  * centroid without a division that would introduce float divergence).
+  *
+  * Scale design (100 TB of vectors):
+  *  - brute force broadcasts the (small) query set and streams the
+  *    corpus — one pass, no shuffle of the corpus; per-partition top-k
+  *    via the rank window on (query, corpus-partition) then global
+  *    top-k, all handled by Spark's window + filter;
+  *  - LSH buckets shuffle each vector once to its bucket; pair work is
+  *    |bucket|², tunable by plane count;
+  *  - IVF probes 2 of |labels| cells → reads ~2/|labels| of the corpus;
+  *    at scale the cells are partition keys → partition pruning.
+  */
 object SimilarityQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Quantized embedding + exact integer squared norm. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2",
+        aggregate(zip_with(col("q"), col("q"), _ * _), lit(0L), _ + _))
+
+  private val quantizedSql =
+    """SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q,
+      |    CAST(list_dot_product(
+      |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+      |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2
+      |  FROM embeddings""".stripMargin
+
+  private def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(qa, qb, _ * _), lit(0L), _ + _).cast(DoubleType) /
+      (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  // ---- s01: brute-force cosine top-k ---------------------------------------
+  /** Exact top-5 neighbors for the first 10 vectors: broadcast the
+    * query side, stream the corpus, rank per query. */
+  private def s01(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d)
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val s01Sql =
+    s"""WITH v AS ($quantizedSql),
+       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 10),
+       |scored AS (SELECT qid, vec_id,
+       |    list_dot_product(qq, q) / (sqrt(qn) * sqrt(norm2)) AS cosine
+       |  FROM v CROSS JOIN qs WHERE vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT qid, vec_id AS neighbor, rank, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // ---- s02: sign-random-projection LSH -------------------------------------
+  /** 4 deterministic hyperplanes (coefficients from md5, inlined as
+    * literals in both engines) → 16 sign buckets; top-3 neighbors per
+    * vector within its bucket. */
+  private val planes: Seq[Array[Long]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until 4).map { p =>
+      Array.tabulate(64) { i =>
+        val hex = mdig.digest(s"${p}_$i".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+      }
+    }
+  }
+
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d)
+    val bucket = planes.zipWithIndex.map { case (cs, p) =>
+      val dot = aggregate(
+        zip_with(col("q"), typedlit(cs.toSeq), _ * _), lit(0L), _ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = v.withColumn("bucket", bucket)
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cosine").desc, col("b.vec_id"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cosine",
+        cosine(col("a.q"), col("b.q"), col("a.norm2"), col("b.norm2")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("a.vec_id").as("qid"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("neighbor"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val s02Sql = {
+    val planeSql = planes.zipWithIndex.map { case (cs, p) =>
+      s"(CASE WHEN list_dot_product(q, ${cs.mkString("[", ",", "]")}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS ($quantizedSql),
+       |b AS (SELECT *, CAST($planeSql AS BIGINT) AS bucket FROM v),
+       |scored AS (SELECT a.vec_id AS qid, a.bucket AS bucket, b.vec_id AS neighbor,
+       |    list_dot_product(a.q, b.q) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
+       |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |ranked AS (SELECT qid, bucket, neighbor, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT qid, bucket, neighbor, rank, cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---- s03: IVF-style coarse-quantizer probe -------------------------------
+  /** Centroid per label = integer component-wise sum of the cell's
+    * vectors (cosine is scale-invariant). Each query (vec_id < 10)
+    * probes its 2 nearest centroids, then exact top-5 within those
+    * cells only — the read-2-of-k-cells ANN shape. */
+  private def s03(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d)
+    val dims = 64
+    val cents = v.select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(sum(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+      .withColumn("cn", aggregate(zip_with(col("c"), col("c"), _ * _), lit(0L), _ + _))
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qq"), col("c"), col("qn"), col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 2)
+      .select(col("qid"), col("qq"), col("qn"), col("label"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(v, Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        col("label").cast(LongType).as("label"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val s03Sql =
+    s"""WITH v AS ($quantizedSql),
+       |cx AS (SELECT label, i, CAST(SUM(x) AS BIGINT) AS cx FROM (
+       |    SELECT label, unnest(q) AS x,
+       |           unnest(generate_series(1, len(q))) AS i FROM v)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cx ORDER BY i) AS c FROM cx GROUP BY label),
+       |centn AS (SELECT label, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn FROM cent),
+       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 10),
+       |probes AS (SELECT qid, qq, qn, label FROM (
+       |    SELECT qs.qid, qs.qq, qs.qn, centn.label,
+       |      row_number() OVER (PARTITION BY qs.qid ORDER BY
+       |        list_dot_product(qs.qq, centn.c) / (sqrt(qs.qn) * sqrt(centn.cn)) DESC,
+       |        centn.label) AS pr
+       |    FROM qs CROSS JOIN centn) WHERE pr <= 2),
+       |scored AS (SELECT p.qid, v.vec_id, v.label,
+       |    list_dot_product(p.qq, v.q) / (sqrt(p.qn) * sqrt(v.norm2)) AS cosine
+       |  FROM probes p JOIN v ON p.label = v.label AND v.vec_id <> p.qid),
+       |ranked AS (SELECT qid, vec_id, label, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT qid, vec_id AS neighbor, CAST(label AS BIGINT) AS label, rank, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("s01_knn_bruteforce", s01, Some(s01Sql)),
+    Q("s02_ann_lsh", s02, Some(s02Sql)),
+    Q("s03_ivf_probe", s03, Some(s03Sql)),
+  )
 }
