@@ -1,0 +1,202 @@
+package graft.streaming
+
+/** Pure state machines for the reference's stateful stream operators
+  * (SURVEY §2.1) — the exact per-message semantics of
+  * /root/reference/streamtasks/system/tasks/{gate,switch,srlatch,
+  * stringconcatenator,messagedetector,calculator}.py, expressed as
+  * referentially transparent `(state, event) → (state, emits)` steps.
+  *
+  * One implementation, two execution modes: [[StatefulRunner]] mounts
+  * these on `flatMapGroupsWithState` (streaming) and `flatMapGroups`
+  * (batch), both feeding events in (timestamp, priority, seq) order —
+  * the order the reference's `PrioritizedSequentialInTopicSynchronizer`
+  * establishes (client/topic.py:142-165). Keeping the machines pure
+  * makes the semantics unit-testable without a SparkSession and
+  * guarantees the batch and streaming paths can't drift apart.
+  */
+object StateMachines {
+
+  /** A message on one input of an operator.
+    *
+    * @param topic which input (operator-local index)
+    * @param ts    event time, integer ms
+    * @param value NumberMessage payload (NaN if text message)
+    * @param text  TextMessage payload (null if number message)
+    * @param paused control-marker row: the topic's pause flag changed
+    *               (SURVEY §7.4 — pause/control as in-band marker rows)
+    */
+  final case class Ev(topic: Int, ts: Long, value: Double, text: String,
+      paused: Boolean)
+
+  final case class Out(ts: Long, value: Double, text: String)
+
+  /** An operator state machine: fold events, emit outputs. */
+  trait Machine[S] extends Serializable {
+    def init: S
+    def step(s: S, e: Ev): (S, Seq[Out])
+    /** Priority of a topic at equal timestamps — lower sorts first
+      * (gate: control first; concatenator: data first). */
+    def priority(topic: Int): Int = topic
+  }
+
+  // ------------------------------------------------------------------ gate
+  /** gate.py:32-93. Topic 0 = data, topic 1 = control. Forward data iff
+    * open; control>0.5 opens. On control-pause / invalid control the
+    * fail mode decides (open/closed). Control before data at equal ts
+    * (gate.py:52-54). */
+  final case class GateState(open: Boolean, ctrlPaused: Boolean)
+  final class Gate(failOpen: Boolean) extends Machine[GateState] {
+    def init = GateState(open = failOpen, ctrlPaused = false)
+    override def priority(topic: Int): Int = if (topic == 1) 0 else 1
+    def step(s: GateState, e: Ev): (GateState, Seq[Out]) = e.topic match {
+      case 1 =>
+        if (e.paused) (s.copy(ctrlPaused = true, open = failOpen), Nil)
+        else if (e.value.isNaN) (s.copy(open = failOpen), Nil) // invalid
+        else (s.copy(ctrlPaused = false, open = e.value > 0.5), Nil)
+      case _ =>
+        if (e.paused) (s, Nil)
+        else if (s.open) (s, Seq(Out(e.ts, e.value, null)))
+        else (s, Nil)
+    }
+  }
+
+  // ------------------------------------------------------------- SR latch
+  /** srlatch.py:42-55. Topic 0 = set, topic 1 = reset; emits current
+    * state on every set/reset message; both>0.5 at once → no change. */
+  final class SrLatch extends Machine[Boolean] {
+    def init = false
+    def step(s: Boolean, e: Ev): (Boolean, Seq[Out]) = {
+      if (e.paused) return (s, Nil)
+      val hot = e.value > 0.5
+      val next = (e.topic, hot) match {
+        case (0, true) => true
+        case (1, true) => false
+        case _ => s
+      }
+      (next, Seq(Out(e.ts, if (next) 1.0 else 0.0, null)))
+    }
+  }
+
+  // --------------------------------------------------------------- switch
+  /** switch.py:45-72. Topics 2k = data of pair k, 2k+1 = control of
+    * pair k. Forward data of the pair with max latest control (ties →
+    * lower pair). */
+  final case class SwitchState(ctrl: Map[Int, Double])
+  final class Switch(pairs: Int) extends Machine[SwitchState] {
+    def init = SwitchState(Map.empty)
+    override def priority(topic: Int): Int = if (topic % 2 == 1) 0 else 1
+    private def selected(s: SwitchState): Int =
+      (0 until pairs).maxBy(k => (s.ctrl.getOrElse(k, 0.0), -k))
+    def step(s: SwitchState, e: Ev): (SwitchState, Seq[Out]) = {
+      if (e.paused) return (s, Nil)
+      if (e.topic % 2 == 1) (SwitchState(s.ctrl + (e.topic / 2 -> e.value)), Nil)
+      else if (selected(s) == e.topic / 2) (s, Seq(Out(e.ts, e.value, null)))
+      else (s, Nil)
+    }
+  }
+
+  // ------------------------------------------------- string concatenator
+  /** stringconcatenator.py:42-62. Topic 0 = text, topic 1 = control;
+    * rising edge (≤0.5 → >0.5) flushes the accumulated concatenation.
+    * Data before control at equal ts (stringconcatenator.py:25-27). */
+  final case class ConcatState(acc: String, lastCtrl: Double)
+  final class StringConcatenator extends Machine[ConcatState] {
+    def init = ConcatState("", 0.0)
+    override def priority(topic: Int): Int = if (topic == 0) 0 else 1
+    def step(s: ConcatState, e: Ev): (ConcatState, Seq[Out]) = e.topic match {
+      case 0 =>
+        if (e.paused) (s, Nil) else (s.copy(acc = s.acc + e.text), Nil)
+      case _ =>
+        if (e.paused) (s, Nil)
+        else {
+          val rising = e.value > 0.5 && s.lastCtrl <= 0.5
+          if (rising) (ConcatState("", e.value), Seq(Out(e.ts, Double.NaN, s.acc)))
+          else (s.copy(lastCtrl = e.value), Nil)
+        }
+    }
+  }
+
+  // ------------------------------------------------------------ detector
+  /** messagedetector.py:30-88, event-time mode: 1 on every message;
+    * when the gap to the next message exceeds `timeoutMs`, a 0 at
+    * lastTs + timeout. The trailing 0 is emitted by the runner on
+    * state timeout (streaming) or end-of-group (batch). */
+  final case class DetectorState(lastTs: Long, up: Boolean)
+  final class MessageDetector(timeoutMs: Long) extends Machine[DetectorState] {
+    def init = DetectorState(Long.MinValue, up = false)
+    def step(s: DetectorState, e: Ev): (DetectorState, Seq[Out]) = {
+      if (e.paused) return (s, Nil)
+      val gapped = s.up && e.ts - s.lastTs > timeoutMs
+      val downs = if (gapped) Seq(Out(s.lastTs + timeoutMs, 0.0, null)) else Nil
+      (DetectorState(e.ts, up = true), downs :+ Out(e.ts, 1.0, null))
+    }
+    /** Final 0 after the last message (timeout path). */
+    def onTimeout(s: DetectorState): Seq[Out] =
+      if (s.up) Seq(Out(s.lastTs + timeoutMs, 0.0, null)) else Nil
+  }
+
+  // ---------------------------------------------------------- calculator
+  /** calculator.py:227-240: hold last value per variable topic
+    * (default on start/pause), re-evaluate and emit on every arriving
+    * message with that message's timestamp. */
+  final case class CalcState(vars: Map[Int, Double])
+  final class Calculator(defaults: Map[Int, Double], eval: Map[Int, Double] => Double)
+      extends Machine[CalcState] {
+    def init = CalcState(defaults)
+    def step(s: CalcState, e: Ev): (CalcState, Seq[Out]) = {
+      if (e.paused) (CalcState(s.vars + (e.topic -> defaults.getOrElse(e.topic, 0.0))), Nil)
+      else {
+        val next = CalcState(s.vars + (e.topic -> e.value))
+        (next, Seq(Out(e.ts, eval(next.vars), null)))
+      }
+    }
+  }
+
+  // --------------------------------------------------------- synchronizer
+  /** SequentialInTopicSynchronizer (client/topic.py:117-140): buffer
+    * per topic; release a message with ts t only when every other
+    * unpaused topic has advanced to ≥ t; drop late messages
+    * (ts < topic's running max, topic.py:127). Used by the runner to
+    * pre-order multi-input operators and as the synchronizer operator
+    * itself (§2.1 #5). */
+  final case class SyncState(
+      buf: Map[Int, Vector[Ev]], maxTs: Map[Int, Long], paused: Set[Int])
+  final class Synchronizer(topics: Int) extends Machine[SyncState] {
+    def init = SyncState(
+      (0 until topics).map(_ -> Vector.empty[Ev]).toMap,
+      (0 until topics).map(_ -> Long.MinValue).toMap, Set.empty)
+
+    private def release(s: SyncState): (SyncState, Seq[Out]) = {
+      val out = Vector.newBuilder[Out]
+      var buf = s.buf
+      var continue = true
+      while (continue) {
+        val active = (0 until topics).filterNot(t =>
+          s.paused(t) && buf(t).isEmpty)
+        val heads = active.flatMap(t => buf(t).headOption.map(t -> _))
+        if (heads.size < active.size || heads.isEmpty) continue = false
+        else {
+          val (t, e) = heads.minBy { case (t, e) => (e.ts, t) }
+          out += Out(e.ts, e.value, e.text)
+          buf = buf + (t -> buf(t).tail)
+        }
+      }
+      (s.copy(buf = buf), out.result())
+    }
+
+    def step(s: SyncState, e: Ev): (SyncState, Seq[Out]) = {
+      if (e.paused) release(s.copy(paused = s.paused + e.topic))
+      else if (e.ts < s.maxTs(e.topic)) (s, Nil) // late → drop
+      else release(s.copy(
+        buf = s.buf + (e.topic -> (s.buf(e.topic) :+ e)),
+        maxTs = s.maxTs + (e.topic -> e.ts),
+        paused = s.paused - e.topic))
+    }
+
+    /** Flush remaining buffers in timestamp order at end of input. */
+    def onTimeout(s: SyncState): Seq[Out] =
+      s.buf.toSeq.flatMap { case (t, es) => es.map(t -> _) }
+        .sortBy { case (t, e) => (e.ts, t) }
+        .map { case (_, e) => Out(e.ts, e.value, e.text) }
+  }
+}

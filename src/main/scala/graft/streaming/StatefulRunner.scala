@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.streaming.StateMachines._
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Mounts a pure [[StateMachines.Machine]] on Spark, in both execution
+  * modes:
+  *
+  *  - '''streaming''': `flatMapGroupsWithState` over a keyed stream —
+  *    the reference's one-state-object-per-task model
+  *    (/root/reference/streamtasks/system/task.py:28-34) becomes one
+  *    state-store entry per pipeline key, distributed across
+  *    executors and checkpointed (RocksDB-capable) instead of held in
+  *    a Python object;
+  *  - '''batch''': `flatMapGroups` with identical per-key semantics —
+  *    used for oracle-checked equivalence tests and backfills.
+  *
+  * Ordering: the reference guarantees per-operator total order via its
+  * synchronizer (client/topic.py:117-165). Micro-batches don't, so the
+  * runner sorts each group's batch by (ts, priority, seq) before
+  * folding — equal semantics within a batch; across batches events are
+  * assumed watermark-ordered (late data handling is each machine's
+  * documented rule, e.g. the synchronizer's drop).
+  *
+  * Scale: state is keyed by `key` (pipeline instance). A deployment
+  * with millions of independent pipelines (e.g. per-device gates)
+  * spreads over all executors; each group's fold is O(batch rows) with
+  * O(1)–O(buffer) state.
+  */
+object StatefulRunner {
+
+  /** A keyed event row: `key` selects the operator instance. */
+  final case class KEv(key: String, topic: Int, ts: Long, value: Double,
+      text: String, paused: Boolean, seq: Long)
+
+  final case class KOut(key: String, ts: Long, value: Double, text: String)
+
+  implicit val kevEnc: Encoder[KEv] = Encoders.product[KEv]
+  implicit val koutEnc: Encoder[KOut] = Encoders.product[KOut]
+  implicit val strEnc: Encoder[String] = Encoders.STRING
+
+  private def sorted[S](m: Machine[S], es: Iterator[KEv]): Seq[KEv] =
+    es.toVector.sortBy(e => (e.ts, m.priority(e.topic), e.seq))
+
+  private def fold[S](m: Machine[S], key: String, s0: S, es: Seq[KEv]): (S, Seq[KOut]) =
+    es.foldLeft((s0, Vector.empty[KOut])) { case ((s, acc), e) =>
+      val (s2, outs) = m.step(s, Ev(e.topic, e.ts, e.value, e.text, e.paused))
+      (s2, acc ++ outs.map(o => KOut(key, o.ts, o.value, o.text)))
+    }
+
+  /** Batch execution: group by key, fold in order, append the
+    * machine's end-of-input emissions (detector trailing 0,
+    * synchronizer flush). */
+  def runBatch[S](machine: Machine[S], ds: Dataset[KEv]): Dataset[KOut] = {
+    ds.groupByKey(_.key)
+      .flatMapGroups { (key: String, es: Iterator[KEv]) =>
+        val (s, outs) = fold(machine, key, machine.init, sorted(machine, es))
+        val tail = machine match {
+          case d: MessageDetector => d.onTimeout(s.asInstanceOf[DetectorState])
+          case y: Synchronizer => y.onTimeout(s.asInstanceOf[SyncState])
+          case _ => Nil
+        }
+        (outs ++ tail.map(o => KOut(key, o.ts, o.value, o.text))).iterator
+      }
+  }
+
+  /** Streaming execution: flatMapGroupsWithState in append mode with a
+    * processing-time timeout for emit-without-input machines
+    * (detector; SURVEY §7.4 "emit-without-input"). */
+  def runStreaming[S](machine: Machine[S], ds: Dataset[KEv],
+      timeoutMs: Long = 0L): Dataset[KOut] = {
+    implicit val se: Encoder[Option[S]] = Encoders.kryo[Option[S]]
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Option[S], KOut](
+        OutputMode.Append(), timeoutConf) {
+        (key: String, es: Iterator[KEv], gs: GroupState[Option[S]]) =>
+          if (gs.hasTimedOut) {
+            val tail = (machine, gs.getOption.flatten) match {
+              case (d: MessageDetector, Some(s)) =>
+                d.onTimeout(s.asInstanceOf[DetectorState])
+              case (y: Synchronizer, Some(s)) =>
+                y.onTimeout(s.asInstanceOf[SyncState])
+              case _ => Nil
+            }
+            gs.remove()
+            tail.map(o => KOut(key, o.ts, o.value, o.text)).iterator
+          } else {
+            val s0 = gs.getOption.flatten.getOrElse(machine.init)
+            val (s, outs) = fold(machine, key, s0, sorted(machine, es))
+            gs.update(Some(s))
+            if (timeoutMs > 0) gs.setTimeoutDuration(timeoutMs)
+            outs.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import graft.streaming.StateMachines._
+import graft.streaming.StatefulRunner
+import graft.streaming.StatefulRunner.{KEv, KOut}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Stateful-operator tests in the style of the reference's task tests
+  * (/root/reference/tests/tasks/test_gate.py, tests/comm/test_sync.py):
+  * pure state-machine unit tests, streaming runs through MemoryStream
+  * across micro-batches, and batch-vs-window-analogue equivalence on
+  * the real sf0.001 events table.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ev(topic: Int, ts: Long, v: Double = Double.NaN,
+      text: String = null, paused: Boolean = false, seq: Long = 0) =
+    KEv("k", topic, ts, v, text, paused, seq)
+
+  private def runB[S](m: Machine[S], es: Seq[KEv]): Seq[KOut] = {
+    import spark.implicits._
+    StatefulRunner.runBatch(m, spark.createDataset(es))
+      .collect().toSeq.sortBy(o => (o.ts, o.value))
+  }
+
+  // ---------------------------------------------------------- unit: gate
+  test("gate forwards only while open; control wins ties (gate.py:52-54)") {
+    val out = runB(new Gate(failOpen = false), Seq(
+      ev(0, 10, 1.0, seq = 0),           // closed → dropped
+      ev(1, 20, 1.0, seq = 1),           // open
+      ev(0, 30, 2.0, seq = 2),           // forwarded
+      ev(1, 40, 0.0, seq = 3),           // close
+      ev(0, 40, 3.0, seq = 4),           // same ts: control first → dropped
+      ev(0, 50, 4.0, seq = 5)))          // dropped
+    assert(out.map(o => (o.ts, o.value)) == Seq((30L, 2.0)))
+  }
+
+  test("gate fail-open forwards while control is paused (gate.py:40-44)") {
+    val out = runB(new Gate(failOpen = true), Seq(
+      ev(0, 10, 1.0, seq = 0),           // fail-open initial → forwarded
+      ev(1, 20, 0.0, seq = 1),           // close
+      ev(0, 30, 2.0, seq = 2),           // dropped
+      ev(1, 40, paused = true, seq = 3), // control paused → fail open
+      ev(0, 50, 3.0, seq = 4)))          // forwarded
+    assert(out.map(_.value) == Seq(1.0, 3.0))
+  }
+
+  // ------------------------------------------------------ unit: SR latch
+  test("sr latch set/reset with no-change on neither (srlatch.py:42-55)") {
+    val out = runB(new SrLatch, Seq(
+      ev(0, 10, 1.0, seq = 0),  // set → 1
+      ev(1, 20, 0.2, seq = 1),  // reset not hot → still 1
+      ev(1, 30, 1.0, seq = 2),  // reset → 0
+      ev(0, 40, 0.3, seq = 3))) // set not hot → still 0
+    assert(out.map(_.value) == Seq(1.0, 1.0, 0.0, 0.0))
+  }
+
+  // -------------------------------------------------------- unit: switch
+  test("switch selects max control, ties to lower pair (switch.py:63-72)") {
+    val out = runB(new Switch(2), Seq(
+      ev(1, 10, 5.0, seq = 0),  // ctrl pair0 = 5
+      ev(3, 10, 5.0, seq = 1),  // ctrl pair1 = 5 (tie → pair0)
+      ev(0, 20, 1.0, seq = 2),  // pair0 data → forwarded
+      ev(2, 20, 2.0, seq = 3),  // pair1 data → dropped
+      ev(3, 30, 9.0, seq = 4),  // pair1 wins
+      ev(0, 40, 3.0, seq = 5),  // dropped
+      ev(2, 40, 4.0, seq = 6))) // forwarded
+    assert(out.map(_.value) == Seq(1.0, 4.0))
+  }
+
+  // -------------------------------------------- unit: string concatenator
+  test("concatenator flushes on rising edge; data wins ties") {
+    val out = runB(new StringConcatenator, Seq(
+      ev(0, 10, text = "a", seq = 0),
+      ev(0, 20, text = "b", seq = 1),
+      ev(1, 20, 1.0, seq = 2),           // same ts: data first → flush "ab"
+      ev(0, 30, text = "c", seq = 3),
+      ev(1, 40, 0.9, seq = 4),           // still high → no edge
+      ev(1, 50, 0.0, seq = 5),           // falling
+      ev(1, 60, 1.0, seq = 6)))          // rising → flush "c"
+    assert(out.map(_.text) == Seq("ab", "c"))
+  }
+
+  // ------------------------------------------------------- unit: detector
+  test("detector emits 0 after gaps and at end (messagedetector.py:30-88)") {
+    val out = runB(new MessageDetector(100), Seq(
+      ev(0, 10, 1.0, seq = 0),
+      ev(0, 50, 1.0, seq = 1),
+      ev(0, 300, 1.0, seq = 2)))  // gap > 100 → down at 150
+    assert(out.map(o => (o.ts, o.value)) ==
+      Seq((10L, 1.0), (50L, 1.0), (150L, 0.0), (300L, 1.0), (400L, 0.0)))
+  }
+
+  // --------------------------------------------------- unit: synchronizer
+  test("synchronizer releases in global ts order, drops late (topic.py:117-140)") {
+    val m = new Synchronizer(2)
+    val out = runB(m, Seq(
+      ev(0, 10, 1.0, seq = 0),
+      ev(0, 30, 2.0, seq = 1),
+      ev(1, 20, 3.0, seq = 2),
+      ev(1, 5, 9.9, seq = 3),    // late on topic 1 → dropped
+      ev(1, 40, 4.0, seq = 4)))
+    // runner sorts by ts first: arrival 5,10,20,30,40 — the late-drop
+    // rule applies to arrival order, which here equals ts order except
+    // the seq 3 row; with ts-sorted arrival it is first and survives.
+    // So drive the machine directly to exercise true arrival order:
+    val arrival = Seq(
+      Ev(0, 10, 1.0, null, false), Ev(0, 30, 2.0, null, false),
+      Ev(1, 20, 3.0, null, false), Ev(1, 5, 9.9, null, false),
+      Ev(1, 40, 4.0, null, false))
+    val (s, outs) = arrival.foldLeft((m.init, Vector.empty[Out])) {
+      case ((s, acc), e) => val (s2, o) = m.step(s, e); (s2, acc ++ o) }
+    val all = outs ++ m.onTimeout(s)
+    assert(all.map(_.ts) == Seq(10L, 20L, 30L, 40L)) // 5 dropped, ordered
+    assert(out.nonEmpty) // spark path ran too
+  }
+
+  // ----------------------------------------- streaming across micro-batches
+  test("gate keeps state across micro-batches (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KEv]
+    val q = StatefulRunner.runStreaming(new Gate(failOpen = false), mem.toDS())
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10, 1.0, seq = 0), ev(0, 20, 1.5, seq = 1))
+      q.processAllAvailable()
+      // batch 2: gate stays open from batch 1's control message
+      mem.addData(ev(0, 30, 2.5, seq = 2), ev(1, 40, 0.0, seq = 3),
+        ev(0, 50, 3.5, seq = 4))
+      q.processAllAvailable()
+      val got = spark.table("gate_out").as[KOut].collect().toSeq.sortBy(_.ts)
+      assert(got.map(_.value) == Seq(1.5, 2.5))
+    } finally q.stop()
+  }
+
+  test("calculator re-evaluates on every input with last values") {
+    val m = new Calculator(Map(0 -> 0.0, 1 -> 0.0),
+      vars => vars(0) + vars(1))
+    val out = runB(m, Seq(
+      ev(0, 10, 2.0, seq = 0),
+      ev(1, 20, 5.0, seq = 1),
+      ev(0, 30, 1.0, seq = 2),
+      ev(1, 30, paused = true, seq = 3))) // pause resets var 1 → no emit
+    assert(out.map(o => (o.ts, o.value)) ==
+      Seq((10L, 2.0), (20L, 7.0), (30L, 6.0)))
+  }
+
+  // ------------------------- equivalence: machine vs batch window analogue
+  test("gate machine == window-function analogue on sf0.001 events") {
+    import spark.implicits._
+    val e = Tables.eventsMs(spark, sf)
+    val data = e.filter(col("event_type") === "click")
+      .select(lit("k").as("key"), lit(0).as("topic"), col("ts_ms").as("ts"),
+        col("value"), lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .select(lit("k").as("key"), lit(1).as("topic"), col("ts_ms").as("ts"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val in = data.unionByName(ctrl).as[KEv]
+    val machine = StatefulRunner.runBatch(new Gate(failOpen = false), in)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
+    val analogue = graft.operators.EventOps.all.find(_.name == "e05_gate").get
+      .fn(spark, sf)
+      .select(col("ts_ms"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
+    assert(machine == analogue)
+    assert(machine.nonEmpty)
+  }
+
+  test("sr latch machine == window-function analogue on sf0.001 events") {
+    import spark.implicits._
+    val e = Tables.eventsMs(spark, sf)
+    def side(t: String, topic: Int) = e.filter(col("event_type") === t)
+      .select(lit("k").as("key"), lit(topic).as("topic"), col("ts_ms").as("ts"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val in = side("click", 0).unionByName(side("error", 1)).as[KEv]
+    val machine = StatefulRunner.runBatch(new SrLatch, in)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val analogue = graft.operators.EventOps.all.find(_.name == "e08_sr_latch").get
+      .fn(spark, sf)
+      .select(col("ts_ms"), col("state")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(machine == analogue)
+    assert(machine.nonEmpty)
+  }
+}
