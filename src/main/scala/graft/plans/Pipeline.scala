@@ -1,0 +1,314 @@
+package graft.plans
+
+import graft.functions.Calc
+import graft.streaming.StateMachines._
+import graft.streaming.StatefulRunner
+import graft.streaming.StatefulRunner.{KEv, KOut}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deployment pipelines: the analogue of the reference's task-web
+  * deployment system (SURVEY §3.2;
+  * /root/reference/streamtasks/system/task_web.py:32-58,267-315) —
+  * a named DAG of operator instances wired by streams, validated
+  * before execution, compiled to Dataset graphs.
+  *
+  * Reference lifecycle → Spark mapping:
+  *  - StoredTask config (pydantic)      → [[TaskSpec]] case class
+  *  - IO metadata type-check (docs/io-metadata.md: all fields present
+  *    on both sides must agree, label/key/topic_id ignored)
+  *    → [[Pipeline.validate]] at analysis time, before any job runs
+  *  - topic space isolation             → per-deployment key prefix
+  *  - schedule/start/stop + status      → [[PipelineManager]] over
+  *    StreamingQueryManager
+  *
+  * There is deliberately no optimizer here (the reference executes the
+  * user DAG literally, SURVEY §4); Catalyst optimizes each compiled
+  * Dataset graph instead — composition happens at the plan level, so
+  * chained stateless operators fuse into one whole-stage-codegen span.
+  *
+  * Envelope schema on every edge: (ts: Long ms, value: Double,
+  * text: String, paused: Boolean, seq: Long) — §1.2's message types as
+  * one nullable-payload row, pause markers in-band (SURVEY §7.4).
+  */
+object Pipeline {
+
+  /** IO metadata, mirroring IOTypes (configurators.py:8-19). */
+  final case class IOMeta(fields: Map[String, String]) {
+    def compatibleWith(that: IOMeta): Seq[String] =
+      (fields.keySet intersect that.fields.keySet)
+        .filterNot(Set("label", "key", "topic_id"))
+        .flatMap { k =>
+          if (fields(k) == that.fields(k)) None
+          else Some(s"$k: '${fields(k)}' vs '${that.fields(k)}'")
+        }.toSeq
+  }
+  object IOMeta {
+    val number: IOMeta = IOMeta(Map("type" -> "ts", "content" -> "number"))
+    val text: IOMeta = IOMeta(Map("type" -> "ts", "content" -> "text"))
+  }
+
+  /** One operator instance: `inputs` name upstream streams. */
+  final case class TaskSpec(
+      name: String,
+      op: Op,
+      inputs: Seq[String],
+      output: String)
+
+  /** The operator catalog (the §2.1 subset that composes in pipelines;
+    * each declares its IO metadata for validation). */
+  sealed trait Op {
+    def inMeta: Seq[IOMeta]
+    def outMeta: IOMeta
+  }
+  final case class SourceOp(meta: IOMeta) extends Op {
+    def inMeta = Nil; def outMeta = meta
+  }
+  final case class CalculatorOp(formula: String, vars: Seq[String],
+      defaults: Map[String, Double] = Map.empty) extends Op {
+    def inMeta = vars.map(_ => IOMeta.number); def outMeta = IOMeta.number
+    // validate the formula eagerly, like CalculatorConfig.validate_ast
+    Calc.validate(Calc.parse(formula), vars.toSet)
+  }
+  final case class GateOp(failOpen: Boolean = false) extends Op {
+    def inMeta = Seq(IOMeta.number, IOMeta.number); def outMeta = IOMeta.number
+  }
+  case object SrLatchOp extends Op {
+    def inMeta = Seq(IOMeta.number, IOMeta.number); def outMeta = IOMeta.number
+  }
+  final case class StringMatcherOp(pattern: String) extends Op {
+    def inMeta = Seq(IOMeta.text); def outMeta = IOMeta.number
+  }
+  case object NumberToTextOp extends Op {
+    def inMeta = Seq(IOMeta.number); def outMeta = IOMeta.text
+  }
+  final case class TimestampUpdaterOp(offsetMs: Long) extends Op {
+    def inMeta = Seq(IOMeta(Map("type" -> "ts"))); def outMeta = IOMeta(Map("type" -> "ts"))
+  }
+
+  final case class Deployment(name: String, tasks: Seq[TaskSpec])
+
+  /** Analysis-time validation: unique stream names, no dangling
+    * inputs, acyclicity, arity, and IO-metadata compatibility of every
+    * wire. Returns all errors (not just the first). */
+  def validate(dep: Deployment): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    val producers = dep.tasks.groupBy(_.output)
+    producers.collect { case (out, ts) if ts.size > 1 =>
+      errs += s"stream '$out' has ${ts.size} producers" }
+    val known = producers.keySet
+    dep.tasks.foreach { t =>
+      if (t.inputs.size != t.op.inMeta.size)
+        errs += s"task '${t.name}': expects ${t.op.inMeta.size} inputs, got ${t.inputs.size}"
+      t.inputs.foreach(i =>
+        if (!known(i)) errs += s"task '${t.name}': unknown input stream '$i'")
+      t.inputs.zip(t.op.inMeta).foreach { case (in, meta) =>
+        producers.get(in).foreach { ps =>
+          val bad = ps.head.op.outMeta.compatibleWith(meta)
+          if (bad.nonEmpty)
+            errs += s"task '${t.name}' input '$in' incompatible: ${bad.mkString("; ")}"
+        }
+      }
+    }
+    // cycle check: Kahn over task dependencies
+    var remaining = dep.tasks
+    var progressed = true
+    var resolved = Set.empty[String]
+    while (progressed && remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.inputs.forall(i =>
+        resolved(i) || !known(i)))
+      progressed = ready.nonEmpty
+      resolved ++= ready.map(_.output)
+      remaining = blocked
+    }
+    if (remaining.nonEmpty)
+      errs += s"cycle involving tasks: ${remaining.map(_.name).mkString(", ")}"
+    errs.result()
+  }
+
+  /** Compile a validated deployment against source streams in envelope
+    * form. Works identically for batch DataFrames and streaming
+    * DataFrames (the stateful path uses the shared state machines).
+    * Returns every named stream, so any of them can be sunk. */
+  def compile(dep: Deployment, sources: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val errors = validate(dep)
+    require(errors.isEmpty, s"invalid deployment '${dep.name}': ${errors.mkString(" | ")}")
+    var streams: Map[String, DataFrame] = sources
+    var remaining = dep.tasks.filterNot(_.op.isInstanceOf[SourceOp])
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.inputs.forall(streams.contains))
+      require(ready.nonEmpty, s"unresolvable tasks: ${blocked.map(_.name)}")
+      ready.foreach { t => streams += t.output -> compileTask(dep.name, t, streams) }
+      remaining = blocked
+    }
+    streams
+  }
+
+  private def envelope(ts: Column, value: Column, text: Column): Seq[Column] =
+    Seq(ts.as("ts"), value.as("value"), text.as("text"),
+      lit(false).as("paused"), col("seq"))
+
+  private def toKEv(key: String, dfs: Seq[DataFrame]): Dataset[KEv] = {
+    import StatefulRunner._
+    val tagged = dfs.zipWithIndex.map { case (df, i) =>
+      df.select(lit(key).as("key"), lit(i).as("topic"), col("ts"),
+        col("value"), col("text"), col("paused"), col("seq"))
+    }
+    tagged.reduce(_ unionByName _).as[KEv](kevEnc)
+  }
+
+  private def fromKOut(ds: Dataset[KOut]): DataFrame =
+    ds.toDF().select(col("ts"), col("value"), col("text"),
+      lit(false).as("paused"),
+      // deterministic downstream tie-break (streaming-safe, unlike
+      // monotonically_increasing_id)
+      xxhash64(col("ts"), col("value"), col("text")).as("seq"))
+
+  private def isStreamingAny(dfs: Seq[DataFrame]): Boolean = dfs.exists(_.isStreaming)
+
+  private def runMachine[S](key: String, m: Machine[S], ins: Seq[DataFrame]): DataFrame = {
+    val kev = toKEv(key, ins)
+    val out =
+      if (isStreamingAny(ins)) StatefulRunner.runStreaming(m, kev)
+      else StatefulRunner.runBatch(m, kev)
+    fromKOut(out)
+  }
+
+  private def compileTask(dep: String, t: TaskSpec,
+      streams: Map[String, DataFrame]): DataFrame = {
+    val ins = t.inputs.map(streams)
+    val key = s"$dep/${t.name}" // ≙ topic-space isolation per deployment
+    t.op match {
+      case SourceOp(_) => ins.head
+      case GateOp(failOpen) => runMachine(key, new Gate(failOpen), ins)
+      case SrLatchOp => runMachine(key, new SrLatch, ins)
+      case CalculatorOp(formula, vars, defaults) =>
+        val m = new Calculator(
+          vars.indices.map(i => i -> defaults.getOrElse(vars(i), 0.0)).toMap,
+          { vs: Map[Int, Double] =>
+            // fold the var map into the compiled closure via a row eval:
+            // compile once per plan to a Column over per-var columns is
+            // the batch path; the machine path evaluates on the JVM.
+            evalFormula(formula, vars, vs)
+          })
+        runMachine(key, m, ins)
+      case StringMatcherOp(p) =>
+        ins.head.select(envelope(col("ts"),
+          when(col("text").rlike(p), 1.0).otherwise(0.0),
+          lit(null).cast(StringType)): _*)
+      case NumberToTextOp =>
+        ins.head.select(envelope(col("ts"), lit(null).cast(DoubleType),
+          col("value").cast(DecimalType(12, 2)).cast(StringType)): _*)
+      case TimestampUpdaterOp(off) =>
+        ins.head.select(envelope(col("ts") + lit(off), col("value"),
+          col("text")): _*)
+    }
+  }
+
+  /** JVM-side evaluation of a calculator formula (the machine path —
+    * one interpreted walk per message, mirroring the reference's
+    * transformer eval; the vectorized Column path is CalcQueries). */
+  private def evalFormula(formula: String, vars: Seq[String],
+      vals: Map[Int, Double]): Double = {
+    val ast = Calc.parse(formula)
+    val env = vars.zipWithIndex.map { case (v, i) => v -> vals.getOrElse(i, 0.0) }.toMap
+    evalAst(ast, env)
+  }
+
+  private def evalAst(a: Calc.Ast, env: Map[String, Double]): Double = a match {
+    case Calc.Num(v) => v
+    case Calc.Vari(n) => Calc.constants.getOrElse(n, env(n))
+    case Calc.Un("-", x) => -evalAst(x, env)
+    case Calc.Un("+", x) => evalAst(x, env)
+    case Calc.Un("!", x) => if (evalAst(x, env) > 0.5) 0.0 else 1.0
+    case Calc.Un(o, _) => sys.error(s"unary $o")
+    case Calc.Iff(c, t, f) =>
+      if (evalAst(c, env) > 0.5) evalAst(t, env) else evalAst(f, env)
+    case Calc.Bin(op, l, r) =>
+      val (x, y) = (evalAst(l, env), evalAst(r, env))
+      op match {
+        case "+" => x + y
+        case "-" => x - y
+        case "*" => x * y
+        case "/" => x / y
+        case "%" => ((x % y) + y) % y
+        case "**" => math.pow(x, y)
+        case "&" => if (x > 0.5 && y > 0.5) 1.0 else 0.0
+        case "|" => if (x > 0.5 || y > 0.5) 1.0 else 0.0
+        case "^" => if ((x > 0.5) != (y > 0.5)) 1.0 else 0.0
+        case ">" => if (x > y) 1.0 else 0.0
+        case "<" => if (x < y) 1.0 else 0.0
+        case ">=" => if (x >= y) 1.0 else 0.0
+        case "<=" => if (x <= y) 1.0 else 0.0
+        case "==" => if (x == y) 1.0 else 0.0
+        case "!=" => if (x != y) 1.0 else 0.0
+        case o => sys.error(s"binary $o")
+      }
+    case Calc.Call(fn, args) =>
+      val as = args.map(evalAst(_, env))
+      (fn, as) match {
+        case ("sin", Seq(x)) => math.sin(x)
+        case ("cos", Seq(x)) => math.cos(x)
+        case ("tan", Seq(x)) => math.tan(x)
+        case ("asin", Seq(x)) => math.asin(x)
+        case ("acos", Seq(x)) => math.acos(x)
+        case ("atan", Seq(x)) => math.atan(x)
+        case ("atan2", Seq(y, x)) => math.atan2(y, x)
+        case ("sinh", Seq(x)) => math.sinh(x)
+        case ("cosh", Seq(x)) => math.cosh(x)
+        case ("tanh", Seq(x)) => math.tanh(x)
+        case ("asinh", Seq(x)) => math.log(x + math.sqrt(x * x + 1))
+        case ("acosh", Seq(x)) => math.log(x + math.sqrt(x * x - 1))
+        case ("atanh", Seq(x)) => 0.5 * math.log((1 + x) / (1 - x))
+        case ("log", Seq(x)) => math.log(x)
+        case ("log2", Seq(x)) => math.log(x) / math.log(2)
+        case ("log10", Seq(x)) => math.log10(x)
+        case ("exp", Seq(x)) => math.exp(x)
+        case ("sqrt", Seq(x)) => math.sqrt(x)
+        case ("floor", Seq(x)) => math.floor(x)
+        case ("ceil", Seq(x)) => math.ceil(x)
+        case ("round", Seq(x)) => math.rint(x) // banker's
+        case ("abs", Seq(x)) => math.abs(x)
+        case ("min", xs) => xs.min
+        case ("max", xs) => xs.max
+        case (f, _) => sys.error(s"function $f")
+      }
+  }
+}
+
+/** Running-deployment lifecycle over StreamingQueryManager — the
+  * schedule/start/stop/status surface of task_web.py:267-315. */
+final class PipelineManager(spark: SparkSession) {
+  import Pipeline._
+
+  private var running = Map.empty[String, Seq[org.apache.spark.sql.streaming.StreamingQuery]]
+
+  /** Start every requested sink stream of a deployment as a streaming
+    * query writing to an in-memory table `<dep>_<stream>`. */
+  def start(dep: Deployment, sources: Map[String, DataFrame],
+      sinks: Seq[String]): Unit = {
+    require(!running.contains(dep.name), s"deployment '${dep.name}' already running")
+    val streams = compile(dep, sources)
+    val qs = sinks.map { s =>
+      streams(s).writeStream
+        .format("memory")
+        .queryName(s"${dep.name}_$s")
+        .outputMode("append")
+        .start()
+    }
+    running += dep.name -> qs
+  }
+
+  def status(name: String): String =
+    running.get(name) match {
+      case None => "stopped"
+      case Some(qs) if qs.forall(_.isActive) => "running"
+      case _ => "failed"
+    }
+
+  def stop(name: String): Unit = {
+    running.getOrElse(name, Nil).foreach(_.stop())
+    running -= name
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.plans.Pipeline
+import graft.plans.Pipeline._
+import graft.plans.PipelineManager
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Deployment lifecycle tests mirroring the reference's task-system
+  * integration tests (/root/reference/tests/system/test_task_system.py):
+  * validation, batch compile of a multi-operator DAG, and the
+  * schedule/start/status/stop lifecycle on a real streaming query.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("pipeline-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def env(rows: Seq[(Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.zipWithIndex.toDF("r", "seq")
+      .select(col("r._1").as("ts"), col("r._2").as("value"),
+        lit(null).cast("string").as("text"), lit(false).as("paused"),
+        col("seq").cast("long").as("seq"))
+  }
+
+  private val dag = Deployment("d1", Seq(
+    TaskSpec("src_a", SourceOp(IOMeta.number), Nil, "a"),
+    TaskSpec("src_ctrl", SourceOp(IOMeta.number), Nil, "ctrl"),
+    TaskSpec("doubler", CalculatorOp("a * 2 + 1", Seq("a")), Seq("a"), "calc"),
+    TaskSpec("gate", GateOp(), Seq("calc", "ctrl"), "gated"),
+    TaskSpec("fmt", NumberToTextOp, Seq("gated"), "out")))
+
+  test("validate catches bad wiring, arity, types and cycles") {
+    val badWire = Deployment("x", Seq(
+      TaskSpec("g", GateOp(), Seq("nope", "nope2"), "o")))
+    assert(Pipeline.validate(badWire).exists(_.contains("unknown input")))
+
+    val badArity = Deployment("x", Seq(
+      TaskSpec("s", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("g", GateOp(), Seq("a"), "o")))
+    assert(Pipeline.validate(badArity).exists(_.contains("expects 2 inputs")))
+
+    val badType = Deployment("x", Seq(
+      TaskSpec("s", SourceOp(IOMeta.text), Nil, "a"),
+      TaskSpec("c", CalculatorOp("a", Seq("a")), Seq("a"), "o")))
+    assert(Pipeline.validate(badType).exists(_.contains("incompatible")))
+
+    val cycle = Deployment("x", Seq(
+      TaskSpec("u", TimestampUpdaterOp(1), Seq("b"), "a"),
+      TaskSpec("v", TimestampUpdaterOp(1), Seq("a"), "b")))
+    assert(Pipeline.validate(cycle).exists(_.contains("cycle")))
+
+    assert(Pipeline.validate(dag).isEmpty)
+  }
+
+  test("calculator op validates formulas at spec-build time") {
+    intercept[IllegalArgumentException] {
+      CalculatorOp("a + unknown_var", Seq("a"))
+    }
+  }
+
+  test("batch compile runs the whole DAG: calc -> gate -> number_to_text") {
+    val a = env(Seq((10L, 1.0), (30L, 2.0), (50L, 3.0)))
+    val ctrl = env(Seq((20L, 1.0), (40L, 0.0)))
+    val streams = Pipeline.compile(dag, Map("a" -> a, "ctrl" -> ctrl))
+    // gate opens at ts=20, closes at 40: calc(2.0*2+1=5) at 30 passes
+    val out = streams("out").select("ts", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(out == Seq((30L, "5.00")))
+    // intermediate streams are addressable too (named topics)
+    val calc = streams("calc").select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(calc == Seq(3.0, 5.0, 7.0))
+  }
+
+  test("lifecycle: start/status/stop a streaming deployment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]
+    val src = mem.toDS().toDF("ts", "value", "seq")
+      .select(col("ts"), col("value"), lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("seq"))
+    val dep = Deployment("live", Seq(
+      TaskSpec("src", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("calc", CalculatorOp("a * 10", Seq("a")), Seq("a"), "out")))
+    val mgr = new PipelineManager(spark)
+    assert(mgr.status("live") == "stopped")
+    mgr.start(dep, Map("a" -> src), Seq("out"))
+    assert(mgr.status("live") == "running")
+    mem.addData((10L, 1.5, 0L), (20L, 2.5, 1L))
+    spark.streams.active.foreach(_.processAllAvailable())
+    val got = spark.table("live_out").select("value").as[Double].collect().sorted.toSeq
+    assert(got == Seq(15.0, 25.0))
+    mgr.stop("live")
+    assert(mgr.status("live") == "stopped")
+  }
+}
