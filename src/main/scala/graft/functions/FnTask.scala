@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.streaming.StateMachines.{Ev, Machine, Out}
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders, SparkSession, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udf
+
+/** The functional-task surface — the analogue of the reference's
+  * `fntask` API (/root/reference/streamtasks/system/fntask.py:24-107),
+  * which lifts a plain annotated Python function into a full task.
+  *
+  * Our engine ships the same three tiers (SURVEY §2.6), each lifting a
+  * plain Scala function into the corresponding Spark construct:
+  *
+  *  1. '''scalar''' — a pure `A => B` becomes a registered UDF
+  *     (`fntask`'s int/float/str → message mapping ≙ Encoder-driven
+  *     type mapping). Prefer built-in `functions._`/[[Calc]] columns
+  *     when expressible — those stay in codegen; a UDF is the escape
+  *     hatch, exactly like `fntask` is in the reference.
+  *  2. '''stateful''' — a `(S, A) => (S, Seq[B])` step becomes a
+  *     [[Machine]] runnable by
+  *     [[graft.streaming.StatefulRunner]] in batch or streaming
+  *     (`fntask`'s `state` object ≙ GroupState).
+  *  3. '''aggregating''' — `zero/reduce/merge/finish` becomes a typed
+  *     [[Aggregator]] usable in `agg(...)` (map-side partial
+  *     aggregation for free, unlike the reference which has no
+  *     aggregation concept at all).
+  */
+object FnTask {
+
+  /** Tier 1: scalar function → UDF column. */
+  def scalar[A, B](f: A => B)(implicit
+      at: reflect.runtime.universe.TypeTag[A],
+      bt: reflect.runtime.universe.TypeTag[B]): Column => Column = {
+    val u = udf(f)
+    (c: Column) => u(c)
+  }
+
+  /** Tier 2: stateful step function → state machine (mount with
+    * StatefulRunner.runBatch / runStreaming). The reference
+    * auto-synchronizes multi-input functions (fntask.py:102-107); the
+    * runner's (ts, priority, seq) sort provides the same ordering. */
+  def stateful[S](zero: S)(f: (S, Ev) => (S, Seq[Out])): Machine[S] =
+    new Machine[S] {
+      def init: S = zero
+      def step(s: S, e: Ev): (S, Seq[Out]) = f(s, e)
+    }
+
+  /** Tier 3: aggregating function → typed Aggregator. */
+  def aggregator[IN, BUF, OUT](
+      z: BUF)(
+      reduceFn: (BUF, IN) => BUF,
+      mergeFn: (BUF, BUF) => BUF,
+      finishFn: BUF => OUT)(implicit
+      bufEnc: Encoder[BUF], outEnc: Encoder[OUT]): Aggregator[IN, BUF, OUT] =
+    new Aggregator[IN, BUF, OUT] {
+      def zero: BUF = z
+      def reduce(b: BUF, a: IN): BUF = reduceFn(b, a)
+      def merge(b1: BUF, b2: BUF): BUF = mergeFn(b1, b2)
+      def finish(b: BUF): OUT = finishFn(b)
+      def bufferEncoder: Encoder[BUF] = bufEnc
+      def outputEncoder: Encoder[OUT] = outEnc
+    }
+}

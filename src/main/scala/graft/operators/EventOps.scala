@@ -516,6 +516,78 @@ object EventOps {
        |  FROM u)
        |WHERE is_tick = 1 AND held IS NOT NULL ORDER BY ts_ms""".stripMargin
 
+  /** replay buffer (replaybuffer.py:38-76): record data into a buffer;
+    * on each play rising edge (>0.5), replay the buffered messages
+    * re-timestamped so the first buffered message plays at the edge
+    * (offset = edgeTs − firstBufferedTs). Data = click rows; play =
+    * error value>15 rising edges. Batch analogue: snapshot at edge. */
+  private def e16(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val cw = Window.orderBy(col("edge_ts"), col("edge_id"))
+    val edges = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("edge_id"), col("ts_ms").as("edge_ts"),
+        when(col("value") > 15, 1.0).otherwise(0.0).as("sig"))
+      .withColumn("prev", coalesce(lag(col("sig"), 1).over(cw), lit(0.0)))
+      .filter(col("sig") > 0.5 && col("prev") <= 0.5)
+      .select(col("edge_id"), col("edge_ts"))
+    val data = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts_ms"), col("value"))
+    val t0 = data.agg(min(col("ts_ms")).as("first_ts"))
+    edges.join(data, col("ts_ms") <= col("edge_ts")).crossJoin(t0)
+      .select(col("edge_id"), col("event_id"),
+        (col("edge_ts") + col("ts_ms") - col("first_ts")).as("replay_ts"),
+        col("value"))
+      .orderBy(col("edge_id"), col("event_id"))
+  }
+
+  private val e16Sql =
+    s"""WITH e AS ($evMs),
+       |edges AS (SELECT edge_id, edge_ts FROM (
+       |    SELECT event_id AS edge_id, ts_ms AS edge_ts, sig,
+       |      COALESCE(lag(sig) OVER (ORDER BY ts_ms, event_id), 0.0) AS prev
+       |    FROM (SELECT event_id, ts_ms,
+       |            CASE WHEN value > 15 THEN 1.0 ELSE 0.0 END AS sig
+       |          FROM e WHERE event_type = 'error'))
+       |  WHERE sig > 0.5 AND prev <= 0.5),
+       |data AS (SELECT event_id, ts_ms, value FROM e WHERE event_type = 'click')
+       |SELECT edge_id, event_id,
+       |  edge_ts + ts_ms - (SELECT min(ts_ms) FROM data) AS replay_ts, value
+       |FROM edges JOIN data ON ts_ms <= edge_ts
+       |ORDER BY edge_id, event_id""".stripMargin
+
+  /** audio volume scaler (media/audiovolumescaler.py:68-97): multiply
+    * samples by the latest scale value (default 1.0 before any),
+    * clipped to the dtype range — here [-100, 100]. Samples = click
+    * values; scale = signup value / 10. */
+  private def e17(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val data = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts_ms"), col("value"))
+    val ctrl = e.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("ts_ms"), (col("value") / 10).as("sig"))
+    withLastCtrl(data, ctrl, ctrlFirst = true)
+      .filter(col("is_ctrl") === 0)
+      .select(col("event_id"), col("ts_ms"),
+        greatest(lit(-100.0), least(lit(100.0),
+          col("value") * coalesce(col("g"), lit(1.0)))).as("scaled"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e17Sql =
+    s"""WITH e AS ($evMs),
+       |data AS (SELECT event_id, ts_ms, value, NULL::DOUBLE AS sig, 0 AS is_ctrl
+       |         FROM e WHERE event_type = 'click'),
+       |ctrl AS (SELECT event_id, ts_ms, NULL::DOUBLE AS value, value / 10 AS sig, 1 AS is_ctrl
+       |         FROM e WHERE event_type = 'signup'),
+       |u AS (SELECT * FROM data UNION ALL SELECT * FROM ctrl)
+       |SELECT event_id, ts_ms,
+       |  greatest(-100.0, least(100.0, value * COALESCE(g, 1.0))) AS scaled
+       |FROM (SELECT *, last_value(sig IGNORE NULLS) OVER (
+       |        ORDER BY ts_ms, is_ctrl DESC, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |      FROM u)
+       |WHERE is_ctrl = 0 ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_string_matcher", e01, Some(e01Sql)),
     Q("e02_number_to_text", e02, Some(e02Sql)),
@@ -532,5 +604,7 @@ object EventOps {
     Q("e13_synchronizer", e13, Some(e13Sql)),
     Q("e14_pulse_generator", e14, Some(e14Sql)),
     Q("e15_repeater", e15, Some(e15Sql)),
+    Q("e16_replay_buffer", e16, Some(e16Sql)),
+    Q("e17_volume_scaler", e17, Some(e17Sql)),
   )
 }

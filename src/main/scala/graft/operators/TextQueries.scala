@@ -172,11 +172,42 @@ object TextQueries {
       |        FROM documents) WHERE len(w) >= 3)
       |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin
 
+  /** sentence splitter (the TTS front end's max-length word-boundary
+    * splits, /root/reference/streamtasks/system/tasks/inference/
+    * fastspeech2tts.py:20-34): 1→N chunking of each document into
+    * ≤10-word sentences at word boundaries — the generator-tier
+    * (flatMap) of the functional-task surface (SURVEY §2.6). */
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    Tables.documents(s, d)
+      .select(col("doc_id"), t.as("w"), n.as("n"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), ((col("n") - 1) / 10).cast(LongType))).as("sent"),
+        col("w"))
+      .select(col("doc_id"), col("sent"),
+        array_join(slice(col("w"), (col("sent") * 10 + 1).cast(IntegerType), lit(10)), " ")
+          .as("sentence"))
+      .withColumn("n_words",
+        size(split(col("sentence"), " ")).cast(LongType))
+      .orderBy(col("doc_id"), col("sent"))
+  }
+
+  private val t06Sql =
+    """SELECT doc_id, sent,
+      |  array_to_string(w[(sent*10+1):(sent*10+10)], ' ') AS sentence,
+      |  CAST(len(w[(sent*10+1):(sent*10+10)]) AS BIGINT) AS n_words
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+      |        unnest(generate_series(0, (len(string_split_regex(trim(text), '\s+')) - 1) // 10)) AS sent
+      |      FROM documents)
+      |ORDER BY doc_id, sent""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
     Q("t03_lang_id", t03, Some(t03Sql)),
     Q("t04_fingerprint", t04, Some(t04Sql)),
     Q("t05_ngram_profile", t05, Some(t05Sql)),
+    Q("t06_sentence_split", t06, Some(t06Sql)),
   )
 }

@@ -152,6 +152,45 @@ object StateMachines {
     }
   }
 
+  // ----------------------------------------------------------- time buffer
+  /** timebuffer.py:44-63, message mode: hold messages; release the head
+    * while newestTs − headTs ≥ sizeMs. Remaining messages stay buffered
+    * at end of input (the reference holds them until more data or
+    * wall-clock mode; our batch analogue e12 matches). */
+  final case class TimeBufState(buf: Vector[(Long, Double, String)], newest: Long)
+  final class TimeBuffer(sizeMs: Long) extends Machine[TimeBufState] {
+    def init = TimeBufState(Vector.empty, Long.MinValue)
+    def step(s: TimeBufState, e: Ev): (TimeBufState, Seq[Out]) = {
+      if (e.paused) return (s, Nil)
+      val newest = math.max(s.newest, e.ts)
+      var buf = s.buf :+ ((e.ts, e.value, e.text))
+      val out = Vector.newBuilder[Out]
+      while (buf.nonEmpty && newest - buf.head._1 >= sizeMs) {
+        val (t, v, x) = buf.head
+        out += Out(t, v, x)
+        buf = buf.tail
+      }
+      (TimeBufState(buf, newest), out.result())
+    }
+  }
+
+  // -------------------------------------------------------------- repeater
+  /** repeater.py:36-69: sample-and-hold re-emitted at a fixed rate.
+    * Topic 0 = data (updates the held value), topic 1 = clock ticks
+    * (from a rate source, SURVEY §2.1 #15 option b); each tick emits
+    * the held value with the tick's timestamp. */
+  final case class RepeaterState(held: Double, hasValue: Boolean)
+  final class Repeater extends Machine[RepeaterState] {
+    def init = RepeaterState(0.0, hasValue = false)
+    def step(s: RepeaterState, e: Ev): (RepeaterState, Seq[Out]) = e.topic match {
+      case 0 =>
+        if (e.paused) (RepeaterState(0.0, hasValue = false), Nil) // fail-closed clear
+        else (RepeaterState(e.value, hasValue = true), Nil)
+      case _ =>
+        if (s.hasValue) (s, Seq(Out(e.ts, s.held, null))) else (s, Nil)
+    }
+  }
+
   // --------------------------------------------------------- synchronizer
   /** SequentialInTopicSynchronizer (client/topic.py:117-140): buffer
     * per topic; release a message with ts t only when every other
