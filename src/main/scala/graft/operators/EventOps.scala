@@ -517,10 +517,13 @@ object EventOps {
        |WHERE is_tick = 1 AND held IS NOT NULL ORDER BY ts_ms""".stripMargin
 
   /** replay buffer (replaybuffer.py:38-76): record data into a buffer;
-    * on each play rising edge (>0.5), replay the buffered messages
-    * re-timestamped so the first buffered message plays at the edge
-    * (offset = edgeTs − firstBufferedTs). Data = click rows; play =
-    * error value>15 rising edges. Batch analogue: snapshot at edge. */
+    * on each play rising edge (>0.5), replay the buffer re-timestamped
+    * so its first message plays at the edge (offset = edgeTs −
+    * firstBufferedTs), then clear it (the reference clears on pause
+    * transitions; clearing per replay bounds the buffer — each message
+    * is replayed at most once, so output stays O(input) at any scale
+    * instead of O(edges × history)). Data = click rows; play = error
+    * value>15 rising edges. */
   private def e16(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d)
     val cw = Window.orderBy(col("edge_ts"), col("edge_id"))
@@ -532,10 +535,28 @@ object EventOps {
       .select(col("edge_id"), col("edge_ts"))
     val data = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("ts_ms"), col("value"))
-    val t0 = data.agg(min(col("ts_ms")).as("first_ts"))
-    edges.join(data, col("ts_ms") <= col("edge_ts")).crossJoin(t0)
-      .select(col("edge_id"), col("event_id"),
-        (col("edge_ts") + col("ts_ms") - col("first_ts")).as("replay_ts"),
+    // as-of: tag each data row with the first edge at-or-after it via
+    // one forward-looking window over the sorted union — O(n log n),
+    // not the O(n²) a theta-join (BroadcastNestedLoop) would cost
+    val u = data
+      .withColumn("is_edge", lit(0))
+      .withColumn("edge_id", lit(null).cast(LongType))
+      .withColumn("edge_ts", lit(null).cast(LongType))
+      .unionByName(edges.select(
+        lit(null).cast(LongType).as("event_id"),
+        col("edge_ts").as("ts_ms"), lit(null).cast(DoubleType).as("value"),
+        lit(1).as("is_edge"), col("edge_id"), col("edge_ts")))
+    val fw = Window.orderBy(col("ts_ms"), col("is_edge"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = u
+      .withColumn("nx_edge_id", first(col("edge_id"), ignoreNulls = true).over(fw))
+      .withColumn("nx_edge_ts", first(col("edge_ts"), ignoreNulls = true).over(fw))
+      .filter(col("is_edge") === 0 && col("nx_edge_id").isNotNull)
+    val firstTs = tagged.groupBy(col("nx_edge_id").as("eid"))
+      .agg(min(col("ts_ms")).as("first_ts"))
+    tagged.join(broadcast(firstTs), col("nx_edge_id") === col("eid"))
+      .select(col("nx_edge_id").as("edge_id"), col("event_id"),
+        (col("nx_edge_ts") + col("ts_ms") - col("first_ts")).as("replay_ts"),
         col("value"))
       .orderBy(col("edge_id"), col("event_id"))
   }
@@ -549,10 +570,23 @@ object EventOps {
        |            CASE WHEN value > 15 THEN 1.0 ELSE 0.0 END AS sig
        |          FROM e WHERE event_type = 'error'))
        |  WHERE sig > 0.5 AND prev <= 0.5),
-       |data AS (SELECT event_id, ts_ms, value FROM e WHERE event_type = 'click')
-       |SELECT edge_id, event_id,
-       |  edge_ts + ts_ms - (SELECT min(ts_ms) FROM data) AS replay_ts, value
-       |FROM edges JOIN data ON ts_ms <= edge_ts
+       |data AS (SELECT event_id, ts_ms, value FROM e WHERE event_type = 'click'),
+       |u AS (SELECT event_id, ts_ms, value, 0 AS is_edge,
+       |        NULL::BIGINT AS edge_id, NULL::BIGINT AS edge_ts FROM data
+       |      UNION ALL
+       |      SELECT NULL, edge_ts, NULL, 1, edge_id, edge_ts FROM edges),
+       |tagged AS (SELECT * FROM (
+       |    SELECT event_id, ts_ms, value, is_edge,
+       |      first_value(edge_id IGNORE NULLS) OVER w AS nx_edge_id,
+       |      first_value(edge_ts IGNORE NULLS) OVER w AS nx_edge_ts
+       |    FROM u WINDOW w AS (ORDER BY ts_ms, is_edge, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |  WHERE is_edge = 0 AND nx_edge_id IS NOT NULL),
+       |firsts AS (SELECT nx_edge_id AS eid, min(ts_ms) AS first_ts
+       |           FROM tagged GROUP BY nx_edge_id)
+       |SELECT nx_edge_id AS edge_id, event_id,
+       |  nx_edge_ts + ts_ms - first_ts AS replay_ts, value
+       |FROM tagged JOIN firsts ON nx_edge_id = eid
        |ORDER BY edge_id, event_id""".stripMargin
 
   /** audio volume scaler (media/audiovolumescaler.py:68-97): multiply
