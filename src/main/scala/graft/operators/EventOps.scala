@@ -546,11 +546,14 @@ object EventOps {
         lit(null).cast(LongType).as("event_id"),
         col("edge_ts").as("ts_ms"), lit(null).cast(DoubleType).as("value"),
         lit(1).as("is_edge"), col("edge_id"), col("edge_ts")))
-    val fw = Window.orderBy(col("ts_ms"), col("is_edge"), col("event_id"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // reversed sort + running last() = O(n); a (currentRow,
+    // unboundedFollowing) frame would recompute per row = O(n²)
+    val fw = Window.orderBy(col("ts_ms").desc, col("is_edge").desc,
+        col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tagged = u
-      .withColumn("nx_edge_id", first(col("edge_id"), ignoreNulls = true).over(fw))
-      .withColumn("nx_edge_ts", first(col("edge_ts"), ignoreNulls = true).over(fw))
+      .withColumn("nx_edge_id", last(col("edge_id"), ignoreNulls = true).over(fw))
+      .withColumn("nx_edge_ts", last(col("edge_ts"), ignoreNulls = true).over(fw))
       .filter(col("is_edge") === 0 && col("nx_edge_id").isNotNull)
     val firstTs = tagged.groupBy(col("nx_edge_id").as("eid"))
       .agg(min(col("ts_ms")).as("first_ts"))
@@ -577,10 +580,10 @@ object EventOps {
        |      SELECT NULL, edge_ts, NULL, 1, edge_id, edge_ts FROM edges),
        |tagged AS (SELECT * FROM (
        |    SELECT event_id, ts_ms, value, is_edge,
-       |      first_value(edge_id IGNORE NULLS) OVER w AS nx_edge_id,
-       |      first_value(edge_ts IGNORE NULLS) OVER w AS nx_edge_ts
-       |    FROM u WINDOW w AS (ORDER BY ts_ms, is_edge, event_id
-       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |      last_value(edge_id IGNORE NULLS) OVER w AS nx_edge_id,
+       |      last_value(edge_ts IGNORE NULLS) OVER w AS nx_edge_ts
+       |    FROM u WINDOW w AS (ORDER BY ts_ms DESC, is_edge DESC, event_id DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |  WHERE is_edge = 0 AND nx_edge_id IS NOT NULL),
        |firsts AS (SELECT nx_edge_id AS eid, min(ts_ms) AS first_ts
        |           FROM tagged GROUP BY nx_edge_id)
