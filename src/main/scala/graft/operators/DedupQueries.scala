@@ -199,16 +199,15 @@ object DedupQueries {
     * block by label, pairwise cosine from exact integer dot products;
     * emit pairs with cosine ≥ 0.35. */
   private def d05(s: SparkSession, d: String): DataFrame = {
+    graft.functions.LongDot.ensureRegistered(s)
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
-      .withColumn("norm2", aggregate(zip_with(col("q"), col("q"), _ * _),
-        lit(0L), _ + _))
+      .withColumn("norm2", graft.functions.LongDot.dot(col("q"), col("q")))
     val a = q.as("a"); val b = q.as("b")
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", aggregate(zip_with(col("a.q"), col("b.q"), _ * _),
-        lit(0L), _ + _))
+      .withColumn("dot", graft.functions.LongDot.dot(col("a.q"), col("b.q")))
       .withColumn("cosine", col("dot").cast(DoubleType) /
         (sqrt(col("a.norm2").cast(DoubleType)) * sqrt(col("b.norm2").cast(DoubleType))))
       .filter(col("cosine") >= 0.35)

@@ -33,13 +33,14 @@ import org.apache.spark.sql.types._
 object SimilarityQueries {
 
   /** Quantized embedding + exact integer squared norm. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.LongDot.ensureRegistered(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
-      .withColumn("norm2",
-        aggregate(zip_with(col("q"), col("q"), _ * _), lit(0L), _ + _))
+      .withColumn("norm2", graft.functions.LongDot.dot(col("q"), col("q")))
+  }
 
   private val quantizedSql =
     """SELECT vec_id, label,
@@ -50,7 +51,7 @@ object SimilarityQueries {
       |  FROM embeddings""".stripMargin
 
   private def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(qa, qb, _ * _), lit(0L), _ + _).cast(DoubleType) /
+    graft.functions.LongDot.dot(qa, qb).cast(DoubleType) /
       (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
 
   // ---- s01: brute-force cosine top-k ---------------------------------------
@@ -100,8 +101,7 @@ object SimilarityQueries {
   private def s02(s: SparkSession, d: String): DataFrame = {
     val v = quantized(s, d)
     val bucket = planes.zipWithIndex.map { case (cs, p) =>
-      val dot = aggregate(
-        zip_with(col("q"), typedlit(cs.toSeq), _ * _), lit(0L), _ + _)
+      val dot = graft.functions.LongDot.dot(col("q"), typedlit(cs.toSeq))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val b = v.withColumn("bucket", bucket)

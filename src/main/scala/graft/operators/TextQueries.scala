@@ -129,12 +129,19 @@ object TextQueries {
     val n = size(t)
     val shingles = transform(sequence(lit(0), n - lit(5)),
       i => array_join(slice(t, i + lit(1), lit(5)), " "))
+    // md5-per-shingle as rows, not inside a transform lambda —
+    // higher-order functions are interpreted (no codegen), so hashing
+    // inside them costs ~3x; exploded rows keep md5 in codegen
+    val mins = Tables.documents(s, d)
+      .filter(n >= 5)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("sh").cast(BinaryType))).as("shingle_min"))
     Tables.documents(s, d)
       .filter(n >= 5)
-      .select(col("doc_id"),
-        md5(norm.cast(BinaryType)).as("content_hash"),
-        array_min(transform(shingles, x => md5(x.cast(BinaryType))))
-          .as("shingle_min"))
+      .select(col("doc_id"), md5(norm.cast(BinaryType)).as("content_hash"))
+      .join(mins, "doc_id")
+      .select(col("doc_id"), col("content_hash"), col("shingle_min"))
       .orderBy(col("doc_id"))
   }
 
