@@ -625,6 +625,43 @@ object EventOps {
        |      FROM u)
        |WHERE is_ctrl = 0 ORDER BY event_id""".stripMargin
 
+  /** sessionization (gaps-and-islands): per-user sessions closed by a
+    * 30-min inactivity gap — the batch analogue of Spark's
+    * `session_window` streaming aggregation, formulated identically in
+    * both engines (island id = running count of gap-breaks). One of
+    * the §2.7 capabilities the reference lacks and Spark adds. */
+  private def e18(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsMs(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("brk",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("session", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session").cast(LongType).as("session"),
+        col("start_ms"), col("end_ms"), col("n_events"))
+      .orderBy(col("user_id"), col("session"))
+  }
+
+  private val e18Sql =
+    s"""WITH t AS (SELECT user_id, ts_ms, event_id,
+       |    CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |              > 1800000 THEN 1 ELSE 0 END AS brk
+       |  FROM ($evMs)),
+       |s AS (SELECT user_id, ts_ms,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+       |  FROM t)
+       |SELECT user_id, CAST(session AS BIGINT) AS session,
+       |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms, COUNT(*) AS n_events
+       |FROM s GROUP BY user_id, session
+       |ORDER BY user_id, session""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_string_matcher", e01, Some(e01Sql)),
     Q("e02_number_to_text", e02, Some(e02Sql)),
@@ -643,5 +680,6 @@ object EventOps {
     Q("e15_repeater", e15, Some(e15Sql)),
     Q("e16_replay_buffer", e16, Some(e16Sql)),
     Q("e17_volume_scaler", e17, Some(e17Sql)),
+    Q("e18_sessionize", e18, Some(e18Sql)),
   )
 }
