@@ -127,8 +127,16 @@ object DedupQueries {
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val sizes = docsSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = docsSh.as("a")
-      .join(docsSh.as("b"),
+    // exactness-preserving pruning: a shingle appearing in one doc
+    // can't contribute to any intersection — drop it before the
+    // self-join (set sizes still come from the full shingle sets).
+    // At corpus scale most shingles are df=1, so this collapses the
+    // join input without changing a single output row.
+    val shared = docsSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("sh"))
+    val joinable = docsSh.join(shared, "sh")
+    val inter = joinable.as("a")
+      .join(joinable.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

@@ -177,11 +177,50 @@ object DspQueries {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  /** padded audio chunker (media/util.py:150-171, used by the speech
+    * enhancement tasks #37-38): overlapping chunks of 64 samples at a
+    * 48-sample stride — sample i belongs to every chunk j with
+    * j·48 ≤ i < j·48+64, so boundary samples land in two chunks (the
+    * overlap the AudioSmoother crossfades). Per chunk: count, span,
+    * exact sum, and how many of its samples overlap the next chunk. */
+  private def p06(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    eventsMs(s, d)
+      .select(col("event_type"), col("ts_ms"), col("event_id"), dec(col("value")).as("v"))
+      .withColumn("i", (row_number().over(w) - 1).cast(LongType))
+      .withColumn("chunk", explode(sequence(
+        greatest(lit(0L), (((col("i") - 63) + 47) / 48).cast(LongType)), // ceil((i-63)/48)
+        (col("i") / 48).cast(LongType))))
+      .groupBy(col("event_type"), col("chunk"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        sum(col("v")).cast(DoubleType).as("sum_v"),
+        sum(when(col("i") >= (col("chunk") + 1) * 48, 1).otherwise(0))
+          .as("overlap_next"))
+      .orderBy(col("event_type"), col("chunk"))
+  }
+
+  private val p06Sql =
+    s"""WITH t AS (SELECT event_type, ts_ms, value,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts_ms, event_id) - 1
+       |         AS BIGINT) AS i
+       |  FROM ($evMs)),
+       |x AS (SELECT event_type, ts_ms, value, i,
+       |    unnest(generate_series(greatest(0, (i - 63 + 47) // 48), i // 48)) AS chunk
+       |  FROM t)
+       |SELECT event_type, chunk, COUNT(*) AS n,
+       |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+       |  SUM(CASE WHEN i >= (chunk + 1) * 48 THEN 1 ELSE 0 END) AS overlap_next
+       |FROM x GROUP BY event_type, chunk ORDER BY event_type, chunk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
     Q("p03_audio_mixer", p03, Some(p03Sql)),
     Q("p04_chunker", p04, Some(p04Sql)),
     Q("p05_fft_bins", p05, None), // rows-only: transcendental twiddles
+    Q("p06_padded_chunker", p06, Some(p06Sql)),
   )
 }
