@@ -82,7 +82,8 @@ object EventOps {
   private def e03(s: SparkSession, d: String): DataFrame =
     eventsMs(s, d)
       .select(col("event_id"), col("ts_ms"),
-        date_format(timestamp_millis(col("ts_ms")), "dd/MM/yyyy, HH:mm:ss")
+        date_format(timestamp_millis(col("ts_ms")),
+          graft.functions.Strftime.toJavaPattern("%d/%m/%Y, %H:%M:%S"))
           .as("text"))
       .orderBy(col("event_id"))
 

@@ -356,6 +356,99 @@ object Relational {
       |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * c > s
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q20: left outer join with null-extension --------------------------
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("total"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q20Sql =
+    """SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders, total
+      |FROM customer LEFT JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q21: full outer join ------------------------------------------------
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_big"))
+    val rich = Tables.customer(spark, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k2"), col("c_acctbal"))
+    big.join(rich, col("k") === col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("custkey"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"), col("c_acctbal"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q21Sql =
+    """SELECT COALESCE(k, k2) AS custkey, COALESCE(n_big, 0) AS n_big, c_acctbal
+      |FROM (SELECT o_custkey AS k, COUNT(*) AS n_big FROM orders
+      |      WHERE o_totalprice > 300000 GROUP BY o_custkey) b
+      |FULL OUTER JOIN (SELECT c_custkey AS k2, c_acctbal FROM customer
+      |      WHERE c_acctbal > 5000) r ON k = k2
+      |ORDER BY custkey""".stripMargin
+
+  // ---- q22: pivot (status × priority counts) -------------------------------
+  private def q22(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("unspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("low"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q22Sql =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspec,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q23: exact median via window (engine-agnostic formulation) ----------
+  // percentile interpolation conventions differ between engines, so the
+  // median is spelled out: mean of the middle one/two values.
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === ((col("cnt") + 1) / 2).cast(LongType) ||
+        col("rn") === ((col("cnt") + 2) / 2).cast(LongType))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(dec(col("o_totalprice"))).cast(DoubleType) / count(lit(1)))
+        .as("median"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q23Sql =
+    """WITH t AS (SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS median
+      |FROM t WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
@@ -376,5 +469,9 @@ object Relational {
     Q("q17_date_funcs", q17, Some(q17Sql)),
     Q("q18_json_extract", q18, Some(q18Sql)),
     Q("q19_above_avg", q19, Some(q19Sql)),
+    Q("q20_left_outer", q20, Some(q20Sql)),
+    Q("q21_full_outer", q21, Some(q21Sql)),
+    Q("q22_pivot", q22, Some(q22Sql)),
+    Q("q23_exact_median", q23, Some(q23Sql)),
   )
 }
