@@ -663,6 +663,28 @@ object EventOps {
        |FROM s GROUP BY user_id, session
        |ORDER BY user_id, session""".stripMargin
 
+  /** skew-safe two-phase aggregation: event_type has only 5 values, so
+    * a direct groupBy would route everything to 5 reducers at scale;
+    * salting to (event_type, seq % 16) spreads phase 1 over 80
+    * partitions, phase 2 reduces 80 partial rows. Result identical to
+    * the direct aggregation (the oracle computes it directly) — the
+    * exact-decimal sums make the two-phase re-merge loss-free. */
+  private def e19(s: SparkSession, d: String): DataFrame = {
+    val salted = eventsMs(s, d)
+      .select(col("event_type"), (col("event_id") % 16).as("salt"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    salted.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast(DoubleType).as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
+  private val e19Sql =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+       |FROM ($evMs) GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_string_matcher", e01, Some(e01Sql)),
     Q("e02_number_to_text", e02, Some(e02Sql)),
@@ -682,5 +704,19 @@ object EventOps {
     Q("e16_replay_buffer", e16, Some(e16Sql)),
     Q("e17_volume_scaler", e17, Some(e17Sql)),
     Q("e18_sessionize", e18, Some(e18Sql)),
+    Q("e19_salted_agg", e19, Some(e19Sql)),
+    Q("e20_approx_distinct", e20, None), // sketches differ per engine
   )
+
+  /** approximate sketches (the at-scale toolbox Catalyst brings,
+    * SURVEY §2.7): HyperLogLog++ distinct users and a t-digest-style
+    * quantile per event type. Sketch internals differ per engine, so
+    * this is a rows-only driver check; SketchSpec asserts the error
+    * envelope against exact values. */
+  private def e20(s: SparkSession, d: String): DataFrame =
+    eventsMs(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy(col("event_type"))
 }

@@ -75,6 +75,37 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("state survives a query restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("gate-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gate-out").toString
+    val mem = MemoryStream[KEv]
+    // memory sinks don't support recovery; the parquet file sink does
+    def start() = StatefulRunner
+      .runStreaming(new Gate(failOpen = false), mem.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData(KEv("k", 1, 10, 1.0, null, false, 0), // open the gate
+        KEv("k", 0, 20, 1.5, null, false, 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the open-gate state must be restored
+    val q2 = start()
+    try {
+      mem.addData(KEv("k", 0, 30, 2.5, null, false, 2))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).as[KOut]
+        .collect().map(_.value).sorted.toSeq
+      // 2.5 only flows if the restarted query remembers the gate is open
+      assert(got == Seq(1.5, 2.5))
+    } finally q2.stop()
+  }
+
   test("stateful gate on the RocksDB state store provider") {
     val rocks = SparkSession.builder()
       .master("local[2]")
