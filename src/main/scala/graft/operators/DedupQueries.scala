@@ -76,25 +76,33 @@ object DedupQueries {
     * shingles), banded 4×2; candidate pairs share at least one band.
     * shingle→minhash→band→bucket-join, the scalable LSH pipeline. */
   private def d02(s: SparkSession, d: String): DataFrame = {
-    // Relational minhash: one md5 per (doc, shingle, seed) row — a
-    // nested-transform formulation would re-inline the whole signature
-    // computation into every band expression (no CSE inside lambdas),
-    // multiplying the hash work ~16x (observed 337s → ~2s at sf0.1).
+    // Relational minhash with a derived hash family: md5 each shingle
+    // ONCE (the only cryptographic hash), then derive the 8 minhash
+    // functions by integer mixing h_j = (A_j·h + B_j) mod P — the
+    // standard universal-hash family, 8x less hashing than seeded md5
+    // per function, and plain integer arithmetic in both engines.
+    // (A naive nested-transform formulation was 337s at sf0.1: no CSE
+    // inside lambdas re-inlines the signature into every band.)
+    val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
     val shingleRows = Tables.documents(s, d)
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh").cast(BinaryType)), 1, 14), 16, 10)
+          .cast(LongType).as("h")) // 56 bits; (2j+3)·h + j·77 stays < 2^63
     val minhashes = shingleRows
-      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("seed"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("seed"),
+        col("h"))
       .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast(StringType), lit(":"), col("sh"))
-          .cast(BinaryType)).as("h"))
+        ((col("seed") * 2 + 3) * col("h") + col("seed") * 77) % P)
+      .toDF("doc_id", "seed", "mh")
       .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
+      .agg(min(col("mh")).as("mh"))
     val docBands = minhashes
       .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
       .agg(md5(array_join(transform(
         array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")), "").cast(BinaryType)).as("h"))
+        x => x.getField("mh").cast(StringType)), ",").cast(BinaryType)).as("h"))
     val a = docBands.as("a")
     val b = docBands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
@@ -107,12 +115,17 @@ object DedupQueries {
   private val d02Sql =
     s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
        |              FROM documents),
-       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM docs WHERE len(w) >= 3),
-       |sig AS (SELECT doc_id, list_transform(generate_series(0, 7),
-       |          j -> list_min(list_transform(sh, x -> md5(j || ':' || x)))) AS sig
-       |        FROM sh),
-       |bands AS (SELECT doc_id, unnest(generate_series(0, 3)) AS band, sig FROM sig),
-       |bh AS (SELECT doc_id, band, md5(sig[band*2+1] || sig[band*2+2]) AS h FROM bands)
+       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
+       |        FROM docs WHERE len(w) >= 3),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
+       |mh AS (SELECT doc_id, seed,
+       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
+       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
+       |      GROUP BY doc_id, seed),
+       |bh AS (SELECT doc_id, seed // 2 AS band,
+       |        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS h
+       |      FROM mh GROUP BY doc_id, seed // 2)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
