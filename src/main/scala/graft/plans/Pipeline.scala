@@ -184,13 +184,17 @@ object Pipeline {
       case GateOp(failOpen) => runMachine(key, new Gate(failOpen), ins)
       case SrLatchOp => runMachine(key, new SrLatch, ins)
       case CalculatorOp(formula, vars, defaults) =>
+        // parse ONCE here; the closure only walks the AST per message
+        // (the vectorized Column path is CalcQueries — this is the
+        // per-message machine path, mirroring the reference's
+        // transformer eval over a pre-parsed tree, calculator.py:236)
+        val ast = Calc.parse(formula)
         val m = new Calculator(
           vars.indices.map(i => i -> defaults.getOrElse(vars(i), 0.0)).toMap,
           { vs: Map[Int, Double] =>
-            // fold the var map into the compiled closure via a row eval:
-            // compile once per plan to a Column over per-var columns is
-            // the batch path; the machine path evaluates on the JVM.
-            evalFormula(formula, vars, vs)
+            val env = vars.zipWithIndex.map { case (v, i) =>
+              v -> vs.getOrElse(i, 0.0) }.toMap
+            evalAst(ast, env)
           })
         runMachine(key, m, ins)
       case StringMatcherOp(p) =>
@@ -206,16 +210,9 @@ object Pipeline {
     }
   }
 
-  /** JVM-side evaluation of a calculator formula (the machine path —
-    * one interpreted walk per message, mirroring the reference's
-    * transformer eval; the vectorized Column path is CalcQueries). */
-  private def evalFormula(formula: String, vars: Seq[String],
-      vals: Map[Int, Double]): Double = {
-    val ast = Calc.parse(formula)
-    val env = vars.zipWithIndex.map { case (v, i) => v -> vals.getOrElse(i, 0.0) }.toMap
-    evalAst(ast, env)
-  }
-
+  /** JVM-side evaluation of a pre-parsed calculator AST (the machine
+    * path — one walk per message over a tree parsed once at compile
+    * time; the vectorized Column path is CalcQueries). */
   private def evalAst(a: Calc.Ast, env: Map[String, Double]): Double = a match {
     case Calc.Num(v) => v
     case Calc.Vari(n) => Calc.constants.getOrElse(n, env(n))
