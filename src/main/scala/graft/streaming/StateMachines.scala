@@ -191,6 +191,33 @@ object StateMachines {
     }
   }
 
+  // ------------------------------------------------------------- chat
+  /** llama.cpp chat (inference/llamacppchat.py:49-77): stateful
+    * conversation — append the user message to a rolling context,
+    * evict the oldest non-system message while the context exceeds the
+    * budget, emit the assistant reply with the request's timestamp and
+    * append it to the context. The model call is injected (`reply`) —
+    * a deterministic stub in tests, a real model handle in production
+    * (the mapPartitions mount of MultimodalQueries m03). */
+  final case class ChatState(messages: Vector[(String, String)])
+  final class Chat(systemMsg: Option[String], contextBudget: Int,
+      reply: Vector[(String, String)] => String) extends Machine[ChatState] {
+    def init = ChatState(systemMsg.map("system" -> _).toVector)
+    private val startIdx = if (systemMsg.isDefined) 1 else 0
+    private def tokens(ms: Vector[(String, String)]): Int =
+      ms.map(_._2.split("\\s+").length).sum
+    def step(s: ChatState, e: Ev): (ChatState, Seq[Out]) = {
+      if (e.paused || e.text == null) return (s, Nil)
+      var ms = s.messages :+ ("user" -> e.text)
+      // evict oldest non-system messages while over budget (keep the
+      // newest user message, like the reference's pop-and-retry loop)
+      while (tokens(ms) > contextBudget && ms.length > startIdx + 1)
+        ms = ms.patch(startIdx, Nil, 1)
+      val r = reply(ms)
+      (ChatState(ms :+ ("assistant" -> r)), Seq(Out(e.ts, Double.NaN, r)))
+    }
+  }
+
   // --------------------------------------------------------- synchronizer
   /** SequentialInTopicSynchronizer (client/topic.py:117-140): buffer
     * per topic; release a message with ts t only when every other
