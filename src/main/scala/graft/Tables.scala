@@ -38,6 +38,19 @@ object Tables {
     events(s, d).withColumn("ts_ms",
       org.apache.spark.sql.functions.expr("ts DIV 1000000"))
 
+  /** Write a table bucketed (and sorted) by join keys so repeated
+    * fact-fact joins on those keys need no exchange: both sides read
+    * pre-partitioned, and SortMergeJoin skips its shuffle AND sort.
+    * The 100 TB pattern for lineitem⋈orders-style joins that run on
+    * every pipeline tick (SCALE.md "Joins"). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Bucketing removes the shuffle from co-located joins — the physical
+  * plan of a bucketed lineitem⋈orders join must contain no Exchange,
+  * while the plain parquet join does (SCALE.md "Joins"). */
+class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("bucket-wh").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    .config("spark.ui.enabled", "false")
+    .appName("bucketing-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed join has no Exchange; plain join does") {
+    Tables.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "l_bucketed", 4, Seq("l_orderkey"))
+    Tables.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+      "o_bucketed", 4, Seq("o_orderkey"))
+
+    val bucketed = spark.table("l_bucketed")
+      .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    val plainL = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val plainO = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val plain = plainL.join(plainO, col("l_orderkey") === col("o_orderkey"))
+
+    def physical(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    assert(!physical(bucketed).contains("Exchange"),
+      "bucketed join should not shuffle")
+    assert(physical(plain).contains("Exchange"),
+      "plain join is expected to shuffle (sanity check)")
+    // identical results either way
+    assert(bucketed.count() == plain.count())
+    assert(bucketed.count() > 0)
+  }
+}
