@@ -449,6 +449,50 @@ object Relational {
       |FROM t WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q24: UNION ALL + UNION DISTINCT -------------------------------------
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("k"))
+    val b = Tables.supplier(spark, dir).filter(col("s_acctbal") > 9000)
+      .select(col("s_nationkey").as("k"))
+    val allRows = a.unionAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_all"))
+    val dist = a.union(b).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_distinct"))
+    allRows.join(dist, Seq("k"))
+      .select(col("k").cast(LongType).as("nationkey"), col("n_all"), col("n_distinct"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q24Sql =
+    """WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000),
+      |b AS (SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000),
+      |u AS (SELECT k, COUNT(*) AS n_all FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY k),
+      |d AS (SELECT k, COUNT(*) AS n_distinct FROM (SELECT * FROM a UNION SELECT * FROM b) GROUP BY k)
+      |SELECT CAST(u.k AS BIGINT) AS nationkey, n_all, n_distinct
+      |FROM u JOIN d ON u.k = d.k ORDER BY nationkey""".stripMargin
+
+  // ---- q25: GROUPING SETS via the SQL entry point --------------------------
+  /** Exercises spark.sql(...) as a first-class surface: the same
+    * engine answers raw ANSI SQL against registered views. */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q25Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
@@ -473,5 +517,7 @@ object Relational {
     Q("q21_full_outer", q21, Some(q21Sql)),
     Q("q22_pivot", q22, Some(q22Sql)),
     Q("q23_exact_median", q23, Some(q23Sql)),
+    Q("q24_union", q24, Some(q24Sql)),
+    Q("q25_grouping_sets", q25, Some(q25Sql)),
   )
 }

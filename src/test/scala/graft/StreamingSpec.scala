@@ -150,6 +150,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("switch keeps selection across micro-batches (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KEv]
+    val q = StatefulRunner.runStreaming(new Switch(2), mem.toDS())
+      .writeStream.format("memory").queryName("switch_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(3, 10, 9.0, seq = 0))         // select pair 1
+      q.processAllAvailable()
+      mem.addData(ev(0, 20, 1.0, seq = 1),         // pair 0 data → dropped
+        ev(2, 30, 2.0, seq = 2))                   // pair 1 data → forwarded
+      q.processAllAvailable()
+      val got = spark.table("switch_out").as[KOut].collect().map(_.value).toSeq
+      assert(got == Seq(2.0))
+    } finally q.stop()
+  }
+
+  test("detector emits trailing 0 via processing-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KEv]
+    val q = StatefulRunner.runStreaming(new MessageDetector(100), mem.toDS(),
+        timeoutMs = 50)
+      .writeStream.format("memory").queryName("det_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, 10, 1.0, seq = 0))
+      // processing-time timeouts keep scheduling micro-batches, so
+      // processAllAvailable never settles — poll with a deadline instead
+      def rowsFor(key: String) = spark.table("det_out").as[KOut]
+        .collect().filter(_.key == key).map(o => (o.ts, o.value)).sorted.toSeq
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = rowsFor("k")
+      while (got.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        got = rowsFor("k")
+      }
+      // up at 10, trailing down at 10+100 once the timeout fired
+      assert(got == Seq((10L, 1.0), (110L, 0.0)))
+    } finally q.stop()
+  }
+
   test("calculator re-evaluates on every input with last values") {
     val m = new Calculator(Map(0 -> 0.0, 1 -> 0.0),
       vars => vars(0) + vars(1))
