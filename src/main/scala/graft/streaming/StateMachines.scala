@@ -95,6 +95,51 @@ object StateMachines {
     }
   }
 
+  // --------------------------------------------------------- media switch
+  /** media switch (media/mediaswitch.py:15-27): switch whose cutover
+    * defers to the next keyframe of the newly selected input. Data
+    * events carry `text = "k"` when the frame is a keyframe (stand-in
+    * for packet.isKeyframe). Active input flips only at a keyframe of
+    * the currently selected pair. */
+  final case class MediaSwitchState(ctrl: Map[Int, Double], active: Int)
+  final class MediaSwitch(pairs: Int) extends Machine[MediaSwitchState] {
+    def init = MediaSwitchState(Map.empty, 0)
+    override def priority(topic: Int): Int = if (topic % 2 == 1) 0 else 1
+    private def selected(s: MediaSwitchState): Int =
+      (0 until pairs).maxBy(k => (s.ctrl.getOrElse(k, 0.0), -k))
+    def step(s: MediaSwitchState, e: Ev): (MediaSwitchState, Seq[Out]) = {
+      if (e.paused) return (s, Nil)
+      if (e.topic % 2 == 1)
+        (s.copy(ctrl = s.ctrl + (e.topic / 2 -> e.value)), Nil)
+      else {
+        val pair = e.topic / 2
+        val isKeyframe = e.text == "k"
+        val next =
+          if (isKeyframe && selected(s) == pair) s.copy(active = pair) else s
+        if (next.active == pair) (next, Seq(Out(e.ts, e.value, null)))
+        else (next, Nil)
+      }
+    }
+  }
+
+  // --------------------------------------------------------- text formatter
+  /** text formatter (textformatter.py:62-75): template over the last
+    * value of each named text variable, emitted on every arrival;
+    * pause resets the variable to its default (""). */
+  final case class FormatterState(vars: Map[Int, String])
+  final class TextFormatter(inputs: Int,
+      format: Map[Int, String] => String) extends Machine[FormatterState] {
+    def init = FormatterState((0 until inputs).map(_ -> "").toMap)
+    def step(s: FormatterState, e: Ev): (FormatterState, Seq[Out]) = {
+      if (e.paused)
+        (FormatterState(s.vars + (e.topic -> "")), Nil)
+      else {
+        val next = FormatterState(s.vars + (e.topic -> e.text))
+        (next, Seq(Out(e.ts, Double.NaN, format(next.vars))))
+      }
+    }
+  }
+
   // ------------------------------------------------- string concatenator
   /** stringconcatenator.py:42-62. Topic 0 = text, topic 1 = control;
     * rising edge (≤0.5 → >0.5) flushes the accumulated concatenation.

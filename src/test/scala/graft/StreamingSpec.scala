@@ -230,6 +230,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(machine.nonEmpty)
   }
 
+  test("media switch defers cutover to next keyframe (mediaswitch.py:15-27)") {
+    val m = new MediaSwitch(2)
+    val evs = Seq(
+      Ev(0, 10, 1.0, "k", false),   // pair0 keyframe → active 0, forwarded
+      Ev(3, 20, 9.0, null, false),  // select pair 1 (no keyframe yet)
+      Ev(0, 30, 2.0, null, false),  // pair0 still active → forwarded
+      Ev(2, 40, 3.0, null, false),  // pair1 non-keyframe → NOT forwarded
+      Ev(2, 50, 4.0, "k", false),   // pair1 keyframe → cutover + forwarded
+      Ev(0, 60, 5.0, "k", false))   // pair0 keyframe but not selected → dropped
+    val outs = evs.foldLeft((m.init, Vector.empty[Out])) {
+      case ((s, acc), e) => val (s2, o) = m.step(s, e); (s2, acc ++ o) }._2
+    assert(outs.map(_.value) == Seq(1.0, 2.0, 4.0))
+  }
+
+  test("text formatter emits template over last values, pause resets") {
+    val m = new TextFormatter(2,
+      vars => s"a=${vars(0)} b=${vars(1)}")
+    val evs = Seq(
+      Ev(0, 10, Double.NaN, "x", false),
+      Ev(1, 20, Double.NaN, "y", false),
+      Ev(1, 25, Double.NaN, null, true),  // pause resets b
+      Ev(0, 30, Double.NaN, "z", false))
+    val outs = evs.foldLeft((m.init, Vector.empty[Out])) {
+      case ((s, acc), e) => val (s2, o) = m.step(s, e); (s2, acc ++ o) }._2
+    assert(outs.map(_.text) == Seq("a=x b=", "a=x b=y", "a=z b="))
+  }
+
+  test("switch machine == window-function analogue on sf0.001 events") {
+    import spark.implicits._
+    val e = Tables.eventsMs(spark, sf)
+    def side(t: String, topic: Int, isCtrl: Boolean) =
+      e.filter(col("event_type") === t)
+        .select(lit("k").as("key"), lit(topic).as("topic"), col("ts_ms").as("ts"),
+          col("value"), lit(null).cast("string").as("text"),
+          lit(false).as("paused"), col("event_id").as("seq"))
+    val in = side("click", 0, isCtrl = false)
+      .unionByName(side("error", 1, isCtrl = true))
+      .unionByName(side("view", 2, isCtrl = false))
+      .unionByName(side("signup", 3, isCtrl = true)).as[KEv]
+    val machine = StatefulRunner.runBatch(new Switch(2), in)
+      .select(col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val analogue = graft.operators.EventOps.all.find(_.name == "e06_switch").get
+      .fn(spark, sf)
+      .select(col("ts_ms"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(machine == analogue)
+    assert(machine.nonEmpty)
+  }
+
+  test("concatenator machine == window-function analogue on sf0.001 events") {
+    import spark.implicits._
+    val e = Tables.eventsMs(spark, sf)
+    val data = e.filter(col("event_type") === "click")
+      .select(lit("k").as("key"), lit(0).as("topic"), col("ts_ms").as("ts"),
+        lit(Double.NaN).as("value"),
+        concat(lit("e"), col("event_id"), lit(";")).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .select(lit("k").as("key"), lit(1).as("topic"), col("ts_ms").as("ts"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val in = data.unionByName(ctrl).as[KEv]
+    val machine = StatefulRunner.runBatch(new StringConcatenator, in)
+      .select(col("ts"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val analogue = graft.operators.EventOps.all
+      .find(_.name == "e10_string_concatenator").get
+      .fn(spark, sf)
+      .select(col("ts_ms"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(machine == analogue)
+    assert(machine.nonEmpty)
+  }
+
   test("sr latch machine == window-function analogue on sf0.001 events") {
     import spark.implicits._
     val e = Tables.eventsMs(spark, sf)
