@@ -193,6 +193,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("synchronizer buffers across micro-batches and drops late arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KEv]
+    val q = StatefulRunner.runStreaming(new Synchronizer(2), mem.toDS())
+      .writeStream.format("memory").queryName("sync_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: topic 0 advances to 30; topic 1 has nothing → all buffered
+      mem.addData(ev(0, 10, 1.0, seq = 0), ev(0, 30, 2.0, seq = 1))
+      q.processAllAvailable()
+      assert(spark.table("sync_out").count() == 0) // still held
+      // batch 2: topic 1 reaches 20 → releases (10), then (20);
+      // a late topic-0 message (ts 5 < its max 30) is dropped
+      mem.addData(ev(1, 20, 3.0, seq = 2), ev(0, 5, 9.9, seq = 3))
+      q.processAllAvailable()
+      val got = spark.table("sync_out").as[KOut].collect()
+        .map(o => (o.ts, o.value)).sorted.toSeq
+      assert(got == Seq((10L, 1.0), (20L, 3.0)))
+      assert(!got.exists(_._2 == 9.9)) // late drop held across batches
+    } finally q.stop()
+  }
+
   test("calculator re-evaluates on every input with last values") {
     val m = new Calculator(Map(0 -> 0.0, 1 -> 0.0),
       vars => vars(0) + vars(1))
