@@ -33,6 +33,27 @@ object AudioKernel {
     stretchLinear(samples,
       math.round(samples.length.toDouble * toRate / fromRate).toInt)
 
+  /** Overlap crossfade smoother (util.py:173-186, the speech
+    * enhancement tasks' seam-healing): the first `overlap` samples of
+    * each chunk are linearly crossfaded with the previous chunk's
+    * tail — weight ramps 0→1 for the new chunk, 1→0 for the old.
+    * State = the previous chunk's tail; thread through foldLeft or a
+    * state machine per track. */
+  def crossfade(prevTail: Option[Array[Double]], chunk: Array[Double],
+      overlap: Int): (Array[Double], Array[Double]) = {
+    require(chunk.length > overlap, "chunk must exceed the overlap")
+    val out = chunk.clone()
+    prevTail.foreach { old =>
+      var i = 0
+      while (i < overlap) {
+        val wNew = if (overlap == 1) 0.0 else i.toDouble / (overlap - 1)
+        out(i) = chunk(i) * wNew + old(i) * (1.0 - wNew)
+        i += 1
+      }
+    }
+    (out, chunk.takeRight(overlap))
+  }
+
   /** One audio track's sequencer state: buffered samples, the buffer
     * start time (seconds) and accumulated desync (seconds). */
   final case class SeqState(buf: Vector[Double], startTime: Double,

@@ -248,11 +248,72 @@ object DedupQueries {
       |WHERE list_dot_product(a.q, b.q) / (sqrt(a.norm2) * sqrt(b.norm2)) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- d06: the composed scale pipeline — LSH candidates → exact verify ---
+  /** The production dedup shape (SCALE.md): MinHash-LSH generates
+    * candidate pairs, exact Jaccard runs ONLY on candidates (set sizes
+    * from the full shingle sets). At corpus scale this replaces d03's
+    * corpus-wide shingle join with |candidates| bounded work. Output:
+    * verified near-dup pairs (jaccard ≥ 0.5) from the candidate set. */
+  private def d06(s: SparkSession, d: String): DataFrame = {
+    val candidates = d02(s, d) // (id_a, id_b) ordered
+    val docsSh = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = docsSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // intersection only for candidate pairs: semi-restrict the shingle
+    // join through the candidate list (broadcast — it's tiny)
+    val inter = docsSh.as("a")
+      .join(docsSh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .join(broadcast(candidates),
+        col("a.doc_id") === col("id_a") && col("b.doc_id") === col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val d06Sql =
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
+       |        FROM docs WHERE len(w) >= 3),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
+       |mh AS (SELECT doc_id, seed,
+       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
+       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
+       |      GROUP BY doc_id, seed),
+       |bh AS (SELECT doc_id, seed // 2 AS band,
+       |        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS h
+       |      FROM mh GROUP BY doc_id, seed // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h
+       |              AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
+       |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          JOIN cand c ON a.doc_id = c.id_a AND b.doc_id = c.id_b
+       |          GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |           JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
     Q("d03_ngram_jaccard", d03, Some(d03Sql)),
     Q("d04_simhash", d04, Some(d04Sql)),
     Q("d05_embedding_neardup", d05, Some(d05Sql)),
+    Q("d06_lsh_verified", d06, Some(d06Sql)),
   )
 }

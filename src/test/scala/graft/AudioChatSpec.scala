@@ -61,6 +61,26 @@ class AudioChatSpec extends AnyFunSuite {
     assert(AudioKernel.resample(Array.fill(100)(1.0), 100, 50).length == 50)
   }
 
+  test("crossfade overlaps linearly between chunk seams (util.py:173-186)") {
+    val c1 = Array(1.0, 1, 1, 1)
+    val (o1, tail1) = AudioKernel.crossfade(None, c1, 2)
+    assert(o1.toSeq == c1.toSeq)        // first chunk untouched
+    assert(tail1.toSeq == Seq(1.0, 1))
+    val c2 = Array(3.0, 3, 3, 3)
+    val (o2, _) = AudioKernel.crossfade(Some(tail1), c2, 2)
+    // weights over 2 samples: new 0,1 / old 1,0
+    assert(o2.toSeq == Seq(1.0, 3.0, 3.0, 3.0))
+  }
+
+  test("codec round trip: raw and pixel swizzle are inverses") {
+    import graft.functions.Codec
+    val frame = Array.tabulate[Byte](16)(i => i.toByte)
+    assert(Codec.Raw.decode(Codec.Raw.encode(frame)).toSeq == frame.toSeq)
+    val enc = Codec.RgbaBgra.encode(frame)
+    assert(enc.toSeq != frame.toSeq)    // actually swizzled
+    assert(Codec.RgbaBgra.decode(enc).toSeq == frame.toSeq)
+  }
+
   test("chat keeps rolling context and evicts oldest on overflow") {
     val m = new Chat(Some("sys prompt"), contextBudget = 12,
       reply = ms => s"reply${ms.count(_._1 == "user")}")
