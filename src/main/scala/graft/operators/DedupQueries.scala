@@ -256,24 +256,20 @@ object DedupQueries {
     * verified near-dup pairs (jaccard ≥ 0.5) from the candidate set. */
   private def d06(s: SparkSession, d: String): DataFrame = {
     val candidates = d02(s, d) // (id_a, id_b) ordered
-    val docsSh = Tables.documents(s, d)
+    // pair-local verification: attach each side's shingle SET to the
+    // candidate row and intersect in place — no corpus-wide shingle
+    // join at all (a candidate-restricted equi-join can't push the
+    // restriction below the self-join, so it still pays the full
+    // join; this shape is O(|candidates| · |doc shingles|))
+    val shSets = Tables.documents(s, d)
       .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val sizes = docsSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // intersection only for candidate pairs: semi-restrict the shingle
-    // join through the candidate list (broadcast — it's tiny)
-    val inter = docsSh.as("a")
-      .join(docsSh.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .join(broadcast(candidates),
-        col("a.doc_id") === col("id_a") && col("b.doc_id") === col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    candidates
+      .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("jaccard", inter.cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - inter))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -296,16 +292,14 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h
        |              AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
-       |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS inter
-       |          FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          JOIN cand c ON a.doc_id = c.id_a AND b.doc_id = c.id_b
-       |          GROUP BY c.id_a, c.id_b)
+       |sets AS (SELECT doc_id, $shinglesSql AS sh FROM docs WHERE len(w) >= 3)
        |SELECT id_a, id_b,
-       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
-       |           JOIN sizes sb ON sb.doc_id = id_b
-       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |FROM cand JOIN sets sa ON sa.doc_id = id_a
+       |          JOIN sets sb ON sb.doc_id = id_b
+       |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
   val all: Seq[Q] = Seq(
