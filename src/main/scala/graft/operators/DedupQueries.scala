@@ -136,9 +136,15 @@ object DedupQueries {
     * shingle to count intersections, then |A∪B| = |A|+|B|−|A∩B|.
     * Jaccard = exact-int ratio → bit-exact double. */
   private def d03(s: SparkSession, d: String): DataFrame = {
+    // join on the 56-bit md5 prefix of the shingle, not the string:
+    // smaller shuffle keys and cheaper comparisons; both engines hash
+    // identically, so any (negligible) collision is identical too
     val docsSh = Tables.documents(s, d)
       .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shs"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shs").cast(BinaryType)), 1, 14), 16, 10)
+          .cast(LongType).as("sh"))
     val sizes = docsSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // exactness-preserving pruning: a shingle appearing in one doc
     // can't contribute to any intersection — drop it before the
@@ -166,7 +172,10 @@ object DedupQueries {
   private val d03Sql =
     s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
        |              FROM documents),
-       |sh AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM docs WHERE len(w) >= 3),
+       |sh AS (SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(shs), 1, 14)) AS BIGINT) AS sh
+       |       FROM (SELECT doc_id, unnest($shinglesSql) AS shs
+       |             FROM docs WHERE len(w) >= 3)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -106,6 +106,27 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming exact dedup with watermark drops duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Double)] // (event_id, ts_ms, value)
+    val deduped = mem.toDS().toDF("event_id", "ts_ms", "value")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1000L, 1.0), (2L, 2000L, 2.0), (1L, 1000L, 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, 2000L, 2.0), (3L, 3000L, 3.0)) // dup of 2 across batches
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful gate on the RocksDB state store provider") {
     val rocks = SparkSession.builder()
       .master("local[2]")
