@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `sbt runMain` stdout machine-parseable: no trailing
+// "[success] Total time: ..." line after the program's JSON output, and
+// no "[info] " prefix on the forked program's own stdout (graft.Bench's
+// JSON line must be parseable verbatim).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,13 +34,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = QueryRegistry.all.map(_.name)
+    // Optional args: bench only the named queries (default: all).
+    val names =
+      if (args.nonEmpty) args.flatMap(_.split(",")).toSeq
+      else QueryRegistry.all.map(_.name)
     force(names.head) // warm-up, unmeasured
     val results = names.map(n => n -> force(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the harness parser: persist to a file, then
+    // make the JSON the very last stdout line (after spark.stop(), whose
+    // shutdown logging goes to stderr).
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

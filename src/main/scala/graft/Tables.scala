@@ -59,6 +59,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings arrive as ONE row group per file, so the scan
+    * is a single task — but every downstream query does heavy per-row
+    * work (shingle md5s, quantized dot products). Spread rows across the
+    * cluster first: one tiny exchange, reused (ReusedExchange) by every
+    * self-join/agg reference to the table. On a real multi-file 100 TB
+    * layout the scan is already split and this repartition would be
+    * dropped (cost there: a full-table shuffle — do NOT keep it at
+    * scale; split the files instead). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, load(s, d, "embeddings"))
 }

@@ -212,7 +212,7 @@ object DspQueries {
        |SELECT event_type, chunk, COUNT(*) AS n,
        |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
-       |  SUM(CASE WHEN i >= (chunk + 1) * 48 THEN 1 ELSE 0 END) AS overlap_next
+       |  CAST(SUM(CASE WHEN i >= (chunk + 1) * 48 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_next
        |FROM x GROUP BY event_type, chunk ORDER BY event_type, chunk""".stripMargin
 
   val all: Seq[Q] = Seq(
