@@ -131,40 +131,77 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---- d03: n-gram Jaccard verification ------------------------------------
-  /** Exact Jaccard over shingle sets for near-dup pairs (≥ 0.5),
-    * computed distributively: explode distinct shingles, equi-join on
-    * shingle to count intersections, then |A∪B| = |A|+|B|−|A∩B|.
-    * Jaccard = exact-int ratio → bit-exact double. */
-  private def d03(s: SparkSession, d: String): DataFrame = {
-    // join on the 56-bit md5 prefix of the shingle, not the string:
-    // smaller shuffle keys and cheaper comparisons; both engines hash
-    // identically, so any (negligible) collision is identical too
-    val docsSh = Tables.documents(s, d)
+  /** Exact Jaccard over shingle sets for near-dup pairs (≥ 0.5), via a
+    * prefix-filtered similarity self-join (the AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08):
+    *
+    *  1. order each doc's shingles by global rarity (df, then hash) —
+    *     a total order consistent across documents;
+    *  2. J(A,B) ≥ t implies |A∩B| ≥ t·|A| (because J ≥ t also forces
+    *     |B| ≥ t·|A|), so A∩B must contain one of A's first
+    *     |A| − ⌈t·|A|⌉ + 1 shingles — the PREFIX. Only prefixes join;
+    *  3. the length filter t·|A| ≤ |B| ≤ |A|/t prunes candidates at
+    *     the join, before any dedup/verify work;
+    *  4. candidates verify pair-locally: each side's full shingle-hash
+    *     set rides along, |A∩B| = array_intersect in place.
+    *
+    * Every step is exactness-preserving (the prefix join yields a
+    * superset of qualifying pairs; verification computes the same
+    * integer intersection the naive corpus-wide join counts), so the
+    * naive SQL below remains the oracle. Scale: the corpus-wide shingle
+    * self-join is O(Σ_sh df²) and explodes on boilerplate-heavy
+    * corpora; here only the RAREST ⌊|A|/2⌋+1 shingles of each doc
+    * enter the join (df of prefix shingles is small by construction),
+    * and the verify step is O(|candidates| · |doc|). Jaccard =
+    * exact-int ratio → bit-exact double. */
+  private def d03(s: SparkSession, d: String): DataFrame =
+    jaccardSelfJoin(Tables.documents(s, d), 0.5)
+
+  /** The prefix-filter join over any (doc_id, text) frame — exposed so
+    * DedupSpec can property-test it against a naive all-pairs model. */
+  def jaccardSelfJoin(documents: DataFrame, t: Double): DataFrame = {
+    // 56-bit md5 prefix of the shingle, not the string: smaller shuffle
+    // keys; both engines hash identically so any (negligible) collision
+    // is identical too. `n` (distinct-shingle count) rides along from
+    // the pre-explode array size — no separate sizes aggregate.
+    val shRows = documents
       .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shs"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), shingles(col("text")).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
+        explode(col("arr")).as("shs"))
+      .select(col("doc_id"), col("n"),
         conv(substring(md5(col("shs").cast(BinaryType)), 1, 14), 16, 10)
           .cast(LongType).as("sh"))
-    val sizes = docsSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // exactness-preserving pruning: a shingle appearing in one doc
-    // can't contribute to any intersection — drop it before the
-    // self-join (set sizes still come from the full shingle sets).
-    // At corpus scale most shingles are df=1, so this collapses the
-    // join input without changing a single output row.
-    val shared = docsSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("sh"))
-    val joinable = docsSh.join(shared, "sh")
-    val inter = joinable.as("a")
-      .join(joinable.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+    val df = shRows.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // One compact row per doc: its shingle hashes sorted by global
+    // rarity. This is the staging table of the similarity join — it is
+    // read by the prefix explode, both join sides, and both verify
+    // joins, so materialize it once (Spark re-evaluates shared
+    // subplans per reference otherwise; at 100 TB this would be a
+    // persisted intermediate table, here an in-memory cache of one
+    // slim row per doc).
+    val docs = shRows.join(df, "sh")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("r"))
+      .select(col("doc_id"), col("n"),
+        transform(col("r"), x => x.getField("sh")).as("arr"))
+      .cache()
+    val prefix = docs.select(col("doc_id"), col("n"),
+      explode(slice(col("arr"), lit(1),
+        (col("n") - ceil(col("n") * t) + 1).cast(IntegerType))).as("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("b.n") >= col("a.n") * t && col("a.n") >= col("b.n") * t)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("arr").as("sa")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("arr").as("sb")), "id_b")
       .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
+        inter.cast(DoubleType) / (col("na") + col("nb") - inter))
+      .filter(col("jaccard") >= t)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Property test for the prefix-filtered Jaccard self-join (d03): on
+  * random small-vocab corpora (small vocab forces high shingle document
+  * frequencies and real near-duplicates) the distributed prefix-filter
+  * pipeline must emit EXACTLY the pairs a naive all-pairs set-Jaccard
+  * over word-3-gram shingles emits — the prefix filter and length
+  * filter are candidate-pruning only, never result-changing.
+  */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("dedup-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Corpora of 12 docs over an 8-word vocabulary, 3..14 words each —
+    * dense enough that most doc pairs share shingles and several pass
+    * the 0.5 threshold. Duplicate a doc outright with prob ~1/4. */
+  private val genCorpus: Gen[List[String]] = {
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g", "hhh")
+    val genDoc = for {
+      n <- Gen.choose(3, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    for {
+      base <- Gen.listOfN(9, genDoc)
+      dups <- Gen.listOfN(3, Gen.oneOf(base))
+    } yield base ++ dups
+  }
+
+  private def shingleSet(text: String): Set[String] =
+    text.trim.split("\\s+").toList.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toSet
+
+  private def naive(docs: List[String], t: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.zipWithIndex.collect {
+      case (d, i) if d.trim.split("\\s+").length >= 3 =>
+        (i.toLong, shingleSet(d))
+    }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (ia, ib, j)).toSet
+  }
+
+  test("d03 prefix-filter join == naive all-pairs Jaccard on random corpora") {
+    import spark.implicits._
+    check(Prop.forAll(genCorpus) { docs =>
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val got = DedupQueries.jaccardSelfJoin(df, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got == naive(docs, 0.5)
+    })
+  }
+}
