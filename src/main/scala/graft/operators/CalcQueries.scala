@@ -26,6 +26,12 @@ object CalcQueries {
   import graft.Tables.eventsMs
   private val evMs = "SELECT *, epoch_ms(ts) AS ts_ms FROM events"
 
+  // One calculator instance per pipeline shard (see EventOps.pipeline):
+  // the stateful windows partition by this so no WindowExec runs over a
+  // single global partition.
+  private val pipeline = pmod(col("user_id"), lit(2)).as("pipeline")
+  private val pipelineSql = "user_id % 2 AS pipeline"
+
   /** Stateless single-input formula on the click stream:
     * `(a * 2 + 1) % 7` with Python modulo semantics. */
   private def c01(s: SparkSession, d: String): DataFrame = {
@@ -45,27 +51,28 @@ object CalcQueries {
     * var_values map realised as ignoreNulls last() windows). */
   private def c02(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d).filter(col("event_type").isin("click", "view"))
-      .select(col("event_id"), col("ts_ms"),
+      .select(pipeline, col("event_id"), col("ts_ms"),
         when(col("event_type") === "click", col("value")).as("va"),
         when(col("event_type") === "view", col("value")).as("vb"))
-    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val a = coalesce(last(col("va"), ignoreNulls = true).over(w), lit(0.0))
     val b = coalesce(last(col("vb"), ignoreNulls = true).over(w), lit(0.0))
     val f = Calc.column("(a + b) / 2", Map("a" -> a, "b" -> b))
-    e.select(col("event_id"), col("ts_ms"), f.as("result"))
+    e.select(col("pipeline"), col("event_id"), col("ts_ms"), f.as("result"))
       .orderBy(col("event_id"))
   }
 
   private val c02Sql =
-    s"""WITH e AS (SELECT event_id, ts_ms,
+    s"""WITH e AS (SELECT $pipelineSql, event_id, ts_ms,
        |             CASE WHEN event_type='click' THEN value END AS va,
        |             CASE WHEN event_type='view'  THEN value END AS vb
        |           FROM ($evMs) WHERE event_type IN ('click','view'))
-       |SELECT event_id, ts_ms,
+       |SELECT pipeline, event_id, ts_ms,
        |  (COALESCE(last_value(va IGNORE NULLS) OVER w, 0.0)
        |   + COALESCE(last_value(vb IGNORE NULLS) OVER w, 0.0)) / 2 AS result
-       |FROM e WINDOW w AS (ORDER BY ts_ms, event_id
+       |FROM e WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, event_id
        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
@@ -73,30 +80,31 @@ object CalcQueries {
     * `a > b ? sqrt(abs(a - b)) : min(a, b)`. */
   private def c03(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d).filter(col("event_type").isin("click", "view"))
-      .select(col("event_id"), col("ts_ms"),
+      .select(pipeline, col("event_id"), col("ts_ms"),
         when(col("event_type") === "click", col("value")).as("va"),
         when(col("event_type") === "view", col("value")).as("vb"))
-    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val a = coalesce(last(col("va"), ignoreNulls = true).over(w), lit(0.0))
     val b = coalesce(last(col("vb"), ignoreNulls = true).over(w), lit(0.0))
     val f = Calc.column("a > b ? sqrt(abs(a - b)) : min(a, b)",
       Map("a" -> a, "b" -> b))
-    e.select(col("event_id"), col("ts_ms"), f.as("result"))
+    e.select(col("pipeline"), col("event_id"), col("ts_ms"), f.as("result"))
       .orderBy(col("event_id"))
   }
 
   private val c03Sql =
-    s"""WITH e AS (SELECT event_id, ts_ms,
+    s"""WITH e AS (SELECT $pipelineSql, event_id, ts_ms,
        |             CASE WHEN event_type='click' THEN value END AS va,
        |             CASE WHEN event_type='view'  THEN value END AS vb
        |           FROM ($evMs) WHERE event_type IN ('click','view')),
-       |t AS (SELECT event_id, ts_ms,
+       |t AS (SELECT pipeline, event_id, ts_ms,
        |        COALESCE(last_value(va IGNORE NULLS) OVER w, 0.0) AS a,
        |        COALESCE(last_value(vb IGNORE NULLS) OVER w, 0.0) AS b
-       |      FROM e WINDOW w AS (ORDER BY ts_ms, event_id
+       |      FROM e WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, event_id
        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |SELECT event_id, ts_ms,
+       |SELECT pipeline, event_id, ts_ms,
        |  CASE WHEN a > b THEN sqrt(abs(a - b)) ELSE least(a, b) END AS result
        |FROM t ORDER BY event_id""".stripMargin
 
@@ -104,30 +112,31 @@ object CalcQueries {
     * `((a > 10) & (b > 10)) | ((!(a > b)) ^ (a == b))` → 0.0/1.0. */
   private def c04(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d).filter(col("event_type").isin("click", "view"))
-      .select(col("event_id"), col("ts_ms"),
+      .select(pipeline, col("event_id"), col("ts_ms"),
         when(col("event_type") === "click", col("value")).as("va"),
         when(col("event_type") === "view", col("value")).as("vb"))
-    val w = Window.orderBy(col("ts_ms"), col("event_id"))
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val a = coalesce(last(col("va"), ignoreNulls = true).over(w), lit(0.0))
     val b = coalesce(last(col("vb"), ignoreNulls = true).over(w), lit(0.0))
     val f = Calc.column("((a > 10) & (b > 10)) | ((!(a > b)) ^ (a == b))",
       Map("a" -> a, "b" -> b))
-    e.select(col("event_id"), col("ts_ms"), f.as("result"))
+    e.select(col("pipeline"), col("event_id"), col("ts_ms"), f.as("result"))
       .orderBy(col("event_id"))
   }
 
   private val c04Sql =
-    s"""WITH e AS (SELECT event_id, ts_ms,
+    s"""WITH e AS (SELECT $pipelineSql, event_id, ts_ms,
        |             CASE WHEN event_type='click' THEN value END AS va,
        |             CASE WHEN event_type='view'  THEN value END AS vb
        |           FROM ($evMs) WHERE event_type IN ('click','view')),
-       |t AS (SELECT event_id, ts_ms,
+       |t AS (SELECT pipeline, event_id, ts_ms,
        |        COALESCE(last_value(va IGNORE NULLS) OVER w, 0.0) AS a,
        |        COALESCE(last_value(vb IGNORE NULLS) OVER w, 0.0) AS b
-       |      FROM e WINDOW w AS (ORDER BY ts_ms, event_id
+       |      FROM e WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, event_id
        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |SELECT event_id, ts_ms,
+       |SELECT pipeline, event_id, ts_ms,
        |  CASE WHEN ((CASE WHEN a > 10 THEN 1.0 ELSE 0.0 END) > 0.5
        |             AND (CASE WHEN b > 10 THEN 1.0 ELSE 0.0 END) > 0.5)
        |         OR (((CASE WHEN NOT (CASE WHEN a > b THEN 1.0 ELSE 0.0 END) > 0.5

@@ -92,10 +92,13 @@ object DspQueries {
         col("ts_ms"), col("event_id"), dec(col("value")).as("v"))
       .groupBy(col("event_type"), col("bucket_ms"))
       .agg(max_by(col("v"), struct(col("ts_ms"), col("event_id"))).as("last_v"))
-    val grid = e.agg(
-        (min(col("ts_ms")) - min(col("ts_ms")) % 60000).as("lo"),
-        (max(col("ts_ms")) - max(col("ts_ms")) % 60000).as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"), lit(60000L))).as("bucket_ms"))
+    val bounds = e.agg(
+      (min(col("ts_ms")) - min(col("ts_ms")) % 60000).as("lo"),
+      (max(col("ts_ms")) - max(col("ts_ms")) % 60000).as("hi"))
+    // distributed two-level grid (see EventOps.tickGrid): no one-task
+    // giant sequence array at 100× time spans
+    val grid = EventOps.tickGrid(bounds, 60000L)
+      .select(col("ts_ms").as("bucket_ms"))
     val tracks = e.select(col("event_type")).distinct()
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_ms"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

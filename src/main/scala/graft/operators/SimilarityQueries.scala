@@ -83,54 +83,82 @@ object SimilarityQueries {
        |SELECT qid, vec_id AS neighbor, rank, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  // ---- s02: sign-random-projection LSH -------------------------------------
-  /** 4 deterministic hyperplanes (coefficients from md5, inlined as
-    * literals in both engines) → 16 sign buckets; top-3 neighbors per
-    * vector within its bucket. */
-  private val planes: Seq[Array[Long]] = {
+  // ---- s02: multi-table sign-random-projection LSH -------------------------
+  /** L=2 independent hash tables × P=8 hyperplanes each (coefficients
+    * from md5, inlined as literals in both engines). 2^P = 256 sign
+    * buckets per table keeps pair work ≈ L·n²/2^P — plane count is the
+    * knob that caps bucket size (BucketingSpec asserts max-bucket
+    * shrinks as P grows), table count is the recall knob (a true
+    * neighbor is a candidate if it agrees on ANY table's full sign
+    * pattern). Candidates = union over tables of same-bucket pairs,
+    * deduped, then exact cosine top-3 per query over candidates only.
+    *
+    * Scale: each vector is exploded L times and shuffled once per table
+    * to its (table, bucket); candidate dedup + the final top-k shuffle
+    * by qid. No corpus-wide pair work anywhere. */
+  val lshTables = 2
+  val lshPlanes = 8
+
+  /** md5-derived hyperplane coefficients — deterministic at plan build,
+    * identical literals on both engines. */
+  def planeCoeffs(tbl: Int, p: Int): Array[Long] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
-    (0 until 4).map { p =>
-      Array.tabulate(64) { i =>
-        val hex = mdig.digest(s"${p}_$i".getBytes("UTF-8"))
-          .take(4).map("%02x".format(_)).mkString
-        java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
-      }
+    Array.tabulate(64) { i =>
+      val hex = mdig.digest(s"t${tbl}_p${p}_$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
     }
   }
 
-  private def s02(s: SparkSession, d: String): DataFrame = {
-    val v = quantized(s, d)
-    val bucket = planes.zipWithIndex.map { case (cs, p) =>
-      val dot = graft.functions.LongDot.dot(col("q"), typedlit(cs.toSeq))
+  /** Sign-pattern bucket of quantized column `q` for one table. */
+  def bucketCol(tbl: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val dot = graft.functions.LongDot.dot(col("q"), typedlit(planeCoeffs(tbl, p).toSeq))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val b = v.withColumn("bucket", bucket)
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("cosine").desc, col("b.vec_id"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cosine",
-        cosine(col("a.q"), col("b.q"), col("a.norm2"), col("b.norm2")))
+
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d)
+    val b = v.select(col("vec_id"), col("q"), explode(array(
+        (0 until lshTables).map(t => struct(lit(t).as("tbl"),
+          bucketCol(t, lshPlanes).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("neighbor"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    cand
+      .join(v.select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn")), "qid")
+      .join(v.select(col("vec_id").as("neighbor"), col("q").as("nq"), col("norm2").as("nn")), "neighbor")
+      .withColumn("cosine", cosine(col("qq"), col("nq"), col("qn"), col("nn")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 3)
-      .select(col("a.vec_id").as("qid"), col("a.bucket").as("bucket"),
-        col("b.vec_id").as("neighbor"), col("rank"), col("cosine"))
+      .select(col("qid"), col("neighbor"), col("rank"), col("cosine"))
       .orderBy(col("qid"), col("rank"))
   }
 
   private val s02Sql = {
-    val planeSql = planes.zipWithIndex.map { case (cs, p) =>
-      s"(CASE WHEN list_dot_product(q, ${cs.mkString("[", ",", "]")}) > 0 THEN ${1L << p} ELSE 0 END)"
+    def planeSql(tbl: Int) = (0 until lshPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(q, ${planeCoeffs(tbl, p).mkString("[", ",", "]")}) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+    val tables = (0 until lshTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, CAST(${planeSql(t)} AS BIGINT) AS bucket FROM v")
+      .mkString("\n  UNION ALL ")
     s"""WITH v AS ($quantizedSql),
-       |b AS (SELECT *, CAST($planeSql AS BIGINT) AS bucket FROM v),
-       |scored AS (SELECT a.vec_id AS qid, a.bucket AS bucket, b.vec_id AS neighbor,
-       |    list_dot_product(a.q, b.q) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cosine
-       |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |ranked AS (SELECT qid, bucket, neighbor, cosine,
+       |b AS ($tables),
+       |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS neighbor
+       |  FROM b a JOIN b b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |       AND a.vec_id <> b.vec_id),
+       |scored AS (SELECT qid, neighbor,
+       |    list_dot_product(va.q, vb.q) / (sqrt(va.norm2) * sqrt(vb.norm2)) AS cosine
+       |  FROM cand JOIN v va ON va.vec_id = qid JOIN v vb ON vb.vec_id = neighbor),
+       |ranked AS (SELECT qid, neighbor, cosine,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
        |  FROM scored)
-       |SELECT qid, bucket, neighbor, rank, cosine
+       |SELECT qid, neighbor, rank, cosine
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 

@@ -51,4 +51,24 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed.count() == plain.count())
     assert(bucketed.count() > 0)
   }
+
+  test("sign-LSH: max bucket size shrinks as plane count grows") {
+    // LSH pair work within a bucket is |bucket|² — the plane count must
+    // demonstrably cap bucket size for the s02 shape to hold at scale.
+    import spark.implicits._
+    graft.functions.LongDot.ensureRegistered(spark)
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(2000)(Array.fill(64)(rnd.nextLong() % 1000L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "q")
+    def maxBucket(planes: Int): Long = vecs
+      .select(graft.operators.SimilarityQueries.bucketCol(0, planes).as("bucket"))
+      .groupBy(col("bucket")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val sizes = Seq(2, 4, 8).map(maxBucket)
+    assert(sizes == sizes.sorted.reverse,
+      s"max bucket should not grow with planes: $sizes")
+    assert(sizes.last * 4 <= sizes.head,
+      s"8 planes should shrink max bucket well below 2 planes: $sizes")
+  }
 }

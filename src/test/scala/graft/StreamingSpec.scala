@@ -233,11 +233,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val e = Tables.eventsMs(spark, sf)
     val data = e.filter(col("event_type") === "click")
-      .select(lit("k").as("key"), lit(0).as("topic"), col("ts_ms").as("ts"),
+      .select(pmod(col("user_id"), lit(2)).cast("string").as("key"), lit(0).as("topic"), col("ts_ms").as("ts"),
         col("value"), lit(null).cast("string").as("text"),
         lit(false).as("paused"), col("event_id").as("seq"))
     val ctrl = e.filter(col("event_type") === "error")
-      .select(lit("k").as("key"), lit(1).as("topic"), col("ts_ms").as("ts"),
+      .select(pmod(col("user_id"), lit(2)).cast("string").as("key"), lit(1).as("topic"), col("ts_ms").as("ts"),
         when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
         lit(null).cast("string").as("text"),
         lit(false).as("paused"), col("event_id").as("seq"))
@@ -285,7 +285,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = Tables.eventsMs(spark, sf)
     def side(t: String, topic: Int, isCtrl: Boolean) =
       e.filter(col("event_type") === t)
-        .select(lit("k").as("key"), lit(topic).as("topic"), col("ts_ms").as("ts"),
+        .select(pmod(col("user_id"), lit(2)).cast("string").as("key"), lit(topic).as("topic"), col("ts_ms").as("ts"),
           col("value"), lit(null).cast("string").as("text"),
           lit(false).as("paused"), col("event_id").as("seq"))
     val in = side("click", 0, isCtrl = false)
@@ -307,12 +307,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val e = Tables.eventsMs(spark, sf)
     val data = e.filter(col("event_type") === "click")
-      .select(lit("k").as("key"), lit(0).as("topic"), col("ts_ms").as("ts"),
+      .select(pmod(col("user_id"), lit(2)).cast("string").as("key"), lit(0).as("topic"), col("ts_ms").as("ts"),
         lit(Double.NaN).as("value"),
         concat(lit("e"), col("event_id"), lit(";")).as("text"),
         lit(false).as("paused"), col("event_id").as("seq"))
     val ctrl = e.filter(col("event_type") === "error")
-      .select(lit("k").as("key"), lit(1).as("topic"), col("ts_ms").as("ts"),
+      .select(pmod(col("user_id"), lit(2)).cast("string").as("key"), lit(1).as("topic"), col("ts_ms").as("ts"),
         when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
         lit(null).cast("string").as("text"),
         lit(false).as("paused"), col("event_id").as("seq"))
@@ -333,7 +333,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val e = Tables.eventsMs(spark, sf)
     def side(t: String, topic: Int) = e.filter(col("event_type") === t)
-      .select(lit("k").as("key"), lit(topic).as("topic"), col("ts_ms").as("ts"),
+      .select(pmod(col("user_id"), lit(2)).cast("string").as("key"), lit(topic).as("topic"), col("ts_ms").as("ts"),
         when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
         lit(null).cast("string").as("text"),
         lit(false).as("paused"), col("event_id").as("seq"))
