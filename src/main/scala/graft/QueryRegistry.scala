@@ -37,6 +37,7 @@ object QueryRegistry {
     graft.operators.SimilarityQueries.all,
     graft.operators.DspQueries.all,
     graft.operators.MultimodalQueries.all,
+    graft.operators.ContainerQueries.all,
   )
 
   lazy val all: Seq[Q] = modules.flatten

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Q
+import graft.Tables.eventsMs
+import graft.streaming.StatefulRunner
+import graft.streaming.StateMachines._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Media-container operators (SURVEY §2.2 #29/#30) — the mux-sink
+  * bounded-desync synchronizer and (see InputPacer) the demux-source
+  * timing, exercised as driver-verifiable queries over the events
+  * table.
+  *
+  * e21 runs the [[OutputContainerSync]] machine through
+  * [[StatefulRunner.runBatch]] — `flatMapGroups` keyed by pipeline, the
+  * distributed shape: one container instance per key, millions of keys
+  * spread over executors, state O(queued packets) per key. The DuckDB
+  * oracle is an independent implementation of the same deterministic
+  * action system as a recursive CTE, so the driver hash-checks the full
+  * emit/drop/dts trace, not just row counts.
+  */
+object ContainerQueries {
+
+  /** Two streams per pipeline: clicks as an audio-like stream
+    * (time_base 1/32000 s, 1024-sample frames → 32 ms quantum), views
+    * as a video-like stream (time_base 1/30 s, 1-frame advance →
+    * 33.33 ms quantum). Event times are compressed 16384× so inter-
+    * packet gaps land near the stream quanta and the blocking + drop
+    * dynamics of outputcontainer.py:82-92 actually fire; max_desync =
+    * 48 ms in the compressed timeline. The `user_id % 5` slice keeps
+    * the oracle's recursive simulation ~1.5k iterations. */
+  private def e21(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+      .filter(col("event_type").isin("click", "view") &&
+        col("user_id") % 5 === 0)
+      .select((col("user_id") % 2).as("p"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        col("ts_ms"), col("value"), col("event_id"))
+    val mn = e.agg(min(col("ts_ms")).as("mn"))
+    val kev = e.crossJoin(broadcast(mn)) // 1-row bound for the time offset
+      .select(col("p").cast(StringType).as("key"), col("topic"),
+        shiftright(col("ts_ms") - col("mn"), 14).as("ts"),
+        col("value"), lit(null).cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val machine = new OutputContainerSync(Map(
+      0 -> OcStreamCfg(1, 32000, 1024, "audio"),
+      1 -> OcStreamCfg(1, 30, 1, "video")), maxDesync = 48)
+    StatefulRunner
+      .runBatch(machine, kev.as[StatefulRunner.KEv](StatefulRunner.kevEnc))
+      .toDF()
+      .select(col("key").cast(LongType).as("pipeline"),
+        col("text").as("topic"), col("ts"),
+        col("value").cast(LongType).as("dts"))
+      .orderBy(col("pipeline"), col("ts"), col("topic"), col("dts"))
+  }
+
+  /** Independent DuckDB implementation of the same action system as a
+    * recursive CTE: one frontier row per pipeline; per step the first
+    * applicable action fires — register head (discard if late), startup
+    * barrier, emit (A then V), drop (A then V), next arrival — exactly
+    * [[OutputContainerSync]]'s drain order. Durations compare in 1/96000 s
+    * units (lcm of the two time bases): audio dur = cA*3, video = cV*3200;
+    * quantization: audio floor((t-t0)*32000/1000) = (t-t0)*32, video
+    * floor((t-t0)*30/1000) = ((t-t0)*3)//100. The paused-stream drag
+    * (outputcontainer.py:94-96) is a no-op here — no pause markers in
+    * the batch input — and is exercised in ContainerSpec instead. */
+  private val e21Sql =
+    """WITH RECURSIVE
+      |pk AS (SELECT user_id % 2 AS p,
+      |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tp,
+      |         epoch_ms(ts) AS tms, event_id AS seq
+      |       FROM events
+      |       WHERE event_type IN ('click','view') AND user_id % 5 = 0),
+      |base AS (SELECT p, tp,
+      |         (tms - (SELECT min(tms) FROM pk)) // 16384 AS t, seq FROM pk),
+      |lists AS (SELECT p,
+      |    list(t ORDER BY t, seq) FILTER (WHERE tp = 0) AS ta,
+      |    list(t ORDER BY t, seq) FILTER (WHERE tp = 1) AS tv,
+      |    list(tp ORDER BY t, tp, seq) AS garr
+      |  FROM base GROUP BY p),
+      |sim AS (
+      |  SELECT p,
+      |    CAST(0 AS BIGINT) AS arrA, CAST(0 AS BIGINT) AS arrV,
+      |    CAST(0 AS BIGINT) AS popA, CAST(0 AS BIGINT) AS popV,
+      |    false AS hrA, false AS hrV, false AS rgA, false AS rgV,
+      |    CAST(0 AS BIGINT) AS tsA, CAST(0 AS BIGINT) AS tsV,
+      |    CAST(0 AS BIGINT) AS cA, CAST(0 AS BIGINT) AS cV,
+      |    false AS st, CAST(0 AS BIGINT) AS t0,
+      |    NULL::VARCHAR AS etp, NULL::BIGINT AS ets, NULL::BIGINT AS edts
+      |  FROM lists
+      |  UNION ALL
+      |  SELECT p,
+      |    arrA + CASE WHEN a = 'ar' AND nxt = 0 THEN 1 ELSE 0 END,
+      |    arrV + CASE WHEN a = 'ar' AND nxt = 1 THEN 1 ELSE 0 END,
+      |    popA + CASE WHEN a IN ('dA','eA','xA') THEN 1 ELSE 0 END,
+      |    popV + CASE WHEN a IN ('dV','eV','xV') THEN 1 ELSE 0 END,
+      |    CASE WHEN a = 'rA' THEN true WHEN a IN ('eA','xA') THEN false ELSE hrA END,
+      |    CASE WHEN a = 'rV' THEN true WHEN a IN ('eV','xV') THEN false ELSE hrV END,
+      |    CASE WHEN a = 'rA' THEN true ELSE rgA END,
+      |    CASE WHEN a = 'rV' THEN true ELSE rgV END,
+      |    CASE WHEN a = 'rA' THEN hA ELSE tsA END,
+      |    CASE WHEN a = 'rV' THEN hV ELSE tsV END,
+      |    CASE WHEN a = 'rA' AND st THEN greatest(cA, (hA - t0) * 32)
+      |         WHEN a = 'st' THEN greatest(cA, (tsA - least(tsA, tsV)) * 32)
+      |         WHEN a = 'eA' THEN cA + 1024
+      |         ELSE cA END,
+      |    CASE WHEN a = 'rV' AND st THEN greatest(cV, ((hV - t0) * 3) // 100)
+      |         WHEN a = 'st' THEN greatest(cV, ((tsV - least(tsA, tsV)) * 3) // 100)
+      |         WHEN a = 'eV' THEN cV + 1
+      |         ELSE cV END,
+      |    CASE WHEN a = 'st' THEN true ELSE st END,
+      |    CASE WHEN a = 'st' THEN least(tsA, tsV) ELSE t0 END,
+      |    CASE WHEN a = 'eA' THEN 'audio' WHEN a = 'eV' THEN 'video' END,
+      |    CASE WHEN a = 'eA' THEN tsA WHEN a = 'eV' THEN tsV END,
+      |    CASE WHEN a = 'eA' THEN cA WHEN a = 'eV' THEN cV END
+      |  FROM (
+      |    SELECT s3.*,
+      |      CASE
+      |        WHEN hA IS NOT NULL AND NOT hrA THEN
+      |          CASE WHEN rgA AND hA < tsA THEN 'dA' ELSE 'rA' END
+      |        WHEN hV IS NOT NULL AND NOT hrV THEN
+      |          CASE WHEN rgV AND hV < tsV THEN 'dV' ELSE 'rV' END
+      |        WHEN NOT st AND hrA AND hrV THEN 'st'
+      |        WHEN st AND hrA AND duA = mnD AND tsA - 48 <= mnT THEN 'eA'
+      |        WHEN st AND hrV AND duV = mnD AND tsV - 48 <= mnT THEN 'eV'
+      |        WHEN st AND hrA AND tsA = mnT AND duA <> mnD AND nmdT - 48 > tsA THEN 'xA'
+      |        WHEN st AND hrV AND tsV = mnT AND duV <> mnD AND nmdT - 48 > tsV THEN 'xV'
+      |        WHEN arrA + arrV < ng THEN 'ar'
+      |      END AS a,
+      |      CASE WHEN arrA + arrV < ng THEN garr[arrA + arrV + 1] END AS nxt
+      |    FROM (
+      |      SELECT s2.*,
+      |        CASE WHEN rgA AND duA = mnD THEN
+      |               CASE WHEN rgV AND duV = mnD THEN least(tsA, tsV) ELSE tsA END
+      |             ELSE tsV END AS nmdT
+      |      FROM (
+      |        SELECT s1.*,
+      |          CASE WHEN rgA AND rgV THEN least(duA, duV)
+      |               WHEN rgA THEN duA ELSE duV END AS mnD,
+      |          CASE WHEN rgA AND rgV THEN least(tsA, tsV)
+      |               WHEN rgA THEN tsA ELSE tsV END AS mnT
+      |        FROM (
+      |          SELECT s.*, l.ta, l.tv, l.garr, len(l.garr) AS ng,
+      |            CASE WHEN popA < arrA THEN l.ta[CAST(popA + 1 AS INT)] END AS hA,
+      |            CASE WHEN popV < arrV THEN l.tv[CAST(popV + 1 AS INT)] END AS hV,
+      |            cA * 3 AS duA, cV * 3200 AS duV
+      |          FROM sim s JOIN lists l USING (p)
+      |        ) s1
+      |      ) s2
+      |    ) s3
+      |  ) s4
+      |  WHERE a IS NOT NULL
+      |)
+      |SELECT p AS pipeline, etp AS topic, ets AS ts, edts AS dts
+      |FROM sim WHERE etp IS NOT NULL
+      |ORDER BY pipeline, ts, topic, dts""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("e21_output_container", e21, Some(e21Sql)),
+  )
+}

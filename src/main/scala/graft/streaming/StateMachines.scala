@@ -310,4 +310,145 @@ object StateMachines {
         .sortBy { case (t, e) => (e.ts, t) }
         .map { case (_, e) => Out(e.ts, e.value, e.text) }
   }
+
+  // ------------------------------------------- output-container synchronizer
+  /** One muxed stream's timing config: `time_base = tbNum/tbDen` seconds
+    * per dts tick, `frameAdv` ticks consumed per muxed packet (audio:
+    * frame_size samples at tb 1/sample_rate; video: 1 frame at tb
+    * 1/fps) — media/container.py:118-160 (`duration` setter quantizes
+    * with `int(duration / time_base)`, `mux` advances `_dts_counter` by
+    * frame_size / 1). `label` names the stream in emitted rows. */
+  final case class OcStreamCfg(tbNum: Long, tbDen: Long, frameAdv: Long,
+      label: String)
+
+  final case class OcTopicState(
+      queue: Vector[(Long, Double)], // (ts, value): arrived, not yet popped
+      headReg: Boolean, // head has entered wait_for (registered ts + dur)
+      inReg: Boolean,   // topic present in topic_timestamps (not paused)
+      regTs: Long,      // last registered timestamp
+      c: Long)          // dts counter (duration = c * time_base)
+
+  final case class OcState(started: Boolean, t0: Long,
+      topics: Map[Int, OcTopicState])
+
+  /** OutputContainerSynchronizer — the mux-sink bounded-desync algorithm
+    * of system/tasks/media/outputcontainer.py:52-114 (`wait_for`
+    * :70-101) + media/container.py:118-160, re-expressed as a
+    * deterministic event-driven machine (SURVEY §2.3).
+    *
+    * Semantics: each stream's *duration* is its dts counter times its
+    * time base — quantized per stream, advanced both by registration
+    * (`max(c, floor((ts-t0)/tb))`, the `duration` setter) and by muxing
+    * (`+= frameAdv`). Only a stream whose duration equals the minimum
+    * duration may emit, and only within `maxDesync` ms of the minimum
+    * registered timestamp; a stream stuck at the minimum timestamp but
+    * not at minimum duration is *dropped* when the min-duration
+    * streams' timestamps have run more than `maxDesync` ahead
+    * (outputcontainer.py:85-91). Nothing emits before every stream has
+    * registered one packet; t0 = min of those first timestamps (the
+    * startup barrier, :73-75). A pause marker removes its topic from
+    * the min computations (`set_paused`, :103-105) so a paused stream
+    * cannot stall the container; its next data message re-registers.
+    *
+    * Determinism: the reference evaluates blocked `wait_for` coroutines
+    * in asyncio wake order. This machine fixes a canonical refinement:
+    * after each arrival it drains a fixpoint of actions in priority
+    * order — register heads (ascending topic id), startup barrier, then
+    * emits (ascending id), then drops (ascending id). Both the Spark
+    * execution and the DuckDB oracle (ContainerQueries.e21) implement
+    * exactly this order, so results are hash-comparable.
+    *
+    * Emits `Out(ts, dts, label)` — the packet's timestamp, its assigned
+    * container dts, and the stream label. */
+  final class OutputContainerSync(streams: Map[Int, OcStreamCfg],
+      maxDesync: Long) extends Machine[OcState] {
+    private val ids = streams.keys.toVector.sorted
+    private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    /** Common duration unit so cross-stream comparisons are exact
+      * integer math (no Fractions needed): lcm of time-base dens. */
+    private val lcmDen = ids.map(streams(_).tbDen).reduce((a, b) => a / gcd(a, b) * b)
+    private def durUnits(id: Int, c: Long): Long =
+      c * streams(id).tbNum * (lcmDen / streams(id).tbDen)
+    /** floor((durMs/1000) / time_base) — media/container.py:132. */
+    private def quant(id: Int, durMs: Long): Long =
+      Math.floorDiv(durMs * streams(id).tbDen, 1000L * streams(id).tbNum)
+
+    def init = OcState(started = false, 0L,
+      ids.map(_ -> OcTopicState(Vector.empty, false, false, 0L, 0L)).toMap)
+
+    def step(s0: OcState, e: Ev): (OcState, Seq[Out]) = {
+      if (!streams.contains(e.topic)) (s0, Nil) // wait_for line 71
+      else if (e.paused)
+        drain(s0.copy(topics = s0.topics +
+          (e.topic -> s0.topics(e.topic).copy(inReg = false))))
+      else
+        drain(s0.copy(topics = s0.topics +
+          (e.topic -> s0.topics(e.topic).copy(
+            queue = s0.topics(e.topic).queue :+ (e.ts, e.value)))))
+    }
+
+    /** Fixpoint drain: apply the first applicable action until stuck. */
+    private def drain(s0: OcState): (OcState, Seq[Out]) = {
+      var s = s0
+      val out = Vector.newBuilder[Out]
+      var go = true
+      while (go) {
+        val regIds = ids.filter(s.topics(_).inReg)
+        lazy val minDur = regIds.map(i => durUnits(i, s.topics(i).c)).min
+        lazy val minTs = regIds.map(s.topics(_).regTs).min
+        lazy val nextMinDurTs = regIds
+          .filter(i => durUnits(i, s.topics(i).c) == minDur)
+          .map(s.topics(_).regTs).min
+        def canEmit(i: Int): Boolean = {
+          val t = s.topics(i)
+          t.headReg && durUnits(i, t.c) == minDur && t.regTs - maxDesync <= minTs
+        }
+        def canDrop(i: Int): Boolean = {
+          val t = s.topics(i)
+          t.headReg && t.regTs == minTs && durUnits(i, t.c) != minDur &&
+            nextMinDurTs - maxDesync > t.regTs
+        }
+        // outputcontainer.py:94-96: streams absent from topic_timestamps
+        // follow the emitting packet's duration so a paused stream can't
+        // pin min_duration at a stale value.
+        def dragPaused(ts: Long, st: OcState): OcState =
+          st.copy(topics = st.topics.map { case (j, tj) =>
+            if (tj.inReg) j -> tj
+            else j -> tj.copy(c = math.max(tj.c, quant(j, ts - st.t0)))
+          })
+        ids.find(i => s.topics(i).queue.nonEmpty && !s.topics(i).headReg) match {
+          case Some(i) =>
+            val t = s.topics(i)
+            val ts = t.queue.head._1
+            if (t.inReg && ts < t.regTs) // late packet → skip (line 71)
+              s = s.copy(topics = s.topics + (i -> t.copy(queue = t.queue.tail)))
+            else {
+              val c2 = if (s.started) math.max(t.c, quant(i, ts - s.t0)) else t.c
+              s = s.copy(topics = s.topics +
+                (i -> t.copy(headReg = true, inReg = true, regTs = ts, c = c2)))
+            }
+          case None if !s.started && ids.forall(s.topics(_).headReg) =>
+            val t0 = ids.map(s.topics(_).regTs).min // barrier release, :73-75
+            s = s.copy(started = true, t0 = t0,
+              topics = s.topics.map { case (j, tj) =>
+                j -> tj.copy(c = math.max(tj.c, quant(j, tj.regTs - t0)))
+              })
+          case None if s.started && ids.exists(canEmit) =>
+            val i = ids.find(canEmit).get
+            val t = s.topics(i)
+            out += Out(t.regTs, t.c.toDouble, streams(i).label)
+            s = dragPaused(t.regTs, s.copy(topics = s.topics + (i -> t.copy(
+              queue = t.queue.tail, headReg = false,
+              c = t.c + streams(i).frameAdv))))
+          case None if s.started && ids.exists(canDrop) =>
+            val i = ids.find(canDrop).get
+            val t = s.topics(i)
+            s = dragPaused(t.regTs, s.copy(topics = s.topics + (i -> t.copy(
+              queue = t.queue.tail, headReg = false))))
+          case None => go = false
+        }
+      }
+      (s, out.result())
+    }
+  }
 }
