@@ -157,7 +157,58 @@ object ContainerQueries {
       |FROM sim WHERE etp IS NOT NULL
       |ORDER BY pipeline, ts, topic, dts""".stripMargin
 
+  /** Input-container demux restamping (SURVEY §2.2 #29;
+    * inputcontainer.py:63-83): clicks model an audio stream (dts in
+    * 1/32000 s samples advancing 1024/packet), views a video stream
+    * (dts in 1/30 s frames advancing 1/packet); each packet's
+    * stream-local dts converts to a container-relative offset and onto
+    * the anchored shared timeline `t0 + offset`. Pure window math via
+    * [[graft.sources.InputPacer.restamp]]; the real-time paced source
+    * built on the same computation is PacerSpec territory (wall-clock
+    * pacing is not SQL-expressible). */
+  private def m04(s: SparkSession, d: String): DataFrame = {
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("container"), col("stream"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val packets = eventsMs(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select((col("user_id") % 2).as("container"),
+        when(col("event_type") === "click", "audio").otherwise("video")
+          .as("stream"),
+        col("ts_ms"), col("event_id"))
+      .withColumn("i", row_number().over(kw).cast(LongType) - 1)
+      .select(col("container"), col("stream"),
+        when(col("stream") === "audio", col("i") * 1024).otherwise(col("i"))
+          .as("dts"),
+        lit(1L).as("tb_num"),
+        when(col("stream") === "audio", 32000L).otherwise(30L).as("tb_den"))
+    graft.sources.InputPacer.restamp(packets, 1704067200000L)
+      .select(col("container"), col("stream"), col("dts"), col("offset_ms"),
+        col("ts"))
+      .orderBy(col("container"), col("stream"), col("dts"))
+  }
+
+  private val m04Sql =
+    """WITH e AS (SELECT user_id % 2 AS container, event_type,
+      |            epoch_ms(ts) AS tms, event_id
+      |          FROM events WHERE event_type IN ('click','view')),
+      |k AS (SELECT container,
+      |        CASE WHEN event_type = 'click' THEN 'audio' ELSE 'video' END AS stream,
+      |        CAST(row_number() OVER (PARTITION BY container, event_type
+      |                                ORDER BY tms, event_id) - 1 AS BIGINT) AS i
+      |      FROM e),
+      |pk AS (SELECT container, stream,
+      |         CASE WHEN stream = 'audio' THEN i * 1024 ELSE i END AS dts,
+      |         CASE WHEN stream = 'audio' THEN (i * 1024 * 1000) // 32000
+      |              ELSE (i * 1000) // 30 END AS offset_ms
+      |       FROM k)
+      |SELECT container, stream, dts, offset_ms,
+      |  1704067200000 - min(offset_ms) OVER (PARTITION BY container)
+      |    + offset_ms AS ts
+      |FROM pk ORDER BY container, stream, dts""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
+    Q("m04_demux_restamp", m04, Some(m04Sql)),
   )
 }
