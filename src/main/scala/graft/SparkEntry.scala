@@ -39,6 +39,7 @@ object SparkEntry {
     val gated = Pipeline.compile(dep,
       Map("a" -> src("click"), "play" -> ctrl))("gated")
     gated
+      .filter(!col("paused")) // aggregate data rows, not pause markers
       .groupBy(window(timestamp_millis(col("ts")), "1 hour").as("w"))
       .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"))
       .select(col("w.start").as("window_start"), col("n"), col("mean"))

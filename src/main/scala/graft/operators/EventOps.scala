@@ -730,6 +730,107 @@ object EventOps {
        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
        |FROM ($evMs) GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** gate fail modes with in-band control state (gate.py:38-41,75-85):
+    * clicks = data, errors = control (value < 2 simulates an invalid
+    * NumberMessage → control errored until the next valid one; valid
+    * values open on > 10), purchases = control-topic pause markers
+    * (pause when value > 10, resume otherwise). FAIL-OPEN keeps
+    * trusting the last control value through pauses/errors; FAIL-CLOSED
+    * shuts. Output carries both forwarded data rows and the output
+    * pause-transition markers of run_out_pauser — one row per mode, so
+    * the driver hash-checks both fail modes end-to-end. */
+  private def e22(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d)
+    val data = e.filter(col("event_type") === "click")
+      .select(pipeline, col("event_id"), col("ts_ms"), col("value"),
+        lit(null).cast(DoubleType).as("sig"),
+        lit(null).cast(DoubleType).as("err"),
+        lit(null).cast(DoubleType).as("pse"), lit(1).as("is_data"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .select(pipeline, col("event_id"), col("ts_ms"),
+        lit(null).cast(DoubleType).as("value"),
+        when(col("value") >= 2, when(col("value") > 10, 1.0).otherwise(0.0))
+          .as("sig"),
+        when(col("value") < 2, 1.0).otherwise(0.0).as("err"),
+        lit(null).cast(DoubleType).as("pse"), lit(0).as("is_data"))
+    val marks = e.filter(col("event_type") === "purchase")
+      .select(pipeline, col("event_id"), col("ts_ms"),
+        lit(null).cast(DoubleType).as("value"),
+        lit(null).cast(DoubleType).as("sig"),
+        lit(null).cast(DoubleType).as("err"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("pse"),
+        lit(0).as("is_data"))
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("is_data"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = data.unionByName(ctrl).unionByName(marks)
+      .withColumn("ctl", coalesce(last(col("sig"), ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("erd", coalesce(last(col("err"), ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("psd", coalesce(last(col("pse"), ignoreNulls = true).over(w), lit(0.0)))
+      .withColumn("open_o", when(col("ctl") > 0.5, 1.0).otherwise(0.0))
+      .withColumn("open_c", when(col("ctl") > 0.5 && col("erd") <= 0.5
+        && col("psd") <= 0.5, 1.0).otherwise(0.0))
+    def mode(m: String, open: Column): DataFrame = {
+      val lw = Window.partitionBy(col("pipeline"))
+        .orderBy(col("ts_ms"), col("is_data"), col("event_id"))
+      val withPrev = st.withColumn("prev", coalesce(lag(open, 1).over(lw), lit(0.0)))
+      val fwd = withPrev.filter(col("is_data") === 1 && open > 0.5)
+        .select(lit(m).as("mode"), col("pipeline"), col("event_id"),
+          col("ts_ms"), lit("data").as("kind"), col("value"))
+      val trans = withPrev.filter(open =!= col("prev"))
+        .select(lit(m).as("mode"), col("pipeline"), col("event_id"),
+          col("ts_ms"), lit("pause").as("kind"),
+          (lit(1.0) - open).as("value")) // new output-paused flag
+      fwd.unionByName(trans)
+    }
+    mode("open", col("open_o")).unionByName(mode("closed", col("open_c")))
+      .orderBy(col("mode"), col("event_id"), col("kind"))
+  }
+
+  private val e22Sql =
+    s"""WITH e AS ($evMs),
+       |u AS (
+       |  SELECT $pipelineSql, event_id, ts_ms, value,
+       |    NULL::DOUBLE AS sig, NULL::DOUBLE AS err, NULL::DOUBLE AS pse,
+       |    1 AS is_data
+       |  FROM e WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT $pipelineSql, event_id, ts_ms, NULL,
+       |    CASE WHEN value >= 2 THEN (CASE WHEN value > 10 THEN 1.0 ELSE 0.0 END) END,
+       |    CASE WHEN value < 2 THEN 1.0 ELSE 0.0 END, NULL, 0
+       |  FROM e WHERE event_type = 'error'
+       |  UNION ALL
+       |  SELECT $pipelineSql, event_id, ts_ms, NULL, NULL, NULL,
+       |    CASE WHEN value > 10 THEN 1.0 ELSE 0.0 END, 0
+       |  FROM e WHERE event_type = 'purchase'),
+       |st AS (SELECT *,
+       |    CASE WHEN COALESCE(last_value(sig IGNORE NULLS) OVER w, 0.0) > 0.5
+       |         THEN 1.0 ELSE 0.0 END AS open_o,
+       |    CASE WHEN COALESCE(last_value(sig IGNORE NULLS) OVER w, 0.0) > 0.5
+       |          AND COALESCE(last_value(err IGNORE NULLS) OVER w, 0.0) <= 0.5
+       |          AND COALESCE(last_value(pse IGNORE NULLS) OVER w, 0.0) <= 0.5
+       |         THEN 1.0 ELSE 0.0 END AS open_c
+       |  FROM u WINDOW w AS (PARTITION BY pipeline
+       |    ORDER BY ts_ms, is_data, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |lagged AS (SELECT *,
+       |    COALESCE(lag(open_o) OVER o, 0.0) AS prev_o,
+       |    COALESCE(lag(open_c) OVER o, 0.0) AS prev_c
+       |  FROM st WINDOW o AS (PARTITION BY pipeline
+       |    ORDER BY ts_ms, is_data, event_id))
+       |SELECT 'open' AS mode, pipeline, event_id, ts_ms, 'data' AS kind, value
+       |  FROM lagged WHERE is_data = 1 AND open_o > 0.5
+       |UNION ALL
+       |SELECT 'open', pipeline, event_id, ts_ms, 'pause', 1.0 - open_o
+       |  FROM lagged WHERE open_o <> prev_o
+       |UNION ALL
+       |SELECT 'closed', pipeline, event_id, ts_ms, 'data', value
+       |  FROM lagged WHERE is_data = 1 AND open_c > 0.5
+       |UNION ALL
+       |SELECT 'closed', pipeline, event_id, ts_ms, 'pause', 1.0 - open_c
+       |  FROM lagged WHERE open_c <> prev_c
+       |ORDER BY mode, event_id, kind""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_string_matcher", e01, Some(e01Sql)),
     Q("e02_number_to_text", e02, Some(e02Sql)),
@@ -751,6 +852,7 @@ object EventOps {
     Q("e18_sessionize", e18, Some(e18Sql)),
     Q("e19_salted_agg", e19, Some(e19Sql)),
     Q("e20_approx_distinct", e20, None), // sketches differ per engine
+    Q("e22_gate_failmodes", e22, Some(e22Sql)),
   )
 
   /** approximate sketches (the at-scale toolbox Catalyst brings,

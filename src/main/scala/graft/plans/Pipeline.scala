@@ -145,9 +145,15 @@ object Pipeline {
     streams
   }
 
+  /** Stateless-operator envelope: transform data rows, pass pause
+    * markers through untouched (value carries the flag) — the
+    * reference's tasks forward TopicControlData alongside data
+    * (net/messages.py:36-41), so pause reaches every downstream task. */
   private def envelope(ts: Column, value: Column, text: Column): Seq[Column] =
-    Seq(ts.as("ts"), value.as("value"), text.as("text"),
-      lit(false).as("paused"), col("seq"))
+    Seq(ts.as("ts"),
+      when(col("paused"), col("value")).otherwise(value).as("value"),
+      when(col("paused"), lit(null).cast(StringType)).otherwise(text).as("text"),
+      col("paused"), col("seq"))
 
   private def toKEv(key: String, dfs: Seq[DataFrame]): Dataset[KEv] = {
     import StatefulRunner._
@@ -160,7 +166,7 @@ object Pipeline {
 
   private def fromKOut(ds: Dataset[KOut]): DataFrame =
     ds.toDF().select(col("ts"), col("value"), col("text"),
-      lit(false).as("paused"),
+      col("paused"), // machines emit pause transitions in-band
       // deterministic downstream tie-break (streaming-safe, unlike
       // monotonically_increasing_id)
       xxhash64(col("ts"), col("value"), col("text")).as("seq"))

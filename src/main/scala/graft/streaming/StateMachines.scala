@@ -28,7 +28,16 @@ object StateMachines {
   final case class Ev(topic: Int, ts: Long, value: Double, text: String,
       paused: Boolean)
 
-  final case class Out(ts: Long, value: Double, text: String)
+  /** An emitted message. `paused = true` marks an in-band output pause
+    * transition (the reference's TopicControlMessage,
+    * net/messages.py:36-41): `value` carries the new flag (1.0 paused,
+    * 0.0 resumed). */
+  final case class Out(ts: Long, value: Double, text: String,
+      paused: Boolean = false)
+
+  /** Decode a pause-marker row's flag: `value ≤ 0.5` resumes, anything
+    * else — including the NaN of a bare marker — pauses. */
+  def pauseFlag(e: Ev): Boolean = !(e.value <= 0.5)
 
   /** An operator state machine: fold events, emit outputs. */
   trait Machine[S] extends Serializable {
@@ -40,23 +49,47 @@ object StateMachines {
   }
 
   // ------------------------------------------------------------------ gate
-  /** gate.py:32-93. Topic 0 = data, topic 1 = control. Forward data iff
-    * open; control>0.5 opens. On control-pause / invalid control the
-    * fail mode decides (open/closed). Control before data at equal ts
-    * (gate.py:52-54). */
-  final case class GateState(open: Boolean, ctrlPaused: Boolean)
-  final class Gate(failOpen: Boolean) extends Machine[GateState] {
-    def init = GateState(open = failOpen, ctrlPaused = false)
+  /** gate.py:31-93, exact GateState semantics. Topic 0 = data, topic 1
+    * = control. Open iff the input is unpaused AND the last control
+    * value was > 0.5 AND, in fail-CLOSED mode only, the control topic
+    * is neither paused nor errored (gate.py:38-41 — fail-OPEN keeps
+    * trusting the last control value through pauses/errors). Invalid
+    * (NaN) control values error the control topic until the next valid
+    * one (gate.py:75-80). Control before data at equal ts
+    * (gate.py:52-54). Output pause transitions are emitted in-band as
+    * marker rows, the reference's `run_out_pauser` (gate.py:82-85):
+    * downstream tasks observe `output_paused = !open`. */
+  final case class GateState(control: Boolean, ctrlPaused: Boolean,
+      ctrlErrored: Boolean, inputPaused: Boolean, outPaused: Boolean)
+  final class Gate(failOpen: Boolean, initialControl: Boolean = false)
+      extends Machine[GateState] {
+    private def openOf(s: GateState): Boolean =
+      !s.inputPaused && s.control &&
+        (failOpen || (!s.ctrlPaused && !s.ctrlErrored))
+    def init = {
+      val s = GateState(initialControl, ctrlPaused = false,
+        ctrlErrored = false, inputPaused = false, outPaused = false)
+      s.copy(outPaused = !openOf(s))
+    }
     override def priority(topic: Int): Int = if (topic == 1) 0 else 1
-    def step(s: GateState, e: Ev): (GateState, Seq[Out]) = e.topic match {
-      case 1 =>
-        if (e.paused) (s.copy(ctrlPaused = true, open = failOpen), Nil)
-        else if (e.value.isNaN) (s.copy(open = failOpen), Nil) // invalid
-        else (s.copy(ctrlPaused = false, open = e.value > 0.5), Nil)
-      case _ =>
-        if (e.paused) (s, Nil)
-        else if (s.open) (s, Seq(Out(e.ts, e.value, null)))
-        else (s, Nil)
+    def step(s: GateState, e: Ev): (GateState, Seq[Out]) = {
+      val s1 = e.topic match {
+        case 1 =>
+          if (e.paused) s.copy(ctrlPaused = pauseFlag(e))
+          else if (e.value.isNaN) s.copy(ctrlErrored = true) // invalid msg
+          else s.copy(control = e.value > 0.5, ctrlErrored = false)
+        case _ =>
+          if (e.paused) s.copy(inputPaused = pauseFlag(e)) else s
+      }
+      val open = openOf(s1)
+      val fwd =
+        if (e.topic == 0 && !e.paused && open) Seq(Out(e.ts, e.value, e.text))
+        else Nil
+      val nowPaused = !open
+      val marker = // run_out_pauser: emit only on transition
+        if (nowPaused == s1.outPaused) Nil
+        else Seq(Out(e.ts, if (nowPaused) 1.0 else 0.0, null, paused = true))
+      (s1.copy(outPaused = nowPaused), fwd ++ marker)
     }
   }
 
@@ -296,7 +329,8 @@ object StateMachines {
     }
 
     def step(s: SyncState, e: Ev): (SyncState, Seq[Out]) = {
-      if (e.paused) release(s.copy(paused = s.paused + e.topic))
+      if (e.paused) release(s.copy(paused =
+        if (pauseFlag(e)) s.paused + e.topic else s.paused - e.topic))
       else if (e.ts < s.maxTs(e.topic)) (s, Nil) // late → drop
       else release(s.copy(
         buf = s.buf + (e.topic -> (s.buf(e.topic) :+ e)),
@@ -378,9 +412,21 @@ object StateMachines {
 
     def step(s0: OcState, e: Ev): (OcState, Seq[Out]) = {
       if (!streams.contains(e.topic)) (s0, Nil) // wait_for line 71
-      else if (e.paused)
-        drain(s0.copy(topics = s0.topics +
-          (e.topic -> s0.topics(e.topic).copy(inReg = false))))
+      else if (e.paused) {
+        val t = s0.topics(e.topic)
+        // set_paused (outputcontainer.py:103-105): pausing removes the
+        // topic from the min computations; resuming re-registers it at
+        // the current min timestamp so it rejoins without stalling.
+        val t2 =
+          if (pauseFlag(e)) t.copy(inReg = false)
+          else {
+            val others = ids.filter(j => j != e.topic && s0.topics(j).inReg)
+            val mts =
+              if (others.nonEmpty) others.map(s0.topics(_).regTs).min else 0L
+            t.copy(inReg = true, regTs = mts)
+          }
+        drain(s0.copy(topics = s0.topics + (e.topic -> t2)))
+      }
       else
         drain(s0.copy(topics = s0.topics +
           (e.topic -> s0.topics(e.topic).copy(

@@ -34,7 +34,8 @@ object StatefulRunner {
   final case class KEv(key: String, topic: Int, ts: Long, value: Double,
       text: String, paused: Boolean, seq: Long)
 
-  final case class KOut(key: String, ts: Long, value: Double, text: String)
+  final case class KOut(key: String, ts: Long, value: Double, text: String,
+      paused: Boolean = false)
 
   implicit val kevEnc: Encoder[KEv] = Encoders.product[KEv]
   implicit val koutEnc: Encoder[KOut] = Encoders.product[KOut]
@@ -46,7 +47,7 @@ object StatefulRunner {
   private def fold[S](m: Machine[S], key: String, s0: S, es: Seq[KEv]): (S, Seq[KOut]) =
     es.foldLeft((s0, Vector.empty[KOut])) { case ((s, acc), e) =>
       val (s2, outs) = m.step(s, Ev(e.topic, e.ts, e.value, e.text, e.paused))
-      (s2, acc ++ outs.map(o => KOut(key, o.ts, o.value, o.text)))
+      (s2, acc ++ outs.map(o => KOut(key, o.ts, o.value, o.text, o.paused)))
     }
 
   /** Batch execution: group by key, fold in order, append the
@@ -61,7 +62,7 @@ object StatefulRunner {
           case y: Synchronizer => y.onTimeout(s.asInstanceOf[SyncState])
           case _ => Nil
         }
-        (outs ++ tail.map(o => KOut(key, o.ts, o.value, o.text))).iterator
+        (outs ++ tail.map(o => KOut(key, o.ts, o.value, o.text, o.paused))).iterator
       }
   }
 
@@ -87,7 +88,7 @@ object StatefulRunner {
               case _ => Nil
             }
             gs.remove()
-            tail.map(o => KOut(key, o.ts, o.value, o.text)).iterator
+            tail.map(o => KOut(key, o.ts, o.value, o.text, o.paused)).iterator
           } else {
             val s0 = gs.getOption.flatten.getOrElse(machine.init)
             val (s, outs) = fold(machine, key, s0, sorted(machine, es))

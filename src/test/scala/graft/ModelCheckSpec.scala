@@ -53,7 +53,8 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def machineOut[S](m: Machine[S], es: List[(Int, Long, Double)]): Seq[(Long, Double)] = {
     import spark.implicits._
     StatefulRunner.runBatch(m, spark.createDataset(toKEv(es)))
-      .collect().map(o => (o.ts, o.value)).sorted.toSeq
+      .collect().filter(!_.paused) // data rows; pause markers are
+      .map(o => (o.ts, o.value)).sorted.toSeq // ContainerSpec/StreamingSpec territory
   }
 
   private def envDF(es: List[(Int, Long, Double)]): DataFrame = {

@@ -73,12 +73,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ctrl = env(Seq((20L, 1.0), (40L, 0.0)))
     val streams = Pipeline.compile(dag, Map("a" -> a, "ctrl" -> ctrl))
     // gate opens at ts=20, closes at 40: calc(2.0*2+1=5) at 30 passes
-    val out = streams("out").select("ts", "text").collect()
+    val out = streams("out").filter(!col("paused"))
+      .select("ts", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(out == Seq((30L, "5.00")))
+    // the gate's output-pause transitions (gate.py:82-85) propagate
+    // through the downstream stateless task as in-band markers
+    val markers = streams("out").filter(col("paused"))
+      .select("ts", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(markers == Seq((20L, 0.0), (40L, 1.0)))
     // intermediate streams are addressable too (named topics)
     val calc = streams("calc").select("value").collect().map(_.getDouble(0)).sorted.toSeq
     assert(calc == Seq(3.0, 5.0, 7.0))
+  }
+
+  test("source pause markers reach the gate's fail mode through the DSL " +
+      "(gate.py:38-44 end-to-end)") {
+    import spark.implicits._
+    // control stream carries an in-band pause marker at ts=25 and a
+    // resume (flag 0.0) at ts=45 — a source CAN produce pause rows now
+    def envP(rows: Seq[(Long, Double, Boolean)]): DataFrame =
+      rows.zipWithIndex.toDF("r", "seq")
+        .select(col("r._1").as("ts"), col("r._2").as("value"),
+          lit(null).cast("string").as("text"), col("r._3").as("paused"),
+          col("seq").cast("long").as("seq"))
+    val a = env(Seq((10L, 1.0), (30L, 2.0), (50L, 3.0)))
+    val ctrl = envP(Seq((20L, 1.0, false),  // open
+      (25L, 1.0, true),                     // control topic pauses
+      (45L, 0.0, true)))                    // control topic resumes
+    def run(failOpen: Boolean) = {
+      val dep = Deployment("p", Seq(
+        TaskSpec("sa", SourceOp(IOMeta.number), Nil, "a"),
+        TaskSpec("sc", SourceOp(IOMeta.number), Nil, "ctrl"),
+        TaskSpec("g", GateOp(failOpen), Seq("a", "ctrl"), "gated")))
+      val out = Pipeline.compile(dep, Map("a" -> a, "ctrl" -> ctrl))("gated")
+      (out.filter(!col("paused")).select("value").collect()
+          .map(_.getDouble(0)).sorted.toSeq,
+        out.filter(col("paused")).select("ts", "value").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq)
+    }
+    // fail-OPEN: the pause is ignored, data at 30 still flows
+    assert(run(failOpen = true) ==
+      ((Seq(2.0, 3.0), Seq((20L, 0.0)))))
+    // fail-CLOSED: 30 is dropped while paused; resume at 45 reopens
+    assert(run(failOpen = false) ==
+      ((Seq(3.0), Seq((20L, 0.0), (25L, 1.0), (45L, 0.0)))))
   }
 
   test("lifecycle: start/status/stop a streaming deployment") {

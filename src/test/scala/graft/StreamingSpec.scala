@@ -47,17 +47,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ev(1, 40, 0.0, seq = 3),           // close
       ev(0, 40, 3.0, seq = 4),           // same ts: control first → dropped
       ev(0, 50, 4.0, seq = 5)))          // dropped
-    assert(out.map(o => (o.ts, o.value)) == Seq((30L, 2.0)))
+    assert(out.filter(!_.paused).map(o => (o.ts, o.value)) == Seq((30L, 2.0)))
+    // output pause markers at each open/close transition (gate.py:82-85)
+    assert(out.filter(_.paused).map(o => (o.ts, o.value)) ==
+      Seq((20L, 0.0), (40L, 1.0)))
   }
 
-  test("gate fail-open forwards while control is paused (gate.py:40-44)") {
-    val out = runB(new Gate(failOpen = true), Seq(
-      ev(0, 10, 1.0, seq = 0),           // fail-open initial → forwarded
-      ev(1, 20, 0.0, seq = 1),           // close
-      ev(0, 30, 2.0, seq = 2),           // dropped
-      ev(1, 40, paused = true, seq = 3), // control paused → fail open
-      ev(0, 50, 3.0, seq = 4)))          // forwarded
-    assert(out.map(_.value) == Seq(1.0, 3.0))
+  test("fail modes: OPEN trusts the last control through a pause, " +
+      "CLOSED shuts (gate.py:38-41)") {
+    val evs = Seq(
+      ev(1, 10, 1.0, seq = 0),            // control on → open
+      ev(0, 20, 1.5, seq = 1),            // forwarded (both modes)
+      ev(1, 30, paused = true, seq = 2),  // control topic pauses
+      ev(0, 40, 2.5, seq = 3),            // OPEN: forwarded; CLOSED: dropped
+      ev(1, 50, 0.4, paused = true, seq = 4), // control resumes (flag ≤ 0.5)
+      ev(0, 60, 3.5, seq = 5))            // forwarded (both modes)
+    val open = runB(new Gate(failOpen = true), evs)
+    assert(open.filter(!_.paused).map(_.value) == Seq(1.5, 2.5, 3.5))
+    assert(open.filter(_.paused).map(o => (o.ts, o.value)) ==
+      Seq((10L, 0.0))) // opens once, never closes
+    val closed = runB(new Gate(failOpen = false), evs)
+    assert(closed.filter(!_.paused).map(_.value) == Seq(1.5, 3.5))
+    assert(closed.filter(_.paused).map(o => (o.ts, o.value)) ==
+      Seq((10L, 0.0), (30L, 1.0), (50L, 0.0))) // shuts for the pause
   }
 
   // ------------------------------------------------------ unit: SR latch
@@ -145,7 +157,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       mem.addData(ev(0, 30, 2.5, seq = 2), ev(1, 40, 0.0, seq = 3),
         ev(0, 50, 3.5, seq = 4))
       q.processAllAvailable()
-      val got = spark.table("gate_out").as[KOut].collect().toSeq.sortBy(_.ts)
+      val got = spark.table("gate_out").as[KOut].collect().toSeq
+        .filter(!_.paused).sortBy(_.ts)
       assert(got.map(_.value) == Seq(1.5, 2.5))
     } finally q.stop()
   }
@@ -243,6 +256,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         lit(false).as("paused"), col("event_id").as("seq"))
     val in = data.unionByName(ctrl).as[KEv]
     val machine = StatefulRunner.runBatch(new Gate(failOpen = false), in)
+      .filter(!col("paused")) // data rows; the analogue has no marker lane
       .select(col("ts"), col("value")).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(identity).toSeq
     val analogue = graft.operators.EventOps.all.find(_.name == "e05_gate").get
