@@ -48,6 +48,28 @@ object StateMachines {
     def priority(topic: Int): Int = topic
   }
 
+  /** A machine that also emits without input — on a processing-time
+    * timeout in streaming, and once at end-of-input in batch (detector
+    * trailing edge, synchronizer flush, repeater tick). A machine that
+    * keeps ticking (repeater) overrides [[removeOnTimeout]] so its
+    * state survives and the timeout re-arms. */
+  trait Timed[S] {
+    def onTimeout(s: S): Seq[Out]
+    def removeOnTimeout: Boolean = true
+  }
+
+  /** Learned stream-clock offset (utils.py:299-304): `update` records
+    * how far message time runs from the local clock; `time` projects
+    * the stream clock onto "now". The clock is injected so restamping
+    * is deterministic under test and swappable for executor-local
+    * clocks at scale. */
+  final class TimeSync(clock: () => Long) extends Serializable {
+    private var offset = 0L
+    def update(ts: Long): Unit = offset = ts - clock()
+    def time: Long = clock() + offset
+    def reset(): Unit = offset = 0L
+  }
+
   // ------------------------------------------------------------------ gate
   /** gate.py:31-93, exact GateState semantics. Topic 0 = data, topic 1
     * = control. Open iff the input is unpaused AND the last control
@@ -200,7 +222,8 @@ object StateMachines {
     * lastTs + timeout. The trailing 0 is emitted by the runner on
     * state timeout (streaming) or end-of-group (batch). */
   final case class DetectorState(lastTs: Long, up: Boolean)
-  final class MessageDetector(timeoutMs: Long) extends Machine[DetectorState] {
+  final class MessageDetector(timeoutMs: Long) extends Machine[DetectorState]
+      with Timed[DetectorState] {
     def init = DetectorState(Long.MinValue, up = false)
     def step(s: DetectorState, e: Ev): (DetectorState, Seq[Out]) = {
       if (e.paused) return (s, Nil)
@@ -269,6 +292,30 @@ object StateMachines {
     }
   }
 
+  /** repeater.py:36-69 wall-clock mode: every data message updates both
+    * the held value and the learned stream-clock offset
+    * (`time_sync.update(msg_time)`, repeater.py:44); each
+    * processing-time tick re-emits the held value restamped to the
+    * projected stream time (`time_sync.time`, repeater.py:64) — so a
+    * repeater fed by a stream whose clock runs ahead of or behind the
+    * executor's emits timestamps on the STREAM's timeline, not the
+    * machine's. Offset state lives in the fold (not a TimeSync field)
+    * so checkpoint recovery restores it. */
+  final case class WallRepState(held: Double, hasValue: Boolean,
+      offset: Long, hasOffset: Boolean)
+  final class WallClockRepeater(clock: () => Long)
+      extends Machine[WallRepState] with Timed[WallRepState] {
+    def init = WallRepState(0.0, hasValue = false, 0L, hasOffset = false)
+    def step(s: WallRepState, e: Ev): (WallRepState, Seq[Out]) = {
+      if (e.paused) (init, Nil) // pause clears the hold (repeater.py:49-53)
+      else (WallRepState(e.value, hasValue = true,
+        e.ts - clock(), hasOffset = true), Nil)
+    }
+    def onTimeout(s: WallRepState): Seq[Out] =
+      if (s.hasValue) Seq(Out(clock() + s.offset, s.held, null)) else Nil
+    override def removeOnTimeout: Boolean = false // keep ticking
+  }
+
   // ------------------------------------------------------------- chat
   /** llama.cpp chat (inference/llamacppchat.py:49-77): stateful
     * conversation — append the user message to a rolling context,
@@ -305,7 +352,8 @@ object StateMachines {
     * itself (§2.1 #5). */
   final case class SyncState(
       buf: Map[Int, Vector[Ev]], maxTs: Map[Int, Long], paused: Set[Int])
-  final class Synchronizer(topics: Int) extends Machine[SyncState] {
+  final class Synchronizer(topics: Int) extends Machine[SyncState]
+      with Timed[SyncState] {
     def init = SyncState(
       (0 until topics).map(_ -> Vector.empty[Ev]).toMap,
       (0 until topics).map(_ -> Long.MinValue).toMap, Set.empty)

@@ -58,8 +58,7 @@ object StatefulRunner {
       .flatMapGroups { (key: String, es: Iterator[KEv]) =>
         val (s, outs) = fold(machine, key, machine.init, sorted(machine, es))
         val tail = machine match {
-          case d: MessageDetector => d.onTimeout(s.asInstanceOf[DetectorState])
-          case y: Synchronizer => y.onTimeout(s.asInstanceOf[SyncState])
+          case t: Timed[S @unchecked] => t.onTimeout(s)
           case _ => Nil
         }
         (outs ++ tail.map(o => KOut(key, o.ts, o.value, o.text, o.paused))).iterator
@@ -81,13 +80,14 @@ object StatefulRunner {
         (key: String, es: Iterator[KEv], gs: GroupState[Option[S]]) =>
           if (gs.hasTimedOut) {
             val tail = (machine, gs.getOption.flatten) match {
-              case (d: MessageDetector, Some(s)) =>
-                d.onTimeout(s.asInstanceOf[DetectorState])
-              case (y: Synchronizer, Some(s)) =>
-                y.onTimeout(s.asInstanceOf[SyncState])
+              case (t: Timed[S @unchecked], Some(s)) => t.onTimeout(s)
               case _ => Nil
             }
-            gs.remove()
+            machine match {
+              case t: Timed[_] if !t.removeOnTimeout && timeoutMs > 0 =>
+                gs.setTimeoutDuration(timeoutMs) // repeater: keep ticking
+              case _ => gs.remove()
+            }
             tail.map(o => KOut(key, o.ts, o.value, o.text, o.paused)).iterator
           } else {
             val s0 = gs.getOption.flatten.getOrElse(machine.init)

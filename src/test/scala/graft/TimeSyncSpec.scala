@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.StateMachines._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TimeSynchronizer (utils.py:299-304) and the wall-clock repeater mode
+  * (repeater.py:36-69) under a deterministic injected clock — no Spark
+  * session needed, the machines are pure. */
+class TimeSyncSpec extends AnyFunSuite {
+
+  private final class FakeClock(var now: Long) extends (() => Long)
+      with Serializable {
+    def apply(): Long = now
+  }
+
+  test("TimeSync learns the stream offset and projects it onto now " +
+      "(utils.py:299-304)") {
+    val clock = new FakeClock(5000L)
+    val sync = new TimeSync(clock)
+    assert(sync.time == 5000L) // no offset learned yet
+    sync.update(1000L)         // stream clock runs 4000 behind
+    assert(sync.time == 1000L)
+    clock.now = 5700L
+    assert(sync.time == 1700L) // projection advances with the clock
+    sync.update(9000L)         // stream jumped ahead
+    assert(sync.time == 9000L)
+    sync.reset()
+    assert(sync.time == 5700L)
+  }
+
+  test("wall-clock repeater restamps ticks with the learned offset " +
+      "(repeater.py:44,64)") {
+    val clock = new FakeClock(5000L)
+    val m = new WallClockRepeater(clock)
+    var s = m.init
+    assert(m.onTimeout(s).isEmpty) // nothing held yet → no tick output
+
+    // data at stream-ts 1000 while the machine clock reads 5000
+    s = m.step(s, Ev(0, 1000L, 42.0, null, paused = false))._1
+    clock.now = 5500L // half a second later
+    assert(m.onTimeout(s) == Seq(Out(1500L, 42.0, null)))
+    clock.now = 6000L
+    assert(m.onTimeout(s) == Seq(Out(2000L, 42.0, null)))
+
+    // a new message re-learns the offset (stream now ahead of clock)
+    s = m.step(s, Ev(0, 9000L, 7.0, null, paused = false))._1
+    clock.now = 6100L
+    assert(m.onTimeout(s) == Seq(Out(9100L, 7.0, null)))
+
+    // pause clears the hold (repeater.py:49-53): ticks go quiet
+    s = m.step(s, Ev(0, 0L, Double.NaN, null, paused = true))._1
+    assert(m.onTimeout(s).isEmpty)
+    assert(!m.removeOnTimeout) // streaming keeps the state ticking
+  }
+}
