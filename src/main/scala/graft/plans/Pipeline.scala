@@ -280,38 +280,119 @@ object Pipeline {
   }
 }
 
+/** Per-task lifecycle status (task.py:80-88). */
+sealed trait TaskStatus { def isActive: Boolean = false }
+object TaskStatus {
+  case object Scheduled extends TaskStatus { override def isActive = true }
+  case object Running extends TaskStatus { override def isActive = true }
+  case object Stopped extends TaskStatus
+  case object Ended extends TaskStatus
+  final case class Failed(error: String) extends TaskStatus
+}
+
+/** One status broadcast (task.py:294-303's TaskReport). */
+final case class TaskReport(deployment: String, task: String,
+    status: TaskStatus)
+
 /** Running-deployment lifecycle over StreamingQueryManager — the
-  * schedule/start/stop/status surface of task_web.py:267-315. */
+  * schedule/start/stop/status surface of task_web.py:267-315 with the
+  * per-task reporting of task.py:227-235,294-303.
+  *
+  * Schedule vs start, mapped: `schedule` compiles and validates the
+  * whole DAG and allocates the sink plans (the reference's topic-space
+  * + task-instance allocation) without running anything — every task
+  * reports `Scheduled`; `start` launches the sink queries — tasks
+  * report `Running`. Because Catalyst fuses the task DAG into one plan
+  * per sink, the per-task statuses of one deployment move together;
+  * termination is differentiated per the reference: explicit `stop` →
+  * `Stopped` (task.py:231), a source draining to completion → `Ended`
+  * (:230), an exception → `Failed(error)` (:235). Reports are pushed
+  * to registered listeners — the BroadcastingServer analogue. */
 final class PipelineManager(spark: SparkSession) {
   import Pipeline._
+  import org.apache.spark.sql.streaming.StreamingQuery
 
-  private var running = Map.empty[String, Seq[org.apache.spark.sql.streaming.StreamingQuery]]
+  private final case class Running(dep: Deployment,
+      planned: Seq[(String, DataFrame)], queries: Seq[StreamingQuery],
+      explicitStop: Boolean)
+  private var deployments = Map.empty[String, Running]
+  private var listeners = Seq.empty[TaskReport => Unit]
 
-  /** Start every requested sink stream of a deployment as a streaming
-    * query writing to an in-memory table `<dep>_<stream>`. */
-  def start(dep: Deployment, sources: Map[String, DataFrame],
+  /** Subscribe to status broadcasts (bc_server.broadcast analogue). */
+  def onReport(cb: TaskReport => Unit): Unit = listeners :+= cb
+
+  private def broadcastAll(dep: Deployment, st: TaskStatus): Unit =
+    dep.tasks.foreach(t =>
+      listeners.foreach(_(TaskReport(dep.name, t.name, st))))
+
+  /** Validate + compile the DAG and allocate sink plans; nothing runs.
+    * Fails here (not at start) on any wiring/type error, like the
+    * reference's schedule call. */
+  def schedule(dep: Deployment, sources: Map[String, DataFrame],
       sinks: Seq[String]): Unit = {
-    require(!running.contains(dep.name), s"deployment '${dep.name}' already running")
+    require(!deployments.contains(dep.name),
+      s"deployment '${dep.name}' already scheduled")
     val streams = compile(dep, sources)
-    val qs = sinks.map { s =>
-      streams(s).writeStream
+    deployments += dep.name ->
+      Running(dep, sinks.map(s => s -> streams(s)), Nil, explicitStop = false)
+    broadcastAll(dep, TaskStatus.Scheduled)
+  }
+
+  /** Launch every scheduled sink as a streaming query writing to the
+    * in-memory table `<dep>_<stream>`. */
+  def start(name: String): Unit = {
+    val r = deployments(name)
+    require(r.queries.isEmpty, s"deployment '$name' already started")
+    val qs = r.planned.map { case (s, df) =>
+      df.writeStream
         .format("memory")
-        .queryName(s"${dep.name}_$s")
+        .queryName(s"${name}_$s")
         .outputMode("append")
         .start()
     }
-    running += dep.name -> qs
+    deployments += name -> r.copy(queries = qs)
+    broadcastAll(r.dep, TaskStatus.Running)
   }
 
+  /** schedule + start in one call. */
+  def start(dep: Deployment, sources: Map[String, DataFrame],
+      sinks: Seq[String]): Unit = {
+    schedule(dep, sources, sinks)
+    start(dep.name)
+  }
+
+  /** Status of one deployment's tasks (uniform per deployment — one
+    * fused plan per sink — but reported per task like the reference). */
+  def taskStatus(name: String): Map[String, TaskStatus] =
+    deployments.get(name) match {
+      case None => Map.empty
+      case Some(r) =>
+        val st: TaskStatus =
+          if (r.queries.isEmpty) TaskStatus.Scheduled
+          else r.queries.flatMap(_.exception).headOption match {
+            case Some(e) => TaskStatus.Failed(e.getMessage)
+            case None if r.queries.forall(_.isActive) => TaskStatus.Running
+            case None if r.explicitStop => TaskStatus.Stopped
+            case None => TaskStatus.Ended
+          }
+        r.dep.tasks.map(_.name -> st).toMap
+    }
+
+  /** Deployment-coarse status string (round-1 surface, kept). */
   def status(name: String): String =
-    running.get(name) match {
+    deployments.get(name) match {
       case None => "stopped"
-      case Some(qs) if qs.forall(_.isActive) => "running"
-      case _ => "failed"
+      case Some(r) if r.queries.isEmpty => "scheduled"
+      case Some(r) if r.queries.exists(_.exception.isDefined) => "failed"
+      case Some(r) if r.queries.forall(_.isActive) => "running"
+      case _ => "stopped"
     }
 
   def stop(name: String): Unit = {
-    running.getOrElse(name, Nil).foreach(_.stop())
-    running -= name
+    deployments.get(name).foreach { r =>
+      r.queries.foreach(_.stop())
+      broadcastAll(r.dep, TaskStatus.Stopped)
+    }
+    deployments -= name
   }
 }

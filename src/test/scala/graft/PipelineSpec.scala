@@ -2,7 +2,7 @@ package graft
 
 import graft.plans.Pipeline
 import graft.plans.Pipeline._
-import graft.plans.PipelineManager
+import graft.plans.{PipelineManager, TaskReport, TaskStatus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -119,6 +119,67 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fail-CLOSED: 30 is dropped while paused; resume at 45 reopens
     assert(run(failOpen = false) ==
       ((Seq(3.0), Seq((20L, 0.0), (25L, 1.0), (45L, 0.0)))))
+  }
+
+  test("per-task status: schedule -> start -> stop transitions are " +
+      "reported per task (task.py:80-88, task_web.py:267-299)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]
+    val src = mem.toDS().toDF("ts", "value", "seq")
+      .select(col("ts"), col("value"), lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("seq"))
+    val dep = Deployment("st1", Seq(
+      TaskSpec("src", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("calc", CalculatorOp("a + 1", Seq("a")), Seq("a"), "out")))
+    val mgr = new PipelineManager(spark)
+    val reports = scala.collection.mutable.Buffer.empty[TaskReport]
+    mgr.onReport(reports += _)
+
+    mgr.schedule(dep, Map("a" -> src), Seq("out"))
+    assert(mgr.status("st1") == "scheduled")
+    assert(mgr.taskStatus("st1") ==
+      Map("src" -> TaskStatus.Scheduled, "calc" -> TaskStatus.Scheduled))
+    assert(mgr.taskStatus("st1").values.forall(_.isActive))
+
+    mgr.start("st1")
+    assert(mgr.taskStatus("st1").values.toSet == Set(TaskStatus.Running))
+    mgr.stop("st1")
+    assert(mgr.status("st1") == "stopped")
+    assert(reports.map(r => (r.task, r.status)).toSeq == Seq(
+      ("src", TaskStatus.Scheduled), ("calc", TaskStatus.Scheduled),
+      ("src", TaskStatus.Running), ("calc", TaskStatus.Running),
+      ("src", TaskStatus.Stopped), ("calc", TaskStatus.Stopped)))
+  }
+
+  test("a crashing task surfaces Failed(error) in per-task status " +
+      "(task.py:235)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]
+    val boom = udf((v: Double) =>
+      if (v == 42.0) throw new RuntimeException("boom42") else v)
+    val src = mem.toDS().toDF("ts", "v", "seq")
+      .select(col("ts"), boom(col("v")).as("value"),
+        lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("seq"))
+    val dep = Deployment("st2", Seq(
+      TaskSpec("src", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("calc", CalculatorOp("a * 2", Seq("a")), Seq("a"), "out")))
+    val mgr = new PipelineManager(spark)
+    mgr.start(dep, Map("a" -> src), Seq("out"))
+    mem.addData((10L, 42.0, 0L))
+    intercept[Exception] {
+      spark.streams.active.foreach(_.processAllAvailable())
+    }
+    val st = mgr.taskStatus("st2")
+    assert(st.keySet == Set("src", "calc"))
+    st.values.foreach {
+      case TaskStatus.Failed(err) => assert(err != null)
+      case other => fail(s"expected Failed, got $other")
+    }
+    assert(mgr.status("st2") == "failed")
+    mgr.stop("st2")
   }
 
   test("lifecycle: start/status/stop a streaming deployment") {
