@@ -30,6 +30,66 @@ object Codec {
     def decode(packet: Array[Byte]): Array[Byte] = packet
   }
 
+  /** G.711 μ-law (ITU-T G.711): a REAL audio codec in pure integer
+    * math — 16-bit PCM ↔ 8-bit companded, the telephony codec every
+    * audio stack ships. Encode: sign + 3-bit segment (exponent) +
+    * 4-bit mantissa, bias 132, clip 32635, ones-complemented; decode
+    * is the exact segment expansion. The per-sample math is also
+    * expressed as Column/SQL integer expressions in DspQueries.p07 so
+    * the DuckDB oracle hash-checks it; CodecSpec pins kernel ==
+    * column formulation over the full 16-bit domain.
+    *
+    * Known G.711 quirk kept: 0x7F (negative zero) and 0xFF (positive
+    * zero) both decode to 0, so re-encoding maps 0x7F → 0xFF. */
+  case object MuLaw extends Codec {
+    val name = "g711-mulaw"
+    final val Bias = 132
+    final val Clip = 32635
+
+    def encodeSample(x: Int): Int = {
+      val sign = if (x < 0) 128 else 0
+      val ax = math.min(math.abs(x), Clip) + Bias
+      var e = 0
+      var th = 256
+      while (e < 7 && ax >= th) { e += 1; th <<= 1 }
+      val mant = (ax >> (e + 3)) & 15
+      255 - (sign + e * 16 + mant)
+    }
+
+    def decodeSample(b: Int): Int = {
+      val y = 255 - (b & 0xff)
+      val e = (y >> 4) & 7
+      val mant = y & 15
+      val mag = ((mant * 8 + Bias) << e) - Bias
+      if ((y & 0x80) != 0) -mag else mag
+    }
+
+    /** s16le frame → one μ-law byte per sample. */
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+        out(i) = encodeSample(s).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** μ-law bytes → s16le frame. */
+    def decode(packet: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](packet.length * 2)
+      var i = 0
+      while (i < packet.length) {
+        val s = decodeSample(packet(i) & 0xff)
+        out(2 * i) = (s & 0xff).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Pixel-format reformatter: RGBA ↔ BGRA channel swizzle — the
     * pure-JVM slice of the video reformatter; encode/decode are
     * inverses (the round-trip property the reference's codec tests

@@ -218,6 +218,124 @@ object DspQueries {
        |  CAST(SUM(CASE WHEN i >= (chunk + 1) * 48 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_next
        |FROM x GROUP BY event_type, chunk ORDER BY event_type, chunk""".stripMargin
 
+  /** G.711 μ-law codec (#27, functions/Codec.MuLaw) as oracle-checked
+    * per-sample integer math: click values become signed 16-bit PCM
+    * (scaled ×1000, sign alternating by event id), companded to 8-bit
+    * μ-law and expanded back. The byte-array kernel is pinned to this
+    * exact formulation over the full 16-bit domain by CodecSpec; here
+    * the DuckDB oracle hash-checks encode AND decode end-to-end. */
+  private def p07(s: SparkSession, d: String): DataFrame = {
+    val pcm0 = (floor(col("value") * 1000).cast(LongType) *
+      when(col("event_id") % 2 === 0, 1L).otherwise(-1L))
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 2).as("pipeline"), col("event_id"),
+        greatest(lit(-32768L), least(lit(32767L), pcm0)).as("pcm"))
+    val ax = least(abs(col("pcm")), lit(32635L)) + 132L
+    val ex = when(ax < 256, 0L).when(ax < 512, 1L).when(ax < 1024, 2L)
+      .when(ax < 2048, 3L).when(ax < 4096, 4L).when(ax < 8192, 5L)
+      .when(ax < 16384, 6L).otherwise(7L)
+    val shiftDiv = when(ex === 0, 8L).when(ex === 1, 16L).when(ex === 2, 32L)
+      .when(ex === 3, 64L).when(ex === 4, 128L).when(ex === 5, 256L)
+      .when(ex === 6, 512L).otherwise(1024L) // 2^(e+3)
+    val mant = (ax.cast(LongType) / shiftDiv).cast(LongType) % 16
+    val sign = when(col("pcm") < 0, 128L).otherwise(0L)
+    val withEnc = e.withColumn("enc", lit(255L) - (sign + ex * 16 + mant))
+    val y = lit(255L) - col("enc")
+    val de = (y.cast(LongType) / 16).cast(LongType) % 8
+    val expMul = when(de === 0, 1L).when(de === 1, 2L).when(de === 2, 4L)
+      .when(de === 3, 8L).when(de === 4, 16L).when(de === 5, 32L)
+      .when(de === 6, 64L).otherwise(128L) // 2^e
+    val mag = ((y % 16) * 8 + 132L) * expMul - 132L
+    withEnc
+      .withColumn("dec", when(y >= 128, -mag).otherwise(mag))
+      .select(col("pipeline"), col("event_id"), col("pcm"), col("enc"),
+        col("dec"))
+      .orderBy(col("event_id"))
+  }
+
+  private val p07Sql =
+    s"""WITH e AS (SELECT user_id % 2 AS pipeline, event_id,
+       |  greatest(-32768, least(32767,
+       |    CAST(floor(value * 1000) AS BIGINT)
+       |      * (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END))) AS pcm
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |s1 AS (SELECT *, least(abs(pcm), 32635) + 132 AS ax,
+       |         CASE WHEN pcm < 0 THEN 128 ELSE 0 END AS sgn FROM e),
+       |s2 AS (SELECT *,
+       |         CASE WHEN ax < 256 THEN 0 WHEN ax < 512 THEN 1
+       |              WHEN ax < 1024 THEN 2 WHEN ax < 2048 THEN 3
+       |              WHEN ax < 4096 THEN 4 WHEN ax < 8192 THEN 5
+       |              WHEN ax < 16384 THEN 6 ELSE 7 END AS ex FROM s1),
+       |s3 AS (SELECT *,
+       |         255 - (sgn + ex * 16 + (ax // (8 * (1 << ex))) % 16) AS enc
+       |       FROM s2),
+       |s4 AS (SELECT *, 255 - enc AS y FROM s3),
+       |s5 AS (SELECT *, (y // 16) % 8 AS de, y % 16 AS dm FROM s4)
+       |SELECT pipeline, event_id, pcm, enc,
+       |  CASE WHEN y >= 128 THEN -((dm * 8 + 132) * (1 << de) - 132)
+       |       ELSE (dm * 8 + 132) * (1 << de) - 132 END AS dec
+       |FROM s5 ORDER BY event_id""".stripMargin
+
+  /** Audio resampler (#25, media/audioresampler.py via
+    * AudioKernel.stretchLinear): rational 3→2 rate conversion by
+    * linear interpolation — the np.interp grid `pos = j·(n−1)/(m−1)`,
+    * exact in IEEE doubles on both engines (only +,−,×,÷ on integers
+    * < 2^53; no transcendentals). Samples are the per-pipeline click
+    * values quantized to integers; CodecSpec pins
+    * AudioKernel.stretchLinear to this formula on random arrays. */
+  private def p08(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+        col("event_id"), floor(col("value") * 100).cast(DoubleType).as("v"))
+    val iw = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val samples = e.withColumn("i", row_number().over(iw).cast(LongType) - 1)
+      .select(col("pipeline"), col("i"), col("v"))
+    val counts = samples.groupBy(col("pipeline"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("m", (col("n") * 2 / 3).cast(LongType)) // 48k → 32k
+    val grid = counts
+      .select(col("pipeline"), col("n"), col("m"),
+        explode(sequence(lit(0L), col("m") - 1)).as("j"))
+      .withColumn("pos",
+        col("j").cast(DoubleType) * (col("n") - 1) / (col("m") - 1))
+      .withColumn("i0", least(col("n") - 2, floor(col("pos")).cast(LongType)))
+      .withColumn("frac", col("pos") - col("i0"))
+    val s0 = samples.select(col("pipeline").as("p0"), col("i").as("k0"),
+      col("v").as("v0"))
+    val s1 = samples.select(col("pipeline").as("p1"), col("i").as("k1"),
+      col("v").as("v1"))
+    grid
+      .join(s0, col("pipeline") === col("p0") && col("i0") === col("k0"))
+      .join(s1, col("pipeline") === col("p1") && col("i0") + 1 === col("k1"))
+      .select(col("pipeline"), col("j"),
+        (col("v0") * (lit(1.0) - col("frac")) + col("v1") * col("frac"))
+          .as("resampled"))
+      .orderBy(col("pipeline"), col("j"))
+  }
+
+  private val p08Sql =
+    s"""WITH e AS (SELECT user_id % 2 AS pipeline, ts_ms, event_id,
+       |    CAST(floor(value * 100) AS DOUBLE) AS v
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |samples AS (SELECT pipeline, v,
+       |    CAST(row_number() OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS i
+       |  FROM e),
+       |counts AS (SELECT pipeline, count(*) AS n, (count(*) * 2) // 3 AS m
+       |  FROM samples GROUP BY pipeline),
+       |grid0 AS (SELECT pipeline, n, m, unnest(range(0, m)) AS j FROM counts),
+       |grid AS (SELECT *, CAST(j AS DOUBLE) * (n - 1) / (m - 1) AS pos
+       |  FROM grid0),
+       |gi AS (SELECT *, least(n - 2, CAST(floor(pos) AS BIGINT)) AS i0,
+       |    pos - least(n - 2, CAST(floor(pos) AS BIGINT)) AS frac
+       |  FROM grid)
+       |SELECT g.pipeline, g.j,
+       |  s0.v * (1.0 - g.frac) + s1.v * g.frac AS resampled
+       |FROM gi g
+       |JOIN samples s0 ON s0.pipeline = g.pipeline AND s0.i = g.i0
+       |JOIN samples s1 ON s1.pipeline = g.pipeline AND s1.i = g.i0 + 1
+       |ORDER BY g.pipeline, g.j""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -225,5 +343,7 @@ object DspQueries {
     Q("p04_chunker", p04, Some(p04Sql)),
     Q("p05_fft_bins", p05, None), // rows-only: transcendental twiddles
     Q("p06_padded_chunker", p06, Some(p06Sql)),
+    Q("p07_mulaw_codec", p07, Some(p07Sql)),
+    Q("p08_resample", p08, Some(p08Sql)),
   )
 }

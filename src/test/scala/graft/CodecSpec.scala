@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{AudioKernel, Codec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G.711 μ-law codec and resampler kernels pinned to the exact integer
+  * formulations that DspQueries p07/p08 run on both engines — so a
+  * green oracle on those queries certifies the kernels too. */
+class CodecSpec extends AnyFunSuite {
+
+  /** The p07 oracle formulation, in plain Scala. */
+  private def encFormula(x: Int): Int = {
+    val sgn = if (x < 0) 128 else 0
+    val ax = math.min(math.abs(x), 32635) + 132
+    val ex =
+      if (ax < 256) 0 else if (ax < 512) 1 else if (ax < 1024) 2
+      else if (ax < 2048) 3 else if (ax < 4096) 4 else if (ax < 8192) 5
+      else if (ax < 16384) 6 else 7
+    255 - (sgn + ex * 16 + (ax / (8 * (1 << ex))) % 16)
+  }
+
+  private def decFormula(b: Int): Int = {
+    val y = 255 - b
+    val de = (y / 16) % 8
+    val mag = ((y % 16) * 8 + 132) * (1 << de) - 132
+    if (y >= 128) -mag else mag
+  }
+
+  test("mu-law kernel == p07 oracle formulation over the full 16-bit " +
+      "domain") {
+    (-32768 to 32767).foreach { x =>
+      assert(Codec.MuLaw.encodeSample(x) == encFormula(x), s"enc($x)")
+    }
+    (0 to 255).foreach { b =>
+      assert(Codec.MuLaw.decodeSample(b) == decFormula(b), s"dec($b)")
+    }
+  }
+
+  test("mu-law round trip: quantization error bounded by the segment " +
+      "step; idempotent up to the negative-zero code (G.711)") {
+    (-32768 to 32767).foreach { x =>
+      val d = Codec.MuLaw.decodeSample(Codec.MuLaw.encodeSample(x))
+      val e = Codec.MuLaw.encodeSample(x)
+      val step = 1 << (((255 - e) / 16) % 8 + 3)
+      val clipped = math.max(-32635, math.min(32635, x))
+      assert(math.abs(d - clipped) <= step, s"error at $x")
+      // re-encoding is stable except 0x7F (negative zero) → 0xFF
+      val e2 = Codec.MuLaw.encodeSample(d)
+      assert(e2 == e || (e == 0x7f && e2 == 0xff), s"idempotence at $x")
+    }
+    assert(Codec.MuLaw.encodeSample(0) == 0xff)
+    assert(Codec.MuLaw.encodeSample(-1) == 0x7f)
+  }
+
+  test("mu-law s16le frame round trip through the byte-array interface") {
+    val samples = Array[Short](0, 1, -1, 100, -100, 32767, -32768, 12345)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val enc = Codec.MuLaw.encode(raw)
+    assert(enc.length == samples.length) // 2:1 compression
+    val dec = Codec.MuLaw.decode(enc)
+    assert(dec.length == raw.length)
+    samples.indices.foreach { i =>
+      val got = (((dec(2 * i + 1) << 8) | (dec(2 * i) & 0xff)).toShort).toInt
+      assert(got == Codec.MuLaw.decodeSample(Codec.MuLaw.encodeSample(samples(i))))
+    }
+  }
+
+  test("stretchLinear == the p08 grid formula on random arrays") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val n = 2 + rnd.nextInt(50)
+      val xs = Array.fill(n)(rnd.nextInt(2000).toDouble - 1000)
+      val m = math.max(2, n * 2 / 3)
+      val got = AudioKernel.stretchLinear(xs, m)
+      val want = Array.tabulate(m) { j =>
+        val pos = j.toDouble * (n - 1) / (m - 1)
+        val i0 = math.min(n - 2, math.floor(pos).toLong).toInt
+        val frac = pos - i0
+        xs(i0) * (1.0 - frac) + xs(i0 + 1) * frac
+      }
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+}
