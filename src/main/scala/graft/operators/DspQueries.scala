@@ -336,6 +336,56 @@ object DspQueries {
        |JOIN samples s1 ON s1.pipeline = g.pipeline AND s1.i = g.i0 + 1
        |ORDER BY g.pipeline, g.j""".stripMargin
 
+  /** Speech-enhancement waveform path (#38) as a noise gate with
+    * instant attack and linear release: the envelope opens to 1 the
+    * sample |x| exceeds the threshold and decays linearly over 8
+    * samples after the last loud one — `env = max(0, 1 − (i−last)/8)`,
+    * a closed form over a running last-loud-index window (no
+    * recursion, fully codegen'd; /8 is exact in doubles). The masked
+    * chunk pipeline (p06 + AudioKernel.crossfade) covers the
+    * overlapped-chunk shape; this covers the per-sample gain path. */
+  private def p09(s: SparkSession, d: String): DataFrame = {
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+        col("event_id"),
+        (floor(col("value") * 100) *
+          when(col("event_id") % 2 === 0, 1.0).otherwise(-1.0)).as("x"))
+    val iw = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val lw = Window.partitionBy(col("pipeline")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("i", row_number().over(iw).cast(LongType) - 1)
+      .withColumn("last_loud",
+        last(when(abs(col("x")) > 900, col("i")), ignoreNulls = true).over(lw))
+      .withColumn("env",
+        when(col("last_loud").isNull, 0.0)
+          .otherwise(greatest(lit(0.0),
+            lit(1.0) - (col("i") - col("last_loud")).cast(DoubleType) / 8.0)))
+      .select(col("pipeline"), col("i"), col("x"), col("env"),
+        (col("x") * col("env")).as("gated"))
+      .orderBy(col("pipeline"), col("i"))
+  }
+
+  private val p09Sql =
+    s"""WITH e AS (SELECT user_id % 2 AS pipeline, ts_ms, event_id,
+       |    floor(value * 100) * (CASE WHEN event_id % 2 = 0 THEN 1.0 ELSE -1.0 END) AS x
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |si AS (SELECT pipeline, x,
+       |    CAST(row_number() OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS i
+       |  FROM e),
+       |le AS (SELECT *,
+       |    last_value(CASE WHEN abs(x) > 900 THEN i END IGNORE NULLS) OVER (
+       |      PARTITION BY pipeline ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_loud
+       |  FROM si)
+       |SELECT pipeline, i, x,
+       |  CASE WHEN last_loud IS NULL THEN 0.0
+       |       ELSE greatest(0.0, 1.0 - CAST(i - last_loud AS DOUBLE) / 8.0)
+       |  END AS env,
+       |  x * (CASE WHEN last_loud IS NULL THEN 0.0
+       |       ELSE greatest(0.0, 1.0 - CAST(i - last_loud AS DOUBLE) / 8.0) END) AS gated
+       |FROM le ORDER BY pipeline, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -345,5 +395,6 @@ object DspQueries {
     Q("p06_padded_chunker", p06, Some(p06Sql)),
     Q("p07_mulaw_codec", p07, Some(p07Sql)),
     Q("p08_resample", p08, Some(p08Sql)),
+    Q("p09_noise_gate", p09, Some(p09Sql)),
   )
 }

@@ -242,6 +242,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------- equivalence: machine vs batch window analogue
+  test("gate machine == e22 fail-mode formulation on sf0.001 events " +
+      "WITH pause markers and invalid controls") {
+    import spark.implicits._
+    val e = Tables.eventsMs(spark, sf)
+    val key = pmod(col("user_id"), lit(2)).cast("string").as("key")
+    // e22's scenario mapped onto the machine's envelope: clicks = data;
+    // errors = control values (value < 2 becomes NaN, an invalid
+    // NumberMessage); purchases = control-topic pause markers whose
+    // flag rides in `value` (pause iff > 10 → flag > 0.5)
+    val data = e.filter(col("event_type") === "click")
+      .select(key, lit(0).as("topic"), col("ts_ms").as("ts"), col("value"),
+        lit(null).cast("string").as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .select(key, lit(1).as("topic"), col("ts_ms").as("ts"),
+        when(col("value") < 2, Double.NaN)
+          .otherwise(when(col("value") > 10, 1.0).otherwise(0.0)).as("value"),
+        lit(null).cast("string").as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val marks = e.filter(col("event_type") === "purchase")
+      .select(key, lit(1).as("topic"), col("ts_ms").as("ts"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast("string").as("text"), lit(true).as("paused"),
+        col("event_id").as("seq"))
+    val in = data.unionByName(ctrl).unionByName(marks).as[KEv]
+    val e22 = graft.operators.EventOps.all.find(_.name == "e22_gate_failmodes")
+      .get.fn(spark, sf).collect()
+    Seq(("open", true), ("closed", false)).foreach { case (mode, failOpen) =>
+      val out = StatefulRunner.runBatch(new Gate(failOpen), in).collect()
+      val mData = out.filter(!_.paused).map(o => (o.key.toLong, o.ts, o.value))
+        .sortBy(identity).toSeq
+      val mMarks = out.filter(_.paused).map(o => (o.key.toLong, o.ts, o.value))
+        .sortBy(identity).toSeq
+      val qData = e22.filter(r => r.getString(0) == mode && r.getString(4) == "data")
+        .map(r => (r.getLong(1), r.getLong(3), r.getDouble(5)))
+        .sortBy(identity).toSeq
+      val qMarks = e22.filter(r => r.getString(0) == mode && r.getString(4) == "pause")
+        .map(r => (r.getLong(1), r.getLong(3), r.getDouble(5)))
+        .sortBy(identity).toSeq
+      assert(mData == qData, s"forwarded rows, mode=$mode")
+      assert(mMarks == qMarks, s"transition markers, mode=$mode")
+      assert(mData.nonEmpty && mMarks.nonEmpty)
+    }
+  }
+
   test("gate machine == window-function analogue on sf0.001 events") {
     import spark.implicits._
     val e = Tables.eventsMs(spark, sf)
