@@ -348,6 +348,50 @@ object DedupQueries {
        |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Benchmark decontamination (the train/eval overlap check every
+    * LLM data pipeline runs before training): docs with `doc_id % 97
+    * == 0` play the held-out eval set; a training document is
+    * contaminated if it shares any word-3-gram with any eval doc.
+    * Shape at 100 TB: the eval side aggregates to one slim row per
+    * distinct shingle hash and BROADCASTS — the corpus never
+    * shuffles; per-doc hit counts come from the map-side join
+    * followed by one hash-aggregate keyed by doc. */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
+        explode(col("arr")).as("shs"))
+      .select(col("doc_id"), col("n"),
+        conv(substring(md5(col("shs").cast(BinaryType)), 1, 14), 16, 10)
+          .cast(LongType).as("sh"))
+    val evalSet = base.filter(col("doc_id") % 97 === 0)
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("eval_doc"))
+    base.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSet), "sh")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_hits"), min(col("eval_doc")).as("min_eval_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d07Sql =
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
+       |        FROM docs WHERE len(w) >= 3),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS sh
+       |      FROM shr),
+       |base AS (SELECT h.doc_id, n.n, h.sh
+       |         FROM h JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |                      FROM h GROUP BY doc_id) n USING (doc_id)),
+       |ev AS (SELECT sh, min(doc_id) AS eval_doc FROM base
+       |       WHERE doc_id % 97 = 0 GROUP BY sh)
+       |SELECT b.doc_id, b.n, count(*) AS n_hits, min(ev.eval_doc) AS min_eval_doc
+       |FROM base b JOIN ev USING (sh)
+       |WHERE b.doc_id % 97 <> 0
+       |GROUP BY b.doc_id, b.n ORDER BY b.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -355,5 +399,6 @@ object DedupQueries {
     Q("d04_simhash", d04, Some(d04Sql)),
     Q("d05_embedding_neardup", d05, Some(d05Sql)),
     Q("d06_lsh_verified", d06, Some(d06Sql)),
+    Q("d07_decontaminate", d07, Some(d07Sql)),
   )
 }

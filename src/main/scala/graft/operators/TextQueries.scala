@@ -209,6 +209,50 @@ object TextQueries {
       |      FROM documents)
       |ORDER BY doc_id, sent""".stripMargin
 
+  /** Repetition filtering (the Gopher/MassiveText quality rule family):
+    * per document, the duplicate-2-gram fraction (occurrences beyond
+    * each gram's first, over total 2-grams) and the top gram's share —
+    * boilerplate and looping generations score high and get filtered
+    * before training. One explode + one (doc, gram) hash-aggregate +
+    * one per-doc aggregate; ratios as exact DECIMAL-derived doubles. */
+  private def t07(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val grams = Tables.documents(s, d)
+      .filter(size(t) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(t) - lit(2)),
+          i => array_join(slice(t, i + lit(1), lit(2)), " "))).as("g"))
+    val perGram = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    perGram.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(LongType).as("n_grams"),
+        (sum(col("c")) - count(lit(1))).cast(LongType).as("dup_grams"),
+        max(col("c")).cast(LongType).as("top_gram"))
+      .withColumn("dup_ratio",
+        col("dup_grams").cast(DoubleType) / col("n_grams"))
+      .withColumn("top_share",
+        col("top_gram").cast(DoubleType) / col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        col("top_gram"), col("dup_ratio"), col("top_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t07Sql =
+    """WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |              FROM documents),
+      |grams AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> array_to_string(w[i:i+1], ' '))) AS g
+      |  FROM docs WHERE len(w) >= 2),
+      |pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_grams,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS dup_grams,
+      |  CAST(max(c) AS BIGINT) AS top_gram,
+      |  CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_ratio,
+      |  CAST(max(c) AS DOUBLE) / sum(c) AS top_share
+      |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -216,5 +260,6 @@ object TextQueries {
     Q("t04_fingerprint", t04, Some(t04Sql)),
     Q("t05_ngram_profile", t05, Some(t05Sql)),
     Q("t06_sentence_split", t06, Some(t06Sql)),
+    Q("t07_repetition", t07, Some(t07Sql)),
   )
 }
