@@ -113,9 +113,61 @@ object MultimodalQueries {
       |  substr(md5(text), 1, 8) AS head_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** m05: the video-mixer alpha-composite (#23,
+    * functions/ImageKernel.mergeImages — the C++ kernel's
+    * `out = ((255−α)·out + α·src) div 255` fold) as oracle-checked
+    * per-channel integer math. Clicks are layer-A "pixels", views
+    * layer-B, paired per pipeline by rank; compositing starts on the
+    * black canvas and applies A then B — exactly the kernel's layer
+    * loop, which CodecSpec pins to this formula on byte frames. */
+  private def m05(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.eventsMs(s, d)
+    def layer(t: String, sa: String, aa: String) = {
+      val w = Window.partitionBy(col("pipeline"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      e.filter(col("event_type") === t)
+        .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+          col("event_id"),
+          (abs(floor(col("value") * 10).cast(LongType)) % 256).as(sa),
+          (col("event_id") % 256).as(aa))
+        .withColumn("k", row_number().over(w).cast(LongType) - 1)
+        .drop("ts_ms", "event_id")
+    }
+    val a = layer("click", "s_a", "a_a")
+    val b = layer("view", "s_b", "a_b")
+    a.join(b, Seq("pipeline", "k"))
+      .withColumn("cur1", expr("(a_a * s_a) div 255"))
+      .withColumn("blended",
+        expr("((255 - a_b) * cur1 + a_b * s_b) div 255"))
+      .select(col("pipeline"), col("k"), col("s_a"), col("a_a"),
+        col("s_b"), col("a_b"), col("blended"))
+      .orderBy(col("pipeline"), col("k"))
+  }
+
+  private val m05Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, event_type,
+      |    epoch_ms(ts) AS ts_ms, event_id,
+      |    abs(CAST(floor(value * 10) AS BIGINT)) % 256 AS s,
+      |    event_id % 256 AS a
+      |  FROM events WHERE event_type IN ('click','view')),
+      |la AS (SELECT pipeline, s AS s_a, a AS a_a,
+      |    CAST(row_number() OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS k
+      |  FROM e WHERE event_type = 'click'),
+      |lb AS (SELECT pipeline, s AS s_b, a AS a_b,
+      |    CAST(row_number() OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS k
+      |  FROM e WHERE event_type = 'view'),
+      |j AS (SELECT la.pipeline, la.k, s_a, a_a, s_b, a_b,
+      |        (a_a * s_a) // 255 AS cur1
+      |      FROM la JOIN lb ON la.pipeline = lb.pipeline AND la.k = lb.k)
+      |SELECT pipeline, k, s_a, a_a, s_b, a_b,
+      |  ((255 - a_b) * cur1 + a_b * s_b) // 255 AS blended
+      |FROM j ORDER BY pipeline, k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
     Q("m03_decode_stub", m03, Some(m03Sql)),
+    Q("m05_video_blend", m05, Some(m05Sql)),
   )
 }

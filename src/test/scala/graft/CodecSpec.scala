@@ -69,6 +69,30 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeImages == the m05 blend formula per channel (RGBA, two " +
+      "layers over black)") {
+    val rnd = new scala.util.Random(11)
+    val n = 64
+    def frame(s: Array[Int], a: Array[Int]): Array[Byte] = {
+      val f = new Array[Byte](n * 4)
+      (0 until n).foreach { i =>
+        f(4 * i) = s(i).toByte; f(4 * i + 1) = s(i).toByte
+        f(4 * i + 2) = s(i).toByte; f(4 * i + 3) = a(i).toByte
+      }
+      f
+    }
+    val (sA, aA) = (Array.fill(n)(rnd.nextInt(256)), Array.fill(n)(rnd.nextInt(256)))
+    val (sB, aB) = (Array.fill(n)(rnd.nextInt(256)), Array.fill(n)(rnd.nextInt(256)))
+    val out = graft.functions.ImageKernel.mergeImages(
+      Seq(frame(sA, aA), frame(sB, aB)), alphaFront = false)
+    (0 until n).foreach { i =>
+      val cur1 = aA(i) * sA(i) / 255
+      val want = ((255 - aB(i)) * cur1 + aB(i) * sB(i)) / 255
+      assert((out(4 * i) & 0xff) == want, s"pixel $i")
+      assert((out(4 * i + 3) & 0xff) == 255) // output alpha forced
+    }
+  }
+
   test("stretchLinear == the p08 grid formula on random arrays") {
     val rnd = new scala.util.Random(7)
     (1 to 20).foreach { _ =>
