@@ -164,10 +164,61 @@ object MultimodalQueries {
       |  ((255 - a_b) * cur1 + a_b * s_b) // 255 AS blended
       |FROM j ORDER BY pipeline, k""".stripMargin
 
+  /** m06: the video-layout placement (#24, ImageKernel.layout /
+    * videolayout.py:79-91): an 8×6 "frame" of per-pipeline click
+    * values is nearest-neighbor-scaled to 12×9 and pasted at
+    * (top=2, left=3) on a 20×15 canvas — `src = (y·inH div placeH,
+    * x·inW div placeW)`, the kernel's exact integer mapping (pinned by
+    * KernelSpec/CodecSpec on byte frames). Emits the placed pixels. */
+  private def m06(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val samples = graft.Tables.eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+        col("event_id"),
+        (abs(floor(col("value") * 10).cast(LongType)) % 256).as("v"))
+      .withColumn("k", row_number().over(w).cast(LongType) - 1)
+      .filter(col("k") < 48) // 8×6 frame
+      .select(col("pipeline"), col("k"), col("v"))
+    val grid = s.range(12L * 9)
+      .select(expr("id div 12").as("y"), expr("id % 12").as("x"))
+      .select(col("y"), col("x"),
+        expr("y * 6 div 9").as("src_y"), expr("x * 8 div 12").as("src_x"))
+      .withColumn("sk", expr("src_y * 8 + src_x"))
+    samples.select(col("pipeline")).distinct()
+      .crossJoin(broadcast(grid)) // 2 × 108 placement cells
+      .join(samples.withColumnRenamed("k", "sk"), Seq("pipeline", "sk"))
+      .select(col("pipeline"), (col("y") + 2).as("out_y"),
+        (col("x") + 3).as("out_x"), col("src_y"), col("src_x"), col("v"))
+      .orderBy(col("pipeline"), col("out_y"), col("out_x"))
+  }
+
+  private val m06Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, epoch_ms(ts) AS ts_ms,
+      |    event_id, abs(CAST(floor(value * 10) AS BIGINT)) % 256 AS v
+      |  FROM events WHERE event_type = 'click'),
+      |samples AS (SELECT pipeline, v,
+      |    CAST(row_number() OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS k
+      |  FROM e QUALIFY k < 48),
+      |grid0 AS (SELECT unnest(range(0, 108)) AS id),
+      |grid AS (SELECT id // 12 AS y, id % 12 AS x,
+      |    (id // 12) * 6 // 9 AS src_y, (id % 12) * 8 // 12 AS src_x
+      |  FROM grid0),
+      |cells AS (SELECT p.pipeline, g.y, g.x, g.src_y, g.src_x,
+      |    g.src_y * 8 + g.src_x AS sk
+      |  FROM (SELECT DISTINCT pipeline FROM samples) p, grid g)
+      |SELECT c.pipeline, c.y + 2 AS out_y, c.x + 3 AS out_x,
+      |  c.src_y, c.src_x, s.v
+      |FROM cells c JOIN samples s ON s.pipeline = c.pipeline AND s.k = c.sk
+      |ORDER BY c.pipeline, out_y, out_x""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
     Q("m03_decode_stub", m03, Some(m03Sql)),
     Q("m05_video_blend", m05, Some(m05Sql)),
+    Q("m06_video_layout", m06, Some(m06Sql)),
   )
 }

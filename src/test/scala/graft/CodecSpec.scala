@@ -93,6 +93,22 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("layout == the m06 placement formula (8x6 -> 12x9 at (2,3) on " +
+      "20x15)") {
+    val rnd = new scala.util.Random(13)
+    val (inW, inH, pW, pH, top, left, outW, outH) = (8, 6, 12, 9, 2, 3, 20, 15)
+    val vals = Array.fill(inW * inH)(rnd.nextInt(256))
+    val frame = new Array[Byte](inW * inH * 4)
+    vals.zipWithIndex.foreach { case (v, i) => frame(4 * i) = v.toByte }
+    val out = graft.functions.ImageKernel.layout(frame, inW, inH,
+      pW, pH, top, left, outW, outH)
+    for (y <- 0 until pH; x <- 0 until pW) {
+      val want = vals((y * inH / pH) * inW + (x * inW / pW))
+      assert((out(((top + y) * outW + (left + x)) * 4) & 0xff) == want,
+        s"cell ($y,$x)")
+    }
+  }
+
   test("stretchLinear == the p08 grid formula on random arrays") {
     val rnd = new scala.util.Random(7)
     (1 to 20).foreach { _ =>

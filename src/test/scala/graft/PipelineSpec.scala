@@ -121,6 +121,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((Seq(3.0), Seq((20L, 0.0), (25L, 1.0), (45L, 0.0)))))
   }
 
+  test("pause markers propagate through a STREAMING deployment across " +
+      "micro-batches (gate fail-closed end-to-end)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Boolean, Long)]
+    val memC = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Boolean, Long)]
+    def env(m: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Boolean, Long)]) =
+      m.toDS().toDF("ts", "value", "paused", "seq")
+        .select(col("ts"), col("value"), lit(null).cast("string").as("text"),
+          col("paused"), col("seq"))
+    val dep = Deployment("pp", Seq(
+      TaskSpec("sa", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("sc", SourceOp(IOMeta.number), Nil, "ctrl"),
+      TaskSpec("g", GateOp(failOpen = false), Seq("a", "ctrl"), "gated")))
+    val out = Pipeline.compile(dep,
+      Map("a" -> env(memA), "ctrl" -> env(memC)))("gated")
+    val q = out.writeStream.format("memory").queryName("pp_gated")
+      .outputMode("append").start()
+    try {
+      // batch 1: open, one data row through
+      memC.addData((20L, 1.0, false, 0L)); memA.addData((30L, 2.0, false, 1L))
+      q.processAllAvailable()
+      // batch 2: the control topic pauses (carried state) → closed
+      memC.addData((40L, 1.0, true, 2L)); memA.addData((50L, 3.0, false, 3L))
+      q.processAllAvailable()
+      // batch 3: resume marker → reopens with the remembered control
+      memC.addData((60L, 0.0, true, 4L)); memA.addData((70L, 4.0, false, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("pp_gated")
+        .select("ts", "value", "paused").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(x => (x._1, x._2))
+      assert(rows.filter(!_._3).map(x => (x._1, x._2)).toSeq ==
+        Seq((30L, 2.0), (70L, 4.0))) // 50 dropped while paused
+      assert(rows.filter(_._3).map(x => (x._1, x._2)).toSeq ==
+        Seq((20L, 0.0), (40L, 1.0), (60L, 0.0))) // open, pause, reopen
+    } finally q.stop()
+  }
+
   test("per-task status: schedule -> start -> stop transitions are " +
       "reported per task (task.py:80-88, task_web.py:267-299)") {
     import spark.implicits._
