@@ -392,6 +392,33 @@ object DedupQueries {
        |WHERE b.doc_id % 97 <> 0
        |GROUP BY b.doc_id, b.n ORDER BY b.doc_id""".stripMargin
 
+  /** The STREAMING dedup's per-row banding path
+    * (streaming/StreamingDedup.bandRows — array lambdas, no shuffle)
+    * hash-checked against the aggregate formulation of the same d02
+    * minhash family in DuckDB: identical signatures prove the online
+    * and batch dedup can never disagree on candidates. */
+  private def d08(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingDedup.bandRows(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"), col("band"))
+
+  private val d08Sql =
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
+       |        FROM docs WHERE len(w) >= 3),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
+       |mh AS (SELECT doc_id, seed,
+       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
+       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
+       |      GROUP BY doc_id, seed),
+       |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS s FROM mh GROUP BY doc_id)
+       |SELECT doc_id, band,
+       |  md5(array_to_string(s[band*4+1:band*4+4], ',')) AS bucket
+       |FROM (SELECT doc_id, s, unnest([0, 1]) AS band FROM sig)
+       |ORDER BY doc_id, band""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -400,5 +427,6 @@ object DedupQueries {
     Q("d05_embedding_neardup", d05, Some(d05Sql)),
     Q("d06_lsh_verified", d06, Some(d06Sql)),
     Q("d07_decontaminate", d07, Some(d07Sql)),
+    Q("d08_stream_bands", d08, Some(d08Sql)),
   )
 }

@@ -86,6 +86,15 @@ object Pipeline {
   final case class TimestampUpdaterOp(offsetMs: Long) extends Op {
     def inMeta = Seq(IOMeta(Map("type" -> "ts"))); def outMeta = IOMeta(Map("type" -> "ts"))
   }
+  /** Mux sink: one input per stream, bounded-desync interleave
+    * ([[graft.streaming.StateMachines.OutputContainerSync]]); the
+    * output carries (ts, dts in value, stream label in text). */
+  final case class OutputContainerOp(streams: Seq[OcStreamCfg],
+      maxDesync: Long) extends Op {
+    require(streams.nonEmpty, "output container needs at least one stream")
+    def inMeta = streams.map(_ => IOMeta(Map("type" -> "ts")))
+    def outMeta = IOMeta(Map("type" -> "ts"))
+  }
 
   final case class Deployment(name: String, tasks: Seq[TaskSpec])
 
@@ -187,6 +196,10 @@ object Pipeline {
     val key = s"$dep/${t.name}" // ≙ topic-space isolation per deployment
     t.op match {
       case SourceOp(_) => ins.head
+      case OutputContainerOp(cfgs, maxDesync) =>
+        runMachine(key,
+          new OutputContainerSync(cfgs.indices.map(i => i -> cfgs(i)).toMap,
+            maxDesync), ins)
       case GateOp(failOpen) => runMachine(key, new Gate(failOpen), ins)
       case SrLatchOp => runMachine(key, new SrLatch, ins)
       case CalculatorOp(formula, vars, defaults) =>

@@ -121,6 +121,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((Seq(3.0), Seq((20L, 0.0), (25L, 1.0), (45L, 0.0)))))
   }
 
+  test("a deployment can end in an output container: gate -> mux with " +
+      "bounded desync (outputcontainer.py wired into the DSL)") {
+    import graft.streaming.StateMachines.OcStreamCfg
+    val audio = env(Seq((1000L, 1.0), (1050L, 2.0)))
+    val video = env(Seq((1010L, 3.0), (1040L, 4.0)))
+    val dep = Deployment("mux", Seq(
+      TaskSpec("sa", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("sv", SourceOp(IOMeta.number), Nil, "v"),
+      TaskSpec("oc", OutputContainerOp(Seq(
+        OcStreamCfg(1, 32000, 1024, "audio"),
+        OcStreamCfg(1, 30, 1, "video")), maxDesync = 100),
+        Seq("a", "v"), "muxed")))
+    val out = Pipeline.compile(dep, Map("a" -> audio, "v" -> video))("muxed")
+      .select("ts", "value", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1).toLong, r.getString(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    // the ContainerSpec hand-trace: barrier at (1000,1010), then
+    // duration-ordered interleave with quantized dts
+    assert(out == Seq((1000L, 0L, "audio"), (1010L, 0L, "video"),
+      (1040L, 1L, "video"), (1050L, 1600L, "audio")))
+  }
+
   test("pause markers propagate through a STREAMING deployment across " +
       "micro-batches (gate fail-closed end-to-end)") {
     import spark.implicits._

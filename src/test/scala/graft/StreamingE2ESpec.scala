@@ -106,6 +106,32 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming MinHash-LSH near-dup flags copies across batches " +
+      "(bucket owners in the state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words that share no shingles at all here"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupStream(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lsh_dups")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, txt), (2L, other))
+      q.processAllAvailable()
+      assert(spark.table("lsh_dups").count() == 0) // both are novel
+      // batch 2: an exact copy of doc 1 (all bands collide) and a
+      // fresh doc — the copy is flagged against the batch-1 owner
+      mem.addData((3L, txt), (4L, "yet more unrelated text with plenty of fresh tokens inside"))
+      q.processAllAvailable()
+      val dups = spark.table("lsh_dups")
+        .select("docId", "dupOf").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups == Set((3L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup with watermark drops duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
