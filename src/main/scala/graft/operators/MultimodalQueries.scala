@@ -214,11 +214,110 @@ object MultimodalQueries {
       |FROM cells c JOIN samples s ON s.pipeline = c.pipeline AND s.k = c.sk
       |ORDER BY c.pipeline, out_y, out_x""".stripMargin
 
+  /** m07: CTC greedy decoding — the decode step of every CTC ASR head
+    * (#34; the model forward pass stays a mapPartitions mount like
+    * m03, but argmax → collapse-repeats → drop-blanks is pure
+    * relational math). Frames are per-pipeline click events; the
+    * 4-class "logits" are deterministic integers; class 0 is the
+    * blank. A frame survives iff its class differs from the previous
+    * frame's (lag) and is not blank. */
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    def score(c: Int) =
+      (floor(col("value") * 100).cast(LongType) * (c + 3)
+        + col("event_id") * (c + 1)) % 97
+    val frames = graft.Tables.eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+        col("event_id"),
+        score(0).as("s0"), score(1).as("s1"),
+        score(2).as("s2"), score(3).as("s3"))
+      .withColumn("frame", row_number().over(w).cast(LongType) - 1)
+      // argmax with ties to the lowest class id
+      .withColumn("cls",
+        when(col("s0") >= col("s1") && col("s0") >= col("s2")
+          && col("s0") >= col("s3"), 0L)
+          .when(col("s1") >= col("s2") && col("s1") >= col("s3"), 1L)
+          .when(col("s2") >= col("s3"), 2L).otherwise(3L))
+    val fw = Window.partitionBy(col("pipeline")).orderBy(col("frame"))
+    frames
+      .withColumn("prev", lag(col("cls"), 1, -1L).over(fw))
+      .filter(col("cls") =!= col("prev") && col("cls") =!= 0)
+      .select(col("pipeline"), col("frame"), col("cls"))
+      .orderBy(col("pipeline"), col("frame"))
+  }
+
+  private val m07Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, epoch_ms(ts) AS ts_ms,
+      |    event_id,
+      |    (CAST(floor(value * 100) AS BIGINT) * 3 + event_id * 1) % 97 AS s0,
+      |    (CAST(floor(value * 100) AS BIGINT) * 4 + event_id * 2) % 97 AS s1,
+      |    (CAST(floor(value * 100) AS BIGINT) * 5 + event_id * 3) % 97 AS s2,
+      |    (CAST(floor(value * 100) AS BIGINT) * 6 + event_id * 4) % 97 AS s3
+      |  FROM events WHERE event_type = 'click'),
+      |f AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS frame,
+      |    CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+      |         WHEN s1 >= s2 AND s1 >= s3 THEN 1
+      |         WHEN s2 >= s3 THEN 2 ELSE 3 END AS cls
+      |  FROM e),
+      |c AS (SELECT *, lag(cls, 1, -1) OVER (PARTITION BY pipeline ORDER BY frame) AS prev
+      |      FROM f)
+      |SELECT pipeline, frame, CAST(cls AS BIGINT) AS cls
+      |FROM c WHERE cls <> prev AND cls <> 0
+      |ORDER BY pipeline, frame""".stripMargin
+
+  /** m08: the FastSpeech2 length regulator (#35) — expand each token
+    * to `duration` output frames at its cumulative offset; the core
+    * non-NN operator of the TTS pipeline (durations would come from
+    * the predictor head; here a deterministic stand-in 1-3). Window
+    * cumsum for offsets + one explode: fully relational, no state. */
+  private def m08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val toks = graft.Tables.eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+        col("event_id"),
+        (abs(floor(col("value") * 10).cast(LongType)) % 50).as("phoneme"),
+        (col("event_id") % 3 + 1).as("dur"))
+      .withColumn("tok", row_number().over(w).cast(LongType) - 1)
+      .withColumn("off",
+        coalesce(sum(col("dur")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+    toks
+      .select(col("pipeline"), col("tok"), col("phoneme"), col("off"),
+        explode(sequence(lit(0L), col("dur") - 1)).as("k"))
+      .select(col("pipeline"), col("tok"), col("phoneme"),
+        (col("off") + col("k")).as("frame"))
+      .orderBy(col("pipeline"), col("frame"))
+  }
+
+  private val m08Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, epoch_ms(ts) AS ts_ms,
+      |    event_id,
+      |    abs(CAST(floor(value * 10) AS BIGINT)) % 50 AS phoneme,
+      |    event_id % 3 + 1 AS dur
+      |  FROM events WHERE event_type = 'view'),
+      |t AS (SELECT *,
+      |    CAST(row_number() OVER w - 1 AS BIGINT) AS tok,
+      |    CAST(COALESCE(sum(dur) OVER (PARTITION BY pipeline
+      |      ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM e WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, event_id))
+      |SELECT pipeline, tok, phoneme, off + unnest(range(0, dur)) AS frame
+      |FROM t ORDER BY pipeline, frame""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
     Q("m03_decode_stub", m03, Some(m03Sql)),
     Q("m05_video_blend", m05, Some(m05Sql)),
     Q("m06_video_layout", m06, Some(m06Sql)),
+    Q("m07_ctc_decode", m07, Some(m07Sql)),
+    Q("m08_length_regulator", m08, Some(m08Sql)),
   )
 }
