@@ -4,9 +4,47 @@ import graft.streaming.StateMachines._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** TimeSynchronizer (utils.py:299-304) and the wall-clock repeater mode
-  * (repeater.py:36-69) under a deterministic injected clock — no Spark
-  * session needed, the machines are pure. */
-class TimeSyncSpec extends AnyFunSuite {
+  * (repeater.py:36-69) under a deterministic injected clock — the
+  * machines are pure; one streaming test exercises the re-arming
+  * processing-time timeout (removeOnTimeout = false). */
+class TimeSyncSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("timesync-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("wall-clock repeater keeps ticking in streaming: the timeout " +
+      "re-arms instead of dropping state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulRunner
+    import graft.streaming.StatefulRunner.{KEv, KOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[KEv]
+    val m = new WallClockRepeater(() => System.currentTimeMillis())
+    val q = StatefulRunner.runStreaming(m, mem.toDS(), timeoutMs = 200)
+      .writeStream.format("memory").queryName("wallrep_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(KEv("k", 0, 1000L, 42.0, null, false, 0))
+      // with removeOnTimeout=false the query is never quiescent
+      // (every timeout re-arms), so processAllAvailable would wait
+      // forever — poll the sink until at least 2 unprompted ticks
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def ticks() = spark.table("wallrep_out").as[KOut].collect().toSeq
+      while (ticks().size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val got = ticks()
+      assert(got.size >= 2, "repeater stopped after one timeout")
+      assert(got.forall(_.value == 42.0))
+    } finally q.stop()
+  }
 
   private final class FakeClock(var now: Long) extends (() => Long)
       with Serializable {
