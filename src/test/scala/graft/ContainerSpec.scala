@@ -119,6 +119,53 @@ class ContainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(o => o.text == "a" && o.ts == 1060L))
   }
 
+  test("invariants hold on random packet streams (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // per-topic monotone ts on a coarse grid (quantum-scale gaps so
+    // blocking, mux-outrun and drops all occur), random interleave
+    val genStream: Gen[Seq[Ev]] = for {
+      na <- Gen.choose(0, 25)
+      nv <- Gen.choose(0, 25)
+      aGaps <- Gen.listOfN(na, Gen.choose(5L, 60L))
+      vGaps <- Gen.listOfN(nv, Gen.choose(5L, 60L))
+      seed <- Gen.choose(0L, 1000000L)
+    } yield {
+      val as = aGaps.scanLeft(1000L)(_ + _).tail.map(a(_))
+      val vs = vGaps.scanLeft(1000L)(_ + _).tail.map(v(_))
+      new scala.util.Random(seed).shuffle(as ++ vs): Seq[Ev]
+    }
+    val prop = Prop.forAll(genStream) { evs =>
+      // per-topic arrival must be ts-monotone for a fair run: the
+      // shuffle interleaves topics but keeps each topic's own order
+      val ordered = {
+        val byT = evs.groupBy(_.topic).map { case (t, es) =>
+          t -> es.sortBy(_.ts)
+        }
+        var idx = Map(0 -> 0, 1 -> 0)
+        evs.map { e =>
+          val i = idx(e.topic); idx += e.topic -> (i + 1); byT(e.topic)(i)
+        }
+      }
+      val (out, _) = trace(machine, ordered)
+      val byLabel = out.groupBy(_.text)
+      val dtsMonotone = byLabel.values.forall { os =>
+        val ds = os.map(_.value.toLong)
+        ds == ds.sorted && ds.distinct == ds // strictly increasing
+      }
+      val inputTs = ordered.groupBy(e => if (e.topic == 0) "a" else "v")
+        .map { case (k, es) => k -> es.map(_.ts).toSet }
+      val fromInputs = out.forall(o => inputTs(o.text).contains(o.ts))
+      val barrier = // nothing emitted unless both topics sent packets
+        out.isEmpty || (inputTs.contains("a") && inputTs.contains("v")
+          && inputTs("a").nonEmpty && inputTs("v").nonEmpty)
+      val bounded = out.size <= ordered.size
+      dtsMonotone && fromInputs && barrier && bounded
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(100).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("container sync keeps t0/counters across micro-batches " +
       "(MemoryStream)") {
     import spark.implicits._
