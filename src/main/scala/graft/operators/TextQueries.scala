@@ -253,6 +253,53 @@ object TextQueries {
       |  CAST(max(c) AS DOUBLE) / sum(c) AS top_share
       |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Domain mixing (the sampling step of every multi-source training
+    * mix): downsample each source to the smallest source's token
+    * budget with a DETERMINISTIC per-doc Bernoulli draw — u(doc) =
+    * 40-bit md5 of the doc id, kept iff u·tok_source < minTok·2^40
+    * (exact integer compare, identical in both engines; no RNG, so
+    * the sample is reproducible and shard-stable at any scale).
+    * Emits the per-source before/after budget audit. */
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("tok"))
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(col("tok")).as("tok_src"))
+    val minTok = perSrc.agg(min(col("tok_src")).as("min_tok"))
+    docs
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(minTok)) // 1-row budget bound
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 10), 16, 10)
+          .cast(LongType))
+      .withColumn("kept",
+        col("u") * col("tok_src") < col("min_tok") * lit(1099511627776L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+        sum(col("tok")).cast(LongType).as("tok_total"),
+        sum(when(col("kept"), col("tok")).otherwise(0L)).cast(LongType)
+          .as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val t08Sql =
+    """WITH docs AS (SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |ps AS (SELECT source, sum(tok) AS tok_src FROM docs GROUP BY source),
+      |mn AS (SELECT min(tok_src) AS min_tok FROM ps),
+      |k AS (SELECT d.source, d.tok,
+      |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+      |      * ps.tok_src < mn.min_tok * 1099511627776 AS kept
+      |  FROM docs d JOIN ps USING (source), mn)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(tok) AS BIGINT) AS tok_total,
+      |  CAST(sum(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT) AS tok_kept
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -261,5 +308,6 @@ object TextQueries {
     Q("t05_ngram_profile", t05, Some(t05Sql)),
     Q("t06_sentence_split", t06, Some(t06Sql)),
     Q("t07_repetition", t07, Some(t07Sql)),
+    Q("t08_domain_mix", t08, Some(t08Sql)),
   )
 }
