@@ -493,6 +493,58 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** As-of join — per-user, each click joined to the most recent
+    * signup at-or-before it (the temporal-join primitive the reference
+    * lacks and financial/feature pipelines need; SURVEY §2.7).
+    *
+    * Deliberately DIFFERENT mechanisms on the two engines: Spark uses
+    * the scalable sorted-union + running-last shape (one shuffle by
+    * user, O(n log n), no range-join explosion); the oracle uses
+    * DuckDB's NATIVE `ASOF JOIN`. A hash match cross-validates the
+    * formulation itself, not just its transcription. Ties: a signup
+    * at the click's exact timestamp counts (>=), multiple signups at
+    * one (user, ts) dedupe to the highest event id. */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.eventsMs(s, d)
+    val w = Window.partitionBy(col("user_id"), col("ts_ms"))
+      .orderBy(col("event_id").desc)
+    val sgn = e.filter(col("event_type") === "signup")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_ms").as("sg_ts"),
+        col("value").as("sg_value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        lit(null).cast(LongType).as("sg_ts"),
+        lit(null).cast(DoubleType).as("sg_value"), lit(0).as("is_sg"))
+    val u = clicks.unionByName(sgn.select(col("user_id"),
+      lit(null).cast(LongType).as("event_id"), col("sg_ts").as("ts_ms"),
+      col("sg_ts"), col("sg_value"), lit(1).as("is_sg")))
+    val rw = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_sg").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("last_sg_ts", last(col("sg_ts"), ignoreNulls = true).over(rw))
+      .withColumn("last_sg_value",
+        last(col("sg_value"), ignoreNulls = true).over(rw))
+      .filter(col("is_sg") === 0 && col("last_sg_ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("last_sg_ts"), col("last_sg_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q26Sql =
+    """WITH e AS (SELECT *, epoch_ms(ts) AS ts_ms FROM events),
+      |sg AS (SELECT user_id, ts_ms AS sg_ts, value AS sg_value
+      |       FROM e WHERE event_type = 'signup'
+      |       QUALIFY row_number() OVER (PARTITION BY user_id, ts_ms
+      |                                  ORDER BY event_id DESC) = 1),
+      |c AS (SELECT user_id, event_id, ts_ms FROM e WHERE event_type = 'click')
+      |SELECT c.user_id, c.event_id, c.ts_ms,
+      |  sg.sg_ts AS last_sg_ts, sg.sg_value AS last_sg_value
+      |FROM c ASOF JOIN sg
+      |  ON c.user_id = sg.user_id AND c.ts_ms >= sg.sg_ts
+      |ORDER BY c.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
@@ -519,5 +571,6 @@ object Relational {
     Q("q23_exact_median", q23, Some(q23Sql)),
     Q("q24_union", q24, Some(q24Sql)),
     Q("q25_grouping_sets", q25, Some(q25Sql)),
+    Q("q26_asof_join", q26, Some(q26Sql)),
   )
 }
