@@ -5,11 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [namePrefix] — the optional prefix restricts
-    // to matching queries (local iteration; the driver always passes 2).
+    // args: <sfDir> <outDir> [prefixes] — optional comma-separated name
+    // prefixes restrict to matching queries (local iteration; the
+    // driver always passes 2).
     val (sfDir, outDir, only) = args match {
-      case Array(a, b)    => (a, b, None)
-      case Array(a, b, c) => (a, b, Some(c))
+      case Array(a, b)    => (a, b, Seq.empty[String])
+      case Array(a, b, c) => (a, b, c.split(",").toSeq)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -26,7 +27,8 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(name.startsWith) }
+      .filter { case (name, _) =>
+        only.isEmpty || only.exists(name.startsWith) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -53,7 +55,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(k.startsWith) }
+      .filter { case (k, _) => only.isEmpty || only.exists(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

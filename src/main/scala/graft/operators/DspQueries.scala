@@ -294,6 +294,11 @@ object DspQueries {
     val counts = samples.groupBy(col("pipeline"))
       .agg(count(lit(1)).as("n"))
       .withColumn("m", (col("n") * 2 / 3).cast(LongType)) // 48k → 32k
+      // m=1 would divide by zero in the grid position (Spark NaN vs a
+      // DuckDB CAST error — the engines diverge); a 1-sample output
+      // grid has no interpolation interval, so exclude degenerate
+      // pipelines identically on both sides.
+      .filter(col("m") >= 2)
     val grid = counts
       .select(col("pipeline"), col("n"), col("m"),
         explode(sequence(lit(0L), col("m") - 1)).as("j"))
@@ -321,8 +326,9 @@ object DspQueries {
        |samples AS (SELECT pipeline, v,
        |    CAST(row_number() OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS i
        |  FROM e),
-       |counts AS (SELECT pipeline, count(*) AS n, (count(*) * 2) // 3 AS m
-       |  FROM samples GROUP BY pipeline),
+       |counts AS (SELECT * FROM (
+       |    SELECT pipeline, count(*) AS n, (count(*) * 2) // 3 AS m
+       |    FROM samples GROUP BY pipeline) WHERE m >= 2),
        |grid0 AS (SELECT pipeline, n, m, unnest(range(0, m)) AS j FROM counts),
        |grid AS (SELECT *, CAST(j AS DOUBLE) * (n - 1) / (m - 1) AS pos
        |  FROM grid0),

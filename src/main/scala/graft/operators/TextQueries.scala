@@ -273,8 +273,13 @@ object TextQueries {
       .withColumn("u",
         conv(substring(md5(col("doc_id").cast(StringType)), 1, 10), 16, 10)
           .cast(LongType))
+      // 128-bit exact compare (Spark DECIMAL(38,0) ≡ DuckDB HUGEINT):
+      // u·tok_src overflows Long once a source exceeds ~2^23 tokens
+      // (u is 40-bit), and Spark would wrap silently where DuckDB
+      // raises — decimal keeps both engines exact at any corpus size.
       .withColumn("kept",
-        col("u") * col("tok_src") < col("min_tok") * lit(1099511627776L))
+        col("u").cast(DecimalType(38, 0)) * col("tok_src") <
+          col("min_tok").cast(DecimalType(38, 0)) * lit(1099511627776L))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).cast(LongType).as("n_kept"),
@@ -291,8 +296,8 @@ object TextQueries {
       |ps AS (SELECT source, sum(tok) AS tok_src FROM docs GROUP BY source),
       |mn AS (SELECT min(tok_src) AS min_tok FROM ps),
       |k AS (SELECT d.source, d.tok,
-      |    CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
-      |      * ps.tok_src < mn.min_tok * 1099511627776 AS kept
+      |    CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT) AS HUGEINT)
+      |      * ps.tok_src < CAST(mn.min_tok AS HUGEINT) * 1099511627776 AS kept
       |  FROM docs d JOIN ps USING (source), mn)
       |SELECT source, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -327,7 +327,7 @@ final class PipelineManager(spark: SparkSession) {
 
   private final case class Running(dep: Deployment,
       planned: Seq[(String, DataFrame)], queries: Seq[StreamingQuery],
-      explicitStop: Boolean)
+      explicitStop: Boolean, terminal: Option[TaskStatus] = None)
   private var deployments = Map.empty[String, Running]
   private var listeners = Seq.empty[TaskReport => Unit]
 
@@ -343,7 +343,10 @@ final class PipelineManager(spark: SparkSession) {
     * reference's schedule call. */
   def schedule(dep: Deployment, sources: Map[String, DataFrame],
       sinks: Seq[String]): Unit = {
-    require(!deployments.contains(dep.name),
+    // Terminal deployments stay observable in the map (task.py:227-235
+    // keeps differentiated terminal statuses); only a live one blocks
+    // re-scheduling under the same name.
+    require(deployments.get(dep.name).forall(_.terminal.isDefined),
       s"deployment '${dep.name}' already scheduled")
     val streams = compile(dep, sources)
     deployments += dep.name ->
@@ -380,7 +383,7 @@ final class PipelineManager(spark: SparkSession) {
     deployments.get(name) match {
       case None => Map.empty
       case Some(r) =>
-        val st: TaskStatus =
+        val st: TaskStatus = r.terminal.getOrElse {
           if (r.queries.isEmpty) TaskStatus.Scheduled
           else r.queries.flatMap(_.exception).headOption match {
             case Some(e) => TaskStatus.Failed(e.getMessage)
@@ -388,6 +391,7 @@ final class PipelineManager(spark: SparkSession) {
             case None if r.explicitStop => TaskStatus.Stopped
             case None => TaskStatus.Ended
           }
+        }
         r.dep.tasks.map(_.name -> st).toMap
     }
 
@@ -401,11 +405,24 @@ final class PipelineManager(spark: SparkSession) {
       case _ => "stopped"
     }
 
+  /** Stop a deployment, broadcasting its TRUE terminal status: a query
+    * that already failed reports Failed, one whose source drained
+    * reports Ended, and only an interrupted live run reports Stopped
+    * (task.py:227-235's differentiated terminals). The deployment is
+    * retained so post-stop taskStatus still reflects that terminal. */
   def stop(name: String): Unit = {
     deployments.get(name).foreach { r =>
+      val terminal: TaskStatus =
+        if (r.queries.isEmpty) TaskStatus.Stopped
+        else r.queries.flatMap(_.exception).headOption match {
+          case Some(e) => TaskStatus.Failed(e.getMessage)
+          case None if r.queries.forall(_.isActive) => TaskStatus.Stopped
+          case None => TaskStatus.Ended
+        }
       r.queries.foreach(_.stop())
-      broadcastAll(r.dep, TaskStatus.Stopped)
+      deployments += name ->
+        r.copy(explicitStop = true, terminal = Some(terminal))
+      broadcastAll(r.dep, terminal)
     }
-    deployments -= name
   }
 }

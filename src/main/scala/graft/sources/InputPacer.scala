@@ -33,9 +33,15 @@ object InputPacer {
 
   /** Stream-local dts → container-relative offset ms:
     * `convert_position(dts, 1/1000)` = floor(dts · tbNum · 1000 / tbDen)
-    * (media/container.py:81). */
-  def offsetMs(dts: Column, tbNum: Column, tbDen: Column): Column =
-    floor(dts * tbNum * lit(1000) / tbDen).cast("long")
+    * (media/container.py:81). Exact Long arithmetic throughout — true
+    * division would promote to Double and lose exactness past 2^53
+    * ticks, diverging from the reference's Fraction math (and the
+    * DuckDB oracle's integer `//`). `pmod` makes the numerator an
+    * exact multiple, so truncating `div` equals floor for any sign. */
+  def offsetMs(dts: Column, tbNum: Column, tbDen: Column): Column = {
+    val num = dts * tbNum * lit(1000L)
+    call_function("div", num - pmod(num, tbDen), tbDen)
+  }
 
   /** Restamp packets onto the anchored timeline. Input columns:
     * `container` (grouping key), `stream`, `dts`, `tb_num`, `tb_den`.
@@ -52,20 +58,40 @@ object InputPacer {
         lit(anchorMs) - min(col("offset_ms")).over(w) + col("offset_ms"))
   }
 
-  /** Real-time paced emission: `rate` ticks every `tickMs` join the
-    * restamped packets on `bucket = ceil(offset/tickMs)`, so packet
-    * with offset o is released on the first tick at or after o. The
-    * static side is broadcast; the stream side holds no state. */
+  /** Integer ticks/second for a requested granularity: the `rate`
+    * source only takes integer rowsPerSecond, so we run it at
+    * R = min(1000, ceil(1000/tickMs)) ticks/s — a resolution of
+    * 1000/R ms, at most the requested tickMs (finer when tickMs
+    * doesn't divide 1000). Tick v then fires at wall v·1000/R ms
+    * exactly, with no cumulative drift for any tickMs. */
+  def ticksPerSecond(tickMs: Long): Long = {
+    require(tickMs > 0, s"tickMs must be positive, got $tickMs")
+    math.min(1000L, (1000L + tickMs - 1) / tickMs)
+  }
+
+  /** First tick at or after a packet's due time: smallest v with
+    * v·1000/R ≥ relMs, i.e. ceil(relMs·R/1000) — exact integer
+    * arithmetic (relMs ≥ 0), so a packet is never released before its
+    * restamped time regardless of whether tickMs divides 1000 or
+    * exceeds 1000 (the truncated-rowsPerSecond formulation broke both
+    * cases: ~11% cumulative drift at 300 ms, unbounded-early at >1 s). */
+  def dueTick(relMs: Column, ratePerSec: Long): Column =
+    call_function("div", relMs * lit(ratePerSec) + lit(999L), lit(1000L))
+
+  /** Real-time paced emission: `rate` ticks at [[ticksPerSecond]] join
+    * the restamped packets on their [[dueTick]], so a packet with
+    * relative offset o is released on the first tick at or after o.
+    * The static side is broadcast; the stream side holds no state. */
   def paced(spark: SparkSession, packets: DataFrame, anchorMs: Long,
       tickMs: Long): DataFrame = {
+    val r = ticksPerSecond(tickMs)
     val stamped = restamp(packets, anchorMs)
       .withColumn("rel_ms", col("offset_ms") -
         min(col("offset_ms")).over(Window.partitionBy(col("container"))))
-      // exact integer ceil: first tick at or after the packet's due time
-      .withColumn("bucket", expr(s"(rel_ms + ${tickMs - 1}) div $tickMs"))
+      .withColumn("bucket", dueTick(col("rel_ms"), r))
     val ticks = spark.readStream
       .format("rate")
-      .option("rowsPerSecond", (1000.0 / tickMs).max(1.0).toInt)
+      .option("rowsPerSecond", r)
       .load()
       .select(col("value").as("bucket"), col("timestamp").as("tick_wall"))
     ticks.join(broadcast(stamped), Seq("bucket"))

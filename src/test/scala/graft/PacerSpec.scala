@@ -49,6 +49,30 @@ class PacerSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "video", 3L, 100L, 10000L))) // its own first packet = anchor
   }
 
+  test("dueTick is the first tick at or after the due time for any " +
+      "tickMs, including non-divisors of 1000 and >1s granularities") {
+    import spark.implicits._
+    val rels = (Seq(0L, 1L, 199L, 200L, 299L, 300L, 999L, 1000L, 1499L,
+      1500L, 2999L, 3000L, 100000L) ++ (0 until 50).map(_ * 128L)).distinct
+    for (tickMs <- Seq(1L, 200L, 300L, 700L, 1000L, 1500L, 3000L)) {
+      val r = InputPacer.ticksPerSecond(tickMs)
+      assert(r >= 1 && r <= 1000 && 1000.0 / r <= math.max(tickMs, 1000L),
+        s"resolution 1000/$r must not exceed requested $tickMs (capped 1s)")
+      val got = rels.toDF("rel_ms")
+        .select(col("rel_ms"), InputPacer.dueTick(col("rel_ms"), r).as("v"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      rels.foreach { rel =>
+        val v = got(rel)
+        // never early: tick v fires at v*1000/R ms ≥ rel
+        assert(v * 1000 >= rel * r, s"tickMs=$tickMs rel=$rel v=$v early")
+        // first eligible: the previous tick would have been early
+        if (v > 0)
+          assert((v - 1) * 1000 < rel * r,
+            s"tickMs=$tickMs rel=$rel v=$v not the first eligible tick")
+      }
+    }
+  }
+
   test("paced source releases packets only when the wall clock reaches " +
       "their offset (inputcontainer.py:78-80)") {
     import spark.implicits._

@@ -239,7 +239,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       case other => fail(s"expected Failed, got $other")
     }
     assert(mgr.status("st2") == "failed")
+    // stop() must broadcast and retain the TRUE terminal (Failed, not
+    // Stopped) — task.py:227-235's differentiated terminal statuses
+    val reports = scala.collection.mutable.Buffer.empty[TaskReport]
+    mgr.onReport(reports += _)
     mgr.stop("st2")
+    assert(reports.nonEmpty && reports.forall(_.status match {
+      case TaskStatus.Failed(_) => true; case _ => false
+    }), s"stop must broadcast Failed for a failed deployment: $reports")
+    mgr.taskStatus("st2").values.foreach {
+      case TaskStatus.Failed(_) => ()
+      case other => fail(s"post-stop status must stay Failed, got $other")
+    }
   }
 
   test("lifecycle: start/status/stop a streaming deployment") {
