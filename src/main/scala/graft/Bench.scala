@@ -19,6 +19,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate clones a Generate's entire child
+      // expression into a synthesized filter and pushes it below the
+      // repartition — for explode(shingles(text)) that re-runs the
+      // whole corpus shingling serially in the single-task scan stage
+      // (measured 2-4x on every shingle-exploding query). The rule
+      // only ever skips empty/null arrays, which explode drops anyway.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -357,17 +357,22 @@ object DedupQueries {
     * shuffles; per-doc hit counts come from the map-side join
     * followed by one hash-aggregate keyed by doc. */
   private def d07(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+    // Shingle rows on RAW 3-gram strings: the output carries no hash
+    // values, so hashing buys nothing here — skipping the per-shingle
+    // md5 halves the CPU of the corpus pass. (At 100 TB the broadcast
+    // eval set would be hashed to 8-byte keys to shrink the broadcast
+    // — an exactness-preserving swap both engines can mirror.)
+    def shingleRows(docs: DataFrame): DataFrame = docs
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), shingles(col("text")).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast(LongType).as("n"),
-        explode(col("arr")).as("shs"))
-      .select(col("doc_id"), col("n"),
-        conv(substring(md5(col("shs").cast(BinaryType)), 1, 14), 16, 10)
-          .cast(LongType).as("sh"))
-    val evalSet = base.filter(col("doc_id") % 97 === 0)
+        explode(col("arr")).as("sh"))
+    val docs = Tables.documents(s, d)
+    // Eval filter pushed BELOW the shingle explode: only the 1/97 eval
+    // slice is tokenized for the broadcast side, not the whole corpus.
+    val evalSet = shingleRows(docs.filter(col("doc_id") % 97 === 0))
       .groupBy(col("sh")).agg(min(col("doc_id")).as("eval_doc"))
-    base.filter(col("doc_id") % 97 =!= 0)
+    shingleRows(docs.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(evalSet), "sh")
       .groupBy(col("doc_id"), col("n"))
       .agg(count(lit(1)).as("n_hits"), min(col("eval_doc")).as("min_eval_doc"))
@@ -379,12 +384,9 @@ object DedupQueries {
        |              FROM documents),
        |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
        |        FROM docs WHERE len(w) >= 3),
-       |h AS (SELECT doc_id,
-       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS sh
-       |      FROM shr),
-       |base AS (SELECT h.doc_id, n.n, h.sh
-       |         FROM h JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-       |                      FROM h GROUP BY doc_id) n USING (doc_id)),
+       |base AS (SELECT s.doc_id, n.n, s.sh
+       |         FROM shr s JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |                          FROM shr GROUP BY doc_id) n USING (doc_id)),
        |ev AS (SELECT sh, min(doc_id) AS eval_doc FROM base
        |       WHERE doc_id % 97 = 0 GROUP BY sh)
        |SELECT b.doc_id, b.n, count(*) AS n_hits, min(ev.eval_doc) AS min_eval_doc
