@@ -90,6 +90,55 @@ object Codec {
     }
   }
 
+  /** Inter-frame delta codec — the keyframe/P-frame structure every
+    * video encoder emits (media/videoencoder.py ensures keyframe
+    * flags; packet.py:6-36 carries `is_keyframe`): a keyframe stores
+    * the raw frame; a P-frame stores per-byte differences vs the
+    * previous RECONSTRUCTED frame, mod 256 (lossless here, so
+    * reconstructed == source). Decode folds deltas from the last
+    * keyframe. The per-pixel math is also expressed as Column/SQL
+    * integer expressions in MultimodalQueries.m09 so the DuckDB
+    * oracle hash-checks it; CodecSpec pins kernel == formula. */
+  object Delta {
+    val name = "frame-delta"
+
+    /** P-frame encode: (cur − prev) mod 256 per byte. */
+    def encodeP(cur: Array[Byte], prev: Array[Byte]): Array[Byte] = {
+      require(cur.length == prev.length, "frame size changed mid-GOP")
+      val out = new Array[Byte](cur.length)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((cur(i) - prev(i)) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** P-frame decode: (prev + delta) mod 256 per byte. */
+    def decodeP(delta: Array[Byte], prev: Array[Byte]): Array[Byte] = {
+      require(delta.length == prev.length, "frame size changed mid-GOP")
+      val out = new Array[Byte](delta.length)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((prev(i) + delta(i)) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Encode a group of pictures: frame 0 is the keyframe (stored
+      * raw), the rest are successive P-frames. */
+    def encodeGop(frames: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      frames.headOption.toSeq ++
+        frames.sliding(2).collect { case Seq(p, c) => encodeP(c, p) }
+
+    /** Decode a group of pictures back to raw frames. */
+    def decodeGop(packets: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      packets.headOption.map { key =>
+        packets.tail.scanLeft(key)((prev, d) => decodeP(d, prev))
+      }.getOrElse(Seq.empty)
+  }
+
   /** Pixel-format reformatter: RGBA ↔ BGRA channel swizzle — the
     * pure-JVM slice of the video reformatter; encode/decode are
     * inverses (the round-trip property the reference's codec tests

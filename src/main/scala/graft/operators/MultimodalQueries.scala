@@ -311,6 +311,115 @@ object MultimodalQueries {
       |SELECT pipeline, tok, phoneme, off + unnest(range(0, dur)) AS frame
       |FROM t ORDER BY pipeline, frame""".stripMargin
 
+  /** m09: the inter-frame delta codec (#27/28, Codec.Delta —
+    * videoencoder.py's keyframe/P-frame structure, packet.py:6-36's
+    * `is_keyframe`): per-pipeline click "pixels" form the frame
+    * sequence; every 4th frame is a keyframe storing the raw value,
+    * P-frames store (v − prev) mod 256, and the decoder reconstructs
+    * by folding stored deltas from the group's keyframe. `recon`
+    * must hash-equal `v` — encode∘decode = id proven in both
+    * engines (CodecSpec pins the byte-array kernel to this math). */
+  private def m09(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val frames = graft.Tables.eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+        col("event_id"),
+        (abs(floor(col("value") * 10).cast(LongType)) % 256).as("v"))
+      .withColumn("k", row_number().over(w).cast(LongType) - 1)
+      .withColumn("key_group", expr("k div 4"))
+      .withColumn("is_key", (col("k") % 4 === 0).cast(LongType))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("stored",
+        when(col("is_key") === 1, col("v"))
+          .otherwise((((col("v") - col("prev")) % 256) + 256) % 256))
+    val wg = Window.partitionBy(col("pipeline"), col("key_group"))
+      .orderBy(col("k"))
+    frames
+      .withColumn("recon",
+        (first(col("v")).over(wg) +
+          coalesce(sum(when(col("is_key") === 1, 0L)
+            .otherwise(col("stored"))).over(wg.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)), lit(0L)))
+          % 256)
+      .select(col("pipeline"), col("k"), col("key_group"), col("is_key"),
+        col("stored"), col("v"), col("recon"))
+      .orderBy(col("pipeline"), col("k"))
+  }
+
+  private val m09Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, epoch_ms(ts) AS ts_ms,
+      |    event_id, abs(CAST(floor(value * 10) AS BIGINT)) % 256 AS v
+      |  FROM events WHERE event_type = 'click'),
+      |f AS (SELECT *,
+      |    CAST(row_number() OVER w - 1 AS BIGINT) AS k,
+      |    lag(v, 1) OVER w AS prev
+      |  FROM e WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, event_id)),
+      |g AS (SELECT pipeline, k, k // 4 AS key_group,
+      |    CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS is_key, v,
+      |    CASE WHEN k % 4 = 0 THEN v
+      |         ELSE ((v - prev) % 256 + 256) % 256 END AS stored
+      |  FROM f)
+      |SELECT pipeline, k, key_group, CAST(is_key AS BIGINT) AS is_key,
+      |  CAST(stored AS BIGINT) AS stored, v,
+      |  CAST((first_value(v) OVER wg +
+      |    COALESCE(sum(CASE WHEN is_key = 1 THEN 0 ELSE stored END)
+      |      OVER (PARTITION BY pipeline, key_group ORDER BY k
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))
+      |    % 256 AS BIGINT) AS recon
+      |FROM g
+      |WINDOW wg AS (PARTITION BY pipeline, key_group ORDER BY k)
+      |ORDER BY pipeline, k""".stripMargin
+
+  /** m10: the video reformatter's pixel-format conversions (#26,
+    * videoreformatter.py:39-54, media/video.py:130-149) as
+    * oracle-checked integer math: BT.601 integer luma (RGBA → GRAY8),
+    * RGB565 packing (the bit-packed format change; expressed as
+    * exact mul/div so both engines agree), and alpha premultiply —
+    * the three conversion classes a reformatter performs. Byte-level
+    * swizzles live in Codec.RgbaBgra. */
+  private def m10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    graft.Tables.eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 2).as("pipeline"), col("ts_ms"),
+        col("event_id"),
+        (abs(floor(col("value") * 100).cast(LongType)) % 256).as("r"),
+        (abs(floor(col("value") * 10).cast(LongType)) % 256).as("g"),
+        ((col("event_id") * 7) % 256).as("b"),
+        (col("event_id") % 256).as("a"))
+      .withColumn("k", row_number().over(w).cast(LongType) - 1)
+      .withColumn("gray", expr("(r * 299 + g * 587 + b * 114) div 1000"))
+      .withColumn("rgb565",
+        expr("(r div 8) * 2048 + (g div 4) * 32 + (b div 8)"))
+      .withColumn("r_pre", expr("(r * a) div 255"))
+      .select(col("pipeline"), col("k"), col("r"), col("g"), col("b"),
+        col("a"), col("gray"), col("rgb565"), col("r_pre"))
+      .orderBy(col("pipeline"), col("k"))
+  }
+
+  private val m10Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, epoch_ms(ts) AS ts_ms,
+      |    event_id,
+      |    abs(CAST(floor(value * 100) AS BIGINT)) % 256 AS r,
+      |    abs(CAST(floor(value * 10) AS BIGINT)) % 256 AS g,
+      |    (event_id * 7) % 256 AS b,
+      |    event_id % 256 AS a
+      |  FROM events WHERE event_type = 'view'),
+      |f AS (SELECT *,
+      |    CAST(row_number() OVER (PARTITION BY pipeline
+      |      ORDER BY ts_ms, event_id) - 1 AS BIGINT) AS k
+      |  FROM e)
+      |SELECT pipeline, k, r, g, b, a,
+      |  (r * 299 + g * 587 + b * 114) // 1000 AS gray,
+      |  (r // 8) * 2048 + (g // 4) * 32 + (b // 8) AS rgb565,
+      |  (r * a) // 255 AS r_pre
+      |FROM f ORDER BY pipeline, k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -319,5 +428,7 @@ object MultimodalQueries {
     Q("m06_video_layout", m06, Some(m06Sql)),
     Q("m07_ctc_decode", m07, Some(m07Sql)),
     Q("m08_length_regulator", m08, Some(m08Sql)),
+    Q("m09_delta_codec", m09, Some(m09Sql)),
+    Q("m10_reformat", m10, Some(m10Sql)),
   )
 }

@@ -305,6 +305,53 @@ object TextQueries {
       |  CAST(sum(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT) AS tok_kept
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  /** t09: the llama.cpp chat rolling context (SURVEY §2.4 #36,
+    * inference/llamacppchat.py:49-77): each user message appends to a
+    * per-conversation context; on overflow the OLDEST messages are
+    * evicted until the token budget (512) fits. Token counts are
+    * positive, so the retained context after message i is exactly the
+    * maximal suffix with total tokens ≤ 512 — which a RANGE window
+    * frame over the token cumsum (511 PRECEDING .. CURRENT ROW)
+    * computes without any sequential state. Scale: partitioned by
+    * conversation; no cross-conversation traffic, fully codegen'd. */
+  private def t09(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("conv"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val msgs = Tables.eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 8).as("conv"), col("ts_ms"),
+        col("event_id"),
+        (abs(floor(col("value") * 37).cast(LongType)) % 120 + 1).as("tok"))
+      .withColumn("k", row_number().over(w).cast(LongType) - 1)
+      .withColumn("s_tok", sum(col("tok")).over(w))
+    val wr = Window.partitionBy(col("conv")).orderBy(col("s_tok"))
+      .rangeBetween(-511L, Window.currentRow)
+    msgs
+      .withColumn("ctx_msgs", count(lit(1)).over(wr))
+      .withColumn("ctx_tok", sum(col("tok")).over(wr))
+      .select(col("conv"), col("k"), col("tok"), col("s_tok"),
+        col("ctx_msgs"), col("ctx_tok"))
+      .orderBy(col("conv"), col("k"))
+  }
+
+  private val t09Sql =
+    """WITH e AS (SELECT user_id % 8 AS conv, epoch_ms(ts) AS ts_ms,
+      |    event_id,
+      |    abs(CAST(floor(value * 37) AS BIGINT)) % 120 + 1 AS tok
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (SELECT conv, tok,
+      |    CAST(row_number() OVER w - 1 AS BIGINT) AS k,
+      |    CAST(sum(tok) OVER w AS BIGINT) AS s_tok
+      |  FROM e WINDOW w AS (PARTITION BY conv ORDER BY ts_ms, event_id))
+      |SELECT conv, k, tok, s_tok,
+      |  CAST(count(*) OVER wr AS BIGINT) AS ctx_msgs,
+      |  CAST(sum(tok) OVER wr AS BIGINT) AS ctx_tok
+      |FROM m
+      |WINDOW wr AS (PARTITION BY conv ORDER BY s_tok
+      |  RANGE BETWEEN 511 PRECEDING AND CURRENT ROW)
+      |ORDER BY conv, k""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -314,5 +361,6 @@ object TextQueries {
     Q("t06_sentence_split", t06, Some(t06Sql)),
     Q("t07_repetition", t07, Some(t07Sql)),
     Q("t08_domain_mix", t08, Some(t08Sql)),
+    Q("t09_rolling_context", t09, Some(t09Sql)),
   )
 }

@@ -109,6 +109,35 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Delta codec: GOP round trip is lossless on random frames, and " +
+      "the per-byte P-frame math == the m09 stored/recon formulas") {
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(8)
+      val len = 1 + rnd.nextInt(64)
+      val frames = Seq.fill(n)(Array.fill(len)(rnd.nextInt(256).toByte))
+      val packets = Codec.Delta.encodeGop(frames)
+      assert(packets.length == n)
+      // keyframe stored raw
+      assert(packets.head.toSeq == frames.head.toSeq)
+      // P-frame bytes == ((v - prev) % 256 + 256) % 256 (m09 stored)
+      packets.tail.zipWithIndex.foreach { case (p, i) =>
+        p.toSeq.zipWithIndex.foreach { case (b, j) =>
+          val v = frames(i + 1)(j) & 0xff
+          val prev = frames(i)(j) & 0xff
+          assert((b & 0xff) == ((v - prev) % 256 + 256) % 256,
+            s"stored byte mismatch frame ${i + 1} pos $j")
+        }
+      }
+      // decode folds deltas from the keyframe back to the source (m09
+      // recon == v)
+      val decoded = Codec.Delta.decodeGop(packets)
+      assert(decoded.map(_.toSeq) == frames.map(_.toSeq))
+    }
+    assert(Codec.Delta.encodeGop(Seq.empty).isEmpty)
+    assert(Codec.Delta.decodeGop(Seq.empty).isEmpty)
+  }
+
   test("stretchLinear == the p08 grid formula on random arrays") {
     val rnd = new scala.util.Random(7)
     (1 to 20).foreach { _ =>
