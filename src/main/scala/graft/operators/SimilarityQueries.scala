@@ -221,9 +221,75 @@ object SimilarityQueries {
        |SELECT qid, vec_id AS neighbor, CAST(label AS BIGINT) AS label, rank, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- s04: one Lloyd iteration (IVF coarse-quantizer training) ------------
+  /** The training step behind s03's index: centroids from the current
+    * cells (integer component sums — cosine is scale-invariant, so no
+    * float division enters), every vector REASSIGNED to its nearest
+    * centroid by cosine (ties to the lowest cell id), then the new
+    * per-cell centroid sums. Emits (new_cell, dim) rows with the new
+    * centroid component, member count, and how many members moved —
+    * the convergence signal a k-means loop monitors.
+    *
+    * Scale: centroids are k×64 longs → broadcast; the corpus is
+    * scanned once for assignment (no shuffle) and shuffled once by
+    * (new_cell, dim) carrying (cell, i, partial sums) after map-side
+    * combine — the canonical distributed-k-means shape. Iterating =
+    * re-running this query with cells := new assignment. */
+  private def s04(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d)
+    val cents = v.select(col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(sum(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+      .withColumn("cn",
+        aggregate(zip_with(col("c"), col("c"), _ * _), lit(0L), _ + _))
+      .select(col("label").as("cl"), col("c"), col("cn"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cl"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("q"), col("c"), col("norm2"), col("cn")))
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("label"), col("cl").as("new_cell"), col("q"))
+      .select(col("new_cell"), col("label"),
+        posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("new_cell").cast(LongType).as("new_cell"),
+        col("i").cast(LongType).as("i"))
+      .agg(sum(col("x")).as("centroid_sum"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("label") =!= col("new_cell"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy(col("new_cell"), col("i"))
+  }
+
+  private val s04Sql =
+    s"""WITH v AS ($quantizedSql),
+       |cx AS (SELECT label, i, CAST(SUM(x) AS BIGINT) AS cx FROM (
+       |    SELECT label, unnest(q) AS x,
+       |           unnest(generate_series(1, len(q))) AS i FROM v)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(cx ORDER BY i) AS c FROM cx GROUP BY label),
+       |centn AS (SELECT label AS cl, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn FROM cent),
+       |assigned AS (SELECT vec_id, label, new_cell, q FROM (
+       |    SELECT v.vec_id, v.label, centn.cl AS new_cell, v.q,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_dot_product(v.q, centn.c) / (sqrt(v.norm2) * sqrt(centn.cn)) DESC,
+       |        centn.cl) AS r
+       |    FROM v CROSS JOIN centn) WHERE r = 1),
+       |ex AS (SELECT CAST(new_cell AS BIGINT) AS new_cell, label,
+       |    unnest(q) AS x, unnest(generate_series(1, len(q))) - 1 AS i
+       |  FROM assigned)
+       |SELECT new_cell, CAST(i AS BIGINT) AS i,
+       |  CAST(sum(x) AS BIGINT) AS centroid_sum,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(CASE WHEN label <> new_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM ex GROUP BY new_cell, i ORDER BY new_cell, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
     Q("s03_ivf_probe", s03, Some(s03Sql)),
+    Q("s04_kmeans_step", s04, Some(s04Sql)),
   )
 }

@@ -352,6 +352,61 @@ object TextQueries {
       |  RANGE BETWEEN 511 PRECEDING AND CURRENT ROW)
       |ORDER BY conv, k""".stripMargin
 
+  /** t10: sequence packing — the concat-and-chunk step that turns a
+    * document stream into fixed-length (256-token) training sequences
+    * (the GPT-style packing every pretraining pipeline runs after
+    * dedup/mixing): documents are concatenated per source in doc_id
+    * order, and each document lands in chunks floor(start/256) ..
+    * floor((end−1)/256) of its source's token stream. Emits per-chunk
+    * fill stats (n_docs crossing it, tokens contributed, doc span).
+    *
+    * Scale: the cumsum windows are partitioned BY SOURCE (a pipeline
+    * packs per shard — a global total order would serialize); the
+    * chunk explode adds ~tok/256 rows per doc; the per-chunk agg is
+    * one map-side-combined shuffle keyed (source, chunk). */
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("tok"))
+      .filter(col("tok") >= 1)
+      .withColumn("end", sum(col("tok")).over(w))
+      .withColumn("start", col("end") - col("tok"))
+      .withColumn("first_chunk", expr("start div 256"))
+      .withColumn("last_chunk", expr("(`end` - 1) div 256"))
+    docs
+      .select(col("source"), col("doc_id"), col("start"), col("end"),
+        explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk"))
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end"), (col("chunk") + 1) * 256) -
+          greatest(col("start"), col("chunk") * 256)).as("tok_fill"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("chunk"))
+  }
+
+  private val t10Sql =
+    """WITH docs AS (SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, tok,
+      |    CAST(sum(tok) OVER w AS BIGINT) AS "end",
+      |    CAST(sum(tok) OVER w - tok AS BIGINT) AS start
+      |  FROM docs WHERE tok >= 1
+      |  WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      |ex AS (SELECT source, doc_id, start, "end",
+      |    unnest(generate_series(start // 256, ("end" - 1) // 256)) AS chunk
+      |  FROM c)
+      |SELECT source, chunk,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(least("end", (chunk + 1) * 256)
+      |    - greatest(start, chunk * 256)) AS BIGINT) AS tok_fill,
+      |  min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc
+      |FROM ex GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -362,5 +417,6 @@ object TextQueries {
     Q("t07_repetition", t07, Some(t07Sql)),
     Q("t08_domain_mix", t08, Some(t08Sql)),
     Q("t09_rolling_context", t09, Some(t09Sql)),
+    Q("t10_sequence_pack", t10, Some(t10Sql)),
   )
 }
