@@ -95,6 +95,71 @@ object Pipeline {
     def inMeta = streams.map(_ => IOMeta(Map("type" -> "ts")))
     def outMeta = IOMeta(Map("type" -> "ts"))
   }
+  /** N×(data, control) pairs → the data of the max-control pair
+    * (switch.py:63-72). Inputs in (data0, ctrl0, data1, ctrl1, …)
+    * order — even indices data, odd control, as the machine expects. */
+  final case class SwitchOp(pairs: Int) extends Op {
+    require(pairs >= 1, "switch needs at least one pair")
+    def inMeta = Seq.tabulate(2 * pairs)(_ => IOMeta.number)
+    def outMeta = IOMeta.number
+  }
+  /** Switch that defers cutover to the next keyframe of the newly
+    * selected input (media/mediaswitch.py:15-27); data events carry
+    * text = "k" on keyframes. */
+  final case class MediaSwitchOp(pairs: Int) extends Op {
+    require(pairs >= 1, "media switch needs at least one pair")
+    def inMeta = Seq.tabulate(2 * pairs)(i =>
+      if (i % 2 == 0) IOMeta(Map("type" -> "ts")) else IOMeta.number)
+    def outMeta = IOMeta(Map("type" -> "ts"))
+  }
+  /** `str.format_map` analogue over the last value of each named text
+    * variable (textformatter.py:62-75): "{name}" placeholders. */
+  final case class TextFormatterOp(template: String, vars: Seq[String])
+      extends Op {
+    def inMeta = vars.map(_ => IOMeta.text)
+    def outMeta = IOMeta.text
+  }
+  /** Accumulate text; control rising edge flushes the concatenation
+    * (stringconcatenator.py:42-62). */
+  case object StringConcatenatorOp extends Op {
+    def inMeta = Seq(IOMeta.text, IOMeta.number)
+    def outMeta = IOMeta.text
+  }
+  /** Liveness signal: 1 per message, 0 at lastTs + timeout on silence
+    * (messagedetector.py:30-88). */
+  final case class MessageDetectorOp(timeoutMs: Long) extends Op {
+    def inMeta = Seq(IOMeta(Map("type" -> "ts")))
+    def outMeta = IOMeta.number
+  }
+  /** Delay by `sizeMs` against message time (timebuffer.py:44-63). */
+  final case class TimeBufferOp(sizeMs: Long) extends Op {
+    def inMeta = Seq(IOMeta(Map("type" -> "ts")))
+    def outMeta = IOMeta(Map("type" -> "ts"))
+  }
+  /** Sample-and-hold re-emitted on clock ticks (repeater.py:36-69,
+    * rate-source formulation): inputs (data, ticks). */
+  case object RepeaterOp extends Op {
+    def inMeta = Seq(IOMeta.number, IOMeta(Map("type" -> "ts")))
+    def outMeta = IOMeta.number
+  }
+  /** Format the message timestamp with an strftime pattern
+    * (timetotext.py:29-37); stateless. */
+  final case class TimeToTextOp(
+      pattern: String = "%d/%m/%Y, %H:%M:%S") extends Op {
+    def inMeta = Seq(IOMeta(Map("type" -> "ts")))
+    def outMeta = IOMeta.text
+    // eager translation so a bad pattern fails at spec-build time
+    val javaPattern: String =
+      graft.functions.Strftime.toJavaPattern(pattern)
+  }
+  /** Stateful chat over a rolling context (llamacppchat.py:49-77);
+    * the model call is injected — a deterministic function in tests,
+    * a real handle in production. */
+  final case class ChatOp(systemMsg: Option[String], contextBudget: Int,
+      reply: Vector[(String, String)] => String) extends Op {
+    def inMeta = Seq(IOMeta.text)
+    def outMeta = IOMeta.text
+  }
 
   final case class Deployment(name: String, tasks: Seq[TaskSpec])
 
@@ -226,6 +291,27 @@ object Pipeline {
       case TimestampUpdaterOp(off) =>
         ins.head.select(envelope(col("ts") + lit(off), col("value"),
           col("text")): _*)
+      case SwitchOp(pairs) => runMachine(key, new Switch(pairs), ins)
+      case MediaSwitchOp(pairs) => runMachine(key, new MediaSwitch(pairs), ins)
+      case TextFormatterOp(template, vars) =>
+        val names = vars.zipWithIndex.map { case (v, i) => i -> v }.toMap
+        runMachine(key, new TextFormatter(vars.size,
+          { vs: Map[Int, String] =>
+            names.foldLeft(template) { case (acc, (i, name)) =>
+              acc.replace(s"{$name}", vs.getOrElse(i, ""))
+            }
+          }), ins)
+      case StringConcatenatorOp =>
+        runMachine(key, new StringConcatenator, ins)
+      case MessageDetectorOp(timeoutMs) =>
+        runMachine(key, new MessageDetector(timeoutMs), ins)
+      case TimeBufferOp(sizeMs) => runMachine(key, new TimeBuffer(sizeMs), ins)
+      case RepeaterOp => runMachine(key, new Repeater, ins)
+      case t: TimeToTextOp =>
+        ins.head.select(envelope(col("ts"), lit(null).cast(DoubleType),
+          date_format(timestamp_millis(col("ts")), t.javaPattern)): _*)
+      case ChatOp(sys, budget, reply) =>
+        runMachine(key, new Chat(sys, budget, reply), ins)
     }
   }
 

@@ -88,6 +88,79 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(calc == Seq(3.0, 5.0, 7.0))
   }
 
+  test("wide op catalog compiles and runs in batch: switch, media " +
+      "switch, detector, time buffer, repeater, time->text, " +
+      "concatenator, formatter, chat") {
+    import spark.implicits._
+    def src(rows: Seq[(Long, Double, String)]): DataFrame =
+      rows.zipWithIndex.map { case ((ts, v, tx), i) =>
+        (ts, v, tx, false, i.toLong)
+      }.toDF("ts", "value", "text", "paused", "seq")
+    val d0 = src(Seq((10L, 1.0, null), (40L, 1.1, null)))
+    val c0 = src(Seq((5L, 1.0, null)))
+    val d1 = src(Seq((20L, 2.0, null), (50L, 2.1, null)))
+    val c1 = src(Seq((30L, 5.0, null)))
+    // media frames: text "k" marks a keyframe
+    val fd0 = src(Seq((10L, 1.0, "k"), (40L, 1.1, null)))
+    val fd1 = src(Seq((20L, 2.0, "k"), (50L, 2.1, "k")))
+    val txt = src(Seq((11L, Double.NaN, "a"), (21L, Double.NaN, "b")))
+    val txt2 = src(Seq((15L, Double.NaN, "x")))
+    val flush = src(Seq((25L, 1.0, null)))
+    val ticks = src(Seq((15L, 0.0, null), (45L, 0.0, null), (55L, 0.0, null)))
+    val anyTs = IOMeta(Map("type" -> "ts"))
+    val dep = Deployment("wide", Seq(
+      TaskSpec("sd0", SourceOp(IOMeta.number), Nil, "d0"),
+      TaskSpec("sc0", SourceOp(IOMeta.number), Nil, "c0"),
+      TaskSpec("sd1", SourceOp(IOMeta.number), Nil, "d1"),
+      TaskSpec("sc1", SourceOp(IOMeta.number), Nil, "c1"),
+      TaskSpec("sfd0", SourceOp(anyTs), Nil, "fd0"),
+      TaskSpec("sfd1", SourceOp(anyTs), Nil, "fd1"),
+      TaskSpec("stxt", SourceOp(IOMeta.text), Nil, "txt"),
+      TaskSpec("stxt2", SourceOp(IOMeta.text), Nil, "txt2"),
+      TaskSpec("sflush", SourceOp(IOMeta.number), Nil, "flush"),
+      TaskSpec("sticks", SourceOp(anyTs), Nil, "ticks"),
+      TaskSpec("sw", SwitchOp(2), Seq("d0", "c0", "d1", "c1"), "sw"),
+      TaskSpec("ms", MediaSwitchOp(2), Seq("fd0", "c0", "fd1", "c1"), "ms"),
+      TaskSpec("det", MessageDetectorOp(100L), Seq("sw"), "live"),
+      TaskSpec("tb", TimeBufferOp(15L), Seq("sw"), "tb"),
+      TaskSpec("rep", RepeaterOp, Seq("sw", "ticks"), "rep"),
+      TaskSpec("ttt", TimeToTextOp("%H:%M:%S"), Seq("sw"), "ttt"),
+      TaskSpec("cat", StringConcatenatorOp, Seq("txt", "flush"), "cat"),
+      TaskSpec("fmt", TextFormatterOp("{a}|{b}", Seq("a", "b")),
+        Seq("txt", "txt2"), "fmt"),
+      TaskSpec("chat", ChatOp(None, 4, ms => "r" + ms.length),
+        Seq("cat"), "chat")))
+    val out = Pipeline.compile(dep, Map(
+      "d0" -> d0, "c0" -> c0, "d1" -> d1, "c1" -> c1, "fd0" -> fd0,
+      "fd1" -> fd1, "txt" -> txt, "txt2" -> txt2, "flush" -> flush,
+      "ticks" -> ticks))
+    def vals(s: String) = out(s).filter(!col("paused"))
+      .orderBy("ts").select("value").as[Double].collect().toSeq
+    def texts(s: String) = out(s).filter(!col("paused"))
+      .orderBy("ts").select("text").as[String].collect().toSeq
+    // switch: ctrl0=1@5 selects pair0 (1.0@10 passes, 2.0@20 dropped);
+    // ctrl1=5@30 selects pair1 (1.1@40 dropped, 2.1@50 passes)
+    assert(vals("sw") == Seq(1.0, 2.1))
+    // media switch: cutover to pair1 deferred to its next keyframe
+    // (@50), so pair0's non-keyframe @40 still passes
+    assert(vals("ms") == Seq(1.0, 1.1, 2.1))
+    // detector: 1 per message, trailing 0 at lastTs+timeout
+    assert(vals("live") == Seq(1.0, 1.0, 0.0))
+    // time buffer (15ms, message time): 1.0@10 released when 2.1@50
+    // arrives; the tail stays buffered at end-of-batch
+    assert(vals("tb") == Seq(1.0))
+    // repeater: hold 1.0 over ticks @15/@45, then 2.1 @55
+    assert(vals("rep") == Seq(1.0, 1.0, 2.1))
+    // time->text: strftime of the epoch-ms timestamps
+    assert(texts("ttt") == Seq("00:00:00", "00:00:00"))
+    // concatenator: "a"+"b" flushed by the rising edge @25
+    assert(texts("cat") == Seq("ab"))
+    // formatter emits on every arrival with last values
+    assert(texts("fmt") == Seq("a|", "a|x", "b|x"))
+    // chat: one user message in context -> deterministic reply
+    assert(texts("chat") == Seq("r1"))
+  }
+
   test("source pause markers reach the gate's fail mode through the DSL " +
       "(gate.py:38-44 end-to-end)") {
     import spark.implicits._
