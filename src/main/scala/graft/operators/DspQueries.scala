@@ -162,23 +162,71 @@ object DspQueries {
     * twiddle factors make a cross-engine hash oracle unsound, so this
     * is a rows-only check; FftSpec verifies the kernel against a
     * naive DFT. */
+  /** Quantized-twiddle DFT: the 256 cos/sin factors are computed ONCE
+    * here (scale 2^10 keeps every partial product within Long: terms
+    * ≤ 999·1024, |re| ≤ 2^28, mag² ≤ 2^57, bin energy ≤ 2^62) and
+    * inlined as literals into BOTH the Spark plan and the oracle SQL
+    * — so the whole spectrum is exact integer arithmetic, hash-equal
+    * across engines, where true transcendental twiddles could differ
+    * in the last ulp. The radix-2 float FFT kernel (functions/Fft)
+    * remains the production kernel, spec-pinned against a naive DFT. */
+  private val dftN = 256
+  private val twCos: Seq[Long] = (0 until dftN).map(j =>
+    math.round(math.cos(2 * math.Pi * j / dftN) * 1024))
+  private val twSin: Seq[Long] = (0 until dftN).map(j =>
+    math.round(math.sin(2 * math.Pi * j / dftN) * 1024))
+
   private def p05(s: SparkSession, d: String): DataFrame = {
-    val fftBins = udf((xs: Seq[Double]) =>
-      Fft.binnedMagnitudes(xs.toArray, 8).toSeq)
+    val twcA = array(twCos.map(lit): _*)
+    val twsA = array(twSin.map(lit): _*)
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_ms"), col("event_id"))
-    eventsMs(s, d)
-      .select(col("event_type"), col("ts_ms"), col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 256)
-      .groupBy(col("event_type"))
-      .agg(transform(array_sort(collect_list(struct(col("rn"), col("value")))),
-        s => s.getField("value")).as("signal"))
-      .filter(size(col("signal")) === 256)
-      .select(col("event_type"), posexplode(fftBins(col("signal"))).as(Seq("bin", "magnitude")))
-      .select(col("event_type"), col("bin").cast(LongType).as("bin"), col("magnitude"))
+    val samples = eventsMs(s, d)
+      .select(col("event_type"), col("ts_ms"), col("event_id"),
+        // signed bounded amplitude −1000..999 so every DFT partial
+        // stays well inside Long (see scale analysis above)
+        (pmod(floor(col("value") * 1000).cast(LongType), lit(2000L)) - 1000)
+          .as("xq"))
+      .withColumn("i", (row_number().over(w) - 1).cast(LongType))
+      .filter(col("i") < dftN)
+    val full = samples.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === dftN).select(col("event_type"))
+    samples.join(broadcast(full), "event_type")
+      .select(col("event_type"), col("i"), col("xq"),
+        explode(sequence(lit(0L), lit(dftN - 1L))).as("k"))
+      .withColumn("idx", ((col("i") * col("k")) % dftN + 1).cast("int"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum(col("xq") * element_at(twcA, col("idx"))).as("re"),
+        sum(col("xq") * element_at(twsA, col("idx"))).as("im"))
+      .withColumn("mag2",
+        col("re") * col("re") + col("im") * col("im"))
+      .groupBy(col("event_type"), expr("k div 32").as("bin"))
+      .agg(sum(col("mag2")).as("energy"))
       .orderBy(col("event_type"), col("bin"))
   }
+
+  private val p05Sql =
+    s"""WITH tw AS (SELECT [${twCos.mkString(", ")}] AS c,
+       |                   [${twSin.mkString(", ")}] AS s),
+       |e AS (SELECT event_type, epoch_ms(ts) AS tms, event_id,
+       |    ((CAST(floor(value * 1000) AS BIGINT) % 2000) + 2000) % 2000 - 1000 AS xq
+       |  FROM events),
+       |r AS (SELECT event_type, xq,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY tms, event_id) - 1 AS BIGINT) AS i
+       |  FROM e QUALIFY i < 256),
+       |fl AS (SELECT event_type FROM r GROUP BY event_type
+       |       HAVING count(*) = 256),
+       |x AS (SELECT r.event_type, r.i, r.xq, unnest(range(0, 256)) AS k
+       |      FROM r JOIN fl USING (event_type)),
+       |t AS (SELECT event_type, k,
+       |    CAST(sum(xq * tw.c[CAST((i * k) % 256 + 1 AS INT)]) AS BIGINT) AS re,
+       |    CAST(sum(xq * tw.s[CAST((i * k) % 256 + 1 AS INT)]) AS BIGINT) AS im
+       |  FROM x, tw GROUP BY event_type, k)
+       |SELECT event_type, k // 32 AS bin,
+       |  CAST(sum(re * re + im * im) AS BIGINT) AS energy
+       |FROM t GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin
 
   /** padded audio chunker (media/util.py:150-171, used by the speech
     * enhancement tasks #37-38): overlapping chunks of 64 samples at a
@@ -397,7 +445,7 @@ object DspQueries {
     Q("p02_activity_meter", p02, Some(p02Sql)),
     Q("p03_audio_mixer", p03, Some(p03Sql)),
     Q("p04_chunker", p04, Some(p04Sql)),
-    Q("p05_fft_bins", p05, None), // rows-only: transcendental twiddles
+    Q("p05_fft_bins", p05, Some(p05Sql)), // exact: literal quantized twiddles
     Q("p06_padded_chunker", p06, Some(p06Sql)),
     Q("p07_mulaw_codec", p07, Some(p07Sql)),
     Q("p08_resample", p08, Some(p08Sql)),
