@@ -254,6 +254,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("SwitchOp runs in STREAMING mode with control state carried " +
+      "across micro-batches (dual-mode parity for the widened catalog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    type M = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]
+    def mk(): M =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]
+    def env(m: M) = m.toDS().toDF("ts", "value", "seq")
+      .select(col("ts"), col("value"), lit(null).cast("string").as("text"),
+        lit(false).as("paused"), col("seq"))
+    val (d0, c0, d1, c1) = (mk(), mk(), mk(), mk())
+    val dep = Deployment("sws", Seq(
+      TaskSpec("s0", SourceOp(IOMeta.number), Nil, "d0"),
+      TaskSpec("s1", SourceOp(IOMeta.number), Nil, "c0"),
+      TaskSpec("s2", SourceOp(IOMeta.number), Nil, "d1"),
+      TaskSpec("s3", SourceOp(IOMeta.number), Nil, "c1"),
+      TaskSpec("sw", SwitchOp(2), Seq("d0", "c0", "d1", "c1"), "sw")))
+    val out = Pipeline.compile(dep, Map("d0" -> env(d0), "c0" -> env(c0),
+      "d1" -> env(d1), "c1" -> env(c1)))("sw")
+    val q = out.writeStream.format("memory").queryName("sws_sw")
+      .outputMode("append").start()
+    try {
+      // batch 1: pair0 selected, its data passes, pair1's dropped
+      c0.addData((5L, 1.0, 0L))
+      d0.addData((10L, 1.0, 1L)); d1.addData((20L, 2.0, 2L))
+      q.processAllAvailable()
+      // batch 2: pair1 takes over via REMEMBERED control comparison —
+      // proof the selection state crossed the micro-batch boundary
+      c1.addData((30L, 5.0, 3L))
+      d0.addData((40L, 1.1, 4L)); d1.addData((50L, 2.1, 5L))
+      q.processAllAvailable()
+      val got = spark.table("sws_sw").filter(!col("paused"))
+        .select("ts", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got == Seq((10L, 1.0), (50L, 2.1)))
+    } finally q.stop()
+  }
+
   test("per-task status: schedule -> start -> stop transitions are " +
       "reported per task (task.py:80-88, task_web.py:267-299)") {
     import spark.implicits._
