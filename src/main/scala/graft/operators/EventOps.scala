@@ -560,82 +560,98 @@ object EventOps {
        |  FROM u)
        |WHERE is_tick = 1 AND held IS NOT NULL ORDER BY pipeline, ts_ms""".stripMargin
 
-  /** replay buffer (replaybuffer.py:38-76): record data into a buffer;
-    * on each play rising edge (>0.5), replay the buffer re-timestamped
-    * so its first message plays at the edge (offset = edgeTs −
-    * firstBufferedTs), then clear it (the reference clears on pause
-    * transitions; clearing per replay bounds the buffer — each message
-    * is replayed at most once, so output stays O(input) at any scale
-    * instead of O(edges × history)). Data = click rows; play = error
-    * value>15 rising edges. */
+  /** replay buffer (replaybuffer.py:38-76), faithful clear semantics:
+    * the buffer records data rows and is CLEARED on unpause
+    * transitions (modeled by 'purchase' events); EVERY play rising
+    * edge replays everything currently buffered (recorded in the same
+    * recording window, at or before the edge), re-timestamped so the
+    * window's first message plays at the edge (offset = edgeTs −
+    * firstBufferedTs) — so repeated plays without an intervening clear
+    * replay the same buffer again, exactly like the reference.
+    * Data = click rows; play = error value>15 rising edges.
+    *
+    * Scale: recording-window ids come from one running count over the
+    * merged (clear|play|data) stream — O(n log n); the replay fan-out
+    * joins data to play edges per (pipeline, window), bounded by
+    * plays-per-window (the reference's buffer is equally unbounded if
+    * never cleared — the clear IS the bound, now modeled). */
   private def e16(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d)
     val cw = Window.partitionBy(col("pipeline"))
-      .orderBy(col("edge_ts"), col("edge_id"))
-    val edges = e.filter(col("event_type") === "error")
-      .select(pipeline, col("event_id").as("edge_id"), col("ts_ms").as("edge_ts"),
+      .orderBy(col("ts_ms"), col("event_id"))
+    // play edges: rising >15 on the error stream (kind 1)
+    val plays = e.filter(col("event_type") === "error")
+      .select(pipeline, col("event_id"), col("ts_ms"),
         when(col("value") > 15, 1.0).otherwise(0.0).as("sig"))
       .withColumn("prev", coalesce(lag(col("sig"), 1).over(cw), lit(0.0)))
       .filter(col("sig") > 0.5 && col("prev") <= 0.5)
-      .select(col("pipeline"), col("edge_id"), col("edge_ts"))
+      .select(col("pipeline"), col("event_id"), col("ts_ms"),
+        lit(1).as("kind"), lit(null).cast(DoubleType).as("value"))
+    // clears: unpause transitions (kind 0 — processed first at a tie)
+    val clears = e.filter(col("event_type") === "purchase")
+      .select(pipeline, col("event_id"), col("ts_ms"),
+        lit(0).as("kind"), lit(null).cast(DoubleType).as("value"))
     val data = e.filter(col("event_type") === "click")
-      .select(pipeline, col("event_id"), col("ts_ms"), col("value"))
-    // as-of: tag each data row with the first edge at-or-after it via
-    // one forward-looking window over the sorted union — O(n log n),
-    // not the O(n²) a theta-join (BroadcastNestedLoop) would cost
-    val u = data
-      .withColumn("is_edge", lit(0))
-      .withColumn("edge_id", lit(null).cast(LongType))
-      .withColumn("edge_ts", lit(null).cast(LongType))
-      .unionByName(edges.select(col("pipeline"),
-        lit(null).cast(LongType).as("event_id"),
-        col("edge_ts").as("ts_ms"), lit(null).cast(DoubleType).as("value"),
-        lit(1).as("is_edge"), col("edge_id"), col("edge_ts")))
-    // reversed sort + running last() = O(n); a (currentRow,
-    // unboundedFollowing) frame would recompute per row = O(n²)
-    val fw = Window.partitionBy(col("pipeline"))
-      .orderBy(col("ts_ms").desc, col("is_edge").desc, col("event_id").desc)
+      .select(pipeline, col("event_id"), col("ts_ms"),
+        lit(2).as("kind"), col("value"))
+    val ww = Window.partitionBy(col("pipeline"))
+      .orderBy(col("ts_ms"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tagged = u
-      .withColumn("nx_edge_id", last(col("edge_id"), ignoreNulls = true).over(fw))
-      .withColumn("nx_edge_ts", last(col("edge_ts"), ignoreNulls = true).over(fw))
-      .filter(col("is_edge") === 0 && col("nx_edge_id").isNotNull)
-    val firstTs = tagged.groupBy(col("nx_edge_id").as("eid"))
-      .agg(min(col("ts_ms")).as("first_ts"))
-    tagged.join(broadcast(firstTs), col("nx_edge_id") === col("eid"))
-      .select(col("pipeline"), col("nx_edge_id").as("edge_id"), col("event_id"),
-        (col("nx_edge_ts") + col("ts_ms") - col("first_ts")).as("replay_ts"),
+    val tagged = clears.unionByName(plays).unionByName(data)
+      .withColumn("win",
+        sum(when(col("kind") === 0, 1L).otherwise(0L)).over(ww))
+    val pe = tagged.filter(col("kind") === 1)
+      .select(col("pipeline"), col("win"), col("event_id").as("edge_id"),
+        col("ts_ms").as("edge_ts"))
+    val dr = tagged.filter(col("kind") === 2)
+      .select(col("pipeline"), col("win"), col("event_id"), col("ts_ms"),
+        col("value"))
+    val firstTs = dr.groupBy(col("pipeline"), col("win"))
+      .agg(min(col("ts_ms")).as("w_first"))
+    dr.join(broadcast(pe), Seq("pipeline", "win"))
+      .filter(col("edge_ts") >= col("ts_ms"))
+      .join(broadcast(firstTs), Seq("pipeline", "win"))
+      .select(col("pipeline"), col("win"), col("edge_id"), col("event_id"),
+        (col("edge_ts") + col("ts_ms") - col("w_first")).as("replay_ts"),
         col("value"))
       .orderBy(col("edge_id"), col("event_id"))
   }
 
   private val e16Sql =
     s"""WITH e AS ($evMs),
-       |edges AS (SELECT pipeline, edge_id, edge_ts FROM (
-       |    SELECT pipeline, edge_id, edge_ts, sig,
-       |      COALESCE(lag(sig) OVER (PARTITION BY pipeline ORDER BY edge_ts, edge_id), 0.0) AS prev
-       |    FROM (SELECT $pipelineSql, event_id AS edge_id, ts_ms AS edge_ts,
+       |plays AS (SELECT pipeline, event_id, ts_ms, 1 AS kind,
+       |                 NULL::DOUBLE AS value FROM (
+       |    SELECT pipeline, event_id, ts_ms, sig,
+       |      COALESCE(lag(sig) OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id), 0.0) AS prev
+       |    FROM (SELECT $pipelineSql, event_id, ts_ms,
        |            CASE WHEN value > 15 THEN 1.0 ELSE 0.0 END AS sig
        |          FROM e WHERE event_type = 'error'))
        |  WHERE sig > 0.5 AND prev <= 0.5),
-       |data AS (SELECT $pipelineSql, event_id, ts_ms, value FROM e WHERE event_type = 'click'),
-       |u AS (SELECT pipeline, event_id, ts_ms, value, 0 AS is_edge,
-       |        NULL::BIGINT AS edge_id, NULL::BIGINT AS edge_ts FROM data
-       |      UNION ALL
-       |      SELECT pipeline, NULL, edge_ts, NULL, 1, edge_id, edge_ts FROM edges),
-       |tagged AS (SELECT * FROM (
-       |    SELECT pipeline, event_id, ts_ms, value, is_edge,
-       |      last_value(edge_id IGNORE NULLS) OVER w AS nx_edge_id,
-       |      last_value(edge_ts IGNORE NULLS) OVER w AS nx_edge_ts
-       |    FROM u WINDOW w AS (PARTITION BY pipeline
-       |      ORDER BY ts_ms DESC, is_edge DESC, event_id DESC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |  WHERE is_edge = 0 AND nx_edge_id IS NOT NULL),
-       |firsts AS (SELECT nx_edge_id AS eid, min(ts_ms) AS first_ts
-       |           FROM tagged GROUP BY nx_edge_id)
-       |SELECT pipeline, nx_edge_id AS edge_id, event_id,
-       |  nx_edge_ts + ts_ms - first_ts AS replay_ts, value
-       |FROM tagged JOIN firsts ON nx_edge_id = eid
+       |clears AS (SELECT $pipelineSql, event_id, ts_ms, 0 AS kind,
+       |                  NULL::DOUBLE AS value
+       |           FROM e WHERE event_type = 'purchase'),
+       |data AS (SELECT $pipelineSql, event_id, ts_ms, 2 AS kind, value
+       |         FROM e WHERE event_type = 'click'),
+       |tagged AS (SELECT *,
+       |    sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS win
+       |  FROM (SELECT * FROM clears UNION ALL
+       |        SELECT * FROM plays UNION ALL
+       |        SELECT * FROM data)),
+       |pe AS (SELECT pipeline, win, event_id AS edge_id, ts_ms AS edge_ts
+       |       FROM tagged WHERE kind = 1),
+       |dr AS (SELECT pipeline, win, event_id, ts_ms, value
+       |       FROM tagged WHERE kind = 2),
+       |firsts AS (SELECT pipeline, win, min(ts_ms) AS w_first
+       |           FROM dr GROUP BY pipeline, win)
+       |SELECT dr.pipeline, CAST(dr.win AS BIGINT) AS win, pe.edge_id,
+       |  dr.event_id, pe.edge_ts + dr.ts_ms - f.w_first AS replay_ts,
+       |  dr.value
+       |FROM dr
+       |JOIN pe ON pe.pipeline = dr.pipeline AND pe.win = dr.win
+       |       AND pe.edge_ts >= dr.ts_ms
+       |JOIN firsts f ON f.pipeline = dr.pipeline AND f.win = dr.win
        |ORDER BY edge_id, event_id""".stripMargin
 
   /** audio volume scaler (media/audiovolumescaler.py:68-97): multiply
