@@ -306,16 +306,24 @@ object TextQueries {
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
   /** t09: the llama.cpp chat rolling context (SURVEY §2.4 #36,
-    * inference/llamacppchat.py:49-77): each user message appends to a
+    * inference/llamacppchat.py:49-77): each message appends to a
     * per-conversation context; on overflow the OLDEST messages are
-    * evicted until the token budget (512) fits. Token counts are
-    * positive, so the retained context after message i is exactly the
-    * maximal suffix with total tokens ≤ 512 — which a RANGE window
-    * frame over the token cumsum (511 PRECEDING .. CURRENT ROW)
-    * computes without any sequential state. Scale: partitioned by
-    * conversation; no cross-conversation traffic, fully codegen'd. */
+    * evicted until the token budget L=512 fits. With positive token
+    * counts and cumsum S, the surviving suffix starts at the minimal
+    * j with S_i − S_{j−1} ≤ L, so (ModelCheckSpec proves this equals
+    * the sequential fold):
+    *   evicted = #{m < i : S_m ≤ S_i − L − 1} + [S_i ≥ L+1]   (the
+    *     bracket is the virtual S_0 = 0), a RANGE frame ending L+1
+    *     PRECEDING on S;
+    *   ctx_tok = S_i − S_{j*−1} = S_i − min(S over [S_i − L, S_i])
+    *     when eviction happened, else S_i.
+    * No sequential state; partitioned by conversation (scale: no
+    * cross-conversation traffic, fully codegen'd). Message tokens are
+    * capped (≤120) below L, so the reference's keep-newest guard
+    * never binds. */
   private def t09(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val L = 512L
     val w = Window.partitionBy(col("conv"))
       .orderBy(col("ts_ms"), col("event_id"))
     val msgs = Tables.eventsMs(s, d)
@@ -325,11 +333,16 @@ object TextQueries {
         (abs(floor(col("value") * 37).cast(LongType)) % 120 + 1).as("tok"))
       .withColumn("k", row_number().over(w).cast(LongType) - 1)
       .withColumn("s_tok", sum(col("tok")).over(w))
-    val wr = Window.partitionBy(col("conv")).orderBy(col("s_tok"))
-      .rangeBetween(-511L, Window.currentRow)
+    val wS = Window.partitionBy(col("conv")).orderBy(col("s_tok"))
+    val wLt = wS.rangeBetween(Window.unboundedPreceding, -(L + 1))
+    val wIn = wS.rangeBetween(-L, Window.currentRow)
     msgs
-      .withColumn("ctx_msgs", count(lit(1)).over(wr))
-      .withColumn("ctx_tok", sum(col("tok")).over(wr))
+      .withColumn("ctx_msgs",
+        col("k") + 1 - count(lit(1)).over(wLt) -
+          when(col("s_tok") >= L + 1, 1L).otherwise(0L))
+      .withColumn("ctx_tok",
+        when(col("s_tok") <= L, col("s_tok"))
+          .otherwise(col("s_tok") - min(col("s_tok")).over(wIn)))
       .select(col("conv"), col("k"), col("tok"), col("s_tok"),
         col("ctx_msgs"), col("ctx_tok"))
       .orderBy(col("conv"), col("k"))
@@ -345,11 +358,15 @@ object TextQueries {
       |    CAST(sum(tok) OVER w AS BIGINT) AS s_tok
       |  FROM e WINDOW w AS (PARTITION BY conv ORDER BY ts_ms, event_id))
       |SELECT conv, k, tok, s_tok,
-      |  CAST(count(*) OVER wr AS BIGINT) AS ctx_msgs,
-      |  CAST(sum(tok) OVER wr AS BIGINT) AS ctx_tok
+      |  CAST(k + 1 - (count(*) OVER wlt)
+      |    - (CASE WHEN s_tok >= 513 THEN 1 ELSE 0 END) AS BIGINT) AS ctx_msgs,
+      |  CAST(CASE WHEN s_tok <= 512 THEN s_tok
+      |       ELSE s_tok - min(s_tok) OVER win END AS BIGINT) AS ctx_tok
       |FROM m
-      |WINDOW wr AS (PARTITION BY conv ORDER BY s_tok
-      |  RANGE BETWEEN 511 PRECEDING AND CURRENT ROW)
+      |WINDOW wlt AS (PARTITION BY conv ORDER BY s_tok
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND 513 PRECEDING),
+      |  win AS (PARTITION BY conv ORDER BY s_tok
+      |    RANGE BETWEEN 512 PRECEDING AND CURRENT ROW)
       |ORDER BY conv, k""".stripMargin
 
   /** t10: sequence packing — the concat-and-chunk step that turns a

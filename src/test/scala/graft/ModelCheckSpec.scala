@@ -98,6 +98,40 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("rolling context (t09 formulation): RANGE-frame windows == the " +
+      "sequential evict-oldest fold (llamacppchat.py:49-77)") {
+    import spark.implicits._
+    val L = 137L // a budget NOT aligned with the token grid
+    val gen = Gen.listOfN(60, Gen.choose(1L, 120L))
+    check(Prop.forAll(gen) { toks =>
+      toks.isEmpty || {
+        // sequential model: append, evict oldest while over budget
+        val model = toks.scanLeft(Vector.empty[Long]) { (q0, t) =>
+          var q = q0 :+ t
+          while (q.sum > L) q = q.tail
+          q
+        }.tail.map(q => (q.length.toLong, q.sum))
+        // t09's window formulation on the same stream
+        val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("k", "tok")
+          .withColumn("s", sum(col("tok")).over(Window.orderBy(col("k"))))
+        val wS = Window.orderBy(col("s"))
+        val wLt = wS.rangeBetween(Window.unboundedPreceding, -(L + 1))
+        val wIn = wS.rangeBetween(-L, Window.currentRow)
+        val got = df
+          .withColumn("ctx_msgs",
+            col("k") + 1 - count(lit(1)).over(wLt) -
+              when(col("s") >= L + 1, 1L).otherwise(0L))
+          .withColumn("ctx_tok",
+            when(col("s") <= L, col("s"))
+              .otherwise(col("s") - min(col("s")).over(wIn)))
+          .orderBy(col("k")).select(col("ctx_msgs"), col("ctx_tok"))
+          .as[(Long, Long)].collect().toSeq
+        got == model
+      }
+    })
+  }
+
   test("time buffer: machine output is input shifted by the release rule") {
     val gen = Gen.listOfN(40, Gen.choose(0L, 500L)).map(ts =>
       ts.sorted.zipWithIndex.map { case (t, i) => (0, t, i.toDouble) }.toList)
