@@ -132,6 +132,40 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("sequence packing (t10 formulation): chunks conserve tokens, " +
+      "every non-final chunk is exactly full") {
+    import spark.implicits._
+    val seqLen = 64L
+    val gen = Gen.listOfN(40, Gen.choose(1L, 200L))
+    check(Prop.forAll(gen) { toks =>
+      toks.isEmpty || {
+        val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "tok")
+          .withColumn("end", sum(col("tok")).over(Window.orderBy(col("doc_id"))))
+          .withColumn("start", col("end") - col("tok"))
+          .select(col("doc_id"), col("start"), col("end"),
+            explode(sequence(expr(s"start div $seqLen"),
+              expr(s"(`end` - 1) div $seqLen"))).as("chunk"))
+          .groupBy(col("chunk"))
+          .agg(sum(least(col("end"), (col("chunk") + 1) * seqLen) -
+            greatest(col("start"), col("chunk") * seqLen)).as("fill"),
+            count(lit(1)).as("n_docs"))
+        val rows = df.orderBy(col("chunk"))
+          .select(col("chunk"), col("fill"), col("n_docs"))
+          .as[(Long, Long, Long)].collect().toSeq
+        val total = toks.sum
+        val lastChunk = (total - 1) / seqLen
+        // chunk ids are contiguous from 0; fills conserve tokens; every
+        // chunk but the last is exactly full; every chunk has a doc
+        rows.map(_._1) == (0L to lastChunk) &&
+          rows.map(_._2).sum == total &&
+          rows.dropRight(1).forall(_._2 == seqLen) &&
+          rows.last._2 == total - lastChunk * seqLen &&
+          rows.forall(_._3 >= 1)
+      }
+    })
+  }
+
   test("time buffer: machine output is input shifted by the release rule") {
     val gen = Gen.listOfN(40, Gen.choose(0L, 500L)).map(ts =>
       ts.sorted.zipWithIndex.map { case (t, i) => (0, t, i.toDouble) }.toList)
