@@ -545,6 +545,53 @@ object Relational {
       |  ON c.user_id = sg.user_id AND c.ts_ms >= sg.sg_ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** q27: time-proximity range join (the attribution-window query:
+    * clicks within ±1h of a same-user purchase), in the BUCKETIZED
+    * formulation — Spark plans a raw |Δt| ≤ W predicate as
+    * BroadcastNestedLoopJoin, O(|L|·|R|) pair work per user. Binning
+    * the time axis at the window width and replicating the right side
+    * to its 3 adjacent bins turns it into an equi-join on (user, bin):
+    * one shuffle of each side, pair work bounded by bin co-occupancy,
+    * 3× replication — the standard interval-join idiom (Flink's
+    * interval join / range-bucketing literature). A pair can match in
+    * at most one bin (the left row has exactly one), so no dedup. */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val W = 3600000L // ±1 hour
+    val e = Tables.eventsMs(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ts"))
+      .withColumn("bin", expr(s"click_ts div $W"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ms").as("purchase_ts"))
+      .withColumn("bin", explode(array(
+        expr(s"purchase_ts div $W - 1"), expr(s"purchase_ts div $W"),
+        expr(s"purchase_ts div $W + 1"))))
+    clicks.join(purchases, Seq("user_id", "bin"))
+      .filter(abs(col("click_ts") - col("purchase_ts")) <= W)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"),
+        (col("click_ts") - col("purchase_ts")).as("dt_ms"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val q27Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             epoch_ms(ts) AS tms FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, tms AS click_ts,
+      |        tms // 3600000 AS bin
+      |      FROM e WHERE event_type = 'click'),
+      |p0 AS (SELECT user_id, event_id AS purchase_id, tms AS purchase_ts
+      |       FROM e WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, purchase_id, purchase_ts,
+      |        purchase_ts // 3600000 + unnest([-1, 0, 1]) AS bin FROM p0)
+      |SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts,
+      |  click_ts - purchase_ts AS dt_ms
+      |FROM c JOIN p ON c.user_id = p.user_id AND c.bin = p.bin
+      |WHERE abs(click_ts - purchase_ts) <= 3600000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
@@ -572,5 +619,6 @@ object Relational {
     Q("q24_union", q24, Some(q24Sql)),
     Q("q25_grouping_sets", q25, Some(q25Sql)),
     Q("q26_asof_join", q26, Some(q26Sql)),
+    Q("q27_range_join", q27, Some(q27Sql)),
   )
 }
