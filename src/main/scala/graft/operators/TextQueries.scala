@@ -424,6 +424,57 @@ object TextQueries {
       |  max(doc_id) AS last_doc
       |FROM ex GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
 
+  /** t11: PII detection + redaction audit — the scrubbing pass every
+    * pretraining pipeline runs before the data leaves quarantine. The
+    * synthetic corpus carries no PII, so deterministic PII-shaped
+    * spans (emails, phone-like numbers) are first woven in from doc
+    * ids — the same synthesize-then-operate pattern as the media
+    * queries — then counted and redacted with patterns chosen to mean
+    * the same thing in Java regex and RE2. Emits per-doc match counts
+    * and the pre/post redaction lengths (the audit a scrub job logs).
+    * Scale: stateless scan projection, fully parallel, no shuffle
+    * until the final sort. */
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+1-[0-9]+"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@example.org"))
+        .otherwise(lit("")),
+      lit(" call +1-"), (col("doc_id") * 7) % 10000,
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" and +1-"), col("doc_id") % 997)).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailPat)).as("n_email"),
+        regexp_count(col("aug"), lit(phonePat)).as("n_phone"),
+        regexp_count(col("aug"), lit("[0-9]+")).as("n_digit_runs"),
+        length(col("aug")).cast(LongType).as("len_orig"),
+        length(regexp_replace(regexp_replace(col("aug"),
+          emailPat, "[EMAIL]"), phonePat, "[PHONE]"))
+          .cast(LongType).as("len_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Sql =
+    """WITH a AS (SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com'
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END
+      |      || ' call +1-' || (doc_id * 7) % 10000
+      |      || CASE WHEN doc_id % 5 = 0 THEN ' and +1-' || doc_id % 997 ELSE '' END
+      |      AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(aug, '\+1-[0-9]+')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(aug, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+      |  CAST(len(aug) AS BIGINT) AS len_orig,
+      |  CAST(len(regexp_replace(regexp_replace(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\+1-[0-9]+', '[PHONE]', 'g')) AS BIGINT) AS len_redacted
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -435,5 +486,6 @@ object TextQueries {
     Q("t08_domain_mix", t08, Some(t08Sql)),
     Q("t09_rolling_context", t09, Some(t09Sql)),
     Q("t10_sequence_pack", t10, Some(t10Sql)),
+    Q("t11_pii_scrub", t11, Some(t11Sql)),
   )
 }
