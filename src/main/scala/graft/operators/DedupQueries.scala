@@ -421,6 +421,84 @@ object DedupQueries {
        |FROM (SELECT doc_id, s, unnest([0, 1]) AS band FROM sig)
        |ORDER BY doc_id, band""".stripMargin
 
+  /** d09: duplicate-cluster resolution — the step AFTER pair
+    * generation that an actual dedup job needs: near-dup pairs (d02's
+    * LSH candidates) form a graph; connected components give the
+    * duplicate clusters; the minimum doc_id per component is the
+    * canonical survivor, everything else is dropped. Components via
+    * THREE fixed rounds of min-label propagation (each label becomes
+    * the min over itself and its neighbors' labels), unrolled
+    * identically in both engines — deterministic regardless of
+    * convergence; real corpora's near-dup clusters are shallow, and
+    * at scale the same shape iterates to fixpoint (Pregel-style CC;
+    * alternate large-star/small-star for pathological chains). Each
+    * round is one shuffle keyed by node id. */
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    val pairs = d02(s, d).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nl"))
+      labels = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        col("cluster_size"),
+        (col("id") === col("lbl")).cast(LongType).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d09Sql =
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
+       |        FROM docs WHERE len(w) >= 3),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
+       |mh AS (SELECT doc_id, seed,
+       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
+       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
+       |      GROUP BY doc_id, seed),
+       |bh AS (SELECT doc_id, seed // 2 AS band,
+       |        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS h
+       |      FROM mh GROUP BY doc_id, seed // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h
+       |              AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |i1 AS (SELECT e.src, min(x.lbl) AS nl FROM edges e
+       |       JOIN l0 x ON x.id = e.dst GROUP BY e.src),
+       |l1 AS (SELECT l.id, least(l.lbl, COALESCE(i.nl, l.lbl)) AS lbl
+       |       FROM l0 l LEFT JOIN i1 i ON i.src = l.id),
+       |i2 AS (SELECT e.src, min(x.lbl) AS nl FROM edges e
+       |       JOIN l1 x ON x.id = e.dst GROUP BY e.src),
+       |l2 AS (SELECT l.id, least(l.lbl, COALESCE(i.nl, l.lbl)) AS lbl
+       |       FROM l1 l LEFT JOIN i2 i ON i.src = l.id),
+       |i3 AS (SELECT e.src, min(x.lbl) AS nl FROM edges e
+       |       JOIN l2 x ON x.id = e.dst GROUP BY e.src),
+       |l3 AS (SELECT l.id, least(l.lbl, COALESCE(i.nl, l.lbl)) AS lbl
+       |       FROM l2 l LEFT JOIN i3 i ON i.src = l.id),
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM l3 GROUP BY lbl)
+       |SELECT l3.id AS doc_id, l3.lbl AS cluster, sz.cluster_size,
+       |  CAST(CASE WHEN l3.id = l3.lbl THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM l3 JOIN sz ON sz.lbl = l3.lbl
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -430,5 +508,6 @@ object DedupQueries {
     Q("d06_lsh_verified", d06, Some(d06Sql)),
     Q("d07_decontaminate", d07, Some(d07Sql)),
     Q("d08_stream_bands", d08, Some(d08Sql)),
+    Q("d09_dup_clusters", d09, Some(d09Sql)),
   )
 }
