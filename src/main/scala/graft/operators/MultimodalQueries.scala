@@ -420,6 +420,41 @@ object MultimodalQueries {
       |  (r * a) // 255 AS r_pre
       |FROM f ORDER BY pipeline, k""".stripMargin
 
+  /** m11: frame sampling — the multimodal subsample step (take k
+    * uniformly spaced frames per payload for feature extraction, the
+    * video analogue of sentence sampling): sampled index f_j =
+    * floor(j·(n−1)/(k−1)), the same integer nearest-grid mapping as
+    * p08/m06, over m01's 64-byte framing; plus the every-4th-frame
+    * stride count. Metadata-only — payload bytes are never touched,
+    * the byte offsets are what a decoder mount would seek to. */
+  private def m11(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    payloads(s, d)
+      .select(col("doc_id"),
+        (length(col("payload")) / lit(64)).cast(LongType).as("n"))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), col("n"),
+        expr("(n + 3) div 4").as("n_every4"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+      .withColumn("frame_idx", expr(s"j * (n - 1) div ${k - 1}"))
+      .withColumn("byte_off", col("frame_idx") * 64)
+      .select(col("doc_id"), col("j"), col("n").as("n_frames"),
+        col("n_every4"), col("frame_idx"), col("byte_off"))
+      .orderBy(col("doc_id"), col("j"))
+  }
+
+  private val m11Sql =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n
+      |  FROM documents),
+      |f AS (SELECT doc_id, n, (n + 3) // 4 AS n_every4,
+      |        unnest(range(0, 8)) AS j
+      |      FROM p WHERE n >= 8)
+      |SELECT doc_id, j, n AS n_frames, n_every4,
+      |  j * (n - 1) // 7 AS frame_idx,
+      |  (j * (n - 1) // 7) * 64 AS byte_off
+      |FROM f ORDER BY doc_id, j""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -430,5 +465,6 @@ object MultimodalQueries {
     Q("m08_length_regulator", m08, Some(m08Sql)),
     Q("m09_delta_codec", m09, Some(m09Sql)),
     Q("m10_reformat", m10, Some(m10Sql)),
+    Q("m11_frame_sample", m11, Some(m11Sql)),
   )
 }
