@@ -435,10 +435,16 @@ object DedupQueries {
     * round is one shuffle keyed by node id. */
   private def d09(s: SparkSession, d: String): DataFrame = {
     val pairs = d02(s, d).select(col("id_a"), col("id_b"))
+    // Iterative algorithm, so truncate lineage once: without this the
+    // 3 propagation rounds each re-derive the whole minhash/LSH edge
+    // pipeline through their plan lineage (measured 4x the query).
+    // The standard Spark pattern for iteration (GraphX/ALS do the
+    // same with checkpoints); at scale this is a persisted edge table.
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"),
         col("id_a").as("id_b")))
       .toDF("src", "dst")
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to 3) {
