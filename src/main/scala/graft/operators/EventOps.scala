@@ -847,6 +847,31 @@ object EventOps {
        |  FROM lagged WHERE open_c <> prev_c
        |ORDER BY mode, event_id, kind""".stripMargin
 
+  private val e20Sql =
+    s"""WITH e AS ($evMs),
+       |du AS (SELECT DISTINCT event_type, user_id FROM e),
+       |h AS (SELECT event_type,
+       |        CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+       |      FROM du),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+       |      FROM h),
+       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct,
+       |        max(CASE WHEN r = 64 THEN h END) AS hk
+       |      FROM r GROUP BY event_type),
+       |q AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS qv,
+       |        event_id FROM e),
+       |m AS (SELECT event_type, qv AS median_q FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY qv, event_id) AS r,
+       |      count(*) OVER (PARTITION BY event_type) AS n
+       |    FROM q) WHERE r = (n + 1) // 2)
+       |SELECT s.event_type,
+       |  CAST(CASE WHEN hk IS NULL THEN n_distinct
+       |       ELSE (63 * 1099511627776) // hk END AS BIGINT) AS kmv_est,
+       |  n_distinct, m.median_q
+       |FROM s JOIN m USING (event_type) ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e01_string_matcher", e01, Some(e01Sql)),
     Q("e02_number_to_text", e02, Some(e02Sql)),
@@ -867,19 +892,52 @@ object EventOps {
     Q("e17_volume_scaler", e17, Some(e17Sql)),
     Q("e18_sessionize", e18, Some(e18Sql)),
     Q("e19_salted_agg", e19, Some(e19Sql)),
-    Q("e20_approx_distinct", e20, None), // sketches differ per engine
+    Q("e20_approx_distinct", e20, Some(e20Sql)),
     Q("e22_gate_failmodes", e22, Some(e22Sql)),
   )
 
-  /** approximate sketches (the at-scale toolbox Catalyst brings,
-    * SURVEY §2.7): HyperLogLog++ distinct users and a t-digest-style
-    * quantile per event type. Sketch internals differ per engine, so
-    * this is a rows-only driver check; SketchSpec asserts the error
-    * envelope against exact values. */
-  private def e20(s: SparkSession, d: String): DataFrame =
-    eventsMs(s, d)
+  /** approximate sketches (the at-scale toolbox, SURVEY §2.7), in
+    * engine-agnostic form: a KMV (k-minimum-values) distinct sketch —
+    * est = (k−1)·2^40 div h_k over the k-th smallest 40-bit key hash
+    * (Bar-Yossef et al.; mergeable, bounded memory: at scale the
+    * per-group top-k lives in a bounded-heap Aggregator, and the
+    * exact n_distinct column here exists only to exhibit estimator
+    * quality) — plus an exact lower-median rank over quantized
+    * values. Every output is integer arithmetic both engines compute
+    * identically, so the former rows-only sketch query is now
+    * hash-checked; SketchSpec still pins Spark's native HLL/t-digest
+    * error envelopes separately. */
+  private def e20(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val e = eventsMs(s, d)
+    // KMV distinct sketch: k-th smallest 40-bit hash of the distinct
+    // keys → est = (k−1)·2^40 div h_k (exact count when fewer than k)
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = e.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast(StringType)), 1, 10), 16, 10)
+          .cast(LongType))
+      .withColumn("r", row_number().over(wr))
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
-      .orderBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct"),
+        max(when(col("r") === k, col("h"))).as("hk"))
+      .select(col("event_type"),
+        when(col("hk").isNull, col("n_distinct"))
+          .otherwise(expr(s"(${k - 1} * 1099511627776) div hk"))
+          .as("kmv_est"),
+        col("n_distinct"))
+    // deterministic median: exact lower-median rank over quantized
+    // values — same integer everywhere, unlike t-digest/HLL internals
+    val wv = Window.partitionBy(col("event_type"))
+      .orderBy(col("qv"), col("event_id"))
+    val med = e.select(col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("qv"), col("event_id"))
+      .withColumn("r", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("r") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("qv").as("median_q"))
+    sk.join(med, "event_type").orderBy(col("event_type"))
+  }
+
 }

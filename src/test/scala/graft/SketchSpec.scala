@@ -36,6 +36,18 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e20's KMV estimate lands within the sketch's error envelope " +
+      "(k=64 -> ~13% std error; assert 3 sigma)") {
+    val rows = SparkEntry.queries("e20_approx_distinct")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact) <= math.max(2L, (exact * 0.4).toLong),
+        s"${r.getString(0)}: kmv_est=$est exact=$exact")
+    }
+  }
+
   test("percentile_approx lands between p40 and p60 of exact values") {
     val e = Tables.eventsMs(spark, sf)
     val rows = e.groupBy(col("event_type"))
