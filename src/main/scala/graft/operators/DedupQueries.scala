@@ -72,10 +72,28 @@ object DedupQueries {
       |FROM t GROUP BY prefix_key ORDER BY prefix_key""".stripMargin
 
   // ---- d02: MinHash + LSH candidate generation -----------------------------
+
+  /** Hot-bucket cap: band buckets with more members than this are
+    * dropped before the pair join. A bucket's pair work is |bucket|²
+    * — one boilerplate mega-bucket (a million docs sharing a banner
+    * band) is 10¹² candidate pairs, the known LSH failure mode at
+    * corpus scale; AQE can split partitions but cannot shrink the
+    * cross-product. Standard LSH practice drops them: a bucket that
+    * big carries no near-dup *signal* (its members are boilerplate
+    * templates, and byte-identical members are already collapsed by
+    * d01's exact pass, which has no quadratic step). With the cap,
+    * total candidates are bounded by cap · Σ|bucket| = cap · bands ·
+    * n_docs — LINEAR in the corpus (BucketingSpec proves the bound
+    * under an adversarial single-bucket corpus). */
+  val LshBucketCap = 32L
+
   /** 8 minhash functions (lexicographic min of seeded md5 over
-    * shingles), banded 4×2; candidate pairs share at least one band.
-    * shingle→minhash→band→bucket-join, the scalable LSH pipeline. */
-  private def d02(s: SparkSession, d: String): DataFrame = {
+    * shingles), banded 4×2; candidate pairs share at least one band
+    * whose bucket is under [[LshBucketCap]].
+    * shingle→minhash→band→bucket-cap→bucket-join, the scalable LSH
+    * pipeline. Exposed so BucketingSpec can drive it with an
+    * adversarial corpus and a small cap. */
+  def lshCandidates(documents: DataFrame, cap: Long = LshBucketCap): DataFrame = {
     // Relational minhash with a derived hash family: md5 each shingle
     // ONCE (the only cryptographic hash), then derive the 8 minhash
     // functions by integer mixing h_j = (A_j·h + B_j) mod P — the
@@ -84,7 +102,7 @@ object DedupQueries {
     // (A naive nested-transform formulation was 337s at sf0.1: no CSE
     // inside lambdas re-inlines the signature into every band.)
     val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
-    val shingleRows = Tables.documents(s, d)
+    val shingleRows = documents
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .select(col("doc_id"),
@@ -103,8 +121,17 @@ object DedupQueries {
       .agg(md5(array_join(transform(
         array_sort(collect_list(struct(col("seed"), col("mh")))),
         x => x.getField("mh").cast(StringType)), ",").cast(BinaryType)).as("h"))
-    val a = docBands.as("a")
-    val b = docBands.as("b")
+    // The hot-bucket list is tiny by construction (≤ |docBands|/cap
+    // entries), so it broadcasts; docBands streams through the
+    // anti-join map-side — the cap costs one aggregate on the SAME
+    // (band, h) key the pair join shuffles on, not a second wide pass.
+    val hot = docBands.groupBy(col("band"), col("h"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > cap)
+      .select(col("band"), col("h"))
+    val capped = docBands.join(broadcast(hot), Seq("band", "h"), "left_anti")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -112,8 +139,14 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val d02Sql =
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  private def d02(s: SparkSession, d: String): DataFrame =
+    lshCandidates(Tables.documents(s, d))
+
+  /** The shared LSH candidate CTE chain (docs → shingles → minhash →
+    * bands → hot-bucket cap → pair join), mirrored 1:1 from
+    * [[lshCandidates]]; d02/d06/d09's oracles all start with it. */
+  private val lshCandCtes =
+    s"""docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
        |              FROM documents),
        |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
        |        FROM docs WHERE len(w) >= 3),
@@ -125,10 +158,17 @@ object DedupQueries {
        |      GROUP BY doc_id, seed),
        |bh AS (SELECT doc_id, seed // 2 AS band,
        |        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS h
-       |      FROM mh GROUP BY doc_id, seed // 2)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |      FROM mh GROUP BY doc_id, seed // 2),
+       |bhc AS (SELECT bh.doc_id, bh.band, bh.h FROM bh
+       |        JOIN (SELECT band, h FROM bh GROUP BY band, h
+       |              HAVING count(*) <= $LshBucketCap) ok USING (band, h)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bhc a JOIN bhc b ON a.band = b.band AND a.h = b.h
+       |              AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val d02Sql =
+    s"""WITH $lshCandCtes
+       |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin
 
   // ---- d03: n-gram Jaccard verification ------------------------------------
   /** Exact Jaccard over shingle sets for near-dup pairs (≥ 0.5), via a
@@ -322,22 +362,7 @@ object DedupQueries {
   }
 
   private val d06Sql =
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |              FROM documents),
-       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
-       |        FROM docs WHERE len(w) >= 3),
-       |h AS (SELECT doc_id,
-       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
-       |mh AS (SELECT doc_id, seed,
-       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
-       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
-       |      GROUP BY doc_id, seed),
-       |bh AS (SELECT doc_id, seed // 2 AS band,
-       |        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS h
-       |      FROM mh GROUP BY doc_id, seed // 2),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h
-       |              AND a.doc_id < b.doc_id),
+    s"""WITH $lshCandCtes,
        |sets AS (SELECT doc_id, $shinglesSql AS sh FROM docs WHERE len(w) >= 3)
        |SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -429,10 +454,10 @@ object DedupQueries {
     * THREE fixed rounds of min-label propagation (each label becomes
     * the min over itself and its neighbors' labels), unrolled
     * identically in both engines — deterministic regardless of
-    * convergence; real corpora's near-dup clusters are shallow, and
-    * at scale the same shape iterates to fixpoint (Pregel-style CC;
-    * alternate large-star/small-star for pathological chains). Each
-    * round is one shuffle keyed by node id. */
+    * convergence, so it doubles as the fixed-depth oracle fixture.
+    * The PRODUCTION variant is d10 ([[connectedComponents]]): the
+    * same propagation iterated to fixpoint, which merges chains of
+    * any length. Each round is one shuffle keyed by node id. */
   private def d09(s: SparkSession, d: String): DataFrame = {
     val pairs = d02(s, d).select(col("id_a"), col("id_b"))
     // Iterative algorithm, so truncate lineage once: without this the
@@ -467,22 +492,7 @@ object DedupQueries {
   }
 
   private val d09Sql =
-    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-       |              FROM documents),
-       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
-       |        FROM docs WHERE len(w) >= 3),
-       |h AS (SELECT doc_id,
-       |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
-       |mh AS (SELECT doc_id, seed,
-       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
-       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
-       |      GROUP BY doc_id, seed),
-       |bh AS (SELECT doc_id, seed // 2 AS band,
-       |        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS h
-       |      FROM mh GROUP BY doc_id, seed // 2),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h
-       |              AND a.doc_id < b.doc_id),
+    s"""WITH $lshCandCtes,
        |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
        |          UNION ALL SELECT id_b, id_a FROM cand),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
@@ -505,6 +515,98 @@ object DedupQueries {
        |FROM l3 JOIN sz ON sz.lbl = l3.lbl
        |ORDER BY doc_id""".stripMargin
 
+  /** Fixpoint connected components over an undirected edge list
+    * (`src`, `dst` node-id columns; both directions present — the
+    * Pregel-style CC that d09's fixed 3 rounds approximates). Per
+    * round:
+    *   1. neighbor-min: l(v) ← min(l(v), min of l(u) over edges
+    *      (v,u)) — one shuffle keyed by node id;
+    *   2. pointer jump (the small-star shortcut of the
+    *      large-star/small-star CC family): l(v) ← min(l(v),
+    *      l(l(v))) — a label chain of depth k halves each round, so
+    *      long chains converge in O(log diameter) rounds instead of
+    *      O(diameter);
+    *   3. stop when no label strictly decreased.
+    * Labels start at own id, only ever decrease, and every assigned
+    * label is a node id inside the same component (neighbor labels
+    * and labels-of-labels are both reachable), so the loop
+    * terminates; at fixpoint l(v) ≤ l(u) holds across every edge in
+    * BOTH directions, hence l is constant per component, and the
+    * constant is the component's min id (the min node's label can
+    * only be a component id ≤ itself). GraphSpec pins this to a
+    * union-find model on random graphs, long chains included. Each
+    * round localCheckpoints: iterative lineage would otherwise
+    * re-derive the whole upstream pipeline per round (measured 4× on
+    * d09), and the checkpoint also truncates the O(rounds)-deep plan. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = e
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nl"))
+      val stepped = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("x.lbl") === col("jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = jumped.as("n")
+        .join(labels.select(col("id").as("oid"), col("lbl").as("olbl")),
+          col("n.id") === col("oid"))
+        .filter(col("n.lbl") < col("olbl"))
+        .isEmpty
+      labels = jumped
+    }
+    labels
+  }
+
+  /** d10: d09's cluster resolution with TRUE connected components —
+    * [[connectedComponents]] iterated to fixpoint, so duplicate
+    * chains of any length (a–b–c–d–e, each adjacent pair
+    * LSH-similar) collapse into one cluster with one canonical
+    * survivor, where a fixed 3-round unroll would split the tail
+    * off. The oracle is a genuinely different algorithm: a DuckDB
+    * recursive-CTE transitive closure (min over the full reachable
+    * set) — agreement is cross-algorithm validation, not a mirrored
+    * computation. */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val pairs = d02(s, d).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    val labels = connectedComponents(edges)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        col("cluster_size"),
+        (col("id") === col("lbl")).cast(LongType).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d10Sql =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |reach AS (SELECT src AS id, src AS lbl FROM edges
+       |          UNION
+       |          SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+       |cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cc GROUP BY lbl)
+       |SELECT cc.id AS doc_id, cc.lbl AS cluster, sz.cluster_size,
+       |  CAST(CASE WHEN cc.id = cc.lbl THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM cc JOIN sz USING (lbl)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -515,5 +617,6 @@ object DedupQueries {
     Q("d07_decontaminate", d07, Some(d07Sql)),
     Q("d08_stream_bands", d08, Some(d08Sql)),
     Q("d09_dup_clusters", d09, Some(d09Sql)),
+    Q("d10_cc_fixpoint", d10, Some(d10Sql)),
   )
 }

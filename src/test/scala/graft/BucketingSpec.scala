@@ -52,6 +52,42 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed.count() > 0)
   }
 
+  test("minhash-LSH hot-bucket cap bounds pair work on a boilerplate corpus") {
+    // The adversarial LSH input: a mega-group of identical boilerplate
+    // docs. Every band hashes them into ONE bucket, so uncapped pair
+    // work is |group|² — the corpus-scale failure mode. With the cap,
+    // buckets over the limit are dropped before the join, so (a) no
+    // boilerplate pair survives, (b) genuine small near-dup groups
+    // still match, and (c) total candidates respect the linear bound
+    // cap · bands · n_docs.
+    import spark.implicits._
+    val boiler = (0L until 300L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pairs = (0 until 5).flatMap { g =>
+      val text = s"genuine near duplicate group number $g with enough tokens to shingle"
+      Seq((1000L + 2 * g, text), (1001L + 2 * g, text))
+    }
+    val docs = (boiler ++ pairs).toDF("doc_id", "text")
+
+    val cap = 32L
+    val capped = graft.operators.DedupQueries.lshCandidates(docs, cap).collect()
+    val uncapped = graft.operators.DedupQueries.lshCandidates(docs, 1000000L).count()
+
+    // (a) the mega-bucket contributes nothing
+    assert(!capped.exists(r => r.getLong(0) < 1000L || r.getLong(1) < 1000L),
+      "boilerplate pairs must be dropped by the cap")
+    // (b) all 5 genuine pairs survive
+    val got = capped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 5).map(g => (1000L + 2 * g, 1001L + 2 * g)).toSet
+    assert(got == want, s"expected exactly the 5 genuine pairs, got $got")
+    // (c) the linear candidate bound holds; uncapped is quadratic
+    val nDocs = docs.count()
+    assert(capped.length <= cap * 4 * nDocs,
+      "candidates must respect the cap·bands·n bound")
+    assert(uncapped >= 300L * 299L / 2,
+      s"uncapped must show the quadratic blow-up (got $uncapped)")
+  }
+
   test("sign-LSH: max bucket size shrinks as plane count grows") {
     // LSH pair work within a bucket is |bucket|² — the plane count must
     // demonstrably cap bucket size for the s02 shape to hold at scale.

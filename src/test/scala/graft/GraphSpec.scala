@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Fixpoint connected components (d10 / DedupQueries.connectedComponents)
+  * pinned to a union-find model: on random graphs the distributed
+  * neighbor-min + pointer-jump loop must assign every node the MINIMUM
+  * node id of its component — exactly what union-find computes. The
+  * long-chain case (a path graph) is the one a fixed-round unroll
+  * (d09's 3 rounds) provably under-merges, so it gets a deterministic
+  * test of its own.
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("graph-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Union-find with path compression — the sequential model. Returns
+    * each edge-endpoint node's component minimum. */
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => List(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  private def ccOf(edges: List[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val both = edges ++ edges.map(e => (e._2, e._1))
+    val df = both.toDF("src", "dst")
+    DedupQueries.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("fixpoint CC == union-find on random graphs") {
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+      if es.nonEmpty
+    } yield es
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(12).withWorkers(1),
+      Prop.forAll(genEdges) { es => ccOf(es) == unionFind(es) })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("long chain collapses to one component (the fixed-round failure case)") {
+    // Path 0-1-2-…-40: diameter 40. Fixed 3 rounds of neighbor-min
+    // leaves the tail mislabeled; the fixpoint loop must converge to a
+    // single component labeled 0 (in O(log 40) rounds thanks to the
+    // pointer jump, but correctness is what we pin here).
+    val chain = (0L until 40L).map(i => (i, i + 1)).toList
+    val got = ccOf(chain)
+    assert(got.size == 41)
+    assert(got.values.toSet == Set(0L), s"all labels must be 0, got ${got.values.toSet}")
+    assert(got == unionFind(chain))
+  }
+
+  test("disjoint cliques keep distinct minimum labels") {
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 12L; j <- (i + 1) to 13L) yield (i, j)
+    val got = ccOf((cliqueA ++ cliqueB).toList)
+    assert(got.filter(_._1 < 10L).values.toSet == Set(0L))
+    assert(got.filter(_._1 >= 10L).values.toSet == Set(10L))
+  }
+}
