@@ -207,41 +207,52 @@ object ContainerQueries {
       |    + offset_ms AS ts
       |FROM pk ORDER BY container, stream, dts""".stripMargin
 
-  /** Named output/input (SURVEY §2.1 #18; namedoutput.py:26-37): a
-    * producer publishes per-pipeline click stats under a string name;
-    * an independent consumer resolves the name and joins its own view
-    * stats against it. The oracle computes the direct composition —
-    * a hash match proves the publish → resolve indirection is exact
-    * (and the join against the resolved view broadcasts: 2 rows). */
+  /** Named output/input (SURVEY §2.1 #18; namedoutput.py:26-37): two
+    * producers publish per-pipeline click and purchase stats under
+    * two distinct string names; an independent consumer resolves BOTH
+    * names from the registry and joins its own view stats against
+    * them — a multi-name round-trip, keyed by 64 pipelines so the
+    * fixture has non-trivial discriminating rows (the original 2-row
+    * user_id%2 version hash-matched on near-constant output). The
+    * oracle computes the direct composition — a hash match proves the
+    * publish → resolve indirection is exact for each name. */
   private def e23(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = eventsMs(s, d)
     def stats(t: String, pfx: String) = e.filter(col("event_type") === t)
-      .groupBy((col("user_id") % 2).as("pipeline"))
+      .groupBy((col("user_id") % 64).as("pipeline"))
       .agg(count(lit(1)).as(s"${pfx}_n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as(s"${pfx}_sum"))
     graft.sources.NamedStreams.publish(stats("click", "click"),
       "named_click_stats")
-    val resolved = graft.sources.NamedStreams.resolve(s, "named_click_stats")
+    graft.sources.NamedStreams.publish(stats("purchase", "buy"),
+      "named_purchase_stats")
+    val clicks = graft.sources.NamedStreams.resolve(s, "named_click_stats")
+    val buys = graft.sources.NamedStreams.resolve(s, "named_purchase_stats")
     stats("view", "view")
-      .join(broadcast(resolved), "pipeline")
+      .join(broadcast(clicks), "pipeline")
+      .join(broadcast(buys), "pipeline")
       .select(col("pipeline"), col("click_n"), col("click_sum"),
-        col("view_n"), col("view_sum"))
+        col("buy_n"), col("buy_sum"), col("view_n"), col("view_sum"))
       .orderBy(col("pipeline"))
   }
 
   private val e23Sql =
-    """WITH ev AS (SELECT user_id % 2 AS pipeline, event_type, value
+    """WITH ev AS (SELECT user_id % 64 AS pipeline, event_type, value
       |            FROM events),
       |c AS (SELECT pipeline, count(*) AS click_n,
       |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_sum
       |      FROM ev WHERE event_type = 'click' GROUP BY pipeline),
+      |b AS (SELECT pipeline, count(*) AS buy_n,
+      |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS buy_sum
+      |      FROM ev WHERE event_type = 'purchase' GROUP BY pipeline),
       |v AS (SELECT pipeline, count(*) AS view_n,
       |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS view_sum
       |      FROM ev WHERE event_type = 'view' GROUP BY pipeline)
-      |SELECT pipeline, click_n, click_sum, view_n, view_sum
-      |FROM v JOIN c USING (pipeline) ORDER BY pipeline""".stripMargin
+      |SELECT pipeline, click_n, click_sum, buy_n, buy_sum, view_n, view_sum
+      |FROM v JOIN c USING (pipeline) JOIN b USING (pipeline)
+      |ORDER BY pipeline""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),

@@ -121,15 +121,19 @@ object DedupQueries {
       .agg(md5(array_join(transform(
         array_sort(collect_list(struct(col("seed"), col("mh")))),
         x => x.getField("mh").cast(StringType)), ",").cast(BinaryType)).as("h"))
-    // The hot-bucket list is tiny by construction (≤ |docBands|/cap
-    // entries), so it broadcasts; docBands streams through the
-    // anti-join map-side — the cap costs one aggregate on the SAME
-    // (band, h) key the pair join shuffles on, not a second wide pass.
+    // The cap costs one aggregate on the SAME (band, h) key the pair
+    // join shuffles on, not a second wide pass, and the anti-join
+    // reuses that shuffle too. No broadcast hint: the hot list is
+    // ≤ |docBands|/cap ENTRIES but that bound is linear in the corpus
+    // — on the boilerplate-heavy corpora the cap exists for (many
+    // distinct templates, each > cap copies) it can reach millions of
+    // rows at 100 TB, so a forced broadcast risks driver OOM. AQE
+    // picks broadcast at runtime only when the list is actually small.
     val hot = docBands.groupBy(col("band"), col("h"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > cap)
       .select(col("band"), col("h"))
-    val capped = docBands.join(broadcast(hot), Seq("band", "h"), "left_anti")
+    val capped = docBands.join(hot, Seq("band", "h"), "left_anti")
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
@@ -538,6 +542,18 @@ object DedupQueries {
     * round localCheckpoints: iterative lineage would otherwise
     * re-derive the whole upstream pipeline per round (measured 4× on
     * d09), and the checkpoint also truncates the O(rounds)-deep plan. */
+  /** Release the block-manager storage behind a localCheckpointed
+    * DataFrame once a successor supersedes it. Each checkpoint caches
+    * a full copy of its table, so an iterative loop that never
+    * unpersists grows storage by one label-table copy per round for
+    * the lifetime of the job. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def connectedComponents(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var labels = e.select(col("src").as("id")).distinct()
@@ -563,8 +579,10 @@ object DedupQueries {
           col("n.id") === col("oid"))
         .filter(col("n.lbl") < col("olbl"))
         .isEmpty
-      labels = jumped
+      unpersistCheckpoint(labels) // superseded; convergence check above
+      labels = jumped             // was the last reader of the old copy
     }
+    unpersistCheckpoint(e) // final labels are materialized; edges done
     labels
   }
 

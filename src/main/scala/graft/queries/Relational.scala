@@ -177,16 +177,23 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // ---- q09: EXCEPT ---------------------------------------------------------
+  // "Customers who never placed a big-ticket order." The subtrahend is
+  // price-filtered so the result is a NON-EMPTY proper subset at every
+  // test SF (8 / 68 / 762 rows at sf0.001/0.01/0.1) — an unfiltered
+  // customer-minus-orders EXCEPT hashes to the empty set on this dense
+  // synthetic data and proves nothing about the plan.
   private def q09(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_custkey"))
-    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey").as("c_custkey"))
     c.except(o).orderBy(col("c_custkey"))
   }
 
   private val q09Sql =
     """SELECT c_custkey FROM customer
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000
       |ORDER BY c_custkey""".stripMargin
 
   // ---- q10: ROLLUP ---------------------------------------------------------
@@ -234,16 +241,28 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // ---- q13: left-anti join (NOT EXISTS) -----------------------------------
+  // "Parts with no heavy shipment in 1997H1." The probe side is a
+  // filtered lineitem slice so the anti-join returns a NON-EMPTY
+  // proper subset at every test SF (137 / 1306 / 12898 rows at
+  // sf0.001/0.01/0.1) — the unfiltered version is empty on this dense
+  // synthetic data (every part ships every few weeks) and its hash
+  // can't distinguish a correct plan from an over-filtering one. The
+  // filter also demonstrates pushdown below the anti-join build side.
   private def q13(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir).select("p_partkey", "p_name")
-    val l = Tables.lineitem(spark, dir).select("l_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" &&
+        col("l_shipdate") < "1997-07-01" && col("l_quantity") > 40)
+      .select("l_partkey")
     p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
       .orderBy(col("p_partkey"))
   }
 
   private val q13Sql =
     """SELECT p_partkey, p_name FROM part
-      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+      |    AND l_quantity > 40)
       |ORDER BY p_partkey""".stripMargin
 
   // ---- q14: HAVING on an exact decimal sum --------------------------------
