@@ -56,6 +56,62 @@ object Renderer {
     toRgb24(img)
   }
 
+  /** 5×7 bitmap digit font (one 5-bit row mask per glyph row, bit 4 =
+    * leftmost pixel) — the classic HD44780 character-generator digit
+    * shapes. Shared as integer literals with the m12 oracle SQL (the
+    * p05 quantized-twiddle trick): both engines rasterize from the
+    * SAME table with pure integer math, so the raster is hash-exact
+    * across engines — unlike [[renderText]]'s platform font. */
+  val digitFont: Array[Array[Int]] = Array(
+    Array(14, 17, 19, 21, 25, 17, 14), // 0
+    Array(4, 12, 4, 4, 4, 4, 14), //      1
+    Array(14, 17, 1, 2, 4, 8, 31), //     2
+    Array(31, 2, 4, 2, 1, 17, 14), //     3
+    Array(2, 6, 10, 18, 31, 2, 2), //     4
+    Array(31, 16, 30, 1, 1, 17, 14), //   5
+    Array(6, 8, 16, 30, 17, 17, 14), //   6
+    Array(31, 1, 2, 4, 8, 8, 8), //       7
+    Array(14, 17, 17, 14, 17, 17, 14), // 8
+    Array(14, 17, 17, 15, 1, 2, 12)) //   9
+
+  /** Deterministic integer rasterizer — textrenderer.py:79-89's
+    * blank-frame → draw-text → tobytes path with the 1-bit
+    * [[digitFont]] glyph grid instead of a platform font. Renders
+    * `digits` at top-left (x, y) with a 6-px advance in colour `rgb`
+    * (0xRRGGBB) onto a black w×h packed-rgb24 frame. Every output
+    * byte is exact integer math over the shared font table, so m12
+    * can hash-check the raster against a SQL re-derivation; the
+    * Java2D [[renderText]] keeps the production font path. */
+  def renderDigits(digits: String, w: Int, h: Int, x: Int, y: Int,
+      rgb: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    val r = ((rgb >> 16) & 0xff).toByte
+    val g = ((rgb >> 8) & 0xff).toByte
+    val b = (rgb & 0xff).toByte
+    var i = 0
+    while (i < digits.length) {
+      val glyph = digitFont(digits.charAt(i) - '0')
+      var gy = 0
+      while (gy < 7) {
+        var gx = 0
+        while (gx < 5) {
+          if (((glyph(gy) >> (4 - gx)) & 1) == 1) {
+            val px = x + i * 6 + gx
+            val py = y + gy
+            if (px >= 0 && px < w && py >= 0 && py < h) {
+              val o = (py * w + px) * 3
+              out(o) = r; out(o + 1) = g; out(o + 2) = b
+            }
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   private def toRgb24(img: BufferedImage): Array[Byte] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new Array[Byte](w * h * 3)

@@ -455,6 +455,67 @@ object MultimodalQueries {
       |  (j * (n - 1) // 7) * 64 AS byte_off
       |FROM f ORDER BY doc_id, j""".stripMargin
 
+  /** m12: the text renderer (#33, textrenderer.py:79-89) as an
+    * oracle-checked raster. Each document's 2-digit label is rendered
+    * through [[graft.functions.Renderer.renderDigits]] — the REAL
+    * kernel path: blank rgb24 frame → 1-bit glyph grid → packed bytes
+    * — on executors (mapPartitions over ids, like the m03 decoder
+    * mount), then the frame is reduced to per-pixel-row ink metrics:
+    * lit-pixel count, 1-based x-coordinate sum (placement), and
+    * channel-byte sum (colour + byte packing). The oracle re-derives
+    * the same metrics in SQL from the SAME 5×7 font table, inlined as
+    * integer literals from `Renderer.digitFont` (single source of
+    * truth, the p05 twiddle trick) — a hash match proves the glyph
+    * rasterization, the (x, y) placement with per-doc offset, the
+    * 6-px advance, and the rgb24 byte layout are all exact. */
+  private def m12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val frame = graft.functions.Renderer.renderDigits(
+          f"${id % 100}%02d", 16, 9, (1 + id % 3).toInt, 1, 0xCC8833)
+        (0 until 9).flatMap { yy =>
+          var n = 0L; var xs = 0L; var cs = 0L
+          var xx = 0
+          while (xx < 16) {
+            val o = (yy * 16 + xx) * 3
+            if (frame(o) != 0) {
+              n += 1; xs += xx + 1
+              cs += (frame(o) & 0xff) + (frame(o + 1) & 0xff) +
+                (frame(o + 2) & 0xff)
+            }
+            xx += 1
+          }
+          if (n > 0) Some((id, yy.toLong, n, xs, cs)) else None
+        }
+      }
+    }.toDF("doc_id", "y", "ink_n", "ink_xsum", "chan_sum")
+      .orderBy(col("doc_id"), col("y"))
+  }
+
+  private val fontValues: String =
+    graft.functions.Renderer.digitFont.zipWithIndex.flatMap {
+      case (rows, dg) => rows.zipWithIndex.map {
+        case (m, r) => s"($dg,$r,$m)" }
+    }.mkString(",")
+
+  private val m12Sql =
+    s"""WITH font(d, r, m) AS (VALUES $fontValues),
+       |docs AS (SELECT doc_id, (doc_id % 100) // 10 AS dd1,
+       |    doc_id % 10 AS dd2, 1 + doc_id % 3 AS x0
+       |  FROM documents),
+       |glyphs AS (SELECT doc_id, x0, dd1 AS d FROM docs
+       |  UNION ALL SELECT doc_id, x0 + 6, dd2 FROM docs),
+       |bits AS (SELECT g.doc_id, g.x0 + bs.b AS x, f.r + 1 AS y
+       |  FROM glyphs g JOIN font f ON f.d = g.d
+       |  CROSS JOIN (SELECT unnest(range(0, 5)) AS b) bs
+       |  WHERE (f.m >> (4 - bs.b)) & 1 = 1)
+       |SELECT doc_id, CAST(y AS BIGINT) AS y, count(*) AS ink_n,
+       |  CAST(sum(x + 1) AS BIGINT) AS ink_xsum,
+       |  CAST(count(*) * 391 AS BIGINT) AS chan_sum
+       |FROM bits GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -466,5 +527,6 @@ object MultimodalQueries {
     Q("m09_delta_codec", m09, Some(m09Sql)),
     Q("m10_reformat", m10, Some(m10Sql)),
     Q("m11_frame_sample", m11, Some(m11Sql)),
+    Q("m12_digit_raster", m12, Some(m12Sql)),
   )
 }

@@ -53,4 +53,32 @@ class RendererSpec extends AnyFunSuite {
       val (px, py) = (i % w, i / w)
       px >= 2 && py >= 2 && py < 2 + 2 * 16 })
   }
+
+  test("digit raster: exact 1-bit glyphs, placement, advance, rgb24 " +
+      "packing, and edge clipping") {
+    val w = 16; val h = 9
+    val out = Renderer.renderDigits("42", w, h, 1, 1, 0xCC8833)
+    assert(out.length == w * h * 3)
+    // every lit pixel carries exactly the requested colour bytes
+    val lit = out.grouped(3).zipWithIndex
+      .filter { case (p, _) => p.exists(_ != 0) }.toSeq
+    assert(lit.forall { case (p, _) => (p(0) & 0xff) == 0xCC &&
+      (p(1) & 0xff) == 0x88 && (p(2) & 0xff) == 0x33 })
+    // total ink = popcount of the two glyphs' row masks
+    def pop(d: Int) = Renderer.digitFont(d).map(Integer.bitCount).sum
+    assert(lit.size == pop(4) + pop(2))
+    // pixel (px, py) is lit iff the font bit for its glyph cell is set
+    for (((p, i)) <- out.grouped(3).zipWithIndex) {
+      val (px, py) = (i % w, i / w)
+      val expected = py >= 1 && py < 8 && px >= 1 && px < 13 && {
+        val glyph = if (px < 7) 4 else 2
+        val gx = if (px < 7) px - 1 else px - 7
+        ((Renderer.digitFont(glyph)(py - 1) >> (4 - gx)) & 1) == 1
+      }
+      assert((p.exists(_ != 0)) == expected, s"pixel ($px,$py)")
+    }
+    // off-frame placement clips instead of throwing
+    val clipped = Renderer.renderDigits("99", 8, 4, 5, -2, 0xffffff)
+    assert(clipped.length == 8 * 4 * 3)
+  }
 }
