@@ -3,6 +3,21 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** A restamped packet staged for paced release (state rows of
+  * [[InputPacer.paced]]'s keyed release operator). */
+case class PacedPacket(container: Long, stream: String, dts: Long,
+    offset_ms: Long, ts: Long, bucket: Long)
+
+/** A clock tick from the `rate` source, keyed by its tick index. */
+case class PacedTick(bucket: Long, tick_wall: java.sql.Timestamp)
+
+/** A released packet: the staged packet plus the releasing tick's
+  * scheduled wall time. */
+case class PacedOut(container: Long, stream: String, dts: Long,
+    offset_ms: Long, ts: Long, bucket: Long,
+    tick_wall: java.sql.Timestamp)
 
 /** Input-container demux-source timing
   * (/root/reference/streamtasks/system/tasks/media/inputcontainer.py:63-83
@@ -16,18 +31,19 @@ import org.apache.spark.sql.functions._
   *  - [[restamp]] — the pure timing computation as window expressions
   *    (no state, fully codegen'd); used by the m04 oracle query.
   *  - [[paced]] — real-time pacing WITHOUT a custom source: a `rate`
-  *    stream is the clock; each tick equality-joins (broadcast, no
-  *    shuffle, no state) against the static packet table bucketed by
-  *    `ceil(offset / tickMs)`, releasing exactly the packets due in
-  *    that tick. The reference's accumulated-lag compensation
-  *    (inputcontainer.py:80-82) is subsumed: a late micro-batch's
-  *    bucket still selects its packets, so the stream catches up
-  *    instead of drifting.
+  *    stream is the clock; packets stage in keyed state by their due
+  *    tick `ceil(offset / tickMs)` and each tick releases its
+  *    bucket's packets. The reference's accumulated-lag compensation
+  *    (inputcontainer.py:80-82) is subsumed: a late micro-batch
+  *    carries every missed tick, whose buckets all release, so the
+  *    stream catches up instead of drifting.
   *
-  * Scale: one rate row per tick; the packet side is static and
-  * broadcast once per batch. A deployment with many containers keys
-  * the join by (container, bucket) — ticks fan out via the broadcast,
-  * so adding containers adds no shuffle.
+  * Scale: one rate row per tick; the packet table lives ONCE in the
+  * distributed state store (loaded as initial state, RocksDB-backed),
+  * shrinking as buckets release — per-batch work is proportional to
+  * the batch's ticks, independent of total packet count. A deployment
+  * with many containers keys by (container, bucket); state and ticks
+  * both partition over the cluster.
   */
 object InputPacer {
 
@@ -78,24 +94,63 @@ object InputPacer {
   def dueTick(relMs: Column, ratePerSec: Long): Column =
     call_function("div", relMs * lit(ratePerSec) + lit(999L), lit(1000L))
 
-  /** Real-time paced emission: `rate` ticks at [[ticksPerSecond]] join
-    * the restamped packets on their [[dueTick]], so a packet with
-    * relative offset o is released on the first tick at or after o.
-    * The static side is broadcast; the stream side holds no state. */
+  /** Real-time paced emission: `rate` ticks at [[ticksPerSecond]] are
+    * keyed by tick index and release the packets staged under that
+    * index, so a packet with relative offset o is released on the
+    * first tick at or after o ([[dueTick]]).
+    *
+    * Scale shape: the restamped packet table loads ONCE as the
+    * initial state of a `flatMapGroupsWithState` keyed by bucket —
+    * it is partitioned across executors by the state store (RocksDB
+    * spills it) and each micro-batch touches only the buckets whose
+    * ticks arrived, a point lookup per tick. The earlier broadcast-
+    * join formulation shipped the ENTIRE packet set to every
+    * micro-batch — fine for a demo container, unbounded for a real
+    * stream (the reference paces incrementally,
+    * inputcontainer.py:76-78). Each rate value occurs exactly once,
+    * so a released bucket's state is removed and total state only
+    * shrinks; a late micro-batch carries all missed ticks, so their
+    * buckets still release and the stream catches up instead of
+    * drifting (inputcontainer.py:80-82). */
   def paced(spark: SparkSession, packets: DataFrame, anchorMs: Long,
       tickMs: Long): DataFrame = {
+    import spark.implicits._
     val r = ticksPerSecond(tickMs)
     val stamped = restamp(packets, anchorMs)
       .withColumn("rel_ms", col("offset_ms") -
         min(col("offset_ms")).over(Window.partitionBy(col("container"))))
       .withColumn("bucket", dueTick(col("rel_ms"), r))
+      .select(col("container"), col("stream"), col("dts"),
+        col("offset_ms"), col("ts"), col("bucket"))
+      .as[PacedPacket]
+    val initialState = stamped.groupByKey(_.bucket)
+      .mapGroups((b, it) => b -> it.toList)
+      .groupByKey(_._1)
+      .mapValues(_._2)
     val ticks = spark.readStream
       .format("rate")
       .option("rowsPerSecond", r)
       .load()
       .select(col("value").as("bucket"), col("timestamp").as("tick_wall"))
-    ticks.join(broadcast(stamped), Seq("bucket"))
-      .select(col("container"), col("stream"), col("dts"), col("offset_ms"),
-        col("ts"), col("bucket"), col("tick_wall"))
+      .as[PacedTick]
+    ticks.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initialState) {
+        (bucket: Long, tk: Iterator[PacedTick],
+            st: org.apache.spark.sql.streaming.GroupState[List[PacedPacket]]) =>
+          // the first batch invokes every initial-state key with an
+          // empty tick iterator (state seeding) — keep state, emit
+          // nothing until that bucket's tick actually arrives
+          val arrived = tk.toList
+          if (!st.exists || arrived.isEmpty) Iterator.empty
+          else {
+            val wall = arrived.map(_.tick_wall).minBy(_.getTime)
+            val due = st.get
+            st.remove()
+            due.iterator.map(p => PacedOut(p.container, p.stream, p.dts,
+              p.offset_ms, p.ts, p.bucket, wall))
+          }
+      }
+      .toDF()
   }
 }
