@@ -182,9 +182,11 @@ object EventOps {
        |  FROM u)
        |WHERE is_ctrl = 0 AND g > 0.5 ORDER BY event_id""".stripMargin
 
-  /** switch (switch.py:45-72): two (data, control) pairs; forward data
-    * of the pair whose latest control value is max (ties → lower
-    * index; missing control counts as 0). Pair 0 = click/error,
+  /** switch (switch.py:29-72): two (data, control) pairs; forward data
+    * of the pair whose latest control value is max. Reference-exact:
+    * nothing forwards before the first control message (empty dict →
+    * index -1), and value ties select the pair whose control arrived
+    * FIRST (python dict insertion order). Pair 0 = click/error,
     * pair 1 = view/signup. */
   private def e06(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d)
@@ -201,10 +203,23 @@ object EventOps {
     val w = Window.partitionBy(col("pipeline"))
       .orderBy(col("ts_ms"), col("is_ctrl").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def lastCtrl(p: Int) = coalesce(
+    // Reference-exact selection (switch.py:69-72): control_values is an
+    // insertion-ordered dict — selected = FIRST pair (by first-control
+    // arrival, since this fixture has no control pauses) whose latest
+    // control value equals the max; NULL (no control yet) pairs are
+    // absent from the max, and an empty dict selects -1 (no forward).
+    def lastCtrl(p: Int) =
       last(when(col("pair") === p && col("is_ctrl") === 1, col("sig")),
-        ignoreNulls = true).over(w), lit(0.0))
-    u.withColumn("sel", when(lastCtrl(1) > lastCtrl(0), 1).otherwise(0))
+        ignoreNulls = true).over(w)
+    def firstCtrl(p: Int) =
+      min(when(col("pair") === p && col("is_ctrl") === 1, col("event_id"))).over(w)
+    val sel = when(lastCtrl(0).isNull && lastCtrl(1).isNull, -1)
+      .when(lastCtrl(1).isNull, 0)
+      .when(lastCtrl(0).isNull, 1)
+      .when(lastCtrl(1) > lastCtrl(0), 1)
+      .when(lastCtrl(0) > lastCtrl(1), 0)
+      .otherwise(when(firstCtrl(0) <= firstCtrl(1), 0).otherwise(1))
+    u.withColumn("sel", sel)
       .filter(col("is_ctrl") === 0 && col("pair") === col("sel"))
       .select(col("pipeline"), col("event_id"), col("ts_ms"), col("value"),
         col("pair").cast(LongType).as("pair"))
@@ -219,19 +234,27 @@ object EventOps {
        |  UNION ALL SELECT $pipelineSql, event_id, ts_ms, value, NULL, 1, 0 FROM e WHERE event_type='view'
        |  UNION ALL SELECT $pipelineSql, event_id, ts_ms, NULL, value, 1, 1 FROM e WHERE event_type='signup'),
        |t AS (SELECT *,
-       |  COALESCE(last_value(CASE WHEN pair=0 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0) AS c0,
-       |  COALESCE(last_value(CASE WHEN pair=1 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0) AS c1
+       |  last_value(CASE WHEN pair=0 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w AS c0,
+       |  last_value(CASE WHEN pair=1 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w AS c1,
+       |  min(CASE WHEN pair=0 AND is_ctrl=1 THEN event_id END) OVER w AS f0,
+       |  min(CASE WHEN pair=1 AND is_ctrl=1 THEN event_id END) OVER w AS f1
        |  FROM u WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, is_ctrl DESC, event_id
        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT pipeline, event_id, ts_ms, value, CAST(pair AS BIGINT) AS pair
-       |FROM t WHERE is_ctrl = 0 AND pair = (CASE WHEN c1 > c0 THEN 1 ELSE 0 END)
+       |FROM t WHERE is_ctrl = 0 AND pair = (
+       |  CASE WHEN c0 IS NULL AND c1 IS NULL THEN -1
+       |       WHEN c1 IS NULL THEN 0 WHEN c0 IS NULL THEN 1
+       |       WHEN c1 > c0 THEN 1 WHEN c0 > c1 THEN 0
+       |       WHEN f0 <= f1 THEN 0 ELSE 1 END)
        |ORDER BY event_id""".stripMargin
 
-  /** media switch (media/mediaswitch.py:15-27): switch that defers the
+  /** media switch (media/mediaswitch.py:11-27): switch that defers the
     * cutover to the next keyframe of the newly selected input. Keyframe
-    * := event_id % 7 = 0 (stand-in for packet.isKeyframe). The active
-    * input is the stream of the last keyframe row whose stream was
-    * selected at that moment; data flows while active == own stream. */
+    * := event_id % 7 = 0 (stand-in for packet.is_keyframe). Reference-
+    * exact: the selection rule is the switch's (empty dict → -1,
+    * insertion-order ties), `_active_index` starts at -1 — NOTHING
+    * forwards before the first keyframe of a then-selected pair — and
+    * the active input is the pair of the last such keyframe row. */
   private def e07(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d)
     def stream(t: String, pair: Int, ctrl: Boolean) =
@@ -247,15 +270,26 @@ object EventOps {
     val w = Window.partitionBy(col("pipeline"))
       .orderBy(col("ts_ms"), col("is_ctrl").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def lastCtrl(p: Int) = coalesce(
+    def lastCtrl(p: Int) =
       last(when(col("pair") === p && col("is_ctrl") === 1, col("sig")),
-        ignoreNulls = true).over(w), lit(0.0))
-    u.withColumn("sel", when(lastCtrl(1) > lastCtrl(0), 1).otherwise(0))
+        ignoreNulls = true).over(w)
+    def firstCtrl(p: Int) =
+      min(when(col("pair") === p && col("is_ctrl") === 1, col("event_id"))).over(w)
+    val sel = when(lastCtrl(0).isNull && lastCtrl(1).isNull, -1)
+      .when(lastCtrl(1).isNull, 0)
+      .when(lastCtrl(0).isNull, 1)
+      .when(lastCtrl(1) > lastCtrl(0), 1)
+      .when(lastCtrl(0) > lastCtrl(1), 0)
+      .otherwise(when(firstCtrl(0) <= firstCtrl(1), 0).otherwise(1))
+    u.withColumn("sel", sel)
       .withColumn("kf", col("is_ctrl") === 0 && col("event_id") % 7 === 0)
       .withColumn("active", coalesce(
         last(when(col("kf") && col("pair") === col("sel"), col("pair")),
-          ignoreNulls = true).over(w), lit(0)))
-      .filter(col("is_ctrl") === 0 && col("pair") === col("active"))
+          ignoreNulls = true).over(w), lit(-1)))
+      // data forwards only when its pair is BOTH selected and active
+      // (mediaswitch.py:18 gates on selected, :25 on active)
+      .filter(col("is_ctrl") === 0 && col("pair") === col("active") &&
+        col("pair") === col("sel"))
       .select(col("pipeline"), col("event_id"), col("ts_ms"), col("value"),
         col("pair").cast(LongType).as("pair"))
       .orderBy(col("event_id"))
@@ -269,36 +303,53 @@ object EventOps {
        |  UNION ALL SELECT $pipelineSql, event_id, ts_ms, value, NULL, 1, 0 FROM e WHERE event_type='view'
        |  UNION ALL SELECT $pipelineSql, event_id, ts_ms, NULL, value, 1, 1 FROM e WHERE event_type='signup'),
        |t AS (SELECT *,
-       |  (CASE WHEN COALESCE(last_value(CASE WHEN pair=1 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0)
-       |           > COALESCE(last_value(CASE WHEN pair=0 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w, 0.0)
-       |        THEN 1 ELSE 0 END) AS sel,
+       |  (CASE WHEN c0 IS NULL AND c1 IS NULL THEN -1
+       |        WHEN c1 IS NULL THEN 0 WHEN c0 IS NULL THEN 1
+       |        WHEN c1 > c0 THEN 1 WHEN c0 > c1 THEN 0
+       |        WHEN f0 <= f1 THEN 0 ELSE 1 END) AS sel,
        |  (is_ctrl = 0 AND event_id % 7 = 0) AS kf
-       |  FROM u WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, is_ctrl DESC, event_id
-       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |  FROM (SELECT *,
+       |    last_value(CASE WHEN pair=0 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w AS c0,
+       |    last_value(CASE WHEN pair=1 AND is_ctrl=1 THEN sig END IGNORE NULLS) OVER w AS c1,
+       |    min(CASE WHEN pair=0 AND is_ctrl=1 THEN event_id END) OVER w AS f0,
+       |    min(CASE WHEN pair=1 AND is_ctrl=1 THEN event_id END) OVER w AS f1
+       |    FROM u WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, is_ctrl DESC, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))),
        |a AS (SELECT *,
        |  COALESCE(last_value(CASE WHEN kf AND pair = sel THEN pair END IGNORE NULLS)
        |    OVER (PARTITION BY pipeline ORDER BY ts_ms, is_ctrl DESC, event_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS active
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS active
        |  FROM t)
        |SELECT pipeline, event_id, ts_ms, value, CAST(pair AS BIGINT) AS pair
-       |FROM a WHERE is_ctrl = 0 AND pair = active ORDER BY event_id""".stripMargin
+       |FROM a WHERE is_ctrl = 0 AND pair = active AND pair = sel
+       |ORDER BY event_id""".stripMargin
 
-  /** SR latch (srlatch.py:42-55): set>0.5 ⇒ true, reset>0.5 ⇒ false,
-    * both/neither ⇒ unchanged; emits current state (0/1) on every
-    * set/reset message. Set = click value>10, reset = error value>10;
-    * initial state false. */
+  /** SR latch (srlatch.py:33-55) — LEVEL-based, reference-exact: the
+    * task holds the last received LEVEL of each input (set = click
+    * value>10, reset = error value>10) and on every message re-derives
+    * the output: the latch takes the set level while the two levels
+    * DISAGREE and holds while they agree (srlatch.py:52-54) — so a hot
+    * reset while the set level is still high is a no-change emit.
+    * Emits current state (0/1) on every message; initial state false. */
   private def e08(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d)
     val u = e.filter(col("event_type").isin("click", "error"))
       .select(pipeline, col("event_id"), col("ts_ms"),
-        when(col("event_type") === "click" && col("value") > 10, 1.0)
-          .when(col("event_type") === "error" && col("value") > 10, 0.0)
-          .as("cmd"))
+        when(col("event_type") === "click", col("value") > 10).as("setLvl"),
+        when(col("event_type") === "error", col("value") > 10).as("rstLvl"))
     val w = Window.partitionBy(col("pipeline"))
       .orderBy(col("ts_ms"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("state",
-        coalesce(last(col("cmd"), ignoreNulls = true).over(w), lit(0.0)))
+    u.withColumn("s_lvl",
+        coalesce(last(col("setLvl"), ignoreNulls = true).over(w), lit(false)))
+      .withColumn("r_lvl",
+        coalesce(last(col("rstLvl"), ignoreNulls = true).over(w), lit(false)))
+      // while levels disagree the value follows the set level; while
+      // they agree it holds the last decided value (default false)
+      .withColumn("decided", when(col("s_lvl") =!= col("r_lvl"),
+        when(col("s_lvl"), 1.0).otherwise(0.0)))
+      .withColumn("state",
+        coalesce(last(col("decided"), ignoreNulls = true).over(w), lit(0.0)))
       .select(col("pipeline"), col("event_id"), col("ts_ms"), col("state"))
       .orderBy(col("event_id"))
   }
@@ -306,14 +357,21 @@ object EventOps {
   private val e08Sql =
     s"""WITH e AS ($evMs),
        |u AS (SELECT $pipelineSql, event_id, ts_ms,
-       |        CASE WHEN event_type='click' AND value > 10 THEN 1.0
-       |             WHEN event_type='error' AND value > 10 THEN 0.0 END AS cmd
-       |      FROM e WHERE event_type IN ('click','error'))
+       |        CASE WHEN event_type='click' THEN value > 10 END AS setLvl,
+       |        CASE WHEN event_type='error' THEN value > 10 END AS rstLvl
+       |      FROM e WHERE event_type IN ('click','error')),
+       |lvl AS (SELECT *,
+       |  COALESCE(last_value(setLvl IGNORE NULLS) OVER w, FALSE) AS s_lvl,
+       |  COALESCE(last_value(rstLvl IGNORE NULLS) OVER w, FALSE) AS r_lvl
+       |  FROM u WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |SELECT pipeline, event_id, ts_ms,
-       |  COALESCE(last_value(cmd IGNORE NULLS) OVER (
+       |  COALESCE(last_value(CASE WHEN s_lvl <> r_lvl
+       |                           THEN (CASE WHEN s_lvl THEN 1.0 ELSE 0.0 END) END
+       |                      IGNORE NULLS) OVER (
        |    PARTITION BY pipeline ORDER BY ts_ms, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS state
-       |FROM u ORDER BY event_id""".stripMargin
+       |FROM lvl ORDER BY event_id""".stripMargin
 
   /** text formatter (textformatter.py:62-75): template over the last
     * value of each named variable, emitted on every input arrival.
@@ -357,8 +415,10 @@ object EventOps {
   /** string concatenator (stringconcatenator.py:42-62): accumulate
     * incoming text; on control rising edge (≤0.5 → >0.5) emit the
     * concatenation and clear. Data prioritized at equal ts. Text =
-    * 'e<id>;' of click rows; control = error value>10. Empty flushes
-    * emit "". */
+    * 'e<id>;' of click rows; control = error value>10. Reference-exact:
+    * an EMPTY accumulator does not flush (`len(self.value) > 0`,
+    * stringconcatenator.py:50) — and since a suppressed edge bounds an
+    * empty chunk, dropping empty results below is exactly that rule. */
   private def e10(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d)
     val data = e.filter(col("event_type") === "click")
@@ -392,6 +452,7 @@ object EventOps {
         "left")
       .select(col("pipeline"), col("event_id"), col("ts_ms"),
         coalesce(col("cat"), lit("")).as("text"))
+      .filter(col("text") =!= "") // empty flush suppressed (py:50)
       .orderBy(col("event_id"))
   }
 
@@ -416,6 +477,7 @@ object EventOps {
        |SELECT f.pipeline, f.event_id, f.ts_ms, COALESCE(c.cat, '') AS text
        |FROM (SELECT pipeline, event_id, ts_ms, grp - 1 AS want FROM u WHERE edge) f
        |LEFT JOIN chunks c ON f.want = c.grp AND f.pipeline = c.pipeline
+       |WHERE COALESCE(c.cat, '') <> ''
        |ORDER BY f.event_id""".stripMargin
 
   /** message detector (messagedetector.py:30-88): per-user liveness —

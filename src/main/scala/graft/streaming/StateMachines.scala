@@ -116,63 +116,143 @@ object StateMachines {
   }
 
   // ------------------------------------------------------------- SR latch
-  /** srlatch.py:42-55. Topic 0 = set, topic 1 = reset; emits current
-    * state on every set/reset message; both>0.5 at once → no change. */
-  final class SrLatch extends Machine[Boolean] {
-    def init = false
-    def step(s: Boolean, e: Ev): (Boolean, Seq[Out]) = {
-      if (e.paused) return (s, Nil)
+  /** srlatch.py:33-55 — LEVEL-based, not edge-based: the task holds the
+    * last received boolean LEVEL of each input (`set_value`,
+    * `reset_value`, srlatch.py:33-34,47) and on every valid message
+    * re-derives the output: the latch flips only while the levels
+    * DISAGREE (`if self.set_value != self.reset_value`, srlatch.py:52-54);
+    * equal levels — both high or both low — hold the current value. So a
+    * hot reset message while the set level is still high is a no-change
+    * emit, which an event-based formulation gets wrong. Invalid (NaN)
+    * messages are skipped without emitting (ValidationError,
+    * srlatch.py:48); pause markers never reach the task (`recv_data`,
+    * srlatch.py:45). Topic 0 = set, topic 1 = reset; emits the current
+    * state (0/1) on every valid message. */
+  final case class LatchState(setVal: Boolean, resetVal: Boolean, value: Boolean)
+  final class SrLatch(defaultValue: Boolean = false) extends Machine[LatchState] {
+    def init = LatchState(setVal = false, resetVal = false, value = defaultValue)
+    def step(s: LatchState, e: Ev): (LatchState, Seq[Out]) = {
+      if (e.paused || e.value.isNaN) return (s, Nil)
       val hot = e.value > 0.5
-      val next = (e.topic, hot) match {
-        case (0, true) => true
-        case (1, true) => false
-        case _ => s
-      }
-      (next, Seq(Out(e.ts, if (next) 1.0 else 0.0, null)))
+      val s1 = if (e.topic == 0) s.copy(setVal = hot) else s.copy(resetVal = hot)
+      val v = if (s1.setVal != s1.resetVal) s1.setVal else s1.value
+      (s1.copy(value = v), Seq(Out(e.ts, if (v) 1.0 else 0.0, null)))
     }
   }
 
   // --------------------------------------------------------------- switch
-  /** switch.py:45-72. Topics 2k = data of pair k, 2k+1 = control of
-    * pair k. Forward data of the pair with max latest control (ties →
-    * lower pair). */
-  final case class SwitchState(ctrl: Map[Int, Double])
+  /** switch.py:29-72, exact semantics. Topics 2k = data of pair k,
+    * 2k+1 = control of pair k.
+    *
+    *  - `control_values` is a python dict (switch.py:27) — INSERTION
+    *    ordered. The selected pair is the FIRST pair in insertion order
+    *    whose latest control value equals the max (`_get_selected_index`,
+    *    :69-72); with no control values yet it is -1, so NO data
+    *    forwards before the first valid control message.
+    *  - A control-topic pause POPS the pair's value (:57-58) — the pair
+    *    leaves both the max and the insertion order; a later control
+    *    message re-inserts it at the END of insertion order.
+    *  - Invalid (NaN) control messages are skipped (ValidationError,
+    *    :63). Data is forwarded raw, unvalidated (:52).
+    *  - Output pause mirrors the SELECTED input's pause flag: synced on
+    *    every receive on the selected data topic (:51) and on every
+    *    valid control message while a pair is selected (`set_value`,
+    *    :65-68); `OutTopic.set_paused` emits only on transition
+    *    (client/topic.py:232-235) → in-band marker rows on transition.
+    */
+  final case class SwitchState(ctrl: Vector[(Int, Double)],
+      dataPaused: Set[Int], outPaused: Boolean)
   final class Switch(pairs: Int) extends Machine[SwitchState] {
-    def init = SwitchState(Map.empty)
+    def init = SwitchState(Vector.empty, Set.empty, outPaused = false)
     override def priority(topic: Int): Int = if (topic % 2 == 1) 0 else 1
     private def selected(s: SwitchState): Int =
-      (0 until pairs).maxBy(k => (s.ctrl.getOrElse(k, 0.0), -k))
+      if (s.ctrl.isEmpty) -1
+      else {
+        val mx = s.ctrl.iterator.map(_._2).max
+        s.ctrl.find(_._2 == mx).get._1
+      }
+    /** out_topic.set_paused(flag): marker row on transition only. */
+    private def syncOut(s: SwitchState, flag: Boolean, ts: Long): (SwitchState, Seq[Out]) =
+      if (flag == s.outPaused) (s, Nil)
+      else (s.copy(outPaused = flag),
+        Seq(Out(ts, if (flag) 1.0 else 0.0, null, paused = true)))
     def step(s: SwitchState, e: Ev): (SwitchState, Seq[Out]) = {
-      if (e.paused) return (s, Nil)
-      if (e.topic % 2 == 1) (SwitchState(s.ctrl + (e.topic / 2 -> e.value)), Nil)
-      else if (selected(s) == e.topic / 2) (s, Seq(Out(e.ts, e.value, null)))
-      else (s, Nil)
+      val k = e.topic / 2
+      if (e.topic % 2 == 1) { // control topic of pair k
+        if (e.paused) {
+          if (pauseFlag(e)) (s.copy(ctrl = s.ctrl.filterNot(_._1 == k)), Nil)
+          else (s, Nil) // resume alone does not re-insert (switch.py:57-58)
+        } else if (e.value.isNaN) (s, Nil) // ValidationError → pass
+        else {
+          val ctrl2 =
+            if (s.ctrl.exists(_._1 == k))
+              s.ctrl.map { case (p, v) => if (p == k) (p, e.value) else (p, v) }
+            else s.ctrl :+ (k -> e.value)
+          val s1 = s.copy(ctrl = ctrl2)
+          val sel = selected(s1)
+          if (sel != -1) syncOut(s1, s1.dataPaused(sel), e.ts) else (s1, Nil)
+        }
+      } else { // data topic of pair k
+        val s1 =
+          if (e.paused)
+            s.copy(dataPaused =
+              if (pauseFlag(e)) s.dataPaused + k else s.dataPaused - k)
+          else s
+        if (selected(s1) == k) {
+          val (s2, m) = syncOut(s1, s1.dataPaused(k), e.ts)
+          if (!e.paused) (s2, m :+ Out(e.ts, e.value, null)) else (s2, m)
+        } else (s1, Nil)
+      }
     }
   }
 
   // --------------------------------------------------------- media switch
-  /** media switch (media/mediaswitch.py:15-27): switch whose cutover
-    * defers to the next keyframe of the newly selected input. Data
-    * events carry `text = "k"` when the frame is a keyframe (stand-in
-    * for packet.isKeyframe). Active input flips only at a keyframe of
-    * the currently selected pair. */
-  final case class MediaSwitchState(ctrl: Map[Int, Double], active: Int)
+  /** media switch (media/mediaswitch.py:11-27): a [[Switch]] whose
+    * cutover defers to the next keyframe of the newly SELECTED input —
+    * `_active_index` starts at -1 (:13) and flips to the selected pair
+    * only when that pair delivers a keyframe (:20-24); data forwards
+    * while `idx == active` (:25-26). Data events carry `text = "k"`
+    * when the frame is a keyframe (stand-in for packet.is_keyframe).
+    * Selection, control pops, and output-pause mirroring are inherited
+    * from the switch (same `_get_selected_index` / `set_paused` paths). */
+  final case class MediaSwitchState(sw: SwitchState, active: Int)
   final class MediaSwitch(pairs: Int) extends Machine[MediaSwitchState] {
-    def init = MediaSwitchState(Map.empty, 0)
+    private val inner = new Switch(pairs)
+    def init = MediaSwitchState(inner.init, active = -1)
     override def priority(topic: Int): Int = if (topic % 2 == 1) 0 else 1
-    private def selected(s: MediaSwitchState): Int =
-      (0 until pairs).maxBy(k => (s.ctrl.getOrElse(k, 0.0), -k))
-    def step(s: MediaSwitchState, e: Ev): (MediaSwitchState, Seq[Out]) = {
-      if (e.paused) return (s, Nil)
-      if (e.topic % 2 == 1)
-        (s.copy(ctrl = s.ctrl + (e.topic / 2 -> e.value)), Nil)
+    private def selected(s: SwitchState): Int =
+      if (s.ctrl.isEmpty) -1
       else {
-        val pair = e.topic / 2
-        val isKeyframe = e.text == "k"
-        val next =
-          if (isKeyframe && selected(s) == pair) s.copy(active = pair) else s
-        if (next.active == pair) (next, Seq(Out(e.ts, e.value, null)))
-        else (next, Nil)
+        val mx = s.ctrl.iterator.map(_._2).max
+        s.ctrl.find(_._2 == mx).get._1
+      }
+    def step(s: MediaSwitchState, e: Ev): (MediaSwitchState, Seq[Out]) = {
+      val k = e.topic / 2
+      if (e.topic % 2 == 1) { // control path: exactly the switch's
+        val (sw2, outs) = inner.step(s.sw, e)
+        (s.copy(sw = sw2), outs)
+      } else {
+        // data path (mediaswitch.py:15-26): the topic's pause flag
+        // updates on receipt, then the selected check, pause sync,
+        // keyframe cutover, send — in that order.
+        val sw1 =
+          if (e.paused)
+            s.sw.copy(dataPaused =
+              if (pauseFlag(e)) s.sw.dataPaused + k else s.sw.dataPaused - k)
+          else s.sw
+        if (selected(sw1) == k) {
+          val flag = sw1.dataPaused(k)
+          val (sw2, markers) =
+            if (flag == sw1.outPaused) (sw1, Seq.empty[Out])
+            else (sw1.copy(outPaused = flag),
+              Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
+          if (e.paused) (s.copy(sw = sw2), markers)
+          else {
+            val active2 = if (k != s.active && e.text == "k") k else s.active
+            val fwd = if (k == active2) Seq(Out(e.ts, e.value, e.text)) else Nil
+            (MediaSwitchState(sw2, active2), markers ++ fwd)
+          }
+        } else (s.copy(sw = sw1), Nil)
       }
     }
   }
@@ -196,21 +276,40 @@ object StateMachines {
   }
 
   // ------------------------------------------------- string concatenator
-  /** stringconcatenator.py:42-62. Topic 0 = text, topic 1 = control;
-    * rising edge (≤0.5 → >0.5) flushes the accumulated concatenation.
-    * Data before control at equal ts (stringconcatenator.py:25-27). */
-  final case class ConcatState(acc: String, lastCtrl: Double)
+  /** stringconcatenator.py:42-62, exact semantics. Topic 0 = text,
+    * topic 1 = control; data before control at equal ts
+    * (stringconcatenator.py:25-27).
+    *
+    *  - The flush fires on a control rising edge (≤0.5 → >0.5) ONLY
+    *    when the accumulator is non-empty (`len(self.value) > 0`,
+    *    :50-52) — an empty rising edge emits nothing (and there is
+    *    nothing to clear). `last_control` updates on every VALID
+    *    control message (:53); invalid (NaN) messages are skipped
+    *    without touching it (ValidationError, :54).
+    *  - A control-topic pause marker is forwarded to the OUTPUT's pause
+    *    flag (`set_paused(data.paused)`, :47), transition-deduplicated
+    *    by OutTopic (client/topic.py:232-235). Data-topic markers never
+    *    reach the task (`recv_data`, :59). */
+  final case class ConcatState(acc: String, lastCtrl: Double, outPaused: Boolean)
   final class StringConcatenator extends Machine[ConcatState] {
-    def init = ConcatState("", 0.0)
+    def init = ConcatState("", 0.0, outPaused = false)
     override def priority(topic: Int): Int = if (topic == 0) 0 else 1
     def step(s: ConcatState, e: Ev): (ConcatState, Seq[Out]) = e.topic match {
       case 0 =>
-        if (e.paused) (s, Nil) else (s.copy(acc = s.acc + e.text), Nil)
+        if (e.paused || e.text == null) (s, Nil)
+        else (s.copy(acc = s.acc + e.text), Nil)
       case _ =>
-        if (e.paused) (s, Nil)
+        if (e.paused) {
+          val flag = pauseFlag(e)
+          if (flag == s.outPaused) (s, Nil)
+          else (s.copy(outPaused = flag),
+            Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
+        }
+        else if (e.value.isNaN) (s, Nil) // ValidationError → pass
         else {
-          val rising = e.value > 0.5 && s.lastCtrl <= 0.5
-          if (rising) (ConcatState("", e.value), Seq(Out(e.ts, Double.NaN, s.acc)))
+          val rising = s.lastCtrl <= 0.5 && e.value > 0.5 && s.acc.nonEmpty
+          if (rising) (ConcatState("", e.value, s.outPaused),
+            Seq(Out(e.ts, Double.NaN, s.acc)))
           else (s.copy(lastCtrl = e.value), Nil)
         }
     }

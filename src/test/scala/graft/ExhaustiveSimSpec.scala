@@ -1,0 +1,392 @@
+package graft
+
+import graft.streaming.StateMachines._
+import graft.streaming.StatefulRunner
+import graft.streaming.StatefulRunner.KEv
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import scala.collection.immutable.VectorMap
+
+/** Exhaustive event-permutation harness — the analogue of the
+  * reference's `full_test` simulator (/root/reference/tests/sim.py:6-75:
+  * `PrefixMap` + `SequenceGenerator` enumerate every permutation of a
+  * task's event alphabet; tests/tasks/test_gate.py:139-159 drives the
+  * gate task through the generated stream and checks every step against
+  * the `GateSim` expectation model).
+  *
+  * This suite is strictly stronger than the reference's: instead of
+  * permutations of the alphabet (each symbol once), it walks EVERY WORD
+  * of length k over the alphabet (symbols repeat), depth-first with the
+  * machine state and the model state carried along each shared prefix —
+  * the PrefixMap prefix-sharing idea — so |A|^k words cost O(|A|^k)
+  * steps, not O(k·|A|^k). At every node the machine's emissions must
+  * equal an EXPECTATION MODEL transcribed from the reference task's own
+  * control flow (gate.py / switch.py / mediaswitch.py / srlatch.py /
+  * stringconcatenator.py), not from our machine — so a faithful-
+  * transcription error in either formulation surfaces as a divergence
+  * on some word. The alphabets include the hostile symbols the
+  * reference's sims cover (invalid messages, pause/resume markers) plus
+  * value ties that exercise python-dict insertion-order selection.
+  *
+  * A final test pushes the full gate word set through
+  * [[StatefulRunner.runBatch]] in ONE Spark job (words keyed by id) and
+  * compares every group against the pure fold — the exhaustive check of
+  * the Spark mount itself, something the reference cannot do.
+  */
+class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("exhaustive-sim")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** An expectation model with the same fold signature as Machine but
+    * an independent derivation (transcribed from the reference task). */
+  private trait SimModel[M] {
+    def init: M
+    def step(m: M, e: Ev): (M, Seq[Out])
+  }
+
+  /** NaN-tolerant Out comparison (case-class == has NaN != NaN). */
+  private def norm(os: Seq[Out]): Seq[(Long, String, String, Boolean)] =
+    os.map(o => (o.ts, if (o.value.isNaN) "NaN" else o.value.toString,
+      o.text, o.paused))
+
+  /** A named alphabet symbol: position → event (ts = 10*(pos+1)). */
+  private type Sym = (String, Int => Ev)
+  private def data(topic: Int, v: Double, text: String = null): Int => Ev =
+    i => Ev(topic, 10L * (i + 1), v, text, paused = false)
+  private def invalid(topic: Int): Int => Ev =
+    i => Ev(topic, 10L * (i + 1), Double.NaN, null, paused = false)
+  private def pause(topic: Int): Int => Ev =
+    i => Ev(topic, 10L * (i + 1), Double.NaN, null, paused = true)
+  private def resume(topic: Int): Int => Ev =
+    i => Ev(topic, 10L * (i + 1), 0.0, null, paused = true)
+
+  /** Depth-first walk of all |alphabet|^k words, machine and model in
+    * lockstep; returns the number of (word-prefix, symbol) nodes
+    * checked. Prefix sharing: a node's step is computed once for all
+    * |A|^(k-depth-1) words extending it. */
+  private def exhaust[S, M](machine: Machine[S], model: SimModel[M],
+      alphabet: IndexedSeq[Sym], k: Int): Long = {
+    var nodes = 0L
+    def rec(depth: Int, ms: S, mm: M, trail: List[String]): Unit = {
+      if (depth == k) return
+      var a = 0
+      while (a < alphabet.length) {
+        val (name, mk) = alphabet(a)
+        val e = mk(depth)
+        val (ms2, got) = machine.step(ms, e)
+        val (mm2, want) = model.step(mm, e)
+        nodes += 1
+        if (norm(got) != norm(want))
+          fail(s"divergence on word ${(name :: trail).reverse.mkString(" ")}: " +
+            s"machine=$got model=$want")
+        rec(depth + 1, ms2, mm2, name :: trail)
+        a += 1
+      }
+    }
+    rec(0, machine.init, model.init, Nil)
+    nodes
+  }
+
+  // ------------------------------------------------------------- gate sim
+  /** Transcription of gate.py:31-93 (GateState.get_open/
+    * get_output_paused + run_control_recv/run_in_recv/run_out_pauser)
+    * with the reference's field names; the same model the reference's
+    * GateSim (test_gate.py:24-58) checks against. */
+  private final case class GateSimState(control: Boolean,
+      controlPaused: Boolean, controlErrored: Boolean, inputPaused: Boolean,
+      outIsPaused: Boolean)
+  private final class GateSim(failMode: String, initialControl: Boolean)
+      extends SimModel[GateSimState] {
+    private def getOpen(s: GateSimState): Boolean = {
+      if (s.inputPaused || !s.control) false // gate.py:39
+      else if (failMode == "closed" && (s.controlPaused || s.controlErrored))
+        false // gate.py:40
+      else true // gate.py:41
+    }
+    def init = {
+      val s = GateSimState(initialControl, controlPaused = false,
+        controlErrored = false, inputPaused = false, outIsPaused = false)
+      s.copy(outIsPaused = !getOpen(s))
+    }
+    def step(s: GateSimState, e: Ev): (GateSimState, Seq[Out]) = {
+      val s1 =
+        if (e.topic == 1) { // run_control_recv, gate.py:70-80
+          if (e.paused) s.copy(controlPaused = pauseFlag(e))
+          else if (e.value.isNaN) s.copy(controlErrored = true)
+          else s.copy(control = e.value > 0.5, controlErrored = false)
+        } else { // run_in_recv, gate.py:86-93
+          if (e.paused) s.copy(inputPaused = pauseFlag(e)) else s
+        }
+      val fwd =
+        if (e.topic == 0 && !e.paused && getOpen(s1))
+          Seq(Out(e.ts, e.value, e.text))
+        else Nil
+      // run_out_pauser (gate.py:81-85) + OutTopic.set_paused
+      // transition dedup (client/topic.py:232-235)
+      val nowPaused = !getOpen(s1)
+      val marker =
+        if (nowPaused == s1.outIsPaused) Nil
+        else Seq(Out(e.ts, if (nowPaused) 1.0 else 0.0, null, paused = true))
+      (s1.copy(outIsPaused = nowPaused), fwd ++ marker)
+    }
+  }
+
+  private val gateAlphabet: IndexedSeq[Sym] = Vector(
+    "D" -> data(0, 1337.0), // SEND_DATA
+    "C0" -> data(1, 0.0), // SET_GATE_CLOSED
+    "C1" -> data(1, 1.0), // SET_GATE_OPEN
+    "CN" -> invalid(1), // SET_GATE_INVALID
+    "PC" -> pause(1), "RC" -> resume(1), // SET_GATE_(UN)PAUSED
+    "PD" -> pause(0), "RD" -> resume(0)) // input pause (run_in_recv)
+
+  test("gate: all 8^6 words x {fail open, fail closed} x {initial " +
+      "control} agree with the gate.py transcription") {
+    for (failOpen <- Seq(true, false); init0 <- Seq(false, true)) {
+      val n = exhaust(new Gate(failOpen, init0),
+        new GateSim(if (failOpen) "open" else "closed", init0),
+        gateAlphabet, k = 6)
+      assert(n == (1L to 6L).map(d => math.pow(8, d.toDouble).toLong).sum)
+    }
+  }
+
+  // ----------------------------------------------------------- switch sim
+  /** Transcription of switch.py:22-72 with a `VectorMap` playing
+    * `self.control_values` — VectorMap IS a python dict here: insertion
+    * ordered, update-in-place keeps the slot, removal forgets it.
+    * `isPaused` mirrors each data InTopic's pause flag
+    * (client/topic.py:81-103), `outIsPaused` the OutTopic's. */
+  private final case class SwitchSimState(
+      controlValues: VectorMap[Int, Double],
+      isPaused: Map[Int, Boolean], outIsPaused: Boolean)
+  private class SwitchSim extends SimModel[SwitchSimState] {
+    def init = SwitchSimState(VectorMap.empty, Map.empty.withDefaultValue(false),
+      outIsPaused = false)
+    // switch.py:69-72
+    protected def getSelectedIndex(cv: VectorMap[Int, Double]): Int =
+      if (cv.isEmpty) -1
+      else {
+        val selectedValue = cv.valuesIterator.max
+        cv.iterator.collectFirst { case (idx, v) if v == selectedValue => idx }.get
+      }
+    protected def setPaused(s: SwitchSimState, flag: Boolean, ts: Long):
+        (SwitchSimState, Seq[Out]) =
+      if (flag == s.outIsPaused) (s, Nil) // client/topic.py:232-235
+      else (s.copy(outIsPaused = flag),
+        Seq(Out(ts, if (flag) 1.0 else 0.0, null, paused = true)))
+    def step(s: SwitchSimState, e: Ev): (SwitchSimState, Seq[Out]) = {
+      val idx = e.topic / 2
+      if (e.topic % 2 == 1) { // _run_control_receiver, switch.py:54-63
+        if (e.paused) {
+          if (pauseFlag(e)) (s.copy(controlValues = s.controlValues - idx), Nil)
+          else (s, Nil)
+        } else if (e.value.isNaN) (s, Nil) // ValidationError → pass
+        else { // set_value, switch.py:65-68
+          val cv = s.controlValues.updated(idx, e.value)
+          val s1 = s.copy(controlValues = cv)
+          val sel = getSelectedIndex(cv)
+          if (sel != -1) setPaused(s1, s1.isPaused(sel), e.ts) else (s1, Nil)
+        }
+      } else { // _run_input_receiver, switch.py:46-52
+        val s1 =
+          if (e.paused) s.copy(isPaused = s.isPaused.updated(idx, pauseFlag(e)))
+          else s
+        if (getSelectedIndex(s1.controlValues) == idx) {
+          val (s2, m) = setPaused(s1, s1.isPaused(idx), e.ts)
+          if (!e.paused) (s2, m :+ Out(e.ts, e.value, null)) else (s2, m)
+        } else (s1, Nil)
+      }
+    }
+  }
+
+  // ctrl values 1.0/2.0 collide across pairs → insertion-order ties;
+  // PC pops exercise re-insertion at the END of the order
+  private val switchAlphabet: IndexedSeq[Sym] = Vector(
+    "D0" -> data(0, 11.0), "D1" -> data(2, 22.0),
+    "C0a" -> data(1, 1.0), "C0b" -> data(1, 2.0),
+    "C1a" -> data(3, 1.0), "C1b" -> data(3, 2.0),
+    "PC0" -> pause(1), "RC0" -> resume(1), "PC1" -> pause(3),
+    "PD0" -> pause(0), "RD0" -> resume(0), "CN1" -> invalid(3))
+
+  test("switch: all 12^5 words agree with the switch.py transcription " +
+      "(insertion-order ties, pops, pause mirroring)") {
+    val n = exhaust(new Switch(2), new SwitchSim, switchAlphabet, k = 5)
+    assert(n == (1L to 5L).map(d => math.pow(12, d.toDouble).toLong).sum)
+  }
+
+  // ----------------------------------------------------- media switch sim
+  /** Transcription of mediaswitch.py:11-27 layered on [[SwitchSim]]
+    * (by composition — the control path is the switch's verbatim):
+    * `_active_index` starts -1; a keyframe of the selected pair flips
+    * it; data forwards only while `idx == active`. */
+  private final case class MediaSimState(sw: SwitchSimState, activeIndex: Int)
+  private final class MediaSwitchSim extends SimModel[MediaSimState] {
+    private val inner = new SwitchSim {
+      def selectedOf(cv: VectorMap[Int, Double]): Int = getSelectedIndex(cv)
+      def pausedOf(s: SwitchSimState, flag: Boolean, ts: Long) =
+        setPaused(s, flag, ts)
+    }
+    def init: MediaSimState = MediaSimState(inner.init, -1)
+    def step(s: MediaSimState, e: Ev): (MediaSimState, Seq[Out]) = {
+      val idx = e.topic / 2
+      if (e.topic % 2 == 1) {
+        val (sw2, outs) = inner.step(s.sw, e)
+        (s.copy(sw = sw2), outs)
+      } else { // _run_input_receiver override, mediaswitch.py:15-26
+        val sw1 =
+          if (e.paused)
+            s.sw.copy(isPaused = s.sw.isPaused.updated(idx, pauseFlag(e)))
+          else s.sw
+        if (inner.selectedOf(sw1.controlValues) == idx) {
+          val (sw2, m) = inner.pausedOf(sw1, sw1.isPaused(idx), e.ts)
+          if (e.paused) (s.copy(sw = sw2), m)
+          else {
+            val active =
+              if (idx != s.activeIndex && e.text == "k") idx // :20-24
+              else s.activeIndex
+            val fwd =
+              if (idx == active) Seq(Out(e.ts, e.value, e.text)) else Nil // :25-26
+            (MediaSimState(sw2, active), m ++ fwd)
+          }
+        } else (s.copy(sw = sw1), Nil)
+      }
+    }
+  }
+
+  private val mediaAlphabet: IndexedSeq[Sym] = Vector(
+    "K0" -> data(0, 1.0, "k"), "N0" -> data(0, 2.0),
+    "K1" -> data(2, 3.0, "k"), "N1" -> data(2, 4.0),
+    "C0a" -> data(1, 1.0), "C0b" -> data(1, 2.0),
+    "C1a" -> data(3, 1.0), "C1b" -> data(3, 2.0),
+    "PC0" -> pause(1), "RC0" -> resume(1))
+
+  test("media switch: all 10^5 words agree with the mediaswitch.py " +
+      "transcription (deferred cutover from active=-1)") {
+    val n = exhaust(new MediaSwitch(2), new MediaSwitchSim, mediaAlphabet, k = 5)
+    assert(n == (1L to 5L).map(d => math.pow(10, d.toDouble).toLong).sum)
+  }
+
+  // --------------------------------------------------------- SR latch sim
+  /** Transcription of srlatch.py:20-55: `set_value`/`reset_value` hold
+    * the last received LEVEL per input; `send` flips only while they
+    * disagree (both `if`s of :52-54 under `set_value != reset_value`),
+    * then emits the current value. Invalid → ValidationError → skip. */
+  private final case class LatchSimState(setValue: Boolean,
+      resetValue: Boolean, value: Boolean)
+  private final class SrLatchSim(defaultValue: Boolean)
+      extends SimModel[LatchSimState] {
+    def init = LatchSimState(setValue = false, resetValue = false,
+      value = defaultValue)
+    def step(s: LatchSimState, e: Ev): (LatchSimState, Seq[Out]) = {
+      if (e.paused || e.value.isNaN) return (s, Nil)
+      val s1 =
+        if (e.topic == 0) s.copy(setValue = e.value > 0.5)
+        else s.copy(resetValue = e.value > 0.5)
+      // send (srlatch.py:51-55)
+      var value = s1.value
+      if (s1.setValue != s1.resetValue) {
+        if (s1.setValue) value = true
+        if (s1.resetValue) value = false
+      }
+      (s1.copy(value = value), Seq(Out(e.ts, if (value) 1.0 else 0.0, null)))
+    }
+  }
+
+  private val latchAlphabet: IndexedSeq[Sym] = Vector(
+    "S0" -> data(0, 0.0), "S1" -> data(0, 1.0),
+    "R0" -> data(1, 0.0), "R1" -> data(1, 1.0),
+    "SN" -> invalid(0), "RN" -> invalid(1))
+
+  test("sr latch: all 6^7 words agree with the srlatch.py transcription " +
+      "(level-based hold)") {
+    val n = exhaust(new SrLatch(), new SrLatchSim(false), latchAlphabet, k = 7)
+    assert(n == (1L to 7L).map(d => math.pow(6, d.toDouble).toLong).sum)
+  }
+
+  // --------------------------------------------------- concatenator sim
+  /** Transcription of stringconcatenator.py:34-62: `value` accumulates
+    * valid text; a control rising edge flushes only a NON-empty value
+    * (:50-52); `last_control` updates on every valid control (:53);
+    * control pause markers forward to the output's pause flag (:47). */
+  private final case class ConcatSimState(value: String, lastControl: Double,
+      outIsPaused: Boolean)
+  private final class ConcatSim extends SimModel[ConcatSimState] {
+    def init = ConcatSimState("", 0.0, outIsPaused = false)
+    def step(s: ConcatSimState, e: Ev): (ConcatSimState, Seq[Out]) = {
+      if (e.topic == 0) { // run_receiver (:57-62), recv_data drops markers
+        if (e.paused || e.text == null) (s, Nil)
+        else (s.copy(value = s.value + e.text), Nil)
+      } else { // run_control_recv (:43-54)
+        if (e.paused) {
+          val flag = pauseFlag(e)
+          if (flag == s.outIsPaused) (s, Nil)
+          else (s.copy(outIsPaused = flag),
+            Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
+        } else if (e.value.isNaN) (s, Nil)
+        else if (s.lastControl <= 0.5 && e.value > 0.5 && s.value.nonEmpty)
+          (s.copy(value = "", lastControl = e.value),
+            Seq(Out(e.ts, Double.NaN, s.value)))
+        else (s.copy(lastControl = e.value), Nil)
+      }
+    }
+  }
+
+  private val concatAlphabet: IndexedSeq[Sym] = Vector(
+    "Ta" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "a", paused = false)),
+    "Tb" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "b", paused = false)),
+    "C0" -> data(1, 0.0), "C1" -> data(1, 1.0),
+    "CN" -> (i => Ev(1, 10L * (i + 1), Double.NaN, null, paused = false)),
+    "PC" -> pause(1), "RC" -> resume(1), "PD" -> pause(0))
+
+  test("string concatenator: all 8^6 words agree with the " +
+      "stringconcatenator.py transcription (no empty flush)") {
+    val n = exhaust(new StringConcatenator, new ConcatSim, concatAlphabet, k = 6)
+    assert(n == (1L to 6L).map(d => math.pow(8, d.toDouble).toLong).sum)
+  }
+
+  // ------------------------------------- Spark mount, one-job exhaustive
+  /** Every gate word of length 4 through StatefulRunner.runBatch in ONE
+    * Spark job — 8^4 = 4096 independent keyed groups — compared against
+    * the pure fold per word. Covers the runner's per-group sort and
+    * fold plumbing over the full word set; timestamps are strictly
+    * increasing per word so the (ts, priority, seq) sort is the word
+    * order itself. */
+  test("runner mount: all 8^4 gate words through one flatMapGroups job " +
+      "== pure fold per word") {
+    import spark.implicits._
+    val k = 4
+    val words = Seq.tabulate(math.pow(8, k.toDouble).toInt) { w =>
+      (w, Seq.tabulate(k) { pos => (w / math.pow(8, pos.toDouble).toInt) % 8 })
+    }
+    val machine = new Gate(failOpen = false)
+    val rows = words.flatMap { case (w, syms) =>
+      syms.zipWithIndex.map { case (a, pos) =>
+        val e = gateAlphabet(a)._2(pos)
+        KEv(s"w$w", e.topic, e.ts, e.value, e.text, e.paused, pos.toLong)
+      }
+    }
+    val got = StatefulRunner.runBatch(machine, spark.createDataset(rows))
+      .collect().groupBy(_.key)
+      .map { case (key, os) =>
+        key -> norm(os.sortBy(o => (o.ts, o.paused)).toSeq
+          .map(o => Out(o.ts, o.value, o.text, o.paused)))
+      }
+    words.foreach { case (w, syms) =>
+      val expected = syms.zipWithIndex.foldLeft(
+          (machine.init, Vector.empty[Out])) { case ((s, acc), (a, pos)) =>
+        val (s2, os) = machine.step(s, gateAlphabet(a)._2(pos))
+        (s2, acc ++ os)
+      }._2
+      val want = norm(expected.sortBy(o => (o.ts, o.paused)))
+      assert(got.getOrElse(s"w$w", Nil) == want,
+        s"word ${syms.map(gateAlphabet(_)._1).mkString(" ")}")
+    }
+  }
+}

@@ -79,7 +79,8 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
-  test("sr latch: machine == window analogue on random streams") {
+  test("sr latch: machine == window analogue on random streams " +
+      "(LEVEL-based, srlatch.py:33-55)") {
     check(Prop.forAll(genEvents) { es =>
       val df = envDF(es)
       // the machine's default tie-break at equal ts is topic order
@@ -87,11 +88,16 @@ class ModelCheckSpec extends AnyFunSuite with BeforeAndAfterAll {
       val w = Window.orderBy(col("ts_ms"), col("topic"), col("seq"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val analogue = df
-        .withColumn("cmd",
-          when(col("topic") === 0 && col("value") > 0.5, 1.0)
-            .when(col("topic") === 1 && col("value") > 0.5, 0.0))
+        .withColumn("sLvl", when(col("topic") === 0, col("value") > 0.5))
+        .withColumn("rLvl", when(col("topic") === 1, col("value") > 0.5))
+        .withColumn("s", coalesce(last(col("sLvl"), ignoreNulls = true).over(w), lit(false)))
+        .withColumn("r", coalesce(last(col("rLvl"), ignoreNulls = true).over(w), lit(false)))
+        // latch follows the set level while levels disagree, holds while
+        // they agree (srlatch.py:52-54)
+        .withColumn("decided", when(col("s") =!= col("r"),
+          when(col("s"), 1.0).otherwise(0.0)))
         .withColumn("state",
-          coalesce(last(col("cmd"), ignoreNulls = true).over(w), lit(0.0)))
+          coalesce(last(col("decided"), ignoreNulls = true).over(w), lit(0.0)))
         .select(col("ts_ms"), col("state")).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
       machineOut(new SrLatch, es) == analogue

@@ -141,9 +141,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // switch: ctrl0=1@5 selects pair0 (1.0@10 passes, 2.0@20 dropped);
     // ctrl1=5@30 selects pair1 (1.1@40 dropped, 2.1@50 passes)
     assert(vals("sw") == Seq(1.0, 2.1))
-    // media switch: cutover to pair1 deferred to its next keyframe
-    // (@50), so pair0's non-keyframe @40 still passes
-    assert(vals("ms") == Seq(1.0, 1.1, 2.1))
+    // media switch: once ctrl1=5@30 selects pair1, pair0 data stops
+    // immediately (mediaswitch.py:18 gates on selected), and pair1 data
+    // starts at its next keyframe (@50) — the cutover gap is reference
+    // behavior
+    assert(vals("ms") == Seq(1.0, 2.1))
     // detector: 1 per message, trailing 0 at lastTs+timeout
     assert(vals("live") == Seq(1.0, 1.0, 0.0))
     // time buffer (15ms, message time): 1.0@10 released when 2.1@50

@@ -73,26 +73,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ------------------------------------------------------ unit: SR latch
-  test("sr latch set/reset with no-change on neither (srlatch.py:42-55)") {
+  test("sr latch is LEVEL-based: agreeing levels hold (srlatch.py:33-55)") {
     val out = runB(new SrLatch, Seq(
-      ev(0, 10, 1.0, seq = 0),  // set → 1
-      ev(1, 20, 0.2, seq = 1),  // reset not hot → still 1
-      ev(1, 30, 1.0, seq = 2),  // reset → 0
-      ev(0, 40, 0.3, seq = 3))) // set not hot → still 0
-    assert(out.map(_.value) == Seq(1.0, 1.0, 0.0, 0.0))
+      ev(0, 10, 1.0, seq = 0),  // set level high → 1
+      ev(1, 20, 0.2, seq = 1),  // reset level low, levels differ → 1
+      ev(1, 30, 1.0, seq = 2),  // reset high but set STILL high → hold 1
+      ev(0, 40, 0.3, seq = 3),  // set drops, levels differ → reset wins → 0
+      ev(1, 50, 0.1, seq = 4),  // both low → hold 0
+      ev(0, 60, 0.9, seq = 5))) // set high, differ → 1
+    assert(out.map(_.value) == Seq(1.0, 1.0, 1.0, 0.0, 0.0, 1.0))
   }
 
   // -------------------------------------------------------- unit: switch
-  test("switch selects max control, ties to lower pair (switch.py:63-72)") {
+  test("switch: no forward before first control; value ties select by " +
+      "control insertion order; control pause pops (switch.py:29-72)") {
     val out = runB(new Switch(2), Seq(
-      ev(1, 10, 5.0, seq = 0),  // ctrl pair0 = 5
-      ev(3, 10, 5.0, seq = 1),  // ctrl pair1 = 5 (tie → pair0)
-      ev(0, 20, 1.0, seq = 2),  // pair0 data → forwarded
-      ev(2, 20, 2.0, seq = 3),  // pair1 data → dropped
-      ev(3, 30, 9.0, seq = 4),  // pair1 wins
-      ev(0, 40, 3.0, seq = 5),  // dropped
-      ev(2, 40, 4.0, seq = 6))) // forwarded
-    assert(out.map(_.value) == Seq(1.0, 4.0))
+      ev(0, 5, 9.9, seq = 0),   // no control yet (index -1) → dropped
+      ev(1, 10, 5.0, seq = 1),  // ctrl pair0 = 5 (inserted first)
+      ev(3, 10, 5.0, seq = 2),  // ctrl pair1 = 5 (tie → pair0, first inserted)
+      ev(0, 20, 1.0, seq = 3),  // pair0 data → forwarded
+      ev(2, 20, 2.0, seq = 4),  // pair1 data → dropped
+      ev(3, 30, 9.0, seq = 5),  // pair1 wins
+      ev(0, 40, 3.0, seq = 6),  // dropped
+      ev(2, 40, 4.0, seq = 7),  // forwarded
+      ev(3, 45, paused = true, seq = 8), // ctrl pair1 pause → pops its value
+      ev(2, 50, 6.0, seq = 9),  // pair1 no longer selected → dropped
+      ev(0, 50, 5.0, seq = 10), // pair0 selected again → forwarded
+      ev(3, 60, 5.0, seq = 11), // pair1 re-inserts at END: tie now → pair0 still
+      ev(2, 70, 7.0, seq = 12), // dropped (tie keeps pair0)
+      ev(0, 70, 8.0, seq = 13))) // forwarded
+    assert(out.filter(!_.paused).map(_.value) == Seq(1.0, 4.0, 5.0, 8.0))
   }
 
   // -------------------------------------------- unit: string concatenator
@@ -312,18 +322,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(machine.nonEmpty)
   }
 
-  test("media switch defers cutover to next keyframe (mediaswitch.py:15-27)") {
+  test("media switch defers cutover to next keyframe; active starts -1 " +
+      "(mediaswitch.py:11-27)") {
     val m = new MediaSwitch(2)
     val evs = Seq(
-      Ev(0, 10, 1.0, "k", false),   // pair0 keyframe → active 0, forwarded
+      Ev(0, 5, 0.5, "k", false),    // keyframe but NO control yet (sel -1) → dropped
+      Ev(1, 8, 1.0, null, false),   // select pair 0
+      Ev(0, 10, 1.0, "k", false),   // pair0 keyframe → active -1→0, forwarded
       Ev(3, 20, 9.0, null, false),  // select pair 1 (no keyframe yet)
-      Ev(0, 30, 2.0, null, false),  // pair0 still active → forwarded
-      Ev(2, 40, 3.0, null, false),  // pair1 non-keyframe → NOT forwarded
+      Ev(0, 30, 2.0, null, false),  // pair0 no longer SELECTED → dropped
+      Ev(2, 40, 3.0, null, false),  // pair1 non-keyframe, active still 0 → dropped
       Ev(2, 50, 4.0, "k", false),   // pair1 keyframe → cutover + forwarded
       Ev(0, 60, 5.0, "k", false))   // pair0 keyframe but not selected → dropped
     val outs = evs.foldLeft((m.init, Vector.empty[Out])) {
       case ((s, acc), e) => val (s2, o) = m.step(s, e); (s2, acc ++ o) }._2
-    assert(outs.map(_.value) == Seq(1.0, 2.0, 4.0))
+    assert(outs.map(_.value) == Seq(1.0, 4.0))
   }
 
   test("text formatter emits template over last values, pause resets") {
