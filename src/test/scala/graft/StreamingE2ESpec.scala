@@ -183,4 +183,84 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally q.stop()
     } finally rocks.stop()
   }
+
+  test("transformWithState mount == flatMapGroupsWithState mount: gate " +
+      "state crosses micro-batches on both (SURVEY §7.4 modern API)") {
+    val rocks = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .appName("tws-spec")
+      .getOrCreate()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = rocks.sqlContext
+      import rocks.implicits._
+      val batches = Seq(
+        Seq(KEv("k", 1, 10, 1.0, null, false, 0),
+          KEv("k", 0, 20, 1.5, null, false, 1)),
+        Seq(KEv("k", 0, 30, 2.5, null, false, 2), // open from batch 1
+          KEv("k", 1, 40, 0.0, null, false, 3),
+          KEv("k", 0, 50, 3.5, null, false, 4)))
+      def run(name: String,
+          mount: org.apache.spark.sql.Dataset[KEv] => org.apache.spark.sql.Dataset[KOut]) = {
+        val mem = MemoryStream[KEv]
+        val q = mount(mem.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+          rocks.table(name).as[KOut].collect()
+            .map(o => (o.ts, o.value, o.paused)).sortBy(t => (t._1, t._2)).toSeq
+        } finally q.stop()
+      }
+      val tws = run("tws_gate",
+        ds => graft.streaming.TwsRunner.runStreaming(new Gate(failOpen = false), ds))
+      val fmgws = run("fmgws_gate",
+        ds => StatefulRunner.runStreaming(new Gate(failOpen = false), ds))
+      assert(tws == fmgws)
+      assert(tws.collect { case (ts, v, false) => (ts, v) } ==
+        Seq((20L, 1.5), (30L, 2.5)))
+    } finally rocks.stop()
+  }
+
+  test("detector trailing 0 via transformWithState processing-time timer " +
+      "(messagedetector.py timeout path on the modern API)") {
+    val rocks = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .appName("tws-timer-spec")
+      .getOrCreate()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = rocks.sqlContext
+      import rocks.implicits._
+      val mem = MemoryStream[KEv]
+      val q = graft.streaming.TwsRunner
+        .runStreaming(new MessageDetector(100), mem.toDS(), timeoutMs = 50)
+        .writeStream.format("memory").queryName("tws_det")
+        .outputMode("append").start()
+      try {
+        mem.addData(KEv("k", 0, 10, 1.0, null, false, 0))
+        // ProcessingTime keeps the micro-batch loop ticking on its own
+        // (that's how the timer fires) — processAllAvailable never
+        // settles, so poll the sink with a deadline instead
+        def rows() = rocks.table("tws_det").as[KOut]
+          .collect().map(o => (o.ts, o.value)).sorted.toSeq
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var got = rows()
+        while (got.size < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(200); got = rows()
+        }
+        // 1 at the message, trailing 0 at lastTs + timeout (110)
+        assert(got == Seq((10L, 1.0), (110L, 0.0)))
+      } finally q.stop()
+    } finally rocks.stop()
+  }
 }
