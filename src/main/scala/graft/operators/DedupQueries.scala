@@ -87,6 +87,34 @@ object DedupQueries {
     * under an adversarial single-bucket corpus). */
   val LshBucketCap = 32L
 
+  /** Fixed universal-hash constants for the 8 derived minhash
+    * functions h_j = (A_j·h + B_j) mod P: odd multipliers in [1, P-1]
+    * and offsets < P, derived once from md5("graft-lsh-{a,b}-j") so
+    * both engines can hardcode identical literals. Large A_j values
+    * wrap the modulus, which is what makes the family rank-permuting
+    * (see the doc comment in [[lshCandidates]]). Shared with the
+    * streaming banding (StreamingDedup.bandRows) so online and batch
+    * candidates can never disagree. */
+  val LshP = 2305843009213693951L // 2^61 - 1, Mersenne prime
+  val LshA = Array(830492995520150109L, 2244461487029879753L,
+    90230127832142025L, 1030407973578342251L, 1114331291650008757L,
+    1412379996103922451L, 3641831387884035L, 2272556248617505923L)
+  val LshB = Array(1504490312131166155L, 1882483742250791779L,
+    156131819266645585L, 1146447099730326337L, 2054725000744262920L,
+    131045675275994707L, 1171744114921952482L, 1773458658658208000L)
+
+  /** The mh CTE shared by every oracle that re-derives the minhash
+    * signature: one row per (doc_id, seed) with the min of
+    * (A_seed·h + B_seed) mod P over the doc's shingle hashes; HUGEINT
+    * keeps the 117-bit product exact, mirroring Spark's DECIMAL(38,0). */
+  private val mhCtes =
+    s"""lshc(seed, a, b) AS (VALUES ${LshA.indices.map(j =>
+         s"($j, ${LshA(j)}, ${LshB(j)})").mkString(", ")}),
+       |mh AS (SELECT doc_id, seed,
+       |        min(CAST((h::HUGEINT * a + b) % $LshP AS BIGINT)) AS mh
+       |      FROM h CROSS JOIN lshc
+       |      GROUP BY doc_id, seed)""".stripMargin
+
   /** 8 minhash functions (lexicographic min of seeded md5 over
     * shingles), banded 4×2; candidate pairs share at least one band
     * whose bucket is under [[LshBucketCap]].
@@ -96,31 +124,42 @@ object DedupQueries {
   def lshCandidates(documents: DataFrame, cap: Long = LshBucketCap): DataFrame = {
     // Relational minhash with a derived hash family: md5 each shingle
     // ONCE (the only cryptographic hash), then derive the 8 minhash
-    // functions by integer mixing h_j = (A_j·h + B_j) mod P — the
-    // standard universal-hash family, 8x less hashing than seeded md5
-    // per function, and plain integer arithmetic in both engines.
-    // (A naive nested-transform formulation was 337s at sf0.1: no CSE
-    // inside lambdas re-inlines the signature into every band.)
-    val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    // functions as h_j = (A_j·h + B_j) mod P — the standard universal
+    // MLCG family. The multiply MUST wrap the modulus to permute rank
+    // order: with small A_j the product never exceeds P, every h_j is
+    // monotone in h, and all 8 "independent" minhashes pick the SAME
+    // min-shingle — the bands collapse to one correlated banding (a
+    // real bug this replaced: BucketingSpec's cross-group false
+    // candidates). A_j·h needs 117 bits, so the product runs in
+    // DECIMAL(38,0) — exact in Spark, ≡ HUGEINT in DuckDB (the t08
+    // cross-engine pattern).
+    //
+    // The whole signature is ONE doc_id aggregation with 8 min columns
+    // — map-side partial mins collapse each partition to one row per
+    // doc before the only signature shuffle. (An earlier explode(seed)
+    // formulation paid an 8x row blow-up through a (doc_id, seed)
+    // shuffle plus a SECOND (doc_id, band) shuffle to band it.)
     val shingleRows = documents
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .select(col("doc_id"),
         conv(substring(md5(col("sh").cast(BinaryType)), 1, 14), 16, 10)
-          .cast(LongType).as("h")) // 56 bits; (2j+3)·h + j·77 stays < 2^63
-    val minhashes = shingleRows
-      .select(col("doc_id"), explode(sequence(lit(0L), lit(7L))).as("seed"),
-        col("h"))
-      .select(col("doc_id"), col("seed"),
-        ((col("seed") * 2 + 3) * col("h") + col("seed") * 77) % P)
-      .toDF("doc_id", "seed", "mh")
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("mh")).as("mh"))
-    val docBands = minhashes
-      .groupBy(col("doc_id"), (col("seed") / 2).cast(IntegerType).as("band"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh").cast(StringType)), ",").cast(BinaryType)).as("h"))
+          .cast(LongType).as("h")) // 56 uniform bits per shingle
+    val dec = DecimalType(38, 0)
+    def mhCol(j: Int) =
+      min(((col("h").cast(dec) * LshA(j) + LshB(j)) % LshP).cast(LongType))
+        .as(s"mh$j")
+    val sigs = shingleRows
+      .groupBy(col("doc_id"))
+      .agg(mhCol(0), (1 to 7).map(mhCol): _*)
+    // 4 bands of 2 hashes (same md5-of-"mh_{2b},mh_{2b+1}" band key as
+    // the oracle CTE), exploded doc-locally — no extra shuffle
+    val docBands = sigs
+      .select(col("doc_id"), explode(array((0 to 3).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
+            .cast(BinaryType)).as("h"))): _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
     // The cap costs one aggregate on the SAME (band, h) key the pair
     // join shuffles on, not a second wide pass, and the anti-join
     // reuses that shuffle too. No broadcast hint: the hot list is
@@ -140,11 +179,13 @@ object DedupQueries {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   private def d02(s: SparkSession, d: String): DataFrame =
-    lshCandidates(Tables.documents(s, d))
+    // the ORDER BY is oracle-compare presentation — it lives here, not
+    // in lshCandidates, so composed consumers (d06/d09/d10) don't drag
+    // a global sort into the middle of their plans
+    lshCandidates(Tables.documents(s, d)).orderBy(col("id_a"), col("id_b"))
 
   /** The shared LSH candidate CTE chain (docs → shingles → minhash →
     * bands → hot-bucket cap → pair join), mirrored 1:1 from
@@ -156,10 +197,7 @@ object DedupQueries {
        |        FROM docs WHERE len(w) >= 3),
        |h AS (SELECT doc_id,
        |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
-       |mh AS (SELECT doc_id, seed,
-       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
-       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
-       |      GROUP BY doc_id, seed),
+       |$mhCtes,
        |bh AS (SELECT doc_id, seed // 2 AS band,
        |        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS h
        |      FROM mh GROUP BY doc_id, seed // 2),
@@ -345,7 +383,7 @@ object DedupQueries {
     * corpus-wide shingle join with |candidates| bounded work. Output:
     * verified near-dup pairs (jaccard ≥ 0.5) from the candidate set. */
   private def d06(s: SparkSession, d: String): DataFrame = {
-    val candidates = d02(s, d) // (id_a, id_b) ordered
+    val candidates = lshCandidates(Tables.documents(s, d)) // (id_a, id_b)
     // pair-local verification: attach each side's shingle SET to the
     // candidate row and intersect in place — no corpus-wide shingle
     // join at all (a candidate-restricted equi-join can't push the
@@ -440,10 +478,7 @@ object DedupQueries {
        |        FROM docs WHERE len(w) >= 3),
        |h AS (SELECT doc_id,
        |        CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS h FROM shr),
-       |mh AS (SELECT doc_id, seed,
-       |        min(((seed*2+3)*h + seed*77) % 2305843009213693951) AS mh
-       |      FROM (SELECT doc_id, h, unnest(generate_series(0, 7)) AS seed FROM h)
-       |      GROUP BY doc_id, seed),
+       |$mhCtes,
        |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS s FROM mh GROUP BY doc_id)
        |SELECT doc_id, band,
        |  md5(array_to_string(s[band*4+1:band*4+4], ',')) AS bucket
@@ -463,7 +498,8 @@ object DedupQueries {
     * same propagation iterated to fixpoint, which merges chains of
     * any length. Each round is one shuffle keyed by node id. */
   private def d09(s: SparkSession, d: String): DataFrame = {
-    val pairs = d02(s, d).select(col("id_a"), col("id_b"))
+    val pairs = lshCandidates(Tables.documents(s, d))
+      .select(col("id_a"), col("id_b"))
     // Iterative algorithm, so truncate lineage once: without this the
     // 3 propagation rounds each re-derive the whole minhash/LSH edge
     // pipeline through their plan lineage (measured 4x the query).
@@ -596,7 +632,8 @@ object DedupQueries {
     * set) — agreement is cross-algorithm validation, not a mirrored
     * computation. */
   private def d10(s: SparkSession, d: String): DataFrame = {
-    val pairs = d02(s, d).select(col("id_a"), col("id_b"))
+    val pairs = lshCandidates(Tables.documents(s, d))
+      .select(col("id_a"), col("id_b"))
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")

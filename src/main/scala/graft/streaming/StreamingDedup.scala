@@ -38,13 +38,17 @@ object StreamingDedup {
 
   private val nHashes = 8
   private val nBands = 2
-  private val Prime = 2305843009213693951L // 2^61 − 1, as in d02
 
   /** Band rows for a (doc_id, text) frame — batch or streaming (pure
-    * per-row expressions). Same minhash family as d02:
-    * min(((2s+3)·h + 77s) mod 2^61−1) over md5-derived 56-bit shingle
-    * hashes; a band's bucket = md5 of its 4 signature values. */
+    * per-row expressions). Same minhash family as d02 — the shared
+    * (A_j·h + B_j) mod P universal constants of
+    * [[graft.operators.DedupQueries.LshA]], multiplied in
+    * DECIMAL(38,0) so the 117-bit product wraps the modulus exactly —
+    * over md5-derived 56-bit shingle hashes; a band's bucket = md5 of
+    * its 4 signature values. */
   def bandRows(docs: DataFrame): DataFrame = {
+    import graft.operators.DedupQueries.{LshA, LshB, LshP}
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val t = split(trim(col("text")), "\\s+")
     val sh = array_distinct(transform(sequence(lit(0), size(t) - lit(3)),
       i => array_join(slice(t, i + lit(1), lit(3)), " ")))
@@ -55,7 +59,8 @@ object StreamingDedup {
       val sig = (b * (nHashes / nBands) until (b + 1) * (nHashes / nBands))
         .map { seed =>
           array_min(transform(col("hashes"),
-            h => pmod(h * (2 * seed + 3) + seed * 77L, lit(Prime))))
+            h => ((h.cast(dec) * LshA(seed) + LshB(seed)) % LshP)
+              .cast(LongType)))
         }
       struct(lit(b).as("band"),
         md5(concat_ws(",", sig: _*).cast(BinaryType)).as("bucket"))

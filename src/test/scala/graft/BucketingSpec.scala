@@ -63,8 +63,16 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val boiler = (0L until 300L).map(i =>
       (i, "the quick brown fox jumps over the lazy dog again and again"))
-    val pairs = (0 until 5).flatMap { g =>
-      val text = s"genuine near duplicate group number $g with enough tokens to shingle"
+    // each genuine group is an exact pair; ACROSS groups the texts
+    // share no shingle at all, so honest independent bands must not
+    // produce any cross-group candidate
+    val groupTexts = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+      "lima mike november oscar papa quebec romeo sierra tango uniform",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "red orange yellow green blue indigo violet magenta cyan amber",
+      "north south east west upward downward forward backward inward outward")
+    val pairs = groupTexts.zipWithIndex.flatMap { case (text, g) =>
       Seq((1000L + 2 * g, text), (1001L + 2 * g, text))
     }
     val docs = (boiler ++ pairs).toDF("doc_id", "text")
