@@ -417,27 +417,31 @@ object Relational {
 
   // ---- q22: pivot (status × priority counts) -------------------------------
   private def q22(spark: SparkSession, dir: String): DataFrame =
+    // (status, order month) row grouping so the pivot has enough rows
+    // to discriminate (a status-only grouping is 3 rows at every SF)
     Tables.orders(spark, dir)
-      .groupBy(col("o_orderstatus"))
+      .withColumn("omonth", month(col("o_orderdate")).cast(LongType))
+      .groupBy(col("o_orderstatus"), col("omonth"))
       .pivot("o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
       .agg(count(lit(1)))
-      .select(col("o_orderstatus"),
+      .select(col("o_orderstatus"), col("omonth"),
         coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
         coalesce(col("2-HIGH"), lit(0L)).as("high"),
         coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
         coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("unspec"),
         coalesce(col("5-LOW"), lit(0L)).as("low"))
-      .orderBy(col("o_orderstatus"))
+      .orderBy(col("o_orderstatus"), col("omonth"))
 
   private val q22Sql =
-    """SELECT o_orderstatus,
+    """SELECT o_orderstatus, CAST(month(o_orderdate) AS BIGINT) AS omonth,
       |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
       |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
       |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
       |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspec,
       |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
-      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+      |FROM orders GROUP BY o_orderstatus, month(o_orderdate)
+      |ORDER BY o_orderstatus, omonth""".stripMargin
 
   // ---- q23: exact median via window (engine-agnostic formulation) ----------
   // percentile interpolation conventions differ between engines, so the
