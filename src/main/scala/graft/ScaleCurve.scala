@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: times the headline queries across the three
+  * driver scale factors (sf0.001 / sf0.01 / sf0.1 — a 100× span) plus
+  * a 10×-amplified corpus one decade BEYOND the largest driver SF, and
+  * fits the observed scaling exponent per decade (slope of log time
+  * over log scale). The point is to turn SCALE.md's 100×-design
+  * *claims* into measured curves: a linear-shaped operator should hold
+  * an exponent near 1 (below 1 while fixed per-query overhead still
+  * dominates); anything super-linear is a scale bug surfacing early.
+  *
+  * The 10× corpus amplifies the STRUCTURE linearly, not the duplicate
+  * density: each replica r > 0 re-ids its documents past the original
+  * id range and SUFFIXES a replica-unique tag onto every token, so
+  * every shingle of every replicated doc embeds the tag — documents in
+  * different replicas share ZERO shingles — while token counts,
+  * shingle counts, and the per-replica document-frequency distribution
+  * stay exactly the original corpus's (an earlier interleaved-token
+  * variant halved prefix-filter selectivity by creating unigram-df
+  * shingles and faked a quadratic d03). Near-dup pairs/clusters grow
+  * 10× (linearly), NOT the 100× pair blow-up naive duplication
+  * (10-cliques of the same text) would inject. lineitem/orders amplify
+  * by shifting orderkeys past the original key range (join structure
+  * preserved, fact size ×10); dimension tables stay as-is
+  * (broadcast-sized at any SF).
+  *
+  * Usage: runMain graft.ScaleCurve [outDir]   (default target/scale)
+  * Prints one JSON line per query with per-scale seconds and fitted
+  * exponents; human table goes to stderr.
+  */
+object ScaleCurve {
+  private val Queries = Seq("d01_exact_dedup", "d02_minhash_lsh",
+    "d03_ngram_jaccard", "d06_lsh_verified", "d09_dup_clusters",
+    "d10_cc_fixpoint", "q04_multi_join", "s02_ann_lsh", "s04_kmeans_step",
+    "t05_ngram_profile", "e18_sessionize")
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val x10 = s"$outDir/x10"
+    buildX10(spark, "/root/testdata/sf0.1", x10)
+
+    // (label, dir, decades of scale relative to sf0.001)
+    val scales = Seq(
+      ("sf0.001", "/root/testdata/sf0.001", 0.0),
+      ("sf0.01", "/root/testdata/sf0.01", 1.0),
+      ("sf0.1", "/root/testdata/sf0.1", 2.0),
+      ("sf0.1x10", x10, 3.0))
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    time(Queries.head, scales.head._2) // JIT warm-up, unmeasured
+    val rows = Queries.map { q =>
+      val ts = scales.map { case (_, dir, _) =>
+        math.min(time(q, dir), time(q, dir)) // min of 2 (noise floor)
+      }
+      // per-decade exponent: slope of log10(t) across one decade of scale
+      val exps = ts.sliding(2).map { case Seq(a, b) => math.log10(b / a) }.toSeq
+      System.err.println(f"$q%-22s ${ts.map(t => f"$t%7.2f").mkString(" ")}  " +
+        f"exp ${exps.map(e => f"$e%5.2f").mkString(" ")}")
+      s""""$q":{"sec":[${ts.map(t => f"$t%.3f").mkString(",")}],""" +
+        s""""exp":[${exps.map(e => f"$e%.3f").mkString(",")}]}"""
+    }
+    println(s"""{"scales":[${scales.map(s => s""""${s._1}"""").mkString(",")}],""" +
+      s""""queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+
+  /** Write the 10×-amplified tables (documents, lineitem, orders) and
+    * symlink every other table to the base SF dir. Idempotent. */
+  private def buildX10(spark: SparkSession, base: String, dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (new java.io.File(d, "_OK").exists()) return
+    d.mkdirs()
+    val reps = spark.range(0, 10).select(col("id").as("rep"))
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs.crossJoin(broadcast(reps))
+      .select((Seq(
+        (col("doc_id") + col("rep") * maxDoc).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1zq"), col("rep"), lit("x")))).as("text")) ++
+        docs.columns.filterNot(c => c == "doc_id" || c == "text")
+          .map(col)): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val ordKeys = spark.read.parquet(s"$base/orders.parquet")
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val maxOk = math.max(
+      li.agg(max(col("l_orderkey"))).head().getLong(0), ordKeys) + 1
+    li.crossJoin(broadcast(reps))
+      .select((Seq((col("l_orderkey") + col("rep") * maxOk).as("l_orderkey")) ++
+        li.columns.filterNot(_ == "l_orderkey").map(col)): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    ord.crossJoin(broadcast(reps))
+      .select((Seq((col("o_orderkey") + col("rep") * maxOk).as("o_orderkey")) ++
+        ord.columns.filterNot(_ == "o_orderkey").map(col)): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // embeddings: re-id the vectors; labels (≙ IVF cells) keep their
+    // cardinality so per-cell work grows linearly, like a real corpus
+    // growing under a fixed coarse quantizer
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    emb.crossJoin(broadcast(reps))
+      .select((Seq((col("vec_id") + col("rep") * maxVec).as("vec_id")) ++
+        emb.columns.filterNot(_ == "vec_id").map(col)): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // events: re-id events and users — 10x the keyed-state groups, the
+    // shape a sessionizer actually scales along
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val maxUsr = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    ev.crossJoin(broadcast(reps))
+      .select((Seq(
+        (col("event_id") + col("rep") * maxEv).as("event_id"),
+        (col("user_id") + col("rep") * maxUsr).as("user_id")) ++
+        ev.columns.filterNot(c => c == "event_id" || c == "user_id")
+          .map(col)): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val amplified = Seq("documents", "lineitem", "orders", "embeddings", "events")
+    for (t <- Tables.all if !amplified.contains(t)) {
+      val link = java.nio.file.Paths.get(dir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(base, s"$t.parquet"))
+    }
+    new java.io.FileOutputStream(new java.io.File(d, "_OK")).close()
+  }
+}

@@ -662,6 +662,66 @@ object DedupQueries {
        |FROM cc JOIN sz USING (lbl)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- d11: exact-substring dedup (rolling token windows) ------------------
+  /** Cross-document EXACT substring duplication — the dedup mode
+    * between whole-doc exact (d01) and near-dup (d02/d03/d06): find
+    * every W-token window whose exact content appears in ≥ 2 distinct
+    * documents, and report per affected document how much of it is
+    * duplicated text. This is the scalable relational stand-in for the
+    * suffix-array substring dedup of "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., 2022): fixed-W rolling
+    * windows hash-grouped instead of a suffix array — an overlap of
+    * length L ≥ W shows up as L − W + 1 consecutive duplicated
+    * windows, so long boilerplate spans dominate n_dup_windows exactly
+    * as they dominate suffix-array hits.
+    *
+    * Scale shape: the window explode is ~|tokens| rows per doc (linear
+    * scan); ONE shuffle keyed by window hash (count-distinct partials
+    * collapse repeats map-side); the dup flag returns to window rows
+    * by a LEFT SEMI join that reuses the same (wh) shuffle key; two
+    * per-doc aggregates shuffle by doc_id. No pair join anywhere — at
+    * 100 TB the boilerplate mega-window never becomes a |bucket|²
+    * problem because windows are only counted, never paired. */
+  /** Per-document duplicated-window stats for window size `w` —
+    * exposed so DedupSpec can pin the window math on crafted spans. */
+  def substringDupStats(documents: DataFrame, w: Int): DataFrame = {
+    val t = toks(col("text"))
+    val wins = transform(sequence(lit(0), size(t) - lit(w)),
+      i => array_join(slice(t, i + lit(1), lit(w)), " "))
+    val winRows = documents
+      .filter(size(t) >= w)
+      .select(col("doc_id"), explode(wins).as("win"))
+      .select(col("doc_id"), md5(col("win").cast(BinaryType)).as("wh"))
+    val dup = winRows.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("wh"))
+    val tot = winRows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val dd = winRows.join(dup, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    tot.join(dd, Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d11(s: SparkSession, d: String): DataFrame =
+    substringDupStats(Tables.documents(s, d), w = 8)
+
+  private val d11Sql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |win AS (SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS wh
+      |        FROM t, unnest(generate_series(1, len(w) - 7)) AS s(i)
+      |        WHERE len(w) >= 8),
+      |dup AS (SELECT wh FROM win GROUP BY wh
+      |        HAVING count(DISTINCT doc_id) > 1),
+      |tot AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id),
+      |dd AS (SELECT doc_id, count(*) AS n_dup_windows
+      |       FROM win JOIN dup USING (wh) GROUP BY doc_id)
+      |SELECT doc_id, n_windows, n_dup_windows
+      |FROM tot JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -673,5 +733,6 @@ object DedupQueries {
     Q("d08_stream_bands", d08, Some(d08Sql)),
     Q("d09_dup_clusters", d09, Some(d09Sql)),
     Q("d10_cc_fixpoint", d10, Some(d10Sql)),
+    Q("d11_substring_dedup", d11, Some(d11Sql)),
   )
 }

@@ -72,4 +72,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       got == naive(docs, 0.5)
     })
   }
+
+  test("d11 substring dedup: an L-token shared span yields exactly " +
+      "L-w+1 duplicated windows on each side (Lee et al. span math)") {
+    import spark.implicits._
+    // doc 0 and doc 1 share an exact 12-token span inside otherwise
+    // disjoint text; doc 2 is unrelated; w = 8 → 12-8+1 = 5 duplicated
+    // window positions per affected doc
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"aa bb cc $span dd ee"),
+      (1L, s"xx yy $span zz ww vv uu"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14")
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.substringDupStats(docs, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 0: 17 tokens → 10 windows; doc 1: 18 tokens → 11 windows
+    assert(got == Seq((0L, 10L, 5L), (1L, 11L, 5L)))
+  }
 }
