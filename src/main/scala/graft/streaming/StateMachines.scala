@@ -259,8 +259,11 @@ object StateMachines {
 
   // --------------------------------------------------------- text formatter
   /** text formatter (textformatter.py:62-75): template over the last
-    * value of each named text variable, emitted on every arrival;
-    * pause resets the variable to its default (""). */
+    * value of each named text variable, emitted on every VALID
+    * arrival; ANY control marker resets the variable to its default
+    * "" without emitting (textformatter.py:65); invalid (null-text)
+    * messages are skipped — no var update, no emit (ValidationError,
+    * textformatter.py:71). */
   final case class FormatterState(vars: Map[Int, String])
   final class TextFormatter(inputs: Int,
       format: Map[Int, String] => String) extends Machine[FormatterState] {
@@ -268,6 +271,7 @@ object StateMachines {
     def step(s: FormatterState, e: Ev): (FormatterState, Seq[Out]) = {
       if (e.paused)
         (FormatterState(s.vars + (e.topic -> "")), Nil)
+      else if (e.text == null) (s, Nil) // ValidationError → pass
       else {
         val next = FormatterState(s.vars + (e.topic -> e.text))
         (next, Seq(Out(e.ts, Double.NaN, format(next.vars))))
@@ -336,15 +340,19 @@ object StateMachines {
   }
 
   // ---------------------------------------------------------- calculator
-  /** calculator.py:227-240: hold last value per variable topic
-    * (default on start/pause), re-evaluate and emit on every arriving
-    * message with that message's timestamp. */
+  /** calculator.py:227-240: hold last value per variable topic,
+    * re-evaluate and emit on every arriving VALID message with that
+    * message's timestamp. ANY control marker (pause or resume) resets
+    * the variable to its default without emitting (calculator.py:230);
+    * invalid (NaN) messages are skipped entirely — no var update, no
+    * emit (ValidationError, calculator.py:236). */
   final case class CalcState(vars: Map[Int, Double])
   final class Calculator(defaults: Map[Int, Double], eval: Map[Int, Double] => Double)
       extends Machine[CalcState] {
     def init = CalcState(defaults)
     def step(s: CalcState, e: Ev): (CalcState, Seq[Out]) = {
       if (e.paused) (CalcState(s.vars + (e.topic -> defaults.getOrElse(e.topic, 0.0))), Nil)
+      else if (e.value.isNaN) (s, Nil) // ValidationError → pass
       else {
         val next = CalcState(s.vars + (e.topic -> e.value))
         (next, Seq(Out(e.ts, eval(next.vars), null)))
@@ -353,41 +361,86 @@ object StateMachines {
   }
 
   // ----------------------------------------------------------- time buffer
-  /** timebuffer.py:44-63, message mode: hold messages; release the head
-    * while newestTs − headTs ≥ sizeMs. Remaining messages stay buffered
-    * at end of input (the reference holds them until more data or
-    * wall-clock mode; our batch analogue e12 matches). */
-  final case class TimeBufState(buf: Vector[(Long, Double, String)], newest: Long)
+  /** timebuffer.py:38-63, message mode, exact semantics:
+    *
+    *  - release the head while the TOP (latest) message's timestamp
+    *    runs ≥ sizeMs ahead of it — the `len > 1` loop of :47-60 (the
+    *    top message itself can never release by the time rule). With
+    *    synchronizer-ordered input the top timestamp is the running
+    *    max, which is what `newest` tracks;
+    *  - while the input is PAUSED, a single remaining message flushes
+    *    (`len == 1 and paused`, :62) — the buffer drains fully on a
+    *    paused stream instead of trapping its last message;
+    *  - the output pause flag mirrors `paused AND empty` (:63), as an
+    *    in-band marker row on transition;
+    *  - remaining messages stay buffered at end of input (the
+    *    reference holds them until more data; batch analogue e12
+    *    matches). */
+  final case class TimeBufState(buf: Vector[(Long, Double, String)],
+      newest: Long, inPaused: Boolean, outPaused: Boolean)
   final class TimeBuffer(sizeMs: Long) extends Machine[TimeBufState] {
-    def init = TimeBufState(Vector.empty, Long.MinValue)
+    def init = TimeBufState(Vector.empty, Long.MinValue, inPaused = false,
+      outPaused = false)
     def step(s: TimeBufState, e: Ev): (TimeBufState, Seq[Out]) = {
-      if (e.paused) return (s, Nil)
-      val newest = math.max(s.newest, e.ts)
-      var buf = s.buf :+ ((e.ts, e.value, e.text))
+      val st =
+        if (e.paused) s.copy(inPaused = pauseFlag(e))
+        else s.copy(buf = s.buf :+ ((e.ts, e.value, e.text)),
+          newest = math.max(s.newest, e.ts))
+      var buf = st.buf
       val out = Vector.newBuilder[Out]
-      while (buf.nonEmpty && newest - buf.head._1 >= sizeMs) {
+      while (buf.length > 1 && st.newest - buf.head._1 >= sizeMs) {
         val (t, v, x) = buf.head
         out += Out(t, v, x)
         buf = buf.tail
       }
-      (TimeBufState(buf, newest), out.result())
+      if (buf.length == 1 && st.inPaused) { // flush-on-pause (:62)
+        val (t, v, x) = buf.head
+        out += Out(t, v, x)
+        buf = Vector.empty
+      }
+      val wantPaused = st.inPaused && buf.isEmpty // set_paused (:63)
+      val marker =
+        if (wantPaused == st.outPaused) Nil
+        else Seq(Out(e.ts, if (wantPaused) 1.0 else 0.0, null, paused = true))
+      (st.copy(buf = buf, outPaused = wantPaused), out.result() ++ marker)
     }
   }
 
   // -------------------------------------------------------------- repeater
-  /** repeater.py:36-69: sample-and-hold re-emitted at a fixed rate.
-    * Topic 0 = data (updates the held value), topic 1 = clock ticks
-    * (from a rate source, SURVEY §2.1 #15 option b); each tick emits
-    * the held value with the tick's timestamp. */
-  final case class RepeaterState(held: Double, hasValue: Boolean)
-  final class Repeater extends Machine[RepeaterState] {
-    def init = RepeaterState(0.0, hasValue = false)
+  /** repeater.py:36-69, exact semantics: sample-and-hold re-emitted at
+    * a fixed rate. Topic 0 = data (updates the held value), topic 1 =
+    * clock ticks (from a rate source, SURVEY §2.1 #15 option b); each
+    * tick emits the held value with the tick's timestamp.
+    *
+    *  - An input pause marker FORWARDS to the output pause flag
+    *    (`set_paused(data.paused)`, repeater.py:40) — it does NOT
+    *    clear the hold; ticks resume with the retained value after a
+    *    resume. While the output is paused the sender skips its tick
+    *    sends (:61).
+    *  - An INVALID message (NaN value + null text ≙ no extractable
+    *    timestamp, :43-47) clears the hold in fail-CLOSED mode and is
+    *    forwarded raw, once, in fail-OPEN mode. */
+  final case class RepeaterState(held: Double, hasValue: Boolean,
+      outPaused: Boolean)
+  final class Repeater(failClosed: Boolean = false)
+      extends Machine[RepeaterState] {
+    def init = RepeaterState(0.0, hasValue = false, outPaused = false)
     def step(s: RepeaterState, e: Ev): (RepeaterState, Seq[Out]) = e.topic match {
       case 0 =>
-        if (e.paused) (RepeaterState(0.0, hasValue = false), Nil) // fail-closed clear
-        else (RepeaterState(e.value, hasValue = true), Nil)
+        if (e.paused) {
+          val flag = pauseFlag(e)
+          if (flag == s.outPaused) (s, Nil)
+          else (s.copy(outPaused = flag),
+            Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
+        }
+        else if (e.value.isNaN && e.text == null) { // invalid (:43-47)
+          if (failClosed) (s.copy(hasValue = false), Nil)
+          else (s, Seq(Out(e.ts, e.value, e.text)))
+        }
+        else (s.copy(held = e.value, hasValue = true), Nil)
       case _ =>
-        if (s.hasValue) (s, Seq(Out(e.ts, s.held, null))) else (s, Nil)
+        if (s.hasValue && !s.outPaused) (s, Seq(Out(e.ts, s.held, null)))
+        else (s, Nil)
     }
   }
 
@@ -401,17 +454,27 @@ object StateMachines {
     * machine's. Offset state lives in the fold (not a TimeSync field)
     * so checkpoint recovery restores it. */
   final case class WallRepState(held: Double, hasValue: Boolean,
-      offset: Long, hasOffset: Boolean)
+      offset: Long, hasOffset: Boolean, outPaused: Boolean)
   final class WallClockRepeater(clock: () => Long)
       extends Machine[WallRepState] with Timed[WallRepState] {
-    def init = WallRepState(0.0, hasValue = false, 0L, hasOffset = false)
+    def init = WallRepState(0.0, hasValue = false, 0L, hasOffset = false,
+      outPaused = false)
     def step(s: WallRepState, e: Ev): (WallRepState, Seq[Out]) = {
-      if (e.paused) (init, Nil) // pause clears the hold (repeater.py:49-53)
-      else (WallRepState(e.value, hasValue = true,
-        e.ts - clock(), hasOffset = true), Nil)
+      if (e.paused) {
+        // pause forwards to the output flag and SILENCES the sender
+        // (repeater.py:40,61) — the hold and learned offset survive
+        val flag = pauseFlag(e)
+        if (flag == s.outPaused) (s, Nil)
+        else (s.copy(outPaused = flag),
+          Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
+      }
+      else (s.copy(held = e.value, hasValue = true,
+        offset = e.ts - clock(), hasOffset = true), Nil)
     }
     def onTimeout(s: WallRepState): Seq[Out] =
-      if (s.hasValue) Seq(Out(clock() + s.offset, s.held, null)) else Nil
+      if (s.hasValue && !s.outPaused)
+        Seq(Out(clock() + s.offset, s.held, null))
+      else Nil
     override def removeOnTimeout: Boolean = false // keep ticking
   }
 

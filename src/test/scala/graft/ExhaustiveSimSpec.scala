@@ -351,6 +351,157 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == (1L to 6L).map(d => math.pow(8, d.toDouble).toLong).sum)
   }
 
+  // -------------------------------------------------------- calculator sim
+  /** Transcription of calculator.py:227-240 (`run_input`/`send_value`):
+    * any control marker resets the var to its default, invalid skips,
+    * valid updates and emits the re-evaluated formula. */
+  private final class CalcSim(defaults: Map[Int, Double],
+      eval: Map[Int, Double] => Double) extends SimModel[Map[Int, Double]] {
+    def init: Map[Int, Double] = defaults
+    def step(m: Map[Int, Double], e: Ev): (Map[Int, Double], Seq[Out]) = {
+      if (e.paused) (m + (e.topic -> defaults(e.topic)), Nil)
+      else if (e.value.isNaN) (m, Nil)
+      else {
+        val m2 = m + (e.topic -> e.value)
+        (m2, Seq(Out(e.ts, eval(m2), null)))
+      }
+    }
+  }
+
+  private val calcAlphabet: IndexedSeq[Sym] = Vector(
+    "A-" -> data(0, 0.25), "A+" -> data(0, 0.75), "AN" -> invalid(0),
+    "PA" -> pause(0), "RA" -> resume(0),
+    "B" -> data(1, 2.0), "PB" -> pause(1))
+
+  test("calculator: all 7^6 words agree with the calculator.py " +
+      "transcription (marker resets, invalid skips)") {
+    val defaults = Map(0 -> 1.5, 1 -> -3.0)
+    val f = (vars: Map[Int, Double]) => vars(0) - 2 * vars(1)
+    val n = exhaust(new Calculator(defaults, f), new CalcSim(defaults, f),
+      calcAlphabet, k = 6)
+    assert(n == (1L to 6L).map(d => math.pow(7, d.toDouble).toLong).sum)
+  }
+
+  // ------------------------------------------------------ text formatter sim
+  /** Transcription of textformatter.py:62-75: marker resets the var to
+    * "", invalid (null text) skips, valid updates and emits. */
+  private final class FormatterSim(inputs: Int,
+      format: Map[Int, String] => String) extends SimModel[Map[Int, String]] {
+    def init: Map[Int, String] = (0 until inputs).map(_ -> "").toMap
+    def step(m: Map[Int, String], e: Ev): (Map[Int, String], Seq[Out]) = {
+      if (e.paused) (m + (e.topic -> ""), Nil)
+      else if (e.text == null) (m, Nil)
+      else {
+        val m2 = m + (e.topic -> e.text)
+        (m2, Seq(Out(e.ts, Double.NaN, format(m2))))
+      }
+    }
+  }
+
+  private val fmtAlphabet: IndexedSeq[Sym] = Vector(
+    "Ta" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "a", paused = false)),
+    "Tb" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "b", paused = false)),
+    "TN" -> invalid(0), "PA" -> pause(0), "RA" -> resume(0),
+    "Ux" -> (i => Ev(1, 10L * (i + 1), Double.NaN, "x", paused = false)),
+    "PU" -> pause(1))
+
+  test("text formatter: all 7^6 words agree with the textformatter.py " +
+      "transcription") {
+    val f = (vars: Map[Int, String]) => s"${vars(0)}|${vars(1)}"
+    val n = exhaust(new TextFormatter(2, f), new FormatterSim(2, f),
+      fmtAlphabet, k = 6)
+    assert(n == (1L to 6L).map(d => math.pow(7, d.toDouble).toLong).sum)
+  }
+
+  // -------------------------------------------------------- time buffer sim
+  /** Transcription of timebuffer.py:38-63 message mode with the
+    * reference's deque: release while TOP-minus-HEAD ≥ size (len > 1),
+    * flush a single remaining message while paused, output pause =
+    * paused AND empty (transition-deduplicated). The sim uses the
+    * LAST-element timestamp as `top` exactly as the python does. */
+  private final case class TbSimState(queue: Vector[Ev], paused: Boolean,
+      outIsPaused: Boolean)
+  private final class TimeBufferSim(size: Long) extends SimModel[TbSimState] {
+    def init = TbSimState(Vector.empty, paused = false, outIsPaused = false)
+    def step(s: TbSimState, e: Ev): (TbSimState, Seq[Out]) = {
+      val st =
+        if (e.paused) s.copy(paused = pauseFlag(e))
+        else s.copy(queue = s.queue :+ e)
+      val out = Vector.newBuilder[Out]
+      var q = st.queue
+      var go = true
+      while (q.length > 1 && go) { // run_sender_message (:47-60)
+        if (q.last.ts - q.head.ts >= size) {
+          out += Out(q.head.ts, q.head.value, q.head.text)
+          q = q.tail
+        } else go = false
+      }
+      if (q.length == 1 && st.paused) { // :62
+        out += Out(q.head.ts, q.head.value, q.head.text)
+        q = Vector.empty
+      }
+      val want = st.paused && q.isEmpty // :63
+      if (want != st.outIsPaused)
+        out += Out(e.ts, if (want) 1.0 else 0.0, null, paused = true)
+      (st.copy(queue = q, outIsPaused = want), out.result())
+    }
+  }
+
+  private val tbAlphabet: IndexedSeq[Sym] = Vector(
+    "D1" -> (i => Ev(0, 25L * (i + 1), 1.0, null, paused = false)),
+    "D2" -> (i => Ev(0, 25L * (i + 1), 2.0, null, paused = false)),
+    "P" -> pause(0), "R" -> resume(0))
+
+  test("time buffer: all 4^8 words agree with the timebuffer.py " +
+      "transcription (flush-on-pause, out-pause mirror)") {
+    val n = exhaust(new TimeBuffer(40), new TimeBufferSim(40),
+      tbAlphabet, k = 8)
+    assert(n == (1L to 8L).map(d => math.pow(4, d.toDouble).toLong).sum)
+  }
+
+  // ----------------------------------------------------------- repeater sim
+  /** Transcription of repeater.py:36-69 (receiver + tick-projected
+    * sender): markers forward to the output pause flag, invalid clears
+    * (fail-closed) or forwards raw (fail-open), ticks emit the held
+    * value only while unpaused. */
+  private final case class RepSimState(currentData: Option[Double],
+      outIsPaused: Boolean)
+  private final class RepeaterSim(failClosed: Boolean)
+      extends SimModel[RepSimState] {
+    def init = RepSimState(None, outIsPaused = false)
+    def step(s: RepSimState, e: Ev): (RepSimState, Seq[Out]) = {
+      if (e.topic == 0) { // _run_receiver (:37-47)
+        if (e.paused) {
+          val flag = pauseFlag(e)
+          if (flag == s.outIsPaused) (s, Nil)
+          else (s.copy(outIsPaused = flag),
+            Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
+        } else if (e.value.isNaN && e.text == null) {
+          if (failClosed) (s.copy(currentData = None), Nil)
+          else (s, Seq(Out(e.ts, e.value, e.text)))
+        } else (s.copy(currentData = Some(e.value)), Nil)
+      } else { // _run_sender tick (:52-69)
+        s.currentData match {
+          case Some(v) if !s.outIsPaused => (s, Seq(Out(e.ts, v, null)))
+          case _ => (s, Nil)
+        }
+      }
+    }
+  }
+
+  private val repAlphabet: IndexedSeq[Sym] = Vector(
+    "D1" -> data(0, 1.0), "D2" -> data(0, 2.0), "DN" -> invalid(0),
+    "P" -> pause(0), "R" -> resume(0),
+    "T" -> data(1, 0.0))
+
+  test("repeater: all 6^7 words x {fail open, fail closed} agree with " +
+      "the repeater.py transcription (pause keeps the hold)") {
+    for (fc <- Seq(false, true)) {
+      val n = exhaust(new Repeater(fc), new RepeaterSim(fc), repAlphabet, k = 7)
+      assert(n == (1L to 7L).map(d => math.pow(6, d.toDouble).toLong).sum)
+    }
+  }
+
   // ------------------------------------- Spark mount, one-job exhaustive
   /** Every gate word of length 4 through StatefulRunner.runBatch in ONE
     * Spark job — 8^4 = 4096 independent keyed groups — compared against

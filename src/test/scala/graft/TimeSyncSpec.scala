@@ -85,9 +85,14 @@ class TimeSyncSpec extends AnyFunSuite
     clock.now = 6100L
     assert(m.onTimeout(s) == Seq(Out(9100L, 7.0, null)))
 
-    // pause clears the hold (repeater.py:49-53): ticks go quiet
+    // pause forwards to the output flag (repeater.py:40): ticks go
+    // quiet while paused, but the hold and offset SURVIVE — a resume
+    // marker brings the same restamped value back
     s = m.step(s, Ev(0, 0L, Double.NaN, null, paused = true))._1
     assert(m.onTimeout(s).isEmpty)
+    s = m.step(s, Ev(0, 0L, 0.0, null, paused = true))._1 // resume
+    clock.now = 6200L
+    assert(m.onTimeout(s) == Seq(Out(9200L, 7.0, null)))
     assert(!m.removeOnTimeout) // streaming keeps the state ticking
   }
 }
