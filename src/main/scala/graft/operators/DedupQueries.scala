@@ -160,6 +160,15 @@ object DedupQueries {
           md5(concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))
             .cast(BinaryType)).as("h"))): _*)).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    // Materialize the band table ONCE: its three consumers (pair-join
+    // a-side, b-side, hot-bucket list) would otherwise each re-derive
+    // the whole scan→shingle→md5→signature pipeline — plan-identical
+    // subtrees, but ReuseExchange does not match them (the transform()
+    // lambdas canonicalize differently), measured as 4 parquet scans
+    // and 0 ReusedExchange at sf0.01. The checkpoint is 4 rows × 16
+    // bytes per doc — the persisted intermediate a production dedup
+    // job would keep anyway (same pattern as d09's edge table).
+    val bands = docBands.localCheckpoint()
     // The cap costs one aggregate on the SAME (band, h) key the pair
     // join shuffles on, not a second wide pass, and the anti-join
     // reuses that shuffle too. No broadcast hint: the hot list is
@@ -168,11 +177,11 @@ object DedupQueries {
     // distinct templates, each > cap copies) it can reach millions of
     // rows at 100 TB, so a forced broadcast risks driver OOM. AQE
     // picks broadcast at runtime only when the list is actually small.
-    val hot = docBands.groupBy(col("band"), col("h"))
+    val hot = bands.groupBy(col("band"), col("h"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > cap)
       .select(col("band"), col("h"))
-    val capped = docBands.join(hot, Seq("band", "h"), "left_anti")
+    val capped = bands.join(hot, Seq("band", "h"), "left_anti")
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
