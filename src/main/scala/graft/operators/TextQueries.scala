@@ -475,6 +475,45 @@ object TextQueries {
       |    '\+1-[0-9]+', '[PHONE]', 'g')) AS BIGINT) AS len_redacted
       |FROM a ORDER BY doc_id""".stripMargin
 
+  // ---- t12: deterministic corpus shuffle + shard assignment ----------------
+  /** Reproducible global shuffle and sharding — the step that fixes a
+    * training run's data order: each document's shuffle key is the md5
+    * of (salt, doc_id), its shard is the top hash bits mod n_shards,
+    * and its position is the rank of its key within the shard. Same
+    * salt → byte-identical shard files on any cluster size; a new salt
+    * is a fresh epoch-level reshuffle.
+    *
+    * Scale: ONE shuffle keyed by shard (the write path's partitioning
+    * anyway) and a per-shard sort (the write path's sort) — no global
+    * total order anywhere; shards are independent, so 100 TB shards in
+    * parallel across all executors. md5 keys make the rank
+    * deterministic without a tie-break. */
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val key = md5(concat(lit("epoch-0:"), col("doc_id")).cast(BinaryType))
+    val shard = pmod(conv(substring(col("skey"), 1, 8), 16, 10)
+      .cast(LongType), lit(nShards.toLong))
+    Tables.documents(s, d)
+      .select(col("doc_id"), key.as("skey"))
+      .select(col("doc_id"), col("skey"), shard.as("shard"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("skey")))
+        .cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t12Sql =
+    """WITH k AS (SELECT doc_id, md5('epoch-0:' || doc_id) AS skey
+      |           FROM documents),
+      |s AS (SELECT doc_id, skey,
+      |        CAST(concat('0x', substr(skey, 1, 8)) AS BIGINT) % 8 AS shard
+      |      FROM k)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -487,5 +526,6 @@ object TextQueries {
     Q("t09_rolling_context", t09, Some(t09Sql)),
     Q("t10_sequence_pack", t10, Some(t10Sql)),
     Q("t11_pii_scrub", t11, Some(t11Sql)),
+    Q("t12_corpus_shuffle", t12, Some(t12Sql)),
   )
 }

@@ -506,51 +506,86 @@ object StateMachines {
   }
 
   // --------------------------------------------------------- synchronizer
-  /** SequentialInTopicSynchronizer (client/topic.py:117-140): buffer
-    * per topic; release a message with ts t only when every other
-    * unpaused topic has advanced to ≥ t; drop late messages
-    * (ts < topic's running max, topic.py:127). Used by the runner to
-    * pre-order multi-input operators and as the synchronizer operator
-    * itself (§2.1 #5). */
-  final case class SyncState(
-      buf: Map[Int, Vector[Ev]], maxTs: Map[Int, Long], paused: Set[Int])
+  /** SequentialInTopicSynchronizer (client/topic.py:117-140), exact
+    * dict semantics, as used by the synchronizer task
+    * (synchronizer.py:14-35):
+    *
+    *  - `_topic_timestamps` holds only topics that have REGISTERED (a
+    *    `wait_for` in flight or completed). A topic that never spoke —
+    *    or whose pause popped it (:132) — does NOT constrain the min:
+    *    the remaining topics flow without it. So the merged output is
+    *    NOT globally ts-ordered when a late-starting topic joins with
+    *    older timestamps; that is reference behavior, not a bug.
+    *  - a message registers its ts, then releases once min over the
+    *    dict ≥ its ts (:128-129); late messages (ts < the topic's LIVE
+    *    dict entry, default 0 — a pause pop FORGETS progress and
+    *    re-admits older ts) drop at wait_for time (:127).
+    *  - a resume re-registers the topic at the current min (:134) so
+    *    it rejoins without stalling anyone.
+    *  - pause markers queue BEHIND pending data of their own topic
+    *    (the per-topic receiver is sequential, topic.py:170-186): they
+    *    take effect only when they reach the queue head.
+    *
+    * Canonical refinement of asyncio wake order: each step drains a
+    * fixpoint — head markers/drops/registrations in ascending topic
+    * order, then releases in ascending (ts, topic). Used as the
+    * synchronizer operator (§2.1 #5); the runner pre-orders
+    * multi-input operators with the same (ts, priority, seq) sort. */
+  final case class SyncState(buf: Map[Int, Vector[Ev]],
+      reg: Map[Int, Long], headReg: Set[Int])
   final class Synchronizer(topics: Int) extends Machine[SyncState]
       with Timed[SyncState] {
     def init = SyncState(
-      (0 until topics).map(_ -> Vector.empty[Ev]).toMap,
-      (0 until topics).map(_ -> Long.MinValue).toMap, Set.empty)
+      (0 until topics).map(_ -> Vector.empty[Ev]).toMap, Map.empty, Set.empty)
 
-    private def release(s: SyncState): (SyncState, Seq[Out]) = {
+    def step(s: SyncState, e: Ev): (SyncState, Seq[Out]) =
+      drain(s.copy(buf = s.buf + (e.topic -> (s.buf(e.topic) :+ e))))
+
+    private def drain(s0: SyncState): (SyncState, Seq[Out]) = {
+      var buf = s0.buf
+      var reg = s0.reg
+      var headReg = s0.headReg
       val out = Vector.newBuilder[Out]
-      var buf = s.buf
-      var continue = true
-      while (continue) {
-        val active = (0 until topics).filterNot(t =>
-          s.paused(t) && buf(t).isEmpty)
-        val heads = active.flatMap(t => buf(t).headOption.map(t -> _))
-        if (heads.size < active.size || heads.isEmpty) continue = false
-        else {
-          val (t, e) = heads.minBy { case (t, e) => (e.ts, t) }
-          out += Out(e.ts, e.value, e.text)
-          buf = buf + (t -> buf(t).tail)
+      var go = true
+      while (go) {
+        go = false
+        // head markers, late drops, registrations (ascending topic)
+        for (t <- 0 until topics if buf(t).nonEmpty && !headReg(t)) {
+          val h = buf(t).head
+          if (h.paused) { // set_paused (topic.py:132-134)
+            if (pauseFlag(h)) reg -= t
+            else reg += t -> (if (reg.isEmpty) 0L else reg.values.min)
+            buf += t -> buf(t).tail; go = true
+          } else if (h.ts < reg.getOrElse(t, 0L)) { // drop the past (:127)
+            buf += t -> buf(t).tail; go = true
+          } else { // wait_for registers (:128)
+            reg += t -> h.ts; headReg += t; go = true
+          }
+        }
+        // release the lowest-(ts, topic) registered head at the min
+        val m = if (reg.isEmpty) 0L else reg.values.min
+        val ready = (0 until topics).filter(t => headReg(t) && buf(t).head.ts <= m)
+        if (ready.nonEmpty) {
+          val t = ready.minBy(t => (buf(t).head.ts, t))
+          val h = buf(t).head
+          out += Out(h.ts, h.value, h.text)
+          buf += t -> buf(t).tail; headReg -= t; go = true
         }
       }
-      (s.copy(buf = buf), out.result())
+      (SyncState(buf, reg, headReg), out.result())
     }
 
-    def step(s: SyncState, e: Ev): (SyncState, Seq[Out]) = {
-      if (e.paused) release(s.copy(paused =
-        if (pauseFlag(e)) s.paused + e.topic else s.paused - e.topic))
-      else if (e.ts < s.maxTs(e.topic)) (s, Nil) // late → drop
-      else release(s.copy(
-        buf = s.buf + (e.topic -> (s.buf(e.topic) :+ e)),
-        maxTs = s.maxTs + (e.topic -> e.ts),
-        paused = s.paused - e.topic))
-    }
-
-    /** Flush remaining buffers in timestamp order at end of input. */
+    /** End-of-input flush — batch convention (the reference would hold
+      * blocked messages until more data arrives; a bounded batch has
+      * none): per topic, apply the same late-drop rule down the
+      * remaining queue, then merge in (ts, topic) order. */
     def onTimeout(s: SyncState): Seq[Out] =
-      s.buf.toSeq.flatMap { case (t, es) => es.map(t -> _) }
+      s.buf.toSeq.flatMap { case (t, es) =>
+        var last = s.reg.getOrElse(t, 0L)
+        es.filter(!_.paused).flatMap { e =>
+          if (e.ts < last) None else { last = e.ts; Some(t -> e) }
+        }
+      }
         .sortBy { case (t, e) => (e.ts, t) }
         .map { case (_, e) => Out(e.ts, e.value, e.text) }
   }

@@ -502,6 +502,79 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---------------------------------------------------- synchronizer sim
+  /** Transcription of SequentialInTopicSynchronizer
+    * (client/topic.py:117-140) driven by per-topic receiver coroutines
+    * (topic.py:170-186): each receiver is either IDLE (next queue item
+    * unpulled) or BLOCKED in wait_for(ts). The sim schedules pulls in
+    * ascending topic order and completions in ascending (ts, topic) —
+    * the same canonical refinement the machine documents. */
+  private final case class SyncSimState(queues: Map[Int, Vector[Ev]],
+      topicTimestamps: Map[Int, Long], blocked: Map[Int, Ev])
+  private final class SynchronizerSim(topics: Int)
+      extends SimModel[SyncSimState] {
+    def init = SyncSimState(
+      (0 until topics).map(_ -> Vector.empty[Ev]).toMap, Map.empty, Map.empty)
+    private def minTimestamp(tt: Map[Int, Long]): Long =
+      if (tt.isEmpty) 0L else tt.values.min // topic.py:124
+    def step(s: SyncSimState, e: Ev): (SyncSimState, Seq[Out]) = {
+      var st = s.copy(queues = s.queues + (e.topic -> (s.queues(e.topic) :+ e)))
+      val out = Vector.newBuilder[Out]
+      var progress = true
+      while (progress) {
+        progress = false
+        // idle receivers pull their next item (ascending topic)
+        for (t <- 0 until topics
+             if !st.blocked.contains(t) && st.queues(t).nonEmpty) {
+          val item = st.queues(t).head
+          st = st.copy(queues = st.queues + (t -> st.queues(t).tail))
+          if (item.paused) { // set_paused (topic.py:132-134)
+            val tt =
+              if (pauseFlag(item)) st.topicTimestamps - t
+              else st.topicTimestamps +
+                (t -> minTimestamp(st.topicTimestamps))
+            st = st.copy(topicTimestamps = tt)
+          } else if (item.ts <
+              st.topicTimestamps.getOrElse(t, 0L)) { // drop (:127)
+            ()
+          } else { // wait_for registers and blocks (:128-129)
+            st = st.copy(
+              topicTimestamps = st.topicTimestamps + (t -> item.ts),
+              blocked = st.blocked + (t -> item))
+          }
+          progress = true
+        }
+        // blocked wait_fors whose ts reached the min complete (lowest
+        // (ts, topic) first) and the task forwards the message
+        val m = minTimestamp(st.topicTimestamps)
+        val done = st.blocked.filter { case (_, ev) => ev.ts <= m }
+        if (done.nonEmpty) {
+          val (t, ev) = done.minBy { case (t, ev) => (ev.ts, t) }
+          out += Out(ev.ts, ev.value, ev.text)
+          st = st.copy(blocked = st.blocked - t)
+          progress = true
+        }
+      }
+      (st, out.result())
+    }
+  }
+
+  // "old" data symbols step BACKWARD in ts to force late drops; pauses
+  // pop the dict (forgetting progress), resumes re-register at min
+  private val syncAlphabet: IndexedSeq[Sym] = Vector(
+    "A" -> data(0, 1.0),
+    "Aold" -> (i => Ev(0, math.max(0L, 10L * (i + 1) - 35), 1.5, null, paused = false)),
+    "B" -> data(1, 2.0),
+    "Bold" -> (i => Ev(1, math.max(0L, 10L * (i + 1) - 35), 2.5, null, paused = false)),
+    "PA" -> pause(0), "RA" -> resume(0), "PB" -> pause(1), "RB" -> resume(1))
+
+  test("synchronizer: all 8^6 words agree with the topic.py dict " +
+      "transcription (silent topics, pause pops, late drops)") {
+    val n = exhaust(new Synchronizer(2), new SynchronizerSim(2),
+      syncAlphabet, k = 6)
+    assert(n == (1L to 6L).map(d => math.pow(8, d.toDouble).toLong).sum)
+  }
+
   // ------------------------------------- Spark mount, one-job exhaustive
   /** Every gate word of length 4 through StatefulRunner.runBatch in ONE
     * Spark job — 8^4 = 4096 independent keyed groups — compared against

@@ -129,7 +129,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // --------------------------------------------------- unit: synchronizer
-  test("synchronizer releases in global ts order, drops late (topic.py:117-140)") {
+  test("synchronizer: silent topics don't block, registered topics " +
+      "sync, late drops (topic.py:117-140, dict semantics)") {
     val m = new Synchronizer(2)
     val out = runB(m, Seq(
       ev(0, 10, 1.0, seq = 0),
@@ -137,10 +138,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ev(1, 20, 3.0, seq = 2),
       ev(1, 5, 9.9, seq = 3),    // late on topic 1 → dropped
       ev(1, 40, 4.0, seq = 4)))
-    // runner sorts by ts first: arrival 5,10,20,30,40 — the late-drop
-    // rule applies to arrival order, which here equals ts order except
-    // the seq 3 row; with ts-sorted arrival it is first and survives.
-    // So drive the machine directly to exercise true arrival order:
+    // drive the machine directly to exercise true arrival order:
     val arrival = Seq(
       Ev(0, 10, 1.0, null, false), Ev(0, 30, 2.0, null, false),
       Ev(1, 20, 3.0, null, false), Ev(1, 5, 9.9, null, false),
@@ -148,7 +146,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (s, outs) = arrival.foldLeft((m.init, Vector.empty[Out])) {
       case ((s, acc), e) => val (s2, o) = m.step(s, e); (s2, acc ++ o) }
     val all = outs ++ m.onTimeout(s)
-    assert(all.map(_.ts) == Seq(10L, 20L, 30L, 40L)) // 5 dropped, ordered
+    // topic 1 hasn't registered while 10 and 30 arrive → they flow
+    // unblocked (reference: absent topics don't constrain the min);
+    // 20 then releases behind them, 5 drops, 40 flushes at end
+    assert(all.map(_.ts) == Seq(10L, 30L, 20L, 40L))
     assert(out.nonEmpty) // spark path ran too
   }
 
@@ -224,17 +225,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("sync_out")
       .outputMode("append").start()
     try {
-      // batch 1: topic 0 advances to 30; topic 1 has nothing → all buffered
+      // batch 1: topic 1 has never registered, so it does not
+      // constrain the min — topic 0's rows flow immediately
       mem.addData(ev(0, 10, 1.0, seq = 0), ev(0, 30, 2.0, seq = 1))
       q.processAllAvailable()
-      assert(spark.table("sync_out").count() == 0) // still held
-      // batch 2: topic 1 reaches 20 → releases (10), then (20);
-      // a late topic-0 message (ts 5 < its max 30) is dropped
+      assert(spark.table("sync_out").count() == 2)
+      // batch 2: topic 1 registers at 20 (min(30, 20) = 20 → releases);
+      // a late topic-0 message (ts 5 < its dict entry 30, which
+      // SURVIVED the batch boundary in state) is dropped
       mem.addData(ev(1, 20, 3.0, seq = 2), ev(0, 5, 9.9, seq = 3))
       q.processAllAvailable()
       val got = spark.table("sync_out").as[KOut].collect()
         .map(o => (o.ts, o.value)).sorted.toSeq
-      assert(got == Seq((10L, 1.0), (20L, 3.0)))
+      assert(got == Seq((10L, 1.0), (20L, 3.0), (30L, 2.0)))
       assert(!got.exists(_._2 == 9.9)) // late drop held across batches
     } finally q.stop()
   }
