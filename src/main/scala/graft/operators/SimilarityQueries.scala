@@ -286,10 +286,91 @@ object SimilarityQueries {
        |  CAST(sum(CASE WHEN label <> new_cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
        |FROM ex GROUP BY new_cell, i ORDER BY new_cell, i""".stripMargin
 
+  // ---- s05: product quantization (train sub-codebooks + encode) -----------
+  /** PQ — the ANN compression step that makes billion-vector search
+    * fit in memory (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): split each 64-dim vector into
+    * M = 4 subspaces of 16 dims; per subspace learn a small codebook
+    * (here: the per-label sub-centroid means — one Lloyd half-step,
+    * label ≙ initial cluster, consistent with s03/s04); encode every
+    * vector as its 4 nearest sub-centroid ids. 64 dims × 4 bytes
+    * becomes 4 code bytes (64:1), and an ADC distance table turns
+    * kNN into 4 lookups per candidate.
+    *
+    * Integer exactness: centroids are floor-mean per dim computed as
+    * (sum + 1000·n) div n − 1000 — the +1000·n offset makes the
+    * numerator non-negative (|x| ≤ 1000 after the ×1000 quantize), so
+    * Spark's truncating `div` and DuckDB's floor `//` agree; code
+    * assignment is pure integer L2 (argmin, ties → lower label id).
+    *
+    * Scale: the codebook is labels × M × 16 longs → broadcast; the
+    * corpus explodes to (vec, subspace, dim) rows, joins the broadcast
+    * codebook, and reduces back — one scan, shuffles keyed by vec_id
+    * only. Training sub-centroids is one map-side-combined aggregate. */
+  private def s05(s: SparkSession, d: String): DataFrame = {
+    val subDims = 16
+    val rows = quantized(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"),
+        (col("i") / subDims).cast(IntegerType).as("m"),
+        pmod(col("i"), lit(subDims)).as("j"), col("x"))
+    val codebook = rows.groupBy(col("label").as("code"), col("m"), col("j"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      // Long `/` would be double division in Spark — DIV keeps it
+      // integral; the non-negative numerator makes truncation = floor
+      .select(col("code"), col("m"), col("j"),
+        (expr("(sx + 1000 * n) DIV n") - 1000L).as("c"))
+    val dists = rows.join(broadcast(codebook), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("code"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+    val wBest = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("code"))
+    dists.withColumn("r", row_number().over(wBest))
+      .filter(col("r") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          s => s.getField("code").cast(LongType)).as("codes"),
+        sum(col("dist")).as("qerr"))
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("code0"),
+        element_at(col("codes"), 2).as("code1"),
+        element_at(col("codes"), 3).as("code2"),
+        element_at(col("codes"), 4).as("code3"),
+        col("qerr"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val s05Sql =
+    s"""WITH v AS ($quantizedSql),
+       |rows_ AS (SELECT vec_id, label,
+       |    (unnest(generate_series(1, len(q))) - 1) // 16 AS m,
+       |    (unnest(generate_series(1, len(q))) - 1) % 16 AS j,
+       |    unnest(q) AS x
+       |  FROM v),
+       |cb AS (SELECT label AS code, m, j,
+       |    (CAST(sum(x) AS BIGINT) + 1000 * count(*)) // count(*) - 1000 AS c
+       |  FROM rows_ GROUP BY label, m, j),
+       |dist AS (SELECT r.vec_id, r.m, cb.code,
+       |    CAST(sum((r.x - cb.c) * (r.x - cb.c)) AS BIGINT) AS dist
+       |  FROM rows_ r JOIN cb ON cb.m = r.m AND cb.j = r.j
+       |  GROUP BY r.vec_id, r.m, cb.code),
+       |best AS (SELECT vec_id, m, code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, code) AS r FROM dist) WHERE r = 1)
+       |SELECT vec_id,
+       |  CAST(max(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code0,
+       |  CAST(max(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code1,
+       |  CAST(max(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code2,
+       |  CAST(max(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code3,
+       |  CAST(sum(dist) AS BIGINT) AS qerr
+       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
     Q("s03_ivf_probe", s03, Some(s03Sql)),
     Q("s04_kmeans_step", s04, Some(s04Sql)),
+    Q("s05_pq_encode", s05, Some(s05Sql)),
   )
 }
