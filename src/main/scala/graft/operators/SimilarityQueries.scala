@@ -307,26 +307,39 @@ object SimilarityQueries {
     * corpus explodes to (vec, subspace, dim) rows, joins the broadcast
     * codebook, and reduces back — one scan, shuffles keyed by vec_id
     * only. Training sub-centroids is one map-side-combined aggregate. */
-  private def s05(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, label, subspace m, in-subspace dim j, component x). */
+  private def pqRows(s: SparkSession, d: String): DataFrame = {
     val subDims = 16
-    val rows = quantized(s, d)
+    quantized(s, d)
       .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("i", "x")))
       .select(col("vec_id"), col("label"),
         (col("i") / subDims).cast(IntegerType).as("m"),
         pmod(col("i"), lit(subDims)).as("j"), col("x"))
-    val codebook = rows.groupBy(col("label").as("code"), col("m"), col("j"))
+  }
+
+  /** Per-subspace codebook: (code, m, j, centroid component c). */
+  private def pqCodebook(rows: DataFrame): DataFrame =
+    rows.groupBy(col("label").as("code"), col("m"), col("j"))
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       // Long `/` would be double division in Spark — DIV keeps it
       // integral; the non-negative numerator makes truncation = floor
       .select(col("code"), col("m"), col("j"),
         (expr("(sx + 1000 * n) DIV n") - 1000L).as("c"))
+
+  /** Per (vec, subspace): the winning code and its distance. */
+  private def pqAssign(rows: DataFrame, codebook: DataFrame): DataFrame = {
     val dists = rows.join(broadcast(codebook), Seq("m", "j"))
       .groupBy(col("vec_id"), col("m"), col("code"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
     val wBest = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist"), col("code"))
-    dists.withColumn("r", row_number().over(wBest))
-      .filter(col("r") === 1)
+    dists.withColumn("r", row_number().over(wBest)).filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("dist"))
+  }
+
+  private def s05(s: SparkSession, d: String): DataFrame = {
+    val rows = pqRows(s, d)
+    pqAssign(rows, pqCodebook(rows))
       .groupBy(col("vec_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("m"), col("code")))),
@@ -366,11 +379,79 @@ object SimilarityQueries {
        |  CAST(sum(dist) AS BIGINT) AS qerr
        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- s06: ADC search over PQ codes ---------------------------------------
+  /** Asymmetric Distance Computation — the search side of PQ (Jégou et
+    * al. §IV): each query precomputes a distance TABLE d(q)[m][code] =
+    * ||q_m − c_{m,code}||² (queries × M × |codebook| entries, exact
+    * integers here); a database vector's approximate distance is then
+    * M table lookups summed over its stored codes — no vector math per
+    * candidate. Emits top-5 per query by ADC distance (ties → lower
+    * vec_id), queries = vec_id < 10, self-match included (it
+    * quantizes to qerr, not 0 — PQ is lossy, which this exposes).
+    *
+    * Scale: the table (|queries| × 4 × |codes| longs) broadcasts; the
+    * encoded corpus (4 codes per vector) is scanned once, joined to
+    * the broadcast table, and reduced by (query, vector) — the corpus
+    * never shuffles by anything wider than its own id, and the 64:1
+    * compressed representation is all the search touches. */
+  private def s06(s: SparkSession, d: String): DataFrame = {
+    val rows = pqRows(s, d)
+    val codebook = pqCodebook(rows)
+    val codes = pqAssign(rows, codebook)
+      .select(col("vec_id"), col("m"), col("code"))
+    // per-query subspace distance table, from the query's RAW vector
+    val table = rows.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("j"), col("x"))
+      .join(broadcast(codebook), Seq("m", "j"))
+      .groupBy(col("qid"), col("m"), col("code"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("td"))
+    val adc = codes.join(broadcast(table), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("td")).as("adc_dist"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("r", row_number().over(wTop))
+      .filter(col("r") <= 5)
+      .select(col("qid"), col("r").cast(LongType).as("rank"),
+        col("vec_id"), col("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val s06Sql =
+    s"""WITH v AS ($quantizedSql),
+       |rows_ AS (SELECT vec_id, label,
+       |    (unnest(generate_series(1, len(q))) - 1) // 16 AS m,
+       |    (unnest(generate_series(1, len(q))) - 1) % 16 AS j,
+       |    unnest(q) AS x
+       |  FROM v),
+       |cb AS (SELECT label AS code, m, j,
+       |    (CAST(sum(x) AS BIGINT) + 1000 * count(*)) // count(*) - 1000 AS c
+       |  FROM rows_ GROUP BY label, m, j),
+       |dist AS (SELECT r.vec_id, r.m, cb.code,
+       |    CAST(sum((r.x - cb.c) * (r.x - cb.c)) AS BIGINT) AS dist
+       |  FROM rows_ r JOIN cb ON cb.m = r.m AND cb.j = r.j
+       |  GROUP BY r.vec_id, r.m, cb.code),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, code) AS rr FROM dist) WHERE rr = 1),
+       |tbl AS (SELECT r.vec_id AS qid, r.m, cb.code,
+       |    CAST(sum((r.x - cb.c) * (r.x - cb.c)) AS BIGINT) AS td
+       |  FROM rows_ r JOIN cb ON cb.m = r.m AND cb.j = r.j
+       |  WHERE r.vec_id < 10 GROUP BY r.vec_id, r.m, cb.code),
+       |adc AS (SELECT t.qid, c.vec_id, CAST(sum(t.td) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN tbl t ON t.m = c.m AND t.code = c.code
+       |  GROUP BY t.qid, c.vec_id)
+       |SELECT qid, CAST(r AS BIGINT) AS rank, vec_id, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adc_dist, vec_id) AS r FROM adc) WHERE r <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
     Q("s03_ivf_probe", s03, Some(s03Sql)),
     Q("s04_kmeans_step", s04, Some(s04Sql)),
     Q("s05_pq_encode", s05, Some(s05Sql)),
+    Q("s06_pq_adc", s06, Some(s06Sql)),
   )
 }
