@@ -196,6 +196,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((Seq(3.0), Seq((20L, 0.0), (25L, 1.0), (45L, 0.0)))))
   }
 
+  test("switch mirrors the SELECTED input's pause to its output " +
+      "through the DSL (switch.py:46-51 end-to-end)") {
+    import spark.implicits._
+    def envP(rows: Seq[(Long, Double, Boolean)]): DataFrame =
+      rows.zipWithIndex.toDF("r", "seq")
+        .select(col("r._1").as("ts"), col("r._2").as("value"),
+          lit(null).cast("string").as("text"), col("r._3").as("paused"),
+          col("seq").cast("long").as("seq"))
+    // pair 0 data pauses at 25 and resumes at 45 while SELECTED; its
+    // markers must surface on the switch output. Pair 1 stays silent.
+    val d0 = envP(Seq((10L, 1.0, false), (25L, Double.NaN, true),
+      (45L, 0.0, true), (50L, 2.0, false)))
+    val c0 = env(Seq((5L, 1.0)))
+    val d1 = env(Seq((30L, 9.0))) // not selected → dropped, no markers
+    val c1 = env(Seq.empty)
+    val dep = Deployment("swp", Seq(
+      TaskSpec("sd0", SourceOp(IOMeta.number), Nil, "d0"),
+      TaskSpec("sc0", SourceOp(IOMeta.number), Nil, "c0"),
+      TaskSpec("sd1", SourceOp(IOMeta.number), Nil, "d1"),
+      TaskSpec("sc1", SourceOp(IOMeta.number), Nil, "c1"),
+      TaskSpec("sw", SwitchOp(2), Seq("d0", "c0", "d1", "c1"), "sw")))
+    val out = Pipeline.compile(dep,
+      Map("d0" -> d0, "c0" -> c0, "d1" -> d1, "c1" -> c1))("sw")
+    val data = out.filter(!col("paused")).select("ts", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val markers = out.filter(col("paused")).select("ts", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(data == Seq((10L, 1.0), (50L, 2.0)))
+    assert(markers == Seq((25L, 1.0), (45L, 0.0)))
+  }
+
   test("a deployment can end in an output container: gate -> mux with " +
       "bounded desync (outputcontainer.py wired into the DSL)") {
     import graft.streaming.StateMachines.OcStreamCfg
