@@ -131,16 +131,16 @@ object TextQueries {
       i => array_join(slice(t, i + lit(1), lit(5)), " "))
     // md5-per-shingle as rows, not inside a transform lambda —
     // higher-order functions are interpreted (no codegen), so hashing
-    // inside them costs ~3x; exploded rows keep md5 in codegen
-    val mins = Tables.documents(s, d)
-      .filter(n >= 5)
-      .select(col("doc_id"), explode(shingles).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("sh").cast(BinaryType))).as("shingle_min"))
+    // inside them costs ~3x; exploded rows keep md5 in codegen. The
+    // content hash rides the same scan (computed once per doc before
+    // the explode, recovered with first()) — one pass, no self-join.
     Tables.documents(s, d)
       .filter(n >= 5)
-      .select(col("doc_id"), md5(norm.cast(BinaryType)).as("content_hash"))
-      .join(mins, "doc_id")
+      .select(col("doc_id"), md5(norm.cast(BinaryType)).as("content_hash"),
+        explode(shingles).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("content_hash")).as("content_hash"),
+        min(md5(col("sh").cast(BinaryType))).as("shingle_min"))
       .select(col("doc_id"), col("content_hash"), col("shingle_min"))
       .orderBy(col("doc_id"))
   }
