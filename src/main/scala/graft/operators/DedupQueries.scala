@@ -692,24 +692,28 @@ object DedupQueries {
     * 100 TB the boilerplate mega-window never becomes a |bucket|²
     * problem because windows are only counted, never paired. */
   /** Per-document duplicated-window stats for window size `w` —
-    * exposed so DedupSpec can pin the window math on crafted spans. */
+    * exposed so DedupSpec can pin the window math on crafted spans.
+    *
+    * Plan shape: ONE scan, one shuffle keyed by window hash, one by
+    * doc_id. "Appears in ≥ 2 distinct docs" is min(doc) ≠ max(doc)
+    * over the wh partition — no count-distinct aggregate and no
+    * semi-join back to the (corpus-sized, un-reusable — see the
+    * lshCandidates comment on lambda canonicalization) window rows. */
   def substringDupStats(documents: DataFrame, w: Int): DataFrame = {
     val t = toks(col("text"))
     val wins = transform(sequence(lit(0), size(t) - lit(w)),
       i => array_join(slice(t, i + lit(1), lit(w)), " "))
-    val winRows = documents
+    val whPart = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
+    documents
       .filter(size(t) >= w)
       .select(col("doc_id"), explode(wins).as("win"))
       .select(col("doc_id"), md5(col("win").cast(BinaryType)).as("wh"))
-    val dup = winRows.groupBy(col("wh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("wh"))
-    val tot = winRows.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"))
-    val dd = winRows.join(dup, Seq("wh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-    tot.join(dd, Seq("doc_id"))
+      .withColumn("dup",
+        min(col("doc_id")).over(whPart) =!= max(col("doc_id")).over(whPart))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"))
       .orderBy(col("doc_id"))
   }
