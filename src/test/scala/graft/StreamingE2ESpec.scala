@@ -226,6 +226,47 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rocks.stop()
   }
 
+  test("transformWithState carries COMPOSITE machine state (switch: " +
+      "insertion-ordered control vector + pause sets) across batches") {
+    val rocks = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .appName("tws-switch-spec")
+      .getOrCreate()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = rocks.sqlContext
+      import rocks.implicits._
+      val mem = MemoryStream[KEv]
+      val q = graft.streaming.TwsRunner
+        .runStreaming(new Switch(2), mem.toDS())
+        .writeStream.format("memory").queryName("tws_switch")
+        .outputMode("append").start()
+      try {
+        // batch 1: tie between the pairs → insertion order (pair 0
+        // first) must survive serialization into the state store
+        mem.addData(KEv("k", 1, 10, 5.0, null, false, 0),
+          KEv("k", 3, 11, 5.0, null, false, 1))
+        q.processAllAvailable()
+        // batch 2: the tie-break decided in batch 1 picks pair 0
+        mem.addData(KEv("k", 0, 20, 1.0, null, false, 2),
+          KEv("k", 2, 21, 2.0, null, false, 3))
+        q.processAllAvailable()
+        // batch 3: control pause POPS pair 0 → pair 1 takes over
+        mem.addData(KEv("k", 1, 30, Double.NaN, null, true, 4),
+          KEv("k", 2, 40, 3.0, null, false, 5))
+        q.processAllAvailable()
+        val got = rocks.table("tws_switch").as[KOut].collect()
+          .filter(!_.paused).map(o => (o.ts, o.value)).sorted.toSeq
+        assert(got == Seq((20L, 1.0), (40L, 3.0)))
+      } finally q.stop()
+    } finally rocks.stop()
+  }
+
   test("detector trailing 0 via transformWithState processing-time timer " +
       "(messagedetector.py timeout path on the modern API)") {
     val rocks = SparkSession.builder()
