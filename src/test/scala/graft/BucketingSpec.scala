@@ -96,6 +96,32 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"uncapped must show the quadratic blow-up (got $uncapped)")
   }
 
+  test("minhash-LSH recall: exact dups are always candidates; 1-word-" +
+      "edit near-dups (J~0.85) are candidates at banding-theory rates") {
+    import spark.implicits._
+    // 30 near-dup pairs: doc 2k is 24 distinct words, doc 2k+1 differs
+    // in ONE middle word → shingle Jaccard ≈ 0.79-0.87; banding theory
+    // (4 bands x 2 rows) gives P[candidate] = 1-(1-J^2)^4 ≈ 0.97-0.99.
+    // Everything is md5-deterministic, so the observed hit count is a
+    // constant of the code, not a flaky sample: assert >= 27/30, which
+    // any correlated-banding regression (round-5 bug: all bands keyed
+    // by the same min shingle) or hash-family typo would break.
+    val base = (0 until 30).map { k =>
+      (0 until 24).map(i => s"w${k}_$i").mkString(" ")
+    }
+    val pairs = base.zipWithIndex.flatMap { case (text, k) =>
+      val edited = text.split(" ").updated(12, s"EDIT$k").mkString(" ")
+      Seq((2L * k, text), (2L * k + 1, edited))
+    }
+    val exact = Seq((1000L, base.head + " tail"), (1001L, base.head + " tail"))
+    val docs = (pairs ++ exact).toDF("doc_id", "text")
+    val cand = graft.operators.DedupQueries.lshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1000L, 1001L)), "exact dups must always band together")
+    val hits = (0 until 30).count(k => cand.contains((2L * k, 2L * k + 1)))
+    assert(hits >= 27, s"near-dup recall collapsed: $hits/30 pairs found")
+  }
+
   test("sign-LSH: max bucket size shrinks as plane count grows") {
     // LSH pair work within a bucket is |bucket|² — the plane count must
     // demonstrably cap bucket size for the s02 shape to hold at scale.
