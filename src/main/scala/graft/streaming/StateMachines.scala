@@ -601,7 +601,7 @@ object StateMachines {
       label: String)
 
   final case class OcTopicState(
-      queue: Vector[(Long, Double)], // (ts, value): arrived, not yet popped
+      queue: Vector[Ev], // pending items — data AND markers, arrival order
       headReg: Boolean, // head has entered wait_for (registered ts + dur)
       inReg: Boolean,   // topic present in topic_timestamps (not paused)
       regTs: Long,      // last registered timestamp
@@ -657,25 +657,16 @@ object StateMachines {
 
     def step(s0: OcState, e: Ev): (OcState, Seq[Out]) = {
       if (!streams.contains(e.topic)) (s0, Nil) // wait_for line 71
-      else if (e.paused) {
-        val t = s0.topics(e.topic)
-        // set_paused (outputcontainer.py:103-105): pausing removes the
-        // topic from the min computations; resuming re-registers it at
-        // the current min timestamp so it rejoins without stalling.
-        val t2 =
-          if (pauseFlag(e)) t.copy(inReg = false)
-          else {
-            val others = ids.filter(j => j != e.topic && s0.topics(j).inReg)
-            val mts =
-              if (others.nonEmpty) others.map(s0.topics(_).regTs).min else 0L
-            t.copy(inReg = true, regTs = mts)
-          }
-        drain(s0.copy(topics = s0.topics + (e.topic -> t2)))
-      }
       else
+        // markers queue BEHIND the topic's pending packets — the
+        // per-topic receiver is sequential (client/topic.py:170-186),
+        // so set_paused takes effect only once the packets ahead of it
+        // have completed their wait_for. (Applying markers out of band
+        // could pop a topic from the dict while its head was blocked,
+        // stranding that packet — caught by the exhaustive sim.)
         drain(s0.copy(topics = s0.topics +
           (e.topic -> s0.topics(e.topic).copy(
-            queue = s0.topics(e.topic).queue :+ (e.ts, e.value)))))
+            queue = s0.topics(e.topic).queue :+ e))))
     }
 
     /** Fixpoint drain: apply the first applicable action until stuck. */
@@ -710,13 +701,29 @@ object StateMachines {
         ids.find(i => s.topics(i).queue.nonEmpty && !s.topics(i).headReg) match {
           case Some(i) =>
             val t = s.topics(i)
-            val ts = t.queue.head._1
-            if (t.inReg && ts < t.regTs) // late packet → skip (line 71)
+            val h = t.queue.head
+            if (h.paused) {
+              // set_paused (outputcontainer.py:103-105): pausing
+              // removes the topic from the min computations; resuming
+              // re-registers it at the current min timestamp
+              // (topic.py:124 — min over the dict, 0 when empty)
+              val t2 =
+                if (pauseFlag(h)) t.copy(inReg = false, queue = t.queue.tail)
+                else {
+                  val regged = ids.filter(s.topics(_).inReg)
+                  val mts =
+                    if (regged.nonEmpty) regged.map(s.topics(_).regTs).min
+                    else 0L
+                  t.copy(inReg = true, regTs = mts, queue = t.queue.tail)
+                }
+              s = s.copy(topics = s.topics + (i -> t2))
+            }
+            else if (t.inReg && h.ts < t.regTs) // late packet → skip (line 71)
               s = s.copy(topics = s.topics + (i -> t.copy(queue = t.queue.tail)))
             else {
-              val c2 = if (s.started) math.max(t.c, quant(i, ts - s.t0)) else t.c
+              val c2 = if (s.started) math.max(t.c, quant(i, h.ts - s.t0)) else t.c
               s = s.copy(topics = s.topics +
-                (i -> t.copy(headReg = true, inReg = true, regTs = ts, c = c2)))
+                (i -> t.copy(headReg = true, inReg = true, regTs = h.ts, c = c2)))
             }
           case None if !s.started && ids.forall(s.topics(_).headReg) =>
             val t0 = ids.map(s.topics(_).regTs).min // barrier release, :73-75

@@ -575,6 +575,172 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == (1L to 6L).map(d => math.pow(8, d.toDouble).toLong).sum)
   }
 
+  // ------------------------------------------- output-container sync sim
+  /** Transcription of OutputContainerSynchronizer
+    * (media/outputcontainer.py:52-114) + the AVOutputStream duration
+    * counter (media/container.py:118-160), independent of the
+    * machine's fixpoint-drain formulation: per-topic receiver
+    * coroutines hold the head packet in `wait_for`; the sim evaluates
+    * the reference's conditions verbatim —
+    *
+    *  - late/unknown-topic drop: `ts < topic_timestamps.get(t, 0)` (:70-71);
+    *  - startup barrier: every stream arrives once, then t0 = min (:73-75);
+    *  - duration setter: dts counter c = max(c, floor((ts−t0)·den/1000·num))
+    *    (container.py:132), compared across streams in lcm-of-dens units;
+    *  - emit: own duration == min_duration over REGISTERED streams AND
+    *    ts − max_desync ≤ min_timestamp (:85); mux advances c by
+    *    frameAdv (container.py:155-160);
+    *  - drop: ts == min_timestamp AND duration ≠ min_duration AND
+    *    next-min-duration ts − max_desync > ts (:86-91);
+    *  - paused/unregistered streams follow the emitting packet's
+    *    duration (:94-96) and pause pops / resume re-registers at min
+    *    (:103-105, same dict rule as the plain synchronizer);
+    *
+    * scheduled with the machine's documented canonical order (pulls by
+    * ascending topic, then emits, then drops). */
+  private final case class OcSimTopic(queue: Vector[Ev], waiting: Option[Ev],
+      c: Long, inDict: Boolean, dictTs: Long)
+  private final case class OcSimState(topics: Map[Int, OcSimTopic],
+      t0: Option[Long])
+  private final class OutputContainerSim(streams: Map[Int, OcStreamCfg],
+      maxDesync: Long) extends SimModel[OcSimState] {
+    private val ids = streams.keys.toVector.sorted
+    private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    private val lcmDen = ids.map(streams(_).tbDen).reduce((a, b) => a / gcd(a, b) * b)
+    private def durUnits(id: Int, c: Long): Long =
+      c * streams(id).tbNum * (lcmDen / streams(id).tbDen)
+    private def quant(id: Int, durMs: Long): Long =
+      Math.floorDiv(durMs * streams(id).tbDen, 1000L * streams(id).tbNum)
+
+    def init = OcSimState(
+      ids.map(_ -> OcSimTopic(Vector.empty, None, 0L, inDict = false, 0L)).toMap,
+      None)
+
+    def step(s: OcSimState, e: Ev): (OcSimState, Seq[Out]) =
+      if (!streams.contains(e.topic)) (s, Nil)
+      else drain(s.copy(topics = s.topics + (e.topic ->
+        s.topics(e.topic).copy(queue = s.topics(e.topic).queue :+ e))))
+
+    private def drain(s0: OcSimState): (OcSimState, Seq[Out]) = {
+      var s = s0
+      val out = Vector.newBuilder[Out]
+      var progress = true
+      while (progress) {
+        progress = false
+        // receivers pull to FIXPOINT (ascending topic) before any emit
+        // — the machine's documented canonical order (and e21's oracle
+        // CTE): markers apply, late drops, data registers into wait_for
+        // depth-first per topic, ascending (the machine's find-first
+        // scan re-examines a topic after popping its marker before
+        // moving on — visible when a resume reads the dict min)
+        for (t <- ids) {
+          while (s.topics(t).waiting.isEmpty && s.topics(t).queue.nonEmpty) {
+            val tp = s.topics(t)
+            val item = tp.queue.head
+            val rest = tp.queue.tail
+            if (item.paused) { // set_paused (:103-105)
+              val tp2 =
+                if (pauseFlag(item)) tp.copy(inDict = false, queue = rest)
+                else {
+                  // min_timestamp reads the FULL dict before the set
+                  // (topic.py:124), including this topic's stale entry
+                  val regged = ids.filter(s.topics(_).inDict)
+                  val m = if (regged.nonEmpty) regged.map(s.topics(_).dictTs).min else 0L
+                  tp.copy(inDict = true, dictTs = m, queue = rest)
+                }
+              s = s.copy(topics = s.topics + (t -> tp2))
+            } else if (tp.inDict && item.ts < tp.dictTs) { // :70-71 late
+              s = s.copy(topics = s.topics + (t -> tp.copy(queue = rest)))
+            } else { // wait_for: register ts; duration set after barrier
+              val c2 = s.t0 match {
+                case Some(t0) => math.max(tp.c, quant(t, item.ts - t0))
+                case None => tp.c
+              }
+              s = s.copy(topics = s.topics + (t ->
+                tp.copy(waiting = Some(item), queue = rest, inDict = true,
+                  dictTs = item.ts, c = c2)))
+            }
+            progress = true
+          }
+        }
+        // startup barrier (:73-75): all streams have arrived once
+        if (s.t0.isEmpty && ids.forall(t =>
+            s.topics(t).waiting.isDefined)) {
+          val t0 = ids.map(s.topics(_).dictTs).min
+          s = s.copy(t0 = Some(t0), topics = s.topics.map { case (t, tp) =>
+            t -> tp.copy(c = math.max(tp.c,
+              quant(t, tp.waiting.get.ts - t0)))
+          })
+          progress = true
+        }
+        if (s.t0.isDefined) {
+          val reg = ids.filter(s.topics(_).inDict)
+          if (reg.nonEmpty) {
+            lazy val minDur = reg.map(t => durUnits(t, s.topics(t).c)).min
+            lazy val minTs = reg.map(s.topics(_).dictTs).min
+            // drag paused/unregistered streams to the released
+            // packet's duration (:94-96)
+            def dragAbsent(ts: Long): Unit =
+              s = s.copy(topics = s.topics.map { case (j, tj) =>
+                if (tj.inDict) j -> tj
+                else j -> tj.copy(c = math.max(tj.c, quant(j, ts - s.t0.get)))
+              })
+            // emit (:85), ascending topic
+            val emit = ids.find(t => s.topics(t).waiting.isDefined &&
+              s.topics(t).inDict &&
+              durUnits(t, s.topics(t).c) == minDur &&
+              s.topics(t).dictTs - maxDesync <= minTs)
+            emit match {
+              case Some(t) =>
+                val tp = s.topics(t)
+                out += Out(tp.waiting.get.ts, tp.c.toDouble, streams(t).label)
+                s = s.copy(topics = s.topics + (t -> tp.copy(waiting = None,
+                  c = tp.c + streams(t).frameAdv)))
+                dragAbsent(tp.dictTs)
+                progress = true
+              case None =>
+                // drop (:86-91), ascending topic
+                lazy val nextMinTs = reg
+                  .filter(t => durUnits(t, s.topics(t).c) == minDur)
+                  .map(s.topics(_).dictTs).min
+                val drop = ids.find(t => s.topics(t).waiting.isDefined &&
+                  s.topics(t).inDict &&
+                  s.topics(t).dictTs == minTs &&
+                  durUnits(t, s.topics(t).c) != minDur &&
+                  nextMinTs - maxDesync > s.topics(t).dictTs)
+                drop.foreach { t =>
+                  val tp = s.topics(t)
+                  s = s.copy(topics = s.topics + (t -> tp.copy(waiting = None)))
+                  dragAbsent(tp.dictTs)
+                  progress = true
+                }
+            }
+          }
+        }
+      }
+      (s, out.result())
+    }
+  }
+
+  // audio: tb 1/32000, 1024 samples per packet (32 ms); video: tb
+  // 1/30, 1 frame (33.3 ms); ts advances 30 ms per position → the
+  // quantized durations drift apart and exercise both the emit and the
+  // bounded-desync drop rules; pauses exercise the drag rule
+  private val ocAlphabet: IndexedSeq[Sym] = Vector(
+    "A" -> (i => Ev(0, 30L * (i + 1), 1.0, null, paused = false)),
+    "V" -> (i => Ev(1, 30L * (i + 1), 2.0, null, paused = false)),
+    "PA" -> pause(0), "RA" -> resume(0), "PV" -> pause(1))
+
+  test("output container: all 5^7 words agree with the " +
+      "outputcontainer.py wait_for transcription") {
+    val cfg = Map(
+      0 -> OcStreamCfg(1, 32000, 1024, "audio"),
+      1 -> OcStreamCfg(1, 30, 1, "video"))
+    val n = exhaust(new OutputContainerSync(cfg, maxDesync = 50),
+      new OutputContainerSim(cfg, maxDesync = 50), ocAlphabet, k = 7)
+    assert(n == (1L to 7L).map(d => math.pow(5, d.toDouble).toLong).sum)
+  }
+
   // ------------------------------------- Spark mount, one-job exhaustive
   /** Every gate word of length 4 through StatefulRunner.runBatch in ONE
     * Spark job — 8^4 = 4096 independent keyed groups — compared against
