@@ -735,6 +735,70 @@ object DedupQueries {
       |SELECT doc_id, n_windows, n_dup_windows
       |FROM tot JOIN dd USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- d12: leakage-safe train/val/test split ------------------------------
+  /** Split assignment that cannot leak near-duplicates across splits —
+    * the step a training pipeline runs AFTER dedup: hashing raw
+    * doc_ids would let two LSH-near-duplicate documents land in train
+    * and test and contaminate evaluation, so the split key is the
+    * document's DUPLICATE-CLUSTER id (true connected components via
+    * [[connectedComponents]], fixpoint — a chain a–b–c must be one
+    * key, which a fixed-depth unroll would break), with singleton
+    * docs keying by their own id. Buckets = first 6 md5 hex digits of
+    * the cluster id mod 10 → 0–7 train / 8 val / 9 test: an 80/10/10
+    * split that is deterministic, rerun-stable, and shard-independent.
+    * Every member of a cluster shares the key, hence the split —
+    * leakage-safety holds by construction, not by audit.
+    *
+    * Scale shape: reuses the d10 component labels (one band-table
+    * shuffle + O(log diameter) label rounds); the assignment itself is
+    * a LEFT join of the corpus to the (far smaller) labeled-node
+    * table on doc_id and a stateless hash projection — one shuffle,
+    * no new pair work. The oracle recomputes components with a
+    * recursive-CTE transitive closure, so split agreement is
+    * cross-algorithm validation like d10. */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshCandidates(Tables.documents(s, d))
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    val labels = connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("lbl"))
+    val assigned = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    assigned
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster").cast(StringType).cast(BinaryType)),
+          1, 6), 16, 10).cast(LongType) % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d12Sql =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |reach AS (SELECT src AS id, src AS lbl FROM edges
+       |          UNION
+       |          SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+       |cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |asg AS (SELECT d.doc_id, COALESCE(cc.lbl, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+       |b AS (SELECT doc_id, cluster,
+       |        CAST(concat('0x', substr(md5(CAST(cluster AS VARCHAR)), 1, 6))
+       |          AS BIGINT) % 10 AS bucket
+       |      FROM asg)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -747,5 +811,6 @@ object DedupQueries {
     Q("d09_dup_clusters", d09, Some(d09Sql)),
     Q("d10_cc_fixpoint", d10, Some(d10Sql)),
     Q("d11_substring_dedup", d11, Some(d11Sql)),
+    Q("d12_leakage_safe_split", d12, Some(d12Sql)),
   )
 }

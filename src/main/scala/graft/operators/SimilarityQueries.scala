@@ -446,6 +446,106 @@ object SimilarityQueries {
        |    ORDER BY adc_dist, vec_id) AS r FROM adc) WHERE r <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  // ---- s07: BM25-style ranked retrieval ------------------------------------
+  /** Lexical ranked retrieval — the inverted-index complement to the
+    * vector paths (s01–s06): score every document of the corpus
+    * against a fixed term query with a BM25-shaped function and
+    * return the top 20. Mirrors the reference's text-search utility
+    * surface the same way s01 mirrors embedding search.
+    *
+    * Determinism: the classical BM25 idf is `ln((N-df+0.5)/(df+0.5))`;
+    * `ln` is not guaranteed bit-identical across libm implementations,
+    * so the idf keeps the RATIONAL core `(N-df+0.5)/(df+0.5)` without
+    * the log — strictly monotone in df, so per-term ranking order is
+    * preserved; only the inter-term weighting compresses differently.
+    * All inputs (tf, df, dl, N) are exact integers; every double op is
+    * a single IEEE-correctly-rounded expression evaluated in an
+    * identical parse tree on both engines, and the 3-term score sum is
+    * written as a fixed-order chain, so the hashes match exactly.
+    *
+    * Scale shape (100 TB corpus): ONE corpus scan computes (dl, tf_t)
+    * per doc with no explode (tf via `filter` over the token array);
+    * the corpus-stats aggregate (N, Σdl, df_t) collapses map-side to
+    * one row per partition and broadcasts back as a 1-row cross join —
+    * the corpus never shuffles. Top-k plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort); the rank window runs on
+    * the 20 surviving rows. With a query LIST instead of literals the
+    * same plan keys tf by (doc, term) from posting lists — the df
+    * side stays broadcast-sized (vocabulary, not corpus). */
+  val bm25Terms = Seq("dup", "vector", "scan")
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  private def s07(s: SparkSession, d: String): DataFrame = {
+    val terms = bm25Terms
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .withColumn("dl", size(col("w")).cast(LongType))
+    val perDoc = terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        size(filter(col("w"), x => x === lit(t))).cast(DoubleType))
+    }.drop("w")
+    val statsAggs =
+      count(lit(1)).cast(DoubleType).as("n_docs") +:
+      (sum(col("dl")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("w"), t).cast(LongType)).cast(DoubleType).as(s"df$i")
+      }
+    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*)
+    // k1+1 etc. appear as PARSED literals (2.2, 1.2, 0.25, 0.75) on
+    // both engines: computing 1.2+1.0 in doubles lands exactly on a
+    // representable-midpoint tie, so the computed sum need not equal
+    // the parsed "2.2" — inline the same decimal text both sides parse.
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i"); val dfT = col(s"df$i")
+      val idf = (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5))
+      val lenNorm = lit(0.25) + lit(0.75) *
+        (col("dl").cast(DoubleType) / col("avgdl"))
+      idf * ((tf * lit(2.2)) / (tf + lit(1.2) * lenNorm))
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _)
+    perDoc.join(broadcast(stats))
+      .withColumn("score", score)
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .orderBy(col("rank"))
+  }
+
+  private val s07Sql = {
+    val ts = bm25Terms
+    val tfCols = ts.indices.map(i =>
+      s"CAST(len(list_filter(w, x -> x = '${ts(i)}')) AS DOUBLE) AS tf$i").mkString(",\n      |    ")
+    val dfCols = ts.indices.map(i =>
+      s"CAST(sum(CASE WHEN list_contains(w, '${ts(i)}') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(",\n      |    ")
+    val scoreTerms = ts.indices.map { i =>
+      s"((n_docs - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE))) * " +
+      s"((tf$i * CAST(2.2 AS DOUBLE)) / (tf$i + CAST(1.2 AS DOUBLE) * " +
+      s"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))))"
+    }
+    // fixed-order chain: ((s0 + s1) + s2) — identical to the Spark reduce
+    val scoreExpr = scoreTerms.reduce((a, b) => s"($a + $b)")
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |              FROM documents),
+      |d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+      |tf AS (SELECT doc_id, dl,
+      |    $tfCols
+      |  FROM d2),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+      |    $dfCols
+      |  FROM d2),
+      |scored AS (SELECT doc_id, dl, $scoreExpr AS score
+      |  FROM tf CROSS JOIN st),
+      |top AS (SELECT doc_id, dl, score FROM scored
+      |        ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT doc_id, dl, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |FROM top ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
@@ -453,5 +553,6 @@ object SimilarityQueries {
     Q("s04_kmeans_step", s04, Some(s04Sql)),
     Q("s05_pq_encode", s05, Some(s05Sql)),
     Q("s06_pq_adc", s06, Some(s06Sql)),
+    Q("s07_bm25_rank", s07, Some(s07Sql)),
   )
 }

@@ -514,6 +514,58 @@ object TextQueries {
       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- t13: quality-filter funnel ------------------------------------------
+  /** Per-document verdict of a chained quality-filter funnel — the
+    * observability layer every corpus-cleaning pipeline needs: not
+    * just "did the doc survive" but WHICH stage rejected it, so the
+    * funnel report (groupBy first_fail over this result) attributes
+    * corpus loss to individual filters. Stages, in pipeline order:
+    * min_len (dl ≥ 30 tokens), max_len (dl ≤ 80), vocab_ratio
+    * (distinct/total ≥ 0.35), repetition (most frequent token ≤ ⅛ of
+    * the doc). All thresholds evaluate in EXACT integer arithmetic
+    * (vocab·100 ≥ dl·35 instead of a float ratio) so both engines
+    * agree bit-for-bit.
+    *
+    * Scale shape: one scan, zero shuffles — every stage is a
+    * projection over the token array of the row (the top-token count
+    * is array-local: max over distinct tokens of their in-doc count,
+    * O(dl·vocab) per row, no explode). The funnel over 100 TB is
+    * embarrassingly parallel; only the 5-row report aggregate
+    * exchanges anything. */
+  private def t13(s: SparkSession, d: String): DataFrame = {
+    val w = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(w).cast(LongType).as("dl"),
+        size(array_distinct(w)).cast(LongType).as("vocab"),
+        array_max(transform(array_distinct(w),
+          t => size(filter(w, x => x === t)))).cast(LongType).as("max_tok"))
+      .withColumn("first_fail",
+        when(col("dl") < 30, lit("1_min_len"))
+          .when(col("dl") > 80, lit("2_max_len"))
+          .when(col("vocab") * 100 < col("dl") * 35, lit("3_vocab_ratio"))
+          .when(col("max_tok") * 8 > col("dl"), lit("4_repetition"))
+          .otherwise(lit("pass")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t13Sql =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(len(w) AS BIGINT) AS dl,
+      |        CAST(len(list_distinct(w)) AS BIGINT) AS vocab,
+      |        CAST(list_max(list_transform(list_distinct(w),
+      |          t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS max_tok
+      |      FROM d)
+      |SELECT doc_id, dl, vocab, max_tok,
+      |  CASE WHEN dl < 30 THEN '1_min_len'
+      |       WHEN dl > 80 THEN '2_max_len'
+      |       WHEN vocab * 100 < dl * 35 THEN '3_vocab_ratio'
+      |       WHEN max_tok * 8 > dl THEN '4_repetition'
+      |       ELSE 'pass' END AS first_fail
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -527,5 +579,6 @@ object TextQueries {
     Q("t10_sequence_pack", t10, Some(t10Sql)),
     Q("t11_pii_scrub", t11, Some(t11Sql)),
     Q("t12_corpus_shuffle", t12, Some(t12Sql)),
+    Q("t13_filter_funnel", t13, Some(t13Sql)),
   )
 }
