@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst optimizer rule: plan time-proximity joins as equi-joins.
+  *
+  * Spark plans an inner join whose only usable predicate is
+  * `abs(l.ts − r.ts) <= W` as BroadcastNestedLoopJoin — O(|L|·|R|)
+  * pair work, the classic range-join blowup. q27 avoids it by hand
+  * with the bucketized interval-join idiom (bin the time axis at the
+  * window width, replicate one side to its 3 adjacent bins, equi-join
+  * on the bin, residual-filter the exact predicate). This rule applies
+  * THAT rewrite automatically to any matching logical Join, so a user
+  * writing the natural theta-join gets the scalable plan — the same
+  * service Databricks' range-join optimization or Flink's interval
+  * join provides, built here from public Catalyst APIs only.
+  *
+  * Soundness: for longs, |x−y| ≤ w implies trunc-div bins x/w and y/w
+  * differ by at most 1 (truncation differs from floor only toward
+  * zero, which only widens the shared bin), so replicating the left
+  * row to bins {b−1, b, b+1} can never miss a qualifying pair; the
+  * original predicate is kept in full as the residual, so no false
+  * positives either. A pair can co-occur in at most one (lbin = rbin)
+  * bucket because the left row keeps its single true bin per replica —
+  * no dedup needed.
+  *
+  * Scale: turns O(|L|·|R|) into one shuffle per side keyed by bin
+  * (3× replication on the left), pair work bounded by bin
+  * co-occupancy — the q27 analysis applies verbatim.
+  *
+  * Registered via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `.withExtensions`). The rule runs inside the operator-optimization
+  * fixpoint batch; rewritten joins are marked by the `graft_range_bin`
+  * attribute prefix so the second pass is a no-op.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BinPrefix = "graft_range_bin"
+
+  /** Does `e` draw all its inputs from exactly one join side? */
+  private def fromSide(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  /** Match one conjunct of the shape `abs(a − b) <= w` with `a`, `b`
+    * long-typed expressions from opposite sides and `w` a positive
+    * long/int literal. Returns (leftExpr, rightExpr, window). */
+  private def matchAbsRange(c: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Long)] = {
+    val winOf: PartialFunction[Expression, Long] = {
+      case Literal(w: Long, _) => w
+      case Literal(w: Int, _)  => w.toLong
+    }
+    c match {
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), lw)
+          if winOf.isDefinedAt(lw) && winOf(lw) > 0 &&
+            a.dataType == LongType && b.dataType == LongType =>
+        if (fromSide(a, l) && fromSide(b, r)) Some((a, b, winOf(lw)))
+        else if (fromSide(a, r) && fromSide(b, l)) Some((b, a, winOf(lw)))
+        else None
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        // marker guard: don't re-rewrite our own output on the next
+        // fixpoint iteration
+        if !cond.references.exists(_.name.startsWith(BinPrefix)) =>
+      splitConjunctivePredicates(cond).iterator
+        .map(matchAbsRange(_, left, right)).collectFirst { case Some(m) => m }
+        match {
+        case Some((lTs, rTs, w)) =>
+          val wLit = Literal(w, LongType)
+          // right: project its single bin
+          val rAlias = Alias(new IntegralDivide(rTs, wLit), s"${BinPrefix}_r")()
+          val rightP = Project(right.output :+ rAlias, right)
+          // left: explode to the 3 adjacent bins
+          val lBin = new IntegralDivide(lTs, wLit)
+          val arr = CreateArray(Seq(
+            new Subtract(lBin, Literal(1L)), lBin, new Add(lBin, Literal(1L))))
+          val lBinAttr =
+            AttributeReference(s"${BinPrefix}_l", LongType, nullable = true)()
+          val leftG = Generate(Explode(arr), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None,
+            generatorOutput = Seq(lBinAttr), child = left)
+          // equi-key on the bin + the ORIGINAL condition as residual
+          val newCond = And(EqualTo(lBinAttr, rAlias.toAttribute), cond)
+          Project(j.output, Join(leftG, rightP, Inner, Some(newCond), hint))
+        case None => j
+      }
+  }
+}
+
+/** Session extension registering graft's Catalyst additions
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+}
