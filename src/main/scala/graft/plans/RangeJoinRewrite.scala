@@ -43,6 +43,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BinPrefix = "graft_range_bin"
 
+  /** Install on an ALREADY-BUILT session via
+    * `spark.experimental.extraOptimizations` (runs in the fixed-point
+    * "User Provided Optimizers" batch) — the runtime-injection
+    * complement to [[GraftExtensions]] for sessions the caller does
+    * not construct (q28 uses it from inside a registry query).
+    * Idempotent; safe under concurrent callers because the rule is a
+    * no-op on non-matching plans. */
+  def ensureInstalled(s: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      if (!s.experimental.extraOptimizations.contains(RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ RangeJoinRewrite
+    }
+
   /** Does `e` draw all its inputs from exactly one join side? */
   private def fromSide(e: Expression, side: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(side.outputSet)

@@ -615,6 +615,35 @@ object Relational {
       |WHERE abs(click_ts - purchase_ts) <= 3600000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** q28: q27's attribution-window semantics written as the NATURAL
+    * theta-join (user equality AND abs(Δt) ≤ W) and planned by the
+    * [[graft.plans.RangeJoinRewrite]] Catalyst rule — the user writes
+    * the obvious predicate, the optimizer supplies q27's bucketized
+    * interval-join plan. Registering it here puts the extension
+    * inside the correctness gate: the automatic rewrite must produce
+    * the same hash-exact rows as both the manual idiom (q27) and the
+    * DuckDB oracle. Same oracle formulation as q27. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensureInstalled(s)
+    val W = 3600000L // ±1 hour
+    val e = Tables.eventsMs(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts_ms").as("purchase_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          abs(col("click_ts") - col("purchase_ts")) <= lit(W))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"),
+        (col("click_ts") - col("purchase_ts")).as("dt_ms"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val q28Sql = q27Sql
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
@@ -643,5 +672,6 @@ object Relational {
     Q("q25_grouping_sets", q25, Some(q25Sql)),
     Q("q26_asof_join", q26, Some(q26Sql)),
     Q("q27_range_join", q27, Some(q27Sql)),
+    Q("q28_range_join_auto", q28, Some(q28Sql)),
   )
 }
