@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
 object ScaleCurve {
   private val Queries = Seq("d01_exact_dedup", "d02_minhash_lsh",
     "d03_ngram_jaccard", "d06_lsh_verified", "d09_dup_clusters",
-    "d10_cc_fixpoint", "d11_substring_dedup", "q04_multi_join",
-    "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode",
+    "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
+    "q04_multi_join", "q28_range_join_auto",
+    "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "t05_ngram_profile", "e18_sessionize")
 
   def main(args: Array[String]): Unit = {

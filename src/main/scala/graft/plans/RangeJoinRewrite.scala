@@ -112,8 +112,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** Session extension registering graft's Catalyst additions
-  * (`spark.sql.extensions=graft.plans.GraftExtensions`). */
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`): the
+  * range-join optimizer rule and the engine's native SQL functions —
+  * the spark-submit-time path [[graft.functions.LongDot]] documents
+  * (its `ensureRegistered` is the runtime equivalent for sessions the
+  * engine does not construct). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_long_dot"),
+      new ExpressionInfo(classOf[graft.functions.LongDotProduct].getName,
+        "graft_long_dot"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.LongDotProduct(exprs(0), exprs(1))))
+  }
 }

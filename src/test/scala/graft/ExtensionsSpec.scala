@@ -63,6 +63,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("graft_long_dot is available in SQL without runtime registration") {
+    val r = spark.sql(
+      "SELECT graft_long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()
+    assert(r.head.getLong(0) == 32L)
+  }
+
   test("plain equi-joins are left alone") {
     val (clicks, purchases) = sides()
     val joined = clicks.join(purchases,
