@@ -46,6 +46,21 @@ object FnTask {
       def step(s: S, e: Ev): (S, Seq[Out]) = f(s, e)
     }
 
+  /** Bounded top-k aggregator (tier 3 specialization): keeps the k
+    * smallest elements under `ord` (pass an inverted ordering for
+    * "best-scoring"). Bounded insert is a semilattice — the result is
+    * the k least elements of the multiset regardless of partitioning
+    * or merge order (FnTaskSpec pins this with ScalaCheck) — which is
+    * what makes it safe as a Spark aggregate: map-side partials carry
+    * ≤ k rows per group to the exchange instead of the group's whole
+    * extent. */
+  def topK[A](k: Int)(implicit ord: Ordering[A],
+      bufEnc: Encoder[Seq[A]]): Aggregator[A, Seq[A], Seq[A]] =
+    aggregator[A, Seq[A], Seq[A]](Seq.empty[A])(
+      (buf, a) => (buf :+ a).sorted(ord).take(k),
+      (x, y) => (x ++ y).sorted(ord).take(k),
+      identity)
+
   /** Tier 3: aggregating function → typed Aggregator. */
   def aggregator[IN, BUF, OUT](
       z: BUF)(

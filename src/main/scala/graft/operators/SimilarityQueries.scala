@@ -546,6 +546,47 @@ object SimilarityQueries {
       |FROM top ORDER BY rank""".stripMargin
   }
 
+  // ---- s08: brute-force top-k via bounded heap aggregator ------------------
+  /** s01's exact top-5 semantics through the OTHER physical shape —
+    * the one SCALE.md names as the large-k path: a bounded top-k
+    * [[graft.functions.FnTask.aggregator]] (the fntask tier-3
+    * surface) instead of a rank window. The window formulation
+    * shuffles EVERY (query, candidate) score to sort it; the
+    * aggregator keeps a k-bounded buffer per query, so map-side
+    * partial aggregation collapses each partition to ≤ k rows per
+    * query BEFORE the exchange — at 100 TB the shuffle carries
+    * |queries|·k·|partitions| rows instead of |queries|·|corpus|.
+    * Bounded insert is a semilattice (always the k best under the
+    * total order (cosine desc, id asc)), so the result is
+    * partition-order-independent — and must hash-match both s01's
+    * window formulation and the DuckDB oracle (same SQL as s01). */
+  private def s08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val bufEnc: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder()
+    // (cosine, id) ordered best-first: highest cosine, ties by id
+    implicit val best: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    val topk = udaf(graft.functions.FnTask.topK[(Double, Long)](5))
+    val v = quantized(s, d)
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
+    v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
+      .groupBy(col("qid"))
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("neighbor"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("col._1").as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Same oracle as s01 — the two Spark formulations and DuckDB must
+    * agree three ways. */
+  private val s08Sql = s01Sql
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
@@ -554,5 +595,6 @@ object SimilarityQueries {
     Q("s05_pq_encode", s05, Some(s05Sql)),
     Q("s06_pq_adc", s06, Some(s06Sql)),
     Q("s07_bm25_rank", s07, Some(s07Sql)),
+    Q("s08_knn_heap", s08, Some(s08Sql)),
   )
 }
