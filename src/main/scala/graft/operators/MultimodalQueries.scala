@@ -516,6 +516,54 @@ object MultimodalQueries {
        |  CAST(count(*) * 391 AS BIGINT) AS chan_sum
        |FROM bits GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin
 
+  // ---- m13: ViT patch-grid manifest ----------------------------------------
+  /** Patch-grid manifest for transformer vision ingest: per image,
+    * one row per 16×16 patch with its grid coordinates, pixel origin,
+    * BYTE offset into the rgb24 payload, and sequence position id
+    * (CLS = 0, patches from 1) — the manifest a GPU decode/embed
+    * stage consumes so it can slice patches straight out of opaque
+    * bytes without the JVM touching pixels (the m03 mapPartitions
+    * mount reads exactly such offsets). Image dimensions are a
+    * deterministic stand-in derived from doc_id (the real decoder
+    * seam is documented at m01/m03): w = 32 + (id%7)·16,
+    * h = 32 + (id%5)·16 — always patch-aligned, grids from 2×2 to
+    * 8×6.
+    *
+    * Scale shape: projection + doc-local explode of gw·gh patch
+    * indices — zero shuffles; the manifest is ~n_patches rows per
+    * image and never materializes payload bytes. */
+  private def m13(s: SparkSession, d: String): DataFrame =
+    payloads(s, d)
+      .select(col("doc_id"),
+        (lit(32L) + (col("doc_id") % 7) * 16).as("w"),
+        (lit(32L) + (col("doc_id") % 5) * 16).as("h"))
+      .withColumn("gw", expr("w div 16"))
+      .withColumn("gh", expr("h div 16"))
+      .withColumn("patch", explode(sequence(lit(0L), col("gw") * col("gh") - 1)))
+      .select(col("doc_id"), col("patch"),
+        (col("patch") % col("gw")).as("pcol"),
+        expr("patch div gw").as("prow"),
+        ((col("patch") % col("gw")) * 16).as("x0"),
+        (expr("patch div gw") * 16).as("y0"),
+        ((expr("patch div gw") * 16 * col("w") +
+          (col("patch") % col("gw")) * 16) * 3).as("byte_offset"),
+        (col("patch") + 1).as("pos_id"))
+      .orderBy(col("doc_id"), col("patch"))
+
+  private val m13Sql =
+    """WITH dims AS (SELECT doc_id,
+      |    CAST(32 + (doc_id % 7) * 16 AS BIGINT) AS w,
+      |    CAST(32 + (doc_id % 5) * 16 AS BIGINT) AS h
+      |  FROM documents),
+      |g AS (SELECT doc_id, w, h, w // 16 AS gw, h // 16 AS gh FROM dims),
+      |p AS (SELECT doc_id, w, gw, unnest(range(gw * gh)) AS patch FROM g)
+      |SELECT doc_id, patch,
+      |  patch % gw AS pcol, patch // gw AS prow,
+      |  (patch % gw) * 16 AS x0, (patch // gw) * 16 AS y0,
+      |  ((patch // gw) * 16 * w + (patch % gw) * 16) * 3 AS byte_offset,
+      |  patch + 1 AS pos_id
+      |FROM p ORDER BY doc_id, patch""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -528,5 +576,6 @@ object MultimodalQueries {
     Q("m10_reformat", m10, Some(m10Sql)),
     Q("m11_frame_sample", m11, Some(m11Sql)),
     Q("m12_digit_raster", m12, Some(m12Sql)),
+    Q("m13_patch_grid", m13, Some(m13Sql)),
   )
 }
