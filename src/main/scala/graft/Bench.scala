@@ -33,13 +33,27 @@ object Bench {
 
     def force(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      val t = try {
+        // Scoped run: any intermediate the query materializes
+        // (checkpointed band/edge tables, staging caches) is released
+        // as soon as the action finishes — round 5's bench recorded
+        // the shingle family 2–4× its isolated cost because those
+        // non-evictable blocks accumulated across the session.
+        graft.Resources.withScope {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      // Belt-and-braces between measured queries (unmeasured): drop
+      // any cached plan the scope didn't know about. Deliberately
+      // NOT dropped: the session-scoped cluster-label table d10
+      // publishes for d12 (a localCheckpoint, outside CacheManager).
+      spark.catalog.clearCache()
+      t
     }
 
     // Optional args: bench only the named queries (default: all).
@@ -81,6 +95,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
     }
     val json = header + kept.mkString(",") + footer
+    graft.operators.DedupQueries.invalidateLabels(spark)
     spark.stop()
     println(json)
     System.out.flush()

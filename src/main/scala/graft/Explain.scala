@@ -24,8 +24,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      graft.Resources.withScope {
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     }
+    graft.operators.DedupQueries.invalidateLabels(spark)
     spark.stop()
   }
 }

@@ -65,9 +65,13 @@ object ScaleCurve {
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      graft.Resources.withScope {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // see Bench: between-query hygiene
+      t
     }
 
     time(Queries.head, scales.head._2) // JIT warm-up, unmeasured
@@ -84,6 +88,7 @@ object ScaleCurve {
     }
     println(s"""{"scales":[${scales.map(s => s""""${s._1}"""").mkString(",")}],""" +
       s""""queries":{${rows.mkString(",")}}}""")
+    graft.operators.DedupQueries.invalidateLabels(spark)
     spark.stop()
   }
 

@@ -34,8 +34,12 @@ object Verify {
         only.isEmpty || only.exists(name.startsWith) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // Scopes are thread-local, so each concurrent query releases
+        // only its own materialized intermediates when its write ends.
+        try graft.Resources.withScope {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
@@ -61,6 +65,7 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only.exists(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.operators.DedupQueries.invalidateLabels(spark)
     spark.stop()
   }
 }
