@@ -19,6 +19,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Engine-wide Catalyst additions (range-join rewrite +
+      // graft_long_dot): the engine's own entry points get the same
+      // protections a spark-submit user gets via spark.sql.extensions.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // InferFiltersFromGenerate clones a Generate's entire child
       // expression into a synthesized filter and pushes it below the
       // repartition — for explode(shingles(text)) that re-runs the

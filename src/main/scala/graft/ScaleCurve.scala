@@ -46,6 +46,10 @@ object ScaleCurve {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Engine-wide Catalyst additions (range-join rewrite +
+      // graft_long_dot): the engine's own entry points get the same
+      // protections a spark-submit user gets via spark.sql.extensions.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

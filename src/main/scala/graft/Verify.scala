@@ -17,6 +17,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Engine-wide Catalyst additions (range-join rewrite +
+      // graft_long_dot): the engine's own entry points get the same
+      // protections a spark-submit user gets via spark.sql.extensions.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // See Bench.scala: avoids serial re-shingling below repartition.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")

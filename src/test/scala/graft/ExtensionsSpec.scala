@@ -70,6 +70,41 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.getLong(0) == 32L)
   }
 
+  test("mixed predicate (equi-key AND abs-range) keeps its native " +
+      "equi-join: no bin explode, no Generate") {
+    val e = Tables.eventsMs(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_ms").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts_ms").as("purchase_ts"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        abs(col("click_ts") - col("purchase_ts")) <= lit(W))
+    val logical = joined.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("graft_range_bin"),
+      s"rule fired on a join that already has an equi-key:\n$logical")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Generate"),
+      s"unexpected explode in the mixed-predicate plan:\n$physical")
+    assert(physical.contains("SortMergeJoin") ||
+      physical.contains("ShuffledHashJoin") ||
+      physical.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join on user_id:\n$physical")
+    // and the results still match the naive model
+    val got = joined.select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cs = clicks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (cu, cid, cts) <- cs; (pu, pid, pts) <- ps
+      if cu == pu && math.abs(cts - pts) <= W
+    } yield (cid, pid)).toSet
+    assert(got == want)
+  }
+
   test("plain equi-joins are left alone") {
     val (clicks, purchases) = sides()
     val joined = clicks.join(purchases,
