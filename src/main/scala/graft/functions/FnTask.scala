@@ -53,13 +53,61 @@ object FnTask {
     * or merge order (FnTaskSpec pins this with ScalaCheck) — which is
     * what makes it safe as a Spark aggregate: map-side partials carry
     * ≤ k rows per group to the exchange instead of the group's whole
-    * extent. */
+    * extent.
+    *
+    * The buffer is kept SORTED, so `reduce` is a true bounded-heap
+    * insert: O(1) rejection once the buffer is full and the element
+    * falls beyond its last entry (the overwhelmingly common case on a
+    * large corpus — for uniformly random input only ~k·ln(n) of n rows
+    * ever enter the buffer), else an O(log k) binary search + one
+    * O(k) array copy. `merge` is a linear merge of two sorted runs.
+    * The round-5 implementation re-sorted the whole buffer per insert
+    * (O(k log k) per row), which contradicted this aggregator's role
+    * as the large-k physical shape (SCALE.md §Similarity); FnTaskSpec
+    * pins the new path against the sort-based reference at k = 1000. */
   def topK[A](k: Int)(implicit ord: Ordering[A],
       bufEnc: Encoder[Seq[A]]): Aggregator[A, Seq[A], Seq[A]] =
     aggregator[A, Seq[A], Seq[A]](Seq.empty[A])(
-      (buf, a) => (buf :+ a).sorted(ord).take(k),
-      (x, y) => (x ++ y).sorted(ord).take(k),
+      (buf, a) => boundedInsert(buf, a, k),
+      (x, y) => mergeSorted(x, y, k),
       identity)
+
+  /** Insert `a` into sorted `buf` keeping ≤ k elements. */
+  private def boundedInsert[A](buf: Seq[A], a: A, k: Int)(
+      implicit ord: Ordering[A]): Seq[A] = {
+    val n = buf.length
+    if (n >= k && ord.compare(buf(n - 1), a) <= 0) buf // O(1) reject
+    else {
+      // binary search for the insertion point AFTER equal elements
+      // (stable, matching the previous stable-sort semantics)
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.compare(buf(mid), a) <= 0) lo = mid + 1 else hi = mid
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[A](math.min(n + 1, k))
+      out ++= buf.view.slice(0, lo) += a ++= buf.view.slice(lo, n)
+      if (out.length > k) out.dropRightInPlace(out.length - k)
+      out.toSeq
+    }
+  }
+
+  /** Merge two sorted runs, keeping the k least (left-biased on ties,
+    * matching stable-sort-of-concatenation semantics). */
+  private def mergeSorted[A](x: Seq[A], y: Seq[A], k: Int)(
+      implicit ord: Ordering[A]): Seq[A] = {
+    if (x.isEmpty) return y.take(k)
+    if (y.isEmpty) return x.take(k)
+    val out = new scala.collection.mutable.ArrayBuffer[A](
+      math.min(x.length + y.length, k))
+    var i = 0; var j = 0
+    while (out.length < k && (i < x.length || j < y.length)) {
+      if (j >= y.length || (i < x.length && ord.compare(x(i), y(j)) <= 0)) {
+        out += x(i); i += 1
+      } else { out += y(j); j += 1 }
+    }
+    out.toSeq
+  }
 
   /** Tier 3: aggregating function → typed Aggregator. */
   def aggregator[IN, BUF, OUT](

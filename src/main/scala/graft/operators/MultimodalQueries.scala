@@ -540,7 +540,13 @@ object MultimodalQueries {
       .withColumn("gw", expr("w div 16"))
       .withColumn("gh", expr("h div 16"))
       .withColumn("patch", explode(sequence(lit(0L), col("gw") * col("gh") - 1)))
+      // w (row stride = w*3 bytes) and the grid dims ride along so a
+      // consumer can address every pixel row of a patch from ONE
+      // manifest row: byte_offset + row_idx*w*3, row_idx ∈ 0..15
+      // (round-5 advisor: offset alone only locates the top-left
+      // pixel; without the stride the GPU stage can't step rows).
       .select(col("doc_id"), col("patch"),
+        col("w"), col("gw"), col("gh"),
         (col("patch") % col("gw")).as("pcol"),
         expr("patch div gw").as("prow"),
         ((col("patch") % col("gw")) * 16).as("x0"),
@@ -556,8 +562,8 @@ object MultimodalQueries {
       |    CAST(32 + (doc_id % 5) * 16 AS BIGINT) AS h
       |  FROM documents),
       |g AS (SELECT doc_id, w, h, w // 16 AS gw, h // 16 AS gh FROM dims),
-      |p AS (SELECT doc_id, w, gw, unnest(range(gw * gh)) AS patch FROM g)
-      |SELECT doc_id, patch,
+      |p AS (SELECT doc_id, w, gw, gh, unnest(range(gw * gh)) AS patch FROM g)
+      |SELECT doc_id, patch, w, gw, gh,
       |  patch % gw AS pcol, patch // gw AS prow,
       |  (patch % gw) * 16 AS x0, (patch // gw) * 16 AS y0,
       |  ((patch // gw) * 16 * w + (patch % gw) * 16) * 3 AS byte_offset,

@@ -58,8 +58,14 @@ object SimilarityQueries {
   /** Exact top-5 neighbors for the first 10 vectors: broadcast the
     * query side, stream the corpus, rank per query. */
   private def s01(s: SparkSession, d: String): DataFrame = {
-    val v = quantized(s, d)
-    val queries = v.filter(col("vec_id") < 10)
+    // norm2 > 0 on both sides: a degenerate zero-norm quantized vector
+    // would make cosine 0/0 = NaN, and the three sorters involved
+    // (Spark window DESC, s08's Ordering.Double.TotalOrdering, DuckDB
+    // ORDER BY DESC) place NaN differently — filtering the (senseless)
+    // zero vectors keeps the three-way hash agreement NaN-free by
+    // construction. Mirrored in the oracle CTE and in s08.
+    val v = quantized(s, d).filter(col("norm2") > 0)
+    val queries = v.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -72,8 +78,8 @@ object SimilarityQueries {
   }
 
   private val s01Sql =
-    s"""WITH v AS ($quantizedSql),
-       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 10),
+    s"""WITH v AS (SELECT * FROM ($quantizedSql) WHERE norm2 > 0),
+       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 25),
        |scored AS (SELECT qid, vec_id,
        |    list_dot_product(qq, q) / (sqrt(qn) * sqrt(norm2)) AS cosine
        |  FROM v CROSS JOIN qs WHERE vec_id <> qid),
@@ -164,7 +170,7 @@ object SimilarityQueries {
 
   // ---- s03: IVF-style coarse-quantizer probe -------------------------------
   /** Centroid per label = integer component-wise sum of the cell's
-    * vectors (cosine is scale-invariant). Each query (vec_id < 10)
+    * vectors (cosine is scale-invariant). Each query (vec_id < 25)
     * probes its 2 nearest centroids, then exact top-5 within those
     * cells only — the read-2-of-k-cells ANN shape. */
   private def s03(s: SparkSession, d: String): DataFrame = {
@@ -176,7 +182,7 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
         s => s.getField("cx")).as("c"))
       .withColumn("cn", aggregate(zip_with(col("c"), col("c"), _ * _), lit(0L), _ + _))
-    val queries = v.filter(col("vec_id") < 10)
+    val queries = v.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("label"))
@@ -205,7 +211,7 @@ object SimilarityQueries {
        |  GROUP BY label, i),
        |cent AS (SELECT label, list(cx ORDER BY i) AS c FROM cx GROUP BY label),
        |centn AS (SELECT label, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn FROM cent),
-       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 10),
+       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 25),
        |probes AS (SELECT qid, qq, qn, label FROM (
        |    SELECT qs.qid, qs.qq, qs.qn, centn.label,
        |      row_number() OVER (PARTITION BY qs.qid ORDER BY
@@ -386,7 +392,7 @@ object SimilarityQueries {
     * integers here); a database vector's approximate distance is then
     * M table lookups summed over its stored codes — no vector math per
     * candidate. Emits top-5 per query by ADC distance (ties → lower
-    * vec_id), queries = vec_id < 10, self-match included (it
+    * vec_id), queries = vec_id < 25, self-match included (it
     * quantizes to qerr, not 0 — PQ is lossy, which this exposes).
     *
     * Scale: the table (|queries| × 4 × |codes| longs) broadcasts; the
@@ -400,7 +406,7 @@ object SimilarityQueries {
     val codes = pqAssign(rows, codebook)
       .select(col("vec_id"), col("m"), col("code"))
     // per-query subspace distance table, from the query's RAW vector
-    val table = rows.filter(col("vec_id") < 10)
+    val table = rows.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("m"), col("j"), col("x"))
       .join(broadcast(codebook), Seq("m", "j"))
       .groupBy(col("qid"), col("m"), col("code"))
@@ -437,7 +443,7 @@ object SimilarityQueries {
        |tbl AS (SELECT r.vec_id AS qid, r.m, cb.code,
        |    CAST(sum((r.x - cb.c) * (r.x - cb.c)) AS BIGINT) AS td
        |  FROM rows_ r JOIN cb ON cb.m = r.m AND cb.j = r.j
-       |  WHERE r.vec_id < 10 GROUP BY r.vec_id, r.m, cb.code),
+       |  WHERE r.vec_id < 25 GROUP BY r.vec_id, r.m, cb.code),
        |adc AS (SELECT t.qid, c.vec_id, CAST(sum(t.td) AS BIGINT) AS adc_dist
        |  FROM codes c JOIN tbl t ON t.m = c.m AND t.code = c.code
        |  GROUP BY t.qid, c.vec_id)
@@ -569,8 +575,8 @@ object SimilarityQueries {
       Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }(
         Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
     val topk = udaf(graft.functions.FnTask.topK[(Double, Long)](5))
-    val v = quantized(s, d)
-    val queries = v.filter(col("vec_id") < 10)
+    val v = quantized(s, d).filter(col("norm2") > 0) // see s01: NaN-free
+    val queries = v.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
     v.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("cosine", cosine(col("qq"), col("q"), col("qn"), col("norm2")))

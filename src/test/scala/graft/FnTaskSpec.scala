@@ -45,4 +45,15 @@ class FnTaskSpec extends AnyFunSuite {
       agg.finish(merged) == expect
     })
   }
+
+  test("bounded-heap path == sort-based reference at k = 1000 " +
+      "(the large-k contract, incl. duplicate-heavy ties)") {
+    val rnd = new scala.util.Random(42)
+    // duplicate-heavy domain so tie handling is exercised hard
+    val xs = List.fill(20000)((rnd.nextInt(500), rnd.nextInt(8).toLong))
+    val agg = FnTask.topK[(Int, Long)](1000)
+    val partials = xs.grouped(3000).map(_.foldLeft(agg.zero)(agg.reduce)).toList
+    val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+    assert(agg.finish(merged) == xs.sorted.take(1000))
+  }
 }
