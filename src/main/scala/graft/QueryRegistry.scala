@@ -38,6 +38,7 @@ object QueryRegistry {
     graft.operators.DspQueries.all,
     graft.operators.MultimodalQueries.all,
     graft.operators.ContainerQueries.all,
+    graft.operators.StreamParityQueries.all,
   )
 
   lazy val all: Seq[Q] = modules.flatten

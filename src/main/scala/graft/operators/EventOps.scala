@@ -167,7 +167,9 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
-  private val e05Sql =
+  // shared with e24 (StreamParityQueries): the streaming mount of the
+  // same gate machine must hash-match this exact oracle
+  private[operators] val e05Sql =
     s"""WITH e AS ($evMs),
        |data AS (SELECT $pipelineSql, event_id, ts_ms, value, NULL::DOUBLE AS sig, 0 AS is_ctrl
        |         FROM e WHERE event_type = 'click'),

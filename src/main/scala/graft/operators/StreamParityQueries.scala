@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.streaming.StatefulRunner
+import graft.streaming.StatefulRunner.{KEv, KOut}
+import graft.streaming.StateMachines.Gate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-visible STREAMING parity: e24 pushes the e05 gate fixture
+  * through [[StatefulRunner.runStreaming]] — the real
+  * `flatMapGroupsWithState` mount, micro-batched via MemoryStream with
+  * state crossing batch boundaries in the state store — and returns
+  * the collected sink, oracle-checked against the SAME window SQL as
+  * e05 (gate.py:32-93 semantics). Until round 6 the streaming mounts
+  * were exercised only by specs (StreamingSpec/StreamingE2ESpec); this
+  * puts the streaming execution path itself under the driver's hash
+  * gate: batch window-analogue ≡ machine-on-streaming ≡ DuckDB.
+  *
+  * Scale note: the MemoryStream + collect-the-fixture harness is the
+  * oracle-gate MOUNT, not the production path — a deployment does
+  * `readStream` (Kafka/files) → the identical `runStreaming` call →
+  * a real sink, with state keyed per pipeline across executors
+  * (RocksDB-capable; StreamingE2ESpec runs this mount on RocksDB and
+  * through a checkpoint restart). The fixture is bounded (two event
+  * types of the events table) and cut into 4 micro-batches so the
+  * cross-batch state path genuinely executes (state crosses 3 batch
+  * boundaries); per-key event order is preserved because the global
+  * (ts, control-priority, seq) sort is exactly the runner's in-batch
+  * sort, so any chunking of it concatenates to the same per-key
+  * fold. */
+object StreamParityQueries {
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  private def e24(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = Tables.eventsMs(s, d)
+    // e05's fixture, keyed for the runner: topic 0 = click data (the
+    // event_id rides in `text` so forwarded rows stay identifiable),
+    // topic 1 = error control with sig = value > 10.
+    val kev = e.filter(col("event_type").isin("click", "error"))
+      .select(
+        pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        col("ts_ms").as("ts"),
+        when(col("event_type") === "click", col("value"))
+          .otherwise(when(col("value") > 10, 1.0).otherwise(0.0)).as("value"),
+        when(col("event_type") === "click", col("event_id").cast(StringType))
+          .otherwise(lit(null).cast(StringType)).as("text"),
+        lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val rows = kev.as[KEv].collect()
+      .sortBy(r => (r.ts, if (r.topic == 1) 0 else 1, r.seq))
+    val mem = MemoryStream[KEv]
+    val sink = s"e24_sink_${sinkSeq.incrementAndGet()}"
+    // A streaming query locks its state-store partition count to
+    // spark.sql.shuffle.partitions at FIRST start (it goes into the
+    // checkpoint metadata). Batch sessions size that for corpus
+    // shuffles (32 here); a 2-key state stream then pays 32 mostly
+    // empty state-store tasks per micro-batch. Pin a width sized to
+    // the key cardinality for the stream's start — exactly the knob a
+    // production job sets per stream — and restore the batch value.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val sq =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        StatefulRunner
+          .runStreaming(new Gate(failOpen = false), mem.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val outs: Seq[KOut] =
+      try {
+        val chunk = math.max(1, (rows.length + 3) / 4)
+        rows.grouped(chunk).foreach { b =>
+          mem.addData(b.toSeq)
+          sq.processAllAvailable()
+        }
+        s.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
+      } finally sq.stop()
+    s.catalog.dropTempView(sink) // the sink's rows are now owned locally
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("key").cast(LongType).as("pipeline"),
+        col("text").cast(LongType).as("event_id"),
+        col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
+  )
+}
