@@ -39,6 +39,14 @@ object ScaleCurve {
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "t05_ngram_profile", "e18_sessionize")
 
+  /** The dedup tail gets a FIFTH decade (×100 sf0.1, documents-only
+    * amplification, ~6 GB of text): the two mechanisms whose scale
+    * claims matter most — d02's hot-bucket cap and d10's
+    * pointer-jumping fixpoint — plus d12 riding d10's published label
+    * table. Confirms the ×10 exponents hold one more decade out. */
+  private val X100Queries =
+    Seq("d02_minhash_lsh", "d10_cc_fixpoint", "d12_leakage_safe_split")
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,10 +87,12 @@ object ScaleCurve {
     }
 
     time(Queries.head, scales.head._2) // JIT warm-up, unmeasured
+    val lastTs = scala.collection.mutable.Map.empty[String, Double]
     val rows = Queries.map { q =>
       val ts = scales.map { case (_, dir, _) =>
         math.min(time(q, dir), time(q, dir)) // min of 2 (noise floor)
       }
+      lastTs(q) = ts.last
       // per-decade exponent: slope of log10(t) across one decade of scale
       val exps = ts.sliding(2).map { case Seq(a, b) => math.log10(b / a) }.toSeq
       System.err.println(f"$q%-22s ${ts.map(t => f"$t%7.2f").mkString(" ")}  " +
@@ -90,20 +100,27 @@ object ScaleCurve {
       s""""$q":{"sec":[${ts.map(t => f"$t%.3f").mkString(",")}],""" +
         s""""exp":[${exps.map(e => f"$e%.3f").mkString(",")}]}"""
     }
+    val x100 = s"$outDir/x100"
+    buildX100(spark, "/root/testdata/sf0.1", x100)
+    val x100Rows = X100Queries.map { q =>
+      val t = math.min(time(q, x100), time(q, x100))
+      val exp = math.log10(t / lastTs(q))
+      System.err.println(f"$q%-22s x100 $t%7.2f  exp $exp%5.2f")
+      s""""$q":{"sec":${f"$t%.3f"},"exp":${f"$exp%.3f"}}"""
+    }
     println(s"""{"scales":[${scales.map(s => s""""${s._1}"""").mkString(",")}],""" +
-      s""""queries":{${rows.mkString(",")}}}""")
+      s""""queries":{${rows.mkString(",")}},""" +
+      s""""x100":{${x100Rows.mkString(",")}}}""")
     graft.operators.DedupQueries.invalidateLabels(spark)
     spark.stop()
   }
 
-  /** Write the 10×-amplified tables (documents, lineitem, orders) and
-    * symlink every other table to the base SF dir. Idempotent. */
-  private def buildX10(spark: SparkSession, base: String, dir: String): Unit = {
-    val d = new java.io.File(dir)
-    if (new java.io.File(d, "_OK").exists()) return
-    d.mkdirs()
-    val reps = spark.range(0, 10).select(col("id").as("rep"))
-
+  /** Replica-amplified documents table (same perturbation scheme as
+    * [[buildX10]]: replica-unique token suffixes, re-ids past the
+    * original range — duplicate STRUCTURE grows linearly). */
+  private def amplifyDocs(spark: SparkSession, base: String, dir: String,
+      nReps: Int, outParts: Int): Unit = {
+    val reps = spark.range(0, nReps).select(col("id").as("rep"))
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     docs.crossJoin(broadcast(reps))
@@ -114,8 +131,36 @@ object ScaleCurve {
             concat(lit("$1zq"), col("rep"), lit("x")))).as("text")) ++
         docs.columns.filterNot(c => c == "doc_id" || c == "text")
           .map(col)): _*)
-      .repartition(32)
+      .repartition(outParts)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** Write the ×100 corpus: documents amplified 100×, every other
+    * table symlinked UNAMPLIFIED from the base dir (only
+    * documents-shaped queries run at this decade). Idempotent. */
+  private def buildX100(spark: SparkSession, base: String, dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (new java.io.File(d, "_OK").exists()) return
+    d.mkdirs()
+    amplifyDocs(spark, base, dir, nReps = 100, outParts = 128)
+    for (t <- Tables.all if t != "documents") {
+      val link = java.nio.file.Paths.get(dir, s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(base, s"$t.parquet"))
+    }
+    new java.io.FileOutputStream(new java.io.File(d, "_OK")).close()
+  }
+
+  /** Write the 10×-amplified tables (documents, lineitem, orders) and
+    * symlink every other table to the base SF dir. Idempotent. */
+  private def buildX10(spark: SparkSession, base: String, dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (new java.io.File(d, "_OK").exists()) return
+    d.mkdirs()
+    val reps = spark.range(0, 10).select(col("id").as("rep"))
+
+    amplifyDocs(spark, base, dir, nReps = 10, outParts = 32)
 
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val ordKeys = spark.read.parquet(s"$base/orders.parquet")

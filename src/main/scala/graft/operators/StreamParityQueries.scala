@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.streaming.StatefulRunner
 import graft.streaming.StatefulRunner.{KEv, KOut}
-import graft.streaming.StateMachines.Gate
+import graft.streaming.StateMachines.{Gate, TimeSyncRestamp}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -92,7 +92,44 @@ object StreamParityQueries {
       .orderBy(col("event_id"))
   }
 
+  /** e25: the §2.3 TimeSynchronizer component under the oracle gate —
+    * round 5's one spec-only component. The wall clock made it look
+    * non-oracle-expressible; injecting a deterministic local clock
+    * (clock(t) = t div 2 — the stream clock runs 2× the local one, a
+    * fixed drift) makes the REAL [[graft.streaming.StateMachines
+    * .TimeSync]] object's learned-offset restamping exactly a lag
+    * window: out_i = ts_i div 2 + (ts_{i−1} − ts_{i−1} div 2). The
+    * machine fold (one TimeSync per pipeline, keyed flatMapGroups)
+    * must hash-match that window SQL in DuckDB. */
+  private def e25(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val kev = e.filter(col("event_type") === "click")
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        lit(0).as("topic"), col("ts_ms").as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    StatefulRunner
+      .runBatch(new TimeSyncRestamp(t => t / 2),
+        kev.as[KEv](StatefulRunner.kevEnc))
+      .toDF()
+      .select(col("key").cast(LongType).as("pipeline"),
+        col("text").cast(LongType).as("event_id"),
+        col("ts").as("ts_sync"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e25Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, event_id,
+      |             epoch_ms(ts) AS ts_ms, value
+      |           FROM events WHERE event_type = 'click')
+      |SELECT pipeline, event_id,
+      |  ts_ms // 2 + COALESCE(lag(ts_ms - ts_ms // 2) OVER (
+      |    PARTITION BY pipeline ORDER BY ts_ms, event_id), 0) AS ts_sync,
+      |  value
+      |FROM e ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
+    Q("e25_timesync_restamp", e25, Some(e25Sql)),
   )
 }

@@ -70,6 +70,35 @@ object StateMachines {
     def reset(): Unit = offset = 0L
   }
 
+  /** Machine mount of [[TimeSync]] ITSELF — restamping with a learned
+    * stream-vs-local-clock offset (utils.py:299-304 used the way the
+    * reference's tasks use it): each message is emitted at the
+    * projection of the stream clock onto the local clock (`sync.time`
+    * with the offset learned from the PREVIOUS message), then the
+    * offset re-learns from this message. The local clock is INJECTED
+    * (`localClock(e.ts)` = "now" as this message arrives), which is
+    * what makes the operator deterministic and oracle-expressible —
+    * out_i = clock(ts_i) + (ts_{i−1} − clock(ts_{i−1})), a lag
+    * window — while production swaps in the executor wall clock
+    * unchanged. Holds a mutable [[TimeSync]]: batch mount only
+    * (per-key sequential fold; the streaming analogue would carry the
+    * offset Long in the state store). */
+  final class TimeSyncRestamp(localClock: Long => Long)
+      extends Machine[(TimeSync, Array[Long])] {
+    def init: (TimeSync, Array[Long]) = {
+      val now = Array(0L)
+      (new TimeSync(() => now(0)), now)
+    }
+    def step(s: (TimeSync, Array[Long]), e: Ev)
+        : ((TimeSync, Array[Long]), Seq[Out]) = {
+      val (sync, now) = s
+      now(0) = localClock(e.ts)
+      val out = Out(sync.time, e.value, e.text)
+      sync.update(e.ts)
+      (s, Seq(out))
+    }
+  }
+
   // ------------------------------------------------------------------ gate
   /** gate.py:31-93, exact GateState semantics. Topic 0 = data, topic 1
     * = control. Open iff the input is unpaused AND the last control
