@@ -401,7 +401,12 @@ object SimilarityQueries {
     * never shuffles by anything wider than its own id, and the 64:1
     * compressed representation is all the search touches. */
   private def s06(s: SparkSession, d: String): DataFrame = {
-    val rows = pqRows(s, d)
+    // s06 reads the exploded component rows THREE times (codebook
+    // training, code assignment, the query table) — checkpoint the
+    // slim staging once, scope-released with the query. s05 reads
+    // them only twice and recomputation there is cheaper than the
+    // materialization barrier, so the checkpoint is s06-local.
+    val rows = graft.Resources.checkpoint(pqRows(s, d))
     val codebook = pqCodebook(rows)
     val codes = pqAssign(rows, codebook)
       .select(col("vec_id"), col("m"), col("code"))
