@@ -585,7 +585,13 @@ object DedupQueries {
     *      l(l(v))) — a label chain of depth k halves each round, so
     *      long chains converge in O(log diameter) rounds instead of
     *      O(diameter);
-    *   3. stop when no label strictly decreased.
+    *   3. stop when no label strictly decreased — detected as an
+    *      UNCHANGED label sum: labels are monotonically
+    *      non-increasing, so any change strictly decreases Σl. One
+    *      cheap aggregate over the just-checkpointed table per round,
+    *      instead of a join back to the previous generation; the sum
+    *      runs in DECIMAL(38,0) so it stays exact at any node-id
+    *      magnitude × corpus size (a Long sum would wrap at ~10^19).
     * Labels start at own id, only ever decrease, and every assigned
     * label is a node id inside the same component (neighbor labels
     * and labels-of-labels are both reachable), so the loop
@@ -601,11 +607,15 @@ object DedupQueries {
     graft.Resources.unpersistCheckpoint(df)
 
   def connectedComponents(edges: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(dec))).head().getDecimal(0)
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint()
-    var converged = false
+    var prevSum = lblSum(labels)
+    var converged = prevSum == null // empty graph: nothing to iterate
     while (!converged) {
       val nbrMin = e
         .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
@@ -620,11 +630,9 @@ object DedupQueries {
         .select(col("x.id").as("id"),
           least(col("x.lbl"), coalesce(col("jlbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint()
-      converged = jumped.as("n")
-        .join(labels.select(col("id").as("oid"), col("lbl").as("olbl")),
-          col("n.id") === col("oid"))
-        .filter(col("n.lbl") < col("olbl"))
-        .isEmpty
+      val newSum = lblSum(jumped) // monotone: unchanged sum ⟺ fixpoint
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       unpersistCheckpoint(labels) // superseded; convergence check above
       labels = jumped             // was the last reader of the old copy
     }
