@@ -35,7 +35,17 @@ object StreamParityQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
-  private def e24(s: SparkSession, d: String): DataFrame = {
+  /** Shared harness: the e05 gate fixture through any streaming mount
+    * of the [[Gate]] machine, in 4 micro-batches, collected back as
+    * the e05-shaped (pipeline, event_id, ts_ms, value) frame.
+    * `streamConf` entries are pinned for the stream's FIRST start
+    * (they go into checkpoint metadata — state-store width, provider
+    * class) and the session's batch values restored immediately; the
+    * start-window is the documented per-stream-config seam. */
+  private def gateThroughStream(s: SparkSession, d: String,
+      mount: org.apache.spark.sql.Dataset[KEv] =>
+        org.apache.spark.sql.Dataset[KOut],
+      streamConf: Map[String, String]): DataFrame = {
     implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
       StatefulRunner.kevEnc
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -57,23 +67,25 @@ object StreamParityQueries {
     val rows = kev.as[KEv].collect()
       .sortBy(r => (r.ts, if (r.topic == 1) 0 else 1, r.seq))
     val mem = MemoryStream[KEv]
-    val sink = s"e24_sink_${sinkSeq.incrementAndGet()}"
-    // A streaming query locks its state-store partition count to
-    // spark.sql.shuffle.partitions at FIRST start (it goes into the
-    // checkpoint metadata). Batch sessions size that for corpus
-    // shuffles (32 here); a 2-key state stream then pays 32 mostly
-    // empty state-store tasks per micro-batch. Pin a width sized to
-    // the key cardinality for the stream's start — exactly the knob a
-    // production job sets per stream — and restore the batch value.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val sink = s"stream_sink_${sinkSeq.incrementAndGet()}"
+    // A streaming query locks state-store partition count (and
+    // provider) at FIRST start. Batch sessions size shuffle.partitions
+    // for corpus shuffles (32 here); a 2-key state stream then pays 32
+    // mostly empty state-store tasks per micro-batch — pin a width
+    // sized to key cardinality, the knob a production job sets per
+    // stream, and restore the batch values right after start.
+    val pinned = streamConf + ("spark.sql.shuffle.partitions" -> "4")
+    val prev = pinned.keys.map(k => k -> s.conf.getOption(k)).toMap
     val sq =
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        StatefulRunner
-          .runStreaming(new Gate(failOpen = false), mem.toDS())
+        pinned.foreach { case (k, v) => s.conf.set(k, v) }
+        mount(mem.toDS())
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     val outs: Seq[KOut] =
       try {
         val chunk = math.max(1, (rows.length + 3) / 4)
@@ -91,6 +103,28 @@ object StreamParityQueries {
         col("ts").as("ts_ms"), col("value"))
       .orderBy(col("event_id"))
   }
+
+  private def e24(s: SparkSession, d: String): DataFrame =
+    gateThroughStream(s, d,
+      ds => StatefulRunner.runStreaming(new Gate(failOpen = false), ds),
+      Map.empty)
+
+  /** e26: the SAME gate fixture through the transformWithState mount
+    * ([[graft.streaming.TwsRunner]] — StatefulProcessor + ValueState)
+    * on the RocksDB state store provider (a transformWithState
+    * requirement, and the production scale configuration: state spills
+    * to disk instead of heap). Three streaming facts land under the
+    * driver's hash gate at once: the modern API's semantics equal the
+    * fMGWS mount (e24), equal the batch window analogue (e05), equal
+    * DuckDB — on state that genuinely crosses micro-batch boundaries
+    * through RocksDB. */
+  private def e26(s: SparkSession, d: String): DataFrame =
+    gateThroughStream(s, d,
+      ds => graft.streaming.TwsRunner.runStreaming(
+        new Gate(failOpen = false), ds),
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")))
 
   /** e25: the §2.3 TimeSynchronizer component under the oracle gate —
     * round 5's one spec-only component. The wall clock made it look
@@ -131,5 +165,6 @@ object StreamParityQueries {
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
+    Q("e26_tws_rocksdb_gate", e26, Some(EventOps.e05Sql)),
   )
 }
