@@ -35,6 +35,14 @@ object StreamParityQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Serializes the set-conf → start() → restore-conf window: two
+    * streams starting concurrently on one session (Verify's pool runs
+    * e24 and e26 together) would otherwise race on the session conf —
+    * one query's restore could strip another's provider pin mid-start
+    * (transformWithState hard-requires RocksDB). Only the brief start
+    * window is held; micro-batch processing runs unlocked. */
+  private val startLock = new Object
+
   /** Shared harness: the e05 gate fixture through any streaming mount
     * of the [[Gate]] machine, in 4 micro-batches, collected back as
     * the e05-shaped (pipeline, event_id, ts_ms, value) frame.
@@ -75,8 +83,8 @@ object StreamParityQueries {
     // sized to key cardinality, the knob a production job sets per
     // stream, and restore the batch values right after start.
     val pinned = streamConf + ("spark.sql.shuffle.partitions" -> "4")
-    val prev = pinned.keys.map(k => k -> s.conf.getOption(k)).toMap
-    val sq =
+    val sq = startLock.synchronized {
+      val prev = pinned.keys.map(k => k -> s.conf.getOption(k)).toMap
       try {
         pinned.foreach { case (k, v) => s.conf.set(k, v) }
         mount(mem.toDS())
@@ -86,6 +94,7 @@ object StreamParityQueries {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None)    => s.conf.unset(k)
       }
+    }
     val outs: Seq[KOut] =
       try {
         val chunk = math.max(1, (rows.length + 3) / 4)
