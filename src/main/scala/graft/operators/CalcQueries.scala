@@ -145,10 +145,67 @@ object CalcQueries {
        |  THEN 1.0 ELSE 0.0 END AS result
        |FROM t ORDER BY event_id""".stripMargin
 
+  /** c05: the deployment-pipeline DSL itself under the oracle gate —
+    * the user-facing API a reference user actually drives (task_web
+    * deployments, SURVEY §3.2). A two-stage DAG — clicks → calculator
+    * "a * 2 + 1" (per-message machine path, pre-parsed AST) → gate
+    * controlled by thresholded errors — is validated + compiled by
+    * [[graft.plans.Pipeline.compile]] and its sunk envelope rows are
+    * hash-checked against DuckDB evaluating the same composition as a
+    * window query. Until round 6, compile() was exercised only by the
+    * flagship smoke (rows > 0) and PipelineSpec; this checks its
+    * VALUES. Machine stages replace `seq` with a content hash
+    * (fromKOut — streaming-safe tie-break), so the comparison keys on
+    * (ts_ms, value): deterministic because equal rows are
+    * interchangeable under the hash and the gate's output multiset is
+    * order-independent for same-ts data rows (state changes only on
+    * control, which sorts first on both engines). */
+  private def c05(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.Pipeline
+    import graft.plans.Pipeline._
+    val e = eventsMs(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("ts_ms").as("ts"), col("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .select(col("ts_ms").as("ts"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val dep = Deployment("c05", Seq(
+      TaskSpec("clicks", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("ctrl", SourceOp(IOMeta.number), Nil, "play"),
+      TaskSpec("calc", CalculatorOp("a * 2 + 1", Seq("a")), Seq("a"), "doubled"),
+      TaskSpec("gate", GateOp(), Seq("doubled", "play"), "gated")))
+    Pipeline.compile(dep, Map("a" -> clicks, "play" -> ctrl))("gated")
+      .filter(!col("paused"))
+      .select(col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("ts_ms"), col("value"))
+  }
+
+  private val c05Sql =
+    s"""WITH e AS ($evMs),
+       |data AS (SELECT event_id, ts_ms, value * 2 + 1 AS v,
+       |                NULL::DOUBLE AS sig, 0 AS is_ctrl
+       |         FROM e WHERE event_type = 'click'),
+       |ctrl AS (SELECT event_id, ts_ms, NULL::DOUBLE AS v,
+       |                CASE WHEN value > 10 THEN 1.0 ELSE 0.0 END AS sig,
+       |                1 AS is_ctrl
+       |         FROM e WHERE event_type = 'error'),
+       |u AS (SELECT * FROM data UNION ALL SELECT * FROM ctrl)
+       |SELECT ts_ms, v AS value FROM (
+       |  SELECT *, last_value(sig IGNORE NULLS) OVER (
+       |    ORDER BY ts_ms, is_ctrl DESC, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM u)
+       |WHERE is_ctrl = 0 AND g > 0.5 ORDER BY ts_ms, value""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
     Q("c03_calc_ternary", c03, Some(c03Sql)),
     Q("c04_calc_logic", c04, Some(c04Sql)),
+    Q("c05_pipeline_dag", c05, Some(c05Sql)),
   )
 }
