@@ -625,9 +625,12 @@ object Relational {
     * finding: rewriting anyway tripled one side and widened the join
     * key for no benefit). The PURE theta-join the rule does rewrite
     * is q29. Registering both keeps the rule's fire/no-fire boundary
-    * inside the correctness gate. Same oracle formulation as q27. */
+    * inside the correctness gate. Same oracle formulation as q27.
+    * Deliberately does NOT install the rule: with the guard, q28's
+    * plan is identical with or without it (round-5 advisor finding on
+    * install-order-dependent plans — ExtensionsSpec pins the guard on
+    * a session where the rule IS on). */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    graft.plans.RangeJoinRewrite.ensureInstalled(s)
     val W = 3600000L // ±1 hour
     val e = Tables.eventsMs(s, d)
     val clicks = e.filter(col("event_type") === "click")
