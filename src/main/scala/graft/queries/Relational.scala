@@ -651,7 +651,7 @@ object Relational {
   private val q28Sql = q27Sql
 
   /** q29: PURE time-proximity theta join — coincidence detection with
-    * no equi conjunct at all (any click within ±15 s of any purchase,
+    * no equi conjunct at all (any click within ±60 s of any purchase,
     * across users): the query shape Spark plans as
     * BroadcastNestedLoopJoin, O(|clicks|·|purchases|) pair work.
     * [[graft.plans.RangeJoinRewrite]] rewrites it to the bucketized
@@ -669,7 +669,8 @@ object Relational {
     // that has any cross-side equi-key, so no other registered
     // query's plan depends on whether q29 ran first.
     graft.plans.RangeJoinRewrite.ensureInstalled(s)
-    val W = 15000L
+    // ±60 s: non-degenerate at every driver SF (2 / 168 / ~18.5k rows)
+    val W = 60000L
     val e = Tables.eventsMs(s, d)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts_ms").as("click_ts"))
@@ -689,7 +690,7 @@ object Relational {
       |p AS (SELECT event_id AS purchase_id, tms AS purchase_ts
       |      FROM e WHERE event_type = 'purchase')
       |SELECT click_id, purchase_id, click_ts - purchase_ts AS dt_ms
-      |FROM c JOIN p ON abs(click_ts - purchase_ts) <= 15000
+      |FROM c JOIN p ON abs(click_ts - purchase_ts) <= 60000
       |ORDER BY click_id, purchase_id""".stripMargin
 
   val all: Seq[Q] = Seq(
