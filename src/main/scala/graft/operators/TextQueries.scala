@@ -566,6 +566,60 @@ object TextQueries {
       |       ELSE 'pass' END AS first_fail
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- t14: stratified (per-source) deterministic sampling -----------------
+  /** Per-stratum EXACT-QUOTA sampling — the data-mixing primitive a
+    * training pipeline runs to up/down-weight sources (e.g. Pile/
+    * RefinedWeb-style mixture weights): within each `source`, rank
+    * documents by a salted content-independent hash (md5 of the salt +
+    * doc_id — rerun-stable, shard-independent, order-independent) and
+    * keep exactly ⌈n·w⌉ of the stratum's n docs, here with weights
+    * w = (k%4+1)/4 ∈ {¼,½,¾,1} derived from the source index. Exact
+    * quotas (not Bernoulli coin-flips) make the output size
+    * deterministic — what a mixture spec actually promises — and the
+    * quota arithmetic is pure integer ((n·(k%4+1)+3) div 4), so both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: one shuffle keyed by stratum, rank via the stratum
+    * window, no joins. For a stratum too large to rank in one task,
+    * the production variant replaces row_number with an approximate
+    * quantile cutoff on the same hash (select h ≤ q_w) — same
+    * determinism, no per-stratum total order; at the driver SFs the
+    * exact window IS the right plan. */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    val rk = conv(substring(md5(concat(lit("t14"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 14), 16, 10)
+      .cast(LongType)
+    val k = expr("CAST(substring(source, 4, 10) AS BIGINT)")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), rk.as("rk"), k.as("k"))
+      .withColumn("sample_rank",
+        row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("sample_rank") <=
+        expr("(n * (k % 4 + 1) + 3) DIV 4"))
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t14Sql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(substr(source, 4) AS BIGINT) AS k,
+      |    CAST(concat('0x', substr(md5(concat('t14', CAST(doc_id AS VARCHAR))), 1, 14))
+      |      AS BIGINT) AS rk
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, k, rk,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id)
+      |      AS BIGINT) AS sample_rank,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM d)
+      |SELECT doc_id, source, sample_rank
+      |FROM r WHERE sample_rank <= (n * (k % 4 + 1) + 3) // 4
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -580,5 +634,6 @@ object TextQueries {
     Q("t11_pii_scrub", t11, Some(t11Sql)),
     Q("t12_corpus_shuffle", t12, Some(t12Sql)),
     Q("t13_filter_funnel", t13, Some(t13Sql)),
+    Q("t14_stratified_sample", t14, Some(t14Sql)),
   )
 }
