@@ -12,6 +12,71 @@ import org.apache.spark.sql.SparkSession
   * classloading doesn't land on the first measured query.
   */
 object Bench {
+
+  /** Per-query session forensics (opt-in: SPARK_GRAFT_BENCH_STATS=1).
+    * Captures the metrics that distinguish the candidate mechanisms for
+    * late-session slowdowns in a long bench run:
+    *  - task-attributed spill + GC time (SparkListener over TaskEnd) —
+    *    heap pressure / ObjectHashAggregate sort-fallback shows up here;
+    *  - JIT code-cache occupancy (MemoryPoolMXBean) — whole-stage
+    *    codegen emits classes per query; a full code cache disables the
+    *    JIT compiler and the whole session drops to interpreted speed;
+    *  - driver-JVM cumulative GC ms — collection debt between queries.
+    * One JSON line per measured run → bench_stats.jsonl. Local-mode
+    * driver and executors share the JVM, so the JVM beans see the
+    * executor side too.
+    */
+  private final class StatsProbe(sc: org.apache.spark.SparkContext) {
+    import java.lang.management.ManagementFactory
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    private val spillMem = new java.util.concurrent.atomic.AtomicLong
+    private val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong
+    private val taskGcMs = new java.util.concurrent.atomic.AtomicLong
+    sc.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+          taskMs.addAndGet(m.executorRunTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
+        }
+      }
+    })
+    private def jvmGcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+    }
+    private def poolUsed(prefix: String): Long = {
+      import scala.jdk.CollectionConverters._
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith(prefix)).map(_.getUsage.getUsed).sum
+    }
+    def measure[A](name: String, run: Int)(body: => A): A = {
+      val gc0 = jvmGcMs
+      spillMem.set(0); spillDisk.set(0); taskMs.set(0); taskGcMs.set(0)
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener bus drains asynchronously; give TaskEnd events a beat
+      Thread.sleep(50)
+      val line = s"""{"q":"$name","run":$run,"sec":${f"$sec%.3f"},""" +
+        s""""taskMs":${taskMs.get},"taskGcMs":${taskGcMs.get},""" +
+        s""""spillMem":${spillMem.get},"spillDisk":${spillDisk.get},""" +
+        s""""jvmGcMs":${jvmGcMs - gc0},""" +
+        s""""codeCacheMB":${poolUsed("CodeHeap") / 1048576},""" +
+        s""""metaspaceMB":${poolUsed("Metaspace") / 1048576},""" +
+        s""""heapMB":${(Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_stats.jsonl"),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      r
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,9 +100,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Double = {
-      val t0 = System.nanoTime()
-      val t = try {
+    val probe =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_STATS"))
+        Some(new StatsProbe(spark.sparkContext))
+      else None
+
+    def force(name: String, run: Int = 0): Double = {
+      def body(): Unit =
         // Scoped run: any intermediate the query materializes
         // (checkpointed band/edge tables, staging caches) is released
         // as soon as the action finishes — round 5's bench recorded
@@ -46,6 +115,12 @@ object Bench {
         graft.Resources.withScope {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
+        }
+      val t0 = System.nanoTime()
+      val t = try {
+        probe match {
+          case Some(p) => p.measure(name, run)(body())
+          case None => body()
         }
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
@@ -69,8 +144,8 @@ object Bench {
     // shared container shows ±30% single-run variance), with a GC
     // between queries so collection debt doesn't bleed across timings.
     val results = names.map { n =>
-      val a = force(n); System.gc()
-      val b = force(n); System.gc()
+      val a = force(n, 1); System.gc()
+      val b = force(n, 2); System.gc()
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
     val total = results.map(_._2).filter(_ >= 0).sum

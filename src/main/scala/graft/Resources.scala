@@ -47,7 +47,12 @@ object Resources {
     scopes.get.push(buf)
     try body
     finally {
-      scopes.get.pop()
+      val stack = scopes.get
+      stack.pop()
+      // Pooled threads (Verify's ExecutionContext) live for the whole
+      // session: drop the ThreadLocal entry itself once no scope is
+      // active so nothing lingers per thread between queries.
+      if (stack.isEmpty) scopes.remove()
       buf.reverseIterator.foreach { release =>
         try release() catch { case _: Throwable => () }
       }

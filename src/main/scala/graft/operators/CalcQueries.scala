@@ -159,7 +159,11 @@ object CalcQueries {
     * (ts_ms, value): deterministic because equal rows are
     * interchangeable under the hash and the gate's output multiset is
     * order-independent for same-ts data rows (state changes only on
-    * control, which sorts first on both engines). */
+    * control). Controls are PRE-REDUCED to one row per ts_ms
+    * (last-by-event_id) on BOTH engines: two same-ts controls with
+    * different thresholded sigs would otherwise make the last-gate-
+    * state depend on each engine's same-ts tie-break (machine path
+    * orders by content hash, oracle by event_id). */
   private def c05(s: SparkSession, d: String): DataFrame = {
     import graft.plans.Pipeline
     import graft.plans.Pipeline._
@@ -169,10 +173,13 @@ object CalcQueries {
         lit(null).cast(StringType).as("text"), lit(false).as("paused"),
         col("event_id").as("seq"))
     val ctrl = e.filter(col("event_type") === "error")
+      .groupBy(col("ts_ms"))
+      .agg(max_by(col("value"), col("event_id")).as("lastv"),
+        max(col("event_id")).as("seq"))
       .select(col("ts_ms").as("ts"),
-        when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
+        when(col("lastv") > 10, 1.0).otherwise(0.0).as("value"),
         lit(null).cast(StringType).as("text"), lit(false).as("paused"),
-        col("event_id").as("seq"))
+        col("seq"))
     val dep = Deployment("c05", Seq(
       TaskSpec("clicks", SourceOp(IOMeta.number), Nil, "a"),
       TaskSpec("ctrl", SourceOp(IOMeta.number), Nil, "play"),
@@ -189,10 +196,11 @@ object CalcQueries {
        |data AS (SELECT event_id, ts_ms, value * 2 + 1 AS v,
        |                NULL::DOUBLE AS sig, 0 AS is_ctrl
        |         FROM e WHERE event_type = 'click'),
-       |ctrl AS (SELECT event_id, ts_ms, NULL::DOUBLE AS v,
-       |                CASE WHEN value > 10 THEN 1.0 ELSE 0.0 END AS sig,
+       |ctrl AS (SELECT max(event_id) AS event_id, ts_ms, NULL::DOUBLE AS v,
+       |                CASE WHEN arg_max(value, event_id) > 10
+       |                     THEN 1.0 ELSE 0.0 END AS sig,
        |                1 AS is_ctrl
-       |         FROM e WHERE event_type = 'error'),
+       |         FROM e WHERE event_type = 'error' GROUP BY ts_ms),
        |u AS (SELECT * FROM data UNION ALL SELECT * FROM ctrl)
        |SELECT ts_ms, v AS value FROM (
        |  SELECT *, last_value(sig IGNORE NULLS) OVER (

@@ -35,28 +35,25 @@ object StreamParityQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Serializes the set-conf → start() → restore-conf window: two
-    * streams starting concurrently on one session (Verify's pool runs
-    * e24 and e26 together) would otherwise race on the session conf —
-    * one query's restore could strip another's provider pin mid-start
-    * (transformWithState hard-requires RocksDB). Only the brief start
-    * window is held; micro-batch processing runs unlocked. */
-  private val startLock = new Object
-
   /** Shared harness: the e05 gate fixture through any streaming mount
     * of the [[Gate]] machine, in 4 micro-batches, collected back as
     * the e05-shaped (pipeline, event_id, ts_ms, value) frame.
     * `streamConf` entries are pinned for the stream's FIRST start
     * (they go into checkpoint metadata — state-store width, provider
-    * class) and the session's batch values restored immediately; the
-    * start-window is the documented per-stream-config seam. */
+    * class). The stream runs on an ISOLATED `s.newSession()` — same
+    * SparkContext, private SQLConf/temp views — so the pins never
+    * touch the shared session: concurrent batch queries in Verify's
+    * pool can never plan against a streaming-pinned shuffle width or
+    * state-store provider, and two streams starting concurrently
+    * (e24 + e26) cannot race each other's conf. This is also the
+    * production shape: one session per deployment, stream-specific
+    * conf set on that session only. */
   private def gateThroughStream(s: SparkSession, d: String,
       mount: org.apache.spark.sql.Dataset[KEv] =>
         org.apache.spark.sql.Dataset[KOut],
       streamConf: Map[String, String]): DataFrame = {
     implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
       StatefulRunner.kevEnc
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val e = Tables.eventsMs(s, d)
     // e05's fixture, keyed for the runner: topic 0 = click data (the
     // event_id rides in `text` so forwarded rows stay identifiable),
@@ -74,27 +71,22 @@ object StreamParityQueries {
         col("event_id").as("seq"))
     val rows = kev.as[KEv].collect()
       .sortBy(r => (r.ts, if (r.topic == 1) 0 else 1, r.seq))
-    val mem = MemoryStream[KEv]
+    // Isolated per-stream session (see object doc): pins below are
+    // session-local, never visible to the shared batch session.
+    val ss = s.newSession()
+    val mem = MemoryStream[KEv](ss)
     val sink = s"stream_sink_${sinkSeq.incrementAndGet()}"
     // A streaming query locks state-store partition count (and
     // provider) at FIRST start. Batch sessions size shuffle.partitions
     // for corpus shuffles (32 here); a 2-key state stream then pays 32
     // mostly empty state-store tasks per micro-batch — pin a width
     // sized to key cardinality, the knob a production job sets per
-    // stream, and restore the batch values right after start.
-    val pinned = streamConf + ("spark.sql.shuffle.partitions" -> "4")
-    val sq = startLock.synchronized {
-      val prev = pinned.keys.map(k => k -> s.conf.getOption(k)).toMap
-      try {
-        pinned.foreach { case (k, v) => s.conf.set(k, v) }
-        mount(mem.toDS())
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
-      } finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
-      }
-    }
+    // stream.
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    streamConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    val sq = mount(mem.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
     val outs: Seq[KOut] =
       try {
         val chunk = math.max(1, (rows.length + 3) / 4)
@@ -102,9 +94,9 @@ object StreamParityQueries {
           mem.addData(b.toSeq)
           sq.processAllAvailable()
         }
-        s.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
+        ss.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
       } finally sq.stop()
-    s.catalog.dropTempView(sink) // the sink's rows are now owned locally
+    ss.catalog.dropTempView(sink) // the sink's rows are now owned locally
     s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
       .toDF()
       .select(col("key").cast(LongType).as("pipeline"),

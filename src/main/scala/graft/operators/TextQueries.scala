@@ -589,7 +589,10 @@ object TextQueries {
     val rk = conv(substring(md5(concat(lit("t14"),
       col("doc_id").cast(StringType)).cast(BinaryType)), 1, 14), 16, 10)
       .cast(LongType)
-    val k = expr("CAST(substring(source, 4, 10) AS BIGINT)")
+    // substr with no length bound, same parse as the oracle's
+    // substr(source, 4) — a 2-arg substring caps nothing, so both
+    // engines read the identical suffix whatever its digit count.
+    val k = expr("CAST(substr(source, 4) AS BIGINT)")
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
     val wAll = org.apache.spark.sql.expressions.Window
