@@ -66,12 +66,41 @@ object Tables {
     * self-join/agg reference to the table. On a real multi-file 100 TB
     * layout the scan is already split and this repartition would be
     * dropped (cost there: a full-table shuffle — do NOT keep it at
-    * scale; split the files instead). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    * scale; split the files instead).
+    *
+    * WIDTH is sized to the DATA, not blindly to the cluster: every
+    * partition of a checkpointed/cached staging RDD pays a fixed
+    * per-task cost in every downstream stage (task setup, codegen
+    * instantiation, hash-table allocs), so a 2.5 MB fixture split 32
+    * ways spends ~4× the CPU of the same plan at its natural width —
+    * measured round 7: d03's direct join at width 32 = 23.4 s taskMs
+    * vs 6.0 s at width 4, identical wall when uncontended, and under
+    * CPU contention (the driver's shared box) that wasted CPU turns
+    * directly into wall time. The divisor is per-table because it
+    * models DOWNSTREAM WORK PER BYTE, not scan cost: documents fan
+    * out ~10× through shingle explosion + per-shingle hashing (32 KB
+    * of parquet ≈ a full task of CPU), while embeddings are consumed
+    * row-for-row by codegen'd dot products (128 KB barely fills one).
+    * Measured round 7 (sf0.1, 32 cores): documents at width 18 keeps
+    * the shingle family's wall at its width-32 value with ~½ the CPU;
+    * embeddings at width 6 holds s01/s08 wall FLAT (0.55 s) while
+    * cutting their taskMs 8.5 s → 0.5 s. Both tables reach full
+    * cluster width by the ×10 decade, so no scale path narrows.
+    * SPARK_GRAFT_SPREAD overrides (the per-deployment tuning knob). */
+  private def spread(s: SparkSession, df: DataFrame, dir: String,
+      name: String, bytesPerPartition: Long): DataFrame = {
+    val w = sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+        bytes / bytesPerPartition)).toInt
+    }
+    df.repartition(w)
+  }
 
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, load(s, d, "documents"))
+    spread(s, load(s, d, "documents"), d, "documents", 32L << 10)
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, load(s, d, "embeddings"))
+    spread(s, load(s, d, "embeddings"), d, "embeddings", 128L << 10)
 }

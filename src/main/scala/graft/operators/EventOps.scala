@@ -544,7 +544,7 @@ object EventOps {
       .orderBy(col("ts_ms"), col("event_id"))
   }
 
-  private val e13Sql =
+  private[operators] val e13Sql =
     s"""SELECT event_id, ts_ms, event_type FROM (
        |  SELECT event_id, ts_ms, event_type,
        |    max(ts_ms) OVER (PARTITION BY event_type ORDER BY user_id, event_id

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.streaming.StatefulRunner
 import graft.streaming.StatefulRunner.{KEv, KOut}
+import graft.streaming.StateMachines
 import graft.streaming.StateMachines.{Gate, TimeSyncRestamp}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -34,6 +35,45 @@ import org.apache.spark.sql.types._
 object StreamParityQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Drives `rows` (already in the order the mount expects) through a
+    * streaming mount in 4 micro-batches on an ISOLATED `s.newSession()`
+    * — same SparkContext, private SQLConf/temp views — so per-stream
+    * conf pins never touch the shared batch session and concurrent
+    * stream starts cannot race each other's conf. Returns the collected
+    * sink rows. */
+  private def throughStream(s: SparkSession, rows: Seq[KEv],
+      mount: org.apache.spark.sql.Dataset[KEv] =>
+        org.apache.spark.sql.Dataset[KOut],
+      streamConf: Map[String, String]): Seq[KOut] = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val ss = s.newSession()
+    val mem = MemoryStream[KEv](ss)
+    val sink = s"stream_sink_${sinkSeq.incrementAndGet()}"
+    // A streaming query locks state-store partition count (and
+    // provider) at FIRST start. Batch sessions size shuffle.partitions
+    // for corpus shuffles (32 here); a low-key-cardinality state stream
+    // then pays 32 mostly empty state-store tasks per micro-batch —
+    // pin a width sized to key cardinality, the knob a production job
+    // sets per stream.
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    streamConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    val sq = mount(mem.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val outs: Seq[KOut] =
+      try {
+        val chunk = math.max(1, (rows.length + 3) / 4)
+        rows.grouped(chunk).foreach { b =>
+          mem.addData(b.toSeq)
+          sq.processAllAvailable()
+        }
+        ss.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
+      } finally sq.stop()
+    ss.catalog.dropTempView(sink) // the sink's rows are now owned locally
+    outs
+  }
 
   /** Shared harness: the e05 gate fixture through any streaming mount
     * of the [[Gate]] machine, in 4 micro-batches, collected back as
@@ -71,32 +111,7 @@ object StreamParityQueries {
         col("event_id").as("seq"))
     val rows = kev.as[KEv].collect()
       .sortBy(r => (r.ts, if (r.topic == 1) 0 else 1, r.seq))
-    // Isolated per-stream session (see object doc): pins below are
-    // session-local, never visible to the shared batch session.
-    val ss = s.newSession()
-    val mem = MemoryStream[KEv](ss)
-    val sink = s"stream_sink_${sinkSeq.incrementAndGet()}"
-    // A streaming query locks state-store partition count (and
-    // provider) at FIRST start. Batch sessions size shuffle.partitions
-    // for corpus shuffles (32 here); a 2-key state stream then pays 32
-    // mostly empty state-store tasks per micro-batch — pin a width
-    // sized to key cardinality, the knob a production job sets per
-    // stream.
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    streamConf.foreach { case (k, v) => ss.conf.set(k, v) }
-    val sq = mount(mem.toDS())
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    val outs: Seq[KOut] =
-      try {
-        val chunk = math.max(1, (rows.length + 3) / 4)
-        rows.grouped(chunk).foreach { b =>
-          mem.addData(b.toSeq)
-          sq.processAllAvailable()
-        }
-        ss.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
-      } finally sq.stop()
-    ss.catalog.dropTempView(sink) // the sink's rows are now owned locally
+    val outs = throughStream(s, rows, mount, streamConf)
     s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
       .toDF()
       .select(col("key").cast(LongType).as("pipeline"),
@@ -126,6 +141,66 @@ object StreamParityQueries {
       Map("spark.sql.streaming.stateStore.providerClass" ->
         ("org.apache.spark.sql.execution.streaming." +
           "state.RocksDBStateStoreProvider")))
+
+  /** e27: the SYNCHRONIZER machine — the reference's watermark
+    * (synchronizer.py:14-35 + client/topic.py:117-140) and the
+    * subtlest dict semantics in §2.3 — through the REAL
+    * `flatMapGroupsWithState` mount, state crossing 3 micro-batch
+    * boundaries, hash-checked against e13's window SQL in DuckDB.
+    *
+    * The fixture is e13's: all five event types as topics, per-topic
+    * arrival order (user_id, event_id) — a deterministic shuffle that
+    * runs AGAINST timestamp order, so the late-drop rule genuinely
+    * fires across batch boundaries. `seq` carries the arrival rank
+    * (user_id·2²⁰ + event_id packs it order-faithfully); the machine
+    * declares [[StateMachines.Machine.arrivalOrder]] so the runner
+    * folds in that order instead of its (ts, priority, seq) default.
+    *
+    * Equality with the window SQL: the machine's reg(t) equals the
+    * running max of ACCEPTED ts per topic, and a dropped event (ts
+    * below the running max over all prior arrivals) never raises the
+    * max — so machine drops ≡ `ts < max(ts) OVER arrival-ordered
+    * rows`; release order differs (the machine merges on the dict
+    * min) but both sides end ORDER BY (ts, event_id).
+    *
+    * End-of-stream flush: the reference flushes blocked messages at
+    * container close; here one PAUSE sentinel per topic trails the
+    * stream — each pops its topic from the dict as it reaches the
+    * queue head (set_paused, topic.py:132-134), so the remaining
+    * topics' min rises and every buffered row releases. Pure
+    * reference semantics — no out-of-band flush path. */
+  private def e27(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val topicOf = types.zipWithIndex.toMap
+    val e = Tables.eventsMs(s, d)
+    val kev = e.select(col("event_type"), col("ts_ms"),
+        col("event_id"), col("user_id"))
+      .collect()
+      .map { r =>
+        val t = topicOf(r.getString(0))
+        val eid = r.getAs[Number](2).longValue
+        val uid = r.getAs[Number](3).longValue
+        KEv("0", t, r.getAs[Number](1).longValue, t.toDouble, eid.toString,
+          paused = false, seq = (uid << 20) | eid)
+      }
+      .sortBy(_.seq)
+    val flush = types.indices.map(t =>
+      KEv("0", t, 0L, 1.0, null, paused = true, seq = Long.MaxValue - 4 + t))
+    val rows = kev.toSeq ++ flush
+    val outs = throughStream(s, rows,
+      ds => StatefulRunner.runStreaming(
+        new StateMachines.Synchronizer(types.length), ds),
+      Map.empty)
+    val typeExpr = element_at(
+      lit(types.toArray), col("value").cast(IntegerType) + 1)
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("text").cast(LongType).as("event_id"),
+        col("ts").as("ts_ms"), typeExpr.as("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+  }
 
   /** e25: the §2.3 TimeSynchronizer component under the oracle gate —
     * round 5's one spec-only component. The wall clock made it look
@@ -167,5 +242,6 @@ object StreamParityQueries {
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
     Q("e26_tws_rocksdb_gate", e26, Some(EventOps.e05Sql)),
+    Q("e27_streaming_synchronizer", e27, Some(EventOps.e13Sql)),
   )
 }

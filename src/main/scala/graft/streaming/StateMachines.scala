@@ -46,6 +46,14 @@ object StateMachines {
     /** Priority of a topic at equal timestamps — lower sorts first
       * (gate: control first; concatenator: data first). */
     def priority(topic: Int): Int = topic
+    /** Machines that consume events in ARRIVAL order (the reference's
+      * per-topic receiver order, client/topic.py:170-186) rather than
+      * timestamp order — the runner then sorts a batch by `seq` alone,
+      * with `seq` carrying the mount's deterministic arrival rank.
+      * The synchronizer family is the reason this exists: its
+      * late-drop rule is DEFINED by arrival order running against
+      * timestamp order, so a (ts, …) pre-sort would define it away. */
+    def arrivalOrder: Boolean = false
   }
 
   /** A machine that also emits without input — on a processing-time
@@ -564,6 +572,7 @@ object StateMachines {
       reg: Map[Int, Long], headReg: Set[Int])
   final class Synchronizer(topics: Int) extends Machine[SyncState]
       with Timed[SyncState] {
+    override def arrivalOrder: Boolean = true
     def init = SyncState(
       (0 until topics).map(_ -> Vector.empty[Ev]).toMap, Map.empty, Set.empty)
 

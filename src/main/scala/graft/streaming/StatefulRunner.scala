@@ -42,7 +42,8 @@ object StatefulRunner {
   implicit val strEnc: Encoder[String] = Encoders.STRING
 
   private def sorted[S](m: Machine[S], es: Iterator[KEv]): Seq[KEv] =
-    es.toVector.sortBy(e => (e.ts, m.priority(e.topic), e.seq))
+    if (m.arrivalOrder) es.toVector.sortBy(_.seq)
+    else es.toVector.sortBy(e => (e.ts, m.priority(e.topic), e.seq))
 
   private def fold[S](m: Machine[S], key: String, s0: S, es: Seq[KEv]): (S, Seq[KOut]) =
     es.foldLeft((s0, Vector.empty[KOut])) { case ((s, acc), e) =>

@@ -62,14 +62,19 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (ia, ib, j)).toSet
   }
 
-  test("d03 prefix-filter join == naive all-pairs Jaccard on random corpora") {
+  test("d03 similarity join == naive all-pairs Jaccard on random " +
+      "corpora, on BOTH physical strategies (prefix + direct)") {
     import spark.implicits._
     check(Prop.forAll(genCorpus) { docs =>
       val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
         .toDF("doc_id", "text")
-      val got = DedupQueries.jaccardSelfJoin(df, 0.5).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      got == naive(docs, 0.5)
+      val want = naive(docs, 0.5)
+      Seq("prefix", "direct").forall { strat =>
+        val got = DedupQueries.jaccardSelfJoin(df, 0.5, Some(strat))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        got == want
+      }
     })
   }
 
