@@ -136,9 +136,19 @@ object Bench {
     }
 
     // Optional args: bench only the named queries (default: all).
-    val names =
+    // SPARK_GRAFT_BENCH_SEED permutes the run order deterministically:
+    // any query whose cost depends on its predecessors is a hygiene
+    // bug by definition, and two seeds agreeing within noise is the
+    // cheap standing proof that none does (round 6's d03 artifact
+    // would have surfaced a round earlier under a second seed).
+    val registryOrder =
       if (args.nonEmpty) args.flatMap(_.split(",")).toSeq
       else QueryRegistry.all.map(_.name)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_SEED") match {
+      case Some(seed) => new scala.util.Random(seed.toLong)
+        .shuffle(registryOrder)
+      case None => registryOrder
+    }
     force(names.head) // warm-up, unmeasured
     // Per query: min of two runs (drops one-off JIT/GC/OS noise — the
     // shared container shows ±30% single-run variance), with a GC

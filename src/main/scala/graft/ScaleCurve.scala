@@ -39,13 +39,16 @@ object ScaleCurve {
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "t05_ngram_profile", "e18_sessionize")
 
-  /** The dedup tail gets a FIFTH decade (×100 sf0.1, documents-only
-    * amplification, ~6 GB of text): the two mechanisms whose scale
-    * claims matter most — d02's hot-bucket cap and d10's
-    * pointer-jumping fixpoint — plus d12 riding d10's published label
-    * table. Confirms the ×10 exponents hold one more decade out. */
+  /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
+    * documents + embeddings amplification, ~6 GB of text + 500k
+    * vectors): the mechanisms whose scale claims matter most — d02's
+    * hot-bucket cap, d10's pointer-jumping fixpoint, d12 riding d10's
+    * published label table, s02's banded sign-LSH (the ANN headline)
+    * and s07's never-shuffle-the-corpus BM25 (the ranking headline).
+    * Confirms the ×10 exponents hold one more decade out. */
   private val X100Queries =
-    Seq("d02_minhash_lsh", "d10_cc_fixpoint", "d12_leakage_safe_split")
+    Seq("d02_minhash_lsh", "d10_cc_fixpoint", "d12_leakage_safe_split",
+      "s02_ann_lsh", "s07_bm25_rank")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
@@ -135,21 +138,33 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
-  /** Write the ×100 corpus: documents amplified 100×, every other
-    * table symlinked UNAMPLIFIED from the base dir (only
-    * documents-shaped queries run at this decade). Idempotent. */
+  /** Write the ×100 corpus: documents amplified 100× and embeddings
+    * amplified 100× (same re-id scheme as [[buildX10]] — labels/IVF
+    * cells keep their cardinality so per-cell work grows linearly),
+    * every other table symlinked UNAMPLIFIED from the base dir (only
+    * documents/embeddings-shaped queries run at this decade).
+    * Idempotent; the marker name is versioned so a recipe change
+    * rebuilds a stale cached corpus. */
   private def buildX100(spark: SparkSession, base: String, dir: String): Unit = {
     val d = new java.io.File(dir)
-    if (new java.io.File(d, "_OK").exists()) return
+    if (new java.io.File(d, "_OK2").exists()) return
     d.mkdirs()
     amplifyDocs(spark, base, dir, nReps = 100, outParts = 128)
-    for (t <- Tables.all if t != "documents") {
+    val reps = spark.range(0, 100).select(col("id").as("rep"))
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    emb.crossJoin(broadcast(reps))
+      .select((Seq((col("vec_id") + col("rep") * maxVec).as("vec_id")) ++
+        emb.columns.filterNot(_ == "vec_id").map(col)): _*)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (t <- Tables.all if t != "documents" && t != "embeddings") {
       val link = java.nio.file.Paths.get(dir, s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(base, s"$t.parquet"))
     }
-    new java.io.FileOutputStream(new java.io.File(d, "_OK")).close()
+    new java.io.FileOutputStream(new java.io.File(d, "_OK2")).close()
   }
 
   /** Write the 10×-amplified tables (documents, lineitem, orders) and

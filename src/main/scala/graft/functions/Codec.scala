@@ -90,6 +90,61 @@ object Codec {
     }
   }
 
+  /** PNG — a REAL pluggable image codec through the seam, backed by
+    * the JDK's own javax.imageio (no external dependency): rgb24
+    * frames ↔ PNG packets, losslessly (PNG's DEFLATE+filter pipeline
+    * is exact), so the reference's codec round-trip property
+    * (tests/media/test_audio_codec.py:10-28 — decode(encode(x))
+    * recovers x) holds BIT-EXACTLY here. Configured with frame
+    * dimensions at construction, like the reference opens its video
+    * codecs with a resolution (media/codec.py:50-135); one instance
+    * per partition via the same mapPartitions mount m03 uses —
+    * CodecSpec drives exactly that mount. Proves the seam is
+    * load-bearing: a JavaCV/ffmpeg binding mounts the same way. */
+  final case class Png(w: Int, h: Int) extends Codec {
+    val name = "png"
+
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      require(raw.length == w * h * 3, s"rgb24 frame must be ${w * h * 3}B")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val buf = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      while (i < w * h) { // rgb24 → the raster's native BGR order
+        buf(3 * i) = raw(3 * i + 2)
+        buf(3 * i + 1) = raw(3 * i + 1)
+        buf(3 * i + 2) = raw(3 * i)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(packet: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(packet))
+      require(img.getWidth == w && img.getHeight == h,
+        s"decoded ${img.getWidth}x${img.getHeight}, expected ${w}x$h")
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { // any source raster layout → rgb24
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Inter-frame delta codec — the keyframe/P-frame structure every
     * video encoder emits (media/videoencoder.py ensures keyframe
     * flags; packet.py:6-36 carries `is_keyframe`): a keyframe stores

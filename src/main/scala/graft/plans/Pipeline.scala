@@ -407,7 +407,8 @@ final case class TaskReport(deployment: String, task: String,
   * `Stopped` (task.py:231), a source draining to completion → `Ended`
   * (:230), an exception → `Failed(error)` (:235). Reports are pushed
   * to registered listeners — the BroadcastingServer analogue. */
-final class PipelineManager(spark: SparkSession) {
+final class PipelineManager(spark: SparkSession,
+    checkpointRoot: Option[String] = None) {
   import Pipeline._
   import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -441,16 +442,23 @@ final class PipelineManager(spark: SparkSession) {
   }
 
   /** Launch every scheduled sink as a streaming query writing to the
-    * in-memory table `<dep>_<stream>`. */
+    * in-memory table `<dep>_<stream>`. With a [[checkpointRoot]], each
+    * sink checkpoints under `<root>/<deployment>/<stream>` — the
+    * topic-space isolation of the reference's per-deployment topic
+    * allocation (task_web.py:267-315): two deployments may reuse the
+    * same task/stream names and share NOTHING — not state, not
+    * offsets, not sink tables. */
   def start(name: String): Unit = {
     val r = deployments(name)
     require(r.queries.isEmpty, s"deployment '$name' already started")
     val qs = r.planned.map { case (s, df) =>
-      df.writeStream
+      val w = df.writeStream
         .format("memory")
         .queryName(s"${name}_$s")
         .outputMode("append")
-        .start()
+      checkpointRoot.foreach(root =>
+        w.option("checkpointLocation", s"$root/$name/$s"))
+      w.start()
     }
     deployments += name -> r.copy(queries = qs)
     broadcastAll(r.dep, TaskStatus.Running)

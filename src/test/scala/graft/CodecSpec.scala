@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{AudioKernel, Codec}
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** G.711 μ-law codec and resampler kernels pinned to the exact integer
@@ -136,6 +137,60 @@ class CodecSpec extends AnyFunSuite {
     }
     assert(Codec.Delta.encodeGop(Seq.empty).isEmpty)
     assert(Codec.Delta.decodeGop(Seq.empty).isEmpty)
+  }
+
+  test("PNG codec through the m03 mapPartitions mount: a real JVM " +
+      "codec behind the Codec seam round-trips rgb24 bit-exactly " +
+      "(test_audio_codec.py:10-28's round-trip property)") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val (w, h) = (24, 16)
+    // deterministic frames: LCG bytes (noise, worst case for DEFLATE)
+    // plus a gradient frame (best case — must actually compress)
+    def lcgFrame(seed: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h * 3)
+      var x = seed
+      var i = 0
+      while (i < a.length) {
+        x = x * 1103515245 + 12345; a(i) = (x >> 16).toByte; i += 1
+      }
+      a
+    }
+    val flat = Array.fill(w * h * 3)(77.toByte)
+    val frames = ((0 until 8).map(i => (i.toLong, lcgFrame(i + 1))) :+
+      (8L, flat)).toSeq
+    val codec = Codec.Png(w, h)
+    // the m03 mount shape: one codec instance per partition, rows
+    // stream through it
+    val out = frames.toDF("frame_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, raw) =>
+          val packet = codec.encode(raw)
+          (id, packet, codec.decode(packet))
+        }
+      }
+      .collect()
+      .sortBy(_._1)
+    assert(out.length == frames.length)
+    out.foreach { case (id, packet, rt) =>
+      // real PNG packets: magic signature, not a passthrough
+      assert(packet.take(4).toSeq ==
+        Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+        s"frame $id: not a PNG packet")
+      val orig = frames(id.toInt)._2
+      assert(java.util.Arrays.equals(rt, orig),
+        s"frame $id: PNG round trip not bit-exact")
+    }
+    // lossless CODEC, not an echo: a flat frame must compress
+    val flatPacket = out.last._2
+    assert(flatPacket.length < flat.length / 2,
+      s"flat frame should compress (got ${flatPacket.length}B " +
+        s"for ${flat.length}B raw)")
   }
 
   test("stretchLinear == the p08 grid formula on random arrays") {

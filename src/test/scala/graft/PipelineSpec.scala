@@ -397,6 +397,73 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("two-sink deployments are isolated end-to-end: same task/stream " +
+      "names, private checkpoint dirs, independent stop, drained " +
+      "source reports Ended (task_web.py:267-315)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkSrc(mem: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]) =
+      mem.toDS().toDF("ts", "value", "seq")
+        .select(col("ts"), col("value"), lit(null).cast("string").as("text"),
+          lit(false).as("paused"), col("seq"))
+    // Both deployments use IDENTICAL task and stream names — the
+    // reference allocates a fresh topic space per deployment, so this
+    // must not collide anywhere (sink tables, state, checkpoints).
+    def mkDep(name: String) = Deployment(name, Seq(
+      TaskSpec("src", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("plus", CalculatorOp("a + 1", Seq("a")), Seq("a"), "out1"),
+      TaskSpec("scale", CalculatorOp("a * 100", Seq("a")), Seq("a"), "out2")))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    val mgr = new PipelineManager(spark, Some(ckpt))
+    val reports = scala.collection.mutable.Buffer.empty[TaskReport]
+    mgr.onReport(reports += _)
+
+    val memA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]
+    val memB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Long)]
+    mgr.schedule(mkDep("iso_a"), Map("a" -> mkSrc(memA)), Seq("out1", "out2"))
+    mgr.start("iso_a")
+    mgr.start(mkDep("iso_b"), Map("a" -> mkSrc(memB)), Seq("out1", "out2"))
+    assert(mgr.status("iso_a") == "running" && mgr.status("iso_b") == "running")
+
+    memA.addData((10L, 1.0, 0L)); memB.addData((10L, 7.0, 0L))
+    spark.streams.active.foreach(_.processAllAvailable())
+    // two sinks per deployment, deployment-private tables
+    assert(spark.table("iso_a_out1").select("value").as[Double]
+      .collect().toSeq == Seq(2.0))
+    assert(spark.table("iso_a_out2").select("value").as[Double]
+      .collect().toSeq == Seq(100.0))
+    assert(spark.table("iso_b_out1").select("value").as[Double]
+      .collect().toSeq == Seq(8.0))
+    // per-deployment checkpoint dirs exist and are disjoint
+    for (d <- Seq("iso_a", "iso_b"); s <- Seq("out1", "out2"))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ckpt, d, s, "offsets")),
+        s"missing checkpoint $d/$s")
+
+    // stopping ONE deployment leaves the other live and processing
+    mgr.stop("iso_a")
+    assert(mgr.status("iso_a") == "stopped" && mgr.status("iso_b") == "running")
+    memB.addData((20L, 8.0, 1L))
+    spark.streams.active.foreach(_.processAllAvailable())
+    assert(spark.table("iso_b_out1").select("value").as[Double]
+      .collect().sorted.toSeq == Seq(8.0, 9.0))
+
+    // a deployment whose queries terminated WITHOUT an explicit
+    // mgr.stop (source drained to completion) reports Ended, not
+    // Stopped — task.py:230's differentiated terminal
+    spark.streams.active
+      .filter(_.name.startsWith("iso_b_")).foreach(_.stop())
+    mgr.stop("iso_b")
+    assert(mgr.taskStatus("iso_b").values.toSet == Set(TaskStatus.Ended))
+
+    val byDep = reports.groupBy(_.deployment)
+    assert(byDep("iso_a").map(_.status).distinct ==
+      Seq(TaskStatus.Scheduled, TaskStatus.Running, TaskStatus.Stopped))
+    assert(byDep("iso_b").map(_.status).distinct ==
+      Seq(TaskStatus.Scheduled, TaskStatus.Running, TaskStatus.Ended))
+  }
+
   test("lifecycle: start/status/stop a streaming deployment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
