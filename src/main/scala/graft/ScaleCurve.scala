@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCurve {
   private val Queries = Seq("d01_exact_dedup", "d02_minhash_lsh",
-    "d03_ngram_jaccard", "d06_lsh_verified", "d09_dup_clusters",
+    "d03_ngram_jaccard", "d03p_jaccard_prefix",
+    "d06_lsh_verified", "d09_dup_clusters",
     "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
     "q04_multi_join", "q28_range_join_auto",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
@@ -42,13 +43,21 @@ object ScaleCurve {
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
     * vectors): the mechanisms whose scale claims matter most — d02's
-    * hot-bucket cap, d10's pointer-jumping fixpoint, d12 riding d10's
-    * published label table, s02's banded sign-LSH (the ANN headline)
-    * and s07's never-shuffle-the-corpus BM25 (the ranking headline).
-    * Confirms the ×10 exponents hold one more decade out. */
+    * hot-bucket cap, d03p's prefix-filter plan, d10's pointer-jumping
+    * fixpoint, d12 riding d10's published label table, and s07's
+    * never-shuffle-the-corpus BM25 (the ranking headline). s02 is
+    * deliberately NOT here: its pair work is L·n²/2^P BY DESIGN with
+    * the plane count P as the bucket-size knob — at ×100 corpus and
+    * FIXED P=8 the same-bucket pairs are ~2·(500k)²/256 ≈ 2·10⁹, a
+    * configuration no production job runs (P scales with log n to
+    * hold |bucket|; BucketingSpec asserts exactly that max-bucket
+    * shrinkage), and the replica corpus makes every true neighbor an
+    * exact duplicate — the cell would measure a mis-tuned config on a
+    * degenerate geometry, not the operator. SCALE.md carries the
+    * arithmetic. */
   private val X100Queries =
-    Seq("d02_minhash_lsh", "d10_cc_fixpoint", "d12_leakage_safe_split",
-      "s02_ann_lsh", "s07_bm25_rank")
+    Seq("d02_minhash_lsh", "d03p_jaccard_prefix", "d10_cc_fixpoint",
+      "d12_leakage_safe_split", "s07_bm25_rank")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

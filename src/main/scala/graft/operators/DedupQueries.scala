@@ -259,6 +259,18 @@ object DedupQueries {
   private def d03(s: SparkSession, d: String): DataFrame =
     jaccardSelfJoin(Tables.documents(s, d), 0.5)
 
+  /** d03p: the SAME similarity join FORCED onto the PPJoin prefix
+    * path, against the SAME oracle SQL. The cost-model ratio
+    * Σ C(df,2) / occurrences is invariant under the replica
+    * amplification ScaleCurve uses (replicas share zero shingles, so
+    * both sides grow linearly) — on the synthetic uniform-vocabulary
+    * fixtures the dispatcher therefore picks the direct join at EVERY
+    * decade, and the prefix plan — the Zipfian-corpus 100 TB shape —
+    * would never be driver-measured. Registering it as its own query
+    * keeps BOTH physical strategies oracle-hashed and scale-curved. */
+  private def d03p(s: SparkSession, d: String): DataFrame =
+    jaccardSelfJoin(Tables.documents(s, d), 0.5, Some("prefix"))
+
   /** The similarity self-join over any (doc_id, text) frame — exposed
     * so DedupSpec can property-test it against a naive in-memory model.
     *
@@ -278,9 +290,11 @@ object DedupQueries {
     * Both paths compute the identical exact result (the direct join IS
     * the oracle's formulation; the prefix plan is a verified superset
     * pruning), so the choice is invisible to correctness — DedupSpec
-    * pins both paths against the model, and the ×100 scale decades
-    * exercise the PPJoin path automatically (the fixture's Σ C(df,2)
-    * crosses the threshold a decade up). */
+    * pins both paths against the model, and d03p registers the forced
+    * prefix path under the same oracle SQL (the cost ratio is
+    * invariant under ScaleCurve's replica amplification, so only an
+    * explicit query puts the prefix plan under the driver's hash and
+    * on the measured curves). */
   def jaccardSelfJoin(documents: DataFrame, t: Double,
       force: Option[String] = None): DataFrame = {
     // 56-bit md5 prefix of the shingle, not the string: smaller shuffle
@@ -950,6 +964,7 @@ object DedupQueries {
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
     Q("d03_ngram_jaccard", d03, Some(d03Sql)),
+    Q("d03p_jaccard_prefix", d03p, Some(d03Sql)),
     Q("d04_simhash", d04, Some(d04Sql)),
     Q("d05_embedding_neardup", d05, Some(d05Sql)),
     Q("d06_lsh_verified", d06, Some(d06Sql)),
