@@ -228,7 +228,7 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
-  private val e06Sql =
+  private[operators] val e06Sql =
     s"""WITH e AS ($evMs),
        |u AS (
        |  SELECT $pipelineSql, event_id, ts_ms, value, NULL::DOUBLE AS sig, 0 AS pair, 0 AS is_ctrl FROM e WHERE event_type='click'

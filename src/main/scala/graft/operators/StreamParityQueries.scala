@@ -202,6 +202,51 @@ object StreamParityQueries {
       .orderBy(col("ts_ms"), col("event_id"))
   }
 
+  /** e28: the SWITCH machine through the streaming mount, hash-equal
+    * to e06's insertion-ordered-dict window SQL in DuckDB. Fixture:
+    * click/error = pair 0 data/control, view/signup = pair 1, keyed
+    * per pipeline, event ids riding in `text` (the switch forwards
+    * the whole message, so forwarded rows stay identifiable); `pair`
+    * — a static attribute of the event type, not a machine decision —
+    * is re-attached by event id after collection. State (the control
+    * dict + insertion order) crosses 3 micro-batch boundaries. */
+  private def e28(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val topicOf = Map("click" -> 0, "error" -> 1, "view" -> 2, "signup" -> 3)
+    val kev = e.filter(col("event_type")
+        .isin("click", "error", "view", "signup"))
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        col("event_type"), col("ts_ms").as("ts"), col("value"),
+        col("event_id"))
+      .collect()
+      .map { r =>
+        val t = topicOf(r.getString(1))
+        val eid = r.getAs[Number](4).longValue
+        KEv(r.getString(0), t, r.getAs[Number](2).longValue,
+          r.getAs[Number](3).doubleValue,
+          if (t % 2 == 0) eid.toString else null,
+          paused = false, seq = eid)
+      }
+      .sortBy(r => (r.ts, if (r.topic % 2 == 1) 0 else 1, r.seq))
+    val outs = throughStream(s, kev.toSeq,
+      ds => StatefulRunner.runStreaming(
+        new StateMachines.Switch(pairs = 2), ds),
+      Map.empty)
+    val pairOf = e.select(col("event_id"),
+        when(col("event_type") === "click", 0L).otherwise(1L).as("pair"))
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("key").cast(LongType).as("pipeline"),
+        col("text").cast(LongType).as("event_id"),
+        col("ts").as("ts_ms"), col("value"))
+      .join(pairOf, "event_id")
+      .select(col("pipeline"), col("event_id"), col("ts_ms"),
+        col("value"), col("pair"))
+      .orderBy(col("event_id"))
+  }
+
   /** e25: the §2.3 TimeSynchronizer component under the oracle gate —
     * round 5's one spec-only component. The wall clock made it look
     * non-oracle-expressible; injecting a deterministic local clock
@@ -243,5 +288,6 @@ object StreamParityQueries {
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
     Q("e26_tws_rocksdb_gate", e26, Some(EventOps.e05Sql)),
     Q("e27_streaming_synchronizer", e27, Some(EventOps.e13Sql)),
+    Q("e28_streaming_switch", e28, Some(EventOps.e06Sql)),
   )
 }

@@ -237,7 +237,9 @@ object StateMachines {
           else s
         if (selected(s1) == k) {
           val (s2, m) = syncOut(s1, s1.dataPaused(k), e.ts)
-          if (!e.paused) (s2, m :+ Out(e.ts, e.value, null)) else (s2, m)
+          // forward the whole message (switch.py forwards the message
+          // object, text included — e28 rides event ids through this)
+          if (!e.paused) (s2, m :+ Out(e.ts, e.value, e.text)) else (s2, m)
         } else (s1, Nil)
       }
     }
