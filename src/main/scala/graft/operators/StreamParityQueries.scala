@@ -169,7 +169,29 @@ object StreamParityQueries {
     * queue head (set_paused, topic.py:132-134), so the remaining
     * topics' min rises and every buffered row releases. Pure
     * reference semantics — no out-of-band flush path. */
-  private def e27(s: SparkSession, d: String): DataFrame = {
+  private def e27(s: SparkSession, d: String): DataFrame =
+    synchronizerThroughStream(s, d,
+      (n, ds) => StatefulRunner.runStreaming(
+        new StateMachines.Synchronizer(n), ds),
+      Map.empty)
+
+  /** e30: the SAME synchronizer fixture through the transformWithState
+    * mount on RocksDB — the modern typed-state API and the production
+    * state backend carrying the engine's subtlest machine, hash-equal
+    * to e13, e27, and DuckDB at once (the TwS twin of e26's gate
+    * proof, now on the watermark machine with arrival-order folds). */
+  private def e30(s: SparkSession, d: String): DataFrame =
+    synchronizerThroughStream(s, d,
+      (n, ds) => graft.streaming.TwsRunner.runStreaming(
+        new StateMachines.Synchronizer(n), ds),
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")))
+
+  private def synchronizerThroughStream(s: SparkSession, d: String,
+      mount: (Int, org.apache.spark.sql.Dataset[KEv]) =>
+        org.apache.spark.sql.Dataset[KOut],
+      streamConf: Map[String, String]): DataFrame = {
     implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
       StatefulRunner.kevEnc
     val types = Seq("click", "error", "purchase", "signup", "view")
@@ -190,9 +212,7 @@ object StreamParityQueries {
       KEv("0", t, 0L, 1.0, null, paused = true, seq = Long.MaxValue - 4 + t))
     val rows = kev.toSeq ++ flush
     val outs = throughStream(s, rows,
-      ds => StatefulRunner.runStreaming(
-        new StateMachines.Synchronizer(types.length), ds),
-      Map.empty)
+      ds => mount(types.length, ds), streamConf)
     val typeExpr = element_at(
       lit(types.toArray), col("value").cast(IntegerType) + 1)
     s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
@@ -289,5 +309,6 @@ object StreamParityQueries {
     Q("e26_tws_rocksdb_gate", e26, Some(EventOps.e05Sql)),
     Q("e27_streaming_synchronizer", e27, Some(EventOps.e13Sql)),
     Q("e28_streaming_switch", e28, Some(EventOps.e06Sql)),
+    Q("e30_tws_rocksdb_synchronizer", e30, Some(EventOps.e13Sql)),
   )
 }

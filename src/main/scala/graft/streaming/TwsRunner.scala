@@ -13,7 +13,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
   *
   *  - each micro-batch's rows fold in (ts, priority, seq) order — the
   *    order the reference's PrioritizedSequentialInTopicSynchronizer
-  *    establishes (/root/reference/streamtasks/client/topic.py:142-165);
+  *    establishes (/root/reference/streamtasks/client/topic.py:142-165)
+  *    — or in bare arrival (`seq`) order for machines declaring
+  *    [[StateMachines.Machine.arrivalOrder]], same as the fMGWS mount;
   *  - the machine state lives in a named `ValueState` (one state-store
   *    entry per pipeline key, RocksDB-capable — transformWithState
   *    requires the RocksDB provider, which IS the scale-path config);
@@ -43,8 +45,9 @@ object TwsRunner {
     override def handleInputRows(key: String, rows: Iterator[KEv],
         tv: TimerValues): Iterator[KOut] = {
       val s0 = if (state.exists) state.get else machine.init
-      val es = rows.toVector
-        .sortBy(e => (e.ts, machine.priority(e.topic), e.seq))
+      val es =
+        if (machine.arrivalOrder) rows.toVector.sortBy(_.seq)
+        else rows.toVector.sortBy(e => (e.ts, machine.priority(e.topic), e.seq))
       val (s, outs) = es.foldLeft((s0, Vector.empty[KOut])) {
         case ((s1, acc), e) =>
           val (s2, os) =
