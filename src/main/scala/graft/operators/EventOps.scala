@@ -356,7 +356,7 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
-  private val e08Sql =
+  private[operators] val e08Sql =
     s"""WITH e AS ($evMs),
        |u AS (SELECT $pipelineSql, event_id, ts_ms,
        |        CASE WHEN event_type='click' THEN value > 10 END AS setLvl,
@@ -397,7 +397,7 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
-  private val e09Sql =
+  private[operators] val e09Sql =
     s"""WITH e AS ($evMs),
        |u AS (SELECT $pipelineSql, event_id, ts_ms,
        |        CASE WHEN event_type='click' THEN CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS va,
@@ -458,7 +458,7 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
-  private val e10Sql =
+  private[operators] val e10Sql =
     s"""WITH e AS ($evMs),
        |data AS (SELECT $pipelineSql, event_id, ts_ms, 'e' || event_id || ';' AS txt,
        |                0 AS is_ctrl, FALSE AS edge

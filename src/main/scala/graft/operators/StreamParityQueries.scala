@@ -222,6 +222,115 @@ object StreamParityQueries {
       .orderBy(col("ts_ms"), col("event_id"))
   }
 
+  // ------------------------------------------------- packed-ts identity
+  // Machines that emit NEW messages (latch state, formatted text, a
+  // flushed accumulator) carry no forwarded text channel, so the sink
+  // rows can't be joined back to their triggering events the way the
+  // gate/switch forwards allow. But none of these machines does ts
+  // ARITHMETIC — only the fold ORDER matters — so an order-isomorphic
+  // relabeling of ts is semantics-preserving: pack
+  // ts = ts_ms·2²⁰ + event_id (or ·2²¹ with the machine's data-first
+  // priority bit at 2²⁰ when the oracle's order includes it) and every
+  // output row unpacks back to (ts_ms, event_id) after collection.
+  // event_id < 2²⁰ at every SF and ts_ms·2²¹ < 2⁶³ — checked.
+  private val Pack = 1L << 20
+
+  /** Shared mount for the packed-ts machines: `rows` (already packed
+    * and sorted in fold order) through `runStreaming` in 4 micro-
+    * batches; returns non-pause sink rows unpacked to
+    * (pipeline, event_id, ts_ms) plus the machine's output column. */
+  private def packedThroughStream[S](s: SparkSession, rows: Seq[KEv],
+      machine: StateMachines.Machine[S], shift: Int,
+      outCol: org.apache.spark.sql.Column): DataFrame = {
+    val outs = throughStream(s, rows,
+      ds => StatefulRunner.runStreaming(machine, ds), Map.empty)
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("key").cast(LongType).as("pipeline"),
+        pmod(col("ts"), lit(Pack)).as("event_id"),
+        shiftright(col("ts"), shift).as("ts_ms"),
+        outCol)
+      .orderBy(col("event_id"))
+  }
+
+  /** e31: the SR LATCH — LEVEL-based hold semantics, the rule an
+    * edge-based formulation gets wrong — through the real
+    * flatMapGroupsWithState mount, state crossing 3 micro-batch
+    * boundaries, hash-equal to e08's window SQL in DuckDB. Fixture is
+    * e08's (set = click value>10, reset = error value>10, thresholded
+    * Spark-side exactly as the SQL does); identity via packed ts. */
+  private def e31(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val rows = e.filter(col("event_type").isin("click", "error"))
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        (col("ts_ms") * Pack + col("event_id")).as("ts"),
+        when(col("value") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast(StringType).as("text"),
+        lit(false).as("paused"),
+        col("event_id").as("seq"))
+      .as[KEv].collect().sortBy(_.ts).toSeq
+    packedThroughStream(s, rows, new StateMachines.SrLatch(), 20,
+      col("value").as("state"))
+  }
+
+  /** e32: the TEXT FORMATTER — template over the last value of each
+    * named variable, emitted on every valid arrival — through the
+    * streaming mount, hash-equal to e09's window SQL. The DECIMAL
+    * rendering happens Spark-side in the fixture (exactly e09's cast
+    * chain) so the machine sees the identical var strings. */
+  private def e32(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val rows = e.filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        (col("ts_ms") * Pack + col("event_id")).as("ts"),
+        lit(0.0).as("value"),
+        col("value").cast(DecimalType(12, 2)).cast(StringType).as("text"),
+        lit(false).as("paused"),
+        col("event_id").as("seq"))
+      .as[KEv].collect().sortBy(_.ts).toSeq
+    packedThroughStream(s, rows,
+      new StateMachines.TextFormatter(2,
+        vars => s"a=${vars(0)} b=${vars(1)}"), 20,
+      col("text"))
+  }
+
+  /** e33: the STRING CONCATENATOR — rising-edge flush with empty-flush
+    * suppression and data-before-control priority at equal ts —
+    * through the streaming mount, hash-equal to e10's group SQL. The
+    * oracle's order is (ts_ms, is_ctrl, event_id), so the pack puts
+    * the machine's priority bit at 2²⁰: ts = ts_ms·2²¹ + is_ctrl·2²⁰
+    * + event_id. The flush row's ts is the triggering control event's,
+    * so the trigger id unpacks from the sink directly — the channel
+    * that blocked this mount before the packed-ts scheme. */
+  private def e33(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val rows = e.filter(col("event_type").isin("click", "error"))
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        (col("ts_ms") * (2 * Pack)
+          + when(col("event_type") === "error", Pack).otherwise(0L)
+          + col("event_id")).as("ts"),
+        when(col("event_type") === "error",
+          when(col("value") > 10, 1.0).otherwise(0.0))
+          .otherwise(0.0).as("value"),
+        when(col("event_type") === "click",
+          concat(lit("e"), col("event_id"), lit(";")))
+          .otherwise(lit(null).cast(StringType)).as("text"),
+        lit(false).as("paused"),
+        col("event_id").as("seq"))
+      .as[KEv].collect().sortBy(_.ts).toSeq
+    packedThroughStream(s, rows, new StateMachines.StringConcatenator(), 21,
+      col("text"))
+  }
+
   /** e28: the SWITCH machine through the streaming mount, hash-equal
     * to e06's insertion-ordered-dict window SQL in DuckDB. Fixture:
     * click/error = pair 0 data/control, view/signup = pair 1, keyed
@@ -310,5 +419,8 @@ object StreamParityQueries {
     Q("e27_streaming_synchronizer", e27, Some(EventOps.e13Sql)),
     Q("e28_streaming_switch", e28, Some(EventOps.e06Sql)),
     Q("e30_tws_rocksdb_synchronizer", e30, Some(EventOps.e13Sql)),
+    Q("e31_streaming_srlatch", e31, Some(EventOps.e08Sql)),
+    Q("e32_streaming_formatter", e32, Some(EventOps.e09Sql)),
+    Q("e33_streaming_concat", e33, Some(EventOps.e10Sql)),
   )
 }
