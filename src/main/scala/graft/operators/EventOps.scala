@@ -499,7 +499,7 @@ object EventOps {
     ups.unionByName(downs).orderBy(col("user_id"), col("ts_ms"), col("detect"))
   }
 
-  private val e11Sql =
+  private[operators] val e11Sql =
     s"""WITH e AS (SELECT user_id, ts_ms,
        |             lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS next_ts
        |           FROM ($evMs))
@@ -521,7 +521,7 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
-  private val e12Sql =
+  private[operators] val e12Sql =
     s"""SELECT event_id, ts_ms, value FROM ($evMs)
        |WHERE ts_ms <= (SELECT max(epoch_ms(ts)) - 3600000 FROM events)
        |ORDER BY event_id""".stripMargin

@@ -45,7 +45,8 @@ object StreamParityQueries {
   private def throughStream(s: SparkSession, rows: Seq[KEv],
       mount: org.apache.spark.sql.Dataset[KEv] =>
         org.apache.spark.sql.Dataset[KOut],
-      streamConf: Map[String, String]): Seq[KOut] = {
+      streamConf: Map[String, String],
+      tails: Seq[Seq[KEv]] = Nil): Seq[KOut] = {
     implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
       StatefulRunner.kevEnc
     val ss = s.newSession()
@@ -67,6 +68,15 @@ object StreamParityQueries {
         val chunk = math.max(1, (rows.length + 3) / 4)
         rows.grouped(chunk).foreach { b =>
           mem.addData(b.toSeq)
+          sq.processAllAvailable()
+        }
+        // Event-time-timer mounts: each tail batch is a
+        // watermark-advancing sentinel; a timer armed by batch N fires
+        // in batch N+1 (the watermark is computed between batches), so
+        // two sentinels guarantee every armed timer fires before the
+        // sink is read.
+        tails.foreach { b =>
+          mem.addData(b)
           sq.processAllAvailable()
         }
         ss.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
@@ -331,6 +341,76 @@ object StreamParityQueries {
       col("text"))
   }
 
+  /** e34: the MESSAGE DETECTOR on EVENT-TIME TIMERS — the reference's
+    * emit-without-input path (messagedetector.py:30-88: liveness 1 per
+    * message, 0 at lastTs+timeout when the stream goes quiet) driven
+    * by the WATERMARK through `flatMapGroupsWithState` with
+    * `EventTimeTimeout`, hash-equal to e11's lead-window SQL. The
+    * in-stream gap 0s come from the fold; the TRAILING 0 per user is a
+    * real state-store timer fired by watermark passage (two sentinel
+    * batches advance it past every armed deadline) — the one streaming
+    * subsystem (timers) the driver gate did not exercise before. The
+    * timer-fires-vs-data-arrives race is semantics-free by
+    * construction: data for a key in the firing batch folds the gap
+    * itself and the timer is superseded; a timer that fired before a
+    * later event re-inits the key and the fold emits the same rows the
+    * batch oracle derives. Keyed by user_id → state and timers
+    * distribute across executors. */
+  private def e34(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val timeout = 600000L
+    val e = Tables.eventsMs(s, d)
+    val rows = e.select(col("user_id").cast(StringType).as("key"),
+        lit(0).as("topic"), col("ts_ms").as("ts"), lit(0.0).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+      .as[KEv].collect().sortBy(r => (r.ts, r.seq)).toSeq
+    val maxTs = rows.iterator.map(_.ts).max
+    val sentinels = Seq(
+      Seq(KEv("wm", 0, maxTs + timeout + 1, 0.0, null, paused = true, seq = 0L)),
+      Seq(KEv("wm", 0, maxTs + 2 * timeout + 2, 0.0, null, paused = true, seq = 1L)))
+    val outs = throughStream(s, rows,
+      ds => StatefulRunner.runStreamingEventTime(
+        new StateMachines.MessageDetector(timeout), ds,
+        (st: StateMachines.DetectorState) =>
+          if (st.up) Some(st.lastTs + timeout) else None),
+      Map.empty, sentinels)
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("key").cast(LongType).as("user_id"),
+        col("ts").as("ts_ms"), col("value").as("detect"))
+      .orderBy(col("user_id"), col("ts_ms"), col("detect"))
+  }
+
+  /** e35: the TIME BUFFER (timebuffer.py:38-63 message mode — hold
+    * each message until the newest seen timestamp runs `size` ahead;
+    * the tail stays buffered at end of input) through the streaming
+    * mount, hash-equal to e12's cutoff SQL. The buffer state crosses
+    * 3 micro-batch boundaries — rows held at batch N release in batch
+    * N+2 when the newest timestamp finally outruns them, which is the
+    * cross-batch behavior the batch analogue cannot show. Row identity
+    * rides the text channel (event_id), the machine's passthrough
+    * payload. */
+  private def e35(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val rows = e.select(lit("0").as("key"), lit(0).as("topic"),
+        col("ts_ms").as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+      .as[KEv].collect().sortBy(r => (r.ts, r.seq)).toSeq
+    val outs = throughStream(s, rows,
+      ds => StatefulRunner.runStreaming(
+        new StateMachines.TimeBuffer(3600000L), ds), Map.empty)
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("text").cast(LongType).as("event_id"),
+        col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** e28: the SWITCH machine through the streaming mount, hash-equal
     * to e06's insertion-ordered-dict window SQL in DuckDB. Fixture:
     * click/error = pair 0 data/control, view/signup = pair 1, keyed
@@ -422,5 +502,7 @@ object StreamParityQueries {
     Q("e31_streaming_srlatch", e31, Some(EventOps.e08Sql)),
     Q("e32_streaming_formatter", e32, Some(EventOps.e09Sql)),
     Q("e33_streaming_concat", e33, Some(EventOps.e10Sql)),
+    Q("e34_streaming_detector", e34, Some(EventOps.e11Sql)),
+    Q("e35_streaming_timebuffer", e35, Some(EventOps.e12Sql)),
   )
 }

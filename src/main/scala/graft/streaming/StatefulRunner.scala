@@ -99,4 +99,49 @@ object StatefulRunner {
           }
       }
   }
+
+  /** Streaming execution on EVENT-TIME timers: the machine's
+    * emit-without-input path (detector trailing 0,
+    * messagedetector.py:30-88) driven by the WATERMARK instead of the
+    * wall clock — the semantics the reference's event-time mode
+    * actually specifies. `deadline(state)` names the event-time
+    * instant the machine wants to wake at; when the watermark passes
+    * it with no new data for the key, `onTimeout` fires and the state
+    * retires. A deadline already behind the watermark is clamped to
+    * watermark+1 — the wake is late (it fires next batch) but the
+    * machine's OUTPUT timestamps come from its own state, so the
+    * emitted rows are identical; if data for the key lands first the
+    * fold handles the gap itself and the timer never fires (per-batch,
+    * keys with data never time out).
+    *
+    * Scale: identical distribution story to [[runStreaming]] — one
+    * state-store entry per key, RocksDB-capable — plus the timer
+    * registry the state store already maintains; no extra shuffle. */
+  def runStreamingEventTime[S](machine: Machine[S] with Timed[S],
+      ds: Dataset[KEv], deadline: S => Option[Long]): Dataset[KOut] = {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val se: Encoder[Option[S]] = Encoders.kryo[Option[S]]
+    val wm = ds.withColumn("eventTime", timestamp_millis(col("ts")))
+      .withWatermark("eventTime", "0 milliseconds")
+      .as[KEv](kevEnc)
+    wm.groupByKey(_.key)
+      .flatMapGroupsWithState[Option[S], KOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, es: Iterator[KEv], gs: GroupState[Option[S]]) =>
+          if (gs.hasTimedOut) {
+            val tail = gs.getOption.flatten.map(machine.onTimeout)
+              .getOrElse(Nil)
+            gs.remove()
+            tail.map(o => KOut(key, o.ts, o.value, o.text, o.paused)).iterator
+          } else {
+            val s0 = gs.getOption.flatten.getOrElse(machine.init)
+            val (s, outs) = fold(machine, key, s0, sorted(machine, es))
+            gs.update(Some(s))
+            deadline(s).foreach { d =>
+              gs.setTimeoutTimestamp(math.max(d, gs.getCurrentWatermarkMs + 1))
+            }
+            outs.iterator
+          }
+      }
+  }
 }
