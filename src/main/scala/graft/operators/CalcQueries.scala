@@ -64,7 +64,7 @@ object CalcQueries {
       .orderBy(col("event_id"))
   }
 
-  private val c02Sql =
+  private[operators] val c02Sql =
     s"""WITH e AS (SELECT $pipelineSql, event_id, ts_ms,
        |             CASE WHEN event_type='click' THEN value END AS va,
        |             CASE WHEN event_type='view'  THEN value END AS vb

@@ -31,7 +31,11 @@ object ContainerQueries {
     * dynamics of outputcontainer.py:82-92 actually fire; max_desync =
     * 48 ms in the compressed timeline. The `user_id % 5` slice keeps
     * the oracle's recursive simulation ~1.5k iterations. */
-  private def e21(s: SparkSession, d: String): DataFrame = {
+  /** The e21 fixture, shared with the streaming mount (e39 in
+    * StreamParityQueries): the compressed-timeline two-stream kev
+    * rows and the container machine they drive. */
+  private[operators] def e21Fixture(s: SparkSession, d: String)
+      : (org.apache.spark.sql.Dataset[StatefulRunner.KEv], OutputContainerSync) = {
     val e = eventsMs(s, d)
       .filter(col("event_type").isin("click", "view") &&
         col("user_id") % 5 === 0)
@@ -44,16 +48,25 @@ object ContainerQueries {
         shiftright(col("ts_ms") - col("mn"), 14).as("ts"),
         col("value"), lit(null).cast(StringType).as("text"),
         lit(false).as("paused"), col("event_id").as("seq"))
+      .as[StatefulRunner.KEv](StatefulRunner.kevEnc)
     val machine = new OutputContainerSync(Map(
       0 -> OcStreamCfg(1, 32000, 1024, "audio"),
       1 -> OcStreamCfg(1, 30, 1, "video")), maxDesync = 48)
-    StatefulRunner
-      .runBatch(machine, kev.as[StatefulRunner.KEv](StatefulRunner.kevEnc))
-      .toDF()
+    (kev, machine)
+  }
+
+  /** Shared output projection for the container trace (e21/e39). */
+  private[operators] def containerTrace(
+      outs: org.apache.spark.sql.Dataset[StatefulRunner.KOut]): DataFrame =
+    outs.toDF()
       .select(col("key").cast(LongType).as("pipeline"),
         col("text").as("topic"), col("ts"),
         col("value").cast(LongType).as("dts"))
       .orderBy(col("pipeline"), col("ts"), col("topic"), col("dts"))
+
+  private def e21(s: SparkSession, d: String): DataFrame = {
+    val (kev, machine) = e21Fixture(s, d)
+    containerTrace(StatefulRunner.runBatch(machine, kev))
   }
 
   /** Independent DuckDB implementation of the same action system as a
@@ -66,7 +79,7 @@ object ContainerQueries {
     * floor((t-t0)*30/1000) = ((t-t0)*3)//100. The paused-stream drag
     * (outputcontainer.py:94-96) is a no-op here — no pause markers in
     * the batch input — and is exercised in ContainerSpec instead. */
-  private val e21Sql =
+  private[operators] val e21Sql =
     """WITH RECURSIVE
       |pk AS (SELECT user_id % 2 AS p,
       |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tp,

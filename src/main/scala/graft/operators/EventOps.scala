@@ -297,7 +297,7 @@ object EventOps {
       .orderBy(col("event_id"))
   }
 
-  private val e07Sql =
+  private[operators] val e07Sql =
     s"""WITH e AS ($evMs),
        |u AS (
        |  SELECT $pipelineSql, event_id, ts_ms, value, NULL::DOUBLE AS sig, 0 AS pair, 0 AS is_ctrl FROM e WHERE event_type='click'
@@ -606,7 +606,7 @@ object EventOps {
       .orderBy(col("pipeline"), col("ts_ms"))
   }
 
-  private val e15Sql =
+  private[operators] val e15Sql =
     s"""WITH e AS ($evMs),
        |data AS (SELECT $pipelineSql, ts_ms, 0 AS is_tick, value AS v, event_id
        |         FROM e WHERE event_type='click'),

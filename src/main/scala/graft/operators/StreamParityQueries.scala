@@ -456,6 +456,149 @@ object StreamParityQueries {
       .orderBy(col("event_id"))
   }
 
+  /** e36: the MEDIA SWITCH — a [[StateMachines.Switch]] whose cutover
+    * defers to the next keyframe of the newly selected input
+    * (media/mediaswitch.py:11-27) — through the streaming mount,
+    * hash-equal to e07's window SQL. The machine detects keyframes via
+    * `text == "k"`, so row identity CANNOT ride the text channel the
+    * way e28's switch forward does — it rides the packed ts instead
+    * (the machine does no ts arithmetic). The oracle's order is
+    * (ts_ms, is_ctrl DESC, event_id) — control first at equal ts — so
+    * the data bit sits at 2²⁰: ts = ts_ms·2²¹ + is_data·2²⁰ +
+    * event_id. Keyframe := data ∧ event_id % 7 = 0, exactly e07's
+    * stand-in for packet.is_keyframe. The active-index state (which
+    * pair last delivered a selected keyframe) crosses 3 micro-batch
+    * boundaries. `pair` — a static attribute of the event type — is
+    * re-attached by event id after collection, as in e28. */
+  private def e36(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val topicOf = Map("click" -> 0, "error" -> 1, "view" -> 2, "signup" -> 3)
+    val rows = e.filter(col("event_type")
+        .isin("click", "error", "view", "signup"))
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        col("event_type"), col("ts_ms"), col("value"), col("event_id"))
+      .collect()
+      .map { r =>
+        val t = topicOf(r.getString(1))
+        val eid = r.getAs[Number](4).longValue
+        val ts = r.getAs[Number](2).longValue
+        val isData = t % 2 == 0
+        KEv(r.getString(0), t,
+          ts * (2 * Pack) + (if (isData) Pack else 0L) + eid,
+          r.getAs[Number](3).doubleValue,
+          if (isData && eid % 7 == 0) "k" else null,
+          paused = false, seq = eid)
+      }
+      .sortBy(_.ts)
+    val outs = throughStream(s, rows.toSeq,
+      ds => StatefulRunner.runStreaming(
+        new StateMachines.MediaSwitch(pairs = 2), ds),
+      Map.empty)
+    val pairOf = e.select(col("event_id"),
+      when(col("event_type") === "click", 0L).otherwise(1L).as("pair"))
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("key").cast(LongType).as("pipeline"),
+        pmod(col("ts"), lit(Pack)).as("event_id"),
+        shiftright(col("ts"), 21).as("ts_ms"),
+        col("value"))
+      .join(pairOf, "event_id")
+      .select(col("pipeline"), col("event_id"), col("ts_ms"),
+        col("value"), col("pair"))
+      .orderBy(col("event_id"))
+  }
+
+  /** e37: the CALCULATOR machine (calculator.py:227-240 — hold last
+    * value per variable topic, re-evaluate and emit on every valid
+    * arrival) through the streaming mount, hash-equal to c02's
+    * last-value window SQL. The formula is c02's `(a + b) / 2` —
+    * IEEE-754 add/divide, bit-identical between the machine's Scala
+    * fold and DuckDB. Var state (the last a and b) crosses 3
+    * micro-batch boundaries; identity rides the packed ts (the
+    * machine emits NEW messages with the triggering ts, no text
+    * channel, no ts arithmetic). */
+  private def e37(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val rows = e.filter(col("event_type").isin("click", "view"))
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        (col("ts_ms") * Pack + col("event_id")).as("ts"),
+        col("value"),
+        lit(null).cast(StringType).as("text"),
+        lit(false).as("paused"),
+        col("event_id").as("seq"))
+      .as[KEv].collect().sortBy(_.ts).toSeq
+    packedThroughStream(s, rows,
+      new StateMachines.Calculator(Map(0 -> 0.0, 1 -> 0.0),
+        v => (v(0) + v(1)) / 2), 20,
+      col("value").as("result"))
+  }
+
+  /** e38: the REPEATER (repeater.py:36-69, rate-source mode — topic 0
+    * data updates the held value, topic 1 clock ticks re-emit it with
+    * the tick's timestamp) through the streaming mount, hash-equal to
+    * e15's union+last-value SQL. The tick grid spans the full event
+    * range at 10-min steps, replicated per pipeline exactly as e15's
+    * fixture builds it; the held value crosses 3 micro-batch
+    * boundaries (a click in batch N keeps re-emitting from ticks in
+    * batches N+1..3). No packing: the output IS (pipeline, tick ts,
+    * held) — at equal ts the fold must see data before ticks (a
+    * sample landing exactly on a tick is included, e15's is_tick sort
+    * key), which the seq channel encodes (tick seq = 2⁴⁰ + index,
+    * above every event id). */
+  private def e38(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val data = e.filter(col("event_type") === "click")
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        col("ts_ms"), col("value"), col("event_id"))
+      .collect()
+      .map(r => KEv(r.getString(0), 0, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).doubleValue, null, paused = false,
+        seq = r.getAs[Number](3).longValue))
+    val b = e.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
+    val (lo, hi) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
+    val keys = data.map(_.key).distinct.sorted
+    val ticks = for {
+      (k, ki) <- keys.zipWithIndex
+      (t, i) <- (lo to hi by 600000L).zipWithIndex
+    } yield KEv(k, 1, t, 0.0, null, paused = false,
+      seq = (1L << 40) + ki.toLong * (1L << 30) + i)
+    val rows = (data ++ ticks).sortBy(r => (r.ts, r.seq)).toSeq
+    val outs = throughStream(s, rows,
+      ds => StatefulRunner.runStreaming(new StateMachines.Repeater(), ds),
+      Map.empty)
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("key").cast(LongType).as("pipeline"),
+        col("ts").as("ts_ms"), col("value").as("held"))
+      .orderBy(col("pipeline"), col("ts_ms"))
+  }
+
+  /** e39: the OUTPUT CONTAINER SYNCHRONIZER — the mux-sink
+    * bounded-desync action system (outputcontainer.py:52-114: startup
+    * barrier, min-duration emit, desync drop, fixpoint drain) —
+    * through the streaming mount, hash-equal to e21's recursive-CTE
+    * oracle. e21's exact fixture (compressed two-stream timeline) and
+    * machine, fed in the runner's (ts, topic, seq) fold order so any
+    * 4-way chunking concatenates to the per-key batch fold; the
+    * container's queues, dts counters, and startup barrier cross 3
+    * micro-batch boundaries — a packet blocked in batch N can emit or
+    * drop in batch N+2 when the other stream's duration catches up.
+    * The deepest state machine in the engine, now on the real
+    * streaming execution path under the driver's hash check. */
+  private def e39(s: SparkSession, d: String): DataFrame = {
+    val (kev, machine) = ContainerQueries.e21Fixture(s, d)
+    val rows = kev.collect().sortBy(r => (r.ts, r.topic, r.seq)).toSeq
+    val outs = throughStream(s, rows,
+      ds => StatefulRunner.runStreaming(machine, ds), Map.empty)
+    ContainerQueries.containerTrace(
+      s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc))
+  }
+
   /** e25: the §2.3 TimeSynchronizer component under the oracle gate —
     * round 5's one spec-only component. The wall clock made it look
     * non-oracle-expressible; injecting a deterministic local clock
@@ -504,5 +647,9 @@ object StreamParityQueries {
     Q("e33_streaming_concat", e33, Some(EventOps.e10Sql)),
     Q("e34_streaming_detector", e34, Some(EventOps.e11Sql)),
     Q("e35_streaming_timebuffer", e35, Some(EventOps.e12Sql)),
+    Q("e36_streaming_mediaswitch", e36, Some(EventOps.e07Sql)),
+    Q("e37_streaming_calculator", e37, Some(CalcQueries.c02Sql)),
+    Q("e38_streaming_repeater", e38, Some(EventOps.e15Sql)),
+    Q("e39_streaming_container", e39, Some(ContainerQueries.e21Sql)),
   )
 }
