@@ -599,6 +599,72 @@ object StreamParityQueries {
       s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc))
   }
 
+  /** e40: the CHAT machine (llama.cpp rolling context,
+    * inference/llamacppchat.py:49-77 — append user message, evict
+    * oldest non-system while over the token budget, reply, append the
+    * reply) through the streaming mount. t09 gates the eviction
+    * ARITHMETIC via windows; this gates the MACHINE: the injected
+    * reply stub returns the post-eviction context token count (the
+    * reference's `n_ctx` bookkeeping), so the oracle can check the
+    * eviction state itself, not just the fold's plumbing. Every reply
+    * is one token ("523" has no whitespace), so the context is an
+    * interleaved item sequence u₁,a₁,u₂,a₂,… with sizes (tok, 1) —
+    * front-only eviction keeps a contiguous suffix, and the greedy
+    * per-step pop equals the maximal-suffix-≤-budget rule (a start
+    * dropped once only grows heavier), which is exactly t09's
+    * range-window shape over the ITEM cumsum. Budget 512; tok ≤ 120
+    * so the keep-newest override never binds. Context state crosses 3
+    * micro-batch boundaries; identity rides the packed ts. */
+  private def e40(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val rows = e.filter(col("event_type") === "click")
+      .select((col("user_id") % 8).cast(StringType).as("key"),
+        lit(0).as("topic"),
+        (col("ts_ms") * Pack + col("event_id")).as("ts"),
+        lit(0.0).as("value"),
+        trim(repeat(lit("w "),
+          ((abs(floor(col("value") * 37).cast(LongType)) % 120) + 1)
+            .cast(IntegerType))).as("text"),
+        lit(false).as("paused"),
+        col("event_id").as("seq"))
+      .as[KEv].collect().sortBy(_.ts).toSeq
+    val chat = new StateMachines.Chat(None, 512,
+      ms => ms.iterator.map(_._2.split("\\s+").length).sum.toString)
+    val outs = throughStream(s, rows,
+      ds => StatefulRunner.runStreaming(chat, ds), Map.empty)
+    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
+      .toDF()
+      .select(col("key").cast(LongType).as("conv"),
+        pmod(col("ts"), lit(Pack)).as("event_id"),
+        col("text").cast(LongType).as("ctx_tok"))
+      .orderBy(col("conv"), col("event_id"))
+  }
+
+  private val e40Sql =
+    """WITH e AS (SELECT user_id % 8 AS conv, epoch_ms(ts) AS ts_ms,
+      |    event_id,
+      |    abs(CAST(floor(value * 37) AS BIGINT)) % 120 + 1 AS tok
+      |  FROM events WHERE event_type = 'click'),
+      |r AS (SELECT conv, event_id, tok,
+      |    row_number() OVER (PARTITION BY conv ORDER BY ts_ms, event_id) AS rn
+      |  FROM e),
+      |items AS (
+      |  SELECT conv, event_id, 2 * rn AS ord, tok AS sz, true AS is_user FROM r
+      |  UNION ALL
+      |  SELECT conv, event_id, 2 * rn + 1 AS ord, 1 AS sz, false FROM r),
+      |c AS (SELECT conv, event_id, is_user,
+      |    CAST(sum(sz) OVER (PARTITION BY conv ORDER BY ord) AS BIGINT) AS s
+      |  FROM items),
+      |w AS (SELECT conv, event_id, is_user, s,
+      |    min(s) OVER (PARTITION BY conv ORDER BY s
+      |      RANGE BETWEEN 512 PRECEDING AND CURRENT ROW) AS ms
+      |  FROM c)
+      |SELECT conv, event_id,
+      |  CAST(CASE WHEN s <= 512 THEN s ELSE s - ms END AS BIGINT) AS ctx_tok
+      |FROM w WHERE is_user ORDER BY conv, event_id""".stripMargin
+
   /** e25: the §2.3 TimeSynchronizer component under the oracle gate —
     * round 5's one spec-only component. The wall clock made it look
     * non-oracle-expressible; injecting a deterministic local clock
@@ -651,5 +717,6 @@ object StreamParityQueries {
     Q("e37_streaming_calculator", e37, Some(CalcQueries.c02Sql)),
     Q("e38_streaming_repeater", e38, Some(EventOps.e15Sql)),
     Q("e39_streaming_container", e39, Some(ContainerQueries.e21Sql)),
+    Q("e40_streaming_chat", e40, Some(e40Sql)),
   )
 }
