@@ -665,6 +665,46 @@ object StreamParityQueries {
       |  CAST(CASE WHEN s <= 512 THEN s ELSE s - ms END AS BIGINT) AS ctx_tok
       |FROM w WHERE is_user ORDER BY conv, event_id""".stripMargin
 
+  /** e41: the WALL-CLOCK REPEATER (repeater.py:36-69 wall-clock mode —
+    * every data message updates the held value AND the learned
+    * stream-clock offset; each tick re-emits the held value restamped
+    * to the projected stream time) under the oracle gate, e25-style:
+    * an injected deterministic clock makes the restamp arithmetic
+    * oracle-expressible. With clock() ≡ 0 the learned offset IS the
+    * last data timestamp, so the end-of-input tick (the runner's
+    * batch-mode Timed tail) emits the held value at exactly that
+    * timestamp — the oracle is the per-pipeline argmax row. Gates the
+    * offset-learning + hold + restamp path of the machine the
+    * wall-clock spec can only pin in-JVM. */
+  private def e41(s: SparkSession, d: String): DataFrame = {
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val e = Tables.eventsMs(s, d)
+    val kev = e.filter(col("event_type") === "click")
+      .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
+        lit(0).as("topic"), col("ts_ms").as("ts"), col("value"),
+        lit(null).cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    StatefulRunner
+      .runBatch(new StateMachines.WallClockRepeater(() => 0L), kev.as[KEv])
+      .toDF()
+      .filter(!col("paused"))
+      .select(col("key").cast(LongType).as("pipeline"),
+        col("ts").as("ts_ms"), col("value").as("held"))
+      .orderBy(col("pipeline"))
+  }
+
+  private val e41Sql =
+    """WITH e AS (SELECT user_id % 2 AS pipeline, epoch_ms(ts) AS ts_ms,
+      |    event_id, value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT pipeline, ts_ms, value AS held FROM (
+      |  SELECT pipeline, ts_ms, value,
+      |    row_number() OVER (PARTITION BY pipeline
+      |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+      |  FROM e)
+      |WHERE rn = 1 ORDER BY pipeline""".stripMargin
+
   /** e25: the §2.3 TimeSynchronizer component under the oracle gate —
     * round 5's one spec-only component. The wall clock made it look
     * non-oracle-expressible; injecting a deterministic local clock
@@ -718,5 +758,6 @@ object StreamParityQueries {
     Q("e38_streaming_repeater", e38, Some(EventOps.e15Sql)),
     Q("e39_streaming_container", e39, Some(ContainerQueries.e21Sql)),
     Q("e40_streaming_chat", e40, Some(e40Sql)),
+    Q("e41_wallclock_repeater", e41, Some(e41Sql)),
   )
 }
