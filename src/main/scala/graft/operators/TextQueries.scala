@@ -623,6 +623,108 @@ object TextQueries {
       |FROM r WHERE sample_rank <= (n * (k % 4 + 1) + 3) // 4
       |ORDER BY doc_id""".stripMargin
 
+  /** t15: the COMPOSED corpus-build pipeline — the four stages every
+    * pretraining data run chains (quality filter → exact dedup →
+    * stratified down-sample → sequence pack), in ONE declarative plan
+    * with one oracle. Each stage reuses the exact semantics its
+    * standalone query gates (t13's funnel predicates, d01's
+    * normalized content key, t14's salted-hash rank at a fixed 60%
+    * quota, t10's 256-token chunk packing), so the composition — the
+    * thing production pipelines actually run — is what this query
+    * adds to the gate.
+    *
+    * Scale: the corpus scans ONCE. Stage boundaries are two real
+    * shuffles (content-key hash for the dup window, source hash for
+    * the quota/pack windows — the three source-partitioned windows
+    * share one exchange and differ only in sort), then the map-side-
+    * combined (source, chunk) aggregate. No stage materializes the
+    * corpus; filters narrow monotonically; at 100 TB this is scan →
+    * 2 shuffles of the surviving fraction → packed-chunk stats. */
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = toks(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")
+          .cast(BinaryType)).as("content_key"),
+        size(w).cast(LongType).as("dl"),
+        size(array_distinct(w)).cast(LongType).as("vocab"),
+        array_max(transform(array_distinct(w),
+          t => size(filter(w, x => x === t)))).cast(LongType).as("max_tok"))
+      .filter(col("dl") >= 30 && col("dl") <= 80 &&
+        col("vocab") * 100 >= col("dl") * 35 &&
+        col("max_tok") * 8 <= col("dl"))
+    val wDup = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    val deduped = scored
+      .withColumn("dup_rank", row_number().over(wDup))
+      .filter(col("dup_rank") === 1)
+    val rk = conv(substring(md5(concat(lit("t15"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 14), 16, 10)
+      .cast(LongType)
+    val wRank = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    val sampled = deduped.withColumn("rk", rk)
+      .withColumn("sample_rank", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("sample_rank") * 5 <= col("n") * 3) // keep floor(0.6 n)
+    val wPack = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    sampled
+      .withColumn("end", sum(col("dl")).over(wPack))
+      .withColumn("start", col("end") - col("dl"))
+      .select(col("source"), col("doc_id"), col("start"), col("end"),
+        explode(sequence(expr("start div 256"), expr("(`end` - 1) div 256")))
+          .as("chunk"))
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end"), (col("chunk") + 1) * 256) -
+          greatest(col("start"), col("chunk") * 256)).as("tok_fill"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("chunk"))
+  }
+
+  private val t15Sql =
+    """WITH w AS (SELECT doc_id, source,
+      |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_key,
+      |    string_split_regex(trim(text), '\s+') AS wl
+      |  FROM documents),
+      |m AS (SELECT doc_id, source, content_key,
+      |    CAST(len(wl) AS BIGINT) AS dl,
+      |    CAST(len(list_distinct(wl)) AS BIGINT) AS vocab,
+      |    CAST(list_max(list_transform(list_distinct(wl),
+      |      t -> len(list_filter(wl, x -> x = t)))) AS BIGINT) AS max_tok
+      |  FROM w),
+      |q AS (SELECT doc_id, source, content_key, dl FROM m
+      |  WHERE dl >= 30 AND dl <= 80 AND vocab * 100 >= dl * 35
+      |    AND max_tok * 8 <= dl),
+      |dd AS (SELECT doc_id, source, dl FROM (
+      |    SELECT q.*, row_number() OVER (PARTITION BY content_key
+      |      ORDER BY doc_id) AS dup_rank FROM q)
+      |  WHERE dup_rank = 1),
+      |s AS (SELECT doc_id, source, dl,
+      |    CAST(concat('0x', substr(md5(concat('t15', CAST(doc_id AS VARCHAR))), 1, 14))
+      |      AS BIGINT) AS rk
+      |  FROM dd),
+      |r AS (SELECT doc_id, source, dl,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id)
+      |      AS BIGINT) AS sample_rank,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM s),
+      |keep AS (SELECT doc_id, source, dl FROM r WHERE sample_rank * 5 <= n * 3),
+      |c AS (SELECT doc_id, source, dl,
+      |    CAST(sum(dl) OVER pw AS BIGINT) AS "end",
+      |    CAST(sum(dl) OVER pw - dl AS BIGINT) AS start
+      |  FROM keep WINDOW pw AS (PARTITION BY source ORDER BY doc_id)),
+      |ex AS (SELECT source, doc_id, start, "end",
+      |    unnest(generate_series(start // 256, ("end" - 1) // 256)) AS chunk
+      |  FROM c)
+      |SELECT source, chunk,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(least("end", (chunk + 1) * 256) - greatest(start, chunk * 256))
+      |    AS BIGINT) AS tok_fill,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM ex GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -638,5 +740,6 @@ object TextQueries {
     Q("t12_corpus_shuffle", t12, Some(t12Sql)),
     Q("t13_filter_funnel", t13, Some(t13Sql)),
     Q("t14_stratified_sample", t14, Some(t14Sql)),
+    Q("t15_corpus_pipeline", t15, Some(t15Sql)),
   )
 }
