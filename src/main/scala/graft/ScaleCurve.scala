@@ -38,7 +38,7 @@ object ScaleCurve {
     "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
     "q04_multi_join", "q28_range_join_auto",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
-    "t05_ngram_profile", "e18_sessionize")
+    "t05_ngram_profile", "t15_corpus_pipeline", "e18_sessionize")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -57,10 +57,16 @@ object ScaleCurve {
     * arithmetic. */
   private val X100Queries =
     Seq("d02_minhash_lsh", "d03p_jaccard_prefix", "d10_cc_fixpoint",
-      "d12_leakage_safe_split", "s07_bm25_rank")
+      "d12_leakage_safe_split", "s07_bm25_rank", "t15_corpus_pipeline")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
+    // Optional 2nd arg: comma-separated name prefixes restricting the
+    // measured queries (local iteration — a new row shouldn't force a
+    // full-curve rerun); the amplified corpora build/cache either way.
+    val only = args.drop(1).headOption.map(_.split(",").toSeq)
+      .getOrElse(Seq.empty)
+    def keep(n: String) = only.isEmpty || only.exists(n.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,7 +106,7 @@ object ScaleCurve {
 
     time(Queries.head, scales.head._2) // JIT warm-up, unmeasured
     val lastTs = scala.collection.mutable.Map.empty[String, Double]
-    val rows = Queries.map { q =>
+    val rows = Queries.filter(keep).map { q =>
       val ts = scales.map { case (_, dir, _) =>
         math.min(time(q, dir), time(q, dir)) // min of 2 (noise floor)
       }
@@ -114,7 +120,7 @@ object ScaleCurve {
     }
     val x100 = s"$outDir/x100"
     buildX100(spark, "/root/testdata/sf0.1", x100)
-    val x100Rows = X100Queries.map { q =>
+    val x100Rows = X100Queries.filter(keep).map { q =>
       val t = math.min(time(q, x100), time(q, x100))
       val exp = math.log10(t / lastTs(q))
       System.err.println(f"$q%-22s x100 $t%7.2f  exp $exp%5.2f")
