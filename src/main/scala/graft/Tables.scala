@@ -22,10 +22,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-    // default; read it as a nanos Long and convert explicitly (tsMillis).
+    // events.parquet has shipped as TIMESTAMP(NANOS) (which Spark 4
+    // refuses by default — read as nanos Long) and as timestamp[us]
+    // isAdjustedToUTC=false (which would infer TIMESTAMP_NTZ, whose
+    // epoch extraction is session-timezone-dependent — the per-read
+    // option forces TIMESTAMP so unix_micros returns the stored micros
+    // verbatim, matching DuckDB's epoch_ms on the same file). Scoped to
+    // events only: orders/lineitem date columns keep NTZ inference, the
+    // type the whole green relational surface was verified on.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val r = spark.read
+    (if (name == "events") r.option("inferTimestampNTZ", "false") else r)
+      .parquet(s"$dir/$name.parquet")
   }
 
   /** Events with `ts_ms: Long` (epoch millis) derived from the nanos
@@ -37,6 +45,24 @@ object Tables {
   def eventsMs(s: SparkSession, d: String): DataFrame =
     events(s, d).withColumn("ts_ms",
       org.apache.spark.sql.functions.expr("ts DIV 1000000"))
+
+  /** Schema-adaptive normalization of the events `ts` column to epoch
+    * NANOS as Long — the engine-internal encoding every downstream
+    * operator assumes. The driver has regenerated events.parquet with
+    * different physical types across rounds (int64 nanos through r6,
+    * timestamp[us] from r7's regeneration); both must read to identical
+    * values. unix_micros on a TIMESTAMP read with inferTimestampNTZ
+    * disabled returns the stored micros verbatim (timezone-independent),
+    * so `* 1000` reproduces the nanos encoding exactly. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros, lit}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df // legacy int64-nanos encoding: already normal
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
 
   /** Write a table bucketed (and sorted) by join keys so repeated
     * fact-fact joins on those keys need no exchange: both sides read
@@ -58,7 +84,8 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   /** documents/embeddings arrive as ONE row group per file, so the scan
     * is a single task — but every downstream query does heavy per-row
     * work (shingle md5s, quantized dot products). Spread rows across the

@@ -33,6 +33,11 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // A failed query must be LOUD, not a silent absence: round 7 lost 66
+    // correctness rows because per-query exceptions were only stderr
+    // noise. Failures are collected, marked on disk, and summarized in
+    // one machine-readable stdout line.
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) =>
         only.isEmpty || only.exists(name.startsWith) }
@@ -45,7 +50,13 @@ object Verify {
             .parquet(s"$outDir/$name")
         }
         catch { case e: Throwable =>
+          failed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // inspectable marker where the result parquet should have been
+          val d = Paths.get(outDir, name)
+          Files.createDirectories(d)
+          Files.writeString(d.resolve("_FAILED"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
         }
       }
     }
@@ -53,6 +64,19 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    val failedNames = {
+      import scala.jdk.CollectionConverters._
+      failed.asScala.toSeq.sorted
+    }
+    val ran = SparkEntry.queries.keys.toSeq
+      .count(n => only.isEmpty || only.exists(n.startsWith))
+    val statusLine = failedNames
+      .map("\"" + _ + "\"").mkString(
+        s"""{"verify_ok":${ran - failedNames.size},"verify_failed":[""",
+        ",", "]}")
+    println(statusLine)
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"),
+      statusLine + "\n")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

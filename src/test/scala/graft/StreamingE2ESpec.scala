@@ -39,10 +39,11 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("file stream -> watermark -> 1h window agg == batch window agg") {
     // the file stream source watches a directory
+    // materialize through Tables.events so the stream sees the engine's
+    // normalized nanos-Long ts regardless of the fixture's physical type
     val dir = java.nio.file.Files.createTempDirectory("events-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"))
+    Tables.events(spark, sf).coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
     val stream = spark.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
