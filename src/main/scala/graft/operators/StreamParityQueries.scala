@@ -26,8 +26,8 @@ import org.apache.spark.sql.types._
   * a real sink, with state keyed per pipeline across executors
   * (RocksDB-capable; StreamingE2ESpec runs this mount on RocksDB and
   * through a checkpoint restart). The fixture is bounded (two event
-  * types of the events table) and cut into 4 micro-batches so the
-  * cross-batch state path genuinely executes (state crosses 3 batch
+  * types of the events table) and cut into 3 micro-batches so the
+  * cross-batch state path genuinely executes (state crosses 2 batch
   * boundaries); per-key event order is preserved because the global
   * (ts, control-priority, seq) sort is exactly the runner's in-batch
   * sort, so any chunking of it concatenates to the same per-key
@@ -37,7 +37,7 @@ object StreamParityQueries {
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Drives `rows` (already in the order the mount expects) through a
-    * streaming mount in 4 micro-batches on an ISOLATED `s.newSession()`
+    * streaming mount in 3 micro-batches on an ISOLATED `s.newSession()`
     * — same SparkContext, private SQLConf/temp views — so per-stream
     * conf pins never touch the shared batch session and concurrent
     * stream starts cannot race each other's conf. Returns the collected
@@ -60,12 +60,26 @@ object StreamParityQueries {
     // sets per stream.
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     streamConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    // The offset/commit WALs fsync per micro-batch; on this box /tmp is
+    // ext4, so a default temp checkpoint pays ~75ms of real disk IO per
+    // batch across ~8 batches per mount. The mount's checkpoint is
+    // ephemeral by construction (MemoryStream can't be recovered), so
+    // put it on tmpfs when the box has one — measured ~0.5s/mount.
+    // Durability is a per-deployment choice: a production stream points
+    // this at HDFS/S3 and pays the fsync as the price of exactly-once.
+    val ckptBase = if (new java.io.File("/dev/shm").isDirectory)
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val ckpt = s"$ckptBase/graft-ckpt-$sink-${System.nanoTime()}"
     val sq = mount(mem.toDS())
       .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     val outs: Seq[KOut] =
       try {
-        val chunk = math.max(1, (rows.length + 3) / 4)
+        // 3 chunks: state crosses 2 micro-batch boundaries — the
+        // minimum that still proves cross-batch state in the store
+        // (plus the tail batches for timer mounts).
+        val chunk = math.max(1, (rows.length + 2) / 3)
         rows.grouped(chunk).foreach { b =>
           mem.addData(b.toSeq)
           sq.processAllAvailable()
@@ -80,13 +94,16 @@ object StreamParityQueries {
           sq.processAllAvailable()
         }
         ss.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
-      } finally sq.stop()
+      } finally {
+        sq.stop()
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
+      }
     ss.catalog.dropTempView(sink) // the sink's rows are now owned locally
     outs
   }
 
   /** Shared harness: the e05 gate fixture through any streaming mount
-    * of the [[Gate]] machine, in 4 micro-batches, collected back as
+    * of the [[Gate]] machine, in 3 micro-batches, collected back as
     * the e05-shaped (pipeline, event_id, ts_ms, value) frame.
     * `streamConf` entries are pinned for the stream's FIRST start
     * (they go into checkpoint metadata — state-store width, provider
@@ -246,7 +263,7 @@ object StreamParityQueries {
   private val Pack = 1L << 20
 
   /** Shared mount for the packed-ts machines: `rows` (already packed
-    * and sorted in fold order) through `runStreaming` in 4 micro-
+    * and sorted in fold order) through `runStreaming` in 3 micro-
     * batches; returns non-pause sink rows unpacked to
     * (pipeline, event_id, ts_ms) plus the machine's output column. */
   private def packedThroughStream[S](s: SparkSession, rows: Seq[KEv],
@@ -375,7 +392,11 @@ object StreamParityQueries {
         new StateMachines.MessageDetector(timeout), ds,
         (st: StateMachines.DetectorState) =>
           if (st.up) Some(st.lastTs + timeout) else None),
-      Map.empty, sentinels)
+      // ~1500 user keys (vs the gate mounts' 2 pipelines): width 16 so
+      // the per-batch kryo state folds spread across the cores instead
+      // of queueing 375 keys per task — the same size-to-the-keys rule
+      // the 4-wide default applies to the low-cardinality mounts.
+      Map("spark.sql.shuffle.partitions" -> "16"), sentinels)
     s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
       .toDF()
       .select(col("key").cast(LongType).as("user_id"),
@@ -387,7 +408,7 @@ object StreamParityQueries {
     * each message until the newest seen timestamp runs `size` ahead;
     * the tail stays buffered at end of input) through the streaming
     * mount, hash-equal to e12's cutoff SQL. The buffer state crosses
-    * 3 micro-batch boundaries — rows held at batch N release in batch
+    * 2 micro-batch boundaries — rows held at batch N release in batch
     * N+2 when the newest timestamp finally outruns them, which is the
     * cross-batch behavior the batch analogue cannot show. Row identity
     * rides the text channel (event_id), the machine's passthrough
@@ -418,7 +439,7 @@ object StreamParityQueries {
     * the whole message, so forwarded rows stay identifiable); `pair`
     * — a static attribute of the event type, not a machine decision —
     * is re-attached by event id after collection. State (the control
-    * dict + insertion order) crosses 3 micro-batch boundaries. */
+    * dict + insertion order) crosses 2 micro-batch boundaries. */
   private def e28(s: SparkSession, d: String): DataFrame = {
     implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
       StatefulRunner.kevEnc
@@ -467,7 +488,7 @@ object StreamParityQueries {
     * the data bit sits at 2²⁰: ts = ts_ms·2²¹ + is_data·2²⁰ +
     * event_id. Keyframe := data ∧ event_id % 7 = 0, exactly e07's
     * stand-in for packet.is_keyframe. The active-index state (which
-    * pair last delivered a selected keyframe) crosses 3 micro-batch
+    * pair last delivered a selected keyframe) crosses 2 micro-batch
     * boundaries. `pair` — a static attribute of the event type — is
     * re-attached by event id after collection, as in e28. */
   private def e36(s: SparkSession, d: String): DataFrame = {
@@ -543,7 +564,7 @@ object StreamParityQueries {
     * the tick's timestamp) through the streaming mount, hash-equal to
     * e15's union+last-value SQL. The tick grid spans the full event
     * range at 10-min steps, replicated per pipeline exactly as e15's
-    * fixture builds it; the held value crosses 3 micro-batch
+    * fixture builds it; the held value crosses 2 micro-batch
     * boundaries (a click in batch N keeps re-emitting from ticks in
     * batches N+1..3). No packing: the output IS (pipeline, tick ts,
     * held) — at equal ts the fold must see data before ticks (a

@@ -193,6 +193,115 @@ class CodecSpec extends AnyFunSuite {
         s"for ${flat.length}B raw)")
   }
 
+  // --- Spectral round-trip in the reference's own test shape ---------
+  // tests/media/test_audio_codec.py:10-16 (inverse transcoder) and
+  // :24-28 (transcode with resample): generate the 69+111+420 Hz
+  // three-tone track, push it through a LOSSY codec, and assert the
+  // spectral peak positions survive within the reference's similarity
+  // budget (< 35 summed bin distance). Helpers mirror tests/media/
+  // __init__.py: get_spectrum (binned |rfft| normalized to sum 1) and
+  // get_freq_similarity (smoothed peak extraction, summed |Δbin|).
+
+  /** generate_audio_track: sin(420)+sin(69)+sin(111), ×10000, s16. */
+  private def threeToneS16(rate: Int, n: Int): Array[Short] =
+    Array.tabulate(n) { i =>
+      val t = 2.0 * math.Pi * i / rate
+      ((math.sin(t * 420) + math.sin(t * 69) + math.sin(t * 111))
+        * 10000).toShort
+    }
+
+  /** get_spectrum: |rfft| summed into rate/2 bins, normalized. */
+  private def spectrum(samples: Array[Double], rate: Int): Array[Double] = {
+    val raw = graft.functions.Fft.magnitudes(samples)
+    val bins = rate / 2
+    val sumSize = raw.length.toDouble / bins
+    val spec = Array.tabulate(bins) { b =>
+      val lo = (b * sumSize).toInt
+      val hi = math.min(raw.length, (b * sumSize + sumSize).toInt)
+      var s = 0.0; var k = lo
+      while (k < hi) { s += raw(k); k += 1 }
+      s
+    }
+    val total = spec.sum
+    spec.map(_ / total)
+  }
+
+  /** get_freq_peeks: 5× smoothing with the 11-tap [1…2…1]/12 kernel,
+    * zero below max/4, then the double falling-edge peak pick. */
+  private def freqPeaks(spec0: Array[Double]): Seq[Int] = {
+    var spec = spec0
+    val kernel = Array.fill(11)(1.0); kernel(5) = 2.0
+    val ksum = kernel.sum
+    for (_ <- 0 until 5) {
+      val prev = spec
+      spec = Array.tabulate(prev.length) { i =>
+        var s = 0.0; var k = 0
+        while (k < 11) {
+          val j = i + k - 5
+          if (j >= 0 && j < prev.length) s += prev(j) * kernel(k)
+          k += 1
+        }
+        s / ksum
+      }
+    }
+    val mx = spec.max
+    val th = spec.map(v => if (v < mx / 4) 0.0 else v)
+    val falling = th.init.zip(th.tail).map { case (a, b) => a > b }
+    falling.init.zip(falling.tail).zipWithIndex
+      .collect { case ((f, g), i) if f && !g => i }
+      .toSeq
+  }
+
+  /** get_freq_similarity: summed |Δ| over aligned sorted peak bins. */
+  private def freqSimilarity(a: Array[Double], b: Array[Double]): Int = {
+    val (pa, pb) = (freqPeaks(a).sorted, freqPeaks(b).sorted)
+    assert(pa.nonEmpty && pb.nonEmpty, "no frequency peeks found")
+    val size = math.min(pa.size, pb.size)
+    pa.take(size).zip(pb.take(size)).map { case (x, y) => math.abs(x - y) }.sum
+  }
+
+  private def s16leBytes(xs: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](xs.length * 2)
+    var i = 0
+    while (i < xs.length) {
+      out(2 * i) = (xs(i) & 0xff).toByte
+      out(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def s16leDoubles(bs: Array[Byte]): Array[Double] =
+    Array.tabulate(bs.length / 2)(i =>
+      ((bs(2 * i + 1) << 8) | (bs(2 * i) & 0xff)).toShort.toDouble)
+
+  test("mu-law inverse transcoder: three-tone spectrum survives the " +
+      "lossy round trip (test_audio_codec.py:10-16 shape)") {
+    val rate = 16384 // power of 2: rate==n makes spectrum bins = Hz
+    val in = threeToneS16(rate, rate)
+    val packets = Codec.MuLaw.encode(s16leBytes(in))
+    assert(packets.length == in.length, "mu-law is 1 byte per sample")
+    val out = s16leDoubles(Codec.MuLaw.decode(packets))
+    val sim = freqSimilarity(
+      spectrum(in.map(_.toDouble), rate), spectrum(out, rate))
+    assert(sim < 35, s"spectral similarity $sim >= 35 after round trip")
+  }
+
+  test("mu-law + resampler transcode: peaks survive a rate change " +
+      "(test_audio_codec.py:24-28 shape)") {
+    val rate1 = 16384
+    val rate2 = 8192
+    val in = threeToneS16(rate1, rate1)
+    val decoded = s16leDoubles(
+      Codec.MuLaw.decode(Codec.MuLaw.encode(s16leBytes(in))))
+    val resampled = AudioKernel.resample(decoded, rate1, rate2)
+    assert(resampled.length == rate2,
+      s"resampling not working: ${resampled.length} samples for 1s at $rate2")
+    val sim = freqSimilarity(
+      spectrum(in.map(_.toDouble), rate1), spectrum(resampled, rate2))
+    assert(sim < 35, s"spectral similarity $sim >= 35 after transcode")
+  }
+
   test("stretchLinear == the p08 grid formula on random arrays") {
     val rnd = new scala.util.Random(7)
     (1 to 20).foreach { _ =>
