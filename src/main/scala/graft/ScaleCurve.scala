@@ -56,7 +56,8 @@ object ScaleCurve {
     * degenerate geometry, not the operator. SCALE.md carries the
     * arithmetic. */
   private val X100Queries =
-    Seq("d02_minhash_lsh", "d03p_jaccard_prefix", "d10_cc_fixpoint",
+    Seq("d02_minhash_lsh", "d03p_jaccard_prefix", "d06_lsh_verified",
+      "d10_cc_fixpoint",
       "d12_leakage_safe_split", "s07_bm25_rank", "t15_corpus_pipeline")
 
   def main(args: Array[String]): Unit = {
