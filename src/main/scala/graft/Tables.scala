@@ -22,18 +22,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet has shipped as TIMESTAMP(NANOS) (which Spark 4
-    // refuses by default — read as nanos Long) and as timestamp[us]
-    // isAdjustedToUTC=false (which would infer TIMESTAMP_NTZ, whose
-    // epoch extraction is session-timezone-dependent — the per-read
-    // option forces TIMESTAMP so unix_micros returns the stored micros
-    // verbatim, matching DuckDB's epoch_ms on the same file). Scoped to
-    // events only: orders/lineitem date columns keep NTZ inference, the
-    // type the whole green relational surface was verified on.
+    // events.parquet has shipped as TIMESTAMP(NANOS), which Spark 4
+    // refuses by default — the legacy conf reads it as a nanos Long
+    // instead; timestamp[us] variants are normalized in events().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.read
-    (if (name == "events") r.option("inferTimestampNTZ", "false") else r)
-      .parquet(s"$dir/$name.parquet")
+    spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Events with `ts_ms: Long` (epoch millis) derived from the nanos
@@ -51,16 +44,24 @@ object Tables {
     * operator assumes. The driver has regenerated events.parquet with
     * different physical types across rounds (int64 nanos through r6,
     * timestamp[us] from r7's regeneration); both must read to identical
-    * values. unix_micros on a TIMESTAMP read with inferTimestampNTZ
-    * disabled returns the stored micros verbatim (timezone-independent),
-    * so `* 1000` reproduces the nanos encoding exactly. */
+    * values. Both conversions are SESSION-TIMEZONE-INDEPENDENT, which
+    * is the property that makes them match DuckDB's epoch_ms on the
+    * same file: a naive timestamp (TIMESTAMP_NTZ — what pandas-written
+    * timestamp[us] infers to) converts by pure wall-clock arithmetic
+    * against the NTZ epoch (a cast through TIMESTAMP would instead
+    * re-interpret the wall time in the session zone: measured 5h off
+    * under America/New_York); an instant (TIMESTAMP, isAdjustedToUTC
+    * parquet) converts via unix_micros, which returns the stored
+    * micros verbatim in any session zone. IngestionSpec pins all
+    * encodings, including under a non-UTC session. */
   private def normalizeTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, unix_micros, lit}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
       case LongType => df // legacy int64-nanos encoding: already normal
-      case _ => df.withColumn("ts",
-        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampNTZType => df.withColumn("ts", expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"))
+      case _ => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
     }
   }
 

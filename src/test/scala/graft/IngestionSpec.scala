@@ -78,6 +78,25 @@ class IngestionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("normalization is session-timezone-independent (the DuckDB-" +
+      "parity property: naive timestamps are wall-clock, not local)") {
+    val want = tsSum(sf)
+    // same SparkContext, private SQLConf: the non-UTC zone is exactly
+    // the configuration where a cast-through-TIMESTAMP conversion
+    // would shift every epoch by the zone offset (measured 5h under
+    // this zone before the wall-clock-arithmetic fix)
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    for ((label, dir) <- Map("int64-nanos" -> asLongNanos,
+        "timestamp[us] utc" -> asTimestampLtz,
+        "timestamp[us] naive" -> asTimestampNtz, "driver fixture" -> sf)) {
+      val df = Tables.events(ny, dir)
+      val r = df.agg(count(lit(1)), sum(col("ts") % lit(1000000007L))).head()
+      assert((r.getLong(0), r.getLong(1), df.schema("ts").dataType.simpleString)
+        == want, s"$label: ts drifted under a non-UTC session timezone")
+    }
+  }
+
   test("a registered events query is encoding-invariant end-to-end") {
     val q = SparkEntry.queries("e01_string_matcher")
     def run(dir: String) =
