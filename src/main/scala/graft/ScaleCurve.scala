@@ -38,6 +38,7 @@ object ScaleCurve {
     "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
     "q04_multi_join", "q28_range_join_auto",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
+    "s09_ivfadc_search",
     "t05_ngram_profile", "t15_corpus_pipeline", "e18_sessionize")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
@@ -58,7 +59,8 @@ object ScaleCurve {
   private val X100Queries =
     Seq("d02_minhash_lsh", "d03p_jaccard_prefix", "d06_lsh_verified",
       "d10_cc_fixpoint",
-      "d12_leakage_safe_split", "s07_bm25_rank", "t15_corpus_pipeline")
+      "d12_leakage_safe_split", "s07_bm25_rank", "s09_ivfadc_search",
+      "t15_corpus_pipeline")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
