@@ -25,6 +25,7 @@ object Explain {
     "s01_knn_bruteforce", "s08_knn_heap", // broadcast query set × corpus
     "s03_ivf_probe",   // 2 probe cells broadcast onto the corpus
     "s04_kmeans_step", // k×dim centroid table broadcast
+    "s09_ivfadc_search", // Lloyd steps + probe: k×dim centroids broadcast
     "s07_bm25_rank",   // 1-row corpus stats fanned onto the scan
     "t08_domain_mix",  // 1-row totals row
     "e12_time_buffer", "e15_repeater", "e21_output_container",
