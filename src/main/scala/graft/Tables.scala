@@ -78,13 +78,31 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Date-bearing columns have shipped as timestamp[us] (inferring
+    * TIMESTAMP_NTZ — the type the whole relational surface is verified
+    * on); parquet written by other engines flips such columns to DATE
+    * routinely. A DATE arrival widens to the verified NTZ type at
+    * midnight — the same values every date function (month, strftime,
+    * datediff) extracts on both engines, so the queries and oracles
+    * never see the physical flip. Same drift-at-the-boundary rule as
+    * normalizeTs; TestdataContractSpec pins the post-Tables view. */
+  private def dateToNtz(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => df.withColumn(c,
+        org.apache.spark.sql.functions.col(c)
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+      case _ => df
+    }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    dateToNtz(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    dateToNtz(load(s, d, "lineitem"), "l_shipdate")
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(load(s, d, "events"))
   /** documents/embeddings arrive as ONE row group per file, so the scan

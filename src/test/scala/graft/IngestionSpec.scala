@@ -97,6 +97,23 @@ class IngestionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("orders date columns: a DATE physical arrival widens to the " +
+      "verified timestamp_ntz at identical values") {
+    val dir = java.nio.file.Files.createTempDirectory("orders-enc").toString
+    val orig = Tables.orders(spark, sf)
+    orig.withColumn("o_orderdate",
+        col("o_orderdate").cast(org.apache.spark.sql.types.DateType))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Tables.orders(spark, dir)
+    assert(got.schema("o_orderdate").dataType.simpleString == "timestamp_ntz")
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)), sum(unix_date(col("o_orderdate").cast("date"))))
+      .head()
+    // the fixture's dates are midnight-exact, so DATE truncation is
+    // lossless and the day-number checksum must match exactly
+    assert(sig(got) == sig(orig))
+  }
+
   test("a registered events query is encoding-invariant end-to-end") {
     val q = SparkEntry.queries("e01_string_matcher")
     def run(dir: String) =
