@@ -52,8 +52,14 @@ object Verify {
         catch { case e: Throwable =>
           failed.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          // inspectable marker where the result parquet should have been
+          // inspectable marker where the result parquet should have been.
+          // The directory is cleared FIRST: a query that dies before its
+          // overwrite write starts (analysis error) in a reused outDir
+          // would otherwise leave a prior run's parquet readable next to
+          // the marker, and a consumer globbing parquet without checking
+          // _FAILED would score stale results as current.
           val d = Paths.get(outDir, name)
+          org.apache.hadoop.fs.FileUtil.fullyDelete(d.toFile)
           Files.createDirectories(d)
           Files.writeString(d.resolve("_FAILED"),
             s"${e.getClass.getName}: ${e.getMessage}\n")

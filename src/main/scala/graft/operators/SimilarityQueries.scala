@@ -706,30 +706,36 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** One oracle Lloyd step: centroids of cells$n → cells${n+1}; also
-    * leaves centn$n defined for the final probe. Mirrors the Spark
-    * centroids/reassign pair exactly (integer sums, cosine ties to
-    * the lower cell id). */
-  private def lloydSql(n: Int): String =
-    s"""cx$n AS (SELECT c.cell, i, CAST(SUM(x) AS BIGINT) AS cx FROM (
-       |    SELECT vec_id, unnest(q) AS x,
-       |           unnest(generate_series(1, len(q))) AS i FROM v) e
-       |  JOIN cells$n c ON c.vec_id = e.vec_id GROUP BY c.cell, i),
-       |cent$n AS (SELECT cell, list(cx ORDER BY i) AS c FROM cx$n GROUP BY cell),
-       |centn$n AS (SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn FROM cent$n),
-       |cells${n + 1} AS (SELECT vec_id, cell FROM (
-       |    SELECT v.vec_id, centn$n.cell,
-       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |        list_dot_product(v.q, centn$n.c) / (sqrt(v.norm2) * sqrt(centn$n.cn)) DESC,
-       |        centn$n.cell) AS r
-       |    FROM v CROSS JOIN centn$n) WHERE r = 1)""".stripMargin
+  /** One oracle Lloyd step: centroids of cells$n, then (unless `last`)
+    * the reassignment cells${n+1}; always leaves centn$n defined for
+    * the final probe. The last step emits ONLY the centroid CTEs —
+    * the Spark side never computes a third assignment, so the SQL
+    * must not imply one. Mirrors the Spark centroids/reassign pair
+    * exactly (integer sums, cosine ties to the lower cell id). */
+  private def lloydSql(n: Int, last: Boolean = false): String = {
+    val cent =
+      s"""cx$n AS (SELECT c.cell, i, CAST(SUM(x) AS BIGINT) AS cx FROM (
+         |    SELECT vec_id, unnest(q) AS x,
+         |           unnest(generate_series(1, len(q))) AS i FROM v) e
+         |  JOIN cells$n c ON c.vec_id = e.vec_id GROUP BY c.cell, i),
+         |cent$n AS (SELECT cell, list(cx ORDER BY i) AS c FROM cx$n GROUP BY cell),
+         |centn$n AS (SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn FROM cent$n)""".stripMargin
+    if (last) cent else cent +
+      s""",
+         |cells${n + 1} AS (SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, centn$n.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_dot_product(v.q, centn$n.c) / (sqrt(v.norm2) * sqrt(centn$n.cn)) DESC,
+         |        centn$n.cell) AS r
+         |    FROM v CROSS JOIN centn$n) WHERE r = 1)""".stripMargin
+  }
 
   private val s09Sql =
     s"""WITH v AS (SELECT * FROM ($quantizedSql) WHERE norm2 > 0),
        |cells0 AS (SELECT vec_id, label AS cell FROM v),
        |${lloydSql(0)},
        |${lloydSql(1)},
-       |${lloydSql(2)},
+       |${lloydSql(2, last = true)},
        |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 25),
        |probes AS (SELECT qid, cell FROM (
        |    SELECT qs.qid, centn2.cell,

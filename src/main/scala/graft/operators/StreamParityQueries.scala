@@ -36,6 +36,25 @@ object StreamParityQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Best-effort sweep of checkpoint dirs leaked by ABNORMAL exits
+    * (kill -9 during a bench, OOM): the normal path deletes its own
+    * dir in a finally block, but a crashed JVM leaves tmpfs-backed
+    * `graft-ckpt-*` dirs that would otherwise accumulate RAM across
+    * runs. Runs once per JVM, deletes only dirs whose mtime predates
+    * this process (a concurrent sibling run's live checkpoints are
+    * younger and survive). */
+  private lazy val sweepLeakedCheckpoints: Unit = {
+    val jvmStart =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    for {
+      base <- Seq("/dev/shm", System.getProperty("java.io.tmpdir")).distinct
+      dir = new java.io.File(base)
+      if dir.isDirectory
+      f <- Option(dir.listFiles()).getOrElse(Array.empty)
+      if f.getName.startsWith("graft-ckpt-") && f.lastModified < jvmStart
+    } org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+  }
+
   /** Drives `rows` (already in the order the mount expects) through a
     * streaming mount in 3 micro-batches on an ISOLATED `s.newSession()`
     * — same SparkContext, private SQLConf/temp views — so per-stream
@@ -67,6 +86,7 @@ object StreamParityQueries {
     // put it on tmpfs when the box has one — measured ~0.5s/mount.
     // Durability is a per-deployment choice: a production stream points
     // this at HDFS/S3 and pays the fsync as the price of exactly-once.
+    sweepLeakedCheckpoints
     val ckptBase = if (new java.io.File("/dev/shm").isDirectory)
       "/dev/shm" else System.getProperty("java.io.tmpdir")
     val ckpt = s"$ckptBase/graft-ckpt-$sink-${System.nanoTime()}"
