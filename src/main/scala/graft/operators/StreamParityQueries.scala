@@ -5,72 +5,192 @@ import graft.streaming.StatefulRunner
 import graft.streaming.StatefulRunner.{KEv, KOut}
 import graft.streaming.StateMachines
 import graft.streaming.StateMachines.{Gate, TimeSyncRestamp}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Driver-visible STREAMING parity: e24 pushes the e05 gate fixture
   * through [[StatefulRunner.runStreaming]] — the real
-  * `flatMapGroupsWithState` mount, micro-batched via MemoryStream with
-  * state crossing batch boundaries in the state store — and returns
-  * the collected sink, oracle-checked against the SAME window SQL as
-  * e05 (gate.py:32-93 semantics). Until round 6 the streaming mounts
-  * were exercised only by specs (StreamingSpec/StreamingE2ESpec); this
-  * puts the streaming execution path itself under the driver's hash
-  * gate: batch window-analogue ≡ machine-on-streaming ≡ DuckDB.
+  * `flatMapGroupsWithState` mount, micro-batched via the FILE STREAMING
+  * SOURCE with state crossing batch boundaries in the state store — and
+  * returns the file-sink output, oracle-checked against the SAME window
+  * SQL as e05 (gate.py:32-93 semantics). Until round 6 the streaming
+  * mounts were exercised only by specs; rounds 6-8 ran them on a
+  * MemoryStream fed by a driver-side collect; round 9 removes the
+  * driver from the loop entirely:
   *
-  * Scale note: the MemoryStream + collect-the-fixture harness is the
-  * oracle-gate MOUNT, not the production path — a deployment does
-  * `readStream` (Kafka/files) → the identical `runStreaming` call →
-  * a real sink, with state keyed per pipeline across executors
-  * (RocksDB-capable; StreamingE2ESpec runs this mount on RocksDB and
-  * through a checkpoint restart). The fixture is bounded (two event
-  * types of the events table) and cut into 3 micro-batches so the
-  * cross-batch state path genuinely executes (state crosses 2 batch
-  * boundaries); per-key event order is preserved because the global
-  * (ts, control-priority, seq) sort is exactly the runner's in-batch
-  * sort, so any chunking of it concatenates to the same per-key
-  * fold. */
+  *  - the fixture is written to per-micro-batch parquet files by a
+  *    DISTRIBUTED job (chunk assignment = range partitioning on the
+  *    fold order, so each file is a contiguous range of the order the
+  *    runner folds in);
+  *  - `readStream` with the file source at one file per trigger replays
+  *    the chunks as micro-batches in file order — the same
+  *    batch-boundary crossings the MemoryStream harness proved, now on
+  *    the production source type (a directory of files is exactly how a
+  *    100 TB deployment replays or tails a feed);
+  *  - the mount's output lands in a parquet FILE SINK (exactly-once via
+  *    _spark_metadata) and is read back as a batch frame.
+  *
+  * No fixture or result row ever passes through the driver: the engine
+  * contains no `collect()`. Per-key event order is preserved because
+  * the chunk ranges partition the global (ts, control-priority, seq)
+  * sort — or the machine's arrival order — which is exactly the
+  * runner's in-batch sort, so any contiguous chunking of it
+  * concatenates to the same per-key fold; the runner re-sorts within
+  * each micro-batch, so intra-file row order is free.
+  *
+  * Scale note: this IS the production shape now — swap the fixture
+  * directory for a Kafka topic or an arriving-files bucket and the
+  * identical `runStreaming` call distributes state per pipeline key
+  * across executors (RocksDB-capable; StreamingE2ESpec runs this mount
+  * on RocksDB and through a checkpoint restart). The fixture is bounded
+  * (a few event types of the events table) and cut into 3 micro-batches
+  * so the cross-batch state path genuinely executes (state crosses 2
+  * batch boundaries). */
 object StreamParityQueries {
 
-  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger()
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Best-effort sweep of checkpoint dirs leaked by ABNORMAL exits
-    * (kill -9 during a bench, OOM): the normal path deletes its own
-    * dir in a finally block, but a crashed JVM leaves tmpfs-backed
-    * `graft-ckpt-*` dirs that would otherwise accumulate RAM across
-    * runs. Runs once per JVM, deletes only dirs whose mtime predates
-    * this process (a concurrent sibling run's live checkpoints are
-    * younger and survive). */
-  private lazy val sweepLeakedCheckpoints: Unit = {
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Best-effort sweep of stream workdirs leaked by ABNORMAL exits
+    * (kill -9 during a bench, OOM): the shutdown hook deletes this
+    * JVM's own dirs, but a crashed JVM leaves tmpfs-backed
+    * `graft-stream-*`/`graft-ckpt-*` dirs that would otherwise
+    * accumulate RAM across runs. Runs once per JVM, deletes only dirs
+    * whose mtime predates this process (a concurrent sibling run's
+    * live dirs are younger and survive). */
+  private lazy val sweepLeakedDirs: Unit = {
     val jvmStart =
       java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
     for {
       base <- Seq("/dev/shm", System.getProperty("java.io.tmpdir")).distinct
       dir = new java.io.File(base)
       if dir.isDirectory
-      f <- Option(dir.listFiles()).getOrElse(Array.empty)
-      if f.getName.startsWith("graft-ckpt-") && f.lastModified < jvmStart
-    } org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      f <- Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      if (f.getName.startsWith("graft-stream-") ||
+        f.getName.startsWith("graft-ckpt-")) && f.lastModified < jvmStart
+    } rmTree(f)
   }
 
-  /** Drives `rows` (already in the order the mount expects) through a
-    * streaming mount in 3 micro-batches on an ISOLATED `s.newSession()`
-    * — same SparkContext, private SQLConf/temp views — so per-stream
-    * conf pins never touch the shared batch session and concurrent
-    * stream starts cannot race each other's conf. Returns the collected
-    * sink rows. */
-  private def throughStream(s: SparkSession, rows: Seq[KEv],
-      mount: org.apache.spark.sql.Dataset[KEv] =>
-        org.apache.spark.sql.Dataset[KOut],
+  /** Workdirs stay on disk until JVM exit — the returned frame reads
+    * the file sink LAZILY (Verify/Bench consume it after this method
+    * returns), so eager deletion would race the read. Each dir is a
+    * few hundred KB of tmpfs; the hook + [[sweepLeakedDirs]] bound the
+    * residue. */
+  private val liveDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val installCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = liveDirs.iterator()
+      while (it.hasNext) rmTree(it.next())
+    }))
+
+  /** Chunk-file directories by fixture tag — see [[throughStream]]'s
+    * `tag` doc. computeIfAbsent serializes concurrent builders of the
+    * same fixture (Verify runs e24 and e26 in parallel). */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Runs `fixture` through a streaming mount end-to-end DISTRIBUTED,
+    * returning the mount's output as a (lazy) KOut-shaped frame.
+    *
+    *  1. `fixture` is chunked into 3 per-micro-batch parquet files by
+    *     range-partitioning on `order` (the fold order — each chunk is
+    *     a contiguous range, the property that makes chunked folds
+    *     equal the unchunked fold), one distributed write, then
+    *     per-chunk files sequenced by mtime AND name
+    *     (`chunk-000 < chunk-001`: the file source orders by timestamp
+    *     with path as tie-break, so either channel alone suffices).
+    *  2. The stream runs on an ISOLATED `s.newSession()` — same
+    *     SparkContext, private SQLConf — so per-stream conf pins
+    *     (state-store width, provider class) never touch the shared
+    *     batch session and concurrent stream starts cannot race each
+    *     other's conf. `maxFilesPerTrigger=1` replays one chunk per
+    *     micro-batch, oldest first; state crosses 2 batch boundaries.
+    *  3. Output goes to a parquet file sink (exactly-once via its
+    *     _spark_metadata commit log) and is read back as a batch frame
+    *     on the caller's session.
+    *
+    * `tails` are watermark-advancing sentinel batches for event-time
+    * timer mounts: each becomes its own later file → its own
+    * micro-batch; a timer armed by batch N fires in batch N+1 (the
+    * watermark is computed between batches), so two sentinels
+    * guarantee every armed timer fires before the sink is read.
+    *
+    * The offset/commit WALs fsync per micro-batch; the workdir goes on
+    * tmpfs when the box has one (measured ~0.5s/mount vs ext4 /tmp).
+    * Durability is a per-deployment choice: a production stream points
+    * the checkpoint at HDFS/S3 and pays the fsync as the price of
+    * exactly-once.
+    *
+    * `tag` keys the chunk-file cache: the fixture build is
+    * deterministic in (tag, sf dir), so repeated runs in one JVM —
+    * bench's min-of-two, and mounts sharing a fixture (e24/e26,
+    * e27/e30) — reuse the already-written source files. Only the
+    * SOURCE is reused: every run gets a fresh session, checkpoint and
+    * sink, so the stream itself (the thing under measurement) executes
+    * fully each time — like benching a query over an existing table. */
+  private def throughStream(s: SparkSession, fixture: => DataFrame,
+      order: => Seq[Column], tag: String,
+      mount: Dataset[KEv] => Dataset[KOut],
       streamConf: Map[String, String],
-      tails: Seq[Seq[KEv]] = Nil): Seq[KOut] = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
+      tails: Seq[Seq[KEv]] = Nil): DataFrame = {
+    sweepLeakedDirs
+    installCleanupHook
+    val tmpBase = if (new java.io.File("/dev/shm").isDirectory)
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val batches = 3
+    val srcDir = fixtureCache.computeIfAbsent(tag, _ => {
+      val base = new java.io.File(s"$tmpBase/graft-stream-src-" +
+        s"${streamSeq.incrementAndGet()}-${System.nanoTime()}")
+      liveDirs.add(base)
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      // ---- 1. distributed chunk write: ONE job, one file per chunk.
+      // Chunk assignment = range partitioning on the fold order: each
+      // of the `batches` partitions is a CONTIGUOUS key range (equal
+      // keys never straddle a bound), which is the only property
+      // chunked folds need — intra-chunk order is free (the runner
+      // re-sorts each micro-batch), so no global sort, no single-task
+      // bottleneck: the write stays parallel. Sentinel tail batches
+      // are row literals (constructed constants, like any lit())
+      // unioned in with explicit chunk ids past the range, so they
+      // ride the same write job.
+      val staged = new java.io.File(base, "staged")
+      implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+        StatefulRunner.kevEnc
+      val chunked = fixture
+        .repartitionByRange(batches, order: _*)
+        .withColumn("__b", spark_partition_id() + 1)
+      val withTails = tails.zipWithIndex
+        .map { case (tb, i) =>
+          s.createDataset(tb).toDF().withColumn("__b", lit(batches + 1 + i)) }
+        .foldLeft(chunked)(_ unionByName _)
+      withTails.write.partitionBy("__b").parquet(staged.toString)
+      val t0 = System.currentTimeMillis() - 600000L
+      (1 to (batches + tails.length)).foreach { b =>
+        val stagedDir = new java.io.File(staged, s"__b=$b")
+        val part = Option(stagedDir.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"expected 1 chunk file in $stagedDir, got ${part.length}")
+        val dst = new java.io.File(src, f"chunk-${b - 1}%03d.parquet")
+        java.nio.file.Files.move(part.head.toPath, dst.toPath)
+        dst.setLastModified(t0 + (b - 1) * 1000L)
+      }
+      src
+    })
+    // ---- 2. the stream: file source, one chunk per micro-batch
+    val runBase = new java.io.File(s"$tmpBase/graft-stream-run-" +
+      s"${streamSeq.incrementAndGet()}-${System.nanoTime()}")
+    liveDirs.add(runBase)
     val ss = s.newSession()
-    val mem = MemoryStream[KEv](ss)
-    val sink = s"stream_sink_${sinkSeq.incrementAndGet()}"
     // A streaming query locks state-store partition count (and
     // provider) at FIRST start. Batch sessions size shuffle.partitions
     // for corpus shuffles (32 here); a low-key-cardinality state stream
@@ -78,69 +198,46 @@ object StreamParityQueries {
     // pin a width sized to key cardinality, the knob a production job
     // sets per stream.
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // No-data micro-batches exist to fire event-time timers and evict
+    // watermarked state after a data batch advances the watermark; the
+    // non-timer machines here have neither, so the extra ~200ms batch
+    // per processAllAvailable buys nothing. The one timer mount (e34)
+    // overrides this back to true in its streamConf.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     streamConf.foreach { case (k, v) => ss.conf.set(k, v) }
-    // The offset/commit WALs fsync per micro-batch; on this box /tmp is
-    // ext4, so a default temp checkpoint pays ~75ms of real disk IO per
-    // batch across ~8 batches per mount. The mount's checkpoint is
-    // ephemeral by construction (MemoryStream can't be recovered), so
-    // put it on tmpfs when the box has one — measured ~0.5s/mount.
-    // Durability is a per-deployment choice: a production stream points
-    // this at HDFS/S3 and pays the fsync as the price of exactly-once.
-    sweepLeakedCheckpoints
-    val ckptBase = if (new java.io.File("/dev/shm").isDirectory)
-      "/dev/shm" else System.getProperty("java.io.tmpdir")
-    val ckpt = s"$ckptBase/graft-ckpt-$sink-${System.nanoTime()}"
-    val sq = mount(mem.toDS())
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt)
+    val outDir = new java.io.File(runBase, "out")
+    val ckpt = new java.io.File(runBase, "ckpt")
+    val src = ss.readStream.schema(StatefulRunner.kevEnc.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .as[KEv](StatefulRunner.kevEnc)
+    val tS0 = System.nanoTime()
+    val sq = mount(src)
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
-    val outs: Seq[KOut] =
-      try {
-        // 3 chunks: state crosses 2 micro-batch boundaries — the
-        // minimum that still proves cross-batch state in the store
-        // (plus the tail batches for timer mounts).
-        val chunk = math.max(1, (rows.length + 2) / 3)
-        rows.grouped(chunk).foreach { b =>
-          mem.addData(b.toSeq)
-          sq.processAllAvailable()
-        }
-        // Event-time-timer mounts: each tail batch is a
-        // watermark-advancing sentinel; a timer armed by batch N fires
-        // in batch N+1 (the watermark is computed between batches), so
-        // two sentinels guarantee every armed timer fires before the
-        // sink is read.
-        tails.foreach { b =>
-          mem.addData(b)
-          sq.processAllAvailable()
-        }
-        ss.table(sink).as[KOut](StatefulRunner.koutEnc).collect().toSeq
-      } finally {
-        sq.stop()
-        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(ckpt))
-      }
-    ss.catalog.dropTempView(sink) // the sink's rows are now owned locally
-    outs
+    val tS1 = System.nanoTime()
+    try sq.processAllAvailable() finally sq.stop()
+    val tS2 = System.nanoTime()
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PHASES"))
+      System.err.println(f"[phases] tag=$tag " +
+        f"start=${(tS1-tS0)/1e9}%.2f run=${(tS2-tS1)/1e9}%.2f " +
+        f"batches=${sq.recentProgress.length}")
+    // ---- 3. read the sink back (batch read honors _spark_metadata)
+    s.read.parquet(outDir.toString)
   }
 
   /** Shared harness: the e05 gate fixture through any streaming mount
-    * of the [[Gate]] machine, in 3 micro-batches, collected back as
+    * of the [[Gate]] machine, in 3 micro-batches, post-projected to
     * the e05-shaped (pipeline, event_id, ts_ms, value) frame.
     * `streamConf` entries are pinned for the stream's FIRST start
     * (they go into checkpoint metadata — state-store width, provider
-    * class). The stream runs on an ISOLATED `s.newSession()` — same
-    * SparkContext, private SQLConf/temp views — so the pins never
-    * touch the shared session: concurrent batch queries in Verify's
-    * pool can never plan against a streaming-pinned shuffle width or
-    * state-store provider, and two streams starting concurrently
-    * (e24 + e26) cannot race each other's conf. This is also the
-    * production shape: one session per deployment, stream-specific
-    * conf set on that session only. */
+    * class); the isolated session inside [[throughStream]] keeps the
+    * pins off the shared batch session. */
   private def gateThroughStream(s: SparkSession, d: String,
-      mount: org.apache.spark.sql.Dataset[KEv] =>
-        org.apache.spark.sql.Dataset[KOut],
+      mount: Dataset[KEv] => Dataset[KOut],
       streamConf: Map[String, String]): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val e = Tables.eventsMs(s, d)
     // e05's fixture, keyed for the runner: topic 0 = click data (the
     // event_id rides in `text` so forwarded rows stay identifiable),
@@ -156,11 +253,10 @@ object StreamParityQueries {
           .otherwise(lit(null).cast(StringType)).as("text"),
         lit(false).as("paused"),
         col("event_id").as("seq"))
-    val rows = kev.as[KEv].collect()
-      .sortBy(r => (r.ts, if (r.topic == 1) 0 else 1, r.seq))
-    val outs = throughStream(s, rows, mount, streamConf)
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+    throughStream(s, kev,
+      Seq(col("ts"), when(col("topic") === 1, 0).otherwise(1), col("seq")),
+      s"gate@$d", mount, streamConf)
+      .filter(!col("paused"))
       .select(col("key").cast(LongType).as("pipeline"),
         col("text").cast(LongType).as("event_id"),
         col("ts").as("ts_ms"), col("value"))
@@ -192,7 +288,7 @@ object StreamParityQueries {
   /** e27: the SYNCHRONIZER machine — the reference's watermark
     * (synchronizer.py:14-35 + client/topic.py:117-140) and the
     * subtlest dict semantics in §2.3 — through the REAL
-    * `flatMapGroupsWithState` mount, state crossing 3 micro-batch
+    * `flatMapGroupsWithState` mount, state crossing 2 micro-batch
     * boundaries, hash-checked against e13's window SQL in DuckDB.
     *
     * The fixture is e13's: all five event types as topics, per-topic
@@ -201,7 +297,9 @@ object StreamParityQueries {
     * fires across batch boundaries. `seq` carries the arrival rank
     * (user_id·2²⁰ + event_id packs it order-faithfully); the machine
     * declares [[StateMachines.Machine.arrivalOrder]] so the runner
-    * folds in that order instead of its (ts, priority, seq) default.
+    * folds in that order instead of its (ts, priority, seq) default —
+    * and the chunk split uses the same order, keeping chunks
+    * contiguous in the fold.
     *
     * Equality with the window SQL: the machine's reg(t) equals the
     * running max of ACCEPTED ts per topic, and a dropped event (ts
@@ -212,10 +310,11 @@ object StreamParityQueries {
     *
     * End-of-stream flush: the reference flushes blocked messages at
     * container close; here one PAUSE sentinel per topic trails the
-    * stream — each pops its topic from the dict as it reaches the
-    * queue head (set_paused, topic.py:132-134), so the remaining
-    * topics' min rises and every buffered row releases. Pure
-    * reference semantics — no out-of-band flush path. */
+    * stream (seq = MaxValue−4+t → last chunk) — each pops its topic
+    * from the dict as it reaches the queue head (set_paused,
+    * topic.py:132-134), so the remaining topics' min rises and every
+    * buffered row releases. Pure reference semantics — no out-of-band
+    * flush path. */
   private def e27(s: SparkSession, d: String): DataFrame =
     synchronizerThroughStream(s, d,
       (n, ds) => StatefulRunner.runStreaming(
@@ -236,34 +335,30 @@ object StreamParityQueries {
           "state.RocksDBStateStoreProvider")))
 
   private def synchronizerThroughStream(s: SparkSession, d: String,
-      mount: (Int, org.apache.spark.sql.Dataset[KEv]) =>
-        org.apache.spark.sql.Dataset[KOut],
+      mount: (Int, Dataset[KEv]) => Dataset[KOut],
       streamConf: Map[String, String]): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = Tables.eventsMs(s, d)
+    val topic = (array_position(lit(types.toArray), col("event_type")) - 1)
+      .cast(IntegerType)
+    // seq packs the arrival rank (user_id·2²⁰ + event_id; event_id <
+    // 2²⁰ at every SF, so + ≡ |) — the order the machine folds in.
+    val kev = e.select(lit("0").as("key"), topic.as("topic"),
+      col("ts_ms").as("ts"), topic.cast(DoubleType).as("value"),
+      col("event_id").cast(StringType).as("text"),
+      lit(false).as("paused"),
+      (shiftleft(col("user_id").cast(LongType), 20) + col("event_id"))
+        .as("seq"))
     implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
       StatefulRunner.kevEnc
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    val topicOf = types.zipWithIndex.toMap
-    val e = Tables.eventsMs(s, d)
-    val kev = e.select(col("event_type"), col("ts_ms"),
-        col("event_id"), col("user_id"))
-      .collect()
-      .map { r =>
-        val t = topicOf(r.getString(0))
-        val eid = r.getAs[Number](2).longValue
-        val uid = r.getAs[Number](3).longValue
-        KEv("0", t, r.getAs[Number](1).longValue, t.toDouble, eid.toString,
-          paused = false, seq = (uid << 20) | eid)
-      }
-      .sortBy(_.seq)
-    val flush = types.indices.map(t =>
-      KEv("0", t, 0L, 1.0, null, paused = true, seq = Long.MaxValue - 4 + t))
-    val rows = kev.toSeq ++ flush
-    val outs = throughStream(s, rows,
-      ds => mount(types.length, ds), streamConf)
+    val flush = s.createDataset(types.indices.map(t =>
+      KEv("0", t, 0L, 1.0, null, paused = true,
+        seq = Long.MaxValue - 4 + t))).toDF()
+    val outs = throughStream(s, kev.unionByName(flush), Seq(col("seq")),
+      s"sync@$d", ds => mount(types.length, ds), streamConf)
     val typeExpr = element_at(
       lit(types.toArray), col("value").cast(IntegerType) + 1)
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+    outs.filter(!col("paused"))
       .select(col("text").cast(LongType).as("event_id"),
         col("ts").as("ts_ms"), typeExpr.as("event_type"))
       .orderBy(col("ts_ms"), col("event_id"))
@@ -278,37 +373,33 @@ object StreamParityQueries {
   // relabeling of ts is semantics-preserving: pack
   // ts = ts_ms·2²⁰ + event_id (or ·2²¹ with the machine's data-first
   // priority bit at 2²⁰ when the oracle's order includes it) and every
-  // output row unpacks back to (ts_ms, event_id) after collection.
+  // output row unpacks back to (ts_ms, event_id) after the sink read.
   // event_id < 2²⁰ at every SF and ts_ms·2²¹ < 2⁶³ — checked.
   private val Pack = 1L << 20
 
-  /** Shared mount for the packed-ts machines: `rows` (already packed
-    * and sorted in fold order) through `runStreaming` in 3 micro-
-    * batches; returns non-pause sink rows unpacked to
+  /** Shared mount for the packed-ts machines: `fixture` (packed ts =
+    * the fold order) through `runStreaming` in 3 micro-batches;
+    * returns non-pause sink rows unpacked to
     * (pipeline, event_id, ts_ms) plus the machine's output column. */
-  private def packedThroughStream[S](s: SparkSession, rows: Seq[KEv],
-      machine: StateMachines.Machine[S], shift: Int,
-      outCol: org.apache.spark.sql.Column): DataFrame = {
-    val outs = throughStream(s, rows,
+  private def packedThroughStream[S](s: SparkSession, fixture: DataFrame,
+      tag: String, machine: StateMachines.Machine[S], shift: Int,
+      outCol: Column): DataFrame =
+    throughStream(s, fixture, Seq(col("ts")), tag,
       ds => StatefulRunner.runStreaming(machine, ds), Map.empty)
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+      .filter(!col("paused"))
       .select(col("key").cast(LongType).as("pipeline"),
         pmod(col("ts"), lit(Pack)).as("event_id"),
         shiftright(col("ts"), shift).as("ts_ms"),
         outCol)
       .orderBy(col("event_id"))
-  }
 
   /** e31: the SR LATCH — LEVEL-based hold semantics, the rule an
     * edge-based formulation gets wrong — through the real
-    * flatMapGroupsWithState mount, state crossing 3 micro-batch
+    * flatMapGroupsWithState mount, state crossing 2 micro-batch
     * boundaries, hash-equal to e08's window SQL in DuckDB. Fixture is
     * e08's (set = click value>10, reset = error value>10, thresholded
     * Spark-side exactly as the SQL does); identity via packed ts. */
   private def e31(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val e = Tables.eventsMs(s, d)
     val rows = e.filter(col("event_type").isin("click", "error"))
       .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
@@ -318,9 +409,8 @@ object StreamParityQueries {
         lit(null).cast(StringType).as("text"),
         lit(false).as("paused"),
         col("event_id").as("seq"))
-      .as[KEv].collect().sortBy(_.ts).toSeq
-    packedThroughStream(s, rows, new StateMachines.SrLatch(), 20,
-      col("value").as("state"))
+    packedThroughStream(s, rows, s"e31@$d", new StateMachines.SrLatch(),
+      20, col("value").as("state"))
   }
 
   /** e32: the TEXT FORMATTER — template over the last value of each
@@ -329,8 +419,6 @@ object StreamParityQueries {
     * rendering happens Spark-side in the fixture (exactly e09's cast
     * chain) so the machine sees the identical var strings. */
   private def e32(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val e = Tables.eventsMs(s, d)
     val rows = e.filter(col("event_type").isin("click", "view"))
       .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
@@ -340,8 +428,7 @@ object StreamParityQueries {
         col("value").cast(DecimalType(12, 2)).cast(StringType).as("text"),
         lit(false).as("paused"),
         col("event_id").as("seq"))
-      .as[KEv].collect().sortBy(_.ts).toSeq
-    packedThroughStream(s, rows,
+    packedThroughStream(s, rows, s"e32@$d",
       new StateMachines.TextFormatter(2,
         vars => s"a=${vars(0)} b=${vars(1)}"), 20,
       col("text"))
@@ -356,8 +443,6 @@ object StreamParityQueries {
     * so the trigger id unpacks from the sink directly — the channel
     * that blocked this mount before the packed-ts scheme. */
   private def e33(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val e = Tables.eventsMs(s, d)
     val rows = e.filter(col("event_type").isin("click", "error"))
       .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
@@ -373,9 +458,8 @@ object StreamParityQueries {
           .otherwise(lit(null).cast(StringType)).as("text"),
         lit(false).as("paused"),
         col("event_id").as("seq"))
-      .as[KEv].collect().sortBy(_.ts).toSeq
-    packedThroughStream(s, rows, new StateMachines.StringConcatenator(), 21,
-      col("text"))
+    packedThroughStream(s, rows, s"e33@$d",
+      new StateMachines.StringConcatenator(), 21, col("text"))
   }
 
   /** e34: the MESSAGE DETECTOR on EVENT-TIME TIMERS — the reference's
@@ -394,20 +478,19 @@ object StreamParityQueries {
     * batch oracle derives. Keyed by user_id → state and timers
     * distribute across executors. */
   private def e34(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val timeout = 600000L
     val e = Tables.eventsMs(s, d)
     val rows = e.select(col("user_id").cast(StringType).as("key"),
-        lit(0).as("topic"), col("ts_ms").as("ts"), lit(0.0).as("value"),
-        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
-        col("event_id").as("seq"))
-      .as[KEv].collect().sortBy(r => (r.ts, r.seq)).toSeq
-    val maxTs = rows.iterator.map(_.ts).max
+      lit(0).as("topic"), col("ts_ms").as("ts"), lit(0.0).as("value"),
+      lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+      col("event_id").as("seq"))
+    // 1-row aggregate bound (like the tick-grid bounds frames)
+    val maxTs = e.agg(max(col("ts_ms"))).head().getAs[Number](0).longValue
     val sentinels = Seq(
       Seq(KEv("wm", 0, maxTs + timeout + 1, 0.0, null, paused = true, seq = 0L)),
       Seq(KEv("wm", 0, maxTs + 2 * timeout + 2, 0.0, null, paused = true, seq = 1L)))
-    val outs = throughStream(s, rows,
+    val outs = throughStream(s, rows, Seq(col("ts"), col("seq")),
+      s"e34@$d",
       ds => StatefulRunner.runStreamingEventTime(
         new StateMachines.MessageDetector(timeout), ds,
         (st: StateMachines.DetectorState) =>
@@ -416,9 +499,13 @@ object StreamParityQueries {
       // the per-batch kryo state folds spread across the cores instead
       // of queueing 375 keys per task — the same size-to-the-keys rule
       // the 4-wide default applies to the low-cardinality mounts.
-      Map("spark.sql.shuffle.partitions" -> "16"), sentinels)
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+      // noDataMicroBatches stays ON here: the trailing per-user 0s are
+      // EventTimeTimeout timers, and the batch that fires the last of
+      // them is exactly the no-data batch after the final sentinel.
+      Map("spark.sql.shuffle.partitions" -> "16",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true"),
+      sentinels)
+    outs.filter(!col("paused"))
       .select(col("key").cast(LongType).as("user_id"),
         col("ts").as("ts_ms"), col("value").as("detect"))
       .orderBy(col("user_id"), col("ts_ms"), col("detect"))
@@ -434,19 +521,15 @@ object StreamParityQueries {
     * rides the text channel (event_id), the machine's passthrough
     * payload. */
   private def e35(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val e = Tables.eventsMs(s, d)
     val rows = e.select(lit("0").as("key"), lit(0).as("topic"),
-        col("ts_ms").as("ts"), col("value"),
-        col("event_id").cast(StringType).as("text"),
-        lit(false).as("paused"), col("event_id").as("seq"))
-      .as[KEv].collect().sortBy(r => (r.ts, r.seq)).toSeq
-    val outs = throughStream(s, rows,
+      col("ts_ms").as("ts"), col("value"),
+      col("event_id").cast(StringType).as("text"),
+      lit(false).as("paused"), col("event_id").as("seq"))
+    throughStream(s, rows, Seq(col("ts"), col("seq")), s"e35@$d",
       ds => StatefulRunner.runStreaming(
         new StateMachines.TimeBuffer(3600000L), ds), Map.empty)
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+      .filter(!col("paused"))
       .select(col("text").cast(LongType).as("event_id"),
         col("ts").as("ts_ms"), col("value"))
       .orderBy(col("event_id"))
@@ -458,36 +541,30 @@ object StreamParityQueries {
     * per pipeline, event ids riding in `text` (the switch forwards
     * the whole message, so forwarded rows stay identifiable); `pair`
     * — a static attribute of the event type, not a machine decision —
-    * is re-attached by event id after collection. State (the control
-    * dict + insertion order) crosses 2 micro-batch boundaries. */
+    * is re-attached by event id after the sink read. State (the
+    * control dict + insertion order) crosses 2 micro-batch
+    * boundaries. */
   private def e28(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
+    val types = Seq("click", "error", "view", "signup")
     val e = Tables.eventsMs(s, d)
-    val topicOf = Map("click" -> 0, "error" -> 1, "view" -> 2, "signup" -> 3)
-    val kev = e.filter(col("event_type")
-        .isin("click", "error", "view", "signup"))
+    val topic = (array_position(lit(types.toArray), col("event_type")) - 1)
+      .cast(IntegerType)
+    val kev = e.filter(col("event_type").isin(types: _*))
       .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
-        col("event_type"), col("ts_ms").as("ts"), col("value"),
-        col("event_id"))
-      .collect()
-      .map { r =>
-        val t = topicOf(r.getString(1))
-        val eid = r.getAs[Number](4).longValue
-        KEv(r.getString(0), t, r.getAs[Number](2).longValue,
-          r.getAs[Number](3).doubleValue,
-          if (t % 2 == 0) eid.toString else null,
-          paused = false, seq = eid)
-      }
-      .sortBy(r => (r.ts, if (r.topic % 2 == 1) 0 else 1, r.seq))
-    val outs = throughStream(s, kev.toSeq,
+        topic.as("topic"), col("ts_ms").as("ts"), col("value"),
+        when(topic % 2 === 0, col("event_id").cast(StringType))
+          .otherwise(lit(null).cast(StringType)).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val outs = throughStream(s, kev,
+      Seq(col("ts"), when(col("topic") % 2 === 1, 0).otherwise(1),
+        col("seq")),
+      s"e28@$d",
       ds => StatefulRunner.runStreaming(
         new StateMachines.Switch(pairs = 2), ds),
       Map.empty)
     val pairOf = e.select(col("event_id"),
-        when(col("event_type") === "click", 0L).otherwise(1L).as("pair"))
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+      when(col("event_type") === "click", 0L).otherwise(1L).as("pair"))
+    outs.filter(!col("paused"))
       .select(col("key").cast(LongType).as("pipeline"),
         col("text").cast(LongType).as("event_id"),
         col("ts").as("ts_ms"), col("value"))
@@ -510,37 +587,30 @@ object StreamParityQueries {
     * stand-in for packet.is_keyframe. The active-index state (which
     * pair last delivered a selected keyframe) crosses 2 micro-batch
     * boundaries. `pair` — a static attribute of the event type — is
-    * re-attached by event id after collection, as in e28. */
+    * re-attached by event id after the sink read, as in e28. */
   private def e36(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
+    val types = Seq("click", "error", "view", "signup")
     val e = Tables.eventsMs(s, d)
-    val topicOf = Map("click" -> 0, "error" -> 1, "view" -> 2, "signup" -> 3)
-    val rows = e.filter(col("event_type")
-        .isin("click", "error", "view", "signup"))
+    val topic = (array_position(lit(types.toArray), col("event_type")) - 1)
+      .cast(IntegerType)
+    val isData = topic % 2 === 0
+    val rows = e.filter(col("event_type").isin(types: _*))
       .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
-        col("event_type"), col("ts_ms"), col("value"), col("event_id"))
-      .collect()
-      .map { r =>
-        val t = topicOf(r.getString(1))
-        val eid = r.getAs[Number](4).longValue
-        val ts = r.getAs[Number](2).longValue
-        val isData = t % 2 == 0
-        KEv(r.getString(0), t,
-          ts * (2 * Pack) + (if (isData) Pack else 0L) + eid,
-          r.getAs[Number](3).doubleValue,
-          if (isData && eid % 7 == 0) "k" else null,
-          paused = false, seq = eid)
-      }
-      .sortBy(_.ts)
-    val outs = throughStream(s, rows.toSeq,
+        topic.as("topic"),
+        (col("ts_ms") * (2 * Pack)
+          + when(isData, Pack).otherwise(0L)
+          + col("event_id")).as("ts"),
+        col("value"),
+        when(isData && col("event_id") % 7 === 0, "k")
+          .otherwise(lit(null).cast(StringType)).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val outs = throughStream(s, rows, Seq(col("ts")), s"e36@$d",
       ds => StatefulRunner.runStreaming(
         new StateMachines.MediaSwitch(pairs = 2), ds),
       Map.empty)
     val pairOf = e.select(col("event_id"),
       when(col("event_type") === "click", 0L).otherwise(1L).as("pair"))
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+    outs.filter(!col("paused"))
       .select(col("key").cast(LongType).as("pipeline"),
         pmod(col("ts"), lit(Pack)).as("event_id"),
         shiftright(col("ts"), 21).as("ts_ms"),
@@ -556,13 +626,11 @@ object StreamParityQueries {
     * arrival) through the streaming mount, hash-equal to c02's
     * last-value window SQL. The formula is c02's `(a + b) / 2` —
     * IEEE-754 add/divide, bit-identical between the machine's Scala
-    * fold and DuckDB. Var state (the last a and b) crosses 3
+    * fold and DuckDB. Var state (the last a and b) crosses 2
     * micro-batch boundaries; identity rides the packed ts (the
     * machine emits NEW messages with the triggering ts, no text
     * channel, no ts arithmetic). */
   private def e37(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val e = Tables.eventsMs(s, d)
     val rows = e.filter(col("event_type").isin("click", "view"))
       .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
@@ -572,8 +640,7 @@ object StreamParityQueries {
         lit(null).cast(StringType).as("text"),
         lit(false).as("paused"),
         col("event_id").as("seq"))
-      .as[KEv].collect().sortBy(_.ts).toSeq
-    packedThroughStream(s, rows,
+    packedThroughStream(s, rows, s"e37@$d",
       new StateMachines.Calculator(Map(0 -> 0.0, 1 -> 0.0),
         v => (v(0) + v(1)) / 2), 20,
       col("value").as("result"))
@@ -584,36 +651,36 @@ object StreamParityQueries {
     * the tick's timestamp) through the streaming mount, hash-equal to
     * e15's union+last-value SQL. The tick grid spans the full event
     * range at 10-min steps, replicated per pipeline exactly as e15's
-    * fixture builds it; the held value crosses 2 micro-batch
-    * boundaries (a click in batch N keeps re-emitting from ticks in
-    * batches N+1..3). No packing: the output IS (pipeline, tick ts,
-    * held) — at equal ts the fold must see data before ticks (a
-    * sample landing exactly on a tick is included, e15's is_tick sort
-    * key), which the seq channel encodes (tick seq = 2⁴⁰ + index,
-    * above every event id). */
+    * fixture builds it (same distributed tick-grid helper); the held
+    * value crosses 2 micro-batch boundaries (a click in batch N keeps
+    * re-emitting from ticks in batches N+1..3). No packing: the output
+    * IS (pipeline, tick ts, held) — at equal ts the fold must see data
+    * before ticks (a sample landing exactly on a tick is included,
+    * e15's is_tick sort key), which the seq channel encodes (tick seq
+    * = 2⁴⁰ + key·2³⁰ + tick index, above every event id). */
   private def e38(s: SparkSession, d: String): DataFrame = {
     val e = Tables.eventsMs(s, d)
     val data = e.filter(col("event_type") === "click")
       .select(pmod(col("user_id"), lit(2)).cast(StringType).as("key"),
-        col("ts_ms"), col("value"), col("event_id"))
-      .collect()
-      .map(r => KEv(r.getString(0), 0, r.getAs[Number](1).longValue,
-        r.getAs[Number](2).doubleValue, null, paused = false,
-        seq = r.getAs[Number](3).longValue))
-    val b = e.agg(min(col("ts_ms")), max(col("ts_ms"))).head()
-    val (lo, hi) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
-    val keys = data.map(_.key).distinct.sorted
-    val ticks = for {
-      (k, ki) <- keys.zipWithIndex
-      (t, i) <- (lo to hi by 600000L).zipWithIndex
-    } yield KEv(k, 1, t, 0.0, null, paused = false,
-      seq = (1L << 40) + ki.toLong * (1L << 30) + i)
-    val rows = (data ++ ticks).sortBy(r => (r.ts, r.seq)).toSeq
-    val outs = throughStream(s, rows,
+        lit(0).as("topic"), col("ts_ms").as("ts"), col("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val bounds = e.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+    // tick index from the grid arithmetic itself ((ts−lo) is an exact
+    // multiple of the step, so double division is exact below 2⁵³)
+    val ticks = EventOps.tickGrid(bounds, 600000L)
+      .crossJoin(data.select(col("key")).distinct())
+      .select(col("key"), lit(1).as("topic"), col("ts_ms").as("ts"),
+        lit(0.0).as("value"), lit(null).cast(StringType).as("text"),
+        lit(false).as("paused"),
+        (lit(1L << 40) + col("key").cast(LongType) * lit(1L << 30)
+          + ((col("ts_ms") - col("lo")) / lit(600000L)).cast(LongType))
+          .as("seq"))
+    throughStream(s, data.unionByName(ticks), Seq(col("ts"), col("seq")),
+      s"e38@$d",
       ds => StatefulRunner.runStreaming(new StateMachines.Repeater(), ds),
       Map.empty)
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+      .filter(!col("paused"))
       .select(col("key").cast(LongType).as("pipeline"),
         col("ts").as("ts_ms"), col("value").as("held"))
       .orderBy(col("pipeline"), col("ts_ms"))
@@ -624,20 +691,20 @@ object StreamParityQueries {
     * barrier, min-duration emit, desync drop, fixpoint drain) —
     * through the streaming mount, hash-equal to e21's recursive-CTE
     * oracle. e21's exact fixture (compressed two-stream timeline) and
-    * machine, fed in the runner's (ts, topic, seq) fold order so any
-    * 4-way chunking concatenates to the per-key batch fold; the
-    * container's queues, dts counters, and startup barrier cross 3
+    * machine, chunked in the runner's (ts, topic, seq) fold order so
+    * the 3-way chunking concatenates to the per-key batch fold; the
+    * container's queues, dts counters, and startup barrier cross 2
     * micro-batch boundaries — a packet blocked in batch N can emit or
     * drop in batch N+2 when the other stream's duration catches up.
-    * The deepest state machine in the engine, now on the real
-    * streaming execution path under the driver's hash check. */
+    * The deepest state machine in the engine, on the real streaming
+    * execution path under the driver's hash check. */
   private def e39(s: SparkSession, d: String): DataFrame = {
     val (kev, machine) = ContainerQueries.e21Fixture(s, d)
-    val rows = kev.collect().sortBy(r => (r.ts, r.topic, r.seq)).toSeq
-    val outs = throughStream(s, rows,
+    val outs = throughStream(s, kev.toDF(),
+      Seq(col("ts"), col("topic"), col("seq")), s"e39@$d",
       ds => StatefulRunner.runStreaming(machine, ds), Map.empty)
     ContainerQueries.containerTrace(
-      s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc))
+      outs.filter(!col("paused")).as[KOut](StatefulRunner.koutEnc))
   }
 
   /** e40: the CHAT machine (llama.cpp rolling context,
@@ -654,11 +721,9 @@ object StreamParityQueries {
     * per-step pop equals the maximal-suffix-≤-budget rule (a start
     * dropped once only grows heavier), which is exactly t09's
     * range-window shape over the ITEM cumsum. Budget 512; tok ≤ 120
-    * so the keep-newest override never binds. Context state crosses 3
+    * so the keep-newest override never binds. Context state crosses 2
     * micro-batch boundaries; identity rides the packed ts. */
   private def e40(s: SparkSession, d: String): DataFrame = {
-    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-      StatefulRunner.kevEnc
     val e = Tables.eventsMs(s, d)
     val rows = e.filter(col("event_type") === "click")
       .select((col("user_id") % 8).cast(StringType).as("key"),
@@ -670,13 +735,11 @@ object StreamParityQueries {
             .cast(IntegerType))).as("text"),
         lit(false).as("paused"),
         col("event_id").as("seq"))
-      .as[KEv].collect().sortBy(_.ts).toSeq
     val chat = new StateMachines.Chat(None, 512,
       ms => ms.iterator.map(_._2.split("\\s+").length).sum.toString)
-    val outs = throughStream(s, rows,
+    throughStream(s, rows, Seq(col("ts")), s"e40@$d",
       ds => StatefulRunner.runStreaming(chat, ds), Map.empty)
-    s.createDataset(outs.filter(!_.paused))(StatefulRunner.koutEnc)
-      .toDF()
+      .filter(!col("paused"))
       .select(col("key").cast(LongType).as("conv"),
         pmod(col("ts"), lit(Pack)).as("event_id"),
         col("text").cast(LongType).as("ctx_tok"))
