@@ -220,10 +220,14 @@ object StreamParityQueries {
     val tS1 = System.nanoTime()
     try sq.processAllAvailable() finally sq.stop()
     val tS2 = System.nanoTime()
-    if (sys.env.contains("SPARK_GRAFT_STREAM_PHASES"))
+    if (sys.env.contains("SPARK_GRAFT_STREAM_PHASES")) {
       System.err.println(f"[phases] tag=$tag " +
         f"start=${(tS1-tS0)/1e9}%.2f run=${(tS2-tS1)/1e9}%.2f " +
         f"batches=${sq.recentProgress.length}")
+      sq.recentProgress.foreach(p => System.err.println(
+        s"[phases]   batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}"))
+    }
     // ---- 3. read the sink back (batch read honors _spark_metadata)
     s.read.parquet(outDir.toString)
   }
@@ -486,23 +490,33 @@ object StreamParityQueries {
       col("event_id").as("seq"))
     // 1-row aggregate bound (like the tick-grid bounds frames)
     val maxTs = e.agg(max(col("ts_ms"))).head().getAs[Number](0).longValue
+    // ONE sentinel suffices: its batch advances the watermark past
+    // every armed deadline (all ≤ maxTs+timeout), and the trailing
+    // NO-DATA batch (noDataMicroBatches, enabled below) is where those
+    // timers fire — watermark updates between batches, so the firing
+    // batch is always the one after the advance. (The earlier
+    // MemoryStream harness used two sentinels because it predated the
+    // explicit no-data-batch pin; each extra batch costs a full
+    // state-store commit cycle across every partition, ~0.6 s here.)
     val sentinels = Seq(
-      Seq(KEv("wm", 0, maxTs + timeout + 1, 0.0, null, paused = true, seq = 0L)),
-      Seq(KEv("wm", 0, maxTs + 2 * timeout + 2, 0.0, null, paused = true, seq = 1L)))
+      Seq(KEv("wm", 0, maxTs + timeout + 1, 0.0, null, paused = true, seq = 0L)))
     val outs = throughStream(s, rows, Seq(col("ts"), col("seq")),
       s"e34@$d",
       ds => StatefulRunner.runStreamingEventTime(
         new StateMachines.MessageDetector(timeout), ds,
         (st: StateMachines.DetectorState) =>
           if (st.up) Some(st.lastTs + timeout) else None),
-      // ~1500 user keys (vs the gate mounts' 2 pipelines): width 16 so
-      // the per-batch kryo state folds spread across the cores instead
-      // of queueing 375 keys per task — the same size-to-the-keys rule
-      // the 4-wide default applies to the low-cardinality mounts.
+      // ~1500 user keys (vs the gate mounts' 2 pipelines): width 8.
+      // Round 9 profile (per-batch durationMs): the per-BATCH floor
+      // (state-store load/commit across every partition + WAL + plan,
+      // ~0.5 s) dominates the per-KEY fold cost, so 16 partitions
+      // bought nothing over 8 (and 4 measured the same) — the width
+      // knob sizes to keys ONLY once batches are CPU-bound, which
+      // ~190 keys/task of trivial folds is not.
       // noDataMicroBatches stays ON here: the trailing per-user 0s are
       // EventTimeTimeout timers, and the batch that fires the last of
       // them is exactly the no-data batch after the final sentinel.
-      Map("spark.sql.shuffle.partitions" -> "16",
+      Map("spark.sql.shuffle.partitions" -> "8",
         "spark.sql.streaming.noDataMicroBatches.enabled" -> "true"),
       sentinels)
     outs.filter(!col("paused"))
