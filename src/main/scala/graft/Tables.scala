@@ -69,14 +69,20 @@ object Tables {
     * fact-fact joins on those keys need no exchange: both sides read
     * pre-partitioned, and SortMergeJoin skips its shuffle AND sort.
     * The 100 TB pattern for lineitem⋈orders-style joins that run on
-    * every pipeline tick (SCALE.md "Joins"). */
+    * every pipeline tick (SCALE.md "Joins"). `path` makes the table
+    * external (data at the given location instead of the session
+    * warehouse) — the catalog entry is in-memory either way; the
+    * files are the durable artifact, exactly like a curated bucketed
+    * layout on a cluster. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      keys: Seq[String]): Unit =
-    df.write.mode("overwrite")
+      keys: Seq[String], path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.foreach(p => w.option("path", p))
+    w.saveAsTable(table)
+  }
 
   /** Date-bearing columns have shipped as timestamp[us] (inferring
     * TIMESTAMP_NTZ — the type the whole relational surface is verified

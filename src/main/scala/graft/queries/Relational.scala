@@ -118,6 +118,59 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  // ---- q30: q04 on a BUCKETED layout — the exchange-free join -------------
+  /** One-time-per-(session, dir) publication of lineitem+orders
+    * bucketed by orderkey — the curated-layout step a 100 TB
+    * deployment runs once so every downstream fact-fact join on that
+    * key reads pre-partitioned (SCALE.md "Joins"). computeIfAbsent
+    * serializes Verify's concurrent query threads; bench's min-of-two
+    * measures the JOIN on the second run, the write having been paid
+    * on the first — exactly the amortization the layout exists for.
+    * External-table files go under the system tmpdir (stable path per
+    * dir, overwritten on rebuild, so reruns never accumulate). */
+  private val bucketedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
+    bucketedReady.computeIfAbsent(dir, _ => {
+      val h = Integer.toHexString(dir.hashCode).replace('-', 'n')
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$h"
+      val (lt, ot) = (s"graft_l_bkt_$h", s"graft_o_bkt_$h")
+      Tables.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        lt, 8, Seq("l_orderkey"), Some(s"$base/l"))
+      Tables.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        ot, 8, Seq("o_orderkey"), Some(s"$base/o"))
+      (lt, ot)
+    })
+
+  /** q04's exact semantics (same oracle SQL, same revenue hashes) with
+    * the one fact-fact join reading the bucketed layout: both sides
+    * arrive hash-partitioned on orderkey by the FILES, so the
+    * SortMergeJoin plans with NO shuffle exchange on either input —
+    * the plan BucketingSpec asserts. The `merge` hint pins SMJ so the
+    * demonstration doesn't silently degrade to a broadcast at small
+    * SF (at 100 TB orders is never broadcastable anyway); dimension
+    * hops and the final group-by keep q04's broadcast/partial-agg
+    * shape. */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = ensureBucketed(spark, dir)
+    val l = spark.table(lt)
+    val o = spark.table(ot)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   // ---- q05: window function (top-3 orders per customer) -------------------
   private def q05(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -723,5 +776,6 @@ object Relational {
     Q("q27_range_join", q27, Some(q27Sql)),
     Q("q28_range_join_auto", q28, Some(q28Sql)),
     Q("q29_range_join_pure", q29, Some(q29Sql)),
+    Q("q30_bucketed_join", q30, Some(q04Sql)),
   )
 }

@@ -52,6 +52,37 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed.count() > 0)
   }
 
+  test("q30 (bucketed q04): the fact-fact join plans with no shuffle " +
+      "on either input; results identical to q04") {
+    // Own session: this spec's base session kills broadcast joins to
+    // force SMJ everywhere, but q30's own contract is that dimension
+    // hops broadcast and ONLY the final aggregate shuffles — assert it
+    // under the engine's normal conf. (saveAsTable registers in the
+    // shared external catalog, so the bucketed tables q30 publishes
+    // are visible across sessions of this context.)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val q30 = graft.SparkEntry.queries("q30_bucketed_join")(ss, sf)
+    val q04 = graft.SparkEntry.queries("q04_multi_join")(ss, sf)
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val p30 = q30.queryExecution.executedPlan.toString
+    assert(p30.contains("SortMergeJoin"), s"q30 must SMJ:\n$p30")
+    assert(shuffles(q30) == 1,
+      s"q30 must shuffle ONLY for the final aggregate:\n$p30")
+    // sanity: the SAME SMJ on plain parquet shuffles both inputs (q04
+    // itself broadcasts orders at this tiny SF, so force the merge)
+    val plainSmj = Tables.lineitem(ss, sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(ss, sf).select("o_orderkey", "o_custkey")
+        .hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    assert(shuffles(plainSmj) >= 2,
+      "sanity: un-bucketed SMJ must shuffle both fact inputs")
+    assert(q30.collect().toSeq == q04.collect().toSeq,
+      "bucketed layout must not change results")
+  }
+
   test("minhash-LSH hot-bucket cap bounds pair work on a boilerplate corpus") {
     // The adversarial LSH input: a mega-group of identical boilerplate
     // docs. Every band hashes them into ONE bucket, so uncapped pair
