@@ -145,6 +145,191 @@ object Codec {
     }
   }
 
+  /** IMA ADPCM (DVI4, IMA standard step/index tables): a REAL LOSSY
+    * audio codec in pure integer math — 16-bit PCM ↔ 4-bit nibbles
+    * (4× compression) through a per-stream (predictor, step index)
+    * state machine, the adaptive-quantization structure every
+    * waveform codec shares. The encoder tracks the DECODER's
+    * reconstruction (vpdiff accumulates exactly the decoder's
+    * expansion), so decode(encode(x)) is the deterministic predictor
+    * sequence — which p10's DuckDB oracle recomputes independently
+    * with a recursive CTE over the same integer tables, putting a
+    * STATEFUL lossy codec under the exact hash gate (the stateless
+    * μ-law precedent is p07). CodecSpec pins SNR and packing.
+    * Mirrors the reference's transcode matrix role for audio
+    * (tests/media/test_audio_codec.py:10-28). */
+  object ImaAdpcm extends Codec {
+    val name = "ima-adpcm"
+    val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One encode step: (sample, predictor, index) →
+      * (nibble, predictor', index'). predictor' IS the decoded
+      * sample — the encoder's copy of the decoder. */
+    def encodeStep(sample: Int, predictor: Int, index: Int): (Int, Int, Int) = {
+      val step = StepTable(index)
+      var diff = sample - predictor
+      val sign = if (diff < 0) 8 else 0
+      if (sign != 0) diff = -diff
+      var delta = 0
+      var vpdiff = step >> 3
+      if (diff >= step) { delta = 4; diff -= step; vpdiff += step }
+      if (diff >= (step >> 1)) { delta |= 2; diff -= step >> 1; vpdiff += step >> 1 }
+      if (diff >= (step >> 2)) { delta |= 1; vpdiff += step >> 2 }
+      val p = if (sign != 0) predictor - vpdiff else predictor + vpdiff
+      val p1 = math.max(-32768, math.min(32767, p))
+      val i1 = math.max(0, math.min(88, index + IndexTable(delta)))
+      (sign | delta, p1, i1)
+    }
+
+    /** One decode step: (nibble, predictor, index) →
+      * (sample, predictor', index'). */
+    def decodeStep(nibble: Int, predictor: Int, index: Int): (Int, Int, Int) = {
+      val step = StepTable(index)
+      val delta = nibble & 7
+      var vpdiff = step >> 3
+      if ((delta & 4) != 0) vpdiff += step
+      if ((delta & 2) != 0) vpdiff += step >> 1
+      if ((delta & 1) != 0) vpdiff += step >> 2
+      val p = if ((nibble & 8) != 0) predictor - vpdiff else predictor + vpdiff
+      val p1 = math.max(-32768, math.min(32767, p))
+      val i1 = math.max(0, math.min(88, index + IndexTable(delta)))
+      (p1, p1, i1)
+    }
+
+    def encodeSamples(xs: Array[Int]): Array[Byte] = {
+      val nib = new Array[Int](xs.length)
+      var pred = 0; var idx = 0; var i = 0
+      while (i < xs.length) {
+        val (n, p, ix) = encodeStep(xs(i), pred, idx)
+        nib(i) = n; pred = p; idx = ix; i += 1
+      }
+      val out = new Array[Byte]((xs.length + 1) / 2)
+      i = 0
+      while (i < xs.length) {
+        val lo = nib(i)
+        val hi = if (i + 1 < xs.length) nib(i + 1) else 0
+        out(i / 2) = (lo | (hi << 4)).toByte
+        i += 2
+      }
+      out
+    }
+
+    def decodeSamples(packet: Array[Byte], n: Int): Array[Int] = {
+      val out = new Array[Int](n)
+      var pred = 0; var idx = 0; var i = 0
+      while (i < n) {
+        val b = packet(i / 2) & 0xff
+        val nib = if (i % 2 == 0) b & 0xf else b >> 4
+        val (s, p, ix) = decodeStep(nib, pred, idx)
+        out(i) = s; pred = p; idx = ix; i += 1
+      }
+      out
+    }
+
+    /** s16le frame → [n:int32le][packed nibbles] (the packet carries
+      * its sample count, like any framed codec payload). */
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val n = raw.length / 2
+      val xs = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        xs(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+        i += 1
+      }
+      val body = encodeSamples(xs)
+      val out = new Array[Byte](4 + body.length)
+      out(0) = (n & 0xff).toByte; out(1) = ((n >> 8) & 0xff).toByte
+      out(2) = ((n >> 16) & 0xff).toByte; out(3) = ((n >> 24) & 0xff).toByte
+      System.arraycopy(body, 0, out, 4, body.length)
+      out
+    }
+
+    def decode(packet: Array[Byte]): Array[Byte] = {
+      val n = (packet(0) & 0xff) | ((packet(1) & 0xff) << 8) |
+        ((packet(2) & 0xff) << 16) | ((packet(3) & 0xff) << 24)
+      val xs = decodeSamples(java.util.Arrays.copyOfRange(
+        packet, 4, packet.length), n)
+      val out = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = (xs(i) & 0xff).toByte
+        out(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** JPEG — a REAL LOSSY image codec through the seam, backed by the
+    * JDK's javax.imageio JPEG writer with an EXPLICIT quality (fixed
+    * quantization tables scaled by it — deterministic bytes for a
+    * given JDK): rgb24 frames → DCT-quantized packets → rgb24. The
+    * reference's inverse-transcode property
+    * (tests/media/test_video_codec.py:14-43 — decode(encode(x)) close
+    * to x) becomes a PSNR bound here (CodecSpec pins it; m14 runs the
+    * encode→decode→PSNR property under the driver's oracle gate). */
+  final case class Jpeg(w: Int, h: Int, quality: Float = 0.75f) extends Codec {
+    val name = "jpeg"
+
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      require(raw.length == w * h * 3, s"rgb24 frame must be ${w * h * 3}B")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val buf = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var i = 0
+      while (i < w * h) {
+        buf(3 * i) = raw(3 * i + 2)
+        buf(3 * i + 1) = raw(3 * i + 1)
+        buf(3 * i + 2) = raw(3 * i)
+        i += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    def decode(packet: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(packet))
+      require(img.getWidth == w && img.getHeight == h,
+        s"decoded ${img.getWidth}x${img.getHeight}, expected ${w}x$h")
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Inter-frame delta codec — the keyframe/P-frame structure every
     * video encoder emits (media/videoencoder.py ensures keyframe
     * flags; packet.py:6-36 carries `is_keyframe`): a keyframe stores

@@ -440,6 +440,75 @@ object DspQueries {
        |       ELSE greatest(0.0, 1.0 - CAST(i - last_loud AS DOUBLE) / 8.0) END) AS gated
        |FROM le ORDER BY pipeline, i""".stripMargin
 
+  /** p10: the REAL IMA ADPCM codec ([[graft.functions.Codec.ImaAdpcm]])
+    * under the EXACT hash gate — the stateful step up from p07's
+    * stateless μ-law. Each chunk (events keyed user_id%16, ordered by
+    * (ts_ms, event_id), samples synthesized as a deterministic integer
+    * hash of event_id) runs through encodeSamples→decodeSamples with
+    * one codec state per chunk (the per-group codec mount); the DuckDB
+    * oracle recomputes the identical decoded sequence INDEPENDENTLY
+    * with a recursive CTE over the same IMA step/index tables — the
+    * encoder's (predictor, step index) state machine, re-derived in
+    * SQL the way e21's container CTE re-derives the mux action system.
+    * Any drift in table values, clamp bounds, bit order, or the
+    * encoder's decoder-tracking breaks the hash.
+    *
+    * Scale: one codec state per chunk key, folds distribute per group
+    * — identical distribution story to the streaming machines. */
+  private def p10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("ts_ms"),
+        col("event_id"),
+        (col("event_id") * 2654435761L % 65536L - 32768L)
+          .cast(IntegerType).as("pcm"))
+      .as[(Long, Long, Long, Int)]
+    e.groupByKey(_._1)
+      .flatMapGroups { (cid: Long, rows: Iterator[(Long, Long, Long, Int)]) =>
+        val xs = rows.toVector.sortBy(r => (r._2, r._3)).map(_._4).toArray
+        val packet = graft.functions.Codec.ImaAdpcm.encodeSamples(xs)
+        val dec = graft.functions.Codec.ImaAdpcm.decodeSamples(packet, xs.length)
+        dec.iterator.zipWithIndex.map { case (v, i) =>
+          (cid, (i + 1).toLong, v.toLong) }
+      }
+      .toDF("chunk_id", "i", "dec")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val adpcmStepSql = graft.functions.Codec.ImaAdpcm.StepTable
+    .mkString("[", ",", "]")
+
+  private val p10Sql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id % 16 AS chunk_id, epoch_ms(ts) AS ts_ms, event_id,
+       |         CAST(event_id * 2654435761 % 65536 - 32768 AS INT) AS pcm
+       |  FROM events WHERE event_type = 'click'),
+       |c AS (SELECT chunk_id, list(pcm ORDER BY ts_ms, event_id) AS xs
+       |      FROM e GROUP BY chunk_id),
+       |rec AS (
+       |  SELECT chunk_id, xs, 0 AS i, 0 AS pred, 0 AS idx, 0 AS dec FROM c
+       |  UNION ALL
+       |  SELECT chunk_id, xs, i + 1, np, ni, np FROM (
+       |    SELECT chunk_id, xs, i, pred, idx,
+       |      $adpcmStepSql[idx + 1] AS step,
+       |      xs[i + 1] - pred AS d0,
+       |      CASE WHEN d0 < 0 THEN -d0 ELSE d0 END AS a0,
+       |      CASE WHEN a0 >= step THEN 1 ELSE 0 END AS b4,
+       |      a0 - b4 * step AS a1,
+       |      CASE WHEN a1 >= step // 2 THEN 1 ELSE 0 END AS b2,
+       |      a1 - b2 * (step // 2) AS a2,
+       |      CASE WHEN a2 >= step // 4 THEN 1 ELSE 0 END AS b1,
+       |      step // 8 + b4 * step + b2 * (step // 2) + b1 * (step // 4)
+       |        AS vpdiff,
+       |      greatest(-32768, least(32767,
+       |        CASE WHEN d0 < 0 THEN pred - vpdiff
+       |             ELSE pred + vpdiff END)) AS np,
+       |      greatest(0, least(88,
+       |        idx + [-1,-1,-1,-1,2,4,6,8][b4 * 4 + b2 * 2 + b1 + 1])) AS ni
+       |    FROM rec WHERE i < len(xs)))
+       |SELECT chunk_id, CAST(i AS BIGINT) AS i, CAST(dec AS BIGINT) AS dec
+       |FROM rec WHERE i > 0 ORDER BY chunk_id, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -450,5 +519,6 @@ object DspQueries {
     Q("p07_mulaw_codec", p07, Some(p07Sql)),
     Q("p08_resample", p08, Some(p08Sql)),
     Q("p09_noise_gate", p09, Some(p09Sql)),
+    Q("p10_adpcm_codec", p10, Some(p10Sql)),
   )
 }

@@ -570,6 +570,66 @@ object MultimodalQueries {
       |  patch + 1 AS pos_id
       |FROM p ORDER BY doc_id, patch""".stripMargin
 
+  /** m14: the REAL JPEG codec ([[graft.functions.Codec.Jpeg]] —
+    * javax.imageio, explicit fixed quality) under the oracle gate via
+    * the reference's own inverse-transcode property
+    * (tests/media/test_video_codec.py:14-43: decode(encode(x)) close
+    * to x). Each selected event becomes a deterministic 16×16 rgb24
+    * frame (8×8-blockwise-constant gray pattern seeded by frame id —
+    * DCT-friendly on purpose: the property bounds reconstruction, not
+    * entropy); one codec instance per partition (the mapPartitions
+    * mount, as m03); the query emits the PSNR-bound verdict per
+    * frame. The oracle pins the frame set and the property holding —
+    * a codec regression (wrong quant scaling, channel swap, raster
+    * order) flips `psnr_ok` and fails the hash, exactly how the
+    * reference's property test would fail. Lossiness itself is
+    * CodecSpec's to pin (encode is non-identity, bytes shrink). */
+  private def m14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 16
+    Tables.eventsMs(s, d)
+      .filter(col("event_type") === "click" && col("event_id") % 37 === 0)
+      .select((col("user_id") % 2).as("pipeline"),
+        col("event_id").as("frame_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val codec = graft.functions.Codec.Jpeg(W, W, 0.75f)
+        it.map { case (p, fid) =>
+          val raw = new Array[Byte](W * W * 3)
+          var i = 0
+          var y = 0
+          while (y < W) {
+            var x = 0
+            while (x < W) {
+              val v = (((x / 8 + 2 * (y / 8)).toLong + fid) * 37 % 200 + 28).toByte
+              raw(i) = v; raw(i + 1) = v; raw(i + 2) = v
+              i += 3; x += 1
+            }
+            y += 1
+          }
+          val dec = codec.decode(codec.encode(raw))
+          var se = 0.0
+          var j = 0
+          while (j < raw.length) {
+            val dlt = (raw(j) & 0xff) - (dec(j) & 0xff)
+            se += dlt.toDouble * dlt; j += 1
+          }
+          val mse = se / raw.length
+          val psnr = if (mse == 0) 99.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+          (p, fid, W.toLong, W.toLong, psnr >= 30.0)
+        }
+      }
+      .toDF("pipeline", "frame_id", "w", "h", "psnr_ok")
+      .orderBy(col("pipeline"), col("frame_id"))
+  }
+
+  private val m14Sql =
+    """SELECT user_id % 2 AS pipeline, event_id AS frame_id,
+      |  CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+      |  true AS psnr_ok
+      |FROM events WHERE event_type = 'click' AND event_id % 37 = 0
+      |ORDER BY pipeline, frame_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -583,5 +643,6 @@ object MultimodalQueries {
     Q("m11_frame_sample", m11, Some(m11Sql)),
     Q("m12_digit_raster", m12, Some(m12Sql)),
     Q("m13_patch_grid", m13, Some(m13Sql)),
+    Q("m14_jpeg_roundtrip", m14, Some(m14Sql)),
   )
 }

@@ -275,6 +275,77 @@ class CodecSpec extends AnyFunSuite {
     Array.tabulate(bs.length / 2)(i =>
       ((bs(2 * i + 1) << 8) | (bs(2 * i) & 0xff)).toShort.toDouble)
 
+  test("IMA ADPCM: sine round trip SNR >= 25 dB at 4x compression; " +
+      "byte framing survives odd sample counts") {
+    val n = 4001 // odd on purpose: the nibble packer pads the last byte
+    val xs = Array.tabulate(n)(i =>
+      (12000 * math.sin(2 * math.Pi * i / 64)).toInt)
+    val raw = new Array[Byte](2 * n)
+    xs.indices.foreach { i =>
+      raw(2 * i) = (xs(i) & 0xff).toByte
+      raw(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+    }
+    val packet = Codec.ImaAdpcm.encode(raw)
+    assert(packet.length == 4 + (n + 1) / 2, "4 bits/sample + count header")
+    val back = Codec.ImaAdpcm.decode(packet)
+    assert(back.length == raw.length)
+    val dec = Array.tabulate(n)(i =>
+      (((back(2 * i + 1) << 8) | (back(2 * i) & 0xff)).toShort).toInt)
+    val sigPow = xs.map(x => x.toDouble * x).sum
+    val errPow = xs.indices.map { i =>
+      val e = (xs(i) - dec(i)).toDouble; e * e }.sum
+    val snr = 10 * math.log10(sigPow / errPow)
+    assert(snr >= 25, f"ADPCM sine SNR $snr%.1f dB under bound")
+    // determinism (the p10 oracle depends on it)
+    assert(java.util.Arrays.equals(packet, Codec.ImaAdpcm.encode(raw)))
+  }
+
+  test("IMA ADPCM known-answer: first decoded samples of a step input " +
+      "match the standard step-table walk") {
+    // decode(encode([1000,1000,...])) must climb toward 1000 along the
+    // IMA step sizes from index 0 — pinned literals guard the tables,
+    // clamps and bit order against silent edits (the p10 oracle would
+    // also catch drift, but only at Verify time).
+    val xs = Array.fill(8)(1000)
+    val dec = Codec.ImaAdpcm.decodeSamples(
+      Codec.ImaAdpcm.encodeSamples(xs), xs.length)
+    // hand-checked: step0=7 → vpdiff 7+3+1=11; step1=16 (idx 0+8) →
+    // 11 + (2+16+8+4)=41; then 104, 240, 533, 996 as the step grows,
+    // overshoot 1057, settle 1001.
+    assert(dec.toSeq == Seq(11, 41, 104, 240, 533, 996, 1057, 1001),
+      s"step-table walk drifted: ${dec.toSeq}")
+  }
+
+  test("JPEG codec: real lossy round trip — PSNR >= 30 dB on the m14 " +
+      "frame family, deterministic bytes, genuine compression") {
+    val W = 16
+    val codec = Codec.Jpeg(W, W, 0.75f)
+    (0L until 8L).foreach { fid =>
+      val raw = new Array[Byte](W * W * 3)
+      var i = 0
+      for (y <- 0 until W; x <- 0 until W) {
+        val v = (((x / 8 + 2 * (y / 8)).toLong + fid) * 37 % 200 + 28).toByte
+        raw(i) = v; raw(i + 1) = v; raw(i + 2) = v; i += 3
+      }
+      val packet = codec.encode(raw)
+      val dec = codec.decode(packet)
+      assert(dec.length == raw.length)
+      val mse = raw.indices.map { j =>
+        val d = (raw(j) & 0xff) - (dec(j) & 0xff); d.toDouble * d
+      }.sum / raw.length
+      val psnr = if (mse == 0) 99.0 else 10 * math.log10(255.0 * 255.0 / mse)
+      assert(psnr >= 30, f"frame $fid PSNR $psnr%.1f dB under bound")
+      assert(packet.length < raw.length, "JPEG must actually compress")
+      assert(java.util.Arrays.equals(packet, codec.encode(raw)),
+        "fixed-quality encode must be deterministic")
+    }
+    // and it IS lossy somewhere in the family (not a disguised identity)
+    val noisy = Array.tabulate(W * W * 3)(i => ((i * 2654435761L) % 256).toByte)
+    val round = codec.decode(codec.encode(noisy))
+    assert(!java.util.Arrays.equals(noisy, round),
+      "a lossy codec cannot be bit-exact on noise")
+  }
+
   test("mu-law inverse transcoder: three-tone spectrum survives the " +
       "lossy round trip (test_audio_codec.py:10-16 shape)") {
     val rate = 16384 // power of 2: rate==n makes spectrum bins = Hz
