@@ -1,0 +1,135 @@
+package graft
+
+import graft.streaming.{StateMachines, StatefulRunner}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput curve: the SAME `runStreaming` mount the
+  * parity queries drive (file source → flatMapGroupsWithState → file
+  * sink, graft.operators.StreamParityQueries.throughStream), at
+  * pipeline counts ×{1,10,100} — the scaling axis SCALE.md's "a
+  * million concurrent gates spread across the cluster" claim lives
+  * on. Each replica re-keys the whole events fixture onto fresh
+  * pipeline ids, so rows AND independent state machines both grow
+  * 10× per decade while per-key work stays constant; the measured
+  * question is whether per-row cost stays flat as the key count
+  * multiplies (state machines don't interact) and whether added
+  * pipelines unlock parallelism (2 gates can't fill 32 cores; 200
+  * can).
+  *
+  * State width follows key cardinality up to the core count —
+  * min(32, pipelines) — the per-stream production knob the parity
+  * mounts document. The fixture build (chunk-file write) happens on
+  * an UNMEASURED warm pass via the mount's fixture cache; the
+  * measured pass re-runs the full stream (fresh session, checkpoint,
+  * sink) over the existing files, so the number is the stream, not
+  * the staging write.
+  *
+  * Usage: runMain graft.StreamCurve [sfDir]   (default sf0.1)
+  * Prints one JSON line; human table to stderr. Results land in
+  * SCALE.md "Streaming".
+  */
+object StreamCurve {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** e24's gate fixture re-keyed onto 2·reps pipelines. */
+    def gateFixture(reps: Int): DataFrame = {
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      e.filter(col("event_type").isin("click", "error"))
+        .crossJoin(broadcast(r))
+        .select(
+          (pmod(col("user_id"), lit(2)) + col("rep") * 2)
+            .cast("string").as("key"),
+          when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+          col("ts_ms").as("ts"),
+          when(col("event_type") === "click", col("value"))
+            .otherwise(when(col("value") > 10, 1.0).otherwise(0.0))
+            .as("value"),
+          lit(null).cast("string").as("text"),
+          lit(false).as("paused"),
+          col("event_id").as("seq"))
+    }
+
+    /** e27's synchronizer fixture (all five topics, arrival-order
+      * fold, the dict watermark machine) re-keyed onto reps
+      * pipelines; no flush sentinels — throughput, not the oracle. */
+    def syncFixture(reps: Int): DataFrame = {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      val topic = (array_position(lit(types.toArray), col("event_type")) - 1)
+        .cast("int")
+      e.crossJoin(broadcast(r))
+        .select(col("rep").cast("string").as("key"), topic.as("topic"),
+          col("ts_ms").as("ts"), topic.cast("double").as("value"),
+          col("event_id").cast("string").as("text"),
+          lit(false).as("paused"),
+          (shiftleft(col("user_id").cast("long"), 20) + col("event_id"))
+            .as("seq"))
+    }
+
+    def run(machine: String, reps: Int): (Long, Long, Double) = {
+      import StatefulRunner.{KEv, KOut}
+      val (fixture, order, pipes,
+          mount: (org.apache.spark.sql.Dataset[KEv] =>
+            org.apache.spark.sql.Dataset[KOut])) = machine match {
+        case "gate" => (gateFixture(reps),
+          Seq(col("ts"), when(col("topic") === 1, 0).otherwise(1),
+            col("seq")),
+          2L * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            StatefulRunner.runStreaming(
+              new StateMachines.Gate(failOpen = false), ds))
+        case "synchronizer" => (syncFixture(reps),
+          Seq(col("seq")), reps.toLong,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            StatefulRunner.runStreaming(
+              new StateMachines.Synchronizer(5), ds))
+      }
+      val width = math.min(cpus.toInt, math.max(4, pipes)).toString
+      val conf = Map("spark.sql.shuffle.partitions" -> width)
+      val tag = s"curve-$machine-$reps@$sfDir"
+      val rows = fixture.count()
+      // warm pass: builds the chunk files (cached) + JITs the path
+      graft.operators.StreamParityQueries
+        .throughStream(spark, fixture, order, tag, mount, conf)
+        .write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      graft.operators.StreamParityQueries
+        .throughStream(spark, fixture, order, tag, mount, conf)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (pipes, rows, sec)
+    }
+
+    val repsScale = Seq(1, 10, 100)
+    val rows = for {
+      m <- Seq("gate", "synchronizer")
+      reps <- repsScale
+    } yield {
+      val (pipes, n, sec) = run(m, reps)
+      val rps = n / sec
+      System.err.println(f"$m%-13s reps=$reps%3d pipelines=$pipes%4d " +
+        f"rows=$n%9d sec=$sec%7.2f rows/s=${rps / 1e6}%.2fM")
+      (m, reps, pipes, n, sec, rps)
+    }
+    val json = rows.map { case (m, reps, pipes, n, sec, rps) =>
+      s"""{"machine":"$m","reps":$reps,"pipelines":$pipes,""" +
+        s""""rows":$n,"sec":${f"$sec%.3f"},"rows_per_sec":${f"$rps%.0f"}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"sf":"$sfDir","curve":$json}""")
+    spark.stop()
+  }
+}

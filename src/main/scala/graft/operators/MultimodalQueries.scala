@@ -630,6 +630,80 @@ object MultimodalQueries {
       |FROM events WHERE event_type = 'click' AND event_id % 37 = 0
       |ORDER BY pipeline, frame_id""".stripMargin
 
+  /** m15: the §2.4 ASR chain with REAL TRAINED WEIGHTS — the upgrade
+    * from m03/m07's synthetic kernels. Each click event synthesizes an
+    * 8-dim integer frame (class template + bounded hash noise, the
+    * distribution [[graft.functions.AsrTiny]] was trained on); the
+    * model — softmax regression genuinely trained by
+    * scripts/train_asr.py, quantized ×1000 to exact integer logits —
+    * rides the jar onto executors, scores every frame inside the
+    * keyed-group fold (one lazy model load per JVM, the mapPartitions
+    * amortization), and the greedy CTC collapse (drop repeats, then
+    * blanks — m07's rule) emits the per-utterance transcript. The
+    * DuckDB oracle recomputes the ENTIRE chain — features, integer
+    * matmul against the same weight literals, argmax with the same
+    * tie rule, collapse — so the hash gate certifies the weights
+    * actually flowing through the distributed fold, not a stub.
+    * Reference seam: inference/asrspeechrecognition.py:54-71 binds
+    * speechbrain checkpoints at exactly this point. */
+  private def m15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 8).as("utt"), col("ts_ms"), col("event_id"),
+        when(col("event_id") % 3 === 0, 0)
+          .otherwise(col("event_id") % 5 + 1).cast(IntegerType).as("cls"))
+      .as[(Long, Long, Long, Int)]
+    e.groupByKey(_._1)
+      .flatMapGroups { (utt: Long, rows: Iterator[(Long, Long, Long, Int)]) =>
+        val m = graft.functions.AsrTiny.model // from the jar, once per JVM
+        val frames = rows.toVector.sortBy(r => (r._2, r._3))
+        val preds = frames.map { case (_, _, eid, cls) =>
+          val x = Array.tabulate(m.dim)(j =>
+            m.tmpl(cls)(j) + eid * (j + 1) * 2654435761L % 7L - 3L)
+          m.predict(x)
+        }
+        val collapsed = preds.zipWithIndex
+          .filter { case (p, i) => i == 0 || preds(i - 1) != p }
+          .map(_._1).filter(_ != 0)
+        collapsed.zipWithIndex.map { case (sym, i) =>
+          (utt, (i + 1).toLong, sym.toLong) }.iterator
+      }
+      .toDF("utt", "pos", "sym")
+      .orderBy(col("utt"), col("pos"))
+  }
+
+  private def sqlMat(m: Array[Array[Long]]): String =
+    m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private val m15Sql = {
+    val m = graft.functions.AsrTiny.model
+    s"""WITH e AS (SELECT user_id % 8 AS utt, epoch_ms(ts) AS ts_ms, event_id,
+       |    CASE WHEN event_id % 3 = 0 THEN 0 ELSE event_id % 5 + 1 END AS cls
+       |  FROM events WHERE event_type = 'click'),
+       |f AS (SELECT utt, ts_ms, event_id, cls,
+       |    unnest(generate_series(1, ${m.dim})) AS j FROM e),
+       |x AS (SELECT utt, ts_ms, event_id, j,
+       |    ${sqlMat(m.tmpl)}[cls + 1][j]
+       |      + event_id * j * 2654435761 % 7 - 3 AS x
+       |  FROM f),
+       |l AS (SELECT utt, ts_ms, event_id, k,
+       |    SUM(${sqlMat(m.w)}[k][j] * x)
+       |      + ${m.b.mkString("[", ",", "]")}[k] AS logit
+       |  FROM x CROSS JOIN (SELECT unnest(generate_series(1, ${m.classes})) AS k)
+       |  GROUP BY utt, ts_ms, event_id, k),
+       |pred AS (SELECT utt, ts_ms, event_id, k - 1 AS p FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY utt, ts_ms, event_id
+       |      ORDER BY logit DESC, k) AS r FROM l) WHERE r = 1),
+       |collapsed AS (SELECT utt, p,
+       |    row_number() OVER (PARTITION BY utt ORDER BY ts_ms, event_id) AS fr,
+       |    lag(p) OVER (PARTITION BY utt ORDER BY ts_ms, event_id) AS prev
+       |  FROM pred)
+       |SELECT utt, CAST(row_number() OVER (PARTITION BY utt ORDER BY fr)
+       |    AS BIGINT) AS pos, CAST(p AS BIGINT) AS sym
+       |FROM collapsed WHERE (prev IS NULL OR p <> prev) AND p <> 0
+       |ORDER BY utt, pos""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -644,5 +718,6 @@ object MultimodalQueries {
     Q("m12_digit_raster", m12, Some(m12Sql)),
     Q("m13_patch_grid", m13, Some(m13Sql)),
     Q("m14_jpeg_roundtrip", m14, Some(m14Sql)),
+    Q("m15_asr_trained", m15, Some(m15Sql)),
   )
 }

@@ -135,7 +135,7 @@ object StreamParityQueries {
     * SOURCE is reused: every run gets a fresh session, checkpoint and
     * sink, so the stream itself (the thing under measurement) executes
     * fully each time — like benching a query over an existing table. */
-  private def throughStream(s: SparkSession, fixture: => DataFrame,
+  private[graft] def throughStream(s: SparkSession, fixture: => DataFrame,
       order: => Seq[Column], tag: String,
       mount: Dataset[KEv] => Dataset[KOut],
       streamConf: Map[String, String],
