@@ -267,9 +267,158 @@ object ContainerQueries {
       |FROM v JOIN c USING (pipeline) JOIN b USING (pipeline)
       |ORDER BY pipeline""".stripMargin
 
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** m16: REAL WAV container round-trip under the oracle. Per
+    * container key, click values become PCM16 samples, are muxed into
+    * an actual RIFF/WAVE file ([[graft.sources.Wav]]), demuxed back,
+    * and the emitted row carries (a) header fields and sample stats
+    * read from the DEMUXED file and (b) the md5 of the complete
+    * file's lowercase hex. The DuckDB oracle reconstructs the entire
+    * WAV byte stream — 44-byte PCM header plus int16-LE data — as a
+    * hex string in SQL, so a hash match proves the muxer's byte
+    * layout and the demuxer's parse are both exact. Mirrors the
+    * reference's container round-trip matrix
+    * (tests/media/test_containers.py:20-29) for the one format a JVM
+    * can honestly produce without libav.
+    *
+    * Scale: groupBy key + mapGroups — one container's bytes build on
+    * one executor; a billion containers are a billion independent
+    * groups. Nothing touches the driver. */
+  private def m14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Wav
+    val rows = eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 8).as("container"),
+        least(greatest(round(col("value") * 100).cast(IntegerType),
+          lit(-32768)), lit(32767)).as("x"),
+        col("ts_ms"), col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(_._1).mapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+      val wav = Wav.mux(Wav.WavData(16000, 1, 16, Wav.pcm16(xs)))
+      val back = Wav.demux(wav)
+      val ss = Wav.samples16(back.data)
+      (k, ss.length.toLong, wav.length.toLong,
+        back.sampleRate.toLong, back.channels.toLong,
+        back.bitsPerSample.toLong,
+        ss.foldLeft(0L)(_ + _), ss.min.toLong, ss.max.toLong,
+        md5Hex(wav.map("%02x".format(_)).mkString.getBytes("UTF-8")))
+    }.toDF("container", "n_samples", "file_len", "sample_rate",
+        "channels", "bits", "sample_sum", "sample_min", "sample_max",
+        "wav_md5")
+      .orderBy(col("container"))
+  }
+
+  /** The oracle rebuilds the byte-exact WAV: fixed header hex with
+    * the two little-endian u32 sizes (36+2n, 2n) spliced in, then the
+    * ordered int16-LE sample hex. printf('%02x') matches Scala's
+    * "%02x" (lowercase, zero-padded). */
+  private val m14Sql =
+    """WITH s AS (SELECT user_id % 8 AS container,
+      |    least(greatest(CAST(round(value * 100) AS INT), -32768), 32767) AS x,
+      |    epoch_ms(ts) AS tms, event_id
+      |  FROM events WHERE event_type = 'click'),
+      |pcm AS (SELECT container,
+      |    string_agg(printf('%02x%02x', ((x + 65536) % 65536) % 256,
+      |      ((x + 65536) % 65536) // 256), '' ORDER BY tms, event_id) AS datahex,
+      |    count(*) AS n, sum(x) AS ssum, min(x) AS smin, max(x) AS smax
+      |  FROM s GROUP BY container),
+      |wav AS (SELECT container, n, ssum, smin, smax,
+      |    '52494646' ||
+      |    printf('%02x%02x%02x%02x', (36 + 2*n) % 256, ((36 + 2*n) // 256) % 256,
+      |      ((36 + 2*n) // 65536) % 256, ((36 + 2*n) // 16777216) % 256) ||
+      |    '57415645666d74201000000001000100803e0000007d000002001000' ||
+      |    '64617461' ||
+      |    printf('%02x%02x%02x%02x', (2*n) % 256, ((2*n) // 256) % 256,
+      |      ((2*n) // 65536) % 256, ((2*n) // 16777216) % 256) ||
+      |    datahex AS hex
+      |  FROM pcm)
+      |SELECT container, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(44 + 2*n AS BIGINT) AS file_len,
+      |  CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+      |  CAST(16 AS BIGINT) AS bits, CAST(ssum AS BIGINT) AS sample_sum,
+      |  CAST(smin AS BIGINT) AS sample_min, CAST(smax AS BIGINT) AS sample_max,
+      |  md5(hex) AS wav_md5
+      |FROM wav ORDER BY container""".stripMargin
+
+  /** m17: REAL AVI multi-stream container round-trip. Per container,
+    * view events are video packets (stream 0, 30 fps, keyframe every
+    * 4th event id) and click events audio packets (stream 1,
+    * 16 kHz); payloads are the md5-hex ASCII of
+    * `container:stream:event_id`. Packets are interleaved by
+    * (ts, event_id) — the output-container emit order — muxed into a
+    * real AVI ([[graft.sources.Avi]]: hdrl/strh/strf, movi, idx1),
+    * demuxed, and the emitted trace reads everything from the DEMUXED
+    * file: position = file order, kind from the parsed strh, keyframe
+    * from idx1, payload md5 from the movi chunk bytes. The oracle
+    * predicts the interleave trace AND the total file length from the
+    * AVI size arithmetic (332 + 56·packets for two streams of 32-byte
+    * payloads), so a hash match pins chunk layout, index flags, and
+    * interleaving end to end. */
+  private def m15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Avi
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 4).as("container"),
+        when(col("event_type") === "view", 0).otherwise(1).as("stream"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    val streams = Seq(
+      Avi.AviStream("vids", scale = 1, rate = 30, width = 64, height = 48),
+      Avi.AviStream("auds", scale = 1, rate = 16000, channels = 1,
+        bitsPerSample = 16))
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val pkts = it.toArray.sortBy(r => (r._4, r._3)).map { r =>
+        val payload = md5Hex(s"$k:${r._2}:${r._3}".getBytes("UTF-8"))
+          .getBytes("US-ASCII")
+        Avi.AviPacket(r._2,
+          keyframe = r._2 != 0 || r._3 % 4 == 0, payload)
+      }
+      val avi = Avi.mux(streams, pkts.toSeq)
+      val (ds, dp) = Avi.demux(avi)
+      dp.zipWithIndex.map { case (p, i) =>
+        val kind = ds(p.stream).kind
+        (k, i.toLong,
+          f"${p.stream}%02d" + (if (kind == "vids") "db" else "wb"),
+          kind, p.keyframe, p.payload.length.toLong,
+          md5Hex(p.payload), avi.length.toLong)
+      }
+    }.toDF("container", "pos", "ckid", "kind", "keyframe",
+        "payload_len", "payload_md5", "file_len")
+      .orderBy(col("container"), col("pos"))
+  }
+
+  private val m15Sql =
+    """WITH e AS (SELECT user_id % 4 AS container,
+      |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS stream,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |p AS (SELECT container, stream, event_id,
+      |    row_number() OVER (PARTITION BY container
+      |                       ORDER BY tms, event_id) - 1 AS pos,
+      |    md5(container::VARCHAR || ':' || stream::VARCHAR || ':'
+      |        || event_id::VARCHAR) AS payload,
+      |    (stream != 0 OR event_id % 4 = 0) AS keyframe
+      |  FROM e),
+      |n AS (SELECT container, count(*) AS cnt FROM p GROUP BY container)
+      |SELECT p.container, CAST(pos AS BIGINT) AS pos,
+      |  CASE WHEN stream = 0 THEN '00db' ELSE '01wb' END AS ckid,
+      |  CASE WHEN stream = 0 THEN 'vids' ELSE 'auds' END AS kind,
+      |  keyframe, CAST(32 AS BIGINT) AS payload_len,
+      |  md5(payload) AS payload_md5,
+      |  CAST(332 + 56 * cnt AS BIGINT) AS file_len
+      |FROM p JOIN n USING (container) ORDER BY container, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
     Q("e23_named_streams", e23, Some(e23Sql)),
+    Q("m16_wav_container", m14, Some(m14Sql)),
+    Q("m17_avi_container", m15, Some(m15Sql)),
   )
 }
