@@ -960,6 +960,153 @@ object DedupQueries {
        |       ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---- d13: maximal duplicated-span extraction -----------------------------
+  /** The step AFTER d11's per-doc duplication stats: materialize the
+    * actual duplicated SPANS. An overlap of length L ≥ W tokens shows
+    * up as L−W+1 consecutive duplicated window positions (Lee et al.
+    * 2022 §4.1 — the suffix-array output this reproduces with rolling
+    * windows); merging each maximal run of consecutive duplicated
+    * positions back into one [start, start+len) token range recovers
+    * the maximal duplicated span, and the emitted span_md5 is the md5
+    * of the exact span text, so the oracle hash pins the extraction,
+    * not just the counts.
+    *
+    * Scale shape: windows explode linear in tokens; ONE shuffle keyed
+    * by window hash decides dup-ness via min≠max over the wh window
+    * partition (no pair join — group size never squares); run-merging
+    * is a per-doc window function (partitioned by doc_id, bounded by
+    * doc length); the final span-text lookup joins spans back to the
+    * tokenized doc on doc_id — co-partitioned, carrying only (doc_id,
+    * start, len) per span. */
+  private val SpanW = 8
+
+  /** (doc_id, pos) of every duplicated window position, shared by
+    * d13/d14. Dup-ness via min≠max over the wh partition — same
+    * no-count-distinct shape as d11. */
+  private def dupPositions(documents: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val wins = transform(sequence(lit(0), size(t) - lit(SpanW)),
+      i => array_join(slice(t, i + lit(1), lit(SpanW)), " "))
+    val whPart = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
+    documents
+      .filter(size(t) >= SpanW)
+      .select(col("doc_id"), posexplode(wins).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        md5(col("win").cast(BinaryType)).as("wh"))
+      .withColumn("dup",
+        min(col("doc_id")).over(whPart) =!= max(col("doc_id")).over(whPart))
+      .filter(col("dup"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  private val dupPosSql =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |      FROM documents),
+       |win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |          md5(array_to_string(w[i:i+${SpanW - 1}], ' ')) AS wh
+       |        FROM t, unnest(generate_series(1, len(w) - ${SpanW - 1})) AS s(i)
+       |        WHERE len(w) >= $SpanW),
+       |dp AS (SELECT doc_id, pos FROM (
+       |         SELECT doc_id, pos,
+       |           min(doc_id) OVER (PARTITION BY wh)
+       |             != max(doc_id) OVER (PARTITION BY wh) AS dup
+       |         FROM win) WHERE dup)""".stripMargin
+
+  /** Maximal-span extraction over any documents frame — exposed for
+    * DedupSpec's crafted-span fixtures. */
+  def dupSpans(docs: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupPositions(docs)
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SpanW) - min(col("pos"))).as("span_len"))
+    spans.join(docs.select(col("doc_id"),
+        toks(col("text")).as("w")), "doc_id")
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        md5(array_join(slice(col("w"),
+          (col("span_start") + 1).cast(IntegerType),
+          col("span_len").cast(IntegerType)), " ").cast(BinaryType))
+          .as("span_md5"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private def d13(s: SparkSession, d: String): DataFrame =
+    dupSpans(Tables.documents(s, d))
+
+  private val d13Sql =
+    s"""WITH $dupPosSql,
+       |runs AS (SELECT doc_id, pos,
+       |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |             AS grp
+       |         FROM dp),
+       |spans AS (SELECT doc_id, min(pos) AS span_start,
+       |            max(pos) + $SpanW - min(pos) AS span_len
+       |          FROM runs GROUP BY doc_id, grp)
+       |SELECT s.doc_id, span_start, span_len,
+       |  md5(array_to_string(
+       |    t.w[CAST(span_start + 1 AS INT) :
+       |        CAST(span_start + span_len AS INT)], ' ')) AS span_md5
+       |FROM spans s JOIN t ON s.doc_id = t.doc_id
+       |ORDER BY s.doc_id, span_start""".stripMargin
+
+  // ---- d14: span scrub → the cleaned corpus --------------------------------
+  /** Apply d13: remove every token covered by ANY duplicated window
+    * from every document and emit the cleaned text's md5 — the
+    * "dedup'd corpus" artifact a training pipeline actually feeds
+    * downstream (the canonical copy of each span survives as d13's
+    * span table, keyed by span_md5). Covered-token sets from adjacent
+    * spans can overlap (runs are ≥ 2 window positions apart but token
+    * ranges extend W−1 past the last position), so coverage is the
+    * DISTINCT union of per-position token ranges — an explode of W
+    * offsets per dup position, still linear.
+    *
+    * Scale shape: adds one explode (×W of dup positions only, not all
+    * tokens) and one per-doc anti-join on (doc_id, token index) —
+    * co-partitioned by doc_id; nothing quadratic, nothing driver-side. */
+  /** Span scrub over any documents frame — exposed for DedupSpec. */
+  def spanScrub(docs: DataFrame): DataFrame = {
+    val toked = docs.select(col("doc_id"), toks(col("text")).as("w"))
+    val covered = dupPositions(docs)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(SpanW - 1))).as("ti"))
+      .distinct()
+    val tokens = toked
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("ti", "tok")))
+      .select(col("doc_id"), col("ti").cast(LongType).as("ti"), col("tok"))
+    tokens.join(covered, Seq("doc_id", "ti"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(array_sort(collect_list(struct(col("ti"), col("tok"))))
+          .getField("tok"), " ").cast(BinaryType)).as("cleaned_md5"))
+      .join(toked.select(col("doc_id"), size(col("w")).cast(LongType)
+        .as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"), col("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d14(s: SparkSession, d: String): DataFrame =
+    spanScrub(Tables.documents(s, d))
+
+  private val d14Sql =
+    s"""WITH $dupPosSql,
+       |cov AS (SELECT DISTINCT doc_id, pos + o AS ti
+       |        FROM dp, unnest(generate_series(0, ${SpanW - 1})) AS s(o)),
+       |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS ti, w[i] AS tk
+       |        FROM t, unnest(generate_series(1, len(w))) AS s(i)),
+       |kept AS (SELECT tok.doc_id, tok.ti AS ti, tk FROM tok
+       |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti
+       |         WHERE cov.doc_id IS NULL),
+       |cln AS (SELECT doc_id, count(*) AS n_kept,
+       |          md5(string_agg(tk, ' ' ORDER BY ti)) AS cleaned_md5
+       |        FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, n_kept,
+       |  CAST(len(t.w) AS BIGINT) - n_kept AS n_removed, cleaned_md5
+       |FROM cln c JOIN t ON c.doc_id = t.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -974,5 +1121,7 @@ object DedupQueries {
     Q("d10_cc_fixpoint", d10, Some(d10Sql)),
     Q("d11_substring_dedup", d11, Some(d11Sql)),
     Q("d12_leakage_safe_split", d12, Some(d12Sql)),
+    Q("d13_dup_spans", d13, Some(d13Sql)),
+    Q("d14_span_scrub", d14, Some(d14Sql)),
   )
 }

@@ -95,4 +95,57 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 0: 17 tokens → 10 windows; doc 1: 18 tokens → 11 windows
     assert(got == Seq((0L, 10L, 5L), (1L, 11L, 5L)))
   }
+
+  test("d13 span extraction: consecutive duplicated windows merge back " +
+      "into the exact maximal shared span, with its md5") {
+    import spark.implicits._
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"aa bb cc $span dd ee"),
+      (1L, s"xx yy $span zz ww vv uu"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14")
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val spanMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(span.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 0: span tokens 3..14 → start 3 len 12; doc 1: start 2 len 12
+    assert(got.toSeq == Seq((0L, 3L, 12L, spanMd5), (1L, 2L, 12L, spanMd5)))
+  }
+
+  test("d13 two disjoint shared spans in one doc stay two spans; " +
+      "overlapping-coverage spans merge in d14's scrub") {
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$a gap1 gap2 gap3 $b"),
+      (1L, s"$a zz1 zz2 zz3 zz4 zz5 zz6 zz7 $b")
+    ).toDF("doc_id", "text")
+    val spans = DedupQueries.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0: a at 0..7, b at 11..18; doc 1: a at 0..7, b at 15..22
+    assert(spans.toSeq == Seq((0L, 0L, 8L), (0L, 11L, 8L),
+      (1L, 0L, 8L), (1L, 15L, 8L)))
+    val scrub = DedupQueries.spanScrub(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: 19 tokens, 16 removed (two 8-spans), 3 gap tokens kept
+    // doc 1: 23 tokens, 16 removed, 7 kept
+    assert(scrub.toSeq == Seq((0L, 19L, 3L, 16L), (1L, 23L, 7L, 16L)))
+  }
+
+  test("d14 scrub keeps untouched docs whole and drops fully-" +
+      "duplicated docs' tokens entirely") {
+    import spark.implicits._
+    val dup = (1 to 10).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (0L, dup),                       // fully duplicated with doc 1
+      (1L, dup),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11")  // untouched
+    ).toDF("doc_id", "text")
+    val scrub = DedupQueries.spanScrub(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 0/1 vanish (all tokens covered); doc 2 fully kept
+    assert(scrub.toSeq == Seq((2L, 11L, 11L, 0L)))
+  }
 }
