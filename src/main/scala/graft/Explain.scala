@@ -28,6 +28,7 @@ object Explain {
     "s09_ivfadc_search", // Lloyd steps + probe: k×dim centroids broadcast
     "s07_bm25_rank",   // 1-row corpus stats fanned onto the scan
     "t08_domain_mix",  // 1-row totals row
+    "t17_bpe_train",   // 1-row pair-argmax frame broadcast per iteration
     "e12_time_buffer", "e15_repeater", "e21_output_container",
     "p03_audio_mixer", // bounded tick grids (1-row min/max bounds)
     "m06_video_layout" // bounded layout grid

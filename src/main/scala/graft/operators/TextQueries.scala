@@ -725,6 +725,189 @@ object TextQueries {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM ex GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
 
+  // ---- t16: per-language unigram-LM surprisal filter (CCNet shape) ---------
+  /** The LM-based quality filter of CCNet (Wenzek et al. 2020): train
+    * a unigram LM per LANGUAGE on the corpus, score every document's
+    * mean token surprisal against its own language's model, and bucket
+    * into head/middle/tail. Surprisal is quantized to INTEGER bits —
+    * ibits(w) = floor(log₂(N_lang / c_w)) via length(bin(N div c)) − 1
+    * — so the per-doc sum is exact 64-bit arithmetic on both engines
+    * (a float ln would hash-diverge on summation order and libm
+    * rounding; the integer-log2 keeps the filter's ranking power while
+    * making it bit-reproducible, the property a shardable 100 TB
+    * pipeline needs anyway).
+    *
+    * Scale shape: doc-level token counts collapse map-side before the
+    * ONE corpus-wide shuffle keyed (lang, token); per-lang totals are
+    * a 5-row broadcast; the score join reuses the (lang, token) key;
+    * final per-doc agg shuffles (doc_id). Nothing driver-side, no
+    * floats until the emitted mean (integer centibits). */
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dc = docs
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tk"))
+      .groupBy(col("doc_id"), col("lang"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+    val c = dc.groupBy(col("lang"), col("tk")).agg(sum(col("cnt")).as("c"))
+    val n = c.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val ibits = c.join(broadcast(n), "lang")
+      .select(col("lang"), col("tk"),
+        (length(bin(expr("n div c"))) - 1).cast(LongType).as("ibits"))
+    dc.join(ibits, Seq("lang", "tk"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("ibits")).as("surprisal_bits"))
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        col("surprisal_bits").cast(LongType).as("surprisal_bits"),
+        expr("surprisal_bits * 100 div n_tokens").as("mean_centibits"))
+      .withColumn("bucket",
+        when(col("mean_centibits") < 412, "head")
+          .when(col("mean_centibits") < 425, "middle")
+          .otherwise("tail"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t16Sql =
+    """WITH tok AS (SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+      |dc AS (SELECT doc_id, lang, tk, count(*) AS cnt
+      |       FROM tok GROUP BY doc_id, lang, tk),
+      |c AS (SELECT lang, tk, sum(cnt) AS c FROM dc GROUP BY lang, tk),
+      |n AS (SELECT lang, sum(c) AS n FROM c GROUP BY lang),
+      |ib AS (SELECT c.lang, tk, CAST(len(bin(n // c)) - 1 AS BIGINT) AS ibits
+      |       FROM c JOIN n USING (lang)),
+      |d AS (SELECT doc_id, dc.lang AS lang, sum(cnt) AS n_tokens,
+      |        sum(cnt * ibits) AS surprisal_bits
+      |      FROM dc JOIN ib ON dc.lang = ib.lang AND dc.tk = ib.tk
+      |      GROUP BY doc_id, dc.lang)
+      |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(surprisal_bits AS BIGINT) AS surprisal_bits,
+      |  CAST(surprisal_bits * 100 // n_tokens AS BIGINT) AS mean_centibits,
+      |  CASE WHEN surprisal_bits * 100 // n_tokens < 412 THEN 'head'
+      |       WHEN surprisal_bits * 100 // n_tokens < 425 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---- t17: distributed BPE tokenizer training -----------------------------
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) as a
+    * declarative plan — the tokenizer-training step of a data
+    * pipeline, run on the word-frequency dictionary (the classic BPE
+    * formulation, which is exactly what makes it distributable: state
+    * is |vocab| rows, not the corpus).
+    *
+    * The greedy left-to-right merge pass — BPE's one genuinely
+    * sequential step, where "a a a" under merge (a,a) must become
+    * "aa a", not "a aa" — is expressed with NO window functions or
+    * per-row loops: each symbol is encoded as \x01sym\x02, so the
+    * merged pair's pattern \x01a\x02\x01b\x02 is self-delimiting and
+    * a plain string `replace` (left-to-right, non-overlapping in both
+    * engines by definition) IS the greedy BPE pass. Three unrolled
+    * iterations: each is (pair explode → map-side-combined count →
+    * 1-row argmax via max(struct) → broadcast → per-row replace).
+    * Determinism: pair argmax tie-breaks by (freq, a, b) struct order
+    * on both engines; all counts are exact 64-bit sums.
+    *
+    * Scale: per iteration ONE shuffle keyed (a,b) over the pair
+    * counts; the dictionary itself is never reshuffled (narrow maps);
+    * the argmax is an aggregate to one row, broadcast back. At 100 TB
+    * the word dictionary is ~10⁸ rows — iterations cost 3 small
+    * aggregations, not 3 corpus scans (the corpus is read once, for
+    * the dictionary). */
+  /** BPE training over any documents frame — exposed for TextSpec's
+    * crafted greedy-merge fixtures. */
+  def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    val S1 = "\u0001"; val S2 = "\u0002"
+    val pairSchema = "array<struct<a:string,b:string>>"
+    def syms(c: Column): Column =
+      split(regexp_replace(c, s"^$S1|$S2$$", ""), s"$S2$S1")
+    var cur = docs
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("enc", regexp_replace(col("word"), "(.)", s"$S1$$1$S2"))
+    val merges = Seq.newBuilder[DataFrame]
+    for (it <- 1 to iters) {
+      val pairs = cur.select(col("freq"), syms(col("enc")).as("s"))
+        .select(col("freq"), explode(when(size(col("s")) >= 2,
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("a"),
+              element_at(col("s"), i + 1).as("b"))))
+          .otherwise(array().cast(pairSchema))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("pf"))
+      val best = pairs
+        .agg(max(struct(col("pf"), col("a"), col("b"))).as("m"))
+        .select(col("m.pf").as("pf"), col("m.a").as("a"), col("m.b").as("b"))
+      merges += best.select(lit("merge").as("kind"), lit(it.toLong).as("iter"),
+        concat(col("a"), lit("+"), col("b")).as("sym"),
+        col("pf").cast(LongType).as("freq"))
+      cur = cur.crossJoin(broadcast(best)) // 1-row argmax frame
+        .withColumn("enc", expr(
+          s"replace(enc, concat('$S1', a, '$S2', '$S1', b, '$S2'), " +
+            s"concat('$S1', a, b, '$S2'))"))
+        .select(col("word"), col("freq"), col("enc"))
+    }
+    val vocab = cur
+      .select(col("freq"), explode(syms(col("enc"))).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("sym")).limit(20)
+      .select(lit("vocab").as("kind"), lit(0L).as("iter"), col("sym"),
+        col("freq").cast(LongType).as("freq"))
+    merges.result().reduce(_ union _).union(vocab)
+      .orderBy(col("kind"), col("iter"), col("sym"))
+  }
+
+  private def t17(s: SparkSession, d: String): DataFrame =
+    bpeTrain(Tables.documents(s, d), iters = 3)
+
+  /** One BPE iteration's CTEs for the oracle: decode symbols, count
+    * pairs, argmax via struct max, apply the self-delimiting replace. */
+  private def bpeIterSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""s$k AS (SELECT freq, enc,
+       |  string_split(trim(enc, chr(1)||chr(2)), chr(2)||chr(1)) AS s
+       |  FROM $prev),
+       |p$k AS (SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS pf
+       |        FROM s$k, unnest(generate_series(1, len(s)-1)) AS u(i)
+       |        GROUP BY 1, 2),
+       |b$k AS (SELECT max(struct_pack(pf := pf, a := a, b := b)) AS m
+       |        FROM p$k),
+       |w$k AS (SELECT freq, replace(enc,
+       |    chr(1)||(SELECT m.a FROM b$k)||chr(2)||
+       |      chr(1)||(SELECT m.b FROM b$k)||chr(2),
+       |    chr(1)||(SELECT m.a FROM b$k)||(SELECT m.b FROM b$k)||chr(2))
+       |      AS enc FROM s$k)""".stripMargin
+  }
+
+  private val t17Sql =
+    s"""WITH w0 AS (
+       |  SELECT word, count(*) AS freq,
+       |    chr(1) || array_to_string(list_transform(
+       |      generate_series(1, len(word)), i -> word[i]),
+       |      chr(2)||chr(1)) || chr(2) AS enc
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |${bpeIterSql(1)},
+       |${bpeIterSql(2)},
+       |${bpeIterSql(3)},
+       |mg AS (
+       |  SELECT 'merge' AS kind, 1 AS iter, m.a || '+' || m.b AS sym,
+       |    m.pf AS freq FROM b1
+       |  UNION ALL SELECT 'merge', 2, m.a || '+' || m.b, m.pf FROM b2
+       |  UNION ALL SELECT 'merge', 3, m.a || '+' || m.b, m.pf FROM b3),
+       |vc AS (
+       |  SELECT 'vocab' AS kind, 0 AS iter, sym, freq FROM (
+       |    SELECT sym, sum(freq) AS freq FROM (
+       |      SELECT unnest(string_split(trim(enc, chr(1)||chr(2)),
+       |        chr(2)||chr(1))) AS sym, freq FROM w3)
+       |    GROUP BY sym ORDER BY freq DESC, sym LIMIT 20))
+       |SELECT kind, CAST(iter AS BIGINT) AS iter, sym,
+       |  CAST(freq AS BIGINT) AS freq
+       |FROM (SELECT * FROM mg UNION ALL SELECT * FROM vc)
+       |ORDER BY kind, iter, sym""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -741,5 +924,7 @@ object TextQueries {
     Q("t13_filter_funnel", t13, Some(t13Sql)),
     Q("t14_stratified_sample", t14, Some(t14Sql)),
     Q("t15_corpus_pipeline", t15, Some(t15Sql)),
+    Q("t16_lm_surprisal", t16, Some(t16Sql)),
+    Q("t17_bpe_train", t17, Some(t17Sql)),
   )
 }
