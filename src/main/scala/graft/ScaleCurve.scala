@@ -36,10 +36,12 @@ object ScaleCurve {
     "d03_ngram_jaccard", "d03p_jaccard_prefix",
     "d06_lsh_verified", "d09_dup_clusters",
     "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
+    "d13_dup_spans", "d14_span_scrub",
     "q04_multi_join", "q28_range_join_auto", "q30_bucketed_join",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "s09_ivfadc_search",
-    "t05_ngram_profile", "t15_corpus_pipeline", "e18_sessionize")
+    "t05_ngram_profile", "t15_corpus_pipeline", "t16_lm_surprisal",
+    "t17_bpe_train", "e18_sessionize")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -59,8 +61,9 @@ object ScaleCurve {
   private val X100Queries =
     Seq("d02_minhash_lsh", "d03p_jaccard_prefix", "d06_lsh_verified",
       "d10_cc_fixpoint",
-      "d12_leakage_safe_split", "s07_bm25_rank", "s09_ivfadc_search",
-      "t15_corpus_pipeline")
+      "d12_leakage_safe_split", "d14_span_scrub", "s07_bm25_rank",
+      "s09_ivfadc_search", "t15_corpus_pipeline", "t16_lm_surprisal",
+      "t17_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

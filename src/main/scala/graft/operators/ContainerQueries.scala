@@ -364,7 +364,7 @@ object ContainerQueries {
     import graft.sources.Avi
     val rows = eventsMs(s, d)
       .filter(col("event_type").isin("view", "click"))
-      .select((col("user_id") % 4).as("container"),
+      .select((col("user_id") % 32).as("container"),
         when(col("event_type") === "view", 0).otherwise(1).as("stream"),
         col("event_id"), col("ts_ms"))
       .as[(Long, Int, Long, Long)]
@@ -394,7 +394,7 @@ object ContainerQueries {
   }
 
   private val m15Sql =
-    """WITH e AS (SELECT user_id % 4 AS container,
+    """WITH e AS (SELECT user_id % 32 AS container,
       |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS stream,
       |    event_id, epoch_ms(ts) AS tms
       |  FROM events WHERE event_type IN ('view','click')),
@@ -414,11 +414,82 @@ object ContainerQueries {
       |  CAST(332 + 56 * cnt AS BIGINT) AS file_len
       |FROM p JOIN n USING (container) ORDER BY container, pos""".stripMargin
 
+  /** m18: REAL demux feeding the input-container timeline — the full
+    * #29 composition. Each container's two event streams are muxed
+    * into an actual AVI (same interleave as m17), then the binary is
+    * PARSED back: stream clocks come from the demuxed strh (16 kHz
+    * audio / 30 fps video), per-stream packet indices from the movi
+    * file order, and [[graft.sources.InputPacer.restamp]] anchors the
+    * resulting dts timeline exactly as m04 does for parquet-packetized
+    * media — so `container bytes → packets → wall timeline`, with
+    * every field downstream of the byte-level parse, is under the
+    * oracle (which predicts the whole composition from the event
+    * table + the AVI clock arithmetic).
+    *
+    * Scale: mux+demux run per container key inside flatMapGroups (no
+    * driver, no shuffle beyond the group key); the restamp adds one
+    * per-container window — the m04 shape. */
+  private def m18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Avi, InputPacer}
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 0).otherwise(1).as("stream"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    val streams = Seq(
+      Avi.AviStream("vids", scale = 1, rate = 30, width = 64, height = 48),
+      Avi.AviStream("auds", scale = 1, rate = 16000, channels = 1,
+        bitsPerSample = 16))
+    val packets = rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val pkts = it.toArray.sortBy(r => (r._4, r._3)).map { r =>
+        Avi.AviPacket(r._2, keyframe = true,
+          md5Hex(s"$k:${r._2}:${r._3}".getBytes("UTF-8")).getBytes("US-ASCII"))
+      }
+      val (ds, dp) = Avi.demux(Avi.mux(streams, pkts.toSeq))
+      // per-stream running index in FILE order; dts advances one frame
+      // (video) / one 1024-sample packet (audio) per demuxed packet,
+      // on the clock PARSED from the container's strh
+      val idx = new Array[Long](ds.length)
+      dp.map { p =>
+        val i = idx(p.stream); idx(p.stream) += 1
+        val st = ds(p.stream)
+        val dts = if (st.kind == "vids") i else i * 1024L
+        (k, st.kind, dts, 1L, st.rate.toLong / math.max(1, st.scale))
+      }
+    }.toDF("container", "stream", "dts", "tb_num", "tb_den")
+    InputPacer.restamp(packets, 1704067200000L)
+      .select(col("container"), col("stream"), col("dts"), col("offset_ms"),
+        col("ts"))
+      .orderBy(col("container"), col("stream"), col("dts"))
+  }
+
+  private val m18Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 'vids' ELSE 'auds' END AS stream,
+      |    epoch_ms(ts) AS tms, event_id
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, stream,
+      |        CAST(row_number() OVER (PARTITION BY container, stream
+      |                                ORDER BY tms, event_id) - 1 AS BIGINT) AS i
+      |      FROM e),
+      |pk AS (SELECT container, stream,
+      |         CASE WHEN stream = 'vids' THEN i ELSE i * 1024 END AS dts,
+      |         CASE WHEN stream = 'vids' THEN (i * 1000) // 30
+      |              ELSE (i * 1024 * 1000) // 16000 END AS offset_ms
+      |       FROM k)
+      |SELECT container, stream, dts, offset_ms,
+      |  1704067200000 - min(offset_ms) OVER (PARTITION BY container)
+      |    + offset_ms AS ts
+      |FROM pk ORDER BY container, stream, dts""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
     Q("e23_named_streams", e23, Some(e23Sql)),
     Q("m16_wav_container", m14, Some(m14Sql)),
     Q("m17_avi_container", m15, Some(m15Sql)),
+    Q("m18_real_demux_restamp", m18, Some(m18Sql)),
   )
 }

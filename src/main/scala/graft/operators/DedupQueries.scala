@@ -1068,22 +1068,27 @@ object DedupQueries {
   /** Span scrub over any documents frame — exposed for DedupSpec. */
   def spanScrub(docs: DataFrame): DataFrame = {
     val toked = docs.select(col("doc_id"), toks(col("text")).as("w"))
-    val covered = dupPositions(docs)
+    // Covered-position SETS per doc, not covered-token ROWS: the
+    // first formulation exploded every corpus token into the shuffle
+    // (anti-join on (doc_id, ti), then collect_list re-assembled each
+    // doc) and its ×100 decade measured exp 1.11 — the corpus was
+    // crossing the wire twice. Only the duplicated positions shuffle
+    // now (one explode of dup windows ×W, one per-doc set agg); the
+    // scrub itself is an in-row lambda over the already-resident
+    // token array — the corpus never leaves its scan partitions.
+    val cov = dupPositions(docs)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(SpanW - 1))).as("ti"))
-      .distinct()
-    val tokens = toked
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("ti", "tok")))
-      .select(col("doc_id"), col("ti").cast(LongType).as("ti"), col("tok"))
-    tokens.join(covered, Seq("doc_id", "ti"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(array_sort(collect_list(struct(col("ti"), col("tok"))))
-          .getField("tok"), " ").cast(BinaryType)).as("cleaned_md5"))
-      .join(toked.select(col("doc_id"), size(col("w")).cast(LongType)
-        .as("n_tokens")), "doc_id")
-      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
-        (col("n_tokens") - col("n_kept")).as("n_removed"), col("cleaned_md5"))
+      .agg(array_sort(collect_set(col("ti"))).as("cov"))
+    toked.join(cov, Seq("doc_id"), "left")
+      .withColumn("kept", filter(col("w"), (tok, i) =>
+        coalesce(!array_contains(col("cov"), i.cast(LongType)), lit(true))))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        (size(col("w")) - size(col("kept"))).cast(LongType).as("n_removed"),
+        md5(array_join(col("kept"), " ").cast(BinaryType)).as("cleaned_md5"))
       .orderBy(col("doc_id"))
   }
 

@@ -908,6 +908,72 @@ object TextQueries {
        |FROM (SELECT * FROM mg UNION ALL SELECT * FROM vc)
        |ORDER BY kind, iter, sym""".stripMargin
 
+  // ---- t18: batch greedy decoding with an in-plan-trained bigram LM --------
+  /** Batch LLM-style inference as ONE declarative plan: train a bigram
+    * LM on the corpus (pair counts → per-prefix argmax continuation,
+    * tie-break by (count, token) struct max), then GENERATE four
+    * tokens greedily from every document's first token — 500 prompts
+    * decoded in parallel, the batch-inference shape of a training-data
+    * pipeline (scoring/synthesis over millions of prompts), with the
+    * model itself produced by the same plan that consumes it. A prompt
+    * whose current token has no observed continuation stops (inner
+    * join drops it) — deterministic on both engines.
+    *
+    * Scale: the model is |vocab| rows (prev → best next); each decode
+    * step is one equi-join keyed on the current token — Catalyst
+    * broadcasts it at small scale, shuffles at vocab scale; prompts
+    * never re-shuffle (the join key changes per step but the prompt
+    * side is narrow: doc_id + context string). Four steps unrolled =
+    * four joins, no iteration driver-side. */
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+    val big = docs
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("prev"),
+            element_at(col("w"), i + 1).as("nxt"))))
+        .otherwise(array().cast("array<struct<prev:string,nxt:string>>")))
+        .as("p"))
+      .groupBy(col("p.prev").as("prev"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val bm = big.groupBy(col("prev"))
+      .agg(max(struct(col("c"), col("nxt"))).as("m"))
+      .select(col("prev"), col("m.nxt").as("nxt"))
+    var g = docs.filter(size(col("w")) >= 1)
+      .select(col("doc_id"), element_at(col("w"), 1).as("ctx"),
+        element_at(col("w"), 1).as("cur"))
+    for (_ <- 1 to 4) {
+      g = g.join(bm, g("cur") === bm("prev"))
+        .select(col("doc_id"),
+          concat(col("ctx"), lit(" "), col("nxt")).as("ctx"),
+          col("nxt").as("cur"))
+    }
+    g.select(col("doc_id"), col("ctx").as("generated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def t18StepSql(k: Int): String =
+    s"""g$k AS (SELECT doc_id, ctx || ' ' || bm.nxt AS ctx, bm.nxt AS cur
+       |        FROM g${k - 1} JOIN bm ON g${k - 1}.cur = bm.prev)""".stripMargin
+
+  private val t18Sql =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |           FROM documents),
+       |big AS (SELECT w[i] AS prev, w[i+1] AS nxt, count(*) AS c
+       |        FROM w, unnest(generate_series(1, len(w)-1)) AS u(i)
+       |        GROUP BY 1, 2),
+       |bm AS (SELECT prev, m.nxt AS nxt FROM (
+       |         SELECT prev, max(struct_pack(c := c, nxt := nxt)) AS m
+       |         FROM big GROUP BY prev)),
+       |g0 AS (SELECT doc_id, w[1] AS ctx, w[1] AS cur FROM w
+       |       WHERE len(w) >= 1),
+       |${t18StepSql(1)},
+       |${t18StepSql(2)},
+       |${t18StepSql(3)},
+       |${t18StepSql(4)}
+       |SELECT doc_id, ctx AS generated FROM g4 ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -926,5 +992,6 @@ object TextQueries {
     Q("t15_corpus_pipeline", t15, Some(t15Sql)),
     Q("t16_lm_surprisal", t16, Some(t16Sql)),
     Q("t17_bpe_train", t17, Some(t17Sql)),
+    Q("t18_bigram_generate", t18, Some(t18Sql)),
   )
 }
