@@ -61,7 +61,8 @@ object ScaleCurve {
   private val X100Queries =
     Seq("d02_minhash_lsh", "d03p_jaccard_prefix", "d06_lsh_verified",
       "d10_cc_fixpoint",
-      "d12_leakage_safe_split", "d14_span_scrub", "s07_bm25_rank",
+      "d12_leakage_safe_split", "d13_dup_spans", "d14_span_scrub",
+      "s07_bm25_rank",
       "s09_ivfadc_search", "t15_corpus_pipeline", "t16_lm_surprisal",
       "t17_bpe_train")
 

@@ -484,6 +484,99 @@ object ContainerQueries {
       |    + offset_ms AS ts
       |FROM pk ORDER BY container, stream, dts""".stripMargin
 
+  /** m19: REAL Matroska (EBML) container round-trip — the second
+    * container family, and the one the reference actually streams
+    * (mkv/webm). Per container, view/click events become video/audio
+    * blocks on their stream clocks (33 ms frames / 32 ms audio
+    * packets), interleaved by (ts, track) and muxed into an actual
+    * EBML tree ([[graft.sources.Mkv]]: EBML header, Segment >
+    * Info/Tracks, Cluster > SimpleBlock with int16 cluster-relative
+    * timestamps). The emitted trace is read from the PARSED bytes —
+    * cluster index and base from each Cluster's walk, track/abs
+    * ts/keyframe/payload from the SimpleBlock framing — and the
+    * oracle predicts all of it, including the cluster segmentation
+    * (pos div 8, base = min ts in cluster), so a hash match pins the
+    * EBML vint framing, the relative-timestamp arithmetic, and the
+    * cluster packing rule. Scale: same per-container mapGroups shape
+    * as m16–m18. */
+  private def m19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Ebml, Mkv}
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 1).otherwise(2).as("track"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    val tracks = Seq(
+      Mkv.MkvTrack(1, "video", "V_GRAFT", width = 64, height = 48),
+      Mkv.MkvTrack(2, "audio", "A_PCM/INT/LIT", sampleRate = 16000.0,
+        channels = 1))
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val blocks = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
+        evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
+          Mkv.MkvBlock(trk, if (trk == 1) i * 33L else i * 32L,
+            keyframe = trk == 2 || r._3 % 4 == 0,
+            md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8")).getBytes("US-ASCII"))
+        }
+      }.sortBy(b => (b.tsMs, b.track))
+      val bytes = Mkv.mux(tracks, blocks)
+      val kindOf = Mkv.demux(bytes)._1.map(t => t.number -> t.kind).toMap
+      // trace from the raw EBML tree so the cluster structure itself
+      // is under the oracle, not just the flattened blocks
+      val seg = Ebml.children(bytes, 0, bytes.length)
+        .find(_.id == Mkv.IdSegment).get
+      var pos = 0L
+      Ebml.children(seg.data, 0, seg.data.length)
+        .filter(_.id == Mkv.IdCluster).zipWithIndex.flatMap { case (cl, ci) =>
+          val els = Ebml.children(cl.data, 0, cl.data.length)
+          val base = els.find(_.id == Mkv.IdClusterTs)
+            .map(e => Ebml.readUint(e.data)).getOrElse(0L)
+          els.filter(_.id == Mkv.IdSimpleBlock).map { sb =>
+            val (trk, tLen) = Ebml.readVint(sb.data, 0)
+            val rel = ((sb.data(tLen) & 0xff) << 8) | (sb.data(tLen + 1) & 0xff)
+            val p = pos; pos += 1
+            (k, p, ci.toLong, base, trk, kindOf(trk.toInt),
+              base + rel, (sb.data(tLen + 2) & 0x80) != 0,
+              md5Hex(java.util.Arrays.copyOfRange(sb.data, tLen + 3,
+                sb.data.length)))
+          }
+        }
+    }.toDF("container", "pos", "cluster_idx", "cluster_base", "track",
+        "kind", "ts_ms", "keyframe", "payload_md5")
+      .orderBy(col("container"), col("pos"))
+  }
+
+  private val m19Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS track,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, track, event_id,
+      |        row_number() OVER (PARTITION BY container, track
+      |                           ORDER BY tms, event_id) - 1 AS i
+      |      FROM e),
+      |blk AS (SELECT container, track, event_id,
+      |          CASE WHEN track = 1 THEN i * 33 ELSE i * 32 END AS ts_ms,
+      |          (track = 2 OR event_id % 4 = 0) AS keyframe,
+      |          md5(container::VARCHAR || ':' || track::VARCHAR || ':'
+      |              || event_id::VARCHAR) AS payload
+      |        FROM k),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY container
+      |          ORDER BY ts_ms, track) - 1 AS pos FROM blk),
+      |cl AS (SELECT *, pos // 8 AS cluster_idx FROM ord),
+      |cb AS (SELECT container, cluster_idx, min(ts_ms) AS cluster_base
+      |       FROM cl GROUP BY container, cluster_idx)
+      |SELECT c.container, CAST(pos AS BIGINT) AS pos,
+      |  CAST(c.cluster_idx AS BIGINT) AS cluster_idx,
+      |  CAST(cluster_base AS BIGINT) AS cluster_base,
+      |  CAST(track AS BIGINT) AS track,
+      |  CASE WHEN track = 1 THEN 'video' ELSE 'audio' END AS kind,
+      |  CAST(ts_ms AS BIGINT) AS ts_ms, keyframe, md5(payload) AS payload_md5
+      |FROM cl c JOIN cb ON c.container = cb.container
+      |  AND c.cluster_idx = cb.cluster_idx
+      |ORDER BY c.container, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -491,5 +584,6 @@ object ContainerQueries {
     Q("m16_wav_container", m14, Some(m14Sql)),
     Q("m17_avi_container", m15, Some(m15Sql)),
     Q("m18_real_demux_restamp", m18, Some(m18Sql)),
+    Q("m19_mkv_container", m19, Some(m19Sql)),
   )
 }
