@@ -25,6 +25,7 @@ object Explain {
     "s01_knn_bruteforce", "s08_knn_heap", // broadcast query set × corpus
     "s03_ivf_probe",   // 2 probe cells broadcast onto the corpus
     "s04_kmeans_step", // k×dim centroid table broadcast
+    "d15_semantic_dedup", // same k×dim centroid broadcast (SemDeDup assign)
     "s09_ivfadc_search", // Lloyd steps + probe: k×dim centroids broadcast
     "s07_bm25_rank",   // 1-row corpus stats fanned onto the scan
     "t08_domain_mix",  // 1-row totals row

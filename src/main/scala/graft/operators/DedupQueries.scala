@@ -1112,6 +1112,127 @@ object DedupQueries {
        |FROM cln c JOIN t ON c.doc_id = t.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- d15: SemDeDup — semantic dedup via trained clusters + CC ------------
+  /** SemDeDup (Abbas et al. 2023): cluster the EMBEDDING space with
+    * k-means, then near-deduplicate only WITHIN clusters and keep one
+    * representative per near-dup group — the semantic analogue of
+    * d06's LSH→verify shape, and the method behind LAION/DataComp
+    * pruning. Differences from d05 (which it composes): the blocks
+    * are GEOMETRIC cells trained in-plan (one exact-integer Lloyd
+    * reassignment from the label init — s04/s09's step), not given
+    * labels; and the artifact is the KEPT SET — near-dup groups are
+    * true connected components ([[connectedComponents]], exact
+    * fixpoint), canonical = min vec_id.
+    *
+    * Scale (billions of embeddings): centroids are a k×dim broadcast;
+    * the one crossJoin is vector×centroids (allowlisted class);
+    * pairwise cosine runs only inside cells — the SemDeDup cost model
+    * — with cell sizes controlled by k at deployment (the paper's
+    * clusters are ~corpus/k; a hot cell caps like d02's buckets
+    * would); CC runs on the near-dup edge set, which is tiny relative
+    * to the corpus by construction. */
+  /** SemDeDup over any (vec_id, label, embedding) frame — exposed for
+    * DedupSpec's crafted-cluster fixtures. */
+  def semanticDedup(s: SparkSession, emb: DataFrame): DataFrame = {
+    graft.functions.LongDot.ensureRegistered(s)
+    val v = emb
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("norm2", graft.functions.LongDot.dot(col("q"), col("q")))
+      .filter(col("norm2") > 0)
+    def cos(qa: Column, qb: Column, na: Column, nb: Column): Column =
+      graft.functions.LongDot.dot(qa, qb).cast(DoubleType) /
+        (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+    val cents = v
+      .select(col("label").as("cell"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(sum(col("x")).as("cx"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+      .withColumn("cn",
+        aggregate(zip_with(col("c"), col("c"), _ * _), lit(0L), _ + _))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val cells = v.crossJoin(broadcast(cents))
+      .withColumn("ccos", cos(col("q"), col("c"), col("norm2"), col("cn")))
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cell"))
+    val qc = graft.Resources.checkpoint(v.join(cells, "vec_id")
+      .select(col("vec_id"), col("cell"), col("q"), col("norm2")))
+    val pairs = qc.as("a").join(qc.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos(col("a.q"), col("b.q"),
+        col("a.norm2"), col("b.norm2")) >= 0.35)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    val labels = connectedComponents(edges)
+    val full = qc.select(col("vec_id"), col("cell"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("lbl"), col("vec_id")))
+    val sizes = full.groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"))
+    full.join(sizes, "component")
+      .select(col("vec_id"), col("cell").cast(LongType).as("cell"),
+        col("component"), col("group_size"),
+        (col("vec_id") === col("component")).cast(LongType).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def d15(s: SparkSession, d: String): DataFrame =
+    semanticDedup(s, Tables.embeddings(s, d))
+
+  /** Oracle: same Lloyd step + within-cell pairs, then CC as d10's
+    * recursive transitive closure — cross-algorithm agreement. */
+  private val d15Sql =
+    """WITH RECURSIVE qv AS (SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |v AS (SELECT vec_id, label, q,
+      |        CAST(list_dot_product(q, q) AS BIGINT) AS norm2
+      |      FROM qv WHERE list_dot_product(q, q) > 0),
+      |cx AS (SELECT label AS cell, i, CAST(SUM(x) AS BIGINT) AS cx FROM (
+      |    SELECT vec_id, label, unnest(q) AS x,
+      |           unnest(generate_series(1, len(q))) AS i FROM v) e
+      |  GROUP BY cell, i),
+      |centn AS (SELECT cell, c, CAST(list_dot_product(c, c) AS BIGINT) AS cn
+      |  FROM (SELECT cell, list(cx ORDER BY i) AS c FROM cx GROUP BY cell)),
+      |asg AS (SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, centn.cell, row_number() OVER (
+      |        PARTITION BY v.vec_id
+      |        ORDER BY list_dot_product(q, c) /
+      |          (sqrt(CAST(norm2 AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+      |          centn.cell) AS r
+      |    FROM v CROSS JOIN centn) WHERE r = 1),
+      |qc AS (SELECT v.vec_id, asg.cell, q, norm2
+      |       FROM v JOIN asg ON v.vec_id = asg.vec_id),
+      |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      |      FROM qc a JOIN qc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |      WHERE list_dot_product(a.q, b.q) /
+      |        (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+      |        >= 0.35),
+      |edges AS (SELECT ia AS src, ib AS dst FROM p
+      |          UNION ALL SELECT ib, ia FROM p),
+      |reach AS (SELECT src AS id, src AS lbl FROM edges
+      |          UNION
+      |          SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+      |cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |f AS (SELECT qc.vec_id, qc.cell,
+      |        coalesce(cc.lbl, qc.vec_id) AS component
+      |      FROM qc LEFT JOIN cc ON qc.vec_id = cc.id),
+      |sz AS (SELECT component, count(*) AS group_size FROM f
+      |       GROUP BY component)
+      |SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell, component,
+      |  CAST(group_size AS BIGINT) AS group_size,
+      |  CAST(CASE WHEN f.vec_id = component THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_kept
+      |FROM f JOIN sz USING (component)
+      |ORDER BY f.vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -1128,5 +1249,6 @@ object DedupQueries {
     Q("d12_leakage_safe_split", d12, Some(d12Sql)),
     Q("d13_dup_spans", d13, Some(d13Sql)),
     Q("d14_span_scrub", d14, Some(d14Sql)),
+    Q("d15_semantic_dedup", d15, Some(d15Sql)),
   )
 }

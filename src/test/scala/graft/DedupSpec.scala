@@ -134,6 +134,38 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scrub.toSeq == Seq((0L, 19L, 3L, 16L), (1L, 23L, 7L, 16L)))
   }
 
+  test("d15 SemDeDup: the Lloyd reassignment moves a mislabeled vector " +
+      "into its geometric cell, and near-dup edges form within cells " +
+      "only") {
+    import spark.implicits._
+    // two well-separated clusters on the x/y axes; vec 4 is LABELED 0
+    // (cluster A) but sits geometrically in cluster B — the in-plan
+    // Lloyd step must move it, after which it near-dups with 5 and 6.
+    // Had blocking stayed on raw labels (d05's shape), 4 would pair
+    // with nothing: cos(4, everything in A) < 0.35.
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.02f)),  // A
+      (2L, 0, Array(1.0f, 0.03f)),  // A
+      (3L, 0, Array(0.9f, -0.4f)),  // A
+      (4L, 0, Array(0.05f, 1.0f)),  // geometrically B, mislabeled A
+      (5L, 1, Array(0.0f, 1.0f)),   // B
+      (6L, 1, Array(-1.0f, 0.9f))   // B
+    ).toDF("vec_id", "label", "embedding")
+    val got = DedupQueries.semanticDedup(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byId = got.map(r => r._1 -> r).toMap
+    // trained cells: {1,2,3} → A, {4,5,6} → B (4 reassigned)
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct.size == 1)
+    assert(Seq(4L, 5L, 6L).map(byId(_)._2).distinct.size == 1)
+    assert(byId(1L)._2 != byId(4L)._2)
+    // within-cell near-dup groups at θ=0.35: {1,2,3} and {4,5,6},
+    // canonical = min id
+    assert(got.map(r => (r._1, r._3, r._4, r._5)).toSeq.sorted == Seq(
+      (1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 0L),
+      (4L, 4L, 3L, 1L), (5L, 4L, 3L, 0L), (6L, 4L, 3L, 0L)))
+  }
+
   test("d14 scrub keeps untouched docs whole and drops fully-" +
       "duplicated docs' tokens entirely") {
     import spark.implicits._
