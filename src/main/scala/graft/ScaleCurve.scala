@@ -36,7 +36,7 @@ object ScaleCurve {
     "d03_ngram_jaccard", "d03p_jaccard_prefix",
     "d06_lsh_verified", "d09_dup_clusters",
     "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
-    "d13_dup_spans", "d14_span_scrub",
+    "d13_dup_spans", "d14_span_scrub", "d15_semantic_dedup",
     "q04_multi_join", "q28_range_join_auto", "q30_bucketed_join",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "s09_ivfadc_search",
