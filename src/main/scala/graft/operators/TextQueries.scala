@@ -974,6 +974,146 @@ object TextQueries {
        |${t18StepSql(4)}
        |SELECT doc_id, ctx AS generated FROM g4 ORDER BY doc_id""".stripMargin
 
+  // ---- t19: the modern pretraining-data pipeline, one plan -----------------
+  /** The RefinedWeb/FineWeb-shaped corpus build as ONE declarative
+    * plan, composing this round's operators end to end: (A) length
+    * gate → (B) per-language unigram-LM surprisal filter trained on
+    * the gated corpus itself (t16's integer-log2 bits, CCNet's
+    * head+middle kept) → (C) exact dedup (content-key min-id
+    * survivor) → (D) duplicated-SPAN scrub over the survivors
+    * (d13/d14's window mechanics via [[DedupQueries.spanScrub]] —
+    * dup-ness is recomputed among survivors, the order a real
+    * pipeline applies) → (E) pack the CLEANED token counts into
+    * 256-token training chunks per language. Output: one row per
+    * stage with its survivor count (the funnel a data team actually
+    * monitors) plus one row per (lang, chunk) with its token fill.
+    *
+    * Scale: one documents scan feeds A–C (narrow, one content-key
+    * shuffle); the LM join shuffles (lang, token) once over the GATED
+    * corpus; the scrub shuffles only duplicated window positions
+    * (d14's fixed shape); packing is a per-lang running sum. Stage
+    * counts are 1-row aggregates unioned in-plan — nothing collects. */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = toks(col("text"))
+    val qa = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")
+          .cast(BinaryType)).as("content_key"),
+        size(w).cast(LongType).as("dl"))
+      .filter(col("dl") >= 20)
+    val dc = qa
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tk"))
+      .groupBy(col("doc_id"), col("lang"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
+    val c = dc.groupBy(col("lang"), col("tk")).agg(sum(col("cnt")).as("c"))
+    val n = c.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val ibits = c.join(broadcast(n), "lang")
+      .select(col("lang"), col("tk"),
+        (length(bin(expr("n div c"))) - 1).cast(LongType).as("ibits"))
+    val lmScore = dc.join(ibits, Seq("lang", "tk"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("nt"), sum(col("cnt") * col("ibits")).as("sb"))
+      .filter(expr("sb * 100 div nt") < 425)
+      .select(col("doc_id"))
+    val qb = qa.join(lmScore, "doc_id")
+    val wDup = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    val qc = qb.withColumn("dup_rank", row_number().over(wDup))
+      .filter(col("dup_rank") === 1)
+      .select(col("doc_id"), col("lang"), col("text"), col("dl"))
+    val scrubbed = DedupQueries.spanScrub(qc.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_kept"))
+    val qd = qc.join(scrubbed, "doc_id")
+    val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val pack = qd
+      .withColumn("end", sum(col("n_kept")).over(wPack))
+      .withColumn("start", col("end") - col("n_kept"))
+      .select(col("lang"), col("start"), col("end"),
+        explode(sequence(expr("start div 256"), expr("(`end` - 1) div 256")))
+          .as("chunk"))
+      .groupBy(col("lang"), col("chunk"))
+      .agg(sum(least(col("end"), (col("chunk") + 1) * 256) -
+        greatest(col("start"), col("chunk") * 256)).as("nn"))
+      .select(lit("pack").as("kind"),
+        concat(col("lang"), lit(":"), lpad(col("chunk").cast(StringType),
+          4, "0")).as("key"),
+        col("nn").cast(LongType).as("n"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("nn"))
+        .select(lit("stage").as("kind"), lit(name).as("key"),
+          col("nn").cast(LongType).as("n"))
+    stage(qa, "a_quality").unionByName(stage(qb, "b_lm"))
+      .unionByName(stage(qc, "c_dedup"))
+      .unionByName(stage(qd, "d_scrub"))
+      .unionByName(pack)
+      .orderBy(col("kind"), col("key"))
+  }
+
+  /** Oracle: the same five stages in SQL — t16's CTEs over the gated
+    * corpus, d14's window-coverage CTEs over the dedup survivors
+    * (W=8, n_kept = dl − |covered positions|), t15's pack formula
+    * over cleaned lengths. */
+  private val t19Sql =
+    """WITH qa AS (SELECT doc_id, lang, text,
+      |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_key,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+      |tok AS (SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tk FROM qa),
+      |dc AS (SELECT doc_id, lang, tk, count(*) AS cnt
+      |       FROM tok GROUP BY doc_id, lang, tk),
+      |c AS (SELECT lang, tk, sum(cnt) AS c FROM dc GROUP BY lang, tk),
+      |n AS (SELECT lang, sum(c) AS n FROM c GROUP BY lang),
+      |ib AS (SELECT c.lang, tk, CAST(len(bin(n // c)) - 1 AS BIGINT) AS ibits
+      |       FROM c JOIN n USING (lang)),
+      |lm AS (SELECT doc_id FROM (
+      |    SELECT doc_id, sum(cnt) AS nt, sum(cnt * ibits) AS sb
+      |    FROM dc JOIN ib ON dc.lang = ib.lang AND dc.tk = ib.tk
+      |    GROUP BY doc_id) WHERE sb * 100 // nt < 425),
+      |qb AS (SELECT qa.* FROM qa JOIN lm USING (doc_id)),
+      |qc AS (SELECT doc_id, lang, text, dl FROM (
+      |    SELECT qb.*, row_number() OVER (PARTITION BY content_key
+      |      ORDER BY doc_id) AS dup_rank FROM qb) WHERE dup_rank = 1),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |      FROM qc),
+      |win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |          md5(array_to_string(w[i:i+7], ' ')) AS wh
+      |        FROM t, unnest(generate_series(1, len(w) - 7)) AS s(i)
+      |        WHERE len(w) >= 8),
+      |dp AS (SELECT doc_id, pos FROM (
+      |         SELECT doc_id, pos,
+      |           min(doc_id) OVER (PARTITION BY wh)
+      |             != max(doc_id) OVER (PARTITION BY wh) AS dup
+      |         FROM win) WHERE dup),
+      |cov AS (SELECT doc_id, count(DISTINCT pos + o) AS n_rm
+      |        FROM dp, unnest(generate_series(0, 7)) AS s(o)
+      |        GROUP BY doc_id),
+      |qd AS (SELECT qc.doc_id, lang, dl - coalesce(n_rm, 0) AS n_kept
+      |       FROM qc LEFT JOIN cov ON qc.doc_id = cov.doc_id
+      |       WHERE dl - coalesce(n_rm, 0) > 0),
+      |pk AS (SELECT doc_id, lang, n_kept,
+      |    CAST(sum(n_kept) OVER pw AS BIGINT) AS "end",
+      |    CAST(sum(n_kept) OVER pw - n_kept AS BIGINT) AS start
+      |  FROM qd WINDOW pw AS (PARTITION BY lang ORDER BY doc_id)),
+      |ex AS (SELECT lang, start, "end",
+      |    unnest(generate_series(start // 256, ("end" - 1) // 256)) AS chunk
+      |  FROM pk),
+      |pack AS (SELECT 'pack' AS kind,
+      |    lang || ':' || lpad(CAST(chunk AS VARCHAR), 4, '0') AS key,
+      |    CAST(sum(least("end", (chunk + 1) * 256)
+      |      - greatest(start, chunk * 256)) AS BIGINT) AS n
+      |  FROM ex GROUP BY lang, chunk),
+      |stages AS (
+      |  SELECT 'stage' AS kind, 'a_quality' AS key,
+      |    CAST(count(*) AS BIGINT) AS n FROM qa
+      |  UNION ALL SELECT 'stage', 'b_lm', count(*) FROM qb
+      |  UNION ALL SELECT 'stage', 'c_dedup', count(*) FROM qc
+      |  UNION ALL SELECT 'stage', 'd_scrub', count(*) FROM qd)
+      |SELECT kind, key, n FROM (
+      |  SELECT * FROM stages UNION ALL SELECT * FROM pack)
+      |ORDER BY kind, key""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -993,5 +1133,6 @@ object TextQueries {
     Q("t16_lm_surprisal", t16, Some(t16Sql)),
     Q("t17_bpe_train", t17, Some(t17Sql)),
     Q("t18_bigram_generate", t18, Some(t18Sql)),
+    Q("t19_pretrain_pipeline", t19, Some(t19Sql)),
   )
 }
