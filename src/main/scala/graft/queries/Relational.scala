@@ -171,6 +171,52 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  // ---- q31: salted skew join — the hot-key pattern demonstrated -----------
+  /** A deliberately skewed equi-join under SALTING: 70% of lineitem
+    * rows collapse onto hot key 0, so a plain shuffle join would
+    * route ~4.2M rows (at sf0.1) through ONE reducer task — the
+    * classic straggler. The fact side carries salt = l_orderkey % 16
+    * and the dim side replicates each key ×16, so the join shuffles
+    * on (k, salt): the hot key spreads over 16 partitions. The dim is
+    * hint("merge")-pinned to a shuffle join — broadcasting would hide
+    * the skew problem salting exists to solve (this is the pattern
+    * for dims too big to broadcast; the oracle computes the PLAIN
+    * join, so the hash proves salting is semantics-preserving).
+    * SaltedJoinSpec asserts the executed plan's exchanges hash by
+    * BOTH k and salt and contain no broadcast join. The e19 analogue
+    * for joins; AQE's skew-join split is the runtime alternative —
+    * salting is the declarative one that also covers aggregations. */
+  private def q31(spark: SparkSession, dir: String): DataFrame =
+    saltedSkewJoin(Tables.lineitem(spark, dir))
+
+  /** Exposed for SaltedJoinSpec's plan assertions. */
+  def saltedSkewJoin(lineitem: DataFrame): DataFrame = {
+    val S = 16
+    val fact = lineitem
+      .select(when(col("l_partkey") % 10 < 7, 0L)
+          .otherwise(col("l_partkey")).as("k"),
+        dec(col("l_extendedprice"), 18, 2).as("price"),
+        (col("l_orderkey") % S).cast(IntegerType).as("salt"))
+    val dim = fact.select(col("k")).distinct()
+      .select(col("k"), (pmod(col("k"), lit(97)) + 1).cast(LongType).as("w"))
+    val dimSalted = dim.select(col("k"), col("w"),
+      explode(sequence(lit(0), lit(S - 1))).as("salt"))
+    fact.join(dimSalted.hint("merge"), Seq("k", "salt"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price") * col("w")).cast(DoubleType).as("weighted"))
+      .orderBy(col("k"))
+  }
+
+  private val q31Sql =
+    """WITH f AS (SELECT
+      |    CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END AS k,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem),
+      |d AS (SELECT k, CAST(k % 97 + 1 AS BIGINT) AS w
+      |      FROM (SELECT DISTINCT k FROM f))
+      |SELECT f.k, count(*) AS n, CAST(SUM(price * w) AS DOUBLE) AS weighted
+      |FROM f JOIN d USING (k) GROUP BY f.k ORDER BY f.k""".stripMargin
+
   // ---- q05: window function (top-3 orders per customer) -------------------
   private def q05(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -777,5 +823,6 @@ object Relational {
     Q("q28_range_join_auto", q28, Some(q28Sql)),
     Q("q29_range_join_pure", q29, Some(q29Sql)),
     Q("q30_bucketed_join", q30, Some(q04Sql)),
+    Q("q31_salted_skew_join", q31, Some(q31Sql)),
   )
 }
