@@ -41,7 +41,7 @@ object ScaleCurve {
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "s09_ivfadc_search",
     "t05_ngram_profile", "t15_corpus_pipeline", "t16_lm_surprisal",
-    "t17_bpe_train", "e18_sessionize")
+    "t17_bpe_train", "t19_pretrain_pipeline", "e18_sessionize")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -64,7 +64,7 @@ object ScaleCurve {
       "d12_leakage_safe_split", "d13_dup_spans", "d14_span_scrub",
       "s07_bm25_rank",
       "s09_ivfadc_search", "t15_corpus_pipeline", "t16_lm_surprisal",
-      "t17_bpe_train")
+      "t17_bpe_train", "t19_pretrain_pipeline")
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

@@ -975,24 +975,31 @@ object TextQueries {
        |SELECT doc_id, ctx AS generated FROM g4 ORDER BY doc_id""".stripMargin
 
   // ---- t19: the modern pretraining-data pipeline, one plan -----------------
-  /** The RefinedWeb/FineWeb-shaped corpus build as ONE declarative
-    * plan, composing this round's operators end to end: (A) length
-    * gate → (B) per-language unigram-LM surprisal filter trained on
-    * the gated corpus itself (t16's integer-log2 bits, CCNet's
-    * head+middle kept) → (C) exact dedup (content-key min-id
-    * survivor) → (D) duplicated-SPAN scrub over the survivors
-    * (d13/d14's window mechanics via [[DedupQueries.spanScrub]] —
-    * dup-ness is recomputed among survivors, the order a real
-    * pipeline applies) → (E) pack the CLEANED token counts into
-    * 256-token training chunks per language. Output: one row per
-    * stage with its survivor count (the funnel a data team actually
-    * monitors) plus one row per (lang, chunk) with its token fill.
+  /** The CCNet/FineWeb-shaped corpus build as ONE declarative plan,
+    * composing this round's operators in the PUBLISHED stage order —
+    * dedup before the LM filter (Wenzek et al. 2020 run paragraph
+    * dedup, then lang-id, then the LM; FineWeb likewise filters after
+    * dedup): (A) length gate → (B) exact dedup (content-key min-id
+    * survivor) → (C) duplicated-SPAN scrub over the dedup survivors
+    * (d13/d14 via [[DedupQueries.spanScrub]] — fully-duplicated docs
+    * drop, partially-covered docs keep their cleaned token counts) →
+    * (D) per-language unigram-LM surprisal filter trained on the
+    * surviving corpus, keeping the bottom 2/3 per language by RANK
+    * (CCNet's percentile cut; an absolute threshold is not
+    * scale-invariant — amplified corpora shift every token's bits by
+    * ~log2(replicas), and the first formulation's fixed 425-centibit
+    * cut kept 0 of the ×10 corpus) → (E) pack the CLEANED token
+    * counts into 256-token chunks per language. Output: the stage
+    * funnel (doc counts per stage + total kept tokens) and per-chunk
+    * fills. Stage order matters and is itself under the oracle: run
+    * the other way, the tail-cut silently preempts the scrub (every
+    * fully-duplicated doc in this corpus is high-surprisal).
     *
-    * Scale: one documents scan feeds A–C (narrow, one content-key
-    * shuffle); the LM join shuffles (lang, token) once over the GATED
-    * corpus; the scrub shuffles only duplicated window positions
-    * (d14's fixed shape); packing is a per-lang running sum. Stage
-    * counts are 1-row aggregates unioned in-plan — nothing collects. */
+    * Scale: one documents scan feeds A–C (one content-key shuffle;
+    * the scrub shuffles only duplicated window positions — d14's
+    * shape); the LM join shuffles (lang, token) once over the scrub
+    * survivors; packing is a per-lang running sum. Stage counts are
+    * 1-row aggregates unioned in-plan — nothing collects. */
   private def t19(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = toks(col("text"))
@@ -1002,7 +1009,14 @@ object TextQueries {
           .cast(BinaryType)).as("content_key"),
         size(w).cast(LongType).as("dl"))
       .filter(col("dl") >= 20)
-    val dc = qa
+    val wDup = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    val qb = qa.withColumn("dup_rank", row_number().over(wDup))
+      .filter(col("dup_rank") === 1)
+      .select(col("doc_id"), col("lang"), col("text"), col("dl"))
+    val scrubbed = DedupQueries.spanScrub(qb.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_kept"))
+    val qc = qb.join(scrubbed, "doc_id")
+    val dc = qc
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tk"))
       .groupBy(col("doc_id"), col("lang"), col("tk"))
       .agg(count(lit(1)).as("cnt"))
@@ -1011,19 +1025,18 @@ object TextQueries {
     val ibits = c.join(broadcast(n), "lang")
       .select(col("lang"), col("tk"),
         (length(bin(expr("n div c"))) - 1).cast(LongType).as("ibits"))
-    val lmScore = dc.join(ibits, Seq("lang", "tk"))
-      .groupBy(col("doc_id"))
+    val wLm = Window.partitionBy(col("lang"))
+      .orderBy(col("mc"), col("doc_id"))
+    val wLmN = Window.partitionBy(col("lang"))
+    val lmKeep = dc.join(ibits, Seq("lang", "tk"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("cnt")).as("nt"), sum(col("cnt") * col("ibits")).as("sb"))
-      .filter(expr("sb * 100 div nt") < 425)
+      .withColumn("mc", expr("sb * 100 div nt"))
+      .withColumn("rk", row_number().over(wLm).cast(LongType))
+      .withColumn("nl", count(lit(1)).over(wLmN))
+      .filter(col("rk") * 3 <= col("nl") * 2)
       .select(col("doc_id"))
-    val qb = qa.join(lmScore, "doc_id")
-    val wDup = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
-    val qc = qb.withColumn("dup_rank", row_number().over(wDup))
-      .filter(col("dup_rank") === 1)
-      .select(col("doc_id"), col("lang"), col("text"), col("dl"))
-    val scrubbed = DedupQueries.spanScrub(qc.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("n_kept"))
-    val qd = qc.join(scrubbed, "doc_id")
+    val qd = qc.join(lmKeep, "doc_id")
     val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     val pack = qd
       .withColumn("end", sum(col("n_kept")).over(wPack))
@@ -1042,41 +1055,34 @@ object TextQueries {
       df.agg(count(lit(1)).as("nn"))
         .select(lit("stage").as("kind"), lit(name).as("key"),
           col("nn").cast(LongType).as("n"))
-    stage(qa, "a_quality").unionByName(stage(qb, "b_lm"))
-      .unionByName(stage(qc, "c_dedup"))
-      .unionByName(stage(qd, "d_scrub"))
+    val tokensRow = qd
+      .agg(sum(col("dl")).as("din"), sum(col("n_kept")).as("dk"))
+      .select(lit("stage").as("kind"), lit("e_tokens_kept").as("key"),
+        col("dk").cast(LongType).as("n"))
+    stage(qa, "a_quality").unionByName(stage(qb, "b_dedup"))
+      .unionByName(stage(qc, "c_scrub"))
+      .unionByName(stage(qd, "d_lm"))
+      .unionByName(tokensRow)
       .unionByName(pack)
       .orderBy(col("kind"), col("key"))
   }
 
-  /** Oracle: the same five stages in SQL — t16's CTEs over the gated
-    * corpus, d14's window-coverage CTEs over the dedup survivors
-    * (W=8, n_kept = dl − |covered positions|), t15's pack formula
-    * over cleaned lengths. */
+  /** Oracle: the same five stages in SQL, same order — d14's
+    * window-coverage CTEs over the dedup survivors (W=8, n_kept =
+    * dl − |covered positions|), t16's LM CTEs over the scrub
+    * survivors with the rank cut, t15's pack formula over cleaned
+    * lengths. */
   private val t19Sql =
     """WITH qa AS (SELECT doc_id, lang, text,
       |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_key,
       |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
       |  FROM documents
       |  WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
-      |tok AS (SELECT doc_id, lang,
-      |    unnest(string_split_regex(trim(text), '\s+')) AS tk FROM qa),
-      |dc AS (SELECT doc_id, lang, tk, count(*) AS cnt
-      |       FROM tok GROUP BY doc_id, lang, tk),
-      |c AS (SELECT lang, tk, sum(cnt) AS c FROM dc GROUP BY lang, tk),
-      |n AS (SELECT lang, sum(c) AS n FROM c GROUP BY lang),
-      |ib AS (SELECT c.lang, tk, CAST(len(bin(n // c)) - 1 AS BIGINT) AS ibits
-      |       FROM c JOIN n USING (lang)),
-      |lm AS (SELECT doc_id FROM (
-      |    SELECT doc_id, sum(cnt) AS nt, sum(cnt * ibits) AS sb
-      |    FROM dc JOIN ib ON dc.lang = ib.lang AND dc.tk = ib.tk
-      |    GROUP BY doc_id) WHERE sb * 100 // nt < 425),
-      |qb AS (SELECT qa.* FROM qa JOIN lm USING (doc_id)),
-      |qc AS (SELECT doc_id, lang, text, dl FROM (
-      |    SELECT qb.*, row_number() OVER (PARTITION BY content_key
-      |      ORDER BY doc_id) AS dup_rank FROM qb) WHERE dup_rank = 1),
+      |qb AS (SELECT doc_id, lang, text, dl FROM (
+      |    SELECT qa.*, row_number() OVER (PARTITION BY content_key
+      |      ORDER BY doc_id) AS dup_rank FROM qa) WHERE dup_rank = 1),
       |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-      |      FROM qc),
+      |      FROM qb),
       |win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
       |          md5(array_to_string(w[i:i+7], ' ')) AS wh
       |        FROM t, unnest(generate_series(1, len(w) - 7)) AS s(i)
@@ -1089,9 +1095,29 @@ object TextQueries {
       |cov AS (SELECT doc_id, count(DISTINCT pos + o) AS n_rm
       |        FROM dp, unnest(generate_series(0, 7)) AS s(o)
       |        GROUP BY doc_id),
-      |qd AS (SELECT qc.doc_id, lang, dl - coalesce(n_rm, 0) AS n_kept
-      |       FROM qc LEFT JOIN cov ON qc.doc_id = cov.doc_id
+      |qc AS (SELECT qb.doc_id, lang, text, dl,
+      |         dl - coalesce(n_rm, 0) AS n_kept
+      |       FROM qb LEFT JOIN cov ON qb.doc_id = cov.doc_id
       |       WHERE dl - coalesce(n_rm, 0) > 0),
+      |tok AS (SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tk FROM qc),
+      |dc AS (SELECT doc_id, lang, tk, count(*) AS cnt
+      |       FROM tok GROUP BY doc_id, lang, tk),
+      |c AS (SELECT lang, tk, sum(cnt) AS c FROM dc GROUP BY lang, tk),
+      |n AS (SELECT lang, sum(c) AS n FROM c GROUP BY lang),
+      |ib AS (SELECT c.lang, tk, CAST(len(bin(n // c)) - 1 AS BIGINT) AS ibits
+      |       FROM c JOIN n USING (lang)),
+      |lm AS (SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      CAST(row_number() OVER (PARTITION BY lang
+      |        ORDER BY sb * 100 // nt, doc_id) AS BIGINT) AS rk,
+      |      count(*) OVER (PARTITION BY lang) AS nl
+      |    FROM (SELECT doc_id, dc.lang AS lang, sum(cnt) AS nt,
+      |            sum(cnt * ibits) AS sb
+      |          FROM dc JOIN ib ON dc.lang = ib.lang AND dc.tk = ib.tk
+      |          GROUP BY doc_id, dc.lang))
+      |    WHERE rk * 3 <= nl * 2),
+      |qd AS (SELECT qc.* FROM qc JOIN lm USING (doc_id)),
       |pk AS (SELECT doc_id, lang, n_kept,
       |    CAST(sum(n_kept) OVER pw AS BIGINT) AS "end",
       |    CAST(sum(n_kept) OVER pw - n_kept AS BIGINT) AS start
@@ -1107,9 +1133,11 @@ object TextQueries {
       |stages AS (
       |  SELECT 'stage' AS kind, 'a_quality' AS key,
       |    CAST(count(*) AS BIGINT) AS n FROM qa
-      |  UNION ALL SELECT 'stage', 'b_lm', count(*) FROM qb
-      |  UNION ALL SELECT 'stage', 'c_dedup', count(*) FROM qc
-      |  UNION ALL SELECT 'stage', 'd_scrub', count(*) FROM qd)
+      |  UNION ALL SELECT 'stage', 'b_dedup', count(*) FROM qb
+      |  UNION ALL SELECT 'stage', 'c_scrub', count(*) FROM qc
+      |  UNION ALL SELECT 'stage', 'd_lm', count(*) FROM qd
+      |  UNION ALL SELECT 'stage', 'e_tokens_kept',
+      |    CAST(coalesce(sum(n_kept), 0) AS BIGINT) FROM qd)
       |SELECT kind, key, n FROM (
       |  SELECT * FROM stages UNION ALL SELECT * FROM pack)
       |ORDER BY kind, key""".stripMargin
