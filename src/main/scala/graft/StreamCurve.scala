@@ -62,6 +62,23 @@ object StreamCurve {
           col("event_id").as("seq"))
     }
 
+    /** e37's calculator fixture (two variable topics, hold-last and
+      * re-evaluate per arrival) re-keyed onto 2·reps pipelines. */
+    def calcFixture(reps: Int): DataFrame = {
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      e.filter(col("event_type").isin("click", "view"))
+        .crossJoin(broadcast(r))
+        .select(
+          (pmod(col("user_id"), lit(2)) + col("rep") * 2)
+            .cast("string").as("key"),
+          when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+          col("ts_ms").as("ts"), col("value"),
+          lit(null).cast("string").as("text"),
+          lit(false).as("paused"),
+          col("event_id").as("seq"))
+    }
+
     /** e27's synchronizer fixture (all five topics, arrival-order
       * fold, the dict watermark machine) re-keyed onto reps
       * pipelines; no flush sentinels — throughput, not the oracle. */
@@ -92,6 +109,12 @@ object StreamCurve {
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
             StatefulRunner.runStreaming(
               new StateMachines.Gate(failOpen = false), ds))
+        case "calculator" => (calcFixture(reps),
+          Seq(col("ts"), col("seq")), 2L * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            StatefulRunner.runStreaming(
+              new StateMachines.Calculator(Map(0 -> 0.0, 1 -> 0.0),
+                v => (v(0) + v(1)) / 2), ds))
         case "synchronizer" => (syncFixture(reps),
           Seq(col("seq")), reps.toLong,
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
@@ -115,8 +138,11 @@ object StreamCurve {
     }
 
     val repsScale = Seq(1, 10, 100)
+    // optional 2nd arg: comma-separated machine filter (local iteration)
+    val machines = args.drop(1).headOption.map(_.split(",").toSeq)
+      .getOrElse(Seq("gate", "synchronizer", "calculator"))
     val rows = for {
-      m <- Seq("gate", "synchronizer")
+      m <- machines
       reps <- repsScale
     } yield {
       val (pipes, n, sec) = run(m, reps)
