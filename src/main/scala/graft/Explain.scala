@@ -30,6 +30,7 @@ object Explain {
     "s07_bm25_rank",   // 1-row corpus stats fanned onto the scan
     "t08_domain_mix",  // 1-row totals row
     "t17_bpe_train",   // 1-row pair-argmax frame broadcast per iteration
+    "t20_bpe_encode",  // same argmax frames (t20 replays t17's merges)
     "e12_time_buffer", "e15_repeater", "e21_output_container",
     "p03_audio_mixer", // bounded tick grids (1-row min/max bounds)
     "m06_video_layout" // bounded layout grid

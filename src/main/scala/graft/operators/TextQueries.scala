@@ -814,9 +814,11 @@ object TextQueries {
     * the word dictionary is ~10⁸ rows — iterations cost 3 small
     * aggregations, not 3 corpus scans (the corpus is read once, for
     * the dictionary). */
-  /** BPE training over any documents frame — exposed for TextSpec's
-    * crafted greedy-merge fixtures. */
-  def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+  /** The trained dictionary after `iters` merges plus the per-iter
+    * merge rows — shared by t17 (training artifact) and t20 (encode).
+    * Returns (dict(word, freq, enc), merge-row frames). */
+  private def bpeDictAndMerges(docs: DataFrame, iters: Int)
+      : (DataFrame, Seq[DataFrame]) = {
     val S1 = "\u0001"; val S2 = "\u0002"
     val pairSchema = "array<struct<a:string,b:string>>"
     def syms(c: Column): Column =
@@ -848,13 +850,24 @@ object TextQueries {
             s"concat('$S1', a, b, '$S2'))"))
         .select(col("word"), col("freq"), col("enc"))
     }
+    (cur, merges.result())
+  }
+
+  /** Symbol decode of the \u0001sym\u0002 encoding — shared t17/t20. */
+  private def bpeSyms(c: Column): Column =
+    split(regexp_replace(c, "^\u0001|\u0002$", ""), "\u0002\u0001")
+
+  /** BPE training over any documents frame — exposed for BpeSpec's
+    * crafted greedy-merge fixtures. */
+  def bpeTrain(docs: DataFrame, iters: Int): DataFrame = {
+    val (cur, merges) = bpeDictAndMerges(docs, iters)
     val vocab = cur
-      .select(col("freq"), explode(syms(col("enc"))).as("sym"))
+      .select(col("freq"), explode(bpeSyms(col("enc"))).as("sym"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("freq"))
       .orderBy(col("freq").desc, col("sym")).limit(20)
       .select(lit("vocab").as("kind"), lit(0L).as("iter"), col("sym"),
         col("freq").cast(LongType).as("freq"))
-    merges.result().reduce(_ union _).union(vocab)
+    merges.reduce(_ union _).union(vocab)
       .orderBy(col("kind"), col("iter"), col("sym"))
   }
 
@@ -865,7 +878,7 @@ object TextQueries {
     * pairs, argmax via struct max, apply the self-delimiting replace. */
   private def bpeIterSql(k: Int): String = {
     val prev = s"w${k - 1}"
-    s"""s$k AS (SELECT freq, enc,
+    s"""s$k AS (SELECT word, freq, enc,
        |  string_split(trim(enc, chr(1)||chr(2)), chr(2)||chr(1)) AS s
        |  FROM $prev),
        |p$k AS (SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS pf
@@ -873,7 +886,7 @@ object TextQueries {
        |        GROUP BY 1, 2),
        |b$k AS (SELECT max(struct_pack(pf := pf, a := a, b := b)) AS m
        |        FROM p$k),
-       |w$k AS (SELECT freq, replace(enc,
+       |w$k AS (SELECT word, freq, replace(enc,
        |    chr(1)||(SELECT m.a FROM b$k)||chr(2)||
        |      chr(1)||(SELECT m.b FROM b$k)||chr(2),
        |    chr(1)||(SELECT m.a FROM b$k)||(SELECT m.b FROM b$k)||chr(2))
@@ -1142,6 +1155,58 @@ object TextQueries {
       |  SELECT * FROM stages UNION ALL SELECT * FROM pack)
       |ORDER BY kind, key""".stripMargin
 
+  // ---- t20: BPE encode — the trained tokenizer applied to the corpus ------
+  /** The inference side of t17: apply the 3 learned merges to every
+    * document and report the per-doc BPE token count next to the raw
+    * word count — the "how many tokens is my corpus under this
+    * tokenizer" question every training pipeline answers before a
+    * run. The encoded DICTIONARY (word → symbol count after merges)
+    * is the join artifact: documents explode to words, the dict joins
+    * by word (vocab-sized — broadcast at small scale, shuffle at
+    * corpus scale), symbol counts sum per doc. Training and encoding
+    * share one plan, like t18's train+decode.
+    *
+    * Scale: the dict is |vocab| rows; the doc-side explode collapses
+    * to (doc_id, word, count) map-side before the one join. */
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (dict, _) = bpeDictAndMerges(docs, iters = 3)
+    val wd = dict.select(col("word"),
+      size(bpeSyms(col("enc"))).cast(LongType).as("n_syms"))
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .join(wd, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_words"),
+        sum(col("cnt") * col("n_syms")).cast(LongType).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t20Sql =
+    s"""WITH w0 AS (
+       |  SELECT word, count(*) AS freq,
+       |    chr(1) || array_to_string(list_transform(
+       |      generate_series(1, len(word)), i -> word[i]),
+       |      chr(2)||chr(1)) || chr(2) AS enc
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |${bpeIterSql(1)},
+       |${bpeIterSql(2)},
+       |${bpeIterSql(3)},
+       |wd AS (SELECT word,
+       |    CAST(len(string_split(trim(enc, chr(1)||chr(2)),
+       |      chr(2)||chr(1))) AS BIGINT) AS n_syms FROM w3),
+       |dw AS (SELECT doc_id, word, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+       |    FROM documents) GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * n_syms) AS BIGINT) AS n_bpe
+       |FROM dw JOIN wd USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1162,5 +1227,6 @@ object TextQueries {
     Q("t17_bpe_train", t17, Some(t17Sql)),
     Q("t18_bigram_generate", t18, Some(t18Sql)),
     Q("t19_pretrain_pipeline", t19, Some(t19Sql)),
+    Q("t20_bpe_encode", t20, Some(t20Sql)),
   )
 }
