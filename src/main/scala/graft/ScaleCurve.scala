@@ -38,6 +38,7 @@ object ScaleCurve {
     "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
     "d13_dup_spans", "d14_span_scrub", "d15_semantic_dedup",
     "q04_multi_join", "q28_range_join_auto", "q30_bucketed_join",
+    "q31_salted_skew_join",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "s09_ivfadc_search",
     "t05_ngram_profile", "t15_corpus_pipeline", "t16_lm_surprisal",
