@@ -185,6 +185,7 @@ object Bench {
     }
     val json = header + kept.mkString(",") + footer
     graft.operators.DedupQueries.invalidateLabels(spark)
+    graft.operators.GraphQueries.invalidateEdges(spark)
     spark.stop()
     println(json)
     System.out.flush()

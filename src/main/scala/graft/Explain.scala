@@ -33,7 +33,9 @@ object Explain {
     "t20_bpe_encode",  // same argmax frames (t20 replays t17's merges)
     "e12_time_buffer", "e15_repeater", "e21_output_container",
     "p03_audio_mixer", // bounded tick grids (1-row min/max bounds)
-    "m06_video_layout" // bounded layout grid
+    "m06_video_layout", // bounded layout grid
+    "k05_bloom_semijoin", // 1-row 128 KiB bloom map fanned onto the scan
+    "g02_pagerank"     // 1-row node-count frame onto the |V|-row rank table
   )
 
   def main(args: Array[String]): Unit = {
@@ -77,6 +79,7 @@ object Explain {
       }
     }
     graft.operators.DedupQueries.invalidateLabels(spark)
+    graft.operators.GraphQueries.invalidateEdges(spark)
     spark.stop()
     if (audit) {
       if (violations.nonEmpty) {

@@ -35,6 +35,8 @@ object QueryRegistry {
     graft.operators.DedupQueries.all,
     graft.operators.TextQueries.all,
     graft.operators.SimilarityQueries.all,
+    graft.operators.SketchQueries.all,
+    graft.operators.GraphQueries.all,
     graft.operators.DspQueries.all,
     graft.operators.MultimodalQueries.all,
     graft.operators.ContainerQueries.all,

@@ -42,7 +42,14 @@ object ScaleCurve {
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
     "s09_ivfadc_search",
     "t05_ngram_profile", "t15_corpus_pipeline", "t16_lm_surprisal",
-    "t17_bpe_train", "t19_pretrain_pipeline", "e18_sessionize")
+    "t17_bpe_train", "t19_pretrain_pipeline", "e18_sessionize",
+    // sketches ride the amplified lineitem (distinct keys ×10): the
+    // claim under test is cost ~ scan while the shuffle stays O(k)/O(m)
+    "k01_kmv_distinct", "k02_hll_distinct", "k03_sample_quantiles",
+    "k04_kmv_jaccard", "k05_bloom_semijoin",
+    // graph family: g01 publishes the session edge table, g02/g03 ride
+    // it (the persisted-intermediate pattern, like d10→d12)
+    "g01_triangle_count", "g02_pagerank", "g03_common_neighbors")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -65,7 +72,8 @@ object ScaleCurve {
       "d12_leakage_safe_split", "d13_dup_spans", "d14_span_scrub",
       "s07_bm25_rank",
       "s09_ivfadc_search", "t15_corpus_pipeline", "t16_lm_surprisal",
-      "t17_bpe_train", "t19_pretrain_pipeline")
+      "t17_bpe_train", "t19_pretrain_pipeline",
+      "k04_kmv_jaccard") // documents-keyed sketch: ×100 slice overlap
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
@@ -138,6 +146,7 @@ object ScaleCurve {
       s""""queries":{${rows.mkString(",")}},""" +
       s""""x100":{${x100Rows.mkString(",")}}}""")
     graft.operators.DedupQueries.invalidateLabels(spark)
+    graft.operators.GraphQueries.invalidateEdges(spark)
     spark.stop()
   }
 

@@ -100,6 +100,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.DedupQueries.invalidateLabels(spark)
+    graft.operators.GraphQueries.invalidateEdges(spark)
     spark.stop()
   }
 }

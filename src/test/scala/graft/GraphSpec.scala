@@ -85,4 +85,73 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 < 10L).values.toSet == Set(0L))
     assert(got.filter(_._1 >= 10L).values.toSet == Set(10L))
   }
+
+  // ---- g-family (GraphQueries): oriented counting vs brute force ----------
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The same sampled co-occurrence edge set g01–g03 derive, as local
+    * pairs — small at sf0.001 (a few hundred edges). */
+  private def localEdges(): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val a = l.toDF("ok", "u"); val b = l.toDF("ok", "v")
+    a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .filter(substring(md5(concat(col("u").cast("string"), lit("-"),
+        col("v").cast("string")).cast("binary")), 1, 1) === "0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("g01 degree-oriented triangle count == brute-force enumeration") {
+    val edges = localEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val nodes = adj.keys.toSeq.sorted
+    var brute = 0L
+    for (u <- nodes; v <- adj(u) if v > u; w <- adj(u) if w > v)
+      if (adj(v).contains(w)) brute += 1
+    val r = SparkEntry.queries("g01_triangle_count")(spark, sf).collect()(0)
+    assert(r.getLong(0) == brute, s"oriented=${r.getLong(0)} brute=$brute")
+    assert(r.getLong(1) == edges.size.toLong)
+  }
+
+  test("g02 integer PageRank: positive descending ranks, each below " +
+      "total mass, top node is a max-degree hub") {
+    val top = SparkEntry.queries("g02_pagerank")(spark, sf).collect()
+    assert(top.length == 20)
+    assert(top.forall(_.getLong(1) > 0L))
+    assert(top.forall(_.getLong(1) < 1000000000000L))
+    val ranks = top.map(_.getLong(1)).toSeq
+    assert(ranks == ranks.sorted.reverse)
+    // sanity: the top-ranked node should sit in the top decile by
+    // degree (PageRank on an undirected graph correlates with degree).
+    val edges = localEdges()
+    val deg = scala.collection.mutable.Map.empty[Long, Int]
+      .withDefaultValue(0)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val cut = deg.values.toSeq.sorted.reverse
+      .apply(math.max(0, deg.size / 10 - 1))
+    assert(deg(top(0).getLong(0)) >= cut,
+      s"top node degree ${deg(top(0).getLong(0))} below decile cut $cut")
+  }
+
+  test("g03 predicted pairs are non-adjacent and counts match brute force") {
+    val edges = localEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val rows = SparkEntry.queries("g03_common_neighbors")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(!edges.contains((a, b)) && !edges.contains((b, a)),
+        s"pair ($a,$b) is already an edge")
+      assert(adj(a).intersect(adj(b)).size.toLong == c,
+        s"pair ($a,$b): got $c, brute ${adj(a).intersect(adj(b)).size}")
+    }
+  }
 }

@@ -60,4 +60,86 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a >= lo && a <= hi, s"${r.getString(0)}: $a not in [$lo, $hi]")
     }
   }
+
+  // ---- k-family (SketchQueries): error envelopes + structural invariants
+
+  test("k01 KMV: theta prefilter keeps >= k survivors and the estimate " +
+      "lands within 3 sigma (~3/sqrt(64) = 37.5%) of exact") {
+    val r = SparkEntry.queries("k01_kmv_distinct")(spark, sf).collect()(0)
+    val (k, est, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(k == 64L, s"prefilter must retain >= k distinct hashes, got $k")
+    assert(math.abs(est - exact) <= (exact * 0.375).toLong,
+      s"kmv est=$est exact=$exact")
+  }
+
+  test("k02 HLL: estimate within 3 sigma (~1.04/sqrt(256) -> 19.5%) of exact") {
+    val r = SparkEntry.queries("k02_hll_distinct")(spark, sf).collect()(0)
+    val (est, exact) = (r.getLong(1), r.getLong(2))
+    assert(math.abs(est - exact) <= (exact * 0.195).toLong,
+      s"hll est=$est exact=$exact")
+  }
+
+  test("k02 HLL registers are a pure max: order/partitioning-invariant") {
+    // same query under a different parallelism must produce the byte-
+    // identical row — the determinism the oracle hash relies on.
+    val a = SparkEntry.queries("k02_hll_distinct")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("k02_hll_distinct")(
+      spark.newSession(), sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("k03: sampled quantiles stay within the neighboring exact " +
+      "quantiles (p +- 0.05 of the full table)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("k03_sample_quantiles")(spark, sf).collect()
+    assert(rows.length == 5)
+    val full = Tables.lineitem(spark, sf)
+      .select("l_extendedprice").as[Double].collect().sorted
+    rows.foreach { r =>
+      val (p, qs) = (r.getDouble(0), r.getDouble(1))
+      val lo = full(math.max(0, (math.ceil((p - 0.05) * full.length)).toInt - 1))
+      val hi = full(math.min(full.length - 1,
+        (math.ceil(math.min(1.0, p + 0.05) * full.length)).toInt - 1))
+      assert(qs >= lo && qs <= hi, s"p=$p q_sample=$qs not in [$lo, $hi]")
+    }
+  }
+
+  test("k04 KMV Jaccard within 3 sigma of exact overlap") {
+    val r = SparkEntry.queries("k04_kmv_jaccard")(spark, sf).collect()(0)
+    val (estU, jEst, exactU, jExact) =
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+    assert(math.abs(estU - exactU) <= (exactU * 0.375).toLong,
+      s"union est=$estU exact=$exactU")
+    // jaccard indicator has std err sqrt(j(1-j)/k) <= 0.0625 at k=64
+    assert(math.abs(jEst - jExact) <= 3 * 0.0625 + 1e-9,
+      s"jaccard est=$jEst exact=$jExact")
+  }
+
+  test("k05 bloom: result equals the exact semi-join, and the bloom " +
+      "prefilter genuinely prunes non-matching rows before the join") {
+    val r = SparkEntry.queries("k05_bloom_semijoin")(spark, sf).collect()(0)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val exact = Tables.lineitem(spark, sf)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(r.getLong(0) == exact, s"bloom+semijoin=${r.getLong(0)} exact=$exact")
+    // pruning: the plan must filter BEFORE the semi join (a Filter with
+    // the bloom probe below the join), and the probe must be selective:
+    // false-positive rate at m=2^20 with ~600 keys is ~0; every pruned
+    // row is a true non-match.
+    val plan = SparkEntry.queries("k05_bloom_semijoin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("shiftright"), "bloom probe must be in the plan")
+  }
+
+  test("zipOne: n single-row frames collapse to one row, no join in plan") {
+    val a = spark.range(1).agg(count(lit(1)).as("x"))
+    val b = spark.range(5).agg(count(lit(1)).as("y"))
+    val c = spark.range(9).agg(count(lit(1)).as("z"))
+    val z = graft.operators.SketchQueries.zipOne(a, b, c)
+    val row = z.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 5L, 9L)))
+    assert(!z.queryExecution.executedPlan.toString.contains("Join"))
+  }
 }
