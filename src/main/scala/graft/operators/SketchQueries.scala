@@ -136,23 +136,28 @@ object SketchQueries {
   // arithmetic (Σ 2^(33-rank) as BIGINT; rank ≤ 33 so no overflow) and
   // only the final one-row estimate touches doubles — identical literal
   // arithmetic on both engines.
+  /** Adds a `rank` column (HLL register rank: leading-zero bits of the
+    * 32-bit hex suffix in column `rest`, +1; 33 when all zero) —
+    * shared by k02 (batch) and k06 (the streaming mount's fixture). */
+  private[graft] def withHllRank(df: DataFrame): DataFrame = df
+    .withColumn("zeros", length(regexp_extract(col("rest"), "^0*", 0)))
+    .withColumn("inner", expr(
+      """CASE substring(rest, zeros + 1, 1)
+        |  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+        |  ELSE 0 END""".stripMargin))
+    .withColumn("rank",
+      when(col("zeros") === 8, lit(33))
+        .otherwise(col("zeros") * 4 + col("inner") + 1))
+
   private def k02(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
     // bucket = first 2 hex chars (8 bits); rank = leading-zero bits of
     // the next 32 bits + 1 (33 when that suffix is all zero).
-    val regs = l
+    val regs = withHllRank(l
       .select(md5(col("l_orderkey").cast(StringType).cast(BinaryType)).as("h"))
       .select(substring(col("h"), 1, 2).as("bucket"),
-        substring(col("h"), 3, 8).as("rest"))
-      .withColumn("zeros", length(regexp_extract(col("rest"), "^0*", 0)))
-      .withColumn("inner", expr(
-        """CASE substring(rest, zeros + 1, 1)
-          |  WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-          |  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
-          |  ELSE 0 END""".stripMargin))
-      .withColumn("rank",
-        when(col("zeros") === 8, lit(33))
-          .otherwise(col("zeros") * 4 + col("inner") + 1))
+        substring(col("h"), 3, 8).as("rest")))
       .groupBy(col("bucket"))
       .agg(max(col("rank")).as("r"))
     val sk = regs.agg(
@@ -431,11 +436,76 @@ object SketchQueries {
       |WHERE l_orderkey IN
       |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
 
+  // ---- k06: STREAMING HyperLogLog over a real micro-batched stream --------
+  // The online form of k02, end-to-end through the driver-free file-
+  // source mount (StreamParityQueries.throughStream): per-event-type
+  // register state lives in flatMapGroupsWithState across 3 micro-batch
+  // boundaries; register merge is max, so the final state is chunk-
+  // invariant — THE mergeable-sketch property under the oracle. The
+  // hash-gated output is the final integer register state per key
+  // (n_events proves every batch merged; registers_hit/s_total ARE the
+  // sketch); the derived estimate's small-range branch is ln()-based
+  // and engine-libm-dependent, so SketchSpec pins it JVM-side instead
+  // of the cross-engine hash.
+  private def k06(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val kev = withHllRank(e
+      .select(col("event_type"), col("ts_ms"), col("event_id"),
+        md5(col("user_id").cast(StringType).cast(BinaryType)).as("h"))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, 2), 16, 10).cast(IntegerType))
+      .withColumn("rest", substring(col("h"), 3, 8)))
+      .select(col("event_type").as("key"), col("bucket").as("topic"),
+        col("ts_ms").as("ts"), col("rank").cast(DoubleType).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    StreamParityQueries.throughStream(s, kev, Seq(col("seq")),
+        s"hll@$d", ds => graft.streaming.StreamingSketch.hllStream(ds),
+        Map.empty)
+      .groupBy(col("key"))
+      .agg(max(struct(col("ts"), col("text"))).as("fin"))
+      .select(col("key").as("event_type"),
+        col("fin.ts").as("n_events"),
+        split(col("fin.text"), ",").getItem(0).cast(LongType)
+          .as("registers_hit"),
+        split(col("fin.text"), ",").getItem(1).cast(LongType).as("s_total"))
+      .orderBy(col("event_type"))
+  }
+
+  private val k06Sql =
+    """WITH hashed AS (
+      |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+      |ranked AS (
+      |  SELECT event_type, substring(h, 1, 2) AS bucket,
+      |    length(regexp_extract(substring(h, 3, 8), '^0*')) AS zeros,
+      |    substring(h, 3, 8) AS rest
+      |  FROM hashed),
+      |regs AS (
+      |  SELECT event_type, bucket, max(CASE WHEN zeros = 8 THEN 33
+      |    ELSE zeros * 4 + (CASE substring(rest, zeros + 1, 1)
+      |      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      |      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      |      ELSE 0 END) + 1 END) AS r
+      |  FROM ranked GROUP BY event_type, bucket),
+      |sk AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS present,
+      |    SUM((CAST(1 AS BIGINT) << (33 - r))) AS s_present
+      |  FROM regs GROUP BY event_type),
+      |n AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY event_type)
+      |SELECT sk.event_type AS event_type, n_events,
+      |  present AS registers_hit,
+      |  CAST(s_present + (256 - present) * 8589934592 AS BIGINT) AS s_total
+      |FROM sk JOIN n ON sk.event_type = n.event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("k01_kmv_distinct", k01, Some(k01Sql)),
     Q("k02_hll_distinct", k02, Some(k02Sql)),
     Q("k03_sample_quantiles", k03, Some(k03Sql)),
     Q("k04_kmv_jaccard", k04, Some(k04Sql)),
     Q("k05_bloom_semijoin", k05, Some(k05Sql)),
+    Q("k06_streaming_hll", k06, Some(k06Sql)),
   )
 }
