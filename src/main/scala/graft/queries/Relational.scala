@@ -171,6 +171,45 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  // ---- q32: partition-pruned scan — the layout trio completed -------------
+  /** One-time-per-(session, dir) publication of documents partitioned
+    * by lang on disk (hive-style lang=… directories) — the third
+    * curated-layout demonstration next to q30's bucketing (join
+    * exchange elimination) and q31's salting (skew spreading): here
+    * the LAYOUT carries the predicate, so a lang-filtered scan never
+    * opens the other partitions' files. At 100 TB this is the
+    * difference between scanning ~1/5 of the corpus and all of it —
+    * partition pruning happens at PLANNING time from directory names
+    * alone (the executed plan's PartitionFilters, asserted by
+    * BucketingSpec), before a single row is read. */
+  private val partitionedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensurePartitioned(s: SparkSession, dir: String): String =
+    partitionedReady.computeIfAbsent(dir, _ => {
+      val h = Integer.toHexString(dir.hashCode).replace('-', 'n')
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-part-$h"
+      Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      path
+    })
+
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartitioned(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("docs"),
+        sum(col("n_chars")).cast(LongType).as("chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q32Sql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q31: salted skew join — the hot-key pattern demonstrated -----------
   /** A deliberately skewed equi-join under SALTING: 70% of lineitem
     * rows collapse onto hot key 0, so a plain shuffle join would
@@ -824,5 +863,6 @@ object Relational {
     Q("q29_range_join_pure", q29, Some(q29Sql)),
     Q("q30_bucketed_join", q30, Some(q04Sql)),
     Q("q31_salted_skew_join", q31, Some(q31Sql)),
+    Q("q32_partition_pruned", q32, Some(q32Sql)),
   )
 }

@@ -26,6 +26,23 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("q32's partitioned layout prunes at planning time: the lang " +
+      "predicate lands in PartitionFilters and only en files are read") {
+    val df = graft.SparkEntry.queries("q32_partition_pruned")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^]]*lang[^]]*\\].*"),
+      s"lang must be a partition filter:\n$plan")
+    // equal to the unpartitioned computation
+    val expect = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("bucketed join has no Exchange; plain join does") {
     Tables.writeBucketed(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
