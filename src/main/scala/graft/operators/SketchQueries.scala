@@ -500,6 +500,58 @@ object SketchQueries {
       |FROM sk JOIN n ON sk.event_type = n.event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- k07: composed single-scan corpus profile ---------------------------
+  // The production "stats job": per-language doc counts, volume, AND
+  // distinct-content sketch state from ONE scan of the corpus — counts
+  // and sums distribute over the HLL bucket grouping, so the whole
+  // profile is two cascaded hash aggregations (scan → (lang, bucket)
+  // partial → lang) with no join, no second scan, no distinct. The
+  // shuffle after the first aggregate carries ≤ |langs|·256 rows
+  // whatever the corpus size — this is why sketch-shaped profiles are
+  // the only affordable per-slice stats at 100 TB (an exact
+  // count-distinct per language would shuffle every distinct text).
+  // Sketch state is emitted as integers (same rationale as k06: the
+  // estimate's small-range ln() branch stays JVM-side, SketchSpec).
+  private def k07(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val h = md5(col("text").cast(BinaryType))
+    withHllRank(docs
+      .select(col("lang"), col("n_chars"),
+        substring(h, 1, 2).as("bucket"), substring(h, 3, 8).as("rest")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("ch"),
+        max(col("rank")).as("r"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).cast(LongType).as("n_docs"),
+        sum(col("ch")).cast(LongType).as("total_chars"),
+        count(lit(1)).cast(LongType).as("registers_hit"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - r)")) +
+          (lit(256L) - count(lit(1))) * lit(8589934592L))
+          .cast(LongType).as("s_total"))
+      .orderBy(col("lang"))
+  }
+
+  private val k07Sql =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars, substring(md5(text), 1, 2) AS bucket,
+      |    length(regexp_extract(substring(md5(text), 3, 8), '^0*')) AS zeros,
+      |    substring(md5(text), 3, 8) AS rest
+      |  FROM documents),
+      |bk AS (
+      |  SELECT lang, bucket, count(*) AS c, SUM(n_chars) AS ch,
+      |    max(CASE WHEN zeros = 8 THEN 33
+      |      ELSE zeros * 4 + (CASE substring(rest, zeros + 1, 1)
+      |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      |        ELSE 0 END) + 1 END) AS r
+      |  FROM ranked GROUP BY lang, bucket)
+      |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ch) AS BIGINT) AS total_chars,
+      |  CAST(count(*) AS BIGINT) AS registers_hit,
+      |  CAST(SUM((CAST(1 AS BIGINT) << (33 - r))) +
+      |    (256 - count(*)) * 8589934592 AS BIGINT) AS s_total
+      |FROM bk GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("k01_kmv_distinct", k01, Some(k01Sql)),
     Q("k02_hll_distinct", k02, Some(k02Sql)),
@@ -507,5 +559,6 @@ object SketchQueries {
     Q("k04_kmv_jaccard", k04, Some(k04Sql)),
     Q("k05_bloom_semijoin", k05, Some(k05Sql)),
     Q("k06_streaming_hll", k06, Some(k06Sql)),
+    Q("k07_corpus_profile", k07, Some(k07Sql)),
   )
 }

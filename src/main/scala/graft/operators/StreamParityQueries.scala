@@ -864,6 +864,77 @@ object StreamParityQueries {
       |  value
       |FROM e ORDER BY event_id""".stripMargin
 
+  /** e42: STREAMING sessionization — Spark's `session_window`
+    * streaming aggregation (dynamic-gap event-time windows merged in
+    * the state store) through the same file-source micro-batch mount,
+    * hash-checked against the batch gaps-and-islands formulation
+    * (e18's semantics, re-grouped to (user, start, end, count)). The
+    * boundary semantics agree at the SAME gap: session_window merges
+    * two events iff t2 − t1 ≤ gap (the window closes at start+gap
+    * inclusive — StreamingSessionSpec pins this against islands on
+    * crafted Δt ∈ {gap−1, gap, gap+1} fixtures), exactly e18's
+    * breaks-on-strictly-greater rule. Fixture chunks are
+    * range-partitioned on EVENT TIME (an ordered log replay), so a
+    * 0-delay watermark never drops data; a production tail sets the
+    * delay to its disorder bound instead. Two far-future sentinel
+    * batches push the watermark past every real window's end so Append
+    * mode emits all sessions before the sink is read (the same
+    * tail-batch mechanism as the e34 timer mount); sentinel keys are
+    * filtered out of the projection. Sessions genuinely cross
+    * micro-batch boundaries: windows open in batch 1 and merge/extend
+    * with batch-2/3 events inside the session-window state store. */
+  private def e42(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val kev = e.select(
+      col("user_id").cast(StringType).as("key"),
+      lit(0).as("topic"),
+      col("ts_ms").as("ts"),
+      lit(0.0).as("value"),
+      lit(null).cast(StringType).as("text"),
+      lit(false).as("paused"),
+      col("event_id").as("seq"))
+    val maxTs = e.agg(max(col("ts_ms"))).head().getLong(0) // 1-row bound
+    val gapMs = 1800000L
+    def sentinel(i: Int) = Seq(KEv("zz-sentinel", 0, maxTs + (i + 2) * gapMs,
+      0.0, null, paused = false, seq = Long.MaxValue - i))
+    val mount = (ds: Dataset[KEv]) => {
+      import org.apache.spark.sql.Encoders
+      ds.select(col("key"), col("ts"),
+          timestamp_millis(col("ts")).as("tsc"))
+        .withWatermark("tsc", "0 seconds")
+        .groupBy(col("key"), session_window(col("tsc"), s"$gapMs milliseconds"))
+        .agg(min(col("ts")).as("start_ms"), max(col("ts")).as("end_ms"),
+          count(lit(1)).as("n"))
+        .select(col("key"), col("start_ms").as("ts"),
+          col("n").cast(DoubleType).as("value"),
+          col("end_ms").cast(StringType).as("text"),
+          lit(false).as("paused"))
+        .as[KOut](Encoders.product[KOut])
+    }
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sess@$d", mount,
+        Map.empty, tails = Seq(sentinel(0), sentinel(1)))
+      .filter(col("key") =!= "zz-sentinel")
+      .select(col("key").cast(LongType).as("user_id"),
+        col("ts").as("start_ms"), col("text").cast(LongType).as("end_ms"),
+        col("value").cast(LongType).as("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  private val e42Sql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+      |t AS (SELECT user_id, ts_ms, event_id,
+      |    CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |              > 1800000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s AS (SELECT user_id, ts_ms,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+      |  FROM t)
+      |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session
+      |ORDER BY user_id, start_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -882,5 +953,6 @@ object StreamParityQueries {
     Q("e39_streaming_container", e39, Some(ContainerQueries.e21Sql)),
     Q("e40_streaming_chat", e40, Some(e40Sql)),
     Q("e41_wallclock_repeater", e41, Some(e41Sql)),
+    Q("e42_streaming_sessionize", e42, Some(e42Sql)),
   )
 }
