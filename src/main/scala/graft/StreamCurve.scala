@@ -97,6 +97,21 @@ object StreamCurve {
             .as("seq"))
     }
 
+    /** All events re-keyed onto users·reps session streams — the
+      * e42 shape: state is the set of OPEN session windows per key,
+      * growing with key count, merged by the session-window state
+      * store. No flush sentinels — throughput, not the oracle (the
+      * merge work happens whether or not windows emit). */
+    def sessFixture(reps: Int): DataFrame = {
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      e.crossJoin(broadcast(r))
+        .select((col("user_id") + col("rep") * 100000).cast("string").as("key"),
+          lit(0).as("topic"), col("ts_ms").as("ts"), lit(0.0).as("value"),
+          lit(null).cast("string").as("text"), lit(false).as("paused"),
+          (shiftleft(col("rep"), 40) + col("event_id")).as("seq"))
+    }
+
     def run(machine: String, reps: Int): (Long, Long, Double) = {
       import StatefulRunner.{KEv, KOut}
       val (fixture, order, pipes,
@@ -120,6 +135,20 @@ object StreamCurve {
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
             StatefulRunner.runStreaming(
               new StateMachines.Synchronizer(5), ds))
+        case "session_window" => (sessFixture(reps),
+          Seq(col("ts"), col("seq")), 1500L * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            ds.select(col("key"), col("ts"),
+                timestamp_millis(col("ts")).as("tsc"))
+              .withWatermark("tsc", "0 seconds")
+              .groupBy(col("key"),
+                session_window(col("tsc"), "1800000 milliseconds"))
+              .agg(min(col("ts")).as("ts"),
+                count(lit(1)).cast("double").as("value"))
+              .select(col("key"), col("ts"), col("value"),
+                lit(null).cast("string").as("text"),
+                lit(false).as("paused"))
+              .as[KOut](org.apache.spark.sql.Encoders.product[KOut]))
       }
       val width = math.min(cpus.toInt, math.max(4, pipes)).toString
       val conf = Map("spark.sql.shuffle.partitions" -> width)
@@ -140,7 +169,7 @@ object StreamCurve {
     val repsScale = Seq(1, 10, 100)
     // optional 2nd arg: comma-separated machine filter (local iteration)
     val machines = args.drop(1).headOption.map(_.split(",").toSeq)
-      .getOrElse(Seq("gate", "synchronizer", "calculator"))
+      .getOrElse(Seq("gate", "synchronizer", "calculator", "session_window"))
     val rows = for {
       m <- machines
       reps <- repsScale
