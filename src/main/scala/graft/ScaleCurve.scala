@@ -46,7 +46,7 @@ object ScaleCurve {
     // sketches ride the amplified lineitem (distinct keys ×10): the
     // claim under test is cost ~ scan while the shuffle stays O(k)/O(m)
     "k01_kmv_distinct", "k02_hll_distinct", "k03_sample_quantiles",
-    "k04_kmv_jaccard", "k05_bloom_semijoin",
+    "k04_kmv_jaccard", "k05_bloom_semijoin", "k07_corpus_profile",
     // graph family: g01 publishes the session edge table, g02/g03 ride
     // it (the persisted-intermediate pattern, like d10→d12)
     "g01_triangle_count", "g02_pagerank", "g03_common_neighbors")
@@ -73,7 +73,8 @@ object ScaleCurve {
       "s07_bm25_rank",
       "s09_ivfadc_search", "t15_corpus_pipeline", "t16_lm_surprisal",
       "t17_bpe_train", "t19_pretrain_pipeline",
-      "k04_kmv_jaccard") // documents-keyed sketch: ×100 slice overlap
+      "k04_kmv_jaccard", // documents-keyed sketch: ×100 slice overlap
+      "k07_corpus_profile") // single-scan profile: the ×100 stats job
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")
