@@ -779,6 +779,80 @@ object SimilarityQueries {
        |    ORDER BY cosine DESC, vec_id) AS rank FROM rr_)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- s10: scalar quantization (SQ8) asymmetric search -------------------
+  /** The OTHER standard ANN compression next to PQ (s05/s06): per-dim
+    * affine 8-bit codes (FAISS ScalarQuantizer QT_8bit). Each
+    * component quantizes to floor((x−min_d)·255/span_d) against the
+    * corpus-wide per-dim bounds — 1 byte/dim, 4:1 over float32 —
+    * and search runs ASYMMETRIC: the exact query against dequantized
+    * corpus codes (min_d + code·span_d/255), so the only error is the
+    * corpus-side rounding. Everything is exact integer arithmetic in
+    * the ×1000-quantized domain (non-negative numerators make Spark
+    * DIV ≡ DuckDB // ≡ floor), and the score is an integer dot via
+    * the codegen'd LongDot expression — the ranking is
+    * hash-deterministic with vec_id tie-break, no doubles anywhere.
+    *
+    * Scale: the bounds are ONE row of two 64-long arrays (the scalar
+    * codebook — vs PQ's labels×M×16 table), broadcast onto the corpus
+    * scan (designed BNLJ, s07's class); quantize→dequantize is a
+    * per-row transform — the corpus never shuffles until the final
+    * per-query top-k. At deployment the stored artifact is the CODE
+    * array; dequantize-at-read is the standard trade (SQ decode is 2
+    * integer ops/dim vs PQ's table lookup, but 2× the bytes of PQ4). */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d).filter(col("norm2") > 0)
+    val bounds = v
+      .select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, mn, mx)))," +
+        " s -> s.mn)").as("mins"),
+        expr("transform(array_sort(collect_list(struct(i, mn, mx)))," +
+          " s -> s.mx - s.mn)").as("spans"))
+    val deq = // quantize then dequantize, both floor, span 0 → min
+      "transform(q, (x, i) -> element_at(mins, i + 1) + " +
+        "(((x - element_at(mins, i + 1)) * 255) DIV greatest(element_at(spans, i + 1), 1)) * " +
+        "greatest(element_at(spans, i + 1), 1) DIV 255)"
+    val coded = v.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(deq).as("xhat"))
+    val queries = v.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    coded.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        graft.functions.LongDot.dot(col("qq"), col("xhat")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("rank"),
+        col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val s10Sql =
+    s"""WITH v AS (SELECT * FROM ($quantizedSql) WHERE norm2 > 0),
+       |comp AS (
+       |  SELECT vec_id, r.i AS i, q[r.i] AS x
+       |  FROM v CROSS JOIN range(1, 65) AS r(i)),
+       |bounds AS (
+       |  SELECT i, min(x) AS mn, greatest(max(x) - min(x), 1) AS span
+       |  FROM comp GROUP BY i),
+       |deq AS (
+       |  SELECT vec_id, comp.i AS i,
+       |    mn + ((x - mn) * 255 // span) * span // 255 AS xh
+       |  FROM comp JOIN bounds ON comp.i = bounds.i),
+       |coded AS (
+       |  SELECT vec_id, list(xh ORDER BY i) AS xhat FROM deq GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS qid, q AS qq FROM v WHERE vec_id < 25),
+       |scored AS (
+       |  SELECT qid, vec_id,
+       |    CAST(list_dot_product(qq, xhat) AS BIGINT) AS score
+       |  FROM coded CROSS JOIN qs WHERE vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT qid, vec_id AS neighbor, rank, score
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
@@ -789,5 +863,6 @@ object SimilarityQueries {
     Q("s07_bm25_rank", s07, Some(s07Sql)),
     Q("s08_knn_heap", s08, Some(s08Sql)),
     Q("s09_ivfadc_search", s09, Some(s09Sql)),
+    Q("s10_sq8_search", s10, Some(s10Sql)),
   )
 }

@@ -47,6 +47,36 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
         "table, or the shortlist ordering regressed toward chance (~0.10)")
   }
 
+  test("s10 SQ8 recall@5 vs the exact-dot ranking: 8-bit corpus codes " +
+      "lose almost nothing (floor 0.85; the only error is per-dim " +
+      "rounding <= span/255)") {
+    import org.apache.spark.sql.functions._
+    // exact integer-dot top-5 per query, computed in-JVM on the same
+    // x1000-quantized vectors s10 dequantizes (s01 ranks by COSINE, a
+    // different metric — this isolates the quantization error alone)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .filter { case (_, q) => q.exists(_ != 0L) }
+    val queries = vecs.filter(_._1 < 25)
+    val truth = queries.flatMap { case (qid, qq) =>
+      vecs.filter(_._1 != qid)
+        .map { case (vid, vq) =>
+          (vid, qq.zip(vq).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (vid, s) => (-s, vid) }
+        .take(5).map { case (vid, _) => (qid, vid) }
+    }.toSet
+    val got = pairs("s10_sq8_search", "qid", "neighbor")
+    assert(truth.nonEmpty && got.nonEmpty)
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.85,
+      f"SQ8 recall@5 vs exact dot fell to $recall%.3f — the affine " +
+        "code/decode path lost more than rounding error")
+  }
+
   test("s09 exact re-rank is faithful: every reported cosine matches " +
       "the brute-force cosine for pairs both paths rank") {
     val bf = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
