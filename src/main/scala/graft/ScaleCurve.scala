@@ -40,7 +40,7 @@ object ScaleCurve {
     "q04_multi_join", "q28_range_join_auto", "q30_bucketed_join",
     "q31_salted_skew_join",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
-    "s09_ivfadc_search",
+    "s09_ivfadc_search", "s10_sq8_search",
     "t05_ngram_profile", "t15_corpus_pipeline", "t16_lm_surprisal",
     "t17_bpe_train", "t19_pretrain_pipeline", "e18_sessionize",
     // sketches ride the amplified lineitem (distinct keys ×10): the
