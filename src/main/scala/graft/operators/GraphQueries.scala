@@ -251,9 +251,68 @@ object GraphQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM edges WHERE edges.u = wedges.pa AND edges.v = wedges.pb)
        |ORDER BY common DESC, pa, pb LIMIT 20""".stripMargin
 
+  // ---- g04: label propagation communities (3 synchronous rounds) ----------
+  // Raghavan et al. 2007, made deterministic: every node starts as its
+  // own label; each synchronous round every node adopts the label most
+  // frequent among its NEIGHBORS, ties broken by smallest label — both
+  // rules order-independent, so the fixed-iteration result is
+  // bit-identical across engines (the classic async LPA is
+  // visit-order-dependent and could never sit under a cross-engine
+  // hash). Communities = label groups after round 3; output the 20
+  // largest. The web/dedup use: cheap community structure over the
+  // co-occurrence graph (host clustering, topic grouping) without the
+  // modularity machinery.
+  //
+  // Scale shape per round: labels ⋈ adj on the node side (|E| rows,
+  // equi-join), count per (node, label) — partial agg collapses
+  // before the shuffle — then one argmax per node via max(struct):
+  // two shuffles of at most |E| rows per round, the label table is
+  // |V| rows, and rounds are a fixed constant. Same iteration shape
+  // as g02's rank walk; rides the session-shared edge table.
+  private def g04(s: SparkSession, d: String): DataFrame = {
+    val e = edgesShared(s, d)
+    var labels = degrees(e).select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 3) {
+      val a = adj(e) // fresh lineage per round (see g02)
+      labels = labels
+        .join(a, labels("node") === a("y"))
+        .select(a("x").as("node"), col("label"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        // argmax: highest count, then smallest label (-label maximal)
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).cast(LongType).as("size"))
+      .orderBy(col("size").desc, col("label")).limit(20)
+      .select(col("label").cast(LongType).as("community"), col("size"))
+  }
+
+  private val g04Sql = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, label FROM (
+         |    SELECT a.x AS node, p.label AS label,
+         |      row_number() OVER (PARTITION BY a.x
+         |        ORDER BY count(*) DESC, p.label) AS rn
+         |    FROM $prev p JOIN adj a ON p.node = a.y
+         |    GROUP BY a.x, p.label)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $edgesSql,
+       |base AS (SELECT node, node AS label FROM deg),
+       |${round("base", "lp1")},
+       |${round("lp1", "lp2")},
+       |${round("lp2", "lp3")}
+       |SELECT CAST(label AS BIGINT) AS community,
+       |  CAST(count(*) AS BIGINT) AS size
+       |FROM lp3 GROUP BY label ORDER BY size DESC, community LIMIT 20""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("g01_triangle_count", g01, Some(g01Sql)),
     Q("g02_pagerank", g02, Some(g02Sql)),
     Q("g03_common_neighbors", g03, Some(g03Sql)),
+    Q("g04_label_propagation", g04, Some(g04Sql)),
   )
 }

@@ -552,6 +552,87 @@ object SketchQueries {
       |    (256 - count(*)) * 8589934592 AS BIGINT) AS s_total
       |FROM bk GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- k08: count-min sketch heavy hitters --------------------------------
+  // Cormode & Muthukrishnan 2005 — the frequency sketch next to the
+  // cardinality sketches (k01/k02): d=4 rows × w counters; every
+  // occurrence increments one counter per row (positions from disjoint
+  // 32-bit slices of one md5 — independent-enough hashes from a single
+  // hash computation); the estimate for a key is the MIN over its d
+  // counters, and it can only OVERestimate (collisions add, never
+  // subtract) — the `overestimate` column is the demonstrated ≥0 bound.
+  //
+  // Scale shape: the counter build is a map-side-combined count on
+  // (row, position) — after partial aggregation the shuffle carries at
+  // most d·w rows PER PARTITION whatever the corpus size, and the
+  // final sketch is d·w integers. Frequency estimation for any
+  // candidate set is then a broadcast join against that tiny counter
+  // table — the corpus is scanned once and never shuffled by key. The
+  // exact per-token count column is the demonstration baseline (it IS
+  // the corpus-wide shuffle the sketch exists to avoid); a production
+  // run drops it and keeps only the sketch + candidates.
+  //
+  // w=16 is deliberately far too narrow for the 31-token fixture
+  // vocabulary so collisions genuinely occur and the min-over-rows
+  // recovery is visible in the output; production sizes w ≈ e/ε.
+  private val CmsD = 4
+  private val CmsW = 16
+
+  private def k08(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    def posCol(i: Int): Column =
+      conv(substring(col("h"), 1 + 8 * i, 8), 16, 10).cast(LongType)
+        .bitwiseAND(lit((CmsW - 1).toLong))
+    def rpExplode(df: DataFrame): DataFrame = df
+      .withColumn("h", md5(col("tok").cast(BinaryType)))
+      .select(col("*"), explode(array((0 until CmsD).map(i =>
+        struct(lit(i).as("r"), posCol(i).as("p"))): _*)).as("rp"))
+      .withColumn("r", col("rp.r")).withColumn("p", col("rp.p"))
+      .drop("h", "rp")
+    // counters: one count per (row, position) — partial agg collapses
+    // each input partition to ≤ d·w rows before the shuffle.
+    val counters = rpExplode(toks).groupBy(col("r"), col("p"))
+      .agg(count(lit(1)).as("n"))
+    // candidate heavy hitters (top-20 exact, the baseline a production
+    // run replaces with a tracked candidate list or a second pass)
+    val cand = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast(LongType).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("tok")).limit(20)
+    broadcast(rpExplode(cand)).join(counters, Seq("r", "p"))
+      .groupBy(col("tok"))
+      .agg(max(col("exact_count")).as("exact_count"),
+        min(col("n")).cast(LongType).as("est_count"))
+      .select(col("tok"), col("est_count"), col("exact_count"),
+        (col("est_count") - col("exact_count")).cast(LongType)
+          .as("overestimate"))
+      .orderBy(col("exact_count").desc, col("tok"))
+  }
+
+  private val k08Sql = {
+    def pos(i: Int) =
+      s"(${sqlHexVal(s"substring(h, ${1 + 8 * i}, 8)", 8)} % $CmsW)"
+    def rp(src: String, extra: String) = (0 until CmsD).map(i =>
+      s"SELECT $extra $i AS r, ${pos(i)} AS p FROM $src").mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |th AS (SELECT tok, md5(tok) AS h FROM toks),
+       |rp AS (${rp("th", "")}),
+       |counters AS (SELECT r, p, CAST(count(*) AS BIGINT) AS n
+       |  FROM rp GROUP BY r, p),
+       |cand AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+       |  FROM toks GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
+       |ch AS (SELECT tok, exact_count, md5(tok) AS h FROM cand),
+       |cpos AS (${rp("ch", "tok, exact_count,")}),
+       |est AS (
+       |  SELECT tok, max(exact_count) AS exact_count,
+       |    CAST(min(n) AS BIGINT) AS est_count
+       |  FROM cpos JOIN counters USING (r, p) GROUP BY tok)
+       |SELECT tok, est_count, exact_count,
+       |  CAST(est_count - exact_count AS BIGINT) AS overestimate
+       |FROM est ORDER BY exact_count DESC, tok""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("k01_kmv_distinct", k01, Some(k01Sql)),
     Q("k02_hll_distinct", k02, Some(k02Sql)),
@@ -560,5 +641,6 @@ object SketchQueries {
     Q("k05_bloom_semijoin", k05, Some(k05Sql)),
     Q("k06_streaming_hll", k06, Some(k06Sql)),
     Q("k07_corpus_profile", k07, Some(k07Sql)),
+    Q("k08_countmin_hh", k08, Some(k08Sql)),
   )
 }

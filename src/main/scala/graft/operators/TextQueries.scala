@@ -1207,6 +1207,58 @@ object TextQueries {
        |FROM dw JOIN wd USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- t21: overlapping chunk windows (RAG / context chunking) ------------
+  /** Sliding token-window chunking — the retrieval-side sibling of
+    * t10's training-side packing: each document splits into windows of
+    * W=16 tokens advancing by stride 12 (4-token overlap, so no query
+    * span falls across a hard boundary), the shape every
+    * RAG/embedding-index pipeline feeds its encoder. Emits per chunk
+    * the token span and an md5 fingerprint of the chunk text (chunks
+    * are re-derivable from (doc_id, start_tok), so the index stores
+    * the span + fingerprint, not a second copy of the corpus).
+    *
+    * Scale: one scan, one explode of ~n_tok/stride rows per doc — no
+    * shuffle at all until the output sort; the chunker is purely
+    * row-local, so it parallelizes to any partition count. All slicing
+    * is codegen'd built-ins (sequence/slice/array_join). */
+  private val ChunkW = 16
+  private val ChunkStride = 12
+
+  private def t21(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(ChunkStride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_tok")
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("start_tok").cast(LongType).as("start_tok"),
+        slice(col("w"), col("start_tok") + 1, lit(ChunkW)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("cw")).cast(LongType).as("n_tok"),
+        md5(array_join(col("cw"), " ").cast(BinaryType)).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val t21Sql =
+    s"""WITH dw AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(0, greatest(len(w) - 1, 0), $ChunkStride))
+       |      AS start_tok
+       |  FROM dw),
+       |ch AS (
+       |  SELECT doc_id, CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_idx,
+       |    CAST(start_tok AS BIGINT) AS start_tok,
+       |    list_slice(w, start_tok + 1, start_tok + $ChunkW) AS cw
+       |  FROM st)
+       |SELECT doc_id, chunk_idx, start_tok,
+       |  CAST(len(cw) AS BIGINT) AS n_tok,
+       |  md5(array_to_string(cw, ' ')) AS chunk_fp
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1228,5 +1280,6 @@ object TextQueries {
     Q("t18_bigram_generate", t18, Some(t18Sql)),
     Q("t19_pretrain_pipeline", t19, Some(t19Sql)),
     Q("t20_bpe_encode", t20, Some(t20Sql)),
+    Q("t21_chunk_windows", t21, Some(t21Sql)),
   )
 }
