@@ -935,6 +935,129 @@ object StreamParityQueries {
       |FROM s GROUP BY user_id, session
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** e43: STREAM-STREAM INTERVAL JOIN — the native Structured
+    * Streaming join through the same file-source micro-batch mount:
+    * clicks and purchases arrive on one stream (topic-tagged), split
+    * into two watermarked streaming branches, and inner-join on user
+    * with the attribution range `click_t ≤ purchase_t ≤ click_t+24h`.
+    * This is the capability class the state-machine mounts don't
+    * cover: BOTH sides buffer in the join state store, matches emit in
+    * whichever batch completes the pair (pairs genuinely form across
+    * micro-batch boundaries), and the range condition bounds state —
+    * Spark evicts a buffered click once the watermark proves no future
+    * purchase can land in its 24 h window, and a buffered purchase
+    * once no future click can precede it. The reference has no join
+    * operator at all (SURVEY §2.7 — gaps Spark fills natively);
+    * hash-gated against the identical batch interval join.
+    *
+    * Watermark 0 s is sound here for the same reason as e42: chunks
+    * are range-partitioned on event time (an ordered log replay), so
+    * an event never arrives behind the watermark; a production tail
+    * sets the delay to its disorder bound and the SAME plan runs.
+    * Inner-join matches emit on arrival (emission is not
+    * watermark-gated), so no sentinel tail batches are needed. */
+  private def e43(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val kev = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        col("ts_ms").as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val mount = (ds: Dataset[KEv]) => {
+      import org.apache.spark.sql.Encoders
+      val df = ds.toDF()
+      val clicks = df.filter(col("topic") === 0)
+        .select(col("key"), col("ts").as("c_ts"), col("text").as("c_id"),
+          timestamp_millis(col("ts")).as("c_t"))
+        .withWatermark("c_t", "0 seconds")
+      val purchases = df.filter(col("topic") === 1)
+        .select(col("key").as("p_key"), col("text").as("p_id"),
+          col("value").as("p_val"), timestamp_millis(col("ts")).as("p_t"))
+        .withWatermark("p_t", "0 seconds")
+      clicks.join(purchases,
+          col("key") === col("p_key") &&
+          col("p_t") >= col("c_t") &&
+          col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"))
+        .select(col("key"), col("c_ts").as("ts"), col("p_val").as("value"),
+          concat(col("c_id"), lit(":"), col("p_id")).as("text"),
+          lit(false).as("paused"))
+        .as[KOut](Encoders.product[KOut])
+    }
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sjoin@$d", mount,
+        Map.empty)
+      .select(col("key").cast(LongType).as("user_id"),
+        col("ts").as("click_ms"),
+        split(col("text"), ":").getItem(0).cast(LongType).as("click_id"),
+        split(col("text"), ":").getItem(1).cast(LongType).as("purchase_id"),
+        col("value").as("amount"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val e43Sql =
+    """SELECT c.user_id AS user_id, epoch_ms(c.ts) AS click_ms,
+      |  c.event_id AS click_id, p.event_id AS purchase_id,
+      |  p.value AS amount
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts)
+      |                         AND epoch_ms(c.ts) + 86400000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** e44: STREAMING DEDUPLICATION — `dropDuplicatesWithinWatermark`
+    * through the file-source mount: the at-least-once ingestion
+    * reality (a Kafka replay, a retried file batch) produces the same
+    * event twice, and the dedup state store emits only the first
+    * arrival. The fixture replays every even-id view event a second
+    * time (topic 1 marks the redelivery), chunk order putting
+    * redeliveries behind their originals, so duplicates genuinely
+    * match state across micro-batch boundaries; the output hash-gates
+    * against the plain distinct event set — exactly-once OUT of
+    * at-least-once IN, the property a 100 TB ingest front-door needs.
+    * The watermark delay IS the dedup window: state for an event is
+    * kept until the watermark passes its event time + delay, so the
+    * delay is sized to the source's max redelivery lag (the fixture
+    * spans ~30 days of event time and redeliveries can trail by the
+    * whole span, hence 40 days here; a Kafka front-door with seconds
+    * of redelivery lag keeps minutes of state). First-arrival-wins
+    * semantics under a controlled two-batch fixture is pinned by
+    * StreamingJoinDedupSpec; here originals and redeliveries are
+    * field-identical so the gate is pure multiplicity. */
+  private def e44(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").cast(StringType).as("key"),
+        col("ts_ms").as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val kev = views.withColumn("topic", lit(0))
+      .unionByName(views.filter(col("seq") % 2 === 0)
+        .withColumn("topic", lit(1)))
+      .select(col("key"), col("topic"), col("ts"), col("value"),
+        col("text"), col("paused"), col("seq"))
+    val mount = (ds: Dataset[KEv]) => {
+      import org.apache.spark.sql.Encoders
+      ds.toDF()
+        .withColumn("et", timestamp_millis(col("ts")))
+        .withWatermark("et", "40 days")
+        .dropDuplicatesWithinWatermark("key", "text")
+        .select(col("key"), col("ts"), col("value"), col("text"),
+          lit(false).as("paused"))
+        .as[KOut](Encoders.product[KOut])
+    }
+    throughStream(s, kev, Seq(col("topic"), col("ts"), col("seq")),
+        s"sdedup@$d", mount, Map.empty)
+      .select(col("key").cast(LongType).as("user_id"),
+        col("text").cast(LongType).as("event_id"),
+        col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e44Sql =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+      |FROM events WHERE event_type = 'view'
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -954,5 +1077,7 @@ object StreamParityQueries {
     Q("e40_streaming_chat", e40, Some(e40Sql)),
     Q("e41_wallclock_repeater", e41, Some(e41Sql)),
     Q("e42_streaming_sessionize", e42, Some(e42Sql)),
+    Q("e43_stream_stream_join", e43, Some(e43Sql)),
+    Q("e44_streaming_dedup", e44, Some(e44Sql)),
   )
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.streaming.StatefulRunner.KEv
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** e43 (stream-stream interval join) and e44 (streaming dedup)
+  * mechanics that the oracle hash alone cannot pin:
+  *
+  *  - the join range is INCLUSIVE on both ends (Δt ∈ {0, W, W+1 ms}
+  *    crafted pairs — the production fixture has no exact-boundary
+  *    pair, so only this spec can catch an off-by-one);
+  *  - pairs form across micro-batch boundaries (click buffered in the
+  *    join state store matches a purchase arriving batches later);
+  *  - dedup is FIRST-arrival-wins (the registered e44 fixture keeps
+  *    duplicates field-identical so the oracle gate is pure
+  *    multiplicity; here the duplicate carries a different value and
+  *    the kept value must be the first);
+  *  - a duplicate arriving in a LATER batch is still suppressed
+  *    (dedup state crosses the boundary).
+  */
+class StreamingJoinDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("streaming-join-dedup-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val W = 86400000L // e43's 24 h attribution window
+  private val t0 = 1700000000000L
+
+  private def joinStreams(clicksDs: org.apache.spark.sql.Dataset[KEv],
+      purchDs: org.apache.spark.sql.Dataset[KEv]) = {
+    val clicks = clicksDs.toDF()
+      .select(col("key"), col("ts").as("c_ts"), col("text").as("c_id"),
+        timestamp_millis(col("ts")).as("c_t"))
+      .withWatermark("c_t", "10 days")
+    val purchases = purchDs.toDF()
+      .select(col("key").as("p_key"), col("text").as("p_id"),
+        col("value").as("p_val"), timestamp_millis(col("ts")).as("p_t"))
+      .withWatermark("p_t", "10 days")
+    clicks.join(purchases,
+      col("key") === col("p_key") &&
+      col("p_t") >= col("c_t") &&
+      col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"))
+  }
+
+  private def kev(key: String, topic: Int, ts: Long, value: Double,
+      id: String, seq: Long): KEv =
+    KEv(key, topic, ts, value, id, paused = false, seq = seq)
+
+  test("interval join: range inclusive on both ends, pairs form across " +
+      "micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[KEv]
+    val purch = MemoryStream[KEv]
+    val q = joinStreams(clicks.toDS(), purch.toDS())
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: the click only — it must be BUFFERED in join state
+      clicks.addData(kev("u", 0, t0, 0.0, "c1", 1))
+      q.processAllAvailable()
+      // batch 2: purchases at Δ0 (match), ΔW (match: inclusive end),
+      // ΔW+1ms (no match), Δ-1ms (before the click: no match)
+      purch.addData(
+        kev("u", 1, t0, 5.0, "p0", 2),
+        kev("u", 1, t0 + W, 6.0, "pW", 3),
+        kev("u", 1, t0 + W + 1, 7.0, "pX", 4),
+        kev("u", 1, t0 - 1, 8.0, "pB", 5))
+      q.processAllAvailable()
+      val got = spark.table("sj_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("c1", "p0"), ("c1", "pW")))
+    } finally q.stop()
+  }
+
+  test("dedup: first arrival wins, duplicate suppressed across " +
+      "micro-batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KEv]
+    val q = mem.toDS().toDF()
+      .withColumn("et", timestamp_millis(col("ts")))
+      .withWatermark("et", "40 days")
+      .dropDuplicatesWithinWatermark("key", "text")
+      .select(col("key"), col("text"), col("value"))
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(kev("u", 0, t0, 1.0, "e1", 1))
+      q.processAllAvailable()
+      // batch 2: redelivery of e1 with a DIFFERENT value (must be
+      // suppressed — first wins), plus a fresh event
+      mem.addData(kev("u", 1, t0, 99.0, "e1", 2),
+        kev("u", 0, t0 + 1000, 2.0, "e2", 3))
+      q.processAllAvailable()
+      val got = spark.table("dd_out").collect()
+        .map(r => (r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(got == Seq(("e1", 1.0), ("e2", 2.0)))
+    } finally q.stop()
+  }
+
+  test("e43 registered stream == batch interval join at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("e43_stream_stream_join")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val e = Tables.eventsMs(spark, sf)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts_ms").as("cts"),
+        col("event_id").as("cid"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_ms").as("pts"),
+        col("event_id").as("pid"))
+    val want = c.join(p, col("u") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + W)
+      .select(col("cid"), col("pid"))
+      .orderBy(col("cid"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+}
