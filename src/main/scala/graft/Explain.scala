@@ -28,6 +28,7 @@ object Explain {
     "d15_semantic_dedup", // same k×dim centroid broadcast (SemDeDup assign)
     "s09_ivfadc_search", // Lloyd steps + probe: k×dim centroids broadcast
     "s10_sq8_search",  // 1-row scalar codebook + broadcast query set (s01 class)
+    "s11_mmr_rerank",  // broadcast query set × corpus (s01 class retrieval stage)
     "s07_bm25_rank",   // 1-row corpus stats fanned onto the scan
     "t08_domain_mix",  // 1-row totals row
     "t17_bpe_train",   // 1-row pair-argmax frame broadcast per iteration

@@ -853,6 +853,129 @@ object SimilarityQueries {
        |SELECT qid, vec_id AS neighbor, rank, score
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- s11: MMR diversity re-rank ------------------------------------------
+  // Carbonell & Goldstein 1998 (maximal marginal relevance): after
+  // retrieval returns a shortlist, greedily pick k results maximizing
+  // λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the standard
+  // redundancy-removal step between ANN retrieval and a RAG context
+  // window (without it, near-duplicate corpus entries fill all k
+  // slots). λ = 0.7, shortlist 12, k = 5, over s01's query set.
+  //
+  // Determinism: rel and sim are cosines over the same quantized
+  // integers on both engines (identical double arithmetic); argmax
+  // ties break by candidate id. The greedy recurrence is unrolled to
+  // k−1 join steps — the same fixed-iteration trick as g02/g04 —
+  // which is what makes an inherently sequential re-rank
+  // hash-comparable across engines.
+  //
+  // Scale shape: the CORPUS is touched only by the s01-shaped
+  // retrieval scan (broadcast queries, corpus streamed once, top-12
+  // per query via the rank window). Everything after — the pairwise
+  // sim matrix (≤ |Q|·12² rows) and the k−1 greedy steps — operates
+  // on shortlist-sized frames independent of corpus size; MMR cost
+  // per query is k·shortlist pair lookups by construction.
+  private val MmrShortlist = 12
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d).filter(col("norm2") > 0)
+    val queries = v.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cid"))
+    val cand = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("rel", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
+      .withColumn("cid", col("vec_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrShortlist)
+      .select(col("qid"), col("cid"), col("rel"),
+        col("q").as("cq"), col("norm2").as("cn"))
+    val a = cand.select(col("qid"), col("cid").as("a"),
+      col("cq").as("aq"), col("cn").as("an"))
+    val b = cand.select(col("qid"), col("cid").as("b"),
+      col("cq").as("bq"), col("cn").as("bn"))
+    val psim = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        cosine(col("aq"), col("bq"), col("an"), col("bn")).as("sim"))
+    val rel = cand.select(col("qid"), col("cid"), col("rel"))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cid"))
+    var sel = rel.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("vec_id"), lit(1L).as("rank"),
+        (lit(MmrLambda) * col("rel")).as("mmr"))
+    for (r <- 2 to MmrK) {
+      val selSlim = sel.select(col("qid").as("sq"), col("vec_id").as("sv"))
+      val remaining = rel.join(selSlim,
+        rel("qid") === col("sq") && rel("cid") === col("sv"), "left_anti")
+      val maxsim = psim.join(selSlim,
+          psim("qid") === col("sq") && psim("b") === col("sv"), "left_semi")
+        .groupBy(col("qid"), col("a")).agg(max(col("sim")).as("maxsim"))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      val pick = remaining
+        .join(maxsim, remaining("qid") === maxsim("qid") &&
+          remaining("cid") === maxsim("a"))
+        .select(remaining("qid"), col("cid"), col("rel"), col("maxsim"))
+        .withColumn("score",
+          lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("maxsim"))
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("qid"), col("cid").as("vec_id"),
+          lit(r.toLong).as("rank"), col("score").as("mmr"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        col("mmr"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val s11Sql = {
+    def step(r: Int): String = {
+      val prev = if (r == 2) "sel1" else s"sel${r - 1}"
+      s"""pick$r AS (
+         |  SELECT qid, cid AS vec_id, CAST($r AS BIGINT) AS rank,
+         |    score AS mmr
+         |  FROM (
+         |    SELECT m.qid, m.cid, $MmrLambda * m.rel -
+         |        ${1.0 - MmrLambda} * m.maxsim AS score,
+         |      row_number() OVER (PARTITION BY m.qid
+         |        ORDER BY $MmrLambda * m.rel -
+         |          ${1.0 - MmrLambda} * m.maxsim DESC, m.cid) AS rn
+         |    FROM (
+         |      SELECT c.qid, c.cid, c.rel, max(p.sim) AS maxsim
+         |      FROM rel c
+         |      JOIN psim p ON p.qid = c.qid AND p.a = c.cid
+         |      JOIN $prev s ON s.qid = p.qid AND s.vec_id = p.b
+         |      WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |        WHERE x.qid = c.qid AND x.vec_id = c.cid)
+         |      GROUP BY c.qid, c.cid, c.rel) m) WHERE rn = 1),
+         |sel$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }
+    s"""WITH v AS (SELECT * FROM ($quantizedSql) WHERE norm2 > 0),
+       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v WHERE vec_id < 25),
+       |scored AS (SELECT qid, vec_id AS cid,
+       |    list_dot_product(qq, q) / (sqrt(qn) * sqrt(norm2)) AS rel,
+       |    q, norm2
+       |  FROM v CROSS JOIN qs WHERE vec_id <> qid),
+       |cand AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, cid) AS rk FROM scored)
+       |  WHERE rk <= $MmrShortlist),
+       |psim AS (
+       |  SELECT a.qid, a.cid AS a, b.cid AS b,
+       |    list_dot_product(a.q, b.q) / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+       |rel AS (SELECT qid, cid, rel FROM cand),
+       |sel1 AS (
+       |  SELECT qid, cid AS vec_id, CAST(1 AS BIGINT) AS rank,
+       |    $MmrLambda * rel AS mmr
+       |  FROM (SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, cid) AS rn FROM rel) WHERE rn = 1),
+       |${(2 to MmrK).map(step).mkString(",\n")}
+       |SELECT qid, rank, vec_id AS neighbor, mmr
+       |FROM sel$MmrK ORDER BY qid, rank""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
@@ -864,5 +987,6 @@ object SimilarityQueries {
     Q("s08_knn_heap", s08, Some(s08Sql)),
     Q("s09_ivfadc_search", s09, Some(s09Sql)),
     Q("s10_sq8_search", s10, Some(s10Sql)),
+    Q("s11_mmr_rerank", s11, Some(s11Sql)),
   )
 }

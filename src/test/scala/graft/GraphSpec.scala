@@ -138,6 +138,31 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"top node degree ${deg(top(0).getLong(0))} below decile cut $cut")
   }
 
+  test("g04 unrolled-join LPA == direct synchronous iteration " +
+      "(3 rounds, most-frequent neighbor label, min-label ties)") {
+    val edges = localEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val nodes = adj.keys.toSeq.sorted
+    var label = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      label = nodes.map { n =>
+        val votes = adj(n).toSeq.map(label)
+          .groupBy(identity).map { case (l, g) => (l, g.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val want = label.values.groupBy(identity)
+      .map { case (l, g) => (l, g.size.toLong) }
+      .toSeq.sortBy { case (l, s) => (-s, l) }.take(20)
+    val got = SparkEntry.queries("g04_label_propagation")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("g03 predicted pairs are non-adjacent and counts match brute force") {
     val edges = localEdges()
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]

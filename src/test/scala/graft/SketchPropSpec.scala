@@ -135,4 +135,60 @@ class SketchPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- CMS (same scheme as k08: row i's position = 32-bit md5 slice i,
+  // masked to w=16; estimate = min over the d=4 rows) ----
+  private val CmsD = 4
+  private val CmsW = 16
+
+  private def cmsPos(key: String): Array[Int] = {
+    val h = md5hex(key)
+    Array.tabulate(CmsD)(i =>
+      (java.lang.Long.parseLong(h.substring(8 * i, 8 * i + 8), 16) &
+        (CmsW - 1)).toInt)
+  }
+
+  private def cmsCounters(occurrences: Seq[String]): Array[Array[Long]] = {
+    val c = Array.fill(CmsD, CmsW)(0L)
+    occurrences.foreach { k =>
+      val ps = cmsPos(k)
+      var i = 0
+      while (i < CmsD) { c(i)(ps(i)) += 1; i += 1 }
+    }
+    c
+  }
+
+  private def cmsEst(c: Array[Array[Long]], key: String): Long = {
+    val ps = cmsPos(key)
+    (0 until CmsD).map(i => c(i)(ps(i))).min
+  }
+
+  private val genMultiset: Gen[Seq[String]] = for {
+    nKeys <- Gen.choose(1, 40)
+    counts <- Gen.listOfN(nKeys, Gen.choose(1, 50))
+    off <- Gen.choose(0, 1000000)
+  } yield counts.zipWithIndex.flatMap { case (c, i) =>
+    Seq.fill(c)(s"tok-${off + i}")
+  }
+
+  test("CMS never underestimates (k08's overestimate >= 0 bound, for " +
+      "EVERY key, not just the query's top-20)") {
+    check(genMultiset, 20) { occ =>
+      val c = cmsCounters(occ)
+      val exact = occ.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (k, n) =>
+        assert(cmsEst(c, k) >= n, s"underestimate for $k")
+      }
+    }
+  }
+
+  test("CMS merge law: counters(A ++ B) == counters(A) + counters(B) " +
+      "elementwise (what makes map-side combine exact)") {
+    check(Gen.zip(genMultiset, genMultiset), 15) { case (a, b) =>
+      val merged = cmsCounters(a ++ b)
+      val ca = cmsCounters(a); val cb = cmsCounters(b)
+      for (i <- 0 until CmsD; j <- 0 until CmsW)
+        assert(merged(i)(j) == ca(i)(j) + cb(i)(j))
+    }
+  }
 }
