@@ -47,6 +47,8 @@ object ScaleCurve {
     // claim under test is cost ~ scan while the shuffle stays O(k)/O(m)
     "k01_kmv_distinct", "k02_hll_distinct", "k03_sample_quantiles",
     "k04_kmv_jaccard", "k05_bloom_semijoin", "k07_corpus_profile",
+    "k08_countmin_hh", "t21_chunk_windows", "s11_mmr_rerank",
+    "g04_label_propagation",
     // graph family: g01 publishes the session edge table, g02/g03 ride
     // it (the persisted-intermediate pattern, like d10→d12)
     "g01_triangle_count", "g02_pagerank", "g03_common_neighbors")
@@ -74,7 +76,10 @@ object ScaleCurve {
       "s09_ivfadc_search", "t15_corpus_pipeline", "t16_lm_surprisal",
       "t17_bpe_train", "t19_pretrain_pipeline",
       "k04_kmv_jaccard", // documents-keyed sketch: ×100 slice overlap
-      "k07_corpus_profile") // single-scan profile: the ×100 stats job
+      "k07_corpus_profile", // single-scan profile: the ×100 stats job
+      "k08_countmin_hh", // CMS: shuffle stays O(d·w) while the corpus ×100s
+      "t21_chunk_windows", // row-local chunker: pure scan scaling
+      "s11_mmr_rerank") // retrieval scan ×100; greedy stays shortlist-sized
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

@@ -884,13 +884,22 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("cid"))
-    val cand = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("rel", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
-      .withColumn("cid", col("vec_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= MmrShortlist)
-      .select(col("qid"), col("cid"), col("rel"),
-        col("q").as("cq"), col("norm2").as("cn"))
+    // The retrieval stage runs ONCE and materializes: without the
+    // checkpoint every unrolled greedy step re-derives the corpus
+    // scan + rank window through its own lineage copy (the anti-join
+    // and semi-join each reference the previous selection, so the
+    // logical tree doubles per step — measured 11.3 s of FLAT
+    // plan-size cost at every SF before the cut, 1–2 s after). The
+    // shortlist is |Q|·12 rows, so the checkpoint is a few KB; scope
+    // lifetime per Resources (released when the query's action ends).
+    val cand = graft.Resources.checkpoint(
+      v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .withColumn("rel", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
+        .withColumn("cid", col("vec_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= MmrShortlist)
+        .select(col("qid"), col("cid"), col("rel"),
+          col("q").as("cq"), col("norm2").as("cn")))
     val a = cand.select(col("qid"), col("cid").as("a"),
       col("cq").as("aq"), col("cn").as("an"))
     val b = cand.select(col("qid"), col("cid").as("b"),
@@ -922,7 +931,10 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
         .select(col("qid"), col("cid").as("vec_id"),
           lit(r.toLong).as("rank"), col("score").as("mmr"))
-      sel = sel.unionByName(pick)
+      // keep the selection's lineage LINEAR in the step count (each
+      // step references `sel` twice — unchecked, the tree doubles per
+      // step); the frame is ≤ |Q|·r rows.
+      sel = graft.Resources.checkpoint(sel.unionByName(pick))
     }
     sel.select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
         col("mmr"))
