@@ -112,6 +112,46 @@ object StreamCurve {
           (shiftleft(col("rep"), 40) + col("event_id")).as("seq"))
     }
 
+    /** e43's click/purchase fixture re-keyed onto users·reps join
+      * keys: join state (both sides buffered until watermark-evicted)
+      * grows with the key count while per-key match work stays
+      * constant — the axis an attribution join scales on. rep-unique
+      * event ids keep output pairs distinct. */
+    def joinFixture(reps: Int): DataFrame = {
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      e.filter(col("event_type").isin("click", "purchase"))
+        .crossJoin(broadcast(r))
+        .select((col("user_id") + col("rep") * 100000).cast("string").as("key"),
+          when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+          col("ts_ms").as("ts"), col("value"),
+          (col("event_id") + col("rep") * 1000000000L).cast("string").as("text"),
+          lit(false).as("paused"),
+          (shiftleft(col("rep"), 40) + col("event_id")).as("seq"))
+    }
+
+    /** e44's at-least-once fixture re-keyed onto users·reps dedup
+      * keys: every even-id view redelivered once (topic 1), so the
+      * dedup state store holds one entry per distinct (key, id) and
+      * the replay half probes it — state AND probe volume grow
+      * together. */
+    def dedupFixture(reps: Int): DataFrame = {
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      val base = e.filter(col("event_type") === "view")
+        .crossJoin(broadcast(r))
+        .select((col("user_id") + col("rep") * 100000).cast("string").as("key"),
+          col("ts_ms").as("ts"), col("value"),
+          (col("event_id") + col("rep") * 1000000000L).cast("string").as("text"),
+          lit(false).as("paused"),
+          (shiftleft(col("rep"), 40) + col("event_id")).as("seq"))
+      base.withColumn("topic", lit(0))
+        .unionByName(base.filter(col("seq") % 2 === 0)
+          .withColumn("topic", lit(1)))
+        .select(col("key"), col("topic"), col("ts"), col("value"),
+          col("text"), col("paused"), col("seq"))
+    }
+
     def run(machine: String, reps: Int): (Long, Long, Double) = {
       import StatefulRunner.{KEv, KOut}
       val (fixture, order, pipes,
@@ -135,6 +175,14 @@ object StreamCurve {
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
             StatefulRunner.runStreaming(
               new StateMachines.Synchronizer(5), ds))
+        case "stream_join" => (joinFixture(reps),
+          Seq(col("ts"), col("seq")), 150L * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            graft.operators.StreamParityQueries.joinMount(ds))
+        case "dedup" => (dedupFixture(reps),
+          Seq(col("topic"), col("ts"), col("seq")), 150L * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            graft.operators.StreamParityQueries.dedupMount(ds))
         case "session_window" => (sessFixture(reps),
           Seq(col("ts"), col("seq")), 1500L * reps,
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
@@ -169,7 +217,8 @@ object StreamCurve {
     val repsScale = Seq(1, 10, 100)
     // optional 2nd arg: comma-separated machine filter (local iteration)
     val machines = args.drop(1).headOption.map(_.split(",").toSeq)
-      .getOrElse(Seq("gate", "synchronizer", "calculator", "session_window"))
+      .getOrElse(Seq("gate", "synchronizer", "calculator", "session_window",
+        "stream_join", "dedup"))
     val rows = for {
       m <- machines
       reps <- repsScale

@@ -956,6 +956,43 @@ object StreamParityQueries {
     * sets the delay to its disorder bound and the SAME plan runs.
     * Inner-join matches emit on arrival (emission is not
     * watermark-gated), so no sentinel tail batches are needed. */
+  /** e43's mount (also driven by StreamCurve's stream_join family):
+    * topic 0 = clicks, topic 1 = purchases; inner interval join on
+    * key with purchase_t ∈ [click_t, click_t + 24 h]. */
+  private[graft] def joinMount(ds: Dataset[KEv]): Dataset[KOut] = {
+    import org.apache.spark.sql.Encoders
+    val df = ds.toDF()
+    val clicks = df.filter(col("topic") === 0)
+      .select(col("key"), col("ts").as("c_ts"), col("text").as("c_id"),
+        timestamp_millis(col("ts")).as("c_t"))
+      .withWatermark("c_t", "0 seconds")
+    val purchases = df.filter(col("topic") === 1)
+      .select(col("key").as("p_key"), col("text").as("p_id"),
+        col("value").as("p_val"), timestamp_millis(col("ts")).as("p_t"))
+      .withWatermark("p_t", "0 seconds")
+    clicks.join(purchases,
+        col("key") === col("p_key") &&
+        col("p_t") >= col("c_t") &&
+        col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"))
+      .select(col("key"), col("c_ts").as("ts"), col("p_val").as("value"),
+        concat(col("c_id"), lit(":"), col("p_id")).as("text"),
+        lit(false).as("paused"))
+      .as[KOut](Encoders.product[KOut])
+  }
+
+  /** e44's mount (also driven by StreamCurve's dedup family):
+    * first-arrival-wins on (key, text) within the watermark window. */
+  private[graft] def dedupMount(ds: Dataset[KEv]): Dataset[KOut] = {
+    import org.apache.spark.sql.Encoders
+    ds.toDF()
+      .withColumn("et", timestamp_millis(col("ts")))
+      .withWatermark("et", "40 days")
+      .dropDuplicatesWithinWatermark("key", "text")
+      .select(col("key"), col("ts"), col("value"), col("text"),
+        lit(false).as("paused"))
+      .as[KOut](Encoders.product[KOut])
+  }
+
   private def e43(s: SparkSession, d: String): DataFrame = {
     val e = Tables.eventsMs(s, d)
     val kev = e.filter(col("event_type").isin("click", "purchase"))
@@ -964,28 +1001,8 @@ object StreamParityQueries {
         col("ts_ms").as("ts"), col("value"),
         col("event_id").cast(StringType).as("text"),
         lit(false).as("paused"), col("event_id").as("seq"))
-    val mount = (ds: Dataset[KEv]) => {
-      import org.apache.spark.sql.Encoders
-      val df = ds.toDF()
-      val clicks = df.filter(col("topic") === 0)
-        .select(col("key"), col("ts").as("c_ts"), col("text").as("c_id"),
-          timestamp_millis(col("ts")).as("c_t"))
-        .withWatermark("c_t", "0 seconds")
-      val purchases = df.filter(col("topic") === 1)
-        .select(col("key").as("p_key"), col("text").as("p_id"),
-          col("value").as("p_val"), timestamp_millis(col("ts")).as("p_t"))
-        .withWatermark("p_t", "0 seconds")
-      clicks.join(purchases,
-          col("key") === col("p_key") &&
-          col("p_t") >= col("c_t") &&
-          col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"))
-        .select(col("key"), col("c_ts").as("ts"), col("p_val").as("value"),
-          concat(col("c_id"), lit(":"), col("p_id")).as("text"),
-          lit(false).as("paused"))
-        .as[KOut](Encoders.product[KOut])
-    }
-    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sjoin@$d", mount,
-        Map.empty)
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sjoin@$d",
+        joinMount, Map.empty)
       .select(col("key").cast(LongType).as("user_id"),
         col("ts").as("click_ms"),
         split(col("text"), ":").getItem(0).cast(LongType).as("click_id"),
@@ -1035,18 +1052,8 @@ object StreamParityQueries {
         .withColumn("topic", lit(1)))
       .select(col("key"), col("topic"), col("ts"), col("value"),
         col("text"), col("paused"), col("seq"))
-    val mount = (ds: Dataset[KEv]) => {
-      import org.apache.spark.sql.Encoders
-      ds.toDF()
-        .withColumn("et", timestamp_millis(col("ts")))
-        .withWatermark("et", "40 days")
-        .dropDuplicatesWithinWatermark("key", "text")
-        .select(col("key"), col("ts"), col("value"), col("text"),
-          lit(false).as("paused"))
-        .as[KOut](Encoders.product[KOut])
-    }
     throughStream(s, kev, Seq(col("topic"), col("ts"), col("seq")),
-        s"sdedup@$d", mount, Map.empty)
+        s"sdedup@$d", dedupMount, Map.empty)
       .select(col("key").cast(LongType).as("user_id"),
         col("text").cast(LongType).as("event_id"),
         col("ts").as("ts_ms"), col("value"))
