@@ -509,6 +509,71 @@ object DspQueries {
        |SELECT chunk_id, CAST(i AS BIGINT) AS i, CAST(dec AS BIGINT) AS dec
        |FROM rec WHERE i > 0 ORDER BY chunk_id, i""".stripMargin
 
+  /** p11: the MDCT TRANSFORM codec ([[graft.functions.Codec.Mdct]] —
+    * lapped sine-window MDCT, per-block scalefactor, int8 coefficient
+    * quantization: the frequency-domain lossy family AAC/Vorbis/CELT
+    * share, next to p07's companding and p10's adaptive-differential)
+    * under the oracle gate via the inverse-transcode SNR property —
+    * m14's harness applied to audio, the reference's own codec-matrix
+    * shape (tests/media/test_audio_codec.py:10-28). Each selected
+    * event synthesizes a deterministic 1024-sample multi-tone chunk
+    * (two integer-frequency sines seeded by chunk id — band-limited
+    * on purpose: the property bounds reconstruction of in-band
+    * content, not entropy); one codec instance per partition
+    * (mapPartitions, the m03 mount — the 256 KB cosine table builds
+    * once per task, not per chunk); the query emits the packet size
+    * (STRUCTURAL: the oracle recomputes 8 + blocks·(N+1) bytes in SQL
+    * arithmetic — a framing regression fails the hash) and the
+    * SNR ≥ 25 dB verdict (a quantizer/window/overlap regression flips
+    * it). Lossiness + TDAC exactness are CodecSpec's to pin. */
+  private def p11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 1024
+    eventsMs(s, d)
+      .filter(col("event_type") === "view" && col("event_id") % 29 === 0)
+      .select((col("user_id") % 2).as("pipeline"),
+        col("event_id").as("chunk_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val codec = graft.functions.Codec.Mdct()
+        it.map { case (p, cid) =>
+          val raw = new Array[Byte](n * 2)
+          val f1 = (cid % 7 + 2).toDouble
+          val f2 = (cid % 11 + 5).toDouble
+          var i = 0
+          while (i < n) {
+            val v = (9000 * math.sin(2 * math.Pi * f1 * i / 256.0) +
+              6000 * math.sin(2 * math.Pi * f2 * i / 128.0)).toInt
+            raw(2 * i) = (v & 0xff).toByte
+            raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val packet = codec.encode(raw)
+          val dec = codec.decode(packet)
+          var sig = 0.0; var err = 0.0
+          i = 0
+          while (i < n) {
+            val a = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff))
+              .toShort.toDouble
+            val b = ((dec(2 * i + 1) << 8) | (dec(2 * i) & 0xff))
+              .toShort.toDouble
+            sig += a * a; err += (a - b) * (a - b); i += 1
+          }
+          val snr = if (err == 0) 99.0 else 10.0 * math.log10(sig / err)
+          (p, cid, packet.length.toLong, snr >= 25.0)
+        }
+      }
+      .toDF("pipeline", "chunk_id", "packet_bytes", "snr_ok")
+      .orderBy(col("pipeline"), col("chunk_id"))
+  }
+
+  private val p11Sql =
+    """SELECT user_id % 2 AS pipeline, event_id AS chunk_id,
+      |  CAST(8 + (1024 // 128 + 1) * 129 AS BIGINT) AS packet_bytes,
+      |  true AS snr_ok
+      |FROM events WHERE event_type = 'view' AND event_id % 29 = 0
+      |ORDER BY pipeline, chunk_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -520,5 +585,6 @@ object DspQueries {
     Q("p08_resample", p08, Some(p08Sql)),
     Q("p09_noise_gate", p09, Some(p09Sql)),
     Q("p10_adpcm_codec", p10, Some(p10Sql)),
+    Q("p11_mdct_codec", p11, Some(p11Sql)),
   )
 }

@@ -389,4 +389,87 @@ class CodecSpec extends AnyFunSuite {
       assert(got.toSeq == want.toSeq)
     }
   }
+
+  // ---------------------------------------------------------------- MDCT
+  private def s16le(xs: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](xs.length * 2)
+    var i = 0
+    while (i < xs.length) {
+      out(2 * i) = (xs(i) & 0xff).toByte
+      out(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def fromS16le(raw: Array[Byte]): Array[Int] =
+    Array.tabulate(raw.length / 2)(i =>
+      ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toInt)
+
+  test("MDCT TDAC: sine-window analysis + synthesis overlap-add " +
+      "reconstructs EXACTLY absent quantization (Princen-Bradley)") {
+    val c = Codec.Mdct(frameN = 32)
+    val rnd = new scala.util.Random(7)
+    val n = 32; val n2 = 64
+    // random signal over 4 lapped blocks; interior samples are covered
+    // by exactly two blocks whose windowed contributions must sum back
+    val x = Array.fill(5 * n)(rnd.nextDouble() * 2 - 1)
+    val recon = new Array[Double](5 * n + n)
+    var b = 0
+    while (b * n + n2 <= x.length) {
+      val block = java.util.Arrays.copyOfRange(x, b * n, b * n + n2)
+      val inv = c.inverse(c.forward(block))
+      var j = 0
+      while (j < n2) { recon(b * n + j) += inv(j); j += 1 }
+      b += 1
+    }
+    // fully-covered interior: [n, (b-1)*n + n) after the last block
+    var i = n
+    while (i < (b - 1) * n) {
+      assert(math.abs(recon(i) - x(i)) < 1e-9,
+        s"TDAC broke at $i: ${recon(i)} vs ${x(i)}")
+      i += 1
+    }
+  }
+
+  test("MDCT codec: multi-tone round trip SNR >= 25 dB at ~2:1 bytes; " +
+      "lossy (non-identity) and bit-deterministic") {
+    val c = Codec.Mdct()
+    val n = 1024
+    val xs = Array.tabulate(n)(i =>
+      (9000 * math.sin(2 * math.Pi * 5 * i / 256.0) +
+        6000 * math.sin(2 * math.Pi * 9 * i / 128.0)).toInt)
+    val raw = s16le(xs)
+    val packet = c.encode(raw)
+    // structural size: [n][blocks] + blocks * (scale + N coeffs)
+    assert(packet.length == 8 + (n / 128 + 1) * 129)
+    assert(packet.length * 2 < raw.length + 300, "not ~2:1")
+    val dec = fromS16le(c.decode(packet))
+    var sig = 0.0; var err = 0.0
+    var i = 0
+    while (i < n) {
+      sig += xs(i).toDouble * xs(i)
+      val d = xs(i).toDouble - dec(i)
+      err += d * d; i += 1
+    }
+    val snr = 10.0 * math.log10(sig / err)
+    assert(snr >= 25.0, s"SNR $snr")
+    assert(!dec.sameElements(xs), "quantizer never engaged — not lossy")
+    assert(c.encode(raw).sameElements(packet), "encode not deterministic")
+  }
+
+  test("MDCT codec: silence round-trips to silence and a full-scale " +
+      "step stays within int16 (clip path)") {
+    val c = Codec.Mdct()
+    val silent = s16le(new Array[Int](512))
+    assert(fromS16le(c.decode(c.encode(silent))).forall(_ == 0))
+    val loud = s16le(Array.fill(512)(32767))
+    val dec = fromS16le(c.decode(c.encode(loud)))
+    assert(dec.forall(v => v >= -32768 && v <= 32767))
+    // interior of a constant (DC) signal survives within the
+    // quantizer's coarse-scale error (edges ring by construction)
+    val interior = dec.slice(128, 384)
+    assert(interior.forall(v => math.abs(v - 32767) < 3300),
+      s"DC interior drifted: ${interior.min}..${interior.max}")
+  }
 }
