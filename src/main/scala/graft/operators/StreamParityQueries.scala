@@ -1065,6 +1065,59 @@ object StreamParityQueries {
       |FROM events WHERE event_type = 'view'
       |ORDER BY event_id""".stripMargin
 
+  /** e45: the FNTASK SURFACE IN THE STREAM — the reference's core
+    * promise (fntask.py:24-107: annotate a plain function, get a full
+    * task) demonstrated end-to-end distributed: a FIVE-LINE
+    * user-defined stateful step (`distinct-until-changed` — emit only
+    * when the value differs from the key's previous value, the
+    * debounce every telemetry pipeline wants) lifted by
+    * [[graft.functions.FnTask.stateful]] into a [[StateMachines
+    * .Machine]] and mounted UNCHANGED on the same
+    * `flatMapGroupsWithState` runner every built-in machine uses:
+    * per-key state in the state store, exactly-once file sink, state
+    * crossing micro-batch boundaries. s08 gates tier 3 (aggregating)
+    * and the batch side; this gates tier 2 where the reference's
+    * fntask actually lives — the stream. Oracle: the lag() window
+    * formulation of the same rule. */
+  private def e45(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StateMachines.Out
+    val e = Tables.eventsMs(s, d)
+    // severity-bucketed signal (floor % 4): consecutive repeats are
+    // common, so the suppress path genuinely fires — on raw continuous
+    // doubles no two consecutive values are equal and a broken
+    // debounce would pass the gate vacuously (2014 → ~1500 rows).
+    val kev = e.filter(col("event_type") === "error")
+      .select(col("user_id").cast(StringType).as("key"),
+        lit(0).as("topic"), col("ts_ms").as("ts"),
+        pmod(floor(col("value")), lit(4)).cast(DoubleType).as("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    // the whole user-side definition:
+    val debounce = graft.functions.FnTask.stateful[Option[Double]](None) {
+      (st, ev) =>
+        if (st.contains(ev.value)) (st, Nil)
+        else (Some(ev.value), Seq(Out(ev.ts, ev.value, ev.text)))
+    }
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"fntask@$d",
+        ds => StatefulRunner.runStreaming(debounce, ds), Map.empty)
+      .filter(!col("paused"))
+      .select(col("key").cast(LongType).as("user_id"),
+        col("text").cast(LongType).as("event_id"),
+        col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e45Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |    CAST(floor(value) % 4 AS DOUBLE) AS value
+      |  FROM events WHERE event_type = 'error'),
+      |d AS (SELECT *, lag(value) OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS pv FROM e)
+      |SELECT user_id, event_id, ts_ms, value
+      |FROM d WHERE pv IS NULL OR pv <> value
+      |ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -1086,5 +1139,6 @@ object StreamParityQueries {
     Q("e42_streaming_sessionize", e42, Some(e42Sql)),
     Q("e43_stream_stream_join", e43, Some(e43Sql)),
     Q("e44_streaming_dedup", e44, Some(e44Sql)),
+    Q("e45_streaming_fntask", e45, Some(e45Sql)),
   )
 }
