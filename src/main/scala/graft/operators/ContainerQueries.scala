@@ -577,6 +577,85 @@ object ContainerQueries {
       |  AND c.cluster_idx = cb.cluster_idx
       |ORDER BY c.container, pos""".stripMargin
 
+  /** m20: the COMPOSED MEDIA DEPLOYMENT — input container → DSP
+    * operators → output container in ONE plan, the canonical pipeline
+    * a reference user wires in the UI (inputcontainer → volume scaler
+    * (#21) → noise gate (#37-shape) → outputcontainer,
+    * media/inputcontainer.py → tasks/media/… → media/outputcontainer
+    * .py). Per container key: m16's WAV bytes build, a REAL demux
+    * parses them back, the sample stream runs gain ×½ (arithmetic
+    * shift — floor semantics on both engines) then a ±50 noise gate,
+    * and a REAL mux writes the output WAV. The emitted row carries the
+    * OUTPUT file's md5 next to the input's, and the DuckDB oracle
+    * reconstructs BOTH byte streams — input per m16's construction,
+    * output by applying the same integer DSP in SQL — so the hash
+    * proves the whole chain end-to-end at byte exactness: a mux, a
+    * demux, two operators, a re-mux, nothing stubbed.
+    *
+    * Scale: identical to m16 — one group per container, pipeline
+    * runs where the group lives, a billion containers = a billion
+    * independent groups, nothing at the driver. */
+  private def m20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Wav
+    val rows = eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 8).as("container"),
+        least(greatest(round(col("value") * 100).cast(IntegerType),
+          lit(-32768)), lit(32767)).as("x"),
+        col("ts_ms"), col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(_._1).mapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+      val inWav = Wav.mux(Wav.WavData(16000, 1, 16, Wav.pcm16(xs)))
+      // the deployment: demux → gain ×1/2 → noise gate ±50 → mux
+      val decoded = Wav.samples16(Wav.demux(inWav).data)
+      val processed = decoded.map { x =>
+        val y = x >> 1 // floor-div-2: matches SQL's // on negatives
+        if (math.abs(y) < 50) 0 else y
+      }
+      val outWav = Wav.mux(Wav.WavData(16000, 1, 16, Wav.pcm16(processed)))
+      (k, processed.length.toLong,
+        processed.count(_ == 0).toLong, // gate engagement is visible
+        processed.foldLeft(0L)(_ + _),
+        md5Hex(inWav.map("%02x".format(_)).mkString.getBytes("UTF-8")),
+        md5Hex(outWav.map("%02x".format(_)).mkString.getBytes("UTF-8")))
+    }.toDF("container", "n_samples", "n_gated", "sample_sum",
+        "in_md5", "out_md5")
+      .orderBy(col("container"))
+  }
+
+  private val m20Sql =
+    """WITH s AS (SELECT user_id % 8 AS container,
+      |    least(greatest(CAST(round(value * 100) AS INT), -32768), 32767) AS x,
+      |    epoch_ms(ts) AS tms, event_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT container, tms, event_id, x,
+      |    CASE WHEN abs(x // 2) < 50 THEN 0 ELSE x // 2 END AS y
+      |  FROM s),
+      |pcm AS (SELECT container,
+      |    string_agg(printf('%02x%02x', ((x + 65536) % 65536) % 256,
+      |      ((x + 65536) % 65536) // 256), '' ORDER BY tms, event_id) AS inhex,
+      |    string_agg(printf('%02x%02x', ((y + 65536) % 65536) % 256,
+      |      ((y + 65536) % 65536) // 256), '' ORDER BY tms, event_id) AS outhex,
+      |    count(*) AS n, sum(y) AS ysum,
+      |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS ngated
+      |  FROM p GROUP BY container),
+      |wav AS (SELECT container, n, ysum, ngated,
+      |    '52494646' ||
+      |    printf('%02x%02x%02x%02x', (36 + 2*n) % 256, ((36 + 2*n) // 256) % 256,
+      |      ((36 + 2*n) // 65536) % 256, ((36 + 2*n) // 16777216) % 256) ||
+      |    '57415645666d74201000000001000100803e0000007d000002001000' ||
+      |    '64617461' ||
+      |    printf('%02x%02x%02x%02x', (2*n) % 256, ((2*n) // 256) % 256,
+      |      ((2*n) // 65536) % 256, ((2*n) // 16777216) % 256) AS hdr,
+      |    inhex, outhex
+      |  FROM pcm)
+      |SELECT container, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(ngated AS BIGINT) AS n_gated, CAST(ysum AS BIGINT) AS sample_sum,
+      |  md5(hdr || inhex) AS in_md5, md5(hdr || outhex) AS out_md5
+      |FROM wav ORDER BY container""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -585,5 +664,6 @@ object ContainerQueries {
     Q("m17_avi_container", m15, Some(m15Sql)),
     Q("m18_real_demux_restamp", m18, Some(m18Sql)),
     Q("m19_mkv_container", m19, Some(m19Sql)),
+    Q("m20_media_pipeline", m20, Some(m20Sql)),
   )
 }
