@@ -168,7 +168,11 @@ object StreamParityQueries {
         .withColumn("__b", spark_partition_id() + 1)
       val withTails = tails.zipWithIndex
         .map { case (tb, i) =>
-          s.createDataset(tb).toDF().withColumn("__b", lit(batches + 1 + i)) }
+          // one FILE per tail batch whatever its row count (a local
+          // Seq parallelizes across cores; the move below requires
+          // exactly one part file per chunk id)
+          s.createDataset(tb).toDF().repartition(1)
+            .withColumn("__b", lit(batches + 1 + i)) }
         .foldLeft(chunked)(_ unionByName _)
       withTails.write.partitionBy("__b").parquet(staged.toString)
       val t0 = System.currentTimeMillis() - 600000L
@@ -226,7 +230,7 @@ object StreamParityQueries {
         f"batches=${sq.recentProgress.length}")
       sq.recentProgress.foreach(p => System.err.println(
         s"[phases]   batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durationMs=${p.durationMs}"))
+          s"eventTime=${p.eventTime} durationMs=${p.durationMs}"))
     }
     // ---- 3. read the sink back (batch read honors _spark_metadata)
     s.read.parquet(outDir.toString)
@@ -1118,6 +1122,89 @@ object StreamParityQueries {
       |FROM d WHERE pv IS NULL OR pv <> value
       |ORDER BY event_id""".stripMargin
 
+  /** e46: CHAINED STATEFUL STREAMING — stream-stream interval join
+    * feeding a windowed aggregation in ONE streaming query (the
+    * "attribution revenue per day" production shape). Two stateful
+    * operators compose in append mode with correct watermark
+    * propagation (the capability Spark gained with multiple-stateful
+    * -operator support): the join's two-sided buffer state AND the
+    * aggregation's window state live in the same query's state store,
+    * and the aggregation's windows close on the watermark the join
+    * propagates. Revenue sums in integer cents (exact, order-free).
+    * Two sentinel tail batches (one per topic — BOTH branches'
+    * watermarks must advance, the global watermark is their min)
+    * push event time past every window end so Append emits all
+    * windows; sentinel keys never match in the join, so they shape
+    * time without shaping data. Oracle: the batch join + epoch-day
+    * grouping. */
+  private def e46(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val e = Tables.eventsMs(s, d)
+    val kev = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        col("ts_ms").as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val maxTs = e.agg(max(col("ts_ms"))).head().getLong(0) // 1-row bound
+    val day = 86400000L
+    def sentinel(i: Int) = Seq(
+      KEv("zz-c", 0, maxTs + (i + 3) * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue - 2 * i),
+      KEv("zz-p", 1, maxTs + (i + 3) * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue - 2 * i - 1))
+    val mount = (ds: Dataset[KEv]) => {
+      val df = ds.toDF()
+      val clicks = df.filter(col("topic") === 0)
+        .select(col("key"), col("text").as("c_id"),
+          timestamp_millis(col("ts")).as("c_t"))
+        .withWatermark("c_t", "0 seconds")
+      val purchases = df.filter(col("topic") === 1)
+        .select(col("key").as("p_key"),
+          round(col("value") * 100).cast(LongType).as("cents"),
+          timestamp_millis(col("ts")).as("p_t"))
+        .withWatermark("p_t", "0 seconds")
+      // NO sentinel filter here: sentinel keys ("zz-c"/"zz-p") never
+      // equal each other, so the inner join drops them by itself — and
+      // an explicit key filter would be PUSHED DOWN through join and
+      // watermark into the parquet scan, eliminating the sentinel rows
+      // before they can advance the watermark (measured: watermark
+      // frozen at the last data batch, final windows never flush).
+      clicks.join(purchases,
+          col("key") === col("p_key") &&
+          col("p_t") >= col("c_t") &&
+          col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"))
+        .groupBy(window(col("c_t"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(lit("w").as("key"),
+          unix_millis(col("w.start")).as("ts"),
+          col("n").cast(DoubleType).as("value"),
+          col("cents").cast(StringType).as("text"),
+          lit(false).as("paused"))
+        .as[KOut](Encoders.product[KOut])
+    }
+    // Two sentinel rounds, as e42: round 1's watermark (maxTs+3d,
+    // applied in round 2) clears every window end even after the
+    // join's 24 h propagation delay (maxTs+3d−24h > any window end).
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sjoinagg@$d", mount,
+        Map.empty, tails = Seq(sentinel(0), sentinel(1)))
+      .select(col("ts").as("day_ms"),
+        col("value").cast(LongType).as("n_pairs"),
+        col("text").cast(LongType).as("revenue_cents"))
+      .orderBy(col("day_ms"))
+  }
+
+  private val e46Sql =
+    """SELECT (epoch_ms(c.ts) // 86400000) * 86400000 AS day_ms,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_ms(p.ts) BETWEEN epoch_ms(c.ts)
+      |                         AND epoch_ms(c.ts) + 86400000
+      |GROUP BY 1 ORDER BY day_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -1140,5 +1227,6 @@ object StreamParityQueries {
     Q("e43_stream_stream_join", e43, Some(e43Sql)),
     Q("e44_streaming_dedup", e44, Some(e44Sql)),
     Q("e45_streaming_fntask", e45, Some(e45Sql)),
+    Q("e46_stream_join_agg", e46, Some(e46Sql)),
   )
 }

@@ -111,6 +111,27 @@ class StreamingJoinDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("e46 chained join->window-agg stream == batch formulation at " +
+      "sf0.001 (all windows flushed, exact integer cents)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("e46_stream_join_agg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e = Tables.eventsMs(spark, sf)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts_ms").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_ms").as("pts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val want = c.join(p, col("u") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + W)
+      .groupBy(((col("cts") / W).cast("long") * W).as("day_ms"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("rc"))
+      .orderBy(col("day_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("e43 registered stream == batch interval join at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("e43_stream_stream_join")(spark, sf)
