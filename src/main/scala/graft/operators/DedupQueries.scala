@@ -1233,6 +1233,61 @@ object DedupQueries {
       |FROM f JOIN sz USING (component)
       |ORDER BY f.vec_id""".stripMargin
 
+  // ---- d16: canonical selection (keep-best per duplicate cluster) ---------
+  /** The decision step AFTER clustering: which member of each
+    * duplicate cluster survives. d10/d12 label clusters; production
+    * pipelines (CCNet, FineWeb, Dolma dedup stages) then keep ONE
+    * representative per cluster — and the policy is "keep the best",
+    * not "keep the arbitrary first": here keep-LONGEST (argmax
+    * n_chars, ties to the smaller doc_id), the common heuristic when
+    * near-dups are truncations/supersets of each other. Emits the
+    * per-doc keep/drop verdict — the actual artifact the next
+    * pipeline stage consumes (singletons keep themselves).
+    *
+    * Rides the session-published CC label table (the d10→d12
+    * persisted-intermediate pattern). Scale: the argmax is one
+    * map-side-combined aggregation on (cluster) — max(struct) partials
+    * collapse per partition, the shuffle carries one slim row per
+    * cluster, and the verdict join is labels-sized, never
+    * corpus-content-sized. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabelsShared(s, d)
+      .select(col("id").as("doc_id"), col("lbl"))
+    val asg = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    val best = asg.groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("m"),
+        count(lit(1)).cast(LongType).as("n_members"))
+      .select(col("cluster"), (-col("m.nd")).as("canonical"),
+        col("n_members"))
+    asg.join(best, "cluster")
+      .select(col("doc_id"), col("cluster"), col("n_members"),
+        (col("doc_id") === col("canonical")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d16Sql =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |reach AS (SELECT src AS id, src AS lbl FROM edges
+       |          UNION
+       |          SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+       |cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |asg AS (SELECT d.doc_id, d.n_chars, COALESCE(cc.lbl, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+       |best AS (SELECT cluster, doc_id AS canonical FROM (
+       |    SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+       |      ORDER BY n_chars DESC, doc_id) AS rn FROM asg) WHERE rn = 1),
+       |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+       |        FROM asg GROUP BY cluster)
+       |SELECT a.doc_id, a.cluster, cnt.n_members,
+       |  a.doc_id = best.canonical AS keep
+       |FROM asg a JOIN best USING (cluster) JOIN cnt USING (cluster)
+       |ORDER BY a.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -1250,5 +1305,6 @@ object DedupQueries {
     Q("d13_dup_spans", d13, Some(d13Sql)),
     Q("d14_span_scrub", d14, Some(d14Sql)),
     Q("d15_semantic_dedup", d15, Some(d15Sql)),
+    Q("d16_canonical_selection", d16, Some(d16Sql)),
   )
 }
