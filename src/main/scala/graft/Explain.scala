@@ -29,6 +29,7 @@ object Explain {
     "s09_ivfadc_search", // Lloyd steps + probe: k×dim centroids broadcast
     "s10_sq8_search",  // 1-row scalar codebook + broadcast query set (s01 class)
     "s11_mmr_rerank",  // broadcast query set × corpus (s01 class retrieval stage)
+    "s12_filtered_search", // broadcast query set × label-pruned corpus (s01 class)
     "s07_bm25_rank",   // 1-row corpus stats fanned onto the scan
     "t08_domain_mix",  // 1-row totals row
     "t17_bpe_train",   // 1-row pair-argmax frame broadcast per iteration

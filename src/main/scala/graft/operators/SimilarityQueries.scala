@@ -988,6 +988,53 @@ object SimilarityQueries {
        |FROM sel$MmrK ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- s12: metadata-filtered vector search --------------------------------
+  // The composition every vector store markets: a metadata predicate
+  // AND nearest-neighbor ranking in one query. Semantics matter:
+  // this is PRE-filtering (restrict the corpus, then rank) — the
+  // correct contract — not post-filtering (rank top-k, then filter),
+  // which silently returns < k results whenever the filter is
+  // selective. In Spark the composition is just a `.filter` on the
+  // corpus branch: Catalyst pushes `label IN (1,3)` into the parquet
+  // scan (PushedFilters — the predicate prunes row groups BEFORE a
+  // single distance is computed), the broadcast-query scan shape is
+  // s01's, and per-query top-5 ranks over the filtered corpus only.
+  // At 100 TB with label-partitioned embeddings the same plan becomes
+  // partition pruning (q32's mechanism) — the filter cost goes to
+  // ZERO scan, which is why prefilter-ANN composes with layout and
+  // postfilter-ANN never can.
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d)
+      .filter(col("norm2") > 0 && col("label").isin(1, 3))
+    val queries = quantized(s, d).filter(col("norm2") > 0)
+      .filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cosine", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("label"),
+        col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val s12Sql =
+    s"""WITH base AS (SELECT * FROM ($quantizedSql) WHERE norm2 > 0),
+       |v AS (SELECT * FROM base WHERE label IN (1, 3)),
+       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM base
+       |       WHERE vec_id < 25),
+       |scored AS (SELECT qid, vec_id, label,
+       |    list_dot_product(qq, q) / (sqrt(qn) * sqrt(norm2)) AS cosine
+       |  FROM v CROSS JOIN qs WHERE vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, label, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT qid, vec_id AS neighbor, label, rank, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
@@ -1000,5 +1047,6 @@ object SimilarityQueries {
     Q("s09_ivfadc_search", s09, Some(s09Sql)),
     Q("s10_sq8_search", s10, Some(s10Sql)),
     Q("s11_mmr_rerank", s11, Some(s11Sql)),
+    Q("s12_filtered_search", s12, Some(s12Sql)),
   )
 }
