@@ -1288,6 +1288,68 @@ object DedupQueries {
        |FROM asg a JOIN best USING (cluster) JOIN cnt USING (cluster)
        |ORDER BY a.doc_id""".stripMargin
 
+  // ---- d17: benchmark contamination report --------------------------------
+  /** The INVERSE direction of d07: d07 asks "which TRAINING docs
+    * contain benchmark shingles" (the drop list); d17 asks "what
+    * fraction of each BENCHMARK doc's shingles appear anywhere in the
+    * training corpus" — the per-eval-doc contamination audit every
+    * model card reports (the GPT-3 appendix / Lee et al. 2022 n-gram
+    * overlap methodology: a benchmark item is contaminated in
+    * proportion to its overlapping n-grams). Same eval split as d07
+    * (doc_id % 97), 3-token shingles, fraction over the doc's
+    * DISTINCT shingles.
+    *
+    * Scale shape: the corpus side is scanned ONCE and never shuffled
+    * by content — each corpus shingle probes the BROADCAST eval
+    * shingle set (eval benchmarks are MBs against a 100 TB corpus);
+    * only matched (eval_doc, shingle) pairs reach the dedup shuffle,
+    * bounded by |eval shingles| whatever the corpus size. The
+    * unmatched-eval-shingle case rides the left join, so fully-clean
+    * benchmark docs still report 0.0. */
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def distinctSh(df: DataFrame): DataFrame = df
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val evalSh = distinctSh(docs.filter(col("doc_id") % 97 === 0))
+      .withColumnRenamed("doc_id", "eval_doc")
+    val evalTot = evalSh.groupBy(col("eval_doc"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"))
+    val corpusSh = distinctSh(docs.filter(col("doc_id") % 97 =!= 0))
+      .select(col("sh"))
+    val hits = corpusSh.join(broadcast(evalSh), "sh")
+      .select(col("eval_doc"), col("sh")).distinct()
+      .groupBy(col("eval_doc"))
+      .agg(count(lit(1)).cast(LongType).as("n_contaminated"))
+    evalTot.join(hits, Seq("eval_doc"), "left")
+      .select(col("eval_doc"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType))
+      .orderBy(col("eval_doc"))
+  }
+
+  private val d17Sql =
+    s"""WITH docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |              FROM documents),
+       |shr AS (SELECT doc_id, unnest($shinglesSql) AS sh
+       |        FROM docs WHERE len(w) >= 3),
+       |ev AS (SELECT doc_id AS eval_doc, sh FROM shr WHERE doc_id % 97 = 0),
+       |tot AS (SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_shingles
+       |        FROM ev GROUP BY eval_doc),
+       |hits AS (SELECT eval_doc, CAST(count(DISTINCT ev.sh) AS BIGINT)
+       |           AS n_contaminated
+       |         FROM ev JOIN (SELECT DISTINCT sh FROM shr
+       |                       WHERE doc_id % 97 <> 0) c USING (sh)
+       |         GROUP BY eval_doc)
+       |SELECT tot.eval_doc, n_shingles,
+       |  COALESCE(n_contaminated, 0) AS n_contaminated,
+       |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) /
+       |    CAST(n_shingles AS DOUBLE) AS contamination
+       |FROM tot LEFT JOIN hits USING (eval_doc)
+       |ORDER BY eval_doc""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -1306,5 +1368,6 @@ object DedupQueries {
     Q("d14_span_scrub", d14, Some(d14Sql)),
     Q("d15_semantic_dedup", d15, Some(d15Sql)),
     Q("d16_canonical_selection", d16, Some(d16Sql)),
+    Q("d17_contamination_report", d17, Some(d17Sql)),
   )
 }
