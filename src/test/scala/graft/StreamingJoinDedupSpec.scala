@@ -111,6 +111,37 @@ class StreamingJoinDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("join state survives a query restart from checkpoint: a click " +
+      "buffered before the stop matches a purchase arriving after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sj-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sj-out").toString
+    val clicks = MemoryStream[KEv]
+    val purch = MemoryStream[KEv]
+    def start() = joinStreams(clicks.toDS(), purch.toDS())
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      clicks.addData(kev("u", 0, t0, 0.0, "c1", 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the buffered click must be restored from the join
+    // state store, not lost with the first query's JVM-side state
+    val q2 = start()
+    try {
+      purch.addData(kev("u", 1, t0 + 1000, 5.0, "p1", 2))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("c1", "p1")))
+    } finally q2.stop()
+  }
+
   test("e46 chained join->window-agg stream == batch formulation at " +
       "sf0.001 (all windows flushed, exact integer cents)") {
     val sf = "/root/testdata/sf0.001"
