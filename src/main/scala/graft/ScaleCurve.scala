@@ -37,7 +37,7 @@ object ScaleCurve {
     "d06_lsh_verified", "d09_dup_clusters",
     "d10_cc_fixpoint", "d11_substring_dedup", "d12_leakage_safe_split",
     "d13_dup_spans", "d14_span_scrub", "d15_semantic_dedup",
-    "d16_canonical_selection",
+    "d16_canonical_selection", "d17_contamination_report",
     "q04_multi_join", "q28_range_join_auto", "q30_bucketed_join",
     "q31_salted_skew_join",
     "s02_ann_lsh", "s04_kmeans_step", "s05_pq_encode", "s07_bm25_rank",
@@ -74,6 +74,7 @@ object ScaleCurve {
       "d10_cc_fixpoint",
       "d12_leakage_safe_split", "d13_dup_spans", "d14_span_scrub",
       "d16_canonical_selection", // rides d10's labels like d12
+      "d17_contamination_report", // broadcast eval side fixed, corpus scan x100
       "s07_bm25_rank",
       "s09_ivfadc_search", "t15_corpus_pipeline", "t16_lm_surprisal",
       "t17_bpe_train", "t19_pretrain_pipeline",
