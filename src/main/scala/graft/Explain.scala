@@ -38,7 +38,9 @@ object Explain {
     "p03_audio_mixer", // bounded tick grids (1-row min/max bounds)
     "m06_video_layout", // bounded layout grid
     "k05_bloom_semijoin", // 1-row 128 KiB bloom map fanned onto the scan
-    "g02_pagerank"     // 1-row node-count frame onto the |V|-row rank table
+    "g02_pagerank",    // 1-row node-count frame onto the |V|-row rank table
+    "t22_dsir_selection", // 1-row Nt/Nr totals onto the ≤1024-row model
+    "t23_nb_classifier"   // 1-row |V|/doc-count totals + 2-row prior grid
   )
 
   def main(args: Array[String]): Unit = {

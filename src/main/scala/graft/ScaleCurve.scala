@@ -50,9 +50,11 @@ object ScaleCurve {
     "k04_kmv_jaccard", "k05_bloom_semijoin", "k07_corpus_profile",
     "k08_countmin_hh", "t21_chunk_windows", "s11_mmr_rerank",
     "g04_label_propagation",
-    // graph family: g01 publishes the session edge table, g02/g03 ride
-    // it (the persisted-intermediate pattern, like d10→d12)
-    "g01_triangle_count", "g02_pagerank", "g03_common_neighbors")
+    "t22_dsir_selection", "t23_nb_classifier",
+    // graph family: g01 publishes the session edge table, g02/g03/g05
+    // ride it (the persisted-intermediate pattern, like d10→d12)
+    "g01_triangle_count", "g02_pagerank", "g03_common_neighbors",
+    "g05_bfs_landmarks")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -82,7 +84,9 @@ object ScaleCurve {
       "k07_corpus_profile", // single-scan profile: the ×100 stats job
       "k08_countmin_hh", // CMS: shuffle stays O(d·w) while the corpus ×100s
       "t21_chunk_windows", // row-local chunker: pure scan scaling
-      "s11_mmr_rerank") // retrieval scan ×100; greedy stays shortlist-sized
+      "s11_mmr_rerank", // retrieval scan ×100; greedy stays shortlist-sized
+      "t22_dsir_selection", // scan ×100; both models stay ≤1024 buckets
+      "t23_nb_classifier") // scan ×100; model fixed at classes × 4096
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

@@ -309,10 +309,105 @@ object GraphQueries {
        |FROM lp3 GROUP BY label ORDER BY size DESC, community LIMIT 20""".stripMargin
   }
 
+  // ---- g05: multi-source BFS distances from landmark hubs -----------------
+  // Landmark BFS (Potamias et al. 2009 "Fast shortest path distance
+  // estimation"): pick the 8 highest-degree nodes as landmarks, run a
+  // synchronous multi-source BFS for 4 rounds, and report the distance
+  // histogram (how much of the graph is within k hops of a hub) plus
+  // the unreached remainder — the coverage/centrality signal web-graph
+  // pipelines compute before choosing crawl frontiers or landmark
+  // tables. Multi-source = ONE frontier carrying min distance, not 8
+  // independent BFS runs.
+  //
+  // Determinism: landmark choice tie-breaks (deg DESC, node); distance
+  // is min over rounds (order-independent); all outputs are exact
+  // 64-bit counts/sums. Scale shape per round: frontier ⋈ adj is an
+  // equi-join on node (|E| rows max), then ONE min-agg shuffle keyed
+  // node over ≤|V| rows; rounds are a fixed constant; the landmark
+  // seed set is 8 rows (TakeOrderedAndProject, broadcast). The dist
+  // table is |V| rows — never the corpus — exactly g02's walk shape.
+  /** Synchronous multi-source BFS: min distance from any seed within
+    * `rounds` hops. `e` is the undirected (u,v) edge set; seeds carry
+    * (node, dist=0). Exposed for the direct-model test in GraphSpec. */
+  private[graft] def bfsDistances(e: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds
+    for (k <- 1 to rounds) {
+      val a = adj(e) // fresh lineage per round (see g02)
+      val next = dist
+        .join(a, dist("node") === a("x"))
+        .select(a("y").as("node"), lit(k.toLong).as("dist"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  private def g05(s: SparkSession, d: String): DataFrame = {
+    val e = edgesShared(s, d)
+    val deg = degrees(e)
+    val seeds = deg.orderBy(col("deg").desc, col("node")).limit(8)
+      .select(col("node"), lit(0L).as("dist"))
+    val dist = bfsDistances(e, seeds, 4)
+    val reached = dist
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("sum_node"))
+    val unreached = deg.join(dist, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("sum_node"))
+      .select(lit(-1L).as("dist"), col("n_nodes"), col("min_node"),
+        col("max_node"), col("sum_node"))
+    reached.union(unreached)
+      .filter(col("n_nodes") > 0)
+      .select(col("dist").cast(LongType).as("dist"),
+        col("n_nodes").cast(LongType).as("n_nodes"),
+        col("min_node").cast(LongType).as("min_node"),
+        col("max_node").cast(LongType).as("max_node"),
+        col("sum_node").cast(LongType).as("sum_node"))
+      .orderBy(col("dist"))
+  }
+
+  private val g05Sql = {
+    def round(prev: String, out: String, k: Int): String =
+      s"""$out AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT a.y AS node, $k AS dist
+         |    FROM $prev p JOIN adj a ON p.node = a.x)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH $edgesSql,
+       |seeds AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM deg
+       |  ORDER BY deg DESC, node LIMIT 8),
+       |${round("seeds", "b1", 1)},
+       |${round("b1", "b2", 2)},
+       |${round("b2", "b3", 3)},
+       |${round("b3", "b4", 4)},
+       |reached AS (
+       |  SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(min(node) AS BIGINT) AS min_node,
+       |    CAST(max(node) AS BIGINT) AS max_node,
+       |    CAST(sum(node) AS BIGINT) AS sum_node
+       |  FROM b4 GROUP BY dist),
+       |unreached AS (
+       |  SELECT CAST(-1 AS BIGINT) AS dist,
+       |    CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(min(node) AS BIGINT) AS min_node,
+       |    CAST(max(node) AS BIGINT) AS max_node,
+       |    CAST(sum(node) AS BIGINT) AS sum_node
+       |  FROM deg WHERE node NOT IN (SELECT node FROM b4))
+       |SELECT * FROM (
+       |  SELECT * FROM reached UNION ALL SELECT * FROM unreached)
+       |WHERE n_nodes > 0 ORDER BY dist""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("g01_triangle_count", g01, Some(g01Sql)),
     Q("g02_pagerank", g02, Some(g02Sql)),
     Q("g03_common_neighbors", g03, Some(g03Sql)),
     Q("g04_label_propagation", g04, Some(g04Sql)),
+    Q("g05_bfs_landmarks", g05, Some(g05Sql)),
   )
 }

@@ -1259,6 +1259,300 @@ object TextQueries {
        |  md5(array_to_string(cw, ' ')) AS chunk_fp
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- t22: DSIR importance-weighted data selection ------------------------
+  /** Data Selection with Importance Resampling (Xie et al. 2023): score
+    * every raw document by how target-domain-like its hashed-n-gram
+    * distribution is — log p_target(x) − log p_raw(x) under bag-of-
+    * hashed-bigrams unigram models — and keep the top fraction per
+    * source. The target sample here is the English slice of the corpus
+    * (in production: a Wikipedia/book sample); features are word
+    * bigrams hashed into B=1024 buckets, which is what makes the model
+    * CONSTANT-SIZE regardless of corpus vocabulary — the property that
+    * lets the same plan run at 100 TB (the reference DSIR uses the
+    * same trick at CC scale).
+    *
+    * Integer exactness (the t16 convention): per-bucket surprisal is
+    * quantized to whole bits via floor(log₂(N div (c+1))) =
+    * len(bin(N div (c+1)))−1 with add-1 smoothing, so the per-doc
+    * importance weight is an exact 64-bit sum — bit-reproducible
+    * across engines and shards, no float summation order anywhere.
+    *
+    * Scale shape: doc×bucket counts collapse map-side before ONE
+    * shuffle keyed bucket (≤1024 keys) for each model; the two models
+    * + totals are ≤1024-row broadcasts; scoring re-uses the doc×bucket
+    * frame (narrow joins against broadcasts) and aggregates per doc;
+    * the top-40% selection is a per-SOURCE window (the stratified form
+    * that preserves the domain mix AND avoids a global sort). */
+  private val DsirB = 1024
+
+  /** md5-based feature-hash bucket shared by t22/t23: first 4 hex
+    * chars → int, mod `b`. DuckDB equivalent:
+    * CAST(concat('0x', substr(md5(x),1,4)) AS BIGINT) % b. */
+  private[graft] def hashBucket(c: Column, b: Int): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 4), 16, 10)
+      .cast(LongType) % b
+
+  private def t22(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = toks(col("text"))
+    val grams = transform(sequence(lit(0), size(t) - lit(2)),
+      i => array_join(slice(t, i + lit(1), lit(2)), " "))
+    val dc = Tables.documents(s, d)
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(grams).as("g"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        hashBucket(col("g"), DsirB).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    // both models in ONE pass over dc (raw + target-slice counts as
+    // two aggregates of the same groupBy); dc's shuffle is then shared
+    // by the model branch and the scoring branch via exchange reuse
+    // instead of re-deriving the bigram explode per model
+    val m = dc.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+    val totals = m.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      .withColumn("j", lit(1))
+    val model = m
+      .withColumn("j", lit(1)).join(broadcast(totals), "j")
+      .select(col("bucket"),
+        ((length(bin(expr("nr div (cr + 1)"))) - 1) -
+         (length(bin(expr("nt div (ct + 1)"))) - 1))
+          .cast(LongType).as("w"))
+    val scored = dc.join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("w")).as("dsir_bits"))
+    val wRank = Window.partitionBy(col("source"))
+      .orderBy(col("dsir_bits").desc, col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    scored
+      .withColumn("sample_rank", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("sample_rank") * 5 <= col("n") * 2) // keep top 40%/source
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_bigrams").cast(LongType).as("n_bigrams"),
+        col("dsir_bits").cast(LongType).as("dsir_bits"),
+        col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t22Sql =
+    s"""WITH w AS (SELECT doc_id, lang, source,
+       |    string_split_regex(trim(text), '\\s+') AS wl FROM documents),
+       |g AS (SELECT doc_id, lang, source,
+       |    unnest(list_transform(generate_series(1, len(wl) - 1),
+       |      i -> array_to_string(wl[i:i+1], ' '))) AS g
+       |  FROM w WHERE len(wl) >= 2),
+       |dc AS (SELECT doc_id, lang, source,
+       |    CAST(concat('0x', substr(md5(g), 1, 4)) AS BIGINT) % $DsirB AS bucket,
+       |    count(*) AS cnt
+       |  FROM g GROUP BY ALL),
+       |cr AS (SELECT bucket, sum(cnt) AS cr FROM dc GROUP BY bucket),
+       |ct AS (SELECT bucket, sum(cnt) AS ct FROM dc WHERE lang = 'en'
+       |       GROUP BY bucket),
+       |tot AS (SELECT (SELECT sum(cr) FROM cr) AS nr,
+       |               (SELECT sum(ct) FROM ct) AS nt),
+       |model AS (SELECT bucket,
+       |    (len(bin(nr // (cr + 1))) - 1) -
+       |    (len(bin(nt // (coalesce(ct, 0) + 1))) - 1) AS w
+       |  FROM cr LEFT JOIN ct USING (bucket), tot),
+       |scored AS (SELECT doc_id, lang, source,
+       |    CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(cnt * w) AS BIGINT) AS dsir_bits
+       |  FROM dc JOIN model USING (bucket)
+       |  GROUP BY doc_id, lang, source),
+       |r AS (SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY dsir_bits DESC, doc_id) AS BIGINT) AS sample_rank,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored)
+       |SELECT doc_id, lang, source, n_bigrams, dsir_bits, sample_rank
+       |FROM r WHERE sample_rank * 5 <= n * 2 ORDER BY doc_id""".stripMargin
+
+  // ---- t23: trained Naive Bayes classifier (feature hashing) --------------
+  /** The trained-quality-classifier stage of a pretraining pipeline
+    * (GPT-3's WebText logistic filter; NB spam filtering is the
+    * canonical form): a multinomial Naive Bayes detector TRAINED
+    * IN-PLAN on a deterministic 75% split (md5(doc_id) hex prefix, the
+    * d12 rule) and evaluated on the held-out 25% — the whole
+    * train→broadcast→predict loop as one declarative plan, the same
+    * in-plan-training shape as s04/s09's Lloyd steps.
+    *
+    * The task: detect documents that passed through a solicitation/
+    * PII-injection pipeline (the t11 synthesize-then-operate pattern —
+    * half the corpus, chosen by an independent md5 split, gets a
+    * spam-shaped suffix woven from its doc id). The label is
+    * constructed because the synthetic corpus has no natural
+    * class-conditional signal (measured: all five `lang` values draw
+    * from ONE uniform 31-word vocabulary, so language is information-
+    * theoretically unlearnable from text) — but the LEARNING is real:
+    * the model must discover the discriminative hashed buckets from
+    * training counts alone, per-doc-unique address tokens hash to
+    * ~uniform noise it must ignore, and held-out accuracy >> the 50%
+    * prior is in the gated output (the `correct` column), exactly the
+    * train/eval loop a production filter runs.
+    *
+    * Features are unigrams hashed into B=4096 buckets (Weinberger et
+    * al. 2009): the model is (classes × buckets) ≤ 20k rows — a
+    * broadcast — NO MATTER how large the corpus vocabulary grows; this
+    * is what makes "train on 100 TB" a constant-size reduce. Laplace
+    * add-1 smoothing over the observed bucket set; buckets unseen in
+    * training are skipped on both engines (the standard OOV rule,
+    * deterministic because it is an inner join). Class-conditional
+    * token surprisal and class priors are quantized to whole bits
+    * (len(bin(N div (c+1)))−1, the t16/t22 convention), so every score
+    * is an exact 64-bit integer and argmin(score, class) is
+    * hash-stable across engines.
+    *
+    * Scale shape: training is ONE shuffle keyed (lang,bucket) with
+    * map-side combine; the model/priors/class grid are broadcasts;
+    * prediction is narrow joins + one per-doc aggregate; the argmin is
+    * a 5-row-per-doc window. */
+  private val NbB = 4096
+
+  /** Integer log₂ in 1/32-bit units: MSB position + linear-interpolated
+    * mantissa, q(x) = 32·msb(x) + (x·32 div 2^msb) − 32 — monotone,
+    * exact 64-bit arithmetic, identical in Spark SQL and DuckDB (the
+    * classic "log2 ≈ exponent + mantissa" approximation; max error
+    * 0.086 bits). Whole-bit floors (the t16/t22 convention) are too
+    * coarse for a CLASSIFIER margin — per-bucket class differences of
+    * ~0.1 bits either vanish or jump a full bit; 1/32-bit units keep
+    * the argmin decision faithful to the real NB posterior while
+    * staying hash-exact. */
+  private[graft] def ilog32(e: String): String =
+    s"(length(bin($e)) - 1) * 32 + (($e) * 32) div " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(length(bin($e)) - 1 AS INT)) - 32"
+
+  /** DuckDB rendering of [[ilog32]]. */
+  private def ilog32Sql(e: String): String =
+    s"(len(bin($e)) - 1) * 32 + (($e) * 32) // " +
+      s"(CAST(1 AS BIGINT) << (len(bin($e)) - 1)) - 32"
+
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isTrain = substring(md5(concat(lit("t23"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+    val isAug = substring(md5(concat(lit("t23aug"),
+      col("doc_id").cast(StringType)).cast(BinaryType)), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0, lit(" urgent reply needed"))
+        .when(col("doc_id") % 3 === 1, lit(" unsubscribe here now"))
+        .otherwise(lit(" click this link")),
+      lit(" call +1-"), (col("doc_id") * 7) % 10000)
+    val corpus = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(isAug, aug).otherwise(col("text")).as("text"),
+        when(isAug, lit("flagged")).otherwise(lit("clean")).as("label"))
+    val dc = corpus
+      .select(col("doc_id"), col("label"), isTrain.as("train"),
+        explode(toks(col("text"))).as("tk"))
+      .select(col("doc_id"), col("label"), col("train"),
+        hashBucket(col("tk"), NbB).as("bucket"))
+      .groupBy(col("doc_id"), col("label"), col("train"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val tc = dc.filter(col("train"))
+      .groupBy(col("label"), col("bucket")).agg(sum(col("cnt")).as("c"))
+    val tb = tc.select(col("bucket")).distinct()
+    val nb = tb.agg(count(lit(1)).as("nbk")).withColumn("j", lit(1))
+    // class totals with the Laplace denominator |observed buckets|
+    val ncl = tc.groupBy(col("label")).agg(sum(col("c")).as("ctok"))
+      .withColumn("j", lit(1)).join(broadcast(nb), "j")
+      .select(col("label"), (col("ctok") + col("nbk")).as("nc"))
+    val model = ncl.select(col("label"), col("nc")).withColumn("j", lit(1))
+      .join(tb.withColumn("j", lit(1)), "j")
+      .join(tc, Seq("label", "bucket"), "left")
+      .withColumn("x", expr("nc div (coalesce(c, CAST(0 AS BIGINT)) + 1)"))
+      .select(col("label").as("cls"), col("bucket"),
+        expr(ilog32("x")).cast(LongType).as("ibits"))
+    val trainDocs = dc.filter(col("train"))
+      .select(col("doc_id"), col("label")).distinct()
+    val nTrain = trainDocs.agg(count(lit(1)).as("ntd")).withColumn("j", lit(1))
+    val priors = trainDocs.groupBy(col("label")).agg(count(lit(1)).as("nd"))
+      .withColumn("j", lit(1)).join(broadcast(nTrain), "j")
+      .withColumn("x", expr("ntd div nd"))
+      .select(col("label").as("cls"),
+        expr(ilog32("x")).cast(LongType).as("pbits"))
+    val test = dc.filter(!col("train"))
+    val featScore = test.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("cnt") * col("ibits")).as("fbits"))
+    val grid = test.select(col("doc_id"), col("label")).distinct()
+      .withColumn("j", lit(1))
+      .join(broadcast(priors.withColumn("j", lit(1))), "j")
+    val wPred = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_q32"), col("cls"))
+    grid.join(featScore, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("label"), col("cls"),
+        (col("pbits") + coalesce(col("fbits"), lit(0L)))
+          .cast(LongType).as("score_q32"))
+      .withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("true_label"),
+        col("cls").as("pred_label"), col("score_q32"),
+        (col("label") === col("cls")).cast(LongType).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t23Sql =
+    s"""WITH base AS (SELECT doc_id, text,
+       |    substr(md5(concat('t23', CAST(doc_id AS VARCHAR))), 1, 1)
+       |      BETWEEN '0' AND 'b' AS train,
+       |    substr(md5(concat('t23aug', CAST(doc_id AS VARCHAR))), 1, 1)
+       |      BETWEEN '0' AND '7' AS aug
+       |  FROM documents),
+       |corpus AS (SELECT doc_id, train,
+       |    CASE WHEN aug THEN 'flagged' ELSE 'clean' END AS label,
+       |    CASE WHEN aug THEN
+       |      text || ' contact user' || doc_id || '@example.com'
+       |        || CASE WHEN doc_id % 3 = 0 THEN ' urgent reply needed'
+       |                WHEN doc_id % 3 = 1 THEN ' unsubscribe here now'
+       |                ELSE ' click this link' END
+       |        || ' call +1-' || (doc_id * 7) % 10000
+       |      ELSE text END AS text
+       |  FROM base),
+       |tok AS (SELECT doc_id, label, train,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS tk
+       |  FROM corpus),
+       |dc AS (SELECT doc_id, label, train,
+       |    CAST(concat('0x', substr(md5(tk), 1, 4)) AS BIGINT) % $NbB AS bucket,
+       |    count(*) AS cnt
+       |  FROM tok GROUP BY ALL),
+       |tc AS (SELECT label, bucket, sum(cnt) AS c FROM dc WHERE train
+       |       GROUP BY label, bucket),
+       |tb AS (SELECT DISTINCT bucket FROM tc),
+       |ncl AS (SELECT label, sum(c) + (SELECT count(*) FROM tb) AS nc
+       |        FROM tc GROUP BY label),
+       |mx AS (SELECT ncl.label AS cls, tb.bucket,
+       |    nc // (coalesce(c, 0) + 1) AS x
+       |  FROM ncl CROSS JOIN tb
+       |  LEFT JOIN tc ON tc.label = ncl.label AND tc.bucket = tb.bucket),
+       |model AS (SELECT cls, bucket,
+       |    CAST(${ilog32Sql("x")} AS BIGINT) AS ibits FROM mx),
+       |td AS (SELECT DISTINCT doc_id, label FROM dc WHERE train),
+       |px AS (SELECT label AS cls,
+       |    (SELECT count(*) FROM td) // count(*) AS x
+       |  FROM td GROUP BY label),
+       |priors AS (SELECT cls,
+       |    CAST(${ilog32Sql("x")} AS BIGINT) AS pbits FROM px),
+       |test AS (SELECT * FROM dc WHERE NOT train),
+       |fs AS (SELECT doc_id, cls, sum(cnt * ibits) AS fbits
+       |  FROM test JOIN model USING (bucket) GROUP BY doc_id, cls),
+       |grid AS (SELECT t.doc_id, t.label, p.cls, p.pbits
+       |  FROM (SELECT DISTINCT doc_id, label FROM test) t CROSS JOIN priors p),
+       |sc AS (SELECT g.doc_id, g.label, g.cls,
+       |    CAST(g.pbits + coalesce(fs.fbits, 0) AS BIGINT) AS score_q32,
+       |    row_number() OVER (PARTITION BY g.doc_id
+       |      ORDER BY g.pbits + coalesce(fs.fbits, 0), g.cls) AS rn
+       |  FROM grid g LEFT JOIN fs ON fs.doc_id = g.doc_id AND fs.cls = g.cls)
+       |SELECT doc_id, label AS true_label, cls AS pred_label, score_q32,
+       |  CAST(label = cls AS BIGINT) AS correct
+       |FROM sc WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1281,5 +1575,7 @@ object TextQueries {
     Q("t19_pretrain_pipeline", t19, Some(t19Sql)),
     Q("t20_bpe_encode", t20, Some(t20Sql)),
     Q("t21_chunk_windows", t21, Some(t21Sql)),
+    Q("t22_dsir_selection", t22, Some(t22Sql)),
+    Q("t23_nb_classifier", t23, Some(t23Sql)),
   )
 }
