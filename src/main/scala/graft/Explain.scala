@@ -40,7 +40,8 @@ object Explain {
     "k05_bloom_semijoin", // 1-row 128 KiB bloom map fanned onto the scan
     "g02_pagerank",    // 1-row node-count frame onto the |V|-row rank table
     "t22_dsir_selection", // 1-row Nt/Nr totals onto the ≤1024-row model
-    "t23_nb_classifier"   // 1-row |V|/doc-count totals + 2-row prior grid
+    "t23_nb_classifier",  // 1-row |V|/doc-count totals + 2-row prior grid
+    "s13_rag_pipeline"    // broadcast query set × corpus (s01-class retrieval)
   )
 
   def main(args: Array[String]): Unit = {

@@ -1035,6 +1035,103 @@ object SimilarityQueries {
        |SELECT qid, vec_id AS neighbor, label, rank, cosine
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- s13: composed RAG retrieval pipeline --------------------------------
+  // The full retrieval side of a RAG deployment in ONE declarative
+  // plan: embed-side retrieval (s01's broadcast-query scan, top-12
+  // shortlist), passage fetch (shortlist ⋈ documents by id — the
+  // embeddings table is per-document, vec_id = doc_id), per-source
+  // diversity cap (≤2 passages per source per query — the practical
+  // redundancy rule next to s11's MMR), and token-budget context
+  // packing (relevance-ordered cumulative token count, keep while
+  // ≤ 192 — the step that turns a ranked list into a prompt context).
+  //
+  // Scale shape — the part that matters at 100 TB:
+  //  * the embeddings corpus is touched ONCE by the retrieval scan
+  //    (broadcast query set; top-12 via the rank window);
+  //  * the documents corpus is touched ONCE, by a BROADCAST hash join
+  //    against the ≤|Q|·12-row shortlist — the "fetch passages by id"
+  //    lookup; no corpus shuffle on either side (at scale this join
+  //    is served by a row store, and the in-plan shape — small side
+  //    broadcast, big side streamed — is exactly that access pattern);
+  //  * everything after (diversity cap, budget pack) is window math
+  //    over shortlist-sized frames, independent of corpus size.
+  //
+  // Determinism: rel is the s01 cosine (identical integer dots +
+  // double arithmetic both engines); all windows tie-break by doc_id;
+  // token counts are exact; passage fingerprints are md5 of the
+  // reconstructed passage text.
+  private val RagShortlist = 12
+  private val RagPerSource = 2
+  private val RagBudget = 192
+  private val RagPassageTok = 64
+
+  private def s13(s: SparkSession, d: String): DataFrame = {
+    val v = quantized(s, d).filter(col("norm2") > 0)
+    val queries = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("norm2").as("qn"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val shortlist = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("rel", cosine(col("qq"), col("q"), col("qn"), col("norm2")))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= RagShortlist)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rel"))
+    val wtoks = split(trim(col("text")), "\\s+")
+    val passages = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        array_join(slice(wtoks, 1, RagPassageTok), " ").as("passage"),
+        least(size(wtoks), lit(RagPassageTok)).cast(LongType).as("n_tok"))
+    val fetched = passages.join(broadcast(shortlist), "doc_id")
+    val wSrc = Window.partitionBy(col("qid"), col("source"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    val wPack = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("doc_id"))
+    fetched
+      .withColumn("src_rn", row_number().over(wSrc))
+      .filter(col("src_rn") <= RagPerSource)
+      .withColumn("cum_tok", sum(col("n_tok")).over(wPack))
+      .filter(col("cum_tok") <= RagBudget)
+      .withColumn("position", row_number().over(wPack).cast(LongType))
+      .select(col("qid"), col("position"), col("doc_id"), col("source"),
+        col("rel"), col("n_tok"), col("cum_tok").cast(LongType).as("cum_tok"),
+        md5(col("passage").cast(BinaryType)).as("chunk_fp"))
+      .orderBy(col("qid"), col("position"))
+  }
+
+  private val s13Sql =
+    s"""WITH v AS (SELECT * FROM ($quantizedSql) WHERE norm2 > 0),
+       |qs AS (SELECT vec_id AS qid, q AS qq, norm2 AS qn FROM v
+       |       WHERE vec_id < 8),
+       |scored AS (SELECT qid, vec_id,
+       |    list_dot_product(qq, q) / (sqrt(qn) * sqrt(norm2)) AS rel
+       |  FROM v CROSS JOIN qs WHERE vec_id <> qid),
+       |shortlist AS (SELECT qid, vec_id AS doc_id, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, vec_id) AS rk FROM scored)
+       |  WHERE rk <= $RagShortlist),
+       |p AS (SELECT doc_id, source,
+       |    array_to_string(wl[1:$RagPassageTok], ' ') AS passage,
+       |    CAST(least(len(wl), $RagPassageTok) AS BIGINT) AS n_tok
+       |  FROM (SELECT doc_id, source,
+       |          string_split_regex(trim(text), '\\s+') AS wl
+       |        FROM documents)),
+       |fetched AS (SELECT s.qid, s.rel, p.* FROM p
+       |  JOIN shortlist s USING (doc_id)),
+       |capped AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid, source
+       |      ORDER BY rel DESC, doc_id) AS src_rn FROM fetched)
+       |  WHERE src_rn <= $RagPerSource),
+       |packed AS (SELECT *,
+       |    CAST(sum(n_tok) OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, doc_id) AS BIGINT) AS cum_tok
+       |  FROM capped)
+       |SELECT qid,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rel DESC, doc_id) AS BIGINT) AS position,
+       |  doc_id, source, rel, n_tok, cum_tok, md5(passage) AS chunk_fp
+       |FROM packed WHERE cum_tok <= $RagBudget
+       |ORDER BY qid, position""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("s01_knn_bruteforce", s01, Some(s01Sql)),
     Q("s02_ann_lsh", s02, Some(s02Sql)),
@@ -1048,5 +1145,6 @@ object SimilarityQueries {
     Q("s10_sq8_search", s10, Some(s10Sql)),
     Q("s11_mmr_rerank", s11, Some(s11Sql)),
     Q("s12_filtered_search", s12, Some(s12Sql)),
+    Q("s13_rag_pipeline", s13, Some(s13Sql)),
   )
 }

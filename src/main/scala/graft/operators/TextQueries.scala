@@ -1297,14 +1297,21 @@ object TextQueries {
     val t = toks(col("text"))
     val grams = transform(sequence(lit(0), size(t) - lit(2)),
       i => array_join(slice(t, i + lit(1), lit(2)), " "))
-    val dc = Tables.documents(s, d)
+    // dc is consumed by BOTH the model branch and the scoring branch;
+    // physical planning does NOT reuse the explode+md5 subtree across
+    // them (measured: three Scan→Generate passes, ×100 decade linear
+    // at 53.7 s), so materialize the feature frame ONCE — the
+    // production shape anyway (feature extraction persists its output
+    // before model fit + apply read it twice). The frame is compact:
+    // ≤ |docs|·min(|doc|,B) rows of ids+counts, never the text.
+    val dc = graft.Resources.checkpoint(Tables.documents(s, d)
       .filter(size(t) >= 2)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(grams).as("g"))
       .select(col("doc_id"), col("lang"), col("source"),
         hashBucket(col("g"), DsirB).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("source"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     // both models in ONE pass over dc (raw + target-slice counts as
     // two aggregates of the same groupBy); dc's shuffle is then shared
     // by the model branch and the scoring branch via exchange reuse
@@ -1448,13 +1455,16 @@ object TextQueries {
       .select(col("doc_id"),
         when(isAug, aug).otherwise(col("text")).as("text"),
         when(isAug, lit("flagged")).otherwise(lit("clean")).as("label"))
-    val dc = corpus
+    // Materialized once for the same reason as t22's dc: four branches
+    // (train counts, train-doc priors, test scoring, test grid) would
+    // otherwise each re-run the tokenize+hash scan.
+    val dc = graft.Resources.checkpoint(corpus
       .select(col("doc_id"), col("label"), isTrain.as("train"),
         explode(toks(col("text"))).as("tk"))
       .select(col("doc_id"), col("label"), col("train"),
         hashBucket(col("tk"), NbB).as("bucket"))
       .groupBy(col("doc_id"), col("label"), col("train"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val tc = dc.filter(col("train"))
       .groupBy(col("label"), col("bucket")).agg(sum(col("cnt")).as("c"))
     val tb = tc.select(col("bucket")).distinct()

@@ -92,4 +92,41 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$k: re-ranked cosine ${s09(k)} != exact ${bf(k)}")
     }
   }
+  test("s13 RAG pack invariants: budget, per-source cap, contiguous " +
+      "relevance-ordered positions, retrieval consistency with s01") {
+    val rows = SparkEntry.queries("s13_rag_pipeline")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("position"))
+      // positions contiguous from 1
+      assert(sorted.map(_.getAs[Long]("position")).toSeq
+        === (1L to rs.length).toSeq, s"positions not contiguous for $qid")
+      // budget respected and cum_tok really cumulative
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("cum_tok") === cum, s"cum_tok drift for $qid")
+      }
+      assert(cum <= 192L, s"budget exceeded for $qid: $cum")
+      // relevance monotone non-increasing along positions
+      val rels = sorted.map(_.getAs[Double]("rel"))
+      rels.sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b, s"relevance not monotone for $qid") }
+      // per-source diversity cap
+      rs.groupBy(_.getAs[String]("source")).foreach { case (src, g) =>
+        assert(g.length <= 2, s"source cap violated for $qid/$src") }
+    }
+    // every packed doc is a true retrieval hit: it must appear in the
+    // exact brute-force top-12 of its query (same metric, same corpus)
+    val truth = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neighbor")))
+      .toSet // s01 is top-5; packed position-1 docs of shared qids must hit
+    byQ.filterKeys(_ < 8).foreach { case (qid, rs) =>
+      val first = rs.minBy(_.getAs[Long]("position")).getAs[Long]("doc_id")
+      if (truth.nonEmpty && truth.exists(_._1 == qid))
+        assert(truth.contains((qid, first)),
+          s"top packed doc $first of query $qid is not s01's top hit set")
+    }
+  }
 }
