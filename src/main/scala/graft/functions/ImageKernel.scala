@@ -72,4 +72,60 @@ object ImageKernel {
     }
     out
   }
+
+  /** Difference-hash (dHash) of a 9×8 grayscale image: bit (y·8+x) is
+    * set iff pixel (x+1,y) is brighter than pixel (x,y) — 63 bits used
+    * (the (7,7) comparison is dropped so the signature lives in a
+    * signed 64-bit without overflow-semantics differences between
+    * engines). dHash is the standard perceptual image fingerprint for
+    * training-data dedup: brightness/contrast shifts leave the
+    * pairwise comparisons (and so the hash) unchanged; small local
+    * edits flip few bits. */
+  def dhash(gray: Array[Int]): Long = {
+    require(gray.length >= 72, "dhash expects a 9x8 grayscale image")
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val idx = y * 8 + x
+        if (idx < 63 && gray(y * 9 + x + 1) > gray(y * 9 + x))
+          h |= 1L << idx
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Deterministic 9×8 grayscale camera stand-in for m21 (the m12/m13
+    * decode-seam pattern: the real decoder is documented at m01/m03;
+    * the synthesis gives the dedup mechanism a controlled near-dup
+    * population). Documents sharing `base = id div 16` are the same
+    * underlying "photo" — pixels are md5-mixed per (base, x, y), so
+    * DISTINCT bases are independent noise (~half the dHash bits
+    * apart; an earlier smooth-polynomial pattern left cross-base
+    * hamming under the verify threshold because dHash cancels
+    * per-image constants). The 16 variants per base differ by one
+    * brightened pixel in row 0 — a local edit flipping ≤2 dHash bits,
+    * so same-base pairs sit within hamming ≤4. */
+  def synthGray(id: Long): Array[Int] = {
+    val base = id / 16
+    val j = (id % 16).toInt
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val g = new Array[Int](72)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val h = mdig.digest(s"g${base}_${x}_$y".getBytes("UTF-8"))
+        var v = h(0) & 0xff
+        if (y == 0 && x == j % 9) v += 40
+        g(y * 9 + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    g
+  }
 }

@@ -704,6 +704,110 @@ object MultimodalQueries {
        |ORDER BY utt, pos""".stripMargin
   }
 
+  // ---- m21: perceptual-hash image dedup ------------------------------------
+  /** Image near-duplicate dedup by difference hash — the multimodal
+    * side of the dedup family (LAION-style corpora dedup images by
+    * pHash/dHash before training): each document's image is reduced
+    * to a 63-bit dHash ([[graft.functions.ImageKernel.dhash]], REAL
+    * byte math in the m12 mapPartitions kernel mount), signatures are
+    * banded 7×9 bits, candidates are same-(band,value) pairs
+    * (pigeonhole: hamming ≤ 6 over 7 bands guarantees an intact
+    * band — d04's SimHash mechanism pointed at pixels), verified by
+    * exact hamming distance (bit_count(xor)), and every document gets
+    * a keep/drop verdict (canonical = smallest id among its verified
+    * neighbors — the d16 shape).
+    *
+    * The images are the documented decode-seam stand-in
+    * ([[graft.functions.ImageKernel.synthGray]]): base photo per
+    * id div 16, 16 variants per base differing by one brightened
+    * pixel — a controlled near-dup population (same-base pairs within
+    * hamming 4, distinct bases ~half the bits apart), so both the
+    * match and the non-match paths of the verifier demonstrably fire.
+    *
+    * Scale shape: hashing is one mapPartitions pass over payloads
+    * (the decode mount — at 100 TB the ONLY stage that touches image
+    * bytes); everything downstream operates on 8-byte signatures.
+    * Banding shuffles 7 rows per image; candidate pairs are bounded
+    * by same-band bucket sizes — the band width is the bucket-size
+    * knob and scales with log n exactly like s02's plane count (at
+    * this fixture's scale 9-bit bands keep buckets single-digit);
+    * verification is pair-local integer math. */
+  private def m21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    val ph = ids.mapPartitions { it =>
+      it.map { id =>
+        (id, graft.functions.ImageKernel.dhash(
+          graft.functions.ImageKernel.synthGray(id)))
+      }
+    }.toDF("doc_id", "phash")
+    val bands = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(6))).as("b"))
+      .select(col("doc_id"), col("b"),
+        expr("shiftright(phash, CAST(b * 9 AS INT)) & 511").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ver = cand
+      .join(ph.select(col("doc_id").as("id_a"), col("phash").as("pa")), "id_a")
+      .join(ph.select(col("doc_id").as("id_b"), col("phash").as("pb")), "id_b")
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast(LongType))
+      .filter(col("hamming") <= 6)
+    val nbrs = ver.select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
+      .union(ver.select(col("id_b").as("doc_id"), col("id_a").as("nbr")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"), min(col("nbr")).as("min_nbr"))
+    ph.join(nbrs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_neighbors"), lit(0L)).cast(LongType).as("n_neighbors"),
+        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id")))
+          .cast(LongType).as("rep_id"))
+      .withColumn("is_canonical",
+        (col("rep_id") === col("doc_id")).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m21Sql =
+    """WITH px AS (SELECT doc_id, x, y,
+      |    CAST(concat('0x', substr(md5(
+      |      'g' || (doc_id // 16) || '_' || x || '_' || y), 1, 2)) AS BIGINT)
+      |    + CASE WHEN y = 0 AND x = (doc_id % 16) % 9 THEN 40 ELSE 0 END AS v
+      |  FROM documents,
+      |    (SELECT unnest(range(9)) AS x), (SELECT unnest(range(8)) AS y)),
+      |bits AS (SELECT a.doc_id, a.y * 8 + a.x AS idx
+      |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 8 AND a.y * 8 + a.x < 63 AND b.v > a.v),
+      |ph AS (SELECT d.doc_id,
+      |    CAST(coalesce(s.h, 0) AS BIGINT) AS phash
+      |  FROM documents d LEFT JOIN (
+      |    SELECT doc_id, SUM(CAST(1 AS BIGINT) << idx) AS h
+      |    FROM bits GROUP BY doc_id) s USING (doc_id)),
+      |bands AS (SELECT doc_id, b, (phash >> (b * 9)) & 511 AS bv
+      |  FROM ph, (SELECT unnest(range(7)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+      |    AND a.doc_id < b.doc_id),
+      |ver AS (SELECT id_a, id_b
+      |  FROM cand JOIN ph pa ON pa.doc_id = id_a
+      |            JOIN ph pb ON pb.doc_id = id_b
+      |  WHERE bit_count(xor(pa.phash, pb.phash)) <= 6),
+      |nbrs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+      |    min(nbr) AS min_nbr
+      |  FROM (SELECT id_a AS doc_id, id_b AS nbr FROM ver
+      |        UNION ALL SELECT id_b, id_a FROM ver)
+      |  GROUP BY doc_id)
+      |SELECT p.doc_id, p.phash,
+      |  CAST(coalesce(n.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+      |  CAST(least(p.doc_id, coalesce(n.min_nbr, p.doc_id)) AS BIGINT)
+      |    AS rep_id,
+      |  CAST(least(p.doc_id, coalesce(n.min_nbr, p.doc_id)) = p.doc_id
+      |    AS BIGINT) AS is_canonical
+      |FROM ph p LEFT JOIN nbrs n USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -719,5 +823,6 @@ object MultimodalQueries {
     Q("m13_patch_grid", m13, Some(m13Sql)),
     Q("m14_jpeg_roundtrip", m14, Some(m14Sql)),
     Q("m15_asr_trained", m15, Some(m15Sql)),
+    Q("m21_phash_dedup", m21, Some(m21Sql)),
   )
 }

@@ -120,4 +120,29 @@ class KernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(px(2, 2) == Seq.fill(4)(255.toByte))
     assert(px(3, 3) == Seq[Byte](0, 0, 0, 0))
   }
+  // ------------------------------------------------------ dHash (m21)
+  test("dhash: brightness-invariant, bit 63 never set, local-edit bounded") {
+    val g = ImageKernel.synthGray(137L)
+    val h = ImageKernel.dhash(g)
+    assert((h & (1L << 63)) === 0L, "bit 63 must stay clear (signed-safe)")
+    // global brightness/contrast offset leaves every comparison intact
+    val brighter = g.map(_ + 25)
+    assert(ImageKernel.dhash(brighter) === h)
+    // same-base variants (one bumped pixel in row 0) flip <= 2 bits each,
+    // so any pair sits within hamming 4
+    val base = 137L / 16 * 16
+    val hs = (0 until 16).map(j => ImageKernel.dhash(ImageKernel.synthGray(base + j)))
+    for (a <- hs; b <- hs)
+      assert(java.lang.Long.bitCount(a ^ b) <= 4,
+        "same-base variants exceeded the designed hamming bound")
+  }
+
+  test("dhash: distinct bases separate far beyond the verify threshold") {
+    // md5-mixed pixels make distinct bases independent noise: expect
+    // ~31 bits apart; the m21 verifier's threshold is 6
+    val hs = (0L until 40L).map(b => ImageKernel.dhash(ImageKernel.synthGray(b * 16)))
+    for (i <- hs.indices; j <- hs.indices if i < j)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 6,
+        s"bases $i and $j collided under the verify threshold")
+  }
 }
