@@ -41,7 +41,8 @@ object Explain {
     "g02_pagerank",    // 1-row node-count frame onto the |V|-row rank table
     "t22_dsir_selection", // 1-row Nt/Nr totals onto the ≤1024-row model
     "t23_nb_classifier",  // 1-row |V|/doc-count totals + 2-row prior grid
-    "s13_rag_pipeline"    // broadcast query set × corpus (s01-class retrieval)
+    "s13_rag_pipeline",   // broadcast query set × corpus (s01-class retrieval)
+    "t24_tfidf_keywords"  // 1-row corpus-count frame onto the vocab-sized tf/df join
   )
 
   def main(args: Array[String]): Unit = {

@@ -1350,6 +1350,55 @@ object DedupQueries {
        |FROM tot LEFT JOIN hits USING (eval_doc)
        |ORDER BY eval_doc""".stripMargin
 
+  // ---- d18: soft dedup (duplicate-aware sampling weights) -----------------
+  /** Soft deduplication: instead of DROPPING duplicates (d16's
+    * keep/drop verdict), DOWN-WEIGHT them — every member of a
+    * duplicate cluster gets sampling weight 1/cluster_size, so the
+    * cluster contributes one document's worth of expected tokens to
+    * training while keeping all surface variants available (the
+    * SoftDeDup idea: dedup as reweighting, not removal — used when
+    * near-dups carry real variation, e.g. boilerplate-differing
+    * mirrors). Weights are exact integer parts-per-million
+    * (1e6 div size) so the column hash-matches across engines; the
+    * effective (weighted) corpus size is Σ weight_ppm / 1e6.
+    *
+    * Rides the session-published CC label table (d10 computes it once;
+    * d12/d16/d18 consume it) — one broadcast-sized (id,lbl) join onto
+    * the corpus scan, no new shuffle class. At 100 TB this is the
+    * cheapest member of the dedup family: the labels are |clustered
+    * docs| rows (≪ corpus), the weight is a per-row projection, and
+    * the per-cluster size aggregate shuffles only label rows. */
+  private def d18(s: SparkSession, d: String): DataFrame = {
+    val labels = ccLabelsShared(s, d)
+      .select(col("id").as("doc_id"), col("lbl"))
+    val asg = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    val sizes = asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast(LongType).as("cluster_size"))
+    asg.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        expr("1000000 div cluster_size").cast(LongType).as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d18Sql =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+       |          UNION ALL SELECT id_b, id_a FROM cand),
+       |reach AS (SELECT src AS id, src AS lbl FROM edges
+       |          UNION
+       |          SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl),
+       |cc AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |asg AS (SELECT d.doc_id, COALESCE(cc.lbl, d.doc_id) AS cluster
+       |        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM asg GROUP BY cluster)
+       |SELECT a.doc_id, a.cluster, sz.cluster_size,
+       |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
+       |FROM asg a JOIN sz USING (cluster)
+       |ORDER BY a.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -1369,5 +1418,6 @@ object DedupQueries {
     Q("d15_semantic_dedup", d15, Some(d15Sql)),
     Q("d16_canonical_selection", d16, Some(d16Sql)),
     Q("d17_contamination_report", d17, Some(d17Sql)),
+    Q("d18_soft_dedup", d18, Some(d18Sql)),
   )
 }

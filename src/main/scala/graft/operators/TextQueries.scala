@@ -1563,6 +1563,73 @@ object TextQueries {
        |  CAST(label = cls AS BIGINT) AS correct
        |FROM sc WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---- t24: TF-IDF keyword extraction -------------------------------------
+  /** Top-3 keywords per document by TF-IDF — the classic corpus
+    * summarization/tagging stage (Salton & Buckley 1988; the keyword
+    * step of every BM25-era search/labeling pipeline; reference analog:
+    * the per-message string ops of SURVEY §2.1 #7-9, generalized to a
+    * corpus statistic). idf is computed in ilog32's 1/32-bit integer
+    * units as ilog32(N) − ilog32(df) ≈ 32·log₂(N/df) — exact 64-bit
+    * arithmetic on both engines (the t23 convention: whole-bit floors
+    * are too coarse; 1/32 bits preserve the ranking margin), so the
+    * score column sits under the hash gate rather than a float-log
+    * tolerance.
+    *
+    * Scale: tf is one explode → hash-aggregate on (doc, term) with
+    * map-side combine; df aggregates the distinct (term, doc) pairs of
+    * the same exploded frame down to a VOCABULARY-sized table that is
+    * explicitly broadcast back onto tf (no shuffle of the tf frame for
+    * the join); N is a 1-row broadcast. The only full shuffle is the
+    * top-k window on doc_id — per-doc groups are tiny (≤ vocab), so
+    * no skew. At 100 TB the vocabulary table is the thing to watch
+    * (web-scale vocab ~10⁸ rows ≈ a few GB): it stays broadcastable
+    * because df-filtering (min-df) bounds it, and if it ever isn't,
+    * the join key (term) is the shuffle key — never the corpus. */
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n)) // 1-row corpus size
+      .withColumn("score",
+        (col("tf") * (expr(ilog32("n_docs")) - expr(ilog32("df"))))
+          .cast(LongType))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf").cast(LongType).as("tf"), col("df").cast(LongType).as("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val t24Sql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM terms GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |       FROM (SELECT DISTINCT term, doc_id FROM terms) GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf * ((${ilog32Sql("n_docs")}) - (${ilog32Sql("df")})) AS BIGINT) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, rank, term, tf, df, score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1587,5 +1654,6 @@ object TextQueries {
     Q("t21_chunk_windows", t21, Some(t21Sql)),
     Q("t22_dsir_selection", t22, Some(t22Sql)),
     Q("t23_nb_classifier", t23, Some(t23Sql)),
+    Q("t24_tfidf_keywords", t24, Some(t24Sql)),
   )
 }

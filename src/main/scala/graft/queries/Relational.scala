@@ -831,6 +831,55 @@ object Relational {
       |FROM c JOIN p ON abs(click_ts - purchase_ts) <= 60000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---- q33: RANGE-frame rolling window (7-day revenue per customer) ------
+  /** Rolling 7-day order revenue per customer — the RANGE window frame
+    * (peers by ORDER-BY VALUE, not row position), the one window frame
+    * class the surface didn't yet exercise: q05 is an unbounded-rank
+    * window, q26/q27 are joins. A RANGE frame differs from ROWS
+    * whenever a customer places several orders on one day (all peers
+    * of the current day enter the frame together) and whenever days
+    * are missing (6 PRECEDING means six day-VALUES, not six rows).
+    * The frame key is an epoch-day integer so both engines run the
+    * same numeric RANGE arithmetic; the rolling sum accumulates in
+    * DECIMAL(18,2) (exact, order-independent) then casts to DOUBLE.
+    *
+    * Scale: one shuffle on o_custkey (the window partition key), then
+    * a per-partition sort by day — the same cost class as any windowed
+    * aggregation; no self-join materialization of the 7-day frame
+    * (which is the naive rewrite's cost: |orders| × avg-frame-size).
+    * At 100 TB the partition count rides shuffle.partitions/AQE, and
+    * per-customer data is tiny, so there is no skew hazard.
+    * Reference: the closest reference shape is the time-buffer /
+    * windowed meter family (SURVEY §2 #14, #20-22) — a per-key
+    * trailing-time-window aggregate, here expressed declaratively. */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(col("o_orderdate"),
+      lit("1970-01-01").cast(DateType)).cast(LongType)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-6, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), day.as("day_num"))
+      .withColumn("roll7",
+        sum(dec(col("o_totalprice"), 18, 2)).over(w).cast(DoubleType))
+      .withColumn("n7", count(lit(1)).over(w).cast(LongType))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+        col("roll7"), col("n7"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q33Sql =
+    """SELECT o_custkey, o_orderkey, day_num,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll7,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n7
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day_num
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql)),
     Q("q02_filter_project", q02, Some(q02Sql)),
@@ -864,5 +913,6 @@ object Relational {
     Q("q30_bucketed_join", q30, Some(q04Sql)),
     Q("q31_salted_skew_join", q31, Some(q31Sql)),
     Q("q32_partition_pruned", q32, Some(q32Sql)),
+    Q("q33_range_frame", q33, Some(q33Sql)),
   )
 }
