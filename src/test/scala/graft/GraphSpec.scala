@@ -163,6 +163,59 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  /** Direct sequential peeling — the k-core model: delete degree<k
+    * nodes one sweep at a time until stable; order within a sweep
+    * can't matter because the sweep is computed from a snapshot. */
+  private def kcoreModel(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+    var adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    var changed = true
+    while (changed) {
+      val doomed = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+      changed = doomed.nonEmpty
+      if (changed) {
+        adj = adj.collect { case (n, nb) if !doomed(n) =>
+          n -> (nb -- doomed) }.withDefaultValue(Set.empty)
+        adj = adj.filter(_._2.nonEmpty).withDefaultValue(Set.empty)
+      }
+    }
+    adj.map { case (n, nb) => n -> nb.size }.toMap
+  }
+
+  test("g06 distributed peeling == direct k-core model on the fixture " +
+      "and on adversarial graphs; fixpoint rounds fit the oracle unroll") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(edges: Set[(Long, Long)], k: Int): (Map[Long, Long], Int) = {
+      val df = edges.toSeq.toDF("u", "v")
+      val (core, rounds) = graft.operators.GraphQueries.kcore(df, k)
+      (core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    }
+    // the registered fixture graph at k=3
+    val fixture = localEdges()
+    val (got, rounds) = run(fixture, 3)
+    val want = kcoreModel(fixture, 3).map { case (n, d) => n -> d.toLong }
+    assert(got == want)
+    assert(rounds <= graft.operators.GraphQueries.KcoreOracleRounds / 2,
+      s"fixture peels in $rounds rounds; oracle unrolls " +
+        s"${graft.operators.GraphQueries.KcoreOracleRounds}")
+    // path graph at k=2: the 2-core of a path is EMPTY and peeling
+    // cascades from both ends — the many-round worst case.
+    val path = (0L until 20L).map(i => (i, i + 1)).toSet
+    assert(run(path, 2)._1.isEmpty)
+    // cycle at k=2: nothing peels — every node keeps degree 2.
+    val cycle = (0L until 12L).map(i => (i, (i + 1) % 12)).toSet
+    val (cyc, cycRounds) = run(cycle, 2)
+    assert(cyc == (0L until 12L).map(_ -> 2L).toMap)
+    assert(cycRounds == 1) // single confirming round
+    // clique-with-pendants at k=3: pendants peel, the K5 survives.
+    val k5 = (for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)).toSet
+    val pend = Set((0L, 90L), (90L, 91L), (1L, 92L))
+    val (cp, _) = run(k5 ++ pend, 3)
+    assert(cp == (0L to 4L).map(_ -> 4L).toMap)
+  }
+
   test("g03 predicted pairs are non-adjacent and counts match brute force") {
     val edges = localEdges()
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
