@@ -808,6 +808,83 @@ object MultimodalQueries {
       |FROM ph p LEFT JOIN nbrs n USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---- m22: scene detection (frame-difference segmentation) ---------------
+  /** Shot/scene segmentation by frame-difference thresholding — the
+    * standard first stage of video chunking for multimodal training
+    * data (PySceneDetect's ContentDetector shape: per-frame luma
+    * statistic, cut where |Δ| exceeds a threshold, scenes = runs
+    * between cuts; reference analog: the video activity meter,
+    * SURVEY §2 #22 — `bgr_to_gray` + `absdiff` per frame pair — whose
+    * running diff this turns into segment boundaries). Payload frames
+    * are the m01/m11 convention (consecutive 64-byte slices of the
+    * document payload); the frame statistic is the exact byte sum, so
+    * every engine computes the identical integer and the cut decision
+    * is hash-stable. Threshold 200 ≈ the fixture's p85 inter-frame
+    * delta (measured: median 99, p90 228).
+    *
+    * Scale: frame explosion is bounded (len/64 rows per doc), the luma
+    * is a row-local codegen'd higher-order aggregate (no per-byte row
+    * blowup on the Spark side — 64 bytes fold inside one expression),
+    * and both windows partition by doc_id — per-partition state is one
+    * doc's frames. One shuffle on doc_id carries (doc, frame, luma)
+    * triples, never payload bytes; the scene rollup rides the same
+    * partitioning (no second exchange). */
+  private def m22(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(s, d)
+      .filter(length(col("text")) >= 128)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          (length(col("text")) / lit(64)).cast(LongType) - 1)).as("f"))
+      .withColumn("luma", expr(
+        """aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+          |  (acc, j) -> acc + ascii(substring(text, CAST(f*64 AS INT) + j, 1)))"""
+          .stripMargin))
+      .drop("text")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = frames
+      .withColumn("dl", abs(col("luma") - lag(col("luma"), 1).over(w)))
+      .withColumn("cut",
+        (col("dl").isNull || col("dl") > 200).cast(LongType))
+      .withColumn("scene_id", (sum(col("cut")).over(run) - 1).cast(LongType))
+    cuts.groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("f")).cast(LongType).as("start_f"),
+        max(col("f")).cast(LongType).as("end_f"),
+        count(lit(1)).cast(LongType).as("n_frames"),
+        sum(col("luma")).cast(LongType).as("luma_sum"))
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  private val m22Sql =
+    """WITH fr AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CAST(length(text) // 64 AS BIGINT))) AS f
+      |  FROM documents WHERE length(text) >= 128),
+      |f AS (
+      |  SELECT doc_id, f,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> ascii(substr(text, CAST(f*64 AS INT) + CAST(j AS INT), 1))))
+      |      AS BIGINT) AS luma
+      |  FROM fr),
+      |cuts AS (
+      |  SELECT doc_id, f, luma,
+      |    CASE WHEN abs(luma - lag(luma) OVER w) IS NULL
+      |           OR abs(luma - lag(luma) OVER w) > 200
+      |         THEN 1 ELSE 0 END AS cut
+      |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+      |scenes AS (
+      |  SELECT doc_id, f, luma,
+      |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f
+      |      ROWS UNBOUNDED PRECEDING) - 1 AS scene_id
+      |  FROM cuts)
+      |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+      |  CAST(min(f) AS BIGINT) AS start_f, CAST(max(f) AS BIGINT) AS end_f,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(luma) AS BIGINT) AS luma_sum
+      |FROM scenes GROUP BY doc_id, scene_id
+      |ORDER BY doc_id, scene_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -824,5 +901,6 @@ object MultimodalQueries {
     Q("m14_jpeg_roundtrip", m14, Some(m14Sql)),
     Q("m15_asr_trained", m15, Some(m15Sql)),
     Q("m21_phash_dedup", m21, Some(m21Sql)),
+    Q("m22_scene_detect", m22, Some(m22Sql)),
   )
 }
