@@ -1205,6 +1205,57 @@ object StreamParityQueries {
       |                         AND epoch_ms(c.ts) + 86400000
       |GROUP BY 1 ORDER BY day_ms""".stripMargin
 
+  /** e47: STREAM-STATIC ENRICHMENT JOIN — the dimension-lookup shape
+    * every production stream runs in front of its stateful logic: a
+    * purchase stream joined per micro-batch against a BROADCAST static
+    * dimension (customer → market segment), through the same
+    * file-source mount and exactly-once file sink as every other
+    * capability class. This is the one Structured Streaming join class
+    * e43/e46 don't cover: STATELESS (no join state store — the static
+    * side is a batch relation re-planned into each micro-batch, so an
+    * updated dimension snapshot is picked up on the next batch), and
+    * the broadcast means the stream side never shuffles — at 100 TB/day
+    * the enrichment costs zero exchanges on the hot path. The static
+    * frame is built on the stream's own isolated session from the same
+    * parquet the oracle reads. Reference analog: every task reading a
+    * config-bound side input next to its topic inputs (e.g. the
+    * calculator's per-input default map) — here the side input is a
+    * table, which is what it becomes at corpus scale. */
+  private def e47(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val e = Tables.eventsMs(s, d)
+    val kev = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast(StringType).as("key"),
+        lit(0).as("topic"), col("ts_ms").as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val mount = (ds: Dataset[KEv]) => {
+      val dim = broadcast(Tables.customer(ds.sparkSession, d)
+        .select((col("c_custkey") - 1).cast(StringType).as("k"),
+          col("c_mktsegment")))
+      ds.toDF()
+        .join(dim, col("key") === col("k"))
+        .select(col("key"), col("ts"), col("value"),
+          concat_ws(":", col("text"), col("c_mktsegment")).as("text"),
+          lit(false).as("paused"))
+        .as[KOut](Encoders.product[KOut])
+    }
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sdim@$d",
+        mount, Map.empty)
+      .select(col("key").cast(LongType).as("user_id"),
+        split(col("text"), ":").getItem(0).cast(LongType).as("event_id"),
+        col("ts").as("ts_ms"), col("value"),
+        split(col("text"), ":").getItem(1).as("segment"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e47Sql =
+    """SELECT e.user_id, e.event_id, epoch_ms(e.ts) AS ts_ms, e.value,
+      |  c.c_mktsegment AS segment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey - 1
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -1228,5 +1279,6 @@ object StreamParityQueries {
     Q("e44_streaming_dedup", e44, Some(e44Sql)),
     Q("e45_streaming_fntask", e45, Some(e45Sql)),
     Q("e46_stream_join_agg", e46, Some(e46Sql)),
+    Q("e47_stream_static_dim", e47, Some(e47Sql)),
   )
 }
