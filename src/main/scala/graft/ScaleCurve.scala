@@ -54,7 +54,9 @@ object ScaleCurve {
     // graph family: g01 publishes the session edge table, g02/g03/g05
     // ride it (the persisted-intermediate pattern, like d10→d12)
     "g01_triangle_count", "g02_pagerank", "g03_common_neighbors",
-    "g05_bfs_landmarks")
+    "g05_bfs_landmarks", "g06_kcore",
+    "t24_tfidf_keywords", "m22_scene_detect", "d18_soft_dedup",
+    "q33_range_frame")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -86,7 +88,10 @@ object ScaleCurve {
       "t21_chunk_windows", // row-local chunker: pure scan scaling
       "s11_mmr_rerank", // retrieval scan ×100; greedy stays shortlist-sized
       "t22_dsir_selection", // scan ×100; both models stay ≤1024 buckets
-      "t23_nb_classifier") // scan ×100; model fixed at classes × 4096
+      "t23_nb_classifier", // scan ×100; model fixed at classes × 4096
+      "t24_tfidf_keywords", // scan ×100; df table grows with replica vocab but stays broadcast-sized
+      "m22_scene_detect",  // row-local luma fold: pure scan scaling
+      "d18_soft_dedup")    // rides d10's labels like d12/d16
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

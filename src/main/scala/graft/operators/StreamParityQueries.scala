@@ -1212,10 +1212,15 @@ object StreamParityQueries {
     * file-source mount and exactly-once file sink as every other
     * capability class. This is the one Structured Streaming join class
     * e43/e46 don't cover: STATELESS (no join state store — the static
-    * side is a batch relation re-planned into each micro-batch, so an
-    * updated dimension snapshot is picked up on the next batch), and
-    * the broadcast means the stream side never shuffles — at 100 TB/day
-    * the enrichment costs zero exchanges on the hot path. The static
+    * side is a batch relation re-executed inside each micro-batch;
+    * refreshing the dimension is a snapshot swap — a new path or a
+    * transactional table version — not a state migration), and the
+    * broadcast means the stream side never shuffles — at 100 TB/day
+    * the enrichment costs zero exchanges on the hot path.
+    * StreamingJoinDedupSpec pins the class mechanics the oracle can't:
+    * no StateStore in the executed plan, BroadcastHashJoin on every
+    * micro-batch, keys arriving in later batches enriched without any
+    * buffered state. The static
     * frame is built on the stream's own isolated session from the same
     * parquet the oracle reads. Reference analog: every task reading a
     * config-bound side input next to its topic inputs (e.g. the

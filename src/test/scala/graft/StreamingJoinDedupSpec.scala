@@ -163,6 +163,42 @@ class StreamingJoinDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty)
   }
 
+  test("e47 class: stream-static dim join is stateless, broadcast, " +
+      "and enriches keys arriving in later micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = java.nio.file.Files.createTempDirectory("dim").toString
+    Seq(("u1", "SEG_A"), ("u2", "SEG_B"), ("u3", "SEG_C"))
+      .toDF("k", "seg").coalesce(1).write.mode("overwrite").parquet(dimDir)
+    val mem = MemoryStream[KEv]
+    val dim = broadcast(spark.read.parquet(dimDir))
+    val q = mem.toDS().toDF()
+      .join(dim, col("key") === col("k"))
+      .select(col("key"), col("text"), col("seg"))
+      .writeStream.format("memory").queryName("dim_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(kev("u1", 0, t0, 1.0, "e1", 1),
+        kev("u9", 0, t0, 1.0, "eX", 2)) // no dim row: dropped (inner)
+      q.processAllAvailable()
+      // a key first seen in batch 2 joins with NO state carried —
+      // the lookup is per-batch re-execution, not buffered state
+      mem.addData(kev("u2", 0, t0 + 1000, 2.0, "e2", 3))
+      q.processAllAvailable()
+      val got = spark.table("dim_out").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(got == Set(("e1", "SEG_A"), ("e2", "SEG_B")))
+      // the class properties e47's oracle hash can't see: the executed
+      // micro-batch plan broadcasts the dim (stream side un-shuffled)
+      // and contains NO stateful operator
+      val plan = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+      assert(!plan.contains("StateStore"), plan.take(500))
+    } finally q.stop()
+  }
+
   test("e43 registered stream == batch interval join at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("e43_stream_stream_join")(spark, sf)
