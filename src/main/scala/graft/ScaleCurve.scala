@@ -55,8 +55,8 @@ object ScaleCurve {
     // ride it (the persisted-intermediate pattern, like d10→d12)
     "g01_triangle_count", "g02_pagerank", "g03_common_neighbors",
     "g05_bfs_landmarks", "g06_kcore",
-    "t24_tfidf_keywords", "m22_scene_detect", "d18_soft_dedup",
-    "q33_range_frame")
+    "t24_tfidf_keywords", "m22_scene_detect", "m23_video_curation",
+    "d18_soft_dedup", "q33_range_frame")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -91,6 +91,7 @@ object ScaleCurve {
       "t23_nb_classifier", // scan ×100; model fixed at classes × 4096
       "t24_tfidf_keywords", // scan ×100; df table grows with replica vocab but stays broadcast-sized
       "m22_scene_detect",  // row-local luma fold: pure scan scaling
+      "m23_video_curation", // composed tail: everything after the scene rollup is |scenes|-sized
       "d18_soft_dedup")    // rides d10's labels like d12/d16
 
   def main(args: Array[String]): Unit = {

@@ -829,7 +829,10 @@ object MultimodalQueries {
     * doc's frames. One shuffle on doc_id carries (doc, frame, luma)
     * triples, never payload bytes; the scene rollup rides the same
     * partitioning (no second exchange). */
-  private def m22(s: SparkSession, d: String): DataFrame = {
+  /** Scene table shared by m22 (which publishes it) and m23 (which
+    * composes on it): (doc_id, scene_id, start_f, end_f, n_frames,
+    * luma_sum), unordered. */
+  private def scenesOf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frames = Tables.documents(s, d)
       .filter(length(col("text")) >= 128)
@@ -853,11 +856,15 @@ object MultimodalQueries {
         max(col("f")).cast(LongType).as("end_f"),
         count(lit(1)).cast(LongType).as("n_frames"),
         sum(col("luma")).cast(LongType).as("luma_sum"))
-      .orderBy(col("doc_id"), col("scene_id"))
   }
 
-  private val m22Sql =
-    """WITH fr AS (
+  private def m22(s: SparkSession, d: String): DataFrame =
+    scenesOf(s, d).orderBy(col("doc_id"), col("scene_id"))
+
+  /** Scene-table CTE chain shared by the m22 and m23 oracles; ends in
+    * `scenes(doc_id, scene_id, start_f, end_f, n_frames, luma_sum)`. */
+  private val scenesCtes =
+    """fr AS (
       |  SELECT doc_id, text,
       |    unnest(range(0, CAST(length(text) // 64 AS BIGINT))) AS f
       |  FROM documents WHERE length(text) >= 128),
@@ -873,17 +880,124 @@ object MultimodalQueries {
       |           OR abs(luma - lag(luma) OVER w) > 200
       |         THEN 1 ELSE 0 END AS cut
       |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
-      |scenes AS (
+      |sc AS (
       |  SELECT doc_id, f, luma,
       |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f
       |      ROWS UNBOUNDED PRECEDING) - 1 AS scene_id
-      |  FROM cuts)
-      |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
-      |  CAST(min(f) AS BIGINT) AS start_f, CAST(max(f) AS BIGINT) AS end_f,
-      |  CAST(count(*) AS BIGINT) AS n_frames,
-      |  CAST(sum(luma) AS BIGINT) AS luma_sum
-      |FROM scenes GROUP BY doc_id, scene_id
-      |ORDER BY doc_id, scene_id""".stripMargin
+      |  FROM cuts),
+      |scenes AS (
+      |  SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+      |    CAST(min(f) AS BIGINT) AS start_f, CAST(max(f) AS BIGINT) AS end_f,
+      |    CAST(count(*) AS BIGINT) AS n_frames,
+      |    CAST(sum(luma) AS BIGINT) AS luma_sum
+      |  FROM sc GROUP BY doc_id, scene_id)""".stripMargin
+
+  private val m22Sql =
+    s"""WITH $scenesCtes
+       |SELECT doc_id, scene_id, start_f, end_f, n_frames, luma_sum
+       |FROM scenes ORDER BY doc_id, scene_id""".stripMargin
+
+  // ---- m23: composed video-curation pipeline ------------------------------
+  /** The video-data curation deployment in ONE declarative plan —
+    * segment → keyframe → perceptual-hash dedup → keep/drop manifest,
+    * the multimodal-LLM data shape (segment long videos into shots,
+    * keep one representative keyframe per distinct shot, drop repeated
+    * shots): m22's scene segmentation feeds a middle-frame keyframe
+    * per scene; each keyframe decodes through the m21 kernel mount
+    * (synthGray: keyframes of the SAME video share a base image and
+    * differ by a local edit — consecutive shots of one recording look
+    * alike — while cross-video keyframes are independent noise);
+    * dHash signatures then run the m21 banded-hamming near-dup
+    * (7×9-bit pigeonhole bands, exact bit_count verify ≤6) and a
+    * d16-style keep verdict marks each scene's keyframe keep/drop.
+    *
+    * Scale: scenes ≪ frames (the segmentation rollup bounds the
+    * composed tail — everything after it is |scenes|-sized); the hash
+    * mount is row-local mapPartitions on the DISTINCT keyframe ids;
+    * the banded join is capped by band-bucket structure exactly as
+    * m21/d04. The whole pipeline reuses the documents scan once.
+    * Oracle: the full chain — scenes, md5 pixel synthesis, dHash bit
+    * reconstruction, banded candidates, hamming verify — in SQL. */
+  private def m23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = scenesOf(s, d)
+      .withColumn("mid", expr("(start_f + end_f) div 2"))
+      .withColumn("kid", (col("doc_id") * 16 + pmod(col("mid"), lit(16)))
+        .cast(LongType))
+    val ph = sc.select(col("kid")).distinct().as[Long]
+      .mapPartitions { it =>
+        it.map { k =>
+          (k, graft.functions.ImageKernel.dhash(
+            graft.functions.ImageKernel.synthGray(k)))
+        }
+      }.toDF("kid", "phash")
+    val bands = ph.select(col("kid"), col("phash"),
+        explode(sequence(lit(0), lit(6))).as("b"))
+      .select(col("kid"), col("b"),
+        expr("shiftright(phash, CAST(b * 9 AS INT)) & 511").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.kid") < col("b.kid"))
+      .select(col("a.kid").as("id_a"), col("b.kid").as("id_b"))
+      .distinct()
+    val ver = cand
+      .join(ph.select(col("kid").as("id_a"), col("phash").as("pa")), "id_a")
+      .join(ph.select(col("kid").as("id_b"), col("phash").as("pb")), "id_b")
+      .filter(expr("bit_count(pa ^ pb)") <= 6)
+    val nbrs = ver.select(col("id_a").as("kid"), col("id_b").as("nbr"))
+      .union(ver.select(col("id_b").as("kid"), col("id_a").as("nbr")))
+      .groupBy(col("kid")).agg(min(col("nbr")).as("min_nbr"))
+    sc.join(ph, "kid").join(nbrs, Seq("kid"), "left")
+      .withColumn("rep_kid",
+        least(col("kid"), coalesce(col("min_nbr"), col("kid")))
+          .cast(LongType))
+      .select(col("doc_id"), col("scene_id"), col("mid").as("mid_frame"),
+        col("kid"), col("phash"), col("rep_kid"),
+        (col("rep_kid") === col("kid")).cast(LongType).as("keep"))
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  private val m23Sql =
+    s"""WITH $scenesCtes,
+       |kf AS (SELECT doc_id, scene_id,
+       |    (start_f + end_f) // 2 AS mid_frame,
+       |    doc_id * 16 + ((start_f + end_f) // 2) % 16 AS kid
+       |  FROM scenes),
+       |kids AS (SELECT DISTINCT kid FROM kf),
+       |px AS (SELECT kid, x, y,
+       |    CAST(concat('0x', substr(md5(
+       |      'g' || (kid // 16) || '_' || x || '_' || y), 1, 2)) AS BIGINT)
+       |    + CASE WHEN y = 0 AND x = (kid % 16) % 9 THEN 40 ELSE 0 END AS v
+       |  FROM kids,
+       |    (SELECT unnest(range(9)) AS x), (SELECT unnest(range(8)) AS y)),
+       |bits AS (SELECT a.kid, a.y * 8 + a.x AS idx
+       |  FROM px a JOIN px b ON b.kid = a.kid AND b.y = a.y
+       |    AND b.x = a.x + 1
+       |  WHERE a.x < 8 AND a.y * 8 + a.x < 63 AND b.v > a.v),
+       |ph AS (SELECT k.kid, CAST(coalesce(s.h, 0) AS BIGINT) AS phash
+       |  FROM kids k LEFT JOIN (
+       |    SELECT kid, SUM(CAST(1 AS BIGINT) << idx) AS h
+       |    FROM bits GROUP BY kid) s USING (kid)),
+       |bands AS (SELECT kid, b, (phash >> (b * 9)) & 511 AS bv
+       |  FROM ph, (SELECT unnest(range(7)) AS b)),
+       |cand AS (SELECT DISTINCT a.kid AS id_a, b.kid AS id_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |    AND a.kid < b.kid),
+       |ver AS (SELECT id_a, id_b
+       |  FROM cand JOIN ph pa ON pa.kid = id_a
+       |            JOIN ph pb ON pb.kid = id_b
+       |  WHERE bit_count(xor(pa.phash, pb.phash)) <= 6),
+       |nbrs AS (SELECT kid, min(nbr) AS min_nbr
+       |  FROM (SELECT id_a AS kid, id_b AS nbr FROM ver
+       |        UNION ALL SELECT id_b, id_a FROM ver)
+       |  GROUP BY kid)
+       |SELECT kf.doc_id, kf.scene_id, CAST(kf.mid_frame AS BIGINT) AS mid_frame,
+       |  CAST(kf.kid AS BIGINT) AS kid, p.phash,
+       |  CAST(least(kf.kid, coalesce(n.min_nbr, kf.kid)) AS BIGINT) AS rep_kid,
+       |  CAST(least(kf.kid, coalesce(n.min_nbr, kf.kid)) = kf.kid AS BIGINT)
+       |    AS keep
+       |FROM kf JOIN ph p USING (kid) LEFT JOIN nbrs n USING (kid)
+       |ORDER BY kf.doc_id, kf.scene_id""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
@@ -902,5 +1016,6 @@ object MultimodalQueries {
     Q("m15_asr_trained", m15, Some(m15Sql)),
     Q("m21_phash_dedup", m21, Some(m21Sql)),
     Q("m22_scene_detect", m22, Some(m22Sql)),
+    Q("m23_video_curation", m23, Some(m23Sql)),
   )
 }
