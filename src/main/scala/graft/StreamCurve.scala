@@ -152,6 +152,29 @@ object StreamCurve {
           col("text"), col("paused"), col("seq"))
     }
 
+    /** e47's stream-static class at curve scale: purchases re-keyed
+      * onto `reps` replicas of the user population, joined per
+      * micro-batch against a broadcast dimension that GROWS with the
+      * key space (nUsers·reps rows — the dim scales with the entity
+      * catalog, the realistic axis). The measured question: does the
+      * per-batch broadcast + hash-probe cost stay a fixed floor while
+      * rows ×100 (it should — the probe is per-row O(1), the broadcast
+      * per-batch O(|dim|)). */
+    lazy val nUsers: Long = Tables.eventsMs(spark, sfDir)
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+
+    def dimFixture(reps: Int): DataFrame = {
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      e.filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(r))
+        .select((col("user_id") + col("rep") * nUsers).cast("string").as("key"),
+          lit(0).as("topic"), col("ts_ms").as("ts"), col("value"),
+          col("event_id").cast("string").as("text"),
+          lit(false).as("paused"),
+          (col("event_id") * reps + col("rep")).as("seq"))
+    }
+
     def run(machine: String, reps: Int): (Long, Long, Double) = {
       import StatefulRunner.{KEv, KOut}
       val (fixture, order, pipes,
@@ -183,6 +206,19 @@ object StreamCurve {
           Seq(col("topic"), col("ts"), col("seq")), 150L * reps,
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
             graft.operators.StreamParityQueries.dedupMount(ds))
+        case "dim_join" => (dimFixture(reps),
+          Seq(col("ts"), col("seq")), nUsers * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) => {
+            val dim = broadcast(ds.sparkSession
+              .range(0, nUsers * reps)
+              .select(col("id").cast("string").as("k"),
+                concat(lit("S"), pmod(col("id"), lit(7))).as("seg")))
+            ds.toDF().join(dim, col("key") === col("k"))
+              .select(col("key"), col("ts"), col("value"),
+                concat_ws(":", col("text"), col("seg")).as("text"),
+                lit(false).as("paused"))
+              .as[KOut](org.apache.spark.sql.Encoders.product[KOut])
+          })
         case "session_window" => (sessFixture(reps),
           Seq(col("ts"), col("seq")), 1500L * reps,
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
@@ -218,7 +254,7 @@ object StreamCurve {
     // optional 2nd arg: comma-separated machine filter (local iteration)
     val machines = args.drop(1).headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("gate", "synchronizer", "calculator", "session_window",
-        "stream_join", "dedup"))
+        "stream_join", "dedup", "dim_join"))
     val rows = for {
       m <- machines
       reps <- repsScale

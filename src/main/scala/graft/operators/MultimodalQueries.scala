@@ -832,7 +832,7 @@ object MultimodalQueries {
   /** Scene table shared by m22 (which publishes it) and m23 (which
     * composes on it): (doc_id, scene_id, start_f, end_f, n_frames,
     * luma_sum), unordered. */
-  private def scenesOf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def scenesOf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val frames = Tables.documents(s, d)
       .filter(length(col("text")) >= 128)
@@ -913,33 +913,65 @@ object MultimodalQueries {
     *
     * Scale: scenes ≪ frames (the segmentation rollup bounds the
     * composed tail — everything after it is |scenes|-sized); the hash
-    * mount is row-local mapPartitions on the DISTINCT keyframe ids;
-    * the banded join is capped by band-bucket structure exactly as
-    * m21/d04. The whole pipeline reuses the documents scan once.
-    * Oracle: the full chain — scenes, md5 pixel synthesis, dHash bit
-    * reconstruction, banded candidates, hamming verify — in SQL. */
+    * mount is row-local mapPartitions on the DISTINCT keyframe ids.
+    * Candidates come from TWO bounded sources (measured lesson — the
+    * first cut ran the m21 band join uncapped, and the ×10 curve
+    * corpus put 66k keyframes into 7×512 band buckets: ~130 members
+    * per bucket, 60M candidate pairs, 87 s / exp 1.72):
+    *  1. same-video blocking — an equi-join on base = kid div 16,
+    *     ≤C(16,2) pairs per video, linear in the corpus: consecutive
+    *     shots of one recording are WHERE near-dup keyframes live, so
+    *     the strong blocking key carries recall at any density;
+    *  2. the banded-hamming path for cross-video dups, with d02's
+    *     overflow-bucket drop ([[DedupQueries.LshBucketCap]]): a
+    *     9-bit band bucket holding >32 of 66k random signatures is
+    *     pure collision density, not similarity — dropping it bounds
+    *     the join at exactly the point the band stops selecting.
+    *     (63-bit dHash banding saturates near 2⁹·bands items; beyond
+    *     that, production systems widen the signature — more bits —
+    *     rather than widen the buckets.)
+    * The whole pipeline reuses the documents scan once. Oracle: the
+    * full chain — scenes, md5 pixel synthesis, dHash bits, blocking +
+    * capped bands, hamming verify — in SQL. */
   private def m23(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sc = scenesOf(s, d)
+    // The two composed intermediates materialize (scope-released
+    // localCheckpoints — the s11/t22 plan-size lesson): `sc` feeds the
+    // hash mount AND the final manifest join, and `ph` is referenced
+    // ~9× through bands→cand→ver→nbrs (each self-join/union DOUBLES
+    // the lineage) — without the cuts the scene pipeline re-derives
+    // once per reference (measured: ×10 decade 93 s, exp 1.64, ×100
+    // aborts; with them the tail is |scenes|-sized as designed).
+    val sc = graft.Resources.checkpoint(scenesOf(s, d)
       .withColumn("mid", expr("(start_f + end_f) div 2"))
       .withColumn("kid", (col("doc_id") * 16 + pmod(col("mid"), lit(16)))
-        .cast(LongType))
-    val ph = sc.select(col("kid")).distinct().as[Long]
-      .mapPartitions { it =>
-        it.map { k =>
-          (k, graft.functions.ImageKernel.dhash(
-            graft.functions.ImageKernel.synthGray(k)))
-        }
-      }.toDF("kid", "phash")
+        .cast(LongType)))
+    val ph = graft.Resources.checkpoint(
+      sc.select(col("kid")).distinct().as[Long]
+        .mapPartitions { it =>
+          it.map { k =>
+            (k, graft.functions.ImageKernel.dhash(
+              graft.functions.ImageKernel.synthGray(k)))
+          }
+        }.toDF("kid", "phash"))
+    val withBase = ph.withColumn("base", expr("kid div 16"))
+    val local = withBase.as("a").join(withBase.as("b"),
+        col("a.base") === col("b.base") && col("a.kid") < col("b.kid"))
+      .select(col("a.kid").as("id_a"), col("b.kid").as("id_b"))
     val bands = ph.select(col("kid"), col("phash"),
         explode(sequence(lit(0), lit(6))).as("b"))
       .select(col("kid"), col("b"),
         expr("shiftright(phash, CAST(b * 9 AS INT)) & 511").as("bv"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val okBuckets = bands.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= DedupQueries.LshBucketCap)
+      .select(col("b"), col("bv"))
+    val capped = bands.join(okBuckets, Seq("b", "bv"))
+    val banded = capped.as("a").join(capped.as("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
           col("a.kid") < col("b.kid"))
       .select(col("a.kid").as("id_a"), col("b.kid").as("id_b"))
-      .distinct()
+    val cand = local.unionByName(banded).distinct()
     val ver = cand
       .join(ph.select(col("kid").as("id_a"), col("phash").as("pa")), "id_a")
       .join(ph.select(col("kid").as("id_b"), col("phash").as("pb")), "id_b")
@@ -978,11 +1010,21 @@ object MultimodalQueries {
        |  FROM kids k LEFT JOIN (
        |    SELECT kid, SUM(CAST(1 AS BIGINT) << idx) AS h
        |    FROM bits GROUP BY kid) s USING (kid)),
+       |loc AS (SELECT a.kid AS id_a, b.kid AS id_b
+       |  FROM ph a JOIN ph b ON a.kid // 16 = b.kid // 16
+       |    AND a.kid < b.kid),
        |bands AS (SELECT kid, b, (phash >> (b * 9)) & 511 AS bv
        |  FROM ph, (SELECT unnest(range(7)) AS b)),
-       |cand AS (SELECT DISTINCT a.kid AS id_a, b.kid AS id_b
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-       |    AND a.kid < b.kid),
+       |capped AS (SELECT bands.* FROM bands
+       |  JOIN (SELECT b, bv FROM bands GROUP BY b, bv
+       |        HAVING count(*) <= ${DedupQueries.LshBucketCap}) ok
+       |  USING (b, bv)),
+       |cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT id_a, id_b FROM loc
+       |  UNION ALL
+       |  SELECT a.kid AS id_a, b.kid AS id_b
+       |  FROM capped a JOIN capped b ON a.b = b.b AND a.bv = b.bv
+       |    AND a.kid < b.kid)),
        |ver AS (SELECT id_a, id_b
        |  FROM cand JOIN ph pa ON pa.kid = id_a
        |            JOIN ph pb ON pb.kid = id_b
