@@ -831,6 +831,59 @@ object Relational {
       |FROM c JOIN p ON abs(click_ts - purchase_ts) <= 60000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---- q34: dynamic partition pruning (runtime star-schema prune) ---------
+  /** The fourth curated-layout demonstration: q32 prunes partitions at
+    * PLANNING time from a literal predicate on the partition column;
+    * q34 prunes them at RUNTIME from a join — the star-schema shape
+    * where the fact's partition column is joined to a FILTERED
+    * dimension (language → script-family dim, `fam = 'latin'`), and
+    * the partition values to keep are only known after the dim side
+    * executes. Catalyst's DynamicPartitionPruning injects the dim's
+    * build-side result as a subquery filter into the fact scan's
+    * PartitionFilters (reusing the join's broadcast), so the fact
+    * reads 3 of 5 lang directories without the query ever naming
+    * them. At 100 TB this is THE mechanism that keeps dimension-
+    * driven fact scans proportional to the selected slice —
+    * date-dim → day-partitioned-fact being the canonical instance.
+    * The DPP rule requires a selective predicate on the dim side
+    * (measured: an agg+limit dim does NOT trigger it; a filtered
+    * dim table does), so the dim is a real 5-row parquet table.
+    * BucketingSpec asserts `dynamicpruning` in the executed plan. */
+  private val langDimReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureLangDim(s: SparkSession, dir: String): String =
+    langDimReady.computeIfAbsent(dir, _ => {
+      val h = Integer.toHexString(dir.hashCode).replace('-', 'n')
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-langdim-$h"
+      import s.implicits._
+      Seq(("en", "latin"), ("fr", "latin"), ("es", "latin"),
+        ("de", "germanic"), ("zh", "cjk"))
+        .toDF("dlang", "fam").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(ensurePartitioned(spark, dir))
+    val dim = spark.read.parquet(ensureLangDim(spark, dir))
+      .filter(col("fam") === "latin")
+    fact.join(dim, col("lang") === col("dlang"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast(LongType).as("docs"),
+        sum(col("n_chars")).cast(LongType).as("chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q34Sql =
+    """WITH dim(dlang, fam) AS (VALUES
+      |  ('en','latin'), ('fr','latin'), ('es','latin'),
+      |  ('de','germanic'), ('zh','cjk'))
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents JOIN dim ON lang = dlang
+      |WHERE fam = 'latin'
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   // ---- q33: RANGE-frame rolling window (7-day revenue per customer) ------
   /** Rolling 7-day order revenue per customer — the RANGE window frame
     * (peers by ORDER-BY VALUE, not row position), the one window frame
@@ -914,5 +967,6 @@ object Relational {
     Q("q31_salted_skew_join", q31, Some(q31Sql)),
     Q("q32_partition_pruned", q32, Some(q32Sql)),
     Q("q33_range_frame", q33, Some(q33Sql)),
+    Q("q34_dynamic_pruning", q34, Some(q34Sql)),
   )
 }

@@ -43,6 +43,26 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("q34 prunes at RUNTIME: the filtered-dim join injects a " +
+      "dynamicpruning subquery into the fact scan's PartitionFilters") {
+    val df = graft.SparkEntry.queries("q34_dynamic_pruning")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"DPP must fire on the lang-partitioned fact:\n${plan.take(2000)}")
+    // equal to the unpartitioned semi-join computation
+    val expect = Tables.documents(spark, sf)
+      .filter(col("lang").isin("en", "fr", "es"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"), col("source"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("bucketed join has no Exchange; plain join does") {
     Tables.writeBucketed(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
