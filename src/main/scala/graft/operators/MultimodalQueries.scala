@@ -741,15 +741,32 @@ object MultimodalQueries {
           graft.functions.ImageKernel.synthGray(id)))
       }
     }.toDF("doc_id", "phash")
+    // Candidates from two BOUNDED sources — the m23-measured lesson
+    // applied consistently (an uncapped 9-bit band join saturates near
+    // 2⁹·bands items and goes ~n²/512 past it): same-shoot blocking
+    // (base = doc_id div 16, ≤C(16,2) pairs per base — where synthGray
+    // puts the true near-dups) plus the banded path under d02's
+    // overflow-bucket drop. At the registered SFs the output is
+    // hash-identical to the uncapped formulation (no bucket overflows;
+    // banding already found every same-base pair).
+    val withBase = ph.withColumn("base", expr("doc_id div 16"))
+    val local = withBase.as("a").join(withBase.as("b"),
+        col("a.base") === col("b.base") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val bands = ph.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(6))).as("b"))
       .select(col("doc_id"), col("b"),
         expr("shiftright(phash, CAST(b * 9 AS INT)) & 511").as("bv"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val okBuckets = bands.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= DedupQueries.LshBucketCap)
+      .select(col("b"), col("bv"))
+    val capped = bands.join(okBuckets, Seq("b", "bv"))
+    val banded = capped.as("a").join(capped.as("b"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = local.unionByName(banded).distinct()
     val ver = cand
       .join(ph.select(col("doc_id").as("id_a"), col("phash").as("pa")), "id_a")
       .join(ph.select(col("doc_id").as("id_b"), col("phash").as("pb")), "id_b")
@@ -785,11 +802,20 @@ object MultimodalQueries {
       |  FROM documents d LEFT JOIN (
       |    SELECT doc_id, SUM(CAST(1 AS BIGINT) << idx) AS h
       |    FROM bits GROUP BY doc_id) s USING (doc_id)),
+      |loc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ph a JOIN ph b ON a.doc_id // 16 = b.doc_id // 16
+      |    AND a.doc_id < b.doc_id),
       |bands AS (SELECT doc_id, b, (phash >> (b * 9)) & 511 AS bv
       |  FROM ph, (SELECT unnest(range(7)) AS b)),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-      |    AND a.doc_id < b.doc_id),
+      |capped AS (SELECT bands.* FROM bands
+      |  JOIN (SELECT b, bv FROM bands GROUP BY b, bv
+      |        HAVING count(*) <= 32) ok USING (b, bv)),
+      |cand AS (SELECT DISTINCT id_a, id_b FROM (
+      |  SELECT id_a, id_b FROM loc
+      |  UNION ALL
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b ON a.b = b.b AND a.bv = b.bv
+      |    AND a.doc_id < b.doc_id)),
       |ver AS (SELECT id_a, id_b
       |  FROM cand JOIN ph pa ON pa.doc_id = id_a
       |            JOIN ph pb ON pb.doc_id = id_b
