@@ -1261,6 +1261,102 @@ object StreamParityQueries {
       |WHERE e.event_type = 'purchase'
       |ORDER BY e.event_id""".stripMargin
 
+  /** e48: STREAM-STREAM LEFT OUTER INTERVAL JOIN — the last streaming
+    * join class (e43 inner, e46 join→agg, e47 stream-static): clicks
+    * LEFT JOIN purchases on user within the 24 h attribution window,
+    * where an unmatched click emits a null-extended row ONLY once the
+    * WATERMARK PROVES no future purchase can land in its window. That
+    * is the genuinely new mechanism here — result emission driven by
+    * state EVICTION, not by arrival: a click buffered in batch N either
+    * pairs in a later batch (the e43 path) or flushes as
+    * "never converted" when the watermark passes c_t + 24 h. This is
+    * the funnel-analysis shape (sessions that never purchased, spans
+    * that never acked) that inner joins cannot express in a stream.
+    *
+    * Null channels: KOut.value is a primitive Double and `concat`
+    * null-annihilates, so the nullable purchase fields ride the text
+    * channel via concat_ws with "n" markers; the purchase amount
+    * round-trips double→string→double exactly (Spark prints the
+    * shortest decimal representation, which parses back to the same
+    * bits). Sentinel tail rows (both topics — the global watermark is
+    * the branch min) advance event time past every click's window end;
+    * a sentinel click itself emits as an unmatched left row, so
+    * sentinels are filtered AFTER the sink read (an in-mount key
+    * filter would push down past the watermark and starve it — the
+    * e46 lesson). Two sentinel rounds because the watermark computed
+    * from round 1 is applied in round 2, and eviction (hence null
+    * emission) happens in the batch after the advance.
+    *
+    * Scale: state is bounded by the 24 h window on both sides exactly
+    * as e43; the null-flush adds no state, it is the eviction path
+    * itself. Oracle: the identical batch LEFT JOIN. */
+  private def e48(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val e = Tables.eventsMs(s, d)
+    val kev = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast(StringType).as("key"),
+        when(col("event_type") === "click", 0).otherwise(1).as("topic"),
+        col("ts_ms").as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), col("event_id").as("seq"))
+    val maxTs = e.agg(max(col("ts_ms"))).head().getLong(0) // 1-row bound
+    val day = 86400000L
+    def sentinel(i: Int) = Seq(
+      KEv("zz-c", 0, maxTs + (i + 3) * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue - 2 * i),
+      KEv("zz-p", 1, maxTs + (i + 3) * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue - 2 * i - 1))
+    val mount = (ds: Dataset[KEv]) => {
+      val df = ds.toDF()
+      val clicks = df.filter(col("topic") === 0)
+        .select(col("key"), col("ts").as("c_ts"), col("text").as("c_id"),
+          timestamp_millis(col("ts")).as("c_t"))
+        .withWatermark("c_t", "0 seconds")
+      val purchases = df.filter(col("topic") === 1)
+        .select(col("key").as("p_key"), col("text").as("p_id"),
+          col("value").as("p_val"), timestamp_millis(col("ts")).as("p_t"))
+        .withWatermark("p_t", "0 seconds")
+      clicks.join(purchases,
+          col("key") === col("p_key") &&
+          col("p_t") >= col("c_t") &&
+          col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"),
+          "leftOuter")
+        .select(col("key"), col("c_ts").as("ts"), lit(0.0).as("value"),
+          concat_ws("|", col("c_id"),
+            coalesce(col("p_id"), lit("n")),
+            coalesce(col("p_val").cast(StringType), lit("n"))).as("text"),
+          lit(false).as("paused"))
+        .as[KOut](Encoders.product[KOut])
+    }
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sljoin@$d", mount,
+        Map.empty, tails = Seq(sentinel(0), sentinel(1)))
+      .filter(!col("key").startsWith("zz-"))
+      .select(col("key").cast(LongType).as("user_id"),
+        col("ts").as("click_ms"),
+        split(col("text"), "\\|").getItem(0).cast(LongType).as("click_id"),
+        when(split(col("text"), "\\|").getItem(1) === "n",
+          lit(null).cast(LongType))
+          .otherwise(split(col("text"), "\\|").getItem(1).cast(LongType))
+          .as("purchase_id"),
+        when(split(col("text"), "\\|").getItem(2) === "n",
+          lit(null).cast(DoubleType))
+          .otherwise(split(col("text"), "\\|").getItem(2).cast(DoubleType))
+          .as("amount"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val e48Sql =
+    """WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id AS user_id, c.ts_ms AS click_ms,
+      |  c.event_id AS click_id, p.event_id AS purchase_id,
+      |  p.value AS amount
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND p.ts_ms BETWEEN c.ts_ms AND c.ts_ms + 86400000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -1285,5 +1381,6 @@ object StreamParityQueries {
     Q("e45_streaming_fntask", e45, Some(e45Sql)),
     Q("e46_stream_join_agg", e46, Some(e46Sql)),
     Q("e47_stream_static_dim", e47, Some(e47Sql)),
+    Q("e48_stream_left_outer", e48, Some(e48Sql)),
   )
 }

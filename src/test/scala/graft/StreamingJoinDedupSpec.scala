@@ -199,6 +199,80 @@ class StreamingJoinDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("e48 class: left-outer null row is emitted ONLY once the " +
+      "watermark proves no future purchase can match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[KEv]
+    val purch = MemoryStream[KEv]
+    val c = clicks.toDS().toDF()
+      .select(col("key"), col("text").as("c_id"),
+        timestamp_millis(col("ts")).as("c_t"))
+      .withWatermark("c_t", "0 seconds")
+    val p = purch.toDS().toDF()
+      .select(col("key").as("p_key"), col("text").as("p_id"),
+        timestamp_millis(col("ts")).as("p_t"))
+      .withWatermark("p_t", "0 seconds")
+    val q = c.join(p,
+        col("key") === col("p_key") &&
+        col("p_t") >= col("c_t") &&
+        col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"),
+        "leftOuter")
+      .select(col("c_id"), col("p_id"))
+      .writeStream.format("memory").queryName("lj_out")
+      .outputMode("append").start()
+    def got() = spark.table("lj_out").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    try {
+      // batch 1: two clicks; u's will pair, v's never will
+      clicks.addData(kev("u", 0, t0, 0.0, "cu", 1),
+        kev("v", 0, t0, 0.0, "cv", 2))
+      q.processAllAvailable()
+      // batch 2: u's purchase arrives — the MATCH emits on arrival,
+      // but cv must NOT emit yet: the watermark (still ≤ t0) cannot
+      // prove v's window is unmatchable
+      purch.addData(kev("u", 1, t0 + 1000, 5.0, "pu", 3))
+      q.processAllAvailable()
+      assert(got() == Set(("cu", Some("pu")))) // no premature null row
+      // batches 3+: event time advances past t0+24h on BOTH branches
+      // (the global watermark is the branch min); eviction of cv's
+      // buffered state then emits the null-extended row
+      clicks.addData(kev("zz", 0, t0 + 3 * W, 0.0, "zc", 4))
+      purch.addData(kev("zz2", 1, t0 + 3 * W, 0.0, "zp", 5))
+      q.processAllAvailable()
+      clicks.addData(kev("zz", 0, t0 + 4 * W, 0.0, "zc2", 6))
+      purch.addData(kev("zz2", 1, t0 + 4 * W, 0.0, "zp2", 7))
+      q.processAllAvailable()
+      assert(got().contains(("cv", None)))
+      assert(!got().exists { case (id, po) => id == "cu" && po.isEmpty })
+    } finally q.stop()
+  }
+
+  test("e48 registered stream == batch left-outer interval join at " +
+      "sf0.001 (matched pairs + never-converted nulls)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("e48_stream_left_outer")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val e = Tables.eventsMs(spark, sf)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts_ms").as("cts"),
+        col("event_id").as("cid"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_ms").as("pts"),
+        col("event_id").as("pid"))
+    val want = c.join(p, col("u") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + W,
+        "left_outer")
+      .select(col("cid"), coalesce(col("pid"), lit(-1L)).as("pid"))
+      .orderBy(col("cid"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(want.exists(_._2 == -1L), "fixture must contain unmatched clicks")
+    assert(want.exists(_._2 != -1L), "fixture must contain matched clicks")
+  }
+
   test("e43 registered stream == batch interval join at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("e43_stream_stream_join")(spark, sf)
