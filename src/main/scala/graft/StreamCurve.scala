@@ -202,6 +202,19 @@ object StreamCurve {
           Seq(col("ts"), col("seq")), 150L * reps,
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
             graft.operators.StreamParityQueries.joinMount(ds))
+        // e48's class: same two-sided buffer as stream_join, plus the
+        // eviction-emission path — every unmatched click is tracked to
+        // its watermark-proved flush, so the state-store write volume
+        // is strictly higher than the inner join's. The curve question:
+        // does the null-flush tail stay amortized into the same
+        // per-batch floor as the key count multiplies? Sentinel tails
+        // are unnecessary for throughput (unflushed tail state is
+        // simply never read — the work measured is ingest + eviction
+        // up to the final watermark).
+        case "left_outer" => (joinFixture(reps),
+          Seq(col("ts"), col("seq")), 150L * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            graft.operators.StreamParityQueries.leftOuterJoinMount(ds))
         case "dedup" => (dedupFixture(reps),
           Seq(col("topic"), col("ts"), col("seq")), 150L * reps,
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
@@ -254,7 +267,7 @@ object StreamCurve {
     // optional 2nd arg: comma-separated machine filter (local iteration)
     val machines = args.drop(1).headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("gate", "synchronizer", "calculator", "session_window",
-        "stream_join", "dedup", "dim_join"))
+        "stream_join", "left_outer", "dedup", "dim_join"))
     val rows = for {
       m <- machines
       reps <- repsScale

@@ -1290,8 +1290,35 @@ object StreamParityQueries {
     * Scale: state is bounded by the 24 h window on both sides exactly
     * as e43; the null-flush adds no state, it is the eviction path
     * itself. Oracle: the identical batch LEFT JOIN. */
-  private def e48(s: SparkSession, d: String): DataFrame = {
+  /** e48's mount (also driven by StreamCurve's left_outer family):
+    * e43's interval join, leftOuter — unmatched clicks flush as
+    * null-extended rows when the watermark evicts their buffer slot.
+    * Nullable fields packed into text (see e48 doc). */
+  private[graft] def leftOuterJoinMount(ds: Dataset[KEv]): Dataset[KOut] = {
     import org.apache.spark.sql.Encoders
+    val df = ds.toDF()
+    val clicks = df.filter(col("topic") === 0)
+      .select(col("key"), col("ts").as("c_ts"), col("text").as("c_id"),
+        timestamp_millis(col("ts")).as("c_t"))
+      .withWatermark("c_t", "0 seconds")
+    val purchases = df.filter(col("topic") === 1)
+      .select(col("key").as("p_key"), col("text").as("p_id"),
+        col("value").as("p_val"), timestamp_millis(col("ts")).as("p_t"))
+      .withWatermark("p_t", "0 seconds")
+    clicks.join(purchases,
+        col("key") === col("p_key") &&
+        col("p_t") >= col("c_t") &&
+        col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"),
+        "leftOuter")
+      .select(col("key"), col("c_ts").as("ts"), lit(0.0).as("value"),
+        concat_ws("|", col("c_id"),
+          coalesce(col("p_id"), lit("n")),
+          coalesce(col("p_val").cast(StringType), lit("n"))).as("text"),
+        lit(false).as("paused"))
+      .as[KOut](Encoders.product[KOut])
+  }
+
+  private def e48(s: SparkSession, d: String): DataFrame = {
     val e = Tables.eventsMs(s, d)
     val kev = e.filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id").cast(StringType).as("key"),
@@ -1306,29 +1333,8 @@ object StreamParityQueries {
         paused = false, seq = Long.MaxValue - 2 * i),
       KEv("zz-p", 1, maxTs + (i + 3) * day, 0.0, "0",
         paused = false, seq = Long.MaxValue - 2 * i - 1))
-    val mount = (ds: Dataset[KEv]) => {
-      val df = ds.toDF()
-      val clicks = df.filter(col("topic") === 0)
-        .select(col("key"), col("ts").as("c_ts"), col("text").as("c_id"),
-          timestamp_millis(col("ts")).as("c_t"))
-        .withWatermark("c_t", "0 seconds")
-      val purchases = df.filter(col("topic") === 1)
-        .select(col("key").as("p_key"), col("text").as("p_id"),
-          col("value").as("p_val"), timestamp_millis(col("ts")).as("p_t"))
-        .withWatermark("p_t", "0 seconds")
-      clicks.join(purchases,
-          col("key") === col("p_key") &&
-          col("p_t") >= col("c_t") &&
-          col("p_t") <= col("c_t") + expr("INTERVAL 24 HOURS"),
-          "leftOuter")
-        .select(col("key"), col("c_ts").as("ts"), lit(0.0).as("value"),
-          concat_ws("|", col("c_id"),
-            coalesce(col("p_id"), lit("n")),
-            coalesce(col("p_val").cast(StringType), lit("n"))).as("text"),
-          lit(false).as("paused"))
-        .as[KOut](Encoders.product[KOut])
-    }
-    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sljoin@$d", mount,
+    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sljoin@$d",
+        leftOuterJoinMount,
         Map.empty, tails = Seq(sentinel(0), sentinel(1)))
       .filter(!col("key").startsWith("zz-"))
       .select(col("key").cast(LongType).as("user_id"),

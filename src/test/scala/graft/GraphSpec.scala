@@ -216,6 +216,46 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cp == (0L to 4L).map(_ -> 4L).toMap)
   }
 
+  test("g07 Bellman-Ford fixpoint == direct Dijkstra on the fixture; " +
+      "rounds fit the oracle unroll") {
+    import org.apache.spark.sql.functions._
+    // local weighted edges: co-occurrence count per sampled pair,
+    // cost = 11 - min(cnt, 10) — exactly weightedAdj's derivation
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val a = l.toDF("ok", "u"); val b = l.toDF("ok", "v")
+    val wedges = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .filter(substring(md5(concat(col("u").cast("string"), lit("-"),
+        col("v").cast("string")).cast("binary")), 1, 1) === "0")
+      .groupBy(col("u"), col("v")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val wadj = scala.collection.mutable.Map
+      .empty[Long, List[(Long, Long)]].withDefaultValue(Nil)
+    wedges.foreach { case ((u, v), cnt) =>
+      val c = 11L - math.min(cnt, 10L)
+      wadj(u) = (v, c) :: wadj(u); wadj(v) = (u, c) :: wadj(v) }
+    // seed: highest degree, ties by node — g05's landmark rule at k=1
+    val seed = wadj.toSeq.map { case (n, as) => (n, as.size) }
+      .sortBy { case (n, deg) => (-deg, n) }.head._1
+    // direct Dijkstra
+    val distM = scala.collection.mutable.Map(seed -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, seed))(
+      Ordering.by { case (c, _) => -c })
+    while (pq.nonEmpty) {
+      val (c, n) = pq.dequeue()
+      if (distM(n) == c)
+        wadj(n).foreach { case (m, w) =>
+          if (distM.get(m).forall(_ > c + w)) {
+            distM(m) = c + w; pq.enqueue((c + w, m)) } }
+    }
+    val (distDf, rounds) = graft.operators.GraphQueries.sssp(spark, sf)
+    val got = distDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == distM.toMap)
+    assert(rounds <= graft.operators.GraphQueries.SsspOracleRounds / 2,
+      s"fixture converges in $rounds rounds; oracle unrolls " +
+        s"${graft.operators.GraphQueries.SsspOracleRounds}")
+  }
+
   test("g03 predicted pairs are non-adjacent and counts match brute force") {
     val edges = localEdges()
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
