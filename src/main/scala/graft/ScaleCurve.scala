@@ -54,7 +54,7 @@ object ScaleCurve {
     // graph family: g01 publishes the session edge table, g02/g03/g05
     // ride it (the persisted-intermediate pattern, like d10→d12)
     "g01_triangle_count", "g02_pagerank", "g03_common_neighbors",
-    "g05_bfs_landmarks", "g06_kcore",
+    "g05_bfs_landmarks", "g06_kcore", "g07_sssp",
     "t24_tfidf_keywords", "m22_scene_detect", "m23_video_curation",
     "d18_soft_dedup", "q33_range_frame")
 
