@@ -1630,6 +1630,100 @@ object TextQueries {
        |  FROM scored)
        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** t25: SPAN CORRUPTION — the denoising-objective construction step
+    * of a T5/UL2-style pretraining pipeline (Raffel et al. 2020 §3.1.4:
+    * replace token spans with sentinels; input keeps the sentinels,
+    * target lists sentinel + dropped tokens). The span selection here
+    * is deliberately BLOCK-STATELESS so the same rule is expressible
+    * in one declarative pass on both engines with no sequential scan
+    * state: tokens partition into blocks of 10; block b of doc d
+    * corrupts positions {s, s+1} where s = md5₄₀(d:b) mod 9 — a ~20%
+    * corruption rate in deterministic 2-token spans, sentinel id = the
+    * block ordinal. (Production T5 samples span length ~Geometric(3);
+    * the block-stateless rule trades that length distribution for a
+    * hash-reproducible, order-free formulation — the selection policy
+    * is one inlined expression to swap.)
+    *
+    * Scale shape: the Spark side is strictly ROW-LOCAL — sequence →
+    * transform → flatten → array_join higher-order expressions build
+    * both input and target inside one projection; no explode, no
+    * shuffle, nothing but the scan (the oracle's unnest + string_agg
+    * re-derivation shuffles twice — the declarative HOF plan is the
+    * one you'd run at 100 TB, and the hash equality proves them
+    * identical). md5 runs inside a lambda (non-codegen, the t04
+    * note) but only once per 10-token BLOCK, not per token.
+    * Block-stateless selection also means resharding/re-chunking a
+    * corpus never changes any document's corruption — the property a
+    * reproducible training run needs. */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val B = 10
+    def sOf(b: Column) = pmod(
+      conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":"),
+        b.cast(StringType)).cast(BinaryType)), 1, 10), 16, 10)
+        .cast(LongType),
+      lit(9)).cast(IntegerType)
+    def sentinel(b: Column) =
+      concat(lit("<X"), b.cast(StringType), lit(">"))
+    def blockToks(b: Column) = slice(col("toks"), b * B + 1, lit(B))
+    Tables.documents(s, d)
+      .withColumn("toks", toks(col("text")))
+      .withColumn("nb",
+        ((size(col("toks")) + B - 1) / B).cast(IntegerType))
+      .withColumn("blocks",
+        when(col("nb") > 0, sequence(lit(0), col("nb") - 1))
+          .otherwise(array().cast(ArrayType(IntegerType))))
+      .select(col("doc_id"),
+        array_join(flatten(transform(col("blocks"), b => {
+          val bt = blockToks(b)
+          val sv = sOf(b)
+          when(size(bt) > sv,
+            concat(slice(bt, lit(1), sv), array(sentinel(b)),
+              slice(bt, sv + 3, lit(B))))
+            .otherwise(bt)
+        })), " ").as("input_text"),
+        array_join(flatten(transform(col("blocks"), b => {
+          val bt = blockToks(b)
+          val sv = sOf(b)
+          when(size(bt) > sv,
+            concat(array(sentinel(b)), slice(bt, sv + 1, lit(2))))
+            .otherwise(array().cast(ArrayType(StringType)))
+        })), " ").as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t25Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+      |    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1
+      |      AS idx
+      |  FROM documents),
+      |b AS (SELECT doc_id, tok, idx, idx // 10 AS blk, idx % 10 AS pos
+      |  FROM t),
+      |h AS (SELECT DISTINCT doc_id, blk,
+      |    CAST(CAST(concat('0x', substr(
+      |      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)),
+      |      1, 10)) AS BIGINT) % 9 AS INT) AS s
+      |  FROM b),
+      |j AS (SELECT b.doc_id, b.tok, b.idx, b.blk, b.pos, h.s
+      |  FROM b JOIN h ON b.doc_id = h.doc_id AND b.blk = h.blk),
+      |inp AS (SELECT doc_id,
+      |    string_agg(
+      |      CASE WHEN pos = s THEN '<X' || blk || '>' ELSE tok END,
+      |      ' ' ORDER BY idx)
+      |      FILTER (WHERE pos <> s + 1) AS input_text
+      |  FROM j GROUP BY doc_id),
+      |tb AS (SELECT doc_id, blk,
+      |    '<X' || blk || '> ' || string_agg(tok, ' ' ORDER BY pos) AS tp
+      |  FROM j WHERE pos IN (s, s + 1) GROUP BY doc_id, blk),
+      |tgt AS (SELECT doc_id,
+      |    string_agg(tp, ' ' ORDER BY blk) AS target_text
+      |  FROM tb GROUP BY doc_id)
+      |SELECT i.doc_id, i.input_text,
+      |  COALESCE(t2.target_text, '') AS target_text
+      |FROM inp i LEFT JOIN tgt t2 ON i.doc_id = t2.doc_id
+      |ORDER BY i.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1655,5 +1749,6 @@ object TextQueries {
     Q("t22_dsir_selection", t22, Some(t22Sql)),
     Q("t23_nb_classifier", t23, Some(t23Sql)),
     Q("t24_tfidf_keywords", t24, Some(t24Sql)),
+    Q("t25_span_corrupt", t25, Some(t25Sql)),
   )
 }
