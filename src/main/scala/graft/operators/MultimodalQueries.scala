@@ -1067,6 +1067,84 @@ object MultimodalQueries {
        |FROM kf JOIN ph p USING (kid) LEFT JOIN nbrs n USING (kid)
        |ORDER BY kf.doc_id, kf.scene_id""".stripMargin
 
+  // ---- m24: blur / sharpness scoring (Laplacian variance) -----------------
+  /** Per-frame SHARPNESS scoring by the variance-of-Laplacian focus
+    * measure (Pech-Pacheco et al. 2000; the OpenCV
+    * `cv2.Laplacian(...).var()` blur detector) — the third image
+    * curation signal next to m21 (near-dup) and m22 (scene cuts):
+    * multimodal training pipelines drop out-of-focus frames before
+    * captioning/embedding. Frames are the m01/m11/m22 convention
+    * (consecutive 64-byte payload slices viewed as 8×8 gray images);
+    * per interior pixel the discrete 4-neighbor Laplacian
+    * L = 4·p(i,j) − p(i−1,j) − p(i+1,j) − p(i,j−1) − p(i,j+1), and the
+    * frame statistic is the INTEGER variance surrogate
+    * 36·ΣL² − (ΣL)² (= 36²·var — exact 64-bit arithmetic, no doubles,
+    * so the sharp/blurry verdict is hash-stable across engines).
+    * Threshold 27 000 000 ≈ the fixture's p25 (measured: min 10.7M,
+    * p25 27.2M, median 30.1M, max 48.6M) — the bottom quartile of
+    * frames scores blurry.
+    *
+    * Scale shape: frame explosion is bounded (len/64 rows per doc,
+    * never per-pixel — the 36 Laplacians fold inside TWO row-local
+    * higher-order aggregates over a transform-built lap array), and
+    * the doc rollup is one hash aggregate on doc_id carrying 4 longs
+    * per frame. Payload bytes never shuffle. */
+  private def m24(s: SparkSession, d: String): DataFrame = {
+    val lapExpr =
+      """transform(sequence(0, 35), k ->
+        |  4 * ascii(substring(text, CAST(f*64 + ((k div 6)+1)*8 + (k % 6)+1 AS INT) + 1, 1))
+        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+0)*8 + (k % 6)+1 AS INT) + 1, 1))
+        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+2)*8 + (k % 6)+1 AS INT) + 1, 1))
+        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+1)*8 + (k % 6)+0 AS INT) + 1, 1))
+        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+1)*8 + (k % 6)+2 AS INT) + 1, 1)))"""
+        .stripMargin
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 128)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          (length(col("text")) / lit(64)).cast(LongType) - 1)).as("f"))
+      .withColumn("lap", expr(lapExpr))
+      .withColumn("s", expr(
+        "aggregate(lap, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("q", expr(
+        "aggregate(lap, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x)"))
+      .withColumn("var36", lit(36L) * col("q") - col("s") * col("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_frames"),
+        sum((col("var36") > 27000000L).cast(LongType))
+          .cast(LongType).as("n_sharp"),
+        min(col("var36")).cast(LongType).as("min_var"),
+        max(col("var36")).cast(LongType).as("max_var"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m24Sql =
+    """WITH fr AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CAST(length(text) // 64 AS BIGINT))) AS f
+      |  FROM documents WHERE length(text) >= 128),
+      |l AS (
+      |  SELECT doc_id, f,
+      |    list_transform(range(0, 36), k ->
+      |      4 * ascii(substr(text, CAST(f*64 + (k//6+1)*8 + (k%6+1) AS INT) + 1, 1))
+      |        - ascii(substr(text, CAST(f*64 + (k//6+0)*8 + (k%6+1) AS INT) + 1, 1))
+      |        - ascii(substr(text, CAST(f*64 + (k//6+2)*8 + (k%6+1) AS INT) + 1, 1))
+      |        - ascii(substr(text, CAST(f*64 + (k//6+1)*8 + (k%6+0) AS INT) + 1, 1))
+      |        - ascii(substr(text, CAST(f*64 + (k//6+1)*8 + (k%6+2) AS INT) + 1, 1))) AS lap
+      |  FROM fr),
+      |v AS (
+      |  SELECT doc_id, f,
+      |    36 * CAST(list_sum(list_transform(lap, x -> x*x)) AS BIGINT)
+      |      - CAST(list_sum(lap) AS BIGINT) * CAST(list_sum(lap) AS BIGINT)
+      |      AS var36
+      |  FROM l)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(CASE WHEN var36 > 27000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sharp,
+      |  CAST(min(var36) AS BIGINT) AS min_var,
+      |  CAST(max(var36) AS BIGINT) AS max_var
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -1085,5 +1163,6 @@ object MultimodalQueries {
     Q("m21_phash_dedup", m21, Some(m21Sql)),
     Q("m22_scene_detect", m22, Some(m22Sql)),
     Q("m23_video_curation", m23, Some(m23Sql)),
+    Q("m24_blur_score", m24, Some(m24Sql)),
   )
 }
