@@ -56,7 +56,8 @@ object ScaleCurve {
     "g01_triangle_count", "g02_pagerank", "g03_common_neighbors",
     "g05_bfs_landmarks", "g06_kcore", "g07_sssp",
     "t24_tfidf_keywords", "m22_scene_detect", "m23_video_curation",
-    "d18_soft_dedup", "q33_range_frame")
+    "d18_soft_dedup", "q33_range_frame", "t25_span_corrupt",
+    "m24_blur_score")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
@@ -92,7 +93,9 @@ object ScaleCurve {
       "t24_tfidf_keywords", // scan ×100; df table grows with replica vocab but stays broadcast-sized
       "m22_scene_detect",  // row-local luma fold: pure scan scaling
       "m23_video_curation", // composed tail: everything after the scene rollup is |scenes|-sized
-      "d18_soft_dedup")    // rides d10's labels like d12/d16
+      "d18_soft_dedup",    // rides d10's labels like d12/d16
+      "t25_span_corrupt",  // row-local HOF build: pure scan scaling
+      "m24_blur_score")    // row-local Laplacian fold: pure scan scaling
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale")

@@ -1090,19 +1090,30 @@ object MultimodalQueries {
     * the doc rollup is one hash aggregate on doc_id carrying 4 longs
     * per frame. Payload bytes never shuffle. */
   private def m24(s: SparkSession, d: String): DataFrame = {
+    // Decode each of the 64 frame bytes ONCE into an int array, then
+    // the 36 Laplacians index it — 64 substring+ascii string reads per
+    // frame instead of the naive 180 (5 per interior pixel; measured
+    // 1.6× on the ×100 decade, 56.6 → 35.7 s). The oracle keeps the
+    // direct per-term formulation, so the hash gate cross-validates
+    // the two.
+    val pxExpr =
+      """transform(sequence(0, 63), i ->
+        |  ascii(substring(text, CAST(f*64 + i AS INT) + 1, 1)))"""
+        .stripMargin
     val lapExpr =
       """transform(sequence(0, 35), k ->
-        |  4 * ascii(substring(text, CAST(f*64 + ((k div 6)+1)*8 + (k % 6)+1 AS INT) + 1, 1))
-        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+0)*8 + (k % 6)+1 AS INT) + 1, 1))
-        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+2)*8 + (k % 6)+1 AS INT) + 1, 1))
-        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+1)*8 + (k % 6)+0 AS INT) + 1, 1))
-        |    - ascii(substring(text, CAST(f*64 + ((k div 6)+1)*8 + (k % 6)+2 AS INT) + 1, 1)))"""
+        |  4 * element_at(px, CAST(((k div 6)+1)*8 + (k % 6)+1 + 1 AS INT))
+        |    - element_at(px, CAST(((k div 6)+0)*8 + (k % 6)+1 + 1 AS INT))
+        |    - element_at(px, CAST(((k div 6)+2)*8 + (k % 6)+1 + 1 AS INT))
+        |    - element_at(px, CAST(((k div 6)+1)*8 + (k % 6)+0 + 1 AS INT))
+        |    - element_at(px, CAST(((k div 6)+1)*8 + (k % 6)+2 + 1 AS INT)))"""
         .stripMargin
     Tables.documents(s, d)
       .filter(length(col("text")) >= 128)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
           (length(col("text")) / lit(64)).cast(LongType) - 1)).as("f"))
+      .withColumn("px", expr(pxExpr))
       .withColumn("lap", expr(lapExpr))
       .withColumn("s", expr(
         "aggregate(lap, CAST(0 AS BIGINT), (a, x) -> a + x)"))
