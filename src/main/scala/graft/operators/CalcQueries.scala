@@ -209,11 +209,74 @@ object CalcQueries {
        |  FROM u)
        |WHERE is_ctrl = 0 AND g > 0.5 ORDER BY ts_ms, value""".stripMargin
 
+  /** c06: the c05 DEPLOYMENT ON THE STREAMING ENGINE — the same
+    * compiled DAG (source → calculator → gate), same
+    * [[graft.plans.Pipeline.compile]] call, but against STREAMING
+    * source frames through the file-source micro-batch mount: the
+    * compiler's `isStreamingAny` branch mounts BOTH state machines as
+    * chained `flatMapGroupsWithState` operators in ONE streaming
+    * query (calc's var state and the gate's open/closed state live in
+    * the same query's state store, crossing micro-batch boundaries —
+    * chained fMGWS is supported in append mode with NoTimeout, probed
+    * and now pinned by PipelineSpec). This is the reference's core
+    * abstraction — a deployment (task_web.py:32-43) — executing
+    * end-to-end on the production engine path, hash-equal to the
+    * batch compile (c05) and to DuckDB at once. Same fixture
+    * discipline as c05: controls pre-reduced to one row per ts in the
+    * BATCH fixture (before chunking), same-ts data rows
+    * hash-interchangeable. Chunk order = (ts, control-first, seq),
+    * the gate fold's order, so the 3-way chunk split concatenates to
+    * the batch fold. */
+  private def c06(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.Pipeline
+    import graft.plans.Pipeline._
+    import graft.streaming.StatefulRunner.{KEv, KOut}
+    val e = eventsMs(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(lit("0").as("key"), lit(0).as("topic"),
+        col("ts_ms").as("ts"), col("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .groupBy(col("ts_ms"))
+      .agg(max_by(col("value"), col("event_id")).as("lastv"),
+        max(col("event_id")).as("seq"))
+      .select(lit("0").as("key"), lit(1).as("topic"),
+        col("ts_ms").as("ts"),
+        when(col("lastv") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("seq"))
+    val dep = Deployment("c06", Seq(
+      TaskSpec("clicks", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("ctrl", SourceOp(IOMeta.number), Nil, "play"),
+      TaskSpec("calc", CalculatorOp("a * 2 + 1", Seq("a")), Seq("a"),
+        "doubled"),
+      TaskSpec("gate", GateOp(), Seq("doubled", "play"), "gated")))
+    val mount = (ds: org.apache.spark.sql.Dataset[KEv]) => {
+      val df = ds.toDF()
+      def env(t: Int) = df.filter(col("topic") === t)
+        .select(col("ts"), col("value"), col("text"), col("paused"),
+          col("seq"))
+      Pipeline.compile(dep, Map("a" -> env(0), "play" -> env(1)))("gated")
+        .select(lit("0").as("key"), col("ts"), col("value"), col("text"),
+          col("paused"))
+        .as[KOut](graft.streaming.StatefulRunner.koutEnc)
+    }
+    StreamParityQueries.throughStream(s, clicks.unionByName(ctrl),
+        Seq(col("ts"), when(col("topic") === 1, 0).otherwise(1),
+          col("seq")),
+        s"c06@$d", mount, Map.empty)
+      .filter(!col("paused"))
+      .select(col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("ts_ms"), col("value"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
     Q("c03_calc_ternary", c03, Some(c03Sql)),
     Q("c04_calc_logic", c04, Some(c04Sql)),
     Q("c05_pipeline_dag", c05, Some(c05Sql)),
+    Q("c06_streaming_pipeline", c06, Some(c05Sql)),
   )
 }

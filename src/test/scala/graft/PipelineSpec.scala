@@ -62,6 +62,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pipeline.validate(dag).isEmpty)
   }
 
+  test("streaming compile mounts the DAG's machines as CHAINED " +
+      "flatMapGroupsWithState in one query; state crosses batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulRunner.KEv
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val a = MemoryStream[KEv]
+    val c = MemoryStream[KEv]
+    def senv(ms: MemoryStream[KEv]) = ms.toDS().toDF()
+      .select(col("ts"), col("value"), col("text"), col("paused"),
+        col("seq"))
+    // same DAG minus the trailing formatter: calc -> gate, two
+    // stateful machines chained in ONE streaming query
+    val dep = Deployment("sdag", Seq(
+      TaskSpec("src_a", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("src_ctrl", SourceOp(IOMeta.number), Nil, "ctrl"),
+      TaskSpec("doubler", CalculatorOp("a * 2 + 1", Seq("a")), Seq("a"),
+        "calc"),
+      TaskSpec("gate", GateOp(), Seq("calc", "ctrl"), "gated")))
+    val out = Pipeline.compile(dep,
+      Map("a" -> senv(a), "ctrl" -> senv(c)))("gated")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("sdag_out")
+      .outputMode("append").start()
+    try {
+      def kev(topic: Int, ts: Long, v: Double, seq: Long) =
+        KEv("0", topic, ts, v, null, paused = false, seq = seq)
+      // batch 1: gate opens at ts=20 — control state must persist
+      c.addData(kev(0, 20L, 1.0, 1))
+      q.processAllAvailable()
+      // batch 2: data at 30 passes through calc (x2+1) AND the gate
+      // opened a batch earlier; data at 10 arrived before the open
+      // per the fold order within its batch
+      a.addData(kev(0, 30L, 2.0, 2))
+      q.processAllAvailable()
+      // batch 3: gate closes at 40, data at 50 is dropped
+      c.addData(kev(0, 40L, 0.0, 3))
+      a.addData(kev(0, 50L, 3.0, 4))
+      q.processAllAvailable()
+      val got = spark.table("sdag_out").filter(!col("paused"))
+        .select("ts", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(got == Seq((30L, 5.0)))
+      // the executed micro-batch plan genuinely chains two
+      // FlatMapGroupsWithState operators (calc's, then the gate's)
+      val plan = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      val n = "FlatMapGroupsWithState".r.findAllIn(plan).length
+      assert(n == 2, s"expected 2 chained fMGWS, got $n\n${plan.take(600)}")
+    } finally q.stop()
+  }
+
   test("calculator op validates formulas at spec-build time") {
     intercept[IllegalArgumentException] {
       CalculatorOp("a + unknown_var", Seq("a"))
