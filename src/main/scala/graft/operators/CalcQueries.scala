@@ -271,6 +271,70 @@ object CalcQueries {
       .orderBy(col("ts_ms"), col("value"))
   }
 
+  /** c07: the MULTI-PIPELINE deployment — c05's DAG compiled ONCE and
+    * serving two pipeline instances at once via the envelope's `pipe`
+    * column ([[graft.plans.Pipeline]]'s multi-instance extension):
+    * every stateful task keys its machine by `dep/task#pipe`, so the
+    * two gates (and two calculator var-states) live as separate
+    * state-store entries of the SAME operators — the "a million
+    * per-device gates spread across the cluster" shape expressed
+    * through the deployment compiler rather than a hand-keyed mount.
+    * The reference runs one task process per instance (task.py:28-34);
+    * here instances are state-store rows of one distributed operator.
+    * Oracle: c05's window SQL partitioned by pipeline. */
+  private def c07(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.Pipeline
+    import graft.plans.Pipeline._
+    val e = eventsMs(s, d)
+    val pipeExpr = pmod(col("user_id"), lit(2)).cast(StringType)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(pipeExpr.as("pipe"), col("ts_ms").as("ts"), col("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    // controls pre-reduced per (pipe, ts) — the c05 discipline, now
+    // per pipeline instance
+    val ctrl = e.filter(col("event_type") === "error")
+      .groupBy(pipeExpr.as("pipe"), col("ts_ms"))
+      .agg(max_by(col("value"), col("event_id")).as("lastv"),
+        max(col("event_id")).as("seq"))
+      .select(col("pipe"), col("ts_ms").as("ts"),
+        when(col("lastv") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("seq"))
+    val dep = Deployment("c07", Seq(
+      TaskSpec("clicks", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("ctrl", SourceOp(IOMeta.number), Nil, "play"),
+      TaskSpec("calc", CalculatorOp("a * 2 + 1", Seq("a")), Seq("a"),
+        "doubled"),
+      TaskSpec("gate", GateOp(), Seq("doubled", "play"), "gated")))
+    Pipeline.compile(dep, Map("a" -> clicks, "play" -> ctrl))("gated")
+      .filter(!col("paused"))
+      .select(col("pipe").cast(LongType).as("pipeline"),
+        col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("pipeline"), col("ts_ms"), col("value"))
+  }
+
+  private val c07Sql =
+    s"""WITH e AS ($evMs),
+       |data AS (SELECT user_id % 2 AS pipeline, event_id, ts_ms,
+       |                value * 2 + 1 AS v, NULL::DOUBLE AS sig, 0 AS is_ctrl
+       |         FROM e WHERE event_type = 'click'),
+       |ctrl AS (SELECT user_id % 2 AS pipeline, max(event_id) AS event_id,
+       |                ts_ms, NULL::DOUBLE AS v,
+       |                CASE WHEN arg_max(value, event_id) > 10
+       |                     THEN 1.0 ELSE 0.0 END AS sig,
+       |                1 AS is_ctrl
+       |         FROM e WHERE event_type = 'error' GROUP BY pipeline, ts_ms),
+       |u AS (SELECT * FROM data UNION ALL SELECT * FROM ctrl)
+       |SELECT pipeline, ts_ms, v AS value FROM (
+       |  SELECT *, last_value(sig IGNORE NULLS) OVER (
+       |    PARTITION BY pipeline
+       |    ORDER BY ts_ms, is_ctrl DESC, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM u)
+       |WHERE is_ctrl = 0 AND g > 0.5
+       |ORDER BY pipeline, ts_ms, value""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -278,5 +342,6 @@ object CalcQueries {
     Q("c04_calc_logic", c04, Some(c04Sql)),
     Q("c05_pipeline_dag", c05, Some(c05Sql)),
     Q("c06_streaming_pipeline", c06, Some(c05Sql)),
+    Q("c07_multi_pipeline", c07, Some(c07Sql)),
   )
 }

@@ -223,36 +223,74 @@ object Pipeline {
     * markers through untouched (value carries the flag) — the
     * reference's tasks forward TopicControlData alongside data
     * (net/messages.py:36-41), so pause reaches every downstream task. */
+  /** MULTI-PIPELINE deployments: a source envelope may carry an
+    * optional string `pipe` column naming the pipeline INSTANCE the
+    * row belongs to (a device id, a user shard). One compiled
+    * deployment then serves every instance at once — each stateful
+    * task keys its machine by `dep/task#pipe`, so a deployment with
+    * millions of independent gates spreads across all executors'
+    * state stores (the reference runs one task process per instance,
+    * task.py:28-34; here instances are rows of one distributed
+    * operator — the fan-out Catalyst is FOR). Stateless tasks pass
+    * the column through; `fromKOut` recovers it after each machine.
+    * All sources must agree (validated): a piped task joined to an
+    * unpiped control has no well-defined instance. */
+  private val PipeCol = "pipe"
+
+  private def hasPipe(df: DataFrame): Boolean = df.columns.contains(PipeCol)
+
   private def envelope(ts: Column, value: Column, text: Column): Seq[Column] =
     Seq(ts.as("ts"),
       when(col("paused"), col("value")).otherwise(value).as("value"),
       when(col("paused"), lit(null).cast(StringType)).otherwise(text).as("text"),
       col("paused"), col("seq"))
 
+  /** Stateless-op projection: envelope columns plus the pipe
+    * passthrough when the deployment is multi-pipeline. */
+  private def stateless(df: DataFrame, ts: Column, value: Column,
+      text: Column): DataFrame = {
+    val cols = (if (hasPipe(df)) Seq(col(PipeCol)) else Nil) ++
+      envelope(ts, value, text)
+    df.select(cols: _*)
+  }
+
   private def toKEv(key: String, dfs: Seq[DataFrame]): Dataset[KEv] = {
     import StatefulRunner._
     val tagged = dfs.zipWithIndex.map { case (df, i) =>
-      df.select(lit(key).as("key"), lit(i).as("topic"), col("ts"),
+      val k = if (hasPipe(df)) concat_ws("#", lit(key), col(PipeCol))
+        else lit(key)
+      df.select(k.as("key"), lit(i).as("topic"), col("ts"),
         col("value"), col("text"), col("paused"), col("seq"))
     }
     tagged.reduce(_ unionByName _).as[KEv](kevEnc)
   }
 
-  private def fromKOut(ds: Dataset[KOut]): DataFrame =
-    ds.toDF().select(col("ts"), col("value"), col("text"),
-      col("paused"), // machines emit pause transitions in-band
-      // deterministic downstream tie-break (streaming-safe, unlike
-      // monotonically_increasing_id)
-      xxhash64(col("ts"), col("value"), col("text")).as("seq"))
+  private def fromKOut(ds: Dataset[KOut], piped: Boolean): DataFrame =
+    if (piped)
+      ds.toDF().select(
+        substring_index(col("key"), "#", -1).as(PipeCol),
+        col("ts"), col("value"), col("text"), col("paused"),
+        // per-key tie-break: include the key so equal-content rows of
+        // different pipes don't collide
+        xxhash64(col("key"), col("ts"), col("value"), col("text")).as("seq"))
+    else
+      ds.toDF().select(col("ts"), col("value"), col("text"),
+        col("paused"), // machines emit pause transitions in-band
+        // deterministic downstream tie-break (streaming-safe, unlike
+        // monotonically_increasing_id)
+        xxhash64(col("ts"), col("value"), col("text")).as("seq"))
 
   private def isStreamingAny(dfs: Seq[DataFrame]): Boolean = dfs.exists(_.isStreaming)
 
   private def runMachine[S](key: String, m: Machine[S], ins: Seq[DataFrame]): DataFrame = {
+    val piped = ins.exists(hasPipe)
+    require(!piped || ins.forall(hasPipe),
+      s"task '$key': all inputs must carry '$PipeCol' or none")
     val kev = toKEv(key, ins)
     val out =
       if (isStreamingAny(ins)) StatefulRunner.runStreaming(m, kev)
       else StatefulRunner.runBatch(m, kev)
-    fromKOut(out)
+    fromKOut(out, piped)
   }
 
   private def compileTask(dep: String, t: TaskSpec,
@@ -282,15 +320,15 @@ object Pipeline {
           })
         runMachine(key, m, ins)
       case StringMatcherOp(p) =>
-        ins.head.select(envelope(col("ts"),
+        stateless(ins.head, col("ts"),
           when(col("text").rlike(p), 1.0).otherwise(0.0),
-          lit(null).cast(StringType)): _*)
+          lit(null).cast(StringType))
       case NumberToTextOp =>
-        ins.head.select(envelope(col("ts"), lit(null).cast(DoubleType),
-          col("value").cast(DecimalType(12, 2)).cast(StringType)): _*)
+        stateless(ins.head, col("ts"), lit(null).cast(DoubleType),
+          col("value").cast(DecimalType(12, 2)).cast(StringType))
       case TimestampUpdaterOp(off) =>
-        ins.head.select(envelope(col("ts") + lit(off), col("value"),
-          col("text")): _*)
+        stateless(ins.head, col("ts") + lit(off), col("value"),
+          col("text"))
       case SwitchOp(pairs) => runMachine(key, new Switch(pairs), ins)
       case MediaSwitchOp(pairs) => runMachine(key, new MediaSwitch(pairs), ins)
       case TextFormatterOp(template, vars) =>
@@ -308,8 +346,8 @@ object Pipeline {
       case TimeBufferOp(sizeMs) => runMachine(key, new TimeBuffer(sizeMs), ins)
       case RepeaterOp => runMachine(key, new Repeater, ins)
       case t: TimeToTextOp =>
-        ins.head.select(envelope(col("ts"), lit(null).cast(DoubleType),
-          date_format(timestamp_millis(col("ts")), t.javaPattern)): _*)
+        stateless(ins.head, col("ts"), lit(null).cast(DoubleType),
+          date_format(timestamp_millis(col("ts")), t.javaPattern))
       case ChatOp(sys, budget, reply) =>
         runMachine(key, new Chat(sys, budget, reply), ins)
     }

@@ -115,6 +115,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("multi-pipeline compile: the pipe column multiplexes one DAG " +
+      "across isolated instances; mixed piped/unpiped inputs rejected") {
+    import spark.implicits._
+    def penv(rows: Seq[(String, Long, Double)]): DataFrame =
+      rows.zipWithIndex.map { case ((p, ts, v), i) =>
+        (p, ts, v, null: String, false, i.toLong)
+      }.toDF("pipe", "ts", "value", "text", "paused", "seq")
+    val dep = Deployment("mp", Seq(
+      TaskSpec("src_a", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("src_ctrl", SourceOp(IOMeta.number), Nil, "ctrl"),
+      TaskSpec("doubler", CalculatorOp("a * 2 + 1", Seq("a")), Seq("a"),
+        "calc"),
+      TaskSpec("gate", GateOp(), Seq("calc", "ctrl"), "gated"),
+      TaskSpec("fmt", NumberToTextOp, Seq("gated"), "out")))
+    // pipe p0: gate opens at 20; pipe p1: stays closed — identical
+    // data rows, opposite outcomes, proving state isolation
+    val a = penv(Seq(("p0", 30L, 2.0), ("p1", 30L, 2.0)))
+    val c = penv(Seq(("p0", 20L, 1.0), ("p1", 20L, 0.0)))
+    val outs = Pipeline.compile(dep, Map("a" -> a, "ctrl" -> c))
+    val got = outs("out").filter(!col("paused"))
+      .select("pipe", "ts", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("p0", 30L, "5.00"))) // p1's gate never opened
+    // the pipe column survives the stateless formatter too
+    assert(outs("out").columns.contains("pipe"))
+    // mixed piped/unpiped inputs to one machine are rejected loudly
+    val bad = intercept[IllegalArgumentException] {
+      Pipeline.compile(dep, Map("a" -> a, "ctrl" -> env(Seq((20L, 1.0)))))
+    }
+    assert(bad.getMessage.contains("pipe"))
+  }
+
   test("calculator op validates formulas at spec-build time") {
     intercept[IllegalArgumentException] {
       CalculatorOp("a + unknown_var", Seq("a"))
