@@ -160,8 +160,19 @@ object StreamCurve {
       * per-batch broadcast + hash-probe cost stay a fixed floor while
       * rows ×100 (it should — the probe is per-row O(1), the broadcast
       * per-batch O(|dim|)). */
-    lazy val nUsers: Long = Tables.eventsMs(spark, sfDir)
-      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    lazy val nUsers: Long = {
+      val r = Tables.eventsMs(spark, sfDir)
+        .agg(countDistinct(col("user_id")), max(col("user_id"))).head()
+      val (n, mx) = (r.getLong(0), r.getAs[Number](1).longValue)
+      // dim_join derives replica keys as user_id + rep*nUsers joined
+      // against range(0, nUsers*reps) — that arithmetic needs user_id
+      // dense in [0, nUsers); a sparse fixture would silently drop
+      // rows from the inner join and skew the measured curve.
+      require(mx == n - 1,
+        s"dim_join key arithmetic needs user_id dense in [0, $n), " +
+          s"but max(user_id) = $mx — fix the fixture or re-key")
+      n
+    }
 
     def dimFixture(reps: Int): DataFrame = {
       val e = Tables.eventsMs(spark, sfDir)

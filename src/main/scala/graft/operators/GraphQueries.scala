@@ -453,8 +453,17 @@ object GraphQueries {
     * asserts ≤ half this on the fixture). */
   private[graft] val KcoreOracleRounds = 10
 
-  private def g06(s: SparkSession, d: String): DataFrame =
-    kcore(edgesShared(s, d), 3)._1.orderBy(col("node"))
+  private def g06(s: SparkSession, d: String): DataFrame = {
+    val (core, rounds) = kcore(edgesShared(s, d), 3)
+    // The DuckDB oracle unrolls a FIXED round count; a fixture needing
+    // more rounds would make the ORACLE wrong and the hash-gate failure
+    // would misattribute the bug to the Spark side — fail loudly here.
+    require(rounds <= KcoreOracleRounds,
+      s"g06: k-core fixpoint took $rounds rounds > the oracle's " +
+        s"$KcoreOracleRounds-round unroll (KcoreOracleRounds) — the " +
+        "DuckDB oracle SQL is stale for this fixture, raise the unroll")
+    core.orderBy(col("node"))
+  }
 
   private val g06Sql = {
     // Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs,
@@ -557,7 +566,13 @@ object GraphQueries {
   private[graft] val SsspOracleRounds = 14
 
   private def g07(s: SparkSession, d: String): DataFrame = {
-    val (dist, _) = sssp(s, d)
+    val (dist, rounds) = sssp(s, d)
+    // Same stale-oracle guard as g06: the unrolled oracle must cover
+    // the measured rounds-to-fixpoint, else the oracle itself is wrong.
+    require(rounds <= SsspOracleRounds,
+      s"g07: SSSP fixpoint took $rounds rounds > the oracle's " +
+        s"$SsspOracleRounds-round unroll (SsspOracleRounds) — the " +
+        "DuckDB oracle SQL is stale for this fixture, raise the unroll")
     val deg = degrees(edgesShared(s, d))
     val reached = dist
       .groupBy(col("dist"))

@@ -787,7 +787,7 @@ object MultimodalQueries {
   }
 
   private val m21Sql =
-    """WITH px AS (SELECT doc_id, x, y,
+    s"""WITH px AS (SELECT doc_id, x, y,
       |    CAST(concat('0x', substr(md5(
       |      'g' || (doc_id // 16) || '_' || x || '_' || y), 1, 2)) AS BIGINT)
       |    + CASE WHEN y = 0 AND x = (doc_id % 16) % 9 THEN 40 ELSE 0 END AS v
@@ -809,7 +809,7 @@ object MultimodalQueries {
       |  FROM ph, (SELECT unnest(range(7)) AS b)),
       |capped AS (SELECT bands.* FROM bands
       |  JOIN (SELECT b, bv FROM bands GROUP BY b, bv
-      |        HAVING count(*) <= 32) ok USING (b, bv)),
+      |        HAVING count(*) <= ${DedupQueries.LshBucketCap}) ok USING (b, bv)),
       |cand AS (SELECT DISTINCT id_a, id_b FROM (
       |  SELECT id_a, id_b FROM loc
       |  UNION ALL

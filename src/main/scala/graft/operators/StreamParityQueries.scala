@@ -116,11 +116,13 @@ object StreamParityQueries {
     *     _spark_metadata commit log) and is read back as a batch frame
     *     on the caller's session.
     *
-    * `tails` are watermark-advancing sentinel batches for event-time
-    * timer mounts: each becomes its own later file → its own
-    * micro-batch; a timer armed by batch N fires in batch N+1 (the
-    * watermark is computed between batches), so two sentinels
-    * guarantee every armed timer fires before the sink is read.
+    * Watermark-advancing SENTINEL ROWS (event-time timer / windowed /
+    * eviction mounts) ride the last data chunk — they carry the
+    * maximum (order) key, so range partitioning places them there —
+    * and the armed timers / closed windows fire in the trailing
+    * no-data micro-batch (enable noDataMicroBatches in `streamConf`):
+    * the watermark is computed between batches, so the firing batch
+    * is always the one after the advance.
     *
     * The offset/commit WALs fsync per micro-batch; the workdir goes on
     * tmpfs when the box has one (measured ~0.5s/mount vs ext4 /tmp).
@@ -138,8 +140,7 @@ object StreamParityQueries {
   private[graft] def throughStream(s: SparkSession, fixture: => DataFrame,
       order: => Seq[Column], tag: String,
       mount: Dataset[KEv] => Dataset[KOut],
-      streamConf: Map[String, String],
-      tails: Seq[Seq[KEv]] = Nil): DataFrame = {
+      streamConf: Map[String, String]): DataFrame = {
     sweepLeakedDirs
     installCleanupHook
     val tmpBase = if (new java.io.File("/dev/shm").isDirectory)
@@ -156,27 +157,16 @@ object StreamParityQueries {
       // keys never straddle a bound), which is the only property
       // chunked folds need — intra-chunk order is free (the runner
       // re-sorts each micro-batch), so no global sort, no single-task
-      // bottleneck: the write stays parallel. Sentinel tail batches
-      // are row literals (constructed constants, like any lit())
-      // unioned in with explicit chunk ids past the range, so they
-      // ride the same write job.
+      // bottleneck: the write stays parallel. Sentinel rows (maximum
+      // order key by construction) land in the last chunk with the
+      // rest of the range.
       val staged = new java.io.File(base, "staged")
-      implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
-        StatefulRunner.kevEnc
       val chunked = fixture
         .repartitionByRange(batches, order: _*)
         .withColumn("__b", spark_partition_id() + 1)
-      val withTails = tails.zipWithIndex
-        .map { case (tb, i) =>
-          // one FILE per tail batch whatever its row count (a local
-          // Seq parallelizes across cores; the move below requires
-          // exactly one part file per chunk id)
-          s.createDataset(tb).toDF().repartition(1)
-            .withColumn("__b", lit(batches + 1 + i)) }
-        .foldLeft(chunked)(_ unionByName _)
-      withTails.write.partitionBy("__b").parquet(staged.toString)
+      chunked.write.partitionBy("__b").parquet(staged.toString)
       val t0 = System.currentTimeMillis() - 600000L
-      (1 to (batches + tails.length)).foreach { b =>
+      (1 to batches).foreach { b =>
         val stagedDir = new java.io.File(staged, s"__b=$b")
         val part = Option(stagedDir.listFiles())
           .getOrElse(Array.empty[java.io.File])
@@ -494,17 +484,22 @@ object StreamParityQueries {
       col("event_id").as("seq"))
     // 1-row aggregate bound (like the tick-grid bounds frames)
     val maxTs = e.agg(max(col("ts_ms"))).head().getAs[Number](0).longValue
-    // ONE sentinel suffices: its batch advances the watermark past
-    // every armed deadline (all ≤ maxTs+timeout), and the trailing
-    // NO-DATA batch (noDataMicroBatches, enabled below) is where those
-    // timers fire — watermark updates between batches, so the firing
-    // batch is always the one after the advance. (The earlier
-    // MemoryStream harness used two sentinels because it predated the
-    // explicit no-data-batch pin; each extra batch costs a full
-    // state-store commit cycle across every partition, ~0.6 s here.)
-    val sentinels = Seq(
-      Seq(KEv("wm", 0, maxTs + timeout + 1, 0.0, null, paused = true, seq = 0L)))
-    val outs = throughStream(s, rows, Seq(col("ts"), col("seq")),
+    // ONE sentinel ROW riding the LAST DATA CHUNK (maximum ts → range
+    // partitioning places it there): the final data batch advances the
+    // watermark past every armed deadline (all ≤ maxTs+timeout), and
+    // the trailing NO-DATA batch (noDataMicroBatches, enabled below)
+    // is where those timers fire — watermark updates between batches,
+    // so the firing batch is always the one after the advance. 4
+    // micro-batches total; round 9's sentinel TAIL batch made it 5,
+    // and the earlier MemoryStream harness ran two sentinels — each
+    // extra batch costs a full state-store commit cycle across every
+    // partition, ~0.6 s here.
+    implicit val kevEncE34: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val sentinel = s.createDataset(Seq(KEv("wm", 0, maxTs + timeout + 1,
+      0.0, null, paused = true, seq = 0L))).toDF()
+    val outs = throughStream(s, rows.unionByName(sentinel),
+      Seq(col("ts"), col("seq")),
       s"e34@$d",
       ds => StatefulRunner.runStreamingEventTime(
         new StateMachines.MessageDetector(timeout), ds,
@@ -519,10 +514,10 @@ object StreamParityQueries {
       // ~190 keys/task of trivial folds is not.
       // noDataMicroBatches stays ON here: the trailing per-user 0s are
       // EventTimeTimeout timers, and the batch that fires the last of
-      // them is exactly the no-data batch after the final sentinel.
+      // them is exactly the no-data batch after the final data chunk
+      // (whose sentinel row advanced the watermark).
       Map("spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true"),
-      sentinels)
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true"))
     outs.filter(!col("paused"))
       .select(col("key").cast(LongType).as("user_id"),
         col("ts").as("ts_ms"), col("value").as("detect"))
@@ -880,11 +875,12 @@ object StreamParityQueries {
     * breaks-on-strictly-greater rule. Fixture chunks are
     * range-partitioned on EVENT TIME (an ordered log replay), so a
     * 0-delay watermark never drops data; a production tail sets the
-    * delay to its disorder bound instead. Two far-future sentinel
-    * batches push the watermark past every real window's end so Append
-    * mode emits all sessions before the sink is read (the same
-    * tail-batch mechanism as the e34 timer mount); sentinel keys are
-    * filtered out of the projection. Sessions genuinely cross
+    * delay to its disorder bound instead. One far-future sentinel
+    * batch pushes the watermark past every real window's end, and the
+    * trailing no-data batch emits the closed sessions in Append mode
+    * before the sink is read (the same sentinel + no-data-batch
+    * mechanism as the e34 timer mount); sentinel keys are filtered
+    * out of the projection. Sessions genuinely cross
     * micro-batch boundaries: windows open in batch 1 and merge/extend
     * with batch-2/3 events inside the session-window state store. */
   private def e42(s: SparkSession, d: String): DataFrame = {
@@ -899,8 +895,21 @@ object StreamParityQueries {
       col("event_id").as("seq"))
     val maxTs = e.agg(max(col("ts_ms"))).head().getLong(0) // 1-row bound
     val gapMs = 1800000L
-    def sentinel(i: Int) = Seq(KEv("zz-sentinel", 0, maxTs + (i + 2) * gapMs,
-      0.0, null, paused = false, seq = Long.MaxValue - i))
+    // ONE sentinel ROW riding the LAST DATA CHUNK (it has the maximum
+    // (ts, seq), so range partitioning puts it there): the final data
+    // batch then advances the watermark past every real window's end
+    // (all ≤ maxTs+gap < maxTs+2·gap), and the trailing NO-DATA batch
+    // — enabled below — is where the session-window state store emits
+    // the closed windows (the watermark computed from batch N applies
+    // in batch N+1). 4 micro-batches total; the earlier two-sentinel
+    // tail harness ran the same fixture in 5+ — each removed batch
+    // saves a full state-store load/commit cycle across every
+    // partition (~0.5–0.6 s, the floor SCALE.md profiles).
+    implicit val kevEncE42: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val sentinel = s.createDataset(Seq(KEv("zz-sentinel", 0,
+      maxTs + 2 * gapMs, 0.0, null, paused = false,
+      seq = Long.MaxValue))).toDF()
     val mount = (ds: Dataset[KEv]) => {
       import org.apache.spark.sql.Encoders
       ds.select(col("key"), col("ts"),
@@ -915,8 +924,9 @@ object StreamParityQueries {
           lit(false).as("paused"))
         .as[KOut](Encoders.product[KOut])
     }
-    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sess@$d", mount,
-        Map.empty, tails = Seq(sentinel(0), sentinel(1)))
+    throughStream(s, kev.unionByName(sentinel),
+        Seq(col("ts"), col("seq")), s"sess@$d", mount,
+        Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "true"))
       .filter(col("key") =!= "zz-sentinel")
       .select(col("key").cast(LongType).as("user_id"),
         col("ts").as("start_ms"), col("text").cast(LongType).as("end_ms"),
@@ -1131,12 +1141,12 @@ object StreamParityQueries {
     * aggregation's window state live in the same query's state store,
     * and the aggregation's windows close on the watermark the join
     * propagates. Revenue sums in integer cents (exact, order-free).
-    * Two sentinel tail batches (one per topic — BOTH branches'
+    * One sentinel tail batch carrying both topics (BOTH branches'
     * watermarks must advance, the global watermark is their min)
-    * push event time past every window end so Append emits all
-    * windows; sentinel keys never match in the join, so they shape
-    * time without shaping data. Oracle: the batch join + epoch-day
-    * grouping. */
+    * pushes event time past every window end; the trailing no-data
+    * batch then emits all windows in Append mode. Sentinel keys never
+    * match in the join, so they shape time without shaping data.
+    * Oracle: the batch join + epoch-day grouping. */
   private def e46(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val e = Tables.eventsMs(s, d)
@@ -1148,11 +1158,22 @@ object StreamParityQueries {
         lit(false).as("paused"), col("event_id").as("seq"))
     val maxTs = e.agg(max(col("ts_ms"))).head().getLong(0) // 1-row bound
     val day = 86400000L
-    def sentinel(i: Int) = Seq(
-      KEv("zz-c", 0, maxTs + (i + 3) * day, 0.0, "0",
-        paused = false, seq = Long.MaxValue - 2 * i),
-      KEv("zz-p", 1, maxTs + (i + 3) * day, 0.0, "0",
-        paused = false, seq = Long.MaxValue - 2 * i - 1))
+    // ONE sentinel ROW PER TOPIC riding the LAST DATA CHUNK (maximum
+    // (ts, seq) → range partitioning places them there; BOTH branches
+    // must advance — the global watermark is the branch min): the
+    // final data batch's watermark = maxTs+3d clears every 1-day
+    // window end even after the join's 24 h propagation delay
+    // (maxTs+3d−24h > maxTs+1d), and the windows flush in the
+    // trailing NO-DATA batch (the e34 recipe). 4 micro-batches total
+    // vs the earlier two-sentinel-tail harness's 5 — each removed
+    // batch is a full state-store commit cycle (~0.5–0.6 s).
+    implicit val kevEncE46: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val sentinel = s.createDataset(Seq(
+      KEv("zz-c", 0, maxTs + 3 * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue),
+      KEv("zz-p", 1, maxTs + 3 * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue - 1))).toDF()
     val mount = (ds: Dataset[KEv]) => {
       val df = ds.toDF()
       val clicks = df.filter(col("topic") === 0)
@@ -1183,11 +1204,9 @@ object StreamParityQueries {
           lit(false).as("paused"))
         .as[KOut](Encoders.product[KOut])
     }
-    // Two sentinel rounds, as e42: round 1's watermark (maxTs+3d,
-    // applied in round 2) clears every window end even after the
-    // join's 24 h propagation delay (maxTs+3d−24h > any window end).
-    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sjoinagg@$d", mount,
-        Map.empty, tails = Seq(sentinel(0), sentinel(1)))
+    throughStream(s, kev.unionByName(sentinel),
+        Seq(col("ts"), col("seq")), s"sjoinagg@$d", mount,
+        Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "true"))
       .select(col("ts").as("day_ms"),
         col("value").cast(LongType).as("n_pairs"),
         col("text").cast(LongType).as("revenue_cents"))
@@ -1283,9 +1302,10 @@ object StreamParityQueries {
     * a sentinel click itself emits as an unmatched left row, so
     * sentinels are filtered AFTER the sink read (an in-mount key
     * filter would push down past the watermark and starve it — the
-    * e46 lesson). Two sentinel rounds because the watermark computed
-    * from round 1 is applied in round 2, and eviction (hence null
-    * emission) happens in the batch after the advance.
+    * e46 lesson). One sentinel round suffices: the watermark it
+    * advances applies in the NEXT batch, and eviction (hence null
+    * emission) happens there — the trailing no-data batch, enabled
+    * for this mount (the e34 recipe).
     *
     * Scale: state is bounded by the 24 h window on both sides exactly
     * as e43; the null-flush adds no state, it is the eviction path
@@ -1328,14 +1348,24 @@ object StreamParityQueries {
         lit(false).as("paused"), col("event_id").as("seq"))
     val maxTs = e.agg(max(col("ts_ms"))).head().getLong(0) // 1-row bound
     val day = 86400000L
-    def sentinel(i: Int) = Seq(
-      KEv("zz-c", 0, maxTs + (i + 3) * day, 0.0, "0",
-        paused = false, seq = Long.MaxValue - 2 * i),
-      KEv("zz-p", 1, maxTs + (i + 3) * day, 0.0, "0",
-        paused = false, seq = Long.MaxValue - 2 * i - 1))
-    throughStream(s, kev, Seq(col("ts"), col("seq")), s"sljoin@$d",
+    // ONE sentinel row per topic riding the LAST DATA CHUNK (e46's
+    // shape): the final data batch's watermark (maxTs+3d) proves every
+    // buffered click's 24 h window closed, and the null-extended rows
+    // flush in the trailing NO-DATA batch — eviction happens in the
+    // batch AFTER the advance, which the no-data batch provides
+    // without any sentinel tail batch's state-store commit cycle (the
+    // e34 recipe; round 9 ran two sentinel tail batches here).
+    implicit val kevEncE48: org.apache.spark.sql.Encoder[KEv] =
+      StatefulRunner.kevEnc
+    val sentinel = s.createDataset(Seq(
+      KEv("zz-c", 0, maxTs + 3 * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue),
+      KEv("zz-p", 1, maxTs + 3 * day, 0.0, "0",
+        paused = false, seq = Long.MaxValue - 1))).toDF()
+    throughStream(s, kev.unionByName(sentinel),
+        Seq(col("ts"), col("seq")), s"sljoin@$d",
         leftOuterJoinMount,
-        Map.empty, tails = Seq(sentinel(0), sentinel(1)))
+        Map("spark.sql.streaming.noDataMicroBatches.enabled" -> "true"))
       .filter(!col("key").startsWith("zz-"))
       .select(col("key").cast(LongType).as("user_id"),
         col("ts").as("click_ms"),

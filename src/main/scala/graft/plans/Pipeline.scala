@@ -257,8 +257,19 @@ object Pipeline {
   private def toKEv(key: String, dfs: Seq[DataFrame]): Dataset[KEv] = {
     import StatefulRunner._
     val tagged = dfs.zipWithIndex.map { case (df, i) =>
-      val k = if (hasPipe(df)) concat_ws("#", lit(key), col(PipeCol))
-        else lit(key)
+      // The composite key is recovered by substring_index(key,'#',-1), so
+      // a '#' inside a pipe value would merge distinct instances, and a
+      // NULL pipe would be silently dropped by concat_ws (collapsing its
+      // rows into a phantom instance keyed by the task alone) — fail the
+      // row instead of corrupting state.
+      val k = if (hasPipe(df)) {
+        val checked = when(col(PipeCol).isNull || col(PipeCol).contains("#"),
+          raise_error(concat(
+            lit(s"task '$key': pipe value must be non-null and '#'-free, got '"),
+            coalesce(col(PipeCol), lit("NULL")), lit("'"))).cast(StringType))
+          .otherwise(col(PipeCol))
+        concat_ws("#", lit(key), checked)
+      } else lit(key)
       df.select(k.as("key"), lit(i).as("topic"), col("ts"),
         col("value"), col("text"), col("paused"), col("seq"))
     }
