@@ -335,6 +335,240 @@ object CalcQueries {
        |WHERE is_ctrl = 0 AND g > 0.5
        |ORDER BY pipeline, ts_ms, value""".stripMargin
 
+  // ======================================================== c08/c09: the
+  // reference's STORED-DEPLOYMENT artifact through DeploymentJson.load
+  // (task_web.py:32-58 StoredTask shape, hash task_host_ids per
+  // task.py:153) — the user-facing loop a streamtasks user closes to
+  // run an exported deployment on this engine.
+
+  /** Deterministic arrival-order seq for the synchronizer fan-in:
+    * `(ts_ms + jitter)·2²¹ + event_id` where jitter = an md5-derived
+    * value in [0, 4 h) — a BOUNDED network-style disorder: arrival
+    * order tracks timestamp order at the large scale (most events
+    * survive, so the downstream DAG processes a real workload) while
+    * events whose timestamps sit within ~4 h of each other genuinely
+    * arrive reordered, so the synchronizer's late-drop rule fires
+    * hundreds of times. Mirrored exactly in the oracle's window
+    * order. Monotone in the arrival order, so seq-range micro-batch
+    * splits are arrival-contiguous for the streaming mount (c09). */
+  private val JitterMs = 14400000L // 4 h
+  private def arrivalSeq: org.apache.spark.sql.Column =
+    ((col("ts_ms")
+      + conv(substring(md5(col("event_id").cast(StringType)
+        .cast(org.apache.spark.sql.types.BinaryType)), 1, 8), 16, 10)
+        .cast(LongType) % JitterMs) * (1L << 21)
+      + col("event_id"))
+
+  private val arrivalSqlOrder =
+    s"""ts_ms + CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % $JitterMs,
+      |      event_id""".stripMargin
+
+  /** Shared oracle CTEs: per-topic synchronizer late-drop (the e13/e27
+    * pinned semantics — accept iff ts ≥ the running max of the topic's
+    * prior ACCEPTED arrivals, in arrival order) over clicks and views. */
+  private def syncAccSql(evType: String, name: String): String =
+    s"""$name AS (SELECT event_id, ts_ms, value FROM (
+       |    SELECT event_id, ts_ms, value,
+       |      max(ts_ms) OVER (ORDER BY $arrivalSqlOrder
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen
+       |    FROM ($evMs) WHERE event_type = '$evType')
+       |  WHERE ts_ms >= seen)""".stripMargin
+
+  private def storedTask(id: Int, host: String, label: String,
+      config: String, inputs: String, outputs: String): String =
+    s"""{"id": "00000000-0000-4000-8000-${f"$id%012d"}",
+       | "deployment_id": "00000000-0000-4000-8000-0000000000ff",
+       | "task_host_id": "$host", "label": "$label",
+       | "config": $config, "frontend_config": {},
+       | "inputs": [$inputs], "outputs": [$outputs]}""".stripMargin
+
+  private val FixtureNode = "graft-node"
+  private def hostId(cls: String): String =
+    graft.plans.DeploymentJson.taskHostId(cls, FixtureNode)
+
+  private def numMeta(tid: Int) =
+    s"""{"label": "out", "type": "ts", "content": "number", "topic_id": $tid}"""
+
+  /** The c08 stored-deployment JSON: c05's DAG (calc → gate) PLUS a
+    * synchronizer fan-in over the two data feeds — named inputs,
+    * synchronizer, calculator, gate, named outputs, all with the
+    * reference's config field names and hash task_host_ids. */
+  private val c08Json: String = s"""{
+    "deployment": {"id": "00000000-0000-4000-8000-0000000000ff", "label": "c08"},
+    "tasks": [
+      ${storedTask(1, hostId("NamedInputTaskHost"), "clicks",
+        """{"name": "clicks", "out_topic": 1}""", "", numMeta(1))},
+      ${storedTask(2, hostId("NamedInputTaskHost"), "views",
+        """{"name": "views", "out_topic": 2}""", "", numMeta(2))},
+      ${storedTask(3, hostId("NamedInputTaskHost"), "ctrl",
+        """{"name": "ctrl", "out_topic": 3}""", "", numMeta(3))},
+      ${storedTask(4, hostId("SynchronizerTaskHost"), "sync",
+        """{"topics": [[1, 4], [2, 5]]}""",
+        s"${numMeta(1)}, ${numMeta(2)}", s"${numMeta(4)}, ${numMeta(5)}")},
+      ${storedTask(5, hostId("CalculatorTaskHost"), "calc",
+        """{"formula": "a * 2 + 1", "synchronized": true,
+           "variable_tracks": [{"name": "a", "default_value": 0, "in_topic": 4}],
+           "out_topic": 6}""", numMeta(4), numMeta(6))},
+      ${storedTask(6, hostId("GateTaskHost"), "gate",
+        """{"fail_mode": "closed", "synchronized": true,
+           "initial_control": false,
+           "in_topic": 6, "control_topic": 3, "out_topic": 7}""",
+        s"${numMeta(6)}, ${numMeta(3)}", numMeta(7))},
+      ${storedTask(7, hostId("NamedOutputTaskHost"), "out",
+        """{"name": "out", "in_topic": 7}""", numMeta(7), "")},
+      ${storedTask(8, hostId("NamedOutputTaskHost"), "views_sync",
+        """{"name": "views_sync", "in_topic": 5}""", numMeta(5), "")}
+    ]}"""
+
+  /** c08: LOAD the stored-deployment JSON → compile → run on the BATCH
+    * branch, hash-checked against DuckDB composing the same DAG by
+    * hand: synchronizer late-drop per feed (the e13 window), then
+    * c05's calc→gate fold on the surviving clicks, plus the
+    * synchronized views feed as a second tagged output (pinning the
+    * synchronizer's MULTI-OUTPUT routing, not just its drop rule).
+    * Fixture discipline: controls pre-reduced per ts (c05); arrival
+    * order = [[arrivalSeq]] (shuffled within ts-thirds, so drops
+    * genuinely fire). */
+  private def c08(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{DeploymentJson, Pipeline}
+    val loaded = DeploymentJson.load(c08Json, nodeName = Some(FixtureNode))
+    val e = eventsMs(s, d)
+    def feed(t: String) = e.filter(col("event_type") === t)
+      .select(col("ts_ms").as("ts"), col("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        arrivalSeq.as("seq"))
+    val ctrl = e.filter(col("event_type") === "error")
+      .groupBy(col("ts_ms"))
+      .agg(max_by(col("value"), col("event_id")).as("lastv"),
+        max(col("event_id")).as("seq"))
+      .select(col("ts_ms").as("ts"),
+        when(col("lastv") > 10, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("seq"))
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment, Map(
+      ni("clicks") -> feed("click"), ni("views") -> feed("view"),
+      ni("ctrl") -> ctrl))
+    val gated = streams(no("out")).filter(!col("paused"))
+      .select(lit("gate").as("src"), col("ts").as("ts_ms"), col("value"))
+    val views = streams(no("views_sync")).filter(!col("paused"))
+      .select(lit("view").as("src"), col("ts").as("ts_ms"), col("value"))
+    gated.unionByName(views)
+      .orderBy(col("src"), col("ts_ms"), col("value"))
+  }
+
+  private val c08Sql =
+    s"""WITH ${syncAccSql("click", "cacc")},
+       |${syncAccSql("view", "vacc")},
+       |data AS (SELECT event_id, ts_ms, value * 2 + 1 AS v,
+       |                NULL::DOUBLE AS sig, 0 AS is_ctrl
+       |         FROM cacc),
+       |ctrl AS (SELECT max(event_id) AS event_id, ts_ms, NULL::DOUBLE AS v,
+       |                CASE WHEN arg_max(value, event_id) > 10
+       |                     THEN 1.0 ELSE 0.0 END AS sig,
+       |                1 AS is_ctrl
+       |         FROM ($evMs) WHERE event_type = 'error' GROUP BY ts_ms),
+       |u AS (SELECT * FROM data UNION ALL SELECT * FROM ctrl),
+       |g AS (SELECT *, last_value(sig IGNORE NULLS) OVER (
+       |    ORDER BY ts_ms, is_ctrl DESC, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gs
+       |  FROM u)
+       |SELECT src, ts_ms, value FROM (
+       |  SELECT 'gate' AS src, ts_ms, v AS value FROM g
+       |  WHERE is_ctrl = 0 AND gs > 0.5
+       |  UNION ALL
+       |  SELECT 'view' AS src, ts_ms, value FROM vacc)
+       |ORDER BY src, ts_ms, value""".stripMargin
+
+  /** The c09 stored deployment: the synchronizer fan-in feeding the
+    * calculator, named outputs on both synchronized feeds — the ops
+    * whose downstream folds are order-free, so the DAG is sound on
+    * the STREAMING branch where the synchronizer's release TIMING
+    * (which micro-batch a blocked row unblocks in) is not part of the
+    * pinned semantics. */
+  private val c09Json: String = s"""{
+    "deployment": {"id": "00000000-0000-4000-8000-0000000000fe", "label": "c09"},
+    "tasks": [
+      ${storedTask(1, hostId("NamedInputTaskHost"), "clicks",
+        """{"name": "clicks", "out_topic": 1}""", "", numMeta(1))},
+      ${storedTask(2, hostId("NamedInputTaskHost"), "views",
+        """{"name": "views", "out_topic": 2}""", "", numMeta(2))},
+      ${storedTask(3, hostId("SynchronizerTaskHost"), "sync",
+        """{"topics": [[1, 3], [2, 4]]}""",
+        s"${numMeta(1)}, ${numMeta(2)}", s"${numMeta(3)}, ${numMeta(4)}")},
+      ${storedTask(4, hostId("CalculatorTaskHost"), "calc",
+        """{"formula": "a * 2 + 1", "synchronized": true,
+           "variable_tracks": [{"name": "a", "default_value": 0, "in_topic": 3}],
+           "out_topic": 5}""", numMeta(3), numMeta(5))},
+      ${storedTask(5, hostId("NamedOutputTaskHost"), "calc_out",
+        """{"name": "calc_out", "in_topic": 5}""", numMeta(5), "")},
+      ${storedTask(6, hostId("NamedOutputTaskHost"), "views_sync",
+        """{"name": "views_sync", "in_topic": 4}""", numMeta(4), "")}
+    ]}"""
+
+  /** c09: the LOADED deployment on the STREAMING engine — the
+    * synchronizer fan-in and the calculator mount as CHAINED
+    * flatMapGroupsWithState in one streaming query through the
+    * file-source micro-batch harness (c06's mount shape, now built by
+    * the JSON loader): the synchronizer's dict/queue state crosses 2
+    * micro-batch boundaries, blocked rows from batch N release in
+    * batch N+1/N+2, and one trailing PAUSE sentinel per feed (riding
+    * the last chunk — e27's in-band flush) releases the tail. Chunks
+    * are seq-ranges, which is exactly the synchronizer's arrival-fold
+    * order; everything downstream (single-var calculator) is
+    * order-free, so no other fold constrains the split. */
+  private def c09(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{DeploymentJson, Pipeline}
+    import graft.streaming.StatefulRunner.{KEv, KOut}
+    val loaded = DeploymentJson.load(c09Json, nodeName = Some(FixtureNode))
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val e = eventsMs(s, d)
+    def feed(t: String, topic: Int) = e.filter(col("event_type") === t)
+      .select(lit("0").as("key"), lit(topic).as("topic"),
+        col("ts_ms").as("ts"), col("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        arrivalSeq.as("seq"))
+    implicit val kevEnc: org.apache.spark.sql.Encoder[KEv] =
+      graft.streaming.StatefulRunner.kevEnc
+    // e27's end-of-stream flush: one pause marker per feed, trailing
+    // every data seq, pops its topic from the synchronizer dict.
+    val flush = s.createDataset(Seq(0, 1).map(t =>
+      KEv("0", t, 0L, 1.0, null, paused = true,
+        seq = Long.MaxValue - 2 + t))).toDF()
+    val mount = (ds: org.apache.spark.sql.Dataset[KEv]) => {
+      val df = ds.toDF()
+      def env(t: Int) = df.filter(col("topic") === t)
+        .select(col("ts"), col("value"), col("text"), col("paused"),
+          col("seq"))
+      val streams = Pipeline.compile(loaded.deployment,
+        Map(ni("clicks") -> env(0), ni("views") -> env(1)))
+      streams(no("calc_out"))
+        .select(lit("calc").as("key"), col("ts"), col("value"), col("text"),
+          col("paused"))
+        .unionByName(streams(no("views_sync"))
+          .select(lit("view").as("key"), col("ts"), col("value"),
+            col("text"), col("paused")))
+        .as[KOut](graft.streaming.StatefulRunner.koutEnc)
+    }
+    StreamParityQueries.throughStream(s,
+        feed("click", 0).unionByName(feed("view", 1)).unionByName(flush),
+        Seq(col("seq")), s"c09@$d", mount, Map.empty)
+      .filter(!col("paused"))
+      .select(col("key").as("src"), col("ts").as("ts_ms"), col("value"))
+      .orderBy(col("src"), col("ts_ms"), col("value"))
+  }
+
+  private val c09Sql =
+    s"""WITH ${syncAccSql("click", "cacc")},
+       |${syncAccSql("view", "vacc")}
+       |SELECT src, ts_ms, value FROM (
+       |  SELECT 'calc' AS src, ts_ms, value * 2 + 1 AS value FROM cacc
+       |  UNION ALL
+       |  SELECT 'view' AS src, ts_ms, value FROM vacc)
+       |ORDER BY src, ts_ms, value""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -343,5 +577,7 @@ object CalcQueries {
     Q("c05_pipeline_dag", c05, Some(c05Sql)),
     Q("c06_streaming_pipeline", c06, Some(c05Sql)),
     Q("c07_multi_pipeline", c07, Some(c07Sql)),
+    Q("c08_deployment_json", c08, Some(c08Sql)),
+    Q("c09_deployment_stream", c09, Some(c09Sql)),
   )
 }

@@ -1,0 +1,492 @@
+package graft.plans
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Loader/writer for the reference's STORED-DEPLOYMENT artifact — the
+  * JSON a streamtasks user actually has on disk: a deployment header
+  * plus a list of StoredTasks (`task_web.py:32-58` — id, deployment_id,
+  * task_host_id, label, config, frontend_config, inputs, outputs). A
+  * user with an exported deployment loads it here and gets a
+  * [[Pipeline.Deployment]] that compiles onto the batch or streaming
+  * engine unchanged — no re-authoring in the Scala DSL.
+  *
+  * Conventions mirrored from the reference:
+  *  - `task_host_id` identifies the operator KIND: it is
+  *    `sha256("TaskHost" + <TaskHost class name> + <node name>)[:16]`
+  *    (`task.py:153` + `utils.py:293-297`). [[load]] resolves it via
+  *    (a) an explicit `hosts` override, (b) the plain kind name
+  *    (loader-friendly exports), or (c) recomputing the hash for every
+  *    known TaskHost class under the caller's `nodeName`.
+  *  - WIRING lives in `config` (the task only ever sees its config —
+  *    `create_task` calls `XConfig.model_validate(config)`, e.g.
+  *    `gate.py:60`): topic ids under the documented keys (`in_topic`,
+  *    `control_topic`, `variable_tracks[].in_topic`,
+  *    `pairs[].input/control`, synchronizer `topics` pairs). Topic id
+  *    N becomes stream name `tN`.
+  *  - Topics consumed but never produced are external feeds: a
+  *    [[Pipeline.SourceOp]] task is synthesized per such topic (its
+  *    IOMeta taken from the consumer op's declared input meta), so the
+  *    loaded deployment validates; callers bind DataFrames to those
+  *    streams at [[Pipeline.compile]] time.
+  *
+  * [[write]] emits the same shape (kind names as task_host_id, so the
+  * output is loadable anywhere without a node name); PipelineSpec pins
+  * the spec→JSON→spec round-trip as a JSON fixpoint.
+  */
+object DeploymentJson {
+  import Pipeline._
+
+  /** `sha256("TaskHost" + className + nodeName)` hex, first 16 chars —
+    * exactly `get_node_name_id("TaskHost" + name)` (utils.py:293-297). */
+  def taskHostId(className: String, nodeName: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(s"TaskHost$className".getBytes("UTF-8"))
+    md.update(nodeName.getBytes("UTF-8"))
+    md.digest().map(b => f"$b%02x").mkString.substring(0, 16)
+  }
+
+  /** Operator kind → reference TaskHost class name (for hash-id
+    * resolution). */
+  val hostClasses: Map[String, String] = Map(
+    "namedinput" -> "NamedInputTaskHost",
+    "namedoutput" -> "NamedOutputTaskHost",
+    "gate" -> "GateTaskHost",
+    "calculator" -> "CalculatorTaskHost",
+    "switch" -> "SwitchTaskHost",
+    "mediaswitch" -> "MediaSwitchTaskHost",
+    "srlatch" -> "SRLatchTaskHost",
+    "stringmatcher" -> "StringMatcherTaskHost",
+    "numbertotext" -> "NumberToTextTaskHost",
+    "timestampupdater" -> "TimestampUpdaterTaskHost",
+    "timetotext" -> "TimeToTextTaskHost",
+    "textformatter" -> "TextFormatterTaskHost",
+    "stringconcatenator" -> "StringConcatenatorTaskHost",
+    "messagedetector" -> "MessageDetectorTaskHost",
+    "timebuffer" -> "TimeBufferTaskHost",
+    "repeater" -> "RepeaterTaskHost",
+    "synchronizer" -> "SynchronizerTaskHost",
+    "replaybuffer" -> "ReplayBufferTaskHost")
+
+  /** A loaded deployment plus its published IO names: `namedInputs`
+    * maps each named-input's `name` to the stream to bind a source
+    * DataFrame to; `namedOutputs` maps each named-output's `name` to
+    * the stream to read results from (namedinput.py / namedoutput.py —
+    * SURVEY §2.1 #18). Synthesized external topics appear in
+    * `namedInputs` under their `tN` stream name. */
+  final case class Loaded(deployment: Deployment,
+      namedInputs: Map[String, String], namedOutputs: Map[String, String])
+
+  // --------------------------------------------------------------- loading
+
+  private def jStr(v: JValue, field: String, ctx: String): String = v \ field match {
+    case JString(s) => s
+    case JNothing => sys.error(s"$ctx: missing '$field'")
+    case other => sys.error(s"$ctx: '$field' is ${other.getClass.getSimpleName}, expected string")
+  }
+
+  private def optLong(v: JValue): Option[Long] = v match {
+    case JInt(n) => Some(n.toLong)
+    case JLong(n) => Some(n)
+    case JDouble(d) if d.isWhole => Some(d.toLong)
+    case JDecimal(d) if d.isWhole => Some(d.toLong)
+    case _ => None
+  }
+
+  private def cfgTopic(cfg: JValue, key: String, ctx: String): Long =
+    optLong(cfg \ key).getOrElse(
+      sys.error(s"$ctx: config key '$key' missing or not a topic id"))
+
+  private def cfgDouble(cfg: JValue, key: String, default: Double): Double =
+    cfg \ key match {
+      case JInt(n) => n.toDouble
+      case JLong(n) => n.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case _ => default
+    }
+
+  private def cfgString(cfg: JValue, key: String, default: String): String =
+    cfg \ key match { case JString(s) => s; case _ => default }
+
+  private def cfgBool(cfg: JValue, key: String, default: Boolean): Boolean =
+    cfg \ key match { case JBool(b) => b; case _ => default }
+
+  private def stream(id: Long): String = s"t$id"
+
+  /** Parse a stored-deployment JSON into a validated-shape
+    * [[Loaded]]. Accepts `{"deployment": {...}, "tasks": [...]}` or a
+    * bare task array. `nodeName` enables hash-id resolution for real
+    * exports; `hosts` overrides individual ids. */
+  def load(json: String, nodeName: Option[String] = None,
+      hosts: Map[String, String] = Map.empty): Loaded = {
+    val root = JsonMethods.parse(json)
+    val (depLabel, taskArr) = root match {
+      case JArray(ts) => ("deployment", ts)
+      case obj: JObject =>
+        val label = obj \ "deployment" \ "label" match {
+          case JString(s) => s
+          case _ => "deployment"
+        }
+        obj \ "tasks" match {
+          case JArray(ts) => (label, ts)
+          case _ => sys.error("deployment JSON: no 'tasks' array")
+        }
+      case _ => sys.error("deployment JSON: expected object or array")
+    }
+    val byHash: Map[String, String] = nodeName match {
+      case Some(nn) => hostClasses.map { case (kind, cls) =>
+        taskHostId(cls, nn) -> kind }
+      case None => Map.empty
+    }
+    def kindOf(hostId: String, ctx: String): String =
+      hosts.get(hostId)
+        .orElse(if (hostClasses.contains(hostId)) Some(hostId) else None)
+        .orElse(byHash.get(hostId))
+        .getOrElse(sys.error(s"$ctx: unknown task_host_id '$hostId' — " +
+          "pass nodeName= for hash resolution or a hosts= override"))
+
+    val namedIn = Map.newBuilder[String, String]
+    val namedOut = Map.newBuilder[String, String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    val tasks = taskArr.map { tj =>
+      val label = jStr(tj, "label", "task")
+      val ctx = s"task '$label'"
+      // state keys are dep/name — duplicate labels must not collide
+      val name = if (seen.add(label)) label else {
+        var i = 2
+        while (!seen.add(s"${label}_$i")) i += 1
+        s"${label}_$i"
+      }
+      val cfg = tj \ "config"
+      val kind = kindOf(jStr(tj, "task_host_id", ctx), ctx)
+      def in(key: String) = stream(cfgTopic(cfg, key, ctx))
+      def out(key: String) = stream(cfgTopic(cfg, key, ctx))
+      kind match {
+        case "namedinput" =>
+          val meta = tj \ "outputs" match {
+            case JArray(o :: _) => ioMeta(o)
+            case _ => IOMeta(Map("type" -> "ts"))
+          }
+          val s = out("out_topic")
+          namedIn += cfgString(cfg, "name", name) -> s
+          TaskSpec(name, SourceOp(meta), Nil, s)
+        case "namedoutput" =>
+          val meta = tj \ "inputs" match {
+            case JArray(i :: _) => ioMeta(i)
+            case _ => IOMeta(Map("type" -> "ts"))
+          }
+          val s = in("in_topic")
+          namedOut += cfgString(cfg, "name", name) -> s
+          TaskSpec(name, NamedOutputOp(cfgString(cfg, "name", name), meta),
+            Seq(s), Nil)
+        case "gate" =>
+          // GateFailMode default is OPEN (gate.py:15-20)
+          val failOpen = cfgString(cfg, "fail_mode", "open") == "open"
+          require(!cfgBool(cfg, "initial_control", default = false),
+            s"$ctx: initial_control=true is unsupported (gate starts closed)")
+          TaskSpec(name, GateOp(failOpen),
+            Seq(in("in_topic"), in("control_topic")), out("out_topic"))
+        case "calculator" =>
+          val tracks = cfg \ "variable_tracks" match {
+            case JArray(ts) => ts
+            case _ => Nil
+          }
+          val vars = tracks.map(t => jStr(t, "name", s"$ctx track"))
+          val defaults = tracks.flatMap { t =>
+            val n = jStr(t, "name", ctx)
+            val d = cfgDouble(t, "default_value", 0.0)
+            if (d != 0.0) Some(n -> d) else None
+          }.toMap
+          val ins = tracks.map(t => stream(cfgTopic(t, "in_topic", ctx)))
+          TaskSpec(name,
+            CalculatorOp(cfgString(cfg, "formula", "1"), vars, defaults),
+            ins, out("out_topic"))
+        case "switch" | "mediaswitch" =>
+          val pairs = cfg \ "pairs" match {
+            case JArray(ps) => ps
+            case _ => Nil
+          }
+          // machine input order: (data0, ctrl0, data1, ctrl1, …)
+          val ins = pairs.flatMap(p => Seq(
+            stream(cfgTopic(p, "input", ctx)),
+            stream(cfgTopic(p, "control", ctx))))
+          val op = if (kind == "switch") SwitchOp(pairs.size)
+            else MediaSwitchOp(pairs.size)
+          TaskSpec(name, op, ins, out("output"))
+        case "srlatch" =>
+          TaskSpec(name, SrLatchOp,
+            Seq(in("set_topic"), in("reset_topic")), out("out_topic"))
+        case "stringmatcher" =>
+          val raw = cfgString(cfg, "pattern", "")
+          val isRegex = cfgBool(cfg, "is_regex", default = false)
+          val flags = cfgString(cfg, "flags", "")
+            .filter("ims".contains(_))
+          val pat = (if (flags.nonEmpty) s"(?$flags)" else "") +
+            (if (isRegex) raw else java.util.regex.Pattern.quote(raw))
+          TaskSpec(name, StringMatcherOp(pat),
+            Seq(in("in_topic")), out("out_topic"))
+        case "numbertotext" =>
+          TaskSpec(name, NumberToTextOp, Seq(in("in_topic")), out("out_topic"))
+        case "timestampupdater" =>
+          TaskSpec(name,
+            TimestampUpdaterOp(cfgDouble(cfg, "time_offset", 0.0).toLong),
+            Seq(in("in_topic")), out("out_topic"))
+        case "timetotext" =>
+          TaskSpec(name,
+            TimeToTextOp(cfgString(cfg, "date_format", "%d/%m/%Y, %H:%M:%S")),
+            Seq(in("in_topic")), out("out_topic"))
+        case "textformatter" =>
+          val tracks = cfg \ "variable_tracks" match {
+            case JArray(ts) => ts
+            case _ => Nil
+          }
+          val vars = tracks.map(t => jStr(t, "name", ctx))
+          val ins = tracks.map(t => stream(cfgTopic(t, "in_topic", ctx)))
+          TaskSpec(name,
+            TextFormatterOp(cfgString(cfg, "template", ""), vars),
+            ins, out("out_topic"))
+        case "stringconcatenator" =>
+          TaskSpec(name, StringConcatenatorOp,
+            Seq(in("in_topic"), in("control_topic")), out("out_topic"))
+        case "messagedetector" =>
+          // time_out is SECONDS (messagedetector.py:100); machine takes ms
+          val ms = math.round(cfgDouble(cfg, "time_out", 0.0) * 1000.0)
+          require(ms > 0, s"$ctx: time_out must be > 0")
+          TaskSpec(name, MessageDetectorOp(ms),
+            Seq(in("in_topic")), out("signal_topic"))
+        case "timebuffer" =>
+          TaskSpec(name,
+            TimeBufferOp(cfgDouble(cfg, "size", 1000.0).toLong),
+            Seq(in("in_topic")), out("out_topic"))
+        case "repeater" =>
+          // the reference repeater generates its own wall clock at
+          // `rate` (repeater.py:36-69); the deterministic engine takes
+          // the tick stream as an explicit input — our documented
+          // `tick_topic` config extension
+          TaskSpec(name, RepeaterOp,
+            Seq(in("in_topic"), in("tick_topic")), out("out_topic"))
+        case "synchronizer" =>
+          val pairs = cfg \ "topics" match {
+            case JArray(ps) => ps.map {
+              case JArray(List(a, b)) =>
+                (optLong(a).getOrElse(sys.error(s"$ctx: bad topic pair")),
+                  optLong(b).getOrElse(sys.error(s"$ctx: bad topic pair")))
+              case _ => sys.error(s"$ctx: 'topics' entries must be [in, out]")
+            }
+            case _ => sys.error(s"$ctx: synchronizer needs 'topics' pairs")
+          }
+          TaskSpec(name, SynchronizerOp(pairs.size),
+            pairs.map(p => stream(p._1)), pairs.map(p => stream(p._2)))
+        case "replaybuffer" =>
+          TaskSpec(name, ReplayBufferOp(cfgBool(cfg, "loop", default = false)),
+            Seq(in("in_topic"), in("play_topic")), out("out_topic"))
+        case other => sys.error(s"$ctx: unsupported task kind '$other'")
+      }
+    }
+    // external feeds: consumed-but-never-produced topics → SourceOp
+    val producedS = tasks.flatMap(_.outputs).toSet
+    val external = tasks.flatMap(t =>
+      t.inputs.zip(t.op.inMeta).filterNot(p => producedS(p._1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, metas) => (s, metas.head._2) }
+    val sources = external.map { case (s, meta) =>
+      namedIn += s -> s
+      TaskSpec(s"src_$s", SourceOp(meta), Nil, s)
+    }
+    Loaded(Deployment(depLabel, sources ++ tasks),
+      namedIn.result(), namedOut.result())
+  }
+
+  /** IOMeta from a StoredTask IO metadata dict (string-valued fields;
+    * wiring/UI keys dropped, as the reference's compatibility check
+    * does — docs/io-metadata.md). */
+  private def ioMeta(j: JValue): IOMeta = j match {
+    case JObject(fields) => IOMeta(fields.collect {
+      case (k, JString(v)) if !Set("label", "key", "topic_id")(k) => k -> v
+    }.toMap)
+    case _ => IOMeta(Map("type" -> "ts"))
+  }
+
+  // --------------------------------------------------------------- writing
+
+  /** Serialize a deployment to the stored-task JSON shape. Kind names
+    * are used as `task_host_id` (portable — no node hash); topic ids
+    * are assigned by first use over the task list, so the output is
+    * deterministic and `load(write(dep))` is a fixpoint up to stream
+    * renaming (PipelineSpec pins `write(load(write(d))) == write(d)`). */
+  def write(dep: Deployment): String = {
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def id(s: String): Long = ids.getOrElseUpdate(s, ids.size + 1L)
+    // assign ids in task order, outputs before downstream inputs
+    dep.tasks.foreach { t => t.inputs.foreach(id); t.outputs.foreach(id) }
+    def taskId(t: TaskSpec): String = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${dep.name}/${t.name}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      s"${h.substring(0, 8)}-${h.substring(8, 12)}-4${h.substring(13, 16)}-" +
+        s"8${h.substring(17, 20)}-${h.substring(20, 32)}"
+    }
+    def metaJson(m: IOMeta, extra: (String, JValue)*): JObject =
+      JObject(m.fields.toSeq.sortBy(_._1).map { case (k, v) =>
+        k -> (JString(v): JValue) }.toList ++ extra.toList)
+    def topic(s: String): JValue = JLong(id(s))
+
+    def ioJson(t: TaskSpec, side: String): List[JValue] =
+      if (side == "in")
+        t.inputs.zip(t.op.inMeta).map { case (s, m) =>
+          metaJson(m, "topic_id" -> topic(s)): JValue }.toList
+      else
+        t.outputs.zip(t.op.outMetas).map { case (s, m) =>
+          metaJson(m, "topic_id" -> topic(s)): JValue }.toList
+
+    def switchCfg(t: TaskSpec, n: Int): JObject = JObject(
+      "pairs" -> JArray((0 until n).map(i => JObject(
+        "input" -> topic(t.inputs(2 * i)),
+        "control" -> topic(t.inputs(2 * i + 1))): JValue).toList),
+      "output" -> topic(t.output))
+
+    def inOutCfg(t: TaskSpec): JObject = JObject(
+      "in_topic" -> topic(t.inputs.head), "out_topic" -> topic(t.output))
+
+    val tasksJson = dep.tasks.map { t =>
+      val (kind, cfg, ins, outs): (String, JObject, List[JValue], List[JValue]) =
+        t.op match {
+          case SourceOp(meta) =>
+            ("namedinput",
+              JObject("name" -> JString(t.name), "out_topic" -> topic(t.output)),
+              Nil, List(metaJson(meta, "topic_id" -> topic(t.output))))
+          case NamedOutputOp(n, meta) =>
+            ("namedoutput",
+              JObject("name" -> JString(n), "in_topic" -> topic(t.inputs.head)),
+              List(metaJson(meta, "topic_id" -> topic(t.inputs.head))), Nil)
+          case GateOp(failOpen) =>
+            ("gate", JObject(
+              "fail_mode" -> JString(if (failOpen) "open" else "closed"),
+              "synchronized" -> JBool(true),
+              "initial_control" -> JBool(false),
+              "in_topic" -> topic(t.inputs(0)),
+              "control_topic" -> topic(t.inputs(1)),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case CalculatorOp(formula, vars, defaults) =>
+            ("calculator", JObject(
+              "formula" -> JString(formula),
+              "synchronized" -> JBool(true),
+              "variable_tracks" -> JArray(vars.zipWithIndex.map {
+                case (v, i) => JObject(
+                  "name" -> JString(v),
+                  "default_value" -> JDouble(defaults.getOrElse(v, 0.0)),
+                  "in_topic" -> topic(t.inputs(i))): JValue
+              }.toList),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case SwitchOp(n) =>
+            ("switch", switchCfg(t, n), ioJson(t, "in"), ioJson(t, "out"))
+          case MediaSwitchOp(n) =>
+            ("mediaswitch", switchCfg(t, n), ioJson(t, "in"), ioJson(t, "out"))
+          case SrLatchOp =>
+            ("srlatch", JObject(
+              "set_topic" -> topic(t.inputs(0)),
+              "reset_topic" -> topic(t.inputs(1)),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case StringMatcherOp(p) =>
+            ("stringmatcher", JObject(
+              "pattern" -> JString(p), "is_regex" -> JBool(true),
+              "flags" -> JString(""),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case NumberToTextOp =>
+            ("numbertotext", inOutCfg(t), ioJson(t, "in"), ioJson(t, "out"))
+          case TimestampUpdaterOp(off) =>
+            ("timestampupdater", JObject(
+              "time_offset" -> JLong(off), "fail_closed" -> JBool(true),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case op: TimeToTextOp =>
+            ("timetotext", JObject(
+              "date_format" -> JString(op.pattern),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case TextFormatterOp(template, vars) =>
+            ("textformatter", JObject(
+              "template" -> JString(template),
+              "synchronized" -> JBool(true),
+              "variable_tracks" -> JArray(vars.zipWithIndex.map {
+                case (v, i) => JObject(
+                  "name" -> JString(v), "default_text" -> JString(""),
+                  "in_topic" -> topic(t.inputs(i))): JValue
+              }.toList),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case StringConcatenatorOp =>
+            ("stringconcatenator", JObject(
+              "in_topic" -> topic(t.inputs(0)),
+              "control_topic" -> topic(t.inputs(1)),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case MessageDetectorOp(ms) =>
+            ("messagedetector", JObject(
+              "time_out" -> JDouble(ms / 1000.0),
+              "repeat_interval" -> JDouble(0.0),
+              "in_topic" -> topic(t.inputs.head),
+              "signal_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case TimeBufferOp(ms) =>
+            ("timebuffer", JObject(
+              "size" -> JLong(ms),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case RepeaterOp =>
+            ("repeater", JObject(
+              "rate" -> JDouble(10.0), "fail_closed" -> JBool(false),
+              "in_topic" -> topic(t.inputs(0)),
+              "tick_topic" -> topic(t.inputs(1)),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case SynchronizerOp(metas) =>
+            ("synchronizer", JObject(
+              "topics" -> JArray(metas.indices.map(i =>
+                JArray(List(topic(t.inputs(i)), topic(t.outputs(i))))
+                  : JValue).toList)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case ReplayBufferOp(loop) =>
+            ("replaybuffer", JObject(
+              "loop" -> JBool(loop),
+              "in_topic" -> topic(t.inputs(0)),
+              "play_topic" -> topic(t.inputs(1)),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case op =>
+            sys.error(s"task '${t.name}': ${op.getClass.getSimpleName} has " +
+              "no stored-task JSON shape (closure-configured op)")
+        }
+      JObject(
+        "id" -> JString(taskId(t)),
+        "deployment_id" -> JString(depId(dep)),
+        "task_host_id" -> JString(kind),
+        "label" -> JString(t.name),
+        "config" -> cfg,
+        "frontend_config" -> JObject(),
+        "inputs" -> JArray(ins),
+        "outputs" -> JArray(outs)): JValue
+    }
+
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "deployment" -> JObject(
+        "id" -> JString(depId(dep)), "label" -> JString(dep.name)),
+      "tasks" -> JArray(tasksJson.toList))))
+  }
+
+  private def depId(dep: Deployment): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dep.name.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-4${h.substring(13, 16)}-" +
+      s"8${h.substring(17, 20)}-${h.substring(20, 32)}"
+  }
+}

@@ -49,48 +49,69 @@ object Pipeline {
     val text: IOMeta = IOMeta(Map("type" -> "ts", "content" -> "text"))
   }
 
-  /** One operator instance: `inputs` name upstream streams. */
+  /** One operator instance: `inputs` name upstream streams; `outputs`
+    * name the streams this instance produces, one per [[Op.outMetas]]
+    * entry (the reference's StoredTask has a LIST of outputs,
+    * task_web.py:50-58 — the synchronizer is the genuinely
+    * multi-output task, one out topic per synchronized in topic). */
   final case class TaskSpec(
       name: String,
       op: Op,
       inputs: Seq[String],
-      output: String)
+      outputs: Seq[String]) {
+    /** Single-output convenience accessor (most ops). */
+    def output: String = {
+      require(outputs.size == 1, s"task '$name' has ${outputs.size} outputs")
+      outputs.head
+    }
+  }
+  object TaskSpec {
+    /** Single-output convenience constructor — the common case. */
+    def apply(name: String, op: Op, inputs: Seq[String],
+        output: String): TaskSpec = TaskSpec(name, op, inputs, Seq(output))
+  }
 
   /** The operator catalog (the §2.1 subset that composes in pipelines;
     * each declares its IO metadata for validation). */
   sealed trait Op {
     def inMeta: Seq[IOMeta]
-    def outMeta: IOMeta
+    def outMetas: Seq[IOMeta]
   }
-  final case class SourceOp(meta: IOMeta) extends Op {
+  /** Ops with exactly one output stream — every op but the
+    * synchronizer and the (output-less) named-output sink. */
+  sealed trait SingleOutOp extends Op {
+    def outMeta: IOMeta
+    final def outMetas: Seq[IOMeta] = Seq(outMeta)
+  }
+  final case class SourceOp(meta: IOMeta) extends SingleOutOp {
     def inMeta = Nil; def outMeta = meta
   }
   final case class CalculatorOp(formula: String, vars: Seq[String],
-      defaults: Map[String, Double] = Map.empty) extends Op {
+      defaults: Map[String, Double] = Map.empty) extends SingleOutOp {
     def inMeta = vars.map(_ => IOMeta.number); def outMeta = IOMeta.number
     // validate the formula eagerly, like CalculatorConfig.validate_ast
     Calc.validate(Calc.parse(formula), vars.toSet)
   }
-  final case class GateOp(failOpen: Boolean = false) extends Op {
+  final case class GateOp(failOpen: Boolean = false) extends SingleOutOp {
     def inMeta = Seq(IOMeta.number, IOMeta.number); def outMeta = IOMeta.number
   }
-  case object SrLatchOp extends Op {
+  case object SrLatchOp extends SingleOutOp {
     def inMeta = Seq(IOMeta.number, IOMeta.number); def outMeta = IOMeta.number
   }
-  final case class StringMatcherOp(pattern: String) extends Op {
+  final case class StringMatcherOp(pattern: String) extends SingleOutOp {
     def inMeta = Seq(IOMeta.text); def outMeta = IOMeta.number
   }
-  case object NumberToTextOp extends Op {
+  case object NumberToTextOp extends SingleOutOp {
     def inMeta = Seq(IOMeta.number); def outMeta = IOMeta.text
   }
-  final case class TimestampUpdaterOp(offsetMs: Long) extends Op {
+  final case class TimestampUpdaterOp(offsetMs: Long) extends SingleOutOp {
     def inMeta = Seq(IOMeta(Map("type" -> "ts"))); def outMeta = IOMeta(Map("type" -> "ts"))
   }
   /** Mux sink: one input per stream, bounded-desync interleave
     * ([[graft.streaming.StateMachines.OutputContainerSync]]); the
     * output carries (ts, dts in value, stream label in text). */
   final case class OutputContainerOp(streams: Seq[OcStreamCfg],
-      maxDesync: Long) extends Op {
+      maxDesync: Long) extends SingleOutOp {
     require(streams.nonEmpty, "output container needs at least one stream")
     def inMeta = streams.map(_ => IOMeta(Map("type" -> "ts")))
     def outMeta = IOMeta(Map("type" -> "ts"))
@@ -98,7 +119,7 @@ object Pipeline {
   /** N×(data, control) pairs → the data of the max-control pair
     * (switch.py:63-72). Inputs in (data0, ctrl0, data1, ctrl1, …)
     * order — even indices data, odd control, as the machine expects. */
-  final case class SwitchOp(pairs: Int) extends Op {
+  final case class SwitchOp(pairs: Int) extends SingleOutOp {
     require(pairs >= 1, "switch needs at least one pair")
     def inMeta = Seq.tabulate(2 * pairs)(_ => IOMeta.number)
     def outMeta = IOMeta.number
@@ -106,7 +127,7 @@ object Pipeline {
   /** Switch that defers cutover to the next keyframe of the newly
     * selected input (media/mediaswitch.py:15-27); data events carry
     * text = "k" on keyframes. */
-  final case class MediaSwitchOp(pairs: Int) extends Op {
+  final case class MediaSwitchOp(pairs: Int) extends SingleOutOp {
     require(pairs >= 1, "media switch needs at least one pair")
     def inMeta = Seq.tabulate(2 * pairs)(i =>
       if (i % 2 == 0) IOMeta(Map("type" -> "ts")) else IOMeta.number)
@@ -115,37 +136,37 @@ object Pipeline {
   /** `str.format_map` analogue over the last value of each named text
     * variable (textformatter.py:62-75): "{name}" placeholders. */
   final case class TextFormatterOp(template: String, vars: Seq[String])
-      extends Op {
+      extends SingleOutOp {
     def inMeta = vars.map(_ => IOMeta.text)
     def outMeta = IOMeta.text
   }
   /** Accumulate text; control rising edge flushes the concatenation
     * (stringconcatenator.py:42-62). */
-  case object StringConcatenatorOp extends Op {
+  case object StringConcatenatorOp extends SingleOutOp {
     def inMeta = Seq(IOMeta.text, IOMeta.number)
     def outMeta = IOMeta.text
   }
   /** Liveness signal: 1 per message, 0 at lastTs + timeout on silence
     * (messagedetector.py:30-88). */
-  final case class MessageDetectorOp(timeoutMs: Long) extends Op {
+  final case class MessageDetectorOp(timeoutMs: Long) extends SingleOutOp {
     def inMeta = Seq(IOMeta(Map("type" -> "ts")))
     def outMeta = IOMeta.number
   }
   /** Delay by `sizeMs` against message time (timebuffer.py:44-63). */
-  final case class TimeBufferOp(sizeMs: Long) extends Op {
+  final case class TimeBufferOp(sizeMs: Long) extends SingleOutOp {
     def inMeta = Seq(IOMeta(Map("type" -> "ts")))
     def outMeta = IOMeta(Map("type" -> "ts"))
   }
   /** Sample-and-hold re-emitted on clock ticks (repeater.py:36-69,
     * rate-source formulation): inputs (data, ticks). */
-  case object RepeaterOp extends Op {
+  case object RepeaterOp extends SingleOutOp {
     def inMeta = Seq(IOMeta.number, IOMeta(Map("type" -> "ts")))
     def outMeta = IOMeta.number
   }
   /** Format the message timestamp with an strftime pattern
     * (timetotext.py:29-37); stateless. */
   final case class TimeToTextOp(
-      pattern: String = "%d/%m/%Y, %H:%M:%S") extends Op {
+      pattern: String = "%d/%m/%Y, %H:%M:%S") extends SingleOutOp {
     def inMeta = Seq(IOMeta(Map("type" -> "ts")))
     def outMeta = IOMeta.text
     // eager translation so a bad pattern fails at spec-build time
@@ -156,9 +177,47 @@ object Pipeline {
     * the model call is injected — a deterministic function in tests,
     * a real handle in production. */
   final case class ChatOp(systemMsg: Option[String], contextBudget: Int,
-      reply: Vector[(String, String)] => String) extends Op {
+      reply: Vector[(String, String)] => String) extends SingleOutOp {
     def inMeta = Seq(IOMeta.text)
     def outMeta = IOMeta.text
+  }
+  /** The SequentialInTopicSynchronizer as a deployment task
+    * (synchronizer.py:11-45): N in topics, N out topics — each input
+    * maps to its own output, release order synchronized across topics
+    * by the [[graft.streaming.StateMachines.Synchronizer]] dict
+    * machine (late events drop per topic; a paused topic can't stall
+    * the rest). The genuinely multi-output op of the catalog. */
+  final case class SynchronizerOp(metas: Seq[IOMeta]) extends Op {
+    require(metas.nonEmpty, "synchronizer needs at least one topic")
+    def inMeta = metas
+    def outMetas = metas
+  }
+  object SynchronizerOp {
+    def apply(topics: Int): SynchronizerOp =
+      SynchronizerOp(Seq.fill(topics)(IOMeta(Map("type" -> "ts"))))
+  }
+  /** Replay buffer (replaybuffer.py:13-92): record the data input; a
+    * rising edge on the play control replays everything currently
+    * buffered, re-timestamped so the first buffered message plays at
+    * the edge; an unpause transition on the data input clears the
+    * buffer. `loop` replay is wall-clock-driven in the reference
+    * (play repeats until the control drops) and has no bounded batch
+    * analogue — rejected at spec-build time. */
+  final case class ReplayBufferOp(loop: Boolean = false) extends SingleOutOp {
+    require(!loop,
+      "loop replay is wall-clock-driven (replaybuffer.py:70) — unsupported")
+    def inMeta = Seq(IOMeta(Map("type" -> "ts")), IOMeta.number)
+    def outMeta = IOMeta(Map("type" -> "ts"))
+  }
+  /** Named-output sink (namedoutput.py:9-45): consumes one stream and
+    * exposes it under a published name; produces no new stream. The
+    * compiled deployment's named streams already make every edge
+    * sinkable, so this is pure declaration — [[DeploymentJson]] maps
+    * it to/from the reference's task kind. */
+  final case class NamedOutputOp(name: String,
+      meta: IOMeta = IOMeta(Map("type" -> "ts"))) extends Op {
+    def inMeta = Seq(meta)
+    def outMetas = Nil
   }
 
   final case class Deployment(name: String, tasks: Seq[TaskSpec])
@@ -168,18 +227,24 @@ object Pipeline {
     * wire. Returns all errors (not just the first). */
   def validate(dep: Deployment): Seq[String] = {
     val errs = Seq.newBuilder[String]
-    val producers = dep.tasks.groupBy(_.output)
-    producers.collect { case (out, ts) if ts.size > 1 =>
-      errs += s"stream '$out' has ${ts.size} producers" }
-    val known = producers.keySet
+    val produced = dep.tasks.flatMap(t =>
+      t.outputs.zipWithIndex.map { case (o, i) => (o, t, i) })
+    produced.groupBy(_._1).collect { case (out, ps) if ps.size > 1 =>
+      errs += s"stream '$out' has ${ps.size} producers" }
+    // stream → the outMeta of its (first) producer
+    val producerMeta: Map[String, IOMeta] = produced.flatMap {
+      case (o, t, i) => t.op.outMetas.lift(i).map(o -> _) }.toMap
+    val known = produced.map(_._1).toSet
     dep.tasks.foreach { t =>
       if (t.inputs.size != t.op.inMeta.size)
         errs += s"task '${t.name}': expects ${t.op.inMeta.size} inputs, got ${t.inputs.size}"
+      if (t.outputs.size != t.op.outMetas.size)
+        errs += s"task '${t.name}': expects ${t.op.outMetas.size} outputs, got ${t.outputs.size}"
       t.inputs.foreach(i =>
         if (!known(i)) errs += s"task '${t.name}': unknown input stream '$i'")
       t.inputs.zip(t.op.inMeta).foreach { case (in, meta) =>
-        producers.get(in).foreach { ps =>
-          val bad = ps.head.op.outMeta.compatibleWith(meta)
+        producerMeta.get(in).foreach { pm =>
+          val bad = pm.compatibleWith(meta)
           if (bad.nonEmpty)
             errs += s"task '${t.name}' input '$in' incompatible: ${bad.mkString("; ")}"
         }
@@ -193,7 +258,7 @@ object Pipeline {
       val (ready, blocked) = remaining.partition(_.inputs.forall(i =>
         resolved(i) || !known(i)))
       progressed = ready.nonEmpty
-      resolved ++= ready.map(_.output)
+      resolved ++= ready.flatMap(_.outputs)
       remaining = blocked
     }
     if (remaining.nonEmpty)
@@ -213,7 +278,8 @@ object Pipeline {
     while (remaining.nonEmpty) {
       val (ready, blocked) = remaining.partition(_.inputs.forall(streams.contains))
       require(ready.nonEmpty, s"unresolvable tasks: ${blocked.map(_.name)}")
-      ready.foreach { t => streams += t.output -> compileTask(dep.name, t, streams) }
+      ready.foreach { t =>
+        streams ++= t.outputs.zip(compileTask(dep.name, t, streams)) }
       remaining = blocked
     }
     streams
@@ -304,12 +370,39 @@ object Pipeline {
     fromKOut(out, piped)
   }
 
+  /** NULL-text sentinel for the synchronizer's topic tag (see
+    * [[SynchronizerOp]] compile below): a value no reference message
+    * text contains (U+0000). */
+  private val NullTok = "\u0000"
+
+  /** One compiled frame per declared output (singleton for every op
+    * but the synchronizer; empty for the named-output sink). */
   private def compileTask(dep: String, t: TaskSpec,
-      streams: Map[String, DataFrame]): DataFrame = {
+      streams: Map[String, DataFrame]): Seq[DataFrame] = {
     val ins = t.inputs.map(streams)
     val key = s"$dep/${t.name}" // ≙ topic-space isolation per deployment
-    t.op match {
+    Seq(t.op match {
+      case SynchronizerOp(metas) =>
+        // The machine merges its topics into ONE released stream and
+        // forwards value/text untouched — tag each input's text with
+        // its topic index going in, split the merged output back into
+        // the per-topic out streams, restore the text (NullTok stands
+        // in for NULL so the tag survives a null payload).
+        val tagged = ins.zipWithIndex.map { case (df, i) =>
+          df.withColumn("text",
+            concat(lit(s"$i|"), coalesce(col("text"), lit(NullTok))))
+        }
+        val merged = runMachine(key, new Synchronizer(metas.size), tagged)
+        return metas.indices.map { i =>
+          val rest = expr(s"substring(text, ${s"$i|".length + 1})")
+          merged.filter(col("text").startsWith(s"$i|"))
+            .withColumn("text",
+              when(rest === NullTok, lit(null).cast(StringType))
+                .otherwise(rest))
+        }
+      case NamedOutputOp(_, _) => return Nil
       case SourceOp(_) => ins.head
+      case ReplayBufferOp(_) => runMachine(key, new ReplayBuffer, ins)
       case OutputContainerOp(cfgs, maxDesync) =>
         runMachine(key,
           new OutputContainerSync(cfgs.indices.map(i => i -> cfgs(i)).toMap,
@@ -361,7 +454,7 @@ object Pipeline {
           date_format(timestamp_millis(col("ts")), t.javaPattern))
       case ChatOp(sys, budget, reply) =>
         runMachine(key, new Chat(sys, budget, reply), ins)
-    }
+    })
   }
 
   /** JVM-side evaluation of a pre-parsed calculator AST (the machine

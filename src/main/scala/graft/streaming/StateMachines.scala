@@ -630,6 +630,57 @@ object StateMachines {
         .map { case (_, e) => Out(e.ts, e.value, e.text) }
   }
 
+  // ---------------------------------------------------------- replay buffer
+  final case class ReplayState(buf: Vector[Ev], lastPaused: Boolean,
+      playing: Boolean)
+
+  /** Replay buffer (system/tasks/replaybuffer.py:28-92), as the
+    * deterministic event-time machine the e16 window formulation pins:
+    *
+    *  - topic 0 (data): non-marker messages append to the buffer
+    *    (run_input_receiver :38-47); an UNPAUSE transition (paused →
+    *    resumed) clears it (:43-45 `buffer.clear()`).
+    *  - topic 1 (play): `playing := value > 0.5` (:52-55). A RISING
+    *    edge with a non-empty buffer replays the whole buffer (:60-70):
+    *    each buffered message re-emits at `ts + offset` where
+    *    `offset = edgeTs − firstBufferedTs` — the reference computes
+    *    `time_offset = sync.time − ts` of the first replayed packet,
+    *    i.e. the buffer's first message plays at the edge. Replay does
+    *    NOT consume the buffer, so a later play (after the control
+    *    drops and rises again) replays the same recording.
+    *
+    * The reference paces the replay against the wall clock
+    * (asyncio.sleep, :66-67) and can loop; event time needs no pacing
+    * — the re-stamped timestamps carry the schedule — and loop mode is
+    * rejected at [[graft.plans.Pipeline.ReplayBufferOp]] build time. */
+  final class ReplayBuffer extends Machine[ReplayState] {
+    def init = ReplayState(Vector.empty, lastPaused = false, playing = false)
+    // data before control at equal ts: a message landing exactly on the
+    // play edge is part of the recording (the e16 window's sort order).
+    override def priority(topic: Int): Int = if (topic == 0) 0 else 1
+
+    def step(s: ReplayState, e: Ev): (ReplayState, Seq[Out]) = e.topic match {
+      case 0 =>
+        if (e.paused) {
+          val flag = pauseFlag(e)
+          val cleared = s.lastPaused && !flag // unpause transition
+          (s.copy(lastPaused = flag,
+            buf = if (cleared) Vector.empty else s.buf), Nil)
+        } else (s.copy(buf = s.buf :+ e), Nil)
+      case _ =>
+        if (e.paused) (s, Nil)
+        else {
+          val sig = e.value > 0.5
+          val outs =
+            if (sig && !s.playing && s.buf.nonEmpty) {
+              val off = e.ts - s.buf.head.ts
+              s.buf.map(b => Out(b.ts + off, b.value, b.text))
+            } else Nil
+          (s.copy(playing = sig), outs)
+        }
+    }
+  }
+
   // ------------------------------------------- output-container synchronizer
   /** One muxed stream's timing config: `time_base = tbNum/tbDen` seconds
     * per dts tick, `frameAdv` ticks consumed per muxed packet (audio:

@@ -549,6 +549,117 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(TaskStatus.Scheduled, TaskStatus.Running, TaskStatus.Ended))
   }
 
+  test("DeploymentJson round-trips spec -> JSON -> spec (fixpoint) and " +
+      "matches the reference's task_host_id hash (task.py:153)") {
+    import graft.plans.DeploymentJson
+    // the hash the reference computes for GateTaskHost on node
+    // 'graft-node' (verified against hashlib.sha256 directly)
+    assert(DeploymentJson.taskHostId("GateTaskHost", "graft-node") ==
+      "8da8fcf971271945")
+    val dep = Deployment("rt", Seq(
+      TaskSpec("clicks", SourceOp(IOMeta.number), Nil, "a"),
+      TaskSpec("views", SourceOp(IOMeta.number), Nil, "b"),
+      TaskSpec("ctrl", SourceOp(IOMeta.number), Nil, "play"),
+      TaskSpec("sync", SynchronizerOp(2), Seq("a", "b"), Seq("sa", "sb")),
+      TaskSpec("calc", CalculatorOp("a * 2 + 1", Seq("a"),
+        Map("a" -> 3.5)), Seq("sa"), "calcd"),
+      TaskSpec("gate", GateOp(failOpen = true), Seq("calcd", "play"),
+        "gated"),
+      TaskSpec("rb", ReplayBufferOp(), Seq("sb", "play"), "replayed"),
+      TaskSpec("latch", SrLatchOp, Seq("play", "gated"), "latched"),
+      TaskSpec("tb", TimeBufferOp(250L), Seq("replayed"), "buffered"),
+      TaskSpec("det", MessageDetectorOp(1500L), Seq("buffered"), "live"),
+      TaskSpec("out", NamedOutputOp("main", IOMeta.number), Seq("gated"),
+        Nil)))
+    assert(Pipeline.validate(dep).isEmpty)
+    val json = DeploymentJson.write(dep)
+    val loaded = DeploymentJson.load(json)
+    // JSON fixpoint: reload + rewrite reproduces the bytes exactly
+    assert(DeploymentJson.write(loaded.deployment) == json)
+    // structure survives: same task names/ops, streams renamed tN
+    val ops = loaded.deployment.tasks.map(t => t.name -> t.op).toMap
+    assert(ops("gate") == GateOp(failOpen = true))
+    assert(ops("calc") == CalculatorOp("a * 2 + 1", Seq("a"), Map("a" -> 3.5)))
+    assert(ops("sync") == SynchronizerOp(2))
+    assert(ops("rb") == ReplayBufferOp())
+    assert(ops("det") == MessageDetectorOp(1500L))
+    assert(Pipeline.validate(loaded.deployment).isEmpty)
+    assert(loaded.namedInputs.keySet == Set("clicks", "views", "ctrl"))
+    assert(loaded.namedOutputs.keySet == Set("main"))
+  }
+
+  test("DeploymentJson.load rejects unknown hosts, loop replay and " +
+      "initial_control=true with named errors") {
+    import graft.plans.DeploymentJson
+    def task(host: String, cfg: String) =
+      s"""[{"id": "x", "deployment_id": "y", "task_host_id": "$host",
+         |  "label": "t", "config": $cfg, "frontend_config": {},
+         |  "inputs": [], "outputs": []}]""".stripMargin
+    val unknown = intercept[RuntimeException] {
+      DeploymentJson.load(task("deadbeef00000000", "{}"))
+    }
+    assert(unknown.getMessage.contains("unknown task_host_id"))
+    val loop = intercept[Exception] {
+      DeploymentJson.load(task("replaybuffer",
+        """{"loop": true, "in_topic": 1, "play_topic": 2, "out_topic": 3}"""))
+    }
+    assert(loop.getMessage.contains("loop"))
+    val ic = intercept[Exception] {
+      DeploymentJson.load(task("gate",
+        """{"initial_control": true, "in_topic": 1, "control_topic": 2,
+           "out_topic": 3}"""))
+    }
+    assert(ic.getMessage.contains("initial_control"))
+  }
+
+  test("SynchronizerOp routes each topic to its OWN output with text " +
+      "payloads restored (nulls and '|'-containing strings included)") {
+    import spark.implicits._
+    def tenv(rows: Seq[(Long, String, Long)]): DataFrame =
+      rows.map { case (ts, tx, sq) => (ts, 0.0, tx, false, sq) }
+        .toDF("ts", "value", "text", "paused", "seq")
+    // topic a arrives [10, 30, 20]: 20 is late (reg(a)=30) and drops;
+    // topic b arrives in order, 15 carries a '|' payload, 25 a null
+    val a = tenv(Seq((10L, "x", 1L), (30L, "y|z", 3L), (20L, "late", 4L)))
+    val b = tenv(Seq((15L, "p|q|r", 2L), (25L, null, 5L)))
+    val dep = Deployment("so", Seq(
+      TaskSpec("sa", SourceOp(IOMeta.text), Nil, "a"),
+      TaskSpec("sb", SourceOp(IOMeta.text), Nil, "b"),
+      TaskSpec("sync", SynchronizerOp(2), Seq("a", "b"), Seq("oa", "ob"))))
+    val outs = Pipeline.compile(dep, Map("a" -> a, "b" -> b))
+    def got(s: String) = outs(s).filter(!col("paused"))
+      .select("ts", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got("oa") == Seq((10L, "x"), (30L, "y|z")))
+    assert(got("ob") == Seq((15L, "p|q|r"), (25L, null)))
+  }
+
+  test("ReplayBufferOp: play rising edge replays the recording " +
+      "restamped to the edge; unpause transition clears; repeated " +
+      "plays replay the same buffer (replaybuffer.py:28-70)") {
+    import spark.implicits._
+    def envP(rows: Seq[(Long, Double, Boolean, Long)]): DataFrame =
+      rows.map { case (ts, v, p, sq) => (ts, v, null: String, p, sq) }
+        .toDF("ts", "value", "text", "paused", "seq")
+    // record 1.0@10, 2.0@20; play edge @25 (offset 15): replays
+    // 1.0@25, 2.0@35; control drops @30, rises again @40: replays the
+    // SAME buffer at offset 30 (1.0@40, 2.0@50). Then a pause+unpause
+    // pair @45 clears; data 3.0@60; edge @70 replays only 3.0@70.
+    val data = envP(Seq((10L, 1.0, false, 1L), (20L, 2.0, false, 2L),
+      (45L, 1.0, true, 6L), (46L, 0.0, true, 7L), (60L, 3.0, false, 8L)))
+    val play = envP(Seq((25L, 1.0, false, 3L), (30L, 0.0, false, 4L),
+      (40L, 1.0, false, 5L), (65L, 0.0, false, 9L), (70L, 1.0, false, 10L)))
+    val dep = Deployment("rb", Seq(
+      TaskSpec("sd", SourceOp(IOMeta.number), Nil, "d"),
+      TaskSpec("sp", SourceOp(IOMeta.number), Nil, "p"),
+      TaskSpec("rb", ReplayBufferOp(), Seq("d", "p"), "replayed")))
+    val out = Pipeline.compile(dep, Map("d" -> data, "p" -> play))("replayed")
+      .filter(!col("paused")).select("ts", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq((25L, 1.0), (35L, 2.0), (40L, 1.0), (50L, 2.0),
+      (70L, 3.0)))
+  }
+
   test("lifecycle: start/status/stop a streaming deployment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
