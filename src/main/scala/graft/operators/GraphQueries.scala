@@ -326,19 +326,42 @@ object GraphQueries {
   // node over ≤|V| rows; rounds are a fixed constant; the landmark
   // seed set is 8 rows (TakeOrderedAndProject, broadcast). The dist
   // table is |V| rows — never the corpus — exactly g02's walk shape.
-  /** Synchronous multi-source BFS: min distance from any seed within
+  /** FRONTIER multi-source BFS: min distance from any seed within
     * `rounds` hops. `e` is the undirected (u,v) edge set; seeds carry
-    * (node, dist=0). Exposed for the direct-model test in GraphSpec. */
+    * (node, dist=0). Exposed for the direct-model test in GraphSpec.
+    *
+    * With unit weights a node's min distance IS the round it is first
+    * reached, so only nodes first reached in round k−1 can discover
+    * anything in round k — each round joins the FRONTIER (the newly
+    * reached set) against the adjacency, not the full distance table.
+    * On a 100 TB graph with eccentricity 20+ this is the difference
+    * between Σ|frontier_k ⋈ adj| (each edge relaxed ~twice total) and
+    * rounds × |dist ⋈ adj| (the full re-relax the synchronous
+    * formulation pays per round). Result is identical to the
+    * synchronous fold; `roundSizes`, when given, receives each
+    * round's frontier size (GraphSpec pins that these SHRINK once the
+    * high-degree core is absorbed). */
   private[graft] def bfsDistances(e: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      roundSizes: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : DataFrame = {
     var dist = seeds
+    var frontier = seeds
     for (k <- 1 to rounds) {
       val a = adj(e) // fresh lineage per round (see g02)
-      val next = dist
-        .join(a, dist("node") === a("x"))
-        .select(a("y").as("node"), lit(k.toLong).as("dist"))
-      dist = dist.union(next)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val cand = frontier
+        .join(a, frontier("node") === a("x"))
+        .select(a("y").as("node")).distinct()
+      // fresh = reached for the first time this round — the next
+      // frontier; already-reached candidates have dist < k already.
+      // Scope-released checkpoint: fresh is read three ways (count,
+      // union, next round's join) and anchors the anti-join lineage.
+      val fresh = graft.Resources.checkpoint(
+        cand.join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(k.toLong).as("dist")))
+      roundSizes.foreach(_ += fresh.count()) // bound check, not a collect
+      dist = dist.union(fresh)
+      frontier = fresh
     }
     dist
   }
@@ -491,29 +514,33 @@ object GraphQueries {
     * of g05's hop-count BFS: edge cost = 11 − least(cnt, 10) where cnt
     * is the pair's co-occurrence count (strong ties are cheap to
     * traverse, costs integer-exact in [6, 10]), source = the
-    * highest-degree hub (ties by node id). Synchronous Bellman-Ford:
-    * each round relaxes EVERY edge out of the current distance table
-    * (dist' = min(dist, min over in-edges (dist(x) + cost))) until an
-    * exact fixpoint. This is proximity weighted by association
-    * strength — the related-item distance a recommender or
-    * graph-feature pipeline derives, where a frequent pairing should
-    * count as "closer" than a one-off.
+    * highest-degree hub (ties by node id). FRONTIER Bellman-Ford:
+    * each round relaxes only the edges out of the nodes whose
+    * distance CHANGED last round (the delta-stepping refinement round
+    * 9's synchronous formulation named as its own 100 TB fix), until
+    * the frontier empties — an exact fixpoint, distances identical to
+    * the full synchronous relax. This is proximity weighted by
+    * association strength — the related-item distance a recommender
+    * or graph-feature pipeline derives, where a frequent pairing
+    * should count as "closer" than a one-off.
     *
-    * Scale shape per round: dist ⋈ wadj is an equi-join on node (≤2|E|
-    * relax rows), then ONE min-agg shuffle keyed node over ≤|V|+2|E|
-    * rows — the corpus never re-enters after the weighted adjacency is
-    * derived once (localCheckpoint, reused every round; lineage stays
-    * O(1) per round). Fixpoint detection is exact and order-free: the
-    * (row count, Σdist) pair is monotone (relaxation only adds nodes
-    * or lowers a distance), so an unchanged pair ⟺ no relaxation
-    * fired. Round count is data-bounded by the max EDGE count of any
-    * shortest path (measured 6/7/8 at sf0.001/0.01/0.1 incl. the
-    * confirming no-op round — growing roughly with hop eccentricity,
-    * not size); the production-scale refinement for high-diameter graphs
-    * is delta-stepping (relax only the changed frontier), which this
-    * synchronous formulation upper-bounds. Oracle: the identical
-    * relaxation unrolled [[SsspOracleRounds]] materialized rounds
-    * (g06's convention — GraphSpec pins fixture fixpoint ≤ half). */
+    * Scale shape per round: frontier ⋈ wadj is an equi-join on node
+    * (≤ Σdeg(frontier) relax rows — total work over ALL rounds is
+    * bounded by rounds-to-converge × nothing re-relaxed, vs the
+    * synchronous rounds × 2|E|), then one min-agg shuffle keyed node
+    * and one anti-join merge into the |V|-row distance table — the
+    * corpus never re-enters after the weighted adjacency is derived
+    * once (localCheckpoint, reused every round; lineage stays O(1)
+    * per round). Fixpoint detection is structural: an empty frontier
+    * ⟺ no distance changed ⟺ done (GraphSpec pins that frontier
+    * sizes shrink once the hub core is absorbed, and that distances
+    * equal a direct Dijkstra). Round count is data-bounded by the max
+    * EDGE count of any shortest path (measured 6/7/8 at
+    * sf0.001/0.01/0.1 incl. the confirming empty round — growing
+    * roughly with hop eccentricity, not size). Oracle: the FULL
+    * synchronous relaxation unrolled [[SsspOracleRounds]]
+    * materialized rounds (g06's convention — equivalent at the
+    * fixpoint; GraphSpec pins fixture fixpoint ≤ half). */
   private def weightedAdj(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val a = l.toDF("ok", "u")
@@ -528,32 +555,64 @@ object GraphQueries {
       .union(w.select(col("v").as("x"), col("u").as("y"), col("cost")))
   }
 
-  /** Bellman-Ford to fixpoint; returns (node → dist table, rounds
-    * incl. the confirming no-op round). Exposed for GraphSpec's
-    * direct-Dijkstra cross-model check. */
-  private[graft] def sssp(s: SparkSession, d: String): (DataFrame, Int) = {
+  /** FRONTIER Bellman-Ford (delta-relaxation) to fixpoint; returns
+    * (node → dist table, rounds incl. the confirming empty-frontier
+    * round). Exposed for GraphSpec's direct-Dijkstra cross-model
+    * check; `roundSizes`, when given, receives each round's frontier
+    * size.
+    *
+    * Each round relaxes only the FRONTIER — the nodes whose distance
+    * changed last round — against the adjacency: a relaxation through
+    * an unchanged node was already applied in an earlier round, so
+    * the frontier join produces every improvement the synchronous
+    * full relax would, at Σ|frontier ⋈ adj| cost instead of
+    * rounds × 2|E|. On a 100 TB graph with eccentricity 20+ that is
+    * the ~20× overpay round 9's synchronous formulation documented as
+    * its own refinement; the fixture fixpoint (same rounds, same
+    * distances) is unchanged — the oracle hash does not move.
+    * Fixpoint detection is now structural: an empty frontier ⟺ no
+    * distance changed ⟺ no future round can change one. */
+  private[graft] def sssp(s: SparkSession, d: String,
+      roundSizes: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : (DataFrame, Int) = {
     val wadj = weightedAdj(s, d).localCheckpoint()
     val seed = degrees(edgesShared(s, d))
       .orderBy(col("deg").desc, col("node")).limit(1)
       .select(col("node"), lit(0L).as("dist"))
     var dist = seed.localCheckpoint()
-    var sig = (-1L, -1L)
+    var frontier = dist
     var rounds = 0
-    var done = false
-    while (!done) {
-      val relax = dist.join(wadj, dist("node") === wadj("x"))
+    var live = true
+    while (live) {
+      val relax = frontier.join(wadj, frontier("node") === wadj("x"))
         .select(wadj("y").as("node"),
-          (dist("dist") + wadj("cost")).as("dist"))
-      val nxt = dist.union(relax)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          (frontier("dist") + wadj("cost")).as("dist"))
+      val best = relax.groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      // improvements only: unseen nodes, or a strictly smaller dist
+      val improved = best
+        .join(dist.toDF("onode", "odist"), best("node") === col("onode"),
+          "left")
+        .filter(col("odist").isNull || col("dist") < col("odist"))
+        .select(col("node"), col("dist"))
         .localCheckpoint()
-      val r = nxt.agg(count(lit(1)), sum(col("dist"))).head()
-      val nsig = (r.getLong(0), r.getLong(1))
+      val n = improved.count() // frontier bound, not a data collect
+      roundSizes.foreach(_ += n)
       rounds += 1
-      done = nsig == sig
-      sig = nsig
-      graft.Resources.unpersistCheckpoint(dist)
-      dist = nxt
+      live = n > 0
+      if (live) {
+        val nxt = dist
+          .join(improved.select(col("node").as("inode")),
+            dist("node") === col("inode"), "left_anti")
+          .union(improved)
+          .localCheckpoint()
+        graft.Resources.unpersistCheckpoint(dist)
+        if (frontier ne dist) graft.Resources.unpersistCheckpoint(frontier)
+        dist = nxt
+        frontier = improved
+      } else {
+        if (frontier ne dist) graft.Resources.unpersistCheckpoint(frontier)
+        graft.Resources.unpersistCheckpoint(improved)
+      }
     }
     graft.Resources.unpersistCheckpoint(wadj)
     (dist, rounds)

@@ -248,12 +248,62 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (distM.get(m).forall(_ > c + w)) {
             distM(m) = c + w; pq.enqueue((c + w, m)) } }
     }
-    val (distDf, rounds) = graft.operators.GraphQueries.sssp(spark, sf)
+    val sizes = scala.collection.mutable.Buffer.empty[Long]
+    val (distDf, rounds) =
+      graft.operators.GraphQueries.sssp(spark, sf, Some(sizes))
     val got = distDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == distM.toMap)
     assert(rounds <= graft.operators.GraphQueries.SsspOracleRounds / 2,
       s"fixture converges in $rounds rounds; oracle unrolls " +
         s"${graft.operators.GraphQueries.SsspOracleRounds}")
+    // frontier relax: changed-node counts expand as the ball grows
+    // from the seed, then SHRINK strictly to the empty confirming
+    // round; total relax candidates stay well under the synchronous
+    // formulation's rounds × |V| — the property that makes each round
+    // cheaper than a full 2|E| re-relax
+    assert(sizes.size == rounds && sizes.last == 0L)
+    val peak = sizes.indexOf(sizes.max)
+    assert(sizes.drop(peak).zip(sizes.drop(peak + 1)).forall {
+      case (a, b) => b < a }, s"frontier must shrink after its peak: $sizes")
+    assert(sizes.sum < rounds.toLong * got.size,
+      s"frontier work ${sizes.sum} should undercut full relax " +
+        s"(${rounds.toLong * got.size}): $sizes")
+  }
+
+  test("g05 frontier BFS == direct multi-source BFS; frontier counts " +
+      "shrink after the hub hop") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = localEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    // g05's landmark rule: 8 highest-degree nodes, ties by id
+    val seeds = adj.toSeq.map { case (n, as) => (n, as.size) }
+      .sortBy { case (n, deg) => (-deg, n) }.take(8).map(_._1)
+    // direct multi-source BFS, 4 rounds
+    val distM = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    for (k <- 1 to 4) {
+      frontier = frontier.flatMap(adj).filterNot(distM.contains)
+      frontier.foreach(distM(_) = k.toLong)
+    }
+    val eDf = edges.toSeq.toDF("u", "v")
+    val seedDf = seeds.toDF("node").select(col("node"),
+      lit(0L).as("dist"))
+    val sizes = scala.collection.mutable.Buffer.empty[Long]
+    val got = graft.operators.GraphQueries
+      .bfsDistances(eDf, seedDf, 4, Some(sizes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == distM.toMap)
+    // frontier BFS: newly-reached counts shrink once the one-hop
+    // neighborhood of the 8 hubs is absorbed (the property that keeps
+    // each later round's join smaller than a full dist ⋈ adj)
+    assert(sizes.size == 4)
+    val peak = sizes.indexOf(sizes.max)
+    assert(peak <= 1, s"frontier should peak within 2 rounds: $sizes")
+    assert(sizes.drop(peak).zip(sizes.drop(peak + 1)).forall {
+      case (a, b) => b < a }, s"frontier must shrink after its peak: $sizes")
   }
 
   test("g03 predicted pairs are non-adjacent and counts match brute force") {
