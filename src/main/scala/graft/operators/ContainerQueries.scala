@@ -656,6 +656,119 @@ object ContainerQueries {
       |  md5(hdr || inhex) AS in_md5, md5(hdr || outhex) AS out_md5
       |FROM wav ORDER BY container""".stripMargin
 
+  /** m25: REAL FRAGMENTED-MP4 (ISO-BMFF) container round-trip — the
+    * THIRD container family ([[graft.sources.IsoBmff]]: ftyp/moov
+    * with mvex/trex defaults, per-fragment moof > traf >
+    * tfhd/tfdt/trun + mdat, default-base-is-moof data offsets,
+    * version-1 64-bit tfdt) next to RIFF (m16/m17) and EBML (m19),
+    * and the segmented shape DASH/HLS/MSE clients consume. Per
+    * container, m19's exact block timeline (view/click → video/audio
+    * samples on 33 ms / 32 ms clocks) is muxed into real boxes —
+    * fragments close every 8 samples of the interleaved order, each
+    * track's traf carrying its contiguous mdat run — then the trace
+    * is read from the PARSED bytes: fragment index from the moof
+    * walk, per-traf tfdt baseMediaDecodeTime, per-sample dts
+    * REBUILT from tfdt + the trun duration chain, keyframe from the
+    * sample_is_non_sync_sample flag, payload resolved through the
+    * moof-relative data offset. The oracle predicts all of it —
+    * including the fragmentation (pos div 8) and each (fragment,
+    * track) run's tfdt (min dts of the run) — so a hash match pins
+    * the box framing, the offset addressing, and the decode-time
+    * arithmetic. Scale: the m16–m19 per-container mapGroups shape —
+    * one group per container, bytes never at the driver. */
+  private def m25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.IsoBmff
+    import graft.sources.IsoBmff.{Mp4Sample, Mp4Track}
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 1).otherwise(2).as("track"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    val tracks = Seq(
+      Mp4Track(1, "video", "grft", width = 64, height = 48),
+      Mp4Track(2, "audio", "gpcm", sampleRate = 16000, channels = 1))
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val samples = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
+        evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
+          Mp4Sample(trk, if (trk == 1) i * 33L else i * 32L,
+            dur = if (trk == 1) 33L else 32L,
+            keyframe = trk == 2 || r._3 % 4 == 0,
+            md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8")).getBytes("US-ASCII"))
+        }
+      }.sortBy(sm => (sm.dts, sm.track))
+      val bytes = IsoBmff.mux(tracks, samples, fragMax = 8)
+      val kindOf = IsoBmff.demux(bytes)._1.map(t => t.id -> t.kind).toMap
+      // trace from the raw box walk so the fragment structure itself
+      // is under the oracle, not just the flattened samples
+      IsoBmff.boxes(bytes, 0, bytes.length).filter(_.kind == "moof")
+        .zipWithIndex.flatMap { case (moof, fi) =>
+          IsoBmff.boxes(moof.data, 0, moof.data.length)
+            .filter(_.kind == "traf").flatMap { tf =>
+              val els = IsoBmff.boxes(tf.data, 0, tf.data.length)
+              val trackId = IsoBmff
+                .readU32(els.find(_.kind == "tfhd").get.data, 4).toInt
+              val tfdt = IsoBmff
+                .readU64(els.find(_.kind == "tfdt").get.data, 4)
+              val trun = els.find(_.kind == "trun").get.data
+              val n = IsoBmff.readU32(trun, 4).toInt
+              var off = moof.pos + IsoBmff.readU32(trun, 8)
+              var dts = tfdt
+              (0 until n).map { i =>
+                val base = 12 + i * 12
+                val dur = IsoBmff.readU32(trun, base)
+                val size = IsoBmff.readU32(trun, base + 4).toInt
+                val nonSync = (IsoBmff.readU32(trun, base + 8)
+                  & IsoBmff.NonSync) != 0
+                val payload = java.util.Arrays
+                  .copyOfRange(bytes, off.toInt, off.toInt + size)
+                val row = (k, fi.toLong, trackId.toLong, kindOf(trackId),
+                  tfdt, dts, dur, !nonSync,
+                  md5Hex(payload))
+                dts += dur; off += size
+                row
+              }
+            }
+        }
+    }.toDF("container", "frag_idx", "track", "kind", "tfdt", "ts_ms",
+        "dur", "keyframe", "payload_md5")
+      .orderBy(col("container"), col("frag_idx"), col("track"),
+        col("ts_ms"))
+  }
+
+  private val m25Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS track,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, track, event_id,
+      |        row_number() OVER (PARTITION BY container, track
+      |                           ORDER BY tms, event_id) - 1 AS i
+      |      FROM e),
+      |blk AS (SELECT container, track, event_id,
+      |          CASE WHEN track = 1 THEN i * 33 ELSE i * 32 END AS ts_ms,
+      |          CASE WHEN track = 1 THEN 33 ELSE 32 END AS dur,
+      |          (track = 2 OR event_id % 4 = 0) AS keyframe,
+      |          md5(container::VARCHAR || ':' || track::VARCHAR || ':'
+      |              || event_id::VARCHAR) AS payload
+      |        FROM k),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY container
+      |          ORDER BY ts_ms, track) - 1 AS pos FROM blk),
+      |fr AS (SELECT *, pos // 8 AS frag_idx FROM ord),
+      |base AS (SELECT container, frag_idx, track, min(ts_ms) AS tfdt
+      |         FROM fr GROUP BY container, frag_idx, track)
+      |SELECT f.container, CAST(f.frag_idx AS BIGINT) AS frag_idx,
+      |  CAST(f.track AS BIGINT) AS track,
+      |  CASE WHEN f.track = 1 THEN 'video' ELSE 'audio' END AS kind,
+      |  CAST(b.tfdt AS BIGINT) AS tfdt,
+      |  CAST(f.ts_ms AS BIGINT) AS ts_ms,
+      |  CAST(f.dur AS BIGINT) AS dur,
+      |  f.keyframe, md5(f.payload) AS payload_md5
+      |FROM fr f JOIN base b ON f.container = b.container
+      |  AND f.frag_idx = b.frag_idx AND f.track = b.track
+      |ORDER BY f.container, f.frag_idx, f.track, f.ts_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -665,5 +778,6 @@ object ContainerQueries {
     Q("m18_real_demux_restamp", m18, Some(m18Sql)),
     Q("m19_mkv_container", m19, Some(m19Sql)),
     Q("m20_media_pipeline", m20, Some(m20Sql)),
+    Q("m25_fmp4_container", m25, Some(m25Sql)),
   )
 }
