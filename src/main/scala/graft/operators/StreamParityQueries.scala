@@ -96,6 +96,27 @@ object StreamParityQueries {
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  /** Trained-model directories by tag (e40's bigram table): `build`
+    * writes the model DISTRIBUTED into the returned dir (part files —
+    * the ship-weights-by-path pattern); cached per JVM like the
+    * fixture chunks, cleaned by the same shutdown hook / sweep
+    * (`graft-stream-` prefix). */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def modelDirFor(tag: String)(build: String => Unit): String =
+    modelCache.computeIfAbsent(tag, _ => {
+      sweepLeakedDirs
+      installCleanupHook
+      val tmpBase = if (new java.io.File("/dev/shm").isDirectory)
+        "/dev/shm" else System.getProperty("java.io.tmpdir")
+      val dir = new java.io.File(s"$tmpBase/graft-stream-model-" +
+        s"${streamSeq.incrementAndGet()}-${System.nanoTime()}")
+      liveDirs.add(dir)
+      build(dir.toString)
+      dir.toString
+    })
+
   /** Runs `fixture` through a streaming mount end-to-end DISTRIBUTED,
     * returning the mount's output as a (lazy) KOut-shaped frame.
     *
@@ -723,69 +744,118 @@ object StreamParityQueries {
   /** e40: the CHAT machine (llama.cpp rolling context,
     * inference/llamacppchat.py:49-77 — append user message, evict
     * oldest non-system while over the token budget, reply, append the
-    * reply) through the streaming mount. t09 gates the eviction
-    * ARITHMETIC via windows; this gates the MACHINE: the injected
-    * reply stub returns the post-eviction context token count (the
-    * reference's `n_ctx` bookkeeping), so the oracle can check the
-    * eviction state itself, not just the fold's plumbing. Every reply
-    * is one token ("523" has no whitespace), so the context is an
-    * interleaved item sequence u₁,a₁,u₂,a₂,… with sizes (tok, 1) —
-    * front-only eviction keeps a contiguous suffix, and the greedy
-    * per-step pop equals the maximal-suffix-≤-budget rule (a start
-    * dropped once only grows heavier), which is exactly t09's
-    * range-window shape over the ITEM cumsum. Budget 512; tok ≤ 120
-    * so the keep-newest override never binds. Context state crosses 2
-    * micro-batch boundaries; identity rides the packed ts. */
+    * reply) through the streaming mount, with a LEARNED reply kernel:
+    * the reply function is [[graft.functions.BigramLm]] — t18's
+    * in-plan-trained bigram model (prev → argmax continuation over
+    * the documents corpus) greedily decoding up to 3 tokens from the
+    * rolling context's last token, the model shipped by PATH (trained
+    * distributed, written as part files, loaded lazily per executor —
+    * no collect, the m15 weights-shipping pattern). User messages are
+    * real document prefixes (doc = event_id mod corpus, length
+    * 1 + event_id mod 7), so the decode chains through genuine
+    * corpus statistics.
+    *
+    * The oracle re-derives BOTH output channels: the reply text by
+    * training the same bigram argmax in SQL and chaining it 3 steps
+    * from each message's last token (t18's join-per-step shape, with
+    * the machine's out-of-vocabulary "ok" fallback as a COALESCE),
+    * and the post-eviction context size (the machine's value channel
+    * — the reference's n_ctx bookkeeping) via the item-cumsum
+    * range-window rule, now with VARIABLE reply sizes (the greedy
+    * front-pop equals maximal-suffix-≤-budget for any item sizes: a
+    * start dropped once only grows heavier). Budget 64 so eviction
+    * fires continuously; context state crosses 2 micro-batch
+    * boundaries; identity rides the packed ts. */
   private def e40(s: SparkSession, d: String): DataFrame = {
     val e = Tables.eventsMs(s, d)
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    // ---- train the bigram argmax in-plan; ship it by path ----------
+    val big = docs
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("prev"),
+            element_at(col("w"), i + 1).as("nxt"))))
+        .otherwise(array().cast("array<struct<prev:string,nxt:string>>")))
+        .as("p"))
+      .groupBy(col("p.prev").as("prev"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("prev"))
+      .agg(max(struct(col("c"), col("nxt"))).as("m"))
+      .select(concat_ws("\t", col("prev"), col("m.nxt")).as("value"))
+    val modelDir = modelDirFor(s"bigram@$d") { dir =>
+      big.write.mode("overwrite").text(dir)
+    }
+    // ---- fixture: document-prefix user messages per conversation ---
+    val nDocs = docs.agg(count(lit(1))).head().getLong(0) // 1-row bound
     val rows = e.filter(col("event_type") === "click")
       .select((col("user_id") % 8).cast(StringType).as("key"),
-        lit(0).as("topic"),
         (col("ts_ms") * Pack + col("event_id")).as("ts"),
-        lit(0.0).as("value"),
-        trim(repeat(lit("w "),
-          ((abs(floor(col("value") * 37).cast(LongType)) % 120) + 1)
-            .cast(IntegerType))).as("text"),
-        lit(false).as("paused"),
+        (col("event_id") % nDocs).as("doc_id"),
+        (col("event_id") % 7 + 1).cast(IntegerType).as("len"),
         col("event_id").as("seq"))
-    // token count = spaces + 1 per message: exactly equal to the
-    // whitespace split on this fixture (single-space-joined words,
-    // single-token replies) and cheaper — the stub runs over the
-    // WHOLE rolling context on every event (measured worth ~7%; the
-    // batch floor, not the stub, dominates this mount).
-    val chat = new StateMachines.Chat(None, 512,
-      ms => ms.iterator.map(_._2.count(_ == ' ') + 1).sum.toString)
+      .join(docs, "doc_id")
+      .select(col("key"), lit(0).as("topic"), col("ts"), lit(0.0).as("value"),
+        concat_ws(" ", slice(col("w"), lit(1), col("len"))).as("text"),
+        lit(false).as("paused"), col("seq"))
+    val chat = new StateMachines.Chat(None, 64,
+      graft.functions.BigramLm(modelDir, steps = 3))
     throughStream(s, rows, Seq(col("ts")), s"e40@$d",
       ds => StatefulRunner.runStreaming(chat, ds), Map.empty)
       .filter(!col("paused"))
       .select(col("key").cast(LongType).as("conv"),
         pmod(col("ts"), lit(Pack)).as("event_id"),
-        col("text").cast(LongType).as("ctx_tok"))
+        col("value").cast(LongType).as("ctx_tok"),
+        col("text").as("reply"))
       .orderBy(col("conv"), col("event_id"))
   }
 
   private val e40Sql =
-    """WITH e AS (SELECT user_id % 8 AS conv, epoch_ms(ts) AS ts_ms,
-      |    event_id,
-      |    abs(CAST(floor(value * 37) AS BIGINT)) % 120 + 1 AS tok
+    """WITH dw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |big AS (SELECT w[i] AS prev, w[i+1] AS nxt, count(*) AS c
+      |        FROM dw, unnest(generate_series(1, len(w)-1)) AS u(i)
+      |        GROUP BY 1, 2),
+      |bm AS (SELECT prev, m.nxt AS nxt FROM (
+      |         SELECT prev, max(struct_pack(c := c, nxt := nxt)) AS m
+      |         FROM big GROUP BY prev)),
+      |dec AS (SELECT b1.prev, b1.nxt AS r1, b2.nxt AS r2, b3.nxt AS r3
+      |        FROM bm b1 LEFT JOIN bm b2 ON b2.prev = b1.nxt
+      |                   LEFT JOIN bm b3 ON b3.prev = b2.nxt),
+      |e AS (SELECT user_id % 8 AS conv, epoch_ms(ts) AS ts_ms, event_id,
+      |    event_id % (SELECT count(*) FROM documents) AS doc_id,
+      |    event_id % 7 + 1 AS len
       |  FROM events WHERE event_type = 'click'),
-      |r AS (SELECT conv, event_id, tok,
-      |    row_number() OVER (PARTITION BY conv ORDER BY ts_ms, event_id) AS rn
-      |  FROM e),
+      |m AS (SELECT e.conv, e.ts_ms, e.event_id,
+      |    least(e.len, len(dw.w)) AS tok,
+      |    dw.w[least(e.len, len(dw.w))] AS lastTok
+      |  FROM e JOIN dw ON e.doc_id = dw.doc_id),
+      |rep AS (SELECT m.*,
+      |    CASE WHEN dec.prev IS NULL THEN 'ok'
+      |         ELSE concat_ws(' ', dec.r1, dec.r2, dec.r3) END AS reply,
+      |    CASE WHEN dec.prev IS NULL THEN 1
+      |         ELSE 1 + (dec.r2 IS NOT NULL)::INT + (dec.r3 IS NOT NULL)::INT
+      |    END AS rlen
+      |  FROM m LEFT JOIN dec ON dec.prev = m.lastTok),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY conv
+      |        ORDER BY ts_ms, event_id) AS rn FROM rep),
       |items AS (
-      |  SELECT conv, event_id, 2 * rn AS ord, tok AS sz, true AS is_user FROM r
+      |  SELECT conv, event_id, 2 * rn AS ord, tok AS sz, true AS is_user
+      |  FROM r
       |  UNION ALL
-      |  SELECT conv, event_id, 2 * rn + 1 AS ord, 1 AS sz, false FROM r),
+      |  SELECT conv, event_id, 2 * rn + 1 AS ord, rlen AS sz, false FROM r),
       |c AS (SELECT conv, event_id, is_user,
       |    CAST(sum(sz) OVER (PARTITION BY conv ORDER BY ord) AS BIGINT) AS s
       |  FROM items),
       |w AS (SELECT conv, event_id, is_user, s,
       |    min(s) OVER (PARTITION BY conv ORDER BY s
-      |      RANGE BETWEEN 512 PRECEDING AND CURRENT ROW) AS ms
+      |      RANGE BETWEEN 64 PRECEDING AND CURRENT ROW) AS ms
       |  FROM c)
-      |SELECT conv, event_id,
-      |  CAST(CASE WHEN s <= 512 THEN s ELSE s - ms END AS BIGINT) AS ctx_tok
-      |FROM w WHERE is_user ORDER BY conv, event_id""".stripMargin
+      |SELECT w.conv, w.event_id,
+      |  CAST(CASE WHEN s <= 64 THEN s ELSE s - ms END AS BIGINT) AS ctx_tok,
+      |  r.reply
+      |FROM w JOIN r ON w.conv = r.conv AND w.event_id = r.event_id
+      |WHERE w.is_user ORDER BY w.conv, w.event_id""".stripMargin
 
   /** e41: the WALL-CLOCK REPEATER (repeater.py:36-69 wall-clock mode —
     * every data message updates the held value AND the learned

@@ -540,7 +540,11 @@ object StateMachines {
       while (tokens(ms) > contextBudget && ms.length > startIdx + 1)
         ms = ms.patch(startIdx, Nil, 1)
       val r = reply(ms)
-      (ChatState(ms :+ ("assistant" -> r)), Seq(Out(e.ts, Double.NaN, r)))
+      // value = the post-eviction context size (the reference's n_ctx
+      // bookkeeping) so the eviction STATE is observable next to the
+      // reply text — e40's oracle pins both channels.
+      (ChatState(ms :+ ("assistant" -> r)),
+        Seq(Out(e.ts, tokens(ms).toDouble, r)))
     }
   }
 

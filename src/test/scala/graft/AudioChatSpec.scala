@@ -81,7 +81,8 @@ class AudioChatSpec extends AnyFunSuite {
     assert(Codec.RgbaBgra.decode(enc).toSeq == frame.toSeq)
   }
 
-  test("chat keeps rolling context and evicts oldest on overflow") {
+  test("chat keeps rolling context and evicts oldest on overflow; value " +
+      "channel reports the post-eviction context size") {
     val m = new Chat(Some("sys prompt"), contextBudget = 12,
       reply = ms => s"reply${ms.count(_._1 == "user")}")
     var s = m.init
@@ -92,11 +93,47 @@ class AudioChatSpec extends AnyFunSuite {
     val o1 = say("hello there friend", 10)
     assert(o1.map(_.text) == Seq("reply1"))
     assert(o1.head.ts == 10) // reply carries the request timestamp
+    // n_ctx bookkeeping: sys(2) + user(3) = 5 tokens at reply time
+    assert(o1.head.value == 5.0)
     say("how are you today", 20)
     // context now near budget; the next message evicts the oldest turn
     say("this message overflows the context budget now", 30)
     assert(s.messages.head == ("system" -> "sys prompt")) // system kept
     assert(!s.messages.exists(_._2 == "hello there friend")) // evicted
     assert(s.messages.exists(_._2.contains("overflows")))   // newest kept
+  }
+
+  test("BigramLm decodes greedily from the context's last token, stops " +
+      "at vocabulary edges, falls back to 'ok' (e40's learned kernel)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram_")
+    java.nio.file.Files.writeString(dir.resolve("part-00000"),
+      "the\tquick\nquick\tbrown\nbrown\tfox\nfox\tjumps\nend\t.\n")
+    try {
+      val lm3 = graft.functions.BigramLm(dir.toString, steps = 3)
+      def ctx(msg: String) = Vector("user" -> msg)
+      // full chain: follows the argmax table 3 steps
+      assert(lm3(ctx("see the")) == "quick brown fox")
+      // decode conditions on the LAST token only (bigram property);
+      // 'jumps' has no continuation, so the chain stops at 2 tokens
+      assert(lm3(ctx("quick quick brown")) == "fox jumps")
+      // chain shorter than steps: stops at the vocabulary edge
+      assert(lm3(ctx("the end")) == ".")
+      // out-of-vocabulary last token: deterministic fallback
+      assert(lm3(ctx("zzz-unknown")) == "ok")
+      // step budget respected
+      assert(graft.functions.BigramLm(dir.toString, 1)(ctx("the")) == "quick")
+      // the learned kernel drives the Chat machine end-to-end
+      val m = new Chat(None, contextBudget = 64, reply = lm3)
+      val (s1, out) = m.step(m.init,
+        Ev(0, 5L, 0.0, "the", paused = false))
+      assert(out.map(_.text) == Seq("quick brown fox"))
+      assert(out.head.value == 1.0) // one-token context at reply time
+      assert(s1.messages == Vector("user" -> "the",
+        "assistant" -> "quick brown fox"))
+    } finally {
+      java.nio.file.Files.list(dir).forEach(p =>
+        java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(dir)
+    }
   }
 }
