@@ -769,6 +769,86 @@ object ContainerQueries {
       |  AND f.frag_idx = b.frag_idx AND f.track = b.track
       |ORDER BY f.container, f.frag_idx, f.track, f.ts_ms""".stripMargin
 
+  /** m26: REAL MPEG-TS round-trip — the FOURTH container family
+    * ([[graft.sources.MpegTs]]), and the one the reference's video
+    * viewer ACTUALLY emits to its browser client
+    * (ui/videoviewer.py:63 — `OutputContainer.open(buffer,
+    * format="mpegts")`): 188-byte packets, PAT→PMT with MPEG CRC-32,
+    * PES with 33-bit 90 kHz PTS, PCR on the video PID, adaptation
+    * -field stuffing. Per container, the m19 timeline becomes PES
+    * samples with size-varying payloads (the md5 tag repeated
+    * 1 + event_id mod 8 times, so PES genuinely span 1–2 packets),
+    * muxed and demuxed back; the trace carries what the DEMUX
+    * validated and reassembled — stream type resolved through the
+    * PAT→PMT chain, the 90 kHz PTS divided back to ms, the TS packet
+    * count each PES occupied, and the video PES's PCR base — and the
+    * oracle predicts all of it, including the packet-count arithmetic
+    * (first video packet pays the 8-byte PCR adaptation field: 176
+    * payload bytes vs 184). Scale: the m16–m25 per-container
+    * mapGroups shape. */
+  private def m26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.MpegTs
+    import graft.sources.MpegTs.TsSample
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 1).otherwise(2).as("track"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val samples = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
+        evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
+          val tsMs = if (trk == 1) i * 33L else i * 32L
+          val tag = md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8"))
+          (tsMs, trk, TsSample(if (trk == 1) "video" else "audio",
+            tsMs * 90, (tag * (1 + (r._3 % 8)).toInt).getBytes("US-ASCII")))
+        }
+      }.sortBy(sm => (sm._1, sm._2)).map(_._3)
+      val bytes = MpegTs.mux(samples)
+      MpegTs.demux(bytes).zipWithIndex.map { case (pes, i) =>
+        (k, i.toLong,
+          if (pes.streamType == MpegTs.VideoStreamType) "video" else "audio",
+          pes.pts90 / 90, pes.nPackets.toLong,
+          pes.pcrBase.map(_ / 90).map(Long.box).orNull,
+          md5Hex(pes.payload))
+      }
+    }.toDF("container", "pes_idx", "kind", "pts_ms", "n_packets",
+        "pcr_ms", "payload_md5")
+      .orderBy(col("container"), col("pes_idx"))
+  }
+
+  private val m26Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS track,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, track, event_id,
+      |        row_number() OVER (PARTITION BY container, track
+      |                           ORDER BY tms, event_id) - 1 AS i
+      |      FROM e),
+      |blk AS (SELECT container, track, event_id,
+      |          CASE WHEN track = 1 THEN i * 33 ELSE i * 32 END AS pts_ms,
+      |          repeat(md5(container::VARCHAR || ':' || track::VARCHAR
+      |                     || ':' || event_id::VARCHAR),
+      |                 CAST(1 + event_id % 8 AS INT)) AS payload
+      |        FROM k),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY container
+      |          ORDER BY pts_ms, track) - 1 AS pes_idx FROM blk),
+      |sized AS (SELECT *,
+      |    14 + length(payload) AS total,
+      |    CASE WHEN track = 1 THEN 176 ELSE 184 END AS cap1
+      |  FROM ord)
+      |SELECT container, CAST(pes_idx AS BIGINT) AS pes_idx,
+      |  CASE WHEN track = 1 THEN 'video' ELSE 'audio' END AS kind,
+      |  CAST(pts_ms AS BIGINT) AS pts_ms,
+      |  CAST(1 + CASE WHEN total > cap1
+      |             THEN CAST(ceil((total - cap1) / 184.0) AS BIGINT)
+      |             ELSE 0 END AS BIGINT) AS n_packets,
+      |  CAST(CASE WHEN track = 1 THEN pts_ms END AS BIGINT) AS pcr_ms,
+      |  md5(payload) AS payload_md5
+      |FROM sized ORDER BY container, pes_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -779,5 +859,6 @@ object ContainerQueries {
     Q("m19_mkv_container", m19, Some(m19Sql)),
     Q("m20_media_pipeline", m20, Some(m20Sql)),
     Q("m25_fmp4_container", m25, Some(m25Sql)),
+    Q("m26_mpegts_container", m26, Some(m26Sql)),
   )
 }
