@@ -66,7 +66,8 @@ object DeploymentJson {
     "timebuffer" -> "TimeBufferTaskHost",
     "repeater" -> "RepeaterTaskHost",
     "synchronizer" -> "SynchronizerTaskHost",
-    "replaybuffer" -> "ReplayBufferTaskHost")
+    "replaybuffer" -> "ReplayBufferTaskHost",
+    "llamacppchat" -> "LLamaCppChatTaskHost")
 
   /** A loaded deployment plus its published IO names: `namedInputs`
     * maps each named-input's `name` to the stream to bind a source
@@ -281,6 +282,24 @@ object DeploymentJson {
         case "replaybuffer" =>
           TaskSpec(name, ReplayBufferOp(cfgBool(cfg, "loop", default = false)),
             Seq(in("in_topic"), in("play_topic")), out("out_topic"))
+        case "llamacppchat" =>
+          // src_model is a PATH to trained weights exactly as in the
+          // reference (llamacppchat.py:16 `src_model`, :49 Llama(
+          // model_path=...)); here it names a BigramLm table dir —
+          // the engine's trained chat kernel, loaded lazily per
+          // executor. max_tokens bounds the greedy decode (reference
+          // default 0 = unbounded; the bigram chain is self-limiting,
+          // so 0 maps to the kernel's 3-token default).
+          val model = cfgString(cfg, "src_model", "")
+          require(model.nonEmpty, s"$ctx: src_model path required")
+          val maxTok = cfgDouble(cfg, "max_tokens", 0.0).toInt
+          val sysMsg = cfgString(cfg, "system_message", "")
+          TaskSpec(name,
+            ChatOp(Option(sysMsg).filter(_.nonEmpty),
+              cfgDouble(cfg, "context_length", 512.0).toInt,
+              graft.functions.BigramLm(model,
+                if (maxTok > 0) maxTok else 3)),
+            Seq(in("in_topic")), out("out_topic"))
         case other => sys.error(s"$ctx: unsupported task kind '$other'")
       }
     }
@@ -460,6 +479,18 @@ object DeploymentJson {
               "loop" -> JBool(loop),
               "in_topic" -> topic(t.inputs(0)),
               "play_topic" -> topic(t.inputs(1)),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case ChatOp(sys, budget, lm: graft.functions.BigramLm) =>
+            // only the learned kernel has a stored shape — an
+            // arbitrary closure is rejected below
+            ("llamacppchat", JObject(
+              "src_model" -> JString(lm.dir),
+              "use_gpu" -> JBool(false),
+              "context_length" -> JLong(budget.toLong),
+              "max_tokens" -> JLong(lm.steps.toLong),
+              "system_message" -> JString(sys.getOrElse("")),
+              "in_topic" -> topic(t.inputs.head),
               "out_topic" -> topic(t.output)),
               ioJson(t, "in"), ioJson(t, "out"))
           case op =>

@@ -660,6 +660,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (70L, 3.0)))
   }
 
+  test("llamacppchat kind: src_model path binds the learned bigram " +
+      "kernel through the JSON loader; fixpoint round-trip holds") {
+    import graft.plans.DeploymentJson
+    import spark.implicits._
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_chatjson_")
+    java.nio.file.Files.writeString(modelDir.resolve("part-00000"),
+      "ping\tpong\npong\tdone\n")
+    try {
+      val dep = Deployment("chatdep", Seq(
+        TaskSpec("src", SourceOp(IOMeta.text), Nil, "in"),
+        TaskSpec("chat", ChatOp(Some("be brief"), 128,
+          graft.functions.BigramLm(modelDir.toString, 2)), Seq("in"),
+          "replies"),
+        TaskSpec("out", NamedOutputOp("replies", IOMeta.text),
+          Seq("replies"), Nil)))
+      val json = DeploymentJson.write(dep)
+      assert(json.contains("llamacppchat") &&
+        json.contains("src_model") && json.contains("be brief"))
+      val loaded = DeploymentJson.load(json)
+      assert(DeploymentJson.write(loaded.deployment) == json) // fixpoint
+      // the LOADED deployment runs end-to-end with the model from disk
+      val in = Seq((10L, Double.NaN, "say ping", 0L))
+        .toDF("ts", "value", "text", "seq")
+        .select(col("ts"), col("value"), col("text"),
+          lit(false).as("paused"), col("seq"))
+      val streams = Pipeline.compile(loaded.deployment,
+        Map(loaded.namedInputs("src") -> in))
+      val got = streams(loaded.namedOutputs("replies"))
+        .filter(!col("paused")).select("ts", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((10L, "pong done")))
+      // arbitrary closures have no stored shape — rejected loudly
+      val closureDep = Deployment("c", Seq(
+        TaskSpec("s", SourceOp(IOMeta.text), Nil, "a"),
+        TaskSpec("c", ChatOp(None, 8, _ => "x"), Seq("a"), "o")))
+      val err = intercept[RuntimeException] {
+        DeploymentJson.write(closureDep)
+      }
+      assert(err.getMessage.contains("no stored-task JSON shape"))
+    } finally {
+      java.nio.file.Files.list(modelDir).forEach(p =>
+        java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(modelDir)
+    }
+  }
+
   test("lifecycle: start/status/stop a streaming deployment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
