@@ -849,6 +849,124 @@ object ContainerQueries {
       |  md5(payload) AS payload_md5
       |FROM sized ORDER BY container, pes_idx""".stripMargin
 
+  /** m27: the CONTAINER TRANSCODE MATRIX — the same two-stream
+    * timeline muxed and demuxed through ALL FOUR real container
+    * families (AVI/RIFF, Matroska/EBML, fragmented MP4/ISO-BMFF,
+    * MPEG-TS) inside one per-container kernel, each family's
+    * recovered stream reduced to the same canonical aggregate
+    * (sample counts per kind, timestamp sum, order-free payload
+    * checksum). This is the reference's container-matrix test shape
+    * (tests/media/test_containers.py:20-29 — mux→demux round-trips
+    * across its container list) promoted to an oracle-gated query:
+    * the oracle computes the canonical aggregate ONCE from the
+    * timeline and predicts it for every family row, so a hash match
+    * proves all four byte formats carry the identical stream —
+    * timestamps via four different mechanisms (AVI's position-implied
+    * clocks, EBML cluster-relative int16s, tfdt+trun duration chains,
+    * 90 kHz PES PTS). Scale: one mapGroups kernel per container, four
+    * in-memory round-trips per group, nothing at the driver. */
+  private def m27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Avi, IsoBmff, Mkv, MpegTs}
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 1).otherwise(2).as("track"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      // the shared timeline: (track, tsMs, keyframe, payload)
+      val blocks = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
+        evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
+          (trk, if (trk == 1) i * 33L else i * 32L,
+            trk == 2 || r._3 % 4 == 0,
+            md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8"))
+              .getBytes("US-ASCII"))
+        }
+      }.sortBy(b => (b._2, b._1))
+      def h48(payload: Array[Byte]): Long =
+        java.lang.Long.parseLong(md5Hex(payload).take(12), 16)
+      def agg(recovered: Seq[(Int, Long, Array[Byte])]) = (
+        recovered.count(_._1 == 1).toLong,
+        recovered.count(_._1 == 2).toLong,
+        recovered.map(_._2).sum,
+        recovered.map(b => h48(b._3)).sum)
+
+      // --- AVI: position-implied clocks (scale/rate ms steps)
+      val aviStreams = Seq(
+        Avi.AviStream("vids", 33, 1000, width = 64, height = 48),
+        Avi.AviStream("auds", 32, 1000, channels = 1, bitsPerSample = 8))
+      val aviBytes = Avi.mux(aviStreams,
+        blocks.map(b => Avi.AviPacket(b._1 - 1, b._3, b._4)))
+      val (gotStreams, gotPkts) = Avi.demux(aviBytes)
+      val perStream = scala.collection.mutable.Map(0 -> 0L, 1 -> 0L)
+      val aviRec = gotPkts.map { p =>
+        val i = perStream(p.stream); perStream(p.stream) = i + 1
+        val st = gotStreams(p.stream)
+        (p.stream + 1, i * st.scale * 1000L / st.rate, p.payload)
+      }
+
+      // --- Matroska: cluster-relative int16 timestamps
+      val mkvTracks = Seq(
+        Mkv.MkvTrack(1, "video", "V_GRAFT", width = 64, height = 48),
+        Mkv.MkvTrack(2, "audio", "A_PCM/INT/LIT", sampleRate = 16000.0,
+          channels = 1))
+      val mkvRec = Mkv.demux(Mkv.mux(mkvTracks,
+        blocks.map(b => Mkv.MkvBlock(b._1, b._2, b._3, b._4))))._2
+        .map(b => (b.track, b.tsMs, b.payload))
+
+      // --- fMP4: tfdt + trun duration chains
+      val mp4Tracks = Seq(
+        IsoBmff.Mp4Track(1, "video", "grft", width = 64, height = 48),
+        IsoBmff.Mp4Track(2, "audio", "gpcm", sampleRate = 16000,
+          channels = 1))
+      val mp4Rec = IsoBmff.demux(IsoBmff.mux(mp4Tracks,
+        blocks.map(b => IsoBmff.Mp4Sample(b._1, b._2,
+          if (b._1 == 1) 33L else 32L, b._3, b._4))))._2
+        .map(sm => (sm.track, sm.dts, sm.payload))
+
+      // --- MPEG-TS: 90 kHz PES PTS
+      val tsRec = MpegTs.demux(MpegTs.mux(
+        blocks.map(b => MpegTs.TsSample(
+          if (b._1 == 1) "video" else "audio", b._2 * 90, b._4))))
+        .map(p => (if (p.streamType == MpegTs.VideoStreamType) 1 else 2,
+          p.pts90 / 90, p.payload))
+
+      Seq("avi" -> aviRec, "mkv" -> mkvRec, "mp4" -> mp4Rec,
+        "ts" -> tsRec).map { case (family, rec) =>
+        val (nv, na, tsum, psum) = agg(rec)
+        (k, family, nv, na, tsum, psum)
+      }
+    }.toDF("container", "family", "n_video", "n_audio", "ts_sum",
+        "payload_sum")
+      .orderBy(col("container"), col("family"))
+  }
+
+  private val m27Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS track,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, track, event_id,
+      |        row_number() OVER (PARTITION BY container, track
+      |                           ORDER BY tms, event_id) - 1 AS i
+      |      FROM e),
+      |blk AS (SELECT container, track,
+      |          CASE WHEN track = 1 THEN i * 33 ELSE i * 32 END AS ts_ms,
+      |          md5(container::VARCHAR || ':' || track::VARCHAR || ':'
+      |              || event_id::VARCHAR) AS payload
+      |        FROM k),
+      |canon AS (SELECT container,
+      |    CAST(count(*) FILTER (track = 1) AS BIGINT) AS n_video,
+      |    CAST(count(*) FILTER (track = 2) AS BIGINT) AS n_audio,
+      |    CAST(sum(ts_ms) AS BIGINT) AS ts_sum,
+      |    CAST(sum(CAST(concat('0x', substr(md5(payload), 1, 12))
+      |                  AS BIGINT)) AS BIGINT) AS payload_sum
+      |  FROM blk GROUP BY container)
+      |SELECT container, family, n_video, n_audio, ts_sum, payload_sum
+      |FROM canon, (SELECT unnest(['avi','mkv','mp4','ts']) AS family)
+      |ORDER BY container, family""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -860,5 +978,6 @@ object ContainerQueries {
     Q("m20_media_pipeline", m20, Some(m20Sql)),
     Q("m25_fmp4_container", m25, Some(m25Sql)),
     Q("m26_mpegts_container", m26, Some(m26Sql)),
+    Q("m27_container_matrix", m27, Some(m27Sql)),
   )
 }
