@@ -967,6 +967,141 @@ object ContainerQueries {
       |FROM canon, (SELECT unnest(['avi','mkv','mp4','ts']) AS family)
       |ORDER BY container, family""".stripMargin
 
+  /** m28: MOTION-COMPENSATED VIDEO CODING — the inter-frame
+    * prediction mechanism the engine's codec matrix was missing (m09
+    * is frame-delta without motion; the reference runs h264/vp8
+    * through libav, media/codec.py:50-135). Per container, a 16×16
+    * synthetic sequence with GLOBAL per-frame motion (the md5-noise
+    * background wrap-shifts by a per-frame (dx, dy) ∈ [−3, 3]²) plus
+    * a per-frame sparkle pixel runs through
+    * [[graft.functions.Motion.encodeP]]'s closed loop: full-search
+    * 8×8 block matching (±3, SAD argmin, raster tie-break) against
+    * the RECONSTRUCTED previous frame, lossless residuals (q=1). The
+    * DuckDB oracle replicates the ENTIRE search — it synthesizes the
+    * same frames from the same md5 bytes, evaluates all 49 candidate
+    * displacements per block (wrap addressing), and takes the same
+    * (sad, dy, dx) argmin — so the hash gate pins the estimation
+    * math itself, not just its expected result; the reconstructed
+    * block sums (from the codec's own recon buffer) are checked
+    * against the oracle's direct frame sums, pinning the
+    * prediction+residual loop. Closed-loop QUANTIZED residuals (the
+    * lossy leg, recursively defined across frames) are pinned by
+    * MotionSpec against a direct model. Scale: one mapGroups kernel
+    * per container; frames capped at 24 so the 49-candidate search
+    * stays O(1) per container at any SF. */
+  /** m28's per-container kernel, self-contained and explicitly
+    * serializable so the flatMapGroups closure ships only this. */
+  private[operators] object MotionKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    private def wrap16(v: Int): Int = ((v % 16) + 16) % 16
+
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.functions.Motion
+      val n = math.min(24, count)
+      if (n < 2) return Iterator.empty
+      val bg = Array.tabulate(16, 16)((x, y) => hexbyte(s"mc${k}_${x}_${y}"))
+      val steps = (1 until n).map(t =>
+        (hexbyte(s"dx${k}_$t") % 7 - 3, hexbyte(s"dy${k}_$t") % 7 - 3))
+      def frame(t: Int): Array[Int] = {
+        val cumX = steps.take(t).map(_._1).sum
+        val cumY = steps.take(t).map(_._2).sum
+        val sx = hexbyte(s"sx${k}_$t") % 16
+        val sy = hexbyte(s"sy${k}_$t") % 16
+        val f = new Array[Int](256)
+        for (y <- 0 until 16; x <- 0 until 16)
+          f(y * 16 + x) = (bg(wrap16(x + cumX))(wrap16(y + cumY)) +
+            (if (x == sx && y == sy) 40 else 0)) % 256
+        f
+      }
+      var recon = frame(0) // I-frame: transmitted as-is
+      (1 until n).iterator.flatMap { t =>
+        val cur = frame(t)
+        val (pf, rec) = Motion.encodeP(cur, recon, 16, 16, 8,
+          range = 3, q = 1)
+        recon = rec
+        pf.mvs.map { mv =>
+          val block = mv.by * 2 + mv.bx
+          var bsum = 0L
+          for (y <- 0 until 8; x <- 0 until 8)
+            bsum += rec((mv.by * 8 + y) * 16 + (mv.bx * 8 + x))
+          (k, t.toLong, block.toLong, mv.dx.toLong, mv.dy.toLong,
+            mv.sad, bsum)
+        }
+      }
+    }
+  }
+
+  private def m28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        MotionKernel.rows(k, it.size))
+      .toDF("container", "t", "block", "mv_dx", "mv_dy", "sad", "block_sum")
+      .orderBy(col("container"), col("t"), col("block"))
+  }
+
+  private val m28Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |steps AS (SELECT container, t,
+      |    CAST(concat('0x', substr(md5('dx' || container || '_' || t), 1, 2)) AS BIGINT) % 7 - 3 AS dx,
+      |    CAST(concat('0x', substr(md5('dy' || container || '_' || t), 1, 2)) AS BIGINT) % 7 - 3 AS dy
+      |  FROM frames WHERE t >= 1),
+      |cum AS (SELECT f.container, f.t,
+      |    COALESCE((SELECT sum(s.dx) FROM steps s
+      |              WHERE s.container = f.container AND s.t <= f.t), 0) AS cumx,
+      |    COALESCE((SELECT sum(s.dy) FROM steps s
+      |              WHERE s.container = f.container AND s.t <= f.t), 0) AS cumy,
+      |    CAST(concat('0x', substr(md5('sx' || f.container || '_' || f.t), 1, 2)) AS BIGINT) % 16 AS sx,
+      |    CAST(concat('0x', substr(md5('sy' || f.container || '_' || f.t), 1, 2)) AS BIGINT) % 16 AS sy
+      |  FROM frames f),
+      |pix AS MATERIALIZED (SELECT c.container, c.t, g.x, g.y,
+      |    (CAST(concat('0x', substr(md5('mc' || c.container || '_'
+      |        || ((g.x + c.cumx) % 16 + 16) % 16 || '_'
+      |        || ((g.y + c.cumy) % 16 + 16) % 16), 1, 2)) AS BIGINT)
+      |     + CASE WHEN g.x = c.sx AND g.y = c.sy THEN 40 ELSE 0 END) % 256
+      |      AS v
+      |  FROM cum c, (SELECT a.x, b.y FROM
+      |    (SELECT unnest(range(16)) AS x) a,
+      |    (SELECT unnest(range(16)) AS y) b) g),
+      |cand AS (SELECT a.u, b.w FROM
+      |  (SELECT unnest(generate_series(-3, 3)) AS u) a,
+      |  (SELECT unnest(generate_series(-3, 3)) AS w) b),
+      |sads AS (SELECT cur.container, cur.t,
+      |    (cur.y // 8) * 2 + (cur.x // 8) AS block, cand.u, cand.w,
+      |    sum(abs(cur.v - prev.v)) AS sad
+      |  FROM pix cur
+      |  CROSS JOIN cand
+      |  JOIN pix prev ON prev.container = cur.container
+      |    AND prev.t = cur.t - 1
+      |    AND prev.x = ((cur.x + cand.u) % 16 + 16) % 16
+      |    AND prev.y = ((cur.y + cand.w) % 16 + 16) % 16
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |best AS (SELECT container, t, block, u, w, sad FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY container, t, block
+      |      ORDER BY sad, w, u) AS rn FROM sads)
+      |  WHERE rn = 1),
+      |bsums AS (SELECT container, t, (y // 8) * 2 + (x // 8) AS block,
+      |    CAST(sum(v) AS BIGINT) AS block_sum
+      |  FROM pix WHERE t >= 1 GROUP BY 1, 2, 3)
+      |SELECT b.container, CAST(b.t AS BIGINT) AS t,
+      |  CAST(b.block AS BIGINT) AS block,
+      |  CAST(b.u AS BIGINT) AS mv_dx, CAST(b.w AS BIGINT) AS mv_dy,
+      |  CAST(b.sad AS BIGINT) AS sad, s.block_sum
+      |FROM best b JOIN bsums s ON b.container = s.container
+      |  AND b.t = s.t AND b.block = s.block
+      |ORDER BY b.container, b.t, b.block""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -979,5 +1114,6 @@ object ContainerQueries {
     Q("m25_fmp4_container", m25, Some(m25Sql)),
     Q("m26_mpegts_container", m26, Some(m26Sql)),
     Q("m27_container_matrix", m27, Some(m27Sql)),
+    Q("m28_motion_codec", m28, Some(m28Sql)),
   )
 }
