@@ -354,8 +354,12 @@ object GraphQueries {
         .select(a("y").as("node")).distinct()
       // fresh = reached for the first time this round — the next
       // frontier; already-reached candidates have dist < k already.
-      // Scope-released checkpoint: fresh is read three ways (count,
-      // union, next round's join) and anchors the anti-join lineage.
+      // LAZY by default: the unrolled 4-round plan shares each
+      // fresh_k's aggregation exchange between its two consumers
+      // (dist union, next round's join) via ReuseExchange, exactly
+      // like the pre-frontier formulation — one job, no per-round
+      // driver actions. Only the instrumented path (roundSizes)
+      // materializes per round, because counting forces it anyway.
       val fresh = graft.Resources.checkpoint(
         cand.join(dist, Seq("node"), "left_anti")
           .select(col("node"), lit(k.toLong).as("dist")))
@@ -579,43 +583,51 @@ object GraphQueries {
     val seed = degrees(edgesShared(s, d))
       .orderBy(col("deg").desc, col("node")).limit(1)
       .select(col("node"), lit(0L).as("dist"))
-    var dist = seed.localCheckpoint()
-    var frontier = dist
+    // ONE materialization per round (the pre-frontier formulation's
+    // budget): `merged` = full-outer of the distance table against
+    // this round's relax minima, carrying (node, old, cand). The next
+    // distance table, the next frontier, AND the termination count are
+    // all cheap projections/filters of that one checkpointed frame —
+    // no second checkpoint, no recompute of the relax join.
+    // old = NULL marks the seed as newly-discovered → round 1's
+    // frontier is exactly the seed
+    var merged = seed
+      .select(col("node"), lit(null).cast("long").as("old"),
+        col("dist").as("cand"))
+      .localCheckpoint()
+    def distOf(m: DataFrame): DataFrame =
+      m.select(col("node"),
+        when(col("old").isNull, col("cand"))
+          .when(col("cand").isNull, col("old"))
+          .otherwise(least(col("old"), col("cand"))).as("dist"))
+    def frontierOf(m: DataFrame): DataFrame =
+      m.filter(col("cand").isNotNull &&
+          (col("old").isNull || col("cand") < col("old")))
+        .select(col("node"), col("cand").as("dist"))
     var rounds = 0
     var live = true
     while (live) {
+      val dist = distOf(merged)
+      val frontier = frontierOf(merged)
       val relax = frontier.join(wadj, frontier("node") === wadj("x"))
         .select(wadj("y").as("node"),
           (frontier("dist") + wadj("cost")).as("dist"))
-      val best = relax.groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      // improvements only: unseen nodes, or a strictly smaller dist
-      val improved = best
-        .join(dist.toDF("onode", "odist"), best("node") === col("onode"),
-          "left")
-        .filter(col("odist").isNull || col("dist") < col("odist"))
-        .select(col("node"), col("dist"))
+      val best = relax.groupBy(col("node")).agg(min(col("dist")).as("cand"))
+      val nxt = dist.toDF("dnode", "old")
+        .join(best, col("dnode") === best("node"), "full_outer")
+        .select(coalesce(col("dnode"), best("node")).as("node"),
+          col("old"), col("cand"))
         .localCheckpoint()
-      val n = improved.count() // frontier bound, not a data collect
+      // frontier bound (1-row-style check over the checkpointed frame)
+      val n = frontierOf(nxt).count()
       roundSizes.foreach(_ += n)
       rounds += 1
       live = n > 0
-      if (live) {
-        val nxt = dist
-          .join(improved.select(col("node").as("inode")),
-            dist("node") === col("inode"), "left_anti")
-          .union(improved)
-          .localCheckpoint()
-        graft.Resources.unpersistCheckpoint(dist)
-        if (frontier ne dist) graft.Resources.unpersistCheckpoint(frontier)
-        dist = nxt
-        frontier = improved
-      } else {
-        if (frontier ne dist) graft.Resources.unpersistCheckpoint(frontier)
-        graft.Resources.unpersistCheckpoint(improved)
-      }
+      graft.Resources.unpersistCheckpoint(merged)
+      merged = nxt
     }
     graft.Resources.unpersistCheckpoint(wadj)
-    (dist, rounds)
+    (distOf(merged), rounds)
   }
 
   /** Relax rounds the g07 oracle unrolls — must be ≥ the fixture's
