@@ -1724,6 +1724,65 @@ object TextQueries {
       |FROM inp i LEFT JOIN tgt t2 ON i.doc_id = t2.doc_id
       |ORDER BY i.doc_id""".stripMargin
 
+  // ---- t26: weighted reservoir sampling (Efraimidis–Spirakis) --------------
+  /** Weight-proportional corpus sampling — the A-Res/A-ExpJ shape
+    * every data-mixing stage uses when "sample 1% of the corpus,
+    * longer/higher-quality docs proportionally more often" has to be
+    * ONE distributed pass (Efraimidis & Spirakis 2006: key_i =
+    * u_i^(1/w_i), keep the top-k keys — a single top-k over
+    * independent per-item draws, no global state, mergeable across
+    * partitions by construction).
+    *
+    * Engine-exact formulation: maximizing u^(1/w) ⟺ minimizing
+    * (−log₂ u)/w, so the key is integer-exact on both engines:
+    * u = a 48-bit md5 draw, −log₂u in ilog32's 1/32-bit units
+    * (e = 48·32 − ilog32(u)), and the division quantized as
+    * e · (10¹² div w) — the inverse weight precomputed as an exact
+    * integer, ties by doc_id. The weight is the document's token
+    * count + 1 (longer docs proportionally likelier — the
+    * token-budget-aware sampling a pretraining mix wants).
+    *
+    * Scale: one scan computing (key, w) per row, then a top-k —
+    * Catalyst's TakeOrderedAndProject (per-partition heaps, no global
+    * sort shuffle); the reservoir property means the same query over
+    * a 100 TB corpus is the same plan. The sampling DISTRIBUTION
+    * (heavier ⇒ likelier, across seeds) is pinned by
+    * WeightedSampleSpec; the engine determinism by the oracle hash. */
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    val S = 1000000000000L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (size(toks(col("text"))) + 1).cast(LongType).as("w"))
+      .withColumn("u", conv(substring(md5(concat(lit("ws"),
+        col("doc_id").cast(StringType)).cast(BinaryType)), 1, 12), 16, 10)
+        .cast(LongType))
+      .withColumn("ebits", lit(48L * 32) - expr(ilog32("u")))
+      .withColumn("skey", col("ebits") * expr(s"CAST($S DIV w AS BIGINT)"))
+    docs
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(100)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey"), col("doc_id"))).cast(LongType))
+      .select(col("rank"), col("doc_id"), col("lang"), col("w"),
+        col("skey"))
+      .orderBy(col("rank"))
+  }
+
+  private val t26Sql =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    len(string_split_regex(trim(text), '\\s+')) + 1 AS w,
+       |    CAST(concat('0x', substr(md5('ws' || doc_id::VARCHAR), 1, 12))
+       |         AS BIGINT) AS u
+       |  FROM documents),
+       |k AS (SELECT doc_id, lang, w,
+       |    (1536 - (${ilog32Sql("u")})) * (1000000000000 // w) AS skey
+       |  FROM d)
+       |SELECT CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+       |    AS rank,
+       |  doc_id, lang, CAST(w AS BIGINT) AS w, CAST(skey AS BIGINT) AS skey
+       |FROM k ORDER BY skey, doc_id LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1750,5 +1809,6 @@ object TextQueries {
     Q("t23_nb_classifier", t23, Some(t23Sql)),
     Q("t24_tfidf_keywords", t24, Some(t24Sql)),
     Q("t25_span_corrupt", t25, Some(t25Sql)),
+    Q("t26_weighted_sample", t26, Some(t26Sql)),
   )
 }
