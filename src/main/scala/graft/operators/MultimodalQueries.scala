@@ -1156,6 +1156,105 @@ object MultimodalQueries {
       |  CAST(max(var36) AS BIGINT) AS max_var
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- m29: the composed TTS pipeline with a TRAINED duration model -------
+  /** The FastSpeech2 pipeline shape (#35,
+    * inference/fastspeech2tts.py:18-75: split sentences → phonemize →
+    * duration predictor → length regulator → vocoder) composed in ONE
+    * plan with the duration model TRAINED from the corpus — closing
+    * the inference triad next to m15's trained ASR and e40's trained
+    * chat kernel:
+    *
+    *  1. TRAIN: per initial letter, the average length of corpus
+    *     words starting with it (an honest learned statistic standing
+    *     where the predictor head's phoneme durations would),
+    *     quantized to 1–4 frames — a 26-row model, broadcast-joined
+    *     (the production shape for any vocab-sized head).
+    *  2. INFER: each document's FIRST sentence (the reference's
+    *     `[.!?]\s+` splitter, :18-20), lowercased to its a–z
+    *     character tokens (truncated at 80 — the reference's
+    *     max_length chunking), each token expanded to its PREDICTED
+    *     duration at its cumulative offset (m08's regulator), and a
+    *     deterministic per-frame envelope (ascii·31 + 7k mod 256)
+    *     standing for the vocoder sample.
+    *
+    * Output: per-document frame counts + envelope checksum; the
+    * oracle trains the same 26-row model and regulates identically.
+    * Scale: one aggregation for the model (26 rows out), then
+    * row-local expansion — no shuffle after the broadcast join. */
+  private def m29(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // 1. train: initial letter → quantized mean word length
+    val words = docs.select(explode(split(trim(col("text")), "\\s+"))
+      .as("word"))
+      .select(lower(substring(col("word"), 1, 1)).as("c"),
+        length(col("word")).cast(LongType).as("len"))
+      .filter(col("c").rlike("^[a-z]$"))
+    val model = words.groupBy(col("c"))
+      .agg((sum(col("len")) / count(lit(1))).cast(LongType).as("avglen"))
+      .select(col("c"),
+        greatest(lit(1L), least(lit(4L), expr("avglen DIV 2"))).as("dur"))
+    // 2. infer: first sentence → char tokens → regulate → envelope
+    val sent = docs.select(col("doc_id"),
+      substring(regexp_replace(lower(
+        split(col("text"), "[.!?]\\s+").getItem(0)), "[^a-z]", ""),
+        1, 80).as("chars"))
+      .filter(length(col("chars")) >= 1)
+    val toksE = sent.select(col("doc_id"), col("chars"),
+        explode(sequence(lit(1), length(col("chars")))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        substring(col("chars"), col("pos"), lit(1)).as("c"))
+      .join(broadcast(model), "c")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val frames = toksE
+      .withColumn("off", coalesce(sum(col("dur")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("c"), col("off"),
+        explode(sequence(lit(0L), col("dur") - 1)).as("k"))
+      .select(col("doc_id"),
+        (col("off") + col("k")).as("frame"),
+        ((ascii(col("c")) * 31 + col("k") * 7) % 256).as("amp"))
+    frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_frames"),
+        max(col("frame")).cast(LongType).as("last_frame"),
+        sum(col("amp")).cast(LongType).as("amp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m29Sql =
+    """WITH words AS (SELECT lower(substr(w, 1, 1)) AS c,
+      |    CAST(len(w) AS BIGINT) AS l
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  WHERE lower(substr(w, 1, 1)) SIMILAR TO '[a-z]'),
+      |model AS (SELECT c,
+      |    greatest(1, least(4, (sum(l) // count(*)) // 2)) AS dur
+      |  FROM words GROUP BY c),
+      |sent AS (SELECT doc_id,
+      |    substr(regexp_replace(lower(
+      |      string_split_regex(text, '[.!?]\s+')[1]), '[^a-z]', '', 'g'),
+      |      1, 80) AS chars
+      |  FROM documents),
+      |toks AS (SELECT doc_id, pos, substr(chars, pos, 1) AS c
+      |  FROM sent, unnest(generate_series(1, len(chars))) AS g(pos)
+      |  WHERE len(chars) >= 1),
+      |dtoks AS (SELECT t.doc_id, t.pos, t.c, m.dur
+      |  FROM toks t JOIN model m ON t.c = m.c),
+      |offs AS (SELECT *,
+      |    CAST(COALESCE(sum(dur) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS off
+      |  FROM dtoks),
+      |frames AS (SELECT doc_id, off + k AS frame,
+      |    (ascii(c) * 31 + k * 7) % 256 AS amp
+      |  FROM offs,
+      |    unnest(range(CAST(0 AS BIGINT), CAST(dur AS BIGINT))) AS u(k))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(max(frame) AS BIGINT) AS last_frame,
+      |  CAST(sum(amp) AS BIGINT) AS amp_sum
+      |FROM frames GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -1175,5 +1274,6 @@ object MultimodalQueries {
     Q("m22_scene_detect", m22, Some(m22Sql)),
     Q("m23_video_curation", m23, Some(m23Sql)),
     Q("m24_blur_score", m24, Some(m24Sql)),
+    Q("m29_tts_trained", m29, Some(m29Sql)),
   )
 }
