@@ -29,19 +29,22 @@ final case class BigramLm(dir: String, steps: Int)
 
   @transient private lazy val table: Map[String, String] = {
     val d = java.nio.file.Paths.get(dir)
-    val files = java.nio.file.Files.list(d).iterator()
+    val listing = java.nio.file.Files.list(d)
     val b = Map.newBuilder[String, String]
-    while (files.hasNext) {
-      val f = files.next()
-      if (f.getFileName.toString.startsWith("part-")) {
-        val lines = java.nio.file.Files.readAllLines(f).iterator()
-        while (lines.hasNext) {
-          val line = lines.next()
-          val cut = line.indexOf('\t')
-          if (cut > 0) b += line.substring(0, cut) -> line.substring(cut + 1)
+    try {
+      val files = listing.iterator()
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getFileName.toString.startsWith("part-")) {
+          val lines = java.nio.file.Files.readAllLines(f).iterator()
+          while (lines.hasNext) {
+            val line = lines.next()
+            val cut = line.indexOf('\t')
+            if (cut > 0) b += line.substring(0, cut) -> line.substring(cut + 1)
+          }
         }
       }
-    }
+    } finally listing.close() // directory handle
     b.result()
   }
 

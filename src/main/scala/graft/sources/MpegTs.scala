@@ -122,6 +122,8 @@ object MpegTs {
     val out = new ByteArrayOutputStream(14 + payload.length)
     out.write(0); out.write(0); out.write(1); out.write(streamId)
     val len = 3 + 5 + payload.length // after the length field
+    require(len <= 0xffff, // the 16-bit field (video may use 0 = unbounded;
+      s"PES payload too large for a sized packet: ${payload.length}")
     out.write((len >> 8) & 0xff); out.write(len & 0xff)
     out.write(0x80) // '10' + no scrambling/priority/...
     out.write(0x80) // PTS_DTS_flags = '10' (PTS only)
