@@ -311,7 +311,14 @@ object DeploymentJson {
       .map { case (s, metas) => (s, metas.head._2) }
     val sources = external.map { case (s, meta) =>
       namedIn += s -> s
-      TaskSpec(s"src_$s", SourceOp(meta), Nil, s)
+      // task names key state stores — never collide with a loaded label
+      val base = s"src_$s"
+      val nm = if (seen.add(base)) base else {
+        var i = 2
+        while (!seen.add(s"${base}_$i")) i += 1
+        s"${base}_$i"
+      }
+      TaskSpec(nm, SourceOp(meta), Nil, s)
     }
     Loaded(Deployment(depLabel, sources ++ tasks),
       namedIn.result(), namedOut.result())
