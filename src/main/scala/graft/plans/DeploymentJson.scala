@@ -67,7 +67,8 @@ object DeploymentJson {
     "repeater" -> "RepeaterTaskHost",
     "synchronizer" -> "SynchronizerTaskHost",
     "replaybuffer" -> "ReplayBufferTaskHost",
-    "llamacppchat" -> "LLamaCppChatTaskHost")
+    "llamacppchat" -> "LLamaCppChatTaskHost",
+    "outputcontainer" -> "OutputContainerTaskHost")
 
   /** A loaded deployment plus its published IO names: `namedInputs`
     * maps each named-input's `name` to the stream to bind a source
@@ -300,6 +301,41 @@ object DeploymentJson {
               graft.functions.BigramLm(model,
                 if (maxTok > 0) maxTok else 3)),
             Seq(in("in_topic")), out("out_topic"))
+        case "outputcontainer" =>
+          // OutputContainerConfig (media/outputcontainer.py:44-49):
+          // video_tracks [{rate, in_topic, ...}], audio_tracks
+          // [{rate, in_topic, ...}], max_desync (ms). Stream clocks
+          // map onto OcStreamCfg: a video packet advances 1 frame at
+          // time base 1/rate; an audio packet advances `frame_size`
+          // samples (engine extension, default 1024 — the reference
+          // takes it from the codec context) at 1/sample_rate. The
+          // mux-trace stream rides engine extension `out_topic` (the
+          // reference writes to `destination` instead — a non-empty
+          // destination is surfaced as a named output).
+          def ocTracks(key: String, kind: String, defRate: Double)
+              : Seq[(String, graft.streaming.StateMachines.OcStreamCfg)] =
+            cfg \ key match {
+              case JArray(ts) => ts.zipWithIndex.map { case (t, i) =>
+                val rate = cfgDouble(t, "rate", defRate).toLong
+                val adv = if (kind == "video") 1L
+                  else cfgDouble(t, "frame_size", 1024.0).toLong
+                (stream(cfgTopic(t, "in_topic", ctx)),
+                  graft.streaming.StateMachines.OcStreamCfg(
+                    1L, rate, adv, s"$kind$i"))
+              }
+              case _ => Nil
+            }
+          val tracks = ocTracks("video_tracks", "video", 30.0) ++
+            ocTracks("audio_tracks", "audio", 32000.0)
+          require(tracks.nonEmpty, s"$ctx: output container needs tracks")
+          val outStream = optLong(cfg \ "out_topic").map(stream)
+            .getOrElse(s"oc_$name")
+          val dest = cfgString(cfg, "destination", "")
+          if (dest.nonEmpty) namedOut += dest -> outStream
+          TaskSpec(name,
+            OutputContainerOp(tracks.map(_._2),
+              cfgDouble(cfg, "max_desync", 100.0).toLong),
+            tracks.map(_._1), outStream)
         case other => sys.error(s"$ctx: unsupported task kind '$other'")
       }
     }
@@ -486,6 +522,25 @@ object DeploymentJson {
               "loop" -> JBool(loop),
               "in_topic" -> topic(t.inputs(0)),
               "play_topic" -> topic(t.inputs(1)),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case OutputContainerOp(streams, maxDesync) =>
+            // writer convention: frameAdv == 1 ⟺ a video stream (one
+            // frame per packet); audio streams advance frame_size
+            // samples. tbNum must be 1 (all engine configs are).
+            streams.foreach(c => require(c.tbNum == 1,
+              s"task '${t.name}': only 1/rate time bases serialize"))
+            val (vid, aud) = streams.zipWithIndex.partition(_._1.frameAdv == 1L)
+            ("outputcontainer", JObject(
+              "destination" -> JString(""),
+              "video_tracks" -> JArray(vid.map { case (c, i) => JObject(
+                "rate" -> JLong(c.tbDen),
+                "in_topic" -> topic(t.inputs(i))): JValue }.toList),
+              "audio_tracks" -> JArray(aud.map { case (c, i) => JObject(
+                "rate" -> JLong(c.tbDen),
+                "frame_size" -> JLong(c.frameAdv),
+                "in_topic" -> topic(t.inputs(i))): JValue }.toList),
+              "max_desync" -> JLong(maxDesync),
               "out_topic" -> topic(t.output)),
               ioJson(t, "in"), ioJson(t, "out"))
           case ChatOp(sys, budget, lm: graft.functions.BigramLm) =>

@@ -29,6 +29,10 @@ class DeploymentJsonPropSpec extends AnyFunSuite {
       ("rb", (_: Seq[String]) => (_: Int) => ReplayBufferOp(), 2, 1),
       ("sw", (_: Seq[String]) => (_: Int) => SwitchOp(2), 4, 1),
       ("msw", (_: Seq[String]) => (_: Int) => MediaSwitchOp(2), 4, 1),
+      ("oc", (_: Seq[String]) => (_: Int) => OutputContainerOp(Seq(
+        graft.streaming.StateMachines.OcStreamCfg(1, 30, 1, "video0"),
+        graft.streaming.StateMachines.OcStreamCfg(1, 32000, 1024, "audio0")),
+        maxDesync = 100L), 2, 1),
       ("sync2", (_: Seq[String]) => (_: Int) => SynchronizerOp(2), 2, 2),
       ("sync3", (_: Seq[String]) => (_: Int) => SynchronizerOp(3), 3, 3),
       ("calc",

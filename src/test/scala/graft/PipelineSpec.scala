@@ -324,14 +324,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         OcStreamCfg(1, 32000, 1024, "audio"),
         OcStreamCfg(1, 30, 1, "video")), maxDesync = 100),
         Seq("a", "v"), "muxed")))
-    val out = Pipeline.compile(dep, Map("a" -> audio, "v" -> video))("muxed")
-      .select("ts", "value", "text").collect()
-      .map(r => (r.getLong(0), r.getDouble(1).toLong, r.getString(2)))
-      .sortBy(x => (x._1, x._3)).toSeq
+    def trace(streams: Map[String, org.apache.spark.sql.DataFrame],
+        out: String) =
+      streams(out).select("ts", "value", "text").collect()
+        .map(r => (r.getLong(0), r.getDouble(1).toLong, r.getString(2)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val out = trace(Pipeline.compile(dep,
+      Map("a" -> audio, "v" -> video)), "muxed")
     // the ContainerSpec hand-trace: barrier at (1000,1010), then
     // duration-ordered interleave with quantized dts
     assert(out == Seq((1000L, 0L, "audio"), (1010L, 0L, "video"),
       (1040L, 1L, "video"), (1050L, 1600L, "audio")))
+    // the SAME deployment through the stored-JSON round trip (the
+    // outputcontainer kind: video/audio tracks, max_desync, the
+    // mux-trace out_topic) produces the identical trace — stream
+    // labels canonicalize to videoN/audioN, the timing config and
+    // wiring survive exactly
+    val loaded = graft.plans.DeploymentJson.load(
+      graft.plans.DeploymentJson.write(dep))
+    val lsrc = loaded.deployment.tasks.filter(_.op.isInstanceOf[SourceOp])
+    val byName = lsrc.map(t => t.name -> t.output).toMap
+    val got2 = trace(Pipeline.compile(loaded.deployment,
+      Map(byName("sa") -> audio, byName("sv") -> video)),
+      loaded.deployment.tasks.find(_.op.isInstanceOf[OutputContainerOp])
+        .get.output)
+    assert(got2.map(x => (x._1, x._2)) == out.map(x => (x._1, x._2)))
+    assert(got2.map(_._3) == Seq("audio0", "video0", "video0", "audio0"))
   }
 
   test("pause markers propagate through a STREAMING deployment across " +
