@@ -68,7 +68,8 @@ object DeploymentJson {
     "synchronizer" -> "SynchronizerTaskHost",
     "replaybuffer" -> "ReplayBufferTaskHost",
     "llamacppchat" -> "LLamaCppChatTaskHost",
-    "outputcontainer" -> "OutputContainerTaskHost")
+    "outputcontainer" -> "OutputContainerTaskHost",
+    "pulsegenerator" -> "PulseGeneratorTaskHost")
 
   /** A loaded deployment plus its published IO names: `namedInputs`
     * maps each named-input's `name` to the stream to bind a source
@@ -301,6 +302,17 @@ object DeploymentJson {
               graft.functions.BigramLm(model,
                 if (maxTok > 0) maxTok else 3)),
             Seq(in("in_topic")), out("out_topic"))
+        case "pulsegenerator" =>
+          // a wall-clock tick source (pulsegenerator.py:12-33) — in
+          // the deterministic engine its output is an EXTERNAL feed:
+          // the caller binds the tick grid (EventOps.tickGrid is the
+          // batch generator; a rate source is the streaming one). The
+          // configured interval is surfaced in the published name so
+          // the binder knows the cadence.
+          val s0 = out("out_topic")
+          val iv = cfgDouble(cfg, "interval", 1.0)
+          namedIn += s"$name@${iv}s" -> s0
+          TaskSpec(name, SourceOp(IOMeta(Map("type" -> "ts"))), Nil, s0)
         case "outputcontainer" =>
           // OutputContainerConfig (media/outputcontainer.py:44-49):
           // video_tracks [{rate, in_topic, ...}], audio_tracks
