@@ -346,6 +346,27 @@ class CodecSpec extends AnyFunSuite {
       "a lossy codec cannot be bit-exact on noise")
   }
 
+  test("audio codec TRANSCODE MATRIX: every ordered pair of the three " +
+      "lossy codec families carries the three-tone spectrum " +
+      "(test_audio_codec.py:10-28's matrix over this codec set)") {
+    val rate = 32000
+    val pcm = s16leBytes(threeToneS16(rate, 8192))
+    val codecs: Seq[(String, Array[Byte] => Array[Byte])] = Seq(
+      "mulaw" -> (b => Codec.MuLaw.decode(Codec.MuLaw.encode(b))),
+      "adpcm" -> (b => Codec.ImaAdpcm.decode(Codec.ImaAdpcm.encode(b))),
+      "mdct" -> { b =>
+        val c = Codec.Mdct()
+        c.decode(c.encode(b))
+      })
+    val ref = spectrum(s16leDoubles(pcm), rate)
+    for ((na, fa) <- codecs; (nb, fb) <- codecs) {
+      val out = fb(fa(pcm))
+      // transcoding may change length (MDCT frames); spectrum handles it
+      val sim = freqSimilarity(ref, spectrum(s16leDoubles(out), rate))
+      assert(sim < 35, s"$na->$nb spectral similarity $sim >= 35")
+    }
+  }
+
   test("mu-law inverse transcoder: three-tone spectrum survives the " +
       "lossy round trip (test_audio_codec.py:10-16 shape)") {
     val rate = 16384 // power of 2: rate==n makes spectrum bins = Hz
