@@ -1463,6 +1463,104 @@ object StreamParityQueries {
       |  AND p.ts_ms BETWEEN c.ts_ms AND c.ts_ms + 86400000
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** e49: the REPLAY BUFFER machine (replaybuffer.py:28-92 —
+    * [[StateMachines.ReplayBuffer]], round 10's addition to the Op
+    * algebra) through the streaming mount, hash-checked against e16's
+    * windowed formulation reprojected without the edge/window labels
+    * (the machine's output is the replayed multiset; replay_ts is
+    * unique per (edge, row), so the multiset pins the same facts).
+    * Fixture = e16's: clicks record, error-value>15 RISING EDGES
+    * replay the recording restamped to the edge, purchases clear via
+    * an in-band pause+unpause pair on the data topic (the reference's
+    * buffer.clear() trigger). The machine detects edges and clears
+    * from RAW signals in arrival order — the lag()/transition windows
+    * live only in the oracle.
+    *
+    * Equal-timestamp kind order is part of e16's pinned semantics
+    * (clears start the new window first; same-ms data IS included in
+    * a same-ms replay, the `edge_ts >= ts_ms` rule), and the machine
+    * has one ordering channel — so ts packs the kind:
+    * ts' = ts_ms·4 + kind with clear=0 < data=1 < play=2. Every ts'
+    * is then unique per kind and the replay arithmetic stays exact:
+    * replay' = edge' + data' − first' = (e+d−f)·4 + 2, unpacked as
+    * (replay' − 2) div 4. Buffer + playing state cross 2 micro-batch
+    * boundaries; a recording from batch N replays in batch N+2. */
+  private def e49(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val pipe = pmod(col("user_id"), lit(2)).cast(StringType).as("key")
+    val data = e.filter(col("event_type") === "click")
+      .select(pipe, lit(0).as("topic"),
+        (col("ts_ms") * 4 + 1).as("ts"), col("value"),
+        col("event_id").cast(StringType).as("text"),
+        lit(false).as("paused"), (col("event_id") * 2).as("seq"))
+    // purchases → pause(true) then unpause(false): the clear pair
+    val clears = e.filter(col("event_type") === "purchase")
+      .select(pipe, lit(0).as("topic"), (col("ts_ms") * 4).as("ts"),
+        explode(array(lit(1.0), lit(0.0))).as("flag"),
+        lit(null).cast(StringType).as("text"), lit(true).as("paused"),
+        col("event_id"))
+      .select(col("key"), col("topic"), col("ts"),
+        col("flag").as("value"), col("text"), col("paused"),
+        (col("event_id") * 2 +
+          when(col("flag") === 0.0, 1).otherwise(0)).as("seq"))
+    val plays = e.filter(col("event_type") === "error")
+      .select(pipe, lit(1).as("topic"), (col("ts_ms") * 4 + 2).as("ts"),
+        when(col("value") > 15, 1.0).otherwise(0.0).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        (col("event_id") * 2).as("seq"))
+    throughStream(s, data.unionByName(clears).unionByName(plays),
+        Seq(col("ts"), col("seq")), s"e49@$d",
+        ds => StatefulRunner.runStreaming(new StateMachines.ReplayBuffer, ds),
+        Map.empty)
+      .filter(!col("paused"))
+      .select(col("key").cast(LongType).as("pipeline"),
+        col("text").cast(LongType).as("event_id"),
+        ((col("ts") - 2) / 4).cast(LongType).as("replay_ts"),
+        col("value"))
+      .orderBy(col("pipeline"), col("replay_ts"), col("event_id"))
+  }
+
+  private val e49Sql =
+    s"""WITH e AS (SELECT user_id % 2 AS pipeline, event_id,
+       |    epoch_ms(ts) AS ts_ms, value, event_type FROM events),
+       |plays AS (SELECT pipeline, event_id, ts_ms, 2 AS kind FROM (
+       |    SELECT pipeline, event_id, ts_ms, sig,
+       |      COALESCE(lag(sig) OVER (PARTITION BY pipeline
+       |        ORDER BY ts_ms, event_id), 0.0) AS prev
+       |    FROM (SELECT pipeline, event_id, ts_ms,
+       |            CASE WHEN value > 15 THEN 1.0 ELSE 0.0 END AS sig
+       |          FROM e WHERE event_type = 'error'))
+       |  WHERE sig > 0.5 AND prev <= 0.5),
+       |clears AS (SELECT pipeline, event_id, ts_ms, 0 AS kind
+       |           FROM e WHERE event_type = 'purchase'),
+       |data AS (SELECT pipeline, event_id, ts_ms, 1 AS kind, value
+       |         FROM e WHERE event_type = 'click'),
+       |tagged AS (SELECT *,
+       |    sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS win
+       |  FROM (SELECT pipeline, event_id, ts_ms, kind, NULL::DOUBLE AS value
+       |          FROM clears
+       |        UNION ALL
+       |        SELECT pipeline, event_id, ts_ms, kind, NULL::DOUBLE
+       |          FROM plays
+       |        UNION ALL
+       |        SELECT * FROM data)),
+       |pe AS (SELECT pipeline, win, ts_ms AS edge_ts
+       |       FROM tagged WHERE kind = 2),
+       |dr AS (SELECT pipeline, win, event_id, ts_ms, value
+       |       FROM tagged WHERE kind = 1),
+       |firsts AS (SELECT pipeline, win, min(ts_ms) AS w_first
+       |           FROM dr GROUP BY pipeline, win)
+       |SELECT dr.pipeline, dr.event_id,
+       |  CAST(pe.edge_ts + dr.ts_ms - f.w_first AS BIGINT) AS replay_ts,
+       |  dr.value
+       |FROM dr
+       |JOIN pe ON pe.pipeline = dr.pipeline AND pe.win = dr.win
+       |       AND pe.edge_ts >= dr.ts_ms
+       |JOIN firsts f ON f.pipeline = dr.pipeline AND f.win = dr.win
+       |ORDER BY dr.pipeline, replay_ts, dr.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -1488,5 +1586,6 @@ object StreamParityQueries {
     Q("e46_stream_join_agg", e46, Some(e46Sql)),
     Q("e47_stream_static_dim", e47, Some(e47Sql)),
     Q("e48_stream_left_outer", e48, Some(e48Sql)),
+    Q("e49_streaming_replay", e49, Some(e49Sql)),
   )
 }
