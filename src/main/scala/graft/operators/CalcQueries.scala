@@ -569,6 +569,194 @@ object CalcQueries {
        |  SELECT 'view' AS src, ts_ms, value FROM vacc)
        |ORDER BY src, ts_ms, value""".stripMargin
 
+  // ===================================================== c10: the MEDIA
+  // deployment through the stored-JSON loader — the reference's other
+  // canonical pipeline family (inputcontainer → audiovolumescaler →
+  // audiovolumemeter, the DAG a streamtasks user draws for live audio
+  // monitoring) loaded from the task_web artifact and run with REAL
+  // container bytes: per container the fixture PCM is muxed into an
+  // actual RIFF/WAVE file, the inputcontainer track is bound to the
+  // DEMUXED samples of those bytes, and the oracle recomputes the whole
+  // chain — wav header hex, scale last-value fold, numpy-clip/truncate,
+  // AudioChunker block timestamps — from the events table.
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  private def audioMeta(tid: Int) =
+    s"""{"label": "out", "type": "ts", "content": "audio", "codec": "raw", "topic_id": $tid}"""
+
+  /** Stored JSON: `inputcontainer` (source fixture.wav, one audio
+    * track at 1 kHz), a named scale input, `audiovolumescaler`
+    * (s16, default 1.0), `audiovolumemeter` (time_window 125 ms ⇒
+    * 125-sample AudioChunker blocks), named outputs on both the
+    * scaled stream and the volume signal — every config field under
+    * the reference's names (audiovolumescaler.py:30-33,
+    * audiovolumemeter.py:18-24, inputcontainer.py:44-60). */
+  private val c10Json: String = s"""{
+    "deployment": {"id": "00000000-0000-4000-8000-0000000000fd", "label": "c10"},
+    "tasks": [
+      ${storedTask(1, hostId("InputContainerTaskHost"), "cam",
+        """{"source": "fixture.wav", "real_time": false,
+           "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "pcm_s16le",
+             "channels": 1, "rate": 1000, "out_topic": 1}]}""",
+        "", audioMeta(1))},
+      ${storedTask(2, hostId("NamedInputTaskHost"), "scale",
+        """{"name": "scale", "out_topic": 2}""", "", numMeta(2))},
+      ${storedTask(3, hostId("AudioVolumeScalerTaskHost"), "scaler",
+        """{"sample_format": "s16", "rate": 1000, "channels": 1,
+           "default_scale": 1.0, "synchronized": true,
+           "in_topic": 1, "scale_topic": 2, "out_topic": 3}""",
+        s"${audioMeta(1)}, ${numMeta(2)}", audioMeta(3))},
+      ${storedTask(4, hostId("AudioVolumeMeterTaskHost"), "meter",
+        """{"sample_format": "s16", "rate": 1000, "time_window": 125,
+           "in_topic": 3, "out_topic": 4}""",
+        audioMeta(3), numMeta(4))},
+      ${storedTask(5, hostId("NamedOutputTaskHost"), "volume",
+        """{"name": "volume", "in_topic": 4}""", numMeta(4), "")},
+      ${storedTask(6, hostId("NamedOutputTaskHost"), "scaled",
+        """{"name": "scaled", "in_topic": 3}""", audioMeta(3), "")}
+    ]}"""
+
+  /** c10: load [[c10Json]], bind the inputcontainer's audio track to
+    * samples DEMUXED from real per-container WAV bytes (mux → demux on
+    * the executors, m16's container layer), bind the scale feed from
+    * the error events, run the compiled DAG MULTI-PIPELINE (one
+    * machine instance per container via the pipe column — 3 here, a
+    * million at scale, all in one plan), and emit three pinned views:
+    * the muxed WAV bytes (md5 + length — the container layer),
+    * per-container scaled-stream aggregates (the scaler machine), and
+    * every volume block (the meter machine's chunker timestamps and
+    * loudness values). Scale: the WAV build/demux is one mapGroups per
+    * container (bytes never leave the executor); the machines key by
+    * container, so the deployment fans across the cluster; the
+    * loudness sum is exact integer arithmetic under the hash gate. */
+  private def c10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{DeploymentJson, Pipeline}
+    import graft.sources.Wav
+    val loaded = DeploymentJson.load(c10Json, nodeName = Some(FixtureNode))
+    val e = eventsMs(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select((col("user_id") % 3).as("c"),
+        least(greatest(round(col("value") * 100).cast(IntegerType),
+          lit(-32768)), lit(32767)).as("x"),
+        col("ts_ms"), col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    // mux each container's PCM into real WAV bytes, demux them back,
+    // emit one row per decoded sample + one metadata row per file
+    val demuxed = clicks.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+      val wav = Wav.mux(Wav.WavData(1000, 1, 16, Wav.pcm16(xs)))
+      val dec = Wav.samples16(Wav.demux(wav).data)
+      val md5 = md5Hex(wav.map("%02x".format(_)).mkString.getBytes("UTF-8"))
+      dec.iterator.zipWithIndex.map { case (x, i) =>
+        ("s", k, i.toLong, x.toLong, null: String)
+      } ++ Iterator(("w", k, wav.length.toLong, 0L, md5))
+    }.toDF("kind", "c", "a", "b", "md5").cache()
+    val samples = demuxed.filter(col("kind") === "s")
+      .select(col("c").cast(StringType).as("pipe"), col("a").as("ts"),
+        col("b").cast(DoubleType).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("a").as("seq"))
+    // scale feed: error events mapped into each container's sample
+    // clock (ts = event_id mod container sample count), value > 10 ⇒
+    // gain 2.0 else attenuation 0.5 — collides with data timestamps on
+    // purpose (the scale-first tie-break is part of the pinned fold)
+    val nc = clicks.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+    val scales = e.filter(col("event_type") === "error")
+      .select((col("user_id") % 3).as("c"), col("value"), col("event_id"))
+      .join(nc, "c")
+      .select(col("c").cast(StringType).as("pipe"),
+        (col("event_id") % col("nc")).as("ts"),
+        when(col("value") > 10, 2.0).otherwise(0.5).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment, Map(
+      ni("fixture.wav#audio0") -> samples, ni("scale") -> scales))
+    val vol = streams(no("volume")).filter(!col("paused"))
+      .select(lit("vol").as("kind"), col("pipe").cast(LongType).as("container"),
+        col("ts").as("ts_ms"), col("value"), lit(125L).as("n"),
+        lit(null).cast(StringType).as("md5"))
+    val scaled = streams(no("scaled")).filter(!col("paused"))
+      .groupBy(col("pipe").cast(LongType).as("container"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value"))
+      .select(lit("scaled").as("kind"), col("container"),
+        lit(0L).as("ts_ms"), col("value"), col("n"),
+        lit(null).cast(StringType).as("md5"))
+    val wavMeta = demuxed.filter(col("kind") === "w")
+      .select(lit("wav").as("kind"), col("c").as("container"),
+        lit(0L).as("ts_ms"), lit(null).cast(DoubleType).as("value"),
+        col("a").as("n"), col("md5"))
+    vol.unionByName(scaled).unionByName(wavMeta)
+      .orderBy(col("kind"), col("container"), col("ts_ms"))
+  }
+
+  private val c10Sql =
+    s"""WITH s AS (SELECT user_id % 3 AS c,
+       |    least(greatest(CAST(round(value * 100) AS INT), -32768), 32767) AS x,
+       |    ts_ms, event_id
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |idx AS (SELECT c, x,
+       |    row_number() OVER (PARTITION BY c ORDER BY ts_ms, event_id) - 1 AS i
+       |  FROM s),
+       |n AS (SELECT c, count(*) AS nc FROM idx GROUP BY c),
+       |-- scale feed on the sample clock; multiple events on one tick
+       |-- fold to the last by event_id (the machine steps in seq order)
+       |sc AS (SELECT e.user_id % 3 AS c, e.event_id % n.nc AS ts,
+       |    CASE WHEN e.value > 10 THEN 2.0 ELSE 0.5 END AS sv, e.event_id
+       |  FROM ($evMs) e JOIN n ON e.user_id % 3 = n.c
+       |  WHERE e.event_type = 'error'),
+       |-- the scaler's last-value fold: scale events sort BEFORE data
+       |-- at equal timestamps (control-first tie-break)
+       |u AS (SELECT c, i AS ts, 0 AS is_scale, i AS seq,
+       |             CAST(x AS DOUBLE) AS x, NULL::DOUBLE AS sv FROM idx
+       |      UNION ALL
+       |      SELECT c, ts, 1 AS is_scale, event_id AS seq, NULL, sv FROM sc),
+       |f AS (SELECT *, coalesce(last_value(sv IGNORE NULLS) OVER (
+       |        PARTITION BY c ORDER BY ts, is_scale DESC, seq
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS eff
+       |      FROM u),
+       |-- numpy clip + astype: clamp to the s16 range, truncate toward 0
+       |y AS (SELECT c, ts AS i,
+       |        CAST(trunc(least(greatest(x * eff, -32768.0), 32767.0)) AS BIGINT) AS y
+       |      FROM f WHERE is_scale = 0),
+       |-- AudioChunker at 1 kHz: block k covers samples [125k, 125k+125)
+       |-- and releases only when sample 125k+125 ARRIVES (buffer must
+       |-- exceed chunk_size), stamped at its head sample's time
+       |vol AS (SELECT y.c, (y.i // 125) * 125 AS ts_ms,
+       |        sqrt(CAST(sum(abs(y.y)) AS DOUBLE) / 32767.0 / 125.0) AS value
+       |      FROM y JOIN n ON y.c = n.c
+       |      WHERE (y.i // 125) * 125 + 125 <= n.nc - 1
+       |      GROUP BY y.c, y.i // 125),
+       |hex AS (SELECT c,
+       |    string_agg(printf('%02x%02x', ((x + 65536) % 65536) % 256,
+       |      ((x + 65536) % 65536) // 256), '' ORDER BY i) AS datahex,
+       |    count(*) AS nc
+       |  FROM (SELECT c, x, i FROM idx) GROUP BY c),
+       |wav AS (SELECT c, nc, md5('52494646' ||
+       |    printf('%02x%02x%02x%02x', (36 + 2*nc) % 256, ((36 + 2*nc) // 256) % 256,
+       |      ((36 + 2*nc) // 65536) % 256, ((36 + 2*nc) // 16777216) % 256) ||
+       |    '57415645666d74201000000001000100e8030000d007000002001000' ||
+       |    '64617461' ||
+       |    printf('%02x%02x%02x%02x', (2*nc) % 256, ((2*nc) // 256) % 256,
+       |      ((2*nc) // 65536) % 256, ((2*nc) // 16777216) % 256) ||
+       |    datahex) AS md5
+       |  FROM hex)
+       |SELECT kind, container, ts_ms, value, n, md5 FROM (
+       |  SELECT 'vol' AS kind, c AS container, ts_ms, value,
+       |         125::BIGINT AS n, NULL::VARCHAR AS md5 FROM vol
+       |  UNION ALL
+       |  SELECT 'scaled', c, 0, CAST(sum(y) AS DOUBLE), count(*), NULL
+       |  FROM y GROUP BY c
+       |  UNION ALL
+       |  SELECT 'wav', c, 0, NULL, 44 + 2 * nc, md5 FROM wav)
+       |ORDER BY kind, container, ts_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -579,5 +767,6 @@ object CalcQueries {
     Q("c07_multi_pipeline", c07, Some(c07Sql)),
     Q("c08_deployment_json", c08, Some(c08Sql)),
     Q("c09_deployment_stream", c09, Some(c09Sql)),
+    Q("c10_media_deployment", c10, Some(c10Sql)),
   )
 }

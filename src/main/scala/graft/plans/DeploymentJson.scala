@@ -69,7 +69,10 @@ object DeploymentJson {
     "replaybuffer" -> "ReplayBufferTaskHost",
     "llamacppchat" -> "LLamaCppChatTaskHost",
     "outputcontainer" -> "OutputContainerTaskHost",
-    "pulsegenerator" -> "PulseGeneratorTaskHost")
+    "pulsegenerator" -> "PulseGeneratorTaskHost",
+    "audiovolumescaler" -> "AudioVolumeScalerTaskHost",
+    "audiovolumemeter" -> "AudioVolumeMeterTaskHost",
+    "inputcontainer" -> "InputContainerTaskHost")
 
   /** A loaded deployment plus its published IO names: `namedInputs`
     * maps each named-input's `name` to the stream to bind a source
@@ -152,7 +155,7 @@ object DeploymentJson {
     val namedIn = Map.newBuilder[String, String]
     val namedOut = Map.newBuilder[String, String]
     val seen = scala.collection.mutable.Set.empty[String]
-    val tasks = taskArr.map { tj =>
+    val tasks = taskArr.flatMap { tj =>
       val label = jStr(tj, "label", "task")
       val ctx = s"task '$label'"
       // state keys are dep/name — duplicate labels must not collide
@@ -165,7 +168,38 @@ object DeploymentJson {
       val kind = kindOf(jStr(tj, "task_host_id", ctx), ctx)
       def in(key: String) = stream(cfgTopic(cfg, key, ctx))
       def out(key: String) = stream(cfgTopic(cfg, key, ctx))
-      kind match {
+      if (kind == "inputcontainer") {
+        // InputContainerConfig (inputcontainer.py:48-60): a `source`
+        // URL/path demuxed into one out topic per configured track.
+        // The demux itself is the media layer's job (the engine's
+        // container demuxers — Wav/Avi/Matroska/IsoBmff/MpegTs — or a
+        // live URL reader at the edge); the LOADED deployment declares
+        // each track as a bindable source, published as
+        // `<source>#<kind><idx>` so the binder knows which demuxed
+        // track to feed (mirroring _run_stream's per-track out topics,
+        // inputcontainer.py:62-98). One loaded task expands to one
+        // SourceOp per track — the multi-output task as independent
+        // single-output sources.
+        val src = cfgString(cfg, "source", "")
+        def trackTasks(key: String, kindLbl: String, meta: IOMeta)
+            : Seq[TaskSpec] = cfg \ key match {
+          case JArray(ts) => ts.zipWithIndex.map { case (t, i) =>
+            val s0 = stream(cfgTopic(t, "out_topic", ctx))
+            namedIn += s"$src#$kindLbl$i" -> s0
+            val nm = s"${name}_$kindLbl$i"
+            require(seen.add(nm), s"$ctx: track task name '$nm' collides")
+            TaskSpec(nm, SourceOp(meta), Nil, s0)
+          }
+          case _ => Nil
+        }
+        val tracks =
+          trackTasks("video_tracks", "video",
+            IOMeta(Map("type" -> "ts", "content" -> "video",
+              "codec" -> "raw"))) ++
+          trackTasks("audio_tracks", "audio", IOMeta.audio)
+        require(tracks.nonEmpty, s"$ctx: input container needs tracks")
+        tracks
+      } else Seq(kind match {
         case "namedinput" =>
           val meta = tj \ "outputs" match {
             case JArray(o :: _) => ioMeta(o)
@@ -348,8 +382,37 @@ object DeploymentJson {
             OutputContainerOp(tracks.map(_._2),
               cfgDouble(cfg, "max_desync", 100.0).toLong),
             tracks.map(_._1), outStream)
+        case "audiovolumescaler" =>
+          // AudioVolumeScalerConfig (audiovolumescaler.py:30-33):
+          // in_topic, optional scale_topic, default_scale; dtype range
+          // from sample_format (s16 ⇒ ±32767/−32768, flt ⇒ ±1)
+          val fmt = cfgString(cfg, "sample_format", "s16")
+          val (lo, hi) = fmt match {
+            case "s16" => (-32768.0, 32767.0)
+            case "s32" => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+            case _ => (-1.0, 1.0) // float formats (get_dtype_min_max)
+          }
+          val hasCtl = optLong(cfg \ "scale_topic").isDefined
+          val ins = Seq(in("in_topic")) ++
+            (if (hasCtl) Seq(in("scale_topic")) else Nil)
+          TaskSpec(name,
+            AudioVolumeScalerOp(cfgDouble(cfg, "default_scale", 1.0),
+              hasCtl, lo, hi),
+            ins, out("out_topic"))
+        case "audiovolumemeter" =>
+          // AudioVolumeMeterConfig (audiovolumemeter.py:18-24): rate,
+          // time_window (ms), sample_format → max dtype value
+          val maxV = cfgString(cfg, "sample_format", "s16") match {
+            case "s16" => 32767.0
+            case "s32" => Int.MaxValue.toDouble
+            case _ => 1.0 // max_dtype_value: floating ⇒ 1
+          }
+          TaskSpec(name,
+            AudioVolumeMeterOp(cfgDouble(cfg, "rate", 32000.0).toLong,
+              cfgDouble(cfg, "time_window", 1000.0).toLong, maxV),
+            Seq(in("in_topic")), out("out_topic"))
         case other => sys.error(s"$ctx: unsupported task kind '$other'")
-      }
+      })
     }
     // external feeds: consumed-but-never-produced topics → SourceOp
     val producedS = tasks.flatMap(_.outputs).toSet
@@ -564,6 +627,30 @@ object DeploymentJson {
               "context_length" -> JLong(budget.toLong),
               "max_tokens" -> JLong(lm.steps.toLong),
               "system_message" -> JString(sys.getOrElse("")),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case AudioVolumeScalerOp(d, hasCtl, lo, hi) =>
+            // sample_format from the dtype range (the loader's inverse)
+            val fmt =
+              if (lo == -32768.0 && hi == 32767.0) "s16"
+              else if (lo == Int.MinValue.toDouble) "s32" else "flt"
+            ("audiovolumescaler", JObject(
+              List("sample_format" -> (JString(fmt): JValue),
+                "rate" -> JLong(32000), "channels" -> JLong(1),
+                "default_scale" -> JDouble(d),
+                "synchronized" -> JBool(true),
+                "in_topic" -> topic(t.inputs.head)) ++
+              (if (hasCtl) List("scale_topic" -> (topic(t.inputs(1)): JValue))
+               else Nil) ++
+              List("out_topic" -> (topic(t.output): JValue))),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case AudioVolumeMeterOp(rate, win, maxV) =>
+            ("audiovolumemeter", JObject(
+              "sample_format" -> JString(
+                if (maxV == 32767.0) "s16"
+                else if (maxV == Int.MaxValue.toDouble) "s32" else "flt"),
+              "rate" -> JLong(rate), "time_window" -> JLong(win),
               "in_topic" -> topic(t.inputs.head),
               "out_topic" -> topic(t.output)),
               ioJson(t, "in"), ioJson(t, "out"))

@@ -47,6 +47,11 @@ object Pipeline {
   object IOMeta {
     val number: IOMeta = IOMeta(Map("type" -> "ts", "content" -> "number"))
     val text: IOMeta = IOMeta(Map("type" -> "ts", "content" -> "text"))
+    /** Raw audio (exploded TimestampChuckMessage samples riding
+      * `value`) — the io-metadata shape the media tasks declare
+      * (audiovolumescaler.py inputs: content=audio, codec=raw). */
+    val audio: IOMeta =
+      IOMeta(Map("type" -> "ts", "content" -> "audio", "codec" -> "raw"))
   }
 
   /** One operator instance: `inputs` name upstream streams; `outputs`
@@ -208,6 +213,31 @@ object Pipeline {
       "loop replay is wall-clock-driven (replaybuffer.py:70) — unsupported")
     def inMeta = Seq(IOMeta(Map("type" -> "ts")), IOMeta.number)
     def outMeta = IOMeta(Map("type" -> "ts"))
+  }
+  /** Audio volume scaler (media/audiovolumescaler.py:68-97): sample ×
+    * last scale value, clipped to the dtype range and truncated like
+    * numpy `.astype`. With a scale topic the op is the
+    * [[graft.streaming.StateMachines.VolumeScaler]] machine (inputs
+    * audio, scale); without one (`scale_topic: None` in the reference
+    * config) the fixed `defaultScale` applies statelessly. `lo`/`hi`
+    * default to the s16 dtype range (`get_dtype_min_max`, :17-21). */
+  final case class AudioVolumeScalerOp(defaultScale: Double = 1.0,
+      hasControl: Boolean = true, lo: Double = -32768, hi: Double = 32767)
+      extends SingleOutOp {
+    def inMeta = IOMeta.audio +: (if (hasControl) Seq(IOMeta.number) else Nil)
+    def outMeta = IOMeta.audio
+  }
+  /** Audio volume meter (media/audiovolumemeter.py:61-74): AudioChunker
+    * blocks of `rate · time_window / 1000` samples →
+    * `sqrt(mean(|x|/max))` per block
+    * ([[graft.streaming.StateMachines.VolumeMeter]]). */
+  final case class AudioVolumeMeterOp(rate: Long = 32000,
+      timeWindowMs: Long = 1000, maxValue: Double = 32767) extends SingleOutOp {
+    require(rate > 0 && timeWindowMs > 0 && rate * timeWindowMs >= 1000,
+      "volume meter chunk must be at least one sample")
+    def chunkSamples: Int = (rate * timeWindowMs / 1000).toInt
+    def inMeta = Seq(IOMeta.audio)
+    def outMeta = IOMeta.number
   }
   /** Named-output sink (namedoutput.py:9-45): consumes one stream and
     * exposes it under a published name; produces no new stream. The
@@ -454,6 +484,16 @@ object Pipeline {
           date_format(timestamp_millis(col("ts")), t.javaPattern))
       case ChatOp(sys, budget, reply) =>
         runMachine(key, new Chat(sys, budget, reply), ins)
+      case AudioVolumeScalerOp(d, hasControl, lo, hi) =>
+        if (hasControl) runMachine(key, new VolumeScaler(d, lo, hi), ins)
+        else // scale_topic: None → fixed default scale, stateless
+          stateless(ins.head, col("ts"),
+            expr(s"cast(greatest($lo, least($hi, value * $d)) as long)")
+              .cast(DoubleType),
+            col("text"))
+      case m: AudioVolumeMeterOp =>
+        runMachine(key,
+          new VolumeMeter(m.chunkSamples, m.rate, m.maxValue), ins)
     })
   }
 

@@ -844,4 +844,89 @@ object StateMachines {
       (s, out.result())
     }
   }
+
+  // --------------------------------------------------- audio volume scaler
+  /** audiovolumescaler.py:68-97: multiply each sample by the LAST
+    * received scale value, clip to the dtype range, truncate toward
+    * zero (numpy `.astype` on the clipped float — :78). Topic 0 =
+    * audio (one sample per envelope row, the exploded
+    * TimestampChuckMessage), topic 1 = scale. Scale handling
+    * (`_run_recv_scale`, :82-90): a PAUSE resets scale to the default,
+    * an invalid message (NaN) resets to the default, a valid
+    * NumberMessage sets it; none of these emit. Audio handling
+    * (`_run_recv_audio`, :92-97): pause markers forward to the output
+    * (`set_paused`), data emits the scaled sample at its own
+    * timestamp. The reference synchronizes both inputs with the plain
+    * (arrival-tie) SequentialInTopicSynchronizer; the engine pins the
+    * deterministic control-first tie-break at equal timestamps, the
+    * same choice the gate's prioritized synchronizer makes
+    * (gate.py:52-54). */
+  final case class VsState(scale: Double, outPaused: Boolean)
+  final class VolumeScaler(defaultScale: Double, lo: Double, hi: Double)
+      extends Machine[VsState] {
+    def init = VsState(defaultScale, outPaused = false)
+    override def priority(topic: Int): Int = if (topic == 1) 0 else 1
+    def step(s: VsState, e: Ev): (VsState, Seq[Out]) = e.topic match {
+      case 1 =>
+        val s1 =
+          if (e.paused) { if (pauseFlag(e)) s.copy(scale = defaultScale) else s }
+          else if (e.value.isNaN) s.copy(scale = defaultScale)
+          else s.copy(scale = e.value)
+        (s1, Nil)
+      case _ =>
+        if (e.paused) {
+          val p = pauseFlag(e)
+          if (p == s.outPaused) (s, Nil)
+          else (s.copy(outPaused = p),
+            Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true)))
+        } else {
+          // np.clip(x * scale, lo, hi).astype(int): truncation toward
+          // zero, exactly Double→Long narrowing
+          val y = math.max(lo, math.min(hi, e.value * s.scale)).toLong
+          (s, Seq(Out(e.ts, y.toDouble, e.text)))
+        }
+    }
+  }
+
+  // ---------------------------------------------------- audio volume meter
+  /** audiovolumemeter.py:61-74 + AudioChunker (media/util.py:131-148):
+    * re-chunk the sample stream into `chunkSize`-sample blocks and per
+    * block emit `sqrt(mean(|x| / maxValue))` — the reference's
+    * loudness measure (:68). Chunker semantics replicated exactly:
+    *  - a block is released only when the buffer EXCEEDS chunk_size
+    *    (`while size > chunk_size`, util.py:145) — a partial tail, and
+    *    even an exactly-full block with no successor sample, never
+    *    emits;
+    *  - the block timestamp is `msg.ts − size_before·1000 // rate`
+    *    (util.py:142), i.e. the arriving sample's time projected back
+    *    to the block head.
+    * With one sample per envelope row the buffer grows by one per
+    * event, so at most one block releases per event and the carried
+    * state is just (count, Σ|x|) — the sum is exact for integer
+    * sample values, which keeps `sqrt((Σ|x|/max)/n)` reproducible by
+    * the SQL oracle. A pause emits value 0 at the marker's event time
+    * (the deterministic projection of `sync.time`, :55) and forwards
+    * the pause transition. */
+  final case class VmState(n: Long, sumAbs: Double, outPaused: Boolean)
+  final class VolumeMeter(chunkSize: Int, rateHz: Long, maxValue: Double)
+      extends Machine[VmState] {
+    require(chunkSize > 0 && rateHz > 0)
+    def init = VmState(0L, 0.0, outPaused = false)
+    def step(s: VmState, e: Ev): (VmState, Seq[Out]) =
+      if (e.paused) {
+        val p = pauseFlag(e)
+        val zero = if (p) Seq(Out(e.ts, 0.0, null)) else Nil
+        val marker =
+          if (p == s.outPaused) Nil
+          else Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true))
+        (s.copy(outPaused = p), zero ++ marker)
+      } else if (s.n >= chunkSize) {
+        // buffer exceeds chunk_size with this sample appended: release
+        // the accumulated block (the new sample starts the next one)
+        val blockTs = e.ts - s.n * 1000L / rateHz
+        val v = math.sqrt(s.sumAbs / maxValue / s.n)
+        (s.copy(n = 1L, sumAbs = math.abs(e.value)), Seq(Out(blockTs, v, null)))
+      } else
+        (s.copy(n = s.n + 1L, sumAbs = s.sumAbs + math.abs(e.value)), Nil)
+  }
 }

@@ -587,6 +587,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       TaskSpec("latch", SrLatchOp, Seq("play", "gated"), "latched"),
       TaskSpec("tb", TimeBufferOp(250L), Seq("replayed"), "buffered"),
       TaskSpec("det", MessageDetectorOp(1500L), Seq("buffered"), "live"),
+      TaskSpec("mic", SourceOp(IOMeta.audio), Nil, "pcm"),
+      TaskSpec("vs", AudioVolumeScalerOp(0.5), Seq("pcm", "play"),
+        "pcm_scaled"),
+      TaskSpec("vm", AudioVolumeMeterOp(16000, 125), Seq("pcm_scaled"),
+        "loud"),
       TaskSpec("out", NamedOutputOp("main", IOMeta.number), Seq("gated"),
         Nil)))
     assert(Pipeline.validate(dep).isEmpty)
@@ -601,8 +606,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops("sync") == SynchronizerOp(2))
     assert(ops("rb") == ReplayBufferOp())
     assert(ops("det") == MessageDetectorOp(1500L))
+    assert(ops("vs") == AudioVolumeScalerOp(0.5))
+    assert(ops("vm") == AudioVolumeMeterOp(16000, 125))
     assert(Pipeline.validate(loaded.deployment).isEmpty)
-    assert(loaded.namedInputs.keySet == Set("clicks", "views", "ctrl"))
+    assert(loaded.namedInputs.keySet == Set("clicks", "views", "ctrl", "mic"))
     assert(loaded.namedOutputs.keySet == Set("main"))
   }
 
