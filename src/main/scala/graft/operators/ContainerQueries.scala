@@ -1102,6 +1102,85 @@ object ContainerQueries {
       |  AND b.t = s.t AND b.block = s.block
       |ORDER BY b.container, b.t, b.block""".stripMargin
 
+  /** m30: REAL FLV round-trip — the FIFTH container family
+    * ([[graft.sources.Flv]]) and the frame layer of the reference's
+    * LIVE ingest path: `inputcontainer` accepts `rtmp://` sources
+    * (inputcontainer.py:85-98 → media/container.py:38-116), and the
+    * bytes RTMP delivers are exactly an FLV body. Per container, the
+    * m25 timeline (view/click → video/audio tags on 33/32 ms clocks)
+    * is muxed into real FLV tags and demuxed from the PARSED bytes —
+    * tag framing, the validated PreviousTagSize back-pointer chain,
+    * keyframe bits from the video FrameType nibble, and payloads of
+    * varying size (the md5 tag repeated 1 + event_id mod 3 times).
+    * The whole timeline rides a 20 000 000 ms base offset, past the
+    * 2^24 ms rollover, so every rebuilt timestamp exercises the
+    * split Timestamp/TimestampExtended field — the demux must stitch
+    * bits 24..31 back on or every ts is wrong by 16 777 216 ms. The
+    * oracle predicts the interleave order, the rebuilt timestamps,
+    * the keyframe flags, each payload md5 and the exact file length
+    * (13-byte header + Σ(16 + payload) tag framing). Scale: the
+    * m16–m26 per-container mapGroups shape — one group per
+    * container, bytes never at the driver. */
+  private def m30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Flv
+    val Base = 20000000L // > 2^24 ms: forces TimestampExtended ≠ 0
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 1).otherwise(2).as("track"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val tags = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
+        evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
+          val payload = (md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8"))
+            * (1 + (r._3 % 3)).toInt).getBytes("US-ASCII")
+          if (trk == 1)
+            (Flv.FlvTag(Flv.TagVideo, Base + i * 33L, r._3 % 4 == 0, payload), trk)
+          else
+            (Flv.FlvTag(Flv.TagAudio, Base + i * 32L, keyframe = true, payload), trk)
+        }
+      }.sortBy { case (t, trk) => (t.tsMs, trk) }.map(_._1)
+      val bytes = Flv.mux(tags)
+      val (hasA, hasV, dec) = Flv.demux(bytes)
+      require(hasA && hasV, "flags byte must advertise both tracks")
+      dec.zipWithIndex.map { case (t, i) =>
+        (k, i.toLong,
+          if (t.tagType == Flv.TagVideo) "video" else "audio",
+          t.tsMs, t.keyframe, md5Hex(t.payload), bytes.length.toLong)
+      }
+    }.toDF("container", "tag_idx", "kind", "ts_ms", "keyframe",
+        "payload_md5", "flen")
+      .orderBy(col("container"), col("tag_idx"))
+  }
+
+  private val m30Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS track,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, track, event_id,
+      |        row_number() OVER (PARTITION BY container, track
+      |                           ORDER BY tms, event_id) - 1 AS i
+      |      FROM e),
+      |blk AS (SELECT container, track, event_id,
+      |          20000000 + CASE WHEN track = 1 THEN i * 33 ELSE i * 32 END AS ts_ms,
+      |          (track = 2 OR event_id % 4 = 0) AS keyframe,
+      |          repeat(md5(container::VARCHAR || ':' || track::VARCHAR || ':'
+      |              || event_id::VARCHAR), CAST(1 + event_id % 3 AS INT)) AS payload
+      |        FROM k),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY container
+      |          ORDER BY ts_ms, track) - 1 AS tag_idx FROM blk),
+      |fl AS (SELECT container, 13 + sum(16 + length(payload)) AS flen
+      |       FROM blk GROUP BY container)
+      |SELECT o.container, CAST(o.tag_idx AS BIGINT) AS tag_idx,
+      |  CASE WHEN o.track = 1 THEN 'video' ELSE 'audio' END AS kind,
+      |  CAST(o.ts_ms AS BIGINT) AS ts_ms, o.keyframe,
+      |  md5(o.payload) AS payload_md5, CAST(f.flen AS BIGINT) AS flen
+      |FROM ord o JOIN fl f ON o.container = f.container
+      |ORDER BY o.container, o.tag_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1115,5 +1194,6 @@ object ContainerQueries {
     Q("m26_mpegts_container", m26, Some(m26Sql)),
     Q("m27_container_matrix", m27, Some(m27Sql)),
     Q("m28_motion_codec", m28, Some(m28Sql)),
+    Q("m30_flv_container", m30, Some(m30Sql)),
   )
 }
