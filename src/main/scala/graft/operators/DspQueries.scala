@@ -574,6 +574,147 @@ object DspQueries {
       |FROM events WHERE event_type = 'view' AND event_id % 29 = 0
       |ORDER BY pipeline, chunk_id""".stripMargin
 
+  // ---- p12: audio fingerprint near-dup (constellation hashing) -------------
+  /** Shazam-style audio fingerprinting (Wang 2003, "An Industrial-
+    * Strength Audio Search Algorithm") as the AUDIO leg of the
+    * near-dup family (next to m21's image dHash and d02's text LSH):
+    *  1. frame the sample stream into 32-sample windows, 32-point
+    *     integer DFT (p05's quantized-twiddle trick, ×1024) → exact
+    *     Long magnitudes²;
+    *  2. one spectral PEAK per frame (argmax bin 1..16; ties to the
+    *     lower bin via the score = mag²·32 + (31−k) encoding — pure
+    *     integer, identical in both engines);
+    *  3. LANDMARK hashes pair each anchor peak with the peaks of the
+    *     next 1..3 frames: hash = (binA·32 + binB)·4 + Δt — the
+    *     combinatorial hashing of Wang §2.3 (amplitude-invariant, so
+    *     a re-mastered copy fingerprints identically);
+    *  4. hashes seen in more than 64 landmarks corpus-wide are
+    *     dropped (the low-entropy buckets, d02's hot-bucket cap —
+    *     this is what bounds candidate pairs at 100 TB: the join is
+    *     Σ cap² per hash, never all-pairs);
+    *  5. matching docs vote on their relative OFFSET (Wang §2.4's
+    *     diagonal-histogram alignment): a true near-dup concentrates
+    *     its votes at one offset, unrelated docs scatter.
+    * The fixture plants real near-dups: docs 0..7 are event streams,
+    * docs 8..15 the same streams delayed by 64 samples (2 frames) —
+    * the verdict must find exactly the (d, d+8) pairs at offset 2.
+    * Every stage is integer-exact, so the approximate matcher itself
+    * sits under the DuckDB hash gate. Scale: fingerprints are ~3
+    * Longs per 32 samples (a 10⁻¹ compression before any join);
+    * per-hash candidates are capped; the offset vote is a count over
+    * an equi-join — no distance computation anywhere. */
+  private val fpTwCos: Seq[Long] = (0 until 32).map(j =>
+    math.round(math.cos(2 * math.Pi * j / 32) * 1024))
+  private val fpTwSin: Seq[Long] = (0 until 32).map(j =>
+    math.round(math.sin(2 * math.Pi * j / 32) * 1024))
+  private val FpShift = 64L   // copy delay: 2 frames
+  private val FpHotCap = 64L  // hot-hash cap (d02's bucket-cap idea)
+  private val FpMinVotes = 10L
+
+  private def p12(s: SparkSession, d: String): DataFrame = {
+    val twc = array(fpTwCos.map(lit): _*)
+    val tws = array(fpTwSin.map(lit): _*)
+    val w = Window.partitionBy(col("doc0")).orderBy(col("ts_ms"), col("event_id"))
+    val base = eventsMs(s, d)
+      .select((col("user_id") % 8).as("doc0"), col("ts_ms"), col("event_id"),
+        (pmod(floor(col("value") * 1000).cast(LongType), lit(2000L)) - 1000)
+          .as("xq"))
+      .withColumn("i", (row_number().over(w) - 1).cast(LongType))
+    val orig = base.select(col("doc0").as("doc"), col("i"), col("xq"))
+    val copy = base.filter(col("i") >= FpShift)
+      .select((col("doc0") + 8).as("doc"), (col("i") - FpShift).as("i"),
+        col("xq"))
+    val samples = orig.unionByName(copy)
+    // complete frames only (the chunker discipline: partial tails drop)
+    val nf = samples.groupBy(col("doc"))
+      .agg((count(lit(1)) / 32).cast(LongType).as("nframes"))
+    val framed = samples.join(nf, "doc")
+      .withColumn("f", (col("i") / 32).cast(LongType))
+      .filter(col("f") < col("nframes"))
+      .withColumn("pos", col("i") % 32)
+    val spec = framed
+      .select(col("doc"), col("f"), col("pos"), col("xq"),
+        explode(sequence(lit(1L), lit(16L))).as("k"))
+      .withColumn("idx", ((col("pos") * col("k")) % 32 + 1).cast("int"))
+      .groupBy(col("doc"), col("f"), col("k"))
+      .agg(sum(col("xq") * element_at(twc, col("idx"))).as("re"),
+        sum(col("xq") * element_at(tws, col("idx"))).as("im"))
+      .select(col("doc"), col("f"), col("k"),
+        (col("re") * col("re") + col("im") * col("im")).as("mag2"))
+    val peaks = spec
+      .groupBy(col("doc"), col("f"))
+      .agg(max(col("mag2") * 32 + (lit(31) - col("k"))).as("score"))
+      .select(col("doc"), col("f"), (lit(31) - col("score") % 32).as("bin"))
+    val pa = peaks.select(col("doc"), col("f"), col("bin").as("bin_a"))
+      .withColumn("dt", explode(array(lit(1L), lit(2L), lit(3L))))
+    val pb = peaks.select(col("doc").as("doc_b"), col("f").as("f_b"),
+      col("bin").as("bin_b"))
+    val lm = pa.join(pb,
+        col("doc") === col("doc_b") && col("f_b") === col("f") + col("dt"))
+      .select(col("doc"), col("f"),
+        ((col("bin_a") * 32 + col("bin_b")) * 4 + col("dt")).as("hash"))
+    val hot = lm.groupBy(col("hash")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > FpHotCap).select(col("hash"))
+    val fp = lm.join(broadcast(hot), Seq("hash"), "left_anti")
+    val fpy = fp.select(col("hash").as("hash_y"), col("doc").as("doc_y"),
+      col("f").as("f_y"))
+    val votes = fp
+      .join(fpy, col("hash") === col("hash_y") && col("doc") < col("doc_y"))
+      .groupBy(col("doc").as("d1"), col("doc_y").as("d2"),
+        (col("f") - col("f_y")).as("toff"))
+      .agg(count(lit(1)).as("votes"))
+    val bw = Window.partitionBy(col("d1"), col("d2"))
+      .orderBy(col("votes").desc, col("toff"))
+    votes.withColumn("rn", row_number().over(bw))
+      .filter(col("rn") === 1 && col("votes") >= 2)
+      .select(col("d1"), col("d2"), col("toff").as("best_offset"),
+        col("votes"), (col("votes") >= FpMinVotes).as("is_dup"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val p12Sql =
+    s"""WITH tw AS (SELECT [${fpTwCos.mkString(", ")}] AS c,
+       |                  [${fpTwSin.mkString(", ")}] AS s),
+       |e AS (SELECT user_id % 8 AS doc0, epoch_ms(ts) AS tms, event_id,
+       |    ((CAST(floor(value * 1000) AS BIGINT) % 2000) + 2000) % 2000 - 1000 AS xq
+       |  FROM events),
+       |r AS (SELECT doc0, xq,
+       |    CAST(row_number() OVER (PARTITION BY doc0
+       |      ORDER BY tms, event_id) - 1 AS BIGINT) AS i
+       |  FROM e),
+       |samples AS (SELECT doc0 AS doc, i, xq FROM r
+       |  UNION ALL
+       |  SELECT doc0 + 8, i - $FpShift, xq FROM r WHERE i >= $FpShift),
+       |nf AS (SELECT doc, count(*) // 32 AS nframes FROM samples GROUP BY doc),
+       |framed AS (SELECT s.doc, s.i // 32 AS f, s.i % 32 AS pos, s.xq
+       |  FROM samples s JOIN nf ON s.doc = nf.doc
+       |  WHERE s.i // 32 < nf.nframes),
+       |x AS (SELECT doc, f, pos, xq, unnest(range(1, 17)) AS k FROM framed),
+       |spec AS (SELECT doc, f, k,
+       |    CAST(sum(xq * tw.c[CAST((pos * k) % 32 + 1 AS INT)]) AS BIGINT) AS re,
+       |    CAST(sum(xq * tw.s[CAST((pos * k) % 32 + 1 AS INT)]) AS BIGINT) AS im
+       |  FROM x, tw GROUP BY doc, f, k),
+       |peaks AS (SELECT doc, f,
+       |    31 - max(32 * (re * re + im * im) + (31 - k)) % 32 AS bin
+       |  FROM spec GROUP BY doc, f),
+       |lm AS (SELECT a.doc, a.f,
+       |    (a.bin * 32 + b.bin) * 4 + dtv.dt AS hash
+       |  FROM peaks a
+       |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS dt) dtv
+       |  JOIN peaks b ON a.doc = b.doc AND b.f = a.f + dtv.dt),
+       |hot AS (SELECT hash FROM lm GROUP BY hash HAVING count(*) > $FpHotCap),
+       |fp AS (SELECT * FROM lm WHERE hash NOT IN (SELECT hash FROM hot)),
+       |votes AS (SELECT x.doc AS d1, y.doc AS d2, x.f - y.f AS toff,
+       |    count(*) AS votes
+       |  FROM fp x JOIN fp y ON x.hash = y.hash AND x.doc < y.doc
+       |  GROUP BY 1, 2, 3)
+       |SELECT d1, d2, toff AS best_offset, votes,
+       |  votes >= $FpMinVotes AS is_dup
+       |FROM (SELECT *, row_number() OVER (PARTITION BY d1, d2
+       |        ORDER BY votes DESC, toff) AS rn FROM votes)
+       |WHERE rn = 1 AND votes >= 2
+       |ORDER BY d1, d2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -586,5 +727,6 @@ object DspQueries {
     Q("p09_noise_gate", p09, Some(p09Sql)),
     Q("p10_adpcm_codec", p10, Some(p10Sql)),
     Q("p11_mdct_codec", p11, Some(p11Sql)),
+    Q("p12_audio_fingerprint", p12, Some(p12Sql)),
   )
 }
