@@ -757,6 +757,133 @@ object CalcQueries {
        |  SELECT 'wav', c, 0, NULL, 44 + 2 * nc, md5 FROM wav)
        |ORDER BY kind, container, ts_ms""".stripMargin
 
+  // ================================================== c11: the VIDEO
+  // monitoring deployment through the loader — inputcontainer (video
+  // track) → videoreformatter (rgba→bgra swizzle) → videolayout
+  // (nearest-neighbour place onto a canvas) → videoactivitymeter
+  // (uint8-wraparound frame diff, the reference's exact numpy
+  // arithmetic) — the DAG a streamtasks user draws for motion
+  // monitoring (videoactivitymeter.py's README use case). Frames are
+  // 4×4 RGBA payloads riding the envelope as hex; every byte of the
+  // laid-out stream and every activity value is predicted by the
+  // oracle from the (event_id, position) pixel formula composed with
+  // the swizzle and layout index maps.
+
+  private def videoMeta(tid: Int) =
+    s"""{"label": "out", "type": "ts", "content": "video", "codec": "raw", "topic_id": $tid}"""
+
+  private val c11Json: String = s"""{
+    "deployment": {"id": "00000000-0000-4000-8000-0000000000fc", "label": "c11"},
+    "tasks": [
+      ${storedTask(1, hostId("InputContainerTaskHost"), "cam",
+        """{"source": "cam.mkv", "real_time": false,
+           "video_tracks": [{"pixel_format": "rgba", "codec": "rawvideo",
+             "width": 4, "height": 4, "rate": 30, "out_topic": 1}],
+           "audio_tracks": []}""", "", videoMeta(1))},
+      ${storedTask(2, hostId("VideoReformatterTaskHost"), "fmt",
+        """{"pixel_format": "bgra", "in_topic": 1, "out_topic": 2}""",
+        videoMeta(1), videoMeta(2))},
+      ${storedTask(3, hostId("VideoLayoutTaskHost"), "layout",
+        """{"pixel_format": "rgba", "in_width": 4, "in_height": 4,
+           "place_width": 2, "place_height": 2,
+           "place_top_offset": 1, "place_left_offset": 1,
+           "out_width": 4, "out_height": 4,
+           "in_topic": 2, "out_topic": 3}""",
+        videoMeta(2), videoMeta(3))},
+      ${storedTask(4, hostId("VideoActivityMeterTaskHost"), "meter",
+        """{"width": 4, "height": 4, "in_topic": 3, "out_topic": 4}""",
+        videoMeta(3), numMeta(4))},
+      ${storedTask(5, hostId("NamedOutputTaskHost"), "activity",
+        """{"name": "activity", "in_topic": 4}""", numMeta(4), "")},
+      ${storedTask(6, hostId("NamedOutputTaskHost"), "frames",
+        """{"name": "frames", "in_topic": 3}""", videoMeta(3), "")}
+    ]}"""
+
+  /** c11: load [[c11Json]], bind the video track to synthetic 4×4
+    * RGBA frames (byte j of frame with event id E = (7E + 13j) mod
+    * 256 — affine, so the oracle composes it through the swizzle and
+    * layout index maps in closed form), run MULTI-PIPELINE over 2
+    * containers, and pin (a) every activity value (the meter's
+    * uint8-wraparound mean over the laid-out frames) and (b) the md5
+    * of each pipe's entire laid-out frame stream in frame order —
+    * every byte the layout and reformatter produced, end to end.
+    * Scale: stateless swizzle/layout stay in one whole-stage span
+    * per partition; only the meter is keyed state, one machine per
+    * container. */
+  private def c11(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{DeploymentJson, Pipeline}
+    val loaded = DeploymentJson.load(c11Json, nodeName = Some(FixtureNode))
+    val e = eventsMs(s, d)
+    val w = Window.partitionBy(col("pipe")).orderBy(col("ts_ms"), col("event_id"))
+    val frameUdf = udf((eid: Long) =>
+      graft.streaming.StateMachines.hexEnc(
+        Array.tabulate(64)(j => ((eid * 7 + j * 13) % 256).toByte)))
+    val frames = e.filter(col("event_type") === "click")
+      .select((col("user_id") % 2).cast(StringType).as("pipe"),
+        col("ts_ms"), col("event_id"))
+      .withColumn("f", (row_number().over(w) - 1).cast(LongType))
+      .select(col("pipe"), col("f").as("ts"),
+        lit(Double.NaN).as("value"), // NaN: the text-payload convention
+        frameUdf(col("event_id")).as("text"), lit(false).as("paused"),
+        col("f").as("seq"))
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment,
+      Map(ni("cam.mkv#video0") -> frames))
+    val act = streams(no("activity")).filter(!col("paused"))
+      .select(lit("act").as("kind"),
+        col("pipe").cast(LongType).as("container"), col("ts").as("ts_ms"),
+        col("value"), lit(64L).as("n"), lit(null).cast(StringType).as("md5"))
+    val frm = streams(no("frames")).filter(!col("paused"))
+      .groupBy(col("pipe").cast(LongType).as("container"))
+      .agg(count(lit(1)).as("n"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("text")))),
+          x => x("text")), "").cast(BinaryType)).as("md5"))
+      .select(lit("frm").as("kind"), col("container"), lit(0L).as("ts_ms"),
+        lit(null).cast(DoubleType).as("value"), col("n"), col("md5"))
+    act.unionByName(frm)
+      .orderBy(col("kind"), col("container"), col("ts_ms"))
+  }
+
+  /** The laid-out byte at (y, x, channel c) of frame E:
+    * inside the 2×2 place at (1,1), source pixel = ((y−1)·2, (x−1)·2)
+    * after the rgba→bgra swizzle [2,1,0,3]; outside, transparent 0. */
+  private val c11Sql =
+    s"""WITH e AS (SELECT user_id % 2 AS pipe, epoch_ms(ts) AS tms, event_id
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |fr AS (SELECT pipe, event_id,
+       |    row_number() OVER (PARTITION BY pipe ORDER BY tms, event_id) - 1 AS f
+       |  FROM e),
+       |pos AS (SELECT unnest(range(0, 64)) AS j),
+       |-- laid-out byte: j = (y*4+x)*4+c; placed iff y,x in 1..2
+       |lb AS (SELECT fr.pipe, fr.f, pos.j,
+       |    CASE WHEN (pos.j // 4) // 4 BETWEEN 1 AND 2
+       |          AND (pos.j // 4) % 4 BETWEEN 1 AND 2
+       |    THEN (fr.event_id * 7 + 13 * (
+       |        ((((pos.j // 4) // 4 - 1) * 2) * 4 + ((pos.j // 4) % 4 - 1) * 2) * 4
+       |        + [2, 1, 0, 3][pos.j % 4 + 1])) % 256
+       |    ELSE 0 END AS b
+       |  FROM fr, pos),
+       |hexes AS (SELECT pipe, f,
+       |    string_agg(printf('%02x', b), '' ORDER BY j) AS hex
+       |  FROM lb GROUP BY pipe, f),
+       |diffs AS (SELECT cur.pipe, cur.f,
+       |    sum((prv.b - cur.b + 256) % 256) AS sad -- (prev − cur) mod 256
+       |  FROM lb cur JOIN lb prv ON cur.pipe = prv.pipe
+       |    AND prv.f = cur.f - 1 AND cur.j = prv.j
+       |  GROUP BY cur.pipe, cur.f)
+       |SELECT kind, container, ts_ms, value, n, md5 FROM (
+       |  SELECT 'act' AS kind, pipe AS container, f AS ts_ms,
+       |         CAST(sad AS DOUBLE) / 64.0 AS value, 64::BIGINT AS n,
+       |         NULL::VARCHAR AS md5
+       |  FROM diffs
+       |  UNION ALL
+       |  SELECT 'frm', pipe, 0, NULL, count(*),
+       |         md5(string_agg(hex, '' ORDER BY f))
+       |  FROM hexes GROUP BY pipe)
+       |ORDER BY kind, container, ts_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -768,5 +895,6 @@ object CalcQueries {
     Q("c08_deployment_json", c08, Some(c08Sql)),
     Q("c09_deployment_stream", c09, Some(c09Sql)),
     Q("c10_media_deployment", c10, Some(c10Sql)),
+    Q("c11_video_deployment", c11, Some(c11Sql)),
   )
 }

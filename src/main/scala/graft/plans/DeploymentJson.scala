@@ -72,7 +72,15 @@ object DeploymentJson {
     "pulsegenerator" -> "PulseGeneratorTaskHost",
     "audiovolumescaler" -> "AudioVolumeScalerTaskHost",
     "audiovolumemeter" -> "AudioVolumeMeterTaskHost",
-    "inputcontainer" -> "InputContainerTaskHost")
+    "inputcontainer" -> "InputContainerTaskHost",
+    "videoreformatter" -> "VideoReformatterTaskHost",
+    "videolayout" -> "VideoLayoutTaskHost",
+    "videoactivitymeter" -> "VideoActivityMeterTaskHost",
+    "videomixer" -> "VideoMixerTaskHost",
+    "videoencoder" -> "VideoEncoderTaskHost",
+    "videodecoder" -> "VideoDecoderTaskHost",
+    "textrenderer" -> "TextRendererTaskHost",
+    "imagerenderer" -> "ImageRendererTaskHost")
 
   /** A loaded deployment plus its published IO names: `namedInputs`
     * maps each named-input's `name` to the stream to bind a source
@@ -411,6 +419,64 @@ object DeploymentJson {
             AudioVolumeMeterOp(cfgDouble(cfg, "rate", 32000.0).toLong,
               cfgDouble(cfg, "time_window", 1000.0).toLong, maxV),
             Seq(in("in_topic")), out("out_topic"))
+        case "videoreformatter" =>
+          TaskSpec(name, VideoReformatterOp,
+            Seq(in("in_topic")), out("out_topic"))
+        case "videolayout" =>
+          // VideoLayoutConfigBase (videolayout.py:18-30)
+          def ci(k: String, d: Double) = cfgDouble(cfg, k, d).toInt
+          TaskSpec(name, VideoLayoutOp(
+            ci("in_width", 1280), ci("in_height", 720),
+            ci("place_width", 1280), ci("place_height", 720),
+            ci("place_top_offset", 0), ci("place_left_offset", 0),
+            ci("out_width", 1280), ci("out_height", 720)),
+            Seq(in("in_topic")), out("out_topic"))
+        case "videoactivitymeter" =>
+          TaskSpec(name, VideoActivityMeterOp,
+            Seq(in("in_topic")), out("out_topic"))
+        case "videomixer" =>
+          // VideoMixerConfig (videomixer.py:22-60): video_tracks with
+          // per-track in_topic
+          val tracks = cfg \ "video_tracks" match {
+            case JArray(ts) => ts
+            case _ => Nil
+          }
+          require(tracks.nonEmpty, s"$ctx: video mixer needs tracks")
+          TaskSpec(name, VideoMixerOp(tracks.size),
+            tracks.map(t => stream(cfgTopic(t, "in_topic", ctx))),
+            out("out_topic"))
+        case "videoencoder" =>
+          // gop_size rides codec_options in the reference
+          // (options_from_codec_context); engine default 4 (m09's GOP)
+          val gop = cfgDouble(cfg \ "codec_options", "gop_size", 4.0).toInt
+          TaskSpec(name, VideoEncoderOp(gop),
+            Seq(in("in_topic")), out("out_topic"))
+        case "videodecoder" =>
+          TaskSpec(name, VideoDecoderOp,
+            Seq(in("in_topic")), out("out_topic"))
+        case "textrenderer" =>
+          // TextRendererConfigBase (textrenderer.py:37-45); font_color
+          // "#rrggbb" → packed rgb
+          val colorHex = cfgString(cfg, "font_color", "#000000")
+          require(colorHex.matches("#[0-9a-fA-F]{6}"),
+            s"$ctx: bad font_color '$colorHex'")
+          TaskSpec(name, TextRendererOp(
+            cfgDouble(cfg, "width", 1280.0).toInt,
+            cfgDouble(cfg, "height", 720.0).toInt,
+            cfgDouble(cfg, "x", 0.0).toInt, cfgDouble(cfg, "y", 0.0).toInt,
+            Integer.parseInt(colorHex.substring(1), 16)),
+            Seq(in("in_topic")), out("out_topic"))
+        case "imagerenderer" =>
+          // ImageRendererConfig (imagerenderer.py:16-30): `source`
+          // names the image; the engine takes the decoded frame bytes
+          // inline (engine extension `frame_hex`) and the tick stream
+          // as input (the pulse-generator convention replaces the
+          // reference's repeat_interval wall clock)
+          val fh = cfgString(cfg, "frame_hex", "")
+          require(fh.nonEmpty,
+            s"$ctx: frame_hex required (decoded image bytes)")
+          TaskSpec(name, ImageRendererOp(fh),
+            Seq(in("tick_topic")), out("out_topic"))
         case other => sys.error(s"$ctx: unsupported task kind '$other'")
       })
     }
@@ -652,6 +718,51 @@ object DeploymentJson {
                 else if (maxV == Int.MaxValue.toDouble) "s32" else "flt"),
               "rate" -> JLong(rate), "time_window" -> JLong(win),
               "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case VideoReformatterOp =>
+            ("videoreformatter", inOutCfg(t), ioJson(t, "in"), ioJson(t, "out"))
+          case VideoLayoutOp(inW, inH, pw, ph, top, left, ow, oh) =>
+            ("videolayout", JObject(
+              "pixel_format" -> JString("rgba"),
+              "in_width" -> JLong(inW.toLong), "in_height" -> JLong(inH.toLong),
+              "place_width" -> JLong(pw.toLong),
+              "place_height" -> JLong(ph.toLong),
+              "place_top_offset" -> JLong(top.toLong),
+              "place_left_offset" -> JLong(left.toLong),
+              "out_width" -> JLong(ow.toLong), "out_height" -> JLong(oh.toLong),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case VideoActivityMeterOp =>
+            ("videoactivitymeter", inOutCfg(t), ioJson(t, "in"), ioJson(t, "out"))
+          case VideoMixerOp(n, _) =>
+            ("videomixer", JObject(
+              "video_tracks" -> JArray((0 until n).map(i => JObject(
+                "in_topic" -> topic(t.inputs(i))): JValue).toList),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case VideoEncoderOp(gop) =>
+            ("videoencoder", JObject(
+              "codec" -> JString("delta"), "encoder" -> JString("delta"),
+              "codec_options" -> JObject("gop_size" -> JLong(gop.toLong)),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case VideoDecoderOp =>
+            ("videodecoder", inOutCfg(t), ioJson(t, "in"), ioJson(t, "out"))
+          case TextRendererOp(w, h, x, y, rgb) =>
+            ("textrenderer", JObject(
+              "width" -> JLong(w.toLong), "height" -> JLong(h.toLong),
+              "x" -> JLong(x.toLong), "y" -> JLong(y.toLong),
+              "font_color" -> JString(f"#$rgb%06x"),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case ImageRendererOp(fh) =>
+            ("imagerenderer", JObject(
+              "source" -> JString(""), "frame_hex" -> JString(fh),
+              "tick_topic" -> topic(t.inputs.head),
               "out_topic" -> topic(t.output)),
               ioJson(t, "in"), ioJson(t, "out"))
           case op =>

@@ -52,6 +52,11 @@ object Pipeline {
       * (audiovolumescaler.py inputs: content=audio, codec=raw). */
     val audio: IOMeta =
       IOMeta(Map("type" -> "ts", "content" -> "audio", "codec" -> "raw"))
+    /** Raw video (one frame per row, hex in `text`) — the io-metadata
+      * shape the video tasks declare (videolayout.py, content=video,
+      * codec=raw). */
+    val video: IOMeta =
+      IOMeta(Map("type" -> "ts", "content" -> "video", "codec" -> "raw"))
   }
 
   /** One operator instance: `inputs` name upstream streams; `outputs`
@@ -238,6 +243,69 @@ object Pipeline {
     def chunkSamples: Int = (rate * timeWindowMs / 1000).toInt
     def inMeta = Seq(IOMeta.audio)
     def outMeta = IOMeta.number
+  }
+  /** Video pixel-format conversion (videoreformatter.py:39-54; the
+    * engine's structural leg is the rgba↔bgra channel swizzle,
+    * [[graft.functions.Codec.RgbaBgra]] — the libav sws formats stay
+    * at the media edge). Stateless per frame. */
+  case object VideoReformatterOp extends SingleOutOp {
+    def inMeta = Seq(IOMeta.video); def outMeta = IOMeta.video
+  }
+  /** Video layout (videolayout.py:79-91): nearest-neighbour resize to
+    * place_{w,h}, pasted at (top, left) into a transparent out_{w,h}
+    * canvas ([[graft.functions.ImageKernel.layout]]). Stateless. */
+  final case class VideoLayoutOp(inW: Int, inH: Int, placeW: Int,
+      placeH: Int, top: Int, left: Int, outW: Int, outH: Int)
+      extends SingleOutOp {
+    def inMeta = Seq(IOMeta.video); def outMeta = IOMeta.video
+  }
+  /** Video activity meter (videoactivitymeter.py:54-64):
+    * mean((prev − cur) mod 256) per frame pair — the reference's
+    * exact uint8 arithmetic ([[graft.streaming.StateMachines.ActivityMeter]]). */
+  case object VideoActivityMeterOp extends SingleOutOp {
+    def inMeta = Seq(IOMeta.video); def outMeta = IOMeta.number
+  }
+  /** Video mixer (videomixer.py:101-128): last frame per track,
+    * lazily alpha-composited on the second unblended arrival
+    * ([[graft.streaming.StateMachines.VideoMixer]]). */
+  final case class VideoMixerOp(tracks: Int, alphaFront: Boolean = true)
+      extends SingleOutOp {
+    require(tracks >= 1)
+    def inMeta = Seq.fill(tracks)(IOMeta.video); def outMeta = IOMeta.video
+  }
+  /** Video encoder/decoder (videoencoder.py / videodecoder.py) on the
+    * engine's delta-GOP structural codec (m09,
+    * [[graft.streaming.StateMachines.DeltaEncoder]]): I-frame every
+    * `gop` frames, byte-delta P-frames, `k|`/`p|` keyframe tags. */
+  final case class VideoEncoderOp(gop: Int) extends SingleOutOp {
+    require(gop >= 1)
+    def inMeta = Seq(IOMeta.video)
+    def outMeta = IOMeta(Map("type" -> "ts", "content" -> "video",
+      "codec" -> "delta"))
+  }
+  case object VideoDecoderOp extends SingleOutOp {
+    def inMeta = Seq(IOMeta(Map("type" -> "ts", "content" -> "video",
+      "codec" -> "delta")))
+    def outMeta = IOMeta.video
+  }
+  /** Text renderer (textrenderer.py:79-89): each text message rasters
+    * onto a fixed canvas — the deterministic integer
+    * [[graft.functions.Renderer.renderDigits]] glyph path (m12's),
+    * so the frames are hash-exact cross-engine. Stateless. */
+  final case class TextRendererOp(w: Int, h: Int, x: Int, y: Int,
+      rgb: Int) extends SingleOutOp {
+    def inMeta = Seq(IOMeta.text); def outMeta = IOMeta.video
+  }
+  /** Image renderer (imagerenderer.py:39-47): emits one fixed frame
+    * per input tick (the reference renders a static file at `rate`;
+    * the deterministic engine takes the tick stream as input, the
+    * repeater's convention). */
+  final case class ImageRendererOp(frameHex: String) extends SingleOutOp {
+    require(frameHex.nonEmpty && frameHex.length % 2 == 0 &&
+      frameHex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      "frameHex must be lowercase hex")
+    def inMeta = Seq(IOMeta(Map("type" -> "ts")))
+    def outMeta = IOMeta.video
   }
   /** Named-output sink (namedoutput.py:9-45): consumes one stream and
     * exposes it under a published name; produces no new stream. The
@@ -494,6 +562,29 @@ object Pipeline {
       case m: AudioVolumeMeterOp =>
         runMachine(key,
           new VolumeMeter(m.chunkSamples, m.rate, m.maxValue), ins)
+      case VideoReformatterOp =>
+        val f = udf((h: String) => if (h == null) null
+          else hexEnc(graft.functions.Codec.RgbaBgra.encode(hexDec(h))))
+        stateless(ins.head, col("ts"), col("value"), f(col("text")))
+      case VideoLayoutOp(inW, inH, pw, ph, top, left, ow, oh) =>
+        val f = udf((h: String) => if (h == null) null
+          else hexEnc(graft.functions.ImageKernel.layout(
+            hexDec(h), inW, inH, pw, ph, top, left, ow, oh)))
+        stateless(ins.head, col("ts"), col("value"), f(col("text")))
+      case VideoActivityMeterOp => runMachine(key, new ActivityMeter, ins)
+      case VideoMixerOp(n, alphaFront) =>
+        runMachine(key, new VideoMixer(n, alphaFront), ins)
+      case VideoEncoderOp(gop) => runMachine(key, new DeltaEncoder(gop), ins)
+      case VideoDecoderOp => runMachine(key, new DeltaDecoder, ins)
+      case TextRendererOp(w, h, x, y, rgb) =>
+        val f = udf((t: String) => if (t == null) null
+          else hexEnc(graft.functions.Renderer.renderDigits(
+            t.filter(_.isDigit), w, h, x, y, rgb)))
+        stateless(ins.head, col("ts"), lit(Double.NaN),
+          f(col("text")))
+      case ImageRendererOp(frameHex) =>
+        stateless(ins.head, col("ts"), lit(Double.NaN),
+          lit(frameHex))
     })
   }
 

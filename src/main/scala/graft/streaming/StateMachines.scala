@@ -845,6 +845,143 @@ object StateMachines {
     }
   }
 
+  // ------------------------------------------------ video frame utilities
+  /** Frames ride the envelope's `text` column as lowercase hex (the
+    * engine-wide convention for binary payloads at the Op layer; the
+    * query layer uses real BinaryType columns). */
+  def hexDec(h: String): Array[Byte] = {
+    val out = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(h.charAt(2 * i), 16) << 4)
+        | Character.digit(h.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
+  def hexEnc(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xFF}%02x"))
+    sb.toString
+  }
+
+  // ---------------------------------------------- video activity meter
+  /** videoactivitymeter.py:54-64: hold the previous frame, on each new
+    * frame emit `np.abs(last_bitmap - bitmap).mean()` at the frame's
+    * timestamp. The frames are uint8 ndarrays, so the subtraction
+    * WRAPS modulo 256 before `np.abs` sees it (which is then the
+    * identity on the non-negative wrapped values) — the machine
+    * replicates that exact arithmetic, `mean((a − b) mod 256)`, not
+    * the |a−b| a clean-room reading would guess (the p02 query keeps
+    * the clean formulation; this is the reference-exact one). A pause
+    * emits value 0 (the volume meter's rule, :46) and forwards the
+    * transition; the held frame survives pauses (run_sync never
+    * clears `last_bitmap`). */
+  final case class AmState(prev: String, outPaused: Boolean)
+  final class ActivityMeter extends Machine[AmState] {
+    def init = AmState(null, outPaused = false)
+    def step(s: AmState, e: Ev): (AmState, Seq[Out]) =
+      if (e.paused) {
+        val p = pauseFlag(e)
+        val zero = if (p) Seq(Out(e.ts, 0.0, null)) else Nil
+        val marker =
+          if (p == s.outPaused) Nil
+          else Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true))
+        (s.copy(outPaused = p), zero ++ marker)
+      } else {
+        val out =
+          if (s.prev == null) Nil
+          else {
+            val a = hexDec(s.prev); val b = hexDec(e.text)
+            require(a.length == b.length, "frame size changed mid-stream")
+            var sum = 0L; var i = 0
+            while (i < a.length) {
+              sum += ((a(i) - b(i)) & 0xFF); i += 1 // uint8 wraparound
+            }
+            Seq(Out(e.ts, sum.toDouble / a.length, null))
+          }
+        (s.copy(prev = e.text), out)
+      }
+  }
+
+  // ----------------------------------------------------------- video mixer
+  /** videomixer.py:101-128: each track holds its last frame; a second
+    * message on a track whose previous message was never blended
+    * submits a mixing job FIRST (the `last_frame_count == frame_count`
+    * check, :108-110), blending the last frames of every track that
+    * has one (alpha composite in track order, the C++ `merge_images`
+    * kernel — [[graft.functions.ImageKernel.mergeImages]]) at the MIN
+    * of their timestamps (:117). A control message (pause OR resume)
+    * clears that track's held frame (:107 — `track.last_message =
+    * None` on any TopicControlData). No end-of-input flush: a frame
+    * state never blended is dropped, as the reference's queue is. */
+  final case class VmxState(lasts: Map[Int, (Long, String)],
+      fc: Long, lfc: Map[Int, Long])
+  final class VideoMixer(tracks: Int, alphaFront: Boolean = true)
+      extends Machine[VmxState] {
+    def init = VmxState(Map.empty, 0L,
+      (0 until tracks).map(_ -> 0L).toMap)
+    def step(s: VmxState, e: Ev): (VmxState, Seq[Out]) =
+      if (e.paused) (s.copy(lasts = s.lasts - e.topic), Nil)
+      else {
+        val (s1, out) =
+          if (s.lfc(e.topic) == s.fc && s.lasts.nonEmpty) {
+            val ts = s.lasts.values.map(_._1).min
+            val layers = (0 until tracks).flatMap(t =>
+              s.lasts.get(t).map(f => hexDec(f._2)))
+            val blended = graft.functions.ImageKernel
+              .mergeImages(layers, alphaFront)
+            (s.copy(fc = s.fc + 1), Seq(Out(ts, Double.NaN, hexEnc(blended))))
+          } else if (s.lfc(e.topic) == s.fc) (s.copy(fc = s.fc + 1), Nil)
+          else (s, Nil)
+        (s1.copy(lasts = s1.lasts + (e.topic -> (e.ts, e.text)),
+          lfc = s1.lfc + (e.topic -> s1.fc)), out)
+      }
+  }
+
+  // ------------------------------------------------- delta-GOP video codec
+  /** videoencoder.py / videodecoder.py re-expressed on the engine's
+    * structural codec ([[graft.functions.Codec.Delta]], the m09 leg):
+    * every `gop`-th frame is an I-frame (full payload), others are
+    * P-frames (byte-wise delta vs the previous RECONSTRUCTED frame).
+    * The encoder "ensures keyframe flags" (videoencoder.py) — emitted
+    * text is `k|<hex>` or `p|<hex>`, the envelope's keyframe
+    * convention (media switch reads the same flag). The decoder
+    * inverts, emitting bare frame hex; a P-frame with no reference
+    * errors loudly rather than decoding garbage. */
+  final class DeltaEncoder(gop: Int) extends Machine[(Long, String)] {
+    require(gop >= 1)
+    def init = (0L, null)
+    def step(s: (Long, String), e: Ev): ((Long, String), Seq[Out]) =
+      if (e.paused) (s, Seq(Out(e.ts, e.value, null, paused = true)))
+      else {
+        val (n, prev) = s
+        val cur = hexDec(e.text)
+        val (tag, payload) =
+          if (n % gop == 0 || prev == null) ("k", cur)
+          else ("p", graft.functions.Codec.Delta.encodeP(cur, hexDec(prev)))
+        ((n + 1, e.text), Seq(Out(e.ts, e.value, s"$tag|${hexEnc(payload)}")))
+      }
+  }
+  final class DeltaDecoder extends Machine[String] {
+    def init = null
+    def step(prev: String, e: Ev): (String, Seq[Out]) =
+      if (e.paused) (prev, Seq(Out(e.ts, e.value, null, paused = true)))
+      else {
+        val tag = e.text.charAt(0)
+        val payload = hexDec(e.text.substring(2))
+        val frame = tag match {
+          case 'k' => payload
+          case 'p' =>
+            require(prev != null, "P-frame with no reference frame")
+            graft.functions.Codec.Delta.decodeP(payload, hexDec(prev))
+          case other => sys.error(s"unknown frame tag '$other'")
+        }
+        val hex = hexEnc(frame)
+        (hex, Seq(Out(e.ts, e.value, hex)))
+      }
+  }
+
   // --------------------------------------------------- audio volume scaler
   /** audiovolumescaler.py:68-97: multiply each sample by the LAST
     * received scale value, clip to the dtype range, truncate toward
