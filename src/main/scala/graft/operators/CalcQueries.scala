@@ -600,7 +600,7 @@ object CalcQueries {
       ${storedTask(1, hostId("InputContainerTaskHost"), "cam",
         """{"source": "fixture.wav", "real_time": false,
            "video_tracks": [],
-           "audio_tracks": [{"sample_format": "s16", "codec": "pcm_s16le",
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
              "channels": 1, "rate": 1000, "out_topic": 1}]}""",
         "", audioMeta(1))},
       ${storedTask(2, hostId("NamedInputTaskHost"), "scale",
@@ -777,7 +777,7 @@ object CalcQueries {
     "tasks": [
       ${storedTask(1, hostId("InputContainerTaskHost"), "cam",
         """{"source": "cam.mkv", "real_time": false,
-           "video_tracks": [{"pixel_format": "rgba", "codec": "rawvideo",
+           "video_tracks": [{"pixel_format": "rgba", "codec": "raw",
              "width": 4, "height": 4, "rate": 30, "out_topic": 1}],
            "audio_tracks": []}""", "", videoMeta(1))},
       ${storedTask(2, hostId("VideoReformatterTaskHost"), "fmt",
@@ -884,6 +884,168 @@ object CalcQueries {
        |  FROM hexes GROUP BY pipe)
        |ORDER BY kind, container, ts_ms""".stripMargin
 
+  // =================================================== c12: the AUDIO
+  // codec deployment through the loader — inputcontainer delivering
+  // two μ-law-CODED tracks → audiodecoder ×2 → audiomixer →
+  // audioresampler (1 kHz → 250 Hz decimation) → audioencoder — the
+  // transcode-and-mix DAG of the reference's media README, with the
+  // codec metadata flowing through the wiring type-check (a μ-law
+  // track refuses to connect to a raw-audio consumer). The oracle
+  // recomputes the G.711 companding, the aligned mixer sum with its
+  // blocked tail, the decimation phase and the re-encode.
+
+  private def codedMeta(tid: Int) =
+    s"""{"label": "out", "type": "ts", "content": "audio", "codec": "pcm_mulaw", "topic_id": $tid}"""
+
+  private val c12Json: String = s"""{
+    "deployment": {"id": "00000000-0000-4000-8000-0000000000fb", "label": "c12"},
+    "tasks": [
+      ${storedTask(1, hostId("InputContainerTaskHost"), "mic",
+        """{"source": "mic.wav", "real_time": false,
+           "video_tracks": [],
+           "audio_tracks": [
+             {"sample_format": "s16", "codec": "pcm_mulaw", "channels": 1,
+              "rate": 1000, "out_topic": 1},
+             {"sample_format": "s16", "codec": "pcm_mulaw", "channels": 1,
+              "rate": 1000, "out_topic": 2}]}""",
+        "", s"${codedMeta(1)}, ${codedMeta(2)}")},
+      ${storedTask(2, hostId("AudioDecoderTaskHost"), "dec_a",
+        """{"codec": "pcm_mulaw", "decoder": "pcm_mulaw", "rate": 1000,
+           "in_topic": 1, "out_topic": 3}""",
+        codedMeta(1), audioMeta(3))},
+      ${storedTask(3, hostId("AudioDecoderTaskHost"), "dec_b",
+        """{"codec": "pcm_mulaw", "decoder": "pcm_mulaw", "rate": 1000,
+           "in_topic": 2, "out_topic": 4}""",
+        codedMeta(2), audioMeta(4))},
+      ${storedTask(4, hostId("AudioMixerTaskHost"), "mix",
+        """{"sample_format": "s16", "rate": 1000, "channels": 1,
+           "audio_tracks": [{"in_topic": 3}, {"in_topic": 4}],
+           "out_topic": 5}""",
+        s"${audioMeta(3)}, ${audioMeta(4)}", audioMeta(5))},
+      ${storedTask(5, hostId("AudioResamplerTaskHost"), "resample",
+        """{"in_sample_format": "s16", "in_rate": 1000, "in_channels": 1,
+           "out_sample_format": "s16", "out_rate": 250, "out_channels": 1,
+           "in_topic": 5, "out_topic": 6}""",
+        audioMeta(5), audioMeta(6))},
+      ${storedTask(6, hostId("AudioEncoderTaskHost"), "enc",
+        """{"codec": "pcm_mulaw", "encoder": "pcm_mulaw", "rate": 250,
+           "in_topic": 6, "out_topic": 7}""",
+        audioMeta(6), codedMeta(7))},
+      ${storedTask(7, hostId("NamedOutputTaskHost"), "packets",
+        """{"name": "packets", "in_topic": 7}""", codedMeta(7), "")},
+      ${storedTask(8, hostId("NamedOutputTaskHost"), "mixed",
+        """{"name": "mixed", "in_topic": 5}""", audioMeta(5), "")}
+    ]}"""
+
+  /** c12: load [[c12Json]], bind the two coded tracks to μ-law bytes
+    * ENCODED ON THE EXECUTORS from the click/view streams (each pipe's
+    * tracks share a dense sample clock, so the mixer's aligned sum and
+    * its blocked tail — the shorter track ends and the longer one's
+    * remainder waits forever, send_next's `num_sample_counts <= 0`
+    * guard — are both exercised), run MULTI-PIPELINE over 2
+    * containers, and pin every re-encoded packet value plus the mixed
+    * stream's exact integer aggregates. The oracle recomputes G.711
+    * encode→decode→sum→decimate→encode in closed form (the p07
+    * formulas composed). Scale: the codecs are per-sample projections
+    * or O(1)-state machines; the mixer keys by container. */
+  private def c12(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{DeploymentJson, Pipeline}
+    val loaded = DeploymentJson.load(c12Json, nodeName = Some(FixtureNode))
+    val e = eventsMs(s, d)
+    val encUdf = udf((x: Long) =>
+      graft.functions.Codec.MuLaw.encodeSample(x.toInt).toDouble)
+    def feed(t: String) = {
+      val w = Window.partitionBy(col("pipe")).orderBy(col("ts_ms"), col("event_id"))
+      e.filter(col("event_type") === t)
+        .select((col("user_id") % 2).cast(StringType).as("pipe"),
+          col("ts_ms"), col("event_id"),
+          greatest(lit(-1000L), least(lit(1000L),
+            floor(col("value") * 10).cast(LongType) *
+              when(col("event_id") % 2 === 0, 1L).otherwise(-1L))).as("x"))
+        .withColumn("i", (row_number().over(w) - 1).cast(LongType))
+        .select(col("pipe"), col("i").as("ts"), encUdf(col("x")).as("value"),
+          lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+          col("i").as("seq"))
+    }
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment, Map(
+      ni("mic.wav#audio0") -> feed("click"), ni("mic.wav#audio1") -> feed("view")))
+    val pkt = streams(no("packets")).filter(!col("paused"))
+      .select(lit("pkt").as("kind"), col("pipe").cast(LongType).as("container"),
+        col("ts").as("ts_ms"), col("value"),
+        lit(null).cast(LongType).as("n"))
+    val mixed = streams(no("mixed")).filter(!col("paused"))
+      .groupBy(col("pipe").cast(LongType).as("container"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value"))
+      .select(lit("mix").as("kind"), col("container"), lit(0L).as("ts_ms"),
+        col("value"), col("n"))
+    pkt.unionByName(mixed)
+      .orderBy(col("kind"), col("container"), col("ts_ms"))
+  }
+
+  /** G.711 μ-law encode/decode as SQL macros (the p07 formulas). */
+  private def mulawEncSql(x: String): String =
+    s"""(255 - ((CASE WHEN $x < 0 THEN 128 ELSE 0 END)
+       | + (CASE WHEN least(abs($x), 32635) + 132 < 256 THEN 0
+       |        WHEN least(abs($x), 32635) + 132 < 512 THEN 1
+       |        WHEN least(abs($x), 32635) + 132 < 1024 THEN 2
+       |        WHEN least(abs($x), 32635) + 132 < 2048 THEN 3
+       |        WHEN least(abs($x), 32635) + 132 < 4096 THEN 4
+       |        WHEN least(abs($x), 32635) + 132 < 8192 THEN 5
+       |        WHEN least(abs($x), 32635) + 132 < 16384 THEN 6
+       |        ELSE 7 END) * 16
+       | + ((least(abs($x), 32635) + 132)
+       |    // (8 * (1 << (CASE WHEN least(abs($x), 32635) + 132 < 256 THEN 0
+       |        WHEN least(abs($x), 32635) + 132 < 512 THEN 1
+       |        WHEN least(abs($x), 32635) + 132 < 1024 THEN 2
+       |        WHEN least(abs($x), 32635) + 132 < 2048 THEN 3
+       |        WHEN least(abs($x), 32635) + 132 < 4096 THEN 4
+       |        WHEN least(abs($x), 32635) + 132 < 8192 THEN 5
+       |        WHEN least(abs($x), 32635) + 132 < 16384 THEN 6
+       |        ELSE 7 END)))) % 16))""".stripMargin
+
+  private def mulawDecSql(y: String): String =
+    s"""(CASE WHEN (255 - $y) >= 128
+       |  THEN -((((255 - $y) % 16) * 8 + 132) * (1 << (((255 - $y) // 16) % 8)) - 132)
+       |  ELSE ((((255 - $y) % 16) * 8 + 132) * (1 << (((255 - $y) // 16) % 8)) - 132)
+       |END)""".stripMargin
+
+  private val c12Sql = {
+    def feedSql(evType: String) =
+      s"""SELECT user_id % 2 AS pipe,
+         |  row_number() OVER (PARTITION BY user_id % 2
+         |    ORDER BY ts_ms, event_id) - 1 AS i,
+         |  greatest(-1000, least(1000, CAST(floor(value * 10) AS BIGINT)
+         |    * (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END))) AS x
+         |FROM ($evMs) WHERE event_type = '$evType'""".stripMargin
+    s"""WITH fa AS (${feedSql("click")}),
+       |fb AS (${feedSql("view")}),
+       |-- container layer: μ-law encode on the way in, decode at dec_a/b
+       |da AS (SELECT pipe, i, ${mulawDecSql(mulawEncSql("x"))} AS v FROM fa),
+       |db AS (SELECT pipe, i, ${mulawDecSql(mulawEncSql("x"))} AS v FROM fb),
+       |-- mixer: aligned sum on the shared clock; the blocked tail ends
+       |-- at the shorter track (send_next blocks when a queue is empty)
+       |nn AS (SELECT a.pipe, least(max(a.mi), max(b.mi)) + 1 AS nmix
+       |  FROM (SELECT pipe, max(i) AS mi FROM da GROUP BY pipe) a
+       |  JOIN (SELECT pipe, max(i) AS mi FROM db GROUP BY pipe) b
+       |    ON a.pipe = b.pipe GROUP BY a.pipe),
+       |mixed AS (SELECT da.pipe, da.i, da.v + db.v AS v
+       |  FROM da JOIN db ON da.pipe = db.pipe AND da.i = db.i
+       |  JOIN nn ON da.pipe = nn.pipe
+       |  WHERE da.i < nn.nmix),
+       |-- resampler: keep every 4th mixed tick (1000 → 250 decimation)
+       |res AS (SELECT pipe, i, v FROM mixed WHERE i % 4 = 0),
+       |pkt AS (SELECT pipe, i, ${mulawEncSql("v")} AS enc FROM res)
+       |SELECT kind, container, ts_ms, value, n FROM (
+       |  SELECT 'pkt' AS kind, pipe AS container, i AS ts_ms,
+       |         CAST(enc AS DOUBLE) AS value, NULL::BIGINT AS n FROM pkt
+       |  UNION ALL
+       |  SELECT 'mix', pipe, 0, CAST(sum(v) AS DOUBLE), count(*)
+       |  FROM mixed GROUP BY pipe)
+       |ORDER BY kind, container, ts_ms""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -896,5 +1058,6 @@ object CalcQueries {
     Q("c09_deployment_stream", c09, Some(c09Sql)),
     Q("c10_media_deployment", c10, Some(c10Sql)),
     Q("c11_video_deployment", c11, Some(c11Sql)),
+    Q("c12_audio_deployment", c12, Some(c12Sql)),
   )
 }

@@ -80,7 +80,11 @@ object DeploymentJson {
     "videoencoder" -> "VideoEncoderTaskHost",
     "videodecoder" -> "VideoDecoderTaskHost",
     "textrenderer" -> "TextRendererTaskHost",
-    "imagerenderer" -> "ImageRendererTaskHost")
+    "imagerenderer" -> "ImageRendererTaskHost",
+    "audiomixer" -> "AudioMixerTaskHost",
+    "audioencoder" -> "AudioEncoderTaskHost",
+    "audiodecoder" -> "AudioDecoderTaskHost",
+    "audioresampler" -> "AudioResamplerTaskHost")
 
   /** A loaded deployment plus its published IO names: `namedInputs`
     * maps each named-input's `name` to the stream to bind a source
@@ -196,7 +200,12 @@ object DeploymentJson {
             namedIn += s"$src#$kindLbl$i" -> s0
             val nm = s"${name}_$kindLbl$i"
             require(seen.add(nm), s"$ctx: track task name '$nm' collides")
-            TaskSpec(nm, SourceOp(meta), Nil, s0)
+            // the track's declared codec flows into the IO metadata so
+            // a coded track wires to the matching decoder (the
+            // reference's config_to_output_map convention)
+            val codec = cfgString(t, "codec", "raw")
+            TaskSpec(nm, SourceOp(IOMeta(meta.fields + ("codec" -> codec))),
+              Nil, s0)
           }
           case _ => Nil
         }
@@ -477,6 +486,28 @@ object DeploymentJson {
             s"$ctx: frame_hex required (decoded image bytes)")
           TaskSpec(name, ImageRendererOp(fh),
             Seq(in("tick_topic")), out("out_topic"))
+        case "audiomixer" =>
+          // AudioMixerConfig (audiomixer.py:27-46): audio_tracks with
+          // per-track in_topic
+          val tracks = cfg \ "audio_tracks" match {
+            case JArray(ts) => ts
+            case _ => Nil
+          }
+          require(tracks.nonEmpty, s"$ctx: audio mixer needs tracks")
+          TaskSpec(name, AudioMixerOp(tracks.size),
+            tracks.map(t => stream(cfgTopic(t, "in_topic", ctx))),
+            out("out_topic"))
+        case "audioencoder" =>
+          TaskSpec(name, AudioEncoderOp(cfgString(cfg, "codec", "pcm_mulaw")),
+            Seq(in("in_topic")), out("out_topic"))
+        case "audiodecoder" =>
+          TaskSpec(name, AudioDecoderOp(cfgString(cfg, "codec", "pcm_mulaw")),
+            Seq(in("in_topic")), out("out_topic"))
+        case "audioresampler" =>
+          TaskSpec(name, AudioResamplerOp(
+            cfgDouble(cfg, "in_rate", 32000.0).toLong,
+            cfgDouble(cfg, "out_rate", 32000.0).toLong),
+            Seq(in("in_topic")), out("out_topic"))
         case other => sys.error(s"$ctx: unsupported task kind '$other'")
       })
     }
@@ -717,6 +748,30 @@ object DeploymentJson {
                 if (maxV == 32767.0) "s16"
                 else if (maxV == Int.MaxValue.toDouble) "s32" else "flt"),
               "rate" -> JLong(rate), "time_window" -> JLong(win),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case AudioMixerOp(n) =>
+            ("audiomixer", JObject(
+              "audio_tracks" -> JArray((0 until n).map(i => JObject(
+                "in_topic" -> topic(t.inputs(i))): JValue).toList),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case AudioEncoderOp(codec) =>
+            ("audioencoder", JObject(
+              "codec" -> JString(codec), "encoder" -> JString(codec),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case AudioDecoderOp(codec) =>
+            ("audiodecoder", JObject(
+              "codec" -> JString(codec), "decoder" -> JString(codec),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case AudioResamplerOp(inR, outR) =>
+            ("audioresampler", JObject(
+              "in_rate" -> JLong(inR), "out_rate" -> JLong(outR),
               "in_topic" -> topic(t.inputs.head),
               "out_topic" -> topic(t.output)),
               ioJson(t, "in"), ioJson(t, "out"))

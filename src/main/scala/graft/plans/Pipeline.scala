@@ -244,6 +244,41 @@ object Pipeline {
     def inMeta = Seq(IOMeta.audio)
     def outMeta = IOMeta.number
   }
+  /** Audio mixer (audiomixer.py:76-120): N tracks buffered and
+    * released at the min head timestamp once every unpaused track
+    * has started and has samples; later heads gap-fill zero
+    * ([[graft.streaming.StateMachines.AudioMixer]]). */
+  final case class AudioMixerOp(tracks: Int) extends SingleOutOp {
+    require(tracks >= 1)
+    def inMeta = Seq.fill(tracks)(IOMeta.audio); def outMeta = IOMeta.audio
+  }
+  /** Audio decoder/encoder (audiodecoder.py / audioencoder.py) on the
+    * engine's structural codecs: `pcm_mulaw` (stateless per-sample,
+    * the p07 leg) or `adpcm_ima` (predictor/step-index machine, the
+    * p10 leg). The libav aac/mp3/opus contexts stay at the media
+    * edge — this is the codec SHAPE a deployment wires. */
+  final case class AudioEncoderOp(codec: String) extends SingleOutOp {
+    require(Set("pcm_mulaw", "adpcm_ima")(codec), s"unknown codec '$codec'")
+    def inMeta = Seq(IOMeta.audio)
+    def outMeta = IOMeta(Map("type" -> "ts", "content" -> "audio",
+      "codec" -> codec))
+  }
+  final case class AudioDecoderOp(codec: String) extends SingleOutOp {
+    require(Set("pcm_mulaw", "adpcm_ima")(codec), s"unknown codec '$codec'")
+    def inMeta = Seq(IOMeta(Map("type" -> "ts", "content" -> "audio",
+      "codec" -> codec)))
+    def outMeta = IOMeta.audio
+  }
+  /** Audio resampler (audioresampler.py:22-52) on the engine's
+    * rational grid: integer decimation or repetition
+    * ([[graft.streaming.StateMachines.Resampler]]). */
+  final case class AudioResamplerOp(inRate: Long, outRate: Long)
+      extends SingleOutOp {
+    require(inRate > 0 && outRate > 0 &&
+      (inRate % outRate == 0 || outRate % inRate == 0),
+      s"only rational decimation/repetition: $inRate → $outRate")
+    def inMeta = Seq(IOMeta.audio); def outMeta = IOMeta.audio
+  }
   /** Video pixel-format conversion (videoreformatter.py:39-54; the
     * engine's structural leg is the rgba↔bgra channel swizzle,
     * [[graft.functions.Codec.RgbaBgra]] — the libav sws formats stay
@@ -562,6 +597,24 @@ object Pipeline {
       case m: AudioVolumeMeterOp =>
         runMachine(key,
           new VolumeMeter(m.chunkSamples, m.rate, m.maxValue), ins)
+      case AudioMixerOp(n) => runMachine(key, new AudioMixer(n), ins)
+      case AudioEncoderOp(codec) => codec match {
+        case "pcm_mulaw" =>
+          // per-sample, stateless: stays in whole-stage codegen
+          val f = udf((x: Double) =>
+            graft.functions.Codec.MuLaw.encodeSample(x.toInt).toDouble)
+          stateless(ins.head, col("ts"), f(col("value")), col("text"))
+        case "adpcm_ima" => runMachine(key, new AdpcmEncoder, ins)
+      }
+      case AudioDecoderOp(codec) => codec match {
+        case "pcm_mulaw" =>
+          val f = udf((x: Double) =>
+            graft.functions.Codec.MuLaw.decodeSample(x.toInt).toDouble)
+          stateless(ins.head, col("ts"), f(col("value")), col("text"))
+        case "adpcm_ima" => runMachine(key, new AdpcmDecoder, ins)
+      }
+      case AudioResamplerOp(inR, outR) =>
+        runMachine(key, new Resampler(inR, outR), ins)
       case VideoReformatterOp =>
         val f = udf((h: String) => if (h == null) null
           else hexEnc(graft.functions.Codec.RgbaBgra.encode(hexDec(h))))

@@ -982,6 +982,123 @@ object StateMachines {
       }
   }
 
+  // ------------------------------------------------------------ audio mixer
+  /** audiomixer.py:76-120 on the one-sample-per-row envelope: each
+    * track buffers its samples; `send_next` (:100-120) releases a
+    * block only when every unpaused track's sequencer has started AND
+    * can supply samples from `target_time = min(start_times)` — here,
+    * when every unpaused started track has a buffered sample. The
+    * released tick is the min head timestamp; a track whose head sits
+    * later contributes the sequencer's gap-fill zero (util.py:228-257)
+    * and keeps its sample. Control messages exclude the track from
+    * the min and hard-reset its buffer (`sequencer.reset(True)` on
+    * unpause, :85-86; `reset()` while paused, :118). A track that has
+    * never produced blocks everything (the `not started` guard) —
+    * exactly the reference's startup barrier. */
+  final case class AmxTrack(queue: Vector[(Long, Double)], paused: Boolean,
+      started: Boolean)
+  final case class AmxState(tracks: Map[Int, AmxTrack])
+  final class AudioMixer(n: Int) extends Machine[AmxState] {
+    require(n >= 1)
+    def init = AmxState((0 until n)
+      .map(_ -> AmxTrack(Vector.empty, paused = false, started = false))
+      .toMap)
+    def step(s: AmxState, e: Ev): (AmxState, Seq[Out]) = {
+      val t0 = s.tracks(e.topic)
+      val s1 =
+        if (e.paused)
+          // any control: buffer reset + t0/sample bookkeeping cleared
+          s.copy(tracks = s.tracks + (e.topic -> t0.copy(
+            queue = Vector.empty, paused = pauseFlag(e), started = false)))
+        else
+          s.copy(tracks = s.tracks + (e.topic -> t0.copy(
+            queue = t0.queue :+ (e.ts, e.value), started = true)))
+      drain(s1)
+    }
+    private def drain(s0: AmxState): (AmxState, Seq[Out]) = {
+      var s = s0
+      val out = Vector.newBuilder[Out]
+      var go = true
+      while (go) {
+        val active = s.tracks.filter(!_._2.paused)
+        val ready = active.nonEmpty &&
+          active.valuesIterator.forall(t => t.started && t.queue.nonEmpty)
+        if (!ready) go = false
+        else {
+          val t = active.valuesIterator.map(_.queue.head._1).min
+          var sum = 0.0
+          val upd = s.tracks.map { case (i, tr) =>
+            if (!tr.paused && tr.queue.head._1 == t) {
+              sum += tr.queue.head._2
+              i -> tr.copy(queue = tr.queue.tail)
+            } else i -> tr // later head: gap-fill zero, keep the sample
+          }
+          out += Out(t, sum, null)
+          s = AmxState(upd)
+        }
+      }
+      (s, out.result())
+    }
+  }
+
+  // ----------------------------------------------- audio stream codecs
+  /** audioencoder.py / audiodecoder.py on the engine's structural
+    * audio codecs. μ-law is per-sample stateless
+    * ([[graft.functions.Codec.MuLaw]], the p07 leg) and compiles to a
+    * plain projection; IMA-ADPCM carries the (predictor, step index)
+    * pair across samples ([[graft.functions.Codec.ImaAdpcm]], the p10
+    * leg) — these machines are that state. A pause resets the
+    * predictor chain (a new segment decodes from scratch, the
+    * reference's t0-anchor reset on control, audiodecoder.py:36-44). */
+  final class AdpcmEncoder extends Machine[(Int, Int)] {
+    def init = (0, 0)
+    def step(s: (Int, Int), e: Ev): ((Int, Int), Seq[Out]) =
+      if (e.paused) ((0, 0), Seq(Out(e.ts, e.value, null, paused = true)))
+      else {
+        val (nib, p2, i2) = graft.functions.Codec.ImaAdpcm
+          .encodeStep(e.value.toInt, s._1, s._2)
+        ((p2, i2), Seq(Out(e.ts, nib.toDouble, e.text)))
+      }
+  }
+  final class AdpcmDecoder extends Machine[(Int, Int)] {
+    def init = (0, 0)
+    def step(s: (Int, Int), e: Ev): ((Int, Int), Seq[Out]) =
+      if (e.paused) ((0, 0), Seq(Out(e.ts, e.value, null, paused = true)))
+      else {
+        val (sample, p2, i2) = graft.functions.Codec.ImaAdpcm
+          .decodeStep(e.value.toInt, s._1, s._2)
+        ((p2, i2), Seq(Out(e.ts, sample.toDouble, e.text)))
+      }
+  }
+
+  // -------------------------------------------------------- audio resampler
+  /** audioresampler.py:22-52 restricted to the engine's rational
+    * grid: integer DECIMATION when in_rate = k·out_rate (keep every
+    * k-th sample at its own timestamp) and integer REPETITION when
+    * out_rate = r·in_rate (each sample emitted r times at
+    * 1000/out_rate ms steps — nearest-neighbour hold, libav's
+    * zero-order leg). The libav polyphase filter bank stays at the
+    * media edge; the rate/timestamp arithmetic is what the engine
+    * owns. A pause resets the decimation phase (the t0 re-anchor,
+    * audioresampler.py:38). */
+  final class Resampler(inRate: Long, outRate: Long) extends Machine[Long] {
+    require(inRate > 0 && outRate > 0 &&
+      (inRate % outRate == 0 || outRate % inRate == 0),
+      s"only rational decimation/repetition: $inRate → $outRate")
+    private val down = inRate / outRate       // ≥1 when decimating
+    private val up = outRate / inRate         // ≥1 when repeating
+    require(up == 1 || 1000 % outRate == 0,
+      s"repetition needs an integer ms step: 1000/$outRate")
+    def init = 0L
+    def step(i: Long, e: Ev): (Long, Seq[Out]) =
+      if (e.paused) (0L, Seq(Out(e.ts, e.value, null, paused = true)))
+      else if (down > 1)
+        (i + 1, if (i % down == 0) Seq(Out(e.ts, e.value, e.text)) else Nil)
+      else
+        (i + 1, (0L until up).map(j =>
+          Out(e.ts + j * (1000 / outRate), e.value, e.text)))
+  }
+
   // --------------------------------------------------- audio volume scaler
   /** audiovolumescaler.py:68-97: multiply each sample by the LAST
     * received scale value, clip to the dtype range, truncate toward
