@@ -1046,6 +1046,162 @@ object CalcQueries {
        |ORDER BY kind, container, ts_ms""".stripMargin
   }
 
+  // =============================================== c13: the INFERENCE
+  // deployment through the loader — the §2.4 task family wired as a
+  // stored artifact: an ASR leg (inputcontainer audio →
+  // asrspeechrecognition with the TRAINED AsrTiny head → transcript)
+  // and a TTS leg (text prompt → fastspeech2tts length-regulated
+  // synth → smespeechenhancement noise gate → audiovolumemeter).
+  // The oracle recomputes both legs: the integer matmul + argmax +
+  // CTC collapse against the same weight literals (m15's chain), and
+  // the envelope synth → gate → AudioChunker loudness composition.
+
+  private def textMeta(tid: Int) =
+    s"""{"label": "out", "type": "ts", "content": "text", "topic_id": $tid}"""
+
+  private val c13Json: String = s"""{
+    "deployment": {"id": "00000000-0000-4000-8000-0000000000fa", "label": "c13"},
+    "tasks": [
+      ${storedTask(1, hostId("InputContainerTaskHost"), "mic2",
+        """{"source": "mic2.wav", "real_time": false,
+           "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]}""",
+        "", audioMeta(1))},
+      ${storedTask(2, hostId("ASRSpeechRecognitionTaskHost"), "asr",
+        """{"source": "graft/asr_tiny", "device": "cpu",
+           "chunk_samples": 8, "in_topic": 1, "out_topic": 2}""",
+        audioMeta(1), textMeta(2))},
+      ${storedTask(3, hostId("NamedOutputTaskHost"), "transcript",
+        """{"name": "transcript", "in_topic": 2}""", textMeta(2), "")},
+      ${storedTask(4, hostId("NamedInputTaskHost"), "prompt",
+        """{"name": "prompt", "out_topic": 3}""", "", textMeta(3))},
+      ${storedTask(5, hostId("FastSpeech2TTSTaskHost"), "tts",
+        """{"source": "graft/tts_envelope", "device": "cpu", "pace": 1.0,
+           "in_topic": 3, "out_topic": 4}""",
+        textMeta(3), audioMeta(4))},
+      ${storedTask(6, hostId("SMESpeechEnhancementTaskHost"), "enhance",
+        """{"source": "graft/noise_gate", "device": "cpu", "threshold": 5,
+           "in_topic": 4, "out_topic": 5}""",
+        audioMeta(4), audioMeta(5))},
+      ${storedTask(7, hostId("AudioVolumeMeterTaskHost"), "meter",
+        """{"sample_format": "s16", "rate": 1000, "time_window": 32,
+           "in_topic": 5, "out_topic": 6}""",
+        audioMeta(5), numMeta(6))},
+      ${storedTask(8, hostId("NamedOutputTaskHost"), "volume",
+        """{"name": "volume", "in_topic": 6}""", numMeta(6), "")}
+    ]}"""
+
+  /** c13: load [[c13Json]] and run both inference legs MULTI-PIPELINE
+    * over 8 containers. The ASR feed replays m15's trained-model
+    * fixture through the envelope (each click = one 8-sample feature
+    * frame; the machine buffers the chunk, runs the jar-shipped
+    * integer softmax head, and CTC-collapses); the TTS feed turns
+    * each error event's digits into a prompt whose synthesized,
+    * noise-gated envelope the volume meter re-chunks. Both oracles
+    * are closed-form: the matmul/argmax/collapse against the same
+    * weight literals, and the amp·tri synth composed with the gate
+    * and the chunker timestamp rule. */
+  private def c13(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.{DeploymentJson, Pipeline}
+    val loaded = DeploymentJson.load(c13Json, nodeName = Some(FixtureNode))
+    val e = eventsMs(s, d)
+    val w = Window.partitionBy(col("pipe")).orderBy(col("ts_ms"), col("event_id"))
+    val frameUdf = udf((cls: Int, eid: Long) => {
+      val m = graft.functions.AsrTiny.model
+      Array.tabulate(m.dim)(j =>
+        (m.tmpl(cls)(j) + eid * (j + 1) * 2654435761L % 7L - 3L).toDouble)
+    })
+    val asrFeed = e.filter(col("event_type") === "click")
+      .select((col("user_id") % 8).cast(StringType).as("pipe"),
+        col("ts_ms"), col("event_id"),
+        when(col("event_id") % 3 === 0, 0)
+          .otherwise(col("event_id") % 5 + 1).cast(IntegerType).as("cls"))
+      .withColumn("f", (row_number().over(w) - 1).cast(LongType))
+      .select(col("pipe"), col("f"),
+        posexplode(frameUdf(col("cls"), col("event_id"))).as(Seq("j", "x")))
+      .select(col("pipe"), (col("f") * 8 + col("j")).as("ts"),
+        col("x").as("value"), lit(null).cast(StringType).as("text"),
+        lit(false).as("paused"), (col("f") * 8 + col("j")).as("seq"))
+    val promptFeed = e.filter(col("event_type") === "error")
+      .select((col("user_id") % 8).cast(StringType).as("pipe"),
+        col("ts_ms"), col("event_id"),
+        abs(round(col("value") * 100)).cast(LongType).cast(StringType)
+          .as("prompt"))
+      .withColumn("i", (row_number().over(w) - 1).cast(LongType))
+      .select(col("pipe"), (col("i") * 1000).as("ts"),
+        lit(Double.NaN).as("value"), col("prompt").as("text"),
+        lit(false).as("paused"), col("i").as("seq"))
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment, Map(
+      ni("mic2.wav#audio0") -> asrFeed, ni("prompt") -> promptFeed))
+    val asr = streams(no("transcript")).filter(!col("paused"))
+      .select(lit("asr").as("kind"), col("pipe").cast(LongType).as("container"),
+        col("ts").as("ts_ms"), col("value"))
+    val vol = streams(no("volume")).filter(!col("paused"))
+      .select(lit("vol").as("kind"), col("pipe").cast(LongType).as("container"),
+        col("ts").as("ts_ms"), col("value"))
+    asr.unionByName(vol)
+      .orderBy(col("kind"), col("container"), col("ts_ms"))
+  }
+
+  private val c13Sql = {
+    val m = graft.functions.AsrTiny.model
+    def mat(a: Array[Array[Long]]): String =
+      a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH e AS (SELECT user_id % 8 AS pipe, epoch_ms(ts) AS ts_ms, event_id,
+       |    CASE WHEN event_id % 3 = 0 THEN 0 ELSE event_id % 5 + 1 END AS cls
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |fr AS (SELECT pipe, ts_ms, event_id, cls,
+       |    row_number() OVER (PARTITION BY pipe ORDER BY ts_ms, event_id) - 1 AS f
+       |  FROM e),
+       |x AS (SELECT pipe, f, j,
+       |    ${mat(m.tmpl)}[cls + 1][j] + event_id * j * 2654435761 % 7 - 3 AS x
+       |  FROM fr, (SELECT unnest(generate_series(1, ${m.dim})) AS j) js),
+       |l AS (SELECT pipe, f, k,
+       |    SUM(${mat(m.w)}[k][j] * x) + ${m.b.mkString("[", ",", "]")}[k] AS logit
+       |  FROM x, (SELECT unnest(generate_series(1, ${m.classes})) AS k) ks
+       |  GROUP BY pipe, f, k),
+       |pred AS (SELECT pipe, f, k - 1 AS p FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY pipe, f
+       |      ORDER BY logit DESC, k) AS r FROM l) WHERE r = 1),
+       |asr AS (SELECT pipe, f * 8 + 7 AS ts_ms, CAST(p AS DOUBLE) AS value
+       |  FROM (SELECT pipe, f, p,
+       |          coalesce(lag(p) OVER (PARTITION BY pipe ORDER BY f), 0) AS prev
+       |        FROM pred)
+       |  WHERE p != prev AND p != 0),
+       |-- TTS leg: digits prompt → amp·tri envelope → gate → chunker
+       |pr AS (SELECT user_id % 8 AS pipe,
+       |    row_number() OVER (PARTITION BY user_id % 8
+       |      ORDER BY epoch_ms(ts), event_id) - 1 AS i,
+       |    CAST(CAST(abs(round(value * 100)) AS BIGINT) AS VARCHAR) AS prompt
+       |  FROM events WHERE event_type = 'error'),
+       |chars AS (SELECT pipe, i, ci, ascii(substr(prompt, ci + 1, 1)) AS c
+       |  FROM pr, (SELECT unnest(range(0, 24)) AS ci) cs
+       |  WHERE ci < length(prompt)),
+       |synth AS (SELECT pipe, i * 1000 + ci * 8 + j AS ts,
+       |    ((c % 16) + 1) * (CASE WHEN j % 8 < 4 THEN j % 8 ELSE 8 - j % 8 END) AS v
+       |  FROM chars, (SELECT unnest(range(0, 8)) AS j) js),
+       |gated AS (SELECT pipe, ts,
+       |    CASE WHEN abs(v) < 5 THEN 0 ELSE v END AS v FROM synth),
+       |seqd AS (SELECT pipe, ts, v,
+       |    row_number() OVER (PARTITION BY pipe ORDER BY ts) - 1 AS k
+       |  FROM gated),
+       |-- AudioChunker: block c releases on sample 32c+32; block ts =
+       |-- trigger ts − 32·1000 // 1000
+       |vol AS (SELECT a.pipe, t.ts - 32 AS ts_ms,
+       |    sqrt((CAST(sum(a.v) AS DOUBLE) / 32767.0) / 32.0) AS value
+       |  FROM (SELECT pipe, v, k // 32 AS blk FROM seqd) a
+       |  JOIN seqd t ON t.pipe = a.pipe AND t.k = a.blk * 32 + 32
+       |  GROUP BY a.pipe, a.blk, t.ts)
+       |SELECT kind, container, ts_ms, value FROM (
+       |  SELECT 'asr' AS kind, pipe AS container, ts_ms, value FROM asr
+       |  UNION ALL
+       |  SELECT 'vol', pipe, ts_ms, value FROM vol)
+       |ORDER BY kind, container, ts_ms""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -1059,5 +1215,6 @@ object CalcQueries {
     Q("c10_media_deployment", c10, Some(c10Sql)),
     Q("c11_video_deployment", c11, Some(c11Sql)),
     Q("c12_audio_deployment", c12, Some(c12Sql)),
+    Q("c13_inference_deployment", c13, Some(c13Sql)),
   )
 }

@@ -81,6 +81,10 @@ object DeploymentJson {
     "videodecoder" -> "VideoDecoderTaskHost",
     "textrenderer" -> "TextRendererTaskHost",
     "imagerenderer" -> "ImageRendererTaskHost",
+    "asrspeechrecognition" -> "ASRSpeechRecognitionTaskHost",
+    "fastspeech2tts" -> "FastSpeech2TTSTaskHost",
+    "smespeechenhancement" -> "SMESpeechEnhancementTaskHost",
+    "waveformspeechenhancement" -> "WaveformSpeechEnhancementTaskHost",
     "audiomixer" -> "AudioMixerTaskHost",
     "audioencoder" -> "AudioEncoderTaskHost",
     "audiodecoder" -> "AudioDecoderTaskHost",
@@ -486,6 +490,27 @@ object DeploymentJson {
             s"$ctx: frame_hex required (decoded image bytes)")
           TaskSpec(name, ImageRendererOp(fh),
             Seq(in("tick_topic")), out("out_topic"))
+        case "asrspeechrecognition" =>
+          // ASRSpeechRecognitionConfig (asrspeechrecognition.py:22-30):
+          // `source` names the checkpoint (the engine's trained head
+          // ships in the jar); chunk_size scales the per-inference
+          // window — engine extension `chunk_samples` overrides the
+          // model feature dim directly
+          TaskSpec(name,
+            AsrOp(cfgDouble(cfg, "chunk_samples", 8.0).toInt),
+            Seq(in("in_topic")), out("out_topic"))
+        case "fastspeech2tts" =>
+          // FastSpeech2TTSConfig (fastspeech2tts.py:38-47): pace
+          // scales duration — samples_per_char = round(8 · pace)
+          val spc = math.max(1,
+            math.round(8.0 * cfgDouble(cfg, "pace", 1.0)).toInt)
+          TaskSpec(name, TtsOp(spc), Seq(in("in_topic")), out("out_topic"))
+        case "smespeechenhancement" | "waveformspeechenhancement" =>
+          // SMESpeechEnhancementConfig (smespeechenhancement.py:21-32);
+          // engine extension `threshold` parameterizes the gate kernel
+          TaskSpec(name,
+            SpeechEnhanceOp(cfgDouble(cfg, "threshold", 50.0)),
+            Seq(in("in_topic")), out("out_topic"))
         case "audiomixer" =>
           // AudioMixerConfig (audiomixer.py:27-46): audio_tracks with
           // per-track in_topic
@@ -748,6 +773,30 @@ object DeploymentJson {
                 if (maxV == 32767.0) "s16"
                 else if (maxV == Int.MaxValue.toDouble) "s32" else "flt"),
               "rate" -> JLong(rate), "time_window" -> JLong(win),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case AsrOp(dim) =>
+            ("asrspeechrecognition", JObject(
+              "source" -> JString("graft/asr_tiny"),
+              "device" -> JString("cpu"),
+              "chunk_samples" -> JLong(dim.toLong),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case TtsOp(spc) =>
+            ("fastspeech2tts", JObject(
+              "source" -> JString("graft/tts_envelope"),
+              "device" -> JString("cpu"),
+              "pace" -> JDouble(spc / 8.0),
+              "in_topic" -> topic(t.inputs.head),
+              "out_topic" -> topic(t.output)),
+              ioJson(t, "in"), ioJson(t, "out"))
+          case SpeechEnhanceOp(thr) =>
+            ("smespeechenhancement", JObject(
+              "source" -> JString("graft/noise_gate"),
+              "device" -> JString("cpu"),
+              "threshold" -> JDouble(thr),
               "in_topic" -> topic(t.inputs.head),
               "out_topic" -> topic(t.output)),
               ioJson(t, "in"), ioJson(t, "out"))

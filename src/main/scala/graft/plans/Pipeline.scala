@@ -244,6 +244,30 @@ object Pipeline {
     def inMeta = Seq(IOMeta.audio)
     def outMeta = IOMeta.number
   }
+  /** ASR (inference/asrspeechrecognition.py:22-71): chunked audio →
+    * incremental transcript symbols via the TRAINED AsrTiny head
+    * ([[graft.streaming.StateMachines.AsrChunked]] — m15's weights).
+    * `chunkSize` is the per-inference sample count (the reference's
+    * chunk_size · 320 downsampling, here the model's feature dim). */
+  final case class AsrOp(chunkSize: Int = 8) extends SingleOutOp {
+    def inMeta = Seq(IOMeta.audio); def outMeta = IOMeta.text
+  }
+  /** FastSpeech2 TTS (inference/fastspeech2tts.py:38-77) on the
+    * engine's structural chain: duration-regulated expansion to
+    * `samplesPerChar` envelope samples per character
+    * ([[graft.streaming.StateMachines.TtsSynth]], m08 + m29). */
+  final case class TtsOp(samplesPerChar: Int = 8) extends SingleOutOp {
+    def inMeta = Seq(IOMeta.text); def outMeta = IOMeta.audio
+  }
+  /** Speech enhancement (inference/smespeechenhancement.py /
+    * waveformspeechenhancement.py) on the engine's structural kernel:
+    * the p09 noise gate — samples under the threshold zero out (the
+    * metricgan checkpoint binds at this seam in production). */
+  final case class SpeechEnhanceOp(threshold: Double = 50.0)
+      extends SingleOutOp {
+    require(threshold >= 0)
+    def inMeta = Seq(IOMeta.audio); def outMeta = IOMeta.audio
+  }
   /** Audio mixer (audiomixer.py:76-120): N tracks buffered and
     * released at the min head timestamp once every unpaused track
     * has started and has samples; later heads gap-fill zero
@@ -597,6 +621,13 @@ object Pipeline {
       case m: AudioVolumeMeterOp =>
         runMachine(key,
           new VolumeMeter(m.chunkSamples, m.rate, m.maxValue), ins)
+      case AsrOp(dim) => runMachine(key, new AsrChunked(dim), ins)
+      case TtsOp(spc) => runMachine(key, new TtsSynth(spc), ins)
+      case SpeechEnhanceOp(thr) =>
+        // per-sample noise gate: stateless, codegen-friendly
+        stateless(ins.head, col("ts"),
+          when(abs(col("value")) < thr, 0.0).otherwise(col("value")),
+          col("text"))
       case AudioMixerOp(n) => runMachine(key, new AudioMixer(n), ins)
       case AudioEncoderOp(codec) => codec match {
         case "pcm_mulaw" =>

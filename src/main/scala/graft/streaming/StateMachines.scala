@@ -1099,6 +1099,67 @@ object StateMachines {
           Out(e.ts + j * (1000 / outRate), e.value, e.text)))
   }
 
+  // -------------------------------------------------- ASR chunked decode
+  /** asrspeechrecognition.py:54-71: fixed-size chunking of the sample
+    * stream, model inference per chunk, incremental transcript
+    * emission. The engine's model is the TRAINED integer softmax head
+    * [[graft.functions.AsrTiny]] (m15's weights, loaded once per JVM
+    * from the jar — the speechbrain checkpoint binding point); each
+    * `dim`-sample chunk becomes one feature frame, the greedy argmax
+    * symbol passes the CTC collapse (emit only when it differs from
+    * the previous prediction and is not the blank — m07/m15's rule),
+    * and the emitted message carries the symbol (text AND value, so
+    * downstream text ops and number ops can both consume it). A pause
+    * resets the utterance (buffer + collapse state). */
+  final class AsrChunked(dim: Int) extends Machine[(Vector[Long], Int)] {
+    require(dim >= 1)
+    def init = (Vector.empty, 0)
+    def step(s: (Vector[Long], Int), e: Ev)
+        : ((Vector[Long], Int), Seq[Out]) =
+      if (e.paused) (init, Seq(Out(e.ts, e.value, null, paused = true)))
+      else {
+        val buf = s._1 :+ math.round(e.value)
+        if (buf.size < dim) ((buf, s._2), Nil)
+        else {
+          val sym = graft.functions.AsrTiny.model.predict(buf.toArray)
+          val out =
+            if (sym != s._2 && sym != 0)
+              Seq(Out(e.ts, sym.toDouble, sym.toString))
+            else Nil
+          ((Vector.empty, sym), out)
+        }
+      }
+  }
+
+  // ------------------------------------------- TTS length regulator synth
+  /** fastspeech2tts.py:56-77 on the engine's structural chain (m08's
+    * length regulator + m29's envelope synth): each text message
+    * expands to `samplesPerChar` PCM samples per character — the
+    * FastSpeech2 duration-regulated upsampling — on a 1 ms grid from
+    * the message timestamp. The synthesized sample is a deterministic
+    * integer envelope, amp(c)·tri(j) with amp = (c mod 16) + 1 and an
+    * 8-step triangle — the shape m29's trained duration head drives;
+    * the speechbrain vocoder binds at this seam in production. */
+  final class TtsSynth(samplesPerChar: Int) extends Machine[Unit] {
+    require(samplesPerChar >= 1)
+    def init: Unit = ()
+    def step(s: Unit, e: Ev): (Unit, Seq[Out]) =
+      if (e.paused) ((), Seq(Out(e.ts, e.value, null, paused = true)))
+      else {
+        val text = if (e.text == null) "" else e.text
+        val outs = for {
+          (c, ci) <- text.zipWithIndex
+          j <- 0 until samplesPerChar
+        } yield {
+          val amp = (c.toInt % 16) + 1
+          val tri = if (j % 8 < 4) j % 8 else 8 - j % 8
+          Out(e.ts + (ci.toLong * samplesPerChar + j),
+            (amp * tri).toDouble, null)
+        }
+        ((), outs)
+      }
+  }
+
   // --------------------------------------------------- audio volume scaler
   /** audiovolumescaler.py:68-97: multiply each sample by the LAST
     * received scale value, clip to the dtype range, truncate toward
