@@ -1561,6 +1561,112 @@ object StreamParityQueries {
        |JOIN firsts f ON f.pipeline = dr.pipeline AND f.win = dr.win
        |ORDER BY dr.pipeline, replay_ts, dr.event_id""".stripMargin
 
+  /** e50: the MEDIA machine family through the streaming mount — the
+    * c10 deployment's scaler → meter chain (audiovolumescaler.py +
+    * audiovolumemeter.py) compiled by the Pipeline DSL's STREAMING
+    * branch into ONE query of chained flatMapGroupsWithState (c09's
+    * shape, now for the media ops): the scaler's last-scale state and
+    * the meter's AudioChunker (count, Σ|x|) state both cross 2
+    * micro-batch boundaries. Chunk ranges respect the fold's FULL
+    * order — (ts, control-first priority, seq) — so a scale event
+    * sharing a data row's timestamp can't land in a later batch than
+    * the data it must precede. Hash-gated against the batch
+    * formulation (the same closed-form oracle family as c10, minus
+    * the WAV container leg — that is c10's batch story). */
+  private def e50(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.Pipeline
+    import graft.plans.Pipeline._
+    val e = Tables.eventsMs(s, d)
+    val wI = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_ms"), col("event_id"))
+    val data = e.filter(col("event_type") === "click")
+      .select(col("ts_ms"), col("event_id"),
+        least(greatest(round(col("value") * 100).cast(LongType),
+          lit(-32768L)), lit(32767L)).as("x"))
+      .withColumn("i", (row_number().over(wI) - 1).cast(LongType))
+      .select(lit("0").as("key"), lit(0).as("topic"), col("i").as("ts"),
+        col("x").cast(DoubleType).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("i").as("seq"))
+    val nData = e.filter(col("event_type") === "click").count()
+    val scales = e.filter(col("event_type") === "error")
+      .select(lit("0").as("key"), lit(1).as("topic"),
+        (col("event_id") % nData).as("ts"),
+        when(col("value") > 10, 2.0).otherwise(0.5).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    val dep = Deployment("e50", Seq(
+      TaskSpec("audio", SourceOp(IOMeta.audio), Nil, "pcm"),
+      TaskSpec("gain", SourceOp(IOMeta.number), Nil, "scale"),
+      TaskSpec("scaler", AudioVolumeScalerOp(1.0), Seq("pcm", "scale"),
+        "scaled"),
+      TaskSpec("meter", AudioVolumeMeterOp(1000, 125), Seq("scaled"),
+        "volume")))
+    val mount = (ds: Dataset[KEv]) => {
+      val df = ds.toDF()
+      def env(t: Int) = df.filter(col("topic") === t)
+        .select(col("ts"), col("value"), col("text"), col("paused"),
+          col("seq"))
+      val streams = Pipeline.compile(dep,
+        Map("pcm" -> env(0), "scale" -> env(1)))
+      streams("volume")
+        .select(lit("vol").as("key"), col("ts"), col("value"), col("text"),
+          col("paused"))
+        .unionByName(streams("scaled")
+          .select(lit("scaled").as("key"), col("ts"), col("value"),
+            col("text"), col("paused")))
+        .as[KOut](StatefulRunner.koutEnc)
+    }
+    val outs = throughStream(s, data.unionByName(scales),
+      // full fold order incl. the scale-before-data tie-break, so
+      // equal-ts pairs never straddle a micro-batch bound
+      Seq(col("ts"), when(col("topic") === 1, 0).otherwise(1), col("seq")),
+      s"e50@$d", mount, Map.empty)
+      .filter(!col("paused"))
+    val vol = outs.filter(col("key") === "vol")
+      .select(lit("vol").as("kind"), col("ts").as("ts_ms"), col("value"),
+        lit(125L).as("n"))
+    val scaled = outs.filter(col("key") === "scaled")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value"))
+      .select(lit("scaled").as("kind"), lit(0L).as("ts_ms"), col("value"),
+        col("n"))
+    vol.unionByName(scaled).orderBy(col("kind"), col("ts_ms"))
+  }
+
+  private val e50Sql =
+    s"""WITH s AS (SELECT
+       |    least(greatest(CAST(round(value * 100) AS BIGINT), -32768),
+       |          32767) AS x,
+       |    epoch_ms(ts) AS tms, event_id
+       |  FROM events WHERE event_type = 'click'),
+       |idx AS (SELECT x,
+       |    row_number() OVER (ORDER BY tms, event_id) - 1 AS i FROM s),
+       |n AS (SELECT count(*) AS nc FROM idx),
+       |sc AS (SELECT e.event_id % n.nc AS ts,
+       |    CASE WHEN e.value > 10 THEN 2.0 ELSE 0.5 END AS sv, e.event_id
+       |  FROM events e, n WHERE e.event_type = 'error'),
+       |u AS (SELECT i AS ts, 0 AS is_scale, i AS seq,
+       |             CAST(x AS DOUBLE) AS x, NULL::DOUBLE AS sv FROM idx
+       |      UNION ALL
+       |      SELECT ts, 1, event_id, NULL, sv FROM sc),
+       |f AS (SELECT *, coalesce(last_value(sv IGNORE NULLS) OVER (
+       |        ORDER BY ts, is_scale DESC, seq
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS eff
+       |      FROM u),
+       |y AS (SELECT ts AS i,
+       |        CAST(trunc(least(greatest(x * eff, -32768.0), 32767.0)) AS BIGINT) AS y
+       |      FROM f WHERE is_scale = 0),
+       |vol AS (SELECT (y.i // 125) * 125 AS ts_ms,
+       |        sqrt(CAST(sum(abs(y.y)) AS DOUBLE) / 32767.0 / 125.0) AS value
+       |      FROM y, n
+       |      WHERE (y.i // 125) * 125 + 125 <= n.nc - 1
+       |      GROUP BY y.i // 125)
+       |SELECT kind, ts_ms, value, n FROM (
+       |  SELECT 'vol' AS kind, ts_ms, value, 125::BIGINT AS n FROM vol
+       |  UNION ALL
+       |  SELECT 'scaled', 0, CAST(sum(y) AS DOUBLE), count(*) FROM y)
+       |ORDER BY kind, ts_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e24_streaming_gate", e24, Some(EventOps.e05Sql)),
     Q("e25_timesync_restamp", e25, Some(e25Sql)),
@@ -1587,5 +1693,6 @@ object StreamParityQueries {
     Q("e47_stream_static_dim", e47, Some(e47Sql)),
     Q("e48_stream_left_outer", e48, Some(e48Sql)),
     Q("e49_streaming_replay", e49, Some(e49Sql)),
+    Q("e50_streaming_media", e50, Some(e50Sql)),
   )
 }
