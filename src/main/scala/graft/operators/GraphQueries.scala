@@ -710,8 +710,139 @@ object GraphQueries {
        |WHERE n_nodes > 0 ORDER BY dist""".stripMargin
   }
 
+  // ---- g08: HyperBall — the neighborhood function by HLL registers --------
+  /** HyperBall (Boldi, Rosa & Vigna 2011): per-vertex HyperLogLog
+    * counters over growing balls — registers(v, t) = max-merge of the
+    * neighbours' registers(·, t−1) — give |B(v, t)| estimates and so
+    * the graph's NEIGHBORHOOD FUNCTION N(t) = Σ_v |B(v,t)| and
+    * effective diameter WITHOUT any per-vertex BFS: the whole
+    * iteration is one equi-join + one max-groupBy per round over a
+    * |V|·m register table. This is the composition of the engine's
+    * two verified primitives — k02's deterministic integer HLL (m=16
+    * here: bucket = first md5 hex char, rank from the next 32 bits)
+    * and the g02/g05 adjacency-join round — and the standard way
+    * distance distributions are computed on web-scale graphs (the
+    * algorithm behind the Facebook "four degrees" measurement).
+    * Determinism: registers are pure maxima over md5 ranks
+    * (order-independent, map-side combining); N(t) sums per-vertex
+    * FLOOR'd estimates (exact BIGINT); the effective-diameter rule is
+    * the integer comparison 10·N(t) ≥ 9·N(T). The Spark side detects
+    * the register fixpoint (an anti-join count — a bound check, not a
+    * data collect) and stops joining early, padding the remaining
+    * rounds with the saturated estimate; the oracle's fixed unroll
+    * computes the same tables, which by fixpoint-ness agree.
+    * Scale: state is |V|·m ≤ 16|V| rows regardless of ball sizes (the
+    * entire point of HyperBall vs exact BFS products); each round is
+    * adjacency ⋈ registers, the g05 shape; localCheckpoint keeps
+    * lineage O(1). */
+  private val HbRounds = 8
+  private val HbRankSql =
+    """CASE WHEN length(regexp_extract(substring(h, 2, 8), '^0*', 0)) = 8 THEN 33
+      |  ELSE length(regexp_extract(substring(h, 2, 8), '^0*', 0)) * 4
+      |    + (CASE substring(substring(h, 2, 8),
+      |          length(regexp_extract(substring(h, 2, 8), '^0*', 0)) + 1, 1)
+      |        WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+      |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+      |        ELSE 0 END) + 1 END""".stripMargin
+
+  /** Per-vertex HLL estimate (m=16, α=0.673) then Σ over vertices —
+    * shared by every round's readout. */
+  private def hbEstimate(regs: DataFrame, t: Int): DataFrame =
+    regs.groupBy(col("v"))
+      .agg(count(lit(1)).as("present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - r)")).as("s_present"))
+      .select(col("v"),
+        (lit(16L) - col("present")).as("zeros"),
+        ((lit(0.673) * lit(256.0) * lit(8589934592.0)) /
+          (col("s_present") +
+            (lit(16L) - col("present")) * lit(8589934592L))
+            .cast(DoubleType)).as("raw"))
+      .select(floor(when(col("raw") <= lit(40.0) && col("zeros") > 0,
+          lit(16.0) * log(lit(16.0) / col("zeros").cast(DoubleType)))
+        .otherwise(col("raw"))).cast(LongType).as("est"))
+      .agg(sum(col("est")).as("nf"))
+      .select(lit(t.toLong).as("t"), col("nf"))
+
+  private def g08(s: SparkSession, d: String): DataFrame = {
+    val ad = adj(edgesShared(s, d)).localCheckpoint()
+    val nodes = ad.select(col("x").as("v")).distinct()
+    var regs = graft.Resources.checkpoint(nodes
+      .select(col("v"),
+        md5(col("v").cast(StringType).cast(BinaryType)).as("h"))
+      .select(col("v"), substring(col("h"), 1, 1).as("bucket"),
+        expr(HbRankSql).as("r")))
+    val rounds = Vector.newBuilder[DataFrame]
+    rounds += hbEstimate(regs, 0)
+    var t = 1
+    var fixed = false
+    while (t <= HbRounds) {
+      if (!fixed) {
+        val next = graft.Resources.checkpoint(regs.unionByName(
+            ad.join(regs, ad("y") === regs("v"))
+              .select(ad("x").as("v"), col("bucket"), col("r")))
+          .groupBy(col("v"), col("bucket")).agg(max(col("r")).as("r")))
+        // register fixpoint ⇒ every later ball equals this one (a
+        // 1-row bound check, the g07 pattern — not a data collect)
+        fixed = next.join(regs, Seq("v", "bucket", "r"), "left_anti")
+          .agg(count(lit(1))).head().getLong(0) == 0
+        regs = next
+      }
+      rounds += hbEstimate(regs, t)
+      t += 1
+    }
+    val nf = rounds.result().reduce(_ unionByName _)
+      .withColumn("k", lit(0))
+    val nfT = nf.filter(col("t") === HbRounds)
+      .select(lit(0).as("k"), col("nf").as("nf_sat"))
+    nf.join(nfT, "k")
+      .select(col("t"), col("nf"),
+        (col("nf").cast(DoubleType) * 100.0 /
+          col("nf_sat").cast(DoubleType)).as("pct"),
+        (col("nf") * 10 >= col("nf_sat") * 9).as("eff"))
+      .orderBy(col("t"))
+  }
+
+  private val g08Sql = {
+    val roundCtes = (1 to HbRounds).map { t =>
+      s"""hb$t AS (SELECT v, bucket, max(r) AS r FROM (
+         |  SELECT v, bucket, r FROM hb${t - 1}
+         |  UNION ALL
+         |  SELECT a.x AS v, p.bucket, p.r
+         |  FROM adj a JOIN hb${t - 1} p ON p.v = a.y) GROUP BY v, bucket)"""
+        .stripMargin
+    }.mkString(",\n")
+    val estCtes = (0 to HbRounds).map { t =>
+      s"""est$t AS (SELECT $t AS t, SUM(est) AS nf FROM (
+         |  SELECT CAST(floor(CASE WHEN raw <= 40.0 AND zeros > 0
+         |      THEN 16.0 * ln(16.0 / CAST(zeros AS DOUBLE)) ELSE raw END)
+         |    AS BIGINT) AS est FROM (
+         |    SELECT v, 16 - count(*) AS zeros,
+         |      0.673 * 256.0 * 8589934592.0 /
+         |        CAST(SUM((CAST(1 AS BIGINT) << (33 - r)))
+         |          + (16 - count(*)) * 8589934592 AS DOUBLE) AS raw
+         |    FROM hb$t GROUP BY v)))""".stripMargin
+    }.mkString(",\n")
+    val nfUnion = (0 to HbRounds)
+      .map(t => s"SELECT t, nf FROM est$t").mkString("\n  UNION ALL\n  ")
+    s"""WITH $edgesSql,
+       |nodes AS (SELECT DISTINCT x AS v FROM adj),
+       |hashed AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM nodes),
+       |hb0 AS (SELECT v, substring(h, 1, 1) AS bucket,
+       |  ${HbRankSql.replace("\n", "\n|  ")} AS r FROM hashed),
+       |$roundCtes,
+       |$estCtes,
+       |nf AS (
+       |  $nfUnion),
+       |sat AS (SELECT nf AS nf_sat FROM nf WHERE t = $HbRounds)
+       |SELECT CAST(nf.t AS BIGINT) AS t, nf.nf,
+       |  CAST(nf.nf AS DOUBLE) * 100.0 / CAST(sat.nf_sat AS DOUBLE) AS pct,
+       |  nf.nf * 10 >= sat.nf_sat * 9 AS eff
+       |FROM nf, sat ORDER BY t""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("g01_triangle_count", g01, Some(g01Sql)),
+    Q("g08_hyperball", g08, Some(g08Sql)),
     Q("g02_pagerank", g02, Some(g02Sql)),
     Q("g03_common_neighbors", g03, Some(g03Sql)),
     Q("g04_label_propagation", g04, Some(g04Sql)),

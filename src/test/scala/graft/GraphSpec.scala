@@ -306,6 +306,42 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       case (a, b) => b < a }, s"frontier must shrink after its peak: $sizes")
   }
 
+  test("g08 HyperBall: N(0) counts singletons EXACTLY (m=16 linear " +
+      "counting of one element = 1), N(t) is monotone, the last round " +
+      "saturates, and the estimate tracks the true ball sizes") {
+    val got = SparkEntry.queries("g08_hyperball")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    // exact model: balls by direct BFS on the same derived graph
+    val edges = localEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val nodes = adj.keySet.toSeq
+    // N(0) = |V| exactly: a 1-element HLL at m=16 linear-counts to
+    // floor(16·ln(16/15)) = 1 per vertex
+    assert(got.head._2 == nodes.size.toLong)
+    // monotone neighborhood function; eff flag monotone once set
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"N(t) must not shrink: $a -> $b")
+      assert(!a._4 || b._4, "eff flag must be monotone")
+    }
+    assert(got.last._4 && got.last._3 == 100.0)
+    // accuracy envelope: at sf0.001 the graph is one component, so
+    // every saturated ball is the SAME set — the per-vertex sketches
+    // are identical and nothing averages out. The bound is therefore
+    // the single-sketch m=16 envelope (σ = 1.04/√16 ≈ 26%), not a
+    // √|V|-reduced one.
+    var balls = nodes.map(n => n -> Set(n)).toMap
+    (1 to 8).foreach { _ =>
+      balls = balls.map { case (n, b) => n -> (b ++ b.flatMap(adj)) }
+    }
+    val exact = balls.values.map(_.size.toLong).sum
+    val est = got.last._2
+    assert(math.abs(est - exact).toDouble / exact < 0.30,
+      s"saturated N(T)=$est vs exact $exact")
+  }
+
   test("g03 predicted pairs are non-adjacent and counts match brute force") {
     val edges = localEdges()
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
