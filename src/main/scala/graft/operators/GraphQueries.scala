@@ -790,11 +790,14 @@ object GraphQueries {
       rounds += hbEstimate(regs, t)
       t += 1
     }
-    val nf = rounds.result().reduce(_ unionByName _)
-      .withColumn("k", lit(0))
-    val nfT = nf.filter(col("t") === HbRounds)
-      .select(lit(0).as("k"), col("nf").as("nf_sat"))
-    nf.join(nfT, "k")
+    // saturated N(T) via a window over the T+1-row result — no join
+    // (a constant-key join folds to a BNLJ; this table is 9 rows)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    rounds.result().reduce(_ unionByName _)
+      .withColumn("nf_sat",
+        max(when(col("t") === HbRounds, col("nf"))).over(wAll))
       .select(col("t"), col("nf"),
         (col("nf").cast(DoubleType) * 100.0 /
           col("nf_sat").cast(DoubleType)).as("pct"),
