@@ -57,7 +57,13 @@ object ScaleCurve {
     "g05_bfs_landmarks", "g06_kcore", "g07_sssp",
     "t24_tfidf_keywords", "m22_scene_detect", "m23_video_curation",
     "d18_soft_dedup", "q33_range_frame", "t25_span_corrupt",
-    "m24_blur_score")
+    "m24_blur_score",
+    // round-10 third pass: the audio-fingerprint matcher (capped-hash
+    // join + offset votes), HyperBall on the amplified graph, the
+    // loaded video deployment (per-frame kernels + keyed meter), FLV
+    // (per-container mapGroups — the m16 shape)
+    "p12_audio_fingerprint", "g08_hyperball", "c11_video_deployment",
+    "m30_flv_container")
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k
