@@ -17,6 +17,29 @@ package graft.functions
   */
 object AsrTiny {
 
+  /** The trained-model FIXTURE synthesis shared by m15 and c13 (one
+    * 8-dim integer frame per event: class template + bounded hash
+    * noise — the distribution the head was trained on) and its exact
+    * SQL twins, kept in ONE place so the two oracle-gated queries can
+    * never silently diverge. SQL `j` is 1-based (matches the Scala
+    * j + 1 factor). */
+  def frameSynth(cls: Int, eid: Long): Array[Long] =
+    Array.tabulate(model.dim)(j =>
+      model.tmpl(cls)(j) + eid * (j + 1) * 2654435761L % 7L - 3L)
+
+  def matSql(a: Array[Array[Long]]): String =
+    a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** The per-(event, j) synthesized feature — DuckDB twin of
+    * [[frameSynth]] (expects columns `cls`, `event_id`, `j`). */
+  def synthXSql: String =
+    s"${matSql(model.tmpl)}[cls + 1][j] + event_id * j * 2654435761 % 7 - 3"
+
+  /** The per-class logit — DuckDB twin of Model.logit (expects
+    * columns `x`, `j`, `k`; aggregate over j). */
+  def logitSql: String =
+    s"SUM(${matSql(model.w)}[k][j] * x) + ${model.b.mkString("[", ",", "]")}[k]"
+
   final case class Model(tmpl: Array[Array[Long]], w: Array[Array[Long]],
       b: Array[Long]) {
     val classes: Int = w.length

@@ -1107,11 +1107,8 @@ object CalcQueries {
     val loaded = DeploymentJson.load(c13Json, nodeName = Some(FixtureNode))
     val e = eventsMs(s, d)
     val w = Window.partitionBy(col("pipe")).orderBy(col("ts_ms"), col("event_id"))
-    val frameUdf = udf((cls: Int, eid: Long) => {
-      val m = graft.functions.AsrTiny.model
-      Array.tabulate(m.dim)(j =>
-        (m.tmpl(cls)(j) + eid * (j + 1) * 2654435761L % 7L - 3L).toDouble)
-    })
+    val frameUdf = udf((cls: Int, eid: Long) =>
+      graft.functions.AsrTiny.frameSynth(cls, eid).map(_.toDouble))
     val asrFeed = e.filter(col("event_type") === "click")
       .select((col("user_id") % 8).cast(StringType).as("pipe"),
         col("ts_ms"), col("event_id"),
@@ -1148,8 +1145,6 @@ object CalcQueries {
 
   private val c13Sql = {
     val m = graft.functions.AsrTiny.model
-    def mat(a: Array[Array[Long]]): String =
-      a.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     s"""WITH e AS (SELECT user_id % 8 AS pipe, epoch_ms(ts) AS ts_ms, event_id,
        |    CASE WHEN event_id % 3 = 0 THEN 0 ELSE event_id % 5 + 1 END AS cls
        |  FROM ($evMs) WHERE event_type = 'click'),
@@ -1157,10 +1152,10 @@ object CalcQueries {
        |    row_number() OVER (PARTITION BY pipe ORDER BY ts_ms, event_id) - 1 AS f
        |  FROM e),
        |x AS (SELECT pipe, f, j,
-       |    ${mat(m.tmpl)}[cls + 1][j] + event_id * j * 2654435761 % 7 - 3 AS x
+       |    ${graft.functions.AsrTiny.synthXSql} AS x
        |  FROM fr, (SELECT unnest(generate_series(1, ${m.dim})) AS j) js),
        |l AS (SELECT pipe, f, k,
-       |    SUM(${mat(m.w)}[k][j] * x) + ${m.b.mkString("[", ",", "]")}[k] AS logit
+       |    ${graft.functions.AsrTiny.logitSql} AS logit
        |  FROM x, (SELECT unnest(generate_series(1, ${m.classes})) AS k) ks
        |  GROUP BY pipe, f, k),
        |pred AS (SELECT pipe, f, k - 1 AS p FROM (

@@ -806,8 +806,11 @@ object GraphQueries {
   }
 
   private val g08Sql = {
+    // MATERIALIZED per-round CTEs — the g06 lesson: DuckDB inlines
+    // plain CTEs, and hb_t references hb_{t-1} twice (self + join), so
+    // an inlined 8-round chain re-derives the base scan 2^8 times.
     val roundCtes = (1 to HbRounds).map { t =>
-      s"""hb$t AS (SELECT v, bucket, max(r) AS r FROM (
+      s"""hb$t AS MATERIALIZED (SELECT v, bucket, max(r) AS r FROM (
          |  SELECT v, bucket, r FROM hb${t - 1}
          |  UNION ALL
          |  SELECT a.x AS v, p.bucket, p.r
@@ -815,7 +818,7 @@ object GraphQueries {
         .stripMargin
     }.mkString(",\n")
     val estCtes = (0 to HbRounds).map { t =>
-      s"""est$t AS (SELECT $t AS t, SUM(est) AS nf FROM (
+      s"""est$t AS MATERIALIZED (SELECT $t AS t, SUM(est) AS nf FROM (
          |  SELECT CAST(floor(CASE WHEN raw <= 40.0 AND zeros > 0
          |      THEN 16.0 * ln(16.0 / CAST(zeros AS DOUBLE)) ELSE raw END)
          |    AS BIGINT) AS est FROM (
@@ -830,7 +833,7 @@ object GraphQueries {
     s"""WITH $edgesSql,
        |nodes AS (SELECT DISTINCT x AS v FROM adj),
        |hashed AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM nodes),
-       |hb0 AS (SELECT v, substring(h, 1, 1) AS bucket,
+       |hb0 AS MATERIALIZED (SELECT v, substring(h, 1, 1) AS bucket,
        |  ${HbRankSql.replace("\n", "\n|  ")} AS r FROM hashed),
        |$roundCtes,
        |$estCtes,

@@ -658,9 +658,7 @@ object MultimodalQueries {
         val m = graft.functions.AsrTiny.model // from the jar, once per JVM
         val frames = rows.toVector.sortBy(r => (r._2, r._3))
         val preds = frames.map { case (_, _, eid, cls) =>
-          val x = Array.tabulate(m.dim)(j =>
-            m.tmpl(cls)(j) + eid * (j + 1) * 2654435761L % 7L - 3L)
-          m.predict(x)
+          m.predict(graft.functions.AsrTiny.frameSynth(cls, eid))
         }
         val collapsed = preds.zipWithIndex
           .filter { case (p, i) => i == 0 || preds(i - 1) != p }
@@ -672,9 +670,6 @@ object MultimodalQueries {
       .orderBy(col("utt"), col("pos"))
   }
 
-  private def sqlMat(m: Array[Array[Long]]): String =
-    m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-
   private val m15Sql = {
     val m = graft.functions.AsrTiny.model
     s"""WITH e AS (SELECT user_id % 8 AS utt, epoch_ms(ts) AS ts_ms, event_id,
@@ -683,12 +678,10 @@ object MultimodalQueries {
        |f AS (SELECT utt, ts_ms, event_id, cls,
        |    unnest(generate_series(1, ${m.dim})) AS j FROM e),
        |x AS (SELECT utt, ts_ms, event_id, j,
-       |    ${sqlMat(m.tmpl)}[cls + 1][j]
-       |      + event_id * j * 2654435761 % 7 - 3 AS x
+       |    ${graft.functions.AsrTiny.synthXSql} AS x
        |  FROM f),
        |l AS (SELECT utt, ts_ms, event_id, k,
-       |    SUM(${sqlMat(m.w)}[k][j] * x)
-       |      + ${m.b.mkString("[", ",", "]")}[k] AS logit
+       |    ${graft.functions.AsrTiny.logitSql} AS logit
        |  FROM x CROSS JOIN (SELECT unnest(generate_series(1, ${m.classes})) AS k)
        |  GROUP BY utt, ts_ms, event_id, k),
        |pred AS (SELECT utt, ts_ms, event_id, k - 1 AS p FROM (

@@ -1588,6 +1588,10 @@ object StreamParityQueries {
         col("x").cast(DoubleType).as("value"),
         lit(null).cast(StringType).as("text"), lit(false).as("paused"),
         col("i").as("seq"))
+    // one fixture-build bound check (the g05 roundSizes pattern): the
+    // scale clock needs the click count; throughStream materializes
+    // the fixture to chunk files right after, so this is not a
+    // per-batch action
     val nData = e.filter(col("event_type") === "click").count()
     val scales = e.filter(col("event_type") === "error")
       .select(lit("0").as("key"), lit(1).as("topic"),

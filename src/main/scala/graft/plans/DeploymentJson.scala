@@ -455,7 +455,12 @@ object DeploymentJson {
             case _ => Nil
           }
           require(tracks.nonEmpty, s"$ctx: video mixer needs tracks")
-          TaskSpec(name, VideoMixerOp(tracks.size),
+          // pixel_format picks the alpha channel position: the
+          // reference's mixer default is bgra (videomixer.py:28 — an
+          // alpha-LAST layout); argb/abgr put it first
+          val pf = cfgString(cfg, "pixel_format", "bgra")
+          TaskSpec(name,
+            VideoMixerOp(tracks.size, alphaFront = pf.startsWith("a")),
             tracks.map(t => stream(cfgTopic(t, "in_topic", ctx))),
             out("out_topic"))
         case "videoencoder" =>
@@ -840,8 +845,9 @@ object DeploymentJson {
               ioJson(t, "in"), ioJson(t, "out"))
           case VideoActivityMeterOp =>
             ("videoactivitymeter", inOutCfg(t), ioJson(t, "in"), ioJson(t, "out"))
-          case VideoMixerOp(n, _) =>
+          case VideoMixerOp(n, alphaFront) =>
             ("videomixer", JObject(
+              "pixel_format" -> JString(if (alphaFront) "argb" else "bgra"),
               "video_tracks" -> JArray((0 until n).map(i => JObject(
                 "in_topic" -> topic(t.inputs(i))): JValue).toList),
               "out_topic" -> topic(t.output)),

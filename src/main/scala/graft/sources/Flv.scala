@@ -107,15 +107,21 @@ object Flv {
       require(readU24(bytes, pos + 8) == 0, "StreamID must be 0")
       require(pos + 11 + dataSize + 4 <= bytes.length,
         s"truncated tag body at $pos")
-      val hdr = bytes(pos + 11) & 0xFF
-      val keyframe = tagType != TagVideo || (hdr >> 4) == 1
-      val payload = java.util.Arrays.copyOfRange(bytes,
-        pos + 12, pos + 11 + dataSize)
       val prev = readU32(bytes, pos + 11 + dataSize)
       require(prev == 11L + dataSize,
         s"PreviousTagSize chain broken at $pos: $prev != ${11 + dataSize}")
-      if (tagType == TagAudio || tagType == TagVideo)
+      if (tagType == TagAudio || tagType == TagVideo) {
+        // the A/V data header byte is mandatory — a zero DataSize
+        // audio/video tag is malformed (fail loud, not copyOfRange)
+        require(dataSize >= 1,
+          s"zero-length ${if (tagType == TagAudio) "audio" else "video"} " +
+            s"tag at $pos: the data header byte is mandatory")
+        val hdr = bytes(pos + 11) & 0xFF
+        val keyframe = tagType != TagVideo || (hdr >> 4) == 1
+        val payload = java.util.Arrays.copyOfRange(bytes,
+          pos + 12, pos + 11 + dataSize)
         tags += FlvTag(tagType, ts, keyframe, payload)
+      } // other tag types (e.g. 18 = script data) are skipped whole
       pos += 11 + dataSize + 4
     }
     ((flags & 4) != 0, (flags & 1) != 0, tags.result())

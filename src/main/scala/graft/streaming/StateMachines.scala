@@ -859,10 +859,18 @@ object StateMachines {
     }
     out
   }
+  private val HexDigits = "0123456789abcdef".toCharArray
   def hexEnc(b: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(b.length * 2)
-    b.foreach(x => sb.append(f"${x & 0xFF}%02x"))
-    sb.toString
+    // hot path (once per frame per video op): digit lookup, no
+    // per-byte Formatter
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xFF
+      out(2 * i) = HexDigits(x >> 4); out(2 * i + 1) = HexDigits(x & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 
   // ---------------------------------------------- video activity meter

@@ -79,4 +79,34 @@ class FlvSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](Flv.demux(notFlv))
       .getMessage.contains("not an FLV"))
   }
+
+  test("demux rejects a zero-length audio/video tag loudly (the data " +
+      "header byte is mandatory) and skips foreign tag types whole") {
+    // hand-build: header + one DataSize=0 video tag
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('F', 'L', 'V', 1, 1)) // video-only flags
+    out.write(Array[Byte](0, 0, 0, 9, 0, 0, 0, 0)) // DataOffset, prev0
+    out.write(9) // video tag
+    out.write(Array[Byte](0, 0, 0)) // DataSize = 0
+    out.write(Array[Byte](0, 0, 0, 0)) // ts + ext
+    out.write(Array[Byte](0, 0, 0)) // StreamID
+    out.write(Array[Byte](0, 0, 0, 11)) // PreviousTagSize = 11
+    val e = intercept[IllegalArgumentException](Flv.demux(out.toByteArray))
+    assert(e.getMessage.contains("zero-length video tag"))
+    // a script-data tag (type 18) is skipped, not decoded
+    val withScript = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array[Byte]('F', 'L', 'V', 1, 1))
+      o.write(Array[Byte](0, 0, 0, 9, 0, 0, 0, 0))
+      o.write(18) // script data, DataSize 2
+      o.write(Array[Byte](0, 0, 2))
+      o.write(Array[Byte](0, 0, 0, 0))
+      o.write(Array[Byte](0, 0, 0))
+      o.write(Array[Byte](42, 42))
+      o.write(Array[Byte](0, 0, 0, 13)) // 11 + 2
+      o.toByteArray
+    }
+    val (_, _, tags) = Flv.demux(withScript)
+    assert(tags.isEmpty)
+  }
 }

@@ -109,7 +109,8 @@ class VideoMachinesSpec extends AnyFunSuite {
       TaskSpec("fmt", VideoReformatterOp, Seq("raw"), "bgra"),
       TaskSpec("lay", VideoLayoutOp(4, 4, 2, 2, 1, 1, 4, 4), Seq("bgra"),
         "placed"),
-      TaskSpec("mix", VideoMixerOp(2), Seq("placed", "raw2"), "mixed"),
+      TaskSpec("mix", VideoMixerOp(2, alphaFront = false), Seq("placed",
+        "raw2"), "mixed"),
       TaskSpec("enc", VideoEncoderOp(4), Seq("mixed"), "packets"),
       TaskSpec("dec", VideoDecoderOp, Seq("packets"), "frames2"),
       TaskSpec("meter", VideoActivityMeterOp, Seq("frames2"), "act"),
@@ -123,7 +124,8 @@ class VideoMachinesSpec extends AnyFunSuite {
     assert(DeploymentJson.write(loaded.deployment) == json)
     val ops = loaded.deployment.tasks.map(t => t.name -> t.op).toMap
     assert(ops("lay") == VideoLayoutOp(4, 4, 2, 2, 1, 1, 4, 4))
-    assert(ops("mix") == VideoMixerOp(2))
+    // alphaFront survives the store (pixel_format argb/bgra)
+    assert(ops("mix") == VideoMixerOp(2, alphaFront = false))
     assert(ops("enc") == VideoEncoderOp(4))
     assert(ops("render") == TextRendererOp(16, 8, 0, 0, 0xffffff))
     assert(ops("logo") == ImageRendererOp("00ff00ff"))
