@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end test of the [[RunDeployment]] CLI: a stored deployment
+  * JSON on disk + envelope parquet feeds → named-output parquet, the
+  * full "run your streamtasks export here" loop with zero Scala.
+  */
+class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("run-deployment-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("a stored calc -> gate deployment runs from JSON + parquet " +
+      "bindings to named-output parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep")
+      .toString
+    // the stored artifact: clicks -> calculator(a*2+1) -> gate(ctrl)
+    val json = s"""{
+      "deployment": {"id": "d", "label": "demo"},
+      "tasks": [
+        {"id": "1", "deployment_id": "d", "task_host_id": "namedinput",
+         "label": "clicks", "config": {"name": "clicks", "out_topic": 1},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "2", "deployment_id": "d", "task_host_id": "namedinput",
+         "label": "ctrl", "config": {"name": "ctrl", "out_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "3", "deployment_id": "d", "task_host_id": "calculator",
+         "label": "calc", "config": {"formula": "a * 2 + 1",
+           "variable_tracks": [{"name": "a", "in_topic": 1}],
+           "out_topic": 3},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "4", "deployment_id": "d", "task_host_id": "gate",
+         "label": "gate", "config": {"fail_mode": "closed",
+           "in_topic": 3, "control_topic": 2, "out_topic": 4},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "5", "deployment_id": "d", "task_host_id": "namedoutput",
+         "label": "out", "config": {"name": "gated", "in_topic": 4},
+         "frontend_config": {}, "inputs": [], "outputs": []}
+      ]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    // envelope feeds: 4 data rows; gate opens at ts 2
+    Seq((0L, 1.0, null: String, false, 0L), (1L, 2.0, null, false, 1L),
+      (3L, 3.0, null, false, 2L), (5L, 4.0, null, false, 3L))
+      .toDF("ts", "value", "text", "paused", "seq")
+      .write.parquet(s"$dir/clicks.parquet")
+    Seq((2L, 1.0, null: String, false, 10L))
+      .toDF("ts", "value", "text", "paused", "seq")
+      .write.parquet(s"$dir/ctrl.parquet")
+    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out",
+      "--bind", s"clicks=$dir/clicks.parquet",
+      "--bind", s"ctrl=$dir/ctrl.parquet"))
+    val got = spark.read.parquet(s"$dir/out/gated.parquet")
+      .filter(!org.apache.spark.sql.functions.col("paused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // gate closed before ts 2: rows at ts 0/1 dropped; 3 and 5 pass
+    // through calc (a*2+1)
+    assert(got.toSeq == Seq((3L, 7.0), (5L, 9.0)))
+  }
+
+  test("unbound named inputs fail loudly with the missing names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep2")
+      .toString
+    val json = """[{"id": "1", "deployment_id": "d",
+      "task_host_id": "namedinput", "label": "feed",
+      "config": {"name": "feed", "out_topic": 1},
+      "frontend_config": {}, "inputs": [], "outputs": []},
+      {"id": "2", "deployment_id": "d", "task_host_id": "numbertotext",
+      "label": "fmt", "config": {"in_topic": 1, "out_topic": 2},
+      "frontend_config": {}, "inputs": [], "outputs": []}]"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    val e = intercept[IllegalArgumentException] {
+      RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out"))
+    }
+    assert(e.getMessage.contains("unbound named inputs") &&
+      e.getMessage.contains("feed"))
+  }
+}
