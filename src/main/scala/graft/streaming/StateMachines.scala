@@ -860,6 +860,16 @@ object StateMachines {
     out
   }
   private val HexDigits = "0123456789abcdef".toCharArray
+  /** Payload validity — the duck-typing rule every reference task
+    * applies (`except ValidationError: pass`, e.g.
+    * audiovolumescaler.py:97, videomixer.py:111): a message whose
+    * payload doesn't parse is SKIPPED, not an error. For frame
+    * machines that means non-hex/odd/empty text; for sample machines
+    * a NaN value. */
+  def validHex(t: String): Boolean =
+    t != null && t.nonEmpty && (t.length % 2 == 0) &&
+      t.forall(c => Character.digit(c, 16) >= 0)
+
   def hexEnc(b: Array[Byte]): String = {
     // hot path (once per frame per video op): digit lookup, no
     // per-byte Formatter
@@ -896,7 +906,8 @@ object StateMachines {
           if (p == s.outPaused) Nil
           else Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true))
         (s.copy(outPaused = p), zero ++ marker)
-      } else {
+      } else if (!validHex(e.text)) (s, Nil) // invalid message: skipped
+      else {
         val out =
           if (s.prev == null) Nil
           else {
@@ -942,7 +953,11 @@ object StateMachines {
             (s.copy(fc = s.fc + 1), Seq(Out(ts, Double.NaN, hexEnc(blended))))
           } else if (s.lfc(e.topic) == s.fc) (s.copy(fc = s.fc + 1), Nil)
           else (s, Nil)
-        (s1.copy(lasts = s1.lasts + (e.topic -> (e.ts, e.text)),
+        // the reference validates AFTER the submit check
+        // (videomixer.py:108-110): an invalid frame still submits a
+        // pending mix but never becomes the track's held frame
+        if (!validHex(e.text)) (s1, out)
+        else (s1.copy(lasts = s1.lasts + (e.topic -> (e.ts, e.text)),
           lfc = s1.lfc + (e.topic -> s1.fc)), out)
       }
   }
@@ -962,6 +977,7 @@ object StateMachines {
     def init = (0L, null)
     def step(s: (Long, String), e: Ev): ((Long, String), Seq[Out]) =
       if (e.paused) (s, Seq(Out(e.ts, e.value, null, paused = true)))
+      else if (!validHex(e.text)) (s, Nil) // invalid message: skipped
       else {
         val (n, prev) = s
         val cur = hexDec(e.text)
@@ -975,6 +991,9 @@ object StateMachines {
     def init = null
     def step(prev: String, e: Ev): (String, Seq[Out]) =
       if (e.paused) (prev, Seq(Out(e.ts, e.value, null, paused = true)))
+      else if (e.text == null || e.text.length < 2 ||
+          e.text.charAt(1) != '|' ||
+          !validHex(e.text.substring(2))) (prev, Nil) // invalid: skipped
       else {
         val tag = e.text.charAt(0)
         val payload = hexDec(e.text.substring(2))
@@ -1018,6 +1037,7 @@ object StateMachines {
           // any control: buffer reset + t0/sample bookkeeping cleared
           s.copy(tracks = s.tracks + (e.topic -> t0.copy(
             queue = Vector.empty, paused = pauseFlag(e), started = false)))
+        else if (e.value.isNaN) s // invalid message: skipped
         else
           s.copy(tracks = s.tracks + (e.topic -> t0.copy(
             queue = t0.queue :+ (e.ts, e.value), started = true)))
@@ -1062,6 +1082,7 @@ object StateMachines {
     def init = (0, 0)
     def step(s: (Int, Int), e: Ev): ((Int, Int), Seq[Out]) =
       if (e.paused) ((0, 0), Seq(Out(e.ts, e.value, null, paused = true)))
+      else if (e.value.isNaN) (s, Nil) // invalid message: skipped
       else {
         val (nib, p2, i2) = graft.functions.Codec.ImaAdpcm
           .encodeStep(e.value.toInt, s._1, s._2)
@@ -1072,6 +1093,7 @@ object StateMachines {
     def init = (0, 0)
     def step(s: (Int, Int), e: Ev): ((Int, Int), Seq[Out]) =
       if (e.paused) ((0, 0), Seq(Out(e.ts, e.value, null, paused = true)))
+      else if (e.value.isNaN) (s, Nil) // invalid message: skipped
       else {
         val (sample, p2, i2) = graft.functions.Codec.ImaAdpcm
           .decodeStep(e.value.toInt, s._1, s._2)
@@ -1100,6 +1122,7 @@ object StateMachines {
     def init = 0L
     def step(i: Long, e: Ev): (Long, Seq[Out]) =
       if (e.paused) (0L, Seq(Out(e.ts, e.value, null, paused = true)))
+      else if (e.value.isNaN) (i, Nil) // invalid message: skipped
       else if (down > 1)
         (i + 1, if (i % down == 0) Seq(Out(e.ts, e.value, e.text)) else Nil)
       else
@@ -1125,6 +1148,7 @@ object StateMachines {
     def step(s: (Vector[Long], Int), e: Ev)
         : ((Vector[Long], Int), Seq[Out]) =
       if (e.paused) (init, Seq(Out(e.ts, e.value, null, paused = true)))
+      else if (e.value.isNaN) (s, Nil) // invalid message: skipped
       else {
         val buf = s._1 :+ math.round(e.value)
         if (buf.size < dim) ((buf, s._2), Nil)
@@ -1202,7 +1226,8 @@ object StateMachines {
           if (p == s.outPaused) (s, Nil)
           else (s.copy(outPaused = p),
             Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true)))
-        } else {
+        } else if (e.value.isNaN) (s, Nil) // invalid message: skipped
+        else {
           // np.clip(x * scale, lo, hi).astype(int): truncation toward
           // zero, exactly Double→Long narrowing
           val y = math.max(lo, math.min(hi, e.value * s.scale)).toLong
@@ -1243,7 +1268,8 @@ object StateMachines {
           if (p == s.outPaused) Nil
           else Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true))
         (s.copy(outPaused = p), zero ++ marker)
-      } else if (s.n >= chunkSize) {
+      } else if (e.value.isNaN) (s, Nil) // invalid message: skipped
+      else if (s.n >= chunkSize) {
         // buffer exceeds chunk_size with this sample appended: release
         // the accumulated block (the new sample starts the next one)
         val blockTs = e.ts - s.n * 1000L / rateHz
