@@ -745,14 +745,25 @@ object GraphQueries {
       |        WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
       |        ELSE 0 END) + 1 END""".stripMargin
 
+  /** Register count m — the first md5 hex char picks the bucket. */
+  private val HbM = 16
+
   /** Per-vertex HLL estimate (m=16, α=0.673) then Σ over vertices —
-    * shared by every round's readout. */
-  private def hbEstimate(regs: DataFrame, t: Int): DataFrame =
-    regs.groupBy(col("v"))
-      .agg(count(lit(1)).as("present"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - r)")).as("s_present"))
-      .select(col("v"),
-        (lit(16L) - col("present")).as("zeros"),
+    * shared by every round's readout. Registers arrive WIDE (one row
+    * per vertex, columns r0..r15, NULL = empty register), so the
+    * per-vertex stage is ROW-LOCAL — no groupBy, no shuffle; the only
+    * exchange is the final 1-row sum. The arithmetic is the exact
+    * row-form sequence (BIGINT sums, one double division), so the
+    * floor'd estimates — and the oracle hash — are unchanged. */
+  private def hbEstimate(regs: DataFrame, t: Int): DataFrame = {
+    val present = (0 until HbM).map(i =>
+      when(col(s"r$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    val sPresent = (0 until HbM).map(i =>
+      coalesce(expr(s"shiftleft(CAST(1 AS BIGINT), 33 - r$i)"), lit(0L)))
+      .reduce(_ + _)
+    regs
+      .select(present.as("present"), sPresent.as("s_present"))
+      .select((lit(16L) - col("present")).as("zeros"),
         ((lit(0.673) * lit(256.0) * lit(8589934592.0)) /
           (col("s_present") +
             (lit(16L) - col("present")) * lit(8589934592L))
@@ -762,32 +773,104 @@ object GraphQueries {
         .otherwise(col("raw"))).cast(LongType).as("est"))
       .agg(sum(col("est")).as("nf"))
       .select(lit(t.toLong).as("t"), col("nf"))
+  }
 
-  private def g08(s: SparkSession, d: String): DataFrame = {
+  /** SYSTOLIC HyperBall rounds (Boldi–Rosa–Vigna §4.2's signal
+    * propagation, the same delta discipline as [[sssp]]): each round
+    * propagates only the vertices whose registers CHANGED last round.
+    * A register is a monotone max, so a neighbour's unchanged vector
+    * was already merged the round it last changed — re-sending it can
+    * never raise anything. Per-round registers are therefore
+    * elementwise IDENTICAL to the synchronous full re-join (every
+    * value reaches each neighbour exactly one round after it first
+    * appears, as in the sync schedule), so the per-round estimates
+    * and the oracle hash do not move; what changes is the join cost:
+    * adjacency ⋈ changed-vertices instead of adjacency ⋈ all |V|
+    * register vectors, with the delta collapsing toward the few
+    * still-spreading high ranks once the ball radius passes the
+    * graph's effective diameter (GraphSpec pins the shrink). Register
+    * vectors travel WIDE — m=16 int columns, one row per vertex — so
+    * a round shuffles |edges-from-changed| rows, not 16× that, the
+    * merge is one groupBy(v) of elementwise maxima (NULL-skipping
+    * max), and the estimate readouts are row-local. One
+    * materialization per round (the g07 budget): `merged` =
+    * full-outer of the register table against this round's propagated
+    * maxima, carrying (v, old0..15, cand0..15); the next registers,
+    * the next delta, AND the fixpoint count are projections of that
+    * one checkpointed frame. `roundSizes`, when given, receives each
+    * round's changed-vertex count. */
+  private[graft] def hyperball(s: SparkSession, d: String,
+      roundSizes: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : DataFrame = {
     val ad = adj(edgesShared(s, d)).localCheckpoint()
     val nodes = ad.select(col("x").as("v")).distinct()
-    var regs = graft.Resources.checkpoint(nodes
+    // WIDE register layout: ONE row per vertex, old0..old15 = the
+    // registers before this round (NULL = empty), cand0..cand15 = the
+    // maxima that arrived this round (NULL = nothing arrived). A
+    // vertex is in the delta iff ANY candidate beats its old register;
+    // changed vertices propagate their FULL current vector (max-merge
+    // is idempotent, so re-sending unchanged registers alongside the
+    // changed one cannot move anything — per-round registers stay
+    // elementwise identical to the synchronous schedule). hb0 seeds
+    // every vertex's own hash as newly-arrived → round 1's delta is
+    // every vertex, like the sync start.
+    var merged = graft.Resources.checkpoint(nodes
       .select(col("v"),
         md5(col("v").cast(StringType).cast(BinaryType)).as("h"))
-      .select(col("v"), substring(col("h"), 1, 1).as("bucket"),
-        expr(HbRankSql).as("r")))
+      .select(Seq(col("v"),
+          conv(substring(col("h"), 1, 1), 16, 10)
+            .cast(IntegerType).as("b"),
+          expr(HbRankSql).cast(IntegerType).as("r")): _*)
+      .select(col("v") +:
+        ((0 until HbM).map(i =>
+          lit(null).cast(IntegerType).as(s"old$i")) ++
+         (0 until HbM).map(i =>
+           when(col("b") === i, col("r")).as(s"cand$i"))): _*))
+    def regsOf(m: DataFrame): DataFrame =
+      m.select(col("v") +: (0 until HbM).map(i =>
+        when(col(s"old$i").isNull, col(s"cand$i"))
+          .when(col(s"cand$i").isNull, col(s"old$i"))
+          .otherwise(greatest(col(s"old$i"), col(s"cand$i")))
+          .as(s"r$i")): _*)
+    def changedOf(m: DataFrame): DataFrame =
+      m.filter((0 until HbM).map(i =>
+        col(s"cand$i").isNotNull &&
+          (col(s"old$i").isNull || col(s"cand$i") > col(s"old$i")))
+        .reduce(_ || _))
     val rounds = Vector.newBuilder[DataFrame]
-    rounds += hbEstimate(regs, 0)
+    rounds += hbEstimate(regsOf(merged), 0)
     var t = 1
     var fixed = false
     while (t <= HbRounds) {
       if (!fixed) {
-        val next = graft.Resources.checkpoint(regs.unionByName(
-            ad.join(regs, ad("y") === regs("v"))
-              .select(ad("x").as("v"), col("bucket"), col("r")))
-          .groupBy(col("v"), col("bucket")).agg(max(col("r")).as("r")))
+        // fresh aliases on BOTH sides: delta and regs share `merged`'s
+        // lineage, so dataset-qualified refs would be ambiguous
+        val delta = regsOf(changedOf(merged))
+          .select(col("v").as("dv") +:
+            (0 until HbM).map(i => col(s"r$i").as(s"d$i")): _*)
+        val propAggs = (0 until HbM).map(i => max(col(s"d$i")).as(s"p$i"))
+        val prop = ad.join(delta, ad("y") === col("dv"))
+          .groupBy(ad("x").as("pv"))
+          .agg(propAggs.head, propAggs.tail: _*)
+        val regsR = regsOf(merged)
+          .select(col("v").as("rv") +:
+            (0 until HbM).map(i => col(s"r$i").as(s"q$i")): _*)
+        val nxt = graft.Resources.checkpoint(
+          regsR.join(prop, col("rv") === col("pv"), "full_outer")
+            .select(coalesce(col("rv"), col("pv")).as("v") +:
+              ((0 until HbM).map(i => col(s"q$i").as(s"old$i")) ++
+               (0 until HbM).map(i => col(s"p$i").as(s"cand$i"))): _*))
         // register fixpoint ⇒ every later ball equals this one (a
-        // 1-row bound check, the g07 pattern — not a data collect)
-        fixed = next.join(regs, Seq("v", "bucket", "r"), "left_anti")
-          .agg(count(lit(1))).head().getLong(0) == 0
-        regs = next
+        // 1-row bound check over the checkpointed frame — not a data
+        // collect; an empty delta means no future round can change)
+        val n = changedOf(nxt).count()
+        if (sys.env.contains("GRAFT_HB_DEBUG"))
+          System.err.println(s"[hb] round $t delta=$n at ${System.nanoTime / 1e9}")
+        roundSizes.foreach(_ += n)
+        fixed = n == 0
+        merged = nxt
       }
-      rounds += hbEstimate(regs, t)
+      rounds += hbEstimate(regsOf(merged), t)
       t += 1
     }
     // saturated N(T) via a window over the T+1-row result — no join
@@ -804,6 +887,8 @@ object GraphQueries {
         (col("nf") * 10 >= col("nf_sat") * 9).as("eff"))
       .orderBy(col("t"))
   }
+
+  private def g08(s: SparkSession, d: String): DataFrame = hyperball(s, d)
 
   private val g08Sql = {
     // MATERIALIZED per-round CTEs — the g06 lesson: DuckDB inlines

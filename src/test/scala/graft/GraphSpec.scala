@@ -342,6 +342,35 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"saturated N(T)=$est vs exact $exact")
   }
 
+  test("g08 systolic delta: changed-register counts hit the fixpoint " +
+      "with a confirming empty round, shrink after their peak, and " +
+      "total propagation undercuts the synchronous rounds x registers " +
+      "bound") {
+    val sizes = scala.collection.mutable.Buffer.empty[Long]
+    // rounds are driven eagerly (per-round checkpoint + delta count)
+    val df = graft.operators.GraphQueries.hyperball(spark, sf, Some(sizes))
+    val nodes = {
+      val edges = localEdges()
+      edges.flatMap(e => Set(e._1, e._2)).size
+    }
+    assert(sizes.nonEmpty && sizes.last == 0L,
+      s"fixpoint must be confirmed by an empty delta round: $sizes")
+    // vertex-level deltas PLATEAU at |V| while the ball is still
+    // expanding everywhere — shrink is required only past the plateau
+    val peak = sizes.lastIndexOf(sizes.max)
+    assert(sizes.drop(peak).zip(sizes.drop(peak + 1)).forall {
+      case (a, b) => b < a }, s"delta must shrink after its peak: $sizes")
+    // the synchronous formulation re-joins every vertex's register
+    // vector (|V| wide rows) every round; the changed-vertex deltas
+    // must strictly undercut that to be worth the reformulation
+    assert(sizes.sum < sizes.size.toLong * nodes,
+      s"systolic work ${sizes.sum} should undercut sync " +
+        s"(${sizes.size.toLong * nodes}): $sizes")
+    // and the result must still saturate like the sync version
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.last._2 >= got.head._2 && got.head._2 == nodes.toLong)
+  }
+
   test("g03 predicted pairs are non-adjacent and counts match brute force") {
     val edges = localEdges()
     val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
