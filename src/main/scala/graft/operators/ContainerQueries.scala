@@ -1181,6 +1181,126 @@ object ContainerQueries {
       |FROM ord o JOIN fl f ON o.container = f.container
       |ORDER BY o.container, o.tag_idx""".stripMargin
 
+  /** m31: RTMP chunk-stream framing ([[graft.sources.Rtmp]]) — the
+    * WIRE layer under m30's FLV frames, completing the reference's
+    * live-ingest stack (`rtmp://` → media/container.py:38-116) down
+    * to the byte framing libav speaks on the socket. Per container,
+    * the m30 timeline becomes RTMP messages (audio type 8 on csid 4,
+    * video type 9 on csid 6, FLV-equal type ids) muxed at chunk size
+    * 48 — declared by a real Set Chunk Size control message — and
+    * demuxed back from the parsed bytes with per-chunk-stream header
+    * decompression and reassembly of split messages. The 20 000 000 ms
+    * base rides past 0xFFFFFF, so every Type-0 header carries the
+    * extended-timestamp sentinel and message 0's continuation chunks
+    * repeat it (§5.3.1.3), while the small 32/33 ms deltas compress
+    * later headers down the fmt ladder: the oracle independently
+    * predicts, per container, the chunk counts BY HEADER TYPE
+    * (fmt 0/1/2/3 from the spec's compression rules: first message →
+    * 0, length change → 1, first equal-length repeat → 2 because the
+    * Type-0 timestamp doubles as the implied delta, then → 3),
+    * extended-field count, the Set Chunk Size message, the exact
+    * stream byte length, and every reassembled timestamp and payload
+    * md5. Scale: the m16–m30 per-container mapGroups shape — one
+    * group per container, bytes never at the driver. */
+  private def m31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Rtmp
+    import graft.sources.Rtmp.RtmpMessage
+    val Base = 20000000L // > 2^24 ms: forces the extended-ts sentinel
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 1).otherwise(2).as("track"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val msgs = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
+        evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
+          val payload = (md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8"))
+            * (1 + (r._3 % 3)).toInt).getBytes("US-ASCII")
+          val (csid, tid, step) =
+            if (trk == 1) (6, Rtmp.TypeVideo, 33L) else (4, Rtmp.TypeAudio, 32L)
+          (RtmpMessage(csid, 1L, tid, Base + i * step, payload), trk)
+        }
+      }.sortBy { case (m, trk) => (m.tsMs, trk) }.map(_._1)
+      val bytes = Rtmp.mux(msgs, chunkSize = 48)
+      val (dec, stats) = Rtmp.demux(bytes)
+      // the demux must reassemble EXACTLY what was muxed — framing,
+      // header decompression and split-message reassembly round-trip
+      require(dec.size == msgs.size, s"message count ${dec.size}/${msgs.size}")
+      msgs.zip(dec).foreach { case (a, b) =>
+        require(a.csid == b.csid && a.streamId == b.streamId &&
+          a.typeId == b.typeId && a.tsMs == b.tsMs &&
+          java.util.Arrays.equals(a.payload, b.payload),
+          s"round-trip mismatch on container $k")
+      }
+      dec.zipWithIndex.map { case (m, i) =>
+        (k, i.toLong,
+          if (m.typeId == Rtmp.TypeVideo) "video" else "audio",
+          m.tsMs, md5Hex(m.payload),
+          stats.fmt0, stats.fmt1, stats.fmt2, stats.fmt3,
+          stats.ext, stats.setChunkSize, bytes.length.toLong)
+      }
+    }.toDF("container", "msg_idx", "kind", "ts_ms", "payload_md5",
+        "f0", "f1", "f2", "f3", "ext", "setcs", "blen")
+      .orderBy(col("container"), col("msg_idx"))
+  }
+
+  private val m31Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS track,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, track, event_id,
+      |        row_number() OVER (PARTITION BY container, track
+      |                           ORDER BY tms, event_id) - 1 AS i
+      |      FROM e),
+      |blk AS (SELECT container, track, event_id, i,
+      |          20000000 + CASE WHEN track = 1 THEN i * 33 ELSE i * 32 END AS ts_ms,
+      |          32 * (1 + event_id % 3) AS plen,
+      |          repeat(md5(container::VARCHAR || ':' || track::VARCHAR || ':'
+      |              || event_id::VARCHAR), CAST(1 + event_id % 3 AS INT)) AS payload
+      |        FROM k),
+      |-- the mux compression ladder on this fixture: first message on a
+      |-- chunk stream -> fmt0; length change -> fmt1; the first
+      |-- equal-length repeat -> fmt2 (its 32/33ms delta differs from the
+      |-- fmt0 timestamp, which doubles as the implied delta); later
+      |-- equal-length repeats -> fmt3 (constant per-track delta)
+      |fmt AS (SELECT *,
+      |          CASE WHEN i = 0 THEN 0
+      |               WHEN plen <> lag(plen) OVER w THEN 1
+      |               WHEN i = 1 THEN 2
+      |               ELSE 3 END AS fmt,
+      |          CAST(ceil(plen / 48.0) AS BIGINT) AS chunks
+      |        FROM blk WINDOW w AS (PARTITION BY container, track ORDER BY i)),
+      |-- ext fields: every fmt0 header (abs ts > 0xFFFFFF) plus the
+      |-- continuation chunks of THAT message (sentinel repeats until the
+      |-- next fmt1/2 header clears it); byte length adds 1B basic header
+      |-- per chunk, the 11/7/3/0 message header, 4B per ext field, the
+      |-- payload, and the 16B Set Chunk Size control message
+      |stats AS (SELECT container,
+      |    SUM(CASE WHEN fmt = 0 THEN 1 ELSE 0 END) AS f0h,
+      |    SUM(CASE WHEN fmt = 1 THEN 1 ELSE 0 END) AS f1,
+      |    SUM(CASE WHEN fmt = 2 THEN 1 ELSE 0 END) AS f2,
+      |    SUM(CASE WHEN fmt = 3 THEN 1 ELSE 0 END) + SUM(chunks - 1) AS f3,
+      |    SUM(CASE WHEN fmt = 0 THEN chunks ELSE 0 END) AS ext,
+      |    SUM(chunks) + SUM(CASE fmt WHEN 0 THEN 11 WHEN 1 THEN 7
+      |                               WHEN 2 THEN 3 ELSE 0 END)
+      |      + 4 * SUM(CASE WHEN fmt = 0 THEN chunks ELSE 0 END)
+      |      + SUM(plen) AS dbytes
+      |  FROM fmt GROUP BY container),
+      |ord AS (SELECT *, row_number() OVER (PARTITION BY container
+      |          ORDER BY ts_ms, track) - 1 AS msg_idx FROM fmt)
+      |SELECT o.container, CAST(o.msg_idx AS BIGINT) AS msg_idx,
+      |  CASE WHEN o.track = 1 THEN 'video' ELSE 'audio' END AS kind,
+      |  CAST(o.ts_ms AS BIGINT) AS ts_ms, md5(o.payload) AS payload_md5,
+      |  CAST(s.f0h + 1 AS BIGINT) AS f0, CAST(s.f1 AS BIGINT) AS f1,
+      |  CAST(s.f2 AS BIGINT) AS f2, CAST(s.f3 AS BIGINT) AS f3,
+      |  CAST(s.ext AS BIGINT) AS ext, CAST(1 AS BIGINT) AS setcs,
+      |  CAST(16 + s.dbytes AS BIGINT) AS blen
+      |FROM ord o JOIN stats s USING (container)
+      |ORDER BY container, msg_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1195,5 +1315,6 @@ object ContainerQueries {
     Q("m27_container_matrix", m27, Some(m27Sql)),
     Q("m28_motion_codec", m28, Some(m28Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
+    Q("m31_rtmp_chunks", m31, Some(m31Sql)),
   )
 }

@@ -1,0 +1,269 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** RTMP chunk stream — the WIRE framing under the FLV frame layer,
+  * written from the public Adobe "RTMP Specification 1.0" (§5.3
+  * "Chunking"). This completes the engine's live-ingest stack: the
+  * reference accepts `rtmp://` URLs by handing them to libav
+  * (media/container.py:38-116 `InputContainer.open`;
+  * inputcontainer.py:85-98 feeds per-track topics), and on the wire
+  * those URLs speak exactly this format — RTMP messages whose audio/
+  * video type ids (8/9) and payloads are the FLV tag stream
+  * ([[Flv]]), split into interleaved chunks with per-chunk-stream
+  * header compression.
+  *
+  * Layout (spec §5.3.1):
+  *  - Basic header: fmt(2 bits) | csid. csid 2–63 in 1 byte; 64–319
+  *    as `fmt<<6|0` + (csid−64); 320–65599 as `fmt<<6|1` +
+  *    (csid−64) little-endian u16. csid 2 is reserved for protocol
+  *    control.
+  *  - Message header by fmt: Type 0 (11 B) = absolute timestamp u24,
+  *    message length u24, message type id u8, message stream id u32
+  *    LITTLE-endian; Type 1 (7 B) = timestamp delta u24, length u24,
+  *    type id u8 (stream id inherited); Type 2 (3 B) = timestamp
+  *    delta u24 only; Type 3 (0 B) = everything inherited — both the
+  *    continuation form (later chunks of a split message) and the
+  *    compressed-start form (same length, type and delta as the
+  *    previous message on the chunk stream).
+  *  - Extended timestamp (§5.3.1.3): when the 24-bit field would
+  *    overflow, it carries the sentinel 0xFFFFFF and the real value
+  *    follows as u32. A Type 3 chunk carries the extended field iff
+  *    the most recent Type 0/1/2 header on the same chunk stream did.
+  *  - Set Chunk Size (§5.4.1): message type 1 on csid 2, stream 0,
+  *    payload u32; applies to every later chunk in the direction.
+  *
+  * Fmt selection on mux follows the spec's compression ladder: first
+  * message on a chunk stream (or a stream-id change) → Type 0;
+  * changed length/type → Type 1; changed delta → Type 2; everything
+  * equal → Type 3. Per the §5.3.1.2.4 note, a Type 0's timestamp
+  * doubles as the implied delta, so a second message whose delta
+  * equals the first's absolute timestamp may start at Type 3.
+  */
+object Rtmp {
+
+  /** Audio/video message type ids equal the FLV tag types. */
+  val TypeAudio = 8
+  val TypeVideo = 9
+  /** Protocol control: Set Chunk Size. */
+  val TypeSetChunkSize = 1
+  /** Chunk stream id reserved for protocol control messages. */
+  val ControlCsid = 2
+
+  val DefaultChunkSize = 128
+
+  /** One assembled RTMP message. */
+  final case class RtmpMessage(csid: Int, streamId: Long, typeId: Int,
+      tsMs: Long, payload: Array[Byte])
+
+  /** Per-chunk accounting from a demux: chunk counts by header type,
+    * extended-timestamp fields seen, and protocol-control messages
+    * consumed (not returned as data messages). */
+  final case class ChunkStats(fmt0: Long, fmt1: Long, fmt2: Long,
+      fmt3: Long, ext: Long, setChunkSize: Long)
+
+  private def u24(out: ByteArrayOutputStream, v: Long): Unit = {
+    require(v >= 0 && v <= 0xFFFFFF, s"u24 out of range: $v")
+    out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    out.write((v & 0xFF).toInt)
+  }
+  private def u32(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+    out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+  }
+  private def u32le(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+  }
+
+  private def basicHeader(out: ByteArrayOutputStream, fmt: Int,
+      csid: Int): Unit = {
+    require(fmt >= 0 && fmt <= 3, s"fmt $fmt")
+    require(csid >= 2 && csid <= 65599, s"csid $csid out of range")
+    if (csid <= 63) out.write((fmt << 6) | csid)
+    else if (csid <= 319) { out.write(fmt << 6); out.write(csid - 64) }
+    else {
+      out.write((fmt << 6) | 1)
+      out.write((csid - 64) & 0xFF); out.write(((csid - 64) >> 8) & 0xFF)
+    }
+  }
+
+  /** Per-chunk-stream mux compression state. */
+  private final class CsState {
+    var streamId: Long = -1L
+    var ts: Long = -1L
+    var delta: Long = -1L
+    var len: Int = -1
+    var typeId: Int = -1
+    var headerHadExt: Boolean = false
+  }
+
+  /** Serialize messages (caller-ordered — interleaving across chunk
+    * streams is the caller's timeline) into one RTMP chunk stream.
+    * A non-default `chunkSize` is declared up front with a Set Chunk
+    * Size control message, exactly as a real ingest does. */
+  def mux(msgs: Seq[RtmpMessage], chunkSize: Int = DefaultChunkSize)
+      : Array[Byte] = {
+    require(chunkSize >= 1 && chunkSize <= 0x7FFFFFF, s"chunkSize $chunkSize")
+    val out = new ByteArrayOutputStream(
+      64 + msgs.map(m => m.payload.length + 24).sum)
+    val states = scala.collection.mutable.Map.empty[Int, CsState]
+    def writeMessage(m: RtmpMessage): Unit = {
+      require(m.csid != ControlCsid || m.typeId == TypeSetChunkSize,
+        s"csid 2 is reserved for protocol control, got type ${m.typeId}")
+      require(m.tsMs >= 0 && m.tsMs <= 0xFFFFFFFFL, s"timestamp ${m.tsMs}")
+      val st = states.getOrElseUpdate(m.csid, new CsState)
+      // compression ladder (spec §5.3.1.2): everything-inherited → 3,
+      // delta-only → 2, length/type changed → 1, new stream → 0
+      val fmt =
+        if (st.streamId != m.streamId || st.ts < 0 || m.tsMs < st.ts) 0
+        else if (m.payload.length != st.len || m.typeId != st.typeId) 1
+        else if (m.tsMs - st.ts != st.delta) 2
+        else 3
+      val tsField = if (fmt == 0) m.tsMs else m.tsMs - st.ts
+      val ext = fmt != 3 && tsField >= 0xFFFFFF
+      basicHeader(out, fmt, m.csid)
+      if (fmt <= 2) u24(out, if (ext) 0xFFFFFF else tsField)
+      if (fmt <= 1) {
+        u24(out, m.payload.length.toLong); out.write(m.typeId)
+      }
+      if (fmt == 0) u32le(out, m.streamId)
+      if (fmt <= 2) st.headerHadExt = ext
+      if (ext) u32(out, tsField)
+      else if (fmt == 3 && st.headerHadExt) u32(out, tsField)
+      // first chunk carries min(len, chunkSize) payload bytes, the
+      // rest continues in fmt-3 chunks on the same chunk stream
+      var off = math.min(m.payload.length, chunkSize)
+      out.write(m.payload, 0, off)
+      while (off < m.payload.length) {
+        basicHeader(out, 3, m.csid)
+        // §5.3.1.3: fmt-3 carries the extended field iff the most
+        // recent fmt-0/1/2 header on this chunk stream did
+        if (st.headerHadExt) u32(out, tsField)
+        val n = math.min(m.payload.length - off, chunkSize)
+        out.write(m.payload, off, n)
+        off += n
+      }
+      // delta bookkeeping: after a Type 0 the absolute timestamp
+      // doubles as the implied delta (§5.3.1.2.4 note); 1/2 record
+      // the real delta; 3 inherits
+      if (fmt == 0) st.delta = m.tsMs
+      else if (fmt <= 2) st.delta = tsField
+      st.streamId = m.streamId; st.ts = m.tsMs
+      st.len = m.payload.length; st.typeId = m.typeId
+    }
+    if (chunkSize != DefaultChunkSize) {
+      val p = new ByteArrayOutputStream(4); u32(p, chunkSize.toLong)
+      writeMessage(RtmpMessage(ControlCsid, 0L, TypeSetChunkSize, 0L,
+        p.toByteArray))
+    }
+    msgs.foreach(writeMessage)
+    out.toByteArray
+  }
+
+  private def rdU24(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 16) | ((b(off + 1) & 0xFFL) << 8) | (b(off + 2) & 0xFFL)
+  private def rdU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  private def rdU32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  /** Per-chunk-stream demux assembly state. */
+  private final class AsmState {
+    var streamId: Long = -1L
+    var ts: Long = -1L
+    var delta: Long = -1L
+    var len: Int = -1
+    var typeId: Int = -1
+    var headerHadExt: Boolean = false
+    var buf: ByteArrayOutputStream = null // non-null = mid-message
+    var remaining: Int = 0
+  }
+
+  /** Parse an RTMP chunk stream back into assembled messages.
+    * Processes Set Chunk Size control messages in-stream (they apply
+    * to every later chunk and are consumed, not returned). Validates
+    * chunk framing: a new-message header on a chunk stream with an
+    * unfinished message, a fmt-1/2/3 chunk on a virgin chunk stream,
+    * or a truncated chunk all fail loud. */
+  def demux(bytes: Array[Byte]): (Seq[RtmpMessage], ChunkStats) = {
+    val msgs = Seq.newBuilder[RtmpMessage]
+    val states = scala.collection.mutable.Map.empty[Int, AsmState]
+    var chunkSize = DefaultChunkSize
+    var fmt0 = 0L; var fmt1 = 0L; var fmt2 = 0L; var fmt3 = 0L
+    var extN = 0L; var setCs = 0L
+    var pos = 0
+    while (pos < bytes.length) {
+      val b0 = bytes(pos) & 0xFF
+      val fmt = b0 >> 6
+      var csid = b0 & 0x3F
+      pos += 1
+      if (csid == 0) {
+        require(pos < bytes.length, "truncated 2-byte basic header")
+        csid = 64 + (bytes(pos) & 0xFF); pos += 1
+      } else if (csid == 1) {
+        require(pos + 1 < bytes.length, "truncated 3-byte basic header")
+        csid = 64 + (bytes(pos) & 0xFF) + ((bytes(pos + 1) & 0xFF) << 8)
+        pos += 2
+      }
+      val st = states.getOrElseUpdate(csid, new AsmState)
+      val continuation = fmt == 3 && st.buf != null
+      if (!continuation) {
+        require(st.buf == null,
+          s"new message header (fmt $fmt) on csid $csid with " +
+            s"${st.remaining} bytes of an unfinished message")
+        require(fmt == 0 || st.ts >= 0,
+          s"fmt $fmt chunk on virgin csid $csid has nothing to inherit")
+        // message header fields by fmt, inheriting the rest
+        var tsField = st.delta
+        if (fmt <= 2) { tsField = rdU24(bytes, pos); pos += 3 }
+        if (fmt <= 1) {
+          st.len = rdU24(bytes, pos).toInt; st.typeId = bytes(pos + 3) & 0xFF
+          pos += 4
+        }
+        if (fmt == 0) { st.streamId = rdU32le(bytes, pos); pos += 4 }
+        val ext = (fmt <= 2 && tsField == 0xFFFFFF) ||
+          (fmt == 3 && st.headerHadExt)
+        if (fmt <= 2) st.headerHadExt = fmt <= 2 && tsField == 0xFFFFFF
+        if (ext) { tsField = rdU32(bytes, pos); pos += 4; extN += 1 }
+        st.ts = if (fmt == 0) tsField else st.ts + tsField
+        st.delta = tsField // fmt 0: absolute doubles as implied delta
+        require(st.len >= 0, s"csid $csid message with no length")
+        st.buf = new ByteArrayOutputStream(st.len)
+        st.remaining = st.len
+      } else {
+        // continuation of a split message (§5.3.2.2)
+        if (st.headerHadExt) { pos += 4; extN += 1 } // repeated ext field
+      }
+      fmt match {
+        case 0 => fmt0 += 1; case 1 => fmt1 += 1
+        case 2 => fmt2 += 1; case _ => fmt3 += 1
+      }
+      val n = math.min(st.remaining, chunkSize)
+      require(pos + n <= bytes.length, s"truncated chunk body at $pos")
+      st.buf.write(bytes, pos, n)
+      pos += n
+      st.remaining -= n
+      if (st.remaining == 0) {
+        val payload = st.buf.toByteArray
+        st.buf = null
+        if (st.typeId == TypeSetChunkSize) {
+          require(payload.length == 4, "Set Chunk Size payload must be u32")
+          val cs = rdU32(payload, 0)
+          require(cs >= 1 && cs <= 0x7FFFFFF, s"chunk size $cs out of range")
+          chunkSize = cs.toInt
+          setCs += 1
+        } else {
+          msgs += RtmpMessage(csid, st.streamId, st.typeId, st.ts, payload)
+        }
+      }
+    }
+    states.foreach { case (csid, st) =>
+      require(st.buf == null,
+        s"stream ended with ${st.remaining} bytes missing on csid $csid")
+    }
+    (msgs.result(), ChunkStats(fmt0, fmt1, fmt2, fmt3, extN, setCs))
+  }
+}
