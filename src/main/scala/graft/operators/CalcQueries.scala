@@ -1197,6 +1197,158 @@ object CalcQueries {
        |ORDER BY kind, container, ts_ms""".stripMargin
   }
 
+  // ================================================== c14: the LIVE
+  // ingest deployment — a stored artifact whose `inputcontainer` names
+  // an rtmp:// URL (exactly what a streamtasks user types for a live
+  // camera/encoder feed, inputcontainer.py:44-60), run against a
+  // CAPTURED RTMP byte stream: per container the fixture PCM is packed
+  // into 50-sample audio messages, muxed through the real chunk-stream
+  // framing ([[graft.sources.Rtmp]], m31's wire layer), demuxed back
+  // with header decompression, and the reassembled track feeds the
+  // loaded volume-monitoring DAG. The oracle rebuilds the ENTIRE wire
+  // stream in SQL — per-block fmt ladder (Type 0 start, Type 2 for the
+  // first equal-length repeat since the Type-0 timestamp doubles as
+  // the implied delta, Type 3 repeats, Type 1 for the short tail
+  // block), header hex, PCM16LE payload hex — and md5-pins every byte
+  // next to the recomputed meter blocks.
+
+  /** Stored JSON: `inputcontainer` (source rtmp://ingest/live, one raw
+    * s16 track at 1 kHz) → `audiovolumemeter` (time_window 125 ms) →
+    * named output, all under the reference's config field names. */
+  private val c14Json: String = s"""{
+    "deployment": {"id": "00000000-0000-4000-8000-0000000000fb", "label": "c14"},
+    "tasks": [
+      ${storedTask(1, hostId("InputContainerTaskHost"), "live",
+        """{"source": "rtmp://ingest/live", "real_time": false,
+           "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]}""",
+        "", audioMeta(1))},
+      ${storedTask(2, hostId("AudioVolumeMeterTaskHost"), "meter",
+        """{"sample_format": "s16", "rate": 1000, "time_window": 125,
+           "in_topic": 1, "out_topic": 2}""",
+        audioMeta(1), numMeta(2))},
+      ${storedTask(3, hostId("NamedOutputTaskHost"), "volume",
+        """{"name": "volume", "in_topic": 2}""", numMeta(2), "")}
+    ]}"""
+
+  /** c14: load [[c14Json]], bind the rtmp track to samples demuxed
+    * from real RTMP chunk-stream bytes built on the executors, run
+    * the compiled DAG multi-pipeline (one meter instance per
+    * container), and emit the volume blocks next to per-stream wire
+    * accounting (byte length, fmt-3 chunk count, md5 over the hex
+    * encoding — every framing byte under the hash gate). Scale: the
+    * mux/demux is one mapGroups per container (bytes never leave the
+    * executor); the meter machine keys by container. */
+  private def c14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{DeploymentJson, Pipeline}
+    import graft.sources.Rtmp
+    val loaded = DeploymentJson.load(c14Json, nodeName = Some(FixtureNode))
+    val clicks = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 3).as("c"),
+        least(greatest(round(col("value") * 100).cast(IntegerType),
+          lit(-32768)), lit(32767)).as("x"),
+        col("ts_ms"), col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    val demuxed = clicks.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+      // 50-sample PCM16LE messages on a 50 ms clock (1 kHz): the short
+      // tail block exercises the fmt-1 leg of the compression ladder
+      val msgs = xs.grouped(50).zipWithIndex.map { case (blk, b) =>
+        val payload = new Array[Byte](blk.length * 2)
+        var j = 0
+        while (j < blk.length) {
+          payload(2 * j) = (blk(j) & 0xFF).toByte
+          payload(2 * j + 1) = ((blk(j) >> 8) & 0xFF).toByte
+          j += 1
+        }
+        Rtmp.RtmpMessage(4, 1L, Rtmp.TypeAudio, 50L * b, payload)
+      }.toSeq
+      val bytes = Rtmp.mux(msgs)
+      val (dec, stats) = Rtmp.demux(bytes)
+      require(dec.size == msgs.size,
+        s"rtmp round-trip message count on container $k")
+      val md5 = md5Hex(bytes.map("%02x".format(_)).mkString.getBytes("UTF-8"))
+      dec.iterator.flatMap { m =>
+        (0 until m.payload.length / 2).iterator.map { j =>
+          val v = (m.payload(2 * j) & 0xFF) | (m.payload(2 * j + 1).toInt << 8)
+          ("s", k, m.tsMs + j, v.toLong, null: String)
+        }
+      } ++ Iterator(("r", k, bytes.length.toLong, stats.fmt3, md5))
+    }.toDF("kind", "c", "a", "b", "md5").cache()
+    val samples = demuxed.filter(col("kind") === "s")
+      .select(col("c").cast(StringType).as("pipe"), col("a").as("ts"),
+        col("b").cast(DoubleType).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("a").as("seq"))
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment,
+      Map(ni("rtmp://ingest/live#audio0") -> samples))
+    val vol = streams(no("volume")).filter(!col("paused"))
+      .select(lit("vol").as("kind"),
+        col("pipe").cast(LongType).as("container"),
+        col("ts").as("ts_ms"), col("value"), lit(125L).as("n"),
+        lit(null).cast(StringType).as("md5"))
+    val meta = demuxed.filter(col("kind") === "r")
+      .select(lit("rtmp").as("kind"), col("c").as("container"),
+        lit(0L).as("ts_ms"), col("b").cast(DoubleType).as("value"),
+        col("a").as("n"), col("md5"))
+    vol.unionByName(meta)
+      .orderBy(col("kind"), col("container"), col("ts_ms"))
+  }
+
+  private val c14Sql =
+    s"""WITH s AS (SELECT user_id % 3 AS c,
+       |    least(greatest(CAST(round(value * 100) AS INT), -32768), 32767) AS x,
+       |    ts_ms, event_id
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |idx AS (SELECT c, x,
+       |    row_number() OVER (PARTITION BY c ORDER BY ts_ms, event_id) - 1 AS i
+       |  FROM s),
+       |n AS (SELECT c, count(*) AS nc FROM idx GROUP BY c),
+       |-- AudioChunker at 1 kHz: block k covers samples [125k, 125k+125)
+       |-- and releases only when sample 125k+125 ARRIVES, stamped at its
+       |-- head sample's time (the c10 meter, gain 1.0 here)
+       |vol AS (SELECT idx.c, (i // 125) * 125 AS ts_ms,
+       |        sqrt(CAST(sum(abs(x)) AS DOUBLE) / 32767.0 / 125.0) AS value
+       |      FROM idx JOIN n ON idx.c = n.c
+       |      WHERE (i // 125) * 125 + 125 <= nc - 1
+       |      GROUP BY idx.c, i // 125),
+       |-- the wire stream: 50-sample PCM16LE messages on a 50 ms clock,
+       |-- csid 4 / type 8 / stream id 1, single-chunk at size 128
+       |blkhex AS (SELECT c, i // 50 AS b, count(*) AS bl,
+       |        string_agg(printf('%02x%02x', ((x + 65536) % 65536) % 256,
+       |          ((x + 65536) % 65536) // 256), '' ORDER BY i) AS phex
+       |      FROM idx GROUP BY c, i // 50),
+       |-- mux compression ladder: Type 0 start; short tail -> Type 1;
+       |-- first equal-length repeat -> Type 2 (delta 50 differs from the
+       |-- Type-0 timestamp 0, which doubles as the implied delta); then
+       |-- Type 3
+       |fmtb AS (SELECT *, CASE WHEN b = 0 THEN 0
+       |          WHEN bl <> lag(bl) OVER w THEN 1
+       |          WHEN b = 1 THEN 2 ELSE 3 END AS fmt
+       |        FROM blkhex WINDOW w AS (PARTITION BY c ORDER BY b)),
+       |rt AS (SELECT c,
+       |        SUM(CASE WHEN fmt = 3 THEN 1 ELSE 0 END) AS f3,
+       |        SUM(CASE fmt WHEN 0 THEN 12 WHEN 1 THEN 8 WHEN 2 THEN 4
+       |            ELSE 1 END + 2 * bl) AS blen,
+       |        md5(string_agg(
+       |          CASE fmt
+       |            WHEN 0 THEN '04000000' || printf('%06x', 2 * bl) || '0801000000'
+       |            WHEN 1 THEN '44000032' || printf('%06x', 2 * bl) || '08'
+       |            WHEN 2 THEN '84000032'
+       |            ELSE 'c4' END || phex, '' ORDER BY b)) AS md5
+       |      FROM fmtb GROUP BY c)
+       |SELECT kind, container, ts_ms, value, n, md5 FROM (
+       |  SELECT 'vol' AS kind, c AS container, CAST(ts_ms AS BIGINT) AS ts_ms,
+       |         value, 125::BIGINT AS n, NULL::VARCHAR AS md5 FROM vol
+       |  UNION ALL
+       |  SELECT 'rtmp', c, 0, CAST(f3 AS DOUBLE), CAST(blen AS BIGINT), md5
+       |  FROM rt)
+       |ORDER BY kind, container, ts_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -1211,5 +1363,6 @@ object CalcQueries {
     Q("c11_video_deployment", c11, Some(c11Sql)),
     Q("c12_audio_deployment", c12, Some(c12Sql)),
     Q("c13_inference_deployment", c13, Some(c13Sql)),
+    Q("c14_live_deployment", c14, Some(c14Sql)),
   )
 }
