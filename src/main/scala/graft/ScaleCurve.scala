@@ -63,7 +63,9 @@ object ScaleCurve {
     // loaded video deployment (per-frame kernels + keyed meter), FLV
     // (per-container mapGroups — the m16 shape)
     "p12_audio_fingerprint", "g08_hyperball", "c11_video_deployment",
-    "m30_flv_container")
+    "m30_flv_container",
+    "m31_rtmp_chunks",      // per-container chunk framing: the m30 shape
+    "c14_live_deployment")  // RTMP capture -> loaded DAG: mux/demux + keyed meter
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k

@@ -1301,6 +1301,88 @@ object ContainerQueries {
       |FROM ord o JOIN stats s USING (container)
       |ORDER BY container, msg_idx""".stripMargin
 
+  /** m32: AMF0 stream metadata through the chunk stream
+    * ([[graft.sources.Amf]] over [[graft.sources.Rtmp]]) — a live
+    * publish opens with an `onMetaData` DATA message (RTMP type 18)
+    * whose AMF0 string + ECMA array libav parses for stream
+    * configuration when the reference opens an `rtmp://` source
+    * (media/container.py:38-116). Per container, fixture-derived
+    * metadata (duration, sample rate, stereo flag, mean |amplitude|)
+    * is AMF0-encoded, muxed as the leading type-18 message ahead of
+    * the c14 PCM blocks, demuxed back, DECODED, and byte-compared to
+    * the encoder's output; the emitted row carries the decoded values
+    * so the oracle's independent recomputation (plus the spec-derived
+    * 88-byte AMF payload length and the message count) pins the
+    * encode∘decode fixpoint. Scale: one mapGroups per container. */
+  private def m32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Amf, Rtmp}
+    import graft.sources.Amf._
+    import graft.sources.Rtmp.RtmpMessage
+    val rows = eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("c"),
+        least(greatest(round(col("value") * 100).cast(IntegerType),
+          lit(-32768)), lit(32767)).as("x"),
+        col("ts_ms"), col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    rows.groupByKey(_._1).mapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+      val sumAbs = xs.map(v => math.abs(v).toLong).sum
+      val meta = Amf.encode(Seq(AmfString("onMetaData"), AmfEcmaArray(Seq(
+        "duration" -> AmfNumber(xs.length / 1000.0),
+        "samplerate" -> AmfNumber(1000.0),
+        "stereo" -> AmfBoolean(false),
+        "avgabs" -> AmfNumber(sumAbs.toDouble / xs.length)))))
+      val audio = xs.grouped(50).zipWithIndex.map { case (blk, b) =>
+        val payload = new Array[Byte](blk.length * 2)
+        var j = 0
+        while (j < blk.length) {
+          payload(2 * j) = (blk(j) & 0xFF).toByte
+          payload(2 * j + 1) = ((blk(j) >> 8) & 0xFF).toByte
+          j += 1
+        }
+        RtmpMessage(4, 1L, Rtmp.TypeAudio, 50L * b, payload)
+      }.toSeq
+      val msgs = RtmpMessage(4, 1L, 18, 0L, meta) +: audio
+      val bytes = Rtmp.mux(msgs)
+      val (dec, _) = Rtmp.demux(bytes)
+      require(dec.size == msgs.size && dec.head.typeId == 18 &&
+        java.util.Arrays.equals(dec.head.payload, meta),
+        s"metadata message round-trip on container $k")
+      // the row carries what the DECODER read back, not the inputs
+      val (dur, rate, stereo, avg) = Amf.decode(dec.head.payload) match {
+        case Seq(AmfString("onMetaData"), AmfEcmaArray(es)) =>
+          val m = es.toMap
+          (m("duration").asInstanceOf[AmfNumber].v,
+            m("samplerate").asInstanceOf[AmfNumber].v,
+            m("stereo").asInstanceOf[AmfBoolean].v,
+            m("avgabs").asInstanceOf[AmfNumber].v)
+        case other => sys.error(s"unexpected AMF shape: $other")
+      }
+      (k, dur, rate, stereo, avg, meta.length.toLong, msgs.size.toLong)
+    }.toDF("container", "duration", "samplerate", "stereo", "avgabs",
+        "amf_len", "n_msgs")
+      .orderBy(col("container"))
+  }
+
+  private val m32Sql =
+    """WITH s AS (SELECT user_id % 16 AS c,
+      |    least(greatest(CAST(round(value * 100) AS INT), -32768), 32767) AS x
+      |  FROM events WHERE event_type = 'click'),
+      |agg AS (SELECT c, count(*) AS nc, sum(abs(x)) AS sa FROM s GROUP BY c)
+      |-- AMF payload length is spec arithmetic: 13 ("onMetaData" string)
+      |-- + 5 (ECMA header) + 19/21/10/17 (duration, samplerate, stereo,
+      |-- avgabs entries) + 3 (end marker) = 88
+      |SELECT c AS container,
+      |  CAST(nc AS DOUBLE) / 1000.0 AS duration,
+      |  CAST(1000.0 AS DOUBLE) AS samplerate,
+      |  FALSE AS stereo,
+      |  CAST(sa AS DOUBLE) / CAST(nc AS DOUBLE) AS avgabs,
+      |  CAST(88 AS BIGINT) AS amf_len,
+      |  CAST(1 + ceil(nc / 50.0) AS BIGINT) AS n_msgs
+      |FROM agg ORDER BY container""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1316,5 +1398,6 @@ object ContainerQueries {
     Q("m28_motion_codec", m28, Some(m28Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
+    Q("m32_rtmp_metadata", m32, Some(m32Sql)),
   )
 }
