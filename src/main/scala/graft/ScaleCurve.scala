@@ -65,7 +65,8 @@ object ScaleCurve {
     "p12_audio_fingerprint", "g08_hyperball", "c11_video_deployment",
     "m30_flv_container",
     "m31_rtmp_chunks",      // per-container chunk framing: the m30 shape
-    "c14_live_deployment")  // RTMP capture -> loaded DAG: mux/demux + keyed meter
+    "c14_live_deployment",  // RTMP capture -> loaded DAG: mux/demux + keyed meter
+    "m32_rtmp_metadata")    // AMF0 metadata lead message: per-container scan
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k

@@ -1252,18 +1252,12 @@ object CalcQueries {
         col("ts_ms"), col("event_id"))
       .as[(Long, Int, Long, Long)]
     val demuxed = clicks.groupByKey(_._1).flatMapGroups { (k, it) =>
+      import graft.sources.Wav
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       // 50-sample PCM16LE messages on a 50 ms clock (1 kHz): the short
       // tail block exercises the fmt-1 leg of the compression ladder
       val msgs = xs.grouped(50).zipWithIndex.map { case (blk, b) =>
-        val payload = new Array[Byte](blk.length * 2)
-        var j = 0
-        while (j < blk.length) {
-          payload(2 * j) = (blk(j) & 0xFF).toByte
-          payload(2 * j + 1) = ((blk(j) >> 8) & 0xFF).toByte
-          j += 1
-        }
-        Rtmp.RtmpMessage(4, 1L, Rtmp.TypeAudio, 50L * b, payload)
+        Rtmp.RtmpMessage(4, 1L, Rtmp.TypeAudio, 50L * b, Wav.pcm16(blk))
       }.toSeq
       val bytes = Rtmp.mux(msgs)
       val (dec, stats) = Rtmp.demux(bytes)
@@ -1271,8 +1265,7 @@ object CalcQueries {
         s"rtmp round-trip message count on container $k")
       val md5 = md5Hex(bytes.map("%02x".format(_)).mkString.getBytes("UTF-8"))
       dec.iterator.flatMap { m =>
-        (0 until m.payload.length / 2).iterator.map { j =>
-          val v = (m.payload(2 * j) & 0xFF) | (m.payload(2 * j + 1).toInt << 8)
+        Wav.samples16(m.payload).iterator.zipWithIndex.map { case (v, j) =>
           ("s", k, m.tsMs + j, v.toLong, null: String)
         }
       } ++ Iterator(("r", k, bytes.length.toLong, stats.fmt3, md5))

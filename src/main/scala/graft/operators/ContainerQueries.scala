@@ -1335,14 +1335,8 @@ object ContainerQueries {
         "stereo" -> AmfBoolean(false),
         "avgabs" -> AmfNumber(sumAbs.toDouble / xs.length)))))
       val audio = xs.grouped(50).zipWithIndex.map { case (blk, b) =>
-        val payload = new Array[Byte](blk.length * 2)
-        var j = 0
-        while (j < blk.length) {
-          payload(2 * j) = (blk(j) & 0xFF).toByte
-          payload(2 * j + 1) = ((blk(j) >> 8) & 0xFF).toByte
-          j += 1
-        }
-        RtmpMessage(4, 1L, Rtmp.TypeAudio, 50L * b, payload)
+        RtmpMessage(4, 1L, Rtmp.TypeAudio, 50L * b,
+          graft.sources.Wav.pcm16(blk))
       }.toSeq
       val msgs = RtmpMessage(4, 1L, 18, 0L, meta) +: audio
       val bytes = Rtmp.mux(msgs)

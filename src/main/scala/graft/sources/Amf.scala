@@ -77,7 +77,10 @@ object Amf {
 
   private final class Reader(b: Array[Byte]) {
     var pos = 0
-    def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
+    def u8(): Int = {
+      require(pos < b.length, s"truncated AMF at $pos")
+      val v = b(pos) & 0xFF; pos += 1; v
+    }
     def u16(): Int = (u8() << 8) | u8()
     def u32(): Long = ((u8().toLong << 24) | (u8().toLong << 16) |
       (u8().toLong << 8) | u8().toLong)

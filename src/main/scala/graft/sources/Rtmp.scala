@@ -104,10 +104,14 @@ object Rtmp {
     * Size control message, exactly as a real ingest does. */
   def mux(msgs: Seq[RtmpMessage], chunkSize: Int = DefaultChunkSize)
       : Array[Byte] = {
-    require(chunkSize >= 1 && chunkSize <= 0x7FFFFFF, s"chunkSize $chunkSize")
+    require(chunkSize >= 1 && chunkSize <= 0x7FFFFFFF, s"chunkSize $chunkSize")
     val out = new ByteArrayOutputStream(
       64 + msgs.map(m => m.payload.length + 24).sum)
     val states = scala.collection.mutable.Map.empty[Int, CsState]
+    // the chunk size IN EFFECT: a Set Chunk Size message is itself
+    // framed at the old size — the declared size applies only to
+    // chunks after it (§5.4.1), exactly how the demux switches
+    var effChunkSize = DefaultChunkSize
     def writeMessage(m: RtmpMessage): Unit = {
       require(m.csid != ControlCsid || m.typeId == TypeSetChunkSize,
         s"csid 2 is reserved for protocol control, got type ${m.typeId}")
@@ -131,16 +135,16 @@ object Rtmp {
       if (fmt <= 2) st.headerHadExt = ext
       if (ext) u32(out, tsField)
       else if (fmt == 3 && st.headerHadExt) u32(out, tsField)
-      // first chunk carries min(len, chunkSize) payload bytes, the
+      // first chunk carries min(len, effChunkSize) payload bytes, the
       // rest continues in fmt-3 chunks on the same chunk stream
-      var off = math.min(m.payload.length, chunkSize)
+      var off = math.min(m.payload.length, effChunkSize)
       out.write(m.payload, 0, off)
       while (off < m.payload.length) {
         basicHeader(out, 3, m.csid)
         // §5.3.1.3: fmt-3 carries the extended field iff the most
         // recent fmt-0/1/2 header on this chunk stream did
         if (st.headerHadExt) u32(out, tsField)
-        val n = math.min(m.payload.length - off, chunkSize)
+        val n = math.min(m.payload.length - off, effChunkSize)
         out.write(m.payload, off, n)
         off += n
       }
@@ -151,6 +155,16 @@ object Rtmp {
       else if (fmt <= 2) st.delta = tsField
       st.streamId = m.streamId; st.ts = m.tsMs
       st.len = m.payload.length; st.typeId = m.typeId
+      // a Set Chunk Size takes effect AFTER its own chunks — whether
+      // the leading declaration or a caller-supplied mid-stream one
+      if (m.typeId == TypeSetChunkSize) {
+        require(m.payload.length == 4, "Set Chunk Size payload must be u32")
+        val cs = ((m.payload(0) & 0xFFL) << 24) |
+          ((m.payload(1) & 0xFFL) << 16) |
+          ((m.payload(2) & 0xFFL) << 8) | (m.payload(3) & 0xFFL)
+        require(cs >= 1 && cs <= 0x7FFFFFFF, s"chunk size $cs out of range")
+        effChunkSize = cs.toInt
+      }
     }
     if (chunkSize != DefaultChunkSize) {
       val p = new ByteArrayOutputStream(4); u32(p, chunkSize.toLong)
@@ -252,7 +266,7 @@ object Rtmp {
         if (st.typeId == TypeSetChunkSize) {
           require(payload.length == 4, "Set Chunk Size payload must be u32")
           val cs = rdU32(payload, 0)
-          require(cs >= 1 && cs <= 0x7FFFFFF, s"chunk size $cs out of range")
+          require(cs >= 1 && cs <= 0x7FFFFFFF, s"chunk size $cs out of range")
           chunkSize = cs.toInt
           setCs += 1
         } else {

@@ -129,6 +129,49 @@ class RtmpSpec extends AnyFunSuite {
     assert((stats.fmt0, stats.fmt3) == (2L, 2L))
   }
 
+  test("the Set Chunk Size declaration is framed at the OLD size " +
+      "(§5.4.1: it applies only to later chunks) — a tiny declared " +
+      "size must not split the declaration itself") {
+    val payload = ("v" * 10).getBytes("US-ASCII")
+    val bytes = Rtmp.mux(Seq(RtmpMessage(9, 1L, 9, 0L, payload)),
+      chunkSize = 2)
+    val (dec, stats) = Rtmp.demux(bytes)
+    assert(dec.size == 1 && dec.head.payload.toSeq == payload.toSeq)
+    // the 4-byte declaration rides ONE chunk at the default size; the
+    // 10-byte message then splits into 5 two-byte chunks
+    assert(stats.setChunkSize == 1L)
+    assert((stats.fmt0, stats.fmt3) == (2L, 4L))
+  }
+
+  test("a caller-supplied mid-stream Set Chunk Size re-frames every " +
+      "later chunk on both sides") {
+    val scs = {
+      val p = new java.io.ByteArrayOutputStream(4)
+      p.write(0); p.write(0); p.write(0); p.write(16)
+      RtmpMessage(Rtmp.ControlCsid, 0L, Rtmp.TypeSetChunkSize, 0L,
+        p.toByteArray)
+    }
+    val big = ("w" * 64).getBytes("US-ASCII")
+    val msgs = Seq(RtmpMessage(9, 1L, 9, 0L, big), scs,
+      RtmpMessage(9, 1L, 9, 10L, big))
+    val (dec, stats) = Rtmp.demux(Rtmp.mux(msgs))
+    // first 64B message: one chunk at 128; after the switch to 16,
+    // the second 64B message takes 4 chunks
+    assert(dec.size == 2)
+    assert(dec.map(_.payload.length) == Seq(64, 64))
+    assert(stats.setChunkSize == 1L && stats.fmt3 == 3L)
+    // 31-bit maximum is accepted (0x7FFFFFFF, spec §5.4.1)
+    val max = {
+      val p = new java.io.ByteArrayOutputStream(4)
+      p.write(0x7F); p.write(0xFF); p.write(0xFF); p.write(0xFF)
+      RtmpMessage(Rtmp.ControlCsid, 0L, Rtmp.TypeSetChunkSize, 0L,
+        p.toByteArray)
+    }
+    val (dec2, _) = Rtmp.demux(Rtmp.mux(Seq(max,
+      RtmpMessage(9, 1L, 9, 0L, big))))
+    assert(dec2.size == 1 && dec2.head.payload.length == 64)
+  }
+
   test("2- and 3-byte basic headers carry chunk-stream ids 64-319 and " +
       "320-65599") {
     val msgs = Seq(msg(64, 1, "lo2"), msg(319, 2, "hi2"),
