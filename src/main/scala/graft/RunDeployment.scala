@@ -18,6 +18,15 @@ import org.apache.spark.sql.SparkSession
   *    parquet: columns (ts LONG, value DOUBLE, text STRING,
   *    paused BOOLEAN, seq LONG) plus an optional `pipe` STRING for
   *    multi-pipeline runs;
+  *  - an input-container TRACK may instead be bound to a CAPTURED
+  *    `.flv` file (the frame layer RTMP delivers, [[sources.Flv]]):
+  *    the capture is read distributed (`binaryFile` — bytes stay on
+  *    executors), demuxed, and the matching track becomes the
+  *    envelope stream — raw-s16 audio payloads explode to per-sample
+  *    rows on the track's declared sample clock (rate from the
+  *    deployment's track config), video tags become one frame-hex row
+  *    each. Only `#audio0`/`#video0` exist in an FLV (one stream of
+  *    each kind);
   *  - `--node` enables the reference's hash task_host_id resolution
   *    (task.py:153) for real exports; loader-friendly exports with
   *    plain kind names need nothing;
@@ -76,7 +85,7 @@ object RunDeployment {
       s"unbound named inputs: ${missing.toSeq.sorted.mkString(", ")} — " +
         "pass --bind <name>=<envelope.parquet> for each")
     val sources = loaded.namedInputs.map { case (name, stream) =>
-      stream -> spark.read.parquet(binds(name))
+      stream -> bindFrame(spark, loaded, name, stream, binds(name))
     }
     val streams = Pipeline.compile(loaded.deployment, sources)
     val counts = loaded.namedOutputs.toSeq.sortBy(_._1).map {
@@ -89,5 +98,52 @@ object RunDeployment {
       .mkString("""{"deployment":"""" + loaded.deployment.name +
         """","outputs":{""", ",", "}}"))
     if (!preExisting) spark.stop()
+  }
+
+  /** One bound input: envelope parquet, or a captured `.flv` demuxed
+    * distributed into the named track's envelope stream. */
+  private[graft] def bindFrame(spark: SparkSession,
+      loaded: DeploymentJson.Loaded, name: String, stream: String,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    if (!path.endsWith(".flv")) return spark.read.parquet(path)
+    val m = "#(audio|video)(\\d+)$".r.findFirstMatchIn(name).getOrElse(
+      sys.error(s"--bind $name=$path: only input-container tracks " +
+        "(<source>#audio0 / <source>#video0) can bind an .flv capture"))
+    val kind = m.group(1)
+    require(m.group(2).toInt == 0,
+      s"--bind $name: an FLV carries one $kind stream — only index 0 exists")
+    // the track's declared sample clock, from the loaded deployment
+    val rate = loaded.deployment.tasks
+      .collectFirst { case t if t.outputs.contains(stream) => t.op }
+      .collect { case graft.plans.Pipeline.SourceOp(meta) =>
+        meta.fields.get("rate") }
+      .flatten.map(_.toLong).getOrElse(1000L)
+    val bytesDf = spark.read.format("binaryFile").load(path)
+      .select(col("content").as[Array[Byte]])
+    if (kind == "audio")
+      bytesDf.flatMap { bytes =>
+        val (_, _, tags) = graft.sources.Flv.demux(bytes)
+        tags.iterator.filter(_.tagType == graft.sources.Flv.TagAudio)
+          .flatMap { t =>
+            graft.sources.Wav.samples16(t.payload).iterator.zipWithIndex
+              .map { case (v, j) =>
+                val ts = t.tsMs + j * 1000L / rate
+                (ts, v.toDouble, null: String, false, ts)
+              }
+          }
+      }.toDF("ts", "value", "text", "paused", "seq")
+    else
+      bytesDf.flatMap { bytes =>
+        val (_, _, tags) = graft.sources.Flv.demux(bytes)
+        tags.iterator.filter(_.tagType == graft.sources.Flv.TagVideo)
+          .map { t =>
+            // frames ride `text` as lowercase hex (the engine's video
+            // envelope convention); value NaN marks a text payload
+            (t.tsMs, Double.NaN,
+              t.payload.map("%02x".format(_)).mkString, false, t.tsMs)
+          }
+      }.toDF("ts", "value", "text", "paused", "seq")
   }
 }

@@ -204,11 +204,22 @@ object DeploymentJson {
             namedIn += s"$src#$kindLbl$i" -> s0
             val nm = s"${name}_$kindLbl$i"
             require(seen.add(nm), s"$ctx: track task name '$nm' collides")
-            // the track's declared codec flows into the IO metadata so
-            // a coded track wires to the matching decoder (the
-            // reference's config_to_output_map convention)
+            // the track's declared codec AND rate flow into the IO
+            // metadata so a coded track wires to the matching decoder
+            // and rate-aware consumers/binders (RunDeployment's .flv
+            // capture binding) can read the sample clock — the
+            // reference's config_to_output_map convention
+            // (inputcontainer.py:48-60 carries rate per track).
+            // compatibleWith only checks intersecting keys, so
+            // rate-less consumer metas are unaffected.
             val codec = cfgString(t, "codec", "raw")
-            TaskSpec(nm, SourceOp(IOMeta(meta.fields + ("codec" -> codec))),
+            val extra = (t \ "rate") match {
+              case JInt(r) => Map("rate" -> r.toString)
+              case JDouble(r) => Map("rate" -> r.toInt.toString)
+              case _ => Map.empty[String, String]
+            }
+            TaskSpec(nm,
+              SourceOp(IOMeta(meta.fields + ("codec" -> codec) ++ extra)),
               Nil, s0)
           }
           case _ => Nil

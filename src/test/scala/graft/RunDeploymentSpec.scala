@@ -68,6 +68,54 @@ class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((3L, 7.0), (5L, 9.0)))
   }
 
+  test("an inputcontainer track binds a CAPTURED .flv file: the " +
+      "capture demuxes distributed, raw-s16 audio explodes to samples " +
+      "on the declared clock, and the loaded meter DAG runs on it") {
+    import graft.sources.{Flv, Wav}
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep3")
+      .toString
+    // capture: 300 samples of |x| = 1000 at 1 kHz in three 100-sample
+    // audio tags, plus a video tag the audio bind must skip
+    val tags = (0 until 3).map { b =>
+      Flv.FlvTag(Flv.TagAudio, b * 100L, keyframe = true,
+        Wav.pcm16(Array.fill(100)(if (b % 2 == 0) 1000 else -1000)))
+    } :+ Flv.FlvTag(Flv.TagVideo, 0L, keyframe = true,
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/capture.flv"), Flv.mux(tags))
+    // rtmp-sourced inputcontainer -> volume meter -> named output,
+    // the c14 DAG as a user artifact
+    val json = """{
+      "deployment": {"id": "d", "label": "live"},
+      "tasks": [
+        {"id": "1", "deployment_id": "d", "task_host_id": "inputcontainer",
+         "label": "live", "config": {"source": "rtmp://cam/main",
+           "real_time": false, "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "2", "deployment_id": "d", "task_host_id": "audiovolumemeter",
+         "label": "meter", "config": {"sample_format": "s16",
+           "rate": 1000, "time_window": 125, "in_topic": 1, "out_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "3", "deployment_id": "d", "task_host_id": "namedoutput",
+         "label": "out", "config": {"name": "volume", "in_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []}
+      ]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out",
+      "--bind", s"rtmp://cam/main#audio0=$dir/capture.flv"))
+    val got = spark.read.parquet(s"$dir/out/volume.parquet")
+      .filter(!org.apache.spark.sql.functions.col("paused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // 300 constant-|1000| samples -> blocks at 0 and 125 release when
+    // samples 125/250 arrive; the block at 250 never completes
+    assert(got.map(_._1).toSeq == Seq(0L, 125L))
+    val expect = math.sqrt(1000.0 * 125 / 32767.0 / 125.0)
+    got.foreach { case (_, v) => assert(math.abs(v - expect) < 1e-12) }
+  }
+
   test("unbound named inputs fail loudly with the missing names") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rundep2")
       .toString
