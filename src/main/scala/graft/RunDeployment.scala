@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * runMain graft.RunDeployment <deployment.json> <outDir> \
-  *   [--bind name=envelope.parquet ...] [--node nodeName]
+  *   [--bind name=envelope.parquet ...] [--node nodeName] [--streaming]
   * }}}
   *
   *  - every named input (named-input tasks, pulse-generator ticks,
@@ -33,16 +33,25 @@ import org.apache.spark.sql.SparkSession
   *  - every named output is written to `outDir/<name>.parquet` and a
   *    one-line JSON summary of row counts goes to stdout.
   *
-  * Batch semantics (the hash-gated engine path); the streaming branch
-  * of the same compile is driven by [[graft.plans.PipelineManager]]
-  * (checkpoints, start/stop/status) — see PipelineSpec's lifecycle
-  * tests and the c09/e50 mounts.
+  * Default is batch semantics (the hash-gated engine path).
+  * `--streaming` runs the SAME compiled DAG on the Structured
+  * Streaming branch instead: every bound input is staged and replayed
+  * as a file-source stream (one file per micro-batch), the machines
+  * run as flatMapGroupsWithState over real state stores, and each
+  * named output lands through a checkpointed parquet FILE SINK with
+  * an `AvailableNow` trigger — the run drains the staged input and
+  * terminates, like the reference's deployment start→Ended lifecycle.
+  * State still buffered when the source drains stays buffered (ship
+  * in-band pause markers to flush, e27's convention). The long-lived
+  * schedule/start/stop/status surface is [[graft.plans.PipelineManager]]
+  * — see PipelineSpec's lifecycle tests and the c09/e50 mounts.
   */
 object RunDeployment {
   def main(args: Array[String]): Unit = {
     val positional = Vector.newBuilder[String]
     val bindsB = Map.newBuilder[String, String]
     var nodeName: Option[String] = None
+    var streaming = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -54,13 +63,14 @@ object RunDeployment {
         case "--node" =>
           require(i + 1 < args.length, "--node takes a node name")
           nodeName = Some(args(i + 1)); i += 2
+        case "--streaming" => streaming = true; i += 1
         case a => positional += a; i += 1
       }
     }
     val pos = positional.result()
     require(pos.length == 2,
       "usage: RunDeployment <deployment.json> <outDir> " +
-        "[--bind name=path ...] [--node nodeName]")
+        "[--bind name=path ...] [--node nodeName] [--streaming]")
     val Vector(jsonPath, outDir) = pos
     val binds = bindsB.result()
 
@@ -84,14 +94,68 @@ object RunDeployment {
     require(missing.isEmpty,
       s"unbound named inputs: ${missing.toSeq.sorted.mkString(", ")} — " +
         "pass --bind <name>=<envelope.parquet> for each")
-    val sources = loaded.namedInputs.map { case (name, stream) =>
-      stream -> bindFrame(spark, loaded, name, stream, binds(name))
-    }
+    val sources: Map[String, org.apache.spark.sql.DataFrame] =
+      if (!streaming)
+        loaded.namedInputs.map { case (name, stream) =>
+          stream -> bindFrame(spark, loaded, name, stream, binds(name))
+        }
+      else {
+        // ONE unified staged source (the engine's mount convention,
+        // c06/c09/e50): all inputs tagged and chunked on the GLOBAL
+        // ts order — separate per-input file sources would make the
+        // cross-input arrival order a batch-alignment accident (a
+        // control topic could open a gate a batch before its data),
+        // where the unified chunks replay the same event order the
+        // batch fold uses. Equal-ts rows never straddle a chunk
+        // (range partitioning keeps equal keys together), so the
+        // in-batch (ts, control-first, seq) sort sees every tie.
+        import org.apache.spark.sql.functions.{col, lit}
+        val tagged = loaded.namedInputs.toSeq.sortBy(_._1).map {
+          case (name, stream) =>
+            bindFrame(spark, loaded, name, stream, binds(name))
+              .withColumn("__input", lit(name))
+        }
+        val schemas = tagged.map(_.schema.fieldNames.toSeq).distinct
+        require(schemas.size == 1,
+          s"--streaming needs identical envelope schemas across inputs, " +
+            s"got: ${schemas.mkString(" vs ")}")
+        val stage = s"$outDir/_stage"
+        val unified = tagged.reduce(_ unionByName _)
+        unified.repartitionByRange(2, col("ts"))
+          .write.mode("overwrite").parquet(stage)
+        // the file source orders by MODIFICATION TIME and a same-ms
+        // write leaves the chunk order to the filesystem — pin it
+        // explicitly, ascending in part order (the throughStream
+        // mount's convention): part-00000 must replay first
+        val parts = Option(new java.io.File(stage).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis() - 600000L
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(t0 + i * 1000L) }
+        val streamDf = spark.readStream.schema(unified.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        loaded.namedInputs.map { case (name, stream) =>
+          stream -> streamDf.filter(col("__input") === name).drop("__input")
+        }
+      }
     val streams = Pipeline.compile(loaded.deployment, sources)
     val counts = loaded.namedOutputs.toSeq.sortBy(_._1).map {
       case (name, stream) =>
         val path = s"$outDir/$name.parquet"
-        streams(stream).write.mode("overwrite").parquet(path)
+        if (!streaming) {
+          streams(stream).write.mode("overwrite").parquet(path)
+        } else {
+          // checkpointed exactly-once file sink; AvailableNow drains
+          // the staged source and terminates (start -> Ended)
+          streams(stream).writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", s"$outDir/_checkpoints/$name")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
         name -> spark.read.parquet(path).count()
     }
     println(counts.map { case (n, c) => s""""$n":$c""" }
