@@ -1342,6 +1342,130 @@ object CalcQueries {
        |  FROM rt)
        |ORDER BY kind, container, ts_ms""".stripMargin
 
+  // ============================================= e51: LIVE INGEST on
+  // the streaming engine — captured FLV segments ARRIVING AS FILES,
+  // demuxed INSIDE the streaming plan. c14 proved the loaded rtmp
+  // deployment against a captured byte stream demuxed batch-side;
+  // here the bytes themselves are the stream: each container's
+  // capture lands as two FLV segment files (executor-written, like a
+  // live ingest dropping segments into a spool directory), a
+  // binary-file source replays one segment generation per
+  // micro-batch, the FLV demux + PCM explode run per batch in the
+  // plan, and the loaded meter DAG's AudioChunker state crosses the
+  // segment boundary (the split sits at sample 150, mid-way through
+  // the [125,250) block, so the straddling chunk can only be emitted
+  // from state carried across batches). Oracle: the meter blocks are
+  // a pure function of the reassembled sample stream — c14's vol CTE.
+
+  private def e51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{DeploymentJson, Pipeline}
+    import graft.sources.{Flv, Wav}
+    val loaded = DeploymentJson.load(c14Json, nodeName = Some(FixtureNode))
+    val clicks = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 3).as("c"),
+        least(greatest(round(col("value") * 100).cast(IntegerType),
+          lit(-32768)), lit(32767)).as("x"),
+        col("ts_ms"), col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    val tmpBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val base = new java.io.File(
+      s"$tmpBase/graft-e51-${System.nanoTime()}")
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val srcPath = srcDir.toString
+    // executor-side segment writes — bytes never at the driver; a
+    // single-box spool dir here, HDFS/S3 on a cluster
+    clicks.groupByKey(_._1).mapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+      val segs = Seq(xs.take(150), xs.drop(150)).filter(_.nonEmpty)
+      segs.zipWithIndex.foreach { case (seg, si) =>
+        val off = if (si == 0) 0L else 150L
+        val tags = seg.grouped(50).zipWithIndex.map { case (blk, b) =>
+          Flv.FlvTag(Flv.TagAudio, off + 50L * b, keyframe = true,
+            Wav.pcm16(blk))
+        }.toSeq
+        val f = new java.io.File(srcPath, f"seg-$si%03d-c$k.flv")
+        java.nio.file.Files.write(f.toPath, Flv.mux(tags))
+      }
+      k
+    }.write.format("noop").mode("overwrite").save()
+    // pin replay order: segment generation 0 (all containers) strictly
+    // before generation 1 — the file source orders by mtime
+    val files = Option(srcDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".flv")).sortBy(_.getName)
+    require(files.nonEmpty, "e51: no FLV segments written")
+    val t0 = System.currentTimeMillis() - 600000L
+    files.foreach { f =>
+      val gen = f.getName.drop(4).takeWhile(_ != '-').toInt
+      f.setLastModified(t0 + gen * 1000L)
+    }
+    val perBatch = files.count(_.getName.startsWith("seg-000"))
+    // isolated session (the throughStream convention): per-stream conf
+    // never touches the shared batch session
+    val ss = s.newSession()
+    import org.apache.spark.sql.types.{StructType, StructField, StringType => SString, BinaryType => SBinary, LongType => SLong, TimestampType => STs}
+    val binSchema = StructType(Seq(
+      StructField("path", SString), StructField("modificationTime", STs),
+      StructField("length", SLong), StructField("content", SBinary)))
+    val bin = ss.readStream.format("binaryFile").schema(binSchema)
+      .option("maxFilesPerTrigger", perBatch).load(srcPath)
+      .select(col("path"), col("content"))
+    // FLV demux + PCM explode INSIDE the streaming plan, per batch
+    val env = bin.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      val c = name.substring(name.lastIndexOf("-c") + 2)
+        .stripSuffix(".flv")
+      val (_, _, tags) = Flv.demux(bytes)
+      tags.iterator.filter(_.tagType == Flv.TagAudio).flatMap { t =>
+        Wav.samples16(t.payload).iterator.zipWithIndex.map { case (v, j) =>
+          (c, t.tsMs + j, v.toDouble, null: String, false, t.tsMs + j)
+        }
+      }
+    }.toDF("pipe", "ts", "value", "text", "paused", "seq")
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment,
+      Map(ni("rtmp://ingest/live#audio0") -> env))
+    val sink = new java.io.File(base, "sink").toString
+    val q = streams(no("volume")).writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", new java.io.File(base, "ck").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // materialize before sweeping the spool/checkpoint dirs
+    val out = graft.Resources.checkpoint(
+      s.read.parquet(sink).filter(!col("paused"))
+        .select(col("pipe").cast(LongType).as("container"),
+          col("ts").as("ts_ms"), col("value"), lit(125L).as("n"))
+        .orderBy(col("container"), col("ts_ms")))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(base)
+    out
+  }
+
+  private val e51Sql =
+    s"""WITH s AS (SELECT user_id % 3 AS c,
+       |    least(greatest(CAST(round(value * 100) AS INT), -32768), 32767) AS x,
+       |    ts_ms, event_id
+       |  FROM ($evMs) WHERE event_type = 'click'),
+       |idx AS (SELECT c, x,
+       |    row_number() OVER (PARTITION BY c ORDER BY ts_ms, event_id) - 1 AS i
+       |  FROM s),
+       |n AS (SELECT c, count(*) AS nc FROM idx GROUP BY c),
+       |vol AS (SELECT idx.c, (i // 125) * 125 AS ts_ms,
+       |        sqrt(CAST(sum(abs(x)) AS DOUBLE) / 32767.0 / 125.0) AS value
+       |      FROM idx JOIN n ON idx.c = n.c
+       |      WHERE (i // 125) * 125 + 125 <= nc - 1
+       |      GROUP BY idx.c, i // 125)
+       |SELECT c AS container, CAST(ts_ms AS BIGINT) AS ts_ms, value,
+       |  125::BIGINT AS n
+       |FROM vol ORDER BY container, ts_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -1357,5 +1481,6 @@ object CalcQueries {
     Q("c12_audio_deployment", c12, Some(c12Sql)),
     Q("c13_inference_deployment", c13, Some(c13Sql)),
     Q("c14_live_deployment", c14, Some(c14Sql)),
+    Q("e51_streaming_ingest", e51, Some(e51Sql)),
   )
 }
