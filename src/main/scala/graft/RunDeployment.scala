@@ -164,13 +164,33 @@ object RunDeployment {
     if (!preExisting) spark.stop()
   }
 
-  /** One bound input: envelope parquet, or a captured `.flv` demuxed
+  /** One bound input: envelope parquet, or a captured `.flv` (live
+    * frame stream) / recorded `.wav` (RIFF file, audio only) demuxed
     * distributed into the named track's envelope stream. */
   private[graft] def bindFrame(spark: SparkSession,
       loaded: DeploymentJson.Loaded, name: String, stream: String,
       path: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    if (path.endsWith(".wav")) {
+      require("#audio0$".r.findFirstIn(name).isDefined,
+        s"--bind $name=$path: a .wav recording binds an input-container " +
+          "audio track (<source>#audio0)")
+      // the file's own header carries the sample clock
+      return spark.read.format("binaryFile").load(path)
+        .select(col("content").as[Array[Byte]])
+        .flatMap { bytes =>
+          val wd = graft.sources.Wav.demux(bytes)
+          require(wd.bitsPerSample == 16 && wd.channels == 1,
+            s"only s16 mono .wav binds are supported, got " +
+              s"${wd.bitsPerSample}-bit ${wd.channels}-channel")
+          graft.sources.Wav.samples16(wd.data).iterator.zipWithIndex
+            .map { case (v, j) =>
+              val ts = j * 1000L / wd.sampleRate
+              (ts, v.toDouble, null: String, false, j.toLong)
+            }
+        }.toDF("ts", "value", "text", "paused", "seq")
+    }
     if (!path.endsWith(".flv")) return spark.read.parquet(path)
     val m = "#(audio|video)(\\d+)$".r.findFirstMatchIn(name).getOrElse(
       sys.error(s"--bind $name=$path: only input-container tracks " +

@@ -116,6 +116,42 @@ class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (_, v) => assert(math.abs(v - expect) < 1e-12) }
   }
 
+  test("an inputcontainer audio track binds a recorded .wav file on " +
+      "the file's own sample clock") {
+    import graft.sources.Wav
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep5")
+      .toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/rec.wav"),
+      Wav.mux(Wav.WavData(1000, 1, 16,
+        Wav.pcm16(Array.fill(300)(1000)))))
+    val json = """{
+      "deployment": {"id": "d", "label": "rec"},
+      "tasks": [
+        {"id": "1", "deployment_id": "d", "task_host_id": "inputcontainer",
+         "label": "rec", "config": {"source": "fixture.wav",
+           "real_time": false, "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "2", "deployment_id": "d", "task_host_id": "audiovolumemeter",
+         "label": "meter", "config": {"sample_format": "s16",
+           "rate": 1000, "time_window": 125, "in_topic": 1, "out_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "3", "deployment_id": "d", "task_host_id": "namedoutput",
+         "label": "out", "config": {"name": "volume", "in_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []}
+      ]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out",
+      "--bind", s"fixture.wav#audio0=$dir/rec.wav"))
+    val got = spark.read.parquet(s"$dir/out/volume.parquet")
+      .filter(!org.apache.spark.sql.functions.col("paused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 125L))
+  }
+
   test("--streaming runs the same stored DAG on the Structured " +
       "Streaming branch: staged file-source replay, fMGWS machines, " +
       "checkpointed parquet sinks, AvailableNow drain — same rows as " +
