@@ -141,27 +141,42 @@ object RunDeployment {
         }
       }
     val streams = Pipeline.compile(loaded.deployment, sources)
-    val counts = loaded.namedOutputs.toSeq.sortBy(_._1).map {
-      case (name, stream) =>
-        val path = s"$outDir/$name.parquet"
-        if (!streaming) {
-          streams(stream).write.mode("overwrite").parquet(path)
-        } else {
-          // checkpointed exactly-once file sink; AvailableNow drains
-          // the staged source and terminates (start -> Ended)
-          streams(stream).writeStream.format("parquet")
-            .option("path", path)
-            .option("checkpointLocation", s"$outDir/_checkpoints/$name")
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start().awaitTermination()
-        }
-        name -> spark.read.parquet(path).count()
+    val outputs = loaded.namedOutputs.toSeq.sortBy(_._1)
+    if (streaming) {
+      // rerun-safe like batch's overwrite: stale sink data + commit
+      // logs + checkpoints from a previous run would otherwise be
+      // APPENDED to (the re-staged part files have fresh names, so a
+      // surviving checkpoint replays everything as new)
+      outputs.foreach { case (name, _) =>
+        rmTree(new java.io.File(s"$outDir/$name.parquet"))
+        rmTree(new java.io.File(s"$outDir/_checkpoints/$name"))
+      }
+      // start every sink first, then await: each query has its own
+      // checkpoint, so the source replays overlap instead of running
+      // the whole DAG once per output strictly serialized
+      val queries = outputs.map { case (name, stream) =>
+        streams(stream).writeStream.format("parquet")
+          .option("path", s"$outDir/$name.parquet")
+          .option("checkpointLocation", s"$outDir/_checkpoints/$name")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      queries.foreach(_.awaitTermination())
+    }
+    val counts = outputs.map { case (name, stream) =>
+      val path = s"$outDir/$name.parquet"
+      if (!streaming) streams(stream).write.mode("overwrite").parquet(path)
+      name -> spark.read.parquet(path).count()
     }
     println(counts.map { case (n, c) => s""""$n":$c""" }
       .mkString("""{"deployment":"""" + loaded.deployment.name +
         """","outputs":{""", ",", "}}"))
     if (!preExisting) spark.stop()
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** One bound input: envelope parquet, or a captured `.flv` (live
@@ -198,26 +213,39 @@ object RunDeployment {
     val kind = m.group(1)
     require(m.group(2).toInt == 0,
       s"--bind $name: an FLV carries one $kind stream — only index 0 exists")
-    // the track's declared sample clock, from the loaded deployment
-    val rate = loaded.deployment.tasks
+    // the track's declared sample clock and codec, from the loaded
+    // deployment's source meta
+    val trackMeta = loaded.deployment.tasks
       .collectFirst { case t if t.outputs.contains(stream) => t.op }
-      .collect { case graft.plans.Pipeline.SourceOp(meta) =>
-        meta.fields.get("rate") }
-      .flatten.map(_.toLong).getOrElse(1000L)
+      .collect { case graft.plans.Pipeline.SourceOp(meta) => meta.fields }
+      .getOrElse(Map.empty[String, String])
+    val rate = trackMeta.get("rate").map(_.toLong).getOrElse(1000L)
+    require(rate >= 1, s"--bind $name: track rate $rate must be >= 1")
     val bytesDf = spark.read.format("binaryFile").load(path)
       .select(col("content").as[Array[Byte]])
-    if (kind == "audio")
+    if (kind == "audio") {
+      // samples are decoded as raw s16 mono — a coded track (mu-law,
+      // ADPCM) wires a decoder task downstream and must not have its
+      // coded bytes reinterpreted as PCM here
+      val codec = trackMeta.getOrElse("codec", "raw")
+      require(codec == "raw",
+        s"--bind $name: .flv audio binding decodes raw s16 payloads; " +
+          s"the track declares codec '$codec' — bind envelope parquet " +
+          "or decode upstream")
       bytesDf.flatMap { bytes =>
         val (_, _, tags) = graft.sources.Flv.demux(bytes)
+        // seq = running sample index: within a millisecond (rate >
+        // 1000) the ts column ties, and the machines' (ts, seq) sort
+        // must still recover the capture's sample order
         tags.iterator.filter(_.tagType == graft.sources.Flv.TagAudio)
           .flatMap { t =>
             graft.sources.Wav.samples16(t.payload).iterator.zipWithIndex
-              .map { case (v, j) =>
-                val ts = t.tsMs + j * 1000L / rate
-                (ts, v.toDouble, null: String, false, ts)
-              }
+              .map { case (v, j) => (t.tsMs + j * 1000L / rate, v.toDouble) }
+          }.zipWithIndex.map { case ((ts, v), k) =>
+            (ts, v, null: String, false, k.toLong)
           }
       }.toDF("ts", "value", "text", "paused", "seq")
+    }
     else
       bytesDf.flatMap { bytes =>
         val (_, _, tags) = graft.sources.Flv.demux(bytes)

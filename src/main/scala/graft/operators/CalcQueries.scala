@@ -1402,8 +1402,14 @@ object CalcQueries {
     }
     val perBatch = files.count(_.getName.startsWith("seg-000"))
     // isolated session (the throughStream convention): per-stream conf
-    // never touches the shared batch session
+    // never touches the shared batch session — and the conf is the
+    // point: a 3-key state stream at the batch session's corpus-sized
+    // shuffle width pays ~29 empty state-store tasks per micro-batch,
+    // and no machine here arms event-time timers, so no-data batches
+    // buy nothing
     val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import org.apache.spark.sql.types.{StructType, StructField, StringType => SString, BinaryType => SBinary, LongType => SLong, TimestampType => STs}
     val binSchema = StructType(Seq(
       StructField("path", SString), StructField("modificationTime", STs),

@@ -213,11 +213,10 @@ object DeploymentJson {
             // compatibleWith only checks intersecting keys, so
             // rate-less consumer metas are unaffected.
             val codec = cfgString(t, "codec", "raw")
-            val extra = (t \ "rate") match {
-              case JInt(r) => Map("rate" -> r.toString)
-              case JDouble(r) => Map("rate" -> r.toInt.toString)
-              case _ => Map.empty[String, String]
-            }
+            val extra = optLong(t \ "rate").map { r =>
+              require(r >= 1, s"$ctx: track rate $r must be >= 1")
+              Map("rate" -> r.toString)
+            }.getOrElse(Map.empty[String, String])
             TaskSpec(nm,
               SourceOp(IOMeta(meta.fields + ("codec" -> codec) ++ extra)),
               Nil, s0)

@@ -183,9 +183,11 @@ class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
       ]}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/dep.json"), json)
-    // gate opens at ts 2; the seq-range chunking puts (seq 0,1) and
-    // (seq 2,3) in different micro-batches, so the OPEN control state
-    // from batch 1 must survive into batch 2 via the state store
+    // gate opens at ts 2; the unified stage is ts-RANGE chunked into
+    // two files, so the rows split around the middle of the timeline
+    // and the gate's OPEN state must survive a micro-batch boundary
+    // via the state store (the offsets log below pins that the replay
+    // really ran in >= 2 batches)
     Seq((0L, 1.0, null: String, false, 0L), (1L, 2.0, null, false, 1L),
       (3L, 3.0, null, false, 2L), (5L, 4.0, null, false, 3L))
       .toDF("ts", "value", "text", "paused", "seq")
@@ -193,18 +195,27 @@ class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((2L, 1.0, null: String, false, 10L))
       .toDF("ts", "value", "text", "paused", "seq")
       .write.parquet(s"$dir/ctrl.parquet")
-    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out",
+    val run = () => RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out",
       "--bind", s"clicks=$dir/clicks.parquet",
       "--bind", s"ctrl=$dir/ctrl.parquet", "--streaming"))
-    val got = spark.read.parquet(s"$dir/out/gated.parquet")
+    run()
+    def gated() = spark.read.parquet(s"$dir/out/gated.parquet")
       .filter(!org.apache.spark.sql.functions.col("paused"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
-    assert(got.toSeq == Seq((3L, 7.0), (5L, 9.0)))
+    assert(gated().toSeq == Seq((3L, 7.0), (5L, 9.0)))
     // the streaming artifacts are real: a file-sink commit log and a
-    // checkpoint directory per named output
+    // checkpoint directory per named output, with the source replayed
+    // across >= 2 micro-batches (state crossed a real boundary)
     assert(new java.io.File(s"$dir/out/gated.parquet/_spark_metadata")
       .exists())
-    assert(new java.io.File(s"$dir/out/_checkpoints/gated").exists())
+    val offsets = Option(new java.io.File(
+      s"$dir/out/_checkpoints/gated/offsets").listFiles())
+      .getOrElse(Array.empty).count(!_.getName.endsWith(".crc"))
+    assert(offsets >= 2, s"expected >= 2 micro-batches, got $offsets")
+    // rerun-safe like batch overwrite: a second --streaming run into
+    // the same outDir must REPLACE the results, not append a copy
+    run()
+    assert(gated().toSeq == Seq((3L, 7.0), (5L, 9.0)))
   }
 
   test("unbound named inputs fail loudly with the missing names") {
