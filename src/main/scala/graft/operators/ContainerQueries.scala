@@ -850,8 +850,8 @@ object ContainerQueries {
       |FROM sized ORDER BY container, pes_idx""".stripMargin
 
   /** m27: the CONTAINER TRANSCODE MATRIX — the same two-stream
-    * timeline muxed and demuxed through ALL FOUR real container
-    * families (AVI/RIFF, Matroska/EBML, fragmented MP4/ISO-BMFF,
+    * timeline muxed and demuxed through ALL FIVE real container
+    * families (AVI/RIFF, FLV, Matroska/EBML, fragmented MP4/ISO-BMFF,
     * MPEG-TS) inside one per-container kernel, each family's
     * recovered stream reduced to the same canonical aggregate
     * (sample counts per kind, timestamp sum, order-free payload
@@ -860,10 +860,10 @@ object ContainerQueries {
     * across its container list) promoted to an oracle-gated query:
     * the oracle computes the canonical aggregate ONCE from the
     * timeline and predicts it for every family row, so a hash match
-    * proves all four byte formats carry the identical stream —
-    * timestamps via four different mechanisms (AVI's position-implied
-    * clocks, EBML cluster-relative int16s, tfdt+trun duration chains,
-    * 90 kHz PES PTS). Scale: one mapGroups kernel per container, four
+    * proves all five byte formats carry the identical stream —
+    * timestamps via five different mechanisms (AVI's position-implied
+    * clocks, FLV's split 24+8-bit ms field, EBML cluster-relative
+    * int16s, tfdt+trun duration chains, 90 kHz PES PTS). Scale: one mapGroups kernel per container, five
     * in-memory round-trips per group, nothing at the driver. */
   private def m27(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -932,8 +932,16 @@ object ContainerQueries {
         .map(p => (if (p.streamType == MpegTs.VideoStreamType) 1 else 2,
           p.pts90 / 90, p.payload))
 
-      Seq("avi" -> aviRec, "mkv" -> mkvRec, "mp4" -> mp4Rec,
-        "ts" -> tsRec).map { case (family, rec) =>
+      // --- FLV: split 24+8-bit ms timestamps (the RTMP frame layer)
+      val flvRec = graft.sources.Flv.demux(graft.sources.Flv.mux(
+        blocks.map(b => graft.sources.Flv.FlvTag(
+          if (b._1 == 1) graft.sources.Flv.TagVideo
+          else graft.sources.Flv.TagAudio, b._2, b._3, b._4))))._3
+        .map(t => (if (t.tagType == graft.sources.Flv.TagVideo) 1 else 2,
+          t.tsMs, t.payload))
+
+      Seq("avi" -> aviRec, "flv" -> flvRec, "mkv" -> mkvRec,
+        "mp4" -> mp4Rec, "ts" -> tsRec).map { case (family, rec) =>
         val (nv, na, tsum, psum) = agg(rec)
         (k, family, nv, na, tsum, psum)
       }
@@ -964,7 +972,7 @@ object ContainerQueries {
       |                  AS BIGINT)) AS BIGINT) AS payload_sum
       |  FROM blk GROUP BY container)
       |SELECT container, family, n_video, n_audio, ts_sum, payload_sum
-      |FROM canon, (SELECT unnest(['avi','mkv','mp4','ts']) AS family)
+      |FROM canon, (SELECT unnest(['avi','flv','mkv','mp4','ts']) AS family)
       |ORDER BY container, family""".stripMargin
 
   /** m28: MOTION-COMPENSATED VIDEO CODING — the inter-frame
