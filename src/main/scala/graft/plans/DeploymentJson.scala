@@ -168,8 +168,22 @@ object DeploymentJson {
         .getOrElse(sys.error(s"$ctx: unknown task_host_id '$hostId' — " +
           "pass nodeName= for hash resolution or a hosts= override"))
 
-    val namedIn = Map.newBuilder[String, String]
-    val namedOut = Map.newBuilder[String, String]
+    // insertion-ordered + COLLISION-CHECKED: two tasks publishing the
+    // same name (two inputcontainers on one source, duplicate
+    // namedinput names) would otherwise silently last-win, leaving the
+    // loser's SourceOp stream unbound with no error naming the cause
+    val namedIn = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val namedOut = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def addIn(key: String, v: String, ctx: String): Unit = {
+      require(!namedIn.contains(key),
+        s"$ctx: named input '$key' is already published by another task")
+      namedIn(key) = v
+    }
+    def addOut(key: String, v: String, ctx: String): Unit = {
+      require(!namedOut.contains(key),
+        s"$ctx: named output '$key' is already published by another task")
+      namedOut(key) = v
+    }
     val seen = scala.collection.mutable.Set.empty[String]
     val tasks = taskArr.flatMap { tj =>
       val label = jStr(tj, "label", "task")
@@ -201,7 +215,7 @@ object DeploymentJson {
             : Seq[TaskSpec] = cfg \ key match {
           case JArray(ts) => ts.zipWithIndex.map { case (t, i) =>
             val s0 = stream(cfgTopic(t, "out_topic", ctx))
-            namedIn += s"$src#$kindLbl$i" -> s0
+            addIn(s"$src#$kindLbl$i", s0, ctx)
             val nm = s"${name}_$kindLbl$i"
             require(seen.add(nm), s"$ctx: track task name '$nm' collides")
             // the track's declared codec AND rate flow into the IO
@@ -224,9 +238,7 @@ object DeploymentJson {
           case _ => Nil
         }
         val tracks =
-          trackTasks("video_tracks", "video",
-            IOMeta(Map("type" -> "ts", "content" -> "video",
-              "codec" -> "raw"))) ++
+          trackTasks("video_tracks", "video", IOMeta.video) ++
           trackTasks("audio_tracks", "audio", IOMeta.audio)
         require(tracks.nonEmpty, s"$ctx: input container needs tracks")
         tracks
@@ -237,7 +249,7 @@ object DeploymentJson {
             case _ => IOMeta(Map("type" -> "ts"))
           }
           val s = out("out_topic")
-          namedIn += cfgString(cfg, "name", name) -> s
+          addIn(cfgString(cfg, "name", name), s, ctx)
           TaskSpec(name, SourceOp(meta), Nil, s)
         case "namedoutput" =>
           val meta = tj \ "inputs" match {
@@ -245,7 +257,7 @@ object DeploymentJson {
             case _ => IOMeta(Map("type" -> "ts"))
           }
           val s = in("in_topic")
-          namedOut += cfgString(cfg, "name", name) -> s
+          addOut(cfgString(cfg, "name", name), s, ctx)
           TaskSpec(name, NamedOutputOp(cfgString(cfg, "name", name), meta),
             Seq(s), Nil)
         case "gate" =>
@@ -376,7 +388,7 @@ object DeploymentJson {
           // the binder knows the cadence.
           val s0 = out("out_topic")
           val iv = cfgDouble(cfg, "interval", 1.0)
-          namedIn += s"$name@${iv}s" -> s0
+          addIn(s"$name@${iv}s", s0, ctx)
           TaskSpec(name, SourceOp(IOMeta(Map("type" -> "ts"))), Nil, s0)
         case "outputcontainer" =>
           // OutputContainerConfig (media/outputcontainer.py:44-49):
@@ -408,7 +420,7 @@ object DeploymentJson {
           val outStream = optLong(cfg \ "out_topic").map(stream)
             .getOrElse(s"oc_$name")
           val dest = cfgString(cfg, "destination", "")
-          if (dest.nonEmpty) namedOut += dest -> outStream
+          if (dest.nonEmpty) addOut(dest, outStream, ctx)
           TaskSpec(name,
             OutputContainerOp(tracks.map(_._2),
               cfgDouble(cfg, "max_desync", 100.0).toLong),
@@ -558,7 +570,7 @@ object DeploymentJson {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (s, metas) => (s, metas.head._2) }
     val sources = external.map { case (s, meta) =>
-      namedIn += s -> s
+      addIn(s, s, "external feed '" + s + "'")
       // task names key state stores — never collide with a loaded label
       val base = s"src_$s"
       val nm = if (seen.add(base)) base else {
@@ -569,7 +581,7 @@ object DeploymentJson {
       TaskSpec(nm, SourceOp(meta), Nil, s)
     }
     Loaded(Deployment(depLabel, sources ++ tasks),
-      namedIn.result(), namedOut.result())
+      namedIn.toMap, namedOut.toMap)
   }
 
   /** IOMeta from a StoredTask IO metadata dict (string-valued fields;

@@ -52,7 +52,11 @@ object IsoBmff {
 
   /** Children of a box body / top level [from, until). 32-bit sizes
     * (size ≥ 8); unknown boxes are returned for the caller to skip —
-    * the ISO-BMFF forward-compatibility rule. */
+    * the ISO-BMFF forward-compatibility rule. `mdat` bodies are NOT
+    * copied (Box.data empty, pos/size walk unaffected): sample
+    * payloads are sliced from the original buffer through the trun
+    * offsets, and eagerly copying a fragment movie's media would
+    * transiently double the kernel's memory per container. */
   def boxes(b: Array[Byte], from: Int, until: Int): Seq[Box] = {
     val acc = Seq.newBuilder[Box]
     var p = from
@@ -60,8 +64,10 @@ object IsoBmff {
       val size = readU32(b, p)
       require(size >= 8 && p + size <= until,
         s"box ${boxType(b, p)} at $p overruns container (size=$size)")
-      acc += Box(boxType(b, p),
-        java.util.Arrays.copyOfRange(b, p + 8, p + size.toInt), p)
+      val kind = boxType(b, p)
+      acc += Box(kind,
+        if (kind == "mdat") Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(b, p + 8, p + size.toInt), p)
       p += size.toInt
     }
     acc.result()
@@ -121,8 +127,9 @@ object IsoBmff {
       b.write(u32(t.id.toLong)); b.write(u32(0)) // track_id, reserved
       b.write(u32(0)) // duration (unknown for fragmented)
       b.write(new Array[Byte](8)) // reserved
-      b.write(u16(0)); b.write(u16(if (t.kind == "audio") 0x100 else 0))
-      b.write(u16(0)) // layer, alternate_group/volume, reserved
+      // layer, alternate_group, volume (8.8 fixed, audio full), reserved
+      b.write(u16(0)); b.write(u16(0))
+      b.write(u16(if (t.kind == "audio") 0x100 else 0)); b.write(u16(0))
       // identity 3×3 matrix in 16.16 / 2.30 fixed point
       Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
         .foreach(v => b.write(u32(v)))
@@ -144,6 +151,27 @@ object IsoBmff {
         b.write(0) // empty null-terminated name
       })
       md.write(box("minf") { mi =>
+        // mandatory media header (vmhd/smhd) + self-contained data
+        // reference (dinf > dref > 'url ' flag 1) — ISO 14496-12
+        // requires both; the stsd entries' data_reference_index 1
+        // points at the dref entry below
+        if (t.kind == "video")
+          mi.write(box("vmhd") { b =>
+            b.write(full(0, 1)) // flags=1 per spec
+            b.write(u16(0)) // graphicsmode copy
+            b.write(u16(0)); b.write(u16(0)); b.write(u16(0)) // opcolor
+          })
+        else
+          mi.write(box("smhd") { b =>
+            b.write(full(0, 0))
+            b.write(u16(0)); b.write(u16(0)) // balance, reserved
+          })
+        mi.write(box("dinf") { di =>
+          di.write(box("dref") { b =>
+            b.write(full(0, 0)); b.write(u32(1)) // entry_count
+            b.write(box("url ")(u => u.write(full(0, 1)))) // self-contained
+          })
+        })
         mi.write(box("stbl") { st =>
           st.write(box("stsd") { b =>
             b.write(full(0, 0)); b.write(u32(1)) // one sample entry
@@ -157,6 +185,12 @@ object IsoBmff {
                 se.write(new Array[Byte](32)) // compressorname
                 se.write(u16(0x18)); se.write(u16(0xffff)) // depth, -1
               } else {
+                // the SampleEntry rate field is 16.16 fixed point —
+                // a rate >= 2^16 would silently wrap (hi-res audio
+                // needs the srat/esds extension, not written here)
+                require(t.sampleRate >= 0 && t.sampleRate < 0x10000,
+                  s"track ${t.id}: sampleRate ${t.sampleRate} exceeds " +
+                    "the 16.16 SampleEntry field")
                 se.write(new Array[Byte](8))
                 se.write(u16(t.channels)); se.write(u16(16)) // samplesize
                 se.write(u32(0))
@@ -325,8 +359,14 @@ object IsoBmff {
             case _ => readU32(tfdt, 4)
           }
           val trun = els.find(_.kind == "trun").get.data
-          require((readU32(trun, 0) & TrunFlags) == TrunFlags,
-            "trun must carry offset + per-sample duration/size/flags")
+          // EXACT flag match: extra per-sample fields (composition
+          // offsets 0x800, first-sample-flags 0x004) change the record
+          // width — a superset would silently misparse, so fail loud
+          require((readU32(trun, 0) & 0xffffffL) == TrunFlags,
+            "trun flags 0x" +
+              java.lang.Long.toHexString(readU32(trun, 0) & 0xffffffL) +
+              ": only offset + per-sample duration/size/flags " +
+              "(12-byte records) are read")
           val n = readU32(trun, 4).toInt
           var off = moof.pos + readU32(trun, 8)
           var i = 0

@@ -122,9 +122,14 @@ object MpegTs {
     val out = new ByteArrayOutputStream(14 + payload.length)
     out.write(0); out.write(0); out.write(1); out.write(streamId)
     val len = 3 + 5 + payload.length // after the length field
-    require(len <= 0xffff, // the 16-bit field (video may use 0 = unbounded;
-      s"PES payload too large for a sized packet: ${payload.length}")
-    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    // the 16-bit field overflows on large frames: VIDEO PES may (and
+    // real muxers do) declare length 0 = unbounded, ended by the next
+    // PUSI — audio has no such escape hatch in the spec
+    val video = (streamId & 0xf0) == 0xe0
+    require(len <= 0xffff || video,
+      s"audio PES payload too large for a sized packet: ${payload.length}")
+    val field = if (len <= 0xffff) len else 0
+    out.write((field >> 8) & 0xff); out.write(field & 0xff)
     out.write(0x80) // '10' + no scrambling/priority/...
     out.write(0x80) // PTS_DTS_flags = '10' (PTS only)
     out.write(5) // PES_header_data_length
@@ -236,8 +241,12 @@ object MpegTs {
         (((p(2) >> 1) & 0x7fL) << 15) | ((p(3) & 0xffL) << 7) |
         ((p(4) >> 1) & 0x7fL)
       val payloadStart = 9 + hdrLen
-      val payloadEnd = 6 + pesLen // length counts bytes after the field
-      require(payloadEnd <= pes.length, s"PES truncated on pid $pid")
+      // length counts bytes after the field; 0 = UNBOUNDED (the video
+      // form real muxers emit) — the payload runs to the next PUSI,
+      // i.e. the end of this accumulation
+      val payloadEnd = if (pesLen == 0) pes.length else 6 + pesLen
+      require(payloadStart <= payloadEnd && payloadEnd <= pes.length,
+        s"PES truncated on pid $pid")
       outSeq += startIdx(pid) -> TsPes(pid, streamType.getOrElse(pid, -1),
         pts, java.util.Arrays.copyOfRange(pes, payloadStart, payloadEnd),
         a.n, a.pcr)
@@ -279,7 +288,20 @@ object MpegTs {
         require(crc32(bytes, sec, sec + 3 + secLen) == 0,
           s"PSI CRC mismatch on pid $pid")
         if (tableId == 0x00) { // PAT → find the PMT PID
-          pmtPid = ((bytes(sec + 10) & 0x1f) << 8) | (bytes(sec + 11) & 0xff)
+          // walk ALL 4-byte program entries: program_number 0 maps the
+          // NETWORK PID (a leading NIT entry is how real DVB PATs
+          // start), so the PMT is the first non-zero program
+          var e = sec + 8
+          val end = sec + 3 + secLen - 4
+          var found = -1
+          while (e + 4 <= end && found < 0) {
+            val progNum = ((bytes(e) & 0xff) << 8) | (bytes(e + 1) & 0xff)
+            if (progNum != 0)
+              found = ((bytes(e + 2) & 0x1f) << 8) | (bytes(e + 3) & 0xff)
+            e += 4
+          }
+          require(found >= 0, "PAT carries no program (only NIT entries)")
+          pmtPid = found
         } else if (tableId == 0x02) { // PMT → stream types
           val infoLen = ((bytes(sec + 10) & 0x0f) << 8) | (bytes(sec + 11) & 0xff)
           var e = sec + 12 + infoLen
@@ -305,7 +327,10 @@ object MpegTs {
         }
       }
     }
-    streamType.keys.foreach(flush)
+    // end-of-stream: flush EVERY pid with an unfinished accumulation —
+    // keying on the PMT's declared pids would silently drop the final
+    // PES of any undeclared pid while emitting its earlier ones
+    acc.keySet.toSeq.foreach(flush)
     outSeq.result().sortBy(_._1).map(_._2)
   }
 }

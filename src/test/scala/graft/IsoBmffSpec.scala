@@ -115,6 +115,63 @@ class IsoBmffSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { demux(bad) }
   }
 
+  test("conformance of the moov internals: 84-byte v0 tkhd with volume " +
+      "at its spec offset, mandatory vmhd/smhd media headers, and a " +
+      "self-contained dinf > dref > 'url ' the sample entries' " +
+      "data_reference_index points at") {
+    val bytes = mux(tracks, samples, fragMax = 8)
+    val moov = boxes(bytes, 0, bytes.length).find(_.kind == "moov").get
+    val traks = boxes(moov.data, 0, moov.data.length).filter(_.kind == "trak")
+    assert(traks.size == 2)
+    traks.foreach { tk =>
+      val els = boxes(tk.data, 0, tk.data.length)
+      val tkhd = els.find(_.kind == "tkhd").get.data
+      assert(tkhd.length == 84, s"v0 tkhd body must be 84 B, got ${tkhd.length}")
+      val id = readU32(tkhd, 12).toInt
+      // layer(32) alt_group(34) volume(36) reserved(38)
+      assert(readU16(tkhd, 36) == (if (id == 2) 0x100 else 0))
+      // 16.16 width/height land at their spec offsets (76/80)
+      if (id == 1) {
+        assert((readU32(tkhd, 76) >> 16) == 64)
+        assert((readU32(tkhd, 80) >> 16) == 48)
+      }
+      val mdia = els.find(_.kind == "mdia").get
+      val minf = boxes(mdia.data, 0, mdia.data.length)
+        .find(_.kind == "minf").get
+      val miKinds = boxes(minf.data, 0, minf.data.length).map(_.kind)
+      assert(miKinds == (if (id == 1) Seq("vmhd", "dinf", "stbl")
+        else Seq("smhd", "dinf", "stbl")))
+      val dinf = boxes(minf.data, 0, minf.data.length)
+        .find(_.kind == "dinf").get
+      val dref = boxes(dinf.data, 0, dinf.data.length).head
+      assert(dref.kind == "dref" && readU32(dref.data, 4) == 1)
+      val url = boxes(dref.data, 8, dref.data.length).head
+      assert(url.kind == "url " && (url.data(3) & 1) == 1) // self-contained
+    }
+  }
+
+  test("guards: a trun with EXTRA per-sample fields is rejected loudly " +
+      "(record width would silently change) and a 16.16-overflowing " +
+      "sample rate refuses to mux") {
+    val bytes = mux(tracks, samples, fragMax = 8)
+    val moof = boxes(bytes, 0, bytes.length).find(_.kind == "moof").get
+    // set sample-composition-time-offsets-present (0x800) on trun 1:
+    // traf > [tfhd, tfdt, trun]; flags are the fullbox bytes 1-3
+    val traf = boxes(moof.data, 0, moof.data.length)
+      .find(_.kind == "traf").get
+    val trun = boxes(traf.data, 0, traf.data.length)
+      .find(_.kind == "trun").get
+    val flagPos = moof.pos + 8 + traf.pos + 8 + trun.pos + 8 + 1
+    val bad = bytes.clone()
+    bad(flagPos + 1) = (bad(flagPos + 1) | 0x08).toByte // 0x800 bit
+    val e = intercept[IllegalArgumentException] { demux(bad) }
+    assert(e.getMessage.contains("trun flags"))
+    intercept[IllegalArgumentException] {
+      mux(Seq(Mp4Track(1, "audio", "gpcm", sampleRate = 96000,
+        channels = 1)), Nil)
+    }
+  }
+
   test("a fragment holding only one track writes a single traf") {
     val onlyVideo = samples.filter(_.track == 1)
     val bytes = mux(tracks, onlyVideo, fragMax = 8)

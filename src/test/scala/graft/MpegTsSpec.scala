@@ -80,4 +80,52 @@ class MpegTsSpec extends AnyFunSuite {
     val got = demux(mux(Seq(TsSample("audio", big, Array[Byte](1, 2)))))
     assert(got.head.pts90 == big)
   }
+
+  test("a video frame past the 16-bit PES length muxes UNBOUNDED " +
+      "(length 0, the form real muxers emit) and round-trips; an " +
+      "audio frame that size fails loud") {
+    val big = sample("video", 10L, "V" * 70000)
+    val got = demux(mux(Seq(big, sample("audio", 10L, "a"))))
+    assert(got.size == 2)
+    assert(got.head.payload.length == 70000)
+    assert(got.head.payload.toSeq == big.payload.toSeq)
+    assert(got.head.pts90 == big.pts90)
+    intercept[IllegalArgumentException] {
+      mux(Seq(sample("audio", 0L, "A" * 70000)))
+    }
+  }
+
+  test("a DVB-style PAT whose first entry is the program-0 NIT still " +
+      "resolves the PMT from the first real program") {
+    val bytes = mux(samples)
+    // rebuild packet 0 (the PAT) with a leading NIT entry
+    val patOld = java.util.Arrays.copyOfRange(bytes, 0, PacketSize)
+    // locate the section: 4B header + pointer byte
+    val ptr = patOld(4) & 0xff
+    val sec = 5 + ptr
+    val secLen = ((patOld(sec + 1) & 0x0f) << 8) | (patOld(sec + 2) & 0xff)
+    // entries run [sec+8, sec+3+secLen-4); splice NIT (prog 0 -> pid 0x10)
+    val head = java.util.Arrays.copyOfRange(patOld, sec, sec + 8)
+    val entries = java.util.Arrays.copyOfRange(patOld, sec + 8,
+      sec + 3 + secLen - 4)
+    val nit = Array[Byte](0, 0, 0xe0.toByte, 0x10)
+    val newLen = secLen + 4
+    head(1) = (0xb0 | ((newLen >> 8) & 0x0f)).toByte
+    head(2) = (newLen & 0xff).toByte
+    val noCrc = head ++ nit ++ entries
+    val crc = crc32(noCrc, 0, noCrc.length)
+    val section = noCrc ++ Array[Byte](((crc >> 24) & 0xff).toByte,
+      ((crc >> 16) & 0xff).toByte, ((crc >> 8) & 0xff).toByte,
+      (crc & 0xff).toByte)
+    val pkt = new Array[Byte](PacketSize)
+    java.util.Arrays.fill(pkt, 0xff.toByte)
+    System.arraycopy(patOld, 0, pkt, 0, 5) // header + pointer
+    System.arraycopy(section, 0, pkt, 5 + ptr, section.length)
+    val patched = pkt ++ java.util.Arrays.copyOfRange(bytes, PacketSize,
+      bytes.length)
+    val got = demux(patched)
+    assert(got.size == samples.size)
+    assert(got.map(_.streamType).toSet ==
+      Set(VideoStreamType, AudioStreamType))
+  }
 }

@@ -637,6 +637,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ic.getMessage.contains("initial_control"))
   }
 
+  test("DeploymentJson.load rejects duplicate published names instead " +
+      "of silently last-winning: two namedinputs sharing a name, two " +
+      "inputcontainers sharing a source") {
+    import graft.plans.DeploymentJson
+    def t(id: Int, host: String, label: String, cfg: String) =
+      s"""{"id": "$id", "deployment_id": "y", "task_host_id": "$host",
+         |  "label": "$label", "config": $cfg, "frontend_config": {},
+         |  "inputs": [], "outputs": []}""".stripMargin
+    val dupIn = intercept[IllegalArgumentException] {
+      DeploymentJson.load(s"""[
+        ${t(1, "namedinput", "a", """{"name": "feed", "out_topic": 1}""")},
+        ${t(2, "namedinput", "b", """{"name": "feed", "out_topic": 2}""")}]""")
+    }
+    assert(dupIn.getMessage.contains("feed") &&
+      dupIn.getMessage.contains("already published"))
+    val icCfg = """{"source": "cam.wav", "real_time": false,
+      "video_tracks": [], "audio_tracks": [{"sample_format": "s16",
+      "codec": "raw", "channels": 1, "rate": 1000, "out_topic": %d}]}"""
+    val dupSrc = intercept[IllegalArgumentException] {
+      DeploymentJson.load(s"""[
+        ${t(1, "inputcontainer", "c1", icCfg.format(1))},
+        ${t(2, "inputcontainer", "c2", icCfg.format(2))}]""")
+    }
+    assert(dupSrc.getMessage.contains("cam.wav#audio0") &&
+      dupSrc.getMessage.contains("already published"))
+  }
+
   test("SynchronizerOp routes each topic to its OWN output with text " +
       "payloads restored (nulls and '|'-containing strings included)") {
     import spark.implicits._
