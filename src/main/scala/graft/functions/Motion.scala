@@ -38,7 +38,10 @@ object Motion {
       while (x < b) {
         val cx = bx * b + x
         val rx = wrap(cx + dx, w)
-        acc += math.abs(cur(cy * w + cx) - ref(ry * w + rx))
+        // difference in LONG: the pixel domain is unbounded int, and
+        // an Int subtraction could wrap (abs(Int.MinValue) < 0),
+        // silently corrupting the argmin
+        acc += math.abs(cur(cy * w + cx).toLong - ref(ry * w + rx))
         x += 1
       }
       y += 1

@@ -84,10 +84,14 @@ object Riff {
     var p = from
     while (p + 8 <= until) {
       val id = fourCC(b, p)
-      val len = readU32(b, p + 4).toInt
+      // LONG arithmetic: a 32-bit length >= 2^31 (or the 0xFFFFFFFF
+      // streaming-WAV convention) would go negative through .toInt and
+      // start+len could wrap past the guard — validate first
+      val lenL = readU32(b, p + 4)
+      require((p + 8).toLong + lenL <= until,
+        s"chunk $id at $p overruns container (len=$lenL, until=$until)")
+      val len = lenL.toInt
       val start = p + 8
-      require(start + len <= until,
-        s"chunk $id at $p overruns container (len=$len, until=$until)")
       if (id == "LIST" && len >= 4) {
         val listType = fourCC(b, start)
         acc += Chunk(s"LIST:$listType",
@@ -258,7 +262,7 @@ object Avi {
 
     // hdrl: avih + strl per stream
     val avih = new ByteArrayOutputStream(56)
-    val vid = streams.zipWithIndex.find(_._1.kind == "vids").map(_._1)
+    val vid = streams.find(_.kind == "vids")
     val usPerFrame = vid.map(v => 1000000L * v.scale / math.max(1, v.rate))
       .getOrElse(0L)
     avih.write(Riff.u32(usPerFrame))
@@ -335,9 +339,16 @@ object Avi {
         .map(i => i -> ((Riff.readU32(ix.data, i * 16 + 4) & AVIIF_KEYFRAME) != 0))
         .toMap
     }.getOrElse(Map.empty)
-    val packets = Riff.chunks(movi.data, 0, movi.data.length).zipWithIndex
-      .collect { case (c, i) if c.id.length == 4 &&
-          c.id(0).isDigit && c.id(1).isDigit =>
+    // media packets are '##db/dc/wb' — the suffix check excludes
+    // non-media '##pc' palette chunks, and the keyframe index i is
+    // taken AFTER filtering so idx1 entries (which count only media
+    // packets) line up even when JUNK/'rec ' chunks pad movi
+    val packets = Riff.chunks(movi.data, 0, movi.data.length)
+      .filter(c => c.id.length == 4 &&
+        c.id(0).isDigit && c.id(1).isDigit &&
+        Set("db", "dc", "wb")(c.id.substring(2)))
+      .zipWithIndex
+      .map { case (c, i) =>
         AviPacket(c.id.substring(0, 2).toInt,
           idxFlags.getOrElse(i, true), c.data)
       }

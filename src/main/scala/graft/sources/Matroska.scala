@@ -33,7 +33,10 @@ object Ebml {
     while (i >= 0) { out.write(((marked >> (8 * i)) & 0xff).toInt); i -= 1 }
   }
 
-  /** Read a size-vint at `off`: (value, bytesRead). */
+  /** Read a size-vint at `off`: (value, bytesRead). The all-ones
+    * payload is RFC 8794's reserved "unknown size" (live-streamed
+    * Segments/Clusters use it) — parsing it as a literal would slice
+    * a bogus body, so it fails loud instead. */
   def readVint(b: Array[Byte], off: Int): (Long, Int) = {
     val first = b(off) & 0xff
     require(first != 0, s"invalid vint lead byte 0 at $off")
@@ -41,6 +44,8 @@ object Ebml {
     var v = (first & ((1 << (8 - n)) - 1)).toLong
     var i = 1
     while (i < n) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    require(v != (1L << (7 * n)) - 1,
+      s"unknown-size vint at $off (all value bits set) is unsupported")
     (v, n)
   }
 
@@ -189,14 +194,19 @@ object Mkv {
     writeElem(seg, IdInfo, info.toByteArray)
     writeElem(seg, IdTracks, trks.toByteArray)
 
+    require(clusterMax > 0, s"clusterMax $clusterMax must be positive")
     var i = 0
     while (i < blocks.length) {
       val base = blocks(i).tsMs
       val cl = new ByteArrayOutputStream()
       writeElem(cl, IdClusterTs, uintBytes(base))
       var n = 0
+      // BOTH int16 bounds: an out-of-order block more than 32768 ms
+      // BEFORE the cluster base would truncate silently — it starts
+      // its own cluster (whose base is its own timestamp) instead
       while (i < blocks.length && n < clusterMax &&
-          blocks(i).tsMs - base <= 32767) {
+          blocks(i).tsMs - base <= 32767 &&
+          blocks(i).tsMs - base >= -32768) {
         val blk = blocks(i)
         val sb = new ByteArrayOutputStream(blk.payload.length + 4)
         writeVint(sb, blk.track.toLong)
@@ -263,6 +273,11 @@ object Mkv {
         val rel = ((sb.data(tLen) & 0xff) << 8) | (sb.data(tLen + 1) & 0xff)
         val relSigned = if (rel >= 0x8000) rel - 0x10000 else rel
         val flags = sb.data(tLen + 2) & 0xff
+        // lacing (flag bits 0x06) packs several frames behind lace
+        // headers this parser would hand back as payload — fail loud
+        require((flags & 0x06) == 0,
+          "laced SimpleBlock (flags 0x" +
+            Integer.toHexString(flags) + ") is unsupported")
         MkvBlock(track.toInt, base + relSigned, (flags & 0x80) != 0,
           java.util.Arrays.copyOfRange(sb.data, tLen + 3, sb.data.length))
       }

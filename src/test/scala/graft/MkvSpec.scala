@@ -133,4 +133,41 @@ class MkvSpec extends AnyFunSuite {
     val ok = Mkv.mux(tracks, mkBlocks(3, 9L))
     intercept[IllegalArgumentException](Mkv.demux(ok.take(ok.length - 3)))
   }
+
+  test("guards from the foreign-file review: an out-of-order block " +
+      "below the int16 lower bound starts its own cluster and " +
+      "round-trips exactly; lacing, unknown-size vints and " +
+      "clusterMax <= 0 fail loud") {
+    // rel = -100000 would truncate into two bytes and come back
+    // positive; the lower-bound split keeps the timestamp exact
+    val wild = Seq(
+      Mkv.MkvBlock(1, 100000L, keyframe = true, Array[Byte](1)),
+      Mkv.MkvBlock(1, 0L, keyframe = true, Array[Byte](2)))
+    val (_, got) = Mkv.demux(Mkv.mux(tracks, wild))
+    assert(got.map(_.tsMs) == Seq(100000L, 0L))
+    intercept[IllegalArgumentException] {
+      Mkv.mux(tracks, mkBlocks(3, 7L), clusterMax = 0)
+    }
+    // laced SimpleBlock: set a lacing bit in the flags byte
+    val ok = Mkv.mux(tracks, Seq(
+      Mkv.MkvBlock(1, 0L, keyframe = true, Array[Byte](1, 2, 3))))
+    // flags byte = 3 bytes before the payload start; find the payload
+    val pi = {
+      var i = -1
+      var j = 0
+      while (j <= ok.length - 3 && i < 0) {
+        if (ok(j) == 1 && ok(j + 1) == 2 && ok(j + 2) == 3) i = j
+        j += 1
+      }
+      i
+    }
+    assert(pi > 0)
+    val laced = ok.clone(); laced(pi - 1) = (laced(pi - 1) | 0x02).toByte
+    val e = intercept[IllegalArgumentException] { Mkv.demux(laced) }
+    assert(e.getMessage.contains("laced"))
+    // unknown-size vint: an all-ones 1-byte size (0xFF)
+    intercept[IllegalArgumentException] {
+      graft.sources.Ebml.readVint(Array[Byte](0xff.toByte), 0)
+    }
+  }
 }
