@@ -105,44 +105,64 @@ object Codec {
     val name = "png"
 
     def encode(raw: Array[Byte]): Array[Byte] = {
-      require(raw.length == w * h * 3, s"rgb24 frame must be ${w * h * 3}B")
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      val buf = img.getRaster.getDataBuffer
-        .asInstanceOf[java.awt.image.DataBufferByte].getData
-      var i = 0
-      while (i < w * h) { // rgb24 → the raster's native BGR order
-        buf(3 * i) = raw(3 * i + 2)
-        buf(3 * i + 1) = raw(3 * i + 1)
-        buf(3 * i + 2) = raw(3 * i)
-        i += 1
-      }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.write(rgb24ToImage(raw, w, h), "png", bos)
       bos.toByteArray
     }
 
-    def decode(packet: Array[Byte]): Array[Byte] = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(packet))
-      require(img.getWidth == w && img.getHeight == h,
-        s"decoded ${img.getWidth}x${img.getHeight}, expected ${w}x$h")
-      val out = new Array[Byte](w * h * 3)
-      var i = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { // any source raster layout → rgb24
-          val rgb = img.getRGB(x, y)
-          out(i) = ((rgb >> 16) & 0xff).toByte
-          out(i + 1) = ((rgb >> 8) & 0xff).toByte
-          out(i + 2) = (rgb & 0xff).toByte
-          i += 3; x += 1
-        }
-        y += 1
-      }
-      out
+    def decode(packet: Array[Byte]): Array[Byte] =
+      imageToRgb24(readImage(packet, name), w, h)
+  }
+
+  /** ImageIO.read returns NULL (not an exception) for bytes it cannot
+    * decode — surface a diagnostic instead of an NPE downstream. */
+  private def readImage(packet: Array[Byte],
+      codec: String): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(packet))
+    require(img != null, s"$codec: undecodable image packet " +
+      s"(${packet.length}B)")
+    img
+  }
+
+  /** rgb24 bytes → a TYPE_3BYTE_BGR image (the raster's native order). */
+  private def rgb24ToImage(raw: Array[Byte], w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    require(raw.length == w * h * 3, s"rgb24 frame must be ${w * h * 3}B")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < w * h) {
+      buf(3 * i) = raw(3 * i + 2)
+      buf(3 * i + 1) = raw(3 * i + 1)
+      buf(3 * i + 2) = raw(3 * i)
+      i += 1
     }
+    img
+  }
+
+  /** Any source raster layout → rgb24 bytes (dimension-checked). */
+  private def imageToRgb24(img: java.awt.image.BufferedImage, w: Int,
+      h: Int): Array[Byte] = {
+    require(img.getWidth == w && img.getHeight == h,
+      s"decoded ${img.getWidth}x${img.getHeight}, expected ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** IMA ADPCM (DVI4, IMA standard step/index tables): a REAL LOSSY
@@ -254,8 +274,13 @@ object Codec {
     }
 
     def decode(packet: Array[Byte]): Array[Byte] = {
+      require(packet.length >= 4, s"ADPCM packet of ${packet.length}B")
       val n = (packet(0) & 0xff) | ((packet(1) & 0xff) << 8) |
         ((packet(2) & 0xff) << 16) | ((packet(3) & 0xff) << 24)
+      // bound by the BODY, not the header: a corrupt count would index
+      // past the nibbles (or negative-allocate) with a bare JVM error
+      require(n >= 0 && (n + 1) / 2 <= packet.length - 4,
+        s"ADPCM sample count $n exceeds the ${packet.length - 4}B body")
       val xs = decodeSamples(java.util.Arrays.copyOfRange(
         packet, 4, packet.length), n)
       val out = new Array[Byte](n * 2)
@@ -281,18 +306,7 @@ object Codec {
     val name = "jpeg"
 
     def encode(raw: Array[Byte]): Array[Byte] = {
-      require(raw.length == w * h * 3, s"rgb24 frame must be ${w * h * 3}B")
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      val buf = img.getRaster.getDataBuffer
-        .asInstanceOf[java.awt.image.DataBufferByte].getData
-      var i = 0
-      while (i < w * h) {
-        buf(3 * i) = raw(3 * i + 2)
-        buf(3 * i + 1) = raw(3 * i + 1)
-        buf(3 * i + 2) = raw(3 * i)
-        i += 1
-      }
+      val img = rgb24ToImage(raw, w, h)
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("jpeg").next()
       val param = writer.getDefaultWriteParam
@@ -307,27 +321,8 @@ object Codec {
       bos.toByteArray
     }
 
-    def decode(packet: Array[Byte]): Array[Byte] = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(packet))
-      require(img.getWidth == w && img.getHeight == h,
-        s"decoded ${img.getWidth}x${img.getHeight}, expected ${w}x$h")
-      val out = new Array[Byte](w * h * 3)
-      var i = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          out(i) = ((rgb >> 16) & 0xff).toByte
-          out(i + 1) = ((rgb >> 8) & 0xff).toByte
-          out(i + 2) = (rgb & 0xff).toByte
-          i += 3; x += 1
-        }
-        y += 1
-      }
-      out
-    }
+    def decode(packet: Array[Byte]): Array[Byte] =
+      imageToRgb24(readImage(packet, name), w, h)
   }
 
   /** Inter-frame delta codec — the keyframe/P-frame structure every
@@ -507,10 +502,17 @@ object Codec {
     }
 
     def decode(packet: Array[Byte]): Array[Byte] = {
+      require(packet.length >= 8, s"MDCT packet of ${packet.length}B")
       val n = (packet(0) & 0xff) | ((packet(1) & 0xff) << 8) |
         ((packet(2) & 0xff) << 16) | ((packet(3) & 0xff) << 24)
       val blocks = (packet(4) & 0xff) | ((packet(5) & 0xff) << 8) |
         ((packet(6) & 0xff) << 16) | ((packet(7) & 0xff) << 24)
+      // bound by the BODY: each block is 1 scalefactor + frameN codes;
+      // a corrupt header would walk off the packet or negative-allocate
+      require(blocks >= 1 && n >= 0 &&
+        8L + blocks.toLong * (1 + frameN) <= packet.length,
+        s"MDCT header ($blocks blocks, $n samples) exceeds the " +
+          s"${packet.length}B packet")
       val mPad = (blocks - 1) * frameN
       val y = new Array[Double](mPad + 2 * frameN)
       val coef = new Array[Double](frameN)

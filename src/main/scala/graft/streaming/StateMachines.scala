@@ -99,11 +99,17 @@ object StateMachines {
     }
     def step(s: (TimeSync, Array[Long]), e: Ev)
         : ((TimeSync, Array[Long]), Seq[Out]) = {
-      val (sync, now) = s
-      now(0) = localClock(e.ts)
-      val out = Out(sync.time, e.value, e.text)
-      sync.update(e.ts)
-      (s, Seq(out))
+      // pause markers are CONTROL: forward untouched — restamping one
+      // as data would fabricate a message, and learning the offset
+      // from a marker timestamp would corrupt the clock model
+      if (e.paused) (s, Seq(Out(e.ts, e.value, e.text, paused = true)))
+      else {
+        val (sync, now) = s
+        now(0) = localClock(e.ts)
+        val out = Out(sync.time, e.value, e.text)
+        sync.update(e.ts)
+        (s, Seq(out))
+      }
     }
   }
 
@@ -202,14 +208,14 @@ object StateMachines {
   final class Switch(pairs: Int) extends Machine[SwitchState] {
     def init = SwitchState(Vector.empty, Set.empty, outPaused = false)
     override def priority(topic: Int): Int = if (topic % 2 == 1) 0 else 1
-    private def selected(s: SwitchState): Int =
+    private[streaming] def selected(s: SwitchState): Int =
       if (s.ctrl.isEmpty) -1
       else {
         val mx = s.ctrl.iterator.map(_._2).max
         s.ctrl.find(_._2 == mx).get._1
       }
     /** out_topic.set_paused(flag): marker row on transition only. */
-    private def syncOut(s: SwitchState, flag: Boolean, ts: Long): (SwitchState, Seq[Out]) =
+    private[streaming] def syncOut(s: SwitchState, flag: Boolean, ts: Long): (SwitchState, Seq[Out]) =
       if (flag == s.outPaused) (s, Nil)
       else (s.copy(outPaused = flag),
         Seq(Out(ts, if (flag) 1.0 else 0.0, null, paused = true)))
@@ -259,12 +265,12 @@ object StateMachines {
     private val inner = new Switch(pairs)
     def init = MediaSwitchState(inner.init, active = -1)
     override def priority(topic: Int): Int = if (topic % 2 == 1) 0 else 1
-    private def selected(s: SwitchState): Int =
-      if (s.ctrl.isEmpty) -1
-      else {
-        val mx = s.ctrl.iterator.map(_._2).max
-        s.ctrl.find(_._2 == mx).get._1
-      }
+    /** packet.is_keyframe stand-ins: the bare "k" tag of the raw-frame
+      * fixtures AND the "k|<hex>" framing [[graft.functions.Codec]]'s
+      * delta/motion encoders emit (the doc on DeltaEncoder promises
+      * the media switch reads the same flag). */
+    private def isKeyframe(text: String): Boolean =
+      text != null && (text == "k" || text.startsWith("k|"))
     def step(s: MediaSwitchState, e: Ev): (MediaSwitchState, Seq[Out]) = {
       val k = e.topic / 2
       if (e.topic % 2 == 1) { // control path: exactly the switch's
@@ -273,21 +279,19 @@ object StateMachines {
       } else {
         // data path (mediaswitch.py:15-26): the topic's pause flag
         // updates on receipt, then the selected check, pause sync,
-        // keyframe cutover, send — in that order.
+        // keyframe cutover, send — in that order. Selection and the
+        // transition-only output-pause marker are the switch's own
+        // rules, reused (not re-implemented).
         val sw1 =
           if (e.paused)
             s.sw.copy(dataPaused =
               if (pauseFlag(e)) s.sw.dataPaused + k else s.sw.dataPaused - k)
           else s.sw
-        if (selected(sw1) == k) {
-          val flag = sw1.dataPaused(k)
-          val (sw2, markers) =
-            if (flag == sw1.outPaused) (sw1, Seq.empty[Out])
-            else (sw1.copy(outPaused = flag),
-              Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
+        if (inner.selected(sw1) == k) {
+          val (sw2, markers) = inner.syncOut(sw1, sw1.dataPaused(k), e.ts)
           if (e.paused) (s.copy(sw = sw2), markers)
           else {
-            val active2 = if (k != s.active && e.text == "k") k else s.active
+            val active2 = if (k != s.active && isKeyframe(e.text)) k else s.active
             val fwd = if (k == active2) Seq(Out(e.ts, e.value, e.text)) else Nil
             (MediaSwitchState(sw2, active2), markers ++ fwd)
           }
@@ -478,7 +482,10 @@ object StateMachines {
         }
         else (s.copy(held = e.value, hasValue = true), Nil)
       case _ =>
-        if (s.hasValue && !s.outPaused) (s, Seq(Out(e.ts, s.held, null)))
+        // the tick topic's PAUSE markers are control, not ticks — a
+        // paused rate source must not re-emit the held value
+        if (!e.paused && s.hasValue && !s.outPaused)
+          (s, Seq(Out(e.ts, s.held, null)))
         else (s, Nil)
     }
   }
@@ -493,11 +500,10 @@ object StateMachines {
     * machine's. Offset state lives in the fold (not a TimeSync field)
     * so checkpoint recovery restores it. */
   final case class WallRepState(held: Double, hasValue: Boolean,
-      offset: Long, hasOffset: Boolean, outPaused: Boolean)
+      offset: Long, outPaused: Boolean)
   final class WallClockRepeater(clock: () => Long)
       extends Machine[WallRepState] with Timed[WallRepState] {
-    def init = WallRepState(0.0, hasValue = false, 0L, hasOffset = false,
-      outPaused = false)
+    def init = WallRepState(0.0, hasValue = false, 0L, outPaused = false)
     def step(s: WallRepState, e: Ev): (WallRepState, Seq[Out]) = {
       if (e.paused) {
         // pause forwards to the output flag and SILENCES the sender
@@ -508,7 +514,7 @@ object StateMachines {
           Seq(Out(e.ts, if (flag) 1.0 else 0.0, null, paused = true)))
       }
       else (s.copy(held = e.value, hasValue = true,
-        offset = e.ts - clock(), hasOffset = true), Nil)
+        offset = e.ts - clock()), Nil)
     }
     def onTimeout(s: WallRepState): Seq[Out] =
       if (s.hasValue && !s.outPaused)
@@ -626,8 +632,14 @@ object StateMachines {
     def onTimeout(s: SyncState): Seq[Out] =
       s.buf.toSeq.flatMap { case (t, es) =>
         var last = s.reg.getOrElse(t, 0L)
-        es.filter(!_.paused).flatMap { e =>
-          if (e.ts < last) None else { last = e.ts; Some(t -> e) }
+        es.flatMap { e =>
+          // a BUFFERED pause marker applies its live effect: the pop
+          // forgets the topic's progress (reg default 0), re-admitting
+          // older timestamps exactly as a live drain would — the
+          // marker itself is control, not output
+          if (e.paused) { last = 0L; None }
+          else if (e.ts < last) None
+          else { last = e.ts; Some(t -> e) }
         }
       }
         .sortBy { case (t, e) => (e.ts, t) }
