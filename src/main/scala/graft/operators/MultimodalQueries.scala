@@ -1248,6 +1248,104 @@ object MultimodalQueries {
       |  CAST(sum(amp) AS BIGINT) AS amp_sum
       |FROM frames GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- m33: the media switch over CODED video ------------------------
+  /** m33: the media switch consuming DELTA-CODED frames — the wiring
+    * the reference runs when a videoencoder feeds a mediaswitch
+    * (mediaswitch.py cuts on `packet.is_keyframe`, which the engine's
+    * coded frames carry as the `k|<hex>` / `p|<hex>` tag the
+    * delta/motion encoders emit). Two per-container feeds are
+    * GOP-4 delta-coded (m09's per-frame model: keyframe stores the
+    * byte, P-frames the mod-256 difference), feed A is selected from
+    * the start, and a mid-timeline control (at the container's
+    * (min+max)/2 ms) selects feed B: the machine must keep forwarding
+    * A until the switch, DROP B's P-frames after it, and cut over
+    * exactly at B's first CODED KEYFRAME — active-index deferral read
+    * from the coded tag, not a bare flag. Runs as a loaded
+    * [[graft.plans.Pipeline.MediaSwitchOp]] multi-pipeline (one
+    * machine per container); the oracle recomputes the coded tags and
+    * the cutover index relationally. */
+  private def m33(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.Pipeline
+    import graft.plans.Pipeline._
+    val w = Window.partitionBy(col("c"), col("feed"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val e = Tables.eventsMs(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select((col("user_id") % 16).as("c"),
+        when(col("event_type") === "click", 0).otherwise(1).as("feed"),
+        col("ts_ms"), col("event_id"),
+        (abs(floor(col("value") * 10).cast(LongType)) % 256).as("v"))
+    val frames = e
+      .withColumn("k", row_number().over(w).cast(LongType) - 1)
+      .withColumn("is_key", col("k") % 4 === 0)
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .withColumn("stored", when(col("is_key"), col("v"))
+        .otherwise((((col("v") - col("prev")) % 256) + 256) % 256))
+      .withColumn("text", concat(
+        when(col("is_key"), lit("k|")).otherwise(lit("p|")),
+        lpad(lower(hex(col("stored"))), 2, "0")))
+    val bounds = e.groupBy(col("c"))
+      .agg(expr("(min(ts_ms) + max(ts_ms)) div 2").as("sw"))
+    def env(f: Int) = frames.filter(col("feed") === f)
+      .select(col("c").cast(StringType).as("pipe"),
+        col("ts_ms").as("ts"), col("v").cast(DoubleType).as("value"),
+        col("text"), lit(false).as("paused"), col("event_id").as("seq"))
+    def ctrl(ts: org.apache.spark.sql.Column, v: Double, seq: Long) =
+      bounds.select(col("c").cast(StringType).as("pipe"), ts.as("ts"),
+        lit(v).as("value"), lit(null).cast(StringType).as("text"),
+        lit(false).as("paused"), lit(seq).as("seq"))
+    val dep = Deployment("m33", Seq(
+      TaskSpec("fa", SourceOp(IOMeta.video), Nil, "fd0"),
+      TaskSpec("ca", SourceOp(IOMeta.number), Nil, "c0"),
+      TaskSpec("fb", SourceOp(IOMeta.video), Nil, "fd1"),
+      TaskSpec("cb", SourceOp(IOMeta.number), Nil, "c1"),
+      TaskSpec("ms", MediaSwitchOp(2), Seq("fd0", "c0", "fd1", "c1"), "ms")))
+    val out = Pipeline.compile(dep, Map(
+      "fd0" -> env(0), "c0" -> ctrl(lit(0L), 1.0, -2L),
+      "fd1" -> env(1), "c1" -> ctrl(col("sw"), 2.0, -1L)))("ms")
+    out.filter(!col("paused"))
+      .select(col("pipe").cast(LongType).as("container"),
+        col("ts").as("ts_ms"), col("value").cast(LongType).as("v"),
+        col("text"))
+      .orderBy(col("container"), col("ts_ms"), col("v"), col("text"))
+  }
+
+  private val m33Sql =
+    """WITH e AS (SELECT user_id % 16 AS c,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS feed,
+      |    epoch_ms(ts) AS ts_ms, event_id,
+      |    abs(CAST(floor(value * 10) AS BIGINT)) % 256 AS v
+      |  FROM events WHERE event_type IN ('click','view')),
+      |f AS (SELECT *, CAST(row_number() OVER w - 1 AS BIGINT) AS k,
+      |    lag(v, 1) OVER w AS prev
+      |  FROM e WINDOW w AS (PARTITION BY c, feed ORDER BY ts_ms, event_id)),
+      |g AS (SELECT c, feed, ts_ms, v, k,
+      |    CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS is_key,
+      |    CASE WHEN k % 4 = 0 THEN v
+      |         ELSE ((v - prev) % 256 + 256) % 256 END AS stored
+      |  FROM f),
+      |b AS (SELECT c, (min(ts_ms) + max(ts_ms)) // 2 AS sw
+      |      FROM e GROUP BY c),
+      |-- B's cutover frame: its first CODED KEYFRAME at/after the
+      |-- switch control (control sorts before data at the same ts)
+      |cut AS (SELECT g.c, min(g.k) AS k0 FROM g JOIN b ON g.c = b.c
+      |        WHERE g.feed = 1 AND g.ts_ms >= b.sw AND g.is_key = 1
+      |        GROUP BY g.c),
+      |fwd AS (
+      |  SELECT g.c, g.ts_ms, g.v, g.is_key, g.stored
+      |  FROM g JOIN b ON g.c = b.c
+      |  WHERE g.feed = 0 AND g.ts_ms < b.sw
+      |  UNION ALL
+      |  SELECT g.c, g.ts_ms, g.v, g.is_key, g.stored
+      |  FROM g JOIN b ON g.c = b.c JOIN cut ON g.c = cut.c
+      |  WHERE g.feed = 1 AND g.k >= cut.k0)
+      |SELECT c AS container, CAST(ts_ms AS BIGINT) AS ts_ms,
+      |  CAST(v AS BIGINT) AS v,
+      |  (CASE WHEN is_key = 1 THEN 'k|' ELSE 'p|' END ||
+      |    printf('%02x', stored)) AS text
+      |FROM fwd ORDER BY container, ts_ms, v, text""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_chunk_manifest", m02, Some(m02Sql)),
@@ -1268,5 +1366,6 @@ object MultimodalQueries {
     Q("m23_video_curation", m23, Some(m23Sql)),
     Q("m24_blur_score", m24, Some(m24Sql)),
     Q("m29_tts_trained", m29, Some(m29Sql)),
+    Q("m33_coded_media_switch", m33, Some(m33Sql)),
   )
 }

@@ -342,6 +342,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(outs.map(_.value) == Seq(1.0, 4.0))
   }
 
+  test("media switch cutover reads CODED keyframe tags too: the " +
+      "'k|<hex>' / 'p|<hex>' framing the delta/motion encoders emit") {
+    val m = new MediaSwitch(2)
+    val evs = Seq(
+      Ev(1, 5, 1.0, null, false),        // select pair 0
+      Ev(0, 10, 1.0, "p|aabb", false),   // P-frame first → NOT a cutover
+      Ev(0, 20, 2.0, "k|ccdd", false),   // coded keyframe → cutover + fwd
+      Ev(0, 30, 3.0, "p|eeff", false))   // subsequent P-frame forwards
+    val outs = evs.foldLeft((m.init, Vector.empty[Out])) {
+      case ((s, acc), e) => val (s2, o) = m.step(s, e); (s2, acc ++ o) }._2
+    assert(outs.map(o => (o.value, o.text)) ==
+      Seq((2.0, "k|ccdd"), (3.0, "p|eeff")))
+  }
+
   test("text formatter emits template over last values, pause resets") {
     val m = new TextFormatter(2,
       vars => s"a=${vars(0)} b=${vars(1)}")
