@@ -103,7 +103,11 @@ object Pipeline {
     Calc.validate(Calc.parse(formula), vars.toSet)
   }
   final case class GateOp(failOpen: Boolean = false) extends SingleOutOp {
-    def inMeta = Seq(IOMeta.number, IOMeta.number); def outMeta = IOMeta.number
+    // the reference gate forwards raw messages and declares its data
+    // io as bare {type: ts} (gate.py:99-101) — content-typed data
+    // (text/media) must wire through; only the control leg is a number
+    def inMeta = Seq(IOMeta(Map("type" -> "ts")), IOMeta.number)
+    def outMeta = IOMeta(Map("type" -> "ts"))
   }
   case object SrLatchOp extends SingleOutOp {
     def inMeta = Seq(IOMeta.number, IOMeta.number); def outMeta = IOMeta.number
@@ -131,8 +135,12 @@ object Pipeline {
     * order — even indices data, odd control, as the machine expects. */
   final case class SwitchOp(pairs: Int) extends SingleOutOp {
     require(pairs >= 1, "switch needs at least one pair")
-    def inMeta = Seq.tabulate(2 * pairs)(_ => IOMeta.number)
-    def outMeta = IOMeta.number
+    // like the gate: data legs are bare ts (the machine forwards the
+    // whole message, text included — e28 rides event ids through it);
+    // control legs are numbers
+    def inMeta = Seq.tabulate(2 * pairs)(i =>
+      if (i % 2 == 0) IOMeta(Map("type" -> "ts")) else IOMeta.number)
+    def outMeta = IOMeta(Map("type" -> "ts"))
   }
   /** Switch that defers cutover to the next keyframe of the newly
     * selected input (media/mediaswitch.py:15-27); data events carry
@@ -240,6 +248,9 @@ object Pipeline {
       timeWindowMs: Long = 1000, maxValue: Double = 32767) extends SingleOutOp {
     require(rate > 0 && timeWindowMs > 0 && rate * timeWindowMs >= 1000,
       "volume meter chunk must be at least one sample")
+    require(rate * timeWindowMs / 1000 <= Int.MaxValue,
+      s"volume meter chunk ${rate * timeWindowMs / 1000} samples " +
+        "overflows the buffer index")
     def chunkSamples: Int = (rate * timeWindowMs / 1000).toInt
     def inMeta = Seq(IOMeta.audio)
     def outMeta = IOMeta.number
@@ -499,6 +510,18 @@ object Pipeline {
     tagged.reduce(_ unionByName _).as[KEv](kevEnc)
   }
 
+  /** seq for machine OUTPUTS is TS-MAJOR: downstream arrival-order
+    * machines (the synchronizer sorts its batch by seq alone) must see
+    * the upstream's emission order, which the fold makes nondecreasing
+    * in ts per key — a bare content hash would feed them hash order
+    * and cause arbitrary late-drops. Low bits are a deterministic
+    * content tie-break (paused included, so a marker and an
+    * equal-content data row never collide). */
+  private def seqCol(extra: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    col("ts") * lit(1048576L) +
+      pmod(xxhash64((extra :+ col("ts")) :+ col("value") :+ col("text")
+        :+ col("paused"): _*), lit(1048576L))
+
   private def fromKOut(ds: Dataset[KOut], piped: Boolean): DataFrame =
     if (piped)
       ds.toDF().select(
@@ -506,23 +529,22 @@ object Pipeline {
         col("ts"), col("value"), col("text"), col("paused"),
         // per-key tie-break: include the key so equal-content rows of
         // different pipes don't collide
-        xxhash64(col("key"), col("ts"), col("value"), col("text")).as("seq"))
+        seqCol(col("key")).as("seq"))
     else
       ds.toDF().select(col("ts"), col("value"), col("text"),
         col("paused"), // machines emit pause transitions in-band
-        // deterministic downstream tie-break (streaming-safe, unlike
-        // monotonically_increasing_id)
-        xxhash64(col("ts"), col("value"), col("text")).as("seq"))
+        seqCol().as("seq"))
 
   private def isStreamingAny(dfs: Seq[DataFrame]): Boolean = dfs.exists(_.isStreaming)
 
-  private def runMachine[S](key: String, m: Machine[S], ins: Seq[DataFrame]): DataFrame = {
+  private def runMachine[S](key: String, m: Machine[S], ins: Seq[DataFrame],
+      timeoutMs: Long = 0L): DataFrame = {
     val piped = ins.exists(hasPipe)
     require(!piped || ins.forall(hasPipe),
       s"task '$key': all inputs must carry '$PipeCol' or none")
     val kev = toKEv(key, ins)
     val out =
-      if (isStreamingAny(ins)) StatefulRunner.runStreaming(m, kev)
+      if (isStreamingAny(ins)) StatefulRunner.runStreaming(m, kev, timeoutMs)
       else StatefulRunner.runBatch(m, kev)
     fromKOut(out, piped)
   }
@@ -581,29 +603,67 @@ object Pipeline {
           })
         runMachine(key, m, ins)
       case StringMatcherOp(p) =>
-        stateless(ins.head, col("ts"),
-          when(col("text").rlike(p), 1.0).otherwise(0.0),
+        // re.match anchors at the START (stringmatcher.py:43) — rlike
+        // alone would match anywhere; rows without text are invalid
+        // messages the reference skips (ValidationError -> pass), not
+        // 0.0 matches
+        stateless(ins.head.filter(col("text").isNotNull), col("ts"),
+          when(col("text").rlike("\\A(?:" + p + ")"), 1.0).otherwise(0.0),
           lit(null).cast(StringType))
       case NumberToTextOp =>
+        // DECIMAL(12,2) is the engine's text convention; a value past
+        // its range casts to NULL (non-ANSI), which downstream text
+        // machines treat as an invalid message — fall back to the
+        // plain string form so no message silently vanishes
         stateless(ins.head, col("ts"), lit(null).cast(DoubleType),
-          col("value").cast(DecimalType(12, 2)).cast(StringType))
+          coalesce(col("value").cast(DecimalType(12, 2)).cast(StringType),
+            col("value").cast(StringType)))
       case TimestampUpdaterOp(off) =>
         stateless(ins.head, col("ts") + lit(off), col("value"),
           col("text"))
       case SwitchOp(pairs) => runMachine(key, new Switch(pairs), ins)
       case MediaSwitchOp(pairs) => runMachine(key, new MediaSwitch(pairs), ins)
       case TextFormatterOp(template, vars) =>
-        val names = vars.zipWithIndex.map { case (v, i) => i -> v }.toMap
+        // SINGLE-PASS substitution (str.format_map, textformatter.py:
+        // 62-75): the template is tokenized ONCE into literal segments
+        // and var slots, so a substituted value containing another
+        // placeholder is NOT re-substituted, and the output does not
+        // depend on any var iteration order
+        val idxOf = vars.zipWithIndex.toMap
+        val tokens = {
+          val ts = Vector.newBuilder[Either[String, Int]]
+          var rest = template
+          var done = false
+          while (!done) {
+            val hits = idxOf.flatMap { case (name, i) =>
+              val at = rest.indexOf(s"{$name}")
+              if (at >= 0) Some((at, name, i)) else None
+            }
+            if (hits.isEmpty) { ts += Left(rest); done = true }
+            else {
+              val (at, name, i) = hits.minBy(h => (h._1, h._2.length * -1))
+              if (at > 0) ts += Left(rest.substring(0, at))
+              ts += Right(i)
+              rest = rest.substring(at + name.length + 2)
+            }
+          }
+          ts.result()
+        }
         runMachine(key, new TextFormatter(vars.size,
           { vs: Map[Int, String] =>
-            names.foldLeft(template) { case (acc, (i, name)) =>
-              acc.replace(s"{$name}", vs.getOrElse(i, ""))
-            }
+            tokens.iterator.map {
+              case Left(litStr) => litStr
+              case Right(i) => vs.getOrElse(i, "")
+            }.mkString
           }), ins)
       case StringConcatenatorOp =>
         runMachine(key, new StringConcatenator, ins)
       case MessageDetectorOp(timeoutMs) =>
-        runMachine(key, new MessageDetector(timeoutMs), ins)
+        // the detector's whole purpose is the 0-on-silence emission —
+        // the streaming branch arms a processing-time timer for it
+        // (batch emits it in the end-of-input tail)
+        runMachine(key, new MessageDetector(timeoutMs), ins,
+          timeoutMs = timeoutMs)
       case TimeBufferOp(sizeMs) => runMachine(key, new TimeBuffer(sizeMs), ins)
       case RepeaterOp => runMachine(key, new Repeater, ins)
       case t: TimeToTextOp =>
@@ -807,6 +867,9 @@ final class PipelineManager(spark: SparkSession,
     * offsets, not sink tables. */
   def start(name: String): Unit = {
     val r = deployments(name)
+    require(r.terminal.isEmpty,
+      s"deployment '$name' already terminated (${r.terminal.get}) — " +
+        "re-schedule it to run again")
     require(r.queries.isEmpty, s"deployment '$name' already started")
     val qs = r.planned.map { case (s, df) =>
       val w = df.writeStream
@@ -850,6 +913,11 @@ final class PipelineManager(spark: SparkSession,
   def status(name: String): String =
     deployments.get(name) match {
       case None => "stopped"
+      case Some(r) if r.terminal.isDefined =>
+        r.terminal.get match {
+          case TaskStatus.Failed(_) => "failed"
+          case _ => "stopped" // Stopped and Ended are both terminal
+        }
       case Some(r) if r.queries.isEmpty => "scheduled"
       case Some(r) if r.queries.exists(_.exception.isDefined) => "failed"
       case Some(r) if r.queries.forall(_.isActive) => "running"
@@ -862,7 +930,9 @@ final class PipelineManager(spark: SparkSession,
     * (task.py:227-235's differentiated terminals). The deployment is
     * retained so post-stop taskStatus still reflects that terminal. */
   def stop(name: String): Unit = {
-    deployments.get(name).foreach { r =>
+    deployments.get(name).filter(_.terminal.isEmpty).foreach { r =>
+      // a second stop must NOT recompute the terminal from now-inactive
+      // queries (it would overwrite Stopped with Ended and re-broadcast)
       val terminal: TaskStatus =
         if (r.queries.isEmpty) TaskStatus.Stopped
         else r.queries.flatMap(_.exception).headOption match {
