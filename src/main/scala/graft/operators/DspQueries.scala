@@ -715,6 +715,112 @@ object DspQueries {
        |WHERE rn = 1 AND votes >= 2
        |ORDER BY d1, d2""".stripMargin
 
+  /** p13: the FLAC LOSSLESS codec ([[graft.sources.Flac]] — RFC 9639,
+    * the reference matrix's `test_flac_audio_container` leg,
+    * tests/media/test_containers.py:29) under the exact hash gate.
+    * This is the entropy-coding member of the codec family: μ-law
+    * companding (p07), ADPCM differential (p10), MDCT transform (p11),
+    * and now prediction + Rice variable-length coding — the same
+    * residual/Golomb machinery lossless (Shorten/ALAC/FLAC) and lossy
+    * (CAVLC) codecs share.
+    *
+    * Each chunk (p10's keying: events user_id%16 ordered by
+    * (ts_ms, event_id), hash-synthesized 16-bit PCM) encodes to a
+    * complete .flac FILE — fLaC marker, STREAMINFO with the raw-sample
+    * MD5, 256-sample frames, CRC-8/CRC-16 — then decodes back through
+    * the full parser (both CRCs verified per frame). The gate is
+    * two-sided: `lossless` proves decode∘encode = id AND the
+    * STREAMINFO digest matches the raw samples; `file_bytes` is
+    * recomputed INDEPENDENTLY by the DuckDB oracle from the spec
+    * arithmetic — fixed-order selection (min Σ|residual|, ties low),
+    * exact Rice cost minimization (k ∈ [0,14], ties small), subframe/
+    * header/padding bit layout — so any drift in predictor choice,
+    * rice parameter rule, header structure, or coded-number width
+    * breaks the hash. The bit VALUES and CRCs are proven by the
+    * decoder round trip (it rejects any CRC mismatch).
+    *
+    * Scale: one file per group key inside mapGroups — identical
+    * executor-kernel story to the container families; bytes never
+    * visit the driver. */
+  private def p13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("ts_ms"),
+        col("event_id"),
+        (col("event_id") * 2654435761L % 65536L - 32768L)
+          .cast(IntegerType).as("pcm"))
+      .as[(Long, Long, Long, Int)]
+    e.groupByKey(_._1)
+      .mapGroups { (cid: Long, rows: Iterator[(Long, Long, Long, Int)]) =>
+        val xs = rows.toVector.sortBy(r => (r._2, r._3)).map(_._4).toArray
+        val bytes = graft.sources.Flac.encodeFile(Array(xs), 16000,
+          blockSize = 256)
+        val (si, dec) = graft.sources.Flac.decodeFile(bytes)
+        val lossless = dec.length == 1 &&
+          java.util.Arrays.equals(dec(0), xs) &&
+          si.md5.sameElements(graft.sources.Flac.rawMd5(Array(xs))) &&
+          si.totalSamples == xs.length.toLong
+        (cid, xs.length.toLong, ((xs.length + 255) / 256).toLong,
+          bytes.length.toLong, lossless)
+      }
+      .toDF("chunk_id", "n_samples", "n_frames", "file_bytes", "lossless")
+      .orderBy(col("chunk_id"))
+  }
+
+  private val p13Sql =
+    """WITH e AS (
+      |  SELECT user_id % 16 AS chunk_id, epoch_ms(ts) AS ts_ms, event_id,
+      |         CAST(event_id * 2654435761 % 65536 - 32768 AS BIGINT) AS pcm
+      |  FROM events WHERE event_type = 'click'),
+      |o AS (SELECT chunk_id, pcm,
+      |        row_number() OVER (PARTITION BY chunk_id
+      |                           ORDER BY ts_ms, event_id) - 1 AS rn
+      |      FROM e),
+      |f AS (SELECT chunk_id, rn // 256 AS frame, rn % 256 AS i, pcm FROM o),
+      |lagd AS (SELECT chunk_id, frame, i, pcm,
+      |        lag(pcm, 1) OVER w AS p1, lag(pcm, 2) OVER w AS p2
+      |      FROM f WINDOW w AS (PARTITION BY chunk_id, frame ORDER BY i)),
+      |res AS (SELECT chunk_id, frame, i, pcm AS r0, pcm - p1 AS r1,
+      |        pcm - 2 * p1 + p2 AS r2 FROM lagd),
+      |st AS (SELECT chunk_id, frame, count(*) AS n,
+      |        min(r0) AS mn, max(r0) AS mx, sum(abs(r0)) AS c0,
+      |        sum(abs(r1)) FILTER (i >= 1) AS c1,
+      |        sum(abs(r2)) FILTER (i >= 2) AS c2
+      |      FROM res GROUP BY 1, 2),
+      |ord AS (SELECT chunk_id, frame, n, (mn = mx) AS const,
+      |        CASE WHEN n >= 3 THEN
+      |               CASE WHEN c0 <= c1 AND c0 <= c2 THEN 0
+      |                    WHEN c1 <= c2 THEN 1 ELSE 2 END
+      |             WHEN n = 2 THEN CASE WHEN c1 < c0 THEN 1 ELSE 0 END
+      |             ELSE 0 END AS o
+      |      FROM st),
+      |zz AS (SELECT r.chunk_id, r.frame,
+      |        CASE d.o WHEN 0 THEN r0 WHEN 1 THEN r1 ELSE r2 END AS rr
+      |      FROM res r JOIN ord d USING (chunk_id, frame)
+      |      WHERE NOT d.const AND r.i >= d.o),
+      |kc AS (SELECT chunk_id, frame, k,
+      |        sum(((CASE WHEN rr >= 0 THEN 2 * rr ELSE -2 * rr - 1 END)
+      |             >> k) + 1 + k) AS bits
+      |      FROM zz, (SELECT unnest(range(0, 15)) AS k) ks
+      |      GROUP BY 1, 2, 3),
+      |kbest AS (SELECT chunk_id, frame, bits FROM kc
+      |      QUALIFY row_number() OVER (PARTITION BY chunk_id, frame
+      |                                 ORDER BY bits, k) = 1),
+      |fb AS (SELECT d.chunk_id, d.frame, d.n,
+      |        (4 + CASE WHEN d.frame < 128 THEN 1
+      |                  WHEN d.frame < 2048 THEN 2
+      |                  WHEN d.frame < 65536 THEN 3 ELSE 4 END
+      |           + CASE WHEN d.n IN (192, 256) THEN 0 ELSE 1 END + 1)
+      |        + (CASE WHEN d.const THEN 24
+      |                ELSE 18 + d.o * 16 + kb.bits END + 7) // 8
+      |        + 2 AS fbytes
+      |      FROM ord d LEFT JOIN kbest kb USING (chunk_id, frame))
+      |SELECT chunk_id, CAST(sum(n) AS BIGINT) AS n_samples,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(42 + sum(fbytes) AS BIGINT) AS file_bytes,
+      |  TRUE AS lossless
+      |FROM fb GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -728,5 +834,6 @@ object DspQueries {
     Q("p10_adpcm_codec", p10, Some(p10Sql)),
     Q("p11_mdct_codec", p11, Some(p11Sql)),
     Q("p12_audio_fingerprint", p12, Some(p12Sql)),
+    Q("p13_flac_codec", p13, Some(p13Sql)),
   )
 }
