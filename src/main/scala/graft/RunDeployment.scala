@@ -26,7 +26,10 @@ import org.apache.spark.sql.SparkSession
   *    rows on the track's declared sample clock (rate from the
   *    deployment's track config), video tags become one frame-hex row
   *    each. Only `#audio0`/`#video0` exist in an FLV (one stream of
-  *    each kind);
+  *    each kind). An audio track may also bind a RECORDED file on the
+  *    file's own sample clock: `.wav` (RIFF, [[sources.Wav]]) or
+  *    `.flac` (RFC 9639, [[sources.Flac]] — decoded with per-frame
+  *    CRC and stream-MD5 verification);
   *  - `--node` enables the reference's hash task_host_id resolution
   *    (task.py:153) for real exports; loader-friendly exports with
   *    plain kind names need nothing;
@@ -180,8 +183,10 @@ object RunDeployment {
   }
 
   /** One bound input: envelope parquet, or a captured `.flv` (live
-    * frame stream) / recorded `.wav` (RIFF file, audio only) demuxed
-    * distributed into the named track's envelope stream. */
+    * frame stream) / recorded `.wav` (RIFF file) / recorded `.flac`
+    * (the reference matrix's lossless format, decoded through the
+    * full RFC 9639 parser with CRC verification) demuxed distributed
+    * into the named track's envelope stream. */
   private[graft] def bindFrame(spark: SparkSession,
       loaded: DeploymentJson.Loaded, name: String, stream: String,
       path: String): org.apache.spark.sql.DataFrame = {
@@ -204,6 +209,27 @@ object RunDeployment {
               val ts = j * 1000L / wd.sampleRate
               (ts, v.toDouble, null: String, false, j.toLong)
             }
+        }.toDF("ts", "value", "text", "paused", "seq")
+    }
+    if (path.endsWith(".flac")) {
+      require("#audio0$".r.findFirstIn(name).isDefined,
+        s"--bind $name=$path: a .flac recording binds an input-container " +
+          "audio track (<source>#audio0)")
+      // STREAMINFO carries the sample clock; decode verifies every
+      // frame's CRC-8/CRC-16 and the stream's raw-sample MD5
+      return spark.read.format("binaryFile").load(path)
+        .select(col("content").as[Array[Byte]])
+        .flatMap { bytes =>
+          val (si, chans) = graft.sources.Flac.decodeFile(bytes)
+          require(si.bitsPerSample == 16 && si.channels == 1,
+            s"only s16 mono .flac binds are supported, got " +
+              s"${si.bitsPerSample}-bit ${si.channels}-channel")
+          require(si.md5.sameElements(graft.sources.Flac.rawMd5(chans)),
+            s"--bind $name=$path: STREAMINFO MD5 mismatch — corrupt stream")
+          chans(0).iterator.zipWithIndex.map { case (v, j) =>
+            val ts = j * 1000L / si.sampleRate
+            (ts, v.toDouble, null: String, false, j.toLong)
+          }
         }.toDF("ts", "value", "text", "paused", "seq")
     }
     if (!path.endsWith(".flv")) return spark.read.parquet(path)

@@ -152,6 +152,84 @@ class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._1).toSeq == Seq(0L, 125L))
   }
 
+  test("an inputcontainer audio track binds a recorded .flac file and " +
+      "yields byte-identical meter output to the same samples as .wav") {
+    import graft.sources.{Flac, Wav}
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep6")
+      .toString
+    val samples = Array.tabulate(300)(i =>
+      (((i + 7) * 2654435761L) % 4000L - 2000L).toInt)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/rec.flac"),
+      Flac.encodeFile(Array(samples), 1000, blockSize = 64))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/rec.wav"),
+      Wav.mux(Wav.WavData(1000, 1, 16, Wav.pcm16(samples))))
+    val json = """{
+      "deployment": {"id": "d", "label": "rec"},
+      "tasks": [
+        {"id": "1", "deployment_id": "d", "task_host_id": "inputcontainer",
+         "label": "rec", "config": {"source": "fixture.flac",
+           "real_time": false, "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "2", "deployment_id": "d", "task_host_id": "audiovolumemeter",
+         "label": "meter", "config": {"sample_format": "s16",
+           "rate": 1000, "time_window": 125, "in_topic": 1, "out_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "3", "deployment_id": "d", "task_host_id": "namedoutput",
+         "label": "out", "config": {"name": "volume", "in_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []}
+      ]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/outF",
+      "--bind", s"fixture.flac#audio0=$dir/rec.flac"))
+    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/outW",
+      "--bind", s"fixture.flac#audio0=$dir/rec.wav"))
+    def rows(p: String) = spark.read.parquet(p)
+      .filter(!org.apache.spark.sql.functions.col("paused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val flacRows = rows(s"$dir/outF/volume.parquet")
+    assert(flacRows.nonEmpty && flacRows.map(_._1) == Seq(0L, 125L))
+    // FLAC is lossless: the two recordings must meter identically
+    assert(flacRows == rows(s"$dir/outW/volume.parquet"))
+  }
+
+  test("a corrupt .flac bind fails loudly instead of metering garbage") {
+    import graft.sources.Flac
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep7")
+      .toString
+    val bytes = Flac.encodeFile(
+      Array(Array.tabulate(100)(i => i * 3 - 150)), 1000, blockSize = 64)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 1).toByte
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.flac"), bytes)
+    val json = """{
+      "deployment": {"id": "d", "label": "rec"},
+      "tasks": [
+        {"id": "1", "deployment_id": "d", "task_host_id": "inputcontainer",
+         "label": "rec", "config": {"source": "f.flac",
+           "real_time": false, "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "2", "deployment_id": "d", "task_host_id": "namedoutput",
+         "label": "out", "config": {"name": "raw", "in_topic": 1},
+         "frontend_config": {}, "inputs": [], "outputs": []}
+      ]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    val e = intercept[Exception] {
+      RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out",
+        "--bind", s"f.flac#audio0=$dir/bad.flac"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("CRC")))
+  }
+
   test("--streaming runs the same stored DAG on the Structured " +
       "Streaming branch: staged file-source replay, fMGWS machines, " +
       "checkpointed parquet sinks, AvailableNow drain — same rows as " +
