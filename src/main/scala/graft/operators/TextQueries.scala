@@ -1783,6 +1783,106 @@ object TextQueries {
        |  doc_id, lang, CAST(w AS BIGINT) AS w, CAST(skey AS BIGINT) AS skey
        |FROM k ORDER BY skey, doc_id LIMIT 100""".stripMargin
 
+  // ---- t27: UniMax multilingual budget allocation ---------------------------
+  /** The language-mixing stage of a multilingual pretraining pipeline
+    * (UniMax, Chung et al. 2023): given a token budget B and an
+    * epoch cap N (no language's data repeats more than N times),
+    * allocate the budget as UNIFORMLY across languages as the caps
+    * allow — the closed-form waterfilling: languages sorted by
+    * available cap ascending; language i is fully consumed iff
+    * cap_i · (L−i+1) + Σ_{j<i} cap_j ≤ B (caps ascending make this a
+    * prefix property), and the languages past the last capped index k
+    * split the remainder evenly, the division remainder going one
+    * token each to the first `rem mod m` of them in (cap, lang)
+    * order so the allocation is integer-exact. Two budget scenarios
+    * exercise both regimes in one query: B = ½·total (nothing capped
+    * — the pure uniform split with remainder distribution) and
+    * B = ⅘·total with N = 1 (the corpus's en-heavy skew caps every
+    * low-resource language at one epoch and downsamples the head —
+    * the UniMax story). epochs_ppm = quota·10⁶ div avail.
+    *
+    * Scale: one corpus scan → per-language token sum (map-side
+    * combined, L rows shuffle). Everything after is window math over
+    * the L-row stats frame — the single-partition windows are the
+    * same bounded stats-frame pattern as the allowlisted 1-row
+    * bounds frames (L = languages, dozens at most), computed once
+    * per scan with both scenarios stacked from the same row. */
+  private def t27(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(toks(col("text")))).cast(LongType).as("avail"))
+    val byCap = Window.orderBy(col("avail"), col("lang"))
+    val whole = byCap.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val base = perLang
+      .withColumn("i", row_number().over(byCap).cast(LongType))
+      .withColumn("l", count(lit(1)).over(whole).cast(LongType))
+      .withColumn("tot", sum(col("avail")).over(whole))
+      .withColumn("pfx",
+        coalesce(sum(col("avail")).over(byCap.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+    val bySc = Window.partitionBy(col("scenario"))
+    base
+      .select(col("*"), expr(
+        "stack(2, 'half_budget', tot div 2, 'four_fifths', tot * 4 div 5)")
+        .as(Seq("scenario", "b")))
+      .withColumn("capped",
+        col("avail") * (col("l") - col("i") + 1) + col("pfx") <= col("b"))
+      .withColumn("k",
+        coalesce(max(when(col("capped"), col("i"))).over(bySc), lit(0L)))
+      .withColumn("pk",
+        coalesce(max(when(col("capped"), col("pfx") + col("avail")))
+          .over(bySc), lit(0L)))
+      .withColumn("quota", expr(
+        """CASE WHEN capped THEN avail
+          |     ELSE (b - pk) div (l - k) +
+          |          (CASE WHEN i - k <= (b - pk) % (l - k)
+          |                THEN 1 ELSE 0 END)
+          |END""".stripMargin).cast(LongType))
+      .withColumn("epochs_ppm",
+        expr("quota * 1000000 div avail").cast(LongType))
+      .select(col("scenario"), col("lang"), col("avail"), col("quota"),
+        col("epochs_ppm"))
+      .orderBy(col("scenario"), col("lang"))
+  }
+
+  private val t27Sql =
+    """WITH pl AS (
+      |  SELECT lang,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |      AS avail
+      |  FROM documents GROUP BY lang),
+      |base AS (SELECT lang, avail,
+      |    CAST(row_number() OVER (ORDER BY avail, lang) AS BIGINT) AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS l,
+      |    CAST(sum(avail) OVER () AS BIGINT) AS tot,
+      |    CAST(COALESCE(sum(avail) OVER (ORDER BY avail, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS pfx
+      |  FROM pl),
+      |sc AS (SELECT base.*, s.scenario,
+      |    CASE s.scenario WHEN 'half_budget' THEN tot // 2
+      |                    ELSE tot * 4 // 5 END AS b
+      |  FROM base, (SELECT unnest(['half_budget', 'four_fifths'])
+      |              AS scenario) s),
+      |fl AS (SELECT *, (avail * (l - i + 1) + pfx <= b) AS capped FROM sc),
+      |kk AS (SELECT *,
+      |    COALESCE(max(CASE WHEN capped THEN i END)
+      |      OVER (PARTITION BY scenario), 0) AS k,
+      |    COALESCE(max(CASE WHEN capped THEN pfx + avail END)
+      |      OVER (PARTITION BY scenario), 0) AS pk
+      |  FROM fl),
+      |qt AS (SELECT scenario, lang, avail,
+      |    CASE WHEN capped THEN avail
+      |         ELSE (b - pk) // (l - k) +
+      |              (CASE WHEN i - k <= (b - pk) % (l - k) THEN 1 ELSE 0 END)
+      |    END AS quota
+      |  FROM kk)
+      |SELECT scenario, lang, avail, CAST(quota AS BIGINT) AS quota,
+      |  CAST(quota * 1000000 // avail AS BIGINT) AS epochs_ppm
+      |FROM qt ORDER BY scenario, lang""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("t01_token_count", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1810,5 +1910,6 @@ object TextQueries {
     Q("t24_tfidf_keywords", t24, Some(t24Sql)),
     Q("t25_span_corrupt", t25, Some(t25Sql)),
     Q("t26_weighted_sample", t26, Some(t26Sql)),
+    Q("t27_unimax_mixing", t27, Some(t27Sql)),
   )
 }
