@@ -624,99 +624,192 @@ object EventOps {
        |  FROM u)
        |WHERE is_tick = 1 AND held IS NOT NULL ORDER BY pipeline, ts_ms""".stripMargin
 
-  /** replay buffer (replaybuffer.py:38-76), faithful clear semantics:
-    * the buffer records data rows and is CLEARED on unpause
-    * transitions (modeled by 'purchase' events); EVERY play rising
-    * edge replays everything currently buffered (recorded in the same
-    * recording window, at or before the edge), re-timestamped so the
-    * window's first message plays at the edge (offset = edgeTs −
-    * firstBufferedTs) — so repeated plays without an intervening clear
-    * replay the same buffer again, exactly like the reference.
-    * Data = click rows; play = error value>15 rising edges.
+  /** replay buffer (replaybuffer.py:38-90), full update_playing_state
+    * semantics: the buffer records data rows and is CLEARED on unpause
+    * transitions (modeled by 'purchase' events), which also stop any
+    * play (`stop_play`, :44-46). A playing EPISODE (play signal =
+    * error value>15; episodes delimited by the signal dropping)
+    * replays AT MOST ONCE per recording window — the reference's
+    * `play_task is None` guard (:79) — and the replay TRIGGER is
+    * whichever comes first:
     *
-    * Scale: recording-window ids come from one running count over the
-    * merged (clear|play|data) stream — O(n log n); the replay fan-out
-    * joins data to play edges per (pipeline, window), bounded by
-    * plays-per-window (the reference's buffer is equally unbounded if
-    * never cleared — the clear IS the bound, now modeled). */
+    *  - the episode's rising EDGE, if the buffer is already non-empty
+    *    (content = data in the window at or before the edge; anchor =
+    *    the edge timestamp);
+    *  - otherwise the first data ARRIVAL while the episode is live
+    *    (`update_playing_state` on append, :48 — content = data in the
+    *    window up to and including the arrival; anchor = the LAST
+    *    play-message timestamp, the reference's `sync.time`, :68).
+    *
+    * Replayed rows re-timestamp so the window's first buffered message
+    * plays at the anchor (offset = anchorTs − firstBufferedTs); replay
+    * does not consume the buffer, so a later episode (or the same
+    * episode after a clear refills the buffer) replays again. Every
+    * play message updates the anchor clock; rows are keyed by the
+    * episode's edge id.
+    *
+    * Scale: recording-window and episode ids come from running counts
+    * over the merged (clear|play|data) stream — O(n log n); triggers
+    * are one row per (window × episode); the replay fan-out joins data
+    * to triggers per (pipeline, window), bounded by episodes-per-window
+    * (the reference's buffer is equally unbounded if never cleared —
+    * the clear IS the bound, modeled). */
   private def e16(s: SparkSession, d: String): DataFrame = {
     val e = eventsMs(s, d)
     val cw = Window.partitionBy(col("pipeline"))
       .orderBy(col("ts_ms"), col("event_id"))
-    // play edges: rising >15 on the error stream (kind 1)
+    // the FULL play-control stream (playing state + anchor clock), with
+    // rising-edge flags computed over the control stream alone (kind 1)
     val plays = e.filter(col("event_type") === "error")
       .select(pipeline, col("event_id"), col("ts_ms"),
         when(col("value") > 15, 1.0).otherwise(0.0).as("sig"))
-      .withColumn("prev", coalesce(lag(col("sig"), 1).over(cw), lit(0.0)))
-      .filter(col("sig") > 0.5 && col("prev") <= 0.5)
+      .withColumn("edge", col("sig") > 0.5 &&
+        coalesce(lag(col("sig"), 1).over(cw), lit(0.0)) <= 0.5)
       .select(col("pipeline"), col("event_id"), col("ts_ms"),
-        lit(1).as("kind"), lit(null).cast(DoubleType).as("value"))
+        lit(1).as("kind"), lit(null).cast(DoubleType).as("value"),
+        col("sig"), col("edge"))
     // clears: unpause transitions (kind 0 — processed first at a tie)
     val clears = e.filter(col("event_type") === "purchase")
       .select(pipeline, col("event_id"), col("ts_ms"),
-        lit(0).as("kind"), lit(null).cast(DoubleType).as("value"))
+        lit(0).as("kind"), lit(null).cast(DoubleType).as("value"),
+        lit(null).cast(DoubleType).as("sig"),
+        lit(null).cast(BooleanType).as("edge"))
     val data = e.filter(col("event_type") === "click")
       .select(pipeline, col("event_id"), col("ts_ms"),
-        lit(2).as("kind"), col("value"))
+        lit(2).as("kind"), col("value"),
+        lit(null).cast(DoubleType).as("sig"),
+        lit(null).cast(BooleanType).as("edge"))
     val ww = Window.partitionBy(col("pipeline"))
       .orderBy(col("ts_ms"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tagged = clears.unionByName(plays).unionByName(data)
       .withColumn("win",
         sum(when(col("kind") === 0, 1L).otherwise(0L)).over(ww))
-    val pe = tagged.filter(col("kind") === 1)
-      .select(col("pipeline"), col("win"), col("event_id").as("edge_id"),
-        col("ts_ms").as("edge_ts"))
+      // episode id: running count of signal DROPS (false play messages)
+      .withColumn("epi", sum(when(col("kind") === 1 && col("sig") <= 0.5,
+        1L).otherwise(0L)).over(ww))
+      .withColumn("playing", coalesce(
+        last(when(col("kind") === 1, col("sig")), ignoreNulls = true)
+          .over(ww), lit(0.0)) > 0.5)
+      .withColumn("anchor_ts",
+        last(when(col("kind") === 1, col("ts_ms")), ignoreNulls = true)
+          .over(ww))
+      .withColumn("epi_edge_id",
+        last(when(col("kind") === 1 && col("edge"), col("event_id")),
+          ignoreNulls = true).over(ww))
     val dr = tagged.filter(col("kind") === 2)
-      .select(col("pipeline"), col("win"), col("event_id"), col("ts_ms"),
-        col("value"))
+      .select(col("pipeline"), col("win"), col("epi"), col("event_id"),
+        col("ts_ms"), col("value"), col("playing"), col("anchor_ts"),
+        col("epi_edge_id"))
     val firstTs = dr.groupBy(col("pipeline"), col("win"))
       .agg(min(col("ts_ms")).as("w_first"))
-    dr.join(broadcast(pe), Seq("pipeline", "win"))
-      .filter(col("edge_ts") >= col("ts_ms"))
+    // trigger 1: the episode's rising edge, if the buffer is non-empty
+    // there (some data in the window at or before the edge)
+    val edgeTrig = tagged.filter(col("kind") === 1 && col("edge"))
+      .select(col("pipeline"), col("win"), col("epi"),
+        col("event_id").as("edge_id"), col("ts_ms").as("edge_ts"))
+      .join(broadcast(firstTs), Seq("pipeline", "win"))
+      .filter(col("w_first") <= col("edge_ts"))
+      .select(col("pipeline"), col("win"), col("epi"),
+        lit(0).as("tpri"), col("edge_ts").as("t_ts"),
+        lit(Long.MaxValue).as("t_id"), col("edge_ts").as("anchor"),
+        col("edge_id"))
+    // trigger 2: the first data arrival while the episode is live
+    // (update_playing_state on append), anchored at the play clock
+    val dataTrig = dr.filter(col("playing"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pipeline"), col("win"), col("epi"))
+          .orderBy(col("ts_ms"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("pipeline"), col("win"), col("epi"),
+        lit(1).as("tpri"), col("ts_ms").as("t_ts"),
+        col("event_id").as("t_id"), col("anchor_ts").as("anchor"),
+        col("epi_edge_id").as("edge_id"))
+    // one replay per (window × episode): the edge wins when both exist
+    val trig = edgeTrig.unionByName(dataTrig)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pipeline"), col("win"), col("epi"))
+          .orderBy(col("tpri"))))
+      .filter(col("rn") === 1)
+      .select(col("pipeline"), col("win"), col("tpri"), col("t_ts"),
+        col("t_id"), col("anchor"), col("edge_id"))
+    dr.select(col("pipeline"), col("win"), col("event_id"), col("ts_ms"),
+        col("value"))
+      .join(broadcast(trig), Seq("pipeline", "win"))
+      .filter(col("ts_ms") < col("t_ts") ||
+        (col("ts_ms") === col("t_ts") &&
+          (col("tpri") === 0 || col("event_id") <= col("t_id"))))
       .join(broadcast(firstTs), Seq("pipeline", "win"))
       .select(col("pipeline"), col("win"), col("edge_id"), col("event_id"),
-        (col("edge_ts") + col("ts_ms") - col("w_first")).as("replay_ts"),
+        (col("anchor") + col("ts_ms") - col("w_first")).as("replay_ts"),
         col("value"))
-      .orderBy(col("edge_id"), col("event_id"))
+      .orderBy(col("edge_id"), col("win"), col("event_id"))
   }
 
   private val e16Sql =
     s"""WITH e AS ($evMs),
        |plays AS (SELECT pipeline, event_id, ts_ms, 1 AS kind,
-       |                 NULL::DOUBLE AS value FROM (
+       |                 NULL::DOUBLE AS value, sig,
+       |                 (sig > 0.5 AND prev <= 0.5) AS edge FROM (
        |    SELECT pipeline, event_id, ts_ms, sig,
        |      COALESCE(lag(sig) OVER (PARTITION BY pipeline ORDER BY ts_ms, event_id), 0.0) AS prev
        |    FROM (SELECT $pipelineSql, event_id, ts_ms,
        |            CASE WHEN value > 15 THEN 1.0 ELSE 0.0 END AS sig
-       |          FROM e WHERE event_type = 'error'))
-       |  WHERE sig > 0.5 AND prev <= 0.5),
+       |          FROM e WHERE event_type = 'error'))),
        |clears AS (SELECT $pipelineSql, event_id, ts_ms, 0 AS kind,
-       |                  NULL::DOUBLE AS value
+       |                  NULL::DOUBLE AS value, NULL::DOUBLE AS sig,
+       |                  NULL::BOOLEAN AS edge
        |           FROM e WHERE event_type = 'purchase'),
-       |data AS (SELECT $pipelineSql, event_id, ts_ms, 2 AS kind, value
+       |data AS (SELECT $pipelineSql, event_id, ts_ms, 2 AS kind, value,
+       |                NULL::DOUBLE AS sig, NULL::BOOLEAN AS edge
        |         FROM e WHERE event_type = 'click'),
        |tagged AS (SELECT *,
-       |    sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER (
-       |      PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS win
+       |    sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER w AS win,
+       |    sum(CASE WHEN kind = 1 AND sig <= 0.5 THEN 1 ELSE 0 END)
+       |      OVER w AS epi,
+       |    COALESCE(last_value(CASE WHEN kind = 1 THEN sig END IGNORE NULLS)
+       |      OVER w, 0.0) > 0.5 AS playing,
+       |    last_value(CASE WHEN kind = 1 THEN ts_ms END IGNORE NULLS)
+       |      OVER w AS anchor_ts,
+       |    last_value(CASE WHEN kind = 1 AND edge THEN event_id END
+       |      IGNORE NULLS) OVER w AS epi_edge_id
        |  FROM (SELECT * FROM clears UNION ALL
        |        SELECT * FROM plays UNION ALL
-       |        SELECT * FROM data)),
-       |pe AS (SELECT pipeline, win, event_id AS edge_id, ts_ms AS edge_ts
-       |       FROM tagged WHERE kind = 1),
-       |dr AS (SELECT pipeline, win, event_id, ts_ms, value
+       |        SELECT * FROM data)
+       |  WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |dr AS (SELECT pipeline, win, epi, event_id, ts_ms, value, playing,
+       |              anchor_ts, epi_edge_id
        |       FROM tagged WHERE kind = 2),
        |firsts AS (SELECT pipeline, win, min(ts_ms) AS w_first
-       |           FROM dr GROUP BY pipeline, win)
-       |SELECT dr.pipeline, CAST(dr.win AS BIGINT) AS win, pe.edge_id,
-       |  dr.event_id, pe.edge_ts + dr.ts_ms - f.w_first AS replay_ts,
+       |           FROM dr GROUP BY pipeline, win),
+       |edge_trig AS (SELECT t.pipeline, t.win, t.epi, 0 AS tpri,
+       |    t.ts_ms AS t_ts, 9223372036854775807 AS t_id,
+       |    t.ts_ms AS anchor, t.event_id AS edge_id
+       |  FROM tagged t JOIN firsts f
+       |    ON f.pipeline = t.pipeline AND f.win = t.win
+       |  WHERE t.kind = 1 AND t.edge AND f.w_first <= t.ts_ms),
+       |data_trig AS (SELECT pipeline, win, epi, 1 AS tpri, ts_ms AS t_ts,
+       |    event_id AS t_id, anchor_ts AS anchor, epi_edge_id AS edge_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY pipeline, win, epi
+       |          ORDER BY ts_ms, event_id) AS rn
+       |        FROM dr WHERE playing)
+       |  WHERE rn = 1),
+       |trig AS (SELECT pipeline, win, tpri, t_ts, t_id, anchor, edge_id
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY pipeline, win, epi
+       |          ORDER BY tpri) AS rn
+       |        FROM (SELECT * FROM edge_trig UNION ALL
+       |              SELECT * FROM data_trig))
+       |  WHERE rn = 1)
+       |SELECT dr.pipeline, CAST(dr.win AS BIGINT) AS win, trig.edge_id,
+       |  dr.event_id, trig.anchor + dr.ts_ms - f.w_first AS replay_ts,
        |  dr.value
        |FROM dr
-       |JOIN pe ON pe.pipeline = dr.pipeline AND pe.win = dr.win
-       |       AND pe.edge_ts >= dr.ts_ms
+       |JOIN trig ON trig.pipeline = dr.pipeline AND trig.win = dr.win
+       |  AND (dr.ts_ms < trig.t_ts OR (dr.ts_ms = trig.t_ts
+       |       AND (trig.tpri = 0 OR dr.event_id <= trig.t_id)))
        |JOIN firsts f ON f.pipeline = dr.pipeline AND f.win = dr.win
-       |ORDER BY edge_id, event_id""".stripMargin
+       |ORDER BY edge_id, win, event_id""".stripMargin
 
   /** audio volume scaler (media/audiovolumescaler.py:68-97): multiply
     * samples by the latest scale value (default 1.0 before any),

@@ -1468,13 +1468,18 @@ object StreamParityQueries {
     * algebra) through the streaming mount, hash-checked against e16's
     * windowed formulation reprojected without the edge/window labels
     * (the machine's output is the replayed multiset; replay_ts is
-    * unique per (edge, row), so the multiset pins the same facts).
-    * Fixture = e16's: clicks record, error-value>15 RISING EDGES
-    * replay the recording restamped to the edge, purchases clear via
-    * an in-band pause+unpause pair on the data topic (the reference's
-    * buffer.clear() trigger). The machine detects edges and clears
-    * from RAW signals in arrival order — the lag()/transition windows
-    * live only in the oracle.
+    * unique per (trigger, row), so the multiset pins the same facts).
+    * Fixture = e16's: clicks record; error-value>15 opens a playing
+    * EPISODE that replays at most once per recording window — at the
+    * rising edge when the buffer is already non-empty, else at the
+    * first data arrival while live (`update_playing_state` on append,
+    * anchored at the reference's sync.time = the last play message);
+    * purchases clear via an in-band pause+unpause pair on the data
+    * topic (the reference's buffer.clear() + stop_play trigger, so a
+    * cleared episode can replay again once the buffer refills). The
+    * machine detects episodes, triggers and clears from RAW signals
+    * in arrival order — the lag()/transition windows live only in the
+    * oracle.
     *
     * Equal-timestamp kind order is part of e16's pinned semantics
     * (clears start the new window first; same-ms data IS included in
@@ -1523,41 +1528,63 @@ object StreamParityQueries {
   private val e49Sql =
     s"""WITH e AS (SELECT user_id % 2 AS pipeline, event_id,
        |    epoch_ms(ts) AS ts_ms, value, event_type FROM events),
-       |plays AS (SELECT pipeline, event_id, ts_ms, 2 AS kind FROM (
+       |plays AS (SELECT pipeline, event_id, ts_ms, 2 AS kind,
+       |    NULL::DOUBLE AS value, sig, (sig > 0.5 AND prev <= 0.5) AS edge
+       |  FROM (
        |    SELECT pipeline, event_id, ts_ms, sig,
        |      COALESCE(lag(sig) OVER (PARTITION BY pipeline
        |        ORDER BY ts_ms, event_id), 0.0) AS prev
        |    FROM (SELECT pipeline, event_id, ts_ms,
        |            CASE WHEN value > 15 THEN 1.0 ELSE 0.0 END AS sig
-       |          FROM e WHERE event_type = 'error'))
-       |  WHERE sig > 0.5 AND prev <= 0.5),
-       |clears AS (SELECT pipeline, event_id, ts_ms, 0 AS kind
-       |           FROM e WHERE event_type = 'purchase'),
-       |data AS (SELECT pipeline, event_id, ts_ms, 1 AS kind, value
-       |         FROM e WHERE event_type = 'click'),
+       |          FROM e WHERE event_type = 'error'))),
+       |clears AS (SELECT pipeline, event_id, ts_ms, 0 AS kind,
+       |    NULL::DOUBLE AS value, NULL::DOUBLE AS sig, NULL::BOOLEAN AS edge
+       |  FROM e WHERE event_type = 'purchase'),
+       |data AS (SELECT pipeline, event_id, ts_ms, 1 AS kind, value,
+       |    NULL::DOUBLE AS sig, NULL::BOOLEAN AS edge
+       |  FROM e WHERE event_type = 'click'),
        |tagged AS (SELECT *,
-       |    sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER (
-       |      PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS win
-       |  FROM (SELECT pipeline, event_id, ts_ms, kind, NULL::DOUBLE AS value
-       |          FROM clears
-       |        UNION ALL
-       |        SELECT pipeline, event_id, ts_ms, kind, NULL::DOUBLE
-       |          FROM plays
-       |        UNION ALL
-       |        SELECT * FROM data)),
-       |pe AS (SELECT pipeline, win, ts_ms AS edge_ts
-       |       FROM tagged WHERE kind = 2),
-       |dr AS (SELECT pipeline, win, event_id, ts_ms, value
+       |    sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) OVER w AS win,
+       |    sum(CASE WHEN kind = 2 AND sig <= 0.5 THEN 1 ELSE 0 END)
+       |      OVER w AS epi,
+       |    COALESCE(last_value(CASE WHEN kind = 2 THEN sig END IGNORE NULLS)
+       |      OVER w, 0.0) > 0.5 AS playing,
+       |    last_value(CASE WHEN kind = 2 THEN ts_ms END IGNORE NULLS)
+       |      OVER w AS anchor_ts
+       |  FROM (SELECT * FROM clears UNION ALL
+       |        SELECT * FROM plays UNION ALL
+       |        SELECT * FROM data)
+       |  WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |dr AS (SELECT pipeline, win, epi, event_id, ts_ms, value, playing,
+       |              anchor_ts
        |       FROM tagged WHERE kind = 1),
        |firsts AS (SELECT pipeline, win, min(ts_ms) AS w_first
-       |           FROM dr GROUP BY pipeline, win)
+       |           FROM dr GROUP BY pipeline, win),
+       |edge_trig AS (SELECT t.pipeline, t.win, t.epi, 0 AS tpri,
+       |    t.ts_ms AS t_ts, 9223372036854775807 AS t_id, t.ts_ms AS anchor
+       |  FROM tagged t JOIN firsts f
+       |    ON f.pipeline = t.pipeline AND f.win = t.win
+       |  WHERE t.kind = 2 AND t.edge AND f.w_first <= t.ts_ms),
+       |data_trig AS (SELECT pipeline, win, epi, 1 AS tpri, ts_ms AS t_ts,
+       |    event_id AS t_id, anchor_ts AS anchor
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY pipeline, win, epi
+       |          ORDER BY ts_ms, event_id) AS rn
+       |        FROM dr WHERE playing)
+       |  WHERE rn = 1),
+       |trig AS (SELECT pipeline, win, tpri, t_ts, t_id, anchor
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY pipeline, win, epi
+       |          ORDER BY tpri) AS rn
+       |        FROM (SELECT * FROM edge_trig UNION ALL
+       |              SELECT * FROM data_trig))
+       |  WHERE rn = 1)
        |SELECT dr.pipeline, dr.event_id,
-       |  CAST(pe.edge_ts + dr.ts_ms - f.w_first AS BIGINT) AS replay_ts,
+       |  CAST(trig.anchor + dr.ts_ms - f.w_first AS BIGINT) AS replay_ts,
        |  dr.value
        |FROM dr
-       |JOIN pe ON pe.pipeline = dr.pipeline AND pe.win = dr.win
-       |       AND pe.edge_ts >= dr.ts_ms
+       |JOIN trig ON trig.pipeline = dr.pipeline AND trig.win = dr.win
+       |  AND (dr.ts_ms < trig.t_ts OR (dr.ts_ms = trig.t_ts
+       |       AND (trig.tpri = 0 OR dr.event_id <= trig.t_id)))
        |JOIN firsts f ON f.pipeline = dr.pipeline AND f.win = dr.win
        |ORDER BY dr.pipeline, replay_ts, dr.event_id""".stripMargin
 

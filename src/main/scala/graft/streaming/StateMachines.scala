@@ -647,26 +647,42 @@ object StateMachines {
   }
 
   // ---------------------------------------------------------- replay buffer
+  /** `played` ≈ the reference's `play_task is not None`: at most one
+    * replay per playing episode, reset when playing drops or the
+    * buffer is cleared (`stop_play`). `lastPlayTs` = the reference's
+    * `sync.time` (updated by every VALID play message, :55-57). */
   final case class ReplayState(buf: Vector[Ev], lastPaused: Boolean,
-      playing: Boolean)
+      playing: Boolean, played: Boolean = false,
+      lastPlayTs: Long = 0L)
 
   /** Replay buffer (system/tasks/replaybuffer.py:28-92), as the
     * deterministic event-time machine the e16 window formulation pins:
     *
     *  - topic 0 (data): non-marker messages append to the buffer
-    *    (run_input_receiver :38-47); an UNPAUSE transition (paused →
-    *    resumed) clears it (:43-45 `buffer.clear()`).
-    *  - topic 1 (play): `playing := value > 0.5` (:52-55). A RISING
-    *    edge with a non-empty buffer replays the whole buffer (:60-70):
-    *    each buffered message re-emits at `ts + offset` where
-    *    `offset = edgeTs − firstBufferedTs` — the reference computes
-    *    `time_offset = sync.time − ts` of the first replayed packet,
-    *    i.e. the buffer's first message plays at the edge. Replay does
-    *    NOT consume the buffer, so a later play (after the control
-    *    drops and rises again) replays the same recording.
+    *    (run_input_receiver :38-48); an UNPAUSE transition (paused →
+    *    resumed) clears it AND stops any play (:43-46 `buffer.clear()`
+    *    + `stop_play()` — so a replay can fire again in the SAME
+    *    playing episode once the buffer refills). Each append also
+    *    re-checks the playing state (:48 `update_playing_state`): if
+    *    the episode is live and has not yet replayed — the reference's
+    *    `playing and play_task is None` (:79) — the arrival that makes
+    *    the buffer non-empty STARTS the replay, anchored at the last
+    *    play-message timestamp (`sync.time`, :68).
+    *  - topic 1 (play): `playing := value > 0.5` (:52-57) and
+    *    `sync.update(ts)`; INVALID play messages are skipped entirely
+    *    (the ValidationError path, :58 — playing keeps its value).
+    *    A rising value with an un-played episode and a non-empty
+    *    buffer replays the whole buffer (:60-76): each buffered
+    *    message re-emits at `ts + offset` where `offset = syncTs −
+    *    firstBufferedTs` — the reference computes `time_offset =
+    *    sync.time − ts` of the first replayed packet, i.e. the
+    *    buffer's first message plays at the anchor. Replay does NOT
+    *    consume the buffer, and `play_task` guards a second replay
+    *    until the control drops (`stop_play`, :80-90) — then a later
+    *    rise replays the same recording.
     *
     * The reference paces the replay against the wall clock
-    * (asyncio.sleep, :66-67) and can loop; event time needs no pacing
+    * (asyncio.sleep, :72-73) and can loop; event time needs no pacing
     * — the re-stamped timestamps carry the schedule — and loop mode is
     * rejected at [[graft.plans.Pipeline.ReplayBufferOp]] build time. */
   final class ReplayBuffer extends Machine[ReplayState] {
@@ -675,24 +691,38 @@ object StateMachines {
     // play edge is part of the recording (the e16 window's sort order).
     override def priority(topic: Int): Int = if (topic == 0) 0 else 1
 
+    private def replay(s: ReplayState): Seq[Out] = {
+      val off = s.lastPlayTs - s.buf.head.ts
+      s.buf.map(b => Out(b.ts + off, b.value, b.text))
+    }
+
     def step(s: ReplayState, e: Ev): (ReplayState, Seq[Out]) = e.topic match {
       case 0 =>
         if (e.paused) {
           val flag = pauseFlag(e)
           val cleared = s.lastPaused && !flag // unpause transition
           (s.copy(lastPaused = flag,
-            buf = if (cleared) Vector.empty else s.buf), Nil)
-        } else (s.copy(buf = s.buf :+ e), Nil)
+            buf = if (cleared) Vector.empty else s.buf,
+            // stop_play (:44-46): the cleared episode may replay again
+            played = if (cleared) false else s.played), Nil)
+        } else {
+          val s1 = s.copy(buf = s.buf :+ e)
+          // update_playing_state on append (:48): a live, un-played
+          // episode starts its replay on the arrival that fills the
+          // buffer
+          if (s1.playing && !s1.played)
+            (s1.copy(played = true), replay(s1))
+          else (s1, Nil)
+        }
       case _ =>
-        if (e.paused) (s, Nil)
+        if (e.paused || e.value.isNaN) (s, Nil) // control / ValidationError
         else {
           val sig = e.value > 0.5
-          val outs =
-            if (sig && !s.playing && s.buf.nonEmpty) {
-              val off = e.ts - s.buf.head.ts
-              s.buf.map(b => Out(b.ts + off, b.value, b.text))
-            } else Nil
-          (s.copy(playing = sig), outs)
+          val s1 = s.copy(playing = sig, lastPlayTs = e.ts,
+            played = if (!sig) false else s.played) // stop_play on drop
+          if (sig && !s1.played && s1.buf.nonEmpty)
+            (s1.copy(played = true), replay(s1))
+          else (s1, Nil)
         }
     }
   }

@@ -741,6 +741,59 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == (1L to 7L).map(d => math.pow(5, d.toDouble).toLong).sum)
   }
 
+  // --------------------------------------------------- replay buffer sim
+  /** Transcription of replaybuffer.py:38-90 with the reference's own
+    * structure: `buffer` + `last_paused` (run_input_receiver :38-48,
+    * unpause-clear + stop_play :43-46), `playing` + `sync`
+    * (run_play_receiver :50-58, ValidationError skip), and `play_task`
+    * (update_playing_state :77-82 — start a play iff playing ∧ no
+    * task ∧ buffer non-empty, on EVERY append and play message; stop
+    * when playing drops). The event-time play() emits the buffer
+    * restamped so its first message lands at sync.time (:64-75). */
+  private final case class ReplaySimState(buf: Vector[Ev],
+      lastPaused: Boolean, playing: Boolean, playTask: Boolean, sync: Long)
+  private final class ReplaySim extends SimModel[ReplaySimState] {
+    def init = ReplaySimState(Vector.empty, lastPaused = false,
+      playing = false, playTask = false, sync = 0L)
+    private def updatePlayingState(s: ReplaySimState): (ReplaySimState, Seq[Out]) =
+      if (s.playing && !s.playTask && s.buf.nonEmpty) {
+        val off = s.sync - s.buf.head.ts // time_offset, :68
+        (s.copy(playTask = true),
+          s.buf.map(b => Out(b.ts + off, b.value, b.text)))
+      } else if (!s.playing) (s.copy(playTask = false), Nil) // stop_play
+      else (s, Nil)
+    def step(s: ReplaySimState, e: Ev): (ReplaySimState, Seq[Out]) =
+      if (e.topic == 0) {
+        if (e.paused) { // run_input_receiver control branch, :42-46
+          val flag = !(e.value <= 0.5)
+          if (!flag && s.lastPaused)
+            (s.copy(lastPaused = false, buf = Vector.empty,
+              playTask = false), Nil) // buffer.clear() + stop_play
+          else (s.copy(lastPaused = flag), Nil)
+        } else updatePlayingState(s.copy(buf = s.buf :+ e)) // :47-48
+      } else {
+        if (e.paused) (s, Nil) // recv_data skips control
+        else if (e.value.isNaN) (s, Nil) // ValidationError, :58
+        else updatePlayingState(s.copy(sync = e.ts, // sync.update, :56
+          playing = e.value > 0.5)) // :57
+      }
+  }
+
+  private val replayAlphabet: IndexedSeq[Sym] = Vector(
+    "D" -> data(0, 1337.0), // record a message
+    "PC" -> pause(0), "RC" -> resume(0), // record pause / unpause-clear
+    "P1" -> data(1, 1.0), // play on
+    "P0" -> data(1, 0.0), // play off
+    "PN" -> invalid(1), // invalid play message (ValidationError skip)
+    "PP" -> pause(1)) // control marker on the play topic (ignored)
+
+  test("replay buffer: all 7^6 words agree with the replaybuffer.py " +
+      "transcription (update_playing_state on append, play_task guard, " +
+      "sync anchor, unpause clear+stop, invalid-play skip)") {
+    val n = exhaust(new ReplayBuffer, new ReplaySim, replayAlphabet, k = 6)
+    assert(n == (1L to 6L).map(d => math.pow(7, d.toDouble).toLong).sum)
+  }
+
   // ------------------------------------- Spark mount, one-job exhaustive
   /** Every gate word of length 4 through StatefulRunner.runBatch in ONE
     * Spark job — 8^4 = 4096 independent keyed groups — compared against

@@ -686,9 +686,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("ob") == Seq((15L, "p|q|r"), (25L, null)))
   }
 
-  test("ReplayBufferOp: play rising edge replays the recording " +
-      "restamped to the edge; unpause transition clears; repeated " +
-      "plays replay the same buffer (replaybuffer.py:28-70)") {
+  test("ReplayBufferOp: edge replays restamped to the edge; unpause " +
+      "clears AND stops play so a refilling buffer replays again " +
+      "mid-episode, anchored at the play clock; repeated plays replay " +
+      "the same buffer (replaybuffer.py:28-90)") {
     import spark.implicits._
     def envP(rows: Seq[(Long, Double, Boolean, Long)]): DataFrame =
       rows.map { case (ts, v, p, sq) => (ts, v, null: String, p, sq) }
@@ -696,7 +697,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // record 1.0@10, 2.0@20; play edge @25 (offset 15): replays
     // 1.0@25, 2.0@35; control drops @30, rises again @40: replays the
     // SAME buffer at offset 30 (1.0@40, 2.0@50). Then a pause+unpause
-    // pair @45 clears; data 3.0@60; edge @70 replays only 3.0@70.
+    // pair @45 clears AND stops play (stop_play, :44-46) while the
+    // episode stays live — so data 3.0@60 STARTS a replay on arrival
+    // (update_playing_state on append, :48,79), anchored at the play
+    // clock sync.time=40 → 3.0 stamped @40. Drop @65, edge @70
+    // replays the buffer again: 3.0@70.
     val data = envP(Seq((10L, 1.0, false, 1L), (20L, 2.0, false, 2L),
       (45L, 1.0, true, 6L), (46L, 0.0, true, 7L), (60L, 3.0, false, 8L)))
     val play = envP(Seq((25L, 1.0, false, 3L), (30L, 0.0, false, 4L),
@@ -708,8 +713,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Pipeline.compile(dep, Map("d" -> data, "p" -> play))("replayed")
       .filter(!col("paused")).select("ts", "value").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(x => (x._1, x._2)).toSeq
-    assert(out == Seq((25L, 1.0), (35L, 2.0), (40L, 1.0), (50L, 2.0),
-      (70L, 3.0)))
+    assert(out == Seq((25L, 1.0), (35L, 2.0), (40L, 1.0), (40L, 3.0),
+      (50L, 2.0), (70L, 3.0)))
   }
 
   test("llamacppchat kind: src_model path binds the learned bigram " +
