@@ -27,9 +27,11 @@ import org.apache.spark.sql.SparkSession
   *    deployment's track config), video tags become one frame-hex row
   *    each. Only `#audio0`/`#video0` exist in an FLV (one stream of
   *    each kind). An audio track may also bind a RECORDED file on the
-  *    file's own sample clock: `.wav` (RIFF, [[sources.Wav]]) or
+  *    file's own sample clock: `.wav` (RIFF, [[sources.Wav]]),
   *    `.flac` (RFC 9639, [[sources.Flac]] — decoded with per-frame
-  *    CRC and stream-MD5 verification);
+  *    CRC and stream-MD5 verification) or `.mp4` (classic moov
+  *    sample-table layout, [[sources.IsoBmff]] `demuxFlat` — raw-s16
+  *    payload blocks on the stts clock);
   *  - `--node` enables the reference's hash task_host_id resolution
   *    (task.py:153) for real exports; loader-friendly exports with
   *    plain kind names need nothing;
@@ -229,6 +231,35 @@ object RunDeployment {
           chans(0).iterator.zipWithIndex.map { case (v, j) =>
             val ts = j * 1000L / si.sampleRate
             (ts, v.toDouble, null: String, false, j.toLong)
+          }
+        }.toDF("ts", "value", "text", "paused", "seq")
+    }
+    if (path.endsWith(".mp4")) {
+      require("#audio0$".r.findFirstIn(name).isDefined,
+        s"--bind $name=$path: an .mp4 recording binds an input-container " +
+          "audio track (<source>#audio0)")
+      // classic moov layout ([[sources.IsoBmff.demuxFlat]]); sample
+      // dts are ms on the file's own clock, payloads are raw s16 blocks
+      return spark.read.format("binaryFile").load(path)
+        .select(col("content").as[Array[Byte]])
+        .flatMap { bytes =>
+          val (tracks, samples) = graft.sources.IsoBmff.demuxFlat(bytes)
+          require(tracks.length == 1 && tracks.head.kind == "audio" &&
+            tracks.head.channels == 1,
+            s"only single-track mono audio .mp4 binds are supported, got " +
+              tracks.map(t => s"${t.kind}/${t.codec}").mkString(","))
+          val t = tracks.head
+          require(t.codec == "gpcm",
+            s"--bind $name: .mp4 audio binding decodes raw s16 payloads; " +
+              s"the track's sample entry is '${t.codec}' — bind envelope " +
+              "parquet or decode upstream")
+          require(t.sampleRate >= 1, s"--bind $name: rate ${t.sampleRate}")
+          samples.iterator.flatMap { sm =>
+            graft.sources.Wav.samples16(sm.payload).iterator.zipWithIndex
+              .map { case (v, j) =>
+                (sm.dts + j * 1000L / t.sampleRate, v.toDouble) }
+          }.zipWithIndex.map { case ((ts, v), k) =>
+            (ts, v, null: String, false, k.toLong)
           }
         }.toDF("ts", "value", "text", "paused", "seq")
     }

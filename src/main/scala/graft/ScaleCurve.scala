@@ -68,7 +68,8 @@ object ScaleCurve {
     "c14_live_deployment",  // RTMP capture -> loaded DAG: mux/demux + keyed meter
     "m32_rtmp_metadata",    // AMF0 metadata lead message: per-container scan
     "e51_streaming_ingest", // in-stream FLV demux: batch floors + per-segment demux
-    "p13_flac_codec")       // per-chunk FLAC file encode+decode: the m30 shape
+    "p13_flac_codec",       // per-chunk FLAC file encode+decode: the m30 shape
+    "m35_mp4_classic")      // per-container classic-MP4 tables: the m25 shape
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k

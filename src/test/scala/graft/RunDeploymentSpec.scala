@@ -197,6 +197,89 @@ class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flacRows == rows(s"$dir/outW/volume.parquet"))
   }
 
+  test("an inputcontainer audio track binds a recorded .mp4 (classic " +
+      "moov layout) and meters identically to the same samples as .wav") {
+    import graft.sources.{IsoBmff, Wav}
+    import graft.sources.IsoBmff.{Mp4Sample, Mp4Track}
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep8")
+      .toString
+    val samples = Array.tabulate(300)(i =>
+      (((i + 11) * 2654435761L) % 4000L - 2000L).toInt)
+    val track = Mp4Track(1, "audio", "gpcm", sampleRate = 1000, channels = 1)
+    val mp4Samples = samples.grouped(100).zipWithIndex.map { case (blk, bi) =>
+      Mp4Sample(1, bi * 100L, 100L, keyframe = true, Wav.pcm16(blk))
+    }.toSeq
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/rec.mp4"),
+      IsoBmff.muxFlat(Seq(track), mp4Samples, chunkMax = 2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/rec.wav"),
+      Wav.mux(Wav.WavData(1000, 1, 16, Wav.pcm16(samples))))
+    val json = """{
+      "deployment": {"id": "d", "label": "rec"},
+      "tasks": [
+        {"id": "1", "deployment_id": "d", "task_host_id": "inputcontainer",
+         "label": "rec", "config": {"source": "fixture.mp4",
+           "real_time": false, "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "2", "deployment_id": "d", "task_host_id": "audiovolumemeter",
+         "label": "meter", "config": {"sample_format": "s16",
+           "rate": 1000, "time_window": 125, "in_topic": 1, "out_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "3", "deployment_id": "d", "task_host_id": "namedoutput",
+         "label": "out", "config": {"name": "volume", "in_topic": 2},
+         "frontend_config": {}, "inputs": [], "outputs": []}
+      ]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/outM",
+      "--bind", s"fixture.mp4#audio0=$dir/rec.mp4"))
+    RunDeployment.main(Array(s"$dir/dep.json", s"$dir/outW",
+      "--bind", s"fixture.mp4#audio0=$dir/rec.wav"))
+    def rows(p: String) = spark.read.parquet(p)
+      .filter(!org.apache.spark.sql.functions.col("paused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val mp4Rows = rows(s"$dir/outM/volume.parquet")
+    assert(mp4Rows.nonEmpty && mp4Rows.map(_._1) == Seq(0L, 125L))
+    assert(mp4Rows == rows(s"$dir/outW/volume.parquet"))
+  }
+
+  test("a coded .mp4 track refuses the raw-PCM bind loudly") {
+    import graft.sources.IsoBmff
+    import graft.sources.IsoBmff.{Mp4Sample, Mp4Track}
+    val dir = java.nio.file.Files.createTempDirectory("graft-rundep9")
+      .toString
+    val coded = Mp4Track(1, "audio", "ulaw", sampleRate = 1000, channels = 1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/coded.mp4"),
+      IsoBmff.muxFlat(Seq(coded),
+        Seq(Mp4Sample(1, 0L, 10L, keyframe = true, Array[Byte](1, 2, 3, 4)))))
+    val json = """{
+      "deployment": {"id": "d", "label": "rec"},
+      "tasks": [
+        {"id": "1", "deployment_id": "d", "task_host_id": "inputcontainer",
+         "label": "rec", "config": {"source": "f.mp4",
+           "real_time": false, "video_tracks": [],
+           "audio_tracks": [{"sample_format": "s16", "codec": "raw",
+             "channels": 1, "rate": 1000, "out_topic": 1}]},
+         "frontend_config": {}, "inputs": [], "outputs": []},
+        {"id": "2", "deployment_id": "d", "task_host_id": "namedoutput",
+         "label": "out", "config": {"name": "raw", "in_topic": 1},
+         "frontend_config": {}, "inputs": [], "outputs": []}
+      ]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/dep.json"), json)
+    val e = intercept[Exception] {
+      RunDeployment.main(Array(s"$dir/dep.json", s"$dir/out",
+        "--bind", s"f.mp4#audio0=$dir/coded.mp4"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("ulaw")))
+  }
+
   test("a corrupt .flac bind fails loudly instead of metering garbage") {
     import graft.sources.Flac
     val dir = java.nio.file.Files.createTempDirectory("graft-rundep7")
