@@ -1399,6 +1399,81 @@ object DedupQueries {
        |FROM asg a JOIN sz USING (cluster)
        |ORDER BY a.doc_id""".stripMargin
 
+  // ---- d19: LSH band/row auto-tuning ---------------------------------------
+  /** The PLANNING step in front of every MinHash-LSH deployment
+    * (datasketch's `_optimal_param`, the standard public recipe):
+    * given a permutation budget P and a target Jaccard threshold t,
+    * choose (bands b, rows r) with b·r ≤ P minimizing the S-curve's
+    * false-positive + false-negative mass — fp = ∫₀ᵗ Pr[candidate](s) ds,
+    * fn = ∫ₜ¹ (1 − Pr[candidate](s)) ds with
+    * Pr[candidate](s) = 1 − (1 − sʳ)ᵇ, integrated on the s = k/100
+    * grid. The arithmetic is EXACT scaled-integer (probabilities in
+    * 10⁻⁹ units, every power a literal left-fold of
+    * multiply-then-integer-divide), so both engines produce identical
+    * integers and the argmin is hash-stable; ties break to (smaller
+    * b, smaller r). P = 64, t = 0.5, equal error weights.
+    *
+    * Emits the whole candidate table (≈340 rows) with the chosen row
+    * flagged — the artifact a pipeline author reads to set d02's
+    * banding (d02's 4×2 at P = 8 is this curve's shape at its tiny
+    * budget). Scale: constant work — a planner query, not a scan. */
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    val P = 64
+    val e9 = "CAST(1000000000 AS BIGINT)"
+    s.range(1, P + 1).toDF("b")
+      .select(col("b"), explode(expr(s"sequence(1, $P div b)")).as("r"))
+      .select(col("b"), col("r"), explode(expr("sequence(1, 99)")).as("s"))
+      // sʳ then (1−sʳ)ᵇ as literal left-folds in 1e-9 units — both
+      // engines run the same multiply/intdiv chain, so exact equality
+      .withColumn("srv", expr(
+        s"aggregate(sequence(1, r), $e9, (acc, x) -> (acc * s) div 100)"))
+      .withColumn("p", expr(s"$e9 - aggregate(sequence(1, b), $e9, " +
+        s"(acc, x) -> (acc * ($e9 - srv)) div 1000000000)"))
+      .groupBy(col("b"), col("r"))
+      .agg(sum(when(col("s") < 50, col("p")).otherwise(0L)).as("fp_e9"),
+        sum(when(col("s") >= 50, expr("1000000000 - p")).otherwise(0L))
+          .as("fn_e9"))
+      .withColumn("cost_e9", col("fp_e9") + col("fn_e9"))
+      .withColumn("chosen", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cost_e9"), col("b"), col("r"))) === 1)
+      .select(col("b").cast(LongType), col("r").cast(LongType),
+        col("fp_e9").cast(LongType), col("fn_e9").cast(LongType),
+        col("cost_e9").cast(LongType), col("chosen"))
+      .orderBy(col("cost_e9"), col("b"), col("r"))
+  }
+
+  private val d19Sql =
+    """WITH RECURSIVE cand AS (
+      |  SELECT b, unnest(range(1, 64 // b + 1)) AS r
+      |  FROM (SELECT unnest(range(1, 65)) AS b)),
+      |rset AS (SELECT DISTINCT r FROM cand),
+      |grid AS (SELECT unnest(range(1, 100)) AS s),
+      |srrec AS (
+      |  SELECT s, r, 0 AS i, CAST(1000000000 AS BIGINT) AS v
+      |  FROM grid, rset
+      |  UNION ALL
+      |  SELECT s, r, i + 1, (v * s) // 100 FROM srrec WHERE i < r),
+      |sr AS (SELECT s, r, v AS srv FROM srrec WHERE i = r),
+      |pbrec AS (
+      |  SELECT c.b, c.r, sr.s, sr.srv, 0 AS i,
+      |         CAST(1000000000 AS BIGINT) AS u
+      |  FROM cand c JOIN sr ON sr.r = c.r
+      |  UNION ALL
+      |  SELECT b, r, s, srv, i + 1,
+      |         (u * (1000000000 - srv)) // 1000000000
+      |  FROM pbrec WHERE i < b),
+      |pb AS (SELECT b, r, s, 1000000000 - u AS p FROM pbrec WHERE i = b),
+      |agg AS (SELECT b, r,
+      |    sum(CASE WHEN s < 50 THEN p ELSE 0 END) AS fp_e9,
+      |    sum(CASE WHEN s >= 50 THEN 1000000000 - p ELSE 0 END) AS fn_e9
+      |  FROM pb GROUP BY b, r)
+      |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+      |  CAST(fp_e9 AS BIGINT) AS fp_e9, CAST(fn_e9 AS BIGINT) AS fn_e9,
+      |  CAST(fp_e9 + fn_e9 AS BIGINT) AS cost_e9,
+      |  row_number() OVER (ORDER BY fp_e9 + fn_e9, b, r) = 1 AS chosen
+      |FROM agg ORDER BY cost_e9, b, r""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_minhash_lsh", d02, Some(d02Sql)),
@@ -1419,5 +1494,6 @@ object DedupQueries {
     Q("d16_canonical_selection", d16, Some(d16Sql)),
     Q("d17_contamination_report", d17, Some(d17Sql)),
     Q("d18_soft_dedup", d18, Some(d18Sql)),
+    Q("d19_lsh_autotune", d19, Some(d19Sql)),
   )
 }

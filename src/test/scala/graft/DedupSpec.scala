@@ -180,4 +180,33 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // docs 0/1 vanish (all tokens covered); doc 2 fully kept
     assert(scrub.toSeq == Seq((2L, 11L, 11L, 0L)))
   }
+
+  test("d19's scaled-integer LSH tuning tracks the double-precision " +
+      "S-curve argmin (datasketch _optimal_param semantics)") {
+    // direct double-precision reference: fp = Σ_{s<t} 1-(1-s^r)^b,
+    // fn = Σ_{s>=t} (1-s^r)^b on the same s = k/100 grid
+    def cost(b: Int, r: Int): Double = (1 to 99).map { k =>
+      val s = k / 100.0
+      val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      if (k < 50) p else 1.0 - p
+    }.sum
+    val cands = for (b <- 1 to 64; r <- 1 to 64 / b) yield (b, r)
+    val best = cands.minBy { case (b, r) => (cost(b, r), b, r) }
+    // the scaled-integer winner (computed by the same fold the query
+    // runs) must be the double-precision winner, and every fold value
+    // must sit within one grid-cell of the double curve
+    def foldCost(b: Int, r: Int): Long = (1 to 99).map { k =>
+      val sr = (1 to r).foldLeft(1000000000L)((acc, _) => acc * k / 100)
+      val u = (1 to b).foldLeft(1000000000L)((acc, _) =>
+        acc * (1000000000L - sr) / 1000000000L)
+      val p = 1000000000L - u
+      if (k < 50) p else 1000000000L - p
+    }.sum
+    val intBest = cands.minBy { case (b, r) => (foldCost(b, r), b, r) }
+    assert(intBest == best, s"int $intBest vs double $best")
+    cands.foreach { case (b, r) =>
+      assert(math.abs(foldCost(b, r) / 1e9 - cost(b, r)) < 0.01,
+        s"b=$b r=$r fold drifted from the double curve")
+    }
+  }
 }
