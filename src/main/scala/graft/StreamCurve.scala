@@ -186,6 +186,45 @@ object StreamCurve {
           (col("event_id") * reps + col("rep")).as("seq"))
     }
 
+    /** e49's replay-buffer fixture re-keyed onto 2·reps pipelines:
+      * the data topic buffers clicks (cleared at purchase
+      * pause+unpause pairs), the play topic opens episodes, and each
+      * episode replays once — including the round-10 faithful
+      * update_playing_state trigger (replay on the arrival that fills
+      * the buffer). State = the recording vectors themselves, the
+      * largest per-key state in the machine family, so this curve is
+      * the buffer-heavy end of the state-store story. */
+    def replayFixture(reps: Int): DataFrame = {
+      val e = Tables.eventsMs(spark, sfDir)
+      val r = spark.range(0, reps).select(col("id").as("rep"))
+      val data = e.filter(col("event_type") === "click")
+        .select(pmod(col("user_id"), lit(2)).as("k0"), lit(0).as("topic"),
+          (col("ts_ms") * 4 + 1).as("ts"), col("value"),
+          col("event_id").cast("string").as("text"),
+          lit(false).as("paused"), (col("event_id") * 2).as("seq"))
+      val clears = e.filter(col("event_type") === "purchase")
+        .select(pmod(col("user_id"), lit(2)).as("k0"), lit(0).as("topic"),
+          (col("ts_ms") * 4).as("ts"),
+          explode(array(lit(1.0), lit(0.0))).as("value"),
+          lit(null).cast("string").as("text"), lit(true).as("paused"),
+          col("event_id"))
+        .select(col("k0"), col("topic"), col("ts"), col("value"),
+          col("text"), col("paused"),
+          (col("event_id") * 2 +
+            when(col("value") === 0.0, 1).otherwise(0)).as("seq"))
+      val plays = e.filter(col("event_type") === "error")
+        .select(pmod(col("user_id"), lit(2)).as("k0"), lit(1).as("topic"),
+          (col("ts_ms") * 4 + 2).as("ts"),
+          when(col("value") > 15, 1.0).otherwise(0.0).as("value"),
+          lit(null).cast("string").as("text"), lit(false).as("paused"),
+          (col("event_id") * 2).as("seq"))
+      data.unionByName(clears).unionByName(plays)
+        .crossJoin(broadcast(r))
+        .select((col("k0") + col("rep") * 2).cast("string").as("key"),
+          col("topic"), col("ts"), col("value"), col("text"),
+          col("paused"), col("seq"))
+    }
+
     def run(machine: String, reps: Int): (Long, Long, Double) = {
       import StatefulRunner.{KEv, KOut}
       val (fixture, order, pipes,
@@ -243,6 +282,10 @@ object StreamCurve {
                 lit(false).as("paused"))
               .as[KOut](org.apache.spark.sql.Encoders.product[KOut])
           })
+        case "replay" => (replayFixture(reps),
+          Seq(col("ts"), col("seq")), 2L * reps,
+          (ds: org.apache.spark.sql.Dataset[KEv]) =>
+            StatefulRunner.runStreaming(new StateMachines.ReplayBuffer, ds))
         case "session_window" => (sessFixture(reps),
           Seq(col("ts"), col("seq")), 1500L * reps,
           (ds: org.apache.spark.sql.Dataset[KEv]) =>
@@ -278,7 +321,7 @@ object StreamCurve {
     // optional 2nd arg: comma-separated machine filter (local iteration)
     val machines = args.drop(1).headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("gate", "synchronizer", "calculator", "session_window",
-        "stream_join", "left_outer", "dedup", "dim_join"))
+        "stream_join", "left_outer", "dedup", "dim_join", "replay"))
     val rows = for {
       m <- machines
       reps <- repsScale
