@@ -850,21 +850,24 @@ object ContainerQueries {
       |FROM sized ORDER BY container, pes_idx""".stripMargin
 
   /** m27: the CONTAINER TRANSCODE MATRIX — the same two-stream
-    * timeline muxed and demuxed through ALL FIVE real container
-    * families (AVI/RIFF, FLV, Matroska/EBML, fragmented MP4/ISO-BMFF,
-    * MPEG-TS) inside one per-container kernel, each family's
+    * timeline muxed and demuxed through ALL SIX real container byte
+    * formats (AVI/RIFF, FLV, Matroska/EBML, ISO-BMFF in BOTH layouts
+    * — fragmented moof/trun AND classic moov sample tables — and
+    * MPEG-TS) inside one per-container kernel, each format's
     * recovered stream reduced to the same canonical aggregate
     * (sample counts per kind, timestamp sum, order-free payload
     * checksum). This is the reference's container-matrix test shape
     * (tests/media/test_containers.py:20-29 — mux→demux round-trips
     * across its container list) promoted to an oracle-gated query:
     * the oracle computes the canonical aggregate ONCE from the
-    * timeline and predicts it for every family row, so a hash match
-    * proves all five byte formats carry the identical stream —
-    * timestamps via five different mechanisms (AVI's position-implied
+    * timeline and predicts it for every format row, so a hash match
+    * proves all six byte formats carry the identical stream —
+    * timestamps via six different mechanisms (AVI's position-implied
     * clocks, FLV's split 24+8-bit ms field, EBML cluster-relative
-    * int16s, tfdt+trun duration chains, 90 kHz PES PTS). Scale: one mapGroups kernel per container, five
-    * in-memory round-trips per group, nothing at the driver. */
+    * int16s, tfdt+trun duration chains, stts run-length chains with
+    * stsc/stco chunk addressing, 90 kHz PES PTS). Scale: one
+    * mapGroups kernel per container, six in-memory round-trips per
+    * group, nothing at the driver. */
   private def m27(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.sources.{Avi, IsoBmff, Mkv, MpegTs}
@@ -920,9 +923,17 @@ object ContainerQueries {
         IsoBmff.Mp4Track(1, "video", "grft", width = 64, height = 48),
         IsoBmff.Mp4Track(2, "audio", "gpcm", sampleRate = 16000,
           channels = 1))
-      val mp4Rec = IsoBmff.demux(IsoBmff.mux(mp4Tracks,
-        blocks.map(b => IsoBmff.Mp4Sample(b._1, b._2,
-          if (b._1 == 1) 33L else 32L, b._3, b._4))))._2
+      val mp4Samples = blocks.map(b => IsoBmff.Mp4Sample(b._1, b._2,
+        if (b._1 == 1) 33L else 32L, b._3, b._4))
+      val mp4Rec = IsoBmff.demux(IsoBmff.mux(mp4Tracks, mp4Samples))._2
+        .map(sm => (sm.track, sm.dts, sm.payload))
+
+      // --- classic MP4: the same timeline through moov sample tables
+      // (stts duration chains + stsc/stco chunk addressing — the m35
+      // layout as a matrix leg)
+      val mp4cPresent = mp4Tracks.filter(t => mp4Samples.exists(_.track == t.id))
+      val mp4cRec = IsoBmff.demuxFlat(
+        IsoBmff.muxFlat(mp4cPresent, mp4Samples))._2
         .map(sm => (sm.track, sm.dts, sm.payload))
 
       // --- MPEG-TS: 90 kHz PES PTS
@@ -941,7 +952,8 @@ object ContainerQueries {
           t.tsMs, t.payload))
 
       Seq("avi" -> aviRec, "flv" -> flvRec, "mkv" -> mkvRec,
-        "mp4" -> mp4Rec, "ts" -> tsRec).map { case (family, rec) =>
+        "mp4" -> mp4Rec, "mp4c" -> mp4cRec, "ts" -> tsRec)
+        .map { case (family, rec) =>
         val (nv, na, tsum, psum) = agg(rec)
         (k, family, nv, na, tsum, psum)
       }
@@ -972,7 +984,8 @@ object ContainerQueries {
       |                  AS BIGINT)) AS BIGINT) AS payload_sum
       |  FROM blk GROUP BY container)
       |SELECT container, family, n_video, n_audio, ts_sum, payload_sum
-      |FROM canon, (SELECT unnest(['avi','flv','mkv','mp4','ts']) AS family)
+      |FROM canon,
+      |  (SELECT unnest(['avi','flv','mkv','mp4','mp4c','ts']) AS family)
       |ORDER BY container, family""".stripMargin
 
   /** m28: MOTION-COMPENSATED VIDEO CODING — the inter-frame
