@@ -1057,13 +1057,19 @@ object StateMachines {
     * block only when every unpaused track's sequencer has started AND
     * can supply samples from `target_time = min(start_times)` — here,
     * when every unpaused started track has a buffered sample. The
-    * released tick is the min head timestamp; a track whose head sits
-    * later contributes the sequencer's gap-fill zero (util.py:228-257)
-    * and keeps its sample. Control messages exclude the track from
-    * the min and hard-reset its buffer (`sequencer.reset(True)` on
-    * unpause, :85-86; `reset()` while paused, :118). A track that has
-    * never produced blocks everything (the `not started` guard) —
-    * exactly the reference's startup barrier. */
+    * released tick is the min head timestamp OVER THE UNPAUSED tracks;
+    * the pop loop then runs over every STARTED track regardless of
+    * pause (:109-114 `for track in self.audio_tracks: if
+    * track.sequencer.started: pop_start(...)`) — so a track paused
+    * with samples still buffered keeps CONTRIBUTING its aligned tail
+    * to the mix (pre-target samples are silently consumed, the
+    * `pop_start` discard; a later head gap-fills zero, util.py:228-257,
+    * and keeps its sample). Pause itself does NOT clear the buffer:
+    * the soft `reset()` after each round (:118) only clears a paused
+    * track once its buffer has drained, and the HARD reset happens on
+    * the unpause transition (`reset(True)`, :85-86) — so a resumed
+    * track re-arms the startup barrier. A track that has never
+    * produced blocks everything (the `not started` guard). */
   final case class AmxTrack(queue: Vector[(Long, Double)], paused: Boolean,
       started: Boolean)
   final case class AmxState(tracks: Map[Int, AmxTrack])
@@ -1075,10 +1081,16 @@ object StateMachines {
     def step(s: AmxState, e: Ev): (AmxState, Seq[Out]) = {
       val t0 = s.tracks(e.topic)
       val s1 =
-        if (e.paused)
-          // any control: buffer reset + t0/sample bookkeeping cleared
+        if (e.paused) {
+          val flag = pauseFlag(e)
+          // HARD reset only on the unpause transition (:85-86); the
+          // pause itself keeps the buffer (it drains into later mixes)
+          val cleared = t0.paused && !flag
           s.copy(tracks = s.tracks + (e.topic -> t0.copy(
-            queue = Vector.empty, paused = pauseFlag(e), started = false)))
+            queue = if (cleared) Vector.empty else t0.queue,
+            started = if (cleared) false else t0.started,
+            paused = flag)))
+        }
         else if (e.value.isNaN) s // invalid message: skipped
         else
           s.copy(tracks = s.tracks + (e.topic -> t0.copy(
@@ -1098,10 +1110,20 @@ object StateMachines {
           val t = active.valuesIterator.map(_.queue.head._1).min
           var sum = 0.0
           val upd = s.tracks.map { case (i, tr) =>
-            if (!tr.paused && tr.queue.head._1 == t) {
-              sum += tr.queue.head._2
-              i -> tr.copy(queue = tr.queue.tail)
-            } else i -> tr // later head: gap-fill zero, keep the sample
+            if (tr.started) {
+              // pop_start(target, …): pre-target samples of a PAUSED
+              // track are silently consumed (the discard slice); an
+              // aligned head contributes; a later head gap-fills zero
+              var q = tr.queue
+              if (tr.paused) q = q.dropWhile(_._1 < t)
+              val contributes = q.nonEmpty && q.head._1 == t
+              if (contributes) sum += q.head._2
+              val q2 = if (contributes) q.tail else q
+              // soft reset after the round (:118): a paused track
+              // whose buffer has drained resets to not-started
+              i -> tr.copy(queue = q2,
+                started = !(tr.paused && q2.isEmpty))
+            } else i -> tr
           }
           out += Out(t, sum, null)
           s = AmxState(upd)

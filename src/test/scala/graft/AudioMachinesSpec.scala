@@ -42,16 +42,35 @@ class AudioMachinesSpec extends AnyFunSuite {
       Out(2, 23.0, null)))
   }
 
-  test("mixer: a paused track leaves the min computation; any control " +
-      "hard-resets its buffer (audiomixer.py:85-86)") {
+  test("mixer: a paused track leaves the min computation but its " +
+      "buffered tail keeps mixing (pop over started tracks, " +
+      "audiomixer.py:109-114); soft reset clears it once drained; the " +
+      "unpause transition hard-resets (audiomixer.py:85-86,118)") {
     val m = new AudioMixer(2)
     val out = run(m, Seq(
       sample(0, 0, 1), sample(1, 0, 10),
-      Ev(1, 1, 1.0, null, paused = true), // track 1 pauses (buffer reset)
+      Ev(1, 1, 1.0, null, paused = true), // track 1 pauses (buffer KEPT)
       sample(0, 1, 2), sample(0, 2, 3)))  // track 0 alone drives ticks
     assert(out == Seq(Out(0, 11.0, null), Out(1, 2.0, null),
       Out(2, 3.0, null)))
-    // resume: reset means NOT started — the barrier re-arms
+    // pause with samples still buffered: the tail drains into the mix
+    val m1 = new AudioMixer(2)
+    val out1 = run(m1, Seq(
+      sample(0, 0, 1), sample(1, 0, 10), sample(1, 1, 20),
+      Ev(1, 2, 1.0, null, paused = true), // 20@1 stays buffered
+      sample(0, 1, 2),                    // target 1: 2 + the paused 20
+      sample(0, 2, 3)))                   // tail drained → track 0 alone
+    assert(out1 == Seq(Out(0, 11.0, null), Out(1, 22.0, null),
+      Out(2, 3.0, null)))
+    // a paused head EARLIER than the target is silently consumed
+    // (pop_start's pre-target discard slice)
+    val m3 = new AudioMixer(2)
+    val out3 = run(m3, Seq(
+      sample(0, 0, 1), sample(1, 0, 10), sample(1, 1, 20),
+      Ev(1, 2, 1.0, null, paused = true),
+      sample(0, 2, 3)))                   // target 2: 20@1 discarded
+    assert(out3 == Seq(Out(0, 11.0, null), Out(2, 3.0, null)))
+    // resume: hard reset means NOT started — the barrier re-arms
     val m2 = new AudioMixer(2)
     val out2 = run(m2, Seq(
       sample(0, 0, 1), sample(1, 0, 10),
