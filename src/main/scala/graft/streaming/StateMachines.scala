@@ -1070,8 +1070,13 @@ object StateMachines {
     * the unpause transition (`reset(True)`, :85-86) — so a resumed
     * track re-arms the startup barrier. A track that has never
     * produced blocks everything (the `not started` guard). */
+  /** `clock` = the sequencer's buffer_start_time: the tick the
+    * track's NEXT buffered sample aligns to, advanced by pops. It is
+    * what lets a drained-AHEAD track keep releasing rounds (its
+    * implicit zero-pad counts as available samples — the reference's
+    * `get_max_samples` is positive when start_time > target). */
   final case class AmxTrack(queue: Vector[(Long, Double)], paused: Boolean,
-      started: Boolean)
+      started: Boolean, clock: Long = 0L)
   final case class AmxState(tracks: Map[Int, AmxTrack])
   final class AudioMixer(n: Int) extends Machine[AmxState] {
     require(n >= 1)
@@ -1094,7 +1099,8 @@ object StateMachines {
         else if (e.value.isNaN) s // invalid message: skipped
         else
           s.copy(tracks = s.tracks + (e.topic -> t0.copy(
-            queue = t0.queue :+ (e.ts, e.value), started = true)))
+            queue = t0.queue :+ (e.ts, e.value), started = true,
+            clock = if (t0.started) t0.clock else e.ts)))
       drain(s1)
     }
     private def drain(s0: AmxState): (AmxState, Seq[Out]) = {
@@ -1103,30 +1109,50 @@ object StateMachines {
       var go = true
       while (go) {
         val active = s.tracks.filter(!_._2.paused)
-        val ready = active.nonEmpty &&
-          active.valuesIterator.forall(t => t.started && t.queue.nonEmpty)
+        val ready = active.nonEmpty && active.valuesIterator.forall(_.started)
         if (!ready) go = false
         else {
-          val t = active.valuesIterator.map(_.queue.head._1).min
-          var sum = 0.0
-          val upd = s.tracks.map { case (i, tr) =>
-            if (tr.started) {
-              // pop_start(target, …): pre-target samples of a PAUSED
-              // track are silently consumed (the discard slice); an
-              // aligned head contributes; a later head gap-fills zero
-              var q = tr.queue
-              if (tr.paused) q = q.dropWhile(_._1 < t)
-              val contributes = q.nonEmpty && q.head._1 == t
-              if (contributes) sum += q.head._2
-              val q2 = if (contributes) q.tail else q
-              // soft reset after the round (:118): a paused track
-              // whose buffer has drained resets to not-started
-              i -> tr.copy(queue = q2,
-                started = !(tr.paused && q2.isEmpty))
-            } else i -> tr
+          // target = min unpaused start_time; a round fires while every
+          // unpaused track can supply a sample FROM target — buffered
+          // or the implicit zero-pad of a drained-ahead clock
+          // (get_max_samples, util.py:213)
+          val t = active.valuesIterator.map(_.clock).min
+          // buffer length counts the ts-SPAN, not the row count: a
+          // within-track gap is a zero the reference inserted at
+          // insert time (AudioSequencer desync fill, util.py:240-257),
+          // so it both counts as available and mixes as silence
+          def span(tr: AmxTrack): Long =
+            if (tr.queue.isEmpty) 0L else tr.queue.last._1 - tr.clock + 1
+          val num = active.valuesIterator
+            .map(tr => tr.clock + span(tr) - t).min
+          if (num <= 0) go = false
+          else {
+            var sum = 0.0
+            val upd = s.tracks.map { case (i, tr) =>
+              if (tr.started) {
+                if (tr.clock > t)
+                  i -> tr // started later than target: zero-pad, keep all
+                else {
+                  // pop_start(target, 1): consume through the target —
+                  // pre-target samples of a behind (paused) track are
+                  // silently discarded; the aligned sample contributes
+                  // (a gap tick contributes its insert-time zero)
+                  val bufEnd = math.min(t - tr.clock + 1, span(tr))
+                  val consumed = tr.queue.takeWhile(_._1 <= t)
+                  consumed.lastOption.filter(_._1 == t)
+                    .foreach(sum += _._2)
+                  val q2 = tr.queue.drop(consumed.length)
+                  // soft reset after the round (:118): a paused track
+                  // whose buffer has drained resets to not-started
+                  i -> tr.copy(queue = q2,
+                    clock = tr.clock + math.max(0L, bufEnd),
+                    started = !(tr.paused && q2.isEmpty))
+                }
+              } else i -> tr
+            }
+            out += Out(t, sum, null)
+            s = AmxState(upd)
           }
-          out += Out(t, sum, null)
-          s = AmxState(upd)
         }
       }
       (s, out.result())

@@ -62,14 +62,17 @@ class AudioMachinesSpec extends AnyFunSuite {
       sample(0, 2, 3)))                   // tail drained → track 0 alone
     assert(out1 == Seq(Out(0, 11.0, null), Out(1, 22.0, null),
       Out(2, 3.0, null)))
-    // a paused head EARLIER than the target is silently consumed
-    // (pop_start's pre-target discard slice)
+    // a gap on the unpaused track is the zero the reference's
+    // sequencer inserted at insert time — it still drives a round, so
+    // the paused tail's aligned sample mixes with silence (tick 1 =
+    // 0 + 20); nothing is skipped while buffered span remains
     val m3 = new AudioMixer(2)
     val out3 = run(m3, Seq(
       sample(0, 0, 1), sample(1, 0, 10), sample(1, 1, 20),
       Ev(1, 2, 1.0, null, paused = true),
-      sample(0, 2, 3)))                   // target 2: 20@1 discarded
-    assert(out3 == Seq(Out(0, 11.0, null), Out(2, 3.0, null)))
+      sample(0, 2, 3)))
+    assert(out3 == Seq(Out(0, 11.0, null), Out(1, 20.0, null),
+      Out(2, 3.0, null)))
     // resume: hard reset means NOT started — the barrier re-arms
     val m2 = new AudioMixer(2)
     val out2 = run(m2, Seq(

@@ -794,6 +794,151 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == (1L to 6L).map(d => math.pow(7, d.toDouble).toLong).sum)
   }
 
+  // ---------------------------------------------------- audio mixer sim
+  /** Transcription of audiomixer.py:76-120 + the AudioSequencer
+    * (media/util.py:188-267) in the one-sample-per-tick domain
+    * (rate = 1, so Fraction times are the integer sample clock and
+    * every insert carries one sample): per-track sequencer objects
+    * with the reference's own operations — `insert` (the desync
+    * gap-fill/overlap branches transcribed, though dense per-track
+    * ticks keep desync at 0 in this domain; max_stretch_ratio 1
+    * disables stretching), `pop_start(target, n)` with the
+    * pre-target discard slice and zero padding, soft/hard `reset` —
+    * driven by the reference's run_track/send_next control flow
+    * (barrier over unpaused-not-started, target = min unpaused start,
+    * pop over every STARTED track, soft reset of paused tracks after
+    * each round, hard reset on the unpause transition). Structurally
+    * independent of the machine's queue-min-drain loop, so a
+    * transcription error in either formulation diverges on some
+    * word. */
+  private final class SeqSim {
+    var start: Option[Long] = None
+    var buf: Vector[Double] = Vector.empty
+    var desync: Long = 0
+    def started: Boolean = start.isDefined
+    def endTime: Long = start.get + buf.length
+    def reset(force: Boolean): Unit =
+      if (force || start.isEmpty || buf.isEmpty) {
+        start = None; buf = Vector.empty; desync = 0
+      }
+    def insert(time: Long, v: Double): Unit =
+      if (start.isEmpty) { start = Some(time); buf = Vector(v) }
+      else {
+        desync += time - endTime
+        if (desync > 0) { // gap: zero-fill (stretch ratio 1 never stretches)
+          buf = buf ++ Vector.fill(desync.toInt)(0.0) :+ v
+          desync = 0
+        } else if (desync < 0) { // overlap: drop from the new samples
+          val dropped = math.min(-desync, 1L)
+          if (dropped < 1) buf = buf :+ v // (unreachable with 1 sample)
+          desync += dropped
+        } else buf = buf :+ v
+      }
+    def maxSamples(target: Long): Long =
+      math.max(0L, buf.length - (target - start.get))
+    def popStart(target: Long, n: Int): Vector[Double] = {
+      val off = (target - start.get).toInt
+      val bufEnd = math.max(0, math.min(n + off, buf.length))
+      val bufStart = math.min(math.max(0, off), buf.length)
+      val pad = math.min(math.max(0, -off), n)
+      var r = Vector.fill(pad)(0.0) ++ buf.slice(bufStart, bufEnd)
+      buf = buf.drop(bufEnd)
+      start = Some(start.get + bufEnd)
+      if (r.length < n) r = r ++ Vector.fill(n - r.length)(0.0)
+      r
+    }
+  }
+  private final case class MixSimState(seqs: Vector[SeqSim],
+      paused: Vector[Boolean])
+  private final class MixerSim(n: Int) extends SimModel[MixSimState] {
+    def init = MixSimState(Vector.fill(n)(new SeqSim),
+      Vector.fill(n)(false))
+    private def sendNext(m: MixSimState): Seq[Out] = {
+      val outs = Vector.newBuilder[Out]
+      var go = true
+      while (go) {
+        val unpausedIdx = m.seqs.indices.filter(i => !m.paused(i))
+        if (unpausedIdx.isEmpty ||
+            unpausedIdx.exists(i => !m.seqs(i).started)) go = false
+        else {
+          val target = unpausedIdx.map(i => m.seqs(i).start.get).min
+          val num = unpausedIdx.map(i => m.seqs(i).maxSamples(target)).min
+          if (num <= 0) go = false
+          else {
+            var sum = 0.0
+            m.seqs.indices.foreach { i =>
+              if (m.seqs(i).started)
+                sum += m.seqs(i).popStart(target, 1).head
+              if (m.paused(i)) m.seqs(i).reset(force = false)
+            }
+            outs += Out(target, sum, null)
+          }
+        }
+      }
+      outs.result()
+    }
+    def step(m: MixSimState, e: Ev): (MixSimState, Seq[Out]) = {
+      if (e.paused) {
+        val flag = !(e.value <= 0.5)
+        if (m.paused(e.topic) && !flag)
+          m.seqs(e.topic).reset(force = true) // hard reset on unpause
+        val m2 = m.copy(paused = m.paused.updated(e.topic, flag))
+        (m2, sendNext(m2)) // a pause can unblock the barrier
+      } else if (e.value.isNaN) (m, Nil) // ValidationError skip
+      else {
+        m.seqs(e.topic).insert(e.ts, e.value)
+        (m, sendNext(m))
+      }
+    }
+  }
+
+  test("audio mixer: all 7^6 words agree with the audiomixer.py + " +
+      "AudioSequencer transcription (barrier, unpaused-min target, " +
+      "paused-tail drain, pre-target discard, soft/hard resets)") {
+    // The envelope domain is one row per SAMPLE TICK with per-track
+    // DENSE tick clocks (a sample's ts is the track's own sample
+    // index — the c12 fixture convention), so each track keeps its
+    // own tick counter as the word plays; values encode (track, tick)
+    // so any misalignment changes a sum. The model is stateful inside
+    // SeqSim, so words replay fully instead of sharing prefixes.
+    val syms = Vector("A", "B", "AN", "PA", "RA", "PB", "RB")
+    val k = 6
+    val total = math.pow(7, k.toDouble).toLong
+    val machine = new AudioMixer(2)
+    var w = 0L
+    while (w < total) {
+      var machineS = machine.init
+      val sim = new MixerSim(2)
+      var simS = sim.init
+      val cnt = Array(0L, 0L)
+      var x = w
+      var pos = 0
+      while (pos < k) {
+        val a = (x % 7).toInt; x /= 7
+        val e = syms(a) match {
+          case "A" =>
+            val t = cnt(0); cnt(0) += 1
+            Ev(0, t, 100.0 + t, null, paused = false)
+          case "B" =>
+            val t = cnt(1); cnt(1) += 1
+            Ev(1, t, 1000.0 + 7 * t, null, paused = false)
+          case "AN" => Ev(0, cnt(0), Double.NaN, null, paused = false)
+          case "PA" => Ev(0, cnt(0), Double.NaN, null, paused = true)
+          case "RA" => Ev(0, cnt(0), 0.0, null, paused = true)
+          case "PB" => Ev(1, cnt(1), Double.NaN, null, paused = true)
+          case "RB" => Ev(1, cnt(1), 0.0, null, paused = true)
+        }
+        val (ms2, got) = machine.step(machineS, e)
+        val (sim2, want) = sim.step(simS, e)
+        assert(norm(got) == norm(want),
+          s"word $w diverged at pos $pos (${syms(a)}): " +
+            s"machine=$got model=$want")
+        machineS = ms2; simS = sim2; pos += 1
+      }
+      w += 1
+    }
+  }
+
   // ------------------------------------- Spark mount, one-job exhaustive
   /** Every gate word of length 4 through StatefulRunner.runBatch in ONE
     * Spark job — 8^4 = 4096 independent keyed groups — compared against
