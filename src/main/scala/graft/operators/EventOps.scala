@@ -638,15 +638,16 @@ object EventOps {
     *    the edge timestamp);
     *  - otherwise the first data ARRIVAL while the episode is live
     *    (`update_playing_state` on append, :48 — content = data in the
-    *    window up to and including the arrival; anchor = the LAST
-    *    play-message timestamp, the reference's `sync.time`, :68).
+    *    window up to and including the arrival; anchor = the arrival
+    *    itself: the reference's `sync.time` is wall-anchored,
+    *    utils.py:299-303, so its event-time projection at the trigger
+    *    is the triggering event's own timestamp).
     *
     * Replayed rows re-timestamp so the window's first buffered message
     * plays at the anchor (offset = anchorTs − firstBufferedTs); replay
     * does not consume the buffer, so a later episode (or the same
-    * episode after a clear refills the buffer) replays again. Every
-    * play message updates the anchor clock; rows are keyed by the
-    * episode's edge id.
+    * episode after a clear refills the buffer) replays again. Rows
+    * are keyed by the episode's edge id.
     *
     * Scale: recording-window and episode ids come from running counts
     * over the merged (clear|play|data) stream — O(n log n); triggers
@@ -691,16 +692,12 @@ object EventOps {
       .withColumn("playing", coalesce(
         last(when(col("kind") === 1, col("sig")), ignoreNulls = true)
           .over(ww), lit(0.0)) > 0.5)
-      .withColumn("anchor_ts",
-        last(when(col("kind") === 1, col("ts_ms")), ignoreNulls = true)
-          .over(ww))
       .withColumn("epi_edge_id",
         last(when(col("kind") === 1 && col("edge"), col("event_id")),
           ignoreNulls = true).over(ww))
     val dr = tagged.filter(col("kind") === 2)
       .select(col("pipeline"), col("win"), col("epi"), col("event_id"),
-        col("ts_ms"), col("value"), col("playing"), col("anchor_ts"),
-        col("epi_edge_id"))
+        col("ts_ms"), col("value"), col("playing"), col("epi_edge_id"))
     val firstTs = dr.groupBy(col("pipeline"), col("win"))
       .agg(min(col("ts_ms")).as("w_first"))
     // trigger 1: the episode's rising edge, if the buffer is non-empty
@@ -723,7 +720,7 @@ object EventOps {
       .filter(col("rn") === 1)
       .select(col("pipeline"), col("win"), col("epi"),
         lit(1).as("tpri"), col("ts_ms").as("t_ts"),
-        col("event_id").as("t_id"), col("anchor_ts").as("anchor"),
+        col("event_id").as("t_id"), col("ts_ms").as("anchor"),
         col("epi_edge_id").as("edge_id"))
     // one replay per (window × episode): the edge wins when both exist
     val trig = edgeTrig.unionByName(dataTrig)
@@ -769,8 +766,6 @@ object EventOps {
        |      OVER w AS epi,
        |    COALESCE(last_value(CASE WHEN kind = 1 THEN sig END IGNORE NULLS)
        |      OVER w, 0.0) > 0.5 AS playing,
-       |    last_value(CASE WHEN kind = 1 THEN ts_ms END IGNORE NULLS)
-       |      OVER w AS anchor_ts,
        |    last_value(CASE WHEN kind = 1 AND edge THEN event_id END
        |      IGNORE NULLS) OVER w AS epi_edge_id
        |  FROM (SELECT * FROM clears UNION ALL
@@ -779,7 +774,7 @@ object EventOps {
        |  WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |dr AS (SELECT pipeline, win, epi, event_id, ts_ms, value, playing,
-       |              anchor_ts, epi_edge_id
+       |              epi_edge_id
        |       FROM tagged WHERE kind = 2),
        |firsts AS (SELECT pipeline, win, min(ts_ms) AS w_first
        |           FROM dr GROUP BY pipeline, win),
@@ -790,7 +785,7 @@ object EventOps {
        |    ON f.pipeline = t.pipeline AND f.win = t.win
        |  WHERE t.kind = 1 AND t.edge AND f.w_first <= t.ts_ms),
        |data_trig AS (SELECT pipeline, win, epi, 1 AS tpri, ts_ms AS t_ts,
-       |    event_id AS t_id, anchor_ts AS anchor, epi_edge_id AS edge_id
+       |    event_id AS t_id, ts_ms AS anchor, epi_edge_id AS edge_id
        |  FROM (SELECT *, row_number() OVER (PARTITION BY pipeline, win, epi
        |          ORDER BY ts_ms, event_id) AS rn
        |        FROM dr WHERE playing)

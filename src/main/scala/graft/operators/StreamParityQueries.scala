@@ -1473,7 +1473,8 @@ object StreamParityQueries {
     * EPISODE that replays at most once per recording window — at the
     * rising edge when the buffer is already non-empty, else at the
     * first data arrival while live (`update_playing_state` on append,
-    * anchored at the reference's sync.time = the last play message);
+    * anchored at the arrival itself — sync.time is wall-anchored, so
+    * its event-time projection at the trigger is the trigger's ts);
     * purchases clear via an in-band pause+unpause pair on the data
     * topic (the reference's buffer.clear() + stop_play trigger, so a
     * cleared episode can replay again once the buffer refills). The
@@ -1487,9 +1488,12 @@ object StreamParityQueries {
     * has one ordering channel — so ts packs the kind:
     * ts' = ts_ms·4 + kind with clear=0 < data=1 < play=2. Every ts'
     * is then unique per kind and the replay arithmetic stays exact:
-    * replay' = edge' + data' − first' = (e+d−f)·4 + 2, unpacked as
-    * (replay' − 2) div 4. Buffer + playing state cross 2 micro-batch
-    * boundaries; a recording from batch N replays in batch N+2. */
+    * replay' = anchor' + (data' − first') where the offset is a
+    * multiple of 4, so replay' keeps the anchor's kind remainder
+    * (2 for edge triggers, 1 for data-arrival triggers) and
+    * `replay' div 4` unpacks both. Buffer + playing state cross 2
+    * micro-batch boundaries; a recording from batch N replays in
+    * batch N+2. */
   private def e49(s: SparkSession, d: String): DataFrame = {
     val e = Tables.eventsMs(s, d)
     val pipe = pmod(col("user_id"), lit(2)).cast(StringType).as("key")
@@ -1520,7 +1524,7 @@ object StreamParityQueries {
       .filter(!col("paused"))
       .select(col("key").cast(LongType).as("pipeline"),
         col("text").cast(LongType).as("event_id"),
-        ((col("ts") - 2) / 4).cast(LongType).as("replay_ts"),
+        expr("ts div 4").cast(LongType).as("replay_ts"),
         col("value"))
       .orderBy(col("pipeline"), col("replay_ts"), col("event_id"))
   }
@@ -1548,16 +1552,13 @@ object StreamParityQueries {
        |    sum(CASE WHEN kind = 2 AND sig <= 0.5 THEN 1 ELSE 0 END)
        |      OVER w AS epi,
        |    COALESCE(last_value(CASE WHEN kind = 2 THEN sig END IGNORE NULLS)
-       |      OVER w, 0.0) > 0.5 AS playing,
-       |    last_value(CASE WHEN kind = 2 THEN ts_ms END IGNORE NULLS)
-       |      OVER w AS anchor_ts
+       |      OVER w, 0.0) > 0.5 AS playing
        |  FROM (SELECT * FROM clears UNION ALL
        |        SELECT * FROM plays UNION ALL
        |        SELECT * FROM data)
        |  WINDOW w AS (PARTITION BY pipeline ORDER BY ts_ms, kind, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |dr AS (SELECT pipeline, win, epi, event_id, ts_ms, value, playing,
-       |              anchor_ts
+       |dr AS (SELECT pipeline, win, epi, event_id, ts_ms, value, playing
        |       FROM tagged WHERE kind = 1),
        |firsts AS (SELECT pipeline, win, min(ts_ms) AS w_first
        |           FROM dr GROUP BY pipeline, win),
@@ -1567,7 +1568,7 @@ object StreamParityQueries {
        |    ON f.pipeline = t.pipeline AND f.win = t.win
        |  WHERE t.kind = 2 AND t.edge AND f.w_first <= t.ts_ms),
        |data_trig AS (SELECT pipeline, win, epi, 1 AS tpri, ts_ms AS t_ts,
-       |    event_id AS t_id, anchor_ts AS anchor
+       |    event_id AS t_id, ts_ms AS anchor
        |  FROM (SELECT *, row_number() OVER (PARTITION BY pipeline, win, epi
        |          ORDER BY ts_ms, event_id) AS rn
        |        FROM dr WHERE playing)

@@ -649,11 +649,9 @@ object StateMachines {
   // ---------------------------------------------------------- replay buffer
   /** `played` ≈ the reference's `play_task is not None`: at most one
     * replay per playing episode, reset when playing drops or the
-    * buffer is cleared (`stop_play`). `lastPlayTs` = the reference's
-    * `sync.time` (updated by every VALID play message, :55-57). */
+    * buffer is cleared (`stop_play`). */
   final case class ReplayState(buf: Vector[Ev], lastPaused: Boolean,
-      playing: Boolean, played: Boolean = false,
-      lastPlayTs: Long = 0L)
+      playing: Boolean, played: Boolean = false)
 
   /** Replay buffer (system/tasks/replaybuffer.py:28-92), as the
     * deterministic event-time machine the e16 window formulation pins:
@@ -666,20 +664,24 @@ object StateMachines {
     *    re-checks the playing state (:48 `update_playing_state`): if
     *    the episode is live and has not yet replayed — the reference's
     *    `playing and play_task is None` (:79) — the arrival that makes
-    *    the buffer non-empty STARTS the replay, anchored at the last
-    *    play-message timestamp (`sync.time`, :68).
-    *  - topic 1 (play): `playing := value > 0.5` (:52-57) and
-    *    `sync.update(ts)`; INVALID play messages are skipped entirely
-    *    (the ValidationError path, :58 — playing keeps its value).
-    *    A rising value with an un-played episode and a non-empty
-    *    buffer replays the whole buffer (:60-76): each buffered
-    *    message re-emits at `ts + offset` where `offset = syncTs −
-    *    firstBufferedTs` — the reference computes `time_offset =
-    *    sync.time − ts` of the first replayed packet, i.e. the
-    *    buffer's first message plays at the anchor. Replay does NOT
-    *    consume the buffer, and `play_task` guards a second replay
-    *    until the control drops (`stop_play`, :80-90) — then a later
-    *    rise replays the same recording.
+    *    the buffer non-empty STARTS the replay.
+    *  - topic 1 (play): `playing := value > 0.5` (:52-57); INVALID
+    *    play messages are skipped entirely (the ValidationError path,
+    *    :58 — playing keeps its value). A rising value with an
+    *    un-played episode and a non-empty buffer replays the whole
+    *    buffer (:60-76): each buffered message re-emits at
+    *    `ts + offset` where `offset = anchorTs − firstBufferedTs` —
+    *    the reference computes `time_offset = sync.time − ts` of the
+    *    first replayed packet, and `sync.time` is WALL-anchored
+    *    (utils.py:299-303: get_timestamp_ms() + offset), so its
+    *    event-time projection at the moment a replay starts is the
+    *    TRIGGERING event's own timestamp: the play message's ts at an
+    *    edge trigger, the arriving data's ts at an
+    *    update_playing_state trigger (the same projection the volume
+    *    meter's pause-zero uses). Replay does NOT consume the buffer,
+    *    and `play_task` guards a second replay until the control
+    *    drops (`stop_play`, :80-90) — then a later rise replays the
+    *    same recording.
     *
     * The reference paces the replay against the wall clock
     * (asyncio.sleep, :72-73) and can loop; event time needs no pacing
@@ -691,8 +693,8 @@ object StateMachines {
     // play edge is part of the recording (the e16 window's sort order).
     override def priority(topic: Int): Int = if (topic == 0) 0 else 1
 
-    private def replay(s: ReplayState): Seq[Out] = {
-      val off = s.lastPlayTs - s.buf.head.ts
+    private def replay(s: ReplayState, anchorTs: Long): Seq[Out] = {
+      val off = anchorTs - s.buf.head.ts
       s.buf.map(b => Out(b.ts + off, b.value, b.text))
     }
 
@@ -709,19 +711,20 @@ object StateMachines {
           val s1 = s.copy(buf = s.buf :+ e)
           // update_playing_state on append (:48): a live, un-played
           // episode starts its replay on the arrival that fills the
-          // buffer
+          // buffer, anchored at that arrival (sync.time's event-time
+          // projection — the wall clock at trigger)
           if (s1.playing && !s1.played)
-            (s1.copy(played = true), replay(s1))
+            (s1.copy(played = true), replay(s1, e.ts))
           else (s1, Nil)
         }
       case _ =>
         if (e.paused || e.value.isNaN) (s, Nil) // control / ValidationError
         else {
           val sig = e.value > 0.5
-          val s1 = s.copy(playing = sig, lastPlayTs = e.ts,
+          val s1 = s.copy(playing = sig,
             played = if (!sig) false else s.played) // stop_play on drop
           if (sig && !s1.played && s1.buf.nonEmpty)
-            (s1.copy(played = true), replay(s1))
+            (s1.copy(played = true), replay(s1, e.ts))
           else (s1, Nil)
         }
     }

@@ -744,20 +744,24 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
   // --------------------------------------------------- replay buffer sim
   /** Transcription of replaybuffer.py:38-90 with the reference's own
     * structure: `buffer` + `last_paused` (run_input_receiver :38-48,
-    * unpause-clear + stop_play :43-46), `playing` + `sync`
+    * unpause-clear + stop_play :43-46), `playing`
     * (run_play_receiver :50-58, ValidationError skip), and `play_task`
     * (update_playing_state :77-82 — start a play iff playing ∧ no
     * task ∧ buffer non-empty, on EVERY append and play message; stop
-    * when playing drops). The event-time play() emits the buffer
-    * restamped so its first message lands at sync.time (:64-75). */
+    * when playing drops). The play() anchors at `sync.time` (:64-75),
+    * which is WALL-anchored (utils.py:299-303) — in the event-time
+    * domain, the wall clock at the moment a trigger is processed IS
+    * the triggering event's own timestamp, so the model passes `e.ts`
+    * as "now" into the trigger check. */
   private final case class ReplaySimState(buf: Vector[Ev],
-      lastPaused: Boolean, playing: Boolean, playTask: Boolean, sync: Long)
+      lastPaused: Boolean, playing: Boolean, playTask: Boolean)
   private final class ReplaySim extends SimModel[ReplaySimState] {
     def init = ReplaySimState(Vector.empty, lastPaused = false,
-      playing = false, playTask = false, sync = 0L)
-    private def updatePlayingState(s: ReplaySimState): (ReplaySimState, Seq[Out]) =
+      playing = false, playTask = false)
+    private def updatePlayingState(s: ReplaySimState,
+        now: Long): (ReplaySimState, Seq[Out]) =
       if (s.playing && !s.playTask && s.buf.nonEmpty) {
-        val off = s.sync - s.buf.head.ts // time_offset, :68
+        val off = now - s.buf.head.ts // time_offset = sync.time - ts, :68
         (s.copy(playTask = true),
           s.buf.map(b => Out(b.ts + off, b.value, b.text)))
       } else if (!s.playing) (s.copy(playTask = false), Nil) // stop_play
@@ -770,12 +774,11 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
             (s.copy(lastPaused = false, buf = Vector.empty,
               playTask = false), Nil) // buffer.clear() + stop_play
           else (s.copy(lastPaused = flag), Nil)
-        } else updatePlayingState(s.copy(buf = s.buf :+ e)) // :47-48
+        } else updatePlayingState(s.copy(buf = s.buf :+ e), e.ts) // :47-48
       } else {
         if (e.paused) (s, Nil) // recv_data skips control
         else if (e.value.isNaN) (s, Nil) // ValidationError, :58
-        else updatePlayingState(s.copy(sync = e.ts, // sync.update, :56
-          playing = e.value > 0.5)) // :57
+        else updatePlayingState(s.copy(playing = e.value > 0.5), e.ts) // :57
       }
   }
 

@@ -688,7 +688,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ReplayBufferOp: edge replays restamped to the edge; unpause " +
       "clears AND stops play so a refilling buffer replays again " +
-      "mid-episode, anchored at the play clock; repeated plays replay " +
+      "mid-episode, anchored at the trigger; repeated plays replay " +
       "the same buffer (replaybuffer.py:28-90)") {
     import spark.implicits._
     def envP(rows: Seq[(Long, Double, Boolean, Long)]): DataFrame =
@@ -699,9 +699,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // SAME buffer at offset 30 (1.0@40, 2.0@50). Then a pause+unpause
     // pair @45 clears AND stops play (stop_play, :44-46) while the
     // episode stays live — so data 3.0@60 STARTS a replay on arrival
-    // (update_playing_state on append, :48,79), anchored at the play
-    // clock sync.time=40 → 3.0 stamped @40. Drop @65, edge @70
-    // replays the buffer again: 3.0@70.
+    // (update_playing_state on append, :48,79), anchored at the
+    // trigger itself (sync.time's event-time projection) → 3.0@60.
+    // Drop @65, edge @70 replays the buffer again: 3.0@70.
     val data = envP(Seq((10L, 1.0, false, 1L), (20L, 2.0, false, 2L),
       (45L, 1.0, true, 6L), (46L, 0.0, true, 7L), (60L, 3.0, false, 8L)))
     val play = envP(Seq((25L, 1.0, false, 3L), (30L, 0.0, false, 4L),
@@ -713,8 +713,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Pipeline.compile(dep, Map("d" -> data, "p" -> play))("replayed")
       .filter(!col("paused")).select("ts", "value").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).sortBy(x => (x._1, x._2)).toSeq
-    assert(out == Seq((25L, 1.0), (35L, 2.0), (40L, 1.0), (40L, 3.0),
-      (50L, 2.0), (70L, 3.0)))
+    assert(out == Seq((25L, 1.0), (35L, 2.0), (40L, 1.0), (50L, 2.0),
+      (60L, 3.0), (70L, 3.0)))
   }
 
   test("llamacppchat kind: src_model path binds the learned bigram " +
