@@ -797,6 +797,111 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == (1L to 6L).map(d => math.pow(7, d.toDouble).toLong).sum)
   }
 
+  // -------------------------------------------------- volume scaler sim
+  /** Transcription of audiovolumescaler.py:70-95: the scale receiver
+    * (control paused → default, :85; ValidationError → default, :89;
+    * valid → value, :88) and the audio path (control mirrored to the
+    * out topic with the OutTopic transition dedup,
+    * client/topic.py:232-235; invalid skipped; samples
+    * np.clip(x·scale, lo, hi).astype — truncation toward zero). */
+  private final case class ScalerSimState(scale: Double, outPaused: Boolean)
+  private final class ScalerSim(default: Double, lo: Double, hi: Double)
+      extends SimModel[ScalerSimState] {
+    def init = ScalerSimState(default, outPaused = false)
+    def step(s: ScalerSimState, e: Ev): (ScalerSimState, Seq[Out]) =
+      if (e.topic == 1) {
+        val s2 =
+          if (e.paused) {
+            if (!(e.value <= 0.5)) s.copy(scale = default) else s
+          }
+          else if (e.value.isNaN) s.copy(scale = default)
+          else s.copy(scale = e.value)
+        (s2, Nil)
+      } else {
+        if (e.paused) {
+          val p = !(e.value <= 0.5)
+          if (p == s.outPaused) (s, Nil)
+          else (s.copy(outPaused = p),
+            Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true)))
+        }
+        else if (e.value.isNaN) (s, Nil)
+        else {
+          val clipped = math.max(lo, math.min(hi, e.value * s.scale))
+          (s, Seq(Out(e.ts, clipped.toLong.toDouble, e.text)))
+        }
+      }
+  }
+
+  private val scalerAlphabet: IndexedSeq[Sym] = Vector(
+    "D" -> data(0, 77.0), "DN" -> data(0, -123.0), // samples
+    "DX" -> invalid(0), // invalid sample (skipped)
+    "S2" -> data(1, 2.5), "SH" -> data(1, 1e6), // scale values (SH clips)
+    "SN" -> invalid(1), // invalid scale → default
+    "PS" -> pause(1), // scale control pause → default
+    "PD" -> pause(0), "RD" -> resume(0)) // audio pause mirror
+
+  test("volume scaler: all 9^6 words agree with the audiovolumescaler.py " +
+      "transcription (default resets, clip+trunc, out-pause mirror)") {
+    val n = exhaust(new VolumeScaler(1.0, -100.0, 100.0),
+      new ScalerSim(1.0, -100.0, 100.0), scalerAlphabet, k = 6)
+    assert(n == (1L to 6L).map(d => math.pow(9, d.toDouble).toLong).sum)
+  }
+
+  // --------------------------------------------------- volume meter sim
+  /** Transcription of audiovolumemeter.py:30-70 + the AudioChunker
+    * (media/util.py:130-147) with the chunker's own structure: a
+    * sample buffer, `current_timestamp = ts − len·1000//rate` computed
+    * BEFORE the append, blocks released while size > chunk_size and
+    * back-stamped at buffer_duration steps; value =
+    * sqrt(mean(|chunk|/max)). Pause emits a 0 at sync.time's
+    * event-time projection (the marker's ts) and mirrors the
+    * transition. */
+  private final case class MeterSimState(buf: Vector[Double],
+      outPaused: Boolean)
+  private final class MeterSim(chunk: Int, rate: Long, maxV: Double)
+      extends SimModel[MeterSimState] {
+    def init = MeterSimState(Vector.empty, outPaused = false)
+    def step(s: MeterSimState, e: Ev): (MeterSimState, Seq[Out]) =
+      if (e.paused) {
+        val p = !(e.value <= 0.5)
+        val zero = if (p) Seq(Out(e.ts, 0.0, null)) else Nil
+        val marker =
+          if (p == s.outPaused) Nil
+          else Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true))
+        (s.copy(outPaused = p), zero ++ marker)
+      }
+      else if (e.value.isNaN) (s, Nil)
+      else {
+        var ct = e.ts - s.buf.length * 1000L / rate
+        var buf = s.buf :+ e.value
+        val outs = Vector.newBuilder[Out]
+        while (buf.length > chunk) {
+          val block = buf.take(chunk)
+          // np.mean(|chunk|/max) regrouped as (Σ|v|)/max/n — equal as
+          // reals; the grouping is pinned engine-wide because the SQL
+          // oracle hashes it (see VolumeMeter's scaladoc)
+          outs += Out(ct,
+            math.sqrt(block.map(math.abs).sum / maxV / chunk), null)
+          buf = buf.drop(chunk)
+          ct += 1000L * chunk / rate
+        }
+        (s.copy(buf = buf), outs.result())
+      }
+  }
+
+  private val meterAlphabet: IndexedSeq[Sym] = Vector(
+    "D1" -> data(0, 100.0), "D2" -> data(0, -3000.0),
+    "DX" -> invalid(0),
+    "P" -> pause(0), "R" -> resume(0))
+
+  test("volume meter: all 5^8 words agree with the audiovolumemeter.py + " +
+      "AudioChunker transcription (strictly-greater release, " +
+      "back-projected block ts, pause zero + mirror)") {
+    val n = exhaust(new VolumeMeter(3, 1000L, 32767.0),
+      new MeterSim(3, 1000L, 32767.0), meterAlphabet, k = 8)
+    assert(n == (1L to 8L).map(d => math.pow(5, d.toDouble).toLong).sum)
+  }
+
   // ---------------------------------------------------- audio mixer sim
   /** Transcription of audiomixer.py:76-120 + the AudioSequencer
     * (media/util.py:188-267) in the one-sample-per-tick domain
