@@ -902,6 +902,119 @@ class ExhaustiveSimSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == (1L to 8L).map(d => math.pow(5, d.toDouble).toLong).sum)
   }
 
+  // ------------------------------------------------- activity meter sim
+  /** Transcription of videoactivitymeter.py:40-66: control → 0 at
+    * sync.time's event-time projection + pause mirror (the held
+    * bitmap PERSISTS across control — run_sync's last_bitmap is never
+    * reset); invalid skipped; per frame the uint8-wraparound mean
+    * |prev − cur| (the numpy uint8 subtraction wraps, so the model
+    * recomputes (a − b) mod 256 per byte directly). */
+  private final case class ActSimState(prev: Vector[Int], outPaused: Boolean)
+  private final class ActivitySim extends SimModel[ActSimState] {
+    def init = ActSimState(null, outPaused = false)
+    private def bytes(hex: String): Vector[Int] =
+      hex.grouped(2).map(Integer.parseInt(_, 16)).toVector
+    def step(s: ActSimState, e: Ev): (ActSimState, Seq[Out]) =
+      if (e.paused) {
+        val p = !(e.value <= 0.5)
+        val zero = if (p) Seq(Out(e.ts, 0.0, null)) else Nil
+        val marker =
+          if (p == s.outPaused) Nil
+          else Seq(Out(e.ts, if (p) 1.0 else 0.0, null, paused = true))
+        (s.copy(outPaused = p), zero ++ marker)
+      }
+      else if (e.text == null || e.text.isEmpty ||
+        e.text.exists(c => !"0123456789abcdef".contains(c))) (s, Nil)
+      else {
+        val cur = bytes(e.text)
+        val out =
+          if (s.prev == null) Nil
+          else Seq(Out(e.ts, s.prev.zip(cur)
+            .map { case (a, b) => ((a - b) + 256) % 256 }.sum.toDouble
+            / cur.length, null))
+        (s.copy(prev = cur), out)
+      }
+  }
+
+  test("activity meter: all 6^7 words agree with the " +
+      "videoactivitymeter.py transcription (uint8 wraparound diff, " +
+      "bitmap persists across control, pause zero + mirror)") {
+    val alphabet: IndexedSeq[Sym] = Vector(
+      "F1" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "00ff10", paused = false)),
+      "F2" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "fe0180", paused = false)),
+      "F3" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "7f7f7f", paused = false)),
+      "FX" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "zz", paused = false)),
+      "P" -> pause(0), "R" -> resume(0))
+    val n = exhaust(new ActivityMeter, new ActivitySim, alphabet, k = 7)
+    assert(n == (1L to 7L).map(d => math.pow(6, d.toDouble).toLong).sum)
+  }
+
+  // ---------------------------------------------------- video mixer sim
+  /** Transcription of videomixer.py:101-128 with the reference's own
+    * structure: per-track `last_message` + `last_frame_count`, the
+    * GLOBAL `frame_count`, and the lazy submit — a data arrival whose
+    * track's last_frame_count equals frame_count submits a job FIRST
+    * (increments frame_count even when no track holds a frame, :112-115),
+    * blending the held frames of every track that has one in track
+    * order at the MIN of their timestamps; validation happens AFTER
+    * the submit check (an invalid frame still submits but never
+    * becomes the held frame, and last_frame_count stays stale); any
+    * control clears the track's held frame only (:107). The blend
+    * itself is [[graft.functions.ImageKernel.mergeImages]] on both
+    * sides — its byte math is pinned separately by KernelSpec; this
+    * walk pins the ORCHESTRATION. */
+  private final case class VmxSimTrack(last: Option[(Long, String)],
+      lastFc: Long)
+  private final case class VmxSimState(tracks: Vector[VmxSimTrack],
+      fc: Long)
+  private final class VideoMixerSim(n: Int, alphaFront: Boolean)
+      extends SimModel[VmxSimState] {
+    def init = VmxSimState(Vector.fill(n)(VmxSimTrack(None, 0L)), 0L)
+    private def valid(t: String): Boolean = t != null && t.nonEmpty &&
+      t.length % 2 == 0 && t.forall("0123456789abcdef".contains(_))
+    private def submit(s: VmxSimState): (VmxSimState, Seq[Out]) = {
+      val s2 = s.copy(fc = s.fc + 1)
+      val held = s.tracks.flatMap(_.last)
+      if (held.isEmpty) (s2, Nil)
+      else {
+        val frames = held.map(h => graft.streaming.StateMachines
+          .hexDec(h._2))
+        val blended = graft.functions.ImageKernel
+          .mergeImages(frames, alphaFront)
+        (s2, Seq(Out(held.map(_._1).min, Double.NaN,
+          graft.streaming.StateMachines.hexEnc(blended))))
+      }
+    }
+    def step(s: VmxSimState, e: Ev): (VmxSimState, Seq[Out]) = {
+      val tr = s.tracks(e.topic)
+      if (e.paused)
+        (s.copy(tracks = s.tracks.updated(e.topic,
+          tr.copy(last = None))), Nil)
+      else {
+        val (s1, out) =
+          if (tr.lastFc == s.fc) submit(s) else (s, Nil)
+        if (!valid(e.text)) (s1, out) // ValidationError after the check
+        else (s1.copy(tracks = s1.tracks.updated(e.topic,
+          VmxSimTrack(Some((e.ts, e.text)), s1.fc))), out)
+      }
+    }
+  }
+
+  test("video mixer: all 7^6 words agree with the videomixer.py " +
+      "transcription (lazy frame_count submission, empty-submit still " +
+      "increments, post-check validation, min-ts blend, control clears " +
+      "the held frame only)") {
+    val alphabet: IndexedSeq[Sym] = Vector(
+      "A1" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "10203040", paused = false)),
+      "A2" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "ff00ff80", paused = false)),
+      "B1" -> (i => Ev(1, 10L * (i + 1), Double.NaN, "01810203", paused = false)),
+      "AX" -> (i => Ev(0, 10L * (i + 1), Double.NaN, "zz", paused = false)),
+      "PA" -> pause(0), "RA" -> resume(0), "PB" -> pause(1))
+    val n = exhaust(new VideoMixer(2), new VideoMixerSim(2,
+      alphaFront = true), alphabet, k = 6)
+    assert(n == (1L to 6L).map(d => math.pow(7, d.toDouble).toLong).sum)
+  }
+
   // ---------------------------------------------------- audio mixer sim
   /** Transcription of audiomixer.py:76-120 + the AudioSequencer
     * (media/util.py:188-267) in the one-sample-per-tick domain
