@@ -735,7 +735,15 @@ object GraphQueries {
     * entire point of HyperBall vs exact BFS products); each round is
     * adjacency ⋈ registers, the g05 shape; localCheckpoint keeps
     * lineage O(1). */
-  private val HbRounds = 8
+  /** Ball radius T both the runtime loop and the DuckDB oracle unroll.
+    * Must cover rounds-to-fixpoint at every verified SF (measured
+    * deltas: sf0.1 reaches 14 changed vertices at round 8 and zero by
+    * round 10 — 11 leaves a confirming round of headroom; sf0.01/0.001
+    * fix earlier). Past the fixpoint the Spark side skips the join and
+    * pads rows from the saturated frame, so extra unroll is nearly
+    * free at small SFs; the runtime `require(fixed, …)` fails loudly
+    * if a future fixture outgrows this. */
+  private[graft] val HbRounds = 11
   private val HbRankSql =
     """CASE WHEN length(regexp_extract(substring(h, 2, 8), '^0*', 0)) = 8 THEN 33
       |  ELSE length(regexp_extract(substring(h, 2, 8), '^0*', 0)) * 4
@@ -748,13 +756,38 @@ object GraphQueries {
   /** Register count m — the first md5 hex char picks the bucket. */
   private val HbM = 16
 
+  /** α₁₆·m²·2³³ scaled ×1000: 0.673·256·2³³ = 673·2⁴¹ ≈ 1.48e15.
+    * With s_total ≤ 16·2³³, both the numerator and 40000·s_total stay
+    * far inside BIGINT — the whole readout is exact integer
+    * arithmetic (the k02/d19 house pattern), so the per-vertex floors
+    * are literally the SAME integers on Spark and DuckDB regardless
+    * of libm or literal-typing differences (double literals on Spark
+    * vs decimal literals on DuckDB diverged at a floor boundary in
+    * round 10 — the registry's only red row). */
+  private[graft] val HbNum: Long = 673L * 2199023255552L
+
+  /** Linear-counting branch floor(16·ln(16/z)) precomputed for its
+    * complete input domain z ∈ 1..15 (after the seed round every
+    * vertex owns ≥ 1 register, so zeros ≤ 15; zeros = 0 takes the raw
+    * branch) — a 15-entry integer lookup replaces the only remaining
+    * libm call. GraphSpec pins each entry against math.log. */
+  private[graft] val HbLinearCount: Seq[Long] =
+    Seq(44L, 33L, 26L, 22L, 18L, 15L, 13L, 11L, 9L, 7L, 5L, 4L, 3L, 2L, 1L)
+
+  private[graft] def hbLinearCountCaseSql(zCol: String): String =
+    s"CASE $zCol " + HbLinearCount.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN $v" }.mkString(" ") + " END"
+
   /** Per-vertex HLL estimate (m=16, α=0.673) then Σ over vertices —
     * shared by every round's readout. Registers arrive WIDE (one row
     * per vertex, columns r0..r15, NULL = empty register), so the
     * per-vertex stage is ROW-LOCAL — no groupBy, no shuffle; the only
-    * exchange is the final 1-row sum. The arithmetic is the exact
-    * row-form sequence (BIGINT sums, one double division), so the
-    * floor'd estimates — and the oracle hash — are unchanged. */
+    * exchange is the final 1-row sum. floor(raw) is BIGINT division
+    * ([[HbNum]] DIV 1000·s_total), the small-range guard raw ≤ 40 is
+    * the integer comparison [[HbNum]] ≤ 40000·s_total, and linear
+    * counting is the [[HbLinearCount]] lookup — no float touches any
+    * per-vertex estimate, so the floors cannot sit on a
+    * representation-dependent boundary on either engine. */
   private def hbEstimate(regs: DataFrame, t: Int): DataFrame = {
     val present = (0 until HbM).map(i =>
       when(col(s"r$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
@@ -764,13 +797,13 @@ object GraphQueries {
     regs
       .select(present.as("present"), sPresent.as("s_present"))
       .select((lit(16L) - col("present")).as("zeros"),
-        ((lit(0.673) * lit(256.0) * lit(8589934592.0)) /
-          (col("s_present") +
-            (lit(16L) - col("present")) * lit(8589934592L))
-            .cast(DoubleType)).as("raw"))
-      .select(floor(when(col("raw") <= lit(40.0) && col("zeros") > 0,
-          lit(16.0) * log(lit(16.0) / col("zeros").cast(DoubleType)))
-        .otherwise(col("raw"))).cast(LongType).as("est"))
+        (col("s_present") +
+          (lit(16L) - col("present")) * lit(8589934592L)).as("s_total"))
+      .select(when(col("zeros") > 0 &&
+            lit(HbNum) <= lit(40000L) * col("s_total"),
+          element_at(lit(HbLinearCount.toArray),
+            col("zeros").cast(IntegerType)))
+        .otherwise(expr(s"$HbNum DIV (1000 * s_total)")).as("est"))
       .agg(sum(col("est")).as("nf"))
       .select(lit(t.toLong).as("t"), col("nf"))
   }
@@ -801,8 +834,16 @@ object GraphQueries {
     * round's changed-vertex count. */
   private[graft] def hyperball(s: SparkSession, d: String,
       roundSizes: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : DataFrame =
+    hyperballOn(adj(edgesShared(s, d)), roundSizes)
+
+  /** [[hyperball]] over an explicit adjacency frame (cols x, y, both
+    * directions present) — lets GraphSpec drive the fixpoint assert
+    * with a path longer than the unroll. */
+  private[graft] def hyperballOn(adjDf: DataFrame,
+      roundSizes: Option[scala.collection.mutable.Buffer[Long]] = None)
       : DataFrame = {
-    val ad = adj(edgesShared(s, d)).localCheckpoint()
+    val ad = adjDf.localCheckpoint()
     val nodes = ad.select(col("x").as("v")).distinct()
     // WIDE register layout: ONE row per vertex, old0..old15 = the
     // registers before this round (NULL = empty), cand0..cand15 = the
@@ -873,6 +914,17 @@ object GraphQueries {
       rounds += hbEstimate(regsOf(merged), t)
       t += 1
     }
+    // The saturated N(T), pct, and eff readouts below assume the
+    // register fixpoint fired within the unroll — and the DuckDB
+    // oracle unrolls exactly HbRounds rounds. A fixture whose balls
+    // are still growing at round HbRounds would make the "saturated"
+    // denominator silently wrong (the g06/g07 hazard class) — fail
+    // loudly naming the unroll instead.
+    require(fixed,
+      s"g08: HyperBall register fixpoint not reached within $HbRounds " +
+        "rounds (HbRounds) — the saturated-N(T) readout and the DuckDB " +
+        "oracle's fixed unroll are both stale for this fixture, raise " +
+        "HbRounds and the oracle unroll together")
     // saturated N(T) via a window over the T+1-row result — no join
     // (a constant-key join folds to a BNLJ; this table is 9 rows)
     val wAll = org.apache.spark.sql.expressions.Window
@@ -902,15 +954,20 @@ object GraphQueries {
          |  FROM adj a JOIN hb${t - 1} p ON p.v = a.y) GROUP BY v, bucket)"""
         .stripMargin
     }.mkString(",\n")
+    // Estimate readout in EXACT integer arithmetic mirroring
+    // hbEstimate: floor(0.673·256·2³³/s_total) = 673·2⁴¹ // 1000·s_total
+    // (// is DuckDB's integral floor division, the Spark DIV), the
+    // small-range guard is the integer comparison, and the
+    // linear-counting branch is the shared 15-entry lookup — the same
+    // integers on both engines by construction.
     val estCtes = (0 to HbRounds).map { t =>
       s"""est$t AS MATERIALIZED (SELECT $t AS t, SUM(est) AS nf FROM (
-         |  SELECT CAST(floor(CASE WHEN raw <= 40.0 AND zeros > 0
-         |      THEN 16.0 * ln(16.0 / CAST(zeros AS DOUBLE)) ELSE raw END)
-         |    AS BIGINT) AS est FROM (
+         |  SELECT CAST(CASE WHEN zeros > 0 AND $HbNum <= 40000 * s_total
+         |      THEN ${hbLinearCountCaseSql("zeros")}
+         |      ELSE $HbNum // (1000 * s_total) END AS BIGINT) AS est FROM (
          |    SELECT v, 16 - count(*) AS zeros,
-         |      0.673 * 256.0 * 8589934592.0 /
-         |        CAST(SUM((CAST(1 AS BIGINT) << (33 - r)))
-         |          + (16 - count(*)) * 8589934592 AS DOUBLE) AS raw
+         |      SUM((CAST(1 AS BIGINT) << (33 - r)))
+         |        + (16 - count(*)) * 8589934592 AS s_total
          |    FROM hb$t GROUP BY v)))""".stripMargin
     }.mkString(",\n")
     val nfUnion = (0 to HbRounds)

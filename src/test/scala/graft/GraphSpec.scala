@@ -333,7 +333,7 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the single-sketch m=16 envelope (σ = 1.04/√16 ≈ 26%), not a
     // √|V|-reduced one.
     var balls = nodes.map(n => n -> Set(n)).toMap
-    (1 to 8).foreach { _ =>
+    (1 to graft.operators.GraphQueries.HbRounds).foreach { _ =>
       balls = balls.map { case (n, b) => n -> (b ++ b.flatMap(adj)) }
     }
     val exact = balls.values.map(_.size.toLong).sum
@@ -369,6 +369,46 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the result must still saturate like the sync version
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(got.last._2 >= got.head._2 && got.head._2 == nodes.toLong)
+  }
+
+  test("g08 linear-counting lookup equals floor(16*ln(16/z)) for every " +
+      "z in 1..15 (the branch's complete input domain), and the exact " +
+      "integer floor/guard agree with the double formulation off the " +
+      "boundary") {
+    graft.operators.GraphQueries.HbLinearCount.zipWithIndex.foreach {
+      case (v, i) =>
+        val z = i + 1
+        assert(v == math.floor(16.0 * math.log(16.0 / z)).toLong,
+          s"HbLinearCount(z=$z) = $v != floor(16 ln(16/$z))")
+    }
+    assert(graft.operators.GraphQueries.HbLinearCount.size == 15)
+    // integer floor vs double floor on a sweep of s_total values that
+    // cannot sit on a representation boundary
+    val num = graft.operators.GraphQueries.HbNum
+    assert(num == 673L * (1L << 41))
+    Seq(16L, 1000L, 123456789L, 8589934592L, 16L * 8589934592L)
+      .foreach { st =>
+        val exactFloor = num / (1000L * st)
+        val dblFloor = math.floor(0.673 * 256.0 * 8589934592.0 / st).toLong
+        assert(exactFloor == dblFloor, s"s_total=$st: $exactFloor vs $dblFloor")
+        assert((num <= 40000L * st) ==
+          (0.673 * 256.0 * 8589934592.0 / st <= 40.0 + 1e-9))
+      }
+  }
+
+  test("g08 fixpoint assert: a path longer than the unroll fails " +
+      "loudly naming HbRounds instead of silently mis-saturating") {
+    import spark.implicits._
+    // 40-node path: eccentricity 39, and the globally-max rank sits at
+    // least 20 hops from one end — registers are still spreading at
+    // round HbRounds (11) whatever the hash draw, so the fixpoint
+    // cannot fire within the unroll
+    val adjDf = (0L until 39L).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("x", "y")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.GraphQueries.hyperballOn(adjDf)
+    }
+    assert(ex.getMessage.contains("HbRounds"))
   }
 
   test("g03 predicted pairs are non-adjacent and counts match brute force") {
