@@ -172,6 +172,12 @@ object Wav {
   }
 
   def samples16(data: Array[Byte]): Array[Int] = {
+    // fed by arbitrary demuxed payloads (e.g. the RunDeployment .mp4
+    // bind) — an odd byte count is a malformed s16 stream, and
+    // silently dropping the trailing byte would contradict the bind
+    // path's fail-loudly contract
+    require(data.length % 2 == 0,
+      s"s16 payload has odd byte length ${data.length}")
     val out = new Array[Int](data.length / 2)
     var i = 0
     while (i < out.length) {

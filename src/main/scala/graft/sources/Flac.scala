@@ -648,10 +648,15 @@ object Flac {
       off += 4 + len
     }
     require(si != null, "flac: missing STREAMINFO")
+    // RFC 9639 §8.2: total_samples = 0 means UNKNOWN (a streaming-
+    // style file), not zero samples — decode frames until the bytes
+    // run out instead of silently returning an empty stream.
+    val unknownTotal = si.totalSamples == 0L
     val chans = Array.fill(si.channels)(
-      new scala.collection.mutable.ArrayBuffer[Int](si.totalSamples.toInt))
+      new scala.collection.mutable.ArrayBuffer[Int](
+        if (unknownTotal) 16 else si.totalSamples.toInt))
     var got = 0L
-    while (got < si.totalSamples) {
+    while (if (unknownTotal) off < bytes.length else got < si.totalSamples) {
       val (block, used) = decodeFrame(bytes, off, si)
       var c = 0
       while (c < si.channels) {
@@ -664,7 +669,8 @@ object Flac {
       got += block(0).length
       off += used
     }
-    require(got == si.totalSamples, "flac: sample count overrun")
+    require(unknownTotal || got == si.totalSamples,
+      "flac: sample count overrun")
     (si, chans.map(_.toArray))
   }
 

@@ -470,6 +470,20 @@ object IsoBmff {
     val byId = tracks.map(_.id).toSet
     samples.foreach(sm => require(byId.contains(sm.track),
       s"sample for unknown track ${sm.track}"))
+    // Classic MP4 without edit lists cannot represent dts gaps: the
+    // demuxer reconstructs dts by accumulating stts durations from 0,
+    // so any input violating dts(i) = Σ dur(0..i-1) would round-trip
+    // with silently altered timestamps. Fail loudly instead.
+    tracks.foreach { t =>
+      var acc = 0L
+      samples.filter(_.track == t.id).zipWithIndex.foreach {
+        case (sm, i) =>
+          require(sm.dts == acc,
+            s"track ${t.id} sample $i: dts ${sm.dts} != running duration " +
+              s"sum $acc — classic moov (stts) cannot represent dts gaps")
+          acc += sm.dur
+      }
+    }
 
     val ftyp = box("ftyp") { b =>
       b.write("isom".getBytes(US_ASCII)); b.write(u32(0x200))
@@ -612,6 +626,12 @@ object IsoBmff {
           var off = chunkOff
           (0 until count.toInt).foreach { _ =>
             val size = sizes(si).toInt
+            // stco offsets are u32 and about to be narrowed to Int for
+            // copyOfRange — a valid foreign file past 2 GiB must fail
+            // with a clear parse error, not a negative-index crash
+            require(off <= Int.MaxValue.toLong - size,
+              s"track ${t.id}: stco offset $off beyond the supported " +
+                "2 GiB (use the co64 fragmented layout)")
             require(off + size <= bytes.length,
               s"track ${t.id}: sample $si overruns the file")
             samples += Mp4Sample(t.id, dts, durs(si), sync(si + 1),

@@ -67,6 +67,22 @@ class FlacSpec extends AnyFunSuite {
     assert(si.minFrameSize > 0 && si.maxFrameSize >= si.minFrameSize)
   }
 
+  test("STREAMINFO total_samples = 0 means UNKNOWN (RFC 9639): frames " +
+      "decode until end-of-bytes instead of an empty stream") {
+    val x = pcm(700)
+    val bytes = Flac.encodeFile(Array(x), 16000, blockSize = 256)
+    // total_samples is the 36-bit field at STREAMINFO bit offset 108:
+    // low nibble of byte 13 + bytes 14..17 of the block body, which
+    // starts at file offset 8 (fLaC + block header)
+    val streaming = bytes.clone()
+    streaming(8 + 13) = (streaming(8 + 13) & 0xf0).toByte
+    (14 to 17).foreach(i => streaming(8 + i) = 0)
+    val (si, got) = Flac.decodeFile(streaming)
+    assert(si.totalSamples == 0L)
+    assert(got.length == 1 && got(0).toSeq == x.toSeq,
+      "unknown-total file must decode every frame, not zero samples")
+  }
+
   test("tail-block escape paths: lengths exercising every block-size code branch") {
     // 256→code 1000; 192-tail→code 0001; odd tails→8-bit escape;
     // a 300-block at blockSize 300 → 16-bit escape path

@@ -199,6 +199,20 @@ class IsoBmffSpec extends AnyFunSuite {
     }
   }
 
+  test("classic mux rejects dts gaps loudly: stts cannot represent a " +
+      "timeline whose dts differ from the running duration sum") {
+    val gap = Seq(
+      sample(1, 0L, 33L, key = true, "v0"),
+      sample(1, 50L, 33L, key = false, "v1")) // dts 50 != 0 + 33
+    val ex = intercept[IllegalArgumentException] {
+      muxFlat(tracks.take(1), gap)
+    }
+    assert(ex.getMessage.contains("dts"))
+    // and a non-zero start is equally unrepresentable
+    val late = Seq(sample(1, 10L, 33L, key = true, "v0"))
+    intercept[IllegalArgumentException] { muxFlat(tracks.take(1), late) }
+  }
+
   test("classic layout structure: ftyp + mdat BEFORE moov, no mvex/moof, " +
       "stss omitted for the all-sync audio track, uniform stsz compressed") {
     val bytes = muxFlat(tracks, samples, chunkMax = 2)
