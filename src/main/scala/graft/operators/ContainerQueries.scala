@@ -1017,15 +1017,19 @@ object ContainerQueries {
       Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
     private def wrap16(v: Int): Int = ((v % 16) + 16) % 16
 
-    def rows(k: Long, count: Int)
-        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
-      import graft.functions.Motion
+    /** The shared deterministic 16×16 test sequence (m28 + m36):
+      * md5-noise background wrap-shifted by a per-frame global
+      * (dx, dy) ∈ [−3, 3]² plus a per-frame sparkle pixel — synthetic
+      * global motion both oracles re-derive from the same md5 bytes.
+      * Empty below 2 frames; capped at 24 so downstream searches stay
+      * O(1) per container at any SF. */
+    def frameSeq(k: Long, count: Int): Seq[Array[Int]] = {
       val n = math.min(24, count)
-      if (n < 2) return Iterator.empty
+      if (n < 2) return Seq.empty
       val bg = Array.tabulate(16, 16)((x, y) => hexbyte(s"mc${k}_${x}_${y}"))
       val steps = (1 until n).map(t =>
         (hexbyte(s"dx${k}_$t") % 7 - 3, hexbyte(s"dy${k}_$t") % 7 - 3))
-      def frame(t: Int): Array[Int] = {
+      (0 until n).map { t =>
         val cumX = steps.take(t).map(_._1).sum
         val cumY = steps.take(t).map(_._2).sum
         val sx = hexbyte(s"sx${k}_$t") % 16
@@ -1036,9 +1040,16 @@ object ContainerQueries {
             (if (x == sx && y == sy) 40 else 0)) % 256
         f
       }
-      var recon = frame(0) // I-frame: transmitted as-is
-      (1 until n).iterator.flatMap { t =>
-        val cur = frame(t)
+    }
+
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.functions.Motion
+      val fs = frameSeq(k, count)
+      if (fs.isEmpty) return Iterator.empty
+      var recon = fs.head // I-frame: transmitted as-is
+      (1 until fs.length).iterator.flatMap { t =>
+        val cur = fs(t)
         val (pf, rec) = Motion.encodeP(cur, recon, 16, 16, 8,
           range = 3, q = 1)
         recon = rec
@@ -1527,6 +1538,152 @@ object ContainerQueries {
       |  AND b.track = c.track AND b.i // 8 = c.c
       |ORDER BY b.container, b.track, sample_i""".stripMargin
 
+  /** m36: the COMPOSED CODED-VIDEO leg — GVC ([[graft.functions.Gvc]]:
+    * m28's motion-compensated inter loop + block-raster intra
+    * prediction + p13's Rice entropy coder, framed as Annex-B NALs
+    * with an SPS) encoded, MUXED through the classic moov MP4 layout
+    * (m35's `muxFlat` — a playable-shape .mp4 whose samples are the
+    * coded frames, keyframe flag on the IDR), DEMUXED back, and
+    * DECODED — the reference's inverse-transcode intent for its video
+    * codecs (tests/media/test_video_codec.py:14-43, h264-in-mp4
+    * through libav) re-expressed with the engine's own bitstream. The
+    * oracle re-derives EVERYTHING in SQL from the shared md5 frame
+    * synthesis: the 49-candidate SAD argmin (m28's search), each
+    * block's residuals (motion for P, block-raster lag-prediction for
+    * I), the optimal Rice parameter as an integer cost argmin over
+    * k ∈ 0..7, and from those the EXACT payload byte size of every
+    * coded frame — so the hash gate pins the entropy coder's bit
+    * budget and the container round trip, while frame_sum pins the
+    * decoded pixels (q = 1 ⇒ lossless ⇒ sums equal the synthesized
+    * frames'). Scale: one per-container mapGroups kernel, frames
+    * capped at 24 — identical envelope to m27/m28. */
+  private[operators] object GvcKernel extends Serializable {
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, String, Long, Long)] = {
+      import graft.functions.Gvc
+      import graft.sources.IsoBmff
+      val fs = MotionKernel.frameSeq(k, count)
+      if (fs.isEmpty) return Iterator.empty
+      val cfg = Gvc.Config(16, 16, 8, range = 3, q = 1)
+      val packets = Gvc.encode(fs, cfg)
+      val track = Seq(IsoBmff.Mp4Track(1, "video", "gvc1",
+        width = 16, height = 16))
+      val samples = packets.zipWithIndex.map { case (p, i) =>
+        IsoBmff.Mp4Sample(1, i * 33L, 33L, keyframe = i == 0, p) }
+      val (_, rec) = IsoBmff.demuxFlat(IsoBmff.muxFlat(track, samples))
+      val (cfg2, dec) = Gvc.decode(rec.map(_.payload))
+      require(cfg2 == cfg, s"container $k: SPS drift through the mp4")
+      require(dec.length == fs.length,
+        s"container $k: ${dec.length} decoded frames vs ${fs.length}")
+      dec.indices.iterator.map { t =>
+        (k, t.toLong, if (t == 0) "I" else "P",
+          rec(t).payload.length.toLong, dec(t).map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        GvcKernel.rows(k, it.size))
+      .toDF("container", "t", "frame_type", "payload_bytes", "frame_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  /** m36 oracle: m28's frame synthesis + SAD argmin, extended with
+    * the residual extraction (motion for P, per-block lag-128 chain
+    * for I), zigzag, the k ∈ 0..7 Rice cost argmin, and the exact
+    * Annex-B/NAL byte accounting: I payload = 4 (start code) + 8
+    * (SPS) + 4 + 1 + ⌈Σ(3+cost)/8⌉; P payload = 4 + 1 + ⌈Σ(9+cost)/8⌉
+    * (per block: 3+3 MV bits + 3 k bits). */
+  private val m36Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |steps AS (SELECT container, t,
+      |    CAST(concat('0x', substr(md5('dx' || container || '_' || t), 1, 2)) AS BIGINT) % 7 - 3 AS dx,
+      |    CAST(concat('0x', substr(md5('dy' || container || '_' || t), 1, 2)) AS BIGINT) % 7 - 3 AS dy
+      |  FROM frames WHERE t >= 1),
+      |cum AS (SELECT f.container, f.t,
+      |    COALESCE((SELECT sum(s.dx) FROM steps s
+      |              WHERE s.container = f.container AND s.t <= f.t), 0) AS cumx,
+      |    COALESCE((SELECT sum(s.dy) FROM steps s
+      |              WHERE s.container = f.container AND s.t <= f.t), 0) AS cumy,
+      |    CAST(concat('0x', substr(md5('sx' || f.container || '_' || f.t), 1, 2)) AS BIGINT) % 16 AS sx,
+      |    CAST(concat('0x', substr(md5('sy' || f.container || '_' || f.t), 1, 2)) AS BIGINT) % 16 AS sy
+      |  FROM frames f),
+      |pix AS MATERIALIZED (SELECT c.container, c.t, g.x, g.y,
+      |    (CAST(concat('0x', substr(md5('mc' || c.container || '_'
+      |        || ((g.x + c.cumx) % 16 + 16) % 16 || '_'
+      |        || ((g.y + c.cumy) % 16 + 16) % 16), 1, 2)) AS BIGINT)
+      |     + CASE WHEN g.x = c.sx AND g.y = c.sy THEN 40 ELSE 0 END) % 256
+      |      AS v
+      |  FROM cum c, (SELECT a.x, b.y FROM
+      |    (SELECT unnest(range(16)) AS x) a,
+      |    (SELECT unnest(range(16)) AS y) b) g),
+      |cand AS (SELECT a.u, b.w FROM
+      |  (SELECT unnest(generate_series(-3, 3)) AS u) a,
+      |  (SELECT unnest(generate_series(-3, 3)) AS w) b),
+      |sads AS (SELECT cur.container, cur.t,
+      |    (cur.y // 8) * 2 + (cur.x // 8) AS block, cand.u, cand.w,
+      |    sum(abs(cur.v - prev.v)) AS sad
+      |  FROM pix cur
+      |  CROSS JOIN cand
+      |  JOIN pix prev ON prev.container = cur.container
+      |    AND prev.t = cur.t - 1
+      |    AND prev.x = ((cur.x + cand.u) % 16 + 16) % 16
+      |    AND prev.y = ((cur.y + cand.w) % 16 + 16) % 16
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |best AS (SELECT container, t, block, u, w FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY container, t, block
+      |      ORDER BY sad, w, u) AS rn FROM sads)
+      |  WHERE rn = 1),
+      |presid AS (SELECT cur.container, cur.t,
+      |    (cur.y // 8) * 2 + (cur.x // 8) AS block, cur.v - prev.v AS r
+      |  FROM pix cur
+      |  JOIN best b ON b.container = cur.container AND b.t = cur.t
+      |    AND b.block = (cur.y // 8) * 2 + (cur.x // 8)
+      |  JOIN pix prev ON prev.container = cur.container
+      |    AND prev.t = cur.t - 1
+      |    AND prev.x = ((cur.x + b.u) % 16 + 16) % 16
+      |    AND prev.y = ((cur.y + b.w) % 16 + 16) % 16
+      |  WHERE cur.t >= 1),
+      |iresid AS (SELECT container, CAST(0 AS BIGINT) AS t,
+      |    (y // 8) * 2 + (x // 8) AS block,
+      |    v - COALESCE(lag(v) OVER (
+      |      PARTITION BY container, (y // 8) * 2 + (x // 8)
+      |      ORDER BY y, x), 128) AS r
+      |  FROM pix WHERE t = 0),
+      |resid AS (SELECT container, t, block,
+      |    CASE WHEN r < 0 THEN -2 * r - 1 ELSE 2 * r END AS z
+      |  FROM (SELECT * FROM presid UNION ALL SELECT * FROM iresid)),
+      |kcost AS (SELECT container, t, block, kk.k,
+      |    sum(z // (1 << kk.k)) + 64 * (1 + kk.k) AS cost
+      |  FROM resid, (SELECT unnest(range(8)) AS k) kk
+      |  GROUP BY 1, 2, 3, 4),
+      |bcost AS (SELECT container, t, block, min(cost) AS minc
+      |  FROM kcost GROUP BY 1, 2, 3),
+      |fbits AS (SELECT container, t,
+      |    sum(CASE WHEN t = 0 THEN 3 ELSE 9 END + minc) AS bits
+      |  FROM bcost GROUP BY 1, 2),
+      |fsum AS (SELECT container, t, CAST(sum(v) AS BIGINT) AS frame_sum
+      |  FROM pix GROUP BY 1, 2)
+      |SELECT b.container, CAST(b.t AS BIGINT) AS t,
+      |  CASE WHEN b.t = 0 THEN 'I' ELSE 'P' END AS frame_type,
+      |  CAST(CASE WHEN b.t = 0 THEN 17 ELSE 5 END
+      |    + (b.bits + 7) // 8 AS BIGINT) AS payload_bytes,
+      |  s.frame_sum
+      |FROM fbits b JOIN fsum s ON b.container = s.container AND b.t = s.t
+      |ORDER BY b.container, b.t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1541,6 +1698,7 @@ object ContainerQueries {
     Q("m27_container_matrix", m27, Some(m27Sql)),
     Q("m28_motion_codec", m28, Some(m28Sql)),
     Q("m35_mp4_classic", m35, Some(m35Sql)),
+    Q("m36_gvc_mp4", m36, Some(m36Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -493,4 +493,84 @@ class CodecSpec extends AnyFunSuite {
     assert(interior.forall(v => math.abs(v - 32767) < 3300),
       s"DC interior drifted: ${interior.min}..${interior.max}")
   }
+
+  // ---- GVC: the composed I/P coded-video bitstream (m36) ------------------
+
+  private def gvcFrames(seed: Int, n: Int, w: Int, h: Int): Seq[Array[Int]] = {
+    val r = new scala.util.Random(seed)
+    // moving gradient + noise: exercises both prediction paths
+    (0 until n).map { t =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((x * 3 + y * 5 + t * 7) % 256 + r.nextInt(9) - 4 + 256) % 256
+      }
+    }
+  }
+
+  test("GVC q=1 round trip is LOSSLESS through encode->decode and the " +
+      "SPS carries the config") {
+    import graft.functions.Gvc
+    val cfg = Gvc.Config(16, 16, 8, range = 3, q = 1)
+    val fs = gvcFrames(11, 6, 16, 16)
+    val (cfg2, dec) = Gvc.decode(Gvc.encode(fs, cfg))
+    assert(cfg2 == cfg)
+    assert(dec.length == fs.length)
+    fs.zip(dec).zipWithIndex.foreach { case ((a, b), t) =>
+      assert(a.sameElements(b), s"frame $t not lossless")
+    }
+  }
+
+  test("GVC q>1 is lossy but DRIFT-FREE: decoder output equals the " +
+      "encoder's own closed-loop reconstruction, per-pixel error " +
+      "bounded by q-1 on every frame including the last") {
+    import graft.functions.{Gvc, Motion}
+    val cfg = Gvc.Config(16, 16, 8, range = 3, q = 5)
+    val fs = gvcFrames(23, 10, 16, 16)
+    val (_, dec) = Gvc.decode(Gvc.encode(fs, cfg))
+    // re-run the encoder's own recon chain and compare exactly
+    var recon: Array[Int] = null
+    fs.zipWithIndex.foreach { case (f, t) =>
+      recon =
+        if (t == 0) {
+          val r = new Array[Int](256); var pred = 128
+          for (by <- 0 until 2; bx <- 0 until 2; y <- 0 until 8; x <- 0 until 8) {
+            if (y == 0 && x == 0) pred = 128
+            val idx = (by * 8 + y) * 16 + (bx * 8 + x)
+            val tq = Gvc.quantDiv(f(idx) - pred, cfg.q)
+            r(idx) = pred + tq * cfg.q; pred = r(idx)
+          }
+          r
+        } else Motion.encodeP(f, recon, 16, 16, 8, 3, cfg.q)._2
+      assert(dec(t).sameElements(recon), s"frame $t decoder drift")
+      // closed loop: error vs ORIGINAL bounded by the quantizer step
+      // on every frame — no accumulation
+      f.indices.foreach { i =>
+        assert(math.abs(f(i) - dec(t)(i)) <= cfg.q - 1,
+          s"frame $t px $i error ${f(i) - dec(t)(i)} exceeds q-1")
+      }
+    }
+  }
+
+  test("GVC survives the classic-MP4 container round trip and rejects " +
+      "corrupt NAL length prefixes loudly") {
+    import graft.functions.Gvc
+    import graft.sources.IsoBmff
+    val cfg = Gvc.Config(32, 16, 8, range = 2, q = 1)
+    val fs = gvcFrames(37, 5, 32, 16)
+    val packets = Gvc.encode(fs, cfg)
+    val track = Seq(IsoBmff.Mp4Track(1, "video", "gvc1",
+      width = 32, height = 16))
+    val samples = packets.zipWithIndex.map { case (p, i) =>
+      IsoBmff.Mp4Sample(1, i * 33L, 33L, keyframe = i == 0, p) }
+    val (_, rec) = IsoBmff.demuxFlat(IsoBmff.muxFlat(track, samples))
+    val (cfg2, dec) = Gvc.decode(rec.map(_.payload))
+    assert(cfg2 == cfg && dec.length == fs.length)
+    fs.zip(dec).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val bad = packets.head.clone()
+    bad(0) = 0x7f // length prefix now overruns the sample
+    val ex = intercept[IllegalArgumentException] {
+      Gvc.decode(Seq(bad))
+    }
+    assert(ex.getMessage.contains("overruns"))
+  }
 }
