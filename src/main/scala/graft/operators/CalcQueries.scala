@@ -1472,6 +1472,120 @@ object CalcQueries {
        |  125::BIGINT AS n
        |FROM vol ORDER BY container, ts_ms""".stripMargin
 
+  // ============================================= e52: LIVE SOCKET
+  // ingest — the reference's `rtmp://` URL mode END-TO-END: where c14
+  // demuxed a captured byte stream batch-side and e51 replayed FLV
+  // segments as files, here the bytes arrive over a REAL TCP loopback
+  // connection: the harness replays the captured RTMP session through
+  // a local server (997-byte slices, so chunks straddle reads), and
+  // [[graft.sources.RtmpSocketSource]] — a DataSourceV2
+  // MicroBatchStream — performs the §5.2 client handshake, runs the
+  // incremental Dechunker over the arriving bytes, and serves the
+  // assembled messages as rate-limited micro-batches (admission
+  // control maxMsgsPerBatch). The PCM explode and the loaded meter
+  // DAG run inside the streaming plan exactly as in e51; the oracle
+  // is e51's — the meter blocks are a pure function of the
+  // reassembled sample stream, however it traveled.
+
+  private def e52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{DeploymentJson, Pipeline}
+    import graft.sources.{Rtmp, Wav}
+    val loaded = DeploymentJson.load(c14Json, nodeName = Some(FixtureNode))
+    val clicks = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 3).as("c"),
+        least(greatest(round(col("value") * 100).cast(IntegerType),
+          lit(-32768)), lit(32767)).as("x"),
+        col("ts_ms"), col("event_id"))
+      .as[(Long, Int, Long, Long)]
+    val tmpBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val base = new java.io.File(
+      s"$tmpBase/graft-e52-${System.nanoTime()}")
+    val capDir = new java.io.File(base, "cap"); capDir.mkdirs()
+    val capPath = capDir.toString
+    // executor-side capture: one chunk-stream segment per container on
+    // its own csid (4 + c) and message stream id (c) — chunk streams
+    // are independent, so concatenating per-csid segments is a valid
+    // interleave of one session; bytes never visit the driver as rows
+    clicks.groupByKey(_._1).mapGroups { (k, it) =>
+      val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
+      val msgs = xs.grouped(50).zipWithIndex.map { case (blk, b) =>
+        Rtmp.RtmpMessage(4 + k.toInt, k, Rtmp.TypeAudio, 50L * b,
+          Wav.pcm16(blk))
+      }.toSeq
+      val f = new java.io.File(capPath, f"cap-c$k%03d.rtmp")
+      java.nio.file.Files.write(f.toPath, Rtmp.mux(msgs))
+      k
+    }.write.format("noop").mode("overwrite").save()
+    val files = Option(capDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".rtmp")).sortBy(_.getName)
+    require(files.nonEmpty, "e52: no capture segments written")
+    // loopback replay: handshake, then the session bytes in 997-byte
+    // slices (chunks straddle socket reads), then close = end of feed
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    server.setSoTimeout(120000)
+    val serverThread = new Thread(() => {
+      try {
+        val sk = server.accept()
+        try {
+          Rtmp.serverHandshake(sk.getInputStream, sk.getOutputStream)
+          val os = sk.getOutputStream
+          files.foreach { f =>
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            var off = 0
+            while (off < bytes.length) {
+              val n = math.min(997, bytes.length - off)
+              os.write(bytes, off, n); os.flush(); off += n
+            }
+          }
+          os.flush()
+        } finally sk.close()
+      } finally server.close()
+    }, "e52-rtmp-replay")
+    serverThread.setDaemon(true); serverThread.start()
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val src = ss.readStream
+      .format(classOf[graft.sources.RtmpSocketSource].getName)
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("maxMsgsPerBatch", "64")
+      .option("drainOnStart", "true")
+      .load()
+    // PCM explode INSIDE the streaming plan; pipe = message stream id
+    val env = src.select(col("stream_id"), col("ts_ms"), col("payload"))
+      .as[(Long, Long, Array[Byte])].flatMap { case (c, ts, payload) =>
+        Wav.samples16(payload).iterator.zipWithIndex.map { case (v, j) =>
+          (c.toString, ts + j, v.toDouble, null: String, false, ts + j)
+        }
+      }.toDF("pipe", "ts", "value", "text", "paused", "seq")
+    val ni = loaded.namedInputs
+    val no = loaded.namedOutputs
+    val streams = Pipeline.compile(loaded.deployment,
+      Map(ni("rtmp://ingest/live#audio0") -> env))
+    val sink = new java.io.File(base, "sink").toString
+    val q = streams(no("volume")).writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", new java.io.File(base, "ck").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = graft.Resources.checkpoint(
+      s.read.parquet(sink).filter(!col("paused"))
+        .select(col("pipe").cast(LongType).as("container"),
+          col("ts").as("ts_ms"), col("value"), lit(125L).as("n"))
+        .orderBy(col("container"), col("ts_ms")))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(base)
+    out
+  }
+
   val all: Seq[Q] = Seq(
     Q("c01_calc_stateless", c01, Some(c01Sql)),
     Q("c02_calc_last_value", c02, Some(c02Sql)),
@@ -1488,5 +1602,6 @@ object CalcQueries {
     Q("c13_inference_deployment", c13, Some(c13Sql)),
     Q("c14_live_deployment", c14, Some(c14Sql)),
     Q("e51_streaming_ingest", e51, Some(e51Sql)),
+    Q("e52_socket_ingest", e52, Some(e51Sql)),
   )
 }

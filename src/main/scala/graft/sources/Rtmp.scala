@@ -196,67 +196,120 @@ object Rtmp {
     var remaining: Int = 0
   }
 
-  /** Parse an RTMP chunk stream back into assembled messages.
-    * Processes Set Chunk Size control messages in-stream (they apply
-    * to every later chunk and are consumed, not returned). Validates
-    * chunk framing: a new-message header on a chunk stream with an
-    * unfinished message, a fmt-1/2/3 chunk on a virgin chunk stream,
-    * or a truncated chunk all fail loud. */
-  def demux(bytes: Array[Byte]): (Seq[RtmpMessage], ChunkStats) = {
-    val msgs = Seq.newBuilder[RtmpMessage]
-    val states = scala.collection.mutable.Map.empty[Int, AsmState]
-    var chunkSize = DefaultChunkSize
-    var fmt0 = 0L; var fmt1 = 0L; var fmt2 = 0L; var fmt3 = 0L
-    var extN = 0L; var setCs = 0L
-    var pos = 0
-    while (pos < bytes.length) {
+  /** INCREMENTAL chunk-stream parser — the live-socket form of
+    * [[demux]]: feed bytes as they arrive off the wire; each feed
+    * returns every message the new bytes completed. A chunk is
+    * consumed only when it is entirely buffered (chunks are at most
+    * `chunkSize` + header bytes, so the holdback is bounded); partial
+    * trailing bytes wait for the next feed. Framing violations (a
+    * new-message header on an unfinished message, fmt 1/2/3 on a
+    * virgin chunk stream, bad Set Chunk Size) fail loud exactly as in
+    * batch [[demux]] — only INCOMPLETENESS waits. */
+  final class Dechunker {
+    private val states = scala.collection.mutable.Map.empty[Int, AsmState]
+    private var chunkSize = DefaultChunkSize
+    private var fmt0 = 0L; private var fmt1 = 0L
+    private var fmt2 = 0L; private var fmt3 = 0L
+    private var extN = 0L; private var setCs = 0L
+    private var rest: Array[Byte] = Array.emptyByteArray
+
+    /** Unparsed trailing bytes held back for the next feed. */
+    def pendingBytes: Int = rest.length
+
+    /** True while some chunk stream is mid-message. */
+    def midMessage: Boolean = states.valuesIterator.exists(_.buf != null)
+
+    def unfinished: Seq[(Int, Int)] = states.iterator
+      .filter(_._2.buf != null).map { case (c, st) => (c, st.remaining) }
+      .toSeq
+
+    def stats: ChunkStats = ChunkStats(fmt0, fmt1, fmt2, fmt3, extN, setCs)
+
+    /** Parse ONE whole chunk at `pos` if fully buffered: returns the
+      * new position, appending any completed message; returns -1 when
+      * more bytes are needed (no state was touched). */
+    private def parseChunk(bytes: Array[Byte], pos0: Int,
+        msgs: scala.collection.mutable.Builder[RtmpMessage, Seq[RtmpMessage]])
+        : Int = {
+      var pos = pos0
+      if (pos >= bytes.length) return -1
       val b0 = bytes(pos) & 0xFF
       val fmt = b0 >> 6
       var csid = b0 & 0x3F
       pos += 1
       if (csid == 0) {
-        require(pos < bytes.length, "truncated 2-byte basic header")
+        if (pos >= bytes.length) return -1
         csid = 64 + (bytes(pos) & 0xFF); pos += 1
       } else if (csid == 1) {
-        require(pos + 1 < bytes.length, "truncated 3-byte basic header")
+        if (pos + 1 >= bytes.length) return -1
         csid = 64 + (bytes(pos) & 0xFF) + ((bytes(pos + 1) & 0xFF) << 8)
         pos += 2
       }
       val st = states.getOrElseUpdate(csid, new AsmState)
       val continuation = fmt == 3 && st.buf != null
+      // ---- phase 1: read every header field into locals (no state
+      // mutation), returning -1 on any incompleteness
+      var tsField = st.delta
+      var lenField = st.len
+      var typeField = st.typeId
+      var streamField = st.streamId
+      var extSeen = false
       if (!continuation) {
         require(st.buf == null,
           s"new message header (fmt $fmt) on csid $csid with " +
             s"${st.remaining} bytes of an unfinished message")
         require(fmt == 0 || st.ts >= 0,
           s"fmt $fmt chunk on virgin csid $csid has nothing to inherit")
-        // message header fields by fmt, inheriting the rest
-        var tsField = st.delta
-        if (fmt <= 2) { tsField = rdU24(bytes, pos); pos += 3 }
+        if (fmt <= 2) {
+          if (pos + 3 > bytes.length) return -1
+          tsField = rdU24(bytes, pos); pos += 3
+        }
         if (fmt <= 1) {
-          st.len = rdU24(bytes, pos).toInt; st.typeId = bytes(pos + 3) & 0xFF
+          if (pos + 4 > bytes.length) return -1
+          lenField = rdU24(bytes, pos).toInt
+          typeField = bytes(pos + 3) & 0xFF
           pos += 4
         }
-        if (fmt == 0) { st.streamId = rdU32le(bytes, pos); pos += 4 }
-        val ext = (fmt <= 2 && tsField == 0xFFFFFF) ||
+        if (fmt == 0) {
+          if (pos + 4 > bytes.length) return -1
+          streamField = rdU32le(bytes, pos); pos += 4
+        }
+        extSeen = (fmt <= 2 && tsField == 0xFFFFFF) ||
           (fmt == 3 && st.headerHadExt)
-        if (fmt <= 2) st.headerHadExt = fmt <= 2 && tsField == 0xFFFFFF
-        if (ext) { tsField = rdU32(bytes, pos); pos += 4; extN += 1 }
+        if (extSeen) {
+          if (pos + 4 > bytes.length) return -1
+          tsField = rdU32(bytes, pos); pos += 4
+        }
+        require(lenField >= 0, s"csid $csid message with no length")
+      } else {
+        // continuation of a split message (§5.3.2.2): repeated ext field
+        extSeen = st.headerHadExt
+        if (extSeen) {
+          if (pos + 4 > bytes.length) return -1
+          pos += 4
+        }
+      }
+      val bodyRemaining = if (continuation) st.remaining else lenField
+      val n = math.min(bodyRemaining, chunkSize)
+      if (pos + n > bytes.length) return -1
+      // ---- phase 2: the whole chunk is buffered — commit state
+      if (!continuation) {
+        st.len = lenField
+        st.typeId = typeField
+        st.streamId = streamField
+        // extSeen for fmt <= 2 is precisely "the 24-bit field carried
+        // the 0xFFFFFF sentinel"; a fmt-3 start inherits the flag
+        if (fmt <= 2) st.headerHadExt = extSeen
         st.ts = if (fmt == 0) tsField else st.ts + tsField
         st.delta = tsField // fmt 0: absolute doubles as implied delta
-        require(st.len >= 0, s"csid $csid message with no length")
         st.buf = new ByteArrayOutputStream(st.len)
         st.remaining = st.len
-      } else {
-        // continuation of a split message (§5.3.2.2)
-        if (st.headerHadExt) { pos += 4; extN += 1 } // repeated ext field
       }
+      if (extSeen) extN += 1
       fmt match {
         case 0 => fmt0 += 1; case 1 => fmt1 += 1
         case 2 => fmt2 += 1; case _ => fmt3 += 1
       }
-      val n = math.min(st.remaining, chunkSize)
-      require(pos + n <= bytes.length, s"truncated chunk body at $pos")
       st.buf.write(bytes, pos, n)
       pos += n
       st.remaining -= n
@@ -273,11 +326,83 @@ object Rtmp {
           msgs += RtmpMessage(csid, st.streamId, st.typeId, st.ts, payload)
         }
       }
+      pos
     }
-    states.foreach { case (csid, st) =>
-      require(st.buf == null,
-        s"stream ended with ${st.remaining} bytes missing on csid $csid")
+
+    def feed(data: Array[Byte]): Seq[RtmpMessage] = {
+      val bytes = if (rest.isEmpty) data else rest ++ data
+      val msgs = Seq.newBuilder[RtmpMessage]
+      var pos = 0
+      var np = parseChunk(bytes, pos, msgs)
+      while (np >= 0) { pos = np; np = parseChunk(bytes, pos, msgs) }
+      rest =
+        if (pos >= bytes.length) Array.emptyByteArray
+        else java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
+      msgs.result()
     }
-    (msgs.result(), ChunkStats(fmt0, fmt1, fmt2, fmt3, extN, setCs))
+  }
+
+  /** Parse an RTMP chunk stream back into assembled messages.
+    * Processes Set Chunk Size control messages in-stream (they apply
+    * to every later chunk and are consumed, not returned). Validates
+    * chunk framing: a new-message header on a chunk stream with an
+    * unfinished message, a fmt-1/2/3 chunk on a virgin chunk stream,
+    * or a truncated chunk all fail loud. (Batch form of [[Dechunker]]:
+    * one feed, then completeness is REQUIRED rather than waited on.) */
+  def demux(bytes: Array[Byte]): (Seq[RtmpMessage], ChunkStats) = {
+    val d = new Dechunker
+    val msgs = d.feed(bytes)
+    require(!d.midMessage, d.unfinished.map { case (csid, rem) =>
+      s"stream ended with $rem bytes missing on csid $csid" }.mkString("; "))
+    require(d.pendingBytes == 0,
+      s"truncated chunk: ${d.pendingBytes} unparsed trailing bytes")
+    (msgs, d.stats)
+  }
+
+  // ---- handshake (spec §5.2) ------------------------------------------------
+  // C0/S0 = version byte 3; C1/S1 = 1536 bytes (u32 time, u32 zero,
+  // 1528 bytes the peer must echo); C2 echoes S1, S2 echoes C1. The
+  // echo is the whole point of the exchange — both helpers verify it.
+
+  val HandshakeLen = 1536
+
+  private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var got = 0
+    while (got < n) {
+      val r = in.read(b, got, n - got)
+      require(r >= 0, s"rtmp handshake: peer closed after $got/$n bytes")
+      got += r
+    }
+    b
+  }
+
+  /** Client side: send C0+C1, expect S0+S1+S2 (S2 echoing C1), send
+    * C2 echoing S1. Deterministic: C1's random block is zeros. */
+  def clientHandshake(in: java.io.InputStream,
+      out: java.io.OutputStream): Unit = {
+    val c1 = new Array[Byte](HandshakeLen)
+    out.write(3); out.write(c1); out.flush()
+    val s0 = in.read()
+    require(s0 == 3, s"rtmp handshake: server version $s0")
+    val s1 = readFully(in, HandshakeLen)
+    val s2 = readFully(in, HandshakeLen)
+    require(java.util.Arrays.equals(s2, c1),
+      "rtmp handshake: S2 does not echo C1")
+    out.write(s1); out.flush() // C2
+  }
+
+  /** Server side: expect C0+C1, send S0+S1+S2 (S2 echoing C1), expect
+    * C2 echoing S1. */
+  def serverHandshake(in: java.io.InputStream,
+      out: java.io.OutputStream): Unit = {
+    val c0 = in.read()
+    require(c0 == 3, s"rtmp handshake: client version $c0")
+    val c1 = readFully(in, HandshakeLen)
+    val s1 = new Array[Byte](HandshakeLen)
+    out.write(3); out.write(s1); out.write(c1); out.flush()
+    val c2 = readFully(in, HandshakeLen)
+    require(java.util.Arrays.equals(c2, s1),
+      "rtmp handshake: C2 does not echo S1")
   }
 }

@@ -354,4 +354,119 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally q.stop()
     } finally rocks.stop()
   }
+
+  // ---- RtmpSocketSource: the live-socket ingest path (e52) ----------------
+
+  private def rtmpFixture(): Seq[graft.sources.Rtmp.RtmpMessage] = {
+    import graft.sources.Rtmp
+    // two interleaved chunk streams; payloads straddle the 128-byte
+    // chunk size to force continuation chunks over the wire
+    (0 until 10).map { i =>
+      val csid = 4 + (i % 2)
+      Rtmp.RtmpMessage(csid, (i % 2).toLong, Rtmp.TypeAudio, 40L * i,
+        Array.tabulate(if (i % 3 == 0) 300 else 50)(j => (i * 7 + j).toByte))
+    }
+  }
+
+  private def serveLoopback(bytes: Array[Byte], slice: Int)
+      : java.net.ServerSocket = {
+    import graft.sources.Rtmp
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    server.setSoTimeout(60000)
+    val t = new Thread(() => {
+      try {
+        val sk = server.accept()
+        try {
+          Rtmp.serverHandshake(sk.getInputStream, sk.getOutputStream)
+          val os = sk.getOutputStream
+          var off = 0
+          while (off < bytes.length) {
+            val n = math.min(slice, bytes.length - off)
+            os.write(bytes, off, n); os.flush(); off += n
+          }
+        } finally sk.close()
+      } finally server.close()
+    }, "loopback-replay")
+    t.setDaemon(true); t.start()
+    server
+  }
+
+  /** Fresh session per socket test: the RocksDB tests above stop the
+    * shared SparkContext, so the suite-level lazy `spark` is dead by
+    * the time these run. */
+  private def socketSession(): SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("rtmp-socket-spec")
+    .getOrCreate()
+
+  test("RtmpSocketSource drain mode: TCP handshake + incremental " +
+      "dechunk over tiny reads, message identity, and the admission " +
+      "control cap shaping ceil(n/max) micro-batches") {
+    import graft.sources.Rtmp
+    val ss = socketSession()
+    val msgs = rtmpFixture()
+    // 41-byte slices: every chunk header and body straddles reads
+    val server = serveLoopback(Rtmp.mux(msgs), slice = 41)
+    val src = ss.readStream
+      .format(classOf[graft.sources.RtmpSocketSource].getName)
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("maxMsgsPerBatch", "3")
+      .option("drainOnStart", "true")
+      .load()
+    val q = src.writeStream.format("memory").queryName("rtmp_drain")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = ss.table("rtmp_drain")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getAs[Array[Byte]](5).toSeq))
+      .sortBy(_._1)
+    assert(got.length == msgs.length)
+    got.zip(msgs).foreach { case (g, m) =>
+      assert(g._2 == m.csid && g._3 == m.streamId && g._4 == m.typeId &&
+        g._5 == m.tsMs && g._6 == m.payload.toSeq,
+        s"message ${g._1} drifted through the socket")
+    }
+    // rate limit: 10 messages at maxMsgsPerBatch=3 -> 4 data batches
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 4,
+      s"expected ceil(10/3)=4 rate-limited batches, saw $dataBatches")
+  }
+
+  test("RtmpSocketSource live mode (no drain): messages flow as they " +
+      "arrive and the stream converges to the full capture") {
+    import graft.sources.Rtmp
+    val ss = socketSession()
+    val msgs = rtmpFixture()
+    val server = serveLoopback(Rtmp.mux(msgs), slice = 97)
+    val src = ss.readStream
+      .format(classOf[graft.sources.RtmpSocketSource].getName)
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .option("maxMsgsPerBatch", "4")
+      .load()
+    val q = src.writeStream.format("memory").queryName("rtmp_live")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def count() = ss.table("rtmp_live").count()
+      while (count() < msgs.length && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val got = ss.table("rtmp_live")
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](5).toSeq))
+        .sortBy(_._1)
+      assert(got.length == msgs.length)
+      got.zip(msgs).foreach { case (g, m) =>
+        assert(g._2 == m.payload.toSeq)
+      }
+    } finally q.stop()
+  }
 }
