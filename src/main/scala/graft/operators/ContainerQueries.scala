@@ -850,10 +850,10 @@ object ContainerQueries {
       |FROM sized ORDER BY container, pes_idx""".stripMargin
 
   /** m27: the CONTAINER TRANSCODE MATRIX — the same two-stream
-    * timeline muxed and demuxed through ALL SIX real container byte
+    * timeline muxed and demuxed through ALL SEVEN real container byte
     * formats (AVI/RIFF, FLV, Matroska/EBML, ISO-BMFF in BOTH layouts
-    * — fragmented moof/trun AND classic moov sample tables — and
-    * MPEG-TS) inside one per-container kernel, each format's
+    * — fragmented moof/trun AND classic moov sample tables — MPEG-TS,
+    * and Ogg) inside one per-container kernel, each format's
     * recovered stream reduced to the same canonical aggregate
     * (sample counts per kind, timestamp sum, order-free payload
     * checksum). This is the reference's container-matrix test shape
@@ -862,12 +862,12 @@ object ContainerQueries {
     * the oracle computes the canonical aggregate ONCE from the
     * timeline and predicts it for every format row, so a hash match
     * proves all six byte formats carry the identical stream —
-    * timestamps via six different mechanisms (AVI's position-implied
+    * timestamps via seven different mechanisms (AVI's position-implied
     * clocks, FLV's split 24+8-bit ms field, EBML cluster-relative
     * int16s, tfdt+trun duration chains, stts run-length chains with
-    * stsc/stco chunk addressing, 90 kHz PES PTS). Scale: one
-    * mapGroups kernel per container, six in-memory round-trips per
-    * group, nothing at the driver. */
+    * stsc/stco chunk addressing, 90 kHz PES PTS, Ogg page granule
+    * positions). Scale: one mapGroups kernel per container, seven
+    * in-memory round-trips per group, nothing at the driver. */
   private def m27(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.sources.{Avi, IsoBmff, Mkv, MpegTs}
@@ -951,8 +951,18 @@ object ContainerQueries {
         .map(t => (if (t.tagType == graft.sources.Flv.TagVideo) 1 else 2,
           t.tsMs, t.payload))
 
+      // --- Ogg: RFC 3533 pages (BOS/EOS logical streams, lacing,
+      // unreflected CRC-32), granule = ms — the Opus/Vorbis transport
+      val oggRec = {
+        import graft.sources.Ogg
+        val (_, ps) = Ogg.demux(Ogg.mux(
+          Seq(Ogg.OggStream(1L, "video"), Ogg.OggStream(2L, "audio")),
+          blocks.map(b => Ogg.OggPacket(b._1.toLong, b._2, b._4))))
+        ps.map(p => (p.serial.toInt, p.granule, p.payload))
+      }
+
       Seq("avi" -> aviRec, "flv" -> flvRec, "mkv" -> mkvRec,
-        "mp4" -> mp4Rec, "mp4c" -> mp4cRec, "ts" -> tsRec)
+        "mp4" -> mp4Rec, "mp4c" -> mp4cRec, "ogg" -> oggRec, "ts" -> tsRec)
         .map { case (family, rec) =>
         val (nv, na, tsum, psum) = agg(rec)
         (k, family, nv, na, tsum, psum)
@@ -985,7 +995,7 @@ object ContainerQueries {
       |  FROM blk GROUP BY container)
       |SELECT container, family, n_video, n_audio, ts_sum, payload_sum
       |FROM canon,
-      |  (SELECT unnest(['avi','flv','mkv','mp4','mp4c','ts']) AS family)
+      |  (SELECT unnest(['avi','flv','mkv','mp4','mp4c','ogg','ts']) AS family)
       |ORDER BY container, family""".stripMargin
 
   /** m28: MOTION-COMPENSATED VIDEO CODING — the inter-frame

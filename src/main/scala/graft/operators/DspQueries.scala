@@ -821,6 +821,77 @@ object DspQueries {
       |  TRUE AS lossless
       |FROM fb GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
 
+  /** p14: the COMPOSED lossy audio bitstream ([[graft.functions.Gac]]
+    * — p11's MDCT + AAC-style per-band scalefactor quantization +
+    * p13's Rice entropy coder inside ADTS-shaped sync/CRC-16 frames:
+    * the aac/opus structural analogue, closing the audio side of the
+    * codec-composition seam the way m36 closes the video side). Same
+    * harness as p11 (the reference's codec-matrix shape,
+    * tests/media/test_audio_codec.py:10-28): deterministic two-tone
+    * chunks, one codec instance per partition. The oracle pins the
+    * STRUCTURE — frame count from the framing arithmetic, the
+    * decoder-verified sync/CRC booleans (decode rejects any corrupt
+    * frame, CodecSpec proves it), the ≥25 dB inverse-transcode SNR,
+    * and the ENTROPY WIN: the Rice-coded stream must land strictly
+    * below p11's fixed 8-bit coefficient layout on every chunk —
+    * the property that makes the entropy stage worth its bits.
+    * Exact coded sizes are data-dependent through double MDCT
+    * coefficients, so they stay codec-side (unlike p13, whose
+    * integer residuals let SQL recompute sizes exactly). */
+  private def p14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 1024
+    eventsMs(s, d)
+      .filter(col("event_type") === "view" && col("event_id") % 31 === 0)
+      .select((col("user_id") % 2).as("pipeline"),
+        col("event_id").as("chunk_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val codec = graft.functions.Gac()
+        it.map { case (p, cid) =>
+          val raw = new Array[Byte](n * 2)
+          val f1 = (cid % 7 + 2).toDouble
+          val f2 = (cid % 11 + 5).toDouble
+          var i = 0
+          while (i < n) {
+            val v = (9000 * math.sin(2 * math.Pi * f1 * i / 256.0) +
+              6000 * math.sin(2 * math.Pi * f2 * i / 128.0)).toInt
+            raw(2 * i) = (v & 0xff).toByte
+            raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val packet = codec.encode(raw)
+          // decode validates every frame's sync tag and CRC-16 — a
+          // corrupt bitstream throws instead of returning
+          val dec = codec.decode(packet)
+          var sig = 0.0; var err = 0.0
+          i = 0
+          while (i < n) {
+            val a = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff))
+              .toShort.toDouble
+            val b = ((dec(2 * i + 1) << 8) | (dec(2 * i) & 0xff))
+              .toShort.toDouble
+            sig += a * a; err += (a - b) * (a - b); i += 1
+          }
+          val snr = if (err == 0) 99.0 else 10.0 * math.log10(sig / err)
+          val frames = (n / 128 + 1).toLong
+          val fixedLayoutBytes = 8L + frames * 129L // p11's packet size
+          (p, cid, frames, true, snr >= 25.0,
+            packet.length < fixedLayoutBytes)
+        }
+      }
+      .toDF("pipeline", "chunk_id", "frames", "sync_crc_ok", "snr_ok",
+        "entropy_win")
+      .orderBy(col("pipeline"), col("chunk_id"))
+  }
+
+  private val p14Sql =
+    """SELECT user_id % 2 AS pipeline, event_id AS chunk_id,
+      |  CAST(1024 // 128 + 1 AS BIGINT) AS frames,
+      |  true AS sync_crc_ok, true AS snr_ok, true AS entropy_win
+      |FROM events WHERE event_type = 'view' AND event_id % 31 = 0
+      |ORDER BY pipeline, chunk_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -835,5 +906,6 @@ object DspQueries {
     Q("p11_mdct_codec", p11, Some(p11Sql)),
     Q("p12_audio_fingerprint", p12, Some(p12Sql)),
     Q("p13_flac_codec", p13, Some(p13Sql)),
+    Q("p14_gac_bitstream", p14, Some(p14Sql)),
   )
 }

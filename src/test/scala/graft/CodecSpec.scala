@@ -346,7 +346,7 @@ class CodecSpec extends AnyFunSuite {
       "a lossy codec cannot be bit-exact on noise")
   }
 
-  test("audio codec TRANSCODE MATRIX: every ordered pair of the three " +
+  test("audio codec TRANSCODE MATRIX: every ordered pair of the four " +
       "lossy codec families carries the three-tone spectrum " +
       "(test_audio_codec.py:10-28's matrix over this codec set)") {
     val rate = 32000
@@ -356,6 +356,10 @@ class CodecSpec extends AnyFunSuite {
       "adpcm" -> (b => Codec.ImaAdpcm.decode(Codec.ImaAdpcm.encode(b))),
       "mdct" -> { b =>
         val c = Codec.Mdct()
+        c.decode(c.encode(b))
+      },
+      "gac" -> { b =>
+        val c = graft.functions.Gac()
         c.decode(c.encode(b))
       })
     val ref = spectrum(s16leDoubles(pcm), rate)
@@ -492,6 +496,61 @@ class CodecSpec extends AnyFunSuite {
     val interior = dec.slice(128, 384)
     assert(interior.forall(v => math.abs(v - 32767) < 3300),
       s"DC interior drifted: ${interior.min}..${interior.max}")
+  }
+
+  // ---- GAC: the composed AAC/Opus-shaped audio bitstream (p14) ------------
+
+  test("GAC round trip: multi-tone SNR >= 25 dB, the Rice-coded stream " +
+      "undercuts the fixed int8 layout, and per-band scalefactors beat " +
+      "the whole-block scale on mixed-level content") {
+    val c = graft.functions.Gac()
+    val n = 2048
+    val in = Array.tabulate(n) { i =>
+      // loud low tone + quiet high tone: the per-band quantizer must
+      // keep the quiet band's precision
+      (12000 * math.sin(2 * math.Pi * 5 * i / 256.0) +
+        400 * math.sin(2 * math.Pi * 55 * i / 128.0)).toInt.toShort
+    }
+    val raw = s16leBytes(in)
+    val packet = c.encode(raw)
+    val dec = s16leDoubles(c.decode(packet))
+    var sig = 0.0; var err = 0.0
+    in.indices.foreach { i =>
+      sig += in(i).toDouble * in(i)
+      err += (in(i) - dec(i)) * (in(i) - dec(i))
+    }
+    val snr = 10.0 * math.log10(sig / err)
+    assert(snr >= 25.0, s"GAC SNR $snr dB")
+    val blocks = n / 128 + 1
+    assert(packet.length < 8 + blocks * 129,
+      s"GAC ${packet.length}B did not undercut the fixed layout")
+    // per-band vs whole-block: the mdct codec's single scale flattens
+    // the quiet tone; GAC must reconstruct it with lower total error
+    val md = Codec.Mdct()
+    val mdec = s16leDoubles(md.decode(md.encode(raw)))
+    var mErr = 0.0
+    in.indices.foreach(i => mErr += (in(i) - mdec(i)) * (in(i) - mdec(i)))
+    assert(err <= mErr,
+      s"per-band error $err worse than whole-block $mErr")
+  }
+
+  test("GAC frames are ADTS-shaped and corruption is rejected: sync " +
+      "bytes present per frame, a flipped body bit fails the CRC-16, " +
+      "a broken sync fails resynchronization") {
+    val c = graft.functions.Gac()
+    val raw = s16leBytes(threeToneS16(32000, 1024))
+    val packet = c.encode(raw)
+    assert(new String(packet.take(4), "US-ASCII") == "GACS")
+    // first frame header directly after the 12-byte stream header
+    assert((packet(12) & 0xff) == 0xFF && (packet(13) & 0xff) == 0xF0)
+    val bodyFlip = packet.clone()
+    bodyFlip(20) = (bodyFlip(20) ^ 0x10).toByte
+    val ex = intercept[IllegalArgumentException] { c.decode(bodyFlip) }
+    assert(ex.getMessage.contains("CRC"))
+    val syncFlip = packet.clone()
+    syncFlip(12) = 0x7F
+    val ex2 = intercept[IllegalArgumentException] { c.decode(syncFlip) }
+    assert(ex2.getMessage.contains("sync"))
   }
 
   // ---- GVC: the composed I/P coded-video bitstream (m36) ------------------

@@ -1,0 +1,114 @@
+package graft
+
+import graft.sources.Ogg
+import graft.sources.Ogg.{OggPacket, OggStream}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 3533 conformance for the Ogg container: page structure, the
+  * unreflected CRC-32 variant, lacing, BOS/EOS lifecycle, granule
+  * interleave, and loud rejection of corrupt pages. */
+class OggSpec extends AnyFunSuite {
+
+  private val streams = Seq(OggStream(101L, "video"), OggStream(202L, "audio"))
+
+  private def pkt(serial: Long, granule: Long, tag: String) =
+    OggPacket(serial, granule, tag.getBytes("UTF-8"))
+
+  private val packets = Seq(
+    pkt(101L, 0L, "v0"), pkt(202L, 0L, "a0-longer-payload"),
+    pkt(202L, 32L, "a1"), pkt(101L, 33L, "v1"),
+    pkt(101L, 66L, "v2!"), pkt(202L, 64L, "a2"))
+
+  test("mux -> demux identity: streams in BOS order, packets with " +
+      "granules and payloads intact") {
+    val bytes = Ogg.mux(streams, packets)
+    val (gotS, gotP) = Ogg.demux(bytes)
+    assert(gotS == streams)
+    val want = packets.zipWithIndex
+      .sortBy { case (p, i) => (p.granule, p.serial, i) }.map(_._1)
+    assert(gotP.map(_.serial) == want.map(_.serial))
+    assert(gotP.map(_.granule) == want.map(_.granule))
+    gotP.zip(want).foreach { case (g, w) =>
+      assert(g.payload.toSeq == w.payload.toSeq)
+    }
+  }
+
+  test("page layout: capture pattern on every page, one BOS per " +
+      "stream first, EOS on each stream's last page, granule-order " +
+      "interleave") {
+    val bytes = Ogg.mux(streams, packets)
+    // walk raw pages
+    var pos = 0
+    var pages = Vector.empty[(Int, Long)] // (flags, serial)
+    while (pos < bytes.length) {
+      assert(new String(bytes.slice(pos, pos + 4), "US-ASCII") == "OggS")
+      val flags = bytes(pos + 5) & 0xff
+      val serial = (bytes(pos + 14) & 0xffL) |
+        ((bytes(pos + 15) & 0xffL) << 8) |
+        ((bytes(pos + 16) & 0xffL) << 16) |
+        ((bytes(pos + 17) & 0xffL) << 24)
+      val nSegs = bytes(pos + 26) & 0xff
+      val bodyLen = (0 until nSegs).map(i => bytes(pos + 27 + i) & 0xff).sum
+      pages :+= ((flags, serial))
+      pos += 27 + nSegs + bodyLen
+    }
+    assert(pages.take(2).map(_._1) == Vector(Ogg.FlagBos, Ogg.FlagBos))
+    assert(pages.count { case (f, _) => (f & Ogg.FlagBos) != 0 } == 2)
+    assert(pages.count { case (f, _) => (f & Ogg.FlagEos) != 0 } == 2)
+    // last page of each serial carries EOS
+    streams.foreach { s =>
+      val mine = pages.filter(_._2 == s.serial)
+      assert((mine.last._1 & Ogg.FlagEos) != 0, s"serial ${s.serial}")
+    }
+  }
+
+  test("CRC is the RFC 3533 variant (0x04c11db7, unreflected, init 0) " +
+      "and corruption of any byte is detected") {
+    // published property: this variant of CRC over '123456789' differs
+    // from zlib's 0xCBF43926 (reflection off) — pin the exact value of
+    // the pure-polynomial form
+    assert(Ogg.crc32("123456789".getBytes("US-ASCII")) == 0x89A1897FL)
+    val bytes = Ogg.mux(streams, packets)
+    val bad = bytes.clone()
+    bad(bytes.length / 2) = (bad(bytes.length / 2) ^ 0x40).toByte
+    val ex = intercept[IllegalArgumentException] { Ogg.demux(bad) }
+    assert(ex.getMessage.contains("CRC") || ex.getMessage.contains("ogg"))
+  }
+
+  test("packets spanning the 255-byte lacing boundary round trip " +
+      "(exact multiples get the 0 terminator)") {
+    val sizes = Seq(0, 1, 254, 255, 256, 510, 4000)
+    val ps = sizes.zipWithIndex.map { case (n, i) =>
+      OggPacket(101L, i.toLong, Array.tabulate(n)(j => (i * 31 + j).toByte))
+    }
+    val (_, got) = Ogg.demux(Ogg.mux(streams.take(1), ps))
+    assert(got.map(_.payload.length) == sizes)
+    got.zip(ps).foreach { case (g, w) =>
+      assert(g.payload.toSeq == w.payload.toSeq)
+    }
+  }
+
+  test("lifecycle violations fail loud: missing EOS, page sequence " +
+      "gap, second BOS") {
+    val bytes = Ogg.mux(streams, packets)
+    // truncate the final page (drops an EOS)
+    var pos = 0
+    var starts = Vector.empty[Int]
+    while (pos < bytes.length) {
+      starts :+= pos
+      val nSegs = bytes(pos + 26) & 0xff
+      val bodyLen = (0 until nSegs).map(i => bytes(pos + 27 + i) & 0xff).sum
+      pos += 27 + nSegs + bodyLen
+    }
+    intercept[IllegalArgumentException] {
+      Ogg.demux(bytes.take(starts.last))
+    }
+    // drop a middle data page: sequence gap on its serial
+    val cut = bytes.take(starts(3)) ++ bytes.drop(starts(4))
+    intercept[IllegalArgumentException] { Ogg.demux(cut) }
+    // duplicate the first BOS page: second BOS for the serial
+    val dup = bytes.take(starts(1)) ++ bytes.take(starts(1)) ++
+      bytes.drop(starts(1))
+    intercept[IllegalArgumentException] { Ogg.demux(dup) }
+  }
+}
