@@ -68,6 +68,57 @@ class RunDeploymentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((3L, 7.0), (5L, 9.0)))
   }
 
+  test("a REFERENCE-SHAPED export loads unchanged: pydantic field " +
+      "order variations, hash task_host_ids for a node name, UUID ids, " +
+      "frontend_config position floats, task_instance nulls, dashboards, " +
+      "and metadata 'key' fields are all tolerated") {
+    import spark.implicits._
+    // the fixture mirrors GET /api/deployment/{id}/tasks of the
+    // reference UI (task_web.py:48-56 StoredTask/FullTask): field
+    // order varies across tasks, ids are UUIDs, task_host_ids are the
+    // sha256 node-hash form for node 'office-pc', frontend_config
+    // carries the NodeEditor's float positions, and IO metadata keeps
+    // the configurator 'key' fields
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource(
+        "/reference_export_fixture.json").toURI)), "UTF-8")
+    val loaded = graft.plans.DeploymentJson.load(json,
+      nodeName = Some("office-pc"))
+    assert(loaded.namedInputs.keySet == Set("clicks", "views", "ctrl"))
+    assert(loaded.namedOutputs.keySet == Set("gated", "views_sync"))
+    // and it RUNS through the CLI unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft-refexp")
+      .toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/export.json"), json)
+    Seq((0L, 1.0, null: String, false, 0L), (1L, 2.0, null, false, 1L),
+      (3L, 3.0, null, false, 2L), (5L, 4.0, null, false, 3L))
+      .toDF("ts", "value", "text", "paused", "seq")
+      .write.parquet(s"$dir/clicks.parquet")
+    Seq((0L, 10.0, null: String, false, 4L), (1L, 20.0, null, false, 5L),
+      (3L, 30.0, null, false, 6L), (5L, 40.0, null, false, 7L))
+      .toDF("ts", "value", "text", "paused", "seq")
+      .write.parquet(s"$dir/views.parquet")
+    Seq((2L, 1.0, null: String, false, 10L))
+      .toDF("ts", "value", "text", "paused", "seq")
+      .write.parquet(s"$dir/ctrl.parquet")
+    RunDeployment.main(Array(s"$dir/export.json", s"$dir/out",
+      "--node", "office-pc",
+      "--bind", s"clicks=$dir/clicks.parquet",
+      "--bind", s"views=$dir/views.parquet",
+      "--bind", s"ctrl=$dir/ctrl.parquet"))
+    val gated = spark.read.parquet(s"$dir/out/gated.parquet")
+      .filter(!org.apache.spark.sql.functions.col("paused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // identical timestamps on both sync feeds -> everything passes the
+    // synchronizer; gate (fail closed) opens at ctrl ts 2, calc a*2+1
+    assert(gated.toSeq == Seq((3L, 7.0), (5L, 9.0)))
+    val vs = spark.read.parquet(s"$dir/out/views_sync.parquet")
+      .filter(!org.apache.spark.sql.functions.col("paused"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(vs.toSeq == Seq((0L, 10.0), (1L, 20.0), (3L, 30.0), (5L, 40.0)))
+  }
+
   test("an inputcontainer track binds a CAPTURED .flv file: the " +
       "capture demuxes distributed, raw-s16 audio explodes to samples " +
       "on the declared clock, and the loaded meter DAG runs on it") {
