@@ -69,7 +69,12 @@ object ScaleCurve {
     "m32_rtmp_metadata",    // AMF0 metadata lead message: per-container scan
     "e51_streaming_ingest", // in-stream FLV demux: batch floors + per-segment demux
     "p13_flac_codec",       // per-chunk FLAC file encode+decode: the m30 shape
-    "m35_mp4_classic")      // per-container classic-MP4 tables: the m25 shape
+    "m35_mp4_classic",      // per-container classic-MP4 tables: the m25 shape
+    // round 11: the composed codecs and the live-socket ingest
+    "m36_gvc_mp4",          // GVC encode->mp4->decode per container: m28 shape
+    "p14_gac_bitstream",    // GAC per-chunk mapPartitions: the p11 shape
+    "e52_socket_ingest")    // one-socket ingest: the documented single
+                            // ingest point — cost tracks capture bytes
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k

@@ -439,6 +439,45 @@ class StreamingE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ceil(10/3)=4 rate-limited batches, saw $dataBatches")
   }
 
+  test("RtmpSocketSource fan-out: THREE sockets unioned into one " +
+      "streaming query — the documented scale-out path (one source " +
+      "per ingest point) delivers every stream's messages") {
+    import graft.sources.Rtmp
+    val ss = socketSession()
+    // three independent captures on distinct message stream ids
+    val caps = (0 until 3).map { c =>
+      (0 until 6).map { i =>
+        Rtmp.RtmpMessage(4 + c, c.toLong, Rtmp.TypeAudio, 40L * i,
+          Array.tabulate(60)(j => (c * 100 + i * 7 + j).toByte))
+      }
+    }
+    val servers = caps.map(ms => serveLoopback(Rtmp.mux(ms), slice = 53))
+    val srcs = servers.map { server =>
+      ss.readStream
+        .format(classOf[graft.sources.RtmpSocketSource].getName)
+        .option("host", "127.0.0.1")
+        .option("port", server.getLocalPort.toString)
+        .option("maxMsgsPerBatch", "4")
+        .option("drainOnStart", "true")
+        .load()
+    }
+    val q = srcs.reduce(_ unionByName _)
+      .writeStream.format("memory").queryName("rtmp_fanout")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = ss.table("rtmp_fanout")
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(4), r.getAs[Array[Byte]](5).toSeq))
+      .sortBy(g => (g._1, g._2))
+    val want = caps.flatten
+      .map(m => (m.streamId, m.tsMs, m.payload.toSeq))
+      .sortBy(w => (w._1, w._2))
+    assert(got.toSeq == want.toSeq,
+      s"fan-out lost or corrupted messages: got ${got.length}/${want.length}")
+  }
+
   test("RtmpSocketSource live mode (no drain): messages flow as they " +
       "arrive and the stream converges to the full capture") {
     import graft.sources.Rtmp
