@@ -72,6 +72,7 @@ object ScaleCurve {
     "m35_mp4_classic",      // per-container classic-MP4 tables: the m25 shape
     // round 11: the composed codecs and the live-socket ingest
     "m36_gvc_mp4",          // GVC encode->mp4->decode per container: m28 shape
+    "m37_h264_index",       // NAL/SPS/slice header indexing: m36 shape
     "p14_gac_bitstream",    // GAC per-chunk mapPartitions: the p11 shape
     "e52_socket_ingest")    // one-socket ingest: the documented single
                             // ingest point — cost tracks capture bytes

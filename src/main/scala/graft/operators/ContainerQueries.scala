@@ -1694,6 +1694,99 @@ object ContainerQueries {
       |FROM fbits b JOIN fsum s ON b.container = s.container AND b.t = s.t
       |ORDER BY b.container, b.t""".stripMargin
 
+  /** m37: H.264 NAL/SPS/slice-header INDEXING over a real MP4 — the
+    * layer a 100 TB video-curation pipeline actually reads from
+    * h264-in-mp4 (resolution, profile GOP structure, keyframe index,
+    * frame numbers), parsed from spec-conformant bits
+    * ([[graft.sources.H264]], ITU-T H.264 §7.3: Exp-Golomb, emulation
+    * prevention, SPS with 4:2:0 crop arithmetic — 44×28 forces
+    * right+bottom crop — PPS-gated slice syntax, AVCC length
+    * prefixes) after a classic-MP4 mux→demux round trip. The oracle
+    * recomputes every field from the GOP arithmetic and every SAMPLE
+    * BYTE SIZE from the spec's own bit accounting (ue/u lengths +
+    * rbsp_trailing_bits + NAL headers + AVCC prefixes), so a drift in
+    * any written or parsed bit width breaks the hash. Scale: one
+    * mapGroups kernel per container, the m28/m36 envelope. */
+  private[operators] object H264Kernel extends Serializable {
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Boolean, Long, Long, Long, Long, Long)] = {
+      import graft.sources.{H264, IsoBmff}
+      val n = math.min(24, count)
+      if (n < 2) return Iterator.empty
+      val sps = H264.writeSps(44, 28) // 3×2 mb grid, cropR=2, cropB=2
+      val pps = H264.writePps()
+      val spsP = H264.parseSps(sps)
+      val ppsP = H264.parsePps(pps)
+      val samples = (0 until n).map { t =>
+        val idr = t % 4 == 0
+        val slice = H264.writeSliceHeader(idr, if (idr) 7 else 5,
+          frameNum = t % 4, spsP, ppsP)
+        val payload =
+          if (idr) H264.avccSample(Seq(sps, pps, slice))
+          else H264.avccSample(Seq(slice))
+        IsoBmff.Mp4Sample(1, t * 33L, 33L, keyframe = idr, payload)
+      }
+      val track = Seq(IsoBmff.Mp4Track(1, "video", "avc1",
+        width = 44, height = 28))
+      val (_, rec) = IsoBmff.demuxFlat(IsoBmff.muxFlat(track, samples))
+      var actSps: H264.Sps = null
+      var actPps: H264.Pps = null
+      rec.iterator.zipWithIndex.map { case (sm, t) =>
+        val nals = H264.splitAvcc(sm.payload)
+        var si: H264.SliceInfo = null
+        nals.foreach { nb =>
+          H264.nalType(nb) match {
+            case H264.NalSps => actSps = H264.parseSps(nb)
+            case H264.NalPps => actPps = H264.parsePps(nb)
+            case _ => si = H264.parseSliceHeader(nb, actSps, actPps)
+          }
+        }
+        require(si != null, s"container $k sample $t carries no slice")
+        (k, t.toLong, si.nalUnitType.toLong, si.idr, si.sliceType.toLong,
+          si.frameNum.toLong, actSps.width.toLong, actSps.height.toLong,
+          sm.payload.length.toLong)
+      }
+    }
+  }
+
+  private def m37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264Kernel.rows(k, it.size))
+      .toDF("container", "t", "nal_type", "is_idr", "slice_type",
+        "frame_num", "width", "height", "sample_bytes")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m37Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t))
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(CASE WHEN t % 4 = 0 THEN 5 ELSE 1 END AS BIGINT) AS nal_type,
+      |  (t % 4 = 0) AS is_idr,
+      |  CAST(CASE WHEN t % 4 = 0 THEN 7 ELSE 5 END AS BIGINT) AS slice_type,
+      |  CAST(t % 4 AS BIGINT) AS frame_num,
+      |  CAST(44 AS BIGINT) AS width, CAST(28 AS BIGINT) AS height,
+      |  -- spec bit accounting (H.264 sect 7.3): SPS rbsp = 24 fixed +
+      |  -- ue(0)x4 + ue(2)x3 + ue(1)x2 + u(1)x5 = 51 bits + trailing ->
+      |  -- 7 B (+1 NAL hdr = 8); PPS = 16 bits + stop -> 3 B (+1 = 4);
+      |  -- IDR slice hdr = 1+7+1+4+1+2+1 = 17 + stop -> 3 B (+1 = 4);
+      |  -- P slice hdr = 1+5+1+4+1+1+1+1 = 15 + stop -> 2 B (+1 = 3);
+      |  -- AVCC adds a 4 B length per NAL:
+      |  -- IDR sample = (4+8)+(4+4)+(4+4) = 28; P sample = 4+3 = 7
+      |  CAST(CASE WHEN t % 4 = 0 THEN 28 ELSE 7 END AS BIGINT)
+      |    AS sample_bytes
+      |FROM frames ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1709,6 +1802,7 @@ object ContainerQueries {
     Q("m28_motion_codec", m28, Some(m28Sql)),
     Q("m35_mp4_classic", m35, Some(m35Sql)),
     Q("m36_gvc_mp4", m36, Some(m36Sql)),
+    Q("m37_h264_index", m37, Some(m37Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

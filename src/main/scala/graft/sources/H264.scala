@@ -1,0 +1,374 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** H.264/AVC NAL-layer parser and header writer (ITU-T H.264 §7.3,
+  * public spec) — the INDEXING half of real-codec support: the
+  * reference decodes h264 through libav
+  * (/root/reference/streamtasks/media/codec.py:50-135); a 100 TB
+  * curation pipeline over real h264-in-mp4 needs the NAL/SPS/slice
+  * HEADER layer (resolution, profile/level, GOP structure, keyframe
+  * index, frame numbers) far more often than pixel reconstruction —
+  * this module parses exactly that layer from real bitstreams, and
+  * writes spec-conformant headers so the m37 oracle can pin the parse
+  * against the spec's own bit arithmetic. (Pixel-exact transform/
+  * prediction/entropy mechanics live in the composed GVC codec, m36.)
+  *
+  * Implemented from the spec alone:
+  *  - Exp-Golomb ue(v)/se(v) bit codes (§9.1) both directions;
+  *  - RBSP emulation prevention (§7.4.1.1): `00 00 (00|01|02|03)` →
+  *    `00 00 03 xx` on write, stripped on read — the reason start
+  *    codes can never appear inside a NAL;
+  *  - NAL header (§7.3.1): forbidden bit, nal_ref_idc, nal_unit_type;
+  *  - SPS (§7.3.2.1.1, baseline/main): profile/constraints/level,
+  *    log2_max_frame_num, pic_order_cnt_type ∈ {0,2}, mb-grid
+  *    dimensions, frame cropping (4:2:0 crop units) → exact
+  *    width/height;
+  *  - PPS (§7.3.2.2): the fields that gate optional slice-header
+  *    syntax (entropy mode, weighted pred, deblocking-control);
+  *  - slice header (§7.3.3) through the QP delta for I/P slices —
+  *    first_mb, slice_type, frame_num (sized by the ACTIVE SPS),
+  *    idr_pic_id, ref-idx/ref-list/marking flags;
+  *  - Annex-B start-code and AVCC length-prefix stream splitting.
+  *
+  * Everything is integer bit arithmetic; the m37 query drives a real
+  * mux→demux→parse loop through the classic-MP4 layout with every
+  * parsed field and byte count under the DuckDB oracle. */
+object H264 {
+
+  val NalSlice = 1
+  val NalIdr = 5
+  val NalSps = 7
+  val NalPps = 8
+
+  // ---- bit IO (MSB-first) + Exp-Golomb -------------------------------------
+
+  final class BitW {
+    private[H264] val bw = new Flac.BitWriter
+    def u(value: Long, n: Int): Unit = bw.writeBits(value, n)
+    def ue(v: Long): Unit = {
+      require(v >= 0, s"ue($v)")
+      val codeNum = v + 1
+      val bits = 63 - java.lang.Long.numberOfLeadingZeros(codeNum)
+      bw.writeBits(0L, bits)          // leading zeros
+      bw.writeBits(codeNum, bits + 1) // codeNum, MSB first
+    }
+    def se(v: Long): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    /** rbsp_trailing_bits: stop one bit + zero-align (§7.3.2.11). */
+    def stop(): Unit = { bw.writeBits(1L, 1); bw.alignByte() }
+    def toRbsp: Array[Byte] = bw.toBytes
+  }
+
+  final class BitR(bytes: Array[Byte]) {
+    private val br = new Flac.BitReader(bytes)
+    def u(n: Int): Long = br.readBits(n)
+    def ue(): Long = {
+      var zeros = 0
+      while (br.readBit() == 0) {
+        zeros += 1
+        require(zeros <= 32, "h264: exp-golomb run over 32 zeros")
+      }
+      ((1L << zeros) | br.readBits(zeros)) - 1
+    }
+    def se(): Long = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  /** §7.4.1.1: insert emulation-prevention 0x03 after any two zero
+    * bytes followed by 0x00..0x03. */
+  def insertEmulation(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros == 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** Inverse of [[insertEmulation]]: drop the 0x03 in `00 00 03 xx`
+    * when xx ≤ 3. */
+  def stripEmulation(ebsp: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(until - from)
+    var zeros = 0
+    var i = from
+    while (i < until) {
+      val b = ebsp(i) & 0xff
+      if (zeros == 2 && b == 3) {
+        require(i + 1 >= until || (ebsp(i + 1) & 0xff) <= 3,
+          "h264: 00 00 03 followed by a byte > 0x03 is not an escape")
+        zeros = 0 // consume the 0x03
+      } else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private def nal(refIdc: Int, unitType: Int, rbsp: Array[Byte]): Array[Byte] = {
+    require(refIdc >= 0 && refIdc <= 3 && unitType >= 1 && unitType <= 31)
+    val body = insertEmulation(rbsp)
+    val out = new Array[Byte](1 + body.length)
+    out(0) = ((refIdc << 5) | unitType).toByte
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
+  }
+
+  def nalType(nalBytes: Array[Byte]): Int = nalBytes(0) & 0x1f
+  def nalRefIdc(nalBytes: Array[Byte]): Int = (nalBytes(0) >> 5) & 3
+
+  // ---- SPS ------------------------------------------------------------------
+
+  /** The SPS fields the indexer needs; `width`/`height` are the
+    * DERIVED luma dimensions after cropping (§7.4.2.1.1). */
+  final case class Sps(profileIdc: Int, levelIdc: Int, spsId: Int,
+      log2MaxFrameNum: Int, picOrderCntType: Int, log2MaxPocLsb: Int,
+      maxNumRefFrames: Int, widthMbs: Int, heightMapUnits: Int,
+      frameMbsOnly: Boolean, cropL: Int, cropR: Int, cropT: Int,
+      cropB: Int) {
+    // 4:2:0, frame_mbs_only: CropUnitX = CropUnitY = 2
+    def width: Int = widthMbs * 16 - 2 * (cropL + cropR)
+    def height: Int =
+      (if (frameMbsOnly) 1 else 2) * heightMapUnits * 16 - 2 * (cropT + cropB)
+  }
+
+  /** Write a conformant baseline SPS NAL for the given luma
+    * dimensions (any even size — the mb remainder goes to right/
+    * bottom crop, exactly how real encoders express 1080 = 68 mb
+    * rows − 8 crop). */
+  def writeSps(width: Int, height: Int, profileIdc: Int = 66,
+      levelIdc: Int = 30, log2MaxFrameNum: Int = 4,
+      picOrderCntType: Int = 2, maxNumRefFrames: Int = 1): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"h264: 4:2:0 luma dims must be even: $width x $height")
+    require(picOrderCntType == 0 || picOrderCntType == 2,
+      "h264: only poc types 0 and 2 are written")
+    val wMbs = (width + 15) / 16
+    val hMbs = (height + 15) / 16
+    val cropR = (wMbs * 16 - width) / 2
+    val cropB = (hMbs * 16 - height) / 2
+    val w = new BitW
+    w.u(profileIdc.toLong, 8)
+    w.u(0L, 8) // constraint_set flags + reserved_zero_2bits
+    w.u(levelIdc.toLong, 8)
+    w.ue(0) // seq_parameter_set_id
+    w.ue(log2MaxFrameNum.toLong - 4)
+    w.ue(picOrderCntType.toLong)
+    if (picOrderCntType == 0) w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(maxNumRefFrames.toLong)
+    w.u(0L, 1) // gaps_in_frame_num_value_allowed_flag
+    w.ue(wMbs.toLong - 1)
+    w.ue(hMbs.toLong - 1)
+    w.u(1L, 1) // frame_mbs_only_flag
+    w.u(0L, 1) // direct_8x8_inference_flag
+    val crop = cropR > 0 || cropB > 0
+    w.u(if (crop) 1L else 0L, 1)
+    if (crop) { w.ue(0); w.ue(cropR.toLong); w.ue(0); w.ue(cropB.toLong) }
+    w.u(0L, 1) // vui_parameters_present_flag
+    w.stop()
+    nal(3, NalSps, w.toRbsp)
+  }
+
+  def parseSps(nalBytes: Array[Byte]): Sps = {
+    require(nalType(nalBytes) == NalSps, s"h264: NAL ${nalType(nalBytes)} is not an SPS")
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val profile = r.u(8).toInt
+    r.u(8) // constraints
+    val level = r.u(8).toInt
+    val spsId = r.ue().toInt
+    require(profile == 66 || profile == 77 || profile == 88,
+      s"h264: profile_idc $profile needs the chroma_format_idc branch " +
+        "(High profiles unsupported)")
+    val log2Mfn = r.ue().toInt + 4
+    val pocType = r.ue().toInt
+    var log2Poc = 0
+    pocType match {
+      case 0 => log2Poc = r.ue().toInt + 4
+      case 2 => ()
+      case other => sys.error(s"h264: pic_order_cnt_type $other unsupported")
+    }
+    val maxRef = r.ue().toInt
+    r.u(1) // gaps allowed
+    val wMbs = r.ue().toInt + 1
+    val hUnits = r.ue().toInt + 1
+    val fmof = r.u(1) == 1
+    require(fmof, "h264: interlaced (frame_mbs_only_flag=0) unsupported")
+    r.u(1) // direct_8x8
+    var (cl, cr, ct, cb) = (0, 0, 0, 0)
+    if (r.u(1) == 1) {
+      cl = r.ue().toInt; cr = r.ue().toInt
+      ct = r.ue().toInt; cb = r.ue().toInt
+    }
+    // vui ignored for indexing
+    Sps(profile, level, spsId, log2Mfn, pocType, log2Poc, maxRef,
+      wMbs, hUnits, fmof, cl, cr, ct, cb)
+  }
+
+  // ---- PPS ------------------------------------------------------------------
+
+  final case class Pps(ppsId: Int, spsId: Int, cabac: Boolean,
+      bottomFieldPoc: Boolean, weightedPred: Boolean, weightedBipred: Int,
+      picInitQp: Int, deblockingControl: Boolean, redundantPicCnt: Boolean)
+
+  def writePps(ppsId: Int = 0, spsId: Int = 0): Array[Byte] = {
+    val w = new BitW
+    w.ue(ppsId.toLong)
+    w.ue(spsId.toLong)
+    w.u(0L, 1)  // entropy_coding_mode_flag (CAVLC)
+    w.u(0L, 1)  // bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)     // num_slice_groups_minus1
+    w.ue(0)     // num_ref_idx_l0_default_active_minus1
+    w.ue(0)     // num_ref_idx_l1_default_active_minus1
+    w.u(0L, 1)  // weighted_pred_flag
+    w.u(0L, 2)  // weighted_bipred_idc
+    w.se(0)     // pic_init_qp_minus26
+    w.se(0)     // pic_init_qs_minus26
+    w.se(0)     // chroma_qp_index_offset
+    w.u(0L, 1)  // deblocking_filter_control_present_flag
+    w.u(0L, 1)  // constrained_intra_pred_flag
+    w.u(0L, 1)  // redundant_pic_cnt_present_flag
+    w.stop()
+    nal(3, NalPps, w.toRbsp)
+  }
+
+  def parsePps(nalBytes: Array[Byte]): Pps = {
+    require(nalType(nalBytes) == NalPps, s"h264: NAL ${nalType(nalBytes)} is not a PPS")
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val ppsId = r.ue().toInt
+    val spsId = r.ue().toInt
+    val cabac = r.u(1) == 1
+    val bfp = r.u(1) == 1
+    require(r.ue() == 0, "h264: slice groups unsupported")
+    r.ue(); r.ue() // default ref idx counts
+    val wp = r.u(1) == 1
+    val wb = r.u(2).toInt
+    val qp = r.se().toInt + 26
+    r.se(); r.se()
+    val dbc = r.u(1) == 1
+    r.u(1)
+    val red = r.u(1) == 1
+    Pps(ppsId, spsId, cabac, bfp, wp, wb, qp, dbc, red)
+  }
+
+  // ---- slice header ----------------------------------------------------------
+
+  /** Parsed slice-header index entry. sliceType follows Table 7-6
+    * (0=P, 2=I, +5 for the all-slices-equal forms). */
+  final case class SliceInfo(nalUnitType: Int, idr: Boolean,
+      firstMb: Int, sliceType: Int, ppsId: Int, frameNum: Int,
+      idrPicId: Int, qpDelta: Int) {
+    def isI: Boolean = sliceType % 5 == 2
+    def isP: Boolean = sliceType % 5 == 0
+  }
+
+  /** Write an I/P slice-HEADER NAL (index layer only — no macroblock
+    * data follows; parsers that index real streams read exactly this
+    * prefix and skip the rest). */
+  def writeSliceHeader(idr: Boolean, sliceType: Int, frameNum: Int,
+      sps: Sps, pps: Pps, idrPicId: Int = 0, qpDelta: Int = 0): Array[Byte] = {
+    require(!pps.cabac, "h264: CABAC slice writing unsupported")
+    val w = new BitW
+    w.ue(0) // first_mb_in_slice
+    w.ue(sliceType.toLong)
+    w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    if (idr) w.ue(idrPicId.toLong)
+    if (sps.picOrderCntType == 0)
+      w.u(0L, sps.log2MaxPocLsb) // pic_order_cnt_lsb
+    if (sliceType % 5 == 0) { // P
+      w.u(0L, 1) // num_ref_idx_active_override_flag
+      w.u(0L, 1) // ref_pic_list_modification_flag_l0
+    }
+    // dec_ref_pic_marking (nal_ref_idc != 0 — both our forms are refs)
+    if (idr) { w.u(0L, 1); w.u(0L, 1) } // no_output / long_term_reference
+    else w.u(0L, 1)                     // adaptive_ref_pic_marking_mode_flag
+    w.se(qpDelta.toLong)
+    w.stop()
+    nal(if (idr) 3 else 2, if (idr) NalIdr else NalSlice, w.toRbsp)
+  }
+
+  def parseSliceHeader(nalBytes: Array[Byte], sps: Sps, pps: Pps): SliceInfo = {
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice || nt == NalIdr,
+      s"h264: NAL $nt is not a coded slice")
+    require(!pps.cabac, "h264: CABAC slice parsing unsupported")
+    val idr = nt == NalIdr
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val firstMb = r.ue().toInt
+    val st = r.ue().toInt
+    require(st % 5 == 0 || st % 5 == 2,
+      s"h264: slice_type $st (B/SP/SI) unsupported")
+    require(!idr || st % 5 == 2, s"h264: IDR with non-I slice_type $st")
+    val ppsId = r.ue().toInt
+    require(ppsId == pps.ppsId, s"h264: slice names PPS $ppsId")
+    val frameNum = r.u(sps.log2MaxFrameNum).toInt
+    val idrPicId = if (idr) r.ue().toInt else 0
+    if (sps.picOrderCntType == 0) r.u(sps.log2MaxPocLsb)
+    if (st % 5 == 0) {
+      if (r.u(1) == 1) r.ue() // overridden num_ref_idx_l0
+      if (r.u(1) == 1) sys.error("h264: ref_pic_list_modification unsupported")
+    }
+    if (nalRefIdc(nalBytes) != 0) {
+      if (idr) { r.u(1); r.u(1) }
+      else if (r.u(1) == 1) sys.error("h264: adaptive ref marking unsupported")
+    }
+    val qpd = r.se().toInt
+    SliceInfo(nt, idr, firstMb, st, ppsId, frameNum, idrPicId, qpd)
+  }
+
+  // ---- stream splitting -------------------------------------------------------
+
+  /** Split an Annex-B byte stream on 3- or 4-byte start codes.
+    * Emulation prevention guarantees no false boundary inside a NAL. */
+  def splitAnnexB(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val starts = Seq.newBuilder[Int]
+    var i = 0
+    while (i + 3 <= bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        starts += i + 3; i += 3
+      } else i += 1
+    }
+    val ss = starts.result()
+    require(ss.nonEmpty, "h264: no start code in Annex-B stream")
+    ss.zipAll(ss.tail.map { s =>
+      // back off over the start code AND a preceding zero (4-byte form)
+      var e = s - 3
+      while (e > 0 && bytes(e - 1) == 0) e -= 1
+      e
+    }, -1, bytes.length).map { case (s, e) =>
+      java.util.Arrays.copyOfRange(bytes, s, e)
+    }
+  }
+
+  /** Split an AVCC sample payload (4-byte big-endian length prefixes,
+    * the in-MP4 convention). */
+  def splitAvcc(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < payload.length) {
+      require(i + 4 <= payload.length, "h264: truncated AVCC length prefix")
+      val len = ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+      require(len > 0 && i + 4 + len <= payload.length,
+        s"h264: AVCC NAL length $len overruns the sample at $i")
+      out += java.util.Arrays.copyOfRange(payload, i + 4, i + 4 + len)
+      i += 4 + len
+    }
+    out.result()
+  }
+
+  def avccSample(nals: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(nals.map(_.length + 4).sum)
+    nals.foreach { n =>
+      out.write((n.length >>> 24) & 0xff); out.write((n.length >>> 16) & 0xff)
+      out.write((n.length >>> 8) & 0xff); out.write(n.length & 0xff)
+      out.write(n, 0, n.length)
+    }
+    out.toByteArray
+  }
+}
