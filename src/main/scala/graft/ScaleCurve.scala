@@ -74,6 +74,7 @@ object ScaleCurve {
     "m36_gvc_mp4",          // GVC encode->mp4->decode per container: m28 shape
     "m37_h264_index",       // NAL/SPS/slice header indexing: m36 shape
     "p14_gac_bitstream",    // GAC per-chunk mapPartitions: the p11 shape
+    "p15_audio_frame_index",// ADTS/MP3 header walk: the p13 chunk shape
     "e52_socket_ingest")    // one-socket ingest: the documented single
                             // ingest point — cost tracks capture bytes
 

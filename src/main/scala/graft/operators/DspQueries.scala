@@ -892,6 +892,88 @@ object DspQueries {
       |FROM events WHERE event_type = 'view' AND event_id % 31 = 0
       |ORDER BY pipeline, chunk_id""".stripMargin
 
+  /** p15: REAL-FILE audio frame indexing ([[graft.sources.AudioIndex]]
+    * — ADTS/AAC per ISO 13818-7 §6.2 and MPEG-1 Layer III per ISO
+    * 11172-3 §2.4: syncwords, the spec's sampling-frequency and
+    * bitrate TABLES, the self-delimiting length fields, 144·br/rate
+    * (+padding) Layer III frame arithmetic), the audio counterpart of
+    * m37's h264 indexing: what a 100 TB curation pipeline reads from
+    * raw .aac/.mp3 — frame counts, offsets, rates, bitrate
+    * histograms — without decoding a sample. Per chunk both streams
+    * are written frame-by-frame, walked back by the parsers, and
+    * every recovered field AND byte offset goes under the oracle,
+    * which re-derives the table lookups and the cumulative length
+    * sums in SQL. Scale: per-chunk mapGroups byte kernels, the
+    * p13/m30 envelope. */
+  private def p15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.AudioIndex
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(24, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val adts = (0 until n).map { i =>
+          AudioIndex.AdtsFrame(i % 4, i % 13, 1 + i % 7, i % 3 == 0,
+            Array.tabulate(20 + (i * 7) % 50)(j => ((i * 31 + j) & 0xff).toByte))
+        }
+        val aidx = AudioIndex.adtsDemux(AudioIndex.adtsMux(adts))
+        require(aidx.size == n, s"chunk $cid: adts index size drift")
+        val mp3 = (0 until n).map { i =>
+          AudioIndex.Mp3Frame(1 + i % 14, i % 3, i % 2 == 0, i % 4)
+        }
+        val midx = AudioIndex.mp3Demux(AudioIndex.mp3Mux(mp3))
+        require(midx.size == n, s"chunk $cid: mp3 index size drift")
+        aidx.iterator.zipWithIndex.map { case ((off, f), i) =>
+          (cid, "adts", i.toLong, off, f.rate.toLong, f.profile.toLong,
+            f.channels.toLong, f.frameLen.toLong)
+        } ++ midx.iterator.zipWithIndex.map { case ((off, f), i) =>
+          (cid, "mp3", i.toLong, off, f.rate.toLong,
+            (f.bitrate / 1000).toLong, f.channelMode.toLong,
+            f.frameLen.toLong)
+        }
+      }
+    }.toDF("chunk_id", "kind", "i", "offset", "rate", "p1", "p2",
+        "frame_bytes")
+      .orderBy(col("chunk_id"), col("kind"), col("i"))
+  }
+
+  private val p15Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |adts AS (SELECT chunk_id, 'adts' AS kind, i,
+      |    list_extract([96000,88200,64000,48000,44100,32000,24000,
+      |                  22050,16000,12000,11025,8000,7350],
+      |                 CAST(i % 13 AS INT) + 1) AS rate,
+      |    i % 4 AS p1, 1 + i % 7 AS p2,
+      |    (CASE WHEN i % 3 = 0 THEN 9 ELSE 7 END)
+      |      + 20 + (i * 7) % 50 AS frame_bytes
+      |  FROM f),
+      |mp3 AS (SELECT chunk_id, 'mp3' AS kind, i,
+      |    list_extract([44100,48000,32000], CAST(i % 3 AS INT) + 1) AS rate,
+      |    list_extract([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+      |                 CAST(1 + i % 14 AS INT) + 1) AS p1,
+      |    i % 4 AS p2,
+      |    144 * list_extract([0,32,40,48,56,64,80,96,112,128,160,192,
+      |                        224,256,320],
+      |                       CAST(1 + i % 14 AS INT) + 1) * 1000
+      |      // list_extract([44100,48000,32000], CAST(i % 3 AS INT) + 1)
+      |      + (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS frame_bytes
+      |  FROM f),
+      |u AS (SELECT * FROM adts UNION ALL SELECT * FROM mp3)
+      |SELECT chunk_id, kind, CAST(i AS BIGINT) AS i,
+      |  CAST(COALESCE(sum(frame_bytes) OVER (PARTITION BY chunk_id, kind
+      |    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS "offset",
+      |  CAST(rate AS BIGINT) AS rate, CAST(p1 AS BIGINT) AS p1,
+      |  CAST(p2 AS BIGINT) AS p2, CAST(frame_bytes AS BIGINT) AS frame_bytes
+      |FROM u ORDER BY chunk_id, kind, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -907,5 +989,6 @@ object DspQueries {
     Q("p12_audio_fingerprint", p12, Some(p12Sql)),
     Q("p13_flac_codec", p13, Some(p13Sql)),
     Q("p14_gac_bitstream", p14, Some(p14Sql)),
+    Q("p15_audio_frame_index", p15, Some(p15Sql)),
   )
 }

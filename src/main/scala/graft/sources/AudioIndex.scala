@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** Frame-header indexers for the two dominant REAL audio bitstreams —
+  * the audio counterpart of [[H264]]'s NAL indexing (the reference
+  * decodes aac/mp3 through libav, media/codec.py:50-135; a 100 TB
+  * audio-curation pipeline needs frame counts, durations, rates and
+  * bitrate histograms from raw files far more often than PCM):
+  *
+  *  - ADTS (ISO/IEC 13818-7 §6.2): the framing real .aac files use —
+  *    12-bit syncword 0xFFF, MPEG version, protection flag, AAC
+  *    profile, sampling-frequency index (the spec's 13-entry table),
+  *    channel configuration, the 13-bit frame length that makes the
+  *    stream self-delimiting, buffer fullness, raw-data-block count,
+  *    optional CRC-16. 1024 samples per raw data block.
+  *  - MPEG audio frames (ISO/IEC 11172-3 §2.4.1.3, the .mp3 layout):
+  *    11-bit syncword, version/layer bits, the Layer III bitrate and
+  *    sampling-rate index TABLES, padding, channel mode; frame bytes
+  *    = 144·bitrate/rate + padding for Layer III, 1152 samples per
+  *    frame; a bitrate-index histogram is the standard VBR detector.
+  *
+  * Writers emit conformant headers (payloads are opaque here — the
+  * indexer's contract is the header layer), parsers validate sync,
+  * tables and lengths loudly and never read past a declared frame.
+  * All arithmetic is integer table lookups, so the m-family oracle
+  * reproduces every field and offset in SQL. */
+object AudioIndex {
+
+  // ---- ADTS ------------------------------------------------------------------
+
+  /** §6.2 sampling_frequency_index table. */
+  val AdtsRates: Vector[Int] = Vector(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  final case class AdtsFrame(profile: Int, rateIndex: Int, channels: Int,
+      crcPresent: Boolean, payload: Array[Byte]) {
+    def rate: Int = AdtsRates(rateIndex)
+    def headerLen: Int = if (crcPresent) 9 else 7
+    def frameLen: Int = headerLen + payload.length
+  }
+
+  def adtsMux(frames: Seq[AdtsFrame]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(f.profile >= 0 && f.profile <= 3, s"adts profile ${f.profile}")
+      require(f.rateIndex >= 0 && f.rateIndex < AdtsRates.size,
+        s"adts rate index ${f.rateIndex}")
+      require(f.channels >= 1 && f.channels <= 7, s"adts channels ${f.channels}")
+      val len = f.frameLen
+      require(len < (1 << 13), s"adts frame length $len")
+      out.write(0xFF)
+      // sync(4) | ID=0 (MPEG-4) | layer=00 | protection_absent
+      out.write(0xF0 | (if (f.crcPresent) 0 else 1))
+      out.write((f.profile << 6) | (f.rateIndex << 2) |
+        ((f.channels >> 2) & 1))
+      out.write(((f.channels & 3) << 6) | ((len >> 11) & 3))
+      out.write((len >> 3) & 0xff)
+      // len low 3 bits | buffer fullness 0x7FF (VBR convention)
+      out.write(((len & 7) << 5) | 0x1f)
+      out.write(0xfc) // fullness low 6 | number_of_raw_data_blocks-1 = 0
+      if (f.crcPresent) {
+        // deterministic filler in the crc_check slot (see adtsDemux on
+        // why the indexer does not define checksum coverage)
+        val crc = Flac.crc16(f.payload, 0, f.payload.length)
+        out.write((crc >> 8) & 0xff); out.write(crc & 0xff)
+      }
+      out.write(f.payload, 0, f.payload.length)
+    }
+    out.toByteArray
+  }
+
+  /** Walk an ADTS stream: returns frames + their byte offsets.
+    * Validates sync, layer bits, tables and CRC (when present). */
+  def adtsDemux(bytes: Array[Byte]): Seq[(Long, AdtsFrame)] = {
+    val out = Seq.newBuilder[(Long, AdtsFrame)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 7 <= bytes.length, s"adts: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xf0) == 0xF0, s"adts: lost sync at $pos")
+      require((bytes(pos + 1) & 0x06) == 0, s"adts: layer bits set at $pos")
+      val crcPresent = (bytes(pos + 1) & 1) == 0
+      val profile = (bytes(pos + 2) >> 6) & 3
+      val rateIdx = (bytes(pos + 2) >> 2) & 0xf
+      require(rateIdx < AdtsRates.size, s"adts: rate index $rateIdx at $pos")
+      val channels = ((bytes(pos + 2) & 1) << 2) |
+        ((bytes(pos + 3) >> 6) & 3)
+      val len = ((bytes(pos + 3) & 3) << 11) |
+        ((bytes(pos + 4) & 0xff) << 3) | ((bytes(pos + 5) >> 5) & 7)
+      require((bytes(pos + 6) & 3) == 0,
+        s"adts: multiple raw data blocks unsupported at $pos")
+      require(pos + len <= bytes.length,
+        s"adts: frame length $len overruns the stream at $pos")
+      val hdr = if (crcPresent) 9 else 7
+      // crc_check's 2 bytes are length-accounted but NOT recomputed:
+      // 13818-7 defines the covered bit ranges over header+side info
+      // (via 11172-3 §2.4.3.1), and an indexer that guessed a simpler
+      // coverage would reject valid foreign files. Structure stays
+      // loud; checksum verification is the decoder's job.
+      val payload = java.util.Arrays.copyOfRange(bytes, pos + hdr, pos + len)
+      out += ((pos.toLong,
+        AdtsFrame(profile, rateIdx, channels, crcPresent, payload)))
+      pos += len
+    }
+    out.result()
+  }
+
+  // ---- MPEG-1 Layer III (.mp3) ------------------------------------------------
+
+  /** §2.4.2.3 Layer III (MPEG-1) bitrate table, kbit/s; index 0 =
+    * "free", 15 = forbidden. */
+  val Mp3Bitrates: Vector[Int] = Vector(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sampling rates by the 2-bit index; 3 is reserved. */
+  val Mp3Rates: Vector[Int] = Vector(44100, 48000, 32000)
+
+  final case class Mp3Frame(bitrateIndex: Int, rateIndex: Int,
+      padding: Boolean, channelMode: Int) {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, s"bitrate index $bitrateIndex")
+    require(rateIndex >= 0 && rateIndex <= 2, s"rate index $rateIndex")
+    def bitrate: Int = Mp3Bitrates(bitrateIndex) * 1000
+    def rate: Int = Mp3Rates(rateIndex)
+    /** §2.4.3.1: Layer III frame bytes = 144·bitrate/rate + padding. */
+    def frameLen: Int = 144 * bitrate / rate + (if (padding) 1 else 0)
+    def samples: Int = 1152
+  }
+
+  def mp3Mux(frames: Seq[Mp3Frame]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    frames.foreach { f =>
+      out.write(0xFF)
+      // sync low 3 | version MPEG-1 (11) | layer III (01) | no CRC (1)
+      out.write(0xFB)
+      out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+        (if (f.padding) 2 else 0))
+      out.write((f.channelMode & 3) << 6)
+      // body: zero fill to the declared frame length (payload opaque)
+      val body = new Array[Byte](f.frameLen - 4)
+      out.write(body, 0, body.length)
+    }
+    out.toByteArray
+  }
+
+  def mp3Demux(bytes: Array[Byte]): Seq[(Long, Mp3Frame)] = {
+    val out = Seq.newBuilder[(Long, Mp3Frame)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, s"mp3: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xe0) == 0xE0, s"mp3: lost sync at $pos")
+      require((bytes(pos + 1) & 0x18) == 0x18,
+        s"mp3: not MPEG-1 at $pos (version bits)")
+      require((bytes(pos + 1) & 0x06) == 0x02,
+        s"mp3: not Layer III at $pos (layer bits)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp3: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp3: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      val mode = (bytes(pos + 3) >> 6) & 3
+      val f = Mp3Frame(bi, ri, pad, mode)
+      require(pos + f.frameLen <= bytes.length,
+        s"mp3: frame length ${f.frameLen} overruns the stream at $pos")
+      out += ((pos.toLong, f))
+      pos += f.frameLen
+    }
+    out.result()
+  }
+}

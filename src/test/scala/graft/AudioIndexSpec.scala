@@ -1,0 +1,83 @@
+package graft
+
+import graft.sources.AudioIndex
+import graft.sources.AudioIndex.{AdtsFrame, Mp3Frame}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ADTS (ISO 13818-7 §6.2) and MPEG-1 Layer III (ISO 11172-3 §2.4)
+  * frame-header conformance for the audio indexers. */
+class AudioIndexSpec extends AnyFunSuite {
+
+  test("ADTS round trip: profiles, the 13-entry rate table, channel " +
+      "configs split across header bytes, CRC/no-CRC header lengths, " +
+      "offsets from the self-delimiting length field") {
+    val frames = (0 until 20).map { i =>
+      AdtsFrame(i % 4, i % 13, 1 + i % 7, crcPresent = i % 2 == 0,
+        Array.tabulate(10 + i * 3)(j => (i + j).toByte))
+    }
+    val bytes = AudioIndex.adtsMux(frames)
+    val got = AudioIndex.adtsDemux(bytes)
+    assert(got.size == frames.size)
+    var expOff = 0L
+    got.zip(frames).foreach { case ((off, g), w) =>
+      assert(off == expOff, s"offset drift at frame") // length accounting
+      assert(g.profile == w.profile && g.rateIndex == w.rateIndex &&
+        g.channels == w.channels && g.crcPresent == w.crcPresent)
+      assert(g.rate == AudioIndex.AdtsRates(w.rateIndex))
+      assert(g.payload.toSeq == w.payload.toSeq)
+      assert(g.frameLen == (if (w.crcPresent) 9 else 7) + w.payload.length)
+      expOff += g.frameLen
+    }
+    assert(expOff == bytes.length)
+  }
+
+  test("ADTS guards: lost sync, layer bits, reserved rate index, " +
+      "overrunning length all fail loud") {
+    val ok = AudioIndex.adtsMux(Seq(AdtsFrame(1, 4, 2, crcPresent = false,
+      Array.fill(30)(7.toByte))))
+    val syncFlip = ok.clone(); syncFlip(0) = 0x7f
+    intercept[IllegalArgumentException] { AudioIndex.adtsDemux(syncFlip) }
+    val layer = ok.clone(); layer(1) = (layer(1) | 0x02).toByte
+    intercept[IllegalArgumentException] { AudioIndex.adtsDemux(layer) }
+    val rate = ok.clone(); rate(2) = ((rate(2) & 0xc3) | (14 << 2)).toByte
+    intercept[IllegalArgumentException] { AudioIndex.adtsDemux(rate) }
+    intercept[IllegalArgumentException] {
+      AudioIndex.adtsDemux(ok.dropRight(3))
+    }
+  }
+
+  test("MP3 frame arithmetic matches the spec's published example " +
+      "sizes: 128 kbps at 44100 Hz is 417/418 bytes with padding, " +
+      "320 kbps at 44100 is 1044, and offsets accumulate exactly") {
+    assert(Mp3Frame(9, 0, padding = false, 0).frameLen == 417)
+    assert(Mp3Frame(9, 0, padding = true, 0).frameLen == 418)
+    assert(Mp3Frame(14, 0, padding = false, 0).frameLen == 1044)
+    assert(Mp3Frame(9, 1, padding = false, 0).frameLen == 384) // 48 kHz
+    val frames = (0 until 15).map(i =>
+      Mp3Frame(1 + i % 14, i % 3, i % 2 == 0, i % 4))
+    val bytes = AudioIndex.mp3Mux(frames)
+    val got = AudioIndex.mp3Demux(bytes)
+    assert(got.size == frames.size)
+    var off = 0L
+    got.zip(frames).foreach { case ((o, g), w) =>
+      assert(o == off)
+      assert(g == w)
+      off += g.frameLen
+    }
+    assert(off == bytes.length)
+    // VBR detection = bitrate-index histogram has > 1 distinct entry
+    assert(got.map(_._2.bitrateIndex).distinct.size > 1)
+  }
+
+  test("MP3 guards: free-format (index 0) and forbidden (15) bitrates, " +
+      "reserved sampling rate, MPEG-2 version bits, Layer I all rejected") {
+    intercept[IllegalArgumentException] { Mp3Frame(0, 0, false, 0) }
+    intercept[IllegalArgumentException] { Mp3Frame(15, 0, false, 0) }
+    intercept[IllegalArgumentException] { Mp3Frame(9, 3, false, 0) }
+    val ok = AudioIndex.mp3Mux(Seq(Mp3Frame(9, 0, padding = false, 0)))
+    val v2 = ok.clone(); v2(1) = (v2(1) & 0xef).toByte // version -> MPEG-2
+    intercept[IllegalArgumentException] { AudioIndex.mp3Demux(v2) }
+    val l1 = ok.clone(); l1(1) = (l1(1) | 0x06).toByte // layer -> I
+    intercept[IllegalArgumentException] { AudioIndex.mp3Demux(l1) }
+  }
+}
