@@ -233,4 +233,47 @@ class RtmpSpec extends AnyFunSuite {
       .withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: the incremental Dechunker is slicing-invariant — " +
+      "ANY partition of the wire bytes into feeds yields exactly the " +
+      "batch demux (the live-socket contract: TCP read boundaries " +
+      "carry no meaning)") {
+    val gen: Gen[(Int, List[RtmpMessage], List[Int])] = for {
+      chunkSize <- Gen.oneOf(16, 128)
+      n <- Gen.choose(1, 12)
+      msgs <- Gen.listOfN(n, for {
+        csid <- Gen.oneOf(3, 4, 64)
+        typeId <- Gen.oneOf(8, 9)
+        ts <- Gen.choose(0L, 500L)
+        len <- Gen.oneOf(Gen.choose(0, 8), Gen.choose(120, 140))
+        body <- Gen.listOfN(len, Gen.choose(0, 255))
+      } yield RtmpMessage(csid, 1L, typeId, ts, body.map(_.toByte).toArray))
+      cuts <- Gen.listOfN(9, Gen.choose(1, 97))
+    } yield (chunkSize, msgs, cuts)
+    val prop = Prop.forAll(gen) { case (chunkSize, raw, cuts) =>
+      val msgs = raw.groupBy(_.csid).toSeq.flatMap(_._2.sortBy(_.tsMs))
+      val bytes = Rtmp.mux(msgs, chunkSize)
+      val (want, wantStats) = Rtmp.demux(bytes)
+      val d = new Rtmp.Dechunker
+      val got = Seq.newBuilder[RtmpMessage]
+      var pos = 0
+      var ci = 0
+      while (pos < bytes.length) {
+        val take = math.min(cuts(ci % cuts.size), bytes.length - pos)
+        got ++= d.feed(java.util.Arrays.copyOfRange(bytes, pos, pos + take))
+        pos += take
+        ci += 1
+      }
+      val g = got.result()
+      d.pendingBytes == 0 && !d.midMessage && d.stats == wantStats &&
+        g.size == want.size && g.zip(want).forall { case (a, b) =>
+          a.csid == b.csid && a.streamId == b.streamId &&
+            a.typeId == b.typeId && a.tsMs == b.tsMs &&
+            java.util.Arrays.equals(a.payload, b.payload)
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
