@@ -146,7 +146,23 @@ object AudioIndex {
   def mp3Demux(bytes: Array[Byte]): Seq[(Long, Mp3Frame)] = {
     val out = Seq.newBuilder[(Long, Mp3Frame)]
     var pos = 0
+    // real files open with an ID3v2 tag: "ID3" + version(2) + flags +
+    // 4-byte SYNCSAFE size (7 bits per byte, id3v2.4 §3.1) — skip it
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      require((bytes(6) | bytes(7) | bytes(8) | bytes(9)) >= 0 &&
+        ((bytes(6) & 0x80) | (bytes(7) & 0x80) | (bytes(8) & 0x80) |
+          (bytes(9) & 0x80)) == 0, "mp3: ID3v2 size is not syncsafe")
+      pos = 10 + size
+      require(pos <= bytes.length, s"mp3: ID3v2 tag ($size B) overruns the file")
+    }
     while (pos < bytes.length) {
+      // a 128-byte ID3v1 trailer ("TAG") legally follows the last frame
+      if (bytes.length - pos == 128 && bytes(pos) == 'T' &&
+          bytes(pos + 1) == 'A' && bytes(pos + 2) == 'G')
+        return out.result()
       require(pos + 4 <= bytes.length, s"mp3: truncated header at $pos")
       require((bytes(pos) & 0xff) == 0xFF &&
         (bytes(pos + 1) & 0xe0) == 0xE0, s"mp3: lost sync at $pos")

@@ -69,6 +69,27 @@ class AudioIndexSpec extends AnyFunSuite {
     assert(got.map(_._2.bitrateIndex).distinct.size > 1)
   }
 
+  test("real-file MP3 shape: a leading ID3v2 tag (syncsafe size) is " +
+      "skipped and a trailing 128-byte ID3v1 'TAG' block ends the " +
+      "index cleanly") {
+    val frames = Seq(Mp3Frame(9, 0, padding = false, 0),
+      Mp3Frame(11, 1, padding = true, 1))
+    val audio = AudioIndex.mp3Mux(frames)
+    // ID3v2 header: size 0x0203 encoded syncsafe = (4 << 7) | 3 - use
+    // a 517-byte tag: syncsafe bytes 0x04 0x05 -> (4<<7)|5 = 517
+    val tagBody = new Array[Byte](517)
+    val id3v2 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 4, 5) ++ tagBody
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    val file = id3v2 ++ audio ++ id3v1
+    val got = AudioIndex.mp3Demux(file)
+    assert(got.size == 2)
+    assert(got.head._1 == id3v2.length.toLong, "first frame offset must sit after ID3v2")
+    assert(got.map(_._2) == frames)
+    // a non-syncsafe size byte fails loud instead of misparsing
+    val bad = file.clone(); bad(8) = 0x84.toByte
+    intercept[IllegalArgumentException] { AudioIndex.mp3Demux(bad) }
+  }
+
   test("MP3 guards: free-format (index 0) and forbidden (15) bitrates, " +
       "reserved sampling rate, MPEG-2 version bits, Layer I all rejected") {
     intercept[IllegalArgumentException] { Mp3Frame(0, 0, false, 0) }
