@@ -65,6 +65,10 @@ final case class Gac(frameN: Int = 128, bandSize: Int = 8,
   }
 
   def encode(raw: Array[Byte]): Array[Byte] = {
+    // same fail-loud contract as Wav.samples16: an odd byte count is a
+    // malformed s16 stream, not a stream with a droppable tail
+    require(raw.length % 2 == 0,
+      s"gac: s16 input has odd byte length ${raw.length}")
     val n = raw.length / 2
     val mPad = ((n + frameN - 1) / frameN) * frameN
     val x = new Array[Double](mPad + 2 * frameN)
@@ -139,6 +143,12 @@ final case class Gac(frameN: Int = 128, bandSize: Int = 8,
     val n = u32le(4)
     val blocks = u32le(8)
     require(n >= 0 && blocks >= 1, s"gac: header $n samples / $blocks frames")
+    // the overlap-add buffer holds (blocks+1)·frameN samples and the
+    // readout reads y(i + frameN) for i < n — a corrupt header would
+    // otherwise surface as a raw ArrayIndexOutOfBounds
+    require(n <= blocks * frameN,
+      s"gac: header claims $n samples but $blocks frames carry at most " +
+        s"${blocks * frameN}")
     val mPad = (blocks - 1) * frameN
     val y = new Array[Double](mPad + 2 * frameN)
     val coef = new Array[Double](frameN)

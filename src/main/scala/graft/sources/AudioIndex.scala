@@ -93,6 +93,9 @@ object AudioIndex {
       require(pos + len <= bytes.length,
         s"adts: frame length $len overruns the stream at $pos")
       val hdr = if (crcPresent) 9 else 7
+      require(len >= hdr,
+        s"adts: frame length $len at $pos is shorter than its " +
+          s"$hdr-byte header")
       // crc_check's 2 bytes are length-accounted but NOT recomputed:
       // 13818-7 defines the covered bit ranges over header+side info
       // (via 11172-3 §2.4.3.1), and an indexer that guessed a simpler
@@ -152,10 +155,12 @@ object AudioIndex {
         bytes(2) == '3') {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      require((bytes(6) | bytes(7) | bytes(8) | bytes(9)) >= 0 &&
-        ((bytes(6) & 0x80) | (bytes(7) & 0x80) | (bytes(8) & 0x80) |
+      require(((bytes(6) & 0x80) | (bytes(7) & 0x80) | (bytes(8) & 0x80) |
           (bytes(9) & 0x80)) == 0, "mp3: ID3v2 size is not syncsafe")
-      pos = 10 + size
+      // id3v2.4 §3.1: the size counts neither the 10-byte header nor
+      // the 10-byte FOOTER announced by flags bit 0x10
+      val footer = (bytes(5) & 0x10) != 0
+      pos = 10 + size + (if (footer) 10 else 0)
       require(pos <= bytes.length, s"mp3: ID3v2 tag ($size B) overruns the file")
     }
     while (pos < bytes.length) {

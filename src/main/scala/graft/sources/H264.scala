@@ -335,12 +335,19 @@ object H264 {
     }
     val ss = starts.result()
     require(ss.nonEmpty, "h264: no start code in Annex-B stream")
+    // final NAL: trim trailing_zero_8bits padding too — RBSP trailing
+    // bits guarantee the last real byte of any NAL is nonzero, so
+    // every trailing 0x00 is inter-NAL padding on BOTH interior and
+    // final boundaries (else the last NAL would compare differently
+    // from its AVCC form)
+    var last = bytes.length
+    while (last > ss.last && bytes(last - 1) == 0) last -= 1
     ss.zipAll(ss.tail.map { s =>
       // back off over the start code AND a preceding zero (4-byte form)
       var e = s - 3
       while (e > 0 && bytes(e - 1) == 0) e -= 1
       e
-    }, -1, bytes.length).map { case (s, e) =>
+    }, -1, last).map { case (s, e) =>
       java.util.Arrays.copyOfRange(bytes, s, e)
     }
   }

@@ -118,6 +118,9 @@ object Ogg {
   def mux(streams: Seq[OggStream], packets: Seq[OggPacket]): Array[Byte] = {
     require(streams.map(_.serial).distinct.size == streams.size,
       "ogg: duplicate stream serials")
+    streams.foreach(s => require(s.serial >= 0 && s.serial <= 0xFFFFFFFFL,
+      s"ogg: serial ${s.serial} outside u32 — u32le would silently " +
+        "truncate and distinct serials could collide on the wire"))
     val bySerial = streams.map(s => s.serial -> s).toMap
     packets.foreach { p =>
       require(bySerial.contains(p.serial), s"ogg: packet for unknown serial ${p.serial}")
@@ -144,9 +147,12 @@ object Ogg {
       writePage(out, eos, p.granule, p.serial, nextSeq(p.serial),
         lacingOf(p.payload.length), p.payload)
     }
-    // streams with no data packets still need their EOS
+    // streams with no data packets still need their EOS — as a page
+    // with an EMPTY segment table (nSegs = 0): a lacing value 0 would
+    // instead terminate a zero-length packet (RFC 3533 §5) and demux
+    // would fabricate a phantom empty packet
     streams.filterNot(s => ordered.exists(_.serial == s.serial)).foreach { s =>
-      writePage(out, FlagEos, 0L, s.serial, nextSeq(s.serial), Seq(0),
+      writePage(out, FlagEos, 0L, s.serial, nextSeq(s.serial), Seq.empty,
         Array.emptyByteArray)
     }
     out.toByteArray

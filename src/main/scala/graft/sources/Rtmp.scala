@@ -211,10 +211,17 @@ object Rtmp {
     private var fmt0 = 0L; private var fmt1 = 0L
     private var fmt2 = 0L; private var fmt3 = 0L
     private var extN = 0L; private var setCs = 0L
-    private var rest: Array[Byte] = Array.emptyByteArray
+    // growable holdback buffer with a consumed pointer: appending is
+    // amortized O(1) and compaction runs only when the consumed
+    // prefix dominates, so a chunk larger than the socket read size
+    // (a peer may Set Chunk Size into the megabytes) costs O(chunk)
+    // total instead of re-copying the whole prefix on every feed
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var bufStart = 0
+    private var bufEnd = 0
 
     /** Unparsed trailing bytes held back for the next feed. */
-    def pendingBytes: Int = rest.length
+    def pendingBytes: Int = bufEnd - bufStart
 
     /** True while some chunk stream is mid-message. */
     def midMessage: Boolean = states.valuesIterator.exists(_.buf != null)
@@ -225,23 +232,24 @@ object Rtmp {
 
     def stats: ChunkStats = ChunkStats(fmt0, fmt1, fmt2, fmt3, extN, setCs)
 
-    /** Parse ONE whole chunk at `pos` if fully buffered: returns the
-      * new position, appending any completed message; returns -1 when
-      * more bytes are needed (no state was touched). */
-    private def parseChunk(bytes: Array[Byte], pos0: Int,
+    /** Parse ONE whole chunk at `pos0` (bounded by `end`) if fully
+      * buffered: returns the new position, appending any completed
+      * message; returns -1 when more bytes are needed (no state was
+      * touched). */
+    private def parseChunk(bytes: Array[Byte], pos0: Int, end: Int,
         msgs: scala.collection.mutable.Builder[RtmpMessage, Seq[RtmpMessage]])
         : Int = {
       var pos = pos0
-      if (pos >= bytes.length) return -1
+      if (pos >= end) return -1
       val b0 = bytes(pos) & 0xFF
       val fmt = b0 >> 6
       var csid = b0 & 0x3F
       pos += 1
       if (csid == 0) {
-        if (pos >= bytes.length) return -1
+        if (pos >= end) return -1
         csid = 64 + (bytes(pos) & 0xFF); pos += 1
       } else if (csid == 1) {
-        if (pos + 1 >= bytes.length) return -1
+        if (pos + 1 >= end) return -1
         csid = 64 + (bytes(pos) & 0xFF) + ((bytes(pos + 1) & 0xFF) << 8)
         pos += 2
       }
@@ -261,23 +269,23 @@ object Rtmp {
         require(fmt == 0 || st.ts >= 0,
           s"fmt $fmt chunk on virgin csid $csid has nothing to inherit")
         if (fmt <= 2) {
-          if (pos + 3 > bytes.length) return -1
+          if (pos + 3 > end) return -1
           tsField = rdU24(bytes, pos); pos += 3
         }
         if (fmt <= 1) {
-          if (pos + 4 > bytes.length) return -1
+          if (pos + 4 > end) return -1
           lenField = rdU24(bytes, pos).toInt
           typeField = bytes(pos + 3) & 0xFF
           pos += 4
         }
         if (fmt == 0) {
-          if (pos + 4 > bytes.length) return -1
+          if (pos + 4 > end) return -1
           streamField = rdU32le(bytes, pos); pos += 4
         }
         extSeen = (fmt <= 2 && tsField == 0xFFFFFF) ||
           (fmt == 3 && st.headerHadExt)
         if (extSeen) {
-          if (pos + 4 > bytes.length) return -1
+          if (pos + 4 > end) return -1
           tsField = rdU32(bytes, pos); pos += 4
         }
         require(lenField >= 0, s"csid $csid message with no length")
@@ -285,13 +293,13 @@ object Rtmp {
         // continuation of a split message (§5.3.2.2): repeated ext field
         extSeen = st.headerHadExt
         if (extSeen) {
-          if (pos + 4 > bytes.length) return -1
+          if (pos + 4 > end) return -1
           pos += 4
         }
       }
       val bodyRemaining = if (continuation) st.remaining else lenField
       val n = math.min(bodyRemaining, chunkSize)
-      if (pos + n > bytes.length) return -1
+      if (pos + n > end) return -1
       // ---- phase 2: the whole chunk is buffered — commit state
       if (!continuation) {
         st.len = lenField
@@ -330,16 +338,35 @@ object Rtmp {
     }
 
     def feed(data: Array[Byte]): Seq[RtmpMessage] = {
-      val bytes = if (rest.isEmpty) data else rest ++ data
+      // append (grow ×2 when needed; compact the consumed prefix
+      // first when it dominates the buffer)
+      if (bufEnd + data.length > buf.length) {
+        if (bufStart > 0 && (bufEnd - bufStart) <= buf.length / 2 &&
+            bufEnd - bufStart + data.length <= buf.length) {
+          System.arraycopy(buf, bufStart, buf, 0, bufEnd - bufStart)
+          bufEnd -= bufStart; bufStart = 0
+        } else {
+          val need = bufEnd - bufStart + data.length
+          val grown = new Array[Byte](math.max(need, buf.length * 2))
+          System.arraycopy(buf, bufStart, grown, 0, bufEnd - bufStart)
+          buf = grown; bufEnd -= bufStart; bufStart = 0
+        }
+      }
+      System.arraycopy(data, 0, buf, bufEnd, data.length)
+      bufEnd += data.length
       val msgs = Seq.newBuilder[RtmpMessage]
-      var pos = 0
-      var np = parseChunk(bytes, pos, msgs)
-      while (np >= 0) { pos = np; np = parseChunk(bytes, pos, msgs) }
-      rest =
-        if (pos >= bytes.length) Array.emptyByteArray
-        else java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
+      var np = parseChunkIn(msgs)
+      while (np >= 0) { bufStart = np; np = parseChunkIn(msgs) }
+      if (bufStart == bufEnd) { bufStart = 0; bufEnd = 0 }
       msgs.result()
     }
+
+    /** [[parseChunk]] against the internal (buf, bufStart, bufEnd)
+      * window — bounds are checked against bufEnd, positions returned
+      * as absolute buf indices. */
+    private def parseChunkIn(
+        msgs: scala.collection.mutable.Builder[RtmpMessage, Seq[RtmpMessage]])
+        : Int = parseChunk(buf, bufStart, bufEnd, msgs)
   }
 
   /** Parse an RTMP chunk stream back into assembled messages.

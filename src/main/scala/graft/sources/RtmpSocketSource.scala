@@ -39,6 +39,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * prepared target offset is drained in `ceil(n/maxMsgsPerBatch)`
   * batches — deterministic replay for tests and backfills.
   *
+  * NOT fault-tolerant across query restarts (the same limitation
+  * Spark documents for its own socket source): offsets are
+  * connection-relative message counts, and a restarted query opens a
+  * FRESH connection whose stream need not align with the checkpointed
+  * offsets — replayed ranges would select different messages or fail
+  * the buffered-range check. Durable live ingest belongs behind a
+  * replayable log; this source is the protocol edge.
+  *
   * Options: `host` (required), `port` (required), `maxMsgsPerBatch`
   * (default 1000), `drainOnStart` (default false — when true, block
   * at stream creation until the peer closes, so a replayed capture is

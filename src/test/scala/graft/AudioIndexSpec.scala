@@ -88,6 +88,13 @@ class AudioIndexSpec extends AnyFunSuite {
     // a non-syncsafe size byte fails loud instead of misparsing
     val bad = file.clone(); bad(8) = 0x84.toByte
     intercept[IllegalArgumentException] { AudioIndex.mp3Demux(bad) }
+    // id3v2.4 footer flag (0x10): size counts neither header nor the
+    // 10-byte footer — a conformant footer'd tag must not lose sync
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0, 0, 0, 4, 5)
+    val id3v2f = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 4, 5) ++
+      tagBody ++ footer
+    val gotF = AudioIndex.mp3Demux(id3v2f ++ audio)
+    assert(gotF.size == 2 && gotF.head._1 == id3v2f.length.toLong)
   }
 
   test("MP3 guards: free-format (index 0) and forbidden (15) bitrates, " +

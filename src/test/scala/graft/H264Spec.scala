@@ -113,6 +113,12 @@ class H264Spec extends AnyFunSuite {
     val nals = Seq(sps, pps, slice)
     val annexb = nals.flatMap(n => Array[Byte](0, 0, 0, 1) ++ n).toArray
     assert(H264.splitAnnexB(annexb).map(_.toSeq) == nals.map(_.toSeq))
+    // trailing_zero_8bits after the FINAL NAL (legal padding, common
+    // in real streams) must be trimmed like interior padding, so the
+    // Annex-B and AVCC forms of the same stream compare equal
+    val padded = annexb ++ Array[Byte](0, 0, 0)
+    assert(H264.splitAnnexB(padded).map(_.toSeq) == nals.map(_.toSeq),
+      "final-NAL padding leaked into the split")
     val avcc = H264.avccSample(nals)
     assert(H264.splitAvcc(avcc).map(_.toSeq) == nals.map(_.toSeq))
     // a NAL whose RBSP contains a raw start-code pattern must survive

@@ -88,6 +88,28 @@ class OggSpec extends AnyFunSuite {
     }
   }
 
+  test("a stream with ZERO data packets closes with an EMPTY page " +
+      "(nSegs = 0), not a phantom zero-length packet") {
+    val onlyAudio = Seq(pkt(202L, 0L, "a0"))
+    val (gotS, gotP) = Ogg.demux(Ogg.mux(streams, onlyAudio))
+    assert(gotS == streams)
+    assert(gotP.size == 1 && gotP.head.serial == 202L,
+      s"video stream fabricated a packet: ${gotP.map(_.serial)}")
+    // a genuine zero-length packet is still representable and distinct
+    val withEmpty = Seq(pkt(101L, 0L, ""), pkt(202L, 0L, "a0"))
+    val (_, gotP2) = Ogg.demux(Ogg.mux(streams, withEmpty))
+    assert(gotP2.size == 2 && gotP2.exists(p =>
+      p.serial == 101L && p.payload.isEmpty))
+  }
+
+  test("out-of-u32 serials are rejected at mux instead of silently " +
+      "truncating on the wire") {
+    val ex = intercept[IllegalArgumentException] {
+      Ogg.mux(Seq(OggStream(0x100000005L, "a")), Seq.empty)
+    }
+    assert(ex.getMessage.contains("u32"))
+  }
+
   test("lifecycle violations fail loud: missing EOS, page sequence " +
       "gap, second BOS") {
     val bytes = Ogg.mux(streams, packets)
