@@ -75,6 +75,8 @@ object ScaleCurve {
     "m37_h264_index",       // NAL/SPS/slice header indexing: m36 shape
     "p14_gac_bitstream",    // GAC per-chunk mapPartitions: the p11 shape
     "p15_audio_frame_index",// ADTS/MP3 header walk: the p13 chunk shape
+    "m38_vp8_ivf",          // IVF/VP8 tag walk: the m37 shape
+    "p16_opus_ogg_index",   // Opus TOC in Ogg pages: the p15 shape
     "e52_socket_ingest")    // one-socket ingest: the documented single
                             // ingest point — cost tracks capture bytes
 

@@ -1787,6 +1787,90 @@ object ContainerQueries {
       |    AS sample_bytes
       |FROM frames ORDER BY container, t""".stripMargin
 
+  /** m38: VP8-in-IVF indexing ([[graft.sources.Ivf]] — the libvpx IVF
+    * container + RFC 6386 §9.1 frame tags with the 9D 01 2A keyframe
+    * start code and 14-bit dimensions), completing the real-bitstream
+    * indexing matrix over the reference's own codec list: h264 (m37),
+    * aac/mp3 (p15), opus (p16) and now vp8
+    * (tests/media/test_containers.py:25 runs vp8-in-webm through
+    * libav; the frame tag parsed here is the same bitstream layout
+    * WebM blocks carry). The oracle recomputes every tag field from
+    * the GOP arithmetic and every byte offset from the IVF framing
+    * (32-byte header + 12-byte frame headers + tag/keyheader/body
+    * sizes). Scale: per-container mapGroups, the m37 envelope. */
+  private[operators] object Vp8Kernel extends Serializable {
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Boolean, Long, Boolean, Long, Long, Long, Long)] = {
+      import graft.sources.Ivf
+      val n = math.min(24, count)
+      if (n < 2) return Iterator.empty
+      val frames = (0 until n).map { t =>
+        val key = t % 6 == 0
+        val body = Array.tabulate(10 + (t * 3) % 40)(j =>
+          ((k + t * 13 + j) & 0xff).toByte)
+        Ivf.IvfFrame(t.toLong,
+          Ivf.vp8Frame(key, version = t % 4, showFrame = t % 6 != 3,
+            width = 320, height = 180, body))
+      }
+      val bytes = Ivf.mux(Ivf.IvfHeader("VP80", 320, 180, 30, 1,
+        n.toLong), frames)
+      val (hdr, rec) = Ivf.demux(bytes)
+      require(hdr.fourcc == "VP80" && hdr.frameCount == n,
+        s"container $k: IVF header drift")
+      rec.iterator.zipWithIndex.map { case ((off, f), t) =>
+        val tag = Ivf.parseVp8Tag(f.payload)
+        (k, t.toLong, off, tag.keyframe, tag.version.toLong,
+          tag.showFrame, tag.firstPartSize.toLong, tag.width.toLong,
+          tag.height.toLong, f.pts)
+      }
+    }
+  }
+
+  private def m38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8Kernel.rows(k, it.size))
+      .toDF("container", "t", "offset", "keyframe", "version",
+        "show_frame", "part_size", "width", "height", "pts")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m38Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |-- per-frame sizes from the fixture + framing arithmetic:
+      |-- body = 10 + (3t mod 40); payload = 3-byte tag (+7 keyframe
+      |-- header when t mod 6 = 0) + body; IVF adds a 12-byte frame
+      |-- header and the 32-byte file header
+      |sz AS (SELECT container, t,
+      |    (t % 6 = 0) AS keyframe,
+      |    10 + (t * 3) % 40 AS body,
+      |    3 + (CASE WHEN t % 6 = 0 THEN 7 ELSE 0 END)
+      |      + 10 + (t * 3) % 40 AS payload
+      |  FROM frames)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(32 + COALESCE(sum(12 + payload) OVER (PARTITION BY container
+      |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS "offset",
+      |  keyframe,
+      |  CAST(t % 4 AS BIGINT) AS version,
+      |  (t % 6 != 3) AS show_frame,
+      |  CAST(body + CASE WHEN keyframe THEN 7 ELSE 0 END AS BIGINT)
+      |    AS part_size,
+      |  CAST(CASE WHEN keyframe THEN 320 ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN keyframe THEN 180 ELSE 0 END AS BIGINT) AS height,
+      |  CAST(t AS BIGINT) AS pts
+      |FROM sz ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1803,6 +1887,7 @@ object ContainerQueries {
     Q("m35_mp4_classic", m35, Some(m35Sql)),
     Q("m36_gvc_mp4", m36, Some(m36Sql)),
     Q("m37_h264_index", m37, Some(m37Sql)),
+    Q("m38_vp8_ivf", m38, Some(m38Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -974,6 +974,93 @@ object DspQueries {
       |  CAST(p2 AS BIGINT) AS p2, CAST(frame_bytes AS BIGINT) AS frame_bytes
       |FROM u ORDER BY chunk_id, kind, i""".stripMargin
 
+  /** p16: OPUS-IN-OGG indexing — RFC 6716 §3's TOC layer (coding
+    * mode, bandwidth, the config→frame-duration table, the code
+    * 0/1/2/3 frame-count rules incl. §3.2.1 length coding and the
+    * 120 ms packet bound) carried in the engine's RFC 3533 Ogg pages
+    * with the opus granule currency (cumulative samples at the 48 kHz
+    * reference rate). Together with m37 (h264), m38 (vp8) and p15
+    * (aac/mp3), every codec the reference's libav path names now has
+    * a real-bitstream indexing layer. The oracle re-derives the §3.1
+    * tables, the frame-count rules, and the granule running sum in
+    * SQL. Scale: per-chunk mapGroups, the p13/p15 envelope. */
+  private def p16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{AudioIndex, Ogg}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(24, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        var granule = 0L
+        val packets = (0 until n).map { i =>
+          val config = i % 32
+          val code = i % 4
+          val nf = code match {
+            case 0 => 1
+            case 3 => 1 + i % 2
+            case _ => 2
+          }
+          val body = Array.tabulate(5 + i % 7)(j => ((i * 17 + j) & 0xff).toByte)
+          val pkt = AudioIndex.opusPacket(config, i % 2 == 1, code,
+            Seq.fill(nf)(body))
+          val parsed = AudioIndex.opusParse(pkt)
+          granule += parsed.samples48k
+          Ogg.OggPacket(1L, granule, pkt)
+        }
+        val (_, rec) = Ogg.demux(Ogg.mux(
+          Seq(Ogg.OggStream(1L, "opus")), packets))
+        require(rec.size == n, s"chunk $cid: ogg packet count drift")
+        rec.iterator.zipWithIndex.map { case (p, i) =>
+          val op = AudioIndex.opusParse(p.payload)
+          (cid, i.toLong, op.mode, op.bandwidth, op.stereo,
+            op.code.toLong, op.frames.toLong, op.durUs, op.samples48k,
+            p.granule)
+        }
+      }
+    }.toDF("chunk_id", "i", "mode", "bandwidth", "stereo", "code",
+        "frames", "dur_us", "samples48k", "granule")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p16Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |t AS (SELECT chunk_id, i, i % 32 AS cfg, i % 4 AS code,
+      |    CASE i % 4 WHEN 0 THEN 1 WHEN 3 THEN 1 + i % 2 ELSE 2 END
+      |      AS frames,
+      |    CASE WHEN i % 32 < 12 THEN
+      |           list_extract([10000, 20000, 40000, 60000],
+      |             CAST(i % 32 AS INT) % 4 + 1)
+      |         WHEN i % 32 < 16 THEN
+      |           list_extract([10000, 20000],
+      |             CAST(i % 32 - 12 AS INT) % 2 + 1)
+      |         ELSE list_extract([2500, 5000, 10000, 20000],
+      |             CAST(i % 32 - 16 AS INT) % 4 + 1) END AS fdur
+      |  FROM f)
+      |SELECT chunk_id, CAST(i AS BIGINT) AS i,
+      |  CASE WHEN cfg < 12 THEN 'silk' WHEN cfg < 16 THEN 'hybrid'
+      |       ELSE 'celt' END AS mode,
+      |  CASE WHEN cfg < 12 THEN
+      |         list_extract(['nb', 'mb', 'wb'], CAST(cfg AS INT) // 4 + 1)
+      |       WHEN cfg < 16 THEN
+      |         list_extract(['swb', 'fb'], CAST(cfg - 12 AS INT) // 2 + 1)
+      |       ELSE list_extract(['nb', 'wb', 'swb', 'fb'],
+      |         CAST(cfg - 16 AS INT) // 4 + 1) END AS bandwidth,
+      |  (i % 2 = 1) AS stereo,
+      |  CAST(code AS BIGINT) AS code, CAST(frames AS BIGINT) AS frames,
+      |  CAST(frames * fdur AS BIGINT) AS dur_us,
+      |  CAST(frames * fdur * 48 // 1000 AS BIGINT) AS samples48k,
+      |  CAST(sum(frames * fdur * 48 // 1000) OVER (PARTITION BY chunk_id
+      |    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS granule
+      |FROM t ORDER BY chunk_id, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -990,5 +1077,6 @@ object DspQueries {
     Q("p13_flac_codec", p13, Some(p13Sql)),
     Q("p14_gac_bitstream", p14, Some(p14Sql)),
     Q("p15_audio_frame_index", p15, Some(p15Sql)),
+    Q("p16_opus_ogg_index", p16, Some(p16Sql)),
   )
 }

@@ -146,6 +146,93 @@ object AudioIndex {
     out.toByteArray
   }
 
+  // ---- Opus packets (RFC 6716 §3) ---------------------------------------------
+
+  /** Parsed Opus packet index entry: the TOC byte's coding mode,
+    * audio bandwidth and per-frame duration (µs), channel count,
+    * frame count (after the code-0..3 rules) and the 48 kHz sample
+    * total — the granule currency of opus-in-ogg. */
+  final case class OpusPacket(config: Int, stereo: Boolean, code: Int,
+      frames: Int, frameDurUs: Int, padded: Boolean) {
+    def mode: String =
+      if (config < 12) "silk" else if (config < 16) "hybrid" else "celt"
+    def bandwidth: String =
+      if (config < 12) Vector("nb", "mb", "wb")(config / 4)
+      else if (config < 16) Vector("swb", "fb")((config - 12) / 2)
+      else Vector("nb", "wb", "swb", "fb")((config - 16) / 4)
+    def durUs: Long = frames.toLong * frameDurUs
+    /** Samples at the RFC's 48 kHz reference rate (ogg granules). */
+    def samples48k: Long = durUs * 48 / 1000
+  }
+
+  /** §3.1 frame-duration table, µs by config. */
+  def opusFrameDurUs(config: Int): Int = {
+    require(config >= 0 && config <= 31, s"opus config $config")
+    if (config < 12) Vector(10000, 20000, 40000, 60000)(config % 4)
+    else if (config < 16) Vector(10000, 20000)((config - 12) % 2)
+    else Vector(2500, 5000, 10000, 20000)((config - 16) % 4)
+  }
+
+  /** Build a conformant packet: TOC byte, the code-specific frame
+    * headers (code 1 = two equal CBR frames, code 2 = two frames with
+    * the §3.2.1 length coding for the first, code 3 = CBR count
+    * byte), then the opaque frame bytes. */
+  def opusPacket(config: Int, stereo: Boolean, code: Int,
+      frameBodies: Seq[Array[Byte]]): Array[Byte] = {
+    val dur = opusFrameDurUs(config)
+    val out = new ByteArrayOutputStream()
+    out.write((config << 3) | (if (stereo) 4 else 0) | code)
+    code match {
+      case 0 =>
+        require(frameBodies.size == 1, "opus code 0 carries one frame")
+      case 1 =>
+        require(frameBodies.size == 2 &&
+          frameBodies(0).length == frameBodies(1).length,
+          "opus code 1 carries two EQUAL frames")
+        require(2L * dur <= 120000L, "opus packet exceeds 120 ms")
+      case 2 =>
+        require(frameBodies.size == 2, "opus code 2 carries two frames")
+        require(2L * dur <= 120000L, "opus packet exceeds 120 ms")
+        val n1 = frameBodies(0).length
+        require(n1 <= 1275, s"opus frame length $n1")
+        if (n1 < 252) out.write(n1)
+        else { out.write(252 + (n1 - 252) % 4); out.write((n1 - 252) / 4) }
+      case 3 =>
+        val m = frameBodies.size
+        require(m >= 1 && m <= 48, s"opus code 3 frame count $m")
+        require(m.toLong * dur <= 120000L, "opus packet exceeds 120 ms")
+        require(frameBodies.map(_.length).distinct.size == 1,
+          "opus code 3 CBR form needs equal frames")
+        out.write(m) // v=0 (CBR), p=0 (no padding), count = m
+      case other => sys.error(s"opus code $other")
+    }
+    frameBodies.foreach(b => out.write(b, 0, b.length))
+    out.toByteArray
+  }
+
+  def opusParse(packet: Array[Byte]): OpusPacket = {
+    require(packet.length >= 1, "opus: empty packet")
+    val toc = packet(0) & 0xff
+    val config = toc >> 3
+    val stereo = (toc & 4) != 0
+    val code = toc & 3
+    val dur = opusFrameDurUs(config)
+    val frames = code match {
+      case 0 => 1
+      case 1 | 2 => 2
+      case _ =>
+        require(packet.length >= 2, "opus: code 3 without a count byte")
+        val fc = packet(1) & 0xff
+        val m = fc & 0x3f
+        require(m >= 1, "opus: code 3 with zero frames")
+        m
+    }
+    val padded = code == 3 && (packet(1) & 0x40) != 0
+    require(frames.toLong * dur <= 120000L,
+      s"opus: $frames × $dur µs exceeds the 120 ms packet bound")
+    OpusPacket(config, stereo, code, frames, dur, padded)
+  }
+
   def mp3Demux(bytes: Array[Byte]): Seq[(Long, Mp3Frame)] = {
     val out = Seq.newBuilder[(Long, Mp3Frame)]
     var pos = 0

@@ -97,6 +97,45 @@ class AudioIndexSpec extends AnyFunSuite {
     assert(gotF.size == 2 && gotF.head._1 == id3v2f.length.toLong)
   }
 
+  test("Opus TOC (RFC 6716 sect 3.1): all 32 configs map to the right " +
+      "mode/bandwidth/duration, the four frame-count codes parse, and " +
+      "the 120 ms packet bound is enforced") {
+    // spot-pin the table corners: config 0 = SILK NB 10 ms, 11 = SILK
+    // WB 60 ms, 12 = hybrid SWB 10 ms, 15 = hybrid FB 20 ms, 16 =
+    // CELT NB 2.5 ms, 31 = CELT FB 20 ms
+    def one(config: Int, code: Int, nf: Int) = AudioIndex.opusParse(
+      AudioIndex.opusPacket(config, stereo = false, code,
+        Seq.fill(nf)(Array[Byte](1, 2, 3))))
+    assert(one(0, 0, 1).mode == "silk" && one(0, 0, 1).bandwidth == "nb" &&
+      one(0, 0, 1).frameDurUs == 10000)
+    assert(one(11, 0, 1).bandwidth == "wb" && one(11, 0, 1).frameDurUs == 60000)
+    assert(one(12, 0, 1).mode == "hybrid" && one(12, 0, 1).bandwidth == "swb")
+    assert(one(15, 0, 1).bandwidth == "fb" && one(15, 0, 1).frameDurUs == 20000)
+    assert(one(16, 0, 1).mode == "celt" && one(16, 0, 1).frameDurUs == 2500)
+    assert(one(31, 0, 1).bandwidth == "fb" && one(31, 0, 1).frameDurUs == 20000)
+    // frame-count codes: 0 -> 1, 1 -> 2 equal, 2 -> 2 different
+    // (sect 3.2.1 length coding), 3 -> count byte
+    assert(one(0, 0, 1).frames == 1)
+    assert(one(0, 1, 2).frames == 2)
+    assert(one(0, 2, 2).frames == 2)
+    assert(one(16, 3, 4).frames == 4)
+    // 48 kHz granule currency: 20 ms stereo CELT = 960 samples
+    assert(one(31, 0, 1).samples48k == 960)
+    // 120 ms bound: 3 x 60 ms rejected at build AND at parse
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusPacket(3, stereo = false, 3,
+        Seq.fill(3)(Array[Byte](1)))
+    }
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array(((3 << 3) | 3).toByte, 3.toByte))
+    }
+    // sect 3.2.1 two-byte length coding for frames >= 252 bytes
+    val long1 = AudioIndex.opusPacket(0, stereo = true, 2,
+      Seq(new Array[Byte](300), new Array[Byte](5)))
+    val parsed = AudioIndex.opusParse(long1)
+    assert(parsed.stereo && parsed.frames == 2)
+  }
+
   test("MP3 guards: free-format (index 0) and forbidden (15) bitrates, " +
       "reserved sampling rate, MPEG-2 version bits, Layer I all rejected") {
     intercept[IllegalArgumentException] { Mp3Frame(0, 0, false, 0) }
