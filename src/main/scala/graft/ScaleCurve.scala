@@ -76,6 +76,7 @@ object ScaleCurve {
     "p14_gac_bitstream",    // GAC per-chunk mapPartitions: the p11 shape
     "p15_audio_frame_index",// ADTS/MP3 header walk: the p13 chunk shape
     "m38_vp8_ivf",          // IVF/VP8 tag walk: the m37 shape
+    "m39_webm_vp8",         // VP8 tags in EBML blocks: the m19 shape
     "p16_opus_ogg_index",   // Opus TOC in Ogg pages: the p15 shape
     "e52_socket_ingest")    // one-socket ingest: the documented single
                             // ingest point — cost tracks capture bytes

@@ -1871,6 +1871,74 @@ object ContainerQueries {
       |  CAST(t AS BIGINT) AS pts
       |FROM sz ORDER BY container, t""".stripMargin
 
+  /** m39: VP8-IN-WEBM indexing — the reference's ACTUAL vp8 pairing
+    * (tests/media/test_containers.py:25 runs vp8 through a webm
+    * container): m38's RFC 6386 frame tags carried as V_VP8 blocks in
+    * the engine's real Matroska/EBML container, with the container's
+    * keyframe flag cross-checked against the BITSTREAM's frame_type
+    * bit per block (the invariant real muxers must maintain and real
+    * indexers rely on: seeking trusts the container flag, decoding
+    * trusts the tag). Oracle: GOP arithmetic for both flag sources +
+    * dimensions on keyframes. Scale: per-container mapGroups, the
+    * m19/m38 envelope. */
+  private[operators] object WebmVp8Kernel extends Serializable {
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Boolean, Long, Long, Long)] = {
+      import graft.sources.{Ivf, Mkv}
+      val n = math.min(24, count)
+      if (n < 2) return Iterator.empty
+      val blocks = (0 until n).map { t =>
+        val key = t % 5 == 0
+        val body = Array.tabulate(8 + (t * 5) % 30)(j =>
+          ((k * 3 + t * 11 + j) & 0xff).toByte)
+        Mkv.MkvBlock(1, t * 33L, key,
+          Ivf.vp8Frame(key, version = t % 4, showFrame = true,
+            width = 640, height = 360, body))
+      }
+      val tracks = Seq(Mkv.MkvTrack(1, "video", "V_VP8",
+        width = 640, height = 360))
+      val (_, rec) = Mkv.demux(Mkv.mux(tracks, blocks))
+      require(rec.size == n, s"container $k: block count drift")
+      rec.iterator.zipWithIndex.map { case (b, t) =>
+        val tag = Ivf.parseVp8Tag(b.payload)
+        require(tag.keyframe == b.keyframe,
+          s"container $k block $t: container keyframe flag " +
+            s"${b.keyframe} disagrees with the bitstream ${tag.keyframe}")
+        (k, t.toLong, b.tsMs, tag.keyframe, tag.version.toLong,
+          tag.width.toLong, tag.height.toLong)
+      }
+    }
+  }
+
+  private def m39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        WebmVp8Kernel.rows(k, it.size))
+      .toDF("container", "t", "ts_ms", "keyframe", "version",
+        "width", "height")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m39Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t))
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(t * 33 AS BIGINT) AS ts_ms,
+      |  (t % 5 = 0) AS keyframe,
+      |  CAST(t % 4 AS BIGINT) AS version,
+      |  CAST(CASE WHEN t % 5 = 0 THEN 640 ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN t % 5 = 0 THEN 360 ELSE 0 END AS BIGINT) AS height
+      |FROM frames ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1888,6 +1956,7 @@ object ContainerQueries {
     Q("m36_gvc_mp4", m36, Some(m36Sql)),
     Q("m37_h264_index", m37, Some(m37Sql)),
     Q("m38_vp8_ivf", m38, Some(m38Sql)),
+    Q("m39_webm_vp8", m39, Some(m39Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),
