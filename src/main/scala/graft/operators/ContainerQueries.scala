@@ -1864,8 +1864,9 @@ object ContainerQueries {
       |  keyframe,
       |  CAST(t % 4 AS BIGINT) AS version,
       |  (t % 6 != 3) AS show_frame,
-      |  CAST(body + CASE WHEN keyframe THEN 7 ELSE 0 END AS BIGINT)
-      |    AS part_size,
+      |  -- RFC 6386: the size field counts only the first COMPRESSED
+      |  -- partition; the tag and keyframe header are uncompressed
+      |  CAST(body AS BIGINT) AS part_size,
       |  CAST(CASE WHEN keyframe THEN 320 ELSE 0 END AS BIGINT) AS width,
       |  CAST(CASE WHEN keyframe THEN 180 ELSE 0 END AS BIGINT) AS height,
       |  CAST(t AS BIGINT) AS pts

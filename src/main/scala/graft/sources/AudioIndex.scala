@@ -180,6 +180,9 @@ object AudioIndex {
   def opusPacket(config: Int, stereo: Boolean, code: Int,
       frameBodies: Seq[Array[Byte]]): Array[Byte] = {
     val dur = opusFrameDurUs(config)
+    // §3.2.1: no Opus frame may exceed 1275 bytes, whatever the code
+    frameBodies.foreach(b => require(b.length <= 1275,
+      s"opus frame length ${b.length} exceeds the 1275-byte maximum"))
     val out = new ByteArrayOutputStream()
     out.write((config << 3) | (if (stereo) 4 else 0) | code)
     code match {
@@ -194,7 +197,6 @@ object AudioIndex {
         require(frameBodies.size == 2, "opus code 2 carries two frames")
         require(2L * dur <= 120000L, "opus packet exceeds 120 ms")
         val n1 = frameBodies(0).length
-        require(n1 <= 1275, s"opus frame length $n1")
         if (n1 < 252) out.write(n1)
         else { out.write(252 + (n1 - 252) % 4); out.write((n1 - 252) / 4) }
       case 3 =>
@@ -217,17 +219,58 @@ object AudioIndex {
     val stereo = (toc & 4) != 0
     val code = toc & 3
     val dur = opusFrameDurUs(config)
+    var padded = false
+    // structural validation per RFC 6716 §3.4's malformed-packet
+    // rules — a corrupt packet must fail loud, not index as valid
     val frames = code match {
-      case 0 => 1
-      case 1 | 2 => 2
+      case 0 =>
+        require(packet.length - 1 <= 1275,
+          s"opus: code 0 frame of ${packet.length - 1} B exceeds 1275")
+        1
+      case 1 =>
+        // R3: an odd number of payload bytes cannot split into two
+        // EQUAL frames
+        require((packet.length - 1) % 2 == 0,
+          s"opus: code 1 payload of ${packet.length - 1} B is not even")
+        require((packet.length - 1) / 2 <= 1275,
+          "opus: code 1 frames exceed 1275 B")
+        2
+      case 2 =>
+        // R4: the first frame's length coding must be present and the
+        // declared length must fit inside the packet
+        require(packet.length >= 2, "opus: code 2 without a length byte")
+        val b1 = packet(1) & 0xff
+        var lenBytes = 1
+        val n1 =
+          if (b1 < 252) b1
+          else {
+            require(packet.length >= 3,
+              "opus: code 2 with a truncated two-byte length")
+            lenBytes = 2
+            b1 + 4 * (packet(2) & 0xff)
+          }
+        require(n1 <= 1275, s"opus: code 2 first frame $n1 B exceeds 1275")
+        val rest = packet.length - 1 - lenBytes
+        require(n1 <= rest,
+          s"opus: code 2 first frame $n1 B overruns the ${rest}-B payload")
+        require(rest - n1 <= 1275, "opus: code 2 second frame exceeds 1275 B")
+        2
       case _ =>
         require(packet.length >= 2, "opus: code 3 without a count byte")
         val fc = packet(1) & 0xff
         val m = fc & 0x3f
         require(m >= 1, "opus: code 3 with zero frames")
+        padded = (fc & 0x40) != 0
+        val vbr = (fc & 0x80) != 0
+        if (!vbr && !padded) {
+          // R6: the CBR form must split the remainder evenly
+          val r = packet.length - 2
+          require(r % m == 0,
+            s"opus: code 3 CBR remainder $r does not divide into $m frames")
+          require(r / m <= 1275, "opus: code 3 frames exceed 1275 B")
+        }
         m
     }
-    val padded = code == 3 && (packet(1) & 0x40) != 0
     require(frames.toLong * dur <= 120000L,
       s"opus: $frames × $dur µs exceeds the 120 ms packet bound")
     OpusPacket(config, stereo, code, frames, dur, padded)

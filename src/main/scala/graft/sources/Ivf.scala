@@ -49,6 +49,12 @@ object Ivf {
     require(hdr.fourcc.length == 4, s"ivf fourcc '${hdr.fourcc}'")
     require(hdr.width > 0 && hdr.width <= 0xffff &&
       hdr.height > 0 && hdr.height <= 0xffff, s"ivf dims")
+    require(hdr.frameCount == frames.size,
+      s"ivf: header declares ${hdr.frameCount} frames, given ${frames.size}")
+    require(hdr.timebaseDen >= 1 && hdr.timebaseDen <= 0xFFFFFFFFL &&
+      hdr.timebaseNum >= 1 && hdr.timebaseNum <= 0xFFFFFFFFL,
+      s"ivf: timebase ${hdr.timebaseDen}/${hdr.timebaseNum} outside u32 — " +
+        "u32le would silently truncate")
     val out = new ByteArrayOutputStream()
     out.write('D'); out.write('K'); out.write('I'); out.write('F')
     u16le(out, 0); u16le(out, 32)
@@ -107,8 +113,11 @@ object Ivf {
     require(width > 0 && width <= 0x3fff && height > 0 && height <= 0x3fff,
       s"vp8 dims $width x $height")
     val out = new ByteArrayOutputStream()
-    val hdrLen = if (keyframe) 7 else 0
-    val firstPart = body.length + hdrLen // partition includes key header
+    // RFC 6386 §9.1: the tag's size field counts the FIRST COMPRESSED
+    // PARTITION only — the 3-byte tag and the 7-byte keyframe header
+    // (start code + dimensions) are the uncompressed data chunk and
+    // are NOT included
+    val firstPart = body.length
     require(firstPart < (1 << 19), s"vp8 first partition $firstPart")
     val tag = (if (keyframe) 0 else 1) | (version << 1) |
       (if (showFrame) 1 << 4 else 0) | (firstPart << 5)

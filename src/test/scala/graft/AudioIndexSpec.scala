@@ -136,6 +136,35 @@ class AudioIndexSpec extends AnyFunSuite {
     assert(parsed.stereo && parsed.frames == 2)
   }
 
+  test("Opus malformed packets fail loud per RFC 6716 sect 3.4: " +
+      "code 2 without its length byte, odd code-1 payload, CBR code 3 " +
+      "with a non-dividing remainder, over-1275 frames") {
+    // R4: 1-byte code-2 packet — no length byte, no frames
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array(((0 << 3) | 2).toByte))
+    }
+    // R4: declared first-frame length overruns the payload
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array(((0 << 3) | 2).toByte, 50.toByte, 1, 2, 3))
+    }
+    // R3: odd payload cannot split into two equal frames
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array(((0 << 3) | 1).toByte, 1, 2, 3))
+    }
+    // R6: CBR code 3 remainder must divide by the frame count
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array(((16 << 3) | 3).toByte, 3.toByte, 1, 2, 3, 4))
+    }
+    // sect 3.2.1: no frame may exceed 1275 bytes — enforced at build
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusPacket(16, stereo = false, 3,
+        Seq.fill(2)(new Array[Byte](2000)))
+    }
+    // and a valid even code-1 still parses
+    assert(AudioIndex.opusParse(
+      Array(((0 << 3) | 1).toByte, 1, 2, 3, 4)).frames == 2)
+  }
+
   test("MP3 guards: free-format (index 0) and forbidden (15) bitrates, " +
       "reserved sampling rate, MPEG-2 version bits, Layer I all rejected") {
     intercept[IllegalArgumentException] { Mp3Frame(0, 0, false, 0) }

@@ -26,6 +26,14 @@ class IvfSpec extends AnyFunSuite {
     val big = Ivf.IvfFrame(0x1_0000_0001L, Array[Byte](1))
     val (_, got2) = Ivf.demux(Ivf.mux(hdr.copy(frameCount = 1), Seq(big)))
     assert(got2.head._2.pts == 0x1_0000_0001L)
+    // header/frame-count disagreement and out-of-u32 timebases are
+    // rejected at mux instead of writing silently wrong headers
+    intercept[IllegalArgumentException] {
+      Ivf.mux(hdr.copy(frameCount = 5), Seq(big))
+    }
+    intercept[IllegalArgumentException] {
+      Ivf.mux(hdr.copy(frameCount = 1, timebaseDen = 0x100000000L), Seq(big))
+    }
   }
 
   test("VP8 frame tag: keyframe start code 9D 01 2A, 14-bit dims with " +
@@ -36,7 +44,9 @@ class IvfSpec extends AnyFunSuite {
     assert(key.keyframe && key.version == 2 && key.showFrame)
     assert(key.width == 1920 && key.height == 1080)
     assert(key.widthScale == 0 && key.heightScale == 0)
-    assert(key.firstPartSize == 33 + 7, "key header counts into the partition")
+    assert(key.firstPartSize == 33, "RFC 6386: the size field counts only " +
+      "the first COMPRESSED partition — the 7-byte key header is the " +
+      "uncompressed data chunk and stays outside it")
     val inter = Ivf.parseVp8Tag(Ivf.vp8Frame(keyframe = false, version = 0,
       showFrame = false, width = 1920, height = 1080, new Array[Byte](12)))
     assert(!inter.keyframe && !inter.showFrame && inter.firstPartSize == 12)
