@@ -119,6 +119,10 @@ class H264Spec extends AnyFunSuite {
     val padded = annexb ++ Array[Byte](0, 0, 0)
     assert(H264.splitAnnexB(padded).map(_.toSeq) == nals.map(_.toSeq),
       "final-NAL padding leaked into the split")
+    // the SHORT (3-byte) start-code form real elementary streams mix in
+    val short3 = nals.flatMap(n => Array[Byte](0, 0, 1) ++ n).toArray
+    assert(H264.splitAnnexB(short3).map(_.toSeq) == nals.map(_.toSeq),
+      "3-byte start codes must split identically to the 4-byte form")
     val avcc = H264.avccSample(nals)
     assert(H264.splitAvcc(avcc).map(_.toSeq) == nals.map(_.toSeq))
     // a NAL whose RBSP contains a raw start-code pattern must survive

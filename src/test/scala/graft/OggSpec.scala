@@ -110,6 +110,51 @@ class OggSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("u32"))
   }
 
+  test("FOREIGN spanning packets reassemble across pages: a hand-built " +
+      "continuation page (flag 0x01, lacing 255 continuing into the " +
+      "next page) yields one packet with the page-of-completion " +
+      "granule, and a mismatched continuation flag fails loud") {
+    // hand-build: BOS, then a 300-byte packet split 255 + 45 across
+    // two pages (our mux never spans, so this is the demux-only path
+    // real files exercise)
+    def page(flags: Int, granule: Long, seq: Long, lacing: Seq[Int],
+        body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('O'); out.write('g'); out.write('g'); out.write('S')
+      out.write(0); out.write(flags)
+      (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
+      Seq(7L, seq, 0L).foreach(v =>
+        (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt)))
+      out.write(lacing.size); lacing.foreach(out.write)
+      out.write(body, 0, body.length)
+      val bytes = out.toByteArray
+      val crc = Ogg.crc32(bytes)
+      bytes(22) = (crc & 0xff).toByte
+      bytes(23) = ((crc >> 8) & 0xff).toByte
+      bytes(24) = ((crc >> 16) & 0xff).toByte
+      bytes(25) = ((crc >> 24) & 0xff).toByte
+      bytes
+    }
+    val id = "graftid:audio".getBytes("UTF-8")
+    val payload = Array.tabulate(300)(i => (i * 3).toByte)
+    val file =
+      page(Ogg.FlagBos, 0L, 0L, Seq(id.length), id) ++
+      page(0, -1L, 1L, Seq(255), payload.take(255)) ++
+      page(Ogg.FlagContinuation | Ogg.FlagEos, 777L, 2L, Seq(45),
+        payload.drop(255))
+    val (ss, ps) = Ogg.demux(file)
+    assert(ss == Seq(OggStream(7L, "audio")))
+    assert(ps.size == 1 && ps.head.granule == 777L,
+      "spanning packet must carry the completion page's granule")
+    assert(ps.head.payload.toSeq == payload.toSeq)
+    // continuation flag without carried state fails loud
+    val orphan =
+      page(Ogg.FlagBos, 0L, 0L, Seq(id.length), id) ++
+      page(Ogg.FlagContinuation | Ogg.FlagEos, 1L, 1L, Seq(4),
+        Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException] { Ogg.demux(orphan) }
+  }
+
   test("lifecycle violations fail loud: missing EOS, page sequence " +
       "gap, second BOS") {
     val bytes = Ogg.mux(streams, packets)

@@ -244,7 +244,10 @@ class RtmpSpec extends AnyFunSuite {
       msgs <- Gen.listOfN(n, for {
         csid <- Gen.oneOf(3, 4, 64)
         typeId <- Gen.oneOf(8, 9)
-        ts <- Gen.choose(0L, 500L)
+        // include past-2^24 timestamps so extended-timestamp fields
+        // (and their fmt-3 repeats) also straddle feed boundaries
+        ts <- Gen.oneOf(Gen.choose(0L, 500L),
+          Gen.choose(0xFFFFF0L, 0x2000000L))
         len <- Gen.oneOf(Gen.choose(0, 8), Gen.choose(120, 140))
         body <- Gen.listOfN(len, Gen.choose(0, 255))
       } yield RtmpMessage(csid, 1L, typeId, ts, body.map(_.toByte).toArray))
