@@ -27,8 +27,11 @@ import graft.sources.Flac.{BitReader, BitWriter}
   *    (poly 0x8005, FLAC's frame CRC) over the coded body, so a
   *    receiver can resynchronize and detect corruption mid-stream.
   *
-  * Packet layout: `"GACS"` + u32le sampleCount + u32le frameCount,
-  * then one ADTS-shaped frame per MDCT block:
+  * Packet layout: `"GACS"` + u32le sampleCount + u32le frameCount +
+  * a CRC-8 (poly 0x07, FLAC's header CRC) over those 12 bytes — the
+  * frames are individually CRC-16'd, so an unprotected stream header
+  * would be the one place a bit flip could silently change the
+  * decoded length — then one ADTS-shaped frame per MDCT block:
   * `FF F0 | len>>5 | (len&0x1F)<<3 | blk%8` (4 B header, len = total
   * frame bytes), CRC-16 (2 B, over the body), body = per band:
   * 5-bit scale, 3-bit Rice k, Rice codes of the zigzagged
@@ -86,6 +89,8 @@ final case class Gac(frameN: Int = 128, bandSize: Int = 8,
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
     u32le(n); u32le(blocks)
+    val hdr = out.toByteArray
+    out.write(Flac.crc8(hdr, 0, 12))
     val block = new Array[Double](2 * frameN)
     var b = 0
     while (b < blocks) {
@@ -135,14 +140,21 @@ final case class Gac(frameN: Int = 128, bandSize: Int = 8,
   }
 
   def decode(packet: Array[Byte]): Array[Byte] = {
-    require(packet.length >= 12 && packet(0) == 'G' && packet(1) == 'A' &&
+    require(packet.length >= 13 && packet(0) == 'G' && packet(1) == 'A' &&
       packet(2) == 'C' && packet(3) == 'S', "gac: bad stream marker")
+    require((packet(12) & 0xff) == Flac.crc8(packet, 0, 12),
+      "gac: stream header CRC-8 mismatch")
     def u32le(off: Int): Int =
       (packet(off) & 0xff) | ((packet(off + 1) & 0xff) << 8) |
         ((packet(off + 2) & 0xff) << 16) | ((packet(off + 3) & 0xff) << 24)
     val n = u32le(4)
     val blocks = u32le(8)
     require(n >= 0 && blocks >= 1, s"gac: header $n samples / $blocks frames")
+    // the encoder's invariant: blocks = ceil(n/frameN) + 1 (the lapped
+    // trailing block) — a header that disagrees is corrupt even when
+    // its CRC was recomputed by an attacker of one field only
+    require(blocks == (n + frameN - 1) / frameN + 1,
+      s"gac: $blocks frames inconsistent with $n samples at frameN $frameN")
     // the overlap-add buffer holds (blocks+1)·frameN samples and the
     // readout reads y(i + frameN) for i < n — a corrupt header would
     // otherwise surface as a raw ArrayIndexOutOfBounds
@@ -152,7 +164,7 @@ final case class Gac(frameN: Int = 128, bandSize: Int = 8,
     val mPad = (blocks - 1) * frameN
     val y = new Array[Double](mPad + 2 * frameN)
     val coef = new Array[Double](frameN)
-    var off = 12
+    var off = 13
     var b = 0
     while (b < blocks) {
       require(off + 6 <= packet.length, s"gac: truncated frame $b header")

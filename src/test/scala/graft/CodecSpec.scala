@@ -541,16 +541,40 @@ class CodecSpec extends AnyFunSuite {
     val raw = s16leBytes(threeToneS16(32000, 1024))
     val packet = c.encode(raw)
     assert(new String(packet.take(4), "US-ASCII") == "GACS")
-    // first frame header directly after the 12-byte stream header
-    assert((packet(12) & 0xff) == 0xFF && (packet(13) & 0xff) == 0xF0)
+    // first frame header directly after the 13-byte stream header
+    // (12 header bytes + their CRC-8)
+    assert((packet(13) & 0xff) == 0xFF && (packet(14) & 0xff) == 0xF0)
     val bodyFlip = packet.clone()
-    bodyFlip(20) = (bodyFlip(20) ^ 0x10).toByte
+    bodyFlip(21) = (bodyFlip(21) ^ 0x10).toByte
     val ex = intercept[IllegalArgumentException] { c.decode(bodyFlip) }
     assert(ex.getMessage.contains("CRC"))
     val syncFlip = packet.clone()
-    syncFlip(12) = 0x7F
+    syncFlip(13) = 0x7F
     val ex2 = intercept[IllegalArgumentException] { c.decode(syncFlip) }
     assert(ex2.getMessage.contains("sync"))
+  }
+
+  test("GAC single-bit corruption sweep: NO flip anywhere in the " +
+      "packet is silent (header CRC-8, per-frame CRC-16, sync tags, " +
+      "length/index checks together cover every bit)") {
+    val c = graft.functions.Gac()
+    val raw = s16leBytes(threeToneS16(32000, 256))
+    val packet = c.encode(raw)
+    val clean = c.decode(packet)
+    var silent = List.empty[Int]
+    var i = 0
+    while (i < packet.length * 8) {
+      val bad = packet.clone()
+      bad(i / 8) = (bad(i / 8) ^ (1 << (i % 8))).toByte
+      try {
+        val out = c.decode(bad)
+        if (!java.util.Arrays.equals(out, clean)) silent ::= i
+      } catch { case _: IllegalArgumentException => () }
+      i += 1
+    }
+    assert(silent.isEmpty,
+      s"${silent.size} bit flips decoded to DIFFERENT audio without " +
+        s"an error (bit positions ${silent.take(8).reverse})")
   }
 
   // ---- GVC: the composed I/P coded-video bitstream (m36) ------------------
