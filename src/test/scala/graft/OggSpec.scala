@@ -155,6 +155,40 @@ class OggSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Ogg.demux(orphan) }
   }
 
+  test("property: random multi-stream muxes round trip — packet sizes " +
+      "across every lacing regime, duplicate granules, streams with " +
+      "and without data") {
+    import org.scalacheck.Gen
+    var seed = org.scalacheck.rng.Seed(1911L)
+    def next[A](g: Gen[A]): A = {
+      val v = g.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+    (0 until 40).foreach { trial =>
+      val nStreams = next(Gen.choose(1, 4))
+      val streams = (0 until nStreams).map(i =>
+        OggStream(100L * (i + 1), s"k$i"))
+      val nPkts = next(Gen.choose(0, 12))
+      val packets = (0 until nPkts).map { j =>
+        val serial = streams(next(Gen.choose(0, nStreams - 1))).serial
+        val len = next(Gen.oneOf(Gen.choose(0, 8), Gen.choose(250, 260),
+          Gen.choose(500, 520), Gen.const(255), Gen.const(510)))
+        OggPacket(serial, next(Gen.choose(0L, 3L)) * 32L,
+          Array.tabulate(len)(x => ((j * 31 + x) & 0xff).toByte))
+      }
+      val (gotS, gotP) = Ogg.demux(Ogg.mux(streams, packets))
+      assert(gotS == streams, s"trial $trial streams")
+      val want = packets.zipWithIndex
+        .sortBy { case (p, i) => (p.granule, p.serial, i) }.map(_._1)
+      assert(gotP.size == want.size, s"trial $trial count")
+      gotP.zip(want).foreach { case (g, w) =>
+        assert(g.serial == w.serial && g.granule == w.granule &&
+          g.payload.toSeq == w.payload.toSeq, s"trial $trial payload")
+      }
+    }
+  }
+
   test("lifecycle violations fail loud: missing EOS, page sequence " +
       "gap, second BOS") {
     val bytes = Ogg.mux(streams, packets)
