@@ -961,7 +961,8 @@ object GraphQueries {
     // linear-counting branch is the shared 15-entry lookup — the same
     // integers on both engines by construction.
     val estCtes = (0 to HbRounds).map { t =>
-      s"""est$t AS MATERIALIZED (SELECT $t AS t, SUM(est) AS nf FROM (
+      s"""est$t AS MATERIALIZED (SELECT $t AS t,
+         |  CAST(SUM(est) AS BIGINT) AS nf FROM (
          |  SELECT CAST(CASE WHEN zeros > 0 AND $HbNum <= 40000 * s_total
          |      THEN ${hbLinearCountCaseSql("zeros")}
          |      ELSE $HbNum // (1000 * s_total) END AS BIGINT) AS est FROM (
