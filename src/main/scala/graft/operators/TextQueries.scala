@@ -447,9 +447,12 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), aug.as("aug"))
       .select(col("doc_id"),
-        regexp_count(col("aug"), lit(emailPat)).as("n_email"),
-        regexp_count(col("aug"), lit(phonePat)).as("n_phone"),
-        regexp_count(col("aug"), lit("[0-9]+")).as("n_digit_runs"),
+        regexp_count(col("aug"), lit(emailPat))
+          .cast(LongType).as("n_email"),
+        regexp_count(col("aug"), lit(phonePat))
+          .cast(LongType).as("n_phone"),
+        regexp_count(col("aug"), lit("[0-9]+"))
+          .cast(LongType).as("n_digit_runs"),
         length(col("aug")).cast(LongType).as("len_orig"),
         length(regexp_replace(regexp_replace(col("aug"),
           emailPat, "[EMAIL]"), phonePat, "[PHONE]"))
