@@ -172,6 +172,12 @@ final case class Gac(frameN: Int = 128, bandSize: Int = 8,
         f"gac: lost sync at frame $b (0x${packet(off) & 0xff}%02x" +
           f"${packet(off + 1) & 0xff}%02x)")
       val len = ((packet(off + 2) & 0xff) << 5) | ((packet(off + 3) & 0xff) >> 3)
+      // a frame carries at least its own 6-byte header+CRC — without
+      // this, len<6 would CRC an empty/negative range and then die
+      // inside BitReader with a misleading eof error (len=0 would even
+      // re-read the same bytes until the index tag mismatches)
+      require(len >= 6,
+        s"gac: frame $b length $len is shorter than the 6-byte header+CRC")
       require((packet(off + 3) & 0x07) == b % 8,
         s"gac: frame index tag mismatch at frame $b")
       require(off + len <= packet.length,

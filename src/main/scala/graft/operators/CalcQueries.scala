@@ -1507,7 +1507,14 @@ object CalcQueries {
     // executor-side capture: one chunk-stream segment per container on
     // its own csid (4 + c) and message stream id (c) — chunk streams
     // are independent, so concatenating per-csid segments is a valid
-    // interleave of one session; bytes never visit the driver as rows
+    // interleave of one session; bytes never visit the driver as rows.
+    // LOCAL-MODE ASSUMPTION: tasks write into a driver-local directory
+    // and the driver lists it — valid only because executors share the
+    // driver's filesystem here. On a real cluster this capture leg
+    // would collect the per-group mux bytes as rows (they are small:
+    // this is the feed FIXTURE, not the measured path) or write to
+    // shared storage; the 'no capture segments' require fails loudly
+    // rather than silently feeding an empty session.
     clicks.groupByKey(_._1).mapGroups { (k, it) =>
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       val msgs = xs.grouped(50).zipWithIndex.map { case (blk, b) =>

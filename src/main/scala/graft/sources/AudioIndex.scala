@@ -20,8 +20,11 @@ import java.io.ByteArrayOutputStream
   *    = 144·bitrate/rate + padding for Layer III, 1152 samples per
   *    frame; a bitrate-index histogram is the standard VBR detector.
   *
-  * Writers emit conformant headers (payloads are opaque here — the
-  * indexer's contract is the header layer), parsers validate sync,
+  * Writers emit structurally conformant headers (payloads are opaque
+  * here — the indexer's contract is the header layer; the optional
+  * ADTS crc_check slot is filled with a deterministic 2-byte value,
+  * NOT the 13818-7 coverage, so a strict decoder reading
+  * protection_absent=0 frames would flag it), parsers validate sync,
   * tables and lengths loudly and never read past a declared frame.
   * All arithmetic is integer table lookups, so the m-family oracle
   * reproduces every field and offset in SQL. */
@@ -71,7 +74,10 @@ object AudioIndex {
   }
 
   /** Walk an ADTS stream: returns frames + their byte offsets.
-    * Validates sync, layer bits, tables and CRC (when present). */
+    * Validates sync, layer bits, tables and lengths; the crc_check
+    * slot (when present) is length-accounted but NOT verified — see
+    * the inline note on why an indexer must not guess the 13818-7
+    * coverage. */
   def adtsDemux(bytes: Array[Byte]): Seq[(Long, AdtsFrame)] = {
     val out = Seq.newBuilder[(Long, AdtsFrame)]
     var pos = 0
@@ -262,12 +268,57 @@ object AudioIndex {
         require(m >= 1, "opus: code 3 with zero frames")
         padded = (fc & 0x40) != 0
         val vbr = (fc & 0x80) != 0
-        if (!vbr && !padded) {
-          // R6: the CBR form must split the remainder evenly
-          val r = packet.length - 2
+        // §3.2.5 header layout: count byte, then (if padded) the
+        // padding amount in continuation coding (each 255 byte adds
+        // 254, the terminator adds its own value), then (if VBR) M-1
+        // length indicators coded like code 2's first-frame length.
+        var off = 2
+        var pad = 0
+        if (padded) {
+          var b = 255
+          while (b == 255) {
+            require(off < packet.length,
+              "opus: code 3 truncated padding count")
+            b = packet(off) & 0xff; off += 1
+            pad += (if (b == 255) 254 else b)
+          }
+        }
+        if (!vbr) {
+          // R6: after the padding count and padding, the remainder
+          // must split into M equal frames of at most 1275 B
+          val r = packet.length - off - pad
+          require(r >= 0,
+            s"opus: code 3 padding $pad B overruns the packet")
           require(r % m == 0,
             s"opus: code 3 CBR remainder $r does not divide into $m frames")
           require(r / m <= 1275, "opus: code 3 frames exceed 1275 B")
+        } else {
+          // R6/R7: M-1 explicit lengths, each ≤ 1275 and inside the
+          // packet; the last frame takes what remains after padding
+          // and must itself fit in [0, 1275]
+          var sum = 0
+          var i = 0
+          while (i < m - 1) {
+            require(off < packet.length,
+              s"opus: code 3 VBR length $i truncated")
+            val b1 = packet(off) & 0xff; off += 1
+            val n =
+              if (b1 < 252) b1
+              else {
+                require(off < packet.length,
+                  s"opus: code 3 VBR two-byte length $i truncated")
+                val n2 = b1 + 4 * (packet(off) & 0xff); off += 1; n2
+              }
+            require(n <= 1275, s"opus: code 3 VBR frame $i is $n B > 1275")
+            sum += n
+            i += 1
+          }
+          val last = packet.length - off - pad - sum
+          require(last >= 0,
+            s"opus: code 3 VBR lengths+padding overrun the packet " +
+              s"by ${-last} B")
+          require(last <= 1275,
+            s"opus: code 3 VBR last frame $last B > 1275")
         }
         m
     }

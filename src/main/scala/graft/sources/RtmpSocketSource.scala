@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, ReadMinRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -223,10 +223,19 @@ object RtmpSocketSource {
       val avail =
         if (availableNowTarget >= 0) math.min(available, availableNowTarget)
         else available
-      val cap = limit match {
-        case mr: ReadMaxRows => s + mr.maxRows()
-        case _ => s + maxMsgsPerBatch
+      // honor the full admission-control vocabulary: allAvailable is
+      // genuinely uncapped, a composite is the tightest of its parts
+      // (minRows is a trigger threshold, not a cap), and only an
+      // unknown kind falls back to the configured per-batch default
+      def rowCap(l: ReadLimit): Long = l match {
+        case _: ReadAllAvailable => Long.MaxValue
+        case mr: ReadMaxRows     => mr.maxRows()
+        case _: ReadMinRows      => Long.MaxValue
+        case c: CompositeReadLimit => c.getReadLimits.map(rowCap).min
+        case _ => maxMsgsPerBatch
       }
+      val capN = rowCap(limit)
+      val cap = if (capN == Long.MaxValue) Long.MaxValue else s + capN
       MsgOffset(math.max(s, math.min(avail, cap)))
     }
 
