@@ -1940,6 +1940,108 @@ object ContainerQueries {
       |  CAST(CASE WHEN t % 5 = 0 THEN 360 ELSE 0 END AS BIGINT) AS height
       |FROM frames ORDER BY container, t""".stripMargin
 
+  /** m40: VP8 KEY-FRAME PAYLOAD DECODE ([[graft.functions.Vp8]] —
+    * RFC 6386's normative bool-coded keyframe: §9 header syntax, §11
+    * mode trees, §13 token trees with category extra bits and the
+    * nonzero-context planes, §14.3 inverse WHT, §14.4 inverse DCT,
+    * §12.2 intra predictors), closing the seam m38/m39 left open: those
+    * index VP8 frame TAGS; this decodes the compressed PAYLOAD back to
+    * pixels. Fixture: per container, 6 IVF-wrapped 32×32 keyframes, all
+    * macroblocks V_PRED with a single Y2-DC level v per MB (so every
+    * layer — two bool partitions, Y2→WHT→Y-DC plumbing, token
+    * categories up to cat6, IDCT, prediction chaining down MB columns —
+    * runs on real coded bytes while the reconstruction stays in closed
+    * form: at qindex 0 the y2dc factor is 8, so each MB contributes a
+    * uniform (v+4)>>3 down its macroblock column from the 127 top
+    * edge). The oracle replays the whole integer readout: the md5 level
+    * draw, the (v+4)//8 residual, the per-column cumulative sum, the
+    * 256-pixel luma aggregation, and the flat-128 chroma (DC_PRED with
+    * zero residual). Vp8Spec carries the general-decode properties
+    * (random modes/levels/qindex round-trips) that no SQL oracle can
+    * express. Scale: per-container mapGroups, the m38 envelope —
+    * decode cost is bytes-proportional and data-parallel. */
+  private[operators] object Vp8DecodeKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      import graft.sources.Ivf
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val frames = (0 until n).map { t =>
+        val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+          val v = 1 + hexbyte(s"vp8${k}_${t}_${j}_${c}") % 100
+          val y2 = new Array[Int](16); y2(0) = v
+          Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+            Array.fill(16)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)))
+        }).toVector
+        Vp8.KeyFrame(32, 32, 0, mbs)
+      }
+      val ivf = Ivf.mux(Ivf.IvfHeader("VP80", 32, 32, 30, 1, n.toLong),
+        frames.zipWithIndex.map { case (f, t) =>
+          Ivf.IvfFrame(t.toLong, Vp8.encode(f)) })
+      val (hdr, rec) = Ivf.demux(ivf)
+      require(hdr.frameCount == n, s"container $k: IVF header drift")
+      rec.iterator.zipWithIndex.map { case ((_, fr), t) =>
+        val dec = Vp8.decode(fr.payload)
+        require(dec.frame.width == 32 && dec.frame.height == 32 &&
+          dec.frame.qindex == 0,
+          s"container $k frame $t: decoded header drift")
+        (k, t.toLong, 32L, 32L,
+          dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+          dec.y.iterator.map(_.toLong).sum,
+          dec.u.iterator.map(_.toLong).sum +
+            dec.v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8DecodeKernel.rows(k, it.size))
+      .toDF("container", "t", "width", "height", "levels_sum",
+        "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m40Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |-- the per-MB Y2 DC level v, the same md5 draw the kernel codes
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    1 + CAST(concat('0x', substr(md5('vp8' || container || '_' || t
+      |      || '_' || grid.j || '_' || grid.c), 1, 2)) AS BIGINT) % 100 AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |-- decode readout: y2dc = 8 at qindex 0, WHT gives E = v exactly,
+      |-- IDCT gives the uniform residual (v+4)//8, V_PRED accumulates it
+      |-- down each macroblock column from the 127 frame edge
+      |mv AS (SELECT container, t, j, c, v,
+      |    127 + sum((v + 4) // 8) OVER (PARTITION BY container, t, c
+      |      ORDER BY j) AS val
+      |  FROM mb)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  -- DC_PRED chroma with zero residual: both 16x16 planes flat 128
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM mv GROUP BY container, t ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -1958,6 +2060,7 @@ object ContainerQueries {
     Q("m37_h264_index", m37, Some(m37Sql)),
     Q("m38_vp8_ivf", m38, Some(m38Sql)),
     Q("m39_webm_vp8", m39, Some(m39Sql)),
+    Q("m40_vp8_decode", m40, Some(m40Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

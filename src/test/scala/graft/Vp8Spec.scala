@@ -1,0 +1,211 @@
+package graft
+
+import graft.functions.Vp8
+import graft.sources.Ivf
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VP8 key-frame codec properties (RFC 6386): the bool coder is a
+  * bijection over random probability/bit sequences (the §7.3 decoder
+  * is the normative reference code, so this pins the §8.1 encoder's
+  * carry ledger), the token layer is lossless over every category
+  * and context path, the full frame round-trips header fields, modes
+  * and levels exactly, and the reconstruction matches closed forms
+  * for each 16×16 predictor. Complements the m40 oracle the way
+  * FlacPropSpec complements p13. */
+class Vp8Spec extends AnyFunSuite {
+
+  private def check[A](gen: Gen[A], trials: Int)(p: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(40912L)
+    (0 until trials).foreach { _ =>
+      p(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  // ---- bool coder ------------------------------------------------------------
+
+  private val boolSeqGen: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(1, 3000)
+    xs <- Gen.listOfN(n, for {
+      p <- Gen.frequency((6, Gen.choose(1, 254)), (1, Gen.const(1)),
+        (1, Gen.const(254)), (1, Gen.const(128)))
+      b <- Gen.frequency((5, Gen.oneOf(0, 1)), (1, Gen.const(0)),
+        (1, Gen.const(1)))
+    } yield (p, b))
+  } yield xs
+
+  test("bool coder: decode ∘ encode = id over random prob/bit sequences " +
+      "(incl. extreme probs and long one-runs that stress the carry)") {
+    check(boolSeqGen, 60) { xs =>
+      val e = new Vp8.BoolEncoder
+      xs.foreach { case (p, b) => e.bool(b, p) }
+      val bytes = e.stop()
+      val d = new Vp8.BoolDecoder(bytes, 0, bytes.length)
+      xs.zipWithIndex.foreach { case ((p, b), i) =>
+        assert(d.bool(p) == b, s"bit $i of ${xs.length} (prob $p)")
+      }
+    }
+    // adversarial carry stress: maximal-probability ones produce long
+    // 0xff runs in the emitted stream, the exact carry-propagation path
+    val e = new Vp8.BoolEncoder
+    (0 until 4096).foreach(_ => e.bool(1, 254))
+    val bytes = e.stop()
+    val d = new Vp8.BoolDecoder(bytes, 0, bytes.length)
+    (0 until 4096).foreach(i => assert(d.bool(254) == 1, s"one-run bit $i"))
+  }
+
+  test("literals round-trip at every width, interleaved with bools") {
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      xs <- Gen.listOfN(n, for {
+        w <- Gen.choose(1, 16)
+        v <- Gen.choose(0, (1 << w) - 1)
+      } yield (w, v))
+    } yield xs
+    check(gen, 40) { xs =>
+      val e = new Vp8.BoolEncoder
+      xs.foreach { case (w, v) => e.literal(v, w) }
+      val bytes = e.stop()
+      val d = new Vp8.BoolDecoder(bytes, 0, bytes.length)
+      xs.foreach { case (w, v) => assert(d.literal(w) == v) }
+    }
+  }
+
+  // ---- full-frame round trip -------------------------------------------------
+
+  private val levelGen: Gen[Int] = Gen.frequency(
+    (8, Gen.const(0)),
+    (3, Gen.choose(-4, 4)),
+    (2, Gen.choose(-18, 18)),      // cat1-3
+    (1, Gen.choose(-66, 66)),      // cat4-5
+    (1, Gen.choose(-Vp8.MaxLevel, Vp8.MaxLevel))) // cat6 full width
+
+  private def blockGen(firstCoeff: Int): Gen[Array[Int]] =
+    Gen.listOfN(16, levelGen).map { l =>
+      val a = l.toArray
+      if (firstCoeff == 1) a(0) = 0 // Y DC travels through Y2
+      a
+    }
+
+  private val mbGen: Gen[Vp8.MbCoding] = for {
+    ym <- Gen.oneOf(Vp8.DcPred, Vp8.VPred, Vp8.HPred, Vp8.TmPred)
+    uvm <- Gen.oneOf(Vp8.DcPred, Vp8.VPred, Vp8.HPred, Vp8.TmPred)
+    y2 <- blockGen(0)
+    y <- Gen.listOfN(16, blockGen(1))
+    u <- Gen.listOfN(4, blockGen(0))
+    v <- Gen.listOfN(4, blockGen(0))
+  } yield Vp8.MbCoding(ym, uvm, y2, y.toArray, u.toArray, v.toArray)
+
+  private val frameGen: Gen[Vp8.KeyFrame] = for {
+    mbCols <- Gen.choose(1, 3)
+    mbRows <- Gen.choose(1, 2)
+    q <- Gen.choose(0, 127)
+    mbs <- Gen.listOfN(mbCols * mbRows, mbGen)
+  } yield Vp8.KeyFrame(mbCols * 16, mbRows * 16, q, mbs.toVector)
+
+  test("frame round trip: header fields, modes and every coefficient " +
+      "level decode back exactly (token layer lossless, all categories " +
+      "and nonzero-context paths)") {
+    check(frameGen, 30) { f =>
+      val payload = Vp8.encode(f)
+      val tag = Ivf.parseVp8Tag(payload)
+      assert(tag.keyframe && tag.width == f.width && tag.height == f.height)
+      assert(10 + tag.firstPartSize <= payload.length)
+      val dec = Vp8.decode(payload)
+      assert(dec.frame.width == f.width && dec.frame.height == f.height)
+      assert(dec.frame.qindex == f.qindex)
+      dec.frame.mbs.zip(f.mbs).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g.yMode == w.yMode && g.uvMode == w.uvMode, s"MB $i modes")
+        assert(g.y2.sameElements(w.y2), s"MB $i y2")
+        (0 until 16).foreach(b => assert(
+          g.y(b).drop(1).sameElements(w.y(b).drop(1)), s"MB $i y$b"))
+        (0 until 4).foreach(b => assert(g.u(b).sameElements(w.u(b)) &&
+          g.v(b).sameElements(w.v(b)), s"MB $i uv$b"))
+      }
+      // planes are fully populated and clamped
+      assert(dec.y.forall(p => p >= 0 && p <= 255))
+      assert(dec.u.forall(p => p >= 0 && p <= 255))
+      assert(dec.v.forall(p => p >= 0 && p <= 255))
+    }
+  }
+
+  // ---- reconstruction closed forms -------------------------------------------
+
+  private def zeroMb(ym: Int, uvm: Int, y2dc: Int = 0): Vp8.MbCoding = {
+    val y2 = new Array[Int](16); y2(0) = y2dc
+    Vp8.MbCoding(ym, uvm, y2,
+      Array.fill(16)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)))
+  }
+
+  test("all-zero DC_PRED frame reconstructs flat 128 everywhere") {
+    val f = Vp8.KeyFrame(48, 32, 20,
+      Vector.fill(6)(zeroMb(Vp8.DcPred, Vp8.DcPred)))
+    val dec = Vp8.decode(Vp8.encode(f))
+    assert(dec.y.forall(_ == 128) && dec.u.forall(_ == 128) &&
+      dec.v.forall(_ == 128))
+  }
+
+  test("all-zero H_PRED propagates the 129 left edge; TM_PRED the " +
+      "129/127 frame-edge arithmetic") {
+    val h = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 5,
+      Vector.fill(4)(zeroMb(Vp8.HPred, Vp8.HPred)))))
+    assert(h.y.forall(_ == 129) && h.u.forall(_ == 129))
+    val tm = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 5,
+      Vector.fill(4)(zeroMb(Vp8.TmPred, Vp8.TmPred)))))
+    // row 0: clamp(129 + 127 - 127) = 129, and the edge then propagates
+    assert(tm.y.forall(_ == 129) && tm.v.forall(_ == 129))
+  }
+
+  test("V_PRED + Y2-DC-only residual: the m40 closed form — at qindex 0 " +
+      "(y2dc = 8) each MB adds (v+4)>>3 down its macroblock column") {
+    val vs = Array(Array(9, 20), Array(67, 100)) // (mbRow)(mbCol)
+    val mbs = for (j <- 0 until 2; c <- 0 until 2)
+      yield zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = vs(j)(c))
+    val dec = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0, mbs.toVector)))
+    for (j <- 0 until 2; c <- 0 until 2) {
+      val want = 127 + (0 to j).map(i => (vs(i)(c) + 4) >> 3).sum
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val got = dec.y((j * 16 + y) * 32 + c * 16 + x)
+        assert(got == want, s"MB($j,$c) pixel($x,$y): $got != $want")
+      }
+    }
+    assert(dec.u.forall(_ == 128) && dec.v.forall(_ == 128))
+  }
+
+  test("frames survive the IVF container (m38's layer): mux, demux, " +
+      "decode each payload back to its own levels") {
+    val frames = (0 until 3).map { t =>
+      val mbs = Vector.tabulate(2)(i => zeroMb(Vp8.VPred, Vp8.DcPred,
+        y2dc = 1 + 7 * t + i))
+      Vp8.KeyFrame(32, 16, 0, mbs)
+    }
+    val ivf = Ivf.mux(Ivf.IvfHeader("VP80", 32, 16, 30, 1, 3),
+      frames.zipWithIndex.map { case (f, t) =>
+        Ivf.IvfFrame(t.toLong, Vp8.encode(f)) })
+    val (hdr, rec) = Ivf.demux(ivf)
+    assert(hdr.frameCount == 3)
+    rec.zip(frames).foreach { case ((_, fr), want) =>
+      val dec = Vp8.decode(fr.payload)
+      assert(dec.frame.mbs.map(_.y2(0)) == want.mbs.map(_.y2(0)))
+    }
+  }
+
+  test("subset boundaries fail loudly: non-MB dimensions, B_PRED, " +
+      "oversized levels, truncated tag") {
+    intercept[IllegalArgumentException] {
+      Vp8.KeyFrame(20, 16, 0, Vector(zeroMb(Vp8.DcPred, Vp8.DcPred)))
+    }
+    intercept[IllegalArgumentException] {
+      zeroMb(Vp8.BPred, Vp8.DcPred)
+    }
+    intercept[IllegalArgumentException] {
+      val y2 = new Array[Int](16); y2(3) = Vp8.MaxLevel + 1
+      Vp8.MbCoding(Vp8.DcPred, Vp8.DcPred, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)))
+    }
+    intercept[IllegalArgumentException] { Vp8.decode(Array[Byte](1, 2)) }
+  }
+}
