@@ -850,10 +850,11 @@ object ContainerQueries {
       |FROM sized ORDER BY container, pes_idx""".stripMargin
 
   /** m27: the CONTAINER TRANSCODE MATRIX — the same two-stream
-    * timeline muxed and demuxed through ALL SEVEN real container byte
-    * formats (AVI/RIFF, FLV, Matroska/EBML, ISO-BMFF in BOTH layouts
+    * timeline muxed and demuxed through EIGHT container byte-format
+    * legs (AVI/RIFF, FLV, Matroska/EBML, ISO-BMFF in BOTH layouts
     * — fragmented moof/trun AND classic moov sample tables — MPEG-TS,
-    * and Ogg) inside one per-container kernel, each format's
+    * Ogg, and GAC-coded-audio-in-Ogg) inside one per-container kernel,
+    * each format's
     * recovered stream reduced to the same canonical aggregate
     * (sample counts per kind, timestamp sum, order-free payload
     * checksum). This is the reference's container-matrix test shape
@@ -961,7 +962,56 @@ object ContainerQueries {
         ps.map(p => (p.serial.toInt, p.granule, p.payload))
       }
 
-      Seq("avi" -> aviRec, "flv" -> flvRec, "mkv" -> mkvRec,
+      // --- GAC-in-Ogg: the CODED-AUDIO composition (the Opus-in-Ogg
+      // shape now both layers exist): the same two data streams plus a
+      // THIRD logical stream carrying one GAC bitstream — a ~1 kB
+      // packet laced across page segments, the continued-packet path
+      // real Ogg audio exercises. After demux the codec stream is
+      // reassembled and DECODED (sync/CRC verified inside Gac.decode,
+      // ≥25 dB SNR required — p14's gates, here proven THROUGH the
+      // transport), while the data streams must still carry the
+      // identical canonical timeline.
+      val gacOggRec = {
+        import graft.sources.Ogg
+        val codec = graft.functions.Gac()
+        val n = 1024
+        val pcm = new Array[Byte](n * 2)
+        val f1 = (k % 7 + 2).toDouble
+        val f2 = (k % 11 + 5).toDouble
+        var i = 0
+        while (i < n) {
+          val v = (9000 * math.sin(2 * math.Pi * f1 * i / 256.0) +
+            6000 * math.sin(2 * math.Pi * f2 * i / 128.0)).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val gacPacket = codec.encode(pcm)
+        val (_, ps) = Ogg.demux(Ogg.mux(
+          Seq(Ogg.OggStream(1L, "video"), Ogg.OggStream(2L, "audio"),
+            Ogg.OggStream(3L, "gac")),
+          blocks.map(b => Ogg.OggPacket(b._1.toLong, b._2, b._4)) :+
+            Ogg.OggPacket(3L, n.toLong, gacPacket)))
+        val (codecPs, dataPs) = ps.partition(_.serial == 3L)
+        require(codecPs.size == 1 && codecPs.head.granule == n.toLong,
+          s"container $k: gac logical stream drift through the pages")
+        val dec = codec.decode(codecPs.head.payload)
+        var sig = 0.0; var err = 0.0
+        i = 0
+        while (i < n) {
+          val a = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+            .toShort.toDouble
+          val b = ((dec(2 * i + 1) << 8) | (dec(2 * i) & 0xff))
+            .toShort.toDouble
+          sig += a * a; err += (a - b) * (a - b); i += 1
+        }
+        require(err == 0 || 10.0 * math.log10(sig / err) >= 25.0,
+          s"container $k: gac-through-ogg SNR below the p14 gate")
+        dataPs.map(p => (p.serial.toInt, p.granule, p.payload))
+      }
+
+      Seq("avi" -> aviRec, "flv" -> flvRec, "gacogg" -> gacOggRec,
+        "mkv" -> mkvRec,
         "mp4" -> mp4Rec, "mp4c" -> mp4cRec, "ogg" -> oggRec, "ts" -> tsRec)
         .map { case (family, rec) =>
         val (nv, na, tsum, psum) = agg(rec)
@@ -995,7 +1045,8 @@ object ContainerQueries {
       |  FROM blk GROUP BY container)
       |SELECT container, family, n_video, n_audio, ts_sum, payload_sum
       |FROM canon,
-      |  (SELECT unnest(['avi','flv','mkv','mp4','mp4c','ogg','ts']) AS family)
+      |  (SELECT unnest(['avi','flv','gacogg','mkv','mp4','mp4c','ogg','ts'])
+      |     AS family)
       |ORDER BY container, family""".stripMargin
 
   /** m28: MOTION-COMPENSATED VIDEO CODING — the inter-frame

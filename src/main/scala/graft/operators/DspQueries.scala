@@ -1061,6 +1061,129 @@ object DspQueries {
       |    AS BIGINT) AS granule
       |FROM t ORDER BY chunk_id, i""".stripMargin
 
+  /** p18: OGG-OPUS CONTINUITY AUDIT — the query a real curation
+    * pipeline runs right after p16's index: per logical stream, does
+    * the page granule ledger agree with the summed packet durations
+    * (RFC 7845 §4.1: a granule jump beyond the decoded sample count
+    * means lost data — a GAP a player must skip), is end trimming
+    * confined to the final page (§4.5: a short final granule trims
+    * trailing samples; anywhere else it is a mux bug), and how many
+    * samples are actually playable after the ID header's pre-skip
+    * (§4.2/§5.1: output = granule − pre_skip, floored at zero). The
+    * stream is REAL RFC 7845 structure end-to-end: an OpusHead ID
+    * header (version/channels/pre-skip/rate/gain parsed back and
+    * validated), an OpusTags comment header, then TOC-coded packets
+    * ([[graft.sources.AudioIndex.opusPacket]]) in RFC 3533 Ogg pages;
+    * the audit recomputes everything from the DEMUXED bytes. Fixture
+    * injects deterministic gaps (every 5th packet, never the last)
+    * and a 57-sample final trim; the oracle replays the §3.1 duration
+    * tables, the gap/trim ledger and the pre-skip floor in SQL.
+    * Scale: per-chunk mapGroups, the p15/p16 envelope. */
+  private def p18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{AudioIndex, Ogg}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(24, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val preSkip = 312 + (cid % 100).toInt
+        val head = AudioIndex.opusHeadMux(AudioIndex.OpusHead(
+          channels = 1, preSkip = preSkip, inputRate = 48000L, gainQ8 = 0))
+        val tags = AudioIndex.opusTagsMux("graft p18")
+        var granule = 0L
+        val data = (0 until n).map { i =>
+          val config = i % 32
+          val code = i % 4
+          val nf = code match {
+            case 0 => 1
+            case 3 => 1 + i % 2
+            case _ => 2
+          }
+          val body = Array.tabulate(5 + i % 7)(j =>
+            ((i * 17 + j) & 0xff).toByte)
+          val pkt = AudioIndex.opusPacket(config, i % 2 == 1, code,
+            Seq.fill(nf)(body))
+          val parsed = AudioIndex.opusParse(pkt)
+          // a granule jump beyond the decoded samples = lost packets;
+          // the final page granule is SHORT by the end-trim instead
+          val gap = if (i % 5 == 3 && i < n - 1) i * 120L + 240L else 0L
+          granule += parsed.samples48k + gap
+          val g = if (i == n - 1) granule - 57L else granule
+          Ogg.OggPacket(1L, g, pkt)
+        }
+        val packets = Ogg.OggPacket(1L, 0L, head) +:
+          Ogg.OggPacket(1L, 0L, tags) +: data
+        val (_, rec) = Ogg.demux(Ogg.mux(
+          Seq(Ogg.OggStream(1L, "opus")), packets))
+        require(rec.size == n + 2, s"chunk $cid: ogg packet count drift")
+        // the audit reads ONLY demuxed bytes: headers validated and
+        // parsed back, then the granule ledger recomputed per packet
+        val gotHead = AudioIndex.opusHeadParse(rec.head.payload)
+        require(gotHead.preSkip == preSkip && gotHead.channels == 1,
+          s"chunk $cid: OpusHead drift through the pages")
+        require(AudioIndex.opusTagsParse(rec(1).payload) == "graft p18",
+          s"chunk $cid: OpusTags drift")
+        var prevG = 0L
+        rec.drop(2).iterator.zipWithIndex.map { case (p, i) =>
+          val op = AudioIndex.opusParse(p.payload)
+          val delta = p.granule - prevG - op.samples48k
+          prevG = p.granule
+          val gapS = math.max(delta, 0L)
+          val trimS = math.max(-delta, 0L)
+          (cid, i.toLong, op.samples48k, p.granule, gapS, trimS,
+            trimS == 0L || i == n - 1,
+            math.max(p.granule - gotHead.preSkip, 0L))
+        }
+      }
+    }.toDF("chunk_id", "i", "samples48k", "granule", "gap_samples",
+        "trim_samples", "trim_legal", "net_playable")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p18Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(24, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, n, g.i FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |t AS (SELECT chunk_id, n, i, i % 32 AS cfg,
+      |    CASE i % 4 WHEN 0 THEN 1 WHEN 3 THEN 1 + i % 2 ELSE 2 END
+      |      AS frames,
+      |    CASE WHEN i % 32 < 12 THEN
+      |           list_extract([10000, 20000, 40000, 60000],
+      |             CAST(i % 32 AS INT) % 4 + 1)
+      |         WHEN i % 32 < 16 THEN
+      |           list_extract([10000, 20000],
+      |             CAST(i % 32 - 12 AS INT) % 2 + 1)
+      |         ELSE list_extract([2500, 5000, 10000, 20000],
+      |             CAST(i % 32 - 16 AS INT) % 4 + 1) END AS fdur
+      |  FROM f),
+      |g AS (SELECT chunk_id, n, i, frames * fdur * 48 // 1000 AS s48,
+      |    CASE WHEN i % 5 = 3 AND i < n - 1 THEN i * 120 + 240
+      |         ELSE 0 END AS gap
+      |  FROM t),
+      |led AS (SELECT chunk_id, n, i, s48, gap,
+      |    sum(s48 + gap) OVER (PARTITION BY chunk_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - CASE WHEN i = n - 1 THEN 57 ELSE 0 END AS granule
+      |  FROM g),
+      |d AS (SELECT chunk_id, n, i, s48, granule,
+      |    granule - COALESCE(lag(granule) OVER (PARTITION BY chunk_id
+      |      ORDER BY i), 0) - s48 AS delta
+      |  FROM led)
+      |SELECT chunk_id, CAST(i AS BIGINT) AS i,
+      |  CAST(s48 AS BIGINT) AS samples48k,
+      |  CAST(granule AS BIGINT) AS granule,
+      |  CAST(greatest(delta, 0) AS BIGINT) AS gap_samples,
+      |  CAST(greatest(-delta, 0) AS BIGINT) AS trim_samples,
+      |  (delta >= 0 OR i = n - 1) AS trim_legal,
+      |  CAST(greatest(granule - (312 + chunk_id % 100), 0) AS BIGINT)
+      |    AS net_playable
+      |FROM d ORDER BY chunk_id, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -1078,5 +1201,6 @@ object DspQueries {
     Q("p14_gac_bitstream", p14, Some(p14Sql)),
     Q("p15_audio_frame_index", p15, Some(p15Sql)),
     Q("p16_opus_ogg_index", p16, Some(p16Sql)),
+    Q("p18_opus_continuity", p18, Some(p18Sql)),
   )
 }

@@ -370,4 +370,71 @@ object AudioIndex {
     }
     out.result()
   }
+
+  // ---- Ogg-Opus headers (RFC 7845 §5) ----------------------------------------
+
+  /** RFC 7845 §5.1 identification header: the first packet of every
+    * Ogg-Opus logical stream. pre_skip is the sample count (48 kHz) a
+    * player discards from the decoder output before playback — the
+    * field p18's continuity audit needs. */
+  final case class OpusHead(channels: Int, preSkip: Int, inputRate: Long,
+      gainQ8: Int)
+
+  def opusHeadMux(h: OpusHead): Array[Byte] = {
+    require(h.channels >= 1 && h.channels <= 8, s"opus: ${h.channels} ch")
+    require(h.preSkip >= 0 && h.preSkip <= 0xffff, s"opus: preSkip")
+    require(h.inputRate >= 0 && h.inputRate <= 0xffffffffL, "opus: rate")
+    require(h.gainQ8 >= -32768 && h.gainQ8 <= 32767, "opus: gain")
+    val out = new ByteArrayOutputStream()
+    out.write("OpusHead".getBytes("US-ASCII"))
+    out.write(1) // version
+    out.write(h.channels)
+    out.write(h.preSkip & 0xff); out.write((h.preSkip >> 8) & 0xff)
+    var i = 0
+    while (i < 4) { out.write(((h.inputRate >> (8 * i)) & 0xff).toInt); i += 1 }
+    out.write(h.gainQ8 & 0xff); out.write((h.gainQ8 >> 8) & 0xff)
+    out.write(0) // channel mapping family 0 (mono/stereo, no table)
+    out.toByteArray
+  }
+
+  def opusHeadParse(b: Array[Byte]): OpusHead = {
+    require(b.length >= 19, s"opus: OpusHead is ${b.length} B, spec min 19")
+    require(new String(b, 0, 8, "US-ASCII") == "OpusHead",
+      "opus: bad OpusHead magic")
+    // §5.1: players must reject unknown MAJOR versions (top 4 bits)
+    require(((b(8) & 0xff) >> 4) == 0, s"opus: ID header version ${b(8)}")
+    val ch = b(9) & 0xff
+    require(ch >= 1, "opus: zero channels")
+    val preSkip = (b(10) & 0xff) | ((b(11) & 0xff) << 8)
+    val rate = (b(12) & 0xffL) | ((b(13) & 0xffL) << 8) |
+      ((b(14) & 0xffL) << 16) | ((b(15) & 0xffL) << 24)
+    val gain = ((b(16) & 0xff) | ((b(17) & 0xff) << 8)).toShort.toInt
+    require((b(18) & 0xff) != 0 || b.length == 19,
+      "opus: mapping family 0 must end the header at 19 B")
+    OpusHead(ch, preSkip, rate, gain)
+  }
+
+  /** RFC 7845 §5.2 comment header ("OpusTags"), second packet. */
+  def opusTagsMux(vendor: String): Array[Byte] = {
+    val vb = vendor.getBytes("UTF-8")
+    val out = new ByteArrayOutputStream()
+    out.write("OpusTags".getBytes("US-ASCII"))
+    var i = 0
+    while (i < 4) { out.write((vb.length >> (8 * i)) & 0xff); i += 1 }
+    out.write(vb)
+    i = 0
+    while (i < 4) { out.write(0); i += 1 } // zero user comments
+    out.toByteArray
+  }
+
+  def opusTagsParse(b: Array[Byte]): String = {
+    require(b.length >= 16, s"opus: OpusTags is ${b.length} B, spec min 16")
+    require(new String(b, 0, 8, "US-ASCII") == "OpusTags",
+      "opus: bad OpusTags magic")
+    val vlen = (b(8) & 0xff) | ((b(9) & 0xff) << 8) |
+      ((b(10) & 0xff) << 16) | ((b(11) & 0xff) << 24)
+    require(vlen >= 0 && 12 + vlen + 4 <= b.length,
+      s"opus: vendor string ($vlen B) overruns the OpusTags packet")
+    new String(b, 12, vlen, "UTF-8")
+  }
 }

@@ -176,4 +176,87 @@ class AudioIndexSpec extends AnyFunSuite {
     val l1 = ok.clone(); l1(1) = (l1(1) | 0x06).toByte // layer -> I
     intercept[IllegalArgumentException] { AudioIndex.mp3Demux(l1) }
   }
+
+  test("Opus code 3 VBR and padded forms parse per RFC 6716 R6/R7; " +
+      "overruns fail loud") {
+    val toc3 = ((16 << 3) | 3).toByte // config 16: celt 2.5 ms
+    // VBR: fc = 0x80|3, two explicit lengths (2, 4), last frame = rest
+    val vbr = Array[Byte](toc3, (0x80 | 3).toByte, 2, 4,
+      1, 2, /* f0 */ 3, 4, 5, 6, /* f1 */ 7, 8, 9 /* f2: 3 B */ )
+    assert(AudioIndex.opusParse(vbr).frames == 3)
+    // padded CBR: fc = 0x40|2, padding count 3, 2x2 B frames + 3 pad
+    val pad = Array[Byte](toc3, (0x40 | 2).toByte, 3,
+      1, 2, 3, 4, 0, 0, 0)
+    val pp = AudioIndex.opusParse(pad)
+    assert(pp.frames == 2 && pp.padded)
+    // VBR whose explicit lengths overrun the payload (R7)
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array[Byte](toc3, (0x80 | 3).toByte, 9, 9, 1, 2))
+    }
+    // padding count overruns the packet (R6)
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array[Byte](toc3, (0x40 | 2).toByte, 50, 1, 2))
+    }
+    // truncated 255-continued padding count
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array[Byte](toc3, (0x40 | 1).toByte, 255.toByte))
+    }
+    // padded CBR remainder must still divide (R6)
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusParse(Array[Byte](toc3, (0x40 | 2).toByte, 1,
+        1, 2, 3, 0))
+    }
+  }
+
+  test("OpusHead/OpusTags (RFC 7845 sect 5) round-trip every field; " +
+      "bad magic, major version and truncation fail loud") {
+    for (preSkip <- Seq(0, 312, 3840, 0xffff); gain <- Seq(-1024, 0, 256)) {
+      val h = AudioIndex.OpusHead(2, preSkip, 48000L, gain)
+      val got = AudioIndex.opusHeadParse(AudioIndex.opusHeadMux(h))
+      assert(got == h, s"preSkip $preSkip gain $gain")
+    }
+    assert(AudioIndex.opusTagsParse(
+      AudioIndex.opusTagsMux("graft vendor")) == "graft vendor")
+    val ok = AudioIndex.opusHeadMux(AudioIndex.OpusHead(1, 312, 48000L, 0))
+    val badMagic = ok.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException] { AudioIndex.opusHeadParse(badMagic) }
+    val badVer = ok.clone(); badVer(8) = 0x10 // major version 1
+    intercept[IllegalArgumentException] { AudioIndex.opusHeadParse(badVer) }
+    intercept[IllegalArgumentException] {
+      AudioIndex.opusHeadParse(ok.take(18))
+    }
+    val tags = AudioIndex.opusTagsMux("v")
+    val badTagLen = tags.clone(); badTagLen(8) = 100 // vendor overrun
+    intercept[IllegalArgumentException] { AudioIndex.opusTagsParse(badTagLen) }
+  }
+
+  test("granule ledger property (p18's arithmetic): for random streams " +
+      "with injected gaps and a final trim, the per-packet delta " +
+      "decomposition recovers exactly the injected values") {
+    val rnd = new scala.util.Random(7)
+    (0 until 30).foreach { trial =>
+      val n = 1 + rnd.nextInt(20)
+      val pkts = (0 until n).map { i =>
+        AudioIndex.opusPacket(16 + rnd.nextInt(16), rnd.nextBoolean(),
+          0, Seq(Array.tabulate(3 + rnd.nextInt(9))(_.toByte)))
+      }
+      val gaps = (0 until n).map(i =>
+        if (i < n - 1 && rnd.nextInt(3) == 0) 120L + rnd.nextInt(5000) else 0L)
+      val samples = pkts.map(p => AudioIndex.opusParse(p).samples48k)
+      val trim = 1L + rnd.nextInt(samples.last.toInt) // < last packet
+      var cum = 0L
+      val granules = (0 until n).map { i =>
+        cum += samples(i) + gaps(i)
+        if (i == n - 1) cum - trim else cum
+      }
+      var prev = 0L
+      (0 until n).foreach { i =>
+        val delta = granules(i) - prev - samples(i)
+        prev = granules(i)
+        if (i < n - 1)
+          assert(delta == gaps(i), s"trial $trial packet $i gap")
+        else assert(-delta == trim - gaps(i), s"trial $trial trim")
+      }
+    }
+  }
 }
