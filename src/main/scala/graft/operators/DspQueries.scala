@@ -1061,6 +1061,117 @@ object DspQueries {
       |    AS BIGINT) AS granule
       |FROM t ORDER BY chunk_id, i""".stripMargin
 
+  /** p17: MPEG-1 LAYER II SUBBAND DECODE ([[graft.sources.Mp2]] —
+    * ISO/IEC 11172-3 §2.4's subband payload under p15's header index:
+    * bit allocation, scfsi scalefactor sharing, 6-bit scalefactors,
+    * and the quantized codes with Layer II's radix GROUPING of 3/5/9-
+    * level triplets into 5/7/10-bit codes), making composed .mp2-class
+    * frames sample-decodable the way p13 made FLAC. Per chunk, 12
+    * frames with deterministic allocations/scfsi/scalefactors/codes
+    * are muxed into one stream (384 kbps @ 32 kHz → the 1728(+pad)-
+    * byte frame arithmetic), demuxed, and every RECOVERED field goes
+    * under the oracle: the offsets from the frame-length arithmetic,
+    * the exact body bit budget (4-bit allocations + 2-bit scfsi +
+    * 6·nsf scalefactors + granule bits incl. the grouped forms), the
+    * stored-scalefactor count per scfsi pattern, and the scalefactor
+    * and sample-code sums. The synthesis matrixing and dequant
+    * conventions are pinned by Mp2Spec (cosine banks are not SQL
+    * material). Scale: per-chunk mapGroups, the p15/p16 envelope. */
+  private def p17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp2
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(12, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val frames = (0 until n).map { i =>
+          val subs = Array.tabulate(Mp2.Sblimit) { sb =>
+            val q = (sb * 7 + i * 13) % 13
+            if (q == 0) Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)
+            else {
+              val scfsi = (sb + i) % 4
+              val sf = Array.tabulate(Mp2.nsfStored(scfsi))(p =>
+                (sb * 3 + i * 5 + p * 11) % 63)
+              val l = Mp2.Levels(q)
+              val samples = Array.tabulate(36)(gx =>
+                (sb * 5 + (gx / 3) * 3 + (gx % 3) * 7 + i * 11) % l)
+              Mp2.Mp2Sub(q, scfsi, sf, samples)
+            }
+          }
+          Mp2.Mp2FrameData(bitrateIndex = 14, rateIndex = 2,
+            padding = i % 2 == 1, subs)
+        }
+        val rec = Mp2.demux(Mp2.mux(frames))
+        require(rec.size == n, s"chunk $cid: mp2 frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val alloc = f.subs.filter(_.q > 0)
+          (cid, i.toLong, off, f.frameLen.toLong, f.bodyBits.toLong,
+            alloc.length.toLong,
+            alloc.map(s => Mp2.nsfStored(s.scfsi).toLong).sum,
+            alloc.flatMap(_.sf).map(_.toLong).sum,
+            alloc.flatMap(_.samples).map(_.toLong).sum)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "frame_bytes", "body_bits",
+        "n_alloc", "sf_count", "sf_sum", "code_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p17Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(12, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |sb AS (SELECT chunk_id, i, s.sb,
+      |    (s.sb * 7 + i * 13) % 13 AS q,
+      |    (s.sb + i) % 4 AS scfsi
+      |  FROM f, (SELECT unnest(range(30)) AS sb) s),
+      |sbl AS (SELECT *,
+      |    CASE WHEN q = 0 THEN 0 ELSE
+      |      list_extract([3,5,7,9,15,31,63,127,255,511,1023,2047],
+      |        CAST(q AS INT)) END AS lv,
+      |    CASE WHEN q = 0 THEN 0 WHEN scfsi = 0 THEN 3
+      |         WHEN scfsi = 2 THEN 1 ELSE 2 END AS nsf
+      |  FROM sb),
+      |-- exact §2.4.2.4 bit budget: 4-bit allocation always; allocated
+      |-- subbands add scfsi(2) + 6·nsf + 12 granules of grouped
+      |-- (5/7/10) or 3·log2(L+1) bits
+      |bits AS (SELECT chunk_id, i, sb, q, lv, nsf,
+      |    CASE WHEN q = 0 THEN 4 ELSE 4 + 2 + 6 * nsf +
+      |      12 * (CASE lv WHEN 3 THEN 5 WHEN 5 THEN 7 WHEN 9 THEN 10
+      |            ELSE 3 * CAST(round(log2(lv + 1)) AS BIGINT) END)
+      |    END AS b
+      |  FROM sbl),
+      |sfs AS (SELECT chunk_id, i,
+      |    sum((sb * 3 + i * 5 + p.p * 11) % 63) AS sf_sum
+      |  FROM sbl, (SELECT unnest(range(3)) AS p) p
+      |  WHERE q > 0 AND p.p < nsf GROUP BY 1, 2),
+      |codes AS (SELECT chunk_id, i,
+      |    sum((sb * 5 + g.g * 3 + x.x * 7 + i * 11) % lv) AS code_sum
+      |  FROM sbl, (SELECT unnest(range(12)) AS g) g,
+      |    (SELECT unnest(range(3)) AS x) x
+      |  WHERE q > 0 GROUP BY 1, 2),
+      |agg AS (SELECT chunk_id, i,
+      |    CAST(sum(b) AS BIGINT) AS body_bits,
+      |    CAST(count(*) FILTER (q > 0) AS BIGINT) AS n_alloc,
+      |    CAST(sum(nsf) AS BIGINT) AS sf_count
+      |  FROM bits GROUP BY 1, 2)
+      |SELECT a.chunk_id, CAST(a.i AS BIGINT) AS i,
+      |  -- 384 kbps @ 32 kHz: 1728 B + the alternating padding byte
+      |  CAST(1728 * a.i + a.i // 2 AS BIGINT) AS "offset",
+      |  CAST(1728 + a.i % 2 AS BIGINT) AS frame_bytes,
+      |  a.body_bits, a.n_alloc, a.sf_count,
+      |  CAST(s.sf_sum AS BIGINT) AS sf_sum,
+      |  CAST(k.code_sum AS BIGINT) AS code_sum
+      |FROM agg a
+      |JOIN sfs s ON s.chunk_id = a.chunk_id AND s.i = a.i
+      |JOIN codes k ON k.chunk_id = a.chunk_id AND k.i = a.i
+      |ORDER BY a.chunk_id, a.i""".stripMargin
+
   /** p18: OGG-OPUS CONTINUITY AUDIT — the query a real curation
     * pipeline runs right after p16's index: per logical stream, does
     * the page granule ledger agree with the summed packet durations
@@ -1201,6 +1312,7 @@ object DspQueries {
     Q("p14_gac_bitstream", p14, Some(p14Sql)),
     Q("p15_audio_frame_index", p15, Some(p15Sql)),
     Q("p16_opus_ogg_index", p16, Some(p16Sql)),
+    Q("p17_mp2_subband_decode", p17, Some(p17Sql)),
     Q("p18_opus_continuity", p18, Some(p18Sql)),
   )
 }

@@ -1,0 +1,238 @@
+package graft.sources
+
+import graft.sources.Flac.{BitReader, BitWriter}
+
+/** MPEG-1 Audio Layer II frame codec at the SUBBAND level (ISO/IEC
+  * 11172-3 §2.4; the reference decodes mp2/mp3 through libav,
+  * streamtasks/media/codec.py:50-135) — the decode leg under p15's
+  * frame INDEX: where p15 walks headers, this packs and recovers the
+  * actual subband payload (bit allocation, scfsi scalefactor sharing,
+  * the 6-bit scalefactor indices, and the quantized subband codes
+  * with Layer II's distinctive GROUPING — 3 samples of a 3/5/9-level
+  * quantizer packed radix-style into one 5/7/10-bit code), plus the
+  * 32-subband synthesis MATRIXING stage, integer-exact through p05's
+  * quantized-twiddle trick.
+  *
+  * NORMATIVE here (section in brackets): the header layout with the
+  * Layer II bitrate table {32..384} and frame arithmetic
+  * 144·bitrate/rate + padding [§2.4.2.3, Table 3-B.1]; the body
+  * ORDER — allocation for every subband, then scfsi per allocated
+  * subband, then scalefactors, then GRANULE-MAJOR sample codes
+  * [§2.4.1.6/§2.4.2.4]; scfsi semantics (0→3 stored scalefactors,
+  * 1 and 3→2 shared across the 12-granule thirds, 2→1) [§2.4.2.4];
+  * the 2^n−1 quantization ladder and the radix grouping
+  * c = s0 + L·(s1 + L·s2) for L ∈ {3,5,9} [§2.4.3.3, Table 3-B.4];
+  * the synthesis matrixing V(i) = Σ_k cos((16+i)(2k+1)π/64)·S(k)
+  * [§2.4.3.2].
+  *
+  * Documented STAND-INS/SEAMS (appendix DATA the zero-egress sandbox
+  * has no copy of — the same seam class as Vp8's probability tables):
+  * the per-subband allocation TABLES (3-B.2a..d: which quantizers each
+  * subband may use at each bitrate, with 2/3/4-bit allocation fields)
+  * are replaced by a uniform 4-bit allocation field over sblimit = 30
+  * subbands; the dequantization C/D constants use the midrise formula
+  * (2c + 1 − L)/(L + 1) instead of Table 3-B.4's values; the 512-tap
+  * synthesis WINDOW (Table 3-B.3) is not carried, so the module stops
+  * at the matrixing stage (V vector), which is the integer-expressible
+  * part the p17 oracle and Mp2Spec pin. */
+object Mp2 {
+
+  val Sblimit = 30
+  /** Layer II bitrate table, kbps (Table 3-B.1 column II). */
+  val BitratesL2: Vector[Int] = Vector(0, 32, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 384)
+  val Rates: Vector[Int] = Vector(44100, 48000, 32000)
+  /** Quantization ladder: allocation index q → step count. The 3/5/9
+    * entries are the GROUPED quantizers; the rest are 2^n−1 midrise.
+    * (Capped at 2047 so any all-subbands allocation still fits a
+    * 384 kbps frame — a fixture bound, not a spec one.) */
+  val Levels: Vector[Int] = Vector(0, 3, 5, 7, 9, 15, 31, 63, 127, 255,
+    511, 1023, 2047)
+
+  /** Stored-scalefactor count per scfsi pattern [§2.4.2.4]. */
+  def nsfStored(scfsi: Int): Int = scfsi match {
+    case 0 => 3
+    case 2 => 1
+    case 1 | 3 => 2
+    case other => throw new IllegalArgumentException(s"mp2: scfsi $other")
+  }
+
+  /** Bits for one GRANULE (3 samples) of a q-allocated subband:
+    * grouped 5/7/10 for L ∈ {3,5,9}, else 3·log2(L+1). */
+  def granuleBits(q: Int): Int = Levels(q) match {
+    case 0 => 0
+    case 3 => 5
+    case 5 => 7
+    case 9 => 10
+    case l => 3 * (31 - Integer.numberOfLeadingZeros(l + 1))
+  }
+
+  /** One subband's coded content: allocation index q (0 = silent),
+    * scfsi, the STORED scalefactor indices (length nsfStored(scfsi)),
+    * and 36 sample codes in [0, Levels(q)) — all empty when q == 0. */
+  final case class Mp2Sub(q: Int, scfsi: Int, sf: Array[Int],
+      samples: Array[Int]) {
+    require(q >= 0 && q < Levels.size, s"mp2: allocation $q")
+    if (q == 0) require(sf.isEmpty && samples.isEmpty,
+      "mp2: silent subband with payload")
+    else {
+      require(scfsi >= 0 && scfsi <= 3, s"mp2: scfsi $scfsi")
+      require(sf.length == nsfStored(scfsi),
+        s"mp2: ${sf.length} scalefactors for scfsi $scfsi")
+      require(sf.forall(v => v >= 0 && v < 63), "mp2: scalefactor index")
+      require(samples.length == 36, s"mp2: ${samples.length} samples")
+      require(samples.forall(s => s >= 0 && s < Levels(q)),
+        s"mp2: sample code beyond ${Levels(q)} levels")
+    }
+  }
+
+  final case class Mp2FrameData(bitrateIndex: Int, rateIndex: Int,
+      padding: Boolean, subs: Array[Mp2Sub]) {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, "mp2: bitrate index")
+    require(rateIndex >= 0 && rateIndex <= 2, "mp2: rate index")
+    require(subs.length == Sblimit, s"mp2: ${subs.length} subbands")
+    def frameLen: Int =
+      144 * BitratesL2(bitrateIndex) * 1000 / Rates(rateIndex) +
+        (if (padding) 1 else 0)
+    def bodyBits: Int = subs.map(s => 4 + (if (s.q == 0) 0
+      else 2 + 6 * nsfStored(s.scfsi) + 12 * granuleBits(s.q))).sum
+  }
+
+  def mux(frames: Seq[Mp2FrameData]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(4 + (f.bodyBits + 7) / 8 <= f.frameLen,
+        s"mp2: body ${f.bodyBits} bits overruns the ${f.frameLen}-byte " +
+          "frame — lower the allocations or raise the bitrate index")
+      // header: sync(11) version 11 layer 10 protection 1 |
+      // bitrate(4) rate(2) pad(1) priv(1) | mode 11 (mono) + zeros
+      out.write(0xFF); out.write(0xFD)
+      out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+        (if (f.padding) 2 else 0))
+      out.write(0xC0)
+      val w = new BitWriter
+      f.subs.foreach(s => w.writeBits(s.q.toLong, 4))
+      f.subs.foreach(s => if (s.q > 0) w.writeBits(s.scfsi.toLong, 2))
+      f.subs.foreach(s => if (s.q > 0)
+        s.sf.foreach(v => w.writeBits(v.toLong, 6)))
+      var g = 0
+      while (g < 12) { // granule-major, §2.4.2.4's sample order
+        f.subs.foreach { s =>
+          if (s.q > 0) {
+            val l = Levels(s.q)
+            val (s0, s1, s2) =
+              (s.samples(3 * g), s.samples(3 * g + 1), s.samples(3 * g + 2))
+            if (l == 3 || l == 5 || l == 9)
+              w.writeBits((s0 + l * (s1 + l * s2)).toLong, granuleBits(s.q))
+            else {
+              val nb = granuleBits(s.q) / 3
+              w.writeBits(s0.toLong, nb)
+              w.writeBits(s1.toLong, nb)
+              w.writeBits(s2.toLong, nb)
+            }
+          }
+        }
+        g += 1
+      }
+      val body = w.toBytes
+      out.write(body, 0, body.length)
+      var stuff = f.frameLen - 4 - body.length
+      while (stuff > 0) { out.write(0); stuff -= 1 } // byte stuffing
+    }
+    out.toByteArray
+  }
+
+  /** Walk a Layer II stream back: offsets + full subband recovery.
+    * Every header field, allocation, code range and frame boundary is
+    * validated loudly. */
+  def demux(bytes: Array[Byte]): Seq[(Long, Mp2FrameData)] = {
+    val out = Seq.newBuilder[(Long, Mp2FrameData)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, s"mp2: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xff) == 0xFD,
+        s"mp2: lost sync at $pos (MPEG-1 Layer II no-CRC expected)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp2: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp2: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      require((bytes(pos + 3) & 0xc0) == 0xc0, s"mp2: not mono at $pos")
+      val fl = 144 * BitratesL2(bi) * 1000 / Rates(ri) + (if (pad) 1 else 0)
+      require(pos + fl <= bytes.length,
+        s"mp2: frame length $fl overruns the stream at $pos")
+      val r = new BitReader(bytes, pos + 4, pos + fl)
+      val qs = Array.fill(Sblimit)(r.readBits(4).toInt)
+      qs.foreach(q => require(q < Levels.size,
+        s"mp2: allocation $q beyond the ladder at $pos"))
+      val scfsis = qs.map(q => if (q > 0) r.readBits(2).toInt else 0)
+      val sfs = qs.indices.map { sb =>
+        if (qs(sb) > 0)
+          Array.fill(nsfStored(scfsis(sb)))(r.readBits(6).toInt)
+        else Array.empty[Int]
+      }
+      val samples = qs.map(q => if (q > 0) new Array[Int](36)
+        else Array.empty[Int])
+      var g = 0
+      while (g < 12) {
+        var sb = 0
+        while (sb < Sblimit) {
+          val q = qs(sb)
+          if (q > 0) {
+            val l = Levels(q)
+            if (l == 3 || l == 5 || l == 9) {
+              var c = r.readBits(granuleBits(q)).toInt
+              require(c < l * l * l,
+                s"mp2: grouped code $c beyond $l^3 at $pos")
+              samples(sb)(3 * g) = c % l; c /= l
+              samples(sb)(3 * g + 1) = c % l
+              samples(sb)(3 * g + 2) = c / l
+            } else {
+              val nb = granuleBits(q) / 3
+              var x = 0
+              while (x < 3) {
+                val c = r.readBits(nb).toInt
+                require(c < l, s"mp2: code $c beyond $l levels at $pos")
+                samples(sb)(3 * g + x) = c
+                x += 1
+              }
+            }
+          }
+          sb += 1
+        }
+        g += 1
+      }
+      val subs = qs.indices.map(sb => Mp2Sub(qs(sb),
+        if (qs(sb) > 0) scfsis(sb) else 0, sfs(sb), samples(sb))).toArray
+      out += ((pos.toLong, Mp2FrameData(bi, ri, pad, subs)))
+      pos += fl
+    }
+    out.result()
+  }
+
+  // ---- synthesis matrixing [§2.4.3.2] ----------------------------------------
+
+  /** Q14-quantized matrixing coefficients (p05's quantized-twiddle
+    * trick: the cosine bank becomes integer-exact and replayable). */
+  val Matrix: Array[Array[Int]] = Array.tabulate(64, 32)((i, k) =>
+    math.round(16384.0 *
+      math.cos((16 + i) * (2 * k + 1) * math.Pi / 64)).toInt)
+
+  /** V(i) = Σ_k N(i,k)·S(k): 32 subband samples → the 64-entry V
+    * vector (the windowing stage needs Table 3-B.3, see module doc). */
+  def matrixing(s: Array[Int]): Array[Long] = {
+    require(s.length == 32, s"mp2: ${s.length} subband samples")
+    Array.tabulate(64) { i =>
+      var acc = 0L
+      var k = 0
+      while (k < 32) { acc += Matrix(i)(k).toLong * s(k); k += 1 }
+      acc
+    }
+  }
+
+  /** Midrise code→fraction convention (the spec's C/D constants are
+    * Table 3-B.4 data — see module doc): (2c + 1 − L)/(L + 1). */
+  def dequant(code: Int, levels: Int): Double =
+    (2.0 * code + 1.0 - levels) / (levels + 1.0)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.sources.Mp2
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layer II subband codec properties: the bitstream layer is a
+  * bijection (mux ∘ demux = id over random allocations, scfsi
+  * patterns, scalefactors and codes — including every grouped
+  * quantizer), the bit budget matches the §2.4.2.4 accounting the p17
+  * oracle replays, corruption fails loudly, and the synthesis
+  * matrixing is the exact integer cosine bank (impulse responses and
+  * linearity against independently computed values). */
+class Mp2Spec extends AnyFunSuite {
+
+  private def check[A](gen: Gen[A], trials: Int)(p: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(11172L)
+    (0 until trials).foreach { _ =>
+      p(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  private val subGen: Gen[Mp2.Mp2Sub] = for {
+    q <- Gen.frequency((1, Gen.const(0)), (4, Gen.choose(1, 12)))
+    scfsi <- Gen.choose(0, 3)
+    sf <- Gen.listOfN(3, Gen.choose(0, 62))
+    codes <- Gen.listOfN(36, Gen.choose(0, Int.MaxValue))
+  } yield {
+    if (q == 0) Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)
+    else Mp2.Mp2Sub(q, scfsi, sf.take(Mp2.nsfStored(scfsi)).toArray,
+      codes.map(_ % Mp2.Levels(q)).toArray)
+  }
+
+  private val frameGen: Gen[Mp2.Mp2FrameData] = for {
+    bi <- Gen.choose(10, 14)
+    ri <- Gen.choose(0, 2)
+    pad <- Gen.oneOf(true, false)
+    subs <- Gen.listOfN(Mp2.Sblimit, subGen)
+  } yield {
+    val f = Mp2.Mp2FrameData(bi, ri, pad, subs.toArray)
+    // a random heavy allocation can outgrow a random small frame — a
+    // real encoder picks the bitrate for its allocation, so fall back
+    // to the largest frame (384 kbps @ 32 kHz fits the worst case)
+    if (4 + (f.bodyBits + 7) / 8 <= f.frameLen) f
+    else Mp2.Mp2FrameData(14, 2, pad, subs.toArray)
+  }
+
+  test("mux ∘ demux = id over random frames: every allocation, scfsi " +
+      "pattern, scalefactor and code (grouped 3/5/9 included) recovers " +
+      "exactly, with the arithmetic frame offsets") {
+    check(Gen.listOfN(4, frameGen), 25) { frames =>
+      val bytes = Mp2.mux(frames)
+      val rec = Mp2.demux(bytes)
+      assert(rec.size == frames.size)
+      var off = 0L
+      rec.zip(frames).zipWithIndex.foreach { case (((gotOff, got), want), i) =>
+        assert(gotOff == off, s"frame $i offset")
+        off += want.frameLen
+        assert(got.bitrateIndex == want.bitrateIndex &&
+          got.rateIndex == want.rateIndex && got.padding == want.padding)
+        got.subs.zip(want.subs).zipWithIndex.foreach { case ((g, w), sb) =>
+          assert(g.q == w.q, s"frame $i sb $sb alloc")
+          if (w.q > 0) {
+            assert(g.scfsi == w.scfsi, s"frame $i sb $sb scfsi")
+            assert(g.sf.sameElements(w.sf), s"frame $i sb $sb sf")
+            assert(g.samples.sameElements(w.samples), s"frame $i sb $sb codes")
+          }
+        }
+      }
+      assert(bytes.length == off, "stream length == summed frame lengths")
+    }
+  }
+
+  test("bit budget matches the oracle's accounting: grouped quantizers " +
+      "cost 5/7/10 bits per triplet, midrise 3·log2(L+1)") {
+    assert(Mp2.granuleBits(1) == 5)   // L=3
+    assert(Mp2.granuleBits(2) == 7)   // L=5
+    assert(Mp2.granuleBits(4) == 10)  // L=9
+    assert(Mp2.granuleBits(3) == 9)   // L=7: 3x3
+    assert(Mp2.granuleBits(5) == 12)  // L=15: 3x4
+    assert(Mp2.granuleBits(12) == 33) // L=2047: 3x11
+    // body must always fit the declared frame at the fixture bitrate
+    val worst = Mp2.Mp2FrameData(14, 2, padding = false,
+      Array.fill(Mp2.Sblimit)(Mp2.Mp2Sub(12, 0,
+        Array(62, 62, 62), Array.fill(36)(2046))))
+    assert(4 + (worst.bodyBits + 7) / 8 <= worst.frameLen)
+    assert(Mp2.demux(Mp2.mux(Seq(worst))).head._2.subs(29).samples(35) == 2046)
+  }
+
+  test("corruption fails loudly: lost sync, stereo mode bits, grouped " +
+      "code beyond L^3, reserved rate, truncation") {
+    val f = Mp2.Mp2FrameData(14, 2, padding = false,
+      Array.tabulate(Mp2.Sblimit)(sb =>
+        if (sb % 3 == 0) Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)
+        else Mp2.Mp2Sub(1 + sb % 12, sb % 4,
+          Array.fill(Mp2.nsfStored(sb % 4))(sb % 63),
+          Array.tabulate(36)(g => g % Mp2.Levels(1 + sb % 12)))))
+    val ok = Mp2.mux(Seq(f))
+    assert(Mp2.demux(ok).size == 1)
+    val sync = ok.clone(); sync(0) = 0x7F
+    intercept[IllegalArgumentException] { Mp2.demux(sync) }
+    val mode = ok.clone(); mode(3) = 0x00 // stereo
+    intercept[IllegalArgumentException] { Mp2.demux(mode) }
+    val rate = ok.clone(); rate(2) = (rate(2) | 0x0c).toByte // reserved
+    intercept[IllegalArgumentException] { Mp2.demux(rate) }
+    intercept[IllegalArgumentException] { Mp2.demux(ok.take(100)) }
+    // a grouped code >= L^3: subband with q=1 (L=3, max triplet 26);
+    // find the first allocated subband's first granule and force 31
+    intercept[IllegalArgumentException] {
+      val g = Mp2.Mp2FrameData(14, 2, padding = false,
+        Array.tabulate(Mp2.Sblimit)(sb =>
+          if (sb == 0) Mp2.Mp2Sub(1, 2, Array(5), Array.fill(36)(2))
+          else Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)))
+      val bytes = Mp2.mux(Seq(g))
+      // body starts at byte 4: 30x4 alloc bits = 15 B, scfsi 2 + sf 6
+      // = 1 B -> granule codes start at byte 4+16; first 5-bit code
+      // sits in the top bits: force 11111
+      bytes(20) = (bytes(20) | 0xf8).toByte
+      Mp2.demux(bytes)
+    }
+  }
+
+  test("synthesis matrixing is the exact integer cosine bank: impulse " +
+      "response equals the Q14 coefficient column, and the map is linear") {
+    for (k0 <- Seq(0, 7, 31); amp <- Seq(1, -3, 1000)) {
+      val s = new Array[Int](32); s(k0) = amp
+      val v = Mp2.matrixing(s)
+      (0 until 64).foreach { i =>
+        val want = math.round(16384.0 *
+          math.cos((16 + i) * (2 * k0 + 1) * math.Pi / 64)) * amp
+        assert(v(i) == want, s"V($i) impulse k=$k0 amp=$amp")
+      }
+    }
+    val rnd = new scala.util.Random(3)
+    val a = Array.fill(32)(rnd.nextInt(4001) - 2000)
+    val b = Array.fill(32)(rnd.nextInt(4001) - 2000)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val va = Mp2.matrixing(a); val vb = Mp2.matrixing(b)
+    Mp2.matrixing(sum).zipWithIndex.foreach { case (v, i) =>
+      assert(v == va(i) + vb(i), s"linearity V($i)")
+    }
+  }
+
+  test("dequant convention: midrise codes map symmetrically into " +
+      "(-1, 1) and the extremes straddle zero") {
+    for (l <- Seq(3, 5, 9, 15, 2047)) {
+      assert(math.abs(Mp2.dequant(l / 2, l)) < 1e-12, s"center of $l")
+      assert(Mp2.dequant(0, l) < 0 && Mp2.dequant(l - 1, l) > 0)
+      assert(Mp2.dequant(0, l) == -Mp2.dequant(l - 1, l), s"symmetry $l")
+      assert(Mp2.dequant(l - 1, l) < 1.0)
+    }
+  }
+}
