@@ -48,11 +48,20 @@ import scala.collection.mutable.ArrayBuffer
   *  frames' headers — m38/m39 already index them), but payload decode
   *  of libvpx-encoded files needs the appendix constants dropped in.
   *
-  * Subset boundaries, all failing loudly: 16×16 intra modes only
-  * (B_PRED's per-4×4 submodes rejected), segmentation/lf-delta/skip
-  * flags must be 0, loop_filter_level must be 0 (§15 is the identity
-  * at level 0), one DCT partition, dimensions must be multiples of 16
-  * (real VP8 pads to macroblocks and crops at display).
+  * KEY-FRAME mode coverage is complete: the four 16×16 modes AND
+  * B_PRED with all ten 4×4 submodes [§11.4/§12.3] — submodes coded
+  * against (above, left) neighbor-submode contexts (whole-MB
+  * neighbors entering as their §11.4 equivalents), no Y2 block, Y
+  * blocks carrying their own DC as type 3, and per-subblock
+  * reconstruction interleaved with prediction in raster order. The
+  * half-step submode cell maps (VR/VL/HD/HU) and the 10×10×9 submode
+  * probability values join the stand-in list above.
+  *
+  * Subset boundaries, all failing loudly: inter frames,
+  * segmentation/lf-delta/skip flags must be 0, loop_filter_level must
+  * be 0 (§15 is the identity at level 0), one DCT partition,
+  * dimensions must be multiples of 16 (real VP8 pads to macroblocks
+  * and crops at display).
   */
 object Vp8 {
 
@@ -69,6 +78,40 @@ object Vp8 {
   private val UvModeTree = Array(-(DcPred + 1), 2, -(VPred + 1), 4,
     -(HPred + 1), -(TmPred + 1))
   private val KfUvModeProb = Array(142, 114, 183)
+
+  // ---- B_PRED 4×4 submodes [§11.4, §12.3] ------------------------------------
+
+  val BDc = 0; val BTm = 1; val BVe = 2; val BHe = 3; val BLd = 4
+  val BRd = 5; val BVr = 6; val BVl = 7; val BHd = 8; val BHu = 9
+
+  /** bmode_tree [§11.4 shape]: 10 submodes, 9 internal nodes — the 9
+    * probabilities per (above, left) context cell below. */
+  private val BmodeTree = Array(
+    -(BDc + 1), 2,
+    -(BTm + 1), 4,
+    -(BVe + 1), 6,
+    8, 12,
+    -(BHe + 1), 10,
+    -(BRd + 1), -(BVr + 1),
+    -(BLd + 1), 14,
+    -(BVl + 1), 16,
+    -(BHd + 1), -(BHu + 1))
+
+  /** STAND-IN kf_bmode_probs[above][left][9] (the RFC's 10×10×9
+    * appendix table — same seam as CoeffProbs; both sides share). */
+  private[graft] val KfBmodeProb: Array[Array[Array[Int]]] =
+    Array.tabulate(10, 10, 9)((a, l, n) =>
+      1 + ((a * 31 + l * 17 + n * 13 + 7) * 41) % 254)
+
+  /** Submode-context equivalent of a 16×16 mode [§11.4]: neighbors
+    * coded with whole-MB modes enter the context as these. */
+  private def subEquiv(yMode: Int): Int = yMode match {
+    case DcPred => BDc
+    case VPred  => BVe
+    case HPred  => BHe
+    case TmPred => BTm
+    case m => throw new IllegalArgumentException(s"vp8: subEquiv($m)")
+  }
 
   // ---- coefficient tokens [§13.2] --------------------------------------------
 
@@ -328,16 +371,24 @@ object Vp8 {
 
   /** One macroblock's coded content. Coefficient arrays are quantized
     * LEVELS in ZIGZAG SCAN order (the coder's native order); `y` is 16
-    * subblocks in raster order whose scan position 0 is IGNORED (the
-    * DC travels through `y2`), `u`/`v` are 4 subblocks each. */
+    * subblocks in raster order. For 16×16 modes, each Y block's scan
+    * position 0 is IGNORED (the DC travels through `y2`); for B_PRED
+    * there is NO Y2 block (y2 must be all-zero), Y blocks carry their
+    * own DC, and `bModes` gives the 16 per-subblock intra modes. */
   final case class MbCoding(yMode: Int, uvMode: Int,
       y2: Array[Int], y: Array[Array[Int]],
-      u: Array[Array[Int]], v: Array[Array[Int]]) {
-    require(yMode >= 0 && yMode <= TmPred,
-      s"vp8: yMode $yMode (B_PRED and inter are out of scope)")
+      u: Array[Array[Int]], v: Array[Array[Int]],
+      bModes: Array[Int] = Array.empty) {
+    require(yMode >= 0 && yMode <= BPred,
+      s"vp8: yMode $yMode (inter modes are out of scope)")
     require(uvMode >= 0 && uvMode <= TmPred, s"vp8: uvMode $uvMode")
     require(y2.length == 16 && y.length == 16 && u.length == 4 &&
       v.length == 4, "vp8: block shape")
+    if (yMode == BPred) {
+      require(bModes.length == 16 && bModes.forall(m => m >= 0 && m <= BHu),
+        "vp8: B_PRED needs 16 valid submodes")
+      require(y2.forall(_ == 0), "vp8: B_PRED macroblocks have no Y2 block")
+    } else require(bModes.isEmpty, "vp8: submodes without B_PRED")
     require((y2.iterator ++ y.iterator.flatten ++ u.iterator.flatten ++
       v.iterator.flatten).forall(l => math.abs(l) <= MaxLevel),
       s"vp8: coefficient level beyond cat6's $MaxLevel")
@@ -520,6 +571,104 @@ object Vp8 {
     }
   }
 
+  /** 4×4 subblock predictor [§12.3]. Edge samples come from the RECON
+    * plane in raster decode order with the 127/129 synthetic frame
+    * edges of [[predict]]; the four above-right samples are real when
+    * raster order has already reconstructed them (previous MB row, or
+    * the row above within this MB) and replicate A3 otherwise. The
+    * half-step modes (VR/VL/HD/HU) implement the §12.3 avg2/avg3
+    * lattices as coded here — their exact cell maps are appendix
+    * detail this sandbox cannot re-verify, so Vp8Spec hash-pins the
+    * implemented lattice (the codec is self-consistent regardless,
+    * and the straight modes DC/TM/VE/HE/LD/RD are the normative
+    * averages). */
+  private def predict4(plane: Array[Int], stride: Int, width: Int,
+      px: Int, py: Int, mode: Int, pred: Array[Int]): Unit = {
+    val hasAbove = py > 0
+    val hasLeft = px > 0
+    // e(i) = the RD/VR/HD edge run [L3, L2, L1, L0, AL, A0..A3];
+    // a(i) = A(i-1) for i in 0..8 (above-left, above, above-right)
+    val a = new Array[Int](9)
+    var i = -1
+    while (i <= 7) {
+      val x = px + i
+      a(i + 1) =
+        if (!hasAbove) 127
+        else if (x < 0) 129
+        else if (x < width && (i <= 3 || py % 16 == 0 || x / 16 == px / 16))
+          plane((py - 1) * stride + x)
+        else a(4) // replicate A3 where raster order hasn't reached
+      i += 1
+    }
+    val l = Array.tabulate(4)(r =>
+      if (hasLeft) plane((py + r) * stride + px - 1) else 129)
+    val e = Array(l(3), l(2), l(1), l(0), a(0), a(1), a(2), a(3), a(4))
+    def avg2(x: Int, y: Int): Int = (x + y + 1) >> 1
+    def avg3(x: Int, y: Int, z: Int): Int = (x + 2 * y + z + 2) >> 2
+    def set(r: Int, c: Int, v: Int): Unit = pred(r * 4 + c) = v
+    mode match {
+      case BDc =>
+        val dc = (a(1) + a(2) + a(3) + a(4) + l(0) + l(1) + l(2) + l(3)
+          + 4) >> 3
+        java.util.Arrays.fill(pred, 0, 16, dc)
+      case BTm =>
+        for (r <- 0 until 4; c <- 0 until 4)
+          set(r, c, math.max(0, math.min(255, l(r) + a(c + 1) - a(0))))
+      case BVe =>
+        for (r <- 0 until 4; c <- 0 until 4)
+          set(r, c, avg3(a(c), a(c + 1), a(c + 2)))
+      case BHe =>
+        val rows = Array(avg3(a(0), l(0), l(1)), avg3(l(0), l(1), l(2)),
+          avg3(l(1), l(2), l(3)), avg3(l(2), l(3), l(3)))
+        for (r <- 0 until 4; c <- 0 until 4) set(r, c, rows(r))
+      case BLd =>
+        for (r <- 0 until 4; c <- 0 until 4) {
+          val i2 = r + c
+          set(r, c, if (i2 < 6) avg3(a(i2 + 1), a(i2 + 2), a(i2 + 3))
+            else avg3(a(7), a(8), a(8)))
+        }
+      case BRd =>
+        for (r <- 0 until 4; c <- 0 until 4) {
+          val o = 4 + c - r
+          set(r, c, avg3(e(o - 1), e(o), e(o + 1)))
+        }
+      case BVr =>
+        for (c <- 0 until 4) {
+          set(0, c, avg2(e(4 + c), e(5 + c)))
+          set(1, c, avg3(e(3 + c), e(4 + c), e(5 + c)))
+        }
+        set(2, 0, avg3(e(2), e(3), e(4)))
+        set(3, 0, avg3(e(1), e(2), e(3)))
+        for (c <- 1 until 4) {
+          set(2, c, pred(0 * 4 + c - 1)); set(3, c, pred(1 * 4 + c - 1))
+        }
+      case BVl =>
+        for (c <- 0 until 4) {
+          set(0, c, avg2(a(c + 1), a(c + 2)))
+          set(1, c, avg3(a(c + 1), a(c + 2), a(c + 3)))
+          set(2, c, avg2(a(c + 2), a(c + 3)))
+          set(3, c, avg3(a(c + 2), a(c + 3), a(math.min(8, c + 4))))
+        }
+      case BHd =>
+        for (r <- 0 until 4) {
+          set(r, 0, avg2(e(3 - r), e(4 - r)))
+          set(r, 1, avg3(e(3 - r), e(4 - r), e(5 - r)))
+        }
+        set(0, 2, avg3(e(4), e(5), e(6))); set(0, 3, avg3(e(5), e(6), e(7)))
+        for (r <- 1 until 4; c <- 2 until 4)
+          set(r, c, pred((r - 1) * 4 + c - 2))
+      case BHu =>
+        set(0, 0, avg2(l(0), l(1))); set(0, 1, avg3(l(0), l(1), l(2)))
+        set(0, 2, avg2(l(1), l(2))); set(0, 3, avg3(l(1), l(2), l(3)))
+        set(1, 0, pred(2)); set(1, 1, pred(3))
+        set(1, 2, avg2(l(2), l(3))); set(1, 3, avg3(l(2), l(3), l(3)))
+        set(2, 0, pred(6)); set(2, 1, pred(7))
+        set(2, 2, l(3)); set(2, 3, l(3))
+        for (c <- 0 until 4) set(3, c, l(3))
+      case m => throw new IllegalArgumentException(s"vp8: submode $m")
+    }
+  }
+
   /** Dequantize scan-order levels into a raster coefficient block. */
   private def dequantToRaster(levels: Array[Int], dcFac: Int, acFac: Int,
       dcOverride: Option[Int]): Array[Int] = {
@@ -576,9 +725,40 @@ object Vp8 {
       h.bool(0, CoeffUpdateProb); t += 1
     }
     h.literal(0, 1) // mb_no_coeff_skip: off → every MB codes its tokens
-    f.mbs.foreach { mb =>
-      h.tree(KfYmodeTree, KfYmodeProb, mb.yMode)
-      h.tree(UvModeTree, KfUvModeProb, mb.uvMode)
+    // per-MB modes with the submode context grid [§11.4]: B_PRED
+    // submodes are coded against (above, left) neighbor submodes;
+    // whole-MB neighbors enter as their subEquiv
+    val aboveSub = Array.fill(4 * mbCols)(BDc)
+    val leftSub = new Array[Int](4)
+    var mr0 = 0
+    while (mr0 < mbRows) {
+      java.util.Arrays.fill(leftSub, BDc)
+      var mc0 = 0
+      while (mc0 < mbCols) {
+        val mb = f.mbs(mr0 * mbCols + mc0)
+        h.tree(KfYmodeTree, KfYmodeProb, mb.yMode)
+        if (mb.yMode == BPred) {
+          var by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val m = mb.bModes(by * 4 + bx)
+              h.tree(BmodeTree,
+                KfBmodeProb(aboveSub(mc0 * 4 + bx))(leftSub(by)), m)
+              aboveSub(mc0 * 4 + bx) = m; leftSub(by) = m
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          val eq = subEquiv(mb.yMode)
+          var k = 0
+          while (k < 4) { aboveSub(mc0 * 4 + k) = eq; leftSub(k) = eq; k += 1 }
+        }
+        h.tree(UvModeTree, KfUvModeProb, mb.uvMode)
+        mc0 += 1
+      }
+      mr0 += 1
     }
     val part1 = h.stop()
 
@@ -591,18 +771,24 @@ object Vp8 {
       var mc = 0
       while (mc < mbCols) {
         val mb = f.mbs(mr * mbCols + mc)
-        // Y2 (block type 1): one flag per MB
-        val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-        val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2)
-        nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
-        // 16 Y blocks (type 0, first coeff 1)
+        val isB = mb.yMode == BPred
+        if (!isB) {
+          // Y2 (block type 1): one flag per MB; a B_PRED MB has no Y2
+          // and leaves the Y2 context plane untouched [§13.4]
+          val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
+          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2)
+          nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+        }
+        // 16 Y blocks: type 0 starting at coeff 1 under a Y2 block,
+        // type 3 with their own DC under B_PRED
+        val (yType, yFirst) = if (isB) (3, 0) else (0, 1)
         var by = 0
         while (by < 4) {
           var bx = 0
           while (bx < 4) {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
-            val bNz = encodeBlock(e, 0, 1, ctx, mb.y(by * 4 + bx))
+            val bNz = encodeBlock(e, yType, yFirst, ctx, mb.y(by * 4 + bx))
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
           }
@@ -674,11 +860,39 @@ object Vp8 {
       t += 1
     }
     require(h.literal(1) == 0, "vp8: mb_no_coeff_skip out of scope")
-    val modes = Vector.tabulate(mbRows * mbCols) { _ =>
-      val ym = h.tree(KfYmodeTree, KfYmodeProb)
-      require(ym != BPred, "vp8: B_PRED (4x4 submodes) out of scope")
-      val uvm = h.tree(UvModeTree, KfUvModeProb)
-      (ym, uvm)
+    val modes = {
+      val out = Vector.newBuilder[(Int, Int, Array[Int])]
+      val aboveSub = Array.fill(4 * mbCols)(BDc)
+      val leftSub = new Array[Int](4)
+      var mr0 = 0
+      while (mr0 < mbRows) {
+        java.util.Arrays.fill(leftSub, BDc)
+        var mc0 = 0
+        while (mc0 < mbCols) {
+          val ym = h.tree(KfYmodeTree, KfYmodeProb)
+          val bms =
+            if (ym == BPred) Array.tabulate(16) { k =>
+              val (by, bx) = (k / 4, k % 4)
+              val m = h.tree(BmodeTree,
+                KfBmodeProb(aboveSub(mc0 * 4 + bx))(leftSub(by)))
+              aboveSub(mc0 * 4 + bx) = m; leftSub(by) = m
+              m
+            }
+            else {
+              val eq = subEquiv(ym)
+              var k = 0
+              while (k < 4) {
+                aboveSub(mc0 * 4 + k) = eq; leftSub(k) = eq; k += 1
+              }
+              Array.empty[Int]
+            }
+          val uvm = h.tree(UvModeTree, KfUvModeProb)
+          out += ((ym, uvm, bms))
+          mc0 += 1
+        }
+        mr0 += 1
+      }
+      out.result()
     }
 
     val d = new BoolDecoder(payload, p1End, payload.length)
@@ -695,11 +909,20 @@ object Vp8 {
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
-        val (ym, uvm) = modes(mr * mbCols + mc)
-        // ---- tokens
-        val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-        val (y2L, y2Nz) = decodeBlock(d, 1, 0, y2Ctx)
-        nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+        val (ym, uvm, bms) = modes(mr * mbCols + mc)
+        val isB = ym == BPred
+        // ---- tokens (a B_PRED MB has no Y2 block and leaves the Y2
+        // context plane untouched [§13.4])
+        val y2L =
+          if (isB) new Array[Int](16)
+          else {
+            val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
+              (if (nz.leftY2) 1 else 0)
+            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx)
+            nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+            lv
+          }
+        val (yType, yFirst) = if (isB) (3, 0) else (0, 1)
         val yL = new Array[Array[Int]](16)
         var by = 0
         while (by < 4) {
@@ -707,7 +930,7 @@ object Vp8 {
           while (bx < 4) {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
-            val (lv, bNz) = decodeBlock(d, 0, 1, ctx)
+            val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx)
             yL(by * 4 + bx) = lv
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
@@ -734,40 +957,71 @@ object Vp8 {
         }
         val uL = chroma(nz.aboveU, nz.leftU)
         val vL = chroma(nz.aboveV, nz.leftV)
-        mbsOut += MbCoding(ym, uvm, y2L, yL, uL, vL)
+        mbsOut += MbCoding(ym, uvm, y2L, yL, uL, vL, bms)
 
-        // ---- reconstruction: whole-MB prediction, then per-subblock
-        // residuals (the 16×16-mode order; B_PRED would interleave)
-        predict(yP, width, mc * 16, mr * 16, 16, ym, pred16)
-        var yy = 0
-        while (yy < 16) {
-          var xx = 0
-          while (xx < 16) {
-            yP((mr * 16 + yy) * width + mc * 16 + xx) = pred16(yy * 16 + xx)
-            xx += 1
+        // ---- reconstruction
+        if (isB) {
+          // B_PRED interleaves: each 4×4 block predicts from pixels the
+          // raster walk ALREADY reconstructed (including this MB's own
+          // earlier subblocks), then adds its own-DC residual (type 3)
+          val p4 = new Array[Int](16)
+          by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val px = mc * 16 + bx * 4
+              val py = mr * 16 + by * 4
+              predict4(yP, width, width, px, py, bms(by * 4 + bx), p4)
+              val res = idct4x4(dequantToRaster(yL(by * 4 + bx),
+                dq.ydc, dq.yac, None))
+              var yy = 0
+              while (yy < 4) {
+                var xx = 0
+                while (xx < 4) {
+                  yP((py + yy) * width + px + xx) = math.max(0,
+                    math.min(255, p4(yy * 4 + xx) + res(yy * 4 + xx)))
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
           }
-          yy += 1
-        }
-        // Y2: dequant levels, inverse WHT → the 16 Y DCs (already in
-        // the dequantized domain, no further scaling [§14.3])
-        val y2Coef = new Array[Int](16)
-        var s = 0
-        while (s < 16) {
-          y2Coef(Zigzag(s)) = y2L(s) * (if (s == 0) dq.y2dc else dq.y2ac)
-          s += 1
-        }
-        val dcs = iwalsh4x4(y2Coef)
-        by = 0
-        while (by < 4) {
-          var bx = 0
-          while (bx < 4) {
-            val raster = dequantToRaster(yL(by * 4 + bx), dq.ydc, dq.yac,
-              Some(dcs(by * 4 + bx)))
-            addResidual(yP, width, mc * 16 + bx * 4, mr * 16 + by * 4,
-              idct4x4(raster))
-            bx += 1
+        } else {
+          // 16×16 modes: whole-MB prediction, then per-subblock
+          // residuals with the Y2-carried DCs
+          predict(yP, width, mc * 16, mr * 16, 16, ym, pred16)
+          var yy = 0
+          while (yy < 16) {
+            var xx = 0
+            while (xx < 16) {
+              yP((mr * 16 + yy) * width + mc * 16 + xx) = pred16(yy * 16 + xx)
+              xx += 1
+            }
+            yy += 1
           }
-          by += 1
+          // Y2: dequant levels, inverse WHT → the 16 Y DCs (already in
+          // the dequantized domain, no further scaling [§14.3])
+          val y2Coef = new Array[Int](16)
+          var s = 0
+          while (s < 16) {
+            y2Coef(Zigzag(s)) = y2L(s) * (if (s == 0) dq.y2dc else dq.y2ac)
+            s += 1
+          }
+          val dcs = iwalsh4x4(y2Coef)
+          by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val raster = dequantToRaster(yL(by * 4 + bx), dq.ydc, dq.yac,
+                Some(dcs(by * 4 + bx)))
+              addResidual(yP, width, mc * 16 + bx * 4, mr * 16 + by * 4,
+                idct4x4(raster))
+              bx += 1
+            }
+            by += 1
+          }
         }
         def chromaRecon(plane: Array[Int], blocks: Array[Array[Int]]): Unit = {
           val cs = width / 2

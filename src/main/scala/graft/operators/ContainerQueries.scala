@@ -2050,6 +2050,95 @@ object ContainerQueries {
     }
   }
 
+  /** m41: VP8 B_PRED (4×4 intra) DECODE — the keyframe mode space m40
+    * left out, completing RFC 6386 §11.4/§12.3 coverage: per-subblock
+    * modes coded against (above, left) neighbor-submode contexts, NO
+    * Y2 block (Y blocks carry their own DC as token type 3), and
+    * reconstruction INTERLEAVED with prediction in raster order (each
+    * 4×4 block predicts from pixels its predecessors just wrote — the
+    * data dependence 16×16 modes don't have). Fixture: all-B_PRED
+    * frames, every submode B_TM, one own-DC level v ∈ {0,1,2} per 4×4
+    * block. TM telescopes over uniform blocks — pred = L + A − AL
+    * cancels the shared corner — so the reconstruction is EXACTLY
+    * 129 + the 2-D prefix sum of the per-block residuals
+    * r = (4v+4)>>3 ∈ {0,1,1} at qindex 0 (bounded by 129+64, no
+    * clamping), and the oracle replays the md5 draw plus the closed
+    * form luma = 16·(64·129 + Σ r·(8−j)·(8−c)). The general submode
+    * space (all ten 4×4 predictors, random levels, context-coded
+    * trees) is pinned by Vp8Spec properties. Scale: the m40 envelope. */
+  private[operators] object Vp8BpredKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      (0 until n).iterator.map { t =>
+        // v per 4x4 block (j, c in the frame's 8x8 subblock grid)
+        def vOf(j: Int, c: Int): Int = hexbyte(s"vp8b${k}_${t}_${j}_${c}") % 3
+        val mbs = Vector.tabulate(4) { mi =>
+          val (mj, mc) = (mi / 2, mi % 2)
+          val y = Array.tabulate(16) { b =>
+            val blk = new Array[Int](16)
+            blk(0) = vOf(mj * 4 + b / 4, mc * 4 + b % 4); blk
+          }
+          Vp8.MbCoding(Vp8.BPred, Vp8.DcPred, new Array[Int](16), y,
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(16)(Vp8.BTm))
+        }
+        val dec = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0, mbs)))
+        require(dec.frame.mbs.forall(m => m.yMode == Vp8.BPred &&
+          m.bModes.forall(_ == Vp8.BTm)),
+          s"container $k frame $t: submode drift through the bitstream")
+        val levelsSum = dec.frame.mbs.iterator
+          .flatMap(_.y.iterator.map(_(0).toLong)).sum
+        (k, t.toLong, levelsSum,
+          dec.y.iterator.map(_.toLong).sum,
+          dec.u.iterator.map(_.toLong).sum +
+            dec.v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m41(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8BpredKernel.rows(k, it.size))
+      .toDF("container", "t", "levels_sum", "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m41Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |blk AS (SELECT container, t, grid.j, grid.c,
+      |    CAST(concat('0x', substr(md5('vp8b' || container || '_' || t
+      |      || '_' || grid.j || '_' || grid.c), 1, 2)) AS BIGINT) % 3 AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(8)) AS j) a,
+      |    (SELECT unnest(range(8)) AS b_c) b(c)) grid),
+      |-- B_TM telescopes: recon(j,c) = 129 + 2-D prefix sum of the
+      |-- per-block residual r = (4v+4)//8, so summing 16 px per block:
+      |-- luma = 16*(64*129 + sum r*(8-j)*(8-c))
+      |r AS (SELECT container, t, j, c, v, (4 * v + 4) // 8 AS r FROM blk)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(16 * (64 * 129 + sum(r * (8 - j) * (8 - c))) AS BIGINT)
+      |    AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM r GROUP BY container, t ORDER BY container, t""".stripMargin
+
   private def m40(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val views = eventsMs(s, d)
@@ -2112,6 +2201,7 @@ object ContainerQueries {
     Q("m38_vp8_ivf", m38, Some(m38Sql)),
     Q("m39_webm_vp8", m39, Some(m39Sql)),
     Q("m40_vp8_decode", m40, Some(m40Sql)),
+    Q("m41_vp8_bpred", m41, Some(m41Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

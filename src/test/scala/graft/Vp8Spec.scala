@@ -88,7 +88,7 @@ class Vp8Spec extends AnyFunSuite {
       a
     }
 
-  private val mbGen: Gen[Vp8.MbCoding] = for {
+  private val mb16Gen: Gen[Vp8.MbCoding] = for {
     ym <- Gen.oneOf(Vp8.DcPred, Vp8.VPred, Vp8.HPred, Vp8.TmPred)
     uvm <- Gen.oneOf(Vp8.DcPred, Vp8.VPred, Vp8.HPred, Vp8.TmPred)
     y2 <- blockGen(0)
@@ -96,6 +96,18 @@ class Vp8Spec extends AnyFunSuite {
     u <- Gen.listOfN(4, blockGen(0))
     v <- Gen.listOfN(4, blockGen(0))
   } yield Vp8.MbCoding(ym, uvm, y2, y.toArray, u.toArray, v.toArray)
+
+  private val bMbGen: Gen[Vp8.MbCoding] = for {
+    uvm <- Gen.oneOf(Vp8.DcPred, Vp8.VPred, Vp8.HPred, Vp8.TmPred)
+    bms <- Gen.listOfN(16, Gen.choose(Vp8.BDc, Vp8.BHu))
+    y <- Gen.listOfN(16, blockGen(0)) // type 3: own DC at position 0
+    u <- Gen.listOfN(4, blockGen(0))
+    v <- Gen.listOfN(4, blockGen(0))
+  } yield Vp8.MbCoding(Vp8.BPred, uvm, new Array[Int](16), y.toArray,
+    u.toArray, v.toArray, bms.toArray)
+
+  private val mbGen: Gen[Vp8.MbCoding] =
+    Gen.frequency((3, mb16Gen), (2, bMbGen))
 
   private val frameGen: Gen[Vp8.KeyFrame] = for {
     mbCols <- Gen.choose(1, 3)
@@ -117,9 +129,13 @@ class Vp8Spec extends AnyFunSuite {
       assert(dec.frame.qindex == f.qindex)
       dec.frame.mbs.zip(f.mbs).zipWithIndex.foreach { case ((g, w), i) =>
         assert(g.yMode == w.yMode && g.uvMode == w.uvMode, s"MB $i modes")
+        assert(g.bModes.sameElements(w.bModes), s"MB $i submodes")
         assert(g.y2.sameElements(w.y2), s"MB $i y2")
+        // under a Y2 block, Y scan position 0 is never coded; B_PRED
+        // Y blocks carry their own DC and must round-trip in full
+        val from = if (w.yMode == Vp8.BPred) 0 else 1
         (0 until 16).foreach(b => assert(
-          g.y(b).drop(1).sameElements(w.y(b).drop(1)), s"MB $i y$b"))
+          g.y(b).drop(from).sameElements(w.y(b).drop(from)), s"MB $i y$b"))
         (0 until 4).foreach(b => assert(g.u(b).sameElements(w.u(b)) &&
           g.v(b).sameElements(w.v(b)), s"MB $i uv$b"))
       }
@@ -192,13 +208,90 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
-  test("subset boundaries fail loudly: non-MB dimensions, B_PRED, " +
-      "oversized levels, truncated tag") {
+  private def bMb(sub: Int, yDc: Int): Vp8.MbCoding = {
+    val y = Array.fill(16) { val b = new Array[Int](16); b(0) = yDc; b }
+    Vp8.MbCoding(Vp8.BPred, Vp8.DcPred, new Array[Int](16), y,
+      Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)),
+      Array.fill(16)(sub))
+  }
+
+  test("B_PRED closed forms: all-zero B_DC reconstructs flat 128; " +
+      "B_VE with a constant per-4x4 own-DC accumulates (4v+4)>>3 " +
+      "down each pixel column (the m41 fixture arithmetic)") {
+    // zero-residual B_DC: the 129 synthetic left edge pulls px=0
+    // blocks to 129 while the 127 top edge pulls row 0 to 128, so the
+    // plane settles into the {128, 129} band (the real decoder's
+    // behavior too — edges are synthetic, not data)
+    val dc = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      Vector.fill(4)(bMb(Vp8.BDc, 0)))))
+    assert(dc.y.forall(v => v == 128 || v == 129))
+    assert(dc.y.take(32).forall(_ == 128), "row 0 averages 127/129 edges")
+    assert(dc.u.forall(_ == 128))
+    for (v <- Seq(3, 11, 20)) {
+      val dec2 = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+        Vector.fill(4)(bMb(Vp8.BVe, v)))))
+      // qindex 0: ydc = 4, so each 4x4 block adds r = (4v+4)>>3 to the
+      // row above it. B_VE's 121 filter mixes the synthetic 129 LEFT
+      // edge at x = 0 and the mix creeps one column right per block
+      // row, so the clean column-accumulation form holds for x ≥ j
+      // (checked at x ≥ 8, safe through all 8 block rows)
+      val r = (4 * v + 4) >> 3
+      for (j <- 0 until 8; y <- 0 until 4; x <- 8 until 32) {
+        val got = dec2.y((j * 4 + y) * 32 + x)
+        assert(got == 127 + (j + 1) * r, s"v=$v block row $j px($x,$y)")
+      }
+      assert(dec2.u.forall(_ == 128) && dec2.v.forall(_ == 128))
+    }
+  }
+
+  test("B_TM with per-4x4 own-DC residuals reconstructs 129 + the 2-D " +
+      "prefix sum of block residuals exactly (the m41 fixture form — " +
+      "TM cancels the uniform edges, so pred = L + A - AL telescopes)") {
+    val rnd = new scala.util.Random(12)
+    val vs = Array.fill(8, 8)(rnd.nextInt(3)) // v in {0,1,2} -> r in {0,1,1}
+    val mbs = Vector.tabulate(4) { mi =>
+      val (mj, mc) = (mi / 2, mi % 2)
+      val y = Array.tabulate(16) { b =>
+        val blk = new Array[Int](16)
+        blk(0) = vs(mj * 4 + b / 4)(mc * 4 + b % 4); blk
+      }
+      Vp8.MbCoding(Vp8.BPred, Vp8.DcPred, new Array[Int](16), y,
+        Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)),
+        Array.fill(16)(Vp8.BTm))
+    }
+    val dec = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0, mbs)))
+    for (j <- 0 until 8; c <- 0 until 8) {
+      val want = 129 + (for (j2 <- 0 to j; c2 <- 0 to c)
+        yield (4 * vs(j2)(c2) + 4) >> 3).sum
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val got = dec.y((j * 4 + y) * 32 + c * 4 + x)
+        assert(got == want, s"block($j,$c) px($x,$y)")
+      }
+    }
+  }
+
+  test("subset boundaries fail loudly: non-MB dimensions, malformed " +
+      "B_PRED shapes, oversized levels, truncated tag") {
     intercept[IllegalArgumentException] {
       Vp8.KeyFrame(20, 16, 0, Vector(zeroMb(Vp8.DcPred, Vp8.DcPred)))
     }
+    // B_PRED without its 16 submodes, and submodes without B_PRED
     intercept[IllegalArgumentException] {
       zeroMb(Vp8.BPred, Vp8.DcPred)
+    }
+    intercept[IllegalArgumentException] {
+      Vp8.MbCoding(Vp8.DcPred, Vp8.DcPred, new Array[Int](16),
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)),
+        Array.fill(16)(Vp8.BVe))
+    }
+    // B_PRED with a nonzero Y2 block
+    intercept[IllegalArgumentException] {
+      val y2 = new Array[Int](16); y2(0) = 1
+      Vp8.MbCoding(Vp8.BPred, Vp8.DcPred, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)),
+        Array.fill(16)(Vp8.BDc))
     }
     intercept[IllegalArgumentException] {
       val y2 = new Array[Int](16); y2(3) = Vp8.MaxLevel + 1
