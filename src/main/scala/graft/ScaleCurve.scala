@@ -78,8 +78,14 @@ object ScaleCurve {
     "m38_vp8_ivf",          // IVF/VP8 tag walk: the m37 shape
     "m39_webm_vp8",         // VP8 tags in EBML blocks: the m19 shape
     "p16_opus_ogg_index",   // Opus TOC in Ogg pages: the p15 shape
-    "e52_socket_ingest")    // one-socket ingest: the documented single
+    "e52_socket_ingest",    // one-socket ingest: the documented single
                             // ingest point — cost tracks capture bytes
+    // round 12: payload decode + continuity audit legs
+    "m40_vp8_decode",       // VP8 keyframe encode->ivf->decode: m36 shape
+    "m41_vp8_bpred",        // VP8 B_PRED 4x4 chained decode: m40 shape
+    "p17_mp2_subband_decode", // Layer II subband bitstream: p15 shape
+    "p18_opus_continuity",  // Ogg-Opus granule ledger: p16 shape
+    "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
     * documents + embeddings amplification, ~6 GB of text + 500k

@@ -101,6 +101,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.DedupQueries.invalidateLabels(spark)
     graft.operators.GraphQueries.invalidateEdges(spark)
+    graft.queries.Relational.invalidateBucketed(spark)
     spark.stop()
   }
 }

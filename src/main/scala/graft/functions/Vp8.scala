@@ -57,9 +57,13 @@ import scala.collection.mutable.ArrayBuffer
   * half-step submode cell maps (VR/VL/HD/HU) and the 10×10×9 submode
   * probability values join the stand-in list above.
   *
+  * The §15 SIMPLE loop filter is implemented (luma, both edge
+  * classes, the signed common adjustment); the NORMAL filter's outer
+  * taps and sharpness rescaling stay out of scope.
+  *
   * Subset boundaries, all failing loudly: inter frames,
-  * segmentation/lf-delta/skip flags must be 0, loop_filter_level must
-  * be 0 (§15 is the identity at level 0), one DCT partition,
+  * segmentation/lf-delta/skip flags must be 0, level > 0 requires
+  * filter_type = simple, sharpness must be 0, one DCT partition,
   * dimensions must be multiples of 16 (real VP8 pads to macroblocks
   * and crops at display).
   */
@@ -395,11 +399,13 @@ object Vp8 {
   }
 
   final case class KeyFrame(width: Int, height: Int, qindex: Int,
-      mbs: Vector[MbCoding]) {
+      mbs: Vector[MbCoding], filterLevel: Int = 0) {
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
       s"vp8: $width x $height not a macroblock multiple (display cropping " +
         "is out of scope)")
     require(qindex >= 0 && qindex < 128, s"vp8: qindex $qindex")
+    require(filterLevel >= 0 && filterLevel < 64,
+      s"vp8: loop filter level $filterLevel")
     require(mbs.length == (width / 16) * (height / 16),
       s"vp8: ${mbs.length} MBs for a ${width / 16}x${height / 16} grid")
   }
@@ -709,8 +715,10 @@ object Vp8 {
     h.literal(0, 1) // color_space: YUV as specified
     h.literal(0, 1) // clamping_type: spec clamping
     h.literal(0, 1) // segmentation_enabled: off (subset)
-    h.literal(0, 1) // filter_type: normal
-    h.literal(0, 6) // loop_filter_level 0 (§15 is the identity)
+    // filter_type: the SIMPLE filter when filtering at all (the normal
+    // filter's outer taps are out of scope — decode rejects them)
+    h.literal(if (f.filterLevel > 0) 1 else 0, 1)
+    h.literal(f.filterLevel, 6)
     h.literal(0, 3) // sharpness_level
     h.literal(0, 1) // loop-filter delta adjustments: off (subset)
     h.literal(0, 2) // log2(#DCT partitions) = 0 → one token partition
@@ -840,10 +848,13 @@ object Vp8 {
     require(h.literal(1) == 0, "vp8: reserved color space")
     h.literal(1) // clamping_type (both values legal; spec clamp used)
     require(h.literal(1) == 0, "vp8: segmentation out of scope")
-    h.literal(1) // filter_type
-    require(h.literal(6) == 0,
-      "vp8: loop_filter_level > 0 out of scope (§15 identity at 0)")
-    h.literal(3) // sharpness
+    val filterType = h.literal(1)
+    val filterLevel = h.literal(6)
+    require(filterLevel == 0 || filterType == 1,
+      "vp8: the NORMAL loop filter (outer taps) is out of scope — " +
+        "level > 0 is decoded with the simple filter only")
+    require(h.literal(3) == 0,
+      "vp8: sharpness > 0 out of scope (it rescales the filter limits)")
     require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
     require(h.literal(2) == 0, "vp8: multiple token partitions out of scope")
     val qindex = h.literal(7)
@@ -1054,6 +1065,76 @@ object Vp8 {
       }
       mr += 1
     }
-    Decoded(KeyFrame(width, height, qindex, mbsOut.result()), yP, uP, vP)
+    simpleLoopFilter(yP, width, height, filterLevel)
+    Decoded(KeyFrame(width, height, qindex, mbsOut.result(), filterLevel),
+      yP, uP, vP)
+  }
+
+  /** §15 SIMPLE loop filter over the LUMA plane (filter_type 1; the
+    * normal filter's outer taps are out of scope). The signed-domain
+    * common adjustment is §15.2's normative kernel — a = clamp(3·(q0 −
+    * p0) + clamp(p1 − q1)), F1 = clamp(a+4)>>3 off q0, F2 =
+    * clamp(a+3)>>3 onto p0, applied when 2·|p0−q0| + |p1−q1|/2 stays
+    * within the edge limit. The LIMIT derivation (macroblock edges
+    * (level+2)·2 + level, subblock edges level·2 + level, sharpness 0)
+    * follows §15.1 as implemented and is pinned by Vp8Spec's
+    * hand-derived edge fixtures. Edge order per MB in raster: left MB
+    * edge, internal vertical edges, top MB edge, internal horizontal
+    * edges — each reading the previous edges' output, as the spec's
+    * reconstruction order requires. */
+  private def simpleLoopFilter(y: Array[Int], width: Int, height: Int,
+      level: Int): Unit = {
+    if (level == 0) return
+    val interior = level
+    val mbLimit = (level + 2) * 2 + interior
+    val subLimit = level * 2 + interior
+    def c127(v: Int): Int = math.max(-128, math.min(127, v))
+    def filt(i0: Int, step: Int, limit: Int): Unit = {
+      val p1 = y(i0 - 2 * step) - 128; val p0 = y(i0 - step) - 128
+      val q0 = y(i0) - 128; val q1 = y(i0 + step) - 128
+      if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= limit) {
+        val a = c127(3 * (q0 - p0) + c127(p1 - q1))
+        val f1 = c127(a + 4) >> 3
+        val f2 = c127(a + 3) >> 3
+        y(i0) = math.max(0, math.min(255, (q0 - f1) + 128))
+        y(i0 - step) = math.max(0, math.min(255, (p0 + f2) + 128))
+      }
+    }
+    val mbCols = width / 16; val mbRows = height / 16
+    var mr = 0
+    while (mr < mbRows) {
+      var mc = 0
+      while (mc < mbCols) {
+        val x0 = mc * 16; val y0 = mr * 16
+        if (mc > 0) {
+          var r = 0
+          while (r < 16) { filt((y0 + r) * width + x0, 1, mbLimit); r += 1 }
+        }
+        var e = 4
+        while (e < 16) {
+          var r = 0
+          while (r < 16) {
+            filt((y0 + r) * width + x0 + e, 1, subLimit); r += 1
+          }
+          e += 4
+        }
+        if (mr > 0) {
+          var cx = 0
+          while (cx < 16) {
+            filt(y0 * width + x0 + cx, width, mbLimit); cx += 1
+          }
+        }
+        e = 4
+        while (e < 16) {
+          var cx = 0
+          while (cx < 16) {
+            filt((y0 + e) * width + x0 + cx, width, subLimit); cx += 1
+          }
+          e += 4
+        }
+        mc += 1
+      }
+      mr += 1
+    }
   }
 }

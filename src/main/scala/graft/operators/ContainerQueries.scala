@@ -2139,6 +2139,188 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM r GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m42: VP8-IN-WEBM DECODED TO PIXELS — the reference's ACTUAL
+    * pairing (tests/media/test_containers.py:25 runs vp8 through webm
+    * via libav) end-to-end: m39 indexes V_VP8 frame TAGS in real
+    * Matroska; this leg carries COMPLETE coded keyframes
+    * ([[graft.functions.Vp8]]) as V_VP8 SimpleBlocks, demuxes the
+    * EBML, cross-checks the container keyframe flag against the
+    * bitstream frame_type bit (m39's invariant), and DECODES each
+    * payload to planes. Fixture/oracle: the m40 V_PRED/Y2-DC closed
+    * form under a webm-specific md5 salt — so the hash gate proves
+    * the whole chain container → tag → bool-coded header → tokens →
+    * WHT/IDCT → prediction for the exact container+codec pairing a
+    * reference user holds. Scale: the m40 envelope. */
+  private[operators] object WebmVp8DecodeKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      import graft.sources.{Ivf, Mkv}
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val blocks = (0 until n).map { t =>
+        val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+          val v = 1 + hexbyte(s"vp8w${k}_${t}_${j}_${c}") % 100
+          val y2 = new Array[Int](16); y2(0) = v
+          Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+            Array.fill(16)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)))
+        }).toVector
+        Mkv.MkvBlock(1, t * 33L, keyframe = true,
+          Vp8.encode(Vp8.KeyFrame(32, 32, 0, mbs)))
+      }
+      val tracks = Seq(Mkv.MkvTrack(1, "video", "V_VP8",
+        width = 32, height = 32))
+      val (_, rec) = Mkv.demux(Mkv.mux(tracks, blocks))
+      require(rec.size == n, s"container $k: webm block count drift")
+      rec.iterator.zipWithIndex.map { case (b, t) =>
+        val tag = Ivf.parseVp8Tag(b.payload)
+        require(tag.keyframe == b.keyframe,
+          s"container $k block $t: container keyframe flag disagrees " +
+            "with the bitstream frame_type bit")
+        val dec = Vp8.decode(b.payload)
+        require(dec.frame.width == 32 && dec.frame.height == 32,
+          s"container $k block $t: decoded dimensions drift")
+        (k, t.toLong, b.tsMs,
+          dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+          dec.y.iterator.map(_.toLong).sum,
+          dec.u.iterator.map(_.toLong).sum +
+            dec.v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m42(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        WebmVp8DecodeKernel.rows(k, it.size))
+      .toDF("container", "t", "ts_ms", "levels_sum", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m42Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    1 + CAST(concat('0x', substr(md5('vp8w' || container || '_' || t
+      |      || '_' || grid.j || '_' || grid.c), 1, 2)) AS BIGINT) % 100 AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |mv AS (SELECT container, t, j, c, v,
+      |    127 + sum((v + 4) // 8) OVER (PARTITION BY container, t, c
+      |      ORDER BY j) AS val
+      |  FROM mb)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(t * 33 AS BIGINT) AS ts_ms,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM mv GROUP BY container, t ORDER BY container, t""".stripMargin
+
+  /** m43: VP8 SIMPLE LOOP FILTER decode leg — §15's in-loop smoothing
+    * on real coded frames (filter_type 1, level 18 in the header,
+    * round-tripped through the bool-coded bits). Fixture: the m40
+    * V_PRED/Y2-DC form with ONE level per MB ROW (both MB columns
+    * equal), so every vertical and subblock edge is flat and the ONLY
+    * active edge is the horizontal MB edge at y = 16 with a uniform
+    * step d = (v1+4)>>3: the §15.2 common adjustment moves row 15 up
+    * by f2 = (2d+3)>>3 and row 16 down by f1 = (2d+4)>>3 (threshold
+    * 2d + d/2 ≤ 3·18+4 always holds at d ≤ 13). The oracle replays
+    * the md5 draw, the residual ladder AND the filter arithmetic:
+    * luma = 32·(16u + 16w + f2 − f1). Vp8Spec pins the same kernel on
+    * hand-built fixtures incl. the does-not-apply threshold side.
+    * Scale: the m40 envelope. */
+  private[operators] object Vp8LoopFilterKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      (0 until n).iterator.map { t =>
+        def rowMb(v: Int) = {
+          val y2 = new Array[Int](16); y2(0) = v
+          Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+            Array.fill(16)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)))
+        }
+        val v0 = 1 + hexbyte(s"vp8f${k}_${t}_0") % 100
+        // v1 ≤ 40 keeps d ≤ 5 so f1 ≤ 1: the MB(1,1) left-edge pass
+        // (which runs between the two top-edge passes and sees a
+        // transient col-15/16 step of f1) stays a no-op and the
+        // closed form holds on every pixel — Vp8Spec pins both sides
+        // of that regime boundary
+        val v1 = 1 + hexbyte(s"vp8f${k}_${t}_1") % 40
+        val mbs = Vector(rowMb(v0), rowMb(v0), rowMb(v1), rowMb(v1))
+        val dec = Vp8.decode(Vp8.encode(
+          Vp8.KeyFrame(32, 32, 0, mbs, filterLevel = 18)))
+        require(dec.frame.filterLevel == 18,
+          s"container $k frame $t: filter level drift through the header")
+        (k, t.toLong,
+          dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+          dec.y.iterator.map(_.toLong).sum,
+          dec.u.iterator.map(_.toLong).sum +
+            dec.v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m43(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8LoopFilterKernel.rows(k, it.size))
+      .toDF("container", "t", "levels_sum", "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m43Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |v AS (SELECT container, t,
+      |    1 + CAST(concat('0x', substr(md5('vp8f' || container || '_' || t
+      |      || '_0'), 1, 2)) AS BIGINT) % 100 AS v0,
+      |    1 + CAST(concat('0x', substr(md5('vp8f' || container || '_' || t
+      |      || '_1'), 1, 2)) AS BIGINT) % 40 AS v1
+      |  FROM frames),
+      |-- u = 127 + (v0+4)//8 fills MB row 0; w = u + d with
+      |-- d = (v1+4)//8 fills MB row 1; the simple filter moves row 15
+      |-- by +f2 and row 16 by -f1 (2 MBs per row share one level, so
+      |-- every other edge is flat and untouched)
+      |f AS (SELECT container, t, v0, v1,
+      |    127 + (v0 + 4) // 8 AS u, (v1 + 4) // 8 AS d
+      |  FROM v)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(2 * (v0 + v1) AS BIGINT) AS levels_sum,
+      |  CAST(32 * (16 * u + 16 * (u + d)
+      |    + (2 * d + 3) // 8 - (2 * d + 4) // 8) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM f ORDER BY container, t""".stripMargin
+
   private def m40(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val views = eventsMs(s, d)
@@ -2202,6 +2384,8 @@ object ContainerQueries {
     Q("m39_webm_vp8", m39, Some(m39Sql)),
     Q("m40_vp8_decode", m40, Some(m40Sql)),
     Q("m41_vp8_bpred", m41, Some(m41Sql)),
+    Q("m42_webm_vp8_decode", m42, Some(m42Sql)),
+    Q("m43_vp8_loopfilter", m43, Some(m43Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

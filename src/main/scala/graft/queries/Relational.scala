@@ -130,6 +130,25 @@ object Relational {
     * dir, overwritten on rebuild, so reruns never accumulate). */
   private val bucketedReady =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Forget (and drop) the published bucketed tables — called by the
+    * engine mains before `spark.stop()` (the invalidateLabels
+    * pattern). Unlike q32/q34's path-addressed layouts, q30's tables
+    * live in the CONTEXT's catalog: a later session in a NEW context
+    * (e.g. a test suite running after an in-process Verify) would
+    * find the map claiming tables its catalog never heard of. */
+  def invalidateBucketed(s: SparkSession): Unit = {
+    val it = bucketedReady.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (lt, ot) = e.getValue
+      try {
+        s.sql(s"DROP TABLE IF EXISTS $lt")
+        s.sql(s"DROP TABLE IF EXISTS $ot")
+      } catch { case _: Throwable => () } // context already gone: fine
+      it.remove()
+    }
+  }
   private def ensureBucketed(s: SparkSession, dir: String): (String, String) =
     bucketedReady.computeIfAbsent(dir, _ => {
       val h = Integer.toHexString(dir.hashCode).replace('-', 'n')
