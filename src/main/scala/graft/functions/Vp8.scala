@@ -61,7 +61,31 @@ import scala.collection.mutable.ArrayBuffer
   * classes, the signed common adjustment); the NORMAL filter's outer
   * taps and sharpness rescaling stay out of scope.
   *
-  * Subset boundaries, all failing loudly: inter frames,
+  * INTER (P) FRAMES are implemented [§16-§18]: the interframe header
+  * order (refresh/copy/sign-bias flags, prob_intra/prob_last/prob_gf,
+  * mode-prob update flags, the 2×19 MV-probability update flags), the
+  * per-MB intra/inter split, the mv_ref tree over
+  * ZERO/NEAREST/NEAR/NEW, the §17.2 motion-vector component codec
+  * (short tree over 0..7, the 10-bit long form with the implied bit 3
+  * when bits 4..9 are all zero, sign, and the ×2 quarter→eighth-pel
+  * scaling), the §17.3 near-MV survey (above weight 2, left weight 2,
+  * above-left weight 1, merge-with-latest-candidate, the near/nearest
+  * count swap, best-mv promotion, and MV clamping to the 16-pel
+  * edge margins), and §18 motion compensation: six-tap subpel
+  * interpolation with the published 8-phase filter bank (horizontal
+  * then vertical, +64 >> 7 rounding and clamping per pass), chroma
+  * MVs at half the luma value on the half-resolution plane, and
+  * edge-replicated sampling standing in for the spec's extended
+  * reference borders. Inter reference is the LAST frame only.
+  *
+  * Additional inter stand-ins (same seam class as CoeffProbs): the
+  * default MV context probabilities and the mode-context table that
+  * §17.3 indexes by survey counts (deterministic values below, shared
+  * by both sides), and the non-keyframe default y/uv mode
+  * probabilities ({112,86,140,37} / {162,101,204} as published).
+  *
+  * Subset boundaries, all failing loudly: SPLITMV, golden/alt-ref
+  * reference and refresh, B_PRED inside inter frames,
   * segmentation/lf-delta/skip flags must be 0, level > 0 requires
   * filter_type = simple, sharpness must be 0, one DCT partition,
   * dimensions must be multiples of 16 (real VP8 pads to macroblocks
@@ -1136,5 +1160,704 @@ object Vp8 {
       }
       mr += 1
     }
+  }
+
+  // ---- inter frames [§16-§18] ------------------------------------------------
+
+  /** mv_ref modes [§16.2]; SPLITMV (leaf 4) is decoded by name only to
+    * fail loudly. */
+  val ZeroMv = 0; val NearestMv = 1; val NearMv = 2; val NewMv = 3
+  private val SplitMv = 4
+  /** vp8_mv_ref_tree [§16.2 shape]. */
+  private val MvRefTree = Array(
+    -(ZeroMv + 1), 2,
+    -(NearestMv + 1), 4,
+    -(NearMv + 1), 6,
+    -(NewMv + 1), -(SplitMv + 1))
+
+  /** STAND-IN mode-context table: §17.3 selects the four mv_ref tree
+    * probabilities as table[cnt(i)][i] from the survey counts (the
+    * published 6×4 values are appendix data; both sides share this). */
+  private[graft] val ModeContextProb: Array[Array[Int]] =
+    Array.tabulate(6, 4)((c, n) => 1 + ((c * 61 + n * 23 + 31) * 37) % 254)
+
+  /** Non-keyframe intra mode trees [§11.2]: same shapes, frame-level
+    * default probabilities (the published non-kf defaults). */
+  private val YmodeTree = Array(
+    -(DcPred + 1), 2, 4, 6,
+    -(VPred + 1), -(HPred + 1), -(TmPred + 1), -(BPred + 1))
+  private val InterYmodeProb = Array(112, 86, 140, 37)
+  private val InterUvModeProb = Array(162, 101, 204)
+
+  /** vp8_small_mvtree [§17.2]: 8 leaves (component magnitudes 0..7). */
+  private val SmallMvTree = Array(
+    2, 8,
+    4, 6,
+    -1, -2, // 0, 1
+    -3, -4, // 2, 3
+    10, 12,
+    -5, -6, // 4, 5
+    -7, -8) // 6, 7
+
+  /** STAND-IN default MV context probabilities, one 19-entry row per
+    * component (row, col): [0] long-form flag, [1] sign, [2..8] the
+    * short tree, [9..18] the ten long-form bit probabilities. Values
+    * follow the published defaults as recalled; the codec is
+    * self-consistent regardless (both sides share this object). */
+  private[graft] val MvDefaultProb: Array[Array[Int]] = Array(
+    Array(162, 128, 225, 146, 172, 147, 214, 39, 156,
+      128, 129, 132, 75, 145, 178, 206, 239, 254, 254),
+    Array(164, 128, 204, 170, 119, 235, 140, 230, 228,
+      128, 130, 130, 74, 148, 180, 203, 236, 254, 254))
+  /** STAND-IN per-flag probability for the 2×19 MV update flags (the
+    * spec has a full vp8_mv_update_probs table; high ≈ cheap zeros). */
+  private val MvUpdateProb = 252
+
+  /** Eighth-pel motion vector. LUMA MVs are always even (coded values
+    * are quarter-pel and scale by 2 [§17.2] — the codec layer enforces
+    * that); chroma half-MVs may land on odd eighths legitimately. */
+  final case class Mv(row: Int, col: Int) {
+    def isZero: Boolean = row == 0 && col == 0
+  }
+
+  /** One inter-frame macroblock. When `inter`, `mvMode` picks the
+    * mv_ref leaf and `mv` is the ABSOLUTE effective vector for NEWMV
+    * (ignored for ZERO/NEAREST/NEAR — those resolve from the §17.3
+    * survey); when intra, `yMode`/`uvMode` are the 16×16 modes
+    * (B_PRED inside inter frames is out of scope). Coefficient arrays
+    * as in [[MbCoding]]; every mode here carries a Y2 block. */
+  final case class InterMb(inter: Boolean, mvMode: Int, mv: Mv,
+      yMode: Int, uvMode: Int,
+      y2: Array[Int], y: Array[Array[Int]],
+      u: Array[Array[Int]], v: Array[Array[Int]]) {
+    require(y2.length == 16 && y.length == 16 && u.length == 4 &&
+      v.length == 4, "vp8: block shape")
+    if (inter) {
+      require(mvMode >= ZeroMv && mvMode <= NewMv,
+        s"vp8: mv mode $mvMode (SPLITMV is out of scope)")
+      require((mv.row & 1) == 0 && (mv.col & 1) == 0,
+        s"vp8: luma mv (${mv.row},${mv.col}) off the quarter-pel grid")
+    } else {
+      require(yMode >= 0 && yMode <= TmPred,
+        s"vp8: intra-in-inter yMode $yMode (B_PRED in inter frames " +
+          "is out of scope)")
+      require(uvMode >= 0 && uvMode <= TmPred, s"vp8: uvMode $uvMode")
+    }
+    require((y2.iterator ++ y.iterator.flatten ++ u.iterator.flatten ++
+      v.iterator.flatten).forall(l => math.abs(l) <= MaxLevel),
+      s"vp8: coefficient level beyond cat6's $MaxLevel")
+  }
+
+  final case class InterFrame(qindex: Int, mbs: Vector[InterMb],
+      filterLevel: Int = 0) {
+    require(qindex >= 0 && qindex < 128, s"vp8: qindex $qindex")
+    require(filterLevel >= 0 && filterLevel < 64,
+      s"vp8: loop filter level $filterLevel")
+  }
+
+  final case class DecodedInter(frame: InterFrame, effMvs: Vector[Mv],
+      y: Array[Int], u: Array[Int], v: Array[Int])
+
+  // ---- MV component codec [§17.2] --------------------------------------------
+
+  private def readMvComponent(d: BoolDecoder, p: Array[Int]): Int = {
+    var x = 0
+    if (d.bool(p(0)) == 1) { // long form: ten bits, 3 low then 9..4 high
+      var i = 0
+      while (i < 3) { x += d.bool(p(9 + i)) << i; i += 1 }
+      i = 9
+      while (i > 3) { x += d.bool(p(9 + i)) << i; i -= 1 }
+      // bit 3 is implied 1 when bits 4..9 are all zero (the value
+      // would otherwise be short-form codable)
+      if ((x & 0xfff0) != 0) { if (d.bool(p(12)) == 1) x += 8 }
+      else x += 8
+    } else x = d.tree(SmallMvTree, java.util.Arrays.copyOfRange(p, 2, 9))
+    if (x != 0 && d.bool(p(1)) == 1) -x else x
+  }
+
+  private def writeMvComponent(e: BoolEncoder, v: Int, p: Array[Int]): Unit = {
+    val x = math.abs(v)
+    require(x < 1024, s"vp8: mv component $v outside the ±1023 long form")
+    if (x < 8) {
+      e.bool(0, p(0))
+      e.tree(SmallMvTree, java.util.Arrays.copyOfRange(p, 2, 9), x)
+      if (x != 0) e.bool(if (v < 0) 1 else 0, p(1))
+    } else {
+      e.bool(1, p(0))
+      var i = 0
+      while (i < 3) { e.bool((x >> i) & 1, p(9 + i)); i += 1 }
+      i = 9
+      while (i > 3) { e.bool((x >> i) & 1, p(9 + i)); i -= 1 }
+      if ((x & 0xfff0) != 0) e.bool((x >> 3) & 1, p(12))
+      else require(((x >> 3) & 1) == 1,
+        "vp8: long-form mv in 8..15 must carry the implied bit 3")
+      e.bool(if (v < 0) 1 else 0, p(1))
+    }
+  }
+
+  /** Read an MV residual: row then col, coded quarter-pel, ×2 to
+    * eighth-pel [§17.2]. */
+  private[graft] def readMv(d: BoolDecoder): Mv =
+    Mv(readMvComponent(d, MvDefaultProb(0)) * 2,
+      readMvComponent(d, MvDefaultProb(1)) * 2)
+
+  private[graft] def writeMv(e: BoolEncoder, m: Mv): Unit = {
+    require((m.row & 1) == 0 && (m.col & 1) == 0,
+      s"vp8: luma mv (${m.row},${m.col}) must sit on the quarter-pel grid")
+    writeMvComponent(e, m.row / 2, MvDefaultProb(0))
+    writeMvComponent(e, m.col / 2, MvDefaultProb(1))
+  }
+
+  // ---- near-MV survey [§17.3] ------------------------------------------------
+
+  /** Per-frame mode-info grid both walks maintain MB-by-MB: whether
+    * each already-coded MB was inter, and its effective MV. */
+  private final class MvGrid(val mbCols: Int, val mbRows: Int) {
+    val inter = new Array[Boolean](mbCols * mbRows)
+    val row = new Array[Int](mbCols * mbRows)
+    val col = new Array[Int](mbCols * mbRows)
+  }
+
+  /** Clamp an MV so the prediction block stays within the frame plus
+    * the 16-pel margin [§17.3's clamp; the spec's extended reference
+    * border]. Bounds are multiples of 8, so evenness is preserved. */
+  private def clampMv(m: Mv, mr: Int, mc: Int, mbRows: Int,
+      mbCols: Int): Mv = {
+    val toLeft = -128 * mc - 128
+    val toRight = 128 * (mbCols - 1 - mc) + 128
+    val toTop = -128 * mr - 128
+    val toBottom = 128 * (mbRows - 1 - mr) + 128
+    Mv(math.max(toTop, math.min(toBottom, m.row)),
+      math.max(toLeft, math.min(toRight, m.col)))
+  }
+
+  /** The §17.3 survey: returns (best, nearest, near, treeProbs).
+    * Candidates from the above (weight 2), left (2) and above-left (1)
+    * already-coded MBs of the CURRENT frame; intra neighbors count
+    * nothing, zero-MV inter neighbors count toward slot 0, nonzero MVs
+    * enter the candidate list merging only with the LATEST candidate;
+    * then the near/nearest count swap, best-MV promotion, clamping,
+    * and the count-indexed tree probabilities. */
+  private def findNearMvs(g: MvGrid, mr: Int, mc: Int)
+      : (Mv, Mv, Mv, Array[Int]) = {
+    val mvs = Array.fill(4)(Mv(0, 0))
+    val cnt = new Array[Int](4)
+    var slot = 0
+    def consider(r: Int, c: Int, w: Int): Unit = {
+      if (r >= 0 && c >= 0) {
+        val i = r * g.mbCols + c
+        if (g.inter(i)) {
+          if (g.row(i) != 0 || g.col(i) != 0) {
+            val m = Mv(g.row(i), g.col(i))
+            if (slot == 0 || mvs(slot) != m) { slot += 1; mvs(slot) = m }
+            cnt(slot) += w
+          } else cnt(0) += w
+        }
+      }
+    }
+    consider(mr - 1, mc, 2)
+    consider(mr, mc - 1, 2)
+    consider(mr - 1, mc - 1, 1)
+    cnt(3) = 0 // SPLITMV neighbor count: none in this subset
+    if (cnt(2) > cnt(1)) {
+      val tm = mvs(1); mvs(1) = mvs(2); mvs(2) = tm
+      val tc = cnt(1); cnt(1) = cnt(2); cnt(2) = tc
+    }
+    if (cnt(1) >= cnt(0)) mvs(0) = mvs(1)
+    val best = clampMv(mvs(0), mr, mc, g.mbRows, g.mbCols)
+    val nearest = clampMv(mvs(1), mr, mc, g.mbRows, g.mbCols)
+    val near = clampMv(mvs(2), mr, mc, g.mbRows, g.mbCols)
+    val probs = Array.tabulate(4)(i => ModeContextProb(math.min(5, cnt(i)))(i))
+    (best, nearest, near, probs)
+  }
+
+  // ---- motion compensation [§18] ---------------------------------------------
+
+  /** The published 8-phase six-tap subpel filter bank [§18.3]; every
+    * row sums to 128. Luma uses the even phases (MVs are quarter-pel),
+    * chroma all eight. */
+  private[graft] val SubPelFilters: Array[Array[Int]] = Array(
+    Array(0, 0, 128, 0, 0, 0),
+    Array(0, -6, 123, 12, -1, 0),
+    Array(2, -11, 108, 36, -8, 1),
+    Array(0, -9, 93, 50, -6, 0),
+    Array(3, -16, 77, 77, -16, 3),
+    Array(0, -6, 50, 93, -9, 0),
+    Array(1, -8, 36, 108, -11, 2),
+    Array(0, -1, 12, 123, -6, 0))
+
+  /** Predict a bw×bh block from `ref` at (baseX,baseY)+mv. Sampling is
+    * edge-replicated (the in-code equivalent of the spec's extended
+    * reference borders), full-pel part by arithmetic >> 3, phase from
+    * the low 3 bits; subpel runs the horizontal pass first over bh+5
+    * rows, then the vertical pass, each with +64 >> 7 rounding and
+    * 0..255 clamping [§18.3]. */
+  private[graft] def mcPredict(ref: Array[Int], w: Int, h: Int,
+      baseX: Int, baseY: Int, mv: Mv, bw: Int, bh: Int,
+      out: Array[Int]): Unit = {
+    val x0 = baseX + (mv.col >> 3)
+    val y0 = baseY + (mv.row >> 3)
+    val fx = mv.col & 7
+    val fy = mv.row & 7
+    def px(x: Int, y: Int): Int =
+      ref(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
+    def tap(f: Array[Int], s: Int => Int): Int = {
+      var acc = 64
+      var i = 0
+      while (i < 6) { acc += f(i) * s(i - 2); i += 1 }
+      math.max(0, math.min(255, acc >> 7))
+    }
+    if (fx == 0 && fy == 0) {
+      var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) { out(y * bw + x) = px(x0 + x, y0 + y); x += 1 }
+        y += 1
+      }
+    } else if (fy == 0) {
+      val f = SubPelFilters(fx)
+      var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) {
+          val (xx, yy) = (x0 + x, y0 + y)
+          out(y * bw + x) = tap(f, i => px(xx + i, yy))
+          x += 1
+        }
+        y += 1
+      }
+    } else if (fx == 0) {
+      val f = SubPelFilters(fy)
+      var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) {
+          val (xx, yy) = (x0 + x, y0 + y)
+          out(y * bw + x) = tap(f, i => px(xx, yy + i))
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val fh = SubPelFilters(fx)
+      val fv = SubPelFilters(fy)
+      val mid = new Array[Int](bw * (bh + 5))
+      var y = 0
+      while (y < bh + 5) {
+        var x = 0
+        while (x < bw) {
+          val (xx, yy) = (x0 + x, y0 + y - 2)
+          mid(y * bw + x) = tap(fh, i => px(xx + i, yy))
+          x += 1
+        }
+        y += 1
+      }
+      y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) {
+          val c = x
+          val r = y + 2
+          out(y * bw + x) = tap(fv, i => mid((r + i) * bw + c))
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  /** Chroma MV: half the luma value (even by construction, so exact)
+    * applied on the half-resolution plane [§18.2]. */
+  private def chromaMv(m: Mv): Mv = Mv(m.row / 2, m.col / 2)
+
+  // ---- inter frame encode/decode ---------------------------------------------
+
+  private val ProbIntra = 63  // coded as 8-bit literals in the header,
+  private val ProbLast = 250  // so any values round-trip; these make
+  private val ProbGf = 128    // inter-with-last the cheap path
+
+  /** Encode an inter (P) frame against the implicit LAST reference:
+    * 3-byte tag (no start code), bool-coded first partition
+    * (interframe header [§9.5-§9.11] + per-MB modes/MVs), one token
+    * partition. `width`/`height` must match the stream's keyframe. */
+  def encodeInter(width: Int, height: Int, f: InterFrame): Array[Byte] = {
+    require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
+      s"vp8: $width x $height not a macroblock multiple")
+    val mbCols = width / 16
+    val mbRows = height / 16
+    require(f.mbs.length == mbCols * mbRows,
+      s"vp8: ${f.mbs.length} MBs for a ${mbCols}x$mbRows grid")
+    val h = new BoolEncoder
+    h.literal(0, 1) // segmentation_enabled
+    h.literal(if (f.filterLevel > 0) 1 else 0, 1) // filter_type: simple
+    h.literal(f.filterLevel, 6)
+    h.literal(0, 3) // sharpness
+    h.literal(0, 1) // lf deltas
+    h.literal(0, 2) // log2(#DCT partitions)
+    h.literal(f.qindex, 7)
+    var i = 0
+    while (i < 5) { h.literal(0, 1); i += 1 } // quantizer deltas
+    h.literal(0, 1) // refresh_golden_frame
+    h.literal(0, 1) // refresh_alternate_frame
+    h.literal(0, 2) // copy_buffer_to_golden (none)
+    h.literal(0, 2) // copy_buffer_to_alternate (none)
+    h.literal(0, 1) // sign_bias_golden
+    h.literal(0, 1) // sign_bias_alternate
+    h.literal(1, 1) // refresh_entropy_probs
+    h.literal(1, 1) // refresh_last
+    var t = 0
+    while (t < NTypes * NBands * NCtx * NNodes) {
+      h.bool(0, CoeffUpdateProb); t += 1
+    }
+    h.literal(0, 1) // mb_no_coeff_skip
+    h.literal(ProbIntra, 8)
+    h.literal(ProbLast, 8)
+    h.literal(ProbGf, 8)
+    h.literal(0, 1) // intra y-mode prob update flag
+    h.literal(0, 1) // intra uv-mode prob update flag
+    t = 0
+    while (t < 2 * 19) { h.bool(0, MvUpdateProb); t += 1 } // MV prob updates
+    // per-MB modes, resolving effective MVs through the survey
+    val g = new MvGrid(mbCols, mbRows)
+    var mr = 0
+    while (mr < mbRows) {
+      var mc = 0
+      while (mc < mbCols) {
+        val idx = mr * mbCols + mc
+        val mb = f.mbs(idx)
+        h.bool(if (mb.inter) 1 else 0, ProbIntra)
+        if (!mb.inter) {
+          h.tree(YmodeTree, InterYmodeProb, mb.yMode)
+          h.tree(UvModeTree, InterUvModeProb, mb.uvMode)
+          g.inter(idx) = false
+        } else {
+          h.bool(0, ProbLast) // reference = LAST
+          val (best, nearest, near, probs) = findNearMvs(g, mr, mc)
+          h.tree(MvRefTree, probs, mb.mvMode)
+          val eff = mb.mvMode match {
+            case ZeroMv => Mv(0, 0)
+            case NearestMv => nearest
+            case NearMv => near
+            case NewMv =>
+              writeMv(h, Mv(mb.mv.row - best.row, mb.mv.col - best.col))
+              mb.mv
+          }
+          g.inter(idx) = true
+          g.row(idx) = eff.row
+          g.col(idx) = eff.col
+        }
+        mc += 1
+      }
+      mr += 1
+    }
+    val part1 = h.stop()
+
+    // token partition: every mode here carries Y2 (no SPLITMV/B_PRED)
+    val e = new BoolEncoder
+    val nz = new NzCtx(mbCols)
+    mr = 0
+    while (mr < mbRows) {
+      nz.resetLeft()
+      var mc = 0
+      while (mc < mbCols) {
+        val mb = f.mbs(mr * mbCols + mc)
+        val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
+        val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2)
+        nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+        var by = 0
+        while (by < 4) {
+          var bx = 0
+          while (bx < 4) {
+            val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
+              (if (nz.leftY(by)) 1 else 0)
+            val bNz = encodeBlock(e, 0, 1, ctx, mb.y(by * 4 + bx))
+            nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
+            bx += 1
+          }
+          by += 1
+        }
+        def chroma(blocks: Array[Array[Int]], aboveP: Array[Boolean],
+            leftP: Array[Boolean]): Unit = {
+          var cy = 0
+          while (cy < 2) {
+            var cx = 0
+            while (cx < 2) {
+              val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
+                (if (leftP(cy)) 1 else 0)
+              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + cx))
+              aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
+              cx += 1
+            }
+            cy += 1
+          }
+        }
+        chroma(mb.u, nz.aboveU, nz.leftU)
+        chroma(mb.v, nz.aboveV, nz.leftV)
+        mc += 1
+      }
+      mr += 1
+    }
+    graft.sources.Ivf.vp8Frame(keyframe = false, version = 0,
+      showFrame = true, width, height, part1) ++ e.stop()
+  }
+
+  /** Decode an inter (P) frame against the LAST reference planes.
+    * Every subset boundary fails loudly by name. */
+  def decodeInter(payload: Array[Byte], width: Int, height: Int,
+      refY: Array[Int], refU: Array[Int], refV: Array[Int]): DecodedInter = {
+    val tag = graft.sources.Ivf.parseVp8Tag(payload)
+    require(!tag.keyframe, "vp8: keyframe passed to decodeInter")
+    require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
+      s"vp8: $width x $height not a macroblock multiple")
+    require(refY.length == width * height &&
+      refU.length == (width / 2) * (height / 2) &&
+      refV.length == (width / 2) * (height / 2),
+      "vp8: reference plane sizes disagree with the given dimensions")
+    val mbCols = width / 16
+    val mbRows = height / 16
+    val p1End = 3 + tag.firstPartSize
+    require(p1End <= payload.length,
+      s"vp8: first partition (${tag.firstPartSize} B) overruns the payload")
+
+    val h = new BoolDecoder(payload, 3, p1End)
+    require(h.literal(1) == 0, "vp8: segmentation out of scope")
+    val filterType = h.literal(1)
+    val filterLevel = h.literal(6)
+    require(filterLevel == 0 || filterType == 1,
+      "vp8: the NORMAL loop filter (outer taps) is out of scope — " +
+        "level > 0 is decoded with the simple filter only")
+    require(h.literal(3) == 0, "vp8: sharpness > 0 out of scope")
+    require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
+    require(h.literal(2) == 0, "vp8: multiple token partitions out of scope")
+    val qindex = h.literal(7)
+    var i = 0
+    while (i < 5) {
+      require(h.literal(1) == 0, "vp8: quantizer deltas out of scope")
+      i += 1
+    }
+    require(h.literal(1) == 0, "vp8: refresh_golden_frame out of scope")
+    require(h.literal(1) == 0, "vp8: refresh_alternate_frame out of scope")
+    require(h.literal(2) == 0, "vp8: copy_buffer_to_golden out of scope")
+    require(h.literal(2) == 0, "vp8: copy_buffer_to_alternate out of scope")
+    h.literal(1) // sign_bias_golden (golden unused here)
+    h.literal(1) // sign_bias_alternate
+    h.literal(1) // refresh_entropy_probs
+    require(h.literal(1) == 1,
+      "vp8: refresh_last = 0 out of scope (LAST is the only reference)")
+    var t = 0
+    while (t < NTypes * NBands * NCtx * NNodes) {
+      require(h.bool(CoeffUpdateProb) == 0,
+        "vp8: coefficient-probability updates out of scope")
+      t += 1
+    }
+    require(h.literal(1) == 0, "vp8: mb_no_coeff_skip out of scope")
+    val probIntra = h.literal(8)
+    val probLast = h.literal(8)
+    h.literal(8) // prob_gf (structurally present; golden out of scope)
+    require(h.literal(1) == 0, "vp8: y-mode prob updates out of scope")
+    require(h.literal(1) == 0, "vp8: uv-mode prob updates out of scope")
+    t = 0
+    while (t < 2 * 19) {
+      require(h.bool(MvUpdateProb) == 0,
+        "vp8: MV probability updates out of scope")
+      t += 1
+    }
+    // per-MB modes with the survey
+    val g = new MvGrid(mbCols, mbRows)
+    val modes = Vector.newBuilder[(Boolean, Int, Mv, Int, Int)]
+    var mr = 0
+    while (mr < mbRows) {
+      var mc = 0
+      while (mc < mbCols) {
+        val idx = mr * mbCols + mc
+        if (h.bool(probIntra) == 1) {
+          require(h.bool(probLast) == 0,
+            "vp8: golden/alt-ref reference out of scope")
+          val (best, nearest, near, probs) = findNearMvs(g, mr, mc)
+          val mvMode = h.tree(MvRefTree, probs)
+          require(mvMode != SplitMv, "vp8: SPLITMV out of scope")
+          val eff = mvMode match {
+            case ZeroMv => Mv(0, 0)
+            case NearestMv => nearest
+            case NearMv => near
+            case NewMv =>
+              val d0 = readMv(h)
+              Mv(best.row + d0.row, best.col + d0.col)
+          }
+          g.inter(idx) = true
+          g.row(idx) = eff.row
+          g.col(idx) = eff.col
+          modes += ((true, mvMode, eff, 0, 0))
+        } else {
+          val ym = h.tree(YmodeTree, InterYmodeProb)
+          require(ym != BPred,
+            "vp8: B_PRED inside inter frames out of scope")
+          val uvm = h.tree(UvModeTree, InterUvModeProb)
+          modes += ((false, 0, Mv(0, 0), ym, uvm))
+        }
+        mc += 1
+      }
+      mr += 1
+    }
+    val modeInfo = modes.result()
+
+    // tokens + reconstruction
+    val d = new BoolDecoder(payload, p1End, payload.length)
+    val dq = dequantFactors(qindex)
+    val yP = new Array[Int](width * height)
+    val uP = new Array[Int]((width / 2) * (height / 2))
+    val vP = new Array[Int]((width / 2) * (height / 2))
+    val nz = new NzCtx(mbCols)
+    val pred16 = new Array[Int](256)
+    val pred8 = new Array[Int](64)
+    val mbsOut = Vector.newBuilder[InterMb]
+    val cs = width / 2
+    mr = 0
+    while (mr < mbRows) {
+      nz.resetLeft()
+      var mc = 0
+      while (mc < mbCols) {
+        val (isInter, mvMode, eff, ym, uvm) = modeInfo(mr * mbCols + mc)
+        val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
+        val (y2L, y2Nz) = decodeBlock(d, 1, 0, y2Ctx)
+        nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+        val yL = new Array[Array[Int]](16)
+        var by = 0
+        while (by < 4) {
+          var bx = 0
+          while (bx < 4) {
+            val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
+              (if (nz.leftY(by)) 1 else 0)
+            val (lv, bNz) = decodeBlock(d, 0, 1, ctx)
+            yL(by * 4 + bx) = lv
+            nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
+            bx += 1
+          }
+          by += 1
+        }
+        def chroma(aboveP: Array[Boolean], leftP: Array[Boolean])
+            : Array[Array[Int]] = {
+          val out = new Array[Array[Int]](4)
+          var cy = 0
+          while (cy < 2) {
+            var cx = 0
+            while (cx < 2) {
+              val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
+                (if (leftP(cy)) 1 else 0)
+              val (lv, bNz) = decodeBlock(d, 2, 0, ctx)
+              out(cy * 2 + cx) = lv
+              aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
+              cx += 1
+            }
+            cy += 1
+          }
+          out
+        }
+        val uL = chroma(nz.aboveU, nz.leftU)
+        val vL = chroma(nz.aboveV, nz.leftV)
+        mbsOut += InterMb(isInter, mvMode, if (isInter) eff else Mv(0, 0),
+          ym, uvm, y2L, yL, uL, vL)
+
+        // prediction: motion-compensated from the LAST reference, or
+        // intra from the current frame's raster-order recon
+        if (isInter)
+          mcPredict(refY, width, height, mc * 16, mr * 16, eff, 16, 16, pred16)
+        else predict(yP, width, mc * 16, mr * 16, 16, ym, pred16)
+        var yy = 0
+        while (yy < 16) {
+          var xx = 0
+          while (xx < 16) {
+            yP((mr * 16 + yy) * width + mc * 16 + xx) = pred16(yy * 16 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        // Y2 → WHT → the 16 Y DCs, then per-subblock IDCT residuals
+        val y2Coef = new Array[Int](16)
+        var s = 0
+        while (s < 16) {
+          y2Coef(Zigzag(s)) = y2L(s) * (if (s == 0) dq.y2dc else dq.y2ac)
+          s += 1
+        }
+        val dcs = iwalsh4x4(y2Coef)
+        by = 0
+        while (by < 4) {
+          var bx = 0
+          while (bx < 4) {
+            val raster = dequantToRaster(yL(by * 4 + bx), dq.ydc, dq.yac,
+              Some(dcs(by * 4 + bx)))
+            addResidual(yP, width, mc * 16 + bx * 4, mr * 16 + by * 4,
+              idct4x4(raster))
+            bx += 1
+          }
+          by += 1
+        }
+        def chromaRecon(plane: Array[Int], ref: Array[Int],
+            blocks: Array[Array[Int]]): Unit = {
+          if (isInter) mcPredict(ref, cs, height / 2, mc * 8, mr * 8,
+            chromaMv(eff), 8, 8, pred8)
+          else predict(plane, cs, mc * 8, mr * 8, 8, uvm, pred8)
+          var yy2 = 0
+          while (yy2 < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((mr * 8 + yy2) * cs + mc * 8 + xx) = pred8(yy2 * 8 + xx)
+              xx += 1
+            }
+            yy2 += 1
+          }
+          var cy = 0
+          while (cy < 2) {
+            var cx = 0
+            while (cx < 2) {
+              val raster = dequantToRaster(blocks(cy * 2 + cx), dq.uvdc,
+                dq.uvac, None)
+              addResidual(plane, cs, mc * 8 + cx * 4, mr * 8 + cy * 4,
+                idct4x4(raster))
+              cx += 1
+            }
+            cy += 1
+          }
+        }
+        chromaRecon(uP, refU, uL)
+        chromaRecon(vP, refV, vL)
+        mc += 1
+      }
+      mr += 1
+    }
+    simpleLoopFilter(yP, width, height, filterLevel)
+    DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel),
+      modeInfo.map(m => if (m._1) m._3 else Mv(0, 0)), yP, uP, vP)
+  }
+
+  /** One decoded frame of a stream walk. */
+  final case class StreamFrame(keyframe: Boolean, width: Int, height: Int,
+      y: Array[Int], u: Array[Int], v: Array[Int])
+
+  /** Decode a frame sequence (e.g. the payloads of one IVF file or one
+    * WebM track): the first frame must be a keyframe; later keyframes
+    * re-anchor; inter frames reference the previous decode (the
+    * refresh_last = 1 subset). */
+  def decodeStream(payloads: Seq[Array[Byte]]): Vector[StreamFrame] = {
+    require(payloads.nonEmpty, "vp8: empty stream")
+    var w = 0; var hgt = 0
+    var lastY: Array[Int] = null
+    var lastU: Array[Int] = null
+    var lastV: Array[Int] = null
+    payloads.iterator.zipWithIndex.map { case (p, i) =>
+      val tag = graft.sources.Ivf.parseVp8Tag(p)
+      if (tag.keyframe) {
+        val dec = decode(p)
+        w = dec.frame.width; hgt = dec.frame.height
+        lastY = dec.y; lastU = dec.u; lastV = dec.v
+        StreamFrame(keyframe = true, w, hgt, dec.y, dec.u, dec.v)
+      } else {
+        require(lastY != null,
+          s"vp8: stream frame $i is inter but no keyframe precedes it")
+        val dec = decodeInter(p, w, hgt, lastY, lastU, lastV)
+        lastY = dec.y; lastU = dec.u; lastV = dec.v
+        StreamFrame(keyframe = false, w, hgt, dec.y, dec.u, dec.v)
+      }
+    }.toVector
   }
 }

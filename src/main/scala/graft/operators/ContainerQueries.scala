@@ -2364,6 +2364,389 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM mv GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m44: VP8 INTER (P) FRAME DECODE — RFC 6386 §16-§18 through real
+    * coded bytes: an IVF stream of one keyframe + P-frames whose MBs
+    * are all ZEROMV with a Y2-DC residual, decoded frame-by-frame
+    * against the LAST reference (interframe header with
+    * refresh/copy/sign-bias flags, prob_intra/last/gf, the 2×19 MV
+    * update flags; per-MB intra/inter bool; the mv_ref tree under
+    * §17.3 survey contexts; motion compensation; the Y2→WHT→IDCT
+    * residual path on top of the prediction). Fixture: the m40 V_PRED
+    * keyframe form, then each P-frame adds its own uniform (v+4)>>3
+    * per MB onto the previous frame — so the reconstruction is the
+    * keyframe column prefix PLUS the per-MB cumulative P-residual, and
+    * the oracle replays both sums. The general inter space (NEWMV
+    * vectors, subpel phases, NEAREST/NEAR survey, random levels) is
+    * pinned by Vp8Spec. Scale: the m40 envelope — per-container
+    * mapGroups, decode cost bytes-proportional and data-parallel. */
+  private[operators] object Vp8PframesKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      import graft.sources.Ivf
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8p${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8p${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs))
+        }
+      val ivf = Ivf.mux(Ivf.IvfHeader("VP80", 32, 32, 30, 1, n.toLong),
+        payloads.zipWithIndex.map { case (p, t) =>
+          Ivf.IvfFrame(t.toLong, p) })
+      val (hdr, rec) = Ivf.demux(ivf)
+      require(hdr.frameCount == n, s"container $k: IVF header drift")
+      // decode the chain manually so each frame's coded LEVELS are in
+      // hand (decodeStream returns planes only); the reference walk is
+      // identical
+      var lastY: Array[Int] = null
+      var lastU: Array[Int] = null
+      var lastV: Array[Int] = null
+      rec.iterator.zipWithIndex.map { case ((_, fr), t) =>
+        val tag = Ivf.parseVp8Tag(fr.payload)
+        require(tag.keyframe == (t == 0),
+          s"container $k frame $t: keyframe bit drift")
+        val (levels, y, u, v) =
+          if (t == 0) {
+            val dec = Vp8.decode(fr.payload)
+            (dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+              dec.y, dec.u, dec.v)
+          } else {
+            val dec = Vp8.decodeInter(fr.payload, 32, 32, lastY, lastU, lastV)
+            require(dec.frame.mbs.forall(m => m.inter &&
+              m.mvMode == Vp8.ZeroMv && m.mv.isZero),
+              s"container $k frame $t: mode drift through the bitstream")
+            (dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+              dec.y, dec.u, dec.v)
+          }
+        lastY = y; lastU = u; lastV = v
+        (k, t.toLong, t == 0, levels,
+          y.iterator.map(_.toLong).sum,
+          u.iterator.map(_.toLong).sum + v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m44(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8PframesKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m44Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |-- per-MB Y2-DC draw: keyframe 1+md5%100, P-frames md5%60
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8p'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8p' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |-- keyframe: V_PRED accumulates down each MB column from 127
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |-- each ZEROMV P-frame adds its uniform residual onto the LAST
+      |p AS (SELECT container, t, j, c, v,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, p.v, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
+  /** m45: VP8 MOTION — NEWMV and NEARESTMV through real coded bytes,
+    * completing the §17 surface the m44 ZEROMV chain leaves out: MV
+    * components coded best-MV-relative through the §17.2 short/long
+    * codec, the §17.3 survey resolving NEARESTMV from the dominant
+    * neighbor, and full-pel motion compensation reading a DISPLACED
+    * reference block. Fixture: the m40 keyframe, then P-frames where
+    * MB(0,0) is ZEROMV and the others point at the previous frame's
+    * MB(0,0) — except MB(1,1), which from t ≥ 2 switches to NEARESTMV
+    * and inherits its above neighbor's (0,-16 px) vector, reading the
+    * previous MB(1,0) instead. Reconstruction is piecewise-constant
+    * per MB, so the oracle replays the whole motion graph as lagged
+    * window sums. Subpel phases and NEARMV are pinned by Vp8Spec
+    * (their filters don't admit a per-MB-constant closed form).
+    * Scale: the m40 envelope. */
+  private[operators] object Vp8MotionKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8m${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      def pMb(mvMode: Int, mv: Vp8.Mv, v: Int): Vp8.InterMb = {
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.InterMb(inter = true, mvMode, mv, 0, 0, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          def v(j: Int, c: Int) = hexbyte(s"vp8m${k}_${t}_${j}_${c}") % 60
+          val mbs = Vector(
+            pMb(Vp8.ZeroMv, Vp8.Mv(0, 0), v(0, 0)),
+            pMb(Vp8.NewMv, Vp8.Mv(0, -128), v(0, 1)),
+            pMb(Vp8.NewMv, Vp8.Mv(-128, 0), v(1, 0)),
+            if (t == 1) pMb(Vp8.NewMv, Vp8.Mv(-128, -128), v(1, 1))
+            else pMb(Vp8.NearestMv, Vp8.Mv(0, 0), v(1, 1)))
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs))
+        }
+      var lastY: Array[Int] = null
+      var lastU: Array[Int] = null
+      var lastV: Array[Int] = null
+      payloads.iterator.zipWithIndex.map { case (p, t) =>
+        val (levels, y, u, v) =
+          if (t == 0) {
+            val dec = Vp8.decode(p)
+            (dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+              dec.y, dec.u, dec.v)
+          } else {
+            val dec = Vp8.decodeInter(p, 32, 32, lastY, lastU, lastV)
+            // the survey must resolve MB(1,1)'s NEARESTMV to its above
+            // neighbor's vector — a decode-side invariant, not an input
+            if (t >= 2)
+              require(dec.frame.mbs(3).mvMode == Vp8.NearestMv &&
+                dec.effMvs(3) == Vp8.Mv(0, -128),
+                s"container $k frame $t: NEARESTMV survey drift")
+            (dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+              dec.y, dec.u, dec.v)
+          }
+        lastY = y; lastU = u; lastV = v
+        (k, t.toLong, t == 0, levels,
+          y.iterator.map(_.toLong).sum,
+          u.iterator.map(_.toLong).sum + v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m45(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8MotionKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m45Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8m'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8m' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |-- A = keyframe MB(0,0) value; s(t) = cumulative ZEROMV residual
+      |-- at (0,0); the motion graph needs s at lags 1 and 2 plus the
+      |-- previous frame's MB(1,0) residual
+      |sc AS (SELECT container, t, r,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container ORDER BY t) AS s
+      |  FROM r WHERE j = 0 AND c = 0),
+      |scl AS (SELECT container, t, s,
+      |    lag(s, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY container
+      |      ORDER BY t) AS s1,
+      |    lag(s, 2, CAST(0 AS BIGINT)) OVER (PARTITION BY container
+      |      ORDER BY t) AS s2
+      |  FROM sc),
+      |r10 AS (SELECT container, t,
+      |    lag(r, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY container
+      |      ORDER BY t) AS rp
+      |  FROM r WHERE j = 1 AND c = 0),
+      |-- keyframe column prefix for t = 0
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |a AS (SELECT container, 127 + r AS aval FROM r
+      |  WHERE t = 0 AND j = 0 AND c = 0),
+      |val AS (SELECT r.container, r.t, r.v,
+      |    CASE WHEN r.t = 0 THEN 127 + k.kcum
+      |      WHEN r.j = 0 AND r.c = 0 THEN a.aval + scl.s
+      |      WHEN r.j = 1 AND r.c = 1 AND r.t >= 2
+      |        THEN a.aval + scl.s2 + r10.rp + r.r
+      |      ELSE a.aval + scl.s1 + r.r END AS val
+      |  FROM r
+      |  JOIN k ON k.container = r.container AND k.j = r.j AND k.c = r.c
+      |  JOIN a ON a.container = r.container
+      |  JOIN scl ON scl.container = r.container AND scl.t = r.t
+      |  JOIN r10 ON r10.container = r.container AND r10.t = r.t)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
+  /** m46: H.264 I_PCM DECODE — fully CONFORMANT H.264 payload bytes to
+    * pixels with ZERO stand-in constants: an Annex-B stream of SPS +
+    * PPS + all-I_PCM IDR slices (ITU-T H.264 §7.3.3 header, §7.3.5
+    * mb_type 25 with pcm_alignment_zero_bit, raw 4:2:0 samples,
+    * §7.4.1.1 emulation prevention over the PCM bytes) that ANY spec
+    * decoder reproduces bit-exactly — the strongest "real codec bytes"
+    * claim a zero-egress build can make, complementing m37's header
+    * indexing and the VP8 decode family (whose coefficient tables are
+    * documented stand-ins). Fixture: per MB, luma is the ramp
+    * base + x + y (base < 200, so no 8-bit wrap) and chroma two flat
+    * draws; the oracle replays base·256 + 3840 per MB and the 64·(cb+
+    * cr) chroma sum. H264Spec pins the general round-trip (random
+    * planes incl. zero runs that force emulation escapes). Scale: the
+    * m40 envelope — per-container mapGroups, bytes-proportional. */
+  private[operators] object H264IpcmKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      import graft.sources.H264
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val spsNal = H264.writeSps(32, 32)
+      val ppsNal = H264.writePps()
+      val sps = H264.parseSps(spsNal)
+      val pps = H264.parsePps(ppsNal)
+      val startCode = Array[Byte](0, 0, 0, 1)
+      val slices = (0 until n).map { t =>
+        val y = new Array[Int](32 * 32)
+        val u = new Array[Int](16 * 16)
+        val v = new Array[Int](16 * 16)
+        for (mj <- 0 until 2; mc <- 0 until 2) {
+          val base = (hexbyte(s"h264p${k}_${t}_${mj}_${mc}") * 7) % 200
+          val cb = hexbyte(s"h264pc${k}_${t}_${mj}_${mc}")
+          val cr = hexbyte(s"h264pr${k}_${t}_${mj}_${mc}")
+          for (yy <- 0 until 16; xx <- 0 until 16)
+            y((mj * 16 + yy) * 32 + mc * 16 + xx) = base + xx + yy
+          for (yy <- 0 until 8; xx <- 0 until 8) {
+            u((mj * 8 + yy) * 16 + mc * 8 + xx) = cb
+            v((mj * 8 + yy) * 16 + mc * 8 + xx) = cr
+          }
+        }
+        H264.writeIpcmSlice(0, sps, pps, y, u, v, idrPicId = t)
+      }
+      val annexB = (Seq(spsNal, ppsNal) ++ slices)
+        .flatMap(nal => startCode ++ nal).toArray
+      // a real consumer's walk: split the stream, re-derive the
+      // parameter sets, decode each slice against them
+      val nals = H264.splitAnnexB(annexB)
+      require(nals.length == n + 2, s"container $k: NAL count drift")
+      val sps2 = H264.parseSps(nals(0))
+      val pps2 = H264.parsePps(nals(1))
+      require(sps2.width == 32 && sps2.height == 32,
+        s"container $k: SPS dims drift")
+      nals.drop(2).iterator.zipWithIndex.map { case (nal, t) =>
+        val (info, y, u, v) = H264.parseIpcmSlice(nal, sps2, pps2)
+        require(info.idr && info.idrPicId == t,
+          s"container $k slice $t: header drift (idrPicId ${info.idrPicId})")
+        (k, t.toLong, 32L, 32L,
+          y.iterator.map(_.toLong).sum,
+          u.iterator.map(_.toLong).sum + v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264IpcmKernel.rows(k, it.size))
+      .toDF("container", "t", "width", "height", "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m46Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    (CAST(concat('0x', substr(md5('h264p' || container || '_' || t
+      |      || '_' || grid.j || '_' || grid.c), 1, 2)) AS BIGINT) * 7)
+      |      % 200 AS base,
+      |    CAST(concat('0x', substr(md5('h264pc' || container || '_' || t
+      |      || '_' || grid.j || '_' || grid.c), 1, 2)) AS BIGINT) AS cb,
+      |    CAST(concat('0x', substr(md5('h264pr' || container || '_' || t
+      |      || '_' || grid.j || '_' || grid.c), 1, 2)) AS BIGINT) AS cr
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid)
+      |-- per MB: sum of base+x+y over 16x16 = 256*base + 3840;
+      |-- chroma: 64 flat cb + 64 flat cr samples
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+      |  CAST(sum(256 * base + 3840) AS BIGINT) AS luma_sum,
+      |  CAST(sum(64 * (cb + cr)) AS BIGINT) AS chroma_sum
+      |FROM mb GROUP BY container, t ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -2386,6 +2769,9 @@ object ContainerQueries {
     Q("m41_vp8_bpred", m41, Some(m41Sql)),
     Q("m42_webm_vp8_decode", m42, Some(m42Sql)),
     Q("m43_vp8_loopfilter", m43, Some(m43Sql)),
+    Q("m44_vp8_pframes", m44, Some(m44Sql)),
+    Q("m45_vp8_motion", m45, Some(m45Sql)),
+    Q("m46_h264_ipcm", m46, Some(m46Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

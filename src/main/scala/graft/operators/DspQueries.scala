@@ -1295,6 +1295,93 @@ object DspQueries {
       |    AS net_playable
       |FROM d ORDER BY chunk_id, i""".stripMargin
 
+  /** p19: MPEG-1 LAYER I DECODE ([[graft.sources.Mp2]] §2.4.1.5 Layer
+    * I forms) — the FULLY CONFORMANT member of the 11172-3 family:
+    * Layer I has no appendix allocation tables, so the whole bitstream
+    * layer (plain 4-bit allocation per subband with the forbidden-15
+    * guard, one 6-bit scalefactor per allocated subband, 12
+    * sample-major (a+1)-bit codes excluding the all-ones word, 4-byte
+    * slot frame arithmetic 4·(12·bitrate/rate + pad)) is exactly the
+    * spec's — a real Layer I decoder parses these frames, the way m46
+    * closes the same gap for H.264. Per chunk, 12 frames at 448 kbps /
+    * 32 kHz mux→demux with every recovered field under the oracle:
+    * offsets, the 672(+4)-byte lengths, the exact bit budget, and the
+    * allocation/scalefactor/code sums. Matrixing/dequant pinned by
+    * Mp2Spec (cosine banks are not SQL material). Scale: the p17
+    * envelope — per-chunk mapGroups, bytes-proportional. */
+  private def p19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp2
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(12, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val frames = (0 until n).map { i =>
+          val subs = Array.tabulate(32) { sb =>
+            val a = (sb * 7 + i * 11) % 15
+            if (a == 0) Mp2.Mp1Sub(0, 0, Array.empty)
+            else {
+              val lv = (1 << (a + 1)) - 1
+              Mp2.Mp1Sub(a, (sb * 11 + i * 3) % 63,
+                Array.tabulate(12)(g => (sb * 3 + g * 5 + i * 7) % lv))
+            }
+          }
+          Mp2.Mp1FrameData(bitrateIndex = 14, rateIndex = 2,
+            padding = i % 2 == 1, subs)
+        }
+        val rec = Mp2.demuxL1(Mp2.muxL1(frames))
+        require(rec.size == n, s"chunk $cid: mp1 frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val alloc = f.subs.filter(_.a > 0)
+          (cid, i.toLong, off, f.frameLen.toLong, f.bodyBits.toLong,
+            alloc.length.toLong,
+            alloc.map(_.sf.toLong).sum,
+            alloc.flatMap(_.samples).map(_.toLong).sum)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "frame_bytes", "body_bits",
+        "n_alloc", "sf_sum", "code_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p19Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(12, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |sb AS (SELECT chunk_id, i, s.sb,
+      |    (s.sb * 7 + i * 11) % 15 AS a
+      |  FROM f, (SELECT unnest(range(32)) AS sb) s),
+      |sbl AS (SELECT *,
+      |    CASE WHEN a = 0 THEN 0
+      |      ELSE CAST(power(2, a + 1) AS BIGINT) - 1 END AS lv
+      |  FROM sb),
+      |-- Layer I budget: 4-bit allocation always; allocated subbands
+      |-- add one 6-bit scalefactor + 12 (a+1)-bit codes
+      |agg AS (SELECT chunk_id, i,
+      |    CAST(sum(CASE WHEN a = 0 THEN 4
+      |      ELSE 4 + 6 + 12 * (a + 1) END) AS BIGINT) AS body_bits,
+      |    CAST(count(*) FILTER (a > 0) AS BIGINT) AS n_alloc,
+      |    CAST(sum(CASE WHEN a > 0
+      |      THEN (sb * 11 + i * 3) % 63 END) AS BIGINT) AS sf_sum
+      |  FROM sbl GROUP BY 1, 2),
+      |codes AS (SELECT chunk_id, i,
+      |    CAST(sum((sb * 3 + g.g * 5 + i * 7) % lv) AS BIGINT) AS code_sum
+      |  FROM sbl, (SELECT unnest(range(12)) AS g) g
+      |  WHERE a > 0 GROUP BY 1, 2)
+      |SELECT a.chunk_id, CAST(a.i AS BIGINT) AS i,
+      |  -- 448 kbps @ 32 kHz: 168 four-byte slots + alternating pad slot
+      |  CAST(672 * a.i + 4 * (a.i // 2) AS BIGINT) AS "offset",
+      |  CAST(672 + 4 * (a.i % 2) AS BIGINT) AS frame_bytes,
+      |  a.body_bits, a.n_alloc, a.sf_sum, k.code_sum
+      |FROM agg a
+      |JOIN codes k ON k.chunk_id = a.chunk_id AND k.i = a.i
+      |ORDER BY a.chunk_id, a.i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -1314,5 +1401,6 @@ object DspQueries {
     Q("p16_opus_ogg_index", p16, Some(p16Sql)),
     Q("p17_mp2_subband_decode", p17, Some(p17Sql)),
     Q("p18_opus_continuity", p18, Some(p18Sql)),
+    Q("p19_mp1_decode", p19, Some(p19Sql)),
   )
 }

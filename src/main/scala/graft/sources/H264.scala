@@ -54,6 +54,8 @@ object H264 {
       bw.writeBits(codeNum, bits + 1) // codeNum, MSB first
     }
     def se(v: Long): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    /** Zero-pad to the byte boundary (pcm_alignment_zero_bit, §7.3.5). */
+    def align(): Unit = bw.alignByte()
     /** rbsp_trailing_bits: stop one bit + zero-align (§7.3.2.11). */
     def stop(): Unit = { bw.writeBits(1L, 1); bw.alignByte() }
     def toRbsp: Array[Byte] = bw.toBytes
@@ -62,6 +64,8 @@ object H264 {
   final class BitR(bytes: Array[Byte]) {
     private val br = new Flac.BitReader(bytes)
     def u(n: Int): Long = br.readBits(n)
+    /** Skip to the byte boundary (the pcm_alignment_zero_bit run). */
+    def alignByte(): Unit = br.alignByte()
     def ue(): Long = {
       var zeros = 0
       while (br.readBit() == 0) {
@@ -296,9 +300,17 @@ object H264 {
     val nt = nalType(nalBytes)
     require(nt == NalSlice || nt == NalIdr,
       s"h264: NAL $nt is not a coded slice")
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+  }
+
+  /** §7.3.3 header walk on an open reader — shared by the index-layer
+    * parse and the I_PCM slice decode (whose macroblock data follows
+    * the header in the same bitstream). */
+  private def readSliceHeader(r: BitR, nt: Int, refIdc: Int, sps: Sps,
+      pps: Pps): SliceInfo = {
     require(!pps.cabac, "h264: CABAC slice parsing unsupported")
     val idr = nt == NalIdr
-    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
     val firstMb = r.ue().toInt
     val st = r.ue().toInt
     require(st % 5 == 0 || st % 5 == 2,
@@ -313,12 +325,120 @@ object H264 {
       if (r.u(1) == 1) r.ue() // overridden num_ref_idx_l0
       if (r.u(1) == 1) sys.error("h264: ref_pic_list_modification unsupported")
     }
-    if (nalRefIdc(nalBytes) != 0) {
+    if (refIdc != 0) {
       if (idr) { r.u(1); r.u(1) }
       else if (r.u(1) == 1) sys.error("h264: adaptive ref marking unsupported")
     }
     val qpd = r.se().toInt
     SliceInfo(nt, idr, firstMb, st, ppsId, frameNum, idrPicId, qpd)
+  }
+
+  // ---- I_PCM slices (§7.3.5, §7.4.5, §8.3.5) ---------------------------------
+
+  /** In I slices, Table 7-11 assigns mb_type 25 to I_PCM: raw 4:2:0
+    * samples carried uncoded after a byte-alignment run. */
+  private val MbTypeIPcm = 25
+
+  /** Write a COMPLETE, conformant I_PCM IDR slice: §7.3.3 header, then
+    * per macroblock mb_type = I_PCM, pcm_alignment_zero_bit to the
+    * byte boundary, 256 luma + 64 Cb + 64 Cr raw samples (§7.3.5),
+    * closed by rbsp_slice_trailing_bits. Any spec decoder reproduces
+    * the planes bit-exactly — no transform, prediction or entropy
+    * model stands between the bytes and the pixels, which is what
+    * makes this the one H.264 payload form a zero-egress build can
+    * emit with full conformance. Planes are whole-frame raster
+    * (4:2:0); dimensions must be macroblock-aligned. */
+  def writeIpcmSlice(frameNum: Int, sps: Sps, pps: Pps,
+      y: Array[Int], u: Array[Int], v: Array[Int],
+      idrPicId: Int = 0): Array[Byte] = {
+    val w0 = sps.width; val h0 = sps.height
+    require(w0 % 16 == 0 && h0 % 16 == 0,
+      s"h264: I_PCM writer needs macroblock-aligned dims, got $w0 x $h0")
+    require(y.length == w0 * h0 && u.length == w0 * h0 / 4 &&
+      v.length == w0 * h0 / 4, "h264: plane sizes disagree with the SPS")
+    require((y.iterator ++ u.iterator ++ v.iterator)
+      .forall(s => s >= 0 && s <= 255), "h264: samples must be 8-bit")
+    val w = new BitW
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I, all slices of the picture are I (Table 7-6)
+    w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    w.ue(idrPicId.toLong)
+    if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
+    w.u(0L, 1); w.u(0L, 1) // dec_ref_pic_marking (IDR): no_output, long_term
+    w.se(0) // slice_qp_delta (I_PCM ignores QP, but the field is present)
+    val cs = w0 / 2
+    var mb = 0
+    val mbCols = w0 / 16
+    val mbRows = h0 / 16
+    while (mb < mbCols * mbRows) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      w.ue(MbTypeIPcm.toLong)
+      w.align() // pcm_alignment_zero_bit run
+      var i = 0
+      while (i < 256) {
+        w.u(y((mr * 16 + i / 16) * w0 + mc * 16 + i % 16).toLong, 8)
+        i += 1
+      }
+      i = 0
+      while (i < 64) {
+        w.u(u((mr * 8 + i / 8) * cs + mc * 8 + i % 8).toLong, 8); i += 1
+      }
+      i = 0
+      while (i < 64) {
+        w.u(v((mr * 8 + i / 8) * cs + mc * 8 + i % 8).toLong, 8); i += 1
+      }
+      mb += 1
+    }
+    w.stop()
+    nal(3, NalIdr, w.toRbsp)
+  }
+
+  /** Decode an all-I_PCM slice back to its planes. Every deviation
+    * from the I_PCM subset (other mb_types, non-I slice) fails loudly
+    * by name. */
+  def parseIpcmSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+      : (SliceInfo, Array[Int], Array[Int], Array[Int]) = {
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice || nt == NalIdr,
+      s"h264: NAL $nt is not a coded slice")
+    val w0 = sps.width; val h0 = sps.height
+    require(w0 % 16 == 0 && h0 % 16 == 0,
+      s"h264: I_PCM parser needs macroblock-aligned dims, got $w0 x $h0")
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+    require(info.isI, s"h264: I_PCM decode on slice_type ${info.sliceType}")
+    val y = new Array[Int](w0 * h0)
+    val u = new Array[Int](w0 * h0 / 4)
+    val v = new Array[Int](w0 * h0 / 4)
+    val cs = w0 / 2
+    val mbCols = w0 / 16
+    val mbRows = h0 / 16
+    var mb = 0
+    while (mb < mbCols * mbRows) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      val mbType = r.ue().toInt
+      require(mbType == MbTypeIPcm,
+        s"h264: mb_type $mbType at MB $mb — only I_PCM macroblocks " +
+          "are decodable (coded residual needs CAVLC)")
+      r.alignByte() // pcm_alignment_zero_bit run
+      var i = 0
+      while (i < 256) {
+        y((mr * 16 + i / 16) * w0 + mc * 16 + i % 16) = r.u(8).toInt
+        i += 1
+      }
+      i = 0
+      while (i < 64) {
+        u((mr * 8 + i / 8) * cs + mc * 8 + i % 8) = r.u(8).toInt; i += 1
+      }
+      i = 0
+      while (i < 64) {
+        v((mr * 8 + i / 8) * cs + mc * 8 + i % 8) = r.u(8).toInt; i += 1
+      }
+      mb += 1
+    }
+    require(r.u(1) == 1, "h264: missing rbsp_stop_one_bit after slice data")
+    (info, y, u, v)
   }
 
   // ---- stream splitting -------------------------------------------------------

@@ -211,6 +211,122 @@ object Mp2 {
     out.result()
   }
 
+  // ---- Layer I [§2.4.1.5 / §2.4.2.4] -----------------------------------------
+  //
+  // Layer I's bitstream layer is FULLY conformant here — unlike Layer
+  // II it has no appendix allocation tables: every one of the 32
+  // subbands carries a plain 4-bit allocation (0 = silent, a ∈ 1..14 →
+  // an (a+1)-bit code with 2^(a+1)−1 levels, 15 forbidden), one 6-bit
+  // scalefactor per allocated subband, and 12 samples in sample-major
+  // order. Frames are 4-byte slots: len = 4·(12·bitrate/rate + pad).
+
+  /** Layer I bitrate table, kbps (Table 3-B.1 column I). */
+  val BitratesL1: Vector[Int] = Vector(0, 32, 64, 96, 128, 160, 192,
+    224, 256, 288, 320, 352, 384, 416, 448)
+
+  /** One Layer I subband: allocation a (0 = silent), its scalefactor
+    * index and 12 sample codes in [0, 2^(a+1)−1). */
+  final case class Mp1Sub(a: Int, sf: Int, samples: Array[Int]) {
+    require(a >= 0 && a <= 14, s"mp1: allocation $a (15 is forbidden)")
+    if (a == 0) require(sf == 0 && samples.isEmpty,
+      "mp1: silent subband with payload")
+    else {
+      require(sf >= 0 && sf < 63, s"mp1: scalefactor index $sf")
+      require(samples.length == 12, s"mp1: ${samples.length} samples")
+      val lv = (1 << (a + 1)) - 1
+      require(samples.forall(s => s >= 0 && s < lv),
+        s"mp1: sample code beyond $lv levels (the all-ones word is " +
+          "excluded)")
+    }
+  }
+
+  final case class Mp1FrameData(bitrateIndex: Int, rateIndex: Int,
+      padding: Boolean, subs: Array[Mp1Sub]) {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, "mp1: bitrate index")
+    require(rateIndex >= 0 && rateIndex <= 2, "mp1: rate index")
+    require(subs.length == 32, s"mp1: ${subs.length} subbands")
+    def frameLen: Int =
+      4 * (12 * BitratesL1(bitrateIndex) * 1000 / Rates(rateIndex) +
+        (if (padding) 1 else 0))
+    def bodyBits: Int = 32 * 4 +
+      subs.filter(_.a > 0).map(s => 6 + 12 * (s.a + 1)).sum
+  }
+
+  def muxL1(frames: Seq[Mp1FrameData]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(4 + (f.bodyBits + 7) / 8 <= f.frameLen,
+        s"mp1: body ${f.bodyBits} bits overruns the ${f.frameLen}-byte " +
+          "frame — lower the allocations or raise the bitrate index")
+      // header: sync(11) version 11 LAYER 11 protection 1 → 0xFF 0xFF
+      out.write(0xFF); out.write(0xFF)
+      out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+        (if (f.padding) 2 else 0))
+      out.write(0xC0) // mono
+      val w = new BitWriter
+      f.subs.foreach(s => w.writeBits(s.a.toLong, 4))
+      f.subs.foreach(s => if (s.a > 0) w.writeBits(s.sf.toLong, 6))
+      var g = 0
+      while (g < 12) { // sample-major [§2.4.2.4 Layer I]
+        f.subs.foreach(s =>
+          if (s.a > 0) w.writeBits(s.samples(g).toLong, s.a + 1))
+        g += 1
+      }
+      val body = w.toBytes
+      out.write(body, 0, body.length)
+      var stuff = f.frameLen - 4 - body.length
+      while (stuff > 0) { out.write(0); stuff -= 1 }
+    }
+    out.toByteArray
+  }
+
+  def demuxL1(bytes: Array[Byte]): Seq[(Long, Mp1FrameData)] = {
+    val out = Seq.newBuilder[(Long, Mp1FrameData)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, s"mp1: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xff) == 0xFF,
+        s"mp1: lost sync at $pos (MPEG-1 Layer I no-CRC expected)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp1: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp1: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      require((bytes(pos + 3) & 0xc0) == 0xc0, s"mp1: not mono at $pos")
+      val fl = 4 * (12 * BitratesL1(bi) * 1000 / Rates(ri) +
+        (if (pad) 1 else 0))
+      require(pos + fl <= bytes.length,
+        s"mp1: frame length $fl overruns the stream at $pos")
+      val r = new BitReader(bytes, pos + 4, pos + fl)
+      val as = Array.fill(32)(r.readBits(4).toInt)
+      as.foreach(a => require(a < 15, s"mp1: forbidden allocation at $pos"))
+      val sfs = as.map(a => if (a > 0) r.readBits(6).toInt else 0)
+      val samples = as.map(a => if (a > 0) new Array[Int](12)
+        else Array.empty[Int])
+      var g = 0
+      while (g < 12) {
+        var sb = 0
+        while (sb < 32) {
+          val a = as(sb)
+          if (a > 0) {
+            val c = r.readBits(a + 1).toInt
+            require(c < (1 << (a + 1)) - 1,
+              s"mp1: all-ones code word at $pos (forbidden)")
+            samples(sb)(g) = c
+          }
+          sb += 1
+        }
+        g += 1
+      }
+      val subs = as.indices.map(sb =>
+        Mp1Sub(as(sb), sfs(sb), samples(sb))).toArray
+      out += ((pos.toLong, Mp1FrameData(bi, ri, pad, subs)))
+      pos += fl
+    }
+    out.result()
+  }
+
   // ---- synthesis matrixing [§2.4.3.2] ----------------------------------------
 
   /** Q14-quantized matrixing coefficients (p05's quantized-twiddle

@@ -167,4 +167,60 @@ class H264Spec extends AnyFunSuite {
       H264.splitAvcc(H264.avccSample(Seq(bSlice)).dropRight(1))
     }
   }
+
+  test("I_PCM slice: random planes round-trip bit-exactly through a " +
+      "conformant IDR slice — incl. zero runs that force emulation " +
+      "escapes — and the header fields survive") {
+    val sps = H264.parseSps(H264.writeSps(48, 32))
+    val pps = H264.parsePps(H264.writePps())
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 5) {
+      // trial 0: all-zero planes (maximal emulation-prevention load —
+      // every third byte of PCM data needs an escape)
+      val y = Array.fill(48 * 32)(if (trial == 0) 0 else rnd.nextInt(256))
+      val u = Array.fill(24 * 16)(if (trial == 0) 0 else rnd.nextInt(256))
+      val v = Array.fill(24 * 16)(if (trial == 0) 0 else rnd.nextInt(256))
+      val nal = H264.writeIpcmSlice(0, sps, pps, y, u, v, idrPicId = trial)
+      val (info, y2, u2, v2) = H264.parseIpcmSlice(nal, sps, pps)
+      assert(info.idr && info.isI && info.idrPicId == trial)
+      assert(y2.sameElements(y), s"trial $trial luma")
+      assert(u2.sameElements(u) && v2.sameElements(v), s"trial $trial chroma")
+    }
+    // the alignment run must land PCM bytes on byte boundaries for any
+    // header length: idrPicId's ue() width varies the pre-PCM bit count
+    for (id <- Seq(0, 1, 2, 6, 7, 30, 255)) {
+      val y = Array.fill(48 * 32)(17)
+      val u = Array.fill(24 * 16)(40)
+      val v = Array.fill(24 * 16)(200)
+      val (info, y2, _, _) = H264.parseIpcmSlice(
+        H264.writeIpcmSlice(0, sps, pps, y, u, v, idrPicId = id), sps, pps)
+      assert(info.idrPicId == id && y2.forall(_ == 17))
+    }
+    // subset boundaries loud: wrong plane sizes, non-MB dims, 9-bit
+    // samples
+    intercept[IllegalArgumentException] {
+      H264.writeIpcmSlice(0, sps, pps, new Array[Int](10),
+        new Array[Int](24 * 16), new Array[Int](24 * 16))
+    }
+    intercept[IllegalArgumentException] {
+      val spsOdd = H264.parseSps(H264.writeSps(40, 30))
+      H264.writeIpcmSlice(0, spsOdd, pps, new Array[Int](40 * 30),
+        new Array[Int](20 * 15), new Array[Int](20 * 15))
+    }
+    intercept[IllegalArgumentException] {
+      val y = Array.fill(48 * 32)(256)
+      H264.writeIpcmSlice(0, sps, pps, y, new Array[Int](24 * 16),
+        new Array[Int](24 * 16))
+    }
+    // a non-PCM slice body must be rejected by mb_type, not mis-read:
+    // the index-layer header writer emits no macroblock data, so the
+    // first "mb_type" the PCM parser sees is trailing-bits garbage
+    val headerOnly = H264.writeSliceHeader(idr = true, sliceType = 7,
+      frameNum = 0, sps, pps)
+    val ex = intercept[Exception] {
+      H264.parseIpcmSlice(headerOnly, sps, pps)
+    }
+    assert(ex.getMessage.contains("I_PCM") ||
+      ex.getMessage.contains("end of"), ex.getMessage)
+  }
 }

@@ -151,4 +151,58 @@ class Mp2Spec extends AnyFunSuite {
       assert(Mp2.dequant(l - 1, l) < 1.0)
     }
   }
+
+  test("Layer I: muxL1 ∘ demuxL1 = id over random frames (allocations, " +
+      "scalefactors, every sample code), 4-byte slot lengths exact") {
+    val rnd = new scala.util.Random(31)
+    val frames = (0 until 8).map { i =>
+      val subs = Array.tabulate(32) { sb =>
+        val a = rnd.nextInt(15)
+        if (a == 0) Mp2.Mp1Sub(0, 0, Array.empty)
+        else {
+          val lv = (1 << (a + 1)) - 1
+          Mp2.Mp1Sub(a, rnd.nextInt(63),
+            Array.fill(12)(rnd.nextInt(lv)))
+        }
+      }
+      Mp2.Mp1FrameData(14, 2, padding = i % 2 == 1, subs)
+    }
+    val bytes = Mp2.muxL1(frames)
+    val rec = Mp2.demuxL1(bytes)
+    assert(rec.size == 8)
+    var expectOff = 0L
+    rec.zip(frames).zipWithIndex.foreach { case (((off, got), want), i) =>
+      assert(off == expectOff, s"frame $i offset")
+      assert(got.frameLen == 672 + (if (want.padding) 4 else 0))
+      expectOff += got.frameLen
+      assert(got.bitrateIndex == 14 && got.rateIndex == 2 &&
+        got.padding == want.padding)
+      got.subs.zip(want.subs).zipWithIndex.foreach { case ((g, w), sb) =>
+        assert(g.a == w.a && g.sf == w.sf, s"frame $i subband $sb")
+        assert(g.samples.sameElements(w.samples), s"frame $i sb $sb codes")
+      }
+    }
+  }
+
+  test("Layer I guards fail loudly: forbidden allocation 15, all-ones " +
+      "code word, Layer II sync mistaken for Layer I, body overrun") {
+    intercept[IllegalArgumentException] { Mp2.Mp1Sub(15, 0, Array.empty) }
+    intercept[IllegalArgumentException] {
+      // all-ones word for a=1 (2-bit code, 3 levels): code 3 forbidden
+      Mp2.Mp1Sub(1, 0, Array.fill(12)(3))
+    }
+    // a Layer II stream (second sync byte 0xFD) must not demux as Layer I
+    val l2 = Mp2.mux(Seq(Mp2.Mp2FrameData(14, 2, padding = false,
+      Array.fill(Mp2.Sblimit)(Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)))))
+    val ex = intercept[IllegalArgumentException] { Mp2.demuxL1(l2) }
+    assert(ex.getMessage.contains("sync"))
+    // body overrun: all 32 subbands at a=14 is 128 + 32*(6+180) = 6080
+    // bits = 760 B > the 668 B body of a 672 B frame
+    val fat = Array.fill(32)(Mp2.Mp1Sub(14, 0,
+      Array.fill(12)(1)))
+    val ex2 = intercept[IllegalArgumentException] {
+      Mp2.muxL1(Seq(Mp2.Mp1FrameData(14, 2, padding = false, fat)))
+    }
+    assert(ex2.getMessage.contains("overruns"))
+  }
 }

@@ -357,4 +357,220 @@ class Vp8Spec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { Vp8.decode(Array[Byte](1, 2)) }
   }
+
+  // ---- inter frames [§16-§18] ------------------------------------------------
+
+  test("mv component codec: round-trips every magnitude class — zero, " +
+      "short 1..7, the implied-bit-3 band 8..15, and the full ±1023 " +
+      "long form — through the bool coder") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        (2, Gen.const(0)),
+        (3, Gen.choose(-7, 7)),
+        (3, Gen.choose(-15, 8)),   // the implied-bit-3 band
+        (3, Gen.choose(-1023, 1023))))
+    } yield xs
+    check(gen, 40) { xs =>
+      // exercised through full MVs (row, col interleave) so the ×2
+      // quarter→eighth scaling is covered too
+      val pairs = xs.grouped(2).collect { case List(a, b) => (a, b) }.toList
+      val e = new Vp8.BoolEncoder
+      val mvs = pairs.map { case (r, c) => Vp8.Mv(r * 2, c * 2) }
+      mvs.foreach(m => Vp8.writeMv(e, m))
+      val bytes = e.stop()
+      val d = new Vp8.BoolDecoder(bytes, 0, bytes.length)
+      mvs.zipWithIndex.foreach { case (m, i) =>
+        assert(Vp8.readMv(d) == m, s"mv $i of ${mvs.length}")
+      }
+    }
+    // odd eighth-pel luma MVs are rejected loudly at the codec layer
+    intercept[IllegalArgumentException] {
+      Vp8.writeMv(new Vp8.BoolEncoder, Vp8.Mv(3, 0))
+    }
+  }
+
+  test("six-tap subpel filter: literal hand fixture at phase 4 " +
+      "(3,-16,77,77,-16,3 with +64>>7), constant planes invariant at " +
+      "every phase pair, full-pel copy exact") {
+    // horizontal phase 4 over [10,20,90,40,50,60]:
+    // 30 - 320 + 6930 + 3080 - 800 + 180 + 64 = 9164 >> 7 = 71
+    val ref = Array(10, 20, 90, 40, 50, 60, 0, 0)
+    val out = new Array[Int](1)
+    Vp8.mcPredict(ref, 8, 1, 2, 0, Vp8.Mv(0, 4), 1, 1, out)
+    assert(out(0) == 71, s"phase-4 literal: ${out(0)}")
+    // two-pass on a vertically constant plane gives the same value
+    val ref2 = Array.tabulate(8 * 8)(i => ref(i % 8))
+    Vp8.mcPredict(ref2, 8, 8, 2, 3, Vp8.Mv(4, 4), 1, 1, out)
+    assert(out(0) == 71, s"two-pass on column-constant plane: ${out(0)}")
+    // constant plane: every phase pair (incl. the odd chroma phases)
+    // reproduces the constant — the filter rows sum to 128
+    val const = Array.fill(16 * 16)(73)
+    val blk = new Array[Int](16)
+    for (fy <- 0 until 8; fx <- 0 until 8) {
+      Vp8.mcPredict(const, 16, 16, 6, 6, Vp8.Mv(fy, fx), 1, 1, blk)
+      assert(blk(0) == 73, s"phase ($fy,$fx)")
+    }
+    // full-pel copy with edge replication: reading past the right edge
+    // replays the last column
+    val grad = Array.tabulate(16)(x => 10 * x).concat(
+      Array.tabulate(16)(x => 10 * x))
+    Vp8.mcPredict(grad, 16, 2, 14, 0, Vp8.Mv(0, 32), 4, 1, blk)
+    assert(blk.take(4).sameElements(Array(150, 150, 150, 150)))
+  }
+
+  private def interZero(ym: Int = Vp8.DcPred): Vp8.InterMb =
+    Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0,
+      new Array[Int](16), Array.fill(16)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)))
+
+  private def interMb(mvMode: Int, mv: Vp8.Mv, y2dc: Int = 0): Vp8.InterMb = {
+    val y2 = new Array[Int](16); y2(0) = y2dc
+    Vp8.InterMb(inter = true, mvMode, mv, 0, 0, y2,
+      Array.fill(16)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)), Array.fill(4)(new Array[Int](16)))
+  }
+
+  private def keyRef(vs: Array[Array[Int]]): Vp8.Decoded = {
+    val mbs = (for (j <- vs.indices; c <- vs(0).indices)
+      yield zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = vs(j)(c))).toVector
+    Vp8.decode(Vp8.encode(Vp8.KeyFrame(vs(0).length * 16, vs.length * 16,
+      0, mbs)))
+  }
+
+  test("inter ZEROMV with zero residual is the identity on all three " +
+      "planes (motion compensation copies the LAST reference exactly)") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    val p = Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+      Vector.fill(4)(interZero())))
+    val dec = Vp8.decodeInter(p, 32, 32, ref.y, ref.u, ref.v)
+    assert(dec.y.sameElements(ref.y), "luma must be byte-identical")
+    assert(dec.u.sameElements(ref.u) && dec.v.sameElements(ref.v))
+    assert(dec.effMvs.forall(_.isZero))
+  }
+
+  test("inter NEWMV full-pel shift reads the displaced reference " +
+      "block, chroma at the halved MV; residual adds on top") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    // MB(0,1) takes MB(0,0)'s pixels via mv (0,-128) eighth-pel = -16 px
+    val f = Vp8.InterFrame(0, Vector(
+      interZero(), interMb(Vp8.NewMv, Vp8.Mv(0, -128), y2dc = 40),
+      interZero(), interZero()))
+    val dec = Vp8.decodeInter(Vp8.encodeInter(32, 32, f), 32, 32,
+      ref.y, ref.u, ref.v)
+    val a = 127 + ((9 + 4) >> 3) // keyframe MB(0,0) value
+    val r = (40 + 4) >> 3
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(dec.y(y * 32 + x) == a + r, s"px($x,$y)")
+    // untouched MBs identical to the reference
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(dec.y(y * 32 + x) == ref.y(y * 32 + x))
+    assert(dec.u.sameElements(ref.u) && dec.v.sameElements(ref.v))
+    assert(dec.effMvs(1) == Vp8.Mv(0, -128))
+  }
+
+  test("§17.3 survey: NEARESTMV resolves to the dominant neighbor MV, " +
+      "NEARMV to the second distinct candidate, and both round-trip " +
+      "through the coded stream") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    val mvA = Vp8.Mv(0, 16)
+    val mvB = Vp8.Mv(16, 0)
+    val f = Vp8.InterFrame(0, Vector(
+      interMb(Vp8.NewMv, mvA),         // (0,0): establishes candidate A
+      interMb(Vp8.NearestMv, Vp8.Mv(0, 0)), // (0,1): left neighbor → A
+      interMb(Vp8.NewMv, mvB),         // (1,0): candidate B
+      interMb(Vp8.NearMv, Vp8.Mv(0, 0)))) // (1,1): above=A(2), left=B(2) → near=B
+    val dec = Vp8.decodeInter(Vp8.encodeInter(32, 32, f), 32, 32,
+      ref.y, ref.u, ref.v)
+    assert(dec.effMvs(0) == mvA)
+    assert(dec.effMvs(1) == mvA, "NEARESTMV must resolve to A")
+    assert(dec.effMvs(2) == mvB)
+    assert(dec.effMvs(3) == mvB, "NEARMV must resolve to the second candidate")
+    assert(dec.frame.mbs(1).mvMode == Vp8.NearestMv)
+    assert(dec.frame.mbs(3).mvMode == Vp8.NearMv)
+  }
+
+  private val interMbGen: Gen[Vp8.InterMb] = for {
+    inter <- Gen.frequency((3, Gen.const(true)), (1, Gen.const(false)))
+    mvMode <- Gen.oneOf(Vp8.ZeroMv, Vp8.NearestMv, Vp8.NearMv, Vp8.NewMv)
+    mvr <- Gen.choose(-20, 20)
+    mvc <- Gen.choose(-20, 20)
+    ym <- Gen.oneOf(Vp8.DcPred, Vp8.VPred, Vp8.HPred, Vp8.TmPred)
+    uvm <- Gen.oneOf(Vp8.DcPred, Vp8.VPred, Vp8.HPred, Vp8.TmPred)
+    y2 <- blockGen(0)
+    y <- Gen.listOfN(16, blockGen(1))
+    u <- Gen.listOfN(4, blockGen(0))
+    v <- Gen.listOfN(4, blockGen(0))
+  } yield Vp8.InterMb(inter, mvMode, Vp8.Mv(mvr * 2, mvc * 2), ym, uvm,
+    y2, y.toArray, u.toArray, v.toArray)
+
+  test("inter frame round trip: intra/inter split, mv_ref modes, NEWMV " +
+      "vectors, 16x16 intra modes and every coefficient level decode " +
+      "back exactly over random frames") {
+    val gen = for {
+      mbCols <- Gen.choose(1, 3)
+      mbRows <- Gen.choose(1, 2)
+      q <- Gen.choose(0, 127)
+      lvl <- Gen.frequency((3, Gen.const(0)), (1, Gen.choose(1, 40)))
+      mbs <- Gen.listOfN(mbCols * mbRows, interMbGen)
+      seed <- Gen.choose(0, 1000000)
+    } yield (mbCols, mbRows, q, lvl, mbs, seed)
+    check(gen, 25) { case (mbCols, mbRows, q, lvl, mbs, seed) =>
+      val w = mbCols * 16; val hgt = mbRows * 16
+      val rnd = new scala.util.Random(seed)
+      val refY = Array.fill(w * hgt)(rnd.nextInt(256))
+      val refU = Array.fill(w * hgt / 4)(rnd.nextInt(256))
+      val refV = Array.fill(w * hgt / 4)(rnd.nextInt(256))
+      val f = Vp8.InterFrame(q, mbs.toVector, lvl)
+      val payload = Vp8.encodeInter(w, hgt, f)
+      val tag = Ivf.parseVp8Tag(payload)
+      assert(!tag.keyframe && 3 + tag.firstPartSize <= payload.length)
+      val dec = Vp8.decodeInter(payload, w, hgt, refY, refU, refV)
+      assert(dec.frame.qindex == q && dec.frame.filterLevel == lvl)
+      dec.frame.mbs.zip(f.mbs).zipWithIndex.foreach { case ((g, want), i) =>
+        assert(g.inter == want.inter, s"MB $i inter flag")
+        if (want.inter) {
+          assert(g.mvMode == want.mvMode, s"MB $i mv mode")
+          if (want.mvMode == Vp8.NewMv)
+            assert(g.mv == want.mv, s"MB $i NEWMV vector")
+        } else
+          assert(g.yMode == want.yMode && g.uvMode == want.uvMode,
+            s"MB $i intra modes")
+        assert(g.y2.sameElements(want.y2), s"MB $i y2")
+        (0 until 16).foreach(b => assert(
+          g.y(b).drop(1).sameElements(want.y(b).drop(1)), s"MB $i y$b"))
+        (0 until 4).foreach(b => assert(g.u(b).sameElements(want.u(b)) &&
+          g.v(b).sameElements(want.v(b)), s"MB $i uv$b"))
+      }
+      assert(dec.y.forall(p => p >= 0 && p <= 255))
+      assert(dec.u.forall(p => p >= 0 && p <= 255))
+      assert(dec.v.forall(p => p >= 0 && p <= 255))
+    }
+  }
+
+  test("decodeStream chains keyframe → P-frames through the LAST " +
+      "reference and re-anchors on a mid-stream keyframe; an inter " +
+      "first frame fails loudly") {
+    val vs = Array(Array(9, 20), Array(67, 100))
+    val key = Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      (for (j <- 0 until 2; c <- 0 until 2)
+        yield zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = vs(j)(c))).toVector))
+    val p1 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+      Vector(interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 16),
+        interZero(), interZero(), interZero())))
+    val frames = Vp8.decodeStream(Seq(key, p1, key))
+    assert(frames.map(_.keyframe) == Vector(true, false, true))
+    val a = 127 + ((9 + 4) >> 3)
+    assert(frames(0).y(0) == a)
+    assert(frames(1).y(0) == a + ((16 + 4) >> 3),
+      "P-frame adds its residual onto the reference")
+    assert(frames(2).y.sameElements(frames(0).y), "keyframe re-anchors")
+    intercept[IllegalArgumentException] { Vp8.decodeStream(Seq(p1)) }
+    // golden/alt-ref, SPLITMV and B_PRED-in-inter are unreachable from
+    // the encoder by construction; decodeInter on a keyframe payload
+    // fails loudly by name
+    intercept[IllegalArgumentException] {
+      Vp8.decodeInter(key, 32, 32, frames(0).y, frames(0).u, frames(0).v)
+    }
+  }
 }
