@@ -85,6 +85,14 @@ object ScaleCurve {
     "m41_vp8_bpred",        // VP8 B_PRED 4x4 chained decode: m40 shape
     "p17_mp2_subband_decode", // Layer II subband bitstream: p15 shape
     "p18_opus_continuity",  // Ogg-Opus granule ledger: p16 shape
+    // round 12 second pass: inter-frame + conformant-payload decode
+    "m44_vp8_pframes",      // keyframe + ZEROMV chain decode: m40 shape
+    "m45_vp8_motion",       // NEWMV/NEARESTMV displaced reads: m44 shape
+    "m46_h264_ipcm",        // conformant I_PCM slices: m40 shape
+    "m47_webm_vp8_stream",  // mixed key+inter stream in webm: m42 shape
+    "m48_vp8_scene_detect", // curation over decoded pixels: m44 shape
+    "m49_vp8_golden_ref",   // golden-anchored decode: m44 shape
+    "p19_mp1_decode",       // Layer I conformant bitstream: p17 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

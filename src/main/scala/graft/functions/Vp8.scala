@@ -76,7 +76,10 @@ import scala.collection.mutable.ArrayBuffer
   * then vertical, +64 >> 7 rounding and clamping per pass), chroma
   * MVs at half the luma value on the half-resolution plane, and
   * edge-replicated sampling standing in for the spec's extended
-  * reference borders. Inter reference is the LAST frame only.
+  * reference borders. Per-MB reference selection covers LAST and
+  * GOLDEN (bool(prob_last) then bool(prob_gf) [§16.3]; the golden
+  * buffer is the most recent keyframe in the refresh_golden = 0
+  * subset); ALTREF stays out of scope.
   *
   * Additional inter stand-ins (same seam class as CoeffProbs): the
   * default MV context probabilities and the mode-context table that
@@ -1221,15 +1224,20 @@ object Vp8 {
   }
 
   /** One inter-frame macroblock. When `inter`, `mvMode` picks the
-    * mv_ref leaf and `mv` is the ABSOLUTE effective vector for NEWMV
+    * mv_ref leaf, `mv` is the ABSOLUTE effective vector for NEWMV
     * (ignored for ZERO/NEAREST/NEAR — those resolve from the §17.3
-    * survey); when intra, `yMode`/`uvMode` are the 16×16 modes
-    * (B_PRED inside inter frames is out of scope). Coefficient arrays
-    * as in [[MbCoding]]; every mode here carries a Y2 block. */
+    * survey), and `refGolden` selects the GOLDEN reference buffer
+    * instead of LAST (§16.3's long-term anchor; per-MB coding is
+    * bool(prob_last) then bool(prob_gf), ALTREF out of scope); when
+    * intra, `yMode`/`uvMode` are the 16×16 modes (B_PRED inside inter
+    * frames is out of scope). Coefficient arrays as in [[MbCoding]];
+    * every mode here carries a Y2 block. */
   final case class InterMb(inter: Boolean, mvMode: Int, mv: Mv,
       yMode: Int, uvMode: Int,
       y2: Array[Int], y: Array[Array[Int]],
-      u: Array[Array[Int]], v: Array[Array[Int]]) {
+      u: Array[Array[Int]], v: Array[Array[Int]],
+      refGolden: Boolean = false) {
+    require(inter || !refGolden, "vp8: golden reference on an intra MB")
     require(y2.length == 16 && y.length == 16 && u.length == 4 &&
       v.length == 4, "vp8: block shape")
     if (inter) {
@@ -1531,7 +1539,8 @@ object Vp8 {
           h.tree(UvModeTree, InterUvModeProb, mb.uvMode)
           g.inter(idx) = false
         } else {
-          h.bool(0, ProbLast) // reference = LAST
+          h.bool(if (mb.refGolden) 1 else 0, ProbLast)
+          if (mb.refGolden) h.bool(0, ProbGf) // GOLDEN (1 = ALTREF)
           val (best, nearest, near, probs) = findNearMvs(g, mr, mc)
           h.tree(MvRefTree, probs, mb.mvMode)
           val eff = mb.mvMode match {
@@ -1604,7 +1613,9 @@ object Vp8 {
   /** Decode an inter (P) frame against the LAST reference planes.
     * Every subset boundary fails loudly by name. */
   def decodeInter(payload: Array[Byte], width: Int, height: Int,
-      refY: Array[Int], refU: Array[Int], refV: Array[Int]): DecodedInter = {
+      refY: Array[Int], refU: Array[Int], refV: Array[Int],
+      goldY: Array[Int] = null, goldU: Array[Int] = null,
+      goldV: Array[Int] = null): DecodedInter = {
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(!tag.keyframe, "vp8: keyframe passed to decodeInter")
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
@@ -1653,7 +1664,7 @@ object Vp8 {
     require(h.literal(1) == 0, "vp8: mb_no_coeff_skip out of scope")
     val probIntra = h.literal(8)
     val probLast = h.literal(8)
-    h.literal(8) // prob_gf (structurally present; golden out of scope)
+    val probGf = h.literal(8)
     require(h.literal(1) == 0, "vp8: y-mode prob updates out of scope")
     require(h.literal(1) == 0, "vp8: uv-mode prob updates out of scope")
     t = 0
@@ -1664,15 +1675,19 @@ object Vp8 {
     }
     // per-MB modes with the survey
     val g = new MvGrid(mbCols, mbRows)
-    val modes = Vector.newBuilder[(Boolean, Int, Mv, Int, Int)]
+    val modes = Vector.newBuilder[(Boolean, Int, Mv, Int, Int, Boolean)]
     var mr = 0
     while (mr < mbRows) {
       var mc = 0
       while (mc < mbCols) {
         val idx = mr * mbCols + mc
         if (h.bool(probIntra) == 1) {
-          require(h.bool(probLast) == 0,
-            "vp8: golden/alt-ref reference out of scope")
+          val golden = h.bool(probLast) == 1
+          if (golden) {
+            require(h.bool(probGf) == 0, "vp8: ALTREF out of scope")
+            require(goldY != null,
+              "vp8: golden-referencing MB but no golden buffer supplied")
+          }
           val (best, nearest, near, probs) = findNearMvs(g, mr, mc)
           val mvMode = h.tree(MvRefTree, probs)
           require(mvMode != SplitMv, "vp8: SPLITMV out of scope")
@@ -1687,13 +1702,13 @@ object Vp8 {
           g.inter(idx) = true
           g.row(idx) = eff.row
           g.col(idx) = eff.col
-          modes += ((true, mvMode, eff, 0, 0))
+          modes += ((true, mvMode, eff, 0, 0, golden))
         } else {
           val ym = h.tree(YmodeTree, InterYmodeProb)
           require(ym != BPred,
             "vp8: B_PRED inside inter frames out of scope")
           val uvm = h.tree(UvModeTree, InterUvModeProb)
-          modes += ((false, 0, Mv(0, 0), ym, uvm))
+          modes += ((false, 0, Mv(0, 0), ym, uvm, false))
         }
         mc += 1
       }
@@ -1717,7 +1732,10 @@ object Vp8 {
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
-        val (isInter, mvMode, eff, ym, uvm) = modeInfo(mr * mbCols + mc)
+        val (isInter, mvMode, eff, ym, uvm, golden) = modeInfo(mr * mbCols + mc)
+        val srcY = if (golden) goldY else refY
+        val srcU = if (golden) goldU else refU
+        val srcV = if (golden) goldV else refV
         val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
         val (y2L, y2Nz) = decodeBlock(d, 1, 0, y2Ctx)
         nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
@@ -1756,12 +1774,12 @@ object Vp8 {
         val uL = chroma(nz.aboveU, nz.leftU)
         val vL = chroma(nz.aboveV, nz.leftV)
         mbsOut += InterMb(isInter, mvMode, if (isInter) eff else Mv(0, 0),
-          ym, uvm, y2L, yL, uL, vL)
+          ym, uvm, y2L, yL, uL, vL, refGolden = golden)
 
         // prediction: motion-compensated from the LAST reference, or
         // intra from the current frame's raster-order recon
         if (isInter)
-          mcPredict(refY, width, height, mc * 16, mr * 16, eff, 16, 16, pred16)
+          mcPredict(srcY, width, height, mc * 16, mr * 16, eff, 16, 16, pred16)
         else predict(yP, width, mc * 16, mr * 16, 16, ym, pred16)
         var yy = 0
         while (yy < 16) {
@@ -1819,8 +1837,8 @@ object Vp8 {
             cy += 1
           }
         }
-        chromaRecon(uP, refU, uL)
-        chromaRecon(vP, refV, vL)
+        chromaRecon(uP, srcU, uL)
+        chromaRecon(vP, srcV, vL)
         mc += 1
       }
       mr += 1
@@ -1844,17 +1862,26 @@ object Vp8 {
     var lastY: Array[Int] = null
     var lastU: Array[Int] = null
     var lastV: Array[Int] = null
+    var goldY: Array[Int] = null
+    var goldU: Array[Int] = null
+    var goldV: Array[Int] = null
     payloads.iterator.zipWithIndex.map { case (p, i) =>
       val tag = graft.sources.Ivf.parseVp8Tag(p)
       if (tag.keyframe) {
         val dec = decode(p)
         w = dec.frame.width; hgt = dec.frame.height
         lastY = dec.y; lastU = dec.u; lastV = dec.v
+        // §16.3: a keyframe refreshes ALL reference buffers
+        goldY = dec.y; goldU = dec.u; goldV = dec.v
         StreamFrame(keyframe = true, w, hgt, dec.y, dec.u, dec.v)
       } else {
         require(lastY != null,
           s"vp8: stream frame $i is inter but no keyframe precedes it")
-        val dec = decodeInter(p, w, hgt, lastY, lastU, lastV)
+        // refresh_last = 1, refresh_golden = 0 in this subset: the
+        // golden buffer stays the most recent keyframe (the long-term
+        // anchor golden referencing exists for)
+        val dec = decodeInter(p, w, hgt, lastY, lastU, lastV,
+          goldY, goldU, goldV)
         lastY = dec.y; lastU = dec.u; lastV = dec.v
         StreamFrame(keyframe = false, w, hgt, dec.y, dec.u, dec.v)
       }

@@ -2747,6 +2747,357 @@ object ContainerQueries {
       |  CAST(sum(64 * (cb + cr)) AS BIGINT) AS chroma_sum
       |FROM mb GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m47: MIXED KEY+INTER VP8 STREAM IN WEBM, DECODED END-TO-END — the
+    * exact artifact a reference user holds (vp8-in-webm with one
+    * keyframe and delta frames, tests/media/test_containers.py:25):
+    * complete coded frames as V_VP8 SimpleBlocks (keyframe flag set
+    * only on block 0), demuxed from real Matroska with the container
+    * flag cross-checked against each payload's frame_type bit, then
+    * decoded through [[graft.functions.Vp8.decodeStream]] — keyframe
+    * anchors, every later frame motion-compensated off the LAST
+    * reference. Fixture/oracle: the m44 ZEROMV-chain closed form under
+    * a webm salt, plus the 33 ms block timeline. Completes the decode
+    * matrix: m42 proved keyframes-in-webm, m44/m45 inter-in-IVF; this
+    * is inter-in-webm, the reference's daily shape. Scale: the m40
+    * envelope. */
+  private[operators] object WebmVp8StreamKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Boolean, Long, Long)] = {
+      import graft.functions.Vp8
+      import graft.sources.{Ivf, Mkv}
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8s${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8s${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs))
+        }
+      val blocks = payloads.zipWithIndex.map { case (p, t) =>
+        Mkv.MkvBlock(1, t * 33L, keyframe = t == 0, p)
+      }
+      val tracks = Seq(Mkv.MkvTrack(1, "video", "V_VP8",
+        width = 32, height = 32))
+      val (_, rec) = Mkv.demux(Mkv.mux(tracks, blocks))
+      require(rec.size == n, s"container $k: webm block count drift")
+      rec.foreach { b =>
+        require(Ivf.parseVp8Tag(b.payload).keyframe == b.keyframe,
+          s"container $k ts ${b.tsMs}: container keyframe flag " +
+            "disagrees with the bitstream frame_type bit")
+      }
+      val frames = Vp8.decodeStream(rec.map(_.payload))
+      frames.iterator.zip(rec.iterator).zipWithIndex.map {
+        case ((fr, b), t) =>
+          require(fr.width == 32 && fr.height == 32,
+            s"container $k frame $t: decoded dimensions drift")
+          (k, t.toLong, b.tsMs, fr.keyframe,
+            fr.y.iterator.map(_.toLong).sum,
+            fr.u.iterator.map(_.toLong).sum +
+              fr.v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        WebmVp8StreamKernel.rows(k, it.size))
+      .toDF("container", "t", "ts_ms", "keyframe", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m47Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8s'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8s' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(t * 33 AS BIGINT) AS ts_ms, (t = 0) AS keyframe,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
+  /** m48: SCENE DETECTION OVER DECODED VP8 PIXELS — the curation
+    * pipeline consuming the codec layer's OUTPUT: a mixed stream
+    * (keyframe every 4 frames re-anchoring the decoder, ZEROMV deltas
+    * between) is decoded frame-by-frame and the m22-style cut rule
+    * runs on the DECODED luma (|Σluma_t − Σluma_{t-1}| ≥ threshold),
+    * with scene ids as the running cut count — content-based cuts, not
+    * container keyframe flags (a keyframe with a similar plane does
+    * NOT cut, which is the honest behavior a curation pipeline wants).
+    * The oracle replays the whole chain: per-GOP keyframe column
+    * prefixes, intra-GOP residual accumulation, frame deltas, the cut
+    * rule and the scene-id prefix sum. Scale: the m40 envelope —
+    * decode state (LAST planes) lives inside one group iterator. */
+  private[operators] object Vp8SceneKernel extends Serializable {
+    val CutThreshold = 3000L
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Boolean, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(8, count)
+      if (n < 2) return Iterator.empty
+      val payloads = (0 until n).map { t =>
+        if (t % 4 == 0) {
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = 1 + hexbyte(s"vp8c${k}_${t}_${j}_${c}") % 100
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          Vp8.encode(Vp8.KeyFrame(32, 32, 0, mbs))
+        } else {
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8c${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs))
+        }
+      }
+      val frames = Vp8.decodeStream(payloads)
+      var prevLuma = 0L
+      var scenes = 0L
+      frames.iterator.zipWithIndex.map { case (fr, t) =>
+        val luma = fr.y.iterator.map(_.toLong).sum
+        val delta = if (t == 0) 0L else math.abs(luma - prevLuma)
+        prevLuma = luma
+        val cut = t == 0 || delta >= CutThreshold
+        if (cut) scenes += 1
+        (k, t.toLong, fr.keyframe, luma, delta, cut, scenes)
+      }
+    }
+  }
+
+  private def m48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8SceneKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "luma_sum", "delta", "cut",
+        "scene_id")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m48Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(8, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, t // 4 AS gop, grid.j, grid.c,
+      |    CASE WHEN t % 4 = 0 THEN 1 + CAST(concat('0x', substr(
+      |        md5('vp8c' || container || '_' || t || '_' || grid.j
+      |          || '_' || grid.c), 1, 2)) AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8c' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, gop, j, c, (v + 4) // 8 AS r FROM mb),
+      |-- per GOP: the keyframe's V_PRED column prefix, then ZEROMV
+      |-- residual accumulation within the GOP
+      |kf AS (SELECT container, gop, j, c,
+      |    sum(r) OVER (PARTITION BY container, gop, c ORDER BY j) AS kcum
+      |  FROM r WHERE t % 4 = 0),
+      |p AS (SELECT container, t, gop, j, c,
+      |    sum(CASE WHEN t % 4 > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, gop, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, 127 + kf.kcum + p.pcum AS val
+      |  FROM p JOIN kf ON kf.container = p.container AND kf.gop = p.gop
+      |    AND kf.j = p.j AND kf.c = p.c),
+      |luma AS (SELECT container, t, sum(256 * val) AS luma_sum
+      |  FROM val GROUP BY 1, 2),
+      |d AS (SELECT container, t, luma_sum,
+      |    abs(luma_sum - lag(luma_sum, 1, luma_sum)
+      |      OVER (PARTITION BY container ORDER BY t)) AS delta
+      |  FROM luma),
+      |cuts AS (SELECT container, t, luma_sum, delta,
+      |    (t = 0 OR delta >= 3000) AS cut
+      |  FROM d)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t % 4 = 0) AS keyframe,
+      |  CAST(luma_sum AS BIGINT) AS luma_sum,
+      |  CAST(delta AS BIGINT) AS delta, cut,
+      |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY container ORDER BY t) AS BIGINT) AS scene_id
+      |FROM cuts ORDER BY container, t""".stripMargin
+
+  /** m49: VP8 GOLDEN-REFERENCE DECODE — §16.3's long-term anchor
+    * through real coded bytes: per-MB reference selection
+    * (bool(prob_last) then bool(prob_gf)) with the golden buffer held
+    * at the most recent keyframe. Fixture: the top MB row predicts
+    * ZEROMV off LAST (residuals ACCUMULATE frame over frame), the
+    * bottom row ZEROMV off GOLDEN (every frame re-anchors at the
+    * KEYFRAME pixels + its own residual — drift-free, which is exactly
+    * what golden referencing exists for; a static background under a
+    * moving foreground). The oracle replays both regimes: cumulative
+    * window sums on top, keyframe value + per-frame residual on the
+    * bottom. Round-trip of the refGolden bit is required in-kernel.
+    * Scale: the m40 envelope. */
+  private[operators] object Vp8GoldenKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8g${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val key = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)))
+      var lastY = key.y; var lastU = key.u; var lastV = key.v
+      val out = Iterator.single(
+        (k, 0L, true, keyMbs.iterator.map(_.y2(0).toLong).sum,
+          key.y.iterator.map(_.toLong).sum,
+          key.u.iterator.map(_.toLong).sum +
+            key.v.iterator.map(_.toLong).sum)) ++
+        (1 until n).iterator.map { t =>
+          def pMb(j: Int, c: Int): Vp8.InterMb = {
+            val v = hexbyte(s"vp8g${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              refGolden = j == 1)
+          }
+          val mbs = Vector(pMb(0, 0), pMb(0, 1), pMb(1, 0), pMb(1, 1))
+          val dec = Vp8.decodeInter(
+            Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs)), 32, 32,
+            lastY, lastU, lastV, key.y, key.u, key.v)
+          require(dec.frame.mbs.map(_.refGolden) ==
+            Vector(false, false, true, true),
+            s"container $k frame $t: refGolden drift through the bitstream")
+          lastY = dec.y; lastU = dec.u; lastV = dec.v
+          (k, t.toLong, false,
+            dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+            dec.y.iterator.map(_.toLong).sum,
+            dec.u.iterator.map(_.toLong).sum +
+              dec.v.iterator.map(_.toLong).sum)
+        }
+      out
+    }
+  }
+
+  private def m49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8GoldenKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m49Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8g'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8g' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |-- top row (j=0): LAST chain, residuals accumulate; bottom row
+      |-- (j=1): GOLDEN anchor, keyframe value + own residual only
+      |p AS (SELECT container, t, j, c,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum,
+      |    CASE WHEN t > 0 THEN r ELSE 0 END AS rown
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, p.j, r2.v,
+      |    127 + k.kcum +
+      |      CASE WHEN p.j = 0 THEN p.pcum ELSE p.rown END AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c
+      |  JOIN r r2 ON r2.container = p.container AND r2.t = p.t
+      |    AND r2.j = p.j AND r2.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -2772,6 +3123,9 @@ object ContainerQueries {
     Q("m44_vp8_pframes", m44, Some(m44Sql)),
     Q("m45_vp8_motion", m45, Some(m45Sql)),
     Q("m46_h264_ipcm", m46, Some(m46Sql)),
+    Q("m47_webm_vp8_stream", m47, Some(m47Sql)),
+    Q("m48_vp8_scene_detect", m48, Some(m48Sql)),
+    Q("m49_vp8_golden_ref", m49, Some(m49Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -566,11 +566,59 @@ class Vp8Spec extends AnyFunSuite {
       "P-frame adds its residual onto the reference")
     assert(frames(2).y.sameElements(frames(0).y), "keyframe re-anchors")
     intercept[IllegalArgumentException] { Vp8.decodeStream(Seq(p1)) }
-    // golden/alt-ref, SPLITMV and B_PRED-in-inter are unreachable from
-    // the encoder by construction; decodeInter on a keyframe payload
-    // fails loudly by name
+    ()
+  }
+
+  test("§16.3 golden reference: a GOLDEN-referencing MB re-anchors at " +
+      "the keyframe pixels (drift-free) while LAST MBs accumulate; " +
+      "the refGolden bit round-trips; golden without a buffer is loud") {
+    val vs = Array(Array(9, 20), Array(67, 100))
+    val key = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      (for (j <- 0 until 2; c <- 0 until 2)
+        yield zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = vs(j)(c))).toVector)))
+    def pMb(v: Int, golden: Boolean): Vp8.InterMb = {
+      val y2 = new Array[Int](16); y2(0) = v
+      Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), refGolden = golden)
+    }
+    // frame 1: every MB moves off LAST by +r1
+    val f1 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+      Vector.fill(4)(pMb(40, golden = false))))
+    val d1 = Vp8.decodeInter(f1, 32, 32, key.y, key.u, key.v,
+      key.y, key.u, key.v)
+    // frame 2: MB(0,0) continues off LAST; MB(0,1) zero-residual off
+    // GOLDEN must equal the KEYFRAME pixels exactly (not frame 1's)
+    val f2 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector(
+      pMb(40, golden = false), pMb(0, golden = true),
+      pMb(0, golden = false), pMb(0, golden = false))))
+    val d2 = Vp8.decodeInter(f2, 32, 32, d1.y, d1.u, d1.v,
+      key.y, key.u, key.v)
+    assert(d2.frame.mbs.map(_.refGolden) ==
+      Vector(false, true, false, false))
+    val r1 = (40 + 4) >> 3
+    val a00 = 127 + ((9 + 4) >> 3)
+    val a01 = 127 + ((20 + 4) >> 3)
+    for (y <- 0 until 16) {
+      for (x <- 0 until 16)
+        assert(d2.y(y * 32 + x) == a00 + 2 * r1, s"LAST chain px($x,$y)")
+      for (x <- 16 until 32)
+        assert(d2.y(y * 32 + x) == a01, s"GOLDEN anchor px($x,$y)")
+    }
+    // golden-referencing stream without a golden buffer fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Vp8.decodeInter(f2, 32, 32, d1.y, d1.u, d1.v)
+    }
+    assert(ex.getMessage.contains("golden"))
+    // decodeStream holds golden at the most recent keyframe: replaying
+    // key, f1, f2 gives the same planes as the manual chain
+    val st = Vp8.decodeStream(Seq(
+      Vp8.encode(key.frame), f1, f2))
+    assert(st(2).y.sameElements(d2.y) && st(2).u.sameElements(d2.u))
+    // decodeInter on a keyframe payload fails loudly by name
     intercept[IllegalArgumentException] {
-      Vp8.decodeInter(key, 32, 32, frames(0).y, frames(0).u, frames(0).v)
+      Vp8.decodeInter(Vp8.encode(key.frame), 32, 32, key.y, key.u, key.v)
     }
   }
 }
