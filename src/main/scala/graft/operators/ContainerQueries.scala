@@ -3098,6 +3098,111 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** e53: STREAMING VP8 DECODE — the codec as a stateful stream
+    * operator: the m44-shaped frame sequence (keyframe + ZEROMV
+    * P-frames, hex payloads in the envelope's text field) rides the
+    * driver-free file-source micro-batch mount, and the decoder's
+    * reference state (LAST + GOLDEN planes, ~10 KB/key) crosses batch
+    * boundaries through the state store
+    * ([[graft.streaming.Vp8Machine]]). The chunk cut is on (ts, seq),
+    * so every container's 6 frames straddle all 3 micro-batches — the
+    * keyframe lands in batch 0 and the P-frame chain decodes against
+    * planes recovered FROM THE STATE STORE in batches 1-2. Oracle: the
+    * m44 closed form (keyframe column prefix + cumulative ZEROMV
+    * residuals) under the e53 salt. This is the live-ingest shape: a
+    * socket/RTMP source feeding coded video into a stateful decode
+    * stage with exactly-once state semantics. */
+  private[operators] object Vp8StreamFixtureKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8e${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8e${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs))
+        }
+      val hex = java.util.HexFormat.of()
+      payloads.iterator.zipWithIndex.map { case (p, t) =>
+        (k.toString, 0, t.toLong, 0.0, hex.formatHex(p), false, t.toLong)
+      }
+    }
+  }
+
+  private def e53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{StatefulRunner, Vp8Machine}
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    val fixture = views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8StreamFixtureKernel.rows(k, it.size))
+      .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
+    StreamParityQueries.throughStream(s, fixture,
+        Seq(col("ts"), col("seq")), s"e53@$d",
+        ds => StatefulRunner.runStreaming(new Vp8Machine.StreamDecoder, ds),
+        Map.empty)
+      .select(col("key").cast("long").as("container"),
+        col("ts").as("t"),
+        (split(col("text"), ",")(1) === "1").as("keyframe"),
+        col("value").cast("long").as("luma_sum"),
+        split(col("text"), ",")(0).cast("long").as("chroma_sum"))
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val e53Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8e'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8e' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -3126,6 +3231,7 @@ object ContainerQueries {
     Q("m47_webm_vp8_stream", m47, Some(m47Sql)),
     Q("m48_vp8_scene_detect", m48, Some(m48Sql)),
     Q("m49_vp8_golden_ref", m49, Some(m49Sql)),
+    Q("e53_streaming_vp8", e53, Some(e53Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -621,4 +621,40 @@ class Vp8Spec extends AnyFunSuite {
       Vp8.decodeInter(Vp8.encode(key.frame), 32, 32, key.y, key.u, key.v)
     }
   }
+
+  test("Vp8Machine.StreamDecoder: the pure (state, event) fold matches " +
+      "decodeStream frame-for-frame — reference planes carried in " +
+      "machine state — and an inter frame before any keyframe is loud") {
+    import graft.streaming.{StateMachines, Vp8Machine}
+    val vs = Array(Array(9, 20), Array(67, 100))
+    val key = Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      (for (j <- 0 until 2; c <- 0 until 2)
+        yield zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = vs(j)(c))).toVector))
+    val ps = (1 to 3).map { t =>
+      Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+        Vector.fill(4)(interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 8 * t))))
+    }
+    val payloads = key +: ps
+    val want = Vp8.decodeStream(payloads)
+    val hex = java.util.HexFormat.of()
+    val m = new Vp8Machine.StreamDecoder
+    var s = m.init
+    payloads.zipWithIndex.foreach { case (p, t) =>
+      val (ns, outs) = m.step(s, StateMachines.Ev(0, t.toLong, 0.0,
+        hex.formatHex(p), paused = false))
+      s = ns
+      assert(outs.length == 1)
+      val luma = want(t).y.iterator.map(_.toLong).sum
+      val chroma = want(t).u.iterator.map(_.toLong).sum +
+        want(t).v.iterator.map(_.toLong).sum
+      assert(outs.head.value == luma.toDouble, s"frame $t luma")
+      assert(outs.head.text == s"$chroma,${if (t == 0) 1 else 0}",
+        s"frame $t text")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      m.step(m.init, StateMachines.Ev(0, 0L, 0.0,
+        hex.formatHex(ps.head), paused = false))
+    }
+    assert(ex.getMessage.contains("before any keyframe"))
+  }
 }
