@@ -38,7 +38,10 @@ import scala.collection.mutable.ArrayBuffer
   *
   * What is a documented STAND-IN (the zero-egress sandbox carries no
   * copy of the RFC's appendix DATA; same seam class as the engine's
-  * model weights — a value swap, not a code change):
+  * model weights — a value swap, not a code change, and the swap
+  * point is CONCRETE: every such table lives in [[Profile]], and all
+  * encode/decode entry points accept one — decoding a libvpx file is
+  * constructing a Profile from the appendix tables):
   *  - the default coefficient-probability table values (4×8×3×11) and
   *    the update-flag probability values — deterministic formulas
   *    below, identical on both sides, every value in [1,254];
@@ -202,15 +205,58 @@ object Vp8 {
   /** STAND-IN dc/ac lookups (128 entries each in the spec); derivation
     * rules below (y2 doubling, the 155/100 ac scale with floor 8, the
     * 132 uvdc cap) are the spec's. */
-  private def dcQ(i: Int): Int = 4 + math.min(127, math.max(0, i))
-  private def acQ(i: Int): Int = 4 + 2 * math.min(127, math.max(0, i))
+  private[graft] val StandInDcQ: Array[Int] = Array.tabulate(128)(4 + _)
+  private[graft] val StandInAcQ: Array[Int] = Array.tabulate(128)(i => 4 + 2 * i)
 
   final case class Dequant(ydc: Int, yac: Int, y2dc: Int, y2ac: Int,
       uvdc: Int, uvac: Int)
-  def dequantFactors(qindex: Int): Dequant = Dequant(
-    ydc = dcQ(qindex), yac = acQ(qindex),
-    y2dc = dcQ(qindex) * 2, y2ac = math.max(8, acQ(qindex) * 155 / 100),
-    uvdc = math.min(132, dcQ(qindex)), uvac = acQ(qindex))
+  def dequantFactors(qindex: Int,
+      profile: Profile = Profile.StandIn): Dequant = {
+    val i = math.min(127, math.max(0, qindex))
+    val dc = profile.dcQ(i); val ac = profile.acQ(i)
+    Dequant(ydc = dc, yac = ac,
+      y2dc = dc * 2, y2ac = math.max(8, ac * 155 / 100),
+      uvdc = math.min(132, dc), uvac = ac)
+  }
+
+  /** THE stand-in seam, made concrete: every appendix-DATA table the
+    * zero-egress sandbox cannot carry lives in one swappable value.
+    * Decoding a libvpx-encoded file is constructing a Profile from RFC
+    * 6386's appendix tables (coefficient probs §13.5, kf B_PRED
+    * submode probs §11.4, MV context defaults §17.2, mode contexts
+    * §17.3, dc/ac quantizer lookups §14.1) and passing it to
+    * [[decode]]/[[decodeInter]]/[[decodeStream]] — a value swap, not a
+    * code change. Both sides of every query share [[Profile.StandIn]];
+    * Vp8Spec proves an alternative profile round-trips identically
+    * while producing different bytes. */
+  final case class Profile(
+      coeffProbs: Array[Array[Array[Array[Int]]]],
+      bmodeProbs: Array[Array[Array[Int]]],
+      mvProbs: Array[Array[Int]],
+      modeContexts: Array[Array[Int]],
+      dcQ: Array[Int],
+      acQ: Array[Int]) {
+    require(coeffProbs.length == 4 && coeffProbs(0).length == 8 &&
+      coeffProbs(0)(0).length == 3 && coeffProbs(0)(0)(0).length == 11,
+      "vp8 profile: coeff probs must be 4x8x3x11")
+    require(bmodeProbs.length == 10 && bmodeProbs(0).length == 10 &&
+      bmodeProbs(0)(0).length == 9, "vp8 profile: bmode probs 10x10x9")
+    require(mvProbs.length == 2 && mvProbs.forall(_.length == 19),
+      "vp8 profile: mv probs 2x19")
+    require(modeContexts.length == 6 && modeContexts.forall(_.length == 4),
+      "vp8 profile: mode contexts 6x4")
+    require(dcQ.length == 128 && acQ.length == 128,
+      "vp8 profile: quantizer lookups need 128 entries")
+    require((coeffProbs.iterator.flatten.flatten.flatten ++
+      bmodeProbs.iterator.flatten.flatten ++ mvProbs.iterator.flatten ++
+      modeContexts.iterator.flatten).forall(v => v >= 1 && v <= 254),
+      "vp8 profile: probabilities must lie in [1, 254]")
+  }
+  object Profile {
+    /** The deterministic stand-in tables (module doc). */
+    lazy val StandIn: Profile = Profile(CoeffProbs, KfBmodeProb,
+      MvDefaultProb, ModeContextProb, StandInDcQ, StandInAcQ)
+  }
 
   // ---- bool coder ------------------------------------------------------------
 
@@ -463,14 +509,16 @@ object Vp8 {
 
   /** Decode one block's levels (scan order); returns (levels, anyNz). */
   private def decodeBlock(d: BoolDecoder, blockType: Int, firstCoeff: Int,
-      ctx0: Int): (Array[Int], Boolean) = {
+      ctx0: Int,
+      table: Array[Array[Array[Array[Int]]]] = CoeffProbs)
+      : (Array[Int], Boolean) = {
     val levels = new Array[Int](16)
     var ctx = ctx0
     var pos = firstCoeff
     var afterZero = false
     var anyNz = false
     while (pos < 16) {
-      val probs = CoeffProbs(blockType)(CoeffBands(pos))(ctx)
+      val probs = table(blockType)(CoeffBands(pos))(ctx)
       val leaf = d.tree(CoeffTree, probs, if (afterZero) 2 else 0)
       if (leaf == TokEob) return (levels, anyNz)
       val mag =
@@ -501,7 +549,8 @@ object Vp8 {
 
   /** Encode one block's scan-order levels; mirrors [[decodeBlock]]. */
   private def encodeBlock(e: BoolEncoder, blockType: Int, firstCoeff: Int,
-      ctx0: Int, levels: Array[Int]): Boolean = {
+      ctx0: Int, levels: Array[Int],
+      table: Array[Array[Array[Array[Int]]]] = CoeffProbs): Boolean = {
     var last = 15
     while (last >= firstCoeff && levels(last) == 0) last -= 1
     var ctx = ctx0
@@ -509,7 +558,7 @@ object Vp8 {
     var afterZero = false
     var anyNz = false
     while (pos <= last) {
-      val probs = CoeffProbs(blockType)(CoeffBands(pos))(ctx)
+      val probs = table(blockType)(CoeffBands(pos))(ctx)
       val v = levels(pos)
       val mag = math.abs(v)
       val leaf =
@@ -537,7 +586,7 @@ object Vp8 {
       pos += 1
     }
     if (last < 15) {
-      val probs = CoeffProbs(blockType)(CoeffBands(math.max(firstCoeff,
+      val probs = table(blockType)(CoeffBands(math.max(firstCoeff,
         last + 1)))(ctx)
       e.tree(CoeffTree, probs, TokEob, if (afterZero) 2 else 0)
     }
@@ -734,7 +783,7 @@ object Vp8 {
   /** Encode a keyframe to a complete VP8 frame payload: uncompressed
     * tag + start code + dimensions [§9.1], bool-coded first partition
     * (header + modes), then the single token partition. */
-  def encode(f: KeyFrame): Array[Byte] = {
+  def encode(f: KeyFrame, profile: Profile = Profile.StandIn): Array[Byte] = {
     val mbCols = f.width / 16
     val mbRows = f.height / 16
     // first partition: frame header [§9.2-§9.11], then per-MB modes
@@ -779,7 +828,7 @@ object Vp8 {
             while (bx < 4) {
               val m = mb.bModes(by * 4 + bx)
               h.tree(BmodeTree,
-                KfBmodeProb(aboveSub(mc0 * 4 + bx))(leftSub(by)), m)
+                profile.bmodeProbs(aboveSub(mc0 * 4 + bx))(leftSub(by)), m)
               aboveSub(mc0 * 4 + bx) = m; leftSub(by) = m
               bx += 1
             }
@@ -811,7 +860,7 @@ object Vp8 {
           // Y2 (block type 1): one flag per MB; a B_PRED MB has no Y2
           // and leaves the Y2 context plane untouched [§13.4]
           val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2)
+          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, profile.coeffProbs)
           nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
         }
         // 16 Y blocks: type 0 starting at coeff 1 under a Y2 block,
@@ -823,7 +872,8 @@ object Vp8 {
           while (bx < 4) {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
-            val bNz = encodeBlock(e, yType, yFirst, ctx, mb.y(by * 4 + bx))
+            val bNz = encodeBlock(e, yType, yFirst, ctx, mb.y(by * 4 + bx),
+              profile.coeffProbs)
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
           }
@@ -838,7 +888,8 @@ object Vp8 {
             while (cx < 2) {
               val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + cx))
+              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + cx),
+                profile.coeffProbs)
               aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
               cx += 1
             }
@@ -858,7 +909,7 @@ object Vp8 {
 
   /** Decode a keyframe payload back to coded levels + reconstructed
     * planes. Every subset boundary fails loudly by name. */
-  def decode(payload: Array[Byte]): Decoded = {
+  def decode(payload: Array[Byte], profile: Profile = Profile.StandIn): Decoded = {
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(tag.keyframe, "vp8: not a keyframe (inter frames out of scope)")
     require(tag.widthScale == 0 && tag.heightScale == 0,
@@ -912,7 +963,7 @@ object Vp8 {
             if (ym == BPred) Array.tabulate(16) { k =>
               val (by, bx) = (k / 4, k % 4)
               val m = h.tree(BmodeTree,
-                KfBmodeProb(aboveSub(mc0 * 4 + bx))(leftSub(by)))
+                profile.bmodeProbs(aboveSub(mc0 * 4 + bx))(leftSub(by)))
               aboveSub(mc0 * 4 + bx) = m; leftSub(by) = m
               m
             }
@@ -934,7 +985,7 @@ object Vp8 {
     }
 
     val d = new BoolDecoder(payload, p1End, payload.length)
-    val dq = dequantFactors(qindex)
+    val dq = dequantFactors(qindex, profile)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -956,7 +1007,7 @@ object Vp8 {
           else {
             val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
               (if (nz.leftY2) 1 else 0)
-            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx)
+            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, profile.coeffProbs)
             nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
             lv
           }
@@ -968,7 +1019,8 @@ object Vp8 {
           while (bx < 4) {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
-            val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx)
+            val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx,
+              profile.coeffProbs)
             yL(by * 4 + bx) = lv
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
@@ -984,7 +1036,7 @@ object Vp8 {
             while (cx < 2) {
               val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val (lv, bNz) = decodeBlock(d, 2, 0, ctx)
+              val (lv, bNz) = decodeBlock(d, 2, 0, ctx, profile.coeffProbs)
               out(cy * 2 + cx) = lv
               aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
               cx += 1
@@ -1305,15 +1357,17 @@ object Vp8 {
 
   /** Read an MV residual: row then col, coded quarter-pel, ×2 to
     * eighth-pel [§17.2]. */
-  private[graft] def readMv(d: BoolDecoder): Mv =
-    Mv(readMvComponent(d, MvDefaultProb(0)) * 2,
-      readMvComponent(d, MvDefaultProb(1)) * 2)
+  private[graft] def readMv(d: BoolDecoder,
+      mvProbs: Array[Array[Int]] = MvDefaultProb): Mv =
+    Mv(readMvComponent(d, mvProbs(0)) * 2,
+      readMvComponent(d, mvProbs(1)) * 2)
 
-  private[graft] def writeMv(e: BoolEncoder, m: Mv): Unit = {
+  private[graft] def writeMv(e: BoolEncoder, m: Mv,
+      mvProbs: Array[Array[Int]] = MvDefaultProb): Unit = {
     require((m.row & 1) == 0 && (m.col & 1) == 0,
       s"vp8: luma mv (${m.row},${m.col}) must sit on the quarter-pel grid")
-    writeMvComponent(e, m.row / 2, MvDefaultProb(0))
-    writeMvComponent(e, m.col / 2, MvDefaultProb(1))
+    writeMvComponent(e, m.row / 2, mvProbs(0))
+    writeMvComponent(e, m.col / 2, mvProbs(1))
   }
 
   // ---- near-MV survey [§17.3] ------------------------------------------------
@@ -1346,7 +1400,8 @@ object Vp8 {
     * enter the candidate list merging only with the LATEST candidate;
     * then the near/nearest count swap, best-MV promotion, clamping,
     * and the count-indexed tree probabilities. */
-  private def findNearMvs(g: MvGrid, mr: Int, mc: Int)
+  private def findNearMvs(g: MvGrid, mr: Int, mc: Int,
+      modeContexts: Array[Array[Int]] = ModeContextProb)
       : (Mv, Mv, Mv, Array[Int]) = {
     val mvs = Array.fill(4)(Mv(0, 0))
     val cnt = new Array[Int](4)
@@ -1375,7 +1430,7 @@ object Vp8 {
     val best = clampMv(mvs(0), mr, mc, g.mbRows, g.mbCols)
     val nearest = clampMv(mvs(1), mr, mc, g.mbRows, g.mbCols)
     val near = clampMv(mvs(2), mr, mc, g.mbRows, g.mbCols)
-    val probs = Array.tabulate(4)(i => ModeContextProb(math.min(5, cnt(i)))(i))
+    val probs = Array.tabulate(4)(i => modeContexts(math.min(5, cnt(i)))(i))
     (best, nearest, near, probs)
   }
 
@@ -1488,7 +1543,8 @@ object Vp8 {
     * 3-byte tag (no start code), bool-coded first partition
     * (interframe header [§9.5-§9.11] + per-MB modes/MVs), one token
     * partition. `width`/`height` must match the stream's keyframe. */
-  def encodeInter(width: Int, height: Int, f: InterFrame): Array[Byte] = {
+  def encodeInter(width: Int, height: Int, f: InterFrame,
+      profile: Profile = Profile.StandIn): Array[Byte] = {
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
       s"vp8: $width x $height not a macroblock multiple")
     val mbCols = width / 16
@@ -1541,14 +1597,16 @@ object Vp8 {
         } else {
           h.bool(if (mb.refGolden) 1 else 0, ProbLast)
           if (mb.refGolden) h.bool(0, ProbGf) // GOLDEN (1 = ALTREF)
-          val (best, nearest, near, probs) = findNearMvs(g, mr, mc)
+          val (best, nearest, near, probs) =
+            findNearMvs(g, mr, mc, profile.modeContexts)
           h.tree(MvRefTree, probs, mb.mvMode)
           val eff = mb.mvMode match {
             case ZeroMv => Mv(0, 0)
             case NearestMv => nearest
             case NearMv => near
             case NewMv =>
-              writeMv(h, Mv(mb.mv.row - best.row, mb.mv.col - best.col))
+              writeMv(h, Mv(mb.mv.row - best.row, mb.mv.col - best.col),
+                profile.mvProbs)
               mb.mv
           }
           g.inter(idx) = true
@@ -1571,7 +1629,7 @@ object Vp8 {
       while (mc < mbCols) {
         val mb = f.mbs(mr * mbCols + mc)
         val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-        val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2)
+        val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, profile.coeffProbs)
         nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
         var by = 0
         while (by < 4) {
@@ -1579,7 +1637,8 @@ object Vp8 {
           while (bx < 4) {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
-            val bNz = encodeBlock(e, 0, 1, ctx, mb.y(by * 4 + bx))
+            val bNz = encodeBlock(e, 0, 1, ctx, mb.y(by * 4 + bx),
+              profile.coeffProbs)
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
           }
@@ -1593,7 +1652,8 @@ object Vp8 {
             while (cx < 2) {
               val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + cx))
+              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + cx),
+                profile.coeffProbs)
               aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
               cx += 1
             }
@@ -1615,7 +1675,8 @@ object Vp8 {
   def decodeInter(payload: Array[Byte], width: Int, height: Int,
       refY: Array[Int], refU: Array[Int], refV: Array[Int],
       goldY: Array[Int] = null, goldU: Array[Int] = null,
-      goldV: Array[Int] = null): DecodedInter = {
+      goldV: Array[Int] = null,
+      profile: Profile = Profile.StandIn): DecodedInter = {
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(!tag.keyframe, "vp8: keyframe passed to decodeInter")
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
@@ -1688,7 +1749,8 @@ object Vp8 {
             require(goldY != null,
               "vp8: golden-referencing MB but no golden buffer supplied")
           }
-          val (best, nearest, near, probs) = findNearMvs(g, mr, mc)
+          val (best, nearest, near, probs) =
+            findNearMvs(g, mr, mc, profile.modeContexts)
           val mvMode = h.tree(MvRefTree, probs)
           require(mvMode != SplitMv, "vp8: SPLITMV out of scope")
           val eff = mvMode match {
@@ -1696,7 +1758,7 @@ object Vp8 {
             case NearestMv => nearest
             case NearMv => near
             case NewMv =>
-              val d0 = readMv(h)
+              val d0 = readMv(h, profile.mvProbs)
               Mv(best.row + d0.row, best.col + d0.col)
           }
           g.inter(idx) = true
@@ -1718,7 +1780,7 @@ object Vp8 {
 
     // tokens + reconstruction
     val d = new BoolDecoder(payload, p1End, payload.length)
-    val dq = dequantFactors(qindex)
+    val dq = dequantFactors(qindex, profile)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -1737,7 +1799,7 @@ object Vp8 {
         val srcU = if (golden) goldU else refU
         val srcV = if (golden) goldV else refV
         val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-        val (y2L, y2Nz) = decodeBlock(d, 1, 0, y2Ctx)
+        val (y2L, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, profile.coeffProbs)
         nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
         val yL = new Array[Array[Int]](16)
         var by = 0
@@ -1746,7 +1808,7 @@ object Vp8 {
           while (bx < 4) {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
-            val (lv, bNz) = decodeBlock(d, 0, 1, ctx)
+            val (lv, bNz) = decodeBlock(d, 0, 1, ctx, profile.coeffProbs)
             yL(by * 4 + bx) = lv
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
@@ -1762,7 +1824,7 @@ object Vp8 {
             while (cx < 2) {
               val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val (lv, bNz) = decodeBlock(d, 2, 0, ctx)
+              val (lv, bNz) = decodeBlock(d, 2, 0, ctx, profile.coeffProbs)
               out(cy * 2 + cx) = lv
               aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
               cx += 1
@@ -1856,7 +1918,8 @@ object Vp8 {
     * WebM track): the first frame must be a keyframe; later keyframes
     * re-anchor; inter frames reference the previous decode (the
     * refresh_last = 1 subset). */
-  def decodeStream(payloads: Seq[Array[Byte]]): Vector[StreamFrame] = {
+  def decodeStream(payloads: Seq[Array[Byte]],
+      profile: Profile = Profile.StandIn): Vector[StreamFrame] = {
     require(payloads.nonEmpty, "vp8: empty stream")
     var w = 0; var hgt = 0
     var lastY: Array[Int] = null
@@ -1868,7 +1931,7 @@ object Vp8 {
     payloads.iterator.zipWithIndex.map { case (p, i) =>
       val tag = graft.sources.Ivf.parseVp8Tag(p)
       if (tag.keyframe) {
-        val dec = decode(p)
+        val dec = decode(p, profile)
         w = dec.frame.width; hgt = dec.frame.height
         lastY = dec.y; lastU = dec.u; lastV = dec.v
         // §16.3: a keyframe refreshes ALL reference buffers
@@ -1881,7 +1944,7 @@ object Vp8 {
         // golden buffer stays the most recent keyframe (the long-term
         // anchor golden referencing exists for)
         val dec = decodeInter(p, w, hgt, lastY, lastU, lastV,
-          goldY, goldU, goldV)
+          goldY, goldU, goldV, profile)
         lastY = dec.y; lastU = dec.u; lastV = dec.v
         StreamFrame(keyframe = false, w, hgt, dec.y, dec.u, dec.v)
       }

@@ -622,6 +622,62 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("Profile: the appendix-constants seam is a value swap — an " +
+      "alternative table set round-trips frames identically (pixels " +
+      "and levels) while producing different coded bytes; malformed " +
+      "profiles are rejected loudly") {
+    // a second deterministic profile with every value in range
+    val alt = Vp8.Profile(
+      coeffProbs = Array.tabulate(4, 8, 3, 11)((t, b, c, n) =>
+        1 + ((t * 17 + b * 29 + c * 41 + n * 11 + 3) * 71) % 254),
+      bmodeProbs = Array.tabulate(10, 10, 9)((a, l, n) =>
+        1 + ((a * 13 + l * 7 + n * 29 + 1) * 59) % 254),
+      mvProbs = Array.tabulate(2, 19)((c, i) =>
+        1 + ((c * 97 + i * 31 + 17) * 43) % 254),
+      modeContexts = Array.tabulate(6, 4)((c, n) =>
+        1 + ((c * 19 + n * 53 + 5) * 67) % 254),
+      dcQ = Array.tabulate(128)(i => 6 + 2 * i),
+      acQ = Array.tabulate(128)(i => 6 + 3 * i))
+    // keyframe with B_PRED + levels through every table class
+    check(frameGen, 8) { f =>
+      val a = Vp8.encode(f, alt)
+      val dec = Vp8.decode(a, alt)
+      assert(dec.frame.qindex == f.qindex)
+      dec.frame.mbs.zip(f.mbs).foreach { case (g, w) =>
+        assert(g.yMode == w.yMode && g.y2.sameElements(w.y2))
+      }
+      // same frame under the stand-in profile codes DIFFERENT bytes
+      // (the tables are load-bearing, not decorative)
+      assert(!java.util.Arrays.equals(a, Vp8.encode(f)),
+        "alt profile must change the bitstream")
+    }
+    // inter frame: MV probs + mode contexts + quantizers live too
+    val rnd = new scala.util.Random(5)
+    val refY = Array.fill(32 * 32)(rnd.nextInt(256))
+    val refU = Array.fill(16 * 16)(rnd.nextInt(256))
+    val refV = Array.fill(16 * 16)(rnd.nextInt(256))
+    val fI = Vp8.InterFrame(9, Vector(
+      interMb(Vp8.NewMv, Vp8.Mv(16, -16), y2dc = 7),
+      interMb(Vp8.NearestMv, Vp8.Mv(0, 0), y2dc = 3),
+      interZero(), interMb(Vp8.NewMv, Vp8.Mv(-32, 8), y2dc = 1)))
+    val pAlt = Vp8.encodeInter(32, 32, fI, alt)
+    val dAlt = Vp8.decodeInter(pAlt, 32, 32, refY, refU, refV,
+      profile = alt)
+    assert(dAlt.frame.mbs(0).mv == Vp8.Mv(16, -16))
+    assert(dAlt.frame.mbs.map(_.y2(0)) == Vector(7, 3, 0, 1))
+    assert(!java.util.Arrays.equals(pAlt, Vp8.encodeInter(32, 32, fI)))
+    // dequant factors follow the profile's lookups
+    assert(Vp8.dequantFactors(9, alt).ydc == 6 + 2 * 9)
+    assert(Vp8.dequantFactors(9).ydc == 4 + 9)
+    // malformed profiles fail loudly by name
+    intercept[IllegalArgumentException] {
+      alt.copy(mvProbs = Array.tabulate(2, 19)((_, _) => 0))
+    }
+    intercept[IllegalArgumentException] {
+      alt.copy(dcQ = new Array[Int](5))
+    }
+  }
+
   test("Vp8Machine.StreamDecoder: the pure (state, event) fold matches " +
       "decodeStream frame-for-frame — reference planes carried in " +
       "machine state — and an inter frame before any keyframe is loud") {
