@@ -92,6 +92,9 @@ object ScaleCurve {
     "m47_webm_vp8_stream",  // mixed key+inter stream in webm: m42 shape
     "m48_vp8_scene_detect", // curation over decoded pixels: m44 shape
     "m49_vp8_golden_ref",   // golden-anchored decode: m44 shape
+    "m50_vp8_skip",         // mb_no_coeff_skip chain: m44 shape
+    "m51_vp8_qdelta",       // per-frame quantizer deltas: m44 shape
+    "e53_streaming_vp8",    // stateful decode through the stream mount
     "p19_mp1_decode",       // Layer I conformant bitstream: p17 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 

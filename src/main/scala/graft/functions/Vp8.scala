@@ -79,10 +79,10 @@ import scala.collection.mutable.ArrayBuffer
   * then vertical, +64 >> 7 rounding and clamping per pass), chroma
   * MVs at half the luma value on the half-resolution plane, and
   * edge-replicated sampling standing in for the spec's extended
-  * reference borders. Per-MB reference selection covers LAST and
-  * GOLDEN (bool(prob_last) then bool(prob_gf) [§16.3]; the golden
-  * buffer is the most recent keyframe in the refresh_golden = 0
-  * subset); ALTREF stays out of scope.
+  * reference borders. Per-MB reference selection covers all THREE
+  * buffers — LAST, GOLDEN and ALTREF (bool(prob_last) then
+  * bool(prob_gf) [§16.3]); in the refresh_golden = refresh_alt = 0
+  * subset both long-term buffers hold the most recent keyframe.
   *
   * Additional inter stand-ins (same seam class as CoeffProbs): the
   * default MV context probabilities and the mode-context table that
@@ -90,9 +90,15 @@ import scala.collection.mutable.ArrayBuffer
   * by both sides), and the non-keyframe default y/uv mode
   * probabilities ({112,86,140,37} / {162,101,204} as published).
   *
+  * mb_no_coeff_skip [§9.11] is implemented on both sides: when the
+  * header enables it, each MB leads with a skip bool at
+  * prob_skip_false; skipped MBs code no tokens and their nonzero
+  * contexts read as zero for following neighbors (the Y2 entry resets
+  * only for modes that have a Y2 block).
+  *
   * Subset boundaries, all failing loudly: SPLITMV, golden/alt-ref
-  * reference and refresh, B_PRED inside inter frames,
-  * segmentation/lf-delta/skip flags must be 0, level > 0 requires
+  * refresh and buffer copies, B_PRED inside inter frames,
+  * segmentation/lf-delta flags must be 0, level > 0 requires
   * filter_type = simple, sharpness must be 0, one DCT partition,
   * dimensions must be multiples of 16 (real VP8 pads to macroblocks
   * and crops at display).
@@ -208,16 +214,49 @@ object Vp8 {
   private[graft] val StandInDcQ: Array[Int] = Array.tabulate(128)(4 + _)
   private[graft] val StandInAcQ: Array[Int] = Array.tabulate(128)(i => 4 + 2 * i)
 
+  /** The five per-plane quantizer deltas [§9.6]: each shifts the
+    * shared y_ac base index for one factor, coded flag + 4-bit
+    * magnitude + sign in the frame header. */
+  final case class QDeltas(ydc: Int = 0, y2dc: Int = 0, y2ac: Int = 0,
+      uvdc: Int = 0, uvac: Int = 0) {
+    require(Seq(ydc, y2dc, y2ac, uvdc, uvac)
+      .forall(d => d >= -15 && d <= 15),
+      s"vp8: quantizer delta outside the 4-bit-magnitude range: $this")
+    def isZero: Boolean =
+      ydc == 0 && y2dc == 0 && y2ac == 0 && uvdc == 0 && uvac == 0
+  }
+
   final case class Dequant(ydc: Int, yac: Int, y2dc: Int, y2ac: Int,
       uvdc: Int, uvac: Int)
   def dequantFactors(qindex: Int,
-      profile: Profile = Profile.StandIn): Dequant = {
-    val i = math.min(127, math.max(0, qindex))
-    val dc = profile.dcQ(i); val ac = profile.acQ(i)
-    Dequant(ydc = dc, yac = ac,
-      y2dc = dc * 2, y2ac = math.max(8, ac * 155 / 100),
-      uvdc = math.min(132, dc), uvac = ac)
+      profile: Profile = Profile.StandIn,
+      deltas: QDeltas = QDeltas()): Dequant = {
+    def q(d: Int) = math.min(127, math.max(0, qindex + d))
+    Dequant(
+      ydc = profile.dcQ(q(deltas.ydc)),
+      yac = profile.acQ(q(0)),
+      y2dc = profile.dcQ(q(deltas.y2dc)) * 2,
+      y2ac = math.max(8, profile.acQ(q(deltas.y2ac)) * 155 / 100),
+      uvdc = math.min(132, profile.dcQ(q(deltas.uvdc))),
+      uvac = profile.acQ(q(deltas.uvac)))
   }
+
+  private def writeQDelta(h: BoolEncoder, d: Int): Unit =
+    if (d == 0) h.literal(0, 1)
+    else {
+      h.literal(1, 1); h.literal(math.abs(d), 4)
+      h.literal(if (d < 0) 1 else 0, 1)
+    }
+  private def readQDelta(h: BoolDecoder): Int =
+    if (h.literal(1) == 0) 0
+    else { val m = h.literal(4); if (h.literal(1) == 1) -m else m }
+  private def writeQDeltas(h: BoolEncoder, d: QDeltas): Unit = {
+    writeQDelta(h, d.ydc); writeQDelta(h, d.y2dc); writeQDelta(h, d.y2ac)
+    writeQDelta(h, d.uvdc); writeQDelta(h, d.uvac)
+  }
+  private def readQDeltas(h: BoolDecoder): QDeltas =
+    QDeltas(readQDelta(h), readQDelta(h), readQDelta(h), readQDelta(h),
+      readQDelta(h))
 
   /** THE stand-in seam, made concrete: every appendix-DATA table the
     * zero-egress sandbox cannot carry lives in one swappable value.
@@ -455,7 +494,10 @@ object Vp8 {
   final case class MbCoding(yMode: Int, uvMode: Int,
       y2: Array[Int], y: Array[Array[Int]],
       u: Array[Array[Int]], v: Array[Array[Int]],
-      bModes: Array[Int] = Array.empty) {
+      bModes: Array[Int] = Array.empty, skip: Boolean = false) {
+    if (skip) require((y2.iterator ++ y.iterator.flatten ++
+      u.iterator.flatten ++ v.iterator.flatten).forall(_ == 0),
+      "vp8: mb_skip_coeff on a macroblock with nonzero levels")
     require(yMode >= 0 && yMode <= BPred,
       s"vp8: yMode $yMode (inter modes are out of scope)")
     require(uvMode >= 0 && uvMode <= TmPred, s"vp8: uvMode $uvMode")
@@ -472,7 +514,10 @@ object Vp8 {
   }
 
   final case class KeyFrame(width: Int, height: Int, qindex: Int,
-      mbs: Vector[MbCoding], filterLevel: Int = 0) {
+      mbs: Vector[MbCoding], filterLevel: Int = 0,
+      skipEnabled: Boolean = false, qDeltas: QDeltas = QDeltas()) {
+    require(skipEnabled || mbs.forall(!_.skip),
+      "vp8: skipped MBs need mb_no_coeff_skip enabled in the header")
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
       s"vp8: $width x $height not a macroblock multiple (display cropping " +
         "is out of scope)")
@@ -505,6 +550,23 @@ object Vp8 {
       java.util.Arrays.fill(leftV, false)
       leftY2 = false
     }
+  }
+
+  /** §9.11/§13.4: a skipped MB codes no tokens and its nonzero
+    * contexts read as all-zero for the neighbors that follow; the Y2
+    * entry resets only for modes that HAVE a Y2 block. */
+  private def resetMbNz(nz: NzCtx, mc: Int, resetY2: Boolean): Unit = {
+    var i = 0
+    while (i < 4) {
+      nz.aboveY(mc * 4 + i) = false; nz.leftY(i) = false; i += 1
+    }
+    i = 0
+    while (i < 2) {
+      nz.aboveU(mc * 2 + i) = false; nz.leftU(i) = false
+      nz.aboveV(mc * 2 + i) = false; nz.leftV(i) = false
+      i += 1
+    }
+    if (resetY2) { nz.aboveY2(mc) = false; nz.leftY2 = false }
   }
 
   /** Decode one block's levels (scan order); returns (levels, anyNz). */
@@ -799,8 +861,7 @@ object Vp8 {
     h.literal(0, 1) // loop-filter delta adjustments: off (subset)
     h.literal(0, 2) // log2(#DCT partitions) = 0 → one token partition
     h.literal(f.qindex, 7) // y_ac_qi
-    var i = 0
-    while (i < 5) { h.literal(0, 1); i += 1 } // five quantizer deltas absent
+    writeQDeltas(h, f.qDeltas) // the five per-plane deltas [§9.6]
     h.literal(1, 1) // refresh_entropy_probs
     // 4×8×3×11 coefficient-probability update flags, all zero → the
     // default table stays in force on both sides
@@ -808,7 +869,8 @@ object Vp8 {
     while (t < NTypes * NBands * NCtx * NNodes) {
       h.bool(0, CoeffUpdateProb); t += 1
     }
-    h.literal(0, 1) // mb_no_coeff_skip: off → every MB codes its tokens
+    h.literal(if (f.skipEnabled) 1 else 0, 1) // mb_no_coeff_skip [§9.11]
+    if (f.skipEnabled) h.literal(ProbSkipFalse, 8) // prob_skip_false
     // per-MB modes with the submode context grid [§11.4]: B_PRED
     // submodes are coded against (above, left) neighbor submodes;
     // whole-MB neighbors enter as their subEquiv
@@ -820,6 +882,7 @@ object Vp8 {
       var mc0 = 0
       while (mc0 < mbCols) {
         val mb = f.mbs(mr0 * mbCols + mc0)
+        if (f.skipEnabled) h.bool(if (mb.skip) 1 else 0, ProbSkipFalse)
         h.tree(KfYmodeTree, KfYmodeProb, mb.yMode)
         if (mb.yMode == BPred) {
           var by = 0
@@ -856,6 +919,8 @@ object Vp8 {
       while (mc < mbCols) {
         val mb = f.mbs(mr * mbCols + mc)
         val isB = mb.yMode == BPred
+        if (mb.skip) { resetMbNz(nz, mc, resetY2 = !isB); mc += 1 }
+        else {
         if (!isB) {
           // Y2 (block type 1): one flag per MB; a B_PRED MB has no Y2
           // and leaves the Y2 context plane untouched [§13.4]
@@ -899,6 +964,7 @@ object Vp8 {
         chroma(mb.u, nz.aboveU, nz.leftU)
         chroma(mb.v, nz.aboveV, nz.leftV)
         mc += 1
+        }
       }
       mr += 1
     }
@@ -936,11 +1002,7 @@ object Vp8 {
     require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
     require(h.literal(2) == 0, "vp8: multiple token partitions out of scope")
     val qindex = h.literal(7)
-    var i = 0
-    while (i < 5) {
-      require(h.literal(1) == 0, "vp8: quantizer deltas out of scope")
-      i += 1
-    }
+    val qDeltas = readQDeltas(h)
     h.literal(1) // refresh_entropy_probs
     var t = 0
     while (t < NTypes * NBands * NCtx * NNodes) {
@@ -948,9 +1010,10 @@ object Vp8 {
         "vp8: coefficient-probability updates out of scope")
       t += 1
     }
-    require(h.literal(1) == 0, "vp8: mb_no_coeff_skip out of scope")
+    val skipEnabled = h.literal(1) == 1
+    val probSkip = if (skipEnabled) h.literal(8) else 0
     val modes = {
-      val out = Vector.newBuilder[(Int, Int, Array[Int])]
+      val out = Vector.newBuilder[(Boolean, Int, Int, Array[Int])]
       val aboveSub = Array.fill(4 * mbCols)(BDc)
       val leftSub = new Array[Int](4)
       var mr0 = 0
@@ -958,6 +1021,7 @@ object Vp8 {
         java.util.Arrays.fill(leftSub, BDc)
         var mc0 = 0
         while (mc0 < mbCols) {
+          val sk = skipEnabled && h.bool(probSkip) == 1
           val ym = h.tree(KfYmodeTree, KfYmodeProb)
           val bms =
             if (ym == BPred) Array.tabulate(16) { k =>
@@ -976,7 +1040,7 @@ object Vp8 {
               Array.empty[Int]
             }
           val uvm = h.tree(UvModeTree, KfUvModeProb)
-          out += ((ym, uvm, bms))
+          out += ((sk, ym, uvm, bms))
           mc0 += 1
         }
         mr0 += 1
@@ -985,7 +1049,7 @@ object Vp8 {
     }
 
     val d = new BoolDecoder(payload, p1End, payload.length)
-    val dq = dequantFactors(qindex, profile)
+    val dq = dequantFactors(qindex, profile, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -998,12 +1062,13 @@ object Vp8 {
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
-        val (ym, uvm, bms) = modes(mr * mbCols + mc)
+        val (sk, ym, uvm, bms) = modes(mr * mbCols + mc)
         val isB = ym == BPred
         // ---- tokens (a B_PRED MB has no Y2 block and leaves the Y2
-        // context plane untouched [§13.4])
+        // context plane untouched [§13.4]); a SKIPPED MB codes none
+        // and its contexts read as zero [§9.11]
         val y2L =
-          if (isB) new Array[Int](16)
+          if (isB || sk) new Array[Int](16)
           else {
             val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
               (if (nz.leftY2) 1 else 0)
@@ -1012,20 +1077,23 @@ object Vp8 {
             lv
           }
         val (yType, yFirst) = if (isB) (3, 0) else (0, 1)
-        val yL = new Array[Array[Int]](16)
-        var by = 0
-        while (by < 4) {
-          var bx = 0
-          while (bx < 4) {
-            val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
-              (if (nz.leftY(by)) 1 else 0)
-            val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx,
-              profile.coeffProbs)
-            yL(by * 4 + bx) = lv
-            nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
-            bx += 1
+        val yL = Array.fill(16)(new Array[Int](16))
+        if (sk) resetMbNz(nz, mc, resetY2 = !isB)
+        else {
+          var by0 = 0
+          while (by0 < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
+                (if (nz.leftY(by0)) 1 else 0)
+              val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx,
+                profile.coeffProbs)
+              yL(by0 * 4 + bx) = lv
+              nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by0) = bNz
+              bx += 1
+            }
+            by0 += 1
           }
-          by += 1
         }
         def chroma(aboveP: Array[Boolean], leftP: Array[Boolean])
             : Array[Array[Int]] = {
@@ -1045,11 +1113,14 @@ object Vp8 {
           }
           out
         }
-        val uL = chroma(nz.aboveU, nz.leftU)
-        val vL = chroma(nz.aboveV, nz.leftV)
-        mbsOut += MbCoding(ym, uvm, y2L, yL, uL, vL, bms)
+        val uL = if (sk) Array.fill(4)(new Array[Int](16))
+          else chroma(nz.aboveU, nz.leftU)
+        val vL = if (sk) Array.fill(4)(new Array[Int](16))
+          else chroma(nz.aboveV, nz.leftV)
+        mbsOut += MbCoding(ym, uvm, y2L, yL, uL, vL, bms, skip = sk)
 
         // ---- reconstruction
+        var by = 0
         if (isB) {
           // B_PRED interleaves: each 4×4 block predicts from pixels the
           // raster walk ALREADY reconstructed (including this MB's own
@@ -1145,8 +1216,8 @@ object Vp8 {
       mr += 1
     }
     simpleLoopFilter(yP, width, height, filterLevel)
-    Decoded(KeyFrame(width, height, qindex, mbsOut.result(), filterLevel),
-      yP, uP, vP)
+    Decoded(KeyFrame(width, height, qindex, mbsOut.result(), filterLevel,
+      skipEnabled, qDeltas), yP, uP, vP)
   }
 
   /** §15 SIMPLE loop filter over the LUMA plane (filter_type 1; the
@@ -1288,8 +1359,15 @@ object Vp8 {
       yMode: Int, uvMode: Int,
       y2: Array[Int], y: Array[Array[Int]],
       u: Array[Array[Int]], v: Array[Array[Int]],
-      refGolden: Boolean = false) {
-    require(inter || !refGolden, "vp8: golden reference on an intra MB")
+      refGolden: Boolean = false, skip: Boolean = false,
+      refAltref: Boolean = false) {
+    require(inter || (!refGolden && !refAltref),
+      "vp8: golden/alt-ref reference on an intra MB")
+    require(!(refGolden && refAltref),
+      "vp8: a macroblock references exactly one buffer")
+    if (skip) require((y2.iterator ++ y.iterator.flatten ++
+      u.iterator.flatten ++ v.iterator.flatten).forall(_ == 0),
+      "vp8: mb_skip_coeff on a macroblock with nonzero levels")
     require(y2.length == 16 && y.length == 16 && u.length == 4 &&
       v.length == 4, "vp8: block shape")
     if (inter) {
@@ -1309,7 +1387,10 @@ object Vp8 {
   }
 
   final case class InterFrame(qindex: Int, mbs: Vector[InterMb],
-      filterLevel: Int = 0) {
+      filterLevel: Int = 0, skipEnabled: Boolean = false,
+      qDeltas: QDeltas = QDeltas()) {
+    require(skipEnabled || mbs.forall(!_.skip),
+      "vp8: skipped MBs need mb_no_coeff_skip enabled in the header")
     require(qindex >= 0 && qindex < 128, s"vp8: qindex $qindex")
     require(filterLevel >= 0 && filterLevel < 64,
       s"vp8: loop filter level $filterLevel")
@@ -1538,6 +1619,7 @@ object Vp8 {
   private val ProbIntra = 63  // coded as 8-bit literals in the header,
   private val ProbLast = 250  // so any values round-trip; these make
   private val ProbGf = 128    // inter-with-last the cheap path
+  private val ProbSkipFalse = 180 // prob_skip_false when skip is enabled
 
   /** Encode an inter (P) frame against the implicit LAST reference:
     * 3-byte tag (no start code), bool-coded first partition
@@ -1559,8 +1641,7 @@ object Vp8 {
     h.literal(0, 1) // lf deltas
     h.literal(0, 2) // log2(#DCT partitions)
     h.literal(f.qindex, 7)
-    var i = 0
-    while (i < 5) { h.literal(0, 1); i += 1 } // quantizer deltas
+    writeQDeltas(h, f.qDeltas) // the five per-plane deltas [§9.6]
     h.literal(0, 1) // refresh_golden_frame
     h.literal(0, 1) // refresh_alternate_frame
     h.literal(0, 2) // copy_buffer_to_golden (none)
@@ -1573,7 +1654,8 @@ object Vp8 {
     while (t < NTypes * NBands * NCtx * NNodes) {
       h.bool(0, CoeffUpdateProb); t += 1
     }
-    h.literal(0, 1) // mb_no_coeff_skip
+    h.literal(if (f.skipEnabled) 1 else 0, 1) // mb_no_coeff_skip [§9.11]
+    if (f.skipEnabled) h.literal(ProbSkipFalse, 8)
     h.literal(ProbIntra, 8)
     h.literal(ProbLast, 8)
     h.literal(ProbGf, 8)
@@ -1589,14 +1671,16 @@ object Vp8 {
       while (mc < mbCols) {
         val idx = mr * mbCols + mc
         val mb = f.mbs(idx)
+        if (f.skipEnabled) h.bool(if (mb.skip) 1 else 0, ProbSkipFalse)
         h.bool(if (mb.inter) 1 else 0, ProbIntra)
         if (!mb.inter) {
           h.tree(YmodeTree, InterYmodeProb, mb.yMode)
           h.tree(UvModeTree, InterUvModeProb, mb.uvMode)
           g.inter(idx) = false
         } else {
-          h.bool(if (mb.refGolden) 1 else 0, ProbLast)
-          if (mb.refGolden) h.bool(0, ProbGf) // GOLDEN (1 = ALTREF)
+          val nonLast = mb.refGolden || mb.refAltref
+          h.bool(if (nonLast) 1 else 0, ProbLast)
+          if (nonLast) h.bool(if (mb.refAltref) 1 else 0, ProbGf)
           val (best, nearest, near, probs) =
             findNearMvs(g, mr, mc, profile.modeContexts)
           h.tree(MvRefTree, probs, mb.mvMode)
@@ -1628,6 +1712,8 @@ object Vp8 {
       var mc = 0
       while (mc < mbCols) {
         val mb = f.mbs(mr * mbCols + mc)
+        if (mb.skip) { resetMbNz(nz, mc, resetY2 = true); mc += 1 }
+        else {
         val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
         val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, profile.coeffProbs)
         nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
@@ -1663,6 +1749,7 @@ object Vp8 {
         chroma(mb.u, nz.aboveU, nz.leftU)
         chroma(mb.v, nz.aboveV, nz.leftV)
         mc += 1
+        }
       }
       mr += 1
     }
@@ -1676,7 +1763,9 @@ object Vp8 {
       refY: Array[Int], refU: Array[Int], refV: Array[Int],
       goldY: Array[Int] = null, goldU: Array[Int] = null,
       goldV: Array[Int] = null,
-      profile: Profile = Profile.StandIn): DecodedInter = {
+      profile: Profile = Profile.StandIn,
+      altY: Array[Int] = null, altU: Array[Int] = null,
+      altV: Array[Int] = null): DecodedInter = {
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(!tag.keyframe, "vp8: keyframe passed to decodeInter")
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
@@ -1702,11 +1791,7 @@ object Vp8 {
     require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
     require(h.literal(2) == 0, "vp8: multiple token partitions out of scope")
     val qindex = h.literal(7)
-    var i = 0
-    while (i < 5) {
-      require(h.literal(1) == 0, "vp8: quantizer deltas out of scope")
-      i += 1
-    }
+    val qDeltas = readQDeltas(h)
     require(h.literal(1) == 0, "vp8: refresh_golden_frame out of scope")
     require(h.literal(1) == 0, "vp8: refresh_alternate_frame out of scope")
     require(h.literal(2) == 0, "vp8: copy_buffer_to_golden out of scope")
@@ -1722,7 +1807,8 @@ object Vp8 {
         "vp8: coefficient-probability updates out of scope")
       t += 1
     }
-    require(h.literal(1) == 0, "vp8: mb_no_coeff_skip out of scope")
+    val skipEnabled = h.literal(1) == 1
+    val probSkip = if (skipEnabled) h.literal(8) else 0
     val probIntra = h.literal(8)
     val probLast = h.literal(8)
     val probGf = h.literal(8)
@@ -1736,19 +1822,22 @@ object Vp8 {
     }
     // per-MB modes with the survey
     val g = new MvGrid(mbCols, mbRows)
-    val modes = Vector.newBuilder[(Boolean, Int, Mv, Int, Int, Boolean)]
+    val modes = Vector.newBuilder[
+      (Boolean, Int, Mv, Int, Int, Boolean, Boolean, Boolean)]
     var mr = 0
     while (mr < mbRows) {
       var mc = 0
       while (mc < mbCols) {
         val idx = mr * mbCols + mc
+        val sk = skipEnabled && h.bool(probSkip) == 1
         if (h.bool(probIntra) == 1) {
-          val golden = h.bool(probLast) == 1
-          if (golden) {
-            require(h.bool(probGf) == 0, "vp8: ALTREF out of scope")
-            require(goldY != null,
-              "vp8: golden-referencing MB but no golden buffer supplied")
-          }
+          val nonLast = h.bool(probLast) == 1
+          val altref = nonLast && h.bool(probGf) == 1
+          val golden = nonLast && !altref
+          if (golden) require(goldY != null,
+            "vp8: golden-referencing MB but no golden buffer supplied")
+          if (altref) require(altY != null,
+            "vp8: altref-referencing MB but no altref buffer supplied")
           val (best, nearest, near, probs) =
             findNearMvs(g, mr, mc, profile.modeContexts)
           val mvMode = h.tree(MvRefTree, probs)
@@ -1764,13 +1853,13 @@ object Vp8 {
           g.inter(idx) = true
           g.row(idx) = eff.row
           g.col(idx) = eff.col
-          modes += ((true, mvMode, eff, 0, 0, golden))
+          modes += ((true, mvMode, eff, 0, 0, golden, sk, altref))
         } else {
           val ym = h.tree(YmodeTree, InterYmodeProb)
           require(ym != BPred,
             "vp8: B_PRED inside inter frames out of scope")
           val uvm = h.tree(UvModeTree, InterUvModeProb)
-          modes += ((false, 0, Mv(0, 0), ym, uvm, false))
+          modes += ((false, 0, Mv(0, 0), ym, uvm, false, sk, false))
         }
         mc += 1
       }
@@ -1780,7 +1869,7 @@ object Vp8 {
 
     // tokens + reconstruction
     val d = new BoolDecoder(payload, p1End, payload.length)
-    val dq = dequantFactors(qindex, profile)
+    val dq = dequantFactors(qindex, profile, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -1794,26 +1883,36 @@ object Vp8 {
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
-        val (isInter, mvMode, eff, ym, uvm, golden) = modeInfo(mr * mbCols + mc)
-        val srcY = if (golden) goldY else refY
-        val srcU = if (golden) goldU else refU
-        val srcV = if (golden) goldV else refV
-        val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-        val (y2L, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, profile.coeffProbs)
-        nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
-        val yL = new Array[Array[Int]](16)
-        var by = 0
-        while (by < 4) {
-          var bx = 0
-          while (bx < 4) {
-            val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
-              (if (nz.leftY(by)) 1 else 0)
-            val (lv, bNz) = decodeBlock(d, 0, 1, ctx, profile.coeffProbs)
-            yL(by * 4 + bx) = lv
-            nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
-            bx += 1
+        val (isInter, mvMode, eff, ym, uvm, golden, sk, altref) =
+          modeInfo(mr * mbCols + mc)
+        val srcY = if (altref) altY else if (golden) goldY else refY
+        val srcU = if (altref) altU else if (golden) goldU else refU
+        val srcV = if (altref) altV else if (golden) goldV else refV
+        val y2L =
+          if (sk) new Array[Int](16)
+          else {
+            val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
+              (if (nz.leftY2) 1 else 0)
+            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, profile.coeffProbs)
+            nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+            lv
           }
-          by += 1
+        val yL = Array.fill(16)(new Array[Int](16))
+        if (sk) resetMbNz(nz, mc, resetY2 = true)
+        else {
+          var by0 = 0
+          while (by0 < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
+                (if (nz.leftY(by0)) 1 else 0)
+              val (lv, bNz) = decodeBlock(d, 0, 1, ctx, profile.coeffProbs)
+              yL(by0 * 4 + bx) = lv
+              nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by0) = bNz
+              bx += 1
+            }
+            by0 += 1
+          }
         }
         def chroma(aboveP: Array[Boolean], leftP: Array[Boolean])
             : Array[Array[Int]] = {
@@ -1833,13 +1932,17 @@ object Vp8 {
           }
           out
         }
-        val uL = chroma(nz.aboveU, nz.leftU)
-        val vL = chroma(nz.aboveV, nz.leftV)
+        val uL = if (sk) Array.fill(4)(new Array[Int](16))
+          else chroma(nz.aboveU, nz.leftU)
+        val vL = if (sk) Array.fill(4)(new Array[Int](16))
+          else chroma(nz.aboveV, nz.leftV)
         mbsOut += InterMb(isInter, mvMode, if (isInter) eff else Mv(0, 0),
-          ym, uvm, y2L, yL, uL, vL, refGolden = golden)
+          ym, uvm, y2L, yL, uL, vL, refGolden = golden, skip = sk,
+          refAltref = altref)
 
         // prediction: motion-compensated from the LAST reference, or
         // intra from the current frame's raster-order recon
+        var by = 0
         if (isInter)
           mcPredict(srcY, width, height, mc * 16, mr * 16, eff, 16, 16, pred16)
         else predict(yP, width, mc * 16, mr * 16, 16, ym, pred16)
@@ -1906,8 +2009,9 @@ object Vp8 {
       mr += 1
     }
     simpleLoopFilter(yP, width, height, filterLevel)
-    DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel),
-      modeInfo.map(m => if (m._1) m._3 else Mv(0, 0)), yP, uP, vP)
+    DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel,
+      skipEnabled, qDeltas), modeInfo.map(m => if (m._1) m._3 else Mv(0, 0)),
+      yP, uP, vP)
   }
 
   /** One decoded frame of a stream walk. */
@@ -1928,6 +2032,9 @@ object Vp8 {
     var goldY: Array[Int] = null
     var goldU: Array[Int] = null
     var goldV: Array[Int] = null
+    var altY: Array[Int] = null
+    var altU: Array[Int] = null
+    var altV: Array[Int] = null
     payloads.iterator.zipWithIndex.map { case (p, i) =>
       val tag = graft.sources.Ivf.parseVp8Tag(p)
       if (tag.keyframe) {
@@ -1936,6 +2043,7 @@ object Vp8 {
         lastY = dec.y; lastU = dec.u; lastV = dec.v
         // §16.3: a keyframe refreshes ALL reference buffers
         goldY = dec.y; goldU = dec.u; goldV = dec.v
+        altY = dec.y; altU = dec.u; altV = dec.v
         StreamFrame(keyframe = true, w, hgt, dec.y, dec.u, dec.v)
       } else {
         require(lastY != null,
@@ -1944,7 +2052,7 @@ object Vp8 {
         // golden buffer stays the most recent keyframe (the long-term
         // anchor golden referencing exists for)
         val dec = decodeInter(p, w, hgt, lastY, lastU, lastV,
-          goldY, goldU, goldV, profile)
+          goldY, goldU, goldV, profile, altY, altU, altV)
         lastY = dec.y; lastU = dec.u; lastV = dec.v
         StreamFrame(keyframe = false, w, hgt, dec.y, dec.u, dec.v)
       }

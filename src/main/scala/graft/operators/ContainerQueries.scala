@@ -3203,6 +3203,242 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m50: VP8 mb_no_coeff_skip DECODE (§9.11) — the static-background
+    * bit every real stream leans on: P-frames enable skip in the
+    * header and the two static MBs per frame code ONE bool instead of
+    * 26 token trees, while their pixels ride ZEROMV motion
+    * compensation unchanged. Fixture: the m44 chain where MB(0,0) and
+    * MB(1,1) keep coding residuals (their values accumulate) and
+    * MB(0,1)/MB(1,0) are skipped every P-frame (their values stay the
+    * KEYFRAME's forever — drift-free static background). The oracle
+    * replays both regimes plus the per-frame skip count; the kernel
+    * requires the decoded skip flags and the §9.11 context-reset
+    * semantics (Vp8Spec pins the bitstream-shrink and neighbor-context
+    * effects). Scale: the m40 envelope. */
+  private[operators] object Vp8SkipKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8k${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val key = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)))
+      var lastY = key.y; var lastU = key.u; var lastV = key.v
+      Iterator.single((k, 0L, true, 0L,
+        keyMbs.iterator.map(_.y2(0).toLong).sum,
+        key.y.iterator.map(_.toLong).sum,
+        key.u.iterator.map(_.toLong).sum +
+          key.v.iterator.map(_.toLong).sum)) ++
+        (1 until n).iterator.map { t =>
+          def pMb(j: Int, c: Int): Vp8.InterMb = {
+            val coded = j == c // (0,0)/(1,1) code, (0,1)/(1,0) skip
+            val v = if (coded) hexbyte(s"vp8k${k}_${t}_${j}_${c}") % 60
+              else 0
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)), skip = !coded)
+          }
+          val mbs = Vector(pMb(0, 0), pMb(0, 1), pMb(1, 0), pMb(1, 1))
+          val dec = Vp8.decodeInter(
+            Vp8.encodeInter(32, 32,
+              Vp8.InterFrame(0, mbs, skipEnabled = true)),
+            32, 32, lastY, lastU, lastV)
+          require(dec.frame.skipEnabled &&
+            dec.frame.mbs.map(_.skip) == Vector(false, true, true, false),
+            s"container $k frame $t: skip flags drift through the bitstream")
+          lastY = dec.y; lastU = dec.u; lastV = dec.v
+          (k, t.toLong, false, 2L,
+            dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+            dec.y.iterator.map(_.toLong).sum,
+            dec.u.iterator.map(_.toLong).sum +
+              dec.v.iterator.map(_.toLong).sum)
+        }
+    }
+  }
+
+  private def m50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8SkipKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "n_skip", "levels_sum",
+        "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m50Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |-- coded cells (j = c) draw residuals; skipped cells (j <> c)
+      |-- carry zero forever
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8k'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      WHEN grid.j = grid.c THEN CAST(concat('0x', substr(
+      |        md5('vp8k' || container || '_' || t || '_' || grid.j
+      |          || '_' || grid.c), 1, 2)) AS BIGINT) % 60
+      |      ELSE 0 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c, v,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, p.v, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(CASE WHEN t = 0 THEN 0 ELSE 2 END AS BIGINT) AS n_skip,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
+  /** m51: VP8 QUANTIZER-DELTA DECODE (§9.6) — the five per-plane
+    * deltas as real header bits: every P-frame carries its own y2dc
+    * delta (flag + 4-bit magnitude + sign), shifting the Y2-DC
+    * dequant factor frame-by-frame while the shared y_ac base stays
+    * 0. The closed form follows the §14.1 derivation exactly: factor
+    * = 2·(4 + max(d, 0)) (the index clamps at 0), the WHT DC becomes
+    * (factor·v + 3) >> 3, and the uniform residual
+    * ((factor·v + 3) >> 3 + 4) >> 3 — all integer arithmetic the
+    * oracle replays per frame. Vp8Spec pins all five delta slots and
+    * the clamp edges. Scale: the m40 envelope. */
+  private[operators] object Vp8QdeltaKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8q${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val key = Vp8.decode(Vp8.encode(
+        Vp8.KeyFrame(32, 32, 0, keyMbs,
+          qDeltas = Vp8.QDeltas(y2dc = 6))))
+      require(key.frame.qDeltas == Vp8.QDeltas(y2dc = 6),
+        s"container $k: keyframe qdelta drift")
+      var lastY = key.y; var lastU = key.u; var lastV = key.v
+      Iterator.single((k, 0L, true, 6L,
+        keyMbs.iterator.map(_.y2(0).toLong).sum,
+        key.y.iterator.map(_.toLong).sum,
+        key.u.iterator.map(_.toLong).sum +
+          key.v.iterator.map(_.toLong).sum)) ++
+        (1 until n).iterator.map { t =>
+          val d = (t % 11) - 5
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8q${k}_${t}_${j}_${c}") % 40
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          val dec = Vp8.decodeInter(
+            Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs,
+              qDeltas = Vp8.QDeltas(y2dc = d))),
+            32, 32, lastY, lastU, lastV)
+          require(dec.frame.qDeltas == Vp8.QDeltas(y2dc = d),
+            s"container $k frame $t: qdelta drift through the header")
+          lastY = dec.y; lastU = dec.u; lastV = dec.v
+          (k, t.toLong, false, d.toLong,
+            dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+            dec.y.iterator.map(_.toLong).sum,
+            dec.u.iterator.map(_.toLong).sum +
+              dec.v.iterator.map(_.toLong).sum)
+        }
+    }
+  }
+
+  private def m51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8QdeltaKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "y2dc_delta", "levels_sum",
+        "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m51Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t,
+      |    CASE WHEN g.t = 0 THEN 6 ELSE (g.t % 11) - 5 END AS d
+      |  FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, d, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8q'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8q' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 40 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |-- section 14.1/14.3 readout with the delta-shifted y2dc factor:
+      |-- factor = 2*(4 + max(d,0)) at base qindex 0 (index clamps at 0),
+      |-- WHT DC = (factor*v + 3) >> 3, residual = (DC + 4) >> 3
+      |r AS (SELECT container, t, j, c, v,
+      |    (((2 * (4 + greatest(d, 0))) * v + 3) // 8 + 4) // 8 AS r
+      |  FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c, v,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, p.v, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT v2.container, CAST(v2.t AS BIGINT) AS t, (v2.t = 0) AS keyframe,
+      |  CAST(f.d AS BIGINT) AS y2dc_delta,
+      |  CAST(sum(v2.v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * v2.val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val v2 JOIN frames f ON f.container = v2.container AND f.t = v2.t
+      |GROUP BY v2.container, v2.t, f.d ORDER BY v2.container, v2.t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -3232,6 +3468,8 @@ object ContainerQueries {
     Q("m48_vp8_scene_detect", m48, Some(m48Sql)),
     Q("m49_vp8_golden_ref", m49, Some(m49Sql)),
     Q("e53_streaming_vp8", e53, Some(e53Sql)),
+    Q("m50_vp8_skip", m50, Some(m50Sql)),
+    Q("m51_vp8_qdelta", m51, Some(m51Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

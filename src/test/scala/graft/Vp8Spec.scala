@@ -622,6 +622,105 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("mb_no_coeff_skip [§9.11]: skipped MBs round-trip in key AND " +
+      "inter frames, reconstruct identically to their unskipped " +
+      "all-zero form, shrink the bitstream, and reset the nonzero " +
+      "contexts their neighbors read; nonzero levels under skip are " +
+      "rejected loudly") {
+    // keyframe: MB 1 and 2 skipped, 0 and 3 coded (nonzero y2 after a
+    // skipped MB exercises the context reset on the following MB)
+    def kMb(v: Int, sk: Boolean) = {
+      val y2 = new Array[Int](16); y2(0) = v
+      Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), skip = sk)
+    }
+    val withSkip = Vp8.KeyFrame(32, 32, 0,
+      Vector(kMb(9, sk = false), kMb(0, sk = true), kMb(0, sk = true),
+        kMb(67, sk = false)), skipEnabled = true)
+    val without = Vp8.KeyFrame(32, 32, 0,
+      Vector(kMb(9, sk = false), kMb(0, sk = false), kMb(0, sk = false),
+        kMb(67, sk = false)))
+    val pSkip = Vp8.encode(withSkip)
+    val pFull = Vp8.encode(without)
+    assert(pSkip.length < pFull.length,
+      "skip must shrink the coded all-zero MBs to one bool each")
+    val dec = Vp8.decode(pSkip)
+    assert(dec.frame.skipEnabled)
+    assert(dec.frame.mbs.map(_.skip) ==
+      Vector(false, true, true, false), "skip flags must round-trip")
+    assert(dec.y.sameElements(Vp8.decode(pFull).y),
+      "skip is a bits feature: pixels must be identical")
+    // inter frame with mixed skip
+    def iMb(v: Int, sk: Boolean) = {
+      val y2 = new Array[Int](16); y2(0) = v
+      Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), skip = sk)
+    }
+    val pi = Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+      Vector(iMb(16, sk = false), iMb(0, sk = true), iMb(0, sk = true),
+        iMb(24, sk = false)), skipEnabled = true))
+    val di = Vp8.decodeInter(pi, 32, 32, dec.y, dec.u, dec.v)
+    assert(di.frame.skipEnabled)
+    assert(di.frame.mbs.map(_.skip) == Vector(false, true, true, false))
+    // skipped ZEROMV MBs copy the reference byte-for-byte
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(di.y(y * 32 + x) == dec.y(y * 32 + x), s"skipped px($x,$y)")
+    // guards: nonzero levels under skip, skip without the header flag
+    intercept[IllegalArgumentException] { kMb(5, sk = true) }
+    intercept[IllegalArgumentException] {
+      Vp8.KeyFrame(32, 32, 0, Vector(kMb(0, sk = true), kMb(0, false),
+        kMb(0, false), kMb(0, false)))
+    }
+  }
+
+  test("quantizer deltas [§9.6]: all five per-plane deltas round-trip " +
+      "through the header (flag + 4-bit magnitude + sign) and shift " +
+      "exactly their own dequant factor; out-of-range deltas are loud") {
+    val d = Vp8.QDeltas(ydc = 6, y2dc = -3, y2ac = 15, uvdc = -15, uvac = 1)
+    // dequant wiring: each factor follows its own shifted index
+    val dq = Vp8.dequantFactors(20, deltas = d)
+    val p = Vp8.Profile.StandIn
+    assert(dq.ydc == p.dcQ(26) && dq.yac == p.acQ(20))
+    assert(dq.y2dc == p.dcQ(17) * 2)
+    assert(dq.y2ac == math.max(8, p.acQ(35) * 155 / 100))
+    assert(dq.uvdc == math.min(132, p.dcQ(5)) && dq.uvac == p.acQ(21))
+    // clamping at the index edges
+    assert(Vp8.dequantFactors(0, deltas = Vp8.QDeltas(ydc = -15)).ydc ==
+      p.dcQ(0))
+    assert(Vp8.dequantFactors(127, deltas = Vp8.QDeltas(ydc = 15)).ydc ==
+      p.dcQ(127))
+    // keyframe round-trip: deltas survive the header and move pixels —
+    // the m40 V_PRED/Y2-DC form at qindex 0 with y2dc delta 6 has
+    // y2dc factor dcQ(6)*2 = 20, so the uniform residual becomes
+    // ((20*v+3)>>3 + 4) >> 3
+    val v = 50
+    val mbs = Vector.fill(4)(zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = v))
+    val f = Vp8.KeyFrame(32, 32, 0, mbs, qDeltas = Vp8.QDeltas(y2dc = 6))
+    val dec = Vp8.decode(Vp8.encode(f))
+    assert(dec.frame.qDeltas == Vp8.QDeltas(y2dc = 6))
+    val r = (((20 * v + 3) >> 3) + 4) >> 3
+    assert(dec.y(0) == 127 + r, s"delta-shifted residual: ${dec.y(0)}")
+    // zero deltas stay bit-compatible with the pre-delta encoding
+    val plain = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0, mbs)))
+    assert(plain.frame.qDeltas.isZero)
+    assert(plain.y(0) == 127 + ((v + 4) >> 3))
+    // inter frames carry their own deltas
+    val fI = Vp8.InterFrame(0, Vector(
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 40), interZero(),
+      interZero(), interZero()), qDeltas = Vp8.QDeltas(y2dc = 6))
+    val dI = Vp8.decodeInter(Vp8.encodeInter(32, 32, fI), 32, 32,
+      plain.y, plain.u, plain.v)
+    assert(dI.frame.qDeltas == Vp8.QDeltas(y2dc = 6))
+    val rI = (((20 * 40 + 3) >> 3) + 4) >> 3
+    assert(dI.y(0) == plain.y(0) + rI)
+    intercept[IllegalArgumentException] { Vp8.QDeltas(ydc = 16) }
+    intercept[IllegalArgumentException] { Vp8.QDeltas(uvac = -16) }
+  }
+
   test("Profile: the appendix-constants seam is a value swap — an " +
       "alternative table set round-trips frames identically (pixels " +
       "and levels) while producing different coded bytes; malformed " +
@@ -675,6 +774,41 @@ class Vp8Spec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       alt.copy(dcQ = new Array[Int](5))
+    }
+  }
+
+  test("§16.3 ALTREF: the third reference buffer is per-MB selectable " +
+      "(bool(prob_last) then bool(prob_gf) = 1), reads ITS planes — " +
+      "not golden's — and round-trips; altref without a buffer is loud") {
+    val key = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      Vector.fill(4)(zeroMb(Vp8.DcPred, Vp8.DcPred)))))
+    // distinguishable buffers: last = flat 128, golden = flat 140,
+    // altref = flat 90 (hand-built planes)
+    val gold = Array.fill(32 * 32)(140)
+    val goldC = Array.fill(16 * 16)(140)
+    val alt = Array.fill(32 * 32)(90)
+    val altC = Array.fill(16 * 16)(90)
+    def refMb(g: Boolean, a: Boolean) = Vp8.InterMb(inter = true,
+      Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, new Array[Int](16),
+      Array.fill(16)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)), refGolden = g, refAltref = a)
+    val p = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector(
+      refMb(g = false, a = false), refMb(g = true, a = false),
+      refMb(g = false, a = true), refMb(g = false, a = false))))
+    val dec = Vp8.decodeInter(p, 32, 32, key.y, key.u, key.v,
+      gold, goldC, goldC, Vp8.Profile.StandIn, alt, altC, altC)
+    assert(dec.frame.mbs.map(m => (m.refGolden, m.refAltref)) ==
+      Vector((false, false), (true, false), (false, true), (false, false)))
+    assert(dec.y(0) == 128, "LAST MB copies the keyframe")
+    assert(dec.y(16) == 140, "GOLDEN MB copies the golden buffer")
+    assert(dec.y(16 * 32) == 90, "ALTREF MB copies the altref buffer")
+    val ex = intercept[IllegalArgumentException] {
+      Vp8.decodeInter(p, 32, 32, key.y, key.u, key.v, gold, goldC, goldC)
+    }
+    assert(ex.getMessage.contains("altref"))
+    intercept[IllegalArgumentException] {
+      refMb(g = true, a = true) // exactly one buffer
     }
   }
 
