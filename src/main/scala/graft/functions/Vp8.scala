@@ -96,7 +96,14 @@ import scala.collection.mutable.ArrayBuffer
   * contexts read as zero for following neighbors (the Y2 entry resets
   * only for modes that have a Y2 block).
   *
-  * Subset boundaries, all failing loudly: SPLITMV, golden/alt-ref
+  * SPLITMV [§16.2/§17.4] is implemented: the four partitionings with
+  * their subblock maps, per-partition sub-MV modes
+  * (LEFT/ABOVE/ZERO/NEW against the left/above subblock-MV agreement
+  * contexts), per-subblock motion compensation, the rounded 4-MV
+  * chroma average [§18.2], own-DC (type 3) tokens with no Y2 block,
+  * and the last-subblock MV entering the §17.3 survey.
+  *
+  * Subset boundaries, all failing loudly: golden/alt-ref
   * refresh and buffer copies, B_PRED inside inter frames,
   * segmentation/lf-delta flags must be 0, level > 0 requires
   * filter_type = simple, sharpness must be 0, dimensions must be
@@ -1335,7 +1342,7 @@ object Vp8 {
   /** mv_ref modes [§16.2]; SPLITMV (leaf 4) is decoded by name only to
     * fail loudly. */
   val ZeroMv = 0; val NearestMv = 1; val NearMv = 2; val NewMv = 3
-  private val SplitMv = 4
+  val SplitMv = 4
   /** vp8_mv_ref_tree [§16.2 shape]. */
   private val MvRefTree = Array(
     -(ZeroMv + 1), 2,
@@ -1381,6 +1388,40 @@ object Vp8 {
     * spec has a full vp8_mv_update_probs table; high ≈ cheap zeros). */
   private val MvUpdateProb = 252
 
+  // ---- SPLITMV [§16.2, §17.4] ------------------------------------------------
+
+  /** The four macroblock partitionings: subblock → partition id. */
+  private[graft] val MbSplitMap: Array[Array[Int]] = Array(
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1), // top/bottom
+    Array(0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1), // left/right
+    Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3), // quarters
+    Array.range(0, 16))                                      // sixteenths
+  val MbSplitCount: Array[Int] = Array(2, 2, 4, 16)
+  /** First subblock (raster) of each partition, per split type. */
+  private val MbSplitOffset: Array[Array[Int]] = Array(
+    Array(0, 8), Array(0, 2), Array(0, 2, 8, 10), Array.range(0, 16))
+  /** mbsplit_tree [§16.2 shape]: leaves are split types. */
+  private val MbSplitTree = Array(-(3 + 1), 2, -(2 + 1), 4,
+    -(0 + 1), -(1 + 1))
+  /** Split-type probabilities (published values as recalled). */
+  private val MbSplitProb = Array(110, 111, 150)
+
+  /** Sub-MV reference modes [§17.4]. */
+  val SubLeft = 0; val SubAbove = 1; val SubZero = 2; val SubNew = 3
+  private val SubMvRefTree = Array(
+    -(SubLeft + 1), 2,
+    -(SubAbove + 1), 4,
+    -(SubZero + 1), -(SubNew + 1))
+  /** STAND-IN sub-MV ref probabilities, one 3-entry row per
+    * (left, above) agreement context [§17.4's five cases]. */
+  private[graft] val SubMvRefProb: Array[Array[Int]] =
+    Array.tabulate(5, 3)((c, n) => 1 + ((c * 47 + n * 29 + 13) * 83) % 254)
+  private def subMvCtx(l: Mv, a: Mv): Int =
+    if (l == a) { if (l.isZero) 4 else 3 }
+    else if (a.isZero) 2
+    else if (l.isZero) 1
+    else 0
+
   /** Eighth-pel motion vector. LUMA MVs are always even (coded values
     * are quarter-pel and scale by 2 [§17.2] — the codec layer enforces
     * that); chroma half-MVs may land on odd eighths legitimately. */
@@ -1402,19 +1443,36 @@ object Vp8 {
       y2: Array[Int], y: Array[Array[Int]],
       u: Array[Array[Int]], v: Array[Array[Int]],
       refGolden: Boolean = false, skip: Boolean = false,
-      refAltref: Boolean = false) {
+      refAltref: Boolean = false,
+      splitType: Int = -1, subModes: Array[Int] = Array.empty,
+      subNewMvs: Array[Mv] = Array.empty) {
     require(inter || (!refGolden && !refAltref),
       "vp8: golden/alt-ref reference on an intra MB")
     require(!(refGolden && refAltref),
       "vp8: a macroblock references exactly one buffer")
+    if (inter && mvMode == SplitMv) {
+      require(splitType >= 0 && splitType <= 3,
+        s"vp8: SPLITMV needs a split type, got $splitType")
+      require(subModes.length == MbSplitCount(splitType),
+        s"vp8: ${subModes.length} sub-modes for split type $splitType")
+      require(subModes.forall(m => m >= SubLeft && m <= SubNew),
+        "vp8: sub-MV mode out of range")
+      require(subNewMvs.length == MbSplitCount(splitType),
+        "vp8: one (possibly unused) sub-MV slot per partition")
+      require(subNewMvs.forall(m => (m.row & 1) == 0 && (m.col & 1) == 0),
+        "vp8: sub-MVs sit on the quarter-pel grid")
+      require(y2.forall(_ == 0),
+        "vp8: SPLITMV macroblocks have no Y2 block")
+    } else require(splitType == -1 && subModes.isEmpty &&
+      subNewMvs.isEmpty, "vp8: split fields without SPLITMV")
     if (skip) require((y2.iterator ++ y.iterator.flatten ++
       u.iterator.flatten ++ v.iterator.flatten).forall(_ == 0),
       "vp8: mb_skip_coeff on a macroblock with nonzero levels")
     require(y2.length == 16 && y.length == 16 && u.length == 4 &&
       v.length == 4, "vp8: block shape")
     if (inter) {
-      require(mvMode >= ZeroMv && mvMode <= NewMv,
-        s"vp8: mv mode $mvMode (SPLITMV is out of scope)")
+      require(mvMode >= ZeroMv && mvMode <= SplitMv,
+        s"vp8: mv mode $mvMode")
       require((mv.row & 1) == 0 && (mv.col & 1) == 0,
         s"vp8: luma mv (${mv.row},${mv.col}) off the quarter-pel grid")
     } else {
@@ -1503,7 +1561,32 @@ object Vp8 {
     val inter = new Array[Boolean](mbCols * mbRows)
     val row = new Array[Int](mbCols * mbRows)
     val col = new Array[Int](mbCols * mbRows)
+    /** Per-subblock MVs, non-null only for SPLITMV MBs. */
+    val sub = new Array[Array[Mv]](mbCols * mbRows)
+    def subMv(idx: Int, b: Int): Mv =
+      if (sub(idx) != null) sub(idx)(b)
+      else if (inter(idx)) Mv(row(idx), col(idx))
+      else Mv(0, 0)
   }
+
+  /** Decoded per-MB mode info for the token/reconstruction walk. */
+  private final case class MbMode(inter: Boolean, mvMode: Int, eff: Mv,
+      ym: Int, uvm: Int, golden: Boolean, sk: Boolean, altref: Boolean,
+      splitType: Int, subMvs: Array[Mv], subModes: Array[Int])
+
+  /** §17.4 neighbor subblock MVs: within the MB being built when the
+    * neighbor subblock is internal, from the already-coded grid at MB
+    * edges, zero outside the frame (the spec's zeroed border ring). */
+  private def leftSubMv(g: MvGrid, cur: Array[Mv], mr: Int, mc: Int,
+      b: Int): Mv =
+    if (b % 4 != 0) cur(b - 1)
+    else if (mc == 0) Mv(0, 0)
+    else g.subMv(mr * g.mbCols + mc - 1, b + 3)
+  private def aboveSubMv(g: MvGrid, cur: Array[Mv], mr: Int, mc: Int,
+      b: Int): Mv =
+    if (b >= 4) cur(b - 4)
+    else if (mr == 0) Mv(0, 0)
+    else g.subMv((mr - 1) * g.mbCols + mc, b + 12)
 
   /** Clamp an MV so the prediction block stays within the frame plus
     * the 16-pel margin [§17.3's clamp; the spec's extended reference
@@ -1736,6 +1819,35 @@ object Vp8 {
               writeMv(h, Mv(mb.mv.row - best.row, mb.mv.col - best.col),
                 profile.mvProbs)
               mb.mv
+            case SplitMv =>
+              h.tree(MbSplitTree, MbSplitProb, mb.splitType)
+              val subMvs = new Array[Mv](16)
+              var j = 0
+              while (j < MbSplitCount(mb.splitType)) {
+                val k = MbSplitOffset(mb.splitType)(j)
+                val l = leftSubMv(g, subMvs, mr, mc, k)
+                val a = aboveSubMv(g, subMvs, mr, mc, k)
+                val mode = mb.subModes(j)
+                h.tree(SubMvRefTree, SubMvRefProb(subMvCtx(l, a)), mode)
+                val pmv = mode match {
+                  case SubLeft => l
+                  case SubAbove => a
+                  case SubZero => Mv(0, 0)
+                  case SubNew =>
+                    val m = mb.subNewMvs(j)
+                    writeMv(h, Mv(m.row - best.row, m.col - best.col),
+                      profile.mvProbs)
+                    m
+                }
+                var b = 0
+                while (b < 16) {
+                  if (MbSplitMap(mb.splitType)(b) == j) subMvs(b) = pmv
+                  b += 1
+                }
+                j += 1
+              }
+              g.sub(idx) = subMvs
+              subMvs(15) // the MB-level mv the survey sees [§17.3]
           }
           g.inter(idx) = true
           g.row(idx) = eff.row
@@ -1758,18 +1870,25 @@ object Vp8 {
       var mc = 0
       while (mc < mbCols) {
         val mb = f.mbs(mr * mbCols + mc)
-        if (mb.skip) { resetMbNz(nz, mc, resetY2 = true); mc += 1 }
+        val isSplit = mb.inter && mb.mvMode == SplitMv
+        if (mb.skip) { resetMbNz(nz, mc, resetY2 = !isSplit); mc += 1 }
         else {
-        val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-        val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, profile.coeffProbs)
-        nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+        if (!isSplit) {
+          // SPLITMV has no Y2 block and leaves its context plane
+          // untouched [§13.4]
+          val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
+            (if (nz.leftY2) 1 else 0)
+          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, profile.coeffProbs)
+          nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
+        }
+        val (yType, yFirst) = if (isSplit) (3, 0) else (0, 1)
         var by = 0
         while (by < 4) {
           var bx = 0
           while (bx < 4) {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
-            val bNz = encodeBlock(e, 0, 1, ctx, mb.y(by * 4 + bx),
+            val bNz = encodeBlock(e, yType, yFirst, ctx, mb.y(by * 4 + bx),
               profile.coeffProbs)
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
@@ -1869,8 +1988,7 @@ object Vp8 {
     }
     // per-MB modes with the survey
     val g = new MvGrid(mbCols, mbRows)
-    val modes = Vector.newBuilder[
-      (Boolean, Int, Mv, Int, Int, Boolean, Boolean, Boolean)]
+    val modes = Vector.newBuilder[MbMode]
     var mr = 0
     while (mr < mbRows) {
       var mc = 0
@@ -1888,7 +2006,9 @@ object Vp8 {
           val (best, nearest, near, probs) =
             findNearMvs(g, mr, mc, profile.modeContexts)
           val mvMode = h.tree(MvRefTree, probs)
-          require(mvMode != SplitMv, "vp8: SPLITMV out of scope")
+          var splitType = -1
+          var subMvs: Array[Mv] = null
+          var subModes: Array[Int] = null
           val eff = mvMode match {
             case ZeroMv => Mv(0, 0)
             case NearestMv => nearest
@@ -1896,17 +2016,48 @@ object Vp8 {
             case NewMv =>
               val d0 = readMv(h, profile.mvProbs)
               Mv(best.row + d0.row, best.col + d0.col)
+            case SplitMv =>
+              splitType = h.tree(MbSplitTree, MbSplitProb)
+              subMvs = new Array[Mv](16)
+              subModes = new Array[Int](MbSplitCount(splitType))
+              var j = 0
+              while (j < MbSplitCount(splitType)) {
+                val k = MbSplitOffset(splitType)(j)
+                val l = leftSubMv(g, subMvs, mr, mc, k)
+                val a = aboveSubMv(g, subMvs, mr, mc, k)
+                val mode = h.tree(SubMvRefTree,
+                  SubMvRefProb(subMvCtx(l, a)))
+                subModes(j) = mode
+                val pmv = mode match {
+                  case SubLeft => l
+                  case SubAbove => a
+                  case SubZero => Mv(0, 0)
+                  case SubNew =>
+                    val d0 = readMv(h, profile.mvProbs)
+                    Mv(best.row + d0.row, best.col + d0.col)
+                }
+                var b = 0
+                while (b < 16) {
+                  if (MbSplitMap(splitType)(b) == j) subMvs(b) = pmv
+                  b += 1
+                }
+                j += 1
+              }
+              g.sub(idx) = subMvs
+              subMvs(15)
           }
           g.inter(idx) = true
           g.row(idx) = eff.row
           g.col(idx) = eff.col
-          modes += ((true, mvMode, eff, 0, 0, golden, sk, altref))
+          modes += MbMode(inter = true, mvMode, eff, 0, 0, golden, sk,
+            altref, splitType, subMvs, subModes)
         } else {
           val ym = h.tree(YmodeTree, InterYmodeProb)
           require(ym != BPred,
             "vp8: B_PRED inside inter frames out of scope")
           val uvm = h.tree(UvModeTree, InterUvModeProb)
-          modes += ((false, 0, Mv(0, 0), ym, uvm, false, sk, false))
+          modes += MbMode(inter = false, 0, Mv(0, 0), ym, uvm,
+            golden = false, sk, altref = false, -1, null, null)
         }
         mc += 1
       }
@@ -1931,13 +2082,18 @@ object Vp8 {
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
-        val (isInter, mvMode, eff, ym, uvm, golden, sk, altref) =
-          modeInfo(mr * mbCols + mc)
+        val mi = modeInfo(mr * mbCols + mc)
+        val isInter = mi.inter; val mvMode = mi.mvMode; val eff = mi.eff
+        val ym = mi.ym; val uvm = mi.uvm; val golden = mi.golden
+        val sk = mi.sk; val altref = mi.altref
+        val isSplit = isInter && mvMode == SplitMv
         val srcY = if (altref) altY else if (golden) goldY else refY
         val srcU = if (altref) altU else if (golden) goldU else refU
         val srcV = if (altref) altV else if (golden) goldV else refV
+        // SPLITMV has no Y2 block and leaves the Y2 context plane
+        // untouched [§13.4], like B_PRED
         val y2L =
-          if (sk) new Array[Int](16)
+          if (sk || isSplit) new Array[Int](16)
           else {
             val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
               (if (nz.leftY2) 1 else 0)
@@ -1945,8 +2101,9 @@ object Vp8 {
             nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
             lv
           }
+        val (yType, yFirst) = if (isSplit) (3, 0) else (0, 1)
         val yL = Array.fill(16)(new Array[Int](16))
-        if (sk) resetMbNz(nz, mc, resetY2 = true)
+        if (sk) resetMbNz(nz, mc, resetY2 = !isSplit)
         else {
           var by0 = 0
           while (by0 < 4) {
@@ -1954,7 +2111,8 @@ object Vp8 {
             while (bx < 4) {
               val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
                 (if (nz.leftY(by0)) 1 else 0)
-              val (lv, bNz) = decodeBlock(d, 0, 1, ctx, profile.coeffProbs)
+              val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx,
+                profile.coeffProbs)
               yL(by0 * 4 + bx) = lv
               nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by0) = bNz
               bx += 1
@@ -1986,56 +2144,131 @@ object Vp8 {
           else chroma(nz.aboveV, nz.leftV)
         mbsOut += InterMb(isInter, mvMode, if (isInter) eff else Mv(0, 0),
           ym, uvm, y2L, yL, uL, vL, refGolden = golden, skip = sk,
-          refAltref = altref)
+          refAltref = altref,
+          splitType = if (isSplit) mi.splitType else -1,
+          subModes = if (isSplit) mi.subModes else Array.empty,
+          subNewMvs = if (isSplit)
+            mi.subModes.indices.map(j =>
+              mi.subMvs(MbSplitOffset(mi.splitType)(j))).toArray
+          else Array.empty)
 
-        // prediction: motion-compensated from the LAST reference, or
-        // intra from the current frame's raster-order recon
+        // prediction: motion-compensated from the selected reference
+        // (whole-MB, or per-subblock for SPLITMV), or intra from the
+        // current frame's raster-order recon
         var by = 0
-        if (isInter)
-          mcPredict(srcY, width, height, mc * 16, mr * 16, eff, 16, 16, pred16)
-        else predict(yP, width, mc * 16, mr * 16, 16, ym, pred16)
-        var yy = 0
-        while (yy < 16) {
-          var xx = 0
-          while (xx < 16) {
-            yP((mr * 16 + yy) * width + mc * 16 + xx) = pred16(yy * 16 + xx)
-            xx += 1
+        if (isSplit) {
+          val blk = new Array[Int](16)
+          var b = 0
+          while (b < 16) {
+            mcPredict(srcY, width, height, mc * 16 + (b % 4) * 4,
+              mr * 16 + (b / 4) * 4, mi.subMvs(b), 4, 4, blk)
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) {
+                yP((mr * 16 + (b / 4) * 4 + yy) * width +
+                  mc * 16 + (b % 4) * 4 + xx) = blk(yy * 4 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            b += 1
           }
-          yy += 1
-        }
-        // Y2 → WHT → the 16 Y DCs, then per-subblock IDCT residuals
-        val y2Coef = new Array[Int](16)
-        var s = 0
-        while (s < 16) {
-          y2Coef(Zigzag(s)) = y2L(s) * (if (s == 0) dq.y2dc else dq.y2ac)
-          s += 1
-        }
-        val dcs = iwalsh4x4(y2Coef)
-        by = 0
-        while (by < 4) {
-          var bx = 0
-          while (bx < 4) {
-            val raster = dequantToRaster(yL(by * 4 + bx), dq.ydc, dq.yac,
-              Some(dcs(by * 4 + bx)))
-            addResidual(yP, width, mc * 16 + bx * 4, mr * 16 + by * 4,
-              idct4x4(raster))
-            bx += 1
+        } else {
+          if (isInter)
+            mcPredict(srcY, width, height, mc * 16, mr * 16, eff, 16, 16,
+              pred16)
+          else predict(yP, width, mc * 16, mr * 16, 16, ym, pred16)
+          var yy = 0
+          while (yy < 16) {
+            var xx = 0
+            while (xx < 16) {
+              yP((mr * 16 + yy) * width + mc * 16 + xx) = pred16(yy * 16 + xx)
+              xx += 1
+            }
+            yy += 1
           }
-          by += 1
+        }
+        if (isSplit) {
+          // own-DC residuals (type 3), no Y2
+          by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val raster = dequantToRaster(yL(by * 4 + bx), dq.ydc, dq.yac,
+                None)
+              addResidual(yP, width, mc * 16 + bx * 4, mr * 16 + by * 4,
+                idct4x4(raster))
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          // Y2 → WHT → the 16 Y DCs, then per-subblock IDCT residuals
+          val y2Coef = new Array[Int](16)
+          var s = 0
+          while (s < 16) {
+            y2Coef(Zigzag(s)) = y2L(s) * (if (s == 0) dq.y2dc else dq.y2ac)
+            s += 1
+          }
+          val dcs = iwalsh4x4(y2Coef)
+          by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val raster = dequantToRaster(yL(by * 4 + bx), dq.ydc, dq.yac,
+                Some(dcs(by * 4 + bx)))
+              addResidual(yP, width, mc * 16 + bx * 4, mr * 16 + by * 4,
+                idct4x4(raster))
+              bx += 1
+            }
+            by += 1
+          }
         }
         def chromaRecon(plane: Array[Int], ref: Array[Int],
             blocks: Array[Array[Int]]): Unit = {
-          if (isInter) mcPredict(ref, cs, height / 2, mc * 8, mr * 8,
-            chromaMv(eff), 8, 8, pred8)
-          else predict(plane, cs, mc * 8, mr * 8, 8, uvm, pred8)
-          var yy2 = 0
-          while (yy2 < 8) {
-            var xx = 0
-            while (xx < 8) {
-              plane((mr * 8 + yy2) * cs + mc * 8 + xx) = pred8(yy2 * 8 + xx)
-              xx += 1
+          if (isSplit) {
+            // §18.2: each 4×4 chroma block takes the rounded average
+            // of its four covering luma subblock MVs
+            val blk = new Array[Int](16)
+            var cy = 0
+            while (cy < 2) {
+              var cx = 0
+              while (cx < 2) {
+                val b0 = (2 * cy) * 4 + 2 * cx
+                val ms = Seq(mi.subMvs(b0), mi.subMvs(b0 + 1),
+                  mi.subMvs(b0 + 4), mi.subMvs(b0 + 5))
+                val cmv = Mv((ms.map(_.row).sum + 4) >> 3,
+                  (ms.map(_.col).sum + 4) >> 3)
+                mcPredict(ref, cs, height / 2, mc * 8 + cx * 4,
+                  mr * 8 + cy * 4, cmv, 4, 4, blk)
+                var yy2 = 0
+                while (yy2 < 4) {
+                  var xx = 0
+                  while (xx < 4) {
+                    plane((mr * 8 + cy * 4 + yy2) * cs +
+                      mc * 8 + cx * 4 + xx) = blk(yy2 * 4 + xx)
+                    xx += 1
+                  }
+                  yy2 += 1
+                }
+                cx += 1
+              }
+              cy += 1
             }
-            yy2 += 1
+          } else {
+            if (isInter) mcPredict(ref, cs, height / 2, mc * 8, mr * 8,
+              chromaMv(eff), 8, 8, pred8)
+            else predict(plane, cs, mc * 8, mr * 8, 8, uvm, pred8)
+            var yy2 = 0
+            while (yy2 < 8) {
+              var xx = 0
+              while (xx < 8) {
+                plane((mr * 8 + yy2) * cs + mc * 8 + xx) = pred8(yy2 * 8 + xx)
+                xx += 1
+              }
+              yy2 += 1
+            }
           }
           var cy = 0
           while (cy < 2) {
@@ -2059,7 +2292,7 @@ object Vp8 {
     simpleLoopFilter(yP, width, height, filterLevel)
     DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel,
       skipEnabled, qDeltas, tokenPartitions),
-      modeInfo.map(m => if (m._1) m._3 else Mv(0, 0)), yP, uP, vP)
+      modeInfo.map(m => if (m.inter) m.eff else Mv(0, 0)), yP, uP, vP)
   }
 
   /** One decoded frame of a stream walk. */

@@ -3551,6 +3551,154 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m53: VP8 SPLITMV DECODE (§16.2/§17.4) — per-subblock motion
+    * through real coded bytes, completing the mv_ref mode space: every
+    * P-frame's MB(1,1) is a QUARTERS split whose four NEW4X4/ZERO4X4
+    * sub-MVs gather the PREVIOUS frame's four macroblocks into one
+    * collage (q0←MB(0,0), q1←MB(0,1), q2←MB(1,0), q3←its own
+    * bottom-right quarter, which therefore stays the KEYFRAME's value
+    * forever), while the other MBs run ZEROMV residual chains. The
+    * oracle replays the whole motion graph: cumulative sums for the
+    * uniform MBs and the lagged 64-pixel-per-quarter collage
+    * arithmetic with its fixed-point q3. Sub-MV coding (own-DC
+    * type-3 tokens, no Y2, LEFT/ABOVE contexts, chroma 4-MV average)
+    * is pinned by Vp8Spec. Scale: the m40 envelope. */
+  private[operators] object Vp8SplitKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8x${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val key = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)))
+      var lastY = key.y; var lastU = key.u; var lastV = key.v
+      Iterator.single((k, 0L, true,
+        keyMbs.iterator.map(_.y2(0).toLong).sum,
+        key.y.iterator.map(_.toLong).sum,
+        key.u.iterator.map(_.toLong).sum +
+          key.v.iterator.map(_.toLong).sum)) ++
+        (1 until n).iterator.map { t =>
+          def zMb(j: Int, c: Int): Vp8.InterMb = {
+            val v = hexbyte(s"vp8x${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }
+          val collage = Vp8.InterMb(inter = true, Vp8.SplitMv,
+            Vp8.Mv(0, 0), 0, 0, new Array[Int](16),
+            Array.fill(16)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            splitType = 2,
+            subModes = Array(Vp8.SubNew, Vp8.SubNew, Vp8.SubNew,
+              Vp8.SubZero),
+            subNewMvs = Array(Vp8.Mv(-128, -128), Vp8.Mv(-128, 0),
+              Vp8.Mv(0, -128), Vp8.Mv(0, 0)))
+          val mbs = Vector(zMb(0, 0), zMb(0, 1), zMb(1, 0), collage)
+          val dec = Vp8.decodeInter(
+            Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs)),
+            32, 32, lastY, lastU, lastV)
+          require(dec.frame.mbs(3).mvMode == Vp8.SplitMv &&
+            dec.frame.mbs(3).splitType == 2,
+            s"container $k frame $t: split mode drift")
+          lastY = dec.y; lastU = dec.u; lastV = dec.v
+          (k, t.toLong, false,
+            dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+            dec.y.iterator.map(_.toLong).sum,
+            dec.u.iterator.map(_.toLong).sum +
+              dec.v.iterator.map(_.toLong).sum)
+        }
+    }
+  }
+
+  private def m53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8SplitKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m53Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8x'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8x' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |-- the three ZEROMV MBs accumulate; the collage draws no residual
+      |-- (its v only feeds levels_sum as 0 via the j=1,c=1 draw being
+      |-- unused — the kernel encodes zero levels there)
+      |p AS (SELECT container, t, j, c, v,
+      |    sum(CASE WHEN t > 0 AND NOT (j = 1 AND c = 1) THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |uni AS (SELECT p.container, p.t, p.j, p.c,
+      |    127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c),
+      |-- per-frame uniform-MB values with their previous-frame lags
+      |lagd AS (SELECT container, t, j, c, val,
+      |    lag(val, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY container,
+      |      j, c ORDER BY t) AS pval
+      |  FROM uni),
+      |-- collage luma at t>0: 64 px from each of prev MB(0,0), MB(0,1),
+      |-- MB(1,0) plus the keyframe-pinned q3
+      |agg AS (SELECT l.container, l.t,
+      |    sum(CASE WHEN NOT (l.j = 1 AND l.c = 1)
+      |      THEN 256 * l.val ELSE 0 END) AS uni_luma,
+      |    sum(CASE WHEN NOT (l.j = 1 AND l.c = 1)
+      |      THEN 64 * l.pval ELSE 0 END) AS collage_prev
+      |  FROM lagd l GROUP BY 1, 2),
+      |k11 AS (SELECT container,
+      |    max(CASE WHEN j = 1 AND c = 1 THEN kcum END) AS kc
+      |  FROM k GROUP BY container),
+      |lv AS (SELECT container, t,
+      |    sum(CASE WHEN t = 0 OR NOT (j = 1 AND c = 1) THEN v
+      |      ELSE 0 END) AS levels_sum
+      |  FROM mb GROUP BY 1, 2)
+      |SELECT a.container, CAST(a.t AS BIGINT) AS t, (a.t = 0) AS keyframe,
+      |  CAST(lv.levels_sum AS BIGINT) AS levels_sum,
+      |  CAST(CASE WHEN a.t = 0 THEN a.uni_luma + 256 * (127 + k11.kc)
+      |    ELSE a.uni_luma + a.collage_prev + 64 * (127 + k11.kc)
+      |    END AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM agg a
+      |JOIN k11 ON k11.container = a.container
+      |JOIN lv ON lv.container = a.container AND lv.t = a.t
+      |ORDER BY a.container, a.t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -3583,6 +3731,7 @@ object ContainerQueries {
     Q("m50_vp8_skip", m50, Some(m50Sql)),
     Q("m51_vp8_qdelta", m51, Some(m51Sql)),
     Q("m52_vp8_partitions", m52, Some(m52Sql)),
+    Q("m53_vp8_splitmv", m53, Some(m53Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -858,6 +858,95 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("SPLITMV [§16.2/§17.4]: the QUARTERS partitioning with four " +
+      "NEW4X4 full-pel MVs reassembles four displaced reference MBs " +
+      "into one macroblock; split type, sub-modes and effective " +
+      "sub-MVs round-trip; chroma takes the rounded 4-MV average") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    val a = 127 + ((9 + 4) >> 3); val b = 127 + ((20 + 4) >> 3)
+    val c0 = 127 + ((9 + 4) >> 3) + ((67 + 4) >> 3)
+    val d0 = 127 + ((20 + 4) >> 3) + ((100 + 4) >> 3)
+    def splitMb(mvs: Seq[Vp8.Mv], modes: Seq[Int]): Vp8.InterMb =
+      Vp8.InterMb(inter = true, Vp8.SplitMv, Vp8.Mv(0, 0), 0, 0,
+        new Array[Int](16), Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        splitType = 2, subModes = modes.toArray, subNewMvs = mvs.toArray)
+    // MB(1,1) gathers all four reference MBs: q0 ← MB(0,0),
+    // q1 ← MB(0,1), q2 ← MB(1,0), q3 ← itself (zero)
+    val f = Vp8.InterFrame(0, Vector(
+      interZero(), interZero(), interZero(),
+      splitMb(Seq(Vp8.Mv(-128, -128), Vp8.Mv(-128, 0), Vp8.Mv(0, -128),
+        Vp8.Mv(0, 0)), Seq(Vp8.SubNew, Vp8.SubNew, Vp8.SubNew,
+        Vp8.SubZero))))
+    val dec = Vp8.decodeInter(Vp8.encodeInter(32, 32, f), 32, 32,
+      ref.y, ref.u, ref.v)
+    val mb = dec.frame.mbs(3)
+    assert(mb.mvMode == Vp8.SplitMv && mb.splitType == 2)
+    assert(mb.subModes.toSeq == Seq(Vp8.SubNew, Vp8.SubNew, Vp8.SubNew,
+      Vp8.SubZero))
+    assert(mb.subNewMvs.toSeq == Seq(Vp8.Mv(-128, -128), Vp8.Mv(-128, 0),
+      Vp8.Mv(0, -128), Vp8.Mv(0, 0)), "effective per-partition MVs")
+    for (y <- 16 until 24; x <- 16 until 24)
+      assert(dec.y(y * 32 + x) == a, s"q0 px($x,$y)")
+    for (y <- 16 until 24; x <- 24 until 32)
+      assert(dec.y(y * 32 + x) == b, s"q1 px($x,$y)")
+    for (y <- 24 until 32; x <- 16 until 24)
+      assert(dec.y(y * 32 + x) == c0, s"q2 px($x,$y)")
+    for (y <- 24 until 32; x <- 24 until 32)
+      assert(dec.y(y * 32 + x) == d0, s"q3 px($x,$y)")
+    assert(dec.u.sameElements(ref.u), "flat chroma survives the collage")
+    // untouched MBs identical
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(dec.y(y * 32 + x) == ref.y(y * 32 + x))
+  }
+
+  test("SPLITMV sub-MV modes: SIXTEENTHS with LEFT4X4/ABOVE4X4/ZERO4X4 " +
+      "replication — each subblock inherits exactly the neighbor the " +
+      "mode names; malformed split fields are loud") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    val m = Vp8.Mv(16, -16)
+    // partition j = subblock j (16ths). 0: NEW=m; 1: LEFT (inherits 0);
+    // 4: ABOVE (inherits 0); 2: ZERO; the rest LEFT chains
+    val modes = Array.tabulate(16) {
+      case 0 => Vp8.SubNew
+      case 1 => Vp8.SubLeft
+      case 4 => Vp8.SubAbove
+      case 2 => Vp8.SubZero
+      case _ => Vp8.SubLeft
+    }
+    val mvs = Array.tabulate(16)(j => if (j == 0) m else Vp8.Mv(0, 0))
+    val mb = Vp8.InterMb(inter = true, Vp8.SplitMv, Vp8.Mv(0, 0), 0, 0,
+      new Array[Int](16), Array.fill(16)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)),
+      splitType = 3, subModes = modes, subNewMvs = mvs)
+    val dec = Vp8.decodeInter(Vp8.encodeInter(32, 32,
+      Vp8.InterFrame(0, Vector(mb, interZero(), interZero(),
+        interZero()))), 32, 32, ref.y, ref.u, ref.v)
+    val got = dec.frame.mbs(0).subNewMvs
+    assert(got(0) == m && got(1) == m, "LEFT4X4 inherits subblock 0")
+    assert(got(4) == m, "ABOVE4X4 inherits subblock 0")
+    assert(got(2) == Vp8.Mv(0, 0), "ZERO4X4")
+    assert(got(3) == Vp8.Mv(0, 0), "LEFT of a ZERO subblock")
+    assert(got(5) == got(4), "LEFT chain continues")
+    intercept[IllegalArgumentException] {
+      Vp8.InterMb(inter = true, Vp8.SplitMv, Vp8.Mv(0, 0), 0, 0,
+        new Array[Int](16), Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16))) // missing split fields
+    }
+    intercept[IllegalArgumentException] {
+      val y2 = new Array[Int](16); y2(0) = 1
+      Vp8.InterMb(inter = true, Vp8.SplitMv, Vp8.Mv(0, 0), 0, 0,
+        y2, Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        splitType = 2, subModes = Array.fill(4)(Vp8.SubZero),
+        subNewMvs = Array.fill(4)(Vp8.Mv(0, 0))) // Y2 under SPLITMV
+    }
+  }
+
   test("Vp8Machine.StreamDecoder: the pure (state, event) fold matches " +
       "decodeStream frame-for-frame — reference planes carried in " +
       "machine state — and an inter frame before any keyframe is loud") {
