@@ -67,8 +67,8 @@ import scala.collection.mutable.ArrayBuffer
   * INTER (P) FRAMES are implemented [§16-§18]: the interframe header
   * order (refresh/copy/sign-bias flags, prob_intra/prob_last/prob_gf,
   * mode-prob update flags, the 2×19 MV-probability update flags), the
-  * per-MB intra/inter split, the mv_ref tree over
-  * ZERO/NEAREST/NEAR/NEW, the §17.2 motion-vector component codec
+  * per-MB intra/inter split, the COMPLETE mv_ref tree
+  * (ZERO/NEAREST/NEAR/NEW/SPLIT), the §17.2 motion-vector component codec
   * (short tree over 0..7, the 10-bit long form with the implied bit 3
   * when bits 4..9 are all zero, sign, and the ×2 quarter→eighth-pel
   * scaling), the §17.3 near-MV survey (above weight 2, left weight 2,
