@@ -96,6 +96,7 @@ object ScaleCurve {
     "m51_vp8_qdelta",       // per-frame quantizer deltas: m44 shape
     "m52_vp8_partitions",   // two token partitions per frame: m44 shape
     "m53_vp8_splitmv",      // per-subblock motion collage: m44 shape
+    "m54_vp8_segmentation", // per-MB quantizer routing: m44 shape
     "e53_streaming_vp8",    // stateful decode through the stream mount
     "p19_mp1_decode",       // Layer I conformant bitstream: p17 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design

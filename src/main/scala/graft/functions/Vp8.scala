@@ -103,9 +103,15 @@ import scala.collection.mutable.ArrayBuffer
   * chroma average [§18.2], own-DC (type 3) tokens with no Y2 block,
   * and the last-subblock MV entering the §17.3 survey.
   *
-  * Subset boundaries, all failing loudly: golden/alt-ref
-  * refresh and buffer copies, B_PRED inside inter frames,
-  * segmentation/lf-delta flags must be 0, level > 0 requires
+  * SEGMENTATION [§9.3/§10] is implemented for the quantizer features:
+  * up to four segments with absolute or delta quantizer values, the
+  * per-MB segment-id tree leading each MB's mode info, and
+  * per-segment dequant factors composing with the §9.6 plane deltas.
+  *
+  * Subset boundaries, all failing loudly: golden/alt-ref refresh and
+  * buffer copies, B_PRED inside inter frames, segment-map persistence
+  * (every segmented frame must update its map) and per-segment
+  * loop-filter features, lf-delta flags must be 0, level > 0 requires
   * filter_type = simple, sharpness must be 0, dimensions must be
   * multiples of 16 (real VP8 pads to macroblocks and crops at
   * display). Token partitioning [§9.5] is implemented for all four
@@ -223,6 +229,83 @@ object Vp8 {
     * 132 uvdc cap) are the spec's. */
   private[graft] val StandInDcQ: Array[Int] = Array.tabulate(128)(4 + _)
   private[graft] val StandInAcQ: Array[Int] = Array.tabulate(128)(i => 4 + 2 * i)
+
+  /** §9.3/§10 segmentation (quantizer features): up to four segments,
+    * each with its own quantizer value — ABSOLUTE (replaces the frame
+    * base index) or DELTA (adds to it) per segment_feature_mode — and
+    * a per-MB segment id coded by a 4-leaf tree with three map
+    * probabilities. Subset: the map must be updated in every
+    * segmented frame (cross-frame segment-id persistence is out of
+    * scope, loudly), and the loop-filter feature slots must be absent
+    * (the simple filter runs at frame level). */
+  final case class Segmentation(absMode: Boolean, quant: Array[Int],
+      mapProbs: Array[Int]) {
+    require(quant.length == 4 &&
+      quant.forall(q => q >= -127 && q <= 127),
+      "vp8: four segment quantizer values in ±127")
+    require(mapProbs.length == 3 &&
+      mapProbs.forall(p => p >= 1 && p <= 254),
+      "vp8: three segment-map probabilities in [1, 254]")
+  }
+  private val SegmentTree = Array(2, 4, -1, -2, -3, -4)
+
+  private def writeSegmentation(h: BoolEncoder,
+      seg: Option[Segmentation]): Unit = seg match {
+    case None => h.literal(0, 1)
+    case Some(g) =>
+      h.literal(1, 1) // segmentation_enabled
+      h.literal(1, 1) // update_mb_segmentation_map
+      h.literal(1, 1) // update_segment_feature_data
+      h.literal(if (g.absMode) 1 else 0, 1) // segment_feature_mode
+      g.quant.foreach { q =>
+        if (q == 0) h.literal(0, 1)
+        else {
+          h.literal(1, 1); h.literal(math.abs(q), 7)
+          h.literal(if (q < 0) 1 else 0, 1)
+        }
+      }
+      var i = 0
+      while (i < 4) { h.literal(0, 1); i += 1 } // no loop-filter features
+      g.mapProbs.foreach { p => h.literal(1, 1); h.literal(p, 8) }
+  }
+
+  private def readSegmentation(h: BoolDecoder): Option[Segmentation] = {
+    if (h.literal(1) == 0) None
+    else {
+      require(h.literal(1) == 1,
+        "vp8: segmentation without a map update is out of scope " +
+          "(segment ids would persist across frames)")
+      require(h.literal(1) == 1,
+        "vp8: segmentation without feature data is out of scope")
+      val absMode = h.literal(1) == 1
+      val quant = Array.fill(4)(
+        if (h.literal(1) == 0) 0
+        else { val m = h.literal(7); if (h.literal(1) == 1) -m else m })
+      var i = 0
+      while (i < 4) {
+        require(h.literal(1) == 0,
+          "vp8: per-segment loop-filter features out of scope")
+        i += 1
+      }
+      val probs = Array.fill(3)(
+        if (h.literal(1) == 1) h.literal(8) else 255)
+      require(probs.forall(p => p >= 1 && p <= 254),
+        "vp8: segment-map probability outside [1, 254]")
+      Some(Segmentation(absMode, quant, probs))
+    }
+  }
+
+  /** Per-segment dequant factors: the segment feature shifts (delta)
+    * or replaces (absolute) the frame base index, then the §9.6
+    * per-plane deltas apply on top [§10.2]. */
+  private def segmentDequants(qindex: Int, seg: Option[Segmentation],
+      profile: Profile, deltas: QDeltas): Array[Dequant] = seg match {
+    case None => Array.fill(4)(dequantFactors(qindex, profile, deltas))
+    case Some(g) => Array.tabulate(4) { i =>
+      val base = if (g.absMode) g.quant(i) else qindex + g.quant(i)
+      dequantFactors(math.min(127, math.max(0, base)), profile, deltas)
+    }
+  }
 
   /** The five per-plane quantizer deltas [§9.6]: each shifts the
     * shared y_ac base index for one factor, coded flag + 4-bit
@@ -504,7 +587,9 @@ object Vp8 {
   final case class MbCoding(yMode: Int, uvMode: Int,
       y2: Array[Int], y: Array[Array[Int]],
       u: Array[Array[Int]], v: Array[Array[Int]],
-      bModes: Array[Int] = Array.empty, skip: Boolean = false) {
+      bModes: Array[Int] = Array.empty, skip: Boolean = false,
+      segment: Int = 0) {
+    require(segment >= 0 && segment <= 3, s"vp8: segment $segment")
     if (skip) require((y2.iterator ++ y.iterator.flatten ++
       u.iterator.flatten ++ v.iterator.flatten).forall(_ == 0),
       "vp8: mb_skip_coeff on a macroblock with nonzero levels")
@@ -526,9 +611,12 @@ object Vp8 {
   final case class KeyFrame(width: Int, height: Int, qindex: Int,
       mbs: Vector[MbCoding], filterLevel: Int = 0,
       skipEnabled: Boolean = false, qDeltas: QDeltas = QDeltas(),
-      tokenPartitions: Int = 1) {
+      tokenPartitions: Int = 1,
+      segmentation: Option[Segmentation] = None) {
     require(Seq(1, 2, 4, 8).contains(tokenPartitions),
       s"vp8: $tokenPartitions token partitions (1/2/4/8)")
+    require(segmentation.isDefined || mbs.forall(_.segment == 0),
+      "vp8: segment ids need segmentation enabled in the header")
     require(skipEnabled || mbs.forall(!_.skip),
       "vp8: skipped MBs need mb_no_coeff_skip enabled in the header")
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
@@ -898,7 +986,7 @@ object Vp8 {
     val h = new BoolEncoder
     h.literal(0, 1) // color_space: YUV as specified
     h.literal(0, 1) // clamping_type: spec clamping
-    h.literal(0, 1) // segmentation_enabled: off (subset)
+    writeSegmentation(h, f.segmentation)
     // filter_type: the SIMPLE filter when filtering at all (the normal
     // filter's outer taps are out of scope — decode rejects them)
     h.literal(if (f.filterLevel > 0) 1 else 0, 1)
@@ -928,6 +1016,8 @@ object Vp8 {
       var mc0 = 0
       while (mc0 < mbCols) {
         val mb = f.mbs(mr0 * mbCols + mc0)
+        f.segmentation.foreach(g =>
+          h.tree(SegmentTree, g.mapProbs, mb.segment))
         if (f.skipEnabled) h.bool(if (mb.skip) 1 else 0, ProbSkipFalse)
         h.tree(KfYmodeTree, KfYmodeProb, mb.yMode)
         if (mb.yMode == BPred) {
@@ -1039,7 +1129,7 @@ object Vp8 {
     val h = new BoolDecoder(payload, 10, p1End)
     require(h.literal(1) == 0, "vp8: reserved color space")
     h.literal(1) // clamping_type (both values legal; spec clamp used)
-    require(h.literal(1) == 0, "vp8: segmentation out of scope")
+    val segmentation = readSegmentation(h)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
     require(filterLevel == 0 || filterType == 1,
@@ -1061,7 +1151,7 @@ object Vp8 {
     val skipEnabled = h.literal(1) == 1
     val probSkip = if (skipEnabled) h.literal(8) else 0
     val modes = {
-      val out = Vector.newBuilder[(Boolean, Int, Int, Array[Int])]
+      val out = Vector.newBuilder[(Boolean, Int, Int, Array[Int], Int)]
       val aboveSub = Array.fill(4 * mbCols)(BDc)
       val leftSub = new Array[Int](4)
       var mr0 = 0
@@ -1069,6 +1159,8 @@ object Vp8 {
         java.util.Arrays.fill(leftSub, BDc)
         var mc0 = 0
         while (mc0 < mbCols) {
+          val segId = segmentation.map(g =>
+            h.tree(SegmentTree, g.mapProbs)).getOrElse(0)
           val sk = skipEnabled && h.bool(probSkip) == 1
           val ym = h.tree(KfYmodeTree, KfYmodeProb)
           val bms =
@@ -1088,7 +1180,7 @@ object Vp8 {
               Array.empty[Int]
             }
           val uvm = h.tree(UvModeTree, KfUvModeProb)
-          out += ((sk, ym, uvm, bms))
+          out += ((sk, ym, uvm, bms, segId))
           mc0 += 1
         }
         mr0 += 1
@@ -1097,7 +1189,7 @@ object Vp8 {
     }
 
     val ds = splitPartitions(payload, p1End, tokenPartitions)
-    val dq = dequantFactors(qindex, profile, qDeltas)
+    val dqs = segmentDequants(qindex, segmentation, profile, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -1111,7 +1203,8 @@ object Vp8 {
       nz.resetLeft()
       var mc = 0
       while (mc < mbCols) {
-        val (sk, ym, uvm, bms) = modes(mr * mbCols + mc)
+        val (sk, ym, uvm, bms, segId) = modes(mr * mbCols + mc)
+        val dq = dqs(segId)
         val isB = ym == BPred
         // ---- tokens (a B_PRED MB has no Y2 block and leaves the Y2
         // context plane untouched [§13.4]); a SKIPPED MB codes none
@@ -1166,7 +1259,8 @@ object Vp8 {
           else chroma(nz.aboveU, nz.leftU)
         val vL = if (sk) Array.fill(4)(new Array[Int](16))
           else chroma(nz.aboveV, nz.leftV)
-        mbsOut += MbCoding(ym, uvm, y2L, yL, uL, vL, bms, skip = sk)
+        mbsOut += MbCoding(ym, uvm, y2L, yL, uL, vL, bms, skip = sk,
+          segment = segId)
 
         // ---- reconstruction
         var by = 0
@@ -1266,7 +1360,7 @@ object Vp8 {
     }
     simpleLoopFilter(yP, width, height, filterLevel)
     Decoded(KeyFrame(width, height, qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas, tokenPartitions), yP, uP, vP)
+      skipEnabled, qDeltas, tokenPartitions, segmentation), yP, uP, vP)
   }
 
   /** §15 SIMPLE loop filter over the LUMA plane (filter_type 1; the
@@ -1445,7 +1539,8 @@ object Vp8 {
       refGolden: Boolean = false, skip: Boolean = false,
       refAltref: Boolean = false,
       splitType: Int = -1, subModes: Array[Int] = Array.empty,
-      subNewMvs: Array[Mv] = Array.empty) {
+      subNewMvs: Array[Mv] = Array.empty, segment: Int = 0) {
+    require(segment >= 0 && segment <= 3, s"vp8: segment $segment")
     require(inter || (!refGolden && !refAltref),
       "vp8: golden/alt-ref reference on an intra MB")
     require(!(refGolden && refAltref),
@@ -1488,9 +1583,12 @@ object Vp8 {
 
   final case class InterFrame(qindex: Int, mbs: Vector[InterMb],
       filterLevel: Int = 0, skipEnabled: Boolean = false,
-      qDeltas: QDeltas = QDeltas(), tokenPartitions: Int = 1) {
+      qDeltas: QDeltas = QDeltas(), tokenPartitions: Int = 1,
+      segmentation: Option[Segmentation] = None) {
     require(Seq(1, 2, 4, 8).contains(tokenPartitions),
       s"vp8: $tokenPartitions token partitions (1/2/4/8)")
+    require(segmentation.isDefined || mbs.forall(_.segment == 0),
+      "vp8: segment ids need segmentation enabled in the header")
     require(skipEnabled || mbs.forall(!_.skip),
       "vp8: skipped MBs need mb_no_coeff_skip enabled in the header")
     require(qindex >= 0 && qindex < 128, s"vp8: qindex $qindex")
@@ -1572,7 +1670,8 @@ object Vp8 {
   /** Decoded per-MB mode info for the token/reconstruction walk. */
   private final case class MbMode(inter: Boolean, mvMode: Int, eff: Mv,
       ym: Int, uvm: Int, golden: Boolean, sk: Boolean, altref: Boolean,
-      splitType: Int, subMvs: Array[Mv], subModes: Array[Int])
+      splitType: Int, subMvs: Array[Mv], subModes: Array[Int],
+      segment: Int)
 
   /** §17.4 neighbor subblock MVs: within the MB being built when the
     * neighbor subblock is internal, from the already-coded grid at MB
@@ -1761,7 +1860,7 @@ object Vp8 {
     require(f.mbs.length == mbCols * mbRows,
       s"vp8: ${f.mbs.length} MBs for a ${mbCols}x$mbRows grid")
     val h = new BoolEncoder
-    h.literal(0, 1) // segmentation_enabled
+    writeSegmentation(h, f.segmentation)
     h.literal(if (f.filterLevel > 0) 1 else 0, 1) // filter_type: simple
     h.literal(f.filterLevel, 6)
     h.literal(0, 3) // sharpness
@@ -1798,6 +1897,8 @@ object Vp8 {
       while (mc < mbCols) {
         val idx = mr * mbCols + mc
         val mb = f.mbs(idx)
+        f.segmentation.foreach(g =>
+          h.tree(SegmentTree, g.mapProbs, mb.segment))
         if (f.skipEnabled) h.bool(if (mb.skip) 1 else 0, ProbSkipFalse)
         h.bool(if (mb.inter) 1 else 0, ProbIntra)
         if (!mb.inter) {
@@ -1947,7 +2048,7 @@ object Vp8 {
       s"vp8: first partition (${tag.firstPartSize} B) overruns the payload")
 
     val h = new BoolDecoder(payload, 3, p1End)
-    require(h.literal(1) == 0, "vp8: segmentation out of scope")
+    val segmentation = readSegmentation(h)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
     require(filterLevel == 0 || filterType == 1,
@@ -1994,6 +2095,8 @@ object Vp8 {
       var mc = 0
       while (mc < mbCols) {
         val idx = mr * mbCols + mc
+        val segId = segmentation.map(g =>
+          h.tree(SegmentTree, g.mapProbs)).getOrElse(0)
         val sk = skipEnabled && h.bool(probSkip) == 1
         if (h.bool(probIntra) == 1) {
           val nonLast = h.bool(probLast) == 1
@@ -2050,14 +2153,14 @@ object Vp8 {
           g.row(idx) = eff.row
           g.col(idx) = eff.col
           modes += MbMode(inter = true, mvMode, eff, 0, 0, golden, sk,
-            altref, splitType, subMvs, subModes)
+            altref, splitType, subMvs, subModes, segId)
         } else {
           val ym = h.tree(YmodeTree, InterYmodeProb)
           require(ym != BPred,
             "vp8: B_PRED inside inter frames out of scope")
           val uvm = h.tree(UvModeTree, InterUvModeProb)
           modes += MbMode(inter = false, 0, Mv(0, 0), ym, uvm,
-            golden = false, sk, altref = false, -1, null, null)
+            golden = false, sk, altref = false, -1, null, null, segId)
         }
         mc += 1
       }
@@ -2067,7 +2170,7 @@ object Vp8 {
 
     // tokens + reconstruction
     val ds = splitPartitions(payload, p1End, tokenPartitions)
-    val dq = dequantFactors(qindex, profile, qDeltas)
+    val dqs = segmentDequants(qindex, segmentation, profile, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -2086,6 +2189,7 @@ object Vp8 {
         val isInter = mi.inter; val mvMode = mi.mvMode; val eff = mi.eff
         val ym = mi.ym; val uvm = mi.uvm; val golden = mi.golden
         val sk = mi.sk; val altref = mi.altref
+        val dq = dqs(mi.segment)
         val isSplit = isInter && mvMode == SplitMv
         val srcY = if (altref) altY else if (golden) goldY else refY
         val srcU = if (altref) altU else if (golden) goldU else refU
@@ -2144,7 +2248,7 @@ object Vp8 {
           else chroma(nz.aboveV, nz.leftV)
         mbsOut += InterMb(isInter, mvMode, if (isInter) eff else Mv(0, 0),
           ym, uvm, y2L, yL, uL, vL, refGolden = golden, skip = sk,
-          refAltref = altref,
+          refAltref = altref, segment = mi.segment,
           splitType = if (isSplit) mi.splitType else -1,
           subModes = if (isSplit) mi.subModes else Array.empty,
           subNewMvs = if (isSplit)
@@ -2291,7 +2395,7 @@ object Vp8 {
     }
     simpleLoopFilter(yP, width, height, filterLevel)
     DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas, tokenPartitions),
+      skipEnabled, qDeltas, tokenPartitions, segmentation),
       modeInfo.map(m => if (m.inter) m.eff else Mv(0, 0)), yP, uP, vP)
   }
 

@@ -3699,6 +3699,122 @@ object ContainerQueries {
       |JOIN lv ON lv.container = a.container AND lv.t = a.t
       |ORDER BY a.container, a.t""".stripMargin
 
+  /** m54: VP8 SEGMENTATION DECODE (§9.3/§10) — per-MB quantizer
+    * routing through real coded bytes: every frame carries a
+    * 2-segment map (checkerboard (j+c)%2, coded by the segment tree
+    * leading each MB's mode info) with ABSOLUTE quantizer features
+    * {0, 20}, so same-valued residual draws dequant to DIFFERENT
+    * reconstructions per segment — seg 0 at y2dc = 8, seg 1 at
+    * y2dc = 48 — and the oracle replays the §14.1 readout per segment
+    * (((y2f·v + 3) >> 3) + 4) >> 3 through the keyframe column prefix
+    * and the ZEROMV chain. Map/feature round-trip, delta mode and the
+    * skip composition are pinned by Vp8Spec. Scale: the m40
+    * envelope. */
+  private[operators] object Vp8SegKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val seg = Vp8.Segmentation(absMode = true,
+        Array(0, 20, 0, 0), Array(100, 128, 160))
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8s2${k}_0_${j}_${c}") % 40
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)), segment = (j + c) % 2)
+      }).toVector
+      val key = Vp8.decode(Vp8.encode(
+        Vp8.KeyFrame(32, 32, 0, keyMbs, segmentation = Some(seg))))
+      require(key.frame.mbs.map(_.segment) == Vector(0, 1, 1, 0),
+        s"container $k: segment map drift through the bitstream")
+      var lastY = key.y; var lastU = key.u; var lastV = key.v
+      Iterator.single((k, 0L, true,
+        keyMbs.iterator.map(_.y2(0).toLong).sum,
+        key.y.iterator.map(_.toLong).sum,
+        key.u.iterator.map(_.toLong).sum +
+          key.v.iterator.map(_.toLong).sum)) ++
+        (1 until n).iterator.map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8s2${k}_${t}_${j}_${c}") % 12
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)), segment = (j + c) % 2)
+          }).toVector
+          val dec = Vp8.decodeInter(
+            Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs,
+              segmentation = Some(seg))),
+            32, 32, lastY, lastU, lastV)
+          require(dec.frame.mbs.map(_.segment) == Vector(0, 1, 1, 0),
+            s"container $k frame $t: segment map drift")
+          lastY = dec.y; lastU = dec.u; lastV = dec.v
+          (k, t.toLong, false,
+            dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+            dec.y.iterator.map(_.toLong).sum,
+            dec.u.iterator.map(_.toLong).sum +
+              dec.v.iterator.map(_.toLong).sum)
+        }
+    }
+  }
+
+  private def m54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8SegKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m54Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN (grid.j + grid.c) % 2 = 1 THEN 48 ELSE 8 END AS y2f,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8s2'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 40
+      |      ELSE CAST(concat('0x', substr(md5('vp8s2' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 12 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |-- per-segment sect 14.1 readout: WHT DC = (y2f*v+3)>>3, then
+      |-- the uniform residual (DC+4)>>3
+      |r AS (SELECT container, t, j, c, v,
+      |    ((y2f * v + 3) // 8 + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c, v,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, p.v, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(sum(v) AS BIGINT) AS levels_sum,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -3732,6 +3848,7 @@ object ContainerQueries {
     Q("m51_vp8_qdelta", m51, Some(m51Sql)),
     Q("m52_vp8_partitions", m52, Some(m52Sql)),
     Q("m53_vp8_splitmv", m53, Some(m53Sql)),
+    Q("m54_vp8_segmentation", m54, Some(m54Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

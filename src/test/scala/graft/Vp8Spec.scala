@@ -947,6 +947,72 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("segmentation [§9.3/§10]: per-MB segment ids route each MB to " +
+      "its own quantizer (absolute AND delta modes), the map tree and " +
+      "feature data round-trip in key and inter frames, and per-MB " +
+      "ids compose with skip; malformed segmentations are loud") {
+    val seg = Vp8.Segmentation(absMode = true,
+      Array(0, 20, 0, 0), Array(100, 128, 160))
+    // keyframe: same Y2-DC level everywhere, segment 1 on the right
+    // column — its MBs dequant at qindex 20 (y2dc = 2*dcQ(20) = 48)
+    val v = 50
+    def kMb(segId: Int) = {
+      val y2 = new Array[Int](16); y2(0) = v
+      Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), segment = segId)
+    }
+    val f = Vp8.KeyFrame(32, 32, 0,
+      Vector(kMb(0), kMb(1), kMb(0), kMb(1)), segmentation = Some(seg))
+    val dec = Vp8.decode(Vp8.encode(f))
+    assert(dec.frame.segmentation.exists(g => g.absMode &&
+      g.quant.toSeq == Seq(0, 20, 0, 0) &&
+      g.mapProbs.toSeq == Seq(100, 128, 160)))
+    assert(dec.frame.mbs.map(_.segment) == Vector(0, 1, 0, 1))
+    val r0 = (((8 * v + 3) >> 3) + 4) >> 3   // seg 0: y2dc = 8
+    val r1 = (((48 * v + 3) >> 3) + 4) >> 3  // seg 1: y2dc = 48
+    assert(dec.y(0) == 127 + r0, s"seg-0 MB: ${dec.y(0)}")
+    assert(dec.y(16) == 127 + r1, s"seg-1 MB: ${dec.y(16)}")
+    // delta mode: seg 1 shifts the base index by +20 from qindex 0
+    val segD = Vp8.Segmentation(absMode = false,
+      Array(0, 20, 0, 0), Array(128, 128, 128))
+    val decD = Vp8.decode(Vp8.encode(f.copy(segmentation = Some(segD))))
+    assert(decD.y(16) == 127 + r1, "delta mode reaches the same index")
+    // inter frame: segment ids + skip compose, per-segment residuals
+    def iMb(segId: Int, vv: Int, sk: Boolean) = {
+      val y2 = new Array[Int](16); if (!sk) y2(0) = vv
+      Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), skip = sk, segment = segId)
+    }
+    val fI = Vp8.InterFrame(0,
+      Vector(iMb(0, 40, sk = false), iMb(1, 40, sk = false),
+        iMb(2, 0, sk = true), iMb(0, 0, sk = false)),
+      skipEnabled = true, segmentation = Some(seg))
+    val dI = Vp8.decodeInter(Vp8.encodeInter(32, 32, fI), 32, 32,
+      dec.y, dec.u, dec.v)
+    assert(dI.frame.mbs.map(_.segment) == Vector(0, 1, 2, 0))
+    assert(dI.frame.mbs(2).skip)
+    assert(dI.y(0) == dec.y(0) + ((((8 * 40 + 3) >> 3) + 4) >> 3))
+    assert(dI.y(16) == dec.y(16) + ((((48 * 40 + 3) >> 3) + 4) >> 3),
+      "seg-1 residual dequants at its own index")
+    assert(dI.y(16 * 32) == dec.y(16 * 32), "skipped MB copies LAST")
+    // loud: segment ids without a header, bad values
+    intercept[IllegalArgumentException] {
+      Vp8.KeyFrame(32, 32, 0, Vector(kMb(1), kMb(0), kMb(0), kMb(0)))
+    }
+    intercept[IllegalArgumentException] {
+      Vp8.Segmentation(absMode = true, Array(0, 200, 0, 0),
+        Array(128, 128, 128))
+    }
+    intercept[IllegalArgumentException] {
+      Vp8.Segmentation(absMode = true, Array(0, 0, 0, 0),
+        Array(0, 128, 128))
+    }
+  }
+
   test("Vp8Machine.StreamDecoder: the pure (state, event) fold matches " +
       "decodeStream frame-for-frame — reference planes carried in " +
       "machine state — and an inter frame before any keyframe is loud") {
