@@ -97,6 +97,7 @@ object ScaleCurve {
     "m52_vp8_partitions",   // two token partitions per frame: m44 shape
     "m53_vp8_splitmv",      // per-subblock motion collage: m44 shape
     "m54_vp8_segmentation", // per-MB quantizer routing: m44 shape
+    "m55_vp8_normal_filter",// wide-tap in-loop smoothing: m43 shape
     "e53_streaming_vp8",    // stateful decode through the stream mount
     "p19_mp1_decode",       // Layer I conformant bitstream: p17 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design

@@ -60,9 +60,11 @@ import scala.collection.mutable.ArrayBuffer
   * half-step submode cell maps (VR/VL/HD/HU) and the 10×10×9 submode
   * probability values join the stand-in list above.
   *
-  * The §15 SIMPLE loop filter is implemented (luma, both edge
-  * classes, the signed common adjustment); the NORMAL filter's outer
-  * taps and sharpness rescaling stay out of scope.
+  * BOTH loop filters are implemented: the §15 SIMPLE filter (luma,
+  * both edge classes, the signed common adjustment) and the §15.3
+  * NORMAL filter (wide 27/18/9 taps on MB edges, the hev-gated narrow
+  * path, the rounded outer adjustment on subblock edges, luma AND
+  * chroma planes); sharpness rescaling stays out of scope.
   *
   * INTER (P) FRAMES are implemented [§16-§18]: the interframe header
   * order (refresh/copy/sign-bias flags, prob_intra/prob_last/prob_gf,
@@ -612,7 +614,8 @@ object Vp8 {
       mbs: Vector[MbCoding], filterLevel: Int = 0,
       skipEnabled: Boolean = false, qDeltas: QDeltas = QDeltas(),
       tokenPartitions: Int = 1,
-      segmentation: Option[Segmentation] = None) {
+      segmentation: Option[Segmentation] = None,
+      normalFilter: Boolean = false) {
     require(Seq(1, 2, 4, 8).contains(tokenPartitions),
       s"vp8: $tokenPartitions token partitions (1/2/4/8)")
     require(segmentation.isDefined || mbs.forall(_.segment == 0),
@@ -987,9 +990,8 @@ object Vp8 {
     h.literal(0, 1) // color_space: YUV as specified
     h.literal(0, 1) // clamping_type: spec clamping
     writeSegmentation(h, f.segmentation)
-    // filter_type: the SIMPLE filter when filtering at all (the normal
-    // filter's outer taps are out of scope — decode rejects them)
-    h.literal(if (f.filterLevel > 0) 1 else 0, 1)
+    // filter_type [§9.4]: 0 = normal, 1 = simple
+    h.literal(if (f.filterLevel > 0 && !f.normalFilter) 1 else 0, 1)
     h.literal(f.filterLevel, 6)
     h.literal(0, 3) // sharpness_level
     h.literal(0, 1) // loop-filter delta adjustments: off (subset)
@@ -1132,9 +1134,6 @@ object Vp8 {
     val segmentation = readSegmentation(h)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
-    require(filterLevel == 0 || filterType == 1,
-      "vp8: the NORMAL loop filter (outer taps) is out of scope — " +
-        "level > 0 is decoded with the simple filter only")
     require(h.literal(3) == 0,
       "vp8: sharpness > 0 out of scope (it rescales the filter limits)")
     require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
@@ -1358,9 +1357,127 @@ object Vp8 {
       }
       mr += 1
     }
-    simpleLoopFilter(yP, width, height, filterLevel)
+    val normal = filterLevel > 0 && filterType == 0
+    if (normal) {
+      normalLoopFilter(yP, width, height, filterLevel, keyframe = true,
+        mbSize = 16)
+      normalLoopFilter(uP, width / 2, height / 2, filterLevel,
+        keyframe = true, mbSize = 8)
+      normalLoopFilter(vP, width / 2, height / 2, filterLevel,
+        keyframe = true, mbSize = 8)
+    } else simpleLoopFilter(yP, width, height, filterLevel)
     Decoded(KeyFrame(width, height, qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas, tokenPartitions, segmentation), yP, uP, vP)
+      skipEnabled, qDeltas, tokenPartitions, segmentation, normal),
+      yP, uP, vP)
+  }
+
+  /** §15.3 NORMAL loop filter over one plane (filter_type 0) —
+    * the wide-tap in-loop smoother real encoders default to. Per edge
+    * (signed domain): the mask requires every neighbor step ≤ the
+    * interior limit and 2|p0−q0| + |p1−q1|/2 ≤ the edge limit; the
+    * high-edge-variance flag (|p1−p0| > thresh or |q1−q0| > thresh,
+    * thresholds from the recalled level/frame-type ladder) selects the
+    * narrow 2-tap adjustment. MB edges run the wide filter —
+    * a = clamp(clamp(p1−q1) + 3(q0−p0)), then (27a+63)>>7 on p0/q0,
+    * (18a+63)>>7 on p1/q1, (9a+63)>>7 on p2/q2 when not hev, or the
+    * simple-style F1/F2 (with the p1−q1 term) when hev; subblock
+    * edges run F1/F2 (p1−q1 term only under hev) plus the rounded
+    * (F1+1)>>1 outer adjustment when not hev. Luma filters MB edges +
+    * interior edges at 4/8/12; chroma (half-size MBs) at its MB edges
+    * + the single interior edge at 4. Like [[simpleLoopFilter]], every
+    * edge is filtered (the spec's skip-interior-edges-when-
+    * coefficientless shortcut is not modeled — a smoothing-strength
+    * detail, not a bitstream one). Edge order per MB in raster: left,
+    * interior vertical, top, interior horizontal. */
+  private[graft] def normalLoopFilter(pl: Array[Int], w: Int, h: Int,
+      level: Int, keyframe: Boolean, mbSize: Int): Unit = {
+    if (level == 0) return
+    val interior = level // sharpness 0
+    val mbLim = (level + 2) * 2 + interior
+    val subLim = level * 2 + interior
+    val thresh =
+      if (keyframe) { if (level >= 40) 2 else if (level >= 15) 1 else 0 }
+      else if (level >= 40) 3
+      else if (level >= 20) 2
+      else if (level >= 15) 1
+      else 0
+    def c127(v: Int): Int = math.max(-128, math.min(127, v))
+    def mask(i0: Int, st: Int, lim: Int): Boolean = {
+      val p3 = pl(i0 - 4 * st); val p2 = pl(i0 - 3 * st)
+      val p1 = pl(i0 - 2 * st); val p0 = pl(i0 - st)
+      val q0 = pl(i0); val q1 = pl(i0 + st)
+      val q2 = pl(i0 + 2 * st); val q3 = pl(i0 + 3 * st)
+      math.abs(p3 - p2) <= interior && math.abs(p2 - p1) <= interior &&
+        math.abs(p1 - p0) <= interior && math.abs(q1 - q0) <= interior &&
+        math.abs(q2 - q1) <= interior && math.abs(q3 - q2) <= interior &&
+        math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= lim
+    }
+    def hev(i0: Int, st: Int): Boolean =
+      math.abs(pl(i0 - 2 * st) - pl(i0 - st)) > thresh ||
+        math.abs(pl(i0 + st) - pl(i0)) > thresh
+    def put(i: Int, sv: Int): Unit = pl(i) = c127(sv) + 128
+    def subFilt(i0: Int, st: Int): Unit = if (mask(i0, st, subLim)) {
+      val hv = hev(i0, st)
+      val p1 = pl(i0 - 2 * st) - 128; val p0 = pl(i0 - st) - 128
+      val q0 = pl(i0) - 128; val q1 = pl(i0 + st) - 128
+      val f = c127((if (hv) c127(p1 - q1) else 0) + 3 * (q0 - p0))
+      val f1 = c127(f + 4) >> 3
+      val f2 = c127(f + 3) >> 3
+      put(i0, q0 - f1); put(i0 - st, p0 + f2)
+      if (!hv) {
+        val f3 = (f1 + 1) >> 1
+        put(i0 + st, q1 - f3); put(i0 - 2 * st, p1 + f3)
+      }
+    }
+    def mbFilt(i0: Int, st: Int): Unit = if (mask(i0, st, mbLim)) {
+      val hv = hev(i0, st)
+      val p2 = pl(i0 - 3 * st) - 128; val p1 = pl(i0 - 2 * st) - 128
+      val p0 = pl(i0 - st) - 128; val q0 = pl(i0) - 128
+      val q1 = pl(i0 + st) - 128; val q2 = pl(i0 + 2 * st) - 128
+      val f = c127(c127(p1 - q1) + 3 * (q0 - p0))
+      if (hv) {
+        val f1 = c127(f + 4) >> 3
+        val f2 = c127(f + 3) >> 3
+        put(i0, q0 - f1); put(i0 - st, p0 + f2)
+      } else {
+        val u27 = c127((27 * f + 63) >> 7)
+        val u18 = c127((18 * f + 63) >> 7)
+        val u9 = c127((9 * f + 63) >> 7)
+        put(i0, q0 - u27); put(i0 - st, p0 + u27)
+        put(i0 + st, q1 - u18); put(i0 - 2 * st, p1 + u18)
+        put(i0 + 2 * st, q2 - u9); put(i0 - 3 * st, p2 + u9)
+      }
+    }
+    val mbCols = w / mbSize; val mbRows = h / mbSize
+    var mr = 0
+    while (mr < mbRows) {
+      var mc = 0
+      while (mc < mbCols) {
+        val x0 = mc * mbSize; val y0 = mr * mbSize
+        if (mc > 0) {
+          var r = 0
+          while (r < mbSize) { mbFilt((y0 + r) * w + x0, 1); r += 1 }
+        }
+        var e = 4
+        while (e < mbSize) {
+          var r = 0
+          while (r < mbSize) { subFilt((y0 + r) * w + x0 + e, 1); r += 1 }
+          e += 4
+        }
+        if (mr > 0) {
+          var cx = 0
+          while (cx < mbSize) { mbFilt(y0 * w + x0 + cx, w); cx += 1 }
+        }
+        e = 4
+        while (e < mbSize) {
+          var cx = 0
+          while (cx < mbSize) { subFilt((y0 + e) * w + x0 + cx, w); cx += 1 }
+          e += 4
+        }
+        mc += 1
+      }
+      mr += 1
+    }
   }
 
   /** §15 SIMPLE loop filter over the LUMA plane (filter_type 1; the
@@ -1584,7 +1701,8 @@ object Vp8 {
   final case class InterFrame(qindex: Int, mbs: Vector[InterMb],
       filterLevel: Int = 0, skipEnabled: Boolean = false,
       qDeltas: QDeltas = QDeltas(), tokenPartitions: Int = 1,
-      segmentation: Option[Segmentation] = None) {
+      segmentation: Option[Segmentation] = None,
+      normalFilter: Boolean = false) {
     require(Seq(1, 2, 4, 8).contains(tokenPartitions),
       s"vp8: $tokenPartitions token partitions (1/2/4/8)")
     require(segmentation.isDefined || mbs.forall(_.segment == 0),
@@ -1861,7 +1979,7 @@ object Vp8 {
       s"vp8: ${f.mbs.length} MBs for a ${mbCols}x$mbRows grid")
     val h = new BoolEncoder
     writeSegmentation(h, f.segmentation)
-    h.literal(if (f.filterLevel > 0) 1 else 0, 1) // filter_type: simple
+    h.literal(if (f.filterLevel > 0 && !f.normalFilter) 1 else 0, 1)
     h.literal(f.filterLevel, 6)
     h.literal(0, 3) // sharpness
     h.literal(0, 1) // lf deltas
@@ -2051,9 +2169,6 @@ object Vp8 {
     val segmentation = readSegmentation(h)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
-    require(filterLevel == 0 || filterType == 1,
-      "vp8: the NORMAL loop filter (outer taps) is out of scope — " +
-        "level > 0 is decoded with the simple filter only")
     require(h.literal(3) == 0, "vp8: sharpness > 0 out of scope")
     require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
     val tokenPartitions = 1 << h.literal(2)
@@ -2393,9 +2508,17 @@ object Vp8 {
       }
       mr += 1
     }
-    simpleLoopFilter(yP, width, height, filterLevel)
+    val normal = filterLevel > 0 && filterType == 0
+    if (normal) {
+      normalLoopFilter(yP, width, height, filterLevel, keyframe = false,
+        mbSize = 16)
+      normalLoopFilter(uP, width / 2, height / 2, filterLevel,
+        keyframe = false, mbSize = 8)
+      normalLoopFilter(vP, width / 2, height / 2, filterLevel,
+        keyframe = false, mbSize = 8)
+    } else simpleLoopFilter(yP, width, height, filterLevel)
     DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas, tokenPartitions, segmentation),
+      skipEnabled, qDeltas, tokenPartitions, segmentation, normal),
       modeInfo.map(m => if (m.inter) m.eff else Mv(0, 0)), yP, uP, vP)
   }
 

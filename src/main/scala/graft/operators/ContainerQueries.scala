@@ -3815,6 +3815,95 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m55: VP8 NORMAL LOOP FILTER DECODE (§15.3) — the wide-tap
+    * in-loop smoother real encoders default to, through real coded
+    * bits (filter_type 0 + level 18 in the header): a single-MB-column
+    * 16×32 frame leaves ONE active edge (the horizontal MB edge at
+    * y = 16, uniform step d = (v1+4)>>3 ≤ 2), where the wide path's
+    * f = clamp((p1−q1) + 3(q0−p0)) = 2d drives the 27/18/9-tap ladder
+    * u27 = (54d+63)>>7, u18 = (36d+63)>>7, u9 = 0 — rows 14/15/16/17
+    * move by ±u18/±u27 and the total luma sum is CONSERVED (the taps
+    * are antisymmetric), so the oracle pins the per-row sums r14..r17
+    * alongside the invariant total. The hev narrow path, the 9-tap
+    * and chroma filtering are pinned by Vp8Spec. Scale: the m40
+    * envelope. */
+  private[operators] object Vp8NormalFilterKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      (0 until n).iterator.map { t =>
+        def mbOf(v: Int) = {
+          val y2 = new Array[Int](16); y2(0) = v
+          Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+            Array.fill(16)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)))
+        }
+        val v0 = 1 + hexbyte(s"vp8n${k}_${t}_0") % 100
+        val v1 = hexbyte(s"vp8n${k}_${t}_1") % 13 // d <= 2: u9 = 0
+        val dec = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0,
+          Vector(mbOf(v0), mbOf(v1)), filterLevel = 18,
+          normalFilter = true)))
+        require(dec.frame.normalFilter && dec.frame.filterLevel == 18,
+          s"container $k frame $t: filter header drift")
+        def rowSum(r: Int): Long =
+          (0 until 16).map(x => dec.y(r * 16 + x).toLong).sum
+        (k, t.toLong, rowSum(14), rowSum(15), rowSum(16), rowSum(17),
+          dec.y.iterator.map(_.toLong).sum,
+          dec.u.iterator.map(_.toLong).sum +
+            dec.v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m55(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8NormalFilterKernel.rows(k, it.size))
+      .toDF("container", "t", "r14", "r15", "r16", "r17", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m55Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |v AS (SELECT container, t,
+      |    1 + CAST(concat('0x', substr(md5('vp8n' || container || '_' || t
+      |      || '_0'), 1, 2)) AS BIGINT) % 100 AS v0,
+      |    CAST(concat('0x', substr(md5('vp8n' || container || '_' || t
+      |      || '_1'), 1, 2)) AS BIGINT) % 13 AS v1
+      |  FROM frames),
+      |-- u fills MB 0; w = u + d fills MB 1; the wide path at y=16:
+      |-- f = 2d, u27 = (54d+63)>>7, u18 = (36d+63)>>7, u9 = 0
+      |f AS (SELECT container, t,
+      |    127 + (v0 + 4) // 8 AS u, (v1 + 4) // 8 AS d,
+      |    (54 * ((v1 + 4) // 8) + 63) // 128 AS u27,
+      |    (36 * ((v1 + 4) // 8) + 63) // 128 AS u18
+      |  FROM v)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(16 * (u + u18) AS BIGINT) AS r14,
+      |  CAST(16 * (u + u27) AS BIGINT) AS r15,
+      |  CAST(16 * (u + d - u27) AS BIGINT) AS r16,
+      |  CAST(16 * (u + d - u18) AS BIGINT) AS r17,
+      |  -- antisymmetric taps conserve the total: 256*(2u + d)
+      |  CAST(256 * (2 * u + d) AS BIGINT) AS luma_sum,
+      |  CAST(32768 AS BIGINT) AS chroma_sum
+      |FROM f ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -3849,6 +3938,7 @@ object ContainerQueries {
     Q("m52_vp8_partitions", m52, Some(m52Sql)),
     Q("m53_vp8_splitmv", m53, Some(m53Sql)),
     Q("m54_vp8_segmentation", m54, Some(m54Sql)),
+    Q("m55_vp8_normal_filter", m55, Some(m55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

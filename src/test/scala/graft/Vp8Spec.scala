@@ -1013,6 +1013,55 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("NORMAL loop filter [§15.3]: flat planes invariant; a uniform " +
+      "MB edge gets the wide 27/18/9-tap adjustment with hand-derived " +
+      "values through real coded frames; the hev path takes the " +
+      "narrow 2-tap adjustment with the p1-q1 term") {
+    // flat planes: every level, key and inter, all three planes
+    for (lvl <- Seq(1, 18, 63)) {
+      val flat = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+        Vector.fill(4)(zeroMb(Vp8.DcPred, Vp8.DcPred)), lvl,
+        normalFilter = true)))
+      assert(flat.frame.normalFilter && flat.frame.filterLevel == lvl)
+      assert(flat.y.forall(_ == 128) && flat.u.forall(_ == 128),
+        s"flat plane moved at normal level $lvl")
+    }
+    // single-MB-column frame (no vertical MB edges): the y=16 edge is
+    // the only active one. v0=67 -> u=135; v1=99 -> d=12; the wide
+    // path includes the p1-q1 term: f = clamp(-d + 3d) = 2d = 24, so
+    // u27=(27*24+63)>>7=5, u18=3, u9=2 move rows 13..18
+    val mbs = Vector(zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = 67),
+      zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = 99))
+    val dec = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs, 18,
+      normalFilter = true)))
+    val u = 135; val w = 147
+    val expect = Map(13 -> (u + 2), 14 -> (u + 3), 15 -> (u + 5),
+      16 -> (w - 5), 17 -> (w - 3), 18 -> (w - 2))
+    for (y <- 0 until 32; x <- 0 until 16) {
+      val want = expect.getOrElse(y, if (y < 16) u else w)
+      assert(dec.y(y * 16 + x) == want, s"px($x,$y): ${dec.y(y * 16 + x)}")
+    }
+    // hev path directly: row 17 spikes so |q1-q0| > thresh -> the
+    // narrow 2-tap with the p1-q1 term: f = clamp(-25 + 60) = 35,
+    // F1 = 4, F2 = 4; outer rows untouched
+    val plane = Array.tabulate(16 * 32)(i =>
+      if (i / 16 < 16) 100 else if (i / 16 == 17) 125 else 120)
+    Vp8.normalLoopFilter(plane, 16, 32, 18, keyframe = true, mbSize = 16)
+    for (x <- 0 until 16) {
+      assert(plane(15 * 16 + x) == 104, s"hev p0 x$x")
+      assert(plane(16 * 16 + x) == 116, s"hev q0 x$x")
+      assert(plane(14 * 16 + x) == 100 && plane(17 * 16 + x) == 125,
+        s"hev outer rows must not move x$x")
+    }
+    // inter frames carry the flag too
+    val pI = Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+      Vector.fill(4)(interZero()), filterLevel = 18, normalFilter = true))
+    val ref = Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      Vector.fill(4)(zeroMb(Vp8.DcPred, Vp8.DcPred)))))
+    val dI = Vp8.decodeInter(pI, 32, 32, ref.y, ref.u, ref.v)
+    assert(dI.frame.normalFilter && dI.y.forall(_ == 128))
+  }
+
   test("Vp8Machine.StreamDecoder: the pure (state, event) fold matches " +
       "decodeStream frame-for-frame — reference planes carried in " +
       "machine state — and an inter frame before any keyframe is loud") {
