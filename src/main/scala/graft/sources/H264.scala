@@ -441,6 +441,165 @@ object H264 {
     (info, y, u, v)
   }
 
+  // ---- Intra_4x4 I slices at the prediction-mode level (§7.3.5, §8.3.1) -------
+
+  /** STAND-IN coded_block_pattern me(v) mapping for Intra_4x4
+    * macroblocks (the real Table 9-4 column is spec appendix data —
+    * same seam class as Vp8's Profile): a deterministic 48-entry
+    * permutation; codeNum = inverse lookup. The me(v) MECHANISM
+    * (ue(v) then table map) is the normative part coded here. */
+  private[graft] val CbpIntraMap: Array[Int] = {
+    val a = Array.tabulate(48)(i => (i * 11 + 7) % 48)
+    require(a.distinct.length == 48, "h264: CBP stand-in not a permutation")
+    a
+  }
+
+  /** §6.4.3 inverse luma4x4BlkIdx scan: block index → (bx, by) within
+    * the macroblock (raster quads, z-order inside each quad). */
+  private[graft] def blk4x4Pos(idx: Int): (Int, Int) = {
+    val quad = idx / 4; val in = idx % 4
+    (2 * (quad % 2) + (in % 2), 2 * (quad / 2) + (in / 2))
+  }
+
+  /** One parsed Intra_4x4 macroblock: the 16 luma prediction modes in
+    * luma4x4BlkIdx order, how many rode the prev_intra4x4_pred_mode
+    * flag, the chroma mode, and the CBP. */
+  final case class IntraMb(lumaModes: Array[Int], prevCount: Int,
+      chromaMode: Int, cbp: Int)
+
+  /** §8.3.1.1's predicted mode for block `idx` of MB (mr, mc):
+    * Min(modeA left, modeB above), DC (= 2) when a neighbor is
+    * unavailable (frame edge). `grid` holds each coded MB's 16 modes
+    * (every MB here is Intra_4x4, so neighbors always have modes). */
+  private def predictedMode(grid: Array[Array[Int]], mbCols: Int,
+      mr: Int, mc: Int, cur: Array[Int], idx: Int): Int = {
+    val (bx, by) = blk4x4Pos(idx)
+    def modeAt(r: Int, c: Int, x: Int, y: Int): Int =
+      if (r < 0 || c < 0) 2 // DC when unavailable [§8.3.1.1]
+      else if (r == mr && c == mc)
+        cur((y % 2) * 2 + (x % 2) + 4 * ((y / 2) * 2 + (x / 2)))
+      else grid(r * mbCols + c)((y % 2) * 2 + (x % 2) +
+        4 * ((y / 2) * 2 + (x / 2)))
+    val a = // left neighbor 4x4
+      if (bx > 0) modeAt(mr, mc, bx - 1, by)
+      else modeAt(mr, mc - 1, 3, by)
+    val b = // above neighbor 4x4
+      if (by > 0) modeAt(mr, mc, bx, by - 1)
+      else modeAt(mr - 1, mc, bx, 3)
+    math.min(a, b)
+  }
+
+  /** Write a conformant-structure Intra_4x4 IDR I slice at the
+    * PREDICTION-MODE level (§7.3.5 macroblock_layer / §7.4.5 /
+    * §8.3.1): per MB mb_type = 0 (I_4x4), then for each of the 16
+    * luma 4x4 blocks the prev_intra4x4_pred_mode_flag — set exactly
+    * when the wanted mode equals §8.3.1.1's Min(A, B) prediction —
+    * or the 3-bit rem_intra4x4_pred_mode (the < / ≥ split),
+    * intra_chroma_pred_mode ue(v), and coded_block_pattern me(v)
+    * forced to 0 (no residual — CAVLC coefficient tables stay behind
+    * the seam; CBP 0 makes mb_qp_delta absent per §7.3.5, so the
+    * slice is complete). `modes`: per MB, 16 luma modes (0..8) in
+    * luma4x4BlkIdx order; `chromaModes`: per MB (0..3). */
+  def writeIntraModeSlice(frameNum: Int, sps: Sps, pps: Pps,
+      modes: Vector[Array[Int]], chromaModes: Vector[Int],
+      idrPicId: Int = 0): Array[Byte] = {
+    require(!pps.cabac, "h264: CABAC slice writing unsupported")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    require(modes.length == mbCols * mbRows &&
+      chromaModes.length == mbCols * mbRows,
+      s"h264: ${modes.length} mode sets for a ${mbCols}x$mbRows grid")
+    require(modes.forall(m => m.length == 16 &&
+      m.forall(v => v >= 0 && v <= 8)), "h264: luma modes are 0..8")
+    require(chromaModes.forall(m => m >= 0 && m <= 3),
+      "h264: chroma modes are 0..3")
+    val w = new BitW
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I, all slices I (Table 7-6)
+    w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    w.ue(idrPicId.toLong)
+    if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
+    w.u(0L, 1); w.u(0L, 1) // dec_ref_pic_marking (IDR)
+    w.se(0) // slice_qp_delta
+    val grid = Array.fill(mbCols * mbRows)(new Array[Int](16))
+    val cbpZeroCode = CbpIntraMap.indexOf(0)
+    var mb = 0
+    while (mb < mbCols * mbRows) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      w.ue(0) // mb_type 0 = Intra_4x4 (Table 7-11)
+      var idx = 0
+      while (idx < 16) {
+        val want = modes(mb)(idx)
+        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx)
+        if (want == pred) w.u(1L, 1) // prev_intra4x4_pred_mode_flag
+        else {
+          w.u(0L, 1)
+          // rem < pred codes rem; rem ≥ pred codes rem − 1 [§8.3.1.1]
+          w.u((if (want < pred) want else want - 1).toLong, 3)
+        }
+        grid(mb)(idx) = want
+        idx += 1
+      }
+      w.ue(chromaModes(mb).toLong) // intra_chroma_pred_mode
+      w.ue(cbpZeroCode.toLong)     // coded_block_pattern me(v) → 0
+      // CBP 0 and not I_16x16 → no mb_qp_delta, no residual [§7.3.5]
+      mb += 1
+    }
+    w.stop()
+    nal(3, NalIdr, w.toRbsp)
+  }
+
+  /** Parse an Intra_4x4 mode-level slice back: per MB the 16 decoded
+    * luma modes (through the §8.3.1.1 prediction recursion), the
+    * prev-flag count, chroma mode and CBP. Every deviation from the
+    * subset (other mb_types, nonzero CBP) fails loudly by name. */
+  def parseIntraModeSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+      : (SliceInfo, Vector[IntraMb]) = {
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice || nt == NalIdr,
+      s"h264: NAL $nt is not a coded slice")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+    require(info.isI,
+      s"h264: intra-mode decode on slice_type ${info.sliceType}")
+    val grid = Array.fill(mbCols * mbRows)(new Array[Int](16))
+    val out = Vector.newBuilder[IntraMb]
+    var mb = 0
+    while (mb < mbCols * mbRows) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      val mbType = r.ue().toInt
+      require(mbType == 0,
+        s"h264: mb_type $mbType at MB $mb — only Intra_4x4 is " +
+          "mode-decodable here (I_16x16 always codes a CAVLC DC block)")
+      var prev = 0
+      var idx = 0
+      while (idx < 16) {
+        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx)
+        val mode =
+          if (r.u(1) == 1L) { prev += 1; pred }
+          else {
+            val rem = r.u(3).toInt
+            if (rem < pred) rem else rem + 1
+          }
+        grid(mb)(idx) = mode
+        idx += 1
+      }
+      val chroma = r.ue().toInt
+      require(chroma <= 3, s"h264: intra_chroma_pred_mode $chroma")
+      val cbpCode = r.ue().toInt
+      require(cbpCode < 48, s"h264: CBP codeNum $cbpCode")
+      val cbp = CbpIntraMap(cbpCode)
+      require(cbp == 0,
+        s"h264: CBP $cbp at MB $mb — coded residual needs the CAVLC " +
+          "coefficient tables (behind the seam)")
+      out += IntraMb(grid(mb).clone(), prev, chroma, cbp)
+      mb += 1
+    }
+    require(r.u(1) == 1, "h264: missing rbsp_stop_one_bit after slice data")
+    (info, out.result())
+  }
+
   // ---- stream splitting -------------------------------------------------------
 
   /** Split an Annex-B byte stream on 3- or 4-byte start codes.

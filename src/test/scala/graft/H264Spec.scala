@@ -223,4 +223,71 @@ class H264Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("I_PCM") ||
       ex.getMessage.contains("end of"), ex.getMessage)
   }
+
+  // ---- Intra_4x4 prediction-mode slices [§7.3.5/§8.3.1] -------------------
+
+  test("Intra_4x4 mode slice: random mode fields round-trip through " +
+      "the §8.3.1.1 prediction lattice (prev flag fires exactly on " +
+      "Min(A,B) hits, rem takes the </≥ split), chroma modes and the " +
+      "CBP-0 me(v) ride along") {
+    val sps = H264.parseSps(H264.writeSps(48, 32))
+    val pps = H264.parsePps(H264.writePps())
+    val rnd = new scala.util.Random(7)
+    (0 until 10).foreach { trial =>
+      val modes = Vector.fill(6)(Array.fill(16)(rnd.nextInt(9)))
+      val chroma = Vector.fill(6)(rnd.nextInt(4))
+      val nal = H264.writeIntraModeSlice(0, sps, pps, modes, chroma,
+        idrPicId = trial)
+      val (info, mbs) = H264.parseIntraModeSlice(nal, sps, pps)
+      assert(info.idr && info.idrPicId == trial)
+      assert(mbs.length == 6)
+      mbs.zipWithIndex.foreach { case (mb, i) =>
+        assert(mb.lumaModes.sameElements(modes(i)),
+          s"trial $trial MB $i modes")
+        assert(mb.chromaMode == chroma(i) && mb.cbp == 0)
+      }
+    }
+  }
+
+  test("§8.3.1.1 edges: the first block of the first MB predicts DC " +
+      "(both neighbors unavailable → Min(2,2)), an all-DC frame rides " +
+      "prev flags only, and the rem </≥ split skips the predicted " +
+      "value exactly") {
+    val sps = H264.parseSps(H264.writeSps(32, 32))
+    val pps = H264.parsePps(H264.writePps())
+    // all-DC (mode 2): every block's prediction is 2 → 16 prev hits/MB
+    val allDc = Vector.fill(4)(Array.fill(16)(2))
+    val (_, dcMbs) = H264.parseIntraModeSlice(
+      H264.writeIntraModeSlice(0, sps, pps, allDc, Vector.fill(4)(0)),
+      sps, pps)
+    assert(dcMbs.forall(_.prevCount == 16))
+    // mode 8 at block 0 of MB 0: pred = 2, so rem codes 8 - 1 = 7 and
+    // the decode must NOT collapse onto 7
+    val m8 = Vector.tabulate(4)(mb =>
+      Array.tabulate(16)(i => if (mb == 0 && i == 0) 8 else 2))
+    val (_, m8Mbs) = H264.parseIntraModeSlice(
+      H264.writeIntraModeSlice(0, sps, pps, m8, Vector.fill(4)(0)),
+      sps, pps)
+    assert(m8Mbs(0).lumaModes(0) == 8)
+    // only block 0 itself misses (its pred is DC but it wants 8);
+    // its right/below neighbors still predict Min(8, 2) = 2 = DC
+    assert(m8Mbs(0).prevCount == 15, "prediction-hit count drift")
+    assert(m8Mbs.drop(1).forall(_.prevCount == 16))
+    // §6.4.3 scan: block index → position spot checks
+    assert(H264.blk4x4Pos(0) == (0, 0) && H264.blk4x4Pos(1) == (1, 0))
+    assert(H264.blk4x4Pos(2) == (0, 1) && H264.blk4x4Pos(3) == (1, 1))
+    assert(H264.blk4x4Pos(4) == (2, 0) && H264.blk4x4Pos(15) == (3, 3))
+    // subset boundaries: an I_PCM slice fails by mb_type name
+    val pcm = H264.writeIpcmSlice(0, sps, pps,
+      Array.fill(32 * 32)(7), Array.fill(16 * 16)(9),
+      Array.fill(16 * 16)(11))
+    val ex = intercept[IllegalArgumentException] {
+      H264.parseIntraModeSlice(pcm, sps, pps)
+    }
+    assert(ex.getMessage.contains("Intra_4x4"))
+    intercept[IllegalArgumentException] {
+      H264.writeIntraModeSlice(0, sps, pps,
+        Vector.fill(4)(Array.fill(16)(9)), Vector.fill(4)(0))
+    }
+  }
 }
