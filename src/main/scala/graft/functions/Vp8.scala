@@ -64,7 +64,15 @@ import scala.collection.mutable.ArrayBuffer
   * both edge classes, the signed common adjustment) and the §15.3
   * NORMAL filter (wide 27/18/9 taps on MB edges, the hev-gated narrow
   * path, the rounded outer adjustment on subblock edges, luma AND
-  * chroma planes); sharpness rescaling stays out of scope.
+  * chroma planes). Filtering is PER-MACROBLOCK [§15.1/§15.2]:
+  * sharpness levels 1–7 rescale the interior limit (>> 1 or >> 2 with
+  * the 9−sharpness cap and the floor at 1), the §9.4 loop-filter
+  * DELTAS adjust each macroblock's level by its reference frame
+  * (intra/LAST/GOLDEN/ALTREF) and prediction mode (B_PRED / ZEROMV /
+  * other-inter / SPLITMV) with the remembered-until-updated
+  * semantics, and interior (subblock) edges of a macroblock with no
+  * nonzero coefficients whose prediction is whole-MB (not B_PRED, not
+  * SPLITMV) are skipped.
   *
   * INTER (P) FRAMES are implemented [§16-§18]: the interframe header
   * order (refresh/copy/sign-bias flags, prob_intra/prob_last/prob_gf,
@@ -86,11 +94,14 @@ import scala.collection.mutable.ArrayBuffer
   * bool(prob_gf) [§16.3]); in the refresh_golden = refresh_alt = 0
   * subset both long-term buffers hold the most recent keyframe.
   *
-  * Additional inter stand-ins (same seam class as CoeffProbs): the
-  * default MV context probabilities and the mode-context table that
-  * §17.3 indexes by survey counts (deterministic values below, shared
-  * by both sides), and the non-keyframe default y/uv mode
-  * probabilities ({112,86,140,37} / {162,101,204} as published).
+  * Additional inter stand-ins (same seam class as CoeffProbs, ALL of
+  * them [[Profile]] fields): the default MV context probabilities,
+  * the 2×19 MV-update-flag probabilities (vp8_mv_update_probs), the
+  * 4×8×3×11 coefficient-update-flag probabilities, and the
+  * mode-context table that §17.3 indexes by survey counts
+  * (deterministic values below, shared by both sides); the
+  * non-keyframe default y/uv mode probabilities are
+  * {112,86,140,37} / {162,101,204} as published.
   *
   * mb_no_coeff_skip [§9.11] is implemented on both sides: when the
   * header enables it, each MB leads with a skip bool at
@@ -110,16 +121,25 @@ import scala.collection.mutable.ArrayBuffer
   * per-MB segment-id tree leading each MB's mode info, and
   * per-segment dequant factors composing with the §9.6 plane deltas.
   *
+  * The PERSISTENT ENTROPY STATE [§9.7/§13.4/§17.2] is implemented:
+  * every frame may UPDATE the coefficient-probability table (the
+  * 4×8×3×11 conditional flag + 8-bit replacement reads), inter frames
+  * may update the MV context probabilities (flag + 7-bit value, the
+  * x?x<<1:1 expansion) and the non-kf y/uv mode probability sets, the
+  * updates persist across frames when refresh_entropy_probs = 1 and
+  * revert after the frame when 0, and KEY frames reset the whole
+  * state to the profile defaults before their own updates. The state
+  * rides [[Ctx]], threadable across a frame sequence
+  * ([[decodeStream]]) or a state store ([[graft.streaming.Vp8Machine]]).
+  *
   * Subset boundaries, all failing loudly: golden/alt-ref refresh and
   * buffer copies, B_PRED inside inter frames, segment-map persistence
   * (every segmented frame must update its map) and per-segment
-  * loop-filter features, lf-delta flags must be 0, level > 0 requires
-  * filter_type = simple, sharpness must be 0, dimensions must be
-  * multiples of 16 (real VP8 pads to macroblocks and crops at
-  * display). Token partitioning [§9.5] is implemented for all four
-  * legal counts (1/2/4/8): MB row r codes into partition r mod count,
-  * sizes as 3-byte little-endian between the first partition and the
-  * token data.
+  * loop-filter features, dimensions must be multiples of 16 (real VP8
+  * pads to macroblocks and crops at display). Token partitioning
+  * [§9.5] is implemented for all four legal counts (1/2/4/8): MB row
+  * r codes into partition r mod count, sizes as 3-byte little-endian
+  * between the first partition and the token data.
   */
 object Vp8 {
 
@@ -220,9 +240,9 @@ object Vp8 {
     Array.tabulate(NTypes, NBands, NCtx, NNodes) { (t, b, c, n) =>
       1 + ((t * 131 + b * 37 + c * 17 + n * 7 + 89) * 53) % 254
     }
-  /** STAND-IN update-flag probabilities (real table is mostly ≈255 —
-    * a high value makes the 1056 zero flags cheap, as in real streams). */
-  private val CoeffUpdateProb = 252
+  // (the 4×8×3×11 update-flag probabilities live in
+  // Profile.coeffUpdateProbs; the stand-in's uniform 252 makes the
+  // 1056 zero flags cheap, as the real mostly-255 table does)
 
   // ---- quantizer [§14.1] -----------------------------------------------------
 
@@ -356,8 +376,9 @@ object Vp8 {
   /** THE stand-in seam, made concrete: every appendix-DATA table the
     * zero-egress sandbox cannot carry lives in one swappable value.
     * Decoding a libvpx-encoded file is constructing a Profile from RFC
-    * 6386's appendix tables (coefficient probs §13.5, kf B_PRED
-    * submode probs §11.4, MV context defaults §17.2, mode contexts
+    * 6386's appendix tables (coefficient probs §13.5 and their
+    * update-flag probs §13.4, kf B_PRED submode probs §11.4, MV
+    * context defaults and update-flag probs §17.2, mode contexts
     * §17.3, dc/ac quantizer lookups §14.1) and passing it to
     * [[decode]]/[[decodeInter]]/[[decodeStream]] — a value swap, not a
     * code change. Both sides of every query share [[Profile.StandIn]];
@@ -369,20 +390,37 @@ object Vp8 {
       mvProbs: Array[Array[Int]],
       modeContexts: Array[Array[Int]],
       dcQ: Array[Int],
-      acQ: Array[Int]) {
+      acQ: Array[Int],
+      /** §13.4 per-node coefficient-UPDATE-flag probabilities (the
+        * spec's coeff_update_probs, 4×8×3×11 appendix data; the
+        * stand-in's uniform 252 makes the all-zero flag walk cheap,
+        * as the real mostly-255 table does). */
+      coeffUpdateProbs: Array[Array[Array[Array[Int]]]] =
+        Array.fill(4, 8, 3, 11)(252),
+      /** §17.2 per-flag MV-probability-update probabilities (the
+        * spec's 2×19 vp8_mv_update_probs table). */
+      mvUpdateProbs: Array[Array[Int]] = Array.fill(2, 19)(252)) {
     require(coeffProbs.length == 4 && coeffProbs(0).length == 8 &&
       coeffProbs(0)(0).length == 3 && coeffProbs(0)(0)(0).length == 11,
       "vp8 profile: coeff probs must be 4x8x3x11")
+    require(coeffUpdateProbs.length == 4 && coeffUpdateProbs(0).length == 8 &&
+      coeffUpdateProbs(0)(0).length == 3 &&
+      coeffUpdateProbs(0)(0)(0).length == 11,
+      "vp8 profile: coeff update probs must be 4x8x3x11")
     require(bmodeProbs.length == 10 && bmodeProbs(0).length == 10 &&
       bmodeProbs(0)(0).length == 9, "vp8 profile: bmode probs 10x10x9")
     require(mvProbs.length == 2 && mvProbs.forall(_.length == 19),
       "vp8 profile: mv probs 2x19")
+    require(mvUpdateProbs.length == 2 && mvUpdateProbs.forall(_.length == 19),
+      "vp8 profile: mv update probs 2x19")
     require(modeContexts.length == 6 && modeContexts.forall(_.length == 4),
       "vp8 profile: mode contexts 6x4")
     require(dcQ.length == 128 && acQ.length == 128,
       "vp8 profile: quantizer lookups need 128 entries")
     require((coeffProbs.iterator.flatten.flatten.flatten ++
+      coeffUpdateProbs.iterator.flatten.flatten.flatten ++
       bmodeProbs.iterator.flatten.flatten ++ mvProbs.iterator.flatten ++
+      mvUpdateProbs.iterator.flatten ++
       modeContexts.iterator.flatten).forall(v => v >= 1 && v <= 254),
       "vp8 profile: probabilities must lie in [1, 254]")
   }
@@ -391,6 +429,239 @@ object Vp8 {
     lazy val StandIn: Profile = Profile(CoeffProbs, KfBmodeProb,
       MvDefaultProb, ModeContextProb, StandInDcQ, StandInAcQ)
   }
+
+  // ---- persistent entropy state [§9.7] ----------------------------------------
+
+  /** The probability state §9.7's refresh_entropy_probs governs: the
+    * coefficient table [§13.4], the MV contexts [§17.2] and the non-kf
+    * y/uv mode probabilities [§11.3]. Mutable — frame headers update
+    * it in place; [[snapshot]]/[[restoreFrom]] implement the
+    * revert-after-frame path and [[resetTo]] the key-frame reset. */
+  final class Entropy(
+      val coeff: Array[Array[Array[Array[Int]]]],
+      val mv: Array[Array[Int]],
+      val ymode: Array[Int],
+      val uvmode: Array[Int]) extends Serializable {
+    def snapshot: Entropy = new Entropy(
+      coeff.map(_.map(_.map(_.clone()))), mv.map(_.clone()),
+      ymode.clone(), uvmode.clone())
+    def restoreFrom(o: Entropy): Unit = {
+      for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3)
+        System.arraycopy(o.coeff(t)(b)(c), 0, coeff(t)(b)(c), 0, 11)
+      for (i <- 0 until 2) System.arraycopy(o.mv(i), 0, mv(i), 0, 19)
+      System.arraycopy(o.ymode, 0, ymode, 0, 4)
+      System.arraycopy(o.uvmode, 0, uvmode, 0, 3)
+    }
+    /** Key-frame reset: everything back to the stream defaults. */
+    def resetTo(p: Profile): Unit = {
+      for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3)
+        System.arraycopy(p.coeffProbs(t)(b)(c), 0, coeff(t)(b)(c), 0, 11)
+      for (i <- 0 until 2) System.arraycopy(p.mvProbs(i), 0, mv(i), 0, 19)
+      System.arraycopy(InterYmodeProb, 0, ymode, 0, 4)
+      System.arraycopy(InterUvModeProb, 0, uvmode, 0, 3)
+    }
+  }
+  object Entropy {
+    val FlatSize: Int = 4 * 8 * 3 * 11 + 2 * 19 + 4 + 3
+    def from(p: Profile): Entropy = {
+      val e = new Entropy(Array.fill(4, 8, 3, 11)(0), Array.fill(2, 19)(0),
+        new Array[Int](4), new Array[Int](3))
+      e.resetTo(p); e
+    }
+  }
+
+  /** The cross-frame decoder/encoder context: the [[Entropy]] state
+    * plus the §9.4 remembered loop-filter deltas (slots 0–3 the
+    * per-reference deltas intra/LAST/GOLDEN/ALTREF, 4–7 the per-mode
+    * deltas B_PRED/ZEROMV/other-inter/SPLITMV; zero at stream start,
+    * updated only when a header flags them). One Ctx per stream;
+    * [[toFlat]]/[[fromFlat]] round-trip it through a state store. */
+  final class Ctx(val profile: Profile) extends Serializable {
+    val entropy: Entropy = Entropy.from(profile)
+    val lfDeltas: Array[Int] = new Array[Int](8)
+  }
+  object Ctx {
+    def toFlat(cx: Ctx): Array[Int] = {
+      val out = new Array[Int](Entropy.FlatSize + 8)
+      var i = 0
+      for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3; n <- 0 until 11) {
+        out(i) = cx.entropy.coeff(t)(b)(c)(n); i += 1
+      }
+      for (m <- 0 until 2; j <- 0 until 19) {
+        out(i) = cx.entropy.mv(m)(j); i += 1
+      }
+      for (j <- 0 until 4) { out(i) = cx.entropy.ymode(j); i += 1 }
+      for (j <- 0 until 3) { out(i) = cx.entropy.uvmode(j); i += 1 }
+      System.arraycopy(cx.lfDeltas, 0, out, i, 8)
+      out
+    }
+    def fromFlat(profile: Profile, a: Array[Int]): Ctx = {
+      require(a.length == Entropy.FlatSize + 8,
+        s"vp8 ctx: flat state of ${a.length} ints")
+      val cx = new Ctx(profile)
+      var i = 0
+      for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3; n <- 0 until 11) {
+        cx.entropy.coeff(t)(b)(c)(n) = a(i); i += 1
+      }
+      for (m <- 0 until 2; j <- 0 until 19) {
+        cx.entropy.mv(m)(j) = a(i); i += 1
+      }
+      for (j <- 0 until 4) { cx.entropy.ymode(j) = a(i); i += 1 }
+      for (j <- 0 until 3) { cx.entropy.uvmode(j) = a(i); i += 1 }
+      System.arraycopy(a, i, cx.lfDeltas, 0, 8)
+      cx
+    }
+  }
+
+  /** One coefficient-probability update [§13.4]: table cell
+    * (blockType, band, ctx, node) replaced by `prob`. */
+  final case class CoeffUpdate(blockType: Int, band: Int, ctx: Int,
+      node: Int, prob: Int) {
+    require(blockType >= 0 && blockType < 4 && band >= 0 && band < 8 &&
+      ctx >= 0 && ctx < 3 && node >= 0 && node < 11,
+      s"vp8: coeff-update cell ($blockType,$band,$ctx,$node)")
+    require(prob >= 1 && prob <= 254, s"vp8: coeff-update prob $prob")
+  }
+
+  /** A §9.4 loop-filter delta update: the flagged (slot, value) pairs,
+    * slot 0–3 per-reference, 4–7 per-mode; unflagged slots KEEP their
+    * remembered values. */
+  final case class LfDeltaUpdate(entries: Vector[(Int, Int)]) {
+    require(entries.forall { case (s, v) =>
+      s >= 0 && s <= 7 && v >= -63 && v <= 63 },
+      "vp8: lf-delta slots 0-7, values in ±63")
+    require(entries.map(_._1).distinct.size == entries.size,
+      "vp8: duplicate lf-delta slot")
+  }
+
+  private def writeLfDeltas(h: BoolEncoder, enabled: Boolean,
+      update: Option[LfDeltaUpdate], cx: Ctx): Unit = {
+    h.literal(if (enabled) 1 else 0, 1)
+    if (enabled) {
+      h.literal(if (update.isDefined) 1 else 0, 1)
+      update.foreach { u =>
+        val m = u.entries.toMap
+        var s = 0
+        while (s < 8) {
+          m.get(s) match {
+            case Some(v) =>
+              h.literal(1, 1); h.literal(math.abs(v), 6)
+              h.literal(if (v < 0) 1 else 0, 1)
+              cx.lfDeltas(s) = v
+            case None => h.literal(0, 1)
+          }
+          s += 1
+        }
+      }
+    }
+  }
+
+  private def readLfDeltas(h: BoolDecoder, cx: Ctx)
+      : (Boolean, Option[LfDeltaUpdate]) = {
+    val enabled = h.literal(1) == 1
+    if (!enabled) (false, None)
+    else if (h.literal(1) == 0) (true, None)
+    else {
+      val entries = Vector.newBuilder[(Int, Int)]
+      var s = 0
+      while (s < 8) {
+        if (h.literal(1) == 1) {
+          val m = h.literal(6)
+          val v = if (h.literal(1) == 1) -m else m
+          cx.lfDeltas(s) = v
+          entries += ((s, v))
+        }
+        s += 1
+      }
+      (true, Some(LfDeltaUpdate(entries.result())))
+    }
+  }
+
+  /** §13.4 coefficient-probability update section: one conditional
+    * flag per (type, band, ctx, node) cell at the profile's update
+    * probability, an 8-bit replacement when flagged — applied to the
+    * live entropy state in place. */
+  private def writeCoeffUpdates(h: BoolEncoder,
+      updates: Vector[CoeffUpdate], prof: Profile, cx: Ctx): Unit = {
+    val m = updates.map(u =>
+      ((u.blockType, u.band, u.ctx, u.node), u.prob)).toMap
+    var t = 0
+    while (t < NTypes) {
+      var b = 0
+      while (b < NBands) {
+        var c = 0
+        while (c < NCtx) {
+          var n = 0
+          while (n < NNodes) {
+            m.get((t, b, c, n)) match {
+              case Some(p) =>
+                h.bool(1, prof.coeffUpdateProbs(t)(b)(c)(n))
+                h.literal(p, 8)
+                cx.entropy.coeff(t)(b)(c)(n) = p
+              case None => h.bool(0, prof.coeffUpdateProbs(t)(b)(c)(n))
+            }
+            n += 1
+          }
+          c += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+  }
+
+  private def readCoeffUpdates(h: BoolDecoder, prof: Profile,
+      cx: Ctx): Vector[CoeffUpdate] = {
+    val out = Vector.newBuilder[CoeffUpdate]
+    var t = 0
+    while (t < NTypes) {
+      var b = 0
+      while (b < NBands) {
+        var c = 0
+        while (c < NCtx) {
+          var n = 0
+          while (n < NNodes) {
+            if (h.bool(prof.coeffUpdateProbs(t)(b)(c)(n)) == 1) {
+              val p = h.literal(8)
+              require(p >= 1 && p <= 254,
+                s"vp8: coefficient-probability update $p outside [1,254]")
+              cx.entropy.coeff(t)(b)(c)(n) = p
+              out += CoeffUpdate(t, b, c, n, p)
+            }
+            n += 1
+          }
+          c += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    out.result()
+  }
+
+  /** §15.2's sharpness-rescaled interior limit: level shifted by 1
+    * (sharpness 1–4) or 2 (5–7), capped at 9−sharpness, floored at 1. */
+  private[graft] def interiorLimit(level: Int, sharpness: Int): Int = {
+    var il = level
+    if (sharpness > 0) {
+      il >>= (if (sharpness > 4) 2 else 1)
+      if (il > 9 - sharpness) il = 9 - sharpness
+    }
+    math.max(1, il)
+  }
+
+  /** The per-MB filter level [§9.4]: frame base + the per-reference
+    * delta + the per-mode delta, clamped to 0..63. `ref`: 0 intra,
+    * 1 LAST, 2 GOLDEN, 3 ALTREF; `modeSlot`: -1 none, 0 B_PRED,
+    * 1 ZEROMV, 2 other inter, 3 SPLITMV. */
+  private def mbFilterLevel(base: Int, enabled: Boolean, cx: Ctx,
+      ref: Int, modeSlot: Int): Int =
+    if (!enabled) base
+    else {
+      var l = base + cx.lfDeltas(ref)
+      if (modeSlot >= 0) l += cx.lfDeltas(4 + modeSlot)
+      math.max(0, math.min(63, l))
+    }
 
   // ---- bool coder ------------------------------------------------------------
 
@@ -615,7 +886,18 @@ object Vp8 {
       skipEnabled: Boolean = false, qDeltas: QDeltas = QDeltas(),
       tokenPartitions: Int = 1,
       segmentation: Option[Segmentation] = None,
-      normalFilter: Boolean = false) {
+      normalFilter: Boolean = false,
+      sharpness: Int = 0,
+      lfDeltaEnabled: Boolean = false,
+      lfDeltaUpdate: Option[LfDeltaUpdate] = None,
+      refreshEntropy: Boolean = true,
+      coeffUpdates: Vector[CoeffUpdate] = Vector.empty) {
+    require(sharpness >= 0 && sharpness <= 7, s"vp8: sharpness $sharpness")
+    require(lfDeltaEnabled || lfDeltaUpdate.isEmpty,
+      "vp8: lf-delta update without the enable flag")
+    require(coeffUpdates.map(u => (u.blockType, u.band, u.ctx, u.node))
+      .distinct.size == coeffUpdates.size,
+      "vp8: duplicate coefficient-probability update cell")
     require(Seq(1, 2, 4, 8).contains(tokenPartitions),
       s"vp8: $tokenPartitions token partitions (1/2/4/8)")
     require(segmentation.isDefined || mbs.forall(_.segment == 0),
@@ -981,8 +1263,15 @@ object Vp8 {
 
   /** Encode a keyframe to a complete VP8 frame payload: uncompressed
     * tag + start code + dimensions [§9.1], bool-coded first partition
-    * (header + modes), then the single token partition. */
-  def encode(f: KeyFrame, profile: Profile = Profile.StandIn): Array[Byte] = {
+    * (header + modes), then the single token partition. When `ctx` is
+    * supplied, its profile wins and its entropy/lf-delta state is
+    * updated with the §9.7 persistence semantics (key frames reset it
+    * first). */
+  def encode(f: KeyFrame, profile: Profile = Profile.StandIn,
+      ctx: Ctx = null): Array[Byte] = {
+    val cx = if (ctx != null) ctx else new Ctx(profile)
+    val prof = cx.profile
+    cx.entropy.resetTo(prof) // key frames reset the whole state [§9.7]
     val mbCols = f.width / 16
     val mbRows = f.height / 16
     // first partition: frame header [§9.2-§9.11], then per-MB modes
@@ -993,18 +1282,15 @@ object Vp8 {
     // filter_type [§9.4]: 0 = normal, 1 = simple
     h.literal(if (f.filterLevel > 0 && !f.normalFilter) 1 else 0, 1)
     h.literal(f.filterLevel, 6)
-    h.literal(0, 3) // sharpness_level
-    h.literal(0, 1) // loop-filter delta adjustments: off (subset)
+    h.literal(f.sharpness, 3) // sharpness_level [§9.4/§15.2]
+    writeLfDeltas(h, f.lfDeltaEnabled, f.lfDeltaUpdate, cx)
     h.literal(Integer.numberOfTrailingZeros(f.tokenPartitions), 2)
     h.literal(f.qindex, 7) // y_ac_qi
     writeQDeltas(h, f.qDeltas) // the five per-plane deltas [§9.6]
-    h.literal(1, 1) // refresh_entropy_probs
-    // 4×8×3×11 coefficient-probability update flags, all zero → the
-    // default table stays in force on both sides
-    var t = 0
-    while (t < NTypes * NBands * NCtx * NNodes) {
-      h.bool(0, CoeffUpdateProb); t += 1
-    }
+    h.literal(if (f.refreshEntropy) 1 else 0, 1) // refresh_entropy_probs
+    val savedEntropy =
+      if (f.refreshEntropy) null else cx.entropy.snapshot
+    writeCoeffUpdates(h, f.coeffUpdates, prof, cx)
     h.literal(if (f.skipEnabled) 1 else 0, 1) // mb_no_coeff_skip [§9.11]
     if (f.skipEnabled) h.literal(ProbSkipFalse, 8) // prob_skip_false
     // per-MB modes with the submode context grid [§11.4]: B_PRED
@@ -1029,7 +1315,7 @@ object Vp8 {
             while (bx < 4) {
               val m = mb.bModes(by * 4 + bx)
               h.tree(BmodeTree,
-                profile.bmodeProbs(aboveSub(mc0 * 4 + bx))(leftSub(by)), m)
+                prof.bmodeProbs(aboveSub(mc0 * 4 + bx))(leftSub(by)), m)
               aboveSub(mc0 * 4 + bx) = m; leftSub(by) = m
               bx += 1
             }
@@ -1065,7 +1351,7 @@ object Vp8 {
           // Y2 (block type 1): one flag per MB; a B_PRED MB has no Y2
           // and leaves the Y2 context plane untouched [§13.4]
           val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) + (if (nz.leftY2) 1 else 0)
-          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, profile.coeffProbs)
+          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, cx.entropy.coeff)
           nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
         }
         // 16 Y blocks: type 0 starting at coeff 1 under a Y2 block,
@@ -1078,7 +1364,7 @@ object Vp8 {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
             val bNz = encodeBlock(e, yType, yFirst, ctx, mb.y(by * 4 + bx),
-              profile.coeffProbs)
+              cx.entropy.coeff)
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
           }
@@ -1089,14 +1375,14 @@ object Vp8 {
             leftP: Array[Boolean]): Unit = {
           var cy = 0
           while (cy < 2) {
-            var cx = 0
-            while (cx < 2) {
-              val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
+            var ccx = 0
+            while (ccx < 2) {
+              val ctx = (if (aboveP(mc * 2 + ccx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + cx),
-                profile.coeffProbs)
-              aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
-              cx += 1
+              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + ccx),
+                cx.entropy.coeff)
+              aboveP(mc * 2 + ccx) = bNz; leftP(cy) = bNz
+              ccx += 1
             }
             cy += 1
           }
@@ -1108,14 +1394,21 @@ object Vp8 {
       }
       mr += 1
     }
+    if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
     graft.sources.Ivf.vp8Frame(keyframe = true, version = 0,
       showFrame = true, f.width, f.height, part1) ++
       assemblePartitions(es.map(_.stop()).toSeq)
   }
 
   /** Decode a keyframe payload back to coded levels + reconstructed
-    * planes. Every subset boundary fails loudly by name. */
-  def decode(payload: Array[Byte], profile: Profile = Profile.StandIn): Decoded = {
+    * planes. Every subset boundary fails loudly by name. When `ctx`
+    * is supplied, its profile wins and its entropy/lf-delta state
+    * evolves per §9.7/§9.4 (key frames reset the entropy first). */
+  def decode(payload: Array[Byte], profile: Profile = Profile.StandIn,
+      ctx: Ctx = null): Decoded = {
+    val cx = if (ctx != null) ctx else new Ctx(profile)
+    val prof = cx.profile
+    cx.entropy.resetTo(prof) // key frames reset the whole state [§9.7]
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(tag.keyframe, "vp8: not a keyframe (inter frames out of scope)")
     require(tag.widthScale == 0 && tag.heightScale == 0,
@@ -1134,19 +1427,14 @@ object Vp8 {
     val segmentation = readSegmentation(h)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
-    require(h.literal(3) == 0,
-      "vp8: sharpness > 0 out of scope (it rescales the filter limits)")
-    require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
+    val sharpness = h.literal(3)
+    val (lfDeltaEnabled, lfDeltaUpdate) = readLfDeltas(h, cx)
     val tokenPartitions = 1 << h.literal(2)
     val qindex = h.literal(7)
     val qDeltas = readQDeltas(h)
-    h.literal(1) // refresh_entropy_probs
-    var t = 0
-    while (t < NTypes * NBands * NCtx * NNodes) {
-      require(h.bool(CoeffUpdateProb) == 0,
-        "vp8: coefficient-probability updates out of scope")
-      t += 1
-    }
+    val refreshEntropy = h.literal(1) == 1
+    val savedEntropy = if (refreshEntropy) null else cx.entropy.snapshot
+    val coeffUpdates = readCoeffUpdates(h, prof, cx)
     val skipEnabled = h.literal(1) == 1
     val probSkip = if (skipEnabled) h.literal(8) else 0
     val modes = {
@@ -1166,7 +1454,7 @@ object Vp8 {
             if (ym == BPred) Array.tabulate(16) { k =>
               val (by, bx) = (k / 4, k % 4)
               val m = h.tree(BmodeTree,
-                profile.bmodeProbs(aboveSub(mc0 * 4 + bx))(leftSub(by)))
+                prof.bmodeProbs(aboveSub(mc0 * 4 + bx))(leftSub(by)))
               aboveSub(mc0 * 4 + bx) = m; leftSub(by) = m
               m
             }
@@ -1188,7 +1476,7 @@ object Vp8 {
     }
 
     val ds = splitPartitions(payload, p1End, tokenPartitions)
-    val dqs = segmentDequants(qindex, segmentation, profile, qDeltas)
+    val dqs = segmentDequants(qindex, segmentation, prof, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -1213,7 +1501,7 @@ object Vp8 {
           else {
             val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
               (if (nz.leftY2) 1 else 0)
-            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, profile.coeffProbs)
+            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, cx.entropy.coeff)
             nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
             lv
           }
@@ -1228,7 +1516,7 @@ object Vp8 {
               val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
                 (if (nz.leftY(by0)) 1 else 0)
               val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx,
-                profile.coeffProbs)
+                cx.entropy.coeff)
               yL(by0 * 4 + bx) = lv
               nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by0) = bNz
               bx += 1
@@ -1241,14 +1529,14 @@ object Vp8 {
           val out = new Array[Array[Int]](4)
           var cy = 0
           while (cy < 2) {
-            var cx = 0
-            while (cx < 2) {
-              val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
+            var ccx = 0
+            while (ccx < 2) {
+              val ctx = (if (aboveP(mc * 2 + ccx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val (lv, bNz) = decodeBlock(d, 2, 0, ctx, profile.coeffProbs)
-              out(cy * 2 + cx) = lv
-              aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
-              cx += 1
+              val (lv, bNz) = decodeBlock(d, 2, 0, ctx, cx.entropy.coeff)
+              out(cy * 2 + ccx) = lv
+              aboveP(mc * 2 + ccx) = bNz; leftP(cy) = bNz
+              ccx += 1
             }
             cy += 1
           }
@@ -1357,19 +1645,43 @@ object Vp8 {
       }
       mr += 1
     }
+    val mbs = mbsOut.result()
     val normal = filterLevel > 0 && filterType == 0
-    if (normal) {
-      normalLoopFilter(yP, width, height, filterLevel, keyframe = true,
-        mbSize = 16)
-      normalLoopFilter(uP, width / 2, height / 2, filterLevel,
-        keyframe = true, mbSize = 8)
-      normalLoopFilter(vP, width / 2, height / 2, filterLevel,
-        keyframe = true, mbSize = 8)
-    } else simpleLoopFilter(yP, width, height, filterLevel)
-    Decoded(KeyFrame(width, height, qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas, tokenPartitions, segmentation, normal),
-      yP, uP, vP)
+    if (filterLevel > 0) {
+      // per-MB filter levels [§9.4]: intra frames take the intra ref
+      // delta; mode delta slot 0 applies only to B_PRED. Interior
+      // edges are skipped for coefficientless whole-MB-mode MBs
+      // [§15.1/§15.2].
+      val lfLevels = Array.tabulate(mbs.length) { i =>
+        val mb = mbs(i)
+        mbFilterLevel(filterLevel, lfDeltaEnabled, cx, ref = 0,
+          modeSlot = if (mb.yMode == BPred) 0 else -1)
+      }
+      val lfInterior = Array.tabulate(mbs.length) { i =>
+        val mb = mbs(i)
+        mb.yMode == BPred || hasCoeffs(mb.y2, mb.y, mb.u, mb.v)
+      }
+      if (normal) {
+        normalLoopFilter(yP, width, height, lfLevels, sharpness,
+          keyframe = true, mbSize = 16, lfInterior)
+        normalLoopFilter(uP, width / 2, height / 2, lfLevels, sharpness,
+          keyframe = true, mbSize = 8, lfInterior)
+        normalLoopFilter(vP, width / 2, height / 2, lfLevels, sharpness,
+          keyframe = true, mbSize = 8, lfInterior)
+      } else simpleLoopFilter(yP, width, height, lfLevels, sharpness,
+        lfInterior)
+    }
+    if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
+    Decoded(KeyFrame(width, height, qindex, mbs, filterLevel,
+      skipEnabled, qDeltas, tokenPartitions, segmentation, normal,
+      sharpness, lfDeltaEnabled, lfDeltaUpdate, refreshEntropy,
+      coeffUpdates), yP, uP, vP)
   }
+
+  private def hasCoeffs(y2: Array[Int], y: Array[Array[Int]],
+      u: Array[Array[Int]], v: Array[Array[Int]]): Boolean =
+    y2.exists(_ != 0) || y.exists(_.exists(_ != 0)) ||
+      u.exists(_.exists(_ != 0)) || v.exists(_.exists(_ != 0))
 
   /** §15.3 NORMAL loop filter over one plane (filter_type 0) —
     * the wide-tap in-loop smoother real encoders default to. Per edge
@@ -1384,23 +1696,39 @@ object Vp8 {
     * edges run F1/F2 (p1−q1 term only under hev) plus the rounded
     * (F1+1)>>1 outer adjustment when not hev. Luma filters MB edges +
     * interior edges at 4/8/12; chroma (half-size MBs) at its MB edges
-    * + the single interior edge at 4. Like [[simpleLoopFilter]], every
-    * edge is filtered (the spec's skip-interior-edges-when-
-    * coefficientless shortcut is not modeled — a smoothing-strength
-    * detail, not a bitstream one). Edge order per MB in raster: left,
-    * interior vertical, top, interior horizontal. */
+    * + the single interior edge at 4. Levels are PER MACROBLOCK
+    * (§9.4's reference/mode deltas pre-applied by the caller), limits
+    * take the §15.2 sharpness rescale, a level-0 MB filters nothing,
+    * and `filterInterior(mb) = false` (coefficientless whole-MV MB)
+    * skips that MB's interior edges. Edge order per MB in raster:
+    * left, interior vertical, top, interior horizontal. */
   private[graft] def normalLoopFilter(pl: Array[Int], w: Int, h: Int,
-      level: Int, keyframe: Boolean, mbSize: Int): Unit = {
-    if (level == 0) return
-    val interior = level // sharpness 0
-    val mbLim = (level + 2) * 2 + interior
-    val subLim = level * 2 + interior
-    val thresh =
-      if (keyframe) { if (level >= 40) 2 else if (level >= 15) 1 else 0 }
-      else if (level >= 40) 3
-      else if (level >= 20) 2
-      else if (level >= 15) 1
-      else 0
+      level: Int, keyframe: Boolean, mbSize: Int): Unit =
+    normalLoopFilter(pl, w, h,
+      Array.fill((w / mbSize) * (h / mbSize))(level), sharpness = 0,
+      keyframe, mbSize,
+      Array.fill((w / mbSize) * (h / mbSize))(true))
+
+  private[graft] def normalLoopFilter(pl: Array[Int], w: Int, h: Int,
+      levels: Array[Int], sharpness: Int, keyframe: Boolean, mbSize: Int,
+      filterInterior: Array[Boolean]): Unit = {
+    var level = 0 // per-MB, set in the walk below
+    var interior = 0
+    var mbLim = 0
+    var subLim = 0
+    var thresh = 0
+    def setLevel(l: Int): Unit = {
+      level = l
+      interior = interiorLimit(l, sharpness)
+      mbLim = (l + 2) * 2 + interior
+      subLim = l * 2 + interior
+      thresh =
+        if (keyframe) { if (l >= 40) 2 else if (l >= 15) 1 else 0 }
+        else if (l >= 40) 3
+        else if (l >= 20) 2
+        else if (l >= 15) 1
+        else 0
+    }
     def c127(v: Int): Int = math.max(-128, math.min(127, v))
     def mask(i0: Int, st: Int, lim: Int): Boolean = {
       val p3 = pl(i0 - 4 * st); val p2 = pl(i0 - 3 * st)
@@ -1449,30 +1777,39 @@ object Vp8 {
       }
     }
     val mbCols = w / mbSize; val mbRows = h / mbSize
+    require(levels.length == mbCols * mbRows &&
+      filterInterior.length == mbCols * mbRows,
+      "vp8: per-MB filter arrays must match the MB grid")
     var mr = 0
     while (mr < mbRows) {
       var mc = 0
       while (mc < mbCols) {
-        val x0 = mc * mbSize; val y0 = mr * mbSize
-        if (mc > 0) {
-          var r = 0
-          while (r < mbSize) { mbFilt((y0 + r) * w + x0, 1); r += 1 }
-        }
-        var e = 4
-        while (e < mbSize) {
-          var r = 0
-          while (r < mbSize) { subFilt((y0 + r) * w + x0 + e, 1); r += 1 }
-          e += 4
-        }
-        if (mr > 0) {
-          var cx = 0
-          while (cx < mbSize) { mbFilt(y0 * w + x0 + cx, w); cx += 1 }
-        }
-        e = 4
-        while (e < mbSize) {
-          var cx = 0
-          while (cx < mbSize) { subFilt((y0 + e) * w + x0 + cx, w); cx += 1 }
-          e += 4
+        setLevel(levels(mr * mbCols + mc))
+        if (level > 0) {
+          val doInterior = filterInterior(mr * mbCols + mc)
+          val x0 = mc * mbSize; val y0 = mr * mbSize
+          if (mc > 0) {
+            var r = 0
+            while (r < mbSize) { mbFilt((y0 + r) * w + x0, 1); r += 1 }
+          }
+          var e = 4
+          while (doInterior && e < mbSize) {
+            var r = 0
+            while (r < mbSize) { subFilt((y0 + r) * w + x0 + e, 1); r += 1 }
+            e += 4
+          }
+          if (mr > 0) {
+            var cx = 0
+            while (cx < mbSize) { mbFilt(y0 * w + x0 + cx, w); cx += 1 }
+          }
+          e = 4
+          while (doInterior && e < mbSize) {
+            var cx = 0
+            while (cx < mbSize) {
+              subFilt((y0 + e) * w + x0 + cx, w); cx += 1
+            }
+            e += 4
+          }
         }
         mc += 1
       }
@@ -1493,11 +1830,8 @@ object Vp8 {
     * edges — each reading the previous edges' output, as the spec's
     * reconstruction order requires. */
   private def simpleLoopFilter(y: Array[Int], width: Int, height: Int,
-      level: Int): Unit = {
-    if (level == 0) return
-    val interior = level
-    val mbLimit = (level + 2) * 2 + interior
-    val subLimit = level * 2 + interior
+      levels: Array[Int], sharpness: Int,
+      filterInterior: Array[Boolean]): Unit = {
     def c127(v: Int): Int = math.max(-128, math.min(127, v))
     def filt(i0: Int, step: Int, limit: Int): Unit = {
       val p1 = y(i0 - 2 * step) - 128; val p0 = y(i0 - step) - 128
@@ -1511,36 +1845,48 @@ object Vp8 {
       }
     }
     val mbCols = width / 16; val mbRows = height / 16
+    require(levels.length == mbCols * mbRows &&
+      filterInterior.length == mbCols * mbRows,
+      "vp8: per-MB filter arrays must match the MB grid")
     var mr = 0
     while (mr < mbRows) {
       var mc = 0
       while (mc < mbCols) {
-        val x0 = mc * 16; val y0 = mr * 16
-        if (mc > 0) {
-          var r = 0
-          while (r < 16) { filt((y0 + r) * width + x0, 1, mbLimit); r += 1 }
-        }
-        var e = 4
-        while (e < 16) {
-          var r = 0
-          while (r < 16) {
-            filt((y0 + r) * width + x0 + e, 1, subLimit); r += 1
+        val level = levels(mr * mbCols + mc)
+        if (level > 0) {
+          val interior = interiorLimit(level, sharpness)
+          val mbLimit = (level + 2) * 2 + interior
+          val subLimit = level * 2 + interior
+          val doInterior = filterInterior(mr * mbCols + mc)
+          val x0 = mc * 16; val y0 = mr * 16
+          if (mc > 0) {
+            var r = 0
+            while (r < 16) {
+              filt((y0 + r) * width + x0, 1, mbLimit); r += 1
+            }
           }
-          e += 4
-        }
-        if (mr > 0) {
-          var cx = 0
-          while (cx < 16) {
-            filt(y0 * width + x0 + cx, width, mbLimit); cx += 1
+          var e = 4
+          while (doInterior && e < 16) {
+            var r = 0
+            while (r < 16) {
+              filt((y0 + r) * width + x0 + e, 1, subLimit); r += 1
+            }
+            e += 4
           }
-        }
-        e = 4
-        while (e < 16) {
-          var cx = 0
-          while (cx < 16) {
-            filt((y0 + e) * width + x0 + cx, width, subLimit); cx += 1
+          if (mr > 0) {
+            var cx = 0
+            while (cx < 16) {
+              filt(y0 * width + x0 + cx, width, mbLimit); cx += 1
+            }
           }
-          e += 4
+          e = 4
+          while (doInterior && e < 16) {
+            var cx = 0
+            while (cx < 16) {
+              filt((y0 + e) * width + x0 + cx, width, subLimit); cx += 1
+            }
+            e += 4
+          }
         }
         mc += 1
       }
@@ -1550,8 +1896,7 @@ object Vp8 {
 
   // ---- inter frames [§16-§18] ------------------------------------------------
 
-  /** mv_ref modes [§16.2]; SPLITMV (leaf 4) is decoded by name only to
-    * fail loudly. */
+  /** mv_ref modes [§16.2]. */
   val ZeroMv = 0; val NearestMv = 1; val NearMv = 2; val NewMv = 3
   val SplitMv = 4
   /** vp8_mv_ref_tree [§16.2 shape]. */
@@ -1595,9 +1940,7 @@ object Vp8 {
       128, 129, 132, 75, 145, 178, 206, 239, 254, 254),
     Array(164, 128, 204, 170, 119, 235, 140, 230, 228,
       128, 130, 130, 74, 148, 180, 203, 236, 254, 254))
-  /** STAND-IN per-flag probability for the 2×19 MV update flags (the
-    * spec has a full vp8_mv_update_probs table; high ≈ cheap zeros). */
-  private val MvUpdateProb = 252
+  // (the 2×19 MV-update-flag probabilities live in Profile.mvUpdateProbs)
 
   // ---- SPLITMV [§16.2, §17.4] ------------------------------------------------
 
@@ -1702,7 +2045,35 @@ object Vp8 {
       filterLevel: Int = 0, skipEnabled: Boolean = false,
       qDeltas: QDeltas = QDeltas(), tokenPartitions: Int = 1,
       segmentation: Option[Segmentation] = None,
-      normalFilter: Boolean = false) {
+      normalFilter: Boolean = false,
+      sharpness: Int = 0,
+      lfDeltaEnabled: Boolean = false,
+      lfDeltaUpdate: Option[LfDeltaUpdate] = None,
+      refreshEntropy: Boolean = true,
+      coeffUpdates: Vector[CoeffUpdate] = Vector.empty,
+      /** §17.2 MV-probability updates: (component, index 0..18,
+        * new prob — the 7-bit x?x<<1:1 form, so 1 or an even value). */
+      mvUpdates: Vector[(Int, Int, Int)] = Vector.empty,
+      /** §11.3 non-kf mode-probability replacement sets. */
+      ymodeUpdate: Option[Vector[Int]] = None,
+      uvmodeUpdate: Option[Vector[Int]] = None) {
+    require(sharpness >= 0 && sharpness <= 7, s"vp8: sharpness $sharpness")
+    require(lfDeltaEnabled || lfDeltaUpdate.isEmpty,
+      "vp8: lf-delta update without the enable flag")
+    require(coeffUpdates.map(u => (u.blockType, u.band, u.ctx, u.node))
+      .distinct.size == coeffUpdates.size,
+      "vp8: duplicate coefficient-probability update cell")
+    require(mvUpdates.forall { case (m, i, p) =>
+      m >= 0 && m <= 1 && i >= 0 && i <= 18 &&
+        (p == 1 || (p >= 2 && p <= 254 && p % 2 == 0)) },
+      "vp8: mv update must target a 2x19 cell with prob 1 or even " +
+        "(the 7-bit x?x<<1:1 coded form)")
+    require(mvUpdates.map(u => (u._1, u._2)).distinct.size ==
+      mvUpdates.size, "vp8: duplicate mv-probability update cell")
+    require(ymodeUpdate.forall(v => v.length == 4 &&
+      v.forall(p => p >= 1 && p <= 254)), "vp8: ymode update needs 4 probs")
+    require(uvmodeUpdate.forall(v => v.length == 3 &&
+      v.forall(p => p >= 1 && p <= 254)), "vp8: uvmode update needs 3 probs")
     require(Seq(1, 2, 4, 8).contains(tokenPartitions),
       s"vp8: $tokenPartitions token partitions (1/2/4/8)")
     require(segmentation.isDefined || mbs.forall(_.segment == 0),
@@ -1846,7 +2217,13 @@ object Vp8 {
     consider(mr - 1, mc, 2)
     consider(mr, mc - 1, 2)
     consider(mr - 1, mc - 1, 1)
-    cnt(3) = 0 // SPLITMV neighbor count: none in this subset
+    // §17.3: cnt[CNT_SPLITMV] = 2·(above is SPLITMV) + 2·(left is
+    // SPLITMV) + (above-left is SPLITMV) — it selects the SPLITMV leaf
+    // probability of the mv_ref tree
+    def isSplit(r: Int, c: Int): Int =
+      if (r >= 0 && c >= 0 && g.sub(r * g.mbCols + c) != null) 1 else 0
+    cnt(3) = 2 * isSplit(mr - 1, mc) + 2 * isSplit(mr, mc - 1) +
+      isSplit(mr - 1, mc - 1)
     if (cnt(2) > cnt(1)) {
       val tm = mvs(1); mvs(1) = mvs(2); mvs(2) = tm
       val tc = cnt(1); cnt(1) = cnt(2); cnt(2) = tc
@@ -1970,9 +2347,11 @@ object Vp8 {
     * (interframe header [§9.5-§9.11] + per-MB modes/MVs), one token
     * partition. `width`/`height` must match the stream's keyframe. */
   def encodeInter(width: Int, height: Int, f: InterFrame,
-      profile: Profile = Profile.StandIn): Array[Byte] = {
+      profile: Profile = Profile.StandIn, ctx: Ctx = null): Array[Byte] = {
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
       s"vp8: $width x $height not a macroblock multiple")
+    val cx = if (ctx != null) ctx else new Ctx(profile)
+    val prof = cx.profile
     val mbCols = width / 16
     val mbRows = height / 16
     require(f.mbs.length == mbCols * mbRows,
@@ -1981,8 +2360,8 @@ object Vp8 {
     writeSegmentation(h, f.segmentation)
     h.literal(if (f.filterLevel > 0 && !f.normalFilter) 1 else 0, 1)
     h.literal(f.filterLevel, 6)
-    h.literal(0, 3) // sharpness
-    h.literal(0, 1) // lf deltas
+    h.literal(f.sharpness, 3) // sharpness_level [§9.4/§15.2]
+    writeLfDeltas(h, f.lfDeltaEnabled, f.lfDeltaUpdate, cx)
     h.literal(Integer.numberOfTrailingZeros(f.tokenPartitions), 2)
     h.literal(f.qindex, 7)
     writeQDeltas(h, f.qDeltas) // the five per-plane deltas [§9.6]
@@ -1992,21 +2371,49 @@ object Vp8 {
     h.literal(0, 2) // copy_buffer_to_alternate (none)
     h.literal(0, 1) // sign_bias_golden
     h.literal(0, 1) // sign_bias_alternate
-    h.literal(1, 1) // refresh_entropy_probs
+    h.literal(if (f.refreshEntropy) 1 else 0, 1) // refresh_entropy_probs
     h.literal(1, 1) // refresh_last
-    var t = 0
-    while (t < NTypes * NBands * NCtx * NNodes) {
-      h.bool(0, CoeffUpdateProb); t += 1
-    }
+    val savedEntropy =
+      if (f.refreshEntropy) null else cx.entropy.snapshot
+    writeCoeffUpdates(h, f.coeffUpdates, prof, cx)
     h.literal(if (f.skipEnabled) 1 else 0, 1) // mb_no_coeff_skip [§9.11]
     if (f.skipEnabled) h.literal(ProbSkipFalse, 8)
     h.literal(ProbIntra, 8)
     h.literal(ProbLast, 8)
     h.literal(ProbGf, 8)
-    h.literal(0, 1) // intra y-mode prob update flag
-    h.literal(0, 1) // intra uv-mode prob update flag
-    t = 0
-    while (t < 2 * 19) { h.bool(0, MvUpdateProb); t += 1 } // MV prob updates
+    // §11.3 non-kf mode-probability updates: one flag, then the full
+    // replacement set
+    f.ymodeUpdate match {
+      case Some(ps) =>
+        h.literal(1, 1)
+        ps.foreach { p => h.literal(p, 8); () }
+        var i = 0
+        while (i < 4) { cx.entropy.ymode(i) = ps(i); i += 1 }
+      case None => h.literal(0, 1)
+    }
+    f.uvmodeUpdate match {
+      case Some(ps) =>
+        h.literal(1, 1)
+        ps.foreach { p => h.literal(p, 8); () }
+        var i = 0
+        while (i < 3) { cx.entropy.uvmode(i) = ps(i); i += 1 }
+      case None => h.literal(0, 1)
+    }
+    // §17.2 MV-probability updates: per-cell flag at the profile's
+    // update probability, 7-bit value expanding x ? x<<1 : 1
+    val mvUpd = f.mvUpdates.map(u => ((u._1, u._2), u._3)).toMap
+    var t = 0
+    while (t < 2 * 19) {
+      val (m, i) = (t / 19, t % 19)
+      mvUpd.get((m, i)) match {
+        case Some(p) =>
+          h.bool(1, prof.mvUpdateProbs(m)(i))
+          h.literal(p >> 1, 7)
+          cx.entropy.mv(m)(i) = p
+        case None => h.bool(0, prof.mvUpdateProbs(m)(i))
+      }
+      t += 1
+    }
     // per-MB modes, resolving effective MVs through the survey
     val g = new MvGrid(mbCols, mbRows)
     var mr = 0
@@ -2020,15 +2427,15 @@ object Vp8 {
         if (f.skipEnabled) h.bool(if (mb.skip) 1 else 0, ProbSkipFalse)
         h.bool(if (mb.inter) 1 else 0, ProbIntra)
         if (!mb.inter) {
-          h.tree(YmodeTree, InterYmodeProb, mb.yMode)
-          h.tree(UvModeTree, InterUvModeProb, mb.uvMode)
+          h.tree(YmodeTree, cx.entropy.ymode, mb.yMode)
+          h.tree(UvModeTree, cx.entropy.uvmode, mb.uvMode)
           g.inter(idx) = false
         } else {
           val nonLast = mb.refGolden || mb.refAltref
           h.bool(if (nonLast) 1 else 0, ProbLast)
           if (nonLast) h.bool(if (mb.refAltref) 1 else 0, ProbGf)
           val (best, nearest, near, probs) =
-            findNearMvs(g, mr, mc, profile.modeContexts)
+            findNearMvs(g, mr, mc, prof.modeContexts)
           h.tree(MvRefTree, probs, mb.mvMode)
           val eff = mb.mvMode match {
             case ZeroMv => Mv(0, 0)
@@ -2036,7 +2443,7 @@ object Vp8 {
             case NearMv => near
             case NewMv =>
               writeMv(h, Mv(mb.mv.row - best.row, mb.mv.col - best.col),
-                profile.mvProbs)
+                cx.entropy.mv)
               mb.mv
             case SplitMv =>
               h.tree(MbSplitTree, MbSplitProb, mb.splitType)
@@ -2055,7 +2462,7 @@ object Vp8 {
                   case SubNew =>
                     val m = mb.subNewMvs(j)
                     writeMv(h, Mv(m.row - best.row, m.col - best.col),
-                      profile.mvProbs)
+                      cx.entropy.mv)
                     m
                 }
                 var b = 0
@@ -2097,7 +2504,7 @@ object Vp8 {
           // untouched [§13.4]
           val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
             (if (nz.leftY2) 1 else 0)
-          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, profile.coeffProbs)
+          val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, cx.entropy.coeff)
           nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
         }
         val (yType, yFirst) = if (isSplit) (3, 0) else (0, 1)
@@ -2108,7 +2515,7 @@ object Vp8 {
             val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
               (if (nz.leftY(by)) 1 else 0)
             val bNz = encodeBlock(e, yType, yFirst, ctx, mb.y(by * 4 + bx),
-              profile.coeffProbs)
+              cx.entropy.coeff)
             nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by) = bNz
             bx += 1
           }
@@ -2118,14 +2525,14 @@ object Vp8 {
             leftP: Array[Boolean]): Unit = {
           var cy = 0
           while (cy < 2) {
-            var cx = 0
-            while (cx < 2) {
-              val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
+            var ccx = 0
+            while (ccx < 2) {
+              val ctx = (if (aboveP(mc * 2 + ccx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + cx),
-                profile.coeffProbs)
-              aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
-              cx += 1
+              val bNz = encodeBlock(e, 2, 0, ctx, blocks(cy * 2 + ccx),
+                cx.entropy.coeff)
+              aboveP(mc * 2 + ccx) = bNz; leftP(cy) = bNz
+              ccx += 1
             }
             cy += 1
           }
@@ -2137,20 +2544,25 @@ object Vp8 {
       }
       mr += 1
     }
+    if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
     graft.sources.Ivf.vp8Frame(keyframe = false, version = 0,
       showFrame = true, width, height, part1) ++
       assemblePartitions(es.map(_.stop()).toSeq)
   }
 
   /** Decode an inter (P) frame against the LAST reference planes.
-    * Every subset boundary fails loudly by name. */
+    * Every subset boundary fails loudly by name. When `ctx` is
+    * supplied, its profile wins and its entropy/lf-delta state evolves
+    * per §9.7/§9.4. */
   def decodeInter(payload: Array[Byte], width: Int, height: Int,
       refY: Array[Int], refU: Array[Int], refV: Array[Int],
       goldY: Array[Int] = null, goldU: Array[Int] = null,
       goldV: Array[Int] = null,
       profile: Profile = Profile.StandIn,
       altY: Array[Int] = null, altU: Array[Int] = null,
-      altV: Array[Int] = null): DecodedInter = {
+      altV: Array[Int] = null, ctx: Ctx = null): DecodedInter = {
+    val cx = if (ctx != null) ctx else new Ctx(profile)
+    val prof = cx.profile
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(!tag.keyframe, "vp8: keyframe passed to decodeInter")
     require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
@@ -2169,8 +2581,8 @@ object Vp8 {
     val segmentation = readSegmentation(h)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
-    require(h.literal(3) == 0, "vp8: sharpness > 0 out of scope")
-    require(h.literal(1) == 0, "vp8: loop-filter deltas out of scope")
+    val sharpness = h.literal(3)
+    val (lfDeltaEnabled, lfDeltaUpdate) = readLfDeltas(h, cx)
     val tokenPartitions = 1 << h.literal(2)
     val qindex = h.literal(7)
     val qDeltas = readQDeltas(h)
@@ -2180,27 +2592,50 @@ object Vp8 {
     require(h.literal(2) == 0, "vp8: copy_buffer_to_alternate out of scope")
     h.literal(1) // sign_bias_golden (golden unused here)
     h.literal(1) // sign_bias_alternate
-    h.literal(1) // refresh_entropy_probs
+    val refreshEntropy = h.literal(1) == 1
     require(h.literal(1) == 1,
       "vp8: refresh_last = 0 out of scope (LAST is the only reference)")
-    var t = 0
-    while (t < NTypes * NBands * NCtx * NNodes) {
-      require(h.bool(CoeffUpdateProb) == 0,
-        "vp8: coefficient-probability updates out of scope")
-      t += 1
-    }
+    val savedEntropy = if (refreshEntropy) null else cx.entropy.snapshot
+    val coeffUpdates = readCoeffUpdates(h, prof, cx)
     val skipEnabled = h.literal(1) == 1
     val probSkip = if (skipEnabled) h.literal(8) else 0
     val probIntra = h.literal(8)
     val probLast = h.literal(8)
     val probGf = h.literal(8)
-    require(h.literal(1) == 0, "vp8: y-mode prob updates out of scope")
-    require(h.literal(1) == 0, "vp8: uv-mode prob updates out of scope")
-    t = 0
-    while (t < 2 * 19) {
-      require(h.bool(MvUpdateProb) == 0,
-        "vp8: MV probability updates out of scope")
-      t += 1
+    // §11.3 mode-probability updates: one flag, full replacement set
+    val ymodeUpdate =
+      if (h.literal(1) == 1) {
+        val ps = Vector.fill(4)(h.literal(8))
+        require(ps.forall(p => p >= 1 && p <= 254),
+          "vp8: ymode update prob outside [1,254]")
+        var i = 0
+        while (i < 4) { cx.entropy.ymode(i) = ps(i); i += 1 }
+        Some(ps)
+      } else None
+    val uvmodeUpdate =
+      if (h.literal(1) == 1) {
+        val ps = Vector.fill(3)(h.literal(8))
+        require(ps.forall(p => p >= 1 && p <= 254),
+          "vp8: uvmode update prob outside [1,254]")
+        var i = 0
+        while (i < 3) { cx.entropy.uvmode(i) = ps(i); i += 1 }
+        Some(ps)
+      } else None
+    // §17.2 MV-probability updates: flag per cell, 7-bit x?x<<1:1
+    val mvUpdates = {
+      val out = Vector.newBuilder[(Int, Int, Int)]
+      var t = 0
+      while (t < 2 * 19) {
+        val (m, i) = (t / 19, t % 19)
+        if (h.bool(prof.mvUpdateProbs(m)(i)) == 1) {
+          val x = h.literal(7)
+          val p = if (x != 0) x << 1 else 1
+          cx.entropy.mv(m)(i) = p
+          out += ((m, i, p))
+        }
+        t += 1
+      }
+      out.result()
     }
     // per-MB modes with the survey
     val g = new MvGrid(mbCols, mbRows)
@@ -2222,7 +2657,7 @@ object Vp8 {
           if (altref) require(altY != null,
             "vp8: altref-referencing MB but no altref buffer supplied")
           val (best, nearest, near, probs) =
-            findNearMvs(g, mr, mc, profile.modeContexts)
+            findNearMvs(g, mr, mc, prof.modeContexts)
           val mvMode = h.tree(MvRefTree, probs)
           var splitType = -1
           var subMvs: Array[Mv] = null
@@ -2232,7 +2667,7 @@ object Vp8 {
             case NearestMv => nearest
             case NearMv => near
             case NewMv =>
-              val d0 = readMv(h, profile.mvProbs)
+              val d0 = readMv(h, cx.entropy.mv)
               Mv(best.row + d0.row, best.col + d0.col)
             case SplitMv =>
               splitType = h.tree(MbSplitTree, MbSplitProb)
@@ -2251,7 +2686,7 @@ object Vp8 {
                   case SubAbove => a
                   case SubZero => Mv(0, 0)
                   case SubNew =>
-                    val d0 = readMv(h, profile.mvProbs)
+                    val d0 = readMv(h, cx.entropy.mv)
                     Mv(best.row + d0.row, best.col + d0.col)
                 }
                 var b = 0
@@ -2270,10 +2705,10 @@ object Vp8 {
           modes += MbMode(inter = true, mvMode, eff, 0, 0, golden, sk,
             altref, splitType, subMvs, subModes, segId)
         } else {
-          val ym = h.tree(YmodeTree, InterYmodeProb)
+          val ym = h.tree(YmodeTree, cx.entropy.ymode)
           require(ym != BPred,
             "vp8: B_PRED inside inter frames out of scope")
-          val uvm = h.tree(UvModeTree, InterUvModeProb)
+          val uvm = h.tree(UvModeTree, cx.entropy.uvmode)
           modes += MbMode(inter = false, 0, Mv(0, 0), ym, uvm,
             golden = false, sk, altref = false, -1, null, null, segId)
         }
@@ -2285,7 +2720,7 @@ object Vp8 {
 
     // tokens + reconstruction
     val ds = splitPartitions(payload, p1End, tokenPartitions)
-    val dqs = segmentDequants(qindex, segmentation, profile, qDeltas)
+    val dqs = segmentDequants(qindex, segmentation, prof, qDeltas)
     val yP = new Array[Int](width * height)
     val uP = new Array[Int]((width / 2) * (height / 2))
     val vP = new Array[Int]((width / 2) * (height / 2))
@@ -2316,7 +2751,7 @@ object Vp8 {
           else {
             val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
               (if (nz.leftY2) 1 else 0)
-            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, profile.coeffProbs)
+            val (lv, y2Nz) = decodeBlock(d, 1, 0, y2Ctx, cx.entropy.coeff)
             nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
             lv
           }
@@ -2331,7 +2766,7 @@ object Vp8 {
               val ctx = (if (nz.aboveY(mc * 4 + bx)) 1 else 0) +
                 (if (nz.leftY(by0)) 1 else 0)
               val (lv, bNz) = decodeBlock(d, yType, yFirst, ctx,
-                profile.coeffProbs)
+                cx.entropy.coeff)
               yL(by0 * 4 + bx) = lv
               nz.aboveY(mc * 4 + bx) = bNz; nz.leftY(by0) = bNz
               bx += 1
@@ -2344,14 +2779,14 @@ object Vp8 {
           val out = new Array[Array[Int]](4)
           var cy = 0
           while (cy < 2) {
-            var cx = 0
-            while (cx < 2) {
-              val ctx = (if (aboveP(mc * 2 + cx)) 1 else 0) +
+            var ccx = 0
+            while (ccx < 2) {
+              val ctx = (if (aboveP(mc * 2 + ccx)) 1 else 0) +
                 (if (leftP(cy)) 1 else 0)
-              val (lv, bNz) = decodeBlock(d, 2, 0, ctx, profile.coeffProbs)
-              out(cy * 2 + cx) = lv
-              aboveP(mc * 2 + cx) = bNz; leftP(cy) = bNz
-              cx += 1
+              val (lv, bNz) = decodeBlock(d, 2, 0, ctx, cx.entropy.coeff)
+              out(cy * 2 + ccx) = lv
+              aboveP(mc * 2 + ccx) = bNz; leftP(cy) = bNz
+              ccx += 1
             }
             cy += 1
           }
@@ -2457,8 +2892,11 @@ object Vp8 {
                 val b0 = (2 * cy) * 4 + 2 * cx
                 val ms = Seq(mi.subMvs(b0), mi.subMvs(b0 + 1),
                   mi.subMvs(b0 + 4), mi.subMvs(b0 + 5))
-                val cmv = Mv((ms.map(_.row).sum + 4) >> 3,
-                  (ms.map(_.col).sum + 4) >> 3)
+                // §18.2 rounds the 4-MV average half away from zero
+                def rnd8(s: Int): Int =
+                  if (s >= 0) (s + 4) >> 3 else -((-s + 4) >> 3)
+                val cmv = Mv(rnd8(ms.map(_.row).sum),
+                  rnd8(ms.map(_.col).sum))
                 mcPredict(ref, cs, height / 2, mc * 8 + cx * 4,
                   mr * 8 + cy * 4, cmv, 4, 4, blk)
                 var yy2 = 0
@@ -2508,17 +2946,48 @@ object Vp8 {
       }
       mr += 1
     }
+    val mbsDone = mbsOut.result()
     val normal = filterLevel > 0 && filterType == 0
-    if (normal) {
-      normalLoopFilter(yP, width, height, filterLevel, keyframe = false,
-        mbSize = 16)
-      normalLoopFilter(uP, width / 2, height / 2, filterLevel,
-        keyframe = false, mbSize = 8)
-      normalLoopFilter(vP, width / 2, height / 2, filterLevel,
-        keyframe = false, mbSize = 8)
-    } else simpleLoopFilter(yP, width, height, filterLevel)
-    DecodedInter(InterFrame(qindex, mbsOut.result(), filterLevel,
-      skipEnabled, qDeltas, tokenPartitions, segmentation, normal),
+    if (filterLevel > 0) {
+      // per-MB filter levels [§9.4]: reference delta by the MB's
+      // buffer (intra 0 / LAST 1 / GOLDEN 2 / ALTREF 3), mode delta
+      // for ZEROMV (1), SPLITMV (3) and other inter modes (2); intra
+      // 16×16 modes take no mode delta. Interior edges skip for
+      // coefficientless whole-MV MBs [§15.1/§15.2].
+      val lfLevels = Array.tabulate(mbsDone.length) { i =>
+        val mb = mbsDone(i)
+        val ref =
+          if (!mb.inter) 0
+          else if (mb.refAltref) 3
+          else if (mb.refGolden) 2
+          else 1
+        val modeSlot =
+          if (!mb.inter) -1
+          else if (mb.mvMode == ZeroMv) 1
+          else if (mb.mvMode == SplitMv) 3
+          else 2
+        mbFilterLevel(filterLevel, lfDeltaEnabled, cx, ref, modeSlot)
+      }
+      val lfInterior = Array.tabulate(mbsDone.length) { i =>
+        val mb = mbsDone(i)
+        (mb.inter && mb.mvMode == SplitMv) ||
+          hasCoeffs(mb.y2, mb.y, mb.u, mb.v)
+      }
+      if (normal) {
+        normalLoopFilter(yP, width, height, lfLevels, sharpness,
+          keyframe = false, mbSize = 16, lfInterior)
+        normalLoopFilter(uP, width / 2, height / 2, lfLevels, sharpness,
+          keyframe = false, mbSize = 8, lfInterior)
+        normalLoopFilter(vP, width / 2, height / 2, lfLevels, sharpness,
+          keyframe = false, mbSize = 8, lfInterior)
+      } else simpleLoopFilter(yP, width, height, lfLevels, sharpness,
+        lfInterior)
+    }
+    if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
+    DecodedInter(InterFrame(qindex, mbsDone, filterLevel,
+      skipEnabled, qDeltas, tokenPartitions, segmentation, normal,
+      sharpness, lfDeltaEnabled, lfDeltaUpdate, refreshEntropy,
+      coeffUpdates, mvUpdates, ymodeUpdate, uvmodeUpdate),
       modeInfo.map(m => if (m.inter) m.eff else Mv(0, 0)), yP, uP, vP)
   }
 
@@ -2531,8 +3000,10 @@ object Vp8 {
     * re-anchor; inter frames reference the previous decode (the
     * refresh_last = 1 subset). */
   def decodeStream(payloads: Seq[Array[Byte]],
-      profile: Profile = Profile.StandIn): Vector[StreamFrame] = {
+      profile: Profile = Profile.StandIn,
+      ctx: Ctx = null): Vector[StreamFrame] = {
     require(payloads.nonEmpty, "vp8: empty stream")
+    val cx = if (ctx != null) ctx else new Ctx(profile)
     var w = 0; var hgt = 0
     var lastY: Array[Int] = null
     var lastU: Array[Int] = null
@@ -2546,7 +3017,7 @@ object Vp8 {
     payloads.iterator.zipWithIndex.map { case (p, i) =>
       val tag = graft.sources.Ivf.parseVp8Tag(p)
       if (tag.keyframe) {
-        val dec = decode(p, profile)
+        val dec = decode(p, ctx = cx)
         w = dec.frame.width; hgt = dec.frame.height
         lastY = dec.y; lastU = dec.u; lastV = dec.v
         // §16.3: a keyframe refreshes ALL reference buffers
@@ -2560,7 +3031,8 @@ object Vp8 {
         // golden buffer stays the most recent keyframe (the long-term
         // anchor golden referencing exists for)
         val dec = decodeInter(p, w, hgt, lastY, lastU, lastV,
-          goldY, goldU, goldV, profile, altY, altU, altV)
+          goldY, goldU, goldV, altY = altY, altU = altU, altV = altV,
+          ctx = cx)
         lastY = dec.y; lastU = dec.u; lastV = dec.v
         StreamFrame(keyframe = false, w, hgt, dec.y, dec.u, dec.v)
       }

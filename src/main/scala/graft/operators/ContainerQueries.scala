@@ -2747,6 +2747,135 @@ object ContainerQueries {
       |  CAST(sum(64 * (cb + cr)) AS BIGINT) AS chroma_sum
       |FROM mb GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m57: H.264 INTRA_4X4 PREDICTION-MODE DECODE (§7.3.5/§8.3.1) —
+    * one normative step past m46's I_PCM: real Annex-B I slices whose
+    * macroblock layer codes mb_type = 0 (Intra_4x4), the 16 per-block
+    * luma prediction modes through §8.3.1.1's prev_intra4x4_pred_mode
+    * mechanism — the flag fires exactly when the wanted mode equals
+    * Min(left, above) with the DC default at frame edges, else the
+    * 3-bit rem with the </≥ split — intra_chroma_pred_mode, and
+    * coded_block_pattern me(v) forced to 0 (the CAVLC residual tables
+    * stay behind the [[graft.sources.H264.CbpIntraMap]] seam; CBP 0
+    * keeps the slice complete per §7.3.5). The oracle replays the
+    * whole prediction lattice from the draws: per-block neighbor
+    * lookups across subblock AND macroblock edges, the Min() rule,
+    * and the per-frame count of prediction hits — a wrong neighbor
+    * map or a wrong Min default desyncs the flag stream and the
+    * histogram explodes. Scale: the m40 envelope — per-container
+    * mapGroups, bytes-proportional. */
+  private[operators] object H264IntraModeKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.sources.H264
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val spsNal = H264.writeSps(32, 32)
+      val ppsNal = H264.writePps()
+      val sps = H264.parseSps(spsNal)
+      val pps = H264.parsePps(ppsNal)
+      val startCode = Array[Byte](0, 0, 0, 1)
+      val slices = (0 until n).map { t =>
+        val modes = Vector.tabulate(4)(mb => Array.tabulate(16)(idx =>
+          hexbyte(s"h264m${k}_${t}_${mb}_$idx") % 9))
+        val chroma = Vector.tabulate(4)(mb =>
+          hexbyte(s"h264mc${k}_${t}_$mb") % 4)
+        H264.writeIntraModeSlice(0, sps, pps, modes, chroma,
+          idrPicId = t)
+      }
+      val annexB = (Seq(spsNal, ppsNal) ++ slices)
+        .flatMap(nal => startCode ++ nal).toArray
+      val nals = H264.splitAnnexB(annexB)
+      require(nals.length == n + 2, s"container $k: NAL count drift")
+      val sps2 = H264.parseSps(nals(0))
+      val pps2 = H264.parsePps(nals(1))
+      nals.drop(2).iterator.zipWithIndex.map { case (nal, t) =>
+        val (info, mbs) = H264.parseIntraModeSlice(nal, sps2, pps2)
+        require(info.idr && info.idrPicId == t,
+          s"container $k slice $t: header drift")
+        mbs.zipWithIndex.foreach { case (mb, i) =>
+          mb.lumaModes.zipWithIndex.foreach { case (m, idx) =>
+            require(m == hexbyte(s"h264m${k}_${t}_${i}_$idx") % 9,
+              s"container $k slice $t MB $i blk $idx: mode drift " +
+                "through the prediction lattice")
+          }
+          require(mb.cbp == 0, s"container $k slice $t MB $i: CBP drift")
+        }
+        (k, t.toLong, mbs.length.toLong,
+          mbs.iterator.flatMap(_.lumaModes.iterator.map(_.toLong)).sum,
+          mbs.iterator.map(_.prevCount.toLong).sum,
+          mbs.iterator.map(_.chromaMode.toLong).sum,
+          mbs.iterator.map(_.cbp.toLong).sum)
+      }
+    }
+  }
+
+  private def m57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264IntraModeKernel.rows(k, it.size))
+      .toDF("container", "t", "n_mbs", "mode_sum", "prev_count",
+        "chroma_sum", "cbp_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m57Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |-- the per-4x4-block mode draws, with §6.4.3's luma4x4BlkIdx →
+      |-- (bx, by) scan (raster quads, z-order inside each quad)
+      |blocks AS (SELECT container, t, m.mb, b.idx,
+      |    2 * ((b.idx // 4) % 2) + (b.idx % 4) % 2 AS bx,
+      |    2 * ((b.idx // 4) // 2) + (b.idx % 4) // 2 AS gy,
+      |    CAST(concat('0x', substr(md5('h264m' || container || '_' || t
+      |      || '_' || m.mb || '_' || b.idx), 1, 2)) AS BIGINT) % 9 AS mode
+      |  FROM frames, (SELECT unnest(range(4)) AS mb) m,
+      |    (SELECT unnest(range(16)) AS idx) b),
+      |-- neighbor coordinates: within the MB, else across the MB edge
+      |-- (2x2 MB grid: left = mb-1 when mb%2=1, above = mb-2)
+      |nb AS (SELECT *,
+      |    CASE WHEN bx > 0 THEN mb WHEN mb % 2 = 1 THEN mb - 1
+      |      ELSE NULL END AS lmb,
+      |    CASE WHEN bx > 0 THEN bx - 1 ELSE 3 END AS lx,
+      |    CASE WHEN gy > 0 THEN mb WHEN mb >= 2 THEN mb - 2
+      |      ELSE NULL END AS amb,
+      |    CASE WHEN gy > 0 THEN gy - 1 ELSE 3 END AS ay
+      |  FROM blocks),
+      |-- §8.3.1.1: pred = Min(A left, B above), DC (2) when a
+      |-- neighbor is outside the frame
+      |pred AS (SELECT nb.container, nb.t, nb.mode,
+      |    least(coalesce(la.mode, 2), coalesce(ab.mode, 2)) AS pred
+      |  FROM nb
+      |  LEFT JOIN blocks la ON la.container = nb.container
+      |    AND la.t = nb.t AND la.mb = nb.lmb AND la.bx = nb.lx
+      |    AND la.gy = nb.gy
+      |  LEFT JOIN blocks ab ON ab.container = nb.container
+      |    AND ab.t = nb.t AND ab.mb = nb.amb AND ab.bx = nb.bx
+      |    AND ab.gy = nb.ay),
+      |ch AS (SELECT container, t,
+      |    sum(CAST(concat('0x', substr(md5('h264mc' || container || '_'
+      |      || t || '_' || m.mb), 1, 2)) AS BIGINT) % 4) AS chroma_sum
+      |  FROM frames, (SELECT unnest(range(4)) AS mb) m GROUP BY 1, 2)
+      |SELECT p.container, CAST(p.t AS BIGINT) AS t,
+      |  CAST(4 AS BIGINT) AS n_mbs,
+      |  CAST(sum(p.mode) AS BIGINT) AS mode_sum,
+      |  CAST(count(*) FILTER (p.mode = p.pred) AS BIGINT) AS prev_count,
+      |  CAST(any_value(ch.chroma_sum) AS BIGINT) AS chroma_sum,
+      |  CAST(0 AS BIGINT) AS cbp_sum
+      |FROM pred p
+      |JOIN ch ON ch.container = p.container AND ch.t = p.t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** m47: MIXED KEY+INTER VP8 STREAM IN WEBM, DECODED END-TO-END — the
     * exact artifact a reference user holds (vp8-in-webm with one
     * keyframe and delta frames, tests/media/test_containers.py:25):
@@ -3904,6 +4033,329 @@ object ContainerQueries {
       |  CAST(32768 AS BIGINT) AS chroma_sum
       |FROM f ORDER BY container, t""".stripMargin
 
+  /** e54: STREAMING VP8 DECODE WITH ENTROPY STATE — e53's live-ingest
+    * shape where the frames ALSO carry §9.7 coefficient-probability
+    * updates, so the decoder's cross-batch state must include the
+    * entropy tables, not just the reference planes: the keyframe
+    * (batch 0) persists updates (refresh_entropy_probs = 1), frame 1
+    * carries revert-after-frame updates (refresh = 0), frame 3
+    * persists a new table — and frames 2/4/5, arriving in LATER
+    * micro-batches, decode correctly only if
+    * [[graft.streaming.Vp8Machine.DecState]]'s flattened
+    * [[graft.functions.Vp8.Ctx]] round-tripped through the state
+    * store (any loss desyncs the bool decoder and the sums explode).
+    * Oracle: the m44 closed form under the e54 salt — the updates
+    * change the BITS, not the values. The chunk cut is on (ts, seq):
+    * every container's frames straddle all 3 micro-batches. */
+  private[operators] object Vp8EntropyStreamKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val v = 1 + hexbyte(s"vp8y${k}_0_${j}_${c}") % 100
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val kfUpd = Vector(
+        Vp8.CoeffUpdate(1, 0, 0, 0, 1 + hexbyte(s"vp8yp${k}_0") % 254),
+        Vp8.CoeffUpdate(1, 0, 1, 0, 1 + hexbyte(s"vp8yp${k}_1") % 254))
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs,
+        coeffUpdates = kfUpd), ctx = cxE) +:
+        (1 until n).map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val v = hexbyte(s"vp8y${k}_${t}_${j}_${c}") % 60
+            val y2 = new Array[Int](16); y2(0) = v
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          val (upd, refresh) = t match {
+            case 1 => (Vector(Vp8.CoeffUpdate(1, 0, 0, 0,
+              1 + hexbyte(s"vp8yq${k}_$t") % 254)), false)
+            case 3 => (Vector(Vp8.CoeffUpdate(1, 0, 0, 0,
+              1 + hexbyte(s"vp8yq${k}_$t") % 254)), true)
+            case _ => (Vector.empty[Vp8.CoeffUpdate], true)
+          }
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs,
+            refreshEntropy = refresh, coeffUpdates = upd), ctx = cxE)
+        }
+      val hex = java.util.HexFormat.of()
+      payloads.iterator.zipWithIndex.map { case (p, t) =>
+        (k.toString, 0, t.toLong, 0.0, hex.formatHex(p), false, t.toLong)
+      }
+    }
+  }
+
+  private def e54(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{StatefulRunner, Vp8Machine}
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    val fixture = views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8EntropyStreamKernel.rows(k, it.size))
+      .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
+    StreamParityQueries.throughStream(s, fixture,
+        Seq(col("ts"), col("seq")), s"e54@$d",
+        ds => StatefulRunner.runStreaming(new Vp8Machine.StreamDecoder, ds),
+        Map.empty)
+      .select(col("key").cast("long").as("container"),
+        col("ts").as("t"),
+        (split(col("text"), ",")(1) === "1").as("keyframe"),
+        col("value").cast("long").as("luma_sum"),
+        split(col("text"), ",")(0).cast("long").as("chroma_sum"))
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val e54Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8y'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8y' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t, 127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(sum(256 * val) AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
+  /** m56: VP8 IN-SPEC CONFORMANCE HEADERS (§9.4/§9.7/§13.4/§15.2) —
+    * the three mechanisms nearly every real libvpx stream uses,
+    * through real coded bits: COEFFICIENT-PROBABILITY UPDATES with
+    * both refresh_entropy_probs regimes (the keyframe updates persist,
+    * frame 1's revert after the frame, frame 3's persist again — any
+    * asymmetry desyncs the bool decoder and the values explode),
+    * LOOP-FILTER DELTAS (the keyframe's intra-ref delta −18 zeroes its
+    * level — pixels prove it filtered NOTHING — and the odd frames
+    * update LAST-ref/ZEROMV deltas that the even frames inherit via
+    * §9.4's remembered-values semantics), and SHARPNESS 0–7 rescaling
+    * the §15.2 interior limit. Fixture: the m55 single-column 16×32
+    * form; only the LAST frame filters (level clamp(18+aL+bZ) from the
+    * PERSISTED deltas, drawn sharpness), so the one active MB edge at
+    * y = 16 has the closed wide-path form over the SIGNED step D —
+    * mask 2|D|+|D|/2 ≤ 2(L+2)+il(L,s), u27 = (54D+63)>>7,
+    * u18 = (36D+63)>>7 — which the oracle replays per frame including
+    * the clamp-to-0-disables and mask-fail regimes. Entropy update
+    * schedule: kf (1,0,c,0)×3 refresh=1; t=1 refresh=0; t=2 none
+    * (proves revert); t=3 refresh=1; t=4+ none (proves persistence).
+    * Scale: the m40 envelope — one group iterator per container, a
+    * [[graft.functions.Vp8.Ctx]] (≈4 KB) of decoder state per stream,
+    * never crossing a shuffle. */
+  private[operators] object Vp8ConformKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int): Iterator[(Long, Long, Boolean, Long,
+        Long, Long, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      def draw(tag: String, t: Int, j: Int = -1): Int =
+        hexbyte(if (j < 0) s"vp8$tag${k}_$t" else s"vp8$tag${k}_${t}_$j")
+      def mbK(v: Int) = {
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }
+      def mbP(v: Int) = {
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }
+      val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
+      val cxD = new Vp8.Ctx(Vp8.Profile.StandIn)
+      def kfUpdates = Vector(
+        Vp8.CoeffUpdate(1, 0, 0, 0, 1 + draw("p", 0, 0) % 254),
+        Vp8.CoeffUpdate(1, 0, 1, 0, 1 + draw("p", 0, 1) % 254),
+        Vp8.CoeffUpdate(1, 0, 2, 0, 1 + draw("p", 0, 2) % 254))
+      def pUpd(t: Int): (Vector[Vp8.CoeffUpdate], Boolean) = t match {
+        case 1 => (Vector(Vp8.CoeffUpdate(1, 0, 0, 0,
+          1 + draw("q", t) % 254)), false)
+        case 3 => (Vector(Vp8.CoeffUpdate(1, 0, 0, 0,
+          1 + draw("q", t) % 254)), true)
+        case _ => (Vector.empty, true)
+      }
+      def lfUpd(t: Int): Option[Vp8.LfDeltaUpdate] =
+        if (t == 0) Some(Vp8.LfDeltaUpdate(Vector((0, -18))))
+        else if (t % 2 == 1) Some(Vp8.LfDeltaUpdate(Vector(
+          (1, draw("b", t) % 19 - 9), (5, draw("c", t) % 19 - 9))))
+        else None
+      val payloads = Vp8.encode(Vp8.KeyFrame(16, 32, 0,
+        Vector(mbK(1 + draw("u", 0, 0) % 100),
+          mbK(1 + draw("u", 0, 1) % 100)),
+        filterLevel = 18, normalFilter = true,
+        sharpness = draw("s", 0) % 8, lfDeltaEnabled = true,
+        lfDeltaUpdate = lfUpd(0), coeffUpdates = kfUpdates),
+        ctx = cxE) +:
+        (1 until n).map { t =>
+          val (cu, refresh) = pUpd(t)
+          Vp8.encodeInter(16, 32, Vp8.InterFrame(0,
+            Vector(mbP(draw("u", t, 0) % 60), mbP(draw("u", t, 1) % 60)),
+            filterLevel = if (t == n - 1) 18 else 0, normalFilter = true,
+            sharpness = draw("s", t) % 8, lfDeltaEnabled = true,
+            lfDeltaUpdate = lfUpd(t), refreshEntropy = refresh,
+            coeffUpdates = cu), ctx = cxE)
+        }
+      var lastY: Array[Int] = null
+      var lastU: Array[Int] = null
+      var lastV: Array[Int] = null
+      payloads.iterator.zipWithIndex.map { case (p, t) =>
+        val (levels, y, u, v) =
+          if (t == 0) {
+            val dec = Vp8.decode(p, ctx = cxD)
+            require(dec.frame.sharpness == draw("s", 0) % 8 &&
+              dec.frame.lfDeltaEnabled &&
+              dec.frame.lfDeltaUpdate == lfUpd(0) &&
+              dec.frame.refreshEntropy &&
+              dec.frame.coeffUpdates == kfUpdates,
+              s"container $k keyframe: conformance header drift")
+            (dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+              dec.y, dec.u, dec.v)
+          } else {
+            val dec = Vp8.decodeInter(p, 16, 32, lastY, lastU, lastV,
+              ctx = cxD)
+            val (cu, refresh) = pUpd(t)
+            require(dec.frame.sharpness == draw("s", t) % 8 &&
+              dec.frame.lfDeltaEnabled &&
+              dec.frame.lfDeltaUpdate == lfUpd(t) &&
+              dec.frame.refreshEntropy == refresh &&
+              dec.frame.coeffUpdates == cu,
+              s"container $k frame $t: conformance header drift")
+            (dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+              dec.y, dec.u, dec.v)
+          }
+        lastY = y; lastU = u; lastV = v
+        def rowSum(r: Int): Long =
+          (0 until 16).map(x => y(r * 16 + x).toLong).sum
+        (k, t.toLong, t == 0, levels, rowSum(14), rowSum(15),
+          rowSum(16), rowSum(17), y.iterator.map(_.toLong).sum,
+          u.iterator.map(_.toLong).sum + v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8ConformKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "levels_sum", "r14", "r15",
+        "r16", "r17", "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m56Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, n, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, n, t, jj.j,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8u'
+      |        || container || '_0_' || jj.j), 1, 2)) AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8u' || container || '_'
+      |        || t || '_' || jj.j), 1, 2)) AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT unnest(range(2)) AS j) jj),
+      |r AS (SELECT container, n, t, j, v, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j,
+      |    sum(r) OVER (PARTITION BY container ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, n, t, j, v,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.n, p.t, p.j, p.v,
+      |    127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j),
+      |wide AS (SELECT container, n, t,
+      |    max(CASE WHEN j = 0 THEN val END) AS v0,
+      |    max(CASE WHEN j = 1 THEN val END) AS v1,
+      |    sum(v) AS levels_sum
+      |  FROM val GROUP BY 1, 2, 3),
+      |-- the deltas the FINAL frame filters under are the last odd
+      |-- frame's draws (§9.4 remembered values; even frames inherit)
+      |del AS (SELECT container, n,
+      |    CASE WHEN (n - 1) % 2 = 1 THEN n - 1 ELSE n - 2 END AS teff
+      |  FROM cnt),
+      |fl AS (SELECT d.container, d.n,
+      |    CAST(concat('0x', substr(md5('vp8s' || d.container || '_'
+      |      || (d.n - 1)), 1, 2)) AS BIGINT) % 8 AS s,
+      |    greatest(0, least(63, 18
+      |      + CAST(concat('0x', substr(md5('vp8b' || d.container || '_'
+      |        || d.teff), 1, 2)) AS BIGINT) % 19 - 9
+      |      + CAST(concat('0x', substr(md5('vp8c' || d.container || '_'
+      |        || d.teff), 1, 2)) AS BIGINT) % 19 - 9)) AS L
+      |  FROM del d),
+      |-- §15.2 sharpness rescale of the interior limit
+      |lim AS (SELECT container, n, s, L,
+      |    CASE WHEN s = 0 THEN L
+      |      ELSE greatest(1, least(9 - s,
+      |        L // (CASE WHEN s > 4 THEN 4 ELSE 2 END))) END AS il
+      |  FROM fl),
+      |adj AS (SELECT w.container, w.t, w.n, w.v0, w.v1, w.levels_sum,
+      |    w.v1 - w.v0 AS D,
+      |    CASE WHEN w.t = w.n - 1 AND l.L > 0
+      |      AND 2 * abs(w.v1 - w.v0) + abs(w.v1 - w.v0) // 2
+      |        <= 2 * (l.L + 2) + l.il
+      |    THEN 1 ELSE 0 END AS ap
+      |  FROM wide w JOIN lim l ON l.container = w.container)
+      |-- the >> 7 arithmetic shift FLOORS for negative D (DuckDB's //
+      |-- truncates toward zero, so floor() explicitly)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(levels_sum AS BIGINT) AS levels_sum,
+      |  CAST(16 * (v0 + ap * floor((36 * D + 63) / 128.0))
+      |    AS BIGINT) AS r14,
+      |  CAST(16 * (v0 + ap * floor((54 * D + 63) / 128.0))
+      |    AS BIGINT) AS r15,
+      |  CAST(16 * (v1 - ap * floor((54 * D + 63) / 128.0))
+      |    AS BIGINT) AS r16,
+      |  CAST(16 * (v1 - ap * floor((36 * D + 63) / 128.0))
+      |    AS BIGINT) AS r17,
+      |  -- the wide taps are antisymmetric: the total is conserved
+      |  CAST(256 * (v0 + v1) AS BIGINT) AS luma_sum,
+      |  CAST(32768 AS BIGINT) AS chroma_sum
+      |FROM adj ORDER BY container, t""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("e21_output_container", e21, Some(e21Sql)),
     Q("m04_demux_restamp", m04, Some(m04Sql)),
@@ -3939,6 +4391,9 @@ object ContainerQueries {
     Q("m53_vp8_splitmv", m53, Some(m53Sql)),
     Q("m54_vp8_segmentation", m54, Some(m54Sql)),
     Q("m55_vp8_normal_filter", m55, Some(m55Sql)),
+    Q("m56_vp8_conformance", m56, Some(m56Sql)),
+    Q("e54_streaming_vp8_entropy", e54, Some(e54Sql)),
+    Q("m57_h264_intra_modes", m57, Some(m57Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

@@ -6,43 +6,62 @@ import graft.streaming.StateMachines.{Ev, Machine, Out}
 
 /** VP8 decode as a STATEFUL STREAMING OPERATOR — what a live ingest
   * pipeline actually needs from a codec: frames arrive one micro-batch
-  * at a time, and the decoder's reference state (the LAST and GOLDEN
-  * planes plus stream dimensions, RFC 6386 §16.3's buffer model)
-  * crosses batch boundaries through the state store exactly like any
-  * other operator state. Keyframes (re-)anchor both buffers; inter
-  * frames read LAST/GOLDEN and refresh LAST — the refresh_golden = 0
-  * subset [[graft.functions.Vp8]] implements.
+  * at a time, and the decoder's cross-frame state crosses batch
+  * boundaries through the state store exactly like any other operator
+  * state. That state is (RFC 6386):
+  *  - the REFERENCE PLANES — LAST, GOLDEN and ALTREF (§16.3's buffer
+  *    model; keyframes (re-)anchor all three, inter frames read any of
+  *    them per-MB and refresh LAST);
+  *  - the PERSISTENT ENTROPY STATE (§9.7) — the coefficient/MV/mode
+  *    probability tables as updated by refresh_entropy_probs = 1
+  *    frames (an inter frame arriving three micro-batches after the
+  *    update must decode with the updated table, or it desyncs);
+  *  - the §9.4 remembered loop-filter deltas.
+  * The entropy + lf-delta state rides [[Vp8.Ctx.toFlat]] (1109 ints, a
+  * few KB) next to the ~10 KB of planes — a RocksDB state-store entry,
+  * not a broadcast.
   *
   * The payload rides the envelope's `text` field hex-encoded (the
   * envelope is a NumberMessage/TextMessage shape, not a byte one);
   * emits carry Σluma in `value` and "Σchroma,kf" in `text`. Purity
   * (state, event) → (state, emits) gives batch/streaming parity for
-  * free, and the per-key state is ~10 KB of planes at 32×32 — a
-  * RocksDB state-store entry, not a broadcast.
+  * free.
   */
 object Vp8Machine {
 
   final case class DecState(w: Int, h: Int,
       lastY: Array[Int], lastU: Array[Int], lastV: Array[Int],
-      goldY: Array[Int], goldU: Array[Int], goldV: Array[Int])
+      goldY: Array[Int], goldU: Array[Int], goldV: Array[Int],
+      ctx: Array[Int])
 
   final class StreamDecoder extends Machine[DecState] {
-    def init: DecState = DecState(0, 0, null, null, null, null, null, null)
+    def init: DecState =
+      DecState(0, 0, null, null, null, null, null, null, null)
 
     def step(s: DecState, e: Ev): (DecState, Seq[Out]) = {
       val payload = java.util.HexFormat.of().parseHex(e.text)
       val tag = Ivf.parseVp8Tag(payload)
+      // rebuild the mutable decoder context from the stored flat state
+      // (a fresh default one before the first keyframe)
+      val cx =
+        if (s.ctx == null) new Vp8.Ctx(Vp8.Profile.StandIn)
+        else Vp8.Ctx.fromFlat(Vp8.Profile.StandIn, s.ctx)
       if (tag.keyframe) {
-        val dec = Vp8.decode(payload)
+        val dec = Vp8.decode(payload, ctx = cx)
         val ns = DecState(dec.frame.width, dec.frame.height,
-          dec.y, dec.u, dec.v, dec.y, dec.u, dec.v)
+          dec.y, dec.u, dec.v, dec.y, dec.u, dec.v, Vp8.Ctx.toFlat(cx))
         (ns, Seq(emit(e.ts, dec.y, dec.u, dec.v, keyframe = true)))
       } else {
         require(s.lastY != null,
           s"vp8 stream: inter frame at ts ${e.ts} before any keyframe")
+        // §16.3: in the refresh_golden = refresh_alt = 0 subset both
+        // long-term buffers hold the most recent keyframe — pass the
+        // golden planes as ALTREF too, matching decodeStream
         val dec = Vp8.decodeInter(payload, s.w, s.h,
-          s.lastY, s.lastU, s.lastV, s.goldY, s.goldU, s.goldV)
-        (s.copy(lastY = dec.y, lastU = dec.u, lastV = dec.v),
+          s.lastY, s.lastU, s.lastV, s.goldY, s.goldU, s.goldV,
+          altY = s.goldY, altU = s.goldU, altV = s.goldV, ctx = cx)
+        (s.copy(lastY = dec.y, lastU = dec.u, lastV = dec.v,
+          ctx = Vp8.Ctx.toFlat(cx)),
           Seq(emit(e.ts, dec.y, dec.u, dec.v, keyframe = false)))
       }
     }

@@ -1097,4 +1097,391 @@ class Vp8Spec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("before any keyframe"))
   }
+
+  // ---- round 13: entropy updates, lf deltas, sharpness [§9.4/§9.7/§13.4] ------
+
+  test("coefficient-probability updates [§13.4/§9.7]: updates ride the " +
+      "header, persist when refresh_entropy_probs = 1, revert after the " +
+      "frame when 0, and key frames reset to the profile defaults; a " +
+      "decoder without the update desyncs") {
+    val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
+    val cxD = new Vp8.Ctx(Vp8.Profile.StandIn)
+    def kf(vs: Seq[Int], upd: Vector[Vp8.CoeffUpdate]) =
+      Vp8.KeyFrame(32, 32, 0,
+        vs.map(v => zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = v)).toVector,
+        coeffUpdates = upd)
+    def pf(vs: Seq[Int], upd: Vector[Vp8.CoeffUpdate],
+        refresh: Boolean) =
+      Vp8.InterFrame(0,
+        vs.map(v => interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = v)).toVector,
+        refreshEntropy = refresh, coeffUpdates = upd)
+    val u0 = Vector(Vp8.CoeffUpdate(1, 0, 0, 0, 77),
+      Vp8.CoeffUpdate(1, 0, 1, 2, 200))
+    val u1 = Vector(Vp8.CoeffUpdate(1, 0, 0, 0, 5))
+    val u3 = Vector(Vp8.CoeffUpdate(1, 0, 0, 0, 9))
+    val frames = Seq(
+      Vp8.encode(kf(Seq(40, 50, 60, 70), u0), ctx = cxE),
+      Vp8.encodeInter(32, 32, pf(Seq(8, 16, 24, 32), u1,
+        refresh = false), ctx = cxE),
+      Vp8.encodeInter(32, 32, pf(Seq(40, 41, 42, 43), Vector.empty,
+        refresh = true), ctx = cxE),
+      Vp8.encodeInter(32, 32, pf(Seq(7, 7, 7, 7), u3,
+        refresh = true), ctx = cxE),
+      Vp8.encodeInter(32, 32, pf(Seq(19, 23, 29, 31), Vector.empty,
+        refresh = true), ctx = cxE))
+    // frame 0: keyframe resets then applies u0, refresh=1 → persists
+    val d0 = Vp8.decode(frames(0), ctx = cxD)
+    assert(d0.frame.coeffUpdates == u0 && d0.frame.refreshEntropy)
+    assert(d0.frame.mbs.map(_.y2(0)) == Vector(40, 50, 60, 70))
+    assert(cxD.entropy.coeff(1)(0)(0)(0) == 77)
+    var last = d0.y; var lastU = d0.u; var lastV = d0.v
+    // frame 1: refresh=0 → u1 applies for this frame only
+    val d1 = Vp8.decodeInter(frames(1), 32, 32, last, lastU, lastV,
+      ctx = cxD)
+    assert(d1.frame.coeffUpdates == u1 && !d1.frame.refreshEntropy)
+    assert(d1.frame.mbs.map(_.y2(0)) == Vector(8, 16, 24, 32))
+    assert(cxD.entropy.coeff(1)(0)(0)(0) == 77, "u1 must revert")
+    last = d1.y; lastU = d1.u; lastV = d1.v
+    // frame 2: coded under the post-u0 table — the values prove the
+    // decoder kept it
+    val d2 = Vp8.decodeInter(frames(2), 32, 32, last, lastU, lastV,
+      ctx = cxD)
+    assert(d2.frame.mbs.map(_.y2(0)) == Vector(40, 41, 42, 43))
+    // the same bytes under a DEFAULT table desync (different levels,
+    // or a loud failure)
+    val desync = try {
+      val dX = Vp8.decodeInter(frames(2), 32, 32, last, lastU, lastV)
+      dX.frame.mbs.map(_.y2(0)) != Vector(40, 41, 42, 43)
+    } catch { case _: Throwable => true }
+    assert(desync, "default-table decode of an updated-table frame " +
+      "must not silently agree")
+    last = d2.y; lastU = d2.u; lastV = d2.v
+    // frames 3-4: u3 persists across the frame boundary
+    val d3 = Vp8.decodeInter(frames(3), 32, 32, last, lastU, lastV,
+      ctx = cxD)
+    assert(d3.frame.mbs.map(_.y2(0)) == Vector(7, 7, 7, 7))
+    assert(cxD.entropy.coeff(1)(0)(0)(0) == 9)
+    last = d3.y; lastU = d3.u; lastV = d3.v
+    val d4 = Vp8.decodeInter(frames(4), 32, 32, last, lastU, lastV,
+      ctx = cxD)
+    assert(d4.frame.mbs.map(_.y2(0)) == Vector(19, 23, 29, 31))
+    // a new keyframe resets the table to the profile default
+    val dK = Vp8.decode(Vp8.encode(kf(Seq(1, 2, 3, 4), Vector.empty),
+      ctx = cxE), ctx = cxD)
+    assert(dK.frame.mbs.map(_.y2(0)) == Vector(1, 2, 3, 4))
+    assert(cxD.entropy.coeff(1)(0)(0)(0) ==
+      Vp8.Profile.StandIn.coeffProbs(1)(0)(0)(0))
+    // malformed updates are loud
+    intercept[IllegalArgumentException] { Vp8.CoeffUpdate(4, 0, 0, 0, 7) }
+    intercept[IllegalArgumentException] { Vp8.CoeffUpdate(0, 0, 0, 0, 0) }
+  }
+
+  test("MV and mode probability updates [§17.2/§11.3]: the 2x19 flag + " +
+      "7-bit x?x<<1:1 reads and the y/uv replacement sets ride the " +
+      "header, mutate the entropy state, and later frames decode with " +
+      "the updated tables") {
+    val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
+    val cxD = new Vp8.Ctx(Vp8.Profile.StandIn)
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    // anchor the entropy chain on a keyframe first
+    Vp8.decode(Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      Vector.fill(4)(zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = 9)))), ctx = cxD)
+    Vp8.encode(Vp8.KeyFrame(32, 32, 0,
+      Vector.fill(4)(zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = 9))), ctx = cxE)
+    val mvU = Vector((0, 0, 100), (0, 3, 36), (1, 18, 1))
+    val f1 = Vp8.InterFrame(0, Vector(
+      interMb(Vp8.NewMv, Vp8.Mv(16, -16), y2dc = 3),
+      Vp8.InterMb(inter = false, 0, Vp8.Mv(0, 0), Vp8.VPred, Vp8.HPred,
+        new Array[Int](16), Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16))),
+      interZero(), interMb(Vp8.NewMv, Vp8.Mv(-32, 8))),
+      mvUpdates = mvU,
+      ymodeUpdate = Some(Vector(50, 60, 70, 80)),
+      uvmodeUpdate = Some(Vector(90, 100, 110)))
+    val p1 = Vp8.encodeInter(32, 32, f1, ctx = cxE)
+    val d1 = Vp8.decodeInter(p1, 32, 32, ref.y, ref.u, ref.v, ctx = cxD)
+    assert(d1.frame.mvUpdates == mvU)
+    assert(d1.frame.ymodeUpdate.contains(Vector(50, 60, 70, 80)))
+    assert(d1.frame.uvmodeUpdate.contains(Vector(90, 100, 110)))
+    assert(d1.frame.mbs(0).mv == Vp8.Mv(16, -16))
+    assert(!d1.frame.mbs(1).inter && d1.frame.mbs(1).yMode == Vp8.VPred &&
+      d1.frame.mbs(1).uvMode == Vp8.HPred)
+    assert(cxD.entropy.mv(0)(0) == 100 && cxD.entropy.mv(0)(3) == 36 &&
+      cxD.entropy.mv(1)(18) == 1)
+    assert(cxD.entropy.ymode.toVector == Vector(50, 60, 70, 80))
+    // frame 2 carries no updates but codes NEWMV + intra modes under
+    // the UPDATED tables — exact decode proves persistence
+    val f2 = Vp8.InterFrame(0, Vector(
+      interMb(Vp8.NewMv, Vp8.Mv(-48, 24), y2dc = 5),
+      Vp8.InterMb(inter = false, 0, Vp8.Mv(0, 0), Vp8.TmPred, Vp8.DcPred,
+        new Array[Int](16), Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16))),
+      interZero(), interZero()))
+    val p2 = Vp8.encodeInter(32, 32, f2, ctx = cxE)
+    val d2 = Vp8.decodeInter(p2, 32, 32, d1.y, d1.u, d1.v, ctx = cxD)
+    assert(d2.frame.mbs(0).mv == Vp8.Mv(-48, 24))
+    assert(d2.frame.mbs(1).yMode == Vp8.TmPred)
+    // odd update probs (uncodable in the 7-bit form) are rejected
+    intercept[IllegalArgumentException] {
+      Vp8.InterFrame(0, Vector(interZero()), mvUpdates = Vector((0, 0, 7)))
+    }
+  }
+
+  test("loop-filter deltas [§9.4]: per-reference and per-mode level " +
+      "adjustments ride the header, apply per macroblock, persist " +
+      "until the next update, and a delta that clamps the level to 0 " +
+      "disables that MB's filtering") {
+    def mbOf(v: Int) = zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = v)
+    val mbs = Vector(mbOf(80), mbOf(40)) // 16x32: one active edge at y=16
+    // intra ref delta -18 zeroes the level: pixels match the
+    // unfiltered frame exactly
+    val dOff = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs,
+      filterLevel = 18, normalFilter = true, lfDeltaEnabled = true,
+      lfDeltaUpdate = Some(Vp8.LfDeltaUpdate(Vector((0, -18)))))))
+    val plain = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs)))
+    assert(dOff.frame.lfDeltaEnabled &&
+      dOff.frame.lfDeltaUpdate.contains(
+        Vp8.LfDeltaUpdate(Vector((0, -18)))))
+    assert(dOff.y.sameElements(plain.y), "level 18 - 18 = 0: no filtering")
+    // delta 0 (enabled, explicit) matches the no-delta filtered decode
+    val dZero = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs,
+      filterLevel = 18, normalFilter = true, lfDeltaEnabled = true,
+      lfDeltaUpdate = Some(Vp8.LfDeltaUpdate(Vector((0, 0)))))))
+    val dPlainF = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs,
+      filterLevel = 18, normalFilter = true)))
+    assert(dZero.y.sameElements(dPlainF.y))
+    // inter: the ZEROMV mode delta (slot 5) zeroes P-frame filtering;
+    // deltas PERSIST — the second P-frame enables without updating
+    val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
+    val cxD = new Vp8.Ctx(Vp8.Profile.StandIn)
+    val key = Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs), ctx = cxE)
+    val kd = Vp8.decode(key, ctx = cxD)
+    def pFrame(update: Option[Vp8.LfDeltaUpdate]) =
+      Vp8.InterFrame(0, Vector(
+        interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 48),
+        interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 24)),
+        filterLevel = 18, normalFilter = true, lfDeltaEnabled = true,
+        lfDeltaUpdate = update)
+    val p1 = Vp8.encodeInter(16, 32, pFrame(Some(Vp8.LfDeltaUpdate(
+      Vector((1, -4), (5, -14))))), ctx = cxE) // LAST ref -4, ZEROMV -14
+    val d1 = Vp8.decodeInter(p1, 16, 32, kd.y, kd.u, kd.v, ctx = cxD)
+    assert(cxD.lfDeltas(1) == -4 && cxD.lfDeltas(5) == -14)
+    // 18 - 4 - 14 = 0 → unfiltered: the edge step survives exactly
+    val p1plain = Vp8.encodeInter(16, 32,
+      Vp8.InterFrame(0, Vector(
+        interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 48),
+        interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 24))))
+    val d1plain = Vp8.decodeInter(p1plain, 16, 32, kd.y, kd.u, kd.v)
+    assert(d1.y.sameElements(d1plain.y))
+    // p2: enabled, NO update → remembered deltas still zero the level
+    val p2 = Vp8.encodeInter(16, 32, pFrame(None), ctx = cxE)
+    val d2 = Vp8.decodeInter(p2, 16, 32, d1.y, d1.u, d1.v, ctx = cxD)
+    assert(d2.frame.lfDeltaEnabled && d2.frame.lfDeltaUpdate.isEmpty)
+    val p2plain = Vp8.encodeInter(16, 32,
+      Vp8.InterFrame(0, Vector(
+        interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 48),
+        interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 24))))
+    val d2plain = Vp8.decodeInter(p2plain, 16, 32, d1.y, d1.u, d1.v)
+    assert(d2.y.sameElements(d2plain.y), "remembered deltas apply")
+    // malformed updates are loud
+    intercept[IllegalArgumentException] {
+      Vp8.LfDeltaUpdate(Vector((8, 1)))
+    }
+    intercept[IllegalArgumentException] {
+      Vp8.KeyFrame(16, 32, 0, mbs,
+        lfDeltaUpdate = Some(Vp8.LfDeltaUpdate(Vector((0, 1)))))
+    }
+  }
+
+  test("sharpness [§15.2]: the interior-limit rescale ladder is exact, " +
+      "rides the header, and flips the edge mask at the regime " +
+      "boundary — the same step filters at sharpness 0 and passes " +
+      "through at sharpness 7") {
+    assert((0 to 7).map(s => Vp8.interiorLimit(18, s)) ==
+      Seq(18, 8, 7, 6, 5, 4, 3, 2))
+    assert(Vp8.interiorLimit(1, 7) == 1, "floor at 1")
+    assert(Vp8.interiorLimit(63, 1) == 8)
+    def mbOf(v: Int) = zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = v)
+    // d = (v1+4)>>3 = 18 → 2d + d/2 = 45; mbLim = 40 + interior:
+    // sharpness 0 → 58 (filters), sharpness 7 → 42 (mask fails)
+    val mbs = Vector(mbOf(80), mbOf(140))
+    val s0 = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs,
+      filterLevel = 18, normalFilter = true)))
+    val s7 = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs,
+      filterLevel = 18, normalFilter = true, sharpness = 7)))
+    val plain = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0, mbs)))
+    assert(s7.frame.sharpness == 7 && s0.frame.sharpness == 0)
+    assert(s7.y.sameElements(plain.y), "sharpness 7 closes the mask")
+    assert(!s0.y.sameElements(plain.y), "sharpness 0 filters the edge")
+    intercept[IllegalArgumentException] {
+      Vp8.KeyFrame(16, 32, 0, mbs, sharpness = 8)
+    }
+  }
+
+  test("interior-edge skip [§15.1/§15.2]: a coefficientless whole-MV " +
+      "inter MB keeps its interior subblock edges untouched; the same " +
+      "MB with any coded coefficient filters them") {
+    // reference: a vertical step of 4 at x = 8 (an interior edge)
+    val refY = Array.tabulate(16 * 16)(i =>
+      if (i % 16 < 8) 100 else 104)
+    val refU = Array.fill(8 * 8)(128)
+    val refV = Array.fill(8 * 8)(128)
+    // coefficientless ZEROMV MB at simple-filter level 18: skipped
+    val pNo = Vp8.encodeInter(16, 16,
+      Vp8.InterFrame(0, Vector(interZero()), filterLevel = 18))
+    val dNo = Vp8.decodeInter(pNo, 16, 16, refY, refU, refV)
+    assert(dNo.y.sameElements(refY), "no coefficients: interior skipped")
+    // one nonzero LEVEL (zero residual after dequant) flips the rule
+    val pYes = Vp8.encodeInter(16, 16,
+      Vp8.InterFrame(0, Vector(interMb(Vp8.ZeroMv, Vp8.Mv(0, 0),
+        y2dc = 1)), filterLevel = 18))
+    val dYes = Vp8.decodeInter(pYes, 16, 16, refY, refU, refV)
+    // step 4: a = c127(12 + c127(-4)) = 8 → f1 = 1, f2 = 1
+    assert((0 until 16).forall(r => dYes.y(r * 16 + 7) == 101 &&
+      dYes.y(r * 16 + 8) == 103), "coefficients present: interior " +
+      "edge filtered")
+  }
+
+  test("SPLITMV survey context [§17.3]: cnt[CNT_SPLITMV] counts split " +
+      "neighbors (above 2, left 2, above-left 1) — frames with " +
+      "adjacent SPLITMV macroblocks round-trip exactly") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    def split(): Vp8.InterMb = Vp8.InterMb(inter = true, Vp8.SplitMv,
+      Vp8.Mv(0, 0), 0, 0, new Array[Int](16),
+      Array.fill(16)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)), splitType = 2,
+      subModes = Array(Vp8.SubNew, Vp8.SubZero, Vp8.SubZero, Vp8.SubNew),
+      subNewMvs = Array(Vp8.Mv(-16, 0), Vp8.Mv(0, 0), Vp8.Mv(0, 0),
+        Vp8.Mv(8, -8)))
+    // MB0 split → MB1 sees a LEFT split neighbor; MB2 sees an ABOVE
+    // split neighbor; MB3 sees above+left+above-left (cnt = 5)
+    val f = Vp8.InterFrame(0, Vector(split(), split(), split(), split()))
+    val d = Vp8.decodeInter(Vp8.encodeInter(32, 32, f), 32, 32,
+      ref.y, ref.u, ref.v)
+    d.frame.mbs.zipWithIndex.foreach { case (mb, i) =>
+      assert(mb.mvMode == Vp8.SplitMv && mb.splitType == 2, s"mb $i")
+      assert(mb.subModes.toSeq == Seq(Vp8.SubNew, Vp8.SubZero,
+        Vp8.SubZero, Vp8.SubNew), s"mb $i sub modes")
+    }
+  }
+
+  test("SPLITMV chroma 4-MV average rounds half away from zero " +
+      "[§18.2]: a -4 sum yields chroma MV -1, not the floored 0") {
+    val refY = Array.fill(16 * 16)(128)
+    // vertical gradient on chroma so a -1 eighth-pel row MV changes
+    // the prediction
+    val refU = Array.tabulate(8 * 8)(i => 10 + 20 * (i / 8))
+    val refV = Array.tabulate(8 * 8)(i => 200 - 10 * (i / 8))
+    val subMvs = Array.tabulate(16)(j =>
+      if (j == 0 || j == 1) Vp8.Mv(-2, 0) else Vp8.Mv(0, 0))
+    val mb = Vp8.InterMb(inter = true, Vp8.SplitMv, Vp8.Mv(0, 0), 0, 0,
+      new Array[Int](16), Array.fill(16)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)), splitType = 3,
+      subModes = Array.fill(16)(Vp8.SubNew), subNewMvs = subMvs)
+    val d = Vp8.decodeInter(Vp8.encodeInter(16, 16,
+      Vp8.InterFrame(0, Vector(mb))), 16, 16, refY, refU, refV)
+    // chroma block (0,0) covers luma subblocks 0,1,4,5: row sum -4 →
+    // §18.2 rounding gives -1 (half away from zero)
+    val want = new Array[Int](16)
+    Vp8.mcPredict(refU, 8, 8, 0, 0, Vp8.Mv(-1, 0), 4, 4, want)
+    val got = Array.tabulate(16)(i => d.u((i / 4) * 8 + (i % 4)))
+    assert(got.sameElements(want), "chroma MV must be Mv(-1, 0)")
+    val floored = new Array[Int](16)
+    Vp8.mcPredict(refU, 8, 8, 0, 0, Vp8.Mv(0, 0), 4, 4, floored)
+    assert(!got.sameElements(floored),
+      "the gradient distinguishes -1 from the floored 0")
+  }
+
+  test("Profile JSON injection path: render → parse round-trips every " +
+      "table, absent fields keep the stand-in, malformed documents are " +
+      "loud, and RunDecode decodes an IVF stream under a user-supplied " +
+      "profile end to end") {
+    import graft.functions.Vp8ProfileJson
+    // full round trip (content compare via render — arrays have
+    // reference equality)
+    val json = Vp8ProfileJson.render(Vp8.Profile.StandIn)
+    assert(Vp8ProfileJson.render(Vp8ProfileJson.parse(json)) == json)
+    // a partial document swaps ONLY the named tables
+    val alt = Vp8ProfileJson.parse(
+      """{"dcQ": [""" + Array.tabulate(128)(i => 6 + 2 * i)
+        .mkString(",") + """]}""")
+    assert(alt.dcQ(0) == 6 && alt.dcQ(127) == 6 + 254)
+    assert(Vp8ProfileJson.render(alt.copy(dcQ = Vp8.Profile.StandIn.dcQ))
+      == json, "absent fields must keep the stand-in")
+    intercept[IllegalArgumentException] {
+      Vp8ProfileJson.parse("""{"mvProbs": [[1,2],[3]]}""")
+    }
+    intercept[IllegalArgumentException] {
+      Vp8ProfileJson.parse("""{"dcQ": ["x"]}""")
+    }
+    // end to end: encode a 2-frame stream under an alternative
+    // profile, write the profile as JSON, RunDecode it from disk
+    val altFull = Vp8ProfileJson.parse(
+      """{"dcQ": [""" + Array.tabulate(128)(i => 6 + 2 * i)
+        .mkString(",") + """]}""")
+    val cxE = new Vp8.Ctx(altFull)
+    val key = Vp8.encode(Vp8.KeyFrame(32, 32, 9,
+      Vector.fill(4)(zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = 30))), ctx = cxE)
+    val p1 = Vp8.encodeInter(32, 32, Vp8.InterFrame(9,
+      Vector.fill(4)(interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 7))),
+      ctx = cxE)
+    val ivf = Ivf.mux(Ivf.IvfHeader("VP80", 32, 32, 30, 1, 2L),
+      Seq(Ivf.IvfFrame(0L, key), Ivf.IvfFrame(1L, p1)))
+    val dir = java.nio.file.Files.createTempDirectory("rundecode")
+    val pj = dir.resolve("profile.json")
+    java.nio.file.Files.write(pj,
+      Vp8ProfileJson.render(altFull).getBytes("UTF-8"))
+    val in = dir.resolve("in.ivf")
+    java.nio.file.Files.write(in, ivf)
+    graft.RunDecode.main(Array(pj.toString, in.toString,
+      dir.resolve("out").toString))
+    val lines = java.nio.file.Files.readAllLines(
+      dir.resolve("out").resolve("frames.jsonl"))
+    assert(lines.size == 2)
+    val want = Vp8.decodeStream(Seq(key, p1), altFull)
+    val luma0 = want(0).y.iterator.map(_.toLong).sum
+    assert(lines.get(0).contains(s""""luma_sum":$luma0"""))
+    assert(lines.get(0).contains(""""keyframe":true"""))
+    assert(lines.get(1).contains(""""keyframe":false"""))
+    val pgm = java.nio.file.Files.readAllBytes(
+      dir.resolve("out").resolve("frame0.pgm"))
+    assert(new String(pgm.take(3), "US-ASCII") == "P5\n")
+    assert(pgm.length > 32 * 32, "PGM must carry the Y plane")
+    // decoding the alt-profile stream under the STAND-IN profile must
+    // not silently agree (the tables are load-bearing)
+    val under = try {
+      val d = Vp8.decodeStream(Seq(key, p1))
+      d(0).y.iterator.map(_.toLong).sum != luma0
+    } catch { case _: Throwable => true }
+    assert(under, "stand-in decode of an alt-profile stream must differ")
+    // dump-standin writes the editable template
+    val tpl = dir.resolve("standin.json")
+    graft.RunDecode.main(Array("dump-standin", tpl.toString))
+    assert(Vp8ProfileJson.render(Vp8ProfileJson.parse(new String(
+      java.nio.file.Files.readAllBytes(tpl), "UTF-8"))) == json)
+  }
+
+  test("Ctx.toFlat/fromFlat round-trips the entropy + lf-delta state " +
+      "for the state store") {
+    val cx = new Vp8.Ctx(Vp8.Profile.StandIn)
+    cx.entropy.coeff(2)(3)(1)(4) = 99
+    cx.entropy.mv(1)(7) = 44
+    cx.entropy.ymode(2) = 13
+    cx.entropy.uvmode(0) = 201
+    cx.lfDeltas(5) = -14
+    val back = Vp8.Ctx.fromFlat(Vp8.Profile.StandIn, Vp8.Ctx.toFlat(cx))
+    assert(back.entropy.coeff(2)(3)(1)(4) == 99)
+    assert(back.entropy.mv(1)(7) == 44)
+    assert(back.entropy.ymode(2) == 13 && back.entropy.uvmode(0) == 201)
+    assert(back.lfDeltas(5) == -14)
+    assert(back.entropy.coeff(0)(0)(0)(0) ==
+      cx.entropy.coeff(0)(0)(0)(0))
+    intercept[IllegalArgumentException] {
+      Vp8.Ctx.fromFlat(Vp8.Profile.StandIn, new Array[Int](7))
+    }
+  }
 }
