@@ -1382,6 +1382,325 @@ object DspQueries {
       |JOIN codes k ON k.chunk_id = a.chunk_id AND k.i = a.i
       |ORDER BY a.chunk_id, a.i""".stripMargin
 
+  /** p20: MP2 SYNTHESIS WINDOWING (ISO/IEC 11172-3 §2.4.3.2) — the
+    * filterbank stage past p17's matrixing stop: real Layer II frames
+    * (only subband 0 allocated) mux→demux, then [[Mp2.Synth]] runs the
+    * NORMATIVE structure per sample step — the 1024-entry V shift
+    * register (shift 64, matrixing output in front), the V→U index
+    * map, W = U·D windowing (512-tap stand-in window behind the
+    * Table 3-B.3 seam) and the 16-term output sum. Because the input
+    * is an impulse train on subband 0, each step's summed PCM and its
+    * sample 0 are 16-tap convolutions of the code sequence with
+    * constants derived from (Matrix column 0 × Window) —
+    * [[Mp2.impulseKernels]], pinned by Mp2Spec against a brute Synth
+    * run — and the oracle replays the convolution with those 2×16
+    * constants embedded as literals (the cosine bank itself is not
+    * SQL material, per the p17 precedent). Scale: the p17 envelope —
+    * per-chunk mapGroups, a 1 KB register per stream, bytes-
+    * proportional. */
+  private def p20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp2
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(8, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val frames = (0 until n).map { i =>
+          val subs = Array.tabulate(Mp2.Sblimit) { sb =>
+            if (sb != 0) Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)
+            else {
+              val scfsi = i % 4
+              val sf = Array.tabulate(Mp2.nsfStored(scfsi))(p =>
+                (i * 5 + p * 11) % 63)
+              // q = 5 → 15 levels, codes drawn like p17's sb = 0 row
+              Mp2.Mp2Sub(5, scfsi, sf, Array.tabulate(36)(gx =>
+                ((gx / 3) * 3 + (gx % 3) * 7 + i * 11) % 15))
+            }
+          }
+          Mp2.Mp2FrameData(bitrateIndex = 14, rateIndex = 2,
+            padding = i % 2 == 1, subs)
+        }
+        val rec = Mp2.demux(Mp2.mux(frames))
+        require(rec.size == n, s"chunk $cid: mp2 frame count drift")
+        val synth = new Mp2.Synth()
+        val sVec = new Array[Int](32)
+        rec.iterator.zipWithIndex.map { case ((_, f), i) =>
+          require(f.subs(0).q == 5 && f.subs.drop(1).forall(_.q == 0),
+            s"chunk $cid frame $i: allocation drift through the bits")
+          var pcm = 0L
+          var s0 = 0L
+          var code = 0L
+          var gx = 0
+          while (gx < 36) {
+            sVec(0) = f.subs(0).samples(gx)
+            code += sVec(0)
+            val out = synth.step(sVec)
+            s0 += out(0)
+            var j = 0
+            while (j < 32) { pcm += out(j); j += 1 }
+            gx += 1
+          }
+          (cid, i.toLong, code, pcm, s0)
+        }
+      }
+    }.toDF("chunk_id", "i", "code_sum", "pcm_sum", "s0_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p20Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(8, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |-- subband-0 code per global step (36 per frame), the p17 draw
+      |x AS (SELECT chunk_id, i, 36 * i + g.gx AS step,
+      |    ((g.gx // 3) * 3 + (g.gx % 3) * 7 + i * 11) % 15 AS x
+      |  FROM f, (SELECT unnest(range(36)) AS gx) g),
+      |-- the 16-tap impulse kernels of (Matrix column 0 x Window),
+      |-- Mp2.impulseKernels, pinned by Mp2Spec
+      |kern AS (SELECT a.a,
+      |    list_extract([-1558035, 270971, 2046024, -1509363, -1375811,
+      |      457184, 1668559, -1128332, -451780, -830438, 556399,
+      |      -765335, -258888, -610951, 254753, -456567],
+      |      CAST(a.a + 1 AS INT)) AS ks,
+      |    list_extract([-648760, -544495, 266455, 11585, -289625,
+      |      567665, 625590, -347550, 69510, 208530, -486570, -706685,
+      |      428645, -150605, -127435, 405475],
+      |      CAST(a.a + 1 AS INT)) AS k0
+      |  FROM (SELECT unnest(range(16)) AS a) a),
+      |-- V register starts zeroed: lags before step 0 contribute 0
+      |conv AS (SELECT cur.chunk_id, cur.i, cur.step,
+      |    sum(lag.x * kern.ks) AS pcm,
+      |    sum(lag.x * kern.k0) AS s0
+      |  FROM x cur
+      |  JOIN kern ON kern.a <= cur.step
+      |  JOIN x lag ON lag.chunk_id = cur.chunk_id
+      |    AND lag.step = cur.step - kern.a
+      |  GROUP BY 1, 2, 3)
+      |SELECT v.chunk_id, CAST(v.i AS BIGINT) AS i,
+      |  CAST(sum(v.x) AS BIGINT) AS code_sum,
+      |  CAST(sum(cv.pcm) AS BIGINT) AS pcm_sum,
+      |  CAST(sum(cv.s0) AS BIGINT) AS s0_sum
+      |FROM x v
+      |JOIN conv cv ON cv.chunk_id = v.chunk_id AND cv.step = v.step
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** p21: MPEG-1 LAYER III STRUCTURAL DECODE ([[graft.sources.Mp3]],
+    * ISO/IEC 11172-3 §2.4.2.7) — the decode leg under the .mp3 frames
+    * p15 indexes: real composed frames mux→demux with the NORMATIVE
+    * structure under the oracle — the 17-byte mono side info, the
+    * §2.4.2.7 slen1/slen2 scalefactor widths with scfsi sharing of
+    * granule 0's values into granule 1, the big_values REGION
+    * partitioning by scalefactor-band offsets (stand-in i²+i → the
+    * region boundaries are triangular numbers i(i+1)/2 in pairs),
+    * per-value sign bits, the ESC+linbits mechanism on region 2's
+    * tables, the count1 quadruple area consumed until part2_3_length
+    * is EXACTLY exhausted (the spec's own consistency invariant,
+    * verified loudly in demux), and the §2.4.3.4 requantization
+    * x^(4/3)·2^((gain−210)/4) on the integer-exact regime (cube
+    * magnitudes, 4-divisible gains → signed c⁴·2^e sums). The Huffman
+    * TABLES are behind the [[graft.sources.Mp3.HuffSeam]] stand-in
+    * (appendix data); everything the oracle replays — part2_3_length
+    * bit budgets, region pair counts, code/sign/requant sums — is
+    * structure. Scale: the p17 envelope — per-chunk mapGroups,
+    * bytes-proportional, no shuffle inside a stream. */
+  private def p21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp3
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val cubes = Array(0, 1, 8)
+        val cubes2 = Array(0, 1, 8, 27)
+        def granule(i: Int, gr: Int, g0: Option[Mp3.Granule],
+            scfsi: Vector[Boolean]): Mp3.Granule = {
+          val bv = 10 + (i * 7 + gr * 3) % 30
+          val rc0 = (i + gr) % 6
+          val rc1 = (i * 3 + gr) % 6
+          val t0 = (i + gr) % 14
+          val t1 = 1 + (i * 5 + gr) % 14
+          val t2 = 18 + (i + gr) % 2
+          val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
+          val r1 = math.min(bv,
+            (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
+          val pairs = Vector.tabulate(bv) { p =>
+            def v(s2: Int): Int = {
+              val idx = p * 2 + s2
+              val m =
+                if (p < r0 + r1) cubes((i * 5 + idx * 7 + gr * 11) % 3)
+                else cubes2((i * 5 + idx * 7 + gr * 11) % 4)
+              if (m != 0 && (idx + i) % 2 == 1) -m else m
+            }
+            (v(0), v(1))
+          }
+          val c1 = Vector.tabulate((i * 3 + gr) % 8) { q =>
+            def cv(pos: Int): Int = ((i + q * 5 + pos * 3 + gr) % 3) - 1
+            (cv(0), cv(1), cv(2), cv(3))
+          }
+          val sfc = (i + 2 * gr) % 16
+          val (s1, s2) = Mp3.Slen(sfc)
+          val sfs = Vector.tabulate(21) { band =>
+            val shared = gr == 1 &&
+              scfsi(Mp3.ScfsiBands.indexWhere(_.contains(band)))
+            if (shared) g0.get.scalefacs(band)
+            else {
+              val len = if (band < 11) s1 else s2
+              if (len > 0) (i * 3 + band * 5 + gr * 7) % (1 << len)
+              else 0
+            }
+          }
+          Mp3.Granule(pairs, c1, 210 + 4 * ((i + gr) % 10), sfc,
+            (t0, t1, t2), rc0, rc1, preflag = (i + gr) % 2 == 0,
+            scalefacScale = i % 2 == 1, scalefacs = sfs)
+        }
+        val frames = (0 until n).map { i =>
+          val scfsi = Vector.tabulate(4)(b => (i + b) % 3 == 0)
+          val g0 = granule(i, 0, None, scfsi)
+          val g1 = granule(i, 1, Some(g0), scfsi)
+          Mp3.Mp3FrameData(bitrateIndex = 14, rateIndex = 2,
+            padding = i % 2 == 1, scfsi, Vector(g0, g1))
+        }
+        val rec = Mp3.demux(Mp3.mux(frames))
+        require(rec.size == n, s"chunk $cid: mp3 frame count drift")
+        rec.iterator.zipWithIndex.flatMap { case ((off, f), i) =>
+          (0 until 2).iterator.map { gr =>
+            val g = f.granules(gr)
+            val (r0, r1, r2) = g.regionPairs
+            val vals = g.bigValues.flatMap(p => Seq(p._1, p._2))
+            val c1vals = g.count1.flatMap(q =>
+              Seq(q._1, q._2, q._3, q._4))
+            (cid, i.toLong, gr.toLong, off, f.frameLen.toLong,
+              f.part23Length(gr).toLong, g.bigValues.length.toLong,
+              r0.toLong, r1.toLong, r2.toLong,
+              vals.map(v => math.abs(v).toLong).sum,
+              c1vals.count(_ != 0).toLong,
+              g.scalefacs.map(_.toLong).sum,
+              vals.map(v => Mp3.requantExact(v, g.globalGain)).sum)
+          }
+        }
+      }
+    }.toDF("chunk_id", "i", "gr", "offset", "frame_bytes", "part23",
+        "big_values", "r0_pairs", "r1_pairs", "r2_pairs", "code_sum",
+        "c1_nonzero", "sf_sum", "requant_sum")
+      .orderBy(col("chunk_id"), col("i"), col("gr"))
+  }
+
+  private val p21Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, gg.gr FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i),
+      |  (SELECT unnest(range(2)) AS gr) gg),
+      |-- side-info draws
+      |side AS (SELECT chunk_id, i, gr,
+      |    10 + (i * 7 + gr * 3) % 30 AS bv,
+      |    (i + gr) % 6 AS rc0, (i * 3 + gr) % 6 AS rc1,
+      |    18 + (i + gr) % 2 AS t2,
+      |    (i + 2 * gr) % 16 AS sfc,
+      |    210 + 4 * ((i + gr) % 10) AS gain,
+      |    (i * 3 + gr) % 8 AS nq
+      |  FROM f),
+      |-- region boundaries: stand-in sfb offsets i*i+i → pair
+      |-- boundaries are triangular numbers
+      |reg AS (SELECT *,
+      |    least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r0,
+      |    least(bv, (rc0 + rc1 + 2) * (rc0 + rc1 + 3) // 2)
+      |      - least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r1
+      |  FROM side),
+      |-- big-values draws: cube magnitudes, region 2 adds the ESC 27
+      |bvv AS (SELECT r.chunk_id, r.i, r.gr, r.bv, r.r0, r.r1, r.t2,
+      |    r.gain, v.idx,
+      |    CASE WHEN v.idx // 2 < r.r0 + r.r1
+      |      THEN list_extract([0, 1, 8],
+      |        CAST((r.i * 5 + v.idx * 7 + r.gr * 11) % 3 + 1 AS INT))
+      |      ELSE list_extract([0, 1, 8, 27],
+      |        CAST((r.i * 5 + v.idx * 7 + r.gr * 11) % 4 + 1 AS INT))
+      |    END AS m
+      |  FROM reg r, (SELECT unnest(range(80)) AS idx) v
+      |  WHERE v.idx < 2 * r.bv),
+      |bvagg AS (SELECT chunk_id, i, gr,
+      |    sum(m) AS code_sum,
+      |    -- signed requant: sign · c^4 · 2^((gain-210)/4) with the
+      |    -- cube roots of {0,1,8,27} being {0,1,2,3}
+      |    sum((CASE WHEN m != 0 AND (idx + i) % 2 = 1 THEN -1 ELSE 1 END)
+      |      * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |          ELSE 81 END)
+      |      * CAST(power(2, (gain - 210) // 4) AS BIGINT)) AS requant_sum,
+      |    -- part3 big-values bits: 4 per value + sign when nonzero +
+      |    -- linbits (t2-14: 18→4, 19→5) on region-2 ESC (m >= 15)
+      |    sum(4 + (CASE WHEN m != 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m >= 15 THEN t2 - 14 ELSE 0 END)) AS bv_bits
+      |  FROM bvv GROUP BY 1, 2, 3),
+      |-- count1 quadruples: values in {-1,0,1} from the kernel draw
+      |c1 AS (SELECT s.chunk_id, s.i, s.gr,
+      |    count(*) FILTER (q.q < s.nq
+      |      AND ((s.i + q.q * 5 + p.pos * 3 + s.gr) % 3) != 1)
+      |      AS c1_nonzero
+      |  FROM side s, (SELECT unnest(range(8)) AS q) q,
+      |    (SELECT unnest(range(4)) AS pos) p
+      |  GROUP BY 1, 2, 3),
+      |-- part2: slen widths from the §2.4.2.7 table, scfsi-shared
+      |-- granule-1 bands store nothing
+      |slen AS (SELECT s.chunk_id, s.i, s.gr, b.band,
+      |    CASE WHEN b.band < 11
+      |      THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+      |        CAST(s.sfc + 1 AS INT))
+      |      ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+      |        CAST(s.sfc + 1 AS INT)) END AS len,
+      |    (s.i + (CASE WHEN b.band < 6 THEN 0 WHEN b.band < 11 THEN 1
+      |      WHEN b.band < 16 THEN 2 ELSE 3 END)) % 3 = 0 AS shared0
+      |  FROM side s, (SELECT unnest(range(21)) AS band) b),
+      |p2 AS (SELECT chunk_id, i, gr,
+      |    sum(CASE WHEN gr = 1 AND shared0 THEN 0 ELSE len END) AS p2bits
+      |  FROM slen GROUP BY 1, 2, 3),
+      |-- scalefactor sums: granule 1's shared bands take granule 0's
+      |-- values (which use granule 0's slen widths)
+      |sfv AS (SELECT l.chunk_id, l.i, l.gr, l.band,
+      |    CASE WHEN l.gr = 1 AND l.shared0
+      |      THEN (CASE WHEN l0.len > 0
+      |        THEN (l.i * 3 + l.band * 5) % CAST(power(2, l0.len) AS BIGINT)
+      |        ELSE 0 END)
+      |      ELSE (CASE WHEN l.len > 0
+      |        THEN (l.i * 3 + l.band * 5 + l.gr * 7)
+      |          % CAST(power(2, l.len) AS BIGINT)
+      |        ELSE 0 END) END AS sf
+      |  FROM slen l
+      |  JOIN slen l0 ON l0.chunk_id = l.chunk_id AND l0.i = l.i
+      |    AND l0.gr = 0 AND l0.band = l.band),
+      |sfs AS (SELECT chunk_id, i, gr, sum(sf) AS sf_sum
+      |  FROM sfv GROUP BY 1, 2, 3)
+      |SELECT s.chunk_id, CAST(s.i AS BIGINT) AS i,
+      |  CAST(s.gr AS BIGINT) AS gr,
+      |  -- 320 kbps @ 32 kHz: 1440 B + the alternating padding byte
+      |  CAST(1440 * s.i + s.i // 2 AS BIGINT) AS "offset",
+      |  CAST(1440 + s.i % 2 AS BIGINT) AS frame_bytes,
+      |  CAST(p2.p2bits + a.bv_bits + s.nq * 4 + c1.c1_nonzero
+      |    AS BIGINT) AS part23,
+      |  CAST(s.bv AS BIGINT) AS big_values,
+      |  CAST(s.r0 AS BIGINT) AS r0_pairs,
+      |  CAST(s.r1 AS BIGINT) AS r1_pairs,
+      |  CAST(s.bv - s.r0 - s.r1 AS BIGINT) AS r2_pairs,
+      |  CAST(a.code_sum AS BIGINT) AS code_sum,
+      |  CAST(c1.c1_nonzero AS BIGINT) AS c1_nonzero,
+      |  CAST(sfs.sf_sum AS BIGINT) AS sf_sum,
+      |  CAST(a.requant_sum AS BIGINT) AS requant_sum
+      |FROM reg s
+      |JOIN bvagg a ON a.chunk_id = s.chunk_id AND a.i = s.i AND a.gr = s.gr
+      |JOIN c1 ON c1.chunk_id = s.chunk_id AND c1.i = s.i AND c1.gr = s.gr
+      |JOIN p2 ON p2.chunk_id = s.chunk_id AND p2.i = s.i AND p2.gr = s.gr
+      |JOIN sfs ON sfs.chunk_id = s.chunk_id AND sfs.i = s.i
+      |  AND sfs.gr = s.gr
+      |ORDER BY s.chunk_id, s.i, s.gr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -1402,5 +1721,7 @@ object DspQueries {
     Q("p17_mp2_subband_decode", p17, Some(p17Sql)),
     Q("p18_opus_continuity", p18, Some(p18Sql)),
     Q("p19_mp1_decode", p19, Some(p19Sql)),
+    Q("p20_mp2_synthesis", p20, Some(p20Sql)),
+    Q("p21_mp3_structure", p21, Some(p21Sql)),
   )
 }

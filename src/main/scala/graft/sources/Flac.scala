@@ -75,6 +75,9 @@ object Flac {
     private var bit = 0     // bits consumed within bytes(pos)
 
     def bytePos: Int = pos
+    /** Absolute bit position (byte·8 + intra-byte bits) — differences
+      * give exact bits-consumed counts (Mp3's part2_3_length check). */
+    def bitPos: Long = pos.toLong * 8 + bit
     def aligned: Boolean = bit == 0
     def atEnd: Boolean = pos >= end
 

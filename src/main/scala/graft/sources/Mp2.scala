@@ -32,9 +32,12 @@ import graft.sources.Flac.{BitReader, BitWriter}
   * are replaced by a uniform 4-bit allocation field over sblimit = 30
   * subbands; the dequantization C/D constants use the midrise formula
   * (2c + 1 − L)/(L + 1) instead of Table 3-B.4's values; the 512-tap
-  * synthesis WINDOW (Table 3-B.3) is not carried, so the module stops
-  * at the matrixing stage (V vector), which is the integer-expressible
-  * part the p17 oracle and Mp2Spec pin. */
+  * synthesis WINDOW values (Table 3-B.3) are a deterministic stand-in
+  * ([[Window]]). The synthesis STRUCTURE past matrixing — §2.4.3.2's
+  * V shift register, the V→U map, W = U·D windowing and the 16-term
+  * output sum — is fully implemented ([[Synth]], integer-exact, the
+  * p20 oracle and Mp2Spec pin it); dropping in the real Table 3-B.3
+  * values is the same value swap as Vp8's Profile. */
 object Mp2 {
 
   val Sblimit = 30
@@ -351,4 +354,82 @@ object Mp2 {
     * Table 3-B.4 data — see module doc): (2c + 1 − L)/(L + 1). */
   def dequant(code: Int, levels: Int): Double =
     (2.0 * code + 1.0 - levels) / (levels + 1.0)
+
+  // ---- synthesis windowing [§2.4.3.2] ------------------------------------------
+
+  /** STAND-IN 512-tap synthesis window (Table 3-B.3 is appendix DATA —
+    * the same seam class as the allocation tables; swap in the real
+    * coefficients to decode foreign files). Deterministic and
+    * SQL-expressible so the p20 oracle can derive its convolution
+    * constants from the same values. */
+  val Window: Array[Int] = Array.tabulate(512)(p => ((p * 31 + 7) % 127) - 63)
+
+  /** The §2.4.3.2 synthesis FILTERBANK STRUCTURE, which IS normative:
+    * a 1024-entry V shift register (shifted by 64 per step, the new
+    * matrixing output entering at the front), the V→U index map
+    * (U[64i+j] = V[128i+j], U[64i+32+j] = V[128i+96+j] for i in 0..7,
+    * j in 0..31), the per-tap windowing W = U·D, and the 16-term
+    * output sum S[j] = Σ_i W[j+32i]. Integer-exact end to end: V is
+    * Q14 (the [[matrixing]] bank) times raw subband codes, the window
+    * is integer, so samples are exact Longs both sides of an oracle.
+    * One step consumes ONE sample per subband (a granule is three
+    * consecutive steps). */
+  final class Synth(window: Array[Int] = Window) {
+    require(window.length == 512,
+      s"mp2: synthesis window needs 512 taps, got ${window.length}")
+    private val v = new Array[Long](1024)
+    /** One filterbank step: 32 subband samples → 32 PCM samples. */
+    def step(s: Array[Int]): Array[Long] = {
+      System.arraycopy(v, 0, v, 64, 960) // V shift by 64 [§2.4.3.2]
+      val m = matrixing(s)
+      System.arraycopy(m, 0, v, 0, 64)
+      val u = new Array[Long](512)
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 32) {
+          u(64 * i + j) = v(128 * i + j)
+          u(64 * i + 32 + j) = v(128 * i + 96 + j)
+          j += 1
+        }
+        i += 1
+      }
+      val out = new Array[Long](32)
+      var jo = 0
+      while (jo < 32) {
+        var acc = 0L
+        var q = 0
+        while (q < 16) {
+          acc += u(jo + 32 * q) * window(jo + 32 * q); q += 1
+        }
+        out(jo) = acc
+        jo += 1
+      }
+      out
+    }
+  }
+
+  /** The p20 oracle's closed form: with an IMPULSE input (only subband
+    * 0 nonzero, value x per step), V_g(b) = x_g·M0(b), so the summed
+    * PCM output at step g is Σ_{a=0..15} x_{g−a}·KSum(a) and sample 0
+    * is Σ_a x_{g−a}·K0(a). Derived here from [[Matrix]] and the
+    * window — Mp2Spec pins these against a brute [[Synth]] run, and
+    * the p20 SQL embeds the same 2×16 constants. */
+  def impulseKernels(window: Array[Int] = Window): (Array[Long], Array[Long]) = {
+    val kSum = Array.tabulate(16) { a =>
+      var acc = 0L
+      var j = 0
+      while (j < 32) {
+        val b = if (a % 2 == 0) j else 32 + j
+        acc += Matrix(b)(0).toLong * window(32 * a + j)
+        j += 1
+      }
+      acc
+    }
+    val k0 = Array.tabulate(16) { a =>
+      val b = if (a % 2 == 0) 0 else 32
+      Matrix(b)(0).toLong * window(32 * a)
+    }
+    (kSum, k0)
+  }
 }

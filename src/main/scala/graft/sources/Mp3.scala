@@ -1,0 +1,367 @@
+package graft.sources
+
+import graft.sources.Flac.{BitReader, BitWriter}
+
+/** MPEG-1 Audio Layer III STRUCTURAL codec (ISO/IEC 11172-3 §2.4.1.7 /
+  * §2.4.2.7; the reference decodes .mp3 through libav,
+  * streamtasks/media/codec.py:50-135) — the decode leg under p15's
+  * frame index for the most common real-world audio format: where p15
+  * walks Layer III headers, this packs and recovers the actual frame
+  * payload structure.
+  *
+  * NORMATIVE here (spec text, not appendix data):
+  *  - the header layout with the Layer III bitrate column
+  *    {32..320} and the 144·bitrate/rate + padding frame arithmetic;
+  *  - the MONO side-info layout (17 bytes): main_data_begin(9),
+  *    private_bits(5), scfsi(4 × 1), then per granule
+  *    part2_3_length(12), big_values(9), global_gain(8),
+  *    scalefac_compress(4), window_switching_flag(1), table_select(3×5),
+  *    region0_count(4), region1_count(3), preflag(1),
+  *    scalefac_scale(1), count1table_select(1);
+  *  - the slen1/slen2 table of §2.4.2.7 (scalefac_compress → stored
+  *    scalefactor widths, bands 0–10 at slen1 and 11–20 at slen2 for
+  *    long blocks) and the scfsi sharing of granule-0 scalefactors
+  *    into granule 1 per 4 scfsi bands (0–5, 6–10, 11–15, 16–20);
+  *  - the REGION partitioning of the big_values area: samples
+  *    [0, sfbOffset(region0_count+1)) are region 0,
+  *    up to sfbOffset(region0_count+region1_count+2) region 1, the
+  *    rest of the 2·big_values samples region 2, each with its own
+  *    table_select; then the count1 area of (v,w,x,y) quadruples,
+  *    consumed until part2_3_length is exhausted (verified EXACTLY);
+  *  - per-value SIGN bits following each nonzero decoded magnitude,
+  *    and the ESC mechanism (magnitude 15 + linbits extension) for
+  *    tables ≥ 16;
+  *  - the requantization rule xr = sign·|ix|^(4/3)·2^((global_gain −
+  *    210)/4) — [[requantExact]] keeps it integer-exact on
+  *    perfect-cube magnitudes and 4-divisible gains, the regime the
+  *    p21 oracle pins (the general float path is the same formula).
+  *
+  * Documented STAND-INS/SEAMS (appendix DATA, same class as Vp8's
+  * Profile and Mp2's Window — a value swap, not a code change):
+  *  - the HUFFMAN code tables (Tables B.5–B.7): replaced by fixed
+  *    4-bit magnitude fields per value with the real sign/ESC/linbits
+  *    STRUCTURE around them ([[HuffSeam]]); linbits(t) is a
+  *    deterministic stand-in;
+  *  - the scalefactor-band offset table (Table B.8, per sample rate):
+  *    stand-in [[SfbOffsets]] i²+i (even, strictly increasing);
+  *  - the count1 quadruple code: fixed 4 bits (the shape of the
+  *    spec's count1 table B) with stand-in value mapping.
+  *
+  * Subset boundaries, loud: main_data_begin must be 0 (the bit
+  * reservoir spreads a granule across preceding frames — an archive
+  * indexer can still walk these frames, but payload decode with a
+  * reservoir needs buffered previous frames), window_switching_flag
+  * must be 0 (long blocks), mono only. */
+object Mp3 {
+
+  /** Layer III bitrate table, kbps (Table 3-B.1 column III). */
+  val BitratesL3: Vector[Int] = Vector(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320)
+  import Mp2.Rates
+
+  /** §2.4.2.7 slen table: scalefac_compress → (slen1, slen2). */
+  val Slen: Vector[(Int, Int)] = Vector(
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+  /** STAND-IN scalefactor-band offsets (Table B.8 is per-rate appendix
+    * data): 23 entries, even, strictly increasing. Region boundaries
+    * index this. */
+  val SfbOffsets: Array[Int] = Array.tabulate(23)(i => i * i + i)
+
+  /** The Huffman-table seam: the real Tables B.5–B.7 are appendix
+    * DATA; the structural contract per table id t is what's coded
+    * here — magnitudes 0..15 (4-bit stand-in fields), ESC = 15 +
+    * linbits(t) extension bits for t ≥ 16, and a sign bit after every
+    * nonzero value. */
+  object HuffSeam {
+    def linbits(t: Int): Int = if (t < 16) 0 else (t % 4) + 2
+    def maxMag(t: Int): Int = 15 + (if (t < 16) 0 else (1 << linbits(t)) - 1)
+    /** Bits one VALUE of magnitude m costs under table t (4-bit field
+      * + linbits when ESC + sign when nonzero). */
+    def valueBits(t: Int, m: Int): Int = {
+      val esc = if (t >= 16 && m >= 15) linbits(t) else 0
+      4 + esc + (if (m != 0) 1 else 0)
+    }
+    def write(w: BitWriter, t: Int, v: Int): Unit = {
+      val m = math.abs(v)
+      require(m <= maxMag(t), s"mp3: magnitude $m beyond table $t")
+      if (t >= 16 && m >= 15) {
+        w.writeBits(15L, 4)
+        w.writeBits((m - 15).toLong, linbits(t))
+      } else {
+        require(m < 15 || t >= 16, s"mp3: magnitude 15 needs an ESC table")
+        w.writeBits(m.toLong, 4)
+      }
+      if (m != 0) w.writeBits(if (v < 0) 1L else 0L, 1)
+    }
+    def read(r: BitReader, t: Int): Int = {
+      var m = r.readBits(4).toInt
+      if (t >= 16 && m == 15) m += r.readBits(linbits(t)).toInt
+      if (m != 0 && r.readBits(1) == 1L) -m else m
+    }
+  }
+
+  /** One granule's coded content (long blocks). `bigValues` pairs of
+    * signed samples ride the three regions; `count1` quadruples of
+    * ±1/0 values follow. Scalefactors: granule 0 stores all 21;
+    * granule 1 stores only the scfsi-0 bands. */
+  final case class Granule(bigValues: Vector[(Int, Int)],
+      count1: Vector[(Int, Int, Int, Int)],
+      globalGain: Int, scalefacCompress: Int,
+      tableSelect: (Int, Int, Int),
+      region0Count: Int, region1Count: Int,
+      preflag: Boolean, scalefacScale: Boolean,
+      scalefacs: Vector[Int]) {
+    require(bigValues.length <= 288, s"mp3: ${bigValues.length} pairs")
+    require(globalGain >= 0 && globalGain < 256, "mp3: global_gain")
+    require(scalefacCompress >= 0 && scalefacCompress < 16,
+      "mp3: scalefac_compress")
+    require(Seq(tableSelect._1, tableSelect._2, tableSelect._3)
+      .forall(t => t >= 0 && t < 32), "mp3: table_select")
+    require(region0Count >= 0 && region0Count <= 7 &&
+      region1Count >= 0 && region1Count <= 7,
+      "mp3: region counts (0..7 keeps the offsets in the 23-entry table)")
+    require(count1.forall { case (v, w, x, y) =>
+      Seq(v, w, x, y).forall(q => q >= -1 && q <= 1) },
+      "mp3: count1 values are in {-1, 0, 1}")
+    require(scalefacs.length == 21 &&
+      scalefacs.forall(v => v >= 0 && v < 16), "mp3: 21 scalefactors")
+    /** The three region sizes in PAIRS [§2.4.2.7]: boundaries from the
+      * sfb offsets, clipped to big_values. */
+    def regionPairs: (Int, Int, Int) = {
+      val bv = bigValues.length
+      val r0 = math.min(bv, SfbOffsets(region0Count + 1) / 2)
+      val r1 = math.min(bv,
+        SfbOffsets(region0Count + region1Count + 2) / 2) - r0
+      (r0, r1, bv - r0 - r1)
+    }
+    /** Which table codes pair index p. */
+    def tableOf(p: Int): Int = {
+      val (r0, r1, _) = regionPairs
+      if (p < r0) tableSelect._1
+      else if (p < r0 + r1) tableSelect._2
+      else tableSelect._3
+    }
+  }
+
+  /** The scfsi bands of §2.4.2.7: scalefactor bands 0-5, 6-10, 11-15,
+    * 16-20. */
+  val ScfsiBands: Vector[Range] =
+    Vector(0 until 6, 6 until 11, 11 until 16, 16 until 21)
+
+  final case class Mp3FrameData(bitrateIndex: Int, rateIndex: Int,
+      padding: Boolean, scfsi: Vector[Boolean],
+      granules: Vector[Granule]) {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, "mp3: bitrate index")
+    require(rateIndex >= 0 && rateIndex <= 2, "mp3: rate index")
+    require(scfsi.length == 4, "mp3: four scfsi bands")
+    require(granules.length == 2, "mp3: two granules per MPEG-1 frame")
+    def frameLen: Int =
+      144 * BitratesL3(bitrateIndex) * 1000 / Rates(rateIndex) +
+        (if (padding) 1 else 0)
+    /** Stored scalefactor bits for granule gr (part2): granule 1 skips
+      * scfsi-shared bands. */
+    def part2Bits(gr: Int): Int = {
+      val g = granules(gr)
+      val (s1, s2) = Slen(g.scalefacCompress)
+      (0 until 21).map { band =>
+        val shared = gr == 1 &&
+          scfsi(ScfsiBands.indexWhere(_.contains(band)))
+        if (shared) 0 else if (band < 11) s1 else s2
+      }.sum
+    }
+    /** Huffman-area bits for granule gr (part3). */
+    def part3Bits(gr: Int): Int = {
+      val g = granules(gr)
+      g.bigValues.zipWithIndex.map { case ((x, y), p) =>
+        val t = g.tableOf(p)
+        HuffSeam.valueBits(t, math.abs(x)) +
+          HuffSeam.valueBits(t, math.abs(y))
+      }.sum + g.count1.map { case (v, w, x, y) =>
+        4 + Seq(v, w, x, y).count(_ != 0)
+      }.sum
+    }
+    def part23Length(gr: Int): Int = part2Bits(gr) + part3Bits(gr)
+    def bodyBits: Int = part23Length(0) + part23Length(1)
+  }
+
+  /** Exact requantization on the integer-exact regime: |ix| a perfect
+    * cube c³ and global_gain = 210 + 4e → xr = sign·c⁴·2^e
+    * [§2.4.3.4's x^(4/3)·2^((gain−210)/4) rule]. */
+  def requantExact(ix: Int, globalGain: Int): Long = {
+    val m = math.abs(ix)
+    val c = math.round(math.cbrt(m.toDouble)).toInt
+    require(c * c * c == m,
+      s"mp3: $ix is not a perfect cube (the exact-integer regime)")
+    val e = globalGain - 210
+    require(e >= 0 && e % 4 == 0,
+      s"mp3: global_gain $globalGain off the 210 + 4e exact grid")
+    val mag = c.toLong * c * c * c << (e / 4)
+    if (ix < 0) -mag else mag
+  }
+
+  def mux(frames: Seq[Mp3FrameData]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(4 + 17 + (f.bodyBits + 7) / 8 <= f.frameLen,
+        s"mp3: ${f.bodyBits} main-data bits overrun the " +
+          s"${f.frameLen}-byte frame")
+      // header: sync(11) version 11 LAYER 01 protection 1 → 0xFF 0xFB
+      out.write(0xFF); out.write(0xFB)
+      out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+        (if (f.padding) 2 else 0))
+      out.write(0xC0) // mono
+      val w = new BitWriter
+      // ---- side info (17 bytes, mono) ----
+      w.writeBits(0L, 9) // main_data_begin = 0 (no reservoir, subset)
+      w.writeBits(0L, 5) // private_bits
+      f.scfsi.foreach(b => w.writeBits(if (b) 1L else 0L, 1))
+      (0 until 2).foreach { gr =>
+        val g = f.granules(gr)
+        w.writeBits(f.part23Length(gr).toLong, 12)
+        w.writeBits(g.bigValues.length.toLong, 9)
+        w.writeBits(g.globalGain.toLong, 8)
+        w.writeBits(g.scalefacCompress.toLong, 4)
+        w.writeBits(0L, 1) // window_switching_flag: long blocks
+        Seq(g.tableSelect._1, g.tableSelect._2, g.tableSelect._3)
+          .foreach(t => w.writeBits(t.toLong, 5))
+        w.writeBits(g.region0Count.toLong, 4)
+        w.writeBits(g.region1Count.toLong, 3)
+        w.writeBits(if (g.preflag) 1L else 0L, 1)
+        w.writeBits(if (g.scalefacScale) 1L else 0L, 1)
+        w.writeBits(0L, 1) // count1table_select (stand-in mapping)
+      }
+      // ---- main data (main_data_begin = 0: this frame's bits) ----
+      (0 until 2).foreach { gr =>
+        val g = f.granules(gr)
+        val (s1, s2) = Slen(g.scalefacCompress)
+        (0 until 21).foreach { band =>
+          val shared = gr == 1 &&
+            f.scfsi(ScfsiBands.indexWhere(_.contains(band)))
+          if (!shared) {
+            val len = if (band < 11) s1 else s2
+            if (len > 0) {
+              require(g.scalefacs(band) < (1 << len),
+                s"mp3: scalefactor ${g.scalefacs(band)} beyond slen $len")
+              w.writeBits(g.scalefacs(band).toLong, len)
+            } else require(g.scalefacs(band) == 0,
+              "mp3: nonzero scalefactor in a zero-width slen slot")
+          }
+        }
+        g.bigValues.zipWithIndex.foreach { case ((x, y), p) =>
+          val t = g.tableOf(p)
+          HuffSeam.write(w, t, x); HuffSeam.write(w, t, y)
+        }
+        g.count1.foreach { case (v, w4, x, y) =>
+          val quad = Seq(v, w4, x, y)
+          w.writeBits(quad.map(q => if (q != 0) 1 else 0)
+            .foldLeft(0L)((a, b) => (a << 1) | b), 4)
+          quad.filter(_ != 0).foreach(q =>
+            w.writeBits(if (q < 0) 1L else 0L, 1))
+        }
+      }
+      val body = w.toBytes
+      out.write(body, 0, body.length)
+      var stuff = f.frameLen - 4 - body.length
+      require(stuff >= 0, "mp3: body overran the frame")
+      while (stuff > 0) { out.write(0); stuff -= 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Walk a Layer III stream back: offsets + full structural recovery.
+    * part2_3_length is verified EXACTLY against the bits consumed —
+    * the spec's own consistency invariant — and every subset boundary
+    * fails loudly. */
+  def demux(bytes: Array[Byte]): Seq[(Long, Mp3FrameData)] = {
+    val out = Seq.newBuilder[(Long, Mp3FrameData)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, s"mp3: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xff) == 0xFB,
+        s"mp3: lost sync at $pos (MPEG-1 Layer III no-CRC expected)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp3: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp3: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      require((bytes(pos + 3) & 0xc0) == 0xc0, s"mp3: not mono at $pos")
+      val fl = 144 * BitratesL3(bi) * 1000 / Rates(ri) + (if (pad) 1 else 0)
+      require(pos + fl <= bytes.length,
+        s"mp3: frame length $fl overruns the stream at $pos")
+      val r = new BitReader(bytes, pos + 4, pos + fl)
+      require(r.readBits(9) == 0L,
+        "mp3: main_data_begin != 0 out of scope (bit reservoir)")
+      r.readBits(5) // private_bits
+      val scfsi = Vector.fill(4)(r.readBits(1) == 1L)
+      final case class Side(p23: Int, bv: Int, gain: Int, sfc: Int,
+          ts: (Int, Int, Int), rc0: Int, rc1: Int, pre: Boolean,
+          sfs: Boolean)
+      val sides = Vector.fill(2) {
+        val p23 = r.readBits(12).toInt
+        val bv = r.readBits(9).toInt
+        require(bv <= 288, s"mp3: big_values $bv beyond 288 at $pos")
+        val gain = r.readBits(8).toInt
+        val sfc = r.readBits(4).toInt
+        require(r.readBits(1) == 0L,
+          "mp3: window_switching_flag out of scope (long blocks only)")
+        val ts = (r.readBits(5).toInt, r.readBits(5).toInt,
+          r.readBits(5).toInt)
+        val rc0 = r.readBits(4).toInt
+        val rc1 = r.readBits(3).toInt
+        require(rc0 <= 7, s"mp3: region0_count $rc0 beyond the " +
+          "23-entry offset table with region1")
+        val pre = r.readBits(1) == 1L
+        val sfs = r.readBits(1) == 1L
+        r.readBits(1) // count1table_select
+        Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs)
+      }
+      var prevSfs: Vector[Int] = Vector.fill(21)(0)
+      val granules = (0 until 2).map { gr =>
+        val s = sides(gr)
+        val bitsBefore = r.bitPos
+        val (s1, s2) = Slen(s.sfc)
+        val sfs = (0 until 21).map { band =>
+          val shared = gr == 1 &&
+            scfsi(ScfsiBands.indexWhere(_.contains(band)))
+          if (shared) prevSfs(band)
+          else {
+            val len = if (band < 11) s1 else s2
+            if (len > 0) r.readBits(len).toInt else 0
+          }
+        }.toVector
+        prevSfs = sfs
+        // region partitioning: table per pair from the side info
+        val r0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
+        val r1 = math.min(s.bv,
+          SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - r0
+        val bvs = (0 until s.bv).map { p =>
+          val t = if (p < r0) s.ts._1
+            else if (p < r0 + r1) s.ts._2 else s.ts._3
+          (HuffSeam.read(r, t), HuffSeam.read(r, t))
+        }.toVector
+        // count1: quadruples until part2_3_length is exhausted
+        val c1 = Vector.newBuilder[(Int, Int, Int, Int)]
+        while (r.bitPos - bitsBefore < s.p23) {
+          val mask = r.readBits(4).toInt
+          val quad = (3 to 0 by -1).map { b =>
+            if ((mask & (1 << b)) != 0) {
+              if (r.readBits(1) == 1L) -1 else 1
+            } else 0
+          }
+          c1 += ((quad(0), quad(1), quad(2), quad(3)))
+        }
+        require(r.bitPos - bitsBefore == s.p23,
+          s"mp3: granule $gr consumed ${r.bitPos - bitsBefore} bits, " +
+            s"part2_3_length says ${s.p23} at $pos")
+        Granule(bvs, c1.result(), s.gain, s.sfc, s.ts, s.rc0, s.rc1,
+          s.pre, s.sfs, sfs)
+      }.toVector
+      out += ((pos.toLong, Mp3FrameData(bi, ri, pad, scfsi, granules)))
+      pos += fl
+    }
+    out.result()
+  }
+}

@@ -205,4 +205,63 @@ class Mp2Spec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("overruns"))
   }
+
+  test("synthesis filterbank [§2.4.3.2]: Synth matches a brute " +
+      "reference that recomputes V/U/W from the full input history at " +
+      "every step, over dense random inputs") {
+    val rnd = new scala.util.Random(11)
+    val steps = Vector.fill(40)(Array.fill(32)(rnd.nextInt(31) - 15))
+    val synth = new Mp2.Synth()
+    // brute reference: Vreg[64a + b] = matrixing(steps(g - a))(b)
+    def brute(g: Int): Array[Long] = {
+      val vreg = new Array[Long](1024)
+      for (a <- 0 to 15; if g - a >= 0) {
+        val m = Mp2.matrixing(steps(g - a))
+        System.arraycopy(m, 0, vreg, 64 * a, 64)
+      }
+      val u = new Array[Long](512)
+      for (i <- 0 until 8; j <- 0 until 32) {
+        u(64 * i + j) = vreg(128 * i + j)
+        u(64 * i + 32 + j) = vreg(128 * i + 96 + j)
+      }
+      Array.tabulate(32)(j =>
+        (0 until 16).map(q => u(j + 32 * q) * Mp2.Window(j + 32 * q)).sum)
+    }
+    steps.indices.foreach { g =>
+      val got = synth.step(steps(g))
+      assert(got.sameElements(brute(g)), s"step $g")
+    }
+    // zero input leaves a zeroed register invariant
+    assert(new Mp2.Synth().step(new Array[Int](32)).forall(_ == 0L))
+    intercept[IllegalArgumentException] {
+      new Mp2.Synth(new Array[Int](5))
+    }
+  }
+
+  test("impulse kernels: the 2x16 convolution constants the p20 oracle " +
+      "embeds equal Mp2.impulseKernels AND reproduce a real Synth run " +
+      "over an impulse train on subband 0") {
+    val (kSum, k0) = Mp2.impulseKernels()
+    assert(kSum.toSeq == Seq(-1558035L, 270971L, 2046024L, -1509363L,
+      -1375811L, 457184L, 1668559L, -1128332L, -451780L, -830438L,
+      556399L, -765335L, -258888L, -610951L, 254753L, -456567L),
+      "pcm-sum kernel drift vs the p20 SQL literals")
+    assert(k0.toSeq == Seq(-648760L, -544495L, 266455L, 11585L,
+      -289625L, 567665L, 625590L, -347550L, 69510L, 208530L, -486570L,
+      -706685L, 428645L, -150605L, -127435L, 405475L),
+      "sample-0 kernel drift vs the p20 SQL literals")
+    val xs = Vector.tabulate(50)(g => (g * 7 + 3) % 15)
+    val synth = new Mp2.Synth()
+    val sVec = new Array[Int](32)
+    xs.indices.foreach { g =>
+      sVec(0) = xs(g)
+      val out = synth.step(sVec)
+      val wantPcm = (0 to 15).map(a =>
+        if (g - a >= 0) xs(g - a).toLong * kSum(a) else 0L).sum
+      val want0 = (0 to 15).map(a =>
+        if (g - a >= 0) xs(g - a).toLong * k0(a) else 0L).sum
+      assert(out.sum == wantPcm, s"step $g pcm sum")
+      assert(out(0) == want0, s"step $g sample 0")
+    }
+  }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import graft.sources.Mp3
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG-1 Layer III structural codec (ISO/IEC 11172-3 §2.4.2.7):
+  * side-info layout, slen/scfsi scalefactor mechanics, region
+  * partitioning, the part2_3_length exact-consumption invariant, the
+  * ESC/sign structure around the Huffman seam, and the §2.4.3.4
+  * requantization arithmetic on its integer-exact regime. Complements
+  * the p21 oracle the way Mp2Spec complements p17/p20. */
+class Mp3Spec extends AnyFunSuite {
+
+  private def granule(i: Int, gr: Int, g0: Option[Mp3.Granule],
+      scfsi: Vector[Boolean]): Mp3.Granule = {
+    val bv = 10 + (i * 7 + gr * 3) % 30
+    val rc0 = (i + gr) % 6
+    val rc1 = (i * 3 + gr) % 6
+    val t2 = 18 + (i + gr) % 2
+    val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
+    val r1 = math.min(bv, (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
+    val cubes = Array(0, 1, 8); val cubes2 = Array(0, 1, 8, 27)
+    val pairs = Vector.tabulate(bv) { p =>
+      def v(s2: Int): Int = {
+        val idx = p * 2 + s2
+        val m = if (p < r0 + r1) cubes((i * 5 + idx * 7 + gr * 11) % 3)
+          else cubes2((i * 5 + idx * 7 + gr * 11) % 4)
+        if (m != 0 && (idx + i) % 2 == 1) -m else m
+      }
+      (v(0), v(1))
+    }
+    val c1 = Vector.tabulate((i * 3 + gr) % 8) { q =>
+      def cv(pos: Int): Int = ((i + q * 5 + pos * 3 + gr) % 3) - 1
+      (cv(0), cv(1), cv(2), cv(3))
+    }
+    val sfc = (i + 2 * gr) % 16
+    val (s1, s2) = Mp3.Slen(sfc)
+    val sfs = Vector.tabulate(21) { band =>
+      val shared = gr == 1 &&
+        scfsi(Mp3.ScfsiBands.indexWhere(_.contains(band)))
+      if (shared) g0.get.scalefacs(band)
+      else {
+        val len = if (band < 11) s1 else s2
+        if (len > 0) (i * 3 + band * 5 + gr * 7) % (1 << len) else 0
+      }
+    }
+    Mp3.Granule(pairs, c1, 210 + 4 * ((i + gr) % 10), sfc,
+      ((i + gr) % 14, 1 + (i * 5 + gr) % 14, t2), rc0, rc1,
+      preflag = (i + gr) % 2 == 0, scalefacScale = i % 2 == 1,
+      scalefacs = sfs)
+  }
+
+  private def frame(i: Int): Mp3.Mp3FrameData = {
+    val scfsi = Vector.tabulate(4)(b => (i + b) % 3 == 0)
+    val g0 = granule(i, 0, None, scfsi)
+    Mp3.Mp3FrameData(14, 2, padding = i % 2 == 1, scfsi,
+      Vector(g0, granule(i, 1, Some(g0), scfsi)))
+  }
+
+  test("mux → demux round-trips every structural field: side info, " +
+      "scalefactors with scfsi sharing, signed big-values across all " +
+      "three regions incl. region 2's ESC+linbits, count1 quadruples, " +
+      "and the 144·bitrate/rate + pad frame arithmetic") {
+    val frames = (0 until 8).map(frame)
+    val rec = Mp3.demux(Mp3.mux(frames))
+    assert(rec.size == 8)
+    var expOff = 0L
+    rec.zip(frames).zipWithIndex.foreach { case (((off, got), want), i) =>
+      assert(off == expOff, s"frame $i offset")
+      expOff += want.frameLen
+      assert(got.bitrateIndex == 14 && got.rateIndex == 2 &&
+        got.padding == want.padding && got.scfsi == want.scfsi)
+      got.granules.zip(want.granules).zipWithIndex.foreach {
+        case ((g, w), gr) =>
+          assert(g.bigValues == w.bigValues, s"frame $i gr $gr values")
+          assert(g.count1 == w.count1, s"frame $i gr $gr count1")
+          assert(g.globalGain == w.globalGain &&
+            g.scalefacCompress == w.scalefacCompress &&
+            g.tableSelect == w.tableSelect &&
+            g.region0Count == w.region0Count &&
+            g.region1Count == w.region1Count &&
+            g.preflag == w.preflag &&
+            g.scalefacScale == w.scalefacScale, s"frame $i gr $gr side")
+          assert(g.scalefacs == w.scalefacs, s"frame $i gr $gr sfs")
+      }
+    }
+  }
+
+  test("scfsi sharing [§2.4.2.7]: granule 1's shared bands store NO " +
+      "bits and read back granule 0's values; the part2 budget " +
+      "reflects it exactly") {
+    val f = frame(3) // scfsi = (3+b) % 3 == 0 → bands 0 and 3 shared
+    assert(f.scfsi == Vector(true, false, false, true))
+    val rec = Mp3.demux(Mp3.mux(Seq(f))).head._2
+    val (g0, g1) = (rec.granules(0), rec.granules(1))
+    Mp3.ScfsiBands.zipWithIndex.foreach { case (bands, b) =>
+      if (f.scfsi(b))
+        bands.foreach(band => assert(g1.scalefacs(band) ==
+          g0.scalefacs(band), s"band $band must share"))
+    }
+    // the shared bands subtract their slen widths from part2
+    val (s1, s2) = Mp3.Slen(f.granules(1).scalefacCompress)
+    val sharedBits = (0 until 21).map { band =>
+      val b = Mp3.ScfsiBands.indexWhere(_.contains(band))
+      if (f.scfsi(b)) (if (band < 11) s1 else s2) else 0
+    }.sum
+    val allBits = (0 until 21).map(band =>
+      if (band < 11) s1 else s2).sum
+    assert(f.part2Bits(1) == allBits - sharedBits)
+  }
+
+  test("region partitioning: boundaries are the stand-in triangular " +
+      "pair counts, clipped to big_values, and each pair's table " +
+      "comes from its region") {
+    val g = frame(2).granules(0)
+    val (r0, r1, r2) = g.regionPairs
+    assert(r0 == math.min(g.bigValues.length,
+      (g.region0Count + 1) * (g.region0Count + 2) / 2))
+    assert(r0 + r1 + r2 == g.bigValues.length)
+    assert(g.tableOf(0) == g.tableSelect._1)
+    if (r2 > 0) assert(g.tableOf(r0 + r1) == g.tableSelect._3)
+  }
+
+  test("part2_3_length is the exact bit consumption (the spec's own " +
+      "invariant): a side-info length lie is caught loudly") {
+    val f = frame(1)
+    val bytes = Mp3.mux(Seq(f))
+    // part2_3_length for granule 0 sits at bit 18 of the side info
+    // (after main_data_begin 9 + private 5 + scfsi 4), i.e. bits
+    // 18..29 of byte 4 onward: byte 6 holds its bits 2..9
+    bytes(6) = (bytes(6) ^ 0x10).toByte
+    val ex = intercept[IllegalArgumentException] { Mp3.demux(bytes) }
+    assert(ex.getMessage.contains("part2_3_length") ||
+      ex.getMessage.contains("consumed"))
+  }
+
+  test("subset boundaries are loud: nonzero main_data_begin (bit " +
+      "reservoir), and malformed granules are rejected at " +
+      "construction") {
+    val bytes = Mp3.mux(Seq(frame(0)))
+    bytes(4) = (bytes(4) | 0x80).toByte // main_data_begin high bit
+    val ex = intercept[IllegalArgumentException] { Mp3.demux(bytes) }
+    assert(ex.getMessage.contains("main_data_begin"))
+    intercept[IllegalArgumentException] {
+      frame(0).granules(0).copy(region0Count = 8)
+    }
+    intercept[IllegalArgumentException] {
+      frame(0).granules(0).copy(count1 = Vector((2, 0, 0, 0)))
+    }
+  }
+
+  test("HuffSeam: ESC + linbits on tables >= 16 round-trips the full " +
+      "magnitude range with signs; overlong magnitudes are loud") {
+    import graft.sources.Flac.{BitReader, BitWriter}
+    val t = 19 // linbits 5 → magnitudes to 46
+    val vals = Seq(0, 1, -1, 14, 15, -15, 27, -27, 46, -46)
+    val w = new BitWriter
+    vals.foreach(v => Mp3.HuffSeam.write(w, t, v))
+    val bytes = w.toBytes
+    val r = new BitReader(bytes, 0, bytes.length)
+    vals.foreach(v => assert(Mp3.HuffSeam.read(r, t) == v, s"value $v"))
+    intercept[IllegalArgumentException] {
+      Mp3.HuffSeam.write(new BitWriter, 19, 47)
+    }
+    intercept[IllegalArgumentException] {
+      Mp3.HuffSeam.write(new BitWriter, 3, 15) // 15 needs an ESC table
+    }
+  }
+
+  test("requantExact [§2.4.3.4]: xr = sign·|ix|^(4/3)·2^((gain−210)/4) " +
+      "on the integer-exact regime — cubes map to fourth powers, the " +
+      "gain doubles per +4, and off-regime inputs are loud") {
+    assert(Mp3.requantExact(0, 210) == 0L)
+    assert(Mp3.requantExact(1, 210) == 1L)
+    assert(Mp3.requantExact(8, 210) == 16L)
+    assert(Mp3.requantExact(27, 210) == 81L)
+    assert(Mp3.requantExact(-27, 210) == -81L)
+    assert(Mp3.requantExact(8, 218) == 64L) // 16 · 2^2
+    assert(Mp3.requantExact(1, 250) == 1024L)
+    intercept[IllegalArgumentException] { Mp3.requantExact(9, 210) }
+    intercept[IllegalArgumentException] { Mp3.requantExact(8, 212) }
+    intercept[IllegalArgumentException] { Mp3.requantExact(8, 206) }
+  }
+}
