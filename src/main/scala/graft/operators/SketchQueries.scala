@@ -633,6 +633,142 @@ object SketchQueries {
        |FROM est ORDER BY exact_count DESC, tok""".stripMargin
   }
 
+  // ---- k09: dyadic quantile sketch ------------------------------------------
+  // Cormode & Muthukrishnan's dyadic decomposition for quantiles, with
+  // EXACT counters (the determinism rule of this file): 12 levels over
+  // a 17-bit value domain, level l holding one counter per cell
+  // v >> (17 - l). Counter merge is +, so the sketch is an
+  // order-independent, associatively mergeable function of the SET —
+  // Spark's partial aggregation caps each input partition's
+  // contribution at Σ 2^l ≈ 4095 rows before the shuffle, whatever
+  // the corpus size, and a quantile is a descent over ≤ 2^11 cells.
+  // That is the whole 100 TB story: the corpus is scanned once, never
+  // sorted, never shuffled by value; rank error is ZERO (counters
+  // exact) and value error is the finest cell width (64 domain units
+  // here; production picks levels for its error budget — the CM paper
+  // layers approximate counters per level when even the counter table
+  // must shrink). q_lo is the type-1-quantile cell's LOW value; the
+  // exact type-1 quantile always lies in [q_lo, q_lo + 64).
+  private val DyadicBits = graft.streaming.StreamingSketch.DyadicBits
+  private val DyadicLevels = graft.streaming.StreamingSketch.DyadicLevels
+
+  private def k09(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .select(least(lit((1L << DyadicBits) - 1),
+        floor(col("l_extendedprice")).cast(LongType)).as("v"))
+    // the sketch: one counter per (level, cell), map-side combined
+    val cells = v.select(explode(array((0 until DyadicLevels).map(l =>
+        struct(lit(l).as("l"),
+          shiftright(col("v"), DyadicBits - l).as("c"))): _*)).as("lc"))
+      .groupBy(col("lc.l").as("l"), col("lc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    // quantile descent: the finest level's cumulative walk (the
+    // coarser levels are the mergeability/early-descent structure).
+    // Everything downstream of the counter aggregation runs on the
+    // ≤ 4095-row SKETCH, so the global windows and the 5-way quantile
+    // explode are deliberate sketch-sized single-partition work — no
+    // join, no broadcast, nothing data-proportional.
+    val all = Window.partitionBy()
+    val fine = cells
+      .withColumn("cells", count(lit(1)).over(all).cast(LongType))
+      .filter(col("l") === (DyadicLevels - 1))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("c"))))
+      .withColumn("n", max(col("cum")).over(all).cast(LongType))
+    fine.withColumn("p", explode(array(KQuantiles.map(lit): _*)))
+      .filter(col("cum") >=
+        greatest(lit(1L), ceil(col("p") * col("n")).cast(LongType)))
+      .groupBy(col("p"))
+      .agg(min(col("c")).as("cstar"), max(col("n")).as("n"),
+        max(col("cells")).as("cells"))
+      .select(col("p"),
+        shiftleft(col("cstar"), DyadicBits - (DyadicLevels - 1))
+          .cast(LongType).as("q_lo"),
+        col("n"), col("cells"))
+      .orderBy(col("p"))
+  }
+
+  private val k09Sql = {
+    val ps = KQuantiles.map(p => s"(CAST($p AS DOUBLE))")
+      .mkString("(VALUES ", ", ", ")")
+    s"""WITH v AS (SELECT least(${(1L << DyadicBits) - 1},
+       |    CAST(floor(l_extendedprice) AS BIGINT)) AS v FROM lineitem),
+       |-- the finest level's cells; the full 12-level cell total rides
+       |-- along as the sketch-shape column
+       |fine AS (SELECT (v >> ${DyadicBits - (DyadicLevels - 1)}) AS c,
+       |    count(*) AS cnt FROM v GROUP BY 1),
+       |cum AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM fine),
+       |cells AS (SELECT CAST(count(*) AS BIGINT) AS cells FROM (
+       |  SELECT DISTINCT l.l, v.v >> (${DyadicBits} - l.l) FROM v,
+       |    (SELECT unnest(range(${DyadicLevels})) AS l) l)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |probs(p) AS $ps
+       |SELECT p,
+       |  CAST(min(c) << ${DyadicBits - (DyadicLevels - 1)} AS BIGINT)
+       |    AS q_lo,
+       |  any_value(n.n) AS n, any_value(cells.cells) AS cells
+       |FROM probs, n, cells
+       |JOIN cum ON cum.cum >= greatest(1, CAST(ceil(p * n.n) AS BIGINT))
+       |GROUP BY p ORDER BY p""".stripMargin
+  }
+
+  // ---- k10: STREAMING dyadic quantile sketch --------------------------------
+  // k09's online form through the driver-free micro-batched mount (the
+  // k06 pattern): per-event-type cell counters live in
+  // flatMapGroupsWithState across 3 micro-batch boundaries; counter
+  // merge is +, so the final state is chunk-invariant, and the emitted
+  // integers (cell count, median cell low) are a deterministic
+  // function of the SET the oracle replays directly.
+  private def k10(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.eventsMs(s, d)
+    val kev = e.select(col("event_type").as("key"),
+        lit(0).as("topic"), col("ts_ms").as("ts"),
+        (col("user_id") % (1L << DyadicBits)).cast(DoubleType).as("value"),
+        lit(null).cast(StringType).as("text"), lit(false).as("paused"),
+        col("event_id").as("seq"))
+    StreamParityQueries.throughStream(s, kev, Seq(col("seq")),
+        s"dyadic@$d",
+        ds => graft.streaming.StreamingSketch.dyadicStream(ds),
+        Map.empty)
+      .groupBy(col("key"))
+      .agg(max(struct(col("ts"), col("text"))).as("fin"))
+      .select(col("key").as("event_type"),
+        col("fin.ts").as("n_events"),
+        split(col("fin.text"), ",").getItem(0).cast(LongType)
+          .as("cells_total"),
+        split(col("fin.text"), ",").getItem(1).cast(LongType)
+          .as("median_lo"))
+      .orderBy(col("event_type"))
+  }
+
+  private val k10Sql =
+    s"""WITH v AS (SELECT event_type,
+       |    user_id % ${1L << DyadicBits} AS v FROM events),
+       |fine AS (SELECT event_type,
+       |    (v >> ${DyadicBits - (DyadicLevels - 1)}) AS c, count(*) AS cnt
+       |  FROM v GROUP BY 1, 2),
+       |cum AS (SELECT event_type, c,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+       |  FROM fine),
+       |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM v GROUP BY 1),
+       |cells AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cells
+       |  FROM (SELECT DISTINCT event_type, l.l,
+       |      v.v >> (${DyadicBits} - l.l) AS cell FROM v,
+       |    (SELECT unnest(range(${DyadicLevels})) AS l) l)
+       |  GROUP BY 1),
+       |med AS (SELECT cum.event_type,
+       |    CAST(min(cum.c) << ${DyadicBits - (DyadicLevels - 1)}
+       |      AS BIGINT) AS median_lo
+       |  FROM cum JOIN n ON n.event_type = cum.event_type
+       |  WHERE cum.cum >= greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT))
+       |  GROUP BY 1)
+       |SELECT n.event_type AS event_type, n.n AS n_events,
+       |  cells.cells AS cells_total, med.median_lo AS median_lo
+       |FROM n
+       |JOIN cells ON cells.event_type = n.event_type
+       |JOIN med ON med.event_type = n.event_type
+       |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("k01_kmv_distinct", k01, Some(k01Sql)),
     Q("k02_hll_distinct", k02, Some(k02Sql)),
@@ -642,5 +778,7 @@ object SketchQueries {
     Q("k06_streaming_hll", k06, Some(k06Sql)),
     Q("k07_corpus_profile", k07, Some(k07Sql)),
     Q("k08_countmin_hh", k08, Some(k08Sql)),
+    Q("k09_dyadic_quantiles", k09, Some(k09Sql)),
+    Q("k10_streaming_dyadic", k10, Some(k10Sql)),
   )
 }

@@ -80,4 +80,76 @@ object StreamingSketch {
           Iterator(KOut(key, n, estimate(regs), s"$hit,$s"))
       }
   }
+
+  // ---- streaming dyadic quantile sketch (k10) --------------------------------
+
+  /** Dyadic quantile-sketch state: exact counters per (level, cell)
+    * over a 17-bit value domain, levels 0..11 (cell = v >> (17 − l)),
+    * packed as (l << 17) | c → count. Counter merge is +, so the state
+    * is chunk-invariant like the HLL registers — the Cormode &
+    * Muthukrishnan dyadic-decomposition quantile structure (the CM
+    * paper layers approximate counters per level; exact counters here,
+    * the 100 TB knob being the kept-level cap). */
+  final case class DyadicSt(cells: Map[Long, Long], n: Long)
+  implicit val dyadicStEnc: Encoder[DyadicSt] = Encoders.product[DyadicSt]
+
+  val DyadicBits = 17
+  val DyadicLevels = 12
+
+  /** Fold one value into the cell map (all 12 levels). */
+  def dyadicAdd(cells: Map[Long, Long], v: Long): Map[Long, Long] = {
+    require(v >= 0 && v < (1L << DyadicBits),
+      s"dyadic: value $v outside the ${DyadicBits}-bit domain")
+    (0 until DyadicLevels).foldLeft(cells) { (m, l) =>
+      val key = (l.toLong << DyadicBits) | (v >> (DyadicBits - l))
+      m.updated(key, m.getOrElse(key, 0L) + 1L)
+    }
+  }
+
+  /** Type-1 quantile from the sketch: descend to the finest level's
+    * cell whose cumulative count reaches rank ceil(p·n); returns the
+    * cell's LOW domain value (error bounded by the cell width
+    * 2^(bits − levels + 1) = 64). */
+  def dyadicQuantileLo(cells: Map[Long, Long], n: Long, p: Double): Long = {
+    val fine = DyadicLevels - 1
+    val rank = math.max(1L, math.ceil(p * n).toLong)
+    val fineCells = cells.iterator.collect {
+      case (k, c) if (k >> DyadicBits) == fine => ((k & 0x1ffffL), c)
+    }.toArray.sortBy(_._1)
+    var cum = 0L
+    var i = 0
+    while (i < fineCells.length) {
+      cum += fineCells(i)._2
+      if (cum >= rank)
+        return fineCells(i)._1 << (DyadicBits - fine)
+      i += 1
+    }
+    require(false, s"dyadic: rank $rank beyond the sketch's $cum items")
+    -1L
+  }
+
+  /** Mount on a streaming KEv frame where value = the (bounded) domain
+    * value: per micro-batch, folds the batch into the per-key cell
+    * counters and emits the running totals — KOut(key, ts = events
+    * seen, value = running median cell low, text =
+    * "cellsTotal,medianLo"). The registered query keeps the final row
+    * per key; the oracle replays both integers (the counters are
+    * exact, so the sketch is a deterministic function of the SET). */
+  def dyadicStream(ds: Dataset[KEv]): Dataset[KOut] = {
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DyadicSt, KOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[KEv], gs: GroupState[DyadicSt]) =>
+          val st = gs.getOption.getOrElse(DyadicSt(Map.empty, 0L))
+          var cells = st.cells
+          var n = st.n
+          evs.foreach { e =>
+            cells = dyadicAdd(cells, e.value.toLong)
+            n += 1
+          }
+          gs.update(DyadicSt(cells, n))
+          val q50 = dyadicQuantileLo(cells, n, 0.5)
+          Iterator(KOut(key, n, q50.toDouble, s"${cells.size},$q50"))
+      }
+  }
 }

@@ -173,4 +173,43 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 5L, 9L)))
     assert(!z.queryExecution.executedPlan.toString.contains("Join"))
   }
+
+  test("dyadic quantile sketch (k09/k10): counter merge is order-" +
+      "independent, the descent's cell always CONTAINS the exact " +
+      "type-1 quantile, and off-domain values are loud") {
+    import graft.streaming.StreamingSketch._
+    val rnd = new scala.util.Random(23)
+    val vals = Vector.fill(500)(rnd.nextInt(1 << DyadicBits).toLong)
+    // order independence: fold forward, backward, shuffled — same map
+    val a = vals.foldLeft(Map.empty[Long, Long])(dyadicAdd)
+    val b = vals.reverse.foldLeft(Map.empty[Long, Long])(dyadicAdd)
+    val c = rnd.shuffle(vals).foldLeft(Map.empty[Long, Long])(dyadicAdd)
+    assert(a == b && a == c, "cell counters must be order-independent")
+    // mergeability: split-fold then pointwise + equals the whole fold
+    val (l, r) = vals.splitAt(123)
+    val lm = l.foldLeft(Map.empty[Long, Long])(dyadicAdd)
+    val rm = r.foldLeft(Map.empty[Long, Long])(dyadicAdd)
+    val merged = (lm.keySet ++ rm.keySet).map(k =>
+      k -> (lm.getOrElse(k, 0L) + rm.getOrElse(k, 0L))).toMap
+    assert(merged == a, "split + pointwise-sum must equal the whole fold")
+    // the descent's cell contains the exact type-1 quantile
+    val sorted = vals.sorted
+    Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0).foreach { p =>
+      val lo = dyadicQuantileLo(a, vals.length.toLong, p)
+      val exact = sorted(math.max(1,
+        math.ceil(p * vals.length).toInt) - 1)
+      assert(exact >= lo && exact < lo + 64,
+        s"p=$p: exact $exact outside [$lo, ${lo + 64})")
+    }
+    // every level's counters sum to n (the dyadic invariant)
+    (0 until DyadicLevels).foreach { lvl =>
+      val s = a.collect {
+        case (k, cnt) if (k >> DyadicBits) == lvl => cnt }.sum
+      assert(s == vals.length.toLong, s"level $lvl count sum")
+    }
+    intercept[IllegalArgumentException] {
+      dyadicAdd(Map.empty, 1L << DyadicBits)
+    }
+    intercept[IllegalArgumentException] { dyadicAdd(Map.empty, -1L) }
+  }
 }
