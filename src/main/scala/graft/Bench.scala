@@ -153,10 +153,18 @@ object Bench {
     // Per query: min of two runs (drops one-off JIT/GC/OS noise — the
     // shared container shows ±30% single-run variance), with a GC
     // between queries so collection debt doesn't bleed across timings.
+    // STREAMING MOUNTS get a third run: they sit on a micro-batch
+    // wall-clock floor (~0.5 s per batch), the most load-sensitive
+    // query class on a shared host — round 12's driver printed e42 at
+    // 10.1 s against a 2.4-3.3 s five-run evidence band because a
+    // single box hiccup on a 4-batch floor survives min-of-two.
     val results = names.map { n =>
-      val a = force(n, 1); System.gc()
-      val b = force(n, 2); System.gc()
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val runs = if (n.contains("stream")) 3 else 2
+      val ts = (1 to runs).map { r =>
+        val v = force(n, r); System.gc(); v
+      }
+      val ok = ts.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     // Full-precision record of every query goes to bench.json.

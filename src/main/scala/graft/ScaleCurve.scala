@@ -100,6 +100,16 @@ object ScaleCurve {
     "m55_vp8_normal_filter",// wide-tap in-loop smoothing: m43 shape
     "e53_streaming_vp8",    // stateful decode through the stream mount
     "p19_mp1_decode",       // Layer I conformant bitstream: p17 shape
+    // round 13: conformance headers, entropy-state streaming,
+    // synthesis windowing, Layer III structure, intra modes, dyadic
+    // quantiles
+    "m56_vp8_conformance",  // entropy updates + lf deltas + sharpness: m44 shape
+    "e54_streaming_vp8_entropy", // Ctx through the state store: e53 shape
+    "m57_h264_intra_modes", // §8.3.1.1 mode lattice: m46 shape
+    "p20_mp2_synthesis",    // V->U->W·D filterbank per chunk: p17 shape
+    "p21_mp3_structure",    // side info + regions + requant: p17 shape
+    "k09_dyadic_quantiles", // counter sketch: shuffle O(cells), scan-bound
+    "k10_streaming_dyadic", // per-key counters through the stream mount
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
