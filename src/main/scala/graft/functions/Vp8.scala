@@ -91,8 +91,12 @@ import scala.collection.mutable.ArrayBuffer
   * edge-replicated sampling standing in for the spec's extended
   * reference borders. Per-MB reference selection covers all THREE
   * buffers — LAST, GOLDEN and ALTREF (bool(prob_last) then
-  * bool(prob_gf) [§16.3]); in the refresh_golden = refresh_alt = 0
-  * subset both long-term buffers hold the most recent keyframe.
+  * bool(prob_gf) [§16.3]) — and the FULL §9.7 buffer lifecycle is
+  * implemented: refresh_golden/refresh_alternate/refresh_last flags,
+  * the conditional 2-bit copy_buffer fields (copies reading the
+  * pre-update buffers in field order), keyframes re-anchoring all
+  * three ([[decodeStream]] and [[graft.streaming.Vp8Machine]] apply
+  * the lifecycle).
   *
   * Additional inter stand-ins (same seam class as CoeffProbs, ALL of
   * them [[Profile]] fields): the default MV context probabilities,
@@ -132,14 +136,23 @@ import scala.collection.mutable.ArrayBuffer
   * rides [[Ctx]], threadable across a frame sequence
   * ([[decodeStream]]) or a state store ([[graft.streaming.Vp8Machine]]).
   *
-  * Subset boundaries, all failing loudly: golden/alt-ref refresh and
-  * buffer copies, B_PRED inside inter frames, segment-map persistence
-  * (every segmented frame must update its map) and per-segment
-  * loop-filter features, dimensions must be multiples of 16 (real VP8
-  * pads to macroblocks and crops at display). Token partitioning
-  * [§9.5] is implemented for all four legal counts (1/2/4/8): MB row
-  * r codes into partition r mod count, sizes as 3-byte little-endian
-  * between the first partition and the token data.
+  * SEGMENTATION is complete for both features and both map regimes:
+  * per-segment QUANTIZER and LOOP-FILTER values (absolute or delta),
+  * and MAP PERSISTENCE — update_mb_segmentation_map = 0 frames reuse
+  * the previous map through [[Ctx]].segMap (temporal segmentation).
+  * B_PRED inside INTER frames is implemented (§11.4's fixed non-kf
+  * submode table — the intra-refresh pattern), with type-3 tokens,
+  * no Y2, and interleaved reconstruction as in keyframes.
+  *
+  * Subset boundaries, all failing loudly: sign-bias MV flipping
+  * (sign_bias_golden/alternate must be 0 — nonzero bias changes the
+  * §17.3 survey), segmentation feature DATA must be re-stated in
+  * every segmented frame (update_segment_feature_data = 1),
+  * dimensions must be multiples of 16 (real VP8 pads to macroblocks
+  * and crops at display). Token partitioning [§9.5] is implemented
+  * for all four legal counts (1/2/4/8): MB row r codes into partition
+  * r mod count, sizes as 3-byte little-endian between the first
+  * partition and the token data.
   */
 object Vp8 {
 
@@ -252,19 +265,26 @@ object Vp8 {
   private[graft] val StandInDcQ: Array[Int] = Array.tabulate(128)(4 + _)
   private[graft] val StandInAcQ: Array[Int] = Array.tabulate(128)(i => 4 + 2 * i)
 
-  /** §9.3/§10 segmentation (quantizer features): up to four segments,
-    * each with its own quantizer value — ABSOLUTE (replaces the frame
-    * base index) or DELTA (adds to it) per segment_feature_mode — and
-    * a per-MB segment id coded by a 4-leaf tree with three map
-    * probabilities. Subset: the map must be updated in every
-    * segmented frame (cross-frame segment-id persistence is out of
-    * scope, loudly), and the loop-filter feature slots must be absent
-    * (the simple filter runs at frame level). */
+  /** §9.3/§10 segmentation: up to four segments, each with its own
+    * QUANTIZER value and LOOP-FILTER value — ABSOLUTE (replacing the
+    * frame base) or DELTA (adding to it) per segment_feature_mode —
+    * and a per-MB segment id coded by a 4-leaf tree with three map
+    * probabilities. The MAP may persist: update_mb_segmentation_map
+    * = 0 reuses the previous frame's per-MB ids (carried in
+    * [[Ctx]].segMap), the temporal-segmentation shape real encoders
+    * lean on; `updateMap = false` frames code NO map probabilities
+    * and NO per-MB trees ([[Segmentation.mapProbs]] is a 128-filled
+    * placeholder on decode). Subset: feature DATA must be re-stated
+    * in every segmented frame (update_segment_feature_data = 1,
+    * loudly). */
   final case class Segmentation(absMode: Boolean, quant: Array[Int],
-      mapProbs: Array[Int]) {
+      mapProbs: Array[Int], lf: Array[Int] = Array.fill(4)(0),
+      updateMap: Boolean = true) {
     require(quant.length == 4 &&
       quant.forall(q => q >= -127 && q <= 127),
       "vp8: four segment quantizer values in ±127")
+    require(lf.length == 4 && lf.forall(v => v >= -63 && v <= 63),
+      "vp8: four segment loop-filter values in ±63")
     require(mapProbs.length == 3 &&
       mapProbs.forall(p => p >= 1 && p <= 254),
       "vp8: three segment-map probabilities in [1, 254]")
@@ -276,7 +296,7 @@ object Vp8 {
     case None => h.literal(0, 1)
     case Some(g) =>
       h.literal(1, 1) // segmentation_enabled
-      h.literal(1, 1) // update_mb_segmentation_map
+      h.literal(if (g.updateMap) 1 else 0, 1) // update_mb_segmentation_map
       h.literal(1, 1) // update_segment_feature_data
       h.literal(if (g.absMode) 1 else 0, 1) // segment_feature_mode
       g.quant.foreach { q =>
@@ -286,35 +306,51 @@ object Vp8 {
           h.literal(if (q < 0) 1 else 0, 1)
         }
       }
-      var i = 0
-      while (i < 4) { h.literal(0, 1); i += 1 } // no loop-filter features
-      g.mapProbs.foreach { p => h.literal(1, 1); h.literal(p, 8) }
+      g.lf.foreach { v => // per-segment loop-filter feature [§9.3]
+        if (v == 0) h.literal(0, 1)
+        else {
+          h.literal(1, 1); h.literal(math.abs(v), 6)
+          h.literal(if (v < 0) 1 else 0, 1)
+        }
+      }
+      if (g.updateMap)
+        g.mapProbs.foreach { p => h.literal(1, 1); h.literal(p, 8) }
   }
 
   private def readSegmentation(h: BoolDecoder): Option[Segmentation] = {
     if (h.literal(1) == 0) None
     else {
-      require(h.literal(1) == 1,
-        "vp8: segmentation without a map update is out of scope " +
-          "(segment ids would persist across frames)")
+      val updateMap = h.literal(1) == 1
       require(h.literal(1) == 1,
         "vp8: segmentation without feature data is out of scope")
       val absMode = h.literal(1) == 1
       val quant = Array.fill(4)(
         if (h.literal(1) == 0) 0
         else { val m = h.literal(7); if (h.literal(1) == 1) -m else m })
-      var i = 0
-      while (i < 4) {
-        require(h.literal(1) == 0,
-          "vp8: per-segment loop-filter features out of scope")
-        i += 1
-      }
-      val probs = Array.fill(3)(
-        if (h.literal(1) == 1) h.literal(8) else 255)
+      val lf = Array.fill(4)(
+        if (h.literal(1) == 0) 0
+        else { val m = h.literal(6); if (h.literal(1) == 1) -m else m })
+      val probs =
+        if (updateMap) Array.fill(3)(
+          if (h.literal(1) == 1) h.literal(8) else 255)
+        else Array.fill(3)(128) // placeholder: no probs in the header
       require(probs.forall(p => p >= 1 && p <= 254),
         "vp8: segment-map probability outside [1, 254]")
-      Some(Segmentation(absMode, quant, probs))
+      Some(Segmentation(absMode, quant, probs, lf, updateMap))
     }
+  }
+
+  /** The per-MB loop-filter BASE before the §9.4 mode/ref deltas: a
+    * segment with a CODED lf feature (nonzero here — the zero value
+    * is written as feature-absent) replaces (absolute) or shifts
+    * (delta) the frame level [§9.3/§15.1]; others keep the frame
+    * level. */
+  private def segLfBase(frameLevel: Int, seg: Option[Segmentation],
+      segId: Int): Int = seg match {
+    case Some(g) if g.lf(segId) != 0 =>
+      val v = if (g.absMode) g.lf(segId) else frameLevel + g.lf(segId)
+      math.max(0, math.min(63, v))
+    case _ => frameLevel
   }
 
   /** Per-segment dequant factors: the segment feature shifts (delta)
@@ -470,19 +506,24 @@ object Vp8 {
     }
   }
 
-  /** The cross-frame decoder/encoder context: the [[Entropy]] state
-    * plus the §9.4 remembered loop-filter deltas (slots 0–3 the
+  /** The cross-frame decoder/encoder context: the [[Entropy]] state,
+    * the §9.4 remembered loop-filter deltas (slots 0–3 the
     * per-reference deltas intra/LAST/GOLDEN/ALTREF, 4–7 the per-mode
     * deltas B_PRED/ZEROMV/other-inter/SPLITMV; zero at stream start,
-    * updated only when a header flags them). One Ctx per stream;
-    * [[toFlat]]/[[fromFlat]] round-trip it through a state store. */
+    * updated only when a header flags them), and the PERSISTENT
+    * SEGMENT MAP (§9.3: update_mb_segmentation_map = 0 frames reuse
+    * the previous frame's per-MB ids; null until a map is coded).
+    * One Ctx per stream; [[toFlat]]/[[fromFlat]] round-trip it
+    * through a state store. */
   final class Ctx(val profile: Profile) extends Serializable {
     val entropy: Entropy = Entropy.from(profile)
     val lfDeltas: Array[Int] = new Array[Int](8)
+    var segMap: Array[Int] = null
   }
   object Ctx {
     def toFlat(cx: Ctx): Array[Int] = {
-      val out = new Array[Int](Entropy.FlatSize + 8)
+      val segLen = if (cx.segMap == null) 0 else cx.segMap.length
+      val out = new Array[Int](Entropy.FlatSize + 8 + 1 + segLen)
       var i = 0
       for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3; n <- 0 until 11) {
         out(i) = cx.entropy.coeff(t)(b)(c)(n); i += 1
@@ -493,10 +534,13 @@ object Vp8 {
       for (j <- 0 until 4) { out(i) = cx.entropy.ymode(j); i += 1 }
       for (j <- 0 until 3) { out(i) = cx.entropy.uvmode(j); i += 1 }
       System.arraycopy(cx.lfDeltas, 0, out, i, 8)
+      i += 8
+      out(i) = segLen; i += 1
+      if (segLen > 0) System.arraycopy(cx.segMap, 0, out, i, segLen)
       out
     }
     def fromFlat(profile: Profile, a: Array[Int]): Ctx = {
-      require(a.length == Entropy.FlatSize + 8,
+      require(a.length >= Entropy.FlatSize + 8 + 1,
         s"vp8 ctx: flat state of ${a.length} ints")
       val cx = new Ctx(profile)
       var i = 0
@@ -509,6 +553,14 @@ object Vp8 {
       for (j <- 0 until 4) { cx.entropy.ymode(j) = a(i); i += 1 }
       for (j <- 0 until 3) { cx.entropy.uvmode(j) = a(i); i += 1 }
       System.arraycopy(a, i, cx.lfDeltas, 0, 8)
+      i += 8
+      val segLen = a(i); i += 1
+      require(a.length == Entropy.FlatSize + 8 + 1 + segLen,
+        s"vp8 ctx: flat state length disagrees with its segment map")
+      if (segLen > 0) {
+        cx.segMap = new Array[Int](segLen)
+        System.arraycopy(a, i, cx.segMap, 0, segLen)
+      }
       cx
     }
   }
@@ -1304,8 +1356,14 @@ object Vp8 {
       var mc0 = 0
       while (mc0 < mbCols) {
         val mb = f.mbs(mr0 * mbCols + mc0)
-        f.segmentation.foreach(g =>
-          h.tree(SegmentTree, g.mapProbs, mb.segment))
+        f.segmentation.foreach { g =>
+          if (g.updateMap) h.tree(SegmentTree, g.mapProbs, mb.segment)
+          else require(cx.segMap != null &&
+            cx.segMap.length == f.mbs.length &&
+            cx.segMap(mr0 * mbCols + mc0) == mb.segment,
+            "vp8: update_mb_segmentation_map = 0 but the frame's " +
+              "segment ids disagree with the remembered map")
+        }
         if (f.skipEnabled) h.bool(if (mb.skip) 1 else 0, ProbSkipFalse)
         h.tree(KfYmodeTree, KfYmodeProb, mb.yMode)
         if (mb.yMode == BPred) {
@@ -1394,6 +1452,8 @@ object Vp8 {
       }
       mr += 1
     }
+    if (f.segmentation.isDefined)
+      cx.segMap = f.mbs.map(_.segment).toArray
     if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
     graft.sources.Ivf.vp8Frame(keyframe = true, version = 0,
       showFrame = true, f.width, f.height, part1) ++
@@ -1446,8 +1506,17 @@ object Vp8 {
         java.util.Arrays.fill(leftSub, BDc)
         var mc0 = 0
         while (mc0 < mbCols) {
-          val segId = segmentation.map(g =>
-            h.tree(SegmentTree, g.mapProbs)).getOrElse(0)
+          val segId = segmentation match {
+            case Some(g) if g.updateMap =>
+              h.tree(SegmentTree, g.mapProbs)
+            case Some(_) =>
+              require(cx.segMap != null &&
+                cx.segMap.length == mbCols * mbRows,
+                "vp8: update_mb_segmentation_map = 0 without a " +
+                  "remembered map of this geometry")
+              cx.segMap(mr0 * mbCols + mc0)
+            case None => 0
+          }
           val sk = skipEnabled && h.bool(probSkip) == 1
           val ym = h.tree(KfYmodeTree, KfYmodeProb)
           val bms =
@@ -1646,15 +1715,17 @@ object Vp8 {
       mr += 1
     }
     val mbs = mbsOut.result()
+    if (segmentation.isDefined) cx.segMap = mbs.map(_.segment).toArray
     val normal = filterLevel > 0 && filterType == 0
     if (filterLevel > 0) {
-      // per-MB filter levels [§9.4]: intra frames take the intra ref
-      // delta; mode delta slot 0 applies only to B_PRED. Interior
-      // edges are skipped for coefficientless whole-MB-mode MBs
-      // [§15.1/§15.2].
+      // per-MB filter levels [§9.3/§9.4]: the segment lf feature sets
+      // the base, intra frames take the intra ref delta, mode delta
+      // slot 0 applies only to B_PRED. Interior edges are skipped for
+      // coefficientless whole-MB-mode MBs [§15.1/§15.2].
       val lfLevels = Array.tabulate(mbs.length) { i =>
         val mb = mbs(i)
-        mbFilterLevel(filterLevel, lfDeltaEnabled, cx, ref = 0,
+        mbFilterLevel(segLfBase(filterLevel, segmentation, mb.segment),
+          lfDeltaEnabled, cx, ref = 0,
           modeSlot = if (mb.yMode == BPred) 0 else -1)
       }
       val lfInterior = Array.tabulate(mbs.length) { i =>
@@ -1919,6 +1990,11 @@ object Vp8 {
     -(VPred + 1), -(HPred + 1), -(TmPred + 1), -(BPred + 1))
   private val InterYmodeProb = Array(112, 86, 140, 37)
   private val InterUvModeProb = Array(162, 101, 204)
+  /** STAND-IN inter-frame B_PRED submode probabilities: §11.4 codes
+    * non-kf submodes with one FIXED context-free 9-entry table
+    * (appendix data; both sides share this object). */
+  private[graft] val InterBmodeProb: Array[Int] =
+    Array.tabulate(9)(n => 1 + ((n * 67 + 29) * 31) % 254)
 
   /** vp8_small_mvtree [§17.2]: 8 leaves (component magnitudes 0..7). */
   private val SmallMvTree = Array(
@@ -1986,9 +2062,9 @@ object Vp8 {
   /** One inter-frame macroblock. When `inter`, `mvMode` picks the
     * mv_ref leaf, `mv` is the ABSOLUTE effective vector for NEWMV
     * (ignored for ZERO/NEAREST/NEAR — those resolve from the §17.3
-    * survey), and `refGolden` selects the GOLDEN reference buffer
-    * instead of LAST (§16.3's long-term anchor; per-MB coding is
-    * bool(prob_last) then bool(prob_gf), ALTREF out of scope); when
+    * survey), and `refGolden`/`refAltref` select the GOLDEN/ALTREF
+    * reference buffers instead of LAST (§16.3's long-term anchors;
+    * per-MB coding is bool(prob_last) then bool(prob_gf)); when
     * intra, `yMode`/`uvMode` are the 16×16 modes (B_PRED inside inter
     * frames is out of scope). Coefficient arrays as in [[MbCoding]];
     * every mode here carries a Y2 block. */
@@ -1999,7 +2075,8 @@ object Vp8 {
       refGolden: Boolean = false, skip: Boolean = false,
       refAltref: Boolean = false,
       splitType: Int = -1, subModes: Array[Int] = Array.empty,
-      subNewMvs: Array[Mv] = Array.empty, segment: Int = 0) {
+      subNewMvs: Array[Mv] = Array.empty, segment: Int = 0,
+      bModes: Array[Int] = Array.empty) {
     require(segment >= 0 && segment <= 3, s"vp8: segment $segment")
     require(inter || (!refGolden && !refAltref),
       "vp8: golden/alt-ref reference on an intra MB")
@@ -2031,11 +2108,16 @@ object Vp8 {
       require((mv.row & 1) == 0 && (mv.col & 1) == 0,
         s"vp8: luma mv (${mv.row},${mv.col}) off the quarter-pel grid")
     } else {
-      require(yMode >= 0 && yMode <= TmPred,
-        s"vp8: intra-in-inter yMode $yMode (B_PRED in inter frames " +
-          "is out of scope)")
+      require(yMode >= 0 && yMode <= BPred,
+        s"vp8: intra-in-inter yMode $yMode")
       require(uvMode >= 0 && uvMode <= TmPred, s"vp8: uvMode $uvMode")
     }
+    if (!inter && yMode == BPred) {
+      require(bModes.length == 16 &&
+        bModes.forall(m => m >= 0 && m <= BHu),
+        "vp8: B_PRED needs 16 valid submodes")
+      require(y2.forall(_ == 0), "vp8: B_PRED macroblocks have no Y2 block")
+    } else require(bModes.isEmpty, "vp8: submodes without B_PRED")
     require((y2.iterator ++ y.iterator.flatten ++ u.iterator.flatten ++
       v.iterator.flatten).forall(l => math.abs(l) <= MaxLevel),
       s"vp8: coefficient level beyond cat6's $MaxLevel")
@@ -2046,6 +2128,18 @@ object Vp8 {
       qDeltas: QDeltas = QDeltas(), tokenPartitions: Int = 1,
       segmentation: Option[Segmentation] = None,
       normalFilter: Boolean = false,
+      /** §9.7 reference-buffer lifecycle: refresh flags replace the
+        * named buffer with THIS frame's decode; when a refresh flag is
+        * 0 the 2-bit copy field is present instead (0 none, golden:
+        * 1 = LAST, 2 = ALTREF; alternate: 1 = LAST, 2 = GOLDEN),
+        * copies reading the pre-update buffers in field order
+        * (golden's copy first, then alternate's). refresh_last = 0
+        * leaves LAST at the previous frame. */
+      refreshLast: Boolean = true,
+      refreshGolden: Boolean = false,
+      refreshAlt: Boolean = false,
+      copyToGolden: Int = 0,
+      copyToAlt: Int = 0,
       sharpness: Int = 0,
       lfDeltaEnabled: Boolean = false,
       lfDeltaUpdate: Option[LfDeltaUpdate] = None,
@@ -2058,6 +2152,12 @@ object Vp8 {
       ymodeUpdate: Option[Vector[Int]] = None,
       uvmodeUpdate: Option[Vector[Int]] = None) {
     require(sharpness >= 0 && sharpness <= 7, s"vp8: sharpness $sharpness")
+    require(copyToGolden >= 0 && copyToGolden <= 2 &&
+      copyToAlt >= 0 && copyToAlt <= 2, "vp8: copy fields are 2-bit")
+    require(!refreshGolden || copyToGolden == 0,
+      "vp8: copy_buffer_to_golden is absent when refresh_golden = 1")
+    require(!refreshAlt || copyToAlt == 0,
+      "vp8: copy_buffer_to_alternate is absent when refresh_alt = 1")
     require(lfDeltaEnabled || lfDeltaUpdate.isEmpty,
       "vp8: lf-delta update without the enable flag")
     require(coeffUpdates.map(u => (u.blockType, u.band, u.ctx, u.node))
@@ -2160,7 +2260,7 @@ object Vp8 {
   private final case class MbMode(inter: Boolean, mvMode: Int, eff: Mv,
       ym: Int, uvm: Int, golden: Boolean, sk: Boolean, altref: Boolean,
       splitType: Int, subMvs: Array[Mv], subModes: Array[Int],
-      segment: Int)
+      segment: Int, bModes: Array[Int] = Array.empty)
 
   /** §17.4 neighbor subblock MVs: within the MB being built when the
     * neighbor subblock is internal, from the already-coded grid at MB
@@ -2365,14 +2465,15 @@ object Vp8 {
     h.literal(Integer.numberOfTrailingZeros(f.tokenPartitions), 2)
     h.literal(f.qindex, 7)
     writeQDeltas(h, f.qDeltas) // the five per-plane deltas [§9.6]
-    h.literal(0, 1) // refresh_golden_frame
-    h.literal(0, 1) // refresh_alternate_frame
-    h.literal(0, 2) // copy_buffer_to_golden (none)
-    h.literal(0, 2) // copy_buffer_to_alternate (none)
-    h.literal(0, 1) // sign_bias_golden
+    // §9.7 buffer lifecycle: copy fields only when not refreshing
+    h.literal(if (f.refreshGolden) 1 else 0, 1)
+    h.literal(if (f.refreshAlt) 1 else 0, 1)
+    if (!f.refreshGolden) h.literal(f.copyToGolden, 2)
+    if (!f.refreshAlt) h.literal(f.copyToAlt, 2)
+    h.literal(0, 1) // sign_bias_golden (MV flipping out of scope)
     h.literal(0, 1) // sign_bias_alternate
     h.literal(if (f.refreshEntropy) 1 else 0, 1) // refresh_entropy_probs
-    h.literal(1, 1) // refresh_last
+    h.literal(if (f.refreshLast) 1 else 0, 1) // refresh_last
     val savedEntropy =
       if (f.refreshEntropy) null else cx.entropy.snapshot
     writeCoeffUpdates(h, f.coeffUpdates, prof, cx)
@@ -2422,12 +2523,20 @@ object Vp8 {
       while (mc < mbCols) {
         val idx = mr * mbCols + mc
         val mb = f.mbs(idx)
-        f.segmentation.foreach(g =>
-          h.tree(SegmentTree, g.mapProbs, mb.segment))
+        f.segmentation.foreach { g =>
+          if (g.updateMap) h.tree(SegmentTree, g.mapProbs, mb.segment)
+          else require(cx.segMap != null &&
+            cx.segMap.length == f.mbs.length &&
+            cx.segMap(idx) == mb.segment,
+            "vp8: update_mb_segmentation_map = 0 but the frame's " +
+              "segment ids disagree with the remembered map")
+        }
         if (f.skipEnabled) h.bool(if (mb.skip) 1 else 0, ProbSkipFalse)
         h.bool(if (mb.inter) 1 else 0, ProbIntra)
         if (!mb.inter) {
           h.tree(YmodeTree, cx.entropy.ymode, mb.yMode)
+          if (mb.yMode == BPred) // §11.4: fixed non-kf submode probs
+            mb.bModes.foreach(m => h.tree(BmodeTree, InterBmodeProb, m))
           h.tree(UvModeTree, cx.entropy.uvmode, mb.uvMode)
           g.inter(idx) = false
         } else {
@@ -2497,17 +2606,18 @@ object Vp8 {
       while (mc < mbCols) {
         val mb = f.mbs(mr * mbCols + mc)
         val isSplit = mb.inter && mb.mvMode == SplitMv
-        if (mb.skip) { resetMbNz(nz, mc, resetY2 = !isSplit); mc += 1 }
+        val noY2 = isSplit || (!mb.inter && mb.yMode == BPred)
+        if (mb.skip) { resetMbNz(nz, mc, resetY2 = !noY2); mc += 1 }
         else {
-        if (!isSplit) {
-          // SPLITMV has no Y2 block and leaves its context plane
-          // untouched [§13.4]
+        if (!noY2) {
+          // SPLITMV and B_PRED have no Y2 block and leave its context
+          // plane untouched [§13.4]
           val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
             (if (nz.leftY2) 1 else 0)
           val y2Nz = encodeBlock(e, 1, 0, y2Ctx, mb.y2, cx.entropy.coeff)
           nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
         }
-        val (yType, yFirst) = if (isSplit) (3, 0) else (0, 1)
+        val (yType, yFirst) = if (noY2) (3, 0) else (0, 1)
         var by = 0
         while (by < 4) {
           var bx = 0
@@ -2544,6 +2654,8 @@ object Vp8 {
       }
       mr += 1
     }
+    if (f.segmentation.isDefined)
+      cx.segMap = f.mbs.map(_.segment).toArray
     if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
     graft.sources.Ivf.vp8Frame(keyframe = false, version = 0,
       showFrame = true, width, height, part1) ++
@@ -2586,15 +2698,19 @@ object Vp8 {
     val tokenPartitions = 1 << h.literal(2)
     val qindex = h.literal(7)
     val qDeltas = readQDeltas(h)
-    require(h.literal(1) == 0, "vp8: refresh_golden_frame out of scope")
-    require(h.literal(1) == 0, "vp8: refresh_alternate_frame out of scope")
-    require(h.literal(2) == 0, "vp8: copy_buffer_to_golden out of scope")
-    require(h.literal(2) == 0, "vp8: copy_buffer_to_alternate out of scope")
-    h.literal(1) // sign_bias_golden (golden unused here)
-    h.literal(1) // sign_bias_alternate
+    // §9.7 buffer lifecycle: copy fields present only when the
+    // matching refresh flag is 0
+    val refreshGolden = h.literal(1) == 1
+    val refreshAlt = h.literal(1) == 1
+    val copyToGolden = if (refreshGolden) 0 else h.literal(2)
+    val copyToAlt = if (refreshAlt) 0 else h.literal(2)
+    require(copyToGolden <= 2 && copyToAlt <= 2,
+      "vp8: reserved copy-buffer value 3")
+    require(h.literal(1) == 0,
+      "vp8: sign_bias_golden out of scope (it flips §17.3 survey MVs)")
+    require(h.literal(1) == 0, "vp8: sign_bias_alternate out of scope")
     val refreshEntropy = h.literal(1) == 1
-    require(h.literal(1) == 1,
-      "vp8: refresh_last = 0 out of scope (LAST is the only reference)")
+    val refreshLast = h.literal(1) == 1
     val savedEntropy = if (refreshEntropy) null else cx.entropy.snapshot
     val coeffUpdates = readCoeffUpdates(h, prof, cx)
     val skipEnabled = h.literal(1) == 1
@@ -2645,8 +2761,16 @@ object Vp8 {
       var mc = 0
       while (mc < mbCols) {
         val idx = mr * mbCols + mc
-        val segId = segmentation.map(g =>
-          h.tree(SegmentTree, g.mapProbs)).getOrElse(0)
+        val segId = segmentation match {
+          case Some(g) if g.updateMap => h.tree(SegmentTree, g.mapProbs)
+          case Some(_) =>
+            require(cx.segMap != null &&
+              cx.segMap.length == mbCols * mbRows,
+              "vp8: update_mb_segmentation_map = 0 without a " +
+                "remembered map of this geometry")
+            cx.segMap(idx)
+          case None => 0
+        }
         val sk = skipEnabled && h.bool(probSkip) == 1
         if (h.bool(probIntra) == 1) {
           val nonLast = h.bool(probLast) == 1
@@ -2706,11 +2830,14 @@ object Vp8 {
             altref, splitType, subMvs, subModes, segId)
         } else {
           val ym = h.tree(YmodeTree, cx.entropy.ymode)
-          require(ym != BPred,
-            "vp8: B_PRED inside inter frames out of scope")
+          val bms =
+            if (ym == BPred) // §11.4: fixed non-kf submode probs
+              Array.fill(16)(h.tree(BmodeTree, InterBmodeProb))
+            else Array.empty[Int]
           val uvm = h.tree(UvModeTree, cx.entropy.uvmode)
           modes += MbMode(inter = false, 0, Mv(0, 0), ym, uvm,
-            golden = false, sk, altref = false, -1, null, null, segId)
+            golden = false, sk, altref = false, -1, null, null, segId,
+            bms)
         }
         mc += 1
       }
@@ -2741,13 +2868,15 @@ object Vp8 {
         val sk = mi.sk; val altref = mi.altref
         val dq = dqs(mi.segment)
         val isSplit = isInter && mvMode == SplitMv
+        val isB = !isInter && ym == BPred
+        val noY2 = isSplit || isB
         val srcY = if (altref) altY else if (golden) goldY else refY
         val srcU = if (altref) altU else if (golden) goldU else refU
         val srcV = if (altref) altV else if (golden) goldV else refV
-        // SPLITMV has no Y2 block and leaves the Y2 context plane
-        // untouched [§13.4], like B_PRED
+        // SPLITMV and B_PRED have no Y2 block and leave the Y2 context
+        // plane untouched [§13.4]
         val y2L =
-          if (sk || isSplit) new Array[Int](16)
+          if (sk || noY2) new Array[Int](16)
           else {
             val y2Ctx = (if (nz.aboveY2(mc)) 1 else 0) +
               (if (nz.leftY2) 1 else 0)
@@ -2755,9 +2884,9 @@ object Vp8 {
             nz.aboveY2(mc) = y2Nz; nz.leftY2 = y2Nz
             lv
           }
-        val (yType, yFirst) = if (isSplit) (3, 0) else (0, 1)
+        val (yType, yFirst) = if (noY2) (3, 0) else (0, 1)
         val yL = Array.fill(16)(new Array[Int](16))
-        if (sk) resetMbNz(nz, mc, resetY2 = !isSplit)
+        if (sk) resetMbNz(nz, mc, resetY2 = !noY2)
         else {
           var by0 = 0
           while (by0 < 4) {
@@ -2804,13 +2933,42 @@ object Vp8 {
           subNewMvs = if (isSplit)
             mi.subModes.indices.map(j =>
               mi.subMvs(MbSplitOffset(mi.splitType)(j))).toArray
-          else Array.empty)
+          else Array.empty,
+          bModes = mi.bModes)
 
         // prediction: motion-compensated from the selected reference
         // (whole-MB, or per-subblock for SPLITMV), or intra from the
-        // current frame's raster-order recon
+        // current frame's raster-order recon (B_PRED interleaving
+        // per-subblock prediction with its own-DC residual, as in
+        // keyframes)
         var by = 0
-        if (isSplit) {
+        if (isB) {
+          val p4 = new Array[Int](16)
+          by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val px = mc * 16 + bx * 4
+              val py = mr * 16 + by * 4
+              predict4(yP, width, width, px, py, mi.bModes(by * 4 + bx),
+                p4)
+              val res = idct4x4(dequantToRaster(yL(by * 4 + bx),
+                dq.ydc, dq.yac, None))
+              var yy = 0
+              while (yy < 4) {
+                var xx = 0
+                while (xx < 4) {
+                  yP((py + yy) * width + px + xx) = math.max(0,
+                    math.min(255, p4(yy * 4 + xx) + res(yy * 4 + xx)))
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+        } else if (isSplit) {
           val blk = new Array[Int](16)
           var b = 0
           while (b < 16) {
@@ -2843,7 +3001,9 @@ object Vp8 {
             yy += 1
           }
         }
-        if (isSplit) {
+        if (isB) {
+          // residuals were added inside the interleaved walk above
+        } else if (isSplit) {
           // own-DC residuals (type 3), no Y2
           by = 0
           while (by < 4) {
@@ -2947,6 +3107,8 @@ object Vp8 {
       mr += 1
     }
     val mbsDone = mbsOut.result()
+    if (segmentation.isDefined)
+      cx.segMap = mbsDone.map(_.segment).toArray
     val normal = filterLevel > 0 && filterType == 0
     if (filterLevel > 0) {
       // per-MB filter levels [§9.4]: reference delta by the MB's
@@ -2962,15 +3124,17 @@ object Vp8 {
           else if (mb.refGolden) 2
           else 1
         val modeSlot =
-          if (!mb.inter) -1
+          if (!mb.inter) { if (mb.yMode == BPred) 0 else -1 }
           else if (mb.mvMode == ZeroMv) 1
           else if (mb.mvMode == SplitMv) 3
           else 2
-        mbFilterLevel(filterLevel, lfDeltaEnabled, cx, ref, modeSlot)
+        mbFilterLevel(segLfBase(filterLevel, segmentation, mb.segment),
+          lfDeltaEnabled, cx, ref, modeSlot)
       }
       val lfInterior = Array.tabulate(mbsDone.length) { i =>
         val mb = mbsDone(i)
         (mb.inter && mb.mvMode == SplitMv) ||
+          (!mb.inter && mb.yMode == BPred) ||
           hasCoeffs(mb.y2, mb.y, mb.u, mb.v)
       }
       if (normal) {
@@ -2986,6 +3150,7 @@ object Vp8 {
     if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
     DecodedInter(InterFrame(qindex, mbsDone, filterLevel,
       skipEnabled, qDeltas, tokenPartitions, segmentation, normal,
+      refreshLast, refreshGolden, refreshAlt, copyToGolden, copyToAlt,
       sharpness, lfDeltaEnabled, lfDeltaUpdate, refreshEntropy,
       coeffUpdates, mvUpdates, ymodeUpdate, uvmodeUpdate),
       modeInfo.map(m => if (m.inter) m.eff else Mv(0, 0)), yP, uP, vP)
@@ -2997,8 +3162,9 @@ object Vp8 {
 
   /** Decode a frame sequence (e.g. the payloads of one IVF file or one
     * WebM track): the first frame must be a keyframe; later keyframes
-    * re-anchor; inter frames reference the previous decode (the
-    * refresh_last = 1 subset). */
+    * re-anchor all three reference buffers; inter frames read
+    * LAST/GOLDEN/ALTREF and update them per their §9.7 header flags
+    * (refresh_last/golden/alternate and the copy fields). */
   def decodeStream(payloads: Seq[Array[Byte]],
       profile: Profile = Profile.StandIn,
       ctx: Ctx = null): Vector[StreamFrame] = {
@@ -3027,13 +3193,21 @@ object Vp8 {
       } else {
         require(lastY != null,
           s"vp8: stream frame $i is inter but no keyframe precedes it")
-        // refresh_last = 1, refresh_golden = 0 in this subset: the
-        // golden buffer stays the most recent keyframe (the long-term
-        // anchor golden referencing exists for)
         val dec = decodeInter(p, w, hgt, lastY, lastU, lastV,
           goldY, goldU, goldV, altY = altY, altU = altU, altV = altV,
           ctx = cx)
-        lastY = dec.y; lastU = dec.u; lastV = dec.v
+        // §9.7 buffer lifecycle: copies first (reading the pre-update
+        // buffers in field order — golden's copy, then alternate's),
+        // then the refresh flags overwrite with THIS frame's decode.
+        val f = dec.frame
+        val (plY, plU, plV) = (lastY, lastU, lastV)
+        if (f.copyToGolden == 1) { goldY = plY; goldU = plU; goldV = plV }
+        else if (f.copyToGolden == 2) { goldY = altY; goldU = altU; goldV = altV }
+        if (f.copyToAlt == 1) { altY = plY; altU = plU; altV = plV }
+        else if (f.copyToAlt == 2) { altY = goldY; altU = goldU; altV = goldV }
+        if (f.refreshGolden) { goldY = dec.y; goldU = dec.u; goldV = dec.v }
+        if (f.refreshAlt) { altY = dec.y; altU = dec.u; altV = dec.v }
+        if (f.refreshLast) { lastY = dec.y; lastU = dec.u; lastV = dec.v }
         StreamFrame(keyframe = false, w, hgt, dec.y, dec.u, dec.v)
       }
     }.toVector

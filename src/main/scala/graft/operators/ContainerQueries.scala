@@ -2747,6 +2747,460 @@ object ContainerQueries {
       |  CAST(sum(64 * (cb + cr)) AS BIGINT) AS chroma_sum
       |FROM mb GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m58: VP8 REFERENCE-BUFFER LIFECYCLE (§9.7) — the header flags
+    * every real encoder drives its buffer strategy with, through real
+    * coded bits and [[graft.functions.Vp8.decodeStream]]'s production
+    * lifecycle: refresh_golden re-anchors GOLDEN to the refreshing
+    * frame (t ≡ 1 mod 3), the conditional copy_buffer_to_alternate
+    * field moves GOLDEN into ALTREF (t ≡ 2 mod 3, reading pre-update
+    * state), and refresh_last = 0 (t = 3) leaves LAST behind so frame
+    * 4 predicts from frame 2. Four macroblock roles make every
+    * mechanism pixel-observable: two LAST chains (one crossing the
+    * refresh_last gap), a GOLDEN-referencing MB whose value telescopes
+    * over the refresh anchors, and an ALTREF-referencing MB anchored
+    * by the copy. The oracle replays all four value recurrences
+    * — the skipped-residual LAST chain, the anchor-cumulative golden
+    * chain, and the copy-lagged alt base. Completes the §16.3 story:
+    * m49 proved keyframe-pinned GOLDEN, this proves the MOVING
+    * anchors. Scale: the m40 envelope — per-container group
+    * iterators, three extra plane buffers per stream, no shuffle. */
+  private[operators] object Vp8BufferLifecycleKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Boolean, Boolean, Boolean,
+          Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      def draw(t: Int, j: Int, c: Int): Int =
+        hexbyte(s"vp8r${k}_${t}_${j}_${c}")
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val y2 = new Array[Int](16); y2(0) = 1 + draw(0, j, c) % 100
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          def mbOf(j: Int, c: Int): Vp8.InterMb = {
+            val y2 = new Array[Int](16); y2(0) = draw(t, j, c) % 60
+            val base = Vp8.InterMb(inter = true, Vp8.ZeroMv,
+              Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+            if (j == 0 && c == 1) base.copy(refGolden = true)
+            else if (j == 1 && c == 0) base.copy(refAltref = true)
+            else base
+          }
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+            Vector(mbOf(0, 0), mbOf(0, 1), mbOf(1, 0), mbOf(1, 1)),
+            refreshLast = t != 3,
+            refreshGolden = t % 3 == 1,
+            copyToAlt = if (t % 3 == 2) 2 else 0))
+        }
+      val st = Vp8.decodeStream(payloads)
+      require(st.length == n, s"container $k: stream length drift")
+      // header fidelity spot check: frame 1 decoded standalone
+      if (n > 1) {
+        val d1 = Vp8.decodeInter(payloads(1), 32, 32,
+          st(0).y, st(0).u, st(0).v, st(0).y, st(0).u, st(0).v,
+          altY = st(0).y, altU = st(0).u, altV = st(0).v)
+        require(d1.frame.refreshGolden && d1.frame.refreshLast &&
+          d1.frame.copyToAlt == 0,
+          s"container $k: lifecycle header drift")
+      }
+      st.iterator.zipWithIndex.map { case (f, t) =>
+        (k, t.toLong, t == 0,
+          t > 0 && t % 3 == 1,  // refresh_golden (oracle replays)
+          t > 0 && t % 3 == 2,  // copy_to_alt
+          t != 3,               // refresh_last
+          f.y.iterator.map(_.toLong).sum,
+          f.u.iterator.map(_.toLong).sum +
+            f.v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8BufferLifecycleKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "refresh_golden",
+        "copy_to_alt", "refresh_last", "luma_sum", "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m58Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8r'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8r' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, (v + 4) // 8 AS r FROM mb),
+      |-- keyframe V_PRED column prefixes (base values per MB)
+      |k AS (SELECT container, j, c,
+      |    127 + sum(r) OVER (PARTITION BY container, c ORDER BY j)
+      |      AS kval
+      |  FROM r WHERE t = 0),
+      |-- LAST chains (b at (0,0), c2 at (1,1)): cumulative residuals,
+      |-- with frame 3's residual DROPPED from frames >= 4 (frame 3
+      |-- did not refresh LAST)
+      |lastv AS (SELECT r.container, r.t, r.j, r.c,
+      |    k.kval
+      |      + sum(CASE WHEN r2.t > 0 THEN r2.r ELSE 0 END)
+      |      - CASE WHEN r.t > 3 THEN max(CASE WHEN r2.t = 3
+      |          THEN r2.r ELSE 0 END) ELSE 0 END AS val
+      |  FROM r
+      |  JOIN r r2 ON r2.container = r.container AND r2.j = r.j
+      |    AND r2.c = r.c AND r2.t <= r.t
+      |  JOIN k ON k.container = r.container AND k.j = r.j AND k.c = r.c
+      |  WHERE (r.j = 0 AND r.c = 0) OR (r.j = 1 AND r.c = 1)
+      |  GROUP BY r.container, r.t, r.j, r.c, k.kval),
+      |-- GOLDEN chain (g at (0,1)): anchors at t % 3 = 1 accumulate;
+      |-- val_g(t) = kval + sum of r over refresh frames BEFORE t
+      |-- + r(t)
+      |gold AS (SELECT r.container, r.t, k.kval
+      |    + sum(CASE WHEN r2.t > 0 AND r2.t % 3 = 1 AND r2.t < r.t
+      |        THEN r2.r ELSE 0 END)
+      |    + max(CASE WHEN r2.t = r.t AND r.t > 0 THEN r2.r
+      |        ELSE 0 END) AS val
+      |  FROM r
+      |  JOIN r r2 ON r2.container = r.container AND r2.j = 0
+      |    AND r2.c = 1 AND r2.t <= r.t
+      |  JOIN k ON k.container = r.container AND k.j = 0 AND k.c = 1
+      |  WHERE r.j = 0 AND r.c = 1
+      |  GROUP BY r.container, r.t, k.kval),
+      |-- ALTREF chain (a at (1,0)): alt = keyframe until the t = 2
+      |-- copy lands (GOLDEN = frame 1's decode), so frames >= 3 are
+      |-- based at kval + r(1)
+      |alt AS (SELECT r.container, r.t, k.kval
+      |    + CASE WHEN r.t >= 3 THEN max(CASE WHEN r2.t = 1 THEN r2.r
+      |        ELSE 0 END) ELSE 0 END
+      |    + max(CASE WHEN r2.t = r.t AND r.t > 0 THEN r2.r
+      |        ELSE 0 END) AS val
+      |  FROM r
+      |  JOIN r r2 ON r2.container = r.container AND r2.j = 1
+      |    AND r2.c = 0 AND r2.t <= r.t
+      |  JOIN k ON k.container = r.container AND k.j = 1 AND k.c = 0
+      |  WHERE r.j = 1 AND r.c = 0
+      |  GROUP BY r.container, r.t, k.kval),
+      |pervals AS (SELECT l.container, l.t,
+      |    sum(l.val) AS last_sum,
+      |    max(g.val) AS gold_val, max(a.val) AS alt_val
+      |  FROM lastv l
+      |  JOIN gold g ON g.container = l.container AND g.t = l.t
+      |  JOIN alt a ON a.container = l.container AND a.t = l.t
+      |  GROUP BY 1, 2)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  (t > 0 AND t % 3 = 1) AS refresh_golden,
+      |  (t > 0 AND t % 3 = 2) AS copy_to_alt,
+      |  (t != 3) AS refresh_last,
+      |  CAST(256 * (last_sum + gold_val + alt_val) AS BIGINT)
+      |    AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM pervals ORDER BY container, t""".stripMargin
+
+  /** m59: VP8 TEMPORAL SEGMENTATION + PER-SEGMENT LOOP FILTER
+    * (§9.3/§10/§15.1) — the segmentation shape real encoders ship:
+    * the KEYFRAME codes the segment map once (per-MB trees), every
+    * P-frame sets update_mb_segmentation_map = 0 and reuses it from
+    * [[graft.functions.Vp8.Ctx]].segMap (no per-MB map bits — a
+    * decoder that wrongly re-reads trees desyncs loudly), quantizer
+    * DELTAS route each segment to its own dequant (seg 0 at y2dc 8,
+    * seg 1 at +20 → 48), and the per-segment LOOP-FILTER feature
+    * (delta −18 on segment 1) zeroes the final filtered frame's only
+    * active MB edge — the oracle's unadjusted row sums catch an
+    * engine that ignores the feature. Single-column 16×32 fixture,
+    * m54's per-segment readout replayed per frame. Scale: the m40
+    * envelope plus one mbCount-int map per stream. */
+  private[operators] object Vp8TemporalSegKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Boolean, Long, Long, Long,
+          Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      def seg(updateMap: Boolean) = Vp8.Segmentation(absMode = false,
+        quant = Array(0, 20, 0, 0), mapProbs = Array(128, 128, 128),
+        lf = Array(0, -18, 0, 0), updateMap = updateMap)
+      def draw(t: Int, j: Int): Int = hexbyte(s"vp8g${k}_${t}_$j")
+      val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
+      val cxD = new Vp8.Ctx(Vp8.Profile.StandIn)
+      def kMb(v: Int, sid: Int) = {
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)), segment = sid)
+      }
+      def pMb(v: Int, sid: Int) = {
+        val y2 = new Array[Int](16); y2(0) = v
+        Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)), segment = sid)
+      }
+      val payloads = Vp8.encode(Vp8.KeyFrame(16, 32, 0,
+        Vector(kMb(1 + draw(0, 0) % 100, 0), kMb(1 + draw(0, 1) % 100, 1)),
+        segmentation = Some(seg(updateMap = true))), ctx = cxE) +:
+        (1 until n).map { t =>
+          // seg 1 dequants at 48: cap its residuals (% 8) so the
+          // five-frame chain stays below the 255 pixel clamp
+          Vp8.encodeInter(16, 32, Vp8.InterFrame(0,
+            Vector(pMb(draw(t, 0) % 60, 0), pMb(draw(t, 1) % 8, 1)),
+            filterLevel = if (t == n - 1) 18 else 0,
+            normalFilter = true,
+            segmentation = Some(seg(updateMap = false))), ctx = cxE)
+        }
+      var lastY: Array[Int] = null
+      var lastU: Array[Int] = null
+      var lastV: Array[Int] = null
+      payloads.iterator.zipWithIndex.map { case (p, t) =>
+        val (segIds, updMap, y, u, v) =
+          if (t == 0) {
+            val dec = Vp8.decode(p, ctx = cxD)
+            (dec.frame.mbs.map(_.segment),
+              dec.frame.segmentation.exists(_.updateMap),
+              dec.y, dec.u, dec.v)
+          } else {
+            val dec = Vp8.decodeInter(p, 16, 32, lastY, lastU, lastV,
+              ctx = cxD)
+            (dec.frame.mbs.map(_.segment),
+              dec.frame.segmentation.exists(_.updateMap),
+              dec.y, dec.u, dec.v)
+          }
+        require(segIds == Vector(0, 1),
+          s"container $k frame $t: segment map drift")
+        lastY = y; lastU = u; lastV = v
+        def rowSum(r: Int): Long =
+          (0 until 16).map(x => y(r * 16 + x).toLong).sum
+        (k, t.toLong, t == 0, updMap, rowSum(15), rowSum(16),
+          y.iterator.map(_.toLong).sum,
+          u.iterator.map(_.toLong).sum + v.iterator.map(_.toLong).sum,
+          segIds.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8TemporalSegKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "update_map", "r15", "r16",
+        "luma_sum", "chroma_sum", "seg_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m59Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, n, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, n, t, jj.j,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8g'
+      |        || container || '_0_' || jj.j), 1, 2)) AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8g' || container || '_'
+      |        || t || '_' || jj.j), 1, 2)) AS BIGINT)
+      |        % (CASE WHEN jj.j = 1 THEN 8 ELSE 60 END) END AS v
+      |  FROM frames, (SELECT unnest(range(2)) AS j) jj),
+      |-- per-segment dequant: MB row j IS segment j — seg 0 at
+      |-- y2dc = 8, seg 1 at qindex 0+20 → 48 (the m54 readout)
+      |r AS (SELECT container, n, t, j, v,
+      |    CASE WHEN j = 0 THEN (v + 4) // 8
+      |      ELSE ((48 * v + 3) // 8 + 4) // 8 END AS r FROM mb),
+      |k AS (SELECT container, j,
+      |    sum(r) OVER (PARTITION BY container ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, n, t, j, v,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.n, p.t, p.j, p.v,
+      |    127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j),
+      |wide AS (SELECT container, n, t,
+      |    max(CASE WHEN j = 0 THEN val END) AS v0,
+      |    max(CASE WHEN j = 1 THEN val END) AS v1
+      |  FROM val GROUP BY 1, 2, 3)
+      |-- the final frame's only active edge (y = 16) belongs to MB1,
+      |-- whose segment lf delta (18 - 18 = 0) DISABLES filtering —
+      |-- the row sums stay the pure chain on every frame
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  (t = 0) AS update_map,
+      |  CAST(16 * v0 AS BIGINT) AS r15,
+      |  CAST(16 * v1 AS BIGINT) AS r16,
+      |  CAST(256 * (v0 + v1) AS BIGINT) AS luma_sum,
+      |  CAST(32768 AS BIGINT) AS chroma_sum,
+      |  CAST(1 AS BIGINT) AS seg_sum
+      |FROM wide ORDER BY container, t""".stripMargin
+
+  /** m60: VP8 INTRA MACROBLOCKS INSIDE P-FRAMES (§11.4/§16.2) — the
+    * B_PRED path in inter frames that real encoders use for intra
+    * refresh: one macroblock per P-frame codes intra B_PRED (submodes
+    * on §11.4's fixed non-kf table, own-DC type-3 tokens, no Y2,
+    * reconstruction interleaved with prediction over the CURRENT
+    * frame's recon) while its neighbors ride ZEROMV chains. All-B_TM
+    * with a uniform per-block DC telescopes from the uniform left
+    * neighbor (the m41 closed form re-anchored): block (by, bx) is
+    * flat V0 + (by+1)(bx+1)·r, so the MB's luma is
+    * 256·V0 + 1600·r — the oracle replays it per frame on top of the
+    * three cumulative chains. Scale: the m40 envelope. */
+  private[operators] object Vp8IntraRefreshKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      def draw(t: Int, j: Int, c: Int): Int =
+        hexbyte(s"vp8i${k}_${t}_${j}_${c}")
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val y2 = new Array[Int](16); y2(0) = 1 + draw(0, j, c) % 100
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          def zMb(j: Int, c: Int) = {
+            val y2 = new Array[Int](16); y2(0) = draw(t, j, c) % 60
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0,
+              y2, Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }
+          val vD = draw(t, 0, 1) % 6
+          val bMb = Vp8.InterMb(inter = false, 0, Vp8.Mv(0, 0),
+            Vp8.BPred, Vp8.DcPred, new Array[Int](16),
+            Array.fill(16) { val a = new Array[Int](16); a(0) = vD; a },
+            Array.fill(4)(new Array[Int](16)),
+            Array.fill(4)(new Array[Int](16)),
+            bModes = Array.fill(16)(Vp8.BTm))
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+            Vector(zMb(0, 0), bMb, zMb(1, 0), zMb(1, 1))))
+        }
+      var lastY: Array[Int] = null
+      var lastU: Array[Int] = null
+      var lastV: Array[Int] = null
+      payloads.iterator.zipWithIndex.map { case (p, t) =>
+        val (levels, y, u, v) =
+          if (t == 0) {
+            val dec = Vp8.decode(p)
+            (dec.frame.mbs.iterator.map(_.y2(0).toLong).sum,
+              dec.y, dec.u, dec.v)
+          } else {
+            val dec = Vp8.decodeInter(p, 32, 32, lastY, lastU, lastV)
+            val mb1 = dec.frame.mbs(1)
+            require(!mb1.inter && mb1.yMode == Vp8.BPred &&
+              mb1.bModes.forall(_ == Vp8.BTm),
+              s"container $k frame $t: intra-refresh mode drift")
+            (dec.frame.mbs.iterator.map(m =>
+              m.y2(0).toLong + m.y.iterator.map(_.head.toLong).sum).sum,
+              dec.y, dec.u, dec.v)
+          }
+        lastY = y; lastU = u; lastV = v
+        (k, t.toLong, t == 0, levels,
+          y.iterator.map(_.toLong).sum,
+          u.iterator.map(_.toLong).sum + v.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8IntraRefreshKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m60Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8i'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8i' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, v, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |-- the three ZEROMV chains ((0,0), (1,0), (1,1)) accumulate;
+      |-- (0,1) is the intra-refresh B_PRED MB — its draw (mod 6) is
+      |-- the per-block DC, not a chain residual
+      |p AS (SELECT container, t, j, c, v,
+      |    sum(CASE WHEN t > 0 AND NOT (j = 0 AND c = 1) THEN r
+      |      ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |uni AS (SELECT p.container, p.t, p.j, p.c, p.v,
+      |    127 + k.kcum + p.pcum AS val
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c),
+      |-- intra-refresh MB luma: telescoped from the uniform left
+      |-- neighbor V0 — 256·V0 + 1600·r_d with r_d = (4(v%6)+4)//8
+      |agg AS (SELECT u.container, u.t,
+      |    sum(CASE WHEN NOT (u.j = 0 AND u.c = 1) OR u.t = 0
+      |      THEN 256 * u.val ELSE 0 END) AS chain_luma,
+      |    max(CASE WHEN u.j = 0 AND u.c = 0 THEN u.val END) AS v0,
+      |    max(CASE WHEN u.j = 0 AND u.c = 1 THEN (u.v % 6) END) AS vd,
+      |    sum(CASE WHEN u.t = 0 OR NOT (u.j = 0 AND u.c = 1)
+      |      THEN u.v ELSE 16 * (u.v % 6) END) AS levels_sum
+      |  FROM uni u GROUP BY 1, 2)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(levels_sum AS BIGINT) AS levels_sum,
+      |  CAST(CASE WHEN t = 0 THEN chain_luma
+      |    ELSE chain_luma + 256 * v0 + 1600 * ((4 * vd + 4) // 8)
+      |    END AS BIGINT) AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM agg ORDER BY container, t""".stripMargin
+
   /** m57: H.264 INTRA_4X4 PREDICTION-MODE DECODE (§7.3.5/§8.3.1) —
     * one normative step past m46's I_PCM: real Annex-B I slices whose
     * macroblock layer codes mb_type = 0 (Intra_4x4), the 16 per-block
@@ -4394,6 +4848,9 @@ object ContainerQueries {
     Q("m56_vp8_conformance", m56, Some(m56Sql)),
     Q("e54_streaming_vp8_entropy", e54, Some(e54Sql)),
     Q("m57_h264_intra_modes", m57, Some(m57Sql)),
+    Q("m58_vp8_buffer_lifecycle", m58, Some(m58Sql)),
+    Q("m59_vp8_temporal_segments", m59, Some(m59Sql)),
+    Q("m60_vp8_intra_refresh", m60, Some(m60Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

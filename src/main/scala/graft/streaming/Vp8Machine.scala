@@ -11,7 +11,9 @@ import graft.streaming.StateMachines.{Ev, Machine, Out}
   * state. That state is (RFC 6386):
   *  - the REFERENCE PLANES — LAST, GOLDEN and ALTREF (§16.3's buffer
   *    model; keyframes (re-)anchor all three, inter frames read any of
-  *    them per-MB and refresh LAST);
+  *    them per-MB and update them per their §9.7 header flags —
+  *    refresh_last/golden/alternate and the conditional copy fields,
+  *    applied exactly as in [[Vp8.decodeStream]]);
   *  - the PERSISTENT ENTROPY STATE (§9.7) — the coefficient/MV/mode
   *    probability tables as updated by refresh_entropy_probs = 1
   *    frames (an inter frame arriving three micro-batches after the
@@ -32,11 +34,12 @@ object Vp8Machine {
   final case class DecState(w: Int, h: Int,
       lastY: Array[Int], lastU: Array[Int], lastV: Array[Int],
       goldY: Array[Int], goldU: Array[Int], goldV: Array[Int],
+      altY: Array[Int], altU: Array[Int], altV: Array[Int],
       ctx: Array[Int])
 
   final class StreamDecoder extends Machine[DecState] {
-    def init: DecState =
-      DecState(0, 0, null, null, null, null, null, null, null)
+    def init: DecState = DecState(0, 0, null, null, null, null, null,
+      null, null, null, null, null)
 
     def step(s: DecState, e: Ev): (DecState, Seq[Out]) = {
       val payload = java.util.HexFormat.of().parseHex(e.text)
@@ -48,21 +51,37 @@ object Vp8Machine {
         else Vp8.Ctx.fromFlat(Vp8.Profile.StandIn, s.ctx)
       if (tag.keyframe) {
         val dec = Vp8.decode(payload, ctx = cx)
+        // §16.3: a keyframe refreshes ALL reference buffers
         val ns = DecState(dec.frame.width, dec.frame.height,
-          dec.y, dec.u, dec.v, dec.y, dec.u, dec.v, Vp8.Ctx.toFlat(cx))
+          dec.y, dec.u, dec.v, dec.y, dec.u, dec.v, dec.y, dec.u, dec.v,
+          Vp8.Ctx.toFlat(cx))
         (ns, Seq(emit(e.ts, dec.y, dec.u, dec.v, keyframe = true)))
       } else {
         require(s.lastY != null,
           s"vp8 stream: inter frame at ts ${e.ts} before any keyframe")
-        // §16.3: in the refresh_golden = refresh_alt = 0 subset both
-        // long-term buffers hold the most recent keyframe — pass the
-        // golden planes as ALTREF too, matching decodeStream
         val dec = Vp8.decodeInter(payload, s.w, s.h,
           s.lastY, s.lastU, s.lastV, s.goldY, s.goldU, s.goldV,
-          altY = s.goldY, altU = s.goldU, altV = s.goldV, ctx = cx)
-        (s.copy(lastY = dec.y, lastU = dec.u, lastV = dec.v,
-          ctx = Vp8.Ctx.toFlat(cx)),
-          Seq(emit(e.ts, dec.y, dec.u, dec.v, keyframe = false)))
+          altY = s.altY, altU = s.altU, altV = s.altV, ctx = cx)
+        // §9.7 buffer lifecycle, exactly decodeStream's: copies read
+        // the pre-update buffers in field order, then the refresh
+        // flags overwrite with this frame's decode
+        val f = dec.frame
+        var (gY, gU, gV) = (s.goldY, s.goldU, s.goldV)
+        var (aY, aU, aV) = (s.altY, s.altU, s.altV)
+        if (f.copyToGolden == 1) { gY = s.lastY; gU = s.lastU; gV = s.lastV }
+        else if (f.copyToGolden == 2) { gY = aY; gU = aU; gV = aV }
+        if (f.copyToAlt == 1) { aY = s.lastY; aU = s.lastU; aV = s.lastV }
+        else if (f.copyToAlt == 2) { aY = gY; aU = gU; aV = gV }
+        if (f.refreshGolden) { gY = dec.y; gU = dec.u; gV = dec.v }
+        if (f.refreshAlt) { aY = dec.y; aU = dec.u; aV = dec.v }
+        val ns = s.copy(
+          lastY = if (f.refreshLast) dec.y else s.lastY,
+          lastU = if (f.refreshLast) dec.u else s.lastU,
+          lastV = if (f.refreshLast) dec.v else s.lastV,
+          goldY = gY, goldU = gU, goldV = gV,
+          altY = aY, altU = aU, altV = aV,
+          ctx = Vp8.Ctx.toFlat(cx))
+        (ns, Seq(emit(e.ts, dec.y, dec.u, dec.v, keyframe = false)))
       }
     }
 

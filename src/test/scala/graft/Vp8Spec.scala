@@ -1465,6 +1465,195 @@ class Vp8Spec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(tpl), "UTF-8"))) == json)
   }
 
+  test("reference-buffer lifecycle [§9.7]: refresh_golden/alternate " +
+      "re-anchor to the refreshing frame, the conditional copy fields " +
+      "move buffers (reading pre-update state), refresh_last = 0 " +
+      "leaves LAST behind, and the machine matches decodeStream") {
+    def gMb(v: Int) = interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = v)
+      .copy(refGolden = true)
+    def aMb(v: Int) = interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = v)
+      .copy(refAltref = true)
+    val key = Vp8.encode(Vp8.KeyFrame(32, 32, 0, Vector(
+      zeroMb(Vp8.VPred, Vp8.DcPred, 40), zeroMb(Vp8.VPred, Vp8.DcPred, 80),
+      zeroMb(Vp8.VPred, Vp8.DcPred, 16), zeroMb(Vp8.VPred, Vp8.DcPred, 24))))
+    // frame 1: LAST chain + golden-ref MB1 (reads the keyframe),
+    // refreshes GOLDEN afterward
+    val p1 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector(
+      gMb(8), gMb(16), interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), 24),
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), 32)), refreshGolden = true))
+    // frame 2: golden-ref MBs now read FRAME 1's pixels; copies
+    // GOLDEN into ALTREF afterward; refresh_last = 0 — frame 3 must
+    // predict from frame 1, not frame 2
+    val p2 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector(
+      gMb(8), gMb(8), interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), 8),
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), 8)),
+      refreshLast = false, copyToAlt = 2))
+    // frame 3: altref MBs read the copied buffer (= frame 1), LAST
+    // MBs read frame 1 (frame 2 did not refresh LAST)
+    val p3 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector(
+      aMb(0), aMb(0), interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), 0),
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), 0))))
+    val st = Vp8.decodeStream(Seq(key, p1, p2, p3))
+    def mbVal(f: Vp8.StreamFrame, mr: Int, mc: Int): Int =
+      f.y((mr * 16) * 32 + mc * 16) // uniform per MB in this fixture
+    val kf = st(0); val f1 = st(1); val f2 = st(2); val f3 = st(3)
+    // frame 1's golden refs read the keyframe + their own residuals
+    assert(mbVal(f1, 0, 0) == mbVal(kf, 0, 0) + 1) // r = (8+4)>>3
+    assert(mbVal(f1, 0, 1) == mbVal(kf, 0, 1) + 2)
+    // frame 2's golden refs read FRAME 1 (the refresh landed)
+    assert(mbVal(f2, 0, 0) == mbVal(f1, 0, 0) + 1,
+      "refresh_golden must re-anchor to frame 1")
+    // frame 3: altref = the frame-2 copy of golden = frame 1
+    assert(mbVal(f3, 0, 0) == mbVal(f1, 0, 0),
+      "copy_buffer_to_alternate must hold frame 1")
+    assert(mbVal(f3, 0, 1) == mbVal(f1, 0, 1))
+    // frame 3's LAST MBs read frame 1 too (refresh_last = 0 at f2)
+    assert(mbVal(f3, 1, 0) == mbVal(f1, 1, 0),
+      "refresh_last = 0 must leave LAST at frame 1")
+    // header fields round-trip (frame 2 decoded standalone)
+    val d2 = Vp8.decodeInter(p2, 32, 32, f1.y, f1.u, f1.v,
+      kf.y, kf.u, kf.v, altY = kf.y, altU = kf.u, altV = kf.v)
+    assert(!d2.frame.refreshLast && d2.frame.copyToAlt == 2 &&
+      !d2.frame.refreshGolden && d2.frame.copyToGolden == 0)
+    // the streaming machine applies the same lifecycle
+    import graft.streaming.{StateMachines, Vp8Machine}
+    val hex = java.util.HexFormat.of()
+    val m = new Vp8Machine.StreamDecoder
+    var s = m.init
+    Seq(key, p1, p2, p3).zipWithIndex.foreach { case (p, t) =>
+      val (ns, outs) = m.step(s, StateMachines.Ev(0, t.toLong, 0.0,
+        hex.formatHex(p), paused = false))
+      s = ns
+      val luma = st(t).y.iterator.map(_.toLong).sum
+      assert(outs.head.value == luma.toDouble, s"machine frame $t")
+    }
+    // construction guards: copy fields require the refresh flag off
+    intercept[IllegalArgumentException] {
+      Vp8.InterFrame(0, Vector(interZero()), refreshGolden = true,
+        copyToGolden = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Vp8.InterFrame(0, Vector(interZero()), copyToAlt = 3)
+    }
+  }
+
+  test("segment-map persistence [§9.3] + per-segment loop filter: " +
+      "update_mb_segmentation_map = 0 frames reuse the remembered map " +
+      "(quantizer routing proves it), a segment lf value re-bases that " +
+      "segment's filter level, and a missing map is loud") {
+    val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
+    val cxD = new Vp8.Ctx(Vp8.Profile.StandIn)
+    def segm(updateMap: Boolean, lf1: Int = 0) = Vp8.Segmentation(
+      absMode = false, quant = Array(0, 20, 0, 0),
+      mapProbs = Array(128, 128, 128), lf = Array(0, lf1, 0, 0),
+      updateMap = updateMap)
+    def kMb(v: Int, seg: Int) = {
+      val y2 = new Array[Int](16); y2(0) = v
+      Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), segment = seg)
+    }
+    def pMb(v: Int, seg: Int) = {
+      val y2 = new Array[Int](16); y2(0) = v
+      Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0, y2,
+        Array.fill(16)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)),
+        Array.fill(4)(new Array[Int](16)), segment = seg)
+    }
+    // keyframe codes the map [0, 1]; the P-frame reuses it with NO
+    // per-MB trees
+    val key = Vp8.encode(Vp8.KeyFrame(16, 32, 0,
+      Vector(kMb(40, 0), kMb(40, 1)),
+      segmentation = Some(segm(updateMap = true))), ctx = cxE)
+    val kd = Vp8.decode(key, ctx = cxD)
+    assert(kd.frame.mbs.map(_.segment) == Vector(0, 1))
+    // same level, different segments → different dequant (0 vs +20)
+    assert(kd.y(0) == 127 + (40 + 4) / 8)
+    assert(kd.y(16 * 16) == kd.y(0) + ((48 * 40 + 3) / 8 + 4) / 8)
+    val p1 = Vp8.encodeInter(16, 32, Vp8.InterFrame(0,
+      Vector(pMb(24, 0), pMb(24, 1)),
+      segmentation = Some(segm(updateMap = false))), ctx = cxE)
+    val d1 = Vp8.decodeInter(p1, 16, 32, kd.y, kd.u, kd.v, ctx = cxD)
+    assert(d1.frame.segmentation.exists(!_.updateMap))
+    assert(d1.frame.mbs.map(_.segment) == Vector(0, 1),
+      "the map must persist across the no-update frame")
+    assert(d1.y(0) == kd.y(0) + (24 + 4) / 8)
+    assert(d1.y(16 * 16) == kd.y(16 * 16) + ((48 * 24 + 3) / 8 + 4) / 8)
+    // per-segment loop filter: MB1's lf delta -18 zeroes its level, so
+    // the single active MB edge at y = 16 (owned by MB1) is untouched
+    // v = 16 keeps MB1's step d = 12 inside the level-18 mask
+    def lfKey(lf1: Int) = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0,
+      Vector(kMb(80, 0), kMb(16, 1)), filterLevel = 18,
+      normalFilter = true,
+      segmentation = Some(segm(updateMap = true, lf1 = lf1))),
+      ctx = new Vp8.Ctx(Vp8.Profile.StandIn)))
+    val plain = Vp8.decode(Vp8.encode(Vp8.KeyFrame(16, 32, 0,
+      Vector(kMb(80, 0), kMb(16, 1)),
+      segmentation = Some(segm(updateMap = true)))))
+    assert(lfKey(-18).y.sameElements(plain.y),
+      "segment lf 18 - 18 = 0 disables MB1's edge")
+    assert(!lfKey(0).y.sameElements(plain.y),
+      "without the lf feature the edge filters")
+    // a no-update frame without a remembered map is loud
+    val ex = intercept[IllegalArgumentException] {
+      Vp8.decodeInter(p1, 16, 32, kd.y, kd.u, kd.v)
+    }
+    assert(ex.getMessage.contains("remembered map"))
+    intercept[IllegalArgumentException] {
+      Vp8.Segmentation(absMode = false, Array(0, 0, 0, 0),
+        Array(128, 128, 128), lf = Array(64, 0, 0, 0))
+    }
+  }
+
+  test("B_PRED inside inter frames [§11.4/§16.2]: the intra-refresh " +
+      "pattern — submodes ride the fixed non-kf table, type-3 tokens " +
+      "with no Y2, interleaved reconstruction, and the region resets " +
+      "independent of history") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    def bMb(v: Int) = Vp8.InterMb(inter = false, 0, Vp8.Mv(0, 0),
+      Vp8.BPred, Vp8.DcPred, new Array[Int](16),
+      Array.fill(16) { val a = new Array[Int](16); a(0) = v; a },
+      Array.fill(4)(new Array[Int](16)),
+      Array.fill(4)(new Array[Int](16)),
+      bModes = Array.fill(16)(Vp8.BTm))
+    val f = Vp8.InterFrame(0, Vector(
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 16), bMb(10),
+      interZero(), interMb(Vp8.NewMv, Vp8.Mv(16, 0), y2dc = 3)))
+    val d = Vp8.decodeInter(Vp8.encodeInter(32, 32, f), 32, 32,
+      ref.y, ref.u, ref.v)
+    val mb1 = d.frame.mbs(1)
+    assert(!mb1.inter && mb1.yMode == Vp8.BPred &&
+      mb1.bModes.forall(_ == Vp8.BTm))
+    assert(mb1.y.forall(_.head == 10) && mb1.y2.forall(_ == 0))
+    // the m41 telescoping closed form, anchored at the UNIFORM left
+    // neighbor (TM cancels the uniform edges): block (by, bx) is flat
+    // V0 + (by+1)(bx+1)·r where V0 is MB(0,0)'s uniform value and
+    // r = (4v+4)>>3 — the current frame's recon, not the reference
+    val v0 = d.y(0) // MB(0,0): ZEROMV chain value, uniform
+    assert(v0 == ref.y(0) + (16 + 4) / 8)
+    val r = (4 * 10 + 4) >> 3
+    for (by <- 0 until 4; bx <- 0 until 4) {
+      assert(d.y((by * 4) * 32 + 16 + bx * 4) ==
+        v0 + (by + 1) * (bx + 1) * r, s"block ($by, $bx)")
+    }
+    // round trip survives a second frame whose B_PRED MB carries
+    // different submodes (fixed-table coding, no context)
+    val f2 = Vp8.InterFrame(0, Vector(interZero(),
+      bMb(0).copy(bModes = Array.tabulate(16)(i => i % 10)),
+      interZero(), interZero()))
+    val d2 = Vp8.decodeInter(Vp8.encodeInter(32, 32, f2), 32, 32,
+      d.y, d.u, d.v)
+    assert(d2.frame.mbs(1).bModes.toSeq == (0 until 16).map(_ % 10))
+    // malformed: submodes without B_PRED, B_PRED with a Y2 block
+    intercept[IllegalArgumentException] {
+      interZero().copy(bModes = Array.fill(16)(0))
+    }
+    intercept[IllegalArgumentException] {
+      bMb(1).copy(y2 = { val a = new Array[Int](16); a(0) = 5; a })
+    }
+  }
+
   test("Ctx.toFlat/fromFlat round-trips the entropy + lf-delta state " +
       "for the state store") {
     val cx = new Vp8.Ctx(Vp8.Profile.StandIn)
