@@ -144,12 +144,19 @@ import scala.collection.mutable.ArrayBuffer
   * submode table — the intra-refresh pattern), with type-3 tokens,
   * no Y2, and interleaved reconstruction as in keyframes.
   *
-  * Subset boundaries, all failing loudly: sign-bias MV flipping
-  * (sign_bias_golden/alternate must be 0 — nonzero bias changes the
-  * §17.3 survey), segmentation feature DATA must be re-stated in
-  * every segmented frame (update_segment_feature_data = 1),
-  * dimensions must be multiples of 16 (real VP8 pads to macroblocks
-  * and crops at display). Token partitioning [§9.5] is implemented
+  * Sign biases (§17.3) are implemented: survey candidates from
+  * neighbors whose reference frame has the opposite sign bias are
+  * negated before entering the near-MV list.
+  *
+  * DISPLAY CROPPING [§9.1] is implemented: any positive dimensions
+  * are legal — reconstruction and reference buffers run on the
+  * macroblock-padded frame, [[decodeStream]] emits display-cropped
+  * planes, and [[crop]]/[[pad16]] are public for callers holding
+  * [[Decoded]]'s padded planes.
+  *
+  * Subset boundaries, all failing loudly: segmentation feature DATA
+  * must be re-stated in every segmented frame
+  * (update_segment_feature_data = 1). Token partitioning [§9.5] is implemented
   * for all four legal counts (1/2/4/8): MB row r codes into partition
   * r mod count, sizes as 3-byte little-endian between the first
   * partition and the token data.
@@ -956,16 +963,29 @@ object Vp8 {
       "vp8: segment ids need segmentation enabled in the header")
     require(skipEnabled || mbs.forall(!_.skip),
       "vp8: skipped MBs need mb_no_coeff_skip enabled in the header")
-    require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
-      s"vp8: $width x $height not a macroblock multiple (display cropping " +
-        "is out of scope)")
+    require(width > 0 && height > 0, s"vp8: $width x $height")
     require(qindex >= 0 && qindex < 128, s"vp8: qindex $qindex")
     require(filterLevel >= 0 && filterLevel < 64,
       s"vp8: loop filter level $filterLevel")
-    require(mbs.length == (width / 16) * (height / 16),
-      s"vp8: ${mbs.length} MBs for a ${width / 16}x${height / 16} grid")
+    require(mbs.length == (pad16(width) / 16) * (pad16(height) / 16),
+      s"vp8: ${mbs.length} MBs for a ${pad16(width) / 16}x" +
+        s"${pad16(height) / 16} padded grid")
   }
 
+  /** §9.1 display cropping: the CODED frame rounds the display
+    * dimensions up to whole macroblocks; the pad region decodes
+    * normally (and feeds inter prediction) while display CROPS. */
+  def pad16(v: Int): Int = (v + 15) / 16 * 16
+
+  /** Crop a padded plane (stride `padW`) to its display window. */
+  def crop(plane: Array[Int], padW: Int, w: Int, h: Int): Array[Int] =
+    if (padW == w && plane.length == w * h) plane
+    else Array.tabulate(w * h)(i => plane((i / w) * padW + i % w))
+
+  /** Decoded planes are the CODED (macroblock-padded) frame — the
+    * reference-buffer content inter frames predict from; `frame`
+    * carries the display dimensions, [[crop]] extracts the display
+    * window (luma at pad16(width), chroma at pad16(width)/2). */
   final case class Decoded(frame: KeyFrame, y: Array[Int],
       u: Array[Int], v: Array[Int])
 
@@ -1324,8 +1344,8 @@ object Vp8 {
     val cx = if (ctx != null) ctx else new Ctx(profile)
     val prof = cx.profile
     cx.entropy.resetTo(prof) // key frames reset the whole state [§9.7]
-    val mbCols = f.width / 16
-    val mbRows = f.height / 16
+    val mbCols = pad16(f.width) / 16
+    val mbRows = pad16(f.height) / 16
     // first partition: frame header [§9.2-§9.11], then per-MB modes
     val h = new BoolEncoder
     h.literal(0, 1) // color_space: YUV as specified
@@ -1473,9 +1493,10 @@ object Vp8 {
     require(tag.keyframe, "vp8: not a keyframe (inter frames out of scope)")
     require(tag.widthScale == 0 && tag.heightScale == 0,
       "vp8: upscaling out of scope")
-    val width = tag.width; val height = tag.height
-    require(width % 16 == 0 && height % 16 == 0,
-      s"vp8: $width x $height not a macroblock multiple")
+    val dispW = tag.width; val dispH = tag.height
+    // §9.1: internal reconstruction runs on the macroblock-padded
+    // frame; the returned frame records the display dims
+    val width = pad16(dispW); val height = pad16(dispH)
     val mbCols = width / 16; val mbRows = height / 16
     val p1End = 10 + tag.firstPartSize
     require(p1End <= payload.length,
@@ -1743,7 +1764,7 @@ object Vp8 {
         lfInterior)
     }
     if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
-    Decoded(KeyFrame(width, height, qindex, mbs, filterLevel,
+    Decoded(KeyFrame(dispW, dispH, qindex, mbs, filterLevel,
       skipEnabled, qDeltas, tokenPartitions, segmentation, normal,
       sharpness, lfDeltaEnabled, lfDeltaUpdate, refreshEntropy,
       coeffUpdates), yP, uP, vP)
@@ -2140,6 +2161,11 @@ object Vp8 {
       refreshAlt: Boolean = false,
       copyToGolden: Int = 0,
       copyToAlt: Int = 0,
+      /** §17.3 reference sign biases: survey candidates from
+        * neighbors whose reference has the opposite bias are
+        * negated (LAST is implicitly bias 0). */
+      signBiasGolden: Boolean = false,
+      signBiasAlt: Boolean = false,
       sharpness: Int = 0,
       lfDeltaEnabled: Boolean = false,
       lfDeltaUpdate: Option[LfDeltaUpdate] = None,
@@ -2248,6 +2274,8 @@ object Vp8 {
     val inter = new Array[Boolean](mbCols * mbRows)
     val row = new Array[Int](mbCols * mbRows)
     val col = new Array[Int](mbCols * mbRows)
+    /** The sign bias of each coded MB's reference frame [§17.3]. */
+    val bias = new Array[Boolean](mbCols * mbRows)
     /** Per-subblock MVs, non-null only for SPLITMV MBs. */
     val sub = new Array[Array[Mv]](mbCols * mbRows)
     def subMv(idx: Int, b: Int): Mv =
@@ -2297,7 +2325,8 @@ object Vp8 {
     * then the near/nearest count swap, best-MV promotion, clamping,
     * and the count-indexed tree probabilities. */
   private def findNearMvs(g: MvGrid, mr: Int, mc: Int,
-      modeContexts: Array[Array[Int]] = ModeContextProb)
+      modeContexts: Array[Array[Int]] = ModeContextProb,
+      curBias: Boolean = false)
       : (Mv, Mv, Mv, Array[Int]) = {
     val mvs = Array.fill(4)(Mv(0, 0))
     val cnt = new Array[Int](4)
@@ -2307,7 +2336,11 @@ object Vp8 {
         val i = r * g.mbCols + c
         if (g.inter(i)) {
           if (g.row(i) != 0 || g.col(i) != 0) {
-            val m = Mv(g.row(i), g.col(i))
+            // §17.3: a candidate from a neighbor whose reference has
+            // the OPPOSITE sign bias is negated before the survey
+            val m =
+              if (g.bias(i) != curBias) Mv(-g.row(i), -g.col(i))
+              else Mv(g.row(i), g.col(i))
             if (slot == 0 || mvs(slot) != m) { slot += 1; mvs(slot) = m }
             cnt(slot) += w
           } else cnt(0) += w
@@ -2446,12 +2479,14 @@ object Vp8 {
     * 3-byte tag (no start code), bool-coded first partition
     * (interframe header [§9.5-§9.11] + per-MB modes/MVs), one token
     * partition. `width`/`height` must match the stream's keyframe. */
-  def encodeInter(width: Int, height: Int, f: InterFrame,
+  def encodeInter(dispWidth: Int, dispHeight: Int, f: InterFrame,
       profile: Profile = Profile.StandIn, ctx: Ctx = null): Array[Byte] = {
-    require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
-      s"vp8: $width x $height not a macroblock multiple")
+    require(dispWidth > 0 && dispHeight > 0,
+      s"vp8: $dispWidth x $dispHeight")
     val cx = if (ctx != null) ctx else new Ctx(profile)
     val prof = cx.profile
+    val width = pad16(dispWidth)
+    val height = pad16(dispHeight)
     val mbCols = width / 16
     val mbRows = height / 16
     require(f.mbs.length == mbCols * mbRows,
@@ -2470,8 +2505,8 @@ object Vp8 {
     h.literal(if (f.refreshAlt) 1 else 0, 1)
     if (!f.refreshGolden) h.literal(f.copyToGolden, 2)
     if (!f.refreshAlt) h.literal(f.copyToAlt, 2)
-    h.literal(0, 1) // sign_bias_golden (MV flipping out of scope)
-    h.literal(0, 1) // sign_bias_alternate
+    h.literal(if (f.signBiasGolden) 1 else 0, 1)
+    h.literal(if (f.signBiasAlt) 1 else 0, 1)
     h.literal(if (f.refreshEntropy) 1 else 0, 1) // refresh_entropy_probs
     h.literal(if (f.refreshLast) 1 else 0, 1) // refresh_last
     val savedEntropy =
@@ -2543,8 +2578,12 @@ object Vp8 {
           val nonLast = mb.refGolden || mb.refAltref
           h.bool(if (nonLast) 1 else 0, ProbLast)
           if (nonLast) h.bool(if (mb.refAltref) 1 else 0, ProbGf)
+          val curBias =
+            if (mb.refAltref) f.signBiasAlt
+            else if (mb.refGolden) f.signBiasGolden
+            else false
           val (best, nearest, near, probs) =
-            findNearMvs(g, mr, mc, prof.modeContexts)
+            findNearMvs(g, mr, mc, prof.modeContexts, curBias)
           h.tree(MvRefTree, probs, mb.mvMode)
           val eff = mb.mvMode match {
             case ZeroMv => Mv(0, 0)
@@ -2587,6 +2626,7 @@ object Vp8 {
           g.inter(idx) = true
           g.row(idx) = eff.row
           g.col(idx) = eff.col
+          g.bias(idx) = curBias
         }
         mc += 1
       }
@@ -2658,7 +2698,7 @@ object Vp8 {
       cx.segMap = f.mbs.map(_.segment).toArray
     if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
     graft.sources.Ivf.vp8Frame(keyframe = false, version = 0,
-      showFrame = true, width, height, part1) ++
+      showFrame = true, dispWidth, dispHeight, part1) ++
       assemblePartitions(es.map(_.stop()).toSeq)
   }
 
@@ -2666,7 +2706,7 @@ object Vp8 {
     * Every subset boundary fails loudly by name. When `ctx` is
     * supplied, its profile wins and its entropy/lf-delta state evolves
     * per §9.7/§9.4. */
-  def decodeInter(payload: Array[Byte], width: Int, height: Int,
+  def decodeInter(payload: Array[Byte], dispWidth: Int, dispHeight: Int,
       refY: Array[Int], refU: Array[Int], refV: Array[Int],
       goldY: Array[Int] = null, goldU: Array[Int] = null,
       goldV: Array[Int] = null,
@@ -2677,12 +2717,15 @@ object Vp8 {
     val prof = cx.profile
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(!tag.keyframe, "vp8: keyframe passed to decodeInter")
-    require(width > 0 && width % 16 == 0 && height > 0 && height % 16 == 0,
-      s"vp8: $width x $height not a macroblock multiple")
+    require(dispWidth > 0 && dispHeight > 0,
+      s"vp8: $dispWidth x $dispHeight")
+    // §9.1: reference planes and reconstruction are macroblock-padded
+    val width = pad16(dispWidth)
+    val height = pad16(dispHeight)
     require(refY.length == width * height &&
       refU.length == (width / 2) * (height / 2) &&
       refV.length == (width / 2) * (height / 2),
-      "vp8: reference plane sizes disagree with the given dimensions")
+      "vp8: reference plane sizes disagree with the padded dimensions")
     val mbCols = width / 16
     val mbRows = height / 16
     val p1End = 3 + tag.firstPartSize
@@ -2706,9 +2749,8 @@ object Vp8 {
     val copyToAlt = if (refreshAlt) 0 else h.literal(2)
     require(copyToGolden <= 2 && copyToAlt <= 2,
       "vp8: reserved copy-buffer value 3")
-    require(h.literal(1) == 0,
-      "vp8: sign_bias_golden out of scope (it flips §17.3 survey MVs)")
-    require(h.literal(1) == 0, "vp8: sign_bias_alternate out of scope")
+    val signBiasGolden = h.literal(1) == 1
+    val signBiasAlt = h.literal(1) == 1
     val refreshEntropy = h.literal(1) == 1
     val refreshLast = h.literal(1) == 1
     val savedEntropy = if (refreshEntropy) null else cx.entropy.snapshot
@@ -2780,8 +2822,12 @@ object Vp8 {
             "vp8: golden-referencing MB but no golden buffer supplied")
           if (altref) require(altY != null,
             "vp8: altref-referencing MB but no altref buffer supplied")
+          val curBias =
+            if (altref) signBiasAlt
+            else if (golden) signBiasGolden
+            else false
           val (best, nearest, near, probs) =
-            findNearMvs(g, mr, mc, prof.modeContexts)
+            findNearMvs(g, mr, mc, prof.modeContexts, curBias)
           val mvMode = h.tree(MvRefTree, probs)
           var splitType = -1
           var subMvs: Array[Mv] = null
@@ -2826,6 +2872,7 @@ object Vp8 {
           g.inter(idx) = true
           g.row(idx) = eff.row
           g.col(idx) = eff.col
+          g.bias(idx) = curBias
           modes += MbMode(inter = true, mvMode, eff, 0, 0, golden, sk,
             altref, splitType, subMvs, subModes, segId)
         } else {
@@ -3151,12 +3198,15 @@ object Vp8 {
     DecodedInter(InterFrame(qindex, mbsDone, filterLevel,
       skipEnabled, qDeltas, tokenPartitions, segmentation, normal,
       refreshLast, refreshGolden, refreshAlt, copyToGolden, copyToAlt,
+      signBiasGolden, signBiasAlt,
       sharpness, lfDeltaEnabled, lfDeltaUpdate, refreshEntropy,
       coeffUpdates, mvUpdates, ymodeUpdate, uvmodeUpdate),
       modeInfo.map(m => if (m.inter) m.eff else Mv(0, 0)), yP, uP, vP)
   }
 
-  /** One decoded frame of a stream walk. */
+  /** One decoded frame of a stream walk: DISPLAY-cropped planes
+    * (luma width x height, chroma ceil-halved) — the reference
+    * buffers stay padded internally [§9.1]. */
   final case class StreamFrame(keyframe: Boolean, width: Int, height: Int,
       y: Array[Int], u: Array[Int], v: Array[Int])
 
@@ -3189,7 +3239,10 @@ object Vp8 {
         // §16.3: a keyframe refreshes ALL reference buffers
         goldY = dec.y; goldU = dec.u; goldV = dec.v
         altY = dec.y; altU = dec.u; altV = dec.v
-        StreamFrame(keyframe = true, w, hgt, dec.y, dec.u, dec.v)
+        StreamFrame(keyframe = true, w, hgt,
+          crop(dec.y, pad16(w), w, hgt),
+          crop(dec.u, pad16(w) / 2, (w + 1) / 2, (hgt + 1) / 2),
+          crop(dec.v, pad16(w) / 2, (w + 1) / 2, (hgt + 1) / 2))
       } else {
         require(lastY != null,
           s"vp8: stream frame $i is inter but no keyframe precedes it")
@@ -3208,7 +3261,10 @@ object Vp8 {
         if (f.refreshGolden) { goldY = dec.y; goldU = dec.u; goldV = dec.v }
         if (f.refreshAlt) { altY = dec.y; altU = dec.u; altV = dec.v }
         if (f.refreshLast) { lastY = dec.y; lastU = dec.u; lastV = dec.v }
-        StreamFrame(keyframe = false, w, hgt, dec.y, dec.u, dec.v)
+        StreamFrame(keyframe = false, w, hgt,
+          crop(dec.y, pad16(w), w, hgt),
+          crop(dec.u, pad16(w) / 2, (w + 1) / 2, (hgt + 1) / 2),
+          crop(dec.v, pad16(w) / 2, (w + 1) / 2, (hgt + 1) / 2))
       }
     }.toVector
   }

@@ -3201,6 +3201,111 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM agg ORDER BY container, t""".stripMargin
 
+  /** m61: VP8 DISPLAY CROPPING (§9.1) — the dimension handling nearly
+    * every real stream needs (1080 lines pad to 1088 and crop): a
+    * 24×24 DISPLAY stream codes a 32×32 macroblock-padded frame, the
+    * pad region decodes normally and feeds the ZEROMV inter chains,
+    * and [[graft.functions.Vp8.decodeStream]] emits display-cropped
+    * planes (luma 24×24, chroma ceil-halved 12×12). The oracle
+    * replays the weighted region sums: each MB contributes
+    * rows∈{16,8} × cols∈{16,8} display pixels of its chain value, and
+    * the chroma constant is 2·144·128. Scale: the m40 envelope. */
+  private[operators] object Vp8CropKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(Long, Long, Boolean, Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      def draw(t: Int, j: Int, c: Int): Int =
+        hexbyte(s"vp8d${k}_${t}_${j}_${c}")
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val y2 = new Array[Int](16); y2(0) = 1 + draw(0, j, c) % 100
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(24, 24, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val y2 = new Array[Int](16); y2(0) = draw(t, j, c) % 60
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0,
+              y2, Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          Vp8.encodeInter(24, 24, Vp8.InterFrame(0, mbs))
+        }
+      val st = Vp8.decodeStream(payloads)
+      st.iterator.zipWithIndex.map { case (f, t) =>
+        require(f.width == 24 && f.height == 24 &&
+          f.y.length == 24 * 24 && f.u.length == 12 * 12,
+          s"container $k frame $t: display-crop drift")
+        (k, t.toLong, t == 0, f.width.toLong,
+          f.y.iterator.map(_.toLong).sum,
+          f.u.iterator.map(_.toLong).sum +
+            f.v.iterator.map(_.toLong).sum,
+          f.y.length.toLong)
+      }
+    }
+  }
+
+  private def m61(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8CropKernel.rows(k, it.size))
+      .toDF("container", "t", "keyframe", "width", "luma_sum",
+        "chroma_sum", "n_px")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m61Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8d'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8d' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |-- display window 24x24 over the 32x32 coded grid: each MB
+      |-- contributes rows {16, 8} x cols {16, 8} pixels of its value
+      |val AS (SELECT p.container, p.t,
+      |    (CASE WHEN p.j = 0 THEN 16 ELSE 8 END)
+      |      * (CASE WHEN p.c = 0 THEN 16 ELSE 8 END)
+      |      * (127 + k.kcum + p.pcum) AS px
+      |  FROM p JOIN k ON k.container = p.container AND k.j = p.j
+      |    AND k.c = p.c)
+      |SELECT container, CAST(t AS BIGINT) AS t, (t = 0) AS keyframe,
+      |  CAST(24 AS BIGINT) AS width,
+      |  CAST(sum(px) AS BIGINT) AS luma_sum,
+      |  CAST(2 * 144 * 128 AS BIGINT) AS chroma_sum,
+      |  CAST(576 AS BIGINT) AS n_px
+      |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
+
   /** m57: H.264 INTRA_4X4 PREDICTION-MODE DECODE (§7.3.5/§8.3.1) —
     * one normative step past m46's I_PCM: real Annex-B I slices whose
     * macroblock layer codes mb_type = 0 (Intra_4x4), the 16 per-block
@@ -4851,6 +4956,7 @@ object ContainerQueries {
     Q("m58_vp8_buffer_lifecycle", m58, Some(m58Sql)),
     Q("m59_vp8_temporal_segments", m59, Some(m59Sql)),
     Q("m60_vp8_intra_refresh", m60, Some(m60Sql)),
+    Q("m61_vp8_display_crop", m61, Some(m61Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),

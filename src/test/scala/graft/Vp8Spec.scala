@@ -1654,6 +1654,84 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("sign bias [§17.3]: survey candidates from neighbors whose " +
+      "reference has the opposite bias are NEGATED — a LAST-referencing " +
+      "NEARESTMV next to a biased-GOLDEN neighbor reads the flipped " +
+      "displacement; the bias bits round-trip") {
+    val ref = keyRef(Array(Array(9, 20), Array(67, 100)))
+    def frame(bias: Boolean) = Vp8.InterFrame(0, Vector(
+      interMb(Vp8.NewMv, Vp8.Mv(16, 8)).copy(refGolden = true),
+      interMb(Vp8.NearestMv, Vp8.Mv(0, 0)),
+      interZero(), interZero()), signBiasGolden = bias)
+    def dec(bias: Boolean) = Vp8.decodeInter(
+      Vp8.encodeInter(32, 32, frame(bias)), 32, 32,
+      ref.y, ref.u, ref.v, ref.y, ref.u, ref.v)
+    val dB = dec(bias = true)
+    val dP = dec(bias = false)
+    assert(dB.frame.signBiasGolden && !dP.frame.signBiasGolden)
+    // with the bias set, MB1's NEAREST resolves to the NEGATED
+    // neighbor MV (-16, -8); without it, to (16, 8)
+    val wantFlip = new Array[Int](256)
+    Vp8.mcPredict(ref.y, 32, 32, 16, 0, Vp8.Mv(-16, -8), 16, 16,
+      wantFlip)
+    val wantPlain = new Array[Int](256)
+    Vp8.mcPredict(ref.y, 32, 32, 16, 0, Vp8.Mv(16, 8), 16, 16,
+      wantPlain)
+    def mb1(d: Vp8.DecodedInter): Array[Int] =
+      Array.tabulate(256)(i => d.y((i / 16) * 32 + 16 + i % 16))
+    assert(mb1(dB).sameElements(wantFlip),
+      "biased survey must negate the golden neighbor's candidate")
+    assert(mb1(dP).sameElements(wantPlain))
+    assert(!wantFlip.sameElements(wantPlain),
+      "the fixture must distinguish the two displacements")
+    // MB0 itself (the biased-golden NEWMV) is unaffected: its own
+    // reference defines the current bias on both sides symmetrically
+    assert(dB.frame.mbs(0).mv == Vp8.Mv(16, 8))
+  }
+
+  test("display cropping [§9.1]: non-macroblock dimensions pad to the " +
+      "coded grid, inter prediction rides the PADDED reference, and " +
+      "decodeStream emits display-cropped planes (chroma ceil-halved)") {
+    // 24x24 display → 32x32 coded (4 MBs)
+    val mbs = (for (j <- 0 until 2; c <- 0 until 2)
+      yield zeroMb(Vp8.VPred, Vp8.DcPred, y2dc = 8 * (j * 2 + c + 1)))
+      .toVector
+    val key = Vp8.encode(Vp8.KeyFrame(24, 24, 0, mbs))
+    val kd = Vp8.decode(key)
+    assert(kd.frame.width == 24 && kd.frame.height == 24)
+    assert(kd.y.length == 32 * 32, "decoded planes are CODED (padded)")
+    val p1 = Vp8.encodeInter(24, 24, Vp8.InterFrame(0,
+      Vector.fill(4)(interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 8))))
+    val st = Vp8.decodeStream(Seq(key, p1))
+    assert(st.forall(f => f.width == 24 && f.height == 24))
+    assert(st(0).y.length == 24 * 24 && st(0).u.length == 12 * 12)
+    // the cropped window equals the padded plane's top-left 24x24
+    assert(st(0).y.sameElements(Vp8.crop(kd.y, 32, 24, 24)))
+    (0 until 24).foreach { r =>
+      (0 until 24).foreach { c =>
+        assert(st(0).y(r * 24 + c) == kd.y(r * 32 + c), s"px ($r,$c)")
+      }
+    }
+    // values: V_PRED column chains on the PADDED frame, P-frame adds
+    // (8+4)>>3 = 1 everywhere
+    val v00 = 127 + (8 + 4) / 8
+    assert(st(0).y(0) == v00)
+    assert(st(1).y(0) == v00 + 1)
+    // the pad region feeds inter prediction: MB(0,1)'s columns 16..23
+    // are display; 24..31 pad — both carry the same uniform chain, so
+    // the cropped sum is the weighted region sum
+    val vals = Array(
+      kd.y(0), kd.y(16), kd.y(16 * 32), kd.y(16 * 32 + 16))
+    val wantSum = 16 * 16 * vals(0) + 16 * 8 * vals(1) +
+      8 * 16 * vals(2) + 8 * 8 * vals(3)
+    assert(st(0).y.map(_.toLong).sum == wantSum.toLong)
+    intercept[IllegalArgumentException] { Vp8.KeyFrame(0, 24, 0, mbs) }
+    // a 24x24 frame still needs the full 4-MB padded grid
+    intercept[IllegalArgumentException] {
+      Vp8.KeyFrame(24, 24, 0, mbs.take(2))
+    }
+  }
+
   test("Ctx.toFlat/fromFlat round-trips the entropy + lf-delta state " +
       "for the state store") {
     val cx = new Vp8.Ctx(Vp8.Profile.StandIn)
