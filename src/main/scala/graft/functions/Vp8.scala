@@ -154,12 +154,14 @@ import scala.collection.mutable.ArrayBuffer
   * planes, and [[crop]]/[[pad16]] are public for callers holding
   * [[Decoded]]'s padded planes.
   *
-  * Subset boundaries, all failing loudly: segmentation feature DATA
-  * must be re-stated in every segmented frame
-  * (update_segment_feature_data = 1). Token partitioning [§9.5] is implemented
-  * for all four legal counts (1/2/4/8): MB row r codes into partition
-  * r mod count, sizes as 3-byte little-endian between the first
-  * partition and the token data.
+  * With update_segment_feature_data = 0 persistence (remembered
+  * features in [[Ctx]], like the map), the COMPLETE VP8 header
+  * syntax is implemented — every mechanism a conformant stream can
+  * code, with the appendix DATA behind the JSON-injectable
+  * [[Profile]] seam. Token partitioning [§9.5] covers all four legal
+  * counts (1/2/4/8): MB row r codes into partition r mod count,
+  * sizes as 3-byte little-endian between the first partition and the
+  * token data.
   */
 object Vp8 {
 
@@ -286,7 +288,11 @@ object Vp8 {
     * loudly). */
   final case class Segmentation(absMode: Boolean, quant: Array[Int],
       mapProbs: Array[Int], lf: Array[Int] = Array.fill(4)(0),
-      updateMap: Boolean = true) {
+      updateMap: Boolean = true,
+      /** update_segment_feature_data: when false, the frame codes NO
+        * mode/quant/lf fields and the remembered features (in
+        * [[Ctx]]) apply [§9.3]. */
+      updateData: Boolean = true) {
     require(quant.length == 4 &&
       quant.forall(q => q >= -127 && q <= 127),
       "vp8: four segment quantizer values in ±127")
@@ -299,51 +305,69 @@ object Vp8 {
   private val SegmentTree = Array(2, 4, -1, -2, -3, -4)
 
   private def writeSegmentation(h: BoolEncoder,
-      seg: Option[Segmentation]): Unit = seg match {
+      seg: Option[Segmentation], cx: Ctx): Unit = seg match {
     case None => h.literal(0, 1)
     case Some(g) =>
       h.literal(1, 1) // segmentation_enabled
       h.literal(if (g.updateMap) 1 else 0, 1) // update_mb_segmentation_map
-      h.literal(1, 1) // update_segment_feature_data
-      h.literal(if (g.absMode) 1 else 0, 1) // segment_feature_mode
-      g.quant.foreach { q =>
-        if (q == 0) h.literal(0, 1)
-        else {
-          h.literal(1, 1); h.literal(math.abs(q), 7)
-          h.literal(if (q < 0) 1 else 0, 1)
+      h.literal(if (g.updateData) 1 else 0, 1) // update_segment_feature_data
+      if (g.updateData) {
+        h.literal(if (g.absMode) 1 else 0, 1) // segment_feature_mode
+        g.quant.foreach { q =>
+          if (q == 0) h.literal(0, 1)
+          else {
+            h.literal(1, 1); h.literal(math.abs(q), 7)
+            h.literal(if (q < 0) 1 else 0, 1)
+          }
         }
-      }
-      g.lf.foreach { v => // per-segment loop-filter feature [§9.3]
-        if (v == 0) h.literal(0, 1)
-        else {
-          h.literal(1, 1); h.literal(math.abs(v), 6)
-          h.literal(if (v < 0) 1 else 0, 1)
+        g.lf.foreach { v => // per-segment loop-filter feature [§9.3]
+          if (v == 0) h.literal(0, 1)
+          else {
+            h.literal(1, 1); h.literal(math.abs(v), 6)
+            h.literal(if (v < 0) 1 else 0, 1)
+          }
         }
-      }
+        cx.segAbs = g.absMode
+        cx.segQuant = g.quant.clone()
+        cx.segLf = g.lf.clone()
+      } else require(cx.segQuant != null && cx.segAbs == g.absMode &&
+        cx.segQuant.sameElements(g.quant) && cx.segLf.sameElements(g.lf),
+        "vp8: update_segment_feature_data = 0 but the frame's features " +
+          "disagree with the remembered ones")
       if (g.updateMap)
         g.mapProbs.foreach { p => h.literal(1, 1); h.literal(p, 8) }
   }
 
-  private def readSegmentation(h: BoolDecoder): Option[Segmentation] = {
+  private def readSegmentation(h: BoolDecoder, cx: Ctx)
+      : Option[Segmentation] = {
     if (h.literal(1) == 0) None
     else {
       val updateMap = h.literal(1) == 1
-      require(h.literal(1) == 1,
-        "vp8: segmentation without feature data is out of scope")
-      val absMode = h.literal(1) == 1
-      val quant = Array.fill(4)(
-        if (h.literal(1) == 0) 0
-        else { val m = h.literal(7); if (h.literal(1) == 1) -m else m })
-      val lf = Array.fill(4)(
-        if (h.literal(1) == 0) 0
-        else { val m = h.literal(6); if (h.literal(1) == 1) -m else m })
+      val updateData = h.literal(1) == 1
+      val (absMode, quant, lf) =
+        if (updateData) {
+          val am = h.literal(1) == 1
+          val q = Array.fill(4)(
+            if (h.literal(1) == 0) 0
+            else { val m = h.literal(7); if (h.literal(1) == 1) -m else m })
+          val l = Array.fill(4)(
+            if (h.literal(1) == 0) 0
+            else { val m = h.literal(6); if (h.literal(1) == 1) -m else m })
+          cx.segAbs = am; cx.segQuant = q.clone(); cx.segLf = l.clone()
+          (am, q, l)
+        } else {
+          require(cx.segQuant != null,
+            "vp8: update_segment_feature_data = 0 without remembered " +
+              "features")
+          (cx.segAbs, cx.segQuant.clone(), cx.segLf.clone())
+        }
       val probs =
         if (updateMap) Array.fill(3)(
           if (h.literal(1) == 1) h.literal(8) else 255)
         else Array.fill(3)(128) // placeholder: no probs in the header
       require(probs.forall(p => p >= 1 && p <= 254),
         "vp8: segment-map probability outside [1, 254]")
-      Some(Segmentation(absMode, quant, probs, lf, updateMap))
+      Some(Segmentation(absMode, quant, probs, lf, updateMap, updateData))
     }
   }
 
@@ -526,11 +550,15 @@ object Vp8 {
     val entropy: Entropy = Entropy.from(profile)
     val lfDeltas: Array[Int] = new Array[Int](8)
     var segMap: Array[Int] = null
+    /** §9.3 remembered segmentation features (null until coded). */
+    var segAbs: Boolean = false
+    var segQuant: Array[Int] = null
+    var segLf: Array[Int] = null
   }
   object Ctx {
     def toFlat(cx: Ctx): Array[Int] = {
       val segLen = if (cx.segMap == null) 0 else cx.segMap.length
-      val out = new Array[Int](Entropy.FlatSize + 8 + 1 + segLen)
+      val out = new Array[Int](Entropy.FlatSize + 8 + 10 + 1 + segLen)
       var i = 0
       for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3; n <- 0 until 11) {
         out(i) = cx.entropy.coeff(t)(b)(c)(n); i += 1
@@ -542,12 +570,20 @@ object Vp8 {
       for (j <- 0 until 3) { out(i) = cx.entropy.uvmode(j); i += 1 }
       System.arraycopy(cx.lfDeltas, 0, out, i, 8)
       i += 8
+      // remembered segmentation features: presence, mode, 4+4 values
+      out(i) = if (cx.segQuant == null) 0 else 1; i += 1
+      out(i) = if (cx.segAbs) 1 else 0; i += 1
+      if (cx.segQuant != null) {
+        System.arraycopy(cx.segQuant, 0, out, i, 4)
+        System.arraycopy(cx.segLf, 0, out, i + 4, 4)
+      }
+      i += 8
       out(i) = segLen; i += 1
       if (segLen > 0) System.arraycopy(cx.segMap, 0, out, i, segLen)
       out
     }
     def fromFlat(profile: Profile, a: Array[Int]): Ctx = {
-      require(a.length >= Entropy.FlatSize + 8 + 1,
+      require(a.length >= Entropy.FlatSize + 8 + 10 + 1,
         s"vp8 ctx: flat state of ${a.length} ints")
       val cx = new Ctx(profile)
       var i = 0
@@ -561,8 +597,14 @@ object Vp8 {
       for (j <- 0 until 3) { cx.entropy.uvmode(j) = a(i); i += 1 }
       System.arraycopy(a, i, cx.lfDeltas, 0, 8)
       i += 8
+      if (a(i) == 1) {
+        cx.segAbs = a(i + 1) == 1
+        cx.segQuant = java.util.Arrays.copyOfRange(a, i + 2, i + 6)
+        cx.segLf = java.util.Arrays.copyOfRange(a, i + 6, i + 10)
+      }
+      i += 10
       val segLen = a(i); i += 1
-      require(a.length == Entropy.FlatSize + 8 + 1 + segLen,
+      require(a.length == Entropy.FlatSize + 8 + 10 + 1 + segLen,
         s"vp8 ctx: flat state length disagrees with its segment map")
       if (segLen > 0) {
         cx.segMap = new Array[Int](segLen)
@@ -1350,7 +1392,7 @@ object Vp8 {
     val h = new BoolEncoder
     h.literal(0, 1) // color_space: YUV as specified
     h.literal(0, 1) // clamping_type: spec clamping
-    writeSegmentation(h, f.segmentation)
+    writeSegmentation(h, f.segmentation, cx)
     // filter_type [§9.4]: 0 = normal, 1 = simple
     h.literal(if (f.filterLevel > 0 && !f.normalFilter) 1 else 0, 1)
     h.literal(f.filterLevel, 6)
@@ -1505,7 +1547,7 @@ object Vp8 {
     val h = new BoolDecoder(payload, 10, p1End)
     require(h.literal(1) == 0, "vp8: reserved color space")
     h.literal(1) // clamping_type (both values legal; spec clamp used)
-    val segmentation = readSegmentation(h)
+    val segmentation = readSegmentation(h, cx)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
     val sharpness = h.literal(3)
@@ -2492,7 +2534,7 @@ object Vp8 {
     require(f.mbs.length == mbCols * mbRows,
       s"vp8: ${f.mbs.length} MBs for a ${mbCols}x$mbRows grid")
     val h = new BoolEncoder
-    writeSegmentation(h, f.segmentation)
+    writeSegmentation(h, f.segmentation, cx)
     h.literal(if (f.filterLevel > 0 && !f.normalFilter) 1 else 0, 1)
     h.literal(f.filterLevel, 6)
     h.literal(f.sharpness, 3) // sharpness_level [§9.4/§15.2]
@@ -2733,7 +2775,7 @@ object Vp8 {
       s"vp8: first partition (${tag.firstPartSize} B) overruns the payload")
 
     val h = new BoolDecoder(payload, 3, p1End)
-    val segmentation = readSegmentation(h)
+    val segmentation = readSegmentation(h, cx)
     val filterType = h.literal(1)
     val filterLevel = h.literal(6)
     val sharpness = h.literal(3)

@@ -2941,9 +2941,11 @@ object ContainerQueries {
       import graft.functions.Vp8
       val n = math.min(6, count)
       if (n < 2) return Iterator.empty
-      def seg(updateMap: Boolean) = Vp8.Segmentation(absMode = false,
-        quant = Array(0, 20, 0, 0), mapProbs = Array(128, 128, 128),
-        lf = Array(0, -18, 0, 0), updateMap = updateMap)
+      def seg(updateMap: Boolean, updateData: Boolean = true) =
+        Vp8.Segmentation(absMode = false,
+          quant = Array(0, 20, 0, 0), mapProbs = Array(128, 128, 128),
+          lf = Array(0, -18, 0, 0), updateMap = updateMap,
+          updateData = updateData)
       def draw(t: Int, j: Int): Int = hexbyte(s"vp8g${k}_${t}_$j")
       val cxE = new Vp8.Ctx(Vp8.Profile.StandIn)
       val cxD = new Vp8.Ctx(Vp8.Profile.StandIn)
@@ -2971,7 +2973,11 @@ object ContainerQueries {
             Vector(pMb(draw(t, 0) % 60, 0), pMb(draw(t, 1) % 8, 1)),
             filterLevel = if (t == n - 1) 18 else 0,
             normalFilter = true,
-            segmentation = Some(seg(updateMap = false))), ctx = cxE)
+            // odd frames re-state the feature data, even frames
+            // PERSIST it (sect 9.3's remembered values — both paths
+            // under the oracle)
+            segmentation = Some(seg(updateMap = false,
+              updateData = t % 2 == 1))), ctx = cxE)
         }
       var lastY: Array[Int] = null
       var lastU: Array[Int] = null
@@ -2992,6 +2998,8 @@ object ContainerQueries {
           }
         require(segIds == Vector(0, 1),
           s"container $k frame $t: segment map drift")
+        require(updMap == (t == 0),
+          s"container $k frame $t: update_mb_segmentation_map drift")
         lastY = y; lastU = u; lastV = v
         def rowSum(r: Int): Long =
           (0 until 16).map(x => y(r * 16 + x).toLong).sum

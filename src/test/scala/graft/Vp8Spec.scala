@@ -1604,6 +1604,30 @@ class Vp8Spec extends AnyFunSuite {
       Vp8.Segmentation(absMode = false, Array(0, 0, 0, 0),
         Array(128, 128, 128), lf = Array(64, 0, 0, 0))
     }
+    // update_segment_feature_data = 0: the features persist too —
+    // the frame codes no mode/quant/lf fields, dequant routing still
+    // works, and a fresh decoder without remembered features is loud
+    val p2 = Vp8.encodeInter(16, 32, Vp8.InterFrame(0,
+      Vector(pMb(32, 0), pMb(32, 1)),
+      segmentation = Some(segm(updateMap = false)
+        .copy(updateData = false))), ctx = cxE)
+    val d2 = Vp8.decodeInter(p2, 16, 32, d1.y, d1.u, d1.v, ctx = cxD)
+    assert(d2.frame.segmentation.exists(g =>
+      !g.updateData && !g.updateMap && g.quant.toSeq == Seq(0, 20, 0, 0)))
+    assert(d2.y(0) == d1.y(0) + (32 + 4) / 8)
+    assert(d2.y(16 * 16) == d1.y(16 * 16) + ((48 * 32 + 3) / 8 + 4) / 8,
+      "remembered features must route segment 1's dequant")
+    val ex2 = intercept[IllegalArgumentException] {
+      val fresh = new Vp8.Ctx(Vp8.Profile.StandIn)
+      fresh.segMap = Array(0, 1) // map present, features absent
+      Vp8.decodeInter(p2, 16, 32, d1.y, d1.u, d1.v, ctx = fresh)
+    }
+    assert(ex2.getMessage.contains("remembered"))
+    // the remembered features ride the flat state-store form
+    val back = Vp8.Ctx.fromFlat(Vp8.Profile.StandIn, Vp8.Ctx.toFlat(cxD))
+    assert(back.segQuant.toSeq == Seq(0, 20, 0, 0) &&
+      back.segLf.toSeq == Seq(0, 0, 0, 0) && !back.segAbs)
+    assert(back.segMap.toSeq == Seq(0, 1))
   }
 
   test("B_PRED inside inter frames [§11.4/§16.2]: the intra-refresh " +
