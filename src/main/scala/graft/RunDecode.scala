@@ -10,9 +10,14 @@ import java.nio.file.{Files, Paths}
   * recompiling.
   *
   * {{{
-  * runMain graft.RunDecode <profile.json|standin> <input.ivf> <outDir>
+  * runMain graft.RunDecode <profile.json|standin> <input.ivf|.webm> <outDir>
   * runMain graft.RunDecode dump-standin <out.json>
   * }}}
+  *
+  * Inputs: IVF (fourcc VP80), or WebM/Matroska with a V_VP8 video
+  * track (the reference's daily artifact — SimpleBlock payloads, the
+  * container keyframe flag cross-checked against each payload's
+  * frame_type bit).
   *
   * Decodes the stream (keyframes re-anchor; inter frames ride the
   * LAST/GOLDEN/ALTREF buffers and the §9.7 entropy state through one
@@ -35,11 +40,26 @@ object RunDecode {
         else Vp8ProfileJson.parse(new String(
           Files.readAllBytes(Paths.get(profileArg)), "UTF-8"))
       val bytes = Files.readAllBytes(Paths.get(input))
-      val (hdr, frames) = Ivf.demux(bytes)
-      require(hdr.fourcc == "VP80",
-        s"RunDecode: ${hdr.fourcc} is not a VP8 IVF stream")
+      val payloads: Seq[Array[Byte]] =
+        if (input.endsWith(".webm") || input.endsWith(".mkv")) {
+          val (tracks, blocks) = graft.sources.Mkv.demux(bytes)
+          val video = tracks.find(_.codecId == "V_VP8").getOrElse(
+            sys.error("RunDecode: no V_VP8 track in the container"))
+          val vBlocks = blocks.filter(_.track == video.number)
+          vBlocks.foreach { b =>
+            require(Ivf.parseVp8Tag(b.payload).keyframe == b.keyframe,
+              "RunDecode: container keyframe flag disagrees with the " +
+                "payload's frame_type bit")
+          }
+          vBlocks.map(_.payload)
+        } else {
+          val (hdr, frames) = Ivf.demux(bytes)
+          require(hdr.fourcc == "VP80",
+            s"RunDecode: ${hdr.fourcc} is not a VP8 IVF stream")
+          frames.map(_._2.payload)
+        }
       val cx = new Vp8.Ctx(profile)
-      val decoded = Vp8.decodeStream(frames.map(_._2.payload), ctx = cx)
+      val decoded = Vp8.decodeStream(payloads, ctx = cx)
       Files.createDirectories(Paths.get(outDir))
       val lines = decoded.zipWithIndex.map { case (f, i) =>
         val luma = f.y.iterator.map(_.toLong).sum

@@ -19,8 +19,9 @@ import graft.streaming.StateMachines.{Ev, Machine, Out}
   *    frames (an inter frame arriving three micro-batches after the
   *    update must decode with the updated table, or it desyncs);
   *  - the §9.4 remembered loop-filter deltas.
-  * The entropy + lf-delta state rides [[Vp8.Ctx.toFlat]] (1109 ints, a
-  * few KB) next to the ~10 KB of planes — a RocksDB state-store entry,
+  * The entropy + lf-delta + segmentation state rides
+  * [[Vp8.Ctx.toFlat]] (~1120 ints plus the segment map, a few KB)
+  * next to the ~10 KB of planes — a RocksDB state-store entry,
   * not a broadcast.
   *
   * The payload rides the envelope's `text` field hex-encoded (the

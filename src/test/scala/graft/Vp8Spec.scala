@@ -1463,6 +1463,21 @@ class Vp8Spec extends AnyFunSuite {
     graft.RunDecode.main(Array("dump-standin", tpl.toString))
     assert(Vp8ProfileJson.render(Vp8ProfileJson.parse(new String(
       java.nio.file.Files.readAllBytes(tpl), "UTF-8"))) == json)
+    // the same stream in WEBM (the reference's daily artifact)
+    // decodes through the Matroska path to identical sums
+    import graft.sources.Mkv
+    val webm = Mkv.mux(
+      Seq(Mkv.MkvTrack(1, "video", "V_VP8", 32, 32)),
+      Seq(Mkv.MkvBlock(1, 0L, keyframe = true, key),
+        Mkv.MkvBlock(1, 33L, keyframe = false, p1)))
+    val inW = dir.resolve("in.webm")
+    java.nio.file.Files.write(inW, webm)
+    graft.RunDecode.main(Array(pj.toString, inW.toString,
+      dir.resolve("outw").toString))
+    val wLines = java.nio.file.Files.readAllLines(
+      dir.resolve("outw").resolve("frames.jsonl"))
+    assert(wLines.get(0).contains(s""""luma_sum":$luma0"""),
+      "the webm path must decode the same pixels")
   }
 
   test("reference-buffer lifecycle [§9.7]: refresh_golden/alternate " +
