@@ -114,6 +114,7 @@ object ScaleCurve {
     "m59_vp8_temporal_segments", // persistent map + segment lf: m54 shape
     "m60_vp8_intra_refresh", // B_PRED inside P-frames: m44 shape
     "m61_vp8_display_crop", // padded decode + display crop: m44 shape
+    "e55_streaming_vp8_lifecycle", // buffer flags through the state store: e53 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

@@ -2919,6 +2919,148 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM pervals ORDER BY container, t""".stripMargin
 
+  /** e55: STREAMING VP8 BUFFER LIFECYCLE — m58's §9.7 reference
+    * management as a LIVE stream: the per-key state store carries all
+    * THREE reference buffers plus the flattened
+    * [[graft.functions.Vp8.Ctx]], and the refresh_golden /
+    * copy_buffer_to_alternate / refresh_last = 0 decisions taken in
+    * one micro-batch must be visible to frames arriving in LATER
+    * batches (the chunk cut on (ts, seq) straddles every container's
+    * frames across all 3 batches). Oracle: m58's four-role value
+    * model under the e55 salt. With e53 (planes), e54 (entropy) and
+    * this (buffer lifecycle), the full decoder state surface is
+    * gate-proven across real micro-batch boundaries. */
+  private[operators] object Vp8LifecycleStreamKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int)
+        : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
+      import graft.functions.Vp8
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      def draw(t: Int, j: Int, c: Int): Int =
+        hexbyte(s"vp8z${k}_${t}_${j}_${c}")
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val y2 = new Array[Int](16); y2(0) = 1 + draw(0, j, c) % 100
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs)) +:
+        (1 until n).map { t =>
+          def mbOf(j: Int, c: Int): Vp8.InterMb = {
+            val y2 = new Array[Int](16); y2(0) = draw(t, j, c) % 60
+            val base = Vp8.InterMb(inter = true, Vp8.ZeroMv,
+              Vp8.Mv(0, 0), 0, 0, y2,
+              Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+            if (j == 0 && c == 1) base.copy(refGolden = true)
+            else if (j == 1 && c == 0) base.copy(refAltref = true)
+            else base
+          }
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0,
+            Vector(mbOf(0, 0), mbOf(0, 1), mbOf(1, 0), mbOf(1, 1)),
+            refreshLast = t != 3,
+            refreshGolden = t % 3 == 1,
+            copyToAlt = if (t % 3 == 2) 2 else 0))
+        }
+      val hex = java.util.HexFormat.of()
+      payloads.iterator.zipWithIndex.map { case (p, t) =>
+        (k.toString, 0, t.toLong, 0.0, hex.formatHex(p), false, t.toLong)
+      }
+    }
+  }
+
+  private def e55(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{StatefulRunner, Vp8Machine}
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    val fixture = views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8LifecycleStreamKernel.rows(k, it.size))
+      .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
+    StreamParityQueries.throughStream(s, fixture,
+        Seq(col("ts"), col("seq")), s"e55@$d",
+        ds => StatefulRunner.runStreaming(new Vp8Machine.StreamDecoder, ds),
+        Map.empty)
+      .select(col("key").cast("long").as("container"),
+        col("ts").as("t"),
+        (split(col("text"), ",")(1) === "1").as("keyframe"),
+        col("value").cast("long").as("luma_sum"),
+        split(col("text"), ",")(0).cast("long").as("chroma_sum"))
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val e55Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8z'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8z' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, (v + 4) // 8 AS r FROM mb),
+      |k AS (SELECT container, j, c,
+      |    127 + sum(r) OVER (PARTITION BY container, c ORDER BY j)
+      |      AS kval
+      |  FROM r WHERE t = 0),
+      |lastv AS (SELECT r.container, r.t, r.j, r.c,
+      |    k.kval
+      |      + sum(CASE WHEN r2.t > 0 THEN r2.r ELSE 0 END)
+      |      - CASE WHEN r.t > 3 THEN max(CASE WHEN r2.t = 3
+      |          THEN r2.r ELSE 0 END) ELSE 0 END AS val
+      |  FROM r
+      |  JOIN r r2 ON r2.container = r.container AND r2.j = r.j
+      |    AND r2.c = r.c AND r2.t <= r.t
+      |  JOIN k ON k.container = r.container AND k.j = r.j AND k.c = r.c
+      |  WHERE (r.j = 0 AND r.c = 0) OR (r.j = 1 AND r.c = 1)
+      |  GROUP BY r.container, r.t, r.j, r.c, k.kval),
+      |gold AS (SELECT r.container, r.t, k.kval
+      |    + sum(CASE WHEN r2.t > 0 AND r2.t % 3 = 1 AND r2.t < r.t
+      |        THEN r2.r ELSE 0 END)
+      |    + max(CASE WHEN r2.t = r.t AND r.t > 0 THEN r2.r
+      |        ELSE 0 END) AS val
+      |  FROM r
+      |  JOIN r r2 ON r2.container = r.container AND r2.j = 0
+      |    AND r2.c = 1 AND r2.t <= r.t
+      |  JOIN k ON k.container = r.container AND k.j = 0 AND k.c = 1
+      |  WHERE r.j = 0 AND r.c = 1
+      |  GROUP BY r.container, r.t, k.kval),
+      |alt AS (SELECT r.container, r.t, k.kval
+      |    + CASE WHEN r.t >= 3 THEN max(CASE WHEN r2.t = 1 THEN r2.r
+      |        ELSE 0 END) ELSE 0 END
+      |    + max(CASE WHEN r2.t = r.t AND r.t > 0 THEN r2.r
+      |        ELSE 0 END) AS val
+      |  FROM r
+      |  JOIN r r2 ON r2.container = r.container AND r2.j = 1
+      |    AND r2.c = 0 AND r2.t <= r.t
+      |  JOIN k ON k.container = r.container AND k.j = 1 AND k.c = 0
+      |  WHERE r.j = 1 AND r.c = 0
+      |  GROUP BY r.container, r.t, k.kval)
+      |SELECT l.container, CAST(l.t AS BIGINT) AS t,
+      |  (l.t = 0) AS keyframe,
+      |  CAST(256 * (sum(l.val) + max(g.val) + max(a.val)) AS BIGINT)
+      |    AS luma_sum,
+      |  CAST(65536 AS BIGINT) AS chroma_sum
+      |FROM lastv l
+      |JOIN gold g ON g.container = l.container AND g.t = l.t
+      |JOIN alt a ON a.container = l.container AND a.t = l.t
+      |GROUP BY l.container, l.t ORDER BY l.container, l.t""".stripMargin
+
   /** m59: VP8 TEMPORAL SEGMENTATION + PER-SEGMENT LOOP FILTER
     * (§9.3/§10/§15.1) — the segmentation shape real encoders ship:
     * the KEYFRAME codes the segment map once (per-MB trees), every
@@ -4965,6 +5107,7 @@ object ContainerQueries {
     Q("m59_vp8_temporal_segments", m59, Some(m59Sql)),
     Q("m60_vp8_intra_refresh", m60, Some(m60Sql)),
     Q("m61_vp8_display_crop", m61, Some(m61Sql)),
+    Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
     Q("m32_rtmp_metadata", m32, Some(m32Sql)),
