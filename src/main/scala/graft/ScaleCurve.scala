@@ -108,6 +108,7 @@ object ScaleCurve {
     "m57_h264_intra_modes", // §8.3.1.1 mode lattice: m46 shape
     "p20_mp2_synthesis",    // V->U->W·D filterbank per chunk: p17 shape
     "p21_mp3_structure",    // side info + regions + requant: p17 shape
+    "p22_mp3_reservoir",    // main_data_begin layout walk: p17 shape
     "k09_dyadic_quantiles", // counter sketch: shuffle O(cells), scan-bound
     "k10_streaming_dyadic", // per-key counters through the stream mount
     "m58_vp8_buffer_lifecycle", // sect 9.7 refresh/copy chains: m44 shape

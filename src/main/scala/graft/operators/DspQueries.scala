@@ -1701,6 +1701,198 @@ object DspQueries {
       |  AND sfs.gr = s.gr
       |ORDER BY s.chunk_id, s.i, s.gr""".stripMargin
 
+  /** p22: MP3 BIT RESERVOIR ([[graft.sources.Mp3]] main_data_begin —
+    * §2.4.2.7) — the layout every real encoder ships: a frame's main
+    * data starts up to 511 bytes BEFORE its own header, inside
+    * earlier frames' unused slot space. Small 48 kbps frames (216 B,
+    * 195-byte slots) with draw-sized granules make the mechanics
+    * engage for real: the lag grows frame over frame, clamps at the
+    * field's 511-byte maximum (the clamp gap is ancillary data), and
+    * most frames' data lives physically inside PRIOR frames. The
+    * oracle replays the WHOLE layout from the part2_3 bit budgets —
+    * main bytes, slot starts, the clamp recurrence via its
+    * running-max identity (dataStart(i) = preMain(i) + max_k(base(k)
+    * − preMain(k))), and main_data_begin per frame — next to the
+    * recovered code sums (a decoder that mis-walks the reservoir
+    * desyncs loudly on part2_3_length). Scale: the p17 envelope; a
+    * streaming decoder needs a 511-byte window + the current slot. */
+  private def p22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp3
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        def mkFrame(i0: Int): Mp3.Mp3FrameData = {
+          val fi = i0 + cid.toInt * 7 // chunk-salted frame index
+          def granule(gr: Int, g0: Option[Mp3.Granule],
+              scfsi: Vector[Boolean]): Mp3.Granule = {
+            val bv = 5 + (fi * 7 + gr * 3) % 15
+            val rc0 = (fi + gr) % 6
+            val rc1 = (fi * 3 + gr) % 6
+            val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
+            val r1 = math.min(bv,
+              (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
+            val cubes = Array(0, 1, 8)
+            val cubes2 = Array(0, 1, 8, 27)
+            val pairs = Vector.tabulate(bv) { p =>
+              def v(s2: Int): Int = {
+                val idx = p * 2 + s2
+                val m = if (p < r0 + r1)
+                  cubes((fi * 5 + idx * 7 + gr * 11) % 3)
+                else cubes2((fi * 5 + idx * 7 + gr * 11) % 4)
+                if (m != 0 && (idx + fi) % 2 == 1) -m else m
+              }
+              (v(0), v(1))
+            }
+            val c1 = Vector.tabulate((fi * 3 + gr) % 8) { q =>
+              def cv(pos: Int): Int =
+                ((fi + q * 5 + pos * 3 + gr) % 3) - 1
+              (cv(0), cv(1), cv(2), cv(3))
+            }
+            val sfc = (fi + 2 * gr) % 16
+            val (s1, s2) = Mp3.Slen(sfc)
+            val sfs = Vector.tabulate(21) { band =>
+              val shared = gr == 1 &&
+                scfsi(Mp3.ScfsiBands.indexWhere(_.contains(band)))
+              if (shared) g0.get.scalefacs(band)
+              else {
+                val len = if (band < 11) s1 else s2
+                if (len > 0) (fi * 3 + band * 5 + gr * 7) % (1 << len)
+                else 0
+              }
+            }
+            Mp3.Granule(pairs, c1, 210 + 4 * ((fi + gr) % 10), sfc,
+              ((fi + gr) % 14, 1 + (fi * 5 + gr) % 14,
+                18 + (fi + gr) % 2), rc0, rc1,
+              preflag = (fi + gr) % 2 == 0,
+              scalefacScale = fi % 2 == 1, scalefacs = sfs)
+          }
+          val scfsi = Vector.tabulate(4)(b => (fi + b) % 3 == 0)
+          val g0 = granule(0, None, scfsi)
+          Mp3.Mp3FrameData(3, 2, padding = fi % 2 == 1, scfsi,
+            Vector(g0, granule(1, Some(g0), scfsi)))
+        }
+        val frames = (0 until n).map(mkFrame)
+        val rec = Mp3.demuxReservoir(Mp3.muxReservoir(frames))
+        require(rec.size == n, s"chunk $cid: mp3 frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, mdb, f), i) =>
+          val want = frames(i)
+          require(f.granules.map(_.bigValues) ==
+            want.granules.map(_.bigValues),
+            s"chunk $cid frame $i: reservoir walk drift")
+          (cid, i.toLong, off, f.frameLen.toLong, mdb.toLong,
+            ((f.bodyBits + 7) / 8).toLong, f.bodyBits.toLong,
+            f.granules.iterator.flatMap(_.bigValues.iterator
+              .flatMap(p => Seq(p._1, p._2)))
+              .map(v => math.abs(v).toLong).sum)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "frame_bytes", "mdb",
+        "main_bytes", "part23", "code_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p22Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, g.i + chunk_id * 7 AS fi FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |fg AS (SELECT chunk_id, i, fi, gg.gr FROM f,
+      |  (SELECT unnest(range(2)) AS gr) gg),
+      |side AS (SELECT chunk_id, i, fi, gr,
+      |    5 + (fi * 7 + gr * 3) % 15 AS bv,
+      |    (fi + gr) % 6 AS rc0, (fi * 3 + gr) % 6 AS rc1,
+      |    18 + (fi + gr) % 2 AS t2,
+      |    (fi + 2 * gr) % 16 AS sfc,
+      |    (fi * 3 + gr) % 8 AS nq
+      |  FROM fg),
+      |reg AS (SELECT *,
+      |    least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r0,
+      |    least(bv, (rc0 + rc1 + 2) * (rc0 + rc1 + 3) // 2)
+      |      - least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r1
+      |  FROM side),
+      |bvv AS (SELECT r.chunk_id, r.i, r.fi, r.gr, r.t2, v.idx,
+      |    CASE WHEN v.idx // 2 < r.r0 + r.r1
+      |      THEN list_extract([0, 1, 8],
+      |        CAST((r.fi * 5 + v.idx * 7 + r.gr * 11) % 3 + 1 AS INT))
+      |      ELSE list_extract([0, 1, 8, 27],
+      |        CAST((r.fi * 5 + v.idx * 7 + r.gr * 11) % 4 + 1 AS INT))
+      |    END AS m
+      |  FROM reg r, (SELECT unnest(range(40)) AS idx) v
+      |  WHERE v.idx < 2 * r.bv),
+      |bvagg AS (SELECT chunk_id, i, gr,
+      |    sum(m) AS code_sum,
+      |    sum(4 + (CASE WHEN m != 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m >= 15 THEN t2 - 14 ELSE 0 END)) AS bv_bits
+      |  FROM bvv GROUP BY 1, 2, 3),
+      |c1 AS (SELECT s.chunk_id, s.i, s.gr,
+      |    count(*) FILTER (q.q < s.nq
+      |      AND ((s.fi + q.q * 5 + p.pos * 3 + s.gr) % 3) != 1)
+      |      AS c1_nonzero
+      |  FROM side s, (SELECT unnest(range(8)) AS q) q,
+      |    (SELECT unnest(range(4)) AS pos) p
+      |  GROUP BY 1, 2, 3),
+      |slen AS (SELECT s.chunk_id, s.i, s.fi, s.gr, b.band,
+      |    CASE WHEN b.band < 11
+      |      THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+      |        CAST(s.sfc + 1 AS INT))
+      |      ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+      |        CAST(s.sfc + 1 AS INT)) END AS len,
+      |    (s.fi + (CASE WHEN b.band < 6 THEN 0 WHEN b.band < 11 THEN 1
+      |      WHEN b.band < 16 THEN 2 ELSE 3 END)) % 3 = 0 AS shared0
+      |  FROM side s, (SELECT unnest(range(21)) AS band) b),
+      |p2 AS (SELECT chunk_id, i, gr,
+      |    sum(CASE WHEN gr = 1 AND shared0 THEN 0 ELSE len END) AS p2bits
+      |  FROM slen GROUP BY 1, 2, 3),
+      |-- per-frame part2_3 bit and byte budgets
+      |fb AS (SELECT s.chunk_id, s.i, max(s.fi) AS fi,
+      |    CAST(sum(p2.p2bits + a.bv_bits + s.nq * 4 + c1.c1_nonzero)
+      |      AS BIGINT) AS part23,
+      |    CAST(sum(a.code_sum) AS BIGINT) AS code_sum
+      |  FROM side s
+      |  JOIN bvagg a ON a.chunk_id = s.chunk_id AND a.i = s.i
+      |    AND a.gr = s.gr
+      |  JOIN c1 ON c1.chunk_id = s.chunk_id AND c1.i = s.i
+      |    AND c1.gr = s.gr
+      |  JOIN p2 ON p2.chunk_id = s.chunk_id AND p2.i = s.i
+      |    AND p2.gr = s.gr
+      |  GROUP BY 1, 2),
+      |-- reservoir layout: 48 kbps @ 32 kHz → 216(+pad) B frames,
+      |-- 195(+pad) B slots; dataStart via the running-max identity
+      |-- of the 511-clamp recurrence
+      |sz AS (SELECT chunk_id, i, fi, part23, code_sum,
+      |    (part23 + 7) // 8 AS main_bytes,
+      |    216 + fi % 2 AS frame_bytes,
+      |    195 + fi % 2 AS slot
+      |  FROM fb),
+      |cumu AS (SELECT *,
+      |    coalesce(sum(slot) OVER (PARTITION BY chunk_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS slot_start,
+      |    coalesce(sum(main_bytes) OVER (PARTITION BY chunk_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS pre_main,
+      |    coalesce(sum(frame_bytes) OVER (PARTITION BY chunk_id
+      |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      1 PRECEDING), 0) AS "offset"
+      |  FROM sz),
+      |mx AS (SELECT *,
+      |    max((CASE WHEN i = 0 THEN 0 ELSE slot_start - 511 END)
+      |      - pre_main) OVER (PARTITION BY chunk_id ORDER BY i) AS amax
+      |  FROM cumu)
+      |SELECT chunk_id, CAST(i AS BIGINT) AS i,
+      |  CAST("offset" AS BIGINT) AS "offset",
+      |  CAST(frame_bytes AS BIGINT) AS frame_bytes,
+      |  CAST(slot_start - (pre_main + amax) AS BIGINT) AS mdb,
+      |  CAST(main_bytes AS BIGINT) AS main_bytes,
+      |  part23, code_sum
+      |FROM mx ORDER BY chunk_id, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -1723,5 +1915,6 @@ object DspQueries {
     Q("p19_mp1_decode", p19, Some(p19Sql)),
     Q("p20_mp2_synthesis", p20, Some(p20Sql)),
     Q("p21_mp3_structure", p21, Some(p21Sql)),
+    Q("p22_mp3_reservoir", p22, Some(p22Sql)),
   )
 }

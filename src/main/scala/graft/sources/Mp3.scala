@@ -47,11 +47,15 @@ import graft.sources.Flac.{BitReader, BitWriter}
   *  - the count1 quadruple code: fixed 4 bits (the shape of the
   *    spec's count1 table B) with stand-in value mapping.
   *
-  * Subset boundaries, loud: main_data_begin must be 0 (the bit
-  * reservoir spreads a granule across preceding frames — an archive
-  * indexer can still walk these frames, but payload decode with a
-  * reservoir needs buffered previous frames), window_switching_flag
-  * must be 0 (long blocks), mono only. */
+  * The BIT RESERVOIR is implemented ([[muxReservoir]] /
+  * [[demuxReservoir]]): main_data_begin lets a frame's main data
+  * start up to 511 bytes before its own header inside earlier
+  * frames' unused slot space — every real encoder's layout; the
+  * plain [[demux]] keeps requiring main_data_begin = 0 (use the
+  * reservoir walk otherwise, loudly).
+  *
+  * Subset boundaries, loud: window_switching_flag must be 0 (long
+  * blocks), mono only. */
 object Mp3 {
 
   /** Layer III bitrate table, kbps (Table 3-B.1 column III). */
@@ -201,66 +205,79 @@ object Mp3 {
     if (ix < 0) -mag else mag
   }
 
+  private def writeHeader(out: java.io.ByteArrayOutputStream,
+      f: Mp3FrameData): Unit = {
+    // header: sync(11) version 11 LAYER 01 protection 1 -> 0xFF 0xFB
+    out.write(0xFF); out.write(0xFB)
+    out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+      (if (f.padding) 2 else 0))
+    out.write(0xC0) // mono
+  }
+
+  private def writeSideInfo(w: BitWriter, f: Mp3FrameData,
+      mainDataBegin: Int): Unit = {
+    require(mainDataBegin >= 0 && mainDataBegin <= 511,
+      s"mp3: main_data_begin $mainDataBegin outside the 9-bit field")
+    w.writeBits(mainDataBegin.toLong, 9)
+    w.writeBits(0L, 5) // private_bits
+    f.scfsi.foreach(b => w.writeBits(if (b) 1L else 0L, 1))
+    (0 until 2).foreach { gr =>
+      val g = f.granules(gr)
+      w.writeBits(f.part23Length(gr).toLong, 12)
+      w.writeBits(g.bigValues.length.toLong, 9)
+      w.writeBits(g.globalGain.toLong, 8)
+      w.writeBits(g.scalefacCompress.toLong, 4)
+      w.writeBits(0L, 1) // window_switching_flag: long blocks
+      Seq(g.tableSelect._1, g.tableSelect._2, g.tableSelect._3)
+        .foreach(t => w.writeBits(t.toLong, 5))
+      w.writeBits(g.region0Count.toLong, 4)
+      w.writeBits(g.region1Count.toLong, 3)
+      w.writeBits(if (g.preflag) 1L else 0L, 1)
+      w.writeBits(if (g.scalefacScale) 1L else 0L, 1)
+      w.writeBits(0L, 1) // count1table_select (stand-in mapping)
+    }
+  }
+
+  private def writeMainData(w: BitWriter, f: Mp3FrameData): Unit =
+    (0 until 2).foreach { gr =>
+      val g = f.granules(gr)
+      val (s1, s2) = Slen(g.scalefacCompress)
+      (0 until 21).foreach { band =>
+        val shared = gr == 1 &&
+          f.scfsi(ScfsiBands.indexWhere(_.contains(band)))
+        if (!shared) {
+          val len = if (band < 11) s1 else s2
+          if (len > 0) {
+            require(g.scalefacs(band) < (1 << len),
+              s"mp3: scalefactor ${g.scalefacs(band)} beyond slen $len")
+            w.writeBits(g.scalefacs(band).toLong, len)
+          } else require(g.scalefacs(band) == 0,
+            "mp3: nonzero scalefactor in a zero-width slen slot")
+        }
+      }
+      g.bigValues.zipWithIndex.foreach { case ((x, y), p) =>
+        val t = g.tableOf(p)
+        HuffSeam.write(w, t, x); HuffSeam.write(w, t, y)
+      }
+      g.count1.foreach { case (v, w4, x, y) =>
+        val quad = Seq(v, w4, x, y)
+        w.writeBits(quad.map(q => if (q != 0) 1 else 0)
+          .foldLeft(0L)((a, b) => (a << 1) | b), 4)
+        quad.filter(_ != 0).foreach(q =>
+          w.writeBits(if (q < 0) 1L else 0L, 1))
+      }
+    }
+
   def mux(frames: Seq[Mp3FrameData]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     frames.foreach { f =>
       require(4 + 17 + (f.bodyBits + 7) / 8 <= f.frameLen,
         s"mp3: ${f.bodyBits} main-data bits overrun the " +
           s"${f.frameLen}-byte frame")
-      // header: sync(11) version 11 LAYER 01 protection 1 → 0xFF 0xFB
-      out.write(0xFF); out.write(0xFB)
-      out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
-        (if (f.padding) 2 else 0))
-      out.write(0xC0) // mono
+      writeHeader(out, f)
       val w = new BitWriter
-      // ---- side info (17 bytes, mono) ----
-      w.writeBits(0L, 9) // main_data_begin = 0 (no reservoir, subset)
-      w.writeBits(0L, 5) // private_bits
-      f.scfsi.foreach(b => w.writeBits(if (b) 1L else 0L, 1))
-      (0 until 2).foreach { gr =>
-        val g = f.granules(gr)
-        w.writeBits(f.part23Length(gr).toLong, 12)
-        w.writeBits(g.bigValues.length.toLong, 9)
-        w.writeBits(g.globalGain.toLong, 8)
-        w.writeBits(g.scalefacCompress.toLong, 4)
-        w.writeBits(0L, 1) // window_switching_flag: long blocks
-        Seq(g.tableSelect._1, g.tableSelect._2, g.tableSelect._3)
-          .foreach(t => w.writeBits(t.toLong, 5))
-        w.writeBits(g.region0Count.toLong, 4)
-        w.writeBits(g.region1Count.toLong, 3)
-        w.writeBits(if (g.preflag) 1L else 0L, 1)
-        w.writeBits(if (g.scalefacScale) 1L else 0L, 1)
-        w.writeBits(0L, 1) // count1table_select (stand-in mapping)
-      }
-      // ---- main data (main_data_begin = 0: this frame's bits) ----
-      (0 until 2).foreach { gr =>
-        val g = f.granules(gr)
-        val (s1, s2) = Slen(g.scalefacCompress)
-        (0 until 21).foreach { band =>
-          val shared = gr == 1 &&
-            f.scfsi(ScfsiBands.indexWhere(_.contains(band)))
-          if (!shared) {
-            val len = if (band < 11) s1 else s2
-            if (len > 0) {
-              require(g.scalefacs(band) < (1 << len),
-                s"mp3: scalefactor ${g.scalefacs(band)} beyond slen $len")
-              w.writeBits(g.scalefacs(band).toLong, len)
-            } else require(g.scalefacs(band) == 0,
-              "mp3: nonzero scalefactor in a zero-width slen slot")
-          }
-        }
-        g.bigValues.zipWithIndex.foreach { case ((x, y), p) =>
-          val t = g.tableOf(p)
-          HuffSeam.write(w, t, x); HuffSeam.write(w, t, y)
-        }
-        g.count1.foreach { case (v, w4, x, y) =>
-          val quad = Seq(v, w4, x, y)
-          w.writeBits(quad.map(q => if (q != 0) 1 else 0)
-            .foldLeft(0L)((a, b) => (a << 1) | b), 4)
-          quad.filter(_ != 0).foreach(q =>
-            w.writeBits(if (q < 0) 1L else 0L, 1))
-        }
-      }
+      writeSideInfo(w, f, mainDataBegin = 0)
+      writeMainData(w, f)
       val body = w.toBytes
       out.write(body, 0, body.length)
       var stuff = f.frameLen - 4 - body.length
@@ -268,6 +285,182 @@ object Mp3 {
       while (stuff > 0) { out.write(0); stuff -= 1 }
     }
     out.toByteArray
+  }
+
+  /** The BIT RESERVOIR [§2.4.2.7 main_data_begin]: every real encoder
+    * lets a frame's main data start up to 511 bytes BEFORE its own
+    * header, inside earlier frames' unused main-data space. This mux
+    * packs each frame's (byte-aligned) main data sequentially through
+    * the stream's slot space (slot i = the frameLen − 21 bytes after
+    * frame i's header + side info), clamped so no frame lags more
+    * than the field's 511 bytes (the clamp gap is ancillary data, as
+    * in real encoders); main_data_begin(i) = slotStart(i) −
+    * dataStart(i). A frame's data may therefore live entirely inside
+    * PREVIOUS frames' physical slots. */
+  def muxReservoir(frames: Seq[Mp3FrameData]): Array[Byte] = {
+    val mains = frames.map { f =>
+      val w = new BitWriter
+      writeMainData(w, f)
+      w.toBytes
+    }
+    val slotBytes = frames.map(_.frameLen - 4 - 17)
+    val slotStart = slotBytes.scanLeft(0)(_ + _)
+    // sequential packing with the 511-byte lag clamp
+    val dataStart = new Array[Int](frames.length)
+    var end = 0
+    frames.indices.foreach { i =>
+      dataStart(i) = math.max(end, slotStart(i) - 511)
+      end = dataStart(i) + mains(i).length
+      require(end <= slotStart(i) + slotBytes(i),
+        s"mp3: frame $i's ${mains(i).length} main-data bytes outrun " +
+          "the reservoir (raise the bitrate)")
+    }
+    // physical slot space: mains at their offsets, gaps are ancillary
+    val space = new Array[Byte](slotStart.last)
+    frames.indices.foreach(i =>
+      System.arraycopy(mains(i), 0, space, dataStart(i), mains(i).length))
+    val out = new java.io.ByteArrayOutputStream()
+    frames.indices.foreach { i =>
+      val f = frames(i)
+      writeHeader(out, f)
+      val w = new BitWriter
+      writeSideInfo(w, f, mainDataBegin = slotStart(i) - dataStart(i))
+      val side = w.toBytes
+      require(side.length == 17, s"mp3: side info ${side.length} B")
+      out.write(side, 0, 17)
+      out.write(space, slotStart(i), slotBytes(i))
+    }
+    out.toByteArray
+  }
+
+  private final case class Side(p23: Int, bv: Int, gain: Int, sfc: Int,
+      ts: (Int, Int, Int), rc0: Int, rc1: Int, pre: Boolean,
+      sfs: Boolean)
+
+  private def readSideInfo(r: BitReader, pos: Int)
+      : (Int, Vector[Boolean], Vector[Side]) = {
+    val mdb = r.readBits(9).toInt
+    r.readBits(5) // private_bits
+    val scfsi = Vector.fill(4)(r.readBits(1) == 1L)
+    val sides = Vector.fill(2) {
+      val p23 = r.readBits(12).toInt
+      val bv = r.readBits(9).toInt
+      require(bv <= 288, s"mp3: big_values $bv beyond 288 at $pos")
+      val gain = r.readBits(8).toInt
+      val sfc = r.readBits(4).toInt
+      require(r.readBits(1) == 0L,
+        "mp3: window_switching_flag out of scope (long blocks only)")
+      val ts = (r.readBits(5).toInt, r.readBits(5).toInt,
+        r.readBits(5).toInt)
+      val rc0 = r.readBits(4).toInt
+      val rc1 = r.readBits(3).toInt
+      require(rc0 <= 7, s"mp3: region0_count $rc0 beyond the " +
+        "23-entry offset table with region1")
+      val pre = r.readBits(1) == 1L
+      val sfs = r.readBits(1) == 1L
+      r.readBits(1) // count1table_select
+      Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs)
+    }
+    (mdb, scfsi, sides)
+  }
+
+  private def readGranules(r: BitReader, scfsi: Vector[Boolean],
+      sides: Vector[Side], pos: Int): Vector[Granule] = {
+    var prevSfs: Vector[Int] = Vector.fill(21)(0)
+    (0 until 2).map { gr =>
+      val s = sides(gr)
+      val bitsBefore = r.bitPos
+      val (s1, s2) = Slen(s.sfc)
+      val sfs = (0 until 21).map { band =>
+        val shared = gr == 1 &&
+          scfsi(ScfsiBands.indexWhere(_.contains(band)))
+        if (shared) prevSfs(band)
+        else {
+          val len = if (band < 11) s1 else s2
+          if (len > 0) r.readBits(len).toInt else 0
+        }
+      }.toVector
+      prevSfs = sfs
+      // region partitioning: table per pair from the side info
+      val r0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
+      val r1 = math.min(s.bv,
+        SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - r0
+      val bvs = (0 until s.bv).map { p =>
+        val t = if (p < r0) s.ts._1
+          else if (p < r0 + r1) s.ts._2 else s.ts._3
+        (HuffSeam.read(r, t), HuffSeam.read(r, t))
+      }.toVector
+      // count1: quadruples until part2_3_length is exhausted
+      val c1 = Vector.newBuilder[(Int, Int, Int, Int)]
+      while (r.bitPos - bitsBefore < s.p23) {
+        val mask = r.readBits(4).toInt
+        val quad = (3 to 0 by -1).map { b =>
+          if ((mask & (1 << b)) != 0) {
+            if (r.readBits(1) == 1L) -1 else 1
+          } else 0
+        }
+        c1 += ((quad(0), quad(1), quad(2), quad(3)))
+      }
+      require(r.bitPos - bitsBefore == s.p23,
+        s"mp3: granule $gr consumed ${r.bitPos - bitsBefore} bits, " +
+          s"part2_3_length says ${s.p23} at $pos")
+      Granule(bvs, c1.result(), s.gain, s.sfc, s.ts, s.rc0, s.rc1,
+        s.pre, s.sfs, sfs)
+    }.toVector
+  }
+
+  /** Walk a reservoir stream back: frames recovered with their
+    * main_data_begin offsets honored — each frame's granules read
+    * from slotStart(i) − mdb(i) in the concatenated slot space
+    * (require: starts are monotone and never before the stream). A
+    * streaming decoder needs only a 511-byte window plus the current
+    * slot; this walk buffers the whole (small, fixture-sized) space.
+    * Returns (frame offset, main_data_begin, frame). */
+  def demuxReservoir(bytes: Array[Byte])
+      : Seq[(Long, Int, Mp3FrameData)] = {
+    // pass 1: headers + side infos + the slot space
+    final case class Hdr(pos: Int, bi: Int, ri: Int, pad: Boolean,
+        mdb: Int, scfsi: Vector[Boolean], sides: Vector[Side],
+        slotStart: Int)
+    val hdrs = Seq.newBuilder[Hdr]
+    val space = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 21 <= bytes.length, s"mp3: truncated frame at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xff) == 0xFB,
+        s"mp3: lost sync at $pos (MPEG-1 Layer III no-CRC expected)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp3: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp3: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      require((bytes(pos + 3) & 0xc0) == 0xc0, s"mp3: not mono at $pos")
+      val fl = 144 * BitratesL3(bi) * 1000 / Rates(ri) + (if (pad) 1 else 0)
+      require(pos + fl <= bytes.length,
+        s"mp3: frame length $fl overruns the stream at $pos")
+      val r = new BitReader(bytes, pos + 4, pos + 21)
+      val (mdb, scfsi, sides) = readSideInfo(r, pos)
+      hdrs += Hdr(pos, bi, ri, pad, mdb, scfsi, sides, space.size)
+      space.write(bytes, pos + 21, fl - 21)
+      pos += fl
+    }
+    // pass 2: granules at slotStart - main_data_begin
+    val sp = space.toByteArray
+    var prevStart = -1
+    hdrs.result().map { h =>
+      val start = h.slotStart - h.mdb
+      require(start >= 0,
+        s"mp3: main_data_begin ${h.mdb} reaches before the stream " +
+          s"at ${h.pos}")
+      require(start > prevStart || prevStart < 0,
+        s"mp3: reservoir starts must be monotone at ${h.pos}")
+      prevStart = start
+      val r = new BitReader(sp, start, sp.length)
+      val granules = readGranules(r, h.scfsi, h.sides, h.pos)
+      (h.pos.toLong, h.mdb,
+        Mp3FrameData(h.bi, h.ri, h.pad, h.scfsi, granules))
+    }
   }
 
   /** Walk a Layer III stream back: offsets + full structural recovery.
@@ -292,73 +485,11 @@ object Mp3 {
       require(pos + fl <= bytes.length,
         s"mp3: frame length $fl overruns the stream at $pos")
       val r = new BitReader(bytes, pos + 4, pos + fl)
-      require(r.readBits(9) == 0L,
-        "mp3: main_data_begin != 0 out of scope (bit reservoir)")
-      r.readBits(5) // private_bits
-      val scfsi = Vector.fill(4)(r.readBits(1) == 1L)
-      final case class Side(p23: Int, bv: Int, gain: Int, sfc: Int,
-          ts: (Int, Int, Int), rc0: Int, rc1: Int, pre: Boolean,
-          sfs: Boolean)
-      val sides = Vector.fill(2) {
-        val p23 = r.readBits(12).toInt
-        val bv = r.readBits(9).toInt
-        require(bv <= 288, s"mp3: big_values $bv beyond 288 at $pos")
-        val gain = r.readBits(8).toInt
-        val sfc = r.readBits(4).toInt
-        require(r.readBits(1) == 0L,
-          "mp3: window_switching_flag out of scope (long blocks only)")
-        val ts = (r.readBits(5).toInt, r.readBits(5).toInt,
-          r.readBits(5).toInt)
-        val rc0 = r.readBits(4).toInt
-        val rc1 = r.readBits(3).toInt
-        require(rc0 <= 7, s"mp3: region0_count $rc0 beyond the " +
-          "23-entry offset table with region1")
-        val pre = r.readBits(1) == 1L
-        val sfs = r.readBits(1) == 1L
-        r.readBits(1) // count1table_select
-        Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs)
-      }
-      var prevSfs: Vector[Int] = Vector.fill(21)(0)
-      val granules = (0 until 2).map { gr =>
-        val s = sides(gr)
-        val bitsBefore = r.bitPos
-        val (s1, s2) = Slen(s.sfc)
-        val sfs = (0 until 21).map { band =>
-          val shared = gr == 1 &&
-            scfsi(ScfsiBands.indexWhere(_.contains(band)))
-          if (shared) prevSfs(band)
-          else {
-            val len = if (band < 11) s1 else s2
-            if (len > 0) r.readBits(len).toInt else 0
-          }
-        }.toVector
-        prevSfs = sfs
-        // region partitioning: table per pair from the side info
-        val r0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
-        val r1 = math.min(s.bv,
-          SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - r0
-        val bvs = (0 until s.bv).map { p =>
-          val t = if (p < r0) s.ts._1
-            else if (p < r0 + r1) s.ts._2 else s.ts._3
-          (HuffSeam.read(r, t), HuffSeam.read(r, t))
-        }.toVector
-        // count1: quadruples until part2_3_length is exhausted
-        val c1 = Vector.newBuilder[(Int, Int, Int, Int)]
-        while (r.bitPos - bitsBefore < s.p23) {
-          val mask = r.readBits(4).toInt
-          val quad = (3 to 0 by -1).map { b =>
-            if ((mask & (1 << b)) != 0) {
-              if (r.readBits(1) == 1L) -1 else 1
-            } else 0
-          }
-          c1 += ((quad(0), quad(1), quad(2), quad(3)))
-        }
-        require(r.bitPos - bitsBefore == s.p23,
-          s"mp3: granule $gr consumed ${r.bitPos - bitsBefore} bits, " +
-            s"part2_3_length says ${s.p23} at $pos")
-        Granule(bvs, c1.result(), s.gain, s.sfc, s.ts, s.rc0, s.rc1,
-          s.pre, s.sfs, sfs)
-      }.toVector
+      val (mdb, scfsi, sides) = readSideInfo(r, pos)
+      require(mdb == 0,
+        "mp3: main_data_begin != 0 needs the reservoir walk " +
+          "(demuxReservoir)")
+      val granules = readGranules(r, scfsi, sides, pos)
       out += ((pos.toLong, Mp3FrameData(bi, ri, pad, scfsi, granules)))
       pos += fl
     }

@@ -181,4 +181,89 @@ class Mp3Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Mp3.requantExact(8, 212) }
     intercept[IllegalArgumentException] { Mp3.requantExact(8, 206) }
   }
+
+  // ---- bit reservoir [main_data_begin] ------------------------------------
+
+  /** Smaller frames so the reservoir mechanics actually engage:
+    * 48 kbps @ 32 kHz -> 216-byte frames, 195-byte slots. */
+  private def smallFrame(i: Int): Mp3.Mp3FrameData = {
+    def granule(gr: Int, g0: Option[Mp3.Granule],
+        scfsi: Vector[Boolean]): Mp3.Granule = {
+      val bv = 5 + (i * 7 + gr * 3) % 15
+      val rc0 = (i + gr) % 6
+      val rc1 = (i * 3 + gr) % 6
+      val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
+      val r1 = math.min(bv, (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
+      val cubes = Array(0, 1, 8); val cubes2 = Array(0, 1, 8, 27)
+      val pairs = Vector.tabulate(bv) { p =>
+        def v(s2: Int): Int = {
+          val idx = p * 2 + s2
+          val m = if (p < r0 + r1) cubes((i * 5 + idx * 7 + gr * 11) % 3)
+            else cubes2((i * 5 + idx * 7 + gr * 11) % 4)
+          if (m != 0 && (idx + i) % 2 == 1) -m else m
+        }
+        (v(0), v(1))
+      }
+      val c1 = Vector.tabulate((i * 3 + gr) % 8) { q =>
+        def cv(pos: Int): Int = ((i + q * 5 + pos * 3 + gr) % 3) - 1
+        (cv(0), cv(1), cv(2), cv(3))
+      }
+      val sfc = (i + 2 * gr) % 16
+      val (s1, s2) = Mp3.Slen(sfc)
+      val sfs = Vector.tabulate(21) { band =>
+        val shared = gr == 1 &&
+          scfsi(Mp3.ScfsiBands.indexWhere(_.contains(band)))
+        if (shared) g0.get.scalefacs(band)
+        else {
+          val len = if (band < 11) s1 else s2
+          if (len > 0) (i * 3 + band * 5 + gr * 7) % (1 << len) else 0
+        }
+      }
+      Mp3.Granule(pairs, c1, 210 + 4 * ((i + gr) % 10), sfc,
+        ((i + gr) % 14, 1 + (i * 5 + gr) % 14, 18 + (i + gr) % 2),
+        rc0, rc1, preflag = (i + gr) % 2 == 0,
+        scalefacScale = i % 2 == 1, scalefacs = sfs)
+    }
+    val scfsi = Vector.tabulate(4)(b => (i + b) % 3 == 0)
+    val g0 = granule(0, None, scfsi)
+    Mp3.Mp3FrameData(3, 2, padding = i % 2 == 1, scfsi,
+      Vector(g0, granule(1, Some(g0), scfsi)))
+  }
+
+  test("bit reservoir: main_data_begin grows with the slot/data gap, " +
+      "clamps at 511, frames recover identically through the " +
+      "reservoir walk, and the plain demux rejects the stream loudly") {
+    val frames = (0 until 10).map(smallFrame)
+    val bytes = Mp3.muxReservoir(frames)
+    val rec = Mp3.demuxReservoir(bytes)
+    assert(rec.size == 10)
+    rec.zip(frames).zipWithIndex.foreach { case (((_, mdb, got), want), i) =>
+      assert(got.scfsi == want.scfsi, s"frame $i scfsi")
+      got.granules.zip(want.granules).foreach { case (g, w) =>
+        assert(g.bigValues == w.bigValues && g.count1 == w.count1 &&
+          g.scalefacs == w.scalefacs && g.globalGain == w.globalGain,
+          s"frame $i granules")
+      }
+      // the expected lag: min(511, sum of (slot - main) so far)
+      val mains = frames.take(i).map(f => (f.bodyBits + 7) / 8)
+      val slots = frames.take(i).map(_.frameLen - 21)
+      // dataStart follows the clamp recurrence; replay it directly
+      var end = 0; var ds = 0
+      (0 until i).foreach { j =>
+        ds = math.max(end, slots.take(j).sum - 511)
+        end = ds + mains(j)
+      }
+      val expect = math.min(511, slots.sum - end)
+      assert(mdb == (if (i == 0) 0 else expect), s"frame $i mdb $mdb")
+      if (i >= 4) assert(mdb == 511, s"frame $i should be clamped")
+    }
+    assert(rec.exists(r => r._2 > 0 && r._2 < 511),
+      "the fixture must exercise the growing regime")
+    // the plain walk refuses a reservoir stream by name
+    val ex = intercept[IllegalArgumentException] { Mp3.demux(bytes) }
+    assert(ex.getMessage.contains("demuxReservoir"))
+    // plain streams round-trip through the reservoir walk too (mdb 0)
+    val plain = Mp3.mux(frames.take(3))
+    assert(Mp3.demuxReservoir(plain).forall(_._2 == 0))
+  }
 }
