@@ -371,17 +371,17 @@ object Vp8 {
     }
   }
 
-  /** The per-MB loop-filter BASE before the §9.4 mode/ref deltas: a
-    * segment with a CODED lf feature (nonzero here — the zero value
-    * is written as feature-absent) replaces (absolute) or shifts
-    * (delta) the frame level [§9.3/§15.1]; others keep the frame
-    * level. */
+  /** The per-MB loop-filter BASE before the §9.4 mode/ref deltas: in
+    * absolute mode the segment lf value replaces the frame level
+    * UNCONDITIONALLY (0 disables filtering — libvpx semantics,
+    * matching segmentDequants); in delta mode it shifts the frame
+    * level (a 0 delta is the identity) [§9.3/§15.1]. */
   private def segLfBase(frameLevel: Int, seg: Option[Segmentation],
       segId: Int): Int = seg match {
-    case Some(g) if g.lf(segId) != 0 =>
+    case Some(g) =>
       val v = if (g.absMode) g.lf(segId) else frameLevel + g.lf(segId)
       math.max(0, math.min(63, v))
-    case _ => frameLevel
+    case None => frameLevel
   }
 
   /** Per-segment dequant factors: the segment feature shifts (delta)
@@ -3291,15 +3291,18 @@ object Vp8 {
         val dec = decodeInter(p, w, hgt, lastY, lastU, lastV,
           goldY, goldU, goldV, altY = altY, altU = altU, altV = altV,
           ctx = cx)
-        // §9.7 buffer lifecycle: copies first (reading the pre-update
-        // buffers in field order — golden's copy, then alternate's),
-        // then the refresh flags overwrite with THIS frame's decode.
+        // §9.7 buffer lifecycle: BOTH copies read the pre-update
+        // buffers (parallel assignment — copy_golden=1 + copy_alt=2
+        // in one frame moves last→golden and OLD-golden→alt), then
+        // the refresh flags overwrite with THIS frame's decode.
         val f = dec.frame
         val (plY, plU, plV) = (lastY, lastU, lastV)
+        val (pgY, pgU, pgV) = (goldY, goldU, goldV)
+        val (paY, paU, paV) = (altY, altU, altV)
         if (f.copyToGolden == 1) { goldY = plY; goldU = plU; goldV = plV }
-        else if (f.copyToGolden == 2) { goldY = altY; goldU = altU; goldV = altV }
+        else if (f.copyToGolden == 2) { goldY = paY; goldU = paU; goldV = paV }
         if (f.copyToAlt == 1) { altY = plY; altU = plU; altV = plV }
-        else if (f.copyToAlt == 2) { altY = goldY; altU = goldU; altV = goldV }
+        else if (f.copyToAlt == 2) { altY = pgY; altU = pgU; altV = pgV }
         if (f.refreshGolden) { goldY = dec.y; goldU = dec.u; goldV = dec.v }
         if (f.refreshAlt) { altY = dec.y; altU = dec.u; altV = dec.v }
         if (f.refreshLast) { lastY = dec.y; lastU = dec.u; lastV = dec.v }

@@ -54,8 +54,15 @@ import graft.sources.Flac.{BitReader, BitWriter}
   * plain [[demux]] keeps requiring main_data_begin = 0 (use the
   * reservoir walk otherwise, loudly).
   *
-  * Subset boundaries, loud: window_switching_flag must be 0 (long
-  * blocks), mono only. */
+  * WINDOW SWITCHING is implemented ([[BlockSplit]]): block_type
+  * 1/2/3 with mixed_block_flag and subblock_gain, the short/mixed
+  * scalefactor layouts (12 bands × 3 windows / 8 long + 27 short),
+  * the FIXED region boundaries of the switching form (region 2
+  * empty), and the §2.4.3.4.5 reorder-window map [[shortWindow]]
+  * under which subblock_gain shifts the requant gain by 8·sbg
+  * (§2.4.3.4.7.1) — still on the exact-integer regime.
+  *
+  * Subset boundary, loud: mono only (stereo rides [[Mp3Stereo]]). */
 object Mp3 {
 
   /** Layer III bitrate table, kbps (Table 3-B.1 column III). */
@@ -72,6 +79,51 @@ object Mp3 {
     * data): 23 entries, even, strictly increasing. Region boundaries
     * index this. */
   val SfbOffsets: Array[Int] = Array.tabulate(23)(i => i * i + i)
+
+  /** STAND-IN SHORT-block scalefactor-band offsets (Table B.8's short
+    * columns are appendix data too): 13 entries per window, even,
+    * strictly increasing; offset 3 = 12 matches the real 44.1 kHz
+    * column's sfb[3] so the spec's 36-sample boundaries (the short
+    * region-1 start AND the mixed-block long/short split, both
+    * 3·short[3]) carry over exactly. */
+  val SfbOffsetsShort: Array[Int] = Array.tabulate(13)(i => i * i + i)
+
+  /** §2.4.1.7 window-switching side info (window_switching_flag = 1):
+    * block_type 1 = start, 2 = three short windows, 3 = stop (0 is
+    * forbidden when the flag is set); mixed_block_flag keeps the two
+    * lowest subbands long (block_type 2 only); subblock_gain is one
+    * 3-bit gain offset per short window (gain drops 8·sbg per step,
+    * §2.4.3.4.7.1). region0/region1_count are NOT transmitted in this
+    * form — the region boundaries are fixed by the spec. */
+  final case class BlockSplit(blockType: Int, mixed: Boolean,
+      subblockGain: (Int, Int, Int)) {
+    require(blockType >= 1 && blockType <= 3,
+      s"mp3: block_type $blockType with window_switching_flag set")
+    require(!mixed || blockType == 2,
+      "mp3: mixed_block_flag is only meaningful for short blocks")
+    require(Seq(subblockGain._1, subblockGain._2, subblockGain._3)
+      .forall(g => g >= 0 && g <= 7), "mp3: subblock_gain is 3 bits")
+    def sbg(w: Int): Int = w match {
+      case 0 => subblockGain._1
+      case 1 => subblockGain._2
+      case _ => subblockGain._3
+    }
+  }
+
+  /** The §2.4.3.4.5 REORDER structure: short-block samples are coded
+    * scalefactor-band-major, the three windows interleaved per band —
+    * this maps a coded sample index to its window. For mixed blocks
+    * the first 36 samples (= 3·short_sfb[3], the two long subbands)
+    * carry no window (ask with j ≥ 36 only). */
+  def shortWindow(j: Int, mixed: Boolean): Int = {
+    val start = if (mixed) 3 * SfbOffsetsShort(3) else 0
+    require(j >= start,
+      s"mp3: sample $j is in the mixed block's LONG region")
+    require(j < 3 * SfbOffsetsShort(12),
+      s"mp3: sample $j beyond the stand-in short sfb table")
+    val b = (0 until 12).find(b => j < 3 * SfbOffsetsShort(b + 1)).get
+    (j - 3 * SfbOffsetsShort(b)) / (SfbOffsetsShort(b + 1) - SfbOffsetsShort(b))
+  }
 
   /** The Huffman-table seam: the real Tables B.5–B.7 are appendix
     * DATA; the structural contract per table id t is what's coded
@@ -116,7 +168,8 @@ object Mp3 {
       tableSelect: (Int, Int, Int),
       region0Count: Int, region1Count: Int,
       preflag: Boolean, scalefacScale: Boolean,
-      scalefacs: Vector[Int]) {
+      scalefacs: Vector[Int],
+      blockSplit: Option[BlockSplit] = None) {
     require(bigValues.length <= 288, s"mp3: ${bigValues.length} pairs")
     require(globalGain >= 0 && globalGain < 256, "mp3: global_gain")
     require(scalefacCompress >= 0 && scalefacCompress < 16,
@@ -129,16 +182,49 @@ object Mp3 {
     require(count1.forall { case (v, w, x, y) =>
       Seq(v, w, x, y).forall(q => q >= -1 && q <= 1) },
       "mp3: count1 values are in {-1, 0, 1}")
-    require(scalefacs.length == 21 &&
-      scalefacs.forall(v => v >= 0 && v < 16), "mp3: 21 scalefactors")
-    /** The three region sizes in PAIRS [§2.4.2.7]: boundaries from the
-      * sfb offsets, clipped to big_values. */
+    // untransmitted fields are pinned when window switching: region
+    // counts and table_select[2] carry no bits in that side-info form
+    require(blockSplit.isEmpty ||
+      (region0Count == 0 && region1Count == 0 && tableSelect._3 == 0),
+      "mp3: window-switching granules don't transmit region counts " +
+        "or table_select[2] — pin them to 0")
+    /** Stored scalefactor count + slen selector per slot (true →
+      * slen1) [§2.4.2.7]: long blocks (incl. start/stop) store 21
+      * band values, bands 0–10 at slen1; SHORT blocks store 12 bands
+      * × 3 windows band-major (36 slots, bands 0–5 at slen1); MIXED
+      * blocks store 8 long bands then short bands 3–11 × 3 windows
+      * (35 slots, the first 17 at slen1). */
+    def sfSlots: Vector[Boolean] = blockSplit match {
+      case Some(bs) if bs.blockType == 2 && !bs.mixed =>
+        Vector.tabulate(36)(_ < 18)
+      case Some(bs) if bs.blockType == 2 =>
+        Vector.tabulate(35)(_ < 17)
+      case _ => Vector.tabulate(21)(_ < 11)
+    }
+    require(scalefacs.length == sfSlots.length &&
+      scalefacs.forall(v => v >= 0 && v < 16),
+      s"mp3: ${scalefacs.length} scalefactors, layout wants " +
+        s"${sfSlots.length}")
+    /** The three region sizes in PAIRS [§2.4.2.7]: long blocks take
+      * the boundaries from the sfb offsets via the region counts;
+      * window-switching granules have FIXED boundaries — region 1
+      * starts at 36 samples for pure short blocks (3·short_sfb[3]) or
+      * at long_sfb[8] otherwise, and region 2 is always empty. */
     def regionPairs: (Int, Int, Int) = {
       val bv = bigValues.length
-      val r0 = math.min(bv, SfbOffsets(region0Count + 1) / 2)
-      val r1 = math.min(bv,
-        SfbOffsets(region0Count + region1Count + 2) / 2) - r0
-      (r0, r1, bv - r0 - r1)
+      blockSplit match {
+        case Some(bs) =>
+          val boundary =
+            if (bs.blockType == 2 && !bs.mixed) 3 * SfbOffsetsShort(3) / 2
+            else SfbOffsets(8) / 2
+          val r0 = math.min(bv, boundary)
+          (r0, bv - r0, 0)
+        case None =>
+          val r0 = math.min(bv, SfbOffsets(region0Count + 1) / 2)
+          val r1 = math.min(bv,
+            SfbOffsets(region0Count + region1Count + 2) / 2) - r0
+          (r0, r1, bv - r0 - r1)
+      }
     }
     /** Which table codes pair index p. */
     def tableOf(p: Int): Int = {
@@ -161,18 +247,24 @@ object Mp3 {
     require(rateIndex >= 0 && rateIndex <= 2, "mp3: rate index")
     require(scfsi.length == 4, "mp3: four scfsi bands")
     require(granules.length == 2, "mp3: two granules per MPEG-1 frame")
+    // §2.4.2.7: scfsi is defined over the 21 LONG bands — with a
+    // short granule in the frame all scalefactors are transmitted
+    require(!granules.exists(_.blockSplit.exists(_.blockType == 2)) ||
+      scfsi.forall(!_),
+      "mp3: scfsi must be all-zero when a granule uses short blocks")
     def frameLen: Int =
       144 * BitratesL3(bitrateIndex) * 1000 / Rates(rateIndex) +
         (if (padding) 1 else 0)
     /** Stored scalefactor bits for granule gr (part2): granule 1 skips
-      * scfsi-shared bands. */
+      * scfsi-shared LONG bands; short/mixed granules store every slot
+      * of their layout. */
     def part2Bits(gr: Int): Int = {
       val g = granules(gr)
       val (s1, s2) = Slen(g.scalefacCompress)
-      (0 until 21).map { band =>
-        val shared = gr == 1 &&
+      g.sfSlots.zipWithIndex.map { case (isS1, band) =>
+        val shared = gr == 1 && g.sfSlots.length == 21 &&
           scfsi(ScfsiBands.indexWhere(_.contains(band)))
-        if (shared) 0 else if (band < 11) s1 else s2
+        if (shared) 0 else if (isS1) s1 else s2
       }.sum
     }
     /** Huffman-area bits for granule gr (part3). */
@@ -227,11 +319,24 @@ object Mp3 {
       w.writeBits(g.bigValues.length.toLong, 9)
       w.writeBits(g.globalGain.toLong, 8)
       w.writeBits(g.scalefacCompress.toLong, 4)
-      w.writeBits(0L, 1) // window_switching_flag: long blocks
-      Seq(g.tableSelect._1, g.tableSelect._2, g.tableSelect._3)
-        .foreach(t => w.writeBits(t.toLong, 5))
-      w.writeBits(g.region0Count.toLong, 4)
-      w.writeBits(g.region1Count.toLong, 3)
+      g.blockSplit match {
+        case Some(bs) =>
+          // §2.4.1.7 window-switching form: same 22 bits as the
+          // normal form (2+1+2·5+3·3), region counts untransmitted
+          w.writeBits(1L, 1)
+          w.writeBits(bs.blockType.toLong, 2)
+          w.writeBits(if (bs.mixed) 1L else 0L, 1)
+          Seq(g.tableSelect._1, g.tableSelect._2)
+            .foreach(t => w.writeBits(t.toLong, 5))
+          Seq(bs.subblockGain._1, bs.subblockGain._2, bs.subblockGain._3)
+            .foreach(v => w.writeBits(v.toLong, 3))
+        case None =>
+          w.writeBits(0L, 1) // window_switching_flag: long blocks
+          Seq(g.tableSelect._1, g.tableSelect._2, g.tableSelect._3)
+            .foreach(t => w.writeBits(t.toLong, 5))
+          w.writeBits(g.region0Count.toLong, 4)
+          w.writeBits(g.region1Count.toLong, 3)
+      }
       w.writeBits(if (g.preflag) 1L else 0L, 1)
       w.writeBits(if (g.scalefacScale) 1L else 0L, 1)
       w.writeBits(0L, 1) // count1table_select (stand-in mapping)
@@ -242,11 +347,19 @@ object Mp3 {
     (0 until 2).foreach { gr =>
       val g = f.granules(gr)
       val (s1, s2) = Slen(g.scalefacCompress)
-      (0 until 21).foreach { band =>
-        val shared = gr == 1 &&
+      g.sfSlots.indices.foreach { band =>
+        val shared = gr == 1 && g.sfSlots.length == 21 &&
           f.scfsi(ScfsiBands.indexWhere(_.contains(band)))
+        if (shared) {
+          // a scfsi-shared band carries NO bits for granule 1 — the
+          // caller must have set it equal to granule 0's value or the
+          // round trip would silently swap it
+          require(g.scalefacs(band) == f.granules(0).scalefacs(band),
+            s"mp3: scfsi-shared band $band differs between granules " +
+              s"(${f.granules(0).scalefacs(band)} vs ${g.scalefacs(band)})")
+        }
         if (!shared) {
-          val len = if (band < 11) s1 else s2
+          val len = if (g.sfSlots(band)) s1 else s2
           if (len > 0) {
             require(g.scalefacs(band) < (1 << len),
               s"mp3: scalefactor ${g.scalefacs(band)} beyond slen $len")
@@ -335,7 +448,7 @@ object Mp3 {
 
   private final case class Side(p23: Int, bv: Int, gain: Int, sfc: Int,
       ts: (Int, Int, Int), rc0: Int, rc1: Int, pre: Boolean,
-      sfs: Boolean)
+      sfs: Boolean, split: Option[BlockSplit])
 
   private def readSideInfo(r: BitReader, pos: Int)
       : (Int, Vector[Boolean], Vector[Side]) = {
@@ -348,18 +461,29 @@ object Mp3 {
       require(bv <= 288, s"mp3: big_values $bv beyond 288 at $pos")
       val gain = r.readBits(8).toInt
       val sfc = r.readBits(4).toInt
-      require(r.readBits(1) == 0L,
-        "mp3: window_switching_flag out of scope (long blocks only)")
-      val ts = (r.readBits(5).toInt, r.readBits(5).toInt,
-        r.readBits(5).toInt)
-      val rc0 = r.readBits(4).toInt
-      val rc1 = r.readBits(3).toInt
-      require(rc0 <= 7, s"mp3: region0_count $rc0 beyond the " +
-        "23-entry offset table with region1")
+      val (ts, rc0, rc1, split) =
+        if (r.readBits(1) == 1L) { // window_switching_flag
+          val bt = r.readBits(2).toInt
+          require(bt != 0,
+            s"mp3: block_type 0 with window_switching_flag set at $pos")
+          val mixed = r.readBits(1) == 1L
+          val t = (r.readBits(5).toInt, r.readBits(5).toInt, 0)
+          val sbg = (r.readBits(3).toInt, r.readBits(3).toInt,
+            r.readBits(3).toInt)
+          (t, 0, 0, Some(BlockSplit(bt, mixed, sbg)))
+        } else {
+          val t = (r.readBits(5).toInt, r.readBits(5).toInt,
+            r.readBits(5).toInt)
+          val rc0 = r.readBits(4).toInt
+          val rc1 = r.readBits(3).toInt
+          require(rc0 <= 7, s"mp3: region0_count $rc0 beyond the " +
+            "23-entry offset table with region1")
+          (t, rc0, rc1, None)
+        }
       val pre = r.readBits(1) == 1L
       val sfs = r.readBits(1) == 1L
       r.readBits(1) // count1table_select
-      Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs)
+      Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs, split)
     }
     (mdb, scfsi, sides)
   }
@@ -371,20 +495,38 @@ object Mp3 {
       val s = sides(gr)
       val bitsBefore = r.bitPos
       val (s1, s2) = Slen(s.sfc)
-      val sfs = (0 until 21).map { band =>
-        val shared = gr == 1 &&
+      // slot layout per block regime (same shapes as Granule.sfSlots)
+      val slots: Vector[Boolean] = s.split match {
+        case Some(bs) if bs.blockType == 2 && !bs.mixed =>
+          Vector.tabulate(36)(_ < 18)
+        case Some(bs) if bs.blockType == 2 =>
+          Vector.tabulate(35)(_ < 17)
+        case _ => Vector.tabulate(21)(_ < 11)
+      }
+      val sfs = slots.indices.map { band =>
+        val shared = gr == 1 && slots.length == 21 &&
           scfsi(ScfsiBands.indexWhere(_.contains(band)))
         if (shared) prevSfs(band)
         else {
-          val len = if (band < 11) s1 else s2
+          val len = if (slots(band)) s1 else s2
           if (len > 0) r.readBits(len).toInt else 0
         }
       }.toVector
       prevSfs = sfs
-      // region partitioning: table per pair from the side info
-      val r0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
-      val r1 = math.min(s.bv,
-        SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - r0
+      // region partitioning: fixed boundaries under window switching
+      // (region 2 empty), else from the side-info region counts
+      val (r0, r1) = s.split match {
+        case Some(bs) =>
+          val boundary =
+            if (bs.blockType == 2 && !bs.mixed) 3 * SfbOffsetsShort(3) / 2
+            else SfbOffsets(8) / 2
+          val rr0 = math.min(s.bv, boundary)
+          (rr0, s.bv - rr0)
+        case None =>
+          val rr0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
+          (rr0, math.min(s.bv,
+            SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - rr0)
+      }
       val bvs = (0 until s.bv).map { p =>
         val t = if (p < r0) s.ts._1
           else if (p < r0 + r1) s.ts._2 else s.ts._3
@@ -405,7 +547,7 @@ object Mp3 {
         s"mp3: granule $gr consumed ${r.bitPos - bitsBefore} bits, " +
           s"part2_3_length says ${s.p23} at $pos")
       Granule(bvs, c1.result(), s.gain, s.sfc, s.ts, s.rc0, s.rc1,
-        s.pre, s.sfs, sfs)
+        s.pre, s.sfs, sfs, s.split)
     }.toVector
   }
 
@@ -453,8 +595,10 @@ object Mp3 {
       require(start >= 0,
         s"mp3: main_data_begin ${h.mdb} reaches before the stream " +
           s"at ${h.pos}")
-      require(start > prevStart || prevStart < 0,
-        s"mp3: reservoir starts must be monotone at ${h.pos}")
+      // non-decreasing, not strictly increasing: a frame whose two
+      // granules carry zero main-data bits legally repeats the start
+      require(start >= prevStart || prevStart < 0,
+        s"mp3: reservoir starts must not seek backward at ${h.pos}")
       prevStart = start
       val r = new BitReader(sp, start, sp.length)
       val granules = readGranules(r, h.scfsi, h.sides, h.pos)

@@ -56,23 +56,24 @@ object Vp8Machine {
         val ns = DecState(dec.frame.width, dec.frame.height,
           dec.y, dec.u, dec.v, dec.y, dec.u, dec.v, dec.y, dec.u, dec.v,
           Vp8.Ctx.toFlat(cx))
-        (ns, Seq(emit(e.ts, dec.y, dec.u, dec.v, keyframe = true)))
+        (ns, Seq(emit(e.ts, dec.y, dec.u, dec.v, dec.frame.width,
+          dec.frame.height, keyframe = true)))
       } else {
         require(s.lastY != null,
           s"vp8 stream: inter frame at ts ${e.ts} before any keyframe")
         val dec = Vp8.decodeInter(payload, s.w, s.h,
           s.lastY, s.lastU, s.lastV, s.goldY, s.goldU, s.goldV,
           altY = s.altY, altU = s.altU, altV = s.altV, ctx = cx)
-        // §9.7 buffer lifecycle, exactly decodeStream's: copies read
-        // the pre-update buffers in field order, then the refresh
-        // flags overwrite with this frame's decode
+        // §9.7 buffer lifecycle, exactly decodeStream's: BOTH copies
+        // read the pre-update buffers (parallel assignment), then the
+        // refresh flags overwrite with this frame's decode
         val f = dec.frame
         var (gY, gU, gV) = (s.goldY, s.goldU, s.goldV)
         var (aY, aU, aV) = (s.altY, s.altU, s.altV)
         if (f.copyToGolden == 1) { gY = s.lastY; gU = s.lastU; gV = s.lastV }
-        else if (f.copyToGolden == 2) { gY = aY; gU = aU; gV = aV }
+        else if (f.copyToGolden == 2) { gY = s.altY; gU = s.altU; gV = s.altV }
         if (f.copyToAlt == 1) { aY = s.lastY; aU = s.lastU; aV = s.lastV }
-        else if (f.copyToAlt == 2) { aY = gY; aU = gU; aV = gV }
+        else if (f.copyToAlt == 2) { aY = s.goldY; aU = s.goldU; aV = s.goldV }
         if (f.refreshGolden) { gY = dec.y; gU = dec.u; gV = dec.v }
         if (f.refreshAlt) { aY = dec.y; aU = dec.u; aV = dec.v }
         val ns = s.copy(
@@ -82,15 +83,22 @@ object Vp8Machine {
           goldY = gY, goldU = gU, goldV = gV,
           altY = aY, altU = aU, altV = aV,
           ctx = Vp8.Ctx.toFlat(cx))
-        (ns, Seq(emit(e.ts, dec.y, dec.u, dec.v, keyframe = false)))
+        (ns, Seq(emit(e.ts, dec.y, dec.u, dec.v, s.w, s.h,
+          keyframe = false)))
       }
     }
 
+    /** Sums run over the DISPLAY-cropped planes (§9.1), mirroring
+      * decodeStream's StreamFrame output, so batch/streaming parity
+      * holds for non-multiple-of-16 dimensions too. */
     private def emit(ts: Long, y: Array[Int], u: Array[Int],
-        v: Array[Int], keyframe: Boolean): Out = {
-      val luma = y.iterator.map(_.toLong).sum
-      val chroma = u.iterator.map(_.toLong).sum +
-        v.iterator.map(_.toLong).sum
+        v: Array[Int], w: Int, h: Int, keyframe: Boolean): Out = {
+      val cy = Vp8.crop(y, Vp8.pad16(w), w, h)
+      val cu = Vp8.crop(u, Vp8.pad16(w) / 2, (w + 1) / 2, (h + 1) / 2)
+      val cv = Vp8.crop(v, Vp8.pad16(w) / 2, (w + 1) / 2, (h + 1) / 2)
+      val luma = cy.iterator.map(_.toLong).sum
+      val chroma = cu.iterator.map(_.toLong).sum +
+        cv.iterator.map(_.toLong).sum
       Out(ts, luma.toDouble, s"$chroma,${if (keyframe) 1 else 0}")
     }
   }

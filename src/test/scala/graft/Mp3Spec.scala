@@ -266,4 +266,126 @@ class Mp3Spec extends AnyFunSuite {
     val plain = Mp3.mux(frames.take(3))
     assert(Mp3.demuxReservoir(plain).forall(_._2 == 0))
   }
+
+  /** A window-switching granule: bt 2 short (36 scalefactors), bt 2
+    * mixed (35), or bt 1/3 start/stop (long 21-slot layout). */
+  private def splitGranule(i: Int, gr: Int, bt: Int,
+      mixed: Boolean): Mp3.Granule = {
+    val bs = Mp3.BlockSplit(bt, mixed,
+      ((i + gr) % 4, (i * 3 + gr) % 4, (i + 2 * gr) % 4))
+    val bv = 10 + (i * 7 + gr * 3) % 30
+    val boundary = if (bt == 2 && !mixed) 18 else 36
+    val r0 = math.min(bv, boundary)
+    val cubes = Array(0, 1, 8, 27)
+    val pairs = Vector.tabulate(bv) { p =>
+      def v(s2: Int): Int = {
+        val idx = p * 2 + s2
+        val m = cubes((i * 5 + idx * 7 + gr * 11) % (if (p < r0) 3 else 4))
+        if (m != 0 && (idx + i) % 2 == 1) -m else m
+      }
+      (v(0), v(1))
+    }
+    val sfc = (i + 2 * gr) % 16
+    val (s1, s2) = Mp3.Slen(sfc)
+    val nSf = if (bt != 2) 21 else if (mixed) 35 else 36
+    val sfs = Vector.tabulate(nSf) { slot =>
+      val isS1 =
+        if (bt != 2) slot < 11
+        else if (mixed) slot < 17
+        else slot < 18
+      val len = if (isS1) s1 else s2
+      if (len > 0) (i * 3 + slot * 5 + gr * 7) % (1 << len) else 0
+    }
+    Mp3.Granule(pairs, Vector.empty, 234 + 4 * ((i + gr) % 6), sfc,
+      ((i + gr) % 14, 18 + (i * 5 + gr) % 2, 0), 0, 0,
+      preflag = false, scalefacScale = i % 2 == 1,
+      scalefacs = sfs, blockSplit = Some(bs))
+  }
+
+  test("window switching [§2.4.1.7]: block_type/mixed_block_flag/" +
+      "subblock_gain round-trip in the 22-bit alternate side-info " +
+      "form, short and mixed scalefactor layouts store 36/35 values, " +
+      "region boundaries are FIXED (region 2 empty), and subblock " +
+      "gain shifts the reorder-window requant by 8·sbg") {
+    val regimes = Seq((2, false), (2, true), (1, false), (3, false))
+    val frames = (0 until 8).map { i =>
+      val (bt0, mx0) = regimes(i % 4)
+      val (bt1, mx1) = regimes((i + 1) % 4)
+      Mp3.Mp3FrameData(14, 2, padding = i % 2 == 1,
+        Vector.fill(4)(false),
+        Vector(splitGranule(i, 0, bt0, mx0),
+          splitGranule(i, 1, bt1, mx1)))
+    }
+    val rec = Mp3.demux(Mp3.mux(frames))
+    assert(rec.size == 8)
+    rec.zip(frames).zipWithIndex.foreach { case (((_, got), want), i) =>
+      got.granules.zip(want.granules).zipWithIndex.foreach {
+        case ((g, w), gr) =>
+          assert(g.blockSplit == w.blockSplit, s"frame $i gr $gr split")
+          assert(g.scalefacs == w.scalefacs, s"frame $i gr $gr sfs")
+          assert(g.bigValues == w.bigValues, s"frame $i gr $gr values")
+          assert(g.tableSelect == w.tableSelect && g.region0Count == 0 &&
+            g.region1Count == 0)
+          // fixed boundaries: 18 pairs short non-mixed, 36 otherwise
+          val bs = g.blockSplit.get
+          val (r0, r1, r2) = g.regionPairs
+          val want0 = math.min(g.bigValues.length,
+            if (bs.blockType == 2 && !bs.mixed) 18 else 36)
+          assert(r0 == want0 && r1 == g.bigValues.length - want0 &&
+            r2 == 0, s"frame $i gr $gr regions")
+      }
+    }
+    // reorder-window map: band-major triplets under the stand-in
+    // short sfb table — band b spans [3(b²+b), 3((b+1)²+(b+1))) with
+    // window width 2b+2
+    assert(Mp3.shortWindow(0, mixed = false) == 0)
+    assert(Mp3.shortWindow(1, mixed = false) == 0) // band 0 w0 = {0,1}
+    assert(Mp3.shortWindow(2, mixed = false) == 1)
+    assert(Mp3.shortWindow(5, mixed = false) == 2)
+    assert(Mp3.shortWindow(6, mixed = false) == 0) // band 1 starts
+    assert(Mp3.shortWindow(9, mixed = false) == 0) // width 4: {6..9}
+    assert(Mp3.shortWindow(10, mixed = false) == 1)
+    // mixed: the long region has no window; 36 is short band 3 w0
+    assert(Mp3.shortWindow(36, mixed = true) == 0)
+    intercept[IllegalArgumentException] {
+      Mp3.shortWindow(35, mixed = true)
+    }
+    // subblock gain: gain − 8·sbg on the exact regime
+    assert(Mp3.requantExact(8, 242 - 8 * 2) ==
+      Mp3.requantExact(8, 226))
+    val g = splitGranule(3, 0, 2, mixed = false)
+    val bs = g.blockSplit.get
+    val vals = g.bigValues.flatMap(p => Seq(p._1, p._2))
+    val req = vals.zipWithIndex.map { case (v, j) =>
+      val gain = g.globalGain - 8 * bs.sbg(Mp3.shortWindow(j, mixed = false))
+      Mp3.requantExact(v, gain)
+    }.sum
+    assert(req != vals.map(Mp3.requantExact(_, g.globalGain)).sum,
+      "the fixture must have nonzero subblock gains somewhere")
+    // loud boundaries
+    intercept[IllegalArgumentException] { // scfsi with a short granule
+      Mp3.Mp3FrameData(14, 2, padding = false,
+        Vector(true, false, false, false),
+        Vector(splitGranule(0, 0, 2, mixed = false),
+          splitGranule(0, 1, 2, mixed = false)))
+    }
+    intercept[IllegalArgumentException] { // block_type 0 forbidden
+      Mp3.BlockSplit(0, mixed = false, (0, 0, 0))
+    }
+    intercept[IllegalArgumentException] { // mixed needs short blocks
+      Mp3.BlockSplit(1, mixed = true, (0, 0, 0))
+    }
+    // start/stop blocks still share via scfsi (long layout)
+    val f13 = Mp3.Mp3FrameData(14, 2, padding = false,
+      Vector(true, false, false, false),
+      Vector(splitGranule(0, 0, 1, mixed = false), {
+        val base = splitGranule(0, 1, 3, mixed = false)
+        val g0 = splitGranule(0, 0, 1, mixed = false)
+        base.copy(scalefacs = base.scalefacs.zipWithIndex.map {
+          case (v, b) => if (b < 6) g0.scalefacs(b) else v })
+      }))
+    val rt = Mp3.demux(Mp3.mux(Seq(f13)))
+    assert(rt.head._2.granules(1).scalefacs.take(6) ==
+      f13.granules(0).scalefacs.take(6), "scfsi band 0 shared")
+  }
 }

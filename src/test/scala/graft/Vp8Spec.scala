@@ -1552,6 +1552,59 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("reference-buffer lifecycle [§9.7]: BOTH copy fields in one " +
+      "frame read the PRE-update buffers (parallel assignment) — " +
+      "copy_to_golden=1 + copy_to_alternate=2 moves last→golden and " +
+      "the OLD golden→altref, not the new one") {
+    def gMb(v: Int) = interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = v)
+      .copy(refGolden = true)
+    def aMb(v: Int) = interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = v)
+      .copy(refAltref = true)
+    val key = Vp8.encode(Vp8.KeyFrame(32, 32, 0, Vector(
+      zeroMb(Vp8.VPred, Vp8.DcPred, 40), zeroMb(Vp8.VPred, Vp8.DcPred, 80),
+      zeroMb(Vp8.VPred, Vp8.DcPred, 16), zeroMb(Vp8.VPred, Vp8.DcPred, 24))))
+    // frame 1 refreshes LAST only, so LAST (frame 1) and GOLDEN
+    // (keyframe) now differ
+    val p1 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector.fill(4)(
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 8))))
+    // frame 2: copy_to_golden=1 (last → golden) AND copy_to_alt=2
+    // (golden → alt). With parallel-assignment semantics alt gets
+    // the KEYFRAME (the pre-update golden); the sequential bug would
+    // hand it frame 1.
+    val p2 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector.fill(4)(
+      interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = 0)),
+      refreshLast = false, copyToGolden = 1, copyToAlt = 2))
+    // frame 3: zero-residual golden-ref vs altref MBs expose both
+    // buffers' contents directly
+    val p3 = Vp8.encodeInter(32, 32, Vp8.InterFrame(0, Vector(
+      gMb(0), gMb(0), aMb(0), aMb(0))))
+    val st = Vp8.decodeStream(Seq(key, p1, p2, p3))
+    def mbVal(f: Vp8.StreamFrame, mr: Int, mc: Int): Int =
+      f.y((mr * 16) * 32 + mc * 16)
+    val kf = st(0); val f1 = st(1); val f3 = st(3)
+    assert(mbVal(f1, 0, 0) == mbVal(kf, 0, 0) + 1) // r = (8+4)>>3
+    // golden = frame 1 (the copy of LAST)
+    assert(mbVal(f3, 0, 0) == mbVal(f1, 0, 0),
+      "copy_to_golden=1 must hand GOLDEN frame 1")
+    assert(mbVal(f3, 0, 1) == mbVal(f1, 0, 1))
+    // altref = the KEYFRAME — the pre-update golden, NOT frame 1
+    assert(mbVal(f3, 1, 0) == mbVal(kf, 1, 0),
+      "copy_to_alternate=2 must read the PRE-update golden")
+    assert(mbVal(f3, 1, 1) == mbVal(kf, 1, 1))
+    // the streaming machine agrees frame by frame
+    import graft.streaming.{StateMachines, Vp8Machine}
+    val hex = java.util.HexFormat.of()
+    val m = new Vp8Machine.StreamDecoder
+    var s = m.init
+    Seq(key, p1, p2, p3).zipWithIndex.foreach { case (p, t) =>
+      val (ns, outs) = m.step(s, StateMachines.Ev(0, t.toLong, 0.0,
+        hex.formatHex(p), paused = false))
+      s = ns
+      val luma = st(t).y.iterator.map(_.toLong).sum
+      assert(outs.head.value == luma.toDouble, s"machine frame $t")
+    }
+  }
+
   test("segment-map persistence [§9.3] + per-segment loop filter: " +
       "update_mb_segmentation_map = 0 frames reuse the remembered map " +
       "(quantizer routing proves it), a segment lf value re-bases that " +
