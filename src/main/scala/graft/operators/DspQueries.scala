@@ -1893,6 +1893,194 @@ object DspQueries {
       |  part23, code_sum
       |FROM mx ORDER BY chunk_id, i""".stripMargin
 
+  /** p23: MP3 WINDOW SWITCHING ([[graft.sources.Mp3.BlockSplit]],
+    * §2.4.1.7 / §2.4.3.4.5) — the block-structure layer real encoders
+    * use at every transient, which p21's long-block subset rejected:
+    * frames cycle block_type 2 short, 2 mixed, 1 start, 3 stop across
+    * both granules; the 22-bit alternate side-info form round-trips
+    * block_type/mixed_block_flag/subblock_gain; SHORT granules store
+    * 12 bands × 3 windows = 36 scalefactors (MIXED: 8 long + 27 short
+    * = 35) with scfsi pinned to zero; region boundaries are FIXED by
+    * the switching form (18 pairs for pure short, 36 otherwise,
+    * region 2 empty); and requantization applies the per-window gain
+    * global_gain − 8·subblock_gain[w] where w comes from the
+    * §2.4.3.4.5 reorder map over the stand-in short sfb offsets
+    * (band b spans samples [3(b²+b), 3((b+1)²+(b+1))), window width
+    * 2b+2; a mixed block's first 36 samples stay long-gained). The
+    * oracle replays the layouts, the fixed boundaries, the window
+    * map, and the exact-integer per-window requant sums. Scale: the
+    * p17 envelope — per-chunk mapGroups, no shuffle inside a
+    * stream. */
+  private def p23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp3
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val regimes = Vector((2, false), (2, true), (1, false), (3, false))
+        def granule(i: Int, gr: Int): Mp3.Granule = {
+          val (bt, mixed) = regimes((i + gr) % 4)
+          val bs = Mp3.BlockSplit(bt, mixed,
+            ((i + gr) % 4, (i * 3 + gr) % 4, (i + 2 * gr) % 4))
+          val bv = 10 + (i * 7 + gr * 3) % 30
+          val boundary = if (bt == 2 && !mixed) 18 else 36
+          val r0 = math.min(bv, boundary)
+          val cubes = Array(0, 1, 8)
+          val cubes2 = Array(0, 1, 8, 27)
+          val pairs = Vector.tabulate(bv) { p =>
+            def v(s2: Int): Int = {
+              val idx = p * 2 + s2
+              val m = if (p < r0) cubes((i * 5 + idx * 7 + gr * 11) % 3)
+                else cubes2((i * 5 + idx * 7 + gr * 11) % 4)
+              if (m != 0 && (idx + i) % 2 == 1) -m else m
+            }
+            (v(0), v(1))
+          }
+          val sfc = (i + 2 * gr) % 16
+          val (s1, s2) = Mp3.Slen(sfc)
+          val nSf = if (bt != 2) 21 else if (mixed) 35 else 36
+          val sfs = Vector.tabulate(nSf) { slot =>
+            val isS1 = if (bt != 2) slot < 11
+              else if (mixed) slot < 17 else slot < 18
+            val len = if (isS1) s1 else s2
+            if (len > 0) (i * 3 + slot * 5 + gr * 7) % (1 << len) else 0
+          }
+          Mp3.Granule(pairs, Vector.empty, 234 + 4 * ((i + gr) % 6),
+            sfc, ((i + gr) % 14, 18 + (i * 5 + gr) % 2, 0), 0, 0,
+            preflag = false, scalefacScale = i % 2 == 1,
+            scalefacs = sfs, blockSplit = Some(bs))
+        }
+        val frames = (0 until n).map { i =>
+          Mp3.Mp3FrameData(14, 2, padding = i % 2 == 1,
+            Vector.fill(4)(false),
+            Vector(granule(i, 0), granule(i, 1)))
+        }
+        val rec = Mp3.demux(Mp3.mux(frames))
+        require(rec.size == n, s"chunk $cid: mp3 frame count drift")
+        rec.iterator.zipWithIndex.flatMap { case ((off, f), i) =>
+          (0 until 2).iterator.map { gr =>
+            val g = f.granules(gr)
+            val bs = g.blockSplit.get
+            val (r0, r1, r2) = g.regionPairs
+            require(r2 == 0, "window switching leaves region 2 empty")
+            val vals = g.bigValues.flatMap(p => Seq(p._1, p._2))
+            val requant = vals.zipWithIndex.map { case (v, j) =>
+              val gain =
+                if (bs.blockType != 2) g.globalGain
+                else if (bs.mixed && j < 36) g.globalGain
+                else g.globalGain - 8 * bs.sbg(Mp3.shortWindow(j, bs.mixed))
+              Mp3.requantExact(v, gain)
+            }.sum
+            (cid, i.toLong, gr.toLong, off,
+              bs.blockType.toLong, if (bs.mixed) 1L else 0L,
+              f.part23Length(gr).toLong, g.bigValues.length.toLong,
+              r0.toLong, r1.toLong,
+              g.scalefacs.map(_.toLong).sum,
+              (bs.subblockGain._1 + bs.subblockGain._2 +
+                bs.subblockGain._3).toLong,
+              vals.map(v => math.abs(v).toLong).sum, requant)
+          }
+        }
+      }
+    }.toDF("chunk_id", "i", "gr", "offset", "block_type", "mixed_flag",
+        "part23", "big_values", "r0_pairs", "r1_pairs", "sf_sum",
+        "sbg_sum", "code_sum", "requant_sum")
+      .orderBy(col("chunk_id"), col("i"), col("gr"))
+  }
+
+  private val p23Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, gg.gr FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i),
+      |  (SELECT unnest(range(2)) AS gr) gg),
+      |side AS (SELECT chunk_id, i, gr,
+      |    list_extract([2, 2, 1, 3], CAST((i + gr) % 4 + 1 AS INT)) AS bt,
+      |    (i + gr) % 4 = 1 AS mixed,
+      |    10 + (i * 7 + gr * 3) % 30 AS bv,
+      |    18 + (i * 5 + gr) % 2 AS t1,
+      |    (i + 2 * gr) % 16 AS sfc,
+      |    234 + 4 * ((i + gr) % 6) AS gain,
+      |    (i + gr) % 4 AS sbg0, (i * 3 + gr) % 4 AS sbg1,
+      |    (i + 2 * gr) % 4 AS sbg2
+      |  FROM f),
+      |reg AS (SELECT *,
+      |    least(bv, CASE WHEN bt = 2 AND NOT mixed THEN 18 ELSE 36 END)
+      |      AS r0
+      |  FROM side),
+      |-- per-sample draws + the §2.4.3.4.5 reorder window: band b
+      |-- spans [3(b²+b), 3((b+1)²+(b+1))) with window width 2b+2
+      |bvv AS (SELECT r.chunk_id, r.i, r.gr, v.idx,
+      |    CASE WHEN v.idx // 2 < r.r0
+      |      THEN list_extract([0, 1, 8],
+      |        CAST((r.i * 5 + v.idx * 7 + r.gr * 11) % 3 + 1 AS INT))
+      |      ELSE list_extract([0, 1, 8, 27],
+      |        CAST((r.i * 5 + v.idx * 7 + r.gr * 11) % 4 + 1 AS INT))
+      |    END AS m,
+      |    r.t1, r.gain
+      |      - CASE WHEN r.bt != 2 OR (r.mixed AND v.idx < 36) THEN 0
+      |        ELSE 8 * list_extract([r.sbg0, r.sbg1, r.sbg2],
+      |          CAST((v.idx - 3 * (b.b * b.b + b.b))
+      |            // (2 * b.b + 2) + 1 AS INT)) END AS geff
+      |  FROM reg r
+      |  JOIN (SELECT unnest(range(80)) AS idx) v ON v.idx < 2 * r.bv
+      |  JOIN (SELECT unnest(range(6)) AS b) b
+      |    ON v.idx >= 3 * (b.b * b.b + b.b)
+      |    AND v.idx < 3 * ((b.b + 1) * (b.b + 1) + b.b + 1)),
+      |bvagg AS (SELECT chunk_id, i, gr,
+      |    sum(m) AS code_sum,
+      |    sum((CASE WHEN m != 0 AND (idx + i) % 2 = 1 THEN -1 ELSE 1 END)
+      |      * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |          ELSE 81 END)
+      |      * CAST(power(2, (geff - 210) // 4) AS BIGINT)) AS requant_sum,
+      |    sum(4 + (CASE WHEN m != 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m >= 15 THEN t1 - 14 ELSE 0 END)) AS p3bits
+      |  FROM bvv GROUP BY 1, 2, 3),
+      |-- scalefactor slots per regime: 21 long / 36 short / 35 mixed,
+      |-- slen1 for the first 11 / 18 / 17 slots
+      |sfv AS (SELECT s.chunk_id, s.i, s.gr,
+      |    CASE WHEN (CASE WHEN s.bt != 2 THEN sl.slot < 11
+      |        WHEN s.mixed THEN sl.slot < 17
+      |        ELSE sl.slot < 18 END)
+      |      THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+      |        CAST(s.sfc + 1 AS INT))
+      |      ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+      |        CAST(s.sfc + 1 AS INT)) END AS len,
+      |    sl.slot
+      |  FROM side s
+      |  JOIN (SELECT unnest(range(36)) AS slot) sl
+      |    ON sl.slot < (CASE WHEN s.bt != 2 THEN 21
+      |      WHEN s.mixed THEN 35 ELSE 36 END)),
+      |sfs AS (SELECT chunk_id, i, gr,
+      |    sum(CASE WHEN len > 0
+      |      THEN (i * 3 + slot * 5 + gr * 7)
+      |        % CAST(power(2, len) AS BIGINT) ELSE 0 END) AS sf_sum,
+      |    sum(len) AS p2bits
+      |  FROM sfv GROUP BY 1, 2, 3)
+      |SELECT s.chunk_id, CAST(s.i AS BIGINT) AS i,
+      |  CAST(s.gr AS BIGINT) AS gr,
+      |  CAST(1440 * s.i + s.i // 2 AS BIGINT) AS "offset",
+      |  CAST(s.bt AS BIGINT) AS block_type,
+      |  CAST(CASE WHEN s.mixed THEN 1 ELSE 0 END AS BIGINT) AS mixed_flag,
+      |  CAST(sfs.p2bits + a.p3bits AS BIGINT) AS part23,
+      |  CAST(s.bv AS BIGINT) AS big_values,
+      |  CAST(s.r0 AS BIGINT) AS r0_pairs,
+      |  CAST(s.bv - s.r0 AS BIGINT) AS r1_pairs,
+      |  CAST(sfs.sf_sum AS BIGINT) AS sf_sum,
+      |  CAST(s.sbg0 + s.sbg1 + s.sbg2 AS BIGINT) AS sbg_sum,
+      |  CAST(a.code_sum AS BIGINT) AS code_sum,
+      |  CAST(a.requant_sum AS BIGINT) AS requant_sum
+      |FROM reg s
+      |JOIN bvagg a ON a.chunk_id = s.chunk_id AND a.i = s.i AND a.gr = s.gr
+      |JOIN sfs ON sfs.chunk_id = s.chunk_id AND sfs.i = s.i
+      |  AND sfs.gr = s.gr
+      |ORDER BY s.chunk_id, s.i, s.gr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -1916,5 +2104,6 @@ object DspQueries {
     Q("p20_mp2_synthesis", p20, Some(p20Sql)),
     Q("p21_mp3_structure", p21, Some(p21Sql)),
     Q("p22_mp3_reservoir", p22, Some(p22Sql)),
+    Q("p23_mp3_short_blocks", p23, Some(p23Sql)),
   )
 }
