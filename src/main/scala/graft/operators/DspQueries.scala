@@ -2081,6 +2081,283 @@ object DspQueries {
       |  AND sfs.gr = s.gr
       |ORDER BY s.chunk_id, s.i, s.gr""".stripMargin
 
+  /** p24: MP3 STEREO ([[graft.sources.Mp3.Mp3StereoFrame]], §2.4.1.3
+    * mode/mode_extension + §2.4.3.4.9 joint-stereo processing) — the
+    * channel dimension p21–p23's mono subset rejected, and the way
+    * almost every real MP3 ships (joint stereo): frames cycle plain
+    * stereo, MS, intensity, MS+intensity; the 32-byte two-channel
+    * side info round-trips gr-major channel-minor with per-channel
+    * part2_3_length verified exactly; MS reconstruction is checked on
+    * the √2-scaled exact-integer form via Σ|m+s|+|m−s| over the
+    * sample-aligned channel pair (nonlinear — a misaligned channel
+    * interleave desyncs it); intensity positions ride the right
+    * channel's scalefactors above its zero_part ([[Mp3.intensityBound]])
+    * on the exact tan(is_pos·π/12) grid {0, 3, 6} → all-right /
+    * halves / all-left routing of the left channel's requantized
+    * spectrum. The oracle replays layouts, bit budgets, the bound,
+    * and both stereo reconstructions. Scale: the p17 envelope —
+    * per-chunk mapGroups, no shuffle inside a stream. */
+  private def p24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp3
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val modes = Vector((0, 0), (1, 2), (1, 1), (1, 3))
+        def granule(i: Int, gr: Int, ch: Int, ext: Int): Mp3.Granule = {
+          val isCh = ch == 1 && (ext & 1) == 1
+          val bv = if (isCh) 4 + (i * 5 + gr) % 8
+            else 10 + (i * 7 + gr * 3 + ch * 5) % 30
+          val rc0 = (i + gr + ch) % 6
+          val rc1 = (i * 3 + gr + ch) % 6
+          val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
+          val r1 = math.min(bv,
+            (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
+          val cubes = Array(0, 1, 8); val cubes2 = Array(0, 1, 8, 27)
+          val pairs = Vector.tabulate(bv) { p =>
+            def v(s2: Int): Int = {
+              val idx = p * 2 + s2
+              var m = if (p < r0 + r1)
+                cubes((i * 5 + idx * 7 + gr * 11 + ch * 13) % 3)
+              else cubes2((i * 5 + idx * 7 + gr * 11 + ch * 13) % 4)
+              if (idx == 2 * bv - 1 && m == 0) m = 1 // zero_part edge
+              if (m != 0 && (idx + i + ch) % 2 == 1) -m else m
+            }
+            (v(0), v(1))
+          }
+          val sfc = if (isCh) 13 else (i + 2 * gr + ch) % 16
+          val (s1, s2) = Mp3.Slen(sfc)
+          val sfs = Vector.tabulate(21) { band =>
+            val len = if (band < 11) s1 else s2
+            if (isCh) Array(0, 3, 6)((i + band) % 3)
+            else if (len > 0) (i * 3 + band * 5 + gr * 7 + ch) % (1 << len)
+            else 0
+          }
+          Mp3.Granule(pairs, Vector.empty, 214 + 4 * ((i + gr + ch) % 7),
+            sfc, ((i + gr + ch) % 14, 1 + (i * 5 + gr + ch) % 14,
+              18 + (i + gr + ch) % 2), rc0, rc1,
+            preflag = false, scalefacScale = false, scalefacs = sfs)
+        }
+        val frames = (0 until n).map { i =>
+          val (mode, ext) = modes(i % 4)
+          Mp3.Mp3StereoFrame(14, 2, padding = i % 2 == 1, mode, ext,
+            Vector.fill(2)(Vector.fill(4)(false)),
+            Vector.tabulate(2)(gr =>
+              Vector.tabulate(2)(ch => granule(i, gr, ch, ext))))
+        }
+        val rec = Mp3.demuxStereo(Mp3.muxStereo(frames))
+        require(rec.size == n, s"chunk $cid: stereo frame count drift")
+        rec.iterator.zipWithIndex.flatMap { case ((off, f), i) =>
+          (0 until 2).iterator.map { gr =>
+            val g0 = f.granules(gr)(0); val g1 = f.granules(gr)(1)
+            def xr(g: Mp3.Granule, j: Int): Long = {
+              val vals = g.bigValues
+              if (j >= 2 * vals.length) 0L
+              else {
+                val p = vals(j / 2)
+                Mp3.requantExact(if (j % 2 == 0) p._1 else p._2,
+                  g.globalGain)
+              }
+            }
+            val maxJ = 2 * math.max(g0.bigValues.length,
+              g1.bigValues.length)
+            val bound = if ((f.modeExt & 1) == 1) Mp3.intensityBound(g1)
+              else 22
+            val isStart = if (bound <= 21) Mp3.SfbOffsets(bound)
+              else Int.MaxValue
+            val msAbs = if ((f.modeExt & 2) == 2)
+              (0 until math.min(maxJ, isStart)).map { j =>
+                val (l, r) = Mp3.msScaled(xr(g0, j), xr(g1, j))
+                math.abs(l) + math.abs(r)
+              }.sum
+            else 0L
+            val (isL, isR) = if ((f.modeExt & 1) == 1) {
+              val sums = (isStart until 2 * g0.bigValues.length).map { j =>
+                val band = (0 until 21).find(b =>
+                  j < Mp3.SfbOffsets(b + 1)).getOrElse(21)
+                Mp3.intensityExact(xr(g0, j), g1.scalefacs(band))
+              }
+              (sums.map(_._1).sum, sums.map(_._2).sum)
+            } else (0L, 0L)
+            (cid, i.toLong, gr.toLong, off, f.mode.toLong,
+              f.modeExt.toLong,
+              g0.bigValues.length.toLong, g1.bigValues.length.toLong,
+              f.part23Length(gr, 0).toLong, f.part23Length(gr, 1).toLong,
+              g0.scalefacs.map(_.toLong).sum,
+              g1.scalefacs.map(_.toLong).sum,
+              g0.bigValues.map(p => math.abs(p._1).toLong +
+                math.abs(p._2)).sum,
+              g1.bigValues.map(p => math.abs(p._1).toLong +
+                math.abs(p._2)).sum,
+              bound.toLong, msAbs, isL, isR)
+          }
+        }
+      }
+    }.toDF("chunk_id", "i", "gr", "offset", "mode", "mode_ext",
+        "bv0", "bv1", "part23_0", "part23_1", "sf_sum0", "sf_sum1",
+        "code_sum0", "code_sum1", "is_bound", "ms_abs_sum",
+        "is_left_sum", "is_right_sum")
+      .orderBy(col("chunk_id"), col("i"), col("gr"))
+  }
+
+  private val p24Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, gg.gr,
+      |    list_extract([0, 1, 1, 1], CAST(g.i % 4 + 1 AS INT)) AS mode,
+      |    list_extract([0, 2, 1, 3], CAST(g.i % 4 + 1 AS INT)) AS ext
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i),
+      |  (SELECT unnest(range(2)) AS gr) gg),
+      |side AS (SELECT f.*, ch.ch,
+      |    ch.ch = 1 AND (f.ext & 1) = 1 AS isch,
+      |    CASE WHEN ch.ch = 1 AND (f.ext & 1) = 1
+      |      THEN 4 + (i * 5 + gr) % 8
+      |      ELSE 10 + (i * 7 + gr * 3 + ch.ch * 5) % 30 END AS bv,
+      |    (i + gr + ch.ch) % 6 AS rc0,
+      |    (i * 3 + gr + ch.ch) % 6 AS rc1,
+      |    18 + (i + gr + ch.ch) % 2 AS t2,
+      |    214 + 4 * ((i + gr + ch.ch) % 7) AS gain,
+      |    CASE WHEN ch.ch = 1 AND (f.ext & 1) = 1 THEN 13
+      |      ELSE (i + 2 * gr + ch.ch) % 16 END AS sfc
+      |  FROM f, (SELECT unnest(range(2)) AS ch) ch),
+      |reg AS (SELECT *,
+      |    least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r0,
+      |    least(bv, (rc0 + rc1 + 2) * (rc0 + rc1 + 3) // 2)
+      |      - least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r1
+      |  FROM side),
+      |-- per-sample values: cube draws, the zero_part pin on the last
+      |-- coded sample, sign, and the exact requant c⁴·2^((gain−210)/4)
+      |vals AS (SELECT r.chunk_id, r.i, r.gr, r.ch, r.t2, v.j,
+      |    v.j < 2 * r.bv AS coded,
+      |    CASE WHEN v.j >= 2 * r.bv THEN 0
+      |      WHEN v.j = 2 * r.bv - 1 AND (CASE WHEN v.j // 2 < r.r0 + r.r1
+      |        THEN list_extract([0, 1, 8],
+      |          CAST((r.i * 5 + v.j * 7 + r.gr * 11 + r.ch * 13) % 3
+      |            + 1 AS INT))
+      |        ELSE list_extract([0, 1, 8, 27],
+      |          CAST((r.i * 5 + v.j * 7 + r.gr * 11 + r.ch * 13) % 4
+      |            + 1 AS INT)) END) = 0 THEN 1
+      |      ELSE (CASE WHEN v.j // 2 < r.r0 + r.r1
+      |        THEN list_extract([0, 1, 8],
+      |          CAST((r.i * 5 + v.j * 7 + r.gr * 11 + r.ch * 13) % 3
+      |            + 1 AS INT))
+      |        ELSE list_extract([0, 1, 8, 27],
+      |          CAST((r.i * 5 + v.j * 7 + r.gr * 11 + r.ch * 13) % 4
+      |            + 1 AS INT)) END) END AS m,
+      |    r.gain FROM reg r, (SELECT unnest(range(80)) AS j) v),
+      |xrs AS (SELECT *,
+      |    (CASE WHEN m != 0 AND (j + i + ch) % 2 = 1 THEN -1 ELSE 1 END)
+      |      * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |          ELSE 81 END)
+      |      * CAST(power(2, (gain - 210) // 4) AS BIGINT) AS xr
+      |  FROM vals),
+      |aggch AS (SELECT chunk_id, i, gr, ch,
+      |    sum(CASE WHEN coded THEN m ELSE 0 END) AS code_sum,
+      |    sum(CASE WHEN coded THEN 4 + (CASE WHEN m != 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m >= 15 THEN t2 - 14 ELSE 0 END)
+      |      ELSE 0 END) AS p3bits
+      |  FROM xrs GROUP BY 1, 2, 3, 4),
+      |slen AS (SELECT s.chunk_id, s.i, s.gr, s.ch, s.isch, b.band,
+      |    CASE WHEN b.band < 11
+      |      THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+      |        CAST(s.sfc + 1 AS INT))
+      |      ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+      |        CAST(s.sfc + 1 AS INT)) END AS len
+      |  FROM side s, (SELECT unnest(range(21)) AS band) b),
+      |p2 AS (SELECT chunk_id, i, gr, ch,
+      |    sum(len) AS p2bits,
+      |    sum(CASE WHEN isch
+      |      THEN list_extract([0, 3, 6], CAST((i + band) % 3 + 1 AS INT))
+      |      WHEN len > 0
+      |      THEN (i * 3 + band * 5 + gr * 7 + ch)
+      |        % CAST(power(2, len) AS BIGINT)
+      |      ELSE 0 END) AS sf_sum
+      |  FROM slen GROUP BY 1, 2, 3, 4),
+      |-- intensity bound: the last right-channel sample is pinned
+      |-- nonzero, so zero_part starts at 2·bv1 exactly
+      |bnd AS (SELECT s.chunk_id, s.i, s.gr, s.bv AS bv1,
+      |    CASE WHEN (s.ext & 1) = 1
+      |      THEN (SELECT min(b.b) FROM (SELECT unnest(range(22)) AS b) b
+      |        WHERE b.b * b.b + b.b >= 2 * s.bv)
+      |      ELSE 22 END AS bound
+      |  FROM side s WHERE s.ch = 1),
+      |-- sample-aligned channel pair for the stereo reconstructions
+      |pair AS (SELECT a.chunk_id, a.i, a.gr, a.j, a.xr AS xr0,
+      |    b.xr AS xr1, f.ext, bnd.bound,
+      |    bnd.bound * bnd.bound + bnd.bound AS is_start
+      |  FROM xrs a
+      |  JOIN xrs b ON b.chunk_id = a.chunk_id AND b.i = a.i
+      |    AND b.gr = a.gr AND b.j = a.j AND b.ch = 1
+      |  JOIN f ON f.chunk_id = a.chunk_id AND f.i = a.i AND f.gr = a.gr
+      |  JOIN bnd ON bnd.chunk_id = a.chunk_id AND bnd.i = a.i
+      |    AND bnd.gr = a.gr
+      |  WHERE a.ch = 0),
+      |ms AS (SELECT chunk_id, i, gr,
+      |    sum(CASE WHEN (ext & 2) = 2
+      |      AND ((ext & 1) = 0 OR j < is_start)
+      |      THEN abs(xr0 + xr1) + abs(xr0 - xr1) ELSE 0 END) AS ms_abs
+      |  FROM pair GROUP BY 1, 2, 3),
+      |-- intensity routing of the left spectrum above the bound:
+      |-- is_pos per long band from the right channel's scalefactors
+      |iss AS (SELECT p.chunk_id, p.i, p.gr,
+      |    sum(CASE list_extract([0, 3, 6],
+      |        CAST((p.i + bb.b) % 3 + 1 AS INT))
+      |      WHEN 0 THEN 0 WHEN 3 THEN p.xr0 // 2 ELSE p.xr0 END) AS is_l,
+      |    sum(CASE list_extract([0, 3, 6],
+      |        CAST((p.i + bb.b) % 3 + 1 AS INT))
+      |      WHEN 0 THEN p.xr0 WHEN 3 THEN p.xr0 // 2 ELSE 0 END) AS is_r
+      |  FROM pair p
+      |  JOIN (SELECT unnest(range(21)) AS b) bb
+      |    ON p.j >= bb.b * bb.b + bb.b
+      |    AND p.j < (bb.b + 1) * (bb.b + 1) + bb.b + 1
+      |  JOIN reg s0 ON s0.chunk_id = p.chunk_id AND s0.i = p.i
+      |    AND s0.gr = p.gr AND s0.ch = 0
+      |  WHERE (p.ext & 1) = 1 AND p.j >= p.is_start
+      |    AND p.j < 2 * s0.bv
+      |  GROUP BY 1, 2, 3)
+      |SELECT f.chunk_id, CAST(f.i AS BIGINT) AS i,
+      |  CAST(f.gr AS BIGINT) AS gr,
+      |  CAST(1440 * f.i + f.i // 2 AS BIGINT) AS "offset",
+      |  CAST(f.mode AS BIGINT) AS mode,
+      |  CAST(f.ext AS BIGINT) AS mode_ext,
+      |  CAST(s0.bv AS BIGINT) AS bv0, CAST(s1.bv AS BIGINT) AS bv1,
+      |  CAST(p20.p2bits + a0.p3bits AS BIGINT) AS part23_0,
+      |  CAST(p21x.p2bits + a1.p3bits AS BIGINT) AS part23_1,
+      |  CAST(p20.sf_sum AS BIGINT) AS sf_sum0,
+      |  CAST(p21x.sf_sum AS BIGINT) AS sf_sum1,
+      |  CAST(a0.code_sum AS BIGINT) AS code_sum0,
+      |  CAST(a1.code_sum AS BIGINT) AS code_sum1,
+      |  CAST(bnd.bound AS BIGINT) AS is_bound,
+      |  CAST(ms.ms_abs AS BIGINT) AS ms_abs_sum,
+      |  CAST(coalesce(iss.is_l, 0) AS BIGINT) AS is_left_sum,
+      |  CAST(coalesce(iss.is_r, 0) AS BIGINT) AS is_right_sum
+      |FROM f
+      |JOIN side s0 ON s0.chunk_id = f.chunk_id AND s0.i = f.i
+      |  AND s0.gr = f.gr AND s0.ch = 0
+      |JOIN side s1 ON s1.chunk_id = f.chunk_id AND s1.i = f.i
+      |  AND s1.gr = f.gr AND s1.ch = 1
+      |JOIN aggch a0 ON a0.chunk_id = f.chunk_id AND a0.i = f.i
+      |  AND a0.gr = f.gr AND a0.ch = 0
+      |JOIN aggch a1 ON a1.chunk_id = f.chunk_id AND a1.i = f.i
+      |  AND a1.gr = f.gr AND a1.ch = 1
+      |JOIN p2 p20 ON p20.chunk_id = f.chunk_id AND p20.i = f.i
+      |  AND p20.gr = f.gr AND p20.ch = 0
+      |JOIN p2 p21x ON p21x.chunk_id = f.chunk_id AND p21x.i = f.i
+      |  AND p21x.gr = f.gr AND p21x.ch = 1
+      |JOIN bnd ON bnd.chunk_id = f.chunk_id AND bnd.i = f.i
+      |  AND bnd.gr = f.gr
+      |JOIN ms ON ms.chunk_id = f.chunk_id AND ms.i = f.i
+      |  AND ms.gr = f.gr
+      |LEFT JOIN iss ON iss.chunk_id = f.chunk_id AND iss.i = f.i
+      |  AND iss.gr = f.gr
+      |ORDER BY f.chunk_id, f.i, f.gr""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -2105,5 +2382,6 @@ object DspQueries {
     Q("p21_mp3_structure", p21, Some(p21Sql)),
     Q("p22_mp3_reservoir", p22, Some(p22Sql)),
     Q("p23_mp3_short_blocks", p23, Some(p23Sql)),
+    Q("p24_mp3_stereo", p24, Some(p24Sql)),
   )
 }

@@ -233,6 +233,25 @@ object Mp3 {
       else if (p < r0 + r1) tableSelect._2
       else tableSelect._3
     }
+    /** Stored scalefactor bits (part2); `isGr1` enables scfsi sharing
+      * (long layouts only). */
+    def part2BitsOf(scfsi: Vector[Boolean], isGr1: Boolean): Int = {
+      val (s1, s2) = Slen(scalefacCompress)
+      sfSlots.zipWithIndex.map { case (isS1, band) =>
+        val shared = isGr1 && sfSlots.length == 21 &&
+          scfsi(ScfsiBands.indexWhere(_.contains(band)))
+        if (shared) 0 else if (isS1) s1 else s2
+      }.sum
+    }
+    /** Huffman-area bits (part3). */
+    def part3Bits: Int =
+      bigValues.zipWithIndex.map { case ((x, y), p) =>
+        val t = tableOf(p)
+        HuffSeam.valueBits(t, math.abs(x)) +
+          HuffSeam.valueBits(t, math.abs(y))
+      }.sum + count1.map { case (v, w, x, y) =>
+        4 + Seq(v, w, x, y).count(_ != 0)
+      }.sum
   }
 
   /** The scfsi bands of §2.4.2.7: scalefactor bands 0-5, 6-10, 11-15,
@@ -258,27 +277,10 @@ object Mp3 {
     /** Stored scalefactor bits for granule gr (part2): granule 1 skips
       * scfsi-shared LONG bands; short/mixed granules store every slot
       * of their layout. */
-    def part2Bits(gr: Int): Int = {
-      val g = granules(gr)
-      val (s1, s2) = Slen(g.scalefacCompress)
-      g.sfSlots.zipWithIndex.map { case (isS1, band) =>
-        val shared = gr == 1 && g.sfSlots.length == 21 &&
-          scfsi(ScfsiBands.indexWhere(_.contains(band)))
-        if (shared) 0 else if (isS1) s1 else s2
-      }.sum
-    }
-    /** Huffman-area bits for granule gr (part3). */
-    def part3Bits(gr: Int): Int = {
-      val g = granules(gr)
-      g.bigValues.zipWithIndex.map { case ((x, y), p) =>
-        val t = g.tableOf(p)
-        HuffSeam.valueBits(t, math.abs(x)) +
-          HuffSeam.valueBits(t, math.abs(y))
-      }.sum + g.count1.map { case (v, w, x, y) =>
-        4 + Seq(v, w, x, y).count(_ != 0)
-      }.sum
-    }
-    def part23Length(gr: Int): Int = part2Bits(gr) + part3Bits(gr)
+    def part2Bits(gr: Int): Int =
+      granules(gr).part2BitsOf(scfsi, isGr1 = gr == 1)
+    def part23Length(gr: Int): Int =
+      part2Bits(gr) + granules(gr).part3Bits
     def bodyBits: Int = part23Length(0) + part23Length(1)
   }
 
@@ -315,71 +317,88 @@ object Mp3 {
     f.scfsi.foreach(b => w.writeBits(if (b) 1L else 0L, 1))
     (0 until 2).foreach { gr =>
       val g = f.granules(gr)
-      w.writeBits(f.part23Length(gr).toLong, 12)
-      w.writeBits(g.bigValues.length.toLong, 9)
-      w.writeBits(g.globalGain.toLong, 8)
-      w.writeBits(g.scalefacCompress.toLong, 4)
-      g.blockSplit match {
-        case Some(bs) =>
-          // §2.4.1.7 window-switching form: same 22 bits as the
-          // normal form (2+1+2·5+3·3), region counts untransmitted
-          w.writeBits(1L, 1)
-          w.writeBits(bs.blockType.toLong, 2)
-          w.writeBits(if (bs.mixed) 1L else 0L, 1)
-          Seq(g.tableSelect._1, g.tableSelect._2)
-            .foreach(t => w.writeBits(t.toLong, 5))
-          Seq(bs.subblockGain._1, bs.subblockGain._2, bs.subblockGain._3)
-            .foreach(v => w.writeBits(v.toLong, 3))
-        case None =>
-          w.writeBits(0L, 1) // window_switching_flag: long blocks
-          Seq(g.tableSelect._1, g.tableSelect._2, g.tableSelect._3)
-            .foreach(t => w.writeBits(t.toLong, 5))
-          w.writeBits(g.region0Count.toLong, 4)
-          w.writeBits(g.region1Count.toLong, 3)
-      }
-      w.writeBits(if (g.preflag) 1L else 0L, 1)
-      w.writeBits(if (g.scalefacScale) 1L else 0L, 1)
-      w.writeBits(0L, 1) // count1table_select (stand-in mapping)
+      writeGranuleSide(w, g, f.part23Length(gr))
     }
+  }
+
+  /** The 59-bit per-granule side-info blob (shared by the mono and
+    * stereo layouts — §2.4.1.7 transmits it once per granule per
+    * channel). */
+  private def writeGranuleSide(w: BitWriter, g: Granule,
+      p23: Int): Unit = {
+    w.writeBits(p23.toLong, 12)
+    w.writeBits(g.bigValues.length.toLong, 9)
+    w.writeBits(g.globalGain.toLong, 8)
+    w.writeBits(g.scalefacCompress.toLong, 4)
+    g.blockSplit match {
+      case Some(bs) =>
+        // §2.4.1.7 window-switching form: same 22 bits as the
+        // normal form (2+1+2·5+3·3), region counts untransmitted
+        w.writeBits(1L, 1)
+        w.writeBits(bs.blockType.toLong, 2)
+        w.writeBits(if (bs.mixed) 1L else 0L, 1)
+        Seq(g.tableSelect._1, g.tableSelect._2)
+          .foreach(t => w.writeBits(t.toLong, 5))
+        Seq(bs.subblockGain._1, bs.subblockGain._2, bs.subblockGain._3)
+          .foreach(v => w.writeBits(v.toLong, 3))
+      case None =>
+        w.writeBits(0L, 1) // window_switching_flag: long blocks
+        Seq(g.tableSelect._1, g.tableSelect._2, g.tableSelect._3)
+          .foreach(t => w.writeBits(t.toLong, 5))
+        w.writeBits(g.region0Count.toLong, 4)
+        w.writeBits(g.region1Count.toLong, 3)
+    }
+    w.writeBits(if (g.preflag) 1L else 0L, 1)
+    w.writeBits(if (g.scalefacScale) 1L else 0L, 1)
+    w.writeBits(0L, 1) // count1table_select (stand-in mapping)
   }
 
   private def writeMainData(w: BitWriter, f: Mp3FrameData): Unit =
     (0 until 2).foreach { gr =>
-      val g = f.granules(gr)
-      val (s1, s2) = Slen(g.scalefacCompress)
-      g.sfSlots.indices.foreach { band =>
-        val shared = gr == 1 && g.sfSlots.length == 21 &&
-          f.scfsi(ScfsiBands.indexWhere(_.contains(band)))
-        if (shared) {
-          // a scfsi-shared band carries NO bits for granule 1 — the
-          // caller must have set it equal to granule 0's value or the
-          // round trip would silently swap it
-          require(g.scalefacs(band) == f.granules(0).scalefacs(band),
-            s"mp3: scfsi-shared band $band differs between granules " +
-              s"(${f.granules(0).scalefacs(band)} vs ${g.scalefacs(band)})")
-        }
-        if (!shared) {
-          val len = if (g.sfSlots(band)) s1 else s2
-          if (len > 0) {
-            require(g.scalefacs(band) < (1 << len),
-              s"mp3: scalefactor ${g.scalefacs(band)} beyond slen $len")
-            w.writeBits(g.scalefacs(band).toLong, len)
-          } else require(g.scalefacs(band) == 0,
-            "mp3: nonzero scalefactor in a zero-width slen slot")
-        }
+      writeGranuleMain(w, f.granules(gr),
+        if (gr == 1) Some(f.granules(0)) else None, f.scfsi)
+    }
+
+  /** part2 (scalefactors) + part3 (Huffman area) for ONE granule —
+    * shared by the mono and stereo main-data layouts. `sharedFrom`
+    * carries the same CHANNEL's granule 0 when scfsi sharing can
+    * apply (granule 1, long layout only). */
+  private def writeGranuleMain(w: BitWriter, g: Granule,
+      sharedFrom: Option[Granule], scfsi: Vector[Boolean]): Unit = {
+    val (s1, s2) = Slen(g.scalefacCompress)
+    g.sfSlots.indices.foreach { band =>
+      val shared = sharedFrom.isDefined && g.sfSlots.length == 21 &&
+        scfsi(ScfsiBands.indexWhere(_.contains(band)))
+      if (shared) {
+        // a scfsi-shared band carries NO bits for granule 1 — the
+        // caller must have set it equal to granule 0's value or the
+        // round trip would silently swap it
+        require(g.scalefacs(band) == sharedFrom.get.scalefacs(band),
+          s"mp3: scfsi-shared band $band differs between granules " +
+            s"(${sharedFrom.get.scalefacs(band)} vs ${g.scalefacs(band)})")
       }
-      g.bigValues.zipWithIndex.foreach { case ((x, y), p) =>
-        val t = g.tableOf(p)
-        HuffSeam.write(w, t, x); HuffSeam.write(w, t, y)
-      }
-      g.count1.foreach { case (v, w4, x, y) =>
-        val quad = Seq(v, w4, x, y)
-        w.writeBits(quad.map(q => if (q != 0) 1 else 0)
-          .foldLeft(0L)((a, b) => (a << 1) | b), 4)
-        quad.filter(_ != 0).foreach(q =>
-          w.writeBits(if (q < 0) 1L else 0L, 1))
+      if (!shared) {
+        val len = if (g.sfSlots(band)) s1 else s2
+        if (len > 0) {
+          require(g.scalefacs(band) < (1 << len),
+            s"mp3: scalefactor ${g.scalefacs(band)} beyond slen $len")
+          w.writeBits(g.scalefacs(band).toLong, len)
+        } else require(g.scalefacs(band) == 0,
+          "mp3: nonzero scalefactor in a zero-width slen slot")
       }
     }
+    g.bigValues.zipWithIndex.foreach { case ((x, y), p) =>
+      val t = g.tableOf(p)
+      HuffSeam.write(w, t, x); HuffSeam.write(w, t, y)
+    }
+    g.count1.foreach { case (v, w4, x, y) =>
+      val quad = Seq(v, w4, x, y)
+      w.writeBits(quad.map(q => if (q != 0) 1 else 0)
+        .foldLeft(0L)((a, b) => (a << 1) | b), 4)
+      quad.filter(_ != 0).foreach(q =>
+        w.writeBits(if (q < 0) 1L else 0L, 1))
+    }
+  }
 
   def mux(frames: Seq[Mp3FrameData]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -455,100 +474,111 @@ object Mp3 {
     val mdb = r.readBits(9).toInt
     r.readBits(5) // private_bits
     val scfsi = Vector.fill(4)(r.readBits(1) == 1L)
-    val sides = Vector.fill(2) {
-      val p23 = r.readBits(12).toInt
-      val bv = r.readBits(9).toInt
-      require(bv <= 288, s"mp3: big_values $bv beyond 288 at $pos")
-      val gain = r.readBits(8).toInt
-      val sfc = r.readBits(4).toInt
-      val (ts, rc0, rc1, split) =
-        if (r.readBits(1) == 1L) { // window_switching_flag
-          val bt = r.readBits(2).toInt
-          require(bt != 0,
-            s"mp3: block_type 0 with window_switching_flag set at $pos")
-          val mixed = r.readBits(1) == 1L
-          val t = (r.readBits(5).toInt, r.readBits(5).toInt, 0)
-          val sbg = (r.readBits(3).toInt, r.readBits(3).toInt,
-            r.readBits(3).toInt)
-          (t, 0, 0, Some(BlockSplit(bt, mixed, sbg)))
-        } else {
-          val t = (r.readBits(5).toInt, r.readBits(5).toInt,
-            r.readBits(5).toInt)
-          val rc0 = r.readBits(4).toInt
-          val rc1 = r.readBits(3).toInt
-          require(rc0 <= 7, s"mp3: region0_count $rc0 beyond the " +
-            "23-entry offset table with region1")
-          (t, rc0, rc1, None)
-        }
-      val pre = r.readBits(1) == 1L
-      val sfs = r.readBits(1) == 1L
-      r.readBits(1) // count1table_select
-      Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs, split)
-    }
+    val sides = Vector.fill(2)(readGranuleSide(r, pos))
     (mdb, scfsi, sides)
+  }
+
+  private def readGranuleSide(r: BitReader, pos: Int): Side = {
+    val p23 = r.readBits(12).toInt
+    val bv = r.readBits(9).toInt
+    require(bv <= 288, s"mp3: big_values $bv beyond 288 at $pos")
+    val gain = r.readBits(8).toInt
+    val sfc = r.readBits(4).toInt
+    val (ts, rc0, rc1, split) =
+      if (r.readBits(1) == 1L) { // window_switching_flag
+        val bt = r.readBits(2).toInt
+        require(bt != 0,
+          s"mp3: block_type 0 with window_switching_flag set at $pos")
+        val mixed = r.readBits(1) == 1L
+        val t = (r.readBits(5).toInt, r.readBits(5).toInt, 0)
+        val sbg = (r.readBits(3).toInt, r.readBits(3).toInt,
+          r.readBits(3).toInt)
+        (t, 0, 0, Some(BlockSplit(bt, mixed, sbg)))
+      } else {
+        val t = (r.readBits(5).toInt, r.readBits(5).toInt,
+          r.readBits(5).toInt)
+        val rc0 = r.readBits(4).toInt
+        val rc1 = r.readBits(3).toInt
+        require(rc0 <= 7, s"mp3: region0_count $rc0 beyond the " +
+          "23-entry offset table with region1")
+        (t, rc0, rc1, None)
+      }
+    val pre = r.readBits(1) == 1L
+    val sfs = r.readBits(1) == 1L
+    r.readBits(1) // count1table_select
+    Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs, split)
   }
 
   private def readGranules(r: BitReader, scfsi: Vector[Boolean],
       sides: Vector[Side], pos: Int): Vector[Granule] = {
-    var prevSfs: Vector[Int] = Vector.fill(21)(0)
+    var prev: Option[Granule] = None
     (0 until 2).map { gr =>
-      val s = sides(gr)
-      val bitsBefore = r.bitPos
-      val (s1, s2) = Slen(s.sfc)
-      // slot layout per block regime (same shapes as Granule.sfSlots)
-      val slots: Vector[Boolean] = s.split match {
-        case Some(bs) if bs.blockType == 2 && !bs.mixed =>
-          Vector.tabulate(36)(_ < 18)
-        case Some(bs) if bs.blockType == 2 =>
-          Vector.tabulate(35)(_ < 17)
-        case _ => Vector.tabulate(21)(_ < 11)
-      }
-      val sfs = slots.indices.map { band =>
-        val shared = gr == 1 && slots.length == 21 &&
-          scfsi(ScfsiBands.indexWhere(_.contains(band)))
-        if (shared) prevSfs(band)
-        else {
-          val len = if (slots(band)) s1 else s2
-          if (len > 0) r.readBits(len).toInt else 0
-        }
-      }.toVector
-      prevSfs = sfs
-      // region partitioning: fixed boundaries under window switching
-      // (region 2 empty), else from the side-info region counts
-      val (r0, r1) = s.split match {
-        case Some(bs) =>
-          val boundary =
-            if (bs.blockType == 2 && !bs.mixed) 3 * SfbOffsetsShort(3) / 2
-            else SfbOffsets(8) / 2
-          val rr0 = math.min(s.bv, boundary)
-          (rr0, s.bv - rr0)
-        case None =>
-          val rr0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
-          (rr0, math.min(s.bv,
-            SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - rr0)
-      }
-      val bvs = (0 until s.bv).map { p =>
-        val t = if (p < r0) s.ts._1
-          else if (p < r0 + r1) s.ts._2 else s.ts._3
-        (HuffSeam.read(r, t), HuffSeam.read(r, t))
-      }.toVector
-      // count1: quadruples until part2_3_length is exhausted
-      val c1 = Vector.newBuilder[(Int, Int, Int, Int)]
-      while (r.bitPos - bitsBefore < s.p23) {
-        val mask = r.readBits(4).toInt
-        val quad = (3 to 0 by -1).map { b =>
-          if ((mask & (1 << b)) != 0) {
-            if (r.readBits(1) == 1L) -1 else 1
-          } else 0
-        }
-        c1 += ((quad(0), quad(1), quad(2), quad(3)))
-      }
-      require(r.bitPos - bitsBefore == s.p23,
-        s"mp3: granule $gr consumed ${r.bitPos - bitsBefore} bits, " +
-          s"part2_3_length says ${s.p23} at $pos")
-      Granule(bvs, c1.result(), s.gain, s.sfc, s.ts, s.rc0, s.rc1,
-        s.pre, s.sfs, sfs, s.split)
+      val g = readGranuleMain(r, sides(gr), scfsi, prev, pos, gr)
+      prev = Some(g)
+      g
     }.toVector
+  }
+
+  /** One granule's main data (part2 + part3) — shared by the mono and
+    * stereo layouts. `prev` is the same channel's granule 0 for scfsi
+    * sharing (granule 1, long layout only). */
+  private def readGranuleMain(r: BitReader, s: Side,
+      scfsi: Vector[Boolean], prev: Option[Granule], pos: Int,
+      gr: Int): Granule = {
+    val bitsBefore = r.bitPos
+    val (s1, s2) = Slen(s.sfc)
+    // slot layout per block regime (same shapes as Granule.sfSlots)
+    val slots: Vector[Boolean] = s.split match {
+      case Some(bs) if bs.blockType == 2 && !bs.mixed =>
+        Vector.tabulate(36)(_ < 18)
+      case Some(bs) if bs.blockType == 2 =>
+        Vector.tabulate(35)(_ < 17)
+      case _ => Vector.tabulate(21)(_ < 11)
+    }
+    val sfs = slots.indices.map { band =>
+      val shared = gr == 1 && slots.length == 21 &&
+        scfsi(ScfsiBands.indexWhere(_.contains(band)))
+      if (shared) prev.get.scalefacs(band)
+      else {
+        val len = if (slots(band)) s1 else s2
+        if (len > 0) r.readBits(len).toInt else 0
+      }
+    }.toVector
+    // region partitioning: fixed boundaries under window switching
+    // (region 2 empty), else from the side-info region counts
+    val (r0, r1) = s.split match {
+      case Some(bs) =>
+        val boundary =
+          if (bs.blockType == 2 && !bs.mixed) 3 * SfbOffsetsShort(3) / 2
+          else SfbOffsets(8) / 2
+        val rr0 = math.min(s.bv, boundary)
+        (rr0, s.bv - rr0)
+      case None =>
+        val rr0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
+        (rr0, math.min(s.bv,
+          SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - rr0)
+    }
+    val bvs = (0 until s.bv).map { p =>
+      val t = if (p < r0) s.ts._1
+        else if (p < r0 + r1) s.ts._2 else s.ts._3
+      (HuffSeam.read(r, t), HuffSeam.read(r, t))
+    }.toVector
+    // count1: quadruples until part2_3_length is exhausted
+    val c1 = Vector.newBuilder[(Int, Int, Int, Int)]
+    while (r.bitPos - bitsBefore < s.p23) {
+      val mask = r.readBits(4).toInt
+      val quad = (3 to 0 by -1).map { b =>
+        if ((mask & (1 << b)) != 0) {
+          if (r.readBits(1) == 1L) -1 else 1
+        } else 0
+      }
+      c1 += ((quad(0), quad(1), quad(2), quad(3)))
+    }
+    require(r.bitPos - bitsBefore == s.p23,
+      s"mp3: granule $gr consumed ${r.bitPos - bitsBefore} bits, " +
+        s"part2_3_length says ${s.p23} at $pos")
+    Granule(bvs, c1.result(), s.gain, s.sfc, s.ts, s.rc0, s.rc1,
+      s.pre, s.sfs, sfs, s.split)
   }
 
   /** Walk a reservoir stream back: frames recovered with their
@@ -635,6 +665,177 @@ object Mp3 {
           "(demuxReservoir)")
       val granules = readGranules(r, scfsi, sides, pos)
       out += ((pos.toLong, Mp3FrameData(bi, ri, pad, scfsi, granules)))
+      pos += fl
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // STEREO (§2.4.1.3 mode/mode_extension, §2.4.1.7 two-channel side
+  // info, §2.4.3.4.9 MS + intensity stereo processing)
+  // ------------------------------------------------------------------
+
+  /** A two-channel MPEG-1 Layer III frame: mode 0 = stereo, 1 = joint
+    * stereo, 2 = dual channel (3 = mono rides [[Mp3FrameData]]).
+    * mode_extension (joint only): bit 0 = intensity stereo, bit 1 =
+    * MS stereo. The side info is the 32-byte two-channel layout —
+    * main_data_begin(9), private_bits(3), scfsi 2ch × 4, then the
+    * 59-bit granule blob for (gr0,ch0)(gr0,ch1)(gr1,ch0)(gr1,ch1);
+    * main data runs gr-major, channel-minor. `granules(gr)(ch)`;
+    * `scfsi(ch)` is per channel. */
+  final case class Mp3StereoFrame(bitrateIndex: Int, rateIndex: Int,
+      padding: Boolean, mode: Int, modeExt: Int,
+      scfsi: Vector[Vector[Boolean]],
+      granules: Vector[Vector[Granule]]) {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, "mp3: bitrate index")
+    require(rateIndex >= 0 && rateIndex <= 2, "mp3: rate index")
+    require(mode >= 0 && mode <= 2,
+      "mp3: stereo modes are 0/1/2 (mono rides Mp3FrameData)")
+    require(modeExt >= 0 && modeExt <= 3 && (mode == 1 || modeExt == 0),
+      "mp3: mode_extension is joint-stereo only")
+    require(scfsi.length == 2 && scfsi.forall(_.length == 4),
+      "mp3: scfsi is per channel × 4 bands")
+    require(granules.length == 2 && granules.forall(_.length == 2),
+      "mp3: 2 granules × 2 channels")
+    require(granules.flatten.forall(g =>
+      g.blockSplit.forall(_.blockType != 2)) ||
+      scfsi.forall(_.forall(!_)),
+      "mp3: scfsi must be all-zero when a granule uses short blocks")
+    def frameLen: Int =
+      144 * BitratesL3(bitrateIndex) * 1000 / Rates(rateIndex) +
+        (if (padding) 1 else 0)
+    def part23Length(gr: Int, ch: Int): Int =
+      granules(gr)(ch).part2BitsOf(scfsi(ch), isGr1 = gr == 1) +
+        granules(gr)(ch).part3Bits
+    def bodyBits: Int =
+      (for (gr <- 0 until 2; ch <- 0 until 2)
+        yield part23Length(gr, ch)).sum
+  }
+
+  /** §2.4.3.4.9.2 MS reconstruction on the √2-SCALED exact-integer
+    * form: the spec's li = (mi+si)/√2, ri = (mi−si)/√2 returned as
+    * (li·√2, ri·√2) = (m+s, m−s) — exact integers whose energy
+    * identity (l²+r² = m²+s² after the shared ÷2) holds exactly. */
+  def msScaled(m: Long, s: Long): (Long, Long) = (m + s, m - s)
+
+  /** §2.4.3.4.9.3 intensity-stereo reconstruction on the EXACT grid:
+    * is_ratio = tan(is_pos·π/12) with left = xr·ratio/(1+ratio),
+    * right = xr/(1+ratio). Exact positions: 0 (ratio 0 → all right),
+    * 3 (ratio 1 → halves, xr must be even), 6 (ratio ∞ → all left);
+    * is_pos 7 is the spec's illegal marker; the other positions are
+    * irrational tangents — off the exact-integer regime, loud. */
+  def intensityExact(xr: Long, isPos: Int): (Long, Long) = isPos match {
+    case 0 => (0L, xr)
+    case 3 =>
+      require(xr % 2 == 0,
+        s"mp3: is_pos 3 halves, $xr is odd (off the exact grid)")
+      (xr / 2, xr / 2)
+    case 6 => (xr, 0L)
+    case 7 => throw new IllegalArgumentException(
+      "mp3: is_pos 7 is illegal (§2.4.3.4.9.3)")
+    case p => throw new IllegalArgumentException(
+      s"mp3: is_pos $p has an irrational tangent — off the exact grid")
+  }
+
+  /** The intensity region's first LONG scalefactor band: the smallest
+    * b with SfbOffsets(b) ≥ the right channel's zero_part start (one
+    * past its last nonzero sample, big-values AND count1); 22 = no
+    * region. Long blocks only (intensity-on-short is out of this
+    * leg's scope — loud). */
+  def intensityBound(right: Granule): Int = {
+    require(right.blockSplit.isEmpty,
+      "mp3: intensity bound is computed for long blocks here")
+    val bvNz = right.bigValues.zipWithIndex.flatMap { case ((x, y), p) =>
+      Seq(if (x != 0) Some(2 * p) else None,
+        if (y != 0) Some(2 * p + 1) else None).flatten
+    }
+    val c1Start = 2 * right.bigValues.length
+    val c1Nz = right.count1.zipWithIndex.flatMap { case (q, k) =>
+      Seq(q._1, q._2, q._3, q._4).zipWithIndex.collect {
+        case (v, j) if v != 0 => c1Start + 4 * k + j
+      }
+    }
+    val nzEnd = (bvNz ++ c1Nz).maxOption.map(_ + 1).getOrElse(0)
+    (0 to 21).find(b => SfbOffsets(b) >= nzEnd).getOrElse(22)
+  }
+
+  private def writeHeaderStereo(out: java.io.ByteArrayOutputStream,
+      f: Mp3StereoFrame): Unit = {
+    out.write(0xFF); out.write(0xFB)
+    out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+      (if (f.padding) 2 else 0))
+    out.write((f.mode << 6) | (f.modeExt << 4))
+  }
+
+  /** Pack two-channel frames (main_data_begin = 0 — the reservoir
+    * mechanics are the same as mono's and live in [[muxReservoir]]). */
+  def muxStereo(frames: Seq[Mp3StereoFrame]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(4 + 32 + (f.bodyBits + 7) / 8 <= f.frameLen,
+        s"mp3: ${f.bodyBits} main-data bits overrun the " +
+          s"${f.frameLen}-byte stereo frame")
+      writeHeaderStereo(out, f)
+      val w = new BitWriter
+      w.writeBits(0L, 9) // main_data_begin
+      w.writeBits(0L, 3) // private_bits (stereo: 3)
+      f.scfsi.foreach(_.foreach(b => w.writeBits(if (b) 1L else 0L, 1)))
+      for (gr <- 0 until 2; ch <- 0 until 2)
+        writeGranuleSide(w, f.granules(gr)(ch), f.part23Length(gr, ch))
+      for (gr <- 0 until 2; ch <- 0 until 2)
+        writeGranuleMain(w, f.granules(gr)(ch),
+          if (gr == 1) Some(f.granules(0)(ch)) else None, f.scfsi(ch))
+      val body = w.toBytes
+      require(body.length >= 32, "mp3: stereo side info short")
+      out.write(body, 0, body.length)
+      var stuff = f.frameLen - 4 - body.length
+      require(stuff >= 0, "mp3: stereo body overran the frame")
+      while (stuff > 0) { out.write(0); stuff -= 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Walk a two-channel Layer III stream back: mode/mode_extension
+    * from the header, the 32-byte side info, gr-major channel-minor
+    * main data, part2_3_length verified exactly per (gr, ch). */
+  def demuxStereo(bytes: Array[Byte]): Seq[(Long, Mp3StereoFrame)] = {
+    val out = Seq.newBuilder[(Long, Mp3StereoFrame)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, s"mp3: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xff) == 0xFB,
+        s"mp3: lost sync at $pos (MPEG-1 Layer III no-CRC expected)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp3: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp3: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      val mode = (bytes(pos + 3) >> 6) & 3
+      require(mode != 3,
+        s"mp3: mono frame at $pos — use demux, not demuxStereo")
+      val modeExt = (bytes(pos + 3) >> 4) & 3
+      val fl = 144 * BitratesL3(bi) * 1000 / Rates(ri) + (if (pad) 1 else 0)
+      require(pos + fl <= bytes.length,
+        s"mp3: frame length $fl overruns the stream at $pos")
+      val r = new BitReader(bytes, pos + 4, pos + fl)
+      require(r.readBits(9) == 0L,
+        "mp3: main_data_begin != 0 needs the reservoir walk")
+      r.readBits(3) // private_bits
+      val scfsi = Vector.fill(2)(Vector.fill(4)(r.readBits(1) == 1L))
+      val sides = Vector.fill(4)(readGranuleSide(r, pos))
+      val granules = Vector.tabulate(2) { gr =>
+        Vector.tabulate(2) { ch => (gr, ch) }
+      }
+      var prev: Vector[Option[Granule]] = Vector(None, None)
+      val read = granules.map(_.map { case (gr, ch) =>
+        val g = readGranuleMain(r, sides(gr * 2 + ch), scfsi(ch),
+          prev(ch), pos, gr)
+        prev = prev.updated(ch, Some(g))
+        g
+      })
+      out += ((pos.toLong,
+        Mp3StereoFrame(bi, ri, pad, mode, modeExt, scfsi, read)))
       pos += fl
     }
     out.result()

@@ -388,4 +388,115 @@ class Mp3Spec extends AnyFunSuite {
     assert(rt.head._2.granules(1).scalefacs.take(6) ==
       f13.granules(0).scalefacs.take(6), "scfsi band 0 shared")
   }
+
+  /** A long-block stereo granule; `zeroTail` truncates coded content
+    * for intensity fixtures and forces the last sample nonzero. */
+  private def stGranule(i: Int, gr: Int, ch: Int,
+      bvOverride: Int = -1, isSfc: Boolean = false): Mp3.Granule = {
+    val bv = if (bvOverride >= 0) bvOverride
+      else 10 + (i * 7 + gr * 3 + ch * 5) % 30
+    val rc0 = (i + gr + ch) % 6
+    val rc1 = (i * 3 + gr + ch) % 6
+    val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
+    val r1 = math.min(bv, (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
+    val cubes = Array(0, 1, 8); val cubes2 = Array(0, 1, 8, 27)
+    val pairs = Vector.tabulate(bv) { p =>
+      def v(s2: Int): Int = {
+        val idx = p * 2 + s2
+        var m = if (p < r0 + r1)
+          cubes((i * 5 + idx * 7 + gr * 11 + ch * 13) % 3)
+        else cubes2((i * 5 + idx * 7 + gr * 11 + ch * 13) % 4)
+        if (idx == 2 * bv - 1 && m == 0) m = 1 // pin the zero_part edge
+        if (m != 0 && (idx + i + ch) % 2 == 1) -m else m
+      }
+      (v(0), v(1))
+    }
+    val sfc = if (isSfc) 13 else (i + 2 * gr + ch) % 16
+    val (s1, s2) = Mp3.Slen(sfc)
+    val sfs = Vector.tabulate(21) { band =>
+      val len = if (band < 11) s1 else s2
+      if (isSfc) Array(0, 3, 6)((i + band) % 3)
+      else if (len > 0) (i * 3 + band * 5 + gr * 7 + ch) % (1 << len)
+      else 0
+    }
+    Mp3.Granule(pairs, Vector.empty, 214 + 4 * ((i + gr + ch) % 7), sfc,
+      ((i + gr + ch) % 14, 1 + (i * 5 + gr + ch) % 14,
+        18 + (i + gr + ch) % 2), rc0, rc1,
+      preflag = false, scalefacScale = false, scalefacs = sfs)
+  }
+
+  test("stereo [§2.4.1.3/§2.4.3.4.9]: the 32-byte two-channel side " +
+      "info round-trips gr-major channel-minor, mode/mode_extension " +
+      "ride the header, MS reconstruction is exact on the √2-scaled " +
+      "form, and intensity positions decode on the {0,3,6} grid " +
+      "above the right channel's zero part") {
+    val modes = Seq((0, 0), (1, 2), (1, 1), (1, 3))
+    val frames = (0 until 8).map { i =>
+      val (mode, ext) = modes(i % 4)
+      val gs = Vector.tabulate(2) { gr =>
+        Vector.tabulate(2) { ch =>
+          if (ch == 1 && (ext & 1) == 1)
+            stGranule(i, gr, ch, bvOverride = 4 + (i * 5 + gr) % 8,
+              isSfc = true)
+          else stGranule(i, gr, ch)
+        }
+      }
+      Mp3.Mp3StereoFrame(14, 2, padding = i % 2 == 1, mode, ext,
+        Vector.fill(2)(Vector.fill(4)(false)), gs)
+    }
+    val rec = Mp3.demuxStereo(Mp3.muxStereo(frames))
+    assert(rec.size == 8)
+    rec.zip(frames).zipWithIndex.foreach { case (((_, got), want), i) =>
+      assert(got.mode == want.mode && got.modeExt == want.modeExt,
+        s"frame $i header mode bits")
+      for (gr <- 0 until 2; ch <- 0 until 2) {
+        val g = got.granules(gr)(ch); val w = want.granules(gr)(ch)
+        assert(g.bigValues == w.bigValues, s"f$i gr$gr ch$ch values")
+        assert(g.scalefacs == w.scalefacs, s"f$i gr$gr ch$ch sfs")
+        assert(g.globalGain == w.globalGain &&
+          g.tableSelect == w.tableSelect &&
+          g.scalefacCompress == w.scalefacCompress)
+        assert(got.part23Length(gr, ch) == want.part23Length(gr, ch))
+      }
+    }
+    // MS: √2-scaled exactness + the energy identity
+    assert(Mp3.msScaled(5, 3) == ((8L, 2L)))
+    val (l, r) = Mp3.msScaled(16, -2)
+    assert(l * l + r * r == 2 * (16 * 16 + 2 * 2),
+      "(l√2)² + (r√2)² = 2(m² + s²)")
+    // intensity: the exact grid
+    assert(Mp3.intensityExact(16, 0) == ((0L, 16L)))
+    assert(Mp3.intensityExact(16, 3) == ((8L, 8L)))
+    assert(Mp3.intensityExact(16, 6) == ((16L, 0L)))
+    intercept[IllegalArgumentException] { Mp3.intensityExact(16, 7) }
+    intercept[IllegalArgumentException] { Mp3.intensityExact(15, 3) }
+    intercept[IllegalArgumentException] { Mp3.intensityExact(16, 2) }
+    // intensity bound: first long band at/after the zero_part start
+    val right = rec(2)._2.granules(0)(1) // an IS frame's right channel
+    val bound = Mp3.intensityBound(right)
+    val lastNz = (0 until 2 * right.bigValues.length).reverse.find { j =>
+      val p = right.bigValues(j / 2)
+      (if (j % 2 == 0) p._1 else p._2) != 0
+    }.get
+    assert(Mp3.SfbOffsets(bound) >= lastNz + 1 &&
+      (bound == 0 || Mp3.SfbOffsets(bound - 1) < lastNz + 1))
+    // is_pos values in the region are on the exact grid by fixture
+    ((bound until 21)).foreach { b =>
+      assert(Seq(0, 3, 6).contains(right.scalefacs(b)),
+        s"band $b is_pos")
+    }
+    // an all-zero granule's bound is 0 (whole spectrum intensity)
+    assert(Mp3.intensityBound(stGranule(0, 0, 1, bvOverride = 0)
+      .copy(bigValues = Vector.empty)) == 0)
+    // loud boundaries
+    intercept[IllegalArgumentException] { // mono header in demuxStereo
+      Mp3.demuxStereo(Mp3.mux(Seq(frame(0))))
+    }
+    intercept[IllegalArgumentException] { // mode_extension needs joint
+      Mp3.Mp3StereoFrame(14, 2, padding = false, 0, 2,
+        Vector.fill(2)(Vector.fill(4)(false)),
+        Vector.tabulate(2)(gr => Vector.tabulate(2)(ch =>
+          stGranule(0, gr, ch))))
+    }
+  }
 }
