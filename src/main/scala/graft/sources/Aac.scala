@@ -1,0 +1,508 @@
+package graft.sources
+
+import graft.sources.Flac.{BitReader, BitWriter}
+
+/** MPEG-2 AAC-LC STRUCTURAL codec (ISO/IEC 13818-7 §6.3) — the
+  * raw_data_block layer under p15's ADTS framing
+  * ([[AudioIndex.adtsMux]]): AAC is the reference's DEFAULT audio
+  * codec (every container test pairs it,
+  * /root/reference/tests/media/test_containers.py:20, and the codec
+  * tests open with it, tests/media/test_audio_codec.py:11, decoded
+  * through libav in streamtasks/media/codec.py:50-135).
+  *
+  * NORMATIVE here (spec text, not appendix data):
+  *  - the raw_data_block element loop (§6.3.1): id_syn_ele 3 bits,
+  *    SCE = 0 carrying element_instance_tag(4) + an
+  *    individual_channel_stream, END = 7, then byte alignment;
+  *  - ics_info (§6.3.2): ics_reserved_bit, window_sequence(2),
+  *    window_shape(1); EIGHT_SHORT_SEQUENCE carries max_sfb(4) +
+  *    scale_factor_grouping(7) — bit k set fuses window k+1 into the
+  *    previous group; long sequences carry max_sfb(6) +
+  *    predictor_data_present(1) (must be 0 for LC, loud);
+  *  - section_data (§6.3.2): per group, runs of a shared codebook:
+  *    sect_cb(4) + sect_len_incr in 5-bit (long) / 3-bit (short)
+  *    fields with the all-ones ESCAPE repetition, sections covering
+  *    exactly [0, max_sfb);
+  *  - scale_factor_data (§6.3.2): one DPCM value per coded sfb in
+  *    group-major scan order, accumulating from global_gain (the
+  *    Huffman codewords of Table A.1 are appendix data — the seam
+  *    stores the signed delta in 8 bits two's complement; the real
+  *    table's index-minus-60 mechanics collapse to the same delta);
+  *  - the codebook PROPERTIES of Table 7.1: dimension 4 (cb 1–4) or
+  *    2 (cb 5–11), signed (1,2,5,6) vs unsigned-with-sign-bits, LAV
+  *    per codebook, and cb 11's escape mechanism (§9.3): magnitude
+  *    16 marks an escape; N leading ones, a zero, then an (N+4)-bit
+  *    word encode 2^(N+4) + word;
+  *  - tns_data (§6.3.2): n_filt(2/1), coef_res(1), length(6/4),
+  *    order(5/3), direction(1), coef_compress(1), then order
+  *    coefficients of coef_res + 3 − compress bits;
+  *  - the §9.2 requantization x^(4/3) · 2^((sf − 100)/4) on the
+  *    integer-exact regime (cube magnitudes, scalefactors on the
+  *    100 + 4e grid), like [[Mp3.requantExact]].
+  *
+  * Documented STAND-INS/SEAMS (appendix DATA — a value swap, not a
+  * code change): the spectral Huffman codeWORDS of Tables A.2–A.12
+  * ([[CbSeam]] fixed-width fields shaped by Table 7.1's properties),
+  * the scalefactor codebook (8-bit signed delta), and the
+  * scalefactor-band offset tables of §8.9 ([[SwbLong]]/[[SwbShort]]
+  * 2(i²+i) — even, strictly increasing, width 4i+4 divisible by both
+  * tuple dimensions).
+  *
+  * Subset boundaries, loud: LC profile only (no predictor, no gain
+  * control), no pulse data, no PNS/intensity codebooks (13–15),
+  * single-channel SCE (channel pairs ride [[muxCpe]]/[[demuxCpe]]). */
+object Aac {
+
+  /** Table 7.1 codebook properties — dimension, signedness, LAV. */
+  def cbDim(cb: Int): Int = if (cb <= 4) 4 else 2
+  def cbSigned(cb: Int): Boolean =
+    cb == 1 || cb == 2 || cb == 5 || cb == 6
+  def cbLav(cb: Int): Int = cb match {
+    case 1 | 2 => 1
+    case 3 | 4 => 2
+    case 5 | 6 => 4
+    case 7 | 8 => 7
+    case 9 | 10 => 12
+    case 11 => 16
+    case _ => throw new IllegalArgumentException(s"aac: codebook $cb")
+  }
+
+  /** STAND-IN scalefactor-band offsets (§8.9's per-rate tables are
+    * appendix data): long window, 13 entries, width 4i+4. */
+  val SwbLong: Array[Int] = Array.tabulate(13)(i => 2 * (i * i + i))
+  /** STAND-IN short-window sfb offsets: 8 entries within the 128
+    * coefficients of one short window. */
+  val SwbShort: Array[Int] = Array.tabulate(8)(i => 2 * (i * i + i))
+
+  /** The spectral-codeword seam: Tables A.2–A.12 are appendix data;
+    * what's coded here is Table 7.1's STRUCTURE — dim-sized tuples,
+    * two's-complement fields for the signed codebooks, magnitude
+    * fields + trailing per-nonzero sign bits for the unsigned ones,
+    * and cb 11's §9.3 escape (magnitude 16 marks it; N ones + '0' +
+    * an (N+4)-bit word encode 2^(N+4) + word, 16 ≤ value < 2^13). */
+  object CbSeam {
+    def fieldBits(cb: Int): Int = {
+      val lav = cbLav(cb)
+      var b = 1
+      if (cbSigned(cb)) { while ((1 << (b - 1)) <= lav) b += 1 }
+      else { while ((1 << b) <= lav) b += 1; b += 0 }
+      b
+    }
+    /** Bits one value costs (field + sign + escape extension). */
+    def valueBits(cb: Int, v: Int): Int = {
+      val m = math.abs(v)
+      if (cbSigned(cb)) fieldBits(cb)
+      else {
+        val esc = if (cb == 11 && m >= 16) {
+          var n = 0; while ((1 << (n + 5)) <= m) n += 1
+          n + 1 + (n + 4)
+        } else 0
+        fieldBits(cb) + (if (m != 0) 1 else 0) + esc
+      }
+    }
+    def writeTuple(w: BitWriter, cb: Int, vs: Seq[Int]): Unit = {
+      require(vs.length == cbDim(cb),
+        s"aac: codebook $cb codes ${cbDim(cb)}-tuples, got ${vs.length}")
+      val lav = cbLav(cb)
+      if (cbSigned(cb)) vs.foreach { v =>
+        require(v >= -lav && v <= lav, s"aac: $v beyond signed LAV $lav")
+        val b = fieldBits(cb)
+        w.writeBits((v & ((1 << b) - 1)).toLong, b)
+      } else {
+        vs.foreach { v =>
+          val m = math.abs(v)
+          require(m <= lav || cb == 11 && m < (1 << 13),
+            s"aac: magnitude $m beyond LAV $lav of codebook $cb")
+          w.writeBits(math.min(m, if (cb == 11) 16 else lav).toLong,
+            fieldBits(cb))
+        }
+        // §6.3: sign bits trail the codeword, one per nonzero value
+        vs.filter(_ != 0).foreach(v =>
+          w.writeBits(if (v < 0) 1L else 0L, 1))
+        // cb 11 escapes trail the signs, in value order
+        if (cb == 11) vs.map(math.abs).filter(_ >= 16).foreach { m =>
+          var n = 0; while ((1 << (n + 5)) <= m) n += 1
+          (0 until n).foreach(_ => w.writeBits(1L, 1))
+          w.writeBits(0L, 1)
+          w.writeBits((m - (1 << (n + 4))).toLong, n + 4)
+        }
+      }
+    }
+    def readTuple(r: BitReader, cb: Int): Vector[Int] = {
+      val d = cbDim(cb)
+      if (cbSigned(cb)) {
+        val b = fieldBits(cb)
+        Vector.fill(d) {
+          val raw = r.readBits(b).toInt
+          val v = if ((raw & (1 << (b - 1))) != 0) raw - (1 << b) else raw
+          require(math.abs(v) <= cbLav(cb),
+            s"aac: signed field $v beyond LAV of codebook $cb")
+          v
+        }
+      } else {
+        val mags = Vector.fill(d)(r.readBits(fieldBits(cb)).toInt)
+        val signs = mags.map(m => m != 0 && r.readBits(1) == 1L)
+        val full = if (cb == 11) mags.map { m =>
+          if (m < 16) m
+          else {
+            var n = 0; while (r.readBits(1) == 1L) n += 1
+            (1 << (n + 4)) + r.readBits(n + 4).toInt
+          }
+        } else mags
+        full.zip(signs).map { case (m, neg) => if (neg) -m else m }
+      }
+    }
+  }
+
+  /** §6.3.2 ics_info. windowSequence: 0 ONLY_LONG, 1 LONG_START,
+    * 2 EIGHT_SHORT, 3 LONG_STOP. */
+  final case class IcsInfo(windowSequence: Int, windowShape: Int,
+      maxSfb: Int, scaleFactorGrouping: Int) {
+    require(windowSequence >= 0 && windowSequence <= 3,
+      "aac: window_sequence")
+    require(windowShape == 0 || windowShape == 1, "aac: window_shape")
+    def short: Boolean = windowSequence == 2
+    require(scaleFactorGrouping >= 0 && scaleFactorGrouping < 128 &&
+      (short || scaleFactorGrouping == 0),
+      "aac: scale_factor_grouping is EIGHT_SHORT only (7 bits)")
+    require(maxSfb >= 0 &&
+      maxSfb < (if (short) SwbShort.length else SwbLong.length),
+      s"aac: max_sfb $maxSfb beyond the stand-in swb table")
+    /** Window-group lengths: grouping bit k (MSB first) fuses window
+      * k+1 into the previous group. */
+    def groupLens: Vector[Int] =
+      if (!short) Vector(1)
+      else (0 until 7).foldLeft(Vector(1)) { (acc, k) =>
+        if (((scaleFactorGrouping >> (6 - k)) & 1) == 1)
+          acc.init :+ (acc.last + 1)
+        else acc :+ 1
+      }
+    def swb: Array[Int] = if (short) SwbShort else SwbLong
+    /** Coefficients one group contributes for sfb w. */
+    def sfbWidth(w: Int, groupLen: Int): Int =
+      (swb(w + 1) - swb(w)) * (if (short) groupLen else 1)
+  }
+
+  /** One section: codebook over sfbs [start, end) of one group. */
+  final case class Section(cb: Int, start: Int, end: Int) {
+    require(cb >= 0 && cb <= 11,
+      s"aac: codebook $cb out of this leg's scope (PNS/IS are 13–15)")
+    require(start < end, "aac: empty section")
+  }
+
+  final case class TnsFilter(coefRes: Int, length: Int, order: Int,
+      direction: Int, compress: Int, coefs: Vector[Int]) {
+    require(coefRes == 0 || coefRes == 1, "aac: coef_res is 1 bit")
+    require(coefs.length == order, "aac: one coefficient per order")
+    val coefBits: Int = coefRes + 3 - compress
+    require(order == 0 || coefs.forall(c =>
+      c >= 0 && c < (1 << coefBits)), "aac: tns coef width")
+  }
+
+  /** §6.3.2 individual_channel_stream, SCE shape. `sections`,
+    * `dpcm` (per coded sfb, scan order) and `spectral` (per sfb;
+    * empty for ZERO sections) are per group. */
+  final case class AacIcs(globalGain: Int, info: IcsInfo,
+      sections: Vector[Vector[Section]],
+      dpcm: Vector[Vector[Int]],
+      tns: Option[Vector[TnsFilter]],
+      spectral: Vector[Vector[Vector[Int]]]) {
+    require(globalGain >= 0 && globalGain < 256, "aac: global_gain")
+    private val g = info.groupLens
+    require(sections.length == g.length && dpcm.length == g.length &&
+      spectral.length == g.length, "aac: per-group shapes")
+    sections.foreach { ss =>
+      ss.foldLeft(0) { (k, s) =>
+        require(s.start == k, s"aac: section gap at sfb $k")
+        s.end
+      } match {
+        case e => require(e == info.maxSfb,
+          s"aac: sections end at $e, max_sfb is ${info.maxSfb}")
+      }
+    }
+    /** cb per (group, sfb). */
+    def cbOf(gi: Int, w: Int): Int =
+      sections(gi).find(s => w >= s.start && w < s.end).get.cb
+    g.indices.foreach { gi =>
+      val coded = (0 until info.maxSfb).count(w => cbOf(gi, w) != 0)
+      require(dpcm(gi).length == coded,
+        s"aac: group $gi has $coded coded sfbs, " +
+          s"${dpcm(gi).length} dpcm values")
+      require(spectral(gi).length == info.maxSfb, "aac: spectral shape")
+      (0 until info.maxSfb).foreach { w =>
+        val want = if (cbOf(gi, w) == 0) 0
+          else info.sfbWidth(w, g(gi))
+        require(spectral(gi)(w).length == want,
+          s"aac: group $gi sfb $w wants $want coefficients, " +
+            s"has ${spectral(gi)(w).length}")
+      }
+    }
+    require(tns.forall(_.nonEmpty), "aac: present TNS needs filters")
+    /** Scalefactors per (group, sfb): DPCM accumulation from
+      * global_gain in scan order; None for ZERO sections. */
+    def scalefactors: Vector[Vector[Option[Int]]] = {
+      var run = globalGain
+      g.indices.toVector.map { gi =>
+        var d = 0
+        (0 until info.maxSfb).toVector.map { w =>
+          if (cbOf(gi, w) == 0) None
+          else { run += dpcm(gi)(d); d += 1; Some(run) }
+        }
+      }
+    }
+  }
+
+  /** §9.2 requantization on the integer-exact regime: |q| = c³ and
+    * sf = 100 + 4e → x = sign·c⁴·2^e. */
+  def requantExact(q: Int, sf: Int): Long = {
+    val m = math.abs(q)
+    val c = math.round(math.cbrt(m.toDouble)).toInt
+    require(c * c * c == m,
+      s"aac: $q is not a perfect cube (the exact-integer regime)")
+    val e = sf - 100
+    require(e >= 0 && e % 4 == 0,
+      s"aac: scalefactor $sf off the 100 + 4e exact grid")
+    val mag = c.toLong * c * c * c << (e / 4)
+    if (q < 0) -mag else mag
+  }
+
+  private def writeIcsInfo(w: BitWriter, info: IcsInfo): Unit = {
+    w.writeBits(0L, 1) // ics_reserved_bit
+    w.writeBits(info.windowSequence.toLong, 2)
+    w.writeBits(info.windowShape.toLong, 1)
+    if (info.short) {
+      w.writeBits(info.maxSfb.toLong, 4)
+      w.writeBits(info.scaleFactorGrouping.toLong, 7)
+    } else {
+      w.writeBits(info.maxSfb.toLong, 6)
+      w.writeBits(0L, 1) // predictor_data_present (LC: none)
+    }
+  }
+
+  private def readIcsInfo(r: BitReader): IcsInfo = {
+    require(r.readBits(1) == 0L, "aac: ics_reserved_bit set")
+    val ws = r.readBits(2).toInt
+    val shape = r.readBits(1).toInt
+    if (ws == 2) {
+      val maxSfb = r.readBits(4).toInt
+      val grouping = r.readBits(7).toInt
+      IcsInfo(ws, shape, maxSfb, grouping)
+    } else {
+      val maxSfb = r.readBits(6).toInt
+      require(r.readBits(1) == 0L,
+        "aac: predictor_data_present out of the LC profile (loud)")
+      IcsInfo(ws, shape, maxSfb, 0)
+    }
+  }
+
+  private def writeIcs(w: BitWriter, ics: AacIcs): Unit =
+    writeIcsParts(w, ics, withInfo = true)
+
+  private def readIcs(r: BitReader): AacIcs = readIcsParts(r, None)
+
+  /** One raw_data_block carrying a single_channel_element + END,
+    * byte-aligned (§6.3.1) — the payload of one ADTS frame. */
+  def muxSce(ics: AacIcs, tag: Int = 0): Array[Byte] = {
+    require(tag >= 0 && tag < 16, "aac: element_instance_tag")
+    val w = new BitWriter
+    w.writeBits(0L, 3) // id_syn_ele = SCE
+    w.writeBits(tag.toLong, 4)
+    writeIcs(w, ics)
+    w.writeBits(7L, 3) // id_syn_ele = END
+    w.toBytes // BitWriter zero-pads to the byte boundary
+  }
+
+  def demuxSce(payload: Array[Byte]): (Int, AacIcs) = {
+    val r = new BitReader(payload, 0, payload.length)
+    require(r.readBits(3) == 0L, "aac: expected a single_channel_element")
+    val tag = r.readBits(4).toInt
+    val ics = readIcs(r)
+    require(r.readBits(3) == 7L, "aac: expected the END element")
+    (tag, ics)
+  }
+
+  /** A channel_pair_element raw_data_block (§6.3.1, id 1):
+    * common_window = 1 shares one ics_info and carries the §6.3.2
+    * ms_mask_present(2) + per-(group, sfb) ms_used bits — the M/S
+    * matrix of §11 (x_l = (m+s)/2... the 13818-7 form is mid =
+    * (l+r)/2, side = (l−r)/2; reconstruction l = m+s, r = m−s is
+    * integer-EXACT, unlike MP3's √2 convention). Both channels'
+    * individual_channel_streams follow. */
+  def muxCpe(left: AacIcs, right: AacIcs, msUsed: Vector[Vector[Boolean]],
+      msMaskPresent: Int, tag: Int = 0): Array[Byte] = {
+    require(tag >= 0 && tag < 16, "aac: element_instance_tag")
+    require(left.info == right.info,
+      "aac: common_window CPE shares one ics_info")
+    require(msMaskPresent >= 0 && msMaskPresent <= 2,
+      "aac: ms_mask_present is 0 (none), 1 (per-band), 2 (all)")
+    val w = new BitWriter
+    w.writeBits(1L, 3) // id_syn_ele = CPE
+    w.writeBits(tag.toLong, 4)
+    w.writeBits(1L, 1) // common_window
+    writeIcsInfo(w, left.info)
+    w.writeBits(msMaskPresent.toLong, 2)
+    if (msMaskPresent == 1) {
+      val g = left.info.groupLens
+      require(msUsed.length == g.length &&
+        msUsed.forall(_.length == left.info.maxSfb),
+        "aac: ms_used is per (group, sfb)")
+      msUsed.foreach(_.foreach(b => w.writeBits(if (b) 1L else 0L, 1)))
+    }
+    writeIcsBody(w, left); writeIcsBody(w, right)
+    w.writeBits(7L, 3)
+    w.toBytes
+  }
+
+  def demuxCpe(payload: Array[Byte])
+      : (Int, AacIcs, AacIcs, Int, Vector[Vector[Boolean]]) = {
+    val r = new BitReader(payload, 0, payload.length)
+    require(r.readBits(3) == 1L, "aac: expected a channel_pair_element")
+    val tag = r.readBits(4).toInt
+    require(r.readBits(1) == 1L,
+      "aac: this leg reads common_window CPEs")
+    val info = readIcsInfo(r)
+    val msp = r.readBits(2).toInt
+    require(msp <= 2, "aac: ms_mask_present 3 is reserved")
+    val msUsed =
+      if (msp == 1) info.groupLens.indices.toVector.map(_ =>
+        Vector.fill(info.maxSfb)(r.readBits(1) == 1L))
+      else Vector.empty
+    val left = readIcsBody(r, info)
+    val right = readIcsBody(r, info)
+    require(r.readBits(3) == 7L, "aac: expected the END element")
+    (tag, left, right, msp, msUsed)
+  }
+
+  /** §11.3 M/S reconstruction — 13818-7's matrix is integer-exact:
+    * l = m + s, r = m − s (mid/side were (l±r)/2). */
+  def msReconstruct(m: Long, s: Long): (Long, Long) = (m + s, m - s)
+
+  // ICS without the leading ics_info (CPE shares the info; each
+  // channel still carries its own global_gain + section data)
+  private def writeIcsBody(w: BitWriter, ics: AacIcs): Unit =
+    writeIcsParts(w, ics, withInfo = false)
+  private def readIcsBody(r: BitReader, info: IcsInfo): AacIcs =
+    readIcsParts(r, Some(info))
+
+  private def writeIcsParts(w: BitWriter, ics: AacIcs,
+      withInfo: Boolean): Unit = {
+    w.writeBits(ics.globalGain.toLong, 8)
+    if (withInfo) writeIcsInfo(w, ics.info)
+    writeIcsAfterInfo(w, ics)
+  }
+  private def readIcsParts(r: BitReader,
+      shared: Option[IcsInfo]): AacIcs = {
+    val gg = r.readBits(8).toInt
+    val info = shared.getOrElse(readIcsInfo(r))
+    readIcsAfterInfo(r, gg, info)
+  }
+
+  private def writeIcsAfterInfo(w: BitWriter, ics: AacIcs): Unit = {
+    val lenBits = if (ics.info.short) 3 else 5
+    val esc = (1 << lenBits) - 1
+    ics.sections.foreach(_.foreach { s =>
+      w.writeBits(s.cb.toLong, 4)
+      var len = s.end - s.start
+      while (len >= esc) { w.writeBits(esc.toLong, lenBits); len -= esc }
+      w.writeBits(len.toLong, lenBits)
+    })
+    ics.dpcm.foreach(_.foreach { d =>
+      require(d >= -128 && d <= 127, s"aac: dpcm_sf $d beyond 8 bits")
+      w.writeBits((d & 0xff).toLong, 8)
+    })
+    w.writeBits(0L, 1) // pulse_data_present
+    ics.tns match {
+      case Some(filters) =>
+        w.writeBits(1L, 1)
+        require(!ics.info.short,
+          "aac: this leg writes TNS on long windows (1 window)")
+        w.writeBits(filters.length.toLong, 2)
+        if (filters.nonEmpty) w.writeBits(filters.head.coefRes.toLong, 1)
+        filters.foreach { f =>
+          w.writeBits(f.length.toLong, 6)
+          w.writeBits(f.order.toLong, 5)
+          if (f.order > 0) {
+            w.writeBits(f.direction.toLong, 1)
+            w.writeBits(f.compress.toLong, 1)
+            f.coefs.foreach(c => w.writeBits(c.toLong, f.coefBits))
+          }
+        }
+      case None => w.writeBits(0L, 1)
+    }
+    w.writeBits(0L, 1) // gain_control_data_present
+    ics.sections.zipWithIndex.foreach { case (ss, gi) =>
+      ss.withFilter(s => s.cb != 0).foreach { s =>
+        (s.start until s.end).foreach { sfb =>
+          ics.spectral(gi)(sfb).grouped(cbDim(s.cb))
+            .foreach(t => CbSeam.writeTuple(w, s.cb, t))
+        }
+      }
+    }
+  }
+
+  private def readIcsAfterInfo(r: BitReader, gg: Int,
+      info: IcsInfo): AacIcs = {
+    val lenBits = if (info.short) 3 else 5
+    val esc = (1 << lenBits) - 1
+    val groups = info.groupLens
+    val sections = groups.indices.toVector.map { _ =>
+      val ss = Vector.newBuilder[Section]
+      var k = 0
+      while (k < info.maxSfb) {
+        val cb = r.readBits(4).toInt
+        var len = 0
+        var incr = r.readBits(lenBits).toInt
+        while (incr == esc) { len += esc; incr = r.readBits(lenBits).toInt }
+        len += incr
+        require(len > 0 && k + len <= info.maxSfb,
+          s"aac: section [$k, ${k + len}) overruns max_sfb ${info.maxSfb}")
+        ss += Section(cb, k, k + len)
+        k += len
+      }
+      ss.result()
+    }
+    def cbOf(gi: Int, w: Int): Int =
+      sections(gi).find(s => w >= s.start && w < s.end).get.cb
+    val dpcm = groups.indices.toVector.map { gi =>
+      (0 until info.maxSfb).toVector.withFilter(cbOf(gi, _) != 0)
+        .map { _ =>
+          val raw = r.readBits(8).toInt
+          if (raw >= 128) raw - 256 else raw
+        }
+    }
+    require(r.readBits(1) == 0L,
+      "aac: pulse_data out of this leg's scope (loud)")
+    val tns = if (r.readBits(1) == 1L) {
+      require(!info.short, "aac: TNS read path covers long windows")
+      val nFilt = r.readBits(2).toInt
+      val coefRes = if (nFilt > 0) r.readBits(1).toInt else 0
+      Some(Vector.fill(nFilt) {
+        val length = r.readBits(6).toInt
+        val order = r.readBits(5).toInt
+        if (order > 0) {
+          val dir = r.readBits(1).toInt
+          val comp = r.readBits(1).toInt
+          val coefs = Vector.fill(order)(
+            r.readBits(coefRes + 3 - comp).toInt)
+          TnsFilter(coefRes, length, order, dir, comp, coefs)
+        } else TnsFilter(coefRes, length, 0, 0, 0, Vector.empty)
+      })
+    } else None
+    require(r.readBits(1) == 0L,
+      "aac: gain_control_data out of the LC profile (loud)")
+    val spectral = groups.indices.toVector.map { gi =>
+      (0 until info.maxSfb).toVector.map { sfb =>
+        val cb = cbOf(gi, sfb)
+        if (cb == 0) Vector.empty[Int]
+        else {
+          val want = info.sfbWidth(sfb, groups(gi))
+          require(want % cbDim(cb) == 0,
+            s"aac: sfb width $want not a multiple of dim ${cbDim(cb)}")
+          (0 until want / cbDim(cb))
+            .flatMap(_ => CbSeam.readTuple(r, cb)).toVector
+        }
+      }
+    }
+    AacIcs(gg, info, sections, dpcm, tns, spectral)
+  }
+}

@@ -1,0 +1,212 @@
+package graft
+
+import graft.sources.{Aac, AudioIndex}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AAC-LC structural codec (ISO/IEC 13818-7 §6.3): raw_data_block
+  * element loop, ics_info with the short-window grouping bits,
+  * section run-lengths with the escape repetition, DPCM scalefactor
+  * accumulation, TNS syntax, Table 7.1 codebook structure with the
+  * cb 11 escape, CPE common_window + ms_used, the §9.2 requant
+  * arithmetic, and the ADTS integration. */
+class AacSpec extends AnyFunSuite {
+
+  private def mags(cb: Int): Array[Int] =
+    if (cb >= 11) Array(0, 1, 8, 27)
+    else if (cb >= 9) Array(0, 1, 8)
+    else Array(0, 1)
+
+  /** Deterministic SCE; long (ws 0/1/3, TNS on even i) or short
+    * (ws 2, grouping). */
+  private def sce(i: Int): Aac.AacIcs = {
+    val ws = Array(0, 2, 1, 3)(i % 4)
+    val short = ws == 2
+    val maxSfb = if (short) 4 else 6 + i % 3
+    val grouping = if (short) (i * 37) % 128 else 0
+    val info = Aac.IcsInfo(ws, i % 2, maxSfb, grouping)
+    val cycleL = Array(1, 3, 5, 7, 9, 11, 6, 0)
+    val cycleS = Array(3, 9, 11, 5)
+    def cb(w: Int): Int =
+      if (short) cycleS((i + w) % 4) else cycleL((i + w) % 8)
+    val groups = info.groupLens
+    val sections = groups.indices.toVector.map(_ =>
+      (0 until maxSfb).toVector.map(w => Aac.Section(cb(w), w, w + 1)))
+    def dpcmOf(w: Int): Int =
+      if (short) (if (w % 2 == 0) 4 else -4)
+      else 4 * (((i + w) % 3) - 1)
+    val dpcm = groups.indices.toVector.map(_ =>
+      (0 until maxSfb).toVector.filter(cb(_) != 0).map(dpcmOf))
+    // per-sfb running counters across groups keep the value multiset
+    // independent of the grouping draw
+    val counters = scala.collection.mutable.Map[Int, Int]()
+    val spectral = groups.indices.toVector.map { gi =>
+      (0 until maxSfb).toVector.map { w =>
+        if (cb(w) == 0) Vector.empty[Int]
+        else Vector.fill(info.sfbWidth(w, groups(gi))) {
+          val t = counters.getOrElse(w, 0); counters(w) = t + 1
+          val a = mags(cb(w))
+          var m = a((i * 5 + w * 11 + t * 7) % a.length)
+          if (Aac.cbSigned(cb(w))) m = math.min(m, Aac.cbLav(cb(w)))
+          if (m != 0 && (t + i) % 2 == 1) -m else m
+        }
+      }
+    }
+    val tns = if (!short && i % 2 == 0) Some(Vector(
+      Aac.TnsFilter((i / 2) % 2, (i * 7) % 20, i % 4, i % 2, 0,
+        Vector.tabulate(i % 4)(j => (i + j * 3) % (1 << ((i / 2) % 2 + 3))))))
+    else None
+    Aac.AacIcs(132 + 4 * (i % 5), info, sections, dpcm, tns, spectral)
+  }
+
+  test("SCE round-trip [§6.3]: ics_info (all four window sequences, " +
+      "grouping bits), single-sfb sections, DPCM scalefactors from " +
+      "global_gain, TNS filters, and the Table 7.1 tuple structure " +
+      "with sign bits and the cb 11 escape") {
+    (0 until 8).foreach { i =>
+      val ics = sce(i)
+      val (tag, got) = Aac.demuxSce(Aac.muxSce(ics, tag = i % 16))
+      assert(tag == i % 16)
+      assert(got.globalGain == ics.globalGain, s"i=$i gg")
+      assert(got.info == ics.info, s"i=$i info")
+      assert(got.sections == ics.sections, s"i=$i sections")
+      assert(got.dpcm == ics.dpcm, s"i=$i dpcm")
+      assert(got.tns == ics.tns, s"i=$i tns")
+      assert(got.spectral == ics.spectral, s"i=$i spectral")
+    }
+  }
+
+  test("grouping [§6.3.2]: scale_factor_grouping bits fuse windows — " +
+      "group lengths sum to 8 and match the bit pattern") {
+    val info = Aac.IcsInfo(2, 0, 4, Integer.parseInt("1100101", 2))
+    // windows: 0 | 1,2 fused into 0 via bits 6,5? bit k fuses window
+    // k+1: bits MSB-first 1,1,0,0,1,0,1 → groups {0,1,2},{3},{4,5},{6},{7}?
+    // bit0(MSB)=1 fuses w1; bit1=1 fuses w2; bit2=0 new at w3;
+    // bit3=0 new at w4; bit4=1 fuses w5; bit5=0 new at w6; bit6=1 fuses w7
+    assert(info.groupLens == Vector(3, 1, 2, 2))
+    assert(info.groupLens.sum == 8)
+    assert(Aac.IcsInfo(2, 0, 4, 0).groupLens == Vector.fill(8)(1))
+    assert(Aac.IcsInfo(2, 0, 4, 127).groupLens == Vector(8))
+    assert(Aac.IcsInfo(0, 0, 6, 0).groupLens == Vector(1))
+  }
+
+  test("section escape [§6.3.2]: a run of max_sfb ZERO sfbs longer " +
+      "than the 5-bit escape repeats the all-ones increment") {
+    val maxSfb = 12 // stand-in table bound
+    val info = Aac.IcsInfo(0, 0, maxSfb, 0)
+    val ics = Aac.AacIcs(132, info,
+      Vector(Vector(Aac.Section(0, 0, maxSfb))),
+      Vector(Vector.empty), None,
+      Vector(Vector.fill(maxSfb)(Vector.empty[Int])))
+    val (_, got) = Aac.demuxSce(Aac.muxSce(ics))
+    assert(got.sections == ics.sections)
+    // 12 < 31: no escape yet — force one via the short form (esc 7)
+    val infoS = Aac.IcsInfo(2, 0, 7, 127) // one group of 8 windows
+    val icsS = Aac.AacIcs(132, infoS,
+      Vector(Vector(Aac.Section(0, 0, 7))),
+      Vector(Vector.empty), None,
+      Vector(Vector.fill(7)(Vector.empty[Int])))
+    val (_, gotS) = Aac.demuxSce(Aac.muxSce(icsS))
+    assert(gotS.sections == icsS.sections,
+      "7 = the 3-bit escape: written as 7+0, read back as one section")
+  }
+
+  test("cb 11 escape [§9.3]: magnitudes ≥ 16 ride N ones + 0 + an " +
+      "(N+4)-bit word; values round-trip across the escape boundary") {
+    import graft.sources.Flac.{BitReader, BitWriter}
+    Seq(Seq(16, -27), Seq(255, 0), Seq(-4095, 16)).foreach { vs =>
+      val w = new BitWriter
+      Aac.CbSeam.writeTuple(w, 11, vs)
+      val b = w.toBytes
+      val got = Aac.CbSeam.readTuple(new BitReader(b, 0, b.length), 11)
+      assert(got == vs.toVector, s"cb11 $vs")
+    }
+    intercept[IllegalArgumentException] {
+      val w = new BitWriter
+      Aac.CbSeam.writeTuple(w, 11, Seq(1 << 13, 0)) // beyond §9.3
+    }
+    intercept[IllegalArgumentException] {
+      val w = new BitWriter
+      Aac.CbSeam.writeTuple(w, 9, Seq(13, 0)) // beyond LAV 12, no escape
+    }
+  }
+
+  test("scalefactors accumulate DPCM from global_gain in scan order; " +
+      "requant is exact on the cube/4e grid") {
+    val ics = sce(0) // long, maxSfb 6, cb cycle starts at 1
+    val sfs = ics.scalefactors
+    var run = ics.globalGain
+    ics.info.groupLens.indices.foreach { gi =>
+      var d = 0
+      (0 until ics.info.maxSfb).foreach { w =>
+        if (ics.cbOf(gi, w) != 0) {
+          run += ics.dpcm(gi)(d); d += 1
+          assert(sfs(gi)(w).contains(run), s"g$gi sfb$w")
+        } else assert(sfs(gi)(w).isEmpty)
+      }
+    }
+    assert(Aac.requantExact(8, 108) == 64) // 2⁴·2²
+    assert(Aac.requantExact(-27, 100) == -81)
+    intercept[IllegalArgumentException] { Aac.requantExact(7, 100) }
+    intercept[IllegalArgumentException] { Aac.requantExact(8, 102) }
+  }
+
+  test("CPE [§6.3.1/§11]: common_window shares ics_info, ms_used " +
+      "rides per (group, sfb), both channels round-trip, and the " +
+      "13818-7 M/S matrix is integer-exact") {
+    val l = sce(0); val r = sce(12) // i ≡ 0 (mod 12) → same info
+    assert(l.info == r.info)
+    val ms = l.info.groupLens.indices.toVector.map(_ =>
+      Vector.tabulate(l.info.maxSfb)(w => w % 2 == 0))
+    val bytes = Aac.muxCpe(l, r, ms, msMaskPresent = 1, tag = 3)
+    val (tag, gl, gr, msp, gms) = Aac.demuxCpe(bytes)
+    assert(tag == 3 && msp == 1 && gms == ms)
+    assert(gl.spectral == l.spectral && gr.spectral == r.spectral)
+    assert(gl.globalGain == l.globalGain && gr.globalGain == r.globalGain)
+    // mask 2 (all) and 0 (none) carry no bits
+    val (_, _, _, msp2, gms2) =
+      Aac.demuxCpe(Aac.muxCpe(l, r, Vector.empty, msMaskPresent = 2))
+    assert(msp2 == 2 && gms2.isEmpty)
+    assert(Aac.msReconstruct(5, 3) == ((8L, 2L)))
+    assert(Aac.msReconstruct(-4, 7) == ((3L, -11L)))
+  }
+
+  test("ADTS integration: raw_data_blocks ride adtsMux payloads and " +
+      "come back through adtsDemux + demuxSce with offsets") {
+    val frames = (0 until 6).map { i =>
+      AudioIndex.AdtsFrame(1, 4, 1, crcPresent = i % 3 == 0,
+        Aac.muxSce(sce(i)))
+    }
+    val rec = AudioIndex.adtsDemux(AudioIndex.adtsMux(frames))
+    assert(rec.size == 6)
+    rec.zipWithIndex.foreach { case ((_, f), i) =>
+      val (_, ics) = Aac.demuxSce(f.payload)
+      assert(ics.spectral == sce(i).spectral, s"frame $i spectral")
+      assert(ics.globalGain == sce(i).globalGain)
+    }
+  }
+
+  test("loud boundaries: predictor bit, pulse data, gain control, " +
+      "PNS codebooks, reserved ms_mask, signed values beyond LAV") {
+    intercept[IllegalArgumentException] { // cb 13 is PNS
+      Aac.Section(13, 0, 1)
+    }
+    intercept[IllegalArgumentException] { // signed LAV
+      val w = new graft.sources.Flac.BitWriter
+      Aac.CbSeam.writeTuple(w, 1, Seq(2, 0, 0, 0))
+    }
+    intercept[IllegalArgumentException] { // wrong tuple arity
+      val w = new graft.sources.Flac.BitWriter
+      Aac.CbSeam.writeTuple(w, 1, Seq(1, 0))
+    }
+    intercept[IllegalArgumentException] { // grouping on a long window
+      Aac.IcsInfo(0, 0, 6, 1)
+    }
+    intercept[IllegalArgumentException] { // max_sfb beyond the table
+      Aac.IcsInfo(0, 0, 13, 0)
+    }
+    // a CPE whose channels disagree on ics_info is rejected at mux
+    intercept[IllegalArgumentException] {
+      Aac.muxCpe(sce(0), sce(1), Vector.empty, msMaskPresent = 0)
+    }
+  }
+}
