@@ -2358,6 +2358,458 @@ object DspQueries {
       |  AND iss.gr = f.gr
       |ORDER BY f.chunk_id, f.i, f.gr""".stripMargin
 
+  /** p25: AAC-LC STRUCTURAL DECODE ([[graft.sources.Aac]], ISO/IEC
+    * 13818-7 §6.3) — the raw_data_block layer under p15's ADTS
+    * framing, for the reference's DEFAULT audio codec: frames cycle
+    * the four window sequences (ONLY_LONG, EIGHT_SHORT with real
+    * grouping bits, LONG_START, LONG_STOP); each carries an SCE whose
+    * ics_info/section/scalefactor/TNS/spectral syntax round-trips
+    * through ADTS mux → demux → demuxSce under the oracle. The oracle
+    * replays the §6.3.2 window-group count from the grouping bits
+    * (8 − popcount), the section layout, the DPCM scalefactor
+    * accumulation from global_gain (group-invariant by the D = 0
+    * fixture: short-frame deltas alternate ±4), the Table 7.1
+    * tuple/sign/escape bit budget down to the ADTS frame byte length
+    * and cumulative offsets, and the §9.2 exact requant
+    * c⁴·2^((sf−100)/4). The per-sfb value draws ride a cross-group
+    * running counter, so every aggregate is independent of the
+    * grouping draw — what the grouping changes (G, payload bits) is
+    * pinned separately. Scale: the p17 envelope — per-chunk
+    * mapGroups, no shuffle inside a stream. */
+  private def p25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Aac, AudioIndex}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        def mags(cb: Int): Array[Int] =
+          if (cb >= 11) Array(0, 1, 8, 27)
+          else if (cb >= 9) Array(0, 1, 8)
+          else Array(0, 1)
+        def sce(i: Int): Aac.AacIcs = {
+          val ws = Array(0, 2, 1, 3)(i % 4)
+          val short = ws == 2
+          val maxSfb = if (short) 4 else 6 + i % 3
+          val grouping = if (short) (i * 37) % 128 else 0
+          val info = Aac.IcsInfo(ws, i % 2, maxSfb, grouping)
+          val cycleL = Array(1, 3, 5, 7, 9, 11, 6, 0)
+          val cycleS = Array(3, 9, 11, 5)
+          def cb(w: Int): Int =
+            if (short) cycleS((i + w) % 4) else cycleL((i + w) % 8)
+          val groups = info.groupLens
+          val sections = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.map(w =>
+              Aac.Section(cb(w), w, w + 1)))
+          def dpcmOf(w: Int): Int =
+            if (short) (if (w % 2 == 0) 4 else -4)
+            else 4 * (((i + w) % 3) - 1)
+          val dpcm = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.filter(cb(_) != 0).map(dpcmOf))
+          val counters = scala.collection.mutable.Map[Int, Int]()
+          val spectral = groups.indices.toVector.map { gi =>
+            (0 until maxSfb).toVector.map { w =>
+              if (cb(w) == 0) Vector.empty[Int]
+              else Vector.fill(info.sfbWidth(w, groups(gi))) {
+                val t = counters.getOrElse(w, 0); counters(w) = t + 1
+                val a = mags(cb(w))
+                val m = a((i * 5 + w * 11 + t * 7) % a.length)
+                if (m != 0 && (t + i) % 2 == 1) -m else m
+              }
+            }
+          }
+          val tns = if (!short && i % 2 == 0) Some(Vector(
+            Aac.TnsFilter((i / 2) % 2, (i * 7) % 20, i % 4, i % 2, 0,
+              Vector.tabulate(i % 4)(j =>
+                (i + j * 3) % (1 << ((i / 2) % 2 + 3))))))
+          else None
+          Aac.AacIcs(132 + 4 * (i % 5), info, sections, dpcm, tns,
+            spectral)
+        }
+        val adts = AudioIndex.adtsMux((0 until n).map(i =>
+          AudioIndex.AdtsFrame(1, 4, 1, crcPresent = false,
+            Aac.muxSce(sce(i)))))
+        val rec = AudioIndex.adtsDemux(adts)
+        require(rec.size == n, s"chunk $cid: adts frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val (_, ics) = Aac.demuxSce(f.payload)
+          val sfs = ics.scalefactors
+          val sfSum = sfs.flatten.flatten.map(_.toLong).sum
+          val vals = ics.spectral.flatten.flatten
+          val codeSum = vals.map(v => math.abs(v).toLong).sum
+          val escCount = vals.count(v => math.abs(v) >= 16).toLong
+          // requant: sf is per (group, sfb); values pair with their
+          // group's scalefactor
+          val requant = ics.info.groupLens.indices.map { gi =>
+            (0 until ics.info.maxSfb).map { w =>
+              ics.spectral(gi)(w).map(v =>
+                Aac.requantExact(v, sfs(gi)(w).get)).sum
+            }.sum
+          }.sum
+          val tnsOrder = ics.tns.map(_.map(_.order.toLong).sum)
+            .getOrElse(0L)
+          (cid, i.toLong, off, ics.info.windowSequence.toLong,
+            ics.info.groupLens.length.toLong,
+            ics.info.maxSfb.toLong, f.payload.length.toLong,
+            sfSum, tnsOrder, codeSum, escCount, requant)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "window_seq", "num_groups",
+        "max_sfb", "payload_bytes", "sf_sum", "tns_order", "code_sum",
+        "esc_count", "requant_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p25Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i,
+      |    list_extract([0, 2, 1, 3], CAST(g.i % 4 + 1 AS INT)) AS ws,
+      |    g.i % 4 = 1 AS short,
+      |    CASE WHEN g.i % 4 = 1 THEN 4 ELSE 6 + g.i % 3 END AS max_sfb,
+      |    CASE WHEN g.i % 4 = 1
+      |      THEN 8 - bit_count(CAST((g.i * 37) % 128 AS BIGINT))
+      |      ELSE 1 END AS ng,
+      |    132 + 4 * (g.i % 5) AS gg
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |-- per-sfb codebook + dpcm draw
+      |sfb AS (SELECT f.*, w.w,
+      |    CASE WHEN f.short
+      |      THEN list_extract([3, 9, 11, 5], CAST((f.i + w.w) % 4 + 1 AS INT))
+      |      ELSE list_extract([1, 3, 5, 7, 9, 11, 6, 0],
+      |        CAST((f.i + w.w) % 8 + 1 AS INT)) END AS cb,
+      |    CASE WHEN f.short
+      |      THEN (CASE WHEN w.w % 2 = 0 THEN 4 ELSE -4 END)
+      |      ELSE 4 * (((f.i + w.w) % 3) - 1) END AS dpcm,
+      |    CASE WHEN f.short THEN 8 * (4 * w.w + 4)
+      |      ELSE 4 * w.w + 4 END AS nvals
+      |  FROM f JOIN (SELECT unnest(range(12)) AS w) w
+      |    ON w.w < f.max_sfb),
+      |-- scalefactors: DPCM prefix over CODED sfbs (group-invariant:
+      |-- the short fixture's deltas alternate +4/−4, D = 0)
+      |sf AS (SELECT *,
+      |    gg + sum(CASE WHEN cb != 0 THEN dpcm ELSE 0 END)
+      |      OVER (PARTITION BY chunk_id, i ORDER BY w) AS sfv
+      |  FROM sfb),
+      |-- spectral values: cross-group running counter t per sfb
+      |vals AS (SELECT s.chunk_id, s.i, s.w, s.cb, s.sfv, t.t,
+      |    CASE WHEN s.cb >= 11 THEN list_extract([0, 1, 8, 27],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7) % 4 + 1 AS INT))
+      |      WHEN s.cb >= 9 THEN list_extract([0, 1, 8],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7) % 3 + 1 AS INT))
+      |      ELSE list_extract([0, 1],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7) % 2 + 1 AS INT))
+      |    END AS m
+      |  FROM sf s JOIN (SELECT unnest(range(320)) AS t) t
+      |    ON t.t < s.nvals
+      |  WHERE s.cb != 0),
+      |vagg AS (SELECT chunk_id, i,
+      |    sum(m) AS code_sum,
+      |    sum(CASE WHEN m >= 16 THEN 1 ELSE 0 END) AS esc_count,
+      |    sum((CASE WHEN m != 0 AND (t + i) % 2 = 1 THEN -1 ELSE 1 END)
+      |      * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |          ELSE 81 END)
+      |      * CAST(power(2, (sfv - 100) // 4) AS BIGINT)) AS requant_sum,
+      |    -- spectral bits: field width per cb, sign bits on the
+      |    -- unsigned codebooks, the cb 11 escape (27 → '0'+4 bits)
+      |    sum(CASE WHEN cb = 1 THEN 2 WHEN cb = 3 THEN 2
+      |        WHEN cb IN (5, 6) THEN 4 WHEN cb = 7 THEN 3
+      |        WHEN cb = 9 THEN 4 ELSE 5 END
+      |      + CASE WHEN cb IN (1, 5, 6) THEN 0
+      |        WHEN m != 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN cb = 11 AND m >= 16 THEN 5 ELSE 0 END) AS sbits
+      |  FROM vals GROUP BY 1, 2),
+      |sfagg AS (SELECT chunk_id, i,
+      |    max(ng) * sum(CASE WHEN cb != 0 THEN sfv ELSE 0 END) AS sf_sum,
+      |    sum(CASE WHEN cb != 0 THEN 1 ELSE 0 END) AS coded,
+      |    max(ng) AS g, max(max_sfb) AS max_sfb, max(gg) AS gg,
+      |    max(CASE WHEN short THEN 1 ELSE 0 END) AS short
+      |  FROM sf GROUP BY 1, 2),
+      |-- the full bit budget → ADTS payload bytes → offsets
+      |bits AS (SELECT a.chunk_id, a.i, a.g, a.max_sfb, a.sf_sum,
+      |    v.code_sum, v.esc_count, v.requant_sum,
+      |    CASE WHEN a.i % 4 != 1 AND a.i % 2 = 0
+      |      THEN a.i % 4 ELSE 0 END AS tns_order,
+      |    19
+      |    + CASE WHEN a.short = 1 THEN 11 ELSE 7 END
+      |    + CASE WHEN a.short = 1 THEN a.g * a.max_sfb * 7
+      |        ELSE a.max_sfb * 9 END
+      |    + 8 * a.coded * a.g
+      |    + 3
+      |    + CASE WHEN a.i % 4 != 1 AND a.i % 2 = 0
+      |        THEN 2 + 1 + 6 + 5 + (CASE WHEN a.i % 4 > 0
+      |          THEN 2 + (a.i % 4) * (((a.i // 2) % 2) + 3) ELSE 0 END)
+      |        ELSE 0 END
+      |    + v.sbits + 3 AS rawbits
+      |  FROM sfagg a JOIN vagg v ON v.chunk_id = a.chunk_id AND v.i = a.i),
+      |pay AS (SELECT *, (rawbits + 7) // 8 AS payload_bytes FROM bits),
+      |ofs AS (SELECT *,
+      |    coalesce(sum(7 + payload_bytes) OVER (PARTITION BY chunk_id
+      |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS "offset"
+      |  FROM pay)
+      |SELECT o.chunk_id, CAST(o.i AS BIGINT) AS i,
+      |  CAST(o."offset" AS BIGINT) AS "offset",
+      |  CAST(f.ws AS BIGINT) AS window_seq,
+      |  CAST(o.g AS BIGINT) AS num_groups,
+      |  CAST(o.max_sfb AS BIGINT) AS max_sfb,
+      |  CAST(o.payload_bytes AS BIGINT) AS payload_bytes,
+      |  CAST(o.sf_sum AS BIGINT) AS sf_sum,
+      |  CAST(o.tns_order AS BIGINT) AS tns_order,
+      |  CAST(o.code_sum AS BIGINT) AS code_sum,
+      |  CAST(o.esc_count AS BIGINT) AS esc_count,
+      |  CAST(o.requant_sum AS BIGINT) AS requant_sum
+      |FROM ofs o JOIN f ON f.chunk_id = o.chunk_id AND f.i = o.i
+      |ORDER BY o.chunk_id, o.i""".stripMargin
+
+  /** p26: AAC CHANNEL PAIR ([[graft.sources.Aac.muxCpe]], §6.3.1
+    * channel_pair_element + §11 M/S) — stereo AAC, the shape the
+    * reference's 2-channel container tests actually produce: a
+    * common_window CPE shares one ics_info, carries
+    * ms_mask_present(2) (cycling 0/1/2) with per-(group, sfb) ms_used
+    * bits when 1, then both channels' individual_channel_streams.
+    * The oracle replays the shared-info bit budget down to the ADTS
+    * byte length, per-channel scalefactor/code sums, and the
+    * 13818-7 M/S matrix — which unlike MP3's √2 convention is
+    * integer-EXACT (l = m+s, r = m−s) — via Σ|m+s|+|m−s| over the
+    * ms_used bands (nonlinear in the channels, so a misaligned
+    * channel interleave desyncs it). ms_used and the value draws are
+    * arranged group-invariantly (per-sfb selection, cross-group value
+    * counters), so every aggregate is independent of the grouping
+    * draw while the group count itself stays pinned. Scale: the p17
+    * envelope. */
+  private def p26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Aac, AudioIndex}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        def mags(cb: Int): Array[Int] =
+          if (cb >= 11) Array(0, 1, 8, 27)
+          else if (cb >= 9) Array(0, 1, 8)
+          else Array(0, 1)
+        def ics(i: Int, ch: Int): Aac.AacIcs = {
+          val ws = Array(0, 2, 1, 3)(i % 4)
+          val short = ws == 2
+          val maxSfb = if (short) 4 else 6 + i % 3
+          val grouping = if (short) (i * 37) % 128 else 0
+          val info = Aac.IcsInfo(ws, i % 2, maxSfb, grouping)
+          val cycleL = Array(1, 3, 5, 7, 9, 11, 6, 0)
+          val cycleS = Array(3, 9, 11, 5)
+          def cb(w: Int): Int =
+            if (short) cycleS((i + w + ch) % 4)
+            else cycleL((i + w + ch) % 8)
+          val groups = info.groupLens
+          val sections = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.map(w =>
+              Aac.Section(cb(w), w, w + 1)))
+          def dpcmOf(w: Int): Int =
+            if (short) (if (w % 2 == 0) 4 else -4)
+            else 4 * (((i + w + ch) % 3) - 1)
+          val dpcm = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.filter(cb(_) != 0).map(dpcmOf))
+          val counters = scala.collection.mutable.Map[Int, Int]()
+          val spectral = groups.indices.toVector.map { gi =>
+            (0 until maxSfb).toVector.map { w =>
+              if (cb(w) == 0) Vector.empty[Int]
+              else Vector.fill(info.sfbWidth(w, groups(gi))) {
+                val t = counters.getOrElse(w, 0); counters(w) = t + 1
+                val a = mags(cb(w))
+                val m = a((i * 5 + w * 11 + t * 7 + ch * 13) % a.length)
+                if (m != 0 && (t + i + ch) % 2 == 1) -m else m
+              }
+            }
+          }
+          Aac.AacIcs(132 + 4 * ((i + ch) % 5), info, sections, dpcm,
+            None, spectral)
+        }
+        val adts = AudioIndex.adtsMux((0 until n).map { i =>
+          val l = ics(i, 0); val r = ics(i, 1)
+          val msp = i % 3
+          val ms = if (msp == 1) l.info.groupLens.indices.toVector.map(
+            _ => Vector.tabulate(l.info.maxSfb)(w => (i + w) % 2 == 0))
+          else Vector.empty[Vector[Boolean]]
+          AudioIndex.AdtsFrame(1, 4, 2, crcPresent = false,
+            Aac.muxCpe(l, r, ms, msp))
+        })
+        val rec = AudioIndex.adtsDemux(adts)
+        require(rec.size == n, s"chunk $cid: adts frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val (_, l, r, msp, msUsed) = Aac.demuxCpe(f.payload)
+          def xrs(g: Aac.AacIcs): Vector[Vector[Vector[Long]]] = {
+            val sfs = g.scalefactors
+            g.info.groupLens.indices.toVector.map { gi =>
+              (0 until g.info.maxSfb).toVector.map { w =>
+                g.spectral(gi)(w).map(v =>
+                  Aac.requantExact(v, sfs(gi)(w).get))
+              }
+            }
+          }
+          val xl = xrs(l); val xr = xrs(r)
+          def sel(w: Int): Boolean = msp match {
+            case 2 => true
+            case 1 => msUsed.head(w)
+            case _ => false
+          }
+          val msAbs = l.info.groupLens.indices.map { gi =>
+            (0 until l.info.maxSfb).withFilter(sel).map { w =>
+              val width = l.info.sfbWidth(w, l.info.groupLens(gi))
+              (0 until width).map { k =>
+                val m = xl(gi)(w).lift(k).getOrElse(0L)
+                val s2 = xr(gi)(w).lift(k).getOrElse(0L)
+                val (a, b) = Aac.msReconstruct(m, s2)
+                math.abs(a) + math.abs(b)
+              }.sum
+            }.sum
+          }.sum
+          def codeSum(g: Aac.AacIcs): Long =
+            g.spectral.flatten.flatten.map(v => math.abs(v).toLong).sum
+          def sfSum(g: Aac.AacIcs): Long =
+            g.scalefactors.flatten.flatten.map(_.toLong).sum
+          (cid, i.toLong, off, l.info.windowSequence.toLong,
+            l.info.groupLens.length.toLong, l.info.maxSfb.toLong,
+            msp.toLong, f.payload.length.toLong,
+            sfSum(l), sfSum(r), codeSum(l), codeSum(r), msAbs)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "window_seq", "num_groups",
+        "max_sfb", "ms_mask", "payload_bytes", "sf_sum0", "sf_sum1",
+        "code_sum0", "code_sum1", "ms_abs_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p26Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i,
+      |    list_extract([0, 2, 1, 3], CAST(g.i % 4 + 1 AS INT)) AS ws,
+      |    g.i % 4 = 1 AS short,
+      |    CASE WHEN g.i % 4 = 1 THEN 4 ELSE 6 + g.i % 3 END AS max_sfb,
+      |    CASE WHEN g.i % 4 = 1
+      |      THEN 8 - bit_count(CAST((g.i * 37) % 128 AS BIGINT))
+      |      ELSE 1 END AS ng,
+      |    g.i % 3 AS msp
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |sfb AS (SELECT f.*, ch.ch, w.w,
+      |    132 + 4 * ((f.i + ch.ch) % 5) AS gg,
+      |    CASE WHEN f.short
+      |      THEN list_extract([3, 9, 11, 5],
+      |        CAST((f.i + w.w + ch.ch) % 4 + 1 AS INT))
+      |      ELSE list_extract([1, 3, 5, 7, 9, 11, 6, 0],
+      |        CAST((f.i + w.w + ch.ch) % 8 + 1 AS INT)) END AS cb,
+      |    CASE WHEN f.short
+      |      THEN (CASE WHEN w.w % 2 = 0 THEN 4 ELSE -4 END)
+      |      ELSE 4 * (((f.i + w.w + ch.ch) % 3) - 1) END AS dpcm,
+      |    CASE WHEN f.short THEN 8 * (4 * w.w + 4)
+      |      ELSE 4 * w.w + 4 END AS nvals
+      |  FROM f, (SELECT unnest(range(2)) AS ch) ch,
+      |    (SELECT unnest(range(12)) AS w) w
+      |  WHERE w.w < f.max_sfb),
+      |sf AS (SELECT *,
+      |    gg + sum(CASE WHEN cb != 0 THEN dpcm ELSE 0 END)
+      |      OVER (PARTITION BY chunk_id, i, ch ORDER BY w) AS sfv
+      |  FROM sfb),
+      |vals AS (SELECT s.chunk_id, s.i, s.ch, s.w, s.cb, s.sfv, s.msp,
+      |    s.short, t.t,
+      |    CASE WHEN s.cb >= 11 THEN list_extract([0, 1, 8, 27],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7 + s.ch * 13) % 4
+      |          + 1 AS INT))
+      |      WHEN s.cb >= 9 THEN list_extract([0, 1, 8],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7 + s.ch * 13) % 3
+      |          + 1 AS INT))
+      |      ELSE list_extract([0, 1],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7 + s.ch * 13) % 2
+      |          + 1 AS INT)) END AS m
+      |  FROM sf s JOIN (SELECT unnest(range(320)) AS t) t
+      |    ON t.t < s.nvals),
+      |xr AS (SELECT *,
+      |    CASE WHEN cb = 0 THEN 0 ELSE
+      |      (CASE WHEN m != 0 AND (t + i + ch) % 2 = 1 THEN -1 ELSE 1 END)
+      |      * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |          ELSE 81 END)
+      |      * CAST(power(2, (sfv - 100) // 4) AS BIGINT) END AS x
+      |  FROM vals),
+      |vagg AS (SELECT chunk_id, i, ch,
+      |    sum(CASE WHEN cb != 0 THEN m ELSE 0 END) AS code_sum,
+      |    sum(CASE WHEN cb = 0 THEN 0 ELSE
+      |      CASE WHEN cb = 1 THEN 2 WHEN cb = 3 THEN 2
+      |        WHEN cb IN (5, 6) THEN 4 WHEN cb = 7 THEN 3
+      |        WHEN cb = 9 THEN 4 ELSE 5 END
+      |      + CASE WHEN cb IN (1, 5, 6) THEN 0
+      |        WHEN m != 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN cb = 11 AND m >= 16 THEN 5 ELSE 0 END END)
+      |      AS sbits
+      |  FROM xr GROUP BY 1, 2, 3),
+      |-- the §11 M/S pair: channel 0's xr at (w, t) against channel
+      |-- 1's, over the ms_used bands
+      |ms AS (SELECT a.chunk_id, a.i,
+      |    sum(CASE WHEN a.msp = 2 OR (a.msp = 1 AND (a.i + a.w) % 2 = 0)
+      |      THEN abs(a.x + b.x) + abs(a.x - b.x) ELSE 0 END) AS ms_abs
+      |  FROM xr a JOIN xr b ON b.chunk_id = a.chunk_id AND b.i = a.i
+      |    AND b.w = a.w AND b.t = a.t AND b.ch = 1
+      |  WHERE a.ch = 0
+      |  GROUP BY 1, 2),
+      |sfagg AS (SELECT chunk_id, i, ch,
+      |    max(ng) * sum(CASE WHEN cb != 0 THEN sfv ELSE 0 END) AS sf_sum,
+      |    sum(CASE WHEN cb != 0 THEN 1 ELSE 0 END) AS coded
+      |  FROM sf GROUP BY 1, 2, 3),
+      |bits AS (SELECT f.chunk_id, f.i, f.ws, f.ng, f.max_sfb, f.msp,
+      |    s0.sf_sum AS sf_sum0, s1.sf_sum AS sf_sum1,
+      |    v0.code_sum AS code_sum0, v1.code_sum AS code_sum1,
+      |    ms.ms_abs,
+      |    -- CPE: id(3)+tag(4)+common_window(1)+ics_info+msp(2)
+      |    -- [+ms_used G·max_sfb] + 2 × (gg(8) + sections + sf
+      |    -- + 3 flag bits + spectral) + END(3)
+      |    8 + (1 + 2 + 1)
+      |    + CASE WHEN f.short THEN 11 ELSE 7 END
+      |    + 2 + CASE WHEN f.msp = 1 THEN f.ng * f.max_sfb ELSE 0 END
+      |    + 2 * 8
+      |    + CASE WHEN f.short THEN 2 * f.ng * f.max_sfb * 7
+      |        ELSE 2 * f.max_sfb * 9 END
+      |    + 8 * (s0.coded + s1.coded) * f.ng
+      |    + 2 * 3
+      |    + v0.sbits + v1.sbits + 3 AS rawbits
+      |  FROM f
+      |  JOIN sfagg s0 ON s0.chunk_id = f.chunk_id AND s0.i = f.i
+      |    AND s0.ch = 0
+      |  JOIN sfagg s1 ON s1.chunk_id = f.chunk_id AND s1.i = f.i
+      |    AND s1.ch = 1
+      |  JOIN vagg v0 ON v0.chunk_id = f.chunk_id AND v0.i = f.i
+      |    AND v0.ch = 0
+      |  JOIN vagg v1 ON v1.chunk_id = f.chunk_id AND v1.i = f.i
+      |    AND v1.ch = 1
+      |  JOIN ms ON ms.chunk_id = f.chunk_id AND ms.i = f.i),
+      |pay AS (SELECT *, (rawbits + 7) // 8 AS payload_bytes FROM bits),
+      |ofs AS (SELECT *,
+      |    coalesce(sum(7 + payload_bytes) OVER (PARTITION BY chunk_id
+      |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS "offset"
+      |  FROM pay)
+      |SELECT chunk_id, CAST(i AS BIGINT) AS i,
+      |  CAST("offset" AS BIGINT) AS "offset",
+      |  CAST(ws AS BIGINT) AS window_seq,
+      |  CAST(ng AS BIGINT) AS num_groups,
+      |  CAST(max_sfb AS BIGINT) AS max_sfb,
+      |  CAST(msp AS BIGINT) AS ms_mask,
+      |  CAST(payload_bytes AS BIGINT) AS payload_bytes,
+      |  CAST(sf_sum0 AS BIGINT) AS sf_sum0,
+      |  CAST(sf_sum1 AS BIGINT) AS sf_sum1,
+      |  CAST(code_sum0 AS BIGINT) AS code_sum0,
+      |  CAST(code_sum1 AS BIGINT) AS code_sum1,
+      |  CAST(ms_abs AS BIGINT) AS ms_abs_sum
+      |FROM ofs ORDER BY chunk_id, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -2383,5 +2835,7 @@ object DspQueries {
     Q("p22_mp3_reservoir", p22, Some(p22Sql)),
     Q("p23_mp3_short_blocks", p23, Some(p23Sql)),
     Q("p24_mp3_stereo", p24, Some(p24Sql)),
+    Q("p25_aac_structure", p25, Some(p25Sql)),
+    Q("p26_aac_cpe", p26, Some(p26Sql)),
   )
 }
