@@ -3585,6 +3585,242 @@ object ContainerQueries {
       |JOIN ch ON ch.container = p.container AND ch.t = p.t
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** m62: H.264 CAVLC RESIDUALS (§9.2/§7.3.5.3) — the coefficient
+    * layer m57's CBP-0 seam deferred, with the normative mechanics
+    * implemented EXACTLY from spec text ([[graft.sources.H264.Cavlc]]):
+    * trailing-one signs, the §9.2.2.1 unary level_prefix, the WHOLE
+    * §9.2.2.2 level machinery (suffixLength adaptation ladder, the
+    * prefix-14/15 suffix escapes, the first-level +2 under three
+    * trailing ones), §9.2.3/§9.2.4 zero-run placement, and the
+    * §9.2.1 nC context derivation over left/above 4x4 TotalCoeff with
+    * frame-edge availability (pinned per block by the oracle). The
+    * codeWORD tables (9-5/9-7/9-10) stay behind fixed-field seams —
+    * coeff_token uses the REAL nC ≥ 8 FLC column. Slices carry real
+    * CBP me(v) draws routing 8x8 quads, mb_qp_delta under CBP ≠ 0,
+    * chroma DC (nC = −1) and chroma AC under cbpChroma, all muxed as
+    * Annex-B and parsed back; the oracle replays draws, placements
+    * (Σ coeff·scanIdx), and the nC lattice. Scale: the m40 envelope —
+    * per-container mapGroups, bytes-proportional. */
+  private[operators] object H264CavlcKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.sources.H264
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val spsNal = H264.writeSps(32, 32)
+      val ppsNal = H264.writePps()
+      val sps = H264.parseSps(spsNal)
+      val pps = H264.parsePps(ppsNal)
+      def lumaBlk(t: Int, mb: Int, blk: Int): Array[Int] = {
+        val c = new Array[Int](16)
+        val tc = 1 + hexbyte(s"cavT${k}_${t}_${mb}_$blk") % 6
+        val t1n = math.min(tc - 1, hexbyte(s"cav1${k}_${t}_${mb}_$blk") % 4)
+        (0 until tc).foreach { j =>
+          val mag = if (j < t1n) 1
+            else 2 + hexbyte(s"cavM${k}_${t}_${mb}_${blk}_$j") % 4
+          val neg = hexbyte(s"cavS${k}_${t}_${mb}_${blk}_$j") % 2 == 1
+          c(15 - 2 * j) = if (neg) -mag else mag
+        }
+        c
+      }
+      val startCode = Array[Byte](0, 0, 0, 1)
+      val slices = (0 until n).map { t =>
+        val cbps = Vector.tabulate(4) { mb =>
+          (hexbyte(s"cavL${k}_${t}_$mb") % 16) |
+            ((hexbyte(s"cavC${k}_${t}_$mb") % 3) << 4)
+        }
+        val qpds = Vector.tabulate(4)(mb =>
+          if (cbps(mb) != 0) hexbyte(s"cavQ${k}_${t}_$mb") % 5 - 2
+          else 0)
+        val luma = Vector.tabulate(4)(mb => Vector.tabulate(16)(blk =>
+          if ((cbps(mb) & (1 << (blk / 4))) != 0) lumaBlk(t, mb, blk)
+          else Array.empty[Int]))
+        val cdc = Vector.tabulate(4)(mb =>
+          if ((cbps(mb) >> 4) != 0) Vector.tabulate(2)(comp => Array(
+            1 + hexbyte(s"cavDa${k}_${t}_${mb}_$comp") % 3, 0,
+            -(1 + hexbyte(s"cavDb${k}_${t}_${mb}_$comp") % 2), 0))
+          else Vector(Array.empty[Int], Array.empty[Int]))
+        val cac = Vector.tabulate(4)(mb =>
+          if ((cbps(mb) >> 4) == 2) Vector.tabulate(2)(comp =>
+            Vector.tabulate(4) { blk =>
+              val c = new Array[Int](15)
+              c(blk) = 2 + hexbyte(s"cavAa${k}_${t}_${mb}_${comp}_$blk") % 3
+              c(blk + 4) =
+                -1 - hexbyte(s"cavAb${k}_${t}_${mb}_${comp}_$blk") % 2
+              c
+            })
+          else Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+        H264.writeIntraCodedSlice(0, sps, pps,
+          Vector.fill(4)(Array.fill(16)(2)), Vector.fill(4)(1),
+          cbps, qpds, luma, cdc, cac, idrPicId = t)
+      }
+      val annexB = (Seq(spsNal, ppsNal) ++ slices)
+        .flatMap(nal => startCode ++ nal).toArray
+      val nals = H264.splitAnnexB(annexB)
+      require(nals.length == n + 2, s"container $k: NAL count drift")
+      nals.drop(2).iterator.zipWithIndex.flatMap { case (nal, t) =>
+        val (info, mbs) = H264.parseIntraCodedSlice(nal, sps, pps)
+        require(info.idr && info.idrPicId == t,
+          s"container $k slice $t: header drift")
+        mbs.zipWithIndex.iterator.map { case (m, mb) =>
+          m.luma.zipWithIndex.foreach { case (c, blk) =>
+            val want =
+              if ((m.intra.cbp & (1 << (blk / 4))) != 0) lumaBlk(t, mb, blk)
+              else Array.empty[Int]
+            require(c.toSeq == want.toSeq,
+              s"container $k slice $t MB $mb blk $blk: CAVLC drift")
+          }
+          val codedBlks = m.luma.zipWithIndex.filter(_._1.nonEmpty)
+          val stats = codedBlks.map(b => graft.sources.H264.Cavlc.stats(b._1))
+          (k, t.toLong, mb.toLong, m.intra.cbp.toLong, m.qpDelta.toLong,
+            stats.map(_._1.toLong).sum, stats.map(_._2.toLong).sum,
+            stats.map(_._3.toLong).sum,
+            codedBlks.map(_._1.map(_.toLong).sum).sum,
+            codedBlks.map(_._1.zipWithIndex
+              .map { case (v, p) => v.toLong * p }.sum).sum,
+            codedBlks.map(b => m.ncLuma(b._2).toLong).sum,
+            m.chromaDc.map(_.map(_.toLong).sum).sum,
+            m.chromaAc.map(_.map(_.map(_.toLong).sum).sum).sum)
+        }
+      }
+    }
+  }
+
+  private def m62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264CavlcKernel.rows(k, it.size))
+      .toDF("container", "t", "mb", "cbp", "qp_delta", "tc_sum",
+        "t1_sum", "tz_sum", "level_sum", "pos_sum", "nc_sum",
+        "cdc_sum", "cac_sum")
+      .orderBy(col("container"), col("t"), col("mb"))
+  }
+
+  private val m62Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mbs AS (SELECT container, t, m.mb,
+      |    CAST(concat('0x', substr(md5('cavL' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 16 AS cbpl,
+      |    CAST(concat('0x', substr(md5('cavC' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 3 AS cbpc
+      |  FROM frames, (SELECT unnest(range(4)) AS mb) m),
+      |-- per-4x4 block: coded gate, TotalCoeff/TrailingOnes draws,
+      |-- §6.4.3 z-order position
+      |blocks AS (SELECT b.container, b.t, b.mb, b.cbpl, b.cbpc, i.blk,
+      |    2 * ((i.blk // 4) % 2) + (i.blk % 4) % 2 AS bx,
+      |    2 * ((i.blk // 4) // 2) + (i.blk % 4) // 2 AS gy,
+      |    ((b.cbpl >> (i.blk // 4)) & 1) = 1 AS coded,
+      |    1 + CAST(concat('0x', substr(md5('cavT' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 6
+      |      AS tc,
+      |    least(CAST(concat('0x', substr(md5('cavT' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 6,
+      |      CAST(concat('0x', substr(md5('cav1' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 4)
+      |      AS t1n
+      |  FROM mbs b, (SELECT unnest(range(16)) AS blk) i),
+      |-- §9.2.1 nC: left/above 4x4 TotalCoeff (0 when uncoded), NULL
+      |-- outside the frame (2x2 MB grid)
+      |nc AS (SELECT bl.*,
+      |    CASE WHEN la.container IS NULL AND ab.container IS NULL THEN 0
+      |      WHEN la.container IS NULL
+      |        THEN (CASE WHEN ab.coded THEN ab.tc ELSE 0 END)
+      |      WHEN ab.container IS NULL
+      |        THEN (CASE WHEN la.coded THEN la.tc ELSE 0 END)
+      |      ELSE ((CASE WHEN la.coded THEN la.tc ELSE 0 END)
+      |        + (CASE WHEN ab.coded THEN ab.tc ELSE 0 END) + 1) // 2
+      |    END AS ncv
+      |  FROM blocks bl
+      |  LEFT JOIN blocks la ON la.container = bl.container
+      |    AND la.t = bl.t AND la.gy = bl.gy
+      |    AND la.mb = (CASE WHEN bl.bx > 0 THEN bl.mb
+      |      WHEN bl.mb % 2 = 1 THEN bl.mb - 1 ELSE NULL END)
+      |    AND la.bx = (CASE WHEN bl.bx > 0 THEN bl.bx - 1 ELSE 3 END)
+      |  LEFT JOIN blocks ab ON ab.container = bl.container
+      |    AND ab.t = bl.t AND ab.bx = bl.bx
+      |    AND ab.mb = (CASE WHEN bl.gy > 0 THEN bl.mb
+      |      WHEN bl.mb >= 2 THEN bl.mb - 2 ELSE NULL END)
+      |    AND ab.gy = (CASE WHEN bl.gy > 0 THEN bl.gy - 1 ELSE 3 END)),
+      |-- coefficient draws: position 15 − 2j, trailing ones then
+      |-- 2..5 magnitudes, md5 signs
+      |coefs AS (SELECT b.container, b.t, b.mb, b.blk, j.j,
+      |    (CASE WHEN j.j < b.t1n THEN 1
+      |      ELSE 2 + CAST(concat('0x', substr(md5('cavM' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || b.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 4 END)
+      |    * (CASE WHEN CAST(concat('0x', substr(md5('cavS' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || b.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 2 = 1 THEN -1 ELSE 1 END) AS v,
+      |    15 - 2 * j.j AS pos
+      |  FROM blocks b, (SELECT unnest(range(6)) AS j) j
+      |  WHERE b.coded AND j.j < b.tc),
+      |lsum AS (SELECT container, t, mb,
+      |    sum(v) AS level_sum, sum(v * pos) AS pos_sum
+      |  FROM coefs GROUP BY 1, 2, 3),
+      |bsum AS (SELECT container, t, mb,
+      |    sum(CASE WHEN coded THEN tc ELSE 0 END) AS tc_sum,
+      |    sum(CASE WHEN coded THEN t1n ELSE 0 END) AS t1_sum,
+      |    sum(CASE WHEN coded THEN 16 - tc ELSE 0 END) AS tz_sum,
+      |    sum(CASE WHEN coded THEN ncv ELSE 0 END) AS nc_sum
+      |  FROM nc GROUP BY 1, 2, 3),
+      |cdc AS (SELECT m.container, m.t, m.mb,
+      |    CASE WHEN m.cbpc != 0 THEN sum(
+      |      1 + CAST(concat('0x', substr(md5('cavDa' || m.container || '_'
+      |        || m.t || '_' || m.mb || '_' || c.comp), 1, 2)) AS BIGINT) % 3
+      |      - 1 - CAST(concat('0x', substr(md5('cavDb' || m.container
+      |        || '_' || m.t || '_' || m.mb || '_' || c.comp), 1, 2))
+      |        AS BIGINT) % 2) ELSE 0 END AS cdc_sum
+      |  FROM mbs m, (SELECT unnest(range(2)) AS comp) c
+      |  GROUP BY 1, 2, 3, m.cbpc),
+      |cac AS (SELECT m.container, m.t, m.mb,
+      |    CASE WHEN m.cbpc = 2 THEN sum(
+      |      2 + CAST(concat('0x', substr(md5('cavAa' || m.container || '_'
+      |        || m.t || '_' || m.mb || '_' || c.comp || '_' || b.blk),
+      |        1, 2)) AS BIGINT) % 3
+      |      - 1 - CAST(concat('0x', substr(md5('cavAb' || m.container
+      |        || '_' || m.t || '_' || m.mb || '_' || c.comp || '_'
+      |        || b.blk), 1, 2)) AS BIGINT) % 2) ELSE 0 END AS cac_sum
+      |  FROM mbs m, (SELECT unnest(range(2)) AS comp) c,
+      |    (SELECT unnest(range(4)) AS blk) b
+      |  GROUP BY 1, 2, 3, m.cbpc)
+      |SELECT m.container, CAST(m.t AS BIGINT) AS t,
+      |  CAST(m.mb AS BIGINT) AS mb,
+      |  CAST(m.cbpl | (m.cbpc << 4) AS BIGINT) AS cbp,
+      |  CAST(CASE WHEN m.cbpl | (m.cbpc << 4) != 0
+      |    THEN CAST(concat('0x', substr(md5('cavQ' || m.container || '_'
+      |      || m.t || '_' || m.mb), 1, 2)) AS BIGINT) % 5 - 2
+      |    ELSE 0 END AS BIGINT) AS qp_delta,
+      |  CAST(b.tc_sum AS BIGINT) AS tc_sum,
+      |  CAST(b.t1_sum AS BIGINT) AS t1_sum,
+      |  CAST(b.tz_sum AS BIGINT) AS tz_sum,
+      |  CAST(coalesce(l.level_sum, 0) AS BIGINT) AS level_sum,
+      |  CAST(coalesce(l.pos_sum, 0) AS BIGINT) AS pos_sum,
+      |  CAST(b.nc_sum AS BIGINT) AS nc_sum,
+      |  CAST(cdc.cdc_sum AS BIGINT) AS cdc_sum,
+      |  CAST(cac.cac_sum AS BIGINT) AS cac_sum
+      |FROM mbs m
+      |JOIN bsum b ON b.container = m.container AND b.t = m.t
+      |  AND b.mb = m.mb
+      |LEFT JOIN lsum l ON l.container = m.container AND l.t = m.t
+      |  AND l.mb = m.mb
+      |JOIN cdc ON cdc.container = m.container AND cdc.t = m.t
+      |  AND cdc.mb = m.mb
+      |JOIN cac ON cac.container = m.container AND cac.t = m.t
+      |  AND cac.mb = m.mb
+      |ORDER BY m.container, m.t, m.mb""".stripMargin
+
   /** m47: MIXED KEY+INTER VP8 STREAM IN WEBM, DECODED END-TO-END — the
     * exact artifact a reference user holds (vp8-in-webm with one
     * keyframe and delta frames, tests/media/test_containers.py:25):
@@ -5107,6 +5343,7 @@ object ContainerQueries {
     Q("m59_vp8_temporal_segments", m59, Some(m59Sql)),
     Q("m60_vp8_intra_refresh", m60, Some(m60Sql)),
     Q("m61_vp8_display_crop", m61, Some(m61Sql)),
+    Q("m62_h264_cavlc", m62, Some(m62Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

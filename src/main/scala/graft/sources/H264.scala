@@ -600,6 +600,401 @@ object H264 {
     (info, out.result())
   }
 
+  // ---- CAVLC residual blocks (§9.2) -------------------------------------------
+
+  /** §8.5.6 / Table 8-13 4x4 zig-zag scan: scan position → raster
+    * index within the block. */
+  val ZigZag4x4: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** CAVLC residual-block codec (§9.2) at the STRUCTURE level. What
+    * is implemented EXACTLY from normative text:
+    *  - trailing_ones_sign_flag bits (§9.2.2), one per trailing ±1
+    *    (up to 3, scanned from the highest frequency down);
+    *  - the §9.2.2.1 level_prefix unary code (zeros then a one) and
+    *    the WHOLE §9.2.2.2 level machinery: suffixLength starting at
+    *    1 when TotalCoeff > 10 && TrailingOnes < 3 else 0, the
+    *    prefix-14 (4-bit) and prefix-15 (12-bit) suffix escapes with
+    *    the +15 adjustment at suffixLength 0, the +2 shift on the
+    *    first level when TrailingOnes < 3, the even/odd sign mapping,
+    *    and the |level| > 3·2^(suffixLength−1) adaptation ladder
+    *    capped at 6;
+    *  - the §9.2.3/§9.2.4 zero-run placement: total_zeros bounded by
+    *    maxNumCoeff − TotalCoeff, run_before per coefficient while
+    *    zerosLeft > 0, the last coefficient absorbing the rest;
+    *  - the §9.2.1 nC CONTEXT derivation (callers compute it via
+    *    [[lumaNc]]): nA/nB = TotalCoeff of the left/above 4x4 block,
+    *    (nA + nB + 1) >> 1 when both available, the single available
+    *    one else, 0 at frame corners; −1 selects the chroma-DC table.
+    *
+    * Seams (codeWORD tables are appendix-class data): coeff_token
+    * uses Table 9-5's REAL nC ≥ 8 fixed-length column for every nC —
+    * 6 bits, (TotalCoeff−1)·4 + TrailingOnes, with 3 marking (0,0) —
+    * so the field is spec-exact in the nC ≥ 8 regime and a stand-in
+    * elsewhere (the nC VALUE still rides the §9.2.1 derivation and is
+    * oracle-pinned); total_zeros is a 4-bit field; run_before a
+    * 4-bit field (real tables: 9-7/9-8 and 9-10). */
+  object Cavlc {
+
+    /** (TotalCoeff, TrailingOnes, totalZeros) of a scan-space block. */
+    def stats(coeff: Array[Int]): (Int, Int, Int) = {
+      val last = coeff.lastIndexWhere(_ != 0)
+      if (last < 0) (0, 0, 0)
+      else {
+        val nz = coeff.count(_ != 0)
+        var t1 = 0
+        var k = last
+        while (k >= 0 && t1 < 3 && math.abs(coeff(k)) == 1) {
+          t1 += 1
+          k -= 1
+          while (k >= 0 && coeff(k) == 0) k -= 1
+        }
+        (nz, t1, last + 1 - nz)
+      }
+    }
+
+    /** Encode one residual block; `coeff` is scan-space (zig-zag
+      * applied by the caller), length = maxNumCoeff. The nC argument
+      * is accepted for interface fidelity (the real coeff_token
+      * table switches on it). */
+    def writeBlock(w: BitW, coeff: Array[Int], nC: Int): Unit = {
+      val (tc, t1, tz) = stats(coeff)
+      require(tc <= coeff.length, "h264: TotalCoeff overflow")
+      // coeff_token: the nC ≥ 8 FLC of Table 9-5 as the all-nC seam
+      w.u((if (tc == 0) 3L else ((tc - 1) << 2 | t1).toLong), 6)
+      if (tc == 0) return
+      // levels, highest frequency first
+      val nzPos = coeff.indices.filter(coeff(_) != 0).reverse
+      nzPos.take(t1).foreach(p =>
+        w.u(if (coeff(p) < 0) 1L else 0L, 1))
+      var suffixLength = if (tc > 10 && t1 < 3) 1 else 0
+      nzPos.drop(t1).zipWithIndex.foreach { case (p, i) =>
+        val level = coeff(p)
+        var levelCode =
+          if (level > 0) 2 * level - 2 else -2 * level - 1
+        if (i == 0 && t1 < 3) levelCode -= 2
+        require(levelCode >= 0, s"h264: level $level out of range")
+        if (suffixLength == 0) {
+          if (levelCode < 14) { w.u(0L, levelCode); w.u(1L, 1) }
+          else if (levelCode < 30) {
+            w.u(0L, 14); w.u(1L, 1)
+            w.u((levelCode - 14).toLong, 4)
+          } else {
+            require(levelCode - 30 < 4096,
+              s"h264: levelCode $levelCode beyond the prefix-15 escape")
+            w.u(0L, 15); w.u(1L, 1)
+            w.u((levelCode - 30).toLong, 12)
+          }
+        } else {
+          val prefix = levelCode >> suffixLength
+          if (prefix < 15) {
+            w.u(0L, prefix); w.u(1L, 1)
+            w.u((levelCode & ((1 << suffixLength) - 1)).toLong,
+              suffixLength)
+          } else {
+            val rest = levelCode - (15 << suffixLength)
+            require(rest < 4096,
+              s"h264: levelCode $levelCode beyond the prefix-15 escape")
+            w.u(0L, 15); w.u(1L, 1)
+            w.u(rest.toLong, 12)
+          }
+        }
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(level) > (3 << (suffixLength - 1)) &&
+          suffixLength < 6) suffixLength += 1
+      }
+      // total_zeros (4-bit seam), bounded by maxNumCoeff − TotalCoeff
+      if (tc < coeff.length) {
+        require(tz < 16, s"h264: total_zeros $tz beyond the 4-bit seam")
+        w.u(tz.toLong, 4)
+      }
+      // run_before per coefficient (highest first) while zeros remain
+      var zerosLeft = tz
+      nzPos.init.foreach { p =>
+        if (zerosLeft > 0) {
+          val below = nzPos(nzPos.indexOf(p) + 1)
+          val run = p - below - 1
+          require(run <= zerosLeft && run < 16,
+            s"h264: run_before $run with $zerosLeft zeros left")
+          w.u(run.toLong, 4)
+          zerosLeft -= run
+        }
+      }
+    }
+
+    /** Decode one residual block into scan space (§9.2.2–§9.2.4). */
+    def readBlock(r: BitR, nC: Int, maxNumCoeff: Int): Array[Int] = {
+      val token = r.u(6).toInt
+      val (tc, t1) =
+        if (token == 3) (0, 0) else ((token >> 2) + 1, token & 3)
+      require(t1 <= tc && t1 <= 3 && tc <= maxNumCoeff,
+        s"h264: coeff_token ($tc, $t1) beyond $maxNumCoeff coefficients")
+      val coeff = new Array[Int](maxNumCoeff)
+      if (tc == 0) return coeff
+      val levels = new Array[Int](tc)
+      (0 until t1).foreach(i =>
+        levels(i) = if (r.u(1) == 1L) -1 else 1)
+      var suffixLength = if (tc > 10 && t1 < 3) 1 else 0
+      (t1 until tc).foreach { i =>
+        var prefix = 0
+        while (r.u(1) == 0L) {
+          prefix += 1
+          require(prefix <= 15,
+            "h264: level_prefix beyond 15 (deep escape unsupported)")
+        }
+        val suffixSize =
+          if (prefix == 14 && suffixLength == 0) 4
+          else if (prefix >= 15) 12
+          else suffixLength
+        var levelCode = (math.min(15, prefix) << suffixLength) +
+          (if (suffixSize > 0) r.u(suffixSize).toInt else 0)
+        if (prefix >= 15 && suffixLength == 0) levelCode += 15
+        if (i == t1 && t1 < 3) levelCode += 2
+        levels(i) =
+          if (levelCode % 2 == 0) (levelCode + 2) >> 1
+          else -((levelCode + 1) >> 1)
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(levels(i)) > (3 << (suffixLength - 1)) &&
+          suffixLength < 6) suffixLength += 1
+      }
+      val tz = if (tc < maxNumCoeff) r.u(4).toInt else 0
+      require(tz <= maxNumCoeff - tc,
+        s"h264: total_zeros $tz with $tc coefficients")
+      var zerosLeft = tz
+      var pos = tc + tz - 1
+      (0 until tc).foreach { i =>
+        require(pos >= 0, "h264: run placement underflow")
+        coeff(pos) = levels(i)
+        if (i < tc - 1) {
+          val run = if (zerosLeft > 0) {
+            val rb = r.u(4).toInt
+            require(rb <= zerosLeft,
+              s"h264: run_before $rb with $zerosLeft zeros left")
+            rb
+          } else 0
+          zerosLeft -= run
+          pos -= 1 + run
+        }
+      }
+      coeff
+    }
+  }
+
+  /** §9.2.1 nC over a per-block TotalCoeff grid: `tcAt(r, c, x, y)`
+    * returns the coeff count of block (x, y) of MB (r, c), 0 for
+    * uncoded blocks; availability ends at the frame edge. */
+  private[graft] def lumaNc(tcAt: (Int, Int, Int, Int) => Int,
+      blocksPerRow: Int, mr: Int, mc: Int, bx: Int, by: Int,
+      mbCols: Int, mbRows: Int): Int = {
+    val bpr = blocksPerRow
+    def at(gr: Int, gc: Int, x: Int, y: Int): Option[Int] =
+      if (gr < 0 || gc < 0 || gr >= mbRows || gc >= mbCols) None
+      else Some(tcAt(gr, gc, x, y))
+    val nA = if (bx > 0) at(mr, mc, bx - 1, by)
+      else at(mr, mc - 1, bpr - 1, by)
+    val nB = if (by > 0) at(mr, mc, bx, by - 1)
+      else at(mr - 1, mc, bx, bpr - 1)
+    (nA, nB) match {
+      case (Some(a), Some(b)) => (a + b + 1) >> 1
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => 0
+    }
+  }
+
+  /** One parsed Intra_4x4 + CAVLC-residual macroblock: prediction
+    * layer (m57's) plus the residual — per-4x4 luma coefficient
+    * blocks in scan space (empty for uncoded), chroma DC (4 coeffs
+    * per component), chroma AC (15 coeffs per block, blocks 0–3 per
+    * component; empty unless cbpChroma = 2), the decoded
+    * mb_qp_delta, and the per-block nC values the §9.2.1 derivation
+    * produced. */
+  final case class CodedMb(intra: IntraMb, qpDelta: Int,
+      luma: Vector[Array[Int]], ncLuma: Vector[Int],
+      chromaDc: Vector[Array[Int]], chromaAc: Vector[Vector[Array[Int]]])
+
+  /** Write a conformant-structure Intra_4x4 I slice WITH residuals
+    * (§7.3.5 + §7.4.5 + §9.2): mode layer as [[writeIntraModeSlice]],
+    * then coded_block_pattern me(v) from the caller's CBP, mb_qp_delta
+    * when CBP ≠ 0, and the §7.3.5.3 residual walk — luma 4x4 blocks
+    * in 8x8-quad order for set cbpLuma bits, chroma DC for both
+    * components when cbpChroma ≠ 0 (nC = −1), chroma AC ×4 per
+    * component when cbpChroma = 2. `lumaCoeff(mb)(blk)`: scan-space,
+    * length 16, empty for blocks whose quad bit is clear. */
+  def writeIntraCodedSlice(frameNum: Int, sps: Sps, pps: Pps,
+      modes: Vector[Array[Int]], chromaModes: Vector[Int],
+      cbps: Vector[Int], qpDeltas: Vector[Int],
+      lumaCoeff: Vector[Vector[Array[Int]]],
+      chromaDc: Vector[Vector[Array[Int]]],
+      chromaAc: Vector[Vector[Vector[Array[Int]]]],
+      idrPicId: Int = 0): Array[Byte] = {
+    require(!pps.cabac, "h264: CABAC slice writing unsupported")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val nMb = mbCols * mbRows
+    require(modes.length == nMb && chromaModes.length == nMb &&
+      cbps.length == nMb && qpDeltas.length == nMb &&
+      lumaCoeff.length == nMb && chromaDc.length == nMb &&
+      chromaAc.length == nMb, "h264: per-MB shapes")
+    require(cbps.forall(c => c >= 0 && c < 48 && (c >> 4) <= 2),
+      "h264: CBP is cbpLuma | cbpChroma<<4, cbpChroma ≤ 2")
+    val w = new BitW
+    w.ue(0); w.ue(7); w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    w.ue(idrPicId.toLong)
+    if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
+    w.u(0L, 1); w.u(0L, 1)
+    w.se(0) // slice_qp_delta
+    val grid = Array.fill(nMb)(new Array[Int](16))
+    // TotalCoeff grids for the nC derivation
+    val tcLuma = Array.fill(nMb)(new Array[Int](16))
+    val tcCa = Array.fill(2, nMb)(new Array[Int](4))
+    var mb = 0
+    while (mb < nMb) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      w.ue(0) // mb_type Intra_4x4
+      var idx = 0
+      while (idx < 16) {
+        val want = modes(mb)(idx)
+        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx)
+        if (want == pred) w.u(1L, 1)
+        else { w.u(0L, 1); w.u((if (want < pred) want else want - 1).toLong, 3) }
+        grid(mb)(idx) = want
+        idx += 1
+      }
+      w.ue(chromaModes(mb).toLong)
+      val cbp = cbps(mb)
+      w.ue(CbpIntraMap.indexOf(cbp).toLong)
+      if (cbp != 0) {
+        w.se(qpDeltas(mb).toLong) // mb_qp_delta [§7.3.5]
+        // luma residual: 8x8 quads, 4x4 blocks inside [§7.3.5.3]
+        (0 until 4).foreach { q =>
+          if ((cbp & (1 << q)) != 0) (0 until 4).foreach { sub =>
+            val blk = q * 4 + sub
+            val coeff = lumaCoeff(mb)(blk)
+            require(coeff.length == 16, s"h264: luma block $blk shape")
+            val (bx, by) = blk4x4Pos(blk)
+            val nc = lumaNc((r2, c2, x, y) =>
+              tcLuma(r2 * mbCols + c2)(y * 4 + x),
+              4, mr, mc, bx, by, mbCols, mbRows)
+            Cavlc.writeBlock(w, coeff, nc)
+            tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
+          } else (0 until 4).foreach { sub =>
+            val blk = q * 4 + sub
+            require(lumaCoeff(mb)(blk).isEmpty,
+              s"h264: coefficients on an uncoded quad at blk $blk")
+          }
+        }
+        val cbpChroma = cbp >> 4
+        if (cbpChroma != 0) (0 until 2).foreach { comp =>
+          val dc = chromaDc(mb)(comp)
+          require(dc.length == 4, "h264: chroma DC is 4 coefficients")
+          Cavlc.writeBlock(w, dc, -1) // §9.2.1: nC = −1 (4:2:0 DC)
+        }
+        if (cbpChroma == 2) (0 until 2).foreach { comp =>
+          (0 until 4).foreach { blk =>
+            val ac = chromaAc(mb)(comp)(blk)
+            require(ac.length == 15, "h264: chroma AC is 15 coefficients")
+            val nc = lumaNc((r2, c2, x, y) =>
+              tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
+              2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+            Cavlc.writeBlock(w, ac, nc)
+            tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1
+          }
+        }
+      } else {
+        require(lumaCoeff(mb).forall(_.isEmpty) &&
+          chromaDc(mb).forall(_.isEmpty),
+          "h264: coefficients with CBP 0")
+      }
+      mb += 1
+    }
+    w.stop()
+    nal(3, NalIdr, w.toRbsp)
+  }
+
+  /** Parse an Intra_4x4 + residual slice back ([[CodedMb]] per MB).
+    * The §9.2.1 nC each block decoded under is returned so callers
+    * can pin the context derivation. */
+  def parseIntraCodedSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+      : (SliceInfo, Vector[CodedMb]) = {
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice || nt == NalIdr,
+      s"h264: NAL $nt is not a coded slice")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val nMb = mbCols * mbRows
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+    require(info.isI,
+      s"h264: intra decode on slice_type ${info.sliceType}")
+    val grid = Array.fill(nMb)(new Array[Int](16))
+    val tcLuma = Array.fill(nMb)(new Array[Int](16))
+    val tcCa = Array.fill(2, nMb)(new Array[Int](4))
+    val out = Vector.newBuilder[CodedMb]
+    var mb = 0
+    while (mb < nMb) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      val mbType = r.ue().toInt
+      require(mbType == 0,
+        s"h264: mb_type $mbType at MB $mb — Intra_4x4 only")
+      var prev = 0
+      var idx = 0
+      while (idx < 16) {
+        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx)
+        val mode =
+          if (r.u(1) == 1L) { prev += 1; pred }
+          else { val rem = r.u(3).toInt; if (rem < pred) rem else rem + 1 }
+        grid(mb)(idx) = mode
+        idx += 1
+      }
+      val chroma = r.ue().toInt
+      require(chroma <= 3, s"h264: intra_chroma_pred_mode $chroma")
+      val cbpCode = r.ue().toInt
+      require(cbpCode < 48, s"h264: CBP codeNum $cbpCode")
+      val cbp = CbpIntraMap(cbpCode)
+      require((cbp >> 4) <= 2, s"h264: cbpChroma ${cbp >> 4}")
+      var qpd = 0
+      val luma = Array.fill(16)(Array.empty[Int])
+      val ncL = new Array[Int](16)
+      val cdc = Vector.newBuilder[Array[Int]]
+      val cac = Array.fill(2, 4)(Array.empty[Int])
+      if (cbp != 0) {
+        qpd = r.se().toInt
+        (0 until 4).foreach { q =>
+          if ((cbp & (1 << q)) != 0) (0 until 4).foreach { sub =>
+            val blk = q * 4 + sub
+            val (bx, by) = blk4x4Pos(blk)
+            val nc = lumaNc((r2, c2, x, y) =>
+              tcLuma(r2 * mbCols + c2)(y * 4 + x),
+              4, mr, mc, bx, by, mbCols, mbRows)
+            val coeff = Cavlc.readBlock(r, nc, 16)
+            luma(blk) = coeff
+            ncL(blk) = nc
+            tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
+          }
+        }
+        val cbpChroma = cbp >> 4
+        if (cbpChroma != 0) (0 until 2).foreach(_ =>
+          cdc += Cavlc.readBlock(r, -1, 4))
+        if (cbpChroma == 2) (0 until 2).foreach { comp =>
+          (0 until 4).foreach { blk =>
+            val nc = lumaNc((r2, c2, x, y) =>
+              tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
+              2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+            val ac = Cavlc.readBlock(r, nc, 15)
+            cac(comp)(blk) = ac
+            tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1
+          }
+        }
+      }
+      out += CodedMb(IntraMb(grid(mb).clone(), prev, chroma, cbp),
+        qpd, luma.toVector, ncL.toVector, cdc.result(),
+        cac.map(_.toVector).toVector)
+      mb += 1
+    }
+    require(r.u(1) == 1, "h264: missing rbsp_stop_one_bit after slice data")
+    (info, out.result())
+  }
+
   // ---- stream splitting -------------------------------------------------------
 
   /** Split an Annex-B byte stream on 3- or 4-byte start codes.

@@ -290,4 +290,160 @@ class H264Spec extends AnyFunSuite {
         Vector.fill(4)(Array.fill(16)(9)), Vector.fill(4)(0))
     }
   }
+
+  test("CAVLC residual block [§9.2]: stats, the exact level machinery " +
+      "(prefix escapes, suffixLength ladder, first-level +2), zero-run " +
+      "placement, and round-trips across coefficient shapes") {
+    import graft.sources.H264.Cavlc
+    def rt(coeff: Array[Int], nC: Int = 0,
+        maxN: Int = 16): Array[Int] = {
+      val w = new H264.BitW
+      Cavlc.writeBlock(w, coeff, nC)
+      w.stop()
+      val r = new H264.BitR(w.toRbsp)
+      Cavlc.readBlock(r, nC, maxN)
+    }
+    // stats: trailing ones cap at 3, zeros between them don't break
+    assert(Cavlc.stats(Array(2, 0, 1, 0, -1, 1, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0)) == ((4, 3, 2)))
+    assert(Cavlc.stats(Array.fill(16)(0)) == ((0, 0, 0)))
+    assert(Cavlc.stats(Array(1, 1, 1, 1) ++ Array.fill(12)(0)) ==
+      ((4, 3, 0)))
+    // round trips
+    val shapes = Seq(
+      Array.fill(16)(0),                                  // empty
+      Array(5) ++ Array.fill(15)(0),                      // single
+      Array(3, 0, -2, 0, 1, 0, -1, 1) ++ Array.fill(8)(0), // runs + T1s
+      Array.tabulate(16)(k => (k % 3) - 1),               // dense ±1
+      Array(900, -400, 64, 3, 1, -1) ++ Array.fill(10)(0), // escapes
+      Array.tabulate(16)(k => k + 2),                     // full, adapting
+      Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 7)) // tz = 15
+    shapes.foreach { c =>
+      assert(rt(c).toSeq == c.toSeq, s"luma ${c.mkString(",")}")
+    }
+    // chroma DC (4 coeffs, nC = −1) and chroma AC (15)
+    assert(rt(Array(0, 2, -1, 0), nC = -1, maxN = 4).toSeq ==
+      Seq(0, 2, -1, 0))
+    assert(rt(Array.tabulate(15)(k => if (k % 4 == 0) -2 else 0),
+      maxN = 15).toSeq.count(_ != 0) == 4)
+    // suffixLength starts at 1 for TotalCoeff > 10 (dense block above
+    // exercised it); deep escape is loud
+    intercept[IllegalArgumentException] {
+      rt(Array(100000) ++ Array.fill(15)(0))
+    }
+    // zig-zag is the normative Table 8-13 permutation
+    assert(H264.ZigZag4x4.sorted.toSeq == (0 until 16))
+    assert(H264.ZigZag4x4(1) == 1 && H264.ZigZag4x4(2) == 4 &&
+      H264.ZigZag4x4(15) == 15)
+  }
+
+  test("nC derivation [§9.2.1]: corners give 0, edges take the single " +
+      "available neighbor, interior averages with rounding") {
+    val tc = Array.tabulate(2, 2)((r, c) =>
+      Array.tabulate(16)(i => r * 16 + c * 4 + i % 4))
+    def at(r: Int, c: Int, x: Int, y: Int): Int = tc(r)(c)(y * 4 + x)
+    // top-left block of MB (0,0): no neighbors
+    assert(H264.lumaNc(at, 4, 0, 0, 0, 0, 2, 2) == 0)
+    // top edge, interior x: left available only
+    assert(H264.lumaNc(at, 4, 0, 0, 1, 0, 2, 2) == at(0, 0, 0, 0))
+    // left edge: above available only
+    assert(H264.lumaNc(at, 4, 0, 0, 0, 1, 2, 2) == at(0, 0, 0, 0))
+    // interior: (nA + nB + 1) >> 1
+    assert(H264.lumaNc(at, 4, 0, 0, 1, 1, 2, 2) ==
+      (at(0, 0, 0, 1) + at(0, 0, 1, 0) + 1) >> 1)
+    // MB boundary: block (0, y) of MB (0,1) reads MB (0,0)'s column 3
+    assert(H264.lumaNc(at, 4, 0, 1, 0, 2, 2, 2) ==
+      (at(0, 0, 3, 2) + at(0, 1, 0, 1) + 1) >> 1)
+  }
+
+  test("Intra_4x4 + CAVLC residual slice [§7.3.5/§9.2]: CBP routes " +
+      "quads, mb_qp_delta rides CBP != 0, chroma DC/AC follow " +
+      "cbpChroma, and everything round-trips with the nC contexts") {
+    val sps = H264.parseSps(H264.writeSps(32, 32))
+    val pps = H264.parsePps(H264.writePps())
+    val nMb = 4
+    def lumaBlk(mb: Int, blk: Int): Array[Int] = {
+      val c = new Array[Int](16)
+      val tcN = 1 + (mb * 7 + blk * 3) % 6
+      (0 until tcN).foreach { j =>
+        val mag = if (j >= tcN - math.min(3, (mb + blk) % 4)) 1
+          else 2 + (mb + blk + j) % 4
+        c(2 * j) = if ((mb + blk + j) % 2 == 1) -mag else mag
+      }
+      c.reverse // highest-frequency-first draws → scan space
+    }
+    val cbps = Vector.tabulate(nMb)(mb => ((mb * 5 + 3) % 16) |
+      ((mb % 3) << 4))
+    val modes = Vector.fill(nMb)(Array.fill(16)(2))
+    val luma = Vector.tabulate(nMb)(mb => Vector.tabulate(16) { blk =>
+      if ((cbps(mb) & (1 << (blk / 4))) != 0) lumaBlk(mb, blk)
+      else Array.empty[Int]
+    })
+    val cdc = Vector.tabulate(nMb)(mb =>
+      if ((cbps(mb) >> 4) != 0) Vector.tabulate(2)(comp =>
+        Array(1 + (mb + comp) % 3, 0, -(1 + mb % 2), 0))
+      else Vector(Array.empty[Int], Array.empty[Int]))
+    val cac = Vector.tabulate(nMb)(mb =>
+      if ((cbps(mb) >> 4) == 2) Vector.tabulate(2)(comp =>
+        Vector.tabulate(4) { blk =>
+          val c = new Array[Int](15)
+          c(blk) = 2 + comp; c(blk + 4) = -1
+          c
+        })
+      else Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+    val qpd = Vector.tabulate(nMb)(mb =>
+      if (cbps(mb) != 0) (mb % 5) - 2 else 0)
+    val nal = H264.writeIntraCodedSlice(0, sps, pps, modes,
+      Vector.fill(nMb)(1), cbps, qpd, luma, cdc, cac)
+    val (info, mbs) = H264.parseIntraCodedSlice(nal, sps, pps)
+    assert(info.isI && mbs.length == nMb)
+    (0 until nMb).foreach { mb =>
+      assert(mbs(mb).intra.cbp == cbps(mb), s"mb $mb cbp")
+      assert(mbs(mb).qpDelta == qpd(mb), s"mb $mb qp delta")
+      (0 until 16).foreach { blk =>
+        assert(mbs(mb).luma(blk).toSeq == luma(mb)(blk).toSeq,
+          s"mb $mb luma blk $blk")
+      }
+      if ((cbps(mb) >> 4) != 0)
+        (0 until 2).foreach(c => assert(
+          mbs(mb).chromaDc(c).toSeq == cdc(mb)(c).toSeq, s"mb $mb dc"))
+      if ((cbps(mb) >> 4) == 2)
+        (0 until 2).foreach(c => (0 until 4).foreach(b => assert(
+          mbs(mb).chromaAc(c)(b).toSeq == cac(mb)(c)(b).toSeq)))
+      // nC of block 0 at the frame corner is 0; interior blocks of a
+      // fully-coded previous quad see nonzero contexts
+      if (mb == 0 && (cbps(0) & 1) != 0)
+        assert(mbs(0).ncLuma(0) == 0, "corner nC")
+    }
+    // the nC a block decodes under matches an independent §9.2.1
+    // replay over the parsed TotalCoeff grid
+    val tcGrid = Array.tabulate(nMb)(mb => Array.tabulate(16) { flat =>
+      val blk = (0 until 16).find { b =>
+        val (x, y) = H264.blk4x4Pos(b); y * 4 + x == flat
+      }.get
+      if (mbs(mb).luma(blk).isEmpty) 0
+      else H264.Cavlc.stats(mbs(mb).luma(blk))._1
+    })
+    (0 until nMb).foreach { mb =>
+      (0 until 16).foreach { blk =>
+        if (mbs(mb).luma(blk).nonEmpty) {
+          val (bx, by) = H264.blk4x4Pos(blk)
+          // replay with the FINAL grid zeroing blocks decoded later
+          // is intricate; spot-check MB 0's first quad instead
+          if (mb == 0 && blk == 3) {
+            val want = (tcGrid(0)(0 * 4 + 1) + tcGrid(0)(1 * 4 + 0) + 1) >> 1
+            assert(mbs(0).ncLuma(3) == want, "interior nC replay")
+          }
+        }
+      }
+    }
+    // loud: coefficients on an uncoded quad
+    intercept[IllegalArgumentException] {
+      H264.writeIntraCodedSlice(0, sps, pps, modes, Vector.fill(nMb)(1),
+        Vector.fill(nMb)(0), Vector.fill(nMb)(0),
+        Vector.fill(nMb)(Vector.fill(16)(Array(1) ++ Array.fill(15)(0))),
+        Vector.fill(nMb)(Vector.fill(2)(Array.empty[Int])),
+        Vector.fill(nMb)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
+    }
+  }
 }
