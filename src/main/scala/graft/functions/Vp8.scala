@@ -992,7 +992,11 @@ object Vp8 {
       lfDeltaEnabled: Boolean = false,
       lfDeltaUpdate: Option[LfDeltaUpdate] = None,
       refreshEntropy: Boolean = true,
-      coeffUpdates: Vector[CoeffUpdate] = Vector.empty) {
+      coeffUpdates: Vector[CoeffUpdate] = Vector.empty,
+      widthScale: Int = 0, heightScale: Int = 0) {
+    require(widthScale >= 0 && widthScale <= 3 &&
+      heightScale >= 0 && heightScale <= 3,
+      "vp8: §9.1 scale codes are 2 bits")
     require(sharpness >= 0 && sharpness <= 7, s"vp8: sharpness $sharpness")
     require(lfDeltaEnabled || lfDeltaUpdate.isEmpty,
       "vp8: lf-delta update without the enable flag")
@@ -1018,6 +1022,43 @@ object Vp8 {
     * dimensions up to whole macroblocks; the pad region decodes
     * normally (and feeds inter prediction) while display CROPS. */
   def pad16(v: Int): Int = (v + 15) / 16 * 16
+
+  /** §9.1 upscaling ratios named by the 2-bit scale codes: 0 → 1/1,
+    * 1 → 5/4, 2 → 5/3, 3 → 2/1. Scaling is a DISPLAY-time transform —
+    * reconstruction and all reference buffers stay at the coded
+    * dimensions (RFC 6386 §9.1). */
+  def scaleRatio(code: Int): (Int, Int) = code match {
+    case 0 => (1, 1)
+    case 1 => (5, 4)
+    case 2 => (5, 3)
+    case 3 => (2, 1)
+    case other =>
+      throw new IllegalArgumentException(s"vp8: scale code $other")
+  }
+
+  /** Display dimension under a scale code (ceil — the RFC names the
+    * ratios but not the rounding; documented stand-in). */
+  def upscaleDim(v: Int, code: Int): Int = {
+    val (n, d) = scaleRatio(code)
+    (v * n + d - 1) / d
+  }
+
+  /** Display upscaler for one plane: NEAREST-NEIGHBOR with source
+    * index ⌊out·den/num⌋ — the RFC does not specify the resample
+    * kernel (libvpx uses its own postproc filter), so the kernel is a
+    * documented stand-in while the RATIO TABLE and the display-time
+    * placement are the normative parts. */
+  def upscale(plane: Array[Int], w: Int, h: Int, wCode: Int,
+      vCode: Int): Array[Int] = {
+    require(plane.length == w * h, "vp8: plane shape")
+    val ow = upscaleDim(w, wCode); val oh = upscaleDim(h, vCode)
+    val (hn, hd) = scaleRatio(wCode)
+    val (vn, vd) = scaleRatio(vCode)
+    Array.tabulate(ow * oh) { i =>
+      val x = i % ow; val y = i / ow
+      plane((y * vd / vn) * w + (x * hd / hn))
+    }
+  }
 
   /** Crop a padded plane (stride `padW`) to its display window. */
   def crop(plane: Array[Int], padW: Int, w: Int, h: Int): Array[Int] =
@@ -1518,7 +1559,8 @@ object Vp8 {
       cx.segMap = f.mbs.map(_.segment).toArray
     if (savedEntropy != null) cx.entropy.restoreFrom(savedEntropy)
     graft.sources.Ivf.vp8Frame(keyframe = true, version = 0,
-      showFrame = true, f.width, f.height, part1) ++
+      showFrame = true, f.width, f.height, part1,
+      widthScale = f.widthScale, heightScale = f.heightScale) ++
       assemblePartitions(es.map(_.stop()).toSeq)
   }
 
@@ -1533,8 +1575,9 @@ object Vp8 {
     cx.entropy.resetTo(prof) // key frames reset the whole state [§9.7]
     val tag = graft.sources.Ivf.parseVp8Tag(payload)
     require(tag.keyframe, "vp8: not a keyframe (inter frames out of scope)")
-    require(tag.widthScale == 0 && tag.heightScale == 0,
-      "vp8: upscaling out of scope")
+    // §9.1 scale codes: display-time upscaling only — the coded and
+    // reference planes stay at the header dimensions; callers apply
+    // [[upscale]] with the tag's codes for presentation
     val dispW = tag.width; val dispH = tag.height
     // §9.1: internal reconstruction runs on the macroblock-padded
     // frame; the returned frame records the display dims

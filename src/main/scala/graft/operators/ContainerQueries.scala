@@ -3456,6 +3456,154 @@ object ContainerQueries {
       |  CAST(576 AS BIGINT) AS n_px
       |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** m63: VP8 DISPLAY UPSCALING (§9.1) — the last named header
+    * boundary: the keyframe's 2-bit horizontal/vertical scale codes
+    * (ratios 5/4, 5/3, 2/1) now round-trip through the uncompressed
+    * header and drive a DISPLAY-time upscale while reconstruction and
+    * every reference buffer stay at the coded dimensions (the RFC
+    * names the ratios and the display-time placement; the resample
+    * kernel is unspecified — nearest-neighbor stand-in,
+    * [[graft.functions.Vp8.upscale]]). Streams draw a scale pair per
+    * container; the m61-style uniform-MB ZEROMV chain gives closed-
+    * form plane values, so the oracle replays the upscaled sums as
+    * Σ rowCount(j)·colCount(c)·chainValue(j,c) with the counts from
+    * the ⌊out·den/num⌋ map, plus the ceil display dims and the
+    * constant chroma 2·128·⌈16n/d⌉². Scale: the m40 envelope. */
+  private[operators] object Vp8UpscaleKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long)] = {
+      import graft.functions.Vp8
+      import graft.sources.Ivf
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val ws = hexbyte(s"vp8uw$k") % 4
+      val hs = hexbyte(s"vp8uh$k") % 4
+      def draw(t: Int, j: Int, c: Int): Int =
+        hexbyte(s"vp8u${k}_${t}_${j}_${c}")
+      val keyMbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+        val y2 = new Array[Int](16); y2(0) = 1 + draw(0, j, c) % 100
+        Vp8.MbCoding(Vp8.VPred, Vp8.DcPred, y2,
+          Array.fill(16)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)),
+          Array.fill(4)(new Array[Int](16)))
+      }).toVector
+      val payloads = Vp8.encode(Vp8.KeyFrame(32, 32, 0, keyMbs,
+        widthScale = ws, heightScale = hs)) +:
+        (1 until n).map { t =>
+          val mbs = (for (j <- 0 until 2; c <- 0 until 2) yield {
+            val y2 = new Array[Int](16); y2(0) = draw(t, j, c) % 60
+            Vp8.InterMb(inter = true, Vp8.ZeroMv, Vp8.Mv(0, 0), 0, 0,
+              y2, Array.fill(16)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)),
+              Array.fill(4)(new Array[Int](16)))
+          }).toVector
+          Vp8.encodeInter(32, 32, Vp8.InterFrame(0, mbs))
+        }
+      val tag = Ivf.parseVp8Tag(payloads.head)
+      require(tag.widthScale == ws && tag.heightScale == hs,
+        s"container $k: scale codes drift through the header")
+      val st = Vp8.decodeStream(payloads)
+      st.iterator.zipWithIndex.map { case (f, t) =>
+        require(f.width == 32 && f.y.length == 32 * 32,
+          s"container $k frame $t: reconstruction must stay coded-size")
+        val upY = Vp8.upscale(f.y, 32, 32, ws, hs)
+        val upU = Vp8.upscale(f.u, 16, 16, ws, hs)
+        val upV = Vp8.upscale(f.v, 16, 16, ws, hs)
+        (k, t.toLong, ws.toLong, hs.toLong,
+          Vp8.upscaleDim(32, ws).toLong, Vp8.upscaleDim(32, hs).toLong,
+          upY.iterator.map(_.toLong).sum,
+          upU.iterator.map(_.toLong).sum +
+            upV.iterator.map(_.toLong).sum)
+      }
+    }
+  }
+
+  private def m63(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Vp8UpscaleKernel.rows(k, it.size))
+      .toDF("container", "t", "wscale", "hscale", "disp_w", "disp_h",
+        "up_luma_sum", "up_chroma_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m63Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |sc AS (SELECT container, n,
+      |    CAST(concat('0x', substr(md5('vp8uw' || container), 1, 2))
+      |      AS BIGINT) % 4 AS ws,
+      |    CAST(concat('0x', substr(md5('vp8uh' || container), 1, 2))
+      |      AS BIGINT) % 4 AS hs
+      |  FROM cnt),
+      |-- §9.1 ratio table num/den per code
+      |rat AS (SELECT *,
+      |    list_extract([1, 5, 5, 2], CAST(ws + 1 AS INT)) AS wn,
+      |    list_extract([1, 4, 3, 1], CAST(ws + 1 AS INT)) AS wd,
+      |    list_extract([1, 5, 5, 2], CAST(hs + 1 AS INT)) AS hn,
+      |    list_extract([1, 4, 3, 1], CAST(hs + 1 AS INT)) AS hd
+      |  FROM sc),
+      |dims AS (SELECT *,
+      |    (32 * wn + wd - 1) // wd AS ow,
+      |    (32 * hn + hd - 1) // hd AS oh,
+      |    (16 * wn + wd - 1) // wd AS ocw,
+      |    (16 * hn + hd - 1) // hd AS och
+      |  FROM rat),
+      |-- nearest-neighbor column/row counts per MB index (⌊out·d/n⌋)
+      |ccnt AS (SELECT d.container, (x.x * d.wd // d.wn) // 16 AS c,
+      |    count(*) AS cols
+      |  FROM dims d JOIN (SELECT unnest(range(64)) AS x) x
+      |    ON x.x < d.ow GROUP BY 1, 2),
+      |rcnt AS (SELECT d.container, (y.y * d.hd // d.hn) // 16 AS j,
+      |    count(*) AS rws
+      |  FROM dims d JOIN (SELECT unnest(range(64)) AS y) y
+      |    ON y.y < d.oh GROUP BY 1, 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, grid.j, grid.c,
+      |    CASE WHEN t = 0 THEN 1 + CAST(concat('0x', substr(md5('vp8u'
+      |        || container || '_0_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 100
+      |      ELSE CAST(concat('0x', substr(md5('vp8u' || container || '_'
+      |        || t || '_' || grid.j || '_' || grid.c), 1, 2))
+      |        AS BIGINT) % 60 END AS v
+      |  FROM frames, (SELECT a.j, b.c FROM
+      |    (SELECT unnest(range(2)) AS j) a,
+      |    (SELECT unnest(range(2)) AS b_c) b(c)) grid),
+      |r AS (SELECT container, t, j, c, (v + 4) // 8 AS r FROM mb),
+      |kc AS (SELECT container, j, c,
+      |    sum(r) OVER (PARTITION BY container, c ORDER BY j) AS kcum
+      |  FROM r WHERE t = 0),
+      |p AS (SELECT container, t, j, c,
+      |    sum(CASE WHEN t > 0 THEN r ELSE 0 END)
+      |      OVER (PARTITION BY container, j, c ORDER BY t) AS pcum
+      |  FROM r),
+      |val AS (SELECT p.container, p.t,
+      |    rc.rws * cc.cols * (127 + kc.kcum + p.pcum) AS px
+      |  FROM p
+      |  JOIN kc ON kc.container = p.container AND kc.j = p.j
+      |    AND kc.c = p.c
+      |  JOIN rcnt rc ON rc.container = p.container AND rc.j = p.j
+      |  JOIN ccnt cc ON cc.container = p.container AND cc.c = p.c)
+      |SELECT v.container, CAST(v.t AS BIGINT) AS t,
+      |  CAST(d.ws AS BIGINT) AS wscale, CAST(d.hs AS BIGINT) AS hscale,
+      |  CAST(d.ow AS BIGINT) AS disp_w, CAST(d.oh AS BIGINT) AS disp_h,
+      |  CAST(sum(v.px) AS BIGINT) AS up_luma_sum,
+      |  CAST(any_value(2 * 128 * d.ocw * d.och) AS BIGINT)
+      |    AS up_chroma_sum
+      |FROM val v JOIN dims d ON d.container = v.container
+      |GROUP BY v.container, v.t, d.ws, d.hs, d.ow, d.oh
+      |ORDER BY v.container, v.t""".stripMargin
+
   /** m57: H.264 INTRA_4X4 PREDICTION-MODE DECODE (§7.3.5/§8.3.1) —
     * one normative step past m46's I_PCM: real Annex-B I slices whose
     * macroblock layer codes mb_type = 0 (Intra_4x4), the 16 per-block
@@ -5344,6 +5492,7 @@ object ContainerQueries {
     Q("m60_vp8_intra_refresh", m60, Some(m60Sql)),
     Q("m61_vp8_display_crop", m61, Some(m61Sql)),
     Q("m62_h264_cavlc", m62, Some(m62Sql)),
+    Q("m63_vp8_upscale", m63, Some(m63Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

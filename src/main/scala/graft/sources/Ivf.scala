@@ -108,8 +108,12 @@ object Ivf {
   /** Build a frame payload with a conformant tag around opaque
     * partition bytes; key frames carry the start code + dimensions. */
   def vp8Frame(keyframe: Boolean, version: Int, showFrame: Boolean,
-      width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+      width: Int, height: Int, body: Array[Byte],
+      widthScale: Int = 0, heightScale: Int = 0): Array[Byte] = {
     require(version >= 0 && version <= 3, s"vp8 version $version")
+    require(widthScale >= 0 && widthScale <= 3 &&
+      heightScale >= 0 && heightScale <= 3,
+      s"vp8 scale codes $widthScale/$heightScale beyond 2 bits")
     require(width > 0 && width <= 0x3fff && height > 0 && height <= 0x3fff,
       s"vp8 dims $width x $height")
     val out = new ByteArrayOutputStream()
@@ -125,8 +129,8 @@ object Ivf {
     out.write((tag >> 16) & 0xff)
     if (keyframe) {
       out.write(0x9d); out.write(0x01); out.write(0x2a)
-      u16le(out, width)  // 14-bit size, 2-bit upscale 0
-      u16le(out, height)
+      u16le(out, width | (widthScale << 14))  // 14-bit size, 2-bit upscale
+      u16le(out, height | (heightScale << 14))
     }
     out.write(body, 0, body.length)
     out.toByteArray

@@ -1843,4 +1843,37 @@ class Vp8Spec extends AnyFunSuite {
       Vp8.Ctx.fromFlat(Vp8.Profile.StandIn, new Array[Int](7))
     }
   }
+
+  test("upscaling [§9.1]: the 2-bit scale codes ride the keyframe " +
+      "header and name display ratios 5/4, 5/3, 2/1; reconstruction " +
+      "stays at coded size; the display upscaler maps output pixels " +
+      "back by floor(out·den/num)") {
+    // ratio table + ceil display dims
+    assert(Vp8.upscaleDim(32, 0) == 32 && Vp8.upscaleDim(32, 1) == 40)
+    assert(Vp8.upscaleDim(32, 2) == 54 && Vp8.upscaleDim(32, 3) == 64)
+    intercept[IllegalArgumentException] { Vp8.scaleRatio(4) }
+    // scale codes round-trip through the uncompressed keyframe header
+    val key = Vp8.encode(Vp8.KeyFrame(32, 32, 0, Vector(
+      zeroMb(Vp8.VPred, Vp8.DcPred, 40), zeroMb(Vp8.VPred, Vp8.DcPred, 80),
+      zeroMb(Vp8.VPred, Vp8.DcPred, 16), zeroMb(Vp8.VPred, Vp8.DcPred, 24)),
+      widthScale = 1, heightScale = 3))
+    val tag = graft.sources.Ivf.parseVp8Tag(key)
+    assert(tag.width == 32 && tag.height == 32 &&
+      tag.widthScale == 1 && tag.heightScale == 3)
+    // decode accepts scaled streams; planes stay at the CODED dims
+    val dec = Vp8.decode(key)
+    assert(dec.frame.width == 32 && dec.y.length == 32 * 32)
+    // 2/1 doubling: every source pixel appears exactly 4 times
+    val up2 = Vp8.upscale(dec.y, 32, 32, 3, 3)
+    assert(up2.length == 64 * 64)
+    assert(up2.iterator.map(_.toLong).sum ==
+      4 * dec.y.iterator.map(_.toLong).sum)
+    assert(up2(0) == dec.y(0) && up2(1) == dec.y(0) &&
+      up2(64) == dec.y(0) && up2(2) == dec.y(1))
+    // 5/4: each run of 5 outputs covers sources [2,1,1,1]
+    val src = Array.tabulate(32 * 32)(i => i % 32)
+    val up54 = Vp8.upscale(src, 32, 32, 1, 0)
+    assert(up54.length == 40 * 32)
+    assert(up54.take(6).toSeq == Seq(0, 0, 1, 2, 3, 4))
+  }
 }
