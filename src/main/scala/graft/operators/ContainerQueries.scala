@@ -5244,6 +5244,156 @@ object ContainerQueries {
       |  CAST(65536 AS BIGINT) AS chroma_sum
       |FROM val GROUP BY container, t ORDER BY container, t""".stripMargin
 
+  /** e56: STREAMING MP3 BIT-RESERVOIR DECODE — the audio twin of
+    * e53–e55: Layer III frames arrive one micro-batch at a time and
+    * §2.4.2.7's main_data_begin makes each frame's granules start up
+    * to 511 bytes back inside EARLIER frames' slot space, so the
+    * decoder's cross-frame state — the trailing ≤ 511 bytes of slot
+    * space, bounded by the spec's own 9-bit field
+    * ([[graft.sources.Mp3.demuxReservoirStep]] /
+    * [[graft.streaming.Mp3Machine]]) — must round-trip through the
+    * state store across real micro-batch boundaries: a frame in batch
+    * 2 reads bytes that physically arrived in batch 0 (any loss
+    * desyncs part2_3_length loudly). Fixture: exactly p22's
+    * chunk-salted 48 kbps frames (`DspQueries.Mp3Fixtures`), so p22's
+    * layout oracle — the 511-clamp recurrence via its running-max
+    * identity — pins the streaming decode too. Scale: state per key
+    * is ≤ 511 bytes by construction; scale-out is keys × executors. */
+  private[operators] object Mp3ReservoirStreamKernel extends Serializable {
+    def rows(cid: Long, count: Int)
+        : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
+      import graft.sources.Mp3
+      val n = math.min(10, count)
+      if (n < 1) return Iterator.empty
+      val frames = (0 until n)
+        .map(i => DspQueries.Mp3Fixtures.reservoirFrame(i + cid.toInt * 7))
+      val bytes = Mp3.muxReservoir(frames)
+      val hex = java.util.HexFormat.of()
+      val out = Vector.newBuilder[(String, Int, Long, Double, String,
+        Boolean, Long)]
+      var pos = 0
+      (0 until n).foreach { i =>
+        val fl = frames(i).frameLen
+        out += ((cid.toString, 0, i.toLong, 0.0,
+          hex.formatHex(java.util.Arrays.copyOfRange(bytes, pos, pos + fl)),
+          false, i.toLong))
+        pos += fl
+      }
+      require(pos == bytes.length, s"chunk $cid: frame split drift")
+      out.result().iterator
+    }
+  }
+
+  private def e56(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Mp3Machine, StatefulRunner}
+    val clicks = eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    val fixture = clicks.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Mp3ReservoirStreamKernel.rows(k, it.size))
+      .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
+    StreamParityQueries.throughStream(s, fixture,
+        Seq(col("ts"), col("seq")), s"e56@$d",
+        ds => StatefulRunner.runStreaming(
+          new Mp3Machine.ReservoirDecoder, ds),
+        Map.empty)
+      .select(col("key").cast("long").as("chunk_id"),
+        col("ts").as("i"),
+        split(col("text"), ",")(0).cast("long").as("mdb"),
+        split(col("text"), ",")(1).cast("long").as("part23"),
+        col("value").cast("long").as("code_sum"))
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val e56Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, g.i + chunk_id * 7 AS fi FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |fg AS (SELECT chunk_id, i, fi, gg.gr FROM f,
+      |  (SELECT unnest(range(2)) AS gr) gg),
+      |side AS (SELECT chunk_id, i, fi, gr,
+      |    5 + (fi * 7 + gr * 3) % 15 AS bv,
+      |    (fi + gr) % 6 AS rc0, (fi * 3 + gr) % 6 AS rc1,
+      |    18 + (fi + gr) % 2 AS t2,
+      |    (fi + 2 * gr) % 16 AS sfc,
+      |    (fi * 3 + gr) % 8 AS nq
+      |  FROM fg),
+      |reg AS (SELECT *,
+      |    least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r0,
+      |    least(bv, (rc0 + rc1 + 2) * (rc0 + rc1 + 3) // 2)
+      |      - least(bv, (rc0 + 1) * (rc0 + 2) // 2) AS r1
+      |  FROM side),
+      |bvv AS (SELECT r.chunk_id, r.i, r.fi, r.gr, r.t2, v.idx,
+      |    CASE WHEN v.idx // 2 < r.r0 + r.r1
+      |      THEN list_extract([0, 1, 8],
+      |        CAST((r.fi * 5 + v.idx * 7 + r.gr * 11) % 3 + 1 AS INT))
+      |      ELSE list_extract([0, 1, 8, 27],
+      |        CAST((r.fi * 5 + v.idx * 7 + r.gr * 11) % 4 + 1 AS INT))
+      |    END AS m
+      |  FROM reg r, (SELECT unnest(range(40)) AS idx) v
+      |  WHERE v.idx < 2 * r.bv),
+      |bvagg AS (SELECT chunk_id, i, gr,
+      |    sum(m) AS code_sum,
+      |    sum(4 + (CASE WHEN m != 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m >= 15 THEN t2 - 14 ELSE 0 END)) AS bv_bits
+      |  FROM bvv GROUP BY 1, 2, 3),
+      |c1 AS (SELECT s.chunk_id, s.i, s.gr,
+      |    count(*) FILTER (q.q < s.nq
+      |      AND ((s.fi + q.q * 5 + p.pos * 3 + s.gr) % 3) != 1)
+      |      AS c1_nonzero
+      |  FROM side s, (SELECT unnest(range(8)) AS q) q,
+      |    (SELECT unnest(range(4)) AS pos) p
+      |  GROUP BY 1, 2, 3),
+      |slen AS (SELECT s.chunk_id, s.i, s.fi, s.gr, b.band,
+      |    CASE WHEN b.band < 11
+      |      THEN list_extract([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4],
+      |        CAST(s.sfc + 1 AS INT))
+      |      ELSE list_extract([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3],
+      |        CAST(s.sfc + 1 AS INT)) END AS len,
+      |    (s.fi + (CASE WHEN b.band < 6 THEN 0 WHEN b.band < 11 THEN 1
+      |      WHEN b.band < 16 THEN 2 ELSE 3 END)) % 3 = 0 AS shared0
+      |  FROM side s, (SELECT unnest(range(21)) AS band) b),
+      |p2 AS (SELECT chunk_id, i, gr,
+      |    sum(CASE WHEN gr = 1 AND shared0 THEN 0 ELSE len END) AS p2bits
+      |  FROM slen GROUP BY 1, 2, 3),
+      |fb AS (SELECT s.chunk_id, s.i, max(s.fi) AS fi,
+      |    CAST(sum(p2.p2bits + a.bv_bits + s.nq * 4 + c1.c1_nonzero)
+      |      AS BIGINT) AS part23,
+      |    CAST(sum(a.code_sum) AS BIGINT) AS code_sum
+      |  FROM side s
+      |  JOIN bvagg a ON a.chunk_id = s.chunk_id AND a.i = s.i
+      |    AND a.gr = s.gr
+      |  JOIN c1 ON c1.chunk_id = s.chunk_id AND c1.i = s.i
+      |    AND c1.gr = s.gr
+      |  JOIN p2 ON p2.chunk_id = s.chunk_id AND p2.i = s.i
+      |    AND p2.gr = s.gr
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT chunk_id, i, fi, part23, code_sum,
+      |    (part23 + 7) // 8 AS main_bytes,
+      |    195 + fi % 2 AS slot
+      |  FROM fb),
+      |cumu AS (SELECT *,
+      |    coalesce(sum(slot) OVER (PARTITION BY chunk_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS slot_start,
+      |    coalesce(sum(main_bytes) OVER (PARTITION BY chunk_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS pre_main
+      |  FROM sz),
+      |mx AS (SELECT *,
+      |    max((CASE WHEN i = 0 THEN 0 ELSE slot_start - 511 END)
+      |      - pre_main) OVER (PARTITION BY chunk_id ORDER BY i) AS amax
+      |  FROM cumu)
+      |SELECT chunk_id, CAST(i AS BIGINT) AS i,
+      |  CAST(slot_start - (pre_main + amax) AS BIGINT) AS mdb,
+      |  part23, code_sum
+      |FROM mx ORDER BY chunk_id, i""".stripMargin
+
   /** m56: VP8 IN-SPEC CONFORMANCE HEADERS (§9.4/§9.7/§13.4/§15.2) —
     * the three mechanisms nearly every real libvpx stream uses,
     * through real coded bits: COEFFICIENT-PROBABILITY UPDATES with
@@ -5493,6 +5643,7 @@ object ContainerQueries {
     Q("m61_vp8_display_crop", m61, Some(m61Sql)),
     Q("m62_h264_cavlc", m62, Some(m62Sql)),
     Q("m63_vp8_upscale", m63, Some(m63Sql)),
+    Q("e56_streaming_mp3_reservoir", e56, Some(e56Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

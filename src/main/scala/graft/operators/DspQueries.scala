@@ -1726,57 +1726,8 @@ object DspQueries {
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
-        def mkFrame(i0: Int): Mp3.Mp3FrameData = {
-          val fi = i0 + cid.toInt * 7 // chunk-salted frame index
-          def granule(gr: Int, g0: Option[Mp3.Granule],
-              scfsi: Vector[Boolean]): Mp3.Granule = {
-            val bv = 5 + (fi * 7 + gr * 3) % 15
-            val rc0 = (fi + gr) % 6
-            val rc1 = (fi * 3 + gr) % 6
-            val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
-            val r1 = math.min(bv,
-              (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
-            val cubes = Array(0, 1, 8)
-            val cubes2 = Array(0, 1, 8, 27)
-            val pairs = Vector.tabulate(bv) { p =>
-              def v(s2: Int): Int = {
-                val idx = p * 2 + s2
-                val m = if (p < r0 + r1)
-                  cubes((fi * 5 + idx * 7 + gr * 11) % 3)
-                else cubes2((fi * 5 + idx * 7 + gr * 11) % 4)
-                if (m != 0 && (idx + fi) % 2 == 1) -m else m
-              }
-              (v(0), v(1))
-            }
-            val c1 = Vector.tabulate((fi * 3 + gr) % 8) { q =>
-              def cv(pos: Int): Int =
-                ((fi + q * 5 + pos * 3 + gr) % 3) - 1
-              (cv(0), cv(1), cv(2), cv(3))
-            }
-            val sfc = (fi + 2 * gr) % 16
-            val (s1, s2) = Mp3.Slen(sfc)
-            val sfs = Vector.tabulate(21) { band =>
-              val shared = gr == 1 &&
-                scfsi(Mp3.ScfsiBands.indexWhere(_.contains(band)))
-              if (shared) g0.get.scalefacs(band)
-              else {
-                val len = if (band < 11) s1 else s2
-                if (len > 0) (fi * 3 + band * 5 + gr * 7) % (1 << len)
-                else 0
-              }
-            }
-            Mp3.Granule(pairs, c1, 210 + 4 * ((fi + gr) % 10), sfc,
-              ((fi + gr) % 14, 1 + (fi * 5 + gr) % 14,
-                18 + (fi + gr) % 2), rc0, rc1,
-              preflag = (fi + gr) % 2 == 0,
-              scalefacScale = fi % 2 == 1, scalefacs = sfs)
-          }
-          val scfsi = Vector.tabulate(4)(b => (fi + b) % 3 == 0)
-          val g0 = granule(0, None, scfsi)
-          Mp3.Mp3FrameData(3, 2, padding = fi % 2 == 1, scfsi,
-            Vector(g0, granule(1, Some(g0), scfsi)))
-        }
-        val frames = (0 until n).map(mkFrame)
+        val frames = (0 until n)
+          .map(i => Mp3Fixtures.reservoirFrame(i + cid.toInt * 7))
         val rec = Mp3.demuxReservoir(Mp3.muxReservoir(frames))
         require(rec.size == n, s"chunk $cid: mp3 frame count drift")
         rec.iterator.zipWithIndex.map { case ((off, mdb, f), i) =>
@@ -1794,6 +1745,64 @@ object DspQueries {
     }.toDF("chunk_id", "i", "offset", "frame_bytes", "mdb",
         "main_bytes", "part23", "code_sum")
       .orderBy(col("chunk_id"), col("i"))
+  }
+
+  /** The p22/e56 SHARED reservoir fixture: one 48 kbps mono Layer III
+    * frame per chunk-salted index fi (= i + chunk·7) — frames small
+    * enough (216 B, 195-byte slots) that the bit reservoir engages
+    * for real. Both the batch walk (p22) and the streaming machine
+    * (e56) decode exactly these bytes, so one oracle pins both. */
+  private[operators] object Mp3Fixtures extends Serializable {
+    def reservoirFrame(fi: Int): graft.sources.Mp3.Mp3FrameData = {
+      import graft.sources.Mp3
+      def granule(gr: Int, g0: Option[Mp3.Granule],
+          scfsi: Vector[Boolean]): Mp3.Granule = {
+        val bv = 5 + (fi * 7 + gr * 3) % 15
+        val rc0 = (fi + gr) % 6
+        val rc1 = (fi * 3 + gr) % 6
+        val r0 = math.min(bv, (rc0 + 1) * (rc0 + 2) / 2)
+        val r1 = math.min(bv,
+          (rc0 + rc1 + 2) * (rc0 + rc1 + 3) / 2) - r0
+        val cubes = Array(0, 1, 8)
+        val cubes2 = Array(0, 1, 8, 27)
+        val pairs = Vector.tabulate(bv) { p =>
+          def v(s2: Int): Int = {
+            val idx = p * 2 + s2
+            val m = if (p < r0 + r1)
+              cubes((fi * 5 + idx * 7 + gr * 11) % 3)
+            else cubes2((fi * 5 + idx * 7 + gr * 11) % 4)
+            if (m != 0 && (idx + fi) % 2 == 1) -m else m
+          }
+          (v(0), v(1))
+        }
+        val c1 = Vector.tabulate((fi * 3 + gr) % 8) { q =>
+          def cv(pos: Int): Int =
+            ((fi + q * 5 + pos * 3 + gr) % 3) - 1
+          (cv(0), cv(1), cv(2), cv(3))
+        }
+        val sfc = (fi + 2 * gr) % 16
+        val (s1, s2) = Mp3.Slen(sfc)
+        val sfs = Vector.tabulate(21) { band =>
+          val shared = gr == 1 &&
+            scfsi(Mp3.ScfsiBands.indexWhere(_.contains(band)))
+          if (shared) g0.get.scalefacs(band)
+          else {
+            val len = if (band < 11) s1 else s2
+            if (len > 0) (fi * 3 + band * 5 + gr * 7) % (1 << len)
+            else 0
+          }
+        }
+        Mp3.Granule(pairs, c1, 210 + 4 * ((fi + gr) % 10), sfc,
+          ((fi + gr) % 14, 1 + (fi * 5 + gr) % 14,
+            18 + (fi + gr) % 2), rc0, rc1,
+          preflag = (fi + gr) % 2 == 0,
+          scalefacScale = fi % 2 == 1, scalefacs = sfs)
+      }
+      val scfsi = Vector.tabulate(4)(b => (fi + b) % 3 == 0)
+      val g0 = granule(0, None, scfsi)
+      graft.sources.Mp3.Mp3FrameData(3, 2, padding = fi % 2 == 1,
+        scfsi, Vector(g0, granule(1, Some(g0), scfsi)))
+    }
   }
 
   private val p22Sql =

@@ -637,6 +637,45 @@ object Mp3 {
     }
   }
 
+  /** ONE streaming reservoir step (§2.4.2.7): decode a single
+    * complete frame given `window` = the trailing ≤ 511 bytes of slot
+    * space that precede it — the COMPLETE cross-frame state a live
+    * MP3 decoder needs (main_data_begin is a 9-bit field, so no frame
+    * can reach further back). Returns (frame, main_data_begin, the
+    * updated ≤ 511-byte window including this frame's slot). A fresh
+    * stream starts with an empty window; a frame whose
+    * main_data_begin outruns the accumulated window fails loudly. */
+  def demuxReservoirStep(bytes: Array[Byte],
+      window: Array[Byte]): (Mp3FrameData, Int, Array[Byte]) = {
+    require(window.length <= 511, "mp3: window beyond the 9-bit reach")
+    require(bytes.length >= 21, "mp3: truncated frame")
+    require((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xFB,
+      "mp3: lost sync (MPEG-1 Layer III no-CRC expected)")
+    val bi = (bytes(2) >> 4) & 0xf
+    require(bi >= 1 && bi <= 14, s"mp3: bitrate index $bi")
+    val ri = (bytes(2) >> 2) & 3
+    require(ri <= 2, "mp3: reserved rate index")
+    val pad = (bytes(2) & 2) != 0
+    require((bytes(3) & 0xc0) == 0xc0, "mp3: not mono")
+    val fl = 144 * BitratesL3(bi) * 1000 / Rates(ri) + (if (pad) 1 else 0)
+    require(bytes.length == fl,
+      s"mp3: frame length $fl, got ${bytes.length} bytes")
+    val r = new BitReader(bytes, 4, 21)
+    val (mdb, scfsi, sides) = readSideInfo(r, 0)
+    require(mdb <= window.length,
+      s"mp3: main_data_begin $mdb reaches past the " +
+        s"${window.length}-byte accumulated window")
+    val slot = java.util.Arrays.copyOfRange(bytes, 21, fl)
+    val space = window ++ slot
+    val mr = new BitReader(space, window.length - mdb, space.length)
+    val granules = readGranules(mr, scfsi, sides, 0)
+    val kept =
+      if (space.length <= 511) space
+      else java.util.Arrays.copyOfRange(space,
+        space.length - 511, space.length)
+    (Mp3FrameData(bi, ri, pad, scfsi, granules), mdb, kept)
+  }
+
   /** Walk a Layer III stream back: offsets + full structural recovery.
     * part2_3_length is verified EXACTLY against the bits consumed —
     * the spec's own consistency invariant — and every subset boundary

@@ -389,6 +389,45 @@ class Mp3Spec extends AnyFunSuite {
       f13.granules(0).scalefacs.take(6), "scfsi band 0 shared")
   }
 
+  test("streaming reservoir step: the ≤ 511-byte window is the whole " +
+      "cross-frame state — the one-frame-at-a-time walk recovers " +
+      "exactly what the whole-stream walk does, and a window-overrun " +
+      "is loud") {
+    // reuse the reservoir fixture family (48 kbps, small granules)
+    def smallFrame(i: Int): Mp3.Mp3FrameData = {
+      val base = frame(i)
+      base.copy(bitrateIndex = 3,
+        granules = base.granules.map(g => g.copy(
+          bigValues = g.bigValues.take(8), count1 = g.count1.take(2))))
+    }
+    val frames = (0 until 8).map(smallFrame)
+    val bytes = Mp3.muxReservoir(frames)
+    val whole = Mp3.demuxReservoir(bytes)
+    var window = Array.empty[Byte]
+    var pos = 0
+    frames.indices.foreach { i =>
+      val fl = frames(i).frameLen
+      val slice = java.util.Arrays.copyOfRange(bytes, pos, pos + fl)
+      pos += fl
+      val (f, mdb, kept) = Mp3.demuxReservoirStep(slice, window)
+      window = kept
+      assert(mdb == whole(i)._2, s"frame $i mdb")
+      assert(f.granules.map(_.bigValues) ==
+        whole(i)._3.granules.map(_.bigValues), s"frame $i values")
+      assert(f.granules.map(_.scalefacs) ==
+        whole(i)._3.granules.map(_.scalefacs), s"frame $i sfs")
+      assert(window.length <= 511, s"frame $i window size")
+    }
+    assert(pos == bytes.length)
+    // a reservoir frame decoded with NO history is loud
+    val lastStart = bytes.length - frames.last.frameLen
+    val ex = intercept[IllegalArgumentException] {
+      Mp3.demuxReservoirStep(java.util.Arrays.copyOfRange(
+        bytes, lastStart, bytes.length), Array.empty)
+    }
+    assert(ex.getMessage.contains("window"))
+  }
+
   /** A long-block stereo granule; `zeroTail` truncates coded content
     * for intensity fixtures and forces the last sample nonzero. */
   private def stGranule(i: Int, gr: Int, ch: Int,
