@@ -116,6 +116,14 @@ object ScaleCurve {
     "m60_vp8_intra_refresh", // B_PRED inside P-frames: m44 shape
     "m61_vp8_display_crop", // padded decode + display crop: m44 shape
     "e55_streaming_vp8_lifecycle", // buffer flags through the state store: e53 shape
+    // round 14: the verdict's four ranked gaps + the reservoir stream
+    "p23_mp3_short_blocks", // window switching + reorder windows: p21 shape
+    "p24_mp3_stereo",       // two-channel side info + MS/intensity: p21 shape
+    "p25_aac_structure",    // AAC-LC SCE raw_data_blocks in ADTS: p15 shape
+    "p26_aac_cpe",          // AAC CPE + M/S over ms_used: p25 shape
+    "m62_h264_cavlc",       // sect 9.2 residual blocks + nC lattice: m57 shape
+    "m63_vp8_upscale",      // display upscaling over the m61 chain: m61 shape
+    "e56_streaming_mp3_reservoir", // 511-byte window through the state store: e53 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

@@ -3969,6 +3969,268 @@ object ContainerQueries {
       |  AND cac.mb = m.mb
       |ORDER BY m.container, m.t, m.mb""".stripMargin
 
+  /** m64: H.264 I_16X16 MACROBLOCKS (Table 7-11/§7.3.5.3) — the other
+    * I-slice macroblock class, completing the intra story next to
+    * m57/m62's Intra_4x4: mb_type 1..24 PACKS the 16x16 prediction
+    * mode, CodedBlockPatternChroma and the luma-AC flag
+    * (1 + pred + 4·cbpChroma + 12·[AC]); mb_qp_delta is
+    * UNCONDITIONAL (§7.3.5 — I_16x16 always codes its DC block); the
+    * residual splits luma into one Intra16x16DCLevel (16 coeffs,
+    * §9.2.1 nC from the luma-neighbor grid) and, under the AC flag,
+    * sixteen 15-coefficient AC blocks whose TotalCoeff bookkeeping
+    * folds the DC count into block 0 — then chroma DC/AC as in m62.
+    * The oracle replays the mb_type packing, the draws, and the DC
+    * block's nC off the previous MB's column-3 counts. Scale: the m40
+    * envelope. */
+  private[operators] object H264I16Kernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.sources.H264
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val spsNal = H264.writeSps(32, 32)
+      val ppsNal = H264.writePps()
+      val sps = H264.parseSps(spsNal)
+      val pps = H264.parsePps(ppsNal)
+      def dcBlk(t: Int, mb: Int): Array[Int] = {
+        val c = new Array[Int](16)
+        val tc = 1 + hexbyte(s"i16T${k}_${t}_$mb") % 5
+        val t1 = math.min(tc - 1, hexbyte(s"i161${k}_${t}_$mb") % 4)
+        (0 until tc).foreach { j =>
+          val mag = if (j < t1) 1
+            else 2 + hexbyte(s"i16M${k}_${t}_${mb}_$j") % 4
+          val neg = hexbyte(s"i16S${k}_${t}_${mb}_$j") % 2 == 1
+          c(15 - 3 * j) = if (neg) -mag else mag
+        }
+        c
+      }
+      def acBlk(t: Int, mb: Int, blk: Int): Array[Int] = {
+        val c = new Array[Int](15)
+        val tc = 1 + hexbyte(s"i16U${k}_${t}_${mb}_$blk") % 4
+        val t1 = math.min(tc - 1, hexbyte(s"i162${k}_${t}_${mb}_$blk") % 4)
+        (0 until tc).foreach { j =>
+          val mag = if (j < t1) 1
+            else 2 + hexbyte(s"i16N${k}_${t}_${mb}_${blk}_$j") % 4
+          val neg = hexbyte(s"i16R${k}_${t}_${mb}_${blk}_$j") % 2 == 1
+          c(14 - 2 * j) = if (neg) -mag else mag
+        }
+        c
+      }
+      val startCode = Array[Byte](0, 0, 0, 1)
+      val slices = (0 until n).map { t =>
+        val preds = Vector.tabulate(4)(mb =>
+          hexbyte(s"i16p${k}_${t}_$mb") % 4)
+        val cbpC = Vector.tabulate(4)(mb =>
+          hexbyte(s"i16c${k}_${t}_$mb") % 3)
+        val acOn = Vector.tabulate(4)(mb =>
+          hexbyte(s"i16a${k}_${t}_$mb") % 2 == 1)
+        val qpd = Vector.tabulate(4)(mb =>
+          hexbyte(s"i16q${k}_${t}_$mb") % 5 - 2)
+        val lumaDc = Vector.tabulate(4)(dcBlk(t, _))
+        val lumaAc = Vector.tabulate(4)(mb =>
+          if (acOn(mb)) Vector.tabulate(16)(acBlk(t, mb, _))
+          else Vector.empty[Array[Int]])
+        val cdc = Vector.tabulate(4)(mb =>
+          if (cbpC(mb) != 0) Vector.tabulate(2)(comp => Array(
+            1 + hexbyte(s"i16Da${k}_${t}_${mb}_$comp") % 3, 0,
+            -(1 + hexbyte(s"i16Db${k}_${t}_${mb}_$comp") % 2), 0))
+          else Vector.empty[Array[Int]])
+        val cac = Vector.tabulate(4)(mb =>
+          if (cbpC(mb) == 2) Vector.tabulate(2)(comp =>
+            Vector.tabulate(4) { blk =>
+              val c = new Array[Int](15)
+              c(blk) = 2 + hexbyte(s"i16Aa${k}_${t}_${mb}_${comp}_$blk") % 3
+              c(blk + 4) =
+                -1 - hexbyte(s"i16Ab${k}_${t}_${mb}_${comp}_$blk") % 2
+              c
+            })
+          else Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+        H264.writeI16Slice(0, sps, pps, preds,
+          Vector.fill(4)(1), cbpC, qpd, lumaDc, lumaAc, cdc, cac,
+          idrPicId = t)
+      }
+      val annexB = (Seq(spsNal, ppsNal) ++ slices)
+        .flatMap(nal => startCode ++ nal).toArray
+      val nals = H264.splitAnnexB(annexB)
+      require(nals.length == n + 2, s"container $k: NAL count drift")
+      nals.drop(2).iterator.zipWithIndex.flatMap { case (nal, t) =>
+        val (info, mbs) = H264.parseI16Slice(nal, sps, pps)
+        require(info.idr && info.idrPicId == t,
+          s"container $k slice $t: header drift")
+        mbs.zipWithIndex.iterator.map { case (m, mb) =>
+          require(m.lumaDc.toSeq == dcBlk(t, mb).toSeq,
+            s"container $k slice $t MB $mb: DC drift")
+          if (m.acCoded) (0 until 16).foreach(b =>
+            require(m.lumaAc(b).toSeq == acBlk(t, mb, b).toSeq,
+              s"container $k slice $t MB $mb AC $b: drift"))
+          val acTc = m.lumaAc.map(b =>
+            graft.sources.H264.Cavlc.stats(b)._1.toLong).sum
+          (k, t.toLong, mb.toLong,
+            H264.i16MbType(m.predMode, m.cbpChroma, m.acCoded).toLong,
+            m.qpDelta.toLong,
+            graft.sources.H264.Cavlc.stats(m.lumaDc)._1.toLong,
+            m.lumaDc.map(_.toLong).sum,
+            m.lumaDc.zipWithIndex.map { case (v, p) => v.toLong * p }.sum,
+            acTc,
+            m.lumaAc.map(_.map(_.toLong).sum).sum,
+            m.ncDc.toLong,
+            m.chromaDc.map(_.map(_.toLong).sum).sum +
+              m.chromaAc.map(_.map(_.map(_.toLong).sum).sum).sum)
+        }
+      }
+    }
+  }
+
+  private def m64(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264I16Kernel.rows(k, it.size))
+      .toDF("container", "t", "mb", "mb_type", "qp_delta", "dc_tc",
+        "dc_level_sum", "dc_pos_sum", "ac_tc_sum", "ac_level_sum",
+        "nc_dc", "chroma_sum")
+      .orderBy(col("container"), col("t"), col("mb"))
+  }
+
+  private val m64Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mbs AS (SELECT container, t, m.mb,
+      |    CAST(concat('0x', substr(md5('i16p' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 4 AS pred,
+      |    CAST(concat('0x', substr(md5('i16c' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 3 AS cbpc,
+      |    CAST(concat('0x', substr(md5('i16a' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 2 = 1 AS ac,
+      |    CAST(concat('0x', substr(md5('i16q' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 5 - 2 AS qpd,
+      |    1 + CAST(concat('0x', substr(md5('i16T' || container || '_'
+      |      || t || '_' || m.mb), 1, 2)) AS BIGINT) % 5 AS dctc,
+      |    least(CAST(concat('0x', substr(md5('i16T' || container || '_'
+      |      || t || '_' || m.mb), 1, 2)) AS BIGINT) % 5,
+      |      CAST(concat('0x', substr(md5('i161' || container || '_'
+      |      || t || '_' || m.mb), 1, 2)) AS BIGINT) % 4) AS dct1
+      |  FROM frames, (SELECT unnest(range(4)) AS mb) m),
+      |-- DC coefficient draws at scan positions 15 − 3j
+      |dcv AS (SELECT b.container, b.t, b.mb, j.j,
+      |    (CASE WHEN j.j < b.dct1 THEN 1
+      |      ELSE 2 + CAST(concat('0x', substr(md5('i16M' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || j.j), 1, 2))
+      |        AS BIGINT) % 4 END)
+      |    * (CASE WHEN CAST(concat('0x', substr(md5('i16S' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || j.j), 1, 2))
+      |        AS BIGINT) % 2 = 1 THEN -1 ELSE 1 END) AS v,
+      |    15 - 3 * j.j AS pos
+      |  FROM mbs b, (SELECT unnest(range(5)) AS j) j
+      |  WHERE j.j < b.dctc),
+      |dcagg AS (SELECT container, t, mb, sum(v) AS dc_level_sum,
+      |    sum(v * pos) AS dc_pos_sum
+      |  FROM dcv GROUP BY 1, 2, 3),
+      |-- AC TotalCoeff draws per 4x4 block (values only when AC on)
+      |acb AS (SELECT b.container, b.t, b.mb, b.ac, i.blk,
+      |    2 * ((i.blk // 4) % 2) + (i.blk % 4) % 2 AS bx,
+      |    2 * ((i.blk // 4) // 2) + (i.blk % 4) // 2 AS gy,
+      |    1 + CAST(concat('0x', substr(md5('i16U' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 4
+      |      AS tc,
+      |    least(CAST(concat('0x', substr(md5('i16U' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 4,
+      |      CAST(concat('0x', substr(md5('i162' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 4)
+      |      AS t1n
+      |  FROM mbs b, (SELECT unnest(range(16)) AS blk) i),
+      |acv AS (SELECT a.container, a.t, a.mb, a.blk, j.j,
+      |    (CASE WHEN j.j < a.t1n THEN 1
+      |      ELSE 2 + CAST(concat('0x', substr(md5('i16N' || a.container
+      |        || '_' || a.t || '_' || a.mb || '_' || a.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 4 END)
+      |    * (CASE WHEN CAST(concat('0x', substr(md5('i16R' || a.container
+      |        || '_' || a.t || '_' || a.mb || '_' || a.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 2 = 1 THEN -1 ELSE 1 END) AS v
+      |  FROM acb a, (SELECT unnest(range(4)) AS j) j
+      |  WHERE a.ac AND j.j < a.tc),
+      |acagg AS (SELECT container, t, mb, sum(v) AS ac_level_sum
+      |  FROM acv GROUP BY 1, 2, 3),
+      |actc AS (SELECT container, t, mb,
+      |    sum(CASE WHEN ac THEN tc ELSE 0 END) AS ac_tc_sum
+      |  FROM acb GROUP BY 1, 2, 3),
+      |-- the DC block's §9.2.1 nC: left MB's block (3,0) / above MB's
+      |-- block (0,3) TotalCoeff — AC count with DC folded into blk 0
+      |tcg AS (SELECT a.container, a.t, a.mb, a.bx, a.gy,
+      |    (CASE WHEN a.ac THEN a.tc ELSE 0 END)
+      |      + (CASE WHEN a.blk = 0 THEN m.dctc ELSE 0 END) AS tcv
+      |  FROM acb a JOIN mbs m ON m.container = a.container
+      |    AND m.t = a.t AND m.mb = a.mb),
+      |ncdc AS (SELECT m.container, m.t, m.mb,
+      |    CASE WHEN m.mb = 0 THEN 0
+      |      WHEN m.mb = 1 OR m.mb = 2 THEN coalesce(nb.tcv, 0)
+      |      ELSE (coalesce(la.tcv, 0) + coalesce(ab.tcv, 0) + 1) // 2
+      |    END AS nc_dc
+      |  FROM mbs m
+      |  LEFT JOIN tcg nb ON nb.container = m.container AND nb.t = m.t
+      |    AND nb.mb = (CASE WHEN m.mb = 1 THEN 0 WHEN m.mb = 2 THEN 0
+      |      ELSE NULL END)
+      |    AND nb.bx = (CASE WHEN m.mb = 1 THEN 3 ELSE 0 END)
+      |    AND nb.gy = (CASE WHEN m.mb = 1 THEN 0 ELSE 3 END)
+      |  LEFT JOIN tcg la ON la.container = m.container AND la.t = m.t
+      |    AND la.mb = 2 AND la.bx = 3 AND la.gy = 0 AND m.mb = 3
+      |  LEFT JOIN tcg ab ON ab.container = m.container AND ab.t = m.t
+      |    AND ab.mb = 1 AND ab.bx = 0 AND ab.gy = 3 AND m.mb = 3),
+      |chr AS (SELECT m.container, m.t, m.mb,
+      |    sum(CASE WHEN m.cbpc != 0 THEN
+      |      1 + CAST(concat('0x', substr(md5('i16Da' || m.container
+      |        || '_' || m.t || '_' || m.mb || '_' || c.comp), 1, 2))
+      |        AS BIGINT) % 3
+      |      - 1 - CAST(concat('0x', substr(md5('i16Db' || m.container
+      |        || '_' || m.t || '_' || m.mb || '_' || c.comp), 1, 2))
+      |        AS BIGINT) % 2 ELSE 0 END) AS cdc_sum,
+      |    sum(CASE WHEN m.cbpc = 2 THEN
+      |      (SELECT sum(2 + CAST(concat('0x', substr(md5('i16Aa'
+      |          || m.container || '_' || m.t || '_' || m.mb || '_'
+      |          || c.comp || '_' || b.blk), 1, 2)) AS BIGINT) % 3
+      |        - 1 - CAST(concat('0x', substr(md5('i16Ab' || m.container
+      |          || '_' || m.t || '_' || m.mb || '_' || c.comp || '_'
+      |          || b.blk), 1, 2)) AS BIGINT) % 2)
+      |       FROM (SELECT unnest(range(4)) AS blk) b) ELSE 0 END)
+      |      AS cac_sum
+      |  FROM mbs m, (SELECT unnest(range(2)) AS comp) c
+      |  GROUP BY 1, 2, 3)
+      |SELECT m.container, CAST(m.t AS BIGINT) AS t,
+      |  CAST(m.mb AS BIGINT) AS mb,
+      |  CAST(1 + m.pred + 4 * m.cbpc
+      |    + (CASE WHEN m.ac THEN 12 ELSE 0 END) AS BIGINT) AS mb_type,
+      |  CAST(m.qpd AS BIGINT) AS qp_delta,
+      |  CAST(m.dctc AS BIGINT) AS dc_tc,
+      |  CAST(d.dc_level_sum AS BIGINT) AS dc_level_sum,
+      |  CAST(d.dc_pos_sum AS BIGINT) AS dc_pos_sum,
+      |  CAST(CASE WHEN m.ac THEN a.ac_tc_sum ELSE 0 END AS BIGINT)
+      |    AS ac_tc_sum,
+      |  CAST(coalesce(av.ac_level_sum, 0) AS BIGINT) AS ac_level_sum,
+      |  CAST(n.nc_dc AS BIGINT) AS nc_dc,
+      |  CAST(ch.cdc_sum + ch.cac_sum AS BIGINT) AS chroma_sum
+      |FROM mbs m
+      |JOIN dcagg d ON d.container = m.container AND d.t = m.t
+      |  AND d.mb = m.mb
+      |JOIN actc a ON a.container = m.container AND a.t = m.t
+      |  AND a.mb = m.mb
+      |LEFT JOIN acagg av ON av.container = m.container AND av.t = m.t
+      |  AND av.mb = m.mb
+      |JOIN ncdc n ON n.container = m.container AND n.t = m.t
+      |  AND n.mb = m.mb
+      |JOIN chr ch ON ch.container = m.container AND ch.t = m.t
+      |  AND ch.mb = m.mb
+      |ORDER BY m.container, m.t, m.mb""".stripMargin
+
   /** m47: MIXED KEY+INTER VP8 STREAM IN WEBM, DECODED END-TO-END — the
     * exact artifact a reference user holds (vp8-in-webm with one
     * keyframe and delta frames, tests/media/test_containers.py:25):
@@ -5644,6 +5906,7 @@ object ContainerQueries {
     Q("m62_h264_cavlc", m62, Some(m62Sql)),
     Q("m63_vp8_upscale", m63, Some(m63Sql)),
     Q("e56_streaming_mp3_reservoir", e56, Some(e56Sql)),
+    Q("m64_h264_i16x16", m64, Some(m64Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

@@ -995,6 +995,183 @@ object H264 {
     (info, out.result())
   }
 
+  // ---- I_16x16 macroblocks (§7.4.5 Table 7-11, §8.3.3, §7.3.5.3) --------------
+
+  /** Table 7-11's I_16x16 mb_type packing: mb_type 1..24 encodes
+    * (Intra16x16PredMode 0..3, CodedBlockPatternChroma 0..2,
+    * CodedBlockPatternLuma ∈ {0, 15}) as
+    * mb_type = 1 + pred + 4·cbpChroma + 12·[cbpLuma = 15]. */
+  def i16MbType(predMode: Int, cbpChroma: Int, acCoded: Boolean): Int = {
+    require(predMode >= 0 && predMode <= 3, "h264: I_16x16 pred mode")
+    require(cbpChroma >= 0 && cbpChroma <= 2, "h264: cbpChroma")
+    1 + predMode + 4 * cbpChroma + (if (acCoded) 12 else 0)
+  }
+  def i16Unpack(mbType: Int): (Int, Int, Boolean) = {
+    require(mbType >= 1 && mbType <= 24, s"h264: mb_type $mbType")
+    val v = mbType - 1
+    ((v % 12) % 4, (v % 12) / 4, v >= 12)
+  }
+
+  /** One parsed I_16x16 macroblock: prediction mode, chroma CBP and
+    * the AC flag from mb_type, mb_qp_delta (ALWAYS present for
+    * I_16x16, §7.3.5), the 16-coefficient luma DC block, the 16 AC
+    * blocks (15 coeffs each, §7.3.5.3's Intra16x16ACLevel — empty
+    * when cbpLuma = 0), chroma DC/AC, and the DC block's §9.2.1 nC. */
+  final case class I16Mb(predMode: Int, cbpChroma: Int,
+      acCoded: Boolean, qpDelta: Int, lumaDc: Array[Int],
+      lumaAc: Vector[Array[Int]], ncDc: Int,
+      chromaDc: Vector[Array[Int]], chromaAc: Vector[Vector[Array[Int]]])
+
+  /** Write an I_16x16 IDR slice (§7.3.5): mb_type 1..24 carries the
+    * prediction mode / CBP packing, intra_chroma_pred_mode follows,
+    * mb_qp_delta is unconditional, then the §7.3.5.3 residual —
+    * Intra16x16DCLevel (16 coeffs, luma-neighbor nC where the
+    * TotalCoeff of an I_16x16 neighbor block counts DC+AC per
+    * §9.2.1's block-level bookkeeping: this leg tracks the DC block's
+    * count on all 16 positions), then 15-coefficient AC blocks for
+    * every 4x4 when cbpLuma = 15, then chroma. */
+  def writeI16Slice(frameNum: Int, sps: Sps, pps: Pps,
+      predModes: Vector[Int], chromaModes: Vector[Int],
+      cbpChromas: Vector[Int], qpDeltas: Vector[Int],
+      lumaDc: Vector[Array[Int]], lumaAc: Vector[Vector[Array[Int]]],
+      chromaDc: Vector[Vector[Array[Int]]],
+      chromaAc: Vector[Vector[Vector[Array[Int]]]],
+      idrPicId: Int = 0): Array[Byte] = {
+    require(!pps.cabac, "h264: CABAC slice writing unsupported")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val nMb = mbCols * mbRows
+    require(predModes.length == nMb && chromaModes.length == nMb &&
+      cbpChromas.length == nMb && qpDeltas.length == nMb &&
+      lumaDc.length == nMb && lumaAc.length == nMb &&
+      chromaDc.length == nMb && chromaAc.length == nMb,
+      "h264: per-MB shapes")
+    val w = new BitW
+    w.ue(0); w.ue(7); w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    w.ue(idrPicId.toLong)
+    if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
+    w.u(0L, 1); w.u(0L, 1)
+    w.se(0)
+    val tcLuma = Array.fill(nMb)(new Array[Int](16))
+    val tcCa = Array.fill(2, nMb)(new Array[Int](4))
+    var mb = 0
+    while (mb < nMb) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      val ac = lumaAc(mb).nonEmpty
+      w.ue(i16MbType(predModes(mb), cbpChromas(mb), ac).toLong)
+      w.ue(chromaModes(mb).toLong)
+      w.se(qpDeltas(mb).toLong) // always present for I_16x16 [§7.3.5]
+      // Intra16x16DCLevel: nC from the luma neighbor grid [§9.2.1]
+      val dc = lumaDc(mb)
+      require(dc.length == 16, "h264: luma DC is 16 coefficients")
+      val ncDc = lumaNc((r2, c2, x, y) =>
+        tcLuma(r2 * mbCols + c2)(y * 4 + x),
+        4, mr, mc, 0, 0, mbCols, mbRows)
+      Cavlc.writeBlock(w, dc, ncDc)
+      val dcTc = Cavlc.stats(dc)._1
+      if (ac) {
+        require(lumaAc(mb).length == 16 &&
+          lumaAc(mb).forall(_.length == 15),
+          "h264: 16 AC blocks of 15 coefficients")
+        (0 until 16).foreach { blk =>
+          val (bx, by) = blk4x4Pos(blk)
+          val nc = lumaNc((r2, c2, x, y) =>
+            tcLuma(r2 * mbCols + c2)(y * 4 + x),
+            4, mr, mc, bx, by, mbCols, mbRows)
+          Cavlc.writeBlock(w, lumaAc(mb)(blk), nc)
+          tcLuma(mb)(by * 4 + bx) = Cavlc.stats(lumaAc(mb)(blk))._1 +
+            (if (blk == 0) dcTc else 0)
+        }
+      } else {
+        require(lumaAc(mb).isEmpty, "h264: AC blocks with cbpLuma 0")
+        tcLuma(mb)(0) = dcTc
+      }
+      val cbpChroma = cbpChromas(mb)
+      if (cbpChroma != 0) (0 until 2).foreach { comp =>
+        val cdc = chromaDc(mb)(comp)
+        require(cdc.length == 4, "h264: chroma DC is 4 coefficients")
+        Cavlc.writeBlock(w, cdc, -1)
+      }
+      if (cbpChroma == 2) (0 until 2).foreach { comp =>
+        (0 until 4).foreach { blk =>
+          val cac = chromaAc(mb)(comp)(blk)
+          require(cac.length == 15, "h264: chroma AC is 15 coefficients")
+          val nc = lumaNc((r2, c2, x, y) =>
+            tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
+            2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+          Cavlc.writeBlock(w, cac, nc)
+          tcCa(comp)(mb)(blk) = Cavlc.stats(cac)._1
+        }
+      }
+      mb += 1
+    }
+    w.stop()
+    nal(3, NalIdr, w.toRbsp)
+  }
+
+  /** Parse an I_16x16 slice back ([[I16Mb]] per MB). */
+  def parseI16Slice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+      : (SliceInfo, Vector[I16Mb]) = {
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice || nt == NalIdr,
+      s"h264: NAL $nt is not a coded slice")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val nMb = mbCols * mbRows
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+    require(info.isI, s"h264: I_16x16 decode on ${info.sliceType}")
+    val tcLuma = Array.fill(nMb)(new Array[Int](16))
+    val tcCa = Array.fill(2, nMb)(new Array[Int](4))
+    val out = Vector.newBuilder[I16Mb]
+    var mb = 0
+    while (mb < nMb) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      val mbType = r.ue().toInt
+      require(mbType >= 1 && mbType <= 24,
+        s"h264: mb_type $mbType at MB $mb — I_16x16 only here")
+      val (pred, cbpChroma, ac) = i16Unpack(mbType)
+      val chroma = r.ue().toInt
+      require(chroma <= 3, s"h264: intra_chroma_pred_mode $chroma")
+      val qpd = r.se().toInt
+      val ncDc = lumaNc((r2, c2, x, y) =>
+        tcLuma(r2 * mbCols + c2)(y * 4 + x),
+        4, mr, mc, 0, 0, mbCols, mbRows)
+      val dc = Cavlc.readBlock(r, ncDc, 16)
+      val dcTc = Cavlc.stats(dc)._1
+      val acBlocks =
+        if (ac) Vector.tabulate(16) { blk =>
+          val (bx, by) = blk4x4Pos(blk)
+          val nc = lumaNc((r2, c2, x, y) =>
+            tcLuma(r2 * mbCols + c2)(y * 4 + x),
+            4, mr, mc, bx, by, mbCols, mbRows)
+          val b = Cavlc.readBlock(r, nc, 15)
+          tcLuma(mb)(by * 4 + bx) = Cavlc.stats(b)._1 +
+            (if (blk == 0) dcTc else 0)
+          b
+        }
+        else { tcLuma(mb)(0) = dcTc; Vector.empty[Array[Int]] }
+      val cdc = Vector.newBuilder[Array[Int]]
+      if (cbpChroma != 0) (0 until 2).foreach(_ =>
+        cdc += Cavlc.readBlock(r, -1, 4))
+      val cac = Array.fill(2, 4)(Array.empty[Int])
+      if (cbpChroma == 2) (0 until 2).foreach { comp =>
+        (0 until 4).foreach { blk =>
+          val nc = lumaNc((r2, c2, x, y) =>
+            tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
+            2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+          val b = Cavlc.readBlock(r, nc, 15)
+          cac(comp)(blk) = b
+          tcCa(comp)(mb)(blk) = Cavlc.stats(b)._1
+        }
+      }
+      out += I16Mb(pred, cbpChroma, ac, qpd, dc, acBlocks, ncDc,
+        cdc.result(), cac.map(_.toVector).toVector)
+      mb += 1
+    }
+    require(r.u(1) == 1, "h264: missing rbsp_stop_one_bit after slice data")
+    (info, out.result())
+  }
+
   // ---- stream splitting -------------------------------------------------------
 
   /** Split an Annex-B byte stream on 3- or 4-byte start codes.

@@ -446,4 +446,72 @@ class H264Spec extends AnyFunSuite {
         Vector.fill(nMb)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
     }
   }
+
+  test("I_16x16 slices [Table 7-11/§7.3.5.3]: mb_type packs " +
+      "(pred, cbpChroma, AC flag), mb_qp_delta is unconditional, the " +
+      "DC block rides luma-neighbor nC, AC blocks are 15-coefficient, " +
+      "and TotalCoeff bookkeeping folds DC into block 0") {
+    // the Table 7-11 packing is a bijection over 1..24
+    (1 to 24).foreach { t =>
+      val (p, c, a) = H264.i16Unpack(t)
+      assert(H264.i16MbType(p, c, a) == t, s"mb_type $t")
+    }
+    intercept[IllegalArgumentException] { H264.i16Unpack(25) }
+    val sps = H264.parseSps(H264.writeSps(32, 32))
+    val pps = H264.parsePps(H264.writePps())
+    val nMb = 4
+    def dcBlk(mb: Int): Array[Int] = {
+      val c = new Array[Int](16)
+      (0 until 2 + mb % 3).foreach(j => c(15 - 3 * j) =
+        (if ((mb + j) % 2 == 0) 1 else -1) * (1 + (mb + j) % 4))
+      c
+    }
+    def acBlk(mb: Int, blk: Int): Array[Int] = {
+      val c = new Array[Int](15)
+      c(blk % 15) = 1 + (mb + blk) % 5
+      if (blk % 2 == 1) c(blk % 15) = -c(blk % 15)
+      c
+    }
+    val acCoded = Vector(true, false, true, true)
+    val preds = Vector(0, 1, 2, 3)
+    val cbpC = Vector(2, 0, 1, 2)
+    val qpd = Vector(-2, 0, 1, 3)
+    val lumaDc = Vector.tabulate(nMb)(dcBlk)
+    val lumaAc = Vector.tabulate(nMb)(mb =>
+      if (acCoded(mb)) Vector.tabulate(16)(acBlk(mb, _))
+      else Vector.empty[Array[Int]])
+    val cdc = Vector.tabulate(nMb)(mb =>
+      if (cbpC(mb) != 0) Vector.tabulate(2)(comp =>
+        Array(1 + comp, -1, 0, 0))
+      else Vector.empty[Array[Int]])
+    val cac = Vector.tabulate(nMb)(mb =>
+      if (cbpC(mb) == 2) Vector.tabulate(2)(comp =>
+        Vector.tabulate(4)(b => acBlk(mb + comp, b)))
+      else Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+    val nal = H264.writeI16Slice(0, sps, pps, preds, Vector.fill(nMb)(1),
+      cbpC, qpd, lumaDc, lumaAc, cdc, cac)
+    val (info, mbs) = H264.parseI16Slice(nal, sps, pps)
+    assert(info.isI && mbs.length == nMb)
+    (0 until nMb).foreach { mb =>
+      assert(mbs(mb).predMode == preds(mb) &&
+        mbs(mb).cbpChroma == cbpC(mb) &&
+        mbs(mb).acCoded == acCoded(mb), s"mb $mb type fields")
+      assert(mbs(mb).qpDelta == qpd(mb), s"mb $mb qpd")
+      assert(mbs(mb).lumaDc.toSeq == lumaDc(mb).toSeq, s"mb $mb dc")
+      if (acCoded(mb)) (0 until 16).foreach(b =>
+        assert(mbs(mb).lumaAc(b).toSeq == lumaAc(mb)(b).toSeq))
+      else assert(mbs(mb).lumaAc.isEmpty)
+      if (cbpC(mb) != 0) (0 until 2).foreach(c =>
+        assert(mbs(mb).chromaDc(c).toSeq == cdc(mb)(c).toSeq))
+    }
+    // MB 0 decodes its DC at the frame corner: nC = 0
+    assert(mbs(0).ncDc == 0)
+    // MB 1's DC (left neighbor = MB 0, above = frame edge): nC = MB
+    // 0's block (3, 0) TotalCoeff — AC count + DC folded into blk 0
+    val tcRight = H264.Cavlc.stats(lumaAc(0)(
+      (0 until 16).find { b =>
+        val (x, y) = H264.blk4x4Pos(b); x == 3 && y == 0
+      }.get))._1
+    assert(mbs(1).ncDc == tcRight, "DC nC from the left MB's column 3")
+  }
 }
