@@ -2819,6 +2819,240 @@ object DspQueries {
       |  CAST(ms_abs AS BIGINT) AS ms_abs_sum
       |FROM ofs ORDER BY chunk_id, i""".stripMargin
 
+  /** p27: AAC INTENSITY STEREO ([[graft.sources.Aac.intensityExact]],
+    * §12.2/§12.3) — the low-bitrate joint-coding tool p26's M/S leg
+    * left out: the CPE right channel's ODD sfbs ride codebooks 15
+    * (in-phase) / 14 (out-of-phase), carry NO spectral data, and
+    * their scalefactor slots hold dpcm is_position accumulating in
+    * its OWN accumulator from 0 (§6.3.2) while the even sfbs'
+    * spectral scalefactors keep accumulating from global_gain —
+    * one interleaved dpcm stream, two accumulators. Reconstruction
+    * scales the LEFT spectrum by 0.5^(is_pos/4) with the phase sign,
+    * inverted by ms_used exactly when ms_mask_present = 1 (§12.3 —
+    * mask 2 does NOT invert). The oracle replays the two-accumulator
+    * walk (closed forms under the ±4 alternating fixture), the
+    * intensity reconstruction sums on the exact grid, both channels'
+    * code sums, and the full bit budget to ADTS payload bytes.
+    * Group-invariant by construction (per-class D = 0 on short
+    * frames, per-sfb cross-group value counters). Scale: the p17
+    * envelope. */
+  private def p27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Aac, AudioIndex}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val cycleL = Array(3, 9, 11, 7, 9, 11)
+        val cycleR = Array(9, 11, 3)
+        def mags(cb: Int): Array[Int] =
+          if (cb >= 11) Array(0, 1, 8, 27)
+          else if (cb >= 9) Array(0, 1, 8)
+          else Array(0, 1)
+        def mkIcs(i: Int, ch: Int): Aac.AacIcs = {
+          val ws = Array(0, 2, 1, 3)(i % 4)
+          val short = ws == 2
+          val maxSfb = if (short) 4 else 6 + i % 3
+          val grouping = if (short) (i * 37) % 128 else 0
+          val info = Aac.IcsInfo(ws, i % 2, maxSfb, grouping)
+          def cb(w: Int): Int =
+            if (ch == 0) cycleL((i + w) % 6)
+            else if (w % 2 == 0) cycleR((i + w) % 3)
+            else if ((i + w) % 4 < 2) 15
+            else 14
+          val groups = info.groupLens
+          val sections = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.map(w =>
+              Aac.Section(cb(w), w, w + 1)))
+          // one dpcm stream, two accumulators: spectral slots ±4 by
+          // even/odd w (left) or by (w/2) parity (right, both classes)
+          def dpcmOf(w: Int): Int =
+            if (ch == 0) (if (w % 2 == 0) 4 else -4)
+            else (if ((w / 2) % 2 == 0) 4 else -4)
+          val dpcm = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.map(dpcmOf))
+          val counters = scala.collection.mutable.Map[Int, Int]()
+          val spectral = groups.indices.toVector.map { gi =>
+            (0 until maxSfb).toVector.map { w =>
+              if (ch == 1 && w % 2 == 1) Vector.empty[Int]
+              else Vector.fill(info.sfbWidth(w, groups(gi))) {
+                val t = counters.getOrElse(w, 0); counters(w) = t + 1
+                val a = mags(cb(w))
+                val m = a((i * 5 + w * 11 + t * 7 + ch * 13) % a.length)
+                if (m != 0 && (t + i + ch) % 2 == 1) -m else m
+              }
+            }
+          }
+          Aac.AacIcs(
+            if (ch == 0) 132 + 4 * (i % 5) else 136 + 4 * ((i + 1) % 5),
+            info, sections, dpcm, None, spectral)
+        }
+        val adts = AudioIndex.adtsMux((0 until n).map { i =>
+          val l = mkIcs(i, 0); val r = mkIcs(i, 1)
+          val msp = i % 3
+          val ms = if (msp == 1) l.info.groupLens.indices.toVector.map(
+            _ => Vector.tabulate(l.info.maxSfb)(w => (i + w) % 2 == 0))
+          else Vector.empty[Vector[Boolean]]
+          AudioIndex.AdtsFrame(1, 4, 2, crcPresent = false,
+            Aac.muxCpe(l, r, ms, msp))
+        })
+        val rec = AudioIndex.adtsDemux(adts)
+        require(rec.size == n, s"chunk $cid: adts frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val (_, l, r, msp, msUsed) = Aac.demuxCpe(f.payload)
+          val sfsL = l.scalefactors
+          val sfsR = r.scalefactors
+          val isSfbs = (0 until r.info.maxSfb)
+            .filter(w => r.cbOf(0, w) >= 14)
+          val outPhase = isSfbs.count(w => r.cbOf(0, w) == 14).toLong
+          val isPosSum = r.info.groupLens.indices.map { gi =>
+            isSfbs.map(w => sfsR(gi)(w).get.toLong).sum
+          }.sum
+          val intensitySum = l.info.groupLens.indices.map { gi =>
+            isSfbs.map { w =>
+              val inPhase = r.cbOf(gi, w) == 15
+              val invert = msp == 1 && msUsed(gi)(w)
+              l.spectral(gi)(w).map { v =>
+                val xl = Aac.requantExact(v, sfsL(gi)(w).get)
+                Aac.intensityExact(xl, sfsR(gi)(w).get, inPhase, invert)
+              }.sum
+            }.sum
+          }.sum
+          def codeSum(g: Aac.AacIcs): Long =
+            g.spectral.flatten.flatten.map(v => math.abs(v).toLong).sum
+          (cid, i.toLong, l.info.windowSequence.toLong,
+            l.info.groupLens.length.toLong, l.info.maxSfb.toLong,
+            msp.toLong, f.payload.length.toLong,
+            isSfbs.size.toLong, outPhase, isPosSum,
+            codeSum(l), codeSum(r), intensitySum)
+        }
+      }
+    }.toDF("chunk_id", "i", "window_seq", "num_groups", "max_sfb",
+        "ms_mask", "payload_bytes", "is_count", "out_phase",
+        "is_pos_sum", "code_sum0", "code_sum1", "intensity_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p27Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i,
+      |    list_extract([0, 2, 1, 3], CAST(g.i % 4 + 1 AS INT)) AS ws,
+      |    g.i % 4 = 1 AS short,
+      |    CASE WHEN g.i % 4 = 1 THEN 4 ELSE 6 + g.i % 3 END AS max_sfb,
+      |    CASE WHEN g.i % 4 = 1
+      |      THEN 8 - bit_count(CAST((g.i * 37) % 128 AS BIGINT))
+      |      ELSE 1 END AS ng,
+      |    g.i % 3 AS msp,
+      |    132 + 4 * (g.i % 5) AS ggl,
+      |    136 + 4 * ((g.i + 1) % 5) AS ggr
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |-- per (channel, sfb): codebook, intensity gate, closed-form
+      |-- scalefactor / is_position under the ±4 alternating fixture
+      |sfb AS (SELECT f.*, ch.ch, w.w,
+      |    CASE WHEN ch.ch = 0
+      |      THEN list_extract([3, 9, 11, 7, 9, 11],
+      |        CAST((f.i + w.w) % 6 + 1 AS INT))
+      |      WHEN w.w % 2 = 0
+      |      THEN list_extract([9, 11, 3], CAST((f.i + w.w) % 3 + 1 AS INT))
+      |      WHEN (f.i + w.w) % 4 < 2 THEN 15 ELSE 14 END AS cb,
+      |    CASE WHEN ch.ch = 0
+      |      THEN f.ggl + (CASE WHEN w.w % 2 = 0 THEN 4 ELSE 0 END)
+      |      WHEN w.w % 2 = 0
+      |      THEN f.ggr + (CASE WHEN (w.w // 2) % 2 = 0 THEN 4 ELSE 0 END)
+      |      ELSE (CASE WHEN ((w.w - 1) // 2) % 2 = 0 THEN 4 ELSE 0 END)
+      |    END AS sfv,
+      |    CASE WHEN f.short THEN 8 * (4 * w.w + 4)
+      |      ELSE 4 * w.w + 4 END AS nvals
+      |  FROM f, (SELECT unnest(range(2)) AS ch) ch,
+      |    (SELECT unnest(range(12)) AS w) w
+      |  WHERE w.w < f.max_sfb),
+      |-- spectral values (intensity sfbs of ch 1 carry none)
+      |vals AS (SELECT s.chunk_id, s.i, s.ch, s.w, s.cb, s.sfv, t.t,
+      |    CASE WHEN s.cb >= 11 THEN list_extract([0, 1, 8, 27],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7 + s.ch * 13) % 4
+      |          + 1 AS INT))
+      |      WHEN s.cb >= 9 THEN list_extract([0, 1, 8],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7 + s.ch * 13) % 3
+      |          + 1 AS INT))
+      |      ELSE list_extract([0, 1],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7 + s.ch * 13) % 2
+      |          + 1 AS INT)) END AS m
+      |  FROM sfb s JOIN (SELECT unnest(range(320)) AS t) t
+      |    ON t.t < s.nvals
+      |  WHERE NOT (s.ch = 1 AND s.w % 2 = 1)),
+      |vagg AS (SELECT chunk_id, i, ch,
+      |    sum(m) AS code_sum,
+      |    sum(CASE WHEN cb = 3 THEN 2 WHEN cb = 7 THEN 3
+      |        WHEN cb = 9 THEN 4 ELSE 5 END
+      |      + CASE WHEN m != 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN cb = 11 AND m >= 16 THEN 5 ELSE 0 END) AS sbits
+      |  FROM vals GROUP BY 1, 2, 3),
+      |-- intensity reconstruction: left's odd-sfb spectrum scaled by
+      |-- 2^(-is_pos/4) with the phase sign, ms_used-inverted at msp 1
+      |iss AS (SELECT v.chunk_id, v.i,
+      |    sum((CASE WHEN v.m != 0 AND (v.t + v.i) % 2 = 1 THEN -1
+      |        ELSE 1 END)
+      |      * (CASE v.m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |          ELSE 81 END)
+      |      * CAST(power(2, (v.sfv - 100) // 4
+      |          - (CASE WHEN (((v.w - 1) // 2) % 2) = 0 THEN 1 ELSE 0
+      |            END)) AS BIGINT)
+      |      * (CASE WHEN (v.i + v.w) % 4 < 2 THEN 1 ELSE -1 END)
+      |      * (CASE WHEN f.msp = 1 AND (v.i + v.w) % 2 = 0 THEN -1
+      |          ELSE 1 END)) AS intensity_sum
+      |  FROM vals v JOIN f ON f.chunk_id = v.chunk_id AND f.i = v.i
+      |  WHERE v.ch = 0 AND v.w % 2 = 1
+      |  GROUP BY 1, 2),
+      |-- is_position sums: closed form per odd sfb, × groups
+      |isp AS (SELECT f.chunk_id, f.i,
+      |    f.ng * sum(CASE WHEN ((w.w - 1) // 2) % 2 = 0 THEN 4 ELSE 0
+      |      END) AS is_pos_sum,
+      |    count(*) AS is_count,
+      |    sum(CASE WHEN (f.i + w.w) % 4 >= 2 THEN 1 ELSE 0 END)
+      |      AS out_phase
+      |  FROM f, (SELECT unnest(range(12)) AS w) w
+      |  WHERE w.w < f.max_sfb AND w.w % 2 = 1
+      |  GROUP BY 1, 2, f.ng),
+      |bits AS (SELECT f.chunk_id, f.i, f.ws, f.ng, f.max_sfb, f.msp,
+      |    i2.is_count, i2.out_phase, i2.is_pos_sum,
+      |    v0.code_sum AS code_sum0, v1.code_sum AS code_sum1,
+      |    iss.intensity_sum,
+      |    8 + 4
+      |    + CASE WHEN f.short THEN 11 ELSE 7 END
+      |    + 2 + CASE WHEN f.msp = 1 THEN f.ng * f.max_sfb ELSE 0 END
+      |    + 2 * 8
+      |    + CASE WHEN f.short THEN 2 * f.ng * f.max_sfb * 7
+      |        ELSE 2 * f.max_sfb * 9 END
+      |    + 8 * 2 * f.max_sfb * f.ng
+      |    + 2 * 3
+      |    + v0.sbits + v1.sbits + 3 AS rawbits
+      |  FROM f
+      |  JOIN isp i2 ON i2.chunk_id = f.chunk_id AND i2.i = f.i
+      |  JOIN vagg v0 ON v0.chunk_id = f.chunk_id AND v0.i = f.i
+      |    AND v0.ch = 0
+      |  JOIN vagg v1 ON v1.chunk_id = f.chunk_id AND v1.i = f.i
+      |    AND v1.ch = 1
+      |  JOIN iss ON iss.chunk_id = f.chunk_id AND iss.i = f.i)
+      |SELECT chunk_id, CAST(i AS BIGINT) AS i,
+      |  CAST(ws AS BIGINT) AS window_seq,
+      |  CAST(ng AS BIGINT) AS num_groups,
+      |  CAST(max_sfb AS BIGINT) AS max_sfb,
+      |  CAST(msp AS BIGINT) AS ms_mask,
+      |  CAST((rawbits + 7) // 8 AS BIGINT) AS payload_bytes,
+      |  CAST(is_count AS BIGINT) AS is_count,
+      |  CAST(out_phase AS BIGINT) AS out_phase,
+      |  CAST(is_pos_sum AS BIGINT) AS is_pos_sum,
+      |  CAST(code_sum0 AS BIGINT) AS code_sum0,
+      |  CAST(code_sum1 AS BIGINT) AS code_sum1,
+      |  CAST(intensity_sum AS BIGINT) AS intensity_sum
+      |FROM bits ORDER BY chunk_id, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -2846,5 +3080,6 @@ object DspQueries {
     Q("p24_mp3_stereo", p24, Some(p24Sql)),
     Q("p25_aac_structure", p25, Some(p25Sql)),
     Q("p26_aac_cpe", p26, Some(p26Sql)),
+    Q("p27_aac_intensity", p27, Some(p27Sql)),
   )
 }

@@ -183,11 +183,16 @@ object Aac {
       (swb(w + 1) - swb(w)) * (if (short) groupLen else 1)
   }
 
-  /** One section: codebook over sfbs [start, end) of one group. */
+  /** One section: codebook over sfbs [start, end) of one group.
+    * 0 = ZERO, 1–11 spectral, 14/15 = INTENSITY (out-of-phase /
+    * in-phase, §12.2 — CPE right channel only, no spectral data,
+    * the scalefactor slot carries dpcm is_position instead);
+    * 12 (reserved) and 13 (PNS) stay out of scope, loud. */
   final case class Section(cb: Int, start: Int, end: Int) {
-    require(cb >= 0 && cb <= 11,
-      s"aac: codebook $cb out of this leg's scope (PNS/IS are 13–15)")
+    require(cb >= 0 && cb <= 11 || cb == 14 || cb == 15,
+      s"aac: codebook $cb out of this leg's scope (12 reserved, 13 PNS)")
     require(start < end, "aac: empty section")
+    def intensity: Boolean = cb >= 14
   }
 
   final case class TnsFilter(coefRes: Int, length: Int, order: Int,
@@ -230,7 +235,8 @@ object Aac {
           s"${dpcm(gi).length} dpcm values")
       require(spectral(gi).length == info.maxSfb, "aac: spectral shape")
       (0 until info.maxSfb).foreach { w =>
-        val want = if (cbOf(gi, w) == 0) 0
+        val cb = cbOf(gi, w)
+        val want = if (cb == 0 || cb >= 14) 0
           else info.sfbWidth(w, g(gi))
         require(spectral(gi)(w).length == want,
           s"aac: group $gi sfb $w wants $want coefficients, " +
@@ -238,18 +244,50 @@ object Aac {
       }
     }
     require(tns.forall(_.nonEmpty), "aac: present TNS needs filters")
-    /** Scalefactors per (group, sfb): DPCM accumulation from
-      * global_gain in scan order; None for ZERO sections. */
+    def hasIntensity: Boolean =
+      sections.exists(_.exists(_.intensity))
+    /** Scalefactors per (group, sfb) in scan order: spectral sfbs
+      * accumulate DPCM from global_gain; INTENSITY sfbs accumulate
+      * the same dpcm stream into their OWN accumulator starting at 0
+      * (§6.3.2 decode_scale_factors' dpcm_is_position) — the value is
+      * then the is_position; None for ZERO sections. */
     def scalefactors: Vector[Vector[Option[Int]]] = {
       var run = globalGain
+      var isRun = 0
       g.indices.toVector.map { gi =>
         var d = 0
         (0 until info.maxSfb).toVector.map { w =>
-          if (cbOf(gi, w) == 0) None
-          else { run += dpcm(gi)(d); d += 1; Some(run) }
+          val cb = cbOf(gi, w)
+          if (cb == 0) None
+          else if (cb >= 14) {
+            isRun += dpcm(gi)(d); d += 1; Some(isRun)
+          } else { run += dpcm(gi)(d); d += 1; Some(run) }
         }
       }
     }
+  }
+
+  /** §12.2 intensity reconstruction on the exact-integer grid:
+    * right = left · sign · 0.5^(is_position/4) with sign = +1 for
+    * codebook 15 (in-phase), −1 for 14 (out-of-phase), INVERTED by
+    * ms_used when ms_mask_present = 1 (§12.3). Exact regime:
+    * is_position on the 4e grid; downward scaling requires
+    * divisibility (loud otherwise). */
+  def intensityExact(left: Long, isPos: Int, inPhase: Boolean,
+      invert: Boolean): Long = {
+    require(isPos % 4 == 0,
+      s"aac: is_position $isPos off the 4e exact grid")
+    val e = -isPos / 4
+    val mag =
+      if (e >= 0) left << e
+      else {
+        val d = 1L << -e
+        require(left % d == 0,
+          s"aac: $left not divisible by 2^${-e} (off the exact grid)")
+        left / d
+      }
+    val s = (if (inPhase) 1 else -1) * (if (invert) -1 else 1)
+    s * mag
   }
 
   /** §9.2 requantization on the integer-exact regime: |q| = c³ and
@@ -304,6 +342,8 @@ object Aac {
     * byte-aligned (§6.3.1) — the payload of one ADTS frame. */
   def muxSce(ics: AacIcs, tag: Int = 0): Array[Byte] = {
     require(tag >= 0 && tag < 16, "aac: element_instance_tag")
+    require(!ics.hasIntensity,
+      "aac: intensity codebooks live in a CPE's right channel (§12.2)")
     val w = new BitWriter
     w.writeBits(0L, 3) // id_syn_ele = SCE
     w.writeBits(tag.toLong, 4)
@@ -317,6 +357,8 @@ object Aac {
     require(r.readBits(3) == 0L, "aac: expected a single_channel_element")
     val tag = r.readBits(4).toInt
     val ics = readIcs(r)
+    require(!ics.hasIntensity,
+      "aac: intensity codebooks live in a CPE's right channel (§12.2)")
     require(r.readBits(3) == 7L, "aac: expected the END element")
     (tag, ics)
   }
@@ -333,6 +375,8 @@ object Aac {
     require(tag >= 0 && tag < 16, "aac: element_instance_tag")
     require(left.info == right.info,
       "aac: common_window CPE shares one ics_info")
+    require(!left.hasIntensity,
+      "aac: intensity codebooks are right-channel only (§12.2)")
     require(msMaskPresent >= 0 && msMaskPresent <= 2,
       "aac: ms_mask_present is 0 (none), 1 (per-band), 2 (all)")
     val w = new BitWriter
@@ -369,6 +413,8 @@ object Aac {
       else Vector.empty
     val left = readIcsBody(r, info)
     val right = readIcsBody(r, info)
+    require(!left.hasIntensity,
+      "aac: intensity codebooks are right-channel only (§12.2)")
     require(r.readBits(3) == 7L, "aac: expected the END element")
     (tag, left, right, msp, msUsed)
   }
@@ -430,8 +476,9 @@ object Aac {
       case None => w.writeBits(0L, 1)
     }
     w.writeBits(0L, 1) // gain_control_data_present
+    // spectral data: ZERO and INTENSITY sections carry none (§12.2)
     ics.sections.zipWithIndex.foreach { case (ss, gi) =>
-      ss.withFilter(s => s.cb != 0).foreach { s =>
+      ss.withFilter(s => s.cb != 0 && !s.intensity).foreach { s =>
         (s.start until s.end).foreach { sfb =>
           ics.spectral(gi)(sfb).grouped(cbDim(s.cb))
             .foreach(t => CbSeam.writeTuple(w, s.cb, t))
@@ -493,7 +540,7 @@ object Aac {
     val spectral = groups.indices.toVector.map { gi =>
       (0 until info.maxSfb).toVector.map { sfb =>
         val cb = cbOf(gi, sfb)
-        if (cb == 0) Vector.empty[Int]
+        if (cb == 0 || cb >= 14) Vector.empty[Int]
         else {
           val want = info.sfbWidth(sfb, groups(gi))
           require(want % cbDim(cb) == 0,

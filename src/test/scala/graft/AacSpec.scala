@@ -185,10 +185,65 @@ class AacSpec extends AnyFunSuite {
     }
   }
 
+  test("intensity stereo [§12.2/§12.3]: codebooks 14/15 in the CPE " +
+      "right channel carry dpcm is_position in the scalefactor slot " +
+      "and NO spectral data; reconstruction scales the left spectrum " +
+      "by 0.5^(is_pos/4) with the phase sign, inverted by ms_used") {
+    val info = Aac.IcsInfo(0, 0, 6, 0)
+    def mkLeft: Aac.AacIcs = {
+      val sections = Vector(Vector.tabulate(6)(w =>
+        Aac.Section(Seq(1, 3, 5, 7, 9, 11)(w), w, w + 1)))
+      val spectral = Vector(Vector.tabulate(6)(w =>
+        Vector.tabulate(info.sfbWidth(w, 1))(k =>
+          if (k % 3 == 0) (if ((w + k) % 2 == 0) 1 else -1) else 0)))
+      Aac.AacIcs(132, info, sections,
+        Vector(Vector.fill(6)(4)), None, spectral)
+    }
+    // right: even sfbs spectral, odd sfbs intensity (15 then 14)
+    val rSections = Vector(Vector.tabulate(6)(w =>
+      Aac.Section(if (w % 2 == 0) 3 else (if (w == 1) 15 else 14),
+        w, w + 1)))
+    val rSpectral = Vector(Vector.tabulate(6)(w =>
+      if (w % 2 == 0) Vector.fill(info.sfbWidth(w, 1))(0)
+      else Vector.empty[Int]))
+    // dpcm scan: w0 sf+4, w1 is+4, w2 sf−4, w3 is−4, w4 sf+4, w5 is+8
+    val right = Aac.AacIcs(140, info, rSections,
+      Vector(Vector(4, 4, -4, -4, 4, 8)), None, rSpectral)
+    val sfs = right.scalefactors
+    assert(sfs(0)(0).contains(144) && sfs(0)(2).contains(140) &&
+      sfs(0)(4).contains(144), "spectral accumulator from global_gain")
+    assert(sfs(0)(1).contains(4) && sfs(0)(3).contains(0) &&
+      sfs(0)(5).contains(8), "is_position accumulator from 0")
+    // round trip through a CPE
+    val bytes = Aac.muxCpe(mkLeft, right, Vector.empty, msMaskPresent = 0)
+    val (_, gl, gr, _, _) = Aac.demuxCpe(bytes)
+    assert(gl.spectral == mkLeft.spectral)
+    assert(gr.sections == rSections && gr.dpcm == right.dpcm)
+    assert(gr.spectral(0)(1).isEmpty && gr.spectral(0)(3).isEmpty)
+    assert(gr.scalefactors == sfs)
+    // exact reconstruction: is_pos 4 halves, −4 doubles, phase signs
+    assert(Aac.intensityExact(16, 4, inPhase = true, invert = false) == 8)
+    assert(Aac.intensityExact(16, -4, inPhase = true, invert = false) == 32)
+    assert(Aac.intensityExact(16, 0, inPhase = false, invert = false) == -16)
+    assert(Aac.intensityExact(16, 0, inPhase = false, invert = true) == 16)
+    assert(Aac.intensityExact(-24, 4, inPhase = true, invert = false) == -12)
+    intercept[IllegalArgumentException] {
+      Aac.intensityExact(16, 2, inPhase = true, invert = false)
+    }
+    intercept[IllegalArgumentException] { // 15 not divisible by 2
+      Aac.intensityExact(15, 4, inPhase = true, invert = false)
+    }
+    // intensity is right-channel only, loud at both ends
+    intercept[IllegalArgumentException] { Aac.muxSce(right) }
+    intercept[IllegalArgumentException] {
+      Aac.muxCpe(right, right, Vector.empty, msMaskPresent = 0)
+    }
+  }
+
   test("loud boundaries: predictor bit, pulse data, gain control, " +
       "PNS codebooks, reserved ms_mask, signed values beyond LAV") {
     intercept[IllegalArgumentException] { // cb 13 is PNS
-      Aac.Section(13, 0, 1)
+      Aac.Section(13, 0, 1) // PNS stays out
     }
     intercept[IllegalArgumentException] { // signed LAV
       val w = new graft.sources.Flac.BitWriter
