@@ -4231,6 +4231,251 @@ object ContainerQueries {
       |  AND ch.mb = m.mb
       |ORDER BY m.container, m.t, m.mb""".stripMargin
 
+  /** m65: H.264 P-SLICE MACROBLOCKS (§7.3.4/Table 7-13) — the inter
+    * layer over m62's CAVLC: real P slices interleave mb_skip_run
+    * ue(v) with coded P_L0_16x16 macroblocks (motion-vector
+    * difference se(v)×2 — ref_idx absent with one active reference),
+    * coded_block_pattern me(v) through the INTER column seam
+    * ([[graft.sources.H264.CbpInterMap]]), mb_qp_delta under CBP ≠ 0,
+    * and the §7.3.5.3 residual walk; a TRAILING skip run closes the
+    * slice (§7.3.4's more_rbsp_data loop), and skipped macroblocks
+    * count ZERO in their neighbors' §9.2.1 nC contexts. The oracle
+    * replays the skip lattice, mvd draws, and the m62 residual
+    * machinery under the skip gate. Scale: the m40 envelope. */
+  private[operators] object H264PSliceKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.sources.H264
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val spsNal = H264.writeSps(32, 32)
+      val ppsNal = H264.writePps()
+      val sps = H264.parseSps(spsNal)
+      val pps = H264.parsePps(ppsNal)
+      def skippedOf(t: Int, mb: Int): Boolean =
+        hexbyte(s"pskS${k}_${t}_$mb") % 3 == 0
+      def lumaBlk(t: Int, mb: Int, blk: Int): Array[Int] = {
+        val c = new Array[Int](16)
+        val tc = 1 + hexbyte(s"pskT${k}_${t}_${mb}_$blk") % 6
+        val t1 = math.min(tc - 1, hexbyte(s"psk1${k}_${t}_${mb}_$blk") % 4)
+        (0 until tc).foreach { j =>
+          val mag = if (j < t1) 1
+            else 2 + hexbyte(s"pskM${k}_${t}_${mb}_${blk}_$j") % 4
+          val neg = hexbyte(s"pskZ${k}_${t}_${mb}_${blk}_$j") % 2 == 1
+          c(15 - 2 * j) = if (neg) -mag else mag
+        }
+        c
+      }
+      val startCode = Array[Byte](0, 0, 0, 1)
+      val slices = (0 until n).map { t =>
+        val skip = Vector.tabulate(4)(skippedOf(t, _))
+        val cbps = Vector.tabulate(4) { mb =>
+          if (skip(mb)) 0
+          else (hexbyte(s"pskL${k}_${t}_$mb") % 16) |
+            ((hexbyte(s"pskC${k}_${t}_$mb") % 3) << 4)
+        }
+        val mvd = Vector.tabulate(4) { mb =>
+          if (skip(mb)) (0, 0)
+          else (hexbyte(s"pskX${k}_${t}_$mb") % 17 - 8,
+            hexbyte(s"pskY${k}_${t}_$mb") % 17 - 8)
+        }
+        val qpd = Vector.tabulate(4)(mb =>
+          if (cbps(mb) != 0) hexbyte(s"pskQ${k}_${t}_$mb") % 5 - 2
+          else 0)
+        val luma = Vector.tabulate(4)(mb => Vector.tabulate(16)(blk =>
+          if (!skip(mb) && (cbps(mb) & (1 << (blk / 4))) != 0)
+            lumaBlk(t, mb, blk)
+          else Array.empty[Int]))
+        val cdc = Vector.tabulate(4)(mb =>
+          if ((cbps(mb) >> 4) != 0) Vector.tabulate(2)(comp => Array(
+            1 + hexbyte(s"pskDa${k}_${t}_${mb}_$comp") % 3, 0,
+            -(1 + hexbyte(s"pskDb${k}_${t}_${mb}_$comp") % 2), 0))
+          else Vector.empty[Array[Int]])
+        val cac = Vector.tabulate(4)(mb =>
+          if ((cbps(mb) >> 4) == 2) Vector.tabulate(2)(comp =>
+            Vector.tabulate(4) { blk =>
+              val c = new Array[Int](15)
+              c(blk) = 2 + hexbyte(s"pskAa${k}_${t}_${mb}_${comp}_$blk") % 3
+              c(blk + 4) =
+                -1 - hexbyte(s"pskAb${k}_${t}_${mb}_${comp}_$blk") % 2
+              c
+            })
+          else Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+        H264.writePSlice(t, sps, pps, skip, mvd, cbps, qpd,
+          luma, cdc, cac)
+      }
+      val annexB = (Seq(spsNal, ppsNal) ++ slices)
+        .flatMap(nal => startCode ++ nal).toArray
+      val nals = H264.splitAnnexB(annexB)
+      require(nals.length == n + 2, s"container $k: NAL count drift")
+      nals.drop(2).iterator.zipWithIndex.flatMap { case (nal, t) =>
+        val (info, mbs) = H264.parsePSlice(nal, sps, pps)
+        require(info.isP && info.frameNum == t,
+          s"container $k slice $t: header drift")
+        mbs.zipWithIndex.iterator.map { case (m, mb) =>
+          require(m.skipped == skippedOf(t, mb),
+            s"container $k slice $t MB $mb: skip-run drift")
+          m.luma.zipWithIndex.foreach { case (c, blk) =>
+            val want =
+              if (!m.skipped && (m.cbp & (1 << (blk / 4))) != 0)
+                lumaBlk(t, mb, blk)
+              else Array.empty[Int]
+            require(c.toSeq == want.toSeq,
+              s"container $k slice $t MB $mb blk $blk: CAVLC drift")
+          }
+          val codedBlks = m.luma.zipWithIndex.filter(_._1.nonEmpty)
+          val stats = codedBlks.map(b =>
+            graft.sources.H264.Cavlc.stats(b._1))
+          (k, t.toLong, mb.toLong,
+            if (m.skipped) 1L else 0L, m.mvdX.toLong, m.mvdY.toLong,
+            m.cbp.toLong, m.qpDelta.toLong,
+            stats.map(_._1.toLong).sum,
+            codedBlks.map(_._1.map(_.toLong).sum).sum,
+            codedBlks.map(b => m.ncLuma(b._2).toLong).sum,
+            m.chromaDc.map(_.map(_.toLong).sum).sum +
+              m.chromaAc.map(_.map(_.map(_.toLong).sum).sum).sum)
+        }
+      }
+    }
+  }
+
+  private def m65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264PSliceKernel.rows(k, it.size))
+      .toDF("container", "t", "mb", "skipped", "mvd_x", "mvd_y",
+        "cbp", "qp_delta", "tc_sum", "level_sum", "nc_sum",
+        "chroma_sum")
+      .orderBy(col("container"), col("t"), col("mb"))
+  }
+
+  private val m65Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mbs AS (SELECT container, t, m.mb,
+      |    CAST(concat('0x', substr(md5('pskS' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 3 = 0 AS skipped,
+      |    CAST(concat('0x', substr(md5('pskL' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 16 AS cbpl0,
+      |    CAST(concat('0x', substr(md5('pskC' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 3 AS cbpc0
+      |  FROM frames, (SELECT unnest(range(4)) AS mb) m),
+      |mbs2 AS (SELECT container, t, mb, skipped,
+      |    CASE WHEN skipped THEN 0 ELSE cbpl0 END AS cbpl,
+      |    CASE WHEN skipped THEN 0 ELSE cbpc0 END AS cbpc
+      |  FROM mbs),
+      |blocks AS (SELECT b.container, b.t, b.mb, b.skipped, b.cbpl,
+      |    b.cbpc, i.blk,
+      |    2 * ((i.blk // 4) % 2) + (i.blk % 4) % 2 AS bx,
+      |    2 * ((i.blk // 4) // 2) + (i.blk % 4) // 2 AS gy,
+      |    NOT b.skipped AND ((b.cbpl >> (i.blk // 4)) & 1) = 1 AS coded,
+      |    1 + CAST(concat('0x', substr(md5('pskT' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 6
+      |      AS tc,
+      |    least(CAST(concat('0x', substr(md5('pskT' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 6,
+      |      CAST(concat('0x', substr(md5('psk1' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 4)
+      |      AS t1n
+      |  FROM mbs2 b, (SELECT unnest(range(16)) AS blk) i),
+      |nc AS (SELECT bl.*,
+      |    CASE WHEN la.container IS NULL AND ab.container IS NULL THEN 0
+      |      WHEN la.container IS NULL
+      |        THEN (CASE WHEN ab.coded THEN ab.tc ELSE 0 END)
+      |      WHEN ab.container IS NULL
+      |        THEN (CASE WHEN la.coded THEN la.tc ELSE 0 END)
+      |      ELSE ((CASE WHEN la.coded THEN la.tc ELSE 0 END)
+      |        + (CASE WHEN ab.coded THEN ab.tc ELSE 0 END) + 1) // 2
+      |    END AS ncv
+      |  FROM blocks bl
+      |  LEFT JOIN blocks la ON la.container = bl.container
+      |    AND la.t = bl.t AND la.gy = bl.gy
+      |    AND la.mb = (CASE WHEN bl.bx > 0 THEN bl.mb
+      |      WHEN bl.mb % 2 = 1 THEN bl.mb - 1 ELSE NULL END)
+      |    AND la.bx = (CASE WHEN bl.bx > 0 THEN bl.bx - 1 ELSE 3 END)
+      |  LEFT JOIN blocks ab ON ab.container = bl.container
+      |    AND ab.t = bl.t AND ab.bx = bl.bx
+      |    AND ab.mb = (CASE WHEN bl.gy > 0 THEN bl.mb
+      |      WHEN bl.mb >= 2 THEN bl.mb - 2 ELSE NULL END)
+      |    AND ab.gy = (CASE WHEN bl.gy > 0 THEN bl.gy - 1 ELSE 3 END)),
+      |coefs AS (SELECT b.container, b.t, b.mb, b.blk, j.j,
+      |    (CASE WHEN j.j < b.t1n THEN 1
+      |      ELSE 2 + CAST(concat('0x', substr(md5('pskM' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || b.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 4 END)
+      |    * (CASE WHEN CAST(concat('0x', substr(md5('pskZ' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || b.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 2 = 1 THEN -1 ELSE 1 END) AS v
+      |  FROM blocks b, (SELECT unnest(range(6)) AS j) j
+      |  WHERE b.coded AND j.j < b.tc),
+      |lsum AS (SELECT container, t, mb, sum(v) AS level_sum
+      |  FROM coefs GROUP BY 1, 2, 3),
+      |bsum AS (SELECT container, t, mb,
+      |    sum(CASE WHEN coded THEN tc ELSE 0 END) AS tc_sum,
+      |    sum(CASE WHEN coded THEN ncv ELSE 0 END) AS nc_sum
+      |  FROM nc GROUP BY 1, 2, 3),
+      |cdc AS (SELECT m.container, m.t, m.mb,
+      |    CASE WHEN m.cbpc != 0 THEN sum(
+      |      1 + CAST(concat('0x', substr(md5('pskDa' || m.container || '_'
+      |        || m.t || '_' || m.mb || '_' || c.comp), 1, 2)) AS BIGINT) % 3
+      |      - 1 - CAST(concat('0x', substr(md5('pskDb' || m.container
+      |        || '_' || m.t || '_' || m.mb || '_' || c.comp), 1, 2))
+      |        AS BIGINT) % 2) ELSE 0 END AS cdc_sum
+      |  FROM mbs2 m, (SELECT unnest(range(2)) AS comp) c
+      |  GROUP BY 1, 2, 3, m.cbpc),
+      |cac AS (SELECT m.container, m.t, m.mb,
+      |    CASE WHEN m.cbpc = 2 THEN sum(
+      |      2 + CAST(concat('0x', substr(md5('pskAa' || m.container || '_'
+      |        || m.t || '_' || m.mb || '_' || c.comp || '_' || b.blk),
+      |        1, 2)) AS BIGINT) % 3
+      |      - 1 - CAST(concat('0x', substr(md5('pskAb' || m.container
+      |        || '_' || m.t || '_' || m.mb || '_' || c.comp || '_'
+      |        || b.blk), 1, 2)) AS BIGINT) % 2) ELSE 0 END AS cac_sum
+      |  FROM mbs2 m, (SELECT unnest(range(2)) AS comp) c,
+      |    (SELECT unnest(range(4)) AS blk) b
+      |  GROUP BY 1, 2, 3, m.cbpc)
+      |SELECT m.container, CAST(m.t AS BIGINT) AS t,
+      |  CAST(m.mb AS BIGINT) AS mb,
+      |  CAST(CASE WHEN m.skipped THEN 1 ELSE 0 END AS BIGINT) AS skipped,
+      |  CAST(CASE WHEN m.skipped THEN 0
+      |    ELSE CAST(concat('0x', substr(md5('pskX' || m.container || '_'
+      |      || m.t || '_' || m.mb), 1, 2)) AS BIGINT) % 17 - 8 END
+      |    AS BIGINT) AS mvd_x,
+      |  CAST(CASE WHEN m.skipped THEN 0
+      |    ELSE CAST(concat('0x', substr(md5('pskY' || m.container || '_'
+      |      || m.t || '_' || m.mb), 1, 2)) AS BIGINT) % 17 - 8 END
+      |    AS BIGINT) AS mvd_y,
+      |  CAST(m.cbpl | (m.cbpc << 4) AS BIGINT) AS cbp,
+      |  CAST(CASE WHEN m.cbpl | (m.cbpc << 4) != 0
+      |    THEN CAST(concat('0x', substr(md5('pskQ' || m.container || '_'
+      |      || m.t || '_' || m.mb), 1, 2)) AS BIGINT) % 5 - 2
+      |    ELSE 0 END AS BIGINT) AS qp_delta,
+      |  CAST(b.tc_sum AS BIGINT) AS tc_sum,
+      |  CAST(coalesce(l.level_sum, 0) AS BIGINT) AS level_sum,
+      |  CAST(b.nc_sum AS BIGINT) AS nc_sum,
+      |  CAST(cdc.cdc_sum + cac.cac_sum AS BIGINT) AS chroma_sum
+      |FROM mbs2 m
+      |JOIN bsum b ON b.container = m.container AND b.t = m.t
+      |  AND b.mb = m.mb
+      |LEFT JOIN lsum l ON l.container = m.container AND l.t = m.t
+      |  AND l.mb = m.mb
+      |JOIN cdc ON cdc.container = m.container AND cdc.t = m.t
+      |  AND cdc.mb = m.mb
+      |JOIN cac ON cac.container = m.container AND cac.t = m.t
+      |  AND cac.mb = m.mb
+      |ORDER BY m.container, m.t, m.mb""".stripMargin
+
   /** m47: MIXED KEY+INTER VP8 STREAM IN WEBM, DECODED END-TO-END — the
     * exact artifact a reference user holds (vp8-in-webm with one
     * keyframe and delta frames, tests/media/test_containers.py:25):
@@ -5907,6 +6152,7 @@ object ContainerQueries {
     Q("m63_vp8_upscale", m63, Some(m63Sql)),
     Q("e56_streaming_mp3_reservoir", e56, Some(e56Sql)),
     Q("m64_h264_i16x16", m64, Some(m64Sql)),
+    Q("m65_h264_pslice", m65, Some(m65Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

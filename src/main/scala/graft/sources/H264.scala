@@ -995,6 +995,203 @@ object H264 {
     (info, out.result())
   }
 
+  // ---- P slices at the macroblock level (§7.3.4, §7.4.5 Table 7-13) ----------
+
+  /** STAND-IN coded_block_pattern me(v) mapping for INTER macroblocks
+    * (Table 9-4's inter column is appendix data, like
+    * [[CbpIntraMap]]): a deterministic 48-entry permutation. */
+  private[graft] val CbpInterMap: Array[Int] = {
+    val a = Array.tabulate(48)(i => (i * 19 + 5) % 48)
+    require(a.distinct.length == 48, "h264: inter CBP stand-in")
+    a
+  }
+
+  /** One parsed P-slice macroblock: P_Skip or P_L0_16x16 with its
+    * §7.3.5.1 motion-vector difference, inter CBP, mb_qp_delta under
+    * CBP ≠ 0, and the m62-shaped residual (luma 4x4 blocks + chroma
+    * DC/AC) with the §9.2.1 nC per coded block — a SKIPPED MB's
+    * blocks count 0 toward its neighbors' contexts. */
+  final case class PMb(skipped: Boolean, mvdX: Int, mvdY: Int,
+      cbp: Int, qpDelta: Int, luma: Vector[Array[Int]],
+      ncLuma: Vector[Int], chromaDc: Vector[Array[Int]],
+      chromaAc: Vector[Vector[Array[Int]]])
+
+  /** Write a P slice (§7.3.4 slice_data with CAVLC): mb_skip_run
+    * ue(v) before every coded macroblock and once for a trailing skip
+    * run; each coded MB is P_L0_16x16 (mb_type 0, Table 7-13) with
+    * mvd_l0 se(v)×2 (ref_idx_l0 absent — one active reference),
+    * coded_block_pattern me(v) through the inter column seam,
+    * mb_qp_delta when CBP ≠ 0, then the §7.3.5.3 residual walk
+    * exactly as [[writeIntraCodedSlice]]'s. */
+  def writePSlice(frameNum: Int, sps: Sps, pps: Pps,
+      skipped: Vector[Boolean], mvd: Vector[(Int, Int)],
+      cbps: Vector[Int], qpDeltas: Vector[Int],
+      lumaCoeff: Vector[Vector[Array[Int]]],
+      chromaDc: Vector[Vector[Array[Int]]],
+      chromaAc: Vector[Vector[Vector[Array[Int]]]]): Array[Byte] = {
+    require(!pps.cabac, "h264: CABAC slice writing unsupported")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val nMb = mbCols * mbRows
+    require(skipped.length == nMb && mvd.length == nMb &&
+      cbps.length == nMb && qpDeltas.length == nMb &&
+      lumaCoeff.length == nMb && chromaDc.length == nMb &&
+      chromaAc.length == nMb, "h264: per-MB shapes")
+    val w = new BitW
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type: P, all slices P (Table 7-6)
+    w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
+    w.u(0L, 1) // num_ref_idx_active_override_flag
+    w.u(0L, 1) // ref_pic_list_modification_flag_l0
+    w.u(0L, 1) // adaptive_ref_pic_marking_mode_flag (refIdc != 0)
+    w.se(0)    // slice_qp_delta
+    val tcLuma = Array.fill(nMb)(new Array[Int](16))
+    val tcCa = Array.fill(2, nMb)(new Array[Int](4))
+    var run = 0
+    var mb = 0
+    while (mb < nMb) {
+      if (skipped(mb)) {
+        require(cbps(mb) == 0 && mvd(mb) == ((0, 0)) &&
+          lumaCoeff(mb).forall(_.isEmpty),
+          s"h264: P_Skip MB $mb carries data")
+        run += 1
+      } else {
+        w.ue(run.toLong) // mb_skip_run
+        run = 0
+        val (mr, mc) = (mb / mbCols, mb % mbCols)
+        w.ue(0) // mb_type 0 = P_L0_16x16 (Table 7-13)
+        w.se(mvd(mb)._1.toLong) // mvd_l0[0][0][0]
+        w.se(mvd(mb)._2.toLong) // mvd_l0[0][0][1]
+        val cbp = cbps(mb)
+        require(cbp >= 0 && cbp < 48 && (cbp >> 4) <= 2,
+          "h264: CBP is cbpLuma | cbpChroma<<4")
+        w.ue(CbpInterMap.indexOf(cbp).toLong)
+        if (cbp != 0) {
+          w.se(qpDeltas(mb).toLong)
+          (0 until 4).foreach { q =>
+            if ((cbp & (1 << q)) != 0) (0 until 4).foreach { sub =>
+              val blk = q * 4 + sub
+              val coeff = lumaCoeff(mb)(blk)
+              require(coeff.length == 16, s"h264: luma blk $blk shape")
+              val (bx, by) = blk4x4Pos(blk)
+              val nc = lumaNc((r2, c2, x, y) =>
+                tcLuma(r2 * mbCols + c2)(y * 4 + x),
+                4, mr, mc, bx, by, mbCols, mbRows)
+              Cavlc.writeBlock(w, coeff, nc)
+              tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
+            } else (0 until 4).foreach { sub =>
+              require(lumaCoeff(mb)(q * 4 + sub).isEmpty,
+                s"h264: coefficients on an uncoded quad")
+            }
+          }
+          val cbpChroma = cbp >> 4
+          if (cbpChroma != 0) (0 until 2).foreach { comp =>
+            val dc = chromaDc(mb)(comp)
+            require(dc.length == 4, "h264: chroma DC shape")
+            Cavlc.writeBlock(w, dc, -1)
+          }
+          if (cbpChroma == 2) (0 until 2).foreach { comp =>
+            (0 until 4).foreach { blk =>
+              val ac = chromaAc(mb)(comp)(blk)
+              require(ac.length == 15, "h264: chroma AC shape")
+              val nc = lumaNc((r2, c2, x, y) =>
+                tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
+                2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+              Cavlc.writeBlock(w, ac, nc)
+              tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1
+            }
+          }
+        } else {
+          require(lumaCoeff(mb).forall(_.isEmpty),
+            "h264: coefficients with CBP 0")
+        }
+      }
+      mb += 1
+    }
+    if (run > 0) w.ue(run.toLong) // trailing skip run [§7.3.4]
+    w.stop()
+    nal(2, NalSlice, w.toRbsp)
+  }
+
+  /** Parse a P slice back ([[PMb]] per macroblock). */
+  def parsePSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+      : (SliceInfo, Vector[PMb]) = {
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice, s"h264: NAL $nt is not a non-IDR slice")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val nMb = mbCols * mbRows
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+    require(info.isP, s"h264: P decode on slice_type ${info.sliceType}")
+    val tcLuma = Array.fill(nMb)(new Array[Int](16))
+    val tcCa = Array.fill(2, nMb)(new Array[Int](4))
+    val out = new Array[PMb](nMb)
+    val emptyMb = PMb(skipped = true, 0, 0, 0, 0,
+      Vector.fill(16)(Array.empty[Int]), Vector.fill(16)(0),
+      Vector.empty, Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+    var mb = 0
+    while (mb < nMb) {
+      val run = r.ue().toInt
+      require(mb + run <= nMb,
+        s"h264: mb_skip_run $run overruns the slice at MB $mb")
+      (0 until run).foreach { _ => out(mb) = emptyMb; mb += 1 }
+      if (mb < nMb) {
+        val (mr, mc) = (mb / mbCols, mb % mbCols)
+        val mbType = r.ue().toInt
+        require(mbType == 0,
+          s"h264: P mb_type $mbType at MB $mb — P_L0_16x16 only " +
+            "(sub-partitions and intra-in-P are out of this leg)")
+        val mvdX = r.se().toInt
+        val mvdY = r.se().toInt
+        val cbpCode = r.ue().toInt
+        require(cbpCode < 48, s"h264: CBP codeNum $cbpCode")
+        val cbp = CbpInterMap(cbpCode)
+        require((cbp >> 4) <= 2, s"h264: cbpChroma ${cbp >> 4}")
+        var qpd = 0
+        val luma = Array.fill(16)(Array.empty[Int])
+        val ncL = new Array[Int](16)
+        val cdc = Vector.newBuilder[Array[Int]]
+        val cac = Array.fill(2, 4)(Array.empty[Int])
+        if (cbp != 0) {
+          qpd = r.se().toInt
+          (0 until 4).foreach { q =>
+            if ((cbp & (1 << q)) != 0) (0 until 4).foreach { sub =>
+              val blk = q * 4 + sub
+              val (bx, by) = blk4x4Pos(blk)
+              val nc = lumaNc((r2, c2, x, y) =>
+                tcLuma(r2 * mbCols + c2)(y * 4 + x),
+                4, mr, mc, bx, by, mbCols, mbRows)
+              val coeff = Cavlc.readBlock(r, nc, 16)
+              luma(blk) = coeff
+              ncL(blk) = nc
+              tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
+            }
+          }
+          val cbpChroma = cbp >> 4
+          if (cbpChroma != 0) (0 until 2).foreach(_ =>
+            cdc += Cavlc.readBlock(r, -1, 4))
+          if (cbpChroma == 2) (0 until 2).foreach { comp =>
+            (0 until 4).foreach { blk =>
+              val nc = lumaNc((r2, c2, x, y) =>
+                tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
+                2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+              val b = Cavlc.readBlock(r, nc, 15)
+              cac(comp)(blk) = b
+              tcCa(comp)(mb)(blk) = Cavlc.stats(b)._1
+            }
+          }
+        }
+        out(mb) = PMb(skipped = false, mvdX, mvdY, cbp, qpd,
+          luma.toVector, ncL.toVector, cdc.result(),
+          cac.map(_.toVector).toVector)
+        mb += 1
+      }
+    }
+    require(r.u(1) == 1, "h264: missing rbsp_stop_one_bit after slice data")
+    (info, out.toVector)
+  }
+
   // ---- I_16x16 macroblocks (§7.4.5 Table 7-11, §8.3.3, §7.3.5.3) --------------
 
   /** Table 7-11's I_16x16 mb_type packing: mb_type 1..24 encodes

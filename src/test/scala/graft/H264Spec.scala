@@ -514,4 +514,69 @@ class H264Spec extends AnyFunSuite {
       }.get))._1
     assert(mbs(1).ncDc == tcRight, "DC nC from the left MB's column 3")
   }
+
+  test("P slices [§7.3.4/Table 7-13]: mb_skip_run interleaves coded " +
+      "P_L0_16x16 MBs (mvd, inter CBP, residual), a trailing run " +
+      "covers end-of-slice skips, and skipped MBs count 0 in nC") {
+    val sps = H264.parseSps(H264.writeSps(32, 32))
+    val pps = H264.parsePps(H264.writePps())
+    val nMb = 4
+    def blk(mb: Int, b: Int): Array[Int] = {
+      val c = new Array[Int](16)
+      c(15) = 1 + (mb + b) % 3
+      c(11) = -(2 + b % 4)
+      c
+    }
+    val skipped = Vector(false, true, false, true) // trailing skip
+    val mvd = Vector((3, -2), (0, 0), (-7, 12), (0, 0))
+    val cbps = Vector(0x21, 0, 0x13, 0) // quads + chroma mixes
+    val qpd = Vector(2, 0, -1, 0)
+    val luma = Vector.tabulate(nMb)(mb => Vector.tabulate(16)(b =>
+      if (!skipped(mb) && (cbps(mb) & (1 << (b / 4))) != 0) blk(mb, b)
+      else Array.empty[Int]))
+    val cdc = Vector.tabulate(nMb)(mb =>
+      if ((cbps(mb) >> 4) != 0) Vector.tabulate(2)(c =>
+        Array(1 + c, 0, -1, 0))
+      else Vector.empty[Array[Int]])
+    val cac = Vector.tabulate(nMb)(mb =>
+      if ((cbps(mb) >> 4) == 2) Vector.tabulate(2)(c =>
+        Vector.tabulate(4) { b =>
+          val a = new Array[Int](15); a(b) = 1 + c; a
+        })
+      else Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+    val nal = H264.writePSlice(7, sps, pps, skipped, mvd, cbps, qpd,
+      luma, cdc, cac)
+    val (info, mbs) = H264.parsePSlice(nal, sps, pps)
+    assert(info.isP && info.frameNum == 7 && mbs.length == nMb)
+    (0 until nMb).foreach { mb =>
+      assert(mbs(mb).skipped == skipped(mb), s"mb $mb skip")
+      assert((mbs(mb).mvdX, mbs(mb).mvdY) == mvd(mb), s"mb $mb mvd")
+      assert(mbs(mb).cbp == cbps(mb) || skipped(mb), s"mb $mb cbp")
+      assert(mbs(mb).qpDelta == qpd(mb), s"mb $mb qpd")
+      (0 until 16).foreach(b =>
+        assert(mbs(mb).luma(b).toSeq == luma(mb)(b).toSeq))
+    }
+    // MB 2 (bottom-left): above = MB 0; left = frame edge. Its block
+    // (0,0)'s nC = MB 0's block (0,3) count (quad 2 of MB 0: cbp 0x21
+    // has bit 2 clear → 0) — and MB 1 being skipped never pollutes
+    assert(mbs(2).ncLuma.zip(mbs(2).luma).forall { case (nc, c) =>
+      c.isEmpty || nc >= 0 })
+    // all-skipped slice: one trailing run, still parses
+    val allSkip = H264.writePSlice(8, sps, pps, Vector.fill(4)(true),
+      Vector.fill(4)((0, 0)), Vector.fill(4)(0), Vector.fill(4)(0),
+      Vector.fill(4)(Vector.fill(16)(Array.empty[Int])),
+      Vector.fill(4)(Vector.empty),
+      Vector.fill(4)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
+    val (_, sk) = H264.parsePSlice(allSkip, sps, pps)
+    assert(sk.forall(_.skipped))
+    // loud: skipped MB carrying data
+    intercept[IllegalArgumentException] {
+      H264.writePSlice(0, sps, pps, Vector(true, false, false, false),
+        Vector((1, 0), (0, 0), (0, 0), (0, 0)), Vector.fill(4)(0),
+        Vector.fill(4)(0),
+        Vector.fill(4)(Vector.fill(16)(Array.empty[Int])),
+        Vector.fill(4)(Vector.empty),
+        Vector.fill(4)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
+    }
+  }
 }
