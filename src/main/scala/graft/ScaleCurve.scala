@@ -124,6 +124,9 @@ object ScaleCurve {
     "m62_h264_cavlc",       // sect 9.2 residual blocks + nC lattice: m57 shape
     "m63_vp8_upscale",      // display upscaling over the m61 chain: m61 shape
     "e56_streaming_mp3_reservoir", // 511-byte window through the state store: e53 shape
+    "p27_aac_intensity",    // two-accumulator intensity CPE: p26 shape
+    "m64_h264_i16x16",      // I_16x16 DC/AC CAVLC split: m62 shape
+    "m65_h264_pslice",      // skip runs + P_L0_16x16 residuals: m62 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

@@ -3053,6 +3053,200 @@ object DspQueries {
       |  CAST(intensity_sum AS BIGINT) AS intensity_sum
       |FROM bits ORDER BY chunk_id, i""".stripMargin
 
+  /** p28: AAC PERCEPTUAL NOISE SUBSTITUTION ([[graft.sources.Aac]]
+    * codebook 13, ISO/IEC 14496-3 §4.6.13 — MPEG-4 AAC, the profile
+    * ADTS ID = 0 frames actually carry) — the third scalefactor
+    * ACCUMULATOR: noise sfbs transmit no spectral data and their
+    * scalefactor slots carry dpcm noise energy accumulating from
+    * global_gain − 90, interleaved in ONE dpcm stream with the
+    * spectral accumulator (the §6.3.2 walk now drives all three
+    * regimes: sf, is_position, noise energy). The spec mandates only
+    * the TARGET ENERGY — the generator is implementation-defined —
+    * so the reconstruction seam is the documented alternating ±2^e
+    * stand-in ([[Aac.pnsStandIn]]) whose absolute sums are
+    * integer-exact. The oracle replays the interleaved two-class
+    * closed forms (long frames alternate ±4 per class; short frames
+    * pin the deltas to 0 for group invariance), band widths × 2^e
+    * noise sums, and the bit budget to ADTS payload bytes. Scale:
+    * the p17 envelope. */
+  private def p28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Aac, AudioIndex}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        def mkIcs(i: Int): Aac.AacIcs = {
+          val ws = Array(0, 2, 1, 3)(i % 4)
+          val short = ws == 2
+          val maxSfb = if (short) 4 else 6 + i % 3
+          val grouping = if (short) (i * 37) % 128 else 0
+          val info = Aac.IcsInfo(ws, i % 2, maxSfb, grouping)
+          def cb(w: Int): Int = (i + w) % 3 match {
+            case 0 => 13
+            case 1 => 9
+            case _ => 11
+          }
+          val groups = info.groupLens
+          val sections = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.map(w =>
+              Aac.Section(cb(w), w, w + 1)))
+          // long: ±4 alternating per CLASS position; short: all 0
+          // (group invariance — the accumulators cross groups)
+          def dpcmOf(w: Int): Int =
+            if (short) 0
+            else {
+              val r = (3 - i % 3) % 3 // noise residue: (i+w)%3 == 0
+              val pos =
+                if (cb(w) == 13) (w - r) / 3
+                else w - (if (w >= r) (w - r) / 3 + 1 else 0)
+              if (pos % 2 == 0) 4 else -4
+            }
+          val dpcm = groups.indices.toVector.map(_ =>
+            (0 until maxSfb).toVector.map(dpcmOf))
+          val counters = scala.collection.mutable.Map[Int, Int]()
+          def mags(c: Int) = if (c >= 11) Array(0, 1, 8, 27)
+            else Array(0, 1, 8)
+          val spectral = groups.indices.toVector.map { gi =>
+            (0 until maxSfb).toVector.map { w =>
+              if (cb(w) == 13) Vector.empty[Int]
+              else Vector.fill(info.sfbWidth(w, groups(gi))) {
+                val t = counters.getOrElse(w, 0); counters(w) = t + 1
+                val a = mags(cb(w))
+                val m = a((i * 5 + w * 11 + t * 7) % a.length)
+                if (m != 0 && (t + i) % 2 == 1) -m else m
+              }
+            }
+          }
+          Aac.AacIcs(194 + 4 * (i % 5), info, sections, dpcm, None,
+            spectral)
+        }
+        val adts = AudioIndex.adtsMux((0 until n).map(i =>
+          AudioIndex.AdtsFrame(1, 4, 1, crcPresent = false,
+            Aac.muxSce(mkIcs(i)))))
+        val rec = AudioIndex.adtsDemux(adts)
+        require(rec.size == n, s"chunk $cid: adts frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val (_, ics) = Aac.demuxSce(f.payload)
+          val sfs = ics.scalefactors
+          val groups = ics.info.groupLens
+          val noiseSfbs = (0 until ics.info.maxSfb)
+            .filter(w => ics.cbOf(0, w) == 13)
+          val nrgSum = groups.indices.map { gi =>
+            noiseSfbs.map(w => sfs(gi)(w).get.toLong).sum
+          }.sum
+          val sfSum = groups.indices.map { gi =>
+            (0 until ics.info.maxSfb)
+              .filter(w => ics.cbOf(gi, w) != 13)
+              .map(w => sfs(gi)(w).get.toLong).sum
+          }.sum
+          val noiseAbs = groups.indices.map { gi =>
+            noiseSfbs.map { w =>
+              Aac.pnsStandIn(ics.info.sfbWidth(w, groups(gi)),
+                sfs(gi)(w).get).map(math.abs).sum
+            }.sum
+          }.sum
+          val codeSum = ics.spectral.flatten.flatten
+            .map(v => math.abs(v).toLong).sum
+          (cid, i.toLong, ics.info.windowSequence.toLong,
+            groups.length.toLong, ics.info.maxSfb.toLong,
+            f.payload.length.toLong, noiseSfbs.size.toLong,
+            nrgSum, sfSum, noiseAbs, codeSum)
+        }
+      }
+    }.toDF("chunk_id", "i", "window_seq", "num_groups", "max_sfb",
+        "payload_bytes", "noise_count", "nrg_sum", "sf_sum",
+        "noise_abs_sum", "code_sum")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p28Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i,
+      |    list_extract([0, 2, 1, 3], CAST(g.i % 4 + 1 AS INT)) AS ws,
+      |    g.i % 4 = 1 AS short,
+      |    CASE WHEN g.i % 4 = 1 THEN 4 ELSE 6 + g.i % 3 END AS max_sfb,
+      |    CASE WHEN g.i % 4 = 1
+      |      THEN 8 - bit_count(CAST((g.i * 37) % 128 AS BIGINT))
+      |      ELSE 1 END AS ng,
+      |    194 + 4 * (g.i % 5) AS gg,
+      |    (3 - g.i % 3) % 3 AS nres
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |sfb AS (SELECT f.*, w.w,
+      |    CASE (f.i + w.w) % 3 WHEN 0 THEN 13 WHEN 1 THEN 9
+      |      ELSE 11 END AS cb,
+      |    -- three-accumulator closed forms under the per-class ±4
+      |    -- alternation (long) / all-zero deltas (short)
+      |    CASE WHEN f.short THEN
+      |      (CASE WHEN (f.i + w.w) % 3 = 0 THEN f.gg - 90 ELSE f.gg END)
+      |    WHEN (f.i + w.w) % 3 = 0 THEN f.gg - 90
+      |      + (CASE WHEN ((w.w - f.nres) // 3) % 2 = 0 THEN 4 ELSE 0 END)
+      |    ELSE f.gg
+      |      + (CASE WHEN (w.w - (CASE WHEN w.w >= f.nres
+      |          THEN (w.w - f.nres) // 3 + 1 ELSE 0 END)) % 2 = 0
+      |        THEN 4 ELSE 0 END) END AS sfv,
+      |    CASE WHEN f.short THEN 8 * (4 * w.w + 4)
+      |      ELSE 4 * w.w + 4 END AS nvals,
+      |    CASE WHEN f.short THEN 8 ELSE 1 END AS mult,
+      |    4 * w.w + 4 AS width
+      |  FROM f, (SELECT unnest(range(12)) AS w) w
+      |  WHERE w.w < f.max_sfb),
+      |vals AS (SELECT s.chunk_id, s.i, s.w, s.cb, t.t,
+      |    CASE WHEN s.cb >= 11 THEN list_extract([0, 1, 8, 27],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7) % 4 + 1 AS INT))
+      |      ELSE list_extract([0, 1, 8],
+      |        CAST((s.i * 5 + s.w * 11 + t.t * 7) % 3 + 1 AS INT))
+      |    END AS m
+      |  FROM sfb s JOIN (SELECT unnest(range(320)) AS t) t
+      |    ON t.t < s.nvals
+      |  WHERE s.cb != 13),
+      |vagg AS (SELECT chunk_id, i,
+      |    sum(m) AS code_sum,
+      |    sum(CASE WHEN cb = 9 THEN 4 ELSE 5 END
+      |      + CASE WHEN m != 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN cb = 11 AND m >= 16 THEN 5 ELSE 0 END) AS sbits
+      |  FROM vals GROUP BY 1, 2),
+      |agg AS (SELECT chunk_id, i,
+      |    sum(CASE WHEN cb = 13 THEN 1 ELSE 0 END) AS noise_count,
+      |    max(ng) * sum(CASE WHEN cb = 13 THEN sfv ELSE 0 END)
+      |      AS nrg_sum,
+      |    max(ng) * sum(CASE WHEN cb != 13 THEN sfv ELSE 0 END)
+      |      AS sf_sum,
+      |    sum(CASE WHEN cb = 13 THEN mult * width
+      |      * CAST(power(2, (sfv - 100) // 4) AS BIGINT)
+      |      ELSE 0 END) AS noise_abs_sum
+      |  FROM sfb GROUP BY 1, 2),
+      |bits AS (SELECT f.chunk_id, f.i, f.ws, f.ng, f.max_sfb,
+      |    a.noise_count, a.nrg_sum, a.sf_sum, a.noise_abs_sum,
+      |    v.code_sum,
+      |    19
+      |    + CASE WHEN f.short THEN 11 ELSE 7 END
+      |    + CASE WHEN f.short THEN f.ng * f.max_sfb * 7
+      |        ELSE f.max_sfb * 9 END
+      |    + 8 * f.max_sfb * f.ng
+      |    + 3
+      |    + v.sbits + 3 AS rawbits
+      |  FROM f
+      |  JOIN agg a ON a.chunk_id = f.chunk_id AND a.i = f.i
+      |  JOIN vagg v ON v.chunk_id = f.chunk_id AND v.i = f.i)
+      |SELECT chunk_id, CAST(i AS BIGINT) AS i,
+      |  CAST(ws AS BIGINT) AS window_seq,
+      |  CAST(ng AS BIGINT) AS num_groups,
+      |  CAST(max_sfb AS BIGINT) AS max_sfb,
+      |  CAST((rawbits + 7) // 8 AS BIGINT) AS payload_bytes,
+      |  CAST(noise_count AS BIGINT) AS noise_count,
+      |  CAST(nrg_sum AS BIGINT) AS nrg_sum,
+      |  CAST(sf_sum AS BIGINT) AS sf_sum,
+      |  CAST(noise_abs_sum AS BIGINT) AS noise_abs_sum,
+      |  CAST(code_sum AS BIGINT) AS code_sum
+      |FROM bits ORDER BY chunk_id, i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -3081,5 +3275,6 @@ object DspQueries {
     Q("p25_aac_structure", p25, Some(p25Sql)),
     Q("p26_aac_cpe", p26, Some(p26Sql)),
     Q("p27_aac_intensity", p27, Some(p27Sql)),
+    Q("p28_aac_pns", p28, Some(p28Sql)),
   )
 }

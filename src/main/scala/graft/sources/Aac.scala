@@ -184,15 +184,18 @@ object Aac {
   }
 
   /** One section: codebook over sfbs [start, end) of one group.
-    * 0 = ZERO, 1–11 spectral, 14/15 = INTENSITY (out-of-phase /
-    * in-phase, §12.2 — CPE right channel only, no spectral data,
-    * the scalefactor slot carries dpcm is_position instead);
-    * 12 (reserved) and 13 (PNS) stay out of scope, loud. */
+    * 0 = ZERO, 1–11 spectral, 13 = NOISE (PNS, ISO/IEC 14496-3
+    * §4.6.13 — MPEG-4 AAC, which is what ADTS ID = 0 frames carry: no
+    * spectral data, the scalefactor slot holds dpcm noise energy
+    * accumulating from global_gain − 90), 14/15 = INTENSITY
+    * (out-of-phase / in-phase, §12.2 — CPE right channel only, the
+    * slot holds dpcm is_position from 0); 12 stays reserved, loud. */
   final case class Section(cb: Int, start: Int, end: Int) {
-    require(cb >= 0 && cb <= 11 || cb == 14 || cb == 15,
-      s"aac: codebook $cb out of this leg's scope (12 reserved, 13 PNS)")
+    require(cb >= 0 && cb <= 11 || cb >= 13 && cb <= 15,
+      s"aac: codebook $cb out of scope (12 is reserved)")
     require(start < end, "aac: empty section")
     def intensity: Boolean = cb >= 14
+    def noise: Boolean = cb == 13
   }
 
   final case class TnsFilter(coefRes: Int, length: Int, order: Int,
@@ -236,7 +239,7 @@ object Aac {
       require(spectral(gi).length == info.maxSfb, "aac: spectral shape")
       (0 until info.maxSfb).foreach { w =>
         val cb = cbOf(gi, w)
-        val want = if (cb == 0 || cb >= 14) 0
+        val want = if (cb == 0 || cb >= 13) 0
           else info.sfbWidth(w, g(gi))
         require(spectral(gi)(w).length == want,
           s"aac: group $gi sfb $w wants $want coefficients, " +
@@ -246,14 +249,17 @@ object Aac {
     require(tns.forall(_.nonEmpty), "aac: present TNS needs filters")
     def hasIntensity: Boolean =
       sections.exists(_.exists(_.intensity))
-    /** Scalefactors per (group, sfb) in scan order: spectral sfbs
-      * accumulate DPCM from global_gain; INTENSITY sfbs accumulate
-      * the same dpcm stream into their OWN accumulator starting at 0
-      * (§6.3.2 decode_scale_factors' dpcm_is_position) — the value is
-      * then the is_position; None for ZERO sections. */
+    /** Scalefactors per (group, sfb) in scan order — THREE
+      * accumulators over one dpcm stream (§6.3.2 decode_scale_factors
+      * / 14496-3 §4.6.2.3.3): spectral sfbs accumulate from
+      * global_gain; INTENSITY sfbs into their own accumulator from 0
+      * (the value is the is_position); NOISE sfbs into theirs from
+      * global_gain − 90 (the value is the noise energy); None for
+      * ZERO sections. */
     def scalefactors: Vector[Vector[Option[Int]]] = {
       var run = globalGain
       var isRun = 0
+      var nrgRun = globalGain - 90
       g.indices.toVector.map { gi =>
         var d = 0
         (0 until info.maxSfb).toVector.map { w =>
@@ -261,10 +267,26 @@ object Aac {
           if (cb == 0) None
           else if (cb >= 14) {
             isRun += dpcm(gi)(d); d += 1; Some(isRun)
+          } else if (cb == 13) {
+            nrgRun += dpcm(gi)(d); d += 1; Some(nrgRun)
           } else { run += dpcm(gi)(d); d += 1; Some(run) }
         }
       }
     }
+  }
+
+  /** STAND-IN noise vector for a PNS band (14496-3 §4.6.13 mandates
+    * only the TARGET ENERGY 2^(nrg/4-ish) — the generator itself is
+    * implementation-defined, libav uses its own LCG): alternating
+    * ±2^e with e = (nrg − 100)/4 on the exact grid, so |value| and
+    * the band's absolute sum are integer-exact and oracle-pinnable
+    * while the spec's real degree of freedom stays visible. */
+  def pnsStandIn(width: Int, nrg: Int): Vector[Long] = {
+    val e = nrg - 100
+    require(e >= 0 && e % 4 == 0,
+      s"aac: noise energy $nrg off the 100 + 4e exact grid")
+    Vector.tabulate(width)(k =>
+      (if (k % 2 == 0) 1L else -1L) << (e / 4))
   }
 
   /** §12.2 intensity reconstruction on the exact-integer grid:
@@ -476,9 +498,10 @@ object Aac {
       case None => w.writeBits(0L, 1)
     }
     w.writeBits(0L, 1) // gain_control_data_present
-    // spectral data: ZERO and INTENSITY sections carry none (§12.2)
+    // spectral data: ZERO, NOISE and INTENSITY sections carry none
     ics.sections.zipWithIndex.foreach { case (ss, gi) =>
-      ss.withFilter(s => s.cb != 0 && !s.intensity).foreach { s =>
+      ss.withFilter(s => s.cb != 0 && !s.intensity && !s.noise)
+        .foreach { s =>
         (s.start until s.end).foreach { sfb =>
           ics.spectral(gi)(sfb).grouped(cbDim(s.cb))
             .foreach(t => CbSeam.writeTuple(w, s.cb, t))
@@ -540,7 +563,7 @@ object Aac {
     val spectral = groups.indices.toVector.map { gi =>
       (0 until info.maxSfb).toVector.map { sfb =>
         val cb = cbOf(gi, sfb)
-        if (cb == 0 || cb >= 14) Vector.empty[Int]
+        if (cb == 0 || cb >= 13) Vector.empty[Int]
         else {
           val want = info.sfbWidth(sfb, groups(gi))
           require(want % cbDim(cb) == 0,

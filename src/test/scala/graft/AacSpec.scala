@@ -240,10 +240,42 @@ class AacSpec extends AnyFunSuite {
     }
   }
 
+  test("PNS [14496-3 §4.6.13]: codebook 13 sfbs carry dpcm noise " +
+      "energy in the scalefactor slot (accumulating from " +
+      "global_gain − 90) and no spectral data; the stand-in noise " +
+      "vector is exact on the 4e energy grid") {
+    val info = Aac.IcsInfo(0, 0, 6, 0)
+    // sfbs: spectral, noise, spectral, noise, noise, spectral
+    val cbs = Vector(3, 13, 9, 13, 13, 3)
+    val sections = Vector(cbs.zipWithIndex.map { case (cb, w) =>
+      Aac.Section(cb, w, w + 1) })
+    val spectral = Vector(Vector.tabulate(6)(w =>
+      if (cbs(w) == 13) Vector.empty[Int]
+      else Vector.fill(info.sfbWidth(w, 1))(0)))
+    // dpcm scan: sf+4, nrg+8, sf−4, nrg−4, nrg+4, sf+4
+    val ics = Aac.AacIcs(160, info, sections,
+      Vector(Vector(4, 8, -4, -4, 4, 4)), None, spectral)
+    val sfs = ics.scalefactors
+    assert(sfs(0)(0).contains(164) && sfs(0)(2).contains(160) &&
+      sfs(0)(5).contains(164), "spectral accumulator")
+    assert(sfs(0)(1).contains(160 - 90 + 8), "noise from gg − 90")
+    assert(sfs(0)(3).contains(160 - 90 + 4) &&
+      sfs(0)(4).contains(160 - 90 + 8), "noise accumulation")
+    // PNS is legal in an SCE and round-trips
+    val (_, got) = Aac.demuxSce(Aac.muxSce(ics))
+    assert(got.sections == sections && got.dpcm == ics.dpcm)
+    assert(got.spectral(0)(1).isEmpty && got.scalefactors == sfs)
+    // the stand-in noise vector: alternating ±2^e, exact
+    assert(Aac.pnsStandIn(4, 108) == Vector(4L, -4L, 4L, -4L))
+    assert(Aac.pnsStandIn(3, 100) == Vector(1L, -1L, 1L))
+    intercept[IllegalArgumentException] { Aac.pnsStandIn(4, 102) }
+    intercept[IllegalArgumentException] { Aac.pnsStandIn(4, 96) }
+  }
+
   test("loud boundaries: predictor bit, pulse data, gain control, " +
       "PNS codebooks, reserved ms_mask, signed values beyond LAV") {
     intercept[IllegalArgumentException] { // cb 13 is PNS
-      Aac.Section(13, 0, 1) // PNS stays out
+      Aac.Section(12, 0, 1) // 12 is reserved (13/14/15 are in now)
     }
     intercept[IllegalArgumentException] { // signed LAV
       val w = new graft.sources.Flac.BitWriter
