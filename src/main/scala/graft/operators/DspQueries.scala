@@ -3247,6 +3247,147 @@ object DspQueries {
       |  CAST(code_sum AS BIGINT) AS code_sum
       |FROM bits ORDER BY chunk_id, i""".stripMargin
 
+  /** p29: MPEG-1 LAYER II STEREO ([[graft.sources.Mp2.Mp2StereoFrame]],
+    * §2.4.1.5/§2.4.1.6) — the channel dimension p17/p20's mono subset
+    * rejected, with Layer II's OWN joint form (intensity by sharing):
+    * frames cycle stereo, joint with bound 4, joint with bound 12,
+    * dual channel; below the bound everything is per-channel, at and
+    * above it ONE 4-bit allocation and ONE set of granule codes are
+    * shared while each channel keeps its OWN scfsi + scalefactors —
+    * §2.4.1.6's field order (per-channel allocations, then the shared
+    * tail, scfsi, scalefactors, granule-major codes sharing above the
+    * bound) round-trips under the oracle, which replays allocations,
+    * per-channel scalefactor sums, code sums (the demuxed second
+    * channel REPEATS the shared codes), the §2.4.2.4 bit budget and
+    * cumulative frame offsets. Scale: the p17 envelope. */
+  private def p29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp2
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val modes = Vector((0, 0), (1, 0), (1, 2), (2, 0))
+        def mkFrame(i: Int): Mp2.Mp2StereoFrame = {
+          val (mode, ext) = modes(i % 4)
+          val bound = if (mode == 1) 4 + 4 * ext else Mp2.Sblimit
+          val subs = Array.tabulate(2, Mp2.Sblimit) { (ch, sb) =>
+            val chEff = if (sb < bound) ch else 0
+            val q = (i * 3 + sb * 5 + chEff * 7) % 9
+            if (q == 0) Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)
+            else {
+              val scfsi = (i + sb + ch) % 4
+              Mp2.Mp2Sub(q, scfsi,
+                Array.tabulate(Mp2.nsfStored(scfsi))(j =>
+                  (i + sb * 3 + ch * 5 + j * 7) % 63),
+                Array.tabulate(36)(k =>
+                  (i * 7 + sb * 11 + chEff * 13 + k * 3) % Mp2.Levels(q)))
+            }
+          }
+          Mp2.Mp2StereoFrame(14, 2, padding = i % 2 == 1, mode, ext, subs)
+        }
+        val frames = (0 until n).map(mkFrame)
+        val rec = Mp2.demuxStereo(Mp2.muxStereo(frames))
+        require(rec.size == n, s"chunk $cid: mp2 stereo count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          def allocCount(ch: Int): Long =
+            f.subs(ch).count(_.q > 0).toLong
+          def sfSum(ch: Int): Long =
+            f.subs(ch).flatMap(_.sf).map(_.toLong).sum
+          def codeSum(ch: Int): Long =
+            f.subs(ch).flatMap(_.samples).map(_.toLong).sum
+          (cid, i.toLong, off, f.mode.toLong, f.modeExt.toLong,
+            f.bound.toLong, f.bodyBits.toLong,
+            allocCount(0), allocCount(1), sfSum(0), sfSum(1),
+            codeSum(0), codeSum(1))
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "mode", "mode_ext", "bound",
+        "body_bits", "alloc0", "alloc1", "sf_sum0", "sf_sum1",
+        "code_sum0", "code_sum1")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p29Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i,
+      |    list_extract([0, 1, 1, 2], CAST(g.i % 4 + 1 AS INT)) AS mode,
+      |    list_extract([0, 0, 2, 0], CAST(g.i % 4 + 1 AS INT)) AS ext,
+      |    CASE g.i % 4 WHEN 1 THEN 4 WHEN 2 THEN 12 ELSE 30 END AS bound
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |sub AS (SELECT f.*, ch.ch, sb.sb,
+      |    CASE WHEN sb.sb < f.bound THEN ch.ch ELSE 0 END AS cheff,
+      |    (f.i * 3 + sb.sb * 5
+      |      + (CASE WHEN sb.sb < f.bound THEN ch.ch ELSE 0 END) * 7) % 9
+      |      AS q,
+      |    (f.i + sb.sb + ch.ch) % 4 AS scfsi
+      |  FROM f, (SELECT unnest(range(2)) AS ch) ch,
+      |    (SELECT unnest(range(30)) AS sb) sb),
+      |sub2 AS (SELECT *,
+      |    list_extract([3, 2, 1, 2], CAST(scfsi + 1 AS INT)) AS nsf,
+      |    list_extract([0, 3, 5, 7, 9, 15, 31, 63, 127],
+      |      CAST(q + 1 AS INT)) AS lvl,
+      |    list_extract([0, 5, 7, 9, 10, 12, 15, 18, 21],
+      |      CAST(q + 1 AS INT)) AS gbits
+      |  FROM sub),
+      |sf AS (SELECT s.chunk_id, s.i, s.ch,
+      |    sum(CASE WHEN s.q > 0 THEN (s.i + s.sb * 3 + s.ch * 5 + j.j * 7)
+      |      % 63 ELSE 0 END) AS sf_sum
+      |  FROM sub2 s JOIN (SELECT unnest(range(3)) AS j) j
+      |    ON j.j < s.nsf
+      |  GROUP BY 1, 2, 3),
+      |codes AS (SELECT s.chunk_id, s.i, s.ch,
+      |    sum(CASE WHEN s.q > 0
+      |      THEN (s.i * 7 + s.sb * 11 + s.cheff * 13 + k.k * 3) % s.lvl
+      |      ELSE 0 END) AS code_sum
+      |  FROM sub2 s JOIN (SELECT unnest(range(36)) AS k) k
+      |    ON s.q > 0 AND k.k < 36
+      |  GROUP BY 1, 2, 3),
+      |agg AS (SELECT chunk_id, i,
+      |    sum(CASE WHEN ch = 0 AND q > 0 THEN 1 ELSE 0 END) AS alloc0,
+      |    sum(CASE WHEN ch = 1 AND q > 0 THEN 1 ELSE 0 END) AS alloc1,
+      |    -- §2.4.2.4 budget: per-channel allocations below the bound,
+      |    -- one above; scfsi + scalefactors per (sb, ch); codes per
+      |    -- channel below, once above
+      |    max(4 * (2 * bound + (30 - bound)))
+      |    + sum(CASE WHEN q > 0 THEN 2 + 6 * nsf ELSE 0 END)
+      |    + sum(CASE WHEN q > 0 AND (sb < bound OR ch = 0)
+      |        THEN 12 * gbits ELSE 0 END) AS body_bits
+      |  FROM sub2 GROUP BY 1, 2),
+      |ofs AS (SELECT chunk_id, i,
+      |    coalesce(sum(1728 + i2 % 2) OVER (PARTITION BY chunk_id
+      |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS "offset"
+      |  FROM (SELECT chunk_id, i, i AS i2 FROM f))
+      |SELECT f.chunk_id, CAST(f.i AS BIGINT) AS i,
+      |  CAST(o."offset" AS BIGINT) AS "offset",
+      |  CAST(f.mode AS BIGINT) AS mode,
+      |  CAST(f.ext AS BIGINT) AS mode_ext,
+      |  CAST(f.bound AS BIGINT) AS bound,
+      |  CAST(a.body_bits AS BIGINT) AS body_bits,
+      |  CAST(a.alloc0 AS BIGINT) AS alloc0,
+      |  CAST(a.alloc1 AS BIGINT) AS alloc1,
+      |  CAST(s0.sf_sum AS BIGINT) AS sf_sum0,
+      |  CAST(s1.sf_sum AS BIGINT) AS sf_sum1,
+      |  CAST(c0.code_sum AS BIGINT) AS code_sum0,
+      |  CAST(c1.code_sum AS BIGINT) AS code_sum1
+      |FROM f
+      |JOIN ofs o ON o.chunk_id = f.chunk_id AND o.i = f.i
+      |JOIN agg a ON a.chunk_id = f.chunk_id AND a.i = f.i
+      |JOIN sf s0 ON s0.chunk_id = f.chunk_id AND s0.i = f.i AND s0.ch = 0
+      |JOIN sf s1 ON s1.chunk_id = f.chunk_id AND s1.i = f.i AND s1.ch = 1
+      |JOIN codes c0 ON c0.chunk_id = f.chunk_id AND c0.i = f.i
+      |  AND c0.ch = 0
+      |JOIN codes c1 ON c1.chunk_id = f.chunk_id AND c1.i = f.i
+      |  AND c1.ch = 1
+      |ORDER BY f.chunk_id, f.i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -3276,5 +3417,6 @@ object DspQueries {
     Q("p26_aac_cpe", p26, Some(p26Sql)),
     Q("p27_aac_intensity", p27, Some(p27Sql)),
     Q("p28_aac_pns", p28, Some(p28Sql)),
+    Q("p29_mp2_stereo", p29, Some(p29Sql)),
   )
 }

@@ -214,6 +214,217 @@ object Mp2 {
     out.result()
   }
 
+  // ---- Layer II STEREO [§2.4.1.5/§2.4.1.6] -------------------------------------
+
+  /** A two-channel Layer II frame: mode 0 = stereo, 1 = joint stereo
+    * (Layer II's INTENSITY form), 2 = dual channel (3 = mono rides
+    * [[Mp2FrameData]]). In joint mode the §2.4.1.6 BOUND =
+    * 4 + 4·mode_extension splits the subbands: below it everything is
+    * per-channel; at/above it ONE allocation and ONE set of sample
+    * codes are shared while each channel keeps its OWN scalefactors —
+    * the intensity mechanism. `subs(ch)(sb)`; joint subbands must
+    * agree on q/samples across channels (the mux writes them once,
+    * the demux duplicates them back). */
+  final case class Mp2StereoFrame(bitrateIndex: Int, rateIndex: Int,
+      padding: Boolean, mode: Int, modeExt: Int,
+      subs: Array[Array[Mp2Sub]]) {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, "mp2: bitrate index")
+    require(rateIndex >= 0 && rateIndex <= 2, "mp2: rate index")
+    require(mode >= 0 && mode <= 2,
+      "mp2: stereo modes are 0/1/2 (mono rides Mp2FrameData)")
+    require(modeExt >= 0 && modeExt <= 3 && (mode == 1 || modeExt == 0),
+      "mp2: mode_extension is joint-stereo only")
+    require(subs.length == 2 && subs.forall(_.length == Sblimit),
+      "mp2: 2 × sblimit subbands")
+    /** First shared subband: §2.4.1.6's bound (sblimit when the
+      * channels are fully independent). */
+    def bound: Int = if (mode == 1) 4 + 4 * modeExt else Sblimit
+    (bound until Sblimit).foreach { sb =>
+      require(subs(0)(sb).q == subs(1)(sb).q,
+        s"mp2: joint subband $sb disagrees on allocation")
+      require(subs(0)(sb).samples.sameElements(subs(1)(sb).samples),
+        s"mp2: joint subband $sb disagrees on shared sample codes")
+    }
+    def frameLen: Int =
+      144 * BitratesL2(bitrateIndex) * 1000 / Rates(rateIndex) +
+        (if (padding) 1 else 0)
+    def bodyBits: Int = {
+      val alloc = 4 * (2 * bound + (Sblimit - bound))
+      val perCh = (0 until Sblimit).map { sb =>
+        (0 until 2).map { ch =>
+          val s = subs(ch)(sb)
+          if (s.q == 0) 0 else 2 + 6 * nsfStored(s.scfsi)
+        }.sum
+      }.sum
+      val codes = (0 until Sblimit).map { sb =>
+        val q = subs(0)(sb).q
+        val qq1 = subs(1)(sb).q
+        if (sb < bound) 12 * ((if (q > 0) granuleBits(q) else 0) +
+          (if (qq1 > 0) granuleBits(qq1) else 0))
+        else if (q > 0) 12 * granuleBits(q) else 0
+      }.sum
+      alloc + perCh + codes
+    }
+  }
+
+  /** Pack two-channel Layer II frames (§2.4.1.6 field order:
+    * per-channel allocation below the bound, shared at/above it;
+    * scfsi and scalefactors per (subband, channel); granule-major
+    * codes, shared above the bound). */
+  def muxStereo(frames: Seq[Mp2StereoFrame]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(4 + (f.bodyBits + 7) / 8 <= f.frameLen,
+        s"mp2: stereo body ${f.bodyBits} bits overruns the " +
+          s"${f.frameLen}-byte frame")
+      out.write(0xFF); out.write(0xFD)
+      out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+        (if (f.padding) 2 else 0))
+      out.write((f.mode << 6) | (f.modeExt << 4))
+      val w = new BitWriter
+      val bound = f.bound
+      (0 until bound).foreach(sb => (0 until 2).foreach(ch =>
+        w.writeBits(f.subs(ch)(sb).q.toLong, 4)))
+      (bound until Sblimit).foreach(sb =>
+        w.writeBits(f.subs(0)(sb).q.toLong, 4))
+      (0 until Sblimit).foreach(sb => (0 until 2).foreach { ch =>
+        if (f.subs(ch)(sb).q > 0)
+          w.writeBits(f.subs(ch)(sb).scfsi.toLong, 2)
+      })
+      (0 until Sblimit).foreach(sb => (0 until 2).foreach { ch =>
+        if (f.subs(ch)(sb).q > 0)
+          f.subs(ch)(sb).sf.foreach(v => w.writeBits(v.toLong, 6))
+      })
+      def code(w2: BitWriter, s: Mp2Sub, g: Int): Unit = {
+        val l = Levels(s.q)
+        val (s0, s1, s2) =
+          (s.samples(3 * g), s.samples(3 * g + 1), s.samples(3 * g + 2))
+        if (l == 3 || l == 5 || l == 9)
+          w2.writeBits((s0 + l * (s1 + l * s2)).toLong, granuleBits(s.q))
+        else {
+          val nb = granuleBits(s.q) / 3
+          w2.writeBits(s0.toLong, nb)
+          w2.writeBits(s1.toLong, nb)
+          w2.writeBits(s2.toLong, nb)
+        }
+      }
+      var g = 0
+      while (g < 12) {
+        (0 until Sblimit).foreach { sb =>
+          if (sb < bound)
+            (0 until 2).foreach { ch =>
+              if (f.subs(ch)(sb).q > 0) code(w, f.subs(ch)(sb), g)
+            }
+          else if (f.subs(0)(sb).q > 0) code(w, f.subs(0)(sb), g)
+        }
+        g += 1
+      }
+      val body = w.toBytes
+      out.write(body, 0, body.length)
+      var stuff = f.frameLen - 4 - body.length
+      while (stuff > 0) { out.write(0); stuff -= 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Walk a two-channel Layer II stream back; joint subbands read the
+    * shared codes once and duplicate them into both channels, each
+    * with its own scalefactors. */
+  def demuxStereo(bytes: Array[Byte]): Seq[(Long, Mp2StereoFrame)] = {
+    val out = Seq.newBuilder[(Long, Mp2StereoFrame)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, s"mp2: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xff) == 0xFD,
+        s"mp2: lost sync at $pos (MPEG-1 Layer II no-CRC expected)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp2: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp2: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      val mode = (bytes(pos + 3) >> 6) & 3
+      require(mode != 3,
+        s"mp2: mono frame at $pos — use demux, not demuxStereo")
+      val modeExt = (bytes(pos + 3) >> 4) & 3
+      val fl = 144 * BitratesL2(bi) * 1000 / Rates(ri) + (if (pad) 1 else 0)
+      require(pos + fl <= bytes.length,
+        s"mp2: frame length $fl overruns the stream at $pos")
+      val bound = if (mode == 1) 4 + 4 * modeExt else Sblimit
+      val r = new BitReader(bytes, pos + 4, pos + fl)
+      val qs = Array.fill(2, Sblimit)(0)
+      (0 until bound).foreach(sb => (0 until 2).foreach { ch =>
+        qs(ch)(sb) = r.readBits(4).toInt
+      })
+      (bound until Sblimit).foreach { sb =>
+        val q = r.readBits(4).toInt
+        qs(0)(sb) = q; qs(1)(sb) = q
+      }
+      qs.foreach(_.foreach(q => require(q < Levels.size,
+        s"mp2: allocation $q beyond the ladder at $pos")))
+      val scfsis = Array.tabulate(2, Sblimit)((_, _) => 0)
+      (0 until Sblimit).foreach(sb => (0 until 2).foreach { ch =>
+        if (qs(ch)(sb) > 0) scfsis(ch)(sb) = r.readBits(2).toInt
+      })
+      // scalefactors interleave per (subband, channel) like scfsi
+      val sfs = Array.fill(2, Sblimit)(Array.empty[Int])
+      (0 until Sblimit).foreach(sb => (0 until 2).foreach { ch =>
+        if (qs(ch)(sb) > 0)
+          sfs(ch)(sb) =
+            Array.fill(nsfStored(scfsis(ch)(sb)))(r.readBits(6).toInt)
+      })
+      val samples = Array.tabulate(2, Sblimit) { (ch, sb) =>
+        if (qs(ch)(sb) > 0) new Array[Int](36) else Array.empty[Int]
+      }
+      def readCode(q: Int, into: Array[Int], g: Int): Unit = {
+        val l = Levels(q)
+        if (l == 3 || l == 5 || l == 9) {
+          var c = r.readBits(granuleBits(q)).toInt
+          require(c < l * l * l,
+            s"mp2: grouped code $c beyond $l^3 at $pos")
+          into(3 * g) = c % l; c /= l
+          into(3 * g + 1) = c % l
+          into(3 * g + 2) = c / l
+        } else {
+          val nb = granuleBits(q) / 3
+          var x = 0
+          while (x < 3) {
+            val c = r.readBits(nb).toInt
+            require(c < l, s"mp2: code $c beyond $l levels at $pos")
+            into(3 * g + x) = c
+            x += 1
+          }
+        }
+      }
+      var g = 0
+      while (g < 12) {
+        var sb = 0
+        while (sb < Sblimit) {
+          if (sb < bound) {
+            (0 until 2).foreach { ch =>
+              if (qs(ch)(sb) > 0) readCode(qs(ch)(sb), samples(ch)(sb), g)
+            }
+          } else if (qs(0)(sb) > 0) {
+            readCode(qs(0)(sb), samples(0)(sb), g)
+            // shared codes: duplicate into the second channel [§2.4.1.6]
+            System.arraycopy(samples(0)(sb), 3 * g, samples(1)(sb),
+              3 * g, 3)
+          }
+          sb += 1
+        }
+        g += 1
+      }
+      val subs = Array.tabulate(2, Sblimit) { (ch, sb) =>
+        Mp2Sub(qs(ch)(sb), if (qs(ch)(sb) > 0) scfsis(ch)(sb) else 0,
+          sfs(ch)(sb), samples(ch)(sb))
+      }
+      out += ((pos.toLong,
+        Mp2StereoFrame(bi, ri, pad, mode, modeExt, subs)))
+      pos += fl
+    }
+    out.result()
+  }
+
   // ---- Layer I [§2.4.1.5 / §2.4.2.4] -----------------------------------------
   //
   // Layer I's bitstream layer is FULLY conformant here — unlike Layer

@@ -264,4 +264,63 @@ class Mp2Spec extends AnyFunSuite {
       assert(out(0) == want0, s"step $g sample 0")
     }
   }
+
+  test("Layer II stereo [§2.4.1.5/§2.4.1.6]: the joint bound " +
+      "4 + 4·mode_extension splits per-channel from shared subbands — " +
+      "ONE allocation and ONE set of codes above it, per-channel " +
+      "scalefactors throughout — and every mode round-trips") {
+    def mkSub(q: Int, salt: Int): Mp2.Mp2Sub =
+      if (q == 0) Mp2.Mp2Sub(0, 0, Array.empty, Array.empty)
+      else {
+        val scfsi = salt % 4
+        Mp2.Mp2Sub(q, scfsi,
+          Array.tabulate(Mp2.nsfStored(scfsi))(j => (salt * 5 + j) % 63),
+          Array.tabulate(36)(j => (salt * 7 + j * 3) % Mp2.Levels(q)))
+      }
+    def frame(mode: Int, ext: Int): Mp2.Mp2StereoFrame = {
+      val bound = if (mode == 1) 4 + 4 * ext else Mp2.Sblimit
+      val subs = Array.tabulate(2, Mp2.Sblimit) { (ch, sb) =>
+        val q = if ((sb + ch) % 5 == 4 && sb < bound) 0
+          else 1 + (sb * 3 + ch * (if (sb < bound) 7 else 0)) % 12
+        mkSub(q, sb * 2 + (if (sb < bound) ch else 0) * 31 + mode)
+      }
+      // shared subbands: same q + samples, per-channel scalefactors
+      (bound until Mp2.Sblimit).foreach { sb =>
+        val s0 = subs(0)(sb)
+        subs(1)(sb) = s0.copy(sf =
+          Array.tabulate(Mp2.nsfStored(s0.scfsi))(j => (sb * 11 + j) % 63))
+      }
+      Mp2.Mp2StereoFrame(14, 2, padding = mode % 2 == 1, mode, ext, subs)
+    }
+    Seq((0, 0), (2, 0), (1, 0), (1, 1), (1, 2), (1, 3)).foreach {
+      case (mode, ext) =>
+        val f = frame(mode, ext)
+        val rec = Mp2.demuxStereo(Mp2.muxStereo(Seq(f)))
+        assert(rec.size == 1)
+        val got = rec.head._2
+        assert(got.mode == mode && got.modeExt == ext &&
+          got.bound == f.bound, s"mode $mode ext $ext header")
+        (0 until 2).foreach(ch => (0 until Mp2.Sblimit).foreach { sb =>
+          assert(got.subs(ch)(sb).q == f.subs(ch)(sb).q,
+            s"mode $mode ch $ch sb $sb q")
+          assert(got.subs(ch)(sb).sf.toSeq == f.subs(ch)(sb).sf.toSeq,
+            s"mode $mode ch $ch sb $sb sf")
+          assert(got.subs(ch)(sb).samples.toSeq ==
+            f.subs(ch)(sb).samples.toSeq,
+            s"mode $mode ch $ch sb $sb samples")
+        })
+    }
+    // loud: joint subbands must agree on allocation and codes
+    intercept[IllegalArgumentException] {
+      val f = frame(1, 0)
+      val bad = f.subs.map(_.clone())
+      bad(1)(10) = mkSub(3, 99)
+      Mp2.Mp2StereoFrame(14, 2, padding = false, 1, 0, bad)
+    }
+    intercept[IllegalArgumentException] { // mono header rejected
+      Mp2.demuxStereo(Mp2.mux(Seq(Mp2.Mp2FrameData(14, 2, false,
+        Array.fill(Mp2.Sblimit)(
+          Mp2.Mp2Sub(0, 0, Array.empty, Array.empty))))))
+    }
+  }
 }
