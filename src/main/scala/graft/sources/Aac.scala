@@ -209,12 +209,25 @@ object Aac {
 
   /** §6.3.2 individual_channel_stream, SCE shape. `sections`,
     * `dpcm` (per coded sfb, scan order) and `spectral` (per sfb;
-    * empty for ZERO sections) are per group. */
+    * empty for ZERO sections) are per group. `tns` is the LONG-window
+    * filter list (one window); EIGHT_SHORT frames carry `tnsShort`
+    * instead — per short window 0..1 filters (the 1-bit short-form
+    * n_filt) with the 4-bit length / 3-bit order fields. */
   final case class AacIcs(globalGain: Int, info: IcsInfo,
       sections: Vector[Vector[Section]],
       dpcm: Vector[Vector[Int]],
       tns: Option[Vector[TnsFilter]],
-      spectral: Vector[Vector[Vector[Int]]]) {
+      spectral: Vector[Vector[Vector[Int]]],
+      tnsShort: Option[Vector[Option[TnsFilter]]] = None) {
+    require(tns.isEmpty || !info.short,
+      "aac: long-form TNS on an EIGHT_SHORT frame (use tnsShort)")
+    require(tnsShort.isEmpty || info.short,
+      "aac: short-form TNS on a long frame (use tns)")
+    require(tnsShort.forall(_.length == 8),
+      "aac: short TNS carries one slot per window")
+    require(tnsShort.forall(_.flatten.forall(f =>
+      f.length < 16 && f.order < 8)),
+      "aac: short TNS length is 4 bits, order 3 bits")
     require(globalGain >= 0 && globalGain < 256, "aac: global_gain")
     private val g = info.groupLens
     require(sections.length == g.length && dpcm.length == g.length &&
@@ -479,11 +492,28 @@ object Aac {
       w.writeBits((d & 0xff).toLong, 8)
     })
     w.writeBits(0L, 1) // pulse_data_present
-    ics.tns match {
+    if (ics.info.short) ics.tnsShort match {
+      case Some(wins) =>
+        // short form [§6.3.2]: per window n_filt is ONE bit, then
+        // coef_res(1), length(4), order(3) for the present filter
+        w.writeBits(1L, 1)
+        wins.foreach {
+          case Some(f) =>
+            w.writeBits(1L, 1)
+            w.writeBits(f.coefRes.toLong, 1)
+            w.writeBits(f.length.toLong, 4)
+            w.writeBits(f.order.toLong, 3)
+            if (f.order > 0) {
+              w.writeBits(f.direction.toLong, 1)
+              w.writeBits(f.compress.toLong, 1)
+              f.coefs.foreach(c => w.writeBits(c.toLong, f.coefBits))
+            }
+          case None => w.writeBits(0L, 1)
+        }
+      case None => w.writeBits(0L, 1)
+    } else ics.tns match {
       case Some(filters) =>
         w.writeBits(1L, 1)
-        require(!ics.info.short,
-          "aac: this leg writes TNS on long windows (1 window)")
         w.writeBits(filters.length.toLong, 2)
         if (filters.nonEmpty) w.writeBits(filters.head.coefRes.toLong, 1)
         filters.foreach { f =>
@@ -542,22 +572,39 @@ object Aac {
     }
     require(r.readBits(1) == 0L,
       "aac: pulse_data out of this leg's scope (loud)")
-    val tns = if (r.readBits(1) == 1L) {
-      require(!info.short, "aac: TNS read path covers long windows")
-      val nFilt = r.readBits(2).toInt
-      val coefRes = if (nFilt > 0) r.readBits(1).toInt else 0
-      Some(Vector.fill(nFilt) {
-        val length = r.readBits(6).toInt
-        val order = r.readBits(5).toInt
-        if (order > 0) {
-          val dir = r.readBits(1).toInt
-          val comp = r.readBits(1).toInt
-          val coefs = Vector.fill(order)(
-            r.readBits(coefRes + 3 - comp).toInt)
-          TnsFilter(coefRes, length, order, dir, comp, coefs)
-        } else TnsFilter(coefRes, length, 0, 0, 0, Vector.empty)
-      })
-    } else None
+    val (tns, tnsShort) =
+      if (r.readBits(1) != 1L) (None, None)
+      else if (info.short) {
+        val wins = Vector.fill(8) {
+          if (r.readBits(1) == 1L) { // n_filt (1 bit, short form)
+            val coefRes = r.readBits(1).toInt
+            val length = r.readBits(4).toInt
+            val order = r.readBits(3).toInt
+            Some(if (order > 0) {
+              val dir = r.readBits(1).toInt
+              val comp = r.readBits(1).toInt
+              val coefs = Vector.fill(order)(
+                r.readBits(coefRes + 3 - comp).toInt)
+              TnsFilter(coefRes, length, order, dir, comp, coefs)
+            } else TnsFilter(coefRes, length, 0, 0, 0, Vector.empty))
+          } else None
+        }
+        (None, Some(wins))
+      } else {
+        val nFilt = r.readBits(2).toInt
+        val coefRes = if (nFilt > 0) r.readBits(1).toInt else 0
+        (Some(Vector.fill(nFilt) {
+          val length = r.readBits(6).toInt
+          val order = r.readBits(5).toInt
+          if (order > 0) {
+            val dir = r.readBits(1).toInt
+            val comp = r.readBits(1).toInt
+            val coefs = Vector.fill(order)(
+              r.readBits(coefRes + 3 - comp).toInt)
+            TnsFilter(coefRes, length, order, dir, comp, coefs)
+          } else TnsFilter(coefRes, length, 0, 0, 0, Vector.empty)
+        }), None)
+      }
     require(r.readBits(1) == 0L,
       "aac: gain_control_data out of the LC profile (loud)")
     val spectral = groups.indices.toVector.map { gi =>
@@ -573,6 +620,6 @@ object Aac {
         }
       }
     }
-    AacIcs(gg, info, sections, dpcm, tns, spectral)
+    AacIcs(gg, info, sections, dpcm, tns, spectral, tnsShort)
   }
 }

@@ -272,6 +272,35 @@ class AacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Aac.pnsStandIn(4, 96) }
   }
 
+  test("short-window TNS [§6.3.2]: EIGHT_SHORT frames carry the " +
+      "1-bit n_filt / 4-bit length / 3-bit order form per window, " +
+      "round-tripping next to grouping and spectral data") {
+    val base = sce(1) // ws 2, maxSfb 4, grouping (1·37)%128
+    assert(base.info.short)
+    val wins = Vector.tabulate(8)(wd =>
+      if (wd % 3 == 0) Some(Aac.TnsFilter(wd / 4, (wd * 5) % 16,
+        wd % 4, wd % 2, 0,
+        Vector.tabulate(wd % 4)(j => (wd + j) % (1 << (wd / 4 + 3)))))
+      else None)
+    val ics = base.copy(tnsShort = Some(wins))
+    val (_, got) = Aac.demuxSce(Aac.muxSce(ics))
+    assert(got.tnsShort.contains(wins))
+    assert(got.tns.isEmpty && got.spectral == ics.spectral)
+    // the field gates: long TNS on a short frame and vice versa
+    intercept[IllegalArgumentException] {
+      base.copy(tns = Some(Vector(Aac.TnsFilter(0, 1, 0, 0, 0,
+        Vector.empty))))
+    }
+    intercept[IllegalArgumentException] {
+      sce(0).copy(tnsShort = Some(Vector.fill(8)(None)))
+    }
+    intercept[IllegalArgumentException] { // short length is 4 bits
+      base.copy(tnsShort = Some(Vector.tabulate(8)(wd =>
+        if (wd == 0) Some(Aac.TnsFilter(0, 16, 0, 0, 0, Vector.empty))
+        else None)))
+    }
+  }
+
   test("loud boundaries: predictor bit, pulse data, gain control, " +
       "PNS codebooks, reserved ms_mask, signed values beyond LAV") {
     intercept[IllegalArgumentException] { // cb 13 is PNS
