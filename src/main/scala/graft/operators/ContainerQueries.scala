@@ -4476,6 +4476,207 @@ object ContainerQueries {
       |  AND cac.mb = m.mb
       |ORDER BY m.container, m.t, m.mb""".stripMargin
 
+  /** m66: H.264 MULTI-SLICE PICTURES (§6.4.8/§7.4.1) — the slice
+    * self-containedness real encoders use for error resilience and
+    * parallelism: each picture splits into TWO slices at a drawn
+    * boundary (first_mb_in_slice > 0 on the second), and §6.4.8 stops
+    * BOTH §8.3.1.1 mode prediction and the §9.2.1 nC context at the
+    * boundary — a boundary MB's above neighbor that decoded fine in
+    * the same picture is UNAVAILABLE because it lives in the previous
+    * slice, so its blocks read DC predictions and zero/edge contexts.
+    * The oracle replays m62's residual machinery with the
+    * availability gate keyed on each MB's slice start. Scale: the m40
+    * envelope. */
+  private[operators] object H264MultiSliceKernel extends Serializable {
+    private def hexbyte(str: String): Int =
+      Integer.parseInt(md5Hex(str.getBytes("UTF-8")).take(2), 16)
+    def rows(k: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long, Long)] = {
+      import graft.sources.H264
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      val spsNal = H264.writeSps(32, 32)
+      val ppsNal = H264.writePps()
+      val sps = H264.parseSps(spsNal)
+      val pps = H264.parsePps(ppsNal)
+      def lumaBlk(t: Int, mb: Int, blk: Int): Array[Int] = {
+        val c = new Array[Int](16)
+        val tc = 1 + hexbyte(s"mslT${k}_${t}_${mb}_$blk") % 6
+        val t1 = math.min(tc - 1, hexbyte(s"msl1${k}_${t}_${mb}_$blk") % 4)
+        (0 until tc).foreach { j =>
+          val mag = if (j < t1) 1
+            else 2 + hexbyte(s"mslM${k}_${t}_${mb}_${blk}_$j") % 4
+          val neg = hexbyte(s"mslS${k}_${t}_${mb}_${blk}_$j") % 2 == 1
+          c(15 - 2 * j) = if (neg) -mag else mag
+        }
+        c
+      }
+      val startCode = Array[Byte](0, 0, 0, 1)
+      val pictures = (0 until n).map { t =>
+        val split = 1 + hexbyte(s"mslB${k}_$t") % 3
+        def cbpOf(mb: Int): Int =
+          (hexbyte(s"mslL${k}_${t}_$mb") % 16) |
+            ((hexbyte(s"mslC${k}_${t}_$mb") % 3) << 4)
+        def sliceNal(firstMb: Int, cnt: Int): Array[Byte] = {
+          val mbs = firstMb until firstMb + cnt
+          H264.writeIntraCodedSlice(0, sps, pps,
+            mbs.map(_ => Array.fill(16)(2)).toVector,
+            mbs.map(_ => 1).toVector,
+            mbs.map(cbpOf).toVector,
+            mbs.map(mb => if (cbpOf(mb) != 0)
+              hexbyte(s"mslQ${k}_${t}_$mb") % 5 - 2 else 0).toVector,
+            mbs.map(mb => Vector.tabulate(16)(blk =>
+              if ((cbpOf(mb) & (1 << (blk / 4))) != 0) lumaBlk(t, mb, blk)
+              else Array.empty[Int])).toVector,
+            mbs.map(mb =>
+              if ((cbpOf(mb) >> 4) != 0) Vector.tabulate(2)(comp => Array(
+                1 + hexbyte(s"mslDa${k}_${t}_${mb}_$comp") % 3, 0,
+                -(1 + hexbyte(s"mslDb${k}_${t}_${mb}_$comp") % 2), 0))
+              else Vector(Array.empty[Int], Array.empty[Int])).toVector,
+            mbs.map(mb =>
+              if ((cbpOf(mb) >> 4) == 2) Vector.tabulate(2)(comp =>
+                Vector.tabulate(4) { blk =>
+                  val c = new Array[Int](15)
+                  c(blk) =
+                    2 + hexbyte(s"mslAa${k}_${t}_${mb}_${comp}_$blk") % 3
+                  c(blk + 4) =
+                    -1 - hexbyte(s"mslAb${k}_${t}_${mb}_${comp}_$blk") % 2
+                  c
+                })
+              else Vector.fill(2)(Vector.fill(4)(Array.empty[Int])))
+              .toVector,
+            idrPicId = t, firstMb = firstMb, mbCount = cnt)
+        }
+        (split, sliceNal(0, split), sliceNal(split, 4 - split))
+      }
+      val annexB = (Seq(spsNal, ppsNal) ++
+        pictures.flatMap(p => Seq(p._2, p._3)))
+        .flatMap(nal => startCode ++ nal).toArray
+      val nals = H264.splitAnnexB(annexB)
+      require(nals.length == 2 + 2 * n, s"container $k: NAL count drift")
+      pictures.iterator.zipWithIndex.flatMap { case ((split, _, _), t) =>
+        val (iA, mbsA) = H264.parseIntraCodedSlice(
+          nals(2 + 2 * t), sps, pps, split)
+        val (iB, mbsB) = H264.parseIntraCodedSlice(
+          nals(3 + 2 * t), sps, pps, 4 - split)
+        require(iA.firstMb == 0 && iB.firstMb == split &&
+          iA.idrPicId == t && iB.idrPicId == t,
+          s"container $k picture $t: slice header drift")
+        (mbsA ++ mbsB).zipWithIndex.iterator.map { case (m, mb) =>
+          val codedBlks = m.luma.zipWithIndex.filter(_._1.nonEmpty)
+          val stats = codedBlks.map(b =>
+            graft.sources.H264.Cavlc.stats(b._1))
+          (k, t.toLong, mb.toLong,
+            (if (mb < split) 0 else 1).toLong, split.toLong,
+            m.intra.cbp.toLong,
+            stats.map(_._1.toLong).sum,
+            codedBlks.map(_._1.map(_.toLong).sum).sum,
+            codedBlks.map(b => m.ncLuma(b._2).toLong).sum)
+        }
+      }
+    }
+  }
+
+  private def m66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264MultiSliceKernel.rows(k, it.size))
+      .toDF("container", "t", "mb", "slice_id", "split", "cbp",
+        "tc_sum", "level_sum", "nc_sum")
+      .orderBy(col("container"), col("t"), col("mb"))
+  }
+
+  private val m66Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |frames AS (SELECT container, g.t,
+      |    1 + CAST(concat('0x', substr(md5('mslB' || container || '_'
+      |      || g.t), 1, 2)) AS BIGINT) % 3 AS split
+      |  FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mbs AS (SELECT container, t, split, m.mb,
+      |    CASE WHEN m.mb < split THEN 0 ELSE split END AS first_mb,
+      |    CAST(concat('0x', substr(md5('mslL' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 16 AS cbpl,
+      |    CAST(concat('0x', substr(md5('mslC' || container || '_' || t
+      |      || '_' || m.mb), 1, 2)) AS BIGINT) % 3 AS cbpc
+      |  FROM frames, (SELECT unnest(range(4)) AS mb) m),
+      |blocks AS (SELECT b.container, b.t, b.mb, b.split, b.first_mb,
+      |    b.cbpl, b.cbpc, i.blk,
+      |    2 * ((i.blk // 4) % 2) + (i.blk % 4) % 2 AS bx,
+      |    2 * ((i.blk // 4) // 2) + (i.blk % 4) // 2 AS gy,
+      |    ((b.cbpl >> (i.blk // 4)) & 1) = 1 AS coded,
+      |    1 + CAST(concat('0x', substr(md5('mslT' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 6
+      |      AS tc,
+      |    least(CAST(concat('0x', substr(md5('mslT' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 6,
+      |      CAST(concat('0x', substr(md5('msl1' || b.container || '_'
+      |      || b.t || '_' || b.mb || '_' || i.blk), 1, 2)) AS BIGINT) % 4)
+      |      AS t1n
+      |  FROM mbs b, (SELECT unnest(range(16)) AS blk) i),
+      |-- §9.2.1 with the §6.4.8 slice gate: a neighbor inside the
+      |-- frame but BEFORE the querying MB's slice start is UNAVAILABLE
+      |nc AS (SELECT bl.*,
+      |    CASE WHEN (la.container IS NULL OR la.mb < bl.first_mb)
+      |        AND (ab.container IS NULL OR ab.mb < bl.first_mb) THEN 0
+      |      WHEN la.container IS NULL OR la.mb < bl.first_mb
+      |        THEN (CASE WHEN ab.coded THEN ab.tc ELSE 0 END)
+      |      WHEN ab.container IS NULL OR ab.mb < bl.first_mb
+      |        THEN (CASE WHEN la.coded THEN la.tc ELSE 0 END)
+      |      ELSE ((CASE WHEN la.coded THEN la.tc ELSE 0 END)
+      |        + (CASE WHEN ab.coded THEN ab.tc ELSE 0 END) + 1) // 2
+      |    END AS ncv
+      |  FROM blocks bl
+      |  LEFT JOIN blocks la ON la.container = bl.container
+      |    AND la.t = bl.t AND la.gy = bl.gy
+      |    AND la.mb = (CASE WHEN bl.bx > 0 THEN bl.mb
+      |      WHEN bl.mb % 2 = 1 THEN bl.mb - 1 ELSE NULL END)
+      |    AND la.bx = (CASE WHEN bl.bx > 0 THEN bl.bx - 1 ELSE 3 END)
+      |  LEFT JOIN blocks ab ON ab.container = bl.container
+      |    AND ab.t = bl.t AND ab.bx = bl.bx
+      |    AND ab.mb = (CASE WHEN bl.gy > 0 THEN bl.mb
+      |      WHEN bl.mb >= 2 THEN bl.mb - 2 ELSE NULL END)
+      |    AND ab.gy = (CASE WHEN bl.gy > 0 THEN bl.gy - 1 ELSE 3 END)),
+      |coefs AS (SELECT b.container, b.t, b.mb, b.blk, j.j,
+      |    (CASE WHEN j.j < b.t1n THEN 1
+      |      ELSE 2 + CAST(concat('0x', substr(md5('mslM' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || b.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 4 END)
+      |    * (CASE WHEN CAST(concat('0x', substr(md5('mslS' || b.container
+      |        || '_' || b.t || '_' || b.mb || '_' || b.blk || '_' || j.j),
+      |        1, 2)) AS BIGINT) % 2 = 1 THEN -1 ELSE 1 END) AS v
+      |  FROM blocks b, (SELECT unnest(range(6)) AS j) j
+      |  WHERE b.coded AND j.j < b.tc),
+      |lsum AS (SELECT container, t, mb, sum(v) AS level_sum
+      |  FROM coefs GROUP BY 1, 2, 3),
+      |bsum AS (SELECT container, t, mb,
+      |    sum(CASE WHEN coded THEN tc ELSE 0 END) AS tc_sum,
+      |    sum(CASE WHEN coded THEN ncv ELSE 0 END) AS nc_sum
+      |  FROM nc GROUP BY 1, 2, 3)
+      |SELECT m.container, CAST(m.t AS BIGINT) AS t,
+      |  CAST(m.mb AS BIGINT) AS mb,
+      |  CAST(CASE WHEN m.mb < m.split THEN 0 ELSE 1 END AS BIGINT)
+      |    AS slice_id,
+      |  CAST(m.split AS BIGINT) AS split,
+      |  CAST(m.cbpl | (m.cbpc << 4) AS BIGINT) AS cbp,
+      |  CAST(b.tc_sum AS BIGINT) AS tc_sum,
+      |  CAST(coalesce(l.level_sum, 0) AS BIGINT) AS level_sum,
+      |  CAST(b.nc_sum AS BIGINT) AS nc_sum
+      |FROM mbs m
+      |JOIN bsum b ON b.container = m.container AND b.t = m.t
+      |  AND b.mb = m.mb
+      |LEFT JOIN lsum l ON l.container = m.container AND l.t = m.t
+      |  AND l.mb = m.mb
+      |ORDER BY m.container, m.t, m.mb""".stripMargin
+
   /** m47: MIXED KEY+INTER VP8 STREAM IN WEBM, DECODED END-TO-END — the
     * exact artifact a reference user holds (vp8-in-webm with one
     * keyframe and delta frames, tests/media/test_containers.py:25):
@@ -6153,6 +6354,7 @@ object ContainerQueries {
     Q("e56_streaming_mp3_reservoir", e56, Some(e56Sql)),
     Q("m64_h264_i16x16", m64, Some(m64Sql)),
     Q("m65_h264_pslice", m65, Some(m65Sql)),
+    Q("m66_h264_multislice", m66, Some(m66Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

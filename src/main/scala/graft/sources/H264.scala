@@ -472,10 +472,13 @@ object H264 {
     * unavailable (frame edge). `grid` holds each coded MB's 16 modes
     * (every MB here is Intra_4x4, so neighbors always have modes). */
   private def predictedMode(grid: Array[Array[Int]], mbCols: Int,
-      mr: Int, mc: Int, cur: Array[Int], idx: Int): Int = {
+      mr: Int, mc: Int, cur: Array[Int], idx: Int,
+      minMb: Int = 0): Int = {
     val (bx, by) = blk4x4Pos(idx)
     def modeAt(r: Int, c: Int, x: Int, y: Int): Int =
-      if (r < 0 || c < 0) 2 // DC when unavailable [§8.3.1.1]
+      // DC when unavailable: frame edge OR an earlier slice [§8.3.1.1,
+      // §6.4.8 — prediction never crosses the slice boundary]
+      if (r < 0 || c < 0 || r * mbCols + c < minMb) 2
       else if (r == mr && c == mc)
         cur((y % 2) * 2 + (x % 2) + 4 * ((y / 2) * 2 + (x / 2)))
       else grid(r * mbCols + c)((y % 2) * 2 + (x % 2) +
@@ -782,13 +785,16 @@ object H264 {
 
   /** §9.2.1 nC over a per-block TotalCoeff grid: `tcAt(r, c, x, y)`
     * returns the coeff count of block (x, y) of MB (r, c), 0 for
-    * uncoded blocks; availability ends at the frame edge. */
+    * uncoded blocks; availability ends at the frame edge AND at the
+    * slice boundary (§6.4.8 — macroblocks before `minMb`, i.e. in an
+    * earlier slice of the same picture, are unavailable). */
   private[graft] def lumaNc(tcAt: (Int, Int, Int, Int) => Int,
       blocksPerRow: Int, mr: Int, mc: Int, bx: Int, by: Int,
-      mbCols: Int, mbRows: Int): Int = {
+      mbCols: Int, mbRows: Int, minMb: Int = 0): Int = {
     val bpr = blocksPerRow
     def at(gr: Int, gc: Int, x: Int, y: Int): Option[Int] =
-      if (gr < 0 || gc < 0 || gr >= mbRows || gc >= mbCols) None
+      if (gr < 0 || gc < 0 || gr >= mbRows || gc >= mbCols ||
+        gr * mbCols + gc < minMb) None
       else Some(tcAt(gr, gc, x, y))
     val nA = if (bx > 0) at(mr, mc, bx - 1, by)
       else at(mr, mc - 1, bpr - 1, by)
@@ -827,18 +833,25 @@ object H264 {
       lumaCoeff: Vector[Vector[Array[Int]]],
       chromaDc: Vector[Vector[Array[Int]]],
       chromaAc: Vector[Vector[Vector[Array[Int]]]],
-      idrPicId: Int = 0): Array[Byte] = {
+      idrPicId: Int = 0, firstMb: Int = 0, mbCount: Int = -1)
+      : Array[Byte] = {
     require(!pps.cabac, "h264: CABAC slice writing unsupported")
     val mbCols = sps.width / 16; val mbRows = sps.height / 16
     val nMb = mbCols * mbRows
-    require(modes.length == nMb && chromaModes.length == nMb &&
-      cbps.length == nMb && qpDeltas.length == nMb &&
-      lumaCoeff.length == nMb && chromaDc.length == nMb &&
-      chromaAc.length == nMb, "h264: per-MB shapes")
+    // a slice covers [firstMb, firstMb + count) of the picture; the
+    // per-MB data vectors are SLICE-local (index mb - firstMb), and
+    // prediction/nC availability stops at firstMb (§6.4.8)
+    val count = if (mbCount < 0) nMb - firstMb else mbCount
+    require(firstMb >= 0 && count > 0 && firstMb + count <= nMb,
+      s"h264: slice [$firstMb, ${firstMb + count}) beyond $nMb MBs")
+    require(modes.length == count && chromaModes.length == count &&
+      cbps.length == count && qpDeltas.length == count &&
+      lumaCoeff.length == count && chromaDc.length == count &&
+      chromaAc.length == count, "h264: per-MB shapes")
     require(cbps.forall(c => c >= 0 && c < 48 && (c >> 4) <= 2),
       "h264: CBP is cbpLuma | cbpChroma<<4, cbpChroma ≤ 2")
     val w = new BitW
-    w.ue(0); w.ue(7); w.ue(pps.ppsId.toLong)
+    w.ue(firstMb.toLong); w.ue(7); w.ue(pps.ppsId.toLong)
     w.u(frameNum.toLong, sps.log2MaxFrameNum)
     w.ue(idrPicId.toLong)
     if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
@@ -848,62 +861,65 @@ object H264 {
     // TotalCoeff grids for the nC derivation
     val tcLuma = Array.fill(nMb)(new Array[Int](16))
     val tcCa = Array.fill(2, nMb)(new Array[Int](4))
-    var mb = 0
-    while (mb < nMb) {
+    var mb = firstMb
+    while (mb < firstMb + count) {
+      val di = mb - firstMb
       val (mr, mc) = (mb / mbCols, mb % mbCols)
       w.ue(0) // mb_type Intra_4x4
       var idx = 0
       while (idx < 16) {
-        val want = modes(mb)(idx)
-        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx)
+        val want = modes(di)(idx)
+        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx,
+          minMb = firstMb)
         if (want == pred) w.u(1L, 1)
         else { w.u(0L, 1); w.u((if (want < pred) want else want - 1).toLong, 3) }
         grid(mb)(idx) = want
         idx += 1
       }
-      w.ue(chromaModes(mb).toLong)
-      val cbp = cbps(mb)
+      w.ue(chromaModes(di).toLong)
+      val cbp = cbps(di)
       w.ue(CbpIntraMap.indexOf(cbp).toLong)
       if (cbp != 0) {
-        w.se(qpDeltas(mb).toLong) // mb_qp_delta [§7.3.5]
+        w.se(qpDeltas(di).toLong) // mb_qp_delta [§7.3.5]
         // luma residual: 8x8 quads, 4x4 blocks inside [§7.3.5.3]
         (0 until 4).foreach { q =>
           if ((cbp & (1 << q)) != 0) (0 until 4).foreach { sub =>
             val blk = q * 4 + sub
-            val coeff = lumaCoeff(mb)(blk)
+            val coeff = lumaCoeff(di)(blk)
             require(coeff.length == 16, s"h264: luma block $blk shape")
             val (bx, by) = blk4x4Pos(blk)
             val nc = lumaNc((r2, c2, x, y) =>
               tcLuma(r2 * mbCols + c2)(y * 4 + x),
-              4, mr, mc, bx, by, mbCols, mbRows)
+              4, mr, mc, bx, by, mbCols, mbRows, minMb = firstMb)
             Cavlc.writeBlock(w, coeff, nc)
             tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
           } else (0 until 4).foreach { sub =>
             val blk = q * 4 + sub
-            require(lumaCoeff(mb)(blk).isEmpty,
+            require(lumaCoeff(di)(blk).isEmpty,
               s"h264: coefficients on an uncoded quad at blk $blk")
           }
         }
         val cbpChroma = cbp >> 4
         if (cbpChroma != 0) (0 until 2).foreach { comp =>
-          val dc = chromaDc(mb)(comp)
+          val dc = chromaDc(di)(comp)
           require(dc.length == 4, "h264: chroma DC is 4 coefficients")
           Cavlc.writeBlock(w, dc, -1) // §9.2.1: nC = −1 (4:2:0 DC)
         }
         if (cbpChroma == 2) (0 until 2).foreach { comp =>
           (0 until 4).foreach { blk =>
-            val ac = chromaAc(mb)(comp)(blk)
+            val ac = chromaAc(di)(comp)(blk)
             require(ac.length == 15, "h264: chroma AC is 15 coefficients")
             val nc = lumaNc((r2, c2, x, y) =>
               tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
-              2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+              2, mr, mc, blk % 2, blk / 2, mbCols, mbRows,
+              minMb = firstMb)
             Cavlc.writeBlock(w, ac, nc)
             tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1
           }
         }
       } else {
-        require(lumaCoeff(mb).forall(_.isEmpty) &&
-          chromaDc(mb).forall(_.isEmpty),
+        require(lumaCoeff(di).forall(_.isEmpty) &&
+          chromaDc(di).forall(_.isEmpty),
           "h264: coefficients with CBP 0")
       }
       mb += 1
@@ -915,8 +931,8 @@ object H264 {
   /** Parse an Intra_4x4 + residual slice back ([[CodedMb]] per MB).
     * The §9.2.1 nC each block decoded under is returned so callers
     * can pin the context derivation. */
-  def parseIntraCodedSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
-      : (SliceInfo, Vector[CodedMb]) = {
+  def parseIntraCodedSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps,
+      mbCount: Int = -1): (SliceInfo, Vector[CodedMb]) = {
     val nt = nalType(nalBytes)
     require(nt == NalSlice || nt == NalIdr,
       s"h264: NAL $nt is not a coded slice")
@@ -926,12 +942,18 @@ object H264 {
     val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
     require(info.isI,
       s"h264: intra decode on slice_type ${info.sliceType}")
+    // the slice covers [first_mb_in_slice, first + count); prediction
+    // and nC availability never reach before firstMb (sect 6.4.8)
+    val firstMb = info.firstMb
+    val count = if (mbCount < 0) nMb - firstMb else mbCount
+    require(firstMb + count <= nMb,
+      s"h264: slice [$firstMb, ${firstMb + count}) beyond $nMb MBs")
     val grid = Array.fill(nMb)(new Array[Int](16))
     val tcLuma = Array.fill(nMb)(new Array[Int](16))
     val tcCa = Array.fill(2, nMb)(new Array[Int](4))
     val out = Vector.newBuilder[CodedMb]
-    var mb = 0
-    while (mb < nMb) {
+    var mb = firstMb
+    while (mb < firstMb + count) {
       val (mr, mc) = (mb / mbCols, mb % mbCols)
       val mbType = r.ue().toInt
       require(mbType == 0,
@@ -939,7 +961,8 @@ object H264 {
       var prev = 0
       var idx = 0
       while (idx < 16) {
-        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx)
+        val pred = predictedMode(grid, mbCols, mr, mc, grid(mb), idx,
+          minMb = firstMb)
         val mode =
           if (r.u(1) == 1L) { prev += 1; pred }
           else { val rem = r.u(3).toInt; if (rem < pred) rem else rem + 1 }
@@ -965,7 +988,7 @@ object H264 {
             val (bx, by) = blk4x4Pos(blk)
             val nc = lumaNc((r2, c2, x, y) =>
               tcLuma(r2 * mbCols + c2)(y * 4 + x),
-              4, mr, mc, bx, by, mbCols, mbRows)
+              4, mr, mc, bx, by, mbCols, mbRows, minMb = firstMb)
             val coeff = Cavlc.readBlock(r, nc, 16)
             luma(blk) = coeff
             ncL(blk) = nc
@@ -979,7 +1002,8 @@ object H264 {
           (0 until 4).foreach { blk =>
             val nc = lumaNc((r2, c2, x, y) =>
               tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
-              2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
+              2, mr, mc, blk % 2, blk / 2, mbCols, mbRows,
+              minMb = firstMb)
             val ac = Cavlc.readBlock(r, nc, 15)
             cac(comp)(blk) = ac
             tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1

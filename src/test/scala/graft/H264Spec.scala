@@ -515,6 +515,66 @@ class H264Spec extends AnyFunSuite {
     assert(mbs(1).ncDc == tcRight, "DC nC from the left MB's column 3")
   }
 
+  test("multi-slice pictures [§6.4.8/§7.4.1]: prediction and nC " +
+      "availability stop at the slice boundary — a second slice with " +
+      "first_mb_in_slice > 0 decodes self-contained, its boundary MBs " +
+      "seeing DC/zero contexts where a single slice saw neighbors") {
+    val sps = H264.parseSps(H264.writeSps(32, 32))
+    val pps = H264.parsePps(H264.writePps())
+    def blkAll(v: Int): Array[Int] = {
+      val c = new Array[Int](16); c(15) = v; c(13) = -v; c
+    }
+    // per-MB data for the full picture: every quad coded, mode 0
+    // (vertical — NOT the DC default, so boundary prediction differs)
+    def mbData(mb: Int) = (Array.fill(16)(0), 1, 15,
+      Vector.tabulate(16)(b => blkAll(1 + (mb + b) % 3)))
+    def slice(firstMb: Int, count: Int, frameNum: Int): Array[Byte] = {
+      val d = (firstMb until firstMb + count).map(mbData)
+      H264.writeIntraCodedSlice(frameNum, sps, pps,
+        d.map(_._1).toVector, d.map(_._2).toVector,
+        d.map(_._3).toVector, Vector.fill(count)(0),
+        d.map(_._4).toVector,
+        Vector.fill(count)(Vector(Array.empty[Int], Array.empty[Int])),
+        Vector.fill(count)(Vector.fill(2)(Vector.fill(4)(
+          Array.empty[Int]))),
+        firstMb = firstMb, mbCount = count)
+    }
+    // two slices over the 2x2 picture
+    val sliceA = slice(0, 2, 0)
+    val sliceB = slice(2, 2, 0)
+    val (infoA, mbsA) = H264.parseIntraCodedSlice(sliceA, sps, pps, 2)
+    val (infoB, mbsB) = H264.parseIntraCodedSlice(sliceB, sps, pps, 2)
+    assert(infoA.firstMb == 0 && infoB.firstMb == 2)
+    assert(mbsA.length == 2 && mbsB.length == 2)
+    // the same picture as ONE slice
+    val whole = slice(0, 4, 1)
+    val (_, mbsW) = H264.parseIntraCodedSlice(whole, sps, pps)
+    // MB 2's top-left block: in the single slice its above neighbor
+    // (MB 0, block (0,3)) is available; across the slice boundary it
+    // is NOT — the left neighbor is the frame edge either way
+    assert(mbsW(2).ncLuma(0) ==
+      H264.Cavlc.stats(mbsW(0).luma(
+        (0 until 16).find { b =>
+          val (x, y) = H264.blk4x4Pos(b); x == 0 && y == 3
+        }.get))._1, "single slice: above neighbor counted")
+    assert(mbsB(0).ncLuma(0) == 0,
+      "slice boundary: above neighbor unavailable, nC = 0")
+    // prediction-hit counts differ too (mode 0 vs the DC default at
+    // the boundary), yet every coefficient round-trips identically
+    (0 until 2).foreach { i =>
+      (0 until 16).foreach { b =>
+        assert(mbsB(i).luma(b).toSeq == mbsW(2 + i).luma(b).toSeq,
+          s"slice-B MB $i blk $b coefficients")
+      }
+      assert(mbsB(i).intra.lumaModes.toSeq ==
+        mbsW(2 + i).intra.lumaModes.toSeq, "decoded modes agree")
+    }
+    // the bitstreams MUST differ (prev flags + nC field context do)
+    assert(!sliceB.sameElements(
+      java.util.Arrays.copyOfRange(whole, 0, sliceB.length)),
+      "the boundary changes the coded bits")
+  }
+
   test("P slices [§7.3.4/Table 7-13]: mb_skip_run interleaves coded " +
       "P_L0_16x16 MBs (mvd, inter CBP, residual), a trailing run " +
       "covers end-of-slice skips, and skipped MBs count 0 in nC") {
