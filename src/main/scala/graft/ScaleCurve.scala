@@ -127,6 +127,9 @@ object ScaleCurve {
     "p27_aac_intensity",    // two-accumulator intensity CPE: p26 shape
     "m64_h264_i16x16",      // I_16x16 DC/AC CAVLC split: m62 shape
     "m65_h264_pslice",      // skip runs + P_L0_16x16 residuals: m62 shape
+    "p28_aac_pns",          // third-accumulator noise energies: p25 shape
+    "p29_mp2_stereo",       // joint-bound shared subbands: p17 shape
+    "m66_h264_multislice",  // slice-scoped availability: m62 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

@@ -373,6 +373,89 @@ object Aac {
 
   private def readIcs(r: BitReader): AacIcs = readIcsParts(r, None)
 
+  /** §6.3.1 raw_data_block elements: the block is a SEQUENCE of
+    * syntactic elements closed by END — one SCE for mono, one CPE for
+    * stereo, and MIXES of them for multi-program layouts (5.1 ships
+    * SCE + CPE + CPE + LFE; this leg covers the SCE/CPE loop). */
+  sealed trait Element extends Serializable
+  final case class SceEl(tag: Int, ics: AacIcs) extends Element
+  final case class CpeEl(tag: Int, left: AacIcs, right: AacIcs,
+      msMaskPresent: Int, msUsed: Vector[Vector[Boolean]]) extends Element
+
+  /** Mux an arbitrary §6.3.1 element sequence + END + alignment. */
+  def muxElements(els: Seq[Element]): Array[Byte] = {
+    require(els.nonEmpty, "aac: empty raw_data_block")
+    val w = new BitWriter
+    els.foreach {
+      case SceEl(tag, ics) =>
+        require(tag >= 0 && tag < 16, "aac: element_instance_tag")
+        require(!ics.hasIntensity,
+          "aac: intensity codebooks live in a CPE's right channel")
+        w.writeBits(0L, 3)
+        w.writeBits(tag.toLong, 4)
+        writeIcs(w, ics)
+      case CpeEl(tag, left, right, msp, ms) =>
+        require(tag >= 0 && tag < 16, "aac: element_instance_tag")
+        require(left.info == right.info,
+          "aac: common_window CPE shares one ics_info")
+        require(!left.hasIntensity,
+          "aac: intensity codebooks are right-channel only")
+        require(msp >= 0 && msp <= 2, "aac: ms_mask_present")
+        w.writeBits(1L, 3)
+        w.writeBits(tag.toLong, 4)
+        w.writeBits(1L, 1) // common_window
+        writeIcsInfo(w, left.info)
+        w.writeBits(msp.toLong, 2)
+        if (msp == 1) {
+          require(ms.length == left.info.groupLens.length &&
+            ms.forall(_.length == left.info.maxSfb),
+            "aac: ms_used is per (group, sfb)")
+          ms.foreach(_.foreach(b => w.writeBits(if (b) 1L else 0L, 1)))
+        }
+        writeIcsBody(w, left); writeIcsBody(w, right)
+    }
+    w.writeBits(7L, 3) // END
+    w.toBytes
+  }
+
+  /** Walk a raw_data_block's element loop back until END. */
+  def demuxElements(payload: Array[Byte]): Seq[Element] = {
+    val r = new BitReader(payload, 0, payload.length)
+    val out = Seq.newBuilder[Element]
+    var done = false
+    while (!done) {
+      r.readBits(3) match {
+        case 0L =>
+          val tag = r.readBits(4).toInt
+          val ics = readIcs(r)
+          require(!ics.hasIntensity,
+            "aac: intensity codebooks live in a CPE's right channel")
+          out += SceEl(tag, ics)
+        case 1L =>
+          val tag = r.readBits(4).toInt
+          require(r.readBits(1) == 1L,
+            "aac: this leg reads common_window CPEs")
+          val info = readIcsInfo(r)
+          val msp = r.readBits(2).toInt
+          require(msp <= 2, "aac: ms_mask_present 3 is reserved")
+          val msUsed =
+            if (msp == 1) info.groupLens.indices.toVector.map(_ =>
+              Vector.fill(info.maxSfb)(r.readBits(1) == 1L))
+            else Vector.empty[Vector[Boolean]]
+          val left = readIcsBody(r, info)
+          val right = readIcsBody(r, info)
+          require(!left.hasIntensity,
+            "aac: intensity codebooks are right-channel only")
+          out += CpeEl(tag, left, right, msp, msUsed)
+        case 7L => done = true
+        case other => throw new IllegalArgumentException(
+          s"aac: element id $other out of this leg's scope " +
+            "(CCE/LFE/DSE/PCE/FIL)")
+      }
+    }
+    out.result()
+  }
+
   /** One raw_data_block carrying a single_channel_element + END,
     * byte-aligned (§6.3.1) — the payload of one ADTS frame. */
   def muxSce(ics: AacIcs, tag: Int = 0): Array[Byte] = {

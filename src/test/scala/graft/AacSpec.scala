@@ -301,6 +301,39 @@ class AacSpec extends AnyFunSuite {
     }
   }
 
+  test("element loop [§6.3.1]: a raw_data_block carries a SEQUENCE " +
+      "of SCE/CPE elements closed by END — the multi-program shape — " +
+      "and unknown element ids are loud") {
+    val l = sce(0); val r = sce(12)
+    val ms = l.info.groupLens.indices.toVector.map(_ =>
+      Vector.tabulate(l.info.maxSfb)(w => w % 2 == 0))
+    val els = Seq(
+      Aac.SceEl(2, sce(4)),
+      Aac.CpeEl(5, l, r, 1, ms),
+      Aac.SceEl(9, sce(8)))
+    val got = Aac.demuxElements(Aac.muxElements(els))
+    assert(got.length == 3)
+    (got zip els).foreach {
+      case (Aac.SceEl(t1, i1), Aac.SceEl(t2, i2)) =>
+        assert(t1 == t2 && i1.spectral == i2.spectral &&
+          i1.globalGain == i2.globalGain)
+      case (Aac.CpeEl(t1, l1, r1, m1, u1),
+            Aac.CpeEl(t2, l2, r2, m2, u2)) =>
+        assert(t1 == t2 && m1 == m2 && u1 == u2)
+        assert(l1.spectral == l2.spectral && r1.spectral == r2.spectral)
+      case other => fail(s"element shape drift: $other")
+    }
+    // the single-element forms are the same bytes as the loop's
+    assert(Aac.muxElements(Seq(Aac.SceEl(3, sce(1)))).toSeq ==
+      Aac.muxSce(sce(1), tag = 3).toSeq)
+    intercept[IllegalArgumentException] {
+      Aac.demuxElements(Array(0x40.toByte, 0, 0)) // id 2 = CCE
+    }
+    intercept[IllegalArgumentException] {
+      Aac.muxElements(Seq.empty)
+    }
+  }
+
   test("loud boundaries: predictor bit, pulse data, gain control, " +
       "PNS codebooks, reserved ms_mask, signed values beyond LAV") {
     intercept[IllegalArgumentException] { // cb 13 is PNS
