@@ -4677,6 +4677,213 @@ object ContainerQueries {
       |  AND l.mb = m.mb
       |ORDER BY m.container, m.t, m.mb""".stripMargin
 
+  /** m67: AAC-IN-MP4, DECODED END-TO-END — the reference's DEFAULT
+    * container/codec pairing (every container test opens with
+    * ("mp4", "aac"), /root/reference/tests/media/test_containers.py:20,
+    * via libav): AAC-LC SCE raw_data_blocks ride a classic-MP4 audio
+    * track (mp4a sample entry, stts/stsc/stsz/stco tables — the m35
+    * layout) as whole samples; the demuxed payloads walk back through
+    * [[graft.sources.Aac.demuxSce]] with every ics_info / scalefactor
+    * / TNS / spectral field under the oracle — the p25 structural
+    * machinery on container-salted draws, with the mp4 SAMPLE SIZE
+    * pinned against the independently-computed AAC bit budget (the
+    * two layers must agree byte-for-byte or the sample table lies).
+    * Scale: the m40 envelope. */
+  private[operators] object AacMp4Kernel extends Serializable {
+    def rows(k: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      import graft.sources.{Aac, IsoBmff}
+      val n = math.min(6, count)
+      if (n < 2) return Iterator.empty
+      def mags(cb: Int): Array[Int] =
+        if (cb >= 11) Array(0, 1, 8, 27)
+        else if (cb >= 9) Array(0, 1, 8)
+        else Array(0, 1)
+      def sce(t: Int): Aac.AacIcs = {
+        val fi = t + k.toInt * 7 // container-salted frame index
+        val ws = Array(0, 2, 1, 3)(fi % 4)
+        val short = ws == 2
+        val maxSfb = if (short) 4 else 6 + fi % 3
+        val grouping = if (short) (fi * 37) % 128 else 0
+        val info = Aac.IcsInfo(ws, fi % 2, maxSfb, grouping)
+        val cycleL = Array(1, 3, 5, 7, 9, 11, 6, 0)
+        val cycleS = Array(3, 9, 11, 5)
+        def cb(w: Int): Int =
+          if (short) cycleS((fi + w) % 4) else cycleL((fi + w) % 8)
+        val groups = info.groupLens
+        val sections = groups.indices.toVector.map(_ =>
+          (0 until maxSfb).toVector.map(w =>
+            Aac.Section(cb(w), w, w + 1)))
+        def dpcmOf(w: Int): Int =
+          if (short) (if (w % 2 == 0) 4 else -4)
+          else 4 * (((fi + w) % 3) - 1)
+        val dpcm = groups.indices.toVector.map(_ =>
+          (0 until maxSfb).toVector.filter(cb(_) != 0).map(dpcmOf))
+        val counters = scala.collection.mutable.Map[Int, Int]()
+        val spectral = groups.indices.toVector.map { gi =>
+          (0 until maxSfb).toVector.map { w =>
+            if (cb(w) == 0) Vector.empty[Int]
+            else Vector.fill(info.sfbWidth(w, groups(gi))) {
+              val t2 = counters.getOrElse(w, 0); counters(w) = t2 + 1
+              val a = mags(cb(w))
+              val m = a((fi * 5 + w * 11 + t2 * 7) % a.length)
+              if (m != 0 && (t2 + fi) % 2 == 1) -m else m
+            }
+          }
+        }
+        val tns = if (!short && fi % 2 == 0) Some(Vector(
+          Aac.TnsFilter((fi / 2) % 2, (fi * 7) % 20, fi % 4, fi % 2, 0,
+            Vector.tabulate(fi % 4)(j =>
+              (fi + j * 3) % (1 << ((fi / 2) % 2 + 3))))))
+        else None
+        Aac.AacIcs(132 + 4 * (fi % 5), info, sections, dpcm, tns,
+          spectral)
+      }
+      val payloads = (0 until n).map(t => Aac.muxSce(sce(t)))
+      val track = IsoBmff.Mp4Track(1, "audio", "mp4a",
+        sampleRate = 44100, channels = 1)
+      val samples = payloads.zipWithIndex.map { case (p, t) =>
+        IsoBmff.Mp4Sample(1, t * 26L, 26, keyframe = true, p)
+      }
+      val (tracks, rec) =
+        IsoBmff.demuxFlat(IsoBmff.muxFlat(Seq(track), samples))
+      require(tracks.exists(tr => tr.codec == "mp4a" &&
+        tr.sampleRate == 44100 && tr.channels == 1),
+        s"container $k: mp4a track drift")
+      require(rec.size == n, s"container $k: mp4 sample count drift")
+      rec.iterator.zipWithIndex.map { case (sm, t) =>
+        require(sm.dts == t * 26L, s"container $k sample $t: dts drift")
+        val (_, ics) = Aac.demuxSce(sm.payload)
+        val sfs = ics.scalefactors
+        val sfSum = sfs.flatten.flatten.map(_.toLong).sum
+        val vals = ics.spectral.flatten.flatten
+        val requant = ics.info.groupLens.indices.map { gi =>
+          (0 until ics.info.maxSfb).map { w =>
+            ics.spectral(gi)(w).map(v =>
+              Aac.requantExact(v, sfs(gi)(w).get)).sum
+          }.sum
+        }.sum
+        (k, t.toLong, sm.dts, sm.payload.length.toLong,
+          ics.info.windowSequence.toLong,
+          ics.info.groupLens.length.toLong, ics.info.maxSfb.toLong,
+          sfSum, ics.tns.map(_.map(_.order.toLong).sum).getOrElse(0L),
+          vals.map(v => math.abs(v).toLong).sum,
+          vals.count(v => math.abs(v) >= 16).toLong, requant)
+      }
+    }
+  }
+
+  private def m67(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        AacMp4Kernel.rows(k, it.size))
+      .toDF("container", "t", "dts", "sample_bytes", "window_seq",
+        "num_groups", "max_sfb", "sf_sum", "tns_order", "code_sum",
+        "esc_count", "requant_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m67Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view'
+      |  GROUP BY 1 HAVING count(*) >= 2),
+      |f AS (SELECT container, g.t, g.t + container * 7 AS fi
+      |  FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |fr AS (SELECT container, t, fi,
+      |    list_extract([0, 2, 1, 3], CAST(fi % 4 + 1 AS INT)) AS ws,
+      |    fi % 4 = 1 AS short,
+      |    CASE WHEN fi % 4 = 1 THEN 4 ELSE 6 + fi % 3 END AS max_sfb,
+      |    CASE WHEN fi % 4 = 1
+      |      THEN 8 - bit_count(CAST((fi * 37) % 128 AS BIGINT))
+      |      ELSE 1 END AS ng,
+      |    132 + 4 * (fi % 5) AS gg
+      |  FROM f),
+      |sfb AS (SELECT fr.*, w.w,
+      |    CASE WHEN fr.short
+      |      THEN list_extract([3, 9, 11, 5],
+      |        CAST((fr.fi + w.w) % 4 + 1 AS INT))
+      |      ELSE list_extract([1, 3, 5, 7, 9, 11, 6, 0],
+      |        CAST((fr.fi + w.w) % 8 + 1 AS INT)) END AS cb,
+      |    CASE WHEN fr.short
+      |      THEN (CASE WHEN w.w % 2 = 0 THEN 4 ELSE -4 END)
+      |      ELSE 4 * (((fr.fi + w.w) % 3) - 1) END AS dpcm,
+      |    CASE WHEN fr.short THEN 8 * (4 * w.w + 4)
+      |      ELSE 4 * w.w + 4 END AS nvals
+      |  FROM fr JOIN (SELECT unnest(range(12)) AS w) w
+      |    ON w.w < fr.max_sfb),
+      |sf AS (SELECT *,
+      |    gg + sum(CASE WHEN cb != 0 THEN dpcm ELSE 0 END)
+      |      OVER (PARTITION BY container, t ORDER BY w) AS sfv
+      |  FROM sfb),
+      |vals AS (SELECT s.container, s.t, s.fi, s.w, s.cb, s.sfv, j.t2,
+      |    CASE WHEN s.cb >= 11 THEN list_extract([0, 1, 8, 27],
+      |        CAST((s.fi * 5 + s.w * 11 + j.t2 * 7) % 4 + 1 AS INT))
+      |      WHEN s.cb >= 9 THEN list_extract([0, 1, 8],
+      |        CAST((s.fi * 5 + s.w * 11 + j.t2 * 7) % 3 + 1 AS INT))
+      |      ELSE list_extract([0, 1],
+      |        CAST((s.fi * 5 + s.w * 11 + j.t2 * 7) % 2 + 1 AS INT))
+      |    END AS m
+      |  FROM sf s JOIN (SELECT unnest(range(320)) AS t2) j
+      |    ON j.t2 < s.nvals
+      |  WHERE s.cb != 0),
+      |vagg AS (SELECT container, t,
+      |    sum(m) AS code_sum,
+      |    sum(CASE WHEN m >= 16 THEN 1 ELSE 0 END) AS esc_count,
+      |    sum((CASE WHEN m != 0 AND (t2 + fi) % 2 = 1 THEN -1 ELSE 1 END)
+      |      * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |          ELSE 81 END)
+      |      * CAST(power(2, (sfv - 100) // 4) AS BIGINT)) AS requant_sum,
+      |    sum(CASE WHEN cb = 1 THEN 2 WHEN cb = 3 THEN 2
+      |        WHEN cb IN (5, 6) THEN 4 WHEN cb = 7 THEN 3
+      |        WHEN cb = 9 THEN 4 ELSE 5 END
+      |      + CASE WHEN cb IN (1, 5, 6) THEN 0
+      |        WHEN m != 0 THEN 1 ELSE 0 END
+      |      + CASE WHEN cb = 11 AND m >= 16 THEN 5 ELSE 0 END) AS sbits
+      |  FROM vals GROUP BY 1, 2),
+      |sfagg AS (SELECT container, t,
+      |    max(ng) * sum(CASE WHEN cb != 0 THEN sfv ELSE 0 END) AS sf_sum,
+      |    sum(CASE WHEN cb != 0 THEN 1 ELSE 0 END) AS coded,
+      |    max(ng) AS g, max(max_sfb) AS max_sfb, max(fi) AS fi,
+      |    max(CASE WHEN short THEN 1 ELSE 0 END) AS short
+      |  FROM sf GROUP BY 1, 2),
+      |bits AS (SELECT a.container, a.t, a.fi, a.g, a.max_sfb, a.sf_sum,
+      |    v.code_sum, v.esc_count, v.requant_sum,
+      |    CASE WHEN a.fi % 4 != 1 AND a.fi % 2 = 0
+      |      THEN a.fi % 4 ELSE 0 END AS tns_order,
+      |    19
+      |    + CASE WHEN a.short = 1 THEN 11 ELSE 7 END
+      |    + CASE WHEN a.short = 1 THEN a.g * a.max_sfb * 7
+      |        ELSE a.max_sfb * 9 END
+      |    + 8 * a.coded * a.g
+      |    + 3
+      |    + CASE WHEN a.fi % 4 != 1 AND a.fi % 2 = 0
+      |        THEN 2 + 1 + 6 + 5 + (CASE WHEN a.fi % 4 > 0
+      |          THEN 2 + (a.fi % 4) * (((a.fi // 2) % 2) + 3) ELSE 0 END)
+      |        ELSE 0 END
+      |    + v.sbits + 3 AS rawbits
+      |  FROM sfagg a JOIN vagg v ON v.container = a.container
+      |    AND v.t = a.t)
+      |SELECT b.container, CAST(b.t AS BIGINT) AS t,
+      |  CAST(b.t * 26 AS BIGINT) AS dts,
+      |  CAST((b.rawbits + 7) // 8 AS BIGINT) AS sample_bytes,
+      |  CAST(fr.ws AS BIGINT) AS window_seq,
+      |  CAST(b.g AS BIGINT) AS num_groups,
+      |  CAST(b.max_sfb AS BIGINT) AS max_sfb,
+      |  CAST(b.sf_sum AS BIGINT) AS sf_sum,
+      |  CAST(b.tns_order AS BIGINT) AS tns_order,
+      |  CAST(b.code_sum AS BIGINT) AS code_sum,
+      |  CAST(b.esc_count AS BIGINT) AS esc_count,
+      |  CAST(b.requant_sum AS BIGINT) AS requant_sum
+      |FROM bits b JOIN fr ON fr.container = b.container AND fr.t = b.t
+      |ORDER BY b.container, b.t""".stripMargin
+
   /** m47: MIXED KEY+INTER VP8 STREAM IN WEBM, DECODED END-TO-END — the
     * exact artifact a reference user holds (vp8-in-webm with one
     * keyframe and delta frames, tests/media/test_containers.py:25):
@@ -6355,6 +6562,7 @@ object ContainerQueries {
     Q("m64_h264_i16x16", m64, Some(m64Sql)),
     Q("m65_h264_pslice", m65, Some(m65Sql)),
     Q("m66_h264_multislice", m66, Some(m66Sql)),
+    Q("m67_aac_mp4", m67, Some(m67Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),
