@@ -130,6 +130,7 @@ object ScaleCurve {
     "p28_aac_pns",          // third-accumulator noise energies: p25 shape
     "p29_mp2_stereo",       // joint-bound shared subbands: p17 shape
     "m66_h264_multislice",  // slice-scoped availability: m62 shape
+    "m67_aac_mp4",          // AAC SCE samples in classic MP4: m35 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
