@@ -3388,6 +3388,128 @@ object DspQueries {
       |  AND c1.ch = 1
       |ORDER BY f.chunk_id, f.i""".stripMargin
 
+  /** p30: MPEG-1 LAYER I STEREO ([[graft.sources.Mp2.Mp1StereoFrame]],
+    * §2.4.1.5) — completes the 11172-3 stereo matrix next to p29 and
+    * p24: Layer I's joint form shares the same 4 + 4·mode_extension
+    * BOUND (per-channel 4-bit allocations below, ONE allocation and
+    * ONE set of 12 sample codes above, per-channel 6-bit
+    * scalefactors throughout) over the fully-conformant Layer I
+    * bitstream (no appendix tables exist for Layer I — the (a+1)-bit
+    * codes with the all-ones word excluded are normative text). The
+    * oracle replays allocations, scalefactor and code sums per
+    * channel (the demuxed right channel REPEATS the shared codes),
+    * the bit budget, and the 4-byte-slot frame offsets. Scale: the
+    * p17 envelope. */
+  private def p30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Mp2
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(10, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val modes = Vector((0, 0), (1, 0), (1, 2), (2, 0))
+        def mkFrame(i: Int): Mp2.Mp1StereoFrame = {
+          val (mode, ext) = modes(i % 4)
+          val bound = if (mode == 1) 4 + 4 * ext else 32
+          val subs = Array.tabulate(2, 32) { (ch, sb) =>
+            val chEff = if (sb < bound) ch else 0
+            val a = (i * 3 + sb * 3 + chEff * 7) % 5
+            if (a == 0) Mp2.Mp1Sub(0, 0, Array.empty)
+            else Mp2.Mp1Sub(a, (i + sb * 3 + ch * 5) % 63,
+              Array.tabulate(12)(k =>
+                (i * 7 + sb * 11 + chEff * 13 + k * 3) %
+                  ((1 << (a + 1)) - 1)))
+          }
+          Mp2.Mp1StereoFrame(14, 2, padding = i % 2 == 1, mode, ext,
+            subs)
+        }
+        val frames = (0 until n).map(mkFrame)
+        val rec = Mp2.demuxL1Stereo(Mp2.muxL1Stereo(frames))
+        require(rec.size == n, s"chunk $cid: mp1 stereo count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          (cid, i.toLong, off, f.mode.toLong, f.modeExt.toLong,
+            f.bound.toLong, f.bodyBits.toLong,
+            f.subs(0).count(_.a > 0).toLong,
+            f.subs(1).count(_.a > 0).toLong,
+            f.subs(0).map(_.sf.toLong).sum,
+            f.subs(1).map(_.sf.toLong).sum,
+            f.subs(0).flatMap(_.samples).map(_.toLong).sum,
+            f.subs(1).flatMap(_.samples).map(_.toLong).sum)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "mode", "mode_ext", "bound",
+        "body_bits", "alloc0", "alloc1", "sf_sum0", "sf_sum1",
+        "code_sum0", "code_sum1")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p30Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(10, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i,
+      |    list_extract([0, 1, 1, 2], CAST(g.i % 4 + 1 AS INT)) AS mode,
+      |    list_extract([0, 0, 2, 0], CAST(g.i % 4 + 1 AS INT)) AS ext,
+      |    CASE g.i % 4 WHEN 1 THEN 4 WHEN 2 THEN 12 ELSE 32 END AS bound
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |sub AS (SELECT f.*, ch.ch, sb.sb,
+      |    CASE WHEN sb.sb < f.bound THEN ch.ch ELSE 0 END AS cheff,
+      |    (f.i * 3 + sb.sb * 3
+      |      + (CASE WHEN sb.sb < f.bound THEN ch.ch ELSE 0 END) * 7) % 5
+      |      AS a
+      |  FROM f, (SELECT unnest(range(2)) AS ch) ch,
+      |    (SELECT unnest(range(32)) AS sb) sb),
+      |sf AS (SELECT chunk_id, i, ch,
+      |    sum(CASE WHEN a > 0 THEN (i + sb * 3 + ch * 5) % 63
+      |      ELSE 0 END) AS sf_sum,
+      |    sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS alloc
+      |  FROM sub GROUP BY 1, 2, 3),
+      |codes AS (SELECT s.chunk_id, s.i, s.ch,
+      |    sum(CASE WHEN s.a > 0
+      |      THEN (s.i * 7 + s.sb * 11 + s.cheff * 13 + k.k * 3)
+      |        % (CAST(power(2, s.a + 1) AS BIGINT) - 1)
+      |      ELSE 0 END) AS code_sum
+      |  FROM sub s JOIN (SELECT unnest(range(12)) AS k) k
+      |    ON s.a > 0 AND k.k < 12
+      |  GROUP BY 1, 2, 3),
+      |bits AS (SELECT chunk_id, i,
+      |    max(4 * (2 * bound + (32 - bound)))
+      |    + sum(CASE WHEN a > 0 THEN 6 ELSE 0 END)
+      |    + sum(CASE WHEN a > 0 AND (sb < bound OR ch = 0)
+      |        THEN 12 * (a + 1) ELSE 0 END) AS body_bits
+      |  FROM sub GROUP BY 1, 2),
+      |ofs AS (SELECT chunk_id, i,
+      |    coalesce(sum(672 + 4 * (i2 % 2)) OVER (PARTITION BY chunk_id
+      |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS "offset"
+      |  FROM (SELECT chunk_id, i, i AS i2 FROM f))
+      |SELECT f.chunk_id, CAST(f.i AS BIGINT) AS i,
+      |  CAST(o."offset" AS BIGINT) AS "offset",
+      |  CAST(f.mode AS BIGINT) AS mode,
+      |  CAST(f.ext AS BIGINT) AS mode_ext,
+      |  CAST(f.bound AS BIGINT) AS bound,
+      |  CAST(b.body_bits AS BIGINT) AS body_bits,
+      |  CAST(s0.alloc AS BIGINT) AS alloc0,
+      |  CAST(s1.alloc AS BIGINT) AS alloc1,
+      |  CAST(s0.sf_sum AS BIGINT) AS sf_sum0,
+      |  CAST(s1.sf_sum AS BIGINT) AS sf_sum1,
+      |  CAST(coalesce(c0.code_sum, 0) AS BIGINT) AS code_sum0,
+      |  CAST(coalesce(c1.code_sum, 0) AS BIGINT) AS code_sum1
+      |FROM f
+      |JOIN ofs o ON o.chunk_id = f.chunk_id AND o.i = f.i
+      |JOIN bits b ON b.chunk_id = f.chunk_id AND b.i = f.i
+      |JOIN sf s0 ON s0.chunk_id = f.chunk_id AND s0.i = f.i AND s0.ch = 0
+      |JOIN sf s1 ON s1.chunk_id = f.chunk_id AND s1.i = f.i AND s1.ch = 1
+      |LEFT JOIN codes c0 ON c0.chunk_id = f.chunk_id AND c0.i = f.i
+      |  AND c0.ch = 0
+      |LEFT JOIN codes c1 ON c1.chunk_id = f.chunk_id AND c1.i = f.i
+      |  AND c1.ch = 1
+      |ORDER BY f.chunk_id, f.i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -3418,5 +3540,6 @@ object DspQueries {
     Q("p27_aac_intensity", p27, Some(p27Sql)),
     Q("p28_aac_pns", p28, Some(p28Sql)),
     Q("p29_mp2_stereo", p29, Some(p29Sql)),
+    Q("p30_mp1_stereo", p30, Some(p30Sql)),
   )
 }

@@ -466,6 +466,164 @@ object Mp2 {
       subs.filter(_.a > 0).map(s => 6 + 12 * (s.a + 1)).sum
   }
 
+  /** A two-channel Layer I frame (§2.4.1.5): same modes and joint
+    * BOUND = 4 + 4·mode_extension as Layer II — below it everything
+    * is per-channel, at/above it ONE allocation and ONE set of 12
+    * sample codes are shared while each channel keeps its OWN
+    * scalefactor. */
+  final case class Mp1StereoFrame(bitrateIndex: Int, rateIndex: Int,
+      padding: Boolean, mode: Int, modeExt: Int,
+      subs: Array[Array[Mp1Sub]]) {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, "mp1: bitrate index")
+    require(rateIndex >= 0 && rateIndex <= 2, "mp1: rate index")
+    require(mode >= 0 && mode <= 2,
+      "mp1: stereo modes are 0/1/2 (mono rides Mp1FrameData)")
+    require(modeExt >= 0 && modeExt <= 3 && (mode == 1 || modeExt == 0),
+      "mp1: mode_extension is joint-stereo only")
+    require(subs.length == 2 && subs.forall(_.length == 32),
+      "mp1: 2 × 32 subbands")
+    def bound: Int = if (mode == 1) 4 + 4 * modeExt else 32
+    (bound until 32).foreach { sb =>
+      require(subs(0)(sb).a == subs(1)(sb).a,
+        s"mp1: joint subband $sb disagrees on allocation")
+      require(subs(0)(sb).samples.sameElements(subs(1)(sb).samples),
+        s"mp1: joint subband $sb disagrees on shared sample codes")
+    }
+    def frameLen: Int =
+      4 * (12 * BitratesL1(bitrateIndex) * 1000 / Rates(rateIndex) +
+        (if (padding) 1 else 0))
+    def bodyBits: Int =
+      4 * (2 * bound + (32 - bound)) +
+        subs.map(_.count(_.a > 0) * 6).sum +
+        (0 until 32).map { sb =>
+          val a0 = subs(0)(sb).a; val a1 = subs(1)(sb).a
+          if (sb < bound)
+            12 * ((if (a0 > 0) a0 + 1 else 0) +
+              (if (a1 > 0) a1 + 1 else 0))
+          else if (a0 > 0) 12 * (a0 + 1) else 0
+        }.sum
+  }
+
+  def muxL1Stereo(frames: Seq[Mp1StereoFrame]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      require(4 + (f.bodyBits + 7) / 8 <= f.frameLen,
+        s"mp1: stereo body ${f.bodyBits} bits overruns the " +
+          s"${f.frameLen}-byte frame")
+      out.write(0xFF); out.write(0xFF)
+      out.write((f.bitrateIndex << 4) | (f.rateIndex << 2) |
+        (if (f.padding) 2 else 0))
+      out.write((f.mode << 6) | (f.modeExt << 4))
+      val w = new BitWriter
+      val bound = f.bound
+      (0 until bound).foreach(sb => (0 until 2).foreach(ch =>
+        w.writeBits(f.subs(ch)(sb).a.toLong, 4)))
+      (bound until 32).foreach(sb =>
+        w.writeBits(f.subs(0)(sb).a.toLong, 4))
+      (0 until 32).foreach(sb => (0 until 2).foreach { ch =>
+        if (f.subs(ch)(sb).a > 0)
+          w.writeBits(f.subs(ch)(sb).sf.toLong, 6)
+      })
+      var s = 0
+      while (s < 12) { // sample-major [§2.4.2.4]
+        (0 until 32).foreach { sb =>
+          if (sb < bound)
+            (0 until 2).foreach { ch =>
+              val su = f.subs(ch)(sb)
+              if (su.a > 0) w.writeBits(su.samples(s).toLong, su.a + 1)
+            }
+          else {
+            val su = f.subs(0)(sb)
+            if (su.a > 0) w.writeBits(su.samples(s).toLong, su.a + 1)
+          }
+        }
+        s += 1
+      }
+      val body = w.toBytes
+      out.write(body, 0, body.length)
+      var stuff = f.frameLen - 4 - body.length
+      while (stuff > 0) { out.write(0); stuff -= 1 }
+    }
+    out.toByteArray
+  }
+
+  def demuxL1Stereo(bytes: Array[Byte]): Seq[(Long, Mp1StereoFrame)] = {
+    val out = Seq.newBuilder[(Long, Mp1StereoFrame)]
+    var pos = 0
+    while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, s"mp1: truncated header at $pos")
+      require((bytes(pos) & 0xff) == 0xFF &&
+        (bytes(pos + 1) & 0xff) == 0xFF,
+        s"mp1: lost sync at $pos (MPEG-1 Layer I no-CRC expected)")
+      val bi = (bytes(pos + 2) >> 4) & 0xf
+      require(bi >= 1 && bi <= 14, s"mp1: bitrate index $bi at $pos")
+      val ri = (bytes(pos + 2) >> 2) & 3
+      require(ri <= 2, s"mp1: reserved rate index at $pos")
+      val pad = (bytes(pos + 2) & 2) != 0
+      val mode = (bytes(pos + 3) >> 6) & 3
+      require(mode != 3,
+        s"mp1: mono frame at $pos — use demuxL1, not demuxL1Stereo")
+      val modeExt = (bytes(pos + 3) >> 4) & 3
+      val fl = 4 * (12 * BitratesL1(bi) * 1000 / Rates(ri) +
+        (if (pad) 1 else 0))
+      require(pos + fl <= bytes.length,
+        s"mp1: frame length $fl overruns the stream at $pos")
+      val bound = if (mode == 1) 4 + 4 * modeExt else 32
+      val r = new BitReader(bytes, pos + 4, pos + fl)
+      val as = Array.fill(2, 32)(0)
+      (0 until bound).foreach(sb => (0 until 2).foreach { ch =>
+        as(ch)(sb) = r.readBits(4).toInt
+      })
+      (bound until 32).foreach { sb =>
+        val a = r.readBits(4).toInt
+        as(0)(sb) = a; as(1)(sb) = a
+      }
+      as.foreach(_.foreach(a => require(a <= 14,
+        s"mp1: forbidden allocation 15 at $pos")))
+      val sfs = Array.fill(2, 32)(0)
+      (0 until 32).foreach(sb => (0 until 2).foreach { ch =>
+        if (as(ch)(sb) > 0) sfs(ch)(sb) = r.readBits(6).toInt
+      })
+      val samples = Array.tabulate(2, 32) { (ch, sb) =>
+        if (as(ch)(sb) > 0) new Array[Int](12) else Array.empty[Int]
+      }
+      var s = 0
+      while (s < 12) {
+        (0 until 32).foreach { sb =>
+          if (sb < bound)
+            (0 until 2).foreach { ch =>
+              val a = as(ch)(sb)
+              if (a > 0) {
+                val c = r.readBits(a + 1).toInt
+                require(c < (1 << (a + 1)) - 1,
+                  s"mp1: all-ones code word at $pos")
+                samples(ch)(sb)(s) = c
+              }
+            }
+          else {
+            val a = as(0)(sb)
+            if (a > 0) {
+              val c = r.readBits(a + 1).toInt
+              require(c < (1 << (a + 1)) - 1,
+                s"mp1: all-ones code word at $pos")
+              samples(0)(sb)(s) = c
+              samples(1)(sb)(s) = c
+            }
+          }
+        }
+        s += 1
+      }
+      val subs = Array.tabulate(2, 32) { (ch, sb) =>
+        Mp1Sub(as(ch)(sb), if (as(ch)(sb) > 0) sfs(ch)(sb) else 0,
+          samples(ch)(sb))
+      }
+      out += ((pos.toLong,
+        Mp1StereoFrame(bi, ri, pad, mode, modeExt, subs)))
+      pos += fl
+    }
+    out.result()
+  }
+
   def muxL1(frames: Seq[Mp1FrameData]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     frames.foreach { f =>

@@ -1844,6 +1844,46 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming crop parity [§9.1]: a NON-multiple-of-16 stream " +
+      "(24x24 display, 32x32 coded) emits the same display-cropped " +
+      "sums from Vp8Machine as decodeStream — the machine must crop " +
+      "before summing, not sum the padded coded planes") {
+    import graft.streaming.{StateMachines, Vp8Machine}
+    def kMb(v: Int) = zeroMb(Vp8.VPred, Vp8.DcPred, v)
+    def pMb(v: Int) = interMb(Vp8.ZeroMv, Vp8.Mv(0, 0), y2dc = v)
+    val payloads = Vp8.encode(Vp8.KeyFrame(24, 24, 0, Vector(
+      kMb(40), kMb(80), kMb(16), kMb(24)))) +:
+      (1 until 4).map(t => Vp8.encodeInter(24, 24, Vp8.InterFrame(0,
+        Vector(pMb(8 * t), pMb(4 * t), pMb(2 * t), pMb(6 * t)))))
+    val st = Vp8.decodeStream(payloads)
+    st.foreach { f =>
+      assert(f.width == 24 && f.y.length == 24 * 24 &&
+        f.u.length == 12 * 12, "display-cropped batch planes")
+    }
+    val hex = java.util.HexFormat.of()
+    val m = new Vp8Machine.StreamDecoder
+    var s = m.init
+    payloads.zipWithIndex.foreach { case (p, t) =>
+      val (ns, outs) = m.step(s, StateMachines.Ev(0, t.toLong, 0.0,
+        hex.formatHex(p), paused = false))
+      s = ns
+      val luma = st(t).y.iterator.map(_.toLong).sum
+      val chroma = st(t).u.iterator.map(_.toLong).sum +
+        st(t).v.iterator.map(_.toLong).sum
+      assert(outs.head.value == luma.toDouble,
+        s"frame $t: machine luma must match the CROPPED batch sum")
+      assert(outs.head.text.startsWith(s"$chroma,"),
+        s"frame $t: machine chroma must match the CROPPED batch sum")
+      // the padded coded plane has MORE pixels — the sums must differ
+      // from the uncropped state the machine carries internally
+      assert(ns.lastY.length == 32 * 32,
+        "reference planes stay CODED-size in the state")
+      assert(ns.lastY.iterator.map(_.toLong).sum != luma ||
+        st(t).y.forall(_ == 0),
+        s"frame $t: cropping must be observable")
+    }
+  }
+
   test("upscaling [§9.1]: the 2-bit scale codes ride the keyframe " +
       "header and name display ratios 5/4, 5/3, 2/1; reconstruction " +
       "stays at coded size; the display upscaler maps output pixels " +
