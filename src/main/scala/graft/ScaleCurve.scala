@@ -131,6 +131,7 @@ object ScaleCurve {
     "p29_mp2_stereo",       // joint-bound shared subbands: p17 shape
     "m66_h264_multislice",  // slice-scoped availability: m62 shape
     "m67_aac_mp4",          // AAC SCE samples in classic MP4: m35 shape
+    "p30_mp1_stereo",       // Layer I joint bound: p29 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
