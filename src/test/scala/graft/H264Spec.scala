@@ -575,6 +575,72 @@ class H264Spec extends AnyFunSuite {
       "the boundary changes the coded bits")
   }
 
+  test("mixed-type Annex-B stream: SPS → PPS → Intra_4x4 IDR → P " +
+      "slice → I_16x16 IDR → a two-slice picture, split on start " +
+      "codes and parsed in decode order — the realistic stream shape") {
+    val spsNal = H264.writeSps(32, 32)
+    val ppsNal = H264.writePps()
+    val sps = H264.parseSps(spsNal)
+    val pps = H264.parsePps(ppsNal)
+    def lb(v: Int) = { val c = new Array[Int](16); c(15) = v; c }
+    val i4 = H264.writeIntraCodedSlice(0, sps, pps,
+      Vector.fill(4)(Array.fill(16)(2)), Vector.fill(4)(1),
+      Vector.fill(4)(1), Vector.fill(4)(1),
+      Vector.fill(4)(Vector.tabulate(16)(b =>
+        if (b < 4) lb(b + 1) else Array.empty[Int])),
+      Vector.fill(4)(Vector(Array.empty[Int], Array.empty[Int])),
+      Vector.fill(4)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
+    val pSl = H264.writePSlice(1, sps, pps,
+      Vector(false, true, true, false),
+      Vector((2, -1), (0, 0), (0, 0), (-3, 4)),
+      Vector(1, 0, 0, 2), Vector(1, 0, 0, -1),
+      Vector.tabulate(4)(mb => Vector.tabulate(16)(b =>
+        if ((Seq(1, 0, 0, 2)(mb) & (1 << (b / 4))) != 0) lb(mb + 2)
+        else Array.empty[Int])),
+      Vector.fill(4)(Vector.empty),
+      Vector.fill(4)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
+    val i16 = H264.writeI16Slice(2, sps, pps,
+      Vector(0, 1, 2, 3), Vector.fill(4)(0), Vector.fill(4)(0),
+      Vector.fill(4)(2),
+      Vector.fill(4)(lb(5)), Vector.fill(4)(Vector.empty[Array[Int]]),
+      Vector.fill(4)(Vector.empty),
+      Vector.fill(4)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
+    val msA = H264.writeIntraCodedSlice(3, sps, pps,
+      Vector.fill(2)(Array.fill(16)(2)), Vector.fill(2)(0),
+      Vector.fill(2)(0), Vector.fill(2)(0),
+      Vector.fill(2)(Vector.fill(16)(Array.empty[Int])),
+      Vector.fill(2)(Vector(Array.empty[Int], Array.empty[Int])),
+      Vector.fill(2)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))),
+      firstMb = 0, mbCount = 2)
+    val msB = H264.writeIntraCodedSlice(3, sps, pps,
+      Vector.fill(2)(Array.fill(16)(2)), Vector.fill(2)(0),
+      Vector.fill(2)(0), Vector.fill(2)(0),
+      Vector.fill(2)(Vector.fill(16)(Array.empty[Int])),
+      Vector.fill(2)(Vector(Array.empty[Int], Array.empty[Int])),
+      Vector.fill(2)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))),
+      firstMb = 2, mbCount = 2)
+    val startCode = Array[Byte](0, 0, 0, 1)
+    val stream = Seq(spsNal, ppsNal, i4, pSl, i16, msA, msB)
+      .flatMap(n => startCode ++ n).toArray
+    val nals = H264.splitAnnexB(stream)
+    assert(nals.length == 7)
+    // route by NAL type + slice_type, like a real stream walker
+    assert(H264.nalType(nals(0)) == H264.NalSps &&
+      H264.nalType(nals(1)) == H264.NalPps)
+    val (inf2, mbs2) = H264.parseIntraCodedSlice(nals(2), sps, pps)
+    assert(inf2.idr && mbs2.forall(_.intra.cbp == 1))
+    val (inf3, mbs3) = H264.parsePSlice(nals(3), sps, pps)
+    assert(inf3.isP && inf3.frameNum == 1 &&
+      mbs3.map(_.skipped) == Vector(false, true, true, false))
+    val (inf4, mbs4) = H264.parseI16Slice(nals(4), sps, pps)
+    assert(inf4.idr && inf4.frameNum == 2 &&
+      mbs4.map(_.predMode) == Vector(0, 1, 2, 3))
+    val (inf5, mbs5) = H264.parseIntraCodedSlice(nals(5), sps, pps, 2)
+    val (inf6, mbs6) = H264.parseIntraCodedSlice(nals(6), sps, pps, 2)
+    assert(inf5.firstMb == 0 && inf6.firstMb == 2 &&
+      mbs5.length + mbs6.length == 4)
+  }
+
   test("P slices [§7.3.4/Table 7-13]: mb_skip_run interleaves coded " +
       "P_L0_16x16 MBs (mvd, inter CBP, residual), a trailing run " +
       "covers end-of-slice skips, and skipped MBs count 0 in nC") {
