@@ -41,16 +41,21 @@ import graft.sources.Flac.{BitReader, BitWriter}
   *    100 + 4e grid), like [[Mp3.requantExact]].
   *
   * Documented STAND-INS/SEAMS (appendix DATA — a value swap, not a
-  * code change): the spectral Huffman codeWORDS of Tables A.2–A.12
-  * ([[CbSeam]] fixed-width fields shaped by Table 7.1's properties),
-  * the scalefactor codebook (8-bit signed delta), and the
-  * scalefactor-band offset tables of §8.9 ([[SwbLong]]/[[SwbShort]]
-  * 2(i²+i) — even, strictly increasing, width 4i+4 divisible by both
-  * tuple dimensions).
+  * code change), INJECTABLE via [[Profile]] (JSON:
+  * [[graft.functions.CodecProfileJson]], CLI: [[graft.RunDecode]]):
+  * the spectral Huffman codeWORDS of Tables A.2–A.12 ([[CbSeam]]
+  * fixed-width fields shaped by Table 7.1's properties; an injected
+  * table flips that codebook to the spec's real tuple-codeword bit
+  * order), the scalefactor codebook (8-bit signed delta — the real
+  * Table A.1 collapses to the same delta), and the scalefactor-band
+  * offset tables of §8.9 ([[SwbLong]]/[[SwbShort]] 2(i²+i) as the
+  * stand-ins).
   *
   * Subset boundaries, loud: LC profile only (no predictor, no gain
-  * control), no pulse data, no PNS/intensity codebooks (13–15),
-  * single-channel SCE (channel pairs ride [[muxCpe]]/[[demuxCpe]]). */
+  * control), no pulse data. PNS (cb 13, §4.6.13) and intensity
+  * stereo (cb 14/15, §12.2) ARE implemented (p27/p28), as are
+  * channel pairs ([[muxCpe]]/[[demuxCpe]], M/S per §12.1; p26/m67) —
+  * cb 12 stays reserved and fails loudly. */
 object Aac {
 
   /** Table 7.1 codebook properties — dimension, signedness, LAV. */
@@ -73,6 +78,54 @@ object Aac {
   /** STAND-IN short-window sfb offsets: 8 entries within the 128
     * coefficients of one short window. */
   val SwbShort: Array[Int] = Array.tabulate(8)(i => 2 * (i * i + i))
+
+  /** The INJECTABLE table set behind AAC's appendix-data seams (same
+    * class as [[graft.functions.Vp8.Profile]]; JSON:
+    * [[graft.functions.CodecProfileJson]], CLI: [[graft.RunDecode]]):
+    *
+    *  - `swbLong`/`swbShort` — the §8.9 scalefactor-band offset
+    *    tables for the chosen sample rate (any length; the real
+    *    44.1 kHz long table has 50 entries);
+    *  - `cb` — the spectral codeword tables A.2–A.12: slot i holds
+    *    codebook i's [[Vlc]] over the TUPLE INDEX (packing below);
+    *    `None` keeps that codebook's stand-in fixed-width fields;
+    *    `Some` switches it to the spec's real bit order — codeword,
+    *    then (unsigned books) one sign bit per nonzero in value
+    *    order, then cb 11's §9.3 escapes in value order.
+    *
+    * Tuple-index packing (the JSON document's value column):
+    * signed books (1,2,5,6): idx = Σ (v_i + LAV)·(2·LAV+1)^(d−1−i);
+    * unsigned books: idx = Σ m_i·B^(d−1−i) with B = LAV+1 and
+    * m_i = |v_i| (cb 11: B = 17, m_i = min(|v_i|, 16) — 16 is the
+    * escape marker). */
+  final case class Profile(swbLong: Array[Int], swbShort: Array[Int],
+      cb: Vector[Option[Vlc]]) {
+    require(swbLong.length >= 2 && swbLong(0) == 0 &&
+      swbLong.sliding(2).forall(w => w(0) < w(1)),
+      "aac profile: swbLong must strictly increase from 0")
+    require(swbShort.length >= 2 && swbShort(0) == 0 &&
+      swbShort.sliding(2).forall(w => w(0) < w(1)),
+      "aac profile: swbShort must strictly increase from 0")
+    require(cb.length == 12 && cb(0).isEmpty,
+      "aac profile: 12 codebook slots, slot 0 (ZERO) has no codewords")
+    (1 to 11).foreach { b =>
+      cb(b).foreach { vlc =>
+        val dim = cbDim(b)
+        val base = if (cbSigned(b)) 2 * cbLav(b) + 1
+          else if (b == 11) 17 else cbLav(b) + 1
+        val size = math.pow(base.toDouble, dim.toDouble).toInt
+        require(vlc.values.forall(v => v >= 0 && v < size),
+          s"aac profile: codebook $b tuple indices are [0, $size)")
+      }
+    }
+    def swb(short: Boolean): Array[Int] =
+      if (short) swbShort else swbLong
+  }
+  object Profile {
+    /** The stand-in tables — bit-identical to the historic layout. */
+    val StandIn: Profile =
+      Profile(SwbLong, SwbShort, Vector.fill(12)(None))
+  }
 
   /** The spectral-codeword seam: Tables A.2–A.12 are appendix data;
     * what's coded here is Table 7.1's STRUCTURE — dim-sized tuples,
@@ -152,6 +205,82 @@ object Aac {
         full.zip(signs).map { case (m, neg) => if (neg) -m else m }
       }
     }
+
+    /** The [[Profile]] tuple-index packing (see its doc). */
+    def tupleIndex(cb: Int, vs: Seq[Int]): Int = {
+      val lav = cbLav(cb)
+      if (cbSigned(cb))
+        vs.foldLeft(0)((a, v) => a * (2 * lav + 1) + (v + lav))
+      else {
+        val base = if (cb == 11) 17 else lav + 1
+        vs.foldLeft(0)((a, v) =>
+          a * base + math.min(math.abs(v), if (cb == 11) 16 else lav))
+      }
+    }
+
+    /** [[writeTuple]] under profile p: an injected table codes the
+      * tuple as ONE codeword in the spec's real order. */
+    def writeTupleWith(w: BitWriter, cb: Int, vs: Seq[Int],
+        p: Profile): Unit = p.cb(cb) match {
+      case None => writeTuple(w, cb, vs)
+      case Some(vlc) =>
+        require(vs.length == cbDim(cb),
+          s"aac: codebook $cb codes ${cbDim(cb)}-tuples")
+        val lav = cbLav(cb)
+        if (cbSigned(cb)) {
+          vs.foreach(v => require(v >= -lav && v <= lav,
+            s"aac: $v beyond signed LAV $lav"))
+          vlc.write(w.writeBits, tupleIndex(cb, vs))
+        } else {
+          vs.foreach { v =>
+            val m = math.abs(v)
+            require(m <= lav || cb == 11 && m < (1 << 13),
+              s"aac: magnitude $m beyond LAV $lav of codebook $cb")
+          }
+          vlc.write(w.writeBits, tupleIndex(cb, vs))
+          vs.filter(_ != 0).foreach(v =>
+            w.writeBits(if (v < 0) 1L else 0L, 1))
+          if (cb == 11) vs.map(math.abs).filter(_ >= 16).foreach { m =>
+            var n = 0; while ((1 << (n + 5)) <= m) n += 1
+            (0 until n).foreach(_ => w.writeBits(1L, 1))
+            w.writeBits(0L, 1)
+            w.writeBits((m - (1 << (n + 4))).toLong, n + 4)
+          }
+        }
+    }
+
+    /** [[readTuple]] under profile p (inverse of
+      * [[writeTupleWith]]). */
+    def readTupleWith(r: BitReader, cb: Int, p: Profile): Vector[Int] =
+      p.cb(cb) match {
+        case None => readTuple(r, cb)
+        case Some(vlc) =>
+          val d = cbDim(cb)
+          val lav = cbLav(cb)
+          val idx = vlc.read(r.readBits)
+          if (cbSigned(cb)) {
+            val base = 2 * lav + 1
+            var rest = idx
+            val rev = Vector.fill(d) {
+              val v = rest % base - lav; rest /= base; v
+            }
+            rev.reverse
+          } else {
+            val base = if (cb == 11) 17 else lav + 1
+            var rest = idx
+            val rev = Vector.fill(d) { val m = rest % base; rest /= base; m }
+            val mags = rev.reverse
+            val signs = mags.map(m => m != 0 && r.readBits(1) == 1L)
+            val full = if (cb == 11) mags.map { m =>
+              if (m < 16) m
+              else {
+                var n = 0; while (r.readBits(1) == 1L) n += 1
+                (1 << (n + 4)) + r.readBits(n + 4).toInt
+              }
+            } else mags
+            full.zip(signs).map { case (m, neg) => if (neg) -m else m }
+          }
+      }
   }
 
   /** §6.3.2 ics_info. windowSequence: 0 ONLY_LONG, 1 LONG_START,
@@ -165,9 +294,10 @@ object Aac {
     require(scaleFactorGrouping >= 0 && scaleFactorGrouping < 128 &&
       (short || scaleFactorGrouping == 0),
       "aac: scale_factor_grouping is EIGHT_SHORT only (7 bits)")
-    require(maxSfb >= 0 &&
-      maxSfb < (if (short) SwbShort.length else SwbLong.length),
-      s"aac: max_sfb $maxSfb beyond the stand-in swb table")
+    // the FIELD bound; the active swb table's bound (profile-
+    // dependent) is checked by validate() at mux/demux
+    require(maxSfb >= 0 && maxSfb < (if (short) 16 else 64),
+      s"aac: max_sfb $maxSfb beyond its field width")
     /** Window-group lengths: grouping bit k (MSB first) fuses window
       * k+1 into the previous group. */
     def groupLens: Vector[Int] =
@@ -178,9 +308,20 @@ object Aac {
         else acc :+ 1
       }
     def swb: Array[Int] = if (short) SwbShort else SwbLong
+    def swbWith(p: Profile): Array[Int] = p.swb(short)
     /** Coefficients one group contributes for sfb w. */
     def sfbWidth(w: Int, groupLen: Int): Int =
-      (swb(w + 1) - swb(w)) * (if (short) groupLen else 1)
+      sfbWidthWith(w, groupLen, Profile.StandIn)
+    def sfbWidthWith(w: Int, groupLen: Int, p: Profile): Int = {
+      val t = swbWith(p)
+      (t(w + 1) - t(w)) * (if (short) groupLen else 1)
+    }
+    /** The active-table bound (mux/demux call this with their
+      * profile). */
+    def validate(p: Profile): Unit =
+      require(maxSfb < p.swb(short).length,
+        s"aac: max_sfb $maxSfb beyond the active swb table " +
+          s"(${p.swb(short).length - 1} bands)")
   }
 
   /** One section: codebook over sfbs [start, end) of one group.
@@ -250,13 +391,20 @@ object Aac {
         s"aac: group $gi has $coded coded sfbs, " +
           s"${dpcm(gi).length} dpcm values")
       require(spectral(gi).length == info.maxSfb, "aac: spectral shape")
-      (0 until info.maxSfb).foreach { w =>
-        val cb = cbOf(gi, w)
-        val want = if (cb == 0 || cb >= 13) 0
-          else info.sfbWidth(w, g(gi))
-        require(spectral(gi)(w).length == want,
-          s"aac: group $gi sfb $w wants $want coefficients, " +
-            s"has ${spectral(gi)(w).length}")
+    }
+    /** Per-sfb coefficient-count check against the ACTIVE swb table
+      * (profile-dependent — mux and demux both run it). */
+    def validateShapes(p: Profile = Profile.StandIn): Unit = {
+      info.validate(p)
+      g.indices.foreach { gi =>
+        (0 until info.maxSfb).foreach { w =>
+          val cb = cbOf(gi, w)
+          val want = if (cb == 0 || cb >= 13) 0
+            else info.sfbWidthWith(w, g(gi), p)
+          require(spectral(gi)(w).length == want,
+            s"aac: group $gi sfb $w wants $want coefficients, " +
+              s"has ${spectral(gi)(w).length}")
+        }
       }
     }
     require(tns.forall(_.nonEmpty), "aac: present TNS needs filters")
@@ -368,10 +516,11 @@ object Aac {
     }
   }
 
-  private def writeIcs(w: BitWriter, ics: AacIcs): Unit =
-    writeIcsParts(w, ics, withInfo = true)
+  private def writeIcs(w: BitWriter, ics: AacIcs, p: Profile): Unit =
+    writeIcsParts(w, ics, withInfo = true, p)
 
-  private def readIcs(r: BitReader): AacIcs = readIcsParts(r, None)
+  private def readIcs(r: BitReader, p: Profile): AacIcs =
+    readIcsParts(r, None, p)
 
   /** §6.3.1 raw_data_block elements: the block is a SEQUENCE of
     * syntactic elements closed by END — one SCE for mono, one CPE for
@@ -383,7 +532,8 @@ object Aac {
       msMaskPresent: Int, msUsed: Vector[Vector[Boolean]]) extends Element
 
   /** Mux an arbitrary §6.3.1 element sequence + END + alignment. */
-  def muxElements(els: Seq[Element]): Array[Byte] = {
+  def muxElements(els: Seq[Element],
+      p: Profile = Profile.StandIn): Array[Byte] = {
     require(els.nonEmpty, "aac: empty raw_data_block")
     val w = new BitWriter
     els.foreach {
@@ -393,7 +543,7 @@ object Aac {
           "aac: intensity codebooks live in a CPE's right channel")
         w.writeBits(0L, 3)
         w.writeBits(tag.toLong, 4)
-        writeIcs(w, ics)
+        writeIcs(w, ics, p)
       case CpeEl(tag, left, right, msp, ms) =>
         require(tag >= 0 && tag < 16, "aac: element_instance_tag")
         require(left.info == right.info,
@@ -412,14 +562,15 @@ object Aac {
             "aac: ms_used is per (group, sfb)")
           ms.foreach(_.foreach(b => w.writeBits(if (b) 1L else 0L, 1)))
         }
-        writeIcsBody(w, left); writeIcsBody(w, right)
+        writeIcsBody(w, left, p); writeIcsBody(w, right, p)
     }
     w.writeBits(7L, 3) // END
     w.toBytes
   }
 
   /** Walk a raw_data_block's element loop back until END. */
-  def demuxElements(payload: Array[Byte]): Seq[Element] = {
+  def demuxElements(payload: Array[Byte],
+      p: Profile = Profile.StandIn): Seq[Element] = {
     val r = new BitReader(payload, 0, payload.length)
     val out = Seq.newBuilder[Element]
     var done = false
@@ -427,7 +578,7 @@ object Aac {
       r.readBits(3) match {
         case 0L =>
           val tag = r.readBits(4).toInt
-          val ics = readIcs(r)
+          val ics = readIcs(r, p)
           require(!ics.hasIntensity,
             "aac: intensity codebooks live in a CPE's right channel")
           out += SceEl(tag, ics)
@@ -442,8 +593,8 @@ object Aac {
             if (msp == 1) info.groupLens.indices.toVector.map(_ =>
               Vector.fill(info.maxSfb)(r.readBits(1) == 1L))
             else Vector.empty[Vector[Boolean]]
-          val left = readIcsBody(r, info)
-          val right = readIcsBody(r, info)
+          val left = readIcsBody(r, info, p)
+          val right = readIcsBody(r, info, p)
           require(!left.hasIntensity,
             "aac: intensity codebooks are right-channel only")
           out += CpeEl(tag, left, right, msp, msUsed)
@@ -458,23 +609,25 @@ object Aac {
 
   /** One raw_data_block carrying a single_channel_element + END,
     * byte-aligned (§6.3.1) — the payload of one ADTS frame. */
-  def muxSce(ics: AacIcs, tag: Int = 0): Array[Byte] = {
+  def muxSce(ics: AacIcs, tag: Int = 0,
+      p: Profile = Profile.StandIn): Array[Byte] = {
     require(tag >= 0 && tag < 16, "aac: element_instance_tag")
     require(!ics.hasIntensity,
       "aac: intensity codebooks live in a CPE's right channel (§12.2)")
     val w = new BitWriter
     w.writeBits(0L, 3) // id_syn_ele = SCE
     w.writeBits(tag.toLong, 4)
-    writeIcs(w, ics)
+    writeIcs(w, ics, p)
     w.writeBits(7L, 3) // id_syn_ele = END
     w.toBytes // BitWriter zero-pads to the byte boundary
   }
 
-  def demuxSce(payload: Array[Byte]): (Int, AacIcs) = {
+  def demuxSce(payload: Array[Byte],
+      p: Profile = Profile.StandIn): (Int, AacIcs) = {
     val r = new BitReader(payload, 0, payload.length)
     require(r.readBits(3) == 0L, "aac: expected a single_channel_element")
     val tag = r.readBits(4).toInt
-    val ics = readIcs(r)
+    val ics = readIcs(r, p)
     require(!ics.hasIntensity,
       "aac: intensity codebooks live in a CPE's right channel (§12.2)")
     require(r.readBits(3) == 7L, "aac: expected the END element")
@@ -489,7 +642,8 @@ object Aac {
     * integer-EXACT, unlike MP3's √2 convention). Both channels'
     * individual_channel_streams follow. */
   def muxCpe(left: AacIcs, right: AacIcs, msUsed: Vector[Vector[Boolean]],
-      msMaskPresent: Int, tag: Int = 0): Array[Byte] = {
+      msMaskPresent: Int, tag: Int = 0,
+      p: Profile = Profile.StandIn): Array[Byte] = {
     require(tag >= 0 && tag < 16, "aac: element_instance_tag")
     require(left.info == right.info,
       "aac: common_window CPE shares one ics_info")
@@ -510,12 +664,13 @@ object Aac {
         "aac: ms_used is per (group, sfb)")
       msUsed.foreach(_.foreach(b => w.writeBits(if (b) 1L else 0L, 1)))
     }
-    writeIcsBody(w, left); writeIcsBody(w, right)
+    writeIcsBody(w, left, p); writeIcsBody(w, right, p)
     w.writeBits(7L, 3)
     w.toBytes
   }
 
-  def demuxCpe(payload: Array[Byte])
+  def demuxCpe(payload: Array[Byte],
+      p: Profile = Profile.StandIn)
       : (Int, AacIcs, AacIcs, Int, Vector[Vector[Boolean]]) = {
     val r = new BitReader(payload, 0, payload.length)
     require(r.readBits(3) == 1L, "aac: expected a channel_pair_element")
@@ -529,8 +684,8 @@ object Aac {
       if (msp == 1) info.groupLens.indices.toVector.map(_ =>
         Vector.fill(info.maxSfb)(r.readBits(1) == 1L))
       else Vector.empty
-    val left = readIcsBody(r, info)
-    val right = readIcsBody(r, info)
+    val left = readIcsBody(r, info, p)
+    val right = readIcsBody(r, info, p)
     require(!left.hasIntensity,
       "aac: intensity codebooks are right-channel only (§12.2)")
     require(r.readBits(3) == 7L, "aac: expected the END element")
@@ -543,25 +698,29 @@ object Aac {
 
   // ICS without the leading ics_info (CPE shares the info; each
   // channel still carries its own global_gain + section data)
-  private def writeIcsBody(w: BitWriter, ics: AacIcs): Unit =
-    writeIcsParts(w, ics, withInfo = false)
-  private def readIcsBody(r: BitReader, info: IcsInfo): AacIcs =
-    readIcsParts(r, Some(info))
+  private def writeIcsBody(w: BitWriter, ics: AacIcs,
+      p: Profile): Unit =
+    writeIcsParts(w, ics, withInfo = false, p)
+  private def readIcsBody(r: BitReader, info: IcsInfo,
+      p: Profile): AacIcs =
+    readIcsParts(r, Some(info), p)
 
   private def writeIcsParts(w: BitWriter, ics: AacIcs,
-      withInfo: Boolean): Unit = {
+      withInfo: Boolean, p: Profile): Unit = {
+    ics.validateShapes(p)
     w.writeBits(ics.globalGain.toLong, 8)
     if (withInfo) writeIcsInfo(w, ics.info)
-    writeIcsAfterInfo(w, ics)
+    writeIcsAfterInfo(w, ics, p)
   }
   private def readIcsParts(r: BitReader,
-      shared: Option[IcsInfo]): AacIcs = {
+      shared: Option[IcsInfo], p: Profile): AacIcs = {
     val gg = r.readBits(8).toInt
     val info = shared.getOrElse(readIcsInfo(r))
-    readIcsAfterInfo(r, gg, info)
+    readIcsAfterInfo(r, gg, info, p)
   }
 
-  private def writeIcsAfterInfo(w: BitWriter, ics: AacIcs): Unit = {
+  private def writeIcsAfterInfo(w: BitWriter, ics: AacIcs,
+      p: Profile): Unit = {
     val lenBits = if (ics.info.short) 3 else 5
     val esc = (1 << lenBits) - 1
     ics.sections.foreach(_.foreach { s =>
@@ -617,14 +776,15 @@ object Aac {
         .foreach { s =>
         (s.start until s.end).foreach { sfb =>
           ics.spectral(gi)(sfb).grouped(cbDim(s.cb))
-            .foreach(t => CbSeam.writeTuple(w, s.cb, t))
+            .foreach(t => CbSeam.writeTupleWith(w, s.cb, t, p))
         }
       }
     }
   }
 
   private def readIcsAfterInfo(r: BitReader, gg: Int,
-      info: IcsInfo): AacIcs = {
+      info: IcsInfo, p: Profile): AacIcs = {
+    info.validate(p)
     val lenBits = if (info.short) 3 else 5
     val esc = (1 << lenBits) - 1
     val groups = info.groupLens
@@ -695,11 +855,11 @@ object Aac {
         val cb = cbOf(gi, sfb)
         if (cb == 0 || cb >= 13) Vector.empty[Int]
         else {
-          val want = info.sfbWidth(sfb, groups(gi))
+          val want = info.sfbWidthWith(sfb, groups(gi), p)
           require(want % cbDim(cb) == 0,
             s"aac: sfb width $want not a multiple of dim ${cbDim(cb)}")
           (0 until want / cbDim(cb))
-            .flatMap(_ => CbSeam.readTuple(r, cb)).toVector
+            .flatMap(_ => CbSeam.readTupleWith(r, cb, p)).toVector
         }
       }
     }

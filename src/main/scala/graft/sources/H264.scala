@@ -454,6 +454,85 @@ object H264 {
     a
   }
 
+  /** The CAVLC coeff_token table set of Table 9-5 (one [[Vlc]] per
+    * nC column; the nC ≥ 8 column stays the spec's own 6-bit FLC).
+    * Values are TotalCoeff·4 + TrailingOnes. */
+  final case class CoeffTokenTables(n0: Vlc, n2: Vlc, n4: Vlc,
+      chromaDc: Vlc) {
+    Seq("nC<2" -> n0, "2<=nC<4" -> n2, "4<=nC<8" -> n4,
+      "chromaDc" -> chromaDc).foreach { case (name, vlc) =>
+      require(vlc.values.forall { v =>
+        val (tc, t1) = (v >> 2, v & 3)
+        tc >= 0 && tc <= 16 && t1 <= 3 && t1 <= tc
+      }, s"h264: coeff_token $name values are TotalCoeff*4+T1s")
+    }
+    def forNc(nC: Int): Vlc =
+      if (nC == -1) chromaDc
+      else if (nC < 2) n0
+      else if (nC < 4) n2
+      else n4
+  }
+
+  /** The INJECTABLE table set behind H.264's appendix-data seams
+    * (same class as [[graft.functions.Vp8.Profile]]; JSON:
+    * [[graft.functions.CodecProfileJson]], CLI: [[graft.RunDecode]]):
+    *
+    *  - `cbpIntra`/`cbpInter` — Table 9-4's coded_block_pattern
+    *    me(v) columns (codeNum → CBP), 48 entries each;
+    *  - `coeffToken` — Table 9-5's codeword columns for nC < 8 and
+    *    chroma DC (`None` keeps the stand-in: the nC ≥ 8 FLC for
+    *    every context);
+    *  - `totalZeros` — Tables 9-7/9-8, one [[Vlc]] per TotalCoeff
+    *    1..15 over total_zeros values; `totalZerosCdc` — Table
+    *    9-9(a)'s chroma-DC columns, TotalCoeff 1..3;
+    *  - `runBefore` — Table 9-10, one [[Vlc]] per zerosLeft 1..6
+    *    plus the > 6 column.
+    *
+    * The §9.2.2 level machinery (prefix/suffix escapes, adaptation
+    * ladder) is normative spec TEXT and is never part of the
+    * profile. */
+  final case class Profile(cbpIntra: Array[Int], cbpInter: Array[Int],
+      coeffToken: Option[CoeffTokenTables],
+      totalZeros: Option[Vector[Vlc]],
+      totalZerosCdc: Option[Vector[Vlc]],
+      runBefore: Option[Vector[Vlc]]) {
+    Seq("cbpIntra" -> cbpIntra, "cbpInter" -> cbpInter).foreach {
+      case (name, a) =>
+        require(a.length == 48 && a.distinct.length == 48 &&
+          a.forall(v => v >= 0 && v < 48),
+          s"h264: $name must be a 48-entry CBP permutation")
+    }
+    totalZeros.foreach { ts =>
+      require(ts.length == 15, "h264: 15 total_zeros tables (tc 1..15)")
+      ts.zipWithIndex.foreach { case (vlc, i) =>
+        require(vlc.values.forall(v => v >= 0 && v <= 16 - (i + 1)),
+          s"h264: total_zeros table tc=${i + 1} range")
+      }
+    }
+    totalZerosCdc.foreach { ts =>
+      require(ts.length == 3, "h264: 3 chroma-DC total_zeros tables")
+      ts.zipWithIndex.foreach { case (vlc, i) =>
+        require(vlc.values.forall(v => v >= 0 && v <= 4 - (i + 1)),
+          s"h264: chroma-DC total_zeros table tc=${i + 1} range")
+      }
+    }
+    runBefore.foreach { ts =>
+      require(ts.length == 7,
+        "h264: 7 run_before tables (zerosLeft 1..6, >6)")
+      ts.zipWithIndex.foreach { case (vlc, i) =>
+        val cap = if (i < 6) i + 1 else 14
+        require(vlc.values.forall(v => v >= 0 && v <= cap),
+          s"h264: run_before table zerosLeft=${i + 1} range")
+      }
+    }
+  }
+  object Profile {
+    /** The stand-in: historic fixed-length fields everywhere —
+      * bit-identical to every m57-m66 stream. */
+    val StandIn: Profile = Profile(CbpIntraMap, CbpInterMap,
+      None, None, None, None)
+  }
+
   /** §6.4.3 inverse luma4x4BlkIdx scan: block index → (bx, by) within
     * the macroblock (raster quads, z-order inside each quad). */
   private[graft] def blk4x4Pos(idx: Int): (Int, Int) = {
@@ -505,7 +584,8 @@ object H264 {
     * luma4x4BlkIdx order; `chromaModes`: per MB (0..3). */
   def writeIntraModeSlice(frameNum: Int, sps: Sps, pps: Pps,
       modes: Vector[Array[Int]], chromaModes: Vector[Int],
-      idrPicId: Int = 0): Array[Byte] = {
+      idrPicId: Int = 0,
+      prof: Profile = Profile.StandIn): Array[Byte] = {
     require(!pps.cabac, "h264: CABAC slice writing unsupported")
     val mbCols = sps.width / 16; val mbRows = sps.height / 16
     require(modes.length == mbCols * mbRows &&
@@ -525,7 +605,7 @@ object H264 {
     w.u(0L, 1); w.u(0L, 1) // dec_ref_pic_marking (IDR)
     w.se(0) // slice_qp_delta
     val grid = Array.fill(mbCols * mbRows)(new Array[Int](16))
-    val cbpZeroCode = CbpIntraMap.indexOf(0)
+    val cbpZeroCode = prof.cbpIntra.indexOf(0)
     var mb = 0
     while (mb < mbCols * mbRows) {
       val (mr, mc) = (mb / mbCols, mb % mbCols)
@@ -556,7 +636,8 @@ object H264 {
     * luma modes (through the §8.3.1.1 prediction recursion), the
     * prev-flag count, chroma mode and CBP. Every deviation from the
     * subset (other mb_types, nonzero CBP) fails loudly by name. */
-  def parseIntraModeSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+  def parseIntraModeSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps,
+      prof: Profile = Profile.StandIn)
       : (SliceInfo, Vector[IntraMb]) = {
     val nt = nalType(nalBytes)
     require(nt == NalSlice || nt == NalIdr,
@@ -592,7 +673,7 @@ object H264 {
       require(chroma <= 3, s"h264: intra_chroma_pred_mode $chroma")
       val cbpCode = r.ue().toInt
       require(cbpCode < 48, s"h264: CBP codeNum $cbpCode")
-      val cbp = CbpIntraMap(cbpCode)
+      val cbp = prof.cbpIntra(cbpCode)
       require(cbp == 0,
         s"h264: CBP $cbp at MB $mb — coded residual needs the CAVLC " +
           "coefficient tables (behind the seam)")
@@ -660,11 +741,18 @@ object H264 {
       * applied by the caller), length = maxNumCoeff. The nC argument
       * is accepted for interface fidelity (the real coeff_token
       * table switches on it). */
-    def writeBlock(w: BitW, coeff: Array[Int], nC: Int): Unit = {
+    def writeBlock(w: BitW, coeff: Array[Int], nC: Int,
+        p: Profile = Profile.StandIn): Unit = {
       val (tc, t1, tz) = stats(coeff)
       require(tc <= coeff.length, "h264: TotalCoeff overflow")
-      // coeff_token: the nC ≥ 8 FLC of Table 9-5 as the all-nC seam
-      w.u((if (tc == 0) 3L else ((tc - 1) << 2 | t1).toLong), 6)
+      p.coeffToken match {
+        case Some(ct) if nC < 8 =>
+          // injected Table 9-5 column for this nC context
+          ct.forNc(nC).write(w.u, tc * 4 + t1)
+        case _ =>
+          // stand-in: the nC ≥ 8 FLC of Table 9-5 for every context
+          w.u((if (tc == 0) 3L else ((tc - 1) << 2 | t1).toLong), 6)
+      }
       if (tc == 0) return
       // levels, highest frequency first
       val nzPos = coeff.indices.filter(coeff(_) != 0).reverse
@@ -706,30 +794,47 @@ object H264 {
         if (math.abs(level) > (3 << (suffixLength - 1)) &&
           suffixLength < 6) suffixLength += 1
       }
-      // total_zeros (4-bit seam), bounded by maxNumCoeff − TotalCoeff
+      // total_zeros, bounded by maxNumCoeff − TotalCoeff
       if (tc < coeff.length) {
-        require(tz < 16, s"h264: total_zeros $tz beyond the 4-bit seam")
-        w.u(tz.toLong, 4)
+        val tzTab =
+          if (nC == -1) p.totalZerosCdc.map(_(tc - 1))
+          else p.totalZeros.map(_(tc - 1))
+        tzTab match {
+          case Some(vlc) => vlc.write(w.u, tz)
+          case None =>
+            require(tz < 16,
+              s"h264: total_zeros $tz beyond the 4-bit seam")
+            w.u(tz.toLong, 4)
+        }
       }
       // run_before per coefficient (highest first) while zeros remain
       var zerosLeft = tz
-      nzPos.init.foreach { p =>
+      nzPos.init.foreach { pos =>
         if (zerosLeft > 0) {
-          val below = nzPos(nzPos.indexOf(p) + 1)
-          val run = p - below - 1
+          val below = nzPos(nzPos.indexOf(pos) + 1)
+          val run = pos - below - 1
           require(run <= zerosLeft && run < 16,
             s"h264: run_before $run with $zerosLeft zeros left")
-          w.u(run.toLong, 4)
+          p.runBefore.map(_(math.min(zerosLeft, 7) - 1)) match {
+            case Some(vlc) => vlc.write(w.u, run)
+            case None => w.u(run.toLong, 4)
+          }
           zerosLeft -= run
         }
       }
     }
 
     /** Decode one residual block into scan space (§9.2.2–§9.2.4). */
-    def readBlock(r: BitR, nC: Int, maxNumCoeff: Int): Array[Int] = {
-      val token = r.u(6).toInt
-      val (tc, t1) =
-        if (token == 3) (0, 0) else ((token >> 2) + 1, token & 3)
+    def readBlock(r: BitR, nC: Int, maxNumCoeff: Int,
+        p: Profile = Profile.StandIn): Array[Int] = {
+      val (tc, t1) = p.coeffToken match {
+        case Some(ct) if nC < 8 =>
+          val v = ct.forNc(nC).read(n => r.u(n))
+          (v >> 2, v & 3)
+        case _ =>
+          val token = r.u(6).toInt
+          if (token == 3) (0, 0) else ((token >> 2) + 1, token & 3)
+      }
       require(t1 <= tc && t1 <= 3 && tc <= maxNumCoeff,
         s"h264: coeff_token ($tc, $t1) beyond $maxNumCoeff coefficients")
       val coeff = new Array[Int](maxNumCoeff)
@@ -760,7 +865,17 @@ object H264 {
         if (math.abs(levels(i)) > (3 << (suffixLength - 1)) &&
           suffixLength < 6) suffixLength += 1
       }
-      val tz = if (tc < maxNumCoeff) r.u(4).toInt else 0
+      val tz =
+        if (tc >= maxNumCoeff) 0
+        else {
+          val tzTab =
+            if (nC == -1) p.totalZerosCdc.map(_(tc - 1))
+            else p.totalZeros.map(_(tc - 1))
+          tzTab match {
+            case Some(vlc) => vlc.read(n => r.u(n))
+            case None => r.u(4).toInt
+          }
+        }
       require(tz <= maxNumCoeff - tc,
         s"h264: total_zeros $tz with $tc coefficients")
       var zerosLeft = tz
@@ -770,7 +885,10 @@ object H264 {
         coeff(pos) = levels(i)
         if (i < tc - 1) {
           val run = if (zerosLeft > 0) {
-            val rb = r.u(4).toInt
+            val rb = p.runBefore.map(_(math.min(zerosLeft, 7) - 1)) match {
+              case Some(vlc) => vlc.read(n => r.u(n))
+              case None => r.u(4).toInt
+            }
             require(rb <= zerosLeft,
               s"h264: run_before $rb with $zerosLeft zeros left")
             rb
@@ -833,7 +951,8 @@ object H264 {
       lumaCoeff: Vector[Vector[Array[Int]]],
       chromaDc: Vector[Vector[Array[Int]]],
       chromaAc: Vector[Vector[Vector[Array[Int]]]],
-      idrPicId: Int = 0, firstMb: Int = 0, mbCount: Int = -1)
+      idrPicId: Int = 0, firstMb: Int = 0, mbCount: Int = -1,
+      prof: Profile = Profile.StandIn)
       : Array[Byte] = {
     require(!pps.cabac, "h264: CABAC slice writing unsupported")
     val mbCols = sps.width / 16; val mbRows = sps.height / 16
@@ -878,7 +997,7 @@ object H264 {
       }
       w.ue(chromaModes(di).toLong)
       val cbp = cbps(di)
-      w.ue(CbpIntraMap.indexOf(cbp).toLong)
+      w.ue(prof.cbpIntra.indexOf(cbp).toLong)
       if (cbp != 0) {
         w.se(qpDeltas(di).toLong) // mb_qp_delta [§7.3.5]
         // luma residual: 8x8 quads, 4x4 blocks inside [§7.3.5.3]
@@ -891,7 +1010,7 @@ object H264 {
             val nc = lumaNc((r2, c2, x, y) =>
               tcLuma(r2 * mbCols + c2)(y * 4 + x),
               4, mr, mc, bx, by, mbCols, mbRows, minMb = firstMb)
-            Cavlc.writeBlock(w, coeff, nc)
+            Cavlc.writeBlock(w, coeff, nc, prof)
             tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
           } else (0 until 4).foreach { sub =>
             val blk = q * 4 + sub
@@ -903,7 +1022,7 @@ object H264 {
         if (cbpChroma != 0) (0 until 2).foreach { comp =>
           val dc = chromaDc(di)(comp)
           require(dc.length == 4, "h264: chroma DC is 4 coefficients")
-          Cavlc.writeBlock(w, dc, -1) // §9.2.1: nC = −1 (4:2:0 DC)
+          Cavlc.writeBlock(w, dc, -1, prof) // §9.2.1: nC = −1 (4:2:0 DC)
         }
         if (cbpChroma == 2) (0 until 2).foreach { comp =>
           (0 until 4).foreach { blk =>
@@ -913,7 +1032,7 @@ object H264 {
               tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
               2, mr, mc, blk % 2, blk / 2, mbCols, mbRows,
               minMb = firstMb)
-            Cavlc.writeBlock(w, ac, nc)
+            Cavlc.writeBlock(w, ac, nc, prof)
             tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1
           }
         }
@@ -932,7 +1051,8 @@ object H264 {
     * The §9.2.1 nC each block decoded under is returned so callers
     * can pin the context derivation. */
   def parseIntraCodedSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps,
-      mbCount: Int = -1): (SliceInfo, Vector[CodedMb]) = {
+      mbCount: Int = -1,
+      prof: Profile = Profile.StandIn): (SliceInfo, Vector[CodedMb]) = {
     val nt = nalType(nalBytes)
     require(nt == NalSlice || nt == NalIdr,
       s"h264: NAL $nt is not a coded slice")
@@ -973,7 +1093,7 @@ object H264 {
       require(chroma <= 3, s"h264: intra_chroma_pred_mode $chroma")
       val cbpCode = r.ue().toInt
       require(cbpCode < 48, s"h264: CBP codeNum $cbpCode")
-      val cbp = CbpIntraMap(cbpCode)
+      val cbp = prof.cbpIntra(cbpCode)
       require((cbp >> 4) <= 2, s"h264: cbpChroma ${cbp >> 4}")
       var qpd = 0
       val luma = Array.fill(16)(Array.empty[Int])
@@ -989,7 +1109,7 @@ object H264 {
             val nc = lumaNc((r2, c2, x, y) =>
               tcLuma(r2 * mbCols + c2)(y * 4 + x),
               4, mr, mc, bx, by, mbCols, mbRows, minMb = firstMb)
-            val coeff = Cavlc.readBlock(r, nc, 16)
+            val coeff = Cavlc.readBlock(r, nc, 16, prof)
             luma(blk) = coeff
             ncL(blk) = nc
             tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
@@ -997,14 +1117,14 @@ object H264 {
         }
         val cbpChroma = cbp >> 4
         if (cbpChroma != 0) (0 until 2).foreach(_ =>
-          cdc += Cavlc.readBlock(r, -1, 4))
+          cdc += Cavlc.readBlock(r, -1, 4, prof))
         if (cbpChroma == 2) (0 until 2).foreach { comp =>
           (0 until 4).foreach { blk =>
             val nc = lumaNc((r2, c2, x, y) =>
               tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
               2, mr, mc, blk % 2, blk / 2, mbCols, mbRows,
               minMb = firstMb)
-            val ac = Cavlc.readBlock(r, nc, 15)
+            val ac = Cavlc.readBlock(r, nc, 15, prof)
             cac(comp)(blk) = ac
             tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1
           }
@@ -1052,7 +1172,8 @@ object H264 {
       cbps: Vector[Int], qpDeltas: Vector[Int],
       lumaCoeff: Vector[Vector[Array[Int]]],
       chromaDc: Vector[Vector[Array[Int]]],
-      chromaAc: Vector[Vector[Vector[Array[Int]]]]): Array[Byte] = {
+      chromaAc: Vector[Vector[Vector[Array[Int]]]],
+      prof: Profile = Profile.StandIn): Array[Byte] = {
     require(!pps.cabac, "h264: CABAC slice writing unsupported")
     val mbCols = sps.width / 16; val mbRows = sps.height / 16
     val nMb = mbCols * mbRows
@@ -1090,7 +1211,7 @@ object H264 {
         val cbp = cbps(mb)
         require(cbp >= 0 && cbp < 48 && (cbp >> 4) <= 2,
           "h264: CBP is cbpLuma | cbpChroma<<4")
-        w.ue(CbpInterMap.indexOf(cbp).toLong)
+        w.ue(prof.cbpInter.indexOf(cbp).toLong)
         if (cbp != 0) {
           w.se(qpDeltas(mb).toLong)
           (0 until 4).foreach { q =>
@@ -1102,7 +1223,7 @@ object H264 {
               val nc = lumaNc((r2, c2, x, y) =>
                 tcLuma(r2 * mbCols + c2)(y * 4 + x),
                 4, mr, mc, bx, by, mbCols, mbRows)
-              Cavlc.writeBlock(w, coeff, nc)
+              Cavlc.writeBlock(w, coeff, nc, prof)
               tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
             } else (0 until 4).foreach { sub =>
               require(lumaCoeff(mb)(q * 4 + sub).isEmpty,
@@ -1113,7 +1234,7 @@ object H264 {
           if (cbpChroma != 0) (0 until 2).foreach { comp =>
             val dc = chromaDc(mb)(comp)
             require(dc.length == 4, "h264: chroma DC shape")
-            Cavlc.writeBlock(w, dc, -1)
+            Cavlc.writeBlock(w, dc, -1, prof)
           }
           if (cbpChroma == 2) (0 until 2).foreach { comp =>
             (0 until 4).foreach { blk =>
@@ -1122,7 +1243,7 @@ object H264 {
               val nc = lumaNc((r2, c2, x, y) =>
                 tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
                 2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
-              Cavlc.writeBlock(w, ac, nc)
+              Cavlc.writeBlock(w, ac, nc, prof)
               tcCa(comp)(mb)(blk) = Cavlc.stats(ac)._1
             }
           }
@@ -1139,7 +1260,8 @@ object H264 {
   }
 
   /** Parse a P slice back ([[PMb]] per macroblock). */
-  def parsePSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+  def parsePSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps,
+      prof: Profile = Profile.StandIn)
       : (SliceInfo, Vector[PMb]) = {
     val nt = nalType(nalBytes)
     require(nt == NalSlice, s"h264: NAL $nt is not a non-IDR slice")
@@ -1170,7 +1292,7 @@ object H264 {
         val mvdY = r.se().toInt
         val cbpCode = r.ue().toInt
         require(cbpCode < 48, s"h264: CBP codeNum $cbpCode")
-        val cbp = CbpInterMap(cbpCode)
+        val cbp = prof.cbpInter(cbpCode)
         require((cbp >> 4) <= 2, s"h264: cbpChroma ${cbp >> 4}")
         var qpd = 0
         val luma = Array.fill(16)(Array.empty[Int])
@@ -1186,7 +1308,7 @@ object H264 {
               val nc = lumaNc((r2, c2, x, y) =>
                 tcLuma(r2 * mbCols + c2)(y * 4 + x),
                 4, mr, mc, bx, by, mbCols, mbRows)
-              val coeff = Cavlc.readBlock(r, nc, 16)
+              val coeff = Cavlc.readBlock(r, nc, 16, prof)
               luma(blk) = coeff
               ncL(blk) = nc
               tcLuma(mb)(by * 4 + bx) = Cavlc.stats(coeff)._1
@@ -1194,13 +1316,13 @@ object H264 {
           }
           val cbpChroma = cbp >> 4
           if (cbpChroma != 0) (0 until 2).foreach(_ =>
-            cdc += Cavlc.readBlock(r, -1, 4))
+            cdc += Cavlc.readBlock(r, -1, 4, prof))
           if (cbpChroma == 2) (0 until 2).foreach { comp =>
             (0 until 4).foreach { blk =>
               val nc = lumaNc((r2, c2, x, y) =>
                 tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
                 2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
-              val b = Cavlc.readBlock(r, nc, 15)
+              val b = Cavlc.readBlock(r, nc, 15, prof)
               cac(comp)(blk) = b
               tcCa(comp)(mb)(blk) = Cavlc.stats(b)._1
             }
@@ -1257,7 +1379,8 @@ object H264 {
       lumaDc: Vector[Array[Int]], lumaAc: Vector[Vector[Array[Int]]],
       chromaDc: Vector[Vector[Array[Int]]],
       chromaAc: Vector[Vector[Vector[Array[Int]]]],
-      idrPicId: Int = 0): Array[Byte] = {
+      idrPicId: Int = 0,
+      prof: Profile = Profile.StandIn): Array[Byte] = {
     require(!pps.cabac, "h264: CABAC slice writing unsupported")
     val mbCols = sps.width / 16; val mbRows = sps.height / 16
     val nMb = mbCols * mbRows
@@ -1288,7 +1411,7 @@ object H264 {
       val ncDc = lumaNc((r2, c2, x, y) =>
         tcLuma(r2 * mbCols + c2)(y * 4 + x),
         4, mr, mc, 0, 0, mbCols, mbRows)
-      Cavlc.writeBlock(w, dc, ncDc)
+      Cavlc.writeBlock(w, dc, ncDc, prof)
       val dcTc = Cavlc.stats(dc)._1
       if (ac) {
         require(lumaAc(mb).length == 16 &&
@@ -1299,7 +1422,7 @@ object H264 {
           val nc = lumaNc((r2, c2, x, y) =>
             tcLuma(r2 * mbCols + c2)(y * 4 + x),
             4, mr, mc, bx, by, mbCols, mbRows)
-          Cavlc.writeBlock(w, lumaAc(mb)(blk), nc)
+          Cavlc.writeBlock(w, lumaAc(mb)(blk), nc, prof)
           tcLuma(mb)(by * 4 + bx) = Cavlc.stats(lumaAc(mb)(blk))._1 +
             (if (blk == 0) dcTc else 0)
         }
@@ -1311,7 +1434,7 @@ object H264 {
       if (cbpChroma != 0) (0 until 2).foreach { comp =>
         val cdc = chromaDc(mb)(comp)
         require(cdc.length == 4, "h264: chroma DC is 4 coefficients")
-        Cavlc.writeBlock(w, cdc, -1)
+        Cavlc.writeBlock(w, cdc, -1, prof)
       }
       if (cbpChroma == 2) (0 until 2).foreach { comp =>
         (0 until 4).foreach { blk =>
@@ -1320,7 +1443,7 @@ object H264 {
           val nc = lumaNc((r2, c2, x, y) =>
             tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
             2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
-          Cavlc.writeBlock(w, cac, nc)
+          Cavlc.writeBlock(w, cac, nc, prof)
           tcCa(comp)(mb)(blk) = Cavlc.stats(cac)._1
         }
       }
@@ -1331,7 +1454,8 @@ object H264 {
   }
 
   /** Parse an I_16x16 slice back ([[I16Mb]] per MB). */
-  def parseI16Slice(nalBytes: Array[Byte], sps: Sps, pps: Pps)
+  def parseI16Slice(nalBytes: Array[Byte], sps: Sps, pps: Pps,
+      prof: Profile = Profile.StandIn)
       : (SliceInfo, Vector[I16Mb]) = {
     val nt = nalType(nalBytes)
     require(nt == NalSlice || nt == NalIdr,
@@ -1357,7 +1481,7 @@ object H264 {
       val ncDc = lumaNc((r2, c2, x, y) =>
         tcLuma(r2 * mbCols + c2)(y * 4 + x),
         4, mr, mc, 0, 0, mbCols, mbRows)
-      val dc = Cavlc.readBlock(r, ncDc, 16)
+      val dc = Cavlc.readBlock(r, ncDc, 16, prof)
       val dcTc = Cavlc.stats(dc)._1
       val acBlocks =
         if (ac) Vector.tabulate(16) { blk =>
@@ -1365,7 +1489,7 @@ object H264 {
           val nc = lumaNc((r2, c2, x, y) =>
             tcLuma(r2 * mbCols + c2)(y * 4 + x),
             4, mr, mc, bx, by, mbCols, mbRows)
-          val b = Cavlc.readBlock(r, nc, 15)
+          val b = Cavlc.readBlock(r, nc, 15, prof)
           tcLuma(mb)(by * 4 + bx) = Cavlc.stats(b)._1 +
             (if (blk == 0) dcTc else 0)
           b
@@ -1373,14 +1497,14 @@ object H264 {
         else { tcLuma(mb)(0) = dcTc; Vector.empty[Array[Int]] }
       val cdc = Vector.newBuilder[Array[Int]]
       if (cbpChroma != 0) (0 until 2).foreach(_ =>
-        cdc += Cavlc.readBlock(r, -1, 4))
+        cdc += Cavlc.readBlock(r, -1, 4, prof))
       val cac = Array.fill(2, 4)(Array.empty[Int])
       if (cbpChroma == 2) (0 until 2).foreach { comp =>
         (0 until 4).foreach { blk =>
           val nc = lumaNc((r2, c2, x, y) =>
             tcCa(comp)(r2 * mbCols + c2)(y * 2 + x),
             2, mr, mc, blk % 2, blk / 2, mbCols, mbRows)
-          val b = Cavlc.readBlock(r, nc, 15)
+          val b = Cavlc.readBlock(r, nc, 15, prof)
           cac(comp)(blk) = b
           tcCa(comp)(mb)(blk) = Cavlc.stats(b)._1
         }

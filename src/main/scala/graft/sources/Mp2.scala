@@ -26,18 +26,21 @@ import graft.sources.Flac.{BitReader, BitWriter}
   * [§2.4.3.2].
   *
   * Documented STAND-INS/SEAMS (appendix DATA the zero-egress sandbox
-  * has no copy of — the same seam class as Vp8's probability tables):
+  * has no copy of — the same seam class as Vp8's probability tables),
+  * INJECTABLE via [[Profile]] (JSON:
+  * [[graft.functions.CodecProfileJson]], CLI: [[graft.RunDecode]]):
   * the per-subband allocation TABLES (3-B.2a..d: which quantizers each
   * subband may use at each bitrate, with 2/3/4-bit allocation fields)
-  * are replaced by a uniform 4-bit allocation field over sblimit = 30
-  * subbands; the dequantization C/D constants use the midrise formula
-  * (2c + 1 − L)/(L + 1) instead of Table 3-B.4's values; the 512-tap
-  * synthesis WINDOW values (Table 3-B.3) are a deterministic stand-in
-  * ([[Window]]). The synthesis STRUCTURE past matrixing — §2.4.3.2's
-  * V shift register, the V→U map, W = U·D windowing and the 16-term
-  * output sum — is fully implemented ([[Synth]], integer-exact, the
-  * p20 oracle and Mp2Spec pin it); dropping in the real Table 3-B.3
-  * values is the same value swap as Vp8's Profile. */
+  * default to a uniform 4-bit allocation field over sblimit = 30
+  * subbands — an injected profile supplies the real per-subband
+  * widths, sblimit and quantizer rows; the dequantization C/D
+  * constants use the midrise formula (2c + 1 − L)/(L + 1) instead of
+  * Table 3-B.4's values; the 512-tap synthesis WINDOW values (Table
+  * 3-B.3) are a deterministic stand-in ([[Window]]), swappable
+  * through the same profile. The synthesis STRUCTURE past matrixing —
+  * §2.4.3.2's V shift register, the V→U map, W = U·D windowing and
+  * the 16-term output sum — is fully implemented ([[Synth]],
+  * integer-exact, the p20 oracle and Mp2Spec pin it). */
 object Mp2 {
 
   val Sblimit = 30
@@ -62,12 +65,18 @@ object Mp2 {
 
   /** Bits for one GRANULE (3 samples) of a q-allocated subband:
     * grouped 5/7/10 for L ∈ {3,5,9}, else 3·log2(L+1). */
-  def granuleBits(q: Int): Int = Levels(q) match {
+  def granuleBits(q: Int): Int = granuleBitsOf(Levels(q))
+  /** [[granuleBits]] by step COUNT — the profile-injectable form
+    * (real Table 3-B.4 rows are 2^n−1 plus the grouped 3/5/9). */
+  def granuleBitsOf(l: Int): Int = l match {
     case 0 => 0
     case 3 => 5
     case 5 => 7
     case 9 => 10
-    case l => 3 * (31 - Integer.numberOfLeadingZeros(l + 1))
+    case _ =>
+      require(Integer.bitCount(l + 1) == 1 && l > 1,
+        s"mp2: ungrouped quantizer needs 2^n - 1 steps, got $l")
+      3 * (31 - Integer.numberOfLeadingZeros(l + 1))
   }
 
   /** One subband's coded content: allocation index q (0 = silent),
@@ -75,7 +84,7 @@ object Mp2 {
     * and 36 sample codes in [0, Levels(q)) — all empty when q == 0. */
   final case class Mp2Sub(q: Int, scfsi: Int, sf: Array[Int],
       samples: Array[Int]) {
-    require(q >= 0 && q < Levels.size, s"mp2: allocation $q")
+    require(q >= 0 && q < 16, s"mp2: allocation $q beyond 4 bits")
     if (q == 0) require(sf.isEmpty && samples.isEmpty,
       "mp2: silent subband with payload")
     else {
@@ -84,8 +93,11 @@ object Mp2 {
         s"mp2: ${sf.length} scalefactors for scfsi $scfsi")
       require(sf.forall(v => v >= 0 && v < 63), "mp2: scalefactor index")
       require(samples.length == 36, s"mp2: ${samples.length} samples")
-      require(samples.forall(s => s >= 0 && s < Levels(q)),
-        s"mp2: sample code beyond ${Levels(q)} levels")
+      // the exact level bound is the ACTIVE quantizer table's
+      // (ladder or injected Profile) — enforced at mux/demux, where
+      // the table is known; here only the structural 16-bit bound
+      require(samples.forall(s => s >= 0 && s < 65536),
+        "mp2: sample code beyond 16 bits")
     }
   }
 
@@ -99,14 +111,78 @@ object Mp2 {
         (if (padding) 1 else 0)
     def bodyBits: Int = subs.map(s => 4 + (if (s.q == 0) 0
       else 2 + 6 * nsfStored(s.scfsi) + 12 * granuleBits(s.q))).sum
+    /** [[bodyBits]] under an injected allocation/quantizer table set:
+      * per-subband field widths, table-row step counts. */
+    def bodyBitsWith(p: Profile): Int =
+      subs.take(p.sblimit).zipWithIndex.map { case (su, sb) =>
+        p.allocBits(sb) + (if (su.q == 0) 0
+        else 2 + 6 * nsfStored(su.scfsi) +
+          12 * granuleBitsOf(p.levels(sb, su.q)))
+      }.sum
   }
 
-  def mux(frames: Seq[Mp2FrameData]): Array[Byte] = {
+  /** The INJECTABLE table set behind Layer II's appendix-data seams
+    * (same class as [[graft.functions.Vp8.Profile]]; JSON:
+    * [[graft.functions.CodecProfileJson]], CLI: [[graft.RunDecode]]):
+    *
+    *  - `window` — the 512-tap synthesis window of Table 3-B.3
+    *    ([[Synth]]/[[impulseKernels]] already take it by value);
+    *  - `allocBits` — per-subband allocation FIELD WIDTHS (the real
+    *    Tables 3-B.2a–d use 4/3/2-bit fields by subband; the table's
+    *    length IS sblimit ≤ 30 — subbands past it carry no bits);
+    *  - `quantLevels` — per-subband rows mapping allocation index →
+    *    quantizer step count (Table 3-B.2's cell values out of Table
+    *    3-B.4: the grouped 3/5/9 plus 2^n − 1 midrise), index 0 =
+    *    silent.
+    *
+    * The MONO mux/demux pair and the synthesis path honor an injected
+    * profile; the stereo/L1 legs keep the stand-in uniform-4-bit
+    * tables (the seam there is the identical value swap). */
+  final case class Profile(window: Array[Int], allocBits: Array[Int],
+      quantLevels: Array[Array[Int]]) {
+    require(window.length == 512,
+      s"mp2 profile: 512 window taps, got ${window.length}")
+    val sblimit: Int = allocBits.length
+    require(sblimit >= 1 && sblimit <= Sblimit,
+      s"mp2 profile: sblimit $sblimit beyond $Sblimit")
+    require(allocBits.forall(b => b >= 2 && b <= 4),
+      "mp2 profile: allocation fields are 2-4 bits (Tables 3-B.2)")
+    require(quantLevels.length == sblimit,
+      "mp2 profile: one quantizer row per subband")
+    quantLevels.zipWithIndex.foreach { case (row, sb) =>
+      require(row.nonEmpty && row(0) == 0 &&
+        row.length <= (1 << allocBits(sb)),
+        s"mp2 profile: subband $sb row must start silent and fit " +
+          s"the ${allocBits(sb)}-bit field")
+      require(row.drop(1).forall(l => l >= 2),
+        s"mp2 profile: subband $sb quantizer steps must be >= 2")
+      row.drop(1).foreach(granuleBitsOf) // validates 3/5/9 or 2^n-1
+    }
+    def levels(sb: Int, q: Int): Int = {
+      require(q < quantLevels(sb).length,
+        s"mp2: allocation $q beyond subband $sb's quantizer row")
+      quantLevels(sb)(q)
+    }
+  }
+  object Profile {
+    /** The stand-in: uniform 4-bit allocation over all 30 subbands,
+      * every subband on the [[Levels]] ladder, [[Window]] taps —
+      * bit-identical to the historic layout. */
+    val StandIn: Profile = Profile(Window,
+      Array.fill(Sblimit)(4), Array.fill(Sblimit)(Levels.toArray))
+  }
+
+  def mux(frames: Seq[Mp2FrameData],
+      p: Profile = Profile.StandIn): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     frames.foreach { f =>
-      require(4 + (f.bodyBits + 7) / 8 <= f.frameLen,
-        s"mp2: body ${f.bodyBits} bits overruns the ${f.frameLen}-byte " +
+      require(4 + (f.bodyBitsWith(p) + 7) / 8 <= f.frameLen,
+        s"mp2: body ${f.bodyBitsWith(p)} bits overruns the " +
+          s"${f.frameLen}-byte " +
           "frame — lower the allocations or raise the bitrate index")
+      f.subs.drop(p.sblimit).foreach(s => require(s.q == 0,
+        s"mp2: subband beyond the profile's sblimit ${p.sblimit} " +
+          "must be silent"))
       // header: sync(11) version 11 layer 10 protection 1 |
       // bitrate(4) rate(2) pad(1) priv(1) | mode 11 (mono) + zeros
       out.write(0xFF); out.write(0xFD)
@@ -114,21 +190,31 @@ object Mp2 {
         (if (f.padding) 2 else 0))
       out.write(0xC0)
       val w = new BitWriter
-      f.subs.foreach(s => w.writeBits(s.q.toLong, 4))
-      f.subs.foreach(s => if (s.q > 0) w.writeBits(s.scfsi.toLong, 2))
-      f.subs.foreach(s => if (s.q > 0)
+      val active = f.subs.take(p.sblimit)
+      active.zipWithIndex.foreach { case (su, sb) =>
+        require(su.q < (1 << p.allocBits(sb)) &&
+          su.q < p.quantLevels(sb).length,
+          s"mp2: allocation ${su.q} beyond subband $sb's table")
+        w.writeBits(su.q.toLong, p.allocBits(sb))
+      }
+      active.foreach(s => if (s.q > 0) w.writeBits(s.scfsi.toLong, 2))
+      active.foreach(s => if (s.q > 0)
         s.sf.foreach(v => w.writeBits(v.toLong, 6)))
       var g = 0
       while (g < 12) { // granule-major, §2.4.2.4's sample order
-        f.subs.foreach { s =>
-          if (s.q > 0) {
-            val l = Levels(s.q)
+        active.zipWithIndex.foreach { case (su, sb) =>
+          if (su.q > 0) {
+            val l = p.levels(sb, su.q)
             val (s0, s1, s2) =
-              (s.samples(3 * g), s.samples(3 * g + 1), s.samples(3 * g + 2))
+              (su.samples(3 * g), su.samples(3 * g + 1),
+                su.samples(3 * g + 2))
+            require(s0 < l && s1 < l && s2 < l,
+              s"mp2: sample code beyond $l levels in subband $sb")
             if (l == 3 || l == 5 || l == 9)
-              w.writeBits((s0 + l * (s1 + l * s2)).toLong, granuleBits(s.q))
+              w.writeBits((s0 + l * (s1 + l * s2)).toLong,
+                granuleBitsOf(l))
             else {
-              val nb = granuleBits(s.q) / 3
+              val nb = granuleBitsOf(l) / 3
               w.writeBits(s0.toLong, nb)
               w.writeBits(s1.toLong, nb)
               w.writeBits(s2.toLong, nb)
@@ -148,7 +234,8 @@ object Mp2 {
   /** Walk a Layer II stream back: offsets + full subband recovery.
     * Every header field, allocation, code range and frame boundary is
     * validated loudly. */
-  def demux(bytes: Array[Byte]): Seq[(Long, Mp2FrameData)] = {
+  def demux(bytes: Array[Byte],
+      p: Profile = Profile.StandIn): Seq[(Long, Mp2FrameData)] = {
     val out = Seq.newBuilder[(Long, Mp2FrameData)]
     var pos = 0
     while (pos < bytes.length) {
@@ -166,9 +253,12 @@ object Mp2 {
       require(pos + fl <= bytes.length,
         s"mp2: frame length $fl overruns the stream at $pos")
       val r = new BitReader(bytes, pos + 4, pos + fl)
-      val qs = Array.fill(Sblimit)(r.readBits(4).toInt)
-      qs.foreach(q => require(q < Levels.size,
-        s"mp2: allocation $q beyond the ladder at $pos"))
+      val qs = Array.tabulate(Sblimit)(sb =>
+        if (sb < p.sblimit) r.readBits(p.allocBits(sb)).toInt else 0)
+      qs.zipWithIndex.foreach { case (q, sb) =>
+        require(sb >= p.sblimit || q < p.quantLevels(sb).length,
+          s"mp2: allocation $q beyond subband $sb's table at $pos")
+      }
       val scfsis = qs.map(q => if (q > 0) r.readBits(2).toInt else 0)
       val sfs = qs.indices.map { sb =>
         if (qs(sb) > 0)
@@ -180,19 +270,19 @@ object Mp2 {
       var g = 0
       while (g < 12) {
         var sb = 0
-        while (sb < Sblimit) {
+        while (sb < p.sblimit) {
           val q = qs(sb)
           if (q > 0) {
-            val l = Levels(q)
+            val l = p.levels(sb, q)
             if (l == 3 || l == 5 || l == 9) {
-              var c = r.readBits(granuleBits(q)).toInt
+              var c = r.readBits(granuleBitsOf(l)).toInt
               require(c < l * l * l,
                 s"mp2: grouped code $c beyond $l^3 at $pos")
               samples(sb)(3 * g) = c % l; c /= l
               samples(sb)(3 * g + 1) = c % l
               samples(sb)(3 * g + 2) = c / l
             } else {
-              val nb = granuleBits(q) / 3
+              val nb = granuleBitsOf(l) / 3
               var x = 0
               while (x < 3) {
                 val c = r.readBits(nb).toInt
@@ -296,9 +386,13 @@ object Mp2 {
           f.subs(ch)(sb).sf.foreach(v => w.writeBits(v.toLong, 6))
       })
       def code(w2: BitWriter, s: Mp2Sub, g: Int): Unit = {
+        require(s.q < Levels.size,
+          s"mp2: stereo allocation ${s.q} beyond the ladder")
         val l = Levels(s.q)
         val (s0, s1, s2) =
           (s.samples(3 * g), s.samples(3 * g + 1), s.samples(3 * g + 2))
+        require(s0 < l && s1 < l && s2 < l,
+          s"mp2: stereo sample code beyond $l levels")
         if (l == 3 || l == 5 || l == 9)
           w2.writeBits((s0 + l * (s1 + l * s2)).toLong, granuleBits(s.q))
         else {
@@ -709,7 +803,10 @@ object Mp2 {
 
   /** V(i) = Σ_k N(i,k)·S(k): 32 subband samples → the 64-entry V
     * vector (the windowing stage needs Table 3-B.3, see module doc). */
-  def matrixing(s: Array[Int]): Array[Long] = {
+  def matrixing(s: Array[Int]): Array[Long] =
+    matrixingL(s.map(_.toLong))
+  /** [[matrixing]] over Long inputs (the hybrid filterbank's scale). */
+  def matrixingL(s: Array[Long]): Array[Long] = {
     require(s.length == 32, s"mp2: ${s.length} subband samples")
     Array.tabulate(64) { i =>
       var acc = 0L
@@ -748,9 +845,14 @@ object Mp2 {
       s"mp2: synthesis window needs 512 taps, got ${window.length}")
     private val v = new Array[Long](1024)
     /** One filterbank step: 32 subband samples → 32 PCM samples. */
-    def step(s: Array[Int]): Array[Long] = {
+    def step(s: Array[Int]): Array[Long] =
+      stepL(s.map(_.toLong))
+    /** [[step]] over Long subband samples — the MP3 hybrid
+      * filterbank's output scale (Q10 · Q10) rides through here
+      * ([[Mp3Pcm.Hybrid]]); same §2.4.3.2 structure, wider input. */
+    def stepL(s: Array[Long]): Array[Long] = {
       System.arraycopy(v, 0, v, 64, 960) // V shift by 64 [§2.4.3.2]
-      val m = matrixing(s)
+      val m = matrixingL(s)
       System.arraycopy(m, 0, v, 0, 64)
       val u = new Array[Long](512)
       var i = 0
@@ -784,6 +886,26 @@ object Mp2 {
     * is Σ_a x_{g−a}·K0(a). Derived here from [[Matrix]] and the
     * window — Mp2Spec pins these against a brute [[Synth]] run, and
     * the p20 SQL embeds the same 2×16 constants. */
+  /** Per-SUBBAND summed output kernels: K(sb)(a) = the contribution
+    * of ONE unit input in subband sb, a steps ago, to the SUM of the
+    * current step's 32 PCM outputs — the p31 oracle composes the MP3
+    * hybrid's subband series with these (input at step s contributes
+    * Σ_a K(sb)(a) over the steps that exist). Generalizes
+    * [[impulseKernels]]'s kSum beyond subband 0. */
+  def subbandKernels(window: Array[Int] = Window): Array[Array[Long]] =
+    Array.tabulate(32) { sb =>
+      Array.tabulate(16) { a =>
+        var acc = 0L
+        var j = 0
+        while (j < 32) {
+          val b = if (a % 2 == 0) j else 32 + j
+          acc += Matrix(b)(sb).toLong * window(32 * a + j)
+          j += 1
+        }
+        acc
+      }
+    }
+
   def impulseKernels(window: Array[Int] = Window): (Array[Long], Array[Long]) = {
     val kSum = Array.tabulate(16) { a =>
       var acc = 0L

@@ -37,15 +37,18 @@ import graft.sources.Flac.{BitReader, BitWriter}
   *    p21 oracle pins (the general float path is the same formula).
   *
   * Documented STAND-INS/SEAMS (appendix DATA, same class as Vp8's
-  * Profile and Mp2's Window — a value swap, not a code change):
-  *  - the HUFFMAN code tables (Tables B.5–B.7): replaced by fixed
+  * Profile and Mp2's Window — a value swap, not a code change), ALL
+  * INJECTABLE via [[Profile]] (JSON:
+  * [[graft.functions.CodecProfileJson]], CLI: [[graft.RunDecode]]):
+  *  - the HUFFMAN code tables (Tables B.5–B.7): stand-in = fixed
   *    4-bit magnitude fields per value with the real sign/ESC/linbits
-  *    STRUCTURE around them ([[HuffSeam]]); linbits(t) is a
-  *    deterministic stand-in;
+  *    STRUCTURE around them ([[HuffSeam]]); an injected table flips
+  *    that table to the spec's real PAIR-codeword bit order;
   *  - the scalefactor-band offset table (Table B.8, per sample rate):
   *    stand-in [[SfbOffsets]] i²+i (even, strictly increasing);
-  *  - the count1 quadruple code: fixed 4 bits (the shape of the
-  *    spec's count1 table B) with stand-in value mapping.
+  *  - the count1 quadruple code: count1table_select = 1 is the
+  *    4-bit-FLC Table B shape (stand-in value mapping); select = 0
+  *    takes the injected Table A VLC when present.
   *
   * The BIT RESERVOIR is implemented ([[muxReservoir]] /
   * [[demuxReservoir]]): main_data_begin lets a frame's main data
@@ -62,7 +65,9 @@ import graft.sources.Flac.{BitReader, BitWriter}
   * under which subblock_gain shifts the requant gain by 8·sbg
   * (§2.4.3.4.7.1) — still on the exact-integer regime.
   *
-  * Subset boundary, loud: mono only (stereo rides [[Mp3Stereo]]). */
+  * Subset boundary, loud: [[Mp3FrameData]] is the mono layout;
+  * two-channel frames ride [[Mp3StereoFrame]] /
+  * [[muxStereo]]/[[demuxStereo]] (p24). */
 object Mp3 {
 
   /** Layer III bitrate table, kbps (Table 3-B.1 column III). */
@@ -115,14 +120,18 @@ object Mp3 {
     * this maps a coded sample index to its window. For mixed blocks
     * the first 36 samples (= 3·short_sfb[3], the two long subbands)
     * carry no window (ask with j ≥ 36 only). */
-  def shortWindow(j: Int, mixed: Boolean): Int = {
-    val start = if (mixed) 3 * SfbOffsetsShort(3) else 0
+  def shortWindow(j: Int, mixed: Boolean): Int =
+    shortWindowWith(j, mixed, SfbOffsetsShort)
+  /** [[shortWindow]] under an injected short sfb table. */
+  def shortWindowWith(j: Int, mixed: Boolean,
+      sfbShort: Array[Int]): Int = {
+    val start = if (mixed) 3 * sfbShort(3) else 0
     require(j >= start,
       s"mp3: sample $j is in the mixed block's LONG region")
-    require(j < 3 * SfbOffsetsShort(12),
-      s"mp3: sample $j beyond the stand-in short sfb table")
-    val b = (0 until 12).find(b => j < 3 * SfbOffsetsShort(b + 1)).get
-    (j - 3 * SfbOffsetsShort(b)) / (SfbOffsetsShort(b + 1) - SfbOffsetsShort(b))
+    require(j < 3 * sfbShort(12),
+      s"mp3: sample $j beyond the short sfb table")
+    val b = (0 until 12).find(b => j < 3 * sfbShort(b + 1)).get
+    (j - 3 * sfbShort(b)) / (sfbShort(b + 1) - sfbShort(b))
   }
 
   /** The Huffman-table seam: the real Tables B.5–B.7 are appendix
@@ -156,6 +165,156 @@ object Mp3 {
       if (t >= 16 && m == 15) m += r.readBits(linbits(t)).toInt
       if (m != 0 && r.readBits(1) == 1L) -m else m
     }
+
+    // ---- pair level (the [[Profile]] seam's unit of injection) ----
+
+    /** Bits one PAIR (x, y) costs under table t: the injected VLC's
+      * codeword + linbits/sign extras in spec order, or 2× the
+      * stand-in per-value cost. */
+    def pairBits(t: Int, x: Int, y: Int, p: Profile): Int =
+      p.huff(t) match {
+        case None =>
+          // stand-in per-value fields under the PROFILE's linbits
+          def vb(v: Int): Int = {
+            val m = math.abs(v)
+            val esc = if (t >= 16 && m >= 15) p.linbits(t) else 0
+            4 + esc + (if (m != 0) 1 else 0)
+          }
+          vb(x) + vb(y)
+        case Some(vlc) =>
+          def extras(v: Int): Int = {
+            val m = math.abs(v)
+            (if (t >= 16 && m >= 15 && p.linbits(t) > 0) p.linbits(t)
+             else 0) + (if (m != 0) 1 else 0)
+          }
+          val (mx, my) = (math.min(math.abs(x), 15),
+            math.min(math.abs(y), 15))
+          vlc.bits(16 * mx + my) + extras(x) + extras(y)
+      }
+
+    /** Write one pair under profile p: injected tables use the spec's
+      * §2.4.3.4.6 order — hcod(|x|,|y|), linbits_x, sign_x,
+      * linbits_y, sign_y; absent tables keep the stand-in per-value
+      * layout. */
+    def writePair(w: BitWriter, t: Int, x: Int, y: Int,
+        p: Profile): Unit = p.huff(t) match {
+      case None =>
+        def one(v: Int): Unit = {
+          val m = math.abs(v)
+          require(m <= p.maxMag(t), s"mp3: magnitude $m beyond table $t")
+          if (t >= 16 && m >= 15) {
+            w.writeBits(15L, 4)
+            w.writeBits((m - 15).toLong, p.linbits(t))
+          } else {
+            require(m < 15 || t >= 16,
+              "mp3: magnitude 15 needs an ESC table")
+            w.writeBits(m.toLong, 4)
+          }
+          if (m != 0) w.writeBits(if (v < 0) 1L else 0L, 1)
+        }
+        one(x); one(y)
+      case Some(vlc) =>
+        val (mx, my) = (math.min(math.abs(x), 15),
+          math.min(math.abs(y), 15))
+        require(math.abs(x) <= p.maxMag(t) &&
+          math.abs(y) <= p.maxMag(t),
+          s"mp3: pair ($x, $y) beyond table $t under the profile")
+        vlc.write(w.writeBits, 16 * mx + my)
+        def tail(v: Int, cap: Int): Unit = {
+          val m = math.abs(v)
+          if (t >= 16 && cap == 15 && p.linbits(t) > 0)
+            w.writeBits((m - 15).toLong, p.linbits(t))
+          if (m != 0) w.writeBits(if (v < 0) 1L else 0L, 1)
+        }
+        tail(x, mx); tail(y, my)
+    }
+
+    /** Read one pair under profile p (inverse of [[writePair]]). */
+    def readPair(r: BitReader, t: Int, p: Profile): (Int, Int) =
+      p.huff(t) match {
+        case None =>
+          def one(): Int = {
+            var m = r.readBits(4).toInt
+            if (t >= 16 && m == 15) m += r.readBits(p.linbits(t)).toInt
+            if (m != 0 && r.readBits(1) == 1L) -m else m
+          }
+          (one(), one())
+        case Some(vlc) =>
+          val idx = vlc.read(r.readBits)
+          def one(cap: Int): Int = {
+            var m = cap
+            if (t >= 16 && cap == 15 && p.linbits(t) > 0)
+              m += r.readBits(p.linbits(t)).toInt
+            if (m != 0 && r.readBits(1) == 1L) -m else m
+          }
+          val x = one(idx >> 4)
+          val y = one(idx & 15)
+          (x, y)
+      }
+  }
+
+  /** The INJECTABLE table set behind Layer III's appendix-data seams
+    * (same class as [[graft.functions.Vp8.Profile]] — a value swap,
+    * not a code change; JSON path:
+    * [[graft.functions.CodecProfileJson]], CLI: [[graft.RunDecode]]):
+    *
+    *  - `sfbLong`/`sfbShort` — Table B.8's scalefactor-band offsets
+    *    (23 long / 13 short entries for the chosen sample rate);
+    *  - `linbits` — the per-table ESC extension widths of Tables
+    *    B.5–B.7 (32 entries; 0 for tables 0–15);
+    *  - `huff` — the PAIR codeword tables B.5–B.7 themselves: table t
+    *    codes (|x|, |y|) jointly as one [[Vlc]] codeword over value
+    *    16·|x| + |y| (magnitudes capped at 15; ESC tables extend with
+    *    linbits). `None` keeps the stand-in PER-VALUE layout (4-bit
+    *    magnitude fields, [[HuffSeam]]); `Some` switches that table
+    *    to the spec's real bit order — hcod(|x|,|y|), linbits_x,
+    *    sign_x, linbits_y, sign_y (§2.4.3.4.6);
+    *  - `count1A` — count1 Table A (a real VLC over the 4-bit
+    *    nonzero pattern v·8+w·4+x·2+y, signs trailing in v,w,x,y
+    *    order). count1table_select = 1 always selects the 4-bit FLC
+    *    shape (the REAL Table B is exactly a 4-bit fixed-length code,
+    *    so the stand-in's field is table B with a remapped value
+    *    column); select = 0 uses `count1A` when present, else the
+    *    same FLC — which keeps every stand-in stream bit-identical. */
+  final case class Profile(sfbLong: Array[Int], sfbShort: Array[Int],
+      linbits: Array[Int], huff: Vector[Option[Vlc]],
+      count1A: Option[Vlc]) {
+    require(sfbLong.length == 23 && sfbLong(0) == 0 &&
+      sfbLong.sliding(2).forall(w => w(0) < w(1)) &&
+      sfbLong.forall(_ % 2 == 0),
+      "mp3 profile: sfbLong needs 23 strictly-increasing even " +
+        "offsets from 0 (Table B.8 long column)")
+    require(sfbShort.length == 13 && sfbShort(0) == 0 &&
+      sfbShort.sliding(2).forall(w => w(0) < w(1)) &&
+      sfbShort.forall(_ % 2 == 0),
+      "mp3 profile: sfbShort needs 13 strictly-increasing even " +
+        "offsets from 0 (Table B.8 short column)")
+    require(linbits.length == 32 &&
+      linbits.forall(v => v >= 0 && v <= 13) &&
+      (0 until 16).forall(linbits(_) == 0),
+      "mp3 profile: linbits is per-table (32), 0 for tables 0-15")
+    require(huff.length == 32, "mp3 profile: 32 pair tables")
+    huff.zipWithIndex.foreach { case (v, t) =>
+      v.foreach(vlc => require(vlc.values.forall(i =>
+        i >= 0 && i < 256),
+        s"mp3 profile: table $t pair values must be 16|x|+|y| < 256"))
+    }
+    count1A.foreach(vlc => require(vlc.values.forall(v =>
+      v >= 0 && v < 16),
+      "mp3 profile: count1 table A codes the 4-bit nonzero pattern"))
+    /** ESC ceiling of table t under this profile's linbits. */
+    def maxMag(t: Int): Int =
+      15 + (if (t < 16) 0 else (1 << linbits(t)) - 1)
+  }
+  object Profile {
+    /** The stand-in tables — bit-identical to the historic fixed-field
+      * layout (every p21–p24/e56 stream decodes unchanged). */
+    val StandIn: Profile = Profile(
+      sfbLong = SfbOffsets,
+      sfbShort = SfbOffsetsShort,
+      linbits = Array.tabulate(32)(t => if (t < 16) 0 else (t % 4) + 2),
+      huff = Vector.fill(32)(None),
+      count1A = None)
   }
 
   /** One granule's coded content (long blocks). `bigValues` pairs of
@@ -210,25 +369,28 @@ object Mp3 {
       * window-switching granules have FIXED boundaries — region 1
       * starts at 36 samples for pure short blocks (3·short_sfb[3]) or
       * at long_sfb[8] otherwise, and region 2 is always empty. */
-    def regionPairs: (Int, Int, Int) = {
+    def regionPairs: (Int, Int, Int) = regionPairsWith(Profile.StandIn)
+    /** [[regionPairs]] under an injected sfb table set. */
+    def regionPairsWith(prof: Profile): (Int, Int, Int) = {
       val bv = bigValues.length
       blockSplit match {
         case Some(bs) =>
           val boundary =
-            if (bs.blockType == 2 && !bs.mixed) 3 * SfbOffsetsShort(3) / 2
-            else SfbOffsets(8) / 2
+            if (bs.blockType == 2 && !bs.mixed) 3 * prof.sfbShort(3) / 2
+            else prof.sfbLong(8) / 2
           val r0 = math.min(bv, boundary)
           (r0, bv - r0, 0)
         case None =>
-          val r0 = math.min(bv, SfbOffsets(region0Count + 1) / 2)
+          val r0 = math.min(bv, prof.sfbLong(region0Count + 1) / 2)
           val r1 = math.min(bv,
-            SfbOffsets(region0Count + region1Count + 2) / 2) - r0
+            prof.sfbLong(region0Count + region1Count + 2) / 2) - r0
           (r0, r1, bv - r0 - r1)
       }
     }
     /** Which table codes pair index p. */
-    def tableOf(p: Int): Int = {
-      val (r0, r1, _) = regionPairs
+    def tableOf(p: Int): Int = tableOfWith(p, Profile.StandIn)
+    def tableOfWith(p: Int, prof: Profile): Int = {
+      val (r0, r1, _) = regionPairsWith(prof)
       if (p < r0) tableSelect._1
       else if (p < r0 + r1) tableSelect._2
       else tableSelect._3
@@ -244,13 +406,21 @@ object Mp3 {
       }.sum
     }
     /** Huffman-area bits (part3). */
-    def part3Bits: Int =
+    def part3Bits: Int = part3BitsWith(Profile.StandIn)
+    /** [[part3Bits]] under an injected table set: pair codewords via
+      * the profile's VLCs, count1 via table A when present. */
+    def part3BitsWith(prof: Profile): Int =
       bigValues.zipWithIndex.map { case ((x, y), p) =>
-        val t = tableOf(p)
-        HuffSeam.valueBits(t, math.abs(x)) +
-          HuffSeam.valueBits(t, math.abs(y))
+        HuffSeam.pairBits(tableOfWith(p, prof), x, y, prof)
       }.sum + count1.map { case (v, w, x, y) =>
-        4 + Seq(v, w, x, y).count(_ != 0)
+        val quad = Seq(v, w, x, y)
+        val pattern = quad.map(q => if (q != 0) 1 else 0)
+          .foldLeft(0)((a, b) => (a << 1) | b)
+        val codeBits = prof.count1A match {
+          case Some(vlc) => vlc.bits(pattern)
+          case None => 4
+        }
+        codeBits + quad.count(_ != 0)
       }.sum
   }
 
@@ -279,9 +449,12 @@ object Mp3 {
       * of their layout. */
     def part2Bits(gr: Int): Int =
       granules(gr).part2BitsOf(scfsi, isGr1 = gr == 1)
-    def part23Length(gr: Int): Int =
-      part2Bits(gr) + granules(gr).part3Bits
-    def bodyBits: Int = part23Length(0) + part23Length(1)
+    def part23Length(gr: Int): Int = part23LengthWith(gr, Profile.StandIn)
+    def part23LengthWith(gr: Int, p: Profile): Int =
+      part2Bits(gr) + granules(gr).part3BitsWith(p)
+    def bodyBits: Int = bodyBitsWith(Profile.StandIn)
+    def bodyBitsWith(p: Profile): Int =
+      part23LengthWith(0, p) + part23LengthWith(1, p)
   }
 
   /** Exact requantization on the integer-exact regime: |ix| a perfect
@@ -309,7 +482,7 @@ object Mp3 {
   }
 
   private def writeSideInfo(w: BitWriter, f: Mp3FrameData,
-      mainDataBegin: Int): Unit = {
+      mainDataBegin: Int, p: Profile): Unit = {
     require(mainDataBegin >= 0 && mainDataBegin <= 511,
       s"mp3: main_data_begin $mainDataBegin outside the 9-bit field")
     w.writeBits(mainDataBegin.toLong, 9)
@@ -317,7 +490,7 @@ object Mp3 {
     f.scfsi.foreach(b => w.writeBits(if (b) 1L else 0L, 1))
     (0 until 2).foreach { gr =>
       val g = f.granules(gr)
-      writeGranuleSide(w, g, f.part23Length(gr))
+      writeGranuleSide(w, g, f.part23LengthWith(gr, p))
     }
   }
 
@@ -353,10 +526,11 @@ object Mp3 {
     w.writeBits(0L, 1) // count1table_select (stand-in mapping)
   }
 
-  private def writeMainData(w: BitWriter, f: Mp3FrameData): Unit =
+  private def writeMainData(w: BitWriter, f: Mp3FrameData,
+      p: Profile): Unit =
     (0 until 2).foreach { gr =>
       writeGranuleMain(w, f.granules(gr),
-        if (gr == 1) Some(f.granules(0)) else None, f.scfsi)
+        if (gr == 1) Some(f.granules(0)) else None, f.scfsi, p)
     }
 
   /** part2 (scalefactors) + part3 (Huffman area) for ONE granule —
@@ -364,7 +538,8 @@ object Mp3 {
     * carries the same CHANNEL's granule 0 when scfsi sharing can
     * apply (granule 1, long layout only). */
   private def writeGranuleMain(w: BitWriter, g: Granule,
-      sharedFrom: Option[Granule], scfsi: Vector[Boolean]): Unit = {
+      sharedFrom: Option[Granule], scfsi: Vector[Boolean],
+      p: Profile): Unit = {
     val (s1, s2) = Slen(g.scalefacCompress)
     g.sfSlots.indices.foreach { band =>
       val shared = sharedFrom.isDefined && g.sfSlots.length == 21 &&
@@ -387,29 +562,33 @@ object Mp3 {
           "mp3: nonzero scalefactor in a zero-width slen slot")
       }
     }
-    g.bigValues.zipWithIndex.foreach { case ((x, y), p) =>
-      val t = g.tableOf(p)
-      HuffSeam.write(w, t, x); HuffSeam.write(w, t, y)
+    g.bigValues.zipWithIndex.foreach { case ((x, y), pi) =>
+      HuffSeam.writePair(w, g.tableOfWith(pi, p), x, y, p)
     }
     g.count1.foreach { case (v, w4, x, y) =>
       val quad = Seq(v, w4, x, y)
-      w.writeBits(quad.map(q => if (q != 0) 1 else 0)
-        .foldLeft(0L)((a, b) => (a << 1) | b), 4)
+      val pattern = quad.map(q => if (q != 0) 1 else 0)
+        .foldLeft(0)((a, b) => (a << 1) | b)
+      p.count1A match {
+        case Some(vlc) => vlc.write(w.writeBits, pattern)
+        case None => w.writeBits(pattern.toLong, 4)
+      }
       quad.filter(_ != 0).foreach(q =>
         w.writeBits(if (q < 0) 1L else 0L, 1))
     }
   }
 
-  def mux(frames: Seq[Mp3FrameData]): Array[Byte] = {
+  def mux(frames: Seq[Mp3FrameData],
+      p: Profile = Profile.StandIn): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     frames.foreach { f =>
-      require(4 + 17 + (f.bodyBits + 7) / 8 <= f.frameLen,
-        s"mp3: ${f.bodyBits} main-data bits overrun the " +
+      require(4 + 17 + (f.bodyBitsWith(p) + 7) / 8 <= f.frameLen,
+        s"mp3: ${f.bodyBitsWith(p)} main-data bits overrun the " +
           s"${f.frameLen}-byte frame")
       writeHeader(out, f)
       val w = new BitWriter
-      writeSideInfo(w, f, mainDataBegin = 0)
-      writeMainData(w, f)
+      writeSideInfo(w, f, mainDataBegin = 0, p)
+      writeMainData(w, f, p)
       val body = w.toBytes
       out.write(body, 0, body.length)
       var stuff = f.frameLen - 4 - body.length
@@ -429,10 +608,11 @@ object Mp3 {
     * in real encoders); main_data_begin(i) = slotStart(i) −
     * dataStart(i). A frame's data may therefore live entirely inside
     * PREVIOUS frames' physical slots. */
-  def muxReservoir(frames: Seq[Mp3FrameData]): Array[Byte] = {
+  def muxReservoir(frames: Seq[Mp3FrameData],
+      p: Profile = Profile.StandIn): Array[Byte] = {
     val mains = frames.map { f =>
       val w = new BitWriter
-      writeMainData(w, f)
+      writeMainData(w, f, p)
       w.toBytes
     }
     val slotBytes = frames.map(_.frameLen - 4 - 17)
@@ -456,7 +636,7 @@ object Mp3 {
       val f = frames(i)
       writeHeader(out, f)
       val w = new BitWriter
-      writeSideInfo(w, f, mainDataBegin = slotStart(i) - dataStart(i))
+      writeSideInfo(w, f, mainDataBegin = slotStart(i) - dataStart(i), p)
       val side = w.toBytes
       require(side.length == 17, s"mp3: side info ${side.length} B")
       out.write(side, 0, 17)
@@ -467,7 +647,7 @@ object Mp3 {
 
   private final case class Side(p23: Int, bv: Int, gain: Int, sfc: Int,
       ts: (Int, Int, Int), rc0: Int, rc1: Int, pre: Boolean,
-      sfs: Boolean, split: Option[BlockSplit])
+      sfs: Boolean, split: Option[BlockSplit], c1Sel: Boolean)
 
   private def readSideInfo(r: BitReader, pos: Int)
       : (Int, Vector[Boolean], Vector[Side]) = {
@@ -505,15 +685,17 @@ object Mp3 {
       }
     val pre = r.readBits(1) == 1L
     val sfs = r.readBits(1) == 1L
-    r.readBits(1) // count1table_select
-    Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs, split)
+    // count1table_select: 1 always means the 4-bit FLC shape (real
+    // Table B IS a 4-bit FLC); 0 selects Profile.count1A when present
+    val c1Sel = r.readBits(1) == 1L
+    Side(p23, bv, gain, sfc, ts, rc0, rc1, pre, sfs, split, c1Sel)
   }
 
   private def readGranules(r: BitReader, scfsi: Vector[Boolean],
-      sides: Vector[Side], pos: Int): Vector[Granule] = {
+      sides: Vector[Side], pos: Int, p: Profile): Vector[Granule] = {
     var prev: Option[Granule] = None
     (0 until 2).map { gr =>
-      val g = readGranuleMain(r, sides(gr), scfsi, prev, pos, gr)
+      val g = readGranuleMain(r, sides(gr), scfsi, prev, pos, gr, p)
       prev = Some(g)
       g
     }.toVector
@@ -524,7 +706,7 @@ object Mp3 {
     * sharing (granule 1, long layout only). */
   private def readGranuleMain(r: BitReader, s: Side,
       scfsi: Vector[Boolean], prev: Option[Granule], pos: Int,
-      gr: Int): Granule = {
+      gr: Int, p: Profile): Granule = {
     val bitsBefore = r.bitPos
     val (s1, s2) = Slen(s.sfc)
     // slot layout per block regime (same shapes as Granule.sfSlots)
@@ -549,24 +731,27 @@ object Mp3 {
     val (r0, r1) = s.split match {
       case Some(bs) =>
         val boundary =
-          if (bs.blockType == 2 && !bs.mixed) 3 * SfbOffsetsShort(3) / 2
-          else SfbOffsets(8) / 2
+          if (bs.blockType == 2 && !bs.mixed) 3 * p.sfbShort(3) / 2
+          else p.sfbLong(8) / 2
         val rr0 = math.min(s.bv, boundary)
         (rr0, s.bv - rr0)
       case None =>
-        val rr0 = math.min(s.bv, SfbOffsets(s.rc0 + 1) / 2)
+        val rr0 = math.min(s.bv, p.sfbLong(s.rc0 + 1) / 2)
         (rr0, math.min(s.bv,
-          SfbOffsets(s.rc0 + s.rc1 + 2) / 2) - rr0)
+          p.sfbLong(s.rc0 + s.rc1 + 2) / 2) - rr0)
     }
-    val bvs = (0 until s.bv).map { p =>
-      val t = if (p < r0) s.ts._1
-        else if (p < r0 + r1) s.ts._2 else s.ts._3
-      (HuffSeam.read(r, t), HuffSeam.read(r, t))
+    val bvs = (0 until s.bv).map { pi =>
+      val t = if (pi < r0) s.ts._1
+        else if (pi < r0 + r1) s.ts._2 else s.ts._3
+      HuffSeam.readPair(r, t, p)
     }.toVector
     // count1: quadruples until part2_3_length is exhausted
     val c1 = Vector.newBuilder[(Int, Int, Int, Int)]
     while (r.bitPos - bitsBefore < s.p23) {
-      val mask = r.readBits(4).toInt
+      val mask = p.count1A match {
+        case Some(vlc) if !s.c1Sel => vlc.read(r.readBits)
+        case _ => r.readBits(4).toInt
+      }
       val quad = (3 to 0 by -1).map { b =>
         if ((mask & (1 << b)) != 0) {
           if (r.readBits(1) == 1L) -1 else 1
@@ -588,8 +773,8 @@ object Mp3 {
     * streaming decoder needs only a 511-byte window plus the current
     * slot; this walk buffers the whole (small, fixture-sized) space.
     * Returns (frame offset, main_data_begin, frame). */
-  def demuxReservoir(bytes: Array[Byte])
-      : Seq[(Long, Int, Mp3FrameData)] = {
+  def demuxReservoir(bytes: Array[Byte],
+      p: Profile = Profile.StandIn): Seq[(Long, Int, Mp3FrameData)] = {
     // pass 1: headers + side infos + the slot space
     final case class Hdr(pos: Int, bi: Int, ri: Int, pad: Boolean,
         mdb: Int, scfsi: Vector[Boolean], sides: Vector[Side],
@@ -631,7 +816,7 @@ object Mp3 {
         s"mp3: reservoir starts must not seek backward at ${h.pos}")
       prevStart = start
       val r = new BitReader(sp, start, sp.length)
-      val granules = readGranules(r, h.scfsi, h.sides, h.pos)
+      val granules = readGranules(r, h.scfsi, h.sides, h.pos, p)
       (h.pos.toLong, h.mdb,
         Mp3FrameData(h.bi, h.ri, h.pad, h.scfsi, granules))
     }
@@ -646,7 +831,8 @@ object Mp3 {
     * stream starts with an empty window; a frame whose
     * main_data_begin outruns the accumulated window fails loudly. */
   def demuxReservoirStep(bytes: Array[Byte],
-      window: Array[Byte]): (Mp3FrameData, Int, Array[Byte]) = {
+      window: Array[Byte],
+      p: Profile = Profile.StandIn): (Mp3FrameData, Int, Array[Byte]) = {
     require(window.length <= 511, "mp3: window beyond the 9-bit reach")
     require(bytes.length >= 21, "mp3: truncated frame")
     require((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xFB,
@@ -668,7 +854,7 @@ object Mp3 {
     val slot = java.util.Arrays.copyOfRange(bytes, 21, fl)
     val space = window ++ slot
     val mr = new BitReader(space, window.length - mdb, space.length)
-    val granules = readGranules(mr, scfsi, sides, 0)
+    val granules = readGranules(mr, scfsi, sides, 0, p)
     val kept =
       if (space.length <= 511) space
       else java.util.Arrays.copyOfRange(space,
@@ -680,7 +866,8 @@ object Mp3 {
     * part2_3_length is verified EXACTLY against the bits consumed —
     * the spec's own consistency invariant — and every subset boundary
     * fails loudly. */
-  def demux(bytes: Array[Byte]): Seq[(Long, Mp3FrameData)] = {
+  def demux(bytes: Array[Byte],
+      p: Profile = Profile.StandIn): Seq[(Long, Mp3FrameData)] = {
     val out = Seq.newBuilder[(Long, Mp3FrameData)]
     var pos = 0
     while (pos < bytes.length) {
@@ -702,7 +889,7 @@ object Mp3 {
       require(mdb == 0,
         "mp3: main_data_begin != 0 needs the reservoir walk " +
           "(demuxReservoir)")
-      val granules = readGranules(r, scfsi, sides, pos)
+      val granules = readGranules(r, scfsi, sides, pos, p)
       out += ((pos.toLong, Mp3FrameData(bi, ri, pad, scfsi, granules)))
       pos += fl
     }
@@ -744,11 +931,14 @@ object Mp3 {
       144 * BitratesL3(bitrateIndex) * 1000 / Rates(rateIndex) +
         (if (padding) 1 else 0)
     def part23Length(gr: Int, ch: Int): Int =
+      part23LengthWith(gr, ch, Profile.StandIn)
+    def part23LengthWith(gr: Int, ch: Int, p: Profile): Int =
       granules(gr)(ch).part2BitsOf(scfsi(ch), isGr1 = gr == 1) +
-        granules(gr)(ch).part3Bits
-    def bodyBits: Int =
+        granules(gr)(ch).part3BitsWith(p)
+    def bodyBits: Int = bodyBitsWith(Profile.StandIn)
+    def bodyBitsWith(p: Profile): Int =
       (for (gr <- 0 until 2; ch <- 0 until 2)
-        yield part23Length(gr, ch)).sum
+        yield part23LengthWith(gr, ch, p)).sum
   }
 
   /** §2.4.3.4.9.2 MS reconstruction on the √2-SCALED exact-integer
@@ -808,11 +998,12 @@ object Mp3 {
 
   /** Pack two-channel frames (main_data_begin = 0 — the reservoir
     * mechanics are the same as mono's and live in [[muxReservoir]]). */
-  def muxStereo(frames: Seq[Mp3StereoFrame]): Array[Byte] = {
+  def muxStereo(frames: Seq[Mp3StereoFrame],
+      p: Profile = Profile.StandIn): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     frames.foreach { f =>
-      require(4 + 32 + (f.bodyBits + 7) / 8 <= f.frameLen,
-        s"mp3: ${f.bodyBits} main-data bits overrun the " +
+      require(4 + 32 + (f.bodyBitsWith(p) + 7) / 8 <= f.frameLen,
+        s"mp3: ${f.bodyBitsWith(p)} main-data bits overrun the " +
           s"${f.frameLen}-byte stereo frame")
       writeHeaderStereo(out, f)
       val w = new BitWriter
@@ -820,10 +1011,11 @@ object Mp3 {
       w.writeBits(0L, 3) // private_bits (stereo: 3)
       f.scfsi.foreach(_.foreach(b => w.writeBits(if (b) 1L else 0L, 1)))
       for (gr <- 0 until 2; ch <- 0 until 2)
-        writeGranuleSide(w, f.granules(gr)(ch), f.part23Length(gr, ch))
+        writeGranuleSide(w, f.granules(gr)(ch),
+          f.part23LengthWith(gr, ch, p))
       for (gr <- 0 until 2; ch <- 0 until 2)
         writeGranuleMain(w, f.granules(gr)(ch),
-          if (gr == 1) Some(f.granules(0)(ch)) else None, f.scfsi(ch))
+          if (gr == 1) Some(f.granules(0)(ch)) else None, f.scfsi(ch), p)
       val body = w.toBytes
       require(body.length >= 32, "mp3: stereo side info short")
       out.write(body, 0, body.length)
@@ -837,7 +1029,8 @@ object Mp3 {
   /** Walk a two-channel Layer III stream back: mode/mode_extension
     * from the header, the 32-byte side info, gr-major channel-minor
     * main data, part2_3_length verified exactly per (gr, ch). */
-  def demuxStereo(bytes: Array[Byte]): Seq[(Long, Mp3StereoFrame)] = {
+  def demuxStereo(bytes: Array[Byte],
+      p: Profile = Profile.StandIn): Seq[(Long, Mp3StereoFrame)] = {
     val out = Seq.newBuilder[(Long, Mp3StereoFrame)]
     var pos = 0
     while (pos < bytes.length) {
@@ -869,7 +1062,7 @@ object Mp3 {
       var prev: Vector[Option[Granule]] = Vector(None, None)
       val read = granules.map(_.map { case (gr, ch) =>
         val g = readGranuleMain(r, sides(gr * 2 + ch), scfsi(ch),
-          prev(ch), pos, gr)
+          prev(ch), pos, gr, p)
         prev = prev.updated(ch, Some(g))
         g
       })

@@ -350,8 +350,11 @@ class AacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // grouping on a long window
       Aac.IcsInfo(0, 0, 6, 1)
     }
-    intercept[IllegalArgumentException] { // max_sfb beyond the table
-      Aac.IcsInfo(0, 0, 13, 0)
+    intercept[IllegalArgumentException] { // max_sfb beyond its field
+      Aac.IcsInfo(0, 0, 64, 0)
+    }
+    intercept[IllegalArgumentException] { // beyond the ACTIVE swb table
+      Aac.IcsInfo(0, 0, 13, 0).validate(Aac.Profile.StandIn)
     }
     // a CPE whose channels disagree on ics_info is rejected at mux
     intercept[IllegalArgumentException] {
