@@ -167,6 +167,9 @@ object RunDecode {
     val p = profJson.map(CodecProfileJson.parseMp3(_))
       .getOrElse(Mp3.Profile.StandIn)
     val frames = Mp3.demuxReservoir(bytes, p)
+    // the §2.4.3.4 hybrid filterbank to PCM, when the stream stays on
+    // the exact-integer requant grid; otherwise report structure only
+    val hybrid = new graft.sources.Mp3Pcm.Hybrid()
     val lines = frames.map { case (off, mdb, f) =>
       val perGr = (0 until 2).map { gr =>
         val g = f.granules(gr)
@@ -178,11 +181,17 @@ object RunDecode {
         (g.bigValues.length, f.part23LengthWith(gr, p), codeSum,
           g.scalefacs.map(_.toLong).sum)
       }
+      val pcm = scala.util.Try {
+        (0 until 2).map(gr => hybrid.granule(f.granules(gr), p).sum).sum
+      }
+      val pcmField = pcm.map(v => s""","pcm_sum":$v""").getOrElse(
+        s""","pcm_skipped":${'"'}${pcm.failed.get.getMessage
+          .takeWhile(_ != '(').trim.replace('"', '\'')}${'"'}""")
       s"""{"offset":$off,"main_data_begin":$mdb,""" +
         s""""big_values":[${perGr.map(_._1).mkString(",")}],""" +
         s""""part23":[${perGr.map(_._2).mkString(",")}],""" +
         s""""code_sum":[${perGr.map(_._3).mkString(",")}],""" +
-        s""""sf_sum":[${perGr.map(_._4).mkString(",")}]}"""
+        s""""sf_sum":[${perGr.map(_._4).mkString(",")}]$pcmField}"""
     }
     writeLines(outDir, lines)
     println(s"""{"family":"mp3","frames":${frames.length},""" +

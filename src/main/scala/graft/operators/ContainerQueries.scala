@@ -6199,6 +6199,85 @@ object ContainerQueries {
     }
   }
 
+  /** e57: STREAMING MP3 DECODE-TO-PCM — p31's streaming twin and
+    * e56's completion: the reservoir window (≤ 511 bytes) now rides
+    * NEXT TO the hybrid filterbank's cross-frame state — the 32×18
+    * overlap store and the polyphase V register
+    * ([[graft.sources.Mp3Pcm.Hybrid.flat]], 1600 Longs ≈ 12.5 KB,
+    * CONSTANT per key) — through a real micro-batch boundary: a
+    * frame's first 18 output slots ring with the PREVIOUS frame's
+    * IMDCT tails and the V register carries 16 steps of history, so
+    * state loss desyncs every later PCM sum (and |Σpcm| > 2^53, so
+    * the exact values ride the text channel). Fixture: exactly p31's
+    * five-regime frames through [[graft.sources.Mp3.muxReservoir]]
+    * (main_data_begin hits the 511 clamp); oracle: p31's full SQL
+    * lattice, down to the same per-frame PCM sums and first samples.
+    * Scale: state per key is spec-bounded; scale-out is keys ×
+    * executors, identical to e53–e56. */
+  private[operators] object Mp3PcmStreamKernel extends Serializable {
+    def rows(cid: Long, count: Int)
+        : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
+      import graft.sources.Mp3
+      val n = math.min(6, count)
+      if (n < 1) return Iterator.empty
+      val frames = (0 until n).map(i => DspQueries.Mp3PcmFixtures
+        .frame(i + cid.toInt * 7, padding = i % 2 == 1))
+      val bytes = Mp3.muxReservoir(frames)
+      val hex = java.util.HexFormat.of()
+      val out = Vector.newBuilder[(String, Int, Long, Double, String,
+        Boolean, Long)]
+      var pos = 0
+      (0 until n).foreach { i =>
+        val fl = frames(i).frameLen
+        out += ((cid.toString, 0, i.toLong, 0.0,
+          hex.formatHex(java.util.Arrays.copyOfRange(bytes, pos, pos + fl)),
+          false, i.toLong))
+        pos += fl
+      }
+      require(pos == bytes.length, s"chunk $cid: frame split drift")
+      out.result().iterator
+    }
+  }
+
+  private def e57(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Mp3Machine, StatefulRunner}
+    val clicks = eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    val fixture = clicks.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Mp3PcmStreamKernel.rows(k, it.size))
+      .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
+    StreamParityQueries.throughStream(s, fixture,
+        Seq(col("ts"), col("seq")), s"e57@$d",
+        ds => StatefulRunner.runStreaming(
+          new Mp3Machine.PcmDecoder, ds),
+        Map.empty)
+      .select(col("key").cast("long").as("chunk_id"),
+        col("ts").as("i"),
+        col("value").cast("long").as("part23"),
+        split(col("text"), ",")(0).cast("long").as("pcm_sum"),
+        split(col("text"), ",")(1).cast("long").as("pcm0"))
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val e57Sql =
+    DspQueries.p31Lattice + s"""
+      |SELECT fr.chunk_id, CAST(fr.i AS BIGINT) AS i,
+      |  CAST(p30.bits + p31.bits AS BIGINT) AS part23,
+      |  CAST(coalesce(p.pcm_sum, 0) AS BIGINT) AS pcm_sum,
+      |  CAST(coalesce(p0.v, 0) AS BIGINT) AS pcm0
+      |FROM f fr
+      |JOIN p3 p30 ON p30.chunk_id = fr.chunk_id AND p30.i = fr.i
+      |  AND p30.gr = 0
+      |JOIN p3 p31 ON p31.chunk_id = fr.chunk_id AND p31.i = fr.i
+      |  AND p31.gr = 1
+      |LEFT JOIN pcm p ON p.chunk_id = fr.chunk_id AND p.i = fr.i
+      |LEFT JOIN pcm0 p0 ON p0.chunk_id = fr.chunk_id AND p0.i = fr.i
+      |ORDER BY fr.chunk_id, fr.i""".stripMargin
+
   private def e56(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.streaming.{Mp3Machine, StatefulRunner}
@@ -6559,6 +6638,7 @@ object ContainerQueries {
     Q("m62_h264_cavlc", m62, Some(m62Sql)),
     Q("m63_vp8_upscale", m63, Some(m63Sql)),
     Q("e56_streaming_mp3_reservoir", e56, Some(e56Sql)),
+    Q("e57_streaming_mp3_pcm", e57, Some(e57Sql)),
     Q("m64_h264_i16x16", m64, Some(m64Sql)),
     Q("m65_h264_pslice", m65, Some(m65Sql)),
     Q("m66_h264_multislice", m66, Some(m66Sql)),

@@ -3510,6 +3510,331 @@ object DspQueries {
       |  AND c1.ch = 1
       |ORDER BY f.chunk_id, f.i""".stripMargin
 
+
+  /** p31: MP3 DECODE TO PCM ([[graft.sources.Mp3Pcm]], ISO/IEC
+    * 11172-3 §2.4.3.4.10–.16) — the time-domain leg p21–p24 stopped
+    * short of, matching the reference's audio decoder surface
+    * (streamtasks/media/audiodecoder.py:43-59): requantized spectra →
+    * alias-reduction butterflies (spec-formula cs/ca, Q10) → IMDCT
+    * 36/12 with the four block-type window shapes → overlap-add →
+    * frequency inversion → the Layer II polyphase ([[Mp2.Synth]]).
+    * Frames cycle all five window regimes (long, start, short, mixed,
+    * stop) with subblock gains on the short windows; the oracle
+    * replays the ENTIRE integer lattice in SQL — per-line requant +
+    * §2.4.3.4.5 reorder, the butterfly neighborhood, the 36×18
+    * IMDCT·window matrices as literals, cross-granule overlap, and
+    * the polyphase through the per-subband summed-output kernels
+    * (the lemma Mp3Spec pins against [[Mp2.subbandKernels]]) — and
+    * pins per-frame PCM sums, the frame's first sample, and
+    * post-alias spectral sums. */
+  /** p31/e57's shared fixture: frames cycling all five window
+    * regimes, salted per chunk (fi = i + 7·chunk). The magnitudes,
+    * gains and subblock gains keep every granule on the exact-integer
+    * requant grid AND inside [[graft.sources.Mp3Pcm]]'s L1 headroom. */
+  private[operators] object Mp3PcmFixtures extends Serializable {
+    import graft.sources.Mp3
+    def granule(fi: Int, gr: Int): Mp3.Granule = {
+      val regime = (fi + gr) % 5
+      val split = regime match {
+        case 1 => Some(Mp3.BlockSplit(1, mixed = false, (0, 0, 0)))
+        case 2 => Some(Mp3.BlockSplit(2, mixed = false,
+          ((fi + gr) % 2, (fi * 3 + gr) % 2, (fi + 2 * gr) % 2)))
+        case 3 => Some(Mp3.BlockSplit(2, mixed = true,
+          ((fi + gr) % 2, (fi * 3 + gr) % 2, (fi + 2 * gr) % 2)))
+        case 4 => Some(Mp3.BlockSplit(3, mixed = false, (0, 0, 0)))
+        case _ => None
+      }
+      val bv = 20 + (fi * 7 + gr * 3) % 10
+      val r0Long = 3 // sfb(rc0+1)/2 with rc0 = 1
+      val cubes3 = Array(0, 1, 8)
+      val cubes4 = Array(0, 1, 8, 27)
+      val pairs = Vector.tabulate(bv) { pi =>
+        def v(s2: Int): Int = {
+          val idx = 2 * pi + s2
+          // magnitude 27 (an ESC value) only where the region
+          // table allows it: long-regime pairs past region 0
+          val m =
+            if (regime == 0 && pi >= r0Long)
+              cubes4((fi * 5 + idx * 7 + gr * 11) % 4)
+            else cubes3((fi * 5 + idx * 7 + gr * 11) % 3)
+          if (m != 0 && (idx + fi) % 2 == 1) -m else m
+        }
+        (v(0), v(1))
+      }
+      val gain =
+        if (regime == 2 || regime == 3) 218 + 4 * ((fi + gr) % 2)
+        else 210 + 4 * ((fi + gr) % 3)
+      val nSf = split match {
+        case Some(bs) if bs.blockType == 2 && !bs.mixed => 36
+        case Some(bs) if bs.blockType == 2 => 35
+        case _ => 21
+      }
+      Mp3.Granule(pairs, Vector.empty, gain, 0,
+        (2, 18, if (split.isEmpty) 19 else 0),
+        if (split.isEmpty) 1 else 0, if (split.isEmpty) 2 else 0,
+        preflag = false, scalefacScale = false,
+        scalefacs = Vector.fill(nSf)(0), blockSplit = split)
+    }
+    def frame(fi: Int, padding: Boolean): Mp3.Mp3FrameData =
+      Mp3.Mp3FrameData(14, 2, padding = padding,
+        Vector.fill(4)(false), Vector(granule(fi, 0), granule(fi, 1)))
+  }
+
+  private def p31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Mp3, Mp3Pcm}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(6, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val frames = (0 until n).map(i =>
+          Mp3PcmFixtures.frame(i + cid.toInt * 7, padding = i % 2 == 1))
+        val rec = Mp3.demux(Mp3.mux(frames))
+        require(rec.size == n, s"chunk $cid: mp3 frame count drift")
+        val hybrid = new Mp3Pcm.Hybrid()
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val perGr = (0 until 2).map { gr =>
+            val g = f.granules(gr)
+            val boundaries = g.blockSplit match {
+              case Some(bs) if bs.blockType == 2 =>
+                if (bs.mixed) 1 else 0
+              case _ => 31
+            }
+            val xa = Mp3Pcm.aliasReduce(Mp3Pcm.dequantGranule(g),
+              boundaries)
+            val pcm = hybrid.granule(g)
+            (xa.iterator.flatten.sum, pcm.sum, pcm(0),
+              f.part23Length(gr), (i + cid.toInt * 7 + gr) % 5)
+          }
+          (cid, i.toLong, off,
+            perGr(0)._5.toLong, perGr(1)._5.toLong,
+            perGr(0)._4.toLong, perGr(1)._4.toLong,
+            perGr(0)._1, perGr(1)._1,
+            perGr(0)._2 + perGr(1)._2, perGr(0)._3)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "regime0", "regime1",
+        "part23_0", "part23_1", "xa_sum0", "xa_sum1",
+        "pcm_sum", "pcm0")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  /** The p31 oracle's literal tables, generated from the SAME
+    * quantized constants the engine uses (the p05 twiddle pattern):
+    * nonzero IMDCT·window entries, the per-subband cumulative
+    * polyphase kernels, and the sample-0 kernels. */
+  private def p31MLiteral: String = {
+    import graft.sources.Mp3Pcm
+    val rows = for {
+      bt <- 0 to 3
+      j <- 0 until 36
+      k <- 0 until 18
+      v = Mp3Pcm.imdctWin(bt)(j)(k)
+      if v != 0
+    } yield s"($bt,$j,$k,$v)"
+    rows.mkString(",")
+  }
+  private def p31CkLiteral: String = {
+    import graft.sources.Mp2
+    val kern = Mp2.subbandKernels()
+    val rows = for {
+      sb <- 0 until 8
+      r <- -1 to 15
+      v = (0 to r).map(a => kern(sb)(a)).sum
+    } yield s"($sb,$r,$v)"
+    rows.mkString(",")
+  }
+  private def p31K0Literal: String = {
+    import graft.sources.Mp2
+    val rows = for {
+      sb <- 0 until 8
+      a <- 0 to 15
+      v = Mp2.Matrix(if (a % 2 == 0) 0 else 32)(sb).toLong *
+        Mp2.Window(32 * a)
+    } yield s"($sb,$a,$v)"
+    rows.mkString(",")
+  }
+
+  /** The p31 lattice CTE chain (requant → reorder → alias → IMDCT →
+    * overlap → polyphase kernels), shared verbatim with the e57
+    * streaming twin's oracle. */
+  private[operators] val p31Lattice: String = {
+    import graft.sources.Mp3Pcm
+    val cs = Mp3Pcm.CsQ.mkString("[", ",", "]")
+    val ca = Mp3Pcm.CaQ.mkString("[", ",", "]")
+    s"""WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, g.i + chunk_id * 7 AS fi FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |gr AS (SELECT chunk_id, i, fi, gg.gr, (fi + gg.gr) % 5 AS regime,
+      |    20 + (fi * 7 + gg.gr * 3) % 10 AS bv,
+      |    CASE WHEN (fi + gg.gr) % 5 IN (2, 3)
+      |      THEN 218 + 4 * ((fi + gg.gr) % 2)
+      |      ELSE 210 + 4 * ((fi + gg.gr) % 3) END AS gain,
+      |    (fi + gg.gr) % 2 AS sbg0, (fi * 3 + gg.gr) % 2 AS sbg1,
+      |    (fi + 2 * gg.gr) % 2 AS sbg2
+      |  FROM f, (SELECT unnest(range(2)) AS gr) gg),
+      |-- per-line coded magnitudes (the engine's modular draws) and
+      |-- the region table per pair (part3 accounting)
+      |lines AS (SELECT g.chunk_id, g.i, g.gr, g.regime, g.gain,
+      |    g.sbg0, g.sbg1, g.sbg2, v.idx AS j,
+      |    CASE WHEN g.regime = 0 AND v.idx // 2 >= 3
+      |      THEN list_extract([0, 1, 8, 27],
+      |        CAST((g.fi * 5 + v.idx * 7 + g.gr * 11) % 4 + 1 AS INT))
+      |      ELSE list_extract([0, 1, 8],
+      |        CAST((g.fi * 5 + v.idx * 7 + g.gr * 11) % 3 + 1 AS INT))
+      |    END AS m,
+      |    CASE WHEN (v.idx + g.fi) % 2 = 1 THEN -1 ELSE 1 END AS sgn,
+      |    CASE WHEN g.regime = 0 THEN
+      |        CASE WHEN v.idx // 2 < 3 THEN 2
+      |          WHEN v.idx // 2 < 15 THEN 18 ELSE 19 END
+      |      WHEN g.regime IN (1, 3, 4) THEN
+      |        CASE WHEN v.idx // 2 < 36 THEN 2 ELSE 18 END
+      |      ELSE CASE WHEN v.idx // 2 < 18 THEN 2 ELSE 18 END
+      |    END AS tbl
+      |  FROM gr g
+      |  JOIN (SELECT unnest(range(60)) AS idx) v ON v.idx < 2 * g.bv),
+      |-- §2.4.3.4.5 map to (subband, slot): long layout for long
+      |-- regimes and the mixed granule's first 36 lines; short bands
+      |-- b (offsets b²+b, window width 2b+2) otherwise
+      |cells AS (SELECT l.*, 
+      |    CASE WHEN l.regime IN (0, 1, 4) OR (l.regime = 3 AND l.j < 36)
+      |      THEN l.j // 18 ELSE
+      |        ((b.b * b.b + b.b) + (l.j - 3 * (b.b * b.b + b.b))
+      |          - ((l.j - 3 * (b.b * b.b + b.b)) // (2 * b.b + 2))
+      |            * (2 * b.b + 2)) // 6 END AS sb,
+      |    CASE WHEN l.regime IN (0, 1, 4) OR (l.regime = 3 AND l.j < 36)
+      |      THEN l.j % 18 ELSE
+      |        6 * ((l.j - 3 * (b.b * b.b + b.b)) // (2 * b.b + 2))
+      |        + ((b.b * b.b + b.b) + (l.j - 3 * (b.b * b.b + b.b))
+      |          - ((l.j - 3 * (b.b * b.b + b.b)) // (2 * b.b + 2))
+      |            * (2 * b.b + 2)) % 6 END AS k,
+      |    CASE WHEN l.regime IN (0, 1, 4) OR (l.regime = 3 AND l.j < 36)
+      |      THEN (l.gain - 210) // 4
+      |      ELSE (l.gain - 8 * list_extract([l.sbg0, l.sbg1, l.sbg2],
+      |        CAST((l.j - 3 * (b.b * b.b + b.b)) // (2 * b.b + 2) + 1
+      |          AS INT)) - 210) // 4 END AS e
+      |  FROM lines l
+      |  LEFT JOIN (SELECT unnest(range(12)) AS b) b
+      |    ON l.j >= 3 * (b.b * b.b + b.b)
+      |    AND l.j < 3 * ((b.b + 1) * (b.b + 1) + b.b + 1)),
+      |xs AS (SELECT chunk_id, i, gr, sb, k,
+      |    SUM(sgn * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |      ELSE 81 END) * CAST(power(2, e) AS BIGINT)) AS x
+      |  FROM cells GROUP BY 1, 2, 3, 4, 5),
+      |-- §2.4.3.4.10.1 butterflies over the affected grid (inputs
+      |-- stay in sb ≤ 3, alias reaches sb 4)
+      |grid AS (SELECT g.chunk_id, g.i, g.gr, g.regime,
+      |    CASE WHEN g.regime IN (0, 1, 4) THEN 31
+      |      WHEN g.regime = 3 THEN 1 ELSE 0 END AS bounds,
+      |    sbv.sb, kv.k
+      |  FROM gr g, (SELECT unnest(range(5)) AS sb) sbv,
+      |    (SELECT unnest(range(18)) AS k) kv),
+      |xa AS (SELECT g.chunk_id, g.i, g.gr, g.regime, g.sb, g.k,
+      |    CASE
+      |      WHEN g.k >= 10 AND g.sb + 1 <= g.bounds THEN
+      |        list_extract($cs, CAST(17 - g.k + 1 AS INT))
+      |          * coalesce(x0.x, 0)
+      |        - list_extract($ca, CAST(17 - g.k + 1 AS INT))
+      |          * coalesce(xu.x, 0)
+      |      WHEN g.k <= 7 AND g.sb >= 1 AND g.sb <= g.bounds THEN
+      |        list_extract($ca, CAST(g.k + 1 AS INT))
+      |          * coalesce(xd.x, 0)
+      |        + list_extract($cs, CAST(g.k + 1 AS INT))
+      |          * coalesce(x0.x, 0)
+      |      ELSE 1024 * coalesce(x0.x, 0) END AS v
+      |  FROM grid g
+      |  LEFT JOIN xs x0 ON x0.chunk_id = g.chunk_id AND x0.i = g.i
+      |    AND x0.gr = g.gr AND x0.sb = g.sb AND x0.k = g.k
+      |  LEFT JOIN xs xu ON xu.chunk_id = g.chunk_id AND xu.i = g.i
+      |    AND xu.gr = g.gr AND xu.sb = g.sb + 1 AND xu.k = 17 - g.k
+      |  LEFT JOIN xs xd ON xd.chunk_id = g.chunk_id AND xd.i = g.i
+      |    AND xd.gr = g.gr AND xd.sb = g.sb - 1 AND xd.k = 17 - g.k),
+      |-- IMDCT·window per (granule, subband): literal Q10 matrices
+      |mm(bt, j, k, v) AS (VALUES ${p31MLiteral}),
+      |cur AS (SELECT a.chunk_id, a.i, a.gr, 2 * a.i + a.gr AS gabs,
+      |    a.sb, m.j, SUM(m.v * a.v) AS v
+      |  FROM xa a
+      |  JOIN mm m ON m.k = a.k AND m.bt =
+      |    CASE WHEN a.regime IN (0, 1, 4) THEN
+      |        CASE a.regime WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 3 END
+      |      WHEN a.regime = 3 AND a.sb < 2 THEN 0
+      |      ELSE 2 END
+      |  WHERE a.v != 0
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
+      |-- overlap-add + §2.4.3.4.16 inversion → polyphase inputs
+      |sgrid AS (SELECT g.chunk_id, gv.gabs, sbv.sb, tv.t,
+      |    18 * gv.gabs + tv.t AS s
+      |  FROM c g
+      |  JOIN (SELECT unnest(range(12)) AS gabs) gv ON gv.gabs < 2 * g.n
+      |  CROSS JOIN (SELECT unnest(range(5)) AS sb) sbv
+      |  CROSS JOIN (SELECT unnest(range(18)) AS t) tv),
+      |slots AS (SELECT sg.chunk_id, sg.gabs, sg.sb, sg.t, sg.s,
+      |    (CASE WHEN sg.sb % 2 = 1 AND sg.t % 2 = 1 THEN -1 ELSE 1 END)
+      |    * (coalesce(c0.v, 0) + coalesce(c1.v, 0)) AS v
+      |  FROM sgrid sg
+      |  LEFT JOIN cur c0 ON c0.chunk_id = sg.chunk_id
+      |    AND c0.gabs = sg.gabs AND c0.sb = sg.sb AND c0.j = sg.t
+      |  LEFT JOIN cur c1 ON c1.chunk_id = sg.chunk_id
+      |    AND c1.gabs = sg.gabs - 1 AND c1.sb = sg.sb
+      |    AND c1.j = sg.t + 18),
+      |ck(sb, r, v) AS (VALUES ${p31CkLiteral}),
+      |k0(sb, a, v) AS (VALUES ${p31K0Literal}),
+      |pcm AS (SELECT sl.chunk_id, fr.i,
+      |    SUM(sl.v * (ckhi.v - cklo.v)) AS pcm_sum
+      |  FROM slots sl
+      |  JOIN f fr ON fr.chunk_id = sl.chunk_id
+      |    AND sl.s >= 36 * fr.i - 15 AND sl.s <= 36 * fr.i + 35
+      |  JOIN ck ckhi ON ckhi.sb = sl.sb
+      |    AND ckhi.r = least(15, 36 * fr.i + 35 - sl.s)
+      |  JOIN ck cklo ON cklo.sb = sl.sb
+      |    AND cklo.r = greatest(0, 36 * fr.i - sl.s) - 1
+      |  GROUP BY 1, 2),
+      |pcm0 AS (SELECT sl.chunk_id, fr.i, SUM(sl.v * k.v) AS v
+      |  FROM slots sl
+      |  JOIN f fr ON fr.chunk_id = sl.chunk_id
+      |    AND 36 * fr.i - sl.s BETWEEN 0 AND 15
+      |  JOIN k0 k ON k.sb = sl.sb AND k.a = 36 * fr.i - sl.s
+      |  GROUP BY 1, 2),
+      |xasum AS (SELECT chunk_id, i, gr, SUM(v) AS v
+      |  FROM xa GROUP BY 1, 2, 3),
+      |p3 AS (SELECT chunk_id, i, gr,
+      |    SUM(4 + (CASE WHEN m != 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN tbl >= 16 AND m >= 15
+      |          THEN (tbl % 4) + 2 ELSE 0 END)) AS bits
+      |  FROM lines GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  private val p31Sql = {
+    p31Lattice + s"""
+      |SELECT fr.chunk_id, CAST(fr.i AS BIGINT) AS i,
+      |  CAST(1440 * fr.i + fr.i // 2 AS BIGINT) AS "offset",
+      |  CAST((fr.fi + 0) % 5 AS BIGINT) AS regime0,
+      |  CAST((fr.fi + 1) % 5 AS BIGINT) AS regime1,
+      |  CAST(p30.bits AS BIGINT) AS part23_0,
+      |  CAST(p31.bits AS BIGINT) AS part23_1,
+      |  CAST(x0.v AS BIGINT) AS xa_sum0,
+      |  CAST(x1.v AS BIGINT) AS xa_sum1,
+      |  CAST(coalesce(p.pcm_sum, 0) AS BIGINT) AS pcm_sum,
+      |  CAST(coalesce(p0.v, 0) AS BIGINT) AS pcm0
+      |FROM f fr
+      |JOIN p3 p30 ON p30.chunk_id = fr.chunk_id AND p30.i = fr.i
+      |  AND p30.gr = 0
+      |JOIN p3 p31 ON p31.chunk_id = fr.chunk_id AND p31.i = fr.i
+      |  AND p31.gr = 1
+      |JOIN xasum x0 ON x0.chunk_id = fr.chunk_id AND x0.i = fr.i
+      |  AND x0.gr = 0
+      |JOIN xasum x1 ON x1.chunk_id = fr.chunk_id AND x1.i = fr.i
+      |  AND x1.gr = 1
+      |LEFT JOIN pcm p ON p.chunk_id = fr.chunk_id AND p.i = fr.i
+      |LEFT JOIN pcm0 p0 ON p0.chunk_id = fr.chunk_id AND p0.i = fr.i
+      |ORDER BY fr.chunk_id, fr.i""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -3541,5 +3866,6 @@ object DspQueries {
     Q("p28_aac_pns", p28, Some(p28Sql)),
     Q("p29_mp2_stereo", p29, Some(p29Sql)),
     Q("p30_mp1_stereo", p30, Some(p30Sql)),
+    Q("p31_mp3_pcm", p31, Some(p31Sql)),
   )
 }

@@ -844,6 +844,13 @@ object Mp2 {
     require(window.length == 512,
       s"mp2: synthesis window needs 512 taps, got ${window.length}")
     private val v = new Array[Long](1024)
+    /** The V shift register as a flat copy (streaming state-store
+      * form — [[graft.streaming.Mp3Machine]]). */
+    def vFlat: Array[Long] = v.clone()
+    def loadV(a: Array[Long]): Unit = {
+      require(a.length == 1024, s"mp2: V register is 1024, got ${a.length}")
+      System.arraycopy(a, 0, v, 0, 1024)
+    }
     /** One filterbank step: 32 subband samples → 32 PCM samples. */
     def step(s: Array[Int]): Array[Long] =
       stepL(s.map(_.toLong))

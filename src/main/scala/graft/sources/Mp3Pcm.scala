@@ -37,10 +37,11 @@ package graft.sources
   * (as in p21–p24: global_gain and subblock_gain ride
   * [[Mp3.requantExact]]; stored scalefactors are pinned separately).
   *
-  * Headroom bound, enforced loudly: spectral inputs must satisfy
-  * |xr| ≤ 2^20 — alias (×2·2^10), IMDCT (×18·2^10), overlap (×2),
-  * matrixing (×32·2^14) and windowing (×16·2^6) then stay within
-  * Long range with margin. */
+  * Headroom bound, enforced loudly: a granule's spectral L1 mass
+  * Σ|xr| must stay ≤ 2^16. Worst-case growth through the lattice —
+  * alias L1 ×2·2^10, per-line IMDCT ≤ 2^10·L1, overlap ×2,
+  * matrixing ≤ 2^14·Σ_sb|S|, windowing ×16·63 — then tops out near
+  * 2^62, inside Long range. */
 object Mp3Pcm {
 
   /** Q10 quantization scale shared by the alias and IMDCT lattices. */
@@ -162,9 +163,12 @@ object Mp3Pcm {
   }
 
   /** Headroom bound (see module doc). */
-  private def checkHeadroom(xs: Array[Array[Long]]): Unit =
-    xs.foreach(_.foreach(v => require(math.abs(v) <= (1L << 20),
-      s"mp3 pcm: |$v| beyond the 2^20 exact-lattice headroom")))
+  private def checkHeadroom(xs: Array[Array[Long]]): Unit = {
+    val l1 = xs.iterator.flatten.map(math.abs).sum
+    require(l1 <= (1L << 16),
+      s"mp3 pcm: granule L1 mass $l1 beyond the 2^16 exact-lattice " +
+        "headroom")
+  }
 
   /** One channel's hybrid + polyphase state: the 32 × 18 overlap
     * store (§2.4.3.4.10.2) and the polyphase V register
@@ -173,6 +177,29 @@ object Mp3Pcm {
   final class Hybrid(window: Array[Int] = Mp2.Window) {
     private val prev = Array.fill(32, 18)(0L)
     private val synth = new Mp2.Synth(window)
+
+    /** Flat cross-granule state (overlap store ++ V register, 576 +
+      * 1024 Longs) — the state-store form for the streaming twin
+      * ([[graft.streaming.Mp3Machine.PcmDecoder]]): ≈ 12.5 KB per
+      * key, CONSTANT by construction. */
+    def flat: Array[Long] = {
+      val out = new Array[Long](576 + 1024)
+      var sb = 0
+      while (sb < 32) {
+        System.arraycopy(prev(sb), 0, out, 18 * sb, 18); sb += 1
+      }
+      System.arraycopy(synth.vFlat, 0, out, 576, 1024)
+      out
+    }
+    def load(a: Array[Long]): Unit = {
+      require(a.length == 576 + 1024,
+        s"mp3 pcm: hybrid state is 1600 Longs, got ${a.length}")
+      var sb = 0
+      while (sb < 32) {
+        System.arraycopy(a, 18 * sb, prev(sb), 0, 18); sb += 1
+      }
+      synth.loadV(java.util.Arrays.copyOfRange(a, 576, 1600))
+    }
 
     /** Decode one granule to PCM. `blockSplit` drives the window
       * shapes; alias boundaries and per-subband block types follow

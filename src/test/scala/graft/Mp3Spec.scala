@@ -538,4 +538,159 @@ class Mp3Spec extends AnyFunSuite {
           stGranule(0, gr, ch))))
     }
   }
+
+  // ---- hybrid filterbank (§2.4.3.4.10-16, Mp3Pcm) --------------------------
+
+  test("hybrid filterbank: the polyphase kernel lemma — one impulse " +
+      "in subband sb contributes exactly subbandKernels(sb) to the " +
+      "next 16 steps' summed outputs (the p31 oracle's core identity)") {
+    import graft.sources.Mp2
+    val kernels = Mp2.subbandKernels()
+    Seq(0, 1, 3, 7, 31).foreach { sb =>
+      val synth = new Mp2.Synth()
+      val imp = Array.tabulate(32)(s => if (s == sb) 5L else 0L)
+      (0 until 16).foreach { a =>
+        val out = synth.stepL(if (a == 0) imp else new Array[Long](32))
+        assert(out.sum == 5L * kernels(sb)(a),
+          s"sb $sb age $a kernel mismatch")
+      }
+      // and the sample-0 kernel (the pcm0 functional)
+      val synth2 = new Mp2.Synth()
+      (0 until 16).foreach { a =>
+        val out = synth2.stepL(if (a == 0) imp else new Array[Long](32))
+        val k0 = Mp2.Matrix(if (a % 2 == 0) 0 else 32)(sb).toLong *
+          Mp2.Window(32 * a)
+        assert(out(0) == 5L * k0, s"sb $sb age $a k0 mismatch")
+      }
+    }
+  }
+
+  test("hybrid filterbank: dequant+reorder places coded short lines at " +
+      "(window-line/6, 6w + line%6), mixed blocks keep the first 36 " +
+      "lines long, and the alias butterflies hit only the 8 lines " +
+      "each side of active boundaries") {
+    import graft.sources.Mp3Pcm
+    // short granule: a single nonzero coded value at band 2, window 1,
+    // in-band index 1 → window line l = off(2)+1 = 7 → sb 1, slot 6+1
+    val bs = Mp3.BlockSplit(2, mixed = false, (0, 1, 0))
+    val off2 = Mp3.SfbOffsetsShort(2) // 6
+    val width2 = Mp3.SfbOffsetsShort(3) - off2
+    val j = 3 * off2 + 1 * width2 + 1
+    val pairs = Vector.tabulate((j + 2) / 2) { pi =>
+      (if (2 * pi == j) 8 else 0, if (2 * pi + 1 == j) 8 else 0)
+    }
+    val g = Mp3.Granule(pairs, Vector.empty, 218, 0, (2, 18, 0),
+      0, 0, preflag = false, scalefacScale = false,
+      scalefacs = Vector.fill(36)(0), blockSplit = Some(bs))
+    val xs = Mp3Pcm.dequantGranule(g)
+    val l = off2 + 1
+    // gain 218 − 8·sbg(1) = 210 → xr = 2^4 = 16
+    assert(xs(l / 6)(6 * 1 + l % 6) == 16L)
+    assert(xs.iterator.flatten.map(math.abs).sum == 16L)
+    // mixed: line 5 is LONG (sb 0, k 5) at global gain
+    val bsM = Mp3.BlockSplit(2, mixed = true, (0, 0, 0))
+    val gM = g.copy(bigValues = Vector.tabulate(3)(pi =>
+      (0, if (2 * pi + 1 == 5) 1 else 0)),
+      globalGain = 214, blockSplit = Some(bsM),
+      scalefacs = Vector.fill(35)(0))
+    val xsM = Mp3Pcm.dequantGranule(gM)
+    assert(xsM(0)(5) == 2L) // 1^(4/3)·2^((214−210)/4)
+    // alias: impulse at sb1 line 0 spreads to sb0 line 17 iff the
+    // boundary is active
+    val one = Array.fill(32, 18)(0L); one(1)(0) = 100L
+    val long = Mp3Pcm.aliasReduce(one, 31)
+    assert(long(0)(17) == -Mp3Pcm.CaQ(0).toLong * 100 &&
+      long(1)(0) == Mp3Pcm.CsQ(0).toLong * 100)
+    val short = Mp3Pcm.aliasReduce(one, 0)
+    assert(short(0)(17) == 0L &&
+      short(1)(0) == Mp3Pcm.Q.toLong * 100)
+    // cs² + ca² ≈ Q² (the §2.4.3.4.10.1 formulas are a rotation)
+    (0 until 8).foreach { i =>
+      val n = Mp3Pcm.CsQ(i).toLong * Mp3Pcm.CsQ(i) +
+        Mp3Pcm.CaQ(i).toLong * Mp3Pcm.CaQ(i)
+      assert(math.abs(n - Mp3Pcm.Q.toLong * Mp3Pcm.Q) <= 2 * Mp3Pcm.Q)
+    }
+  }
+
+  test("hybrid filterbank: Hybrid.granule equals the explicit " +
+      "alias → IMDCT-window → overlap-add → inversion → polyphase " +
+      "composition (the exact formula the p31 oracle replays), " +
+      "including the cross-granule overlap tail") {
+    import graft.sources.{Mp2, Mp3Pcm}
+    def granule(i: Int, gr: Int): Mp3.Granule = {
+      val regime = (i + gr) % 5
+      val split = regime match {
+        case 1 => Some(Mp3.BlockSplit(1, mixed = false, (0, 0, 0)))
+        case 2 => Some(Mp3.BlockSplit(2, mixed = false,
+          (i % 2, gr, (i + gr) % 2)))
+        case 3 => Some(Mp3.BlockSplit(2, mixed = true, (0, 1, 1)))
+        case 4 => Some(Mp3.BlockSplit(3, mixed = false, (0, 0, 0)))
+        case _ => None
+      }
+      val bv = 8 + (i * 7 + gr * 3) % 8
+      val cubes = Array(0, 1, 8)
+      val pairs = Vector.tabulate(bv) { pi =>
+        def v(s2: Int): Int = {
+          val idx = 2 * pi + s2
+          val m = cubes((i * 5 + idx * 7 + gr * 11) % 3)
+          if (m != 0 && (idx + i) % 2 == 1) -m else m
+        }
+        (v(0), v(1))
+      }
+      val gain = 218 + 4 * ((i + gr) % 2)
+      val nSf = split match {
+        case Some(bs) if bs.blockType == 2 && !bs.mixed => 36
+        case Some(bs) if bs.blockType == 2 => 35
+        case _ => 21
+      }
+      Mp3.Granule(pairs, Vector.empty, gain, 0,
+        (2, 18, if (split.isEmpty) 19 else 0),
+        if (split.isEmpty) 1 else 0, if (split.isEmpty) 2 else 0,
+        preflag = false, scalefacScale = false,
+        scalefacs = Vector.fill(nSf)(0), blockSplit = split)
+    }
+    val gs = for (i <- 0 until 3; gr <- 0 until 2) yield granule(i, gr)
+    // reference composition, carried explicitly across granules
+    val prev = Array.fill(32, 18)(0L)
+    val synth = new Mp2.Synth()
+    val hybrid = new Mp3Pcm.Hybrid()
+    gs.foreach { g =>
+      val boundaries = g.blockSplit match {
+        case Some(bs) if bs.blockType == 2 => if (bs.mixed) 1 else 0
+        case _ => 31
+      }
+      val xa = Mp3Pcm.aliasReduce(Mp3Pcm.dequantGranule(g), boundaries)
+      val want = new Array[Long](576)
+      val slots = Array.fill(18, 32)(0L)
+      (0 until 32).foreach { sb =>
+        val bt = g.blockSplit match {
+          case Some(bs) =>
+            if (bs.blockType == 2 && bs.mixed && sb < 2) 0
+            else bs.blockType
+          case None => 0
+        }
+        val cur = Array.tabulate(36)(j =>
+          (0 until 18).map(k =>
+            Mp3Pcm.imdctWin(bt)(j)(k).toLong * xa(sb)(k)).sum)
+        (0 until 18).foreach { t =>
+          val v = prev(sb)(t) + cur(t)
+          slots(t)(sb) = if (sb % 2 == 1 && t % 2 == 1) -v else v
+          prev(sb)(t) = cur(t + 18)
+        }
+      }
+      (0 until 18).foreach { t =>
+        val pcm = synth.stepL(slots(t))
+        System.arraycopy(pcm, 0, want, 32 * t, 32)
+      }
+      val got = hybrid.granule(g)
+      assert(got.toSeq == want.toSeq)
+      assert(got.exists(_ != 0L), "a coded granule must reach PCM")
+    }
+    // a zero granule after content still rings the overlap tail +
+    // the polyphase register
+    val tail = hybrid.granule(granule(0, 0).copy(
+      bigValues = Vector.empty, count1 = Vector.empty))
+    assert(tail.exists(_ != 0L),
+      "overlap-add and the V register must carry across granules")
+  }
 }
