@@ -3835,6 +3835,179 @@ object DspQueries {
       |ORDER BY fr.chunk_id, fr.i""".stripMargin
   }
 
+
+  /** p32: AAC DECODE TO SAMPLES ([[graft.sources.AacPcm]], ISO/IEC
+    * 14496-3 §4.6.11) — the filterbank leg p25–p28 stopped short of,
+    * matching the reference's decoded-samples test surface
+    * (tests/media/test_audio_codec.py:10-16): requantized SCE
+    * spectra → IMDCT 2048/256 under the sine window → the four
+    * window sequences cycling in their LEGAL transition order
+    * (ONLY_LONG → LONG_START → EIGHT_SHORT → LONG_STOP) →
+    * 50%-overlap-add. Frames round-trip through the real raw_data_
+    * block bits (muxSce/demuxSce); the oracle replays requant (§9.2
+    * exact grid under the running DPCM scalefactors, closed-form
+    * cumulative) and pins each frame's samples through three
+    * independent linear functionals of the SAME Q10 lattice —
+    * summed, alternating-sign, and first-sample kernels over both
+    * overlap halves. */
+  private def p32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Aac, AacPcm}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(6, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val cubes = Array(0, 1, 8, 27)
+        def sce(fi: Int): Aac.AacIcs = {
+          val seq = fi % 4
+          val short = seq == 2
+          val maxSfb = if (short) 3 else 5
+          val info = Aac.IcsInfo(seq, 0, maxSfb, 0)
+          val groups = info.groupLens
+          val gain = 100 + 4 * (2 + fi % 3)
+          val sections = groups.indices.toVector.map(_ =>
+            Vector(Aac.Section(11, 0, maxSfb)))
+          val dpcm = groups.indices.toVector.map(gi =>
+            (0 until maxSfb).toVector.map { b =>
+              val dSlot = gi * maxSfb + b
+              4 * (((fi + dSlot) % 3) - 1)
+            })
+          val spectral = groups.indices.toVector.map { gi =>
+            (0 until maxSfb).toVector.map { b =>
+              Vector.tabulate(info.sfbWidth(b, groups(gi))) { l =>
+                val k = if (short) 128 * gi + Aac.SwbShort(b) + l
+                  else Aac.SwbLong(b) + l
+                val m = cubes((fi * 5 + k * 7) % 4)
+                if (m != 0 && (k + fi) % 2 == 1) -m else m
+              }
+            }
+          }
+          Aac.AacIcs(gain, info, sections, dpcm, None, spectral)
+        }
+        val frames = (0 until n).map(i => sce(i + cid.toInt * 7))
+        val overlap = new AacPcm.Overlap()
+        frames.iterator.zipWithIndex.map { case (ics, i) =>
+          val (tag, rec) = Aac.demuxSce(Aac.muxSce(ics))
+          require(tag == 0 && rec.spectral == ics.spectral,
+            s"chunk $cid frame $i: SCE round-trip drift")
+          val lines = AacPcm.dequantIcs(rec)
+          val out = overlap.frame(lines, rec.info.windowSequence)
+          val sfSum = rec.scalefactors.iterator.flatten.flatten
+            .map(_.toLong).sum
+          (cid, i.toLong, rec.info.windowSequence.toLong,
+            lines.iterator.map(math.abs).sum, sfSum,
+            out.sum,
+            out.iterator.zipWithIndex
+              .map { case (v, j) => if (j % 2 == 1) -v else v }.sum,
+            out(0))
+        }
+      }
+    }.toDF("chunk_id", "i", "seq", "spec_sum", "sf_sum",
+        "pcm_sum", "pcm_alt", "pcm0")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  /** The p32 oracle's kernel literals, generated from the SAME Q10
+    * lattice the engine uses: per (seq, line) the six linear
+    * functionals — first/second-half sums, first/second-half
+    * alternating sums, and the two first-sample taps. */
+  private def p32KerLiteral: String = {
+    import graft.sources.{Aac, AacPcm}
+    def row(seq: Int, k: Int): String = {
+      val m = AacPcm.wm(seq)
+      var s1 = 0L; var s2 = 0L; var a1 = 0L; var a2 = 0L
+      var i = 0
+      while (i < 2048) {
+        val v = m(i)(k).toLong
+        val alt = if (i % 2 == 1) -v else v
+        if (i < 1024) { s1 += v; a1 += alt }
+        else { s2 += v; a2 += alt }
+        i += 1
+      }
+      s"($seq,$k,$s1,$s2,$a1,$a2,${m(0)(k)},${m(1024)(k)})"
+    }
+    val longKs = 0 until Aac.SwbLong(5)
+    val shortKs = for (w <- 0 until 8; kk <- 0 until Aac.SwbShort(3))
+      yield 128 * w + kk
+    (Seq(0, 1, 3).flatMap(seq => longKs.map(k => row(seq, k))) ++
+      shortKs.map(k => row(2, k))).mkString(",")
+  }
+
+  private val p32Sql =
+    s"""WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, g.i + chunk_id * 7 AS fi,
+      |    (g.i + chunk_id * 7) % 4 AS seq
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |-- spectral lines: long k in [swb(b), swb(b+1)) over 5 sfbs
+      |-- (swb(b) = 2(b²+b)); EIGHT_SHORT k = 128·w + kk, kk over 3
+      |-- short sfbs; the sfb slot drives the DPCM scalefactor walk
+      |kl AS (SELECT fr.*, kv.k, b.b AS slot
+      |  FROM f fr
+      |  JOIN (SELECT unnest(range(60)) AS k) kv ON fr.seq != 2
+      |  JOIN (SELECT unnest(range(5)) AS b) b
+      |    ON kv.k >= 2 * (b.b * b.b + b.b)
+      |    AND kv.k < 2 * ((b.b + 1) * (b.b + 1) + b.b + 1)),
+      |ks AS (SELECT fr.*, 128 * w.w + kv.k AS k,
+      |    w.w * 3 + b.b AS slot
+      |  FROM f fr
+      |  JOIN (SELECT unnest(range(8)) AS w) w ON fr.seq = 2
+      |  JOIN (SELECT unnest(range(24)) AS k) kv ON true
+      |  JOIN (SELECT unnest(range(3)) AS b) b
+      |    ON kv.k >= 2 * (b.b * b.b + b.b)
+      |    AND kv.k < 2 * ((b.b + 1) * (b.b + 1) + b.b + 1)),
+      |kall AS (SELECT chunk_id, i, fi, seq, k, slot FROM kl
+      |  UNION ALL SELECT chunk_id, i, fi, seq, k, slot FROM ks),
+      |-- §9.2 requant under the running scalefactor: the DPCM walk's
+      |-- cumulative has the closed form S(n) = -1 unless n%3 = 2
+      |lines AS (SELECT chunk_id, i, fi, seq, k, slot,
+      |    100 + 4 * (2 + fi % 3)
+      |      + 4 * ((CASE (fi + slot) % 3 WHEN 2 THEN 0 ELSE -1 END)
+      |           - (CASE (fi + 2) % 3 WHEN 2 THEN 0 ELSE -1 END)) AS sf,
+      |    list_extract([0, 1, 8, 27],
+      |      CAST((fi * 5 + k * 7) % 4 + 1 AS INT)) AS m,
+      |    CASE WHEN (k + fi) % 2 = 1 THEN -1 ELSE 1 END AS sgn
+      |  FROM kall),
+      |x AS (SELECT chunk_id, i, fi, seq, k, slot, sf,
+      |    sgn * (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 8 THEN 16
+      |      ELSE 81 END)
+      |    * CAST(power(2, (sf - 100) // 4) AS BIGINT) AS v
+      |  FROM lines),
+      |ker(seq, k, s1, s2, a1, a2, p1, p2) AS (VALUES ${p32KerLiteral}),
+      |cur AS (SELECT x.chunk_id, x.i,
+      |    SUM(x.v * kr.s1) AS cs, SUM(x.v * kr.a1) AS ca,
+      |    SUM(x.v * kr.p1) AS cp,
+      |    SUM(x.v * kr.s2) AS ts, SUM(x.v * kr.a2) AS ta,
+      |    SUM(x.v * kr.p2) AS tp
+      |  FROM x JOIN ker kr ON kr.seq = x.seq AND kr.k = x.k
+      |  GROUP BY 1, 2),
+      |sfslots AS (SELECT DISTINCT chunk_id, i, slot, sf FROM lines),
+      |sfsum AS (SELECT chunk_id, i, SUM(sf) AS sf_sum FROM sfslots
+      |  GROUP BY 1, 2),
+      |specsum AS (SELECT chunk_id, i, SUM(abs(v)) AS spec_sum
+      |  FROM x GROUP BY 1, 2)
+      |SELECT fr.chunk_id, CAST(fr.i AS BIGINT) AS i,
+      |  CAST(fr.seq AS BIGINT) AS seq,
+      |  CAST(sp.spec_sum AS BIGINT) AS spec_sum,
+      |  CAST(sf2.sf_sum AS BIGINT) AS sf_sum,
+      |  CAST(coalesce(c.cs, 0) + coalesce(pr.ts, 0) AS BIGINT)
+      |    AS pcm_sum,
+      |  CAST(coalesce(c.ca, 0) + coalesce(pr.ta, 0) AS BIGINT)
+      |    AS pcm_alt,
+      |  CAST(coalesce(c.cp, 0) + coalesce(pr.tp, 0) AS BIGINT) AS pcm0
+      |FROM f fr
+      |JOIN sfsum sf2 ON sf2.chunk_id = fr.chunk_id AND sf2.i = fr.i
+      |JOIN specsum sp ON sp.chunk_id = fr.chunk_id AND sp.i = fr.i
+      |LEFT JOIN cur c ON c.chunk_id = fr.chunk_id AND c.i = fr.i
+      |LEFT JOIN cur pr ON pr.chunk_id = fr.chunk_id
+      |  AND pr.i = fr.i - 1
+      |ORDER BY fr.chunk_id, fr.i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -3867,5 +4040,6 @@ object DspQueries {
     Q("p29_mp2_stereo", p29, Some(p29Sql)),
     Q("p30_mp1_stereo", p30, Some(p30Sql)),
     Q("p31_mp3_pcm", p31, Some(p31Sql)),
+    Q("p32_aac_pcm", p32, Some(p32Sql)),
   )
 }

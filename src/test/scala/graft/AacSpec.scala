@@ -361,4 +361,95 @@ class AacSpec extends AnyFunSuite {
       Aac.muxCpe(sce(0), sce(1), Vector.empty, msMaskPresent = 0)
     }
   }
+
+  // ---- filterbank (§4.6.11, AacPcm) ----------------------------------------
+
+  test("filterbank: window-sequence support — EIGHT_SHORT columns only " +
+      "touch their 256-sample landing zone, LONG_START is zero past " +
+      "1600, LONG_STOP before 448, and the lattice is nonzero where " +
+      "the shapes say so") {
+    import graft.sources.AacPcm
+    val short = AacPcm.wm(2)
+    (0 until 8).foreach { w =>
+      val col = 128 * w + 3
+      (0 until 2048).foreach { i =>
+        val in = i >= 448 + 128 * w && i < 448 + 128 * w + 256
+        if (!in) assert(short(i)(col) == 0,
+          s"short window $w leaked to row $i")
+      }
+      assert((448 + 128 * w until 448 + 128 * w + 256)
+        .exists(i => short(i)(col) != 0))
+    }
+    (1600 until 2048).foreach(i => assert(AacPcm.wm(1)(i)(5) == 0))
+    (0 until 448).foreach(i => assert(AacPcm.wm(3)(i)(5) == 0))
+    assert(AacPcm.wm(0)(100)(5) != 0)
+  }
+
+  test("filterbank: Overlap.frame equals the two-kernel decomposition " +
+      "(first half of this frame's lattice + the stored tail), a " +
+      "following zero frame rings the tail alone, and the boundary " +
+      "requires are loud (grouped shorts, KBD, intensity)") {
+    import graft.sources.{Aac, AacPcm}
+    val x1 = new Array[Long](1024); x1(3) = 81; x1(40) = -16
+    val x2 = new Array[Long](1024); x2(130) = 16; x2(200) = 1
+    val ov = new AacPcm.Overlap()
+    val out1 = ov.frame(x1, 0)
+    val out2 = ov.frame(x2, 1)
+    def z(seq: Int, x: Array[Long], i: Int): Long =
+      (0 until 1024).map(k => AacPcm.wm(seq)(i)(k).toLong * x(k)).sum
+    (0 until 1024 by 97).foreach { i =>
+      assert(out1(i) == z(0, x1, i))
+      assert(out2(i) == z(0, x1, 1024 + i) + z(1, x2, i),
+        s"overlap decomposition at $i")
+    }
+    val out3 = new AacPcm.Overlap() // fresh: tail only
+    out3.load(ov.flat)
+    val ring = out3.frame(new Array[Long](1024), 3)
+    assert(ring.exists(_ != 0L), "the tail must ring through")
+    assert(ring.toSeq == (0 until 1024).map(i => z(1, x2, 1024 + i)))
+    // loud boundaries
+    val grouped = Aac.AacIcs(108, Aac.IcsInfo(2, 0, 1, 64),
+      Vector.fill(7)(Vector(Aac.Section(1, 0, 1))),
+      Vector.fill(7)(Vector(0)),
+      None,
+      Vector.tabulate(7)(gi => Vector(Vector.fill(
+        Aac.IcsInfo(2, 0, 1, 64).sfbWidth(0,
+          Aac.IcsInfo(2, 0, 1, 64).groupLens(gi)))(0))))
+    intercept[IllegalArgumentException](AacPcm.dequantIcs(grouped))
+    val kbd = Aac.AacIcs(108, Aac.IcsInfo(0, 1, 1, 0),
+      Vector(Vector(Aac.Section(1, 0, 1))), Vector(Vector(0)), None,
+      Vector(Vector(Vector.fill(4)(0))))
+    intercept[IllegalArgumentException](AacPcm.dequantIcs(kbd))
+  }
+
+  test("filterbank: dequantIcs places long lines at swb(b)+l and " +
+      "ungrouped short lines at 128·window + swbShort(b)+l on the " +
+      "§9.2 exact grid under the running DPCM scalefactors") {
+    import graft.sources.{Aac, AacPcm}
+    val info = Aac.IcsInfo(0, 0, 2, 0)
+    val ics = Aac.AacIcs(104, info,
+      Vector(Vector(Aac.Section(11, 0, 2))),
+      Vector(Vector(0, 4)), None,
+      Vector(Vector(
+        Vector.tabulate(info.sfbWidth(0, 1))(l => if (l == 1) 8 else 0),
+        Vector.tabulate(info.sfbWidth(1, 1))(l =>
+          if (l == 0) -27 else 0))))
+    val lines = AacPcm.dequantIcs(ics)
+    assert(lines(1) == 16L << 1)      // sf 104 → e 1
+    assert(lines(Aac.SwbLong(1)) == -(81L << 2)) // sf 108 → e 2
+    assert(lines.count(_ != 0) == 2)
+    val infoS = Aac.IcsInfo(2, 0, 2, 0)
+    val icsS = Aac.AacIcs(100, infoS,
+      Vector.fill(8)(Vector(Aac.Section(11, 0, 2))),
+      Vector.tabulate(8)(gi => Vector(if (gi == 3) 4 else 0, 0)),
+      None,
+      Vector.tabulate(8)(gi => Vector(
+        Vector.tabulate(infoS.sfbWidth(0, 1))(l =>
+          if (gi == 3 && l == 2) 1 else 0),
+        Vector.fill(infoS.sfbWidth(1, 1))(0))))
+    val linesS = AacPcm.dequantIcs(icsS)
+    // group 3's delta walk: slots 0..6 all 0 except slot 6 (+4) → sf 104
+    assert(linesS(128 * 3 + 2) == 2L)
+    assert(linesS.count(_ != 0) == 1)
+  }
 }
