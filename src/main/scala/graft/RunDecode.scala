@@ -270,26 +270,37 @@ object RunDecode {
     * matched (or the last named failure). */
   private def decodeSlice(nal: Array[Byte], sps: H264.Sps,
       pps: H264.Pps, p: H264.Profile, idx: Int): String = {
+    def pixels(p: => graft.sources.H264Recon.Planes): String =
+      scala.util.Try(p).map { pl =>
+        val luma = pl.y.iterator.flatMap(_.iterator).map(_.toLong).sum
+        val chroma = pl.u.iterator.flatMap(_.iterator).map(_.toLong).sum +
+          pl.v.iterator.flatMap(_.iterator).map(_.toLong).sum
+        s""","luma_sum":$luma,"chroma_sum":$chroma"""
+      }.getOrElse(""","recon_skipped":true""")
     def coeffSum(blocks: Iterable[Array[Int]]): Long =
       blocks.iterator.flatMap(_.iterator)
         .map(v => math.abs(v).toLong).sum
     val attempts: Seq[(String, () => String)] = Seq(
       "intra_coded" -> { () =>
-        val (_, mbs) = H264.parseIntraCodedSlice(nal, sps, pps, -1, p)
+        val (info, mbs) = H264.parseIntraCodedSlice(nal, sps, pps, -1, p)
         val sum = coeffSum(mbs.flatMap(_.luma)) +
           coeffSum(mbs.flatMap(_.chromaDc)) +
           coeffSum(mbs.flatMap(_.chromaAc.flatten))
         s"""{"nal":$idx,"type":"slice","family":"intra_coded",""" +
-          s""""mbs":${mbs.length},"coeff_abs_sum":$sum}"""
+          s""""mbs":${mbs.length},"coeff_abs_sum":$sum""" +
+          pixels(graft.sources.H264Recon.decodeI4Frame(
+            info, mbs, sps, pps)) + "}"
       },
       "i16x16" -> { () =>
-        val (_, mbs) = H264.parseI16Slice(nal, sps, pps, p)
+        val (info, mbs) = H264.parseI16Slice(nal, sps, pps, p)
         val sum = coeffSum(mbs.map(_.lumaDc)) +
           coeffSum(mbs.flatMap(_.lumaAc)) +
           coeffSum(mbs.flatMap(_.chromaDc)) +
           coeffSum(mbs.flatMap(_.chromaAc.flatten))
         s"""{"nal":$idx,"type":"slice","family":"i16x16",""" +
-          s""""mbs":${mbs.length},"coeff_abs_sum":$sum}"""
+          s""""mbs":${mbs.length},"coeff_abs_sum":$sum""" +
+          pixels(graft.sources.H264Recon.decodeI16Frame(
+            info, mbs, sps, pps)) + "}"
       },
       "p_slice" -> { () =>
         val (_, mbs) = H264.parsePSlice(nal, sps, pps, p)

@@ -6214,6 +6214,180 @@ object ContainerQueries {
     * lattice, down to the same per-frame PCM sums and first samples.
     * Scale: state per key is spec-bounded; scale-out is keys ×
     * executors, identical to e53–e56. */
+  /** m68: H.264 DECODE TO PIXELS ([[graft.sources.H264Recon]],
+    * §8.3/§8.5) — VP8-depth parity for H.264: the CAVLC slice
+    * parsers' coefficients (m62/m64) now reach reconstructed planes
+    * through the nine Intra_4x4 predictors, the I_16x16 predictor
+    * family, the chroma per-4x4 DC selection, §8.5 scaling + the
+    * integer 4×4 inverse transform, both Hadamard DC paths and the
+    * macroblock QP chain. Frames alternate an Intra_4x4 slice
+    * (DC top block row, Vertical below — §8.3.1's availability
+    * fallbacks at the frame edge) and an I_16x16 slice (DC/Vertical
+    * MBs), with DC-only residuals at a per-frame mb_qp_delta, so the
+    * ENGINE runs the fully general machinery while the oracle replays
+    * the closed-form column cascade (the lemma H264Spec pins
+    * pixel-by-pixel against decodeI4Frame/decodeI16Frame). */
+  private[operators] object H264ReconKernel extends Serializable {
+    import graft.sources.{H264, H264Recon}
+    def rows(cid: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+      val n = math.min(6, count)
+      if (n < 1) return Iterator.empty
+      val sps = H264.parseSps(H264.writeSps(32, 32))
+      val pps = H264.parsePps(H264.writePps())
+      val c = cid.toInt
+      (0 until n).iterator.map { t =>
+        val qpDelta = (t + c) % 5 - 2
+        val qpd = Vector(qpDelta, 0, 0, 0)
+        val chromaModes = Vector(0, 0, 2, 2)
+        def c2Of(mb: Int, comp: Int): Int = (t * 3 + mb * 5 + comp + c) % 2
+        val cdc = Vector.tabulate(4)(mb => Vector.tabulate(2)(comp =>
+          Array(c2Of(mb, comp), 0, 0, 0)))
+        val cac = Vector.fill(4)(Vector.fill(2)(
+          Vector.fill(4)(Array.empty[Int])))
+        val planes =
+          if (t % 2 == 0) {
+            val modes = Vector.tabulate(4) { mb =>
+              val mr = mb / 2
+              Array.tabulate(16) { idx =>
+                val (_, by) = H264.blk4x4Pos(idx)
+                if (mr == 0 && by == 0) 2 else 0
+              }
+            }
+            val luma = Vector.tabulate(4)(mb => Vector.tabulate(16) { blk =>
+              val a = new Array[Int](16)
+              a(0) = (t * 5 + mb * 7 + blk * 3 + c) % 2
+              a
+            })
+            val nal = H264.writeIntraCodedSlice(0, sps, pps, modes,
+              chromaModes, Vector.fill(4)(0x1F), qpd, luma, cdc, cac)
+            val (info, mbs) = H264.parseIntraCodedSlice(nal, sps, pps)
+            H264Recon.decodeI4Frame(info, mbs, sps, pps)
+          } else {
+            val preds = Vector(2, 2, 0, 0)
+            val dc16 = Vector.tabulate(4) { mb =>
+              val a = new Array[Int](16)
+              a(0) = (t * 7 + mb * 11 + c) % 2
+              a
+            }
+            val nal = H264.writeI16Slice(0, sps, pps, preds,
+              chromaModes, Vector.fill(4)(1), qpd, dc16,
+              Vector.fill(4)(Vector.empty), cdc, cac)
+            val (info, mbs) = H264.parseI16Slice(nal, sps, pps)
+            H264Recon.decodeI16Frame(info, mbs, sps, pps)
+          }
+        val lumaSum = planes.y.iterator.flatMap(_.iterator)
+          .map(_.toLong).sum
+        val chromaSum = planes.u.iterator.flatMap(_.iterator)
+          .map(_.toLong).sum +
+          planes.v.iterator.flatMap(_.iterator).map(_.toLong).sum
+        (cid, t.toLong, (t % 2).toLong, (26 + qpDelta).toLong,
+          lumaSum, chromaSum, planes.y(0)(0).toLong)
+      }
+    }
+  }
+
+  private def m68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        H264ReconKernel.rows(k, it.size))
+      .toDF("container", "t", "kind", "qp", "luma_sum", "chroma_sum",
+        "y00")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m68Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |frames AS (SELECT container, g.t,
+      |    26 + (g.t + container) % 5 - 2 AS qp
+      |  FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |-- LS(qP%6, 0, 0) over the §8.5 value rows; qP ∈ [24,28] → m ∈ [0,4]
+      |q AS (SELECT *, list_extract([10, 11, 13, 14, 16],
+      |    CAST(qp % 6 + 1 AS INT)) AS ls FROM frames),
+      |-- Intra_4x4 frames (even t): DC-only per-4x4 residual
+      |-- u = (c·LS·16 + 32) // 64 cascading DC-then-Vertical
+      |i4b AS (SELECT q.container, q.t, q.qp, q.ls, gx.gbx, gy.gby,
+      |    (q.t * 5 + ((gy.gby // 4) * 2 + gx.gbx // 4) * 7
+      |      + (((gy.gby % 4) // 2) * 2 + (gx.gbx % 4) // 2) * 4 * 3
+      |      + ((gy.gby % 2) * 2 + gx.gbx % 2) * 3
+      |      + q.container) % 2 AS cv
+      |  FROM q,
+      |    (SELECT unnest(range(8)) AS gbx) gx,
+      |    (SELECT unnest(range(8)) AS gby) gy
+      |  WHERE q.t % 2 = 0),
+      |i4u AS (SELECT *, (cv * ls * 16 + 32) // 64 AS u FROM i4b),
+      |-- val(gbx, gby) = 128 + Σ_{b≤gbx} u(b, 0) + Σ_{1≤r≤gby} u(gbx, r)
+      |i4r0 AS (SELECT container, t, gbx,
+      |    sum(u) OVER (PARTITION BY container, t ORDER BY gbx) AS cum0
+      |  FROM i4u WHERE gby = 0),
+      |i4v AS (SELECT cc.container, cc.t, cc.gbx, cc.gby,
+      |    128 + r0.cum0 + cc.cumc AS val
+      |  FROM (SELECT container, t, gbx, gby,
+      |      sum(CASE WHEN gby > 0 THEN u ELSE 0 END)
+      |        OVER (PARTITION BY container, t, gbx ORDER BY gby) AS cumc
+      |    FROM i4u) cc
+      |  JOIN i4r0 r0 ON r0.container = cc.container AND r0.t = cc.t
+      |    AND r0.gbx = cc.gbx),
+      |i4sum AS (SELECT container, t, 16 * sum(val) AS luma_sum,
+      |    16 * 8 * 8 AS npix,
+      |    max(CASE WHEN gbx = 0 AND gby = 0 THEN val END) AS y00
+      |  FROM i4v GROUP BY 1, 2),
+      |-- I_16x16 frames (odd t): uniform r16 = (cL·LS·4 + 32) // 64
+      |i16m AS (SELECT q.container, q.t, q.qp, q.ls, mb.mb,
+      |    ((q.t * 7 + mb.mb * 11 + q.container) % 2) * q.ls * 4 AS dcv
+      |  FROM q, (SELECT unnest(range(4)) AS mb) mb
+      |  WHERE q.t % 2 = 1),
+      |i16r AS (SELECT container, t, mb, (dcv + 32) // 64 AS r FROM i16m),
+      |i16v AS (SELECT a.container, a.t, a.mb,
+      |    128 + a.r
+      |    + coalesce((SELECT b.r FROM i16r b WHERE b.container = a.container
+      |        AND b.t = a.t AND b.mb = CASE a.mb WHEN 1 THEN 0
+      |          WHEN 2 THEN 0 WHEN 3 THEN 1 END), 0)
+      |    + coalesce((SELECT c2.r FROM i16r c2 WHERE c2.container = a.container
+      |        AND c2.t = a.t AND c2.mb = 0 AND a.mb = 3), 0) AS val
+      |  FROM i16r a),
+      |i16sum AS (SELECT container, t, 256 * sum(val) AS luma_sum,
+      |    max(CASE WHEN mb = 0 THEN val END) AS y00
+      |  FROM i16v GROUP BY 1, 2),
+      |-- chroma (both kinds): per-MB uniform uc over the DC/V cascade
+      |ch AS (SELECT q.container, q.t, mb.mb, comp.comp,
+      |    ((((q.t * 3 + mb.mb * 5 + comp.comp + q.container) % 2)
+      |      * q.ls * 16) // 2 + 32) // 64 AS uc
+      |  FROM q, (SELECT unnest(range(4)) AS mb) mb,
+      |    (SELECT unnest(range(2)) AS comp) comp),
+      |chv AS (SELECT a.container, a.t, a.mb, a.comp,
+      |    128 + a.uc
+      |    + coalesce((SELECT b.uc FROM ch b WHERE b.container = a.container
+      |        AND b.t = a.t AND b.comp = a.comp
+      |        AND b.mb = CASE a.mb WHEN 1 THEN 0 WHEN 2 THEN 0
+      |          WHEN 3 THEN 1 END), 0)
+      |    + coalesce((SELECT c2.uc FROM ch c2 WHERE c2.container = a.container
+      |        AND c2.t = a.t AND c2.comp = a.comp AND c2.mb = 0
+      |        AND a.mb = 3), 0) AS cval
+      |  FROM ch a),
+      |chsum AS (SELECT container, t, 64 * sum(cval) AS chroma_sum
+      |  FROM chv GROUP BY 1, 2)
+      |SELECT f.container, CAST(f.t AS BIGINT) AS t,
+      |  CAST(f.t % 2 AS BIGINT) AS kind,
+      |  CAST(f.qp AS BIGINT) AS qp,
+      |  CAST(coalesce(i4.luma_sum, i16.luma_sum) AS BIGINT) AS luma_sum,
+      |  CAST(cs.chroma_sum AS BIGINT) AS chroma_sum,
+      |  CAST(coalesce(i4.y00, i16.y00) AS BIGINT) AS y00
+      |FROM frames f
+      |LEFT JOIN i4sum i4 ON i4.container = f.container AND i4.t = f.t
+      |LEFT JOIN i16sum i16 ON i16.container = f.container
+      |  AND i16.t = f.t
+      |JOIN chsum cs ON cs.container = f.container AND cs.t = f.t
+      |ORDER BY f.container, f.t""".stripMargin
+
   private[operators] object Mp3PcmStreamKernel extends Serializable {
     def rows(cid: Long, count: Int)
         : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
@@ -6643,6 +6817,7 @@ object ContainerQueries {
     Q("m65_h264_pslice", m65, Some(m65Sql)),
     Q("m66_h264_multislice", m66, Some(m66Sql)),
     Q("m67_aac_mp4", m67, Some(m67Sql)),
+    Q("m68_h264_recon", m68, Some(m68Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

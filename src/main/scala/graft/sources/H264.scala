@@ -1363,7 +1363,8 @@ object H264 {
   final case class I16Mb(predMode: Int, cbpChroma: Int,
       acCoded: Boolean, qpDelta: Int, lumaDc: Array[Int],
       lumaAc: Vector[Array[Int]], ncDc: Int,
-      chromaDc: Vector[Array[Int]], chromaAc: Vector[Vector[Array[Int]]])
+      chromaDc: Vector[Array[Int]], chromaAc: Vector[Vector[Array[Int]]],
+      chromaMode: Int = 0)
 
   /** Write an I_16x16 IDR slice (§7.3.5): mb_type 1..24 carries the
     * prediction mode / CBP packing, intra_chroma_pred_mode follows,
@@ -1510,7 +1511,7 @@ object H264 {
         }
       }
       out += I16Mb(pred, cbpChroma, ac, qpd, dc, acBlocks, ncDc,
-        cdc.result(), cac.map(_.toVector).toVector)
+        cdc.result(), cac.map(_.toVector).toVector, chroma)
       mb += 1
     }
     require(r.u(1) == 1, "h264: missing rbsp_stop_one_bit after slice data")

@@ -705,4 +705,181 @@ class H264Spec extends AnyFunSuite {
         Vector.fill(4)(Vector.fill(2)(Vector.fill(4)(Array.empty[Int]))))
     }
   }
+
+  // ---- pixel reconstruction (§8.3/§8.5, H264Recon) -------------------------
+
+  test("recon transforms: DC-only 4x4 dequant+IDCT is uniform " +
+      "(c·LS·2^(qP/6)+32)>>6, the I_16x16 Hadamard of a delta spreads " +
+      "the DC evenly, chroma 2x2 likewise, and the low-QP branches " +
+      "engage") {
+    import graft.sources.H264Recon
+    val scan = new Array[Int](16); scan(0) = 1
+    val r = H264Recon.idct4x4(H264Recon.dequant4x4(scan, 26))
+    val want = (13L * 16 + 32) >> 6 // LS(2,0,0)=13, qP/6=4
+    assert(r.flatten.forall(_ == want) && want == 3)
+    // a pure-AC block sums to ~zero (the DC row of the inverse
+    // transform carries the mean)
+    val ac = new Array[Int](16); ac(1) = 5 // scan 1 → raster (1,0)
+    val r2 = H264Recon.idct4x4(H264Recon.dequant4x4(ac, 24))
+    assert(r2.flatten.sum != 0 || r2.flatten.exists(_ != 0))
+    // I16 luma DC: delta at (0,0) → all 16 block DCs equal c·LS·4
+    val dc = Array.fill(4, 4)(0L); dc(0)(0) = 2
+    val out = H264Recon.lumaDcTransform(dc, 26)
+    assert(out.flatten.forall(_ == 2L * 13 * 4))
+    // low-QP branch (qP < 12): rounding form
+    val outLo = H264Recon.lumaDcTransform(dc, 0)
+    assert(outLo.flatten.forall(_ == (2L * 10 + 2) >> 2))
+    // chroma 2x2
+    val cdc = H264Recon.chromaDcTransform(Array(3L, 0L, 0L, 0L), 26)
+    assert(cdc.forall(_ == 3L * 13 * 16 / 2))
+    assert(H264Recon.chromaDcTransform(Array(3L, 0L, 0L, 0L), 3)
+      .forall(_ == (3L * 14) >> 1))
+    intercept[IllegalArgumentException](H264Recon.chromaQp(30))
+  }
+
+  test("recon predictors: V copies the top row, H the left column, DC " +
+      "averages what is available (128 bare), DDL/VL reproduce a " +
+      "linear ramp, DDR/VR/HD/HU are constant on constant neighbors, " +
+      "Plane reproduces an exact plane, and illegal availability is " +
+      "loud") {
+    import graft.sources.H264Recon
+    import H264Recon.Nbr
+    val n = Nbr(Array(10, 20, 30, 40), Array(1, 2, 3, 4), 7,
+      Array(5, 6, 7, 8), leftAvail = true, topAvail = true,
+      topLeftAvail = true)
+    val v = H264Recon.pred4x4(0, n)
+    assert((0 until 4).forall(y => (0 until 4).forall(x =>
+      v(y)(x) == n.top(x))))
+    val h = H264Recon.pred4x4(1, n)
+    assert((0 until 4).forall(y => (0 until 4).forall(x =>
+      h(y)(x) == n.left(y))))
+    assert(H264Recon.pred4x4(2, n)(0)(0) ==
+      ((10 + 20 + 30 + 40 + 1 + 2 + 3 + 4 + 4) >> 3))
+    val bare = Nbr(Array.fill(4)(0), Array.fill(4)(0), 0,
+      Array.fill(4)(0), leftAvail = false, topAvail = false,
+      topLeftAvail = false)
+    assert(H264Recon.pred4x4(2, bare)(2)(1) == 128)
+    // DDL on the ramp top = 1..4, topRight = 5..8: smoothing a linear
+    // sequence reproduces it: pred(x,y) = ramp(x+y+1)
+    val ddl = H264Recon.pred4x4(3, n)
+    for (y <- 0 until 4; x <- 0 until 4 if !(x == 3 && y == 3))
+      assert(ddl(y)(x) == x + y + 2, s"ddl($x,$y)")
+    assert(ddl(3)(3) == ((7 + 3 * 8 + 2) >> 2))
+    val vl = H264Recon.pred4x4(7, n)
+    assert(vl(0)(0) == ((1 + 2 + 1) >> 1))
+    // constant neighborhood → every directional mode is constant
+    val const = Nbr(Array.fill(4)(50), Array.fill(4)(50), 50,
+      Array.fill(4)(50), leftAvail = true, topAvail = true,
+      topLeftAvail = true)
+    Seq(3, 4, 5, 6, 7, 8).foreach { m =>
+      assert(H264Recon.pred4x4(m, const).flatten.forall(_ == 50),
+        s"mode $m constant")
+    }
+    // Plane 16x16 on the exact plane p(x,y) = 60 + 2x + 3y
+    def pl(x: Int, y: Int) = 60 + 2 * x + 3 * y
+    val left16 = Array.tabulate(16)(y => pl(-1, y))
+    val top16 = Array.tabulate(16)(x => pl(x, -1))
+    val plane = H264Recon.predBlock(3, 16, left16, top16, pl(-1, -1),
+      leftAvail = true, topAvail = true)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(plane(y)(x) == pl(x, y), s"plane($x,$y)")
+    // chroma DC per-sub-block neighbor selection (§8.3.4.1): with
+    // distinct halves the corners differ
+    val cl = Array.tabulate(8)(i => if (i < 4) 40 else 80)
+    val ct = Array.tabulate(8)(i => if (i < 4) 20 else 60)
+    val cdc = H264Recon.predChromaDc(cl, ct, leftAvail = true,
+      topAvail = true)
+    assert(cdc(0)(0) == ((4 * 40 + 4 * 20 + 4) >> 3))
+    assert(cdc(0)(4) == ((4 * 60 + 2) >> 2))  // (4,0): top only
+    assert(cdc(4)(0) == ((4 * 80 + 2) >> 2))  // (0,4): left only
+    assert(cdc(4)(4) == ((4 * 80 + 4 * 60 + 4) >> 3))
+    intercept[IllegalArgumentException](H264Recon.pred4x4(0, bare))
+    intercept[IllegalArgumentException](H264Recon.pred4x4(4, n.copy(
+      topLeftAvail = false)))
+  }
+
+  test("recon end to end: an Intra_4x4 DC/Vertical slice with DC-only " +
+      "residuals decodes to the closed-form column cascade (the m68 " +
+      "oracle's lemma), an I_16x16 frame likewise, and a re-decode is " +
+      "bit-identical") {
+    import graft.sources.H264Recon
+    val sps = H264.parseSps(H264.writeSps(32, 32))
+    val pps = H264.parsePps(H264.writePps())
+    val nMb = 4
+    // modes: (mr=0, by=0) blocks DC, everything else Vertical
+    val modes = Vector.tabulate(nMb) { mb =>
+      val mr = mb / 2
+      Array.tabulate(16) { idx =>
+        val (_, by) = H264.blk4x4Pos(idx)
+        if (mr == 0 && by == 0) 2 else 0
+      }
+    }
+    val chromaModes = Vector(0, 0, 2, 2) // DC top MB row, V below
+    val cbps = Vector.fill(nMb)(0x1F)
+    val qpd = Vector(1, 0, 0, 0) // qP 27 for the whole frame
+    def cOf(mb: Int, blk: Int): Int = (mb * 7 + blk * 3) % 2
+    val luma = Vector.tabulate(nMb)(mb => Vector.tabulate(16) { blk =>
+      val a = new Array[Int](16); a(0) = cOf(mb, blk); a
+    })
+    def c2Of(mb: Int, comp: Int): Int = (mb * 5 + comp) % 2
+    val cdc = Vector.tabulate(nMb)(mb => Vector.tabulate(2)(comp =>
+      Array(c2Of(mb, comp), 0, 0, 0)))
+    val cac = Vector.fill(nMb)(Vector.fill(2)(
+      Vector.fill(4)(Array.empty[Int])))
+    val nal = H264.writeIntraCodedSlice(0, sps, pps, modes,
+      chromaModes, cbps, qpd, luma, cdc, cac)
+    val (info, mbs) = H264.parseIntraCodedSlice(nal, sps, pps)
+    val planes = H264Recon.decodeI4Frame(info, mbs, sps, pps)
+    // closed form: u(block) = (c·LS(27%6,0,0)·16 + 32) >> 6, LS=14
+    val qP = 27
+    def u(mb: Int, blk: Int): Long =
+      (cOf(mb, blk).toLong * 14 * 16 + 32) >> 6
+    def blkIdx(bx: Int, by: Int): Int =
+      ((by / 2) * 2 + bx / 2) * 4 + (by % 2) * 2 + bx % 2
+    def mbOf(gbx: Int, gby: Int): Int = (gby / 4) * 2 + gbx / 4
+    def uAt(gbx: Int, gby: Int): Long =
+      u(mbOf(gbx, gby), blkIdx(gbx % 4, gby % 4))
+    def valAt(gbx: Int, gby: Int): Long =
+      128L + (0 to gbx).map(uAt(_, 0)).sum +
+        (1 to gby).map(uAt(gbx, _)).sum
+    for (gby <- 0 until 8; gbx <- 0 until 8)
+      assert(planes.y(4 * gby)(4 * gbx) == valAt(gbx, gby),
+        s"luma block ($gbx,$gby)")
+    // chroma cascade: uniform per MB
+    def uc(mb: Int, comp: Int): Long =
+      ((c2Of(mb, comp).toLong * 14 * 16) >> 1) + 32 >> 6
+    def cval(mb: Int, comp: Int): Long = mb match {
+      case 0 => 128 + uc(0, comp)
+      case 1 => cval(0, comp) + uc(1, comp)
+      case 2 => cval(0, comp) + uc(2, comp)
+      case _ => cval(1, comp) + uc(3, comp)
+    }
+    assert(planes.u(0)(0) == cval(0, 0) && planes.u(0)(8) == cval(1, 0))
+    assert(planes.v(8)(0) == cval(2, 1) && planes.v(8)(8) == cval(3, 1))
+    // the general machinery agrees with itself on a second pass
+    val planes2 = H264Recon.decodeI4Frame(info, mbs, sps, pps)
+    assert(planes.y.flatten.toSeq == planes2.y.flatten.toSeq)
+
+    // I_16x16: DC top row / Vertical bottom, DC-only luma + chroma
+    def cL(mb: Int): Int = (mb * 11 + 3) % 2
+    val preds16 = Vector(2, 2, 0, 0)
+    val dc16 = Vector.tabulate(nMb) { mb =>
+      val a = new Array[Int](16); a(0) = cL(mb); a
+    }
+    val nal16 = H264.writeI16Slice(0, sps, pps, preds16, chromaModes,
+      Vector.fill(nMb)(1), qpd, dc16, Vector.fill(nMb)(Vector.empty),
+      cdc, cac)
+    val (info16, mbs16) = H264.parseI16Slice(nal16, sps, pps)
+    val planes16 = H264Recon.decodeI16Frame(info16, mbs16, sps, pps)
+    def r16(mb: Int): Long = (cL(mb).toLong * 14 * 4 + 32) >> 6
+    def val16(mb: Int): Long = mb match {
+      case 0 => 128 + r16(0)
+      case 1 => val16(0) + r16(1)
+      case 2 => val16(0) + r16(2)
+      case _ => val16(1) + r16(3)
+    }
+    assert(planes16.y(0)(0) == val16(0) && planes16.y(0)(16) == val16(1))
+    assert(planes16.y(16)(0) == val16(2) && planes16.y(16)(16) == val16(3))
+    assert(planes16.u(0)(0) == cval(0, 0))
+  }
 }
