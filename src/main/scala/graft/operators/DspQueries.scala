@@ -4008,6 +4008,218 @@ object DspQueries {
       |  AND pr.i = fr.i - 1
       |ORDER BY fr.chunk_id, fr.i""".stripMargin
 
+
+  /** p33: MP3 STEREO DECODE TO PCM — p31's channel dimension and
+    * p24's time-domain completion: two-channel Layer III frames
+    * alternate plain stereo and joint MS stereo (§2.4.1.3 mode /
+    * mode_extension, §2.4.3.4.9.2's l = m+s, r = m−s on the exact
+    * √2-scaled grid, [[graft.sources.Mp3.msScaled]]); the MS
+    * reconstruction composes the requantized spectra BEFORE the
+    * filterbank, then each channel rides its OWN hybrid chain
+    * (overlap store + polyphase register per channel —
+    * [[graft.sources.Mp3Pcm.Hybrid.granuleSpectrum]]). The oracle
+    * replays both channels' full lattices with the MS combine as a
+    * join of the coded channels' line grids. */
+  private def p33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Mp3, Mp3Pcm}
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(6, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        val cubes = Array(0, 1, 8)
+        def granule(fi: Int, gr: Int, ch: Int): Mp3.Granule = {
+          val bv = 16 + (fi * 7 + gr * 3 + ch * 5) % 8
+          val pairs = Vector.tabulate(bv) { pi =>
+            def v(s2: Int): Int = {
+              val idx = 2 * pi + s2
+              val m = cubes((fi * 5 + idx * 7 + gr * 11 + ch * 13) % 3)
+              if (m != 0 && (idx + fi + ch) % 2 == 1) -m else m
+            }
+            (v(0), v(1))
+          }
+          Mp3.Granule(pairs, Vector.empty,
+            210 + 4 * ((fi + gr + ch) % 2), 0, (2, 18, 19), 1, 2,
+            preflag = false, scalefacScale = false,
+            scalefacs = Vector.fill(21)(0))
+        }
+        val frames = (0 until n).map { i =>
+          val fi = i + cid.toInt * 7
+          val mode = fi % 2
+          Mp3.Mp3StereoFrame(14, 2, padding = i % 2 == 1, mode,
+            if (mode == 1) 2 else 0,
+            Vector.fill(2)(Vector.fill(4)(false)),
+            Vector.tabulate(2)(gr =>
+              Vector.tabulate(2)(ch => granule(fi, gr, ch))))
+        }
+        val rec = Mp3.demuxStereo(Mp3.muxStereo(frames))
+        require(rec.size == n, s"chunk $cid: stereo frame count drift")
+        val hybrids = Array.fill(2)(new Mp3Pcm.Hybrid())
+        rec.iterator.zipWithIndex.map { case ((_, f), i) =>
+          var specL = 0L; var specR = 0L
+          var pcmL = 0L; var pcmR = 0L
+          var pcm0L = 0L; var pcm0R = 0L
+          (0 until 2).foreach { gr =>
+            val x0 = Mp3Pcm.dequantGranule(f.granules(gr)(0))
+            val x1 = Mp3Pcm.dequantGranule(f.granules(gr)(1))
+            val (xl, xr) =
+              if (f.mode == 1 && (f.modeExt & 2) != 0) {
+                val l = Array.tabulate(32, 18)((sb, k) =>
+                  x0(sb)(k) + x1(sb)(k))
+                val r = Array.tabulate(32, 18)((sb, k) =>
+                  x0(sb)(k) - x1(sb)(k))
+                (l, r)
+              } else (x0, x1)
+            specL += xl.iterator.flatten.map(math.abs).sum
+            specR += xr.iterator.flatten.map(math.abs).sum
+            val outL = hybrids(0).granuleSpectrum(xl, None)
+            val outR = hybrids(1).granuleSpectrum(xr, None)
+            pcmL += outL.sum; pcmR += outR.sum
+            if (gr == 0) { pcm0L = outL(0); pcm0R = outR(0) }
+          }
+          (cid, i.toLong, f.mode.toLong, specL, specR,
+            pcmL, pcmR, pcm0L, pcm0R)
+        }
+      }
+    }.toDF("chunk_id", "i", "mode", "spec_l", "spec_r",
+        "pcm_sum_l", "pcm_sum_r", "pcm0_l", "pcm0_r")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p33Sql =
+    s"""WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, g.i + chunk_id * 7 AS fi,
+      |    (g.i + chunk_id * 7) % 2 AS mode
+      |  FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |-- per (granule, coded channel) lines on the exact grid
+      |lines AS (SELECT fr.chunk_id, fr.i, fr.fi, fr.mode, g.gr, ch.ch,
+      |    v.idx // 18 AS sb, v.idx % 18 AS k,
+      |    (CASE WHEN (v.idx + fr.fi + ch.ch) % 2 = 1 THEN -1 ELSE 1 END)
+      |    * (CASE list_extract([0, 1, 8],
+      |        CAST((fr.fi * 5 + v.idx * 7 + g.gr * 11 + ch.ch * 13) % 3
+      |          + 1 AS INT))
+      |       WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 16 END)
+      |    * CAST(power(2, (fr.fi + g.gr + ch.ch) % 2) AS BIGINT) AS x
+      |  FROM f fr, (SELECT unnest(range(2)) AS gr) g,
+      |    (SELECT unnest(range(2)) AS ch) ch,
+      |    (SELECT unnest(range(48)) AS idx) v
+      |  WHERE v.idx < 2 * (16 + (fr.fi * 7 + g.gr * 3 + ch.ch * 5) % 8)),
+      |xs AS (SELECT chunk_id, i, gr, ch, sb, k, SUM(x) AS x
+      |  FROM lines GROUP BY 1, 2, 3, 4, 5, 6),
+      |-- §2.4.3.4.9.2 MS combine on the line grid, then the §2.4.3.4.10
+      |-- butterflies over sb 0..3 (inputs reach sb 2, alias sb 3)
+      |grid AS (SELECT fr.chunk_id, fr.i, fr.mode, g.gr, ch.ch,
+      |    sbv.sb, kv.k
+      |  FROM f fr, (SELECT unnest(range(2)) AS gr) g,
+      |    (SELECT unnest(range(2)) AS ch) ch,
+      |    (SELECT unnest(range(4)) AS sb) sbv,
+      |    (SELECT unnest(range(18)) AS k) kv),
+      |comb AS (SELECT g.chunk_id, g.i, g.gr, g.ch, g.sb, g.k,
+      |    CASE WHEN g.mode = 1 THEN
+      |      CASE g.ch WHEN 0 THEN coalesce(m.x, 0) + coalesce(sd.x, 0)
+      |        ELSE coalesce(m.x, 0) - coalesce(sd.x, 0) END
+      |    ELSE coalesce(own.x, 0) END AS x
+      |  FROM grid g
+      |  LEFT JOIN xs own ON own.chunk_id = g.chunk_id AND own.i = g.i
+      |    AND own.gr = g.gr AND own.ch = g.ch AND own.sb = g.sb
+      |    AND own.k = g.k
+      |  LEFT JOIN xs m ON m.chunk_id = g.chunk_id AND m.i = g.i
+      |    AND m.gr = g.gr AND m.ch = 0 AND m.sb = g.sb AND m.k = g.k
+      |  LEFT JOIN xs sd ON sd.chunk_id = g.chunk_id AND sd.i = g.i
+      |    AND sd.gr = g.gr AND sd.ch = 1 AND sd.sb = g.sb
+      |    AND sd.k = g.k),
+      |xa AS (SELECT a.chunk_id, a.i, a.gr, a.ch, a.sb, a.k,
+      |    CASE
+      |      WHEN a.k >= 10 AND a.sb + 1 <= 31 THEN
+      |        list_extract(${graft.sources.Mp3Pcm.CsQ.mkString("[", ",", "]")},
+      |          CAST(17 - a.k + 1 AS INT)) * a.x
+      |        - list_extract(${graft.sources.Mp3Pcm.CaQ.mkString("[", ",", "]")},
+      |          CAST(17 - a.k + 1 AS INT)) * coalesce(up.x, 0)
+      |      WHEN a.k <= 7 AND a.sb >= 1 THEN
+      |        list_extract(${graft.sources.Mp3Pcm.CaQ.mkString("[", ",", "]")},
+      |          CAST(a.k + 1 AS INT)) * coalesce(dn.x, 0)
+      |        + list_extract(${graft.sources.Mp3Pcm.CsQ.mkString("[", ",", "]")},
+      |          CAST(a.k + 1 AS INT)) * a.x
+      |      ELSE 1024 * a.x END AS v
+      |  FROM comb a
+      |  LEFT JOIN comb up ON up.chunk_id = a.chunk_id AND up.i = a.i
+      |    AND up.gr = a.gr AND up.ch = a.ch AND up.sb = a.sb + 1
+      |    AND up.k = 17 - a.k
+      |  LEFT JOIN comb dn ON dn.chunk_id = a.chunk_id AND dn.i = a.i
+      |    AND dn.gr = a.gr AND dn.ch = a.ch AND dn.sb = a.sb - 1
+      |    AND dn.k = 17 - a.k),
+      |mm(bt, j, k, v) AS (VALUES ${p31MLiteral}),
+      |cur AS (SELECT a.chunk_id, a.ch, 2 * a.i + a.gr AS gabs, a.i,
+      |    a.sb, m.j, SUM(m.v * a.v) AS v
+      |  FROM xa a
+      |  JOIN mm m ON m.k = a.k AND m.bt = 0
+      |  WHERE a.v != 0
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
+      |sgrid AS (SELECT g.chunk_id, chv.ch, gv.gabs, sbv.sb, tv.t,
+      |    18 * gv.gabs + tv.t AS s
+      |  FROM c g
+      |  JOIN (SELECT unnest(range(12)) AS gabs) gv ON gv.gabs < 2 * g.n
+      |  CROSS JOIN (SELECT unnest(range(2)) AS ch) chv
+      |  CROSS JOIN (SELECT unnest(range(4)) AS sb) sbv
+      |  CROSS JOIN (SELECT unnest(range(18)) AS t) tv),
+      |slots AS (SELECT sg.chunk_id, sg.ch, sg.gabs, sg.sb, sg.t, sg.s,
+      |    (CASE WHEN sg.sb % 2 = 1 AND sg.t % 2 = 1 THEN -1 ELSE 1 END)
+      |    * (coalesce(c0.v, 0) + coalesce(c1.v, 0)) AS v
+      |  FROM sgrid sg
+      |  LEFT JOIN cur c0 ON c0.chunk_id = sg.chunk_id AND c0.ch = sg.ch
+      |    AND c0.gabs = sg.gabs AND c0.sb = sg.sb AND c0.j = sg.t
+      |  LEFT JOIN cur c1 ON c1.chunk_id = sg.chunk_id AND c1.ch = sg.ch
+      |    AND c1.gabs = sg.gabs - 1 AND c1.sb = sg.sb
+      |    AND c1.j = sg.t + 18),
+      |ck(sb, r, v) AS (VALUES ${p31CkLiteral}),
+      |k0(sb, a, v) AS (VALUES ${p31K0Literal}),
+      |pcm AS (SELECT sl.chunk_id, sl.ch, fr.i,
+      |    SUM(sl.v * (ckhi.v - cklo.v)) AS pcm_sum
+      |  FROM slots sl
+      |  JOIN f fr ON fr.chunk_id = sl.chunk_id
+      |    AND sl.s >= 36 * fr.i - 15 AND sl.s <= 36 * fr.i + 35
+      |  JOIN ck ckhi ON ckhi.sb = sl.sb
+      |    AND ckhi.r = least(15, 36 * fr.i + 35 - sl.s)
+      |  JOIN ck cklo ON cklo.sb = sl.sb
+      |    AND cklo.r = greatest(0, 36 * fr.i - sl.s) - 1
+      |  GROUP BY 1, 2, 3),
+      |pcm0 AS (SELECT sl.chunk_id, sl.ch, fr.i, SUM(sl.v * k.v) AS v
+      |  FROM slots sl
+      |  JOIN f fr ON fr.chunk_id = sl.chunk_id
+      |    AND 36 * fr.i - sl.s BETWEEN 0 AND 15
+      |  JOIN k0 k ON k.sb = sl.sb AND k.a = 36 * fr.i - sl.s
+      |  GROUP BY 1, 2, 3),
+      |specs AS (SELECT chunk_id, i, ch, SUM(abs(x)) AS v
+      |  FROM comb GROUP BY 1, 2, 3)
+      |SELECT fr.chunk_id, CAST(fr.i AS BIGINT) AS i,
+      |  CAST(fr.mode AS BIGINT) AS mode,
+      |  CAST(s0.v AS BIGINT) AS spec_l,
+      |  CAST(s1.v AS BIGINT) AS spec_r,
+      |  CAST(coalesce(p0.pcm_sum, 0) AS BIGINT) AS pcm_sum_l,
+      |  CAST(coalesce(p1.pcm_sum, 0) AS BIGINT) AS pcm_sum_r,
+      |  CAST(coalesce(z0.v, 0) AS BIGINT) AS pcm0_l,
+      |  CAST(coalesce(z1.v, 0) AS BIGINT) AS pcm0_r
+      |FROM f fr
+      |JOIN specs s0 ON s0.chunk_id = fr.chunk_id AND s0.i = fr.i
+      |  AND s0.ch = 0
+      |JOIN specs s1 ON s1.chunk_id = fr.chunk_id AND s1.i = fr.i
+      |  AND s1.ch = 1
+      |LEFT JOIN pcm p0 ON p0.chunk_id = fr.chunk_id AND p0.i = fr.i
+      |  AND p0.ch = 0
+      |LEFT JOIN pcm p1 ON p1.chunk_id = fr.chunk_id AND p1.i = fr.i
+      |  AND p1.ch = 1
+      |LEFT JOIN pcm0 z0 ON z0.chunk_id = fr.chunk_id AND z0.i = fr.i
+      |  AND z0.ch = 0
+      |LEFT JOIN pcm0 z1 ON z1.chunk_id = fr.chunk_id AND z1.i = fr.i
+      |  AND z1.ch = 1
+      |ORDER BY fr.chunk_id, fr.i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -4041,5 +4253,6 @@ object DspQueries {
     Q("p30_mp1_stereo", p30, Some(p30Sql)),
     Q("p31_mp3_pcm", p31, Some(p31Sql)),
     Q("p32_aac_pcm", p32, Some(p32Sql)),
+    Q("p33_mp3_stereo_pcm", p33, Some(p33Sql)),
   )
 }

@@ -206,10 +206,17 @@ object Mp3Pcm {
       * §2.4.3.4.10.1/.3 (mixed: subbands 0–1 long-normal, rest
       * short). */
     def granule(g: Mp3.Granule,
-        p: Mp3.Profile = Mp3.Profile.StandIn): Array[Long] = {
-      val xs = dequantGranule(g, p)
+        p: Mp3.Profile = Mp3.Profile.StandIn): Array[Long] =
+      granuleSpectrum(dequantGranule(g, p), g.blockSplit)
+
+    /** [[granule]] from a PRE-BUILT (32 × 18) spectrum — the stereo
+      * entry point: §2.4.3.4.9's MS/intensity reconstruction composes
+      * per-channel spectra BEFORE the filterbank, so each channel's
+      * Hybrid consumes combined lines, not a coded Granule. */
+    def granuleSpectrum(xs: Array[Array[Long]],
+        blockSplit: Option[Mp3.BlockSplit]): Array[Long] = {
       checkHeadroom(xs)
-      val boundaries = g.blockSplit match {
+      val boundaries = blockSplit match {
         case Some(bs) if bs.blockType == 2 => if (bs.mixed) 1 else 0
         case _ => 31
       }
@@ -217,7 +224,7 @@ object Mp3Pcm {
       val slots = Array.fill(18, 32)(0L)
       var sb = 0
       while (sb < 32) {
-        val bt = g.blockSplit match {
+        val bt = blockSplit match {
           case Some(bs) =>
             if (bs.blockType == 2 && bs.mixed && sb < 2) 0
             else bs.blockType
