@@ -37,7 +37,10 @@ import org.json4s.jackson.JsonMethods
   *         "coeffToken": { "n0": vlc, "n2": vlc, "n4": vlc,
   *                         "chromaDc": vlc },   // value = tc*4 + t1
   *         "totalZeros": [vlc×15], "totalZerosCdc": [vlc×3],
-  *         "runBefore": [vlc×7] }
+  *         "runBefore": [vlc×7],
+  *         "cabacRangeLps": [[int×4]×64],       // Table 9-35
+  *         "cabacTransLps": [int×64],           // Table 9-36 LPS col
+  *         "cabacCtxInit": [[m, n]×>=277] }     // Tables 9-12..9-33
   * }}}
   * Range/shape validation is each Profile's own; malformed documents
   * fail loudly by field name. */
@@ -177,6 +180,13 @@ object CodecProfileJson {
 
   // ---- H.264 ---------------------------------------------------------------
 
+  private def intRows(v: JValue, field: String): Array[Array[Int]] =
+    v match {
+      case JArray(rows) => rows.map(ints(_, field)).toArray
+      case other => throw new IllegalArgumentException(
+        s"codec profile json: $field must be row arrays, got $other")
+    }
+
   def parseH264(json: String,
       base: H264.Profile = H264.Profile.StandIn): H264.Profile = {
     val j = JsonMethods.parse(json)
@@ -201,7 +211,13 @@ object CodecProfileJson {
         .map(vlcVector(_, "totalZerosCdc", 3))
         .orElse(base.totalZerosCdc),
       runBefore = field(j, "runBefore")
-        .map(vlcVector(_, "runBefore", 7)).orElse(base.runBefore))
+        .map(vlcVector(_, "runBefore", 7)).orElse(base.runBefore),
+      cabacRangeLps = field(j, "cabacRangeLps")
+        .map(intRows(_, "cabacRangeLps")).getOrElse(base.cabacRangeLps),
+      cabacTransLps = field(j, "cabacTransLps")
+        .map(ints(_, "cabacTransLps")).getOrElse(base.cabacTransLps),
+      cabacCtxInit = field(j, "cabacCtxInit")
+        .map(intRows(_, "cabacCtxInit")).orElse(base.cabacCtxInit))
   }
 
   def renderH264(p: H264.Profile): String = compact(JObject(List(
@@ -216,5 +232,11 @@ object CodecProfileJson {
     p.totalZerosCdc.map(ts =>
       "totalZerosCdc" -> (JArray(ts.map(jVlc).toList): JValue)).toList ++
     p.runBefore.map(ts =>
-      "runBefore" -> (JArray(ts.map(jVlc).toList): JValue)).toList))
+      "runBefore" -> (JArray(ts.map(jVlc).toList): JValue)).toList ++
+    List(
+      "cabacRangeLps" -> (JArray(p.cabacRangeLps.map(jInts).toList)
+        : JValue),
+      "cabacTransLps" -> jInts(p.cabacTransLps)) ++
+    p.cabacCtxInit.map(t =>
+      "cabacCtxInit" -> (JArray(t.map(jInts).toList): JValue)).toList))
 }

@@ -6388,6 +6388,121 @@ object ContainerQueries {
       |JOIN chsum cs ON cs.container = f.container AND cs.t = f.t
       |ORDER BY f.container, f.t""".stripMargin
 
+  /** m69: H.264 CABAC I-SLICE PARSE ([[graft.sources.Cabac]], §9.3)
+    * — the second entropy coder behind the same seam class: streams
+    * are written and read through the REAL arithmetic engine
+    * (context adaptation, renormalization, bypass, terminate), with
+    * Intra_4x4 mode bins (ctx 68/69 under the §8.3.1.1 prediction
+    * recursion), intra_chroma_pred_mode TU bins (ctx 64+inc/67),
+    * CBP-0 bins (ctx 73+inc/77+inc), the per-MB end_of_slice
+    * terminate, and I_PCM's flush → align → raw planes → engine
+    * re-init cycle with PERSISTENT context states. Every emitted
+    * number passes through the encode → decode round trip, so any
+    * engine desync (a single mis-adapted context) breaks the oracle,
+    * which replays the fixture's draws. */
+  private[operators] object CabacKernel extends Serializable {
+    import graft.sources.H264
+    def rows(cid: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+      val n = math.min(5, count)
+      if (n < 1) return Iterator.empty
+      val sps = H264.parseSps(H264.writeSps(48, 32))
+      val pps = H264.parsePps(H264.writePps(cabac = true))
+      val c = cid.toInt
+      (0 until n).iterator.map { t =>
+        val mbs: Vector[H264.CabacMb] = Vector.tabulate(6) { i =>
+          if ((t + i + c) % 4 == 3)
+            H264.CabacPcm(
+              Array.tabulate(256)(k =>
+                ((t * 31 + i * 13 + k * 7 + c) % 251).toByte),
+              Array.tabulate(64)(k =>
+                ((t * 17 + i * 7 + k * 3 + c) % 251).toByte),
+              Array.tabulate(64)(k =>
+                ((t * 11 + i * 5 + k * 9 + c) % 251).toByte))
+          else
+            H264.CabacI4(
+              Array.tabulate(16)(idx =>
+                (t * 3 + i * 5 + idx * 7 + c) % 9),
+              (t + i * 3 + c) % 4)
+        }
+        val nal = H264.writeCabacIntraSlice(t, sps, pps, mbs)
+        val (info, got) = H264.parseCabacIntraSlice(nal, sps, pps)
+        require(info.frameNum == t, "m69: frame_num drift")
+        var nPcm = 0L; var modeSum = 0L; var chromaSum = 0L
+        var pcmY = 0L; var pcmC = 0L
+        got.foreach {
+          case H264.CabacI4(modes, cm) =>
+            modeSum += modes.map(_.toLong).sum
+            chromaSum += cm
+          case H264.CabacPcm(y, u, v) =>
+            nPcm += 1
+            pcmY += y.iterator.map(_ & 0xffL).sum
+            pcmC += u.iterator.map(_ & 0xffL).sum +
+              v.iterator.map(_ & 0xffL).sum
+        }
+        (cid, t.toLong, nPcm, modeSum, chromaSum, pcmY, pcmC)
+      }
+    }
+  }
+
+  private def m69(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        CabacKernel.rows(k, it.size))
+      .toDF("container", "t", "n_pcm", "mode_sum", "chroma_sum",
+        "pcm_y_sum", "pcm_c_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m69Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(5, count(*)) AS n
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, i.i,
+      |    (t + i.i + container) % 4 = 3 AS is_pcm
+      |  FROM frames, (SELECT unnest(range(6)) AS i) i),
+      |i4 AS (SELECT m.container, m.t,
+      |    sum((m.t * 3 + m.i * 5 + x.idx * 7 + m.container) % 9)
+      |      AS mode_sum
+      |  FROM mb m, (SELECT unnest(range(16)) AS idx) x
+      |  WHERE NOT m.is_pcm GROUP BY 1, 2),
+      |py AS (SELECT m.container, m.t,
+      |    sum((m.t * 31 + m.i * 13 + k.k * 7 + m.container) % 251)
+      |      AS pcm_y
+      |  FROM mb m, (SELECT unnest(range(256)) AS k) k
+      |  WHERE m.is_pcm GROUP BY 1, 2),
+      |pc AS (SELECT m.container, m.t,
+      |    sum((m.t * 17 + m.i * 7 + k.k * 3 + m.container) % 251)
+      |    + sum((m.t * 11 + m.i * 5 + k.k * 9 + m.container) % 251)
+      |      AS pcm_c
+      |  FROM mb m, (SELECT unnest(range(64)) AS k) k
+      |  WHERE m.is_pcm GROUP BY 1, 2),
+      |chf AS (SELECT c2.container, c2.t,
+      |    sum(CASE WHEN NOT c2.is_pcm
+      |      THEN (c2.t + c2.i * 3 + c2.container) % 4 ELSE 0 END)
+      |      AS chroma_sum,
+      |    sum(CASE WHEN c2.is_pcm THEN 1 ELSE 0 END) AS n_pcm
+      |  FROM mb c2 GROUP BY 1, 2)
+      |SELECT f.container, CAST(f.t AS BIGINT) AS t,
+      |  CAST(chf.n_pcm AS BIGINT) AS n_pcm,
+      |  CAST(coalesce(i4.mode_sum, 0) AS BIGINT) AS mode_sum,
+      |  CAST(chf.chroma_sum AS BIGINT) AS chroma_sum,
+      |  CAST(coalesce(py.pcm_y, 0) AS BIGINT) AS pcm_y_sum,
+      |  CAST(coalesce(pc.pcm_c, 0) AS BIGINT) AS pcm_c_sum
+      |FROM frames f
+      |JOIN chf ON chf.container = f.container AND chf.t = f.t
+      |LEFT JOIN i4 ON i4.container = f.container AND i4.t = f.t
+      |LEFT JOIN py ON py.container = f.container AND py.t = f.t
+      |LEFT JOIN pc ON pc.container = f.container AND pc.t = f.t
+      |ORDER BY f.container, f.t""".stripMargin
+
   private[operators] object Mp3PcmStreamKernel extends Serializable {
     def rows(cid: Long, count: Int)
         : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
@@ -6818,6 +6933,7 @@ object ContainerQueries {
     Q("m66_h264_multislice", m66, Some(m66Sql)),
     Q("m67_aac_mp4", m67, Some(m67Sql)),
     Q("m68_h264_recon", m68, Some(m68Sql)),
+    Q("m69_h264_cabac", m69, Some(m69Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

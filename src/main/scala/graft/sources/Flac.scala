@@ -42,6 +42,9 @@ object Flac {
     private var acc = 0L
     private var nAcc = 0
 
+    /** Bits pending below the byte boundary (0..7). */
+    def pendingBits: Int = nAcc
+
     def writeBits(value: Long, n: Int): Unit = {
       require(n >= 0 && n <= 57, s"bit run out of range: $n")
       acc = (acc << n) | (value & ((1L << n) - 1))

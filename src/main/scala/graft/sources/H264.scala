@@ -58,6 +58,9 @@ object H264 {
     def align(): Unit = bw.alignByte()
     /** rbsp_trailing_bits: stop one bit + zero-align (§7.3.2.11). */
     def stop(): Unit = { bw.writeBits(1L, 1); bw.alignByte() }
+    /** cabac_alignment_one_bit run (§7.3.4): ONES to the boundary. */
+    def align1(): Unit =
+      while (bw.pendingBits != 0) bw.writeBits(1L, 1)
     def toRbsp: Array[Byte] = bw.toBytes
   }
 
@@ -66,6 +69,16 @@ object H264 {
     def u(n: Int): Long = br.readBits(n)
     /** Skip to the byte boundary (the pcm_alignment_zero_bit run). */
     def alignByte(): Unit = br.alignByte()
+    /** cabac_alignment_one_bit run (§7.3.4): each bit must be 1. */
+    def alignSkip1(): Unit =
+      while (br.bitPos % 8 != 0)
+        require(br.readBits(1) == 1L,
+          "h264: cabac_alignment_one_bit is not 1")
+    /** pcm_alignment_zero_bit run (§7.3.5): each bit must be 0. */
+    def alignSkip0(): Unit =
+      while (br.bitPos % 8 != 0)
+        require(br.readBits(1) == 0L,
+          "h264: pcm_alignment_zero_bit is not 0")
     def ue(): Long = {
       var zeros = 0
       while (br.readBit() == 0) {
@@ -219,11 +232,12 @@ object H264 {
       bottomFieldPoc: Boolean, weightedPred: Boolean, weightedBipred: Int,
       picInitQp: Int, deblockingControl: Boolean, redundantPicCnt: Boolean)
 
-  def writePps(ppsId: Int = 0, spsId: Int = 0): Array[Byte] = {
+  def writePps(ppsId: Int = 0, spsId: Int = 0,
+      cabac: Boolean = false): Array[Byte] = {
     val w = new BitW
     w.ue(ppsId.toLong)
     w.ue(spsId.toLong)
-    w.u(0L, 1)  // entropy_coding_mode_flag (CAVLC)
+    w.u(if (cabac) 1L else 0L, 1)  // entropy_coding_mode_flag
     w.u(0L, 1)  // bottom_field_pic_order_in_frame_present_flag
     w.ue(0)     // num_slice_groups_minus1
     w.ue(0)     // num_ref_idx_l0_default_active_minus1
@@ -309,12 +323,16 @@ object H264 {
     * the header in the same bitstream). */
   private def readSliceHeader(r: BitR, nt: Int, refIdc: Int, sps: Sps,
       pps: Pps): SliceInfo = {
-    require(!pps.cabac, "h264: CABAC slice parsing unsupported")
+    // CABAC I slices carry no extra header syntax (cabac_init_idc is
+    // P/B-only, §7.3.3) — the I-slice guard moves to the slice-type
+    // check below; CABAC P slices stay a loud boundary
     val idr = nt == NalIdr
     val firstMb = r.ue().toInt
     val st = r.ue().toInt
     require(st % 5 == 0 || st % 5 == 2,
       s"h264: slice_type $st (B/SP/SI) unsupported")
+    require(!pps.cabac || st % 5 == 2,
+      "h264: CABAC P slices (cabac_init_idc) unsupported")
     require(!idr || st % 5 == 2, s"h264: IDR with non-I slice_type $st")
     val ppsId = r.ue().toInt
     require(ppsId == pps.ppsId, s"h264: slice names PPS $ppsId")
@@ -495,7 +513,20 @@ object H264 {
       coeffToken: Option[CoeffTokenTables],
       totalZeros: Option[Vector[Vlc]],
       totalZerosCdc: Option[Vector[Vlc]],
-      runBefore: Option[Vector[Vlc]]) {
+      runBefore: Option[Vector[Vlc]],
+      cabacRangeLps: Array[Array[Int]] = Cabac.RangeLpsStandIn,
+      cabacTransLps: Array[Int] = Cabac.TransLpsStandIn,
+      cabacCtxInit: Option[Array[Array[Int]]] = None) {
+    require(cabacRangeLps.length == 64 &&
+      cabacRangeLps.forall(r => r.length == 4 &&
+        r.forall(v => v >= 2 && v <= 240)),
+      "h264: rangeTabLPS is 64 states x 4 quartiles in [2, 240]")
+    require(cabacTransLps.length == 64 &&
+      cabacTransLps.forall(v => v >= 0 && v <= 62),
+      "h264: transIdxLPS is 64 states into [0, 62]")
+    cabacCtxInit.foreach(t => require(t.length >= 277 &&
+      t.forall(_.length == 2),
+      "h264: cabac context init needs (m, n) pairs through ctx 276"))
     Seq("cbpIntra" -> cbpIntra, "cbpInter" -> cbpInter).foreach {
       case (name, a) =>
         require(a.length == 48 && a.distinct.length == 48 &&
@@ -1522,6 +1553,248 @@ object H264 {
 
   /** Split an Annex-B byte stream on 3- or 4-byte start codes.
     * Emulation prevention guarantees no false boundary inside a NAL. */
+  // ---- CABAC I slices (§7.3.4/§7.3.5 under §9.3) ---------------------------
+
+  /** One CABAC-slice macroblock: Intra_4x4 at the prediction-mode
+    * level (CBP 0, like m57's CAVLC twin) or I_PCM (raw planes; the
+    * arithmetic engine flushes, byte-aligns and re-initializes
+    * around it per §7.3.5/§9.3.1.2 while the CONTEXT states
+    * persist). */
+  sealed trait CabacMb extends Serializable
+  final case class CabacI4(lumaModes: Array[Int], chromaMode: Int)
+      extends CabacMb
+  final case class CabacPcm(y: Array[Byte], u: Array[Byte],
+      v: Array[Byte]) extends CabacMb
+
+  /** mb_type condTermFlag (§9.3.3.1.1.3): available and not I_NxN. */
+  private def mbTypeInc(kinds: Array[Int], mbCols: Int, mb: Int)
+      : Int = {
+    val (mr, mc) = (mb / mbCols, mb % mbCols)
+    def cond(ok: Boolean, n: Int): Int =
+      if (ok && kinds(n) != 0) 1 else 0
+    cond(mc > 0, mb - 1) + cond(mr > 0, mb - mbCols)
+  }
+
+  /** intra_chroma_pred_mode bin-0 ctxIdxInc (§9.3.3.1.1.8):
+    * available, not I_PCM, and chroma mode != 0. */
+  private def chromaModeInc(kinds: Array[Int], cmodes: Array[Int],
+      mbCols: Int, mb: Int): Int = {
+    val (mr, mc) = (mb / mbCols, mb % mbCols)
+    def cond(ok: Boolean, n: Int): Int =
+      if (ok && kinds(n) == 0 && cmodes(n) != 0) 1 else 0
+    cond(mc > 0, mb - 1) + cond(mr > 0, mb - mbCols)
+  }
+
+  /** coded_block_pattern luma bin ctxIdxInc (§9.3.3.1.1.4): the
+    * neighbor 8x8 block's cbp BIT — condTerm 1 when that bit is 0
+    * (unavailable → 0; I_PCM carries cbp 0x2F-equivalent → bit 1 →
+    * condTerm 0). b8 is the luma8x8BlkIdx (raster quads). */
+  private def cbpLumaInc(cbpL: Array[Int], mbCols: Int, mb: Int,
+      b8: Int, sofar: Int): Int = {
+    val (mr, mc) = (mb / mbCols, mb % mbCols)
+    val (qx, qy) = (b8 % 2, b8 / 2)
+    def bit(v: Int, b: Int): Int = (v >> b) & 1
+    // left neighbor 8x8
+    val a =
+      if (qx == 1) if (bit(sofar, qy * 2) == 0) 1 else 0
+      else if (mc > 0) if (bit(cbpL(mb - 1), qy * 2 + 1) == 0) 1 else 0
+      else 0
+    // top neighbor 8x8
+    val b =
+      if (qy == 1) if (bit(sofar, qx) == 0) 1 else 0
+      else if (mr > 0) if (bit(cbpL(mb - mbCols), 2 + qx) == 0) 1 else 0
+      else 0
+    a + 2 * b
+  }
+
+  /** coded_block_pattern chroma bin-0 ctxIdxInc (§9.3.3.1.1.4):
+    * condTerm 1 when the neighbor's cbpChroma != 0 (I_PCM → 2). */
+  private def cbpChromaInc(cbpC: Array[Int], mbCols: Int, mb: Int)
+      : Int = {
+    val (mr, mc) = (mb / mbCols, mb % mbCols)
+    def cond(ok: Boolean, n: Int): Int =
+      if (ok && cbpC(n) != 0) 1 else 0
+    cond(mc > 0, mb - 1) + 2 * cond(mr > 0, mb - mbCols)
+  }
+
+  /** Write a CABAC I slice: Intra_4x4 mode-level macroblocks (CBP 0)
+    * and I_PCM macroblocks through the real §9.3 arithmetic coder —
+    * cabac_alignment_one_bit, mb_type's (3 + inc) context + the ctx
+    * 276 terminate bin for I_PCM, prev/rem intra mode bins (ctx
+    * 68/69, FL MSB-first), intra_chroma_pred_mode TU (ctx 64+inc,
+    * then 67), coded_block_pattern bins (ctx 73+inc / 77+inc), the
+    * per-MB end_of_slice_flag terminate, and the I_PCM
+    * flush → align → raw planes → engine re-init cycle. */
+  def writeCabacIntraSlice(frameNum: Int, sps: Sps, pps: Pps,
+      mbs: Vector[CabacMb], idrPicId: Int = 0,
+      prof: Profile = Profile.StandIn): Array[Byte] = {
+    require(pps.cabac, "h264: CABAC slice on a CAVLC PPS")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    require(mbs.length == mbCols * mbRows,
+      s"h264: ${mbs.length} MBs for a ${mbCols}x$mbRows grid")
+    val w = new BitW
+    w.ue(0); w.ue(7); w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    w.ue(idrPicId.toLong)
+    if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
+    w.u(0L, 1); w.u(0L, 1)
+    w.se(0) // slice_qp_delta
+    w.align1() // cabac_alignment_one_bit(s) [§7.3.4]
+    val qP = pps.picInitQp
+    val ctxs = new Cabac.Ctxs(qP, prof)
+    var enc = new Cabac.Enc(w, prof, ctxs)
+    val kinds = new Array[Int](mbs.length) // 0 = I4, 1 = PCM
+    val cmodes = new Array[Int](mbs.length)
+    val cbpL = new Array[Int](mbs.length)
+    val cbpC = new Array[Int](mbs.length)
+    val grid = Array.fill(mbs.length)(Array.fill(16)(2))
+    mbs.zipWithIndex.foreach { case (mb, i) =>
+      val (mr, mc) = (i / mbCols, i % mbCols)
+      mb match {
+        case CabacPcm(y, u, v) =>
+          require(y.length == 256 && u.length == 64 && v.length == 64,
+            "h264: I_PCM planes are 256 + 64 + 64 bytes")
+          kinds(i) = 1; cbpL(i) = 15; cbpC(i) = 2; cmodes(i) = 0
+          enc.decision(3 + mbTypeInc(kinds, mbCols, i), 1)
+          enc.terminate(1) // ctx 276 bin: I_PCM, flushes the engine
+          w.align() // pcm_alignment_zero_bit
+          y.foreach(b => w.u(b & 0xffL, 8))
+          u.foreach(b => w.u(b & 0xffL, 8))
+          v.foreach(b => w.u(b & 0xffL, 8))
+          enc = new Cabac.Enc(w, prof, ctxs) // §9.3.1.2 re-init
+        case CabacI4(modes, chromaMode) =>
+          require(modes.length == 16 &&
+            modes.forall(m => m >= 0 && m <= 8), "h264: luma modes")
+          require(chromaMode >= 0 && chromaMode <= 3, "h264: chroma mode")
+          kinds(i) = 0; cmodes(i) = chromaMode
+          enc.decision(3 + mbTypeInc(kinds, mbCols, i), 0)
+          var idx = 0
+          while (idx < 16) {
+            val want = modes(idx)
+            val pred = predictedMode(grid, mbCols, mr, mc, grid(i), idx)
+            if (want == pred) enc.decision(68, 1)
+            else {
+              enc.decision(68, 0)
+              val rem = if (want < pred) want else want - 1
+              enc.decision(69, (rem >> 2) & 1)
+              enc.decision(69, (rem >> 1) & 1)
+              enc.decision(69, rem & 1)
+            }
+            grid(i)(idx) = want
+            idx += 1
+          }
+          // intra_chroma_pred_mode: TU cMax 3
+          val cInc = chromaModeInc(kinds, cmodes, mbCols, i)
+          if (chromaMode == 0) enc.decision(64 + cInc, 0)
+          else {
+            enc.decision(64 + cInc, 1)
+            if (chromaMode == 1) enc.decision(67, 0)
+            else {
+              enc.decision(67, 1)
+              enc.decision(67, if (chromaMode == 2) 0 else 1)
+            }
+          }
+          // coded_block_pattern = 0: 4 luma bins + chroma bin 0
+          var sofar = 0
+          (0 until 4).foreach { b8 =>
+            enc.decision(73 + cbpLumaInc(cbpL, mbCols, i, b8, sofar), 0)
+          }
+          enc.decision(77 + cbpChromaInc(cbpC, mbCols, i), 0)
+      }
+      // end_of_slice_flag
+      if (i == mbs.length - 1) enc.terminate(1)
+      else enc.terminate(0)
+    }
+    w.align()
+    nal(3, NalIdr, w.toRbsp)
+  }
+
+  /** Parse a CABAC I slice written by [[writeCabacIntraSlice]] back
+    * (the decoder half of the §9.3 engine); every subset boundary —
+    * I_16x16 mb_types, nonzero CBP — fails loudly by name. */
+  def parseCabacIntraSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps,
+      prof: Profile = Profile.StandIn): (SliceInfo, Vector[CabacMb]) = {
+    require(pps.cabac, "h264: CABAC parse on a CAVLC PPS")
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice || nt == NalIdr,
+      s"h264: NAL $nt is not a coded slice")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+    require(info.isI, s"h264: CABAC intra parse on ${info.sliceType}")
+    r.alignSkip1() // cabac_alignment_one_bit(s)
+    val qP = pps.picInitQp + info.qpDelta
+    val ctxs = new Cabac.Ctxs(qP, prof)
+    var dec = new Cabac.Dec(r, prof, ctxs)
+    val nMb = mbCols * mbRows
+    val kinds = new Array[Int](nMb)
+    val cmodes = new Array[Int](nMb)
+    val cbpL = new Array[Int](nMb)
+    val cbpC = new Array[Int](nMb)
+    val grid = Array.fill(nMb)(Array.fill(16)(2))
+    val out = Vector.newBuilder[CabacMb]
+    var i = 0
+    var ended = false
+    while (i < nMb) {
+      require(!ended, s"h264: end_of_slice before MB $i")
+      val (mr, mc) = (i / mbCols, i % mbCols)
+      val b0 = dec.decision(3 + mbTypeInc(kinds, mbCols, i))
+      if (b0 == 1) {
+        require(dec.terminate() == 1,
+          s"h264: I_16x16 mb_type at MB $i — only I_4x4/I_PCM " +
+            "decode in this CABAC leg")
+        kinds(i) = 1; cbpL(i) = 15; cbpC(i) = 2
+        r.alignSkip0() // pcm_alignment_zero_bit
+        val y = Array.tabulate(256)(_ => r.u(8).toByte)
+        val u = Array.tabulate(64)(_ => r.u(8).toByte)
+        val v = Array.tabulate(64)(_ => r.u(8).toByte)
+        out += CabacPcm(y, u, v)
+        dec = new Cabac.Dec(r, prof, ctxs)
+      } else {
+        kinds(i) = 0
+        var idx = 0
+        while (idx < 16) {
+          val pred = predictedMode(grid, mbCols, mr, mc, grid(i), idx)
+          val mode =
+            if (dec.decision(68) == 1) pred
+            else {
+              val rem = (dec.decision(69) << 2) |
+                (dec.decision(69) << 1) | dec.decision(69)
+              require(rem < 8, s"h264: rem mode $rem")
+              if (rem < pred) rem else rem + 1
+            }
+          grid(i)(idx) = mode
+          idx += 1
+        }
+        val cInc = chromaModeInc(kinds, cmodes, mbCols, i)
+        val chroma =
+          if (dec.decision(64 + cInc) == 0) 0
+          else if (dec.decision(67) == 0) 1
+          else if (dec.decision(67) == 0) 2
+          else 3
+        cmodes(i) = chroma
+        var sofar = 0
+        (0 until 4).foreach { b8 =>
+          val bit = dec.decision(73 + cbpLumaInc(cbpL, mbCols, i, b8,
+            sofar))
+          require(bit == 0,
+            s"h264: coded CBP at MB $i — residual CABAC (significance " +
+              "maps) is out of this leg")
+          sofar |= bit << b8
+        }
+        require(dec.decision(77 + cbpChromaInc(cbpC, mbCols, i)) == 0,
+          s"h264: chroma CBP at MB $i out of this leg")
+        out += CabacI4(grid(i).clone(), chroma)
+      }
+      val eos = dec.terminate()
+      ended = eos == 1
+      require((i == nMb - 1) == ended,
+        s"h264: end_of_slice_flag $eos at MB $i of $nMb")
+      i += 1
+    }
+    (info, out.result())
+  }
+
   def splitAnnexB(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val starts = Seq.newBuilder[Int]
     var i = 0

@@ -882,4 +882,112 @@ class H264Spec extends AnyFunSuite {
     assert(planes16.y(16)(0) == val16(2) && planes16.y(16)(16) == val16(3))
     assert(planes16.u(0)(0) == cval(0, 0))
   }
+
+  // ---- CABAC (§9.3, Cabac + the I-slice subset) ----------------------------
+
+  test("CABAC engine: decisions, bypass and terminate round-trip " +
+      "through real arithmetic-coded bytes — context states adapt " +
+      "identically on both sides, and a biased source compresses " +
+      "below one bit per bin") {
+    import graft.sources.{Cabac, H264 => H}
+    val prof = H.Profile.StandIn
+    def roundTrip(bins: Seq[(Int, Int)], bypasses: Seq[Int]): Unit = {
+      val w = new H.BitW
+      val ctxE = new Cabac.Ctxs(26, prof)
+      val enc = new Cabac.Enc(w, prof, ctxE)
+      bins.foreach { case (ctx, b) => enc.decision(ctx, b) }
+      bypasses.foreach(enc.bypass)
+      enc.terminate(1)
+      w.align()
+      val bytes = w.toRbsp
+      val r = new H.BitR(bytes)
+      val ctxD = new Cabac.Ctxs(26, prof)
+      val dec = new Cabac.Dec(r, prof, ctxD)
+      bins.foreach { case (ctx, b) =>
+        assert(dec.decision(ctx) == b, s"ctx $ctx bin $b")
+      }
+      bypasses.foreach(b => assert(dec.bypass() == b))
+      assert(dec.terminate() == 1)
+    }
+    roundTrip(Seq((68, 1), (68, 0), (69, 1), (64, 0), (3, 1)),
+      Seq(1, 0, 1, 1))
+    // 600 mixed bins over several contexts
+    val bins = (0 until 600).map(i =>
+      ((Seq(3, 64, 68, 69, 73, 77)(i % 6)), (i * 7 % 13) % 2))
+    roundTrip(bins, (0 until 32).map(i => (i * 5) % 2))
+    // adaptivity: an all-MPS run of 400 bins costs far fewer bytes
+    // than 400 alternating bins
+    def sized(seq: Seq[Int]): Int = {
+      val w = new H.BitW
+      val enc = new Cabac.Enc(w, prof, new Cabac.Ctxs(26, prof))
+      seq.foreach(enc.decision(68, _))
+      enc.terminate(1); w.align(); w.toRbsp.length
+    }
+    val biased = sized(Seq.fill(400)(1))
+    val mixed = sized((0 until 400).map(_ % 2))
+    assert(biased * 3 < mixed,
+      s"adaptation must compress ($biased vs $mixed bytes)")
+  }
+
+  test("CABAC I slice: Intra_4x4 modes + chroma + CBP-0 bins and " +
+      "I_PCM with its flush → align → raw planes → engine re-init " +
+      "cycle round-trip; persistence of context states across the " +
+      "I_PCM re-init is load-bearing; subset boundaries are loud") {
+    import graft.sources.{H264 => H}
+    val sps = H.parseSps(H.writeSps(48, 32))
+    val pps = H.parsePps(H.writePps(cabac = true))
+    assert(pps.cabac)
+    def pcm(seed: Int): H.CabacPcm = H.CabacPcm(
+      Array.tabulate(256)(k => ((seed * 31 + k * 7) % 251).toByte),
+      Array.tabulate(64)(k => ((seed * 17 + k * 3) % 251).toByte),
+      Array.tabulate(64)(k => ((seed * 11 + k * 5) % 251).toByte))
+    val mbs: Vector[H.CabacMb] = Vector(
+      H.CabacI4(Array.tabulate(16)(j => j % 9), 2),
+      pcm(1),
+      H.CabacI4(Array.tabulate(16)(j => (j * 3) % 9), 0),
+      H.CabacI4(Array.fill(16)(2), 3),
+      pcm(2),
+      H.CabacI4(Array.tabulate(16)(j => (j * 5 + 1) % 9), 1))
+    val nal = H.writeCabacIntraSlice(0, sps, pps, mbs)
+    val (info, got) = H.parseCabacIntraSlice(nal, sps, pps)
+    assert(info.isI && got.length == 6)
+    got.zip(mbs).zipWithIndex.foreach {
+      case ((H.CabacI4(gm, gc), H.CabacI4(wm, wc)), i) =>
+        assert(gm.toSeq == wm.toSeq && gc == wc, s"mb $i")
+      case ((H.CabacPcm(gy, gu, gv), H.CabacPcm(wy, wu, wv)), i) =>
+        assert(gy.toSeq == wy.toSeq && gu.toSeq == wu.toSeq &&
+          gv.toSeq == wv.toSeq, s"mb $i pcm")
+      case ((g, ww), i) => fail(s"mb $i kind drift: $g vs $ww")
+    }
+    // a corrupted byte inside the arithmetic data fails loudly
+    // somewhere (desync), never silently
+    val bad = nal.clone()
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte
+    intercept[Throwable] {
+      val (_, ms) = H.parseCabacIntraSlice(bad, sps, pps)
+      require(ms.zip(mbs).forall {
+        case (H.CabacI4(a, c1), H.CabacI4(b, c2)) =>
+          a.toSeq == b.toSeq && c1 == c2
+        case (H.CabacPcm(a, _, _), H.CabacPcm(b, _, _)) =>
+          a.toSeq == b.toSeq
+        case _ => false
+      }, "corruption must not decode identically")
+    }
+    // CAVLC pps is rejected
+    intercept[IllegalArgumentException] {
+      H.writeCabacIntraSlice(0, sps, H.parsePps(H.writePps()), mbs)
+    }
+    // an injected CABAC table set changes the bytes but round-trips
+    val prof2 = H.Profile.StandIn.copy(
+      cabacRangeLps = Array.tabulate(64, 4)((s2, q) =>
+        math.min(240, math.max(2, ((64 - s2) * (q + 1) * 7) / 8))),
+      cabacTransLps = Array.tabulate(64)(s2 => math.max(0, s2 - 2)),
+      cabacCtxInit = Some(Array.tabulate(280, 2)((c, j) =>
+        if (j == 0) (c % 21) - 10 else 40 + c % 50)))
+    val nal2 = H.writeCabacIntraSlice(0, sps, pps, mbs, 0, prof2)
+    assert(!java.util.Arrays.equals(nal, nal2))
+    val (_, got2) = H.parseCabacIntraSlice(nal2, sps, pps, prof2)
+    assert(got2.collect { case H.CabacI4(m, _) => m.toSeq } ==
+      mbs.collect { case H.CabacI4(m, _) => m.toSeq })
+  }
 }
