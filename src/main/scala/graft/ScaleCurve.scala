@@ -132,6 +132,13 @@ object ScaleCurve {
     "m66_h264_multislice",  // slice-scoped availability: m62 shape
     "m67_aac_mp4",          // AAC SCE samples in classic MP4: m35 shape
     "p30_mp1_stereo",       // Layer I joint bound: p29 shape
+    // round 15: decode-to-PCM/pixels + the second entropy coder
+    "p31_mp3_pcm",          // hybrid filterbank lattice per chunk: p21 shape
+    "p32_aac_pcm",          // IMDCT 2048/256 + overlap per chunk: p25 shape
+    "p33_mp3_stereo_pcm",   // two hybrid chains + MS combine: p31 shape
+    "e57_streaming_mp3_pcm",// 1600-Long hybrid state through the store: e56 shape
+    "m68_h264_recon",       // sect 8.3/8.5 pixels per container: m62 shape
+    "m69_h264_cabac",       // arithmetic coder round trip: m57 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,
