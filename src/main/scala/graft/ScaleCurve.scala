@@ -139,6 +139,8 @@ object ScaleCurve {
     "e57_streaming_mp3_pcm",// 1600-Long hybrid state through the store: e56 shape
     "m68_h264_recon",       // sect 8.3/8.5 pixels per container: m62 shape
     "m69_h264_cabac",       // arithmetic coder round trip: m57 shape
+    "p34_ac3_index",        // A/52 syncframe + BSI walk: p15 shape
+    "m70_mpeg4p2_index",    // 14496-2 start-code walk: m37 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

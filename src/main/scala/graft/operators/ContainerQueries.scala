@@ -6503,6 +6503,145 @@ object ContainerQueries {
       |LEFT JOIN pc ON pc.container = f.container AND pc.t = f.t
       |ORDER BY f.container, f.t""".stripMargin
 
+  /** m70: MPEG-4 PART 2 ELEMENTARY-STREAM INDEX
+    * ([[graft.sources.Mpeg4P2]], ISO/IEC 14496-2 §6.2) — the
+    * structural layer for the last video codec the reference names
+    * without one (its basic A/V test pairs `mpeg4` with AAC,
+    * tests/media/test_containers.py:20): per container a
+    * VOS→VO→VOL→VOPs walk exercising the extended aspect ratio, the
+    * vol_control branch, fixed_vop_rate, the DERIVED time-increment
+    * width, I/P VOPs with modulo_time_base runs and fcodes, and the
+    * §5.2.3 stuffing duals — the oracle replays every field AND the
+    * byte offsets from the closed-form header bit budgets
+    * (header bytes = bits // 8 + 1, since next_start_code() always
+    * stuffs at least one bit). */
+  private[operators] object Mpeg4Kernel extends Serializable {
+    import graft.sources.Mpeg4P2
+    def rows(cid: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      val n = math.min(8, count)
+      if (n < 1) return Iterator.empty
+      val c = cid.toInt
+      val res = 25 + (c * 7) % 100
+      val vol = Mpeg4P2.Vol(
+        profileLevel = (c * 3 + 1) % 256,
+        videoObjectId = c % 32,
+        volId = 0x20 + c % 16,
+        randomAccessible = c % 2 == 0,
+        typeIndication = 1 + c % 4,
+        aspectRatio = if (c % 5 == 4) 15 else 1 + c % 4,
+        aspectExt = if (c % 5 == 4) Some((c % 7 + 1, c % 9 + 1)) else None,
+        chromaLowDelay = if (c % 3 == 0) Some((1, c % 2 == 1)) else None,
+        timeIncrementResolution = res,
+        fixedVopRate = if (c % 4 == 1) Some(1 + c % 24) else None,
+        width = 176 + 16 * (c % 8), height = 144 + 16 * (c % 4),
+        quantType = c % 2 == 1)
+      val vops = (0 until n).map { t =>
+        val ct = if (t % 3 == 0) 0 else 1
+        Mpeg4P2.Vop(ct, t % 3, (t * 7 + c) % res, t % 8,
+          1 + (t * 3 + c) % 31, if (ct == 1) 1 + (t + c) % 7 else 0,
+          Array.tabulate(10 + t % 6)(k =>
+            (32 + (t * 5 + k * 11 + c) % 200).toByte))
+      }
+      val bytes = Mpeg4P2.mux(vol, vops)
+      val (gotVol, gotVops) = Mpeg4P2.demux(bytes)
+      require(gotVol == vol, s"container $cid: VOL round-trip drift")
+      require(gotVops.size == n, s"container $cid: VOP count drift")
+      gotVops.iterator.zipWithIndex.map { case ((off, v), t) =>
+        (cid, t.toLong, off, v.codingType.toLong,
+          v.moduloBase.toLong, v.timeIncrement.toLong,
+          v.quant.toLong, v.fcodeForward.toLong,
+          gotVol.width.toLong, gotVol.height.toLong,
+          gotVol.incBits.toLong,
+          v.payload.iterator.map(_ & 0xffL).sum)
+      }
+    }
+  }
+
+  private def m70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        Mpeg4Kernel.rows(k, it.size))
+      .toDF("container", "t", "offset", "coding_type", "modulo",
+        "time_inc", "quant", "fcode", "width", "height", "inc_bits",
+        "payload_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m70Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(8, count(*)) AS n
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |vol AS (SELECT container, n,
+      |    25 + (container * 7) % 100 AS res,
+      |    container % 5 = 4 AS ext,
+      |    container % 3 = 0 AS vcp,
+      |    container % 4 = 1 AS fixed
+      |  FROM cnt),
+      |bits AS (SELECT *,
+      |    -- incBits = ceil(log2(res)), minimum 1
+      |    greatest(1, CAST(ceil(log2(res)) AS BIGINT)) AS inc_bits
+      |  FROM vol),
+      |hdr AS (SELECT *,
+      |    -- VOL header bits before stuffing [§6.2.3]
+      |    1 + 8 + 1 + 4 + (CASE WHEN ext THEN 16 ELSE 0 END)
+      |    + (CASE WHEN vcp THEN 5 ELSE 1 END)
+      |    + 2 + 1 + 16 + 1
+      |    + (CASE WHEN fixed THEN 1 + inc_bits ELSE 1 END)
+      |    + 1 + 13 + 1 + 13 + 1 + 9 AS vol_bits
+      |  FROM bits),
+      |-- stream prefix: VOS(4)+profile(1) + VO sc(4)+hdr(1)
+      |--   + video_object sc(4) + VOL sc(4) + VOL header bytes
+      |pre AS (SELECT *, 18 + vol_bits // 8 + 1 AS vol_end FROM hdr),
+      |vops AS (SELECT p.container, p.res, p.inc_bits, p.vol_end, g.t,
+      |    CASE WHEN g.t % 3 = 0 THEN 0 ELSE 1 END AS ct,
+      |    g.t % 3 AS modulo,
+      |    (g.t * 7 + p.container) % p.res AS time_inc,
+      |    1 + (g.t * 3 + p.container) % 31 AS quant,
+      |    CASE WHEN g.t % 3 = 0 THEN 0
+      |      ELSE 1 + (g.t + p.container) % 7 END AS fcode,
+      |    10 + g.t % 6 AS payn
+      |  FROM pre p,
+      |  unnest(generate_series(0, CAST(p.n - 1 AS BIGINT))) AS g(t)),
+      |sized AS (SELECT *,
+      |    -- VOP header bits: type 2 + modulo (mb+1) + marker 1 +
+      |    -- inc + marker 1 + coded 1 + (P: rounding 1) + thr 3 +
+      |    -- quant 5 + (P: fcode 3); bytes = bits // 8 + 1 (stuffing)
+      |    4 + (2 + (modulo + 1) + 1 + inc_bits + 1 + 1
+      |      + (CASE WHEN ct = 1 THEN 1 ELSE 0 END) + 3 + 5
+      |      + (CASE WHEN ct = 1 THEN 3 ELSE 0 END)) // 8 + 1
+      |      + payn AS vop_bytes
+      |  FROM vops),
+      |ofs AS (SELECT *, vol_end + coalesce(sum(vop_bytes) OVER (
+      |    PARTITION BY container ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS "offset"
+      |  FROM sized),
+      |pay AS (SELECT o.container, o.t,
+      |    sum(32 + (o.t * 5 + k.k * 11 + o.container) % 200)
+      |      AS payload_sum
+      |  FROM ofs o, (SELECT unnest(range(16)) AS k) k
+      |  WHERE k.k < o.payn GROUP BY 1, 2)
+      |SELECT o.container, CAST(o.t AS BIGINT) AS t,
+      |  CAST(o."offset" AS BIGINT) AS "offset",
+      |  CAST(o.ct AS BIGINT) AS coding_type,
+      |  CAST(o.modulo AS BIGINT) AS modulo,
+      |  CAST(o.time_inc AS BIGINT) AS time_inc,
+      |  CAST(o.quant AS BIGINT) AS quant,
+      |  CAST(o.fcode AS BIGINT) AS fcode,
+      |  CAST(176 + 16 * (o.container % 8) AS BIGINT) AS width,
+      |  CAST(144 + 16 * (o.container % 4) AS BIGINT) AS height,
+      |  CAST(o.inc_bits AS BIGINT) AS inc_bits,
+      |  CAST(p.payload_sum AS BIGINT) AS payload_sum
+      |FROM ofs o
+      |JOIN pay p ON p.container = o.container AND p.t = o.t
+      |ORDER BY o.container, o.t""".stripMargin
+
   private[operators] object Mp3PcmStreamKernel extends Serializable {
     def rows(cid: Long, count: Int)
         : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
@@ -6934,6 +7073,7 @@ object ContainerQueries {
     Q("m67_aac_mp4", m67, Some(m67Sql)),
     Q("m68_h264_recon", m68, Some(m68Sql)),
     Q("m69_h264_cabac", m69, Some(m69Sql)),
+    Q("m70_mpeg4p2_index", m70, Some(m70Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

@@ -4220,6 +4220,171 @@ object DspQueries {
       |  AND z1.ch = 1
       |ORDER BY fr.chunk_id, fr.i""".stripMargin
 
+
+  /** p34: AC-3 SYNCFRAME INDEX + BSI ([[graft.sources.Ac3]], ATSC
+    * A/52 §5.4) — the structural layer for the last audio codec the
+    * reference names without one (its suite transcodes aac ↔ ac3,
+    * tests/media/test_audio_codec.py:18-24): chunk-salted syncframes
+    * cycle all eight acmod channel layouts with every
+    * acmod-conditioned and optional BSI field exercised, round-trip
+    * through real syncframe bytes (self-delimiting via the Table-5.18
+    * seam, crc1 verified), and the oracle replays the variable frame
+    * lengths (cumulative offsets), the exact BSI bit budget, and
+    * every field from the draws. */
+  private def p34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Ac3
+    val e = eventsMs(s, d).filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+      val n = math.min(8, it.size)
+      if (n < 1) Iterator.empty
+      else {
+        def frame(fi: Int): Ac3.Ac3Frame = {
+          val acmod = fi % 8
+          val hasC = (acmod & 1) == 1 && acmod != 1
+          val hasS = acmod >= 4
+          val bsi = Ac3.Bsi(
+            bsmod = fi % 8, acmod = acmod,
+            cmixlev = if (hasC) fi % 3 else 0,
+            surmixlev = if (hasS) (fi + 1) % 3 else 0,
+            dsurmod = if (acmod == 2) fi % 3 else 0,
+            lfeon = fi % 2 == 1,
+            dialnorm = (fi * 7) % 32,
+            compr = if (fi % 3 == 0) Some((fi * 11) % 256) else None,
+            langcod = if (fi % 4 == 1) Some((fi * 13) % 256) else None,
+            audprod = if (fi % 5 == 2) Some(((fi * 3) % 32, fi % 3))
+              else None,
+            dialnorm2 = if (acmod == 0) (fi * 5 + 3) % 32 else 0,
+            copyrightb = fi % 2 == 0, origbs = fi % 3 == 1,
+            timecod1 = if (fi % 2 == 0) Some((fi * 97) % 16384) else None,
+            timecod2 = if (fi % 5 == 0) Some((fi * 53) % 16384) else None,
+            addbsi = if (fi % 4 == 3)
+              Array.tabulate(1 + fi % 5)(k => ((fi + k * 9) % 251).toByte)
+            else Array.empty)
+          Ac3.Ac3Frame(fi % 3, 10 + (fi * 3) % 20, bsi,
+            Array.tabulate(24 + fi % 8)(k => ((fi * 3 + k * 7) % 251).toByte))
+        }
+        val frames = (0 until n).map(i => frame(i + cid.toInt * 7))
+        val rec = Ac3.demux(Ac3.mux(frames))
+        require(rec.size == n, s"chunk $cid: ac3 frame count drift")
+        rec.iterator.zipWithIndex.map { case ((off, f), i) =>
+          val b = f.bsi
+          val optMask = (if (b.compr.isDefined) 1L else 0L) |
+            (if (b.langcod.isDefined) 2L else 0L) |
+            (if (b.audprod.isDefined) 4L else 0L) |
+            (if (b.timecod1.isDefined) 8L else 0L) |
+            (if (b.timecod2.isDefined) 16L else 0L) |
+            (if (b.addbsi.nonEmpty) 32L else 0L)
+          val fieldSum = b.dialnorm.toLong + b.dialnorm2 + b.cmixlev +
+            b.surmixlev + b.dsurmod + b.bsmod +
+            b.compr.getOrElse(0) + b.langcod.getOrElse(0) +
+            b.audprod.map { case (m, r) => m + r }.getOrElse(0) +
+            b.timecod1.getOrElse(0) + b.timecod2.getOrElse(0)
+          (cid, i.toLong, off, f.frameLen.toLong,
+            Ac3.Rates(f.fscod).toLong,
+            (Ac3.acmodChannels(b.acmod) + (if (b.lfeon) 1 else 0)).toLong,
+            b.acmod.toLong, optMask, fieldSum,
+            b.addbsi.iterator.map(_ & 0xffL).sum,
+            f.payload.iterator.map(_ & 0xffL).sum,
+            f.payload.length.toLong)
+        }
+      }
+    }.toDF("chunk_id", "i", "offset", "frame_len", "rate", "channels",
+        "acmod", "opt_mask", "field_sum", "addbsi_sum", "payload_sum",
+        "payload_region")
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val p34Sql =
+    """WITH c AS (SELECT user_id % 16 AS chunk_id,
+      |    least(8, count(*)) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |f AS (SELECT chunk_id, g.i, g.i + chunk_id * 7 AS fi FROM c,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)),
+      |b AS (SELECT *, fi % 8 AS acmod, fi % 3 AS fscod,
+      |    10 + (fi * 3) % 20 AS fsc,
+      |    (fi % 8) % 2 = 1 AND fi % 8 != 1 AS has_c,
+      |    fi % 8 >= 4 AS has_s,
+      |    fi % 3 = 0 AS has_compr, fi % 4 = 1 AS has_lang,
+      |    fi % 5 = 2 AS has_prod, fi % 2 = 0 AS has_tc1,
+      |    fi % 5 = 0 AS has_tc2, fi % 4 = 3 AS has_add,
+      |    CASE WHEN fi % 4 = 3 THEN 1 + fi % 5 ELSE 0 END AS addn,
+      |    24 + fi % 8 AS payn
+      |  FROM f),
+      |len AS (SELECT *,
+      |    2 * (64 + 24 * (fsc // 2)
+      |      + CASE WHEN fscod = 1 THEN fsc % 2 ELSE 0 END) AS frame_len,
+      |    -- BSI bit budget [§5.4.2]: fixed 5+3+3+1+1+1+1+1+1 = 17? —
+      |    -- enumerate: bsid 5, bsmod 3, acmod 3, lfeon 1,
+      |    -- copyrightb 1, origbs 1, tc flags 2, addbsie 1 = 17
+      |    17
+      |    + CASE WHEN has_c THEN 2 ELSE 0 END
+      |    + CASE WHEN has_s THEN 2 ELSE 0 END
+      |    + CASE WHEN acmod = 2 THEN 2 ELSE 0 END
+      |    -- each BSI half: dialnorm 5 + 3 presence flags + payloads
+      |    + (5 + 3 + CASE WHEN has_compr THEN 8 ELSE 0 END
+      |       + CASE WHEN has_lang THEN 8 ELSE 0 END
+      |       + CASE WHEN has_prod THEN 7 ELSE 0 END)
+      |      * (CASE WHEN acmod = 0 THEN 2 ELSE 1 END)
+      |    + CASE WHEN has_tc1 THEN 14 ELSE 0 END
+      |    + CASE WHEN has_tc2 THEN 14 ELSE 0 END
+      |    + CASE WHEN has_add THEN 6 + 8 * addn ELSE 0 END AS bsi_bits
+      |  FROM b),
+      |ofs AS (SELECT *, coalesce(sum(frame_len) OVER (
+      |    PARTITION BY chunk_id ORDER BY i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS "offset"
+      |  FROM len),
+      |adds AS (SELECT l.chunk_id, l.i,
+      |    sum((l.fi + k.k * 9) % 251) AS addbsi_sum
+      |  FROM len l, (SELECT unnest(range(5)) AS k) k
+      |  WHERE k.k < l.addn GROUP BY 1, 2),
+      |pay AS (SELECT l.chunk_id, l.i,
+      |    sum((l.fi * 3 + k.k * 7) % 251) AS payload_sum
+      |  FROM len l, (SELECT unnest(range(32)) AS k) k
+      |  WHERE k.k < l.payn GROUP BY 1, 2)
+      |SELECT o.chunk_id, CAST(o.i AS BIGINT) AS i,
+      |  CAST(o."offset" AS BIGINT) AS "offset",
+      |  CAST(o.frame_len AS BIGINT) AS frame_len,
+      |  CAST(list_extract([48000, 44100, 32000],
+      |    CAST(o.fscod + 1 AS INT)) AS BIGINT) AS rate,
+      |  CAST(list_extract([2, 1, 2, 3, 3, 4, 4, 5],
+      |    CAST(o.acmod + 1 AS INT))
+      |    + CASE WHEN o.fi % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS channels,
+      |  CAST(o.acmod AS BIGINT) AS acmod,
+      |  CAST(CASE WHEN o.has_compr THEN 1 ELSE 0 END
+      |    + CASE WHEN o.has_lang THEN 2 ELSE 0 END
+      |    + CASE WHEN o.has_prod THEN 4 ELSE 0 END
+      |    + CASE WHEN o.has_tc1 THEN 8 ELSE 0 END
+      |    + CASE WHEN o.has_tc2 THEN 16 ELSE 0 END
+      |    + CASE WHEN o.has_add THEN 32 ELSE 0 END AS BIGINT)
+      |    AS opt_mask,
+      |  CAST((o.fi * 7) % 32
+      |    + CASE WHEN o.acmod = 0 THEN (o.fi * 5 + 3) % 32 ELSE 0 END
+      |    + CASE WHEN o.has_c THEN o.fi % 3 ELSE 0 END
+      |    + CASE WHEN o.has_s THEN (o.fi + 1) % 3 ELSE 0 END
+      |    + CASE WHEN o.acmod = 2 THEN o.fi % 3 ELSE 0 END
+      |    + o.fi % 8
+      |    + CASE WHEN o.has_compr THEN (o.fi * 11) % 256 ELSE 0 END
+      |    + CASE WHEN o.has_lang THEN (o.fi * 13) % 256 ELSE 0 END
+      |    + CASE WHEN o.has_prod
+      |        THEN (o.fi * 3) % 32 + o.fi % 3 ELSE 0 END
+      |    + CASE WHEN o.has_tc1 THEN (o.fi * 97) % 16384 ELSE 0 END
+      |    + CASE WHEN o.has_tc2 THEN (o.fi * 53) % 16384 ELSE 0 END
+      |    AS BIGINT) AS field_sum,
+      |  CAST(coalesce(a.addbsi_sum, 0) AS BIGINT) AS addbsi_sum,
+      |  CAST(p.payload_sum AS BIGINT) AS payload_sum,
+      |  -- 4 sync/crc bytes + the fscod/frmsizecod byte precede the BSI
+      |  CAST(o.frame_len - 5 - (o.bsi_bits + 7) // 8 AS BIGINT)
+      |    AS payload_region
+      |FROM ofs o
+      |LEFT JOIN adds a ON a.chunk_id = o.chunk_id AND a.i = o.i
+      |JOIN pay p ON p.chunk_id = o.chunk_id AND p.i = o.i
+      |ORDER BY o.chunk_id, o.i""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("p01_volume_meter", p01, Some(p01Sql)),
     Q("p02_activity_meter", p02, Some(p02Sql)),
@@ -4254,5 +4419,6 @@ object DspQueries {
     Q("p31_mp3_pcm", p31, Some(p31Sql)),
     Q("p32_aac_pcm", p32, Some(p32Sql)),
     Q("p33_mp3_stereo_pcm", p33, Some(p33Sql)),
+    Q("p34_ac3_index", p34, Some(p34Sql)),
   )
 }
