@@ -141,6 +141,7 @@ object ScaleCurve {
     "m69_h264_cabac",       // arithmetic coder round trip: m57 shape
     "p34_ac3_index",        // A/52 syncframe + BSI walk: p15 shape
     "m70_mpeg4p2_index",    // 14496-2 start-code walk: m37 shape
+    "m71_h264_deblock",     // sect 8.7 two-pass filter: m68 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

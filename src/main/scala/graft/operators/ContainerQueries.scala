@@ -6642,6 +6642,157 @@ object ContainerQueries {
       |JOIN pay p ON p.container = o.container AND p.t = o.t
       |ORDER BY o.container, o.t""".stripMargin
 
+  /** m71: H.264 DEBLOCKING ([[graft.sources.H264Recon.deblock]],
+    * §8.7) — m68's named follow-on: frames alternate a 2×1-MB
+    * picture (one VERTICAL MB boundary) and a 1×2-MB picture (one
+    * HORIZONTAL boundary), each with uniform per-MB reconstruction
+    * (residuals placed so the DC/Vertical cascade keeps every MB
+    * flat), so the ENGINE runs the complete two-pass in-loop filter
+    * — every internal transform edge fires and resolves to the
+    * §8.7.2.3/.4 identities on flat input, the MB edge takes the
+    * strong path, and the NEXT internal edge applies the
+    * second-order p1 correction to the strong filter's tail — while
+    * the oracle replays the closed forms: the six-tap strong-edge
+    * sum, the (e2 − 2·e1) >> 1 correction, and the chroma 3-tap
+    * pair, all under the α/β/tc0 seam at the frame's QP. */
+  private[operators] object DeblockKernel extends Serializable {
+    import graft.sources.{H264, H264Recon}
+    def rows(cid: Long, count: Int)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long, Long)] = {
+      val n = math.min(6, count)
+      if (n < 1) return Iterator.empty
+      val c = cid.toInt
+      val pps = H264.parsePps(H264.writePps())
+      (0 until n).iterator.map { t =>
+        val vertical = t % 2 == 0
+        val sps = H264.parseSps(
+          if (vertical) H264.writeSps(32, 16) else H264.writeSps(16, 32))
+        val qpDelta = (t + c) % 5 - 2
+        val c0 = (t + c) % 2
+        val c1 = (t * 3 + c) % 2
+        def modes(mr: Int): Array[Int] = Array.tabulate(16) { idx =>
+          val (_, by) = H264.blk4x4Pos(idx)
+          if (mr == 0 && by == 0) 2 else 0
+        }
+        def dcBlk(cv: Int, blks: Seq[Int]): Vector[Array[Int]] =
+          Vector.tabulate(16) { b =>
+            val a = new Array[Int](16)
+            if (blks.contains(b)) a(0) = cv
+            a
+          }
+        val (mbModes, luma) =
+          if (vertical)
+            (Vector(modes(0), modes(0)),
+              Vector(dcBlk(c0, Seq(0)), dcBlk(c1, Seq(0))))
+          else
+            (Vector(modes(0), modes(1)),
+              // the lower MB's whole top block row carries the
+              // residual so the Vertical cascade keeps it uniform
+              Vector(dcBlk(c0, Seq(0)), dcBlk(c1, Seq(0, 1, 4, 5))))
+        def c2Of(mb: Int, comp: Int): Int = (t * 3 + mb * 5 + comp + c) % 2
+        val cdc = Vector.tabulate(2)(mb => Vector.tabulate(2)(comp =>
+          Array(c2Of(mb, comp), 0, 0, 0)))
+        val cac = Vector.fill(2)(Vector.fill(2)(
+          Vector.fill(4)(Array.empty[Int])))
+        val nal = H264.writeIntraCodedSlice(0, sps, pps, mbModes,
+          Vector(0, if (vertical) 0 else 2), Vector.fill(2)(0x1F),
+          Vector(qpDelta, 0), luma, cdc, cac)
+        val (info, mbs) = H264.parseIntraCodedSlice(nal, sps, pps)
+        val rec = H264Recon.decodeI4Frame(info, mbs, sps, pps)
+        val qp = 26 + qpDelta
+        val out = H264Recon.deblock(rec, _ => qp, sps)
+        val lumaSum = out.y.iterator.flatMap(_.iterator)
+          .map(_.toLong).sum
+        val chromaSum = out.u.iterator.flatMap(_.iterator)
+          .map(_.toLong).sum +
+          out.v.iterator.flatMap(_.iterator).map(_.toLong).sum
+        // the strong tail + its correction, at a pinned coordinate
+        val (tailY, tailX) = if (vertical) (0, 18) else (18, 0)
+        (cid, t.toLong, if (vertical) 0L else 1L, qp.toLong,
+          lumaSum, chromaSum, out.y(0)(0).toLong,
+          out.y(tailY)(tailX).toLong)
+      }
+    }
+  }
+
+  private def m71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        DeblockKernel.rows(k, it.size))
+      .toDF("container", "t", "kind", "qp", "luma_sum", "chroma_sum",
+        "y00", "tail")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m71Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(6, count(*)) AS n
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |f AS (SELECT container, g.t,
+      |    26 + (g.t + container) % 5 - 2 AS qp,
+      |    (g.t + container) % 2 AS c0,
+      |    (g.t * 3 + container) % 2 AS c1
+      |  FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |q AS (SELECT *, list_extract([10, 11, 13, 14, 16],
+      |    CAST(qp % 6 + 1 AS INT)) AS ls FROM f),
+      |-- uniform MB values: P = 128 + u0, Q = P + u1 (the m68 cascade
+      |-- with residuals only on the leading block row)
+      |vals AS (SELECT *,
+      |    128 + (c0 * ls * 16 + 32) // 64 AS p,
+      |    128 + (c0 * ls * 16 + 32) // 64 + (c1 * ls * 16 + 32) // 64
+      |      AS qv,
+      |    ((((t * 3 + 0 * 5 + 0 + container) % 2) * ls * 16) // 2 + 32)
+      |      // 64 AS uc00,
+      |    ((((t * 3 + 0 * 5 + 1 + container) % 2) * ls * 16) // 2 + 32)
+      |      // 64 AS uc01,
+      |    ((((t * 3 + 1 * 5 + 0 + container) % 2) * ls * 16) // 2 + 32)
+      |      // 64 AS uc10,
+      |    ((((t * 3 + 1 * 5 + 1 + container) % 2) * ls * 16) // 2 + 32)
+      |      // 64 AS uc11
+      |  FROM q),
+      |-- strong-edge six-tap sum, the p1 correction, chroma 3-taps
+      |forms AS (SELECT *,
+      |    (7 * p + qv + 4) // 8 + (3 * p + qv + 2) // 4
+      |      + (5 * p + 3 * qv + 4) // 8 + (5 * qv + 3 * p + 4) // 8
+      |      + (3 * qv + p + 2) // 4 + (7 * qv + p + 4) // 8 AS s6,
+      |    -- floor semantics under negatives: DuckDB // truncates,
+      |    -- the engine's >> floors — shift into the positive range
+      |    (((p - qv + 2 + 64) // 4 - 16)
+      |      - 2 * ((p - qv + 4) // 8) + 32) // 2 - 16 AS corr,
+      |    128 + uc00 AS cu_p, 128 + uc00 + uc10 AS cu_q,
+      |    128 + uc01 AS cv_p, 128 + uc01 + uc11 AS cv_q
+      |  FROM vals),
+      |summed AS (SELECT *,
+      |    -- luma: 512 px split 256 P + 256 Q, six columns/rows of 16
+      |    -- replaced by the strong outputs, one line of 16 corrected
+      |    256 * p + 256 * qv + 16 * (s6 - 3 * p - 3 * qv) + 16 * corr
+      |      AS luma_sum,
+      |    -- chroma per component: 128 px, the two boundary lines of
+      |    -- 8 replaced by the 3-tap pair
+      |    128 * 0 + 64 * cu_p + 64 * cu_q
+      |      + 8 * ((3 * cu_p + cu_q + 2) // 4
+      |        + (3 * cu_q + cu_p + 2) // 4 - cu_p - cu_q)
+      |    + 64 * cv_p + 64 * cv_q
+      |      + 8 * ((3 * cv_p + cv_q + 2) // 4
+      |        + (3 * cv_q + cv_p + 2) // 4 - cv_p - cv_q) AS chroma_sum,
+      |    (7 * qv + p + 4) // 8 + corr AS tail
+      |  FROM forms)
+      |SELECT container, CAST(t AS BIGINT) AS t,
+      |  CAST(t % 2 AS BIGINT) AS kind,
+      |  CAST(qp AS BIGINT) AS qp,
+      |  CAST(luma_sum AS BIGINT) AS luma_sum,
+      |  CAST(chroma_sum AS BIGINT) AS chroma_sum,
+      |  CAST(p AS BIGINT) AS y00,
+      |  CAST(tail AS BIGINT) AS tail
+      |FROM summed
+      |ORDER BY container, t""".stripMargin
+
   private[operators] object Mp3PcmStreamKernel extends Serializable {
     def rows(cid: Long, count: Int)
         : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
@@ -7074,6 +7225,7 @@ object ContainerQueries {
     Q("m68_h264_recon", m68, Some(m68Sql)),
     Q("m69_h264_cabac", m69, Some(m69Sql)),
     Q("m70_mpeg4p2_index", m70, Some(m70Sql)),
+    Q("m71_h264_deblock", m71, Some(m71Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

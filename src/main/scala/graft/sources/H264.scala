@@ -516,7 +516,19 @@ object H264 {
       runBefore: Option[Vector[Vlc]],
       cabacRangeLps: Array[Array[Int]] = Cabac.RangeLpsStandIn,
       cabacTransLps: Array[Int] = Cabac.TransLpsStandIn,
-      cabacCtxInit: Option[Array[Array[Int]]] = None) {
+      cabacCtxInit: Option[Array[Array[Int]]] = None,
+      deblockAlpha: Array[Int] = DeblockAlphaStandIn,
+      deblockBeta: Array[Int] = DeblockBetaStandIn,
+      deblockTc0: Array[Array[Int]] = DeblockTc0StandIn) {
+    require(deblockAlpha.length == 52 &&
+      deblockAlpha.forall(v => v >= 0 && v <= 255),
+      "h264: alpha table is 52 entries in [0, 255]")
+    require(deblockBeta.length == 52 &&
+      deblockBeta.forall(v => v >= 0 && v <= 255),
+      "h264: beta table is 52 entries in [0, 255]")
+    require(deblockTc0.length == 3 && deblockTc0.forall(r =>
+      r.length == 52 && r.forall(v => v >= 0 && v <= 255)),
+      "h264: tc0 is 3 bS rows of 52 entries")
     require(cabacRangeLps.length == 64 &&
       cabacRangeLps.forall(r => r.length == 4 &&
         r.forall(v => v >= 2 && v <= 240)),
@@ -557,6 +569,20 @@ object H264 {
       }
     }
   }
+  /** STAND-IN §8.7 threshold tables (Tables 8-16/8-17 are printed
+    * VALUE columns — appendix-class): α/β zero below index 16 (the
+    * real tables' filter-off region, kept as structure) then
+    * monotone; tc0 per bS 1..3, small and monotone. Any shared
+    * values yield a consistent deblocker. */
+  private[graft] val DeblockAlphaStandIn: Array[Int] =
+    Array.tabulate(52)(i =>
+      if (i < 16) 0 else math.min(255, (i - 14) * (i - 14) / 2 + 2))
+  private[graft] val DeblockBetaStandIn: Array[Int] =
+    Array.tabulate(52)(i => if (i < 16) 0 else math.min(18, (i - 12) / 2))
+  private[graft] val DeblockTc0StandIn: Array[Array[Int]] =
+    Array.tabulate(3, 52)((bs, i) =>
+      if (i < 16) 0 else math.max(0, (i - 10) / 4 + bs))
+
   object Profile {
     /** The stand-in: historic fixed-length fields everywhere —
       * bit-identical to every m57-m66 stream. */

@@ -527,4 +527,136 @@ object H264Recon {
     }
     Planes(sps.width, sps.height, y, u, v)
   }
+  // ---- deblocking (§8.7) ----------------------------------------------------
+
+  /** §8.7 in-loop deblocking for ALL-INTRA pictures: boundary
+    * strength is 4 on macroblock edges and 3 on internal 4×4
+    * transform edges (Table 8-18's intra rows); the α/β/tc0
+    * threshold columns ride the [[H264.Profile]] seam
+    * (Tables 8-16/8-17 are printed value data). Edge order is the
+    * spec's — per macroblock in raster order, the four vertical
+    * luma edges left to right, then the four horizontal edges top
+    * to bottom, chroma edges at the mapped positions (luma edge 2×)
+    * — each edge reading a SNAPSHOT of its samples and writing
+    * before the next runs (the sequential dependency is normative:
+    * a bS-4 strong filter reaches three samples per side, inside
+    * the next edge's support). `qpOf(mb)` is the per-MB QP; edge
+    * thresholds use (qPp + qPq + 1) >> 1 across MB boundaries,
+    * chroma through [[chromaQp]]. Slice filter offsets are zero
+    * (the PPS writer codes no deblocking control). */
+  def deblock(pl: Planes, qpOf: Int => Int, sps: H264.Sps,
+      prof: H264.Profile = H264.Profile.StandIn): Planes = {
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val y = pl.y.map(_.clone())
+    val u = pl.u.map(_.clone())
+    val v = pl.v.map(_.clone())
+
+    /** One edge of `n` lines. `get(line, o)`/`set(line, o, v)`
+      * address the sample at signed offset o from the edge along
+      * the filtered axis: q_i at o = i, p_i at o = −1 − i. */
+    def filterEdge(bS: Int, qpAv: Int, luma: Boolean, n: Int,
+        get: (Int, Int) => Int, set: (Int, Int, Int) => Unit): Unit = {
+      val ia = math.max(0, math.min(51, qpAv))
+      val alpha = prof.deblockAlpha(ia)
+      val beta = prof.deblockBeta(ia)
+      var line = 0
+      while (line < n) {
+        val p = Array.tabulate(4)(i => get(line, -1 - i))
+        val q = Array.tabulate(4)(i => get(line, i))
+        val filterOn = bS != 0 &&
+          math.abs(p(0) - q(0)) < alpha &&
+          math.abs(p(1) - p(0)) < beta &&
+          math.abs(q(1) - q(0)) < beta
+        if (filterOn) {
+          val ap = math.abs(p(2) - p(0))
+          val aq = math.abs(q(2) - q(0))
+          if (bS < 4) { // §8.7.2.3
+            val tc0 = prof.deblockTc0(bS - 1)(ia)
+            val tc =
+              if (luma) tc0 + (if (ap < beta) 1 else 0) +
+                (if (aq < beta) 1 else 0)
+              else tc0 + 1
+            val delta = math.max(-tc, math.min(tc,
+              (((q(0) - p(0)) << 2) + (p(1) - q(1)) + 4) >> 3))
+            set(line, -1, clip1(p(0) + delta))
+            set(line, 0, clip1(q(0) - delta))
+            if (luma && ap < beta)
+              set(line, -2, p(1) + math.max(-tc0, math.min(tc0,
+                (p(2) + ((p(0) + q(0) + 1) >> 1) - 2 * p(1)) >> 1)))
+            if (luma && aq < beta)
+              set(line, 1, q(1) + math.max(-tc0, math.min(tc0,
+                (q(2) + ((p(0) + q(0) + 1) >> 1) - 2 * q(1)) >> 1)))
+          } else { // bS == 4 [§8.7.2.4]
+            val close = math.abs(p(0) - q(0)) < (alpha >> 2) + 2
+            if (luma && ap < beta && close) {
+              set(line, -1,
+                (p(2) + 2 * p(1) + 2 * p(0) + 2 * q(0) + q(1) + 4) >> 3)
+              set(line, -2, (p(2) + p(1) + p(0) + q(0) + 2) >> 2)
+              set(line, -3,
+                (2 * p(3) + 3 * p(2) + p(1) + p(0) + q(0) + 4) >> 3)
+            } else set(line, -1, (2 * p(1) + p(0) + q(1) + 2) >> 2)
+            if (luma && aq < beta && close) {
+              set(line, 0,
+                (q(2) + 2 * q(1) + 2 * q(0) + 2 * p(0) + p(1) + 4) >> 3)
+              set(line, 1, (q(2) + q(1) + q(0) + p(0) + 2) >> 2)
+              set(line, 2,
+                (2 * q(3) + 3 * q(2) + q(1) + q(0) + p(0) + 4) >> 3)
+            } else set(line, 0, (2 * q(1) + q(0) + p(1) + 2) >> 2)
+          }
+        }
+        line += 1
+      }
+    }
+
+    def vertical(plane: Array[Array[Int]], gx: Int, gy: Int, n: Int,
+        bS: Int, qpAv: Int, luma: Boolean): Unit =
+      filterEdge(bS, qpAv, luma, n,
+        (line, o) => plane(gy + line)(gx + o),
+        (line, o, vv) => plane(gy + line)(gx + o) = vv)
+    def horizontal(plane: Array[Array[Int]], gx: Int, gy: Int, n: Int,
+        bS: Int, qpAv: Int, luma: Boolean): Unit =
+      filterEdge(bS, qpAv, luma, n,
+        (line, o) => plane(gy + o)(gx + line),
+        (line, o, vv) => plane(gy + o)(gx + line) = vv)
+
+    var mb = 0
+    while (mb < mbCols * mbRows) {
+      val (mr, mc) = (mb / mbCols, mb % mbCols)
+      val qpCur = qpOf(mb)
+      val qPcCur = chromaQp(qpCur)
+      def avLuma(other: Int): Int = (qpOf(other) + qpCur + 1) >> 1
+      def avChroma(other: Int): Int =
+        (chromaQp(qpOf(other)) + qPcCur + 1) >> 1
+      // vertical edges, left to right (luma 0/4/8/12, chroma 0/4)
+      Seq(0, 4, 8, 12).foreach { e =>
+        if (e != 0 || mc > 0) {
+          val bS = if (e == 0) 4 else 3 // all-intra Table 8-18
+          val qpAv = if (e == 0) avLuma(mb - 1) else qpCur
+          vertical(y, 16 * mc + e, 16 * mr, 16, bS, qpAv, luma = true)
+          if (e % 8 == 0) {
+            val cAv = if (e == 0) avChroma(mb - 1) else qPcCur
+            vertical(u, 8 * mc + e / 2, 8 * mr, 8, bS, cAv, luma = false)
+            vertical(v, 8 * mc + e / 2, 8 * mr, 8, bS, cAv, luma = false)
+          }
+        }
+      }
+      // horizontal edges, top to bottom
+      Seq(0, 4, 8, 12).foreach { e =>
+        if (e != 0 || mr > 0) {
+          val bS = if (e == 0) 4 else 3
+          val qpAv = if (e == 0) avLuma(mb - mbCols) else qpCur
+          horizontal(y, 16 * mc, 16 * mr + e, 16, bS, qpAv, luma = true)
+          if (e % 8 == 0) {
+            val cAv = if (e == 0) avChroma(mb - mbCols) else qPcCur
+            horizontal(u, 8 * mc, 8 * mr + e / 2, 8, bS, cAv,
+              luma = false)
+            horizontal(v, 8 * mc, 8 * mr + e / 2, 8, bS, cAv,
+              luma = false)
+          }
+        }
+      }
+      mb += 1
+    }
+    Planes(pl.width, pl.height, y, u, v)
+  }
 }

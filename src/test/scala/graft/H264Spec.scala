@@ -990,4 +990,43 @@ class H264Spec extends AnyFunSuite {
     assert(got2.collect { case H.CabacI4(m, _) => m.toSeq } ==
       mbs.collect { case H.CabacI4(m, _) => m.toSeq })
   }
+
+  test("deblocking [§8.7]: a flat plane is EXACTLY preserved, a small " +
+      "MB-edge step takes the strong 4/5-tap smoothing with hand " +
+      "values, a large step is left alone (edge preservation), the " +
+      "low-QP region disables the filter, and internal flat edges " +
+      "are identities") {
+    import graft.sources.{H264 => H, H264Recon}
+    val sps = H.parseSps(H.writeSps(32, 16))
+    def planes(left: Int, right: Int): H264Recon.Planes =
+      H264Recon.Planes(32, 16,
+        Array.fill(16, 32)(0).map(_.zipWithIndex.map { case (_, x) =>
+          if (x < 16) left else right }),
+        Array.fill(8, 16)(60), Array.fill(8, 16)(60))
+    // flat: every edge filters to identity
+    val flat = H264Recon.deblock(planes(90, 90), _ => 26, sps)
+    assert(flat.y.flatten.forall(_ == 90) &&
+      flat.u.flatten.forall(_ == 60))
+    // small step 100|116 at qp 26: strong path both sides
+    val st = H264Recon.deblock(planes(100, 116), _ => 26, sps)
+    val (p, q) = (100, 116)
+    (0 until 16).foreach { r =>
+      assert(st.y(r)(15) == (5 * p + 3 * q + 4) >> 3, s"p0 row $r")
+      assert(st.y(r)(14) == (3 * p + q + 2) >> 2)
+      assert(st.y(r)(13) == (7 * p + q + 4) >> 3)
+      assert(st.y(r)(16) == (5 * q + 3 * p + 4) >> 3)
+      assert(st.y(r)(17) == (3 * q + p + 2) >> 2)
+      assert(st.y(r)(12) == p && st.y(r)(20) == q)
+    }
+    // col 18 carries the second-order internal-edge correction
+    val e1 = math.floorDiv(p - q + 4, 8)
+    val e2 = math.floorDiv(p - q + 2, 4)
+    assert(st.y(0)(18) == ((7 * q + p + 4) >> 3) + ((e2 - 2 * e1) >> 1))
+    // a step beyond alpha is untouched (alpha(26) = 74 stand-in)
+    val big = H264Recon.deblock(planes(40, 140), _ => 26, sps)
+    assert(big.y(3)(15) == 40 && big.y(3)(16) == 140)
+    // low QP: alpha = 0 disables everything
+    val off = H264Recon.deblock(planes(100, 116), _ => 10, sps)
+    assert(off.y(5)(15) == 100 && off.y(5)(16) == 116)
+  }
 }
