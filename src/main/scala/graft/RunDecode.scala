@@ -205,6 +205,9 @@ object RunDecode {
     val p = profJson.map(CodecProfileJson.parseAac(_))
       .getOrElse(Aac.Profile.StandIn)
     val frames = AudioIndex.adtsDemux(bytes)
+    // §4.6.11 filterbank to samples when the stream stays on the
+    // exact-integer grid (single SCE, sine windows, ungrouped shorts)
+    val overlap = new graft.sources.AacPcm.Overlap()
     val lines = frames.map { case (off, fr) =>
       val els = Aac.demuxElements(fr.payload, p)
       def icsStats(ics: Aac.AacIcs): (Int, Long) =
@@ -222,8 +225,17 @@ object RunDecode {
             s""""ms_mask_present":$msp,"spec_sum_l":$ls,""" +
             s""""spec_sum_r":$rs}"""
       }
+      val pcm = els match {
+        case Seq(Aac.SceEl(_, ics)) => scala.util.Try {
+          overlap.frame(graft.sources.AacPcm.dequantIcs(ics, p),
+            ics.info.windowSequence).sum
+        }.toOption
+        case _ => None
+      }
+      val pcmField = pcm.map(v => s""","pcm_sum":$v""").getOrElse("")
       s"""{"offset":$off,"rate":${fr.rate},""" +
-        s""""channels":${fr.channels},"elements":[${parts.mkString(",")}]}"""
+        s""""channels":${fr.channels},""" +
+        s""""elements":[${parts.mkString(",")}]$pcmField}"""
     }
     writeLines(outDir, lines)
     println(s"""{"family":"aac","frames":${frames.length},""" +

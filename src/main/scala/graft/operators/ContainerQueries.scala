@@ -6857,6 +6857,74 @@ object ContainerQueries {
       |LEFT JOIN pcm0 p0 ON p0.chunk_id = fr.chunk_id AND p0.i = fr.i
       |ORDER BY fr.chunk_id, fr.i""".stripMargin
 
+  /** e58: STREAMING AAC DECODE-TO-SAMPLES — p32's streaming twin
+    * and the AAC member of the decode family (e53–e57): each ADTS
+    * frame's first 1024 output samples ring with the PREVIOUS
+    * frame's windowed IMDCT tail, so the 1024-Long overlap store
+    * ([[graft.sources.AacPcm.Overlap.flat]], 8 KB per key, CONSTANT)
+    * crosses real micro-batch boundaries through the state store;
+    * exact sums ride the text channel. Fixture: exactly p32's
+    * window-sequence-cycling SCE frames, one per ADTS frame per
+    * event; oracle: p32's kernel lattice down to the same per-frame
+    * functionals. Scale: state per key is constant; scale-out is
+    * keys × executors, identical to e53–e57. */
+  private[operators] object AacPcmStreamKernel extends Serializable {
+    def rows(cid: Long, count: Int)
+        : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
+      import graft.sources.{Aac, AudioIndex}
+      val n = math.min(6, count)
+      if (n < 1) return Iterator.empty
+      val hex = java.util.HexFormat.of()
+      (0 until n).iterator.map { i =>
+        val ics = DspQueries.AacPcmFixtures.sce(i + cid.toInt * 7)
+        val adts = AudioIndex.adtsMux(Seq(AudioIndex.AdtsFrame(1, 4, 1,
+          crcPresent = false, Aac.muxSce(ics))))
+        (cid.toString, 0, i.toLong, 0.0, hex.formatHex(adts), false,
+          i.toLong)
+      }
+    }
+  }
+
+  private def e58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{AacMachine, StatefulRunner}
+    val clicks = eventsMs(s, d)
+      .filter(col("event_type") === "click")
+      .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
+      .as[(Long, Long)]
+    val fixture = clicks.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        AacPcmStreamKernel.rows(k, it.size))
+      .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
+    StreamParityQueries.throughStream(s, fixture,
+        Seq(col("ts"), col("seq")), s"e58@$d",
+        ds => StatefulRunner.runStreaming(
+          new AacMachine.PcmDecoder, ds),
+        Map.empty)
+      .select(col("key").cast("long").as("chunk_id"),
+        col("ts").as("i"),
+        col("value").cast("long").as("seq"),
+        split(col("text"), ",")(0).cast("long").as("pcm_sum"),
+        split(col("text"), ",")(1).cast("long").as("pcm_alt"),
+        split(col("text"), ",")(2).cast("long").as("pcm0"))
+      .orderBy(col("chunk_id"), col("i"))
+  }
+
+  private val e58Sql =
+    DspQueries.p32Lattice + s"""
+      |SELECT fr.chunk_id, CAST(fr.i AS BIGINT) AS i,
+      |  CAST(fr.seq AS BIGINT) AS seq,
+      |  CAST(coalesce(c.cs, 0) + coalesce(pr.ts, 0) AS BIGINT)
+      |    AS pcm_sum,
+      |  CAST(coalesce(c.ca, 0) + coalesce(pr.ta, 0) AS BIGINT)
+      |    AS pcm_alt,
+      |  CAST(coalesce(c.cp, 0) + coalesce(pr.tp, 0) AS BIGINT) AS pcm0
+      |FROM f fr
+      |LEFT JOIN cur c ON c.chunk_id = fr.chunk_id AND c.i = fr.i
+      |LEFT JOIN cur pr ON pr.chunk_id = fr.chunk_id
+      |  AND pr.i = fr.i - 1
+      |ORDER BY fr.chunk_id, fr.i""".stripMargin
+
   private def e56(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.streaming.{Mp3Machine, StatefulRunner}
@@ -7218,6 +7286,7 @@ object ContainerQueries {
     Q("m63_vp8_upscale", m63, Some(m63Sql)),
     Q("e56_streaming_mp3_reservoir", e56, Some(e56Sql)),
     Q("e57_streaming_mp3_pcm", e57, Some(e57Sql)),
+    Q("e58_streaming_aac_pcm", e58, Some(e58Sql)),
     Q("m64_h264_i16x16", m64, Some(m64Sql)),
     Q("m65_h264_pslice", m65, Some(m65Sql)),
     Q("m66_h264_multislice", m66, Some(m66Sql)),

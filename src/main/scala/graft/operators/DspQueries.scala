@@ -3850,6 +3850,40 @@ object DspQueries {
     * independent linear functionals of the SAME Q10 lattice —
     * summed, alternating-sign, and first-sample kernels over both
     * overlap halves. */
+  /** p32/e58's shared fixture: SCE frames cycling the four window
+    * sequences in legal order, cb-11 spectra on the §9.2 exact grid
+    * under a cyclic DPCM scalefactor walk, salted per chunk. */
+  private[operators] object AacPcmFixtures extends Serializable {
+    import graft.sources.Aac
+    private val cubes = Array(0, 1, 8, 27)
+    def sce(fi: Int): Aac.AacIcs = {
+      val seq = fi % 4
+      val short = seq == 2
+      val maxSfb = if (short) 3 else 5
+      val info = Aac.IcsInfo(seq, 0, maxSfb, 0)
+      val groups = info.groupLens
+      val gain = 100 + 4 * (2 + fi % 3)
+      val sections = groups.indices.toVector.map(_ =>
+        Vector(Aac.Section(11, 0, maxSfb)))
+      val dpcm = groups.indices.toVector.map(gi =>
+        (0 until maxSfb).toVector.map { b =>
+          val dSlot = gi * maxSfb + b
+          4 * (((fi + dSlot) % 3) - 1)
+        })
+      val spectral = groups.indices.toVector.map { gi =>
+        (0 until maxSfb).toVector.map { b =>
+          Vector.tabulate(info.sfbWidth(b, groups(gi))) { l =>
+            val k = if (short) 128 * gi + Aac.SwbShort(b) + l
+              else Aac.SwbLong(b) + l
+            val m = cubes((fi * 5 + k * 7) % 4)
+            if (m != 0 && (k + fi) % 2 == 1) -m else m
+          }
+        }
+      }
+      Aac.AacIcs(gain, info, sections, dpcm, None, spectral)
+    }
+  }
+
   private def p32(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.sources.{Aac, AacPcm}
@@ -3860,34 +3894,8 @@ object DspQueries {
       val n = math.min(6, it.size)
       if (n < 1) Iterator.empty
       else {
-        val cubes = Array(0, 1, 8, 27)
-        def sce(fi: Int): Aac.AacIcs = {
-          val seq = fi % 4
-          val short = seq == 2
-          val maxSfb = if (short) 3 else 5
-          val info = Aac.IcsInfo(seq, 0, maxSfb, 0)
-          val groups = info.groupLens
-          val gain = 100 + 4 * (2 + fi % 3)
-          val sections = groups.indices.toVector.map(_ =>
-            Vector(Aac.Section(11, 0, maxSfb)))
-          val dpcm = groups.indices.toVector.map(gi =>
-            (0 until maxSfb).toVector.map { b =>
-              val dSlot = gi * maxSfb + b
-              4 * (((fi + dSlot) % 3) - 1)
-            })
-          val spectral = groups.indices.toVector.map { gi =>
-            (0 until maxSfb).toVector.map { b =>
-              Vector.tabulate(info.sfbWidth(b, groups(gi))) { l =>
-                val k = if (short) 128 * gi + Aac.SwbShort(b) + l
-                  else Aac.SwbLong(b) + l
-                val m = cubes((fi * 5 + k * 7) % 4)
-                if (m != 0 && (k + fi) % 2 == 1) -m else m
-              }
-            }
-          }
-          Aac.AacIcs(gain, info, sections, dpcm, None, spectral)
-        }
-        val frames = (0 until n).map(i => sce(i + cid.toInt * 7))
+        val frames = (0 until n).map(i =>
+          AacPcmFixtures.sce(i + cid.toInt * 7))
         val overlap = new AacPcm.Overlap()
         frames.iterator.zipWithIndex.map { case (ics, i) =>
           val (tag, rec) = Aac.demuxSce(Aac.muxSce(ics))
@@ -3936,7 +3944,9 @@ object DspQueries {
       shortKs.map(k => row(2, k))).mkString(",")
   }
 
-  private val p32Sql =
+  /** The p32 lattice CTE chain (lines → requant → kernels), shared
+    * verbatim with the e58 streaming twin's oracle. */
+  private[operators] val p32Lattice: String =
     s"""WITH c AS (SELECT user_id % 16 AS chunk_id,
       |    least(6, count(*)) AS n
       |  FROM events WHERE event_type = 'click' GROUP BY 1),
@@ -3990,7 +4000,10 @@ object DspQueries {
       |sfsum AS (SELECT chunk_id, i, SUM(sf) AS sf_sum FROM sfslots
       |  GROUP BY 1, 2),
       |specsum AS (SELECT chunk_id, i, SUM(abs(v)) AS spec_sum
-      |  FROM x GROUP BY 1, 2)
+      |  FROM x GROUP BY 1, 2)""".stripMargin
+
+  private val p32Sql = {
+    p32Lattice + s"""
       |SELECT fr.chunk_id, CAST(fr.i AS BIGINT) AS i,
       |  CAST(fr.seq AS BIGINT) AS seq,
       |  CAST(sp.spec_sum AS BIGINT) AS spec_sum,
@@ -4007,6 +4020,7 @@ object DspQueries {
       |LEFT JOIN cur pr ON pr.chunk_id = fr.chunk_id
       |  AND pr.i = fr.i - 1
       |ORDER BY fr.chunk_id, fr.i""".stripMargin
+  }
 
 
   /** p33: MP3 STEREO DECODE TO PCM — p31's channel dimension and
