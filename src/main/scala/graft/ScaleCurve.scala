@@ -143,6 +143,7 @@ object ScaleCurve {
     "m70_mpeg4p2_index",    // 14496-2 start-code walk: m37 shape
     "m71_h264_deblock",     // sect 8.7 two-pass filter: m68 shape
     "e58_streaming_aac_pcm",// 1024-Long overlap through the store: e57 shape
+    "m72_h264_cabac_residual", // sect 9.3.2.3 coefficient syntax: m69 shape
     "m27_container_matrix") // the 8-leg matrix: cost ~ legs by design
 
   /** The dedup AND similarity tails get a FIFTH decade (×100 sf0.1,

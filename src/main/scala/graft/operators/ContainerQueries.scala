@@ -6793,6 +6793,183 @@ object ContainerQueries {
       |FROM summed
       |ORDER BY container, t""".stripMargin
 
+  /** m72: H.264 CABAC RESIDUAL CODING — the boundary m69 declared
+    * loudly ("residual CABAC out of this leg") now closed: I slices
+    * whose macroblocks carry REAL coefficient data through the
+    * §9.3.2.3 syntax — coded_block_flag with same-category neighbor
+    * contexts, significance/last maps per scan position (incl. the
+    * implied-last path), UEG0 levels through the Eq1/Gt1 context
+    * machine with the EG0 bypass escape, bypass signs, mb_qp_delta's
+    * mapped unary conditioned on the previous delta, chroma CBP
+    * bin 1, and I_PCM re-init cycles interleaved. Every emitted
+    * number passes through the full encode → decode arithmetic round
+    * trip; the oracle replays the draws. */
+  private[operators] object CabacResidualKernel extends Serializable {
+    import graft.sources.H264
+    def rows(cid: Long, count: Int): Iterator[(Long, Long, Long, Long,
+        Long, Long, Long, Long)] = {
+      val n = math.min(5, count)
+      if (n < 1) return Iterator.empty
+      val sps = H264.parseSps(H264.writeSps(48, 32))
+      val pps = H264.parsePps(H264.writePps(cabac = true))
+      val c = cid.toInt
+      (0 until n).iterator.map { t =>
+        val mbs: Vector[H264.CabacMb] = Vector.tabulate(6) { i =>
+          if ((t + i + c) % 5 == 4)
+            H264.CabacPcm(
+              Array.tabulate(256)(k =>
+                ((t * 31 + i * 13 + k * 7 + c) % 251).toByte),
+              Array.tabulate(64)(k =>
+                ((t * 17 + i * 7 + k * 3 + c) % 251).toByte),
+              Array.tabulate(64)(k =>
+                ((t * 11 + i * 5 + k * 9 + c) % 251).toByte))
+          else {
+            val quads = (t * 5 + i * 7 + c) % 16
+            val chroma = (t + i) % 3
+            val cbp = quads | (chroma << 4)
+            val luma = Vector.tabulate(16) { blk =>
+              val a = new Array[Int](16)
+              if ((quads & (1 << (blk / 4))) != 0)
+                Seq(0, 3, 7, 15).foreach { p =>
+                  a(p) =
+                    if (p == 15 && (blk + t) % 4 == 0)
+                      20 + (i + c) % 30
+                    else (t + i * 3 + blk * 5 + p * 7 + c) % 9 - 4
+                }
+              a
+            }
+            val cdc = Vector.tabulate(2) { comp =>
+              val a = new Array[Int](4)
+              if (chroma >= 1) Seq(0, 2).foreach(p =>
+                a(p) = (t * 3 + i + comp * 5 + p + c) % 7 - 3)
+              a
+            }
+            val cac = Vector.tabulate(2)(comp => Vector.tabulate(4) { blk =>
+              val a = new Array[Int](15)
+              if (chroma == 2) Seq(1, 14).foreach(p =>
+                a(p) = (t + i + comp + blk * 3 + p + c) % 5 - 2)
+              a
+            })
+            H264.CabacCoded(
+              Array.tabulate(16)(idx => (t * 3 + i * 5 + idx * 7 + c) % 9),
+              (t + i * 3 + c) % 4, cbp,
+              if (cbp != 0) (t + i + c) % 5 - 2 else 0,
+              luma, cdc, cac)
+          }
+        }
+        val nal = H264.writeCabacCodedSlice(t, sps, pps, mbs)
+        val (_, got) = H264.parseCabacCodedSlice(nal, sps, pps)
+        var nPcm = 0L; var modeSum = 0L; var cbpSum = 0L
+        var qpFinal = 26L; var coeffAbs = 0L; var pcmY = 0L
+        got.foreach {
+          case m: H264.CabacCoded =>
+            modeSum += m.lumaModes.map(_.toLong).sum + m.chromaMode
+            cbpSum += m.cbp
+            if (m.cbp != 0) qpFinal += m.qpDelta
+            coeffAbs += m.luma.iterator.flatMap(_.iterator)
+              .map(v => math.abs(v).toLong).sum +
+              m.chromaDc.iterator.flatMap(_.iterator)
+                .map(v => math.abs(v).toLong).sum +
+              m.chromaAc.iterator.flatMap(_.iterator).flatMap(_.iterator)
+                .map(v => math.abs(v).toLong).sum
+          case p2: H264.CabacPcm =>
+            nPcm += 1
+            pcmY += p2.y.iterator.map(_ & 0xffL).sum
+        }
+        (cid, t.toLong, nPcm, modeSum, cbpSum, qpFinal, coeffAbs, pcmY)
+      }
+    }
+  }
+
+  private def m72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = eventsMs(s, d)
+      .filter(col("event_type") === "view")
+      .select((col("user_id") % 32).as("container"), col("event_id"))
+      .as[(Long, Long)]
+    views.groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+        CabacResidualKernel.rows(k, it.size))
+      .toDF("container", "t", "n_pcm", "mode_sum", "cbp_sum",
+        "qp_final", "coeff_abs_sum", "pcm_y_sum")
+      .orderBy(col("container"), col("t"))
+  }
+
+  private val m72Sql =
+    """WITH cnt AS (SELECT user_id % 32 AS container,
+      |    least(5, count(*)) AS n
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |frames AS (SELECT container, g.t FROM cnt,
+      |  unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(t)),
+      |mb AS (SELECT container, t, i.i,
+      |    (t + i.i + container) % 5 = 4 AS is_pcm,
+      |    (t * 5 + i.i * 7 + container) % 16 AS quads,
+      |    (t + i.i) % 3 AS chroma
+      |  FROM frames, (SELECT unnest(range(6)) AS i) i),
+      |coded AS (SELECT *, quads + chroma * 16 AS cbp FROM mb
+      |  WHERE NOT is_pcm),
+      |-- luma coefficients on the coded quads
+      |lc AS (SELECT m.container, m.t,
+      |    sum(CASE WHEN (m.quads & (1 << (b.b // 4))) != 0 THEN
+      |      CASE WHEN p.p = 15 AND (b.b + m.t) % 4 = 0
+      |        THEN 20 + (m.i + m.container) % 30
+      |        ELSE abs((m.t + m.i * 3 + b.b * 5 + p.p * 7 + m.container)
+      |          % 9 - 4) END
+      |      ELSE 0 END) AS s
+      |  FROM coded m, (SELECT unnest(range(16)) AS b) b,
+      |    (SELECT unnest([0, 3, 7, 15]) AS p) p
+      |  GROUP BY 1, 2),
+      |dc AS (SELECT m.container, m.t,
+      |    sum(CASE WHEN m.chroma >= 1 THEN
+      |      abs((m.t * 3 + m.i + comp.comp * 5 + p.p + m.container)
+      |        % 7 - 3) ELSE 0 END) AS s
+      |  FROM coded m, (SELECT unnest(range(2)) AS comp) comp,
+      |    (SELECT unnest([0, 2]) AS p) p
+      |  GROUP BY 1, 2),
+      |ac AS (SELECT m.container, m.t,
+      |    sum(CASE WHEN m.chroma = 2 THEN
+      |      abs((m.t + m.i + comp.comp + b.b * 3 + p.p + m.container)
+      |        % 5 - 2) ELSE 0 END) AS s
+      |  FROM coded m, (SELECT unnest(range(2)) AS comp) comp,
+      |    (SELECT unnest(range(4)) AS b) b,
+      |    (SELECT unnest([1, 14]) AS p) p
+      |  GROUP BY 1, 2),
+      |modes AS (SELECT m.container, m.t,
+      |    sum((m.t * 3 + m.i * 5 + x.idx * 7 + m.container) % 9)
+      |    + sum(CASE WHEN x.idx = 0
+      |        THEN (m.t + m.i * 3 + m.container) % 4 ELSE 0 END) AS s
+      |  FROM coded m, (SELECT unnest(range(16)) AS idx) x
+      |  GROUP BY 1, 2),
+      |agg AS (SELECT m.container, m.t,
+      |    sum(CASE WHEN m.is_pcm THEN 1 ELSE 0 END) AS n_pcm
+      |  FROM mb m GROUP BY 1, 2),
+      |cbps AS (SELECT container, t, sum(cbp) AS cbp_sum,
+      |    26 + sum(CASE WHEN cbp != 0
+      |      THEN (t + i + container) % 5 - 2 ELSE 0 END) AS qp_final
+      |  FROM coded GROUP BY 1, 2),
+      |py AS (SELECT m.container, m.t,
+      |    sum((m.t * 31 + m.i * 13 + k.k * 7 + m.container) % 251)
+      |      AS pcm_y
+      |  FROM mb m, (SELECT unnest(range(256)) AS k) k
+      |  WHERE m.is_pcm GROUP BY 1, 2)
+      |SELECT f.container, CAST(f.t AS BIGINT) AS t,
+      |  CAST(a.n_pcm AS BIGINT) AS n_pcm,
+      |  CAST(coalesce(mo.s, 0) AS BIGINT) AS mode_sum,
+      |  CAST(coalesce(cb.cbp_sum, 0) AS BIGINT) AS cbp_sum,
+      |  CAST(coalesce(cb.qp_final, 26) AS BIGINT) AS qp_final,
+      |  CAST(coalesce(lc.s, 0) + coalesce(dc.s, 0) + coalesce(ac.s, 0)
+      |    AS BIGINT) AS coeff_abs_sum,
+      |  CAST(coalesce(py.pcm_y, 0) AS BIGINT) AS pcm_y_sum
+      |FROM frames f
+      |JOIN agg a ON a.container = f.container AND a.t = f.t
+      |LEFT JOIN modes mo ON mo.container = f.container AND mo.t = f.t
+      |LEFT JOIN cbps cb ON cb.container = f.container AND cb.t = f.t
+      |LEFT JOIN lc ON lc.container = f.container AND lc.t = f.t
+      |LEFT JOIN dc ON dc.container = f.container AND dc.t = f.t
+      |LEFT JOIN ac ON ac.container = f.container AND ac.t = f.t
+      |LEFT JOIN py ON py.container = f.container AND py.t = f.t
+      |ORDER BY f.container, f.t""".stripMargin
+
   private[operators] object Mp3PcmStreamKernel extends Serializable {
     def rows(cid: Long, count: Int)
         : Iterator[(String, Int, Long, Double, String, Boolean, Long)] = {
@@ -7295,6 +7472,7 @@ object ContainerQueries {
     Q("m69_h264_cabac", m69, Some(m69Sql)),
     Q("m70_mpeg4p2_index", m70, Some(m70Sql)),
     Q("m71_h264_deblock", m71, Some(m71Sql)),
+    Q("m72_h264_cabac_residual", m72, Some(m72Sql)),
     Q("e55_streaming_vp8_lifecycle", e55, Some(e55Sql)),
     Q("m30_flv_container", m30, Some(m30Sql)),
     Q("m31_rtmp_chunks", m31, Some(m31Sql)),

@@ -1821,6 +1821,486 @@ object H264 {
     (info, out.result())
   }
 
+  /** One CABAC-coded Intra_4x4 macroblock WITH residuals (the
+    * §9.3.3.1.1.9 / §9.3.2.3 coefficient syntax m69's mode-level leg
+    * declared out of scope): scan-space luma 4×4 blocks (empty for
+    * uncoded), chroma DC (4) and AC (15) per component, and
+    * mb_qp_delta. */
+  final case class CabacCoded(lumaModes: Array[Int], chromaMode: Int,
+      cbp: Int, qpDelta: Int, luma: Vector[Array[Int]],
+      chromaDc: Vector[Array[Int]], chromaAc: Vector[Vector[Array[Int]]])
+      extends CabacMb
+
+  /** The engine's context-index layout for the residual syntax —
+    * the COUNT and SHARING structure is §9.3.3.1.1.9's (per block
+    * category, per scan position for significance, GT1-driven level
+    * contexts); the exact index packing below is this engine's
+    * documented convention (Table 9-11's printed assignments are
+    * value data, and the per-context (m, n) seam is injectable by
+    * index either way). Categories: 0 I16-DC, 1 I16-AC, 2 luma 4×4,
+    * 3 chroma DC, 4 chroma AC. */
+  private object ResCtx {
+    val MaxCoeff = Array(16, 15, 16, 4, 15)
+    private val sigBase = MaxCoeff.map(_ - 1).scanLeft(0)(_ + _)
+    def codedBlockFlag(cat: Int, inc: Int): Int = 85 + 4 * cat + inc
+    def sig(cat: Int, i: Int): Int = 105 + sigBase(cat) + i
+    def last(cat: Int, i: Int): Int = 166 + sigBase(cat) + i
+    def level(cat: Int, inc: Int): Int =
+      227 + (if (cat == 4) 39 else 10 * cat) + inc
+    val QpDelta = 60 // ..63
+  }
+
+  /** Encode one residual block (§9.3.2.3's ordering: coded_block_flag,
+    * the significance map with the implied last position, then levels
+    * highest-frequency first under the UEG0 binarization with the
+    * Eq1/Gt1 context machine, signs bypass). `coeff` is scan-space of
+    * length MaxCoeff(cat). `cbfInc` = condTermA + 2·condTermB over
+    * same-category neighbors. */
+  private def encodeResBlock(enc: Cabac.Enc, cat: Int, coeff: Array[Int],
+      cbfInc: Int): Unit = {
+    val n = ResCtx.MaxCoeff(cat)
+    require(coeff.length == n, s"h264: cat $cat wants $n coefficients")
+    val any = coeff.exists(_ != 0)
+    enc.decision(ResCtx.codedBlockFlag(cat, cbfInc), if (any) 1 else 0)
+    if (!any) return
+    val lastIdx = coeff.lastIndexWhere(_ != 0)
+    var i = 0
+    var break = false
+    while (i < n - 1 && !break) {
+      val sig = coeff(i) != 0
+      enc.decision(ResCtx.sig(cat, i), if (sig) 1 else 0)
+      if (sig) {
+        val isLast = i == lastIdx
+        enc.decision(ResCtx.last(cat, i), if (isLast) 1 else 0)
+        if (isLast) break = true
+      }
+      i += 1
+    }
+    // levels, highest frequency first, with the Eq1/Gt1 machine
+    var eq1 = 0; var gt1 = 0
+    var k = lastIdx
+    while (k >= 0) {
+      val v = coeff(k)
+      if (v != 0) {
+        val absM1 = math.abs(v) - 1
+        val binCtx0 = ResCtx.level(cat,
+          if (gt1 != 0) 0 else math.min(4, 1 + eq1))
+        val binCtxN = ResCtx.level(cat, 5 + math.min(4, gt1))
+        // UEG0: TU prefix to 14, then EG0 suffix in bypass
+        val prefix = math.min(absM1, 14)
+        var b = 0
+        while (b < prefix) {
+          enc.decision(if (b == 0) binCtx0 else binCtxN, 1); b += 1
+        }
+        if (prefix < 14) enc.decision(
+          if (prefix == 0) binCtx0 else binCtxN, 0)
+        else if (absM1 >= 14) {
+          // EG0 over absM1 − 14
+          var value = absM1 - 14 + 1
+          var bits = 31 - Integer.numberOfLeadingZeros(value)
+          (0 until bits).foreach(_ => enc.bypass(1))
+          enc.bypass(0)
+          var j = bits - 1
+          while (j >= 0) { enc.bypass((value >> j) & 1); j -= 1 }
+        }
+        enc.bypass(if (v < 0) 1 else 0)
+        if (math.abs(v) == 1) eq1 += 1 else gt1 += 1
+      }
+      k -= 1
+    }
+  }
+
+  private def decodeResBlock(dec: Cabac.Dec, cat: Int,
+      cbfInc: Int): Array[Int] = {
+    val n = ResCtx.MaxCoeff(cat)
+    val coeff = new Array[Int](n)
+    if (dec.decision(ResCtx.codedBlockFlag(cat, cbfInc)) == 0)
+      return coeff
+    val sig = new Array[Boolean](n)
+    var lastIdx = n - 1
+    var i = 0
+    var break = false
+    while (i < n - 1 && !break) {
+      if (dec.decision(ResCtx.sig(cat, i)) == 1) {
+        sig(i) = true
+        if (dec.decision(ResCtx.last(cat, i)) == 1) {
+          lastIdx = i; break = true
+        }
+      }
+      i += 1
+    }
+    if (!break) sig(n - 1) = true // the implied last position
+    else sig(lastIdx) = true
+    var eq1 = 0; var gt1 = 0
+    var k = lastIdx
+    while (k >= 0) {
+      if (sig(k)) {
+        val binCtx0 = ResCtx.level(cat,
+          if (gt1 != 0) 0 else math.min(4, 1 + eq1))
+        val binCtxN = ResCtx.level(cat, 5 + math.min(4, gt1))
+        var prefix = 0
+        var more = dec.decision(binCtx0) == 1
+        while (more && prefix < 14) {
+          prefix += 1
+          if (prefix < 14) more = dec.decision(binCtxN) == 1
+          else more = false
+        }
+        var absM1 = prefix
+        if (prefix == 14) {
+          var bits = 0
+          while (dec.bypass() == 1) {
+            bits += 1; require(bits < 31, "h264: EG0 runaway")
+          }
+          var value = 1
+          (0 until bits).foreach(_ => value = (value << 1) | dec.bypass())
+          absM1 = 14 + value - 1
+        }
+        val neg = dec.bypass() == 1
+        val v = if (neg) -(absM1 + 1) else absM1 + 1
+        coeff(k) = v
+        if (absM1 == 0) eq1 += 1 else gt1 += 1
+      }
+      k -= 1
+    }
+    coeff
+  }
+
+  /** Write a CABAC I slice WITH residuals: [[writeCabacIntraSlice]]'s
+    * mode layer, a caller CBP through the §9.3.3.1.1.4 bin contexts
+    * (chroma bin 1 at ctx 81+inc when cbpChroma = 2), mb_qp_delta's
+    * mapped-unary binarization (ctx 60..63, bin 0 conditioned on the
+    * PREVIOUS macroblock's delta), and the §7.3.5.3 residual walk
+    * through [[encodeResBlock]] with per-block coded_block_flag
+    * neighbor contexts. I_PCM macroblocks compose unchanged. */
+  def writeCabacCodedSlice(frameNum: Int, sps: Sps, pps: Pps,
+      mbs: Vector[CabacMb], idrPicId: Int = 0,
+      prof: Profile = Profile.StandIn): Array[Byte] = {
+    require(pps.cabac, "h264: CABAC slice on a CAVLC PPS")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    require(mbs.length == mbCols * mbRows, "h264: MB grid shape")
+    val w = new BitW
+    w.ue(0); w.ue(7); w.ue(pps.ppsId.toLong)
+    w.u(frameNum.toLong, sps.log2MaxFrameNum)
+    w.ue(idrPicId.toLong)
+    if (sps.picOrderCntType == 0) w.u(0L, sps.log2MaxPocLsb)
+    w.u(0L, 1); w.u(0L, 1)
+    w.se(0)
+    w.align1()
+    val qP = pps.picInitQp
+    val ctxs = new Cabac.Ctxs(qP, prof)
+    var enc = new Cabac.Enc(w, prof, ctxs)
+    val nMb = mbs.length
+    val kinds = new Array[Int](nMb)
+    val cmodes = new Array[Int](nMb)
+    val cbpL = new Array[Int](nMb)
+    val cbpC = new Array[Int](nMb)
+    val grid = Array.fill(nMb)(Array.fill(16)(2))
+    // per-block coded_block_flag grids for the neighbor contexts
+    val cbfLuma = Array.fill(nMb)(new Array[Int](16))
+    val cbfCdc = Array.fill(2, nMb)(0)
+    val cbfCac = Array.fill(2, nMb)(new Array[Int](4))
+    var prevQpDelta = 0
+    mbs.zipWithIndex.foreach { case (mb, i) =>
+      val (mr, mc) = (i / mbCols, i % mbCols)
+      mb match {
+        case CabacPcm(y2, u2, v2) =>
+          kinds(i) = 1; cbpL(i) = 15; cbpC(i) = 2
+          // I_PCM neighbors count as coded everywhere [§9.3.3.1.1.9]
+          java.util.Arrays.fill(cbfLuma(i), 1)
+          cbfCdc(0)(i) = 1; cbfCdc(1)(i) = 1
+          java.util.Arrays.fill(cbfCac(0)(i), 1)
+          java.util.Arrays.fill(cbfCac(1)(i), 1)
+          enc.decision(3 + mbTypeInc(kinds, mbCols, i), 1)
+          enc.terminate(1)
+          w.align()
+          y2.foreach(b => w.u(b & 0xffL, 8))
+          u2.foreach(b => w.u(b & 0xffL, 8))
+          v2.foreach(b => w.u(b & 0xffL, 8))
+          enc = new Cabac.Enc(w, prof, ctxs)
+          prevQpDelta = 0 // I_PCM resets the delta chain [§7.4.5]
+        case CabacCoded(modes, chromaMode, cbp, qpDelta, luma, cdc, cac) =>
+          require(cbp >= 0 && cbp < 48 && (cbp >> 4) <= 2, "h264: CBP")
+          kinds(i) = 0; cmodes(i) = chromaMode
+          enc.decision(3 + mbTypeInc(kinds, mbCols, i), 0)
+          var idx = 0
+          while (idx < 16) {
+            val want = modes(idx)
+            val pred = predictedMode(grid, mbCols, mr, mc, grid(i), idx)
+            if (want == pred) enc.decision(68, 1)
+            else {
+              enc.decision(68, 0)
+              val rem = if (want < pred) want else want - 1
+              enc.decision(69, (rem >> 2) & 1)
+              enc.decision(69, (rem >> 1) & 1)
+              enc.decision(69, rem & 1)
+            }
+            grid(i)(idx) = want
+            idx += 1
+          }
+          val cInc = chromaModeInc(kinds, cmodes, mbCols, i)
+          if (chromaMode == 0) enc.decision(64 + cInc, 0)
+          else {
+            enc.decision(64 + cInc, 1)
+            if (chromaMode == 1) enc.decision(67, 0)
+            else {
+              enc.decision(67, 1)
+              enc.decision(67, if (chromaMode == 2) 0 else 1)
+            }
+          }
+          // coded_block_pattern
+          var sofar = 0
+          (0 until 4).foreach { b8 =>
+            val bit = (cbp >> b8) & 1
+            enc.decision(73 + cbpLumaInc(cbpL, mbCols, i, b8, sofar), bit)
+            sofar |= bit << b8
+          }
+          cbpL(i) = cbp & 15
+          val cbpChroma = cbp >> 4
+          enc.decision(77 + cbpChromaInc(cbpC, mbCols, i),
+            if (cbpChroma > 0) 1 else 0)
+          if (cbpChroma > 0)
+            enc.decision(81 + cbpChroma2Inc(cbpC, mbCols, i),
+              if (cbpChroma == 2) 1 else 0)
+          cbpC(i) = cbpChroma
+          if (cbp != 0) {
+            // mb_qp_delta: mapped unary, bin 0 conditioned on the
+            // previous MB's delta [§9.3.3.1.1.5]
+            val mapped = if (qpDelta > 0) 2 * qpDelta - 1
+              else -2 * qpDelta
+            val bin0Ctx = ResCtx.QpDelta +
+              (if (prevQpDelta != 0) 1 else 0)
+            if (mapped == 0) enc.decision(bin0Ctx, 0)
+            else {
+              enc.decision(bin0Ctx, 1)
+              var b = 1
+              while (b < mapped) {
+                enc.decision(
+                  if (b == 1) ResCtx.QpDelta + 2 else ResCtx.QpDelta + 3,
+                  1)
+                b += 1
+              }
+              enc.decision(
+                if (mapped == 1) ResCtx.QpDelta + 2 else ResCtx.QpDelta + 3,
+                0)
+            }
+            prevQpDelta = qpDelta
+            // luma residual, 8x8-quad order [§7.3.5.3]
+            (0 until 4).foreach { q =>
+              if ((cbp & (1 << q)) != 0) (0 until 4).foreach { sub =>
+                val blk = q * 4 + sub
+                val (bx, by) = blk4x4Pos(blk)
+                val inc = cbfNbrInc((r2, c2, x, y2) =>
+                  cbfLuma(r2 * mbCols + c2)(y2 * 4 + x),
+                  mbCols, mbRows, mr, mc, bx, by, 4)
+                val coeff = luma(blk)
+                encodeResBlock(enc, 2, coeff, inc)
+                cbfLuma(i)(by * 4 + bx) =
+                  if (coeff.exists(_ != 0)) 1 else 0
+              } else (0 until 4).foreach { sub =>
+                require(luma(q * 4 + sub).forall(_ == 0),
+                  "h264: coefficients on an uncoded quad")
+              }
+            }
+            if (cbpChroma != 0) (0 until 2).foreach { comp =>
+              val inc = cbfMbInc(cbfCdc(comp), mbCols, mr, mc)
+              encodeResBlock(enc, 3, cdc(comp), inc)
+              cbfCdc(comp)(i) =
+                if (cdc(comp).exists(_ != 0)) 1 else 0
+            }
+            if (cbpChroma == 2) (0 until 2).foreach { comp =>
+              (0 until 4).foreach { blk =>
+                val (bx, by) = (blk % 2, blk / 2)
+                val inc = cbfNbrInc((r2, c2, x, y2) =>
+                  cbfCac(comp)(r2 * mbCols + c2)(y2 * 2 + x),
+                  mbCols, mbRows, mr, mc, bx, by, 2)
+                encodeResBlock(enc, 4, cac(comp)(blk), inc)
+                cbfCac(comp)(i)(by * 2 + bx) =
+                  if (cac(comp)(blk).exists(_ != 0)) 1 else 0
+              }
+            }
+          } else prevQpDelta = 0 // no delta coded → chain resets
+      }
+      if (i == nMb - 1) enc.terminate(1) else enc.terminate(0)
+    }
+    w.align()
+    nal(3, NalIdr, w.toRbsp)
+  }
+
+  /** coded_block_flag neighbor context over a per-MB `bpr`×`bpr`
+    * block grid (§9.3.3.1.1.9): condTermA + 2·condTermB; a missing
+    * neighbor counts 1 for intra macroblocks. */
+  private def cbfNbrInc(at: (Int, Int, Int, Int) => Int,
+      mbCols: Int, mbRows: Int, mr: Int, mc: Int, bx: Int, by: Int,
+      bpr: Int): Int = {
+    def get(gr: Int, gc: Int, x: Int, y: Int): Int =
+      if (gr < 0 || gc < 0 || gr >= mbRows || gc >= mbCols) 1 // intra
+      else at(gr, gc, x, y)
+    val a = if (bx > 0) get(mr, mc, bx - 1, by)
+      else get(mr, mc - 1, bpr - 1, by)
+    val b = if (by > 0) get(mr, mc, bx, by - 1)
+      else get(mr - 1, mc, bx, bpr - 1)
+    a + 2 * b
+  }
+  /** Same for the per-MB chroma DC flag. */
+  private def cbfMbInc(flags: Array[Int], mbCols: Int, mr: Int,
+      mc: Int): Int = {
+    def get(gr: Int, gc: Int): Int =
+      if (gr < 0 || gc < 0) 1 else flags(gr * mbCols + gc)
+    get(mr, mc - 1) + 2 * get(mr - 1, mc)
+  }
+  /** chroma CBP bin 1 ctxIdxInc: neighbors with cbpChroma == 2. */
+  private def cbpChroma2Inc(cbpC: Array[Int], mbCols: Int, mb: Int)
+      : Int = {
+    val (mr, mc) = (mb / mbCols, mb % mbCols)
+    def cond(ok: Boolean, n: Int): Int =
+      if (ok && cbpC(n) == 2) 1 else 0
+    cond(mc > 0, mb - 1) + 2 * cond(mr > 0, mb - mbCols)
+  }
+
+  /** Parse a CABAC I slice with residuals back (inverse of
+    * [[writeCabacCodedSlice]]); I_16x16 mb_types stay loud. */
+  def parseCabacCodedSlice(nalBytes: Array[Byte], sps: Sps, pps: Pps,
+      prof: Profile = Profile.StandIn): (SliceInfo, Vector[CabacMb]) = {
+    require(pps.cabac, "h264: CABAC parse on a CAVLC PPS")
+    val nt = nalType(nalBytes)
+    require(nt == NalSlice || nt == NalIdr, "h264: not a coded slice")
+    val mbCols = sps.width / 16; val mbRows = sps.height / 16
+    val r = new BitR(stripEmulation(nalBytes, 1, nalBytes.length))
+    val info = readSliceHeader(r, nt, nalRefIdc(nalBytes), sps, pps)
+    require(info.isI, "h264: CABAC intra parse on a non-I slice")
+    r.alignSkip1()
+    val qP = pps.picInitQp + info.qpDelta
+    val ctxs = new Cabac.Ctxs(qP, prof)
+    var dec = new Cabac.Dec(r, prof, ctxs)
+    val nMb = mbCols * mbRows
+    val kinds = new Array[Int](nMb)
+    val cmodes = new Array[Int](nMb)
+    val cbpL = new Array[Int](nMb)
+    val cbpC = new Array[Int](nMb)
+    val grid = Array.fill(nMb)(Array.fill(16)(2))
+    val cbfLuma = Array.fill(nMb)(new Array[Int](16))
+    val cbfCdc = Array.fill(2, nMb)(0)
+    val cbfCac = Array.fill(2, nMb)(new Array[Int](4))
+    var prevQpDelta = 0
+    val out = Vector.newBuilder[CabacMb]
+    var i = 0
+    var ended = false
+    while (i < nMb) {
+      require(!ended, s"h264: end_of_slice before MB $i")
+      val (mr, mc) = (i / mbCols, i % mbCols)
+      if (dec.decision(3 + mbTypeInc(kinds, mbCols, i)) == 1) {
+        require(dec.terminate() == 1,
+          s"h264: I_16x16 mb_type at MB $i out of this leg")
+        kinds(i) = 1; cbpL(i) = 15; cbpC(i) = 2
+        java.util.Arrays.fill(cbfLuma(i), 1)
+        cbfCdc(0)(i) = 1; cbfCdc(1)(i) = 1
+        java.util.Arrays.fill(cbfCac(0)(i), 1)
+        java.util.Arrays.fill(cbfCac(1)(i), 1)
+        r.alignSkip0()
+        val y2 = Array.tabulate(256)(_ => r.u(8).toByte)
+        val u2 = Array.tabulate(64)(_ => r.u(8).toByte)
+        val v2 = Array.tabulate(64)(_ => r.u(8).toByte)
+        out += CabacPcm(y2, u2, v2)
+        dec = new Cabac.Dec(r, prof, ctxs)
+        prevQpDelta = 0
+      } else {
+        kinds(i) = 0
+        var idx = 0
+        while (idx < 16) {
+          val pred = predictedMode(grid, mbCols, mr, mc, grid(i), idx)
+          val mode =
+            if (dec.decision(68) == 1) pred
+            else {
+              val rem = (dec.decision(69) << 2) |
+                (dec.decision(69) << 1) | dec.decision(69)
+              if (rem < pred) rem else rem + 1
+            }
+          grid(i)(idx) = mode
+          idx += 1
+        }
+        val cInc = chromaModeInc(kinds, cmodes, mbCols, i)
+        val chroma =
+          if (dec.decision(64 + cInc) == 0) 0
+          else if (dec.decision(67) == 0) 1
+          else if (dec.decision(67) == 0) 2
+          else 3
+        cmodes(i) = chroma
+        var cbp = 0
+        (0 until 4).foreach { b8 =>
+          val bit = dec.decision(73 + cbpLumaInc(cbpL, mbCols, i, b8,
+            cbp))
+          cbp |= bit << b8
+        }
+        cbpL(i) = cbp
+        var cbpChroma = 0
+        if (dec.decision(77 + cbpChromaInc(cbpC, mbCols, i)) == 1)
+          cbpChroma =
+            if (dec.decision(81 + cbpChroma2Inc(cbpC, mbCols, i)) == 1) 2
+            else 1
+        cbpC(i) = cbpChroma
+        val fullCbp = cbp | (cbpChroma << 4)
+        var qpDelta = 0
+        val luma = Array.fill(16)(new Array[Int](16))
+        val cdc = Array.fill(2)(new Array[Int](4))
+        val cac = Array.fill(2, 4)(new Array[Int](15))
+        if (fullCbp != 0) {
+          val bin0Ctx = ResCtx.QpDelta +
+            (if (prevQpDelta != 0) 1 else 0)
+          var mapped = 0
+          if (dec.decision(bin0Ctx) == 1) {
+            mapped = 1
+            var more = dec.decision(ResCtx.QpDelta + 2) == 1
+            while (more) {
+              mapped += 1
+              require(mapped < 64, "h264: mb_qp_delta runaway")
+              more = dec.decision(ResCtx.QpDelta + 3) == 1
+            }
+          }
+          qpDelta = if (mapped % 2 == 1) (mapped + 1) / 2
+            else -mapped / 2
+          prevQpDelta = qpDelta
+          (0 until 4).foreach { q =>
+            if ((cbp & (1 << q)) != 0) (0 until 4).foreach { sub =>
+              val blk = q * 4 + sub
+              val (bx, by) = blk4x4Pos(blk)
+              val inc = cbfNbrInc((r2, c2, x, y2) =>
+                cbfLuma(r2 * mbCols + c2)(y2 * 4 + x),
+                mbCols, mbRows, mr, mc, bx, by, 4)
+              val coeff = decodeResBlock(dec, 2, inc)
+              luma(blk) = coeff
+              cbfLuma(i)(by * 4 + bx) =
+                if (coeff.exists(_ != 0)) 1 else 0
+            }
+          }
+          if (cbpChroma != 0) (0 until 2).foreach { comp =>
+            val inc = cbfMbInc(cbfCdc(comp), mbCols, mr, mc)
+            cdc(comp) = decodeResBlock(dec, 3, inc)
+            cbfCdc(comp)(i) = if (cdc(comp).exists(_ != 0)) 1 else 0
+          }
+          if (cbpChroma == 2) (0 until 2).foreach { comp =>
+            (0 until 4).foreach { blk =>
+              val (bx, by) = (blk % 2, blk / 2)
+              val inc = cbfNbrInc((r2, c2, x, y2) =>
+                cbfCac(comp)(r2 * mbCols + c2)(y2 * 2 + x),
+                mbCols, mbRows, mr, mc, bx, by, 2)
+              cac(comp)(blk) = decodeResBlock(dec, 4, inc)
+              cbfCac(comp)(i)(by * 2 + bx) =
+                if (cac(comp)(blk).exists(_ != 0)) 1 else 0
+            }
+          }
+        } else prevQpDelta = 0
+        out += CabacCoded(grid(i).clone(), chroma, fullCbp, qpDelta,
+          luma.toVector, cdc.toVector, cac.map(_.toVector).toVector)
+      }
+      val eos = dec.terminate()
+      ended = eos == 1
+      require((i == nMb - 1) == ended,
+        s"h264: end_of_slice_flag $eos at MB $i of $nMb")
+      i += 1
+    }
+    (info, out.result())
+  }
+
   def splitAnnexB(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val starts = Seq.newBuilder[Int]
     var i = 0

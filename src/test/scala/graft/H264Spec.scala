@@ -1029,4 +1029,81 @@ class H264Spec extends AnyFunSuite {
     val off = H264Recon.deblock(planes(100, 116), _ => 10, sps)
     assert(off.y(5)(15) == 100 && off.y(5)(16) == 116)
   }
+
+  test("CABAC residuals [§9.3.2.3/§9.3.3.1.1.9]: significance maps " +
+      "with the implied last position, UEG0 levels through the " +
+      "Eq1/Gt1 context machine incl. the EG0 escape, bypass signs, " +
+      "coded_block_flag neighbor contexts, mb_qp_delta's mapped " +
+      "unary with its previous-delta condition, and chroma CBP bin 1 " +
+      "all round-trip through real arithmetic-coded bytes") {
+    import graft.sources.{H264 => H}
+    val sps = H.parseSps(H.writeSps(48, 32))
+    val pps = H.parsePps(H.writePps(cabac = true))
+    def blk(n: Int, vals: (Int, Int)*): Array[Int] = {
+      val a = new Array[Int](n)
+      vals.foreach { case (p, v) => a(p) = v }
+      a
+    }
+    val mbs: Vector[H.CabacMb] = Vector(
+      // dense luma + chroma AC, big levels through the EG0 escape
+      H.CabacCoded(Array.tabulate(16)(j => j % 9), 2, 0x2F, 1,
+        Vector.tabulate(16)(b => blk(16, 0 -> (b + 1), 5 -> -3,
+          15 -> (if (b % 2 == 0) 20 else 1))),
+        Vector(blk(4, 0 -> 7, 3 -> -2), blk(4, 1 -> 1)),
+        Vector(Vector.fill(4)(blk(15, 2 -> -17, 14 -> 4)),
+          Vector.fill(4)(blk(15, 0 -> 1)))),
+      // CBP 0: no residual, delta chain resets
+      H.CabacCoded(Array.fill(16)(2), 0, 0, 0,
+        Vector.fill(16)(new Array[Int](16)),
+        Vector.fill(2)(new Array[Int](4)),
+        Vector.fill(2)(Vector.fill(4)(new Array[Int](15)))),
+      H.CabacPcm(
+        Array.tabulate(256)(k => (k % 251).toByte),
+        Array.tabulate(64)(k => ((k * 3) % 251).toByte),
+        Array.tabulate(64)(k => ((k * 5) % 251).toByte)),
+      // sparse single-quad luma, chroma DC only, negative delta
+      H.CabacCoded(Array.tabulate(16)(j => (j * 3) % 9), 1, 0x11, -2,
+        Vector.tabulate(16)(b => if (b < 4) blk(16, 3 -> 2) else
+          new Array[Int](16)),
+        Vector(blk(4, 0 -> -1), new Array[Int](4)),
+        Vector.fill(2)(Vector.fill(4)(new Array[Int](15)))),
+      // last scan position carries the only coefficient (the implied
+      // last path)
+      H.CabacCoded(Array.fill(16)(0), 3, 0x1F, 3,
+        Vector.tabulate(16)(_ => blk(16, 15 -> -1)),
+        Vector.fill(2)(blk(4, 3 -> 1)),
+        Vector.fill(2)(Vector.fill(4)(new Array[Int](15)))),
+      H.CabacCoded(Array.tabulate(16)(j => (j * 7) % 9), 2, 0x22, 0,
+        Vector.tabulate(16)(b => if (b >= 4 && b < 8)
+          blk(16, 1 -> 255) else new Array[Int](16)),
+        Vector(new Array[Int](4), blk(4, 2 -> 3)),
+        Vector.fill(2)(Vector.fill(4)(new Array[Int](15)))))
+    val nal = H.writeCabacCodedSlice(0, sps, pps, mbs)
+    val (info, got) = H.parseCabacCodedSlice(nal, sps, pps)
+    assert(info.isI && got.length == 6)
+    got.zip(mbs).zipWithIndex.foreach {
+      case ((g: H.CabacCoded, w: H.CabacCoded), i) =>
+        assert(g.lumaModes.toSeq == w.lumaModes.toSeq, s"mb $i modes")
+        assert(g.chromaMode == w.chromaMode && g.cbp == w.cbp,
+          s"mb $i cbp")
+        assert(g.qpDelta == w.qpDelta, s"mb $i qpDelta")
+        assert(g.luma.map(_.toSeq) == w.luma.map(_.toSeq),
+          s"mb $i luma")
+        assert(g.chromaDc.map(_.toSeq) == w.chromaDc.map(_.toSeq),
+          s"mb $i cdc")
+        assert(g.chromaAc.map(_.map(_.toSeq)) ==
+          w.chromaAc.map(_.map(_.toSeq)), s"mb $i cac")
+      case ((g: H.CabacPcm, w: H.CabacPcm), i) =>
+        assert(g.y.toSeq == w.y.toSeq, s"mb $i pcm")
+      case ((g, w), i) => fail(s"mb $i kind drift")
+    }
+    // injected CABAC tables: different bytes, same decode
+    val prof2 = H.Profile.StandIn.copy(
+      cabacTransLps = Array.tabulate(64)(s2 => math.max(0, s2 - 3)))
+    val nal2 = H.writeCabacCodedSlice(0, sps, pps, mbs, 0, prof2)
+    assert(!java.util.Arrays.equals(nal, nal2))
+    val (_, got2) = H.parseCabacCodedSlice(nal2, sps, pps, prof2)
+    assert(got2.collect { case c: H.CabacCoded => c.luma.map(_.toSeq) }
+      == mbs.collect { case c: H.CabacCoded => c.luma.map(_.toSeq) })
+  }
 }
