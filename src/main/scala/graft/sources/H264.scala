@@ -2,17 +2,19 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 
-/** H.264/AVC NAL-layer parser and header writer (ITU-T H.264 §7.3,
-  * public spec) — the INDEXING half of real-codec support: the
-  * reference decodes h264 through libav
-  * (/root/reference/streamtasks/media/codec.py:50-135); a 100 TB
-  * curation pipeline over real h264-in-mp4 needs the NAL/SPS/slice
-  * HEADER layer (resolution, profile/level, GOP structure, keyframe
-  * index, frame numbers) far more often than pixel reconstruction —
-  * this module parses exactly that layer from real bitstreams, and
-  * writes spec-conformant headers so the m37 oracle can pin the parse
-  * against the spec's own bit arithmetic. (Pixel-exact transform/
-  * prediction/entropy mechanics live in the composed GVC codec, m36.)
+/** H.264/AVC bitstream codec (ITU-T H.264 §7.3/§9, public spec) —
+  * from the NAL/SPS/PPS/slice HEADER layer (m37's index contract:
+  * resolution, profile/level, GOP structure, keyframe index) through
+  * BOTH entropy coders: the complete CAVLC residual machinery
+  * (§9.2 — m62/m64/m65/m66) and the CABAC arithmetic engine with
+  * mode-level and residual I-slice syntax (§9.3 — m69/m72,
+  * [[Cabac]]), plus I_PCM. Pixel reconstruction and deblocking live
+  * in [[H264Recon]] (§8.3/§8.5/§8.7 — m68/m71); the reference
+  * decodes h264 through libav
+  * (/root/reference/streamtasks/media/codec.py:50-135). Appendix
+  * VALUE tables (CBP columns, CAVLC codewords, CABAC state/init
+  * tables, deblocking thresholds) ride [[Profile]] —
+  * JSON-injectable, deterministic stand-ins by default.
   *
   * Implemented from the spec alone:
   *  - Exp-Golomb ue(v)/se(v) bit codes (§9.1) both directions;
