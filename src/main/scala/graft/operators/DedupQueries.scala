@@ -103,10 +103,47 @@ object DedupQueries {
     156131819266645585L, 1146447099730326337L, 2054725000744262920L,
     131045675275994707L, 1171744114921952482L, 1773458658658208000L)
 
+  /** (a·h + b) mod P (P = 2⁶¹−1) in EXACT Long arithmetic — the hash
+    * the whole LSH family evaluates once per (shingle, seed). The
+    * first formulation ran the 117-bit product in DECIMAL(38,0);
+    * above 18 digits Spark's Decimal is a heap BigDecimal, and this
+    * expression is the dedup family's hottest scalar (8 evaluations
+    * per shingle occurrence — round-15 baseline measured d02 alone at
+    * 144 s of task CPU at sf0.1, ~16× the round-14 corpus). Schoolbook
+    * 28-bit limbs keep every intermediate under 2⁶³ and the Mersenne
+    * identity 2⁶¹ ≡ 1 (mod P) folds the shifted limbs, so the whole
+    * thing is ~15 codegen'd long ops (guide §"expressions and
+    * codegen"):
+    *   a = a₁·2²⁸ + a₀, h = h₁·2²⁸ + h₀ (h < 2⁵⁶ — a 14-hex-char md5
+    *   prefix — so h₁ < 2²⁸; a < P so a₁ < 2³³)
+    *   a·h = (a₁h₁)·2⁵⁶ + (a₁h₀ + a₀h₁)·2²⁸ + a₀h₀
+    *   with a₁h₁ < 2⁶¹, a₁h₀ + a₀h₁ < 2⁶², a₀h₀ < 2⁵⁶ — all in-range —
+    *   and x·2ᵏ mod P = ((x & (2⁶¹⁻ᵏ−1)) << k) + (x >> (61−k)).
+    * Folded terms are < 2⁶², each reduced once by % P (< 2⁶¹), so the
+    * final sum is < 3·2⁶¹ + 2⁵⁶ < 2⁶³: no wrap anywhere. Result ≡ the
+    * old Decimal expression bit-for-bit (LshHashSpec pins it against a
+    * BigInt model over random h and every registry seed) — the DuckDB
+    * oracles' HUGEINT formulation is untouched. */
+  def mulMod61(h: Column, a: Long, b: Long): Column = {
+    require(a > 0 && a < LshP && b >= 0 && b < LshP, "constants out of range")
+    val a1 = a >>> 28
+    val a0 = a & 0xFFFFFFFL
+    val h1 = shiftright(h, 28)             // h < 2^56 ⇒ h1 < 2^28
+    val h0 = h.bitwiseAND(lit(0xFFFFFFFL))
+    val t1 = h1 * a1                       // < 2^61, carries factor 2^56
+    val t2 = h0 * a1 + h1 * a0             // < 2^62, carries factor 2^28
+    val t3 = h0 * a0                       // < 2^56
+    val f1 = shiftleft(t1.bitwiseAND(lit(0x1FL)), 56) + shiftright(t1, 5)
+    val f2 = shiftleft(t2.bitwiseAND(lit(0x1FFFFFFFFL)), 28) +
+      shiftright(t2, 33)
+    (f1 % LshP + f2 % LshP + t3 + b) % LshP
+  }
+
   /** The mh CTE shared by every oracle that re-derives the minhash
     * signature: one row per (doc_id, seed) with the min of
     * (A_seed·h + B_seed) mod P over the doc's shingle hashes; HUGEINT
-    * keeps the 117-bit product exact, mirroring Spark's DECIMAL(38,0). */
+    * keeps the 117-bit product exact, mirroring the exact Long-limb
+    * evaluation of [[mulMod61]]. */
   private val mhCtes =
     s"""lshc(seed, a, b) AS (VALUES ${LshA.indices.map(j =>
          s"($j, ${LshA(j)}, ${LshB(j)})").mkString(", ")}),
@@ -130,9 +167,10 @@ object DedupQueries {
     // monotone in h, and all 8 "independent" minhashes pick the SAME
     // min-shingle — the bands collapse to one correlated banding (a
     // real bug this replaced: BucketingSpec's cross-group false
-    // candidates). A_j·h needs 117 bits, so the product runs in
-    // DECIMAL(38,0) — exact in Spark, ≡ HUGEINT in DuckDB (the t08
-    // cross-engine pattern).
+    // candidates). A_j·h needs 117 bits — evaluated exactly in Long
+    // limbs by [[mulMod61]] (≡ HUGEINT in the DuckDB oracles; the
+    // round-15 opt round retired the DECIMAL(38,0) formulation, whose
+    // BigDecimal boxing was the family's dominant CPU).
     //
     // The whole signature is ONE doc_id aggregation with 8 min columns
     // — map-side partial mins collapse each partition to one row per
@@ -145,10 +183,8 @@ object DedupQueries {
       .select(col("doc_id"),
         conv(substring(md5(col("sh").cast(BinaryType)), 1, 14), 16, 10)
           .cast(LongType).as("h")) // 56 uniform bits per shingle
-    val dec = DecimalType(38, 0)
     def mhCol(j: Int) =
-      min(((col("h").cast(dec) * LshA(j) + LshB(j)) % LshP).cast(LongType))
-        .as(s"mh$j")
+      min(mulMod61(col("h"), LshA(j), LshB(j))).as(s"mh$j")
     val sigs = shingleRows
       .groupBy(col("doc_id"))
       .agg(mhCol(0), (1 to 7).map(mhCol): _*)

@@ -42,13 +42,13 @@ object StreamingDedup {
   /** Band rows for a (doc_id, text) frame — batch or streaming (pure
     * per-row expressions). Same minhash family as d02 — the shared
     * (A_j·h + B_j) mod P universal constants of
-    * [[graft.operators.DedupQueries.LshA]], multiplied in
-    * DECIMAL(38,0) so the 117-bit product wraps the modulus exactly —
-    * over md5-derived 56-bit shingle hashes; a band's bucket = md5 of
-    * its 4 signature values. */
+    * [[graft.operators.DedupQueries.LshA]], evaluated by the same
+    * exact Long-limb [[graft.operators.DedupQueries.mulMod61]] (the
+    * 117-bit product wraps the modulus exactly) — over md5-derived
+    * 56-bit shingle hashes; a band's bucket = md5 of its 4 signature
+    * values. */
   def bandRows(docs: DataFrame): DataFrame = {
-    import graft.operators.DedupQueries.{LshA, LshB, LshP}
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    import graft.operators.DedupQueries.{LshA, LshB, mulMod61}
     val t = split(trim(col("text")), "\\s+")
     val sh = array_distinct(transform(sequence(lit(0), size(t) - lit(3)),
       i => array_join(slice(t, i + lit(1), lit(3)), " ")))
@@ -59,8 +59,7 @@ object StreamingDedup {
       val sig = (b * (nHashes / nBands) until (b + 1) * (nHashes / nBands))
         .map { seed =>
           array_min(transform(col("hashes"),
-            h => ((h.cast(dec) * LshA(seed) + LshB(seed)) % LshP)
-              .cast(LongType)))
+            h => mulMod61(h, LshA(seed), LshB(seed))))
         }
       struct(lit(b).as("band"),
         md5(concat_ws(",", sig: _*).cast(BinaryType)).as("bucket"))
