@@ -297,7 +297,7 @@ object ContainerQueries {
           lit(-32768)), lit(32767)).as("x"),
         col("ts_ms"), col("event_id"))
       .as[(Long, Int, Long, Long)]
-    rows.groupByKey(_._1).mapGroups { (k, it) =>
+    KernelGroups.mapKernel(rows)(_._1) { (k, it) =>
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       val wav = Wav.mux(Wav.WavData(16000, 1, 16, Wav.pcm16(xs)))
       val back = Wav.demux(wav)
@@ -372,7 +372,7 @@ object ContainerQueries {
       Avi.AviStream("vids", scale = 1, rate = 30, width = 64, height = 48),
       Avi.AviStream("auds", scale = 1, rate = 16000, channels = 1,
         bitsPerSample = 16))
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val pkts = it.toArray.sortBy(r => (r._4, r._3)).map { r =>
         val payload = md5Hex(s"$k:${r._2}:${r._3}".getBytes("UTF-8"))
           .getBytes("US-ASCII")
@@ -442,7 +442,7 @@ object ContainerQueries {
       Avi.AviStream("vids", scale = 1, rate = 30, width = 64, height = 48),
       Avi.AviStream("auds", scale = 1, rate = 16000, channels = 1,
         bitsPerSample = 16))
-    val packets = rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    val packets = KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val pkts = it.toArray.sortBy(r => (r._4, r._3)).map { r =>
         Avi.AviPacket(r._2, keyframe = true,
           md5Hex(s"$k:${r._2}:${r._3}".getBytes("UTF-8")).getBytes("US-ASCII"))
@@ -512,7 +512,7 @@ object ContainerQueries {
       Mkv.MkvTrack(1, "video", "V_GRAFT", width = 64, height = 48),
       Mkv.MkvTrack(2, "audio", "A_PCM/INT/LIT", sampleRate = 16000.0,
         channels = 1))
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val blocks = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
         evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
           Mkv.MkvBlock(trk, if (trk == 1) i * 33L else i * 32L,
@@ -605,7 +605,7 @@ object ContainerQueries {
           lit(-32768)), lit(32767)).as("x"),
         col("ts_ms"), col("event_id"))
       .as[(Long, Int, Long, Long)]
-    rows.groupByKey(_._1).mapGroups { (k, it) =>
+    KernelGroups.mapKernel(rows)(_._1) { (k, it) =>
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       val inWav = Wav.mux(Wav.WavData(16000, 1, 16, Wav.pcm16(xs)))
       // the deployment: demux → gain ×1/2 → noise gate ±50 → mux
@@ -689,7 +689,7 @@ object ContainerQueries {
     val tracks = Seq(
       Mp4Track(1, "video", "grft", width = 64, height = 48),
       Mp4Track(2, "audio", "gpcm", sampleRate = 16000, channels = 1))
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val samples = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
         evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
           Mp4Sample(trk, if (trk == 1) i * 33L else i * 32L,
@@ -796,7 +796,7 @@ object ContainerQueries {
         when(col("event_type") === "view", 1).otherwise(2).as("track"),
         col("event_id"), col("ts_ms"))
       .as[(Long, Int, Long, Long)]
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val samples = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
         evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
           val tsMs = if (trk == 1) i * 33L else i * 32L
@@ -878,7 +878,7 @@ object ContainerQueries {
         when(col("event_type") === "view", 1).otherwise(2).as("track"),
         col("event_id"), col("ts_ms"))
       .as[(Long, Int, Long, Long)]
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       // the shared timeline: (track, tsMs, keyframe, payload)
       val blocks = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
         evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
@@ -1132,8 +1132,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         MotionKernel.rows(k, it.size))
       .toDF("container", "t", "block", "mv_dx", "mv_dy", "sad", "block_sum")
       .orderBy(col("container"), col("t"), col("block"))
@@ -1224,7 +1224,7 @@ object ContainerQueries {
         when(col("event_type") === "view", 1).otherwise(2).as("track"),
         col("event_id"), col("ts_ms"))
       .as[(Long, Int, Long, Long)]
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val tags = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
         evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
           val payload = (md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8"))
@@ -1306,7 +1306,7 @@ object ContainerQueries {
         when(col("event_type") === "view", 1).otherwise(2).as("track"),
         col("event_id"), col("ts_ms"))
       .as[(Long, Int, Long, Long)]
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val msgs = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
         evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
           val payload = (md5Hex(s"$k:$trk:${r._3}".getBytes("UTF-8"))
@@ -1419,7 +1419,7 @@ object ContainerQueries {
           lit(-32768)), lit(32767)).as("x"),
         col("ts_ms"), col("event_id"))
       .as[(Long, Int, Long, Long)]
-    rows.groupByKey(_._1).mapGroups { (k, it) =>
+    KernelGroups.mapKernel(rows)(_._1) { (k, it) =>
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       val sumAbs = xs.map(v => math.abs(v).toLong).sum
       val meta = Amf.encode(Seq(AmfString("onMetaData"), AmfEcmaArray(Seq(
@@ -1501,7 +1501,7 @@ object ContainerQueries {
     val tracks = Seq(
       Mp4Track(1, "video", "grft", width = 64, height = 48),
       Mp4Track(2, "audio", "gpcm", sampleRate = 16000, channels = 1))
-    rows.groupByKey(_._1).flatMapGroups { (k, it) =>
+    KernelGroups.flatMapKernel(rows)(_._1) { (k, it) =>
       val samples = it.toArray.groupBy(_._2).toSeq.flatMap { case (trk, evs) =>
         evs.sortBy(r => (r._4, r._3)).zipWithIndex.map { case (r, i) =>
           Mp4Sample(trk, if (trk == 1) i * 33L else i * 32L,
@@ -1649,8 +1649,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         GvcKernel.rows(k, it.size))
       .toDF("container", "t", "frame_type", "payload_bytes", "frame_sum")
       .orderBy(col("container"), col("t"))
@@ -1806,8 +1806,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264Kernel.rows(k, it.size))
       .toDF("container", "t", "nal_type", "is_idr", "slice_type",
         "frame_num", "width", "height", "sample_bytes")
@@ -1883,8 +1883,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8Kernel.rows(k, it.size))
       .toDF("container", "t", "offset", "keyframe", "version",
         "show_frame", "part_size", "width", "height", "pts")
@@ -1968,8 +1968,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         WebmVp8Kernel.rows(k, it.size))
       .toDF("container", "t", "ts_ms", "keyframe", "version",
         "width", "height")
@@ -2108,8 +2108,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8BpredKernel.rows(k, it.size))
       .toDF("container", "t", "levels_sum", "luma_sum", "chroma_sum")
       .orderBy(col("container"), col("t"))
@@ -2199,8 +2199,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         WebmVp8DecodeKernel.rows(k, it.size))
       .toDF("container", "t", "ts_ms", "levels_sum", "luma_sum",
         "chroma_sum")
@@ -2287,8 +2287,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8LoopFilterKernel.rows(k, it.size))
       .toDF("container", "t", "levels_sum", "luma_sum", "chroma_sum")
       .orderBy(col("container"), col("t"))
@@ -2327,8 +2327,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8DecodeKernel.rows(k, it.size))
       .toDF("container", "t", "width", "height", "levels_sum",
         "luma_sum", "chroma_sum")
@@ -2450,8 +2450,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8PframesKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
         "chroma_sum")
@@ -2577,8 +2577,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8MotionKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
         "chroma_sum")
@@ -2714,8 +2714,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264IpcmKernel.rows(k, it.size))
       .toDF("container", "t", "width", "height", "luma_sum", "chroma_sum")
       .orderBy(col("container"), col("t"))
@@ -2830,8 +2830,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8BufferLifecycleKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "refresh_golden",
         "copy_to_alt", "refresh_last", "luma_sum", "chroma_sum")
@@ -2980,8 +2980,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    val fixture = views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    val fixture = KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8LifecycleStreamKernel.rows(k, it.size))
       .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
     StreamParityQueries.throughStream(s, fixture,
@@ -3159,8 +3159,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8TemporalSegKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "update_map", "r15", "r16",
         "luma_sum", "chroma_sum", "seg_sum")
@@ -3292,8 +3292,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8IntraRefreshKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
         "chroma_sum")
@@ -3408,8 +3408,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8CropKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "width", "luma_sum",
         "chroma_sum", "n_px")
@@ -3526,8 +3526,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8UpscaleKernel.rows(k, it.size))
       .toDF("container", "t", "wscale", "hscale", "disp_w", "disp_h",
         "up_luma_sum", "up_chroma_sum")
@@ -3674,8 +3674,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264IntraModeKernel.rows(k, it.size))
       .toDF("container", "t", "n_mbs", "mode_sum", "prev_count",
         "chroma_sum", "cbp_sum")
@@ -3842,8 +3842,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264CavlcKernel.rows(k, it.size))
       .toDF("container", "t", "mb", "cbp", "qp_delta", "tc_sum",
         "t1_sum", "tz_sum", "level_sum", "pos_sum", "nc_sum",
@@ -4089,8 +4089,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264I16Kernel.rows(k, it.size))
       .toDF("container", "t", "mb", "mb_type", "qp_delta", "dc_tc",
         "dc_level_sum", "dc_pos_sum", "ac_tc_sum", "ac_level_sum",
@@ -4347,8 +4347,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264PSliceKernel.rows(k, it.size))
       .toDF("container", "t", "mb", "skipped", "mvd_x", "mvd_y",
         "cbp", "qp_delta", "tc_sum", "level_sum", "nc_sum",
@@ -4583,8 +4583,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264MultiSliceKernel.rows(k, it.size))
       .toDF("container", "t", "mb", "slice_id", "split", "cbp",
         "tc_sum", "level_sum", "nc_sum")
@@ -4779,8 +4779,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         AacMp4Kernel.rows(k, it.size))
       .toDF("container", "t", "dts", "sample_bytes", "window_seq",
         "num_groups", "max_sfb", "sf_sum", "tns_order", "code_sum",
@@ -4957,8 +4957,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         WebmVp8StreamKernel.rows(k, it.size))
       .toDF("container", "t", "ts_ms", "keyframe", "luma_sum",
         "chroma_sum")
@@ -5063,8 +5063,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8SceneKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "luma_sum", "delta", "cut",
         "scene_id")
@@ -5186,8 +5186,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8GoldenKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
         "chroma_sum")
@@ -5291,8 +5291,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    val fixture = views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    val fixture = KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8StreamFixtureKernel.rows(k, it.size))
       .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
     StreamParityQueries.throughStream(s, fixture,
@@ -5410,8 +5410,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8SkipKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "n_skip", "levels_sum",
         "luma_sum", "chroma_sum")
@@ -5525,8 +5525,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8QdeltaKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "y2dc_delta", "levels_sum",
         "luma_sum", "chroma_sum")
@@ -5645,8 +5645,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8PartitionKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "n_partitions", "levels_sum",
         "luma_sum", "chroma_sum")
@@ -5765,8 +5765,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8SplitKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
         "chroma_sum")
@@ -5906,8 +5906,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8SegKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "levels_sum", "luma_sum",
         "chroma_sum")
@@ -6003,8 +6003,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8NormalFilterKernel.rows(k, it.size))
       .toDF("container", "t", "r14", "r15", "r16", "r17", "luma_sum",
         "chroma_sum")
@@ -6110,8 +6110,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    val fixture = views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    val fixture = KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8EntropyStreamKernel.rows(k, it.size))
       .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
     StreamParityQueries.throughStream(s, fixture,
@@ -6293,8 +6293,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         H264ReconKernel.rows(k, it.size))
       .toDF("container", "t", "kind", "qp", "luma_sum", "chroma_sum",
         "y00")
@@ -6451,8 +6451,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         CabacKernel.rows(k, it.size))
       .toDF("container", "t", "n_pcm", "mode_sum", "chroma_sum",
         "pcm_y_sum", "pcm_c_sum")
@@ -6564,8 +6564,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Mpeg4Kernel.rows(k, it.size))
       .toDF("container", "t", "offset", "coding_type", "modulo",
         "time_inc", "quant", "fcode", "width", "height", "inc_bits",
@@ -6721,8 +6721,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         DeblockKernel.rows(k, it.size))
       .toDF("container", "t", "kind", "qp", "luma_sum", "chroma_sum",
         "y00", "tail")
@@ -6887,8 +6887,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         CabacResidualKernel.rows(k, it.size))
       .toDF("container", "t", "n_pcm", "mode_sum", "cbp_sum",
         "qp_final", "coeff_abs_sum", "pcm_y_sum")
@@ -7002,8 +7002,8 @@ object ContainerQueries {
       .filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    val fixture = clicks.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    val fixture = KernelGroups.flatMapKernel(clicks)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Mp3PcmStreamKernel.rows(k, it.size))
       .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
     StreamParityQueries.throughStream(s, fixture,
@@ -7069,8 +7069,8 @@ object ContainerQueries {
       .filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    val fixture = clicks.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    val fixture = KernelGroups.flatMapKernel(clicks)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         AacPcmStreamKernel.rows(k, it.size))
       .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
     StreamParityQueries.throughStream(s, fixture,
@@ -7109,8 +7109,8 @@ object ContainerQueries {
       .filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    val fixture = clicks.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    val fixture = KernelGroups.flatMapKernel(clicks)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Mp3ReservoirStreamKernel.rows(k, it.size))
       .toDF("key", "topic", "ts", "value", "text", "paused", "seq")
     StreamParityQueries.throughStream(s, fixture,
@@ -7336,8 +7336,8 @@ object ContainerQueries {
       .filter(col("event_type") === "view")
       .select((col("user_id") % 32).as("container"), col("event_id"))
       .as[(Long, Long)]
-    views.groupByKey(_._1)
-      .flatMapGroups((k: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(views)(_._1)(
+        (k: Long, it: Iterator[(Long, Long)]) =>
         Vp8ConformKernel.rows(k, it.size))
       .toDF("container", "t", "keyframe", "levels_sum", "r14", "r15",
         "r16", "r17", "luma_sum", "chroma_sum")

@@ -678,14 +678,17 @@ object DedupQueries {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 1 to 3) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")),
-          "dst")
-        .groupBy(col("src")).agg(min(col("dlbl")).as("nl"))
+      // min over {own label} ∪ {neighbours' labels} in ONE hash
+      // aggregate (round-15 optimization, guide §2.4): identical to
+      // the old neighbour-min groupBy + LEFT-join-least shape — every
+      // node keeps its own row, so the coalesce(no-neighbour) case is
+      // the trivial min — at one exchange per round instead of two.
       labels = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .unionByName(edges
+          .join(labels.select(col("id").as("dst"), col("lbl").as("nl")),
+            "dst")
+          .select(col("src").as("id"), col("nl").as("lbl")))
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
     }
     val sizes = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -763,13 +766,18 @@ object DedupQueries {
     var prevSum = lblSum(labels)
     var converged = prevSum == null // empty graph: nothing to iterate
     while (!converged) {
-      val nbrMin = e
-        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
-        .groupBy(col("src")).agg(min(col("dlbl")).as("nl"))
-      val stepped = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // one exchange for the neighbour-min step (the d09 shape):
+      // min over {own label} ∪ {neighbours' labels} keyed id replaces
+      // the groupBy + LEFT-join-least pair — identical labels, half
+      // the shuffles per round.
+      // (toDF on BOTH legs mints fresh attribute ids: the legs read
+      // the same checkpointed `labels`, and Union's constraint
+      // rewriting NPEs when leg outputs share attribute ids)
+      val stepped = labels.toDF("id", "lbl")
+        .unionByName(e
+          .join(labels.toDF("dst", "nl"), "dst")
+          .select(col("src").as("id"), col("nl").as("lbl")))
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
       val jumped = stepped.as("x")
         .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("x.lbl") === col("jid"), "left")

@@ -463,8 +463,7 @@ object DspQueries {
         (col("event_id") * 2654435761L % 65536L - 32768L)
           .cast(IntegerType).as("pcm"))
       .as[(Long, Long, Long, Int)]
-    e.groupByKey(_._1)
-      .flatMapGroups { (cid: Long, rows: Iterator[(Long, Long, Long, Int)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, rows: Iterator[(Long, Long, Long, Int)]) =>
         val xs = rows.toVector.sortBy(r => (r._2, r._3)).map(_._4).toArray
         val packet = graft.functions.Codec.ImaAdpcm.encodeSamples(xs)
         val dec = graft.functions.Codec.ImaAdpcm.decodeSamples(packet, xs.length)
@@ -750,8 +749,7 @@ object DspQueries {
         (col("event_id") * 2654435761L % 65536L - 32768L)
           .cast(IntegerType).as("pcm"))
       .as[(Long, Long, Long, Int)]
-    e.groupByKey(_._1)
-      .mapGroups { (cid: Long, rows: Iterator[(Long, Long, Long, Int)]) =>
+    KernelGroups.mapKernel(e)(_._1) { (cid: Long, rows: Iterator[(Long, Long, Long, Int)]) =>
         val xs = rows.toVector.sortBy(r => (r._2, r._3)).map(_._4).toArray
         val bytes = graft.sources.Flac.encodeFile(Array(xs), 16000,
           blockSize = 256)
@@ -911,7 +909,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(24, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -990,7 +988,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(24, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -1083,7 +1081,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(12, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -1196,7 +1194,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(24, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -1315,7 +1313,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(12, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -1404,7 +1402,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(8, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -1514,7 +1512,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -1722,7 +1720,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -1926,7 +1924,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -2112,7 +2110,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -2391,7 +2389,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -2598,7 +2596,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -2842,7 +2840,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -3075,7 +3073,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -3266,7 +3264,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -3406,7 +3404,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(10, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -3586,7 +3584,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(6, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -3890,7 +3888,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(6, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -4040,7 +4038,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(6, it.size)
       if (n < 1) Iterator.empty
       else {
@@ -4251,7 +4249,7 @@ object DspQueries {
     val e = eventsMs(s, d).filter(col("event_type") === "click")
       .select((col("user_id") % 16).as("chunk_id"), col("event_id"))
       .as[(Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (cid: Long, it: Iterator[(Long, Long)]) =>
+    KernelGroups.flatMapKernel(e)(_._1) { (cid: Long, it: Iterator[(Long, Long)]) =>
       val n = math.min(8, it.size)
       if (n < 1) Iterator.empty
       else {

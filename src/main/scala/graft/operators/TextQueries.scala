@@ -1015,7 +1015,22 @@ object TextQueries {
     * the scrub shuffles only duplicated window positions — d14's
     * shape); the LM join shuffles (lang, token) once over the scrub
     * survivors; packing is a per-lang running sum. Stage counts are
-    * 1-row aggregates unioned in-plan — nothing collects. */
+    * 1-row aggregates unioned in-plan — nothing collects.
+    *
+    * Materialization (round-15 optimization, guide §2.4 "remove
+    * shuffles outright" applied to remove whole re-derivations): the
+    * final union has 6 branches and Spark evaluates each branch's
+    * lineage independently (the column-pruned exchanges differ per
+    * branch, so ReuseExchange matches none of them) — measured as the
+    * scan → tokenize → window-dedup → scrub chain running up to SIX
+    * times, 47 s of task CPU for an 8.7 s query at sf0.1. The four
+    * stage frontiers (dedup survivors qb, scrub spans, the doc-token
+    * table dc, LM survivors qd) are now scope-checkpointed once and
+    * every branch reads them — the same persisted-intermediate shape
+    * a production corpus build writes between stages (d02's band
+    * table precedent). `grp_n` (dup-group size) rides the dedup
+    * window so stage A's pre-dedup count is Σ grp_n over qb — no
+    * second corpus pass just for the funnel row. */
   private def t19(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = toks(col("text"))
@@ -1026,16 +1041,21 @@ object TextQueries {
         size(w).cast(LongType).as("dl"))
       .filter(col("dl") >= 20)
     val wDup = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
-    val qb = qa.withColumn("dup_rank", row_number().over(wDup))
-      .filter(col("dup_rank") === 1)
-      .select(col("doc_id"), col("lang"), col("text"), col("dl"))
-    val scrubbed = DedupQueries.spanScrub(qb.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("n_kept"))
+    val wGrp = Window.partitionBy(col("content_key"))
+    val qb = graft.Resources.checkpoint(
+      qa.withColumn("dup_rank", row_number().over(wDup))
+        .withColumn("grp_n", count(lit(1)).over(wGrp))
+        .filter(col("dup_rank") === 1)
+        .select(col("doc_id"), col("lang"), col("text"), col("dl"),
+          col("grp_n")))
+    val scrubbed = graft.Resources.checkpoint(
+      DedupQueries.spanScrub(qb.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("n_kept")))
     val qc = qb.join(scrubbed, "doc_id")
-    val dc = qc
+    val dc = graft.Resources.checkpoint(qc
       .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tk"))
       .groupBy(col("doc_id"), col("lang"), col("tk"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
     val c = dc.groupBy(col("lang"), col("tk")).agg(sum(col("cnt")).as("c"))
     val n = c.groupBy(col("lang")).agg(sum(col("c")).as("n"))
     val ibits = c.join(broadcast(n), "lang")
@@ -1052,7 +1072,10 @@ object TextQueries {
       .withColumn("nl", count(lit(1)).over(wLmN))
       .filter(col("rk") * 3 <= col("nl") * 2)
       .select(col("doc_id"))
-    val qd = qc.join(lmKeep, "doc_id")
+    // skinny LM-survivor frontier: its three readers (stage count,
+    // kept-token sum, the pack window) need no text
+    val qd = graft.Resources.checkpoint(qc.join(lmKeep, "doc_id")
+      .select(col("doc_id"), col("lang"), col("dl"), col("n_kept")))
     val wPack = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     val pack = qd
       .withColumn("end", sum(col("n_kept")).over(wPack))
@@ -1067,16 +1090,19 @@ object TextQueries {
         concat(col("lang"), lit(":"), lpad(col("chunk").cast(StringType),
           4, "0")).as("key"),
         col("nn").cast(LongType).as("n"))
-    def stage(df: DataFrame, name: String) =
-      df.agg(count(lit(1)).as("nn"))
+    def stage(df: DataFrame, name: String, cnt: Column = count(lit(1))) =
+      df.agg(cnt.as("nn"))
         .select(lit("stage").as("kind"), lit(name).as("key"),
           col("nn").cast(LongType).as("n"))
     val tokensRow = qd
-      .agg(sum(col("dl")).as("din"), sum(col("n_kept")).as("dk"))
+      .agg(sum(col("n_kept")).as("dk"))
       .select(lit("stage").as("kind"), lit("e_tokens_kept").as("key"),
         col("dk").cast(LongType).as("n"))
-    stage(qa, "a_quality").unionByName(stage(qb, "b_dedup"))
-      .unionByName(stage(qc, "c_scrub"))
+    // a_quality = |qa| = Σ dup-group sizes over the survivors;
+    // c_scrub = |qc| (the scrub join is 1:1 — scrubbed ⊆ qb by key)
+    stage(qb, "a_quality", sum(col("grp_n")))
+      .unionByName(stage(qb, "b_dedup"))
+      .unionByName(stage(scrubbed, "c_scrub"))
       .unionByName(stage(qd, "d_lm"))
       .unionByName(tokensRow)
       .unionByName(pack)
