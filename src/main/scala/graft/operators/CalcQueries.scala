@@ -647,7 +647,7 @@ object CalcQueries {
       .as[(Long, Int, Long, Long)]
     // mux each container's PCM into real WAV bytes, demux them back,
     // emit one row per decoded sample + one metadata row per file
-    val demuxed = KernelGroups.flatMapKernel(clicks)(_._1) { (k, it) =>
+    val demuxed = clicks.groupByKey(_._1).flatMapGroups { (k, it) =>
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       val wav = Wav.mux(Wav.WavData(1000, 1, 16, Wav.pcm16(xs)))
       val dec = Wav.samples16(Wav.demux(wav).data)
@@ -1251,7 +1251,7 @@ object CalcQueries {
           lit(-32768)), lit(32767)).as("x"),
         col("ts_ms"), col("event_id"))
       .as[(Long, Int, Long, Long)]
-    val demuxed = KernelGroups.flatMapKernel(clicks)(_._1) { (k, it) =>
+    val demuxed = clicks.groupByKey(_._1).flatMapGroups { (k, it) =>
       import graft.sources.Wav
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       // 50-sample PCM16LE messages on a 50 ms clock (1 kHz): the short
@@ -1376,7 +1376,7 @@ object CalcQueries {
     val srcPath = srcDir.toString
     // executor-side segment writes — bytes never at the driver; a
     // single-box spool dir here, HDFS/S3 on a cluster
-    KernelGroups.mapKernel(clicks)(_._1) { (k, it) =>
+    clicks.groupByKey(_._1).mapGroups { (k, it) =>
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       val segs = Seq(xs.take(150), xs.drop(150)).filter(_.nonEmpty)
       segs.zipWithIndex.foreach { case (seg, si) =>
@@ -1515,7 +1515,7 @@ object CalcQueries {
     // this is the feed FIXTURE, not the measured path) or write to
     // shared storage; the 'no capture segments' require fails loudly
     // rather than silently feeding an empty session.
-    KernelGroups.mapKernel(clicks)(_._1) { (k, it) =>
+    clicks.groupByKey(_._1).mapGroups { (k, it) =>
       val xs = it.toArray.sortBy(r => (r._3, r._4)).map(_._2)
       val msgs = xs.grouped(50).zipWithIndex.map { case (blk, b) =>
         Rtmp.RtmpMessage(4 + k.toInt, k, Rtmp.TypeAudio, 50L * b,
