@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 288-query bench session emits thousands of whole-stage-codegen
+  // classes; the JDK default 240 MB code cache reaches its flushing
+  // threshold mid-session (Bench's StatsProbe measured 155-171 MB
+  // occupancy AFTER sweeping), and code-cache flushing de-optimizes
+  // hot kernel methods for queries late in the registry order. 512 MB
+  // keeps every compiled method resident for the whole session.
+  "-XX:ReservedCodeCacheSize=512m",
 )
