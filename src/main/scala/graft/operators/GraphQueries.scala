@@ -611,22 +611,12 @@ object GraphQueries {
       val frontier = frontierOf(merged)
       val relax = frontier.join(wadj, frontier("node") === wadj("x"))
         .select(wadj("y").as("node"),
-          (frontier("dist") + wadj("cost")).as("v"))
-      // ONE exchange per round (round-15 optimization, guide §2.4 —
-      // the g08 shape): the old (relax-min groupBy, then FULL OUTER
-      // join onto the distance table) shuffled twice; tagging distance
-      // rows old=true and relax rows old=false and folding both into a
-      // single hash aggregate keyed node yields the identical
-      // (node, old, cand) frame — exactly one old row per discovered
-      // node (max = it), cand = the same min the separate groupBy
-      // computed, NULLs where a side is absent — with map-side partial
-      // min collapsing relax rows before the only shuffle.
-      val nxt = dist
-        .select(col("node"), col("dist").as("v"), lit(true).as("isOld"))
-        .unionByName(relax.withColumn("isOld", lit(false)))
-        .groupBy(col("node"))
-        .agg(max(when(col("isOld"), col("v"))).as("old"),
-          min(when(!col("isOld"), col("v"))).as("cand"))
+          (frontier("dist") + wadj("cost")).as("dist"))
+      val best = relax.groupBy(col("node")).agg(min(col("dist")).as("cand"))
+      val nxt = dist.toDF("dnode", "old")
+        .join(best, col("dnode") === best("node"), "full_outer")
+        .select(coalesce(col("dnode"), best("node")).as("node"),
+          col("old"), col("cand"))
         .localCheckpoint()
       // frontier bound (1-row-style check over the checkpointed frame)
       val n = frontierOf(nxt).count()
@@ -899,35 +889,18 @@ object GraphQueries {
         val delta = regsOf(changedOf(merged))
           .select(col("v").as("dv") +:
             (0 until HbM).map(i => col(s"r$i").as(s"d$i")): _*)
-        // ONE exchange per round (round-15 optimization, guide §2.4):
-        // the old (propagate-groupBy by x, then FULL OUTER join back
-        // onto the register table by v) shape shuffled twice per
-        // round; tagging register rows old=true and arrival rows
-        // old=false and max-merging both sides in a single
-        // hash aggregate keyed v produces the identical (v, old*,
-        // cand*) frame — max skips NULLs, each vertex has exactly one
-        // register row (its olds) and its candidates are the same
-        // maxima the separate propagate groupBy computed — with
-        // map-side partial aggregation collapsing arrivals before the
-        // only shuffle. The ad ⋈ delta probe side stays a broadcast
-        // of the shrinking delta.
-        val oldRows = regsOf(merged)
-          .select(col("v") +:
-            ((0 until HbM).map(i => col(s"r$i").as(s"o$i")) ++
-             (0 until HbM).map(i =>
-               lit(null).cast(IntegerType).as(s"c$i"))): _*)
-        val arrRows = ad.join(delta, ad("y") === col("dv"))
-          .select(ad("x").as("v") +:
-            ((0 until HbM).map(i =>
-               lit(null).cast(IntegerType).as(s"o$i")) ++
-             (0 until HbM).map(i => col(s"d$i").as(s"c$i"))): _*)
-        val mergeAggs =
-          (0 until HbM).map(i => max(col(s"o$i")).as(s"old$i")) ++
-          (0 until HbM).map(i => max(col(s"c$i")).as(s"cand$i"))
+        val propAggs = (0 until HbM).map(i => max(col(s"d$i")).as(s"p$i"))
+        val prop = ad.join(delta, ad("y") === col("dv"))
+          .groupBy(ad("x").as("pv"))
+          .agg(propAggs.head, propAggs.tail: _*)
+        val regsR = regsOf(merged)
+          .select(col("v").as("rv") +:
+            (0 until HbM).map(i => col(s"r$i").as(s"q$i")): _*)
         val nxt = graft.Resources.checkpoint(
-          oldRows.unionByName(arrRows)
-            .groupBy(col("v"))
-            .agg(mergeAggs.head, mergeAggs.tail: _*))
+          regsR.join(prop, col("rv") === col("pv"), "full_outer")
+            .select(coalesce(col("rv"), col("pv")).as("v") +:
+              ((0 until HbM).map(i => col(s"q$i").as(s"old$i")) ++
+               (0 until HbM).map(i => col(s"p$i").as(s"cand$i"))): _*))
         // register fixpoint ⇒ every later ball equals this one (a
         // 1-row bound check over the checkpointed frame — not a data
         // collect; an empty delta means no future round can change)

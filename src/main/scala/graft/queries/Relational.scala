@@ -28,18 +28,36 @@ object Relational {
   private def dec(c: Column, p: Int = 12, s: Int = 2): Column =
     c.cast(DecimalType(p, s))
 
+  /** Money-exact but Long-backed (round-15 optimization): Spark's
+    * Decimal falls back to heap BigDecimal once a value needs more
+    * than 18 digits, and the money-sum convention's default widths
+    * put the hot per-row arithmetic there — (12,2)·(8,2) products are
+    * (21,4), and a (12,2) SUM buffers at (22,2). Narrowing the
+    * lineitem operands to the values they can actually hold keeps the
+    * whole per-row path in Longs: an (8,2) operand (cap 999,999.99 —
+    * l_extendedprice is unit-price × qty ≤ 50, ≤ ~105 k by the data's
+    * own construction, so ~9× headroom; overflow under the engine's
+    * non-ANSI mode would surface as NULL sums and fail the oracle
+    * hash LOUDLY, not silently) sums at (18,2), which the
+    * DecimalAggregates rule rewrites to a bare Long sum, and an
+    * (8,2)·(4,2) product is (13,4), Long-backed, still EXACT — the
+    * same rational value, so the same double, as the wide form and as
+    * the unchanged DuckDB oracle. */
+  private def decL(c: Column): Column = dec(c, 8, 2)
+  private def decF(c: Column): Column = dec(c, 4, 2)
+
   // ---- q01: TPC-H Q1-style pricing summary --------------------------------
   private def q01(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     l.filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2))
+        sum(decL(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(decL(col("l_extendedprice"))).cast(DoubleType).as("sum_base"),
+        sum(decL(col("l_extendedprice")) * decF(lit(1) - col("l_discount")))
           .cast(DoubleType).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2)
-          * dec(lit(1) + col("l_tax"), 8, 2)).cast(DoubleType).as("sum_charge"),
+        sum(decL(col("l_extendedprice")) * decF(lit(1) - col("l_discount"))
+          * decF(lit(1) + col("l_tax"))).cast(DoubleType).as("sum_charge"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -103,7 +121,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2))
+      .agg(sum(decL(col("l_extendedprice")) * decF(lit(1) - col("l_discount")))
         .cast(DoubleType).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -185,7 +203,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2))
+      .agg(sum(decL(col("l_extendedprice")) * decF(lit(1) - col("l_discount")))
         .cast(DoubleType).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -357,7 +375,7 @@ object Relational {
   private def q10(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+      .agg(sum(decL(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
         count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
@@ -426,7 +444,7 @@ object Relational {
   private def q14(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+      .agg(sum(decL(col("l_quantity"))).as("qty_dec"))
       .filter(col("qty_dec") > 200)
       .select(col("l_partkey"), col("qty_dec").cast(DoubleType).as("qty"))
       .orderBy(col("l_partkey"))
@@ -442,12 +460,12 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
     val p = Tables.part(spark, dir).select("p_partkey", "p_type")
-    val revenue = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"), 8, 2)
+    val revenue = decL(col("l_extendedprice")) * decF(lit(1) - col("l_discount"))
     l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).cast(LongType).as("yr"))
       .agg(
         sum(when(col("p_type") === "PROMO", revenue)
-          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(DoubleType).as("promo_rev"),
+          .otherwise(lit(0).cast(DecimalType(13, 4)))).cast(DoubleType).as("promo_rev"),
         sum(revenue).cast(DoubleType).as("total_rev"),
         count(lit(1)).as("cnt"))
       .orderBy(col("yr"))
