@@ -404,10 +404,20 @@ object DedupQueries {
     // verified exactly below), and rare-first efficiency only needs
     // the small-df head ordered, which the cap never touches.
     val ShBits = 56
+    // Explicit staging width (round-15 optimization, the KernelGroups
+    // rationale for SQL stages): the rarity-sort aggregate and every
+    // downstream reader of this cache (prefix explode, both BHJ probe
+    // sides, the verify intersects) inherit its partitioning, and the
+    // byte-light exchange otherwise AQE-coalesces the whole prefix
+    // path onto 1–2 tasks. A keyed repartition at cluster width IS
+    // the aggregate's exchange (hash(doc_id) satisfies the groupBy's
+    // clustering), so this adds no shuffle — it only pins the width.
+    val W = documents.sparkSession.sparkContext.defaultParallelism
     val docs = graft.Resources.cache(shRows.join(df, "sh")
       .select(col("doc_id"), col("n"),
         shiftleft(least(col("df"), lit(127L)), ShBits)
           .bitwiseOR(col("sh")).as("p"))
+      .repartition(W, col("doc_id"))
       .groupBy(col("doc_id"), col("n"))
       .agg(sort_array(collect_list(col("p"))).as("r"))
       .select(col("doc_id"), col("n"),
@@ -442,6 +452,10 @@ object DedupQueries {
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
+      // candidate set re-spread before the verify intersects — the
+      // distinct's byte-light exchange coalesces to ~1 task otherwise,
+      // serializing the per-pair array_intersect work
+      .repartition(W, col("id_a"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast(LongType)
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("arr").as("sa")), "id_a")
