@@ -67,8 +67,19 @@ object Resources {
 
   /** `df.localCheckpoint()` whose blocks are released when the current
     * scope (if any) closes. localCheckpoint is eager, so this both
-    * materializes the intermediate and schedules its release. */
+    * materializes the intermediate and schedules its release.
+    *
+    * SPARK_GRAFT_EXPLAIN_CHECKPOINTS=1 prints each checkpointed
+    * frame's formatted plan to stderr BEFORE materialization —
+    * checkpoints truncate lineage, so a query's final `.explain` can
+    * never show its staging plans (the round-15 d09/d10 evidence gap);
+    * this is how plan deltas inside staged/iterative pipelines get
+    * captured for plans/<round>/. */
   def checkpoint(df: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN_CHECKPOINTS"))
+      System.err.println("== checkpoint plan ==\n" +
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     val cp = df.localCheckpoint()
     register(() => unpersistCheckpoint(cp))
     cp

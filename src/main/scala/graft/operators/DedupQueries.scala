@@ -1217,13 +1217,8 @@ object DedupQueries {
       .withColumn("r", row_number().over(wA))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("cell"))
-    // cell-keyed staging width (the d03p rationale): the within-cell
-    // pair join reads this checkpoint twice, co-partitioned by cell —
-    // at the byte-light natural width the pairwise-cosine stage ran
-    // 1-2 tasks wide
     val qc = graft.Resources.checkpoint(v.join(cells, "vec_id")
-      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
-      .repartition(s.sparkContext.defaultParallelism, col("cell")))
+      .select(col("vec_id"), col("cell"), col("q"), col("norm2")))
     val pairs = qc.as("a").join(qc.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cos(col("a.q"), col("b.q"),

@@ -633,15 +633,9 @@ object SimilarityQueries {
   private def s09(s: SparkSession, d: String): DataFrame = {
     val subDims = 16
     val v = graft.Resources.checkpoint(quantized(s, d).filter(col("norm2") > 0))
-    // explicit staging width (the d03p rationale): the component-row
-    // table feeds every Lloyd/PQ aggregate; at its natural scan width
-    // the heavy centroid/ADC stages behind byte-light exchanges run
-    // 2-6 tasks wide
-    val W = s.sparkContext.defaultParallelism
     val rows = graft.Resources.checkpoint(
       v.select(col("vec_id"), col("label"),
           posexplode(col("q")).as(Seq("i", "x")))
-        .repartition(W, col("vec_id"))
         .select(col("vec_id"), col("label"),
           (col("i") / subDims).cast(IntegerType).as("m"),
           pmod(col("i"), lit(subDims)).as("j"), col("x")))
